@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session factory with the settings every entry point (tests, Verify,
+  * Bench, driver smoke) must share.
+  *
+  * Scale notes (designed for a 1000-executor cluster, tested on local):
+  *  - AQE on: runtime coalescing of shuffle partitions + skew-join splitting
+  *    replaces hand-tuned partition counts at 100 TB.
+  *  - shuffle.partitions defaults to the local core count; on a real cluster
+  *    AQE's coalescing makes the initial number mostly irrelevant.
+  *  - session timezone pinned to UTC so timestamp arithmetic matches the
+  *    DuckDB oracle and is cluster-location independent.
+  */
+object GraftSession {
+  def builder(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")): SparkSession.Builder =
+    SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      // testdata parquet stores TIMESTAMP(NANOS) which Spark can't decode;
+      // read as Long nanos and convert (see GraftSession.events).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+  def get(): SparkSession = {
+    val s = builder().getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** Read one of the driver-generated testdata tables. */
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** The `events` table with its nanosecond `ts` converted to a proper
+    * microsecond TimestampType column (matches DuckDB's read_parquet, which
+    * also truncates ns → us). Keeps all other columns untouched.
+    */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    table(spark, sfDir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+}

@@ -1,0 +1,165 @@
+package graft.ops
+
+import graft.{GraftSession, QueryPack}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Relational core: scans/projection, filters, joins, set ops, top-k.
+  *
+  * These are the Spark-native surface the reference gets implicitly
+  * (SURVEY.md §2.1-§2.3, §2.6-§2.7): xcube's `select_variables_subset`
+  * (select.py:66), `select_temporal_subset` (select.py:166), variable union
+  * on merge (gen2/local/combiner.py), time-slice insert/dedup
+  * (timeslice.py:62-131), `max_valids` trimming
+  * (webapi/timeseries/controllers.py:300).
+  *
+  * Scale notes: dimension joins use explicit `broadcast()`; filters and
+  * projections are plain Catalyst ops so parquet pushdown + column pruning
+  * apply; the union-dedup shuffles once on the dedup key.
+  */
+object RelationalPack extends QueryPack {
+
+  private def t(s: SparkSession, d: String, n: String) = GraftSession.table(s, d, n)
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.4-flavored pricing summary: map-side partial agg, one shuffle.
+    "q1_agg" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum(col("l_quantity")), 6).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 6).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 6).as("sum_disc_price"),
+          round(avg(col("l_quantity")), 6).as("avg_qty"),
+          round(avg(col("l_discount")), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+    }),
+
+    // select_variables_subset + predicate pushdown: projection reaches the
+    // parquet scan (ReadSchema), filter shows up in PushedFilters.
+    "q_select_vars" -> ((s, d) => {
+      t(s, d, "part")
+        .select("p_partkey", "p_brand", "p_retailprice")
+        .filter(col("p_retailprice") > 910.0)
+    }),
+
+    // select_temporal_subset semantics: [t1, t2 + 1 day) with end rounded up
+    // one day (select.py:197-204).
+    "q_temporal_subset" -> ((s, d) => {
+      GraftSession.events(s, d)
+        .filter(col("ts") >= lit("2024-01-03").cast("timestamp") &&
+                col("ts") < lit("2024-01-05").cast("timestamp") + expr("INTERVAL 1 DAY"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 6).as("sum_value"))
+    }),
+
+    // top-k with deterministic tiebreak (§2.6 max_valids trimming analog).
+    "q_topk" -> ((s, d) => {
+      t(s, d, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    }),
+
+    // fact ⋈ broadcast dims: revenue per market segment.
+    "q_join_pricing" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val o = t(s, d, "orders")
+      val c = t(s, d, "customer")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 6).as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    // left-semi join (EXISTS): orders having any heavy line item.
+    "q_semi_join" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      val heavy = t(s, d, "lineitem").filter(col("l_quantity") >= 49.0)
+      o.join(heavy, o("o_orderkey") === heavy("l_orderkey"), "left_semi")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 6).as("sum_price"))
+    }),
+
+    // time-slice union + dedup (timeslice.py:94-131 insert/replace analog):
+    // two overlapping time windows unioned, duplicates dropped on the key.
+    "q_union_slices" -> ((s, d) => {
+      val ev = GraftSession.events(s, d)
+      val a = ev.filter(col("ts") < lit("2024-01-10").cast("timestamp"))
+      val b = ev.filter(col("ts") >= lit("2024-01-05").cast("timestamp") &&
+                        col("ts") < lit("2024-01-15").cast("timestamp"))
+      a.unionByName(b).dropDuplicates("event_id")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 6).as("sum_value"))
+    }),
+
+    // select_label_subset (select.py:221-347): drop whole time slices (days)
+    // where the share of valid rows fails a predicate; here keep days whose
+    // error-event share is < 0.198. Aggregate → semi-join back, one shuffle
+    // each; at scale the per-day agg is tiny and broadcast back.
+    "q_label_subset" -> ((s, d) => {
+      val ev = GraftSession.events(s, d).withColumn("day", to_date(col("ts")))
+      val goodDays = ev.groupBy("day")
+        .agg((sum(when(col("event_type") === "error", 1).otherwise(0)) / count(lit(1))).as("err_share"))
+        .filter(col("err_share") < 0.198)
+        .select("day")
+      ev.join(broadcast(goodDays), Seq("day"), "left_semi")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 6).as("sum_value"))
+    })
+  )
+
+  override def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+         round(sum(l_quantity), 6) AS sum_qty,
+         round(sum(l_extendedprice), 6) AS sum_base_price,
+         round(sum(l_extendedprice * (1.0 - l_discount)), 6) AS sum_disc_price,
+         round(avg(l_quantity), 6) AS avg_qty,
+         round(avg(l_discount), 6) AS avg_disc,
+         count(*) AS count_order
+         FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+    "q_select_vars" ->
+      """SELECT p_partkey, p_brand, p_retailprice FROM part
+         WHERE p_retailprice > 910.0""",
+    "q_temporal_subset" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 6) AS sum_value
+         FROM events
+         WHERE ts >= TIMESTAMP '2024-01-03' AND ts < TIMESTAMP '2024-01-05' + INTERVAL 1 DAY
+         GROUP BY event_type""",
+    "q_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""",
+    "q_join_pricing" ->
+      """SELECT c_mktsegment,
+         round(sum(l_extendedprice * (1.0 - l_discount)), 6) AS revenue,
+         count(*) AS n_items
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment""",
+    "q_semi_join" ->
+      """SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 6) AS sum_price
+         FROM orders WHERE EXISTS (
+           SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity >= 49.0)
+         GROUP BY o_orderstatus""",
+    "q_union_slices" ->
+      """WITH u AS (
+           SELECT DISTINCT ON (event_id) * FROM (
+             SELECT * FROM events WHERE ts < TIMESTAMP '2024-01-10'
+             UNION ALL
+             SELECT * FROM events WHERE ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-15')
+         )
+         SELECT event_type, count(*) AS n, round(sum(value), 6) AS sum_value
+         FROM u GROUP BY event_type""",
+    "q_label_subset" ->
+      """WITH good_days AS (
+           SELECT CAST(ts AS DATE) AS day
+           FROM events GROUP BY 1
+           HAVING sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::DOUBLE / count(*) < 0.198)
+         SELECT event_type, count(*) AS n, round(sum(value), 6) AS sum_value
+         FROM events WHERE CAST(ts AS DATE) IN (SELECT day FROM good_days)
+         GROUP BY event_type"""
+  )
+}
