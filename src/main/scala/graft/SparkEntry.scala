@@ -13,7 +13,8 @@ object SparkEntry {
 
   /** All operator packs. Order only affects map merge (keys are unique). */
   def packs: Seq[QueryPack] = Seq(
-    ops.RelationalPack
+    ops.RelationalPack,
+    ops.CubePack
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,106 @@
+package graft.cube
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** A data cube in long/tall relational form: one row per cell,
+  * `(time, y, x, var1, var2, ...)`, plus the GridMapping sidecar.
+  *
+  * Spark-first re-expression of the reference's cube contract
+  * (xcube/core/verify.py:34-75, normalize.py:143-233): instead of enforcing
+  * dimension order on N-D arrays, the relational cube enforces the presence
+  * and types of the key columns; everything else is a data variable.
+  *
+  * At 100 TB the physical layout is Parquet partitioned by
+  * (date(time), spatial block); all subsetting operators compile to
+  * partition-pruned scans.
+  */
+final case class Cube(
+    df: DataFrame,
+    gm: GridMapping,
+    timeCol: String = "time",
+    yCol: String = "y",
+    xCol: String = "x") {
+
+  def spark: SparkSession = df.sparkSession
+
+  /** Data variable columns = everything that isn't a key column. */
+  def varNames: Seq[String] =
+    df.columns.filterNot(c => c == timeCol || c == yCol || c == xCol).toSeq
+
+  def time: Column = col(timeCol)
+  def y: Column = col(yCol)
+  def x: Column = col(xCol)
+
+  def withDf(f: DataFrame => DataFrame): Cube = copy(df = f(df))
+
+  /** Validity report, mirroring verify_cube (verify.py:34-238): empty = OK. */
+  def verify(): Seq[String] = {
+    val issues = scala.collection.mutable.ListBuffer.empty[String]
+    val sch = df.schema
+    def fieldType(n: String): Option[DataType] =
+      sch.fields.find(_.name == n).map(_.dataType)
+    fieldType(timeCol) match {
+      case None => issues += s"missing time column '$timeCol'"
+      case Some(t) if !t.isInstanceOf[TimestampType] =>
+        issues += s"time column '$timeCol' is $t, expected timestamp"
+      case _ =>
+    }
+    Seq(yCol, xCol).foreach { c =>
+      fieldType(c) match {
+        case None => issues += s"missing coordinate column '$c'"
+        case Some(DoubleType) | Some(FloatType) =>
+        case Some(t) => issues += s"coordinate column '$c' is $t, expected double"
+      }
+    }
+    if (varNames.isEmpty) issues += "cube has no data variables"
+    varNames.foreach { v =>
+      fieldType(v) match {
+        case Some(_: NumericType) | Some(BooleanType) =>
+        case Some(t) => issues += s"variable '$v' has non-numeric type $t"
+        case None =>
+      }
+    }
+    issues.toSeq
+  }
+
+  /** CubeSchema analog (schema.py:14-201). */
+  def cubeSchema: CubeSchema =
+    CubeSchema(timeCol, yCol, xCol, varNames, gm.width, gm.height)
+}
+
+/** Inferred shape metadata — reference CubeSchema (schema.py:14-201). */
+final case class CubeSchema(
+    timeName: String,
+    yName: String,
+    xName: String,
+    varNames: Seq[String],
+    width: Long,
+    height: Long) {
+  def dims: Seq[String] = Seq(timeName, yName, xName)
+}
+
+object Cube {
+  /** Decode a plain DataFrame into a cube, inferring the GridMapping from
+    * the coordinate columns (min/max/distinct-step) — the relational analog
+    * of decode_cube + GridMapping.from_dataset (normalize.py:143,
+    * gridmapping/base.py:808). One aggregation pass over the coords.
+    */
+  def fromDataFrame(df: DataFrame, timeCol: String = "time",
+                    yCol: String = "y", xCol: String = "x"): Cube = {
+    val row = df.agg(
+      min(col(xCol)).as("xmin"), max(col(xCol)).as("xmax"),
+      min(col(yCol)).as("ymin"), max(col(yCol)).as("ymax"),
+      countDistinct(col(xCol)).as("nx"), countDistinct(col(yCol)).as("ny")
+    ).head()
+    val (xmin, xmax) = (row.getDouble(0), row.getDouble(1))
+    val (ymin, ymax) = (row.getDouble(2), row.getDouble(3))
+    val (nx, ny) = (row.getLong(4), row.getLong(5))
+    val xRes = if (nx > 1) (xmax - xmin) / (nx - 1) else 1.0
+    val yRes = if (ny > 1) (ymax - ymin) / (ny - 1) else 1.0
+    // coords are cell centers: bbox extends half a cell beyond min/max
+    val gm = GridMapping(nx, ny, xmin - xRes / 2, ymin - yRes / 2, xRes, yRes)
+    Cube(df, gm, timeCol, yCol, xCol)
+  }
+}

@@ -1,0 +1,84 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.locationtech.jts.geom.{Coordinate, Geometry, GeometryFactory}
+import org.locationtech.jts.geom.prep.{PreparedGeometry, PreparedGeometryFactory}
+import org.locationtech.jts.io.WKTReader
+
+/** Point-in-geometry predicate for cell-center masking — the Spark analog of
+  * the reference's rasterio-based geometry masks (xcube/core/geom.py:284-423
+  * mask_dataset_by_geometry, geom.py:51-281 rasterize_features).
+  *
+  * The geometry is parsed once on the driver, shipped as WKT, and prepared
+  * lazily per executor (PreparedGeometry is not serializable; preparation
+  * builds an edge index that makes repeated covers() checks O(log n) — this
+  * matters when testing 10^9 cells against a 10^5-vertex coastline).
+  */
+final class GeomPredicate(val wkt: String) extends Serializable {
+  @transient private lazy val prepared: PreparedGeometry =
+    PreparedGeometryFactory.prepare(new WKTReader().read(wkt))
+  @transient private lazy val gf = new GeometryFactory()
+  /** covers = contains + boundary (cell centers exactly on an edge count). */
+  def covers(x: Double, y: Double): Boolean =
+    prepared.covers(gf.createPoint(new Coordinate(x, y)))
+}
+
+object GeomFunctions {
+
+  /** Boolean Column: is the point (x, y) covered by the WKT geometry. */
+  def inGeom(wkt: String)(x: Column, y: Column): Column = {
+    val pred = new GeomPredicate(wkt)
+    udf((px: Double, py: Double) => pred.covers(px, py)).apply(x, y)
+  }
+
+  /** Driver-side envelope of a WKT geometry → (xMin, yMin, xMax, yMax);
+    * used for the cheap bbox pre-filter before the exact predicate
+    * (clip_dataset_by_geometry, geom.py:445-529) so partition pruning and
+    * parquet min/max skipping fire before any UDF runs.
+    */
+  def wktBbox(wkt: String): (Double, Double, Double, Double) = {
+    val env = new WKTReader().read(wkt).getEnvelopeInternal
+    (env.getMinX, env.getMinY, env.getMaxX, env.getMaxY)
+  }
+
+  /** Geometry mask = bbox pre-filter (prunable, codegen) AND exact
+    * point-in-polygon (UDF on the small survivor set).
+    */
+  def geomMask(wkt: String)(x: Column, y: Column): Column = {
+    val (x1, y1, x2, y2) = wktBbox(wkt)
+    x.between(x1, x2) && y.between(y1, y2) && inGeom(wkt)(x, y)
+  }
+
+  /** Executor-local prepared-geometry cache for per-row WKT predicates
+    * (rasterize_features joins a cell against MANY feature geometries; each
+    * distinct WKT is parsed + prepared once per executor JVM, not per row).
+    */
+  @transient private lazy val preparedCache =
+    new java.util.concurrent.ConcurrentHashMap[String, PreparedGeometry]()
+  @transient private lazy val pointFactory = new GeometryFactory()
+
+  private def preparedFor(wkt: String): PreparedGeometry =
+    preparedCache.computeIfAbsent(wkt,
+      w => PreparedGeometryFactory.prepare(new WKTReader().read(w)))
+
+  /** Boolean Column where the geometry itself is a column (one WKT per
+    * feature row) — used as a broadcast-join condition.
+    */
+  def inGeomCol(wkt: Column, x: Column, y: Column): Column =
+    udf((w: String, px: Double, py: Double) =>
+      if (w == null) false
+      else preparedFor(w).covers(pointFactory.createPoint(new Coordinate(px, py)))
+    ).apply(wkt, x, y)
+
+  /** Normalize a geometry spec — reference normalize_geometry
+    * (geom.py:559-638): bbox (x1,y1,x2,y2) → POLYGON WKT; a bbox crossing
+    * the anti-meridian (x1 > x2) splits into two (geom.py:720-738).
+    */
+  def bboxToWkts(x1: Double, y1: Double, x2: Double, y2: Double): Seq[String] = {
+    def poly(a: Double, b: Double, c: Double, d: Double) =
+      s"POLYGON (($a $b, $c $b, $c $d, $a $d, $a $b))"
+    if (x1 > x2) Seq(poly(x1, y1, 180.0, y2), poly(-180.0, y1, x2, y2))
+    else Seq(poly(x1, y1, x2, y2))
+  }
+}

@@ -1,0 +1,135 @@
+package graft.ops
+
+import graft.{GraftSession, QueryPack}
+import graft.cube.{Cube, GridMapping}
+import graft.functions.MaskSet
+import graft.operators.{Evaluate, GeomOps, SelectOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.MetadataBuilder
+
+/** Cube-model operators (SURVEY.md §2.2): spatial/temporal subsetting,
+  * geometry masking, CF flag expansion, safe variable expressions — all
+  * driven over a deterministic grid derived from the `events` table so the
+  * DuckDB oracle can mirror the arithmetic exactly.
+  *
+  * The derived cube: time = ts, y = (user_id % 100) + 0.5,
+  * x = (event_id % 360) + 0.5, v = value — i.e. a 360×100 regular grid with
+  * unit resolution anchored at (0, 0).
+  */
+object CubePack extends QueryPack {
+
+  /** GridMapping of the derived events grid. */
+  val gm: GridMapping = GridMapping(360, 100, 0.0, 0.0, 1.0, 1.0)
+
+  def eventsCube(s: SparkSession, d: String): Cube = {
+    val df = GraftSession.events(s, d).select(
+      col("ts").as("time"),
+      ((col("user_id") % 100).cast("double") + lit(0.5)).as("y"),
+      ((col("event_id") % 360).cast("double") + lit(0.5)).as("x"),
+      col("value").as("v"),
+      col("event_type"))
+    Cube(df, gm)
+  }
+
+  /** SQL CTE mirroring eventsCube. */
+  val cubeCte: String =
+    """cube AS (
+         SELECT ts AS time,
+                CAST(user_id % 100 AS DOUBLE) + 0.5 AS y,
+                CAST(event_id % 360 AS DOUBLE) + 0.5 AS x,
+                value AS v,
+                event_type
+         FROM events)"""
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // select_spatial_subset (select.py:87-163) world-coord bbox + skipna agg
+    "q_spatial_subset" -> ((s, d) => {
+      val c = SelectOps.spatialSubset(eventsCube(s, d), 30.0, 10.0, 99.0, 49.0)
+      c.df.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), round(sum(col("v")), 6).as("sum_v"))
+    }),
+
+    // pixel-coord subset (ij_bbox with border, select.py:100-120)
+    "q_spatial_subset_ij" -> ((s, d) => {
+      val c = SelectOps.spatialSubsetIj(eventsCube(s, d), 100L, 20L, 199L, 59L, border = 2L)
+      c.df.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), round(sum(col("v")), 6).as("sum_v"))
+    }),
+
+    // mask_dataset_by_geometry (geom.py:284-423): triangle mask, NaN
+    // outside, skipna aggregation (NaN-as-missing, timeseries.py:182-191)
+    "q_geom_mask" -> ((s, d) => {
+      val wkt = "POLYGON ((0 0, 101 0, 0 101, 0 0))"
+      val c = GeomOps.maskByGeometry(eventsCube(s, d), wkt)
+      c.df.groupBy("event_type").agg(
+        sum(when(!isnan(col("v")), 1).otherwise(0)).as("n_valid"),
+        round(sum(when(!isnan(col("v")), col("v")).otherwise(0.0)), 6).as("sum_v"))
+    }),
+
+    // MaskSet flag expansion (maskset.py:165-196) incl. "Nb" bit syntax
+    "q_maskset" -> ((s, d) => {
+      val md = new MetadataBuilder()
+        .putString("flag_meanings", "land water cloud invalid")
+        .putStringArray("flag_masks", Array("0b", "1b", "2b", "3b"))
+        .build()
+      val df = GraftSession.events(s, d)
+        .withColumn("flags", (col("event_id") % 16).cast("int").as("flags", md))
+      MaskSet.expand(df, "flags")
+        .filter(col("flags_water") && !col("flags_cloud"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 6).as("sum_value"))
+    }),
+
+    // evaluate_dataset + varexpr (evaluate.py:16-152, varexpr.py:16-309):
+    // computed var with where/log10/ternary + valid-pixel mask, skipna agg
+    "q_evaluate" -> ((s, d) => {
+      val df0 = eventsCube(s, d).df
+      val df = Evaluate.evaluateDataset(df0, Seq(
+        Evaluate.VarConfig("chl",
+          expression = Some("where(v > 50.0, log10(v) * 10.0, nan)"),
+          validPixelExpression = Some("x < 300.0 and y < 90.0")),
+        Evaluate.VarConfig("band", expression = Some("floor(v / 100.0)"))))
+      df.groupBy("band").agg(
+        sum(when(!isnan(col("chl")), 1).otherwise(0)).as("n_valid"),
+        round(sum(when(!isnan(col("chl")), col("chl")).otherwise(0.0)), 6).as("sum_chl"))
+    })
+  )
+
+  override def oracleSql: Map[String, String] = Map(
+    "q_spatial_subset" ->
+      s"""WITH $cubeCte
+         SELECT event_type, count(*) AS n, round(sum(v), 6) AS sum_v
+         FROM cube
+         WHERE x BETWEEN 30.0 AND 99.0 AND y BETWEEN 10.0 AND 49.0
+         GROUP BY event_type""",
+    "q_spatial_subset_ij" ->
+      s"""WITH $cubeCte
+         SELECT event_type, count(*) AS n, round(sum(v), 6) AS sum_v
+         FROM cube
+         WHERE floor(x) BETWEEN 98 AND 201 AND floor(y) BETWEEN 18 AND 61
+         GROUP BY event_type""",
+    "q_geom_mask" ->
+      s"""WITH $cubeCte
+         SELECT event_type,
+                count(CASE WHEN x >= 0 AND y >= 0 AND x + y <= 101 THEN 1 END) AS n_valid,
+                round(sum(CASE WHEN x >= 0 AND y >= 0 AND x + y <= 101 THEN v ELSE 0 END), 6) AS sum_v
+         FROM cube GROUP BY event_type""",
+    "q_maskset" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 6) AS sum_value
+         FROM events
+         WHERE ((event_id % 16) & 2) != 0 AND ((event_id % 16) & 4) = 0
+         GROUP BY event_type""",
+    "q_evaluate" ->
+      s"""WITH $cubeCte,
+         ev AS (
+           SELECT CAST(floor(v / 100.0) AS BIGINT) AS band,
+                  CASE WHEN x < 300.0 AND y < 90.0 AND v > 50.0
+                       THEN log10(v) * 10.0 END AS chl
+           FROM cube)
+         SELECT band, count(chl) AS n_valid,
+                round(sum(coalesce(chl, 0.0)), 6) AS sum_chl
+         FROM ev GROUP BY band"""
+  )
+}

@@ -1,0 +1,127 @@
+package graft
+
+import graft.cube.{Cube, GridMapping, NewCube}
+import graft.functions.{GeomFunctions, MaskSet, VarExpr}
+import graft.operators.{Evaluate, SelectOps}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class CubeModelSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = GraftSession.builder("4").getOrCreate()
+
+  test("GridMapping pixel/world math round-trips") {
+    val gm = GridMapping.global1deg
+    assert(gm.xForI(0) == -179.5)
+    assert(gm.xForI(359) == 179.5)
+    assert(gm.yForJ(0) == -89.5)
+    assert(gm.iForX(-179.5) == 0)
+    assert(gm.iForX(179.9) == 359)
+    assert(gm.jForY(89.9) == 179)
+    // ij bbox from xy bbox, mirrors base.py:527
+    assert(gm.ijBboxFromXyBbox(-10.0, -10.0, 10.0, 10.0) == Some((170L, 80L, 190L, 100L)))
+    assert(gm.ijBboxFromXyBbox(200.0, 95.0, 210.0, 99.0).isEmpty)
+    // pyramid level sizes: size[l+1] = (size[l]+1)//2 (mldataset/abc.py:18)
+    val l1 = gm.levelMapping(1)
+    assert(l1.width == 180 && l1.height == 90 && l1.xRes == 2.0)
+  }
+
+  test("newCube builds the reference default fixture shape") {
+    val c = NewCube(spark, timePeriods = 2)
+    assert(c.verify().isEmpty)
+    assert(c.df.count() == 2L * 180 * 360)
+    val row = c.df.agg(min("x"), max("x"), min("y"), max("y"),
+      min("precipitation"), max("precipitation")).head()
+    assert(row.getDouble(0) == -179.5 && row.getDouble(1) == 179.5)
+    assert(row.getDouble(2) == -89.5 && row.getDouble(3) == 89.5)
+    assert(row.getDouble(4) == 0.6 && row.getDouble(5) == 0.6)
+  }
+
+  test("Cube.fromDataFrame infers the grid mapping") {
+    val c0 = NewCube(spark, timePeriods = 1)
+    val inferred = Cube.fromDataFrame(c0.df)
+    assert(inferred.gm.width == 360 && inferred.gm.height == 180)
+    assert(math.abs(inferred.gm.xRes - 1.0) < 1e-9)
+    assert(math.abs(inferred.gm.xMin - (-180.0)) < 1e-9)
+  }
+
+  test("verify reports broken cubes") {
+    val bad = Cube(spark.range(3).toDF("time"), GridMapping.global1deg)
+    val issues = bad.verify()
+    assert(issues.exists(_.contains("time")))
+    assert(issues.exists(_.contains("missing coordinate")))
+  }
+
+  test("spatial + temporal subset") {
+    val c = NewCube(spark, timePeriods = 3)
+    val sub = SelectOps.selectSubset(c,
+      vars = Some(Seq("precipitation")),
+      bbox = Some((-10.0, -10.0, 10.0, 10.0)),
+      timeRange = Some(("2010-01-01", "2010-01-02")))
+    assert(sub.df.columns.toSeq == Seq("time", "y", "x", "precipitation"))
+    // 20x20 cells, 2 time steps (Jan 1 and Jan 2 bins; end rounded up 1 day)
+    assert(sub.df.count() == 20L * 20 * 2)
+  }
+
+  test("MaskSet bit spec parser (maskset.py:269-313)") {
+    assert(MaskSet.parseBitSpec("5b") == 32L)
+    assert(MaskSet.parseBitSpec("0b") == 1L)
+    assert(MaskSet.parseBitSpec("3b-7b") == (8L | 16 | 32 | 64 | 128))
+    assert(MaskSet.parseBitSpec("12") == 12L)
+    val specs = MaskSet.flagSpecs("a b", Some(Seq("0b", "1b-2b")), None)
+    assert(specs == Seq(MaskSet.FlagSpec("a", Some(1L), None),
+                        MaskSet.FlagSpec("b", Some(6L), None)))
+  }
+
+  test("VarExpr compiles the reference grammar to Columns") {
+    import spark.implicits._
+    val df = Seq((4.0, 2.0, 3L), (100.0, -1.0, 12L)).toDF("a", "b", "f")
+    def eval(e: String): Any =
+      df.select(VarExpr.onColumns(e).as("r")).collect().map(_.get(0)).toSeq.head
+    assert(eval("a + b * 2") == 8.0)
+    assert(eval("a ** 0.5") == 2.0)
+    assert(eval("-a ** 2") == -16.0) // python precedence: -(a**2)
+    assert(eval("where(a > b, a, b)") == 4.0)
+    assert(eval("a if a > 10 else b") == 2.0)
+    assert(eval("sqrt(a) + log10(100)") == 4.0)
+    assert(eval("1 < a <= 4") == true) // chained comparison
+    assert(eval("f & 2") == 2L)
+    assert(eval("f in (3, 5)") == true)
+    assert(eval("not (a > 100)") == true)
+    assert(eval("fmin(a, nan)") == 4.0)       // numpy fmin skips NaN
+    val prop = df.select(VarExpr.onColumns("minimum(a, nan)").as("r"))
+      .collect().head.getDouble(0)
+    assert(prop.isNaN)                         // numpy minimum propagates
+    assert(eval("clip(a, 0, 3)") == 3.0)
+    assert(eval("a == nan") == false)          // numpy NaN comparison
+    assert(eval("isnan(a)") == false)
+    // assignment splitting
+    assert(VarExpr.parseAssignment("chl = a + b") == (Some("chl"), " a + b"))
+    assert(VarExpr.parseAssignment("a + b")._1.isEmpty)
+    // non-whitelisted function rejected
+    intercept[IllegalArgumentException](eval("__import__('os')"))
+  }
+
+  test("evaluate_dataset dependency order + valid pixel masking") {
+    import spark.implicits._
+    val df = Seq((10.0, 1.0), (200.0, -1.0)).toDF("v", "q")
+    val out = Evaluate.evaluateDataset(df, Seq(
+      Evaluate.VarConfig("big", expression = Some("v * 2 + small")),
+      Evaluate.VarConfig("small", expression = Some("v / 10"),
+        validPixelExpression = Some("q > 0"))))
+    val rows = out.select("small", "big").collect()
+    assert(rows(0).getDouble(0) == 1.0 && rows(0).getDouble(1) == 21.0)
+    assert(rows(1).getDouble(0).isNaN && rows(1).getDouble(1).isNaN)
+  }
+
+  test("geometry predicate covers boundary and interior") {
+    import spark.implicits._
+    val wkt = "POLYGON ((0 0, 10 0, 0 10, 0 0))"
+    val df = Seq((1.0, 1.0), (5.0, 5.0), (9.0, 2.0), (0.5, 0.5)).toDF("x", "y")
+    val n = df.filter(GeomFunctions.geomMask(wkt)(col("x"), col("y"))).count()
+    assert(n == 3) // (9,2) is outside (x+y=11); (5,5) on hypotenuse counts via covers
+    assert(GeomFunctions.wktBbox(wkt) == (0.0, 0.0, 10.0, 10.0))
+    assert(GeomFunctions.bboxToWkts(170.0, 0.0, -170.0, 10.0).size == 2) // anti-meridian
+  }
+}
