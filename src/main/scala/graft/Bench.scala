@@ -1,18 +1,29 @@
 package graft
 import org.apache.spark.sql.SparkSession
+/** Bench main: times every SparkEntry query at SPARK_GRAFT_SF_DIR and prints
+  * ONE JSON line. A failing query is reported in "errors" (and excluded from
+  * per-query timings) instead of masquerading as a fast run.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.get()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val err =
+        try { fn(spark, sfDir).count(); None }
+        catch { case e: Throwable =>
+          Some(Option(e.getMessage).getOrElse(e.getClass.getName)
+            .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(160))
+        }
+      (name, (System.nanoTime() - t0) / 1e9, err)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val ok = results.filter(_._3.isEmpty)
+    val qs = ok.map { case (k, v, _) => s"\"$k\":$v" }.mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, Some(m)) => s"\"$k\":\"$m\"" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = ok.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

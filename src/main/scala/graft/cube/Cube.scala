@@ -82,16 +82,36 @@ final case class CubeSchema(
 }
 
 object Cube {
-  /** Decode a plain DataFrame into a cube, inferring the GridMapping from
-    * the coordinate columns (min/max/distinct-step) — the relational analog
-    * of decode_cube + GridMapping.from_dataset (normalize.py:143,
-    * gridmapping/base.py:808). One aggregation pass over the coords.
+  /** Decode a plain DataFrame into a cube with a KNOWN resolution — a single
+    * min/max aggregation pass, no distinct-count expand. This is the hot-path
+    * decode for a 100 TB cube whose res is recorded in table metadata; the
+    * grid size falls out of `(max - min) / res`.
+    */
+  def fromDataFrame(df: DataFrame, xRes: Double, yRes: Double,
+                    timeCol: String, yCol: String, xCol: String): Cube = {
+    val (xmin, xmax, ymin, ymax) = coordExtent(df, yCol, xCol)
+    val nx = math.max(1L, math.round((xmax - xmin) / xRes) + 1)
+    val ny = math.max(1L, math.round((ymax - ymin) / yRes) + 1)
+    val gm = GridMapping(nx, ny, xmin - xRes / 2, ymin - yRes / 2, xRes, yRes)
+    Cube(df, gm, timeCol, yCol, xCol)
+  }
+
+  /** Decode with full inference (resolution from distinct coordinate count)
+    * — the relational analog of decode_cube + GridMapping.from_dataset
+    * (normalize.py:143, gridmapping/base.py:808).
+    *
+    * NOTE: this runs an EAGER aggregation over the coordinate columns,
+    * including two countDistincts (expand + shuffle). Fine for test fixtures
+    * and small cubes; at scale prefer `Cube(df, gm)` with a recorded
+    * GridMapping or the known-resolution overload above.
     */
   def fromDataFrame(df: DataFrame, timeCol: String = "time",
                     yCol: String = "y", xCol: String = "x"): Cube = {
+    // cast to double so FloatType coords (accepted by verify) don't make
+    // the min/max aggregates FloatType and break getDouble
     val row = df.agg(
-      min(col(xCol)).as("xmin"), max(col(xCol)).as("xmax"),
-      min(col(yCol)).as("ymin"), max(col(yCol)).as("ymax"),
+      min(col(xCol).cast("double")).as("xmin"), max(col(xCol).cast("double")).as("xmax"),
+      min(col(yCol).cast("double")).as("ymin"), max(col(yCol).cast("double")).as("ymax"),
       countDistinct(col(xCol)).as("nx"), countDistinct(col(yCol)).as("ny")
     ).head()
     val (xmin, xmax) = (row.getDouble(0), row.getDouble(1))
@@ -102,5 +122,12 @@ object Cube {
     // coords are cell centers: bbox extends half a cell beyond min/max
     val gm = GridMapping(nx, ny, xmin - xRes / 2, ymin - yRes / 2, xRes, yRes)
     Cube(df, gm, timeCol, yCol, xCol)
+  }
+
+  private def coordExtent(df: DataFrame, yCol: String, xCol: String): (Double, Double, Double, Double) = {
+    val row = df.agg(
+      min(col(xCol).cast("double")), max(col(xCol).cast("double")),
+      min(col(yCol).cast("double")), max(col(yCol).cast("double"))).head()
+    (row.getDouble(0), row.getDouble(1), row.getDouble(2), row.getDouble(3))
   }
 }

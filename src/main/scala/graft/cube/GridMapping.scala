@@ -12,8 +12,8 @@ import org.apache.spark.sql.functions._
   * `Column` expressions (executor-side, codegen'd — no UDF).
   *
   * Only regular grids are modeled; irregular (2-D coord) sources are
-  * rectified onto a regular grid first (see graft.resample.Rectify,
-  * reference resampling/rectify.py:23).
+  * rectified onto a regular grid first (reference resampling/rectify.py:23,
+  * SURVEY §2.11).
   */
 final case class GridMapping(
     width: Long,

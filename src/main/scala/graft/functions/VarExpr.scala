@@ -136,12 +136,23 @@ object VarExpr {
     private def notExpr(): Column =
       if (eatName("not")) !notExpr() else comparison()
 
-    /** Marker for the `nan` constant so `x == nan` → isnan(x). */
-    private object NanConst { val col: Column = lit(Double.NaN) }
-    private var lastWasNan = false
+    /** Parse one comparison operand and report whether it was the BARE `nan`
+      * token (single-token span) — only then does `x == nan` compile to
+      * isnan(x) like the reference transpiler (util/expression.py). Compound
+      * expressions containing nan (e.g. `1 + nan`, `(nan)`) compare normally.
+      */
+    private def cmpOperand(): (Column, Boolean) = {
+      val start = pos
+      val c = bitOr()
+      val bareNan = pos == start + 1 && (toks(start) match {
+        case Name("nan" | "NaN" | "NAN") => true
+        case _ => false
+      })
+      (c, bareNan)
+    }
 
     private def comparison(): Column = {
-      var (left, leftNan) = { val r = bitOr(); (r, lastWasNan) }
+      var (left, leftNan) = cmpOperand()
       var result: Option[Column] = None
       var continue = true
       while (continue) {
@@ -173,7 +184,7 @@ object VarExpr {
             result = Some(result.map(_ && cmp).getOrElse(cmp))
             continue = false
           case Some(o) =>
-            val (right, rightNan) = { val r = bitOr(); (r, lastWasNan) }
+            val (right, rightNan) = cmpOperand()
             val cmp = o match {
               case "==" =>
                 if (rightNan) isnan(left) else if (leftNan) isnan(right) else left === right
@@ -262,7 +273,9 @@ object VarExpr {
         case Some(Op("*")) => pos += 1; c = c * factor()
         case Some(Op("/")) => pos += 1; c = c.cast("double") / factor()
         case Some(Op("//")) => pos += 1; c = floor(c / factor())
-        case Some(Op("%")) => pos += 1; c = c % factor()
+        // python/numpy % takes the divisor's sign, unlike Spark's remainder
+        // (dividend sign) — same fold as the mod/remainder registry entries.
+        case Some(Op("%")) => pos += 1; c = pymod(c, factor())
         case _ => go = false
       }
       c
@@ -277,6 +290,7 @@ object VarExpr {
     }
 
     private def negate(c: Column): Column = lit(0) - c
+    private def pymod(p: Column, q: Column): Column = ((p % q) + q) % q
     private def bitwise_not(c: Column): Column = -(c.cast("long")) - lit(1L)
 
     // power: atom ['**' factor]   (right-assoc)
@@ -286,7 +300,6 @@ object VarExpr {
     }
 
     private def atom(): Column = {
-      lastWasNan = false
       next() match {
         case Num(v) =>
           if (v.exists(ch => ch == '.' || ch == 'e' || ch == 'E')) lit(v.toDouble)
@@ -300,16 +313,21 @@ object VarExpr {
           peek match {
             case Some(Op("(")) =>
               pos += 1
-              val args = Vector.newBuilder[Column]
+              // keep each arg's token span so functions needing a literal
+              // argument (round digits) can recover it at compile time
+              val args = Vector.newBuilder[(Column, (Int, Int))]
               if (!eatOp(")")) {
-                args += ternary()
-                while (eatOp(",")) args += ternary()
+                def arg(): (Column, (Int, Int)) = {
+                  val st = pos; val c = ternary(); (c, (st, pos))
+                }
+                args += arg()
+                while (eatOp(",")) args += arg()
                 expectOp(")")
               }
               call(n, args.result())
             case _ =>
               n match {
-                case "nan" | "NaN" | "NAN" => lastWasNan = true; lit(Double.NaN)
+                case "nan" | "NaN" | "NAN" => lit(Double.NaN)
                 case "inf" | "Inf" => lit(Double.PositiveInfinity)
                 case "e" | "E" => lit(math.E)
                 case "pi" | "PI" => lit(math.Pi)
@@ -326,9 +344,23 @@ object VarExpr {
     /** Whitelisted function registry — varexpr/names.py's ufunc namespace
       * mapped to org.apache.spark.sql.functions (codegen'd builtins).
       */
-    private def call(name: String, a: Seq[Column]): Column = {
+    private def call(name: String, argsWithSpans: Seq[(Column, (Int, Int))]): Column = {
+      val a = argsWithSpans.map(_._1)
       def one = { require(a.length == 1, s"$name takes 1 arg"); a.head }
       def two = { require(a.length == 2, s"$name takes 2 args"); (a(0), a(1)) }
+      /** Literal integer value of argument i, when its token span is exactly
+        * a (possibly sign-prefixed) numeric literal.
+        */
+      def litInt(i: Int): Option[Int] = {
+        val (st, en) = argsWithSpans(i)._2
+        toks.slice(st, en) match {
+          case Vector(Num(v)) if !v.exists(ch => ch == '.' || ch == 'e' || ch == 'E') =>
+            Some(v.toInt)
+          case Vector(Op("-"), Num(v)) if !v.exists(ch => ch == '.' || ch == 'e' || ch == 'E') =>
+            Some(-v.toInt)
+          case _ => None
+        }
+      }
       name match {
         case "sin" => sin(one)
         case "cos" => cos(one)
@@ -365,7 +397,11 @@ object VarExpr {
         case "trunc" => // toward zero
           when(one >= 0, floor(one)).otherwise(ceil(one))
         case "round" =>
-          if (a.length == 2) round(a(0), 0) else round(one, 0)
+          if (a.length == 2) {
+            val digits = litInt(1).getOrElse(throw new IllegalArgumentException(
+              "round(x, n): n must be an integer literal"))
+            round(a(0), digits)
+          } else round(one, 0)
         case "power" | "pow" => { val (p, q) = two; pow(p, q) }
         case "hypot" => { val (p, q) = two; hypot(p, q) }
         case "fmod" => { val (p, q) = two; p % q }
@@ -400,7 +436,7 @@ object VarExpr {
         case "multiply" => { val (p, q) = two; p * q }
         case "divide" | "true_divide" => { val (p, q) = two; p.cast("double") / q }
         case "floor_divide" => { val (p, q) = two; floor(p / q) }
-        case "mod" | "remainder" => { val (p, q) = two; ((p % q) + q) % q }
+        case "mod" | "remainder" => { val (p, q) = two; pymod(p, q) }
         case "copysign" => { val (p, q) = two
           abs(p) * when(q < 0, lit(-1.0)).otherwise(lit(1.0)) }
         case other =>

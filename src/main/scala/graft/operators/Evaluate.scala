@@ -18,12 +18,15 @@ object Evaluate {
       expression: Option[String] = None,
       validPixelExpression: Option[String] = None)
 
-  /** Order by expression length — the reference's dependency heuristic
-    * (evaluate.py:145-152): shorter expressions are assumed not to depend
-    * on longer ones.
+  /** Order by the reference's dependency heuristic `_get_var_sort_key`
+    * (evaluate.py:145-152): 10×len(expression) + 100×len(valid_pixel
+    * expression) — shorter specs are assumed not to depend on longer ones,
+    * and validity masks are weighted heavier so masked vars evaluate after
+    * the vars their masks reference.
     */
   private def ordered(configs: Seq[VarConfig]): Seq[VarConfig] =
-    configs.sortBy(c => c.expression.map(_.length).getOrElse(0))
+    configs.sortBy(c => 10 * c.expression.map(_.length).getOrElse(0) +
+                        100 * c.validPixelExpression.map(_.length).getOrElse(0))
 
   def evaluateDataset(df: DataFrame, configs: Seq[VarConfig]): DataFrame =
     ordered(configs).foldLeft(df) { (d, cfg) =>

@@ -106,13 +106,36 @@ class CubeModelSpec extends AnyFunSuite {
   test("evaluate_dataset dependency order + valid pixel masking") {
     import spark.implicits._
     val df = Seq((10.0, 1.0), (200.0, -1.0)).toDF("v", "q")
+    // reference sort key (evaluate.py:145-152): 10*len(expr) + 100*len(valid)
+    // → small (60) before big (130) before masked (10 + 500)
     val out = Evaluate.evaluateDataset(df, Seq(
       Evaluate.VarConfig("big", expression = Some("v * 2 + small")),
-      Evaluate.VarConfig("small", expression = Some("v / 10"),
+      Evaluate.VarConfig("small", expression = Some("v / 10")),
+      Evaluate.VarConfig("masked", expression = Some("v"),
         validPixelExpression = Some("q > 0"))))
-    val rows = out.select("small", "big").collect()
+    val rows = out.select("small", "big", "masked").collect()
     assert(rows(0).getDouble(0) == 1.0 && rows(0).getDouble(1) == 21.0)
-    assert(rows(1).getDouble(0).isNaN && rows(1).getDouble(1).isNaN)
+    assert(rows(0).getDouble(2) == 10.0)
+    assert(rows(1).getDouble(0) == 20.0 && rows(1).getDouble(1) == 420.0)
+    assert(rows(1).getDouble(2).isNaN)
+  }
+
+  test("VarExpr round digits, python % sign, nan only as bare literal") {
+    import spark.implicits._
+    val df = Seq((4.125, -7.0)).toDF("a", "b")
+    def eval(e: String): Any =
+      df.select(VarExpr.onColumns(e).as("r")).collect().map(_.get(0)).toSeq.head
+    assert(eval("round(a, 2)") == 4.13)          // digits arg honored
+    assert(eval("round(a)") == 4.0)
+    intercept[IllegalArgumentException](eval("round(a, b)")) // non-literal digits
+    assert(eval("b % 3") == 2.0)                 // python: sign of divisor
+    assert(eval("7 % -3") == -2L)
+    assert(eval("fmod(b, 3)") == -1.0)           // numpy fmod: truncated
+    // nan comparison applies ONLY to the bare token (util/expression.py)
+    assert(eval("a == nan") == false)
+    val compound = df.select(VarExpr.onColumns("a == 1 + nan").as("r")).collect().head
+    assert(compound.getBoolean(0) == false)      // NaN == compares, not isnan
+    assert(eval("isnan(1 + nan)") == true)
   }
 
   test("geometry predicate covers boundary and interior") {
