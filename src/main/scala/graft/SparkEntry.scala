@@ -14,7 +14,8 @@ object SparkEntry {
   /** All operator packs. Order only affects map merge (keys are unique). */
   def packs: Seq[QueryPack] = Seq(
     ops.RelationalPack,
-    ops.CubePack
+    ops.CubePack,
+    ops.TemporalPack
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,155 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** resample_in_time — re-expression of the reference's temporal resampling
+  * (xcube/core/resampling/temporal.py:17-161; method lists cli/resample.py:
+  * 18-41) on the long-format cube.
+  *
+  * Downsampling compiles to ONE groupBy on the bucket-start expression —
+  * map-side partial aggregation, a single shuffle on (bucket, keys), fully
+  * codegen'd. Buckets are left-closed and left-labeled like the reference
+  * (temporal.py:82-84). Fixed frequencies (nH/nD/nW) are epoch-anchored
+  * arithmetic; calendar frequencies (1M/1Q/1Y) are date_trunc — a fixed
+  * window would drift across month lengths.
+  *
+  * Upsampling (ffill/bfill/interpolate, temporal.py:138-161) uses a per-key
+  * ordered window. At 100 TB the partitionBy keys are the spatial cell
+  * (y, x) — millions of small partitions, which Spark windows handle without
+  * skew; there is no global sort.
+  */
+object TemporalOps {
+
+  private val FixedFreq = "([0-9]+)[ ]?([hHdDwW])".r
+  private val CalFreq = "1[ ]?([mMqQyY])".r
+
+  /** Bucket START timestamp for a frequency string ("8D", "12H", "1W",
+    * "1M", "1Q", "1Y"). Left-closed, left-labeled.
+    */
+  def bucketStart(time: Column, freq: String): Column = freq match {
+    case FixedFreq(n, u) =>
+      val sec = n.toLong * (u.toUpperCase match {
+        case "H" => 3600L
+        case "D" => 86400L
+        case "W" => 604800L
+      })
+      timestamp_seconds(
+        floor(unix_timestamp(time).cast("double") / lit(sec)).cast("long") * lit(sec))
+    case CalFreq(u) =>
+      val unit = u.toUpperCase match {
+        case "M" => "MONTH"
+        case "Q" => "QUARTER"
+        case "Y" => "YEAR"
+      }
+      date_trunc(unit, time)
+    case other =>
+      throw new IllegalArgumentException(
+        s"unsupported frequency '$other' (expected nH/nD/nW or 1M/1Q/1Y)")
+  }
+
+  /** One aggregation column for a reference method name over variable `v`
+    * with time column `t`. NaN is the missing-value marker: every method
+    * skips NaN like the reference's skipna aggregations (temporal.py uses
+    * xarray's nan-aware reducers).
+    *
+    * Methods: mean, median, std, var, sum, prod, count, min, max, first,
+    * last, argmin, argmax, all, any, percentile_<p> (p in 0..100).
+    */
+  def methodAgg(method: String, v: Column, t: Column): Column = {
+    // null-out NaN so builtin aggs (which skip null, not NaN) skip it
+    val vv = when(!isnan(v.cast("double")), v)
+    val validT = when(vv.isNotNull, t)
+    val Percentile = "percentile_([0-9]+(?:\\.[0-9]+)?)".r
+    method match {
+      case "mean" => avg(vv)
+      case "median" => percentile(vv, lit(0.5))
+      case "std" => stddev_samp(vv)
+      case "var" => var_samp(vv)
+      case "sum" => sum(vv)
+      case "prod" => product(vv)
+      case "count" => count(vv)
+      case "min" => min(vv)
+      case "max" => max(vv)
+      // first/last in TIME order (not partition order): min_by/max_by on the
+      // time of valid rows — deterministic, unlike first()/last()
+      case "first" => min_by(vv, validT)
+      case "last" => max_by(vv, validT)
+      // argmin/argmax return the TIME of the extremum (reference keeps the
+      // coord of the winning index); ties break to the latest time via the
+      // (value, time) struct ordering
+      case "argmax" => max_by(t, when(vv.isNotNull, struct(vv, t)))
+      case "argmin" => min_by(t, when(vv.isNotNull, struct(vv, t)))
+      case "all" => bool_and(vv.cast("boolean"))
+      case "any" => bool_or(vv.cast("boolean"))
+      case Percentile(p) => percentile(vv, lit(p.toDouble / 100.0))
+      case other => throw new IllegalArgumentException(s"unknown method '$other'")
+    }
+  }
+
+  /** Downsample: group rows into freq buckets (per extra key columns, e.g.
+    * the spatial cell) and compute `<var>_<method>` columns — the
+    * reference's output naming (temporal.py renames `<var>_<method>`).
+    */
+  def resampleInTime(df: DataFrame, timeCol: String, freq: String,
+                     aggs: Seq[(String, String)],
+                     extraKeys: Seq[String] = Nil,
+                     labelCol: String = "t"): DataFrame = {
+    require(aggs.nonEmpty, "resampleInTime needs at least one (var, method)")
+    val keys = bucketStart(col(timeCol), freq).as(labelCol) +: extraKeys.map(col)
+    val aggCols = aggs.map { case (v, m) =>
+      methodAgg(m, col(v), col(timeCol)).as(s"${v}_$m")
+    }
+    df.groupBy(keys: _*).agg(aggCols.head, aggCols.tail: _*)
+  }
+
+  // ------------------------------------------------------- upsampling
+
+  private def orderedWindow(keys: Seq[String], timeCol: String) =
+    Window.partitionBy(keys.map(col): _*).orderBy(col(timeCol))
+
+  /** Forward-fill: latest non-null value at or before each row. */
+  def ffill(df: DataFrame, keys: Seq[String], timeCol: String,
+            valueCol: String, outCol: String): DataFrame = {
+    val w = orderedWindow(keys, timeCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn(outCol, last(col(valueCol), ignoreNulls = true).over(w))
+  }
+
+  /** Backward-fill: earliest non-null value at or after each row. */
+  def bfill(df: DataFrame, keys: Seq[String], timeCol: String,
+            valueCol: String, outCol: String): DataFrame = {
+    val w = orderedWindow(keys, timeCol)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    df.withColumn(outCol, first(col(valueCol), ignoreNulls = true).over(w))
+  }
+
+  /** Linear interpolation between the surrounding non-null values, weighted
+    * by time distance; endpoints fall back to the nearest valid value
+    * (pandas `interpolate(limit_direction="both")`, temporal.py:156-161).
+    * `timeAsNum` maps the time column to a numeric axis (e.g. epoch seconds
+    * or day ordinal).
+    */
+  def interpolate(df: DataFrame, keys: Seq[String], timeCol: String,
+                  valueCol: String, outCol: String,
+                  timeAsNum: Column => Column): DataFrame = {
+    val wPrev = orderedWindow(keys, timeCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = orderedWindow(keys, timeCol)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val v = col(valueCol)
+    val validT = when(v.isNotNull, col(timeCol))
+    val prevV = last(v, ignoreNulls = true).over(wPrev)
+    val prevT = last(validT, ignoreNulls = true).over(wPrev)
+    val nextV = first(v, ignoreNulls = true).over(wNext)
+    val nextT = first(validT, ignoreNulls = true).over(wNext)
+    val tN = timeAsNum(col(timeCol))
+    val frac = (tN - timeAsNum(prevT)) / (timeAsNum(nextT) - timeAsNum(prevT))
+    df.withColumn(outCol,
+      when(v.isNotNull, v)
+        .when(prevV.isNull, nextV)
+        .when(nextV.isNull, prevV)
+        .otherwise(prevV + (nextV - prevV) * frac))
+  }
+}

@@ -1,0 +1,168 @@
+package graft.ops
+
+import graft.{GraftSession, QueryPack}
+import graft.operators.TemporalOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** resample_in_time oracle pack (SURVEY §2.4/§2.5; reference
+  * resampling/temporal.py:17-161): downsampling to 1D/8D/1M buckets across
+  * the full method set, and window-based upsampling (ffill/interpolate) on a
+  * dense daily grid.
+  *
+  * Scale notes: every downsample is one map-side-combined shuffle on
+  * (bucket, event_type) — a tiny key space. The upsample windows partition
+  * by user (at 100 TB: by spatial cell) so no global sort ever happens.
+  */
+object TemporalPack extends QueryPack {
+
+  private def ev(s: SparkSession, d: String): DataFrame = GraftSession.events(s, d)
+
+  /** DuckDB epoch-anchored bucket mirroring TemporalOps.bucketStart for
+    * fixed frequencies.
+    */
+  private def duckBucket(sec: Long): String =
+    s"make_timestamp((floor(epoch(ts) / $sec) * $sec * 1000000)::BIGINT)"
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // 1-day buckets × basic method set (mean/sum/count/min/max)
+    "q_resample_1d" -> ((s, d) => {
+      TemporalOps.resampleInTime(ev(s, d), "ts", "1D",
+          Seq("value" -> "mean", "value" -> "sum", "value" -> "count",
+              "value" -> "min", "value" -> "max"),
+          extraKeys = Seq("event_type"))
+        .select(col("t"), col("event_type"),
+          round(col("value_mean"), 6).as("value_mean"),
+          round(col("value_sum"), 6).as("value_sum"),
+          col("value_count"), col("value_min"), col("value_max"))
+    }),
+
+    // epoch-anchored 8-day buckets × order-statistics methods
+    // (exact interpolated median/percentile + sample std/var)
+    "q_resample_8d" -> ((s, d) => {
+      TemporalOps.resampleInTime(ev(s, d), "ts", "8D",
+          Seq("value" -> "median", "value" -> "std", "value" -> "var",
+              "value" -> "percentile_90"),
+          extraKeys = Seq("event_type"))
+        .select(col("t"), col("event_type"),
+          round(col("value_median"), 6).as("value_median"),
+          round(col("value_std"), 6).as("value_std"),
+          round(col("value_var"), 6).as("value_var"),
+          round(col("value_percentile_90"), 6).as("value_p90"))
+    }),
+
+    // calendar-month buckets × positional methods (first/last in time order,
+    // argmax = time of the max value, latest-ts tiebreak)
+    "q_resample_1m" -> ((s, d) => {
+      TemporalOps.resampleInTime(ev(s, d), "ts", "1M",
+          Seq("value" -> "first", "value" -> "last", "value" -> "argmax",
+              "value" -> "count"),
+          extraKeys = Seq("event_type"))
+        .withColumnRenamed("value_argmax", "t_argmax")
+    }),
+
+    // boolean reducers all/any over derived flags (temporal.py method set)
+    "q_resample_anyall" -> ((s, d) => {
+      val flagged = ev(s, d)
+        .withColumn("gt1", col("value") > 1.0)
+        .withColumn("gt100", col("value") > 100.0)
+      TemporalOps.resampleInTime(flagged, "ts", "8D",
+          Seq("gt1" -> "all", "gt100" -> "any", "gt1" -> "count"),
+          extraKeys = Seq("event_type"))
+        .select(col("t"), col("event_type"),
+          col("gt1_all").as("all_gt1"), col("gt100_any").as("any_gt100"),
+          col("gt1_count").as("n"))
+    }),
+
+    // upsampling: per-user daily series on a dense 30-day grid, forward-fill
+    // + time-weighted linear interpolation (temporal.py:138-161)
+    "q_resample_upsample" -> ((s, d) => {
+      val daily = ev(s, d).filter(col("user_id") < 8)
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(round(avg(col("value")), 6).as("v"))
+      val users = daily.select("user_id").distinct()
+      val days = ev(s, d).sparkSession.range(1)
+        .select(explode(sequence(
+          lit("2024-01-01").cast("date"), lit("2024-01-30").cast("date"),
+          expr("INTERVAL 1 DAY"))).as("day"))
+      val grid = users.crossJoin(days)
+      val joined = grid.join(daily, Seq("user_id", "day"), "left")
+      val filled = TemporalOps.ffill(joined, Seq("user_id"), "day", "v", "v_ffill")
+      val interp = TemporalOps.interpolate(filled, Seq("user_id"), "day", "v",
+        "v_interp", t => datediff(t, lit("2024-01-01").cast("date")).cast("double"))
+      // day emitted as timestamp: Spark DATE→pandas object vs DuckDB DATE→
+      // datetime64 would make the driver's dtype-strict compare fail
+      interp.select(col("user_id"), col("day").cast("timestamp").as("day"),
+        col("v_ffill"), round(col("v_interp"), 6).as("v_interp"))
+    })
+  )
+
+  override def oracleSql: Map[String, String] = Map(
+    "q_resample_1d" ->
+      """SELECT date_trunc('day', ts) AS t, event_type,
+         round(avg(value), 6) AS value_mean,
+         round(sum(value), 6) AS value_sum,
+         count(value) AS value_count,
+         min(value) AS value_min, max(value) AS value_max
+         FROM events GROUP BY t, event_type""",
+    "q_resample_8d" ->
+      s"""SELECT ${duckBucket(691200L)} AS t, event_type,
+         round(quantile_cont(value, 0.5)::DOUBLE, 6) AS value_median,
+         round(stddev_samp(value), 6) AS value_std,
+         round(var_samp(value), 6) AS value_var,
+         round(quantile_cont(value, 0.9)::DOUBLE, 6) AS value_p90
+         FROM events GROUP BY t, event_type""",
+    "q_resample_1m" ->
+      """WITH b AS (
+           SELECT date_trunc('month', ts) AS t, event_type, ts, value,
+                  max(value) OVER (PARTITION BY date_trunc('month', ts), event_type) AS mx
+           FROM events)
+         SELECT t, event_type,
+                arg_min(value, ts) AS value_first,
+                arg_max(value, ts) AS value_last,
+                max(CASE WHEN value = mx THEN ts END) AS t_argmax,
+                count(value) AS value_count
+         FROM b GROUP BY t, event_type""",
+    "q_resample_anyall" ->
+      s"""SELECT ${duckBucket(691200L)} AS t, event_type,
+         bool_and(value > 1.0) AS all_gt1,
+         bool_or(value > 100.0) AS any_gt100,
+         count(*) AS n
+         FROM events GROUP BY t, event_type""",
+    "q_resample_upsample" ->
+      """WITH daily AS (
+           SELECT user_id, CAST(ts AS DATE) AS day, round(avg(value), 6) AS v
+           FROM events WHERE user_id < 8 GROUP BY user_id, day),
+         grid AS (
+           SELECT u.user_id, d.day
+           FROM (SELECT DISTINCT user_id FROM daily) u
+           CROSS JOIN (SELECT unnest(generate_series(DATE '2024-01-01',
+                       DATE '2024-01-30', INTERVAL 1 DAY))::DATE AS day) d),
+         j AS (
+           SELECT g.user_id, g.day, daily.v
+           FROM grid g LEFT JOIN daily ON g.user_id = daily.user_id AND g.day = daily.day),
+         w AS (
+           SELECT user_id, day, v,
+             last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_ffill,
+             last_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+             first_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             first_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY day
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+           FROM j)
+         SELECT user_id, day::TIMESTAMP AS day, v_ffill,
+           round(CASE WHEN v IS NOT NULL THEN v
+                      WHEN pd IS NULL THEN nv
+                      WHEN nd IS NULL THEN v_ffill
+                      ELSE v_ffill + (nv - v_ffill) *
+                           (date_diff('day', pd, day)::DOUBLE /
+                            date_diff('day', pd, nd)::DOUBLE)
+                 END, 6) AS v_interp
+         FROM w"""
+  )
+}
