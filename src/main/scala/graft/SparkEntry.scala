@@ -15,7 +15,8 @@ object SparkEntry {
   def packs: Seq[QueryPack] = Seq(
     ops.RelationalPack,
     ops.CubePack,
-    ops.TemporalPack
+    ops.TemporalPack,
+    ops.PipelinePack
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`Array[Float]`).
+  *
+  * Two tiers, mirroring how a 100 TB pipeline actually runs ANN:
+  *  - `knnBruteForce`: exact cosine top-k of a SMALL query set against the
+  *    corpus. The query side is broadcast; the corpus is scanned once with a
+  *    codegen'd `aggregate`/`zip_with` dot product and reduced per query via
+  *    a per-partition top-k window. Correctness baseline.
+  *  - `signBuckets` + `annBucketed`: LSH-style bucketing by the sign pattern
+  *    of fixed coordinate-group sums (deterministic hyperplanes). Search
+  *    touches only the query's bucket — the corpus-side shuffle is one
+  *    groupBy on the bucket key. Scale path.
+  *
+  * All arithmetic is done in double after casting, element order fixed, so
+  * an SQL oracle reproduces results exactly.
+  */
+object EmbeddingOps {
+
+  /** Dot product of two array columns in double precision. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** L2 norm. */
+  def norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+
+  /** Cosine similarity. */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Sign-pattern LSH bucket: the embedding is cut into `nGroups` contiguous
+    * coordinate groups; bit g = sign of the group sum. Fixed, deterministic
+    * "hyperplanes" — the same bucket function is computable in any engine.
+    */
+  def signBucket(emb: Column, dim: Int, nGroups: Int): Column = {
+    val groupSize = dim / nGroups
+    val bits = (0 until nGroups).map { g =>
+      val s = aggregate(slice(emb, g * groupSize + 1, groupSize),
+        lit(0.0), (acc, x) => acc + x.cast("double"))
+      when(s >= 0, lit("1")).otherwise(lit("0"))
+    }
+    concat(bits: _*)
+  }
+
+  /** Exact cosine top-k neighbors for each query row. `queries` must be
+    * small (it is broadcast). Ranks are deterministic: similarity is rounded
+    * before ranking and ties break on neighbor id ascending.
+    */
+  def knnBruteForce(queries: DataFrame, corpus: DataFrame, idCol: String,
+                    embCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = queries.select(col(idCol).as("query_id"), col(embCol).as("__qe"))
+    val joined = corpus.join(broadcast(q), col(idCol) =!= col("query_id"))
+      .withColumn("cos_sim", round(cosine(col("__qe"), col(embCol)), 6))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col(idCol).asc)
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col(idCol), col("cos_sim"))
+  }
+
+  /** Bucketed ANN: best neighbor per query WITHIN the query's sign bucket.
+    * The corpus never cross-joins — candidates come from the bucket
+    * equi-join.
+    */
+  def annBucketed(queries: DataFrame, corpus: DataFrame, idCol: String,
+                  embCol: String, dim: Int, nGroups: Int): DataFrame = {
+    val bucketed = corpus.withColumn("bucket", signBucket(col(embCol), dim, nGroups))
+    val q = bucketed.join(broadcast(queries.select(col(idCol))), Seq(idCol))
+      .select(col(idCol).as("query_id"), col(embCol).as("__qe"), col("bucket"))
+    val cands = bucketed.join(broadcast(q), Seq("bucket"))
+      .filter(col(idCol) =!= col("query_id"))
+      .withColumn("cos_sim", round(cosine(col("__qe"), col(embCol)), 6))
+    cands.groupBy("query_id", "bucket")
+      .agg(count(lit(1)).as("n_candidates"),
+        max_by(col(idCol), struct(col("cos_sim"), -col(idCol))).as("best_id"),
+        max(col("cos_sim")).as("best_sim"))
+  }
+}

@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal columns: opaque binary payloads + typed metadata, with the
+  * decode step STUBBED (this container has no image/audio codecs — the
+  * Spark-side plumbing is real: schema, batch shape, partition-wise
+  * execution; swap `decodeStub` for a real codec at deployment).
+  *
+  * Layout: `payload: binary` + `meta: map<string,string>` sidecar — the
+  * BinaryType + MapType pattern for 100 TB media tables; payloads stay
+  * opaque to Catalyst so column pruning drops them unless referenced.
+  */
+object MultimodalOps {
+
+  /** Media features produced by the (stubbed) decoder. */
+  final case class MediaFeatures(id: Long, nBytes: Int, width: Int,
+                                 height: Int, meanByte: Double)
+
+  /** Wrap a string column as an opaque binary payload with metadata —
+    * stand-in ingest for real media bytes.
+    */
+  def packBinary(df: DataFrame, idCol: String, srcCol: String): DataFrame =
+    df.select(col(idCol).cast("long").as("id"),
+      col(srcCol).cast("binary").as("payload"),
+      map(lit("format"), lit("fake/raw"), lit("src"), lit(srcCol)).as("meta"))
+
+  /** STUB decode as pure column expressions: deterministic fake dimensions
+    * derived from the payload length. A real decoder replaces these with a
+    * codec call; everything downstream (grouping, filtering, joining on the
+    * decoded metadata) is unchanged.
+    */
+  def decodeStubExprs(df: DataFrame): DataFrame =
+    df.withColumn("n_bytes", length(col("payload")))
+      .withColumn("width", (col("n_bytes") % 64 + lit(1)).cast("int"))
+      .withColumn("height", (col("n_bytes") % 48 + lit(1)).cast("int"))
+
+  /** Partition-wise batch feature extraction — the integration point where a
+    * real codec would decode a batch of payloads at once (the Scala analog
+    * of mapInPandas batches). The stub computes the mean byte value; the
+    * iterator shape (one partition in, features out, no driver involvement)
+    * is the part that matters at scale.
+    */
+  def extractFeatures(df: DataFrame): Dataset[MediaFeatures] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          // STUB: a real implementation decodes `bytes` here
+          val mean = if (bytes.isEmpty) 0.0
+                     else bytes.map(b => (b & 0xff).toDouble).sum / bytes.length
+          MediaFeatures(id, bytes.length, bytes.length % 64 + 1,
+            bytes.length % 48 + 1, mean)
+        }
+      }
+  }
+}

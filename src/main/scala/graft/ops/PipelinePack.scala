@@ -1,0 +1,323 @@
+package graft.ops
+
+import graft.{GraftSession, QueryPack}
+import graft.operators.{EmbeddingOps, MultimodalOps, TextOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline pack over the `documents` and `embeddings`
+  * corpora: deduplication (exact, MinHash+LSH, SimHash), similarity search
+  * (brute-force + bucketed ANN), text analysis (tf-idf, corpus stats,
+  * corpus-driven language ID, token counting) and a multimodal binary-column
+  * stub.
+  *
+  * Scale discipline (the whole point at 100 TB):
+  *  - near-dup candidates come from the banded-LSH equi-join, NEVER an
+  *    all-pairs comparison; the exact-Jaccard pass touches candidates only.
+  *  - ANN search touches one bucket per query; brute force exists as the
+  *    small-query-set baseline with the query side broadcast.
+  *  - everything else is explode → groupBy (map-side combined) or top-k
+  *    (TakeOrderedAndProject, no global sort).
+  */
+object PipelinePack extends QueryPack {
+
+  private def docs(s: SparkSession, d: String) = GraftSession.table(s, d, "documents")
+  private def embs(s: SparkSession, d: String) = GraftSession.table(s, d, "embeddings")
+
+  // LSH configuration: 8 permutations × 4 bands of 2 rows
+  private val NumPerms = 8
+  private val RowsPerBand = 2
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // exact dedup over the content fingerprint (normalized-text md5):
+    // one shuffle on the hash, corpus-level summary
+    "q_dedup_exact" -> ((s, d) => {
+      docs(s, d)
+        .select(TextOps.fingerprint(col("text")).as("fp"))
+        .groupBy("fp").agg(count(lit(1)).as("n"))
+        .agg(sum(col("n")).as("n_docs"),
+          count(lit(1)).as("n_groups"),
+          sum(when(col("n") > 1, 1).otherwise(0)).as("n_dup_groups"),
+          sum(col("n") - 1).as("n_extra_docs"))
+    }),
+
+    // banded MinHash-LSH near-duplicate candidates + exact Jaccard on the
+    // candidate set only
+    "q_dedup_near" -> ((s, d) => {
+      val dd = docs(s, d)
+      val mh = TextOps.minhash(dd, "doc_id", "text", shingleN = 3, numPerms = NumPerms)
+      val bands = TextOps.lshBands(mh, "doc_id", RowsPerBand)
+      val cands = TextOps.candidatePairs(bands, "doc_id")
+      val sh = dd.select(col("doc_id"),
+        explode(TextOps.shingles(col("text"), 3)).as("shingle")).distinct()
+      TextOps.jaccardOnCandidates(cands, sh, "doc_id")
+    }),
+
+    // exact cosine top-3 for a 5-query set, brute force baseline
+    "q_knn_cosine" -> ((s, d) => {
+      val e = embs(s, d)
+      EmbeddingOps.knnBruteForce(e.filter(col("vec_id") < 5), e, "vec_id", "embedding", 3)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("vec_id"), col("cos_sim"))
+    }),
+
+    // bucketed ANN: best in-bucket neighbor for a 20-query set (sign-pattern
+    // LSH, 8 hyperplanes → 256 buckets); queries whose bucket holds no other
+    // vector produce no row (inner bucket join) — mirrored by the oracle
+    "q_ann_bucket" -> ((s, d) => {
+      val e = embs(s, d)
+      EmbeddingOps.annBucketed(e.filter(col("vec_id") < 20), e, "vec_id", "embedding",
+          dim = 64, nGroups = 8)
+        .select(col("query_id"), col("bucket"), col("n_candidates"),
+          col("best_id"), col("best_sim"))
+    }),
+
+    // corpus tf-idf: top-20 terms by summed tf·idf, deterministic tiebreak
+    "q_tfidf_top_terms" -> ((s, d) => {
+      val dd = docs(s, d)
+      val n = dd.agg(countDistinct(col("doc_id")).as("n_docs"))
+      val toks = dd.select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+      toks.groupBy("term")
+        .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+        .crossJoin(broadcast(n))
+        .withColumn("tfidf",
+          round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
+        .orderBy(col("tfidf").desc, col("term").asc)
+        .limit(20)
+        .select("term", "tf", "df", "tfidf")
+    }),
+
+    // per-language corpus statistics: doc count, mean token count, mean
+    // type-token ratio, mean token length
+    "q_text_stats" -> ((s, d) => {
+      val w = TextOps.tokens(col("text"))
+      val perDoc = docs(s, d).select(col("lang"),
+        size(w).cast("double").as("n_tok"),
+        (size(array_distinct(w)).cast("double") / size(w)).as("ttr"),
+        (aggregate(w, lit(0), (acc, t) => acc + length(t)).cast("double") / size(w)).as("tok_len"))
+      perDoc.groupBy("lang").agg(
+        count(lit(1)).as("n_docs"),
+        round(avg(col("n_tok")), 6).as("avg_tokens"),
+        round(avg(col("ttr")), 6).as("avg_ttr"),
+        round(avg(col("tok_len")), 6).as("avg_tok_len"))
+    }),
+
+    // corpus-driven language ID: top-8 marker tokens per language, docs
+    // classified by largest marker overlap (tie → lexicographic lang),
+    // output = confusion counts
+    "q_lang_id" -> ((s, d) => {
+      val dd = docs(s, d)
+      val langToks = dd.select(col("lang"), explode(TextOps.tokens(col("text"))).as("tok"))
+        .groupBy("lang", "tok").agg(count(lit(1)).as("n"))
+      val markers = langToks
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("lang").orderBy(col("n").desc, col("tok").asc)))
+        .filter(col("rn") <= 8)
+        .select(col("lang").as("cand_lang"), col("tok"))
+      val docToks = dd.select(col("doc_id"), col("lang"),
+        explode(array_distinct(TextOps.tokens(col("text")))).as("tok"))
+      val scores = docToks.join(broadcast(markers), Seq("tok"))
+        .groupBy("doc_id", "lang", "cand_lang").agg(count(lit(1)).as("score"))
+      val predicted = scores
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("doc_id").orderBy(col("score").desc, col("cand_lang").asc)))
+        .filter(col("rn") === 1)
+      predicted.groupBy(col("lang"), col("cand_lang").as("predicted"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    // SimHash banded search: 32-bit signatures split into 4 bands of 8 bits;
+    // per band: bucket count and total within-bucket pair count
+    "q_simhash_bands" -> ((s, d) => {
+      val sh = TextOps.simhash(docs(s, d), "doc_id", "text")
+      sh.withColumn("band", explode(sequence(lit(0L), lit(3L))))
+        .withColumn("bv", expr("substr(simhash, band * 8 + 1, 8)"))
+        .groupBy("band", "bv").agg(count(lit(1)).as("n"))
+        .groupBy("band").agg(
+          count(lit(1)).as("n_buckets"),
+          sum(col("n") * (col("n") - 1) / 2).cast("long").as("n_pairs"))
+    }),
+
+    // token counting per source: whitespace tokens vs BPE-ish regex tokens,
+    // plus a stopword-ratio quality score
+    "q_token_count" -> ((s, d) => {
+      val stop = array(Seq("the", "a", "of", "and", "to").map(lit): _*)
+      val w = TextOps.tokens(col("text"))
+      val perDoc = docs(s, d).select(col("source"),
+        size(w).as("ws_tok"),
+        regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]")).as("re_tok"),
+        (size(filter(w, t => array_contains(stop, t))).cast("double") / size(w)).as("stop_ratio"))
+      perDoc.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("ws_tok")).as("ws_tokens"),
+        sum(col("re_tok")).as("re_tokens"),
+        round(avg(col("stop_ratio")), 6).as("avg_stop_ratio"))
+    }),
+
+    // multimodal binary columns: payload + metadata with a STUBBED decode
+    // (deterministic fake dimensions from byte length)
+    "q_multimodal" -> ((s, d) => {
+      val packed = MultimodalOps.packBinary(docs(s, d), "doc_id", "text")
+        .join(docs(s, d).select(col("doc_id").cast("long").as("id"), col("source")),
+          Seq("id"))
+      val decoded = MultimodalOps.decodeStubExprs(packed)
+      decoded.groupBy("source").agg(
+        count(lit(1)).as("n"),
+        sum(col("n_bytes")).cast("long").as("total_bytes"),
+        sum(col("width").cast("long") * col("height")).cast("long").as("total_pixels"))
+    })
+  )
+
+  // DuckDB mirrors. Shared CTE fragments:
+  private val shingleCte =
+    """d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       sh AS (SELECT DISTINCT doc_id,
+                unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
+                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+              FROM d)"""
+
+  private def dotCos(qe: String, e: String): String =
+    s"""round(
+        list_sum(list_transform(range(1, len($e) + 1), i -> $qe[i]::DOUBLE * $e[i]::DOUBLE)) /
+        (sqrt(list_sum(list_transform(range(1, len($qe) + 1), i -> $qe[i]::DOUBLE * $qe[i]::DOUBLE))) *
+         sqrt(list_sum(list_transform(range(1, len($e) + 1), i -> $e[i]::DOUBLE * $e[i]::DOUBLE)))), 6)"""
+
+  private val bucketExpr: String =
+    (0 until 8).map { g =>
+      s"(CASE WHEN list_sum(list_transform(embedding[${g * 8 + 1}:${g * 8 + 8}], x -> x::DOUBLE)) >= 0 THEN '1' ELSE '0' END)"
+    }.mkString(" || ")
+
+  override def oracleSql: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """WITH g AS (
+           SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+                  count(*) AS n
+           FROM documents GROUP BY fp)
+         SELECT sum(n)::BIGINT AS n_docs, count(*) AS n_groups,
+                sum(CASE WHEN n > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_groups,
+                sum(n - 1)::BIGINT AS n_extra_docs
+         FROM g""",
+    "q_dedup_near" ->
+      s"""WITH $shingleCte,
+         mh AS (SELECT doc_id, p.perm, min(md5(shingle || '#' || p.perm)) AS h
+                FROM sh CROSS JOIN (SELECT unnest(range(0, $NumPerms)) AS perm) p
+                GROUP BY doc_id, p.perm),
+         bands AS (SELECT doc_id, (perm // $RowsPerBand)::INT AS band,
+                          string_agg(h, ',' ORDER BY perm) AS sig
+                   FROM mh GROUP BY doc_id, band),
+         cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                  FROM bands a JOIN bands b
+                    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         common AS (SELECT c.doc_a, c.doc_b, count(*) AS n_common
+                    FROM cand c
+                    JOIN sh sa ON sa.doc_id = c.doc_a
+                    JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+                    GROUP BY c.doc_a, c.doc_b)
+         SELECT c.doc_a, c.doc_b,
+                round(coalesce(n_common, 0)::DOUBLE /
+                      (za.n + zb.n - coalesce(n_common, 0)), 6) AS jaccard
+         FROM cand c
+         LEFT JOIN common USING (doc_a, doc_b)
+         JOIN sizes za ON za.doc_id = c.doc_a
+         JOIN sizes zb ON zb.doc_id = c.doc_b""",
+    "q_knn_cosine" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+         p AS (SELECT q.query_id, e.vec_id, ${dotCos("q.qe", "e.embedding")} AS cos_sim
+               FROM q CROSS JOIN embeddings e WHERE e.vec_id != q.query_id),
+         r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                         ORDER BY cos_sim DESC, vec_id ASC) AS rank FROM p)
+         SELECT query_id, rank, vec_id, cos_sim FROM r WHERE rank <= 3""",
+    "q_ann_bucket" ->
+      s"""WITH b AS (SELECT vec_id, embedding, $bucketExpr AS bucket FROM embeddings),
+         q AS (SELECT vec_id AS query_id, embedding AS qe, bucket FROM b WHERE vec_id < 20),
+         cand AS (SELECT q.query_id, q.bucket, b.vec_id,
+                         ${dotCos("q.qe", "b.embedding")} AS cos_sim
+                  FROM q JOIN b USING (bucket) WHERE b.vec_id != q.query_id),
+         r AS (SELECT query_id, bucket, vec_id, cos_sim,
+                      row_number() OVER (PARTITION BY query_id
+                        ORDER BY cos_sim DESC, vec_id ASC) AS rn,
+                      count(*) OVER (PARTITION BY query_id) AS n_candidates
+               FROM cand)
+         SELECT query_id, bucket, n_candidates, vec_id AS best_id, cos_sim AS best_sim
+         FROM r WHERE rn = 1""",
+    "q_tfidf_top_terms" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+         n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+         stats AS (SELECT term, count(*) AS tf, count(DISTINCT doc_id) AS df
+                   FROM toks GROUP BY term)
+         SELECT term, tf, df,
+                round(tf * ln(n_docs::DOUBLE / df), 6) AS tfidf
+         FROM stats CROSS JOIN n
+         ORDER BY tfidf DESC, term ASC LIMIT 20""",
+    "q_text_stats" ->
+      """WITH perdoc AS (
+           SELECT lang,
+                  len(string_split(text, ' '))::DOUBLE AS n_tok,
+                  len(list_distinct(string_split(text, ' ')))::DOUBLE /
+                    len(string_split(text, ' ')) AS ttr,
+                  list_sum(list_transform(string_split(text, ' '), t -> length(t)))::DOUBLE /
+                    len(string_split(text, ' ')) AS tok_len
+           FROM documents)
+         SELECT lang, count(*) AS n_docs,
+                round(avg(n_tok), 6) AS avg_tokens,
+                round(avg(ttr), 6) AS avg_ttr,
+                round(avg(tok_len), 6) AS avg_tok_len
+         FROM perdoc GROUP BY lang""",
+    "q_lang_id" ->
+      """WITH lt AS (SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents),
+         counts AS (SELECT lang, tok, count(*) AS n FROM lt GROUP BY lang, tok),
+         markers AS (SELECT lang AS cand_lang, tok FROM (
+             SELECT lang, tok, row_number() OVER (PARTITION BY lang
+                    ORDER BY n DESC, tok ASC) AS rn FROM counts) WHERE rn <= 8),
+         dt AS (SELECT doc_id, lang, unnest(list_distinct(string_split(text, ' '))) AS tok
+                FROM documents),
+         scores AS (SELECT dt.doc_id, dt.lang, m.cand_lang, count(*) AS score
+                    FROM dt JOIN markers m ON dt.tok = m.tok
+                    GROUP BY dt.doc_id, dt.lang, m.cand_lang),
+         pred AS (SELECT doc_id, lang, cand_lang FROM (
+             SELECT *, row_number() OVER (PARTITION BY doc_id
+                    ORDER BY score DESC, cand_lang ASC) AS rn FROM scores) WHERE rn = 1)
+         SELECT lang, cand_lang AS predicted, count(*) AS n
+         FROM pred GROUP BY lang, predicted""",
+    "q_simhash_bands" ->
+      """WITH toks AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+                      FROM documents),
+         bits AS (SELECT doc_id, i.i,
+                         sum(CASE WHEN substr(md5(tok), i.i + 1, 1)
+                                  IN ('1','3','5','7','9','b','d','f')
+                                  THEN 1 ELSE -1 END) AS s
+                  FROM toks CROSS JOIN (SELECT unnest(range(0, 32)) AS i) i
+                  GROUP BY doc_id, i.i),
+         sig AS (SELECT doc_id,
+                        string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0' END, '' ORDER BY i) AS simhash
+                 FROM bits GROUP BY doc_id),
+         bb AS (SELECT doc_id, b.band, substr(simhash, b.band * 8 + 1, 8) AS bv
+                FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS band) b),
+         buckets AS (SELECT band, bv, count(*) AS n FROM bb GROUP BY band, bv)
+         SELECT band, count(*) AS n_buckets,
+                (sum(n * (n - 1) / 2))::BIGINT AS n_pairs
+         FROM buckets GROUP BY band""",
+    "q_token_count" ->
+      """WITH perdoc AS (
+           SELECT source,
+                  len(string_split(text, ' ')) AS ws_tok,
+                  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS re_tok,
+                  len(list_filter(string_split(text, ' '),
+                      t -> t IN ('the', 'a', 'of', 'and', 'to')))::DOUBLE /
+                    len(string_split(text, ' ')) AS stop_ratio
+           FROM documents)
+         SELECT source, count(*) AS n_docs,
+                sum(ws_tok)::BIGINT AS ws_tokens, sum(re_tok)::BIGINT AS re_tokens,
+                round(avg(stop_ratio), 6) AS avg_stop_ratio
+         FROM perdoc GROUP BY source""",
+    "q_multimodal" ->
+      """SELECT source, count(*) AS n,
+                sum(octet_length(text::BLOB))::BIGINT AS total_bytes,
+                sum((octet_length(text::BLOB) % 64 + 1)::BIGINT *
+                    (octet_length(text::BLOB) % 48 + 1))::BIGINT AS total_pixels
+         FROM documents GROUP BY source"""
+  )
+}

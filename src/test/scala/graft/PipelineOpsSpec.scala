@@ -1,0 +1,93 @@
+package graft
+
+import graft.operators.{EmbeddingOps, MultimodalOps, TextOps}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class PipelineOpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = GraftSession.builder("4").getOrCreate()
+
+  test("shingles + fingerprint + tokens") {
+    import spark.implicits._
+    val df = Seq((1L, "a b c d"), (2L, "a b"), (3L, "  A  B  ")).toDF("doc_id", "text")
+    val sh = df.select(col("doc_id"), TextOps.shingles(col("text"), 3).as("sh")).collect()
+    assert(sh.find(_.getLong(0) == 1L).get.getSeq[String](1) == Seq("a b c", "b c d"))
+    assert(sh.find(_.getLong(0) == 2L).get.getSeq[String](1).isEmpty) // < n tokens
+    // normalization collapses whitespace + case → fingerprints of 2 and 3 match
+    val fps = df.select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fps(2L) == fps(3L) && fps(1L) != fps(2L))
+  }
+
+  test("minhash LSH finds the planted near-duplicate, not the unrelated doc") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val near = "the quick brown fox jumps over the lazy dog again and again tomorrow"
+    val far = "completely different words about spark catalyst tungsten partitions shuffles"
+    val df = Seq((1L, base), (2L, near), (3L, far)).toDF("doc_id", "text")
+    val mh = TextOps.minhash(df, "doc_id", "text", 3, 8)
+    assert(mh.count() == 3 * 8)
+    val bands = TextOps.lshBands(mh, "doc_id", 2)
+    val cands = TextOps.candidatePairs(bands, "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands.contains((1L, 2L)))
+    assert(!cands.exists(p => p._1 == 3L || p._2 == 3L))
+    val sh = df.select(col("doc_id"), explode(TextOps.shingles(col("text"), 3)).as("shingle")).distinct()
+    val j = TextOps.jaccardOnCandidates(
+      TextOps.candidatePairs(bands, "doc_id"), sh, "doc_id").collect()
+    val jac = j.find(r => r.getLong(0) == 1L && r.getLong(1) == 2L).get.getDouble(2)
+    assert(jac > 0.8 && jac < 1.0)
+  }
+
+  test("simhash: identical docs share signatures, bands have 8 bits") {
+    import spark.implicits._
+    val df = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
+                 (3L, "delta epsilon zeta")).toDF("doc_id", "text")
+    val sh = TextOps.simhash(df, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(sh(1L).length == 32 && sh(1L).forall(c => c == '0' || c == '1'))
+    assert(sh(1L) == sh(2L))
+    assert(sh(1L) != sh(3L))
+  }
+
+  test("knn brute force: exact neighbor ordering with deterministic ties") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.0f, 1.0f)),
+      (3L, Array(1.0f, 0.01f))).toDF("vec_id", "embedding")
+    val out = EmbeddingOps.knnBruteForce(df.filter(col("vec_id") === 0), df,
+      "vec_id", "embedding", 2).collect()
+    assert(out.length == 2)
+    assert(out.find(_.getAs[Int]("rank") == 1).get.getAs[Long]("vec_id") == 3L)
+    assert(out.find(_.getAs[Int]("rank") == 2).get.getAs[Long]("vec_id") == 1L)
+  }
+
+  test("sign buckets co-locate similar vectors") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, Array.fill(8)(1.0f)),
+      (1L, Array.fill(8)(0.5f)),
+      (2L, Array.fill(8)(-1.0f))).toDF("vec_id", "embedding")
+    val b = df.select(col("vec_id"),
+      EmbeddingOps.signBucket(col("embedding"), 8, 4).as("bucket")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(b(0L) == "1111" && b(1L) == "1111" && b(2L) == "0000")
+  }
+
+  test("multimodal stub: packed schema + partition-wise feature extraction") {
+    import spark.implicits._
+    val df = Seq((7L, "abc"), (8L, "")).toDF("doc_id", "text")
+    val packed = MultimodalOps.packBinary(df, "doc_id", "text")
+    assert(packed.schema("payload").dataType.typeName == "binary")
+    assert(packed.schema("meta").dataType.typeName == "map")
+    val feats = MultimodalOps.extractFeatures(packed).collect()
+      .map(f => f.id -> f).toMap
+    assert(feats(7L).nBytes == 3 && feats(7L).width == 4 && feats(7L).height == 4)
+    assert(math.abs(feats(7L).meanByte - ("abc".map(_.toInt).sum / 3.0)) < 1e-9)
+    assert(feats(8L).nBytes == 0 && feats(8L).meanByte == 0.0)
+  }
+}
