@@ -16,7 +16,8 @@ object SparkEntry {
     ops.RelationalPack,
     ops.CubePack,
     ops.TemporalPack,
-    ops.PipelinePack
+    ops.PipelinePack,
+    ops.ExtractPack
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

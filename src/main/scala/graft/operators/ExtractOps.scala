@@ -1,0 +1,70 @@
+package graft.operators
+
+import graft.cube.{Cube, GridMapping}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Point extraction — the lookup-shaped join family of the reference
+  * (xcube/core/extract.py): points table → per-dim pixel indexes →
+  * gather cube values at those cells.
+  *
+  * Scale shape: the points side is the small one (sensor locations, user
+  * queries) → index arithmetic is codegen'd column math; the gather is a
+  * broadcast equi-join of the points against the cube on the cell key, so
+  * the cube never shuffles. Out-of-range points keep index −1 and gather
+  * NaN, matching the reference's expectations
+  * (test/core/test_extract.py:20-147).
+  */
+object ExtractOps {
+
+  /** get_cube_point_indexes (extract.py:261-318): add `<dim>_index` columns
+    * for the spatial dims; out-of-range coordinates map to −1.
+    */
+  def pointIndexes(points: DataFrame, gm: GridMapping,
+                   pxCol: String, pyCol: String): DataFrame = {
+    val px = col(pxCol)
+    val py = col(pyCol)
+    val xi = when(px >= gm.xMin && px < gm.xMax, gm.iExpr(px)).otherwise(lit(-1L))
+    val yi = when(py >= gm.yMin && py < gm.yMax, gm.jExpr(py)).otherwise(lit(-1L))
+    points.withColumn("x_index", xi).withColumn("y_index", yi)
+  }
+
+  /** get_cube_values_for_indexes (extract.py:128-258): gather `vars` at the
+    * (x_index, y_index) cells of an indexed points table. Rows whose index
+    * is −1 (out of range) or whose cell has no data gather NaN.
+    * `cellCube` must be keyed by integer cell indexes (i, j).
+    */
+  def valuesForIndexes(indexedPoints: DataFrame, cellCube: DataFrame,
+                       vars: Seq[String]): DataFrame = {
+    // cellCube is bounded by the grid size (one row per cell) → broadcast;
+    // with a huge un-collapsed cube, broadcast the points and flip the join
+    val c = broadcast(cellCube)
+    val joined = indexedPoints.join(c,
+      indexedPoints("x_index") === c("i") && indexedPoints("y_index") === c("j"),
+      "left_outer")
+    val gathered = vars.foldLeft(joined) { (d, v) =>
+      d.withColumn(v, coalesce(col(v).cast("double"), lit(Double.NaN)))
+    }
+    gathered.drop("i", "j")
+  }
+
+  /** get_cube_values_for_points (extract.py:30-125) on a 2-D cell cube:
+    * compose indexing + gathering. The cube side is collapsed to one row per
+    * (i, j) cell by the caller (e.g. a time mean) — the time-resolved
+    * variant goes through `TimeSeriesOps`.
+    */
+  def valuesForPoints(points: DataFrame, gm: GridMapping,
+                      pxCol: String, pyCol: String,
+                      cellCube: DataFrame, vars: Seq[String]): DataFrame =
+    valuesForIndexes(pointIndexes(points, gm, pxCol, pyCol), cellCube, vars)
+
+  /** Collapse a cube to one row per integer (i, j) cell with the mean of
+    * each variable — a helper for 2-D point lookup.
+    */
+  def cellMeans(cube: Cube, vars: Seq[String]): DataFrame = {
+    val gm = cube.gm
+    cube.df.groupBy(gm.iExpr(cube.x).as("i"), gm.jExpr(cube.y).as("j"))
+      .agg(vars.map(v => round(avg(col(v)), 6).as(v)).head,
+           vars.map(v => round(avg(col(v)), 6).as(v)).tail: _*)
+  }
+}

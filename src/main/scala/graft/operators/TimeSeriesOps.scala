@@ -1,0 +1,40 @@
+package graft.operators
+
+import graft.cube.Cube
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** get_time_series (xcube/core/timeseries.py:50-205): spatial aggregation
+  * per time step over an optional geometry mask, with the reference's agg
+  * method set (mean, median, std, min, max, count — timeseries.py:40-47)
+  * and `max_number_of_observations` normalization.
+  *
+  * Plan shape: geometry mask is a codegen'd projection (bbox pre-filter +
+  * JTS predicate on survivors), then ONE map-side-combined groupBy(time).
+  * The exact median/percentile is a sort-based agg per group — no
+  * load-everything step like the reference's MUST_LOAD list needs
+  * (timeseries.py:168-172).
+  */
+object TimeSeriesOps {
+
+  /** Compute the per-time-step series of `varName`. NaN cells (outside the
+    * geometry, invalid pixels) are skipped by every method. When
+    * `maxObservations > 0`, adds `<var>_frac_obs` = valid count / max
+    * (the reference's max_number_of_observations normalization).
+    */
+  def getTimeSeries(cube: Cube, varName: String,
+                    geometryWkt: Option[String] = None,
+                    methods: Seq[String] = Seq("mean", "count"),
+                    maxObservations: Long = 0L): DataFrame = {
+    val masked = geometryWkt.map(w => GeomOps.maskByGeometry(cube, w)).getOrElse(cube)
+    val v = col(varName)
+    val aggCols = methods.map(m =>
+      TemporalOps.methodAgg(m, v, masked.time).as(s"${varName}_$m")) ++
+      (if (maxObservations > 0)
+        Seq((count(when(!isnan(v.cast("double")), 1)).cast("double") /
+          lit(maxObservations.toDouble)).as(s"${varName}_frac_obs"))
+      else Nil)
+    masked.df.groupBy(masked.time.as("time"))
+      .agg(aggCols.head, aggCols.tail: _*)
+  }
+}
