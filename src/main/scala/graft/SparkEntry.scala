@@ -17,7 +17,8 @@ object SparkEntry {
     ops.CubePack,
     ops.TemporalPack,
     ops.PipelinePack,
-    ops.ExtractPack
+    ops.ExtractPack,
+    ops.AggPack
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** compute_statistics + density histogram (reference
+  * webapi/statistics/controllers.py:45-129): one aggregation pass for the
+  * scalar stats, and the reference's 2-pass histogram — min/max first, then
+  * a single bucket-index groupBy (the relational width_bucket).
+  *
+  * The second pass shuffles only 100 bucket keys; the min/max scalars are
+  * the only driver-side values (the reference collects the same two).
+  */
+object StatsOps {
+
+  /** NaN-skipping count/min/max/mean/std in one pass. */
+  def statistics(df: DataFrame, vCol: String): DataFrame = {
+    val v = when(!isnan(col(vCol).cast("double")), col(vCol).cast("double"))
+    df.agg(
+      count(v).as("n"),
+      min(v).as("v_min"),
+      max(v).as("v_max"),
+      round(avg(v), 6).as("v_mean"),
+      round(stddev_samp(v), 6).as("v_std"))
+  }
+
+  /** Density histogram with `bins` equal-width buckets over [min, max];
+    * returns ALL buckets (empty ones included) with count and density
+    * (count / (n · binWidth)), like np.histogram(density=True).
+    */
+  def histogram(df: DataFrame, vCol: String, bins: Int): DataFrame = {
+    val v0 = col(vCol).cast("double")
+    val row = df.filter(!isnan(v0)).agg(min(v0), max(v0), count(v0)).head()
+    val (lo, hi, n) = (row.getDouble(0), row.getDouble(1), row.getLong(2))
+    val binW = (hi - lo) / bins
+    val bucket = least(floor(((v0 - lit(lo)) / (lit(hi) - lit(lo))) * bins),
+      lit(bins - 1L)).cast("long").as("bucket")
+    val counts = df.filter(!isnan(v0)).groupBy(bucket).agg(count(lit(1)).as("cnt"))
+    df.sparkSession.range(bins).withColumnRenamed("id", "bucket")
+      .join(counts, Seq("bucket"), "left_outer")
+      .select(col("bucket"),
+        coalesce(col("cnt"), lit(0L)).as("n"),
+        round(coalesce(col("cnt"), lit(0L)).cast("double") / (lit(n.toDouble) * lit(binW)), 6)
+          .as("density"))
+  }
+}

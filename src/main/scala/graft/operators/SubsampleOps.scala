@@ -1,0 +1,84 @@
+package graft.operators
+
+import graft.cube.{Cube, GridMapping}
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** subsample_dataset + compute_levels — spatial block aggregation and
+  * pyramid decimation (reference xcube/core/subsampling.py:25-135,
+  * level.py:31-135).
+  *
+  * Block aggregation is ONE groupBy on (time, blockJ, blockI) — the floor
+  * divisions are codegen'd arithmetic, the shuffle key space shrinks by k²,
+  * and map-side combine does most of the work before the exchange. Pyramid
+  * decimation (`::2` subsetting, level.py:107) is a pure filter on the cell
+  * index — prunable, no shuffle at all.
+  */
+object SubsampleOps {
+
+  /** Custom `mode` Aggregator (subsampling.py:113-128): most frequent value,
+    * ties broken to the SMALLEST value so results are deterministic and an
+    * SQL oracle can mirror them. The buffer is a value→count map — bounded
+    * by the number of distinct values per block (small for flag/class vars,
+    * which is what mode is for).
+    */
+  private final class ModeAgg extends Aggregator[Double, Map[Double, Long], Double] {
+    override def zero: Map[Double, Long] = Map.empty
+    override def reduce(b: Map[Double, Long], a: Double): Map[Double, Long] =
+      if (a.isNaN) b else b.updated(a, b.getOrElse(a, 0L) + 1L)
+    override def merge(b1: Map[Double, Long], b2: Map[Double, Long]): Map[Double, Long] =
+      b2.foldLeft(b1) { case (m, (v, n)) => m.updated(v, m.getOrElse(v, 0L) + n) }
+    override def finish(r: Map[Double, Long]): Double =
+      if (r.isEmpty) Double.NaN
+      else r.minBy { case (v, n) => (-n, v) }._1
+    override def bufferEncoder: Encoder[Map[Double, Long]] =
+      Encoders.kryo[Map[Double, Long]]
+    override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+
+  /** `mode` as an aggregate Column over a double column. */
+  def modeAgg(v: Column): Column = udaf(new ModeAgg).apply(v.cast("double"))
+
+  /** One aggregation Column per subsampling method (first/min/max/mean/
+    * median/mode — subsampling.py AGG_METHODS; auto rule: int→first,
+    * float→mean, subsampling.py:210-229 — callers pick per var). `ord` is
+    * the within-block ordering used by first/last (row-major cell order).
+    */
+  def blockAgg(method: String, v: Column, ord: Column): Column = method match {
+    case "mode" => modeAgg(v)
+    case m => TemporalOps.methodAgg(m, v, ord)
+  }
+
+  /** k×k block subsample: returns the aggregated DataFrame keyed by
+    * (time, block_j, block_i) plus the derived level GridMapping. Output
+    * columns are named `<var>_<method>`.
+    */
+  def subsample(cube: Cube, k: Int, methods: Seq[(String, String)]): (DataFrame, GridMapping) = {
+    val gm = cube.gm
+    val bi = (gm.iExpr(cube.x) / k).cast("long").as("block_i")
+    val bj = (gm.jExpr(cube.y) / k).cast("long").as("block_j")
+    // row-major cell order: deterministic first/last within a block
+    val ord = gm.jExpr(cube.y) * gm.width + gm.iExpr(cube.x)
+    val aggs = methods.map { case (v, m) => blockAgg(m, col(v), ord).as(s"${v}_$m") }
+    val out = cube.df.groupBy(cube.time.as(cube.timeCol), bj, bi)
+      .agg(aggs.head, aggs.tail: _*)
+    (out, gm.scale(k.toDouble))
+  }
+
+  /** Pyramid decimation for one level: keep every 2^level-th cell in both
+    * axes (level.py:107 `[..., ::2, ::2]` applied level times). A pure
+    * filter — partition-prunable, shuffle-free.
+    */
+  def decimate(cube: Cube, level: Int): Cube = {
+    val gm = cube.gm
+    val step = 1L << level
+    val kept = cube.df.filter(
+      gm.iExpr(cube.x) % step === 0 && gm.jExpr(cube.y) % step === 0)
+    Cube(kept, gm.levelMapping(level), cube.timeCol, cube.yCol, cube.xCol)
+  }
+
+  /** compute_levels: the full pyramid as decimated cubes L1..maxLevel. */
+  def computeLevels(cube: Cube, maxLevel: Int): Seq[Cube] =
+    (1 to maxLevel).map(l => decimate(cube, l))
+}

@@ -1,0 +1,120 @@
+package graft.ops
+
+import graft.{GraftSession, QueryPack}
+import graft.cube.Cube
+import graft.operators.{StatsOps, SubsampleOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Aggregation-suite pack (SURVEY §2.4): k×k block subsampling with the
+  * custom `mode` Aggregator, pyramid decimation levels, one-pass statistics
+  * and the 2-pass 100-bin density histogram.
+  */
+object AggPack extends QueryPack {
+
+  /** Day-bucketed events cube with a discrete `band` class variable (the
+    * mode target) — subsampling needs a categorical-ish var.
+    */
+  private def dailyCube(s: SparkSession, d: String): Cube = {
+    val c0 = CubePack.eventsCube(s, d)
+    c0.copy(df = c0.df
+      .withColumn("time", date_trunc("DAY", col("time")))
+      .withColumn("band", floor(col("v") / 50.0).cast("double"))
+      .drop("event_type"))
+  }
+
+  /** Time-collapsed per-cell mean field as a Cube (for pyramid levels). */
+  private def cellCube(s: SparkSession, d: String): Cube = {
+    val c0 = CubePack.eventsCube(s, d)
+    val gm = c0.gm
+    val cells = c0.df.groupBy(gm.iExpr(c0.x).as("i"), gm.jExpr(c0.y).as("j"))
+      .agg(round(avg(col("v")), 6).as("v"))
+      .select(lit("2024-01-01").cast("timestamp").as("time"),
+        (col("j").cast("double") + 0.5).as("y"),
+        (col("i").cast("double") + 0.5).as("x"),
+        col("v"))
+    Cube(cells, gm)
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // 8×8 block subsample: mean + count of the float var, custom-Aggregator
+    // mode of the class var (deterministic smallest-value tiebreak)
+    "q_subsample" -> ((s, d) => {
+      val (out, _) = SubsampleOps.subsample(dailyCube(s, d), 8,
+        Seq("v" -> "mean", "band" -> "mode", "v" -> "count"))
+      out.select(col("time"), col("block_j"), col("block_i"),
+        round(col("v_mean"), 6).as("v_mean"), col("band_mode"), col("v_count"))
+    }),
+
+    // pyramid levels 1..3 by ::2^l decimation (level.py:107): per level the
+    // surviving cell count and value checksum
+    "q_levels" -> ((s, d) => {
+      val c2 = cellCube(s, d)
+      SubsampleOps.computeLevels(c2, 3).zipWithIndex.map { case (lc, i) =>
+        lc.df.agg(count(lit(1)).as("n_cells"), round(sum(col("v")), 6).as("sum_v"))
+          .select(lit(i + 1).cast("long").as("level"), col("n_cells"), col("sum_v"))
+      }.reduce(_ unionByName _)
+    }),
+
+    // one-pass statistics over a bbox subset (controllers.py:45-129)
+    "q_statistics" -> ((s, d) => {
+      val c = CubePack.eventsCube(s, d)
+      StatsOps.statistics(c.df.filter(c.x < 180.0), "v")
+    }),
+
+    // 2-pass 100-bin density histogram, empty bins included
+    "q_histogram" -> ((s, d) =>
+      StatsOps.histogram(CubePack.eventsCube(s, d).df, "v", 100))
+  )
+
+  override def oracleSql: Map[String, String] = Map(
+    "q_subsample" ->
+      s"""WITH ${CubePack.cubeCte},
+         b AS (SELECT date_trunc('day', time) AS time,
+                      floor(y)::BIGINT // 8 AS block_j,
+                      floor(x)::BIGINT // 8 AS block_i,
+                      v, floor(v / 50.0) AS band
+               FROM cube),
+         m AS (SELECT time, block_j, block_i,
+                      round(avg(v), 6) AS v_mean, count(v) AS v_count
+               FROM b GROUP BY time, block_j, block_i),
+         mc AS (SELECT time, block_j, block_i, band, count(*) AS n
+                FROM b GROUP BY time, block_j, block_i, band),
+         mr AS (SELECT *, row_number() OVER (PARTITION BY time, block_j, block_i
+                         ORDER BY n DESC, band ASC) AS rn
+                FROM mc)
+         SELECT m.time, m.block_j, m.block_i, m.v_mean,
+                mr.band::DOUBLE AS band_mode, m.v_count
+         FROM m JOIN mr ON mr.time = m.time AND mr.block_j = m.block_j
+                       AND mr.block_i = m.block_i AND mr.rn = 1""",
+    "q_levels" ->
+      """WITH cells AS (
+           SELECT floor(CAST(event_id % 360 AS DOUBLE) + 0.5)::BIGINT AS i,
+                  floor(CAST(user_id % 100 AS DOUBLE) + 0.5)::BIGINT AS j,
+                  round(avg(value), 6) AS v
+           FROM events GROUP BY i, j),
+         lv AS (SELECT unnest(range(1, 4)) AS level)
+         SELECT lv.level, count(*) AS n_cells, round(sum(v), 6) AS sum_v
+         FROM cells CROSS JOIN lv
+         WHERE i % (1 << lv.level) = 0 AND j % (1 << lv.level) = 0
+         GROUP BY lv.level""",
+    "q_statistics" ->
+      """SELECT count(value) AS n, min(value) AS v_min, max(value) AS v_max,
+                round(avg(value), 6) AS v_mean,
+                round(stddev_samp(value), 6) AS v_std
+         FROM events WHERE CAST(event_id % 360 AS DOUBLE) + 0.5 < 180.0""",
+    "q_histogram" ->
+      """WITH s AS (SELECT min(value) AS lo, max(value) AS hi,
+                           count(value)::DOUBLE AS n FROM events),
+         b AS (SELECT least(floor(((value - s.lo) / (s.hi - s.lo)) * 100), 99)::BIGINT AS bucket,
+                      count(*) AS cnt
+               FROM events, s GROUP BY bucket),
+         g AS (SELECT unnest(range(0, 100)) AS bucket)
+         SELECT g.bucket,
+                coalesce(b.cnt, 0)::BIGINT AS n,
+                round(coalesce(b.cnt, 0)::DOUBLE /
+                      (s.n * ((s.hi - s.lo) / 100)), 6) AS density
+         FROM g LEFT JOIN b USING (bucket) CROSS JOIN s"""
+  )
+}
