@@ -4,7 +4,6 @@ import graft.cube.Cube
 import graft.functions.GeomFunctions
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 /** Geometry masking and rasterization — re-expression of
   * xcube/core/geom.py on the long-format cube.
@@ -47,24 +46,56 @@ object GeomOps {
   }
 
   /** rasterize_features (geom.py:51-281): burn feature properties into the
-    * cube. Broadcast spatial join — cells × features on point-in-geometry,
-    * last-feature-wins on overlap (geom.py:262-280) via max feature index.
-    * The features table is small (vector data) → broadcast; the cube side
-    * never shuffles.
+    * cube, last-feature-wins on overlap (geom.py:262-280).
+    *
+    * The feature list is driver-resident vector data (the reference takes an
+    * in-memory GeoDataFrame), so the burn compiles to a SINGLE projection:
+    * per property, a coalesce over per-feature `when(covers, value)`
+    * branches evaluated in REVERSE feature order — the first match is the
+    * last feature. The cube side never shuffles, never expands rows, and
+    * each feature's bbox pre-filter is codegen'd before its UDF predicate.
+    * Cells covered by no feature get NaN.
+    *
+    * For layers with many thousands of features prefer
+    * `rasterizeFeaturesJoin` (broadcast join + one partial-aggregated
+    * shuffle) over an arbitrarily wide expression tree.
     */
   def rasterizeFeatures(cube: Cube, features: DataFrame, geomCol: String,
                         props: Seq[String]): Cube = {
+    val rows = features.select((geomCol +: props).map(col): _*).collect()
+    val df = props.zipWithIndex.foldLeft(cube.df) { case (d, (p, pi)) =>
+      val branches = rows.reverseIterator.map { r =>
+        val wkt = r.getString(0)
+        val v = r.get(pi + 1) match {
+          case null => Double.NaN
+          case n: Number => n.doubleValue()
+        }
+        when(GeomFunctions.geomMask(wkt)(cube.x, cube.y), lit(v))
+      }.toSeq
+      d.withColumn(p, coalesce(branches :+ lit(Double.NaN): _*))
+    }
+    cube.copy(df = df)
+  }
+
+  /** Join-based rasterization for LARGE feature sets: broadcast spatial
+    * join on the per-feature predicate, then last-feature-wins via a
+    * max_by aggregation on the feature index — partial aggregation runs
+    * map-side, so the one shuffle carries at most one row per (cell,
+    * winning feature), never the full expansion.
+    */
+  def rasterizeFeaturesJoin(cube: Cube, features: DataFrame, geomCol: String,
+                            props: Seq[String]): Cube = {
     val feat = features.withColumn("__fidx", monotonically_increasing_id())
     val joined = cube.df.join(
       broadcast(feat),
       GeomFunctions.inGeomCol(col(geomCol), cube.x, cube.y),
       "left_outer")
-    // last feature wins: keep the max __fidx per cell
-    val keys = Seq(cube.timeCol, cube.yCol, cube.xCol).map(col)
-    val w = Window.partitionBy(keys: _*).orderBy(col("__fidx").desc_nulls_last)
-    val best = joined.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
-    val cubeCols = cube.df.columns.map(col).toSeq
-    val propCols = props.map(p => col(p).cast("double").as(p))
-    cube.copy(df = best.select(cubeCols ++ propCols: _*))
+    val keys = cube.df.columns.map(col).toSeq
+    val best = joined.groupBy(keys: _*).agg(
+      max_by(struct(props.map(p => col(p).cast("double").as(p)): _*),
+        col("__fidx")).as("__best"))
+    val propCols = props.map(p =>
+      coalesce(col(s"__best.$p"), lit(Double.NaN)).as(p))
+    cube.copy(df = best.select(keys ++ propCols: _*))
   }
 }

@@ -82,6 +82,24 @@ object CubePack extends QueryPack {
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 6).as("sum_value"))
     }),
 
+    // rasterize_features (geom.py:51-281): three overlapping features burned
+    // with last-feature-wins precedence, no cube-side shuffle
+    "q_rasterize" -> ((s, d) => {
+      import s.implicits._
+      val features = Seq(
+        ("POLYGON ((0 0, 100 0, 100 50, 0 50, 0 0))", 1.0),
+        ("POLYGON ((50 20, 150 20, 150 80, 50 80, 50 20))", 2.0),
+        ("POLYGON ((200 0, 300 0, 200 100, 200 0))", 3.0)
+      ).toDF("geometry", "cls")
+      val burned = GeomOps.rasterizeFeatures(eventsCube(s, d), features, "geometry", Seq("cls"))
+      burned.df.groupBy("event_type").agg(
+        sum(when(col("cls") === 1.0, 1).otherwise(0)).as("n_cls1"),
+        sum(when(col("cls") === 2.0, 1).otherwise(0)).as("n_cls2"),
+        sum(when(col("cls") === 3.0, 1).otherwise(0)).as("n_cls3"),
+        sum(when(!isnan(col("cls")), 1).otherwise(0)).as("n_burned"),
+        count(lit(1)).as("n"))
+    }),
+
     // evaluate_dataset + varexpr (evaluate.py:16-152, varexpr.py:16-309):
     // computed var with where/log10/ternary + valid-pixel mask, skipna agg
     "q_evaluate" -> ((s, d) => {
@@ -121,6 +139,22 @@ object CubePack extends QueryPack {
          FROM events
          WHERE ((event_id % 16) & 2) != 0 AND ((event_id % 16) & 4) = 0
          GROUP BY event_type""",
+    "q_rasterize" ->
+      s"""WITH $cubeCte,
+         r AS (
+           SELECT event_type,
+                  CASE WHEN x >= 200 AND y >= 0 AND (x + y) <= 300 THEN 3.0
+                       WHEN x BETWEEN 50 AND 150 AND y BETWEEN 20 AND 80 THEN 2.0
+                       WHEN x BETWEEN 0 AND 100 AND y BETWEEN 0 AND 50 THEN 1.0
+                  END AS cls
+           FROM cube)
+         SELECT event_type,
+                count(CASE WHEN cls = 1.0 THEN 1 END) AS n_cls1,
+                count(CASE WHEN cls = 2.0 THEN 1 END) AS n_cls2,
+                count(CASE WHEN cls = 3.0 THEN 1 END) AS n_cls3,
+                count(cls) AS n_burned,
+                count(*) AS n
+         FROM r GROUP BY event_type""",
     "q_evaluate" ->
       s"""WITH $cubeCte,
          ev AS (

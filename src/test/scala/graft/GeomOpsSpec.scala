@@ -1,0 +1,58 @@
+package graft
+
+import graft.cube.{Cube, GridMapping}
+import graft.operators.GeomOps
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.sql.Timestamp
+
+class GeomOpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = GraftSession.builder("4").getOrCreate()
+
+  private val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+
+  private def grid(): Cube = {
+    import spark.implicits._
+    val gm = GridMapping(10, 10, 0.0, 0.0, 1.0, 1.0)
+    val rows = for (j <- 0 until 10; i <- 0 until 10)
+      yield (t0, j + 0.5, i + 0.5, 1.0)
+    Cube(rows.toDF("time", "y", "x", "v"), gm)
+  }
+
+  private def features() = {
+    import spark.implicits._
+    Seq(
+      ("POLYGON ((0 0, 6 0, 6 6, 0 6, 0 0))", 10.0),
+      ("POLYGON ((4 4, 9 4, 9 9, 4 9, 4 4))", 20.0) // overlaps → wins
+    ).toDF("geometry", "cls")
+  }
+
+  test("rasterizeFeatures: last feature wins, NaN outside, no shuffle") {
+    val burned = GeomOps.rasterizeFeatures(grid(), features(), "geometry", Seq("cls"))
+    val m = burned.df.select("x", "y", "cls").collect()
+      .map(r => (r.getDouble(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    assert(m((1.5, 1.5)) == 10.0)  // only f1
+    assert(m((5.5, 5.5)) == 20.0)  // overlap → later feature
+    assert(m((8.5, 8.5)) == 20.0)  // only f2
+    assert(m((9.5, 0.5)).isNaN)    // no feature
+    // plan must not contain an exchange: pure projection over the scan
+    val plan = burned.df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
+  }
+
+  test("rasterizeFeaturesJoin agrees with the expression path") {
+    val a = GeomOps.rasterizeFeatures(grid(), features(), "geometry", Seq("cls"))
+      .df.select("x", "y", "cls")
+    val b = GeomOps.rasterizeFeaturesJoin(grid(), features(), "geometry", Seq("cls"))
+      .df.select("x", "y", "cls")
+    val ma = a.collect().map(r => (r.getDouble(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    val mb = b.collect().map(r => (r.getDouble(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    assert(ma.keySet == mb.keySet)
+    ma.foreach { case (k, va) =>
+      val vb = mb(k)
+      assert(va == vb || (va.isNaN && vb.isNaN), s"cell $k: $va vs $vb")
+    }
+  }
+}
