@@ -23,6 +23,9 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // overwrite only the partitions present in the written data — the
+      // time-slice insert/replace primitive (graft.streaming.TimeSliceOps)
+      .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
       // testdata parquet stores TIMESTAMP(NANOS) which Spark can't decode;
       // read as Long nanos and convert (see GraftSession.events).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

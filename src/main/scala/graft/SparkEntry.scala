@@ -18,7 +18,8 @@ object SparkEntry {
     ops.TemporalPack,
     ops.PipelinePack,
     ops.ExtractPack,
-    ops.AggPack
+    ops.AggPack,
+    ops.StoragePack
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -100,8 +100,9 @@ final case class GridMapping(
     * (time, blockKey) keeps bbox queries to a handful of partitions.
     */
   def blockKeyExpr(x: Column, y: Column): Column =
-    (jExpr(y) / lit(tileHeight)) * lit((width + tileWidth - 1) / tileWidth) +
-      (iExpr(x) / lit(tileWidth))
+    floor(jExpr(y) / lit(tileHeight)).cast("long") *
+      lit((width + tileWidth - 1) / tileWidth) +
+      floor(iExpr(x) / lit(tileWidth)).cast("long")
 }
 
 object GridMapping {

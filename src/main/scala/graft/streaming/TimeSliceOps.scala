@@ -1,0 +1,68 @@
+package graft.streaming
+
+import graft.cube.Cube
+import graft.sources.CubeWriter
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** Incremental cube maintenance — the reference's time-slice model
+  * (xcube/core/timeslice.py:19-192) re-expressed on the partitioned layout,
+  * plus Structured Streaming ingestion (§2.9).
+  *
+  * append = plain partitioned append; insert/replace of a (possibly late)
+  * slice = DYNAMIC partition overwrite of exactly the slice's (p_date,
+  * p_block) partitions — no global dedup shuffle, no rewrite of the rest of
+  * the cube. That is the 100 TB replacement for the relational
+  * union+dropDuplicates form (q_union_slices keeps the relational
+  * semantics for oracle parity).
+  */
+object TimeSliceOps {
+
+  sealed trait SlicePosition
+  case object Append extends SlicePosition
+  case object Insert extends SlicePosition
+  case object Replace extends SlicePosition
+
+  /** find_time_slice (timeslice.py:19-60): where does a slice at time `t`
+    * land relative to the stored cube's time coverage?
+    */
+  def findTimeSlice(df: DataFrame, timeCol: String,
+                    t: java.sql.Timestamp): SlicePosition = {
+    val row = df.agg(max(col(timeCol)).as("tmax"),
+      max(when(col(timeCol) === lit(t), 1).otherwise(0)).as("exists")).head()
+    if (row.getInt(1) == 1) Replace
+    else if (row.isNullAt(0) || t.after(row.getTimestamp(0))) Append
+    else Insert
+  }
+
+  /** append_time_slice (timeslice.py:62-92): partitioned append. */
+  def appendTimeSlice(slice: Cube, path: String): Unit =
+    CubeWriter.writePartitioned(slice, path, mode = "append")
+
+  /** replace/insert_time_slice (timeslice.py:94-192): dynamic partition
+    * overwrite — only the partitions present in `slice` are rewritten.
+    * Requires spark.sql.sources.partitionOverwriteMode=dynamic.
+    */
+  def replaceTimeSlice(slice: Cube, path: String): Unit =
+    CubeWriter.writePartitioned(slice, path, mode = "overwrite")
+
+  /** Streaming ingest: watch `srcGlobDir` for parquet slices and upsert each
+    * micro-batch into the partitioned cube via foreachBatch + dynamic
+    * partition overwrite — late slices overwrite their own partitions
+    * instead of duplicating them (the watermark bounds state for the
+    * windowed aggregations downstream, not the upsert itself).
+    */
+  def streamUpsert(spark: SparkSession, schema: StructType, srcDir: String,
+                   destPath: String, cubeOf: DataFrame => Cube): StreamingQuery =
+    spark.readStream.schema(schema)
+      .option("recursiveFileLookup", "true").parquet(srcDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) replaceTimeSlice(cubeOf(batch), destPath)
+      }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$destPath/_checkpoint")
+      .start()
+}
