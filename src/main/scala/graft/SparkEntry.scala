@@ -19,7 +19,8 @@ object SparkEntry {
     ops.PipelinePack,
     ops.ExtractPack,
     ops.AggPack,
-    ops.StoragePack
+    ops.StoragePack,
+    ops.ResamplePack
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,60 @@
+package graft
+
+import graft.cube.{GridMapping, TilingScheme}
+import graft.operators.AffineOps
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ResampleSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = GraftSession.builder("4").getOrCreate()
+
+  test("affine nearest picks the containing source cell, NaN outside") {
+    import spark.implicits._
+    val src = GridMapping(4, 4, 0.0, 0.0, 1.0, 1.0)
+    val tgt = GridMapping(2, 2, 0.0, 0.0, 2.0, 2.0)
+    // source value = i + 10*j; only 3 cells present
+    val cells = Seq((1L, 1L, 11.0), (3L, 1L, 13.0), (1L, 3L, 31.0)).toDF("i", "j", "v")
+    val out = AffineOps.resampleNearest(cells, src, tgt, Seq("v"))
+      .select("tgt_i", "tgt_j", "v").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // target centers at (1,1),(3,1),(1,3),(3,3) → source cells (1,1),(3,1),(1,3),(3,3)
+    assert(out((0L, 0L)) == 11.0)
+    assert(out((1L, 0L)) == 13.0)
+    assert(out((0L, 1L)) == 31.0)
+    assert(out((1L, 1L)).isNaN)
+  }
+
+  test("affine bilinear: interior target averages 4 corners; partial renormalizes") {
+    import spark.implicits._
+    val src = GridMapping(4, 4, 0.0, 0.0, 1.0, 1.0)
+    val tgt = GridMapping(1, 1, 0.5, 0.5, 3.0, 3.0) // single center (2.0, 2.0)
+    // center (2,2) → fi = 1.5 → corners (1,1),(2,1),(1,2),(2,2), each w=0.25
+    val full = Seq((1L, 1L, 10.0), (2L, 1L, 20.0), (1L, 2L, 30.0), (2L, 2L, 40.0))
+      .toDF("i", "j", "v")
+    val v1 = AffineOps.resampleBilinear(full, src, tgt, Seq("v"))
+      .select("v").head().getDouble(0)
+    assert(math.abs(v1 - 25.0) < 1e-9)
+    // drop one corner → renormalized over the remaining three
+    val partial = full.filter(!(col("i") === 2 && col("j") === 2))
+    val v2 = AffineOps.resampleBilinear(partial, src, tgt, Seq("v"))
+      .select("v").head().getDouble(0)
+    assert(math.abs(v2 - 20.0) < 1e-9) // (10+20+30)/3
+  }
+
+  test("TilingScheme: geographic + mercator pyramid math (tilingscheme.py:35)") {
+    val g = TilingScheme.geographic
+    assert(g.numTilesX(0) == 2 && g.numTilesY(0) == 1)
+    assert(g.resolution(0) == 360.0 / (2 * 256))
+    assert(g.resolution(2) == g.resolution(0) / 4)
+    assert(g.levelForResolution(g.resolution(3)) == 3)
+    assert(g.levelForResolution(g.resolution(3) * 1.5) == 3) // next finer level
+    assert(g.tileExtent(0, 0, 0) == ((-180.0, -90.0, 0.0, 90.0)))
+    assert(g.tileExtent(1, 3, 1) == ((90.0, -90.0, 180.0, 0.0)))
+    assert(g.tileForPoint(1, 100.0, -45.0) == ((3L, 1L)))
+    val m = TilingScheme.webMercator
+    assert(m.numTilesX(0) == 1)
+    assert(m.tileForPoint(0, 0.0, 0.0) == ((0L, 0L)))
+  }
+}
