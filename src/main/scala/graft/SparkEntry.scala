@@ -20,7 +20,8 @@ object SparkEntry {
     ops.ExtractPack,
     ops.AggPack,
     ops.StoragePack,
-    ops.ResamplePack
+    ops.ResamplePack,
+    ops.ComputePack
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
