@@ -1,0 +1,73 @@
+package graft.operators
+
+import graft.cube.Cube
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Maintenance / physical ops (SURVEY §2.13): rechunk, compaction, empty-
+  * chunk pruning, attribute updates, schema dump — the Zarr-housekeeping
+  * family (chunk.py, unchunk.py, optimize.py, update.py, dump.py)
+  * re-expressed as partition housekeeping.
+  */
+object MaintenanceOps {
+
+  /** rechunk_cube (chunk.py:15-46): co-locate rows by (date, spatial block)
+    * so later per-block work (subsampling, kernels, pruned writes) runs
+    * without a further shuffle. Returns a cube whose physical partitioning
+    * matches the logical tile grid.
+    */
+  def rechunk(cube: Cube): Cube = {
+    val gm = cube.gm
+    cube.withDf(_.repartition(
+      to_date(cube.time), gm.blockKeyExpr(cube.x, cube.y)))
+  }
+
+  /** optimize_dataset / unchunk (optimize.py:15-79): compact a written cube
+    * directory to `numFiles` files per partition tree (small-file cleanup).
+    */
+  def optimize(spark: SparkSession, path: String, numFiles: Int): Unit = {
+    val df = spark.read.parquet(path)
+    val tmp = s"$path.__optimizing"
+    df.coalesce(numFiles).write.mode("overwrite").parquet(tmp)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path), conf)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(path))
+  }
+
+  /** get_empty_dataset_chunks + prune (chunk.py:49-99, cli/prune.py): drop
+    * rows of spatial blocks in which EVERY value of `varName` is NaN; kept
+    * blocks keep their NaN cells, exactly like chunk-level pruning.
+    */
+  def pruneEmptyBlocks(cube: Cube, varName: String): Cube = {
+    val gm = cube.gm
+    val key = gm.blockKeyExpr(cube.x, cube.y).as("__block")
+    val withKey = cube.df.withColumn("__block", key)
+    val alive = withKey.groupBy("__block")
+      .agg(sum(when(!isnan(col(varName).cast("double")), 1).otherwise(0)).as("__n"))
+      .filter(col("__n") > 0).select("__block")
+    cube.copy(df = withKey
+      .join(broadcast(alive), Seq("__block"), "left_semi")
+      .drop("__block"))
+  }
+
+  /** update_dataset_attrs (update.py): attach/refresh column metadata. */
+  def updateVarAttrs(df: DataFrame, varName: String,
+                     attrs: Map[String, String]): DataFrame = {
+    val mb = new org.apache.spark.sql.types.MetadataBuilder()
+    attrs.foreach { case (k, v) => mb.putString(k, v) }
+    df.withColumn(varName, col(varName).as(varName, mb.build()))
+  }
+
+  /** dump_dataset (dump.py:66): human-readable cube summary. */
+  def dump(cube: Cube): String = {
+    val gm = cube.gm
+    val sb = new StringBuilder
+    sb.append(s"cube ${gm.width}x${gm.height} @ (${gm.xMin},${gm.yMin}) ")
+    sb.append(s"res (${gm.xRes},${gm.yRes}) crs ${gm.crs}\n")
+    sb.append(s"dims: ${cube.timeCol}, ${cube.yCol}, ${cube.xCol}\n")
+    sb.append(s"vars: ${cube.varNames.mkString(", ")}\n")
+    sb.append(cube.df.schema.treeString)
+    sb.toString
+  }
+}

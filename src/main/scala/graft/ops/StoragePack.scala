@@ -1,7 +1,8 @@
 package graft.ops
 
 import graft.{GraftSession, QueryPack}
-import graft.sources.CubeWriter
+import graft.operators.MaintenanceOps
+import graft.sources.{CubeWriter, DataStore, FsDataStore}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
@@ -54,6 +55,45 @@ object StoragePack extends QueryPack {
         .outputMode("complete").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
       s.table(tbl)
+    }),
+
+    // DataStore catalog: list the store's data ids and open each
+    // (format-inferred) for a row count
+    "q_store_catalog" -> ((s, d) => {
+      val store = new FsDataStore(s, d)
+      store.listDataIds().map { id =>
+        store.open(id).agg(count(lit(1)).as("n_rows"))
+          .select(lit(id.stripSuffix(".parquet")).as("id"), col("n_rows"))
+      }.reduce(_ unionByName _)
+    }),
+
+    // CSV IO round-trip: write a day aggregate as CSV, read it back with
+    // format inference; the oracle recomputes the aggregate independently
+    "q_csv_roundtrip" -> ((s, d) => {
+      val agg = GraftSession.events(s, d)
+        .groupBy(date_trunc("DAY", col("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 6).as("sum_value"))
+      val sfName = new java.io.File(d).getName
+      val path = s"/root/repo/target/csv_roundtrip_$sfName.csv"
+      DataStore.writeDataset(agg, path)
+      DataStore.openDataset(s, path).select(
+        col("day").cast("timestamp").as("day"), col("event_type"),
+        col("n").cast("long").as("n"), col("sum_value").cast("double").as("sum_value"))
+    }),
+
+    // empty-chunk pruning: mask east of x=200, drop blocks that are all-NaN
+    // (kept blocks keep their NaN cells — chunk-level semantics)
+    "q_prune" -> ((s, d) => {
+      val c0 = CubePack.eventsCube(s, d)
+      val cube = c0.copy(
+        df = c0.df.withColumn("v",
+          when(col("x") < 200.0, col("v")).otherwise(lit(Double.NaN))),
+        gm = c0.gm.copy(tileWidth = 64, tileHeight = 64))
+      val pruned = MaintenanceOps.pruneEmptyBlocks(cube, "v")
+      pruned.df.agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(!isnan(col("v")), 1).otherwise(0)).as("n_valid"),
+        round(sum(when(!isnan(col("v")), col("v")).otherwise(0.0)), 6).as("sum_valid"))
     })
   )
 
@@ -69,6 +109,25 @@ object StoragePack extends QueryPack {
     "q_stream_window" ->
       """SELECT date_trunc('day', ts) AS t, event_type,
                 count(*) AS n, round(sum(value), 6) AS sum_value
-         FROM events GROUP BY t, event_type"""
+         FROM events GROUP BY t, event_type""",
+    "q_store_catalog" ->
+      Seq("customer", "documents", "embeddings", "events", "lineitem",
+          "nation", "orders", "part", "region", "supplier")
+        .map(t => s"SELECT '$t' AS id, count(*) AS n_rows FROM $t")
+        .mkString(" UNION ALL "),
+    "q_csv_roundtrip" ->
+      """SELECT date_trunc('day', ts) AS day, event_type,
+                count(*) AS n, round(sum(value), 6) AS sum_value
+         FROM events GROUP BY day, event_type""",
+    "q_prune" ->
+      s"""WITH ${CubePack.cubeCte},
+         b AS (SELECT (floor(y)::BIGINT // 64) * 6 + (floor(x)::BIGINT // 64) AS blk,
+                      CASE WHEN x < 200.0 THEN v END AS vv
+               FROM cube),
+         alive AS (SELECT blk FROM b GROUP BY blk HAVING count(vv) > 0)
+         SELECT count(*) AS n_rows,
+                count(vv) AS n_valid,
+                round(sum(coalesce(vv, 0)), 6) AS sum_valid
+         FROM b WHERE blk IN (SELECT blk FROM alive)"""
   )
 }

@@ -1,0 +1,85 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** DataStore API (reference xcube/core/store/store.py:27-52, filesystem
+  * impl store/fs/store.py:67-814, format-guessing open/write
+  * dsio.py:42-114): a thin pluggable catalog — list / describe / open /
+  * write — over Spark's own readers. Formats are inferred from the data-id
+  * extension; any Hadoop-FS protocol in the path (file://, s3a://, ...)
+  * works unchanged, which is the reference's store-protocol matrix
+  * (plugin.py:82-89) for free.
+  */
+trait DataStore {
+  def listDataIds(): Seq[String]
+  def describe(dataId: String): String
+  def open(dataId: String): DataFrame
+  def write(dataId: String, df: DataFrame, mode: String = "error"): Unit
+}
+
+object DataStore {
+
+  /** Infer a Spark format from a path/data-id extension (dsio.py guess). */
+  def formatFor(path: String): String = {
+    val p = path.toLowerCase
+    if (p.endsWith(".parquet")) "parquet"
+    else if (p.endsWith(".csv")) "csv"
+    else if (p.endsWith(".json") || p.endsWith(".geojson")) "json"
+    else if (p.endsWith(".orc")) "orc"
+    else "parquet" // directory cubes default to parquet
+  }
+
+  /** open_dataset with format inference. */
+  def openDataset(spark: SparkSession, path: String): DataFrame = {
+    val fmt = formatFor(path)
+    val r = spark.read.format(fmt)
+    (if (fmt == "csv") r.option("header", "true").option("inferSchema", "true")
+     else r).load(path)
+  }
+
+  /** write_dataset with format inference. */
+  def writeDataset(df: DataFrame, path: String, mode: String = "overwrite"): Unit = {
+    val fmt = formatFor(path)
+    val w = df.write.format(fmt).mode(mode)
+    (if (fmt == "csv") w.option("header", "true") else w).save(path)
+  }
+}
+
+/** Filesystem-backed store rooted at a directory: data ids are the entries'
+  * base names (mirrors FsDataStore listing).
+  */
+final class FsDataStore(spark: SparkSession, root: String) extends DataStore {
+
+  private def fs = org.apache.hadoop.fs.FileSystem.get(
+    new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+
+  override def listDataIds(): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).map(_.getPath.getName)
+      .filterNot(_.startsWith("_")).sorted.toSeq
+  }
+
+  override def describe(dataId: String): String =
+    open(dataId).schema.treeString
+
+  override def open(dataId: String): DataFrame =
+    DataStore.openDataset(spark, s"$root/$dataId")
+
+  override def write(dataId: String, df: DataFrame, mode: String = "error"): Unit =
+    DataStore.writeDataset(df, s"$root/$dataId", mode)
+}
+
+/** In-memory store over temp views (dsio.py:308-356 memory IO). */
+final class MemoryDataStore(spark: SparkSession) extends DataStore {
+  private val ids = scala.collection.mutable.SortedSet.empty[String]
+
+  override def listDataIds(): Seq[String] = ids.toSeq
+  override def describe(dataId: String): String = open(dataId).schema.treeString
+  override def open(dataId: String): DataFrame = spark.table(dataId)
+  override def write(dataId: String, df: DataFrame, mode: String = "error"): Unit = {
+    require(mode != "error" || !ids.contains(dataId), s"$dataId exists")
+    df.createOrReplaceTempView(dataId)
+    ids += dataId
+  }
+}

@@ -1,0 +1,93 @@
+package graft
+
+import graft.cube.{Cube, GridMapping}
+import graft.operators.MaintenanceOps
+import graft.sources.{DataStore, FsDataStore, MemoryDataStore}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+import java.sql.Timestamp
+
+class StoreMaintenanceSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = GraftSession.builder("4").getOrCreate()
+
+  private def tmpDir(prefix: String): String = {
+    val base = new java.io.File("/root/repo/target/tmp-tests")
+    base.mkdirs()
+    Files.createTempDirectory(base.toPath, prefix).toString
+  }
+
+  test("FsDataStore: list/describe/open/write with format inference") {
+    import spark.implicits._
+    val root = tmpDir("store")
+    val store = new FsDataStore(spark, root)
+    val df = Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("id", "k", "v")
+    store.write("t1.parquet", df)
+    store.write("t2.csv", df)
+    assert(store.listDataIds() == Seq("t1.parquet", "t2.csv"))
+    assert(store.open("t1.parquet").count() == 2)
+    val csv = store.open("t2.csv")
+    assert(csv.count() == 2)
+    assert(csv.columns.toSeq == Seq("id", "k", "v")) // header round-trip
+    assert(store.describe("t1.parquet").contains("id"))
+    assert(DataStore.formatFor("x.GeoJSON") == "json")
+  }
+
+  test("MemoryDataStore round-trips through temp views") {
+    import spark.implicits._
+    val store = new MemoryDataStore(spark)
+    store.write("mem_t", Seq(1, 2, 3).toDF("x"), mode = "overwrite")
+    assert(store.listDataIds() == Seq("mem_t"))
+    assert(store.open("mem_t").count() == 3)
+  }
+
+  test("rechunk repartitions by (date, block)") {
+    import spark.implicits._
+    val gm = GridMapping(4, 4, 0.0, 0.0, 1.0, 1.0, tileWidth = 2, tileHeight = 2)
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+    val rows = for (j <- 0 until 4; i <- 0 until 4) yield (t0, j + 0.5, i + 0.5, 1.0)
+    val cube = Cube(rows.toDF("time", "y", "x", "v"), gm)
+    val plan = MaintenanceOps.rechunk(cube).df.queryExecution.logical.toString
+    assert(plan.contains("RepartitionByExpression"), plan)
+  }
+
+  test("pruneEmptyBlocks drops all-NaN blocks, keeps NaN cells of live blocks") {
+    import spark.implicits._
+    val gm = GridMapping(4, 2, 0.0, 0.0, 1.0, 1.0, tileWidth = 2, tileHeight = 2)
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+    // left block: one valid + NaNs; right block: all NaN
+    val rows = Seq(
+      (t0, 0.5, 0.5, 1.0), (t0, 0.5, 1.5, Double.NaN),
+      (t0, 1.5, 0.5, Double.NaN), (t0, 1.5, 1.5, Double.NaN),
+      (t0, 0.5, 2.5, Double.NaN), (t0, 0.5, 3.5, Double.NaN))
+    val cube = Cube(rows.toDF("time", "y", "x", "v"), gm)
+    val pruned = MaintenanceOps.pruneEmptyBlocks(cube, "v")
+    assert(pruned.df.count() == 4) // whole left block survives, incl. its NaNs
+    assert(pruned.df.agg(max("x")).head().getDouble(0) == 1.5)
+  }
+
+  test("optimize compacts a parquet dir without changing its content") {
+    import spark.implicits._
+    val path = tmpDir("opt") + "/data"
+    spark.range(100).repartition(10).write.parquet(path)
+    MaintenanceOps.optimize(spark, path, 1)
+    val files = new java.io.File(path).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files.length == 1)
+    assert(spark.read.parquet(path).count() == 100)
+  }
+
+  test("updateVarAttrs + dump") {
+    import spark.implicits._
+    val df = MaintenanceOps.updateVarAttrs(
+      Seq(1.0).toDF("v"), "v", Map("units" -> "mg/m3"))
+    assert(df.schema("v").metadata.getString("units") == "mg/m3")
+    val gm = GridMapping(4, 2, 0.0, 0.0, 1.0, 1.0)
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+    val cube = Cube(Seq((t0, 0.5, 0.5, 1.0)).toDF("time", "y", "x", "v"), gm)
+    val s = MaintenanceOps.dump(cube)
+    assert(s.contains("4x2") && s.contains("vars: v"))
+  }
+}
