@@ -2,7 +2,7 @@ package graft.ops
 
 import graft.{GraftSession, QueryPack}
 import graft.cube.GridMapping
-import graft.operators.AffineOps
+import graft.operators.{AffineOps, RectifyOps, ReprojectOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -34,6 +34,35 @@ object ResamplePack extends QueryPack {
       AffineOps.resampleBilinear(srcCells(s, d), CubePack.gm, tgtGm, Seq("v"))
         .groupBy("tgt_j")
         .agg(count(lit(1)).as("n"), round(sum(col("v")), 6).as("sum_v"))
+    }),
+
+    // closed-form geographic → web-mercator reprojection; avg (not sum) so
+    // libm ulp differences stay far inside the rounding margin
+    "q_reproject_mercator" -> ((s, d) => {
+      val c0 = CubePack.eventsCube(s, d)
+      val geo = c0.copy(df = c0.df
+        .withColumn("x", col("x") - 180.0)
+        .withColumn("y", (col("y") - 50.0) * 0.9))
+      ReprojectOps.toMercator(geo)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          round(avg(col("merc_x")), 4).as("avg_mx"),
+          round(avg(col("merc_y")), 4).as("avg_my"))
+    }),
+
+    // rectify: irregular jittered coords back onto the regular grid —
+    // nearest-to-center source wins per cell, deterministic tiebreak
+    "q_rectify" -> ((s, d) => {
+      val c0 = CubePack.eventsCube(s, d)
+      val swath = GraftSession.events(s, d).select(
+        (((col("event_id") % 360).cast("double") + 0.5) +
+          ((col("event_id") % 7) - 3).cast("double") * 0.1).as("xc"),
+        (((col("user_id") % 100).cast("double") + 0.5) +
+          ((col("event_id") % 5) - 2).cast("double") * 0.1).as("yc"),
+        col("value").as("v"), col("event_id"))
+      RectifyOps.rectifyNearest(swath, "xc", "yc", c0.gm, Seq("v"), "event_id")
+        .groupBy((col("j") / 10).cast("long").as("jband"))
+        .agg(count(lit(1)).as("n_cells"), round(sum(col("v")), 6).as("sum_v"))
     })
   )
 
@@ -70,6 +99,35 @@ object ResamplePack extends QueryPack {
                        AND c.j = 4 * tgt.tgt_j + 1 + o.dj
            GROUP BY tgt.tgt_i, tgt.tgt_j)
          SELECT tgt_j, count(*) AS n, round(sum(v), 6) AS sum_v
-         FROM interp GROUP BY tgt_j"""
+         FROM interp GROUP BY tgt_j""",
+    "q_reproject_mercator" ->
+      s"""WITH ${CubePack.cubeCte},
+         g AS (SELECT event_type,
+                      6378137.0 * radians(x - 180.0) AS mx,
+                      6378137.0 * ln(tan(pi() / 4 + radians((y - 50.0) * 0.9) / 2)) AS my
+               FROM cube)
+         SELECT event_type, count(*) AS n,
+                round(avg(mx), 4) AS avg_mx,
+                round(avg(my), 4) AS avg_my
+         FROM g GROUP BY event_type""",
+    "q_rectify" ->
+      """WITH sw AS (
+           SELECT (CAST(event_id % 360 AS DOUBLE) + 0.5) +
+                    CAST((event_id % 7) - 3 AS DOUBLE) * 0.1 AS xc,
+                  (CAST(user_id % 100 AS DOUBLE) + 0.5) +
+                    CAST((event_id % 5) - 2 AS DOUBLE) * 0.1 AS yc,
+                  value AS v, event_id
+           FROM events),
+         f AS (SELECT floor(xc)::BIGINT AS i, floor(yc)::BIGINT AS j, xc, yc, v, event_id
+               FROM sw WHERE xc >= 0 AND xc < 360 AND yc >= 0 AND yc < 100),
+         d AS (SELECT *,
+                      (xc - (i + 0.5)) * (xc - (i + 0.5)) +
+                      (yc - (j + 0.5)) * (yc - (j + 0.5)) AS d2
+               FROM f),
+         r AS (SELECT *, row_number() OVER (PARTITION BY i, j
+                         ORDER BY d2, event_id) AS rn FROM d)
+         SELECT (j // 10)::BIGINT AS jband, count(*) AS n_cells,
+                round(sum(v), 6) AS sum_v
+         FROM r WHERE rn = 1 GROUP BY jband"""
   )
 }

@@ -57,4 +57,40 @@ class ResampleSpec extends AnyFunSuite {
     assert(m.numTilesX(0) == 1)
     assert(m.tileForPoint(0, 0.0, 0.0) == ((0L, 0L)))
   }
+
+  test("mercator reprojection round-trips and matches known anchors") {
+    import spark.implicits._
+    val df = Seq((0.0, 0.0), (90.0, 45.0), (-180.0, -85.0)).toDF("lon", "lat")
+    val out = df.select(
+      graft.operators.ReprojectOps.lonToMercX(col("lon")).as("mx"),
+      graft.operators.ReprojectOps.latToMercY(col("lat")).as("my"))
+    val back = out.select(
+      graft.operators.ReprojectOps.mercXToLon(col("mx")).as("lon"),
+      graft.operators.ReprojectOps.mercYToLat(col("my")).as("lat")).collect()
+    val orig = df.collect()
+    orig.zip(back).foreach { case (o, b) =>
+      assert(math.abs(o.getDouble(0) - b.getDouble(0)) < 1e-9)
+      assert(math.abs(o.getDouble(1) - b.getDouble(1)) < 1e-9)
+    }
+    val r0 = out.collect()
+    assert(math.abs(r0(0).getDouble(0)) < 1e-9 && math.abs(r0(0).getDouble(1)) < 1e-9)
+    assert(math.abs(r0(1).getDouble(0) - 1.0018754171394622e7) < 1.0) // 90 deg lon
+  }
+
+  test("rectifyNearest: nearest sample to the cell center wins") {
+    import spark.implicits._
+    val gm = GridMapping(4, 4, 0.0, 0.0, 1.0, 1.0)
+    val src = Seq(
+      (0.6, 0.6, 1.0, 1L),  // cell (0,0), dist 0.02
+      (0.4, 0.4, 2.0, 2L),  // cell (0,0), dist 0.02 -> tie, id 1 wins
+      (1.9, 0.5, 3.0, 3L),  // cell (1,0)
+      (5.0, 5.0, 9.0, 4L)   // outside -> dropped
+    ).toDF("xc", "yc", "v", "sid")
+    val out = graft.operators.RectifyOps
+      .rectifyNearest(src, "xc", "yc", gm, Seq("v"), "sid")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(out.size == 2)
+    assert(out((0L, 0L)) == 1.0)
+    assert(out((1L, 0L)) == 3.0)
+  }
 }
