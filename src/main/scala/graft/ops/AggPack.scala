@@ -65,7 +65,19 @@ object AggPack extends QueryPack {
 
     // 2-pass 100-bin density histogram, empty bins included
     "q_histogram" -> ((s, d) =>
-      StatsOps.histogram(CubePack.eventsCube(s, d).df, "v", 100))
+      StatsOps.histogram(CubePack.eventsCube(s, d).df, "v", 100)),
+
+    // materialized .levels pyramid: write L0..L3 (each a 2x2 mean of the
+    // previous), read the stored tables back and checksum them
+    "q_pyramid" -> ((s, d) => {
+      val root = s"/root/repo/target/levels_${new java.io.File(d).getName}"
+      graft.sources.LevelStore.writeLevels(cellCube(s, d), root, 3)
+      (1 to 3).map { l =>
+        graft.sources.LevelStore.openLevel(s, root, l)
+          .agg(count(lit(1)).as("n_cells"), round(sum(col("v")), 6).as("sum_v"))
+          .select(lit(l).cast("long").as("level"), col("n_cells"), col("sum_v"))
+      }.reduce(_ unionByName _)
+    })
   )
 
   override def oracleSql: Map[String, String] = Map(
@@ -115,6 +127,20 @@ object AggPack extends QueryPack {
                 coalesce(b.cnt, 0)::BIGINT AS n,
                 round(coalesce(b.cnt, 0)::DOUBLE /
                       (s.n * ((s.hi - s.lo) / 100)), 6) AS density
-         FROM g LEFT JOIN b USING (bucket) CROSS JOIN s"""
+         FROM g LEFT JOIN b USING (bucket) CROSS JOIN s""",
+    "q_pyramid" ->
+      """WITH cells AS (
+           SELECT floor(CAST(event_id % 360 AS DOUBLE) + 0.5)::BIGINT AS i,
+                  floor(CAST(user_id % 100 AS DOUBLE) + 0.5)::BIGINT AS j,
+                  round(avg(value), 6) AS v
+           FROM events GROUP BY i, j),
+         l1 AS (SELECT i // 2 AS i, j // 2 AS j, avg(v) AS v FROM cells GROUP BY 1, 2),
+         l2 AS (SELECT i // 2 AS i, j // 2 AS j, avg(v) AS v FROM l1 GROUP BY 1, 2),
+         l3 AS (SELECT i // 2 AS i, j // 2 AS j, avg(v) AS v FROM l2 GROUP BY 1, 2)
+         SELECT 1::BIGINT AS level, count(*) AS n_cells, round(sum(v), 6) AS sum_v FROM l1
+         UNION ALL
+         SELECT 2::BIGINT, count(*), round(sum(v), 6) FROM l2
+         UNION ALL
+         SELECT 3::BIGINT, count(*), round(sum(v), 6) FROM l3"""
   )
 }

@@ -1,0 +1,64 @@
+package graft.sources
+
+import graft.cube.{Cube, GridMapping}
+import graft.operators.SubsampleOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** `.levels`-style multi-resolution pyramid store (reference
+  * mldataset/fs.py, level.py:139-258): one Parquet table per level,
+  * `L0..Ln`, each level a 2×2 mean aggregation of the previous — the
+  * materialized-aggregate form of MultiLevelDataset.
+  *
+  * Levels are built progressively (L2 from L1, not from L0) so each build
+  * step shuffles only the previous level's already-reduced cell count; the
+  * whole pyramid costs ~4/3 of one pass over L0.
+  */
+object LevelStore {
+
+  private def levelPath(root: String, level: Int) = s"$root/L$level"
+
+  /** Build and write levels 0..maxLevel; returns the per-level grid
+    * mappings. Variables are aggregated with `mean` (the float default —
+    * subsampling.py auto rule).
+    */
+  def writeLevels(cube: Cube, root: String, maxLevel: Int): Seq[GridMapping] = {
+    var cur = cube
+    cur.df.write.mode("overwrite").parquet(levelPath(root, 0))
+    val gms = Seq.newBuilder[GridMapping]
+    gms += cur.gm
+    for (_ <- 1 to maxLevel) {
+      val vars = cur.varNames.filter(v =>
+        cur.df.schema(v).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
+      val (agg, gm2) = SubsampleOps.subsample(cur, 2, vars.map(v => v -> "mean"))
+      val df2 = vars.foldLeft(agg) { (d, v) => d.withColumnRenamed(s"${v}_mean", v) }
+        .withColumn(cur.xCol, gm2.xExpr(col("block_i")))
+        .withColumn(cur.yCol, gm2.yExpr(col("block_j")))
+        .drop("block_i", "block_j")
+      cur = Cube(df2, gm2, cur.timeCol, cur.yCol, cur.xCol)
+      cur.df.write.mode("overwrite").parquet(levelPath(root, gms.result().size))
+      gms += gm2
+    }
+    gms.result()
+  }
+
+  def openLevel(spark: SparkSession, root: String, level: Int): DataFrame =
+    spark.read.parquet(levelPath(root, level))
+
+  def listLevels(spark: SparkSession, root: String): Seq[Int] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(root)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).map(_.getPath.getName)
+      .collect { case s if s.matches("L\\d+") => s.drop(1).toInt }.sorted.toSeq
+  }
+
+  /** Pyramid-level pruning: the coarsest level still at least as fine as
+    * the requested resolution (mldataset/abc.py:136-149).
+    */
+  def levelForResolution(gms: Seq[GridMapping], res: Double): Int = {
+    val ok = gms.zipWithIndex.filter(_._1.xRes <= res + 1e-12)
+    if (ok.isEmpty) 0 else ok.last._2
+  }
+}
