@@ -81,4 +81,29 @@ object GeomFunctions {
     if (x1 > x2) Seq(poly(x1, y1, 180.0, y2), poly(-180.0, y1, x2, y2))
     else Seq(poly(x1, y1, x2, y2))
   }
+
+  /** normalize_geometry over every input form the reference accepts
+    * (geom.py:559-638): WKT string (validated), GeoJSON geometry string,
+    * (x, y) point, or bbox 4-tuple (possibly anti-meridian-split). Returns
+    * WKT geometries ready for the predicate/mask operators.
+    */
+  def normalizeGeometry(spec: Any): Seq[String] = spec match {
+    case s: String if s.trim.startsWith("{") =>
+      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(s)
+      Seq(graft.sources.GeoJsonSource.geometryToWkt(node))
+    case s: String =>
+      Seq(new WKTReader().read(s).toText) // parse → canonical WKT, rejects junk
+    case (x: Double, y: Double) => Seq(s"POINT ($x $y)")
+    case (x1: Double, y1: Double, x2: Double, y2: Double) =>
+      bboxToWkts(x1, y1, x2, y2)
+    case other =>
+      throw new IllegalArgumentException(s"cannot normalize geometry from: $other")
+  }
+
+  /** Coordinate monotonicity normalization (normalize.py:45-88): a 0..360
+    * longitude column → ±180. (Decreasing-latitude reversal is moot in long
+    * form — y is data, not an axis order.)
+    */
+  def normalizeLon360(lon: Column): Column =
+    when(lon > 180.0, lon - 360.0).otherwise(lon)
 }

@@ -58,6 +58,20 @@ object ExtractOps {
                       cellCube: DataFrame, vars: Seq[String]): DataFrame =
     valuesForIndexes(pointIndexes(points, gm, pxCol, pyCol), cellCube, vars)
 
+  /** get_dataset_indexes for IRREGULAR 1-D coordinates with explicit cell
+    * bounds (extract.py:321-414 interpolates over bounds arrays): `bounds`
+    * is a small (idx, lower, upper) table — broadcast range join,
+    * left-closed cells, −1 where no cell contains the coordinate.
+    */
+  def indexesFromBounds(points: DataFrame, bounds: DataFrame,
+                        coordCol: String, outCol: String): DataFrame = {
+    val b = broadcast(bounds.select(col("idx"), col("lower"), col("upper")))
+    points.join(b, col(coordCol) >= b("lower") && col(coordCol) < b("upper"),
+        "left_outer")
+      .withColumn(outCol, coalesce(b("idx"), lit(-1L)))
+      .drop("idx", "lower", "upper")
+  }
+
   /** Collapse a cube to one row per integer (i, j) cell with the mean of
     * each variable — a helper for 2-D point lookup.
     */
