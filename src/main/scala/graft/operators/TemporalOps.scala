@@ -104,6 +104,20 @@ object TemporalOps {
     df.groupBy(keys: _*).agg(aggCols.head, aggCols.tail: _*)
   }
 
+  /** max_valids (webapi/timeseries/controllers.py:301-331): keep the N most
+    * recent rows per key satisfying `valid`, deterministic order by
+    * (time desc, tiebreak desc). Per-key window — no global sort.
+    */
+  def maxValids(df: DataFrame, keys: Seq[String], timeCol: String,
+                valid: Column, n: Int, tiebreak: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(timeCol).desc, col(tiebreak).desc)
+    df.filter(valid)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n)
+      .drop("__rn")
+  }
+
   // ------------------------------------------------------- upsampling
 
   private def orderedWindow(keys: Seq[String], timeCol: String) =

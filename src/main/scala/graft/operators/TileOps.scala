@@ -43,4 +43,18 @@ object TileOps {
     }
     out
   }
+
+  /** compute_rgba_tile colormap step (tile.py:355-763, cmaps util): linear
+    * vmin..vmax normalization onto a gray ramp, NaN → fully transparent.
+    * Packed ARGB ints, ready for PNG encoding by any image writer.
+    */
+  def renderRgba(tile: Array[Double], vmin: Double, vmax: Double): Array[Int] =
+    tile.map { v =>
+      if (v.isNaN) 0
+      else {
+        val t = math.max(0.0, math.min(1.0, (v - vmin) / (vmax - vmin)))
+        val g = math.round(t * 255).toInt
+        (0xff << 24) | (g << 16) | (g << 8) | g
+      }
+    }
 }

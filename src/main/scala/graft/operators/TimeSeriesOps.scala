@@ -37,4 +37,13 @@ object TimeSeriesOps {
     masked.df.groupBy(masked.time.as("time"))
       .agg(aggCols.head, aggCols.tail: _*)
   }
+
+  /** Align per-method/per-variable series on the time axis — the xr.merge
+    * of aggregation results (timeseries.py:193-200): multi-way full-outer
+    * join on `on`.
+    */
+  def mergeSeries(series: Seq[DataFrame], on: String = "time"): DataFrame = {
+    require(series.nonEmpty)
+    series.reduce(_.join(_, Seq(on), "full_outer"))
+  }
 }

@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.{GraftSession, QueryPack}
-import graft.operators.TemporalOps
+import graft.operators.{TemporalOps, TimeSeriesOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -95,6 +95,29 @@ object TemporalPack extends QueryPack {
       // datetime64 would make the driver's dtype-strict compare fail
       interp.select(col("user_id"), col("day").cast("timestamp").as("day"),
         col("v_ffill"), round(col("v_interp"), 6).as("v_interp"))
+    }),
+
+    // max_valids: the 5 most recent valid rows per key (controllers.py:301)
+    "q_max_valids" -> ((s, d) => {
+      TemporalOps.maxValids(ev(s, d), Seq("event_type"), "ts",
+          col("value") > 10.0, 5, "event_id")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value")), 6).as("sum_value"),
+          max(col("ts")).as("latest"))
+    }),
+
+    // xr.merge of per-method aggregation results: three day series aligned
+    // on the time axis by multi-way full-outer join (timeseries.py:193-200)
+    "q_merge_series" -> ((s, d) => {
+      val e = ev(s, d).withColumn("time", date_trunc("DAY", col("ts")))
+      val s1 = e.groupBy("time").agg(round(avg(col("value")), 6).as("v_mean"))
+      val s2 = e.filter(col("event_type") === "click")
+        .groupBy("time").agg(count(lit(1)).as("n_click"))
+      val s3 = e.groupBy("time").agg(max(col("value")).as("v_max"))
+      TimeSeriesOps.mergeSeries(Seq(s1, s2, s3))
+        .select(col("time"), col("v_mean"),
+          coalesce(col("n_click"), lit(0L)).as("n_click"), col("v_max"))
     })
   )
 
@@ -163,6 +186,23 @@ object TemporalPack extends QueryPack {
                            (date_diff('day', pd, day)::DOUBLE /
                             date_diff('day', pd, nd)::DOUBLE)
                  END, 6) AS v_interp
-         FROM w"""
+         FROM w""",
+    "q_max_valids" ->
+      """WITH f AS (SELECT * FROM events WHERE value > 10.0),
+         r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+                       ORDER BY ts DESC, event_id DESC) AS rn FROM f)
+         SELECT event_type, count(*) AS n,
+                round(sum(value), 6) AS sum_value, max(ts) AS latest
+         FROM r WHERE rn <= 5 GROUP BY event_type""",
+    "q_merge_series" ->
+      """WITH e AS (SELECT date_trunc('day', ts) AS time, event_type, value FROM events),
+         s1 AS (SELECT time, round(avg(value), 6) AS v_mean FROM e GROUP BY time),
+         s2 AS (SELECT time, count(*) AS n_click FROM e
+                WHERE event_type = 'click' GROUP BY time),
+         s3 AS (SELECT time, max(value) AS v_max FROM e GROUP BY time)
+         SELECT s1.time, s1.v_mean, coalesce(s2.n_click, 0) AS n_click, s3.v_max
+         FROM s1
+         FULL OUTER JOIN s2 ON s1.time = s2.time
+         FULL OUTER JOIN s3 ON s1.time = s3.time"""
   )
 }

@@ -1,0 +1,71 @@
+package graft
+
+import graft.api.{Graft, OperationRegistry, syntax}
+import graft.cube.{Cube, GridMapping}
+import graft.operators.{TemporalOps, TileOps, TimeSeriesOps}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.sql.Timestamp
+
+class ApiSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = GraftSession.builder("4").getOrCreate()
+
+  private val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+
+  private def cube(): Cube = {
+    import spark.implicits._
+    val gm = GridMapping(10, 10, 0.0, 0.0, 1.0, 1.0)
+    val rows = for (j <- 0 until 10; i <- 0 until 10)
+      yield (t0, j + 0.5, i + 0.5, (i + j).toDouble)
+    Cube(rows.toDF("time", "y", "x", "v"), gm)
+  }
+
+  test("fluent cube API chains subset → mask → timeSeries") {
+    import syntax._
+    val series = cube()
+      .spatialSubset(0.0, 0.0, 5.0, 5.0)
+      .maskByGeometry("POLYGON ((0 0, 10 0, 0 10, 0 0))")
+      .timeSeries("v", methods = Seq("mean", "count"))
+      .collect()
+    assert(series.length == 1)
+    assert(series.head.getAs[Long]("v_count") > 0)
+  }
+
+  test("operation registry: lookup + apply + rejection") {
+    val half = OperationRegistry("spatial_subset", cube())
+    assert(half.df.count() == 25) // quarter of the 10x10 grid
+    assert(OperationRegistry.names.contains("identity"))
+    OperationRegistry.register("double_v")(c => c.withDf(_.withColumn("v", col("v") * 2)))
+    val doubled = OperationRegistry("double_v", cube())
+    assert(doubled.df.agg(max("v")).head().getDouble(0) == 36.0)
+    intercept[NoSuchElementException](OperationRegistry("nope", cube()))
+  }
+
+  test("maxValids keeps N most recent per key") {
+    import spark.implicits._
+    val df = (1 to 10).map(i =>
+      ("k", Timestamp.valueOf(f"2024-01-$i%02d 00:00:00"), i.toDouble, i.toLong))
+      .toDF("k", "ts", "v", "id")
+    val out = TemporalOps.maxValids(df, Seq("k"), "ts", col("v") > 2.0, 3, "id")
+    assert(out.select("v").collect().map(_.getDouble(0)).sorted.toSeq == Seq(8.0, 9.0, 10.0))
+  }
+
+  test("mergeSeries aligns series on time") {
+    import spark.implicits._
+    val a = Seq((t0, 1.0)).toDF("time", "m1")
+    val b = Seq((t0, 2.0)).toDF("time", "m2")
+    val m = TimeSeriesOps.mergeSeries(Seq(a, b))
+    assert(m.columns.toSeq == Seq("time", "m1", "m2"))
+    assert(m.head().getDouble(2) == 2.0)
+  }
+
+  test("renderRgba: gray ramp, NaN transparent") {
+    val px = TileOps.renderRgba(Array(0.0, 5.0, 10.0, Double.NaN), 0.0, 10.0)
+    assert(px(0) == 0xff000000)
+    assert(px(1) == 0xff7f7f7f || px(1) == 0xff808080)
+    assert(px(2) == 0xffffffff)
+    assert(px(3) == 0)
+  }
+}
