@@ -45,14 +45,24 @@ object TextOps {
     * hex strings, identical in any engine with md5.
     */
   def minhash(df: DataFrame, docCol: String, textCol: String,
-              shingleN: Int, numPerms: Int): DataFrame = {
-    val sh = df.select(col(docCol), explode(shingles(col(textCol), shingleN)).as("shingle"))
+              shingleN: Int, numPerms: Int): DataFrame =
+    minhashFromShingles(
+      shingleSet(df, docCol, textCol, shingleN), docCol, numPerms)
+
+  /** The DISTINCT (doc, shingle) set — cache it when both the signatures
+    * and a later exact-Jaccard pass need it (one shuffle instead of two
+    * recomputations).
+    */
+  def shingleSet(df: DataFrame, docCol: String, textCol: String,
+                 shingleN: Int): DataFrame =
+    df.select(col(docCol), explode(shingles(col(textCol), shingleN)).as("shingle"))
       .distinct()
+
+  def minhashFromShingles(sh: DataFrame, docCol: String, numPerms: Int): DataFrame =
     sh.withColumn("perm", explode(sequence(lit(0), lit(numPerms - 1))))
       .withColumn("h", md5(concat(col("shingle"), lit("#"), col("perm")).cast("binary")))
       .groupBy(col(docCol), col("perm"))
       .agg(min(col("h")).as("minh"))
-  }
 
   /** Group MinHash rows into LSH bands: one row per (doc, band) with the
     * band signature = comma-joined minhashes in permutation order.

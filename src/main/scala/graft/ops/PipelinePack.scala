@@ -46,12 +46,13 @@ object PipelinePack extends QueryPack {
     // banded MinHash-LSH near-duplicate candidates + exact Jaccard on the
     // candidate set only
     "q_dedup_near" -> ((s, d) => {
-      val dd = docs(s, d)
-      val mh = TextOps.minhash(dd, "doc_id", "text", shingleN = 3, numPerms = NumPerms)
+      // the shingle set feeds both the signatures and the exact-Jaccard
+      // pass; left uncached on purpose — caching materializes the set but
+      // cuts AQE/codegen through the subtree and measured SLOWER at sf0.1
+      val sh = TextOps.shingleSet(docs(s, d), "doc_id", "text", 3)
+      val mh = TextOps.minhashFromShingles(sh, "doc_id", NumPerms)
       val bands = TextOps.lshBands(mh, "doc_id", RowsPerBand)
       val cands = TextOps.candidatePairs(bands, "doc_id")
-      val sh = dd.select(col("doc_id"),
-        explode(TextOps.shingles(col("text"), 3)).as("shingle")).distinct()
       TextOps.jaccardOnCandidates(cands, sh, "doc_id")
     }),
 
