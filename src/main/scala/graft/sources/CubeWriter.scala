@@ -27,6 +27,10 @@ object CubeWriter {
     cube.df
       .withColumn("p_date", to_date(cube.time))
       .withColumn("p_block", gm.blockKeyExpr(cube.x, cube.y))
+      // cluster rows by their target partition first: one file per
+      // (p_date, p_block) instead of one per (partition × task) — the
+      // small-files guard that matters far more at 100 TB than here
+      .repartition(col("p_date"), col("p_block"))
       .write.partitionBy("p_date", "p_block").mode(mode).parquet(path)
   }
 
