@@ -26,10 +26,15 @@ final class GeomPredicate(val wkt: String) extends Serializable {
 
 object GeomFunctions {
 
-  /** Boolean Column: is the point (x, y) covered by the WKT geometry. */
+  /** Boolean Column: is the point (x, y) covered by the WKT geometry.
+    * Backed by the codegen'd `PointCoveredBy` Catalyst expression — stays
+    * inside WholeStageCodegen, unlike a ScalaUDF.
+    */
   def inGeom(wkt: String)(x: Column, y: Column): Column = {
-    val pred = new GeomPredicate(wkt)
-    udf((px: Double, py: Double) => pred.covers(px, py)).apply(x, y)
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(PointCoveredBy(
+      ColumnBridge.expression(x.cast("double")),
+      ColumnBridge.expression(y.cast("double")), wkt))
   }
 
   /** Driver-side envelope of a WKT geometry → (xMin, yMin, xMax, yMax);

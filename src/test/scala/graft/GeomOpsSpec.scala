@@ -42,6 +42,21 @@ class GeomOpsSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
   }
 
+  test("inGeom compiles to the native codegen expression, not a ScalaUDF") {
+    // parquet-backed so ConvertToLocalRelation can't fold the filter away
+    val base = new java.io.File("/root/repo/target/tmp-tests")
+    base.mkdirs()
+    val path = java.nio.file.Files.createTempDirectory(base.toPath, "geom").toString + "/g"
+    grid().df.write.parquet(path)
+    val df = spark.read.parquet(path).filter(
+      graft.functions.GeomFunctions.inGeom("POLYGON ((0 0, 6 0, 6 6, 0 6, 0 0))")(
+        col("x"), col("y")))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("point_covered_by"), plan)
+    assert(!plan.contains("UDF"), s"ScalaUDF leaked into:\n$plan")
+    assert(df.count() == 36)
+  }
+
   test("rasterizeFeaturesJoin agrees with the expression path") {
     val a = GeomOps.rasterizeFeatures(grid(), features(), "geometry", Seq("cls"))
       .df.select("x", "y", "cls")
