@@ -26,6 +26,8 @@ object GraftSession {
       // overwrite only the partitions present in the written data — the
       // time-slice insert/replace primitive (graft.streaming.TimeSliceOps)
       .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      // catalog warehouse (bucketed tables) pinned inside the repo
+      .config("spark.sql.warehouse.dir", "/root/repo/target/spark-warehouse")
       // testdata parquet stores TIMESTAMP(NANOS) which Spark can't decode;
       // read as Long nanos and convert (see GraftSession.events).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -90,4 +90,27 @@ class StoreMaintenanceSpec extends AnyFunSuite {
     val s = MaintenanceOps.dump(cube)
     assert(s.contains("4x2") && s.contains("vars: v"))
   }
+
+  test("bucketed fact-fact join runs with no Exchange and no Sort") {
+    import graft.sources.BucketedLayout
+    val d = "/root/testdata/sf0.001"
+    val li = spark.read.parquet(s"$d/lineitem.parquet")
+      .select("l_orderkey", "l_quantity", "l_extendedprice")
+    val o = spark.read.parquet(s"$d/orders.parquet")
+      .select("o_orderkey", "o_totalprice")
+    BucketedLayout.writeBucketed(li, "li_bkt", "l_orderkey", 8)
+    BucketedLayout.writeBucketed(
+      o.withColumnRenamed("o_orderkey", "l_orderkey"), "o_bkt", "l_orderkey", 8)
+    // hint("merge"): at this tiny SF Spark would rightly broadcast; the
+    // assertion targets the big-data plan — sort-merge over buckets
+    val joined = BucketedLayout.openBucketed(spark, "li_bkt").hint("merge")
+      .join(BucketedLayout.openBucketed(spark, "o_bkt"), "l_orderkey")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join still shuffles:\n$plan")
+    // same answer as the shuffle join over the raw files
+    val expected = li.join(o, li("l_orderkey") === o("o_orderkey")).count()
+    assert(joined.count() == expected)
+  }
 }
