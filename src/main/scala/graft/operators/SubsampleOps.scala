@@ -66,6 +66,22 @@ object SubsampleOps {
     (out, gm.scale(k.toDouble))
   }
 
+  /** The reference's automatic per-variable method rule
+    * (subsampling.py:210-229): integral/boolean variables take `first`
+    * (no invented class values), floating variables take `mean`.
+    */
+  def autoMethods(cube: Cube): Seq[(String, String)] = {
+    import org.apache.spark.sql.types._
+    cube.varNames.flatMap { v =>
+      cube.df.schema(v).dataType match {
+        case FloatType | DoubleType => Some(v -> "mean")
+        case ByteType | ShortType | IntegerType | LongType | BooleanType =>
+          Some(v -> "first")
+        case _ => None
+      }
+    }
+  }
+
   /** Pyramid decimation for one level: keep every 2^level-th cell in both
     * axes (level.py:107 `[..., ::2, ::2]` applied level times). A pure
     * filter — partition-prunable, shuffle-free.

@@ -139,6 +139,42 @@ object TemporalOps {
     df.withColumn(outCol, first(col(valueCol), ignoreNulls = true).over(w))
   }
 
+  /** Nearest-valid fill (temporal.py upsampling method "nearest"): the
+    * closer of the previous/next non-null value by time distance; ties
+    * prefer the previous value (deterministic). With `tolerance` set, rows
+    * farther than it from both neighbours stay null (pandas reindex
+    * tolerance semantics).
+    */
+  def nearestFill(df: DataFrame, keys: Seq[String], timeCol: String,
+                  valueCol: String, outCol: String,
+                  timeAsNum: Column => Column,
+                  tolerance: Option[Double] = None): DataFrame = {
+    val wPrev = orderedWindow(keys, timeCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = orderedWindow(keys, timeCol)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val v = col(valueCol)
+    val validT = when(v.isNotNull, col(timeCol))
+    val prevV = last(v, ignoreNulls = true).over(wPrev)
+    val prevT = last(validT, ignoreNulls = true).over(wPrev)
+    val nextV = first(v, ignoreNulls = true).over(wNext)
+    val nextT = first(validT, ignoreNulls = true).over(wNext)
+    val tN = timeAsNum(col(timeCol))
+    val dPrev = tN - timeAsNum(prevT)
+    val dNext = timeAsNum(nextT) - tN
+    def guard(value: Column, dist: Column): Column = tolerance match {
+      case Some(tol) => when(dist <= tol, value)
+      case None => value
+    }
+    df.withColumn(outCol,
+      when(v.isNotNull, v)
+        .when(prevV.isNull && nextV.isNull, lit(null))
+        .when(prevV.isNull, guard(nextV, dNext))
+        .when(nextV.isNull, guard(prevV, dPrev))
+        .when(dPrev <= dNext, guard(prevV, dPrev))
+        .otherwise(guard(nextV, dNext)))
+  }
+
   /** Linear interpolation between the surrounding non-null values, weighted
     * by time distance; endpoints fall back to the nearest valid value
     * (pandas `interpolate(limit_direction="both")`, temporal.py:156-161).

@@ -97,6 +97,28 @@ object TemporalPack extends QueryPack {
         col("v_ffill"), round(col("v_interp"), 6).as("v_interp"))
     }),
 
+    // upsampling method "nearest" with a tolerance: sparse per-user series
+    // (every 5th day) reindexed to the dense grid; rows farther than 2 days
+    // from any sample stay null (temporal.py nearest + pandas tolerance)
+    "q_resample_nearest" -> ((s, d) => {
+      val daily = ev(s, d).filter(col("user_id") < 8)
+        .withColumn("day", to_date(col("ts")))
+        .filter(dayofmonth(col("day")) % 5 === 1)
+        .groupBy(col("user_id"), col("day"))
+        .agg(round(avg(col("value")), 6).as("v"))
+      val users = daily.select("user_id").distinct()
+      val days = ev(s, d).sparkSession.range(1)
+        .select(explode(sequence(
+          lit("2024-01-01").cast("date"), lit("2024-01-30").cast("date"),
+          expr("INTERVAL 1 DAY"))).as("day"))
+      val joined = users.crossJoin(days).join(daily, Seq("user_id", "day"), "left")
+      TemporalOps.nearestFill(joined, Seq("user_id"), "day", "v", "v_nearest",
+          t => datediff(t, lit("2024-01-01").cast("date")).cast("double"),
+          tolerance = Some(2.0))
+        .select(col("user_id"), col("day").cast("timestamp").as("day"),
+          col("v_nearest"))
+    }),
+
     // max_valids: the 5 most recent valid rows per key (controllers.py:301)
     "q_max_valids" -> ((s, d) => {
       TemporalOps.maxValids(ev(s, d), Seq("event_type"), "ts",
@@ -186,6 +208,45 @@ object TemporalPack extends QueryPack {
                            (date_diff('day', pd, day)::DOUBLE /
                             date_diff('day', pd, nd)::DOUBLE)
                  END, 6) AS v_interp
+         FROM w""",
+    "q_resample_nearest" ->
+      """WITH daily AS (
+           SELECT user_id, CAST(ts AS DATE) AS day, round(avg(value), 6) AS v
+           FROM events
+           WHERE user_id < 8 AND date_part('day', CAST(ts AS DATE)) % 5 = 1
+           GROUP BY user_id, day),
+         grid AS (
+           SELECT u.user_id, d.day
+           FROM (SELECT DISTINCT user_id FROM daily) u
+           CROSS JOIN (SELECT unnest(generate_series(DATE '2024-01-01',
+                       DATE '2024-01-30', INTERVAL 1 DAY))::DATE AS day) d),
+         j AS (
+           SELECT g.user_id, g.day, daily.v
+           FROM grid g LEFT JOIN daily ON g.user_id = daily.user_id AND g.day = daily.day),
+         w AS (
+           SELECT user_id, day, v,
+             last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+             last_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+             first_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             first_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY day
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+           FROM j)
+         SELECT user_id, day::TIMESTAMP AS day,
+           CASE WHEN v IS NOT NULL THEN v
+                WHEN pv IS NULL AND nv IS NULL THEN NULL
+                WHEN pv IS NULL THEN
+                  CASE WHEN date_diff('day', day, nd) <= 2 THEN nv END
+                WHEN nv IS NULL THEN
+                  CASE WHEN date_diff('day', pd, day) <= 2 THEN pv END
+                WHEN date_diff('day', pd, day) <= date_diff('day', day, nd) THEN
+                  CASE WHEN date_diff('day', pd, day) <= 2 THEN pv END
+                ELSE CASE WHEN date_diff('day', day, nd) <= 2 THEN nv END
+           END AS v_nearest
          FROM w""",
     "q_max_valids" ->
       """WITH f AS (SELECT * FROM events WHERE value > 10.0),

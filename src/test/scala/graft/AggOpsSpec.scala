@@ -62,4 +62,29 @@ class AggOpsSpec extends AnyFunSuite {
       .filter(col("n") === 0).count()
     assert(empty == 0L) // 0..44 spread over 10 bins of width 4.4: none empty
   }
+
+  test("autoMethods: int/bool -> first, float -> mean (subsampling.py:210)") {
+    import spark.implicits._
+    val gm = GridMapping(4, 4, 0.0, 0.0, 1.0, 1.0)
+    val df = Seq((t0, 0.5, 0.5, 1.0, 2L, true, "label"))
+      .toDF("time", "y", "x", "f", "i", "b", "s")
+    val m = SubsampleOps.autoMethods(Cube(df, gm)).toMap
+    assert(m == Map("f" -> "mean", "i" -> "first", "b" -> "first"))
+  }
+
+  test("VolumeOps.brick decimates to the voxel budget and fills NaN holes") {
+    import spark.implicits._
+    val gm = GridMapping(8, 8, 0.0, 0.0, 1.0, 1.0)
+    val rows = for (j <- 0 until 8; i <- 0 until 8)
+      yield (t0, j + 0.5, i + 0.5, (j * 8 + i).toDouble)
+    val cube = Cube(rows.toDF("time", "y", "x", "v"), gm)
+    val b = graft.operators.VolumeOps.brick(cube, "v",
+      0.0, 0.0, 7.9, 7.9, Seq(t0), maxVoxels = 20)
+    assert(b.stride == 2 && b.nx == 4 && b.ny == 4 && b.nt == 1)
+    assert(b.values.length == 16)
+    assert(b.values(0) == 0.0 && b.values(5) == 18.0) // cell (2,2)
+    val full = graft.operators.VolumeOps.brick(cube, "v",
+      0.0, 0.0, 7.9, 7.9, Seq(t0), maxVoxels = 100)
+    assert(full.stride == 1 && full.values.count(_.isNaN) == 0)
+  }
 }

@@ -74,4 +74,31 @@ class TemporalOpsSpec extends AnyFunSuite {
     assert(rows(2).getAs[Double]("vi") == 30.0)
     assert(rows(4).getAs[Double]("vi") == 40.0) // endpoint falls back
   }
+
+  test("nearestFill picks the closer neighbour, respects tolerance, ties->prev") {
+    import spark.implicits._
+    val df = Seq(
+      (1, ts("2024-01-01 00:00:00"), Some(10.0)),
+      (1, ts("2024-01-02 00:00:00"), None),   // dp=1 dn=2 -> prev
+      (1, ts("2024-01-03 00:00:00"), None),   // dp=2 dn=1 -> next
+      (1, ts("2024-01-04 00:00:00"), Some(40.0)),
+      (1, ts("2024-01-05 00:00:00"), None),   // dp=1 -> prev
+      (1, ts("2024-01-09 00:00:00"), None)    // dp=5 > tol -> null
+    ).toDF("k", "time", "v")
+    val out = TemporalOps.nearestFill(df, Seq("k"), "time", "v", "vn",
+      t => unix_timestamp(t).cast("double") / 86400.0, tolerance = Some(2.0))
+      .orderBy("time").collect()
+    assert(out(1).getDouble(3) == 10.0)
+    assert(out(2).getDouble(3) == 40.0)
+    assert(out(4).getDouble(3) == 40.0)
+    assert(out(5).isNullAt(3))
+    // equidistant tie prefers the previous value
+    val tie = Seq((1, ts("2024-01-01 00:00:00"), Some(1.0)),
+                  (1, ts("2024-01-02 00:00:00"), None),
+                  (1, ts("2024-01-03 00:00:00"), Some(3.0))).toDF("k", "time", "v")
+    val mid = TemporalOps.nearestFill(tie, Seq("k"), "time", "v", "vn",
+      t => unix_timestamp(t).cast("double") / 86400.0)
+      .orderBy("time").collect()(1)
+    assert(mid.getDouble(3) == 1.0)
+  }
 }
