@@ -63,6 +63,23 @@ object EmbeddingOps {
       .select(col("query_id"), col("rank"), col(idCol), col("cos_sim"))
   }
 
+  /** Embedding-cosine near-duplicate pairs: all (a, b) with cosine ≥
+    * `threshold`, candidates restricted to shared sign-buckets — a bucketed
+    * self-join, never an all-pairs comparison. Rounded similarity so an SQL
+    * oracle reproduces the threshold decision exactly.
+    */
+  def nearDupPairs(corpus: DataFrame, idCol: String, embCol: String,
+                   dim: Int, nGroups: Int, threshold: Double): DataFrame = {
+    val bucketed = corpus.withColumn("bucket", signBucket(col(embCol), dim, nGroups))
+    val a = bucketed.select(col(idCol).as("id_a"), col(embCol).as("__ea"), col("bucket"))
+    val b = bucketed.select(col(idCol).as("id_b"), col(embCol).as("__eb"), col("bucket"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos_sim", round(cosine(col("__ea"), col("__eb")), 6))
+      .filter(col("cos_sim") >= threshold)
+      .select("id_a", "id_b", "cos_sim")
+  }
+
   /** Bucketed ANN: best neighbor per query WITHIN the query's sign bucket.
     * The corpus never cross-joins — candidates come from the bucket
     * equi-join.

@@ -57,4 +57,18 @@ object TileOps {
         (0xff << 24) | (g << 16) | (g << 8) | g
       }
     }
+
+  /** Full compute_rgba_tile tail: colormap + PNG bytes (tile.py:355-763's
+    * final encode), via the JDK's ImageIO — no external codec.
+    */
+  def renderPng(tile: Array[Double], width: Int, height: Int,
+                vmin: Double, vmax: Double): Array[Byte] = {
+    require(tile.length == width * height)
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_ARGB)
+    img.setRGB(0, 0, width, height, renderRgba(tile, vmin, vmax), 0, width)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
 }

@@ -75,6 +75,13 @@ object PipelinePack extends QueryPack {
           col("best_id"), col("best_sim"))
     }),
 
+    // embedding-cosine near-duplicates: bucketed pair generation (shared
+    // sign-bucket only), threshold on the rounded similarity
+    "q_embed_near_dup" -> ((s, d) => {
+      EmbeddingOps.nearDupPairs(embs(s, d), "vec_id", "embedding",
+        dim = 64, nGroups = 8, threshold = 0.3)
+    }),
+
     // corpus tf-idf: top-20 terms by summed tf·idf, deterministic tiebreak
     "q_tfidf_top_terms" -> ((s, d) => {
       val dd = docs(s, d)
@@ -244,6 +251,12 @@ object PipelinePack extends QueryPack {
                FROM cand)
          SELECT query_id, bucket, n_candidates, vec_id AS best_id, cos_sim AS best_sim
          FROM r WHERE rn = 1""",
+    "q_embed_near_dup" ->
+      s"""WITH b AS (SELECT vec_id, embedding, $bucketExpr AS bucket FROM embeddings),
+         p AS (SELECT a.vec_id AS id_a, x.vec_id AS id_b,
+                      ${dotCos("a.embedding", "x.embedding")} AS cos_sim
+               FROM b a JOIN b x ON a.bucket = x.bucket AND a.vec_id < x.vec_id)
+         SELECT id_a, id_b, cos_sim FROM p WHERE cos_sim >= 0.3""",
     "q_tfidf_top_terms" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
          n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),

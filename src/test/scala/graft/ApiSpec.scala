@@ -68,4 +68,25 @@ class ApiSpec extends AnyFunSuite {
     assert(px(2) == 0xffffffff)
     assert(px(3) == 0)
   }
+
+  test("renderPng produces a decodable PNG with transparency") {
+    val png = TileOps.renderPng(Array(0.0, 10.0, Double.NaN, 5.0), 2, 2, 0.0, 10.0)
+    assert(png.take(4).toSeq == Seq(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte))
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    assert(img.getWidth == 2 && img.getHeight == 2)
+    assert((img.getRGB(1, 0) & 0xffffff) == 0xffffff) // vmax -> white
+    assert((img.getRGB(0, 1) >>> 24) == 0)            // NaN -> transparent
+  }
+
+  test("embedding near-dup pairs stay within buckets and above threshold") {
+    import spark.implicits._
+    val close1 = Array.fill(8)(1.0f)
+    val close2 = Array.tabulate(8)(i => if (i == 0) 0.9f else 1.0f)
+    val far = Array.tabulate(8)(i => if (i % 2 == 0) 1.0f else -1.0f)
+    val df = Seq((1L, close1), (2L, close2), (3L, far)).toDF("vec_id", "embedding")
+    val pairs = graft.operators.EmbeddingOps
+      .nearDupPairs(df, "vec_id", "embedding", 8, 4, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L))) // 3 is in another bucket entirely
+  }
 }
