@@ -82,6 +82,23 @@ object CubePack extends QueryPack {
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 6).as("sum_value"))
     }),
 
+    // clip_dataset_by_geometry (geom.py:445-529): rows outside the
+    // geometry's envelope dropped — pure prunable filter
+    "q_clip" -> ((s, d) => {
+      val c = GeomOps.clipByGeometry(eventsCube(s, d),
+        "POLYGON ((40 15, 120 15, 120 75, 40 75, 40 15))")
+      c.df.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), round(sum(col("v")), 6).as("sum_v"))
+    }),
+
+    // "name = expr" assignment form (varexpr splitting, timeseries.py:122)
+    "q_evaluate_assign" -> ((s, d) => {
+      val (df, name) = Evaluate.withAssignment(eventsCube(s, d).df,
+        "chl = where(v > 100.0, sqrt(v), v / 2.0)")
+      df.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), round(sum(col(name)), 6).as("sum_chl"))
+    }),
+
     // rasterize_features (geom.py:51-281): three overlapping features burned
     // with last-feature-wins precedence, no cube-side shuffle
     "q_rasterize" -> ((s, d) => {
@@ -139,6 +156,17 @@ object CubePack extends QueryPack {
          FROM events
          WHERE ((event_id % 16) & 2) != 0 AND ((event_id % 16) & 4) = 0
          GROUP BY event_type""",
+    "q_clip" ->
+      s"""WITH $cubeCte
+         SELECT event_type, count(*) AS n, round(sum(v), 6) AS sum_v
+         FROM cube
+         WHERE x BETWEEN 40.0 AND 120.0 AND y BETWEEN 15.0 AND 75.0
+         GROUP BY event_type""",
+    "q_evaluate_assign" ->
+      s"""WITH $cubeCte
+         SELECT event_type, count(*) AS n,
+                round(sum(CASE WHEN v > 100.0 THEN sqrt(v) ELSE v / 2.0 END), 6) AS sum_chl
+         FROM cube GROUP BY event_type""",
     "q_rasterize" ->
       s"""WITH $cubeCte,
          r AS (
