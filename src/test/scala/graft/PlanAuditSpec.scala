@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression tests: the properties that make these queries
+  * survive a 100× scale-up are asserted against the physical plan, so a
+  * refactor can't silently reintroduce a shuffle/UDF/scan regression.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = GraftSession.builder("4").getOrCreate()
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q_select_vars: projection and filter reach the parquet scan") {
+    val p = plan("q_select_vars")
+    assert(p.contains("PushedFilters: [IsNotNull(p_retailprice), GreaterThan(p_retailprice"), p)
+    assert(p.contains("ReadSchema") &&
+      !p.contains("p_name"), "scan reads columns beyond the projection")
+  }
+
+  test("q_join_pricing: dimension side broadcast, no cartesian") {
+    val p = plan("q_join_pricing")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_label_subset: tiny per-label aggregate broadcast back as semi join") {
+    val p = plan("q_label_subset")
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
+  }
+
+  test("q_topk compiles to TakeOrderedAndProject (no global sort)") {
+    val p = plan("q_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+  }
+
+  test("q_points_extract: cell gather is a broadcast join") {
+    val p = plan("q_points_extract")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q_ann_bucket: the corpus is never hash-repartitioned for the search") {
+    val p = plan("q_ann_bucket")
+    // queries broadcast into the bucketed corpus; the only exchange allowed
+    // is the final small groupBy on (query_id, bucket)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q_geom_mask: geometry predicate is codegen'd, not a UDF") {
+    val p = plan("q_geom_mask")
+    assert(p.contains("point_covered_by"), p)
+    assert(!p.contains("UDF"), p)
+  }
+}
