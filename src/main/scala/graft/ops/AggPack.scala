@@ -73,8 +73,10 @@ object AggPack extends QueryPack {
       val root = s"/root/repo/target/levels_${new java.io.File(d).getName}"
       graft.sources.LevelStore.writeLevels(cellCube(s, d), root, 3)
       (1 to 3).map { l =>
+        // exact decimal checksum — see q_affine_bilinear midpoint note
         graft.sources.LevelStore.openLevel(s, root, l)
-          .agg(count(lit(1)).as("n_cells"), round(sum(col("v")), 6).as("sum_v"))
+          .agg(count(lit(1)).as("n_cells"),
+            round(sum(col("v").cast("decimal(28,10)")), 6).cast("double").as("sum_v"))
           .select(lit(l).cast("long").as("level"), col("n_cells"), col("sum_v"))
       }.reduce(_ unionByName _)
     })
@@ -137,10 +139,11 @@ object AggPack extends QueryPack {
          l1 AS (SELECT i // 2 AS i, j // 2 AS j, avg(v) AS v FROM cells GROUP BY 1, 2),
          l2 AS (SELECT i // 2 AS i, j // 2 AS j, avg(v) AS v FROM l1 GROUP BY 1, 2),
          l3 AS (SELECT i // 2 AS i, j // 2 AS j, avg(v) AS v FROM l2 GROUP BY 1, 2)
-         SELECT 1::BIGINT AS level, count(*) AS n_cells, round(sum(v), 6) AS sum_v FROM l1
+         SELECT 1::BIGINT AS level, count(*) AS n_cells,
+                round(sum(v::DECIMAL(28,10)), 6)::DOUBLE AS sum_v FROM l1
          UNION ALL
-         SELECT 2::BIGINT, count(*), round(sum(v), 6) FROM l2
+         SELECT 2::BIGINT, count(*), round(sum(v::DECIMAL(28,10)), 6)::DOUBLE FROM l2
          UNION ALL
-         SELECT 3::BIGINT, count(*), round(sum(v), 6) FROM l3"""
+         SELECT 3::BIGINT, count(*), round(sum(v::DECIMAL(28,10)), 6)::DOUBLE FROM l3"""
   )
 }

@@ -82,6 +82,22 @@ object CubePack extends QueryPack {
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 6).as("sum_value"))
     }),
 
+    // gen2 pipeline (gen2/local/generator.py:117-241): declarative config →
+    // subset → weekly temporal resample → 4×4 spatial subsample, ONE DAG
+    "q_gen_pipeline" -> ((s, d) => {
+      val cfg = graft.gen.CubeConfig(
+        varNames = Some(Seq("v")),
+        bbox = Some((0.0, 0.0, 180.0, 80.0)),
+        timeRange = Some(("2024-01-05", "2024-01-19")),
+        timePeriod = Some("1W"),
+        spatialK = Some(4))
+      val out = graft.gen.CubeGenerator.generate(eventsCube(s, d), cfg)
+      // exact decimal checksum (midpoint-safe, see ResamplePack)
+      out.df.groupBy("time")
+        .agg(count(lit(1)).as("n_blocks"),
+          round(sum(col("v").cast("decimal(28,10)")), 6).cast("double").as("sum_v"))
+    }),
+
     // clip_dataset_by_geometry (geom.py:445-529): rows outside the
     // geometry's envelope dropped — pure prunable filter
     "q_clip" -> ((s, d) => {
@@ -156,6 +172,24 @@ object CubePack extends QueryPack {
          FROM events
          WHERE ((event_id % 16) & 2) != 0 AND ((event_id % 16) & 4) = 0
          GROUP BY event_type""",
+    "q_gen_pipeline" ->
+      s"""WITH $cubeCte,
+         sub AS (
+           SELECT time, y, x, v FROM cube
+           WHERE x BETWEEN 0.0 AND 180.0 AND y BETWEEN 0.0 AND 80.0
+             AND time >= TIMESTAMP '2024-01-05'
+             AND time < TIMESTAMP '2024-01-19' + INTERVAL 1 DAY),
+         wk AS (
+           SELECT make_timestamp((floor(epoch(time) / 604800) * 604800 * 1000000)::BIGINT) AS time,
+                  y, x, avg(v) AS v
+           FROM sub GROUP BY 1, y, x),
+         blk AS (
+           SELECT time, floor(y)::BIGINT // 4 AS bj, floor(x)::BIGINT // 4 AS bi,
+                  avg(v) AS v
+           FROM wk GROUP BY time, bj, bi)
+         SELECT time, count(*) AS n_blocks,
+                round(sum(v::DECIMAL(28,10)), 6)::DOUBLE AS sum_v
+         FROM blk GROUP BY time""",
     "q_clip" ->
       s"""WITH $cubeCte
          SELECT event_type, count(*) AS n, round(sum(v), 6) AS sum_v

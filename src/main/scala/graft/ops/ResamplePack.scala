@@ -31,9 +31,14 @@ object ResamplePack extends QueryPack {
     }),
 
     "q_affine_bilinear" -> ((s, d) => {
+      // checksum via EXACT decimal summation: double sums of grid-valued
+      // interpolants can land exactly on a rounding midpoint, where
+      // engine/run summation order flips the rounded value; decimal adds
+      // are associative and both engines round decimals half-away-from-zero
       AffineOps.resampleBilinear(srcCells(s, d), CubePack.gm, tgtGm, Seq("v"))
         .groupBy("tgt_j")
-        .agg(count(lit(1)).as("n"), round(sum(col("v")), 6).as("sum_v"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("v").cast("decimal(28,10)")), 6).cast("double").as("sum_v"))
     }),
 
     // closed-form geographic → web-mercator reprojection; avg (not sum) so
@@ -98,7 +103,8 @@ object ResamplePack extends QueryPack {
            JOIN cells c ON c.i = 4 * tgt.tgt_i + 1 + o.di
                        AND c.j = 4 * tgt.tgt_j + 1 + o.dj
            GROUP BY tgt.tgt_i, tgt.tgt_j)
-         SELECT tgt_j, count(*) AS n, round(sum(v), 6) AS sum_v
+         SELECT tgt_j, count(*) AS n,
+                round(sum(v::DECIMAL(28,10)), 6)::DOUBLE AS sum_v
          FROM interp GROUP BY tgt_j""",
     "q_reproject_mercator" ->
       s"""WITH ${CubePack.cubeCte},
