@@ -92,9 +92,14 @@ object TemporalPack extends QueryPack {
       val interp = TemporalOps.interpolate(filled, Seq("user_id"), "day", "v",
         "v_interp", t => datediff(t, lit("2024-01-01").cast("date")).cast("double"))
       // day emitted as timestamp: Spark DATE→pandas object vs DuckDB DATE→
-      // datetime64 would make the driver's dtype-strict compare fail
+      // datetime64 would make the driver's dtype-strict compare fail.
+      // v_interp rounded via floor(x*1e6 + 0.5): gap-2 interpolation of
+      // 1e-6-grid values yields exact .xxxxxx5 doubles, where the two
+      // engines' round() implementations disagree ~1% of the time; floor of
+      // the identically-computed double is bit-deterministic.
       interp.select(col("user_id"), col("day").cast("timestamp").as("day"),
-        col("v_ffill"), round(col("v_interp"), 6).as("v_interp"))
+        col("v_ffill"),
+        (floor(col("v_interp") * 1e6 + 0.5) / 1e6).as("v_interp"))
     }),
 
     // upsampling method "nearest" with a tolerance: sparse per-user series
@@ -201,13 +206,13 @@ object TemporalPack extends QueryPack {
                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
            FROM j)
          SELECT user_id, day::TIMESTAMP AS day, v_ffill,
-           round(CASE WHEN v IS NOT NULL THEN v
-                      WHEN pd IS NULL THEN nv
-                      WHEN nd IS NULL THEN v_ffill
-                      ELSE v_ffill + (nv - v_ffill) *
-                           (date_diff('day', pd, day)::DOUBLE /
-                            date_diff('day', pd, nd)::DOUBLE)
-                 END, 6) AS v_interp
+           floor((CASE WHEN v IS NOT NULL THEN v
+                       WHEN pd IS NULL THEN nv
+                       WHEN nd IS NULL THEN v_ffill
+                       ELSE v_ffill + (nv - v_ffill) *
+                            (date_diff('day', pd, day)::DOUBLE /
+                             date_diff('day', pd, nd)::DOUBLE)
+                  END) * 1e6 + 0.5) / 1e6 AS v_interp
          FROM w""",
     "q_resample_nearest" ->
       """WITH daily AS (
