@@ -59,6 +59,25 @@ object MaintenanceOps {
     df.withColumn(varName, col(varName).as(varName, mb.build()))
   }
 
+  /** update_dataset_attrs spatial/temporal CF attrs (update.py:268):
+    * recompute the cube-level geospatial/temporal coverage attributes from
+    * the data in one aggregation pass.
+    */
+  def computeCubeAttrs(cube: Cube): Map[String, String] = {
+    val row = cube.df.agg(
+      min(cube.x), max(cube.x), min(cube.y), max(cube.y),
+      min(cube.time), max(cube.time)).head()
+    Map(
+      "geospatial_lon_min" -> row.get(0).toString,
+      "geospatial_lon_max" -> row.get(1).toString,
+      "geospatial_lat_min" -> row.get(2).toString,
+      "geospatial_lat_max" -> row.get(3).toString,
+      "time_coverage_start" -> row.getTimestamp(4).toInstant.toString,
+      "time_coverage_end" -> row.getTimestamp(5).toInstant.toString,
+      "geospatial_lon_resolution" -> cube.gm.xRes.toString,
+      "geospatial_lat_resolution" -> cube.gm.yRes.toString)
+  }
+
   /** dump_dataset (dump.py:66): human-readable cube summary. */
   def dump(cube: Cube): String = {
     val gm = cube.gm

@@ -62,3 +62,24 @@ object LevelStore {
     if (ok.isEmpty) 0 else ok.last._2
   }
 }
+
+/** ComputedMultiLevelDataset (reference mldataset/computed.py:24-160):
+  * pyramid levels defined by a user FUNCTION instead of materialized
+  * tables — each level is a lazy view `fn(base, level)`, memoized per
+  * level. Levels stay logical plans until an action, so Catalyst fuses the
+  * level derivation with whatever query runs on top.
+  */
+final class ComputedLevels(base: Cube, maxLevel: Int,
+                           fn: (Cube, Int) => Cube) {
+  private val cache = scala.collection.concurrent.TrieMap.empty[Int, Cube]
+
+  def numLevels: Int = maxLevel + 1
+
+  def level(l: Int): Cube = {
+    require(l >= 0 && l <= maxLevel, s"level $l outside 0..$maxLevel")
+    if (l == 0) base else cache.getOrElseUpdate(l, fn(base, l))
+  }
+
+  def levelForResolution(res: Double): Int =
+    LevelStore.levelForResolution((0 to maxLevel).map(level(_).gm), res)
+}

@@ -54,4 +54,37 @@ class TileLevelSpec extends AnyFunSuite {
     // the hole: j=1 → py=2, i=1 → px=1
     assert(tile(2 * 4 + 1).isNaN)
   }
+
+  test("ComputedLevels: lazy memoized per-level views") {
+    import spark.implicits._
+    var calls = 0
+    val gm = GridMapping(8, 8, 0.0, 0.0, 1.0, 1.0)
+    val rows = for (j <- 0 until 8; i <- 0 until 8)
+      yield (t0, j + 0.5, i + 0.5, 1.0)
+    val base = Cube(rows.toDF("time", "y", "x", "v"), gm)
+    val ml = new graft.sources.ComputedLevels(base, 2, (c, l) => {
+      calls += 1
+      graft.operators.SubsampleOps.decimate(c, l)
+    })
+    assert(ml.numLevels == 3)
+    assert(ml.level(0).gm.width == 8)
+    assert(ml.level(2).df.count() == 4)
+    ml.level(2) // memoized
+    assert(calls == 1)
+    assert(ml.levelForResolution(2.0) == 1)
+    intercept[IllegalArgumentException](ml.level(5))
+  }
+
+  test("computeCubeAttrs recomputes CF coverage attributes") {
+    import spark.implicits._
+    val gm = GridMapping(4, 4, 0.0, 0.0, 1.0, 1.0)
+    val cube = Cube(Seq(
+      (t0, 0.5, 0.5, 1.0),
+      (Timestamp.valueOf("2024-01-03 00:00:00"), 2.5, 3.5, 2.0)
+    ).toDF("time", "y", "x", "v"), gm)
+    val attrs = graft.operators.MaintenanceOps.computeCubeAttrs(cube)
+    assert(attrs("geospatial_lon_min") == "0.5" && attrs("geospatial_lon_max") == "3.5")
+    assert(attrs("time_coverage_start") == "2024-01-01T00:00:00Z")
+    assert(attrs("geospatial_lat_resolution") == "1.0")
+  }
 }
