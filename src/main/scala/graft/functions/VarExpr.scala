@@ -42,6 +42,35 @@ object VarExpr {
   def compile(src: String, resolve: String => Column): Column =
     new Parser(tokenize(src), resolve).parseAll()
 
+  /** Validate an expression against a set of known variable names without
+    * running it — the expressions validate endpoint
+    * (webapi/expressions/routes.py:21-42). Left(message) on rejection.
+    */
+  def validate(src: String, varNames: Set[String]): Either[String, Unit] =
+    try {
+      compile(src, name =>
+        if (varNames.contains(name)) col(name)
+        else throw new IllegalArgumentException(s"unknown variable '$name'"))
+      Right(())
+    } catch {
+      case e: Exception => Left(Option(e.getMessage).getOrElse(e.toString))
+    }
+
+  /** The whitelisted function surface — the capabilities listing of the
+    * expressions endpoint.
+    */
+  val functionNames: Seq[String] = Seq(
+    "sin", "cos", "tan", "arcsin", "arccos", "arctan", "arctan2",
+    "sinh", "cosh", "tanh", "arcsinh", "arccosh", "arctanh",
+    "exp", "expm1", "exp2", "log", "log2", "log10", "log1p", "logaddexp",
+    "sqrt", "cbrt", "square", "abs", "fabs", "absolute", "sign",
+    "floor", "ceil", "rint", "trunc", "round", "power", "pow", "hypot",
+    "fmod", "deg2rad", "radians", "rad2deg", "degrees",
+    "isnan", "isfinite", "isinf", "fmin", "fmax", "minimum", "maximum",
+    "where", "clip", "logical_and", "logical_or", "logical_not",
+    "negative", "positive", "add", "subtract", "multiply", "divide",
+    "true_divide", "floor_divide", "mod", "remainder", "copysign")
+
   /** Compile over a DataFrame's columns by name. */
   def onColumns(src: String): Column = compile(src, col)
 

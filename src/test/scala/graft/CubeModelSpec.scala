@@ -147,4 +147,26 @@ class CubeModelSpec extends AnyFunSuite {
     assert(GeomFunctions.wktBbox(wkt) == (0.0, 0.0, 10.0, 10.0))
     assert(GeomFunctions.bboxToWkts(170.0, 0.0, -170.0, 10.0).size == 2) // anti-meridian
   }
+
+  test("VarExpr.validate: the expressions validate/capabilities surface") {
+    val vars = Set("chl", "tsm")
+    assert(VarExpr.validate("sqrt(chl) + tsm * 2", vars).isRight)
+    assert(VarExpr.validate("where(chl > 1, chl, nan)", vars).isRight)
+    val unknown = VarExpr.validate("sqrt(bogus)", vars)
+    assert(unknown.isLeft && unknown.left.exists(_.contains("bogus")))
+    assert(VarExpr.validate("__import__('os')", vars).isLeft)
+    assert(VarExpr.validate("chl +", vars).isLeft)
+    assert(VarExpr.functionNames.contains("logaddexp"))
+    // every advertised function actually compiles with dummy args
+    VarExpr.functionNames.foreach { f =>
+      val arity2 = Set("arctan2", "power", "pow", "hypot", "fmod", "fmin",
+        "fmax", "minimum", "maximum", "logical_and", "logical_or", "add",
+        "subtract", "multiply", "divide", "true_divide", "floor_divide",
+        "mod", "remainder", "copysign", "logaddexp")
+      val src = if (f == "where" || f == "clip") s"$f(chl, 1, 2)"
+                else if (arity2.contains(f)) s"$f(chl, 2)"
+                else s"$f(chl)"
+      assert(VarExpr.validate(src, vars).isRight, s"$f failed")
+    }
+  }
 }
