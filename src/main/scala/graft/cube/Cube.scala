@@ -25,9 +25,16 @@ final case class Cube(
 
   def spark: SparkSession = df.sparkSession
 
-  /** Data variable columns = everything that isn't a key column. */
-  def varNames: Seq[String] =
-    df.columns.filterNot(c => c == timeCol || c == yCol || c == xCol).toSeq
+  /** Data variable columns = everything that isn't a key column or a
+    * coordinate-bounds column (`<coord>_lower`/`<coord>_upper`, the §1.2
+    * relational encoding of the reference's bounds arrays).
+    */
+  def varNames: Seq[String] = {
+    val bounds = Seq(timeCol, yCol, xCol)
+      .flatMap(c => Seq(s"${c}_lower", s"${c}_upper")).toSet
+    df.columns.filterNot(c =>
+      c == timeCol || c == yCol || c == xCol || bounds.contains(c)).toSeq
+  }
 
   def time: Column = col(timeCol)
   def y: Column = col(yCol)

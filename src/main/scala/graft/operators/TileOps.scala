@@ -45,14 +45,19 @@ object TileOps {
   }
 
   /** compute_rgba_tile colormap step (tile.py:355-763, cmaps util): linear
-    * vmin..vmax normalization onto a gray ramp, NaN → fully transparent.
-    * Packed ARGB ints, ready for PNG encoding by any image writer.
+    * or log vmin..vmax normalization onto a gray ramp, NaN → fully
+    * transparent. Packed ARGB ints, ready for PNG encoding.
     */
-  def renderRgba(tile: Array[Double], vmin: Double, vmax: Double): Array[Int] =
+  def renderRgba(tile: Array[Double], vmin: Double, vmax: Double,
+                 logNorm: Boolean = false): Array[Int] =
     tile.map { v =>
       if (v.isNaN) 0
       else {
-        val t = math.max(0.0, math.min(1.0, (v - vmin) / (vmax - vmin)))
+        val t =
+          if (logNorm && vmin > 0 && v > 0)
+            math.max(0.0, math.min(1.0,
+              math.log(v / vmin) / math.log(vmax / vmin)))
+          else math.max(0.0, math.min(1.0, (v - vmin) / (vmax - vmin)))
         val g = math.round(t * 255).toInt
         (0xff << 24) | (g << 16) | (g << 8) | g
       }

@@ -169,4 +169,25 @@ class CubeModelSpec extends AnyFunSuite {
       assert(VarExpr.validate(src, vars).isRight, s"$f failed")
     }
   }
+
+  test("newCube bounds columns + SkewOps equivalence") {
+    val c = NewCube(spark, gm = GridMapping(8, 4, 0.0, 0.0, 1.0, 1.0),
+      timePeriods = 2, variables = Map("v" -> lit(1.0)), withBounds = true)
+    assert(c.varNames == Seq("v")) // bounds are coords, not variables
+    assert(c.verify().isEmpty)
+    val r = c.df.filter(col("x") === 2.5).select("x_lower", "x_upper").head()
+    assert(r.getDouble(0) == 2.0 && r.getDouble(1) == 3.0)
+    // salted join/sum equal the plain forms
+    import spark.implicits._
+    val fact = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 4.0))
+      .toDF("k", "v")
+    val dim = Seq(("a", 10L), ("b", 20L)).toDF("k", "w")
+    val plain = fact.join(dim, "k").agg(sum(col("v") * col("w"))).head().getDouble(0)
+    val salted = graft.operators.SkewOps.saltedJoin(fact, dim, "k", 4)
+      .agg(sum(col("v") * col("w"))).head().getDouble(0)
+    assert(plain == salted)
+    val sums = graft.operators.SkewOps.saltedSum(fact, "k", "v", 4, "s")
+      .collect().map(r2 => r2.getString(0) -> r2.getDouble(1)).toMap
+    assert(sums == Map("a" -> 6.0, "b" -> 4.0))
+  }
 }
