@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.ml.linalg.Vector
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) approximate nearest-neighbor index — the coarse-
+  * quantizer scale path alongside the sign-bucket LSH in `EmbeddingOps`:
+  * a k-means codebook partitions the corpus into cells; a query scans only
+  * its `nProbe` nearest cells instead of the whole corpus.
+  *
+  * Training samples the corpus once (spark.ml KMeans, fixed seed);
+  * assignment is one pass; search cost is corpus/cells × nProbe. The
+  * centroid table is tiny and lives on the driver.
+  */
+object IvfOps {
+
+  final case class IvfIndex(assigned: DataFrame, centroids: Array[Array[Double]])
+
+  /** Build the index: cluster embeddings into `nCells` cells and tag every
+    * row with its cell id.
+    */
+  def build(corpus: DataFrame, idCol: String, embCol: String,
+            nCells: Int, seed: Long = 42L): IvfIndex = {
+    val withVec = corpus.withColumn("__vec",
+      array_to_vector(col(embCol).cast("array<double>")))
+    val model = new KMeans().setK(nCells).setSeed(seed)
+      .setFeaturesCol("__vec").setPredictionCol("__cell")
+      .fit(withVec)
+    val assigned = model.transform(withVec).drop("__vec")
+    IvfIndex(assigned, model.clusterCenters.map(_.toArray))
+  }
+
+  private def cosine(a: Array[Double], b: Array[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+    dot / math.sqrt(na * nb)
+  }
+
+  /** Top-k cosine neighbors of `query`, probing only the `nProbe` cells
+    * whose centroids are nearest the query.
+    */
+  def search(index: IvfIndex, idCol: String, embCol: String,
+             query: Array[Double], k: Int, nProbe: Int): DataFrame = {
+    val cells = index.centroids.zipWithIndex
+      .sortBy { case (c, _) => -cosine(c, query) }
+      .take(nProbe).map(_._2)
+    val candidates = index.assigned.filter(col("__cell").isin(cells.map(Integer.valueOf): _*))
+    candidates
+      .withColumn("cos_sim",
+        round(EmbeddingOps.cosine(
+          array(query.map(lit): _*), col(embCol)), 6))
+      .orderBy(col("cos_sim").desc, col(idCol).asc)
+      .limit(k)
+      .select(col(idCol), col("cos_sim"))
+  }
+}

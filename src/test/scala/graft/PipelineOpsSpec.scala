@@ -90,4 +90,26 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(math.abs(feats(7L).meanByte - ("abc".map(_.toInt).sum / 3.0)) < 1e-9)
     assert(feats(8L).nBytes == 0 && feats(8L).meanByte == 0.0)
   }
+
+  test("IVF index: probes only nearest cells, finds in-cluster neighbors") {
+    import spark.implicits._
+    // three tight, well-separated clusters in 4-d
+    def jitter(base: Array[Float], s: Float) = base.zipWithIndex.map {
+      case (v, i) => v + s * ((i % 3) - 1) * 0.01f
+    }
+    val a = Array(1.0f, 0.0f, 0.0f, 0.0f)
+    val b = Array(0.0f, 1.0f, 0.0f, 0.0f)
+    val c = Array(0.0f, 0.0f, 1.0f, 0.0f)
+    val rows = (0 until 5).flatMap(s => Seq(
+      (s * 3 + 0L, jitter(a, s)), (s * 3 + 1L, jitter(b, s)), (s * 3 + 2L, jitter(c, s))))
+    val df = rows.toDF("vec_id", "embedding")
+    val idx = graft.operators.IvfOps.build(df, "vec_id", "embedding", nCells = 3)
+    assert(idx.centroids.length == 3)
+    val hits = graft.operators.IvfOps.search(idx, "vec_id", "embedding",
+      Array(1.0, 0.0, 0.0, 0.0), k = 4, nProbe = 1).collect()
+    assert(hits.length == 4)
+    // all hits come from the a-cluster (ids ≡ 0 mod 3)
+    assert(hits.forall(_.getLong(0) % 3 == 0))
+    assert(hits.forall(_.getDouble(1) > 0.99))
+  }
 }
