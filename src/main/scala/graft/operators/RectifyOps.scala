@@ -43,4 +43,32 @@ object RectifyOps {
     keyed.groupBy(col("__i").as("i"), col("__j").as("j"))
       .agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Interpolating rectification (the reference's bilinear/triangular modes,
+    * rectify.py interpolation kernels) as inverse-distance weighting: every
+    * source sample contributes to the 3×3 block of target cells around it
+    * with weight 1/(d² + eps); per cell the weighted mean of contributing
+    * samples. A 9× row expansion then ONE map-side-combined shuffle on
+    * (i, j) — still no per-pixel kernel and no cross join.
+    */
+  def rectifyIdw(src: DataFrame, xcCol: String, ycCol: String,
+                 gm: GridMapping, vars: Seq[String]): DataFrame = {
+    val xc = col(xcCol)
+    val yc = col(ycCol)
+    val expanded = src
+      .withColumn("__di", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .withColumn("__dj", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .withColumn("__i", gm.iExpr(xc) + col("__di"))
+      .withColumn("__j", gm.jExpr(yc) + col("__dj"))
+      .filter(col("__i") >= 0 && col("__i") < gm.width &&
+              col("__j") >= 0 && col("__j") < gm.height)
+    val dx = xc - gm.xExpr(col("__i"))
+    val dy = yc - gm.yExpr(col("__j"))
+    val w = lit(1.0) / (dx * dx + dy * dy + lit(1e-9))
+    val weighted = expanded.withColumn("__w", w)
+    val aggs = vars.map(v =>
+      (sum(col("__w") * col(v).cast("double")) / sum(col("__w"))).as(v))
+    weighted.groupBy(col("__i").as("i"), col("__j").as("j"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
 }

@@ -68,6 +68,23 @@ object ResamplePack extends QueryPack {
       RectifyOps.rectifyNearest(swath, "xc", "yc", c0.gm, Seq("v"), "event_id")
         .groupBy((col("j") / 10).cast("long").as("jband"))
         .agg(count(lit(1)).as("n_cells"), round(sum(col("v")), 6).as("sum_v"))
+    }),
+
+    // interpolating rectify (inverse-distance weights over the 3×3 cell
+    // neighbourhood); per-cell values rounded to the 1e-6 grid before the
+    // band checksum so the final sum is grid-valued (midpoint-safe)
+    "q_rectify_idw" -> ((s, d) => {
+      val c0 = CubePack.eventsCube(s, d)
+      val swath = GraftSession.events(s, d).select(
+        (((col("event_id") % 360).cast("double") + 0.5) +
+          ((col("event_id") % 7) - 3).cast("double") * 0.1).as("xc"),
+        (((col("user_id") % 100).cast("double") + 0.5) +
+          ((col("event_id") % 5) - 2).cast("double") * 0.1).as("yc"),
+        col("value").as("v"))
+      RectifyOps.rectifyIdw(swath, "xc", "yc", c0.gm, Seq("v"))
+        .select(col("i"), col("j"), round(col("v"), 6).as("v"))
+        .groupBy((col("j") / 10).cast("long").as("jband"))
+        .agg(count(lit(1)).as("n_cells"), round(sum(col("v")), 6).as("sum_v"))
     })
   )
 
@@ -134,6 +151,33 @@ object ResamplePack extends QueryPack {
                          ORDER BY d2, event_id) AS rn FROM d)
          SELECT (j // 10)::BIGINT AS jband, count(*) AS n_cells,
                 round(sum(v), 6) AS sum_v
-         FROM r WHERE rn = 1 GROUP BY jband"""
+         FROM r WHERE rn = 1 GROUP BY jband""",
+    "q_rectify_idw" ->
+      """WITH sw AS (
+           SELECT (CAST(event_id % 360 AS DOUBLE) + 0.5) +
+                    CAST((event_id % 7) - 3 AS DOUBLE) * 0.1 AS xc,
+                  (CAST(user_id % 100 AS DOUBLE) + 0.5) +
+                    CAST((event_id % 5) - 2 AS DOUBLE) * 0.1 AS yc,
+                  value AS v
+           FROM events),
+         ex AS (
+           SELECT floor(xc)::BIGINT + o.di AS i, floor(yc)::BIGINT + o.dj AS j,
+                  xc, yc, v
+           FROM sw CROSS JOIN (VALUES (-1, -1), (-1, 0), (-1, 1),
+                                      (0, -1), (0, 0), (0, 1),
+                                      (1, -1), (1, 0), (1, 1)) AS o(di, dj)
+           WHERE floor(xc)::BIGINT + o.di >= 0 AND floor(xc)::BIGINT + o.di < 360
+             AND floor(yc)::BIGINT + o.dj >= 0 AND floor(yc)::BIGINT + o.dj < 100),
+         wgt AS (
+           SELECT i, j, v,
+                  1.0 / ((xc - (i + 0.5)) * (xc - (i + 0.5)) +
+                         (yc - (j + 0.5)) * (yc - (j + 0.5)) + 1e-9) AS w
+           FROM ex),
+         cells AS (
+           SELECT i, j, round(sum(w * v) / sum(w), 6) AS v
+           FROM wgt GROUP BY i, j)
+         SELECT (j // 10)::BIGINT AS jband, count(*) AS n_cells,
+                round(sum(v), 6) AS sum_v
+         FROM cells GROUP BY jband"""
   )
 }

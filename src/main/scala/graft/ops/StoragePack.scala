@@ -57,6 +57,17 @@ object StoragePack extends QueryPack {
       s.table(tbl)
     }),
 
+    // session windows (free in Spark, absent in the reference — SURVEY
+    // §2.9): 6-hour-gap sessionization per user, batch form of the
+    // streaming session_window
+    "q_session_window" -> ((s, d) => {
+      GraftSession.events(s, d).filter(col("user_id") < 20)
+        .groupBy(session_window(col("ts"), "6 hours"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_sessions"), sum(col("n")).cast("long").as("n_events"))
+    }),
+
     // DataStore catalog: list the store's data ids and open each
     // (format-inferred) for a row count
     "q_store_catalog" -> ((s, d) => {
@@ -110,6 +121,15 @@ object StoragePack extends QueryPack {
       """SELECT date_trunc('day', ts) AS t, event_type,
                 count(*) AS n, round(sum(value), 6) AS sum_value
          FROM events GROUP BY t, event_type""",
+    "q_session_window" ->
+      """WITH e AS (SELECT user_id, ts FROM events WHERE user_id < 20),
+         l AS (SELECT user_id, ts,
+                      CASE WHEN lag(ts) OVER w IS NULL
+                                OR ts - lag(ts) OVER w >= INTERVAL 6 HOUR
+                           THEN 1 ELSE 0 END AS new_s
+               FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts))
+         SELECT user_id, sum(new_s)::BIGINT AS n_sessions, count(*) AS n_events
+         FROM l GROUP BY user_id""",
     "q_store_catalog" ->
       Seq("customer", "documents", "embeddings", "events", "lineitem",
           "nation", "orders", "part", "region", "supplier")
