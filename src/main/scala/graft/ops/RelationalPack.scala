@@ -95,6 +95,15 @@ object RelationalPack extends QueryPack {
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 6).as("sum_value"))
     }),
 
+    // grouping sets: rollup over (event_type, day) with subtotal rows —
+    // absent from the reference, free on the relational cube (SURVEY §2.4)
+    "q_rollup" -> ((s, d) => {
+      GraftSession.events(s, d)
+        .withColumn("day", date_trunc("DAY", col("ts")))
+        .rollup(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 6).as("sum_value"))
+    }),
+
     // select_label_subset (select.py:221-347): drop whole time slices (days)
     // where the share of valid rows fails a predicate; here keep days whose
     // error-event share is < 0.198. Aggregate → semi-join back, one shuffle
@@ -153,6 +162,10 @@ object RelationalPack extends QueryPack {
          )
          SELECT event_type, count(*) AS n, round(sum(value), 6) AS sum_value
          FROM u GROUP BY event_type""",
+    "q_rollup" ->
+      """SELECT event_type, date_trunc('day', ts) AS day,
+                count(*) AS n, round(sum(value), 6) AS sum_value
+         FROM events GROUP BY ROLLUP (event_type, day)""",
     "q_label_subset" ->
       """WITH good_days AS (
            SELECT CAST(ts AS DATE) AS day
