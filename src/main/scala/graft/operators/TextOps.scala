@@ -31,47 +31,86 @@ object TextOps {
 
   /** Word n-gram shingles as strings; empty array when the doc is shorter
     * than n tokens.
+    *
+    * PERFORMANCE: pass a MATERIALIZED token-array column (`shinglesOf`
+    * via `shingleArrays`), not an inline `split(...)` expression, when the
+    * array is consumed per element. Inside a higher-order-function lambda a
+    * non-attribute argument is re-evaluated on every element access —
+    * an inline split makes this O(tokens²) per doc (measured 10× the whole
+    * near-dup query at sf0.1).
     */
-  def shingles(text: Column, n: Int): Column = {
-    val w = tokens(text)
+  def shingles(text: Column, n: Int): Column = shinglesOf(tokens(text), n)
+
+  /** Shingles from a token-array column `w`. */
+  def shinglesOf(w: Column, n: Int): Column =
     when(size(w) >= n,
       transform(sequence(lit(0), size(w) - n), i =>
         concat_ws(" ", (0 until n).map(j => element_at(w, i + j + 1)): _*)))
       .otherwise(array())
+
+  /** 60-bit integer MinHash basis for permutation `perm`: the first 15 hex
+    * chars of md5(shingle + "#" + perm) parsed base-16. Numerically identical
+    * in DuckDB via `('0x' || substr(md5(..), 1, 15))::BIGINT`, but the
+    * shuffle rows carry longs instead of 32-char strings and min() is an
+    * integer comparator — ~4× narrower than the hex-string form.
+    */
+  def minhash64(shingle: Column, perm: Column): Column =
+    conv(substring(md5(concat(shingle, lit("#"), perm.cast("string")).cast("binary")),
+      1, 15), 16, 10).cast("long")
+
+  /** Per-doc DISTINCT shingle arrays: (doc, sh). Docs shorter than the
+    * shingle width drop out (empty set — can never be a near-dup candidate).
+    * This is the zero-shuffle basis for both the signatures and the exact
+    * Jaccard pass: everything is computed per row, map-side, until the LSH
+    * bucket join itself.
+    */
+  def shingleArrays(df: DataFrame, docCol: String, textCol: String,
+                    shingleN: Int): DataFrame =
+    // two-step projection on purpose: `w` must be a materialized attribute
+    // before the per-element shingle transform reads it (see shingles doc);
+    // CollapseProject keeps them separate because `w` is expensive and
+    // multiply-referenced
+    df.select(col(docCol), tokens(col(textCol)).as("w"))
+      .select(col(docCol),
+        array_distinct(shinglesOf(col("w"), shingleN)).as("sh"))
+      .filter(size(col("sh")) > 0)
+
+  /** MinHash signature array (`numPerms` longs) per doc: explode the per-doc
+    * shingle array and take `numPerms` min-aggregates in ONE codegen'd pass.
+    *
+    * Two deliberate choices for scale:
+    *  - md5 runs on exploded ROWS (whole-stage codegen), not inside nested
+    *    higher-order functions (interpreted per element — measured ~3× the
+    *    total query time at sf0.1);
+    *  - dedup is `array_distinct` WITHIN the doc row (shingle sets are
+    *    per-doc), so there is no global distinct shuffle; the only shuffle
+    *    is the groupBy(doc), and map-side partial min reduces it to
+    *    numPerms longs per doc per map partition.
+    */
+  def minhashSignatures(withSh: DataFrame, docCol: String, numPerms: Int): DataFrame = {
+    val exploded = withSh.select(col(docCol), explode(col("sh")).as("shingle"))
+    val aggs = (0 until numPerms).map(p =>
+      min(minhash64(col("shingle"), lit(p))).as(s"m$p"))
+    exploded.groupBy(col(docCol))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col(docCol),
+        array((0 until numPerms).map(p => col(s"m$p")): _*).as("mh"))
   }
 
-  /** Per-(doc, permutation) MinHash values over the DISTINCT shingle set.
-    * Permutation p is the md5 of `shingle + "#" + p` — lexicographic min of
-    * hex strings, identical in any engine with md5.
+  /** LSH band rows from signature arrays: one (doc, band, sig) row per band,
+    * sig = comma-joined minhash slice. Map-side explode of numPerms/rowsPerBand
+    * small rows per doc.
     */
-  def minhash(df: DataFrame, docCol: String, textCol: String,
-              shingleN: Int, numPerms: Int): DataFrame =
-    minhashFromShingles(
-      shingleSet(df, docCol, textCol, shingleN), docCol, numPerms)
-
-  /** The DISTINCT (doc, shingle) set — cache it when both the signatures
-    * and a later exact-Jaccard pass need it (one shuffle instead of two
-    * recomputations).
-    */
-  def shingleSet(df: DataFrame, docCol: String, textCol: String,
-                 shingleN: Int): DataFrame =
-    df.select(col(docCol), explode(shingles(col(textCol), shingleN)).as("shingle"))
-      .distinct()
-
-  def minhashFromShingles(sh: DataFrame, docCol: String, numPerms: Int): DataFrame =
-    sh.withColumn("perm", explode(sequence(lit(0), lit(numPerms - 1))))
-      .withColumn("h", md5(concat(col("shingle"), lit("#"), col("perm")).cast("binary")))
-      .groupBy(col(docCol), col("perm"))
-      .agg(min(col("h")).as("minh"))
-
-  /** Group MinHash rows into LSH bands: one row per (doc, band) with the
-    * band signature = comma-joined minhashes in permutation order.
-    */
-  def lshBands(mh: DataFrame, docCol: String, rowsPerBand: Int): DataFrame =
-    mh.groupBy(col(docCol), (col("perm") / lit(rowsPerBand)).cast("int").as("band"))
-      .agg(concat_ws(",",
-        transform(array_sort(collect_list(struct(col("perm"), col("minh")))),
-          x => x.getField("minh"))).as("sig"))
+  def lshBandRows(sigs: DataFrame, docCol: String, rowsPerBand: Int,
+                  numPerms: Int): DataFrame = {
+    val nBands = numPerms / rowsPerBand
+    sigs.select(col(docCol), col("mh"))
+      .withColumn("band", explode(sequence(lit(0), lit(nBands - 1))))
+      .select(col(docCol), col("band"),
+        array_join(transform(
+          slice(col("mh"), col("band") * rowsPerBand + 1, lit(rowsPerBand)),
+          x => x.cast("string")), ",").as("sig"))
+  }
 
   /** Candidate near-duplicate pairs: docs sharing any (band, signature)
     * bucket. Equi-join on the bucket key — the scale-safe core of LSH.
@@ -85,25 +124,20 @@ object TextOps {
       .distinct()
   }
 
-  /** Exact shingle-set Jaccard for given candidate pairs only. `shingleSets`
-    * must be (doc, shingle) DISTINCT rows. The candidate set is small by
-    * construction → broadcast to both shingle joins.
+  /** Exact shingle-set Jaccard for candidate pairs from the per-doc arrays:
+    * candidates are small by construction → broadcast into two hash joins
+    * against the array table; the intersection is computed per row with
+    * array_intersect, no shuffle after the joins.
     */
-  def jaccardOnCandidates(cands: DataFrame, shingleSets: DataFrame,
+  def jaccardOnCandidates(cands: DataFrame, withSh: DataFrame,
                           docCol: String): DataFrame = {
-    val sizes = shingleSets.groupBy(col(docCol)).agg(count(lit(1)).as("n"))
-    // common shingles via join on the shingle value, candidates broadcast
-    val shA = shingleSets.select(col(docCol).as("doc_a"), col("shingle"))
-    val shB = shingleSets.select(col(docCol).as("doc_b"), col("shingle"))
-    val common = broadcast(cands).join(shA, Seq("doc_a")).join(shB, Seq("doc_b", "shingle"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_common"))
-    cands
-      .join(common, Seq("doc_a", "doc_b"), "left")
-      .join(sizes.withColumnRenamed(docCol, "doc_a").withColumnRenamed("n", "n_a"), Seq("doc_a"))
-      .join(sizes.withColumnRenamed(docCol, "doc_b").withColumnRenamed("n", "n_b"), Seq("doc_b"))
+    val a = withSh.select(col(docCol).as("doc_a"), col("sh").as("sh_a"))
+    val b = withSh.select(col(docCol).as("doc_b"), col("sh").as("sh_b"))
+    broadcast(cands).join(a, Seq("doc_a")).join(b, Seq("doc_b"))
+      .withColumn("n_common", size(array_intersect(col("sh_a"), col("sh_b"))))
       .select(col("doc_a"), col("doc_b"),
-        round(coalesce(col("n_common"), lit(0L)).cast("double") /
-          (col("n_a") + col("n_b") - coalesce(col("n_common"), lit(0L))), 6).as("jaccard"))
+        round(col("n_common").cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("n_common")), 6).as("jaccard"))
   }
 
   /** 32-bit SimHash over the distinct token set: bit i is the sign of the

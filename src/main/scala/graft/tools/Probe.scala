@@ -1,12 +1,37 @@
 package graft.tools
 
+import graft.operators.TextOps
+import org.apache.spark.sql.functions._
+
 /** Scratch main for local probing — not part of the library surface. */
 object Probe {
   def main(args: Array[String]): Unit = {
     val spark = graft.GraftSession.get()
-    val e = graft.SparkEntry.entry(spark)
-    println(s"[probe] entry rows=${e.count()}")
-    e.show(5, truncate = false)
+    val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val docs = graft.GraftSession.table(spark, d, "documents")
+
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"[probe] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
+    }
+
+    time("docs scan")(docs.count())
+    val withSh = TextOps.shingleArrays(docs, "doc_id", "text", 3)
+    time("shingleArrays")(withSh.count())
+    time("explode shingles")(withSh.select(col("doc_id"),
+      explode(col("sh")).as("shingle")).count())
+    time("explode+1 md5")(withSh.select(col("doc_id"),
+      explode(col("sh")).as("shingle"))
+      .select(TextOps.minhash64(col("shingle"), lit(0)).as("h"))
+      .agg(min(col("h"))).count())
+    val sigs = TextOps.minhashSignatures(withSh, "doc_id", 8)
+    time("minhashSignatures(8)")(sigs.count())
+    val bands = TextOps.lshBandRows(sigs, "doc_id", 2, 8)
+    time("lshBandRows")(bands.count())
+    val cands = TextOps.candidatePairs(bands, "doc_id")
+    time("candidatePairs")(cands.count())
+    time("jaccard")(TextOps.jaccardOnCandidates(cands, withSh, "doc_id").count())
     spark.stop()
   }
 }

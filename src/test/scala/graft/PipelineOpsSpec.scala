@@ -27,18 +27,30 @@ class PipelineOpsSpec extends AnyFunSuite {
     val near = "the quick brown fox jumps over the lazy dog again and again tomorrow"
     val far = "completely different words about spark catalyst tungsten partitions shuffles"
     val df = Seq((1L, base), (2L, near), (3L, far)).toDF("doc_id", "text")
-    val mh = TextOps.minhash(df, "doc_id", "text", 3, 8)
-    assert(mh.count() == 3 * 8)
-    val bands = TextOps.lshBands(mh, "doc_id", 2)
+    val withSh = TextOps.shingleArrays(df, "doc_id", "text", 3)
+    val sigs = TextOps.minhashSignatures(withSh, "doc_id", 8)
+    // 8-long signature array per doc
+    assert(sigs.select(size(col("mh"))).collect().forall(_.getInt(0) == 8))
+    val bands = TextOps.lshBandRows(sigs, "doc_id", 2, 8)
+    assert(bands.count() == 3 * 4)
     val cands = TextOps.candidatePairs(bands, "doc_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(cands.contains((1L, 2L)))
     assert(!cands.exists(p => p._1 == 3L || p._2 == 3L))
-    val sh = df.select(col("doc_id"), explode(TextOps.shingles(col("text"), 3)).as("shingle")).distinct()
     val j = TextOps.jaccardOnCandidates(
-      TextOps.candidatePairs(bands, "doc_id"), sh, "doc_id").collect()
+      TextOps.candidatePairs(bands, "doc_id"), withSh, "doc_id").collect()
     val jac = j.find(r => r.getLong(0) == 1L && r.getLong(1) == 2L).get.getDouble(2)
     assert(jac > 0.8 && jac < 1.0)
+  }
+
+  test("minhash64 matches the DuckDB hex-prefix arithmetic") {
+    import spark.implicits._
+    // fixed value cross-checked against DuckDB:
+    //   SELECT ('0x' || substr(md5('hello world#3'), 1, 15))::BIGINT
+    val v = Seq("x").toDF("s")
+      .select(TextOps.minhash64(lit("hello world"), lit(3)).as("h"))
+      .head().getLong(0)
+    assert(v == 393483953809384980L)
   }
 
   test("simhash: identical docs share signatures, bands have 8 bits") {
