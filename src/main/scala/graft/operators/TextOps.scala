@@ -53,10 +53,38 @@ object TextOps {
     * in DuckDB via `('0x' || substr(md5(..), 1, 15))::BIGINT`, but the
     * shuffle rows carry longs instead of 32-char strings and min() is an
     * integer comparator — ~4× narrower than the hex-string form.
+    *
+    * Kept for the one-md5-per-(shingle,perm) form; the production signature
+    * path ([[minhashSignatures]]) hashes each shingle ONCE ([[hash60]]) and
+    * derives the per-permutation values with the integer family
+    * [[permuted]] — numPerms× less hashing.
     */
   def minhash64(shingle: Column, perm: Column): Column =
     conv(substring(md5(concat(shingle, lit("#"), perm.cast("string")).cast("binary")),
       1, 15), 16, 10).cast("long")
+
+  /** Modulus of the universal-hash permutation family: 2^31 − 1 (prime).
+    * Keeping operands below 2^31 bounds every product under 2^62, so the
+    * arithmetic is overflow-free int64 in both Spark and DuckDB.
+    */
+  val PermModulus: Long = 2147483647L
+
+  private def permA(p: Int): Long = (1103515245L * (p + 1)) % PermModulus
+  private def permB(p: Int): Long = (12345L * (p + 7919)) % PermModulus
+
+  /** 60-bit base hash of a shingle: first 15 hex chars of md5, base-16.
+    * DuckDB mirror: `('0x' || substr(md5(x), 1, 15))::BIGINT`.
+    */
+  def hash60(s: Column): Column =
+    conv(substring(md5(s.cast("binary")), 1, 15), 16, 10).cast("long")
+
+  /** p-th permuted value of a base hash: `((h mod M) * A_p + B_p) mod M`
+    * with the LCG-derived per-permutation constants above. One md5 plus
+    * numPerms integer ops per shingle replaces numPerms md5s — the hash cost
+    * of the signature pass drops by ~numPerms×.
+    */
+  def permuted(h: Column, p: Int): Column =
+    ((h % PermModulus) * permA(p) + permB(p)) % PermModulus
 
   /** Per-doc DISTINCT shingle arrays: (doc, sh). Docs shorter than the
     * shingle width drop out (empty set — can never be a near-dup candidate).
@@ -66,36 +94,38 @@ object TextOps {
     */
   def shingleArrays(df: DataFrame, docCol: String, textCol: String,
                     shingleN: Int): DataFrame =
-    // two-step projection on purpose: `w` must be a materialized attribute
-    // before the per-element shingle transform reads it (see shingles doc);
-    // CollapseProject keeps them separate because `w` is expensive and
-    // multiply-referenced
-    df.select(col(docCol), tokens(col(textCol)).as("w"))
+    // repartition first: corpus files often arrive as few coarse splits
+    // (one parquet file = one input partition), which would serialize the
+    // per-row higher-order-function work onto one core; the hash shuffle
+    // also makes this stage reusable (AQE stage reuse) when the downstream
+    // LSH self-join reads it from both sides.
+    // Then two-step projection on purpose: `w` must be a materialized
+    // attribute before the per-element shingle transform reads it (see
+    // shingles doc); CollapseProject keeps them separate because `w` is
+    // expensive and multiply-referenced.
+    df.repartition(col(docCol))
+      .select(col(docCol), tokens(col(textCol)).as("w"))
       .select(col(docCol),
         array_distinct(shinglesOf(col("w"), shingleN)).as("sh"))
       .filter(size(col("sh")) > 0)
 
-  /** MinHash signature array (`numPerms` longs) per doc: explode the per-doc
-    * shingle array and take `numPerms` min-aggregates in ONE codegen'd pass.
+  /** MinHash signature array (`numPerms` longs) per doc, computed entirely
+    * WITHIN the doc row — no (shingle × perm) explode, no groupBy shuffle:
+    * each shingle is md5-hashed ONCE ([[hash60]]), and the per-permutation
+    * minima come from the integer family [[permuted]] over that base-hash
+    * array. Per doc: |sh| md5s + numPerms·|sh| integer ops, zero shuffles.
     *
-    * Two deliberate choices for scale:
-    *  - md5 runs on exploded ROWS (whole-stage codegen), not inside nested
-    *    higher-order functions (interpreted per element — measured ~3× the
-    *    total query time at sf0.1);
-    *  - dedup is `array_distinct` WITHIN the doc row (shingle sets are
-    *    per-doc), so there is no global distinct shuffle; the only shuffle
-    *    is the groupBy(doc), and map-side partial min reduces it to
-    *    numPerms longs per doc per map partition.
+    * Returns (doc, sh, mh) — the shingle array rides along so the exact
+    * Jaccard pass downstream shares this one projection instead of
+    * recomputing the shingles per join side.
     */
-  def minhashSignatures(withSh: DataFrame, docCol: String, numPerms: Int): DataFrame = {
-    val exploded = withSh.select(col(docCol), explode(col("sh")).as("shingle"))
-    val aggs = (0 until numPerms).map(p =>
-      min(minhash64(col("shingle"), lit(p))).as(s"m$p"))
-    exploded.groupBy(col(docCol))
-      .agg(aggs.head, aggs.tail: _*)
-      .select(col(docCol),
-        array((0 until numPerms).map(p => col(s"m$p")): _*).as("mh"))
-  }
+  def minhashSignatures(withSh: DataFrame, docCol: String, numPerms: Int): DataFrame =
+    withSh
+      .select(col(docCol), col("sh"),
+        transform(col("sh"), s => hash60(s)).as("h60"))
+      .select(col(docCol), col("sh"),
+        array((0 until numPerms).map(p =>
+          array_min(transform(col("h60"), h => permuted(h, p)))): _*).as("mh"))
 
   /** LSH band rows from signature arrays: one (doc, band, sig) row per band,
     * sig = comma-joined minhash slice. Map-side explode of numPerms/rowsPerBand
@@ -103,6 +133,9 @@ object TextOps {
     */
   def lshBandRows(sigs: DataFrame, docCol: String, rowsPerBand: Int,
                   numPerms: Int): DataFrame = {
+    require(numPerms % rowsPerBand == 0,
+      s"numPerms ($numPerms) must be a multiple of rowsPerBand ($rowsPerBand): " +
+        "trailing permutations would be silently excluded from banding")
     val nBands = numPerms / rowsPerBand
     sigs.select(col(docCol), col("mh"))
       .withColumn("band", explode(sequence(lit(0), lit(nBands - 1))))

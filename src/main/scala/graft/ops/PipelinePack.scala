@@ -45,15 +45,17 @@ object PipelinePack extends QueryPack {
 
     // banded MinHash-LSH near-duplicate candidates + exact Jaccard on the
     // candidate set only. Signatures are computed map-side over per-doc
-    // shingle ARRAYS (no (shingle × perm) explode+shuffle) with 60-bit
-    // integer minhashes — the only shuffles left are the LSH bucket join
-    // and the candidate distinct.
+    // shingle ARRAYS (no (shingle × perm) explode+shuffle): one md5 per
+    // shingle + an integer permutation family, and the (doc, sh, mh)
+    // projection is SHARED between the LSH band join and the Jaccard pass —
+    // the only shuffles left are the repartition barrier, the LSH bucket
+    // join and the candidate distinct.
     "q_dedup_near" -> ((s, d) => {
-      val withSh = TextOps.shingleArrays(docs(s, d), "doc_id", "text", 3)
-      val sigs = TextOps.minhashSignatures(withSh, "doc_id", NumPerms)
+      val sigs = TextOps.minhashSignatures(
+        TextOps.shingleArrays(docs(s, d), "doc_id", "text", 3), "doc_id", NumPerms)
       val bands = TextOps.lshBandRows(sigs, "doc_id", RowsPerBand, NumPerms)
       val cands = TextOps.candidatePairs(bands, "doc_id")
-      TextOps.jaccardOnCandidates(cands, withSh, "doc_id")
+      TextOps.jaccardOnCandidates(cands, sigs, "doc_id")
     }),
 
     // exact cosine top-3 for a 5-query set, brute force baseline
@@ -206,11 +208,16 @@ object PipelinePack extends QueryPack {
                       list_distinct(list_transform(range(1, len(w) - 1),
                         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
                FROM d WHERE len(w) >= 3),
+         h AS (SELECT doc_id, sh,
+                      list_transform(sh, x ->
+                        ('0x' || substr(md5(x), 1, 15))::BIGINT) AS h60
+               FROM s),
          sigs AS (SELECT doc_id, sh,
                          list_transform(range(0, $NumPerms), p ->
-                           list_min(list_transform(sh, x ->
-                             ('0x' || substr(md5(x || '#' || p), 1, 15))::BIGINT))) AS mh
-                  FROM s),
+                           list_min(list_transform(h60, x ->
+                             ((x % 2147483647) * ((1103515245 * (p + 1)) % 2147483647)
+                              + ((12345 * (p + 7919)) % 2147483647)) % 2147483647))) AS mh
+                  FROM h),
          bands AS (SELECT doc_id, b.band,
                           array_to_string(list_transform(
                             mh[b.band*$RowsPerBand+1 : b.band*$RowsPerBand+$RowsPerBand],

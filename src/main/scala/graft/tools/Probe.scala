@@ -19,19 +19,14 @@ object Probe {
     time("docs scan")(docs.count())
     val withSh = TextOps.shingleArrays(docs, "doc_id", "text", 3)
     time("shingleArrays")(withSh.count())
-    time("explode shingles")(withSh.select(col("doc_id"),
-      explode(col("sh")).as("shingle")).count())
-    time("explode+1 md5")(withSh.select(col("doc_id"),
-      explode(col("sh")).as("shingle"))
-      .select(TextOps.minhash64(col("shingle"), lit(0)).as("h"))
-      .agg(min(col("h"))).count())
     val sigs = TextOps.minhashSignatures(withSh, "doc_id", 8)
     time("minhashSignatures(8)")(sigs.count())
     val bands = TextOps.lshBandRows(sigs, "doc_id", 2, 8)
     time("lshBandRows")(bands.count())
     val cands = TextOps.candidatePairs(bands, "doc_id")
     time("candidatePairs")(cands.count())
-    time("jaccard")(TextOps.jaccardOnCandidates(cands, withSh, "doc_id").count())
+    time("jaccard")(TextOps.jaccardOnCandidates(cands, sigs, "doc_id").count())
+    time("full q_dedup_near")(graft.ops.PipelinePack.queries("q_dedup_near")(spark, d).count())
     spark.stop()
   }
 }
