@@ -1,23 +1,40 @@
 package graft
 
 /** Write-once fixtures for queries that read a previously-materialized
-  * physical layout (partitioned cube, pyramid levels, CSV round-trip).
+  * physical layout (partitioned cube, pyramid levels, CSV round-trip,
+  * streaming-upsert convergence).
   *
-  * The layout build runs only when the done-marker is absent, so a benched
-  * query measures the READ plan — the thing the query exists to showcase —
-  * not the one-time write. Layouts are keyed by target path (which embeds
-  * the sf name), so each scale factor builds once per checkout.
+  * The layout build runs only when the done-marker is absent or was built
+  * with a DIFFERENT writer configuration (the marker stores a fingerprint of
+  * the config; a changed tile size / level count / slice plan rebuilds
+  * instead of silently reusing a stale layout). A benched query therefore
+  * measures the READ plan — the thing the query exists to showcase — not the
+  * one-time write. Layouts are keyed by target path (which embeds the sf
+  * name), so each scale factor builds once per checkout.
   */
 object Fixtures {
   private val marker = "_GRAFT_DONE"
 
-  def ensureWritten(path: String)(write: => Unit): Unit = synchronized {
-    val m = new java.io.File(path, marker)
-    if (!m.exists()) {
-      write
-      m.getParentFile.mkdirs()
-      m.createNewFile()
-      ()
-    }
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete(); ()
   }
+
+  /** Run `write` unless `path` already carries a marker with the same
+    * `fingerprint`. On fingerprint mismatch the stale layout is deleted and
+    * rebuilt. Single-JVM guard only (the driver runs one process per gate).
+    */
+  def ensureWritten(path: String, fingerprint: String = "")(write: => Unit): Unit =
+    synchronized {
+      val m = new java.io.File(path, marker)
+      val upToDate = m.exists() &&
+        new String(java.nio.file.Files.readAllBytes(m.toPath)) == fingerprint
+      if (!upToDate) {
+        deleteRecursively(new java.io.File(path))
+        write
+        m.getParentFile.mkdirs()
+        java.nio.file.Files.write(m.toPath, fingerprint.getBytes)
+        ()
+      }
+    }
 }

@@ -21,7 +21,8 @@ object SparkEntry {
     ops.AggPack,
     ops.StoragePack,
     ops.ResamplePack,
-    ops.ComputePack
+    ops.ComputePack,
+    ops.ServingPack
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

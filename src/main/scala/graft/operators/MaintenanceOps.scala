@@ -23,12 +23,15 @@ object MaintenanceOps {
   }
 
   /** optimize_dataset / unchunk (optimize.py:15-79): compact a written cube
-    * directory to `numFiles` files per partition tree (small-file cleanup).
+    * directory to exactly `numFiles` files (small-file cleanup). Uses
+    * `repartition` rather than `coalesce`: the one-off round-robin shuffle
+    * guarantees the target file count and even file sizes regardless of how
+    * the scan combined the small input files into splits.
     */
   def optimize(spark: SparkSession, path: String, numFiles: Int): Unit = {
     val df = spark.read.parquet(path)
     val tmp = s"$path.__optimizing"
-    df.coalesce(numFiles).write.mode("overwrite").parquet(tmp)
+    df.repartition(numFiles).write.mode("overwrite").parquet(tmp)
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path), conf)
     fs.delete(new org.apache.hadoop.fs.Path(path), true)

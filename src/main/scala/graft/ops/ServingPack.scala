@@ -1,0 +1,330 @@
+package graft.ops
+
+import graft.{Fixtures, GraftSession, QueryPack}
+import graft.cube.{Cube, TilingScheme}
+import graft.functions.GeomFunctions
+import graft.operators.{ExtractOps, IvfOps, MaintenanceOps, TileOps, VolumeOps}
+import graft.sources.{GeoJsonSource, MemoryDataStore}
+import graft.streaming.TimeSliceOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Serving / extraction / maintenance pack: oracle rows for the operator
+  * families that were previously unit-tested only (round-2 VERDICT item 1) —
+  * tile gather, volume bricks, streaming upsert convergence, geometry
+  * normalization (incl. anti-meridian), bounds-based indexing, nearest-cell
+  * snap, maintenance invariants, IVF ANN, GeoJSON + in-memory stores, and
+  * longitude monotonicity normalization.
+  *
+  * Driver-side gathers here (tile, volume) are bounded by tileSize² /
+  * maxVoxels exactly like the reference's own serving layer collects; the
+  * result is re-exposed as rows so the DuckDB oracle can hash-compare it.
+  */
+object ServingPack extends QueryPack {
+
+  private def embs(s: SparkSession, d: String) = GraftSession.table(s, d, "embeddings")
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // compute_tiles (tile.py:39-354): level-1 tile (0,0) of the cell-mean
+    // cube on a 2×1 local pyramid; tile pixels re-emitted as (py, px, v)
+    // rows. Tile extent x∈[0,90), y∈[50,100); 128px tile → pixel ≤ 1 cell.
+    "q_tile_gather" -> ((s, d) => {
+      import s.implicits._
+      val cube = CubePack.eventsCube(s, d)
+      val cells = cube.df.groupBy(col("y"), col("x"))
+        .agg(round(avg(col("v")), 6).as("vm"))
+      val scheme = TilingScheme(2, 1, "local", 0.0, 0.0, 360.0, 100.0, tileSize = 128)
+      val tile = TileOps.computeTile(cells, CubePack.gm, scheme, 1, 0L, 0L, "vm")
+      val ts = scheme.tileSize
+      tile.zipWithIndex.collect { case (v, i) if !v.isNaN =>
+        ((i / ts).toLong, (i % ts).toLong, v)
+      }.toSeq.toDF("py", "px", "v")
+    }),
+
+    // volumes endpoint (webapi/volumes/routes.py:26-182): 2-day daily-mean
+    // brick over bbox (10,10)-(110,60) with a 5000-voxel budget → stride 2;
+    // non-NaN voxels re-emitted as (ti, bj, bi, v) rows.
+    "q_volume_brick" -> ((s, d) => {
+      import s.implicits._
+      val base = CubePack.eventsCube(s, d)
+      val daily = base.df
+        .groupBy(date_trunc("DAY", col("time")).as("time"), col("y"), col("x"))
+        .agg(round(avg(col("v")), 6).as("v"))
+      val cube = Cube(daily, CubePack.gm)
+      val times = daily.select(col("time")).distinct().orderBy(col("time"))
+        .limit(2).collect().map(_.getTimestamp(0)).toSeq
+      val b = VolumeOps.brick(cube, "v", 10.0, 10.0, 110.0, 60.0, times, maxVoxels = 5000L)
+      val rows = for {
+        t <- 0 until b.nt
+        j <- 0L until b.ny
+        i <- 0L until b.nx
+        v = b.values(((t * b.ny + j) * b.nx + i).toInt) if !v.isNaN
+      } yield (t.toLong, j, i, v)
+      rows.toDF("ti", "bj", "bi", "v").withColumn("stride", lit(b.stride.toLong))
+    }),
+
+    // normalize_geometry with an anti-meridian bbox (geom.py:559-638,
+    // 720-738): (150,-50,-150,50) splits into two polygons; the mask is the
+    // OR of the two geometry predicates over a ±180-longitude cube.
+    "q_antimeridian" -> ((s, d) => {
+      val cube = CubePack.eventsCube(s, d)
+      val df = cube.df
+        .withColumn("lon", col("x") - 180.0)
+        .withColumn("lat", col("y") - 50.0)
+      val wkts = GeomFunctions.normalizeGeometry((150.0, -50.0, -150.0, 50.0))
+      val mask = wkts.map(w => GeomFunctions.geomMask(w)(col("lon"), col("lat")))
+        .reduce(_ || _)
+      df.filter(mask).groupBy("event_type")
+        .agg(count(lit(1)).as("n"), round(sum(col("v")), 6).as("sum_v"))
+    }),
+
+    // get_dataset_indexes over irregular cell BOUNDS (extract.py:321-414):
+    // left-closed (lower, upper) bins, −1 where no bin contains the
+    // coordinate (the gap [120,200) and the tails).
+    "q_bounds_indexes" -> ((s, d) => {
+      import s.implicits._
+      val bounds = Seq((0L, 0.0, 50.0), (1L, 50.0, 120.0), (2L, 200.0, 300.0))
+        .toDF("idx", "lower", "upper")
+      val pts = CubePack.eventsCube(s, d).df.select(col("x"), col("v"))
+      ExtractOps.indexesFromBounds(pts, bounds, "x", "x_index")
+        .groupBy("x_index")
+        .agg(count(lit(1)).as("n"), round(sum(col("v")), 6).as("sum_v"))
+    }),
+
+    // nearest-cell lookup (.sel Nearest, extract.py regular-grid fast path):
+    // off-center probes snap back to their containing cell's center; the
+    // snap arithmetic (floor + half-res) is mirrored exactly in SQL.
+    "q_nearest_cell" -> ((s, d) => {
+      val cube = CubePack.eventsCube(s, d)
+      val gm = cube.gm
+      val probes = cube.df.select(col("event_type"), col("v"),
+        (col("x") + 0.25).as("px"), (col("y") - 0.25).as("py"))
+      probes.select(col("event_type"), col("v"),
+          gm.snapXExpr(col("px")).as("sx"), gm.snapYExpr(col("py")).as("sy"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("sx") + col("sy")), 6).as("sum_snap"),
+          round(sum(col("v")), 6).as("sum_v"))
+    }),
+
+    // rechunk_cube (chunk.py:15-46): repartition by (date, spatial block) is
+    // a pure physical op — row set and values are invariant.
+    "q_rechunk" -> ((s, d) => {
+      val c0 = CubePack.eventsCube(s, d)
+      val rc = MaintenanceOps.rechunk(
+        c0.copy(gm = c0.gm.copy(tileWidth = 64, tileHeight = 64)))
+      rc.df.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), round(sum(col("v")), 6).as("sum_v"))
+    }),
+
+    // optimize_dataset / unchunk (optimize.py:15-79): compact a daily
+    // aggregate layout to 2 files; data unchanged, file count = target.
+    "q_optimize" -> ((s, d) => {
+      val sfName = new java.io.File(d).getName
+      val path = s"/root/repo/target/optimize_$sfName"
+      Fixtures.ensureWritten(path, "daily-agg,files=2,repartition") {
+        val daily = GraftSession.events(s, d)
+          .groupBy(date_trunc("DAY", col("ts")).as("day"), col("event_type"))
+          .agg(count(lit(1)).as("n"), round(sum(col("value")), 6).as("sum_value"))
+        daily.write.mode("overwrite").parquet(path)
+        MaintenanceOps.optimize(s, path, numFiles = 2)
+      }
+      val nFiles = Option(new java.io.File(path).listFiles()).map(
+        _.count(_.getName.endsWith(".parquet"))).getOrElse(0)
+      s.read.parquet(path)
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum(col("sum_value")), 6).as("total"))
+        .withColumn("n_files", lit(nFiles.toLong))
+    }),
+
+    // IVF ANN (IvfOps): with nProbe = nCells the probed set is the whole
+    // corpus, so the index search must equal exact brute-force top-k — an
+    // oracle for the search machinery that needs no SQL k-means.
+    "q_ivf_ann" -> ((s, d) => {
+      val e = embs(s, d)
+      val idx = IvfOps.build(e, "vec_id", "embedding", nCells = 4)
+      val qs = e.filter(col("vec_id") < 3).select(col("vec_id"), col("embedding"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray.map(_.toDouble)))
+      qs.map { case (qid, qv) =>
+        IvfOps.search(idx, "vec_id", "embedding", qv, k = 5, nProbe = 4)
+          .withColumn("query_id", lit(qid))
+      }.reduce(_ unionByName _).select("query_id", "vec_id", "cos_sim")
+    }),
+
+    // GeoJSON FeatureCollection source (store/fs/impl/geodataframe.py:19-96):
+    // geometry → WKT + typed property columns, including a missing property.
+    "q_geojson" -> ((s, d) => {
+      val json =
+        """{"type":"FeatureCollection","features":[
+          {"type":"Feature","geometry":{"type":"Point","coordinates":[10.0,20.0]},
+           "properties":{"name":"alpha","score":1}},
+          {"type":"Feature","geometry":{"type":"Polygon",
+           "coordinates":[[[0.0,0.0],[10.0,0.0],[10.0,10.0],[0.0,0.0]]]},
+           "properties":{"name":"beta","score":2}},
+          {"type":"Feature","geometry":{"type":"LineString","coordinates":[[0.0,0.0],[5.0,5.0]]},
+           "properties":{"name":"gamma"}}]}"""
+      val f = java.io.File.createTempFile("graft_geojson", ".geojson")
+      f.deleteOnExit()
+      java.nio.file.Files.write(f.toPath, json.getBytes)
+      GeoJsonSource.readFeatures(s, f.getAbsolutePath)
+        .select(col("geometry"), col("name"), col("score"))
+    }),
+
+    // in-memory store round-trip (dsio.py:308-356): write an aggregate as a
+    // temp view, open it back through the store API.
+    "q_memory_store" -> ((s, d) => {
+      val store = new MemoryDataStore(s)
+      val agg = GraftSession.events(s, d)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 6).as("sum_value"))
+      store.write("mem_events_agg", agg, mode = "overwrite")
+      store.open("mem_events_agg")
+    }),
+
+    // coordinate monotonicity normalization (normalize.py:45-88): a 0..360
+    // longitude axis mapped onto ±180, summarized per hemisphere.
+    "q_lon360" -> ((s, d) => {
+      val df = CubePack.eventsCube(s, d).df
+        .withColumn("lon", GeomFunctions.normalizeLon360(col("x")))
+      df.groupBy((col("lon") < 0.0).as("west"))
+        .agg(count(lit(1)).as("n"),
+          round(min(col("lon")), 6).as("lon_min"),
+          round(max(col("lon")), 6).as("lon_max"),
+          round(sum(col("v")), 6).as("sum_v"))
+    }),
+
+    // streaming time-slice upsert (timeslice.py:19-192 + §2.9): three
+    // AvailableNow micro-ingests — day 1, day 2, then a LATE day-1
+    // replacement (v×2) — converge via dynamic partition overwrite; the
+    // stored cube must equal replace-then-union semantics.
+    "q_stream_upsert" -> ((s, d) => {
+      val sfName = new java.io.File(d).getName
+      val base = s"/root/repo/target/stream_upsert_$sfName"
+      val dest = s"$base/cube"
+      Fixtures.ensureWritten(base, "slices=d1,d2,d1x2") {
+        val cube = CubePack.eventsCube(s, d)
+        val gm = cube.gm.copy(tileWidth = 64, tileHeight = 64)
+        val schema = cube.df.schema
+        def slice(day: String, scale: Double) =
+          cube.df.filter(to_date(col("time")) === lit(day).cast("date"))
+            .withColumn("v", col("v") * scale)
+        def push(n: Int, df: DataFrame): Unit = {
+          df.write.mode("overwrite").parquet(s"$base/src/slice_$n")
+          val q = TimeSliceOps.streamUpsert(s, schema, s"$base/src", dest,
+            b => Cube(b, gm))
+          q.awaitTermination()
+        }
+        push(1, slice("2024-01-01", 1.0))
+        push(2, slice("2024-01-02", 1.0))
+        push(3, slice("2024-01-01", 2.0))
+      }
+      s.read.parquet(dest)
+        .groupBy(col("p_date").cast("string").as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("v")), 6).as("sum_v"))
+    })
+  )
+
+  private def dotCos(qe: String, e: String): String =
+    s"""round(
+        list_sum(list_transform(range(1, len($e) + 1), i -> $qe[i]::DOUBLE * $e[i]::DOUBLE)) /
+        (sqrt(list_sum(list_transform(range(1, len($qe) + 1), i -> $qe[i]::DOUBLE * $qe[i]::DOUBLE))) *
+         sqrt(list_sum(list_transform(range(1, len($e) + 1), i -> $e[i]::DOUBLE * $e[i]::DOUBLE)))), 6)"""
+
+  override def oracleSql: Map[String, String] = Map(
+    "q_tile_gather" ->
+      s"""WITH ${CubePack.cubeCte},
+         cm AS (SELECT y, x, round(avg(v), 6) AS vm FROM cube GROUP BY y, x)
+         SELECT floor((100.0 - y) * 128 / 50)::BIGINT AS py,
+                floor(x * 128 / 90)::BIGINT AS px,
+                vm AS v
+         FROM cm
+         WHERE x >= 0 AND x < 90 AND y >= 50 AND y < 100""",
+    "q_volume_brick" ->
+      s"""WITH ${CubePack.cubeCte},
+         daily AS (SELECT date_trunc('day', time) AS day, y, x, round(avg(v), 6) AS v
+                   FROM cube GROUP BY day, y, x),
+         d2 AS (SELECT DISTINCT day FROM daily ORDER BY day LIMIT 2)
+         SELECT (CASE WHEN day = (SELECT min(day) FROM d2) THEN 0 ELSE 1 END)::BIGINT AS ti,
+                ((floor(y)::BIGINT - 10) // 2) AS bj,
+                ((floor(x)::BIGINT - 10) // 2) AS bi,
+                v,
+                2::BIGINT AS stride
+         FROM daily
+         WHERE day IN (SELECT day FROM d2)
+           AND x BETWEEN 10.0 AND 110.0 AND y BETWEEN 10.0 AND 60.0
+           AND (floor(x)::BIGINT - 10) % 2 = 0
+           AND (floor(y)::BIGINT - 10) % 2 = 0""",
+    "q_antimeridian" ->
+      s"""WITH ${CubePack.cubeCte}
+         SELECT event_type, count(*) AS n, round(sum(v), 6) AS sum_v
+         FROM cube
+         WHERE ((x - 180.0 BETWEEN 150.0 AND 180.0) OR
+                (x - 180.0 BETWEEN -180.0 AND -150.0))
+           AND (y - 50.0 BETWEEN -50.0 AND 50.0)
+         GROUP BY event_type""",
+    "q_bounds_indexes" ->
+      s"""WITH ${CubePack.cubeCte}
+         SELECT (CASE WHEN x >= 0.0 AND x < 50.0 THEN 0
+                      WHEN x >= 50.0 AND x < 120.0 THEN 1
+                      WHEN x >= 200.0 AND x < 300.0 THEN 2
+                      ELSE -1 END)::BIGINT AS x_index,
+                count(*) AS n, round(sum(v), 6) AS sum_v
+         FROM cube GROUP BY x_index""",
+    "q_nearest_cell" ->
+      s"""WITH ${CubePack.cubeCte}
+         SELECT event_type, count(*) AS n,
+                round(sum((floor(x + 0.25) + 0.5) + (floor(y - 0.25) + 0.5)), 6) AS sum_snap,
+                round(sum(v), 6) AS sum_v
+         FROM cube GROUP BY event_type""",
+    "q_rechunk" ->
+      s"""WITH ${CubePack.cubeCte}
+         SELECT event_type, count(*) AS n, round(sum(v), 6) AS sum_v
+         FROM cube GROUP BY event_type""",
+    "q_optimize" ->
+      """WITH daily AS (
+           SELECT date_trunc('day', ts) AS day, event_type,
+                  count(*) AS n, round(sum(value), 6) AS sum_value
+           FROM events GROUP BY day, event_type)
+         SELECT count(*) AS n_rows, round(sum(sum_value), 6) AS total,
+                2::BIGINT AS n_files
+         FROM daily""",
+    "q_ivf_ann" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+                     FROM embeddings WHERE vec_id < 3),
+         p AS (SELECT q.query_id, e.vec_id, ${dotCos("q.qe", "e.embedding")} AS cos_sim
+               FROM q CROSS JOIN embeddings e),
+         r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                         ORDER BY cos_sim DESC, vec_id ASC) AS rn FROM p)
+         SELECT query_id, vec_id, cos_sim FROM r WHERE rn <= 5""",
+    "q_geojson" ->
+      """SELECT * FROM (VALUES
+           ('POINT (10.0 20.0)', 'alpha', 1::BIGINT),
+           ('POLYGON ((0.0 0.0, 10.0 0.0, 10.0 10.0, 0.0 0.0))', 'beta', 2::BIGINT),
+           ('LINESTRING (0.0 0.0, 5.0 5.0)', 'gamma', NULL::BIGINT))
+         AS t(geometry, name, score)""",
+    "q_memory_store" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 6) AS sum_value
+         FROM events GROUP BY event_type""",
+    "q_lon360" ->
+      s"""WITH ${CubePack.cubeCte},
+         l AS (SELECT CASE WHEN x > 180.0 THEN x - 360.0 ELSE x END AS lon, v
+               FROM cube)
+         SELECT lon < 0.0 AS west, count(*) AS n,
+                round(min(lon), 6) AS lon_min, round(max(lon), 6) AS lon_max,
+                round(sum(v), 6) AS sum_v
+         FROM l GROUP BY west""",
+    "q_stream_upsert" ->
+      s"""WITH ${CubePack.cubeCte},
+         u AS (
+           SELECT CAST(time AS DATE) AS day, event_type, v * 2 AS v
+           FROM cube WHERE CAST(time AS DATE) = DATE '2024-01-01'
+           UNION ALL
+           SELECT CAST(time AS DATE) AS day, event_type, v
+           FROM cube WHERE CAST(time AS DATE) = DATE '2024-01-02')
+         SELECT day::VARCHAR AS day, event_type,
+                count(*) AS n, round(sum(v), 6) AS sum_v
+         FROM u GROUP BY day, event_type"""
+  )
+}
