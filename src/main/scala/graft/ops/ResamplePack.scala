@@ -2,7 +2,7 @@ package graft.ops
 
 import graft.{GraftSession, QueryPack}
 import graft.cube.GridMapping
-import graft.operators.{AffineOps, RectifyOps, ReprojectOps}
+import graft.operators.{AffineOps, RectifyExactOps, RectifyOps, ReprojectOps, SpatialOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -85,10 +85,137 @@ object ResamplePack extends QueryPack {
         .select(col("i"), col("j"), round(col("v"), 6).as("v"))
         .groupBy((col("j") / 10).cast("long").as("jband"))
         .agg(count(lit(1)).as("n_cells"), round(sum(col("v")), 6).as("sum_v"))
+    }),
+
+    // resample_in_space dispatcher (spatial.py:28-261), same-CRS regular
+    // DOWNSAMPLE route: 4× coarser target + aggregator="mean" → block
+    // aggregation (the var-config aggregator path, affine.py:72-77)
+    "q_resample_space" -> ((s, d) => {
+      val out = SpatialOps.resampleInSpace(
+        SpatialOps.RegularSource(srcCells(s, d), CubePack.gm),
+        tgtGm, Seq("v"), aggregator = Some("mean"))
+      out.select(col("i"), col("j"), round(col("v"), 6).as("v"))
+    }),
+
+    // dispatcher different-CRS route (spatial.py:225-261): regular
+    // geographic source → regular web-mercator target. The coords transform
+    // closed-form, become irregular, land in the downscale-then-rectify
+    // branch (transformed res ≈ 111 km < the 445 km target cells).
+    "q_resample_space_crs" -> ((s, d) => {
+      val geoGm = GridMapping(360, 100, -180.0, -45.0, 1.0, 0.9, crs = "CRS84")
+      val mercGm = GridMapping(90, 25, -20037600.0, -5621600.0,
+        445280.0, 449728.0, crs = "EPSG:3857")
+      val out = SpatialOps.resampleInSpace(
+        SpatialOps.RegularSource(srcCells(s, d), geoGm), mercGm, Seq("v"))
+      out.select(col("i"), col("j"), round(col("v"), 6).as("v"))
+    }),
+
+    // exact triangle-containment rectification (rectify.py:469-588,743-817):
+    // quadratically warped swath onto a unit grid, triangular interpolation,
+    // first-quad-wins — the oracle reproduces the barycentric arithmetic
+    // term-for-term, so values must match to the last bit before rounding
+    "q_rectify_triangular" -> ((s, d) => {
+      val swath = srcCells(s, d).select(
+        col("i").as("si"), col("j").as("sj"),
+        (col("i").cast("double") + 0.5 + lit(0.2) * col("j").cast("double") +
+          lit(0.001) * col("j").cast("double") * col("j").cast("double")).as("xc"),
+        (col("j").cast("double") + 0.5 + lit(0.05) * col("i").cast("double")).as("yc"),
+        col("v"))
+      val gm = GridMapping(400, 120, 0.0, 0.0, 1.0, 1.0)
+      RectifyExactOps.rectify(swath, "si", "sj", "xc", "yc", "v", gm, "triangular")
+        .select(col("dst_i"), col("dst_j"), round(col("v"), 6).as("v"))
     })
   )
 
+  /** Shared source-cell CTE body (events mean per unit cell). */
+  private val cellsCte: String =
+    """cells AS (
+         SELECT floor(CAST(event_id % 360 AS DOUBLE) + 0.5)::BIGINT AS i,
+                floor(CAST(user_id % 100 AS DOUBLE) + 0.5)::BIGINT AS j,
+                round(avg(value), 6) AS v
+         FROM events GROUP BY i, j)"""
+
   override def oracleSql: Map[String, String] = Map(
+    "q_resample_space" ->
+      s"""WITH $cellsCte
+         SELECT floor((i + 0.5) / 4)::BIGINT AS i,
+                floor((j + 0.5) / 4)::BIGINT AS j,
+                round(avg(v), 6) AS v
+         FROM cells GROUP BY 1, 2""",
+    "q_resample_space_crs" ->
+      s"""WITH $cellsCte,
+         g AS (SELECT 6378137.0 * radians(-180.0 + (i + 0.5) * 1.0) AS mx,
+                      6378137.0 * ln(tan(pi() / 4 + radians(-45.0 + (j + 0.5) * 0.9) / 2)) AS my,
+                      v
+               FROM cells),
+         b AS (SELECT floor((mx - (-20037600.0)) / 445280.0)::BIGINT AS bi,
+                      floor((my - (-5621600.0)) / 449728.0)::BIGINT AS bj,
+                      avg(mx) AS ax, avg(my) AS ay, avg(v) AS v
+               FROM g GROUP BY bi, bj)
+         SELECT floor((ax - (-20037600.0)) / 445280.0)::BIGINT AS i,
+                floor((ay - (-5621600.0)) / 449728.0)::BIGINT AS j,
+                round(v, 6) AS v
+         FROM b
+         WHERE ax >= -20037600.0 AND ax < 20037600.0
+           AND ay >= -5621600.0 AND ay < 5621600.0""",
+    "q_rectify_triangular" ->
+      s"""WITH $cellsCte,
+         sw AS (SELECT i AS si, j AS sj,
+                       (i + 0.5) + 0.2 * j + 0.001 * j * j AS xc,
+                       (j + 0.5) + 0.05 * i AS yc, v
+                FROM cells),
+         q AS (SELECT a.si AS qi, a.sj AS qj,
+                      a.xc AS x0, a.yc AS y0, a.v AS v0,
+                      b.xc AS x1, b.yc AS y1, b.v AS v1,
+                      c.xc AS x2, c.yc AS y2, c.v AS v2,
+                      d.xc AS x3, d.yc AS y3, d.v AS v3
+               FROM sw a
+               JOIN sw b ON b.si = a.si + 1 AND b.sj = a.sj
+               JOIN sw c ON c.si = a.si AND c.sj = a.sj + 1
+               JOIN sw d ON d.si = a.si + 1 AND d.sj = a.sj + 1),
+         boxed AS (SELECT *,
+                greatest(least(floor(x0), floor(x1), floor(x2), floor(x3))::BIGINT, 0) AS di_min,
+                least(greatest(floor(x0), floor(x1), floor(x2), floor(x3))::BIGINT, 399) AS di_max,
+                greatest(least(floor(y0), floor(y1), floor(y2), floor(y3))::BIGINT, 0) AS dj_min,
+                least(greatest(floor(y0), floor(y1), floor(y2), floor(y3))::BIGINT, 119) AS dj_max,
+                (x0 - x1) * (y0 - y2) - (x0 - x2) * (y0 - y1) AS det_a,
+                (x3 - x2) * (y3 - y1) - (x3 - x1) * (y3 - y2) AS det_b
+           FROM q),
+         cand AS (SELECT boxed.*, ti.dst_i, tj.dst_j,
+                         dst_i + 0.5 AS dx, dst_j + 0.5 AS dy
+           FROM boxed,
+                unnest(range(di_min, di_max + 1)) AS ti(dst_i),
+                unnest(range(dj_min, dj_max + 1)) AS tj(dst_j)
+           WHERE di_min <= di_max AND dj_min <= dj_max
+             AND (det_a != 0 OR det_b != 0)),
+         uv AS (SELECT *,
+                ((x0 - dx) * (y0 - y2) - (y0 - dy) * (x0 - x2)) / det_a AS u_a,
+                ((y0 - dy) * (x0 - x1) - (x0 - dx) * (y0 - y1)) / det_a AS v_a,
+                ((x3 - dx) * (y3 - y1) - (y3 - dy) * (x3 - x1)) / det_b AS u_b,
+                ((y3 - dy) * (x3 - x2) - (x3 - dx) * (y3 - y2)) / det_b AS v_b
+           FROM cand),
+         hit AS (SELECT *,
+                (det_a != 0 AND u_a >= -0.001 AND v_a >= -0.001
+                 AND u_a + v_a <= (1.0 + 2 * 0.001)) AS in_a,
+                (det_b != 0 AND u_b >= -0.001 AND v_b >= -0.001
+                 AND u_b + v_b <= (1.0 + 2 * 0.001)) AS in_b
+           FROM uv),
+         sel AS (SELECT dst_i, dst_j, qi, qj, v0, v1, v2, v3,
+                CASE WHEN in_a THEN 0 ELSE 1 END AS tri,
+                CASE WHEN in_a THEN greatest(least(u_a, 1.0), 0.0)
+                     ELSE 1.0 - greatest(least(u_b, 1.0), 0.0) END AS u,
+                CASE WHEN in_a THEN greatest(least(v_a, 1.0), 0.0)
+                     ELSE 1.0 - greatest(least(v_b, 1.0), 0.0) END AS v
+           FROM hit WHERE in_a OR in_b),
+         vals AS (SELECT dst_i, dst_j, qi, qj, tri,
+                CASE WHEN u + v < 1.0
+                     THEN v0 + u * (v1 - v0) + v * (v2 - v0)
+                     ELSE v3 + (1.0 - u) * (v2 - v3) + (1.0 - v) * (v1 - v3)
+                END AS val
+           FROM sel),
+         r AS (SELECT *, row_number() OVER (PARTITION BY dst_i, dst_j
+                         ORDER BY qj, qi, tri) AS rn FROM vals)
+         SELECT dst_i, dst_j, round(val, 6) AS v FROM r WHERE rn = 1""",
     "q_affine_nearest" ->
       """WITH cells AS (
            SELECT floor(CAST(event_id % 360 AS DOUBLE) + 0.5)::BIGINT AS i,

@@ -93,4 +93,83 @@ class ResampleSpec extends AnyFunSuite {
     assert(out((0L, 0L)) == 1.0)
     assert(out((1L, 0L)) == 3.0)
   }
+
+  test("dispatcher: no-op, affine, aggregator-downsample, and CRS routes (spatial.py:28-261)") {
+    import spark.implicits._
+    import graft.operators.SpatialOps
+    import graft.operators.SpatialOps.{IrregularSource, RegularSource}
+    val src = GridMapping(4, 4, 0.0, 0.0, 1.0, 1.0)
+    val cells = (0 until 16).map(k => (k.toLong % 4, k.toLong / 4, k.toDouble))
+      .toDF("i", "j", "v")
+
+    // route 1: source ≈ target → identity
+    val same = SpatialOps.resampleInSpace(RegularSource(cells, src), src, Seq("v"))
+    assert(same.count() == 16)
+
+    // route 2a: regular upsample → affine (nearest)
+    val up = GridMapping(8, 8, 0.0, 0.0, 0.5, 0.5)
+    val affine = SpatialOps.resampleInSpace(RegularSource(cells, src), up,
+      Seq("v"), splineOrder = 0)
+    assert(affine.count() == 64)
+
+    // route 2b: regular downsample + aggregator → block mean
+    val down = GridMapping(2, 2, 0.0, 0.0, 2.0, 2.0)
+    val blocks = SpatialOps.resampleInSpace(RegularSource(cells, src), down,
+      Seq("v"), aggregator = Some("mean")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(blocks((0L, 0L)) == (0.0 + 1.0 + 4.0 + 5.0) / 4)
+    assert(blocks((1L, 1L)) == (10.0 + 11.0 + 14.0 + 15.0) / 4)
+
+    // route 2c: irregular, src res ≥ tgt res → direct rectify
+    val swath = Seq((0.6, 0.4, 7.0), (1.5, 1.5, 9.0)).toDF("xc", "yc", "v")
+    val rect = SpatialOps.resampleInSpace(
+      IrregularSource(swath, "xc", "yc", 1.0, 1.0, "CRS84"), src, Seq("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(rect((0L, 0L)) == 7.0 && rect((1L, 1L)) == 9.0)
+
+    // route 3: different CRS → transform + downscale + rectify; a 1-degree
+    // geographic grid lands on a web-mercator target without error
+    val geo = GridMapping(4, 4, 0.0, 0.0, 1.0, 1.0, crs = "CRS84")
+    val merc = GridMapping(2, 2, 0.0, 0.0, 222638.0, 223000.0, crs = "EPSG:3857")
+    val crsOut = SpatialOps.resampleInSpace(RegularSource(cells, geo), merc, Seq("v"))
+    assert(crsOut.count() > 0)
+    // unsupported pair raises
+    intercept[IllegalArgumentException] {
+      SpatialOps.resampleInSpace(RegularSource(cells,
+        geo.copy(crs = "EPSG:32633")), merc, Seq("v")).collect()
+    }
+  }
+
+  test("exact rectify kernels match hand-computed barycentric values (rectify.py:469-817)") {
+    import spark.implicits._
+    import graft.operators.RectifyExactOps
+    // a single unit quad shifted by (0.1, 0.1): corners p0..p3 with values
+    // 0, 1, 2, 3; target cell (0,0) center (0.5, 0.5)
+    val swath = Seq(
+      (0L, 0L, 0.1, 0.1, 0.0), (1L, 0L, 1.1, 0.1, 1.0),
+      (0L, 1L, 0.1, 1.1, 2.0), (1L, 1L, 1.1, 1.1, 5.0) // v3 non-planar
+    ).toDF("si", "sj", "xc", "yc", "v")
+    val gm = GridMapping(2, 2, 0.0, 0.0, 1.0, 1.0)
+    def run(mode: String) = RectifyExactOps
+      .rectify(swath, "si", "sj", "xc", "yc", "v", gm, mode)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // center (0.5,0.5) in triangle A with u = v = 0.4:
+    //   triangular: v0 + 0.4(v1-v0) + 0.4(v2-v0) = 0 + 0.4 + 0.8 = 1.2
+    //               (closest triangle ignores the non-planar v3)
+    //   bilinear:   (1-v)((1-u)v0 + u v1) + v((1-u)v2 + u v3)
+    //             = 0.6·0.4 + 0.4·(1.2 + 2.0) = 1.52
+    //   nearest:    u,v ≤ 0.5 → v0 = 0
+    val tri = run("triangular")
+    assert(math.abs(tri((0L, 0L)) - 1.2) < 1e-9)
+    val bil = run("bilinear")
+    assert(math.abs(bil((0L, 0L)) - 1.52) < 1e-9)
+    val nn = run("nearest")
+    assert(nn((0L, 0L)) == 0.0)
+    // cell (1,1) center (1.5,1.5): outside the quad + uv_delta → absent in
+    // triangular mode output? No: u=v=1.4 > 1+2δ → not covered
+    assert(!tri.contains((1L, 1L)))
+    intercept[IllegalArgumentException] {
+      RectifyExactOps.rectify(swath, "si", "sj", "xc", "yc", "v", gm, "cubic")
+    }
+  }
 }
