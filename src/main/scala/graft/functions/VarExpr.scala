@@ -17,7 +17,10 @@ import org.apache.spark.sql.functions._
   *   or/and/not, chained comparisons (a < b < c), `in (tuple)`,
   *   `is [not] None`, bit ops | ^ & << >>, + - * / // % unary+- ~ **,
   *   calls over a whitelisted numpy-ufunc registry, names, literals,
-  *   constants nan/inf/e/pi/True/False/None.
+  *   constants nan/inf/e/pi/True/False/None, and postfix trailers
+  *   `x.attr` (struct field), `x[i]` (0-based element, negative from the
+  *   end) and `x[i:j]` (half-open slice) — the reference's Attribute/
+  *   Subscript/slice whitelist.
   *
   * NaN semantics note: numpy's `x == nan` is always False while Spark treats
   * NaN == NaN as true; like the reference's transpiler
@@ -328,7 +331,7 @@ object VarExpr {
       if (eatOp("**")) pow(base, factor()) else base
     }
 
-    private def atom(): Column = {
+    private def atom(): Column = postfix {
       next() match {
         case Num(v) =>
           if (v.exists(ch => ch == '.' || ch == 'e' || ch == 'E')) lit(v.toDouble)
@@ -367,6 +370,62 @@ object VarExpr {
               }
           }
         case t => throw new IllegalArgumentException(s"unexpected token $t")
+      }
+    }
+
+    /** Postfix trailers — the reference grammar's whitelisted `Attribute`,
+      * `Subscript` and slice nodes (varexpr.py:16-309):
+      *   x.attr   → struct-field access
+      *   x[i]     → 0-based array element (negative counts from the end,
+      *              numpy-style), via 1-based element_at underneath
+      *   x[i:j]   → half-open 0-based slice (either bound may be omitted),
+      *              via slice(); bounds must be non-negative int literals
+      */
+    private def postfix(base: Column): Column = {
+      var c = base
+      var go = true
+      while (go) peek match {
+        case Some(Op(".")) =>
+          pos += 1
+          next() match {
+            case Name(f) => c = c.getField(f)
+            case t => throw new IllegalArgumentException(s"expected field name after '.', got $t")
+          }
+        case Some(Op("[")) =>
+          pos += 1
+          c = subscript(c)
+        case _ => go = false
+      }
+      c
+    }
+
+    /** Optional non-negative int literal (slice bound). */
+    private def sliceBound(): Option[Int] = peek match {
+      case Some(Num(v)) if !v.exists(ch => ch == '.' || ch == 'e' || ch == 'E') =>
+        pos += 1; Some(v.toInt)
+      case _ => None
+    }
+
+    private def subscript(c: Column): Column = {
+      // try the slice form first: [lo? : hi?]
+      val save = pos
+      val lo = sliceBound()
+      if (eatOp(":")) {
+        val hi = sliceBound()
+        expectOp("]")
+        val start = lo.getOrElse(0)
+        hi match {
+          case Some(h) =>
+            slice(c, start + 1, math.max(0, h - start))
+          case None => // x[i:] — to the end
+            slice(c, lit(start + 1), greatest(size(c) - start, lit(0)))
+        }
+      } else {
+        pos = save
+        val idx = ternary()
+        expectOp("]")
+        // numpy 0-based (negative from the end) → element_at's 1-based
+        element_at(c, (when(idx >= 0, idx + lit(1)).otherwise(idx)).cast("int"))
       }
     }
 

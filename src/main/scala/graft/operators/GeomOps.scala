@@ -56,13 +56,18 @@ object GeomOps {
     * each feature's bbox pre-filter is codegen'd before its UDF predicate.
     * Cells covered by no feature get NaN.
     *
-    * For layers with many thousands of features prefer
-    * `rasterizeFeaturesJoin` (broadcast join + one partial-aggregated
-    * shuffle) over an arbitrarily wide expression tree.
+    * Above `ExprFormMaxFeatures` features the op switches to
+    * `rasterizeFeaturesJoin` automatically (broadcast join + one
+    * partial-aggregated shuffle) instead of growing an arbitrarily wide
+    * expression tree — callers get the scale-safe plan without having to
+    * know the threshold.
     */
   def rasterizeFeatures(cube: Cube, features: DataFrame, geomCol: String,
                         props: Seq[String]): Cube = {
-    val rows = features.select((geomCol +: props).map(col): _*).collect()
+    val rows = features.select((geomCol +: props).map(col): _*)
+      .limit(ExprFormMaxFeatures + 1).collect()
+    if (rows.length > ExprFormMaxFeatures)
+      return rasterizeFeaturesJoin(cube, features, geomCol, props)
     val df = props.zipWithIndex.foldLeft(cube.df) { case (d, (p, pi)) =>
       val branches = rows.reverseIterator.map { r =>
         val wkt = r.getString(0)
@@ -76,6 +81,13 @@ object GeomOps {
     }
     cube.copy(df = df)
   }
+
+  /** Feature-count ceiling for the expression-tree burn; larger layers take
+    * the join form. ~100 coalesce branches × bbox+predicate stays well
+    * inside codegen limits; beyond that the expression tree both bloats the
+    * plan and loses whole-stage codegen (64 KB method limit).
+    */
+  val ExprFormMaxFeatures: Int = 100
 
   /** Join-based rasterization for LARGE feature sets: broadcast spatial
     * join on the per-feature predicate, then last-feature-wins via a

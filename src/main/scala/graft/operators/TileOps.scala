@@ -44,12 +44,16 @@ object TileOps {
     out
   }
 
-  /** compute_rgba_tile colormap step (tile.py:355-763, cmaps util): linear
-    * or log vmin..vmax normalization onto a gray ramp, NaN → fully
-    * transparent. Packed ARGB ints, ready for PNG encoding.
+  /** compute_rgba_tile colormap step (tile.py:355-763 + util/cmaps.py):
+    * linear or log vmin..vmax normalization through a named colormap from
+    * the [[graft.functions.Colormaps]] registry (viridis default, like the
+    * reference's DEFAULT_CMAP_NAME); NaN → fully transparent. Packed ARGB
+    * ints, ready for PNG encoding.
     */
   def renderRgba(tile: Array[Double], vmin: Double, vmax: Double,
-                 logNorm: Boolean = false): Array[Int] =
+                 logNorm: Boolean = false,
+                 cmapName: String = "viridis"): Array[Int] = {
+    val cmap = graft.functions.Colormaps.get(cmapName)
     tile.map { v =>
       if (v.isNaN) 0
       else {
@@ -58,20 +62,22 @@ object TileOps {
             math.max(0.0, math.min(1.0,
               math.log(v / vmin) / math.log(vmax / vmin)))
           else math.max(0.0, math.min(1.0, (v - vmin) / (vmax - vmin)))
-        val g = math.round(t * 255).toInt
-        (0xff << 24) | (g << 16) | (g << 8) | g
+        cmap.argb(t)
       }
     }
+  }
 
   /** Full compute_rgba_tile tail: colormap + PNG bytes (tile.py:355-763's
     * final encode), via the JDK's ImageIO — no external codec.
     */
   def renderPng(tile: Array[Double], width: Int, height: Int,
-                vmin: Double, vmax: Double): Array[Byte] = {
+                vmin: Double, vmax: Double,
+                cmapName: String = "viridis"): Array[Byte] = {
     require(tile.length == width * height)
     val img = new java.awt.image.BufferedImage(
       width, height, java.awt.image.BufferedImage.TYPE_INT_ARGB)
-    img.setRGB(0, 0, width, height, renderRgba(tile, vmin, vmax), 0, width)
+    img.setRGB(0, 0, width, height,
+      renderRgba(tile, vmin, vmax, cmapName = cmapName), 0, width)
     val bos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", bos)
     bos.toByteArray

@@ -133,6 +133,20 @@ object CubePack extends QueryPack {
         count(lit(1)).as("n"))
     }),
 
+    // varexpr attribute/subscript/slice trailers (varexpr.py:16-309): an
+    // array band column indexed 0-based/negative/sliced plus a struct
+    // attribute, all inside one compiled expression
+    "q_evaluate_subscript" -> ((s, d) => {
+      import graft.functions.VarExpr
+      val df = eventsCube(s, d).df
+        .withColumn("bands", array(col("v"), col("v") * 2, col("v") + 100))
+        .withColumn("info", struct(col("v").as("raw"), (col("v") * 0.5).as("half")))
+      df.withColumn("chl", VarExpr.onColumns(
+          "bands[1] * 0.1 + bands[-1] + info.half + bands[0:2][1] * 0.01"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), round(sum(col("chl")), 6).as("sum_chl"))
+    }),
+
     // evaluate_dataset + varexpr (evaluate.py:16-152, varexpr.py:16-309):
     // computed var with where/log10/ternary + valid-pixel mask, skipna agg
     "q_evaluate" -> ((s, d) => {
@@ -217,6 +231,11 @@ object CubePack extends QueryPack {
                 count(cls) AS n_burned,
                 count(*) AS n
          FROM r GROUP BY event_type""",
+    "q_evaluate_subscript" ->
+      s"""WITH $cubeCte
+         SELECT event_type, count(*) AS n,
+                round(sum((v * 2) * 0.1 + (v + 100) + v * 0.5 + (v * 2) * 0.01), 6) AS sum_chl
+         FROM cube GROUP BY event_type""",
     "q_evaluate" ->
       s"""WITH $cubeCte,
          ev AS (

@@ -62,15 +62,48 @@ class ApiSpec extends AnyFunSuite {
   }
 
   test("renderRgba: gray ramp, NaN transparent") {
-    val px = TileOps.renderRgba(Array(0.0, 5.0, 10.0, Double.NaN), 0.0, 10.0)
+    val px = TileOps.renderRgba(Array(0.0, 5.0, 10.0, Double.NaN), 0.0, 10.0,
+      cmapName = "gray")
     assert(px(0) == 0xff000000)
     assert(px(1) == 0xff7f7f7f || px(1) == 0xff808080)
     assert(px(2) == 0xffffffff)
     assert(px(3) == 0)
   }
 
+  test("colormap families: exact RGBA at stops, reversal, alpha, categorical") {
+    import graft.functions.Colormaps
+    val v = Colormaps.get("viridis")
+    assert(v.argb(0.0) == 0xff440154)          // anchor colors exact
+    assert(v.argb(1.0) == 0xfffde725)
+    assert(v.argb(0.5) == 0xff21918c)
+    // midpoint between anchors 0 and 0.25 lerps channel-wise
+    val mid = v.argb(0.125)
+    def ch(c: Int, s: Int) = (c >> s) & 0xff
+    assert(ch(mid, 16) == math.round((0x44 + 0x3b) / 2.0).toInt)
+    assert(Colormaps.get("plasma").argb(0.0) == 0xff0d0887)
+    assert(Colormaps.get("inferno").argb(1.0) == 0xfffcffa4)
+    assert(Colormaps.get("magma").argb(0.0) == 0xff000004)
+    // reversed variant mirrors the ends
+    assert(Colormaps.get("viridis_r").argb(0.0) == 0xfffde725)
+    assert(Colormaps.get("viridis_r").argb(1.0) == 0xff440154)
+    // alpha ramp fades small values, keeps large opaque
+    assert((Colormaps.get("viridis_alpha").argb(0.0) >>> 24) == 0)
+    assert((Colormaps.get("viridis_alpha").argb(1.0) >>> 24) == 0xff)
+    // categorical picks bins without interpolation
+    val t = Colormaps.get("tab10")
+    assert(t.argb(0.0) == 0xff1f77b4)
+    assert(t.argb(0.05) == 0xff1f77b4)
+    assert(t.argb(0.15) == 0xffff7f0e)
+    assert(t.argb(1.0) == 0xff17becf)
+    // NaN transparent; unknown name falls back to the default family
+    assert(t.argb(Double.NaN) == 0)
+    assert(Colormaps.get("no_such_map").name == "viridis")
+    assert(Colormaps.names.contains("RdBu_r"))
+  }
+
   test("renderPng produces a decodable PNG with transparency") {
-    val png = TileOps.renderPng(Array(0.0, 10.0, Double.NaN, 5.0), 2, 2, 0.0, 10.0)
+    val png = TileOps.renderPng(Array(0.0, 10.0, Double.NaN, 5.0), 2, 2, 0.0, 10.0,
+      cmapName = "gray")
     assert(png.take(4).toSeq == Seq(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte))
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
     assert(img.getWidth == 2 && img.getHeight == 2)

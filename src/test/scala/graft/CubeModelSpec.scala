@@ -138,6 +138,27 @@ class CubeModelSpec extends AnyFunSuite {
     assert(eval("isnan(1 + nan)") == true)
   }
 
+  test("VarExpr attribute/subscript/slice trailers (varexpr.py:16-309)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{array, col, lit, struct}
+    val df = Seq((2.0, 5.0)).toDF("a", "b")
+      .withColumn("bands", array(col("a"), col("b"), col("a") + col("b")))
+      .withColumn("info", struct(col("a").as("raw"), (col("a") * 10).as("x10")))
+    def eval(e: String): Any =
+      df.select(VarExpr.onColumns(e).as("r")).collect().map(_.get(0)).toSeq.head
+    assert(eval("bands[0]") == 2.0)              // 0-based
+    assert(eval("bands[2]") == 7.0)
+    assert(eval("bands[-1]") == 7.0)             // negative from the end
+    assert(eval("bands[1 + 1]") == 7.0)          // computed index
+    assert(eval("info.raw") == 2.0)              // attribute access
+    assert(eval("info.x10 + bands[1]") == 25.0)
+    assert(eval("bands[0:2][1]") == 5.0)         // half-open slice, chained
+    assert(eval("bands[1:][0]") == 5.0)          // open upper bound
+    assert(eval("bands[:2][0]") == 2.0)          // open lower bound
+    assert(eval("sqrt(bands[2] + 2)") == 3.0)    // trailer inside a call
+    intercept[Exception](eval("bands[0."))       // malformed trailer rejected
+  }
+
   test("geometry predicate covers boundary and interior") {
     import spark.implicits._
     val wkt = "POLYGON ((0 0, 10 0, 0 10, 0 0))"

@@ -70,4 +70,30 @@ class GeomOpsSpec extends AnyFunSuite {
       assert(va == vb || (va.isNaN && vb.isNaN), s"cell $k: $va vs $vb")
     }
   }
+
+  test("rasterizeFeatures auto-switches to the join form above the threshold") {
+    import spark.implicits._
+    // 150 unit-square features (> ExprFormMaxFeatures) tiling j rows; the
+    // op must route to the join plan (visible as an aggregate node) and
+    // still burn the right values
+    val many = (0 until 150).map { k =>
+      val (i, j) = (k % 10, k / 10)
+      (s"POLYGON (($i $j, ${i + 1} $j, ${i + 1} ${j + 1}, $i ${j + 1}, $i $j))",
+        k.toDouble)
+    }.toDF("geometry", "cls")
+    assert(many.count() > GeomOps.ExprFormMaxFeatures)
+    val burned = GeomOps.rasterizeFeatures(grid(), many, "geometry", Seq("cls"))
+    val plan = burned.df.queryExecution.optimizedPlan.toString
+    assert(plan.contains("Aggregate"), s"expected the join+aggregate plan:\n$plan")
+    val vals = burned.df.select("x", "y", "cls").collect()
+      .map(r => (r.getDouble(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    // cell (2.5, 3.5) lies in feature k = 3*10+2 = 32's square... but its
+    // corners touch 4 squares; covers() includes boundaries and the LAST
+    // feature wins, so the winner is the max feature id covering the center.
+    // Centers are interior to exactly one unit square: k = j*10 + i.
+    assert(vals((2.5, 3.5)) == 32.0)
+    assert(vals((9.5, 9.5)) == 99.0)
+    // features only cover j<15 rows of a 10-row grid → all cells burned
+    assert(vals.values.forall(!_.isNaN))
+  }
 }

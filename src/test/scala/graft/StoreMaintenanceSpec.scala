@@ -113,4 +113,38 @@ class StoreMaintenanceSpec extends AnyFunSuite {
     val expected = li.join(o, li("l_orderkey") === o("o_orderkey")).count()
     assert(joined.count() == expected)
   }
+
+  test("store protocols: file:// parity with plain paths; s3a:// URIs reach Hadoop FS") {
+    import graft.sources.FsDataStore
+    import spark.implicits._
+    val root = "/root/repo/target/store_proto_test"
+    val viaUri = new FsDataStore(spark, s"file://$root")
+    val viaPath = new FsDataStore(spark, root)
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+    viaUri.write("proto_demo.parquet", df, mode = "overwrite")
+    // the same data is visible through both addressing forms
+    assert(viaUri.listDataIds().contains("proto_demo.parquet"))
+    assert(viaPath.listDataIds().contains("proto_demo.parquet"))
+    assert(viaPath.open("proto_demo.parquet").count() == 2)
+    assert(viaUri.open("proto_demo.parquet").count() == 2)
+
+    // s3a:// routes through the same Hadoop-FS resolution (plugin.py:82-89's
+    // protocol matrix). Without the optional hadoop-aws connector on the
+    // classpath (and offline), the failure must be the connector lookup —
+    // i.e. our store passed the URI through — not a path-handling bug.
+    val s3 = new FsDataStore(spark, "s3a://graft-test-bucket/cubes")
+    val outcome = try { s3.listDataIds(); Right(()) } catch {
+      case e: Throwable => Left(e)
+    }
+    outcome match {
+      case Right(_) => // connector present and reachable — fine
+      case Left(e) =>
+        val chain = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+          .map(x => x.getClass.getName + ": " + Option(x.getMessage).getOrElse(""))
+          .mkString(" <- ")
+        assert(chain.contains("S3A") || chain.contains("s3a") ||
+          chain.contains("ClassNotFound") || chain.contains("No FileSystem"),
+          s"s3a failed before reaching Hadoop FS resolution: $chain")
+    }
+  }
 }
