@@ -23,10 +23,13 @@ object IvfOps {
     * row with its cell id.
     */
   def build(corpus: DataFrame, idCol: String, embCol: String,
-            nCells: Int, seed: Long = 42L): IvfIndex = {
+            nCells: Int, seed: Long = 42L, maxIter: Int = 5): IvfIndex = {
     val withVec = corpus.withColumn("__vec",
       array_to_vector(col(embCol).cast("array<double>")))
-    val model = new KMeans().setK(nCells).setSeed(seed)
+    // few iterations suffice: the coarse quantizer only needs a reasonable
+    // partition of the corpus — recall comes from nProbe, not from a
+    // converged codebook (the standard IVF trade-off)
+    val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(maxIter)
       .setFeaturesCol("__vec").setPredictionCol("__cell")
       .fit(withVec)
     val assigned = model.transform(withVec).drop("__vec")
