@@ -36,6 +36,25 @@ object IvfOps {
     IvfIndex(assigned, model.clusterCenters.map(_.toArray))
   }
 
+  /** Persist an index: the assigned corpus as parquet plus the (tiny)
+    * centroid table. An IVF index is built once and served many times —
+    * persistence is part of the operator's contract, not an optimization.
+    */
+  def save(index: IvfIndex, path: String): Unit = {
+    index.assigned.write.mode("overwrite").parquet(s"$path/assigned")
+    val spark = index.assigned.sparkSession
+    import spark.implicits._
+    index.centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+      .toSeq.toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex = {
+    val cents = spark.read.parquet(s"$path/centroids").orderBy("cell")
+      .collect().map(_.getSeq[Double](1).toArray)
+    IvfIndex(spark.read.parquet(s"$path/assigned"), cents)
+  }
+
   private def cosine(a: Array[Double], b: Array[Double]): Double = {
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0

@@ -96,18 +96,27 @@ object TextOps {
                     shingleN: Int): DataFrame =
     // repartition first: corpus files often arrive as few coarse splits
     // (one parquet file = one input partition), which would serialize the
-    // per-row higher-order-function work onto one core; the hash shuffle
-    // also makes this stage reusable (AQE stage reuse) when the downstream
-    // LSH self-join reads it from both sides.
+    // per-row higher-order-function work onto one core. The partition count
+    // is EXPLICIT on purpose: AQE sizes coalescing by shuffle BYTES, and a
+    // small-bytes/high-CPU stage (shingling is interpreted HOF work) would
+    // be coalesced back onto one core; an explicit count opts this exchange
+    // out of AQE coalescing.
     // Then two-step projection on purpose: `w` must be a materialized
     // attribute before the per-element shingle transform reads it (see
     // shingles doc); CollapseProject keeps them separate because `w` is
     // expensive and multiply-referenced.
-    df.repartition(col(docCol))
+    // the short-doc filter tests the TOKEN COUNT, not size(sh) > 0, although
+    // they are equivalent (a doc yields shingles iff it has >= n tokens):
+    // a filter on `sh` would be pushed down into the scan with the whole
+    // shingle expression INLINED — split(text) re-evaluated per lambda
+    // element, O(tokens²) per doc on the unparallelized input (measured as
+    // ~60% of the whole near-dup query). The token-count form pushes down
+    // as one cheap split per row.
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism, col(docCol))
       .select(col(docCol), tokens(col(textCol)).as("w"))
+      .filter(size(col("w")) >= shingleN)
       .select(col(docCol),
         array_distinct(shinglesOf(col("w"), shingleN)).as("sh"))
-      .filter(size(col("sh")) > 0)
 
   /** MinHash signature array (`numPerms` longs) per doc, computed entirely
     * WITHIN the doc row — no (shingle × perm) explode, no groupBy shuffle:

