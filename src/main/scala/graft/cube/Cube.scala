@@ -114,6 +114,14 @@ object Cube {
     */
   def fromDataFrame(df: DataFrame, timeCol: String = "time",
                     yCol: String = "y", xCol: String = "x"): Cube = {
+    // guard rail: nothing stops a caller pointing this at a 100 TB table,
+    // where the two countDistincts below are an expensive full-expand
+    // aggregation — surface it instead of silently eating the cluster
+    org.slf4j.LoggerFactory.getLogger(getClass).warn(
+      "Cube.fromDataFrame(df) runs an EAGER coordinate aggregation with two " +
+        "countDistincts to infer the grid; on large tables prefer " +
+        "Cube(df, gm) with a recorded GridMapping or the known-resolution " +
+        "fromDataFrame(df, xRes, yRes, ...) overload")
     // cast to double so FloatType coords (accepted by verify) don't make
     // the min/max aggregates FloatType and break getDouble
     val row = df.agg(

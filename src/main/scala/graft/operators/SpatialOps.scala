@@ -54,7 +54,10 @@ object SpatialOps {
       math.abs(a.xMin - b.xMin) < tol && math.abs(a.yMin - b.yMin) < tol &&
       math.abs(a.xRes - b.xRes) < tol && math.abs(a.yRes - b.yRes) < tol
 
-  /** Closed-form coordinate transform between the supported CRS pairs. */
+  /** Closed-form coordinate transform between the supported CRS pairs:
+    * geographic ↔ web-mercator (EPSG:3857) and geographic ↔ any UTM zone
+    * (EPSG:326xx/327xx, the transverse-mercator series in [[UtmOps]]).
+    */
   private def transformCols(crsFrom: String, crsTo: String,
                             x: Column, y: Column): (Column, Column) =
     if (sameCrs(crsFrom, crsTo)) (x, y)
@@ -62,8 +65,15 @@ object SpatialOps {
       (ReprojectOps.lonToMercX(x), ReprojectOps.latToMercY(y))
     else if (crsFrom == "EPSG:3857" && isGeographic(crsTo))
       (ReprojectOps.mercXToLon(x), ReprojectOps.mercYToLat(y))
-    else throw new IllegalArgumentException(
-      s"unsupported CRS pair $crsFrom -> $crsTo (v0 supports geographic <-> EPSG:3857)")
+    else (UtmOps.zoneForCrs(crsTo), UtmOps.zoneForCrs(crsFrom)) match {
+      case (Some(z), _) if isGeographic(crsFrom) => UtmOps.forward(x, y, z)
+      case (_, Some(z)) if isGeographic(crsTo) =>
+        val (lon, lat) = UtmOps.inverse(x, y, z)
+        (lon, lat)
+      case _ => throw new IllegalArgumentException(
+        s"unsupported CRS pair $crsFrom -> $crsTo " +
+          "(v0 supports geographic <-> EPSG:3857 and geographic <-> UTM EPSG:326xx/327xx)")
+    }
 
   /** Resample `src` onto the regular grid `tgtGm`.
     *
@@ -149,7 +159,10 @@ object SpatialOps {
         xRes * sx, yRes * sx, tgtGm.crs), tgtGm, vars, splineOrder, aggregator, tiebreak)
   }
 
-  /** Bbox of a grid after transforming to `crsTo` (driver-side planning). */
+  /** Bbox of a grid after transforming to `crsTo` (driver-side planning):
+    * the min/max of the four transformed corners — exact for the conformal
+    * cylindrical pair, a close planning estimate for transverse mercator.
+    */
   def transformedBbox(gm: GridMapping, crsTo: String): (Double, Double, Double, Double) =
     if (sameCrs(gm.crs, crsTo)) gm.xyBbox
     else if (isGeographic(gm.crs) && crsTo == "EPSG:3857")
@@ -159,13 +172,32 @@ object SpatialOps {
       def lat(y: Double) = math.toDegrees(
         2.0 * math.atan(math.exp(y / ReprojectOps.EarthRadius)) - math.Pi / 2)
       (lon(gm.xMin), lat(gm.yMin), lon(gm.xMax), lat(gm.yMax))
-    } else throw new IllegalArgumentException(s"unsupported CRS pair ${gm.crs} -> $crsTo")
+    } else {
+      val f: (Double, Double) => (Double, Double) =
+        (UtmOps.zoneForCrs(crsTo), UtmOps.zoneForCrs(gm.crs)) match {
+          case (Some(z), _) if isGeographic(gm.crs) =>
+            (x, y) => UtmOps.forwardScalar(x, y, z)
+          case (_, Some(z)) if isGeographic(crsTo) =>
+            (x, y) => UtmOps.inverseScalar(x, y, z)
+          case _ => throw new IllegalArgumentException(
+            s"unsupported CRS pair ${gm.crs} -> $crsTo")
+        }
+      val corners = Seq(
+        f(gm.xMin, gm.yMin), f(gm.xMin, gm.yMax),
+        f(gm.xMax, gm.yMin), f(gm.xMax, gm.yMax))
+      (corners.map(_._1).min, corners.map(_._2).min,
+       corners.map(_._1).max, corners.map(_._2).max)
+    }
 
   /** Mean linear scale of the supported transforms (for res estimates). */
-  private def scaleFactor(crsFrom: String, crsTo: String): Double =
-    if (isGeographic(crsFrom) && crsTo == "EPSG:3857")
-      ReprojectOps.EarthRadius * math.Pi / 180.0
-    else if (crsFrom == "EPSG:3857" && isGeographic(crsTo))
-      180.0 / (ReprojectOps.EarthRadius * math.Pi)
+  private def scaleFactor(crsFrom: String, crsTo: String): Double = {
+    val degToMeters = ReprojectOps.EarthRadius * math.Pi / 180.0
+    if (isGeographic(crsFrom) && crsTo == "EPSG:3857") degToMeters
+    else if (crsFrom == "EPSG:3857" && isGeographic(crsTo)) 1.0 / degToMeters
+    else if (isGeographic(crsFrom) && UtmOps.zoneForCrs(crsTo).isDefined)
+      degToMeters * UtmOps.K0
+    else if (UtmOps.zoneForCrs(crsFrom).isDefined && isGeographic(crsTo))
+      1.0 / (degToMeters * UtmOps.K0)
     else 1.0
+  }
 }

@@ -2,7 +2,7 @@ package graft.ops
 
 import graft.{GraftSession, QueryPack}
 import graft.cube.GridMapping
-import graft.operators.{AffineOps, RectifyExactOps, RectifyOps, ReprojectOps, SpatialOps}
+import graft.operators.{AffineOps, RectifyExactOps, RectifyOps, ReprojectOps, SpatialOps, UtmOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -110,6 +110,19 @@ object ResamplePack extends QueryPack {
       out.select(col("i"), col("j"), round(col("v"), 6).as("v"))
     }),
 
+    // dispatcher UTM route: regular geographic source (a 3.6°×2° window of
+    // zone 32) → regular UTM EPSG:32632 target via the closed-form
+    // transverse-mercator series; lands in downscale-then-rectify like any
+    // different-CRS request
+    "q_resample_space_utm" -> ((s, d) => {
+      val geoGm = GridMapping(360, 100, 6.0, 44.0, 0.01, 0.02, crs = "CRS84")
+      val utmGm = GridMapping(80, 60, 250000.0, 4860000.0, 4000.0, 4000.0,
+        crs = "EPSG:32632")
+      val out = SpatialOps.resampleInSpace(
+        SpatialOps.RegularSource(srcCells(s, d), geoGm), utmGm, Seq("v"))
+      out.select(col("i"), col("j"), round(col("v"), 6).as("v"))
+    }),
+
     // exact triangle-containment rectification (rectify.py:469-588,743-817):
     // quadratically warped swath onto a unit grid, triangular interpolation,
     // first-quad-wins — the oracle reproduces the barycentric arithmetic
@@ -158,6 +171,47 @@ object ResamplePack extends QueryPack {
          FROM b
          WHERE ax >= -20037600.0 AND ax < 20037600.0
            AND ay >= -5621600.0 AND ay < 5621600.0""",
+    "q_resample_space_utm" -> {
+      // the SAME Scala doubles the Column expression embeds, interpolated
+      // into the SQL so both engines share every series constant bit-for-bit
+      import UtmOps.{A => UA, E2, Ep2, K0, M0, M2, M4, M6}
+      s"""WITH $cellsCte,
+         g AS (SELECT 6.0 + (i + 0.5) * 0.01 AS lon,
+                      44.0 + (j + 0.5) * 0.02 AS lat, v
+               FROM cells),
+         t1 AS (SELECT radians(lat) AS phi, radians(lon - 9.0) AS lam, v FROM g),
+         t2 AS (SELECT phi, lam, sin(phi) AS sinphi, cos(phi) AS cosphi,
+                       tan(phi) AS tanphi, v
+                FROM t1),
+         t3 AS (SELECT phi, lam, sinphi, cosphi, tanphi, v,
+                       $UA / sqrt(1.0 - $E2 * sinphi * sinphi) AS n,
+                       tanphi * tanphi AS t,
+                       $Ep2 * cosphi * cosphi AS c,
+                       lam * cosphi AS a1,
+                       $UA * ($M0 * phi - $M2 * sin(2.0 * phi)
+                              + $M4 * sin(4.0 * phi) - $M6 * sin(6.0 * phi)) AS m
+                FROM t2),
+         t4 AS (SELECT v,
+                       $K0 * n * (a1 + (1.0 - t + c) * (a1 * a1 * a1) / 6.0
+                         + (5.0 - 18.0 * t + t * t + 72.0 * c - 58.0 * $Ep2)
+                           * ((a1 * a1) * (a1 * a1) * a1) / 120.0) + 500000.0 AS tx,
+                       $K0 * (m + n * tanphi * ((a1 * a1) / 2.0
+                         + (5.0 - t + 9.0 * c + 4.0 * c * c)
+                           * ((a1 * a1) * (a1 * a1)) / 24.0
+                         + (61.0 - 58.0 * t + t * t + 600.0 * c - 330.0 * $Ep2)
+                           * ((a1 * a1) * (a1 * a1) * (a1 * a1)) / 720.0)) + 0.0 AS ty
+                FROM t3),
+         b AS (SELECT floor((tx - 250000.0) / 4000.0)::BIGINT AS bi,
+                      floor((ty - 4860000.0) / 4000.0)::BIGINT AS bj,
+                      avg(tx) AS ax, avg(ty) AS ay, avg(v) AS v
+               FROM t4 GROUP BY bi, bj)
+         SELECT floor((ax - 250000.0) / 4000.0)::BIGINT AS i,
+                floor((ay - 4860000.0) / 4000.0)::BIGINT AS j,
+                round(v, 6) AS v
+         FROM b
+         WHERE ax >= 250000.0 AND ax < 570000.0
+           AND ay >= 4860000.0 AND ay < 5100000.0"""
+    },
     "q_rectify_triangular" ->
       s"""WITH $cellsCte,
          sw AS (SELECT i AS si, j AS sj,

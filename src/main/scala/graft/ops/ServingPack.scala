@@ -3,7 +3,7 @@ package graft.ops
 import graft.{Fixtures, GraftSession, QueryPack}
 import graft.cube.{Cube, TilingScheme}
 import graft.functions.GeomFunctions
-import graft.operators.{ExtractOps, IvfOps, MaintenanceOps, TileOps, VolumeOps}
+import graft.operators.{CoverageOps, ExtractOps, IvfOps, MaintenanceOps, TileOps, VolumeOps}
 import graft.sources.{GeoJsonSource, MemoryDataStore}
 import graft.streaming.TimeSliceOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -189,6 +189,18 @@ object ServingPack extends QueryPack {
       store.open("mem_events_agg")
     }),
 
+    // OWS coverage request composition (controllers.py:54-178): variable
+    // subset + bbox + datetime + scale-factor 4 downscale in one plan
+    "q_coverage" -> ((s, d) => {
+      val out = CoverageOps.getCoverageData(CubePack.eventsCube(s, d),
+        CoverageOps.CoverageRequest(
+          properties = Some(Seq("v")),
+          bbox = Some((20.0, 10.0, 180.0, 70.0)),
+          datetime = Some(("2024-01-03", "2024-01-10")),
+          scaleFactor = Some(4.0)))
+      out.df.select(col("time"), col("y"), col("x"), round(col("v"), 6).as("v"))
+    }),
+
     // coordinate monotonicity normalization (normalize.py:45-88): a 0..360
     // longitude axis mapped onto ±180, summarized per hemisphere.
     "q_lon360" -> ((s, d) => {
@@ -313,6 +325,17 @@ object ServingPack extends QueryPack {
     "q_memory_store" ->
       """SELECT event_type, count(*) AS n, round(sum(value), 6) AS sum_value
          FROM events GROUP BY event_type""",
+    "q_coverage" ->
+      s"""WITH ${CubePack.cubeCte},
+         sub AS (SELECT time, y, x, v FROM cube
+                 WHERE x BETWEEN 20.0 AND 180.0 AND y BETWEEN 10.0 AND 70.0
+                   AND time >= TIMESTAMP '2024-01-03'
+                   AND time < TIMESTAMP '2024-01-10' + INTERVAL 1 DAY),
+         blk AS (SELECT time, floor(y)::BIGINT // 4 AS bj, floor(x)::BIGINT // 4 AS bi,
+                        round(avg(v), 6) AS v
+                 FROM sub GROUP BY time, bj, bi)
+         SELECT time, 0.0 + (bj + 0.5) * 4.0 AS y, 0.0 + (bi + 0.5) * 4.0 AS x, v
+         FROM blk""",
     "q_lon360" ->
       s"""WITH ${CubePack.cubeCte},
          l AS (SELECT CASE WHEN x > 180.0 THEN x - 360.0 ELSE x END AS lon, v

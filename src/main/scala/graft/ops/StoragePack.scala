@@ -70,7 +70,11 @@ object StoragePack extends QueryPack {
     }),
 
     // DataStore catalog: list the store's data ids and open each
-    // (format-inferred) for a row count
+    // (format-inferred) for a row count.
+    // NOTE: the driver-side loop-and-union plan is right for this 10-table
+    // catalog but quadratic-plan-smelling for a 10k-table one — a huge
+    // catalog should hold table STATS in a metastore table and query that,
+    // not re-scan every member dataset.
     "q_store_catalog" -> ((s, d) => {
       val store = new FsDataStore(s, d)
       store.listDataIds().map { id =>

@@ -172,4 +172,57 @@ class ResampleSpec extends AnyFunSuite {
       RectifyExactOps.rectify(swath, "si", "sj", "xc", "yc", "v", gm, "cubic")
     }
   }
+
+  test("UTM transverse mercator: public anchors, round-trips, dispatcher route") {
+    import graft.operators.UtmOps
+    import graft.operators.UtmOps.UtmZone
+    val z32 = UtmZone(32, north = true)
+    // central meridian (lon 9°) → false easting exactly; equator → N = 0
+    val (e0, n0) = UtmOps.forwardScalar(9.0, 0.0, z32)
+    assert(math.abs(e0 - 500000.0) < 1e-6 && math.abs(n0) < 1e-6)
+    // well-known zone-edge easting at the equator: ~166,021.44 m (lon 6°)
+    val (eEdge, _) = UtmOps.forwardScalar(6.0, 0.0, z32)
+    assert(math.abs(eEdge - 166021.44) < 1.0, s"edge easting $eEdge")
+    // northing on the central meridian at 45° = k0 × meridian arc
+    // (WGS84 arc to 45° = 4,984,944.38 m → 4,982,950.40 m)
+    val (_, n45) = UtmOps.forwardScalar(9.0, 45.0, z32)
+    assert(math.abs(n45 - 4982950.40) < 1.0, s"45N northing $n45")
+    // forward → inverse round-trips to sub-millimeter in degrees, both
+    // hemispheres, off-meridian
+    for ((lon, lat, z) <- Seq(
+        (7.8509, 47.9941, z32), (11.9, 44.2, z32),
+        (13.5, -8.8, UtmZone(33, north = false)))) {
+      val (e, n) = UtmOps.forwardScalar(lon, lat, z)
+      val (lon2, lat2) = UtmOps.inverseScalar(e, n, z)
+      assert(math.abs(lon2 - lon) < 1e-8 && math.abs(lat2 - lat) < 1e-8,
+        s"round-trip ($lon,$lat) -> ($e,$n) -> ($lon2,$lat2)")
+      if (z.north) assert(n > 0 && n < 10000000)
+    }
+    // EPSG parsing
+    assert(UtmOps.zoneForCrs("EPSG:32632").contains(z32))
+    assert(UtmOps.zoneForCrs("EPSG:32733").contains(UtmZone(33, north = false)))
+    assert(UtmOps.zoneForCrs("EPSG:3857").isEmpty)
+    assert(UtmOps.zoneForLonLat(7.85, 47.99) == z32)
+
+    // column form agrees with the scalar form
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq((7.8509, 47.9941)).toDF("lon", "lat")
+    val (ec, nc) = UtmOps.forward(col("lon"), col("lat"), z32)
+    val row = df.select(ec.as("e"), nc.as("n")).head()
+    val (eS, nS) = UtmOps.forwardScalar(7.8509, 47.9941, z32)
+    assert(math.abs(row.getDouble(0) - eS) < 1e-6)
+    assert(math.abs(row.getDouble(1) - nS) < 1e-6)
+
+    // dispatcher routes a geographic grid onto a UTM target without error
+    import graft.operators.SpatialOps
+    import graft.operators.SpatialOps.RegularSource
+    val cells = (0 until 16).map(k => (k.toLong % 4, k.toLong / 4, k.toDouble))
+      .toDF("i", "j", "v")
+    val geo = GridMapping(4, 4, 8.0, 44.0, 0.5, 0.5, crs = "CRS84")
+    val utm = GridMapping(2, 2, 420000.0, 4870000.0, 90000.0, 120000.0,
+      crs = "EPSG:32632")
+    val out = SpatialOps.resampleInSpace(RegularSource(cells, geo), utm, Seq("v"))
+    assert(out.count() > 0)
+  }
 }
