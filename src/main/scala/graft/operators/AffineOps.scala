@@ -50,6 +50,48 @@ object AffineOps {
     }.drop("i", "j", "si", "sj")
   }
 
+  /** Bicubic resample (spline order 3): 16-neighbor cubic-convolution
+    * (Catmull-Rom kernel, a = −0.5 — the standard imaging "cubic"; scipy's
+    * order-3 B-spline differs by its prefilter, documented trade-off).
+    * Weights renormalize over present neighbors like the bilinear path.
+    * Same shape as bilinear: a bounded 16× corner explode, one equi-join on
+    * the source cell key, one map-side-combined groupBy.
+    */
+  def resampleBicubic(srcCells: DataFrame, srcGm: GridMapping,
+                      tgtGm: GridMapping, vars: Seq[String]): DataFrame = {
+    val spark = srcCells.sparkSession
+    def kernel(d: Column): Column = {
+      val ad = abs(d)
+      when(ad <= 1.0, (lit(1.5) * ad - lit(2.5)) * ad * ad + lit(1.0))
+        .when(ad < 2.0, ((lit(-0.5) * ad + lit(2.5)) * ad - lit(4.0)) * ad + lit(2.0))
+        .otherwise(lit(0.0))
+    }
+    val fi = (col("x") - lit(srcGm.xMin)) / lit(srcGm.xRes) - lit(0.5)
+    val fj = (col("y") - lit(srcGm.yMin)) / lit(srcGm.yRes) - lit(0.5)
+    val tgt = targetCells(spark, tgtGm)
+      .withColumn("i0", floor(fi).cast("long"))
+      .withColumn("j0", floor(fj).cast("long"))
+      .withColumn("fx", fi - floor(fi))
+      .withColumn("fy", fj - floor(fj))
+    val offs = array((-1L to 2L).map(lit): _*)
+    val corners = tgt
+      .withColumn("di", explode(offs))
+      .withColumn("dj", explode(offs))
+      .withColumn("w",
+        kernel(col("di").cast("double") - col("fx")) *
+          kernel(col("dj").cast("double") - col("fy")))
+      .withColumn("si", col("i0") + col("di"))
+      .withColumn("sj", col("j0") + col("dj"))
+    val joined = corners.join(srcCells,
+      col("si") === srcCells("i") && col("sj") === srcCells("j"), "inner")
+    val aggs = vars.map(v =>
+      (sum(col("w") * col(v).cast("double")) / sum(col("w"))).as(v))
+    joined.groupBy(col("tgt_i"), col("tgt_j"))
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("x", tgtGm.xExpr(col("tgt_i")))
+      .withColumn("y", tgtGm.yExpr(col("tgt_j")))
+  }
+
   /** Bilinear resample: 4-neighbor weighted average, weights renormalized
     * over the neighbors present (NaN only when all 4 are missing).
     */

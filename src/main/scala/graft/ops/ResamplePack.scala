@@ -41,6 +41,16 @@ object ResamplePack extends QueryPack {
           round(sum(col("v").cast("decimal(28,10)")), 6).cast("double").as("sum_v"))
     }),
 
+    // bicubic (spline order 3, cubic-convolution): at this grid alignment
+    // fx = fy = 0.5 everywhere, so the kernel weights are the exact dyadic
+    // rationals ±1/16, 9/16 — the oracle hardcodes them
+    "q_affine_bicubic" -> ((s, d) => {
+      AffineOps.resampleBicubic(srcCells(s, d), CubePack.gm, tgtGm, Seq("v"))
+        .groupBy("tgt_j")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("v").cast("decimal(28,10)")), 6).cast("double").as("sum_v"))
+    }),
+
     // closed-form geographic → web-mercator reprojection; avg (not sum) so
     // libm ulp differences stay far inside the rounding margin
     "q_reproject_mercator" -> ((s, d) => {
@@ -300,6 +310,29 @@ object ResamplePack extends QueryPack {
            CROSS JOIN (VALUES (0, 0), (1, 0), (0, 1), (1, 1)) AS o(di, dj)
            JOIN cells c ON c.i = 4 * tgt.tgt_i + 1 + o.di
                        AND c.j = 4 * tgt.tgt_j + 1 + o.dj
+           GROUP BY tgt.tgt_i, tgt.tgt_j)
+         SELECT tgt_j, count(*) AS n,
+                round(sum(v::DECIMAL(28,10)), 6)::DOUBLE AS sum_v
+         FROM interp GROUP BY tgt_j""",
+    "q_affine_bicubic" ->
+      """WITH cells AS (
+           SELECT floor(CAST(event_id % 360 AS DOUBLE) + 0.5)::BIGINT AS i,
+                  floor(CAST(user_id % 100 AS DOUBLE) + 0.5)::BIGINT AS j,
+                  round(avg(value), 6) AS v
+           FROM events GROUP BY i, j),
+         tgt AS (SELECT ti.tgt_i, tj.tgt_j
+                 FROM (SELECT unnest(range(0, 90)) AS tgt_i) ti
+                 CROSS JOIN (SELECT unnest(range(0, 25)) AS tgt_j) tj),
+         interp AS (
+           SELECT tgt.tgt_i, tgt.tgt_j,
+                  sum(ox.wx * oy.wy * c.v) / sum(ox.wx * oy.wy) AS v
+           FROM tgt
+           CROSS JOIN (VALUES (-1, -0.0625), (0, 0.5625),
+                              (1, 0.5625), (2, -0.0625)) AS ox(di, wx)
+           CROSS JOIN (VALUES (-1, -0.0625), (0, 0.5625),
+                              (1, 0.5625), (2, -0.0625)) AS oy(dj, wy)
+           JOIN cells c ON c.i = 4 * tgt.tgt_i + 1 + ox.di
+                       AND c.j = 4 * tgt.tgt_j + 1 + oy.dj
            GROUP BY tgt.tgt_i, tgt.tgt_j)
          SELECT tgt_j, count(*) AS n,
                 round(sum(v::DECIMAL(28,10)), 6)::DOUBLE AS sum_v

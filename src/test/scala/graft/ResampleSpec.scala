@@ -94,6 +94,25 @@ class ResampleSpec extends AnyFunSuite {
     assert(out((1L, 0L)) == 3.0)
   }
 
+  test("bicubic reproduces linear fields exactly and renormalizes at borders") {
+    import spark.implicits._
+    val src = GridMapping(8, 8, 0.0, 0.0, 1.0, 1.0)
+    // v linear in (i, j): cubic convolution must reproduce it exactly
+    val cells = (for (j <- 0 until 8; i <- 0 until 8)
+      yield (i.toLong, j.toLong, i + 10.0 * j)).toDF("i", "j", "v")
+    // interior target center at (3.75, 4.25) → fi = 3.25, fj = 3.75
+    val tgt = GridMapping(1, 1, 3.25, 3.75, 1.0, 1.0)
+    val v = AffineOps.resampleBicubic(cells, src, tgt, Seq("v"))
+      .select("v").head().getDouble(0)
+    // exact linear value at the sample point: fi + 10*fj
+    assert(math.abs(v - (3.25 + 10.0 * 3.75)) < 1e-9, s"got $v")
+    // border target (outside kernel support partially) still renormalizes
+    val tgtB = GridMapping(1, 1, -0.4, -0.4, 1.0, 1.0) // center (0.1, 0.1)
+    val vb = AffineOps.resampleBicubic(cells, src, tgtB, Seq("v"))
+      .select("v").head().getDouble(0)
+    assert(!vb.isNaN)
+  }
+
   test("dispatcher: no-op, affine, aggregator-downsample, and CRS routes (spatial.py:28-261)") {
     import spark.implicits._
     import graft.operators.SpatialOps
