@@ -95,9 +95,14 @@ object SpatialOps {
       val downsample = tgtGm.xRes > gm.xRes * (1.0 / ScaleLimit)
       (aggregator, downsample) match {
         case (Some(fn), true) =>
-          // 2b: block aggregation of source cells into their target cell
+          // 2b: block aggregation of source cells into their target cell.
+          // mean sums in DECIMAL: double summation order varies run-to-run
+          // (and engine-to-engine), and a mean landing exactly on a rounding
+          // midpoint flips the 6-decimal checksum — decimal adds are
+          // associative, so the result is order-exact (repo convention).
           val agg: Column => Column = fn match {
-            case "mean" => avg
+            case "mean" => c =>
+              sum(c.cast("decimal(28,12)")).cast("double") / count(lit(1))
             case "min"  => c => min(c)
             case "max"  => c => max(c)
             case other  => throw new IllegalArgumentException(s"aggregator: $other")
@@ -138,9 +143,12 @@ object SpatialOps {
       else {
         // 2d: finer source — downscale onto the target resolution first
         // (block mean of coords AND values, the nanmean default), then
-        // rectify the ≤1-sample-per-cell result
+        // rectify the ≤1-sample-per-cell result. Coordinate means stay
+        // double (they only feed floor-binning, ulp-tolerant); VALUE means
+        // sum in DECIMAL for order-exactness (see 2b).
         val aggs = (avg(col(xc)).as(xc) +: avg(col(yc)).as(yc) +:
-          vars.map(v => avg(col(v).cast("double")).as(v)))
+          vars.map(v =>
+            (sum(col(v).cast("decimal(28,12)")).cast("double") / count(lit(1))).as(v)))
         val binned = df.groupBy(
             tgtGm.iExpr(col(xc)).as("__bi"), tgtGm.jExpr(col(yc)).as("__bj"))
           .agg(aggs.head, aggs.tail: _*)

@@ -163,7 +163,7 @@ object ResamplePack extends QueryPack {
       s"""WITH $cellsCte
          SELECT floor((i + 0.5) / 4)::BIGINT AS i,
                 floor((j + 0.5) / 4)::BIGINT AS j,
-                round(avg(v), 6) AS v
+                round(sum(v::DECIMAL(28,12))::DOUBLE / count(*), 6) AS v
          FROM cells GROUP BY 1, 2""",
     "q_resample_space_crs" ->
       s"""WITH $cellsCte,
@@ -173,7 +173,8 @@ object ResamplePack extends QueryPack {
                FROM cells),
          b AS (SELECT floor((mx - (-20037600.0)) / 445280.0)::BIGINT AS bi,
                       floor((my - (-5621600.0)) / 449728.0)::BIGINT AS bj,
-                      avg(mx) AS ax, avg(my) AS ay, avg(v) AS v
+                      avg(mx) AS ax, avg(my) AS ay,
+                      sum(v::DECIMAL(28,12))::DOUBLE / count(*) AS v
                FROM g GROUP BY bi, bj)
          SELECT floor((ax - (-20037600.0)) / 445280.0)::BIGINT AS i,
                 floor((ay - (-5621600.0)) / 449728.0)::BIGINT AS j,
@@ -213,7 +214,8 @@ object ResamplePack extends QueryPack {
                 FROM t3),
          b AS (SELECT floor((tx - 250000.0) / 4000.0)::BIGINT AS bi,
                       floor((ty - 4860000.0) / 4000.0)::BIGINT AS bj,
-                      avg(tx) AS ax, avg(ty) AS ay, avg(v) AS v
+                      avg(tx) AS ax, avg(ty) AS ay,
+                      sum(v::DECIMAL(28,12))::DOUBLE / count(*) AS v
                FROM t4 GROUP BY bi, bj)
          SELECT floor((ax - 250000.0) / 4000.0)::BIGINT AS i,
                 floor((ay - 4860000.0) / 4000.0)::BIGINT AS j,

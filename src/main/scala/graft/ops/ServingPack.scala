@@ -213,6 +213,32 @@ object ServingPack extends QueryPack {
           round(sum(col("v")), 6).as("sum_v"))
     }),
 
+    // find_time_slice (timeslice.py:19-60): classify where a slice lands
+    // relative to the stored cube's daily time coverage — exact hit →
+    // Replace, beyond the end → Append, in a gap → Insert
+    "q_find_slice" -> ((s, d) => {
+      import s.implicits._
+      val daily = CubePack.eventsCube(s, d).df
+        .select(date_trunc("DAY", col("time")).as("time")).distinct()
+      val probes = Seq("2024-01-15 00:00:00", "2024-02-05 00:00:00",
+        "2024-01-15 12:00:00")
+      probes.map { p =>
+        val pos = TimeSliceOps.findTimeSlice(daily, "time",
+          java.sql.Timestamp.valueOf(p)).toString
+        (p, pos)
+      }.toDF("probe", "position")
+    }),
+
+    // drop_vars (select.py:81-84 complement): the surviving columns feed an
+    // aggregate — schema_match in the driver verifies the projection
+    "q_drop_vars" -> ((s, d) => {
+      val dropped = graft.operators.SelectOps.dropVars(
+        CubePack.eventsCube(s, d), Seq("event_type"))
+      dropped.df.agg(count(lit(1)).as("n"),
+        round(sum(col("v")), 6).as("sum_v"),
+        round(sum(col("x") + col("y")), 6).as("sum_xy"))
+    }),
+
     // streaming time-slice upsert (timeslice.py:19-192 + §2.9): three
     // AvailableNow micro-ingests — day 1, day 2, then a LATE day-1
     // replacement (v×2) — converge via dynamic partition overwrite; the
@@ -344,6 +370,23 @@ object ServingPack extends QueryPack {
                 round(min(lon), 6) AS lon_min, round(max(lon), 6) AS lon_max,
                 round(sum(v), 6) AS sum_v
          FROM l GROUP BY west""",
+    "q_find_slice" ->
+      """WITH days AS (SELECT DISTINCT date_trunc('day', ts) AS t FROM events),
+         probes(probe) AS (VALUES ('2024-01-15 00:00:00'),
+                                  ('2024-02-05 00:00:00'),
+                                  ('2024-01-15 12:00:00'))
+         SELECT probe,
+                CASE WHEN EXISTS(SELECT 1 FROM days WHERE t = probe::TIMESTAMP)
+                     THEN 'Replace'
+                     WHEN probe::TIMESTAMP > (SELECT max(t) FROM days)
+                     THEN 'Append'
+                     ELSE 'Insert' END AS position
+         FROM probes""",
+    "q_drop_vars" ->
+      s"""WITH ${CubePack.cubeCte}
+         SELECT count(*) AS n, round(sum(v), 6) AS sum_v,
+                round(sum(x + y), 6) AS sum_xy
+         FROM cube""",
     "q_stream_upsert" ->
       s"""WITH ${CubePack.cubeCte},
          u AS (
