@@ -58,4 +58,49 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("point_covered_by"), p)
     assert(!p.contains("UDF"), p)
   }
+
+  test("q_dedup_near: no (shingle × perm) shuffle — only repartition, LSH join, distinct") {
+    val p = plan("q_dedup_near")
+    // signature computation is per-row: no HashAggregate keyed by a
+    // shingle/perm column may appear
+    assert(!p.toLowerCase.contains("shingle"), p)
+    assert(!p.contains("UDF"), p)
+    // the bucket self-join is an equi-join, never a cartesian
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q_rectify_triangular: bounded quad expansion, no cross join, codegen arithmetic") {
+    val p = plan("q_rectify_triangular")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("UDF"), p)
+    // first-wins resolves via one aggregate on the destination cell key
+    assert(p.contains("min_by") || p.contains("minBy") || p.contains("HashAggregate"), p)
+  }
+
+  test("q_resample_space: aggregator downsample is ONE aggregation, no join") {
+    val p = plan("q_resample_space")
+    assert(!p.contains("Join"), s"downscale should not join:\n$p")
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("q_coverage: subset predicates push into the scan; one block aggregation") {
+    val p = plan("q_coverage")
+    assert(p.contains("PushedFilters"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_affine_bicubic: 16-neighbor gather is an equi-join, not a cross join") {
+    val p = plan("q_affine_bicubic")
+    assert(p.contains("Join"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q_resample_space_utm: transverse-mercator series is pure column arithmetic") {
+    val p = plan("q_resample_space_utm")
+    // the whole Snyder series must live in Project/Aggregate expressions —
+    // no UDF, no python, no cross join anywhere in the route
+    assert(!p.contains("UDF") && !p.contains("BatchEvalPython"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("Project"), p)
+  }
 }
