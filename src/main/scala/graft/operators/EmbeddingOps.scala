@@ -20,6 +20,20 @@ import org.apache.spark.sql.functions._
   */
 object EmbeddingOps {
 
+  /** Ensure enough partitions for CPU-heavy per-row work: a coarse input
+    * (one parquet file = one split; one row group = one usable task)
+    * serializes the interpreted higher-order-function arithmetic onto a
+    * single core. No-op when the input is already parallel enough — the
+    * normal case on a real cluster, where this must NOT add a shuffle.
+    * The explicit count opts the exchange out of AQE's byte-based
+    * coalescing (small bytes ≠ small CPU).
+    */
+  def parallelized(df: DataFrame): DataFrame = {
+    val want = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= math.min(want, 8)) df
+    else df.repartition(want)
+  }
+
   /** Dot product of two array columns in double precision. */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
@@ -54,7 +68,7 @@ object EmbeddingOps {
                     embCol: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val q = queries.select(col(idCol).as("query_id"), col(embCol).as("__qe"))
-    val joined = corpus.join(broadcast(q), col(idCol) =!= col("query_id"))
+    val joined = parallelized(corpus).join(broadcast(q), col(idCol) =!= col("query_id"))
       .withColumn("cos_sim", round(cosine(col("__qe"), col(embCol)), 6))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos_sim").desc, col(idCol).asc)
@@ -70,7 +84,8 @@ object EmbeddingOps {
     */
   def nearDupPairs(corpus: DataFrame, idCol: String, embCol: String,
                    dim: Int, nGroups: Int, threshold: Double): DataFrame = {
-    val bucketed = corpus.withColumn("bucket", signBucket(col(embCol), dim, nGroups))
+    val bucketed = parallelized(corpus)
+      .withColumn("bucket", signBucket(col(embCol), dim, nGroups))
     val a = bucketed.select(col(idCol).as("id_a"), col(embCol).as("__ea"), col("bucket"))
     val b = bucketed.select(col(idCol).as("id_b"), col(embCol).as("__eb"), col("bucket"))
     a.join(b, Seq("bucket"))
@@ -86,7 +101,8 @@ object EmbeddingOps {
     */
   def annBucketed(queries: DataFrame, corpus: DataFrame, idCol: String,
                   embCol: String, dim: Int, nGroups: Int): DataFrame = {
-    val bucketed = corpus.withColumn("bucket", signBucket(col(embCol), dim, nGroups))
+    val bucketed = parallelized(corpus)
+      .withColumn("bucket", signBucket(col(embCol), dim, nGroups))
     val q = bucketed.join(broadcast(queries.select(col(idCol))), Seq(idCol))
       .select(col(idCol).as("query_id"), col(embCol).as("__qe"), col("bucket"))
     val cands = bucketed.join(broadcast(q), Seq("bucket"))

@@ -187,8 +187,10 @@ object TextOps {
     * Returns (doc, simhash-bitstring).
     */
   def simhash(df: DataFrame, docCol: String, textCol: String): DataFrame = {
-    // odd hex digits have parity bit 1
-    val toks = df.select(col(docCol), explode(array_distinct(tokens(col(textCol)))).as("tok"))
+    // odd hex digits have parity bit 1; parallelize coarse inputs first —
+    // the (token × 32 bit-positions) explode below is per-row CPU work
+    val toks = EmbeddingOps.parallelized(df)
+      .select(col(docCol), explode(array_distinct(tokens(col(textCol)))).as("tok"))
       .withColumn("h", md5(col("tok").cast("binary")))
       .withColumn("i", explode(sequence(lit(0), lit(31))))
       .withColumn("contrib",
