@@ -182,6 +182,56 @@ object TextOps {
           (size(col("sh_a")) + size(col("sh_b")) - col("n_common")), 6).as("jaccard"))
   }
 
+  /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    * SIGMOD'03 — the standard rolling-hash fingerprinting scheme):
+    * character k-grams of the normalized text are hashed with a polynomial
+    * rolling hash (base 257 mod 2^31−1, pure int64 arithmetic — exact in
+    * any engine), then each length-`window` run of consecutive gram hashes
+    * contributes its minimum; the doc's fingerprint set is the distinct
+    * window minima. Everything is per-row column arithmetic — the only
+    * shuffle a caller pays is whatever aggregation they run on the result.
+    *
+    * Returns (doc, fps: array<bigint>). Docs shorter than k+window−1 chars
+    * drop out (no full window exists).
+    */
+  def winnowFingerprints(df: DataFrame, docCol: String, textCol: String,
+                         k: Int = 8, window: Int = 4): DataFrame = {
+    val B = 257L
+    val M = 2147483647L
+    // B^(k-1-j) mod M for gram position j — Scala-computed constants shared
+    // verbatim with the SQL oracle
+    val pows: Seq[Long] = (0 until k).map { j =>
+      var p = 1L
+      (0 until (k - 1 - j)).foreach(_ => p = p * B % M)
+      p
+    }
+    val base = EmbeddingOps.parallelized(df)
+      .select(col(docCol), normalized(col(textCol)).as("t"))
+      .filter(length(col("t")) >= k + window - 1)
+    // gram hashes: ord(c_j)·B^(k-1-j) products stay < 2^52, so one mod at
+    // the end suffices and the arithmetic is overflow-free int64
+    val withHs = base.select(col(docCol),
+      transform(sequence(lit(1), length(col("t")) - (k - 1)), i =>
+        (0 until k).map(j =>
+          ascii(col("t").substr(i + lit(j), lit(1))).cast("long") * lit(pows(j)))
+          .reduce(_ + _) % lit(M)).as("hs"))
+    withHs.select(col(docCol),
+      array_distinct(transform(sequence(lit(1), size(col("hs")) - (window - 1)), i =>
+        array_min(slice(col("hs"), i, lit(window))))).as("fps"))
+  }
+
+  /** The rolling-hash power constants, exposed so the SQL oracle can embed
+    * the identical literals.
+    */
+  def winnowPows(k: Int = 8): Seq[Long] = {
+    val B = 257L; val M = 2147483647L
+    (0 until k).map { j =>
+      var p = 1L
+      (0 until (k - 1 - j)).foreach(_ => p = p * B % M)
+      p
+    }
+  }
+
   /** 32-bit SimHash over the distinct token set: bit i is the sign of the
     * sum over tokens of ±1 by the parity of hex digit i of md5(token).
     * Returns (doc, simhash-bitstring).

@@ -138,6 +138,25 @@ object PipelinePack extends QueryPack {
         .agg(count(lit(1)).as("n"))
     }),
 
+    // winnowing rolling-hash fingerprints (Schleimer et al. SIGMOD'03):
+    // per-source fingerprint instance/unique counts over the whole corpus
+    "q_fingerprint" -> ((s, d) => {
+      val fps = TextOps.winnowFingerprints(docs(s, d), "doc_id", "text")
+      // explode_outer on purpose: a plain explode makes the optimizer INFER
+      // size(fps) > 0 (InferFiltersFromGenerate) and push it into the scan
+      // with the whole winnow expression inlined — re-evaluating the
+      // normalized text per lambda element (measured: hangs the query).
+      // fps is never empty here (docs are pre-filtered to >= k+w-1 chars),
+      // and the cheap isNotNull filter keeps the semantics identical.
+      fps.join(docs(s, d).select(col("doc_id"), col("source")), Seq("doc_id"))
+        .select(col("source"), col("doc_id"), explode_outer(col("fps")).as("fp"))
+        .filter(col("fp").isNotNull)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_fp"),
+          countDistinct(col("fp")).as("n_unique_fp"),
+          countDistinct(col("doc_id")).as("n_docs"))
+    }),
+
     // SimHash banded search: 32-bit signatures split into 4 bands of 8 bits;
     // per band: bucket count and total within-bucket pair count
     "q_simhash_bands" -> ((s, d) => {
@@ -301,6 +320,28 @@ object PipelinePack extends QueryPack {
                     ORDER BY score DESC, cand_lang ASC) AS rn FROM scores) WHERE rn = 1)
          SELECT lang, cand_lang AS predicted, count(*) AS n
          FROM pred GROUP BY lang, predicted""",
+    "q_fingerprint" -> {
+      val pows = TextOps.winnowPows(8)
+      val hashExpr = (0 until 8).map(j =>
+        s"ord(substr(t, (i + $j)::INT, 1))::BIGINT * ${pows(j)}").mkString(" + ")
+      s"""WITH d AS (SELECT doc_id, source,
+                           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+                    FROM documents),
+         f AS (SELECT doc_id, source, t FROM d WHERE length(t) >= 11),
+         h AS (SELECT doc_id, source,
+                      list_transform(range(1, length(t) - 6), i ->
+                        ($hashExpr) % 2147483647) AS hs
+               FROM f),
+         w AS (SELECT doc_id, source,
+                      list_distinct(list_transform(range(1, len(hs) - 2), i ->
+                        list_min(hs[i:i+3]))) AS fps
+               FROM h),
+         e AS (SELECT source, doc_id, unnest(fps) AS fp FROM w)
+         SELECT source, count(*) AS n_fp,
+                count(DISTINCT fp) AS n_unique_fp,
+                count(DISTINCT doc_id) AS n_docs
+         FROM e GROUP BY source"""
+    },
     "q_simhash_bands" ->
       """WITH toks AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
                       FROM documents),

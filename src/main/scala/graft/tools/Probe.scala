@@ -27,6 +27,7 @@ object Probe {
     time("candidatePairs")(cands.count())
     time("jaccard")(TextOps.jaccardOnCandidates(cands, sigs, "doc_id").count())
     time("full q_dedup_near")(graft.ops.PipelinePack.queries("q_dedup_near")(spark, d).count())
+    time("q_fingerprint")(graft.ops.PipelinePack.queries("q_fingerprint")(spark, d).count())
     val q = graft.ops.PipelinePack.queries("q_dedup_near")(spark, d)
     q.count()
     val plan = q.queryExecution.executedPlan.toString
