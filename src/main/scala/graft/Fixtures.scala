@@ -22,19 +22,35 @@ object Fixtures {
 
   /** Run `write` unless `path` already carries a marker with the same
     * `fingerprint`. On fingerprint mismatch the stale layout is deleted and
-    * rebuilt. Single-JVM guard only (the driver runs one process per gate).
+    * rebuilt. Guarded against concurrent builders both in-JVM
+    * (synchronized) and across processes (an OS file lock next to the
+    * target — two harness processes benching the same sf serialize here
+    * instead of racing the layout build).
     */
   def ensureWritten(path: String, fingerprint: String = "")(write: => Unit): Unit =
     synchronized {
-      val m = new java.io.File(path, marker)
-      val upToDate = m.exists() &&
-        new String(java.nio.file.Files.readAllBytes(m.toPath)) == fingerprint
-      if (!upToDate) {
-        deleteRecursively(new java.io.File(path))
-        write
-        m.getParentFile.mkdirs()
-        java.nio.file.Files.write(m.toPath, fingerprint.getBytes)
-        ()
+      val target = new java.io.File(path)
+      Option(target.getParentFile).foreach(_.mkdirs())
+      val lockPath = new java.io.File(target.getParentFile,
+        s".${target.getName}.lock").toPath
+      val ch = java.nio.channels.FileChannel.open(lockPath,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      val lock = ch.lock()
+      try {
+        val m = new java.io.File(path, marker)
+        val upToDate = m.exists() &&
+          new String(java.nio.file.Files.readAllBytes(m.toPath)) == fingerprint
+        if (!upToDate) {
+          deleteRecursively(target)
+          write
+          m.getParentFile.mkdirs()
+          java.nio.file.Files.write(m.toPath, fingerprint.getBytes)
+          ()
+        }
+      } finally {
+        lock.release()
+        ch.close()
       }
     }
 }

@@ -185,6 +185,30 @@ object PipelinePack extends QueryPack {
         round(avg(col("stop_ratio")), 6).as("avg_stop_ratio"))
     }),
 
+    // C4-style document quality filter: length, stopword-ratio,
+    // punctuation-ratio and mean-token-span heuristics combined into a
+    // keep/drop decision, summarized per source — the pre-training corpus
+    // cleaning pass
+    "q_quality" -> ((s, d) => {
+      val stop = array(Seq("the", "a", "of", "and", "to").map(lit): _*)
+      val w = TextOps.tokens(col("text"))
+      val perDoc = docs(s, d).select(col("source"),
+        size(w).as("n_tok"),
+        (size(filter(w, t => array_contains(stop, t))).cast("double") / size(w)).as("stop_ratio"),
+        (regexp_count(col("text"), lit("[^a-z0-9 ]")).cast("double") /
+          length(col("text"))).as("punct_ratio"),
+        (length(col("text")).cast("double") / size(w)).as("mean_tok_span"))
+      perDoc
+        .withColumn("keep",
+          col("n_tok") >= 30 && col("stop_ratio") >= 0.01 &&
+            col("punct_ratio") <= 0.2 && col("mean_tok_span") <= 12.0)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("keep"), 1).otherwise(0)).as("n_kept"),
+          round(avg(col("punct_ratio")), 6).as("avg_punct"),
+          round(avg(col("stop_ratio")), 6).as("avg_stop"))
+    }),
+
     // multimodal binary columns: payload + metadata with a STUBBED decode
     // (deterministic fake dimensions from byte length)
     "q_multimodal" -> ((s, d) => {
@@ -373,6 +397,27 @@ object PipelinePack extends QueryPack {
                 sum(ws_tok)::BIGINT AS ws_tokens, sum(re_tok)::BIGINT AS re_tokens,
                 round(avg(stop_ratio), 6) AS avg_stop_ratio
          FROM perdoc GROUP BY source""",
+    "q_quality" ->
+      """WITH perdoc AS (
+           SELECT source,
+                  len(string_split(text, ' ')) AS n_tok,
+                  len(list_filter(string_split(text, ' '),
+                      t -> t IN ('the', 'a', 'of', 'and', 'to')))::DOUBLE /
+                    len(string_split(text, ' ')) AS stop_ratio,
+                  len(regexp_extract_all(text, '[^a-z0-9 ]'))::DOUBLE /
+                    length(text) AS punct_ratio,
+                  length(text)::DOUBLE /
+                    len(string_split(text, ' ')) AS mean_tok_span
+           FROM documents),
+         f AS (SELECT *,
+                      (n_tok >= 30 AND stop_ratio >= 0.01 AND
+                       punct_ratio <= 0.2 AND mean_tok_span <= 12.0) AS keep
+               FROM perdoc)
+         SELECT source, count(*) AS n_docs,
+                sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+                round(avg(punct_ratio), 6) AS avg_punct,
+                round(avg(stop_ratio), 6) AS avg_stop
+         FROM f GROUP BY source""",
     "q_multimodal" ->
       """SELECT source, count(*) AS n,
                 sum(octet_length(text::BLOB))::BIGINT AS total_bytes,

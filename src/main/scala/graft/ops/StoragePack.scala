@@ -58,6 +58,28 @@ object StoragePack extends QueryPack {
       s.table(tbl)
     }),
 
+    // streaming exact dedup — the training-data ingest shape: a keyed
+    // dropDuplicatesWithinWatermark over the event stream (state bounded by
+    // the watermark), converged counts per key bucket. The dedup key is
+    // event_id % 5000 so real duplicates exist; only per-bucket distinct
+    // counts are emitted, which are deterministic regardless of which
+    // duplicate instance survives.
+    "q_stream_dedup" -> ((s, d) => {
+      val schema = GraftSession.table(s, d, "events").schema
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(d)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .withColumn("dup_key", col("event_id") % 5000)
+        .withWatermark("ts", "40 days")
+        .dropDuplicatesWithinWatermark("dup_key")
+      val tbl = s"q_stream_dedup_${queryCounter.incrementAndGet()}"
+      val q = stream.writeStream.format("memory").queryName(tbl)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(tbl).groupBy((col("dup_key") % 10).as("bucket"))
+        .agg(count(lit(1)).as("n_keys"))
+    }),
+
     // session windows (free in Spark, absent in the reference — SURVEY
     // §2.9): 6-hour-gap sessionization per user, batch form of the
     // streaming session_window
@@ -126,6 +148,10 @@ object StoragePack extends QueryPack {
       """SELECT date_trunc('day', ts) AS t, event_type,
                 count(*) AS n, round(sum(value), 6) AS sum_value
          FROM events GROUP BY t, event_type""",
+    "q_stream_dedup" ->
+      """WITH k AS (SELECT DISTINCT event_id % 5000 AS dup_key FROM events)
+         SELECT dup_key % 10 AS bucket, count(*) AS n_keys
+         FROM k GROUP BY bucket""",
     "q_session_window" ->
       """WITH e AS (SELECT user_id, ts FROM events WHERE user_id < 20),
          l AS (SELECT user_id, ts,
