@@ -14,11 +14,17 @@ object ResamplePack extends QueryPack {
 
   private val tgtGm = GridMapping(90, 25, 0.0, 0.0, 4.0, 4.0)
 
-  /** Source cell table (i, j, v): per-cell time mean of the events cube. */
+  /** Source cell table (i, j, v): per-cell time mean of the events cube.
+    * The mean sums in DECIMAL (raw values are 2-decimal dollars — the cast
+    * is exact) so the 6-decimal rounding can never land on an
+    * engine-order-dependent midpoint: an sf0.1 verify run caught exactly
+    * that flip in two cells with the plain double avg.
+    */
   private def srcCells(s: SparkSession, d: String): DataFrame = {
     val c = CubePack.eventsCube(s, d)
     c.df.groupBy(c.gm.iExpr(c.x).as("i"), c.gm.jExpr(c.y).as("j"))
-      .agg(round(avg(col("v")), 6).as("v"))
+      .agg(round(sum(col("v").cast("decimal(28,12)")).cast("double") /
+        count(lit(1)), 6).as("v"))
   }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -104,7 +110,11 @@ object ResamplePack extends QueryPack {
       val out = SpatialOps.resampleInSpace(
         SpatialOps.RegularSource(srcCells(s, d), CubePack.gm),
         tgtGm, Seq("v"), aggregator = Some("mean"))
-      out.select(col("i"), col("j"), round(col("v"), 6).as("v"))
+      // no final round: the decimal-sum/count mean is bit-identical in both
+      // engines, while rounding it can DIVERGE at exact 7th-decimal
+      // midpoints (Spark rounds the exact binary value, DuckDB rounds after
+      // multiplying) -- observed at sf0.1
+      out.select(col("i"), col("j"), col("v"))
     }),
 
     // dispatcher different-CRS route (spatial.py:225-261): regular
@@ -117,7 +127,7 @@ object ResamplePack extends QueryPack {
         445280.0, 449728.0, crs = "EPSG:3857")
       val out = SpatialOps.resampleInSpace(
         SpatialOps.RegularSource(srcCells(s, d), geoGm), mercGm, Seq("v"))
-      out.select(col("i"), col("j"), round(col("v"), 6).as("v"))
+      out.select(col("i"), col("j"), col("v")) // unrounded: see q_resample_space
     }),
 
     // dispatcher UTM route: regular geographic source (a 3.6°×2° window of
@@ -130,7 +140,7 @@ object ResamplePack extends QueryPack {
         crs = "EPSG:32632")
       val out = SpatialOps.resampleInSpace(
         SpatialOps.RegularSource(srcCells(s, d), geoGm), utmGm, Seq("v"))
-      out.select(col("i"), col("j"), round(col("v"), 6).as("v"))
+      out.select(col("i"), col("j"), col("v")) // unrounded: see q_resample_space
     }),
 
     // exact triangle-containment rectification (rectify.py:469-588,743-817):
@@ -155,7 +165,7 @@ object ResamplePack extends QueryPack {
     """cells AS (
          SELECT floor(CAST(event_id % 360 AS DOUBLE) + 0.5)::BIGINT AS i,
                 floor(CAST(user_id % 100 AS DOUBLE) + 0.5)::BIGINT AS j,
-                round(avg(value), 6) AS v
+                round(sum(value::DECIMAL(28,12))::DOUBLE / count(*), 6) AS v
          FROM events GROUP BY i, j)"""
 
   override def oracleSql: Map[String, String] = Map(
@@ -163,7 +173,7 @@ object ResamplePack extends QueryPack {
       s"""WITH $cellsCte
          SELECT floor((i + 0.5) / 4)::BIGINT AS i,
                 floor((j + 0.5) / 4)::BIGINT AS j,
-                round(sum(v::DECIMAL(28,12))::DOUBLE / count(*), 6) AS v
+                sum(v::DECIMAL(28,12))::DOUBLE / count(*) AS v
          FROM cells GROUP BY 1, 2""",
     "q_resample_space_crs" ->
       s"""WITH $cellsCte,
@@ -178,7 +188,7 @@ object ResamplePack extends QueryPack {
                FROM g GROUP BY bi, bj)
          SELECT floor((ax - (-20037600.0)) / 445280.0)::BIGINT AS i,
                 floor((ay - (-5621600.0)) / 449728.0)::BIGINT AS j,
-                round(v, 6) AS v
+                v
          FROM b
          WHERE ax >= -20037600.0 AND ax < 20037600.0
            AND ay >= -5621600.0 AND ay < 5621600.0""",
@@ -219,7 +229,7 @@ object ResamplePack extends QueryPack {
                FROM t4 GROUP BY bi, bj)
          SELECT floor((ax - 250000.0) / 4000.0)::BIGINT AS i,
                 floor((ay - 4860000.0) / 4000.0)::BIGINT AS j,
-                round(v, 6) AS v
+                v
          FROM b
          WHERE ax >= 250000.0 AND ax < 570000.0
            AND ay >= 4860000.0 AND ay < 5100000.0"""
@@ -286,7 +296,7 @@ object ResamplePack extends QueryPack {
       """WITH cells AS (
            SELECT floor(CAST(event_id % 360 AS DOUBLE) + 0.5)::BIGINT AS i,
                   floor(CAST(user_id % 100 AS DOUBLE) + 0.5)::BIGINT AS j,
-                  round(avg(value), 6) AS v
+                  round(sum(value::DECIMAL(28,12))::DOUBLE / count(*), 6) AS v
            FROM events GROUP BY i, j),
          tgt AS (SELECT ti.tgt_i, tj.tgt_j
                  FROM (SELECT unnest(range(0, 90)) AS tgt_i) ti
@@ -300,7 +310,7 @@ object ResamplePack extends QueryPack {
       """WITH cells AS (
            SELECT floor(CAST(event_id % 360 AS DOUBLE) + 0.5)::BIGINT AS i,
                   floor(CAST(user_id % 100 AS DOUBLE) + 0.5)::BIGINT AS j,
-                  round(avg(value), 6) AS v
+                  round(sum(value::DECIMAL(28,12))::DOUBLE / count(*), 6) AS v
            FROM events GROUP BY i, j),
          tgt AS (SELECT ti.tgt_i, tj.tgt_j
                  FROM (SELECT unnest(range(0, 90)) AS tgt_i) ti
@@ -320,7 +330,7 @@ object ResamplePack extends QueryPack {
       """WITH cells AS (
            SELECT floor(CAST(event_id % 360 AS DOUBLE) + 0.5)::BIGINT AS i,
                   floor(CAST(user_id % 100 AS DOUBLE) + 0.5)::BIGINT AS j,
-                  round(avg(value), 6) AS v
+                  round(sum(value::DECIMAL(28,12))::DOUBLE / count(*), 6) AS v
            FROM events GROUP BY i, j),
          tgt AS (SELECT ti.tgt_i, tj.tgt_j
                  FROM (SELECT unnest(range(0, 90)) AS tgt_i) ti
