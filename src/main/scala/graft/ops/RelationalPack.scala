@@ -83,6 +83,19 @@ object RelationalPack extends QueryPack {
         .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 6).as("sum_price"))
     }),
 
+    // skew-salted join (SkewOps): the fact side salted into 8 sub-keys, the
+    // dim side replicated — the result must equal the plain join, which is
+    // exactly what the oracle computes. The manual fallback for joins AQE's
+    // skew splitting can't reach.
+    "q_skew_join" -> ((s, d) => {
+      val li = t(s, d, "lineitem").select(col("l_orderkey"), col("l_quantity"))
+      val dim = t(s, d, "orders")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+      graft.operators.SkewOps.saltedJoin(li, dim, "l_orderkey", salts = 8)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 6).as("sum_qty"))
+    }),
+
     // time-slice union + dedup (timeslice.py:94-131 insert/replace analog):
     // two overlapping time windows unioned, duplicates dropped on the key.
     "q_union_slices" -> ((s, d) => {
@@ -153,6 +166,10 @@ object RelationalPack extends QueryPack {
          FROM orders WHERE EXISTS (
            SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity >= 49.0)
          GROUP BY o_orderstatus""",
+    "q_skew_join" ->
+      """SELECT o_orderpriority, count(*) AS n, round(sum(l_quantity), 6) AS sum_qty
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderpriority""",
     "q_union_slices" ->
       """WITH u AS (
            SELECT DISTINCT ON (event_id) * FROM (

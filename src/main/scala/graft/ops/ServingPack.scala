@@ -42,6 +42,25 @@ object ServingPack extends QueryPack {
       }.toSeq.toDF("py", "px", "v")
     }),
 
+    // compute_rgba_tile (tile.py:355-763 + util/cmaps.py): the q_tile_gather
+    // tile normalized lin 0..500 through the viridis ramp; non-transparent
+    // pixels re-emitted as (py, px, argb) rows. The colormap lerp is pure
+    // integer/dyadic arithmetic mirrored term-for-term in SQL (floor(x+0.5)
+    // = java Math.round for the positive channel values).
+    "q_rgba_tile" -> ((s, d) => {
+      import s.implicits._
+      val cube = CubePack.eventsCube(s, d)
+      val cells = cube.df.groupBy(col("y"), col("x"))
+        .agg(round(avg(col("v")), 6).as("vm"))
+      val scheme = TilingScheme(2, 1, "local", 0.0, 0.0, 360.0, 100.0, tileSize = 128)
+      val tile = TileOps.computeTile(cells, CubePack.gm, scheme, 1, 0L, 0L, "vm")
+      val rgba = TileOps.renderRgba(tile, vmin = 0.0, vmax = 500.0)
+      val ts = scheme.tileSize
+      rgba.zipWithIndex.collect { case (px, i) if px != 0 =>
+        ((i / ts).toLong, (i % ts).toLong, px.toLong & 0xffffffffL)
+      }.toSeq.toDF("py", "px", "argb")
+    }),
+
     // volumes endpoint (webapi/volumes/routes.py:26-182): 2-day daily-mean
     // brick over bbox (10,10)-(110,60) with a 5000-voxel budget → stride 2;
     // non-NaN voxels re-emitted as (ti, bj, bi, v) rows.
@@ -285,6 +304,30 @@ object ServingPack extends QueryPack {
                 vm AS v
          FROM cm
          WHERE x >= 0 AND x < 90 AND y >= 50 AND y < 100""",
+    "q_rgba_tile" ->
+      s"""WITH ${CubePack.cubeCte},
+         cm AS (SELECT y, x, round(avg(v), 6) AS vm FROM cube GROUP BY y, x),
+         t1 AS (SELECT floor((100.0 - y) * 128 / 50)::BIGINT AS py,
+                       floor(x * 128 / 90)::BIGINT AS px,
+                       greatest(least((vm - 0.0) / (500.0 - 0.0), 1.0), 0.0) AS t
+                FROM cm WHERE x >= 0 AND x < 90 AND y >= 50 AND y < 100),
+         t2 AS (SELECT py, px, t,
+                       ((0.25 < t)::INT + (0.5 < t)::INT + (0.75 < t)::INT) AS k
+                FROM t1),
+         t3 AS (SELECT py, px, k, (t - k * 0.25) / 0.25 AS f FROM t2),
+         ch AS (SELECT py, px,
+                floor((CASE k WHEN 0 THEN 68 WHEN 1 THEN 59 WHEN 2 THEN 33 ELSE 94 END) +
+                  f * ((CASE k WHEN 0 THEN 59 WHEN 1 THEN 33 WHEN 2 THEN 94 ELSE 253 END) -
+                       (CASE k WHEN 0 THEN 68 WHEN 1 THEN 59 WHEN 2 THEN 33 ELSE 94 END)) + 0.5)::BIGINT AS r,
+                floor((CASE k WHEN 0 THEN 1 WHEN 1 THEN 82 WHEN 2 THEN 145 ELSE 201 END) +
+                  f * ((CASE k WHEN 0 THEN 82 WHEN 1 THEN 145 WHEN 2 THEN 201 ELSE 231 END) -
+                       (CASE k WHEN 0 THEN 1 WHEN 1 THEN 82 WHEN 2 THEN 145 ELSE 201 END)) + 0.5)::BIGINT AS g,
+                floor((CASE k WHEN 0 THEN 84 WHEN 1 THEN 139 WHEN 2 THEN 140 ELSE 98 END) +
+                  f * ((CASE k WHEN 0 THEN 139 WHEN 1 THEN 140 WHEN 2 THEN 98 ELSE 37 END) -
+                       (CASE k WHEN 0 THEN 84 WHEN 1 THEN 139 WHEN 2 THEN 140 ELSE 98 END)) + 0.5)::BIGINT AS b
+                FROM t3)
+         SELECT py, px, 4278190080 + r * 65536 + g * 256 + b AS argb
+         FROM ch""",
     "q_volume_brick" ->
       s"""WITH ${CubePack.cubeCte},
          daily AS (SELECT date_trunc('day', time) AS day, y, x, round(avg(v), 6) AS v
