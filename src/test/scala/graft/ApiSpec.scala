@@ -61,6 +61,14 @@ class ApiSpec extends AnyFunSuite {
     assert(m.head().getDouble(2) == 2.0)
   }
 
+  test("driver contract: entry returns rows; queries and oracles align") {
+    assert(SparkEntry.entry(spark).count() > 0)
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert(o.subsetOf(q), s"oracles without queries: ${o -- q}")
+    assert(q.subsetOf(o), s"queries without oracle SQL (weaker rows-only check): ${q -- o}")
+  }
+
   test("renderRgba: gray ramp, NaN transparent") {
     val px = TileOps.renderRgba(Array(0.0, 5.0, 10.0, Double.NaN), 0.0, 10.0,
       cmapName = "gray")
