@@ -58,6 +58,31 @@ object StoragePack extends QueryPack {
       s.table(tbl)
     }),
 
+    // custom streaming state (flatMapGroupsWithState): per-user running
+    // tracker (count, integer-cent sum, event-time-ordered last value) —
+    // converged Update-mode output must equal the batch aggregation because
+    // the state transition is arrival-order-independent by construction
+    "q_stream_state" -> ((s, d) => {
+      import s.implicits._
+      import graft.streaming.StatefulOps
+      val schema = GraftSession.table(s, d, "events").schema
+      val obs = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(d)
+        .select(col("user_id").as("key"), expr("ts div 1000").as("tsMicros"),
+          col("value"), col("event_id").as("eventId"))
+        .as[StatefulOps.Obs]
+      val tracked = StatefulOps.trackKeys(obs)
+      val tbl = s"q_stream_state_${queryCounter.incrementAndGet()}"
+      val q = tracked.writeStream.format("memory").queryName(tbl)
+        .outputMode("update").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      // single AvailableNow batch → exactly one Update row per key
+      s.table(tbl).groupBy((col("key") % 10).as("bucket"))
+        .agg(count(lit(1)).as("n_keys"), sum(col("n")).as("n_events"),
+          round(sum(col("sum_value")), 6).as("sum_value"),
+          round(sum(col("last_value")), 6).as("sum_last"))
+    }),
+
     // streaming exact dedup — the training-data ingest shape: a keyed
     // dropDuplicatesWithinWatermark over the event stream (state bounded by
     // the watermark), converged counts per key bucket. The dedup key is
@@ -148,6 +173,22 @@ object StoragePack extends QueryPack {
       """SELECT date_trunc('day', ts) AS t, event_type,
                 count(*) AS n, round(sum(value), 6) AS sum_value
          FROM events GROUP BY t, event_type""",
+    "q_stream_state" ->
+      """WITH l AS (SELECT user_id, value,
+                row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events),
+         per AS (SELECT user_id, count(*) AS n,
+                        sum(round(value * 100)::BIGINT) AS cents
+                 FROM events GROUP BY user_id),
+         j AS (SELECT per.user_id AS key, per.n,
+                      per.cents / 100.0 AS sum_value, l.value AS last_value
+               FROM per JOIN l ON l.user_id = per.user_id AND l.rn = 1)
+         SELECT key % 10 AS bucket, count(*) AS n_keys,
+                sum(n)::BIGINT AS n_events,
+                round(sum(sum_value), 6) AS sum_value,
+                round(sum(last_value), 6) AS sum_last
+         FROM j GROUP BY bucket""",
     "q_stream_dedup" ->
       """WITH k AS (SELECT DISTINCT event_id % 5000 AS dup_key FROM events)
          SELECT dup_key % 10 AS bucket, count(*) AS n_keys

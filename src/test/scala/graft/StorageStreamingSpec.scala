@@ -88,4 +88,48 @@ class StorageStreamingSpec extends AnyFunSuite {
     val second = spark.read.parquet(dest)
     assert(second.count() == 100 && second.agg(sum("v")).head().getDouble(0) == 500.0)
   }
+
+  test("flatMapGroupsWithState: state persists across batches, last is by event time") {
+    import spark.implicits._
+    import graft.streaming.StatefulOps
+    import org.apache.spark.sql.streaming.Trigger
+    val src = tmpDir("state_src")
+    val ckpt = tmpDir("state_ckpt")
+    def batch(rows: Seq[(Long, Long, Double, Long)], n: Int): Unit =
+      rows.toDF("key", "tsMicros", "value", "eventId")
+        .write.parquet(s"$src/b$n")
+    val updates = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, org.apache.spark.sql.Row)]
+    def runOnePass(): Unit = {
+      val obs = spark.readStream
+        .schema("key LONG, tsMicros LONG, value DOUBLE, eventId LONG")
+        .option("recursiveFileLookup", "true").parquet(src)
+        .as[StatefulOps.Obs]
+      // memory sink can't resume from a checkpoint; foreachBatch can
+      val q = StatefulOps.trackKeys(obs).toDF().writeStream
+        .outputMode("update")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          updates.synchronized { updates ++= b.collect().map(r => (id, r)) }
+          ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt).start()
+      q.awaitTermination()
+    }
+    // batch 1: key 1 gets two obs (latest ts wins), key 2 one
+    batch(Seq((1L, 100L, 1.25, 1L), (1L, 300L, 2.50, 2L), (2L, 50L, 4.00, 3L)), 1)
+    runOnePass()
+    // batch 2: key 1 gets an OLDER event (must not displace the last value)
+    batch(Seq((1L, 200L, 9.99, 4L)), 2)
+    runOnePass()
+    // latest Update row per key carries the converged state
+    val rows = updates.groupBy(_._2.getLong(0))
+      .map { case (k, rs) => k -> rs.maxBy(_._1)._2 }
+    val k1 = rows(1L)
+    assert(k1.getLong(1) == 3)                         // n across both batches
+    assert(math.abs(k1.getDouble(2) - 13.74) < 1e-9)   // exact cent sum
+    assert(k1.getDouble(3) == 2.50)                    // ts=300 still the last
+    val k2 = rows(2L)
+    assert(k2.getLong(1) == 1 && k2.getDouble(3) == 4.00)
+  }
 }
