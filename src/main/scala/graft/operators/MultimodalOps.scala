@@ -36,6 +36,36 @@ object MultimodalOps {
       .withColumn("width", (col("n_bytes") % 64 + lit(1)).cast("int"))
       .withColumn("height", (col("n_bytes") % 48 + lit(1)).cast("int"))
 
+  /** STUB resize: slices the payload to the target pixel budget and rewrites
+    * the decoded dimensions — a real implementation decodes, resamples and
+    * re-encodes here. The plumbing that matters survives: a per-row binary
+    * transform with updated metadata, no driver involvement.
+    */
+  def resizeStub(df: DataFrame, targetW: Int, targetH: Int): DataFrame =
+    df.withColumn("payload",
+        substring(col("payload"), 1, targetW * targetH))
+      .withColumn("n_bytes", length(col("payload")))
+      .withColumn("width", lit(targetW))
+      .withColumn("height", lit(targetH))
+
+  /** STUB frame sampling: treats the payload as a sequence of
+    * `frameBytes`-sized frames and emits every `everyN`-th frame as its own
+    * row (frame index + frame payload + frame length) — the row-explosion
+    * fan-out a video pipeline needs, with the decode left to a real codec.
+    * Empty payloads produce no frames.
+    */
+  def frameSampleStub(df: DataFrame, frameBytes: Int, everyN: Int): DataFrame = {
+    val nFrames = ceil(length(col("payload")).cast("double") / frameBytes)
+      .cast("long")
+    df.filter(length(col("payload")) > 0)
+      .withColumn("frame_idx",
+        explode(sequence(lit(0L), nFrames - 1, lit(everyN.toLong))))
+      .withColumn("frame",
+        substring(col("payload"), (col("frame_idx") * frameBytes + 1).cast("int"),
+          lit(frameBytes)))
+      .withColumn("frame_len", length(col("frame")))
+  }
+
   /** Partition-wise batch feature extraction — the integration point where a
     * real codec would decode a batch of payloads at once (the Scala analog
     * of mapInPandas batches). The stub computes the mean byte value; the

@@ -209,6 +209,19 @@ object PipelinePack extends QueryPack {
           round(avg(col("stop_ratio")), 6).as("avg_stop"))
     }),
 
+    // multimodal frame sampling: payloads treated as 64-byte frames, every
+    // 4th frame emitted as a row (the video-pipeline fan-out shape; decode
+    // stays stubbed) — per-source frame counts and byte totals
+    "q_frame_sample" -> ((s, d) => {
+      val packed = MultimodalOps.packBinary(docs(s, d), "doc_id", "text")
+        .join(docs(s, d).select(col("doc_id").cast("long").as("id"), col("source")),
+          Seq("id"))
+      MultimodalOps.frameSampleStub(packed, frameBytes = 64, everyN = 4)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_frames"),
+          sum(col("frame_len")).cast("long").as("frame_bytes"))
+    }),
+
     // multimodal binary columns: payload + metadata with a STUBBED decode
     // (deterministic fake dimensions from byte length)
     "q_multimodal" -> ((s, d) => {
@@ -417,6 +430,14 @@ object PipelinePack extends QueryPack {
                 sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_kept,
                 round(avg(punct_ratio), 6) AS avg_punct,
                 round(avg(stop_ratio), 6) AS avg_stop
+         FROM f GROUP BY source""",
+    "q_frame_sample" ->
+      """WITH p AS (SELECT source, octet_length(text::BLOB) AS n
+                    FROM documents WHERE octet_length(text::BLOB) > 0),
+         f AS (SELECT source, n, unnest(range(0, (n + 63) // 64, 4)) AS fi
+               FROM p)
+         SELECT source, count(*) AS n_frames,
+                sum(least(64, n - fi * 64))::BIGINT AS frame_bytes
          FROM f GROUP BY source""",
     "q_multimodal" ->
       """SELECT source, count(*) AS n,

@@ -101,6 +101,19 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(feats(7L).nBytes == 3 && feats(7L).width == 4 && feats(7L).height == 4)
     assert(math.abs(feats(7L).meanByte - ("abc".map(_.toInt).sum / 3.0)) < 1e-9)
     assert(feats(8L).nBytes == 0 && feats(8L).meanByte == 0.0)
+    // resize stub: payload sliced to the pixel budget, dims rewritten
+    val resized = MultimodalOps.resizeStub(packed, 2, 1).collect()
+      .map(r => r.getAs[Long]("id") -> r).toMap
+    assert(resized(7L).getAs[Array[Byte]]("payload").length == 2)
+    assert(resized(7L).getAs[Int]("width") == 2 && resized(7L).getAs[Int]("height") == 1)
+    // frame sampling: 7-byte payload in 3-byte frames, every 2nd frame
+    import spark.implicits._
+    val vid = MultimodalOps.packBinary(Seq((9L, "abcdefg")).toDF("doc_id", "text"),
+      "doc_id", "text")
+    val frames = MultimodalOps.frameSampleStub(vid, frameBytes = 3, everyN = 2)
+      .select("frame_idx", "frame_len").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(frames == Map(0L -> 3, 2L -> 1)) // frames 0 and 2; frame 1 skipped
   }
 
   test("IVF index: probes only nearest cells, finds in-cluster neighbors") {
