@@ -43,8 +43,21 @@ object EmbeddingOps {
   def norm(a: Column): Column =
     sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
 
-  /** Cosine similarity. */
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine similarity — backed by the codegen'd [[graft.functions.CosineSim]]
+    * Catalyst expression (one fused primitive loop inside WholeStageCodegen);
+    * its accumulation order replicates the HOF form `dot/(norm·norm)`
+    * bit-for-bit, so oracle results are unchanged.
+    */
+  def cosine(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.functions.CosineSim(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
+
+  /** The interpreted higher-order-function form (kept for reference and
+    * cross-checking the native expression).
+    */
+  def cosineHof(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /** Sign-pattern LSH bucket: the embedding is cut into `nGroups` contiguous
     * coordinate groups; bit g = sign of the group sum. Fixed, deterministic

@@ -64,6 +64,26 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(sh(1L) != sh(3L))
   }
 
+  test("native CosineSim equals the HOF form bit-for-bit and stays codegen'd") {
+    import spark.implicits._
+    val df = Seq(
+      (Array(0.3f, -1.7f, 2.2f, 0.0f), Array(1.1f, 0.4f, -0.9f, 3.3f)),
+      (Array(1.0f, 2.0f, 3.0f, 4.0f), Array(4.0f, 3.0f, 2.0f, 1.0f))
+    ).toDF("a", "b")
+    val both = df.select(
+      EmbeddingOps.cosine(col("a"), col("b")).as("native"),
+      EmbeddingOps.cosineHof(col("a"), col("b")).as("hof")).collect()
+    both.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)),
+        s"native ${r.getDouble(0)} != hof ${r.getDouble(1)}")
+    }
+    val plan = df.select(EmbeddingOps.cosine(col("a"), col("b")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("cosine_sim"), plan)
+    assert(!plan.contains("UDF"), plan)
+  }
+
   test("knn brute force: exact neighbor ordering with deterministic ties") {
     import spark.implicits._
     val df = Seq(
