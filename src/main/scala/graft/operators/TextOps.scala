@@ -196,6 +196,22 @@ object TextOps {
     */
   def winnowFingerprints(df: DataFrame, docCol: String, textCol: String,
                          k: Int = 8, window: Int = 4): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    EmbeddingOps.parallelized(df)
+      .select(col(docCol), normalized(col(textCol)).as("t"))
+      .filter(length(col("t")) >= k + window - 1)
+      .select(col(docCol),
+        ColumnBridge.column(graft.functions.WinnowFp(
+          ColumnBridge.expression(col("t")), k, window)).as("fps"))
+  }
+
+  /** The relational HOF form of [[winnowFingerprints]] — O(L·k) interpreted
+    * lambda evaluations per doc; kept for cross-checking the native O(L)
+    * rolling-hash expression (their fingerprint SETS are identical because
+    * both compute the same mod-M residues).
+    */
+  def winnowFingerprintsHof(df: DataFrame, docCol: String, textCol: String,
+                            k: Int = 8, window: Int = 4): DataFrame = {
     val B = 257L
     val M = 2147483647L
     // B^(k-1-j) mod M for gram position j — Scala-computed constants shared

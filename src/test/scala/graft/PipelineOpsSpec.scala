@@ -64,6 +64,25 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(sh(1L) != sh(3L))
   }
 
+  test("native rolling-hash winnow matches the HOF polynomial form set-for-set") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "completely different words about catalyst tungsten partitions"),
+      (3L, "short doc"), // below k+w-1 after normalization → dropped
+      (4L, "  Mixed   CASE   and   spacing   normalize   identically  ")
+    ).toDF("doc_id", "text")
+    def sets(out: org.apache.spark.sql.DataFrame) = out.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    val native = sets(TextOps.winnowFingerprints(df, "doc_id", "text"))
+    val hof = sets(TextOps.winnowFingerprintsHof(df, "doc_id", "text"))
+    assert(native.keySet == hof.keySet && !native.contains(3L))
+    native.foreach { case (k, fps) =>
+      assert(fps == hof(k), s"doc $k: native $fps vs hof ${hof(k)}")
+      assert(fps.nonEmpty)
+    }
+  }
+
   test("native CosineSim equals the HOF form bit-for-bit and stays codegen'd") {
     import spark.implicits._
     val df = Seq(
