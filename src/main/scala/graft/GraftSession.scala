@@ -18,6 +18,9 @@ object GraftSession {
     SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft")
+      // register the library's custom Catalyst expressions as SQL functions
+      // (also loadable via spark.sql.extensions=graft.plans.GraftExtensions)
+      .withExtensions(new graft.plans.GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

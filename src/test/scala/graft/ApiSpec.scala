@@ -61,6 +61,24 @@ class ApiSpec extends AnyFunSuite {
     assert(m.head().getDouble(2) == 2.0)
   }
 
+  test("GraftExtensions: custom expressions callable from SQL") {
+    val one = spark.sql(
+      "SELECT cosine_sim(array(1.0D, 0.0D), array(2.0D, 0.0D)) AS c").head().getDouble(0)
+    assert(math.abs(one - 1.0) < 1e-12)
+    val fps = spark.sql(
+      "SELECT size(winnow_fp('the quick brown fox jumps over it', 8, 4)) AS n")
+      .head().getInt(0)
+    assert(fps > 0)
+    val in = spark.sql(
+      "SELECT point_covered_by(0.5D, 0.5D, 'POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))') AS b")
+      .head().getBoolean(0)
+    assert(in)
+    // non-literal wkt rejected with a clear message
+    intercept[Exception] {
+      spark.sql("SELECT point_covered_by(0.5D, 0.5D, repeat('x', 2))").collect()
+    }
+  }
+
   test("driver contract: entry returns rows; queries and oracles align") {
     assert(SparkEntry.entry(spark).count() > 0)
     val q = SparkEntry.queries.keySet
