@@ -100,10 +100,46 @@ object Colormaps {
     all.map(c => c.name -> c).toMap
   }
 
-  /** Lookup à la ColormapRegistry.get_cmap (cmaps.py:383): unknown names
-    * fall back to the reference's default ("viridis" per DEFAULT_CMAP_NAME).
+  /** Parse a custom colormap JSON code — the reference's `parse_cm_code`
+    * (cmaps.py:486-540): `{"name": ..., "type": "continuous"|"stepwise"|
+    * "categorical", "colors": [[value, "#rrggbb"], ...]}`. Values are
+    * normalized to [0,1]; stepwise/categorical maps hold each color until
+    * the next stop (duplicated-stop encoding of the step function).
     */
-  def get(name: String): Colormap = registry.getOrElse(name, viridis)
+  def parseCmCode(code: String): Colormap = {
+    import scala.jdk.CollectionConverters._
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(code)
+    val name = node.get("name").asText
+    val typ = Option(node.get("type")).map(_.asText).getOrElse("continuous")
+    val items = node.get("colors").elements.asScala.toVector.map { it =>
+      val v = it.get(0).asDouble
+      (v, Integer.parseInt(it.get(1).asText.stripPrefix("#"), 16))
+    }
+    require(items.nonEmpty, "custom colormap needs at least one color")
+    val vmin = items.head._1
+    val vmax = items.last._1
+    val span = if (vmax > vmin) vmax - vmin else 1.0
+    val norm = items.map { case (v, c) => ((v - vmin) / span, c) }
+    val stops = typ match {
+      case "stepwise" | "categorical" =>
+        // each color holds until the next stop; the LAST item only closes
+        // the final band (its color is unused), exactly like the reference's
+        // stepwise expansion over items[0:-1] (cmaps.py:524-532)
+        norm.indices.init.flatMap { i =>
+          Seq(norm(i), (norm(i + 1)._1, norm(i)._2))
+        }.toVector
+      case _ => norm
+    }
+    Colormap(name, stops.toArray)
+  }
+
+  /** Lookup à la ColormapRegistry.get_cmap (cmaps.py:383-392): a JSON cm
+    * code parses into a custom colormap; unknown names fall back to the
+    * reference's default ("viridis" per DEFAULT_CMAP_NAME).
+    */
+  def get(name: String): Colormap =
+    if (name.trim.startsWith("{")) parseCmCode(name)
+    else registry.getOrElse(name, viridis)
 
   def names: Seq[String] = registry.keys.toSeq.sorted
 }

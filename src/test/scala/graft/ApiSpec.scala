@@ -127,6 +127,27 @@ class ApiSpec extends AnyFunSuite {
     assert(Colormaps.names.contains("RdBu_r"))
   }
 
+  test("custom colormap JSON codes: continuous and stepwise (cmaps.py:486)") {
+    import graft.functions.Colormaps
+    val cont = Colormaps.get(
+      """{"name":"my_ramp","type":"continuous",
+         "colors":[[0,"#000000"],[50,"#808080"],[100,"#ffffff"]]}""")
+    assert(cont.name == "my_ramp")
+    assert(cont.argb(0.0) == 0xff000000)
+    assert(cont.argb(0.5) == 0xff808080)          // value 50 normalized
+    assert(cont.argb(1.0) == 0xffffffff)
+    // quarter point lerps between black and mid-gray
+    assert(((cont.argb(0.25) >> 16) & 0xff) == 0x40)
+    val step = Colormaps.get(
+      """{"name":"classes","type":"stepwise",
+         "colors":[[0,"#ff0000"],[10,"#00ff00"],[20,"#0000ff"]]}""")
+    assert(step.argb(0.2) == 0xffff0000)          // holds red until value 10
+    assert(step.argb(0.7) == 0xff00ff00)          // green band [10, 20)
+    // the last item only closes the final band — its color is unused,
+    // matching the reference's stepwise expansion over items[0:-1]
+    assert(step.argb(1.0) == 0xff00ff00)
+  }
+
   test("renderPng produces a decodable PNG with transparency") {
     val png = TileOps.renderPng(Array(0.0, 10.0, Double.NaN, 5.0), 2, 2, 0.0, 10.0,
       cmapName = "gray")
