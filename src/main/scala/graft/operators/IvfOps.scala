@@ -70,11 +70,11 @@ object IvfOps {
     val cells = index.centroids.zipWithIndex
       .sortBy { case (c, _) => -cosine(c, query) }
       .take(nProbe).map(_._2)
-    val candidates = index.assigned.filter(col("__cell").isin(cells.map(Integer.valueOf): _*))
+    val candidates = index.assigned.filter(col("__cell").isin(cells.toIndexedSeq.map(Integer.valueOf): _*))
     candidates
       .withColumn("cos_sim",
         round(EmbeddingOps.cosine(
-          array(query.map(lit): _*), col(embCol)), 6))
+          array(query.toIndexedSeq.map(lit): _*), col(embCol)), 6))
       .orderBy(col("cos_sim").desc, col(idCol).asc)
       .limit(k)
       .select(col(idCol), col("cos_sim"))

@@ -17,8 +17,10 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  private def info(name: String, usage: String) =
-    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+  private def info(name: String, usage: String) = {
+    val _ = usage // kept for doc value; the non-deprecated ctor drops it
+    new ExpressionInfo(classOf[GraftExtensions].getName, name)
+  }
 
   private def litInt(e: Expression, what: String): Int = e match {
     case Literal(v: Int, _) => v

@@ -53,7 +53,7 @@ object GeoJsonSource {
     val propTypes = scala.collection.mutable.LinkedHashMap.empty[String, DataType]
     features.foreach { f =>
       Option(f.get("properties")).filterNot(_.isNull).foreach { props =>
-        props.fields.asScala.foreach { e =>
+        props.properties.asScala.foreach { e =>
           if (!propTypes.contains(e.getKey)) {
             val t = e.getValue match {
               case v if v.isIntegralNumber => LongType
