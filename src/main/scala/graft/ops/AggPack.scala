@@ -70,7 +70,7 @@ object AggPack extends QueryPack {
     // materialized .levels pyramid: write L0..L3 (each a 2x2 mean of the
     // previous), read the stored tables back and checksum them
     "q_pyramid" -> ((s, d) => {
-      val root = s"/root/repo/target/levels_${new java.io.File(d).getName}"
+      val root = s"/root/repo/.graft-fixtures/levels_${new java.io.File(d).getName}"
       graft.Fixtures.ensureWritten(root) {
         graft.sources.LevelStore.writeLevels(cellCube(s, d), root, 3)
       }

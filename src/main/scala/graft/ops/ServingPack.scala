@@ -141,7 +141,7 @@ object ServingPack extends QueryPack {
     // aggregate layout to 2 files; data unchanged, file count = target.
     "q_optimize" -> ((s, d) => {
       val sfName = new java.io.File(d).getName
-      val path = s"/root/repo/target/optimize_$sfName"
+      val path = s"/root/repo/.graft-fixtures/optimize_$sfName"
       Fixtures.ensureWritten(path, "daily-agg,files=2,repartition") {
         val daily = GraftSession.events(s, d)
           .groupBy(date_trunc("DAY", col("ts")).as("day"), col("event_type"))
@@ -164,7 +164,7 @@ object ServingPack extends QueryPack {
     // served many times); the query measures load + probe + top-k.
     "q_ivf_ann" -> ((s, d) => {
       val sfName = new java.io.File(d).getName
-      val path = s"/root/repo/target/ivf_$sfName"
+      val path = s"/root/repo/.graft-fixtures/ivf_$sfName"
       graft.Fixtures.ensureWritten(path, "cells=4,seed=42,iter=5") {
         IvfOps.save(IvfOps.build(embs(s, d), "vec_id", "embedding", nCells = 4), path)
       }
@@ -264,7 +264,7 @@ object ServingPack extends QueryPack {
     // stored cube must equal replace-then-union semantics.
     "q_stream_upsert" -> ((s, d) => {
       val sfName = new java.io.File(d).getName
-      val base = s"/root/repo/target/stream_upsert_$sfName"
+      val base = s"/root/repo/.graft-fixtures/stream_upsert_$sfName"
       val dest = s"$base/cube"
       Fixtures.ensureWritten(base, "slices=d1,d2,d1x2") {
         val cube = CubePack.eventsCube(s, d)

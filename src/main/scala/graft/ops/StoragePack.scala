@@ -31,7 +31,7 @@ object StoragePack extends QueryPack {
       val gm = cube0.gm.copy(tileWidth = 64, tileHeight = 64)
       val cube = cube0.copy(gm = gm)
       val sfName = new java.io.File(d).getName
-      val path = s"/root/repo/target/cube_parts_$sfName"
+      val path = s"/root/repo/.graft-fixtures/cube_parts_$sfName"
       // layout build is a one-time fixture: the query measures the pruned READ
       graft.Fixtures.ensureWritten(path) { CubeWriter.writePartitioned(cube, path) }
       CubeWriter.prunedScan(s, path, gm,
@@ -137,7 +137,7 @@ object StoragePack extends QueryPack {
         .groupBy(date_trunc("DAY", col("ts")).as("day"), col("event_type"))
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 6).as("sum_value"))
       val sfName = new java.io.File(d).getName
-      val path = s"/root/repo/target/csv_roundtrip_$sfName.csv"
+      val path = s"/root/repo/.graft-fixtures/csv_roundtrip_$sfName.csv"
       graft.Fixtures.ensureWritten(path) { DataStore.writeDataset(agg, path) }
       DataStore.openDataset(s, path).select(
         col("day").cast("timestamp").as("day"), col("event_type"),
