@@ -1,0 +1,89 @@
+package graft
+
+import graft.cube.GridMapping
+import graft.functions.Colormaps
+import graft.operators.UtmOps
+import graft.operators.UtmOps.UtmZone
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property-style checks over seeded random samples for the numerics a
+  * handful of fixed anchors can't fully pin down: projection round-trips,
+  * grid-mapping inverses, rolling-hash equivalence, colormap bounds.
+  * (Deterministic seeds: failures reproduce exactly.)
+  */
+class PropertySpec extends AnyFunSuite {
+
+  test("UTM forward/inverse round-trips across the zone for 500 random points") {
+    val rnd = new scala.util.Random(42)
+    (1 to 500).foreach { _ =>
+      val lo = 6.05 + rnd.nextDouble() * 5.9  // zone 32 interior
+      val la = -79.0 + rnd.nextDouble() * 158.0
+      val z = UtmZone(32, north = la >= 0)
+      val (e, n) = UtmOps.forwardScalar(lo, la, z)
+      val (lo2, la2) = UtmOps.inverseScalar(e, n, z)
+      assert(math.abs(lo2 - lo) < 1e-7 && math.abs(la2 - la) < 1e-7,
+        s"($lo,$la) -> ($e,$n) -> ($lo2,$la2)")
+      assert(n > -1e7 && n < 2e7)
+    }
+  }
+
+  test("GridMapping pixel<->world round-trips for 500 random grids and cells") {
+    val rnd = new scala.util.Random(7)
+    (1 to 500).foreach { _ =>
+      val gm = GridMapping(
+        1L + rnd.nextInt(5000), 1L + rnd.nextInt(5000),
+        (rnd.nextDouble() - 0.5) * 2e6, (rnd.nextDouble() - 0.5) * 2e6,
+        1e-3 + rnd.nextDouble() * 1e3, 1e-3 + rnd.nextDouble() * 1e3)
+      val i = (rnd.nextDouble() * (gm.width - 1)).toLong
+      val j = (rnd.nextDouble() * (gm.height - 1)).toLong
+      assert(gm.iForX(gm.xForI(i)) == i, s"$gm i=$i")
+      assert(gm.jForY(gm.yForJ(j)) == j, s"$gm j=$j")
+      val bb = gm.ijBboxFromXyBbox(gm.xForI(i), gm.yForJ(j), gm.xForI(i), gm.yForJ(j))
+      assert(bb.contains((i, j, i, j)), s"$gm cell ($i,$j) -> $bb")
+    }
+  }
+
+  test("rolling-hash winnow equals the direct polynomial on 300 random strings") {
+    val k = 8; val B = 257L; val M = 2147483647L
+    val pows = graft.operators.TextOps.winnowPows(k)
+    def direct(s: String): Seq[Long] =
+      (0 to s.length - k).map { i =>
+        (0 until k).map(j => s.charAt(i + j) * pows(j)).sum % M
+      }
+    def rolling(s: String): Seq[Long] = {
+      val topPow = pows(0)
+      val out = Array.ofDim[Long](s.length - k + 1)
+      var h = 0L
+      (0 until k).foreach(j => h = (h * B + s.charAt(j)) % M)
+      out(0) = h
+      (1 until out.length).foreach { i =>
+        var t = (h - (s.charAt(i - 1) * topPow) % M) % M
+        if (t < 0) t += M
+        h = (t * B + s.charAt(i + k - 1)) % M
+        out(i) = h
+      }
+      out.toSeq
+    }
+    val rnd = new scala.util.Random(11)
+    val alphabet = "abcdefghijklmnopqrstuvwxyz0123456789 é中"
+    (1 to 300).foreach { _ =>
+      val n = 11 + rnd.nextInt(190)
+      val s = Seq.fill(n)(alphabet(rnd.nextInt(alphabet.length))).mkString
+      assert(rolling(s) == direct(s), s"mismatch for '$s'")
+    }
+  }
+
+  test("colormap argb stays channel-bounded and clamps out-of-range inputs") {
+    val rnd = new scala.util.Random(3)
+    val allNames = Colormaps.names
+    (1 to 500).foreach { _ =>
+      val cm = Colormaps.get(allNames(rnd.nextInt(allNames.size)))
+      val t = rnd.nextDouble() * 2.0 - 0.5
+      val c = cm.argb(t)
+      val a = (c >>> 24) & 0xff
+      assert(a >= 0 && a <= 255)
+      assert(cm.argb(2.0) == cm.argb(1.0))
+      assert((cm.argb(-1.0) & 0xffffff) == (cm.argb(0.0) & 0xffffff))
+    }
+  }
+}
