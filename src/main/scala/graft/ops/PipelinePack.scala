@@ -84,6 +84,37 @@ object PipelinePack extends QueryPack {
         dim = 64, nGroups = 8, threshold = 0.3)
     }),
 
+    // the full curation funnel in ONE declarative DAG — quality filter →
+    // exact dedup (first doc per content fingerprint) → near-dup removal
+    // (drop the higher doc_id of every LSH-confirmed pair with Jaccard ≥
+    // 0.5) → per-source survivor stats. The real pre-training pipeline
+    // shape: every stage is the oracle-checked operator above, composed.
+    "q_curation" -> ((s, d) => {
+      val stop = array(Seq("the", "a", "of", "and", "to").map(lit): _*)
+      val w = TextOps.tokens(col("text"))
+      val quality = docs(s, d).select(col("doc_id"), col("source"), col("text"),
+          size(w).as("n_tok"),
+          (size(filter(w, t => array_contains(stop, t))).cast("double") /
+            size(w)).as("stop_ratio"))
+        .filter(col("n_tok") >= 30 && col("stop_ratio") >= 0.01)
+      val keepExact = quality
+        .withColumn("fp", TextOps.fingerprint(col("text")))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("fp").orderBy("doc_id")))
+        .filter(col("rn") === 1).drop("rn", "fp")
+      val sigs = TextOps.minhashSignatures(
+        TextOps.shingleArrays(keepExact, "doc_id", "text", 3), "doc_id", NumPerms)
+      val bands = TextOps.lshBandRows(sigs, "doc_id", RowsPerBand, NumPerms)
+      val dupB = TextOps.jaccardOnCandidates(
+          TextOps.candidatePairs(bands, "doc_id"), sigs, "doc_id")
+        .filter(col("jaccard") >= 0.5)
+        .select(col("doc_b").as("doc_id")).distinct()
+      keepExact.join(dupB, Seq("doc_id"), "left_anti")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("n_tok")).cast("long").as("total_tokens"))
+    }),
+
     // corpus tf-idf: top-20 terms by summed tf·idf, deterministic tiebreak
     "q_tfidf_top_terms" -> ((s, d) => {
       val dd = docs(s, d)
@@ -318,6 +349,56 @@ object PipelinePack extends QueryPack {
                       ${dotCos("a.embedding", "x.embedding")} AS cos_sim
                FROM b a JOIN b x ON a.bucket = x.bucket AND a.vec_id < x.vec_id)
          SELECT id_a, id_b, cos_sim FROM p WHERE cos_sim >= 0.3""",
+    "q_curation" ->
+      s"""WITH q AS (
+           SELECT doc_id, source, text,
+                  len(string_split(text, ' ')) AS n_tok,
+                  len(list_filter(string_split(text, ' '),
+                      t -> t IN ('the', 'a', 'of', 'and', 'to')))::DOUBLE /
+                    len(string_split(text, ' ')) AS stop_ratio
+           FROM documents),
+         qk AS (SELECT doc_id, source, text, n_tok FROM q
+                WHERE n_tok >= 30 AND stop_ratio >= 0.01),
+         ex AS (SELECT *, row_number() OVER (
+                  PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+                  ORDER BY doc_id) AS rn
+                FROM qk),
+         kept AS (SELECT doc_id, source, text, n_tok FROM ex WHERE rn = 1),
+         dsh AS (SELECT doc_id, string_split(text, ' ') AS w FROM kept),
+         s AS (SELECT doc_id,
+                      list_distinct(list_transform(range(1, len(w) - 1),
+                        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+               FROM dsh WHERE len(w) >= 3),
+         h AS (SELECT doc_id, sh,
+                      list_transform(sh, x ->
+                        ('0x' || substr(md5(x), 1, 15))::BIGINT) AS h60
+               FROM s),
+         sigs AS (SELECT doc_id, sh,
+                         list_transform(range(0, $NumPerms), p ->
+                           list_min(list_transform(h60, x ->
+                             ((x % 2147483647) * ((1103515245 * (p + 1)) % 2147483647)
+                              + ((12345 * (p + 7919)) % 2147483647)) % 2147483647))) AS mh
+                  FROM h),
+         bands AS (SELECT doc_id, b.band,
+                          array_to_string(list_transform(
+                            mh[b.band*$RowsPerBand+1 : b.band*$RowsPerBand+$RowsPerBand],
+                            x -> x::VARCHAR), ',') AS sig
+                   FROM sigs CROSS JOIN
+                        (SELECT unnest(range(0, ${NumPerms / RowsPerBand})) AS band) b),
+         cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                  FROM bands a JOIN bands b
+                    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+         j AS (SELECT c.doc_a, c.doc_b,
+                      len(list_intersect(sa.sh, sb.sh)) AS n_common,
+                      len(sa.sh) AS n_a, len(sb.sh) AS n_b
+               FROM cand c
+               JOIN sigs sa ON sa.doc_id = c.doc_a
+               JOIN sigs sb ON sb.doc_id = c.doc_b),
+         dup AS (SELECT DISTINCT doc_b AS doc_id FROM j
+                 WHERE round(n_common::DOUBLE / (n_a + n_b - n_common), 6) >= 0.5)
+         SELECT source, count(*) AS n_kept, sum(n_tok)::BIGINT AS total_tokens
+         FROM kept WHERE doc_id NOT IN (SELECT doc_id FROM dup)
+         GROUP BY source""",
     "q_tfidf_top_terms" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
          n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
