@@ -97,11 +97,13 @@ object PipelinePack extends QueryPack {
           (size(filter(w, t => array_contains(stop, t))).cast("double") /
             size(w)).as("stop_ratio"))
         .filter(col("n_tok") >= 30 && col("stop_ratio") >= 0.01)
+      // first-doc-per-fingerprint via min_by: one map-side-combined
+      // aggregation instead of a window sort over every partition
       val keepExact = quality
-        .withColumn("fp", TextOps.fingerprint(col("text")))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("fp").orderBy("doc_id")))
-        .filter(col("rn") === 1).drop("rn", "fp")
+        .groupBy(TextOps.fingerprint(col("text")).as("fp"))
+        .agg(min_by(struct(col("doc_id"), col("source"), col("text"),
+          col("n_tok")), col("doc_id")).as("r"))
+        .select(col("r.doc_id"), col("r.source"), col("r.text"), col("r.n_tok"))
       val sigs = TextOps.minhashSignatures(
         TextOps.shingleArrays(keepExact, "doc_id", "text", 3), "doc_id", NumPerms)
       val bands = TextOps.lshBandRows(sigs, "doc_id", RowsPerBand, NumPerms)
