@@ -197,6 +197,36 @@ object ServingPack extends QueryPack {
         .select(col("geometry"), col("name"), col("score"))
     }),
 
+    // places endpoint (webapi/places/controllers.py:25-90 find_places):
+    // GeoJSON point features filtered by a bbox query-geometry and a
+    // property predicate — coordinates pulled from the WKT with codegen'd
+    // regexp extraction, no geometry library on the filter path
+    "q_places" -> ((s, d) => {
+      val json =
+        """{"type":"FeatureCollection","features":[
+          {"type":"Feature","geometry":{"type":"Point","coordinates":[10.0,20.0]},
+           "properties":{"name":"alpha","pop":500}},
+          {"type":"Feature","geometry":{"type":"Point","coordinates":[45.0,25.0]},
+           "properties":{"name":"beta","pop":80}},
+          {"type":"Feature","geometry":{"type":"Point","coordinates":[30.0,5.0]},
+           "properties":{"name":"gamma","pop":900}},
+          {"type":"Feature","geometry":{"type":"Point","coordinates":[70.0,10.0]},
+           "properties":{"name":"delta","pop":1200}},
+          {"type":"Feature","geometry":{"type":"Point","coordinates":[20.0,29.0]},
+           "properties":{"name":"epsilon","pop":150}}]}"""
+      val f = java.io.File.createTempFile("graft_places", ".geojson")
+      f.deleteOnExit()
+      java.nio.file.Files.write(f.toPath, json.getBytes)
+      val places = GeoJsonSource.readFeatures(s, f.getAbsolutePath)
+      val ptRe = "POINT \\(([-0-9.]+) ([-0-9.]+)\\)"
+      places
+        .withColumn("x", regexp_extract(col("geometry"), ptRe, 1).cast("double"))
+        .withColumn("y", regexp_extract(col("geometry"), ptRe, 2).cast("double"))
+        .filter(col("x").between(0.0, 50.0) && col("y").between(0.0, 30.0) &&
+          col("pop") >= 100)
+        .select(col("name"), col("x"), col("y"), col("pop"))
+    }),
+
     // in-memory store round-trip (dsio.py:308-356): write an aggregate as a
     // temp view, open it back through the store API.
     "q_memory_store" -> ((s, d) => {
@@ -391,6 +421,15 @@ object ServingPack extends QueryPack {
            ('POLYGON ((0.0 0.0, 10.0 0.0, 10.0 10.0, 0.0 0.0))', 'beta', 2::BIGINT),
            ('LINESTRING (0.0 0.0, 5.0 5.0)', 'gamma', NULL::BIGINT))
          AS t(geometry, name, score)""",
+    "q_places" ->
+      """SELECT name, x, y, pop FROM (VALUES
+           ('alpha', 10.0, 20.0, 500::BIGINT),
+           ('beta', 45.0, 25.0, 80::BIGINT),
+           ('gamma', 30.0, 5.0, 900::BIGINT),
+           ('delta', 70.0, 10.0, 1200::BIGINT),
+           ('epsilon', 20.0, 29.0, 150::BIGINT)) AS t(name, x, y, pop)
+         WHERE x BETWEEN 0.0 AND 50.0 AND y BETWEEN 0.0 AND 30.0
+           AND pop >= 100""",
     "q_memory_store" ->
       """SELECT event_type, count(*) AS n, round(sum(value), 6) AS sum_value
          FROM events GROUP BY event_type""",
