@@ -154,11 +154,41 @@ object TextOps {
           x => x.cast("string")), ",").as("sig"))
   }
 
+  /** Default LSH bucket-size cap for [[candidatePairs]]. The self-join on a
+    * bucket of n members emits n·(n−1)/2 pairs — quadratic in the largest
+    * bucket. Real web corpora have degenerate buckets (millions of docs
+    * sharing one boilerplate template); capping bucket size is the standard
+    * LSH practice and an exact no-op below the cap. A dropped bucket means
+    * those docs were near-identical at MinHash resolution anyway — callers
+    * doing dedup should treat an oversized bucket as one duplicate cluster
+    * (see [[oversizedBuckets]]) rather than enumerate its pairs.
+    */
+  val DefaultMaxBucket: Int = 10000
+
+  /** (band, sig, bucket_n) of buckets the cap in [[candidatePairs]] drops —
+    * for logging/auditing what pair enumeration skipped.
+    */
+  def oversizedBuckets(bands: DataFrame, maxBucket: Int): DataFrame =
+    bands.groupBy("band", "sig").agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > maxBucket)
+
   /** Candidate near-duplicate pairs: docs sharing any (band, signature)
     * bucket. Equi-join on the bucket key — the scale-safe core of LSH.
+    *
+    * Buckets with more than `maxBucket` members are dropped BEFORE the
+    * self-join (one map-side-combined count aggregation; the filter is
+    * applied to one join side only, which is sufficient for an inner
+    * equi-join). Singleton buckets are pruned by the same aggregation —
+    * they cannot produce a pair, and on a normal corpus they are the vast
+    * majority of bucket keys.
     */
-  def candidatePairs(bands: DataFrame, docCol: String): DataFrame = {
-    val a = bands.select(col(docCol).as("doc_a"), col("band"), col("sig"))
+  def candidatePairs(bands: DataFrame, docCol: String,
+                     maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val ok = bands.groupBy("band", "sig").agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > 1 && col("bucket_n") <= maxBucket)
+      .select("band", "sig")
+    val a = bands.join(ok, Seq("band", "sig"))
+      .select(col(docCol).as("doc_a"), col("band"), col("sig"))
     val b = bands.select(col(docCol).as("doc_b"), col("band"), col("sig"))
     a.join(b, Seq("band", "sig"))
       .filter(col("doc_a") < col("doc_b"))
@@ -167,15 +197,17 @@ object TextOps {
   }
 
   /** Exact shingle-set Jaccard for candidate pairs from the per-doc arrays:
-    * candidates are small by construction → broadcast into two hash joins
-    * against the array table; the intersection is computed per row with
-    * array_intersect, no shuffle after the joins.
+    * two hash joins against the array table; the intersection is computed
+    * per row with array_intersect, no shuffle after the joins. No broadcast
+    * hint on purpose — the candidate set is unbounded on a degenerate corpus
+    * (pre-cap it was quadratic in the largest bucket), so the join strategy
+    * is left to AQE, which broadcasts when the runtime size actually fits.
     */
   def jaccardOnCandidates(cands: DataFrame, withSh: DataFrame,
                           docCol: String): DataFrame = {
     val a = withSh.select(col(docCol).as("doc_a"), col("sh").as("sh_a"))
     val b = withSh.select(col(docCol).as("doc_b"), col("sh").as("sh_b"))
-    broadcast(cands).join(a, Seq("doc_a")).join(b, Seq("doc_b"))
+    cands.join(a, Seq("doc_a")).join(b, Seq("doc_b"))
       .withColumn("n_common", size(array_intersect(col("sh_a"), col("sh_b"))))
       .select(col("doc_a"), col("doc_b"),
         round(col("n_common").cast("double") /

@@ -25,9 +25,16 @@ object PipelinePack extends QueryPack {
   private def docs(s: SparkSession, d: String) = GraftSession.table(s, d, "documents")
   private def embs(s: SparkSession, d: String) = GraftSession.table(s, d, "embeddings")
 
-  // LSH configuration: 8 permutations × 4 bands of 2 rows
+  // LSH configuration: 8 permutations × 4 bands of 2 rows; buckets larger
+  // than MaxBucket are dropped before pair enumeration (mirrored in the
+  // DuckDB oracle, so the cap is part of the checked semantics)
   private val NumPerms = 8
   private val RowsPerBand = 2
+  private val MaxBucket = 100
+  // tighter cap for the degenerate-corpus query: the 2001-member boilerplate
+  // cluster must trip it
+  private val DegenerateCap = 50
+  private val DegenerateClones = 2000
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -54,8 +61,37 @@ object PipelinePack extends QueryPack {
       val sigs = TextOps.minhashSignatures(
         TextOps.shingleArrays(docs(s, d), "doc_id", "text", 3), "doc_id", NumPerms)
       val bands = TextOps.lshBandRows(sigs, "doc_id", RowsPerBand, NumPerms)
-      val cands = TextOps.candidatePairs(bands, "doc_id")
+      val cands = TextOps.candidatePairs(bands, "doc_id", MaxBucket)
       TextOps.jaccardOnCandidates(cands, sigs, "doc_id")
+    }),
+
+    // the web-crawl degenerate case: a corpus where one boilerplate template
+    // appears 2001× (every clone shares every LSH bucket with every other
+    // clone — pair enumeration would be quadratic, ~2M pairs × 4 bands).
+    // The bucket-size cap drops the cluster before the self-join; the
+    // output is the surviving-pair summary PLUS what the cap dropped, so
+    // the drop is part of the oracle-checked result, not a silent skip.
+    "q_dedup_degenerate" -> ((s, d) => {
+      val dd = docs(s, d).select(col("doc_id"), col("text"))
+      val tmpl = dd.agg(min(col("doc_id")).as("doc_id")).join(dd, Seq("doc_id"))
+        .select(col("text"))
+      val clones = s.range(DegenerateClones.toLong)
+        .select((col("id") + 1000000L).as("doc_id"))
+        .crossJoin(broadcast(tmpl))
+      val corpus = dd.unionByName(clones.select(col("doc_id"), col("text")))
+      val sigs = TextOps.minhashSignatures(
+        TextOps.shingleArrays(corpus, "doc_id", "text", 3), "doc_id", NumPerms)
+      val bands = TextOps.lshBandRows(sigs, "doc_id", RowsPerBand, NumPerms)
+      val pairs = TextOps.jaccardOnCandidates(
+        TextOps.candidatePairs(bands, "doc_id", DegenerateCap), sigs, "doc_id")
+      val dropped = TextOps.oversizedBuckets(bands, DegenerateCap)
+      pairs
+        .agg(count(lit(1)).as("n_pairs"),
+          coalesce(sum(when(col("jaccard") >= 0.5, 1L).otherwise(0L)), lit(0L)).as("n_high"),
+          min(col("jaccard")).as("min_j"),
+          max(col("jaccard")).as("max_j"))
+        .crossJoin(dropped.agg(count(lit(1)).as("n_dropped_buckets"),
+          coalesce(max(col("bucket_n")), lit(0L)).as("max_dropped_bucket")))
     }),
 
     // exact cosine top-3 for a 5-query set, brute force baseline
@@ -108,7 +144,7 @@ object PipelinePack extends QueryPack {
         TextOps.shingleArrays(keepExact, "doc_id", "text", 3), "doc_id", NumPerms)
       val bands = TextOps.lshBandRows(sigs, "doc_id", RowsPerBand, NumPerms)
       val dupB = TextOps.jaccardOnCandidates(
-          TextOps.candidatePairs(bands, "doc_id"), sigs, "doc_id")
+          TextOps.candidatePairs(bands, "doc_id", MaxBucket), sigs, "doc_id")
         .filter(col("jaccard") >= 0.5)
         .select(col("doc_b").as("doc_id")).distinct()
       keepExact.join(dupB, Seq("doc_id"), "left_anti")
@@ -269,6 +305,50 @@ object PipelinePack extends QueryPack {
     })
   )
 
+  /** DuckDB CTE chain mirroring the banded-MinHash LSH pipeline over a
+    * relation `src(doc_id, text)`: defines d, s, h, sigs, bands, ok, cand, j
+    * — bit-for-bit the arithmetic of TextOps.minhashSignatures/lshBandRows/
+    * candidatePairs(cap)/jaccardOnCandidates, INCLUDING the bucket-size cap
+    * (buckets with more than `cap` members produce no candidate pairs; the
+    * cap filter is applied to one join side, sufficient for an inner
+    * equi-join — same as the Spark side).
+    */
+  private def lshCtes(src: String, cap: Int): String =
+    s"""d AS (SELECT doc_id, string_split(text, ' ') AS w FROM $src),
+       s AS (SELECT doc_id,
+                    list_distinct(list_transform(range(1, len(w) - 1),
+                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+             FROM d WHERE len(w) >= 3),
+       h AS (SELECT doc_id, sh,
+                    list_transform(sh, x ->
+                      ('0x' || substr(md5(x), 1, 15))::BIGINT) AS h60
+             FROM s),
+       sigs AS (SELECT doc_id, sh,
+                       list_transform(range(0, $NumPerms), p ->
+                         list_min(list_transform(h60, x ->
+                           ((x % 2147483647) * ((1103515245 * (p + 1)) % 2147483647)
+                            + ((12345 * (p + 7919)) % 2147483647)) % 2147483647))) AS mh
+                FROM h),
+       bands AS (SELECT doc_id, b.band,
+                        array_to_string(list_transform(
+                          mh[b.band*$RowsPerBand+1 : b.band*$RowsPerBand+$RowsPerBand],
+                          x -> x::VARCHAR), ',') AS sig
+                 FROM sigs CROSS JOIN
+                      (SELECT unnest(range(0, ${NumPerms / RowsPerBand})) AS band) b),
+       ok AS (SELECT band, sig FROM bands GROUP BY band, sig
+              HAVING count(*) > 1 AND count(*) <= $cap),
+       cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM (SELECT bands.doc_id, bands.band, bands.sig
+                      FROM bands JOIN ok USING (band, sig)) a
+                JOIN bands b
+                  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+       j AS (SELECT c.doc_a, c.doc_b,
+                    len(list_intersect(sa.sh, sb.sh)) AS n_common,
+                    len(sa.sh) AS n_a, len(sb.sh) AS n_b
+             FROM cand c
+             JOIN sigs sa ON sa.doc_id = c.doc_a
+             JOIN sigs sb ON sb.doc_id = c.doc_b)"""
+
   // DuckDB mirrors. Shared fragments:
   private def dotCos(qe: String, e: String): String =
     s"""round(
@@ -292,39 +372,31 @@ object PipelinePack extends QueryPack {
                 sum(n - 1)::BIGINT AS n_extra_docs
          FROM g""",
     "q_dedup_near" ->
-      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-         s AS (SELECT doc_id,
-                      list_distinct(list_transform(range(1, len(w) - 1),
-                        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
-               FROM d WHERE len(w) >= 3),
-         h AS (SELECT doc_id, sh,
-                      list_transform(sh, x ->
-                        ('0x' || substr(md5(x), 1, 15))::BIGINT) AS h60
-               FROM s),
-         sigs AS (SELECT doc_id, sh,
-                         list_transform(range(0, $NumPerms), p ->
-                           list_min(list_transform(h60, x ->
-                             ((x % 2147483647) * ((1103515245 * (p + 1)) % 2147483647)
-                              + ((12345 * (p + 7919)) % 2147483647)) % 2147483647))) AS mh
-                  FROM h),
-         bands AS (SELECT doc_id, b.band,
-                          array_to_string(list_transform(
-                            mh[b.band*$RowsPerBand+1 : b.band*$RowsPerBand+$RowsPerBand],
-                            x -> x::VARCHAR), ',') AS sig
-                   FROM sigs CROSS JOIN
-                        (SELECT unnest(range(0, ${NumPerms / RowsPerBand})) AS band) b),
-         cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-                  FROM bands a JOIN bands b
-                    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
-         j AS (SELECT c.doc_a, c.doc_b,
-                      len(list_intersect(sa.sh, sb.sh)) AS n_common,
-                      len(sa.sh) AS n_a, len(sb.sh) AS n_b
-               FROM cand c
-               JOIN sigs sa ON sa.doc_id = c.doc_a
-               JOIN sigs sb ON sb.doc_id = c.doc_b)
+      s"""WITH ${lshCtes("documents", MaxBucket)}
          SELECT doc_a, doc_b,
                 round(n_common::DOUBLE / (n_a + n_b - n_common), 6) AS jaccard
          FROM j""",
+    "q_dedup_degenerate" ->
+      s"""WITH tmpl AS (SELECT text FROM documents
+                        WHERE doc_id = (SELECT min(doc_id) FROM documents)),
+         corpus AS (SELECT doc_id, text FROM documents
+                    UNION ALL
+                    SELECT 1000000 + t.i AS doc_id, tmpl.text
+                    FROM range(0, $DegenerateClones) t(i) CROSS JOIN tmpl),
+         ${lshCtes("corpus", DegenerateCap)},
+         p AS (SELECT doc_a, doc_b,
+                      round(n_common::DOUBLE / (n_a + n_b - n_common), 6) AS jaccard
+               FROM j),
+         dropped AS (SELECT band, sig, count(*) AS bucket_n
+                     FROM bands GROUP BY band, sig
+                     HAVING count(*) > $DegenerateCap)
+         SELECT (SELECT count(*) FROM p) AS n_pairs,
+                (SELECT coalesce(sum(CASE WHEN jaccard >= 0.5 THEN 1 ELSE 0 END), 0)::BIGINT
+                 FROM p) AS n_high,
+                (SELECT min(jaccard) FROM p) AS min_j,
+                (SELECT max(jaccard) FROM p) AS max_j,
+                (SELECT count(*) FROM dropped) AS n_dropped_buckets,
+                (SELECT coalesce(max(bucket_n), 0)::BIGINT FROM dropped) AS max_dropped_bucket""",
     "q_knn_cosine" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
          p AS (SELECT q.query_id, e.vec_id, ${dotCos("q.qe", "e.embedding")} AS cos_sim
@@ -366,36 +438,7 @@ object PipelinePack extends QueryPack {
                   ORDER BY doc_id) AS rn
                 FROM qk),
          kept AS (SELECT doc_id, source, text, n_tok FROM ex WHERE rn = 1),
-         dsh AS (SELECT doc_id, string_split(text, ' ') AS w FROM kept),
-         s AS (SELECT doc_id,
-                      list_distinct(list_transform(range(1, len(w) - 1),
-                        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
-               FROM dsh WHERE len(w) >= 3),
-         h AS (SELECT doc_id, sh,
-                      list_transform(sh, x ->
-                        ('0x' || substr(md5(x), 1, 15))::BIGINT) AS h60
-               FROM s),
-         sigs AS (SELECT doc_id, sh,
-                         list_transform(range(0, $NumPerms), p ->
-                           list_min(list_transform(h60, x ->
-                             ((x % 2147483647) * ((1103515245 * (p + 1)) % 2147483647)
-                              + ((12345 * (p + 7919)) % 2147483647)) % 2147483647))) AS mh
-                  FROM h),
-         bands AS (SELECT doc_id, b.band,
-                          array_to_string(list_transform(
-                            mh[b.band*$RowsPerBand+1 : b.band*$RowsPerBand+$RowsPerBand],
-                            x -> x::VARCHAR), ',') AS sig
-                   FROM sigs CROSS JOIN
-                        (SELECT unnest(range(0, ${NumPerms / RowsPerBand})) AS band) b),
-         cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-                  FROM bands a JOIN bands b
-                    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
-         j AS (SELECT c.doc_a, c.doc_b,
-                      len(list_intersect(sa.sh, sb.sh)) AS n_common,
-                      len(sa.sh) AS n_a, len(sb.sh) AS n_b
-               FROM cand c
-               JOIN sigs sa ON sa.doc_id = c.doc_a
-               JOIN sigs sb ON sb.doc_id = c.doc_b),
+         ${lshCtes("kept", MaxBucket)},
          dup AS (SELECT DISTINCT doc_b AS doc_id FROM j
                  WHERE round(n_common::DOUBLE / (n_a + n_b - n_common), 6) >= 0.5)
          SELECT source, count(*) AS n_kept, sum(n_tok)::BIGINT AS total_tokens

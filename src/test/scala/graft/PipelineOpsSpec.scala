@@ -43,6 +43,28 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(jac > 0.8 && jac < 1.0)
   }
 
+  test("LSH bucket cap drops the degenerate cluster's pairs, keeps the rest") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val near = "the quick brown fox jumps over the lazy dog again and again tomorrow"
+    // 10 clones of one boilerplate doc + one genuine near-dup pair
+    val clones = (10L until 20L).map(i => (i, "copy of the same boilerplate template text"))
+    val df = (Seq((1L, base), (2L, near)) ++ clones).toDF("doc_id", "text")
+    val sigs = TextOps.minhashSignatures(
+      TextOps.shingleArrays(df, "doc_id", "text", 3), "doc_id", 8)
+    val bands = TextOps.lshBandRows(sigs, "doc_id", 2, 8)
+    // cap 5 < 10 clones: every clone bucket is dropped, (1,2) survives
+    val capped = TextOps.candidatePairs(bands, "doc_id", maxBucket = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((1L, 2L)), capped)
+    // the dropped buckets are reported, all of size 10, in all 4 bands
+    val dropped = TextOps.oversizedBuckets(bands, 5).collect()
+    assert(dropped.length == 4 && dropped.forall(_.getAs[Long]("bucket_n") == 10L))
+    // an uncapped run (default cap) still enumerates the clone pairs
+    val uncapped = TextOps.candidatePairs(bands, "doc_id").count()
+    assert(uncapped == 1 + 10 * 9 / 2)
+  }
+
   test("minhash64 matches the DuckDB hex-prefix arithmetic") {
     import spark.implicits._
     // fixed value cross-checked against DuckDB:

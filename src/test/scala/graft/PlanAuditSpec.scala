@@ -69,6 +69,19 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q_dedup_near: candidate Jaccard join carries no forced broadcast hint") {
+    // the candidate set is unbounded on a degenerate corpus; the join
+    // strategy must be left to AQE, not forced by a broadcast() hint
+    val analyzed = SparkEntry.queries("q_dedup_near")(spark, sf)
+      .queryExecution.analyzed.toString
+    assert(!analyzed.contains("ResolvedHint"), analyzed)
+  }
+
+  test("q_dedup_degenerate: no cartesian pair enumeration despite the clone cluster") {
+    val p = plan("q_dedup_degenerate")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q_rectify_triangular: bounded quad expansion, no cross join, codegen arithmetic") {
     val p = plan("q_rectify_triangular")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
