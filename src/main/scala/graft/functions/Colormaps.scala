@@ -114,7 +114,7 @@ object Colormaps {
     val items = node.get("colors").elements.asScala.toVector.map { it =>
       val v = it.get(0).asDouble
       (v, Integer.parseInt(it.get(1).asText.stripPrefix("#"), 16))
-    }
+    }.sortBy(_._1) // unsorted input would silently break the piecewise lerp
     require(items.nonEmpty, "custom colormap needs at least one color")
     val vmin = items.head._1
     val vmax = items.last._1

@@ -12,7 +12,8 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * The arithmetic REPLICATES the HOF form exactly — dot and the two norms
   * each accumulate left-to-right in element order, then
   * `dot / (sqrt(na) * sqrt(nb))` — so swapping it in cannot change a single
-  * bit of any oracle-checked result. One fused loop, primitive doubles,
+  * bit of any oracle-checked result. Unequal-length arrays yield null, the
+  * same as the HOF form (whose zip_with null-pads the shorter side). One fused loop, primitive doubles,
   * whole-stage codegen; ~10× less per-element overhead than the
   * interpreted lambda at 100 TB corpus scans.
   */
@@ -21,6 +22,11 @@ case class CosineSim(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_sim"
+
+  // null for unequal-length arrays, like the HOF form (zip_with null-pads
+  // the shorter array, so its dot — and the whole expression — is null);
+  // nullable regardless of the children so codegen can set isNull
+  override def nullable: Boolean = true
 
   private def elemIsFloat(e: Expression): Boolean = e.dataType match {
     case ArrayType(FloatType, _) => true
@@ -32,9 +38,10 @@ case class CosineSim(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    if (x.numElements() != y.numElements()) return null
     val lf = elemIsFloat(left)
     val rf = elemIsFloat(right)
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
@@ -65,19 +72,26 @@ case class CosineSim(left: Expression, right: Expression)
       val dot = ctx.freshName("dot"); val na = ctx.freshName("na")
       val nb = ctx.freshName("nb"); val i = ctx.freshName("i")
       val n = ctx.freshName("n")
+      // freshName for EVERY local (incl. the loop temporary): a bare name
+      // would collide with an enclosing whole-stage-codegen local
+      val va = ctx.freshName("va"); val vb = ctx.freshName("vb")
       s"""
-        double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
-        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-        for (int $i = 0; $i < $n; $i++) {
-          $dot += ((double) $a.$lGet($i)) * ((double) $b.$rGet($i));
+        int $n = $a.numElements();
+        if ($n != $b.numElements()) {
+          ${ev.isNull} = true;
+        } else {
+          double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+          for (int $i = 0; $i < $n; $i++) {
+            $dot += ((double) $a.$lGet($i)) * ((double) $b.$rGet($i));
+          }
+          for (int $i = 0; $i < $n; $i++) {
+            double $va = (double) $a.$lGet($i); $na += $va * $va;
+          }
+          for (int $i = 0; $i < $n; $i++) {
+            double $vb = (double) $b.$rGet($i); $nb += $vb * $vb;
+          }
+          ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
         }
-        for (int $i = 0; $i < $a.numElements(); $i++) {
-          double v = (double) $a.$lGet($i); $na += v * v;
-        }
-        for (int $i = 0; $i < $b.numElements(); $i++) {
-          double v = (double) $b.$rGet($i); $nb += v * v;
-        }
-        ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
       """
     })
   }

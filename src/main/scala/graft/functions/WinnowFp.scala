@@ -24,6 +24,12 @@ import org.apache.spark.unsafe.types.UTF8String
 case class WinnowFp(child: Expression, k: Int, window: Int)
   extends UnaryExpression with CodegenFallback {
 
+  // SQL-callable via GraftExtensions: invalid k/window must fail at
+  // analysis time, not as an ArrayIndexOutOfBounds mid-scan (window = 0
+  // would make nWin = nGrams + 1 and read past hs)
+  require(k >= 1, s"winnow_fp: k must be >= 1, got $k")
+  require(window >= 1, s"winnow_fp: window must be >= 1, got $window")
+
   private val B = 257L
   private val M = 2147483647L
   /** B^(k−1) mod M. */

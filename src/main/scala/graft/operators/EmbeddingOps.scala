@@ -29,8 +29,21 @@ object EmbeddingOps {
     * coalescing (small bytes ≠ small CPU).
     */
   def parallelized(df: DataFrame): DataFrame = {
-    val want = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= math.min(want, 8)) df
+    val spark = df.sparkSession
+    val want = spark.sparkContext.defaultParallelism
+    // estimate scan parallelism WITHOUT df.rdd: converting to an RDD under
+    // AQE can eagerly materialize upstream query stages (side-effect
+    // execution) just to read a partition count, and it blocks the driver.
+    // splits ≈ max(#files, bytes / maxPartitionBytes) is exact for the
+    // scan-rooted inputs this guards (one small parquet file = one task);
+    // non-file-backed plans (0 input files) are left untouched.
+    val files = df.inputFiles.length
+    if (files == 0) return df
+    val maxPart = math.max(1L, spark.sessionState.conf.filesMaxPartitionBytes)
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val splits = math.max(files.toLong,
+      (bytes / maxPart).min(BigInt(Int.MaxValue)).toLong)
+    if (splits >= math.min(want, 8)) df
     else df.repartition(want)
   }
 

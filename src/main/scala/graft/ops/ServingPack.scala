@@ -33,7 +33,8 @@ object ServingPack extends QueryPack {
       import s.implicits._
       val cube = CubePack.eventsCube(s, d)
       val cells = cube.df.groupBy(col("y"), col("x"))
-        .agg(round(avg(col("v")), 6).as("vm"))
+        .agg(round(sum(col("v").cast("decimal(28,12)")).cast("double") /
+          count(lit(1)), 6).as("vm"))
       val scheme = TilingScheme(2, 1, "local", 0.0, 0.0, 360.0, 100.0, tileSize = 128)
       val tile = TileOps.computeTile(cells, CubePack.gm, scheme, 1, 0L, 0L, "vm")
       val ts = scheme.tileSize
@@ -51,7 +52,8 @@ object ServingPack extends QueryPack {
       import s.implicits._
       val cube = CubePack.eventsCube(s, d)
       val cells = cube.df.groupBy(col("y"), col("x"))
-        .agg(round(avg(col("v")), 6).as("vm"))
+        .agg(round(sum(col("v").cast("decimal(28,12)")).cast("double") /
+          count(lit(1)), 6).as("vm"))
       val scheme = TilingScheme(2, 1, "local", 0.0, 0.0, 360.0, 100.0, tileSize = 128)
       val tile = TileOps.computeTile(cells, CubePack.gm, scheme, 1, 0L, 0L, "vm")
       val rgba = TileOps.renderRgba(tile, vmin = 0.0, vmax = 500.0)
@@ -69,7 +71,8 @@ object ServingPack extends QueryPack {
       val base = CubePack.eventsCube(s, d)
       val daily = base.df
         .groupBy(date_trunc("DAY", col("time")).as("time"), col("y"), col("x"))
-        .agg(round(avg(col("v")), 6).as("v"))
+        .agg(round(sum(col("v").cast("decimal(28,12)")).cast("double") /
+          count(lit(1)), 6).as("v"))
       val cube = Cube(daily, CubePack.gm)
       val times = daily.select(col("time")).distinct().orderBy(col("time"))
         .limit(2).collect().map(_.getTimestamp(0)).toSeq
@@ -328,7 +331,7 @@ object ServingPack extends QueryPack {
   override def oracleSql: Map[String, String] = Map(
     "q_tile_gather" ->
       s"""WITH ${CubePack.cubeCte},
-         cm AS (SELECT y, x, round(avg(v), 6) AS vm FROM cube GROUP BY y, x)
+         cm AS (SELECT y, x, round(sum(v::DECIMAL(28,12))::DOUBLE / count(*), 6) AS vm FROM cube GROUP BY y, x)
          SELECT floor((100.0 - y) * 128 / 50)::BIGINT AS py,
                 floor(x * 128 / 90)::BIGINT AS px,
                 vm AS v
@@ -336,7 +339,7 @@ object ServingPack extends QueryPack {
          WHERE x >= 0 AND x < 90 AND y >= 50 AND y < 100""",
     "q_rgba_tile" ->
       s"""WITH ${CubePack.cubeCte},
-         cm AS (SELECT y, x, round(avg(v), 6) AS vm FROM cube GROUP BY y, x),
+         cm AS (SELECT y, x, round(sum(v::DECIMAL(28,12))::DOUBLE / count(*), 6) AS vm FROM cube GROUP BY y, x),
          t1 AS (SELECT floor((100.0 - y) * 128 / 50)::BIGINT AS py,
                        floor(x * 128 / 90)::BIGINT AS px,
                        greatest(least((vm - 0.0) / (500.0 - 0.0), 1.0), 0.0) AS t
@@ -360,7 +363,8 @@ object ServingPack extends QueryPack {
          FROM ch""",
     "q_volume_brick" ->
       s"""WITH ${CubePack.cubeCte},
-         daily AS (SELECT date_trunc('day', time) AS day, y, x, round(avg(v), 6) AS v
+         daily AS (SELECT date_trunc('day', time) AS day, y, x,
+                          round(sum(v::DECIMAL(28,12))::DOUBLE / count(*), 6) AS v
                    FROM cube GROUP BY day, y, x),
          d2 AS (SELECT DISTINCT day FROM daily ORDER BY day LIMIT 2)
          SELECT (CASE WHEN day = (SELECT min(day) FROM d2) THEN 0 ELSE 1 END)::BIGINT AS ti,

@@ -146,6 +146,14 @@ class ApiSpec extends AnyFunSuite {
     // the last item only closes the final band — its color is unused,
     // matching the reference's stepwise expansion over items[0:-1]
     assert(step.argb(1.0) == 0xff00ff00)
+    // unsorted stop values are sorted before normalization — an unsorted
+    // code must parse to the same map as its sorted form
+    val unsorted = Colormaps.get(
+      """{"name":"my_ramp","type":"continuous",
+         "colors":[[100,"#ffffff"],[0,"#000000"],[50,"#808080"]]}""")
+    assert(unsorted.argb(0.0) == cont.argb(0.0))
+    assert(unsorted.argb(0.5) == cont.argb(0.5))
+    assert(unsorted.argb(1.0) == cont.argb(1.0))
   }
 
   test("renderPng produces a decodable PNG with transparency") {

@@ -125,6 +125,28 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(!plan.contains("UDF"), plan)
   }
 
+  test("CosineSim: unequal lengths are null (like the HOF form); bad winnow args rejected") {
+    import spark.implicits._
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f))).toDF("a", "b")
+    val r = df.select(
+      EmbeddingOps.cosine(col("a"), col("b")).as("native"),
+      EmbeddingOps.cosineHof(col("a"), col("b")).as("hof")).head()
+    assert(r.isNullAt(0) && r.isNullAt(1))
+    // interpreted path too (no whole-stage codegen inside a HOF lambda)
+    val interp = df.select(transform(array(lit(0)),
+      _ => EmbeddingOps.cosine(col("a"), col("b"))).getItem(0)).head()
+    assert(interp.isNullAt(0))
+    // winnow_fp with k/window < 1 fails at construction, not mid-scan
+    intercept[IllegalArgumentException] {
+      graft.functions.WinnowFp(
+        org.apache.spark.sql.graft.ColumnBridge.expression(lit("abc")), 8, 0)
+    }
+    intercept[IllegalArgumentException] {
+      graft.functions.WinnowFp(
+        org.apache.spark.sql.graft.ColumnBridge.expression(lit("abc")), 0, 4)
+    }
+  }
+
   test("knn brute force: exact neighbor ordering with deterministic ties") {
     import spark.implicits._
     val df = Seq(
