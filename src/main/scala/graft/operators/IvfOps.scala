@@ -62,6 +62,44 @@ object IvfOps {
     dot / math.sqrt(na * nb)
   }
 
+  /** Batch top-k cosine search: every query row probes its `nProbe`
+    * nearest cells in ONE plan — no per-query driver loop (that shape is
+    * for single-query serving; a 10k-query batch must be one job).
+    *
+    * Stage 1 ranks cells per query against the (tiny, broadcast) centroid
+    * table; stage 2 equi-joins the corpus on the cell id against the
+    * (queries × nProbe)-row probe table, so each corpus row is compared
+    * only with the queries probing its cell; stage 3 is a per-query top-k
+    * window. The corpus is scanned once and never repartitioned by query.
+    */
+  def searchBatch(index: IvfIndex, queries: DataFrame, qIdCol: String,
+                  qEmbCol: String, idCol: String, embCol: String,
+                  k: Int, nProbe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val cents = index.centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+      .toSeq.toDF("__cell", "__centroid")
+    val q = queries.select(col(qIdCol).as("query_id"), col(qEmbCol).as("__qe"))
+    // 4-row centroid table → the broadcast nested-loop expansion is
+    // queries × nCells, bounded and tiny per query
+    val probes = q.crossJoin(broadcast(cents))
+      .withColumn("__csim", EmbeddingOps.cosine(col("__qe"), col("__centroid")))
+      .withColumn("__crank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("__csim").desc, col("__cell").asc)))
+      .filter(col("__crank") <= nProbe)
+      .select(col("query_id"), col("__qe"), col("__cell"))
+    val cands = index.assigned.join(broadcast(probes), Seq("__cell"))
+      .withColumn("cos_sim",
+        round(EmbeddingOps.cosine(col("__qe"), col(embCol)), 6))
+    cands
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col(idCol).asc)))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col(idCol), col("cos_sim"))
+  }
+
   /** Top-k cosine neighbors of `query`, probing only the `nProbe` cells
     * whose centroids are nearest the query.
     */

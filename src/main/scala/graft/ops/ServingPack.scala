@@ -181,6 +181,23 @@ object ServingPack extends QueryPack {
       }.reduce(_ unionByName _).select("query_id", "vec_id", "cos_sim")
     }),
 
+    // batch IVF ANN: 10 queries resolved in ONE plan (searchBatch — no
+    // per-query driver loop). Same oracle trick as q_ivf_ann: with
+    // nProbe = nCells every cell is probed, so the result must equal the
+    // exact brute-force top-k. Cell pruning (nProbe < nCells) is covered
+    // by the unit spec.
+    "q_ivf_ann_batch" -> ((s, d) => {
+      val sfName = new java.io.File(d).getName
+      val path = s"/root/repo/.graft-fixtures/ivf_$sfName"
+      graft.Fixtures.ensureWritten(path, "cells=4,seed=42,iter=5") {
+        IvfOps.save(IvfOps.build(embs(s, d), "vec_id", "embedding", nCells = 4), path)
+      }
+      val idx = IvfOps.load(s, path)
+      val qs = embs(s, d).filter(col("vec_id") < 10)
+      IvfOps.searchBatch(idx, qs, "vec_id", "embedding", "vec_id", "embedding",
+        k = 5, nProbe = 4)
+    }),
+
     // GeoJSON FeatureCollection source (store/fs/impl/geodataframe.py:19-96):
     // geometry → WKT + typed property columns, including a missing property.
     "q_geojson" -> ((s, d) => {
@@ -419,6 +436,14 @@ object ServingPack extends QueryPack {
          r AS (SELECT *, row_number() OVER (PARTITION BY query_id
                          ORDER BY cos_sim DESC, vec_id ASC) AS rn FROM p)
          SELECT query_id, vec_id, cos_sim FROM r WHERE rn <= 5""",
+    "q_ivf_ann_batch" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+                     FROM embeddings WHERE vec_id < 10),
+         p AS (SELECT q.query_id, e.vec_id, ${dotCos("q.qe", "e.embedding")} AS cos_sim
+               FROM q CROSS JOIN embeddings e),
+         r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                         ORDER BY cos_sim DESC, vec_id ASC) AS rank FROM p)
+         SELECT query_id, rank, vec_id, cos_sim FROM r WHERE rank <= 5""",
     "q_geojson" ->
       """SELECT * FROM (VALUES
            ('POINT (10.0 20.0)', 'alpha', 1::BIGINT),

@@ -219,5 +219,21 @@ class PipelineOpsSpec extends AnyFunSuite {
     // all hits come from the a-cluster (ids ≡ 0 mod 3)
     assert(hits.forall(_.getLong(0) % 3 == 0))
     assert(hits.forall(_.getDouble(1) > 0.99))
+    // batch search, one plan: two queries from different clusters, each
+    // probing only its own cell (nProbe = 1) — hits stay in-cluster
+    val q2 = df.filter(col("vec_id").isin(0L, 1L))
+    val batch = graft.operators.IvfOps.searchBatch(idx, q2, "vec_id", "embedding",
+      "vec_id", "embedding", k = 3, nProbe = 1).collect()
+    assert(batch.length == 6)
+    batch.foreach { r =>
+      assert(r.getAs[Long]("vec_id") % 3 == r.getAs[Long]("query_id") % 3, r.toString)
+    }
+    // with nProbe = nCells the batch result equals exact brute force
+    // (self included, like the serving query's oracle)
+    val full = graft.operators.IvfOps.searchBatch(idx, q2, "vec_id", "embedding",
+      "vec_id", "embedding", k = 4, nProbe = 3)
+      .select("query_id", "rank", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(full.contains((0L, 1L, 0L)) && full.contains((1L, 1L, 1L))) // self is rank 1
   }
 }
