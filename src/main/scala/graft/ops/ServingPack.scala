@@ -1,10 +1,10 @@
 package graft.ops
 
 import graft.{Fixtures, GraftSession, QueryPack}
-import graft.cube.{Cube, TilingScheme}
-import graft.functions.GeomFunctions
+import graft.cube.{Cube, GridMapping, TilingScheme}
+import graft.functions.{GeomFunctions, VarExpr}
 import graft.operators.{CoverageOps, ExtractOps, IvfOps, MaintenanceOps, TileOps, VolumeOps}
-import graft.sources.{GeoJsonSource, MemoryDataStore}
+import graft.sources.{ComputedLevels, GeoJsonSource, LevelStore, MemoryDataStore}
 import graft.streaming.TimeSliceOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -247,6 +247,94 @@ object ServingPack extends QueryPack {
         .select(col("name"), col("x"), col("y"), col("pop"))
     }),
 
+    // verify_cube (verify.py:34-238): the validity report AS ROWS — a
+    // deliberately broken cube (string time, integer y coordinate, string
+    // variable), a cube with no data variables, and the healthy events cube
+    // (which must contribute zero rows).
+    "q_verify_cube" -> ((s, d) => {
+      import s.implicits._
+      val ev = GraftSession.events(s, d)
+      val broken = ev.select(
+        col("ts").cast("string").as("time"),
+        (col("user_id") % 100).cast("int").as("y"),
+        ((col("event_id") % 360).cast("double") + 0.5).as("x"),
+        col("event_type").as("v"))
+      val noVars = ev.select(
+        col("ts").as("time"),
+        ((col("user_id") % 100).cast("double") + 0.5).as("y"),
+        ((col("event_id") % 360).cast("double") + 0.5).as("x"))
+      val healthy = CubePack.eventsCube(s, d).df.select("time", "y", "x", "v")
+      val issues =
+        Cube(broken, CubePack.gm).verify().map(("broken", _)) ++
+          Cube(noVars, CubePack.gm).verify().map(("novars", _)) ++
+          Cube(healthy, CubePack.gm).verify().map(("ok", _))
+      issues.toDF("cube", "issue")
+    }),
+
+    // update_dataset_attrs coverage recompute (update.py:268): the CF
+    // geospatial/temporal attributes as key/value rows, mirrored by the
+    // same min/max aggregation in SQL. Time is day-truncated so the
+    // ISO-instant rendering is fraction-free in both engines.
+    "q_cube_attrs" -> ((s, d) => {
+      import s.implicits._
+      val c0 = CubePack.eventsCube(s, d)
+      val daily = c0.copy(df =
+        c0.df.withColumn("time", date_trunc("DAY", col("time"))))
+      MaintenanceOps.computeCubeAttrs(daily).toSeq.toDF("key", "value")
+    }),
+
+    // ComputedMultiLevelDataset (mldataset/computed.py:24-160): levels
+    // defined by a FUNCTION (here ::2^l coordinate decimation — the
+    // compute_levels rule), evaluated lazily and summarized per level.
+    "q_computed_levels" -> ((s, d) => {
+      val base = CubePack.eventsCube(s, d)
+      val levels = new ComputedLevels(base, 2, (c, l) => {
+        val k = 1L << l
+        val gm2 = c.gm.copy(width = (c.gm.width + k - 1) / k,
+          height = (c.gm.height + k - 1) / k,
+          xRes = c.gm.xRes * k, yRes = c.gm.yRes * k)
+        Cube(c.df.filter(
+          floor(col("x")).cast("long") % k === 0 &&
+            floor(col("y")).cast("long") % k === 0), gm2)
+      })
+      (0 to 2).map { l =>
+        val c = levels.level(l)
+        c.df.agg(count(lit(1)).as("n"), round(sum(col("v")), 6).as("sum_v"))
+          .select(lit(l.toLong).as("level"), lit(c.gm.xRes).as("x_res"),
+            col("n"), col("sum_v"))
+      }.reduce(_ unionByName _)
+    }),
+
+    // pyramid-level pruning (mldataset/abc.py:136-149): the coarsest level
+    // still at least as fine as the requested resolution, tabulated over a
+    // 3-level pyramid with resolutions 1, 2, 4.
+    "q_level_for_res" -> ((s, d) => {
+      import s.implicits._
+      val gms = Seq(
+        CubePack.gm,
+        CubePack.gm.copy(width = 180, height = 50, xRes = 2.0, yRes = 2.0),
+        CubePack.gm.copy(width = 90, height = 25, xRes = 4.0, yRes = 4.0))
+      (1 to 5).map(r =>
+          (r.toLong, LevelStore.levelForResolution(gms, r.toDouble).toLong))
+        .toDF("res", "level")
+    }),
+
+    // expressions validate endpoint (webapi/expressions/routes.py:21-42):
+    // accept/reject decisions over a fixed expression list against the
+    // cube's variable set.
+    "q_varexpr_validate" -> ((s, d) => {
+      import s.implicits._
+      val vars = Set("v", "x", "y")
+      val exprs = Seq(
+        "sqrt(v) + x",
+        "where(v > 50.0, log10(v), nan)",
+        "v ** 2 > y and x < 10.0",
+        "unknown_var + 1",
+        "foo(v)",
+        "v +")
+      exprs.map(e => (e, VarExpr.validate(e, vars).isRight)).toDF("expr", "ok")
+    }),
+
     // in-memory store round-trip (dsio.py:308-356): write an aggregate as a
     // temp view, open it back through the store API.
     "q_memory_store" -> ((s, d) => {
@@ -459,6 +547,51 @@ object ServingPack extends QueryPack {
            ('epsilon', 20.0, 29.0, 150::BIGINT)) AS t(name, x, y, pop)
          WHERE x BETWEEN 0.0 AND 50.0 AND y BETWEEN 0.0 AND 30.0
            AND pop >= 100""",
+    "q_verify_cube" ->
+      """SELECT * FROM (VALUES
+           ('broken', 'time column ''time'' is StringType, expected timestamp'),
+           ('broken', 'coordinate column ''y'' is IntegerType, expected double'),
+           ('broken', 'variable ''v'' has non-numeric type StringType'),
+           ('novars', 'cube has no data variables')) AS t(cube, issue)""",
+    "q_cube_attrs" ->
+      s"""WITH ${CubePack.cubeCte},
+         a AS (SELECT min(x) AS xmin, max(x) AS xmax,
+                      min(y) AS ymin, max(y) AS ymax,
+                      min(date_trunc('day', time)) AS t0,
+                      max(date_trunc('day', time)) AS t1
+               FROM cube)
+         SELECT 'geospatial_lon_min' AS key, xmin::VARCHAR AS value FROM a
+         UNION ALL SELECT 'geospatial_lon_max', xmax::VARCHAR FROM a
+         UNION ALL SELECT 'geospatial_lat_min', ymin::VARCHAR FROM a
+         UNION ALL SELECT 'geospatial_lat_max', ymax::VARCHAR FROM a
+         UNION ALL SELECT 'time_coverage_start',
+                          strftime(t0, '%Y-%m-%dT%H:%M:%SZ') FROM a
+         UNION ALL SELECT 'time_coverage_end',
+                          strftime(t1, '%Y-%m-%dT%H:%M:%SZ') FROM a
+         UNION ALL SELECT 'geospatial_lon_resolution', '1.0'
+         UNION ALL SELECT 'geospatial_lat_resolution', '1.0'""",
+    "q_computed_levels" ->
+      s"""WITH ${CubePack.cubeCte}
+         SELECT 0::BIGINT AS level, 1.0 AS x_res, count(*) AS n,
+                round(sum(v), 6) AS sum_v
+         FROM cube
+         UNION ALL
+         SELECT 1, 2.0, count(*), round(sum(v), 6) FROM cube
+         WHERE floor(x)::BIGINT % 2 = 0 AND floor(y)::BIGINT % 2 = 0
+         UNION ALL
+         SELECT 2, 4.0, count(*), round(sum(v), 6) FROM cube
+         WHERE floor(x)::BIGINT % 4 = 0 AND floor(y)::BIGINT % 4 = 0""",
+    "q_level_for_res" ->
+      """SELECT * FROM (VALUES (1::BIGINT, 0::BIGINT), (2, 1), (3, 1),
+           (4, 2), (5, 2)) AS t(res, level)""",
+    "q_varexpr_validate" ->
+      """SELECT * FROM (VALUES
+           ('sqrt(v) + x', true),
+           ('where(v > 50.0, log10(v), nan)', true),
+           ('v ** 2 > y and x < 10.0', true),
+           ('unknown_var + 1', false),
+           ('foo(v)', false),
+           ('v +', false)) AS t(expr, ok)""",
     "q_memory_store" ->
       """SELECT event_type, count(*) AS n, round(sum(value), 6) AS sum_value
          FROM events GROUP BY event_type""",
