@@ -50,6 +50,27 @@ object AffineOps {
     }.drop("i", "j", "si", "sj")
   }
 
+  /** Weighted-mean aggregate per variable for the corner-join resamplers.
+    *
+    * `recoverNan = true` mirrors the reference's recover_nan
+    * (affine.py:290-312): NaN source values are zero-filled, the validity
+    * mask is interpolated alongside, and the output is value/mask — i.e.
+    * the weighted mean over the NON-NaN neighbors only, NaN where the
+    * interpolated mask is ≈ 0 (isclose atol 1e-8, same constant). Without
+    * it a single NaN source cell poisons every target cell it touches.
+    */
+  private def weightedAggs(vars: Seq[String], recoverNan: Boolean): Seq[Column] =
+    vars.map { v =>
+      if (recoverNan) {
+        val vd = col(v).cast("double")
+        val valid = !isnan(vd)
+        val num = sum(when(valid, col("w") * vd).otherwise(lit(0.0)))
+        val den = sum(when(valid, col("w")).otherwise(lit(0.0)))
+        when(abs(den) <= 1e-8, lit(Double.NaN)).otherwise(num / den).as(v)
+      } else
+        (sum(col("w") * col(v).cast("double")) / sum(col("w"))).as(v)
+    }
+
   /** Bicubic resample (spline order 3): 16-neighbor cubic-convolution
     * (Catmull-Rom kernel, a = −0.5 — the standard imaging "cubic"; scipy's
     * order-3 B-spline differs by its prefilter, documented trade-off).
@@ -58,7 +79,8 @@ object AffineOps {
     * the source cell key, one map-side-combined groupBy.
     */
   def resampleBicubic(srcCells: DataFrame, srcGm: GridMapping,
-                      tgtGm: GridMapping, vars: Seq[String]): DataFrame = {
+                      tgtGm: GridMapping, vars: Seq[String],
+                      recoverNan: Boolean = false): DataFrame = {
     val spark = srcCells.sparkSession
     def kernel(d: Column): Column = {
       val ad = abs(d)
@@ -84,8 +106,7 @@ object AffineOps {
       .withColumn("sj", col("j0") + col("dj"))
     val joined = corners.join(srcCells,
       col("si") === srcCells("i") && col("sj") === srcCells("j"), "inner")
-    val aggs = vars.map(v =>
-      (sum(col("w") * col(v).cast("double")) / sum(col("w"))).as(v))
+    val aggs = weightedAggs(vars, recoverNan)
     joined.groupBy(col("tgt_i"), col("tgt_j"))
       .agg(aggs.head, aggs.tail: _*)
       .withColumn("x", tgtGm.xExpr(col("tgt_i")))
@@ -96,7 +117,8 @@ object AffineOps {
     * over the neighbors present (NaN only when all 4 are missing).
     */
   def resampleBilinear(srcCells: DataFrame, srcGm: GridMapping,
-                       tgtGm: GridMapping, vars: Seq[String]): DataFrame = {
+                       tgtGm: GridMapping, vars: Seq[String],
+                       recoverNan: Boolean = false): DataFrame = {
     val spark = srcCells.sparkSession
     // fractional source position of the target center, offset so that cell
     // CENTERS interpolate (affine.py half-pixel convention)
@@ -117,8 +139,7 @@ object AffineOps {
       .withColumn("sj", col("j0") + col("dj"))
     val joined = corners.join(srcCells,
       col("si") === srcCells("i") && col("sj") === srcCells("j"), "inner")
-    val aggs = vars.map(v =>
-      (sum(col("w") * col(v).cast("double")) / sum(col("w"))).as(v))
+    val aggs = weightedAggs(vars, recoverNan)
     joined.groupBy(col("tgt_i"), col("tgt_j"))
       .agg(aggs.head, aggs.tail: _*)
       .withColumn("x", tgtGm.xExpr(col("tgt_i")))

@@ -57,6 +57,28 @@ object ResamplePack extends QueryPack {
           round(sum(col("v").cast("decimal(28,10)")), 6).cast("double").as("sum_v"))
     }),
 
+    // recover_nan (affine.py:290-312): NaN cells planted on (i+j)%5 == 0;
+    // the masked bilinear interpolates values and validity together, so a
+    // target cell keeps a value as long as ANY corner is valid. CHECKSUM:
+    // per-cell means over k ∈ {1,2,3,4} valid corners land EXACTLY on
+    // 1e-6 midpoints when k = 2 (mean of two 6-decimal values), where
+    // Spark and DuckDB round() diverge — so no per-cell rounding; instead
+    // each mean is ×12 (the lcm of the possible k), which makes it
+    // grid-valued, recovered exactly by the DECIMAL cast, and summed
+    // associatively.
+    "q_affine_recover_nan" -> ((s, d) => {
+      val src = srcCells(s, d).withColumn("v",
+        when((col("i") + col("j")) % 5 === 0, lit(Double.NaN))
+          .otherwise(col("v")))
+      AffineOps.resampleBilinear(src, CubePack.gm, tgtGm, Seq("v"),
+          recoverNan = true)
+        .groupBy("tgt_j")
+        .agg(count(lit(1)).as("n"),
+          sum(when(isnan(col("v")), 1L).otherwise(0L)).as("n_nan"),
+          round(sum(when(!isnan(col("v")), col("v") * 12.0).otherwise(lit(0.0))
+            .cast("decimal(28,10)")), 6).cast("double").as("sum_v12"))
+    }),
+
     // closed-form geographic → web-mercator reprojection; avg (not sum) so
     // libm ulp differences stay far inside the rounding margin
     "q_reproject_mercator" -> ((s, d) => {
@@ -325,6 +347,36 @@ object ResamplePack extends QueryPack {
            GROUP BY tgt.tgt_i, tgt.tgt_j)
          SELECT tgt_j, count(*) AS n,
                 round(sum(v::DECIMAL(28,10)), 6)::DOUBLE AS sum_v
+         FROM interp GROUP BY tgt_j""",
+    "q_affine_recover_nan" ->
+      """WITH cells AS (
+           SELECT floor(CAST(event_id % 360 AS DOUBLE) + 0.5)::BIGINT AS i,
+                  floor(CAST(user_id % 100 AS DOUBLE) + 0.5)::BIGINT AS j,
+                  round(sum(value::DECIMAL(28,12))::DOUBLE / count(*), 6) AS v
+           FROM events GROUP BY i, j),
+         nc AS (SELECT i, j,
+                       CASE WHEN (i + j) % 5 = 0 THEN 'NaN'::DOUBLE ELSE v END AS v
+                FROM cells),
+         tgt AS (SELECT ti.tgt_i, tj.tgt_j
+                 FROM (SELECT unnest(range(0, 90)) AS tgt_i) ti
+                 CROSS JOIN (SELECT unnest(range(0, 25)) AS tgt_j) tj),
+         interp AS (
+           SELECT tgt.tgt_i, tgt.tgt_j,
+                  CASE WHEN abs(coalesce(
+                         sum(CASE WHEN NOT isnan(c.v) THEN 0.25 END), 0.0)) <= 1e-8
+                       THEN 'NaN'::DOUBLE
+                       ELSE sum(CASE WHEN NOT isnan(c.v) THEN 0.25 * c.v END) /
+                            sum(CASE WHEN NOT isnan(c.v) THEN 0.25 END)
+                  END AS v
+           FROM tgt
+           CROSS JOIN (VALUES (0, 0), (1, 0), (0, 1), (1, 1)) AS o(di, dj)
+           JOIN nc c ON c.i = 4 * tgt.tgt_i + 1 + o.di
+                    AND c.j = 4 * tgt.tgt_j + 1 + o.dj
+           GROUP BY tgt.tgt_i, tgt.tgt_j)
+         SELECT tgt_j, count(*) AS n,
+                sum(CASE WHEN isnan(v) THEN 1 ELSE 0 END)::BIGINT AS n_nan,
+                round(sum((CASE WHEN NOT isnan(v) THEN v * 12.0 ELSE 0 END)::DECIMAL(28,10)),
+                      6)::DOUBLE AS sum_v12
          FROM interp GROUP BY tgt_j""",
     "q_affine_bicubic" ->
       """WITH cells AS (

@@ -4,7 +4,7 @@ import graft.{Fixtures, GraftSession, QueryPack}
 import graft.cube.{Cube, GridMapping, TilingScheme}
 import graft.functions.{GeomFunctions, VarExpr}
 import graft.operators.{CoverageOps, ExtractOps, IvfOps, MaintenanceOps, TileOps, VolumeOps}
-import graft.sources.{ComputedLevels, GeoJsonSource, LevelStore, MemoryDataStore}
+import graft.sources.{ComputedLevels, CubeWriter, GeoJsonSource, LevelStore, MemoryDataStore}
 import graft.streaming.TimeSliceOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -396,6 +396,35 @@ object ServingPack extends QueryPack {
         round(sum(col("x") + col("y")), 6).as("sum_xy"))
     }),
 
+    // update_time_slice per-variable update (timeslice.py:131-192): a
+    // 2-day daily cube with variables (v, v2); day 1's v2 is updated in
+    // place (+1000), v and day 2 must keep their stored values — only the
+    // touched partitions are rewritten (dynamic partition overwrite).
+    "q_update_slice" -> ((s, d) => {
+      val sfName = new java.io.File(d).getName
+      val base = s"/root/repo/.graft-fixtures/update_slice_$sfName"
+      val dest = s"$base/cube"
+      Fixtures.ensureWritten(base, "days=2;v2=v*10;day1:v2+=1000") {
+        val c0 = CubePack.eventsCube(s, d)
+        val gm = c0.gm.copy(tileWidth = 64, tileHeight = 64)
+        val daily = c0.df
+          .groupBy(date_trunc("DAY", col("time")).as("time"), col("y"), col("x"))
+          .agg(round(sum(col("v").cast("decimal(28,12)")).cast("double") /
+            count(lit(1)), 6).as("v"))
+          .withColumn("v2", col("v") * 10.0)
+          .filter(to_date(col("time")).isin("2024-01-01", "2024-01-02"))
+        CubeWriter.writePartitioned(Cube(daily, gm), dest)
+        val upd = daily.filter(to_date(col("time")) === "2024-01-01")
+          .select(col("time"), col("y"), col("x"), (col("v2") + 1000.0).as("v2"))
+        TimeSliceOps.updateTimeSlice(s, dest, Cube(upd, gm), Seq("v2"))
+      }
+      s.read.parquet(dest)
+        .groupBy(col("p_date").cast("string").as("day"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("v").cast("decimal(28,10)")), 6).cast("double").as("sum_v"),
+          round(sum(col("v2").cast("decimal(28,10)")), 6).cast("double").as("sum_v2"))
+    }),
+
     // streaming time-slice upsert (timeslice.py:19-192 + §2.9): three
     // AvailableNow micro-ingests — day 1, day 2, then a LATE day-1
     // replacement (v×2) — converge via dynamic partition overwrite; the
@@ -631,6 +660,21 @@ object ServingPack extends QueryPack {
          SELECT count(*) AS n, round(sum(v), 6) AS sum_v,
                 round(sum(x + y), 6) AS sum_xy
          FROM cube""",
+    "q_update_slice" ->
+      s"""WITH ${CubePack.cubeCte},
+         daily AS (SELECT date_trunc('day', time) AS day, y, x,
+                          round(sum(v::DECIMAL(28,12))::DOUBLE / count(*), 6) AS v
+                   FROM cube GROUP BY day, y, x),
+         base AS (SELECT day, v, v * 10.0 AS v2 FROM daily
+                  WHERE day IN (TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-02')),
+         u AS (SELECT day, v,
+                      CASE WHEN day = TIMESTAMP '2024-01-01'
+                           THEN v2 + 1000.0 ELSE v2 END AS v2
+               FROM base)
+         SELECT strftime(day, '%Y-%m-%d') AS day, count(*) AS n,
+                round(sum(v::DECIMAL(28,10)), 6)::DOUBLE AS sum_v,
+                round(sum(v2::DECIMAL(28,10)), 6)::DOUBLE AS sum_v2
+         FROM u GROUP BY 1""",
     "q_stream_upsert" ->
       s"""WITH ${CubePack.cubeCte},
          u AS (

@@ -48,6 +48,46 @@ object TimeSliceOps {
   def replaceTimeSlice(slice: Cube, path: String): Unit =
     CubeWriter.writePartitioned(slice, path, mode = "overwrite")
 
+  /** update_time_slice (timeslice.py:131-192), per-variable form: update
+    * ONLY the listed variables of an existing slice in place. The stored
+    * rows are read back partition-pruned to the update's dates, joined with
+    * the update on the cell key, the touched columns swapped in (stored
+    * values survive where the update has no row), and the result rewritten
+    * via dynamic partition overwrite — untouched variables keep their
+    * stored values and untouched partitions keep their stored files. Like
+    * the reference (which stages the slice in a temp zarr before patching
+    * the arrays), the patched slice is staged in a temp directory because
+    * a parquet path cannot be overwritten while it is being read.
+    *
+    * `update.df` must be unique on (time, y, x) — the cube cell contract.
+    */
+  def updateTimeSlice(spark: SparkSession, path: String, update: Cube,
+                      vars: Seq[String]): Unit = {
+    val (t, y, x) = (update.timeCol, update.yCol, update.xCol)
+    val dates = update.df.select(to_date(col(t)).cast("string").as("d"))
+      .distinct().collect().map(_.getString(0)).toIndexedSeq
+    val stored = spark.read.parquet(path)
+      .filter(col("p_date").isin(dates: _*))
+    val upd = update.df.select(
+      Seq(col(t).as("__ut"), col(y).as("__uy"), col(x).as("__ux")) ++
+        vars.map(v => col(v).as(s"__u_$v")): _*)
+    val joined = stored.join(upd,
+      stored(t) === col("__ut") && stored(y) === col("__uy") &&
+        stored(x) === col("__ux"), "left_outer")
+    val swapped = vars.foldLeft(joined) { (d, v) =>
+      d.withColumn(v, coalesce(col(s"__u_$v"), col(v)))
+    }.drop(Seq("__ut", "__uy", "__ux") ++ vars.map(v => s"__u_$v"): _*)
+    val tmp = s"$path.__updating"
+    swapped.write.mode("overwrite").parquet(tmp)
+    spark.read.parquet(tmp)
+      .repartition(col("p_date"), col("p_block"))
+      .write.partitionBy("p_date", "p_block").mode("overwrite").parquet(path)
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(tmp),
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    ()
+  }
+
   /** Streaming ingest: watch `srcGlobDir` for parquet slices and upsert each
     * micro-batch into the partitioned cube via foreachBatch + dynamic
     * partition overwrite — late slices overwrite their own partitions

@@ -43,6 +43,28 @@ class ResampleSpec extends AnyFunSuite {
     assert(math.abs(v2 - 20.0) < 1e-9) // (10+20+30)/3
   }
 
+  test("recover_nan: NaN corners drop out of the weighted mean; all-NaN stays NaN") {
+    import spark.implicits._
+    val src = GridMapping(4, 4, 0.0, 0.0, 1.0, 1.0)
+    val tgt = GridMapping(1, 1, 0.5, 0.5, 3.0, 3.0)
+    val withNan = Seq((1L, 1L, 10.0), (2L, 1L, Double.NaN),
+      (1L, 2L, 30.0), (2L, 2L, 40.0)).toDF("i", "j", "v")
+    // default path: one NaN corner poisons the output
+    val plain = AffineOps.resampleBilinear(withNan, src, tgt, Seq("v"))
+      .select("v").head().getDouble(0)
+    assert(plain.isNaN)
+    // recover_nan: the mask interpolates alongside → mean of the 3 valid
+    val rec = AffineOps.resampleBilinear(withNan, src, tgt, Seq("v"),
+      recoverNan = true).select("v").head().getDouble(0)
+    assert(math.abs(rec - (10.0 + 30.0 + 40.0) / 3) < 1e-9)
+    // every corner NaN → still NaN (interpolated mask ≈ 0)
+    val allNan = Seq((1L, 1L, Double.NaN), (2L, 1L, Double.NaN),
+      (1L, 2L, Double.NaN), (2L, 2L, Double.NaN)).toDF("i", "j", "v")
+    val none = AffineOps.resampleBilinear(allNan, src, tgt, Seq("v"),
+      recoverNan = true).select("v").head().getDouble(0)
+    assert(none.isNaN)
+  }
+
   test("TilingScheme: geographic + mercator pyramid math (tilingscheme.py:35)") {
     val g = TilingScheme.geographic
     assert(g.numTilesX(0) == 2 && g.numTilesY(0) == 1)
