@@ -4,7 +4,7 @@ import graft.{Fixtures, GraftSession, QueryPack}
 import graft.cube.{Cube, GridMapping, TilingScheme}
 import graft.functions.{GeomFunctions, VarExpr}
 import graft.operators.{CoverageOps, ExtractOps, IvfOps, MaintenanceOps, TileOps, VolumeOps}
-import graft.sources.{ComputedLevels, CubeWriter, GeoJsonSource, LevelStore, MemoryDataStore}
+import graft.sources.{ComputedLevels, CubeWriter, GeoJsonSource, LevelStore, MemoryDataStore, ShapefileSource}
 import graft.streaming.TimeSliceOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -215,6 +215,30 @@ object ServingPack extends QueryPack {
       java.nio.file.Files.write(f.toPath, json.getBytes)
       GeoJsonSource.readFeatures(s, f.getAbsolutePath)
         .select(col("geometry"), col("name"), col("score"))
+    }),
+
+    // Shapefile vector source (geodataframe.py:19-96 reads GeoJSON AND
+    // Shapefile): point + polygon layers written with the minimal spec
+    // writer, read back through the binary parser — WKT geometry plus
+    // typed dbf attribute columns, same contract as q_geojson.
+    "q_shapefile" -> ((s, d) => {
+      import ShapefileSource.{DbfField, ShpPoint, ShpPolygon}
+      val dir = java.nio.file.Files.createTempDirectory("graft_shp").toFile
+      dir.deleteOnExit()
+      val fields = Seq(DbfField("name", 'C', 10, 0), DbfField("pop", 'N', 10, 0))
+      val pts = new java.io.File(dir, "pts.shp").getAbsolutePath
+      ShapefileSource.writeFeatures(pts,
+        Seq(ShpPoint(10.0, 20.0), ShpPoint(45.0, 25.0), ShpPoint(30.0, 5.0)),
+        fields,
+        Seq(Seq("alpha", 500L), Seq("beta", 80L), Seq("gamma", 900L)))
+      val polys = new java.io.File(dir, "polys.shp").getAbsolutePath
+      ShapefileSource.writeFeatures(polys,
+        Seq(ShpPolygon(Seq(Seq((0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 0.0)))),
+          ShpPolygon(Seq(Seq((20.0, 20.0), (30.0, 20.0), (20.0, 30.0), (20.0, 20.0))))),
+        fields,
+        Seq(Seq("pg1", 7L), Seq("pg2", 9L)))
+      ShapefileSource.readFeatures(s, pts)
+        .unionByName(ShapefileSource.readFeatures(s, polys))
     }),
 
     // places endpoint (webapi/places/controllers.py:25-90 find_places):
@@ -567,6 +591,14 @@ object ServingPack extends QueryPack {
            ('POLYGON ((0.0 0.0, 10.0 0.0, 10.0 10.0, 0.0 0.0))', 'beta', 2::BIGINT),
            ('LINESTRING (0.0 0.0, 5.0 5.0)', 'gamma', NULL::BIGINT))
          AS t(geometry, name, score)""",
+    "q_shapefile" ->
+      """SELECT * FROM (VALUES
+           ('POINT (10.0 20.0)', 'alpha', 500::BIGINT),
+           ('POINT (45.0 25.0)', 'beta', 80::BIGINT),
+           ('POINT (30.0 5.0)', 'gamma', 900::BIGINT),
+           ('POLYGON ((0.0 0.0, 10.0 0.0, 10.0 10.0, 0.0 0.0))', 'pg1', 7::BIGINT),
+           ('POLYGON ((20.0 20.0, 30.0 20.0, 20.0 30.0, 20.0 20.0))', 'pg2', 9::BIGINT))
+         AS t(geometry, name, pop)""",
     "q_places" ->
       """SELECT name, x, y, pop FROM (VALUES
            ('alpha', 10.0, 20.0, 500::BIGINT),

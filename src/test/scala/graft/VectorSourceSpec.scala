@@ -39,6 +39,39 @@ class VectorSourceSpec extends AnyFunSuite {
     assert(n == 1)
   }
 
+  test("Shapefile round-trip: points, polygons, typed dbf attributes, nulls") {
+    import graft.sources.ShapefileSource
+    import ShapefileSource.{DbfField, ShpPoint, ShpPolygon}
+    val base = new java.io.File("/root/repo/target/tmp-tests")
+    base.mkdirs()
+    val dir = Files.createTempDirectory(base.toPath, "shp").toFile
+    val fields = Seq(DbfField("name", 'C', 8, 0), DbfField("pop", 'N', 10, 0),
+      DbfField("score", 'N', 12, 3))
+    val pts = new java.io.File(dir, "pts.shp").getAbsolutePath
+    ShapefileSource.writeFeatures(pts,
+      Seq(ShpPoint(1.5, -2.5), ShpPoint(0.0, 10.0)),
+      fields,
+      Seq(Seq("a", 7L, 1.25), Seq("b", null, null)))
+    val df = ShapefileSource.readFeatures(spark, pts)
+    assert(df.columns.toSeq == Seq("geometry", "name", "pop", "score"))
+    assert(df.schema("pop").dataType.typeName == "long")     // N dec=0
+    assert(df.schema("score").dataType.typeName == "double") // N dec>0
+    val rows = df.collect().map(r => r.getString(1) -> r).toMap
+    assert(rows("a").getString(0) == "POINT (1.5 -2.5)")
+    assert(rows("a").getLong(2) == 7L && rows("a").getDouble(3) == 1.25)
+    assert(rows("b").isNullAt(2) && rows("b").isNullAt(3))
+    // polygon with a hole: two rings survive the round-trip
+    val pg = new java.io.File(dir, "pg.shp").getAbsolutePath
+    ShapefileSource.writeFeatures(pg,
+      Seq(ShpPolygon(Seq(
+        Seq((0.0, 0.0), (8.0, 0.0), (8.0, 8.0), (0.0, 0.0)),
+        Seq((2.0, 1.0), (3.0, 1.0), (2.0, 2.0), (2.0, 1.0))))),
+      Seq(DbfField("name", 'C', 8, 0)), Seq(Seq("ring")))
+    val wkt = ShapefileSource.readFeatures(spark, pg).head().getString(0)
+    assert(wkt ==
+      "POLYGON ((0.0 0.0, 8.0 0.0, 8.0 8.0, 0.0 0.0), (2.0 1.0, 3.0 1.0, 2.0 2.0, 2.0 1.0))")
+  }
+
   test("normalizeGeometry: WKT, GeoJSON, point, bbox, anti-meridian") {
     assert(GeomFunctions.normalizeGeometry("POINT (1 2)") == Seq("POINT (1 2)"))
     assert(GeomFunctions.normalizeGeometry((3.0, 4.0)) == Seq("POINT (3.0 4.0)"))
