@@ -71,7 +71,7 @@ object AggPack extends QueryPack {
     // previous), read the stored tables back and checksum them
     "q_pyramid" -> ((s, d) => {
       val root = s"/root/repo/.graft-fixtures/levels_${new java.io.File(d).getName}"
-      graft.Fixtures.ensureWritten(root) {
+      graft.Fixtures.ensureWritten(root, "levels=3,agg=mean") {
         graft.sources.LevelStore.writeLevels(cellCube(s, d), root, 3)
       }
       (1 to 3).map { l =>

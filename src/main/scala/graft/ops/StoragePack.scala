@@ -33,7 +33,9 @@ object StoragePack extends QueryPack {
       val sfName = new java.io.File(d).getName
       val path = s"/root/repo/.graft-fixtures/cube_parts_$sfName"
       // layout build is a one-time fixture: the query measures the pruned READ
-      graft.Fixtures.ensureWritten(path) { CubeWriter.writePartitioned(cube, path) }
+      graft.Fixtures.ensureWritten(path, "tile=64x64,partitioned") {
+        CubeWriter.writePartitioned(cube, path)
+      }
       CubeWriter.prunedScan(s, path, gm,
           bbox = Some((30.0, 10.0, 99.0, 49.0)),
           dateRange = Some(("2024-01-05", "2024-01-14")))
@@ -138,7 +140,9 @@ object StoragePack extends QueryPack {
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 6).as("sum_value"))
       val sfName = new java.io.File(d).getName
       val path = s"/root/repo/.graft-fixtures/csv_roundtrip_$sfName.csv"
-      graft.Fixtures.ensureWritten(path) { DataStore.writeDataset(agg, path) }
+      graft.Fixtures.ensureWritten(path, "daily-agg,csv") {
+        DataStore.writeDataset(agg, path)
+      }
       DataStore.openDataset(s, path).select(
         col("day").cast("timestamp").as("day"), col("event_type"),
         col("n").cast("long").as("n"), col("sum_value").cast("double").as("sum_value"))

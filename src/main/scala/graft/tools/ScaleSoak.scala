@@ -1,0 +1,106 @@
+package graft.tools
+
+import graft.{Fixtures, GraftSession, SparkEntry}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scaling soak: clones the sf-dir tables `factor`× (keys offset; documents
+  * salted so near-dup structure replicates per copy instead of collapsing
+  * into quadratic clone clusters; embeddings perturbed per copy) and
+  * compares per-query wall time at 1× vs factor×. The point is to catch
+  * ACCIDENTALLY super-linear operators — quadratic constants, unbounded
+  * candidate sets, driver-side loops — before a larger scale factor does.
+  *
+  * Usage: runMain graft.tools.ScaleSoak [baseDir] [factor] [outDir]
+  * Prints a per-query table + one JSON line; exits 1 if any soaked query
+  * grew more than MaxGrowth × factor.
+  */
+object ScaleSoak {
+
+  /** Queries with linear expected growth under the salted clone corpus —
+    * the expensive representatives of each operator family.
+    */
+  val SoakQueries: Seq[String] = Seq(
+    "q1_agg", "q_select_vars", "q_subsample", "q_resample_8d",
+    "q_timeseries_geom", "q_tile_gather", "q_fingerprint", "q_simhash_bands",
+    "q_dedup_near", "q_curation", "q_knn_cosine", "q_ann_bucket",
+    "q_embed_near_dup", "q_skew_join")
+
+  /** Allowed growth multiple of `factor` before a query is flagged. The
+    * salted documents are ~2× longer than the originals (a salt token in
+    * every gap), so text-heavy queries legitimately run at ~2 × factor.
+    */
+  val MaxGrowth: Double = 2.5
+
+  def buildScaled(spark: SparkSession, base: String, out: String, f: Int): Unit = {
+    def copies(t: String)(tag: (DataFrame, Int) => DataFrame): Unit = {
+      val src = spark.read.parquet(s"$base/$t.parquet")
+      (0 until f).map(c => tag(src, c)).reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$out/$t.parquet")
+    }
+    // dimensions stay 1×: fact-side joins scale linearly against them
+    for (t <- Seq("region", "nation", "supplier", "customer"))
+      spark.read.parquet(s"$base/$t.parquet")
+        .write.mode("overwrite").parquet(s"$out/$t.parquet")
+    copies("part")((d, c) =>
+      d.withColumn("p_partkey", col("p_partkey") + c * 1000000000L))
+    copies("orders")((d, c) =>
+      d.withColumn("o_orderkey", col("o_orderkey") + c * 1000000000L))
+    copies("lineitem")((d, c) =>
+      d.withColumn("l_orderkey", col("l_orderkey") + c * 1000000000L))
+    // events: offsets are multiples of the %360 / %100 grid moduli, so the
+    // derived cube's spatial distribution is copy-invariant; ts is raw
+    // nanos (long) at this layer, +c keeps timestamps distinct
+    copies("events")((d, c) => d
+      .withColumn("event_id", col("event_id") + c * 360000000L)
+      .withColumn("user_id", col("user_id") + c * 100000L)
+      .withColumn("ts", col("ts") + c))
+    // documents: every inter-token gap gets a copy-specific salt token →
+    // shingle sets of different copies are DISJOINT, so near-dup pairs
+    // replicate per copy (linear) instead of every copy family becoming
+    // one quadratic clone cluster (that degenerate case has its own
+    // oracle query, q_dedup_degenerate)
+    copies("documents")((d, c) =>
+      if (c == 0) d
+      else d.withColumn("doc_id", col("doc_id") + c * 10000000L)
+        .withColumn("text", regexp_replace(col("text"), " ", s" c$c ")))
+    copies("embeddings")((d, c) =>
+      if (c == 0) d
+      else d.withColumn("vec_id", col("vec_id") + c * 10000000L)
+        .withColumn("embedding", transform(col("embedding"),
+          x => (x + lit(c * 0.001f)).cast("float"))))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val base = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val factor = args.lift(1).map(_.toInt).getOrElse(10)
+    val out = args.lift(2).getOrElse(s"/root/repo/.graft-fixtures/soak_x$factor")
+    val spark = GraftSession.get()
+    Fixtures.ensureWritten(out, s"base=$base,factor=$factor,salt=v1") {
+      buildScaled(spark, base, out, factor)
+    }
+    def timeQ(name: String, dir: String): Double = {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, dir).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    SoakQueries.foreach(q => timeQ(q, base)) // untimed warmup: JIT + codegen
+    val rows = SoakQueries.map { q =>
+      val tb = timeQ(q, base)
+      val ts = timeQ(q, out)
+      (q, tb, ts, ts / math.max(tb, 1e-3))
+    }
+    val bound = MaxGrowth * factor
+    println(f"${"query"}%-20s${"t_1x"}%8s${"t_Nx"}%8s${"ratio"}%8s   factor=$factor bound=$bound%.0f")
+    var bad = 0
+    rows.foreach { case (q, tb, ts, r) =>
+      val flag = if (r > bound) { bad += 1; "  SUPERLINEAR" } else ""
+      println(f"$q%-20s$tb%8.2f$ts%8.2f$r%8.1f$flag")
+    }
+    val qs = rows.map { case (q, _, _, r) => s""""$q":${f"$r%.2f"}""" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"soak_ratio","factor":$factor,"bound":$bound,"ratios":$qs,"superlinear":$bad}""")
+    spark.stop()
+    if (bad > 0) sys.exit(1)
+  }
+}

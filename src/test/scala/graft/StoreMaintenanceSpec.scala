@@ -147,4 +147,23 @@ class StoreMaintenanceSpec extends AnyFunSuite {
           s"s3a failed before reaching Hadoop FS resolution: $chain")
     }
   }
+
+  test("fixture markers fingerprint their config: changed config rebuilds, same reuses") {
+    val dir = Files.createTempDirectory("graft_fixture").toFile
+    val path = new java.io.File(dir, "layout").getAbsolutePath
+    var builds = 0
+    def build(fp: String): Unit = Fixtures.ensureWritten(path, fp) {
+      builds += 1
+      new java.io.File(path).mkdirs()
+      Files.writeString(new java.io.File(path, s"data_$builds.txt").toPath, fp)
+    }
+    build("tile=64"); assert(builds == 1)
+    build("tile=64"); assert(builds == 1, "same fingerprint must not rebuild")
+    build("tile=128") // a flipped writer parameter
+    assert(builds == 2, "changed fingerprint must rebuild")
+    // the stale layout was deleted, not merged
+    val files = new java.io.File(path).list().toSeq
+    assert(files.contains("data_2.txt") && !files.contains("data_1.txt"), files)
+    build("tile=128"); assert(builds == 2)
+  }
 }
