@@ -55,26 +55,18 @@ object GeomFunctions {
     x.between(x1, x2) && y.between(y1, y2) && inGeom(wkt)(x, y)
   }
 
-  /** Executor-local prepared-geometry cache for per-row WKT predicates
-    * (rasterize_features joins a cell against MANY feature geometries; each
-    * distinct WKT is parsed + prepared once per executor JVM, not per row).
-    */
-  @transient private lazy val preparedCache =
-    new java.util.concurrent.ConcurrentHashMap[String, PreparedGeometry]()
-  @transient private lazy val pointFactory = new GeometryFactory()
-
-  private def preparedFor(wkt: String): PreparedGeometry =
-    preparedCache.computeIfAbsent(wkt,
-      w => PreparedGeometryFactory.prepare(new WKTReader().read(w)))
-
   /** Boolean Column where the geometry itself is a column (one WKT per
-    * feature row) — used as a broadcast-join condition.
+    * feature row) — used as a broadcast-join condition. Backed by the
+    * codegen'd [[PointCoveredByCol]] expression (per-executor prepared
+    * cache keyed by the WKT text), not a ScalaUDF.
     */
-  def inGeomCol(wkt: Column, x: Column, y: Column): Column =
-    udf((w: String, px: Double, py: Double) =>
-      if (w == null) false
-      else preparedFor(w).covers(pointFactory.createPoint(new Coordinate(px, py)))
-    ).apply(wkt, x, y)
+  def inGeomCol(wkt: Column, x: Column, y: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(PointCoveredByCol(
+      ColumnBridge.expression(wkt),
+      ColumnBridge.expression(x.cast("double")),
+      ColumnBridge.expression(y.cast("double"))))
+  }
 
   /** Normalize a geometry spec — reference normalize_geometry
     * (geom.py:559-638): bbox (x1,y1,x2,y2) → POLYGON WKT; a bbox crossing

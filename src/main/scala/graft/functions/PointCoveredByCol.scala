@@ -1,0 +1,52 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{BooleanType, DataType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Point-in-geometry predicate with a PER-ROW WKT column — the join-form
+  * rasterize path (one geometry per feature row), where [[PointCoveredBy]]'s
+  * foldable-WKT precondition doesn't hold. Replaces the last ScalaUDF on a
+  * hot path: the generated code calls the static cover test on the primitive
+  * doubles — no boxing, no row serialization, no UDF dispatch.
+  *
+  * Children: (wkt, x, y). The prepared geometry is cached per distinct WKT
+  * per executor JVM (a feature table has few distinct geometries relative
+  * to the cube rows joined against them); null WKT → false, matching the
+  * UDF it replaces.
+  */
+case class PointCoveredByCol(first: Expression, second: Expression,
+                             third: Expression)
+  extends TernaryExpression {
+
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "point_covered_by_col"
+
+  override protected def nullSafeEval(w: Any, x: Any, y: Any): Any =
+    PointCoveredByCol.covers(w.asInstanceOf[UTF8String],
+      x.asInstanceOf[Double], y.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (w, x, y) =>
+      s"${ev.value} = graft.functions.PointCoveredByCol.covers($w, $x, $y);")
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): PointCoveredByCol =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+object PointCoveredByCol {
+  // executor-JVM-wide prepared-geometry cache, shared with whatever tasks
+  // run the expression; keyed by the WKT text
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, GeomPredicate]()
+
+  /** Codegen entry point: called from generated Java on primitive doubles. */
+  def covers(wkt: UTF8String, x: Double, y: Double): Boolean = {
+    if (wkt == null) return false
+    val pred = cache.computeIfAbsent(wkt.toString, w => new GeomPredicate(w))
+    pred.covers(x, y)
+  }
+}

@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{CosineSim, PointCoveredBy, WinnowFp}
+import graft.functions.{CosineSim, PointCoveredBy, PointCoveredByCol, WinnowFp}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -28,12 +28,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       s"$what must be an integer literal, got $other")
   }
 
-  private def litString(e: Expression, what: String): String = e match {
-    case Literal(s: UTF8String, _) => s.toString
-    case other => throw new IllegalArgumentException(
-      s"$what must be a string literal, got $other")
-  }
-
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((FunctionIdentifier("cosine_sim"),
       info("cosine_sim", "cosine_sim(a, b) - cosine similarity of two numeric arrays"),
@@ -51,7 +45,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("point_covered_by", "point_covered_by(x, y, wkt) - point-in-geometry test"),
       (args: Seq[Expression]) => {
         require(args.length == 3, "point_covered_by(x, y, wkt) takes 3 arguments")
-        PointCoveredBy(args(0), args(1), litString(args(2), "wkt"))
+        args(2) match {
+          // literal WKT → geometry prepared at plan time, shipped via the
+          // codegen reference array; column WKT → per-executor cache variant
+          case Literal(s: UTF8String, _) => PointCoveredBy(args(0), args(1), s.toString)
+          case wktCol => PointCoveredByCol(wktCol, args(0), args(1))
+        }
       }))
   }
 }

@@ -85,6 +85,10 @@ class GeomOpsSpec extends AnyFunSuite {
     val burned = GeomOps.rasterizeFeatures(grid(), many, "geometry", Seq("cls"))
     val plan = burned.df.queryExecution.optimizedPlan.toString
     assert(plan.contains("Aggregate"), s"expected the join+aggregate plan:\n$plan")
+    // the per-row-WKT predicate is the codegen'd expression, not a ScalaUDF
+    val phys = burned.df.queryExecution.executedPlan.toString
+    assert(phys.contains("point_covered_by_col"), phys)
+    assert(!phys.contains("UDF"), phys)
     val vals = burned.df.select("x", "y", "cls").collect()
       .map(r => (r.getDouble(0), r.getDouble(1)) -> r.getDouble(2)).toMap
     // cell (2.5, 3.5) lies in feature k = 3*10+2 = 32's square... but its
