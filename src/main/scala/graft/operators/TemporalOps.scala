@@ -15,6 +15,11 @@ import org.apache.spark.sql.functions._
   * arithmetic; calendar frequencies (1M/1Q/1Y) are date_trunc — a fixed
   * window would drift across month lengths.
   *
+  * SCOPE: only the proleptic Gregorian calendar (Spark's TimestampType) is
+  * supported. The reference's non-Gregorian cftime calendars (360_day,
+  * noleap, ...; xcube timecoord.py:33-300) are out of scope for v0 —
+  * convert such data to Gregorian timestamps at ingest.
+  *
   * Upsampling (ffill/bfill/interpolate, temporal.py:138-161) uses a per-key
   * ordered window. At 100 TB the partitionBy keys are the spatial cell
   * (y, x) — millions of small partitions, which Spark windows handle without

@@ -153,6 +153,52 @@ object PipelinePack extends QueryPack {
           sum(col("n_tok")).cast("long").as("total_tokens"))
     }),
 
+    // Gopher-style repetition signals (the pre-training quality rules that
+    // target boilerplate/spam): duplicate-token fraction and duplicate-
+    // 3-gram fraction per source. Ratios are computed from SUMMED integer
+    // numerators/denominators (one division on identical longs in both
+    // engines) — never averaged per-doc doubles, which would reopen the
+    // rounding-midpoint class.
+    "q_repetition" -> ((s, d) => {
+      val w = TextOps.tokens(col("text"))
+      val perDoc = docs(s, d)
+        .select(col("source"), w.as("w"))
+        .filter(size(col("w")) >= 3)
+        .select(col("source"),
+          size(col("w")).as("n_tok"),
+          size(array_distinct(col("w"))).as("n_tok_d"),
+          TextOps.shinglesOf(col("w"), 3).as("sh3"))
+        .select(col("source"), col("n_tok"), col("n_tok_d"),
+          size(col("sh3")).as("n_3g"),
+          size(array_distinct(col("sh3"))).as("n_3g_d"))
+      perDoc.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        round(lit(1.0) - sum(col("n_tok_d")).cast("double") /
+          sum(col("n_tok")), 6).as("dup_tok_frac"),
+        round(lit(1.0) - sum(col("n_3g_d")).cast("double") /
+          sum(col("n_3g")), 6).as("dup_3gram_frac"))
+    }),
+
+    // PII scrubbing (the redaction pass every released corpus runs):
+    // synthetic emails planted on doc_id % 7 == 0, then counted and
+    // redacted; per-source counts + bytes removed. Integer outputs only.
+    "q_pii_scrub" -> ((s, d) => {
+      val emailRe = "[a-z0-9]+@[a-z0-9.]+[a-z]"
+      val withPii = docs(s, d).withColumn("text2",
+        concat(col("text"),
+          when(col("doc_id") % 7 === 0,
+            concat(lit(" contact user"), col("doc_id"),
+              lit("@example.com now"))).otherwise(lit(""))))
+      withPii.select(col("source"),
+          regexp_count(col("text2"), lit(emailRe)).as("n_pii"),
+          (length(col("text2")) -
+            length(regexp_replace(col("text2"), emailRe, "<EMAIL>"))).as("removed"))
+        .groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_pii")).cast("long").as("n_pii"),
+          sum(col("removed")).cast("long").as("bytes_removed"))
+    }),
+
     // corpus tf-idf: top-20 terms by summed tf·idf, deterministic tiebreak
     "q_tfidf_top_terms" -> ((s, d) => {
       val dd = docs(s, d)
@@ -444,6 +490,35 @@ object PipelinePack extends QueryPack {
          SELECT source, count(*) AS n_kept, sum(n_tok)::BIGINT AS total_tokens
          FROM kept WHERE doc_id NOT IN (SELECT doc_id FROM dup)
          GROUP BY source""",
+    "q_repetition" ->
+      """WITH t AS (SELECT source, string_split(text, ' ') AS w FROM documents),
+         f AS (SELECT source, w FROM t WHERE len(w) >= 3),
+         p AS (SELECT source,
+                      len(w) AS n_tok, len(list_distinct(w)) AS n_tok_d,
+                      list_transform(range(1, len(w) - 1),
+                        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS sh3
+               FROM f),
+         q AS (SELECT source, n_tok, n_tok_d, len(sh3) AS n_3g,
+                      len(list_distinct(sh3)) AS n_3g_d FROM p)
+         SELECT source, count(*) AS n_docs,
+                round(1.0 - sum(n_tok_d)::DOUBLE / sum(n_tok), 6) AS dup_tok_frac,
+                round(1.0 - sum(n_3g_d)::DOUBLE / sum(n_3g), 6) AS dup_3gram_frac
+         FROM q GROUP BY source""",
+    "q_pii_scrub" ->
+      """WITH t AS (SELECT source,
+                           text || (CASE WHEN doc_id % 7 = 0
+                                    THEN ' contact user' || doc_id || '@example.com now'
+                                    ELSE '' END) AS text2
+                    FROM documents),
+         p AS (SELECT source,
+                      len(regexp_extract_all(text2,
+                          '[a-z0-9]+@[a-z0-9.]+[a-z]')) AS n_pii,
+                      length(text2) - length(regexp_replace(text2,
+                          '[a-z0-9]+@[a-z0-9.]+[a-z]', '<EMAIL>', 'g')) AS removed
+               FROM t)
+         SELECT source, count(*) AS n_docs, sum(n_pii)::BIGINT AS n_pii,
+                sum(removed)::BIGINT AS bytes_removed
+         FROM p GROUP BY source""",
     "q_tfidf_top_terms" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
          n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
