@@ -69,6 +69,14 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q_ivf_ann_batch: one plan — corpus equi-join on the cell id, no cartesian") {
+    val p = plan("q_ivf_ann_batch")
+    // the only nested-loop allowed is the bounded queries × centroids
+    // expansion (4 rows broadcast); the corpus side must join on __cell
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("q_dedup_near: candidate Jaccard join carries no forced broadcast hint") {
     // the candidate set is unbounded on a degenerate corpus; the join
     // strategy must be left to AQE, not forced by a broadcast() hint
