@@ -81,13 +81,42 @@ object AffineOps {
   def resampleBicubic(srcCells: DataFrame, srcGm: GridMapping,
                       tgtGm: GridMapping, vars: Seq[String],
                       recoverNan: Boolean = false): DataFrame = {
-    val spark = srcCells.sparkSession
     def kernel(d: Column): Column = {
       val ad = abs(d)
       when(ad <= 1.0, (lit(1.5) * ad - lit(2.5)) * ad * ad + lit(1.0))
         .when(ad < 2.0, ((lit(-0.5) * ad + lit(2.5)) * ad - lit(4.0)) * ad + lit(2.0))
         .otherwise(lit(0.0))
     }
+    kernelResample(srcCells, srcGm, tgtGm, vars, kernel, recoverNan)
+  }
+
+  /** Quadratic resample (spline order 2): 3-tap quadratic B-spline kernel
+    * (0.75 − d² inside |d| ≤ 0.5; (1.5 − |d|)²/2 out to 1.5), applied as a
+    * convolution without scipy's implicit-prefilter step — the same
+    * documented smoothing-vs-interpolating trade-off as the order-3 path.
+    */
+  def resampleQuadratic(srcCells: DataFrame, srcGm: GridMapping,
+                        tgtGm: GridMapping, vars: Seq[String],
+                        recoverNan: Boolean = false): DataFrame = {
+    def kernel(d: Column): Column = {
+      val ad = abs(d)
+      when(ad <= 0.5, lit(0.75) - ad * ad)
+        .when(ad < 1.5, (lit(1.5) - ad) * (lit(1.5) - ad) * lit(0.5))
+        .otherwise(lit(0.0))
+    }
+    kernelResample(srcCells, srcGm, tgtGm, vars, kernel, recoverNan)
+  }
+
+  /** Shared separable-kernel resampler: 16 candidate corners (di, dj ∈
+    * −1..2 — covers every kernel with support ≤ 4 taps; out-of-support
+    * corners get weight 0), one equi-join on the source cell key, one
+    * map-side-combined aggregation.
+    */
+  private def kernelResample(srcCells: DataFrame, srcGm: GridMapping,
+                             tgtGm: GridMapping, vars: Seq[String],
+                             kernel: Column => Column,
+                             recoverNan: Boolean): DataFrame = {
+    val spark = srcCells.sparkSession
     val fi = (col("x") - lit(srcGm.xMin)) / lit(srcGm.xRes) - lit(0.5)
     val fj = (col("y") - lit(srcGm.yMin)) / lit(srcGm.yRes) - lit(0.5)
     val tgt = targetCells(spark, tgtGm)
@@ -104,6 +133,11 @@ object AffineOps {
           kernel(col("dj").cast("double") - col("fy")))
       .withColumn("si", col("i0") + col("di"))
       .withColumn("sj", col("j0") + col("dj"))
+      // zero-weight corners (outside the kernel's support) carry nothing —
+      // dropping them pre-join shrinks the join AND prevents a sparse-grid
+      // target cell whose only PRESENT corners are zero-weight from
+      // producing a 0/0 group (ANSI divide-by-zero)
+      .filter(col("w") =!= 0.0)
     val joined = corners.join(srcCells,
       col("si") === srcCells("i") && col("sj") === srcCells("j"), "inner")
     val aggs = weightedAggs(vars, recoverNan)

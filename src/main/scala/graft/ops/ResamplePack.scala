@@ -57,6 +57,18 @@ object ResamplePack extends QueryPack {
           round(sum(col("v").cast("decimal(28,10)")), 6).cast("double").as("sum_v"))
     }),
 
+    // quadratic (spline order 2): offset target grid so fx = fy = 0.75 —
+    // kernel taps are the exact dyadic rationals 0.28125 / 0.6875 / 0.03125
+    // (hardcoded in the oracle), distinguishing order 2 from bilinear,
+    // which this alignment would NOT do at fx = 0.5
+    "q_affine_quadratic" -> ((s, d) => {
+      val tgtOff = GridMapping(89, 24, 0.25, 0.25, 4.0, 4.0)
+      AffineOps.resampleQuadratic(srcCells(s, d), CubePack.gm, tgtOff, Seq("v"))
+        .groupBy("tgt_j")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("v").cast("decimal(28,10)")), 6).cast("double").as("sum_v"))
+    }),
+
     // recover_nan (affine.py:290-312): NaN cells planted on (i+j)%5 == 0;
     // the masked bilinear interpolates values and validity together, so a
     // target cell keeps a value as long as ANY corner is valid. CHECKSUM:
@@ -344,6 +356,27 @@ object ResamplePack extends QueryPack {
            CROSS JOIN (VALUES (0, 0), (1, 0), (0, 1), (1, 1)) AS o(di, dj)
            JOIN cells c ON c.i = 4 * tgt.tgt_i + 1 + o.di
                        AND c.j = 4 * tgt.tgt_j + 1 + o.dj
+           GROUP BY tgt.tgt_i, tgt.tgt_j)
+         SELECT tgt_j, count(*) AS n,
+                round(sum(v::DECIMAL(28,10)), 6)::DOUBLE AS sum_v
+         FROM interp GROUP BY tgt_j""",
+    "q_affine_quadratic" ->
+      """WITH cells AS (
+           SELECT floor(CAST(event_id % 360 AS DOUBLE) + 0.5)::BIGINT AS i,
+                  floor(CAST(user_id % 100 AS DOUBLE) + 0.5)::BIGINT AS j,
+                  round(sum(value::DECIMAL(28,12))::DOUBLE / count(*), 6) AS v
+           FROM events GROUP BY i, j),
+         tgt AS (SELECT ti.tgt_i, tj.tgt_j
+                 FROM (SELECT unnest(range(0, 89)) AS tgt_i) ti
+                 CROSS JOIN (SELECT unnest(range(0, 24)) AS tgt_j) tj),
+         interp AS (
+           SELECT tgt.tgt_i, tgt.tgt_j,
+                  sum(ox.wx * oy.wy * c.v) / sum(ox.wx * oy.wy) AS v
+           FROM tgt
+           CROSS JOIN (VALUES (0, 0.28125), (1, 0.6875), (2, 0.03125)) AS ox(di, wx)
+           CROSS JOIN (VALUES (0, 0.28125), (1, 0.6875), (2, 0.03125)) AS oy(dj, wy)
+           JOIN cells c ON c.i = 4 * tgt.tgt_i + 1 + ox.di
+                       AND c.j = 4 * tgt.tgt_j + 1 + oy.dj
            GROUP BY tgt.tgt_i, tgt.tgt_j)
          SELECT tgt_j, count(*) AS n,
                 round(sum(v::DECIMAL(28,10)), 6)::DOUBLE AS sum_v

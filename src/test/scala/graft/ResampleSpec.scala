@@ -43,6 +43,23 @@ class ResampleSpec extends AnyFunSuite {
     assert(math.abs(v2 - 20.0) < 1e-9) // (10+20+30)/3
   }
 
+  test("quadratic (order 2) reproduces constants, renormalizes at borders") {
+    import spark.implicits._
+    val src = GridMapping(4, 4, 0.0, 0.0, 1.0, 1.0)
+    val tgt = GridMapping(1, 1, 0.5, 0.5, 3.0, 3.0)
+    val const = (0 until 4).flatMap(i => (0 until 4).map(j => (i.toLong, j.toLong, 7.0)))
+      .toDF("i", "j", "v")
+    // partition of unity → a constant field stays exactly constant
+    val v1 = graft.operators.AffineOps.resampleQuadratic(const, src, tgt, Seq("v"))
+      .select("v").head().getDouble(0)
+    assert(v1 == 7.0)
+    // drop cells → present-neighbor renormalization keeps the constant
+    val partial = const.filter(col("i") =!= 2)
+    val v2 = graft.operators.AffineOps.resampleQuadratic(partial, src, tgt, Seq("v"))
+      .select("v").head().getDouble(0)
+    assert(math.abs(v2 - 7.0) < 1e-12)
+  }
+
   test("recover_nan: NaN corners drop out of the weighted mean; all-NaN stays NaN") {
     import spark.implicits._
     val src = GridMapping(4, 4, 0.0, 0.0, 1.0, 1.0)
