@@ -4,7 +4,7 @@ import graft.{Fixtures, GraftSession, QueryPack}
 import graft.cube.{Cube, GridMapping, TilingScheme}
 import graft.functions.{GeomFunctions, VarExpr}
 import graft.operators.{CoverageOps, ExtractOps, IvfOps, MaintenanceOps, TileOps, VolumeOps}
-import graft.sources.{ComputedLevels, CubeWriter, GeoJsonSource, LevelStore, MemoryDataStore, ShapefileSource}
+import graft.sources.{ComputedLevels, CubeWriter, GeoJsonSource, LevelStore, MemoryDataStore, NetcdfSource, ShapefileSource}
 import graft.streaming.TimeSliceOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -215,6 +215,48 @@ object ServingPack extends QueryPack {
       java.nio.file.Files.write(f.toPath, json.getBytes)
       GeoJsonSource.readFeatures(s, f.getAbsolutePath)
         .select(col("geometry"), col("name"), col("score"))
+    }),
+
+    // NetCDF classic ingest (dsio.py:359-408): two daily-mean granules are
+    // written through the pure-JVM CDF-1 writer, decoded back DISTRIBUTED
+    // (one granule per task — the archive-conversion shape), and
+    // checksummed per day; the coordinate variables are bound into the
+    // checksum so a transposed or mis-strided decode cannot pass.
+    "q_netcdf" -> ((s, d) => {
+      import NetcdfSource.NcDim
+      val sfName = new java.io.File(d).getName
+      val base = s"/root/repo/.graft-fixtures/netcdf_$sfName"
+      val days = Seq("2024-01-01", "2024-01-02")
+      Fixtures.ensureWritten(base, "days=2,grid=360x100,mean6") {
+        new java.io.File(base).mkdirs()
+        val daily = CubePack.eventsCube(s, d).df
+          .filter(to_date(col("time")).isin(days: _*))
+          .groupBy(to_date(col("time")).cast("string").as("day"),
+            floor(col("y")).cast("int").as("j"),
+            floor(col("x")).cast("int").as("i"))
+          .agg(round(sum(col("v").cast("decimal(28,12)")).cast("double") /
+            count(lit(1)), 6).as("v"))
+          .collect()
+        for (day <- days) {
+          val arr = Array.fill(100 * 360)(Double.NaN)
+          daily.filter(_.getString(0) == day).foreach { r =>
+            arr(r.getInt(1) * 360 + r.getInt(2)) = r.getDouble(3)
+          }
+          NetcdfSource.write(s"$base/$day.nc",
+            Seq(NcDim("y", 100), NcDim("x", 360)),
+            Seq(("y", Array.tabulate(100)(_ + 0.5)),
+              ("x", Array.tabulate(360)(_ + 0.5))),
+            Seq(("v", Seq("y", "x"), arr)))
+        }
+      }
+      NetcdfSource.readCubeFiles(s, days.map(day => s"$base/$day.nc"), "v")
+        .withColumn("day", regexp_extract(col("file"), "([0-9-]+)\\.nc$", 1))
+        .filter(!isnan(col("v")))
+        .groupBy("day")
+        .agg(count(lit(1)).as("n_cells"),
+          round(sum((col("y") + col("x")).cast("decimal(28,10)")), 6)
+            .cast("double").as("sum_coord"),
+          round(sum(col("v").cast("decimal(28,10)")), 6).cast("double").as("sum_v"))
     }),
 
     // Shapefile vector source (geodataframe.py:19-96 reads GeoJSON AND
@@ -591,6 +633,21 @@ object ServingPack extends QueryPack {
            ('POLYGON ((0.0 0.0, 10.0 0.0, 10.0 10.0, 0.0 0.0))', 'beta', 2::BIGINT),
            ('LINESTRING (0.0 0.0, 5.0 5.0)', 'gamma', NULL::BIGINT))
          AS t(geometry, name, score)""",
+    "q_netcdf" ->
+      s"""WITH ${CubePack.cubeCte},
+         daily AS (SELECT CAST(time AS DATE)::VARCHAR AS day,
+                          floor(y)::BIGINT AS j, floor(x)::BIGINT AS i,
+                          round(sum(v::DECIMAL(28,12))::DOUBLE / count(*), 6) AS v
+                   FROM cube
+                   -- NOT `IN (DATE ..., DATE ...)`: DuckDB 1.0 resolves that
+                   -- IN-list to zero matches against a CAST(ts AS DATE) LHS
+                   WHERE CAST(time AS DATE) = DATE '2024-01-01'
+                      OR CAST(time AS DATE) = DATE '2024-01-02'
+                   GROUP BY day, j, i)
+         SELECT day, count(*) AS n_cells,
+                round(sum(((j + 0.5) + (i + 0.5))::DECIMAL(28,10)), 6)::DOUBLE AS sum_coord,
+                round(sum(v::DECIMAL(28,10)), 6)::DOUBLE AS sum_v
+         FROM daily GROUP BY day""",
     "q_shapefile" ->
       """SELECT * FROM (VALUES
            ('POINT (10.0 20.0)', 'alpha', 500::BIGINT),

@@ -1,0 +1,235 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+import java.nio.{ByteBuffer, ByteOrder}
+import scala.jdk.CollectionConverters._
+
+/** NetCDF-3 "classic" raster source — the reference's NetCDF dataset IO
+  * (dsio.py:359-408 reads/writes via xarray/netCDF4). Implements the public
+  * classic file format (CDF-1/CDF-2, the NetCDF "classic format spec"):
+  * dimensions, global + variable attributes, and fixed-size variables of
+  * the numeric external types, parsed from the big-endian binary layout —
+  * no native library. NetCDF-4/HDF5 container files are out of scope
+  * (their HDF5 substrate needs a real HDF5 implementation); classic files
+  * are what `nccopy -k classic` / `to_netcdf(format="NETCDF3_CLASSIC")`
+  * produce.
+  *
+  * Scale story: ONE granule is driver/executor-sized (like the reference's
+  * per-file xarray open), but an archive is millions of granules —
+  * [[readCubeFiles]] distributes one file per task and yields the union of
+  * their long-format rows, which is how a 100 TB NetCDF archive converts
+  * to the partitioned-Parquet cube layout in one pass.
+  */
+object NetcdfSource {
+
+  final case class NcDim(name: String, size: Int)
+  /** A variable: external type kept as doubles (all numeric nc types
+    * widen losslessly except 8-byte ints, which classic files don't have).
+    */
+  final case class NcVar(name: String, ncType: Int, dimIds: Seq[Int],
+                         attrs: Map[String, String], data: Array[Double])
+  final case class NcFile(dims: Seq[NcDim], attrs: Map[String, String],
+                          vars: Seq[NcVar]) {
+    def varByName(n: String): NcVar = vars.find(_.name == n).getOrElse(
+      throw new IllegalArgumentException(
+        s"no variable '$n'; have ${vars.map(_.name).mkString(", ")}"))
+  }
+
+  private val TagDim = 0x0a
+  private val TagVar = 0x0b
+  private val TagAtt = 0x0c
+
+  private def pad4(n: Int): Int = (n + 3) & ~3
+
+  // ------------------------------------------------------------- parsing
+
+  /** Parse a classic NetCDF file image. Record (unlimited-dimension)
+    * variables are not supported — the cube converters write fixed sizes.
+    */
+  def parse(bytes: Array[Byte]): NcFile = {
+    val b = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
+    require(b.get() == 'C' && b.get() == 'D' && b.get() == 'F',
+      "not a NetCDF classic file (bad magic)")
+    val version = b.get()
+    require(version == 1 || version == 2,
+      s"unsupported NetCDF version byte $version (classic/64-bit-offset only)")
+    val numRecs = b.getInt
+    require(numRecs == 0, "record (unlimited) dimensions are not supported")
+
+    def name(): String = {
+      val len = b.getInt
+      val s = new String(bytes, b.position(), len, "UTF-8")
+      b.position(b.position() + pad4(len))
+      s
+    }
+    def typedValues(ncType: Int, n: Int): Array[Double] = {
+      val out = new Array[Double](n)
+      var i = 0
+      while (i < n) {
+        out(i) = ncType match {
+          case 1 => b.get().toDouble            // byte
+          case 3 => b.getShort.toDouble         // short
+          case 4 => b.getInt.toDouble           // int
+          case 5 => b.getFloat.toDouble         // float
+          case 6 => b.getDouble                 // double
+          case t => throw new IllegalArgumentException(s"nc type $t")
+        }
+        i += 1
+      }
+      val byteLen = n * Seq(0, 1, 0, 2, 4, 4, 8)(ncType)
+      b.position(b.position() + (pad4(byteLen) - byteLen))
+      out
+    }
+    def attList(): Map[String, String] = {
+      val tag = b.getInt; val n = b.getInt
+      require(tag == TagAtt || (tag == 0 && n == 0), s"bad attribute tag $tag")
+      (0 until n).map { _ =>
+        val k = name()
+        val t = b.getInt
+        val nv = b.getInt
+        val v =
+          if (t == 2) { // char attr → string
+            val s = new String(bytes, b.position(), nv, "UTF-8")
+            b.position(b.position() + pad4(nv))
+            s
+          } else typedValues(t, nv).mkString(",")
+        k -> v
+      }.toMap
+    }
+
+    val dimTag = b.getInt; val nDims = b.getInt
+    require(dimTag == TagDim || (dimTag == 0 && nDims == 0), "bad dim tag")
+    val dims = (0 until nDims).map(_ => NcDim(name(), b.getInt))
+    val gattrs = attList()
+    val varTag = b.getInt; val nVars = b.getInt
+    require(varTag == TagVar || (varTag == 0 && nVars == 0), "bad var tag")
+    val headers = (0 until nVars).map { _ =>
+      val vn = name()
+      val nd = b.getInt
+      val dimIds = (0 until nd).map(_ => b.getInt)
+      val vattrs = attList()
+      val ncType = b.getInt
+      val _ = b.getInt // vsize (including padding)
+      val begin = if (version == 1) b.getInt.toLong else b.getLong
+      (vn, ncType, dimIds, vattrs, begin)
+    }
+    val vars = headers.map { case (vn, t, dimIds, vattrs, begin) =>
+      val n = dimIds.map(dims(_).size.toLong).product
+      require(n <= Int.MaxValue, s"variable $vn too large for one granule")
+      b.position(begin.toInt)
+      NcVar(vn, t, dimIds, vattrs, typedValues(t, n.toInt))
+    }
+    NcFile(dims, gattrs, vars)
+  }
+
+  def read(path: String): NcFile =
+    parse(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)))
+
+  /** One data variable as long-format rows: a column per dimension (the
+    * same-named coordinate variable's value if present, else the index)
+    * plus the value — the NetCDF→cube decode.
+    */
+  def readCube(spark: SparkSession, path: String, varName: String): DataFrame = {
+    val nc = read(path)
+    val rows = cubeRows(nc, varName)
+    val v = nc.varByName(varName)
+    val schema = StructType(
+      v.dimIds.map(d => StructField(nc.dims(d).name, DoubleType)) :+
+        StructField(varName, DoubleType))
+    spark.createDataFrame(rows.map(Row.fromSeq).asJava, schema)
+  }
+
+  /** Distributed decode of many granules (one file per task): the union of
+    * each file's long-format rows plus a `file` column. All files must
+    * share the variable's dimensionality.
+    */
+  def readCubeFiles(spark: SparkSession, paths: Seq[String],
+                    varName: String): DataFrame = {
+    val first = read(paths.head)
+    val v = first.varByName(varName)
+    val schema = StructType(
+      StructField("file", StringType) +:
+        v.dimIds.map(d => StructField(first.dims(d).name, DoubleType)) :+
+        StructField(varName, DoubleType))
+    val rdd = spark.sparkContext.parallelize(paths, paths.length).flatMap { p =>
+      cubeRows(read(p), varName).map(r => Row.fromSeq(p +: r))
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  private def cubeRows(nc: NcFile, varName: String): Seq[Seq[Any]] = {
+    val v = nc.varByName(varName)
+    val shape = v.dimIds.map(nc.dims(_).size)
+    val coords: Seq[Int => Double] = v.dimIds.map { d =>
+      nc.vars.find(cv => cv.name == nc.dims(d).name && cv.dimIds == Seq(d)) match {
+        case Some(cv) => (i: Int) => cv.data(i)
+        case None => (i: Int) => i.toDouble
+      }
+    }
+    val strides = shape.scanRight(1)(_ * _).tail
+    (0 until v.data.length).map { flat =>
+      val idx = shape.indices.map(k => flat / strides(k) % shape(k))
+      idx.indices.map(k => coords(k)(idx(k)): Any) :+ (v.data(flat): Any)
+    }
+  }
+
+  // ------------------------------------------------------------- writing
+
+  /** Minimal classic (CDF-1) writer: double variables over fixed dims —
+    * the round-trip counterpart of [[parse]] (the reference writes through
+    * to_netcdf). `coordVars` are 1-D over the same-named dim; `dataVars`
+    * list (name, dimNames, row-major values).
+    */
+  def write(path: String, dims: Seq[NcDim],
+            coordVars: Seq[(String, Array[Double])],
+            dataVars: Seq[(String, Seq[String], Array[Double])]): Unit = {
+    val allVars: Seq[(String, Seq[String], Array[Double])] =
+      coordVars.map { case (n, d) => (n, Seq(n), d) } ++ dataVars
+    def nameBytes(s: String): Array[Byte] = {
+      val raw = s.getBytes("UTF-8")
+      ByteBuffer.allocate(4 + pad4(raw.length)).putInt(raw.length).put(raw).array()
+    }
+    val dimIdx = dims.map(_.name).zipWithIndex.toMap
+    val headerParts = Seq.newBuilder[Array[Byte]]
+    headerParts += Array[Byte]('C', 'D', 'F', 1)
+    headerParts += ByteBuffer.allocate(4).putInt(0).array() // numrecs
+    headerParts += ByteBuffer.allocate(8).putInt(TagDim).putInt(dims.length).array()
+    dims.foreach { d =>
+      headerParts += nameBytes(d.name)
+      headerParts += ByteBuffer.allocate(4).putInt(d.size).array()
+    }
+    headerParts += ByteBuffer.allocate(8).putInt(0).putInt(0).array() // no gatts
+    headerParts += ByteBuffer.allocate(8).putInt(TagVar).putInt(allVars.length).array()
+    // var headers need data offsets: compute header size first with a
+    // 2-pass layout (offsets are 4-byte ints in CDF-1)
+    def varHeader(name: String, dimNames: Seq[String], begin: Int): Array[Byte] = {
+      val nb = nameBytes(name)
+      val buf = ByteBuffer.allocate(nb.length + 4 + 4 * dimNames.length + 8 + 12)
+      buf.put(nb)
+      buf.putInt(dimNames.length)
+      dimNames.foreach(dn => buf.putInt(dimIdx(dn)))
+      buf.putInt(0); buf.putInt(0) // no var attrs
+      buf.putInt(6) // NC_DOUBLE
+      buf.putInt(8 * dimNames.map(dn => dims(dimIdx(dn)).size).product)
+      buf.putInt(begin)
+      buf.array()
+    }
+    val fixedLen = headerParts.result().map(_.length).sum
+    val headerLen = fixedLen + allVars.map { case (n, dn, _) =>
+      varHeader(n, dn, 0).length
+    }.sum
+    var offset = headerLen
+    val withOffsets = allVars.map { case (n, dn, data) =>
+      val h = varHeader(n, dn, offset)
+      offset += 8 * data.length
+      h
+    }
+    val out = ByteBuffer.allocate(offset)
+    headerParts.result().foreach(out.put)
+    withOffsets.foreach(out.put)
+    allVars.foreach { case (_, _, data) => data.foreach(out.putDouble) }
+    java.nio.file.Files.write(java.nio.file.Paths.get(path), out.array())
+    ()
+  }
+}

@@ -148,6 +148,37 @@ class StoreMaintenanceSpec extends AnyFunSuite {
     }
   }
 
+  test("NetCDF classic round-trip: dims, coords, row-major data, distributed decode") {
+    import graft.sources.NetcdfSource
+    import NetcdfSource.NcDim
+    val dir = Files.createTempDirectory("graft_nc").toFile
+    val p = new java.io.File(dir, "t.nc").getAbsolutePath
+    // 2×3 grid, y coord var present, x left to index fallback
+    NetcdfSource.write(p,
+      Seq(NcDim("y", 2), NcDim("x", 3)),
+      Seq(("y", Array(10.5, 11.5))),
+      Seq(("v", Seq("y", "x"), Array(1.0, 2.0, 3.0, 4.0, 5.0, 6.0))))
+    val nc = NetcdfSource.read(p)
+    assert(nc.dims == Seq(NcDim("y", 2), NcDim("x", 3)))
+    assert(nc.varByName("v").data.toSeq == Seq(1.0, 2.0, 3.0, 4.0, 5.0, 6.0))
+    val rows = NetcdfSource.readCube(spark, p, "v").collect()
+      .map(r => (r.getDouble(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    assert(rows.size == 6)
+    assert(rows((10.5, 0.0)) == 1.0) // row-major: first row is y=10.5
+    assert(rows((10.5, 2.0)) == 3.0)
+    assert(rows((11.5, 0.0)) == 4.0) // second row
+    assert(rows((11.5, 2.0)) == 6.0)
+    // distributed multi-granule decode unions files with a file column
+    val p2 = new java.io.File(dir, "t2.nc").getAbsolutePath
+    NetcdfSource.write(p2,
+      Seq(NcDim("y", 2), NcDim("x", 3)),
+      Seq(("y", Array(10.5, 11.5))),
+      Seq(("v", Seq("y", "x"), Array.fill(6)(9.0))))
+    val multi = NetcdfSource.readCubeFiles(spark, Seq(p, p2), "v")
+    assert(multi.count() == 12)
+    assert(multi.filter(col("file").contains("t2.nc") && col("v") === 9.0).count() == 6)
+  }
+
   test("fixture markers fingerprint their config: changed config rebuilds, same reuses") {
     val dir = Files.createTempDirectory("graft_fixture").toFile
     val path = new java.io.File(dir, "layout").getAbsolutePath
