@@ -4,7 +4,7 @@ import graft.{Fixtures, GraftSession, QueryPack}
 import graft.cube.{Cube, GridMapping, TilingScheme}
 import graft.functions.{GeomFunctions, VarExpr}
 import graft.operators.{CoverageOps, ExtractOps, IvfOps, MaintenanceOps, TileOps, VolumeOps}
-import graft.sources.{ComputedLevels, CubeWriter, GeoJsonSource, LevelStore, MemoryDataStore, NetcdfSource, ShapefileSource}
+import graft.sources.{ComputedLevels, CubeWriter, GeoJsonSource, GeoTiffSource, LevelStore, MemoryDataStore, NetcdfSource, ShapefileSource}
 import graft.streaming.TimeSliceOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -253,6 +253,42 @@ object ServingPack extends QueryPack {
         .withColumn("day", regexp_extract(col("file"), "([0-9-]+)\\.nc$", 1))
         .filter(!isnan(col("v")))
         .groupBy("day")
+        .agg(count(lit(1)).as("n_cells"),
+          round(sum((col("y") + col("x")).cast("decimal(28,10)")), 6)
+            .cast("double").as("sum_coord"),
+          round(sum(col("v").cast("decimal(28,10)")), 6).cast("double").as("sum_v"))
+    }),
+
+    // GeoTIFF ingest (store/fs/impl/rasterio.py:81-330): a Deflate-
+    // compressed north-up float64 raster written through the minimal
+    // baseline-TIFF writer, decoded back through the binary parser, and
+    // band-checksummed with the coordinates bound in — a mis-strided,
+    // transposed or wrongly-georeferenced decode cannot pass.
+    "q_geotiff" -> ((s, d) => {
+      val sfName = new java.io.File(d).getName
+      val base = s"/root/repo/.graft-fixtures/geotiff_$sfName"
+      val path = s"$base/day1.tif"
+      Fixtures.ensureWritten(base, "day=2024-01-01,grid=360x100,deflate,mean6") {
+        new java.io.File(base).mkdirs()
+        val daily = CubePack.eventsCube(s, d).df
+          .filter(to_date(col("time")) === lit("2024-01-01").cast("date"))
+          .groupBy(floor(col("y")).cast("int").as("j"),
+            floor(col("x")).cast("int").as("i"))
+          .agg(round(sum(col("v").cast("decimal(28,12)")).cast("double") /
+            count(lit(1)), 6).as("v"))
+          .collect()
+        val arr = Array.fill(100 * 360)(Double.NaN)
+        // north-up: raster row 0 is the TOP (max y) grid row
+        daily.foreach { r =>
+          arr((99 - r.getInt(0)) * 360 + r.getInt(1)) = r.getDouble(2)
+        }
+        GeoTiffSource.write(path,
+          GeoTiffSource.Raster(360, 100, arr, 1.0, 1.0, 0.0, 100.0),
+          deflate = true)
+      }
+      GeoTiffSource.readRaster(s, path)
+        .filter(!isnan(col("v")))
+        .groupBy((col("y") / 10).cast("long").as("jband"))
         .agg(count(lit(1)).as("n_cells"),
           round(sum((col("y") + col("x")).cast("decimal(28,10)")), 6)
             .cast("double").as("sum_coord"),
@@ -633,6 +669,17 @@ object ServingPack extends QueryPack {
            ('POLYGON ((0.0 0.0, 10.0 0.0, 10.0 10.0, 0.0 0.0))', 'beta', 2::BIGINT),
            ('LINESTRING (0.0 0.0, 5.0 5.0)', 'gamma', NULL::BIGINT))
          AS t(geometry, name, score)""",
+    "q_geotiff" ->
+      s"""WITH ${CubePack.cubeCte},
+         daily AS (SELECT floor(y)::BIGINT AS j, floor(x)::BIGINT AS i,
+                          round(sum(v::DECIMAL(28,12))::DOUBLE / count(*), 6) AS v
+                   FROM cube
+                   WHERE CAST(time AS DATE) = DATE '2024-01-01'
+                   GROUP BY j, i)
+         SELECT j // 10 AS jband, count(*) AS n_cells,
+                round(sum(((j + 0.5) + (i + 0.5))::DECIMAL(28,10)), 6)::DOUBLE AS sum_coord,
+                round(sum(v::DECIMAL(28,10)), 6)::DOUBLE AS sum_v
+         FROM daily GROUP BY jband""",
     "q_netcdf" ->
       s"""WITH ${CubePack.cubeCte},
          daily AS (SELECT CAST(time AS DATE)::VARCHAR AS day,

@@ -1,0 +1,230 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+import java.nio.{ByteBuffer, ByteOrder}
+import scala.jdk.CollectionConverters._
+
+/** Minimal GeoTIFF raster source — the single-band gridded-raster ingest
+  * path the reference routes through rasterio (store/fs/impl/
+  * rasterio.py:81-330). Implements the public baseline TIFF 6.0 + GeoTIFF
+  * 1.1 subset that converted cube rasters actually use: single-band,
+  * striped layout, Compression none (1) or Deflate (8 / 32946, via
+  * java.util.zip — no native lib), both byte orders, sample formats
+  * uint/int 8/16/32 and float 32/64, georeferenced by ModelPixelScale +
+  * ModelTiepoint. Tiled layouts, predictors, palettes and multi-band
+  * files are out of scope for v0 (ingest converts them once, elsewhere).
+  *
+  * Scale story mirrors [[NetcdfSource]]: one raster is executor-sized;
+  * an archive distributes one file per task via [[readRasterFiles]].
+  */
+object GeoTiffSource {
+
+  final case class Raster(width: Int, height: Int, data: Array[Double],
+                          scaleX: Double, scaleY: Double,
+                          originX: Double, originY: Double) {
+    /** World x of pixel-center (col, row) — GeoTIFF pixel-is-area. */
+    def xOf(col: Int): Double = originX + (col + 0.5) * scaleX
+    /** World y of pixel-center; y decreases with row (north-up raster). */
+    def yOf(row: Int): Double = originY - (row + 0.5) * scaleY
+  }
+
+  // ------------------------------------------------------------- parsing
+
+  private def typeSize(t: Int): Int = t match {
+    case 1 | 2 | 6 | 7 => 1 // BYTE/ASCII/SBYTE/UNDEF
+    case 3 | 8 => 2         // SHORT/SSHORT
+    case 4 | 9 | 11 => 4    // LONG/SLONG/FLOAT
+    case 5 | 10 | 12 => 8   // RATIONAL/SRATIONAL/DOUBLE
+    case other => throw new IllegalArgumentException(s"TIFF field type $other")
+  }
+
+  def parse(bytes: Array[Byte]): Raster = {
+    val head = ByteBuffer.wrap(bytes)
+    val order = (head.get(0), head.get(1)) match {
+      case ('I', 'I') => ByteOrder.LITTLE_ENDIAN
+      case ('M', 'M') => ByteOrder.BIG_ENDIAN
+      case _ => throw new IllegalArgumentException("not a TIFF (bad byte order)")
+    }
+    val b = ByteBuffer.wrap(bytes).order(order)
+    require(b.getShort(2) == 42, "not a TIFF (bad magic)")
+    val ifdOff = b.getInt(4)
+    val nEntries = b.getShort(ifdOff).toInt & 0xffff
+    // tag → (type, values as doubles)
+    val tags = (0 until nEntries).map { e =>
+      val off = ifdOff + 2 + e * 12
+      val tag = b.getShort(off).toInt & 0xffff
+      val typ = b.getShort(off + 2).toInt & 0xffff
+      val count = b.getInt(off + 4)
+      val valSize = typeSize(typ) * count
+      val valOff = if (valSize <= 4) off + 8 else b.getInt(off + 8)
+      val vals = (0 until count).map { i =>
+        val p = valOff + i * typeSize(typ)
+        typ match {
+          case 1 | 2 | 7 => (b.get(p) & 0xff).toDouble
+          case 6 => b.get(p).toDouble
+          case 3 => (b.getShort(p) & 0xffff).toDouble
+          case 8 => b.getShort(p).toDouble
+          case 4 => (b.getInt(p).toLong & 0xffffffffL).toDouble
+          case 9 => b.getInt(p).toDouble
+          case 11 => b.getFloat(p).toDouble
+          case 12 => b.getDouble(p)
+          case 5 | 10 => b.getInt(p).toDouble / b.getInt(p + 4)
+        }
+      }.toArray
+      tag -> vals
+    }.toMap
+
+    def one(tag: Int, default: Option[Double] = None): Double =
+      tags.get(tag).map(_.head).orElse(default).getOrElse(
+        throw new IllegalArgumentException(s"missing required TIFF tag $tag"))
+
+    val width = one(256).toInt
+    val height = one(257).toInt
+    val bits = one(258, Some(1.0)).toInt
+    val compression = one(259, Some(1.0)).toInt
+    val samplesPerPixel = one(277, Some(1.0)).toInt
+    val sampleFormat = one(339, Some(1.0)).toInt // 1 uint, 2 int, 3 float
+    require(samplesPerPixel == 1, s"single-band only, got $samplesPerPixel")
+    require(compression == 1 || compression == 8 || compression == 32946,
+      s"compression $compression unsupported (none/deflate only)")
+    require(!tags.contains(322), "tiled TIFFs unsupported (striped only)")
+    val rowsPerStrip = one(278, Some(height.toDouble)).toInt
+    val stripOffsets = tags(273).map(_.toLong)
+    val stripCounts = tags(279).map(_.toLong)
+    require(stripOffsets.length == stripCounts.length, "strip table mismatch")
+
+    val data = new Array[Double](width * height)
+    var row0 = 0
+    stripOffsets.zip(stripCounts).foreach { case (soff, scount) =>
+      val raw = java.util.Arrays.copyOfRange(bytes, soff.toInt, (soff + scount).toInt)
+      val strip =
+        if (compression == 1) raw
+        else { // zlib deflate
+          val inf = new java.util.zip.Inflater()
+          inf.setInput(raw)
+          val nRows = math.min(rowsPerStrip, height - row0)
+          val out = new Array[Byte](nRows * width * (bits / 8))
+          val n = inf.inflate(out)
+          inf.end()
+          require(n == out.length, s"short inflate: $n of ${out.length}")
+          out
+        }
+      val sb = ByteBuffer.wrap(strip).order(order)
+      val nSamples = strip.length / (bits / 8)
+      var i = 0
+      while (i < nSamples && row0 * width + i < data.length) {
+        data(row0 * width + i) = (bits, sampleFormat) match {
+          case (8, 1) => (sb.get(i) & 0xff).toDouble
+          case (8, 2) => sb.get(i).toDouble
+          case (16, 1) => (sb.getShort(i * 2) & 0xffff).toDouble
+          case (16, 2) => sb.getShort(i * 2).toDouble
+          case (32, 1) => (sb.getInt(i * 4).toLong & 0xffffffffL).toDouble
+          case (32, 2) => sb.getInt(i * 4).toDouble
+          case (32, 3) => sb.getFloat(i * 4).toDouble
+          case (64, 3) => sb.getDouble(i * 8)
+          case (bf, sf) => throw new IllegalArgumentException(
+            s"unsupported sample: $bf bits format $sf")
+        }
+        i += 1
+      }
+      row0 += rowsPerStrip
+    }
+
+    val scale = tags.getOrElse(33550, Array(1.0, 1.0, 0.0)) // ModelPixelScale
+    val tie = tags.getOrElse(33922, Array(0.0, 0.0, 0.0, 0.0, 0.0, 0.0))
+    // tiepoint maps raster (tie(0), tie(1)) to world (tie(3), tie(4));
+    // normalize to the world coords of raster origin (0, 0)
+    val originX = tie(3) - tie(0) * scale(0)
+    val originY = tie(4) + tie(1) * scale(1)
+    Raster(width, height, data, scale(0), scale(1), originX, originY)
+  }
+
+  def read(path: String): Raster =
+    parse(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)))
+
+  private val rasterSchema = StructType(Seq(
+    StructField("col", LongType), StructField("row", LongType),
+    StructField("x", DoubleType), StructField("y", DoubleType),
+    StructField("v", DoubleType)))
+
+  /** Decode to long-format (col, row, x, y, v) rows. */
+  def readRaster(spark: SparkSession, path: String): DataFrame = {
+    val r = read(path)
+    val rows = rasterRows(r).map(Row.fromSeq)
+    spark.createDataFrame(rows.asJava, rasterSchema)
+  }
+
+  /** Distributed decode of many rasters, one file per task (+ file col). */
+  def readRasterFiles(spark: SparkSession, paths: Seq[String]): DataFrame = {
+    val schema = StructType(StructField("file", StringType) +: rasterSchema.fields)
+    val rdd = spark.sparkContext.parallelize(paths, paths.length).flatMap { p =>
+      rasterRows(read(p)).map(r => Row.fromSeq(p +: r))
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  private def rasterRows(r: Raster): Seq[Seq[Any]] =
+    (0 until r.height).flatMap { row =>
+      (0 until r.width).map { colI =>
+        Seq[Any](colI.toLong, row.toLong, r.xOf(colI), r.yOf(row),
+          r.data(row * r.width + colI))
+      }
+    }
+
+  // ------------------------------------------------------------- writing
+
+  /** Minimal writer: single-band float64, little-endian, one strip,
+    * optionally Deflate-compressed — the round-trip counterpart of
+    * [[parse]] plus the inflate-path exercise.
+    */
+  def write(path: String, raster: Raster, deflate: Boolean = false): Unit = {
+    val pix = ByteBuffer.allocate(raster.data.length * 8)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    raster.data.foreach(pix.putDouble)
+    val strip: Array[Byte] =
+      if (!deflate) pix.array()
+      else {
+        val d = new java.util.zip.Deflater()
+        d.setInput(pix.array()); d.finish()
+        val out = new Array[Byte](pix.capacity() + 64)
+        val n = d.deflate(out)
+        require(d.finished(), "deflate buffer too small")
+        d.end()
+        java.util.Arrays.copyOf(out, n)
+      }
+    // layout: header (8) | IFD | out-of-line values | strip data
+    val entries = 11
+    val ifdLen = 2 + entries * 12 + 4
+    val scaleOff = 8 + ifdLen
+    val tieOff = scaleOff + 3 * 8
+    val dataOff = tieOff + 6 * 8
+    val buf = ByteBuffer.allocate(dataOff + strip.length)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    buf.put('I'.toByte).put('I'.toByte).putShort(42).putInt(8)
+    buf.putShort(entries.toShort)
+    def entry(tag: Int, typ: Int, count: Int, value: Long): Unit = {
+      buf.putShort(tag.toShort); buf.putShort(typ.toShort); buf.putInt(count)
+      if (typ == 3 && count == 1) { buf.putShort(value.toShort); buf.putShort(0) }
+      else buf.putInt(value.toInt)
+    }
+    entry(256, 3, 1, raster.width)                       // ImageWidth
+    entry(257, 3, 1, raster.height)                      // ImageLength
+    entry(258, 3, 1, 64)                                 // BitsPerSample
+    entry(259, 3, 1, if (deflate) 8 else 1)              // Compression
+    entry(262, 3, 1, 1)                                  // Photometric
+    entry(273, 4, 1, dataOff)                            // StripOffsets
+    entry(278, 3, 1, raster.height)                      // RowsPerStrip
+    entry(279, 4, 1, strip.length)                       // StripByteCounts
+    entry(339, 3, 1, 3)                                  // SampleFormat: float
+    entry(33550, 12, 3, scaleOff)                        // ModelPixelScale
+    entry(33922, 12, 6, tieOff)                          // ModelTiepoint
+    buf.putInt(0) // next-IFD terminator
+    buf.putDouble(raster.scaleX).putDouble(raster.scaleY).putDouble(0.0)
+    buf.putDouble(0.0).putDouble(0.0).putDouble(0.0)     // raster (0,0,0) →
+    buf.putDouble(raster.originX).putDouble(raster.originY).putDouble(0.0)
+    buf.put(strip)
+    java.nio.file.Files.write(java.nio.file.Paths.get(path), buf.array())
+    ()
+  }
+}

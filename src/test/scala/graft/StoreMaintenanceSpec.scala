@@ -179,6 +179,28 @@ class StoreMaintenanceSpec extends AnyFunSuite {
     assert(multi.filter(col("file").contains("t2.nc") && col("v") === 9.0).count() == 6)
   }
 
+  test("GeoTIFF round-trip: georeferencing, row-major strips, deflate") {
+    import graft.sources.GeoTiffSource
+    val dir = Files.createTempDirectory("graft_tif").toFile
+    // 3×2 raster, origin (100, 50), 2×2 pixels, north-up
+    val r = GeoTiffSource.Raster(3, 2, Array(1.0, 2.0, 3.0, 4.0, Double.NaN, 6.0),
+      2.0, 2.0, 100.0, 50.0)
+    for (deflate <- Seq(false, true)) {
+      val p = new java.io.File(dir, s"t_$deflate.tif").getAbsolutePath
+      GeoTiffSource.write(p, r, deflate)
+      val back = GeoTiffSource.read(p)
+      assert(back.width == 3 && back.height == 2)
+      assert(back.data.toSeq.zip(r.data.toSeq).forall { case (a, b) =>
+        a == b || (a.isNaN && b.isNaN) })
+      val rows = GeoTiffSource.readRaster(spark, p).collect()
+        .map(x => (x.getDouble(2), x.getDouble(3)) -> x.getDouble(4)).toMap
+      assert(rows((101.0, 49.0)) == 1.0)  // col 0 row 0: top-left center
+      assert(rows((105.0, 49.0)) == 3.0)  // col 2 row 0
+      assert(rows((101.0, 47.0)) == 4.0)  // col 0 row 1 (y decreases)
+      assert(rows((105.0, 47.0)) == 6.0)
+    }
+  }
+
   test("fixture markers fingerprint their config: changed config rebuilds, same reuses") {
     val dir = Files.createTempDirectory("graft_fixture").toFile
     val path = new java.io.File(dir, "layout").getAbsolutePath
