@@ -26,20 +26,41 @@ object DataStore {
     else if (p.endsWith(".csv")) "csv"
     else if (p.endsWith(".json") || p.endsWith(".geojson")) "json"
     else if (p.endsWith(".orc")) "orc"
+    else if (p.endsWith(".nc")) "netcdf"
+    else if (p.endsWith(".tif") || p.endsWith(".tiff")) "geotiff"
+    else if (p.endsWith(".shp")) "shapefile"
     else "parquet" // directory cubes default to parquet
   }
 
-  /** open_dataset with format inference. */
-  def openDataset(spark: SparkSession, path: String): DataFrame = {
-    val fmt = formatFor(path)
-    val r = spark.read.format(fmt)
-    (if (fmt == "csv") r.option("header", "true").option("inferSchema", "true")
-     else r).load(path)
-  }
+  /** open_dataset with format inference — the graft-native binary formats
+    * (NetCDF classic, GeoTIFF, Shapefile, GeoJSON feature collections)
+    * route to their sources; everything else goes through Spark readers.
+    */
+  def openDataset(spark: SparkSession, path: String): DataFrame =
+    formatFor(path) match {
+      case "netcdf" =>
+        val nc = NetcdfSource.read(path)
+        // first data variable = one whose name is not a dimension
+        val dataVar = nc.vars.find(v => !nc.dims.exists(_.name == v.name))
+          .getOrElse(throw new IllegalArgumentException(s"$path: no data variable"))
+        NetcdfSource.readCube(spark, path, dataVar.name)
+      case "geotiff" => GeoTiffSource.readRaster(spark, path)
+      case "shapefile" => ShapefileSource.readFeatures(spark, path)
+      case fmt =>
+        val r = spark.read.format(fmt)
+        (if (fmt == "csv") r.option("header", "true").option("inferSchema", "true")
+         else r).load(path)
+    }
 
-  /** write_dataset with format inference. */
+  /** write_dataset with format inference. DataFrame writes go through Spark
+    * writers; the binary raster/vector formats have their own typed writers
+    * (NetcdfSource.write / GeoTiffSource.write / ShapefileSource
+    * .writeFeatures) because their layouts aren't row-shaped.
+    */
   def writeDataset(df: DataFrame, path: String, mode: String = "overwrite"): Unit = {
     val fmt = formatFor(path)
+    require(!Set("netcdf", "geotiff", "shapefile").contains(fmt),
+      s"use the typed writer for $fmt (Netcdf/GeoTiff/Shapefile Source.write)")
     val w = df.write.format(fmt).mode(mode)
     (if (fmt == "csv") w.option("header", "true") else w).save(path)
   }

@@ -198,6 +198,9 @@ class StoreMaintenanceSpec extends AnyFunSuite {
       assert(rows((105.0, 49.0)) == 3.0)  // col 2 row 0
       assert(rows((101.0, 47.0)) == 4.0)  // col 0 row 1 (y decreases)
       assert(rows((105.0, 47.0)) == 6.0)
+      // the store's format inference routes .tif through this source
+      assert(DataStore.openDataset(spark, p).columns.toSeq ==
+        Seq("col", "row", "x", "y", "v"))
     }
   }
 
