@@ -13,8 +13,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Children: (wkt, x, y). The prepared geometry is cached per distinct WKT
   * per executor JVM (a feature table has few distinct geometries relative
-  * to the cube rows joined against them); null WKT → false, matching the
-  * UDF it replaces.
+  * to the cube rows joined against them). Null WKT → null (the standard
+  * null-propagating expression contract); as a join/filter condition that
+  * behaves exactly like the replaced UDF's `false` — the row doesn't match
+  * — but differs under NOT(...), where null stays null.
   */
 case class PointCoveredByCol(first: Expression, second: Expression,
                              third: Expression)
@@ -43,10 +45,10 @@ object PointCoveredByCol {
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[String, GeomPredicate]()
 
-  /** Codegen entry point: called from generated Java on primitive doubles. */
-  def covers(wkt: UTF8String, x: Double, y: Double): Boolean = {
-    if (wkt == null) return false
-    val pred = cache.computeIfAbsent(wkt.toString, w => new GeomPredicate(w))
-    pred.covers(x, y)
-  }
+  /** Codegen entry point: called from generated Java on primitive doubles.
+    * Never sees null — nullSafeEval/nullSafeCodeGen short-circuit null
+    * children to a null result before reaching here.
+    */
+  def covers(wkt: UTF8String, x: Double, y: Double): Boolean =
+    cache.computeIfAbsent(wkt.toString, w => new GeomPredicate(w)).covers(x, y)
 }

@@ -34,15 +34,20 @@ object EmbeddingOps {
     // estimate scan parallelism WITHOUT df.rdd: converting to an RDD under
     // AQE can eagerly materialize upstream query stages (side-effect
     // execution) just to read a partition count, and it blocks the driver.
-    // splits ≈ max(#files, bytes / maxPartitionBytes) is exact for the
-    // scan-rooted inputs this guards (one small parquet file = one task);
-    // non-file-backed plans (0 input files) are left untouched.
+    // Spark BINS small files into shared scan partitions (each file padded
+    // by openCostInBytes, packed up to maxPartitionBytes), so #files alone
+    // OVERSTATES parallelism — mirror the packing formula instead.
+    // Non-file-backed plans (0 input files: local relations, views) are
+    // left untouched; local test relations already parallelize to
+    // defaultParallelism.
     val files = df.inputFiles.length
     if (files == 0) return df
-    val maxPart = math.max(1L, spark.sessionState.conf.filesMaxPartitionBytes)
+    val conf = spark.sessionState.conf
+    val maxPart = math.max(1L, conf.filesMaxPartitionBytes)
+    val openCost = conf.filesOpenCostInBytes
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    val splits = math.max(files.toLong,
-      (bytes / maxPart).min(BigInt(Int.MaxValue)).toLong)
+    val padded = bytes + BigInt(files) * openCost
+    val splits = ((padded + maxPart - 1) / maxPart).min(BigInt(Int.MaxValue)).toLong
     if (splits >= math.min(want, 8)) df
     else df.repartition(want)
   }

@@ -89,7 +89,10 @@ object IvfOps {
         Window.partitionBy("query_id").orderBy(col("__csim").desc, col("__cell").asc)))
       .filter(col("__crank") <= nProbe)
       .select(col("query_id"), col("__qe"), col("__cell"))
-    val cands = index.assigned.join(broadcast(probes), Seq("__cell"))
+    // no broadcast hint on the probe table: it is queries × nProbe rows of
+    // full embeddings — unbounded in the batch size. AQE broadcasts when
+    // the runtime size actually fits (same policy as jaccardOnCandidates).
+    val cands = index.assigned.join(probes, Seq("__cell"))
       .withColumn("cos_sim",
         round(EmbeddingOps.cosine(col("__qe"), col(embCol)), 6))
     cands

@@ -301,20 +301,22 @@ object ServingPack extends QueryPack {
     // typed dbf attribute columns, same contract as q_geojson.
     "q_shapefile" -> ((s, d) => {
       import ShapefileSource.{DbfField, ShpPoint, ShpPolygon}
-      val dir = java.nio.file.Files.createTempDirectory("graft_shp").toFile
-      dir.deleteOnExit()
-      val fields = Seq(DbfField("name", 'C', 10, 0), DbfField("pop", 'N', 10, 0))
-      val pts = new java.io.File(dir, "pts.shp").getAbsolutePath
-      ShapefileSource.writeFeatures(pts,
-        Seq(ShpPoint(10.0, 20.0), ShpPoint(45.0, 25.0), ShpPoint(30.0, 5.0)),
-        fields,
-        Seq(Seq("alpha", 500L), Seq("beta", 80L), Seq("gamma", 900L)))
-      val polys = new java.io.File(dir, "polys.shp").getAbsolutePath
-      ShapefileSource.writeFeatures(polys,
-        Seq(ShpPolygon(Seq(Seq((0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 0.0)))),
-          ShpPolygon(Seq(Seq((20.0, 20.0), (30.0, 20.0), (20.0, 30.0), (20.0, 20.0))))),
-        fields,
-        Seq(Seq("pg1", 7L), Seq("pg2", 9L)))
+      val dir = "/root/repo/.graft-fixtures/shapefile"
+      val pts = s"$dir/pts.shp"
+      val polys = s"$dir/polys.shp"
+      Fixtures.ensureWritten(dir, "pts=3,polys=2,v1") {
+        new java.io.File(dir).mkdirs()
+        val fields = Seq(DbfField("name", 'C', 10, 0), DbfField("pop", 'N', 10, 0))
+        ShapefileSource.writeFeatures(pts,
+          Seq(ShpPoint(10.0, 20.0), ShpPoint(45.0, 25.0), ShpPoint(30.0, 5.0)),
+          fields,
+          Seq(Seq("alpha", 500L), Seq("beta", 80L), Seq("gamma", 900L)))
+        ShapefileSource.writeFeatures(polys,
+          Seq(ShpPolygon(Seq(Seq((0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 0.0)))),
+            ShpPolygon(Seq(Seq((20.0, 20.0), (30.0, 20.0), (20.0, 30.0), (20.0, 20.0))))),
+          fields,
+          Seq(Seq("pg1", 7L), Seq("pg2", 9L)))
+      }
       ShapefileSource.readFeatures(s, pts)
         .unionByName(ShapefileSource.readFeatures(s, polys))
     }),

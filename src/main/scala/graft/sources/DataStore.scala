@@ -39,11 +39,12 @@ object DataStore {
   def openDataset(spark: SparkSession, path: String): DataFrame =
     formatFor(path) match {
       case "netcdf" =>
+        // single read+decode: pick the first data variable (one whose name
+        // is not a dimension) from the parsed file and decode that
         val nc = NetcdfSource.read(path)
-        // first data variable = one whose name is not a dimension
         val dataVar = nc.vars.find(v => !nc.dims.exists(_.name == v.name))
           .getOrElse(throw new IllegalArgumentException(s"$path: no data variable"))
-        NetcdfSource.readCube(spark, path, dataVar.name)
+        NetcdfSource.readCube(spark, nc, dataVar.name)
       case "geotiff" => GeoTiffSource.readRaster(spark, path)
       case "shapefile" => ShapefileSource.readFeatures(spark, path)
       case fmt =>

@@ -86,6 +86,8 @@ object GeoTiffSource {
     val samplesPerPixel = one(277, Some(1.0)).toInt
     val sampleFormat = one(339, Some(1.0)).toInt // 1 uint, 2 int, 3 float
     require(samplesPerPixel == 1, s"single-band only, got $samplesPerPixel")
+    require(bits >= 8 && bits % 8 == 0,
+      s"$bits-bit samples unsupported (bilevel/palette TIFFs out of scope)")
     require(compression == 1 || compression == 8 || compression == 32946,
       s"compression $compression unsupported (none/deflate only)")
     require(!tags.contains(322), "tiled TIFFs unsupported (striped only)")
@@ -185,11 +187,13 @@ object GeoTiffSource {
     val strip: Array[Byte] =
       if (!deflate) pix.array()
       else {
+        // worst-case zlib expansion: ~5 bytes per 64 KiB stored block + 6
         val d = new java.util.zip.Deflater()
         d.setInput(pix.array()); d.finish()
-        val out = new Array[Byte](pix.capacity() + 64)
+        val cap = pix.capacity() + 5 * (pix.capacity() / 65535 + 1) + 16
+        val out = new Array[Byte](cap)
         val n = d.deflate(out)
-        require(d.finished(), "deflate buffer too small")
+        require(d.finished(), "deflate did not finish in one pass")
         d.end()
         java.util.Arrays.copyOf(out, n)
       }

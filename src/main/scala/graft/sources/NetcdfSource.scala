@@ -46,8 +46,10 @@ object NetcdfSource {
 
   /** Parse a classic NetCDF file image. Record (unlimited-dimension)
     * variables are not supported — the cube converters write fixed sizes.
+    * `headerOnly` skips the variable data (empty arrays) — for schema
+    * discovery without decoding potentially executor-sized payloads.
     */
-  def parse(bytes: Array[Byte]): NcFile = {
+  def parse(bytes: Array[Byte], headerOnly: Boolean = false): NcFile = {
     val b = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
     require(b.get() == 'C' && b.get() == 'D' && b.get() == 'F',
       "not a NetCDF classic file (bad magic)")
@@ -115,10 +117,13 @@ object NetcdfSource {
       (vn, ncType, dimIds, vattrs, begin)
     }
     val vars = headers.map { case (vn, t, dimIds, vattrs, begin) =>
-      val n = dimIds.map(dims(_).size.toLong).product
-      require(n <= Int.MaxValue, s"variable $vn too large for one granule")
-      b.position(begin.toInt)
-      NcVar(vn, t, dimIds, vattrs, typedValues(t, n.toInt))
+      if (headerOnly) NcVar(vn, t, dimIds, vattrs, Array.empty[Double])
+      else {
+        val n = dimIds.map(dims(_).size.toLong).product
+        require(n <= Int.MaxValue, s"variable $vn too large for one granule")
+        b.position(begin.toInt)
+        NcVar(vn, t, dimIds, vattrs, typedValues(t, n.toInt))
+      }
     }
     NcFile(dims, gattrs, vars)
   }
@@ -126,12 +131,20 @@ object NetcdfSource {
   def read(path: String): NcFile =
     parse(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)))
 
+  /** Header-only read: dims/attrs/var shapes, no data decode. */
+  def readHeader(path: String): NcFile =
+    parse(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
+      headerOnly = true)
+
   /** One data variable as long-format rows: a column per dimension (the
     * same-named coordinate variable's value if present, else the index)
     * plus the value — the NetCDF→cube decode.
     */
-  def readCube(spark: SparkSession, path: String, varName: String): DataFrame = {
-    val nc = read(path)
+  def readCube(spark: SparkSession, path: String, varName: String): DataFrame =
+    readCube(spark, read(path), varName)
+
+  /** Decode from an ALREADY-PARSED file (no second read/decode). */
+  def readCube(spark: SparkSession, nc: NcFile, varName: String): DataFrame = {
     val rows = cubeRows(nc, varName)
     val v = nc.varByName(varName)
     val schema = StructType(
@@ -146,7 +159,9 @@ object NetcdfSource {
     */
   def readCubeFiles(spark: SparkSession, paths: Seq[String],
                     varName: String): DataFrame = {
-    val first = read(paths.head)
+    // header-only schema probe: the granule data decodes in its task, not
+    // here on the driver
+    val first = readHeader(paths.head)
     val v = first.varByName(varName)
     val schema = StructType(
       StructField("file", StringType) +:

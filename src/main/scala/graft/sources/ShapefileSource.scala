@@ -222,6 +222,10 @@ object ShapefileSource {
         val s = f.typ match {
           case 'N' =>
             val txt = if (v == null) "" else v.toString
+            // a too-narrow field would silently truncate leading digits —
+            // corrupt data, so refuse instead
+            require(txt.length <= f.len,
+              s"value '$txt' wider than ${f.len}-byte field '${f.name}'")
             (" " * (f.len - txt.length)) + txt // numbers right-justified
           case _ =>
             val txt = if (v == null) "" else v.toString

@@ -81,7 +81,11 @@ object ScaleSoak {
     }
     def timeQ(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
-      SparkEntry.queries(name)(spark, dir).count()
+      // noop sink, NOT count(): count() on an aggregated plan lets Catalyst
+      // prune the aggregate value expressions, under-measuring exactly the
+      // per-row arithmetic a superlinear regression would live in
+      SparkEntry.queries(name)(spark, dir)
+        .write.mode("overwrite").format("noop").save()
       (System.nanoTime() - t0) / 1e9
     }
     SoakQueries.foreach(q => timeQ(q, base)) // untimed warmup: JIT + codegen
