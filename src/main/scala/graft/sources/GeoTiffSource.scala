@@ -9,11 +9,12 @@ import scala.jdk.CollectionConverters._
   * path the reference routes through rasterio (store/fs/impl/
   * rasterio.py:81-330). Implements the public baseline TIFF 6.0 + GeoTIFF
   * 1.1 subset that converted cube rasters actually use: single-band,
-  * striped layout, Compression none (1) or Deflate (8 / 32946, via
-  * java.util.zip — no native lib), both byte orders, sample formats
-  * uint/int 8/16/32 and float 32/64, georeferenced by ModelPixelScale +
-  * ModelTiepoint. Tiled layouts, predictors, palettes and multi-band
-  * files are out of scope for v0 (ingest converts them once, elsewhere).
+  * striped OR tiled layout (tiles are the COG interior organization),
+  * Compression none (1) or Deflate (8 / 32946, via java.util.zip — no
+  * native lib), both byte orders, sample formats uint/int 8/16/32 and
+  * float 32/64, georeferenced by ModelPixelScale + ModelTiepoint.
+  * Predictors, palettes, multi-band files and COG overview chains are
+  * out of scope for v0 (ingest converts them once, elsewhere).
   *
   * Scale story mirrors [[NetcdfSource]]: one raster is executor-sized;
   * an archive distributes one file per task via [[readRasterFiles]].
@@ -90,47 +91,77 @@ object GeoTiffSource {
       s"$bits-bit samples unsupported (bilevel/palette TIFFs out of scope)")
     require(compression == 1 || compression == 8 || compression == 32946,
       s"compression $compression unsupported (none/deflate only)")
-    require(!tags.contains(322), "tiled TIFFs unsupported (striped only)")
-    val rowsPerStrip = one(278, Some(height.toDouble)).toInt
-    val stripOffsets = tags(273).map(_.toLong)
-    val stripCounts = tags(279).map(_.toLong)
-    require(stripOffsets.length == stripCounts.length, "strip table mismatch")
+
+    val bytesPerSample = bits / 8
+    def inflate(raw: Array[Byte], expect: Int): Array[Byte] =
+      if (compression == 1) raw
+      else {
+        val inf = new java.util.zip.Inflater()
+        inf.setInput(raw)
+        val out = new Array[Byte](expect)
+        val n = inf.inflate(out)
+        inf.end()
+        require(n == out.length, s"short inflate: $n of ${out.length}")
+        out
+      }
+    def sample(sb: ByteBuffer, i: Int): Double = (bits, sampleFormat) match {
+      case (8, 1) => (sb.get(i) & 0xff).toDouble
+      case (8, 2) => sb.get(i).toDouble
+      case (16, 1) => (sb.getShort(i * 2) & 0xffff).toDouble
+      case (16, 2) => sb.getShort(i * 2).toDouble
+      case (32, 1) => (sb.getInt(i * 4).toLong & 0xffffffffL).toDouble
+      case (32, 2) => sb.getInt(i * 4).toDouble
+      case (32, 3) => sb.getFloat(i * 4).toDouble
+      case (64, 3) => sb.getDouble(i * 8)
+      case (bf, sf) => throw new IllegalArgumentException(
+        s"unsupported sample: $bf bits format $sf")
+    }
 
     val data = new Array[Double](width * height)
-    var row0 = 0
-    stripOffsets.zip(stripCounts).foreach { case (soff, scount) =>
-      val raw = java.util.Arrays.copyOfRange(bytes, soff.toInt, (soff + scount).toInt)
-      val strip =
-        if (compression == 1) raw
-        else { // zlib deflate
-          val inf = new java.util.zip.Inflater()
-          inf.setInput(raw)
-          val nRows = math.min(rowsPerStrip, height - row0)
-          val out = new Array[Byte](nRows * width * (bits / 8))
-          val n = inf.inflate(out)
-          inf.end()
-          require(n == out.length, s"short inflate: $n of ${out.length}")
-          out
+    if (tags.contains(322)) {
+      // tiled organization (the COG interior layout): fixed tw×th tiles,
+      // row-major across then down, edge tiles padded past the image
+      val tw = one(322).toInt
+      val th = one(323).toInt
+      val tileOffsets = tags(324).map(_.toLong)
+      val tileCounts = tags(325).map(_.toLong)
+      val tilesAcross = (width + tw - 1) / tw
+      tileOffsets.zip(tileCounts).zipWithIndex.foreach { case ((toff, tcount), t) =>
+        val raw = java.util.Arrays.copyOfRange(bytes, toff.toInt, (toff + tcount).toInt)
+        val tile = inflate(raw, tw * th * bytesPerSample)
+        val sb = ByteBuffer.wrap(tile).order(order)
+        val (tr, tc) = (t / tilesAcross, t % tilesAcross)
+        var r = 0
+        while (r < th && tr * th + r < height) {
+          val gRow = tr * th + r
+          var c = 0
+          while (c < tw && tc * tw + c < width) {
+            data(gRow * width + tc * tw + c) = sample(sb, r * tw + c)
+            c += 1
+          }
+          r += 1
         }
-      val sb = ByteBuffer.wrap(strip).order(order)
-      val nSamples = strip.length / (bits / 8)
-      var i = 0
-      while (i < nSamples && row0 * width + i < data.length) {
-        data(row0 * width + i) = (bits, sampleFormat) match {
-          case (8, 1) => (sb.get(i) & 0xff).toDouble
-          case (8, 2) => sb.get(i).toDouble
-          case (16, 1) => (sb.getShort(i * 2) & 0xffff).toDouble
-          case (16, 2) => sb.getShort(i * 2).toDouble
-          case (32, 1) => (sb.getInt(i * 4).toLong & 0xffffffffL).toDouble
-          case (32, 2) => sb.getInt(i * 4).toDouble
-          case (32, 3) => sb.getFloat(i * 4).toDouble
-          case (64, 3) => sb.getDouble(i * 8)
-          case (bf, sf) => throw new IllegalArgumentException(
-            s"unsupported sample: $bf bits format $sf")
-        }
-        i += 1
       }
-      row0 += rowsPerStrip
+    } else {
+      // striped organization
+      val rowsPerStrip = one(278, Some(height.toDouble)).toInt
+      val stripOffsets = tags(273).map(_.toLong)
+      val stripCounts = tags(279).map(_.toLong)
+      require(stripOffsets.length == stripCounts.length, "strip table mismatch")
+      var row0 = 0
+      stripOffsets.zip(stripCounts).foreach { case (soff, scount) =>
+        val raw = java.util.Arrays.copyOfRange(bytes, soff.toInt, (soff + scount).toInt)
+        val nRows = math.min(rowsPerStrip, height - row0)
+        val strip = inflate(raw, nRows * width * bytesPerSample)
+        val sb = ByteBuffer.wrap(strip).order(order)
+        val nSamples = strip.length / bytesPerSample
+        var i = 0
+        while (i < nSamples && row0 * width + i < data.length) {
+          data(row0 * width + i) = sample(sb, i)
+          i += 1
+        }
+        row0 += rowsPerStrip
+      }
     }
 
     val scale = tags.getOrElse(33550, Array(1.0, 1.0, 0.0)) // ModelPixelScale
@@ -176,34 +207,61 @@ object GeoTiffSource {
 
   // ------------------------------------------------------------- writing
 
-  /** Minimal writer: single-band float64, little-endian, one strip,
-    * optionally Deflate-compressed — the round-trip counterpart of
-    * [[parse]] plus the inflate-path exercise.
+  /** Minimal writer: single-band float64, little-endian, optionally
+    * Deflate-compressed, striped (one strip) by default or TILED when
+    * `tileSize > 0` — the COG-interior organization, with edge tiles
+    * zero-padded per the spec. The round-trip counterpart of [[parse]].
     */
-  def write(path: String, raster: Raster, deflate: Boolean = false): Unit = {
-    val pix = ByteBuffer.allocate(raster.data.length * 8)
-      .order(ByteOrder.LITTLE_ENDIAN)
-    raster.data.foreach(pix.putDouble)
-    val strip: Array[Byte] =
-      if (!deflate) pix.array()
+  def write(path: String, raster: Raster, deflate: Boolean = false,
+            tileSize: Int = 0): Unit = {
+    def compress(b: Array[Byte]): Array[Byte] =
+      if (!deflate) b
       else {
         // worst-case zlib expansion: ~5 bytes per 64 KiB stored block + 6
         val d = new java.util.zip.Deflater()
-        d.setInput(pix.array()); d.finish()
-        val cap = pix.capacity() + 5 * (pix.capacity() / 65535 + 1) + 16
-        val out = new Array[Byte](cap)
+        d.setInput(b); d.finish()
+        val out = new Array[Byte](b.length + 5 * (b.length / 65535 + 1) + 16)
         val n = d.deflate(out)
         require(d.finished(), "deflate did not finish in one pass")
         d.end()
         java.util.Arrays.copyOf(out, n)
       }
-    // layout: header (8) | IFD | out-of-line values | strip data
-    val entries = 11
+    val tiled = tileSize > 0
+    val chunks: IndexedSeq[Array[Byte]] =
+      if (!tiled) {
+        val pix = ByteBuffer.allocate(raster.data.length * 8)
+          .order(ByteOrder.LITTLE_ENDIAN)
+        raster.data.foreach(pix.putDouble)
+        IndexedSeq(compress(pix.array()))
+      } else {
+        val (tw, th) = (tileSize, tileSize)
+        val ta = (raster.width + tw - 1) / tw
+        val td = (raster.height + th - 1) / th
+        for (tr <- 0 until td; tc <- 0 until ta) yield {
+          val buf = ByteBuffer.allocate(tw * th * 8).order(ByteOrder.LITTLE_ENDIAN)
+          for (r <- 0 until th; c <- 0 until tw) {
+            val (gr, gc) = (tr * th + r, tc * tw + c)
+            buf.putDouble(
+              if (gr < raster.height && gc < raster.width)
+                raster.data(gr * raster.width + gc)
+              else 0.0) // edge padding, skipped on read
+          }
+          compress(buf.array())
+        }
+      }
+
+    // layout: header (8) | IFD | scale (24) | tiepoint (48) |
+    //         [offset + count arrays when >1 chunk] | chunk data
+    val entries = if (tiled) 12 else 11
     val ifdLen = 2 + entries * 12 + 4
     val scaleOff = 8 + ifdLen
     val tieOff = scaleOff + 3 * 8
-    val dataOff = tieOff + 6 * 8
-    val buf = ByteBuffer.allocate(dataOff + strip.length)
+    val n = chunks.length
+    val offArrOff = tieOff + 6 * 8
+    val cntArrOff = offArrOff + (if (n > 1) 4 * n else 0)
+    val dataOff0 = cntArrOff + (if (n > 1) 4 * n else 0)
+    val chunkOffs = chunks.scanLeft(dataOff0)(_ + _.length).init
+    val buf = ByteBuffer.allocate(dataOff0 + chunks.map(_.length).sum)
       .order(ByteOrder.LITTLE_ENDIAN)
     buf.put('I'.toByte).put('I'.toByte).putShort(42).putInt(8)
     buf.putShort(entries.toShort)
@@ -212,14 +270,28 @@ object GeoTiffSource {
       if (typ == 3 && count == 1) { buf.putShort(value.toShort); buf.putShort(0) }
       else buf.putInt(value.toInt)
     }
+    // chunk-table fields are inline when a single chunk fits the 4 bytes
+    def offsetsEntry(tag: Int): Unit =
+      if (n == 1) entry(tag, 4, 1, chunkOffs.head)
+      else entry(tag, 4, n, offArrOff)
+    def countsEntry(tag: Int): Unit =
+      if (n == 1) entry(tag, 4, 1, chunks.head.length)
+      else entry(tag, 4, n, cntArrOff)
     entry(256, 3, 1, raster.width)                       // ImageWidth
     entry(257, 3, 1, raster.height)                      // ImageLength
     entry(258, 3, 1, 64)                                 // BitsPerSample
     entry(259, 3, 1, if (deflate) 8 else 1)              // Compression
     entry(262, 3, 1, 1)                                  // Photometric
-    entry(273, 4, 1, dataOff)                            // StripOffsets
-    entry(278, 3, 1, raster.height)                      // RowsPerStrip
-    entry(279, 4, 1, strip.length)                       // StripByteCounts
+    if (!tiled) { // entries stay tag-sorted per the spec
+      offsetsEntry(273)                                  // StripOffsets
+      entry(278, 3, 1, raster.height)                    // RowsPerStrip
+      countsEntry(279)                                   // StripByteCounts
+    } else {
+      entry(322, 3, 1, tileSize)                         // TileWidth
+      entry(323, 3, 1, tileSize)                         // TileLength
+      offsetsEntry(324)                                  // TileOffsets
+      countsEntry(325)                                   // TileByteCounts
+    }
     entry(339, 3, 1, 3)                                  // SampleFormat: float
     entry(33550, 12, 3, scaleOff)                        // ModelPixelScale
     entry(33922, 12, 6, tieOff)                          // ModelTiepoint
@@ -227,7 +299,11 @@ object GeoTiffSource {
     buf.putDouble(raster.scaleX).putDouble(raster.scaleY).putDouble(0.0)
     buf.putDouble(0.0).putDouble(0.0).putDouble(0.0)     // raster (0,0,0) →
     buf.putDouble(raster.originX).putDouble(raster.originY).putDouble(0.0)
-    buf.put(strip)
+    if (n > 1) {
+      chunkOffs.foreach(o => buf.putInt(o.toInt))
+      chunks.foreach(c => buf.putInt(c.length))
+    }
+    chunks.foreach(buf.put)
     java.nio.file.Files.write(java.nio.file.Paths.get(path), buf.array())
     ()
   }

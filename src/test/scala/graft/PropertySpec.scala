@@ -114,7 +114,10 @@ class PropertySpec extends AnyFunSuite {
         0.1 + rnd.nextDouble(), 0.1 + rnd.nextDouble(),
         (rnd.nextDouble() - 0.5) * 100, (rnd.nextDouble() - 0.5) * 100)
       val p = dir.resolve(s"f$t.tif").toString
-      GeoTiffSource.write(p, r, deflate = t % 2 == 0)
+      // rotate through striped/tiled × plain/deflate; tile 4 forces edge
+      // padding on most of the random sizes
+      GeoTiffSource.write(p, r, deflate = t % 2 == 0,
+        tileSize = if (t % 3 == 0) 4 else 0)
       val back = GeoTiffSource.read(p)
       assert(back.width == w && back.height == h)
       assert(back.scaleX == r.scaleX && back.originY == r.originY)
