@@ -171,6 +171,10 @@ object AffineOps {
         (when(col("dj") === 0, lit(1.0) - col("fy")).otherwise(col("fy"))))
       .withColumn("si", col("i0") + col("di"))
       .withColumn("sj", col("j0") + col("dj"))
+      // same zero-weight guard as kernelResample: at integer alignment
+      // (fx = 0) the far corners carry weight 0 — a sparse grid whose only
+      // PRESENT corners are zero-weight would otherwise 0/0 under ANSI
+      .filter(col("w") =!= 0.0)
     val joined = corners.join(srcCells,
       col("si") === srcCells("i") && col("sj") === srcCells("j"), "inner")
     val aggs = weightedAggs(vars, recoverNan)

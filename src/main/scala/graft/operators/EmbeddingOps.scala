@@ -47,7 +47,16 @@ object EmbeddingOps {
     val openCost = conf.filesOpenCostInBytes
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
     val padded = bytes + BigInt(files) * openCost
-    val splits = ((padded + maxPart - 1) / maxPart).min(BigInt(Int.MaxValue)).toLong
+    // mirror Spark's own FilePartition sizing: maxSplitBytes = min(
+    // maxPartitionBytes, max(openCost, totalBytes / defaultParallelism)) —
+    // the bytesPerCore clamp is what makes many-small-file scans parallel,
+    // so omitting it would add a repartition shuffle to inputs Spark
+    // already splits across the cluster
+    val bytesPerCore = (padded / math.max(1, want))
+      .min(BigInt(Long.MaxValue)).toLong
+    val maxSplit = math.min(maxPart, math.max(openCost, bytesPerCore))
+    val splits = ((padded + maxSplit - 1) / math.max(1L, maxSplit))
+      .min(BigInt(Int.MaxValue)).toLong
     if (splits >= math.min(want, 8)) df
     else df.repartition(want)
   }

@@ -24,6 +24,25 @@ object ServingPack extends QueryPack {
 
   private def embs(s: SparkSession, d: String) = GraftSession.table(s, d, "embeddings")
 
+  /** Daily decimal-mean grid of the events cube for one day: dense 100×360
+    * row-major [j * 360 + i], NaN where the day has no events in a cell —
+    * the shared raster-fixture builder for q_netcdf / q_geotiff (one
+    * definition so the mean convention cannot silently diverge between
+    * their oracles).
+    */
+  private def dailyMeanGrid(s: SparkSession, d: String, day: String): Array[Double] = {
+    val rows = CubePack.eventsCube(s, d).df
+      .filter(to_date(col("time")) === lit(day).cast("date"))
+      .groupBy(floor(col("y")).cast("int").as("j"),
+        floor(col("x")).cast("int").as("i"))
+      .agg(round(sum(col("v").cast("decimal(28,12)")).cast("double") /
+        count(lit(1)), 6).as("v"))
+      .collect()
+    val arr = Array.fill(100 * 360)(Double.NaN)
+    rows.foreach(r => arr(r.getInt(0) * 360 + r.getInt(1)) = r.getDouble(2))
+    arr
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // compute_tiles (tile.py:39-354): level-1 tile (0,0) of the cell-mean
@@ -229,24 +248,12 @@ object ServingPack extends QueryPack {
       val days = Seq("2024-01-01", "2024-01-02")
       Fixtures.ensureWritten(base, "days=2,grid=360x100,mean6") {
         new java.io.File(base).mkdirs()
-        val daily = CubePack.eventsCube(s, d).df
-          .filter(to_date(col("time")).isin(days: _*))
-          .groupBy(to_date(col("time")).cast("string").as("day"),
-            floor(col("y")).cast("int").as("j"),
-            floor(col("x")).cast("int").as("i"))
-          .agg(round(sum(col("v").cast("decimal(28,12)")).cast("double") /
-            count(lit(1)), 6).as("v"))
-          .collect()
         for (day <- days) {
-          val arr = Array.fill(100 * 360)(Double.NaN)
-          daily.filter(_.getString(0) == day).foreach { r =>
-            arr(r.getInt(1) * 360 + r.getInt(2)) = r.getDouble(3)
-          }
           NetcdfSource.write(s"$base/$day.nc",
             Seq(NcDim("y", 100), NcDim("x", 360)),
             Seq(("y", Array.tabulate(100)(_ + 0.5)),
               ("x", Array.tabulate(360)(_ + 0.5))),
-            Seq(("v", Seq("y", "x"), arr)))
+            Seq(("v", Seq("y", "x"), dailyMeanGrid(s, d, day))))
         }
       }
       NetcdfSource.readCubeFiles(s, days.map(day => s"$base/$day.nc"), "v")
@@ -270,18 +277,10 @@ object ServingPack extends QueryPack {
       val path = s"$base/day1.tif"
       Fixtures.ensureWritten(base, "day=2024-01-01,grid=360x100,deflate,mean6") {
         new java.io.File(base).mkdirs()
-        val daily = CubePack.eventsCube(s, d).df
-          .filter(to_date(col("time")) === lit("2024-01-01").cast("date"))
-          .groupBy(floor(col("y")).cast("int").as("j"),
-            floor(col("x")).cast("int").as("i"))
-          .agg(round(sum(col("v").cast("decimal(28,12)")).cast("double") /
-            count(lit(1)), 6).as("v"))
-          .collect()
-        val arr = Array.fill(100 * 360)(Double.NaN)
+        val grid = dailyMeanGrid(s, d, "2024-01-01")
         // north-up: raster row 0 is the TOP (max y) grid row
-        daily.foreach { r =>
-          arr((99 - r.getInt(0)) * 360 + r.getInt(1)) = r.getDouble(2)
-        }
+        val arr = Array.tabulate(100 * 360)(k =>
+          grid((99 - k / 360) * 360 + k % 360))
         GeoTiffSource.write(path,
           GeoTiffSource.Raster(360, 100, arr, 1.0, 1.0, 0.0, 100.0),
           deflate = true)

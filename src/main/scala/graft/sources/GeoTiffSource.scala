@@ -190,6 +190,7 @@ object GeoTiffSource {
 
   /** Distributed decode of many rasters, one file per task (+ file col). */
   def readRasterFiles(spark: SparkSession, paths: Seq[String]): DataFrame = {
+    require(paths.nonEmpty, "readRasterFiles: no input files (empty glob?)")
     val schema = StructType(StructField("file", StringType) +: rasterSchema.fields)
     val rdd = spark.sparkContext.parallelize(paths, paths.length).flatMap { p =>
       rasterRows(read(p)).map(r => Row.fromSeq(p +: r))
@@ -277,14 +278,14 @@ object GeoTiffSource {
     def countsEntry(tag: Int): Unit =
       if (n == 1) entry(tag, 4, 1, chunks.head.length)
       else entry(tag, 4, n, cntArrOff)
-    entry(256, 3, 1, raster.width)                       // ImageWidth
-    entry(257, 3, 1, raster.height)                      // ImageLength
+    entry(256, 4, 1, raster.width)                       // ImageWidth (LONG:
+    entry(257, 4, 1, raster.height)                      //  never truncates)
     entry(258, 3, 1, 64)                                 // BitsPerSample
     entry(259, 3, 1, if (deflate) 8 else 1)              // Compression
     entry(262, 3, 1, 1)                                  // Photometric
     if (!tiled) { // entries stay tag-sorted per the spec
       offsetsEntry(273)                                  // StripOffsets
-      entry(278, 3, 1, raster.height)                    // RowsPerStrip
+      entry(278, 4, 1, raster.height)                    // RowsPerStrip
       countsEntry(279)                                   // StripByteCounts
     } else {
       entry(322, 3, 1, tileSize)                         // TileWidth

@@ -71,6 +71,9 @@ object NetcdfSource {
       while (i < n) {
         out(i) = ncType match {
           case 1 => b.get().toDouble            // byte
+          case 2 => (b.get() & 0xff).toDouble   // char → code point (real
+          // classic files carry char label vars, e.g. station names;
+          // crashing on them would make the whole granule unreadable)
           case 3 => b.getShort.toDouble         // short
           case 4 => b.getInt.toDouble           // int
           case 5 => b.getFloat.toDouble         // float
@@ -79,7 +82,7 @@ object NetcdfSource {
         }
         i += 1
       }
-      val byteLen = n * Seq(0, 1, 0, 2, 4, 4, 8)(ncType)
+      val byteLen = n * Seq(0, 1, 1, 2, 4, 4, 8)(ncType)
       b.position(b.position() + (pad4(byteLen) - byteLen))
       out
     }
@@ -159,6 +162,7 @@ object NetcdfSource {
     */
   def readCubeFiles(spark: SparkSession, paths: Seq[String],
                     varName: String): DataFrame = {
+    require(paths.nonEmpty, "readCubeFiles: no input files (empty glob?)")
     // header-only schema probe: the granule data decodes in its task, not
     // here on the driver
     val first = readHeader(paths.head)
