@@ -79,8 +79,12 @@ object Colormaps {
   val cividis: Colormap = cm("cividis", "00224e", "4c6a76", "7d7c78", "b8a35b", "fee838")
   val gray: Colormap    = cm("gray", "000000", "ffffff")
   val jet: Colormap     = cm("jet", "00007f", "0000ff", "00ffff", "ffff00", "ff0000", "7f0000")
+  val turbo: Colormap   = cm("turbo", "30123b", "28bceb", "a4fc3c", "f66b19", "7a0403")
   /** Diverging red-white-blue. */
   val rdBu: Colormap    = cm("RdBu", "67001f", "d6604d", "f7f7f7", "4393c3", "053061")
+  val coolwarm: Colormap = cm("coolwarm", "3b4cc0", "8db0fe", "dddddd", "f49a7b", "b40426")
+  val seismic: Colormap = cm("seismic", "00004c", "0000ff", "ffffff", "ff0000", "7f0000")
+  val bwr: Colormap     = cm("bwr", "0000ff", "ffffff", "ff0000")
   /** Categorical 10-class palette. */
   val tab10: Colormap = Colormap("tab10",
     Array("1f77b4", "ff7f0e", "2ca02c", "d62728", "9467bd",
@@ -89,7 +93,8 @@ object Colormaps {
     categorical = true)
 
   private val base: Seq[Colormap] =
-    Seq(viridis, plasma, inferno, magma, cividis, gray, jet, rdBu, tab10)
+    Seq(viridis, plasma, inferno, magma, cividis, gray, jet, turbo,
+      rdBu, coolwarm, seismic, bwr, tab10)
 
   /** name → colormap, including `_r` and `_alpha` variants. */
   val registry: Map[String, Colormap] = {

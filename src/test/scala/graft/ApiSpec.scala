@@ -125,6 +125,12 @@ class ApiSpec extends AnyFunSuite {
     assert(t.argb(Double.NaN) == 0)
     assert(Colormaps.get("no_such_map").name == "viridis")
     assert(Colormaps.names.contains("RdBu_r"))
+    // extended families: exact anchors at the ends
+    assert(Colormaps.get("turbo").argb(0.0) == 0xff30123b)
+    assert(Colormaps.get("turbo").argb(1.0) == 0xff7a0403)
+    assert(Colormaps.get("coolwarm").argb(0.5) == 0xffdddddd)
+    assert(Colormaps.get("seismic").argb(0.5) == 0xffffffff)
+    assert(Colormaps.get("bwr_r").argb(0.0) == 0xffff0000)
   }
 
   test("custom colormap JSON codes: continuous and stepwise (cmaps.py:486)") {

@@ -60,6 +60,30 @@ class StorageStreamingSpec extends AnyFunSuite {
     assert(byDay("2024-01-02") == ((200.0, 100L))) // untouched
   }
 
+  test("updateTimeSlice patches only the touched variable and cells") {
+    import spark.implicits._
+    val path = tmpDir("cube")
+    def two(day: String, v: Double): Cube = {
+      val c = mkCube(day, v)
+      c.copy(df = c.df.withColumn("w", col("v") * 10.0))
+    }
+    CubeWriter.writePartitioned(two("2024-01-01", 1.0), path)
+    TimeSliceOps.appendTimeSlice(two("2024-01-02", 2.0), path)
+    // update w ONLY, for HALF of day-1's cells (x < 50)
+    val upd = two("2024-01-01", 1.0).df.filter(col("x") < 50.0)
+      .select(col("time"), col("y"), col("x"), lit(77.0).as("w"))
+    TimeSliceOps.updateTimeSlice(spark, path, Cube(upd, gm), Seq("w"))
+    val back = spark.read.parquet(path)
+    val day1 = back.filter(col("p_date") === lit("2024-01-01").cast("date"))
+    // v untouched everywhere; w updated only where the update had rows
+    assert(day1.agg(sum("v")).head().getDouble(0) == 100.0)
+    assert(day1.filter(col("x") < 50.0).agg(sum("w")).head().getDouble(0) == 77.0 * 50)
+    assert(day1.filter(col("x") >= 50.0).agg(sum("w")).head().getDouble(0) == 10.0 * 50)
+    // day 2 partitions untouched
+    val day2 = back.filter(col("p_date") === lit("2024-01-02").cast("date"))
+    assert(day2.agg(sum("v"), sum("w")).head().toSeq == Seq(200.0, 2000.0))
+  }
+
   test("findTimeSlice classifies append/insert/replace") {
     import spark.implicits._
     val df = Seq(ts("2024-01-01 00:00:00"), ts("2024-01-03 00:00:00"))
