@@ -18,9 +18,11 @@ import org.apache.spark.sql.functions._
 object CubeWriter {
 
   /** Write the cube partitioned by (p_date, p_block). Overwrites by default;
-    * with `spark.sql.sources.partitionOverwriteMode=dynamic` (set in
-    * GraftSession) an overwrite touches only the partitions present in the
-    * incoming data — the partition-overwrite upsert primitive.
+    * overwrite mode is forced DYNAMIC per-write (not inherited from the
+    * session conf) so it only touches the partitions present in the incoming
+    * data — the partition-overwrite upsert primitive. On a session left at
+    * Spark's default static mode, an inherited overwrite would silently
+    * delete every partition of the cube not covered by the incoming slice.
     */
   def writePartitioned(cube: Cube, path: String, mode: String = "overwrite"): Unit = {
     val gm = cube.gm
@@ -31,7 +33,9 @@ object CubeWriter {
       // (p_date, p_block) instead of one per (partition × task) — the
       // small-files guard that matters far more at 100 TB than here
       .repartition(col("p_date"), col("p_block"))
-      .write.partitionBy("p_date", "p_block").mode(mode).parquet(path)
+      .write.partitionBy("p_date", "p_block")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode(mode).parquet(path)
   }
 
   /** Block ids intersecting a world bbox (driver-side planning math). */

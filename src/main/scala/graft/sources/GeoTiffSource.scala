@@ -99,7 +99,15 @@ object GeoTiffSource {
         val inf = new java.util.zip.Inflater()
         inf.setInput(raw)
         val out = new Array[Byte](expect)
-        val n = inf.inflate(out)
+        // inflate() may return the stream in multiple chunks — loop until the
+        // stream ends or the buffer is full (a single-call n==expect check
+        // would reject valid externally-produced Deflate TIFFs)
+        var n = 0
+        var made = -1
+        while (n < out.length && !inf.finished() && made != 0) {
+          made = inf.inflate(out, n, out.length - n)
+          n += made
+        }
         inf.end()
         require(n == out.length, s"short inflate: $n of ${out.length}")
         out

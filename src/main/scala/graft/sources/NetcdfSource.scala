@@ -157,8 +157,11 @@ object NetcdfSource {
   }
 
   /** Distributed decode of many granules (one file per task): the union of
-    * each file's long-format rows plus a `file` column. All files must
-    * share the variable's dimensionality.
+    * each file's long-format rows plus a `file` column. Every file must
+    * carry `varName` with the SAME dimension names in the SAME order as the
+    * schema probe (the first file) — a granule with reordered or renamed
+    * dims would otherwise bind its coordinates to the wrong columns
+    * positionally, so each task validates and names the offending path.
     */
   def readCubeFiles(spark: SparkSession, paths: Seq[String],
                     varName: String): DataFrame = {
@@ -167,12 +170,19 @@ object NetcdfSource {
     // here on the driver
     val first = readHeader(paths.head)
     val v = first.varByName(varName)
+    val expectDims = v.dimIds.map(d => first.dims(d).name)
     val schema = StructType(
       StructField("file", StringType) +:
-        v.dimIds.map(d => StructField(first.dims(d).name, DoubleType)) :+
+        expectDims.map(StructField(_, DoubleType)) :+
         StructField(varName, DoubleType))
     val rdd = spark.sparkContext.parallelize(paths, paths.length).flatMap { p =>
-      cubeRows(read(p), varName).map(r => Row.fromSeq(p +: r))
+      val nc = read(p)
+      val fv = nc.varByName(varName)
+      val fileDims = fv.dimIds.map(d => nc.dims(d).name)
+      require(fileDims == expectDims,
+        s"$p: variable '$varName' has dims (${fileDims.mkString(", ")}) " +
+          s"but the schema probe expects (${expectDims.mkString(", ")})")
+      cubeRows(nc, varName).map(r => Row.fromSeq(p +: r))
     }
     spark.createDataFrame(rdd, schema)
   }

@@ -143,7 +143,8 @@ object ShapefileSource {
   /** Minimal writer (one shape type per file, per the spec; C and N
     * attribute fields) — the round-trip counterpart of readFeatures, like
     * the reference store writes GeoDataFrames back to .shp. Writes
-    * `path` (.shp) and the sibling .dbf.
+    * `path` (.shp) plus the sibling .dbf AND the spec-mandatory .shx index
+    * (strict consumers refuse a layer without it).
     */
   def writeFeatures(shpPath: String, geoms: Seq[ShpGeom],
                     fields: Seq[DbfField], attrs: Seq[Seq[Any]]): Unit = {
@@ -196,6 +197,23 @@ object ShapefileSource {
       shp.put(c)
     }
     java.nio.file.Files.write(java.nio.file.Paths.get(shpPath), shp.array())
+
+    // ------- .shx sidecar: same 100-byte header (its own file length),
+    // then per record (offset, content length) in 16-bit words — the
+    // offset points at the record HEADER in the .shp
+    val shxBytes = 100 + 8 * contents.length
+    val shx = ByteBuffer.allocate(shxBytes).order(ByteOrder.BIG_ENDIAN)
+    shp.position(0)
+    shx.put(0, shp, 0, 100) // copy the .shp header verbatim, then patch
+    shx.putInt(24, shxBytes / 2)
+    var recOff = 100
+    contents.zipWithIndex.foreach { case (c, i) =>
+      shx.putInt(100 + 8 * i, recOff / 2)
+      shx.putInt(104 + 8 * i, c.length / 2)
+      recOff += 8 + c.length
+    }
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(shpPath.replaceAll("\\.shp$", ".shx")), shx.array())
 
     // ------- .dbf sidecar (dBase III)
     val recordSize = 1 + fields.map(_.len).sum

@@ -42,8 +42,9 @@ object TimeSliceOps {
     CubeWriter.writePartitioned(slice, path, mode = "append")
 
   /** replace/insert_time_slice (timeslice.py:94-192): dynamic partition
-    * overwrite — only the partitions present in `slice` are rewritten.
-    * Requires spark.sql.sources.partitionOverwriteMode=dynamic.
+    * overwrite — only the partitions present in `slice` are rewritten
+    * (CubeWriter forces partitionOverwriteMode=dynamic per-write, so this
+    * holds on any session regardless of its conf).
     */
   def replaceTimeSlice(slice: Cube, path: String): Unit =
     CubeWriter.writePartitioned(slice, path, mode = "overwrite")
@@ -57,7 +58,9 @@ object TimeSliceOps {
     * stored values and untouched partitions keep their stored files. Like
     * the reference (which stages the slice in a temp zarr before patching
     * the arrays), the patched slice is staged in a temp directory because
-    * a parquet path cannot be overwritten while it is being read.
+    * a parquet path cannot be overwritten while it is being read. The final
+    * overwrite sets partitionOverwriteMode=dynamic per-write, so partitions
+    * outside the update's dates survive regardless of the session conf.
     *
     * `update.df` must be unique on (time, y, x) — the cube cell contract.
     */
@@ -81,7 +84,9 @@ object TimeSliceOps {
     swapped.write.mode("overwrite").parquet(tmp)
     spark.read.parquet(tmp)
       .repartition(col("p_date"), col("p_block"))
-      .write.partitionBy("p_date", "p_block").mode("overwrite").parquet(path)
+      .write.partitionBy("p_date", "p_block")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite").parquet(path)
     val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(tmp),
       spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(tmp), true)

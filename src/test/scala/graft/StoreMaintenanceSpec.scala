@@ -177,6 +177,19 @@ class StoreMaintenanceSpec extends AnyFunSuite {
     val multi = NetcdfSource.readCubeFiles(spark, Seq(p, p2), "v")
     assert(multi.count() == 12)
     assert(multi.filter(col("file").contains("t2.nc") && col("v") === 9.0).count() == 6)
+    // a granule whose variable has a DIFFERENT dim order must fail loudly,
+    // naming the offending path — not silently mislabel coordinate columns
+    val p3 = new java.io.File(dir, "t3.nc").getAbsolutePath
+    NetcdfSource.write(p3,
+      Seq(NcDim("x", 3), NcDim("y", 2)),
+      Seq(("y", Array(10.5, 11.5))),
+      Seq(("v", Seq("x", "y"), Array.fill(6)(1.0))))
+    val err = intercept[org.apache.spark.SparkException] {
+      NetcdfSource.readCubeFiles(spark, Seq(p, p3), "v").count()
+    }
+    val chain = Iterator.iterate(err: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(_.getMessage).mkString(" | ")
+    assert(chain.contains("t3.nc") && chain.contains("schema probe"))
   }
 
   test("GeoTIFF round-trip: georeferencing, row-major strips, deflate") {

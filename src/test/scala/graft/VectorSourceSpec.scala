@@ -72,6 +72,36 @@ class VectorSourceSpec extends AnyFunSuite {
       "POLYGON ((0.0 0.0, 8.0 0.0, 8.0 8.0, 0.0 0.0), (2.0 1.0, 3.0 1.0, 2.0 2.0, 2.0 1.0))")
   }
 
+  test("Shapefile writer emits a valid .shx index sidecar") {
+    import graft.sources.ShapefileSource
+    import ShapefileSource.{DbfField, ShpPoint, ShpPolygon}
+    import java.nio.{ByteBuffer, ByteOrder}
+    val base = new java.io.File("/root/repo/target/tmp-tests")
+    base.mkdirs()
+    val dir = Files.createTempDirectory(base.toPath, "shx").toFile
+    val shp = new java.io.File(dir, "mixed.shp").getAbsolutePath
+    ShapefileSource.writeFeatures(shp,
+      Seq(ShpPolygon(Seq(Seq((0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 0.0)))),
+        ShpPolygon(Seq(Seq((1.0, 1.0), (2.0, 1.0), (1.0, 2.0), (1.0, 1.0))))),
+      Seq(DbfField("name", 'C', 4, 0)), Seq(Seq("a"), Seq("b")))
+    val shxRaw = Files.readAllBytes(Paths.get(shp.replaceAll("\\.shp$", ".shx")))
+    val shpRaw = Files.readAllBytes(Paths.get(shp))
+    val shx = ByteBuffer.wrap(shxRaw).order(ByteOrder.BIG_ENDIAN)
+    assert(shx.getInt(0) == 9994)
+    assert(shx.getInt(24) * 2 == shxRaw.length)        // its own length
+    assert(shxRaw.length == 100 + 8 * 2)               // 2 records
+    // each (offset, length) pair must index a real record header in the .shp
+    val shpBuf = ByteBuffer.wrap(shpRaw).order(ByteOrder.BIG_ENDIAN)
+    (0 until 2).foreach { i =>
+      val off = shx.getInt(100 + 8 * i) * 2
+      val len = shx.getInt(104 + 8 * i)
+      assert(shpBuf.getInt(off) == i + 1)              // record number
+      assert(shpBuf.getInt(off + 4) == len)            // content length agrees
+    }
+    // shape-type + bbox fields mirror the .shp header
+    (28 until 68 by 4).foreach(o => assert(shx.getInt(o) == shpBuf.getInt(o)))
+  }
+
   test("normalizeGeometry: WKT, GeoJSON, point, bbox, anti-meridian") {
     assert(GeomFunctions.normalizeGeometry("POINT (1 2)") == Seq("POINT (1 2)"))
     assert(GeomFunctions.normalizeGeometry((3.0, 4.0)) == Seq("POINT (3.0 4.0)"))
