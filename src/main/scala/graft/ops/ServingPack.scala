@@ -4,7 +4,7 @@ import graft.{Fixtures, GraftSession, QueryPack}
 import graft.cube.{Cube, GridMapping, TilingScheme}
 import graft.functions.{GeomFunctions, VarExpr}
 import graft.operators.{CoverageOps, ExtractOps, IvfOps, MaintenanceOps, TileOps, VolumeOps}
-import graft.sources.{ComputedLevels, CubeWriter, GeoJsonSource, GeoTiffSource, LevelStore, MemoryDataStore, NetcdfSource, ShapefileSource}
+import graft.sources.{ComputedLevels, CubeWriter, GeoJsonSource, GeoTiffSource, LevelStore, MemoryDataStore, NetcdfSource, ShapefileSource, ZarrSource}
 import graft.streaming.TimeSliceOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -260,6 +260,48 @@ object ServingPack extends QueryPack {
         .withColumn("day", regexp_extract(col("file"), "([0-9-]+)\\.nc$", 1))
         .filter(!isnan(col("v")))
         .groupBy("day")
+        .agg(count(lit(1)).as("n_cells"),
+          round(sum((col("y") + col("x")).cast("decimal(28,10)")), 6)
+            .cast("double").as("sum_coord"),
+          round(sum(col("v").cast("decimal(28,10)")), 6).cast("double").as("sum_v"))
+    }),
+
+    // Zarr v2 group IO (the reference's NATIVE cube format — dsio.py:411-533
+    // writes via to_zarr, zarrstore/generic.py:560-660 emits the metadata):
+    // a 3-D (time, y, x) daily-mean cube written DISTRIBUTED (one shuffle by
+    // chunk id, chunk files assembled+zlib'd per task) and read back
+    // DISTRIBUTED (one chunk per task), with the coordinates bound into the
+    // checksum so a transposed / mis-strided / mis-chunked decode cannot
+    // pass. 1×50×90 chunks → 16 chunk files across 2 days.
+    "q_zarr" -> ((s, d) => {
+      val sfName = new java.io.File(d).getName
+      val base = s"/root/repo/.graft-fixtures/zarr_$sfName"
+      val group = s"$base/cube.zarr"
+      val days = Seq("2024-01-01", "2024-01-02")
+      Fixtures.ensureWritten(base, "days=2,grid=2x100x360,chunks=1x50x90,zlib,mean6") {
+        new java.io.File(base).mkdirs()
+        val daily = CubePack.eventsCube(s, d).df
+          .filter(to_date(col("time")) === lit(days(0)).cast("date") ||
+                  to_date(col("time")) === lit(days(1)).cast("date"))
+          .groupBy(to_date(col("time")).cast("string").as("day"),
+            floor(col("y")).cast("int").as("j"),
+            floor(col("x")).cast("int").as("i"))
+          .agg(round(sum(col("v").cast("decimal(28,12)")).cast("double") /
+            count(lit(1)), 6).as("v"))
+          .select(
+            when(col("day") === days(0), 0.0).otherwise(1.0).as("t"),
+            (col("j").cast("double") + 0.5).as("y"),
+            (col("i").cast("double") + 0.5).as("x"),
+            col("v"))
+        ZarrSource.writeCube(daily, group, "v",
+          Seq("t" -> Array(0.0, 1.0),
+            "y" -> Array.tabulate(100)(_ + 0.5),
+            "x" -> Array.tabulate(360)(_ + 0.5)),
+          chunks = Seq(1, 50, 90))
+      }
+      ZarrSource.readCube(s, group, "v")
+        .filter(!isnan(col("v")))
+        .groupBy(col("t").cast("long").as("day_idx"))
         .agg(count(lit(1)).as("n_cells"),
           round(sum((col("y") + col("x")).cast("decimal(28,10)")), 6)
             .cast("double").as("sum_coord"),
@@ -681,6 +723,20 @@ object ServingPack extends QueryPack {
                 round(sum(((j + 0.5) + (i + 0.5))::DECIMAL(28,10)), 6)::DOUBLE AS sum_coord,
                 round(sum(v::DECIMAL(28,10)), 6)::DOUBLE AS sum_v
          FROM daily GROUP BY jband""",
+    "q_zarr" ->
+      s"""WITH ${CubePack.cubeCte},
+         daily AS (SELECT CASE WHEN CAST(time AS DATE) = DATE '2024-01-01'
+                               THEN 0 ELSE 1 END AS day_idx,
+                          floor(y)::BIGINT AS j, floor(x)::BIGINT AS i,
+                          round(sum(v::DECIMAL(28,12))::DOUBLE / count(*), 6) AS v
+                   FROM cube
+                   WHERE CAST(time AS DATE) = DATE '2024-01-01'
+                      OR CAST(time AS DATE) = DATE '2024-01-02'
+                   GROUP BY day_idx, j, i)
+         SELECT day_idx::BIGINT AS day_idx, count(*) AS n_cells,
+                round(sum(((j + 0.5) + (i + 0.5))::DECIMAL(28,10)), 6)::DOUBLE AS sum_coord,
+                round(sum(v::DECIMAL(28,10)), 6)::DOUBLE AS sum_v
+         FROM daily GROUP BY day_idx""",
     "q_netcdf" ->
       s"""WITH ${CubePack.cubeCte},
          daily AS (SELECT CAST(time AS DATE)::VARCHAR AS day,

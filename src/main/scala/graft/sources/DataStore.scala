@@ -27,6 +27,7 @@ object DataStore {
     else if (p.endsWith(".json") || p.endsWith(".geojson")) "json"
     else if (p.endsWith(".orc")) "orc"
     else if (p.endsWith(".nc")) "netcdf"
+    else if (p.endsWith(".zarr")) "zarr"
     else if (p.endsWith(".tif") || p.endsWith(".tiff")) "geotiff"
     else if (p.endsWith(".shp")) "shapefile"
     else "parquet" // directory cubes default to parquet
@@ -47,6 +48,12 @@ object DataStore {
         NetcdfSource.readCube(spark, nc, dataVar.name)
       case "geotiff" => GeoTiffSource.readRaster(spark, path)
       case "shapefile" => ShapefileSource.readFeatures(spark, path)
+      case "zarr" =>
+        // first data variable = an array that is not its own 1-D coordinate
+        val dataVar = ZarrSource.listArrays(path)
+          .find(v => ZarrSource.openArray(s"$path/$v").dims != Seq(v))
+          .getOrElse(throw new IllegalArgumentException(s"$path: no data variable"))
+        ZarrSource.readCube(spark, path, dataVar)
       case fmt =>
         val r = spark.read.format(fmt)
         (if (fmt == "csv") r.option("header", "true").option("inferSchema", "true")
@@ -60,8 +67,8 @@ object DataStore {
     */
   def writeDataset(df: DataFrame, path: String, mode: String = "overwrite"): Unit = {
     val fmt = formatFor(path)
-    require(!Set("netcdf", "geotiff", "shapefile").contains(fmt),
-      s"use the typed writer for $fmt (Netcdf/GeoTiff/Shapefile Source.write)")
+    require(!Set("netcdf", "geotiff", "shapefile", "zarr").contains(fmt),
+      s"use the typed writer for $fmt (Netcdf/GeoTiff/Shapefile/Zarr Source.write)")
     val w = df.write.format(fmt).mode(mode)
     (if (fmt == "csv") w.option("header", "true") else w).save(path)
   }

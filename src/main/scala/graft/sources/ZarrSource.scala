@@ -1,0 +1,366 @@
+package graft.sources
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import java.nio.{ByteBuffer, ByteOrder}
+import scala.jdk.CollectionConverters._
+
+/** Zarr v2 chunked-array source/sink — the reference's NATIVE cube format
+  * (xcube stores cubes as Zarr groups: dsio.py:411-533 writes via to_zarr,
+  * zarrstore/generic.py:560-660 emits the v2 metadata documents this parser
+  * reads). Implements the public Zarr storage spec v2 directly on the JVM:
+  * a group directory with `.zgroup`/`.zattrs`, one subdirectory per array
+  * holding `.zarray` (shape/chunks/dtype/fill_value/compressor/order) plus
+  * `.zattrs` with xarray's `_ARRAY_DIMENSIONS` convention, and row-major
+  * chunk files named `i.j.k` (or with the `/` dimension_separator).
+  *
+  * Scope: C order, raw (`compressor: null`) and zlib compressors, the
+  * numeric dtypes, both endiannesses. Blosc (zarr-python's default codec)
+  * is out of scope offline — there is no conformant blosc stream available
+  * here to validate against; `nccopy`-style re-encoding to zlib is the
+  * documented ingest path, and our writer emits zlib.
+  *
+  * Scale story — the part that makes this the Spark re-expression of the
+  * reference's dask model: the CHUNK is the unit of parallelism in both
+  * directions. [[readCube]] schedules one task per chunk (a 100 TB cube is
+  * millions of chunk files decoded independently; coordinate arrays are
+  * 1-D driver-sized, broadcast). [[writeCube]] shuffles rows once by target
+  * chunk id and assembles/compresses/writes each chunk in its task with
+  * memory bounded by the chunk size — no driver gather, no global sort.
+  */
+object ZarrSource {
+
+  /** Parsed `.zarray` (+ `.zattrs` dims) for one array. */
+  final case class ZarrArray(shape: Seq[Int], chunks: Seq[Int], dtype: String,
+                             fillValue: Double, zlib: Boolean,
+                             dims: Seq[String], separator: String) {
+    def chunkGrid: Seq[Int] = shape.zip(chunks).map { case (s, c) => (s + c - 1) / c }
+    def chunkElems: Int = chunks.product
+  }
+
+  private val mapper = new ObjectMapper()
+
+  // ------------------------------------------------------------- metadata
+
+  private def readJson(path: String): Option[JsonNode] = {
+    val f = java.nio.file.Paths.get(path)
+    if (java.nio.file.Files.exists(f)) Some(mapper.readTree(java.nio.file.Files.readAllBytes(f)))
+    else None
+  }
+
+  /** Parse `<arrayDir>/.zarray` and the `_ARRAY_DIMENSIONS` attr. */
+  def openArray(arrayDir: String): ZarrArray = {
+    val za = readJson(s"$arrayDir/.zarray").getOrElse(
+      throw new IllegalArgumentException(s"$arrayDir: no .zarray (not a Zarr array)"))
+    require(za.path("zarr_format").asInt == 2, s"$arrayDir: zarr_format != 2")
+    require(za.path("order").asText == "C",
+      s"$arrayDir: only C (row-major) order supported")
+    require(za.path("filters").isNull || !za.has("filters"),
+      s"$arrayDir: filters are not supported")
+    val comp = za.path("compressor")
+    val zlib =
+      if (comp.isNull) false
+      else comp.path("id").asText match {
+        case "zlib" => true
+        case other => throw new IllegalArgumentException(
+          s"$arrayDir: compressor '$other' unsupported (null/zlib only; " +
+            "re-encode blosc stores to zlib on ingest)")
+      }
+    val fv = za.path("fill_value") match {
+      case n if n.isNull => Double.NaN
+      case n if n.isTextual => n.asText match {
+        case "NaN" => Double.NaN
+        case "Infinity" => Double.PositiveInfinity
+        case "-Infinity" => Double.NegativeInfinity
+        case t => throw new IllegalArgumentException(s"$arrayDir: fill_value '$t'")
+      }
+      case n => n.asDouble
+    }
+    val shape = za.path("shape").elements.asScala.map(_.asInt).toSeq
+    val dims = readJson(s"$arrayDir/.zattrs")
+      .map(_.path("_ARRAY_DIMENSIONS"))
+      .filter(_.isArray)
+      .map(_.elements.asScala.map(_.asText).toSeq)
+      .getOrElse(shape.indices.map(i => s"dim_$i"))
+    require(dims.length == shape.length, s"$arrayDir: dims/shape rank mismatch")
+    ZarrArray(shape,
+      za.path("chunks").elements.asScala.map(_.asInt).toSeq,
+      za.path("dtype").asText, fv, zlib, dims,
+      Option(za.path("dimension_separator").asText(".")).filter(_.nonEmpty)
+        .getOrElse("."))
+  }
+
+  /** Array names in a group (subdirectories holding a `.zarray`). */
+  def listArrays(groupDir: String): Seq[String] = {
+    val d = new java.io.File(groupDir)
+    require(new java.io.File(d, ".zgroup").exists(),
+      s"$groupDir: no .zgroup (not a Zarr group)")
+    Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && new java.io.File(f, ".zarray").exists())
+      .map(_.getName).sorted.toSeq
+  }
+
+  // ------------------------------------------------------------- chunk IO
+
+  private def inflate(raw: Array[Byte]): Array[Byte] = {
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(raw)
+    val out = new java.io.ByteArrayOutputStream(raw.length * 4)
+    val buf = new Array[Byte](64 * 1024)
+    var made = -1
+    while (!inf.finished() && made != 0) {
+      made = inf.inflate(buf)
+      out.write(buf, 0, made)
+    }
+    inf.end()
+    require(inf.finished(), "truncated zlib chunk")
+    out.toByteArray
+  }
+
+  /** Decode one raw chunk file payload to doubles (full chunk-shape sized —
+    * the spec pads edge chunks with fill). All numeric dtypes widen to
+    * double losslessly except int64/uint64 beyond 2^53 — same convention as
+    * [[NetcdfSource]].
+    */
+  def decodeChunk(raw: Array[Byte], za: ZarrArray): Array[Double] = {
+    val bytes = if (za.zlib) inflate(raw) else raw
+    val b = ByteBuffer.wrap(bytes).order(
+      if (za.dtype.startsWith(">")) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN)
+    val kind = za.dtype.drop(1) // after <, > or |
+    val n = za.chunkElems
+    require(bytes.length == n * (kind.drop(1).toInt),
+      s"chunk holds ${bytes.length} bytes, expected $n × $kind elements")
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      out(i) = kind match {
+        case "f8" => b.getDouble(i * 8)
+        case "f4" => b.getFloat(i * 4).toDouble
+        case "i1" => b.get(i).toDouble
+        case "u1" | "b1" => (b.get(i) & 0xff).toDouble
+        case "i2" => b.getShort(i * 2).toDouble
+        case "u2" => (b.getShort(i * 2) & 0xffff).toDouble
+        case "i4" => b.getInt(i * 4).toDouble
+        case "u4" => (b.getInt(i * 4).toLong & 0xffffffffL).toDouble
+        case "i8" | "u8" => b.getLong(i * 8).toDouble
+        case k => throw new IllegalArgumentException(s"dtype $k unsupported")
+      }
+      i += 1
+    }
+    out
+  }
+
+  /** Read a whole (driver-sized) array — used for 1-D coordinate arrays. */
+  def readAll(arrayDir: String, za: ZarrArray): Array[Double] = {
+    val out = Array.fill(za.shape.product)(za.fillValue)
+    val grid = za.chunkGrid
+    allChunkKeys(grid).foreach { key =>
+      val f = java.nio.file.Paths.get(s"$arrayDir/${key.mkString(za.separator)}")
+      if (java.nio.file.Files.exists(f)) {
+        val data = decodeChunk(java.nio.file.Files.readAllBytes(f), za)
+        foreachCell(za, key) { (flatChunk, flatGlobal) =>
+          out(flatGlobal.toInt) = data(flatChunk) // driver-sized array
+        }
+      }
+    }
+    out
+  }
+
+  private def allChunkKeys(grid: Seq[Int]): Seq[Seq[Int]] =
+    grid.foldLeft(Seq(Seq.empty[Int])) { (acc, n) =>
+      acc.flatMap(p => (0 until n).map(p :+ _))
+    }
+
+  /** Visit each in-bounds cell of chunk `key`: (flat offset within the
+    * chunk, flat row-major offset within the full array).
+    */
+  private def foreachCell(za: ZarrArray, key: Seq[Int])(f: (Int, Long) => Unit): Unit = {
+    val rank = za.shape.length
+    val gStride = za.shape.scanRight(1L)(_ * _).tail.toArray
+    val idx = new Array[Int](rank)
+    val n = za.chunkElems
+    var flat = 0
+    while (flat < n) {
+      var inBounds = true
+      var global = 0L
+      var k = 0
+      while (k < rank) {
+        val g = key(k) * za.chunks(k) + idx(k)
+        if (g >= za.shape(k)) inBounds = false
+        global += g * gStride(k)
+        k += 1
+      }
+      if (inBounds) f(flat, global)
+      // odometer increment (last dim fastest — C order)
+      var d = rank - 1
+      var carry = true
+      while (carry && d >= 0) {
+        idx(d) += 1
+        if (idx(d) == za.chunks(d)) { idx(d) = 0; d -= 1 } else carry = false
+      }
+      flat += 1
+    }
+  }
+
+  // ------------------------------------------------------------- reading
+
+  /** One data variable as long-format rows — a column per dimension (the
+    * same-named 1-D coordinate array's value if present, else the index)
+    * plus the value. Distributed ONE CHUNK PER TASK: the chunk list is the
+    * RDD, each task decodes its own file; a missing chunk file yields the
+    * fill value (the spec's sparse-store semantics).
+    */
+  def readCube(spark: SparkSession, groupDir: String, varName: String): DataFrame = {
+    val arrayDir = s"$groupDir/$varName"
+    val za = openArray(arrayDir)
+    // 1-D coordinate arrays are driver-sized (like the reference's xarray
+    // index coords) — read here, broadcast to the chunk tasks
+    val coords: Seq[Array[Double]] = za.dims.zipWithIndex.map { case (dim, k) =>
+      val cdir = s"$groupDir/$dim"
+      if (new java.io.File(cdir, ".zarray").exists()) {
+        val cza = openArray(cdir)
+        require(cza.shape == Seq(za.shape(k)),
+          s"$cdir: coordinate shape ${cza.shape} != dim size ${za.shape(k)}")
+        readAll(cdir, cza)
+      } else Array.tabulate(za.shape(k))(_.toDouble)
+    }
+    val bc = spark.sparkContext.broadcast(coords)
+    val keys = allChunkKeys(za.chunkGrid)
+    val schema = StructType(
+      za.dims.map(StructField(_, DoubleType)) :+ StructField(varName, DoubleType))
+    val rank = za.shape.length
+    val rdd = spark.sparkContext.parallelize(keys, keys.length).flatMap { key =>
+      val f = java.nio.file.Paths.get(s"$arrayDir/${key.mkString(za.separator)}")
+      val data =
+        if (java.nio.file.Files.exists(f))
+          decodeChunk(java.nio.file.Files.readAllBytes(f), za)
+        else Array.fill(za.chunkElems)(za.fillValue)
+      val rows = Seq.newBuilder[Row]
+      foreachCell(za, key) { (flat, global) =>
+        val vals = new Array[Any](rank + 1)
+        var rem = global
+        var k = rank - 1
+        while (k >= 0) {
+          val g = (rem % za.shape(k)).toInt
+          rem /= za.shape(k)
+          vals(k) = bc.value(k)(g)
+          k -= 1
+        }
+        vals(rank) = data(flat)
+        rows += Row.fromSeq(vals.toIndexedSeq)
+      }
+      rows.result()
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  // ------------------------------------------------------------- writing
+
+  private def writeJson(path: String, json: String): Unit = {
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      json.getBytes("UTF-8"))
+    ()
+  }
+
+  private def deflate(bytes: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater() // default = zlib-wrapped stream
+    d.setInput(bytes); d.finish()
+    val out = new java.io.ByteArrayOutputStream(bytes.length / 2 + 64)
+    val buf = new Array[Byte](64 * 1024)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    out.toByteArray
+  }
+
+  private def zarrayJson(shape: Seq[Int], chunks: Seq[Int], zlib: Boolean): String = {
+    val comp = if (zlib) """{"id": "zlib", "level": 1}""" else "null"
+    s"""{"zarr_format": 2, "dtype": "<f8", "shape": [${shape.mkString(", ")}],
+       | "chunks": [${chunks.mkString(", ")}], "fill_value": "NaN",
+       | "compressor": $comp, "filters": null, "order": "C"}""".stripMargin
+  }
+
+  private def encodeChunk(data: Array[Double], zlib: Boolean): Array[Byte] = {
+    val b = ByteBuffer.allocate(data.length * 8).order(ByteOrder.LITTLE_ENDIAN)
+    data.foreach(b.putDouble)
+    if (zlib) deflate(b.array()) else b.array()
+  }
+
+  /** Distributed Zarr group writer: `df` holds one row per non-fill cell
+    * with a column per dimension (values drawn EXACTLY from `dims`' coord
+    * arrays — the join below is an equality on doubles) plus `varName`.
+    *
+    * Plan shape: broadcast-join each dim's (value → index) table, compute
+    * (chunk id, in-chunk offset) with integer arithmetic, shuffle ONCE by
+    * chunk id, assemble + zlib + write each chunk inside its task (memory
+    * bounded by chunk size). Cells with no row get the NaN fill; chunks
+    * with no rows at all are not written (spec: missing chunk = fill).
+    */
+  def writeCube(df: DataFrame, groupDir: String, varName: String,
+                dims: Seq[(String, Array[Double])], chunks: Seq[Int],
+                zlib: Boolean = true): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(dims.length == chunks.length, "one chunk extent per dimension")
+    val shape = dims.map(_._2.length)
+
+    // ---- metadata + driver-sized coordinate arrays
+    new java.io.File(groupDir).mkdirs()
+    writeJson(s"$groupDir/.zgroup", """{"zarr_format": 2}""")
+    writeJson(s"$groupDir/.zattrs", "{}")
+    dims.foreach { case (name, values) =>
+      val d = s"$groupDir/$name"
+      new java.io.File(d).mkdirs()
+      writeJson(s"$d/.zarray", zarrayJson(Seq(values.length), Seq(values.length), zlib))
+      writeJson(s"$d/.zattrs", s"""{"_ARRAY_DIMENSIONS": ["$name"]}""")
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$d/0"),
+        encodeChunk(values, zlib))
+    }
+    val arrayDir = s"$groupDir/$varName"
+    new java.io.File(arrayDir).mkdirs()
+    writeJson(s"$arrayDir/.zarray", zarrayJson(shape, chunks, zlib))
+    writeJson(s"$arrayDir/.zattrs",
+      s"""{"_ARRAY_DIMENSIONS": [${dims.map(d => s""""${d._1}"""").mkString(", ")}]}""")
+
+    // ---- (value → index) lookups, broadcast-joined (declarative, no UDF)
+    val withIdx = dims.zipWithIndex.foldLeft(df) { case (acc, ((name, values), k)) =>
+      val lookup = values.zipWithIndex.toSeq.toDF(s"__v$k", s"__i$k")
+      acc.join(broadcast(lookup), col(name) === col(s"__v$k"))
+    }
+    // chunk id (row-major over the chunk grid) and in-chunk offset —
+    // pure integer arithmetic on the joined index columns
+    val grid = shape.zip(chunks).map { case (s0, c) => (s0 + c - 1) / c }
+    val cid = dims.indices.foldLeft(lit(0L)) { (acc, k) =>
+      acc * grid(k) + floor(col(s"__i$k") / chunks(k)).cast("long")
+    }
+    val off = dims.indices.foldLeft(lit(0L)) { (acc, k) =>
+      acc * chunks(k) + (col(s"__i$k") % chunks(k))
+    }
+    val cells = withIdx.select(cid.as("__cid"), off.cast("int").as("__off"),
+        col(varName).as("__v"))
+      .as[(Long, Int, Double)]
+
+    // ---- one shuffle by chunk id; each task materializes + writes its chunk
+    val chunkElems = chunks.product
+    val sep = "." // spec default separator; matches openArray's default
+    val written = cells.groupByKey(_._1).mapGroups { (cidV, it) =>
+      val data = Array.fill(chunkElems)(Double.NaN)
+      var n = 0
+      it.foreach { case (_, o, v) => data(o) = v; n += 1 }
+      // decompose the chunk id back into per-dim chunk coords for the name
+      val key = new Array[Long](grid.length)
+      var rem = cidV
+      var k = grid.length - 1
+      while (k >= 0) { key(k) = rem % grid(k); rem /= grid(k); k -= 1 }
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$arrayDir/${key.mkString(sep)}"),
+        encodeChunk(data, zlib))
+      n
+    }
+    // the count is the action that runs the job (the writes are its side
+    // effect, same pattern as foreachBatch sinks); safe on an empty input
+    written.count()
+    ()
+  }
+}
