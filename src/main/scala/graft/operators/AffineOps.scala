@@ -107,15 +107,17 @@ object AffineOps {
     kernelResample(srcCells, srcGm, tgtGm, vars, kernel, recoverNan)
   }
 
-  /** Shared separable-kernel resampler: 16 candidate corners (di, dj ∈
-    * −1..2 — covers every kernel with support ≤ 4 taps; out-of-support
-    * corners get weight 0), one equi-join on the source cell key, one
+  /** Shared separable-kernel resampler: (di, dj) candidate corners from
+    * `taps` (−1..2 covers support ≤ 4 taps — orders 2/3; −2..3 covers the
+    * 5/6-tap order-4/5 kernels; out-of-support corners get weight 0 and are
+    * pruned pre-join), one equi-join on the source cell key, one
     * map-side-combined aggregation.
     */
   private def kernelResample(srcCells: DataFrame, srcGm: GridMapping,
                              tgtGm: GridMapping, vars: Seq[String],
                              kernel: Column => Column,
-                             recoverNan: Boolean): DataFrame = {
+                             recoverNan: Boolean,
+                             taps: Seq[Long] = -1L to 2L): DataFrame = {
     val spark = srcCells.sparkSession
     val fi = (col("x") - lit(srcGm.xMin)) / lit(srcGm.xRes) - lit(0.5)
     val fj = (col("y") - lit(srcGm.yMin)) / lit(srcGm.yRes) - lit(0.5)
@@ -124,7 +126,7 @@ object AffineOps {
       .withColumn("j0", floor(fj).cast("long"))
       .withColumn("fx", fi - floor(fi))
       .withColumn("fy", fj - floor(fj))
-    val offs = array((-1L to 2L).map(lit): _*)
+    val offs = array(taps.map(lit): _*)
     val corners = tgt
       .withColumn("di", explode(offs))
       .withColumn("dj", explode(offs))
@@ -145,6 +147,87 @@ object AffineOps {
       .agg(aggs.head, aggs.tail: _*)
       .withColumn("x", tgtGm.xExpr(col("tgt_i")))
       .withColumn("y", tgtGm.yExpr(col("tgt_j")))
+  }
+
+  /** Quartic resample (spline order 4): 5-tap quartic B-spline kernel,
+    * applied as a convolution without scipy's implicit prefilter — the same
+    * documented smoothing-vs-interpolating trade-off as orders 2/3. The
+    * Column arithmetic mirrors [[quarticWeight]] OPERATION FOR OPERATION so
+    * driver-side doubles (oracle literals) are bit-equal to the plan's.
+    */
+  def resampleQuartic(srcCells: DataFrame, srcGm: GridMapping,
+                      tgtGm: GridMapping, vars: Seq[String],
+                      recoverNan: Boolean = false): DataFrame = {
+    def kernel(d: Column): Column = {
+      val ad = abs(d)
+      val ad2 = ad * ad
+      val ad4 = ad2 * ad2
+      when(ad < 0.5, lit(115.0 / 192.0) - lit(0.625) * ad2 + lit(0.25) * ad4)
+        .when(ad < 1.5,
+          (lit(55.0) + lit(20.0) * ad - lit(120.0) * ad2 +
+            lit(80.0) * (ad2 * ad) - lit(16.0) * ad4) / lit(96.0))
+        .when(ad < 2.5, {
+          val t = lit(5.0) - lit(2.0) * ad
+          (t * t) * (t * t) / lit(384.0)
+        })
+        .otherwise(lit(0.0))
+    }
+    kernelResample(srcCells, srcGm, tgtGm, vars, kernel, recoverNan, -2L to 3L)
+  }
+
+  /** Quintic resample (spline order 5): 6-tap quintic B-spline kernel;
+    * same convolution-without-prefilter convention; Column arithmetic
+    * mirrors [[quinticWeight]] operation for operation.
+    */
+  def resampleQuintic(srcCells: DataFrame, srcGm: GridMapping,
+                      tgtGm: GridMapping, vars: Seq[String],
+                      recoverNan: Boolean = false): DataFrame = {
+    def kernel(d: Column): Column = {
+      val ad = abs(d)
+      val ad2 = ad * ad
+      val ad4 = ad2 * ad2
+      when(ad < 1.0,
+        (lit(66.0) - lit(60.0) * ad2 + lit(30.0) * ad4 -
+          lit(10.0) * (ad4 * ad)) / lit(120.0))
+        .when(ad < 2.0,
+          (lit(51.0) + lit(75.0) * ad - lit(210.0) * ad2 +
+            lit(150.0) * (ad2 * ad) - lit(45.0) * ad4 +
+            lit(5.0) * (ad4 * ad)) / lit(120.0))
+        .when(ad < 3.0, {
+          val t = lit(3.0) - ad
+          ((t * t) * (t * t)) * t / lit(120.0)
+        })
+        .otherwise(lit(0.0))
+    }
+    kernelResample(srcCells, srcGm, tgtGm, vars, kernel, recoverNan, -2L to 3L)
+  }
+
+  /** Plain-double twin of [[resampleQuartic]]'s kernel — IDENTICAL IEEE
+    * operation order, so oracle literals generated from it are bit-equal to
+    * what the plan computes (kept adjacent; ColumnKernelParitySpec pins it).
+    */
+  def quarticWeight(ad: Double): Double =
+    if (ad < 0.5) 115.0 / 192.0 - 0.625 * (ad * ad) + 0.25 * ((ad * ad) * (ad * ad))
+    else if (ad < 1.5)
+      (55.0 + 20.0 * ad - 120.0 * (ad * ad) +
+        80.0 * ((ad * ad) * ad) - 16.0 * ((ad * ad) * (ad * ad))) / 96.0
+    else if (ad < 2.5) {
+      val t = 5.0 - 2.0 * ad
+      (t * t) * (t * t) / 384.0
+    } else 0.0
+
+  /** Plain-double twin of [[resampleQuintic]]'s kernel (same contract). */
+  def quinticWeight(ad: Double): Double = {
+    val ad2 = ad * ad
+    val ad4 = ad2 * ad2
+    if (ad < 1.0) (66.0 - 60.0 * ad2 + 30.0 * ad4 - 10.0 * (ad4 * ad)) / 120.0
+    else if (ad < 2.0)
+      (51.0 + 75.0 * ad - 210.0 * ad2 + 150.0 * (ad2 * ad) -
+        45.0 * ad4 + 5.0 * (ad4 * ad)) / 120.0
+    else if (ad < 3.0) {
+      val t = 3.0 - ad
+      ((t * t) * (t * t)) * t / 120.0
+    } else 0.0
   }
 
   /** Bilinear resample: 4-neighbor weighted average, weights renormalized

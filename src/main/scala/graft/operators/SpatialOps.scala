@@ -77,7 +77,8 @@ object SpatialOps {
 
   /** Resample `src` onto the regular grid `tgtGm`.
     *
-    * @param splineOrder 0 = nearest, 1 = bilinear (affine path only).
+    * @param splineOrder 0 = nearest, 1 = bilinear, 2 = quadratic,
+    *                    3 = bicubic, 4 = quartic, 5 = quintic (affine path).
     * @param aggregator  "mean" | "min" | "max" — used when a regular source
     *                    is DOWNSAMPLED (reference var-config `aggregator`);
     *                    None keeps the spline path.
@@ -113,11 +114,17 @@ object SpatialOps {
             .agg(vars.map(v => agg(col(v).cast("double")).as(v)).head,
                  vars.map(v => agg(col(v).cast("double")).as(v)).tail: _*)
         case _ =>
-          // 2a: affine transform at the requested spline order
-          val out =
-            if (splineOrder == 0)
-              AffineOps.resampleNearest(cells, gm, tgtGm, vars)
-            else AffineOps.resampleBilinear(cells, gm, tgtGm, vars)
+          // 2a: affine transform at the requested spline order (0–5, the
+          // reference's full ndimage range — affine.py:267)
+          val out = splineOrder match {
+            case 0 => AffineOps.resampleNearest(cells, gm, tgtGm, vars)
+            case 1 => AffineOps.resampleBilinear(cells, gm, tgtGm, vars)
+            case 2 => AffineOps.resampleQuadratic(cells, gm, tgtGm, vars)
+            case 3 => AffineOps.resampleBicubic(cells, gm, tgtGm, vars)
+            case 4 => AffineOps.resampleQuartic(cells, gm, tgtGm, vars)
+            case 5 => AffineOps.resampleQuintic(cells, gm, tgtGm, vars)
+            case n => throw new IllegalArgumentException(s"spline order $n (0..5)")
+          }
           out.select((col("tgt_i").as("i") +: col("tgt_j").as("j") +:
             vars.map(col)): _*)
       }

@@ -60,6 +60,37 @@ class ResampleSpec extends AnyFunSuite {
     assert(math.abs(v2 - 7.0) < 1e-12)
   }
 
+  test("quartic/quintic kernels: unity partition, support, constants survive") {
+    import spark.implicits._
+    import graft.operators.AffineOps.{quarticWeight, quinticWeight}
+    // partition of unity at arbitrary phases (the property the whole
+    // renormalizing convolution rests on)
+    for (fx <- Seq(0.0, 0.25, 0.75, 0.5, 0.9)) {
+      val s4 = (-2 to 3).map(di => quarticWeight(math.abs(di - fx))).sum
+      val s5 = (-2 to 3).map(di => quinticWeight(math.abs(di - fx))).sum
+      assert(math.abs(s4 - 1.0) < 1e-12, s"quartic unity at fx=$fx: $s4")
+      assert(math.abs(s5 - 1.0) < 1e-12, s"quintic unity at fx=$fx: $s5")
+    }
+    // continuity at the piece boundaries and compact support
+    for (b <- Seq(0.5, 1.5, 2.5)) {
+      assert(math.abs(quarticWeight(b - 1e-9) - quarticWeight(b + 1e-9)) < 1e-7)
+    }
+    for (b <- Seq(1.0, 2.0, 3.0)) {
+      assert(math.abs(quinticWeight(b - 1e-9) - quinticWeight(b + 1e-9)) < 1e-7)
+    }
+    assert(quarticWeight(2.5) == 0.0 && quinticWeight(3.0) == 0.0)
+    // a constant field stays exactly constant through the full operator
+    val src = GridMapping(6, 6, 0.0, 0.0, 1.0, 1.0)
+    val tgt = GridMapping(1, 1, 2.0, 2.0, 2.0, 2.0)
+    val const = (0 until 6).flatMap(i => (0 until 6).map(j => (i.toLong, j.toLong, 7.0)))
+      .toDF("i", "j", "v")
+    val v4 = AffineOps.resampleQuartic(const, src, tgt, Seq("v"))
+      .select("v").head().getDouble(0)
+    val v5 = AffineOps.resampleQuintic(const, src, tgt, Seq("v"))
+      .select("v").head().getDouble(0)
+    assert(math.abs(v4 - 7.0) < 1e-12 && math.abs(v5 - 7.0) < 1e-12)
+  }
+
   test("recover_nan: NaN corners drop out of the weighted mean; all-NaN stays NaN") {
     import spark.implicits._
     val src = GridMapping(4, 4, 0.0, 0.0, 1.0, 1.0)
