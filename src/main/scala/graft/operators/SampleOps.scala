@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling / split-assignment operators for training-data
+  * pipelines — beyond the reference (xcube has no corpus layer), designed
+  * for the 100 TB curation funnel alongside TextOps:
+  *
+  *  - every decision is a pure function of a per-row KEY hash (md5, the
+  *    repo's engine-portable hash), never of `rand()` or row order — so
+  *    re-runs, retries, different cluster sizes and different engines all
+  *    produce the SAME split/sample, which is what keeps a validation set
+  *    from silently leaking into train on a re-ingest;
+  *  - every op is scan-shaped (per-row arithmetic + an optional broadcast
+  *    join against a tiny config table): no shuffle, no window, no state.
+  */
+object SampleOps {
+
+  /** 60-bit key hash: first 15 hex chars of md5, base-16 — DuckDB mirror
+    * `('0x' || substr(md5(k), 1, 15))::BIGINT` (same idiom as TextOps).
+    */
+  def keyHash(key: Column): Column =
+    conv(substring(md5(key.cast("string").cast("binary")), 1, 15), 16, 10)
+      .cast("long")
+
+  /** Assign each row to train/val/test by hash bucket (percentages sum to
+    * ≤ 100; the remainder is test). Adding data never moves an existing
+    * row between splits — the assignment depends only on the key.
+    */
+  def splitAssign(df: DataFrame, keyCol: String,
+                  trainPct: Int, valPct: Int,
+                  splitCol: String = "split"): DataFrame = {
+    require(trainPct >= 0 && valPct >= 0 && trainPct + valPct <= 100,
+      s"bad split percentages: $trainPct/$valPct")
+    val bucket = keyHash(col(keyCol)) % 100
+    df.withColumn(splitCol,
+      when(bucket < trainPct, lit("train"))
+        .when(bucket < trainPct + valPct, lit("val"))
+        .otherwise(lit("test")))
+  }
+
+  /** Deterministic Bernoulli sample at `rate` — keep rows whose key hash
+    * falls below rate · 2^60 (exact integer threshold: no double compare
+    * at the boundary, so both engines keep the identical row set).
+    */
+  def sampleByRate(df: DataFrame, keyCol: String, rate: Double): DataFrame =
+    df.filter(keyHash(col(keyCol)) < threshold(rate))
+
+  /** rate → exact integer hash threshold (rate · 2^60). */
+  def threshold(rate: Double): Long = {
+    require(rate >= 0.0 && rate <= 1.0, s"rate $rate outside [0, 1]")
+    (rate * (1L << 60)).toLong
+  }
+
+  /** Domain-mix sampling: down-sample each domain (e.g. `source`) at its
+    * own rate from a small (domain → rate) config, re-balancing a crawl
+    * toward a target mixture. The config is broadcast-joined (tiny table);
+    * domains absent from the config are DROPPED (explicit mixture only).
+    * Scan-shaped: the only non-map operator is the broadcast hash join.
+    */
+  def domainMix(df: DataFrame, keyCol: String, domainCol: String,
+                rates: Map[String, Double]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cfg = rates.toSeq.map { case (dom, r) => (dom, threshold(r)) }
+      .toDF(domainCol, "__thresh")
+    df.join(broadcast(cfg), domainCol)
+      .filter(keyHash(col(keyCol)) < col("__thresh"))
+      .drop("__thresh")
+  }
+
+  /** Deterministic export order: rows ordered by key hash — a stable
+    * pseudorandom shuffle for training export (the full export is a range-
+    * partitioned sort on the hash; [[exportHead]] exposes the top-k form,
+    * which plans as TakeOrderedAndProject with no global sort).
+    */
+  def withExportOrder(df: DataFrame, keyCol: String,
+                      orderCol: String = "export_order"): DataFrame =
+    df.withColumn(orderCol, keyHash(col(keyCol)))
+
+  /** First `k` rows of the deterministic export order (top-k, not a sort). */
+  def exportHead(df: DataFrame, keyCol: String, k: Int): DataFrame =
+    withExportOrder(df, keyCol).orderBy(col("export_order"), col(keyCol)).limit(k)
+}

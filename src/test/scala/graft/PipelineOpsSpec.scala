@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{EmbeddingOps, MultimodalOps, TextOps}
+import graft.operators.{EmbeddingOps, MultimodalOps, SampleOps, TextOps}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -123,6 +123,39 @@ class PipelineOpsSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("cosine_sim"), plan)
     assert(!plan.contains("UDF"), plan)
+  }
+
+  test("SampleOps: split is a pure key function; growth never reassigns") {
+    import spark.implicits._
+    val small = (0L until 200L).toDF("id")
+    val big = (0L until 1000L).toDF("id")
+    def splits(df: org.apache.spark.sql.DataFrame) =
+      SampleOps.splitAssign(df, "id", 80, 10).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val s1 = splits(small); val s2 = splits(big)
+    // stability: every id keeps its split when the corpus grows 5×
+    s1.foreach { case (id, sp) => assert(s2(id) == sp, s"id $id moved") }
+    // all three splits materialize at sane proportions on 1000 keys
+    val bys = s2.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(bys.keySet == Set("train", "val", "test"))
+    assert(bys("train") > 700 && bys("train") < 900)
+    assert(bys("val") > 50 && bys("test") > 50)
+    // rate sampling: exact-threshold determinism, monotone in rate
+    val k25 = SampleOps.sampleByRate(big, "id", 0.25).collect().map(_.getLong(0)).toSet
+    val k50 = SampleOps.sampleByRate(big, "id", 0.5).collect().map(_.getLong(0)).toSet
+    assert(k25.subsetOf(k50)) // raising the rate only ADDS keys
+    assert(k50.size > 400 && k50.size < 600)
+    // domain mix: absent domains drop; rate-1.0 domain keeps everything
+    val docs = (0L until 100L).map(i => (i, s"src${i % 5}")).toDF("id", "dom")
+    val kept = SampleOps.domainMix(docs, "id", "dom",
+        Map("src0" -> 1.0, "src1" -> 0.5))
+      .groupBy("dom").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("src0") == 20 && !kept.contains("src2"))
+    assert(kept.getOrElse("src1", 0L) < 20)
+    // export head: k smallest hashes, deterministic across invocations
+    val h1 = SampleOps.exportHead(big, "id", 10).collect().map(_.getLong(0)).toSeq
+    val h2 = SampleOps.exportHead(big, "id", 10).collect().map(_.getLong(0)).toSeq
+    assert(h1 == h2 && h1.size == 10)
   }
 
   test("CosineSim: unequal lengths are null (like the HOF form); bad winnow args rejected") {

@@ -40,6 +40,18 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Exchange rangepartitioning"), p)
   }
 
+  test("q_export_head compiles to TakeOrderedAndProject (no global sort)") {
+    val p = plan("q_export_head")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+  }
+
+  test("q_domain_mix: config broadcast, sampling is scan-shaped") {
+    val p = plan("q_domain_mix")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("Exchange rangepartitioning") && !p.contains("Window"), p)
+  }
+
   test("q_points_extract: cell gather is a broadcast join") {
     val p = plan("q_points_extract")
     assert(p.contains("BroadcastHashJoin"), p)
