@@ -50,10 +50,35 @@ object ZarrSource {
     else None
   }
 
-  /** Parse `<arrayDir>/.zarray` and the `_ARRAY_DIMENSIONS` attr. */
+  /** Consolidated metadata (`.zmetadata`, zarr_consolidated_format 1 — what
+    * the reference's to_zarr writes by default): ONE document holding every
+    * metadata key. Reading it replaces the per-array metadata round-trips —
+    * on an object store that is one GET instead of 2·N — so [[openArray]]
+    * and [[listArrays]] prefer it transparently when present.
+    */
+  private def consolidated(groupDir: String): Option[JsonNode] =
+    readJson(s"$groupDir/.zmetadata").map { n =>
+      require(n.path("zarr_consolidated_format").asInt == 1,
+        s"$groupDir: unsupported zarr_consolidated_format")
+      n.path("metadata")
+    }
+
+  /** Parse `<arrayDir>/.zarray` and the `_ARRAY_DIMENSIONS` attr (from the
+    * group's consolidated metadata when available).
+    */
   def openArray(arrayDir: String): ZarrArray = {
-    val za = readJson(s"$arrayDir/.zarray").getOrElse(
-      throw new IllegalArgumentException(s"$arrayDir: no .zarray (not a Zarr array)"))
+    val dir = new java.io.File(arrayDir)
+    val fromMeta = Option(dir.getParentFile).flatMap(p =>
+      consolidated(p.toString)).map { meta =>
+      (Option(meta.path(s"${dir.getName}/.zarray")).filterNot(_.isMissingNode),
+        Option(meta.path(s"${dir.getName}/.zattrs")).filterNot(_.isMissingNode))
+    }
+    val za = fromMeta.map(_._1.getOrElse(throw new IllegalArgumentException(
+        s"$arrayDir: not in consolidated metadata")))
+      .orElse(readJson(s"$arrayDir/.zarray"))
+      .getOrElse(throw new IllegalArgumentException(
+        s"$arrayDir: no .zarray (not a Zarr array)"))
+    val zattrs = fromMeta.map(_._2).getOrElse(readJson(s"$arrayDir/.zattrs"))
     require(za.path("zarr_format").asInt == 2, s"$arrayDir: zarr_format != 2")
     require(za.path("order").asText == "C",
       s"$arrayDir: only C (row-major) order supported")
@@ -79,7 +104,7 @@ object ZarrSource {
       case n => n.asDouble
     }
     val shape = za.path("shape").elements.asScala.map(_.asInt).toSeq
-    val dims = readJson(s"$arrayDir/.zattrs")
+    val dims = zattrs
       .map(_.path("_ARRAY_DIMENSIONS"))
       .filter(_.isArray)
       .map(_.elements.asScala.map(_.asText).toSeq)
@@ -92,15 +117,27 @@ object ZarrSource {
         .getOrElse("."))
   }
 
-  /** Array names in a group (subdirectories holding a `.zarray`). */
-  def listArrays(groupDir: String): Seq[String] = {
-    val d = new java.io.File(groupDir)
-    require(new java.io.File(d, ".zgroup").exists(),
-      s"$groupDir: no .zgroup (not a Zarr group)")
-    Option(d.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && new java.io.File(f, ".zarray").exists())
-      .map(_.getName).sorted.toSeq
-  }
+  /** Does the group contain an array `name` (consolidated-aware)? */
+  private def hasArray(groupDir: String, name: String): Boolean =
+    consolidated(groupDir).exists(m => !m.path(s"$name/.zarray").isMissingNode) ||
+      new java.io.File(s"$groupDir/$name", ".zarray").exists()
+
+  /** Array names in a group — from the consolidated metadata when present
+    * (no directory listing), else the subdirectories holding a `.zarray`.
+    */
+  def listArrays(groupDir: String): Seq[String] =
+    consolidated(groupDir) match {
+      case Some(meta) =>
+        meta.fieldNames.asScala.filter(_.endsWith("/.zarray"))
+          .map(_.stripSuffix("/.zarray")).toSeq.sorted
+      case None =>
+        val d = new java.io.File(groupDir)
+        require(new java.io.File(d, ".zgroup").exists(),
+          s"$groupDir: no .zgroup (not a Zarr group)")
+        Option(d.listFiles()).getOrElse(Array.empty)
+          .filter(f => f.isDirectory && new java.io.File(f, ".zarray").exists())
+          .map(_.getName).sorted.toSeq
+    }
 
   // ------------------------------------------------------------- chunk IO
 
@@ -219,7 +256,7 @@ object ZarrSource {
     // index coords) — read here, broadcast to the chunk tasks
     val coords: Seq[Array[Double]] = za.dims.zipWithIndex.map { case (dim, k) =>
       val cdir = s"$groupDir/$dim"
-      if (new java.io.File(cdir, ".zarray").exists()) {
+      if (hasArray(groupDir, dim)) {
         val cza = openArray(cdir)
         require(cza.shape == Seq(za.shape(k)),
           s"$cdir: coordinate shape ${cza.shape} != dim size ${za.shape(k)}")
@@ -309,19 +346,39 @@ object ZarrSource {
     new java.io.File(groupDir).mkdirs()
     writeJson(s"$groupDir/.zgroup", """{"zarr_format": 2}""")
     writeJson(s"$groupDir/.zattrs", "{}")
+    val arrayMeta = Seq.newBuilder[(String, String, String)]
     dims.foreach { case (name, values) =>
       val d = s"$groupDir/$name"
       new java.io.File(d).mkdirs()
-      writeJson(s"$d/.zarray", zarrayJson(Seq(values.length), Seq(values.length), zlib))
-      writeJson(s"$d/.zattrs", s"""{"_ARRAY_DIMENSIONS": ["$name"]}""")
+      val zarr = zarrayJson(Seq(values.length), Seq(values.length), zlib)
+      val zatt = s"""{"_ARRAY_DIMENSIONS": ["$name"]}"""
+      writeJson(s"$d/.zarray", zarr)
+      writeJson(s"$d/.zattrs", zatt)
+      arrayMeta += ((name, zarr, zatt))
       java.nio.file.Files.write(java.nio.file.Paths.get(s"$d/0"),
         encodeChunk(values, zlib))
     }
     val arrayDir = s"$groupDir/$varName"
     new java.io.File(arrayDir).mkdirs()
-    writeJson(s"$arrayDir/.zarray", zarrayJson(shape, chunks, zlib))
-    writeJson(s"$arrayDir/.zattrs",
-      s"""{"_ARRAY_DIMENSIONS": [${dims.map(d => s""""${d._1}"""").mkString(", ")}]}""")
+    val varZarr = zarrayJson(shape, chunks, zlib)
+    val varZatt =
+      s"""{"_ARRAY_DIMENSIONS": [${dims.map(d => s""""${d._1}"""").mkString(", ")}]}"""
+    writeJson(s"$arrayDir/.zarray", varZarr)
+    writeJson(s"$arrayDir/.zattrs", varZatt)
+    arrayMeta += ((varName, varZarr, varZatt))
+    // consolidated metadata, like the reference's to_zarr default — one
+    // document a reader fetches instead of 2·N per-array files
+    val metaDoc = mapper.createObjectNode()
+    metaDoc.put("zarr_consolidated_format", 1)
+    val m = metaDoc.putObject("metadata")
+    m.set(".zgroup", mapper.readTree("""{"zarr_format": 2}"""))
+    m.set(".zattrs", mapper.readTree("{}"))
+    arrayMeta.result().foreach { case (name, zarr, zatt) =>
+      m.set(s"$name/.zarray", mapper.readTree(zarr))
+      m.set(s"$name/.zattrs", mapper.readTree(zatt))
+      ()
+    }
+    writeJson(s"$groupDir/.zmetadata", mapper.writeValueAsString(metaDoc))
 
     // ---- (value → index) lookups, broadcast-joined (declarative, no UDF)
     val withIdx = dims.zipWithIndex.foldLeft(df) { case (acc, ((name, values), k)) =>

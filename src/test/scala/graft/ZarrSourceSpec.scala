@@ -64,6 +64,30 @@ class ZarrSourceSpec extends AnyFunSuite {
     assert(back.filter(col("t") === 0.0 && isnan(col("v"))).count() == 0)
   }
 
+  test("consolidated .zmetadata is written and is sufficient on its own") {
+    import spark.implicits._
+    val ys = Array(1.0, 2.0)
+    val xs = Array(3.0, 4.0)
+    val g = s"${tmpDir("zarrcons")}/c.zarr"
+    ZarrSource.writeCube(
+      Seq((1.0, 3.0, 10.0), (2.0, 4.0, 20.0)).toDF("y", "x", "v"),
+      g, "v", Seq("y" -> ys, "x" -> xs), chunks = Seq(2, 2))
+    assert(Files.exists(Paths.get(s"$g/.zmetadata")))
+    // remove every per-array metadata file: the consolidated document must
+    // carry the reader by itself (the object-store fast path)
+    Seq("y", "x", "v").foreach { a =>
+      Files.delete(Paths.get(s"$g/$a/.zarray"))
+      Files.delete(Paths.get(s"$g/$a/.zattrs"))
+    }
+    assert(ZarrSource.listArrays(g) == Seq("v", "x", "y"))
+    val za = ZarrSource.openArray(s"$g/v")
+    assert(za.dims == Seq("y", "x") && za.shape == Seq(2, 2))
+    val back = ZarrSource.readCube(spark, g, "v").collect()
+      .map(r => (r.getDouble(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    assert(back((1.0, 3.0)) == 10.0 && back((2.0, 4.0)) == 20.0)
+    assert(back((1.0, 4.0)).isNaN)
+  }
+
   test("reads an externally-shaped layout: big-endian f4, raw, / separator") {
     // hand-written group: no coordinate arrays (index fallback), raw
     // compressor, ">f4" dtype, dimension_separator "/", fill_value 0
