@@ -5,29 +5,42 @@ import org.apache.spark.sql.types._
 import java.nio.{ByteBuffer, ByteOrder}
 import scala.jdk.CollectionConverters._
 
-/** Minimal GeoTIFF raster source — the single-band gridded-raster ingest
-  * path the reference routes through rasterio (store/fs/impl/
-  * rasterio.py:81-330). Implements the public baseline TIFF 6.0 + GeoTIFF
-  * 1.1 subset that converted cube rasters actually use: single-band,
-  * striped OR tiled layout (tiles are the COG interior organization),
-  * Compression none (1) or Deflate (8 / 32946, via java.util.zip — no
-  * native lib), both byte orders, sample formats uint/int 8/16/32 and
-  * float 32/64, georeferenced by ModelPixelScale + ModelTiepoint.
-  * Predictors, palettes, multi-band files and COG overview chains are
-  * out of scope for v0 (ingest converts them once, elsewhere).
+/** Minimal GeoTIFF raster source — the gridded-raster ingest path the
+  * reference routes through rasterio (store/fs/impl/rasterio.py:81-330,
+  * which exposes an N-band raster as variables band_1..band_N). Implements
+  * the public baseline TIFF 6.0 + GeoTIFF 1.1 subset that converted cube
+  * rasters actually use: single- OR multi-band chunky-interleaved
+  * (PlanarConfiguration 1, the default), striped OR tiled layout (tiles are
+  * the COG interior organization), Compression none (1) or Deflate (8 /
+  * 32946, via java.util.zip — no native lib), both byte orders, sample
+  * formats uint/int 8/16/32 and float 32/64, georeferenced by
+  * ModelPixelScale + ModelTiepoint. Predictors, palettes, planar (band-
+  * sequential) layout and COG overview chains are out of scope for v0
+  * (ingest converts them once, elsewhere).
   *
   * Scale story mirrors [[NetcdfSource]]: one raster is executor-sized;
   * an archive distributes one file per task via [[readRasterFiles]].
   */
 object GeoTiffSource {
 
-  final case class Raster(width: Int, height: Int, data: Array[Double],
+  final case class Raster(width: Int, height: Int,
+                          bands: IndexedSeq[Array[Double]],
                           scaleX: Double, scaleY: Double,
                           originX: Double, originY: Double) {
+    /** The single/first band (the pre-multi-band accessor). */
+    def data: Array[Double] = bands.head
     /** World x of pixel-center (col, row) — GeoTIFF pixel-is-area. */
     def xOf(col: Int): Double = originX + (col + 0.5) * scaleX
     /** World y of pixel-center; y decreases with row (north-up raster). */
     def yOf(row: Int): Double = originY - (row + 0.5) * scaleY
+  }
+
+  object Raster {
+    /** Single-band convenience constructor (the original signature). */
+    def apply(width: Int, height: Int, data: Array[Double],
+              scaleX: Double, scaleY: Double,
+              originX: Double, originY: Double): Raster =
+      Raster(width, height, IndexedSeq(data), scaleX, scaleY, originX, originY)
   }
 
   // ------------------------------------------------------------- parsing
@@ -84,9 +97,17 @@ object GeoTiffSource {
     val height = one(257).toInt
     val bits = one(258, Some(1.0)).toInt
     val compression = one(259, Some(1.0)).toInt
-    val samplesPerPixel = one(277, Some(1.0)).toInt
+    val nBands = one(277, Some(1.0)).toInt
     val sampleFormat = one(339, Some(1.0)).toInt // 1 uint, 2 int, 3 float
-    require(samplesPerPixel == 1, s"single-band only, got $samplesPerPixel")
+    val planarConfig = one(284, Some(1.0)).toInt
+    require(planarConfig == 1,
+      s"planar configuration $planarConfig unsupported (chunky/interleaved only)")
+    // per-band bits/format entries must agree (heterogeneous bands are out
+    // of scope; rasterio's cube path never produces them)
+    require(tags.get(258).forall(_.forall(_ == bits)),
+      "per-band BitsPerSample values differ")
+    require(tags.get(339).forall(_.forall(_ == sampleFormat)),
+      "per-band SampleFormat values differ")
     require(bits >= 8 && bits % 8 == 0,
       s"$bits-bit samples unsupported (bilevel/palette TIFFs out of scope)")
     require(compression == 1 || compression == 8 || compression == 32946,
@@ -125,7 +146,8 @@ object GeoTiffSource {
         s"unsupported sample: $bf bits format $sf")
     }
 
-    val data = new Array[Double](width * height)
+    // chunky layout: each pixel carries its nBands samples consecutively
+    val bands = IndexedSeq.fill(nBands)(new Array[Double](width * height))
     if (tags.contains(322)) {
       // tiled organization (the COG interior layout): fixed tw×th tiles,
       // row-major across then down, edge tiles padded past the image
@@ -136,7 +158,7 @@ object GeoTiffSource {
       val tilesAcross = (width + tw - 1) / tw
       tileOffsets.zip(tileCounts).zipWithIndex.foreach { case ((toff, tcount), t) =>
         val raw = java.util.Arrays.copyOfRange(bytes, toff.toInt, (toff + tcount).toInt)
-        val tile = inflate(raw, tw * th * bytesPerSample)
+        val tile = inflate(raw, tw * th * nBands * bytesPerSample)
         val sb = ByteBuffer.wrap(tile).order(order)
         val (tr, tc) = (t / tilesAcross, t % tilesAcross)
         var r = 0
@@ -144,7 +166,12 @@ object GeoTiffSource {
           val gRow = tr * th + r
           var c = 0
           while (c < tw && tc * tw + c < width) {
-            data(gRow * width + tc * tw + c) = sample(sb, r * tw + c)
+            var k = 0
+            while (k < nBands) {
+              bands(k)(gRow * width + tc * tw + c) =
+                sample(sb, (r * tw + c) * nBands + k)
+              k += 1
+            }
             c += 1
           }
           r += 1
@@ -160,12 +187,12 @@ object GeoTiffSource {
       stripOffsets.zip(stripCounts).foreach { case (soff, scount) =>
         val raw = java.util.Arrays.copyOfRange(bytes, soff.toInt, (soff + scount).toInt)
         val nRows = math.min(rowsPerStrip, height - row0)
-        val strip = inflate(raw, nRows * width * bytesPerSample)
+        val strip = inflate(raw, nRows * width * nBands * bytesPerSample)
         val sb = ByteBuffer.wrap(strip).order(order)
         val nSamples = strip.length / bytesPerSample
         var i = 0
-        while (i < nSamples && row0 * width + i < data.length) {
-          data(row0 * width + i) = sample(sb, i)
+        while (i < nSamples && row0 * width + i / nBands < width * height) {
+          bands(i % nBands)(row0 * width + i / nBands) = sample(sb, i)
           i += 1
         }
         row0 += rowsPerStrip
@@ -178,30 +205,44 @@ object GeoTiffSource {
     // normalize to the world coords of raster origin (0, 0)
     val originX = tie(3) - tie(0) * scale(0)
     val originY = tie(4) + tie(1) * scale(1)
-    Raster(width, height, data, scale(0), scale(1), originX, originY)
+    Raster(width, height, bands, scale(0), scale(1), originX, originY)
   }
 
   def read(path: String): Raster =
     parse(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)))
 
-  private val rasterSchema = StructType(Seq(
-    StructField("col", LongType), StructField("row", LongType),
-    StructField("x", DoubleType), StructField("y", DoubleType),
-    StructField("v", DoubleType)))
+  /** Value columns: `v` for a single band (the original contract),
+    * `band_1..band_N` for multi-band (the reference's rasterio naming).
+    */
+  private def bandNames(n: Int): Seq[String] =
+    if (n == 1) Seq("v") else (1 to n).map(k => s"band_$k")
 
-  /** Decode to long-format (col, row, x, y, v) rows. */
+  private def rasterSchema(n: Int) = StructType(Seq(
+    StructField("col", LongType), StructField("row", LongType),
+    StructField("x", DoubleType), StructField("y", DoubleType)) ++
+    bandNames(n).map(StructField(_, DoubleType)))
+
+  /** Decode to long-format (col, row, x, y, v | band_1..band_N) rows. */
   def readRaster(spark: SparkSession, path: String): DataFrame = {
     val r = read(path)
     val rows = rasterRows(r).map(Row.fromSeq)
-    spark.createDataFrame(rows.asJava, rasterSchema)
+    spark.createDataFrame(rows.asJava, rasterSchema(r.bands.length))
   }
 
-  /** Distributed decode of many rasters, one file per task (+ file col). */
+  /** Distributed decode of many rasters, one file per task (+ file col).
+    * Band count comes from the first file; a granule with a different band
+    * count fails loudly in its task, naming the path.
+    */
   def readRasterFiles(spark: SparkSession, paths: Seq[String]): DataFrame = {
     require(paths.nonEmpty, "readRasterFiles: no input files (empty glob?)")
-    val schema = StructType(StructField("file", StringType) +: rasterSchema.fields)
+    val nBands = read(paths.head).bands.length
+    val schema = StructType(
+      StructField("file", StringType) +: rasterSchema(nBands).fields)
     val rdd = spark.sparkContext.parallelize(paths, paths.length).flatMap { p =>
-      rasterRows(read(p)).map(r => Row.fromSeq(p +: r))
+      val r = read(p)
+      require(r.bands.length == nBands,
+        s"$p: ${r.bands.length} bands but the schema probe expects $nBands")
+      rasterRows(r).map(row => Row.fromSeq(p +: row))
     }
     spark.createDataFrame(rdd, schema)
   }
@@ -209,20 +250,22 @@ object GeoTiffSource {
   private def rasterRows(r: Raster): Seq[Seq[Any]] =
     (0 until r.height).flatMap { row =>
       (0 until r.width).map { colI =>
-        Seq[Any](colI.toLong, row.toLong, r.xOf(colI), r.yOf(row),
-          r.data(row * r.width + colI))
+        Seq[Any](colI.toLong, row.toLong, r.xOf(colI), r.yOf(row)) ++
+          r.bands.map(b => b(row * r.width + colI): Any)
       }
     }
 
   // ------------------------------------------------------------- writing
 
-  /** Minimal writer: single-band float64, little-endian, optionally
-    * Deflate-compressed, striped (one strip) by default or TILED when
-    * `tileSize > 0` — the COG-interior organization, with edge tiles
-    * zero-padded per the spec. The round-trip counterpart of [[parse]].
+  /** Minimal writer: float64, little-endian, single- or multi-band chunky-
+    * interleaved, optionally Deflate-compressed, striped (one strip) by
+    * default or TILED when `tileSize > 0` — the COG-interior organization,
+    * with edge tiles zero-padded per the spec. The round-trip counterpart
+    * of [[parse]].
     */
   def write(path: String, raster: Raster, deflate: Boolean = false,
             tileSize: Int = 0): Unit = {
+    val nb = raster.bands.length
     def compress(b: Array[Byte]): Array[Byte] =
       if (!deflate) b
       else {
@@ -238,21 +281,27 @@ object GeoTiffSource {
     val tiled = tileSize > 0
     val chunks: IndexedSeq[Array[Byte]] =
       if (!tiled) {
-        val pix = ByteBuffer.allocate(raster.data.length * 8)
+        val pix = ByteBuffer.allocate(raster.width * raster.height * nb * 8)
           .order(ByteOrder.LITTLE_ENDIAN)
-        raster.data.foreach(pix.putDouble)
+        var p = 0
+        while (p < raster.width * raster.height) {
+          var k = 0
+          while (k < nb) { pix.putDouble(raster.bands(k)(p)); k += 1 }
+          p += 1
+        }
         IndexedSeq(compress(pix.array()))
       } else {
         val (tw, th) = (tileSize, tileSize)
         val ta = (raster.width + tw - 1) / tw
         val td = (raster.height + th - 1) / th
         for (tr <- 0 until td; tc <- 0 until ta) yield {
-          val buf = ByteBuffer.allocate(tw * th * 8).order(ByteOrder.LITTLE_ENDIAN)
-          for (r <- 0 until th; c <- 0 until tw) {
+          val buf = ByteBuffer.allocate(tw * th * nb * 8)
+            .order(ByteOrder.LITTLE_ENDIAN)
+          for (r <- 0 until th; c <- 0 until tw; k <- 0 until nb) {
             val (gr, gc) = (tr * th + r, tc * tw + c)
             buf.putDouble(
               if (gr < raster.height && gc < raster.width)
-                raster.data(gr * raster.width + gc)
+                raster.bands(k)(gr * raster.width + gc)
               else 0.0) // edge padding, skipped on read
           }
           compress(buf.array())
@@ -260,13 +309,17 @@ object GeoTiffSource {
       }
 
     // layout: header (8) | IFD | scale (24) | tiepoint (48) |
+    //         [bits + format arrays when >2 bands] |
     //         [offset + count arrays when >1 chunk] | chunk data
-    val entries = if (tiled) 12 else 11
+    val entries = (if (tiled) 12 else 11) + 1 // + SamplesPerPixel
     val ifdLen = 2 + entries * 12 + 4
     val scaleOff = 8 + ifdLen
     val tieOff = scaleOff + 3 * 8
     val n = chunks.length
-    val offArrOff = tieOff + 6 * 8
+    val needVec = nb > 2 // SHORT×nb no longer fits the 4 inline bytes
+    val bitsArrOff = tieOff + 6 * 8
+    val fmtArrOff = bitsArrOff + (if (needVec) 2 * nb else 0)
+    val offArrOff = fmtArrOff + (if (needVec) 2 * nb else 0)
     val cntArrOff = offArrOff + (if (n > 1) 4 * n else 0)
     val dataOff0 = cntArrOff + (if (n > 1) 4 * n else 0)
     val chunkOffs = chunks.scanLeft(dataOff0)(_ + _.length).init
@@ -279,6 +332,13 @@ object GeoTiffSource {
       if (typ == 3 && count == 1) { buf.putShort(value.toShort); buf.putShort(0) }
       else buf.putInt(value.toInt)
     }
+    // per-band SHORT vector: inline up to 2 values, external array beyond
+    def shortVecEntry(tag: Int, value: Int, arrOff: Int): Unit =
+      if (nb == 1) entry(tag, 3, 1, value)
+      else if (nb == 2) {
+        buf.putShort(tag.toShort); buf.putShort(3.toShort); buf.putInt(2)
+        buf.putShort(value.toShort); buf.putShort(value.toShort)
+      } else entry(tag, 3, nb, arrOff)
     // chunk-table fields are inline when a single chunk fits the 4 bytes
     def offsetsEntry(tag: Int): Unit =
       if (n == 1) entry(tag, 4, 1, chunkOffs.head)
@@ -288,26 +348,32 @@ object GeoTiffSource {
       else entry(tag, 4, n, cntArrOff)
     entry(256, 4, 1, raster.width)                       // ImageWidth (LONG:
     entry(257, 4, 1, raster.height)                      //  never truncates)
-    entry(258, 3, 1, 64)                                 // BitsPerSample
+    shortVecEntry(258, 64, bitsArrOff)                   // BitsPerSample
     entry(259, 3, 1, if (deflate) 8 else 1)              // Compression
     entry(262, 3, 1, 1)                                  // Photometric
     if (!tiled) { // entries stay tag-sorted per the spec
       offsetsEntry(273)                                  // StripOffsets
+      entry(277, 3, 1, nb)                               // SamplesPerPixel
       entry(278, 4, 1, raster.height)                    // RowsPerStrip
       countsEntry(279)                                   // StripByteCounts
     } else {
+      entry(277, 3, 1, nb)                               // SamplesPerPixel
       entry(322, 3, 1, tileSize)                         // TileWidth
       entry(323, 3, 1, tileSize)                         // TileLength
       offsetsEntry(324)                                  // TileOffsets
       countsEntry(325)                                   // TileByteCounts
     }
-    entry(339, 3, 1, 3)                                  // SampleFormat: float
+    shortVecEntry(339, 3, fmtArrOff)                     // SampleFormat: float
     entry(33550, 12, 3, scaleOff)                        // ModelPixelScale
     entry(33922, 12, 6, tieOff)                          // ModelTiepoint
     buf.putInt(0) // next-IFD terminator
     buf.putDouble(raster.scaleX).putDouble(raster.scaleY).putDouble(0.0)
     buf.putDouble(0.0).putDouble(0.0).putDouble(0.0)     // raster (0,0,0) →
     buf.putDouble(raster.originX).putDouble(raster.originY).putDouble(0.0)
+    if (needVec) {
+      (0 until nb).foreach(_ => buf.putShort(64.toShort)) // bits array
+      (0 until nb).foreach(_ => buf.putShort(3.toShort))  // format array
+    }
     if (n > 1) {
       chunkOffs.foreach(o => buf.putInt(o.toInt))
       chunks.foreach(c => buf.putInt(c.length))

@@ -192,6 +192,45 @@ class StoreMaintenanceSpec extends AnyFunSuite {
     assert(chain.contains("t3.nc") && chain.contains("schema probe"))
   }
 
+  test("GeoTIFF multi-band: 2-band inline and 3-band external tag vectors") {
+    import graft.sources.GeoTiffSource
+    val dir = Files.createTempDirectory("graft_tif_mb").toFile
+    val b1 = Array(1.0, 2.0, 3.0, 4.0)
+    val b2 = Array(10.0, 20.0, 30.0, 40.0)
+    val b3 = Array(0.5, Double.NaN, 2.5, 3.5)
+    // 3 bands → BitsPerSample/SampleFormat no longer fit inline (external
+    // SHORT arrays); exercise striped+deflate AND tiled layouts
+    for ((tileSize, name) <- Seq(0 -> "striped", 2 -> "tiled")) {
+      val r = GeoTiffSource.Raster(2, 2, IndexedSeq(b1, b2, b3),
+        1.0, 1.0, 100.0, 50.0)
+      val p = new java.io.File(dir, s"rgb_$name.tif").getAbsolutePath
+      GeoTiffSource.write(p, r, deflate = true, tileSize = tileSize)
+      val back = GeoTiffSource.read(p)
+      assert(back.bands.length == 3)
+      (0 until 3).foreach { k =>
+        assert(back.bands(k).toSeq.zip(r.bands(k).toSeq).forall { case (a, b) =>
+          a == b || (a.isNaN && b.isNaN) }, s"band $k, $name")
+      }
+      val df = GeoTiffSource.readRaster(spark, p)
+      assert(df.columns.toSeq ==
+        Seq("col", "row", "x", "y", "band_1", "band_2", "band_3"))
+      val row0 = df.filter(col("col") === 1 && col("row") === 1).head()
+      assert(row0.getDouble(4) == 4.0 && row0.getDouble(5) == 40.0 &&
+        row0.getDouble(6) == 3.5)
+    }
+    // 2 bands stay on the inline-value path
+    val p2 = new java.io.File(dir, "two.tif").getAbsolutePath
+    GeoTiffSource.write(p2,
+      GeoTiffSource.Raster(2, 2, IndexedSeq(b1, b2), 1.0, 1.0, 0.0, 2.0))
+    val two = GeoTiffSource.read(p2)
+    assert(two.bands.length == 2 && two.bands(1).toSeq == b2.toSeq)
+    // single-band files keep the original `v` contract
+    val p1 = new java.io.File(dir, "one.tif").getAbsolutePath
+    GeoTiffSource.write(p1, GeoTiffSource.Raster(2, 2, b1, 1.0, 1.0, 0.0, 2.0))
+    assert(GeoTiffSource.readRaster(spark, p1).columns.toSeq ==
+      Seq("col", "row", "x", "y", "v"))
+  }
+
   test("GeoTIFF round-trip: georeferencing, row-major strips, deflate") {
     import graft.sources.GeoTiffSource
     val dir = Files.createTempDirectory("graft_tif").toFile
