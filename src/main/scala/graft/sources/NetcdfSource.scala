@@ -44,8 +44,12 @@ object NetcdfSource {
 
   // ------------------------------------------------------------- parsing
 
-  /** Parse a classic NetCDF file image. Record (unlimited-dimension)
-    * variables are not supported — the cube converters write fixed sizes.
+  /** Parse a classic NetCDF file image, including RECORD (unlimited-
+    * dimension) variables — the way real archives store time: the record
+    * dim is written with size 0 (resolved here to `numrecs`), and each
+    * record's worth of every record variable is stored contiguously per
+    * record, slabs padded to 4 bytes unless there is exactly one record
+    * variable (classic format spec, "Note on vsize").
     * `headerOnly` skips the variable data (empty arrays) — for schema
     * discovery without decoding potentially executor-sized payloads.
     */
@@ -57,7 +61,7 @@ object NetcdfSource {
     require(version == 1 || version == 2,
       s"unsupported NetCDF version byte $version (classic/64-bit-offset only)")
     val numRecs = b.getInt
-    require(numRecs == 0, "record (unlimited) dimensions are not supported")
+    require(numRecs >= 0, "streaming numrecs (-1) is not supported")
 
     def name(): String = {
       val len = b.getInt
@@ -105,7 +109,13 @@ object NetcdfSource {
 
     val dimTag = b.getInt; val nDims = b.getInt
     require(dimTag == TagDim || (dimTag == 0 && nDims == 0), "bad dim tag")
-    val dims = (0 until nDims).map(_ => NcDim(name(), b.getInt))
+    val rawDims = (0 until nDims).map(_ => NcDim(name(), b.getInt))
+    // the unlimited dim is stored with size 0; resolve it to numrecs so
+    // downstream shape math never sees the sentinel
+    val recDimId = rawDims.indexWhere(_.size == 0)
+    val dims = rawDims.zipWithIndex.map { case (d, i) =>
+      if (i == recDimId) d.copy(size = numRecs) else d
+    }
     val gattrs = attList()
     val varTag = b.getInt; val nVars = b.getInt
     require(varTag == TagVar || (varTag == 0 && nVars == 0), "bad var tag")
@@ -115,13 +125,39 @@ object NetcdfSource {
       val dimIds = (0 until nd).map(_ => b.getInt)
       val vattrs = attList()
       val ncType = b.getInt
-      val _ = b.getInt // vsize (including padding)
+      val _ = b.getInt // vsize (including padding; recomputed below)
       val begin = if (version == 1) b.getInt.toLong else b.getLong
       (vn, ncType, dimIds, vattrs, begin)
     }
+    // a variable is a record variable iff its FIRST dim is the unlimited
+    // one (spec: the unlimited dim may only appear first)
+    def isRec(dimIds: Seq[Int]): Boolean =
+      recDimId >= 0 && dimIds.headOption.contains(recDimId)
+    val sizeOf = Seq(0, 1, 1, 2, 4, 4, 8)
+    // per-record slab in bytes, padded to 4 unless exactly one record var
+    val nRecVars = headers.count(h => isRec(h._3))
+    def slabBytes(t: Int, dimIds: Seq[Int]): Long =
+      dimIds.drop(1).map(dims(_).size.toLong).product * sizeOf(t)
+    val recSize = headers.filter(h => isRec(h._3)).map { h =>
+      val s = slabBytes(h._2, h._3)
+      if (nRecVars == 1) s else pad4(s.toInt).toLong
+    }.sum
     val vars = headers.map { case (vn, t, dimIds, vattrs, begin) =>
       if (headerOnly) NcVar(vn, t, dimIds, vattrs, Array.empty[Double])
-      else {
+      else if (isRec(dimIds)) {
+        val perRec = dimIds.drop(1).map(dims(_).size.toLong).product
+        require(perRec * numRecs <= Int.MaxValue,
+          s"variable $vn too large for one granule")
+        val out = new Array[Double](perRec.toInt * numRecs)
+        var r = 0
+        while (r < numRecs) {
+          b.position((begin + r * recSize).toInt)
+          val slab = typedValues(t, perRec.toInt)
+          System.arraycopy(slab, 0, out, r * perRec.toInt, perRec.toInt)
+          r += 1
+        }
+        NcVar(vn, t, dimIds, vattrs, out)
+      } else {
         val n = dimIds.map(dims(_).size.toLong).product
         require(n <= Int.MaxValue, s"variable $vn too large for one granule")
         b.position(begin.toInt)
@@ -205,14 +241,18 @@ object NetcdfSource {
 
   // ------------------------------------------------------------- writing
 
-  /** Minimal classic (CDF-1) writer: double variables over fixed dims —
-    * the round-trip counterpart of [[parse]] (the reference writes through
-    * to_netcdf). `coordVars` are 1-D over the same-named dim; `dataVars`
-    * list (name, dimNames, row-major values).
+  /** Minimal classic (CDF-1) writer: double variables — the round-trip
+    * counterpart of [[parse]] (the reference writes through to_netcdf).
+    * `coordVars` are 1-D over the same-named dim; `dataVars` list
+    * (name, dimNames, row-major values). With `recordDim`, that dimension
+    * is written UNLIMITED (header size 0, actual count in numrecs) and
+    * every variable leading with it is stored in the spec's per-record
+    * interleaved layout — the shape real time-series archives use.
     */
   def write(path: String, dims: Seq[NcDim],
             coordVars: Seq[(String, Array[Double])],
-            dataVars: Seq[(String, Seq[String], Array[Double])]): Unit = {
+            dataVars: Seq[(String, Seq[String], Array[Double])],
+            recordDim: Option[String] = None): Unit = {
     val allVars: Seq[(String, Seq[String], Array[Double])] =
       coordVars.map { case (n, d) => (n, Seq(n), d) } ++ dataVars
     def nameBytes(s: String): Array[Byte] = {
@@ -220,13 +260,22 @@ object NetcdfSource {
       ByteBuffer.allocate(4 + pad4(raw.length)).putInt(raw.length).put(raw).array()
     }
     val dimIdx = dims.map(_.name).zipWithIndex.toMap
+    recordDim.foreach(rd => require(dimIdx.contains(rd), s"unknown record dim $rd"))
+    val numRecs = recordDim.map(rd => dims(dimIdx(rd)).size).getOrElse(0)
+    def isRecVar(dimNames: Seq[String]): Boolean =
+      recordDim.exists(dimNames.headOption.contains)
+    // per-record element count of a record variable (non-record dims only)
+    def perRec(dimNames: Seq[String]): Int =
+      dimNames.drop(1).map(dn => dims(dimIdx(dn)).size).product
     val headerParts = Seq.newBuilder[Array[Byte]]
     headerParts += Array[Byte]('C', 'D', 'F', 1)
-    headerParts += ByteBuffer.allocate(4).putInt(0).array() // numrecs
+    headerParts += ByteBuffer.allocate(4).putInt(numRecs).array()
     headerParts += ByteBuffer.allocate(8).putInt(TagDim).putInt(dims.length).array()
     dims.foreach { d =>
       headerParts += nameBytes(d.name)
-      headerParts += ByteBuffer.allocate(4).putInt(d.size).array()
+      // the unlimited dim is recorded with size 0 per the spec
+      headerParts += ByteBuffer.allocate(4)
+        .putInt(if (recordDim.contains(d.name)) 0 else d.size).array()
     }
     headerParts += ByteBuffer.allocate(8).putInt(0).putInt(0).array() // no gatts
     headerParts += ByteBuffer.allocate(8).putInt(TagVar).putInt(allVars.length).array()
@@ -240,7 +289,10 @@ object NetcdfSource {
       dimNames.foreach(dn => buf.putInt(dimIdx(dn)))
       buf.putInt(0); buf.putInt(0) // no var attrs
       buf.putInt(6) // NC_DOUBLE
-      buf.putInt(8 * dimNames.map(dn => dims(dimIdx(dn)).size).product)
+      // vsize: full size for fixed vars, per-record slab for record vars
+      // (8-byte doubles are already 4-aligned — no extra padding)
+      buf.putInt(8 * (if (isRecVar(dimNames)) perRec(dimNames)
+                      else dimNames.map(dn => dims(dimIdx(dn)).size).product))
       buf.putInt(begin)
       buf.array()
     }
@@ -248,16 +300,41 @@ object NetcdfSource {
     val headerLen = fixedLen + allVars.map { case (n, dn, _) =>
       varHeader(n, dn, 0).length
     }.sum
-    var offset = headerLen
-    val withOffsets = allVars.map { case (n, dn, data) =>
-      val h = varHeader(n, dn, offset)
-      offset += 8 * data.length
-      h
+    // layout: fixed vars first (in var order), then the record block
+    var fixedOff = headerLen
+    allVars.filterNot(v => isRecVar(v._2)).foreach { case (_, _, data) =>
+      fixedOff += 8 * data.length
     }
-    val out = ByteBuffer.allocate(offset)
+    val recBase = fixedOff
+    val recVars = allVars.filter(v => isRecVar(v._2))
+    val recSlabs = recVars.map(v => 8 * perRec(v._2))
+    val recSize = recSlabs.sum
+    val begins = {
+      var fo = headerLen
+      var ro = recBase
+      allVars.map { case (_, dn, data) =>
+        if (isRecVar(dn)) { val o = ro; ro += 8 * perRec(dn); o }
+        else { val o = fo; fo += 8 * data.length; o }
+      }
+    }
+    val total = recBase + numRecs * recSize
+    val out = ByteBuffer.allocate(total)
     headerParts.result().foreach(out.put)
-    withOffsets.foreach(out.put)
-    allVars.foreach { case (_, _, data) => data.foreach(out.putDouble) }
+    allVars.zip(begins).foreach { case ((n, dn, _), begin) =>
+      out.put(varHeader(n, dn, begin))
+    }
+    allVars.filterNot(v => isRecVar(v._2)).foreach { case (_, _, data) =>
+      data.foreach(out.putDouble)
+    }
+    var r = 0
+    while (r < numRecs) {
+      recVars.foreach { case (_, dn, data) =>
+        val pr = perRec(dn)
+        var i = 0
+        while (i < pr) { out.putDouble(data(r * pr + i)); i += 1 }
+      }
+      r += 1
+    }
     java.nio.file.Files.write(java.nio.file.Paths.get(path), out.array())
     ()
   }

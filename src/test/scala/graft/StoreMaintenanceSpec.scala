@@ -192,6 +192,32 @@ class StoreMaintenanceSpec extends AnyFunSuite {
     assert(chain.contains("t3.nc") && chain.contains("schema probe"))
   }
 
+  test("NetCDF record (unlimited) dimension: interleaved layout round-trips") {
+    import graft.sources.NetcdfSource
+    import NetcdfSource.NcDim
+    val dir = Files.createTempDirectory("graft_nc_rec").toFile
+    val p = new java.io.File(dir, "rec.nc").getAbsolutePath
+    // time is UNLIMITED (3 records), x fixed; time coord + v(time, x) are
+    // both record variables → the per-record interleaved block layout
+    NetcdfSource.write(p,
+      Seq(NcDim("time", 3), NcDim("x", 2)),
+      Seq(("time", Array(100.0, 200.0, 300.0)), ("x", Array(0.5, 1.5))),
+      Seq(("v", Seq("time", "x"), Array(1.0, 2.0, 3.0, 4.0, 5.0, 6.0))),
+      recordDim = Some("time"))
+    val nc = NetcdfSource.read(p)
+    // the size-0 sentinel resolves to numrecs
+    assert(nc.dims == Seq(NcDim("time", 3), NcDim("x", 2)))
+    assert(nc.varByName("time").data.toSeq == Seq(100.0, 200.0, 300.0))
+    assert(nc.varByName("x").data.toSeq == Seq(0.5, 1.5))
+    assert(nc.varByName("v").data.toSeq == Seq(1.0, 2.0, 3.0, 4.0, 5.0, 6.0))
+    val rows = NetcdfSource.readCube(spark, p, "v").collect()
+      .map(r => (r.getDouble(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    assert(rows((100.0, 0.5)) == 1.0 && rows((200.0, 1.5)) == 4.0 &&
+      rows((300.0, 0.5)) == 5.0)
+    // header-only probe sees the resolved record count too
+    assert(NetcdfSource.readHeader(p).dims.head.size == 3)
+  }
+
   test("GeoTIFF multi-band: 2-band inline and 3-band external tag vectors") {
     import graft.sources.GeoTiffSource
     val dir = Files.createTempDirectory("graft_tif_mb").toFile
