@@ -269,4 +269,26 @@ class PipelineOpsSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(full.contains((0L, 1L, 0L)) && full.contains((1L, 1L, 1L))) // self is rank 1
   }
+
+  test("connected components: stars, chains, transitivity, determinism") {
+    import spark.implicits._
+    // two components: a 6-node chain (worst case for label propagation —
+    // star contraction must still converge) and a triangle, plus a self-loop
+    val edges = Seq(
+      (10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L), (14L, 15L), // chain
+      (3L, 1L), (1L, 2L), (2L, 3L),                               // triangle
+      (7L, 7L)                                                    // self-loop only
+    ).toDF("a", "b")
+    val cc = graft.operators.ClusterOps.connectedComponents(edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((10L to 15L).forall(cc(_) == 10L))
+    assert((1L to 3L).forall(cc(_) == 1L))
+    assert(!cc.contains(7L)) // self-loops carry no connectivity
+    assert(cc.size == 9)
+    // edge direction is irrelevant: reversing every edge gives same labels
+    val rev = graft.operators.ClusterOps.connectedComponents(
+        edges.select(col("b").as("a"), col("a").as("b")), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rev == cc)
+  }
 }
