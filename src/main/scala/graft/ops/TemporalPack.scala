@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.{GraftSession, QueryPack}
-import graft.operators.{TemporalOps, TimeSeriesOps}
+import graft.operators.{CalendarOps, TemporalOps, TimeSeriesOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -145,6 +145,29 @@ object TemporalPack extends QueryPack {
       TimeSeriesOps.mergeSeries(Seq(s1, s2, s3))
         .select(col("time"), col("v_mean"),
           coalesce(col("n_click"), lit(0L)).as("n_click"), col("v_max"))
+    }),
+
+    // CF non-Gregorian calendars (timecoord.py:114 routes these through
+    // cftime): climate-model time axes stored as integer "days since epoch"
+    // under 360_day / noleap calendars, decoded with per-row integer
+    // arithmetic (no UDF, stays in codegen) and resampled to calendar
+    // months IN THAT CALENDAR — real-calendar date_trunc would shift every
+    // month boundary. Sums are exact (DECIMAL) before the final cast.
+    "q_calendar_resample" -> ((s, d) => {
+      val base = ev(s, d).select(
+        (col("event_id") % 1000).as("days"),
+        col("value").cast("decimal(18,2)").as("v"))
+      def monthly(cal: String): DataFrame = {
+        val f = CalendarOps.decode(col("days"), cal)
+        base.select(lit(cal).as("calendar"),
+            f.getField("year").as("year"), f.getField("month").as("month"),
+            f.getField("day").as("day"), col("v"))
+          .groupBy("calendar", "year", "month")
+          .agg(count(lit(1)).as("n"),
+            sum(col("v")).cast("double").as("sum_v"),
+            max(col("day")).as("max_day"))
+      }
+      monthly("360_day").unionByName(monthly("noleap"))
     })
   )
 
@@ -269,6 +292,24 @@ object TemporalPack extends QueryPack {
          SELECT s1.time, s1.v_mean, coalesce(s2.n_click, 0) AS n_click, s3.v_max
          FROM s1
          FULL OUTER JOIN s2 ON s1.time = s2.time
-         FULL OUTER JOIN s3 ON s1.time = s3.time"""
+         FULL OUTER JOIN s3 ON s1.time = s3.time""",
+    "q_calendar_resample" ->
+      s"""WITH e AS (SELECT event_id % 1000 AS days,
+                            CAST(value AS DECIMAL(18,2)) AS v FROM events),
+         c1 AS (SELECT '360_day' AS calendar,
+                       2000 + days // 360 AS year,
+                       (days % 360) // 30 + 1 AS month,
+                       (days % 360) % 30 + 1 AS day, v
+                FROM e),
+         c2 AS (SELECT 'noleap' AS calendar,
+                       2000 + days // 365 AS year,
+                       cal.m AS month,
+                       days % 365 - cal.s0 + 1 AS day, v
+                FROM e JOIN (${CalendarOps.monthTableSql("noleap")}) cal(m, s0, e0)
+                  ON days % 365 >= cal.s0 AND days % 365 < cal.e0),
+         u AS (SELECT * FROM c1 UNION ALL SELECT * FROM c2)
+         SELECT calendar, year, month, count(*) AS n,
+                sum(v)::DOUBLE AS sum_v, max(day) AS max_day
+         FROM u GROUP BY calendar, year, month"""
   )
 }

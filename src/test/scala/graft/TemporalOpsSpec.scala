@@ -101,4 +101,39 @@ class TemporalOpsSpec extends AnyFunSuite {
       .orderBy("time").collect()(1)
     assert(mid.getDouble(3) == 1.0)
   }
+
+  test("CF calendars: decode/encode round-trip, month boundaries, negatives") {
+    import graft.operators.CalendarOps
+    import spark.implicits._
+    for (cal <- Seq("360_day", "noleap", "all_leap")) {
+      val dpy = CalendarOps.daysPerYear(cal)
+      // every day of a full year, plus a negative stretch before the epoch
+      val days = spark.range(-dpy.toLong, 2L * dpy).select(col("id").as("days"))
+      val dec = days.select(col("days"),
+        CalendarOps.decode(col("days"), cal).as("f"))
+      val back = dec.select(col("days"), CalendarOps.encode(
+        col("f.year"), col("f.month"), col("f.day"), cal).as("d2"),
+        col("f.month").as("m"), col("f.day").as("dom"))
+      val rows = back.collect()
+      assert(rows.forall(r => r.getLong(0) == r.getLong(1)),
+        s"$cal round-trip failed")
+      assert(rows.forall(r => r.getLong(2) >= 1 && r.getLong(2) <= 12))
+      assert(rows.forall(r => r.getLong(3) >= 1 && r.getLong(3) <= 31))
+    }
+    // fixed known dates: noleap day 59 = Mar 1 (no Feb 29), 360_day day 59 = Feb 30
+    val f365 = Seq(59L).toDF("d")
+      .select(CalendarOps.decode(col("d"), "noleap").as("f")).collect()(0).getStruct(0)
+    assert(f365.getLong(0) == 2000L && f365.getLong(1) == 3L && f365.getLong(2) == 1L)
+    val f360 = Seq(59L).toDF("d")
+      .select(CalendarOps.decode(col("d"), "360_day").as("f")).collect()(0).getStruct(0)
+    assert(f360.getLong(0) == 2000L && f360.getLong(1) == 2L && f360.getLong(2) == 30L)
+    // all_leap keeps Feb 29: day 59 = Feb 29
+    val f366 = Seq(59L).toDF("d")
+      .select(CalendarOps.decode(col("d"), "all_leap").as("f")).collect()(0).getStruct(0)
+    assert(f366.getLong(1) == 2L && f366.getLong(2) == 29L)
+    // day before the epoch is Dec 31/30 of epochYear-1
+    val neg = Seq(-1L).toDF("d")
+      .select(CalendarOps.decode(col("d"), "noleap").as("f")).collect()(0).getStruct(0)
+    assert(neg.getLong(0) == 1999L && neg.getLong(1) == 12L && neg.getLong(2) == 31L)
+  }
 }
