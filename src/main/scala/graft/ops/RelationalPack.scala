@@ -96,6 +96,46 @@ object RelationalPack extends QueryPack {
         .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 6).as("sum_qty"))
     }),
 
+    // as-of join (Spark has no native ASOF): every event picks up the
+    // latest prior per-user purchase snapshot. Union-window form — one
+    // shuffle on user_id, one per-partition sort, NO join node; a naive
+    // rts <= lts join would be quadratic per user. Matched values sum in
+    // DECIMAL (order-exact) before the final cast.
+    "q_asof_join" -> ((s, d) => {
+      val ev = GraftSession.events(s, d)
+      val snaps = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), date_trunc("HOUR", col("ts")).as("rts"))
+        .agg(max(col("value")).as("rv"))
+      graft.operators.JoinOps.asofJoin(
+          ev, snaps, Seq("user_id"), "ts", "rts", "rv")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("asof_value").isNotNull, 1).otherwise(0))
+            .cast("long").as("n_matched"),
+          coalesce(sum(col("asof_value").cast("decimal(18,2)")), lit(0))
+            .cast("double").as("sum_asof"))
+    }),
+
+    // bucketized range join (point-in-interval): events matched to 30-min
+    // maintenance windows. An inequality-only join plans as
+    // BroadcastNestedLoopJoin — O(points × windows); gridding both sides to
+    // the window length makes it an equi-join on the grid cell
+    // (plan-asserted: no BNLJ/cartesian).
+    "q_range_join" -> ((s, d) => {
+      val ev = GraftSession.events(s, d)
+      val windows = ev.filter(col("event_id") % 97 === 0)
+        .select(col("event_id").as("window_id"),
+          unix_micros(col("ts")).as("ws"),
+          (unix_micros(col("ts")) + 1800L * 1000000L).as("we"))
+      graft.operators.JoinOps.rangeJoin(
+          ev, unix_micros(col("ts")), windows, col("ws"), col("we"),
+          bucketWidth = 1800L * 1000000L)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("window_id")).as("n_windows"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+    }),
+
     // time-slice union + dedup (timeslice.py:94-131 insert/replace analog):
     // two overlapping time windows unioned, duplicates dropped on the key.
     "q_union_slices" -> ((s, d) => {
@@ -170,6 +210,22 @@ object RelationalPack extends QueryPack {
       """SELECT o_orderpriority, count(*) AS n, round(sum(l_quantity), 6) AS sum_qty
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          GROUP BY o_orderpriority""",
+    "q_asof_join" ->
+      """WITH r AS (SELECT user_id, date_trunc('hour', ts) AS rts, max(value) AS rv
+                    FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+         SELECT e.event_type, count(*) AS n,
+                sum(CASE WHEN r.rv IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_matched,
+                coalesce(sum(CAST(r.rv AS DECIMAL(18,2))), 0)::DOUBLE AS sum_asof
+         FROM events e ASOF LEFT JOIN r ON e.user_id = r.user_id AND e.ts >= r.rts
+         GROUP BY e.event_type""",
+    "q_range_join" ->
+      """WITH w AS (SELECT event_id AS window_id, ts AS s, ts + INTERVAL 30 MINUTE AS e
+                    FROM events WHERE event_id % 97 = 0)
+         SELECT p.event_type, count(*) AS n_pairs,
+                count(DISTINCT w.window_id) AS n_windows,
+                sum(CAST(p.value AS DECIMAL(18,2)))::DOUBLE AS sum_value
+         FROM events p JOIN w ON p.ts >= w.s AND p.ts < w.e
+         GROUP BY p.event_type""",
     "q_union_slices" ->
       """WITH u AS (
            SELECT DISTINCT ON (event_id) * FROM (

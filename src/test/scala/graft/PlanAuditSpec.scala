@@ -136,4 +136,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
     assert(p.contains("Project"), p)
   }
+
+  test("q_asof_join: union-window form has NO join node at all") {
+    val p = plan("q_asof_join")
+    assert(!p.contains("Join"), p) // matches SortMergeJoin/BroadcastHashJoin/…
+    assert(p.contains("Window"), p)
+    assert(p.contains("Union"), p)
+  }
+
+  test("q_range_join: interval containment is an equi-join on the grid cell") {
+    val p = plan("q_range_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("__bucket"), p) // the equi-join key is the grid cell
+  }
 }
