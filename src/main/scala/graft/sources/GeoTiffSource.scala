@@ -11,12 +11,15 @@ import scala.jdk.CollectionConverters._
   * the public baseline TIFF 6.0 + GeoTIFF 1.1 subset that converted cube
   * rasters actually use: single- OR multi-band chunky-interleaved
   * (PlanarConfiguration 1, the default), striped OR tiled layout (tiles are
-  * the COG interior organization), Compression none (1) or Deflate (8 /
-  * 32946, via java.util.zip — no native lib), both byte orders, sample
-  * formats uint/int 8/16/32 and float 32/64, georeferenced by
-  * ModelPixelScale + ModelTiepoint. Predictors, palettes, planar (band-
-  * sequential) layout and COG overview chains are out of scope for v0
-  * (ingest converts them once, elsewhere).
+  * the COG interior organization), Compression none (1), Deflate (8 /
+  * 32946, via java.util.zip — no native lib) or LZW (5, TIFF 6.0 §13
+  * variant with early code-width change), Predictor 1 or 2 (horizontal
+  * differencing over integer samples — the int16+LZW+predictor2 combination
+  * is what SRTM-style published rasters actually ship), both byte orders,
+  * sample formats uint/int 8/16/32 and float 32/64, georeferenced by
+  * ModelPixelScale + ModelTiepoint. Palettes, planar (band-sequential)
+  * layout, float predictor 3 and COG overview chains are out of scope for
+  * v0 (ingest converts them once, elsewhere).
   *
   * Scale story mirrors [[NetcdfSource]]: one raster is executor-sized;
   * an archive distributes one file per task via [[readRasterFiles]].
@@ -41,6 +44,171 @@ object GeoTiffSource {
               scaleX: Double, scaleY: Double,
               originX: Double, originY: Double): Raster =
       Raster(width, height, IndexedSeq(data), scaleX, scaleY, originX, originY)
+  }
+
+  // ------------------------------------------------------------- LZW codec
+
+  /** TIFF-variant LZW decode (TIFF 6.0 §13): MSB-first bit packing, codes
+    * start at 9 bits, ClearCode 256 / EOI 257, dictionary from 258, and the
+    * "early change" convention — the code width grows one code earlier than
+    * generic LZW (at table size 511/1023/2047), matching what libtiff/GDAL
+    * write.
+    */
+  private[graft] def lzwDecode(in: Array[Byte], expect: Int): Array[Byte] = {
+    val out = new Array[Byte](expect)
+    var outPos = 0
+    val dict = new Array[Array[Byte]](4096)
+    var dictSize = 258
+    var width = 9
+    var bitPos = 0
+    val nBits = in.length * 8
+    def nextCode(): Int = {
+      if (bitPos + width > nBits) return 257 // truncated stream → stop
+      var v = 0
+      var got = 0
+      while (got < width) {
+        val byteI = (bitPos + got) >> 3
+        val bitI = (bitPos + got) & 7
+        val avail = 8 - bitI
+        val take = math.min(width - got, avail)
+        v = (v << take) | (((in(byteI) & 0xff) >> (avail - take)) & ((1 << take) - 1))
+        got += take
+      }
+      bitPos += width
+      v
+    }
+    var prev: Array[Byte] = null
+    var code = nextCode()
+    while (code != 257 && outPos < expect) {
+      if (code == 256) { // ClearCode
+        dictSize = 258; width = 9; prev = null
+      } else {
+        val entry: Array[Byte] =
+          if (code < 256) Array(code.toByte)
+          else if (code < dictSize && dict(code) != null) dict(code)
+          else if (prev != null) prev :+ prev(0) // KwKwK
+          else throw new IllegalArgumentException(s"bad LZW code $code")
+        val n = math.min(entry.length, expect - outPos)
+        System.arraycopy(entry, 0, out, outPos, n)
+        outPos += n
+        if (prev != null && dictSize < 4096) {
+          dict(dictSize) = prev :+ entry(0)
+          dictSize += 1
+          // early change, decoder side: the decoder's table lags the
+          // encoder's by one entry, so it widens at 2^w - 2 where the
+          // encoder widened at 2^w - 1
+          if (dictSize >= (1 << width) - 2 && width < 12) width += 1
+        }
+        prev = entry
+      }
+      code = nextCode()
+    }
+    require(outPos == expect, s"short LZW decode: $outPos of $expect")
+    out
+  }
+
+  /** TIFF-variant LZW encode — the round-trip counterpart of [[lzwDecode]],
+    * same early-change convention; emits ClearCode at stream start and
+    * whenever the table reaches 4094 (spec requirement), EOI at the end.
+    */
+  private[graft] def lzwEncode(in: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(in.length / 2 + 64)
+    var acc = 0L
+    var accBits = 0
+    var width = 9
+    def put(code: Int): Unit = {
+      acc = (acc << width) | code
+      accBits += width
+      while (accBits >= 8) { out.write(((acc >>> (accBits - 8)) & 0xff).toInt); accBits -= 8 }
+    }
+    // (prefixCode << 8 | byte) → code
+    val dict = new java.util.HashMap[Integer, Integer](8192)
+    var nextCode = 258
+    put(256)
+    var prefix = -1
+    var i = 0
+    while (i < in.length) {
+      val b = in(i) & 0xff
+      if (prefix < 0) prefix = b
+      else {
+        val key: Integer = (prefix << 8) | b
+        val hit = dict.get(key)
+        if (hit != null) prefix = hit.intValue()
+        else {
+          put(prefix)
+          if (nextCode < 4094) {
+            dict.put(key, nextCode)
+            nextCode += 1
+            if (nextCode >= (1 << width) - 1 && width < 12) width += 1
+          } else {
+            put(256) // table full → reset (in the current width)
+            dict.clear(); nextCode = 258; width = 9
+          }
+          prefix = b
+        }
+      }
+      i += 1
+    }
+    if (prefix >= 0) put(prefix)
+    put(257) // EOI
+    if (accBits > 0) out.write(((acc << (8 - accBits)) & 0xff).toInt) // pad
+    out.toByteArray
+  }
+
+  /** Undo Predictor 2 (horizontal differencing) in place: within each row of
+    * a decoded chunk, each integer sample is stored as the delta from the
+    * same band's sample one pixel left; accumulate to recover values
+    * (modular, matching the differencing wraparound).
+    */
+  private def undoPredictor(buf: Array[Byte], rowPixels: Int, rows: Int,
+                            nb: Int, bps: Int, order: ByteOrder): Unit = {
+    val bb = ByteBuffer.wrap(buf).order(order)
+    var r = 0
+    while (r < rows) {
+      val base = r * rowPixels * nb
+      var i = base + nb
+      val end = base + rowPixels * nb
+      bps match {
+        case 1 =>
+          while (i < end) { buf(i) = (buf(i) + buf(i - nb)).toByte; i += 1 }
+        case 2 =>
+          while (i < end) {
+            bb.putShort(i * 2, (bb.getShort(i * 2) + bb.getShort((i - nb) * 2)).toShort)
+            i += 1
+          }
+        case 4 =>
+          while (i < end) {
+            bb.putInt(i * 4, bb.getInt(i * 4) + bb.getInt((i - nb) * 4))
+            i += 1
+          }
+        case other =>
+          throw new IllegalArgumentException(s"predictor 2 with $other-byte samples")
+      }
+      r += 1
+    }
+  }
+
+  /** Apply Predictor 2 in place (writer side): difference each row
+    * right-to-left so the left neighbor is still the original value.
+    */
+  private def applyPredictor(buf: Array[Byte], rowPixels: Int, rows: Int,
+                             nb: Int, bps: Int, order: ByteOrder): Unit = {
+    val bb = ByteBuffer.wrap(buf).order(order)
+    var r = 0
+    while (r < rows) {
+      val base = r * rowPixels * nb
+      var i = base + rowPixels * nb - 1
+      bps match {
+        case 2 =>
+          while (i >= base + nb) {
+            bb.putShort(i * 2, (bb.getShort(i * 2) - bb.getShort((i - nb) * 2)).toShort)
+            i -= 1
+          }
+        case other =>
+          throw new IllegalArgumentException(s"writer predictor 2 supports int16 only, got $other-byte")
+      }
+      r += 1
+    }
   }
 
   // ------------------------------------------------------------- parsing
@@ -110,12 +278,19 @@ object GeoTiffSource {
       "per-band SampleFormat values differ")
     require(bits >= 8 && bits % 8 == 0,
       s"$bits-bit samples unsupported (bilevel/palette TIFFs out of scope)")
-    require(compression == 1 || compression == 8 || compression == 32946,
-      s"compression $compression unsupported (none/deflate only)")
+    require(compression == 1 || compression == 5 || compression == 8 ||
+      compression == 32946,
+      s"compression $compression unsupported (none/lzw/deflate only)")
+    val predictor = one(317, Some(1.0)).toInt
+    require(predictor == 1 || predictor == 2,
+      s"predictor $predictor unsupported (none/horizontal-differencing only)")
+    require(predictor == 1 || sampleFormat != 3,
+      "predictor 2 applies to integer samples (float predictor 3 out of scope)")
 
     val bytesPerSample = bits / 8
     def inflate(raw: Array[Byte], expect: Int): Array[Byte] =
       if (compression == 1) raw
+      else if (compression == 5) lzwDecode(raw, expect)
       else {
         val inf = new java.util.zip.Inflater()
         inf.setInput(raw)
@@ -159,6 +334,7 @@ object GeoTiffSource {
       tileOffsets.zip(tileCounts).zipWithIndex.foreach { case ((toff, tcount), t) =>
         val raw = java.util.Arrays.copyOfRange(bytes, toff.toInt, (toff + tcount).toInt)
         val tile = inflate(raw, tw * th * nBands * bytesPerSample)
+        if (predictor == 2) undoPredictor(tile, tw, th, nBands, bytesPerSample, order)
         val sb = ByteBuffer.wrap(tile).order(order)
         val (tr, tc) = (t / tilesAcross, t % tilesAcross)
         var r = 0
@@ -188,6 +364,7 @@ object GeoTiffSource {
         val raw = java.util.Arrays.copyOfRange(bytes, soff.toInt, (soff + scount).toInt)
         val nRows = math.min(rowsPerStrip, height - row0)
         val strip = inflate(raw, nRows * width * nBands * bytesPerSample)
+        if (predictor == 2) undoPredictor(strip, width, nRows, nBands, bytesPerSample, order)
         val sb = ByteBuffer.wrap(strip).order(order)
         val nSamples = strip.length / bytesPerSample
         var i = 0
@@ -257,17 +434,29 @@ object GeoTiffSource {
 
   // ------------------------------------------------------------- writing
 
-  /** Minimal writer: float64, little-endian, single- or multi-band chunky-
-    * interleaved, optionally Deflate-compressed, striped (one strip) by
-    * default or TILED when `tileSize > 0` — the COG-interior organization,
-    * with edge tiles zero-padded per the spec. The round-trip counterpart
-    * of [[parse]].
+  /** Minimal writer: little-endian, single- or multi-band chunky-
+    * interleaved, float64 (default) or int16 samples, compression none /
+    * Deflate / LZW, optional Predictor 2 (int16 only — horizontal
+    * differencing, the combination real published rasters ship), striped
+    * (one strip) by default or TILED when `tileSize > 0` — the COG-interior
+    * organization, with edge tiles zero-padded per the spec. The round-trip
+    * counterpart of [[parse]].
     */
   def write(path: String, raster: Raster, deflate: Boolean = false,
-            tileSize: Int = 0): Unit = {
+            tileSize: Int = 0, lzw: Boolean = false, bits: Int = 64,
+            predictor: Int = 1): Unit = {
     val nb = raster.bands.length
+    require(!(deflate && lzw), "choose one compression")
+    require(bits == 64 || bits == 16, s"writer supports float64/int16, got $bits-bit")
+    require(predictor == 1 || (predictor == 2 && bits == 16),
+      "predictor 2 requires int16 samples")
+    val bps = bits / 8
+    def putSample(buf: ByteBuffer, v: Double): Unit =
+      if (bits == 64) { buf.putDouble(v); () }
+      else { buf.putShort(math.rint(v).toShort); () }
     def compress(b: Array[Byte]): Array[Byte] =
-      if (!deflate) b
+      if (lzw) lzwEncode(b)
+      else if (!deflate) b
       else {
         // worst-case zlib expansion: ~5 bytes per 64 KiB stored block + 6
         val d = new java.util.zip.Deflater()
@@ -278,40 +467,46 @@ object GeoTiffSource {
         d.end()
         java.util.Arrays.copyOf(out, n)
       }
+    def encodeChunk(b: Array[Byte], rowPixels: Int, rows: Int): Array[Byte] = {
+      if (predictor == 2)
+        applyPredictor(b, rowPixels, rows, nb, bps, ByteOrder.LITTLE_ENDIAN)
+      compress(b)
+    }
     val tiled = tileSize > 0
     val chunks: IndexedSeq[Array[Byte]] =
       if (!tiled) {
-        val pix = ByteBuffer.allocate(raster.width * raster.height * nb * 8)
+        val pix = ByteBuffer.allocate(raster.width * raster.height * nb * bps)
           .order(ByteOrder.LITTLE_ENDIAN)
         var p = 0
         while (p < raster.width * raster.height) {
           var k = 0
-          while (k < nb) { pix.putDouble(raster.bands(k)(p)); k += 1 }
+          while (k < nb) { putSample(pix, raster.bands(k)(p)); k += 1 }
           p += 1
         }
-        IndexedSeq(compress(pix.array()))
+        IndexedSeq(encodeChunk(pix.array(), raster.width, raster.height))
       } else {
         val (tw, th) = (tileSize, tileSize)
         val ta = (raster.width + tw - 1) / tw
         val td = (raster.height + th - 1) / th
         for (tr <- 0 until td; tc <- 0 until ta) yield {
-          val buf = ByteBuffer.allocate(tw * th * nb * 8)
+          val buf = ByteBuffer.allocate(tw * th * nb * bps)
             .order(ByteOrder.LITTLE_ENDIAN)
           for (r <- 0 until th; c <- 0 until tw; k <- 0 until nb) {
             val (gr, gc) = (tr * th + r, tc * tw + c)
-            buf.putDouble(
+            putSample(buf,
               if (gr < raster.height && gc < raster.width)
                 raster.bands(k)(gr * raster.width + gc)
               else 0.0) // edge padding, skipped on read
           }
-          compress(buf.array())
+          encodeChunk(buf.array(), tw, th)
         }
       }
 
     // layout: header (8) | IFD | scale (24) | tiepoint (48) |
     //         [bits + format arrays when >2 bands] |
     //         [offset + count arrays when >1 chunk] | chunk data
-    val entries = (if (tiled) 12 else 11) + 1 // + SamplesPerPixel
+    val entries = (if (tiled) 12 else 11) + 1 + // + SamplesPerPixel
+      (if (predictor == 2) 1 else 0)            // + Predictor
     val ifdLen = 2 + entries * 12 + 4
     val scaleOff = 8 + ifdLen
     val tieOff = scaleOff + 3 * 8
@@ -348,22 +543,25 @@ object GeoTiffSource {
       else entry(tag, 4, n, cntArrOff)
     entry(256, 4, 1, raster.width)                       // ImageWidth (LONG:
     entry(257, 4, 1, raster.height)                      //  never truncates)
-    shortVecEntry(258, 64, bitsArrOff)                   // BitsPerSample
-    entry(259, 3, 1, if (deflate) 8 else 1)              // Compression
+    shortVecEntry(258, bits, bitsArrOff)                 // BitsPerSample
+    entry(259, 3, 1, if (lzw) 5 else if (deflate) 8 else 1) // Compression
     entry(262, 3, 1, 1)                                  // Photometric
     if (!tiled) { // entries stay tag-sorted per the spec
       offsetsEntry(273)                                  // StripOffsets
       entry(277, 3, 1, nb)                               // SamplesPerPixel
       entry(278, 4, 1, raster.height)                    // RowsPerStrip
       countsEntry(279)                                   // StripByteCounts
+      if (predictor == 2) entry(317, 3, 1, 2)            // Predictor
     } else {
       entry(277, 3, 1, nb)                               // SamplesPerPixel
+      if (predictor == 2) entry(317, 3, 1, 2)            // Predictor
       entry(322, 3, 1, tileSize)                         // TileWidth
       entry(323, 3, 1, tileSize)                         // TileLength
       offsetsEntry(324)                                  // TileOffsets
       countsEntry(325)                                   // TileByteCounts
     }
-    shortVecEntry(339, 3, fmtArrOff)                     // SampleFormat: float
+    val fmtCode = if (bits == 64) 3 else 2               // float64 / int16
+    shortVecEntry(339, fmtCode, fmtArrOff)               // SampleFormat
     entry(33550, 12, 3, scaleOff)                        // ModelPixelScale
     entry(33922, 12, 6, tieOff)                          // ModelTiepoint
     buf.putInt(0) // next-IFD terminator
@@ -371,8 +569,8 @@ object GeoTiffSource {
     buf.putDouble(0.0).putDouble(0.0).putDouble(0.0)     // raster (0,0,0) →
     buf.putDouble(raster.originX).putDouble(raster.originY).putDouble(0.0)
     if (needVec) {
-      (0 until nb).foreach(_ => buf.putShort(64.toShort)) // bits array
-      (0 until nb).foreach(_ => buf.putShort(3.toShort))  // format array
+      (0 until nb).foreach(_ => buf.putShort(bits.toShort))    // bits array
+      (0 until nb).foreach(_ => buf.putShort(fmtCode.toShort)) // format array
     }
     if (n > 1) {
       chunkOffs.foreach(o => buf.putInt(o.toInt))

@@ -127,6 +127,55 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("TIFF LZW codec round-trips, incl. table-reset-sized streams (40 cases)") {
+    import graft.sources.GeoTiffSource.{lzwDecode, lzwEncode}
+    val rnd = new scala.util.Random(31)
+    (1 to 40).foreach { t =>
+      val n = if (t <= 30) 1 + rnd.nextInt(2000)
+              else 60000 + rnd.nextInt(80000) // forces >4094 codes → ClearCode reset
+      val data = new Array[Byte](n)
+      if (t % 3 == 0) rnd.nextBytes(data) // incompressible
+      else { // runs + repeats: the LZW-favorable shape; exercises KwKwK
+        var i = 0
+        while (i < n) { data(i) = ((i / (1 + t % 7)) % (4 + t % 9)).toByte; i += 1 }
+      }
+      val enc = lzwEncode(data)
+      val dec = lzwDecode(enc, n)
+      assert(java.util.Arrays.equals(dec, data), s"case $t (n=$n) differs")
+    }
+    // empty payload
+    assert(lzwDecode(lzwEncode(Array.emptyByteArray), 0).isEmpty)
+  }
+
+  test("GeoTIFF int16+LZW+predictor2 (the published-raster combo) round-trips (20 files)") {
+    import graft.sources.GeoTiffSource
+    val rnd = new scala.util.Random(37)
+    val dir = java.nio.file.Files.createTempDirectory("graft_tif_lzw")
+    (1 to 20).foreach { t =>
+      val (h, w) = (1 + rnd.nextInt(12), 1 + rnd.nextInt(12))
+      val nb = 1 + rnd.nextInt(3)
+      // smooth-ish integer field: the case differencing actually helps
+      val bands = IndexedSeq.fill(nb)(Array.tabulate(h * w)(i =>
+        (1000 + i % 7 + rnd.nextInt(3)).toDouble))
+      val r = GeoTiffSource.Raster(w, h, bands, 0.5, 0.5, 10.0, 20.0)
+      val p = dir.resolve(s"f$t.tif").toString
+      GeoTiffSource.write(p, r, lzw = true, bits = 16,
+        predictor = if (t % 2 == 0) 2 else 1,
+        tileSize = if (t % 3 == 0) 4 else 0)
+      val back = GeoTiffSource.read(p)
+      assert(back.width == w && back.height == h && back.bands.length == nb)
+      (0 until nb).foreach { k =>
+        assert(back.bands(k).sameElements(bands(k)), s"file $t band $k differs")
+      }
+    }
+    // float64 + LZW (no predictor) also round-trips bit-for-bit
+    val data = Array.tabulate(30)(i => math.sin(i) * 1e3)
+    val p2 = dir.resolve("f64.tif").toString
+    GeoTiffSource.write(p2, GeoTiffSource.Raster(6, 5, data, 1, 1, 0, 0), lzw = true)
+    assert(GeoTiffSource.read(p2).data.zip(data).forall { case (a, b) =>
+      java.lang.Double.doubleToLongBits(a) == java.lang.Double.doubleToLongBits(b) })
+  }
+
   test("Shapefile round-trips random point layers with typed attrs (30 files)") {
     import graft.sources.ShapefileSource
     import ShapefileSource.{DbfField, ShpPoint}
