@@ -4,7 +4,7 @@ import graft.{Fixtures, GraftSession, QueryPack}
 import graft.cube.{Cube, GridMapping, TilingScheme}
 import graft.functions.{GeomFunctions, VarExpr}
 import graft.operators.{CoverageOps, ExtractOps, IvfOps, MaintenanceOps, TileOps, VolumeOps}
-import graft.sources.{ComputedLevels, CubeWriter, GeoJsonSource, GeoTiffSource, LevelStore, MemoryDataStore, NetcdfSource, ShapefileSource, ZarrSource}
+import graft.sources.{ComputedLevels, CubeWriter, GeoJsonSource, GeoTiffSource, KerchunkSource, LevelStore, MemoryDataStore, NetcdfSource, ShapefileSource, ZarrSource}
 import graft.streaming.TimeSliceOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -41,6 +41,59 @@ object ServingPack extends QueryPack {
     val arr = Array.fill(100 * 360)(Double.NaN)
     rows.foreach(r => arr(r.getInt(0) * 360 + r.getInt(1)) = r.getDouble(2))
     arr
+  }
+
+  /** Build (once per sf) the two daily-mean NetCDF granules; returns their
+    * paths. Shared by q_netcdf and q_kerchunk.
+    */
+  private def netcdfFixture(s: SparkSession, d: String): Seq[String] = {
+    import NetcdfSource.NcDim
+    val sfName = new java.io.File(d).getName
+    val base = s"/root/repo/.graft-fixtures/netcdf_$sfName"
+    val days = Seq("2024-01-01", "2024-01-02")
+    Fixtures.ensureWritten(base, "days=2,grid=360x100,mean6") {
+      new java.io.File(base).mkdirs()
+      for (day <- days) {
+        NetcdfSource.write(s"$base/$day.nc",
+          Seq(NcDim("y", 100), NcDim("x", 360)),
+          Seq(("y", Array.tabulate(100)(_ + 0.5)),
+            ("x", Array.tabulate(360)(_ + 0.5))),
+          Seq(("v", Seq("y", "x"), dailyMeanGrid(s, d, day))))
+      }
+    }
+    days.map(day => s"$base/$day.nc")
+  }
+
+  /** Build (once per sf) the 2-day Zarr group; returns the group dir.
+    * Shared by q_zarr and q_kerchunk.
+    */
+  private def zarrFixture(s: SparkSession, d: String): String = {
+    val sfName = new java.io.File(d).getName
+    val base = s"/root/repo/.graft-fixtures/zarr_$sfName"
+    val group = s"$base/cube.zarr"
+    val days = Seq("2024-01-01", "2024-01-02")
+    Fixtures.ensureWritten(base, "days=2,grid=2x100x360,chunks=1x50x90,zlib,mean6") {
+      new java.io.File(base).mkdirs()
+      val daily = CubePack.eventsCube(s, d).df
+        .filter(to_date(col("time")) === lit(days(0)).cast("date") ||
+                to_date(col("time")) === lit(days(1)).cast("date"))
+        .groupBy(to_date(col("time")).cast("string").as("day"),
+          floor(col("y")).cast("int").as("j"),
+          floor(col("x")).cast("int").as("i"))
+        .agg(round(sum(col("v").cast("decimal(28,12)")).cast("double") /
+          count(lit(1)), 6).as("v"))
+        .select(
+          when(col("day") === days(0), 0.0).otherwise(1.0).as("t"),
+          (col("j").cast("double") + 0.5).as("y"),
+          (col("i").cast("double") + 0.5).as("x"),
+          col("v"))
+      ZarrSource.writeCube(daily, group, "v",
+        Seq("t" -> Array(0.0, 1.0),
+          "y" -> Array.tabulate(100)(_ + 0.5),
+          "x" -> Array.tabulate(360)(_ + 0.5)),
+        chunks = Seq(1, 50, 90))
+    }
+    group
   }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -242,21 +295,7 @@ object ServingPack extends QueryPack {
     // checksummed per day; the coordinate variables are bound into the
     // checksum so a transposed or mis-strided decode cannot pass.
     "q_netcdf" -> ((s, d) => {
-      import NetcdfSource.NcDim
-      val sfName = new java.io.File(d).getName
-      val base = s"/root/repo/.graft-fixtures/netcdf_$sfName"
-      val days = Seq("2024-01-01", "2024-01-02")
-      Fixtures.ensureWritten(base, "days=2,grid=360x100,mean6") {
-        new java.io.File(base).mkdirs()
-        for (day <- days) {
-          NetcdfSource.write(s"$base/$day.nc",
-            Seq(NcDim("y", 100), NcDim("x", 360)),
-            Seq(("y", Array.tabulate(100)(_ + 0.5)),
-              ("x", Array.tabulate(360)(_ + 0.5))),
-            Seq(("v", Seq("y", "x"), dailyMeanGrid(s, d, day))))
-        }
-      }
-      NetcdfSource.readCubeFiles(s, days.map(day => s"$base/$day.nc"), "v")
+      NetcdfSource.readCubeFiles(s, netcdfFixture(s, d), "v")
         .withColumn("day", regexp_extract(col("file"), "([0-9-]+)\\.nc$", 1))
         .filter(!isnan(col("v")))
         .groupBy("day")
@@ -274,38 +313,52 @@ object ServingPack extends QueryPack {
     // checksum so a transposed / mis-strided / mis-chunked decode cannot
     // pass. 1×50×90 chunks → 16 chunk files across 2 days.
     "q_zarr" -> ((s, d) => {
-      val sfName = new java.io.File(d).getName
-      val base = s"/root/repo/.graft-fixtures/zarr_$sfName"
-      val group = s"$base/cube.zarr"
-      val days = Seq("2024-01-01", "2024-01-02")
-      Fixtures.ensureWritten(base, "days=2,grid=2x100x360,chunks=1x50x90,zlib,mean6") {
-        new java.io.File(base).mkdirs()
-        val daily = CubePack.eventsCube(s, d).df
-          .filter(to_date(col("time")) === lit(days(0)).cast("date") ||
-                  to_date(col("time")) === lit(days(1)).cast("date"))
-          .groupBy(to_date(col("time")).cast("string").as("day"),
-            floor(col("y")).cast("int").as("j"),
-            floor(col("x")).cast("int").as("i"))
-          .agg(round(sum(col("v").cast("decimal(28,12)")).cast("double") /
-            count(lit(1)), 6).as("v"))
-          .select(
-            when(col("day") === days(0), 0.0).otherwise(1.0).as("t"),
-            (col("j").cast("double") + 0.5).as("y"),
-            (col("i").cast("double") + 0.5).as("x"),
-            col("v"))
-        ZarrSource.writeCube(daily, group, "v",
-          Seq("t" -> Array(0.0, 1.0),
-            "y" -> Array.tabulate(100)(_ + 0.5),
-            "x" -> Array.tabulate(360)(_ + 0.5)),
-          chunks = Seq(1, 50, 90))
-      }
-      ZarrSource.readCube(s, group, "v")
+      ZarrSource.readCube(s, zarrFixture(s, d), "v")
         .filter(!isnan(col("v")))
         .groupBy(col("t").cast("long").as("day_idx"))
         .agg(count(lit(1)).as("n_cells"),
           round(sum((col("y") + col("x")).cast("decimal(28,10)")), 6)
             .cast("double").as("sum_coord"),
           round(sum(col("v").cast("decimal(28,10)")), 6).cast("double").as("sum_v"))
+    }),
+
+    // Kerchunk virtual datasets (store/fs/impl/dataset.py kerchunk route;
+    // fsspec ReferenceFileSystem spec v1): the Zarr group AND the first
+    // NetCDF granule are indexed into byte-range reference documents
+    // WITHOUT copying any payload (the NetCDF scan reads only the header),
+    // then read back THROUGH the refs — zarr chunks as whole-file refs,
+    // NetCDF variables as (offset, length) range reads into the original
+    // .nc — and checksummed against the same daily-mean oracle as the
+    // direct readers, coordinates bound in.
+    "q_kerchunk" -> ((s, d) => {
+      val group = zarrFixture(s, d)
+      val nc0 = netcdfFixture(s, d).head
+      // re-scan on every run (cheap: header + listing, no payload) — refs
+      // embed content-dependent offsets/lengths, so caching them could go
+      // stale against a rebuilt upstream fixture
+      val base = java.nio.file.Files.createTempDirectory("graft_kerchunk")
+      val zarrRefs = base.resolve("zarr.json")
+      val ncRefs = base.resolve("nc.json")
+      // LIFO deleteOnExit: dir registered first so it is deleted last
+      base.toFile.deleteOnExit()
+      zarrRefs.toFile.deleteOnExit()
+      ncRefs.toFile.deleteOnExit()
+      java.nio.file.Files.write(zarrRefs,
+        KerchunkSource.scanZarr(group).getBytes("UTF-8"))
+      java.nio.file.Files.write(ncRefs,
+        KerchunkSource.scanNetcdf(nc0).getBytes("UTF-8"))
+      def sums(df: DataFrame, src: org.apache.spark.sql.Column) = df
+        .filter(!isnan(col("v")))
+        .groupBy(src.as("src"))
+        .agg(count(lit(1)).as("n_cells"),
+          round(sum((col("y") + col("x")).cast("decimal(28,10)")), 6)
+            .cast("double").as("sum_coord"),
+          round(sum(col("v").cast("decimal(28,10)")), 6).cast("double").as("sum_v"))
+      sums(KerchunkSource.readCube(s, zarrRefs.toString, "v"),
+          concat(lit("zarr_day"), col("t").cast("long").cast("string")))
+        .unionByName(
+          sums(KerchunkSource.readCube(s, ncRefs.toString, "v"),
+            lit("nc_2024-01-01")))
     }),
 
     // GeoTIFF ingest (store/fs/impl/rasterio.py:81-330): a Deflate-
@@ -737,6 +790,25 @@ object ServingPack extends QueryPack {
                 round(sum(((j + 0.5) + (i + 0.5))::DECIMAL(28,10)), 6)::DOUBLE AS sum_coord,
                 round(sum(v::DECIMAL(28,10)), 6)::DOUBLE AS sum_v
          FROM daily GROUP BY day_idx""",
+    "q_kerchunk" ->
+      s"""WITH ${CubePack.cubeCte},
+         daily AS (SELECT CASE WHEN CAST(time AS DATE) = DATE '2024-01-01'
+                               THEN 0 ELSE 1 END AS day_idx,
+                          floor(y)::BIGINT AS j, floor(x)::BIGINT AS i,
+                          round(sum(v::DECIMAL(28,12))::DOUBLE / count(*), 6) AS v
+                   FROM cube
+                   WHERE CAST(time AS DATE) = DATE '2024-01-01'
+                      OR CAST(time AS DATE) = DATE '2024-01-02'
+                   GROUP BY day_idx, j, i)
+         SELECT 'zarr_day' || day_idx AS src, count(*) AS n_cells,
+                round(sum(((j + 0.5) + (i + 0.5))::DECIMAL(28,10)), 6)::DOUBLE AS sum_coord,
+                round(sum(v::DECIMAL(28,10)), 6)::DOUBLE AS sum_v
+         FROM daily GROUP BY src
+         UNION ALL
+         SELECT 'nc_2024-01-01' AS src, count(*) AS n_cells,
+                round(sum(((j + 0.5) + (i + 0.5))::DECIMAL(28,10)), 6)::DOUBLE AS sum_coord,
+                round(sum(v::DECIMAL(28,10)), 6)::DOUBLE AS sum_v
+         FROM daily WHERE day_idx = 0 GROUP BY src""",
     "q_netcdf" ->
       s"""WITH ${CubePack.cubeCte},
          daily AS (SELECT CAST(time AS DATE)::VARCHAR AS day,

@@ -29,8 +29,17 @@ object NetcdfSource {
     */
   final case class NcVar(name: String, ncType: Int, dimIds: Seq[Int],
                          attrs: Map[String, String], data: Array[Double])
+  /** Byte layout of one variable inside the file — enough to address its
+    * data without re-parsing: `begin` is the absolute offset of the first
+    * value; a record variable's record r starts at `begin + r * recSize`.
+    * Consumed by [[KerchunkSource.scanNetcdf]] to emit byte-range refs.
+    */
+  final case class NcVarLayout(name: String, ncType: Int, dims: Seq[NcDim],
+                               begin: Long, isRec: Boolean)
+  final case class NcLayout(numRecs: Int, recSize: Long, vars: Seq[NcVarLayout])
   final case class NcFile(dims: Seq[NcDim], attrs: Map[String, String],
-                          vars: Seq[NcVar]) {
+                          vars: Seq[NcVar],
+                          layout: Option[NcLayout] = None) {
     def varByName(n: String): NcVar = vars.find(_.name == n).getOrElse(
       throw new IllegalArgumentException(
         s"no variable '$n'; have ${vars.map(_.name).mkString(", ")}"))
@@ -164,7 +173,11 @@ object NetcdfSource {
         NcVar(vn, t, dimIds, vattrs, typedValues(t, n.toInt))
       }
     }
-    NcFile(dims, gattrs, vars)
+    val lay = NcLayout(numRecs, recSize, headers.map {
+      case (vn, t, dimIds, _, begin) =>
+        NcVarLayout(vn, t, dimIds.map(dims(_)), begin, isRec(dimIds))
+    })
+    NcFile(dims, gattrs, vars, Some(lay))
   }
 
   def read(path: String): NcFile =

@@ -79,6 +79,15 @@ object ZarrSource {
       .getOrElse(throw new IllegalArgumentException(
         s"$arrayDir: no .zarray (not a Zarr array)"))
     val zattrs = fromMeta.map(_._2).getOrElse(readJson(s"$arrayDir/.zattrs"))
+    parseArrayJson(za, zattrs, arrayDir)
+  }
+
+  /** Parse an already-loaded `.zarray` document (+ optional `.zattrs` for
+    * `_ARRAY_DIMENSIONS`) — shared with [[KerchunkSource]], whose metadata
+    * arrives inline in the reference JSON rather than as files.
+    */
+  private[sources] def parseArrayJson(za: JsonNode, zattrs: Option[JsonNode],
+                                      arrayDir: String): ZarrArray = {
     require(za.path("zarr_format").asInt == 2, s"$arrayDir: zarr_format != 2")
     require(za.path("order").asText == "C",
       s"$arrayDir: only C (row-major) order supported")
@@ -205,7 +214,7 @@ object ZarrSource {
     out
   }
 
-  private def allChunkKeys(grid: Seq[Int]): Seq[Seq[Int]] =
+  private[sources] def allChunkKeys(grid: Seq[Int]): Seq[Seq[Int]] =
     grid.foldLeft(Seq(Seq.empty[Int])) { (acc, n) =>
       acc.flatMap(p => (0 until n).map(p :+ _))
     }
@@ -213,7 +222,7 @@ object ZarrSource {
   /** Visit each in-bounds cell of chunk `key`: (flat offset within the
     * chunk, flat row-major offset within the full array).
     */
-  private def foreachCell(za: ZarrArray, key: Seq[Int])(f: (Int, Long) => Unit): Unit = {
+  private[sources] def foreachCell(za: ZarrArray, key: Seq[Int])(f: (Int, Long) => Unit): Unit = {
     val rank = za.shape.length
     val gStride = za.shape.scanRight(1L)(_ * _).tail.toArray
     val idx = new Array[Int](rank)
