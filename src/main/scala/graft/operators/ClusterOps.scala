@@ -74,10 +74,13 @@ object ClusterOps {
   private def largeStar(e: DataFrame): DataFrame = {
     val dir = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
     val m = dir.groupBy("u").agg(min(least(col("v"), col("u"))).as("m"))
+    // no distinct here: duplicates are bounded by node degree and the
+    // round's OUTPUT is deduplicated in smallStar — one less exchange per
+    // round, and the per-round exchange count is what dominates (the edge
+    // set shrinks toward one edge per node almost immediately)
     dir.join(m, "u")
       .filter(col("v") > col("u") && col("v") =!= col("m"))
       .select(col("v").as("u"), col("m").as("v"))
-      .distinct()
   }
 
   /** Small-star: every node u links its smaller-or-equal neighborhood (and
