@@ -82,4 +82,53 @@ object SampleOps {
   /** First `k` rows of the deterministic export order (top-k, not a sort). */
   def exportHead(df: DataFrame, keyCol: String, k: Int): DataFrame =
     withExportOrder(df, keyCol).orderBy(col("export_order"), col(keyCol)).limit(k)
+
+  /** Concat-and-chunk sequence packing — the step that turns a curated
+    * document set into fixed-length training sequences: documents are laid
+    * end-to-end in a deterministic pseudorandom order and the token stream
+    * is cut every `seqLen` tokens, so a document can span sequences and a
+    * sequence usually holds several documents (GPT-style packing; no
+    * padding except the tail of each shard).
+    *
+    * Sharded, not global: each row goes to `shard = keyHash % shards` and
+    * packing happens independently per shard (order within shard = key
+    * hash). One sequence never crosses shards. This is the standard scale
+    * shape — a global concat order would be a single giant sort with a
+    * serial cumulative sum, while per-shard packing is embarrassingly
+    * parallel (shards ≈ k · cores), costs one shuffle, and wastes at most
+    * one tail sequence per shard. Determinism: the layout is a pure
+    * function of the keys present — independent of cluster size, retries
+    * and input order.
+    *
+    * Emits one row per (document × sequence it lands in): the shard, the
+    * sequence index within the shard, `tok_in_seq` (how many of the doc's
+    * tokens land in that sequence) and `tok_start` (the doc token offset
+    * where that span starts). Rows with zero `tokensCol` are dropped.
+    */
+  def packSequences(df: DataFrame, keyCol: String, tokensCol: String,
+                    seqLen: Int, shards: Int): DataFrame = {
+    require(seqLen > 0, s"seqLen $seqLen")
+    require(shards > 0, s"shards $shards")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard"))
+      .orderBy(col("__h"), col(keyCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    df.withColumn("__h", keyHash(col(keyCol)))
+      .withColumn("shard", col("__h") % shards)
+      .withColumn("__toks", col(tokensCol).cast("long"))
+      .filter(col("__toks") > 0)
+      .withColumn("__end", sum(col("__toks")).over(w))
+      .withColumn("__start", col("__end") - col("__toks"))
+      // all sequence indices this doc overlaps (cumulative counts are far
+      // below 2^53, so the floor-divide is exact)
+      .withColumn("seq_in_shard",
+        explode(sequence(floor(col("__start") / seqLen).cast("long"),
+          floor((col("__end") - 1) / seqLen).cast("long"))))
+      .withColumn("tok_in_seq",
+        least(col("__end"), (col("seq_in_shard") + 1) * seqLen) -
+          greatest(col("__start"), col("seq_in_shard") * seqLen))
+      .withColumn("tok_start",
+        greatest(col("__start"), col("seq_in_shard") * seqLen) - col("__start"))
+      .drop("__h", "__toks", "__end", "__start")
+  }
 }

@@ -291,4 +291,42 @@ class PipelineOpsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(rev == cc)
   }
+
+  test("sequence packing: lossless, gapless, fixed-length, deterministic") {
+    import spark.implicits._
+    import graft.operators.SampleOps
+    val L = 100
+    val docs = (1 to 200).map(i => (i.toLong, 1 + (i * 37) % 250)).toDF("id", "toks")
+    val packed = SampleOps.packSequences(docs, "id", "toks", L, shards = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    // columns: id, toks, shard, seq_in_shard, tok_in_seq, tok_start
+    val byDoc = packed.groupBy(_._1)
+    // lossless: each doc's spans sum to its token count and tile it in order
+    val tokOf = (1 to 200).map(i => i.toLong -> (1L + (i * 37) % 250)).toMap
+    byDoc.foreach { case (id, spans) =>
+      assert(spans.map(_._4).sum == tokOf(id), s"doc $id span sum")
+      val sorted = spans.sortBy(_._5)
+      assert(sorted.head._5 == 0L, s"doc $id first span offset")
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._5 + a._4 == b._5, s"doc $id gap")
+        case _ =>
+      }
+    }
+    // fixed length: every sequence except each shard's LAST holds exactly L
+    packed.groupBy(_._2).foreach { case (shard, spans) =>
+      val perSeq = spans.groupBy(_._3).view.mapValues(_.map(_._4).sum)
+      val lastSeq = perSeq.keys.max
+      perSeq.foreach { case (seq, n) =>
+        if (seq < lastSeq) assert(n == L, s"shard $shard seq $seq holds $n")
+        else assert(n >= 1 && n <= L, s"shard $shard tail $n")
+      }
+    }
+    // deterministic: same layout regardless of input row order
+    val again = SampleOps.packSequences(
+        docs.orderBy(rand(42)), "id", "toks", L, shards = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(again.sortBy(t => (t._1, t._3)).toSeq == packed.sortBy(t => (t._1, t._3)).toSeq)
+  }
 }
