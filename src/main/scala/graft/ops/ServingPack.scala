@@ -389,6 +389,34 @@ object ServingPack extends QueryPack {
           round(sum(col("v").cast("decimal(28,10)")), 6).cast("double").as("sum_v"))
     }),
 
+    // COG overview chain (the cloud-optimized GeoTIFF organization GDAL's
+    // gdaladdo produces): the daily-mean raster written TILED with two
+    // chained ::2 overview IFDs, read back level by level, each level
+    // checksummed with its OWN georeferencing (origin fixed, scale 2^k,
+    // pixel centers at block centers) — a mis-chained, mis-decimated or
+    // mis-georeferenced overview cannot pass.
+    "q_cog_levels" -> ((s, d) => {
+      val sfName = new java.io.File(d).getName
+      val base = s"/root/repo/.graft-fixtures/cog_$sfName"
+      val path = s"$base/day1_cog.tif"
+      Fixtures.ensureWritten(base, "day=2024-01-01,grid=360x100,ov=2,tiled16,deflate,mean6") {
+        new java.io.File(base).mkdirs()
+        val grid = dailyMeanGrid(s, d, "2024-01-01")
+        val arr = Array.tabulate(100 * 360)(k =>
+          grid((99 - k / 360) * 360 + k % 360))
+        GeoTiffSource.writeWithOverviews(path,
+          GeoTiffSource.Raster(360, 100, arr, 1.0, 1.0, 0.0, 100.0),
+          nOverviews = 2, deflate = true, tileSize = 16)
+      }
+      GeoTiffSource.readRasterLevels(s, path)
+        .filter(!isnan(col("v")))
+        .groupBy(col("level"))
+        .agg(count(lit(1)).as("n_cells"),
+          round(sum(col("x").cast("decimal(28,10)")), 6).cast("double").as("sum_x"),
+          round(sum(col("y").cast("decimal(28,10)")), 6).cast("double").as("sum_y"),
+          round(sum(col("v").cast("decimal(28,10)")), 6).cast("double").as("sum_v"))
+    }),
+
     // Shapefile vector source (geodataframe.py:19-96 reads GeoJSON AND
     // Shapefile): point + polygon layers written with the minimal spec
     // writer, read back through the binary parser — WKT geometry plus
@@ -776,6 +804,33 @@ object ServingPack extends QueryPack {
                 round(sum(((j + 0.5) + (i + 0.5))::DECIMAL(28,10)), 6)::DOUBLE AS sum_coord,
                 round(sum(v::DECIMAL(28,10)), 6)::DOUBLE AS sum_v
          FROM daily GROUP BY jband""",
+    // level-k cell (r, c) holds grid cell (j = 99 - (2^k)r, i = (2^k)c) —
+    // gdaladdo-nearest: value is the block's top-left sample, coordinate is
+    // the block center (x = i + 2^(k-1), y = j + 1 - 2^(k-1))
+    "q_cog_levels" ->
+      s"""WITH ${CubePack.cubeCte},
+         daily AS (SELECT floor(y)::BIGINT AS j, floor(x)::BIGINT AS i,
+                          round(sum(v::DECIMAL(28,12))::DOUBLE / count(*), 6) AS v
+                   FROM cube
+                   WHERE CAST(time AS DATE) = DATE '2024-01-01'
+                   GROUP BY j, i)
+         SELECT 0::BIGINT AS level, count(*) AS n_cells,
+                round(sum((i + 0.5)::DECIMAL(28,10)), 6)::DOUBLE AS sum_x,
+                round(sum((j + 0.5)::DECIMAL(28,10)), 6)::DOUBLE AS sum_y,
+                round(sum(v::DECIMAL(28,10)), 6)::DOUBLE AS sum_v
+         FROM daily HAVING count(*) > 0
+         UNION ALL
+         SELECT 1, count(*),
+                round(sum((i + 1.0)::DECIMAL(28,10)), 6)::DOUBLE,
+                round(sum((j + 0.0)::DECIMAL(28,10)), 6)::DOUBLE,
+                round(sum(v::DECIMAL(28,10)), 6)::DOUBLE
+         FROM daily WHERE (99 - j) % 2 = 0 AND i % 2 = 0 HAVING count(*) > 0
+         UNION ALL
+         SELECT 2, count(*),
+                round(sum((i + 2.0)::DECIMAL(28,10)), 6)::DOUBLE,
+                round(sum((j - 1.0)::DECIMAL(28,10)), 6)::DOUBLE,
+                round(sum(v::DECIMAL(28,10)), 6)::DOUBLE
+         FROM daily WHERE (99 - j) % 4 = 0 AND i % 4 = 0 HAVING count(*) > 0""",
     "q_zarr" ->
       s"""WITH ${CubePack.cubeCte},
          daily AS (SELECT CASE WHEN CAST(time AS DATE) = DATE '2024-01-01'

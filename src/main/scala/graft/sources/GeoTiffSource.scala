@@ -17,9 +17,11 @@ import scala.jdk.CollectionConverters._
   * differencing over integer samples — the int16+LZW+predictor2 combination
   * is what SRTM-style published rasters actually ship), both byte orders,
   * sample formats uint/int 8/16/32 and float 32/64, georeferenced by
-  * ModelPixelScale + ModelTiepoint. Palettes, planar (band-sequential)
-  * layout, float predictor 3 and COG overview chains are out of scope for
-  * v0 (ingest converts them once, elsewhere).
+  * ModelPixelScale + ModelTiepoint, and COG overview chains (reduced-
+  * resolution IFDs linked by the next-IFD pointer — [[parseAll]] /
+  * [[readLevels]] read them, [[writeWithOverviews]] writes a ::2 pyramid).
+  * Palettes, planar (band-sequential) layout and float predictor 3 are out
+  * of scope for v0 (ingest converts them once, elsewhere).
   *
   * Scale story mirrors [[NetcdfSource]]: one raster is executor-sized;
   * an archive distributes one file per task via [[readRasterFiles]].
@@ -221,7 +223,13 @@ object GeoTiffSource {
     case other => throw new IllegalArgumentException(s"TIFF field type $other")
   }
 
-  def parse(bytes: Array[Byte]): Raster = {
+  def parse(bytes: Array[Byte]): Raster = parseAll(bytes).head
+
+  /** Every IFD in the file's chain: the full-resolution image first, then
+    * any reduced-resolution overviews — the COG overview organization
+    * (each overview is a complete IFD linked by the next-IFD pointer).
+    */
+  def parseAll(bytes: Array[Byte]): Seq[Raster] = {
     val head = ByteBuffer.wrap(bytes)
     val order = (head.get(0), head.get(1)) match {
       case ('I', 'I') => ByteOrder.LITTLE_ENDIAN
@@ -230,7 +238,22 @@ object GeoTiffSource {
     }
     val b = ByteBuffer.wrap(bytes).order(order)
     require(b.getShort(2) == 42, "not a TIFF (bad magic)")
-    val ifdOff = b.getInt(4)
+    var off = b.getInt(4)
+    val out = Seq.newBuilder[Raster]
+    var n = 0
+    while (off != 0) {
+      require(n < 64, "IFD chain longer than 64 (cyclic next-IFD pointer?)")
+      val (r, next) = parseIfd(bytes, b, order, off)
+      out += r
+      off = next
+      n += 1
+    }
+    out.result()
+  }
+
+  /** One IFD → (its raster, absolute offset of the next IFD or 0). */
+  private def parseIfd(bytes: Array[Byte], b: ByteBuffer, order: ByteOrder,
+                       ifdOff: Int): (Raster, Int) = {
     val nEntries = b.getShort(ifdOff).toInt & 0xffff
     // tag → (type, values as doubles)
     val tags = (0 until nEntries).map { e =>
@@ -382,11 +405,36 @@ object GeoTiffSource {
     // normalize to the world coords of raster origin (0, 0)
     val originX = tie(3) - tie(0) * scale(0)
     val originY = tie(4) + tie(1) * scale(1)
-    Raster(width, height, bands, scale(0), scale(1), originX, originY)
+    (Raster(width, height, bands, scale(0), scale(1), originX, originY),
+      b.getInt(ifdOff + 2 + nEntries * 12))
   }
 
   def read(path: String): Raster =
     parse(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)))
+
+  /** All pyramid levels (the main image, then each overview in chain
+    * order) — the COG counterpart of [[LevelStore]]'s `.levels` table.
+    */
+  def readLevels(path: String): Seq[Raster] =
+    parseAll(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)))
+
+  /** Long-format rows for every level of an overview chain:
+    * (level, col, row, x, y, v | band_1..band_N). Each level's x/y come
+    * from its OWN georeferencing (scale doubles per level), so a level-k
+    * pixel lands at its 2^k-block center.
+    */
+  def readRasterLevels(spark: SparkSession, path: String): DataFrame = {
+    val levels = readLevels(path)
+    val n = levels.head.bands.length
+    val schema = StructType(
+      StructField("level", LongType) +: rasterSchema(n).fields)
+    val rows = levels.zipWithIndex.flatMap { case (r, li) =>
+      require(r.bands.length == n,
+        s"$path level $li: ${r.bands.length} bands, main image has $n")
+      rasterRows(r).map(row => Row.fromSeq(li.toLong +: row))
+    }
+    spark.createDataFrame(rows.asJava, schema)
+  }
 
   /** Value columns: `v` for a single band (the original contract),
     * `band_1..band_N` for multi-band (the reference's rasterio naming).
@@ -444,12 +492,56 @@ object GeoTiffSource {
     */
   def write(path: String, raster: Raster, deflate: Boolean = false,
             tileSize: Int = 0, lzw: Boolean = false, bits: Int = 64,
-            predictor: Int = 1): Unit = {
-    val nb = raster.bands.length
+            predictor: Int = 1): Unit =
+    writeLevels(path, IndexedSeq(raster), deflate, tileSize, lzw, bits, predictor)
+
+  /** [[write]] plus a chained ::2 overview pyramid — the COG overview
+    * organization: `nOverviews` reduced-resolution IFDs follow the main
+    * image, each flagged NewSubfileType=1 and linked by the next-IFD
+    * pointer. Decimation is every-second-pixel ([[decimate2]]); read the
+    * chain back with [[readLevels]]/[[parseAll]].
+    */
+  def writeWithOverviews(path: String, raster: Raster, nOverviews: Int,
+                         deflate: Boolean = false, tileSize: Int = 0,
+                         lzw: Boolean = false, bits: Int = 64,
+                         predictor: Int = 1): Unit = {
+    require(nOverviews >= 0, s"nOverviews $nOverviews")
+    val levels = IndexedSeq.iterate(raster, nOverviews + 1)(decimate2)
+    require(levels.last.width >= 1 && levels.last.height >= 1,
+      s"$nOverviews overviews collapse a ${raster.width}x${raster.height} raster")
+    writeLevels(path, levels, deflate, tileSize, lzw, bits, predictor)
+  }
+
+  /** Every-second-pixel (::2) overview — the reference's compute_levels
+    * decimation, georeferenced like `gdaladdo -r nearest`: the value is
+    * each 2x2 block's top-left sample while the pixel grid halves its
+    * resolution (origin fixed, scale doubled, centers at block centers).
+    */
+  private[graft] def decimate2(r: Raster): Raster = {
+    val w2 = (r.width + 1) / 2
+    val h2 = (r.height + 1) / 2
+    Raster(w2, h2,
+      r.bands.map(b0 => Array.tabulate(h2 * w2)(i =>
+        b0((i / w2) * 2 * r.width + (i % w2) * 2))),
+      r.scaleX * 2, r.scaleY * 2, r.originX, r.originY)
+  }
+
+  /** Shared multi-IFD writer: one self-contained segment per level
+    * `[IFD | scale | tiepoint | arrays | chunk data]` with ABSOLUTE file
+    * offsets throughout, chained by patching each segment's next-IFD
+    * pointer to the following segment's base.
+    */
+  private def writeLevels(path: String, levels: IndexedSeq[Raster],
+                          deflate: Boolean, tileSize: Int, lzw: Boolean,
+                          bits: Int, predictor: Int): Unit = {
+    require(levels.nonEmpty, "no levels")
+    require(levels.map(_.bands.length).distinct.size == 1,
+      "levels must share a band count")
     require(!(deflate && lzw), "choose one compression")
     require(bits == 64 || bits == 16, s"writer supports float64/int16, got $bits-bit")
     require(predictor == 1 || (predictor == 2 && bits == 16),
       "predictor 2 requires int16 samples")
+    val nb = levels.head.bands.length
     val bps = bits / 8
     def putSample(buf: ByteBuffer, v: Double): Unit =
       if (bits == 64) { buf.putDouble(v); () }
@@ -473,111 +565,138 @@ object GeoTiffSource {
       compress(b)
     }
     val tiled = tileSize > 0
-    val chunks: IndexedSeq[Array[Byte]] =
-      if (!tiled) {
-        val pix = ByteBuffer.allocate(raster.width * raster.height * nb * bps)
-          .order(ByteOrder.LITTLE_ENDIAN)
-        var p = 0
-        while (p < raster.width * raster.height) {
-          var k = 0
-          while (k < nb) { putSample(pix, raster.bands(k)(p)); k += 1 }
-          p += 1
-        }
-        IndexedSeq(encodeChunk(pix.array(), raster.width, raster.height))
-      } else {
-        val (tw, th) = (tileSize, tileSize)
-        val ta = (raster.width + tw - 1) / tw
-        val td = (raster.height + th - 1) / th
-        for (tr <- 0 until td; tc <- 0 until ta) yield {
-          val buf = ByteBuffer.allocate(tw * th * nb * bps)
-            .order(ByteOrder.LITTLE_ENDIAN)
-          for (r <- 0 until th; c <- 0 until tw; k <- 0 until nb) {
-            val (gr, gc) = (tr * th + r, tc * tw + c)
-            putSample(buf,
-              if (gr < raster.height && gc < raster.width)
-                raster.bands(k)(gr * raster.width + gc)
-              else 0.0) // edge padding, skipped on read
-          }
-          encodeChunk(buf.array(), tw, th)
-        }
-      }
 
-    // layout: header (8) | IFD | scale (24) | tiepoint (48) |
-    //         [bits + format arrays when >2 bands] |
-    //         [offset + count arrays when >1 chunk] | chunk data
-    val entries = (if (tiled) 12 else 11) + 1 + // + SamplesPerPixel
-      (if (predictor == 2) 1 else 0)            // + Predictor
-    val ifdLen = 2 + entries * 12 + 4
-    val scaleOff = 8 + ifdLen
-    val tieOff = scaleOff + 3 * 8
-    val n = chunks.length
-    val needVec = nb > 2 // SHORT×nb no longer fits the 4 inline bytes
-    val bitsArrOff = tieOff + 6 * 8
-    val fmtArrOff = bitsArrOff + (if (needVec) 2 * nb else 0)
-    val offArrOff = fmtArrOff + (if (needVec) 2 * nb else 0)
-    val cntArrOff = offArrOff + (if (n > 1) 4 * n else 0)
-    val dataOff0 = cntArrOff + (if (n > 1) 4 * n else 0)
-    val chunkOffs = chunks.scanLeft(dataOff0)(_ + _.length).init
-    val buf = ByteBuffer.allocate(dataOff0 + chunks.map(_.length).sum)
-      .order(ByteOrder.LITTLE_ENDIAN)
-    buf.put('I'.toByte).put('I'.toByte).putShort(42).putInt(8)
-    buf.putShort(entries.toShort)
-    def entry(tag: Int, typ: Int, count: Int, value: Long): Unit = {
-      buf.putShort(tag.toShort); buf.putShort(typ.toShort); buf.putInt(count)
-      if (typ == 3 && count == 1) { buf.putShort(value.toShort); buf.putShort(0) }
-      else buf.putInt(value.toInt)
+    /** One level's segment at absolute file offset `base`; returns the
+      * segment bytes and the segment-relative position of its next-IFD
+      * pointer (patched by the caller to chain overviews).
+      */
+    def segment(raster: Raster, base: Int, overview: Boolean): (Array[Byte], Int) = {
+      val chunks: IndexedSeq[Array[Byte]] =
+        if (!tiled) {
+          val pix = ByteBuffer.allocate(raster.width * raster.height * nb * bps)
+            .order(ByteOrder.LITTLE_ENDIAN)
+          var p = 0
+          while (p < raster.width * raster.height) {
+            var k = 0
+            while (k < nb) { putSample(pix, raster.bands(k)(p)); k += 1 }
+            p += 1
+          }
+          IndexedSeq(encodeChunk(pix.array(), raster.width, raster.height))
+        } else {
+          val (tw, th) = (tileSize, tileSize)
+          val ta = (raster.width + tw - 1) / tw
+          val td = (raster.height + th - 1) / th
+          for (tr <- 0 until td; tc <- 0 until ta) yield {
+            val buf = ByteBuffer.allocate(tw * th * nb * bps)
+              .order(ByteOrder.LITTLE_ENDIAN)
+            for (r <- 0 until th; c <- 0 until tw; k <- 0 until nb) {
+              val (gr, gc) = (tr * th + r, tc * tw + c)
+              putSample(buf,
+                if (gr < raster.height && gc < raster.width)
+                  raster.bands(k)(gr * raster.width + gc)
+                else 0.0) // edge padding, skipped on read
+            }
+            encodeChunk(buf.array(), tw, th)
+          }
+        }
+
+      // segment layout: IFD | scale (24) | tiepoint (48) |
+      //                 [bits + format arrays when >2 bands] |
+      //                 [offset + count arrays when >1 chunk] | chunk data
+      val entries = (if (tiled) 12 else 11) + 1 + // + SamplesPerPixel
+        (if (predictor == 2) 1 else 0) +          // + Predictor
+        (if (overview) 1 else 0)                  // + NewSubfileType
+      val ifdLen = 2 + entries * 12 + 4
+      val scaleOff = base + ifdLen
+      val tieOff = scaleOff + 3 * 8
+      val n = chunks.length
+      val needVec = nb > 2 // SHORT×nb no longer fits the 4 inline bytes
+      val bitsArrOff = tieOff + 6 * 8
+      val fmtArrOff = bitsArrOff + (if (needVec) 2 * nb else 0)
+      val offArrOff = fmtArrOff + (if (needVec) 2 * nb else 0)
+      val cntArrOff = offArrOff + (if (n > 1) 4 * n else 0)
+      val dataOff0 = cntArrOff + (if (n > 1) 4 * n else 0)
+      val chunkOffs = chunks.scanLeft(dataOff0)(_ + _.length).init
+      val buf = ByteBuffer.allocate(dataOff0 - base + chunks.map(_.length).sum)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      buf.putShort(entries.toShort)
+      def entry(tag: Int, typ: Int, count: Int, value: Long): Unit = {
+        buf.putShort(tag.toShort); buf.putShort(typ.toShort); buf.putInt(count)
+        if (typ == 3 && count == 1) { buf.putShort(value.toShort); buf.putShort(0) }
+        else buf.putInt(value.toInt)
+      }
+      // per-band SHORT vector: inline up to 2 values, external array beyond
+      def shortVecEntry(tag: Int, value: Int, arrOff: Int): Unit =
+        if (nb == 1) entry(tag, 3, 1, value)
+        else if (nb == 2) {
+          buf.putShort(tag.toShort); buf.putShort(3.toShort); buf.putInt(2)
+          buf.putShort(value.toShort); buf.putShort(value.toShort)
+        } else entry(tag, 3, nb, arrOff)
+      // chunk-table fields are inline when a single chunk fits the 4 bytes
+      def offsetsEntry(tag: Int): Unit =
+        if (n == 1) entry(tag, 4, 1, chunkOffs.head)
+        else entry(tag, 4, n, offArrOff)
+      def countsEntry(tag: Int): Unit =
+        if (n == 1) entry(tag, 4, 1, chunks.head.length)
+        else entry(tag, 4, n, cntArrOff)
+      if (overview) entry(254, 4, 1, 1)                    // NewSubfileType:
+      entry(256, 4, 1, raster.width)                       //  reduced-res
+      entry(257, 4, 1, raster.height)                      // W/H (LONG)
+      shortVecEntry(258, bits, bitsArrOff)                 // BitsPerSample
+      entry(259, 3, 1, if (lzw) 5 else if (deflate) 8 else 1) // Compression
+      entry(262, 3, 1, 1)                                  // Photometric
+      if (!tiled) { // entries stay tag-sorted per the spec
+        offsetsEntry(273)                                  // StripOffsets
+        entry(277, 3, 1, nb)                               // SamplesPerPixel
+        entry(278, 4, 1, raster.height)                    // RowsPerStrip
+        countsEntry(279)                                   // StripByteCounts
+        if (predictor == 2) entry(317, 3, 1, 2)            // Predictor
+      } else {
+        entry(277, 3, 1, nb)                               // SamplesPerPixel
+        if (predictor == 2) entry(317, 3, 1, 2)            // Predictor
+        entry(322, 3, 1, tileSize)                         // TileWidth
+        entry(323, 3, 1, tileSize)                         // TileLength
+        offsetsEntry(324)                                  // TileOffsets
+        countsEntry(325)                                   // TileByteCounts
+      }
+      val fmtCode = if (bits == 64) 3 else 2               // float64 / int16
+      shortVecEntry(339, fmtCode, fmtArrOff)               // SampleFormat
+      entry(33550, 12, 3, scaleOff)                        // ModelPixelScale
+      entry(33922, 12, 6, tieOff)                          // ModelTiepoint
+      val nextPtrPos = buf.position()
+      buf.putInt(0) // next-IFD pointer (0 = end; patched when chaining)
+      buf.putDouble(raster.scaleX).putDouble(raster.scaleY).putDouble(0.0)
+      buf.putDouble(0.0).putDouble(0.0).putDouble(0.0)     // raster (0,0,0) →
+      buf.putDouble(raster.originX).putDouble(raster.originY).putDouble(0.0)
+      if (needVec) {
+        (0 until nb).foreach(_ => buf.putShort(bits.toShort))    // bits array
+        (0 until nb).foreach(_ => buf.putShort(fmtCode.toShort)) // format array
+      }
+      if (n > 1) {
+        chunkOffs.foreach(o => buf.putInt(o.toInt))
+        chunks.foreach(c => buf.putInt(c.length))
+      }
+      chunks.foreach(buf.put)
+      (buf.array(), nextPtrPos)
     }
-    // per-band SHORT vector: inline up to 2 values, external array beyond
-    def shortVecEntry(tag: Int, value: Int, arrOff: Int): Unit =
-      if (nb == 1) entry(tag, 3, 1, value)
-      else if (nb == 2) {
-        buf.putShort(tag.toShort); buf.putShort(3.toShort); buf.putInt(2)
-        buf.putShort(value.toShort); buf.putShort(value.toShort)
-      } else entry(tag, 3, nb, arrOff)
-    // chunk-table fields are inline when a single chunk fits the 4 bytes
-    def offsetsEntry(tag: Int): Unit =
-      if (n == 1) entry(tag, 4, 1, chunkOffs.head)
-      else entry(tag, 4, n, offArrOff)
-    def countsEntry(tag: Int): Unit =
-      if (n == 1) entry(tag, 4, 1, chunks.head.length)
-      else entry(tag, 4, n, cntArrOff)
-    entry(256, 4, 1, raster.width)                       // ImageWidth (LONG:
-    entry(257, 4, 1, raster.height)                      //  never truncates)
-    shortVecEntry(258, bits, bitsArrOff)                 // BitsPerSample
-    entry(259, 3, 1, if (lzw) 5 else if (deflate) 8 else 1) // Compression
-    entry(262, 3, 1, 1)                                  // Photometric
-    if (!tiled) { // entries stay tag-sorted per the spec
-      offsetsEntry(273)                                  // StripOffsets
-      entry(277, 3, 1, nb)                               // SamplesPerPixel
-      entry(278, 4, 1, raster.height)                    // RowsPerStrip
-      countsEntry(279)                                   // StripByteCounts
-      if (predictor == 2) entry(317, 3, 1, 2)            // Predictor
-    } else {
-      entry(277, 3, 1, nb)                               // SamplesPerPixel
-      if (predictor == 2) entry(317, 3, 1, 2)            // Predictor
-      entry(322, 3, 1, tileSize)                         // TileWidth
-      entry(323, 3, 1, tileSize)                         // TileLength
-      offsetsEntry(324)                                  // TileOffsets
-      countsEntry(325)                                   // TileByteCounts
+
+    var base = 8
+    val segs = levels.zipWithIndex.map { case (r, li) =>
+      val (seg, ptrPos) = segment(r, base, li > 0)
+      base += seg.length
+      (seg, ptrPos, base) // `base` is now the NEXT segment's start
     }
-    val fmtCode = if (bits == 64) 3 else 2               // float64 / int16
-    shortVecEntry(339, fmtCode, fmtArrOff)               // SampleFormat
-    entry(33550, 12, 3, scaleOff)                        // ModelPixelScale
-    entry(33922, 12, 6, tieOff)                          // ModelTiepoint
-    buf.putInt(0) // next-IFD terminator
-    buf.putDouble(raster.scaleX).putDouble(raster.scaleY).putDouble(0.0)
-    buf.putDouble(0.0).putDouble(0.0).putDouble(0.0)     // raster (0,0,0) →
-    buf.putDouble(raster.originX).putDouble(raster.originY).putDouble(0.0)
-    if (needVec) {
-      (0 until nb).foreach(_ => buf.putShort(bits.toShort))    // bits array
-      (0 until nb).foreach(_ => buf.putShort(fmtCode.toShort)) // format array
+    segs.sliding(2).foreach {
+      case Seq((seg, ptrPos, nextBase), _) =>
+        ByteBuffer.wrap(seg).order(ByteOrder.LITTLE_ENDIAN)
+          .putInt(ptrPos, nextBase)
+        ()
+      case _ =>
     }
-    if (n > 1) {
-      chunkOffs.foreach(o => buf.putInt(o.toInt))
-      chunks.foreach(c => buf.putInt(c.length))
-    }
-    chunks.foreach(buf.put)
-    java.nio.file.Files.write(java.nio.file.Paths.get(path), buf.array())
+    val out = ByteBuffer.allocate(base).order(ByteOrder.LITTLE_ENDIAN)
+    out.put('I'.toByte).put('I'.toByte).putShort(42).putInt(8)
+    segs.foreach { case (seg, _, _) => out.put(seg) }
+    java.nio.file.Files.write(java.nio.file.Paths.get(path), out.array())
     ()
   }
 }

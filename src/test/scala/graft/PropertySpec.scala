@@ -176,6 +176,41 @@ class PropertySpec extends AnyFunSuite {
       java.lang.Double.doubleToLongBits(a) == java.lang.Double.doubleToLongBits(b) })
   }
 
+  test("COG overview chains round-trip: levels, values, georef (15 files)") {
+    import graft.sources.GeoTiffSource
+    import GeoTiffSource.Raster
+    val rnd = new scala.util.Random(41)
+    val dir = java.nio.file.Files.createTempDirectory("graft_cog")
+    (1 to 15).foreach { t =>
+      val (h, w) = (2 + rnd.nextInt(30), 2 + rnd.nextInt(30))
+      val nb = 1 + rnd.nextInt(3)
+      val nOv = 1 + rnd.nextInt(3)
+      val bands = IndexedSeq.fill(nb)(Array.fill(h * w)(rnd.nextDouble() * 100))
+      val r0 = Raster(w, h, bands, 0.25, 0.5, -10.0, 40.0)
+      val p = dir.resolve(s"cog$t.tif").toString
+      GeoTiffSource.writeWithOverviews(p, r0, nOv,
+        deflate = t % 3 == 0, lzw = t % 3 == 1,
+        tileSize = if (t % 2 == 0) 8 else 0)
+      val levels = GeoTiffSource.readLevels(p)
+      assert(levels.length == nOv + 1, s"file $t level count")
+      // level k must equal k applications of ::2 decimation, bit for bit,
+      // with origin fixed and scale doubled per level
+      var expect = r0
+      levels.zipWithIndex.foreach { case (lv, k) =>
+        assert(lv.width == expect.width && lv.height == expect.height,
+          s"file $t level $k dims")
+        assert(lv.scaleX == 0.25 * (1 << k) && lv.scaleY == 0.5 * (1 << k),
+          s"file $t level $k scale")
+        assert(lv.originX == -10.0 && lv.originY == 40.0, s"file $t level $k origin")
+        (0 until nb).foreach(b =>
+          assert(lv.bands(b).sameElements(expect.bands(b)), s"file $t level $k band $b"))
+        expect = GeoTiffSource.decimate2(expect)
+      }
+      // plain read still returns the full-resolution image
+      assert(GeoTiffSource.read(p).width == w)
+    }
+  }
+
   test("Shapefile round-trips random point layers with typed attrs (30 files)") {
     import graft.sources.ShapefileSource
     import ShapefileSource.{DbfField, ShpPoint}
