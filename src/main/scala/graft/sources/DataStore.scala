@@ -24,6 +24,9 @@ object DataStore {
     val p = path.toLowerCase
     if (p.endsWith(".parquet")) "parquet"
     else if (p.endsWith(".csv")) "csv"
+    // fsspec reference documents by naming convention (a bare .json stays
+    // a Spark JSON dataset — the two cannot be told apart by extension)
+    else if (p.endsWith(".refs.json")) "kerchunk"
     else if (p.endsWith(".json") || p.endsWith(".geojson")) "json"
     else if (p.endsWith(".orc")) "orc"
     else if (p.endsWith(".nc")) "netcdf"
@@ -54,6 +57,12 @@ object DataStore {
           .find(v => ZarrSource.openArray(s"$path/$v").dims != Seq(v))
           .getOrElse(throw new IllegalArgumentException(s"$path: no data variable"))
         ZarrSource.readCube(spark, path, dataVar)
+      case "kerchunk" =>
+        val refs = KerchunkSource.parse(path)
+        val dataVar = KerchunkSource.listArrays(refs)
+          .find(v => KerchunkSource.openArray(refs, v).dims != Seq(v))
+          .getOrElse(throw new IllegalArgumentException(s"$path: no data variable"))
+        KerchunkSource.readCube(spark, path, dataVar)
       case fmt =>
         val r = spark.read.format(fmt)
         (if (fmt == "csv") r.option("header", "true").option("inferSchema", "true")
@@ -67,8 +76,9 @@ object DataStore {
     */
   def writeDataset(df: DataFrame, path: String, mode: String = "overwrite"): Unit = {
     val fmt = formatFor(path)
-    require(!Set("netcdf", "geotiff", "shapefile", "zarr").contains(fmt),
-      s"use the typed writer for $fmt (Netcdf/GeoTiff/Shapefile/Zarr Source.write)")
+    require(!Set("netcdf", "geotiff", "shapefile", "zarr", "kerchunk").contains(fmt),
+      s"use the typed writer for $fmt (Netcdf/GeoTiff/Shapefile/Zarr Source" +
+        ".write; kerchunk refs come from KerchunkSource.scanZarr/scanNetcdf)")
     val w = df.write.format(fmt).mode(mode)
     (if (fmt == "csv") w.option("header", "true") else w).save(path)
   }

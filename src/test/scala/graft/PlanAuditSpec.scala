@@ -149,4 +149,27 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
     assert(p.contains("__bucket"), p) // the equi-join key is the grid cell
   }
+
+  test("q_seq_pack: per-shard window, no global sort, no join") {
+    val p = plan("q_seq_pack")
+    assert(p.contains("Window"), p)
+    // the sort under the window is hash-partitioned by shard, never a
+    // range-partitioned global sort
+    assert(!p.contains("Exchange rangepartitioning"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q_lm_coverage: the LM is bounded (TakeOrdered) and broadcast for scoring") {
+    val p = plan("q_lm_coverage")
+    assert(p.contains("TakeOrderedAndProject"), p) // top-V vocabulary prune
+    assert(p.contains("BroadcastHashJoin"), p)     // model joins broadcast-side
+    assert(!p.contains("Exchange rangepartitioning"), p)
+  }
+
+  test("q_lm_coverage / q_seq_pack: no UDFs anywhere") {
+    Seq("q_lm_coverage", "q_seq_pack").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("UDF") && !p.contains("BatchEvalPython"), s"$q:\n$p")
+    }
+  }
 }

@@ -181,6 +181,24 @@ class ZarrSourceSpec extends AnyFunSuite {
     assert(r1.isArray && r1.get(1).asLong > 0 && r1.get(2).asLong == 4 * 8)
   }
 
+  test("kerchunk: .refs.json routes through the store's format inference") {
+    import spark.implicits._
+    import graft.sources.{DataStore, KerchunkSource}
+    val ys = Array(1.0, 2.0)
+    val xs = Array(10.0, 20.0)
+    val rows = for { y <- ys.toSeq; x <- xs } yield (y, x, y * 100 + x)
+    val g = s"${tmpDir("kcs")}/c.zarr"
+    ZarrSource.writeCube(rows.toDF("y", "x", "v"), g, "v",
+      Seq("y" -> ys, "x" -> xs), chunks = Seq(2, 2))
+    val refsPath = s"${tmpDir("kcs2")}/c.refs.json"
+    Files.writeString(Paths.get(refsPath), KerchunkSource.scanZarr(g))
+    assert(DataStore.formatFor(refsPath) == "kerchunk")
+    val df = DataStore.openDataset(spark, refsPath)
+    assert(df.columns.toSeq == Seq("y", "x", "v"))
+    assert(df.collect().map(r => (r.getDouble(0), r.getDouble(1)) -> r.getDouble(2))
+      .toMap == rows.map { case (y, x, v) => (y, x) -> v }.toMap)
+  }
+
   test("kerchunk: inline base64 chunks, bare [url] refs, missing key = fill") {
     import graft.sources.KerchunkSource
     val dir = tmpDir("kci")
