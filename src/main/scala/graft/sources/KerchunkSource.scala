@@ -232,11 +232,18 @@ object KerchunkSource {
       inlineFile(s"$name/.zarray", new java.io.File(ad, ".zarray"))
       Option(new java.io.File(ad, ".zattrs")).filter(_.exists())
         .foreach(inlineFile(s"$name/.zattrs", _))
-      Option(ad.listFiles()).getOrElse(Array.empty)
-        .filter(f => f.isFile && f.getName.matches("[0-9]+([./][0-9]+)*"))
-        .sortBy(_.getName)
-        .foreach { f =>
-          out(s"$name/${f.getName}") =
+      // chunk files: dotted names at the top level ("0.1"), or nested
+      // directories when the store uses the "/" dimension_separator
+      // ("0/1") — walk recursively so neither layout is silently missed
+      def walk(f: java.io.File, rel: String): Seq[(String, java.io.File)] =
+        if (f.isFile) Seq(rel -> f)
+        else Option(f.listFiles()).getOrElse(Array.empty).toSeq
+          .flatMap(c => walk(c, if (rel.isEmpty) c.getName else s"$rel/${c.getName}"))
+      walk(ad, "")
+        .filter { case (rel, _) => rel.matches("[0-9]+([./][0-9]+)*") }
+        .sortBy(_._1)
+        .foreach { case (rel, f) =>
+          out(s"$name/$rel") =
             s"""[${jstr(f.toURI.toString)}, 0, ${f.length}]"""
         }
     }

@@ -24,7 +24,11 @@ object ScaleSoak {
     "q1_agg", "q_select_vars", "q_subsample", "q_resample_8d",
     "q_timeseries_geom", "q_tile_gather", "q_fingerprint", "q_simhash_bands",
     "q_dedup_near", "q_curation", "q_knn_cosine", "q_ann_bucket",
-    "q_embed_near_dup", "q_skew_join", "q_repetition", "q_pii_scrub")
+    "q_embed_near_dup", "q_skew_join", "q_repetition", "q_pii_scrub",
+    // round-6 additions: cluster resolution (edges replicate per salted
+    // copy), decontamination (bench set grows linearly, stays broadcast),
+    // packing (per-shard window) and the LM coverage filter (bounded model)
+    "q_dedup_clusters", "q_decontaminate", "q_seq_pack", "q_lm_coverage")
 
   /** Allowed growth multiple of `factor` before a query is flagged. The
     * salted documents are ~2× longer than the originals (a salt token in

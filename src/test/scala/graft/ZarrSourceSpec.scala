@@ -181,6 +181,28 @@ class ZarrSourceSpec extends AnyFunSuite {
     assert(r1.isArray && r1.get(1).asLong > 0 && r1.get(2).asLong == 4 * 8)
   }
 
+  test("kerchunk: scanZarr indexes nested '/'-separated chunk directories") {
+    import graft.sources.KerchunkSource
+    val g = s"${tmpDir("kcsep")}/s.zarr"
+    new java.io.File(s"$g/a/0").mkdirs()
+    Files.writeString(Paths.get(s"$g/.zgroup"), """{"zarr_format": 2}""")
+    Files.writeString(Paths.get(s"$g/a/.zarray"),
+      """{"zarr_format": 2, "dtype": ">f4", "shape": [2, 2], "chunks": [2, 1],
+        | "fill_value": 0, "compressor": null, "filters": null, "order": "C",
+        | "dimension_separator": "/"}""".stripMargin)
+    val b = ByteBuffer.allocate(8).order(ByteOrder.BIG_ENDIAN)
+    b.putFloat(1.5f); b.putFloat(3.5f)
+    Files.write(Paths.get(s"$g/a/0/0"), b.array()) // column 0; 0/1 missing
+    val refsJson = KerchunkSource.scanZarr(g)
+    assert(refsJson.contains("\"a/0/0\""), "nested chunk key missing:\n" + refsJson)
+    val refsPath = s"${tmpDir("kcsep2")}/s.refs.json"
+    Files.writeString(Paths.get(refsPath), refsJson)
+    val back = KerchunkSource.readCube(spark, refsPath, "a").collect()
+      .map(r => (r.getDouble(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    assert(back == Map((0.0, 0.0) -> 1.5, (1.0, 0.0) -> 3.5,
+      (0.0, 1.0) -> 0.0, (1.0, 1.0) -> 0.0))
+  }
+
   test("kerchunk: .refs.json routes through the store's format inference") {
     import spark.implicits._
     import graft.sources.{DataStore, KerchunkSource}
