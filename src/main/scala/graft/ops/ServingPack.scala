@@ -361,6 +361,29 @@ object ServingPack extends QueryPack {
             lit("nc_2024-01-01")))
     }),
 
+    // MultiZarrToZarr-style combine (the kerchunk archive workflow): BOTH
+    // daily NetCDF granules are scanned and merged into ONE virtual 3-D
+    // dataset with a new leading `t` dimension — no payload byte is read
+    // or copied, the per-day grids become chunks t=0/t=1 of one cube —
+    // then read back through the combined refs and checksummed per day.
+    "q_kerchunk_combine" -> ((s, d) => {
+      val ncs = netcdfFixture(s, d)
+      val combined = KerchunkSource.combineRefs(
+        ncs.map(KerchunkSource.scanNetcdf), "t", Array(0.0, 1.0))
+      val base = java.nio.file.Files.createTempDirectory("graft_kc_comb")
+      val refsPath = base.resolve("combined.refs.json")
+      base.toFile.deleteOnExit()
+      refsPath.toFile.deleteOnExit()
+      java.nio.file.Files.write(refsPath, combined.getBytes("UTF-8"))
+      KerchunkSource.readCube(s, refsPath.toString, "v")
+        .filter(!isnan(col("v")))
+        .groupBy(col("t").cast("long").as("day_idx"))
+        .agg(count(lit(1)).as("n_cells"),
+          round(sum((col("y") + col("x")).cast("decimal(28,10)")), 6)
+            .cast("double").as("sum_coord"),
+          round(sum(col("v").cast("decimal(28,10)")), 6).cast("double").as("sum_v"))
+    }),
+
     // GeoTIFF ingest (store/fs/impl/rasterio.py:81-330): a Deflate-
     // compressed north-up float64 raster written through the minimal
     // baseline-TIFF writer, decoded back through the binary parser, and
@@ -864,6 +887,20 @@ object ServingPack extends QueryPack {
                 round(sum(((j + 0.5) + (i + 0.5))::DECIMAL(28,10)), 6)::DOUBLE AS sum_coord,
                 round(sum(v::DECIMAL(28,10)), 6)::DOUBLE AS sum_v
          FROM daily WHERE day_idx = 0 GROUP BY src""",
+    "q_kerchunk_combine" ->
+      s"""WITH ${CubePack.cubeCte},
+         daily AS (SELECT CASE WHEN CAST(time AS DATE) = DATE '2024-01-01'
+                               THEN 0 ELSE 1 END AS day_idx,
+                          floor(y)::BIGINT AS j, floor(x)::BIGINT AS i,
+                          round(sum(v::DECIMAL(28,12))::DOUBLE / count(*), 6) AS v
+                   FROM cube
+                   WHERE CAST(time AS DATE) = DATE '2024-01-01'
+                      OR CAST(time AS DATE) = DATE '2024-01-02'
+                   GROUP BY day_idx, j, i)
+         SELECT day_idx::BIGINT AS day_idx, count(*) AS n_cells,
+                round(sum(((j + 0.5) + (i + 0.5))::DECIMAL(28,10)), 6)::DOUBLE AS sum_coord,
+                round(sum(v::DECIMAL(28,10)), 6)::DOUBLE AS sum_v
+         FROM daily GROUP BY day_idx""",
     "q_netcdf" ->
       s"""WITH ${CubePack.cubeCte},
          daily AS (SELECT CAST(time AS DATE)::VARCHAR AS day,

@@ -299,4 +299,91 @@ object KerchunkSource {
   private def refsDoc(entries: scala.collection.Map[String, String]): String =
     entries.map { case (k, v) => s"${jstr(k)}: $v" }
       .mkString("{\"version\": 1, \"refs\": {", ", ", "}}")
+
+  /** Re-emit a parsed ref as reference-document JSON. Metadata keys are
+    * inline UTF-8 JSON text; inline chunk payloads re-encode as base64
+    * (lossless both ways); ranges stay `[url, offset, length]`.
+    */
+  private def refValue(r: Ref, isMeta: Boolean): String =
+    if (r.isInline) {
+      if (isMeta) jstr(new String(r.inline, "UTF-8"))
+      else jstr("base64:" +
+        java.util.Base64.getEncoder.encodeToString(r.inline))
+    } else if (r.length >= 0) s"""[${jstr(r.url)}, ${r.offset}, ${r.length}]"""
+    else s"""[${jstr(r.url)}]"""
+
+  /** MultiZarrToZarr-style combine: N single-granule reference documents
+    * with IDENTICAL per-variable layouts → one virtual dataset with a new
+    * leading `concatDim` (the kerchunk archive workflow — a year of daily
+    * NetCDF granules becomes one 3-D cube without touching a payload
+    * byte). Granule g's data chunk `v/k1.k2` becomes `v/g.k1.k2`; shared
+    * 1-D coordinates are taken from the first granule; the new dimension
+    * gets an inline float64 coordinate array from `coords`.
+    */
+  def combineRefs(docs: Seq[String], concatDim: String,
+                  coords: Array[Double]): String = {
+    require(docs.nonEmpty, "no documents to combine")
+    require(docs.length == coords.length,
+      s"${docs.length} granules but ${coords.length} $concatDim coordinates")
+    val refsN = docs.map(d => parseJson(mapper.readTree(d)))
+    val first = refsN.head
+    val out = scala.collection.mutable.LinkedHashMap[String, String]()
+    out(".zgroup") = jstr("""{"zarr_format":2}""")
+    // the new leading coordinate, inlined (driver-sized, like any 1-D coord)
+    val cbuf = java.nio.ByteBuffer.allocate(coords.length * 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    coords.foreach(cbuf.putDouble)
+    out(s"$concatDim/.zarray") = jstr(
+      s"""{"zarr_format":2,"shape":[${coords.length}],""" +
+        s""""chunks":[${coords.length}],"dtype":"<f8","compressor":null,""" +
+        """"fill_value":null,"filters":null,"order":"C"}""")
+    out(s"$concatDim/.zattrs") = jstr(s"""{"_ARRAY_DIMENSIONS":[${jstr(concatDim)}]}""")
+    out(s"$concatDim/0") = jstr("base64:" +
+      java.util.Base64.getEncoder.encodeToString(cbuf.array()))
+    def chunkKeys(refs: Refs, name: String): Seq[String] =
+      refs.entries.keys.filter(k => k.startsWith(s"$name/") &&
+        !k.endsWith("/.zarray") && !k.endsWith("/.zattrs")).toSeq.sorted
+    listArrays(first).foreach { name =>
+      require(name != concatDim, s"granules already carry a '$concatDim' array")
+      val za = openArray(first, name)
+      refsN.drop(1).zipWithIndex.foreach { case (r, g) =>
+        val other = openArray(r, name)
+        // compare fill values by bit pattern (NaN == NaN here)
+        require(other.copy(fillValue = 0) == za.copy(fillValue = 0) &&
+          java.lang.Double.doubleToLongBits(other.fillValue) ==
+            java.lang.Double.doubleToLongBits(za.fillValue),
+          s"granule ${g + 1}: layout of '$name' differs from granule 0")
+      }
+      if (za.dims == Seq(name)) {
+        // shared 1-D coordinate: identical across granules, copy granule 0
+        out(s"$name/.zarray") = refValue(first(s"$name/.zarray"), isMeta = true)
+        if (first.contains(s"$name/.zattrs"))
+          out(s"$name/.zattrs") = refValue(first(s"$name/.zattrs"), isMeta = true)
+        chunkKeys(first, name).foreach(k =>
+          out(k) = refValue(first(k), isMeta = false))
+      } else {
+        // data variable: prepend the concat dimension
+        val zaNode = first.json(s"$name/.zarray").get
+          .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+        def prepend(field: String, v: Int): Unit = {
+          val arr = mapper.createArrayNode().add(v)
+          zaNode.path(field).elements.asScala.foreach(arr.add)
+          zaNode.set(field, arr); ()
+        }
+        prepend("shape", refsN.length)
+        prepend("chunks", 1) // one granule = one chunk along the new dim
+        out(s"$name/.zarray") = jstr(mapper.writeValueAsString(zaNode))
+        out(s"$name/.zattrs") = jstr(
+          s"""{"_ARRAY_DIMENSIONS":[${(concatDim +: za.dims).map(jstr).mkString(",")}]}""")
+        refsN.zipWithIndex.foreach { case (r, g) =>
+          chunkKeys(r, name).foreach { k =>
+            val chunkPart = k.stripPrefix(s"$name/")
+            out(s"$name/$g${za.separator}$chunkPart") =
+              refValue(r(k), isMeta = false)
+          }
+        }
+      }
+    }
+    refsDoc(out)
+  }
 }

@@ -221,6 +221,39 @@ class ZarrSourceSpec extends AnyFunSuite {
       .toMap == rows.map { case (y, x, v) => (y, x) -> v }.toMap)
   }
 
+  test("kerchunk: combineRefs concatenates granules along a new dimension") {
+    import graft.sources.{KerchunkSource, NetcdfSource}
+    import NetcdfSource.NcDim
+    val dir = tmpDir("kcc")
+    val grids = Seq(Array.tabulate(6)(_ * 1.0), Array.tabulate(6)(i => 100.0 + i))
+    val paths = grids.zipWithIndex.map { case (g, k) =>
+      val p = s"$dir/g$k.nc"
+      NetcdfSource.write(p, Seq(NcDim("y", 2), NcDim("x", 3)),
+        Seq(("y", Array(0.5, 1.5)), ("x", Array(0.5, 1.5, 2.5))),
+        Seq(("v", Seq("y", "x"), g)))
+      p
+    }
+    val combined = KerchunkSource.combineRefs(
+      paths.map(KerchunkSource.scanNetcdf), "t", Array(10.0, 20.0))
+    val refsPath = s"$dir/combined.refs.json"
+    Files.writeString(Paths.get(refsPath), combined)
+    val back = KerchunkSource.readCube(spark, refsPath, "v").collect()
+      .map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2)) -> r.getDouble(3))
+      .toMap
+    assert(back.size == 12)
+    for (t <- 0 until 2; j <- 0 until 2; i <- 0 until 3)
+      assert(back((Seq(10.0, 20.0)(t), j + 0.5, i + 0.5)) == grids(t)(j * 3 + i),
+        s"t=$t j=$j i=$i")
+    // granules with different layouts are rejected loudly
+    val odd = s"$dir/odd.nc"
+    NetcdfSource.write(odd, Seq(NcDim("y", 3), NcDim("x", 2)),
+      Seq(("y", Array(0.5, 1.5, 2.5)), ("x", Array(0.5, 1.5))),
+      Seq(("v", Seq("y", "x"), Array.fill(6)(0.0))))
+    val e = intercept[IllegalArgumentException](KerchunkSource.combineRefs(
+      Seq(paths.head, odd).map(KerchunkSource.scanNetcdf), "t", Array(0.0, 1.0)))
+    assert(e.getMessage.contains("differs"))
+  }
+
   test("kerchunk: inline base64 chunks, bare [url] refs, missing key = fill") {
     import graft.sources.KerchunkSource
     val dir = tmpDir("kci")
