@@ -96,6 +96,16 @@ object ServingPack extends QueryPack {
     group
   }
 
+  /** Fixed per-sf scratch dir for regenerated kerchunk refs documents
+    * (overwritten per run, never cached — see q_kerchunk).
+    */
+  private def refsDir(d: String): java.nio.file.Path = {
+    val sfName = new java.io.File(d).getName
+    val p = java.nio.file.Paths.get(s"/root/repo/.graft-fixtures/kerchunk_refs_$sfName")
+    java.nio.file.Files.createDirectories(p)
+    p
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // compute_tiles (tile.py:39-354): level-1 tile (0,0) of the cell-mean
@@ -333,16 +343,14 @@ object ServingPack extends QueryPack {
     "q_kerchunk" -> ((s, d) => {
       val group = zarrFixture(s, d)
       val nc0 = netcdfFixture(s, d).head
-      // re-scan on every run (cheap: header + listing, no payload) — refs
-      // embed content-dependent offsets/lengths, so caching them could go
-      // stale against a rebuilt upstream fixture
-      val base = java.nio.file.Files.createTempDirectory("graft_kerchunk")
-      val zarrRefs = base.resolve("zarr.json")
-      val ncRefs = base.resolve("nc.json")
-      // LIFO deleteOnExit: dir registered first so it is deleted last
-      base.toFile.deleteOnExit()
-      zarrRefs.toFile.deleteOnExit()
-      ncRefs.toFile.deleteOnExit()
+      // re-scanned and OVERWRITTEN on every run (cheap: header + listing,
+      // no payload) — refs embed content-dependent offsets/lengths, so
+      // caching them could go stale against a rebuilt upstream fixture; a
+      // fixed path avoids accumulating temp dirs across repeated runs in
+      // one JVM (bench reps, soak)
+      val base = refsDir(d)
+      val zarrRefs = base.resolve("zarr.refs.json")
+      val ncRefs = base.resolve("nc.refs.json")
       java.nio.file.Files.write(zarrRefs,
         KerchunkSource.scanZarr(group).getBytes("UTF-8"))
       java.nio.file.Files.write(ncRefs,
@@ -369,11 +377,8 @@ object ServingPack extends QueryPack {
     "q_kerchunk_combine" -> ((s, d) => {
       val ncs = netcdfFixture(s, d)
       val combined = KerchunkSource.combineRefs(
-        ncs.map(KerchunkSource.scanNetcdf), "t", Array(0.0, 1.0))
-      val base = java.nio.file.Files.createTempDirectory("graft_kc_comb")
-      val refsPath = base.resolve("combined.refs.json")
-      base.toFile.deleteOnExit()
-      refsPath.toFile.deleteOnExit()
+        ncs.map(p => KerchunkSource.scanNetcdf(p)), "t", Array(0.0, 1.0))
+      val refsPath = refsDir(d).resolve("combined.refs.json")
       java.nio.file.Files.write(refsPath, combined.getBytes("UTF-8"))
       KerchunkSource.readCube(s, refsPath.toString, "v")
         .filter(!isnan(col("v")))

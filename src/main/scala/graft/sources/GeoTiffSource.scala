@@ -223,13 +223,18 @@ object GeoTiffSource {
     case other => throw new IllegalArgumentException(s"TIFF field type $other")
   }
 
-  def parse(bytes: Array[Byte]): Raster = parseAll(bytes).head
-
-  /** Every IFD in the file's chain: the full-resolution image first, then
-    * any reduced-resolution overviews — the COG overview organization
-    * (each overview is a complete IFD linked by the next-IFD pointer).
+  /** First (full-resolution) IFD only — overview or mask IFDs a foreign
+    * file may chain behind it are neither decoded nor validated, matching
+    * the pre-overview behavior of read()/readRaster/readRasterFiles (a COG
+    * with, say, a JPEG thumbnail IFD still opens; and a plain read never
+    * pays for decoding a pyramid it throws away).
     */
-  def parseAll(bytes: Array[Byte]): Seq[Raster] = {
+  def parse(bytes: Array[Byte]): Raster = {
+    val (b, order) = open(bytes)
+    parseIfd(bytes, b, order, b.getInt(4))._1
+  }
+
+  private def open(bytes: Array[Byte]): (ByteBuffer, ByteOrder) = {
     val head = ByteBuffer.wrap(bytes)
     val order = (head.get(0), head.get(1)) match {
       case ('I', 'I') => ByteOrder.LITTLE_ENDIAN
@@ -238,6 +243,15 @@ object GeoTiffSource {
     }
     val b = ByteBuffer.wrap(bytes).order(order)
     require(b.getShort(2) == 42, "not a TIFF (bad magic)")
+    (b, order)
+  }
+
+  /** Every IFD in the file's chain: the full-resolution image first, then
+    * any reduced-resolution overviews — the COG overview organization
+    * (each overview is a complete IFD linked by the next-IFD pointer).
+    */
+  def parseAll(bytes: Array[Byte]): Seq[Raster] = {
+    val (b, order) = open(bytes)
     var off = b.getInt(4)
     val out = Seq.newBuilder[Raster]
     var n = 0
@@ -506,9 +520,11 @@ object GeoTiffSource {
                          lzw: Boolean = false, bits: Int = 64,
                          predictor: Int = 1): Unit = {
     require(nOverviews >= 0, s"nOverviews $nOverviews")
-    val levels = IndexedSeq.iterate(raster, nOverviews + 1)(decimate2)
-    require(levels.last.width >= 1 && levels.last.height >= 1,
+    // every overview must actually halve something: once both dims hit 1
+    // further levels would be identical 1x1 copies
+    require((math.max(raster.width, raster.height) >> nOverviews) >= 1,
       s"$nOverviews overviews collapse a ${raster.width}x${raster.height} raster")
+    val levels = IndexedSeq.iterate(raster, nOverviews + 1)(decimate2)
     writeLevels(path, levels, deflate, tileSize, lzw, bits, predictor)
   }
 

@@ -1,8 +1,7 @@
 package graft.sources
 
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
-import org.apache.spark.sql.types._
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import scala.jdk.CollectionConverters._
 
 /** Kerchunk-style virtual datasets — the reference opens archives of
@@ -62,6 +61,11 @@ object KerchunkSource {
 
   private val mapper = new ObjectMapper()
 
+  /** Fixed variables above this size are indexed as one ref per
+    * first-dimension slice instead of one whole-variable ref.
+    */
+  private val MaxFixedChunkBytes: Long = 64L * 1024 * 1024
+
   // ------------------------------------------------------------- parsing
 
   def parse(jsonPath: String): Refs =
@@ -119,6 +123,9 @@ object KerchunkSource {
       val len = if (ref.length >= 0) ref.length else ch.size() - ref.offset
       require(ref.offset + len <= ch.size(),
         s"${ref.url}: range [${ref.offset}, +$len) beyond EOF ${ch.size()}")
+      require(len <= Int.MaxValue - 8,
+        s"${ref.url}: $len-byte chunk exceeds the 2 GiB task buffer " +
+          "(re-index the source with finer chunking)")
       val buf = java.nio.ByteBuffer.allocate(len.toInt)
       var pos = ref.offset
       while (buf.hasRemaining) {
@@ -145,19 +152,11 @@ object KerchunkSource {
 
   /** Whole (driver-sized) array — 1-D coordinates. */
   private def readAll(refs: Refs, name: String,
-                      za: ZarrSource.ZarrArray): Array[Double] = {
-    val out = Array.fill(za.shape.product)(za.fillValue)
-    ZarrSource.allChunkKeys(za.chunkGrid).foreach { key =>
+                      za: ZarrSource.ZarrArray): Array[Double] =
+    ZarrSource.readAllWith(za, key => {
       val k = s"$name/${key.mkString(za.separator)}"
-      if (refs.contains(k)) {
-        val data = ZarrSource.decodeChunk(fetch(refs(k)), za)
-        ZarrSource.foreachCell(za, key) { (flatChunk, flatGlobal) =>
-          out(flatGlobal.toInt) = data(flatChunk)
-        }
-      }
-    }
-    out
-  }
+      if (refs.contains(k)) Some(fetch(refs(k))) else None
+    })
 
   /** One data variable of the virtual dataset as long-format rows — the
     * kerchunk counterpart of [[ZarrSource.readCube]]: same schema, same
@@ -177,35 +176,13 @@ object KerchunkSource {
         readAll(refs, dim, cza)
       } else Array.tabulate(za.shape(k))(_.toDouble)
     }
-    val bcCoords = spark.sparkContext.broadcast(coords)
     val bcRefs = spark.sparkContext.broadcast(refs)
-    val keys = ZarrSource.allChunkKeys(za.chunkGrid)
-    val schema = StructType(
-      za.dims.map(StructField(_, DoubleType)) :+ StructField(varName, DoubleType))
-    val rank = za.shape.length
-    val rdd = spark.sparkContext.parallelize(keys, keys.length).flatMap { key =>
+    ZarrSource.cubeDf(spark, za, varName, coords, key => {
       val k = s"$varName/${key.mkString(za.separator)}"
-      val data =
-        if (bcRefs.value.contains(k))
-          ZarrSource.decodeChunk(fetch(bcRefs.value(k)), za)
-        else Array.fill(za.chunkElems)(za.fillValue)
-      val rows = Seq.newBuilder[Row]
-      ZarrSource.foreachCell(za, key) { (flat, global) =>
-        val vals = new Array[Any](rank + 1)
-        var rem = global
-        var k2 = rank - 1
-        while (k2 >= 0) {
-          val g = (rem % za.shape(k2)).toInt
-          rem /= za.shape(k2)
-          vals(k2) = bcCoords.value(k2)(g)
-          k2 -= 1
-        }
-        vals(rank) = data(flat)
-        rows += Row.fromSeq(vals.toIndexedSeq)
-      }
-      rows.result()
-    }
-    spark.createDataFrame(rdd, schema)
+      if (bcRefs.value.contains(k))
+        ZarrSource.decodeChunk(fetch(bcRefs.value(k)), za)
+      else Array.fill(za.chunkElems)(za.fillValue)
+    })
   }
 
   // ------------------------------------------------------------- scanners
@@ -258,7 +235,8 @@ object KerchunkSource {
     * big-endian, so dtypes are emitted as `>f8` etc. and decoded by
     * [[ZarrSource.decodeChunk]]'s endian-aware path.
     */
-  def scanNetcdf(path: String): String = {
+  def scanNetcdf(path: String,
+                 maxFixedChunkBytes: Long = MaxFixedChunkBytes): String = {
     val nc = NetcdfSource.readHeader(path)
     val lay = nc.layout.getOrElse(throw new IllegalStateException(
       s"$path: parse produced no layout"))
@@ -269,7 +247,13 @@ object KerchunkSource {
     val dtypeOf = Seq("", ">i1", "|u1", ">i2", ">i4", ">f4", ">f8")
     lay.vars.filter(_.dims.nonEmpty).foreach { v =>
       val shape = v.dims.map(_.size)
-      val chunks = if (v.isRec) 1 +: shape.drop(1) else shape
+      val elemSize = sizeOf(v.ncType)
+      val total = shape.map(_.toLong).product * elemSize
+      // a large CONTIGUOUS fixed variable also splits along its first
+      // dimension (one ref per slice) — keeps the one-chunk-per-task scale
+      // story and the 2 GiB task buffer bound that record variables get
+      val splitFixed = !v.isRec && total > maxFixedChunkBytes && shape.head > 1
+      val chunks = if (v.isRec || splitFixed) 1 +: shape.drop(1) else shape
       val zarray =
         s"""{"zarr_format":2,"shape":[${shape.mkString(",")}],""" +
           s""""chunks":[${chunks.mkString(",")}],""" +
@@ -278,18 +262,22 @@ object KerchunkSource {
       out(s"${v.name}/.zarray") = jstr(zarray)
       out(s"${v.name}/.zattrs") = jstr(
         s"""{"_ARRAY_DIMENSIONS":[${v.dims.map(d => jstr(d.name)).mkString(",")}]}""")
-      val elemSize = sizeOf(v.ncType)
+      val zeros = shape.drop(1).map(_ => "0")
+      val slice = shape.drop(1).map(_.toLong).product * elemSize
       if (v.isRec) {
-        val slab = shape.drop(1).map(_.toLong).product * elemSize
-        val zeros = shape.drop(1).map(_ => "0")
         (0 until lay.numRecs).foreach { r =>
           val key = (r.toString +: zeros).mkString(".")
           out(s"${v.name}/$key") =
-            s"""[${jstr(url)}, ${v.begin + r * lay.recSize}, $slab]"""
+            s"""[${jstr(url)}, ${v.begin + r * lay.recSize}, $slice]"""
+        }
+      } else if (splitFixed) {
+        (0 until shape.head).foreach { d0 =>
+          val key = (d0.toString +: zeros).mkString(".")
+          out(s"${v.name}/$key") =
+            s"""[${jstr(url)}, ${v.begin + d0 * slice}, $slice]"""
         }
       } else {
         val key = shape.map(_ => "0").mkString(".")
-        val total = shape.map(_.toLong).product * elemSize
         out(s"${v.name}/$key") = s"""[${jstr(url)}, ${v.begin}, $total]"""
       }
     }
@@ -310,6 +298,7 @@ object KerchunkSource {
       else jstr("base64:" +
         java.util.Base64.getEncoder.encodeToString(r.inline))
     } else if (r.length >= 0) s"""[${jstr(r.url)}, ${r.offset}, ${r.length}]"""
+    else if (r.offset > 0) s"""[${jstr(r.url)}, ${r.offset}]""" // offset-to-EOF
     else s"""[${jstr(r.url)}]"""
 
   /** MultiZarrToZarr-style combine: N single-granule reference documents

@@ -199,13 +199,23 @@ object ZarrSource {
   }
 
   /** Read a whole (driver-sized) array — used for 1-D coordinate arrays. */
-  def readAll(arrayDir: String, za: ZarrArray): Array[Double] = {
-    val out = Array.fill(za.shape.product)(za.fillValue)
-    val grid = za.chunkGrid
-    allChunkKeys(grid).foreach { key =>
+  def readAll(arrayDir: String, za: ZarrArray): Array[Double] =
+    readAllWith(za, key => {
       val f = java.nio.file.Paths.get(s"$arrayDir/${key.mkString(za.separator)}")
-      if (java.nio.file.Files.exists(f)) {
-        val data = decodeChunk(java.nio.file.Files.readAllBytes(f), za)
+      if (java.nio.file.Files.exists(f))
+        Some(java.nio.file.Files.readAllBytes(f))
+      else None
+    })
+
+  /** Driver-sized whole-array assembly from any chunk-byte lookup (None =
+    * missing chunk = fill) — shared with [[KerchunkSource]].
+    */
+  private[sources] def readAllWith(za: ZarrArray,
+                                   bytesFor: Seq[Int] => Option[Array[Byte]]): Array[Double] = {
+    val out = Array.fill(za.shape.product)(za.fillValue)
+    allChunkKeys(za.chunkGrid).foreach { key =>
+      bytesFor(key).foreach { raw =>
+        val data = decodeChunk(raw, za)
         foreachCell(za, key) { (flatChunk, flatGlobal) =>
           out(flatGlobal.toInt) = data(flatChunk) // driver-sized array
         }
@@ -272,17 +282,30 @@ object ZarrSource {
         readAll(cdir, cza)
       } else Array.tabulate(za.shape(k))(_.toDouble)
     }
+    cubeDf(spark, za, varName, coords, key => {
+      val f = java.nio.file.Paths.get(s"$arrayDir/${key.mkString(za.separator)}")
+      if (java.nio.file.Files.exists(f))
+        decodeChunk(java.nio.file.Files.readAllBytes(f), za)
+      else Array.fill(za.chunkElems)(za.fillValue)
+    })
+  }
+
+  /** Shared long-format cube assembly — ONE TASK PER CHUNK with the chunk
+    * payload produced by `chunkData` (which runs IN the task and must be
+    * serializable; it returns the full-chunk-shape decoded array, fill-
+    * filled when the chunk is absent). [[KerchunkSource.readCube]] reuses
+    * this with a byte-range fetch, so the two readers cannot drift.
+    */
+  private[sources] def cubeDf(spark: SparkSession, za: ZarrArray,
+                              varName: String, coords: Seq[Array[Double]],
+                              chunkData: Seq[Int] => Array[Double]): DataFrame = {
     val bc = spark.sparkContext.broadcast(coords)
     val keys = allChunkKeys(za.chunkGrid)
     val schema = StructType(
       za.dims.map(StructField(_, DoubleType)) :+ StructField(varName, DoubleType))
     val rank = za.shape.length
     val rdd = spark.sparkContext.parallelize(keys, keys.length).flatMap { key =>
-      val f = java.nio.file.Paths.get(s"$arrayDir/${key.mkString(za.separator)}")
-      val data =
-        if (java.nio.file.Files.exists(f))
-          decodeChunk(java.nio.file.Files.readAllBytes(f), za)
-        else Array.fill(za.chunkElems)(za.fillValue)
+      val data = chunkData(key)
       val rows = Seq.newBuilder[Row]
       foreachCell(za, key) { (flat, global) =>
         val vals = new Array[Any](rank + 1)

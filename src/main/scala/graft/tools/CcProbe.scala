@@ -5,8 +5,9 @@ import graft.operators.{ClusterOps, TextOps}
 import org.apache.spark.sql.functions._
 
 /** Scratch probe: times the connected-components step of q_dedup_clusters
-  * in a warm JVM (3 repetitions), separating the LSH-pair build from the
-  * CC iteration so optimization work measures the right thing.
+  * in a warm JVM (6 repetitions, so JIT steady state is visible), separating
+  * the LSH-pair build from the CC iteration so optimization work measures
+  * the right thing.
   */
 object CcProbe {
   def main(args: Array[String]): Unit = {

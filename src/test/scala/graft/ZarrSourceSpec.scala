@@ -221,6 +221,27 @@ class ZarrSourceSpec extends AnyFunSuite {
       .toMap == rows.map { case (y, x, v) => (y, x) -> v }.toMap)
   }
 
+  test("kerchunk: large fixed variables split into one ref per first-dim slice") {
+    import graft.sources.{KerchunkSource, NetcdfSource}
+    import NetcdfSource.NcDim
+    val p = s"${tmpDir("kcbig")}/big.nc"
+    val data = Array.tabulate(4 * 3)(_ * 1.0)
+    NetcdfSource.write(p, Seq(NcDim("y", 4), NcDim("x", 3)),
+      Seq(("y", Array.tabulate(4)(_ + 0.5)), ("x", Array.tabulate(3)(_ + 0.5))),
+      Seq(("v", Seq("y", "x"), data)))
+    // threshold below the 96-byte variable → one ref per y-slice of 24 bytes
+    val refsJson = KerchunkSource.scanNetcdf(p, maxFixedChunkBytes = 50L)
+    assert(refsJson.contains("\"v/0.0\"") && refsJson.contains("\"v/3.0\""),
+      "expected per-slice refs:\n" + refsJson)
+    val refsPath = s"${tmpDir("kcbig2")}/refs.json"
+    Files.writeString(Paths.get(refsPath), refsJson)
+    val back = KerchunkSource.readCube(spark, refsPath, "v").collect()
+      .map(r => (r.getDouble(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    assert(back.size == 12)
+    for (j <- 0 until 4; i <- 0 until 3)
+      assert(back((j + 0.5, i + 0.5)) == data(j * 3 + i), s"j=$j i=$i")
+  }
+
   test("kerchunk: combineRefs concatenates granules along a new dimension") {
     import graft.sources.{KerchunkSource, NetcdfSource}
     import NetcdfSource.NcDim
@@ -234,7 +255,7 @@ class ZarrSourceSpec extends AnyFunSuite {
       p
     }
     val combined = KerchunkSource.combineRefs(
-      paths.map(KerchunkSource.scanNetcdf), "t", Array(10.0, 20.0))
+      paths.map(p => KerchunkSource.scanNetcdf(p)), "t", Array(10.0, 20.0))
     val refsPath = s"$dir/combined.refs.json"
     Files.writeString(Paths.get(refsPath), combined)
     val back = KerchunkSource.readCube(spark, refsPath, "v").collect()
@@ -250,7 +271,7 @@ class ZarrSourceSpec extends AnyFunSuite {
       Seq(("y", Array(0.5, 1.5, 2.5)), ("x", Array(0.5, 1.5))),
       Seq(("v", Seq("y", "x"), Array.fill(6)(0.0))))
     val e = intercept[IllegalArgumentException](KerchunkSource.combineRefs(
-      Seq(paths.head, odd).map(KerchunkSource.scanNetcdf), "t", Array(0.0, 1.0)))
+      Seq(paths.head, odd).map(p => KerchunkSource.scanNetcdf(p)), "t", Array(0.0, 1.0)))
     assert(e.getMessage.contains("differs"))
   }
 
