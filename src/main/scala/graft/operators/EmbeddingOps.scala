@@ -86,6 +86,55 @@ object EmbeddingOps {
     */
   def cosineHof(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Squared L2 distance, HOF form: left-to-right accumulation over
+    * zipped coordinates — the engine-portable order an SQL oracle can
+    * reproduce bit-for-bit (`list_sum(list_transform(...))`).
+    */
+  def l2Sq(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) =>
+        (x.cast("double") - y.cast("double")) *
+          (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, d) => acc + d)
+
+  /** One distributed k-means (Lloyd) step over an embedding corpus.
+    *
+    * Assignment is SCAN-SHAPED: the k centroids are driver-side literals
+    * (the model is k-bounded by definition), each row computes its k
+    * rounded distances and picks the argmin via `array_min` over
+    * (dist, cid) structs — no shuffle, no join, ties break on the lower
+    * centroid id. This is the shape that holds at 100 TB: the only
+    * exchange in a full iteration is the update's map-side-combined
+    * groupBy below.
+    *
+    * Returns one row per corpus row: (idCol, embCol, cid, dist).
+    */
+  def kmeansAssign(corpus: DataFrame, idCol: String, embCol: String,
+                   centroids: Seq[(Int, Array[Double])]): DataFrame = {
+    require(centroids.nonEmpty, "no centroids")
+    val cands = centroids.map { case (cid, c) =>
+      struct(round(l2Sq(col(embCol), typedLit(c)), 6).as("dist"),
+        lit(cid.toLong).as("cid"))
+    }
+    parallelized(corpus)
+      .withColumn("__best", array_min(array(cands: _*)))
+      .select(col(idCol), col(embCol),
+        col("__best.cid").as("cid"), col("__best.dist").as("dist"))
+  }
+
+  /** The update half of the Lloyd step: per-dimension sums and member
+    * counts of every new centroid — ONE map-side-combined aggregation
+    * (k·dim result rows; the caller divides sum by n for the mean, or
+    * feeds the sums straight into the next iteration's literals).
+    */
+  def kmeansUpdate(assigned: DataFrame, embCol: String): DataFrame =
+    assigned
+      .select(col("cid"), posexplode(col(embCol)).as(Seq("pos", "__x")))
+      .groupBy(col("cid"), col("pos").cast("long").as("pos"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("__x").cast("double").cast("decimal(28,10)")), 6)
+          .cast("double").as("sum_x"))
+
   /** Sign-pattern LSH bucket: the embedding is cut into `nGroups` contiguous
     * coordinate groups; bit g = sign of the group sum. Fixed, deterministic
     * "hyperplanes" — the same bucket function is computable in any engine.

@@ -292,6 +292,30 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(rev == cc)
   }
 
+  test("kmeans step: nearest centroid wins, ties to lower cid, sums exact") {
+    import spark.implicits._
+    import graft.operators.EmbeddingOps
+    val rows = Seq(
+      (0L, Array(0.0f, 0.0f)),   // at centroid 0
+      (1L, Array(10.0f, 0.0f)),  // at centroid 1
+      (2L, Array(5.0f, 0.0f)),   // EXACTLY between → tie → cid 0
+      (3L, Array(7.0f, 1.0f)))   // nearer centroid 1
+    val df = rows.toDF("vec_id", "embedding")
+    val cents = Seq(0 -> Array(0.0, 0.0), 1 -> Array(10.0, 0.0))
+    val a = EmbeddingOps.kmeansAssign(df, "vec_id", "embedding", cents)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(a(0L) == ((0L, 0.0)) && a(1L) == ((1L, 0.0)))
+    assert(a(2L)._1 == 0L, "equidistant point must break ties to the lower cid")
+    assert(a(3L)._1 == 1L && a(3L)._2 == 10.0) // (7-10)^2 + 1 = 10
+    val upd = EmbeddingOps.kmeansUpdate(
+        EmbeddingOps.kmeansAssign(df, "vec_id", "embedding", cents), "embedding")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(upd((0L, 0L)) == ((2L, 5.0)))  // members 0, 2 → sum x0 = 0 + 5
+    assert(upd((1L, 0L)) == ((2L, 17.0))) // members 1, 3 → sum x0 = 10 + 7
+    assert(upd((1L, 1L)) == ((2L, 1.0)))
+  }
+
   test("sequence packing: lossless, gapless, fixed-length, deterministic") {
     import spark.implicits._
     import graft.operators.SampleOps

@@ -166,6 +166,13 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Exchange rangepartitioning"), p)
   }
 
+  test("q_kmeans_step: assignment is scan-shaped — no join, one aggregation") {
+    val p = plan("q_kmeans_step")
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"), p)
+    assert(!p.contains("Exchange rangepartitioning") && !p.contains("Window"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
   test("q_lm_coverage / q_seq_pack: no UDFs anywhere") {
     Seq("q_lm_coverage", "q_seq_pack").foreach { q =>
       val p = plan(q)
