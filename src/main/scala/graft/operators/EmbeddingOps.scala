@@ -135,6 +135,37 @@ object EmbeddingOps {
         round(sum(col("__x").cast("double").cast("decimal(28,10)")), 6)
           .cast("double").as("sum_x"))
 
+  /** Full Lloyd iterations: assign → update → divide, repeated `iters`
+    * times. The model (k·dim doubles) lives on the driver between
+    * iterations — the legitimate driver-sized state, exactly like
+    * spark.ml's KMeans — while all data passes stay the scan + one-agg
+    * shape of [[kmeansAssign]]/[[kmeansUpdate]]. A centroid that loses
+    * all members keeps its previous position (the standard empty-cluster
+    * rule). Returns the final centroids.
+    */
+  def kmeansIterate(corpus: DataFrame, idCol: String, embCol: String,
+                    seeds: Seq[(Int, Array[Double])],
+                    iters: Int): Seq[(Int, Array[Double])] = {
+    require(iters >= 0, s"iters $iters")
+    var centroids = seeds
+    var it = 0
+    while (it < iters) {
+      val stats = kmeansUpdate(
+          kmeansAssign(corpus, idCol, embCol, centroids), embCol)
+        .collect()
+        .map(r => (r.getLong(0).toInt, r.getLong(1).toInt) ->
+          (r.getLong(2), r.getDouble(3)))
+        .toMap
+      centroids = centroids.map { case (cid, prev) =>
+        val dims = prev.indices.map(p => stats.get((cid, p)))
+        if (dims.exists(_.isEmpty)) (cid, prev) // lost every member
+        else (cid, dims.map { case Some((n, sum)) => sum / n }.toArray)
+      }
+      it += 1
+    }
+    centroids
+  }
+
   /** Sign-pattern LSH bucket: the embedding is cut into `nGroups` contiguous
     * coordinate groups; bit g = sign of the group sum. Fixed, deterministic
     * "hyperplanes" — the same bucket function is computable in any engine.

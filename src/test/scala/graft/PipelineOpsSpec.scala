@@ -316,6 +316,25 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(upd((1L, 1L)) == ((2L, 1.0)))
   }
 
+  test("kmeans iterations converge to the obvious two-blob means") {
+    import spark.implicits._
+    import graft.operators.EmbeddingOps
+    // two tight blobs around (0,0) and (100,100); seeds start badly
+    val pts = (0 until 20).map { i =>
+      val blob = i % 2
+      (i.toLong, Array((blob * 100 + i % 3 - 1).toFloat, (blob * 100 + (i / 2) % 3 - 1).toFloat))
+    }
+    val df = pts.toDF("vec_id", "embedding")
+    val fin = EmbeddingOps.kmeansIterate(df, "vec_id", "embedding",
+      Seq(0 -> Array(40.0, 40.0), 1 -> Array(60.0, 60.0)), iters = 5).toMap
+    assert(math.abs(fin(0)(0)) < 2 && math.abs(fin(0)(1)) < 2, fin(0).toSeq)
+    assert(math.abs(fin(1)(0) - 100) < 2 && math.abs(fin(1)(1) - 100) < 2, fin(1).toSeq)
+    // an unreachable centroid keeps its seed position
+    val fin2 = EmbeddingOps.kmeansIterate(df, "vec_id", "embedding",
+      Seq(0 -> Array(50.0, 50.0), 1 -> Array(1e9, 1e9)), iters = 2).toMap
+    assert(fin2(1).sameElements(Array(1e9, 1e9)))
+  }
+
   test("sequence packing: lossless, gapless, fixed-length, deterministic") {
     import spark.implicits._
     import graft.operators.SampleOps

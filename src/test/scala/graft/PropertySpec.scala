@@ -176,6 +176,45 @@ class PropertySpec extends AnyFunSuite {
       java.lang.Double.doubleToLongBits(a) == java.lang.Double.doubleToLongBits(b) })
   }
 
+  test("Zarr cubes round-trip through write, read AND kerchunk refs (12 stores)") {
+    import graft.sources.{KerchunkSource, ZarrSource}
+    val spark = GraftSession.builder("4").getOrCreate()
+    import spark.implicits._
+    val rnd = new scala.util.Random(43)
+    val dir = java.nio.file.Files.createTempDirectory("graft_zarr_prop")
+    (1 to 12).foreach { t =>
+      val (ny, nx) = (1 + rnd.nextInt(9), 1 + rnd.nextInt(9))
+      val (cy, cx) = (1 + rnd.nextInt(ny), 1 + rnd.nextInt(nx))
+      val ys = Array.tabulate(ny)(_ + 0.5)
+      val xs = Array.tabulate(nx)(_ + 0.5)
+      // ~80% cell density so some chunks are partial or wholly absent
+      val cells = for {
+        y <- ys.toSeq; x <- xs if rnd.nextDouble() < 0.8
+      } yield (y, x, rnd.nextDouble() * 1e3 - 500)
+      val g = s"$dir/s$t.zarr"
+      ZarrSource.writeCube(cells.toDF("y", "x", "v"), g, "v",
+        Seq("y" -> ys, "x" -> xs), chunks = Seq(cy, cx),
+        zlib = t % 2 == 0)
+      val expect = cells.map { case (y, x, v) => (y, x) -> v }.toMap
+      def check(df: org.apache.spark.sql.DataFrame, label: String): Unit = {
+        val back = df.collect()
+          .map(r => (r.getDouble(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+        assert(back.size == ny * nx, s"store $t $label size")
+        back.foreach { case (k, v) =>
+          expect.get(k) match {
+            case Some(e) => assert(v == e, s"store $t $label at $k")
+            case None => assert(v.isNaN, s"store $t $label fill at $k")
+          }
+        }
+      }
+      check(ZarrSource.readCube(spark, g, "v"), "direct")
+      val refsPath = s"$dir/s$t.refs.json"
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(refsPath), KerchunkSource.scanZarr(g))
+      check(KerchunkSource.readCube(spark, refsPath, "v"), "kerchunk")
+    }
+  }
+
   test("COG overview chains round-trip: levels, values, georef (15 files)") {
     import graft.sources.GeoTiffSource
     import GeoTiffSource.Raster
