@@ -96,6 +96,26 @@ object ServingPack extends QueryPack {
     group
   }
 
+  /** Build (once per sf) the day-1 daily-mean GeoTIFF; returns its path.
+    * Shared by q_geotiff and q_kerchunk.
+    */
+  private def geotiffFixture(s: SparkSession, d: String): String = {
+    val sfName = new java.io.File(d).getName
+    val base = s"/root/repo/.graft-fixtures/geotiff_$sfName"
+    val path = s"$base/day1.tif"
+    Fixtures.ensureWritten(base, "day=2024-01-01,grid=360x100,deflate,mean6") {
+      new java.io.File(base).mkdirs()
+      val grid = dailyMeanGrid(s, d, "2024-01-01")
+      // north-up: raster row 0 is the TOP (max y) grid row
+      val arr = Array.tabulate(100 * 360)(k =>
+        grid((99 - k / 360) * 360 + k % 360))
+      GeoTiffSource.write(path,
+        GeoTiffSource.Raster(360, 100, arr, 1.0, 1.0, 0.0, 100.0),
+        deflate = true)
+    }
+    path
+  }
+
   /** Fixed per-sf scratch dir for regenerated kerchunk refs documents
     * (overwritten per run, never cached — see q_kerchunk).
     */
@@ -343,6 +363,7 @@ object ServingPack extends QueryPack {
     "q_kerchunk" -> ((s, d) => {
       val group = zarrFixture(s, d)
       val nc0 = netcdfFixture(s, d).head
+      val tif = geotiffFixture(s, d)
       // re-scanned and OVERWRITTEN on every run (cheap: header + listing,
       // no payload) — refs embed content-dependent offsets/lengths, so
       // caching them could go stale against a rebuilt upstream fixture; a
@@ -351,10 +372,13 @@ object ServingPack extends QueryPack {
       val base = refsDir(d)
       val zarrRefs = base.resolve("zarr.refs.json")
       val ncRefs = base.resolve("nc.refs.json")
+      val tifRefs = base.resolve("tif.refs.json")
       java.nio.file.Files.write(zarrRefs,
         KerchunkSource.scanZarr(group).getBytes("UTF-8"))
       java.nio.file.Files.write(ncRefs,
         KerchunkSource.scanNetcdf(nc0).getBytes("UTF-8"))
+      java.nio.file.Files.write(tifRefs,
+        KerchunkSource.scanGeoTiff(tif).getBytes("UTF-8"))
       def sums(df: DataFrame, src: org.apache.spark.sql.Column) = df
         .filter(!isnan(col("v")))
         .groupBy(src.as("src"))
@@ -367,6 +391,9 @@ object ServingPack extends QueryPack {
         .unionByName(
           sums(KerchunkSource.readCube(s, ncRefs.toString, "v"),
             lit("nc_2024-01-01")))
+        .unionByName(
+          sums(KerchunkSource.readCube(s, tifRefs.toString, "v"),
+            lit("tif_2024-01-01")))
     }),
 
     // MultiZarrToZarr-style combine (the kerchunk archive workflow): BOTH
@@ -395,20 +422,7 @@ object ServingPack extends QueryPack {
     // band-checksummed with the coordinates bound in — a mis-strided,
     // transposed or wrongly-georeferenced decode cannot pass.
     "q_geotiff" -> ((s, d) => {
-      val sfName = new java.io.File(d).getName
-      val base = s"/root/repo/.graft-fixtures/geotiff_$sfName"
-      val path = s"$base/day1.tif"
-      Fixtures.ensureWritten(base, "day=2024-01-01,grid=360x100,deflate,mean6") {
-        new java.io.File(base).mkdirs()
-        val grid = dailyMeanGrid(s, d, "2024-01-01")
-        // north-up: raster row 0 is the TOP (max y) grid row
-        val arr = Array.tabulate(100 * 360)(k =>
-          grid((99 - k / 360) * 360 + k % 360))
-        GeoTiffSource.write(path,
-          GeoTiffSource.Raster(360, 100, arr, 1.0, 1.0, 0.0, 100.0),
-          deflate = true)
-      }
-      GeoTiffSource.readRaster(s, path)
+      GeoTiffSource.readRaster(s, geotiffFixture(s, d))
         .filter(!isnan(col("v")))
         .groupBy((col("y") / 10).cast("long").as("jband"))
         .agg(count(lit(1)).as("n_cells"),
@@ -889,6 +903,11 @@ object ServingPack extends QueryPack {
          FROM daily GROUP BY src
          UNION ALL
          SELECT 'nc_2024-01-01' AS src, count(*) AS n_cells,
+                round(sum(((j + 0.5) + (i + 0.5))::DECIMAL(28,10)), 6)::DOUBLE AS sum_coord,
+                round(sum(v::DECIMAL(28,10)), 6)::DOUBLE AS sum_v
+         FROM daily WHERE day_idx = 0 GROUP BY src
+         UNION ALL
+         SELECT 'tif_2024-01-01' AS src, count(*) AS n_cells,
                 round(sum(((j + 0.5) + (i + 0.5))::DECIMAL(28,10)), 6)::DOUBLE AS sum_coord,
                 round(sum(v::DECIMAL(28,10)), 6)::DOUBLE AS sum_v
          FROM daily WHERE day_idx = 0 GROUP BY src""",

@@ -265,12 +265,13 @@ object GeoTiffSource {
     out.result()
   }
 
-  /** One IFD → (its raster, absolute offset of the next IFD or 0). */
-  private def parseIfd(bytes: Array[Byte], b: ByteBuffer, order: ByteOrder,
-                       ifdOff: Int): (Raster, Int) = {
+  /** All tags of the IFD at `ifdOff` as (tag → values-as-doubles) — the
+    * decode-free metadata view shared by [[parseIfd]] and
+    * [[KerchunkSource.scanGeoTiff]].
+    */
+  private[sources] def ifdTags(b: ByteBuffer, ifdOff: Int): Map[Int, Array[Double]] = {
     val nEntries = b.getShort(ifdOff).toInt & 0xffff
-    // tag → (type, values as doubles)
-    val tags = (0 until nEntries).map { e =>
+    (0 until nEntries).map { e =>
       val off = ifdOff + 2 + e * 12
       val tag = b.getShort(off).toInt & 0xffff
       val typ = b.getShort(off + 2).toInt & 0xffff
@@ -293,6 +294,19 @@ object GeoTiffSource {
       }.toArray
       tag -> vals
     }.toMap
+  }
+
+  /** First-IFD tags (+ byte order) without decoding any pixel data. */
+  private[sources] def readFirstIfdTags(bytes: Array[Byte]): (Map[Int, Array[Double]], ByteOrder) = {
+    val (b, order) = open(bytes)
+    (ifdTags(b, b.getInt(4)), order)
+  }
+
+  /** One IFD → (its raster, absolute offset of the next IFD or 0). */
+  private def parseIfd(bytes: Array[Byte], b: ByteBuffer, order: ByteOrder,
+                       ifdOff: Int): (Raster, Int) = {
+    val nEntries = b.getShort(ifdOff).toInt & 0xffff
+    val tags = ifdTags(b, ifdOff)
 
     def one(tag: Int, default: Option[Double] = None): Double =
       tags.get(tag).map(_.head).orElse(default).getOrElse(

@@ -284,6 +284,98 @@ object KerchunkSource {
     refsDoc(out)
   }
 
+  /** Index a GeoTIFF into a refs document — kerchunk's TIFF scanner
+    * re-expressed: every strip/tile becomes one byte-range ref. The TIFF
+    * tile grid maps 1:1 onto the Zarr chunk grid — chunks are
+    * (th, tw) for one band or (th, tw, nBands) for chunky-interleaved
+    * multi-band (C order IS the interleaved layout), and BOTH formats pad
+    * edge chunks/tiles to full size — and TIFF Deflate streams are zlib
+    * streams, so chunks decode through the standard Zarr path without
+    * re-encoding a byte. Scope: compression none or Deflate (LZW is not
+    * a Zarr codec), Predictor 1, and striped files only when the strip
+    * height divides the image height (a short final strip would violate
+    * Zarr's full-chunk rule). Coordinate arrays come inline from the
+    * affine georeferencing; only the header is read... the raster data is
+    * never touched.
+    */
+  def scanGeoTiff(path: String): String = {
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    val (tags, order) = GeoTiffSource.readFirstIfdTags(bytes)
+    def one(tag: Int, dflt: Option[Double] = None): Double =
+      tags.get(tag).map(_.head).orElse(dflt).getOrElse(
+        throw new IllegalArgumentException(s"$path: missing TIFF tag $tag"))
+    val width = one(256).toInt
+    val height = one(257).toInt
+    val bits = one(258, Some(1.0)).toInt
+    val compression = one(259, Some(1.0)).toInt
+    val nb = one(277, Some(1.0)).toInt
+    val sampleFormat = one(339, Some(1.0)).toInt
+    require(compression == 1 || compression == 8 || compression == 32946,
+      s"$path: compression $compression is not a zarr codec (none/deflate only)")
+    require(one(317, Some(1.0)).toInt == 1,
+      s"$path: predictor is not expressible as a zarr codec")
+    require(bits % 8 == 0, s"$path: $bits-bit samples")
+    val kind = sampleFormat match {
+      case 1 => "u"
+      case 2 => "i"
+      case 3 => "f"
+      case f => throw new IllegalArgumentException(s"$path: sample format $f")
+    }
+    val dtype =
+      (if (order == java.nio.ByteOrder.LITTLE_ENDIAN) "<" else ">") +
+        kind + (bits / 8)
+    val (chunkH, chunkW, offs, cnts) =
+      if (tags.contains(322)) {
+        (one(323).toInt, one(322).toInt,
+          tags(324).map(_.toLong), tags(325).map(_.toLong))
+      } else {
+        val rows = math.min(one(278, Some(height.toDouble)).toInt, height)
+        require(tags(273).length == 1 || height % rows == 0,
+          s"$path: $rows-row strips do not divide height $height " +
+            "(short final strip is not a full zarr chunk)")
+        (rows, width, tags(273).map(_.toLong), tags(279).map(_.toLong))
+      }
+    val scale = tags.getOrElse(33550, Array(1.0, 1.0, 0.0))
+    val tie = tags.getOrElse(33922, Array(0.0, 0.0, 0.0, 0.0, 0.0, 0.0))
+    val originX = tie(3) - tie(0) * scale(0)
+    val originY = tie(4) + tie(1) * scale(1)
+    val dims = if (nb == 1) Seq("y", "x") else Seq("y", "x", "band")
+    val shape = if (nb == 1) Seq(height, width) else Seq(height, width, nb)
+    val chunks = if (nb == 1) Seq(chunkH, chunkW) else Seq(chunkH, chunkW, nb)
+    val comp = if (compression == 1) "null" else """{"id":"zlib"}"""
+    val out = scala.collection.mutable.LinkedHashMap[String, String]()
+    out(".zgroup") = jstr("""{"zarr_format":2}""")
+    def coordArray(name: String, values: Array[Double]): Unit = {
+      out(s"$name/.zarray") = jstr(
+        s"""{"zarr_format":2,"shape":[${values.length}],""" +
+          s""""chunks":[${values.length}],"dtype":"<f8","compressor":null,""" +
+          """"fill_value":null,"filters":null,"order":"C"}""")
+      out(s"$name/.zattrs") = jstr(s"""{"_ARRAY_DIMENSIONS":[${jstr(name)}]}""")
+      val cb = java.nio.ByteBuffer.allocate(values.length * 8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      values.foreach(cb.putDouble)
+      out(s"$name/0") = jstr("base64:" +
+        java.util.Base64.getEncoder.encodeToString(cb.array()))
+    }
+    coordArray("y", Array.tabulate(height)(j => originY - (j + 0.5) * scale(1)))
+    coordArray("x", Array.tabulate(width)(i => originX + (i + 0.5) * scale(0)))
+    if (nb > 1) coordArray("band", Array.tabulate(nb)(_ + 1.0))
+    out("v/.zarray") = jstr(
+      s"""{"zarr_format":2,"shape":[${shape.mkString(",")}],""" +
+        s""""chunks":[${chunks.mkString(",")}],"dtype":"$dtype",""" +
+        s""""compressor":$comp,"fill_value":null,"filters":null,"order":"C"}""")
+    out("v/.zattrs") = jstr(
+      s"""{"_ARRAY_DIMENSIONS":[${dims.map(jstr).mkString(",")}]}""")
+    val url = new java.io.File(path).toURI.toString
+    val across = (width + chunkW - 1) / chunkW
+    offs.zip(cnts).zipWithIndex.foreach { case ((o, c), t) =>
+      val key = Seq((t / across).toString, (t % across).toString) ++
+        (if (nb > 1) Seq("0") else Nil)
+      out(s"v/${key.mkString(".")}") = s"""[${jstr(url)}, $o, $c]"""
+    }
+    refsDoc(out)
+  }
+
   private def refsDoc(entries: scala.collection.Map[String, String]): String =
     entries.map { case (k, v) => s"${jstr(k)}: $v" }
       .mkString("{\"version\": 1, \"refs\": {", ", ", "}}")

@@ -242,6 +242,44 @@ class ZarrSourceSpec extends AnyFunSuite {
       assert(back((j + 0.5, i + 0.5)) == data(j * 3 + i), s"j=$j i=$i")
   }
 
+  test("kerchunk: scanGeoTiff maps tiles/strips to zarr chunks exactly") {
+    import graft.sources.{GeoTiffSource, KerchunkSource}
+    val dir = tmpDir("kct")
+    // tiled + deflate + multi-band: the real COG-interior case
+    val (h, w, nb) = (7, 10, 2)
+    val bands = IndexedSeq.tabulate(nb)(k =>
+      Array.tabulate(h * w)(i => k * 1000.0 + i))
+    val p1 = s"$dir/tiled.tif"
+    GeoTiffSource.write(p1, GeoTiffSource.Raster(w, h, bands, 1.0, 1.0, 0.0, 7.0),
+      deflate = true, tileSize = 4)
+    val refs1 = s"$dir/tiled.refs.json"
+    Files.writeString(Paths.get(refs1), KerchunkSource.scanGeoTiff(p1))
+    val back1 = KerchunkSource.readCube(spark, refs1, "v").collect()
+      .map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2)) -> r.getDouble(3))
+      .toMap
+    assert(back1.size == h * w * nb)
+    for (j <- 0 until h; i <- 0 until w; k <- 0 until nb)
+      assert(back1((7 - (j + 0.5), i + 0.5, k + 1.0)) == bands(k)(j * w + i),
+        s"j=$j i=$i band=$k")
+    // striped single-band uncompressed (one strip = one whole-image chunk)
+    val p2 = s"$dir/striped.tif"
+    GeoTiffSource.write(p2,
+      GeoTiffSource.Raster(3, 2, Array(1.0, 2.0, 3.0, 4.0, 5.0, 6.0), 1, 1, 0, 2))
+    val refs2 = s"$dir/striped.refs.json"
+    Files.writeString(Paths.get(refs2), KerchunkSource.scanGeoTiff(p2))
+    val back2 = KerchunkSource.readCube(spark, refs2, "v").collect()
+      .map(r => (r.getDouble(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    assert(back2 == Map(
+      (1.5, 0.5) -> 1.0, (1.5, 1.5) -> 2.0, (1.5, 2.5) -> 3.0,
+      (0.5, 0.5) -> 4.0, (0.5, 1.5) -> 5.0, (0.5, 2.5) -> 6.0))
+    // LZW is not a zarr codec → loud rejection
+    val p3 = s"$dir/lzw.tif"
+    GeoTiffSource.write(p3,
+      GeoTiffSource.Raster(2, 2, Array(1.0, 2.0, 3.0, 4.0), 1, 1, 0, 2), lzw = true)
+    val e = intercept[IllegalArgumentException](KerchunkSource.scanGeoTiff(p3))
+    assert(e.getMessage.contains("zarr codec"))
+  }
+
   test("kerchunk: combineRefs concatenates granules along a new dimension") {
     import graft.sources.{KerchunkSource, NetcdfSource}
     import NetcdfSource.NcDim
