@@ -81,6 +81,29 @@ object MaintenanceOps {
       "geospatial_lat_resolution" -> cube.gm.yRes.toString)
   }
 
+  /** Cell-level diff of two dataset versions sharing a dimension grid —
+    * the operational "what changed between yesterday's cube and today's"
+    * tool (beyond the reference, which only appends/replaces). One
+    * full-outer join on the dimension key; each cell is classified
+    * added / removed / changed / same. Scale: the join shuffles on the
+    * dimension key both sides — the minimal exchange for a keyed diff —
+    * and nothing is collected.
+    */
+  def diffDatasets(a: DataFrame, b: DataFrame, dims: Seq[String],
+                   valueCol: String): DataFrame = {
+    require(dims.nonEmpty, "no dimension columns")
+    val left = a.select((dims.map(col) :+ col(valueCol).as("__va")): _*)
+    val right = b.select((dims.map(col) :+ col(valueCol).as("__vb")): _*)
+    left.join(right, dims, "full_outer")
+      .withColumn("status",
+        when(col("__va").isNull, lit("added"))
+          .when(col("__vb").isNull, lit("removed"))
+          .when(col("__va") === col("__vb"), lit("same"))
+          .otherwise(lit("changed")))
+      .withColumnRenamed("__va", "value_before")
+      .withColumnRenamed("__vb", "value_after")
+  }
+
   /** dump_dataset (dump.py:66): human-readable cube summary. */
   def dump(cube: Cube): String = {
     val gm = cube.gm

@@ -396,6 +396,27 @@ object ServingPack extends QueryPack {
             lit("tif_2024-01-01")))
     }),
 
+    // cell-level dataset version diff (the operational "what changed
+    // between yesterday's cube and today's"): the two daily-mean grids are
+    // full-outer joined on the cell key and every cell classified
+    // added/removed/changed/same, with the per-status signed value delta
+    // summed in DECIMAL.
+    "q_cube_diff" -> ((s, d) => {
+      def day(dd: String) = CubePack.eventsCube(s, d).df
+        .filter(to_date(col("time")) === lit(dd).cast("date"))
+        .groupBy(floor(col("y")).cast("long").as("j"),
+          floor(col("x")).cast("long").as("i"))
+        .agg(round(sum(col("v").cast("decimal(28,12)")).cast("double") /
+          count(lit(1)), 6).as("v"))
+      MaintenanceOps.diffDatasets(
+          day("2024-01-01"), day("2024-01-02"), Seq("j", "i"), "v")
+        .groupBy("status")
+        .agg(count(lit(1)).as("n_cells"),
+          round(sum(coalesce(col("value_after"), lit(0.0)).cast("decimal(28,10)") -
+            coalesce(col("value_before"), lit(0.0)).cast("decimal(28,10)")), 6)
+            .cast("double").as("sum_delta"))
+    }),
+
     // MultiZarrToZarr-style combine (the kerchunk archive workflow): BOTH
     // daily NetCDF granules are scanned and merged into ONE virtual 3-D
     // dataset with a new leading `t` dimension — no payload byte is read
@@ -911,6 +932,28 @@ object ServingPack extends QueryPack {
                 round(sum(((j + 0.5) + (i + 0.5))::DECIMAL(28,10)), 6)::DOUBLE AS sum_coord,
                 round(sum(v::DECIMAL(28,10)), 6)::DOUBLE AS sum_v
          FROM daily WHERE day_idx = 0 GROUP BY src""",
+    "q_cube_diff" ->
+      s"""WITH ${CubePack.cubeCte},
+         d1 AS (SELECT floor(y)::BIGINT AS j, floor(x)::BIGINT AS i,
+                       round(sum(v::DECIMAL(28,12))::DOUBLE / count(*), 6) AS v
+                FROM cube WHERE CAST(time AS DATE) = DATE '2024-01-01'
+                GROUP BY j, i),
+         d2 AS (SELECT floor(y)::BIGINT AS j, floor(x)::BIGINT AS i,
+                       round(sum(v::DECIMAL(28,12))::DOUBLE / count(*), 6) AS v
+                FROM cube WHERE CAST(time AS DATE) = DATE '2024-01-02'
+                GROUP BY j, i),
+         f AS (SELECT d1.v AS va, d2.v AS vb
+               FROM d1 FULL OUTER JOIN d2 ON d1.j = d2.j AND d1.i = d2.i),
+         c AS (SELECT CASE WHEN va IS NULL THEN 'added'
+                           WHEN vb IS NULL THEN 'removed'
+                           WHEN va = vb THEN 'same'
+                           ELSE 'changed' END AS status,
+                      coalesce(vb, 0)::DECIMAL(28,10) -
+                        coalesce(va, 0)::DECIMAL(28,10) AS delta
+               FROM f)
+         SELECT status, count(*) AS n_cells,
+                round(sum(delta), 6)::DOUBLE AS sum_delta
+         FROM c GROUP BY status""",
     "q_kerchunk_combine" ->
       s"""WITH ${CubePack.cubeCte},
          daily AS (SELECT CASE WHEN CAST(time AS DATE) = DATE '2024-01-01'
