@@ -179,4 +179,17 @@ class PlanAuditSpec extends AnyFunSuite {
       assert(!p.contains("UDF") && !p.contains("BatchEvalPython"), s"$q:\n$p")
     }
   }
+
+  test("q_semantic_dedup: in-cluster pairs are an equi-join, never all-pairs") {
+    val p = plan("q_semantic_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("Join"), p) // the cid equi-join is the only join
+  }
+
+  test("q_chunk_windows: scan-shaped — no join, no window, no global sort") {
+    val p = plan("q_chunk_windows")
+    assert(!p.contains("Join") && !p.contains("Window"), p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+    assert(p.contains("Generate"), p) // the window explode
+  }
 }
