@@ -92,16 +92,22 @@ object MaintenanceOps {
   def diffDatasets(a: DataFrame, b: DataFrame, dims: Seq[String],
                    valueCol: String): DataFrame = {
     require(dims.nonEmpty, "no dimension columns")
-    val left = a.select((dims.map(col) :+ col(valueCol).as("__va")): _*)
-    val right = b.select((dims.map(col) :+ col(valueCol).as("__vb")): _*)
+    // explicit presence markers: row existence must not be inferred from
+    // value-nullness, or a legitimately NULL measurement present in both
+    // versions would read as added/removed
+    val left = a.select((dims.map(col) :+ col(valueCol).as("__va")) :+
+      lit(true).as("__pa"): _*)
+    val right = b.select((dims.map(col) :+ col(valueCol).as("__vb")) :+
+      lit(true).as("__pb"): _*)
     left.join(right, dims, "full_outer")
       .withColumn("status",
-        when(col("__va").isNull, lit("added"))
-          .when(col("__vb").isNull, lit("removed"))
-          .when(col("__va") === col("__vb"), lit("same"))
+        when(col("__pa").isNull, lit("added"))
+          .when(col("__pb").isNull, lit("removed"))
+          .when(col("__va") <=> col("__vb"), lit("same"))
           .otherwise(lit("changed")))
       .withColumnRenamed("__va", "value_before")
       .withColumnRenamed("__vb", "value_after")
+      .drop("__pa", "__pb")
   }
 
   /** dump_dataset (dump.py:66): human-readable cube summary. */

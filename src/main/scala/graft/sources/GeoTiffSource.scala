@@ -302,6 +302,25 @@ object GeoTiffSource {
     (ifdTags(b, b.getInt(4)), order)
   }
 
+  /** First value of `tag` (or the default) — the shared accessor for tag
+    * maps produced by [[ifdTags]].
+    */
+  private[sources] def tagOne(tags: Map[Int, Array[Double]], tag: Int,
+                              default: Option[Double] = None): Double =
+    tags.get(tag).map(_.head).orElse(default).getOrElse(
+      throw new IllegalArgumentException(s"missing required TIFF tag $tag"))
+
+  /** (scaleX, scaleY, originX, originY) from ModelPixelScale +
+    * ModelTiepoint — the tiepoint maps raster (tie(0), tie(1)) to world
+    * (tie(3), tie(4)); normalize to the world coords of raster (0, 0).
+    * Shared by [[parseIfd]] and [[KerchunkSource.scanGeoTiff]].
+    */
+  private[sources] def georefFrom(tags: Map[Int, Array[Double]]): (Double, Double, Double, Double) = {
+    val scale = tags.getOrElse(33550, Array(1.0, 1.0, 0.0))
+    val tie = tags.getOrElse(33922, Array(0.0, 0.0, 0.0, 0.0, 0.0, 0.0))
+    (scale(0), scale(1), tie(3) - tie(0) * scale(0), tie(4) + tie(1) * scale(1))
+  }
+
   /** One IFD → (its raster, absolute offset of the next IFD or 0). */
   private def parseIfd(bytes: Array[Byte], b: ByteBuffer, order: ByteOrder,
                        ifdOff: Int): (Raster, Int) = {
@@ -427,13 +446,8 @@ object GeoTiffSource {
       }
     }
 
-    val scale = tags.getOrElse(33550, Array(1.0, 1.0, 0.0)) // ModelPixelScale
-    val tie = tags.getOrElse(33922, Array(0.0, 0.0, 0.0, 0.0, 0.0, 0.0))
-    // tiepoint maps raster (tie(0), tie(1)) to world (tie(3), tie(4));
-    // normalize to the world coords of raster origin (0, 0)
-    val originX = tie(3) - tie(0) * scale(0)
-    val originY = tie(4) + tie(1) * scale(1)
-    (Raster(width, height, bands, scale(0), scale(1), originX, originY),
+    val (scaleX, scaleY, originX, originY) = georefFrom(tags)
+    (Raster(width, height, bands, scaleX, scaleY, originX, originY),
       b.getInt(ifdOff + 2 + nEntries * 12))
   }
 

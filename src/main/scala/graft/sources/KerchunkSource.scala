@@ -298,18 +298,49 @@ object KerchunkSource {
     * affine georeferencing; only the header is read... the raster data is
     * never touched.
     */
-  def scanGeoTiff(path: String): String = {
-    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
-    val (tags, order) = GeoTiffSource.readFirstIfdTags(bytes)
+  def scanGeoTiff(path: String, headerPrefixBytes: Int = 16 * 1024 * 1024): String = {
+    // read only a bounded prefix: the header, IFD and tag-value arrays of
+    // a COG live at the front of the file by design (that IS the
+    // cloud-optimized layout); the raster payload is never loaded. A
+    // pathological file whose metadata points past the prefix fails with
+    // a clear message instead of reading garbage.
+    val bytes = {
+      val ch = java.nio.channels.FileChannel.open(
+        java.nio.file.Paths.get(path), java.nio.file.StandardOpenOption.READ)
+      try {
+        val n = math.min(ch.size(), headerPrefixBytes.toLong).toInt
+        val buf = java.nio.ByteBuffer.allocate(n)
+        while (buf.hasRemaining && ch.read(buf) > 0) {}
+        buf.array()
+      } finally ch.close()
+    }
+    val (tags, order) =
+      try GeoTiffSource.readFirstIfdTags(bytes)
+      catch {
+        case _: IndexOutOfBoundsException | _: java.nio.BufferUnderflowException =>
+          throw new IllegalArgumentException(
+            s"$path: TIFF metadata extends beyond the ${headerPrefixBytes}-byte " +
+              "header prefix (not a front-loaded/COG layout; raise headerPrefixBytes)")
+      }
     def one(tag: Int, dflt: Option[Double] = None): Double =
-      tags.get(tag).map(_.head).orElse(dflt).getOrElse(
-        throw new IllegalArgumentException(s"$path: missing TIFF tag $tag"))
+      try GeoTiffSource.tagOne(tags, tag, dflt)
+      catch { case e: IllegalArgumentException =>
+        throw new IllegalArgumentException(s"$path: ${e.getMessage}")
+      }
+    def vec(tag: Int): Array[Double] = tags.getOrElse(tag,
+      throw new IllegalArgumentException(s"$path: missing required TIFF tag $tag"))
     val width = one(256).toInt
     val height = one(257).toInt
     val bits = one(258, Some(1.0)).toInt
     val compression = one(259, Some(1.0)).toInt
     val nb = one(277, Some(1.0)).toInt
     val sampleFormat = one(339, Some(1.0)).toInt
+    require(one(284, Some(1.0)).toInt == 1,
+      s"$path: planar (band-sequential) configuration has no chunky-C-order zarr mapping")
+    require(tags.get(258).forall(_.forall(_ == bits)),
+      s"$path: per-band BitsPerSample values differ")
+    require(tags.get(339).forall(_.forall(_ == sampleFormat)),
+      s"$path: per-band SampleFormat values differ")
     require(compression == 1 || compression == 8 || compression == 32946,
       s"$path: compression $compression is not a zarr codec (none/deflate only)")
     require(one(317, Some(1.0)).toInt == 1,
@@ -327,18 +358,15 @@ object KerchunkSource {
     val (chunkH, chunkW, offs, cnts) =
       if (tags.contains(322)) {
         (one(323).toInt, one(322).toInt,
-          tags(324).map(_.toLong), tags(325).map(_.toLong))
+          vec(324).map(_.toLong), vec(325).map(_.toLong))
       } else {
         val rows = math.min(one(278, Some(height.toDouble)).toInt, height)
-        require(tags(273).length == 1 || height % rows == 0,
+        require(vec(273).length == 1 || height % rows == 0,
           s"$path: $rows-row strips do not divide height $height " +
             "(short final strip is not a full zarr chunk)")
-        (rows, width, tags(273).map(_.toLong), tags(279).map(_.toLong))
+        (rows, width, vec(273).map(_.toLong), vec(279).map(_.toLong))
       }
-    val scale = tags.getOrElse(33550, Array(1.0, 1.0, 0.0))
-    val tie = tags.getOrElse(33922, Array(0.0, 0.0, 0.0, 0.0, 0.0, 0.0))
-    val originX = tie(3) - tie(0) * scale(0)
-    val originY = tie(4) + tie(1) * scale(1)
+    val (sx, sy, originX, originY) = GeoTiffSource.georefFrom(tags)
     val dims = if (nb == 1) Seq("y", "x") else Seq("y", "x", "band")
     val shape = if (nb == 1) Seq(height, width) else Seq(height, width, nb)
     val chunks = if (nb == 1) Seq(chunkH, chunkW) else Seq(chunkH, chunkW, nb)
@@ -357,8 +385,8 @@ object KerchunkSource {
       out(s"$name/0") = jstr("base64:" +
         java.util.Base64.getEncoder.encodeToString(cb.array()))
     }
-    coordArray("y", Array.tabulate(height)(j => originY - (j + 0.5) * scale(1)))
-    coordArray("x", Array.tabulate(width)(i => originX + (i + 0.5) * scale(0)))
+    coordArray("y", Array.tabulate(height)(j => originY - (j + 0.5) * sy))
+    coordArray("x", Array.tabulate(width)(i => originX + (i + 0.5) * sx))
     if (nb > 1) coordArray("band", Array.tabulate(nb)(_ + 1.0))
     out("v/.zarray") = jstr(
       s"""{"zarr_format":2,"shape":[${shape.mkString(",")}],""" +
