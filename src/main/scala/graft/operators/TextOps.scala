@@ -29,6 +29,29 @@ object TextOps {
   /** Whitespace tokens. */
   def tokens(text: Column): Column = split(text, " ")
 
+  /** RAG-style overlapping token windows: one row per (document, window),
+    * windows starting every `stride` tokens and holding up to `width`
+    * tokens (the final window may be shorter). Scan-shaped — explode plus
+    * per-row arithmetic, no shuffle. Emits `win_id`, `win_start`,
+    * `win_len` and the re-joined `win_text`; rows with an empty token
+    * array are dropped.
+    */
+  def chunkWindows(df: DataFrame, textCol: String,
+                   width: Int, stride: Int): DataFrame = {
+    require(width > 0, s"width $width")
+    require(stride > 0 && stride <= width, s"stride $stride vs width $width")
+    df.withColumn("__w", tokens(col(textCol)))
+      .withColumn("__n", size(col("__w")))
+      .filter(col("__n") > 0)
+      .withColumn("win_id",
+        explode(sequence(lit(0), floor((col("__n") - 1) / stride).cast("int"))))
+      .withColumn("win_start", col("win_id") * stride)
+      .withColumn("win_len", least(lit(width), col("__n") - col("win_start")))
+      .withColumn("win_text",
+        concat_ws(" ", slice(col("__w"), col("win_start") + 1, col("win_len"))))
+      .drop("__w", "__n")
+  }
+
   /** Word n-gram shingles as strings; empty array when the doc is shorter
     * than n tokens.
     *

@@ -27,8 +27,11 @@ object ScaleSoak {
     "q_embed_near_dup", "q_skew_join", "q_repetition", "q_pii_scrub",
     // round-6 additions: cluster resolution (edges replicate per salted
     // copy), decontamination (bench set grows linearly, stays broadcast),
-    // packing (per-shard window) and the LM coverage filter (bounded model)
-    "q_dedup_clusters", "q_decontaminate", "q_seq_pack", "q_lm_coverage")
+    // packing (per-shard window), the LM coverage filter (bounded model),
+    // the k-means step + semantic dedup (scan assignment, per-cluster
+    // join), RAG chunk windows (scan) and the dataset diff (keyed join)
+    "q_dedup_clusters", "q_decontaminate", "q_seq_pack", "q_lm_coverage",
+    "q_kmeans_step", "q_semantic_dedup", "q_chunk_windows", "q_cube_diff")
 
   /** Allowed growth multiple of `factor` before a query is flagged. The
     * salted documents are ~2× longer than the originals (a salt token in
