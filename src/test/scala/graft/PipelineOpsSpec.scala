@@ -292,6 +292,34 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(rev == cc)
   }
 
+  test("chunk windows: overlap, tail, short docs, degenerate strides") {
+    import spark.implicits._
+    import graft.operators.TextOps
+    val df = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 tokens
+      (2L, "a b"),                                    // shorter than width
+      (3L, "")                                        // 1 empty-string token
+    ).toDF("id", "text")
+    val w = TextOps.chunkWindows(df, "text", width = 4, stride = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(2)) -> (r.getInt(3), r.getInt(4), r.getString(5)))
+      .toMap
+    // doc 1: starts 0,3,6,9 → lens 4,4,4,1; overlapping content
+    assert(w((1L, 0)) == ((0, 4, "t1 t2 t3 t4")))
+    assert(w((1L, 1)) == ((3, 4, "t4 t5 t6 t7")))
+    assert(w((1L, 3)) == ((9, 1, "t10")))
+    assert(w((2L, 0)) == ((0, 2, "a b")))
+    assert(w.contains((3L, 0))) // split("") = [""] → one 1-token window
+    assert(!w.contains((1L, 4)) && !w.contains((2L, 1)))
+    // stride == width → non-overlapping tiling
+    val nt = TextOps.chunkWindows(df.filter(col("id") === 1L), "text", 5, 5)
+      .collect().map(r => r.getString(5))
+    assert(nt.toSet == Set("t1 t2 t3 t4 t5", "t6 t7 t8 t9 t10"))
+    // stride > width is rejected (windows would skip tokens)
+    intercept[IllegalArgumentException](
+      TextOps.chunkWindows(df, "text", width = 3, stride = 5).collect())
+  }
+
   test("kmeans step: nearest centroid wins, ties to lower cid, sums exact") {
     import spark.implicits._
     import graft.operators.EmbeddingOps
