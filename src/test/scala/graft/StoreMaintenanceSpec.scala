@@ -282,6 +282,23 @@ class StoreMaintenanceSpec extends AnyFunSuite {
     }
   }
 
+  test("diffDatasets: presence is row existence, not value non-nullness") {
+    import spark.implicits._
+    import graft.operators.MaintenanceOps
+    import org.apache.spark.sql.functions.{col, when}
+    def v(rows: Seq[(Long, java.lang.Double)]) =
+      rows.toDF("k", "raw")
+        .select(col("k"), when(col("raw").isNotNull, col("raw")).as("v"))
+    // k=1 null→null (same), k=2 null→5 (changed), k=3 7→null (changed),
+    // k=4 only-before (removed), k=5 only-after (added), k=6 2→2 (same)
+    val before = v(Seq((1L, null), (2L, null), (3L, 7.0), (4L, 9.0), (6L, 2.0)))
+    val after = v(Seq((1L, null), (2L, 5.0), (3L, null), (5L, 1.0), (6L, 2.0)))
+    val d = MaintenanceOps.diffDatasets(before, after, Seq("k"), "v")
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(d == Map(1L -> "same", 2L -> "changed", 3L -> "changed",
+      4L -> "removed", 5L -> "added", 6L -> "same"), d)
+  }
+
   test("fixture markers fingerprint their config: changed config rebuilds, same reuses") {
     val dir = Files.createTempDirectory("graft_fixture").toFile
     val path = new java.io.File(dir, "layout").getAbsolutePath
