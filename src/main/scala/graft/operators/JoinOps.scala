@@ -50,12 +50,23 @@ object JoinOps {
       lit(null).cast(r.schema("__v").dataType).as("__v"),
       lit(null).cast(r.schema("__rt").dataType).as("__rt"))
     val unioned = l.unionByName(r, allowMissingColumns = true)
+    // (__t, __side, __v) ordering: the trailing __v is a tiebreaker so that
+    // when several right rows share a key and timestamp the attached row is
+    // deterministic across runs/partitionings (the max value wins).
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__t"), col("__side"))
+      .orderBy(col("__t"), col("__side"), col("__v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // Carry (time, value) as ONE struct through a single last(ignoreNulls):
+    // the struct is non-null for every right row even when its value is NULL,
+    // so the latest right row always wins and its NULL value propagates —
+    // matching pandas merge_asof / DuckDB ASOF — and the matched time can
+    // never come from a different row than the value.
     val matched = unioned
-      .withColumn("__av", last(col("__v"), ignoreNulls = true).over(w))
-      .withColumn("__at", last(col("__rt"), ignoreNulls = true).over(w))
+      .withColumn("__m", last(
+        when(col("__side") === 0, struct(col("__rt").as("t"), col("__v").as("v"))),
+        ignoreNulls = true).over(w))
+      .withColumn("__av", col("__m").getField("v"))
+      .withColumn("__at", col("__m").getField("t"))
       .filter(col("__side") === 1)
     val inTol = toleranceSec match {
       case Some(tol) =>

@@ -35,6 +35,11 @@ object TextOps {
     * per-row arithmetic, no shuffle. Emits `win_id`, `win_start`,
     * `win_len` and the re-joined `win_text`; rows with an empty token
     * array are dropped.
+    *
+    * Window starts stop at the first window that reaches the document end
+    * (last start = max(0, ceil((n-width)/stride)·stride)): a start past
+    * n-width would emit a short tail wholly contained in the previous
+    * window — duplicated retrieval content for a RAG corpus.
     */
   def chunkWindows(df: DataFrame, textCol: String,
                    width: Int, stride: Int): DataFrame = {
@@ -44,7 +49,9 @@ object TextOps {
       .withColumn("__n", size(col("__w")))
       .filter(col("__n") > 0)
       .withColumn("win_id",
-        explode(sequence(lit(0), floor((col("__n") - 1) / stride).cast("int"))))
+        explode(sequence(lit(0), greatest(lit(0),
+          // integer ceil((n-width)/stride); negative when n <= width → 0
+          floor((col("__n") - width + (stride - 1)) / stride)).cast("int"))))
       .withColumn("win_start", col("win_id") * stride)
       .withColumn("win_len", least(lit(width), col("__n") - col("win_start")))
       .withColumn("win_text",

@@ -266,7 +266,9 @@ object ServingPack extends QueryPack {
     // corpus, so the index search must equal exact brute-force top-k — an
     // oracle for the search machinery that needs no SQL k-means. The index
     // build is a write-once fixture (an IVF codebook is trained once and
-    // served many times); the query measures load + probe + top-k.
+    // served many times); the query measures load + probe + top-k, all in
+    // ONE plan via searchBatch (the single-query IvfOps.search stays for
+    // point-lookup serving and its unit spec).
     "q_ivf_ann" -> ((s, d) => {
       val sfName = new java.io.File(d).getName
       val path = s"/root/repo/.graft-fixtures/ivf_$sfName"
@@ -274,13 +276,10 @@ object ServingPack extends QueryPack {
         IvfOps.save(IvfOps.build(embs(s, d), "vec_id", "embedding", nCells = 4), path)
       }
       val idx = IvfOps.load(s, path)
-      val qs = embs(s, d).filter(col("vec_id") < 3).select(col("vec_id"), col("embedding"))
-        .collect()
-        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray.map(_.toDouble)))
-      qs.map { case (qid, qv) =>
-        IvfOps.search(idx, "vec_id", "embedding", qv, k = 5, nProbe = 4)
-          .withColumn("query_id", lit(qid))
-      }.reduce(_ unionByName _).select("query_id", "vec_id", "cos_sim")
+      val qs = embs(s, d).filter(col("vec_id") < 3)
+      IvfOps.searchBatch(idx, qs, "vec_id", "embedding", "vec_id", "embedding",
+          k = 5, nProbe = 4)
+        .select("query_id", "vec_id", "cos_sim")
     }),
 
     // batch IVF ANN: 10 queries resolved in ONE plan (searchBatch — no

@@ -594,14 +594,13 @@ object GeoTiffSource {
       if (lzw) lzwEncode(b)
       else if (!deflate) b
       else {
-        // worst-case zlib expansion: ~5 bytes per 64 KiB stored block + 6
         val d = new java.util.zip.Deflater()
         d.setInput(b); d.finish()
-        val out = new Array[Byte](b.length + 5 * (b.length / 65535 + 1) + 16)
-        val n = d.deflate(out)
-        require(d.finished(), "deflate did not finish in one pass")
+        val bos = new java.io.ByteArrayOutputStream(b.length / 2 + 64)
+        val out = new Array[Byte](65536)
+        while (!d.finished()) bos.write(out, 0, d.deflate(out))
         d.end()
-        java.util.Arrays.copyOf(out, n)
+        bos.toByteArray
       }
     def encodeChunk(b: Array[Byte], rowPixels: Int, rows: Int): Array[Byte] = {
       if (predictor == 2)
@@ -660,6 +659,12 @@ object GeoTiffSource {
       val offArrOff = fmtArrOff + (if (needVec) 2 * nb else 0)
       val cntArrOff = offArrOff + (if (n > 1) 4 * n else 0)
       val dataOff0 = cntArrOff + (if (n > 1) 4 * n else 0)
+      // offsets are 32-bit LONG entries accumulated in Int — guard before
+      // they wrap (overview pyramids multiply levels into one file)
+      val segEnd = dataOff0.toLong + chunks.map(_.length.toLong).sum
+      require(segEnd <= Int.MaxValue.toLong,
+        s"GeoTIFF output needs $segEnd bytes — exceeds the 2 GiB classic-TIFF " +
+          "offset limit (BigTIFF is out of scope); write fewer levels or tiles")
       val chunkOffs = chunks.scanLeft(dataOff0)(_ + _.length).init
       val buf = ByteBuffer.allocate(dataOff0 - base + chunks.map(_.length).sum)
         .order(ByteOrder.LITTLE_ENDIAN)

@@ -304,13 +304,14 @@ class PipelineOpsSpec extends AnyFunSuite {
       .collect()
       .map(r => (r.getLong(0), r.getInt(2)) -> (r.getInt(3), r.getInt(4), r.getString(5)))
       .toMap
-    // doc 1: starts 0,3,6,9 → lens 4,4,4,1; overlapping content
+    // doc 1: starts 0,3,6 → lens 4,4,4; the window at 6 reaches the doc end,
+    // so no start-9 tail window (it would be wholly contained in it)
     assert(w((1L, 0)) == ((0, 4, "t1 t2 t3 t4")))
     assert(w((1L, 1)) == ((3, 4, "t4 t5 t6 t7")))
-    assert(w((1L, 3)) == ((9, 1, "t10")))
+    assert(w((1L, 2)) == ((6, 4, "t7 t8 t9 t10")))
     assert(w((2L, 0)) == ((0, 2, "a b")))
     assert(w.contains((3L, 0))) // split("") = [""] → one 1-token window
-    assert(!w.contains((1L, 4)) && !w.contains((2L, 1)))
+    assert(!w.contains((1L, 3)) && !w.contains((2L, 1)))
     // stride == width → non-overlapping tiling
     val nt = TextOps.chunkWindows(df.filter(col("id") === 1L), "text", 5, 5)
       .collect().map(r => r.getString(5))
