@@ -67,12 +67,14 @@ object ServingPack extends QueryPack {
   /** Build (once per sf) the 2-day Zarr group; returns the group dir.
     * Shared by q_zarr and q_kerchunk.
     */
-  private def zarrFixture(s: SparkSession, d: String): String = {
+  private def zarrFixture(s: SparkSession, d: String,
+                          codec: ZarrSource.Codec = ZarrSource.Zlib(),
+                          tag: String = ""): String = {
     val sfName = new java.io.File(d).getName
-    val base = s"/root/repo/.graft-fixtures/zarr_$sfName"
+    val base = s"/root/repo/.graft-fixtures/zarr$tag" + s"_$sfName"
     val group = s"$base/cube.zarr"
     val days = Seq("2024-01-01", "2024-01-02")
-    Fixtures.ensureWritten(base, "days=2,grid=2x100x360,chunks=1x50x90,zlib,mean6") {
+    Fixtures.ensureWritten(base, s"days=2,grid=2x100x360,chunks=1x50x90,$codec,mean6") {
       new java.io.File(base).mkdirs()
       val daily = CubePack.eventsCube(s, d).df
         .filter(to_date(col("time")) === lit(days(0)).cast("date") ||
@@ -91,7 +93,7 @@ object ServingPack extends QueryPack {
         Seq("t" -> Array(0.0, 1.0),
           "y" -> Array.tabulate(100)(_ + 0.5),
           "x" -> Array.tabulate(360)(_ + 0.5)),
-        chunks = Seq(1, 50, 90))
+        chunks = Seq(1, 50, 90), codec = codec)
     }
     group
   }
@@ -343,6 +345,22 @@ object ServingPack extends QueryPack {
     // pass. 1×50×90 chunks → 16 chunk files across 2 days.
     "q_zarr" -> ((s, d) => {
       ZarrSource.readCube(s, zarrFixture(s, d), "v")
+        .filter(!isnan(col("v")))
+        .groupBy(col("t").cast("long").as("day_idx"))
+        .agg(count(lit(1)).as("n_cells"),
+          round(sum((col("y") + col("x")).cast("decimal(28,10)")), 6)
+            .cast("double").as("sum_coord"),
+          round(sum(col("v").cast("decimal(28,10)")), 6).cast("double").as("sum_v"))
+    }),
+
+    // Same cube written with zarr-python's DEFAULT compressor — blosc with
+    // lz4 inner codec and byte-shuffle (BloscCodec encodes; the chunk-per-
+    // task reader decodes the self-describing frames). Values must match
+    // the zlib store's oracle bit-for-bit: the codec is lossless and the
+    // pipeline above it identical.
+    "q_zarr_blosc" -> ((s, d) => {
+      ZarrSource.readCube(s,
+          zarrFixture(s, d, ZarrSource.Blosc("lz4", 5, shuffle = 1), tag = "blosc"), "v")
         .filter(!isnan(col("v")))
         .groupBy(col("t").cast("long").as("day_idx"))
         .agg(count(lit(1)).as("n_cells"),
@@ -894,6 +912,20 @@ object ServingPack extends QueryPack {
                 round(sum(v::DECIMAL(28,10)), 6)::DOUBLE
          FROM daily WHERE (99 - j) % 4 = 0 AND i % 4 = 0 HAVING count(*) > 0""",
     "q_zarr" ->
+      s"""WITH ${CubePack.cubeCte},
+         daily AS (SELECT CASE WHEN CAST(time AS DATE) = DATE '2024-01-01'
+                               THEN 0 ELSE 1 END AS day_idx,
+                          floor(y)::BIGINT AS j, floor(x)::BIGINT AS i,
+                          round(sum(v::DECIMAL(28,12))::DOUBLE / count(*), 6) AS v
+                   FROM cube
+                   WHERE CAST(time AS DATE) = DATE '2024-01-01'
+                      OR CAST(time AS DATE) = DATE '2024-01-02'
+                   GROUP BY day_idx, j, i)
+         SELECT day_idx::BIGINT AS day_idx, count(*) AS n_cells,
+                round(sum(((j + 0.5) + (i + 0.5))::DECIMAL(28,10)), 6)::DOUBLE AS sum_coord,
+                round(sum(v::DECIMAL(28,10)), 6)::DOUBLE AS sum_v
+         FROM daily GROUP BY day_idx""",
+    "q_zarr_blosc" ->
       s"""WITH ${CubePack.cubeCte},
          daily AS (SELECT CASE WHEN CAST(time AS DATE) = DATE '2024-01-01'
                                THEN 0 ELSE 1 END AS day_idx,

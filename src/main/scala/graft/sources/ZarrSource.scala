@@ -16,11 +16,11 @@ import scala.jdk.CollectionConverters._
   * `.zattrs` with xarray's `_ARRAY_DIMENSIONS` convention, and row-major
   * chunk files named `i.j.k` (or with the `/` dimension_separator).
   *
-  * Scope: C order, raw (`compressor: null`) and zlib compressors, the
-  * numeric dtypes, both endiannesses. Blosc (zarr-python's default codec)
-  * is out of scope offline — there is no conformant blosc stream available
-  * here to validate against; `nccopy`-style re-encoding to zlib is the
-  * documented ingest path, and our writer emits zlib.
+  * Scope: C order; raw (`compressor: null`), zlib and blosc compressors
+  * (blosc is zarr-python's DEFAULT — `Blosc(cname='lz4', clevel=5,
+  * shuffle=SHUFFLE)` — decoded by [[BloscCodec]] with lz4/lz4hc/zstd/zlib/
+  * snappy inner codecs; blosclz and bit-shuffle are rejected with a clear
+  * message); the numeric dtypes, both endiannesses.
   *
   * Scale story — the part that makes this the Spark re-expression of the
   * reference's dask model: the CHUNK is the unit of parallelism in both
@@ -32,9 +32,21 @@ import scala.jdk.CollectionConverters._
   */
 object ZarrSource {
 
+  /** Chunk compressor, as declared in `.zarray`'s `compressor` document. */
+  sealed trait Codec extends Serializable
+  case object Raw extends Codec
+  /** numcodecs `{"id": "zlib", "level": n}`. */
+  final case class Zlib(level: Int = 1) extends Codec
+  /** numcodecs `{"id": "blosc", "cname": ..., "clevel": ..., "shuffle": ...}`
+    * — shuffle 0 = none, 1 = byte-shuffle (2 = bit-shuffle is rejected at
+    * decode time by [[BloscCodec]]).
+    */
+  final case class Blosc(cname: String = "lz4", clevel: Int = 5,
+                         shuffle: Int = 1, blocksize: Int = 0) extends Codec
+
   /** Parsed `.zarray` (+ `.zattrs` dims) for one array. */
   final case class ZarrArray(shape: Seq[Int], chunks: Seq[Int], dtype: String,
-                             fillValue: Double, zlib: Boolean,
+                             fillValue: Double, codec: Codec,
                              dims: Seq[String], separator: String) {
     def chunkGrid: Seq[Int] = shape.zip(chunks).map { case (s, c) => (s + c - 1) / c }
     def chunkElems: Int = chunks.product
@@ -94,13 +106,15 @@ object ZarrSource {
     require(za.path("filters").isNull || !za.has("filters"),
       s"$arrayDir: filters are not supported")
     val comp = za.path("compressor")
-    val zlib =
-      if (comp.isNull) false
+    val codec: Codec =
+      if (comp.isNull || comp.isMissingNode) Raw
       else comp.path("id").asText match {
-        case "zlib" => true
+        case "zlib" => Zlib(comp.path("level").asInt(1))
+        case "blosc" => Blosc(
+          comp.path("cname").asText("lz4"), comp.path("clevel").asInt(5),
+          comp.path("shuffle").asInt(1), comp.path("blocksize").asInt(0))
         case other => throw new IllegalArgumentException(
-          s"$arrayDir: compressor '$other' unsupported (null/zlib only; " +
-            "re-encode blosc stores to zlib on ingest)")
+          s"$arrayDir: compressor '$other' unsupported (null/zlib/blosc)")
       }
     val fv = za.path("fill_value") match {
       case n if n.isNull => Double.NaN
@@ -121,7 +135,7 @@ object ZarrSource {
     require(dims.length == shape.length, s"$arrayDir: dims/shape rank mismatch")
     ZarrArray(shape,
       za.path("chunks").elements.asScala.map(_.asInt).toSeq,
-      za.path("dtype").asText, fv, zlib, dims,
+      za.path("dtype").asText, fv, codec, dims,
       Option(za.path("dimension_separator").asText(".")).filter(_.nonEmpty)
         .getOrElse("."))
   }
@@ -171,7 +185,11 @@ object ZarrSource {
     * [[NetcdfSource]].
     */
   def decodeChunk(raw: Array[Byte], za: ZarrArray): Array[Double] = {
-    val bytes = if (za.zlib) inflate(raw) else raw
+    val bytes = za.codec match {
+      case Raw => raw
+      case _: Zlib => inflate(raw)
+      case _: Blosc => BloscCodec.decompress(raw) // frame is self-describing
+    }
     val b = ByteBuffer.wrap(bytes).order(
       if (za.dtype.startsWith(">")) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN)
     val kind = za.dtype.drop(1) // after <, > or |
@@ -343,17 +361,28 @@ object ZarrSource {
     out.toByteArray
   }
 
-  private def zarrayJson(shape: Seq[Int], chunks: Seq[Int], zlib: Boolean): String = {
-    val comp = if (zlib) """{"id": "zlib", "level": 1}""" else "null"
+  private def zarrayJson(shape: Seq[Int], chunks: Seq[Int], codec: Codec): String = {
+    val comp = codec match {
+      case Raw => "null"
+      case Zlib(level) => s"""{"id": "zlib", "level": $level}"""
+      case Blosc(cname, clevel, shuffle, blocksize) =>
+        s"""{"id": "blosc", "cname": "$cname", "clevel": $clevel, "shuffle": $shuffle, "blocksize": $blocksize}"""
+    }
     s"""{"zarr_format": 2, "dtype": "<f8", "shape": [${shape.mkString(", ")}],
        | "chunks": [${chunks.mkString(", ")}], "fill_value": "NaN",
        | "compressor": $comp, "filters": null, "order": "C"}""".stripMargin
   }
 
-  private def encodeChunk(data: Array[Double], zlib: Boolean): Array[Byte] = {
+  private def encodeChunk(data: Array[Double], codec: Codec): Array[Byte] = {
     val b = ByteBuffer.allocate(data.length * 8).order(ByteOrder.LITTLE_ENDIAN)
     data.foreach(b.putDouble)
-    if (zlib) deflate(b.array()) else b.array()
+    codec match {
+      case Raw => b.array()
+      case _: Zlib => deflate(b.array())
+      case Blosc(cname, clevel, shuffle, blocksize) =>
+        BloscCodec.compress(b.array(), typesize = 8, cname = cname,
+          clevel = clevel, shuffle = shuffle != 0, blocksizeHint = blocksize)
+    }
   }
 
   /** Distributed Zarr group writer: `df` holds one row per non-fill cell
@@ -368,7 +397,7 @@ object ZarrSource {
     */
   def writeCube(df: DataFrame, groupDir: String, varName: String,
                 dims: Seq[(String, Array[Double])], chunks: Seq[Int],
-                zlib: Boolean = true): Unit = {
+                codec: Codec = Zlib()): Unit = {
     val spark = df.sparkSession
     import spark.implicits._
     require(dims.length == chunks.length, "one chunk extent per dimension")
@@ -382,17 +411,17 @@ object ZarrSource {
     dims.foreach { case (name, values) =>
       val d = s"$groupDir/$name"
       new java.io.File(d).mkdirs()
-      val zarr = zarrayJson(Seq(values.length), Seq(values.length), zlib)
+      val zarr = zarrayJson(Seq(values.length), Seq(values.length), codec)
       val zatt = s"""{"_ARRAY_DIMENSIONS": ["$name"]}"""
       writeJson(s"$d/.zarray", zarr)
       writeJson(s"$d/.zattrs", zatt)
       arrayMeta += ((name, zarr, zatt))
       java.nio.file.Files.write(java.nio.file.Paths.get(s"$d/0"),
-        encodeChunk(values, zlib))
+        encodeChunk(values, codec))
     }
     val arrayDir = s"$groupDir/$varName"
     new java.io.File(arrayDir).mkdirs()
-    val varZarr = zarrayJson(shape, chunks, zlib)
+    val varZarr = zarrayJson(shape, chunks, codec)
     val varZatt =
       s"""{"_ARRAY_DIMENSIONS": [${dims.map(d => s""""${d._1}"""").mkString(", ")}]}"""
     writeJson(s"$arrayDir/.zarray", varZarr)
@@ -444,7 +473,7 @@ object ZarrSource {
       while (k >= 0) { key(k) = rem % grid(k); rem /= grid(k); k -= 1 }
       java.nio.file.Files.write(
         java.nio.file.Paths.get(s"$arrayDir/${key.mkString(sep)}"),
-        encodeChunk(data, zlib))
+        encodeChunk(data, codec))
       n
     }
     // the count is the action that runs the job (the writes are its side

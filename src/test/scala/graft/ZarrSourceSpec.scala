@@ -104,7 +104,7 @@ class ZarrSourceSpec extends AnyFunSuite {
     new java.io.File(s"$g/a/0").mkdirs()
     Files.write(Paths.get(s"$g/a/0/0"), b.array())
     val za = ZarrSource.openArray(s"$g/a")
-    assert(za.separator == "/" && !za.zlib && za.fillValue == 0.0)
+    assert(za.separator == "/" && za.codec == ZarrSource.Raw && za.fillValue == 0.0)
     assert(za.dims == Seq("dim_0", "dim_1")) // no _ARRAY_DIMENSIONS → synthetic
     val back = ZarrSource.readCube(spark, g, "a").collect()
       .map(r => (r.getDouble(0), r.getDouble(1)) -> r.getDouble(2)).toMap
@@ -118,10 +118,10 @@ class ZarrSourceSpec extends AnyFunSuite {
     Files.writeString(Paths.get(s"$g/.zgroup"), """{"zarr_format": 2}""")
     Files.writeString(Paths.get(s"$g/a/.zarray"),
       """{"zarr_format": 2, "dtype": "<f8", "shape": [2], "chunks": [2],
-        | "fill_value": null, "compressor": {"id": "blosc", "cname": "lz4"},
+        | "fill_value": null, "compressor": {"id": "lzma"},
         | "filters": null, "order": "C"}""".stripMargin)
     val e = intercept[IllegalArgumentException](ZarrSource.openArray(s"$g/a"))
-    assert(e.getMessage.contains("blosc"))
+    assert(e.getMessage.contains("lzma"))
     val e2 = intercept[IllegalArgumentException](
       ZarrSource.listArrays(s"$g/nope"))
     assert(e2.getMessage.contains(".zgroup"))
