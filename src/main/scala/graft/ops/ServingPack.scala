@@ -353,6 +353,41 @@ object ServingPack extends QueryPack {
           round(sum(col("v").cast("decimal(28,10)")), 6).cast("double").as("sum_v"))
     }),
 
+    // Zarr append-along-time (dsio.py append mode): the fixture writes DAY 1
+    // only, then appendCube extends the store in place with day 2 — shape
+    // grown in .zarray, only new chunks written, coordinate array and
+    // consolidated metadata patched. The oracle is the SAME 2-day aggregate
+    // as q_zarr, so a lost/duplicated slice or a stale shape cannot pass.
+    "q_zarr_append" -> ((s, d) => {
+      val sfName = new java.io.File(d).getName
+      val base = s"/root/repo/.graft-fixtures/zarrappend_$sfName"
+      val group = s"$base/cube.zarr"
+      Fixtures.ensureWritten(base, "day1-write,day2-append,blosc-lz4,mean6") {
+        new java.io.File(base).mkdirs()
+        def daily(day: String, tIdx: Double) = CubePack.eventsCube(s, d).df
+          .filter(to_date(col("time")) === lit(day).cast("date"))
+          .groupBy(floor(col("y")).cast("int").as("j"),
+            floor(col("x")).cast("int").as("i"))
+          .agg(round(sum(col("v").cast("decimal(28,12)")).cast("double") /
+            count(lit(1)), 6).as("v"))
+          .select(lit(tIdx).as("t"), (col("j").cast("double") + 0.5).as("y"),
+            (col("i").cast("double") + 0.5).as("x"), col("v"))
+        ZarrSource.writeCube(daily("2024-01-01", 0.0), group, "v",
+          Seq("t" -> Array(0.0),
+            "y" -> Array.tabulate(100)(_ + 0.5),
+            "x" -> Array.tabulate(360)(_ + 0.5)),
+          chunks = Seq(1, 50, 90), codec = ZarrSource.Blosc("lz4"))
+        ZarrSource.appendCube(daily("2024-01-02", 1.0), group, "v", Array(1.0))
+      }
+      ZarrSource.readCube(s, group, "v")
+        .filter(!isnan(col("v")))
+        .groupBy(col("t").cast("long").as("day_idx"))
+        .agg(count(lit(1)).as("n_cells"),
+          round(sum((col("y") + col("x")).cast("decimal(28,10)")), 6)
+            .cast("double").as("sum_coord"),
+          round(sum(col("v").cast("decimal(28,10)")), 6).cast("double").as("sum_v"))
+    }),
+
     // Same cube written with zarr-python's DEFAULT compressor — blosc with
     // lz4 inner codec and byte-shuffle (BloscCodec encodes; the chunk-per-
     // task reader decodes the self-describing frames). Values must match
@@ -912,6 +947,20 @@ object ServingPack extends QueryPack {
                 round(sum(v::DECIMAL(28,10)), 6)::DOUBLE
          FROM daily WHERE (99 - j) % 4 = 0 AND i % 4 = 0 HAVING count(*) > 0""",
     "q_zarr" ->
+      s"""WITH ${CubePack.cubeCte},
+         daily AS (SELECT CASE WHEN CAST(time AS DATE) = DATE '2024-01-01'
+                               THEN 0 ELSE 1 END AS day_idx,
+                          floor(y)::BIGINT AS j, floor(x)::BIGINT AS i,
+                          round(sum(v::DECIMAL(28,12))::DOUBLE / count(*), 6) AS v
+                   FROM cube
+                   WHERE CAST(time AS DATE) = DATE '2024-01-01'
+                      OR CAST(time AS DATE) = DATE '2024-01-02'
+                   GROUP BY day_idx, j, i)
+         SELECT day_idx::BIGINT AS day_idx, count(*) AS n_cells,
+                round(sum(((j + 0.5) + (i + 0.5))::DECIMAL(28,10)), 6)::DOUBLE AS sum_coord,
+                round(sum(v::DECIMAL(28,10)), 6)::DOUBLE AS sum_v
+         FROM daily GROUP BY day_idx""",
+    "q_zarr_append" ->
       s"""WITH ${CubePack.cubeCte},
          daily AS (SELECT CASE WHEN CAST(time AS DATE) = DATE '2024-01-01'
                                THEN 0 ELSE 1 END AS day_idx,

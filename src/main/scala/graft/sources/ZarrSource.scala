@@ -481,4 +481,100 @@ object ZarrSource {
     written.count()
     ()
   }
+
+  /** Append slices along dimension 0 (time, in the reference's cubes) to an
+    * existing group written by [[writeCube]] — the Zarr-side equivalent of
+    * the Parquet-layout `append_time_slice` (reference: `dsio.py:411-533`
+    * append mode). The store grows IN PLACE: shape[0] is extended in
+    * `.zarray`, only chunks covering the new region are written (when the
+    * old length is not a multiple of the dim-0 chunk extent, the one
+    * boundary chunk is read-modify-written inside its task), the dim-0
+    * coordinate array is extended, and `.zmetadata` is patched — nothing
+    * already on disk is rewritten besides those metadata documents and the
+    * boundary chunk. Same scale shape as [[writeCube]]: one shuffle by
+    * chunk id, per-task memory bounded by one chunk.
+    *
+    * `df` holds the new cells: a column per dimension (dim 0 drawn from
+    * `newCoord`, the rest from the store's existing coordinate arrays) plus
+    * `varName`. `newCoord` values must not already be in the store's dim-0
+    * coordinates.
+    */
+  def appendCube(df: DataFrame, groupDir: String, varName: String,
+                 newCoord: Array[Double]): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val arrayDir = s"$groupDir/$varName"
+    val za = openArray(arrayDir)
+    require(za.dtype == "<f8", s"appendCube supports <f8 stores, got ${za.dtype}")
+    val dim0 = za.dims.head
+    val oldLen = za.shape.head
+    val oldCoord0 = readAll(s"$groupDir/$dim0", openArray(s"$groupDir/$dim0"))
+    require(!newCoord.exists(oldCoord0.contains),
+      s"appendCube: new $dim0 values overlap the store's existing coordinates")
+    val newLen = oldLen + newCoord.length
+    val shape = newLen +: za.shape.tail
+    val chunks = za.chunks
+    val otherCoords: Seq[Array[Double]] = za.dims.tail.map(dim =>
+      readAll(s"$groupDir/$dim", openArray(s"$groupDir/$dim")))
+
+    // (value → index) joins: dim 0 against the NEW coordinates only (global
+    // index = oldLen + position), the rest against the store's coords
+    val lookups = (newCoord.zipWithIndex.map { case (v, i) => (v, oldLen + i) }.toSeq
+      +: otherCoords.map(_.zipWithIndex.toSeq))
+    val withIdx = za.dims.zipWithIndex.foldLeft(df) { case (acc, (name, k)) =>
+      val lookup = lookups(k).toDF(s"__v$k", s"__i$k")
+      acc.join(broadcast(lookup), col(name) === col(s"__v$k"))
+    }
+    val grid = shape.zip(chunks).map { case (s0, c) => (s0 + c - 1) / c }
+    val cid = za.dims.indices.foldLeft(lit(0L)) { (acc, k) =>
+      acc * grid(k) + floor(col(s"__i$k") / chunks(k)).cast("long")
+    }
+    val off = za.dims.indices.foldLeft(lit(0L)) { (acc, k) =>
+      acc * chunks(k) + (col(s"__i$k") % chunks(k))
+    }
+    val cells = withIdx.select(cid.as("__cid"), off.cast("int").as("__off"),
+        col(varName).as("__v"))
+      .as[(Long, Int, Double)]
+
+    val chunkElems = chunks.product
+    val codec = za.codec
+    val sep = za.separator
+    val zaForDecode = za // closure-captured; decode needs dtype/codec/chunks only
+    cells.groupByKey(_._1).mapGroups { (cidV, it) =>
+      val key = new Array[Long](grid.length)
+      var rem = cidV
+      var k = grid.length - 1
+      while (k >= 0) { key(k) = rem % grid(k); rem /= grid(k); k -= 1 }
+      val path = java.nio.file.Paths.get(s"$arrayDir/${key.mkString(sep)}")
+      // boundary chunk: merge over what is already on disk (only possible
+      // when oldLen % chunks(0) != 0 — at most one dim-0 chunk row)
+      val data =
+        if (java.nio.file.Files.exists(path))
+          decodeChunk(java.nio.file.Files.readAllBytes(path), zaForDecode)
+        else Array.fill(chunkElems)(Double.NaN)
+      var n = 0
+      it.foreach { case (_, o, v) => data(o) = v; n += 1 }
+      java.nio.file.Files.write(path, encodeChunk(data, codec))
+      n
+    }.count()
+
+    // extend the dim-0 coordinate array (driver-sized, single chunk) and
+    // the variable's shape; patch consolidated metadata in place
+    val coord0 = oldCoord0 ++ newCoord
+    val coordZarr = zarrayJson(Seq(newLen), Seq(newLen), codec)
+    writeJson(s"$groupDir/$dim0/.zarray", coordZarr)
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$groupDir/$dim0/0"),
+      encodeChunk(coord0, codec))
+    val varZarr = zarrayJson(shape, chunks, codec)
+    writeJson(s"$arrayDir/.zarray", varZarr)
+    readJson(s"$groupDir/.zmetadata").foreach { metaDoc =>
+      val m = metaDoc.path("metadata") match {
+        case o: com.fasterxml.jackson.databind.node.ObjectNode => o
+        case _ => throw new IllegalStateException(s"$groupDir/.zmetadata malformed")
+      }
+      m.set(s"$dim0/.zarray", mapper.readTree(coordZarr))
+      m.set(s"$varName/.zarray", mapper.readTree(varZarr))
+      writeJson(s"$groupDir/.zmetadata", mapper.writeValueAsString(metaDoc))
+    }
+  }
 }

@@ -88,6 +88,45 @@ class ZarrSourceSpec extends AnyFunSuite {
     assert(back((1.0, 4.0)).isNaN)
   }
 
+  test("appendCube extends dim 0 in place, merging the partial boundary chunk") {
+    import spark.implicits._
+    val ys = Array(0.5, 1.5, 2.5)
+    // dim-0 chunk extent 2 with initial length 3 → chunk 1 is PARTIAL
+    // (t=2 only); appending t=3,4 must read-modify-write chunk 1 and
+    // create chunk 2, leaving chunk 0 untouched
+    val t0 = Array(0.0, 1.0, 2.0)
+    val rows0 = for { t <- t0.toSeq; y <- ys } yield (t, y, t * 10 + y)
+    val g = s"${tmpDir("zarrapp")}/c.zarr"
+    ZarrSource.writeCube(rows0.toDF("t", "y", "v"), g, "v",
+      Seq("t" -> t0, "y" -> ys), chunks = Seq(2, 3),
+      codec = ZarrSource.Blosc("zstd", 3))
+    val chunk0Before = Files.readAllBytes(Paths.get(s"$g/v/0.0"))
+    val tNew = Array(3.0, 4.0)
+    // leave (4.0, 2.5) unwritten → fill
+    val rows1 = (for { t <- tNew.toSeq; y <- ys } yield (t, y, t * 10 + y))
+      .filterNot { case (t, y, _) => t == 4.0 && y == 2.5 }
+    ZarrSource.appendCube(rows1.toDF("t", "y", "v"), g, "v", tNew)
+    assert(Files.readAllBytes(Paths.get(s"$g/v/0.0")).sameElements(chunk0Before),
+      "untouched chunk rewritten")
+    assert(Files.exists(Paths.get(s"$g/v/2.0")))
+    val za = ZarrSource.openArray(s"$g/v")
+    assert(za.shape == Seq(5, 3) && za.chunks == Seq(2, 3))
+    val back = ZarrSource.readCube(spark, g, "v").collect()
+      .map(r => (r.getDouble(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    assert(back.size == 15)
+    for { t <- t0 ++ tNew; y <- ys if !(t == 4.0 && y == 2.5) }
+      assert(back((t, y)) == t * 10 + y, s"($t,$y)")
+    assert(back((4.0, 2.5)).isNaN)
+    // consolidated metadata reflects the new shape (delete per-array files)
+    Seq("t", "y", "v").foreach { a =>
+      Files.delete(Paths.get(s"$g/$a/.zarray")); Files.delete(Paths.get(s"$g/$a/.zattrs"))
+    }
+    assert(ZarrSource.openArray(s"$g/v").shape == Seq(5, 3))
+    // overlapping coordinates are rejected
+    intercept[IllegalArgumentException](
+      ZarrSource.appendCube(rows1.toDF("t", "y", "v"), g, "v", Array(4.0)))
+  }
+
   test("reads an externally-shaped layout: big-endian f4, raw, / separator") {
     // hand-written group: no coordinate arrays (index fallback), raw
     // compressor, ">f4" dtype, dimension_separator "/", fill_value 0
