@@ -5,9 +5,10 @@ import org.apache.spark.sql.functions._
 
 /** CF-convention non-Gregorian calendars (the `calendar` attribute of a
   * NetCDF time coordinate): `360_day`, `noleap`/`365_day`,
-  * `all_leap`/`366_day`. Climate-model output commonly ships time as
-  * integer "days since &lt;epoch&gt;" under one of these calendars; decoding it
-  * with real-calendar logic silently shifts every month boundary.
+  * `all_leap`/`366_day`, and `julian` (leap every 4 years, NO century
+  * exception — 1900-02-29 exists). Climate-model output commonly ships time
+  * as integer "days since &lt;epoch&gt;" under one of these calendars; decoding
+  * it with real-calendar logic silently shifts every month boundary.
   *
   * The reference resolves such coordinates through the public `cftime`
   * library (xcube `core/timecoord.py:114` branches on `cftime.datetime`);
@@ -49,6 +50,7 @@ object CalendarOps {
     * via floor semantics.
     */
   def decode(days: Column, calendar: String, epochYear: Int = 2000): Column = {
+    if (calendar == "julian") return decodeJulian(days, epochYear)
     val dpy = daysPerYear(calendar)
     val d = days.cast("long")
     val doy0 = pmod(d, lit(dpy.toLong)) // 0-based day of year, >= 0 always
@@ -75,11 +77,62 @@ object CalendarOps {
     */
   def encode(year: Column, month: Column, day: Column,
              calendar: String, epochYear: Int = 2000): Column = {
+    if (calendar == "julian") return encodeJulian(year, month, day, epochYear)
     val starts = monthStarts(calendar)
     val startOfMonth = element_at(
       array(starts.take(12).map(s => lit(s.toLong)): _*), month.cast("int"))
     (year.cast("long") - epochYear) * daysPerYear(calendar) +
       startOfMonth + day.cast("long") - 1L
+  }
+
+  /** Julian-calendar decode: days-since-epoch → struct(year, month, day,
+    * doy). The julian leap rule is purely mod-4 (reference resolves it via
+    * cftime's `DatetimeJulian`, `xcube/core/timecoord.py:33-300`), so the
+    * 4-year cycle is a fixed 1461 days: one leap year (366) + three common
+    * (365). Same pure-Column integer arithmetic as the fixed calendars —
+    * no UDF, stays in whole-stage codegen. `epochYear` must be a julian
+    * leap year (a multiple of 4) so cycles anchor on the leap year.
+    */
+  def decodeJulian(days: Column, epochYear: Int = 2000): Column = {
+    require(epochYear % 4 == 0, s"epochYear $epochYear must be a multiple of 4")
+    val cyc = 1461L // 366 + 3 * 365
+    val d = days.cast("long")
+    val r = pmod(d, lit(cyc)) // 0-based day within the 4-year cycle
+    val cycle = ((d - r) / cyc).cast("long")
+    // year offset in the cycle: year 0 is the leap year
+    val yoff = when(r < 366L, lit(0L))
+      .otherwise(((r - 366L - pmod(r - 366L, lit(365L))) / 365L).cast("long") + 1L)
+    val doy0 = r - when(yoff === 0L, 0L).otherwise(lit(366L) + (yoff - 1L) * 365L)
+    val year = lit(epochYear.toLong) + cycle * 4L + yoff
+    def monthOf(cal: String): Column = {
+      val starts = monthStarts(cal)
+      (1 to 11).reverse.foldLeft(lit(12L)) { (acc, m) =>
+        when(doy0 < starts(m), m.toLong).otherwise(acc)
+      }
+    }
+    def startOf(cal: String, month: Column): Column = element_at(
+      array(monthStarts(cal).take(12).map(s => lit(s.toLong)): _*), month.cast("int"))
+    val leap = yoff === 0L
+    val month = when(leap, monthOf("all_leap")).otherwise(monthOf("noleap"))
+    val som = when(leap, startOf("all_leap", month)).otherwise(startOf("noleap", month))
+    struct(
+      year.as("year"), month.as("month"),
+      (doy0 - som + 1L).as("day"), (doy0 + 1L).as("doy"))
+  }
+
+  /** Inverse of [[decodeJulian]]. */
+  def encodeJulian(year: Column, month: Column, day: Column,
+                   epochYear: Int = 2000): Column = {
+    require(epochYear % 4 == 0, s"epochYear $epochYear must be a multiple of 4")
+    val yrs = year.cast("long") - epochYear
+    val yoff = pmod(yrs, lit(4L))
+    val cycle = ((yrs - yoff) / 4L).cast("long")
+    def startOf(cal: String): Column = element_at(
+      array(monthStarts(cal).take(12).map(s => lit(s.toLong)): _*), month.cast("int"))
+    val som = when(yoff === 0L, startOf("all_leap")).otherwise(startOf("noleap"))
+    cycle * 1461L +
+      when(yoff === 0L, 0L).otherwise(lit(366L) + (yoff - 1L) * 365L) +
+      som + day.cast("long") - 1L
   }
 
   /** A 12-row inline VALUES table `(month, start0, end0)` in 0-based

@@ -168,6 +168,23 @@ object TemporalPack extends QueryPack {
             max(col("day")).as("max_day"))
       }
       monthly("360_day").unionByName(monthly("noleap"))
+    }),
+
+    // Julian calendar (cftime DatetimeJulian, timecoord.py:33-300): mod-4
+    // leap rule with NO century exception. days span >2 of the fixed 1461-
+    // day cycles so leap and common Februaries both land in the aggregate;
+    // the oracle re-derives the same cycle arithmetic in SQL and joins the
+    // month table from the shared constants.
+    "q_calendar_julian" -> ((s, d) => {
+      val f = CalendarOps.decode((col("event_id") % 3000).as("days"), "julian")
+      ev(s, d).select(
+          f.getField("year").as("year"), f.getField("month").as("month"),
+          f.getField("day").as("day"), f.getField("doy").as("doy"),
+          col("value").cast("decimal(18,2)").as("v"))
+        .groupBy("year", "month")
+        .agg(count(lit(1)).as("n"),
+          sum(col("v")).cast("double").as("sum_v"),
+          max(col("day")).as("max_day"), max(col("doy")).as("max_doy"))
     })
   )
 
@@ -310,6 +327,32 @@ object TemporalPack extends QueryPack {
          u AS (SELECT * FROM c1 UNION ALL SELECT * FROM c2)
          SELECT calendar, year, month, count(*) AS n,
                 sum(v)::DOUBLE AS sum_v, max(day) AS max_day
-         FROM u GROUP BY calendar, year, month"""
+         FROM u GROUP BY calendar, year, month""",
+    "q_calendar_julian" ->
+      s"""WITH e AS (SELECT event_id % 3000 AS days,
+                            CAST(value AS DECIMAL(18,2)) AS v FROM events),
+         j0 AS (SELECT days % 1461 AS r, days // 1461 AS cyc, v FROM e),
+         j1 AS (SELECT r, cyc, v,
+                       CASE WHEN r < 366 THEN 0
+                            ELSE (r - 366) // 365 + 1 END AS yoff
+                FROM j0),
+         j2 AS (SELECT v, 2000 + cyc * 4 + yoff AS year, yoff = 0 AS leap,
+                       r - CASE WHEN yoff = 0 THEN 0
+                                ELSE 366 + 365 * (yoff - 1) END AS doy0
+                FROM j1),
+         jl AS (SELECT year, cal.m::BIGINT AS month, doy0 - cal.s0 + 1 AS day,
+                       doy0 + 1 AS doy, v
+                FROM j2 JOIN (${CalendarOps.monthTableSql("all_leap")}) cal(m, s0, e0)
+                  ON doy0 >= cal.s0 AND doy0 < cal.e0
+                WHERE leap),
+         jn AS (SELECT year, cal.m::BIGINT AS month, doy0 - cal.s0 + 1 AS day,
+                       doy0 + 1 AS doy, v
+                FROM j2 JOIN (${CalendarOps.monthTableSql("noleap")}) cal(m, s0, e0)
+                  ON doy0 >= cal.s0 AND doy0 < cal.e0
+                WHERE NOT leap),
+         u AS (SELECT * FROM jl UNION ALL SELECT * FROM jn)
+         SELECT year, month, count(*) AS n, sum(v)::DOUBLE AS sum_v,
+                max(day) AS max_day, max(doy) AS max_doy
+         FROM u GROUP BY year, month"""
   )
 }

@@ -136,4 +136,39 @@ class TemporalOpsSpec extends AnyFunSuite {
       .select(CalendarOps.decode(col("d"), "noleap").as("f")).collect()(0).getStruct(0)
     assert(neg.getLong(0) == 1999L && neg.getLong(1) == 12L && neg.getLong(2) == 31L)
   }
+
+  test("julian calendar decodes against the JVM's pure-julian GregorianCalendar") {
+    import graft.operators.CalendarOps
+    import spark.implicits._
+    // round-trip across 3 cycles either side of the epoch
+    val days = spark.range(-4400L, 4400L).select(col("id").as("days"))
+    val dec = days.select(col("days"), CalendarOps.decode(col("days"), "julian").as("f"))
+    val rows = dec.select(col("days"), CalendarOps.encode(
+        col("f.year"), col("f.month"), col("f.day"), "julian").as("d2"),
+        col("f.year"), col("f.month"), col("f.day")).collect()
+    assert(rows.forall(r => r.getLong(0) == r.getLong(1)), "julian round-trip")
+    // independent oracle: a GregorianCalendar with the gregorian changeover
+    // pushed to +infinity IS the proleptic julian calendar
+    val jul = new java.util.GregorianCalendar(
+      java.util.TimeZone.getTimeZone("UTC"))
+    jul.setGregorianChange(new java.util.Date(Long.MaxValue))
+    jul.clear(); jul.set(2000, 0, 1)
+    val epochMs = jul.getTimeInMillis
+    rows.foreach { r =>
+      val g = jul.clone().asInstanceOf[java.util.GregorianCalendar]
+      g.setTimeInMillis(epochMs + r.getLong(0) * 86400000L)
+      assert(r.getLong(2) == g.get(java.util.Calendar.YEAR)
+        && r.getLong(3) == g.get(java.util.Calendar.MONTH) + 1
+        && r.getLong(4) == g.get(java.util.Calendar.DAY_OF_MONTH),
+        s"julian day ${r.getLong(0)}: got (${r.getLong(2)},${r.getLong(3)},${r.getLong(4)})")
+    }
+    // 1900 IS a julian leap year (no century exception): Feb 29 exists
+    val d1900 = Seq((1900L, 2L, 29L)).toDF("y", "m", "dd")
+      .select(CalendarOps.encode(col("y"), col("m"), col("dd"), "julian").as("d"))
+      .collect()(0).getLong(0)
+    val back1900 = Seq(d1900).toDF("d")
+      .select(CalendarOps.decode(col("d"), "julian").as("f")).collect()(0).getStruct(0)
+    assert(back1900.getLong(0) == 1900L && back1900.getLong(1) == 2L
+      && back1900.getLong(2) == 29L)
+  }
 }
