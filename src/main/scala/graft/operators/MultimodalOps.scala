@@ -3,16 +3,61 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
-/** Multimodal columns: opaque binary payloads + typed metadata, with the
-  * decode step STUBBED (this container has no image/audio codecs — the
-  * Spark-side plumbing is real: schema, batch shape, partition-wise
-  * execution; swap `decodeStub` for a real codec at deployment).
+/** Multimodal columns: opaque binary payloads + typed metadata. The decode
+  * step is REAL for two pure-JVM formats — 24-bit BMP and 16-bit PCM WAV,
+  * via [[MediaCodecs]] ([[decodeMedia]] dispatches on the container magic) —
+  * and STUBBED for codec-dependent formats (JPEG/PNG/MP3/H.264: this
+  * container has no native codecs; the Spark-side plumbing — schema, batch
+  * shape, partition-wise execution — is identical, so swapping `decodeStub`
+  * for a codec call is a one-line change at deployment).
   *
   * Layout: `payload: binary` + `meta: map<string,string>` sidecar — the
   * BinaryType + MapType pattern for 100 TB media tables; payloads stay
   * opaque to Catalyst so column pruning drops them unless referenced.
   */
 object MultimodalOps {
+
+  /** Per-payload features decoded from real container bytes: image fields
+    * for BMP payloads, audio fields for WAV, zeros for the other modality.
+    * `r00`/`g00` are the top-left pixel's R/G — they catch a decoder that
+    * forgets BMP's bottom-up row order or BGR channel order; the sums are
+    * whole-payload checksums.
+    */
+  final case class DecodedMedia(id: Long, source: String, format: String,
+                                width: Int, height: Int, r00: Int, g00: Int,
+                                sumR: Long, sampleRate: Int, nSamples: Int,
+                                sumSamples: Long)
+
+  /** Partition-wise REAL decode of `(id, source, payload)` rows, dispatching
+    * on the container magic ("BM" → BMP, "RIFF" → WAV). Scan-shaped: no
+    * shuffle, no driver involvement — the same iterator contract a
+    * mapInPandas decode batch has.
+    */
+  def decodeMedia(df: DataFrame): Dataset[DecodedMedia] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("id"), col("source"), col("payload"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, src, bytes) =>
+          if (bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M') {
+            val img = MediaCodecs.decodeBmp(bytes)
+            var sumR = 0L
+            var p = 0
+            while (p < img.width * img.height) { sumR += img.rgb(p * 3) & 0xff; p += 1 }
+            DecodedMedia(id, src, "image/bmp", img.width, img.height,
+              img.rgb(0) & 0xff, img.rgb(1) & 0xff, sumR, 0, 0, 0L)
+          } else if (bytes.length >= 4 &&
+              bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F') {
+            val wav = MediaCodecs.decodeWav(bytes)
+            var ss = 0L
+            wav.samples.foreach(ss += _)
+            DecodedMedia(id, src, "audio/wav", 0, 0, 0, 0, 0L,
+              wav.sampleRate, wav.samples.length, ss)
+          } else DecodedMedia(id, src, "unknown", 0, 0, 0, 0, 0L, 0, 0, 0L)
+        }
+      }
+  }
 
   /** Media features produced by the (stubbed) decoder. */
   final case class MediaFeatures(id: Long, nBytes: Int, width: Int,
