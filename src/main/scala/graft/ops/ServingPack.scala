@@ -4,7 +4,7 @@ import graft.{Fixtures, GraftSession, QueryPack}
 import graft.cube.{Cube, GridMapping, TilingScheme}
 import graft.functions.{GeomFunctions, VarExpr}
 import graft.operators.{CoverageOps, ExtractOps, IvfOps, MaintenanceOps, TileOps, VolumeOps}
-import graft.sources.{ComputedLevels, CubeWriter, GeoJsonSource, GeoTiffSource, KerchunkSource, LevelStore, MemoryDataStore, NetcdfSource, ShapefileSource, ZarrSource}
+import graft.sources.{ComputedLevels, CubeWriter, GeoJsonSource, GeoTiffSource, Hdf5Source, KerchunkSource, LevelStore, MemoryDataStore, NetcdfSource, ShapefileSource, ZarrSource}
 import graft.streaming.TimeSliceOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -327,6 +327,41 @@ object ServingPack extends QueryPack {
     // checksum so a transposed or mis-strided decode cannot pass.
     "q_netcdf" -> ((s, d) => {
       NetcdfSource.readCubeFiles(s, netcdfFixture(s, d), "v")
+        .withColumn("day", regexp_extract(col("file"), "([0-9-]+)\\.nc$", 1))
+        .filter(!isnan(col("v")))
+        .groupBy("day")
+        .agg(count(lit(1)).as("n_cells"),
+          round(sum((col("y") + col("x")).cast("decimal(28,10)")), 6)
+            .cast("double").as("sum_coord"),
+          round(sum(col("v").cast("decimal(28,10)")), 6).cast("double").as("sum_v"))
+    }),
+
+    // NetCDF-4 (HDF5 container) IO — what most real satellite/climate
+    // archives ship (reference opens via store/fs/impl/dataset.py:231-288).
+    // The same two daily-mean grids as q_netcdf are written as HDF5:
+    // superblock v0, dimension-scale coords bound via DIMENSION_LIST,
+    // chunked B-tree layout with the netCDF-4 shuffle+deflate filter stack —
+    // then read back DISTRIBUTED through the SAME NetcdfSource entry point
+    // (routed by magic). Identical oracle to q_netcdf: a decode bug in the
+    // HDF5 substrate (stride, chunk scatter, filter order, dim binding)
+    // cannot produce the same checksums.
+    "q_netcdf4" -> ((s, d) => {
+      import NetcdfSource.NcDim
+      val sfName = new java.io.File(d).getName
+      val base = s"/root/repo/.graft-fixtures/netcdf4_$sfName"
+      val days = Seq("2024-01-01", "2024-01-02")
+      Fixtures.ensureWritten(base, "days=2,grid=360x100,hdf5,chunks=50x90,shuffle+deflate,mean6") {
+        new java.io.File(base).mkdirs()
+        for (day <- days) {
+          Hdf5Source.write(s"$base/$day.nc",
+            Seq(NcDim("y", 100), NcDim("x", 360)),
+            Seq(("y", Array.tabulate(100)(_ + 0.5)),
+              ("x", Array.tabulate(360)(_ + 0.5))),
+            Seq(("v", Seq("y", "x"), dailyMeanGrid(s, d, day))),
+            chunkOf = Map("v" -> Seq(50, 90)))
+        }
+      }
+      NetcdfSource.readCubeFiles(s, days.map(day => s"$base/$day.nc"), "v")
         .withColumn("day", regexp_extract(col("file"), "([0-9-]+)\\.nc$", 1))
         .filter(!isnan(col("v")))
         .groupBy("day")
@@ -1056,6 +1091,19 @@ object ServingPack extends QueryPack {
                    FROM cube
                    -- NOT `IN (DATE ..., DATE ...)`: DuckDB 1.0 resolves that
                    -- IN-list to zero matches against a CAST(ts AS DATE) LHS
+                   WHERE CAST(time AS DATE) = DATE '2024-01-01'
+                      OR CAST(time AS DATE) = DATE '2024-01-02'
+                   GROUP BY day, j, i)
+         SELECT day, count(*) AS n_cells,
+                round(sum(((j + 0.5) + (i + 0.5))::DECIMAL(28,10)), 6)::DOUBLE AS sum_coord,
+                round(sum(v::DECIMAL(28,10)), 6)::DOUBLE AS sum_v
+         FROM daily GROUP BY day""",
+    "q_netcdf4" ->
+      s"""WITH ${CubePack.cubeCte},
+         daily AS (SELECT CAST(time AS DATE)::VARCHAR AS day,
+                          floor(y)::BIGINT AS j, floor(x)::BIGINT AS i,
+                          round(sum(v::DECIMAL(28,12))::DOUBLE / count(*), 6) AS v
+                   FROM cube
                    WHERE CAST(time AS DATE) = DATE '2024-01-01'
                       OR CAST(time AS DATE) = DATE '2024-01-02'
                    GROUP BY day, j, i)

@@ -5,15 +5,15 @@ import org.apache.spark.sql.types._
 import java.nio.{ByteBuffer, ByteOrder}
 import scala.jdk.CollectionConverters._
 
-/** NetCDF-3 "classic" raster source — the reference's NetCDF dataset IO
-  * (dsio.py:359-408 reads/writes via xarray/netCDF4). Implements the public
-  * classic file format (CDF-1/CDF-2, the NetCDF "classic format spec"):
-  * dimensions, global + variable attributes, and fixed-size variables of
-  * the numeric external types, parsed from the big-endian binary layout —
-  * no native library. NetCDF-4/HDF5 container files are out of scope
-  * (their HDF5 substrate needs a real HDF5 implementation); classic files
-  * are what `nccopy -k classic` / `to_netcdf(format="NETCDF3_CLASSIC")`
-  * produce.
+/** NetCDF raster source — the reference's NetCDF dataset IO (dsio.py:359-408
+  * reads/writes via xarray/netCDF4). Implements the public classic file
+  * format (CDF-1/CDF-2, the NetCDF "classic format spec") here: dimensions,
+  * global + variable attributes, and fixed-size variables of the numeric
+  * external types, parsed from the big-endian binary layout — no native
+  * library. NetCDF-4 granules (HDF5 containers — what most real
+  * satellite/climate archives ship) are routed by magic to [[Hdf5Source]],
+  * which parses the HDF5 substrate directly; both formats surface as the
+  * same [[NcFile]] model through every entry point below.
   *
   * Scale story: ONE granule is driver/executor-sized (like the reference's
   * per-file xarray open), but an archive is millions of granules —
@@ -63,9 +63,13 @@ object NetcdfSource {
     * discovery without decoding potentially executor-sized payloads.
     */
   def parse(bytes: Array[Byte], headerOnly: Boolean = false): NcFile = {
+    // NetCDF-4 granules are HDF5 containers — route them by magic, so every
+    // entry point (read/readHeader/readCube/readCubeFiles/store inference)
+    // handles both formats transparently
+    if (Hdf5Source.isHdf5(bytes)) return Hdf5Source.parse(bytes, headerOnly)
     val b = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
     require(b.get() == 'C' && b.get() == 'D' && b.get() == 'F',
-      "not a NetCDF classic file (bad magic)")
+      "not a NetCDF file (neither CDF classic nor HDF5 magic)")
     val version = b.get()
     require(version == 1 || version == 2,
       s"unsupported NetCDF version byte $version (classic/64-bit-offset only)")
