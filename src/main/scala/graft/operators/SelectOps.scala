@@ -74,4 +74,20 @@ object SelectOps {
       .filter(col("__keep")).select(labelCol)
     df.join(broadcast(good), Seq(labelCol), "left_semi")
   }
+
+  /** xarray-style `.sel(dim=target, method="nearest")` along an extra
+    * NON-SPATIAL dim (depth, wavelength — reference 1.13.3 #1213,
+    * `get_non_spatial_labels` in xcube/core/tile.py): pick the label
+    * nearest `target` (ties → the smaller label) and filter to it. The
+    * distinct label set is dimension-sized — a driver-scale coordinate
+    * array, like the reference's index lookup — so the equality filter
+    * stays a pushed-down scan predicate.
+    */
+  def nearestDimLabel(df: DataFrame, dimCol: String, target: Double): (Double, DataFrame) = {
+    val labels = df.select(col(dimCol).cast("double")).distinct()
+      .collect().map(_.getDouble(0))
+    require(labels.nonEmpty, s"nearestDimLabel: no labels in '$dimCol'")
+    val chosen = labels.minBy(l => (math.abs(l - target), l))
+    (chosen, df.filter(col(dimCol) === chosen))
+  }
 }

@@ -24,6 +24,23 @@ object StatsOps {
       round(stddev_samp(v), 6).as("v_std"))
   }
 
+  /** Per-label statistics for variables carrying extra NON-SPATIAL dims
+    * (depth, wavelength — reference 1.13.3 #1213, statistics over extra
+    * dims via `get_non_spatial_labels` in xcube/core/tile.py): the same
+    * NaN-skipping stat set as [[statistics]], grouped by the extra-dim
+    * label columns. One map-side-combined shuffle over the (tiny) label
+    * key space — the label cardinality is dimension-sized, not data-sized.
+    */
+  def statisticsBy(df: DataFrame, vCol: String, keys: Seq[String]): DataFrame = {
+    val v = when(!isnan(col(vCol).cast("double")), col(vCol).cast("double"))
+    df.groupBy(keys.map(col): _*).agg(
+      count(v).as("n"),
+      min(v).as("v_min"),
+      max(v).as("v_max"),
+      round(avg(v), 6).as("v_mean"),
+      round(stddev_samp(v), 6).as("v_std"))
+  }
+
   /** Density histogram with `bins` equal-width buckets over [min, max];
     * returns ALL buckets (empty ones included) with count and density
     * (count / (n · binWidth)), like np.histogram(density=True).

@@ -21,11 +21,16 @@ object TimeSeriesOps {
     * geometry, invalid pixels) are skipped by every method. When
     * `maxObservations > 0`, adds `<var>_frac_obs` = valid count / max
     * (the reference's max_number_of_observations normalization).
+    * `extraDims` names extra NON-SPATIAL dimension columns (depth,
+    * wavelength — reference 1.13.3 #1213): the series is computed PER
+    * LABEL of those dims, i.e. the groupBy key widens from (time) to
+    * (time, extraDims…) — still one map-side-combined shuffle.
     */
   def getTimeSeries(cube: Cube, varName: String,
                     geometryWkt: Option[String] = None,
                     methods: Seq[String] = Seq("mean", "count"),
-                    maxObservations: Long = 0L): DataFrame = {
+                    maxObservations: Long = 0L,
+                    extraDims: Seq[String] = Nil): DataFrame = {
     val masked = geometryWkt.map(w => GeomOps.maskByGeometry(cube, w)).getOrElse(cube)
     val v = col(varName)
     val aggCols = methods.map(m =>
@@ -34,7 +39,7 @@ object TimeSeriesOps {
         Seq((count(when(!isnan(v.cast("double")), 1)).cast("double") /
           lit(maxObservations.toDouble)).as(s"${varName}_frac_obs"))
       else Nil)
-    masked.df.groupBy(masked.time.as("time"))
+    masked.df.groupBy(masked.time.as("time") +: extraDims.map(col): _*)
       .agg(aggCols.head, aggCols.tail: _*)
   }
 

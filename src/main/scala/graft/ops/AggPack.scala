@@ -2,7 +2,7 @@ package graft.ops
 
 import graft.{GraftSession, QueryPack}
 import graft.cube.Cube
-import graft.operators.{StatsOps, SubsampleOps}
+import graft.operators.{StatsOps, SubsampleOps, TimeSeriesOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -67,6 +67,32 @@ object AggPack extends QueryPack {
     "q_histogram" -> ((s, d) =>
       StatsOps.histogram(CubePack.eventsCube(s, d).df, "v", 100)),
 
+    // extra non-spatial dim (reference 1.13.3 #1213): the cube carries a
+    // depth label column; statistics are computed PER depth label, and a
+    // nearest-label .sel (target 9.0 → label 10.0, ties → smaller) marks
+    // the selected row. depth = (event_id % 3)·10 via floor(x) (3 | 360,
+    // so x already encodes event_id mod 3).
+    "q_extra_dim_stats" -> ((s, d) => {
+      val df = CubePack.eventsCube(s, d).df
+        .withColumn("depth", (floor(col("x")).cast("long") % 3).cast("double") * 10.0)
+      val (chosen, _) = graft.operators.SelectOps.nearestDimLabel(df, "depth", 9.0)
+      StatsOps.statisticsBy(df, "v", Seq("depth"))
+        .withColumn("is_selected", col("depth") === chosen)
+    }),
+
+    // per-label time series over the extra dim: daily series × depth label
+    // in ONE map-side-combined shuffle (groupBy(time, depth))
+    "q_extra_dim_series" -> ((s, d) => {
+      val c0 = CubePack.eventsCube(s, d)
+      val c = c0.copy(df = c0.df
+        .withColumn("time", date_trunc("DAY", col("time")))
+        .withColumn("depth", (floor(col("x")).cast("long") % 3).cast("double") * 10.0))
+      TimeSeriesOps.getTimeSeries(c, "v", methods = Seq("mean", "count"),
+          extraDims = Seq("depth"))
+        .select(col("time"), col("depth"),
+          round(col("v_mean"), 6).as("v_mean"), col("v_count"))
+    }),
+
     // materialized .levels pyramid: write L0..L3 (each a 2x2 mean of the
     // previous), read the stored tables back and checksum them
     "q_pyramid" -> ((s, d) => {
@@ -120,6 +146,16 @@ object AggPack extends QueryPack {
                 round(avg(value), 6) AS v_mean,
                 round(stddev_samp(value), 6) AS v_std
          FROM events WHERE CAST(event_id % 360 AS DOUBLE) + 0.5 < 180.0""",
+    "q_extra_dim_stats" ->
+      """WITH c AS (SELECT (event_id % 3) * 10.0 AS depth, value AS v FROM events)
+         SELECT depth, count(v) AS n, min(v) AS v_min, max(v) AS v_max,
+                round(avg(v), 6) AS v_mean, round(stddev_samp(v), 6) AS v_std,
+                depth = 10.0 AS is_selected
+         FROM c GROUP BY depth""",
+    "q_extra_dim_series" ->
+      """SELECT date_trunc('day', ts) AS time, (event_id % 3) * 10.0 AS depth,
+                round(avg(value), 6) AS v_mean, count(value) AS v_count
+         FROM events GROUP BY time, depth""",
     "q_histogram" ->
       """WITH s AS (SELECT min(value) AS lo, max(value) AS hi,
                            count(value)::DOUBLE AS n FROM events),
