@@ -71,6 +71,17 @@ object Colormaps {
     }.toArray)
   }
 
+  /** Continuous map with explicit anchor positions (for maps whose stops
+    * are not evenly spaced, e.g. `hot`, `terrain`).
+    */
+  private def cmAt(name: String, stops: (Double, String)*): Colormap =
+    Colormap(name, stops.map { case (p, h) => (p, Integer.parseInt(h, 16)) }.toArray)
+
+  private def cat(name: String, hexes: String*): Colormap =
+    Colormap(name, hexes.zipWithIndex.map { case (h, i) =>
+      (i.toDouble / hexes.length, Integer.parseInt(h, 16))
+    }.toArray, categorical = true)
+
   /** Sequential perceptually-uniform anchor points (5-point control form). */
   val viridis: Colormap = cm("viridis", "440154", "3b528b", "21918c", "5ec962", "fde725")
   val plasma: Colormap  = cm("plasma",  "0d0887", "7e03a8", "cc4778", "f89540", "f0f921")
@@ -92,9 +103,124 @@ object Colormaps {
       .zipWithIndex.map { case (h, i) => (i / 10.0, Integer.parseInt(h, 16)) },
     categorical = true)
 
+  // ---- the named long tail (cmaps.py registers the full matplotlib
+  // registry grouped by family; these are the same names with 5-anchor
+  // control points — ColorBrewer hexes where the map IS ColorBrewer,
+  // closed-form values for the analytic maps, documented approximations
+  // for the remaining perceptual ones)
+
+  /** ColorBrewer multi-hue sequential (classes 1,3,5,7,9 of the 9-class
+    * schemes — the exact published palette values).
+    */
+  private val cbSequential: Seq[Colormap] = Seq(
+    cm("Blues", "f7fbff", "c6dbef", "6baed6", "2171b5", "08306b"),
+    cm("Greens", "f7fcf5", "c7e9c0", "74c476", "238b45", "00441b"),
+    cm("Greys", "ffffff", "d9d9d9", "969696", "525252", "000000"),
+    cm("Oranges", "fff5eb", "fdd0a2", "fd8d3c", "d94801", "7f2704"),
+    cm("Purples", "fcfbfd", "dadaeb", "9e9ac8", "6a51a3", "3f007d"),
+    cm("Reds", "fff5f0", "fcbba1", "fb6a4a", "cb181d", "67000d"),
+    cm("YlOrBr", "ffffe5", "fee391", "fe9929", "cc4c02", "662506"),
+    cm("YlOrRd", "ffffcc", "fed976", "fd8d3c", "e31a1c", "800026"),
+    cm("OrRd", "fff7ec", "fdd49e", "fc8d59", "d7301f", "7f0000"),
+    cm("PuRd", "f7f4f9", "d4b9da", "df65b0", "ce1256", "67001f"),
+    cm("RdPu", "fff7f3", "fcc5c0", "f768a1", "ae017e", "49006a"),
+    cm("BuPu", "f7fcfd", "bfd3e6", "8c96c6", "88419d", "4d004b"),
+    cm("GnBu", "f7fcf0", "ccebc5", "7bccc4", "2b8cbe", "084081"),
+    cm("PuBu", "fff7fb", "d0d1e6", "74a9cf", "0570b0", "023858"),
+    cm("YlGnBu", "ffffd9", "c7e9b4", "41b6c4", "225ea8", "081d58"),
+    cm("PuBuGn", "fff7fb", "d0d1e6", "67a9cf", "02818a", "014636"),
+    cm("BuGn", "f7fcfd", "ccece6", "66c2a4", "238b45", "00441b"),
+    cm("YlGn", "ffffe5", "d9f0a3", "78c679", "238443", "004529"))
+
+  /** ColorBrewer diverging (classes 1,3,6,9,11 of the 11-class schemes). */
+  private val cbDiverging: Seq[Colormap] = Seq(
+    cm("PiYG", "8e0152", "de77ae", "f7f7f7", "7fbc41", "276419"),
+    cm("PRGn", "40004b", "c2a5cf", "f7f7f7", "a6dba0", "00441b"),
+    cm("BrBG", "543005", "bf812d", "f5f5f5", "35978f", "003c30"),
+    cm("PuOr", "7f3b08", "e08214", "f7f7f7", "8073ac", "2d004b"),
+    cm("RdGy", "67001f", "d6604d", "ffffff", "878787", "1a1a1a"),
+    cm("RdYlBu", "a50026", "f46d43", "ffffbf", "74add1", "313695"),
+    cm("RdYlGn", "a50026", "f46d43", "ffffbf", "66bd63", "006837"),
+    cm("Spectral", "9e0142", "f46d43", "ffffbf", "66c2a5", "5e4fa2"))
+
+  /** The analytic "Sequential (2)" maps — closed-form channel ramps, so
+    * the anchor values below are exact samples of the defining formulas.
+    */
+  private val analytic: Seq[Colormap] = Seq(
+    cm("binary", "ffffff", "000000"),
+    cm("gist_yarg", "ffffff", "000000"),
+    cm("gist_gray", "000000", "ffffff"),
+    cm("spring", "ff00ff", "ffff00"),
+    cm("summer", "008066", "ffff66"),
+    cm("autumn", "ff0000", "ffff00"),
+    cm("winter", "0000ff", "00ff80"),
+    cm("cool", "00ffff", "ff00ff"),
+    cmAt("hot", 0.0 -> "000000", 0.365 -> "ff0000", 0.746 -> "ffff00", 1.0 -> "ffffff"),
+    cm("afmhot", "000000", "800000", "ff8000", "ffff80", "ffffff"),
+    cm("gist_heat", "000000", "600000", "bf0000", "ff8000", "ffffff"),
+    cm("copper", "000000", "4f321f", "9d633f", "ec955f", "ffc77f"),
+    cm("bone", "000000", "2e2e40", "667987", "a3bcbc", "ffffff"),
+    cm("pink", "1e0000", "996666", "cc9e8c", "e6ccb0", "ffffff"),
+    cm("Wistia", "e4ff7a", "ffe81a", "ffc11f", "ff9e0c", "fc7f00"))
+
+  /** Cyclic maps (anchor approximations; ends meet by construction). */
+  private val cyclic: Seq[Colormap] = Seq(
+    cm("hsv", "ff0000", "ffff00", "00ff00", "00ffff", "0000ff", "ff00ff", "ff0000"),
+    cm("twilight", "e2d9e2", "7f7dba", "2d1e3e", "b0605e", "e2d9e2"),
+    cm("twilight_shifted", "2d1e3e", "7f7dba", "e2d9e2", "b0605e", "2d1e3e"))
+
+  /** Qualitative palettes (exact published values). */
+  private val qualitative: Seq[Colormap] = Seq(
+    cat("Set1", "e41a1c", "377eb8", "4daf4a", "984ea3", "ff7f00", "ffff33",
+      "a65628", "f781bf", "999999"),
+    cat("Set2", "66c2a5", "fc8d62", "8da0cb", "e78ac3", "a6d854", "ffd92f",
+      "e5c494", "b3b3b3"),
+    cat("Set3", "8dd3c7", "ffffb3", "bebada", "fb8072", "80b1d3", "fdb462",
+      "b3de69", "fccde5", "d9d9d9", "bc80bd", "ccebc5", "ffed6f"),
+    cat("Pastel1", "fbb4ae", "b3cde3", "ccebc5", "decbe4", "fed9a6", "ffffcc",
+      "e5d8bd", "fddaec", "f2f2f2"),
+    cat("Pastel2", "b3e2cd", "fdcdac", "cbd5e8", "f4cae4", "e6f5c9", "fff2ae",
+      "f1e2cc", "cccccc"),
+    cat("Dark2", "1b9e77", "d95f02", "7570b3", "e7298a", "66a61e", "e6ab02",
+      "a6761d", "666666"),
+    cat("Accent", "7fc97f", "beaed4", "fdc086", "ffff99", "386cb0", "f0027f",
+      "bf5b17", "666666"),
+    cat("Paired", "a6cee3", "1f78b4", "b2df8a", "33a02c", "fb9a99", "e31a1c",
+      "fdbf6f", "ff7f00", "cab2d6", "6a3d9a", "ffff99", "b15928"),
+    cat("tab20", "1f77b4", "aec7e8", "ff7f0e", "ffbb78", "2ca02c", "98df8a",
+      "d62728", "ff9896", "9467bd", "c5b0d5", "8c564b", "c49c94", "e377c2",
+      "f7b6d2", "7f7f7f", "c7c7c7", "bcbd22", "dbdb8d", "17becf", "9edae5"),
+    cat("tab20b", "393b79", "5254a3", "6b6ecf", "9c9ede", "637939", "8ca252",
+      "b5cf6b", "cedb9c", "8c6d31", "bd9e39", "e7ba52", "e7cb94", "843c39",
+      "ad494a", "d6616b", "e7969c", "7b4173", "a55194", "ce6dbd", "de9ed6"),
+    cat("tab20c", "3182bd", "6baed6", "9ecae1", "c6dbef", "e6550d", "fd8d3c",
+      "fdae6b", "fdd0a2", "31a354", "74c476", "a1d99b", "c7e9c0", "756bb1",
+      "9e9ac8", "bcbddc", "dadaeb", "636363", "969696", "bdbdbd", "d9d9d9"))
+
+  /** Miscellaneous (terrain's anchors are its published control points). */
+  private val misc: Seq[Colormap] = Seq(
+    cmAt("terrain", 0.0 -> "333399", 0.15 -> "0099ff", 0.25 -> "00cc66",
+      0.5 -> "ffff99", 0.75 -> "805c54", 1.0 -> "ffffff"),
+    cm("cubehelix", "000000", "1a3554", "307d49", "ca7b8e", "ffffff"))
+
   private val base: Seq[Colormap] =
     Seq(viridis, plasma, inferno, magma, cividis, gray, jet, turbo,
-      rdBu, coolwarm, seismic, bwr, tab10)
+      rdBu, coolwarm, seismic, bwr, tab10) ++
+      cbSequential ++ cbDiverging ++ analytic ++ cyclic ++ qualitative ++ misc
+
+  /** Family grouping, mirroring the reference's registry sections
+    * (cmaps.py groups the matplotlib registry the same way for the
+    * server's colormap listing endpoint).
+    */
+  val families: Map[String, Seq[String]] = Map(
+    "Perceptually Uniform Sequential" ->
+      Seq("viridis", "plasma", "inferno", "magma", "cividis"),
+    "Sequential" -> cbSequential.map(_.name),
+    "Sequential (2)" -> (analytic.map(_.name) :+ "gray"),
+    "Diverging" -> (cbDiverging.map(_.name) ++ Seq("RdBu", "coolwarm", "seismic", "bwr")),
+    "Cyclic" -> cyclic.map(_.name),
+    "Qualitative" -> (qualitative.map(_.name) :+ "tab10"),
+    "Miscellaneous" -> (misc.map(_.name) ++ Seq("jet", "turbo")))
 
   /** name → colormap, including `_r` and `_alpha` variants. */
   val registry: Map[String, Colormap] = {

@@ -293,4 +293,28 @@ class PropertySpec extends AnyFunSuite {
       assert((cm.argb(-1.0) & 0xffffff) == (cm.argb(0.0) & 0xffffff))
     }
   }
+
+  test("colormap registry: named long tail, families, endpoints, variants") {
+    // every family member resolves, and NOT to the viridis fallback
+    Colormaps.families.foreach { case (fam, members) =>
+      members.foreach { m =>
+        assert(Colormaps.registry.contains(m), s"$fam/$m missing")
+        assert(m == "viridis" || Colormaps.get(m).name == m, s"$fam/$m fell back")
+      }
+    }
+    // ColorBrewer endpoints are the published values
+    assert((Colormaps.get("Blues").argb(0.0) & 0xffffff) == 0xf7fbff)
+    assert((Colormaps.get("Blues").argb(1.0) & 0xffffff) == 0x08306b)
+    assert((Colormaps.get("Spectral").argb(0.5) & 0xffffff) == 0xffffbf)
+    // reversed + alpha variants exist for the long tail too
+    assert((Colormaps.get("YlGn_r").argb(0.0) & 0xffffff) == 0x004529)
+    assert(((Colormaps.get("hot_alpha").argb(0.1) >>> 24) & 0xff) < 255)
+    // categorical palettes return exact member colors, no interpolation
+    val set1 = Colormaps.get("Set1")
+    assert((set1.argb(0.0) & 0xffffff) == 0xe41a1c)
+    assert((set1.argb(0.999) & 0xffffff) == 0x999999)
+    // analytic maps match their closed forms at the midpoint
+    assert((Colormaps.get("cool").argb(0.5) & 0xffffff) == 0x8080ff)
+    assert((Colormaps.get("spring").argb(0.5) & 0xffffff) == 0xff8080)
+  }
 }
