@@ -31,7 +31,23 @@ object ScaleSoak {
     // the k-means step + semantic dedup (scan assignment, per-cluster
     // join), RAG chunk windows (scan) and the dataset diff (keyed join)
     "q_dedup_clusters", "q_decontaminate", "q_seq_pack", "q_lm_coverage",
-    "q_kmeans_step", "q_semantic_dedup", "q_chunk_windows", "q_cube_diff")
+    "q_kmeans_step", "q_semantic_dedup", "q_chunk_windows", "q_cube_diff",
+    // round-7 additions that scale with the fact tables: julian-calendar
+    // decode (scan arithmetic), per-depth-label series (wider groupBy key),
+    // and the REAL multimodal encode+decode (per-document BMP/WAV codec
+    // work — the per-row cost a superlinear bug would hide in)
+    "q_calendar_julian", "q_extra_dim_series", "q_multimodal")
+
+  /** Deep-soak subset (run at 30×): the newest heavy operators. The
+    * format-fixture queries (kerchunk combine, COG levels, zarr append)
+    * aggregate onto a FIXED 360×100 grid, so their read side is
+    * resolution-bound by design — the scaled input lands in the once-only
+    * fixture build; a ratio near 1 is the EXPECTED proof that reads do not
+    * grow with corpus size.
+    */
+  val DeepSoakQueries: Seq[String] = Seq(
+    "q_kerchunk_combine", "q_cog_levels", "q_zarr_append",
+    "q_seq_pack", "q_semantic_dedup", "q_dedup_clusters", "q_multimodal")
 
   /** Allowed growth multiple of `factor` before a query is flagged. The
     * salted documents are ~2× longer than the originals (a salt token in
@@ -78,10 +94,18 @@ object ScaleSoak {
           x => (x + lit(c * 0.001f)).cast("float"))))
   }
 
+  /** Usage: runMain graft.tools.ScaleSoak [baseDir] [factor] [outDir]
+    * [queryList|"deep"] — "deep" selects [[DeepSoakQueries]].
+    */
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
     val factor = args.lift(1).map(_.toInt).getOrElse(10)
     val out = args.lift(2).getOrElse(s"/root/repo/.graft-fixtures/soak_x$factor")
+    val selected = args.lift(3) match {
+      case Some("deep") => DeepSoakQueries
+      case Some(list) => list.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+      case None => SoakQueries
+    }
     val spark = GraftSession.get()
     Fixtures.ensureWritten(out, s"base=$base,factor=$factor,salt=v1") {
       buildScaled(spark, base, out, factor)
@@ -95,8 +119,8 @@ object ScaleSoak {
         .write.mode("overwrite").format("noop").save()
       (System.nanoTime() - t0) / 1e9
     }
-    SoakQueries.foreach(q => timeQ(q, base)) // untimed warmup: JIT + codegen
-    val rows = SoakQueries.map { q =>
+    selected.foreach(q => timeQ(q, base)) // untimed warmup: JIT + codegen
+    val rows = selected.map { q =>
       val tb = timeQ(q, base)
       val ts = timeQ(q, out)
       (q, tb, ts, ts / math.max(tb, 1e-3))
