@@ -29,6 +29,49 @@ object TextOps {
   /** Whitespace tokens. */
   def tokens(text: Column): Column = split(text, " ")
 
+  /** Gopher document-quality rules (Rae et al. 2021, appendix A1 — the
+    * standard pre-training heuristic set): per-document boolean columns
+    * `r_words` (50 ≤ word count ≤ 100k), `r_word_len` (3 ≤ mean word
+    * length ≤ 10), `r_symbols` (hash/ellipsis per word ≤ 0.1),
+    * `r_bullets` (< 90% of lines start with a bullet), `r_ellipsis`
+    * (< 30% of lines end with …), `r_alpha` (≥ 80% of words contain a
+    * letter), `r_stop` (≥ 2 distinct required stop words), plus
+    * `gopher_keep` = all of them.
+    *
+    * Every threshold is evaluated with CROSS-MULTIPLIED INTEGER arithmetic
+    * (e.g. `10·symbols ≤ words` instead of `symbols/words ≤ 0.1`) so the
+    * DuckDB oracle can mirror the rules bit-for-bit with no float
+    * divergence — same discipline as the CCNet LM filter. Scan-shaped:
+    * pure per-row expressions, no shuffle, no UDF.
+    */
+  def gopherRules(df: DataFrame, textCol: String): DataFrame = {
+    val t = lower(col(textCol))
+    val w = tokens(t)
+    val nW = size(w).cast("long")
+    val sumLen = aggregate(transform(w, x => length(x)),
+      lit(0L), (acc, x) => acc + x)
+    val nHash = (length(t) - length(regexp_replace(t, "#", ""))).cast("long")
+    val nEll = ((length(t) - length(regexp_replace(t, "\\.\\.\\.", ""))) / 3).cast("long")
+    val lines = split(t, "\n")
+    val nLines = size(lines).cast("long")
+    val nBullet = size(filter(lines, l => l.rlike("^(-|\\*|•)"))).cast("long")
+    val nEllEnd = size(filter(lines, l => l.rlike("\\.\\.\\.$"))).cast("long")
+    val nAlpha = size(filter(w, x => x.rlike("[a-z]"))).cast("long")
+    val stops = array(Seq("the", "be", "to", "of", "and", "that", "have", "with")
+      .map(lit): _*)
+    val nStop = size(array_intersect(w, stops)).cast("long")
+    df.withColumn("r_words", nW >= 50L && nW <= 100000L)
+      .withColumn("r_word_len", sumLen >= nW * 3L && sumLen <= nW * 10L)
+      .withColumn("r_symbols", (nHash + nEll) * 10L <= nW)
+      .withColumn("r_bullets", nBullet * 10L < nLines * 9L)
+      .withColumn("r_ellipsis", nEllEnd * 10L < nLines * 3L)
+      .withColumn("r_alpha", nAlpha * 5L >= nW * 4L)
+      .withColumn("r_stop", nStop >= 2L)
+      .withColumn("gopher_keep",
+        col("r_words") && col("r_word_len") && col("r_symbols") &&
+          col("r_bullets") && col("r_ellipsis") && col("r_alpha") && col("r_stop"))
+  }
+
   /** RAG-style overlapping token windows: one row per (document, window),
     * windows starting every `stride` tokens and holding up to `width`
     * tokens (the final window may be shorter). Scan-shaped — explode plus

@@ -44,10 +44,15 @@ object ZarrSource {
   final case class Blosc(cname: String = "lz4", clevel: Int = 5,
                          shuffle: Int = 1, blocksize: Int = 0) extends Codec
 
-  /** Parsed `.zarray` (+ `.zattrs` dims) for one array. */
+  /** Parsed `.zarray` (+ `.zattrs` dims) for one array. `shuffleElem` > 0
+    * means a numcodecs `{"id": "shuffle", "elementsize": N}` filter is in
+    * effect (byte-plane transpose applied before the compressor — the same
+    * filter HDF5 and blosc use).
+    */
   final case class ZarrArray(shape: Seq[Int], chunks: Seq[Int], dtype: String,
                              fillValue: Double, codec: Codec,
-                             dims: Seq[String], separator: String) {
+                             dims: Seq[String], separator: String,
+                             shuffleElem: Int = 0) {
     def chunkGrid: Seq[Int] = shape.zip(chunks).map { case (s, c) => (s + c - 1) / c }
     def chunkElems: Int = chunks.product
   }
@@ -103,8 +108,19 @@ object ZarrSource {
     require(za.path("zarr_format").asInt == 2, s"$arrayDir: zarr_format != 2")
     require(za.path("order").asText == "C",
       s"$arrayDir: only C (row-major) order supported")
-    require(za.path("filters").isNull || !za.has("filters"),
-      s"$arrayDir: filters are not supported")
+    // filters: the numcodecs byte-shuffle filter is supported (it is what
+    // HDF5-converted stores and shuffle-tuned zarr stores carry); anything
+    // else is rejected loudly
+    val filters = za.path("filters")
+    val shuffleElem =
+      if (filters.isNull || filters.isMissingNode || !filters.isArray ||
+          filters.size == 0) 0
+      else {
+        require(filters.size == 1 && filters.get(0).path("id").asText == "shuffle",
+          s"$arrayDir: unsupported filters ${filters.toString} " +
+            "(only a single numcodecs 'shuffle' filter is supported)")
+        math.max(1, filters.get(0).path("elementsize").asInt(1))
+      }
     val comp = za.path("compressor")
     val codec: Codec =
       if (comp.isNull || comp.isMissingNode) Raw
@@ -137,7 +153,7 @@ object ZarrSource {
       za.path("chunks").elements.asScala.map(_.asInt).toSeq,
       za.path("dtype").asText, fv, codec, dims,
       Option(za.path("dimension_separator").asText(".")).filter(_.nonEmpty)
-        .getOrElse("."))
+        .getOrElse("."), shuffleElem)
   }
 
   /** Does the group contain an array `name` (consolidated-aware)? */
@@ -185,11 +201,14 @@ object ZarrSource {
     * [[NetcdfSource]].
     */
   def decodeChunk(raw: Array[Byte], za: ZarrArray): Array[Double] = {
-    val bytes = za.codec match {
+    val plain = za.codec match {
       case Raw => raw
       case _: Zlib => inflate(raw)
       case _: Blosc => BloscCodec.decompress(raw) // frame is self-describing
     }
+    val bytes =
+      if (za.shuffleElem > 1) BloscCodec.unshuffle(plain, za.shuffleElem)
+      else plain
     val b = ByteBuffer.wrap(bytes).order(
       if (za.dtype.startsWith(">")) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN)
     val kind = za.dtype.drop(1) // after <, > or |

@@ -321,6 +321,33 @@ class PipelineOpsSpec extends AnyFunSuite {
       TextOps.chunkWindows(df, "text", width = 3, stride = 5).collect())
   }
 
+  test("gopher rules: each rule flips on exactly its own trigger") {
+    import spark.implicits._
+    import graft.operators.TextOps
+    // 52 words, letters, stop words, no symbols/bullets → passes all rules
+    val good = (Seq.fill(11)("the fox and hound of note").mkString(" ") +
+      " with that").trim
+    val docs = Seq(
+      (0L, good),
+      (1L, "the and of short"),                       // r_words (too few)
+      (2L, good + Seq.fill(9)(" #").mkString),        // r_symbols
+      (3L, (1 to 60).map(_ => "zz").mkString(" ")),   // r_stop (and short words)
+      (4L, (1 to 30).map(_ => "- the fox and of a").mkString("\n")), // r_bullets
+      (5L, (1 to 30).map(_ => "the fox and of a...").mkString("\n")), // r_ellipsis
+      (6L, (1 to 60).map(i => s"$i").mkString(" "))   // r_alpha (numerals)
+    ).toDF("doc_id", "text")
+    val r = TextOps.gopherRules(docs, "text").collect()
+      .map(row => row.getLong(0) -> row).toMap
+    def b(id: Long, c: String) = r(id).getBoolean(r(id).fieldIndex(c))
+    assert(b(0, "gopher_keep"), "good doc must pass every rule")
+    assert(!b(1, "r_words") && !b(1, "gopher_keep"))
+    assert(!b(2, "r_symbols") && b(2, "r_words"))
+    assert(!b(3, "r_stop"))
+    assert(!b(4, "r_bullets") && b(4, "r_stop"))
+    assert(!b(5, "r_ellipsis"))
+    assert(!b(6, "r_alpha"))
+  }
+
   test("kmeans step: nearest centroid wins, ties to lower cid, sums exact") {
     import spark.implicits._
     import graft.operators.EmbeddingOps

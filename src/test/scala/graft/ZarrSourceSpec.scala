@@ -151,6 +151,38 @@ class ZarrSourceSpec extends AnyFunSuite {
       (0.0, 1.0) -> 0.0, (1.0, 1.0) -> 0.0))
   }
 
+  test("reads a store with the numcodecs shuffle filter (zlib + shuffle)") {
+    import graft.sources.BloscCodec
+    val g = s"${tmpDir("zarrshuf")}/s.zarr"
+    new java.io.File(s"$g/a").mkdirs()
+    Files.writeString(Paths.get(s"$g/.zgroup"), """{"zarr_format": 2}""")
+    Files.writeString(Paths.get(s"$g/a/.zarray"),
+      """{"zarr_format": 2, "dtype": "<f8", "shape": [2, 2], "chunks": [2, 2],
+        | "fill_value": "NaN", "compressor": {"id": "zlib", "level": 1},
+        | "filters": [{"id": "shuffle", "elementsize": 8}],
+        | "order": "C"}""".stripMargin)
+    val vals = Array(1.25, -2.5, 3.75, 1e9)
+    val plain = ByteBuffer.allocate(32).order(ByteOrder.LITTLE_ENDIAN)
+    vals.foreach(plain.putDouble)
+    val shuffled = BloscCodec.shuffleBytes(plain.array(), 8)
+    val d = new java.util.zip.Deflater()
+    d.setInput(shuffled); d.finish()
+    val out = new Array[Byte](128)
+    val n = d.deflate(out); d.end()
+    Files.write(Paths.get(s"$g/a/0.0"), java.util.Arrays.copyOf(out, n))
+    val za = ZarrSource.openArray(s"$g/a")
+    assert(za.shuffleElem == 8)
+    assert(ZarrSource.decodeChunk(Files.readAllBytes(Paths.get(s"$g/a/0.0")), za)
+      .sameElements(vals))
+    // unsupported filters stay loud
+    Files.writeString(Paths.get(s"$g/a/.zarray"),
+      """{"zarr_format": 2, "dtype": "<f8", "shape": [2, 2], "chunks": [2, 2],
+        | "fill_value": 0, "compressor": null,
+        | "filters": [{"id": "delta"}], "order": "C"}""".stripMargin)
+    val e = intercept[IllegalArgumentException](ZarrSource.openArray(s"$g/a"))
+    assert(e.getMessage.contains("filters"))
+  }
+
   test("rejects what it cannot read, loudly") {
     val g = s"${tmpDir("zarrbad")}/bad.zarr"
     new java.io.File(s"$g/a").mkdirs()
