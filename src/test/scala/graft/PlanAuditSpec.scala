@@ -192,4 +192,32 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Exchange rangepartitioning"), p)
     assert(p.contains("Generate"), p) // the window explode
   }
+
+  test("q_calendar_julian: decode is pure scan arithmetic — no join/window/UDF") {
+    val p = plan("q_calendar_julian")
+    assert(!p.contains("Join") && !p.contains("Window") && !p.contains("UDF"), p)
+    assert(!p.contains("Exchange rangepartitioning"), p) // one hash agg only
+  }
+
+  test("q_extra_dim_series: ONE shuffle — the widened (time, depth) groupBy") {
+    val p = plan("q_extra_dim_series")
+    assert(!p.contains("Join") && !p.contains("Window") && !p.contains("UDF"), p)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected exactly 1 exchange, got $exchanges:\n$p")
+  }
+
+  test("q_gopher_rules: rule evaluation is scan-shaped, no UDF") {
+    val p = plan("q_gopher_rules")
+    assert(!p.contains("Join") && !p.contains("Window") && !p.contains("UDF"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_multimodal: encode+decode stay partition-wise — no shuffle before the final agg") {
+    val p = plan("q_multimodal")
+    assert(!p.contains("Join") && !p.contains("Window"), p)
+    // mapPartitions codec stages add SerializeFromObject/MapPartitions, not
+    // exchanges; the only exchange is the final groupBy(source)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected exactly 1 exchange, got $exchanges:\n$p")
+  }
 }
