@@ -371,6 +371,42 @@ object ServingPack extends QueryPack {
           round(sum(col("v").cast("decimal(28,10)")), 6).cast("double").as("sum_v"))
     }),
 
+    // kerchunk over NetCDF-4: both HDF5 granules are indexed into
+    // byte-range reference documents (SingleHdf5ToZarr shape — chunk
+    // B-trees walked, shuffle+deflate translated to zarr codecs, NO
+    // payload copied) and read back THROUGH the refs. Oracle identical to
+    // q_netcdf4, so a wrong chunk offset/size/codec mapping cannot pass.
+    "q_kerchunk_hdf5" -> ((s, d) => {
+      import NetcdfSource.NcDim
+      val sfName = new java.io.File(d).getName
+      val base = s"/root/repo/.graft-fixtures/netcdf4_$sfName"
+      val days = Seq("2024-01-01", "2024-01-02")
+      Fixtures.ensureWritten(base, "days=2,grid=360x100,hdf5,chunks=50x90,shuffle+deflate,mean6") {
+        new java.io.File(base).mkdirs()
+        for (day <- days) {
+          Hdf5Source.write(s"$base/$day.nc",
+            Seq(NcDim("y", 100), NcDim("x", 360)),
+            Seq(("y", Array.tabulate(100)(_ + 0.5)),
+              ("x", Array.tabulate(360)(_ + 0.5))),
+            Seq(("v", Seq("y", "x"), dailyMeanGrid(s, d, day))),
+            chunkOf = Map("v" -> Seq(50, 90)))
+        }
+      }
+      days.map { day =>
+        val refsPath = s"$base/$day.refs.json"
+        if (!new java.io.File(refsPath).exists())
+          java.nio.file.Files.writeString(java.nio.file.Paths.get(refsPath),
+            KerchunkSource.scanHdf5(s"$base/$day.nc"))
+        KerchunkSource.readCube(s, refsPath, "v").withColumn("day", lit(day))
+      }.reduce(_ unionByName _)
+        .filter(!isnan(col("v")))
+        .groupBy("day")
+        .agg(count(lit(1)).as("n_cells"),
+          round(sum((col("y") + col("x")).cast("decimal(28,10)")), 6)
+            .cast("double").as("sum_coord"),
+          round(sum(col("v").cast("decimal(28,10)")), 6).cast("double").as("sum_v"))
+    }),
+
     // Zarr v2 group IO (the reference's NATIVE cube format — dsio.py:411-533
     // writes via to_zarr, zarrstore/generic.py:560-660 emits the metadata):
     // a 3-D (time, y, x) daily-mean cube written DISTRIBUTED (one shuffle by
@@ -1099,6 +1135,19 @@ object ServingPack extends QueryPack {
                 round(sum(v::DECIMAL(28,10)), 6)::DOUBLE AS sum_v
          FROM daily GROUP BY day""",
     "q_netcdf4" ->
+      s"""WITH ${CubePack.cubeCte},
+         daily AS (SELECT CAST(time AS DATE)::VARCHAR AS day,
+                          floor(y)::BIGINT AS j, floor(x)::BIGINT AS i,
+                          round(sum(v::DECIMAL(28,12))::DOUBLE / count(*), 6) AS v
+                   FROM cube
+                   WHERE CAST(time AS DATE) = DATE '2024-01-01'
+                      OR CAST(time AS DATE) = DATE '2024-01-02'
+                   GROUP BY day, j, i)
+         SELECT day, count(*) AS n_cells,
+                round(sum(((j + 0.5) + (i + 0.5))::DECIMAL(28,10)), 6)::DOUBLE AS sum_coord,
+                round(sum(v::DECIMAL(28,10)), 6)::DOUBLE AS sum_v
+         FROM daily GROUP BY day""",
+    "q_kerchunk_hdf5" ->
       s"""WITH ${CubePack.cubeCte},
          daily AS (SELECT CAST(time AS DATE)::VARCHAR AS day,
                           floor(y)::BIGINT AS j, floor(x)::BIGINT AS i,

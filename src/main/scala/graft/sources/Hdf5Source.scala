@@ -60,7 +60,29 @@ object Hdf5Source {
                                    strAttrs: Map[String, String],
                                    dimRefs: Seq[Long])
 
-  def parse(bytes: Array[Byte], headerOnly: Boolean = false): NcFile = {
+  def parse(bytes: Array[Byte], headerOnly: Boolean = false): NcFile =
+    parseImpl(bytes, headerOnly, collectScan = false)._1
+
+  /** One stored chunk: zarr-style grid key + absolute byte range. */
+  final case class H5ChunkRef(key: Seq[Int], addr: Long, size: Int)
+
+  /** Byte layout of one dataset — enough for [[KerchunkSource.scanHdf5]] to
+    * emit byte-range refs without copying payload bytes (the HDF5 analog of
+    * [[NetcdfSource.NcVarLayout]]).
+    */
+  final case class H5VarScan(name: String, shape: Seq[Int], chunkDims: Seq[Int],
+                             zarrDtype: String, deflate: Boolean,
+                             shuffleElem: Int, fletcher: Boolean,
+                             fill: Option[Double], dims: Seq[String],
+                             contiguous: Option[(Long, Long)],
+                             chunks: Seq[H5ChunkRef])
+
+  /** Header-only layout scan (no payload decode) for kerchunk indexing. */
+  def scan(bytes: Array[Byte]): Seq[H5VarScan] =
+    parseImpl(bytes, headerOnly = true, collectScan = true)._2
+
+  private def parseImpl(bytes: Array[Byte], headerOnly: Boolean,
+                        collectScan: Boolean): (NcFile, Seq[H5VarScan]) = {
     require(isHdf5(bytes), "not an HDF5 file (bad signature)")
     val b = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     val sbVer = bytes(8) & 0xff
@@ -320,6 +342,30 @@ object Hdf5Source {
         }
       }
 
+    /** Walk a chunk B-tree (any depth), yielding (element offsets, stored
+      * size, filter mask, data address) per chunk — shared by the decode
+      * path and the kerchunk layout scan.
+      */
+    def foreachChunk(btree: Long, rank: Int)(f: (Seq[Long], Int, Int, Long) => Unit): Unit = {
+      def walk(node: Long): Unit = {
+        require(new String(bytes, node.toInt, 4, "US-ASCII") == "TREE",
+          s"bad chunk B-tree node at $node")
+        val level = bytes(node.toInt + 5) & 0xff
+        val cnt = b.getShort(node.toInt + 6) & 0xffff
+        val keySize = 8 + 8 * (rank + 1)
+        var p = node.toInt + 24
+        (0 until cnt).foreach { _ =>
+          val csize = b.getInt(p)
+          val mask = b.getInt(p + 4)
+          val offs = (0 until rank).map(k => b.getLong(p + 8 + k * 8))
+          val child = b.getLong(p + keySize)
+          if (level > 0) walk(child) else f(offs, csize, mask, child)
+          p += keySize + 8
+        }
+      }
+      if (addrOk(btree)) walk(btree)
+    }
+
     def readData(ds: Dataset): Array[Double] = {
       val n = ds.shape.product
       val out = Array.fill(n)(ds.fill.getOrElse(0.0))
@@ -333,51 +379,34 @@ object Hdf5Source {
           require(elemSize == ds.dt.size, s"${ds.name}: chunk elem size mismatch")
           val rank = ds.shape.length
           val gStride = ds.shape.scanRight(1L)(_ * _).tail.toArray
-          def walkChunks(node: Long): Unit = {
-            require(new String(bytes, node.toInt, 4, "US-ASCII") == "TREE",
-              s"bad chunk B-tree node at $node")
-            val level = bytes(node.toInt + 5) & 0xff
-            val cnt = b.getShort(node.toInt + 6) & 0xffff
-            val keySize = 8 + 8 * (rank + 1)
-            var p = node.toInt + 24
-            (0 until cnt).foreach { _ =>
-              val csize = b.getInt(p)
-              val mask = b.getInt(p + 4)
-              val offs = (0 until rank).map(k => b.getLong(p + 8 + k * 8))
-              val child = b.getLong(p + keySize)
-              if (level > 0) walkChunks(child)
-              else {
-                val raw = java.util.Arrays.copyOfRange(bytes, child.toInt, child.toInt + csize)
-                val plain = applyFilters(raw, ds.filters, mask)
-                // scatter the (full-sized, fill-padded-at-edges) chunk
-                val idx = new Array[Int](rank)
-                val cn = chunk.product
-                var flat = 0
-                while (flat < cn) {
-                  var inBounds = true
-                  var global = 0L
-                  var k = 0
-                  while (k < rank) {
-                    val g = offs(k) + idx(k)
-                    if (g >= ds.shape(k)) inBounds = false
-                    global += g * gStride(k)
-                    k += 1
-                  }
-                  if (inBounds)
-                    out(global.toInt) = decodeValue(ds.dt, plain, flat * ds.dt.size)
-                  var d = rank - 1
-                  var carry = true
-                  while (carry && d >= 0) {
-                    idx(d) += 1
-                    if (idx(d) == chunk(d)) { idx(d) = 0; d -= 1 } else carry = false
-                  }
-                  flat += 1
-                }
+          foreachChunk(btree, rank) { (offs, csize, mask, addr) =>
+            val raw = java.util.Arrays.copyOfRange(bytes, addr.toInt, addr.toInt + csize)
+            val plain = applyFilters(raw, ds.filters, mask)
+            // scatter the (full-sized, fill-padded-at-edges) chunk
+            val idx = new Array[Int](rank)
+            val cn = chunk.product
+            var flat = 0
+            while (flat < cn) {
+              var inBounds = true
+              var global = 0L
+              var k = 0
+              while (k < rank) {
+                val g = offs(k) + idx(k)
+                if (g >= ds.shape(k)) inBounds = false
+                global += g * gStride(k)
+                k += 1
               }
-              p += keySize + 8
+              if (inBounds)
+                out(global.toInt) = decodeValue(ds.dt, plain, flat * ds.dt.size)
+              var d = rank - 1
+              var carry = true
+              while (carry && d >= 0) {
+                idx(d) += 1
+                if (idx(d) == chunk(d)) { idx(d) = 0; d -= 1 } else carry = false
+              }
+              flat += 1
             }
           }
-          if (addrOk(btree)) walkChunks(btree)
       }
       out
     }
@@ -392,15 +421,16 @@ object Hdf5Source {
       allDims += NcDim(s"phony_dim_${phony.size}", size)
       allDims.length - 1
     })
+    def dimIdsOf(ds: Dataset): Seq[Int] =
+      if (dimIdxByAddr.contains(ds.addr)) Seq(dimIdxByAddr(ds.addr))
+      else if (ds.dimRefs.nonEmpty) {
+        require(ds.dimRefs.length == ds.shape.length,
+          s"${ds.name}: DIMENSION_LIST rank mismatch")
+        ds.dimRefs.map(r => dimIdxByAddr.getOrElse(r,
+          throw new IllegalArgumentException(s"${ds.name}: dangling dimension ref")))
+      } else ds.shape.map(phonyDim)
     val ncVars = datasets.map { ds =>
-      val dimIds =
-        if (dimIdxByAddr.contains(ds.addr)) Seq(dimIdxByAddr(ds.addr))
-        else if (ds.dimRefs.nonEmpty) {
-          require(ds.dimRefs.length == ds.shape.length,
-            s"${ds.name}: DIMENSION_LIST rank mismatch")
-          ds.dimRefs.map(r => dimIdxByAddr.getOrElse(r,
-            throw new IllegalArgumentException(s"${ds.name}: dangling dimension ref")))
-        } else ds.shape.map(phonyDim)
+      val dimIds = dimIdsOf(ds)
       val ncType = (ds.dt.kind, ds.dt.size) match {
         case ('f', 8) => 6
         case ('f', 4) => 5
@@ -412,7 +442,42 @@ object Hdf5Source {
         ds.strAttrs -- Seq("CLASS", "NAME", "REFERENCE_LIST", "DIMENSION_LIST"),
         if (headerOnly) Array.empty[Double] else readData(ds))
     }.toSeq
-    NcFile(allDims.toSeq, Map.empty, ncVars)
+    val scans =
+      if (!collectScan) Nil
+      else datasets.map { ds =>
+        val zdt = (if (ds.dt.bigEndian) ">" else "<") +
+          (ds.dt.kind match {
+            case 'f' => "f"
+            case 'i' => if (ds.dt.signed) "i" else "u"
+            case k => throw new IllegalArgumentException(
+              s"${ds.name}: datatype '$k' not scannable to zarr")
+          }) + ds.dt.size
+        val dimNames = dimIdsOf(ds).map(allDims(_).name)
+        ds.layout match {
+          case Contiguous(addr, size) =>
+            H5VarScan(ds.name, ds.shape, ds.shape, zdt,
+              deflate = false, shuffleElem = 0, fletcher = false,
+              ds.fill, dimNames,
+              contiguous = if (addrOk(addr)) Some((addr, size)) else None,
+              chunks = Nil)
+          case Chunked(btree, chunk, _) =>
+            val refs = Seq.newBuilder[H5ChunkRef]
+            foreachChunk(btree, ds.shape.length) { (offs, csize, mask, addr) =>
+              require(mask == 0, s"${ds.name}: per-chunk filter masks not scannable")
+              refs += H5ChunkRef(
+                offs.zipWithIndex.map { case (o, k) => (o / chunk(k)).toInt },
+                addr, csize)
+            }
+            val shuffleElem = ds.filters.collectFirst {
+              case (2, vals) => vals.headOption.getOrElse(1)
+            }.getOrElse(0)
+            H5VarScan(ds.name, ds.shape, chunk, zdt,
+              deflate = ds.filters.exists(_._1 == 1), shuffleElem,
+              fletcher = ds.filters.exists(_._1 == 3),
+              ds.fill, dimNames, contiguous = None, chunks = refs.result())
+        }
+      }.toSeq
+    (NcFile(allDims.toSeq, Map.empty, ncVars), scans)
   }
 
   // ============================================================== writing

@@ -284,6 +284,54 @@ object KerchunkSource {
     refsDoc(out)
   }
 
+  /** Index a NetCDF-4/HDF5 granule into a refs document — kerchunk's
+    * SingleHdf5ToZarr re-expressed against [[Hdf5Source.scan]]: every
+    * stored HDF5 chunk becomes one byte-range ref, with the netCDF-4
+    * filter stack translated to Zarr codecs that decode the SAME bytes —
+    * deflate is a zlib stream (→ `{"id":"zlib"}` compressor) and the HDF5
+    * shuffle filter is numcodecs' shuffle (→ `{"id":"shuffle"}` filter,
+    * handled by [[ZarrSource.decodeChunk]]). HDF5 and Zarr both store
+    * edge chunks full-size, so the grids map 1:1. Contiguous datasets
+    * (the coordinate variables) become one raw ref each. No payload byte
+    * is read or copied; fletcher32-checksummed chunks are rejected loudly
+    * (the 4-byte tail is not expressible as a Zarr codec).
+    */
+  def scanHdf5(path: String): String = {
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    val url = new java.io.File(path).toURI.toString
+    val out = scala.collection.mutable.LinkedHashMap[String, String]()
+    out(".zgroup") = jstr("""{"zarr_format":2}""")
+    Hdf5Source.scan(bytes).foreach { v =>
+      require(!v.fletcher, s"$path/${v.name}: fletcher32 chunks cannot be " +
+        "kerchunk-indexed (checksum tail is not a Zarr codec); re-write without it")
+      val comp = if (v.deflate) """{"id":"zlib","level":1}""" else "null"
+      val filt = if (v.shuffleElem > 1)
+        s"""[{"id":"shuffle","elementsize":${v.shuffleElem}}]""" else "null"
+      val fill = v.fill match {
+        case Some(f) if f.isNaN => "\"NaN\""
+        case Some(f) => f.toString
+        case None => "null"
+      }
+      val zarray =
+        s"""{"zarr_format":2,"shape":[${v.shape.mkString(",")}],""" +
+          s""""chunks":[${v.chunkDims.mkString(",")}],""" +
+          s""""dtype":"${v.zarrDtype}","compressor":$comp,""" +
+          s""""fill_value":$fill,"filters":$filt,"order":"C"}"""
+      out(s"${v.name}/.zarray") = jstr(zarray)
+      out(s"${v.name}/.zattrs") = jstr(
+        s"""{"_ARRAY_DIMENSIONS":[${v.dims.map(jstr).mkString(",")}]}""")
+      v.contiguous.foreach { case (addr, size) =>
+        val key = v.shape.map(_ => "0").mkString(".")
+        out(s"${v.name}/$key") = s"""[${jstr(url)}, $addr, $size]"""
+      }
+      v.chunks.foreach { c =>
+        out(s"${v.name}/${c.key.mkString(".")}") =
+          s"""[${jstr(url)}, ${c.addr}, ${c.size}]"""
+      }
+    }
+    refsDoc(out)
+  }
+
   /** Index a GeoTIFF into a refs document — kerchunk's TIFF scanner
     * re-expressed: every strip/tile becomes one byte-range ref. The TIFF
     * tile grid maps 1:1 onto the Zarr chunk grid — chunks are

@@ -89,6 +89,28 @@ class Hdf5SourceSpec extends AnyFunSuite {
     assert(df.agg(org.apache.spark.sql.functions.sum("v")).collect()(0).getDouble(0) == 63.0)
   }
 
+  test("kerchunk scanHdf5: refs decode identically to the direct reader") {
+    import graft.sources.KerchunkSource
+    val t = Array(0.0, 1.0, 2.0)
+    val y = Array(1.5, 2.5)
+    val data = Array.tabulate(6)(i => i * 3.5 - 2.0)
+    val dir = tmp("h5kc")
+    val p = s"$dir/g.nc"
+    Hdf5Source.write(p, Seq(NcDim("t", 3), NcDim("y", 2)),
+      Seq("t" -> t, "y" -> y), Seq(("v", Seq("t", "y"), data)),
+      chunkOf = Map("v" -> Seq(2, 2))) // ragged t edge + shuffle+deflate
+    val refsPath = s"$dir/g.refs.json"
+    Files.writeString(Paths.get(refsPath), KerchunkSource.scanHdf5(p))
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getDouble(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    val direct = asMap(NetcdfSource.readCube(spark, p, "v"))
+    val virt = asMap(KerchunkSource.readCube(spark, refsPath, "v"))
+    assert(direct.size == 6 && virt == direct)
+    // the refs carry the filter stack, not re-encoded bytes
+    val refs = Files.readString(Paths.get(refsPath))
+    assert(refs.contains("shuffle") && refs.contains("zlib"))
+  }
+
   test("rejects what it cannot parse, loudly") {
     // v2 superblock signature at the right offset but unsupported version
     val fake = new Array[Byte](200)
