@@ -865,6 +865,46 @@ object ServingPack extends QueryPack {
       s.read.parquet(dest)
         .groupBy(col("p_date").cast("string").as("day"), col("event_type"))
         .agg(count(lit(1)).as("n"), round(sum(col("v")), 6).as("sum_v"))
+    }),
+
+    // streaming append INTO the native Zarr format (the reference's gen
+    // append mode writes its cube slice-by-slice through to_zarr append):
+    // two AvailableNow micro-ingests — day 1 creates the group, day 2
+    // appends along time in place — then the stored Zarr store must equal
+    // the same 2-day aggregate as q_zarr/q_zarr_append.
+    "q_stream_zarr" -> ((s, d) => {
+      val sfName = new java.io.File(d).getName
+      val base = s"/root/repo/.graft-fixtures/stream_zarr_$sfName"
+      val group = s"$base/cube.zarr"
+      Fixtures.ensureWritten(base, "slices=d1,d2,append,blosc-zstd,mean6") {
+        new java.io.File(base).mkdirs()
+        def daily(day: String, tIdx: Double) = CubePack.eventsCube(s, d).df
+          .filter(to_date(col("time")) === lit(day).cast("date"))
+          .groupBy(floor(col("y")).cast("int").as("j"),
+            floor(col("x")).cast("int").as("i"))
+          .agg(round(sum(col("v").cast("decimal(28,12)")).cast("double") /
+            count(lit(1)), 6).as("v"))
+          .select(lit(tIdx).as("t"), (col("j").cast("double") + 0.5).as("y"),
+            (col("i").cast("double") + 0.5).as("x"), col("v"))
+        val schema = daily("2024-01-01", 0.0).schema
+        def push(n: Int, df: DataFrame): Unit = {
+          df.write.mode("overwrite").parquet(s"$base/src/slice_$n")
+          TimeSliceOps.streamZarrAppend(s, schema, s"$base/src", group, "v", "t",
+            Seq("y" -> Array.tabulate(100)(_ + 0.5),
+              "x" -> Array.tabulate(360)(_ + 0.5)),
+            chunks = Seq(1, 50, 90), codec = ZarrSource.Blosc("zstd", 3))
+            .awaitTermination()
+        }
+        push(1, daily("2024-01-01", 0.0))
+        push(2, daily("2024-01-02", 1.0))
+      }
+      ZarrSource.readCube(s, group, "v")
+        .filter(!isnan(col("v")))
+        .groupBy(col("t").cast("long").as("day_idx"))
+        .agg(count(lit(1)).as("n_cells"),
+          round(sum((col("y") + col("x")).cast("decimal(28,10)")), 6)
+            .cast("double").as("sum_coord"),
+          round(sum(col("v").cast("decimal(28,10)")), 6).cast("double").as("sum_v"))
     })
   )
 
@@ -1286,6 +1326,20 @@ object ServingPack extends QueryPack {
            FROM cube WHERE CAST(time AS DATE) = DATE '2024-01-02')
          SELECT day::VARCHAR AS day, event_type,
                 count(*) AS n, round(sum(v), 6) AS sum_v
-         FROM u GROUP BY day, event_type"""
+         FROM u GROUP BY day, event_type""",
+    "q_stream_zarr" ->
+      s"""WITH ${CubePack.cubeCte},
+         daily AS (SELECT CASE WHEN CAST(time AS DATE) = DATE '2024-01-01'
+                               THEN 0 ELSE 1 END AS day_idx,
+                          floor(y)::BIGINT AS j, floor(x)::BIGINT AS i,
+                          round(sum(v::DECIMAL(28,12))::DOUBLE / count(*), 6) AS v
+                   FROM cube
+                   WHERE CAST(time AS DATE) = DATE '2024-01-01'
+                      OR CAST(time AS DATE) = DATE '2024-01-02'
+                   GROUP BY day_idx, j, i)
+         SELECT day_idx::BIGINT AS day_idx, count(*) AS n_cells,
+                round(sum(((j + 0.5) + (i + 0.5))::DECIMAL(28,10)), 6)::DOUBLE AS sum_coord,
+                round(sum(v::DECIMAL(28,10)), 6)::DOUBLE AS sum_v
+         FROM daily GROUP BY day_idx"""
   )
 }

@@ -110,4 +110,38 @@ object TimeSliceOps {
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", s"$destPath/_checkpoint")
       .start()
+
+  /** Streaming ingestion INTO A ZARR GROUP — the reference's incremental
+    * cube generation writes its native format slice-by-slice (gen append
+    * mode over `dsio.py`'s to_zarr append). Each micro-batch's new `tCol`
+    * labels become appended dim-0 slices: the first batch creates the
+    * group ([[graft.sources.ZarrSource.writeCube]]), every later batch
+    * extends it in place ([[graft.sources.ZarrSource.appendCube]] — shape
+    * patched, only new chunks written). Micro-batches are sequential, so
+    * the append ordering is exactly arrival order; the distributed
+    * chunk-assembly shuffle happens inside the batch, per slice.
+    */
+  def streamZarrAppend(spark: SparkSession, schema: StructType, srcDir: String,
+                       groupDir: String, varName: String, tCol: String,
+                       spatialDims: Seq[(String, Array[Double])],
+                       chunks: Seq[Int],
+                       codec: graft.sources.ZarrSource.Codec =
+                         graft.sources.ZarrSource.Zlib()): StreamingQuery =
+    spark.readStream.schema(schema)
+      .option("recursiveFileLookup", "true").parquet(srcDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val labels = batch.select(col(tCol).cast("double")).distinct()
+            .orderBy(tCol).collect().map(_.getDouble(0))
+          if (!new java.io.File(s"$groupDir/.zgroup").exists())
+            graft.sources.ZarrSource.writeCube(batch, groupDir, varName,
+              (tCol -> labels) +: spatialDims, chunks, codec)
+          else
+            graft.sources.ZarrSource.appendCube(batch, groupDir, varName, labels)
+        }
+      }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$groupDir/../_zarr_checkpoint")
+      .start()
 }
