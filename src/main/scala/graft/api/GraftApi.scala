@@ -36,8 +36,14 @@ object syntax {
 
     // §2.4 aggregation
     def timeSeries(varName: String, geometryWkt: Option[String] = None,
-                   methods: Seq[String] = Seq("mean", "count")): DataFrame =
-      TimeSeriesOps.getTimeSeries(c, varName, geometryWkt, methods)
+                   methods: Seq[String] = Seq("mean", "count"),
+                   extraDims: Seq[String] = Nil): DataFrame =
+      TimeSeriesOps.getTimeSeries(c, varName, geometryWkt, methods,
+        extraDims = extraDims)
+    def statisticsBy(varName: String, labelDims: String*): DataFrame =
+      StatsOps.statisticsBy(c.df, varName, labelDims)
+    def selNearest(dimCol: String, target: Double): Cube =
+      c.withDf(df => SelectOps.nearestDimLabel(df, dimCol, target)._2)
     def resampleInTime(freq: String, aggs: Seq[(String, String)]): DataFrame =
       TemporalOps.resampleInTime(c.df, c.timeCol, freq, aggs)
     def subsample(k: Int, methods: Seq[(String, String)]): DataFrame =

@@ -33,6 +33,22 @@ class ApiSpec extends AnyFunSuite {
     assert(series.head.getAs[Long]("v_count") > 0)
   }
 
+  test("fluent extra-dim surface: statisticsBy, selNearest, per-label series") {
+    import syntax._
+    import spark.implicits._
+    val gm = GridMapping(4, 4, 0.0, 0.0, 1.0, 1.0)
+    val rows = for (j <- 0 until 4; i <- 0 until 4; depth <- Seq(0.0, 10.0))
+      yield (t0, j + 0.5, i + 0.5, depth, depth + i + j)
+    val c = Cube(rows.toDF("time", "y", "x", "depth", "v"), gm)
+    val stats = c.statisticsBy("v", "depth").collect()
+      .map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    assert(stats == Map(0.0 -> 16L, 10.0 -> 16L))
+    assert(c.selNearest("depth", 7.0).df
+      .select("depth").distinct().collect().map(_.getDouble(0)).toSeq == Seq(10.0))
+    val series = c.timeSeries("v", extraDims = Seq("depth")).collect()
+    assert(series.length == 2)
+  }
+
   test("operation registry: lookup + apply + rejection") {
     val half = OperationRegistry("spatial_subset", cube())
     assert(half.df.count() == 25) // quarter of the 10x10 grid
