@@ -102,6 +102,42 @@ object TextOps {
       .drop("__w", "__n")
   }
 
+  /** Exact-substring duplicate spans (the Lee et al. 2021 "Deduplicating
+    * Training Data" signal, re-expressed relationally): every n-token
+    * window of every document is hashed; a window whose hash occurs in ≥ 2
+    * DISTINCT documents is a duplicated span. Returns one row per
+    * duplicated (doc, window): `doc_id`, `pos` (0-based token offset),
+    * `h` (the span hash), `n_docs` (how many docs share it).
+    *
+    * Scale shape: windows are per-row explode arithmetic; the only
+    * shuffles are the hash-keyed distinct-doc count (map-side combined)
+    * and the hash equi-join back — never a doc×doc pair join, so a span
+    * shared by a million documents costs one aggregate row, not 10^12
+    * pairs. The suffix-array construction of the paper is replaced by the
+    * window hash join, which is the standard shuffle-friendly equivalent.
+    */
+  def repeatedSpans(df: DataFrame, idCol: String, textCol: String,
+                    n: Int): DataFrame = {
+    require(n >= 2, s"span length $n")
+    val grams = df
+      .withColumn("__w", tokens(col(textCol)))
+      .filter(size(col("__w")) >= n)
+      // posexplode_OUTER: the plain generator would get an optimizer-
+      // inferred size()>0 filter that re-evaluates the whole shingle
+      // array per row (InferFiltersFromGenerate — same pathology as the
+      // minhash path, documented at shinglesOf); the ≥ n token filter
+      // above already guarantees non-empty arrays
+      .select(col(idCol).as("doc_id"),
+        posexplode_outer(shinglesOf(col("__w"), n)).as(Seq("pos", "__g")))
+      .withColumn("h",
+        conv(substring(md5(col("__g")), 1, 15), 16, 10).cast("long"))
+      .select("doc_id", "pos", "h")
+    val shared = grams.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+    grams.join(shared, Seq("h"))
+  }
+
   /** Word n-gram shingles as strings; empty array when the doc is shorter
     * than n tokens.
     *

@@ -36,7 +36,9 @@ object ScaleSoak {
     // decode (scan arithmetic), per-depth-label series (wider groupBy key),
     // and the REAL multimodal encode+decode (per-document BMP/WAV codec
     // work — the per-row cost a superlinear bug would hide in)
-    "q_calendar_julian", "q_extra_dim_series", "q_multimodal")
+    "q_calendar_julian", "q_extra_dim_series", "q_multimodal",
+    // exact-substring spans: window explode + hash-keyed distinct count
+    "q_exact_substring")
 
   /** Deep-soak subset (run at 30×): the newest heavy operators. The
     * format-fixture queries (kerchunk combine, COG levels, zarr append)

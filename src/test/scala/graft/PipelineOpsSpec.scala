@@ -321,6 +321,26 @@ class PipelineOpsSpec extends AnyFunSuite {
       TextOps.chunkWindows(df, "text", width = 3, stride = 5).collect())
   }
 
+  test("repeatedSpans: only cross-document n-gram windows are flagged") {
+    import spark.implicits._
+    import graft.operators.TextOps
+    val common = (1 to 5).map(i => s"c$i").mkString(" ") // 5 shared tokens
+    val docs = Seq(
+      (1L, s"a1 a2 $common a3 a4"),      // window of `common` at pos 2
+      (2L, s"b1 $common b2 b3 b4 b5"),   // same window at pos 1
+      (3L, "x1 x2 x3 x4 x5 x6 x7 x8 x9"),// no shared window
+      (4L, "short doc")                  // under n tokens → no windows
+    ).toDF("doc_id", "text")
+    val spans = TextOps.repeatedSpans(docs, "doc_id", "text", n = 5)
+      .collect().map(r => (r.getLong(1), r.getInt(2))).toSet // (doc, pos)
+    // the ONLY 5-token window shared verbatim between docs 1 and 2 is
+    // `common` itself (neighbors differ: a2/b1 prefixes, a3/b2 suffixes)
+    assert(spans == Set((1L, 2), (2L, 1)), spans.toString)
+    // within-document repetition alone is NOT a cross-doc duplicate
+    val selfRep = Seq((9L, "r r r r r r r r r r")).toDF("doc_id", "text")
+    assert(TextOps.repeatedSpans(selfRep, "doc_id", "text", 5).count() == 0)
+  }
+
   test("gopher rules: each rule flips on exactly its own trigger") {
     import spark.implicits._
     import graft.operators.TextOps
