@@ -371,6 +371,39 @@ object ServingPack extends QueryPack {
           round(sum(col("v").cast("decimal(28,10)")), 6).cast("double").as("sum_v"))
     }),
 
+    // The same granules in the H5F_LIBVER_LATEST physical layout —
+    // superblock v3, OHDR v2 object headers, compact link-message groups,
+    // data layout v4 (fixed-array chunk index under shuffle+deflate) —
+    // read back through the SAME NetcdfSource entry point. Identical
+    // oracle to q_netcdf4: a modern-format decode bug (OHDR walk, link
+    // resolution, v4 index, filter pipeline v2) cannot reproduce the
+    // checksums.
+    "q_netcdf4_latest" -> ((s, d) => {
+      import NetcdfSource.NcDim
+      val sfName = new java.io.File(d).getName
+      val base = s"/root/repo/.graft-fixtures/netcdf4latest_$sfName"
+      val days = Seq("2024-01-01", "2024-01-02")
+      Fixtures.ensureWritten(base, "days=2,grid=360x100,hdf5-latest,chunks=50x90,shuffle+deflate,mean6") {
+        new java.io.File(base).mkdirs()
+        for (day <- days) {
+          Hdf5Source.writeLatest(s"$base/$day.nc",
+            Seq(NcDim("y", 100), NcDim("x", 360)),
+            Seq(("y", Array.tabulate(100)(_ + 0.5)),
+              ("x", Array.tabulate(360)(_ + 0.5))),
+            Seq(("v", Seq("y", "x"), dailyMeanGrid(s, d, day))),
+            chunkOf = Map("v" -> Seq(50, 90)))
+        }
+      }
+      NetcdfSource.readCubeFiles(s, days.map(day => s"$base/$day.nc"), "v")
+        .withColumn("day", regexp_extract(col("file"), "([0-9-]+)\\.nc$", 1))
+        .filter(!isnan(col("v")))
+        .groupBy("day")
+        .agg(count(lit(1)).as("n_cells"),
+          round(sum((col("y") + col("x")).cast("decimal(28,10)")), 6)
+            .cast("double").as("sum_coord"),
+          round(sum(col("v").cast("decimal(28,10)")), 6).cast("double").as("sum_v"))
+    }),
+
     // kerchunk over NetCDF-4: both HDF5 granules are indexed into
     // byte-range reference documents (SingleHdf5ToZarr shape — chunk
     // B-trees walked, shuffle+deflate translated to zarr codecs, NO
@@ -1175,6 +1208,19 @@ object ServingPack extends QueryPack {
                 round(sum(v::DECIMAL(28,10)), 6)::DOUBLE AS sum_v
          FROM daily GROUP BY day""",
     "q_netcdf4" ->
+      s"""WITH ${CubePack.cubeCte},
+         daily AS (SELECT CAST(time AS DATE)::VARCHAR AS day,
+                          floor(y)::BIGINT AS j, floor(x)::BIGINT AS i,
+                          round(sum(v::DECIMAL(28,12))::DOUBLE / count(*), 6) AS v
+                   FROM cube
+                   WHERE CAST(time AS DATE) = DATE '2024-01-01'
+                      OR CAST(time AS DATE) = DATE '2024-01-02'
+                   GROUP BY day, j, i)
+         SELECT day, count(*) AS n_cells,
+                round(sum(((j + 0.5) + (i + 0.5))::DECIMAL(28,10)), 6)::DOUBLE AS sum_coord,
+                round(sum(v::DECIMAL(28,10)), 6)::DOUBLE AS sum_v
+         FROM daily GROUP BY day""",
+    "q_netcdf4_latest" ->
       s"""WITH ${CubePack.cubeCte},
          daily AS (SELECT CAST(time AS DATE)::VARCHAR AS day,
                           floor(y)::BIGINT AS j, floor(x)::BIGINT AS i,

@@ -9,17 +9,22 @@ import scala.collection.mutable
   * opens these through xarray/netCDF4 (`store/fs/impl/dataset.py:231-288`);
   * most real satellite/climate granules are NetCDF-4.
   *
-  * Supported physical layer — exactly what libhdf5 writes BY DEFAULT (no
-  * H5F_LIBVER_LATEST), which is what netCDF-4 files in the wild use:
-  *  - superblock v0/v1, 8-byte offsets/lengths
-  *  - v1 object headers incl. continuation blocks
+  * Supported physical layer — both what libhdf5 writes BY DEFAULT (the
+  * layout netCDF-4 files in the wild use) and the H5F_LIBVER_LATEST
+  * variants:
+  *  - superblock v0/v1 (symbol-table root) and v2/v3 (root object header
+  *    address + checksum), 8-byte offsets/lengths
+  *  - v1 object headers incl. continuation blocks, and v2 "OHDR" headers
+  *    incl. "OCHK" continuation blocks
   *  - old-style groups: B-tree v1 (type 0, any depth) + SNOD symbol nodes +
-  *    local heaps, walked recursively through subgroups
+  *    local heaps, walked recursively through subgroups; new-style groups:
+  *    compact link messages (dense fractal-heap storage rejected loudly)
   *  - datasets: dataspace v1/v2, fixed-point + IEEE-float datatypes of any
   *    byte order, fill-value messages v1/v2/v3
-  *  - contiguous AND chunked (B-tree v1 type 1, any depth) layouts,
-  *    filter pipeline with deflate (id 1), shuffle (id 2) and fletcher32
-  *    (id 3, checksum stripped) — the netCDF-4 compression stack
+  *  - contiguous AND chunked layouts: v3 (B-tree v1 type 1, any depth) and
+  *    v4 with single-chunk, implicit, and non-paged fixed-array indexes;
+  *    filter pipeline v1/v2 with deflate (id 1), shuffle (id 2) and
+  *    fletcher32 (id 3, checksum stripped) — the netCDF-4 compression stack
   *  - attributes v1/v2/v3: fixed strings, scalar numerics, and
   *    DIMENSION_LIST vlen object references resolved through global heaps
   *
@@ -30,9 +35,9 @@ import scala.collection.mutable
   * model the classic parser produces, so every cube entry point
   * (readCube/readCubeFiles, store inference, kerchunk) works unchanged.
   *
-  * Out of scope (rejected loudly, not silently misread): superblock v2/v3
-  * with v2 object headers and link-message groups (H5F_LIBVER_LATEST only),
-  * szip/user filters, compact layout, variable-length string data.
+  * Out of scope (rejected loudly, not silently misread): dense fractal-heap
+  * group links, paged/extensible-array/v2-btree chunk indexes (unlimited
+  * dims), szip/user filters, compact layout, variable-length string data.
   */
 object Hdf5Source {
 
@@ -51,7 +56,15 @@ object Hdf5Source {
 
   private sealed trait Layout
   private final case class Contiguous(addr: Long, size: Long) extends Layout
+  /** v3 chunked: B-tree v1 index. */
   private final case class Chunked(btree: Long, chunk: Seq[Int], elemSize: Int) extends Layout
+  /** v4 chunked (libver-latest): single-chunk (1), implicit (2) or fixed
+    * array (3) index; `filteredSize`/`filterMask` only for a filtered
+    * single chunk.
+    */
+  private final case class ChunkedV4(indexType: Int, chunk: Seq[Int], elemSize: Int,
+                                     addr: Long, pageBits: Int,
+                                     filteredSize: Long, filterMask: Int) extends Layout
 
   private final case class Dataset(name: String, addr: Long, shape: Seq[Int],
                                    dt: Datatype, layout: Layout,
@@ -86,21 +99,33 @@ object Hdf5Source {
     require(isHdf5(bytes), "not an HDF5 file (bad signature)")
     val b = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     val sbVer = bytes(8) & 0xff
-    require(sbVer == 0 || sbVer == 1,
-      s"HDF5 superblock v$sbVer unsupported (v0/v1 = the libhdf5 default; " +
-        "v2/v3 files need H5F_LIBVER_LATEST and are out of scope)")
-    require((bytes(13) & 0xff) == 8 && (bytes(14) & 0xff) == 8,
-      "only 8-byte offsets/lengths supported")
-    val rootEntryOff = if (sbVer == 0) 56 else 60
-    val rootHdr = b.getLong(rootEntryOff + 8)
+    require(sbVer <= 3, s"HDF5 superblock v$sbVer unknown")
+    // v0/v1: root symbol-table entry holds the root header address;
+    // v2/v3 (H5F_LIBVER_LATEST): the root OBJECT HEADER address sits at a
+    // fixed offset after base/extension/EOF
+    val rootHdr =
+      if (sbVer >= 2) {
+        require((bytes(9) & 0xff) == 8 && (bytes(10) & 0xff) == 8,
+          "only 8-byte offsets/lengths supported")
+        b.getLong(36)
+      } else {
+        require((bytes(13) & 0xff) == 8 && (bytes(14) & 0xff) == 8,
+          "only 8-byte offsets/lengths supported")
+        b.getLong((if (sbVer == 0) 56 else 60) + 8)
+      }
 
     def addrOk(a: Long): Boolean = a != Undef && a >= 0 && a < bytes.length
 
-    // ---- object header walk (v1 + continuations)
-    def messages(hdrAddr: Long): Seq[(Int, Int, Int)] = {
+    // ---- object header walk: v1 (prefix + message count + continuations)
+    // and v2 ("OHDR" signature, sized chunk 0, "OCHK" continuation blocks)
+    def messages(hdrAddr: Long): Seq[(Int, Int, Int)] =
+      if (new String(bytes, hdrAddr.toInt, 4, "US-ASCII") == "OHDR")
+        messagesV2(hdrAddr)
+      else messagesV1(hdrAddr)
+
+    def messagesV1(hdrAddr: Long): Seq[(Int, Int, Int)] = {
       val ver = bytes(hdrAddr.toInt) & 0xff
-      require(ver == 1, s"object header v$ver unsupported (v1 only — " +
-        "v2 'OHDR' headers come from H5F_LIBVER_LATEST)")
+      require(ver == 1, s"object header v$ver unsupported at $hdrAddr")
       val nmsgs = b.getShort(hdrAddr.toInt + 2) & 0xffff
       val out = Seq.newBuilder[(Int, Int, Int)]
       var remaining = nmsgs
@@ -120,6 +145,82 @@ object Hdf5Source {
         }
       }
       out.result()
+    }
+
+    def messagesV2(hdrAddr: Long): Seq[(Int, Int, Int)] = {
+      val a = hdrAddr.toInt
+      require((bytes(a + 4) & 0xff) == 2, s"OHDR version ${bytes(a + 4)} at $hdrAddr")
+      val flags = bytes(a + 5) & 0xff
+      val tracked = (flags & 0x04) != 0 // per-message creation order field
+      var p = a + 6
+      if ((flags & 0x20) != 0) p += 16 // access/mod/change/birth times
+      if ((flags & 0x10) != 0) p += 4  // phase-change limits
+      val sizeField = 1 << (flags & 0x3)
+      val size0 = sizeField match {
+        case 1 => bytes(p) & 0xffL
+        case 2 => (b.getShort(p) & 0xffff).toLong
+        case 4 => b.getInt(p).toLong & 0xffffffffL
+        case _ => b.getLong(p)
+      }
+      p += sizeField
+      val hdrSz = if (tracked) 6 else 4 // type(1)+size(2)+flags(1)[+order(2)]
+      val out = Seq.newBuilder[(Int, Int, Int)]
+      // (start, end) of message regions. Chunk-0's size field counts message
+      // data ONLY (the 4-byte lookup3 checksum sits after it); a trailing
+      // gap smaller than a message header is legal — the loop stops when no
+      // header fits
+      var blocks = List((p, p + size0.toInt))
+      while (blocks.nonEmpty) {
+        var (q, end) = blocks.head
+        blocks = blocks.tail
+        while (q + hdrSz <= end) {
+          val typ = bytes(q) & 0xff
+          val size = b.getShort(q + 1) & 0xffff
+          val body = q + hdrSz
+          if (typ == 0x10) { // continuation → "OCHK" block (sig + cksum)
+            val off = b.getLong(body).toInt
+            val len = b.getLong(body + 8).toInt
+            require(new String(bytes, off, 4, "US-ASCII") == "OCHK",
+              s"bad OCHK continuation at $off")
+            blocks = blocks :+ ((off + 4, off + len - 4))
+          } else if (typ != 0) out += ((typ, body, size))
+          q = body + size
+        }
+      }
+      out.result()
+    }
+
+    // ---- new-style (link-message) groups: compact links live directly in
+    // the header; dense (fractal-heap) storage is rejected loudly
+    def linkEntries(msgs: Seq[(Int, Int, Int)]): Seq[(String, Long)] = {
+      msgs.filter(_._1 == 0x0002).foreach { case (_, p, _) =>
+        // Link Info: version(1), flags(1), [max creation index(8)],
+        // fractal heap address, name-index b-tree address
+        val liFlags = bytes(p + 1) & 0xff
+        val heapOff = p + 2 + (if ((liFlags & 1) != 0) 8 else 0)
+        require(!addrOk(b.getLong(heapOff)),
+          "dense (fractal-heap) group link storage unsupported — compact " +
+            "link messages only (the libver-latest default for small groups)")
+      }
+      msgs.filter(_._1 == 0x0006).map { case (_, p, _) =>
+        val ver = bytes(p) & 0xff
+        require(ver == 1, s"link message v$ver")
+        val flags = bytes(p + 1) & 0xff
+        var q = p + 2
+        val linkType = if ((flags & 0x08) != 0) { q += 1; bytes(q - 1) & 0xff } else 0
+        require(linkType == 0, s"non-hard link type $linkType unsupported")
+        if ((flags & 0x04) != 0) q += 8 // creation order
+        if ((flags & 0x10) != 0) q += 1 // charset
+        val nameLenSize = 1 << (flags & 0x3)
+        val nameLen = nameLenSize match {
+          case 1 => bytes(q) & 0xff
+          case 2 => b.getShort(q) & 0xffff
+          case _ => b.getInt(q)
+        }
+        q += nameLenSize
+        val name = new String(bytes, q, nameLen, "UTF-8")
+        (name, b.getLong(q + nameLen))
+      }
     }
 
     // ---- local heap + group btree + SNOD
@@ -209,30 +310,68 @@ object Hdf5Source {
     }
     def parseLayout(p: Int): Layout = {
       val ver = bytes(p) & 0xff
-      require(ver == 3, s"data layout message v$ver unsupported (v3 only)")
+      require(ver == 3 || ver == 4, s"data layout message v$ver unsupported")
       bytes(p + 1) & 0xff match {
         case 1 => Contiguous(b.getLong(p + 2), b.getLong(p + 10))
-        case 2 =>
+        case 2 if ver == 3 =>
           val ndims = bytes(p + 2) & 0xff // rank + 1 (elem size dim)
           val btree = b.getLong(p + 3)
           val dims = (0 until ndims).map(k => b.getInt(p + 11 + k * 4))
           Chunked(btree, dims.dropRight(1), dims.last)
+        case 2 => // v4 chunked: flags, ndims, enc len, dims, index type
+          val flags = bytes(p + 2) & 0xff
+          // like v3, ndims is the dataset rank + 1: libhdf5 stores the
+          // element byte size as a trailing pseudo-dimension
+          val ndims = bytes(p + 3) & 0xff
+          val encLen = bytes(p + 4) & 0xff
+          def dimAt(q: Int): Long = encLen match {
+            case 1 => bytes(q) & 0xffL
+            case 2 => (b.getShort(q) & 0xffff).toLong
+            case 4 => b.getInt(q).toLong & 0xffffffffL
+            case _ => b.getLong(q)
+          }
+          val dims = (0 until ndims).map(k => dimAt(p + 5 + k * encLen).toInt)
+          val chunk = dims.dropRight(1)
+          val elem = dims.last
+          var q = p + 5 + ndims * encLen
+          val idxType = bytes(q) & 0xff
+          q += 1
+          idxType match {
+            case 1 => // single chunk; filtered iff flags bit 1
+              val (fs, fm) =
+                if ((flags & 0x02) != 0) { val s = b.getLong(q); q += 12; (s, b.getInt(q - 4)) }
+                else (-1L, 0)
+              ChunkedV4(1, chunk, elem, b.getLong(q), 0, fs, fm)
+            case 2 => ChunkedV4(2, chunk, elem, b.getLong(q), 0, -1L, 0)
+            case 3 =>
+              val pageBits = bytes(q) & 0xff
+              ChunkedV4(3, chunk, elem, b.getLong(q + 1), pageBits, -1L, 0)
+            case t => throw new IllegalArgumentException(
+              s"layout v4 chunk index type $t unsupported " +
+                "(single-chunk/implicit/fixed-array only; extensible-array " +
+                "and v2-btree indexes come from unlimited dimensions)")
+          }
         case 0 => throw new IllegalArgumentException("compact layout unsupported")
         case c => throw new IllegalArgumentException(s"layout class $c")
       }
     }
+    // v1 (padded descriptions, 6 reserved bytes) and v2 (tight packing, the
+    // name-length field only for filter ids >= 256)
     def parseFilters(p: Int): Seq[(Int, Seq[Int])] = {
+      val ver = bytes(p) & 0xff
+      require(ver == 1 || ver == 2, s"filter pipeline message v$ver")
       val nf = bytes(p + 1) & 0xff
-      var q = p + 8
+      var q = if (ver == 1) p + 8 else p + 2
       (0 until nf).map { _ =>
         val id = b.getShort(q) & 0xffff
-        val nameLen = b.getShort(q + 2) & 0xffff
-        val nvals = b.getShort(q + 6) & 0xffff
-        val valsOff = q + 8 + nameLen
+        val hasName = ver == 1 || id >= 256
+        val nameLen = if (hasName) b.getShort(q + 2) & 0xffff else 0
+        val flagsOff = q + (if (hasName) 4 else 2)
+        val nvals = b.getShort(flagsOff + 2) & 0xffff
+        val valsOff = flagsOff + 4 + nameLen
         val vals = (0 until nvals).map(i => b.getInt(valsOff + i * 4))
-        var sz = 8 + nameLen + 4 * nvals
-        if (sz % 8 != 0) sz += 8 - sz % 8
-        q += sz
+        q = valsOff + 4 * nvals
+        if (ver == 1 && q % 8 != 0) q += 8 - q % 8
         (id, vals)
       }
     }
@@ -294,10 +433,15 @@ object Hdf5Source {
     def visit(name: String, hdrAddr: Long): Unit = {
       val msgs = messages(hdrAddr)
       msgs.find(_._1 == 0x0011) match {
-        case Some((_, p, _)) => // a GROUP: recurse
+        case Some((_, p, _)) => // old-style GROUP (symbol table): recurse
           groupEntries(b.getLong(p), b.getLong(p + 8)).foreach {
             case (child, addr) =>
               visit(if (name.isEmpty) child else s"$name/$child", addr)
+          }
+        case None if msgs.exists(m => m._1 == 0x0002 || m._1 == 0x0006) =>
+          // new-style GROUP (libver-latest): links live in header messages
+          linkEntries(msgs).foreach { case (child, addr) =>
+            visit(if (name.isEmpty) child else s"$name/$child", addr)
           }
         case None => // a DATASET
           val shape = msgs.find(_._1 == 0x0001).map(m => parseDataspace(m._2))
@@ -366,6 +510,81 @@ object Hdf5Source {
       if (addrOk(btree)) walk(btree)
     }
 
+    /** Enumerate stored chunks of a v4 (libver-latest) chunked layout:
+      * single-chunk (1), implicit (2), or non-paged fixed-array (3) index,
+      * yielding the same (element offsets, stored size, filter mask,
+      * address) tuples as the v1 B-tree walk.
+      */
+    def foreachChunkV4(lay: ChunkedV4, shape: Seq[Int], dsName: String)
+                      (f: (Seq[Long], Int, Int, Long) => Unit): Unit = {
+      if (!addrOk(lay.addr)) return
+      val chunk = lay.chunk
+      val grid = shape.zip(chunk).map { case (s, c) => (s + c - 1) / c }
+      val chunkBytes = chunk.product * lay.elemSize
+      def offsOf(key: Seq[Int]): Seq[Long] =
+        key.zip(chunk).map { case (k, c) => k.toLong * c }
+      lay.indexType match {
+        case 1 => // the whole dataset is one chunk at `addr`
+          val size = if (lay.filteredSize >= 0) lay.filteredSize.toInt else chunkBytes
+          f(chunk.map(_ => 0L), size, lay.filterMask, lay.addr)
+        case 2 => // implicit: unfiltered chunks contiguous in row-major order
+          ZarrSource.allChunkKeys(grid).zipWithIndex.foreach { case (key, i) =>
+            f(offsOf(key), chunkBytes, 0, lay.addr + i.toLong * chunkBytes)
+          }
+        case 3 => // fixed array: FAHD header -> FADB element block
+          val a = lay.addr.toInt
+          require(new String(bytes, a, 4, "US-ASCII") == "FAHD",
+            s"$dsName: bad fixed-array header at ${lay.addr}")
+          require((bytes(a + 4) & 0xff) == 0, s"$dsName: fixed-array version")
+          val client = bytes(a + 5) & 0xff // 0 = plain chunks, 1 = filtered
+          val entrySize = bytes(a + 6) & 0xff
+          val pageBits = bytes(a + 7) & 0xff
+          val nelmts = b.getLong(a + 8)
+          val dbAddr = b.getLong(a + 16)
+          require(nelmts <= (1L << pageBits),
+            s"$dsName: paged fixed-array chunk index unsupported " +
+              s"($nelmts elements over ${1L << pageBits}/page)")
+          require(nelmts == grid.map(_.toLong).product,
+            s"$dsName: fixed-array element count mismatch")
+          if (addrOk(dbAddr)) {
+            val d = dbAddr.toInt
+            require(new String(bytes, d, 4, "US-ASCII") == "FADB",
+              s"$dsName: bad fixed-array data block at $dbAddr")
+            val elems = d + 14 // sig(4) + version(1) + client(1) + hdr addr(8)
+            ZarrSource.allChunkKeys(grid).zipWithIndex.foreach { case (key, i) =>
+              val e = elems + i * entrySize
+              val caddr = b.getLong(e)
+              if (addrOk(caddr)) {
+                val (size, mask) =
+                  if (client == 0) (chunkBytes, 0)
+                  else {
+                    val sz = (entrySize - 12) match { // addr(8) + size + mask(4)
+                      case 1 => bytes(e + 8) & 0xffL
+                      case 2 => (b.getShort(e + 8) & 0xffff).toLong
+                      case 4 => b.getInt(e + 8).toLong & 0xffffffffL
+                      case _ => b.getLong(e + 8)
+                    }
+                    (sz.toInt, b.getInt(e + entrySize - 4))
+                  }
+                f(offsOf(key), size, mask, caddr)
+              }
+            }
+          }
+      }
+    }
+
+    /** Dispatch a chunked layout (v3 B-tree / v4 index) to one enumerator. */
+    def chunkIter(ds: Dataset): (Seq[Int], ((Seq[Long], Int, Int, Long) => Unit) => Unit) =
+      ds.layout match {
+        case Chunked(btree, ch, elemSize) =>
+          require(elemSize == ds.dt.size, s"${ds.name}: chunk elem size mismatch")
+          (ch, f => foreachChunk(btree, ds.shape.length)(f))
+        case l: ChunkedV4 =>
+          require(l.elemSize == ds.dt.size, s"${ds.name}: chunk elem size mismatch")
+          (l.chunk, f => foreachChunkV4(l, ds.shape, ds.name)(f))
+        case _ => throw new IllegalStateException(s"${ds.name}: not chunked")
+      }
+
     def readData(ds: Dataset): Array[Double] = {
       val n = ds.shape.product
       val out = Array.fill(n)(ds.fill.getOrElse(0.0))
@@ -375,11 +594,11 @@ object Hdf5Source {
             var i = 0
             while (i < n) { out(i) = decodeValue(ds.dt, bytes, (addr + i.toLong * ds.dt.size).toInt); i += 1 }
           }
-        case Chunked(btree, chunk, elemSize) =>
-          require(elemSize == ds.dt.size, s"${ds.name}: chunk elem size mismatch")
+        case _ =>
+          val (chunk, iterate) = chunkIter(ds)
           val rank = ds.shape.length
           val gStride = ds.shape.scanRight(1L)(_ * _).tail.toArray
-          foreachChunk(btree, rank) { (offs, csize, mask, addr) =>
+          iterate { (offs, csize, mask, addr) =>
             val raw = java.util.Arrays.copyOfRange(bytes, addr.toInt, addr.toInt + csize)
             val plain = applyFilters(raw, ds.filters, mask)
             // scatter the (full-sized, fill-padded-at-edges) chunk
@@ -460,9 +679,10 @@ object Hdf5Source {
               ds.fill, dimNames,
               contiguous = if (addrOk(addr)) Some((addr, size)) else None,
               chunks = Nil)
-          case Chunked(btree, chunk, _) =>
+          case _ =>
+            val (chunk, iterate) = chunkIter(ds)
             val refs = Seq.newBuilder[H5ChunkRef]
-            foreachChunk(btree, ds.shape.length) { (offs, csize, mask, addr) =>
+            iterate { (offs, csize, mask, addr) =>
               require(mask == 0, s"${ds.name}: per-chunk filter masks not scannable")
               refs += H5ChunkRef(
                 offs.zipWithIndex.map { case (o, k) => (o / chunk(k)).toInt },
@@ -481,6 +701,100 @@ object Hdf5Source {
   }
 
   // ============================================================== writing
+
+  /** One encoded chunk: grid key (in chunk-grid units) + payload bytes. */
+  private final case class ChunkBlob(offsets: Seq[Long], bytes: Array[Byte])
+
+  /** Row-major chunk encode (fill-padded at edges) + optional shuffle and
+    * deflate — shared by the default-format and libver-latest writers.
+    */
+  private def encodeChunks(shape: Seq[Int], chunk: Seq[Int], data: Array[Double],
+                           shuffle: Boolean, deflate: Boolean): Seq[ChunkBlob] = {
+    val grid = shape.zip(chunk).map { case (s, c) => (s + c - 1) / c }
+    val gStride = shape.scanRight(1L)(_ * _).tail
+    ZarrSource.allChunkKeys(grid).map { key =>
+      val cn = chunk.product
+      val buf = ByteBuffer.allocate(cn * 8).order(ByteOrder.LITTLE_ENDIAN)
+      val idx = new Array[Int](shape.length)
+      var flat = 0
+      while (flat < cn) {
+        var inBounds = true
+        var global = 0L
+        var k = 0
+        while (k < shape.length) {
+          val g = key(k).toLong * chunk(k) + idx(k)
+          if (g >= shape(k)) inBounds = false
+          global += g * gStride(k)
+          k += 1
+        }
+        buf.putDouble(if (inBounds) data(global.toInt) else Double.NaN)
+        var d = shape.length - 1
+        var carry = true
+        while (carry && d >= 0) {
+          idx(d) += 1
+          if (idx(d) == chunk(d)) { idx(d) = 0; d -= 1 } else carry = false
+        }
+        flat += 1
+      }
+      var payload = buf.array()
+      if (shuffle) payload = BloscCodec.shuffleBytes(payload, 8)
+      if (deflate) {
+        val d = new java.util.zip.Deflater(6)
+        d.setInput(payload); d.finish()
+        val bos = new java.io.ByteArrayOutputStream(payload.length / 2 + 64)
+        val tmp = new Array[Byte](64 * 1024)
+        while (!d.finished()) bos.write(tmp, 0, d.deflate(tmp))
+        d.end()
+        payload = bos.toByteArray
+      }
+      ChunkBlob(key.map(k => k.toLong), payload)
+    }
+  }
+
+  /** Bob Jenkins' lookup3 `hashlittle` — the checksum HDF5 stamps on every
+    * piece of "latest format" metadata (superblock v3 tail, OHDR chunks,
+    * fixed-array header/data blocks). Public-domain algorithm; readers here
+    * don't verify it, but files we WRITE carry the real value so external
+    * tools can.
+    */
+  private[graft] def lookup3(data: Array[Byte], from: Int, until: Int,
+                             init: Int = 0): Int = {
+    def rot(x: Int, k: Int): Int = (x << k) | (x >>> (32 - k))
+    var len = until - from
+    var a = 0xdeadbeef + len + init
+    var b = a
+    var c = a
+    var p = from
+    def word(o: Int, n: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < n && i < 4) { v |= (data(o + i) & 0xff) << (8 * i); i += 1 }
+      v
+    }
+    while (len > 12) {
+      a += word(p, 4); b += word(p + 4, 4); c += word(p + 8, 4)
+      a -= c; a ^= rot(c, 4); c += b
+      b -= a; b ^= rot(a, 6); a += c
+      c -= b; c ^= rot(b, 8); b += a
+      a -= c; a ^= rot(c, 16); c += b
+      b -= a; b ^= rot(a, 19); a += c
+      c -= b; c ^= rot(b, 4); b += a
+      p += 12; len -= 12
+    }
+    if (len > 0) {
+      a += word(p, math.min(len, 4))
+      if (len > 4) b += word(p + 4, math.min(len - 4, 4))
+      if (len > 8) c += word(p + 8, len - 8)
+      c ^= b; c -= rot(b, 14)
+      a ^= c; a -= rot(c, 11)
+      b ^= a; b -= rot(a, 25)
+      c ^= b; c -= rot(b, 16)
+      a ^= c; a -= rot(c, 4)
+      b ^= a; b -= rot(a, 14)
+      c ^= b; c -= rot(b, 24)
+    }
+    c
+  }
 
   /** Minimal netCDF-4 writer — the round-trip counterpart of [[parse]],
     * mirroring [[NetcdfSource.write]]'s surface: float64 coordinate
@@ -559,51 +873,11 @@ object Hdf5Source {
     // chunked data: encode chunks now (need sizes for the B-tree)
     def chunksFor(name: String, dimNames: Seq[String]): Seq[Int] =
       chunkOf.getOrElse(name, dimNames.map(dimSize)) // default: one chunk
-    final case class ChunkBlob(offsets: Seq[Long], bytes: Array[Byte])
     val encodedChunks: Map[String, Seq[ChunkBlob]] = dataVars.map { case (name, dn, data) =>
       val shape = dn.map(dimSize)
       val chunk = chunksFor(name, dn)
       require(chunk.length == shape.length && chunk.forall(_ > 0), s"$name: bad chunks")
-      val grid = shape.zip(chunk).map { case (s, c) => (s + c - 1) / c }
-      val gStride = shape.scanRight(1L)(_ * _).tail
-      val blobs = ZarrSource.allChunkKeys(grid).map { key =>
-        val cn = chunk.product
-        val buf = ByteBuffer.allocate(cn * 8).order(ByteOrder.LITTLE_ENDIAN)
-        val idx = new Array[Int](shape.length)
-        var flat = 0
-        while (flat < cn) {
-          var inBounds = true
-          var global = 0L
-          var k = 0
-          while (k < shape.length) {
-            val g = key(k).toLong * chunk(k) + idx(k)
-            if (g >= shape(k)) inBounds = false
-            global += g * gStride(k)
-            k += 1
-          }
-          buf.putDouble(if (inBounds) data(global.toInt) else Double.NaN)
-          var d = shape.length - 1
-          var carry = true
-          while (carry && d >= 0) {
-            idx(d) += 1
-            if (idx(d) == chunk(d)) { idx(d) = 0; d -= 1 } else carry = false
-          }
-          flat += 1
-        }
-        var payload = buf.array()
-        if (shuffle) payload = BloscCodec.shuffleBytes(payload, 8)
-        if (deflate) {
-          val d = new java.util.zip.Deflater(6)
-          d.setInput(payload); d.finish()
-          val bos = new java.io.ByteArrayOutputStream(payload.length / 2 + 64)
-          val tmp = new Array[Byte](64 * 1024)
-          while (!d.finished()) bos.write(tmp, 0, d.deflate(tmp))
-          d.end()
-          payload = bos.toByteArray
-        }
-        ChunkBlob(key.map(k => k.toLong), payload)
-      }
-      name -> blobs
+      name -> encodeChunks(shape, chunk, data, shuffle, deflate)
     }.toMap
     val chunkBtreeAddr = mutable.LinkedHashMap.empty[String, Long]
     val chunkDataAddr = mutable.LinkedHashMap.empty[(String, Seq[Long]), Long]
@@ -678,13 +952,7 @@ object Hdf5Source {
       shape.foreach(s => out.putLong(s.toLong))
       ()
     }
-    def f8DatatypeBody(): Unit = {
-      out.put(0x11.toByte).put(0x20.toByte).put(0x3f.toByte).put(0.toByte)
-      out.putInt(8)
-      out.putShort(0).putShort(64).put(52.toByte).put(11.toByte)
-        .put(0.toByte).put(52.toByte).putInt(1023)
-      (0 until 4).foreach(_ => out.put(0.toByte)) // pad 20 → 24
-    }
+    def f8DatatypeBody(): Unit = Hdf5Source.f8DatatypeBody(out)
     def fillBody(): Unit = {
       out.put(2.toByte).put(1.toByte).put(2.toByte).put(1.toByte)
       out.putInt(8).putDouble(Double.NaN)
@@ -809,6 +1077,267 @@ object Hdf5Source {
     }
 
     java.nio.file.Files.write(java.nio.file.Paths.get(path), out.array())
+    ()
+  }
+
+  /** IEEE little-endian float64 datatype message body (20 bytes + 4 pad). */
+  private def f8DatatypeBody(out: ByteBuffer): Unit = {
+    out.put(0x11.toByte).put(0x20.toByte).put(0x3f.toByte).put(0.toByte)
+    out.putInt(8)
+    out.putShort(0).putShort(64).put(52.toByte).put(11.toByte)
+      .put(0.toByte).put(52.toByte).putInt(1023)
+    (0 until 4).foreach(_ => out.put(0.toByte)) // pad 20 → 24
+  }
+
+  /** H5F_LIBVER_LATEST counterpart of [[write]]: same variables model, but
+    * emitted in the "latest" physical layout so the reader's modern paths
+    * are exercised end-to-end — superblock v3 (+lookup3 checksum), v2
+    * "OHDR" object headers, a root group of compact LINK messages (no
+    * symbol table / local heap / SNOD), dataspace v2, fill v3, attributes
+    * v3, filter pipeline v2, and data layout v4 with the index libhdf5
+    * would pick for fixed-size dims: single-chunk when the grid is one
+    * chunk, fixed-array (client 1, filtered entries) under shuffle/deflate,
+    * implicit (contiguous unfiltered chunks) otherwise.
+    */
+  def writeLatest(path: String, dims: Seq[NcDim],
+                  coordVars: Seq[(String, Array[Double])],
+                  dataVars: Seq[(String, Seq[String], Array[Double])],
+                  chunkOf: Map[String, Seq[Int]] = Map.empty,
+                  deflate: Boolean = true, shuffle: Boolean = true): Unit = {
+    val names = coordVars.map(_._1) ++ dataVars.map(_._1)
+    require(names.distinct.size == names.size, "duplicate variable names")
+    require(names.forall(_.length < 256), "variable names must fit 1-byte link length")
+    require(dims.map(_.name).toSet == coordVars.map(_._1).toSet,
+      "each dim needs exactly one same-named coordinate variable")
+    val dimSize = dims.map(d => d.name -> d.size).toMap
+    dataVars.foreach { case (n, dn, data) =>
+      require(data.length == dn.map(dimSize).product, s"$n: data length != shape")
+    }
+    val filtered = deflate || shuffle
+    val nFilters = (if (shuffle) 1 else 0) + (if (deflate) 1 else 0)
+
+    // per-var chunk grid, encoded payloads, v4 index kind
+    final case class VarPlan(chunk: Seq[Int], grid: Seq[Int],
+                             blobs: Seq[ChunkBlob], kind: Int, pageBits: Int)
+    val plan: Map[String, VarPlan] = dataVars.map { case (name, dn, data) =>
+      val shape = dn.map(dimSize)
+      val chunk = chunkOf.getOrElse(name, shape)
+      require(chunk.length == shape.length && chunk.forall(_ > 0), s"$name: bad chunks")
+      val grid = shape.zip(chunk).map { case (s, c) => (s + c - 1) / c }
+      val n = grid.map(_.toLong).product
+      val kind = if (n == 1) 1 else if (filtered) 3 else 2
+      // keep the fixed array non-paged: page size >= element count
+      var pageBits = 10
+      while ((1L << pageBits) < n) pageBits += 1
+      name -> VarPlan(chunk, grid, encodeChunks(shape, chunk, data, shuffle, deflate),
+        kind, pageBits)
+    }.toMap
+
+    // ---------- exact message-body sizes (v2 header math)
+    def strAttr3Body(name: String, value: String): Int =
+      9 + (name.length + 1) + 8 + 4 + (value.length + 1)
+    def dimListAttr3Body(rank: Int): Int =
+      9 + ("DIMENSION_LIST".length + 1) + 16 + 12 + rank * 16
+    def layoutChunked4Body(rank: Int, kind: Int): Int =
+      5 + (rank + 1) * 8 + 1 + (kind match {
+        case 1 => (if (filtered) 12 else 0) + 8
+        case 2 => 8
+        case _ => 1 + 8 // page bits + address
+      })
+    // OHDR total = prefix(10: sig+ver+flags+4-byte chunk0 size) + msgs + cksum
+    def hdrTotal(bodies: Seq[Int]): Int = 10 + bodies.map(_ + 4).sum + 4
+    val rootBodies = Seq(18, 2) ++ names.map(n => 2 + 1 + n.length + 8)
+    def coordBodies(name: String): Seq[Int] =
+      Seq(12, 24, 14, 18,
+        strAttr3Body("CLASS", "DIMENSION_SCALE"), strAttr3Body("NAME", name))
+    def dataBodies(name: String, rank: Int): Seq[Int] =
+      Seq(4 + 8 * rank, 24, 14, layoutChunked4Body(rank, plan(name).kind)) ++
+        (if (nFilters > 0) Seq(2 + 10 * nFilters) else Nil) :+
+        dimListAttr3Body(rank)
+
+    // ---------- address assignment
+    var cursor = 0L
+    def alloc(n: Long): Long = { val a = cursor; cursor += n; a }
+    alloc(48) // superblock v3
+    val rootHdrAddr = alloc(hdrTotal(rootBodies))
+    val hdrAddr = mutable.LinkedHashMap.empty[String, Long]
+    coordVars.foreach { case (n, _) => hdrAddr(n) = alloc(hdrTotal(coordBodies(n))) }
+    dataVars.foreach { case (n, dn, _) => hdrAddr(n) = alloc(hdrTotal(dataBodies(n, dn.length))) }
+    val nRefs = dataVars.map(_._2.length).sum
+    val gcolSize = math.max(4096, (16 + nRefs * 24 + 16 + 7) & ~7)
+    val gcolAddr = if (nRefs > 0) alloc(gcolSize.toLong) else Undef
+    val coordDataAddr = coordVars.map { case (n, v) => n -> alloc(8L * v.length) }.toMap
+    val faHdrAddr = mutable.LinkedHashMap.empty[String, Long]
+    val faDataAddr = mutable.LinkedHashMap.empty[String, Long]
+    val chunkAddr = mutable.LinkedHashMap.empty[(String, Seq[Long]), Long]
+    dataVars.foreach { case (name, _, _) =>
+      val vp = plan(name)
+      if (vp.kind == 3) {
+        faHdrAddr(name) = alloc(28)
+        faDataAddr(name) = alloc(14L + 16L * vp.blobs.length + 4)
+      }
+      // implicit index relies on this allocation being contiguous, in
+      // row-major key order, with every (unfiltered) chunk the same size
+      vp.blobs.foreach(cb => chunkAddr((name, cb.offsets)) = alloc(cb.bytes.length.toLong))
+    }
+    val fileSize = cursor
+    require(fileSize <= Int.MaxValue, "HDF5 writer supports files < 2 GiB")
+
+    // ---------- emit
+    val outArr = new Array[Byte](fileSize.toInt)
+    val out = ByteBuffer.wrap(outArr).order(ByteOrder.LITTLE_ENDIAN)
+    def at(addr: Long): ByteBuffer = { out.position(addr.toInt); out }
+    def cksum(from: Long): Unit = { // checksum everything since `from`
+      val pos = out.position()
+      out.putInt(lookup3(outArr, from.toInt, pos))
+      ()
+    }
+
+    // superblock v3
+    out.put(Signature).put(3.toByte).put(8.toByte).put(8.toByte).put(0.toByte)
+    out.putLong(0L).putLong(Undef).putLong(fileSize).putLong(rootHdrAddr)
+    cksum(0)
+
+    def msg2(typ: Int, size: Int): Unit = {
+      out.put(typ.toByte).putShort(size.toShort).put(0.toByte)
+      ()
+    }
+    def ohdrPrefix(addr: Long, bodies: Seq[Int]): Unit = {
+      at(addr).put("OHDR".getBytes("US-ASCII")).put(2.toByte)
+        .put(0x02.toByte) // flags: 4-byte chunk-0 size, nothing optional
+        .putInt(bodies.map(_ + 4).sum)
+      ()
+    }
+    def dataspace2(shape: Seq[Int]): Unit = {
+      out.put(2.toByte).put(shape.length.toByte).put(0.toByte)
+        .put((if (shape.isEmpty) 0 else 1).toByte) // scalar / simple
+      shape.foreach(s => out.putLong(s.toLong))
+      ()
+    }
+    def fill3(): Unit = {
+      out.put(3.toByte).put(0x22.toByte) // defined, late allocation
+      out.putInt(8).putDouble(Double.NaN)
+      ()
+    }
+    def strAttr3(name: String, value: String): Unit = {
+      msg2(0x0C, strAttr3Body(name, value))
+      out.put(3.toByte).put(0.toByte)
+        .putShort((name.length + 1).toShort).putShort(8.toShort).putShort(4.toShort)
+        .put(0.toByte) // ASCII
+      out.put(name.getBytes("UTF-8")).put(0.toByte)
+      out.put(0x13.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+        .putInt(value.length + 1)
+      dataspace2(Nil)
+      out.put(value.getBytes("UTF-8")).put(0.toByte)
+      ()
+    }
+
+    // root group header: link info + group info + one hard link per var
+    ohdrPrefix(rootHdrAddr, rootBodies)
+    msg2(0x02, 18) // link info: no creation-order tracking, compact storage
+    out.put(0.toByte).put(0.toByte).putLong(Undef).putLong(Undef)
+    msg2(0x0A, 2) // group info: all defaults
+    out.put(0.toByte).put(0.toByte)
+    names.foreach { n =>
+      msg2(0x06, 2 + 1 + n.length + 8)
+      out.put(1.toByte).put(0.toByte) // v1, hard link, 1-byte name length
+        .put(n.length.toByte).put(n.getBytes("UTF-8"))
+        .putLong(hdrAddr(n))
+    }
+    cksum(rootHdrAddr)
+
+    coordVars.foreach { case (name, values) =>
+      ohdrPrefix(hdrAddr(name), coordBodies(name))
+      msg2(0x01, 12); dataspace2(Seq(values.length))
+      msg2(0x03, 24); f8DatatypeBody(out)
+      msg2(0x05, 14); fill3()
+      msg2(0x08, 18)
+      out.put(4.toByte).put(1.toByte) // layout v4, contiguous
+        .putLong(coordDataAddr(name)).putLong(8L * values.length)
+      strAttr3("CLASS", "DIMENSION_SCALE")
+      strAttr3("NAME", name)
+      cksum(hdrAddr(name))
+      at(coordDataAddr(name))
+      values.foreach(out.putDouble)
+    }
+
+    // global heap (same classic format — gheaps are version-independent)
+    val refIndex = mutable.LinkedHashMap.empty[(String, Int), Int]
+    if (nRefs > 0) {
+      at(gcolAddr).put("GCOL".getBytes("US-ASCII")).put(1.toByte)
+        .put(0.toByte).put(0.toByte).put(0.toByte).putLong(gcolSize.toLong)
+      var idx = 1
+      dataVars.foreach { case (name, dn, _) =>
+        dn.indices.foreach { k =>
+          refIndex((name, k)) = idx
+          out.putShort(idx.toShort).putShort(1).putInt(0).putLong(8L)
+          out.putLong(hdrAddr(dn(k)))
+          idx += 1
+        }
+      }
+      val used = 16 + nRefs * 24
+      out.putShort(0).putShort(0).putInt(0).putLong((gcolSize - used).toLong)
+    }
+
+    dataVars.foreach { case (name, dn, _) =>
+      val rank = dn.length
+      val shape = dn.map(dimSize)
+      val vp = plan(name)
+      ohdrPrefix(hdrAddr(name), dataBodies(name, rank))
+      msg2(0x01, 4 + 8 * rank); dataspace2(shape)
+      msg2(0x03, 24); f8DatatypeBody(out)
+      msg2(0x05, 14); fill3()
+      msg2(0x08, layoutChunked4Body(rank, vp.kind))
+      out.put(4.toByte).put(2.toByte) // layout v4, chunked
+        .put((if (vp.kind == 1 && filtered) 0x02 else 0x00).toByte)
+        .put((rank + 1).toByte).put(8.toByte)
+      vp.chunk.foreach(c => out.putLong(c.toLong))
+      out.putLong(8L) // trailing element-size pseudo-dimension
+      out.put(vp.kind.toByte)
+      vp.kind match {
+        case 1 =>
+          if (filtered) { out.putLong(vp.blobs.head.bytes.length.toLong).putInt(0) }
+          out.putLong(chunkAddr((name, vp.blobs.head.offsets)))
+        case 2 => out.putLong(chunkAddr((name, vp.blobs.head.offsets)))
+        case _ => out.put(vp.pageBits.toByte).putLong(faHdrAddr(name))
+      }
+      if (nFilters > 0) {
+        msg2(0x0B, 2 + 10 * nFilters)
+        out.put(2.toByte).put(nFilters.toByte)
+        if (shuffle) { out.putShort(2).putShort(0).putShort(1).putInt(8); () }
+        if (deflate) { out.putShort(1).putShort(0).putShort(1).putInt(6); () }
+      }
+      msg2(0x0C, dimListAttr3Body(rank))
+      out.put(3.toByte).put(0.toByte)
+        .putShort(("DIMENSION_LIST".length + 1).toShort)
+        .putShort(16.toShort).putShort(12.toShort).put(0.toByte)
+      out.put("DIMENSION_LIST".getBytes("UTF-8")).put(0.toByte)
+      out.put(0x19.toByte).put(0.toByte).put(0.toByte).put(0.toByte).putInt(16)
+      out.put(0x17.toByte).put(0.toByte).put(0.toByte).put(0.toByte).putInt(8)
+      dataspace2(Seq(rank))
+      dn.indices.foreach { k =>
+        out.putInt(1).putLong(gcolAddr).putInt(refIndex((name, k)))
+      }
+      cksum(hdrAddr(name))
+
+      if (vp.kind == 3) { // fixed array: header + element block
+        at(faHdrAddr(name)).put("FAHD".getBytes("US-ASCII"))
+          .put(0.toByte).put(1.toByte) // version, client = filtered chunks
+          .put(16.toByte).put(vp.pageBits.toByte)
+          .putLong(vp.blobs.length.toLong).putLong(faDataAddr(name))
+        cksum(faHdrAddr(name))
+        at(faDataAddr(name)).put("FADB".getBytes("US-ASCII"))
+          .put(0.toByte).put(1.toByte).putLong(faHdrAddr(name))
+        vp.blobs.foreach { cb =>
+          out.putLong(chunkAddr((name, cb.offsets)))
+            .putInt(cb.bytes.length).putInt(0) // stored size, filter mask
+        }
+        cksum(faDataAddr(name))
+      }
+      vp.blobs.foreach(cb => at(chunkAddr((name, cb.offsets))).put(cb.bytes))
+    }
+
+    java.nio.file.Files.write(java.nio.file.Paths.get(path), outArr)
     ()
   }
 }

@@ -112,13 +112,110 @@ class Hdf5SourceSpec extends AnyFunSuite {
   }
 
   test("rejects what it cannot parse, loudly") {
-    // v2 superblock signature at the right offset but unsupported version
+    // valid signature but a superblock version that does not exist
     val fake = new Array[Byte](200)
     Array[Byte](0x89.toByte, 'H', 'D', 'F', '\r', '\n', 0x1a, '\n').copyToArray(fake)
-    fake(8) = 2
+    fake(8) = 4
     val e = intercept[IllegalArgumentException](Hdf5Source.parse(fake))
     assert(e.getMessage.contains("superblock"))
     val junk = "CDFX".getBytes ++ new Array[Byte](100)
     intercept[IllegalArgumentException](NetcdfSource.parse(junk))
+  }
+
+  test("libver-latest round-trip: OHDR headers, link groups, fixed-array index") {
+    val t = Array(0.0, 1.0, 2.0)
+    val y = Array(10.0, 20.0)
+    val x = Array(0.5, 1.5, 2.5, 3.5)
+    val data = Array.tabulate(3 * 2 * 4)(i => i * 1.25 - 3.0)
+    val p = s"${tmp("h5latest")}/cube.nc"
+    Hdf5Source.writeLatest(p, Seq(NcDim("t", 3), NcDim("y", 2), NcDim("x", 4)),
+      Seq("t" -> t, "y" -> y, "x" -> x),
+      Seq(("v", Seq("t", "y", "x"), data)),
+      chunkOf = Map("v" -> Seq(2, 2, 3))) // 2x1x2 grid -> fixed array
+    val raw = Files.readAllBytes(Paths.get(p))
+    assert(raw(8) == 3, "superblock v3")
+    val s = new String(raw, "ISO-8859-1")
+    assert(s.contains("OHDR") && s.contains("FAHD") && s.contains("FADB"))
+    assert(!s.contains("SNOD") && !s.contains("HEAP"), "no old-style group machinery")
+    val nc = NetcdfSource.read(p) // routed by the same magic
+    assert(nc.dims.map(d => d.name -> d.size).toSet ==
+      Set("t" -> 3, "y" -> 2, "x" -> 4))
+    val v = nc.varByName("v")
+    assert(v.dimIds.map(nc.dims(_).name) == Seq("t", "y", "x"))
+    assert(v.data.sameElements(data))
+    assert(nc.varByName("x").data.sameElements(x))
+  }
+
+  test("libver-latest single-chunk and implicit chunk indexes round-trip") {
+    val dir = tmp("h5lidx")
+    val y = Array.tabulate(6)(_ * 1.0)
+    val x = Array.tabulate(5)(_ * 3.0)
+    val data = Array.tabulate(30)(i => math.sin(i.toDouble))
+    // default chunking = whole shape -> single-chunk index, filtered
+    val p1 = s"$dir/single.nc"
+    Hdf5Source.writeLatest(p1, Seq(NcDim("y", 6), NcDim("x", 5)),
+      Seq("y" -> y, "x" -> x), Seq(("v", Seq("y", "x"), data)))
+    assert(NetcdfSource.read(p1).varByName("v").data.sameElements(data))
+    // single chunk, unfiltered
+    val p2 = s"$dir/singleraw.nc"
+    Hdf5Source.writeLatest(p2, Seq(NcDim("y", 6), NcDim("x", 5)),
+      Seq("y" -> y, "x" -> x), Seq(("v", Seq("y", "x"), data)),
+      deflate = false, shuffle = false)
+    assert(NetcdfSource.read(p2).varByName("v").data.sameElements(data))
+    // multi-chunk unfiltered -> implicit index (contiguous chunks)
+    val p3 = s"$dir/implicit.nc"
+    Hdf5Source.writeLatest(p3, Seq(NcDim("y", 6), NcDim("x", 5)),
+      Seq("y" -> y, "x" -> x), Seq(("v", Seq("y", "x"), data)),
+      chunkOf = Map("v" -> Seq(4, 2)), deflate = false, shuffle = false)
+    assert(NetcdfSource.read(p3).varByName("v").data.sameElements(data))
+  }
+
+  test("property: libver-latest random cubes round-trip (20 files)") {
+    val rnd = new scala.util.Random(97)
+    val dir = tmp("h5lprop")
+    (1 to 20).foreach { i =>
+      val ny = 1 + rnd.nextInt(8)
+      val nx = 1 + rnd.nextInt(8)
+      val y = Array.tabulate(ny)(_ * 2.0)
+      val x = Array.tabulate(nx)(_ + 0.25)
+      val data = Array.fill(ny * nx)(rnd.nextDouble() * 2000 - 1000)
+      val p = s"$dir/f$i.nc"
+      Hdf5Source.writeLatest(p, Seq(NcDim("y", ny), NcDim("x", nx)),
+        Seq("y" -> y, "x" -> x), Seq(("v", Seq("y", "x"), data)),
+        chunkOf = Map("v" -> Seq(1 + rnd.nextInt(ny), 1 + rnd.nextInt(nx))),
+        deflate = i % 2 == 0, shuffle = i % 4 < 2)
+      val nc = NetcdfSource.read(p)
+      assert(nc.varByName("v").data.sameElements(data), s"file $i data")
+      assert(nc.varByName("y").data.sameElements(y), s"file $i coord")
+    }
+  }
+
+  test("kerchunk scanHdf5 indexes libver-latest files (v4 chunk indexes)") {
+    import graft.sources.KerchunkSource
+    val t = Array(0.0, 1.0, 2.0)
+    val y = Array(1.5, 2.5)
+    val data = Array.tabulate(6)(i => i * 3.5 - 2.0)
+    val dir = tmp("h5lkc")
+    val p = s"$dir/g.nc"
+    Hdf5Source.writeLatest(p, Seq(NcDim("t", 3), NcDim("y", 2)),
+      Seq("t" -> t, "y" -> y), Seq(("v", Seq("t", "y"), data)),
+      chunkOf = Map("v" -> Seq(2, 2))) // fixed-array index, shuffle+deflate
+    val refsPath = s"$dir/g.refs.json"
+    Files.writeString(Paths.get(refsPath), KerchunkSource.scanHdf5(p))
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getDouble(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    val direct = asMap(NetcdfSource.readCube(spark, p, "v"))
+    val virt = asMap(KerchunkSource.readCube(spark, refsPath, "v"))
+    assert(direct.size == 6 && virt == direct)
+  }
+
+  test("lookup3 checksum matches published hashlittle vectors") {
+    // Bob Jenkins' reference self-test values for hashlittle(), initval 0:
+    // hashlittle("", 0) = 0xdeadbeef; hashlittle("Four score and seven
+    // years ago", 0) = 0x17770551 (from lookup3.c's driver comments)
+    def h(s: String): Long =
+      Hdf5Source.lookup3(s.getBytes("US-ASCII"), 0, s.length) & 0xffffffffL
+    assert(h("") == 0xdeadbeefL)
+    assert(h("Four score and seven years ago") == 0x17770551L)
   }
 }
