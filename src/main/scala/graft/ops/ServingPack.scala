@@ -558,12 +558,23 @@ object ServingPack extends QueryPack {
     // added/removed/changed/same, with the per-status signed value delta
     // summed in DECIMAL.
     "q_cube_diff" -> ((s, d) => {
-      def day(dd: String) = CubePack.eventsCube(s, d).df
-        .filter(to_date(col("time")) === lit(dd).cast("date"))
-        .groupBy(floor(col("y")).cast("long").as("j"),
+      // BOTH daily grids come from one shared (day, j, i) aggregation
+      // subtree, so ReuseExchange collapses them to ONE events scan + ONE
+      // big shuffle (plan-asserted in PlanAuditSpec) — previously two full
+      // scans. The day filter compares the AGGREGATE first(day), not the
+      // grouping column: a grouping-column predicate would be pushed below
+      // the aggregate and re-split the branches into two distinct scans.
+      val daily = CubePack.eventsCube(s, d).df
+        .filter(to_date(col("time")) === lit("2024-01-01").cast("date") ||
+          to_date(col("time")) === lit("2024-01-02").cast("date"))
+        .groupBy(to_date(col("time")).as("__day"),
+          floor(col("y")).cast("long").as("j"),
           floor(col("x")).cast("long").as("i"))
         .agg(round(sum(col("v").cast("decimal(28,12)")).cast("double") /
-          count(lit(1)), 6).as("v"))
+          count(lit(1)), 6).as("v"),
+          first(to_date(col("time"))).as("__d"))
+      def day(dd: String) =
+        daily.filter(col("__d") === lit(dd).cast("date")).select("j", "i", "v")
       MaintenanceOps.diffDatasets(
           day("2024-01-01"), day("2024-01-02"), Seq("j", "i"), "v")
         .groupBy("status")

@@ -22,6 +22,16 @@ class PlanAuditSpec extends AnyFunSuite {
       !p.contains("p_name"), "scan reads columns beyond the projection")
   }
 
+  test("q_cube_diff: the two day grids share one scan+shuffle (ReusedExchange)") {
+    // AQE materializes exchange reuse at runtime — execute, then inspect
+    // the final adaptive plan
+    val df = SparkEntry.queries("q_cube_diff")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange"),
+      "per-day diff branches must reuse the shared (day,j,i) aggregation exchange")
+  }
+
   test("q_join_pricing: dimension side broadcast, no cartesian") {
     val p = plan("q_join_pricing")
     assert(p.contains("BroadcastHashJoin"), p)
