@@ -99,4 +99,61 @@ object ClassifierOps {
     margin(features, weights)
       .select(col("__doc").as("doc"), col("__y").as("label"),
         col("__m").as("margin"), (col("__m") > threshold).as("keep"))
+
+  // ------------------------------------------------------- DSIR selection
+
+  /** DSIR importance model (Xie et al. 2023, "Data Selection for Language
+    * Models via Importance Resampling"): per hashed-token bucket, the
+    * add-one-smoothed log probability ratio between a target-domain token
+    * distribution and the raw-corpus distribution, QUANTIZED to integer
+    * micro-nats. Quantization is the scale trick: the model pass is one
+    * scan + one `dim`-row aggregation (collected to the driver — `dim`
+    * longs), and scoring becomes an exact integer dot product, so per-doc
+    * scores are bit-identical across engines, partitionings, and retries.
+    *
+    * `isTarget` marks rows of the target domain INSIDE the same corpus
+    * scan (the usual DSIR setup scores raw data against a small trusted
+    * target set); both distributions come from one explode + one
+    * map-side-combined groupBy.
+    */
+  def dsirModel(df: DataFrame, textCol: String, isTarget: Column,
+                dim: Int): Array[Long] = {
+    val counts = df
+      .select(isTarget.cast("int").as("__t"),
+        explode(TextOps.tokens(col(textCol))).as("__tok"))
+      .withColumn("__bucket", TextOps.hash60(col("__tok")) % dim)
+      .groupBy("__bucket")
+      .agg(count(lit(1)).as("nr"), sum(col("__t")).as("nt"))
+      .collect()
+    val nR = Array.fill(dim)(0L)
+    val nT = Array.fill(dim)(0L)
+    counts.foreach { r =>
+      nR(r.getLong(0).toInt) = r.getLong(1)
+      nT(r.getLong(0).toInt) = r.getLong(2)
+    }
+    val totR = nR.sum + dim
+    val totT = nT.sum + dim
+    Array.tabulate(dim) { b =>
+      // exact integer products (< 2^53) then one correctly-rounded IEEE
+      // division: both engines feed ln() the identical double
+      val x = ((nT(b) + 1) * totR).toDouble / ((nR(b) + 1) * totT).toDouble
+      val v = 1e6 * math.log(x)
+      // ties away from zero, matching DuckDB round()
+      (if (v >= 0) math.floor(v + 0.5) else math.ceil(v - 0.5)).toLong
+    }
+  }
+
+  /** Per-document DSIR importance score: Σ_tokens s[bucket] as an exact
+    * integer sum — scan-shaped (one explode + one groupBy per doc, the
+    * quantized model shipped as a literal array).
+    */
+  def dsirScore(df: DataFrame, keyCols: Seq[String], textCol: String,
+                model: Array[Long]): DataFrame = {
+    val dim = model.length
+    df.select(col("*"), explode(TextOps.tokens(col(textCol))).as("__tok"))
+      .withColumn("__s", element_at(lit(model),
+        (TextOps.hash60(col("__tok")) % dim + 1).cast("int")))
+      .groupBy(keyCols.map(col): _*)
+      .agg(sum(col("__s")).as("dsir_score"), count(lit(1)).as("n_tok"))
+  }
 }

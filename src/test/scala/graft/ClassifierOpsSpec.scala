@@ -49,6 +49,22 @@ class ClassifierOpsSpec extends AnyFunSuite {
     assert(grad(2) == grad(17))
   }
 
+  test("DSIR importance scores separate target-like from raw-like docs") {
+    import spark.implicits._
+    // target docs (is_good) use the `good` vocabulary; DSIR targeting the
+    // good half must score good docs positive and bad docs negative
+    val df = plantedCorpus
+    val model = ClassifierOps.dsirModel(df, "text", col("is_good"), 64)
+    val scored = ClassifierOps.dsirScore(df, Seq("doc_id"), "text", model)
+      .join(df.select("doc_id", "is_good"), "doc_id")
+      .select(col("is_good"), (col("dsir_score") > 0).as("pos")).collect()
+    assert(scored.forall(r => r.getBoolean(0) == r.getBoolean(1)),
+      "every good doc positive, every bad doc negative on a separable corpus")
+    // exact integer scores: partitioning cannot change them
+    val m2 = ClassifierOps.dsirModel(df.repartition(13), "text", col("is_good"), 64)
+    assert(m2.sameElements(model))
+  }
+
   test("scoring plan is scan-shaped: no join, two exchanges at most") {
     val dim = 16
     val feats = ClassifierOps.hashedFeatures(plantedCorpus, "doc_id", "text",
