@@ -19,7 +19,9 @@ object Colormaps {
 
   final case class Colormap(
       name: String,
-      /** (position ∈ [0,1], 0xRRGGBB) anchors, ascending. */
+      /** (position ∈ [0,1], 0xAARRGGBB) anchors, ascending. An alpha of 0
+        * in all stops (the pre-alpha 0xRRGGBB form) reads as opaque.
+        */
       stops: Array[(Double, Int)],
       categorical: Boolean = false,
       /** fade alpha 0→255 over the lower half (the `_alpha` variants). */
@@ -27,11 +29,13 @@ object Colormaps {
 
     require(stops.nonEmpty)
 
+    private val anyAlpha = stops.exists(s => (s._2 >>> 24) != 0)
+
     /** Color at normalized position t ∈ [0,1]; NaN → fully transparent. */
     def argb(t: Double): Argb = {
       if (t.isNaN) return 0
       val x = math.max(0.0, math.min(1.0, t))
-      val rgb =
+      val argb0 =
         if (categorical) {
           val idx = math.min(stops.length - 1, (x * stops.length).toInt)
           stops(idx)._2
@@ -44,17 +48,19 @@ object Colormaps {
             val (p1, c1) = stops(k + 1)
             val f = if (p1 > p0) (x - p0) / (p1 - p0) else 0.0
             def lerp(sh: Int): Int = {
-              val a = (c0 >> sh) & 0xff
-              val b = (c1 >> sh) & 0xff
+              val a = (c0 >>> sh) & 0xff
+              val b = (c1 >>> sh) & 0xff
               math.round(a + f * (b - a)).toInt
             }
-            (lerp(16) << 16) | (lerp(8) << 8) | lerp(0)
+            (lerp(24) << 24) | (lerp(16) << 16) | (lerp(8) << 8) | lerp(0)
           }
         }
+      val baseAlpha = if (anyAlpha) (argb0 >>> 24) & 0xff else 0xff
       val alpha =
-        if (!alphaRamp) 0xff
-        else math.min(255, math.round(math.min(1.0, 2.0 * x) * 255).toInt)
-      (alpha << 24) | rgb
+        if (!alphaRamp) baseAlpha
+        else math.min(baseAlpha,
+          math.round(math.min(1.0, 2.0 * x) * baseAlpha).toInt)
+      (alpha << 24) | (argb0 & 0xffffff)
     }
 
     def reversed: Colormap =
@@ -264,12 +270,55 @@ object Colormaps {
     Colormap(name, stops.toArray)
   }
 
+  /** Parse a SNAP *.cpd custom colormap — the reference's only supported
+    * custom colormap FILE format (cmaps.py:666-755,
+    * `load_snap_cpd_colormap`): `key=value` lines with `#` comments,
+    * `numPoints`, and per-point `sample{i}` (float) / `color{i}`
+    * (`r,g,b[,a]`). Samples min-max normalize to the [0,1] stops of a
+    * linear map (isLogScaled is ignored, matching the reference's
+    * commented-out handling).
+    */
+  def parseSnapCpd(name: String, content: String): Colormap = {
+    val entries = content.linesIterator.map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
+      .map { l =>
+        val i = l.indexOf('=')
+        require(i > 0, s"illegal SNAP *.cpd line: $l")
+        (l.take(i).trim, l.drop(i + 1).trim)
+      }.toMap
+    val n = entries.getOrElse("numPoints",
+      throw new IllegalArgumentException("illegal SNAP *.cpd: no numPoints")).toInt
+    require(n > 0, "illegal SNAP *.cpd: numPoints < 1")
+    val pts = (0 until n).map { i =>
+      val rgba = entries.getOrElse(s"color$i", "").split(",").map(_.trim.toInt)
+      require(rgba.length == 3 || rgba.length == 4,
+        s"illegal SNAP *.cpd color$i")
+      val a = if (rgba.length == 4) rgba(3) else 255
+      (entries(s"sample$i").toDouble,
+        (a << 24) | (rgba(0) << 16) | (rgba(1) << 8) | rgba(2))
+    }
+    val vmin = pts.map(_._1).min
+    val vmax = pts.map(_._1).max
+    val span = if (vmax > vmin) vmax - vmin else 1.0
+    Colormap(name,
+      pts.map { case (s, c) => ((s - vmin) / span, c) }.sortBy(_._1).toArray)
+  }
+
+  /** Load a SNAP *.cpd file; the colormap takes the file's basename. */
+  def loadSnapCpd(path: String): Colormap = {
+    val f = new java.io.File(path)
+    parseSnapCpd(f.getName.stripSuffix(".cpd"),
+      new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
+  }
+
   /** Lookup à la ColormapRegistry.get_cmap (cmaps.py:383-392): a JSON cm
-    * code parses into a custom colormap; unknown names fall back to the
-    * reference's default ("viridis" per DEFAULT_CMAP_NAME).
+    * code parses into a custom colormap, a `*.cpd` path loads a SNAP
+    * custom colormap file; unknown names fall back to the reference's
+    * default ("viridis" per DEFAULT_CMAP_NAME).
     */
   def get(name: String): Colormap =
     if (name.trim.startsWith("{")) parseCmCode(name)
+    else if (name.endsWith(".cpd")) loadSnapCpd(name)
     else registry.getOrElse(name, viridis)
 
   def names: Seq[String] = registry.keys.toSeq.sorted

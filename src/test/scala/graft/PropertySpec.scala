@@ -294,6 +294,36 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("SNAP *.cpd custom colormaps load, normalize and carry alpha") {
+    val cpd = """# SNAP color palette
+                |numPoints=3
+                |sample0=270.0
+                |color0=0,0,255
+                |sample1=300.0
+                |color1=255,255,0,128
+                |sample2=330.0
+                |color2=255,0,0
+                |""".stripMargin
+    val cm = Colormaps.parseSnapCpd("sst", cpd)
+    assert(cm.name == "sst")
+    // samples 270/300/330 min-max normalize to stops 0/0.5/1
+    assert(cm.argb(0.0) == 0xff0000ff)
+    assert(cm.argb(0.5) == 0x80ffff00) // the 4-component point keeps alpha
+    assert(cm.argb(1.0) == 0xffff0000)
+    // halfway between stop 0 and 1 the alpha interpolates too
+    assert(((cm.argb(0.25) >>> 24) & 0xff) == 192)
+    // file round-trip through the registry's get() path
+    val dir = java.nio.file.Files.createTempDirectory("cpd")
+    val p = dir.resolve("mymap.cpd")
+    java.nio.file.Files.writeString(p, cpd)
+    val loaded = Colormaps.get(p.toString)
+    assert(loaded.name == "mymap" && loaded.argb(0.5) == 0x80ffff00)
+    // malformed files are rejected loudly, like the reference's
+    // Illegal-SNAP-format error
+    intercept[IllegalArgumentException](Colormaps.parseSnapCpd("x", "numPoints=1"))
+    intercept[IllegalArgumentException](Colormaps.parseSnapCpd("x", "no equals here\n"))
+  }
+
   test("colormap registry: named long tail, families, endpoints, variants") {
     // every family member resolves, and NOT to the viridis fallback
     Colormaps.families.foreach { case (fam, members) =>
