@@ -138,6 +138,58 @@ object TextOps {
     grams.join(shared, Seq("h"))
   }
 
+  /** ExactSubstr REMOVAL (the second half of Lee et al. 2021 §4.1): every
+    * duplicated n-token span keeps its FIRST corpus occurrence (min
+    * (doc, pos), via one row_number over that span's flagged occurrences)
+    * and every other occurrence is deleted token-wise; surviving tokens
+    * are stitched back in order. Returns one row per input document:
+    * (doc_id, clean_text, n_tokens) — fully-duplicated documents come
+    * back with empty text.
+    *
+    * Scale shape: deletion marks explode ONLY flagged occurrences (n
+    * token indices each, distinct-folded), and ONLY documents with a
+    * deletion are re-tokenized and reassembled — untouched documents pass
+    * through without an explode, so the rebuild cost is proportional to
+    * duplicated volume, not corpus volume. NOTE: rebuilt text is
+    * single-space joined (tokens() semantics), like the rest of the
+    * token pipeline.
+    */
+  def removeRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
+                          n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spans = repeatedSpans(df, idCol, textCol, n)
+    val w = Window.partitionBy("h").orderBy(col("doc_id"), col("pos"))
+    val marks = spans
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") > 1)
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + n - 1)).as("ti"))
+      .distinct()
+    val touchedIds = marks.select("doc_id").distinct()
+    val touchedToks = df
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__w"))
+      .join(touchedIds, Seq("doc_id"))
+      .select(col("doc_id"), posexplode(col("__w")).as(Seq("ti", "tk")))
+    val rebuilt = touchedToks
+      .join(marks, Seq("doc_id", "ti"), "left_anti")
+      .groupBy("doc_id")
+      .agg(array_join(transform(
+          sort_array(collect_list(struct(col("ti"), col("tk")))),
+          s => s.getField("tk")), " ").as("clean_text"),
+        count(lit(1)).as("n_tokens"))
+    // fully-duplicated docs lose every token — emit them with empty text
+    val touched = touchedIds
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
+    val untouched = df
+      .select(col(idCol).as("doc_id"), col(textCol).as("clean_text"),
+        size(tokens(col(textCol))).cast("long").as("n_tokens"))
+      .join(touchedIds, Seq("doc_id"), "left_anti")
+    untouched.unionByName(touched)
+  }
+
   /** Word n-gram shingles as strings; empty array when the doc is shorter
     * than n tokens.
     *

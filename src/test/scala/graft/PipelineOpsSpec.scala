@@ -341,6 +341,25 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(TextOps.repeatedSpans(selfRep, "doc_id", "text", 5).count() == 0)
   }
 
+  test("removeRepeatedSpans: first occurrence kept, later ones cut, full dups emptied") {
+    import spark.implicits._
+    import graft.operators.TextOps
+    val common = (1 to 5).map(i => s"c$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"a1 a2 $common a3"),   // first occurrence (min doc_id) — kept whole
+      (2L, s"b1 $common b2 b3"),   // later occurrence — the 5 span tokens cut
+      (3L, common),                // exactly the span — fully emptied
+      (4L, "u1 u2 u3")             // untouched, passes through verbatim
+    ).toDF("doc_id", "text")
+    val out = TextOps.removeRepeatedSpans(docs, "doc_id", "text", n = 5)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(out(1L) == (s"a1 a2 $common a3", 8L), out(1L).toString)
+    assert(out(2L) == ("b1 b2 b3", 3L), out(2L).toString)
+    assert(out(3L) == ("", 0L), out(3L).toString)
+    assert(out(4L) == ("u1 u2 u3", 3L))
+    assert(out.size == 4)
+  }
+
   test("gopher rules: each rule flips on exactly its own trigger") {
     import spark.implicits._
     import graft.operators.TextOps
