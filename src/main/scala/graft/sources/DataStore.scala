@@ -36,6 +36,26 @@ object DataStore {
     else "parquet" // directory cubes default to parquet
   }
 
+  /** Mapping of recognized filename extensions to the accessor ids that
+    * open / write them — `get_filename_extensions` (reference
+    * store/fs/registry.py:256-293). GeoJSON opens through the JSON
+    * feature-collection route but has no writer; kerchunk reference
+    * documents are written by the scan* generators.
+    */
+  def filenameExtensions(accessorType: String = "openers"): Map[String, Seq[String]] = {
+    require(accessorType == "openers" || accessorType == "writers",
+      s"invalid accessor type '$accessorType' (openers|writers)")
+    val openers = Map(
+      ".parquet" -> Seq("parquet"), ".csv" -> Seq("csv"),
+      ".refs.json" -> Seq("kerchunk"),
+      ".json" -> Seq("json"), ".geojson" -> Seq("geojson"),
+      ".orc" -> Seq("orc"), ".nc" -> Seq("netcdf"), ".zarr" -> Seq("zarr"),
+      ".tif" -> Seq("geotiff"), ".tiff" -> Seq("geotiff"),
+      ".shp" -> Seq("shapefile"), ".levels" -> Seq("levels"))
+    if (accessorType == "openers") openers
+    else openers - ".geojson"
+  }
+
   /** open_dataset with format inference — the graft-native binary formats
     * (NetCDF classic, GeoTIFF, Shapefile, GeoJSON feature collections)
     * route to their sources; everything else goes through Spark readers.

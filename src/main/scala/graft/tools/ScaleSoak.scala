@@ -38,7 +38,11 @@ object ScaleSoak {
     // work — the per-row cost a superlinear bug would hide in)
     "q_calendar_julian", "q_extra_dim_series", "q_multimodal",
     // exact-substring spans: window explode + hash-keyed distinct count
-    "q_exact_substring")
+    "q_exact_substring",
+    // round-7 pipeline additions: span REMOVAL (rebuild cost must track
+    // duplicated volume), the LR gradient step (two keyed aggregations),
+    // DSIR (model agg + integer-dot scoring scan)
+    "q_substr_removal", "q_lr_step", "q_dsir")
 
   /** Deep-soak subset (run at 30×): the newest heavy operators. The
     * format-fixture queries (kerchunk combine, COG levels, zarr append)

@@ -33,6 +33,13 @@ class StoreMaintenanceSpec extends AnyFunSuite {
     assert(csv.columns.toSeq == Seq("id", "k", "v")) // header round-trip
     assert(store.describe("t1.parquet").contains("id"))
     assert(DataStore.formatFor("x.GeoJSON") == "json")
+    // get_filename_extensions parity: every inferable extension is listed,
+    // writers exclude the open-only geojson route
+    val exts = DataStore.filenameExtensions()
+    assert(exts(".nc") == Seq("netcdf") && exts(".refs.json") == Seq("kerchunk"))
+    assert(exts.keySet.forall(e => DataStore.formatFor(s"x$e") != null))
+    assert(!DataStore.filenameExtensions("writers").contains(".geojson"))
+    intercept[IllegalArgumentException](DataStore.filenameExtensions("nope"))
   }
 
   test("MemoryDataStore round-trips through temp views") {
