@@ -32,6 +32,23 @@ class PlanAuditSpec extends AnyFunSuite {
       "per-day diff branches must reuse the shared (day,j,i) aggregation exchange")
   }
 
+  test("q_substr_removal: no cartesian; rebuild joins are keyed anti/equi joins") {
+    val p = plan("q_substr_removal")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p.take(800))
+    assert(p.contains("LeftAnti"), "token deletion must be a keyed anti join")
+  }
+
+  test("q_dsir: scoring is scan-shaped — the quantized model is a literal, no join") {
+    val sess = spark
+    import sess.implicits._
+    val df = Seq((1L, "a b c"), (2L, "b c d")).toDF("doc_id", "text")
+    val model = graft.operators.ClassifierOps.dsirModel(df, "text",
+      org.apache.spark.sql.functions.col("doc_id") === 1, 16)
+    val p = graft.operators.ClassifierOps.dsirScore(df, Seq("doc_id"), "text", model)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), "DSIR scoring must not join")
+  }
+
   test("q_join_pricing: dimension side broadcast, no cartesian") {
     val p = plan("q_join_pricing")
     assert(p.contains("BroadcastHashJoin"), p)
