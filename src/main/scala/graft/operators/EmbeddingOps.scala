@@ -233,4 +233,98 @@ object EmbeddingOps {
         max_by(col(idCol), struct(col("cos_sim"), -col(idCol))).as("best_id"),
         max(col("cos_sim")).as("best_sim"))
   }
+
+  // ------------------------------------------- product quantization (ADC)
+
+  /** PQ codebooks: `m` subspaces × k centroids, each of length dim/m —
+    * `codebooks(s)` is the centroid list of subspace `s`. Trained with the
+    * SAME Lloyd machinery as [[kmeansIterate]], one driver-loop pass per
+    * subspace over sliced subvectors (m is small and fixed; every data
+    * pass stays the scan + one-agg Lloyd shape). `iters = 0` returns the
+    * seeds — the deterministic form the SQL oracle uses.
+    */
+  def pqTrain(corpus: DataFrame, idCol: String, embCol: String,
+              seeds: Seq[(Int, Array[Double])], m: Int,
+              iters: Int): Seq[Seq[(Int, Array[Double])]] = {
+    require(seeds.nonEmpty && seeds.head._2.length % m == 0,
+      s"dim ${seeds.headOption.map(_._2.length)} not divisible into $m subspaces")
+    val subDim = seeds.head._2.length / m
+    (0 until m).map { s =>
+      val subSeeds = seeds.map { case (cid, c) =>
+        (cid, c.slice(s * subDim, (s + 1) * subDim))
+      }
+      val sub = corpus.select(col(idCol),
+        slice(col(embCol), s * subDim + 1, subDim).as("__sub"))
+      kmeansIterate(sub, idCol, "__sub", subSeeds, iters)
+    }
+  }
+
+  /** PQ encode: each row's m-part code — per subspace, the argmin centroid
+    * (rounded-6 L2, ties to the lower code, the [[kmeansAssign]] rule).
+    * ONE scan, no shuffle; output is the relational code form
+    * (idCol, sub, code) that ADC search equi-joins.
+    */
+  def pqEncode(corpus: DataFrame, idCol: String, embCol: String,
+               codebooks: Seq[Seq[(Int, Array[Double])]]): DataFrame = {
+    val subDim = codebooks.head.head._2.length
+    val bests = codebooks.zipWithIndex.map { case (cents, s) =>
+      val sub = slice(col(embCol), s * subDim + 1, subDim)
+      val cands = cents.map { case (code, c) =>
+        struct(round(l2Sq(sub, typedLit(c)), 6).as("dist"),
+          lit(code.toLong).as("code"))
+      }
+      array_min(array(cands: _*)).getField("code")
+    }
+    parallelized(corpus)
+      .select(col(idCol), posexplode(array(bests: _*)).as(Seq("sub", "code")))
+      .select(col(idCol), col("sub").cast("long").as("sub"), col("code"))
+  }
+
+  /** Per-query ADC lookup table: the rounded-6 L2 distance from every
+    * query subvector to every (sub, code) centroid — q·m·k rows, tiny by
+    * construction (the broadcast side of the search).
+    */
+  def pqLut(queries: DataFrame, idCol: String, embCol: String,
+            codebooks: Seq[Seq[(Int, Array[Double])]]): DataFrame = {
+    val subDim = codebooks.head.head._2.length
+    val entries = for {
+      (cents, s) <- codebooks.zipWithIndex
+      (code, c) <- cents
+    } yield (s, code, c.toSeq)
+    queries
+      .select(col(idCol).as("query_id"), col(embCol).as("__qe"))
+      .withColumn("__cb", explode(typedLit(entries)))
+      .select(col("query_id"), col("__cb._1").cast("long").as("sub"),
+        col("__cb._2").cast("long").as("code"),
+        round(l2Sq(slice(col("__qe"), col("__cb._1") * subDim + 1, lit(subDim)),
+          col("__cb._3")), 6).as("d"))
+  }
+
+  /** Asymmetric-distance PQ search (the IVF-PQ / FAISS scale design): the
+    * corpus is touched ONLY through its integer codes — the per-query
+    * distance table broadcasts, codes equi-join it on (sub, code), and one
+    * map-side-combined groupBy sums the m DECIMAL table entries per
+    * (query, vector). Approximate distances, exact arithmetic: the sums
+    * are order-independent, so ranks are deterministic (ties on vec_id).
+    */
+  def pqSearch(queries: DataFrame, corpus: DataFrame, idCol: String,
+               embCol: String, codebooks: Seq[Seq[(Int, Array[Double])]],
+               k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = codebooks.length
+    val enc = pqEncode(corpus, idCol, embCol, codebooks)
+    val lut = pqLut(queries, idCol, embCol, codebooks)
+    val adc = enc.join(broadcast(lut), Seq("sub", "code"))
+      .filter(col(idCol) =!= col("query_id"))
+      .groupBy(col("query_id"), col(idCol))
+      .agg(sum(col("d").cast("decimal(18,6)")).as("__ad"),
+        count(lit(1)).as("__m"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("__ad").asc, col(idCol).asc)
+    adc.filter(col("__m") === m) // every subspace contributed exactly once
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col(idCol), col("__ad").cast("double").as("adist"))
+  }
 }

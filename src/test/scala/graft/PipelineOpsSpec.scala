@@ -360,6 +360,34 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out.size == 4)
   }
 
+  test("PQ: trained codebooks retrieve only same-cluster neighbors") {
+    import spark.implicits._
+    import graft.operators.EmbeddingOps
+    // 8 well-separated cluster centers in R^16, 25 points each + noise
+    val rnd = new scala.util.Random(5)
+    val centers = Array.fill(8, 16)(rnd.nextGaussian() * 10)
+    val rows = (0 until 200).map { i =>
+      val c = centers(i % 8)
+      (i.toLong, c.map(x => (x + rnd.nextGaussian() * 0.3).toFloat))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val seeds = rows.take(16).map { case (id, e) =>
+      (id.toInt, e.map(_.toDouble)) }
+    // train 4 Lloyd iterations per subspace (m=4, subdim=4, k=16)
+    val cbs = EmbeddingOps.pqTrain(df, "vec_id", "embedding", seeds, m = 4, iters = 4)
+    assert(cbs.length == 4 && cbs.forall(_.forall(_._2.length == 4)))
+    val queries = df.filter($"vec_id" < 10)
+    val pq = EmbeddingOps.pqSearch(queries, df, "vec_id", "embedding", cbs, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(pq.length == 30, "3 results per query")
+    // PQ's contract is coarse retrieval: with well-separated centers every
+    // retrieved neighbor must come from the query's own cluster (ranking
+    // WITHIN a cluster of near-ties is legitimately quantization-limited;
+    // the exact ADC arithmetic itself is oracle-checked by q_pq_adc)
+    val impure = pq.filter { case (q, v) => q % 8 != v % 8 }
+    assert(impure.isEmpty, s"cross-cluster results: $impure")
+  }
+
   test("gopher rules: each rule flips on exactly its own trigger") {
     import spark.implicits._
     import graft.operators.TextOps
