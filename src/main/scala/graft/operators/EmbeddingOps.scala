@@ -90,7 +90,16 @@ object EmbeddingOps {
     * zipped coordinates — the engine-portable order an SQL oracle can
     * reproduce bit-for-bit (`list_sum(list_transform(...))`).
     */
-  def l2Sq(a: Column, b: Column): Column =
+  def l2Sq(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.functions.L2Sq(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
+
+  /** The interpreted higher-order-function form of [[l2Sq]] (kept for
+    * reference and the equality regression test in PipelineOpsSpec).
+    */
+  def l2SqHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) =>
         (x.cast("double") - y.cast("double")) *

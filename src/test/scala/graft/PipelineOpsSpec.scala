@@ -125,6 +125,33 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(!plan.contains("UDF"), plan)
   }
 
+  test("native L2Sq equals the HOF form bit-for-bit on random vectors") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val df = (1 to 50).map { _ =>
+      (Array.fill(16)(rnd.nextFloat() * 20 - 10),
+        Array.fill(16)(rnd.nextFloat() * 20 - 10))
+    }.toDF("a", "b")
+    val both = df.select(
+      EmbeddingOps.l2Sq(col("a"), col("b")).as("native"),
+      EmbeddingOps.l2SqHof(col("a"), col("b")).as("hof")).collect()
+    both.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)),
+        s"native ${r.getDouble(0)} != hof ${r.getDouble(1)}")
+    }
+    val plan = df.select(EmbeddingOps.l2Sq(col("a"), col("b")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("l2_sq") && !plan.contains("UDF"), plan)
+    // mixed float/double and unequal lengths behave like the HOF form
+    val mixed = Seq((Array(1.0f, 2.0f), Array(0.5, 1.5), Array(1.0, 2.0, 3.0)))
+      .toDF("f", "d", "longer")
+    val m = mixed.select(
+      EmbeddingOps.l2Sq(col("f"), col("d")).as("fd"),
+      EmbeddingOps.l2Sq(col("f"), col("longer")).as("neq")).head()
+    assert(m.getDouble(0) == 0.5 && m.isNullAt(1))
+  }
+
   test("SampleOps: split is a pure key function; growth never reassigns") {
     import spark.implicits._
     val small = (0L until 200L).toDF("id")
