@@ -16,7 +16,8 @@ import scala.jdk.CollectionConverters._
   * `.zattrs` with xarray's `_ARRAY_DIMENSIONS` convention, and row-major
   * chunk files named `i.j.k` (or with the `/` dimension_separator).
   *
-  * Scope: C order; raw (`compressor: null`), zlib and blosc compressors
+  * Scope: C order; raw (`compressor: null`), zlib, blosc, plain zstd and
+  * plain lz4 compressors
   * (blosc is zarr-python's DEFAULT — `Blosc(cname='lz4', clevel=5,
   * shuffle=SHUFFLE)` — decoded by [[BloscCodec]] with lz4/lz4hc/zstd/zlib/
   * snappy inner codecs; blosclz and bit-shuffle are rejected with a clear
@@ -43,6 +44,12 @@ object ZarrSource {
     */
   final case class Blosc(cname: String = "lz4", clevel: Int = 5,
                          shuffle: Int = 1, blocksize: Int = 0) extends Codec
+  /** numcodecs `{"id": "zstd", "level": n}` — a bare zstd frame. */
+  final case class ZstdC(level: Int = 1) extends Codec
+  /** numcodecs `{"id": "lz4", "acceleration": n}` — a 4-byte little-endian
+    * decompressed-size header followed by one LZ4 block.
+    */
+  final case class Lz4C(acceleration: Int = 1) extends Codec
 
   /** Parsed `.zarray` (+ `.zattrs` dims) for one array. `shuffleElem` > 0
     * means a numcodecs `{"id": "shuffle", "elementsize": N}` filter is in
@@ -129,8 +136,10 @@ object ZarrSource {
         case "blosc" => Blosc(
           comp.path("cname").asText("lz4"), comp.path("clevel").asInt(5),
           comp.path("shuffle").asInt(1), comp.path("blocksize").asInt(0))
+        case "zstd" => ZstdC(comp.path("level").asInt(1))
+        case "lz4" => Lz4C(comp.path("acceleration").asInt(1))
         case other => throw new IllegalArgumentException(
-          s"$arrayDir: compressor '$other' unsupported (null/zlib/blosc)")
+          s"$arrayDir: compressor '$other' unsupported (null/zlib/blosc/zstd/lz4)")
       }
     val fv = za.path("fill_value") match {
       case n if n.isNull => Double.NaN
@@ -205,6 +214,15 @@ object ZarrSource {
       case Raw => raw
       case _: Zlib => inflate(raw)
       case _: Blosc => BloscCodec.decompress(raw) // frame is self-describing
+      case _: ZstdC =>
+        val n = com.github.luben.zstd.Zstd.getFrameContentSize(raw)
+        require(n > 0 && n <= Int.MaxValue, s"bad zstd frame size $n")
+        com.github.luben.zstd.Zstd.decompress(raw, n.toInt)
+      case _: Lz4C =>
+        val n = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN).getInt(0)
+        require(n >= 0, s"bad lz4 size header $n")
+        net.jpountz.lz4.LZ4Factory.fastestInstance().safeDecompressor()
+          .decompress(raw, 4, raw.length - 4, n)
     }
     val bytes =
       if (za.shuffleElem > 1) BloscCodec.unshuffle(plain, za.shuffleElem)
@@ -386,6 +404,8 @@ object ZarrSource {
       case Zlib(level) => s"""{"id": "zlib", "level": $level}"""
       case Blosc(cname, clevel, shuffle, blocksize) =>
         s"""{"id": "blosc", "cname": "$cname", "clevel": $clevel, "shuffle": $shuffle, "blocksize": $blocksize}"""
+      case ZstdC(level) => s"""{"id": "zstd", "level": $level}"""
+      case Lz4C(acc) => s"""{"id": "lz4", "acceleration": $acc}"""
     }
     s"""{"zarr_format": 2, "dtype": "<f8", "shape": [${shape.mkString(", ")}],
        | "chunks": [${chunks.mkString(", ")}], "fill_value": "NaN",
@@ -401,6 +421,18 @@ object ZarrSource {
       case Blosc(cname, clevel, shuffle, blocksize) =>
         BloscCodec.compress(b.array(), typesize = 8, cname = cname,
           clevel = clevel, shuffle = shuffle != 0, blocksizeHint = blocksize)
+      case ZstdC(level) =>
+        com.github.luben.zstd.Zstd.compress(b.array(),
+          math.min(math.max(level, 1), 19))
+      case Lz4C(_) =>
+        val block = b.array()
+        val c = net.jpountz.lz4.LZ4Factory.fastestInstance().fastCompressor()
+        val out = ByteBuffer.allocate(4 + c.maxCompressedLength(block.length))
+          .order(ByteOrder.LITTLE_ENDIAN)
+        out.putInt(block.length)
+        val len = c.compress(block, 0, block.length, out.array(), 4,
+          out.capacity() - 4)
+        java.util.Arrays.copyOf(out.array(), 4 + len)
     }
   }
 

@@ -192,13 +192,16 @@ class PropertySpec extends AnyFunSuite {
         y <- ys.toSeq; x <- xs if rnd.nextDouble() < 0.8
       } yield (y, x, rnd.nextDouble() * 1e3 - 500)
       val g = s"$dir/s$t.zarr"
-      // cycle every writer codec, including blosc with both inner codecs
-      // and shuffle on/off — the kerchunk re-read covers the decoder too
-      val codec = t % 4 match {
+      // cycle every writer codec, including blosc with both inner codecs,
+      // shuffle on/off, and the plain numcodecs zstd/lz4 forms — the
+      // kerchunk re-read covers the decoder too
+      val codec = t % 6 match {
         case 0 => ZarrSource.Raw
         case 1 => ZarrSource.Zlib()
         case 2 => ZarrSource.Blosc("lz4", 5, shuffle = 1)
-        case _ => ZarrSource.Blosc("zstd", 3, shuffle = t % 8 / 4)
+        case 3 => ZarrSource.ZstdC(3)
+        case 4 => ZarrSource.Lz4C()
+        case _ => ZarrSource.Blosc("zstd", 3, shuffle = t % 2)
       }
       ZarrSource.writeCube(cells.toDF("y", "x", "v"), g, "v",
         Seq("y" -> ys, "x" -> xs), chunks = Seq(cy, cx), codec = codec)
