@@ -52,4 +52,67 @@ object StatefulOps {
           Iterator(KeySummary(key, st.n, st.sumCents / 100.0, st.lastVal))
       }
   }
+
+  // ---------------------------------------------- streaming near-dup dedup
+
+  /** One (doc, LSH band) row: `bandKey` is the banded-signature bucket
+    * (same construction as [[graft.operators.TextOps.lshBandRows]]), `sig`
+    * the doc's full minhash signature.
+    */
+  final case class BandRow(docId: Long, bandKey: String, sig: Seq[Long])
+
+  /** Canonical first-seen members of one band bucket (capped). */
+  final case class BucketState(members: Seq[(Long, Seq[Long])])
+
+  final case class DupHit(doc_id: Long, matched_doc: Long,
+                          est_jaccard: Double, band_key: String)
+
+  /** Streaming MinHash near-duplicate detection — the incremental form of
+    * the batch LSH pipeline: per band bucket, `flatMapGroupsWithState`
+    * keeps the first-seen signatures (bounded by `maxBucket`, the same cap
+    * discipline as the batch `candidatePairs`); an arriving doc whose
+    * best signature-estimated Jaccard within the bucket reaches
+    * `threshold` is emitted as a duplicate hit and NOT added to the state
+    * (canonical firsts stay). State per bucket is O(maxBucket · perms) —
+    * watermark-free by design, matching the batch semantics of "ever seen".
+    *
+    * Deterministic: rows fold in docId order within each micro-batch and
+    * the best match ties to the lower member id — replaying the stream in
+    * different batch splits yields the same hit set for monotone arrivals.
+    */
+  def streamingNearDup(ds: Dataset[BandRow], threshold: Double,
+                       maxBucket: Int): Dataset[DupHit] = {
+    implicit val stateEnc = Encoders.product[BucketState]
+    implicit val outEnc = Encoders.product[DupHit]
+    ds.groupByKey(_.bandKey)(Encoders.STRING)
+      .flatMapGroupsWithState[BucketState, DupHit](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[BandRow], state: GroupState[BucketState]) =>
+          var members = state.getOption.map(_.members).getOrElse(Seq.empty)
+          val out = Seq.newBuilder[DupHit]
+          rows.toSeq.sortBy(_.docId).foreach { r =>
+            if (!members.exists(_._1 == r.docId)) {
+              val best = members.iterator.map { case (id, s) =>
+                val m = s.zip(r.sig).count { case (a, b) => a == b }
+                (id, m.toDouble / math.max(1, r.sig.length))
+              }.foldLeft(Option.empty[(Long, Double)]) {
+                case (acc, cand) => acc match {
+                  case Some(a) if a._2 > cand._2 ||
+                    (a._2 == cand._2 && a._1 < cand._1) => acc
+                  case _ => Some(cand)
+                }
+              }
+              best match {
+                case Some((id, est)) if est >= threshold =>
+                  out += DupHit(r.docId, id, est, key)
+                case _ =>
+                  if (members.size < maxBucket)
+                    members = members :+ (r.docId -> r.sig)
+              }
+            }
+          }
+          state.update(BucketState(members))
+          out.result().iterator
+      }
+  }
 }

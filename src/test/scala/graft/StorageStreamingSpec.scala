@@ -156,4 +156,52 @@ class StorageStreamingSpec extends AnyFunSuite {
     val k2 = rows(2L)
     assert(k2.getLong(1) == 1 && k2.getDouble(3) == 4.00)
   }
+
+  test("streaming near-dup: LSH bucket state flags later arrivals across batches") {
+    import spark.implicits._
+    import graft.streaming.StatefulOps
+    import org.apache.spark.sql.streaming.Trigger
+    val src = tmpDir("neardup_src")
+    val ckpt = tmpDir("neardup_ckpt")
+    // 8-perm signatures banded in pairs (4 bands) — same construction as
+    // the batch LSH. Doc 10 ~= doc 1 (7/8 components), doc 20 is unrelated.
+    val sig1 = Seq(11L, 12L, 13L, 14L, 15L, 16L, 17L, 18L)
+    val sig10 = sig1.updated(7, 99L)
+    val sig20 = Seq(91L, 92L, 93L, 94L, 95L, 96L, 97L, 98L)
+    def bands(doc: Long, sig: Seq[Long]) =
+      sig.grouped(2).zipWithIndex.map { case (g, b) =>
+        (doc, s"b$b:${g.mkString("_")}", sig)
+      }.toSeq
+    def batch(rows: Seq[(Long, String, Seq[Long])], n: Int): Unit =
+      rows.toDF("docId", "bandKey", "sig").write.parquet(s"$src/b$n")
+    val hits = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    def runOnePass(): Unit = {
+      val rows = spark.readStream
+        .schema("docId LONG, bandKey STRING, sig ARRAY<LONG>")
+        .option("recursiveFileLookup", "true").parquet(src)
+        .as[StatefulOps.BandRow]
+      val q = StatefulOps.streamingNearDup(rows, threshold = 0.5, maxBucket = 100)
+        .toDF().writeStream.outputMode("update")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          hits.synchronized {
+            hits ++= b.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+          }
+          ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt).start()
+      q.awaitTermination()
+    }
+    batch(bands(1L, sig1), 1) // canonical doc arrives first
+    runOnePass()
+    assert(hits.isEmpty, "first doc must not be flagged")
+    batch(bands(10L, sig10) ++ bands(20L, sig20), 2) // near-dup + unrelated
+    runOnePass()
+    val flagged = hits.map(_._1).toSet
+    assert(flagged == Set(10L), s"flagged $flagged")
+    // 3 of 4 bands match doc 1 exactly; each hit estimates 7/8 similarity
+    val ests = hits.filter(_._1 == 10L)
+    assert(ests.forall(h => h._2 == 1L && h._3 == 0.875), ests.toString)
+    assert(ests.size == 3)
+  }
 }
