@@ -3,16 +3,18 @@ package graft.operators
 import java.nio.{ByteBuffer, ByteOrder}
 
 /** Pure-JVM media codecs for formats that need no native libraries: 24-bit
-  * uncompressed BMP (Windows BITMAPINFOHEADER layout) and 16-bit PCM
-  * RIFF/WAVE. These make the multimodal pipeline's decode step REAL for two
-  * concrete formats — dimensions, channel order, row padding/flip and
-  * sample values are recovered from actual container bytes — while codec-
-  * dependent formats (JPEG/PNG/MP3/H.264) remain behind the documented stub
-  * in [[MultimodalOps]] (this container ships no native codecs).
+  * uncompressed BMP (Windows BITMAPINFOHEADER layout), 16-bit PCM
+  * RIFF/WAVE, and 8-bit non-interlaced PNG (ISO 15948: zlib-deflated
+  * scanlines with the five per-row filters). These make the multimodal
+  * pipeline's decode step REAL for three concrete formats — dimensions,
+  * channel order, row padding/flip, filters and sample values are
+  * recovered from actual container bytes — while truly codec-dependent
+  * formats (JPEG/MP3/H.264) remain behind the documented stub in
+  * [[MultimodalOps]] (this container ships no native codecs).
   *
-  * Both formats are implemented from their public layouts: BMP = 14-byte
-  * file header + 40-byte info header + bottom-up BGR rows padded to 4
-  * bytes; WAV = RIFF chunk walk to `fmt ` (PCM, 16-bit) and `data`.
+  * The PNG reader is externally validated: the JDK's ImageIO PNG *writer*
+  * produces the test inputs, so round-trips cross an independent
+  * implementation, not our own encoder.
   */
 object MediaCodecs {
 
@@ -151,5 +153,127 @@ object MediaCodecs {
     }
     require(samples != null, "WAV has no data chunk")
     WavAudio(rate, channels, samples)
+  }
+
+  /** Decoded PNG: `channels` 1 = gray, 2 = gray+alpha, 3 = RGB (incl.
+    * palette expansion), 4 = RGBA; `pixels` row-major TOP-DOWN, `channels`
+    * bytes per pixel.
+    */
+  final case class PngImage(width: Int, height: Int, channels: Int,
+                            pixels: Array[Byte]) {
+    require(pixels.length == width * height * channels, "pixels != w*h*ch")
+  }
+
+  private val PngSig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+    .map(_.toByte)
+
+  def isPng(bytes: Array[Byte]): Boolean =
+    bytes.length >= 8 && PngSig.indices.forall(i => bytes(i) == PngSig(i))
+
+  /** Decode an 8-bit non-interlaced PNG (ISO 15948): chunk walk with CRC32
+    * verification, concatenated-IDAT zlib inflate, and the five scanline
+    * filters (none/sub/up/average/paeth). Color types 0 (gray), 2 (RGB),
+    * 3 (palette → RGB), 4 (gray+alpha) and 6 (RGBA). Rejected loudly:
+    * other bit depths and Adam7 interlacing.
+    */
+  def decodePng(bytes: Array[Byte]): PngImage = {
+    require(isPng(bytes), "not a PNG (bad signature)")
+    val b = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
+    var p = 8
+    var w = -1; var h = -1; var colorType = -1
+    var palette: Array[Byte] = null
+    val idat = new java.io.ByteArrayOutputStream()
+    var done = false
+    while (!done && p + 12 <= bytes.length) {
+      val len = b.getInt(p)
+      require(len >= 0 && p + 12 + len <= bytes.length, "PNG chunk overruns file")
+      val typ = new String(bytes, p + 4, 4, "US-ASCII")
+      val crc = new java.util.zip.CRC32()
+      crc.update(bytes, p + 4, 4 + len)
+      require(crc.getValue.toInt == b.getInt(p + 8 + len), s"bad CRC in $typ chunk")
+      typ match {
+        case "IHDR" =>
+          w = b.getInt(p + 8); h = b.getInt(p + 12)
+          val bitDepth = bytes(p + 16) & 0xff
+          colorType = bytes(p + 17) & 0xff
+          require(bitDepth == 8, s"PNG bit depth $bitDepth unsupported (8 only)")
+          require(bytes(p + 18) == 0 && bytes(p + 19) == 0,
+            "PNG compression/filter method")
+          require((bytes(p + 20) & 0xff) == 0,
+            "Adam7-interlaced PNG unsupported")
+        case "PLTE" =>
+          palette = java.util.Arrays.copyOfRange(bytes, p + 8, p + 8 + len)
+        case "IDAT" => idat.write(bytes, p + 8, len)
+        case "IEND" => done = true
+        case _ => () // ancillary chunks (tEXt, gAMA, ...) are skippable
+      }
+      p += 12 + len
+    }
+    require(w > 0 && h > 0, "PNG has no IHDR")
+    val srcCh = colorType match {
+      case 0 => 1
+      case 2 => 3
+      case 3 => 1
+      case 4 => 2
+      case 6 => 4
+      case c => throw new IllegalArgumentException(s"PNG color type $c")
+    }
+    // inflate the concatenated IDAT zlib stream
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(idat.toByteArray)
+    val stride = w * srcCh
+    val raw = new Array[Byte](h * (1 + stride))
+    var got = 0
+    var made = -1
+    while (got < raw.length && !inf.finished() && made != 0) {
+      made = inf.inflate(raw, got, raw.length - got)
+      got += made
+    }
+    inf.end()
+    require(got == raw.length, s"PNG pixel data truncated ($got of ${raw.length})")
+    // unfilter scanlines in place
+    def paeth(a: Int, bb: Int, c: Int): Int = {
+      val pp = a + bb - c
+      val pa = math.abs(pp - a); val pb = math.abs(pp - bb); val pc = math.abs(pp - c)
+      if (pa <= pb && pa <= pc) a else if (pb <= pc) bb else c
+    }
+    val out = new Array[Byte](h * stride)
+    var row = 0
+    while (row < h) {
+      val f = raw(row * (1 + stride)) & 0xff
+      val base = row * (1 + stride) + 1
+      var i = 0
+      while (i < stride) {
+        val x = raw(base + i) & 0xff
+        val left = if (i >= srcCh) out(row * stride + i - srcCh) & 0xff else 0
+        val up = if (row > 0) out((row - 1) * stride + i) & 0xff else 0
+        val ul = if (row > 0 && i >= srcCh) out((row - 1) * stride + i - srcCh) & 0xff else 0
+        val v = f match {
+          case 0 => x
+          case 1 => x + left
+          case 2 => x + up
+          case 3 => x + ((left + up) >> 1)
+          case 4 => x + paeth(left, up, ul)
+          case other => throw new IllegalArgumentException(s"PNG filter $other")
+        }
+        out(row * stride + i) = v.toByte
+        i += 1
+      }
+      row += 1
+    }
+    if (colorType == 3) {
+      require(palette != null, "palette PNG without PLTE")
+      val rgb = new Array[Byte](w * h * 3)
+      var i = 0
+      while (i < w * h) {
+        val idx = out(i) & 0xff
+        require(idx * 3 + 2 < palette.length, s"palette index $idx out of range")
+        rgb(i * 3) = palette(idx * 3)
+        rgb(i * 3 + 1) = palette(idx * 3 + 1)
+        rgb(i * 3 + 2) = palette(idx * 3 + 2)
+        i += 1
+      }
+      PngImage(w, h, 3, rgb)
+    } else PngImage(w, h, srcCh, out)
   }
 }

@@ -29,9 +29,9 @@ object MultimodalOps {
                                 sumSamples: Long)
 
   /** Partition-wise REAL decode of `(id, source, payload)` rows, dispatching
-    * on the container magic ("BM" → BMP, "RIFF" → WAV). Scan-shaped: no
-    * shuffle, no driver involvement — the same iterator contract a
-    * mapInPandas decode batch has.
+    * on the container magic ("BM" → BMP, "RIFF" → WAV, the 8-byte PNG
+    * signature → PNG). Scan-shaped: no shuffle, no driver involvement —
+    * the same iterator contract a mapInPandas decode batch has.
     */
   def decodeMedia(df: DataFrame): Dataset[DecodedMedia] = {
     val spark = df.sparkSession
@@ -47,6 +47,16 @@ object MultimodalOps {
             while (p < img.width * img.height) { sumR += img.rgb(p * 3) & 0xff; p += 1 }
             DecodedMedia(id, src, "image/bmp", img.width, img.height,
               img.rgb(0) & 0xff, img.rgb(1) & 0xff, sumR, 0, 0, 0L)
+          } else if (MediaCodecs.isPng(bytes)) {
+            val img = MediaCodecs.decodePng(bytes)
+            val ch = img.channels
+            var sumR = 0L
+            var p = 0
+            while (p < img.width * img.height) { sumR += img.pixels(p * ch) & 0xff; p += 1 }
+            DecodedMedia(id, src, "image/png", img.width, img.height,
+              img.pixels(0) & 0xff,
+              (if (ch >= 3) img.pixels(1) else img.pixels(0)) & 0xff,
+              sumR, 0, 0, 0L)
           } else if (bytes.length >= 4 &&
               bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F') {
             val wav = MediaCodecs.decodeWav(bytes)

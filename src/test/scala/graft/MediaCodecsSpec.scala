@@ -93,4 +93,72 @@ class MediaCodecsSpec extends AnyFunSuite {
     assert(intercept[IllegalArgumentException](
       MediaCodecs.decodeWav(bad)).getMessage.contains("PCM"))
   }
+
+  // PNG inputs come from the JDK's ImageIO WRITER — an independent encoder
+  // implementation — so these round-trips validate the parser against a
+  // third party, not against our own bytes.
+  private def imageioPng(w: Int, h: Int, argb: Array[Int],
+                         typ: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, typ)
+    img.setRGB(0, 0, w, h, argb, 0, w)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("PNG decode matches ImageIO-encoded RGBA/RGB/gray pixels exactly (seeded)") {
+    val rnd = new scala.util.Random(31)
+    (1 to 15).foreach { t =>
+      val w = 1 + rnd.nextInt(40)
+      val h = 1 + rnd.nextInt(40)
+      val argb = Array.fill(w * h)(rnd.nextInt())
+      if (t % 3 == 0) { // RGBA
+        val png = imageioPng(w, h, argb, java.awt.image.BufferedImage.TYPE_INT_ARGB)
+        val img = MediaCodecs.decodePng(png)
+        assert(img.width == w && img.height == h && img.channels == 4, s"case $t")
+        argb.zipWithIndex.foreach { case (px, i) =>
+          assert((img.pixels(i * 4) & 0xff) == ((px >> 16) & 0xff), s"$t R@$i")
+          assert((img.pixels(i * 4 + 1) & 0xff) == ((px >> 8) & 0xff), s"$t G@$i")
+          assert((img.pixels(i * 4 + 2) & 0xff) == (px & 0xff), s"$t B@$i")
+          assert((img.pixels(i * 4 + 3) & 0xff) == ((px >>> 24) & 0xff), s"$t A@$i")
+        }
+      } else if (t % 3 == 1) { // RGB
+        val png = imageioPng(w, h, argb, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val img = MediaCodecs.decodePng(png)
+        assert(img.channels == 3, s"case $t")
+        argb.zipWithIndex.foreach { case (px, i) =>
+          assert((img.pixels(i * 3) & 0xff) == ((px >> 16) & 0xff), s"$t R@$i")
+          assert((img.pixels(i * 3 + 2) & 0xff) == (px & 0xff), s"$t B@$i")
+        }
+      } else { // grayscale
+        val png = imageioPng(w, h, argb, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val img = MediaCodecs.decodePng(png)
+        assert(img.channels == 1, s"case $t")
+        // compare against what ImageIO itself reads back (gray conversion
+        // is the writer's business; the parser must agree byte-for-byte)
+        val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+          .getRaster
+        (0 until h).foreach { y =>
+          (0 until w).foreach { x =>
+            assert((img.pixels(y * w + x) & 0xff) == ref.getSample(x, y, 0),
+              s"$t gray@($x,$y)")
+          }
+        }
+      }
+    }
+  }
+
+  test("PNG decode: tile-renderer output round-trips; bad inputs rejected loudly") {
+    // the serving path's own PNG (TileOps.renderPng) is readable back
+    val tile = Array.tabulate(6 * 4)(i => i.toDouble)
+    val png = graft.operators.TileOps.renderPng(tile, 6, 4, 0.0, 23.0)
+    val img = MediaCodecs.decodePng(png)
+    assert(img.width == 6 && img.height == 4 && img.channels == 4)
+    // corrupted CRC is caught
+    val broken = png.clone()
+    broken(30) = (broken(30) ^ 0x55).toByte
+    assert(intercept[IllegalArgumentException](MediaCodecs.decodePng(broken))
+      .getMessage.toLowerCase.contains("crc"))
+    intercept[IllegalArgumentException](MediaCodecs.decodePng("nope".getBytes))
+  }
 }
