@@ -103,6 +103,102 @@ object IvfOps {
         col(idCol), col("cos_sim"))
   }
 
+  // ------------------------------------------------------------- IVF-PQ
+
+  /** IVF-PQ index (the FAISS IVFPQ layout): the corpus is stored as
+    * nothing but a cell id plus m integer PQ codes per vector — codes
+    * quantize the RESIDUAL x − centroid(cell), which is what makes PQ
+    * accurate inside a cell (residuals are centered, so the sub-codebooks
+    * spend their 2^bits on local structure, not on the global spread).
+    */
+  final case class IvfPqIndex(codes: DataFrame, // (idCol, __cell, sub, code)
+                              centroids: Array[Array[Double]],
+                              codebooks: Seq[Seq[(Int, Array[Double])]])
+
+  /** Attach the per-row residual against the row's cell centroid. */
+  private def withResidual(assigned: DataFrame, embCol: String,
+                           centroids: Array[Array[Double]]): DataFrame = {
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    val cents = centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+      .toSeq.toDF("__cell", "__centroid")
+    assigned.join(broadcast(cents), Seq("__cell"))
+      .withColumn("__resid",
+        zip_with(col(embCol).cast("array<double>"), col("__centroid"),
+          (x, c) => x - c))
+  }
+
+  /** Train PQ codebooks on the residuals and encode the whole corpus —
+    * one residual pass for seeds (k collected rows), m·iters Lloyd passes,
+    * one encode scan. `nCodes` centroids per subspace.
+    */
+  def buildPq(index: IvfIndex, idCol: String, embCol: String, m: Int,
+              nCodes: Int, iters: Int): IvfPqIndex = {
+    val resid = withResidual(index.assigned, embCol, index.centroids)
+    val seeds = resid.select(col(idCol), col("__resid"))
+      .orderBy(col(idCol)).limit(nCodes).collect()
+      .zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Double](1).toArray) }.toSeq
+    val cbs = EmbeddingOps.pqTrain(resid, idCol, "__resid", seeds, m, iters)
+    val codes = EmbeddingOps.pqEncode(resid, idCol, "__resid", cbs)
+      .join(index.assigned.select(col(idCol), col("__cell")), Seq(idCol))
+    IvfPqIndex(codes, index.centroids, cbs)
+  }
+
+  /** IVF-PQ batch search: probe the `nProbe` nearest cells per query, then
+    * rank candidates by asymmetric distance over the PQ codes — per
+    * (query, probed cell) the residual lookup table is q·nProbe·m·k rows
+    * (broadcast); candidate cost is an equi-join on (cell, sub, code) plus
+    * one map-side-combined DECIMAL sum. The raw corpus vectors are never
+    * touched at search time.
+    */
+  def searchPq(index: IvfPqIndex, queries: DataFrame, qIdCol: String,
+               qEmbCol: String, idCol: String, k: Int,
+               nProbe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val m = index.codebooks.length
+    val subDim = index.codebooks.head.head._2.length
+    val cents = index.centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+      .toSeq.toDF("__cell", "__centroid")
+    val q = queries.select(col(qIdCol).as("query_id"), col(qEmbCol).as("__qe"))
+    val probes = q.crossJoin(broadcast(cents))
+      .withColumn("__csim", EmbeddingOps.cosine(col("__qe"), col("__centroid")))
+      .withColumn("__crank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("__csim").desc, col("__cell").asc)))
+      .filter(col("__crank") <= nProbe)
+      .withColumn("__qr",
+        zip_with(col("__qe").cast("array<double>"), col("__centroid"),
+          (x, c) => x - c))
+      .select(col("query_id"), col("__cell"), col("__qr"))
+    // per-(query, cell) residual LUT against every (sub, code) centroid
+    val entries = for {
+      (cbs, s) <- index.codebooks.zipWithIndex
+      (code, c) <- cbs
+    } yield (s, code, c.toSeq)
+    val lut = probes
+      .withColumn("__cb", explode(typedLit(entries)))
+      .select(col("query_id"), col("__cell"),
+        col("__cb._1").cast("long").as("sub"),
+        col("__cb._2").cast("long").as("code"),
+        round(EmbeddingOps.l2Sq(
+          slice(col("__qr"), col("__cb._1") * subDim + 1, lit(subDim)),
+          col("__cb._3")), 6).as("d"))
+    val adc = index.codes.join(broadcast(lut), Seq("__cell", "sub", "code"))
+      .filter(col(idCol) =!= col("query_id"))
+      .groupBy(col("query_id"), col(idCol))
+      .agg(sum(col("d").cast("decimal(18,6)")).as("__ad"),
+        count(lit(1)).as("__m"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("__ad").asc, col(idCol).asc)
+    adc.filter(col("__m") === m)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col(idCol), col("__ad").cast("double").as("adist"))
+  }
+
   /** Top-k cosine neighbors of `query`, probing only the `nProbe` cells
     * whose centroids are nearest the query.
     */

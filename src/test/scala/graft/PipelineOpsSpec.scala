@@ -415,6 +415,29 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(impure.isEmpty, s"cross-cluster results: $impure")
   }
 
+  test("IVF-PQ: residual codes + probed ADC retrieve same-cluster neighbors") {
+    import spark.implicits._
+    import graft.operators.{EmbeddingOps, IvfOps}
+    val rnd = new scala.util.Random(7)
+    val centers = Array.fill(8, 16)(rnd.nextGaussian() * 10)
+    val rows = (0 until 200).map { i =>
+      val c = centers(i % 8)
+      (i.toLong, c.map(x => (x + rnd.nextGaussian() * 0.3).toFloat))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val ivf = IvfOps.build(df, "vec_id", "embedding", nCells = 8, maxIter = 8)
+    val ivfpq = IvfOps.buildPq(ivf, "vec_id", "embedding", m = 4,
+      nCodes = 16, iters = 3)
+    // the stored index is integer codes only: m rows per vector
+    assert(ivfpq.codes.count() == 200 * 4)
+    val hits = IvfOps.searchPq(ivfpq, df.filter($"vec_id" < 10),
+        "vec_id", "embedding", "vec_id", k = 3, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(hits.length == 30, "3 results per query")
+    val impure = hits.filter { case (q, v) => q % 8 != v % 8 }
+    assert(impure.isEmpty, s"cross-cluster results: $impure")
+  }
+
   test("gopher rules: each rule flips on exactly its own trigger") {
     import spark.implicits._
     import graft.operators.TextOps
