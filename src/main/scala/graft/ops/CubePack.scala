@@ -68,6 +68,30 @@ object CubePack extends QueryPack {
         round(sum(when(!isnan(col("v")), col("v")).otherwise(0.0)), 6).as("sum_v"))
     }),
 
+    // Zonal statistics over a LARGE feature layer (the server's
+    // per-feature statistics endpoint at scale): 120 rectangle zones tile
+    // the grid, which forces rasterizeFeatures onto its JOIN form
+    // (> ExprFormMaxFeatures — broadcast spatial join + max_by, the shape
+    // that survives thousand-feature layers), then one aggregation per
+    // zone. The oracle recomputes zone membership in closed form, so a
+    // bbox/containment slip in the join path cannot reproduce the sums.
+    "q_zonal_stats" -> ((s, d) => {
+      import s.implicits._
+      val features = (for {
+        zy <- 0 until 10; zx <- 0 until 12
+      } yield {
+        val (x0, y0) = (zx * 30, zy * 10)
+        (s"POLYGON (($x0 $y0, ${x0 + 30} $y0, ${x0 + 30} ${y0 + 10}, " +
+          s"$x0 ${y0 + 10}, $x0 $y0))", (zx + 12 * zy).toDouble)
+      }).toDF("geometry", "zone")
+      val burned = GeomOps.rasterizeFeatures(eventsCube(s, d), features,
+        "geometry", Seq("zone"))
+      burned.df.filter(!isnan(col("zone")))
+        .groupBy(col("zone").cast("long").as("zone"))
+        .agg(count(lit(1)).as("n_cells"),
+          round(sum(col("v").cast("decimal(28,10)")), 6).cast("double").as("sum_v"))
+    }),
+
     // MaskSet flag expansion (maskset.py:165-196) incl. "Nb" bit syntax
     "q_maskset" -> ((s, d) => {
       val md = new MetadataBuilder()
@@ -181,6 +205,14 @@ object CubePack extends QueryPack {
                 count(CASE WHEN x >= 0 AND y >= 0 AND x + y <= 101 THEN 1 END) AS n_valid,
                 round(sum(CASE WHEN x >= 0 AND y >= 0 AND x + y <= 101 THEN v ELSE 0 END), 6) AS sum_v
          FROM cube GROUP BY event_type""",
+    "q_zonal_stats" ->
+      s"""WITH $cubeCte
+         SELECT (floor(x / 30) + 12 * floor(y / 10))::BIGINT AS zone,
+                count(*) AS n_cells,
+                round(sum(v::DECIMAL(28,10)), 6)::DOUBLE AS sum_v
+         FROM cube
+         WHERE x >= 0 AND x < 360 AND y >= 0 AND y < 100
+         GROUP BY zone""",
     "q_maskset" ->
       """SELECT event_type, count(*) AS n, round(sum(value), 6) AS sum_value
          FROM events
