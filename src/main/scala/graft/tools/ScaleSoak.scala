@@ -41,8 +41,11 @@ object ScaleSoak {
     "q_exact_substring",
     // round-7 pipeline additions: span REMOVAL (rebuild cost must track
     // duplicated volume), the LR gradient step (two keyed aggregations),
-    // DSIR (model agg + integer-dot scoring scan)
-    "q_substr_removal", "q_lr_step", "q_dsir")
+    // DSIR (model agg + integer-dot scoring scan), PQ/ADC search (encode
+    // scan + code equi-join), semantic decontamination (broadcast bench
+    // scan), join-form zonal stats (broadcast spatial join)
+    "q_substr_removal", "q_lr_step", "q_dsir",
+    "q_pq_adc", "q_decontaminate_semantic", "q_zonal_stats")
 
   /** Deep-soak subset (run at 30×): the newest heavy operators. The
     * format-fixture queries (kerchunk combine, COG levels, zarr append)
