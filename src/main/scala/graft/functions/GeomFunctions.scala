@@ -68,6 +68,15 @@ object GeomFunctions {
       ColumnBridge.expression(y.cast("double"))))
   }
 
+  /** `array(xMin, yMin, xMax, yMax)` Column for a per-row WKT column —
+    * the executor-side [[wktBbox]], backed by the codegen'd
+    * [[WktBboxCol]] expression with a per-executor envelope cache.
+    */
+  def wktBboxCol(wkt: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(WktBboxCol(ColumnBridge.expression(wkt)))
+  }
+
   /** Normalize a geometry spec — reference normalize_geometry
     * (geom.py:559-638): bbox (x1,y1,x2,y2) → POLYGON WKT; a bbox crossing
     * the anti-meridian (x1 > x2) splits into two (geom.py:720-738).

@@ -89,18 +89,43 @@ object GeomOps {
     */
   val ExprFormMaxFeatures: Int = 100
 
-  /** Join-based rasterization for LARGE feature sets: broadcast spatial
-    * join on the per-feature predicate, then last-feature-wins via a
-    * max_by aggregation on the feature index — partial aggregation runs
-    * map-side, so the one shuffle carries at most one row per (cell,
-    * winning feature), never the full expansion.
+  /** Join-based rasterization for LARGE feature sets, bucketed on a bbox
+    * grid: every feature explodes into the `bucketSize`-wide grid cells
+    * its envelope overlaps (via the codegen'd [[GeomFunctions.wktBboxCol]]),
+    * cells key into the same grid, and the broadcast join is an EQUI-join
+    * on the bucket id with the exact containment predicate as a residual —
+    * each cell only tests the features whose bbox shares its bucket,
+    * never the whole layer (a cells × features nested loop would become
+    * the bottleneck the moment the layer grows: 10^9 cells × 10^5 features
+    * is 10^14 predicate evaluations; bucketed, each cell pays for its
+    * local features only). Last-feature-wins via a map-side-combined
+    * max_by, as before.
+    *
+    * Pick `bucketSize` near the typical feature bbox extent — replication
+    * is extent/bucketSize + 1 per axis per feature, and bucket population
+    * bounds the per-cell exact tests (the [[graft.operators.JoinOps.rangeJoin]]
+    * guidance in 2-D).
     */
   def rasterizeFeaturesJoin(cube: Cube, features: DataFrame, geomCol: String,
-                            props: Seq[String]): Cube = {
+                            props: Seq[String],
+                            bucketSize: Double = 32.0): Cube = {
+    require(bucketSize > 0, s"bucketSize $bucketSize")
     val feat = features.withColumn("__fidx", monotonically_increasing_id())
-    val joined = cube.df.join(
+      .withColumn("__bb", GeomFunctions.wktBboxCol(col(geomCol)))
+      .withColumn("__fcx", explode(sequence(
+        floor(col("__bb")(0) / bucketSize).cast("long"),
+        floor(col("__bb")(2) / bucketSize).cast("long"))))
+      .withColumn("__fcy", explode(sequence(
+        floor(col("__bb")(1) / bucketSize).cast("long"),
+        floor(col("__bb")(3) / bucketSize).cast("long"))))
+      .drop("__bb")
+    val withCells = cube.df
+      .withColumn("__cx", floor(cube.x / bucketSize).cast("long"))
+      .withColumn("__cy", floor(cube.y / bucketSize).cast("long"))
+    val joined = withCells.join(
       broadcast(feat),
-      GeomFunctions.inGeomCol(col(geomCol), cube.x, cube.y),
+      col("__cx") === col("__fcx") && col("__cy") === col("__fcy") &&
+        GeomFunctions.inGeomCol(col(geomCol), cube.x, cube.y),
       "left_outer")
     val keys = cube.df.columns.map(col).toSeq
     val best = joined.groupBy(keys: _*).agg(

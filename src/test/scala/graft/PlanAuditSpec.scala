@@ -32,6 +32,13 @@ class PlanAuditSpec extends AnyFunSuite {
       "per-day diff branches must reuse the shared (day,j,i) aggregation exchange")
   }
 
+  test("q_zonal_stats: join-form rasterize is a bucket equi-join, not a nested loop") {
+    val p = plan("q_zonal_stats")
+    assert(p.contains("BroadcastHashJoin"), "bbox-grid bucket keys must make an equi join")
+    assert(!p.contains("BroadcastNestedLoop"),
+      "cells x features nested loop would not survive a large layer")
+  }
+
   test("q_substr_removal: no cartesian; rebuild joins are keyed anti/equi joins") {
     val p = plan("q_substr_removal")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p.take(800))
