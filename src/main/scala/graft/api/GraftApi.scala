@@ -42,6 +42,20 @@ object syntax {
         extraDims = extraDims)
     def statisticsBy(varName: String, labelDims: String*): DataFrame =
       StatsOps.statisticsBy(c.df, varName, labelDims)
+    /** Per-feature statistics of `varName` over a zone layer: burn the
+      * zone property through [[GeomOps.rasterizeFeatures]] (expr or
+      * bucketed-join form by layer size), then one aggregation per zone.
+      */
+    def zonalStatistics(features: DataFrame, geomCol: String,
+                        zoneProp: String, varName: String): DataFrame = {
+      import org.apache.spark.sql.functions._
+      GeomOps.rasterizeFeatures(c, features, geomCol, Seq(zoneProp))
+        .df.filter(!isnan(col(zoneProp)))
+        .groupBy(col(zoneProp).cast("long").as("zone"))
+        .agg(count(lit(1)).as("count"),
+          min(col(varName)).as("minimum"), max(col(varName)).as("maximum"),
+          avg(col(varName)).as("mean"))
+    }
     def selNearest(dimCol: String, target: Double): Cube =
       c.withDf(df => SelectOps.nearestDimLabel(df, dimCol, target)._2)
     def resampleInTime(freq: String, aggs: Seq[(String, String)]): DataFrame =

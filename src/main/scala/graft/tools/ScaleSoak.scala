@@ -56,7 +56,10 @@ object ScaleSoak {
     */
   val DeepSoakQueries: Seq[String] = Seq(
     "q_kerchunk_combine", "q_cog_levels", "q_zarr_append",
-    "q_seq_pack", "q_semantic_dedup", "q_dedup_clusters", "q_multimodal")
+    "q_seq_pack", "q_semantic_dedup", "q_dedup_clusters", "q_multimodal",
+    // round-7 heavy additions: span removal (rebuild ~ duplicated volume),
+    // the four-stage curation funnel, bucketed zonal stats, PQ/ADC search
+    "q_substr_removal", "q_modern_curation", "q_zonal_stats", "q_pq_adc")
 
   /** Allowed growth multiple of `factor` before a query is flagged. The
     * salted documents are ~2× longer than the originals (a salt token in

@@ -49,6 +49,22 @@ class ApiSpec extends AnyFunSuite {
     assert(series.length == 2)
   }
 
+  test("fluent zonalStatistics: per-zone stats through the rasterizer") {
+    import syntax._
+    import spark.implicits._
+    // two rectangular zones splitting the 10x10 grid at x=5
+    val zones = Seq(
+      ("POLYGON ((0 0, 5 0, 5 10, 0 10, 0 0))", 0.0),
+      ("POLYGON ((5 0, 10 0, 10 10, 5 10, 5 0))", 1.0)
+    ).toDF("geometry", "zone")
+    val stats = cube().zonalStatistics(zones, "geometry", "zone", "v")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    // v = i + j: left zone i in [0,5) -> min 0 (0+0), max 13 (4+9)
+    assert(stats(0L) == ((50L, 0.0, 13.0)), stats(0L).toString)
+    assert(stats(1L) == ((50L, 5.0, 18.0)), stats(1L).toString)
+  }
+
   test("operation registry: lookup + apply + rejection") {
     val half = OperationRegistry("spatial_subset", cube())
     assert(half.df.count() == 25) // quarter of the 10x10 grid

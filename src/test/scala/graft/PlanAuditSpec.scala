@@ -39,6 +39,12 @@ class PlanAuditSpec extends AnyFunSuite {
       "cells x features nested loop would not survive a large layer")
   }
 
+  test("q_modern_curation: four stages, zero cartesians, no UDFs") {
+    val p = plan("q_modern_curation")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p.take(600))
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"), "no UDFs")
+  }
+
   test("q_substr_removal: no cartesian; rebuild joins are keyed anti/equi joins") {
     val p = plan("q_substr_removal")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p.take(800))
