@@ -18,7 +18,10 @@ import scala.collection.mutable
   *    incl. "OCHK" continuation blocks
   *  - old-style groups: B-tree v1 (type 0, any depth) + SNOD symbol nodes +
   *    local heaps, walked recursively through subgroups; new-style groups:
-  *    compact link messages (dense fractal-heap storage rejected loudly)
+  *    compact link messages AND dense storage (link messages as fractal-
+  *    heap objects behind a lookup3 name-hash v2 B-tree; single-direct-
+  *    block heaps + single-leaf trees — hundreds of links — with deeper
+  *    shapes rejected loudly)
   *  - datasets: dataspace v1/v2, fixed-point + IEEE-float datatypes of any
   *    byte order, fill-value messages v1/v2/v3
   *  - contiguous AND chunked layouts: v3 (B-tree v1 type 1, any depth) and
@@ -35,9 +38,10 @@ import scala.collection.mutable
   * model the classic parser produces, so every cube entry point
   * (readCube/readCubeFiles, store inference, kerchunk) works unchanged.
   *
-  * Out of scope (rejected loudly, not silently misread): dense fractal-heap
-  * group links, paged/extensible-array/v2-btree chunk indexes (unlimited
-  * dims), szip/user filters, compact layout, variable-length string data.
+  * Out of scope (rejected loudly, not silently misread): multi-block /
+  * indirect fractal heaps and multi-level link B-trees, paged/extensible-
+  * array/v2-btree chunk indexes (unlimited dims), szip/user filters,
+  * compact layout, variable-length string data.
   */
 object Hdf5Source {
 
@@ -48,6 +52,16 @@ object Hdf5Source {
 
   def isHdf5(bytes: Array[Byte]): Boolean =
     bytes.length >= 8 && Signature.indices.forall(i => bytes(i) == Signature(i))
+
+  /** Minimum bytes that hold values up to `maxVal` (H5 "minimum encoded
+    * size" rule, used for fractal-heap ID length fields).
+    */
+  private def sizeBytesFor(maxVal: Long): Int = {
+    var n = 1
+    var v = maxVal >>> 8
+    while (v != 0) { n += 1; v >>>= 8 }
+    n
+  }
 
   // ============================================================== reading
 
@@ -191,35 +205,117 @@ object Hdf5Source {
     }
 
     // ---- new-style (link-message) groups: compact links live directly in
-    // the header; dense (fractal-heap) storage is rejected loudly
+    // the header; dense groups store link messages as fractal-heap objects
+    // indexed by a name-hash v2 B-tree
+    def parseLink(p: Int): (String, Long) = {
+      val ver = bytes(p) & 0xff
+      require(ver == 1, s"link message v$ver")
+      val flags = bytes(p + 1) & 0xff
+      var q = p + 2
+      val linkType = if ((flags & 0x08) != 0) { q += 1; bytes(q - 1) & 0xff } else 0
+      require(linkType == 0, s"non-hard link type $linkType unsupported")
+      if ((flags & 0x04) != 0) q += 8 // creation order
+      if ((flags & 0x10) != 0) q += 1 // charset
+      val nameLenSize = 1 << (flags & 0x3)
+      val nameLen = nameLenSize match {
+        case 1 => bytes(q) & 0xff
+        case 2 => b.getShort(q) & 0xffff
+        case _ => b.getInt(q)
+      }
+      q += nameLenSize
+      val name = new String(bytes, q, nameLen, "UTF-8")
+      (name, b.getLong(q + nameLen))
+    }
+
     def linkEntries(msgs: Seq[(Int, Int, Int)]): Seq[(String, Long)] = {
-      msgs.filter(_._1 == 0x0002).foreach { case (_, p, _) =>
+      val dense = msgs.filter(_._1 == 0x0002).flatMap { case (_, p, _) =>
         // Link Info: version(1), flags(1), [max creation index(8)],
         // fractal heap address, name-index b-tree address
         val liFlags = bytes(p + 1) & 0xff
         val heapOff = p + 2 + (if ((liFlags & 1) != 0) 8 else 0)
-        require(!addrOk(b.getLong(heapOff)),
-          "dense (fractal-heap) group link storage unsupported — compact " +
-            "link messages only (the libver-latest default for small groups)")
+        val heapAddr = b.getLong(heapOff)
+        if (addrOk(heapAddr)) denseLinks(heapAddr, b.getLong(heapOff + 8))
+        else Nil
       }
-      msgs.filter(_._1 == 0x0006).map { case (_, p, _) =>
-        val ver = bytes(p) & 0xff
-        require(ver == 1, s"link message v$ver")
-        val flags = bytes(p + 1) & 0xff
-        var q = p + 2
-        val linkType = if ((flags & 0x08) != 0) { q += 1; bytes(q - 1) & 0xff } else 0
-        require(linkType == 0, s"non-hard link type $linkType unsupported")
-        if ((flags & 0x04) != 0) q += 8 // creation order
-        if ((flags & 0x10) != 0) q += 1 // charset
-        val nameLenSize = 1 << (flags & 0x3)
-        val nameLen = nameLenSize match {
-          case 1 => bytes(q) & 0xff
-          case 2 => b.getShort(q) & 0xffff
-          case _ => b.getInt(q)
-        }
-        q += nameLenSize
-        val name = new String(bytes, q, nameLen, "UTF-8")
-        (name, b.getLong(q + nameLen))
+      dense ++ msgs.filter(_._1 == 0x0006).map { case (_, p, _) => parseLink(p) }
+    }
+
+    /** Dense group links: the name-index v2 B-tree's records carry fractal
+      * heap IDs; each heap object is one serialized link message. Scope:
+      * a root-is-a-direct-block heap (what fits hundreds of links) and a
+      * depth-0 (single-leaf) B-tree — multi-block heaps and deeper trees
+      * are rejected loudly.
+      */
+    def denseLinks(heapAddr: Long, btreeAddr: Long): Seq[(String, Long)] = {
+      // fractal heap header
+      val a = heapAddr.toInt
+      require(new String(bytes, a, 4, "US-ASCII") == "FRHP",
+        s"bad fractal heap header at $heapAddr")
+      require((bytes(a + 4) & 0xff) == 0, "fractal heap version")
+      val idLen = b.getShort(a + 5) & 0xffff
+      val ioFilterLen = b.getShort(a + 7) & 0xffff
+      require(ioFilterLen == 0, "filtered fractal heap unsupported")
+      // fixed-width fields after flags(9): max managed size@10(4),
+      // next huge id@14(8), huge bt2 addr@22(8), free space@30(8),
+      // fs mgr addr@38(8), managed space@46(8), allocated space@54(8),
+      // iterator offset@62(8), managed nobjects@70(8), huge size@78(8),
+      // huge nobjects@86(8), tiny size@94(8), tiny nobjects@102(8)
+      val maxManaged = b.getInt(a + 10)
+      val hugeN = b.getLong(a + 86)
+      val tinyN = b.getLong(a + 102)
+      require(hugeN == 0 && tinyN == 0,
+        "huge/tiny fractal heap objects unsupported (managed only)")
+      // doubling table: width@110(2), starting block size@112(8),
+      // max direct size@120(8), max heap size bits@128(2),
+      // starting # rows@130(2), root block addr@132(8), current # rows@140(2)
+      val maxHeapBits = b.getShort(a + 128) & 0xffff
+      val rootBlockAddr = b.getLong(a + 132)
+      val curRows = b.getShort(a + 140) & 0xffff
+      require(curRows == 0,
+        "indirect-root fractal heap unsupported (single direct block only)")
+      val offSize = (maxHeapBits + 7) / 8
+      val lenSize = sizeBytesFor(maxManaged)
+      require(idLen == 1 + offSize + lenSize,
+        s"fractal heap ID length $idLen != 1+$offSize+$lenSize")
+      // the root DIRECT block: header occupies the block's first bytes of
+      // heap address space, so heap offset o lands at file offset
+      // rootBlockAddr + o (block offset 0)
+      val d = rootBlockAddr.toInt
+      require(new String(bytes, d, 4, "US-ASCII") == "FHDB",
+        s"bad fractal heap direct block at $rootBlockAddr")
+
+      def readVar(p: Int, n: Int): Long = n match {
+        case 1 => bytes(p) & 0xffL
+        case 2 => (b.getShort(p) & 0xffff).toLong
+        case 3 => (b.getShort(p) & 0xffffL) | ((bytes(p + 2) & 0xffL) << 16)
+        case 4 => b.getInt(p).toLong & 0xffffffffL
+        case _ => b.getLong(p)
+      }
+
+      // name-index v2 B-tree header
+      val t = btreeAddr.toInt
+      require(new String(bytes, t, 4, "US-ASCII") == "BTHD",
+        s"bad v2 B-tree header at $btreeAddr")
+      require((bytes(t + 4) & 0xff) == 0, "v2 B-tree version")
+      require((bytes(t + 5) & 0xff) == 5, "v2 B-tree type (link name) expected")
+      val recordSize = b.getShort(t + 10) & 0xffff
+      val depth = b.getShort(t + 12) & 0xffff
+      require(depth == 0,
+        "multi-level link-name B-tree unsupported (single leaf only)")
+      val rootNodeAddr = b.getLong(t + 16)
+      val rootNRecords = b.getShort(t + 24) & 0xffff
+      require(recordSize == 4 + idLen, s"link-name record size $recordSize")
+      val leaf = rootNodeAddr.toInt
+      require(new String(bytes, leaf, 4, "US-ASCII") == "BTLF",
+        s"bad v2 B-tree leaf at $rootNodeAddr")
+      require((bytes(leaf + 5) & 0xff) == 5, "leaf record type")
+      (0 until rootNRecords).map { i =>
+        val r = leaf + 6 + i * recordSize
+        // record: name hash (4, lookup3) + heap ID (flags, offset, length)
+        require((bytes(r + 4) & 0xff) == 0,
+          "non-managed (huge/tiny) heap ID in link record")
+        val off = readVar(r + 4 + 1, offSize)
+        parseLink((rootBlockAddr + off).toInt)
       }
     }
 
@@ -1093,7 +1189,9 @@ object Hdf5Source {
     * emitted in the "latest" physical layout so the reader's modern paths
     * are exercised end-to-end — superblock v3 (+lookup3 checksum), v2
     * "OHDR" object headers, a root group of compact LINK messages (no
-    * symbol table / local heap / SNOD), dataspace v2, fill v3, attributes
+    * symbol table / local heap / SNOD) that switches to DENSE storage
+    * (fractal heap + lookup3 name-hash v2 B-tree) beyond the libhdf5
+    * compact maximum of 8 links, dataspace v2, fill v3, attributes
     * v3, filter pipeline v2, and data layout v4 with the index libhdf5
     * would pick for fixed-size dims: single-chunk when the grid is one
     * chunk, fixed-array (client 1, filtered entries) under shuffle/deflate,
@@ -1146,7 +1244,15 @@ object Hdf5Source {
       })
     // OHDR total = prefix(10: sig+ver+flags+4-byte chunk0 size) + msgs + cksum
     def hdrTotal(bodies: Seq[Int]): Int = 10 + bodies.map(_ + 4).sum + 4
-    val rootBodies = Seq(18, 2) ++ names.map(n => 2 + 1 + n.length + 8)
+    // beyond the libhdf5 compact-storage default (8 links) the root group
+    // goes DENSE: link messages become fractal-heap objects indexed by a
+    // lookup3 name-hash v2 B-tree, and the header carries only Link Info +
+    // Group Info
+    val dense = names.length > 8
+    def linkBody(n: String): Int = 2 + 1 + n.length + 8
+    val rootBodies =
+      if (dense) Seq(18, 2)
+      else Seq(18, 2) ++ names.map(linkBody)
     def coordBodies(name: String): Seq[Int] =
       Seq(12, 24, 14, 18,
         strAttr3Body("CLASS", "DIMENSION_SCALE"), strAttr3Body("NAME", name))
@@ -1163,6 +1269,32 @@ object Hdf5Source {
     val hdrAddr = mutable.LinkedHashMap.empty[String, Long]
     coordVars.foreach { case (n, _) => hdrAddr(n) = alloc(hdrTotal(coordBodies(n))) }
     dataVars.foreach { case (n, dn, _) => hdrAddr(n) = alloc(hdrTotal(dataBodies(n, dn.length))) }
+    // dense-group structures: one root direct block holding every link
+    // message, a depth-0 name-index B-tree (node size 2048 → its record
+    // capacity bounds the variable count; plenty for cube files)
+    val FhdbHeaderSize = 17 // sig(4) + ver(1) + heap hdr addr(8) + offset(4)
+    val BtNodeSize = 2048
+    val linkObjOffsets: Map[String, (Long, Int)] = if (!dense) Map.empty else {
+      require(names.length <= (BtNodeSize - 10) / 11,
+        s"${names.length} links exceed one B-tree leaf (${(BtNodeSize - 10) / 11})")
+      var off = FhdbHeaderSize.toLong
+      names.map { n =>
+        val sz = linkBody(n)
+        val e = n -> ((off, sz))
+        off += sz
+        e
+      }.toMap
+    }
+    val fhdbSize: Long = if (!dense) 0L else {
+      val need = FhdbHeaderSize + names.map(linkBody).sum
+      var s = 512L
+      while (s < need) s *= 2
+      s
+    }
+    val frhpAddr = if (dense) alloc(146) else Undef
+    val fhdbAddr = if (dense) alloc(fhdbSize) else Undef
+    val bthdAddr = if (dense) alloc(38) else Undef
+    val btlfAddr = if (dense) alloc(6L + 11L * names.length + 4) else Undef
     val nRefs = dataVars.map(_._2.length).sum
     val gcolSize = math.max(4096, (16 + nRefs * 24 + 16 + 7) & ~7)
     val gcolAddr = if (nRefs > 0) alloc(gcolSize.toLong) else Undef
@@ -1232,19 +1364,80 @@ object Hdf5Source {
       ()
     }
 
-    // root group header: link info + group info + one hard link per var
-    ohdrPrefix(rootHdrAddr, rootBodies)
-    msg2(0x02, 18) // link info: no creation-order tracking, compact storage
-    out.put(0.toByte).put(0.toByte).putLong(Undef).putLong(Undef)
-    msg2(0x0A, 2) // group info: all defaults
-    out.put(0.toByte).put(0.toByte)
-    names.foreach { n =>
-      msg2(0x06, 2 + 1 + n.length + 8)
+    // root group header: link info + group info (+ the hard links when
+    // compact; dense stores them in the fractal heap below)
+    def putLinkMsgBody(n: String): Unit = {
       out.put(1.toByte).put(0.toByte) // v1, hard link, 1-byte name length
         .put(n.length.toByte).put(n.getBytes("UTF-8"))
         .putLong(hdrAddr(n))
+      ()
+    }
+    ohdrPrefix(rootHdrAddr, rootBodies)
+    msg2(0x02, 18) // link info: no creation-order tracking
+    out.put(0.toByte).put(0.toByte)
+    if (dense) out.putLong(frhpAddr).putLong(bthdAddr)
+    else out.putLong(Undef).putLong(Undef)
+    msg2(0x0A, 2) // group info: all defaults
+    out.put(0.toByte).put(0.toByte)
+    if (!dense) names.foreach { n =>
+      msg2(0x06, linkBody(n))
+      putLinkMsgBody(n)
     }
     cksum(rootHdrAddr)
+
+    if (dense) {
+      // fractal heap header: managed objects only, one direct root block
+      val usedSpace = FhdbHeaderSize + names.map(linkBody).sum
+      at(frhpAddr).put("FRHP".getBytes("US-ASCII")).put(0.toByte)
+        .putShort(7.toShort)  // heap ID length = 1 + offset(4) + length(2)
+        .putShort(0.toShort)  // no I/O filters
+        .put(0.toByte)        // flags: no checksummed blocks
+        .putInt(4096)         // max managed object size
+        .putLong(0L).putLong(Undef)                 // huge: next id, bt2
+        .putLong(fhdbSize - usedSpace)              // free space
+        .putLong(Undef)                             // free-space manager
+        .putLong(fhdbSize).putLong(fhdbSize)        // managed, allocated
+        .putLong(usedSpace.toLong)                  // iterator offset
+        .putLong(names.length.toLong)               // managed nobjects
+        .putLong(0L).putLong(0L).putLong(0L).putLong(0L) // huge/tiny
+        .putShort(4.toShort)                        // table width
+        .putLong(fhdbSize)                          // starting block size
+        .putLong(65536L)                            // max direct block size
+        .putShort(32.toShort)                       // max heap size (bits)
+        .putShort(1.toShort)                        // starting rows
+        .putLong(fhdbAddr)                          // root block
+        .putShort(0.toShort)                        // cur rows: direct root
+      cksum(frhpAddr)
+      // the direct block: header + link-message objects at their offsets
+      at(fhdbAddr).put("FHDB".getBytes("US-ASCII")).put(0.toByte)
+        .putLong(frhpAddr).putInt(0) // block offset 0 in heap space
+      names.foreach { n =>
+        at(fhdbAddr + linkObjOffsets(n)._1)
+        putLinkMsgBody(n)
+      }
+      // name-index v2 B-tree: header + single leaf, records sorted by the
+      // lookup3 name hash (ties by name for determinism)
+      at(bthdAddr).put("BTHD".getBytes("US-ASCII")).put(0.toByte)
+        .put(5.toByte) // type: indexing "link name" records
+        .putInt(BtNodeSize).putShort(11.toShort).putShort(0.toShort)
+        .put(100.toByte).put(40.toByte) // split/merge percents
+        .putLong(btlfAddr).putShort(names.length.toShort)
+        .putLong(names.length.toLong)
+      cksum(bthdAddr)
+      val recs = names.map { n =>
+        val nb = n.getBytes("UTF-8")
+        (lookup3(nb, 0, nb.length) & 0xffffffffL, n)
+      }.sortBy { case (h, n) => (h, n) }
+      at(btlfAddr).put("BTLF".getBytes("US-ASCII")).put(0.toByte).put(5.toByte)
+      recs.foreach { case (h, n) =>
+        val (off, len) = linkObjOffsets(n)
+        out.putInt(h.toInt)
+        out.put(0.toByte) // heap ID: version 0, managed
+        out.putInt(off.toInt)
+        out.putShort(len.toShort)
+      }
+      cksum(btlfAddr)
+    }
 
     coordVars.foreach { case (name, values) =>
       ohdrPrefix(hdrAddr(name), coordBodies(name))

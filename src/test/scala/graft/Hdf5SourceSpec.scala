@@ -209,6 +209,35 @@ class Hdf5SourceSpec extends AnyFunSuite {
     assert(direct.size == 6 && virt == direct)
   }
 
+  test("libver-latest DENSE group: >8 links go through fractal heap + v2 B-tree") {
+    val dir = tmp("h5dense")
+    val p = s"$dir/many.nc"
+    val y = Array.tabulate(4)(_ * 1.0)
+    // 1 coord + 11 data vars = 12 links -> dense storage (compact max is 8)
+    val dataVars = (0 until 11).map { k =>
+      (s"v$k", Seq("y"), Array.tabulate(4)(i => k * 100.0 + i))
+    }
+    Hdf5Source.writeLatest(p, Seq(NcDim("y", 4)), Seq("y" -> y), dataVars)
+    val raw = Files.readAllBytes(Paths.get(p))
+    val s = new String(raw, "ISO-8859-1")
+    assert(s.contains("FRHP") && s.contains("FHDB") &&
+      s.contains("BTHD") && s.contains("BTLF"), "dense machinery present")
+    val nc = NetcdfSource.read(p)
+    assert(nc.vars.map(_.name).toSet ==
+      (Set("y") ++ (0 until 11).map(k => s"v$k")))
+    (0 until 11).foreach { k =>
+      assert(nc.varByName(s"v$k").data.sameElements(
+        Array.tabulate(4)(i => k * 100.0 + i)), s"v$k")
+    }
+    assert(nc.varByName("y").data.sameElements(y))
+    // compact still used at <= 8 links (no heap machinery)
+    val p2 = s"$dir/few.nc"
+    Hdf5Source.writeLatest(p2, Seq(NcDim("y", 4)), Seq("y" -> y),
+      dataVars.take(3))
+    assert(!new String(Files.readAllBytes(Paths.get(p2)), "ISO-8859-1")
+      .contains("FRHP"))
+  }
+
   test("lookup3 checksum matches published hashlittle vectors") {
     // Bob Jenkins' reference self-test values for hashlittle(), initval 0:
     // hashlittle("", 0) = 0xdeadbeef; hashlittle("Four score and seven
