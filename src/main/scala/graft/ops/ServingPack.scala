@@ -404,6 +404,39 @@ object ServingPack extends QueryPack {
           round(sum(col("v").cast("decimal(28,10)")), 6).cast("double").as("sum_v"))
     }),
 
+    // A 12-variable latest-format granule — one coord + 12 data vars is
+    // past libhdf5's 8-link compact maximum, so the root group goes DENSE
+    // (fractal heap + lookup3 name-hash v2 B-tree). Three of the twelve
+    // variables (vk = daily-mean grid + k) are read back distributed;
+    // identical checksum discipline to q_netcdf4, so a link mis-resolved
+    // through the heap/B-tree path cannot reproduce the sums.
+    "q_netcdf4_dense" -> ((s, d) => {
+      import NetcdfSource.NcDim
+      val sfName = new java.io.File(d).getName
+      val base = s"/root/repo/.graft-fixtures/netcdf4dense_$sfName"
+      val day = "2024-01-01"
+      Fixtures.ensureWritten(base, "grid=360x100,hdf5-latest-dense,12vars,chunks=50x90,mean6") {
+        new java.io.File(base).mkdirs()
+        val g = dailyMeanGrid(s, d, day)
+        Hdf5Source.writeLatest(s"$base/$day.nc",
+          Seq(NcDim("y", 100), NcDim("x", 360)),
+          Seq(("y", Array.tabulate(100)(_ + 0.5)),
+            ("x", Array.tabulate(360)(_ + 0.5))),
+          (1 to 12).map(k => (s"v$k", Seq("y", "x"), g.map(_ + k))),
+          chunkOf = (1 to 12).map(k => s"v$k" -> Seq(50, 90)).toMap)
+      }
+      Seq(3, 7, 11).map { k =>
+        NetcdfSource.readCube(s, s"$base/$day.nc", s"v$k")
+          .withColumnRenamed(s"v$k", "v").withColumn("k", lit(k.toLong))
+      }.reduce(_ unionByName _)
+        .filter(!isnan(col("v")))
+        .groupBy("k")
+        .agg(count(lit(1)).as("n_cells"),
+          round(sum((col("y") + col("x")).cast("decimal(28,10)")), 6)
+            .cast("double").as("sum_coord"),
+          round(sum(col("v").cast("decimal(28,10)")), 6).cast("double").as("sum_v"))
+    }),
+
     // kerchunk over NetCDF-4: both HDF5 granules are indexed into
     // byte-range reference documents (SingleHdf5ToZarr shape — chunk
     // B-trees walked, shuffle+deflate translated to zarr codecs, NO
@@ -1244,6 +1277,18 @@ object ServingPack extends QueryPack {
                 round(sum(((j + 0.5) + (i + 0.5))::DECIMAL(28,10)), 6)::DOUBLE AS sum_coord,
                 round(sum(v::DECIMAL(28,10)), 6)::DOUBLE AS sum_v
          FROM daily GROUP BY day""",
+    "q_netcdf4_dense" ->
+      s"""WITH ${CubePack.cubeCte},
+         daily AS (SELECT floor(y)::BIGINT AS j, floor(x)::BIGINT AS i,
+                          round(sum(v::DECIMAL(28,12))::DOUBLE / count(*), 6) AS v
+                   FROM cube
+                   WHERE CAST(time AS DATE) = DATE '2024-01-01'
+                   GROUP BY j, i),
+         ks AS (SELECT unnest([3, 7, 11]) AS k)
+         SELECT k::BIGINT AS k, count(*) AS n_cells,
+                round(sum(((j + 0.5) + (i + 0.5))::DECIMAL(28,10)), 6)::DOUBLE AS sum_coord,
+                round(sum((v + k)::DECIMAL(28,10)), 6)::DOUBLE AS sum_v
+         FROM daily CROSS JOIN ks GROUP BY k""",
     "q_kerchunk_hdf5" ->
       s"""WITH ${CubePack.cubeCte},
          daily AS (SELECT CAST(time AS DATE)::VARCHAR AS day,
