@@ -236,6 +236,18 @@ class Hdf5SourceSpec extends AnyFunSuite {
       dataVars.take(3))
     assert(!new String(Files.readAllBytes(Paths.get(p2)), "ISO-8859-1")
       .contains("FRHP"))
+    // deeper into dense territory: 40 variables, varied name lengths
+    val p3 = s"$dir/forty.nc"
+    val many = (0 until 39).map { k =>
+      (s"variable_name_$k", Seq("y"), Array.tabulate(4)(i => k * 7.0 + i))
+    }
+    Hdf5Source.writeLatest(p3, Seq(NcDim("y", 4)), Seq("y" -> y), many)
+    val nc3 = NetcdfSource.read(p3)
+    assert(nc3.vars.length == 40)
+    (0 until 39).foreach { k =>
+      assert(nc3.varByName(s"variable_name_$k").data.sameElements(
+        Array.tabulate(4)(i => k * 7.0 + i)), s"var $k")
+    }
   }
 
   test("lookup3 checksum matches published hashlittle vectors") {
