@@ -65,8 +65,41 @@ object NetcdfSource {
   def parse(bytes: Array[Byte], headerOnly: Boolean = false): NcFile = {
     // NetCDF-4 granules are HDF5 containers — route them by magic, so every
     // entry point (read/readHeader/readCube/readCubeFiles/store inference)
-    // handles both formats transparently
-    if (Hdf5Source.isHdf5(bytes)) return Hdf5Source.parse(bytes, headerOnly)
+    // handles both formats transparently. Both branches get the xarray-
+    // default CF mask-and-scale decode (the reference opens datasets with
+    // mask_and_scale=True — store/fs/impl/dataset.py:60).
+    if (Hdf5Source.isHdf5(bytes))
+      return maskAndScale(Hdf5Source.parse(bytes, headerOnly))
+    maskAndScale(parseClassic(bytes, headerOnly))
+  }
+
+  /** CF packed-data decode (xarray `mask_and_scale` default): values equal
+    * to `_FillValue`/`missing_value` become NaN, then
+    * `raw * scale_factor + add_offset` recovers physical values. Variables
+    * without any of the three attributes pass through untouched, so
+    * unpacked files are byte-for-byte unaffected.
+    */
+  def maskAndScale(nc: NcFile): NcFile = {
+    def num(v: NcVar, key: String): Option[Double] =
+      v.attrs.get(key).flatMap(s => scala.util.Try(s.toDouble).toOption)
+    val vars = nc.vars.map { v =>
+      val scale = num(v, "scale_factor")
+      val offset = num(v, "add_offset")
+      val fill = num(v, "_FillValue").orElse(num(v, "missing_value"))
+      if (scale.isEmpty && offset.isEmpty && fill.isEmpty) v
+      else {
+        val s = scale.getOrElse(1.0)
+        val o = offset.getOrElse(0.0)
+        val f = fill.getOrElse(Double.NaN)
+        v.copy(data = v.data.map { x =>
+          if (fill.isDefined && x == f) Double.NaN else x * s + o
+        })
+      }
+    }
+    nc.copy(vars = vars)
+  }
+
+  private def parseClassic(bytes: Array[Byte], headerOnly: Boolean): NcFile = {
     val b = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
     require(b.get() == 'C' && b.get() == 'D' && b.get() == 'F',
       "not a NetCDF file (neither CDF classic nor HDF5 magic)")
@@ -269,7 +302,8 @@ object NetcdfSource {
   def write(path: String, dims: Seq[NcDim],
             coordVars: Seq[(String, Array[Double])],
             dataVars: Seq[(String, Seq[String], Array[Double])],
-            recordDim: Option[String] = None): Unit = {
+            recordDim: Option[String] = None,
+            varAttrs: Map[String, Seq[(String, Double)]] = Map.empty): Unit = {
     val allVars: Seq[(String, Seq[String], Array[Double])] =
       coordVars.map { case (n, d) => (n, Seq(n), d) } ++ dataVars
     def nameBytes(s: String): Array[Byte] = {
@@ -300,11 +334,20 @@ object NetcdfSource {
     // 2-pass layout (offsets are 4-byte ints in CDF-1)
     def varHeader(name: String, dimNames: Seq[String], begin: Int): Array[Byte] = {
       val nb = nameBytes(name)
-      val buf = ByteBuffer.allocate(nb.length + 4 + 4 * dimNames.length + 8 + 12)
+      val attrs = varAttrs.getOrElse(name, Nil)
+      val attrBytes = attrs.map { case (an, _) => nameBytes(an).length + 16 }.sum
+      val buf = ByteBuffer.allocate(
+        nb.length + 4 + 4 * dimNames.length + 8 + attrBytes + 12)
       buf.put(nb)
       buf.putInt(dimNames.length)
       dimNames.foreach(dn => buf.putInt(dimIdx(dn)))
-      buf.putInt(0); buf.putInt(0) // no var attrs
+      if (attrs.isEmpty) { buf.putInt(0); buf.putInt(0) } // absent att list
+      else {
+        buf.putInt(TagAtt).putInt(attrs.length)
+        attrs.foreach { case (an, av) => // NC_DOUBLE scalar attributes
+          buf.put(nameBytes(an)).putInt(6).putInt(1).putDouble(av)
+        }
+      }
       buf.putInt(6) // NC_DOUBLE
       // vsize: full size for fixed vars, per-record slab for record vars
       // (8-byte doubles are already 4-aligned — no extra padding)

@@ -199,6 +199,33 @@ class StoreMaintenanceSpec extends AnyFunSuite {
     assert(chain.contains("t3.nc") && chain.contains("schema probe"))
   }
 
+  test("CF mask_and_scale: packed values decode, fills go NaN (xarray default)") {
+    import graft.sources.NetcdfSource
+    import graft.sources.NetcdfSource.NcDim
+    val dir = tmpDir("cf")
+    val p = s"$dir/packed.nc"
+    val y = Array(0.0, 1.0, 2.0)
+    // raw "counts" with a fill sentinel; physical = raw*0.5 + 100
+    NetcdfSource.write(p, Seq(NcDim("y", 3)), Seq("y" -> y),
+      Seq(("v", Seq("y"), Array(10.0, -999.0, 30.0))),
+      varAttrs = Map("v" -> Seq(
+        ("scale_factor", 0.5), ("add_offset", 100.0), ("_FillValue", -999.0))))
+    val nc = NetcdfSource.read(p)
+    val v = nc.varByName("v")
+    assert(v.data(0) == 105.0 && v.data(2) == 115.0, v.data.toSeq.toString)
+    assert(v.data(1).isNaN)
+    // attributes survive the round-trip; attr-less vars untouched
+    assert(v.attrs("scale_factor").toDouble == 0.5)
+    assert(nc.varByName("y").data.sameElements(y))
+    // missing_value alone also masks (no scaling)
+    val p2 = s"$dir/masked.nc"
+    NetcdfSource.write(p2, Seq(NcDim("y", 3)), Seq("y" -> y),
+      Seq(("v", Seq("y"), Array(1.5, -1.0, 2.5))),
+      varAttrs = Map("v" -> Seq(("missing_value", -1.0))))
+    val v2 = NetcdfSource.read(p2).varByName("v")
+    assert(v2.data(0) == 1.5 && v2.data(1).isNaN && v2.data(2) == 2.5)
+  }
+
   test("NetCDF record (unlimited) dimension: interleaved layout round-trips") {
     import graft.sources.NetcdfSource
     import NetcdfSource.NcDim
