@@ -44,6 +44,56 @@ object CalendarOps {
 
   def daysPerYear(calendar: String): Int = monthStarts(calendar).last
 
+  /** Parsed CF time-coordinate units ("&lt;unit&gt; since &lt;timestamp&gt;",
+    * CF conventions §4.4 / cftime): seconds per unit + epoch in epoch-
+    * microseconds. Standard (proleptic-Gregorian) calendar — the CF
+    * default; non-Gregorian axes go through [[decode]] instead.
+    */
+  final case class CfTimeUnits(unitSeconds: Long, epochMicros: Long)
+
+  private val UnitsRe =
+    "(?i)^\\s*(seconds?|minutes?|hours?|days?|weeks?)\\s+since\\s+(.+?)\\s*$".r
+
+  def parseCfTimeUnits(units: String): CfTimeUnits = units match {
+    case UnitsRe(unit, epoch) =>
+      val secs = unit.toLowerCase.stripSuffix("s") match {
+        case "second" => 1L
+        case "minute" => 60L
+        case "hour" => 3600L
+        case "day" => 86400L
+        case "week" => 604800L
+      }
+      // "YYYY-M-D[ H:M:S[.f]][Z| +00:00]" — cftime accepts single-digit
+      // fields and a bare date
+      val e = epoch.trim.stripSuffix("Z").trim
+      val dtRe = "^(\\d{1,4})-(\\d{1,2})-(\\d{1,2})([ T](\\d{1,2}):(\\d{1,2})(:(\\d{1,2})(\\.(\\d+))?)?)?.*$".r
+      e match {
+        case dtRe(y, mo, d, _, h, mi, _, s, _, f) =>
+          val ldt = java.time.LocalDateTime.of(y.toInt, mo.toInt, d.toInt,
+            Option(h).map(_.toInt).getOrElse(0),
+            Option(mi).map(_.toInt).getOrElse(0),
+            Option(s).map(_.toInt).getOrElse(0),
+            Option(f).map(x => (x + "000000").take(6).toInt * 1000).getOrElse(0))
+          CfTimeUnits(secs,
+            ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+              ldt.getNano / 1000L)
+        case _ => throw new IllegalArgumentException(
+          s"unparseable CF epoch '$epoch' in units '$units'")
+      }
+    case _ => throw new IllegalArgumentException(
+      s"unparseable CF time units '$units' (expect '<unit> since <epoch>')")
+  }
+
+  /** Numeric CF time coordinate → TimestampType Column (standard
+    * calendar): epoch + value·unit, fractional values kept to the
+    * microsecond (xarray decode_cf parity for float axes).
+    */
+  def cfTimeToTimestamp(value: Column, units: String): Column = {
+    val u = parseCfTimeUnits(units)
+    timestamp_micros((lit(u.epochMicros) +
+      value.cast("double") * (u.unitSeconds * 1000000L)).cast("long"))
+  }
+
   /** Decode integer days-since-epoch (epoch = Jan 1 of `epochYear`) into a
     * struct(year, month, day, doy) — all longs, `month`/`day`/`doy`
     * one-based. Negative day numbers (before the epoch) decode correctly

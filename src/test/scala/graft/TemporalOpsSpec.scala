@@ -137,6 +137,32 @@ class TemporalOpsSpec extends AnyFunSuite {
     assert(neg.getLong(0) == 1999L && neg.getLong(1) == 12L && neg.getLong(2) == 31L)
   }
 
+  test("CF time units parse and convert numeric axes to timestamps") {
+    import graft.operators.CalendarOps
+    import spark.implicits._
+    val u = CalendarOps.parseCfTimeUnits("days since 2000-01-01")
+    assert(u.unitSeconds == 86400L)
+    assert(u.epochMicros ==
+      java.sql.Timestamp.valueOf("2000-01-01 00:00:00").getTime * 1000L -
+        java.util.TimeZone.getDefault.getOffset(
+          java.sql.Timestamp.valueOf("2000-01-01 00:00:00").getTime) * 1000L)
+    // hours + time-of-day epoch, case-insensitive, single-digit fields
+    val h = CalendarOps.parseCfTimeUnits("Hours since 1970-1-1 6:30:00")
+    assert(h.unitSeconds == 3600L && h.epochMicros == 23400L * 1000000L)
+    // column conversion incl. fractional values
+    val out = Seq(0.0, 1.5, -2.0).toDF("t")
+      .select(CalendarOps.cfTimeToTimestamp(col("t"),
+        "days since 2000-01-01").cast("string").as("ts"))
+      .collect().map(_.getString(0))
+    assert(out(0).startsWith("2000-01-01 00:00"))
+    assert(out(1).startsWith("2000-01-02 12:00"))
+    assert(out(2).startsWith("1999-12-30 00:00"))
+    intercept[IllegalArgumentException](
+      CalendarOps.parseCfTimeUnits("fortnights since 2000-01-01"))
+    intercept[IllegalArgumentException](
+      CalendarOps.parseCfTimeUnits("days since the dawn of time"))
+  }
+
   test("julian calendar decodes against the JVM's pure-julian GregorianCalendar") {
     import graft.operators.CalendarOps
     import spark.implicits._
