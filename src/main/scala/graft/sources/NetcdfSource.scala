@@ -73,25 +73,38 @@ object NetcdfSource {
     maskAndScale(parseClassic(bytes, headerOnly))
   }
 
-  /** CF packed-data decode (xarray `mask_and_scale` default): values equal
-    * to `_FillValue`/`missing_value` become NaN, then
-    * `raw * scale_factor + add_offset` recovers physical values. Variables
-    * without any of the three attributes pass through untouched, so
-    * unpacked files are byte-for-byte unaffected.
+  /** CF packed-data decode (xarray `mask_and_scale` default): the
+    * `_Unsigned = "true"` convention first re-interprets negative
+    * byte/short/int raws as unsigned (classic NetCDF has no unsigned
+    * types, so real files ship them this way), then values equal to
+    * `_FillValue`/`missing_value` become NaN (the fill compares in the
+    * same unsigned space), then `raw * scale_factor + add_offset` recovers
+    * physical values. Variables without any of the attributes pass through
+    * untouched, so unpacked files are byte-for-byte unaffected.
     */
   def maskAndScale(nc: NcFile): NcFile = {
     def num(v: NcVar, key: String): Option[Double] =
       v.attrs.get(key).flatMap(s => scala.util.Try(s.toDouble).toOption)
     val vars = nc.vars.map { v =>
+      val unsigned = v.attrs.get("_Unsigned").exists(_.equalsIgnoreCase("true"))
       val scale = num(v, "scale_factor")
       val offset = num(v, "add_offset")
       val fill = num(v, "_FillValue").orElse(num(v, "missing_value"))
-      if (scale.isEmpty && offset.isEmpty && fill.isEmpty) v
+      if (!unsigned && scale.isEmpty && offset.isEmpty && fill.isEmpty) v
       else {
+        val span = v.ncType match {
+          case 1 => 256.0 // NC_BYTE
+          case 3 => 65536.0 // NC_SHORT
+          case 4 => 4294967296.0 // NC_INT
+          case _ => 0.0 // float/double: _Unsigned is meaningless
+        }
+        def toU(x: Double): Double =
+          if (unsigned && span > 0 && x < 0) x + span else x
         val s = scale.getOrElse(1.0)
         val o = offset.getOrElse(0.0)
-        val f = fill.getOrElse(Double.NaN)
-        v.copy(data = v.data.map { x =>
+        val f = fill.map(toU).getOrElse(Double.NaN)
+        v.copy(data = v.data.map { raw =>
+          val x = toU(raw)
           if (fill.isDefined && x == f) Double.NaN else x * s + o
         })
       }

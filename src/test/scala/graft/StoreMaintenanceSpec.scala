@@ -224,6 +224,17 @@ class StoreMaintenanceSpec extends AnyFunSuite {
       varAttrs = Map("v" -> Seq(("missing_value", -1.0))))
     val v2 = NetcdfSource.read(p2).varByName("v")
     assert(v2.data(0) == 1.5 && v2.data(1).isNaN && v2.data(2) == 2.5)
+    // _Unsigned: negative byte raws re-interpret as unsigned BEFORE the
+    // fill compare and scaling (the classic-format unsigned convention)
+    import graft.sources.NetcdfSource.{NcFile, NcVar}
+    val vb = NcVar("b", 1, Seq(0), Map("_Unsigned" -> "true",
+      "scale_factor" -> "0.5", "_FillValue" -> "-1"),
+      Array(-2.0, -1.0, 10.0))
+    val out = NetcdfSource.maskAndScale(
+      NcFile(Seq(NcDim("y", 3)), Map.empty, Seq(vb))).varByName("b").data
+    assert(out(0) == 127.0, out.toSeq.toString) // (-2 -> 254) * 0.5
+    assert(out(1).isNaN)                        // -1 -> 255 == unsigned fill
+    assert(out(2) == 5.0)
   }
 
   test("NetCDF record (unlimited) dimension: interleaved layout round-trips") {
