@@ -181,7 +181,7 @@ object KerchunkSource {
       val k = s"$varName/${key.mkString(za.separator)}"
       if (bcRefs.value.contains(k))
         ZarrSource.decodeChunk(fetch(bcRefs.value(k)), za)
-      else Array.fill(za.chunkElems)(za.fillValue)
+      else Array.fill(za.chunkElems)(za.cfDecode(za.fillValue))
     })
   }
 

@@ -59,9 +59,18 @@ object ZarrSource {
   final case class ZarrArray(shape: Seq[Int], chunks: Seq[Int], dtype: String,
                              fillValue: Double, codec: Codec,
                              dims: Seq[String], separator: String,
-                             shuffleElem: Int = 0) {
+                             shuffleElem: Int = 0,
+                             cfScale: Double = 1.0, cfOffset: Double = 0.0,
+                             cfFill: Option[Double] = None) {
     def chunkGrid: Seq[Int] = shape.zip(chunks).map { case (s, c) => (s + c - 1) / c }
     def chunkElems: Int = chunks.product
+    /** xarray-default CF mask-and-scale is in effect (.zattrs carried
+      * scale_factor/add_offset/_FillValue, the to_zarr packed encoding).
+      */
+    def cfActive: Boolean = cfScale != 1.0 || cfOffset != 0.0 || cfFill.nonEmpty
+    /** Raw stored value → physical value (identity when not packed). */
+    def cfDecode(x: Double): Double =
+      if (cfFill.exists(f => x == f)) Double.NaN else x * cfScale + cfOffset
   }
 
   private val mapper = new ObjectMapper()
@@ -158,11 +167,16 @@ object ZarrSource {
       .map(_.elements.asScala.map(_.asText).toSeq)
       .getOrElse(shape.indices.map(i => s"dim_$i"))
     require(dims.length == shape.length, s"$arrayDir: dims/shape rank mismatch")
+    def attrNum(key: String, dflt: Double): Double = zattrs
+      .map(_.path(key)).filter(_.isNumber).map(_.asDouble).getOrElse(dflt)
+    val cfFill = zattrs.map(_.path("_FillValue")).filter(_.isNumber)
+      .map(_.asDouble)
     ZarrArray(shape,
       za.path("chunks").elements.asScala.map(_.asInt).toSeq,
       za.path("dtype").asText, fv, codec, dims,
       Option(za.path("dimension_separator").asText(".")).filter(_.nonEmpty)
-        .getOrElse("."), shuffleElem)
+        .getOrElse("."), shuffleElem,
+      attrNum("scale_factor", 1.0), attrNum("add_offset", 0.0), cfFill)
   }
 
   /** Does the group contain an array `name` (consolidated-aware)? */
@@ -250,6 +264,10 @@ object ZarrSource {
       }
       i += 1
     }
+    if (za.cfActive) { // packed store: mask + scale to physical values
+      var j = 0
+      while (j < n) { out(j) = za.cfDecode(out(j)); j += 1 }
+    }
     out
   }
 
@@ -267,7 +285,7 @@ object ZarrSource {
     */
   private[sources] def readAllWith(za: ZarrArray,
                                    bytesFor: Seq[Int] => Option[Array[Byte]]): Array[Double] = {
-    val out = Array.fill(za.shape.product)(za.fillValue)
+    val out = Array.fill(za.shape.product)(za.cfDecode(za.fillValue))
     allChunkKeys(za.chunkGrid).foreach { key =>
       bytesFor(key).foreach { raw =>
         val data = decodeChunk(raw, za)
@@ -341,7 +359,7 @@ object ZarrSource {
       val f = java.nio.file.Paths.get(s"$arrayDir/${key.mkString(za.separator)}")
       if (java.nio.file.Files.exists(f))
         decodeChunk(java.nio.file.Files.readAllBytes(f), za)
-      else Array.fill(za.chunkElems)(za.fillValue)
+      else Array.fill(za.chunkElems)(za.cfDecode(za.fillValue))
     })
   }
 

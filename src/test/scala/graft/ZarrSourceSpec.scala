@@ -127,6 +127,31 @@ class ZarrSourceSpec extends AnyFunSuite {
       ZarrSource.appendCube(rows1.toDF("t", "y", "v"), g, "v", Array(4.0)))
   }
 
+  test("CF-packed store: .zattrs scale/offset/_FillValue decode to physical values") {
+    import spark.implicits._
+    // chunks hold RAW packed values; .zattrs declares the decode (the
+    // xarray to_zarr packed encoding). -999 is the raw fill sentinel.
+    val ys = Array(0.5, 1.5)
+    val xs = Array(0.5, 1.5)
+    val raws = Seq((0.5, 0.5, 10.0), (0.5, 1.5, -999.0),
+      (1.5, 0.5, 30.0), (1.5, 1.5, 40.0))
+    val g = s"${tmpDir("zarrcf")}/packed.zarr"
+    ZarrSource.writeCube(raws.toDF("y", "x", "v"), g, "v",
+      Seq("y" -> ys, "x" -> xs), chunks = Seq(2, 2))
+    val za = Paths.get(s"$g/v/.zattrs")
+    val patched = Files.readString(za).trim.stripSuffix("}") +
+      ""","scale_factor": 0.5, "add_offset": 100.0, "_FillValue": -999.0}"""
+    Files.writeString(za, patched)
+    // consolidated metadata also carries the old attrs — drop it so the
+    // patched per-array document is authoritative for this test
+    Files.deleteIfExists(Paths.get(s"$g/.zmetadata"))
+    val back = ZarrSource.readCube(spark, g, "v").collect()
+      .map(r => (r.getDouble(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    assert(back((0.5, 0.5)) == 105.0, back.toString)
+    assert(back((0.5, 1.5)).isNaN) // raw fill sentinel → NaN
+    assert(back((1.5, 0.5)) == 115.0 && back((1.5, 1.5)) == 120.0)
+  }
+
   test("reads an externally-shaped layout: big-endian f4, raw, / separator") {
     // hand-written group: no coordinate arrays (index fallback), raw
     // compressor, ">f4" dtype, dimension_separator "/", fill_value 0
