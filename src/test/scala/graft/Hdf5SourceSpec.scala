@@ -250,6 +250,27 @@ class Hdf5SourceSpec extends AnyFunSuite {
     }
   }
 
+  test("property: dense groups round-trip across random link counts (10 files)") {
+    val rnd = new scala.util.Random(61)
+    val dir = tmp("h5denseprop")
+    (1 to 10).foreach { t =>
+      val nVars = 9 + rnd.nextInt(52) // 10..61 links, all past compact
+      val n = 2 + rnd.nextInt(6)
+      val y = Array.tabulate(n)(_ * 1.0)
+      val vars = (0 until nVars).map { k =>
+        (s"v${t}_$k", Seq("y"), Array.fill(n)(rnd.nextDouble() * 100 - 50))
+      }
+      val p = s"$dir/f$t.nc"
+      Hdf5Source.writeLatest(p, Seq(NcDim("y", n)), Seq("y" -> y), vars,
+        deflate = t % 2 == 0, shuffle = t % 3 == 0)
+      val nc = NetcdfSource.read(p)
+      assert(nc.vars.length == nVars + 1, s"file $t var count")
+      vars.foreach { case (vn, _, data) =>
+        assert(nc.varByName(vn).data.sameElements(data), s"file $t $vn")
+      }
+    }
+  }
+
   test("lookup3 checksum matches published hashlittle vectors") {
     // Bob Jenkins' reference self-test values for hashlittle(), initval 0:
     // hashlittle("", 0) = 0xdeadbeef; hashlittle("Four score and seven
