@@ -71,6 +71,14 @@ object ZarrSource {
     /** Raw stored value → physical value (identity when not packed). */
     def cfDecode(x: Double): Double =
       if (cfFill.exists(f => x == f)) Double.NaN else x * cfScale + cfOffset
+    /** Physical value → raw stored value — the exact inverse of
+      * [[cfDecode]], used when writing back into a packed store so the next
+      * read does not scale the cells a second time. NaN maps to the fill
+      * sentinel when one is declared (xarray packs missing cells the same
+      * way before to_zarr).
+      */
+    def cfEncode(p: Double): Double =
+      if (p.isNaN) cfFill.getOrElse(Double.NaN) else (p - cfOffset) / cfScale
   }
 
   private val mapper = new ObjectMapper()
@@ -577,7 +585,8 @@ object ZarrSource {
     require(za.dtype == "<f8", s"appendCube supports <f8 stores, got ${za.dtype}")
     val dim0 = za.dims.head
     val oldLen = za.shape.head
-    val oldCoord0 = readAll(s"$groupDir/$dim0", openArray(s"$groupDir/$dim0"))
+    val coordZa = openArray(s"$groupDir/$dim0")
+    val oldCoord0 = readAll(s"$groupDir/$dim0", coordZa)
     require(!newCoord.exists(oldCoord0.contains),
       s"appendCube: new $dim0 values overlap the store's existing coordinates")
     val newLen = oldLen + newCoord.length
@@ -623,7 +632,13 @@ object ZarrSource {
         else Array.fill(chunkElems)(Double.NaN)
       var n = 0
       it.foreach { case (_, o, v) => data(o) = v; n += 1 }
-      java.nio.file.Files.write(path, encodeChunk(data, codec))
+      // packed store: `data` holds PHYSICAL values (decodeChunk applied
+      // mask-and-scale, and the incoming DataFrame is physical by contract)
+      // — invert the packing before writing so the .zattrs scale/offset are
+      // not applied twice on the next read
+      val raw =
+        if (zaForDecode.cfActive) data.map(zaForDecode.cfEncode) else data
+      java.nio.file.Files.write(path, encodeChunk(raw, codec))
       n
     }.count()
 
@@ -633,7 +648,8 @@ object ZarrSource {
     val coordZarr = zarrayJson(Seq(newLen), Seq(newLen), codec)
     writeJson(s"$groupDir/$dim0/.zarray", coordZarr)
     java.nio.file.Files.write(java.nio.file.Paths.get(s"$groupDir/$dim0/0"),
-      encodeChunk(coord0, codec))
+      encodeChunk(
+        if (coordZa.cfActive) coord0.map(coordZa.cfEncode) else coord0, codec))
     val varZarr = zarrayJson(shape, chunks, codec)
     writeJson(s"$arrayDir/.zarray", varZarr)
     readJson(s"$groupDir/.zmetadata").foreach { metaDoc =>

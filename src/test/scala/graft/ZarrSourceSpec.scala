@@ -152,6 +152,46 @@ class ZarrSourceSpec extends AnyFunSuite {
     assert(back((1.5, 0.5)) == 115.0 && back((1.5, 1.5)) == 120.0)
   }
 
+  test("appendCube on a CF-packed store re-packs physical values (no double scale)") {
+    import spark.implicits._
+    // regression: appendCube used to decode the boundary chunk to PHYSICAL
+    // values (mask-and-scale) and write them back raw, so the next read
+    // scaled the packed cells a second time
+    val ys = Array(0.5, 1.5)
+    val t0 = Array(0.0, 1.0, 2.0)
+    def raw(t: Double, y: Double) = t * 10 + y
+    def phys(t: Double, y: Double) = raw(t, y) * 0.5 + 100.0
+    val rows0 = for { t <- t0.toSeq; y <- ys } yield (t, y, raw(t, y))
+    val g = s"${tmpDir("zarrappcf")}/packed.zarr"
+    // dim-0 chunk extent 2, length 3 → chunk 1 is PARTIAL and will be
+    // read-modify-written by the append
+    ZarrSource.writeCube(rows0.toDF("t", "y", "v"), g, "v",
+      Seq("t" -> t0, "y" -> ys), chunks = Seq(2, 2))
+    val za = Paths.get(s"$g/v/.zattrs")
+    Files.writeString(za, Files.readString(za).trim.stripSuffix("}") +
+      ""","scale_factor": 0.5, "add_offset": 100.0, "_FillValue": -999.0}""")
+    Files.deleteIfExists(Paths.get(s"$g/.zmetadata"))
+    // append PHYSICAL values; leave (4.0, 1.5) unwritten → fill sentinel
+    val tNew = Array(3.0, 4.0)
+    val rows1 = (for { t <- tNew.toSeq; y <- ys } yield (t, y, phys(t, y)))
+      .filterNot { case (t, y, _) => t == 4.0 && y == 1.5 }
+    ZarrSource.appendCube(rows1.toDF("t", "y", "v"), g, "v", tNew)
+    val back = ZarrSource.readCube(spark, g, "v").collect()
+      .map(r => (r.getDouble(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    assert(back.size == 10)
+    // pre-existing cells — including the merged boundary chunk row t=2 —
+    // decode exactly ONCE, and appended cells read back as written
+    for { t <- t0 ++ tNew; y <- ys if !(t == 4.0 && y == 1.5) }
+      assert(back((t, y)) == phys(t, y), s"($t,$y)")
+    assert(back((4.0, 1.5)).isNaN)
+    // on disk the unwritten cell is the RAW fill sentinel, not NaN
+    val bc = ZarrSource.openArray(s"$g/v")
+    val rawBack = ZarrSource.decodeChunk(
+      Files.readAllBytes(Paths.get(s"$g/v/2.0")), bc.copy(cfFill = None,
+        cfScale = 1.0, cfOffset = 0.0))
+    assert(rawBack.contains(-999.0))
+  }
+
   test("reads an externally-shaped layout: big-endian f4, raw, / separator") {
     // hand-written group: no coordinate arrays (index fallback), raw
     // compressor, ">f4" dtype, dimension_separator "/", fill_value 0
