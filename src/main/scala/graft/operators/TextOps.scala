@@ -139,29 +139,38 @@ object TextOps {
   }
 
   /** ExactSubstr REMOVAL (the second half of Lee et al. 2021 §4.1): every
-    * duplicated n-token span keeps its FIRST corpus occurrence (min
-    * (doc, pos), via one row_number over that span's flagged occurrences)
-    * and every other occurrence is deleted token-wise; surviving tokens
-    * are stitched back in order. Returns one row per input document:
+    * duplicated n-token span keeps its FIRST corpus occurrence and every
+    * other occurrence is deleted token-wise; surviving tokens are stitched
+    * back in order. Returns one row per input document:
     * (doc_id, clean_text, n_tokens) — fully-duplicated documents come
     * back with empty text.
     *
-    * Scale shape: deletion marks explode ONLY flagged occurrences (n
-    * token indices each, distinct-folded), and ONLY documents with a
-    * deletion are re-tokenized and reassembled — untouched documents pass
-    * through without an explode, so the rebuild cost is proportional to
+    * Scale shape: the first occurrence per span hash is a map-side-
+    * combinable `min(struct(doc_id, pos))` aggregation + equi-join back —
+    * NOT a `row_number` window, whose partition-local sort would funnel a
+    * boilerplate span repeated across 10⁸ documents (license headers —
+    * the exact thing this operator removes) into one partition. A
+    * degenerate corpus where every document shares one span costs the
+    * same one shuffle as a uniform corpus (AQE splits the skewed join
+    * side). Deletion marks explode ONLY flagged occurrences (n token
+    * indices each, distinct-folded), and ONLY documents with a deletion
+    * are re-tokenized and reassembled — untouched documents pass through
+    * without an explode, so the rebuild cost is proportional to
     * duplicated volume, not corpus volume. NOTE: rebuilt text is
     * single-space joined (tokens() semantics), like the rest of the
     * token pipeline.
     */
   def removeRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
                           n: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val spans = repeatedSpans(df, idCol, textCol, n)
-    val w = Window.partitionBy("h").orderBy(col("doc_id"), col("pos"))
+    // lexicographic min(struct) == the row_number-over-(doc_id, pos) winner,
+    // but partial-aggregates on the map side: the hot span hash arrives at
+    // the reducer as one pre-combined row per upstream partition
+    val firsts = spans.groupBy("h")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("__first"))
     val marks = spans
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") > 1)
+      .join(firsts, Seq("h"))
+      .filter(struct(col("doc_id"), col("pos")) =!= col("__first"))
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + n - 1)).as("ti"))
       .distinct()

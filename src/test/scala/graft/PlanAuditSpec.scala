@@ -49,6 +49,9 @@ class PlanAuditSpec extends AnyFunSuite {
     val p = plan("q_substr_removal")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p.take(800))
     assert(p.contains("LeftAnti"), "token deletion must be a keyed anti join")
+    assert(!p.contains("Window"),
+      "first-occurrence must be the map-side-combinable min(struct) agg, " +
+        "not a row_number window (hot span hash would sort in ONE partition)")
   }
 
   test("q_dsir: scoring is scan-shaped — the quantized model is a literal, no join") {
