@@ -624,8 +624,11 @@ object ServingPack extends QueryPack {
     // then read back through the combined refs and checksummed per day.
     "q_kerchunk_combine" -> ((s, d) => {
       val ncs = netcdfFixture(s, d)
+      // fleet scan: one executor task per granule (magic-sniffed), the
+      // driver collects only metadata-sized refs docs — at archive scale
+      // a driver-side scan loop is the ingest bottleneck
       val combined = KerchunkSource.combineRefs(
-        ncs.map(p => KerchunkSource.scanNetcdf(p)), "t", Array(0.0, 1.0))
+        KerchunkSource.scanGranules(s, ncs), "t", Array(0.0, 1.0))
       val refsPath = refsDir(d).resolve("combined.refs.json")
       java.nio.file.Files.write(refsPath, combined.getBytes("UTF-8"))
       KerchunkSource.readCube(s, refsPath.toString, "v")

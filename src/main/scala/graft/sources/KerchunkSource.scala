@@ -469,6 +469,47 @@ object KerchunkSource {
     else if (r.offset > 0) s"""[${jstr(r.url)}, ${r.offset}]""" // offset-to-EOF
     else s"""[${jstr(r.url)}]"""
 
+  /** Scan MANY granules as ONE Spark job — an executor task per granule,
+    * the archive-ingest shape: with ~10⁵ granules behind a 100 TB store,
+    * a driver-side scan loop never finishes, while this fleet scan is
+    * embarrassingly parallel and the driver only collects the
+    * metadata-sized refs documents (returned in input order, ready for
+    * [[combineRefs]]). Each task sniffs its own granule: leading `CDF`
+    * magic → [[scanNetcdf]] (bounded front-of-file header read),
+    * `\\x89HDF` → [[scanHdf5]], TIFF `II*`/`MM*` → [[scanGeoTiff]]
+    * (bounded header prefix), a directory with Zarr metadata →
+    * [[scanZarr]].
+    */
+  def scanGranules(spark: SparkSession, paths: Seq[String]): Seq[String] = {
+    require(paths.nonEmpty, "scanGranules: no input paths (empty glob?)")
+    spark.sparkContext
+      .parallelize(paths.zipWithIndex, paths.length)
+      .map { case (p, i) => (i, scanAuto(p)) }
+      .collect()
+      .sortBy(_._1)
+      .map(_._2)
+      .toSeq
+  }
+
+  /** Dispatch one granule to the right scanner by its own magic bytes
+    * (an 8-byte read — never the payload).
+    */
+  def scanAuto(path: String): String = {
+    val f = new java.io.File(path)
+    if (f.isDirectory) return scanZarr(path)
+    val magic = {
+      val in = java.nio.file.Files.newInputStream(f.toPath)
+      try in.readNBytes(4) finally in.close()
+    }
+    val m = magic.map(_ & 0xff)
+    if (m.startsWith(Seq('C'.toInt, 'D'.toInt, 'F'.toInt))) scanNetcdf(path)
+    else if (m.startsWith(Seq(0x89, 'H'.toInt, 'D'.toInt, 'F'.toInt))) scanHdf5(path)
+    else if (m.startsWith(Seq('I'.toInt, 'I'.toInt, 42, 0)) ||
+             m.startsWith(Seq('M'.toInt, 'M'.toInt, 0, 42))) scanGeoTiff(path)
+    else throw new IllegalArgumentException(
+      s"$path: unrecognized granule magic ${magic.mkString(",")}")
+  }
+
   /** MultiZarrToZarr-style combine: N single-granule reference documents
     * with IDENTICAL per-variable layouts → one virtual dataset with a new
     * leading `concatDim` (the kerchunk archive workflow — a year of daily

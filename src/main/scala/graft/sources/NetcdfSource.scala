@@ -233,10 +233,34 @@ object NetcdfSource {
   def read(path: String): NcFile =
     parse(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)))
 
-  /** Header-only read: dims/attrs/var shapes, no data decode. */
-  def readHeader(path: String): NcFile =
-    parse(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
-      headerOnly = true)
+  /** Header-only read: dims/attrs/var shapes, no data decode. Reads a
+    * BOUNDED front-of-file prefix — the classic-format header is stored
+    * contiguously at the start (numrecs at byte 4, then dim/attr/var
+    * lists), so a metadata scan of a multi-GB granule costs one small
+    * range read, not the payload. If an unusually fat attribute table
+    * spills past the prefix the parse trips the buffer bound and the
+    * prefix grows geometrically — worst case (prefix == file) only for
+    * degenerate all-header files.
+    */
+  def readHeader(path: String, initialPrefixBytes: Int = 1 << 20): NcFile = {
+    val p = java.nio.file.Paths.get(path)
+    val total = java.nio.file.Files.size(p)
+    var n = math.min(math.max(initialPrefixBytes.toLong, 64L), total)
+    while (true) {
+      val in = java.nio.file.Files.newInputStream(p)
+      val prefix = try in.readNBytes(n.toInt) finally in.close()
+      try return parse(prefix, headerOnly = true)
+      catch {
+        // reads past the prefix (not past the file) mean the header is
+        // longer than the guess — retry with a bigger bound
+        case e @ (_: java.nio.BufferUnderflowException |
+                  _: IndexOutOfBoundsException) =>
+          if (n >= total) throw e
+          n = math.min(n * 4, total)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
 
   /** One data variable as long-format rows: a column per dimension (the
     * same-named coordinate variable's value if present, else the index)

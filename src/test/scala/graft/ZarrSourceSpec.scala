@@ -317,6 +317,71 @@ class ZarrSourceSpec extends AnyFunSuite {
     assert(r1.isArray && r1.get(1).asLong > 0 && r1.get(2).asLong == 4 * 8)
   }
 
+  test("kerchunk: scanGranules runs one executor task per granule, docs in order") {
+    import graft.sources.{KerchunkSource, NetcdfSource}
+    import NetcdfSource.NcDim
+    val dir = tmpDir("kcfleet")
+    val paths = (0 until 6).map { g =>
+      val p = s"$dir/gran$g.nc"
+      NetcdfSource.write(p,
+        Seq(NcDim("x", 3)),
+        Seq(("x", Array.tabulate(3)(_ + 0.5))),
+        Seq(("v", Seq("x"), Array.tabulate(3)(i => (g * 10 + i).toDouble))))
+      p
+    }
+    // count the tasks of the scan job via a listener: the scan must run as
+    // executor tasks (the 100 TB archive shape), not a driver loop
+    val taskCount = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        taskCount.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val docs = try {
+      val r = KerchunkSource.scanGranules(spark, paths)
+      // listener delivery is async — poll briefly for the task-end events
+      val deadline = System.nanoTime() + 5_000_000_000L
+      while (taskCount.get() < paths.length && System.nanoTime() < deadline)
+        Thread.sleep(20)
+      r
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(taskCount.get() >= paths.length,
+      s"expected >= ${paths.length} scan tasks, saw ${taskCount.get()}")
+    // distributed docs == driver-side scans, in input order
+    assert(docs == paths.map(KerchunkSource.scanNetcdf(_)))
+    // magic sniffing picked the right scanner (netcdf refs, per-var chunk)
+    assert(docs.head.contains("\"v/0\"") && docs.head.contains(">f8"))
+    // and combineRefs consumes the fleet output directly
+    val combined = KerchunkSource.combineRefs(docs, "t",
+      Array.tabulate(6)(_.toDouble))
+    val refsPath = s"${tmpDir("kcfleet2")}/all.refs.json"
+    Files.writeString(Paths.get(refsPath), combined)
+    val back = KerchunkSource.readCube(spark, refsPath, "v").collect()
+      .map(r => (r.getDouble(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    assert(back.size == 18)
+    for (g <- 0 until 6; i <- 0 until 3)
+      assert(back((g.toDouble, i + 0.5)) == g * 10 + i)
+  }
+
+  test("netcdf readHeader is a bounded prefix read that grows on demand") {
+    import graft.sources.NetcdfSource
+    import NetcdfSource.NcDim
+    // tiny initial prefix (64 B) forces the geometric-growth retry; the
+    // parsed header must equal the full-file parse
+    val p = s"${tmpDir("nchdr")}/h.nc"
+    NetcdfSource.write(p,
+      Seq(NcDim("t", 5), NcDim("x", 7)),
+      Seq(("t", Array.tabulate(5)(_ * 1.0)), ("x", Array.tabulate(7)(_ + 0.5))),
+      Seq(("v", Seq("t", "x"), Array.tabulate(35)(_ * 3.0))))
+    val viaPrefix = NetcdfSource.readHeader(p, initialPrefixBytes = 64)
+    val full = NetcdfSource.read(p)
+    assert(viaPrefix.dims == full.dims)
+    assert(viaPrefix.vars.map(_.name) == full.vars.map(_.name))
+    assert(viaPrefix.layout.get == full.layout.get)
+    assert(viaPrefix.attrs == full.attrs)
+  }
+
   test("kerchunk: scanZarr indexes nested '/'-separated chunk directories") {
     import graft.sources.KerchunkSource
     val g = s"${tmpDir("kcsep")}/s.zarr"
