@@ -118,6 +118,30 @@ object ServingPack extends QueryPack {
     path
   }
 
+  /** Build (once per sf) the day-1 GeoTIFF with a GDAL_NODATA sentinel:
+    * every 97th grid cell is forced NaN, so the file stores -9999 there
+    * and a reader that ignores the tag poisons every aggregate.
+    */
+  private def geotiffNodataFixture(s: SparkSession, d: String): String = {
+    val sfName = new java.io.File(d).getName
+    val base = s"/root/repo/.graft-fixtures/geotiff_nd_$sfName"
+    val path = s"$base/day1_nd.tif"
+    Fixtures.ensureWritten(base,
+      "day=2024-01-01,grid=360x100,deflate,mean6,nodata=-9999,drop97") {
+      new java.io.File(base).mkdirs()
+      val grid = dailyMeanGrid(s, d, "2024-01-01")
+      // north-up: raster row 0 is the TOP (max y) grid row
+      val arr = Array.tabulate(100 * 360) { k =>
+        val j = 99 - k / 360; val i = k % 360
+        if ((j * 360 + i) % 97 == 0) Double.NaN else grid(j * 360 + i)
+      }
+      GeoTiffSource.write(path,
+        GeoTiffSource.Raster(360, 100, arr, 1.0, 1.0, 0.0, 100.0),
+        deflate = true, nodata = Some(-9999.0))
+    }
+    path
+  }
+
   /** Fixed per-sf scratch dir for regenerated kerchunk refs documents
     * (overwritten per run, never cached — see q_kerchunk).
     */
@@ -655,6 +679,20 @@ object ServingPack extends QueryPack {
           round(sum(col("v").cast("decimal(28,10)")), 6).cast("double").as("sum_v"))
     }),
 
+    // GDAL_NODATA masking (rioxarray's default masked read, which the
+    // reference inherits — store/fs/impl/rasterio.py:81-330): the fixture
+    // stores -9999 at every 97th grid cell; the reader must surface those
+    // as NaN or the sentinels poison every aggregate below.
+    "q_geotiff_nodata" -> ((s, d) => {
+      GeoTiffSource.readRaster(s, geotiffNodataFixture(s, d))
+        .filter(!isnan(col("v")))
+        .groupBy((col("y") / 10).cast("long").as("jband"))
+        .agg(count(lit(1)).as("n_cells"),
+          round(sum((col("y") + col("x")).cast("decimal(28,10)")), 6)
+            .cast("double").as("sum_coord"),
+          round(sum(col("v").cast("decimal(28,10)")), 6).cast("double").as("sum_v"))
+    }),
+
     // COG overview chain (the cloud-optimized GeoTIFF organization GDAL's
     // gdaladdo produces): the daily-mean raster written TILED with two
     // chained ::2 overview IFDs, read back level by level, each level
@@ -1110,6 +1148,18 @@ object ServingPack extends QueryPack {
                 round(sum(((j + 0.5) + (i + 0.5))::DECIMAL(28,10)), 6)::DOUBLE AS sum_coord,
                 round(sum(v::DECIMAL(28,10)), 6)::DOUBLE AS sum_v
          FROM daily GROUP BY jband""",
+    "q_geotiff_nodata" ->
+      s"""WITH ${CubePack.cubeCte},
+         daily AS (SELECT floor(y)::BIGINT AS j, floor(x)::BIGINT AS i,
+                          round(sum(v::DECIMAL(28,12))::DOUBLE / count(*), 6) AS v
+                   FROM cube
+                   WHERE CAST(time AS DATE) = DATE '2024-01-01'
+                   GROUP BY j, i),
+         live AS (SELECT j, i, v FROM daily WHERE (j * 360 + i) % 97 <> 0)
+         SELECT j // 10 AS jband, count(*) AS n_cells,
+                round(sum(((j + 0.5) + (i + 0.5))::DECIMAL(28,10)), 6)::DOUBLE AS sum_coord,
+                round(sum(v::DECIMAL(28,10)), 6)::DOUBLE AS sum_v
+         FROM live GROUP BY jband""",
     // level-k cell (r, c) holds grid cell (j = 99 - (2^k)r, i = (2^k)c) —
     // gdaladdo-nearest: value is the block's top-left sample, coordinate is
     // the block center (x = i + 2^(k-1), y = j + 1 - 2^(k-1))

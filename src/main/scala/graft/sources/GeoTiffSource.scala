@@ -297,7 +297,7 @@ object GeoTiffSource {
   }
 
   /** First-IFD tags (+ byte order) without decoding any pixel data. */
-  private[sources] def readFirstIfdTags(bytes: Array[Byte]): (Map[Int, Array[Double]], ByteOrder) = {
+  private[graft] def readFirstIfdTags(bytes: Array[Byte]): (Map[Int, Array[Double]], ByteOrder) = {
     val (b, order) = open(bytes)
     (ifdTags(b, b.getInt(4)), order)
   }
@@ -446,10 +446,34 @@ object GeoTiffSource {
       }
     }
 
+    // GDAL_NODATA (tag 42113, ASCII): mask the sentinel to NaN on read —
+    // rioxarray's default masked read, which the reference inherits
+    // (xcube store/fs/impl/rasterio.py:81-330). Without this a GDAL-written
+    // float raster streams its nodata sentinel into aggregations as data.
+    nodataFrom(tags).filterNot(_.isNaN).foreach { nd =>
+      bands.foreach { b0 =>
+        var i = 0
+        while (i < b0.length) { if (b0(i) == nd) b0(i) = Double.NaN; i += 1 }
+      }
+    }
+
     val (scaleX, scaleY, originX, originY) = georefFrom(tags)
     (Raster(width, height, bands, scaleX, scaleY, originX, originY),
       b.getInt(ifdOff + 2 + nEntries * 12))
   }
+
+  /** GDAL_NODATA sentinel from an IFD tag map: ASCII chars arrive as code
+    * points; GDAL writes the decimal text ("-9999", "1.5e20", "nan").
+    */
+  private[graft] def nodataFrom(tags: Map[Int, Array[Double]]): Option[Double] =
+    tags.get(42113).map { cs =>
+      val s = cs.takeWhile(_ != 0.0).map(_.toInt.toChar).mkString.trim
+      if (s.equalsIgnoreCase("nan")) Double.NaN
+      else try s.toDouble catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"GDAL_NODATA tag carries unparseable value '$s'")
+      }
+    }
 
   def read(path: String): Raster =
     parse(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)))
@@ -534,8 +558,9 @@ object GeoTiffSource {
     */
   def write(path: String, raster: Raster, deflate: Boolean = false,
             tileSize: Int = 0, lzw: Boolean = false, bits: Int = 64,
-            predictor: Int = 1): Unit =
-    writeLevels(path, IndexedSeq(raster), deflate, tileSize, lzw, bits, predictor)
+            predictor: Int = 1, nodata: Option[Double] = None): Unit =
+    writeLevels(path, IndexedSeq(raster), deflate, tileSize, lzw, bits,
+      predictor, nodata)
 
   /** [[write]] plus a chained ::2 overview pyramid — the COG overview
     * organization: `nOverviews` reduced-resolution IFDs follow the main
@@ -546,14 +571,14 @@ object GeoTiffSource {
   def writeWithOverviews(path: String, raster: Raster, nOverviews: Int,
                          deflate: Boolean = false, tileSize: Int = 0,
                          lzw: Boolean = false, bits: Int = 64,
-                         predictor: Int = 1): Unit = {
+                         predictor: Int = 1, nodata: Option[Double] = None): Unit = {
     require(nOverviews >= 0, s"nOverviews $nOverviews")
     // every overview must actually halve something: once both dims hit 1
     // further levels would be identical 1x1 copies
     require((math.max(raster.width, raster.height) >> nOverviews) >= 1,
       s"$nOverviews overviews collapse a ${raster.width}x${raster.height} raster")
     val levels = IndexedSeq.iterate(raster, nOverviews + 1)(decimate2)
-    writeLevels(path, levels, deflate, tileSize, lzw, bits, predictor)
+    writeLevels(path, levels, deflate, tileSize, lzw, bits, predictor, nodata)
   }
 
   /** Every-second-pixel (::2) overview — the reference's compute_levels
@@ -577,7 +602,8 @@ object GeoTiffSource {
     */
   private def writeLevels(path: String, levels: IndexedSeq[Raster],
                           deflate: Boolean, tileSize: Int, lzw: Boolean,
-                          bits: Int, predictor: Int): Unit = {
+                          bits: Int, predictor: Int,
+                          nodata: Option[Double] = None): Unit = {
     require(levels.nonEmpty, "no levels")
     require(levels.map(_.bands.length).distinct.size == 1,
       "levels must share a band count")
@@ -585,11 +611,24 @@ object GeoTiffSource {
     require(bits == 64 || bits == 16, s"writer supports float64/int16, got $bits-bit")
     require(predictor == 1 || (predictor == 2 && bits == 16),
       "predictor 2 requires int16 samples")
+    require(nodata.forall(!_.isNaN),
+      "a NaN nodata sentinel is redundant for float64 and unrepresentable for int16")
     val nb = levels.head.bands.length
     val bps = bits / 8
-    def putSample(buf: ByteBuffer, v: Double): Unit =
-      if (bits == 64) { buf.putDouble(v); () }
-      else { buf.putShort(math.rint(v).toShort); () }
+    // GDAL_NODATA text, as GDAL formats it (integral sentinels without a
+    // fractional part), NUL-terminated per the ASCII field type
+    val ndBytes: Array[Byte] = nodata.map { nd =>
+      val s = if (nd == math.rint(nd) && math.abs(nd) < 1e15) nd.toLong.toString
+              else nd.toString
+      s.getBytes("US-ASCII") :+ 0.toByte
+    }.getOrElse(Array.empty)
+    def putSample(buf: ByteBuffer, v: Double): Unit = {
+      // NaN pixels leave the file as the declared sentinel (the inverse of
+      // the masked read) — essential for int16, where NaN has no encoding
+      val vv = if (v.isNaN && nodata.isDefined) nodata.get else v
+      if (bits == 64) { buf.putDouble(vv); () }
+      else { buf.putShort(math.rint(vv).toShort); () }
+    }
     def compress(b: Array[Byte]): Array[Byte] =
       if (lzw) lzwEncode(b)
       else if (!deflate) b
@@ -648,13 +687,18 @@ object GeoTiffSource {
       //                 [offset + count arrays when >1 chunk] | chunk data
       val entries = (if (tiled) 12 else 11) + 1 + // + SamplesPerPixel
         (if (predictor == 2) 1 else 0) +          // + Predictor
-        (if (overview) 1 else 0)                  // + NewSubfileType
+        (if (overview) 1 else 0) +                // + NewSubfileType
+        (if (nodata.isDefined) 1 else 0)          // + GDAL_NODATA
       val ifdLen = 2 + entries * 12 + 4
       val scaleOff = base + ifdLen
       val tieOff = scaleOff + 3 * 8
       val n = chunks.length
       val needVec = nb > 2 // SHORT×nb no longer fits the 4 inline bytes
-      val bitsArrOff = tieOff + 6 * 8
+      // GDAL_NODATA text goes external (even-padded) only when it outgrows
+      // the 4 inline value bytes
+      val ndExt = if (ndBytes.length > 4) ndBytes.length + (ndBytes.length & 1) else 0
+      val ndOff = tieOff + 6 * 8
+      val bitsArrOff = ndOff + ndExt
       val fmtArrOff = bitsArrOff + (if (needVec) 2 * nb else 0)
       val offArrOff = fmtArrOff + (if (needVec) 2 * nb else 0)
       val cntArrOff = offArrOff + (if (n > 1) 4 * n else 0)
@@ -712,11 +756,25 @@ object GeoTiffSource {
       shortVecEntry(339, fmtCode, fmtArrOff)               // SampleFormat
       entry(33550, 12, 3, scaleOff)                        // ModelPixelScale
       entry(33922, 12, 6, tieOff)                          // ModelTiepoint
+      if (nodata.isDefined) {                              // GDAL_NODATA
+        buf.putShort(42113.toShort); buf.putShort(2.toShort)
+        buf.putInt(ndBytes.length)
+        if (ndBytes.length <= 4) { // value inline in the 4 field bytes
+          var i = 0
+          while (i < 4) {
+            buf.put(if (i < ndBytes.length) ndBytes(i) else 0.toByte); i += 1
+          }
+        } else buf.putInt(ndOff)
+      }
       val nextPtrPos = buf.position()
       buf.putInt(0) // next-IFD pointer (0 = end; patched when chaining)
       buf.putDouble(raster.scaleX).putDouble(raster.scaleY).putDouble(0.0)
       buf.putDouble(0.0).putDouble(0.0).putDouble(0.0)     // raster (0,0,0) →
       buf.putDouble(raster.originX).putDouble(raster.originY).putDouble(0.0)
+      if (ndExt > 0) {
+        buf.put(ndBytes)
+        if ((ndBytes.length & 1) == 1) buf.put(0.toByte) // even padding
+      }
       if (needVec) {
         (0 until nb).foreach(_ => buf.putShort(bits.toShort))    // bits array
         (0 until nb).foreach(_ => buf.putShort(fmtCode.toShort)) // format array

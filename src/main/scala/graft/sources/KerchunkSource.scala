@@ -440,8 +440,13 @@ object KerchunkSource {
       s"""{"zarr_format":2,"shape":[${shape.mkString(",")}],""" +
         s""""chunks":[${chunks.mkString(",")}],"dtype":"$dtype",""" +
         s""""compressor":$comp,"fill_value":null,"filters":null,"order":"C"}""")
+    // GDAL_NODATA → CF _FillValue: the kerchunk read then masks the
+    // sentinel through the standard Zarr CF-decode path, matching the
+    // direct reader's masked read
+    val ndAttr = GeoTiffSource.nodataFrom(tags).filterNot(_.isNaN)
+      .map(v => s""","_FillValue":$v""").getOrElse("")
     out("v/.zattrs") = jstr(
-      s"""{"_ARRAY_DIMENSIONS":[${dims.map(jstr).mkString(",")}]}""")
+      s"""{"_ARRAY_DIMENSIONS":[${dims.map(jstr).mkString(",")}]$ndAttr}""")
     val url = new java.io.File(path).toURI.toString
     val across = (width + chunkW - 1) / chunkW
     offs.zip(cnts).zipWithIndex.foreach { case ((o, c), t) =>

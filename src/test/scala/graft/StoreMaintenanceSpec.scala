@@ -327,6 +327,43 @@ class StoreMaintenanceSpec extends AnyFunSuite {
     }
   }
 
+  test("GeoTIFF GDAL_NODATA: sentinel masks to NaN on read, NaN re-packs on write") {
+    import graft.sources.{GeoTiffSource, KerchunkSource}
+    val dir = Files.createTempDirectory("graft_tifnd").toFile
+    // float64: NaN pixels leave as -9999, sentinel pixels come back NaN
+    val r = GeoTiffSource.Raster(3, 2,
+      Array(1.0, Double.NaN, 3.0, 4.0, Double.NaN, 6.0), 2.0, 2.0, 100.0, 50.0)
+    val p = new java.io.File(dir, "nd.tif").getAbsolutePath
+    GeoTiffSource.write(p, r, deflate = true, nodata = Some(-9999.0))
+    // on disk the pixels are the sentinel (parse the raw tag-free way:
+    // a reader ignoring the tag sees -9999)
+    val tags = GeoTiffSource.readFirstIfdTags(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)))._1
+    assert(GeoTiffSource.nodataFrom(tags).contains(-9999.0))
+    val back = GeoTiffSource.read(p)
+    assert(back.data.toSeq.zip(r.data.toSeq).forall { case (a, b) =>
+      a == b || (a.isNaN && b.isNaN) }, back.data.toSeq.toString)
+    // int16: NaN has no encoding at all — the sentinel is the only way
+    val p16 = new java.io.File(dir, "nd16.tif").getAbsolutePath
+    GeoTiffSource.write(p16, r, bits = 16, nodata = Some(-9999.0))
+    val back16 = GeoTiffSource.read(p16)
+    assert(back16.data.toSeq.zip(r.data.toSeq).forall { case (a, b) =>
+      a == b || (a.isNaN && b.isNaN) }, back16.data.toSeq.toString)
+    // a tag-less raster with the same bit pattern stays unmasked
+    val p2 = new java.io.File(dir, "raw.tif").getAbsolutePath
+    GeoTiffSource.write(p2, GeoTiffSource.Raster(2, 1,
+      Array(-9999.0, 5.0), 1.0, 1.0, 0.0, 1.0))
+    assert(GeoTiffSource.read(p2).data.toSeq == Seq(-9999.0, 5.0))
+    // kerchunk scan carries the sentinel as a CF _FillValue → masked read
+    val refsPath = new java.io.File(dir, "nd.refs.json").getAbsolutePath
+    Files.writeString(java.nio.file.Paths.get(refsPath),
+      KerchunkSource.scanGeoTiff(p))
+    val kb = KerchunkSource.readCube(spark, refsPath, "v").collect()
+      .map(x => (x.getDouble(0), x.getDouble(1)) -> x.getDouble(2)).toMap
+    assert(kb((49.0, 101.0)) == 1.0 && kb((49.0, 103.0)).isNaN
+      && kb((47.0, 103.0)).isNaN && kb((47.0, 105.0)) == 6.0, kb.toString)
+  }
+
   test("diffDatasets: presence is row existence, not value non-nullness") {
     import spark.implicits._
     import graft.operators.MaintenanceOps
