@@ -6,16 +6,24 @@ import org.apache.spark.sql.SparkSession
   *
   * Per query: one untimed warm execution (JIT + codegen + shuffle-file cache
   * land there) then SPARK_GRAFT_BENCH_REPS (default 3) timed repetitions;
-  * "queries" holds the per-query MEDIAN, "mins" the per-query minimum, and
-  * the headline value is the sum of medians. Single-shot timings on this
+  * "queries" holds the per-query MEDIAN (the mean of the two middle
+  * elements for an even rep count), "mins" the per-query minimum, and the
+  * headline value is the sum of medians. Single-shot timings on this
   * harness swing up to 8x from JIT/background contamination (round-6
   * q_skew_join read 16.8 s vs a 2.5 s steady state) — the median suppresses
   * that without hiding a real regression.
+  *
+  * Output robustness: harnesses that capture only the output TAIL truncate
+  * one giant line (BENCH_r06/r07 both parsed as null), so the headline
+  * total is printed FIRST on its own line, the full JSON document is
+  * printed after it, AND the same document is written to
+  * SPARK_GRAFT_BENCH_OUT (default bench_out.json in the cwd).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     val spark = GraftSession.get()
     // untimed global warmup: parquet reader + shuffle machinery init
     val w = spark.read.parquet(s"$sfDir/region.parquet")
@@ -26,12 +34,17 @@ object Bench {
       fn(spark, sfDir).count()
       (System.nanoTime() - t0) / 1e9
     }
+    // true median: mean of the two middle elements when reps is even
+    // (times(n/2) alone is the upper-middle element — biased high)
+    def median(times: Seq[Double]): Double =
+      if (times.length % 2 == 1) times(times.length / 2)
+      else (times(times.length / 2 - 1) + times(times.length / 2)) / 2.0
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val err =
         try {
           run(fn) // untimed per-query warm rep
           val times = (1 to reps).map(_ => run(fn)).sorted
-          Right((times(times.length / 2), times.head))
+          Right((median(times), times.head))
         } catch { case e: Throwable =>
           Left(Option(e.getMessage).getOrElse(e.getClass.getName)
             .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(160))
@@ -44,7 +57,16 @@ object Bench {
     val errs = results.collect { case (k, Left(m)) => s"\"$k\":\"$m\"" }
       .mkString("{", ",", "}")
     val total = ok.map(_._2._1).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"mins":$mins,"errors":$errs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"mins":$mins,"errors":$errs,"sf":"$sfDir"}"""
+    // headline first (survives tail-capture), then the full document
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","detail":"$outPath"}""")
+    println(json)
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      json.getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"bench: could not write $outPath: ${e.getMessage}")
+    }
     spark.stop()
   }
 }
