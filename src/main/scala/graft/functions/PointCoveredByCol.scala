@@ -40,22 +40,19 @@ case class PointCoveredByCol(first: Expression, second: Expression,
 }
 
 object PointCoveredByCol {
-  // executor-JVM-wide prepared-geometry cache, shared with whatever tasks
-  // run the expression; keyed by the WKT text. Bounded: a feature table is
-  // expected to have few distinct geometries, but a degenerate join against
-  // millions of distinct WKTs must degrade to re-parsing, not executor OOM —
-  // on overflow the whole cache is dropped (contention-free, unlike a locked
-  // LRU, and the common small-cardinality case never hits it).
+  // per-thread prepared-geometry cache, keyed by the WKT text. Bounded: a
+  // feature table is expected to have few distinct geometries, but a
+  // degenerate join against millions of distinct WKTs must degrade to
+  // re-parsing, not executor OOM. Per-thread LRU ([[LruCache]]): lock-free
+  // on the per-row hot path, and overflow evicts only the coldest entries
+  // instead of dropping the whole cache each batch.
   private val MaxEntries = 4096
-  private val cache =
-    new java.util.concurrent.ConcurrentHashMap[String, GeomPredicate]()
+  private val cache = LruCache.threadLocal[GeomPredicate](MaxEntries)
 
   /** Codegen entry point: called from generated Java on primitive doubles.
     * Never sees null — nullSafeEval/nullSafeCodeGen short-circuit null
     * children to a null result before reaching here.
     */
-  def covers(wkt: UTF8String, x: Double, y: Double): Boolean = {
-    if (cache.size > MaxEntries) cache.clear()
-    cache.computeIfAbsent(wkt.toString, w => new GeomPredicate(w)).covers(x, y)
-  }
+  def covers(wkt: UTF8String, x: Double, y: Double): Boolean =
+    cache.get().get(wkt.toString, w => new GeomPredicate(w)).covers(x, y)
 }

@@ -29,18 +29,17 @@ case class WktBboxCol(child: Expression) extends UnaryExpression {
 }
 
 object WktBboxCol {
+  // per-thread LRU ([[LruCache]]): lock-free lookups on the per-row hot
+  // path, and a layer with >4096 distinct WKTs re-parses only its coldest
+  // geometries instead of dropping the whole cache each batch
   private val MaxEntries = 4096
-  private val cache =
-    new java.util.concurrent.ConcurrentHashMap[String, Array[Double]]()
+  private val cache = LruCache.threadLocal[Array[Double]](MaxEntries)
 
   /** Codegen entry point (never sees null — nullSafeCodeGen short-circuits). */
-  def bbox(wkt: UTF8String): ArrayData = {
-    if (cache.size > MaxEntries) cache.clear()
-    val a = cache.computeIfAbsent(wkt.toString, { w =>
+  def bbox(wkt: UTF8String): ArrayData =
+    ArrayData.toArrayData(cache.get().get(wkt.toString, { w =>
       val env = new org.locationtech.jts.io.WKTReader().read(w)
         .getEnvelopeInternal
       Array(env.getMinX, env.getMinY, env.getMaxX, env.getMaxY)
-    })
-    ArrayData.toArrayData(a)
-  }
+    }))
 }

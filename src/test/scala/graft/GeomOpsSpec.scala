@@ -100,4 +100,39 @@ class GeomOpsSpec extends AnyFunSuite {
     // features only cover j<15 rows of a 10-row grid → all cells burned
     assert(vals.values.forall(!_.isNaN))
   }
+
+  test("LruCache: size-capped, access-ordered eviction (no full-cache thrash)") {
+    val c = new graft.functions.LruCache[Int](4)
+    var computes = 0
+    def load(k: String): Int = { computes += 1; k.length }
+    (1 to 4).foreach(i => c.get("k" * i, load))
+    assert(c.size == 4 && computes == 4)
+    c.get("k", load) // touch k1 → most-recent
+    assert(computes == 4, "hit must not recompute")
+    c.get("kkkkk", load) // 5th key evicts ONLY the coldest (kk)
+    assert(c.size == 4 && computes == 5)
+    assert(c.contains("k") && !c.contains("kk"), "LRU must evict kk, keep k")
+    assert(c.contains("kkk") && c.contains("kkkk") && c.contains("kkkkk"))
+  }
+
+  test("WktBboxCol stays correct past the 4096-entry cache cap") {
+    import spark.implicits._
+    // >4096 DISTINCT per-row WKTs: with clear()-on-full this thrashed the
+    // whole cache per batch; the per-thread LRU just evicts cold entries.
+    // Correctness oracle: bbox of POINT(i j) is (i, j, i, j).
+    val n = 5000
+    val df = (0 until n).map(i => (i, s"POINT ($i ${i % 7})")).toDF("id", "wkt")
+      .select(col("id"),
+        org.apache.spark.sql.graft.ColumnBridge.column(
+          graft.functions.WktBboxCol(
+            org.apache.spark.sql.graft.ColumnBridge.expression(col("wkt")))).as("bb"))
+    val rows = df.collect()
+    assert(rows.length == n)
+    rows.foreach { r =>
+      val id = r.getInt(0)
+      val bb = r.getSeq[Double](1)
+      assert(bb == Seq(id.toDouble, (id % 7).toDouble, id.toDouble, (id % 7).toDouble),
+        s"id $id → $bb")
+    }
+  }
 }
