@@ -63,19 +63,36 @@ object CalendarOps {
         case "day" => 86400L
         case "week" => 604800L
       }
-      // "YYYY-M-D[ H:M:S[.f]][Z| +00:00]" — cftime accepts single-digit
-      // fields and a bare date
-      val e = epoch.trim.stripSuffix("Z").trim
-      val dtRe = "^(\\d{1,4})-(\\d{1,2})-(\\d{1,2})([ T](\\d{1,2}):(\\d{1,2})(:(\\d{1,2})(\\.(\\d+))?)?)?.*$".r
+      // "YYYY-M-D[ H:M:S[.f]][Z|±HH[:MM]]" — cftime accepts single-digit
+      // fields, a bare date, and a UTC offset, which shifts the epoch
+      // (cftime/xarray honor it; swallowing it would move every timestamp
+      // by the offset). Anything else after the timestamp is rejected
+      // loudly instead of being silently ignored.
+      // "Z"/"UTC"/"GMT" suffixes all mean zero offset (udunits accepts the
+      // named forms)
+      val e = epoch.trim.replaceAll("(?i)\\s*(Z|UTC|GMT)$", "").trim
+      val dtRe = ("^(\\d{1,4})-(\\d{1,2})-(\\d{1,2})" +
+        "([ T](\\d{1,2}):(\\d{1,2})(:(\\d{1,2})(\\.(\\d+))?)?)?" +
+        "\\s*([+-]\\d{1,2}(:?\\d{2})?)?\\s*$").r
       e match {
-        case dtRe(y, mo, d, _, h, mi, _, s, _, f) =>
+        case dtRe(y, mo, d, _, h, mi, _, s, _, f, off, _) =>
           val ldt = java.time.LocalDateTime.of(y.toInt, mo.toInt, d.toInt,
             Option(h).map(_.toInt).getOrElse(0),
             Option(mi).map(_.toInt).getOrElse(0),
             Option(s).map(_.toInt).getOrElse(0),
             Option(f).map(x => (x + "000000").take(6).toInt * 1000).getOrElse(0))
+          val offSecs = Option(off).map { o =>
+            val sign = if (o.startsWith("-")) -1L else 1L
+            val digits = o.drop(1).replace(":", "")
+            val (hh, mm) =
+              if (digits.length <= 2) (digits.toLong, 0L)
+              else (digits.dropRight(2).toLong, digits.takeRight(2).toLong)
+            require(hh <= 23 && mm <= 59, s"bad UTC offset '$o' in '$units'")
+            sign * (hh * 3600L + mm * 60L)
+          }.getOrElse(0L)
+          // an epoch written at +01:00 is one hour EARLIER in UTC
           CfTimeUnits(secs,
-            ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+            (ldt.toEpochSecond(java.time.ZoneOffset.UTC) - offSecs) * 1000000L +
               ldt.getNano / 1000L)
         case _ => throw new IllegalArgumentException(
           s"unparseable CF epoch '$epoch' in units '$units'")

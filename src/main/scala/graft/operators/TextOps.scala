@@ -51,11 +51,14 @@ object TextOps {
     val sumLen = aggregate(transform(w, x => length(x)),
       lit(0L), (acc, x) => acc + x)
     val nHash = (length(t) - length(regexp_replace(t, "#", ""))).cast("long")
-    val nEll = ((length(t) - length(regexp_replace(t, "\\.\\.\\.", ""))) / 3).cast("long")
+    // both ellipsis spellings count: ASCII '...' and Unicode '…' (U+2026 —
+    // the form word processors emit; the Gopher paper's rule covers it)
+    val nEll = ((length(t) - length(regexp_replace(t, "\\.\\.\\.", ""))) / 3 +
+      (length(t) - length(regexp_replace(t, "…", "")))).cast("long")
     val lines = split(t, "\n")
     val nLines = size(lines).cast("long")
     val nBullet = size(filter(lines, l => l.rlike("^(-|\\*|•)"))).cast("long")
-    val nEllEnd = size(filter(lines, l => l.rlike("\\.\\.\\.$"))).cast("long")
+    val nEllEnd = size(filter(lines, l => l.rlike("(\\.\\.\\.|…)$"))).cast("long")
     val nAlpha = size(filter(w, x => x.rlike("[a-z]"))).cast("long")
     val stops = array(Seq("the", "be", "to", "of", "and", "that", "have", "with")
       .map(lit): _*)

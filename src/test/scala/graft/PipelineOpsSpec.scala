@@ -451,7 +451,9 @@ class PipelineOpsSpec extends AnyFunSuite {
       (3L, (1 to 60).map(_ => "zz").mkString(" ")),   // r_stop (and short words)
       (4L, (1 to 30).map(_ => "- the fox and of a").mkString("\n")), // r_bullets
       (5L, (1 to 30).map(_ => "the fox and of a...").mkString("\n")), // r_ellipsis
-      (6L, (1 to 60).map(i => s"$i").mkString(" "))   // r_alpha (numerals)
+      (6L, (1 to 60).map(i => s"$i").mkString(" ")),  // r_alpha (numerals)
+      (7L, (1 to 30).map(_ => "the fox and of a…").mkString("\n")), // r_ellipsis (U+2026)
+      (8L, good + Seq.fill(9)(" …").mkString)         // r_symbols via U+2026
     ).toDF("doc_id", "text")
     val r = TextOps.gopherRules(docs, "text").collect()
       .map(row => row.getLong(0) -> row).toMap
@@ -463,6 +465,10 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(!b(4, "r_bullets") && b(4, "r_stop"))
     assert(!b(5, "r_ellipsis"))
     assert(!b(6, "r_alpha"))
+    // the Unicode ellipsis '…' counts like ASCII '...' (Gopher's rule is
+    // about ellipses, not a byte sequence)
+    assert(!b(7, "r_ellipsis"))
+    assert(!b(8, "r_symbols") && b(8, "r_words"))
   }
 
   test("kmeans step: nearest centroid wins, ties to lower cid, sums exact") {

@@ -161,6 +161,25 @@ class TemporalOpsSpec extends AnyFunSuite {
       CalendarOps.parseCfTimeUnits("fortnights since 2000-01-01"))
     intercept[IllegalArgumentException](
       CalendarOps.parseCfTimeUnits("days since the dawn of time"))
+    // a UTC offset on the epoch shifts it (cftime/xarray honor it): an
+    // epoch at +01:00 is one hour EARLIER in UTC
+    val z = CalendarOps.parseCfTimeUnits("hours since 2000-01-01 00:00:00")
+    val p1 = CalendarOps.parseCfTimeUnits("hours since 2000-01-01 00:00:00+01:00")
+    assert(p1.epochMicros == z.epochMicros - 3600L * 1000000L)
+    val m530 = CalendarOps.parseCfTimeUnits("hours since 2000-01-01 00:00:00-05:30")
+    assert(m530.epochMicros == z.epochMicros + (5 * 3600L + 1800L) * 1000000L)
+    // bare-hours and compact forms
+    assert(CalendarOps.parseCfTimeUnits("hours since 2000-01-01 00:00:00+01")
+      .epochMicros == p1.epochMicros)
+    assert(CalendarOps.parseCfTimeUnits("hours since 2000-01-01 00:00:00+0100")
+      .epochMicros == p1.epochMicros)
+    // explicit Z / named-UTC suffixes and a trailing-garbage rejection
+    assert(CalendarOps.parseCfTimeUnits("hours since 2000-01-01 00:00:00Z")
+      .epochMicros == z.epochMicros)
+    assert(CalendarOps.parseCfTimeUnits("hours since 2000-01-01 00:00:00 UTC")
+      .epochMicros == z.epochMicros)
+    intercept[IllegalArgumentException](
+      CalendarOps.parseCfTimeUnits("hours since 2000-01-01 00:00:00 junk"))
   }
 
   test("julian calendar decodes against the JVM's pure-julian GregorianCalendar") {
