@@ -242,9 +242,12 @@ object Hdf5Source {
 
     /** Dense group links: the name-index v2 B-tree's records carry fractal
       * heap IDs; each heap object is one serialized link message. Scope:
-      * a root-is-a-direct-block heap (what fits hundreds of links) and a
-      * depth-0 (single-leaf) B-tree — multi-block heaps and deeper trees
-      * are rejected loudly.
+      * managed heap objects in a direct-root OR indirect-root fractal heap
+      * (one level of indirection — every child of the root indirect block
+      * must be a direct block, which holds heaps up to width·maxDirect
+      * bytes of links), and link-name B-trees of ANY depth (internal BTIN
+      * nodes carry records too — a B-tree, not a B+-tree). Deeper heap
+      * indirection (child indirect blocks) is rejected loudly.
       */
     def denseLinks(heapAddr: Long, btreeAddr: Long): Seq[(String, Long)] = {
       // fractal heap header
@@ -268,21 +271,68 @@ object Hdf5Source {
       // doubling table: width@110(2), starting block size@112(8),
       // max direct size@120(8), max heap size bits@128(2),
       // starting # rows@130(2), root block addr@132(8), current # rows@140(2)
+      val tblWidth = b.getShort(a + 110) & 0xffff
+      val startBlock = b.getLong(a + 112)
+      val maxDirect = b.getLong(a + 120)
       val maxHeapBits = b.getShort(a + 128) & 0xffff
       val rootBlockAddr = b.getLong(a + 132)
       val curRows = b.getShort(a + 140) & 0xffff
-      require(curRows == 0,
-        "indirect-root fractal heap unsupported (single direct block only)")
       val offSize = (maxHeapBits + 7) / 8
       val lenSize = sizeBytesFor(maxManaged)
       require(idLen == 1 + offSize + lenSize,
         s"fractal heap ID length $idLen != 1+$offSize+$lenSize")
-      // the root DIRECT block: header occupies the block's first bytes of
-      // heap address space, so heap offset o lands at file offset
-      // rootBlockAddr + o (block offset 0)
-      val d = rootBlockAddr.toInt
-      require(new String(bytes, d, 4, "US-ASCII") == "FHDB",
-        s"bad fractal heap direct block at $rootBlockAddr")
+      // doubling table row sizes: rows 0 and 1 use the starting size, row
+      // r >= 2 doubles per row; rows past maxDirect would hold INDIRECT
+      // children — one level of indirection only
+      def rowBlockSize(r: Int): Long =
+        if (r < 2) startBlock else startBlock << (r - 1)
+
+      /** heap-space offset → absolute file offset of the object. The heap
+        * address space is the concatenation of the blocks (each block's
+        * range includes its own header bytes), so offset o lands at
+        * blockFileAddr + (o − blockStartOffset).
+        */
+      val objFileOffset: Long => Long =
+        if (curRows == 0) {
+          // root IS a direct block at heap offset 0
+          val d = rootBlockAddr.toInt
+          require(new String(bytes, d, 4, "US-ASCII") == "FHDB",
+            s"bad fractal heap direct block at $rootBlockAddr")
+          (o: Long) => rootBlockAddr + o
+        } else {
+          // root indirect block: sig(4) ver(1) heap hdr addr(8) block
+          // offset(offSize), then curRows·width direct-child addresses
+          val ib = rootBlockAddr.toInt
+          require(new String(bytes, ib, 4, "US-ASCII") == "FHIB",
+            s"bad fractal heap indirect block at $rootBlockAddr")
+          require((bytes(ib + 4) & 0xff) == 0, "fractal heap indirect version")
+          require(rowBlockSize(curRows - 1) <= maxDirect,
+            s"fractal heap has indirect CHILD blocks (row ${curRows - 1} " +
+              s"size ${rowBlockSize(curRows - 1)} > max direct $maxDirect) — " +
+              "one level of indirection only")
+          val ptrBase = ib + 5 + 8 + offSize
+          // (heap-space start, size, file addr) per allocated child
+          val blocks = Vector.newBuilder[(Long, Long, Long)]
+          var heapOff = 0L
+          var k = 0
+          while (k < curRows * tblWidth) {
+            val sz = rowBlockSize(k / tblWidth)
+            val addr = b.getLong(ptrBase + k * 8)
+            if (addrOk(addr)) blocks += ((heapOff, sz, addr))
+            heapOff += sz
+            k += 1
+          }
+          val bs = blocks.result()
+          (o: Long) => {
+            val hit = bs.find(t3 => o >= t3._1 && o < t3._1 + t3._2)
+              .getOrElse(throw new IllegalArgumentException(
+                s"heap offset $o outside every allocated direct block"))
+            val d = hit._3.toInt
+            require(new String(bytes, d, 4, "US-ASCII") == "FHDB",
+              s"bad fractal heap direct block at ${hit._3}")
+            hit._3 + (o - hit._1)
+          }
+        }
 
       def readVar(p: Int, n: Int): Long = n match {
         case 1 => bytes(p) & 0xffL
@@ -298,25 +348,67 @@ object Hdf5Source {
         s"bad v2 B-tree header at $btreeAddr")
       require((bytes(t + 4) & 0xff) == 0, "v2 B-tree version")
       require((bytes(t + 5) & 0xff) == 5, "v2 B-tree type (link name) expected")
+      val nodeSize = b.getInt(t + 6)
       val recordSize = b.getShort(t + 10) & 0xffff
       val depth = b.getShort(t + 12) & 0xffff
-      require(depth == 0,
-        "multi-level link-name B-tree unsupported (single leaf only)")
       val rootNodeAddr = b.getLong(t + 16)
       val rootNRecords = b.getShort(t + 24) & 0xffff
       require(recordSize == 4 + idLen, s"link-name record size $recordSize")
-      val leaf = rootNodeAddr.toInt
-      require(new String(bytes, leaf, 4, "US-ASCII") == "BTLF",
-        s"bad v2 B-tree leaf at $rootNodeAddr")
-      require((bytes(leaf + 5) & 0xff) == 5, "leaf record type")
-      (0 until rootNRecords).map { i =>
-        val r = leaf + 6 + i * recordSize
+
+      // v2 B-tree size math (HDF5 spec / H5B2hdr): child-pointer field
+      // widths derive from the maximum record counts each level can hold
+      def encBytes(n: Long): Int = { // bytes to encode values up to n
+        var bits = 0; var v = n
+        while (v > 0) { bits += 1; v >>= 1 }
+        math.max(1, (math.max(bits, 1) - 1) / 8 + 1)
+      }
+      val maxLeafRec = (nodeSize - 10) / recordSize
+      // maxNRec(d) = max records of an internal node at depth d >= 1;
+      // maxTot(d) = max records in a FULL subtree rooted at depth d
+      val maxNRec = new Array[Long](depth + 1)
+      val maxTot = new Array[Long](depth + 1)
+      maxTot(0) = maxLeafRec.toLong
+      (1 to depth).foreach { dd =>
+        val ptr = 8 + encBytes(if (dd - 1 == 0) maxLeafRec.toLong else maxNRec(dd - 1)) +
+          (if (dd - 1 > 0) encBytes(maxTot(dd - 1)) else 0)
+        maxNRec(dd) = ((nodeSize - 10 - ptr) / (recordSize + ptr)).toLong
+        maxTot(dd) = maxNRec(dd) + (maxNRec(dd) + 1) * maxTot(dd - 1)
+      }
+
+      def linkOfRecord(r: Int): (String, Long) = {
         // record: name hash (4, lookup3) + heap ID (flags, offset, length)
         require((bytes(r + 4) & 0xff) == 0,
           "non-managed (huge/tiny) heap ID in link record")
         val off = readVar(r + 4 + 1, offSize)
-        parseLink((rootBlockAddr + off).toInt)
+        parseLink(objFileOffset(off).toInt)
       }
+
+      def walkNode(addr: Long, nRec: Int, d: Int): Seq[(String, Long)] = {
+        val p = addr.toInt
+        if (d == 0) {
+          require(new String(bytes, p, 4, "US-ASCII") == "BTLF",
+            s"bad v2 B-tree leaf at $addr")
+          require((bytes(p + 5) & 0xff) == 5, "leaf record type")
+          (0 until nRec).map(i => linkOfRecord(p + 6 + i * recordSize))
+        } else {
+          require(new String(bytes, p, 4, "US-ASCII") == "BTIN",
+            s"bad v2 B-tree internal node at $addr")
+          require((bytes(p + 5) & 0xff) == 5, "internal record type")
+          val childNRecSize =
+            encBytes(if (d - 1 == 0) maxLeafRec.toLong else maxNRec(d - 1))
+          val childTotSize = if (d - 1 > 0) encBytes(maxTot(d - 1)) else 0
+          val ptrSize = 8 + childNRecSize + childTotSize
+          val ptrBase = p + 6 + nRec * recordSize
+          val fromChildren = (0 to nRec).flatMap { i =>
+            val cp = ptrBase + i * ptrSize
+            walkNode(b.getLong(cp), readVar(cp + 8, childNRecSize).toInt, d - 1)
+          }
+          // internal nodes carry records too (B-tree, not B+-tree)
+          fromChildren ++ (0 until nRec).map(i =>
+            linkOfRecord(p + 6 + i * recordSize))
+        }
+      }
+      walkNode(rootNodeAddr, rootNRecords, depth)
     }
 
     // ---- local heap + group btree + SNOD
@@ -508,7 +600,13 @@ object Hdf5Source {
       val dtOff = nameOff + padded(nameSize)
       val dsOff = dtOff + padded(dtSize)
       val dataOff = dsOff + padded(dsSize)
-      val dt = parseDatatype(dtOff)
+      // attributes with datatype classes the scan does not model (compound,
+      // enum, opaque...) are metadata we never consume — carry the name with
+      // no value instead of failing the whole file (real Sentinel granules
+      // attach compound attrs); DATASET datatypes stay strict
+      val dt = try parseDatatype(dtOff) catch {
+        case _: IllegalArgumentException => return Attr(name, None, Nil)
+      }
       dt.kind match {
         case 's' =>
           var e = dataOff

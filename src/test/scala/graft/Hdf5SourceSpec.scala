@@ -280,4 +280,88 @@ class Hdf5SourceSpec extends AnyFunSuite {
     assert(h("") == 0xdeadbeefL)
     assert(h("Four score and seven years ago") == 0x17770551L)
   }
+
+  // ------------------------------------------------- independent fixtures
+  // The two granules below were produced by REAL external tooling (libhdf5
+  // via netCDF-4 for the Sentinel-3 OLCI scene; a classic CDF-1 writer for
+  // the UKMO OSTIA analysis) — they validate the readers against files this
+  // repo's own writers never touched, so a shared spec-misreading in our
+  // writer+reader round-trips cannot pass them. The asserted facts are
+  // INDEPENDENT ground truth: grid arithmetic of the published 0.25°
+  // product, physical value ranges, the scene's named region, and the
+  // timestamp encoded in the granule's own filename.
+
+  private val UkmoNc3 =
+    "/root/reference/test/core/gen/inputdata/" +
+      "20170101120000-UKMO-L4_GHRSST-SSTfnd-OSTIAanom-GLOB-v02.0-fv02.0.nc"
+  private val SentinelH5 =
+    "/root/reference/examples/notebooks/inputdata/O_L2_0001_SNS_2017104102450_v1.0.nc"
+
+  test("cross-validation: real CDF-1 granule (UKMO OSTIA 0.25-degree SST)") {
+    assume(Files.exists(Paths.get(UkmoNc3)), "reference granule not present")
+    val nc = NetcdfSource.read(UkmoNc3)
+    assert(nc.dims.map(d => d.name -> d.size) ==
+      Seq("time" -> 1, "lat" -> 720, "lon" -> 1440))
+    // regular 0.25-degree grid: lat centers are symmetric (sum EXACTLY 0),
+    // lon centers 0.125..359.875 sum to 1440*180 — grid arithmetic, not
+    // reader output pinned to itself
+    val lat = nc.varByName("lat").data
+    val lon = nc.varByName("lon").data
+    assert(lat.length == 720 && lat.head == -89.875 && lat.last == 89.875)
+    assert(math.abs(lat.sum) < 1e-9)
+    assert(lon.length == 1440 && lon.head == 0.125 && lon.last == 359.875)
+    assert(math.abs(lon.sum - 1440.0 * 180.0) < 1e-6)
+    // analysed_sst is CF-packed short; after mask-and-scale the valid cells
+    // must be physical Kelvin (the file is a GLOBAL field: ~68% ocean)
+    val sst = nc.varByName("analysed_sst").data
+    assert(sst.length == 720 * 1440)
+    val valid = sst.filter(x => !x.isNaN)
+    assert(valid.length == 703805) // ocean-cell count of this granule
+    assert(valid.min > 270.0 && valid.max < 310.0, s"${valid.min}..${valid.max}")
+    assert(math.abs(valid.sum - 2.01875670958e8) < 1e3) // mean ≈ 286.8 K
+    // the time coordinate must decode to the timestamp in the FILENAME:
+    // 1136116800 s since 1981-01-01 == 2017-01-01T12:00:00Z
+    val t = nc.varByName("time")
+    assert(t.data.head == 1136116800.0)
+    val units = t.attrs("units")
+    val cf = graft.operators.CalendarOps.parseCfTimeUnits(units)
+    val micros = cf.epochMicros + t.data.head.toLong * cf.unitSeconds * 1000000L
+    assert(java.time.Instant.ofEpochMilli(micros / 1000).toString ==
+      "2017-01-01T12:00:00Z")
+  }
+
+  test("cross-validation: real libhdf5 granule (Sentinel-3 OLCI L2, North Sea)") {
+    assume(Files.exists(Paths.get(SentinelH5)), "reference granule not present")
+    val bytes = Files.readAllBytes(Paths.get(SentinelH5))
+    assert(Hdf5Source.isHdf5(bytes))
+    // layout scan: the dense root group (indirect-root fractal heap written
+    // by libhdf5) must surface the OLCI product's variable set
+    val scanned = Hdf5Source.scan(bytes).map(_.name).toSet
+    val expected = Set("conc_chl", "conc_tsm", "kd489", "lat", "lon",
+      "TP_latitude", "TP_longitude", "humidity", "sea_level_pressure",
+      "quality_flags", "c2rcc_flags") ++
+      (1 to 21).flatMap(i => if (Set(1,2,3,4,5,6,7,8,9,10,11,12,16,17,18,21).contains(i))
+        Seq(s"rtoa_$i") else Nil)
+    assert(expected.subsetOf(scanned), s"missing: ${expected -- scanned}")
+    val raster = scanned.filter(_.startsWith("rtoa_"))
+    assert(raster.size == 21, s"expected all 21 OLCI bands, got $raster")
+    // value decode through the deflate-chunked path: the scene is the
+    // Southern North Sea ("SNS" in the product name) — its lat/lon rasters
+    // must land in that box, and the geophysical values must be physical
+    val nc = NetcdfSource.read(SentinelH5)
+    val la = nc.varByName("lat").data
+    val lo = nc.varByName("lon").data
+    assert(la.length == 100 * 100 && lo.length == 100 * 100)
+    assert(la.min > 52.0 && la.max < 53.0, s"${la.min}..${la.max}")
+    assert(lo.min > 1.0 && lo.max < 2.0, s"${lo.min}..${lo.max}")
+    val chl = nc.varByName("conc_chl").data
+    assert(chl.length == 10000)
+    assert(chl.min >= 0.0 && chl.max < 100.0) // mg/m^3, coastal range
+    assert(math.abs(chl.sum - 11.690932) < 1e-3)
+    val r2 = nc.varByName("rtoa_2").data
+    assert(r2.min > 0.0 && r2.max < 1.0) // top-of-atmosphere reflectance
+    assert(math.abs(r2.sum - 4165.816432) < 1e-3)
+    // tie-point grids decode at their own (102 x 20) resolution
+    assert(nc.varByName("TP_latitude").data.length == 102 * 20)
+  }
 }
