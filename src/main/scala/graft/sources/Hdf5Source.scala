@@ -1367,32 +1367,95 @@ object Hdf5Source {
     val hdrAddr = mutable.LinkedHashMap.empty[String, Long]
     coordVars.foreach { case (n, _) => hdrAddr(n) = alloc(hdrTotal(coordBodies(n))) }
     dataVars.foreach { case (n, dn, _) => hdrAddr(n) = alloc(hdrTotal(dataBodies(n, dn.length))) }
-    // dense-group structures: one root direct block holding every link
-    // message, a depth-0 name-index B-tree (node size 2048 → its record
-    // capacity bounds the variable count; plenty for cube files)
+    // dense-group structures. Up to one B-tree leaf of links (185): ONE
+    // root direct block + a depth-0 name-index B-tree (node size 2048).
+    // Beyond that, the heap goes through a root INDIRECT block over
+    // doubling-table direct blocks (512,512,1024,...,8192 — width 4) and
+    // the name index becomes a depth-1 B-tree (internal root + leaves),
+    // the layout libhdf5 produces for thousand-link groups.
     val FhdbHeaderSize = 17 // sig(4) + ver(1) + heap hdr addr(8) + offset(4)
     val BtNodeSize = 2048
-    val linkObjOffsets: Map[String, (Long, Int)] = if (!dense) Map.empty else {
-      require(names.length <= (BtNodeSize - 10) / 11,
-        s"${names.length} links exceed one B-tree leaf (${(BtNodeSize - 10) / 11})")
-      var off = FhdbHeaderSize.toLong
-      names.map { n =>
-        val sz = linkBody(n)
-        val e = n -> ((off, sz))
-        off += sz
-        e
-      }.toMap
+    val LeafCap = (BtNodeSize - 10) / 11 // 185 records per leaf node
+    val bigDense = dense && names.length > LeafCap
+    val HeapStart = 512L
+    val HeapMaxDirect = 8192L
+    val HeapWidth = 4
+    def blkSize(k: Int): Long = {
+      val r = k / HeapWidth
+      if (r < 2) HeapStart else HeapStart << (r - 1)
     }
-    val fhdbSize: Long = if (!dense) 0L else {
+    // heap placement: objects packed first-fit in block order, never
+    // spanning a block boundary; heap offsets include every block's header
+    val linkObjOffsets: Map[String, (Long, Int)] = if (!dense) Map.empty else {
+      if (!bigDense) {
+        var off = FhdbHeaderSize.toLong
+        names.map { n =>
+          val sz = linkBody(n)
+          val e = n -> ((off, sz))
+          off += sz
+          e
+        }.toMap
+      } else {
+        var blk = 0
+        var blkStart = 0L
+        var inBlk = FhdbHeaderSize.toLong
+        names.map { n =>
+          val sz = linkBody(n)
+          require(sz + FhdbHeaderSize <= HeapMaxDirect, s"link too big: $n")
+          if (inBlk + sz > blkSize(blk)) {
+            blkStart += blkSize(blk); blk += 1; inBlk = FhdbHeaderSize.toLong
+            require(blkSize(blk) <= HeapMaxDirect,
+              s"${names.length} links overflow the direct-block rows " +
+                "(indirect CHILD blocks not written)")
+          }
+          val e = n -> ((blkStart + inBlk, sz))
+          inBlk += sz
+          e
+        }.toMap
+      }
+    }
+    val heapUsedBlocks: Int = if (!bigDense) 1 else {
+      var end = 0L
+      linkObjOffsets.values.foreach { case (o, sz) => end = math.max(end, o + sz) }
+      var k = 0; var covered = blkSize(0)
+      while (covered < end) { k += 1; covered += blkSize(k) }
+      k + 1
+    }
+    val heapCurRows: Int = (heapUsedBlocks + HeapWidth - 1) / HeapWidth
+    val heapSlots: Int = heapCurRows * HeapWidth
+    val fhdbSize: Long = if (!dense || bigDense) 0L else {
       val need = FhdbHeaderSize + names.map(linkBody).sum
       var s = 512L
       while (s < need) s *= 2
       s
     }
+    // depth-1 B-tree split: K leaves of ~LeafFill records with one
+    // separator record between consecutive leaves living in the root
+    val LeafFill = 120
+    val btLeafSizes: IndexedSeq[Int] = if (!bigDense) IndexedSeq(names.length) else {
+      val n = names.length
+      val k = (n + 1 + LeafFill) / (LeafFill + 1) // ceil((n+1)/(LeafFill+1))
+      val inLeaves = n - (k - 1)
+      val base = inLeaves / k
+      val extra = inLeaves % k
+      require(k - 1 <= (BtNodeSize - 10 - 9) / (11 + 9),
+        s"$n links exceed a depth-1 name B-tree")
+      (0 until k).map(i => base + (if (i < extra) 1 else 0))
+    }
     val frhpAddr = if (dense) alloc(146) else Undef
-    val fhdbAddr = if (dense) alloc(fhdbSize) else Undef
+    val fhdbAddr = if (dense && !bigDense) alloc(fhdbSize) else Undef
+    val fhibAddr = if (bigDense) alloc(5L + 8 + 4 + 8L * heapSlots + 4) else Undef
+    val fhdbAddrs: IndexedSeq[Long] =
+      if (!bigDense) IndexedSeq.empty
+      else (0 until heapUsedBlocks).map(k => alloc(blkSize(k)))
     val bthdAddr = if (dense) alloc(38) else Undef
-    val btlfAddr = if (dense) alloc(6L + 11L * names.length + 4) else Undef
+    val btinAddr =
+      if (bigDense) alloc(6L + 11L * (btLeafSizes.length - 1) + 9L * btLeafSizes.length + 4)
+      else Undef
+    val btlfAddrs: IndexedSeq[Long] =
+      if (!dense) IndexedSeq.empty
+      else btLeafSizes.map(sz => alloc(6L + 11L * sz + 4))
+    val btlfAddr = if (dense && !bigDense) btlfAddrs.head else Undef
     val nRefs = dataVars.map(_._2.length).sum
     val gcolSize = math.max(4096, (16 + nRefs * 24 + 16 + 7) & ~7)
     val gcolAddr = if (nRefs > 0) alloc(gcolSize.toLong) else Undef
@@ -1484,57 +1547,114 @@ object Hdf5Source {
     cksum(rootHdrAddr)
 
     if (dense) {
-      // fractal heap header: managed objects only, one direct root block
-      val usedSpace = FhdbHeaderSize + names.map(linkBody).sum
+      val usedSpace = heapUsedBlocks * FhdbHeaderSize.toLong +
+        names.map(linkBody).sum
+      val allocatedSpace =
+        if (bigDense) (0 until heapUsedBlocks).map(blkSize).sum else fhdbSize
+      // fractal heap header: managed objects only; root is one direct
+      // block, or an indirect block over doubling-table direct blocks
       at(frhpAddr).put("FRHP".getBytes("US-ASCII")).put(0.toByte)
         .putShort(7.toShort)  // heap ID length = 1 + offset(4) + length(2)
         .putShort(0.toShort)  // no I/O filters
         .put(0.toByte)        // flags: no checksummed blocks
         .putInt(4096)         // max managed object size
         .putLong(0L).putLong(Undef)                 // huge: next id, bt2
-        .putLong(fhdbSize - usedSpace)              // free space
+        .putLong(allocatedSpace - usedSpace)        // free space
         .putLong(Undef)                             // free-space manager
-        .putLong(fhdbSize).putLong(fhdbSize)        // managed, allocated
-        .putLong(usedSpace.toLong)                  // iterator offset
+        .putLong(allocatedSpace).putLong(allocatedSpace) // managed, allocated
+        .putLong(usedSpace)                         // iterator offset
         .putLong(names.length.toLong)               // managed nobjects
         .putLong(0L).putLong(0L).putLong(0L).putLong(0L) // huge/tiny
-        .putShort(4.toShort)                        // table width
-        .putLong(fhdbSize)                          // starting block size
-        .putLong(65536L)                            // max direct block size
+        .putShort(HeapWidth.toShort)                // table width
+        .putLong(if (bigDense) HeapStart else fhdbSize) // starting block size
+        .putLong(if (bigDense) HeapMaxDirect else 65536L) // max direct size
         .putShort(32.toShort)                       // max heap size (bits)
         .putShort(1.toShort)                        // starting rows
-        .putLong(fhdbAddr)                          // root block
-        .putShort(0.toShort)                        // cur rows: direct root
+        .putLong(if (bigDense) fhibAddr else fhdbAddr) // root block
+        .putShort((if (bigDense) heapCurRows else 0).toShort) // cur rows
       cksum(frhpAddr)
-      // the direct block: header + link-message objects at their offsets
-      at(fhdbAddr).put("FHDB".getBytes("US-ASCII")).put(0.toByte)
-        .putLong(frhpAddr).putInt(0) // block offset 0 in heap space
-      names.foreach { n =>
-        at(fhdbAddr + linkObjOffsets(n)._1)
-        putLinkMsgBody(n)
+      if (!bigDense) {
+        // the direct block: header + link-message objects at their offsets
+        at(fhdbAddr).put("FHDB".getBytes("US-ASCII")).put(0.toByte)
+          .putLong(frhpAddr).putInt(0) // block offset 0 in heap space
+        names.foreach { n =>
+          at(fhdbAddr + linkObjOffsets(n)._1)
+          putLinkMsgBody(n)
+        }
+      } else {
+        // root indirect block: direct-child addresses row-major; slots past
+        // the used blocks stay undefined (their heap range holds no object)
+        at(fhibAddr).put("FHIB".getBytes("US-ASCII")).put(0.toByte)
+          .putLong(frhpAddr).putInt(0) // block offset of the root: 0
+        (0 until heapSlots).foreach(k =>
+          out.putLong(if (k < heapUsedBlocks) fhdbAddrs(k) else Undef))
+        cksum(fhibAddr)
+        // each direct block header carries its own heap-space offset
+        var hOff = 0L
+        (0 until heapUsedBlocks).foreach { k =>
+          at(fhdbAddrs(k)).put("FHDB".getBytes("US-ASCII")).put(0.toByte)
+            .putLong(frhpAddr).putInt(hOff.toInt)
+          hOff += blkSize(k)
+        }
+        // objects land at (block file addr) + (heap off − block start)
+        val starts = (0 until heapUsedBlocks).scanLeft(0L)((s, k) => s + blkSize(k))
+        names.foreach { n =>
+          val o = linkObjOffsets(n)._1
+          val blkIdx = (0 until heapUsedBlocks).find(i =>
+            o >= starts(i) && o < starts(i) + blkSize(i)).get
+          at(fhdbAddrs(blkIdx) + (o - starts(blkIdx)))
+          putLinkMsgBody(n)
+        }
       }
-      // name-index v2 B-tree: header + single leaf, records sorted by the
-      // lookup3 name hash (ties by name for determinism)
+      // name-index v2 B-tree header: root is the single leaf, or the
+      // depth-1 internal node
+      val rootNRec = if (bigDense) btLeafSizes.length - 1 else names.length
       at(bthdAddr).put("BTHD".getBytes("US-ASCII")).put(0.toByte)
         .put(5.toByte) // type: indexing "link name" records
-        .putInt(BtNodeSize).putShort(11.toShort).putShort(0.toShort)
+        .putInt(BtNodeSize).putShort(11.toShort)
+        .putShort((if (bigDense) 1 else 0).toShort)
         .put(100.toByte).put(40.toByte) // split/merge percents
-        .putLong(btlfAddr).putShort(names.length.toShort)
+        .putLong(if (bigDense) btinAddr else btlfAddr)
+        .putShort(rootNRec.toShort)
         .putLong(names.length.toLong)
       cksum(bthdAddr)
+      // records sorted by the lookup3 name hash (ties by name): split into
+      // leaves with one separator record between consecutive leaves
       val recs = names.map { n =>
         val nb = n.getBytes("UTF-8")
         (lookup3(nb, 0, nb.length) & 0xffffffffL, n)
       }.sortBy { case (h, n) => (h, n) }
-      at(btlfAddr).put("BTLF".getBytes("US-ASCII")).put(0.toByte).put(5.toByte)
-      recs.foreach { case (h, n) =>
+      def putRecord(h: Long, n: String): Unit = {
         val (off, len) = linkObjOffsets(n)
         out.putInt(h.toInt)
         out.put(0.toByte) // heap ID: version 0, managed
         out.putInt(off.toInt)
         out.putShort(len.toShort)
+        ()
       }
-      cksum(btlfAddr)
+      var cursor2 = 0
+      val seps = IndexedSeq.newBuilder[(Long, String)]
+      btLeafSizes.zipWithIndex.foreach { case (sz, li) =>
+        at(btlfAddrs(li)).put("BTLF".getBytes("US-ASCII")).put(0.toByte).put(5.toByte)
+        recs.slice(cursor2, cursor2 + sz).foreach { case (h, n) => putRecord(h, n) }
+        cursor2 += sz
+        cksum(btlfAddrs(li))
+        if (li < btLeafSizes.length - 1) { // separator into the root
+          seps += recs(cursor2)
+          cursor2 += 1
+        }
+      }
+      if (bigDense) {
+        // internal root: records (separators), then child pointers
+        // (addr 8 + record count 1 — children are leaves, no total field)
+        at(btinAddr).put("BTIN".getBytes("US-ASCII")).put(0.toByte).put(5.toByte)
+        seps.result().foreach { case (h, n) => putRecord(h, n) }
+        btLeafSizes.zipWithIndex.foreach { case (sz, li) =>
+          out.putLong(btlfAddrs(li))
+          out.put(sz.toByte)
+        }
+        cksum(btinAddr)
+      }
     }
 
     coordVars.foreach { case (name, values) =>

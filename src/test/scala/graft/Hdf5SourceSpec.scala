@@ -271,6 +271,40 @@ class Hdf5SourceSpec extends AnyFunSuite {
     }
   }
 
+  test("property: BIG dense groups (up to 1.2k links) round-trip through " +
+    "indirect heap + depth-1 B-tree") {
+    val rnd = new scala.util.Random(93)
+    val dir = tmp("h5bigdense")
+    // 200..1200 links: past one B-tree leaf (185), so the writer emits a
+    // root indirect fractal heap (multiple 512..8192-byte direct blocks)
+    // and a depth-1 name B-tree — the layouts the reader's new paths parse
+    Seq(200, 501, 1200).zipWithIndex.foreach { case (nVars, t) =>
+      val n = 2 + rnd.nextInt(4)
+      val y = Array.tabulate(n)(_ * 1.0)
+      val vars = (0 until nVars).map { k =>
+        (s"var_${t}_name_$k", Seq("y"), Array.fill(n)(rnd.nextDouble() * 100 - 50))
+      }
+      val p = s"$dir/big$t.nc"
+      Hdf5Source.writeLatest(p, Seq(NcDim("y", n)), Seq("y" -> y), vars,
+        deflate = t % 2 == 0)
+      // the emitted file genuinely uses the indirect/deep layouts
+      val bytes = Files.readAllBytes(Paths.get(p))
+      def find(sig: String): Int = {
+        val s = sig.getBytes("US-ASCII")
+        bytes.indices.indexWhere(i => i + 4 <= bytes.length &&
+          bytes(i) == s(0) && bytes(i + 1) == s(1) && bytes(i + 2) == s(2) &&
+          bytes(i + 3) == s(3))
+      }
+      assert(find("FHIB") >= 0, s"file $t: no indirect heap block")
+      assert(find("BTIN") >= 0, s"file $t: no internal B-tree node")
+      val nc = NetcdfSource.read(p)
+      assert(nc.vars.length == nVars + 1, s"file $t var count ${nc.vars.length}")
+      vars.foreach { case (vn, _, data) =>
+        assert(nc.varByName(vn).data.sameElements(data), s"file $t $vn")
+      }
+    }
+  }
+
   test("lookup3 checksum matches published hashlittle vectors") {
     // Bob Jenkins' reference self-test values for hashlittle(), initval 0:
     // hashlittle("", 0) = 0xdeadbeef; hashlittle("Four score and seven
