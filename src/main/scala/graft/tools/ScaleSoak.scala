@@ -61,13 +61,33 @@ object ScaleSoak {
     // the four-stage curation funnel, bucketed zonal stats, PQ/ADC search
     "q_substr_removal", "q_modern_curation", "q_zonal_stats", "q_pq_adc")
 
+  /** Skew soak (run at 30× vs an identically-SHAPED 1× corpus): the
+    * curation-path queries whose scale safety depends on hot-KEY handling,
+    * not just volume — the planted skew grows with the factor: one shared
+    * 20-token boilerplate span opens 1/16 of every copy's documents (the
+    * ExactSubstr hot key: its span-hash multiplicity is factor·N/16), and
+    * 64 unsalted template clones per copy pile into one LSH bucket family
+    * (factor·64 members — far past the candidate cap, which must drop it
+    * BEFORE pair enumeration).
+    */
+  val SkewSoakQueries: Seq[String] = Seq(
+    "q_substr_removal", "q_exact_substring", "q_dedup_near",
+    "q_dedup_clusters", "q_curation", "q_modern_curation")
+
   /** Allowed growth multiple of `factor` before a query is flagged. The
     * salted documents are ~2× longer than the originals (a salt token in
     * every gap), so text-heavy queries legitimately run at ~2 × factor.
     */
   val MaxGrowth: Double = 2.5
 
-  def buildScaled(spark: SparkSession, base: String, out: String, f: Int): Unit = {
+  /** The planted-skew constants (mirrors the q_substr_degenerate /
+    * q_dedup_degenerate shapes, but GROWING with the soak factor).
+    */
+  private val SoakBoiler = (0 until 20).map(i => s"soakboiler$i").mkString(" ")
+  private val ClonesPerCopy = 64
+
+  def buildScaled(spark: SparkSession, base: String, out: String, f: Int,
+                  skew: Boolean = false): Unit = {
     def copies(t: String)(tag: (DataFrame, Int) => DataFrame): Unit = {
       val src = spark.read.parquet(s"$base/$t.parquet")
       (0 until f).map(c => tag(src, c)).reduce(_ unionByName _)
@@ -95,10 +115,32 @@ object ScaleSoak {
     // replicate per copy (linear) instead of every copy family becoming
     // one quadratic clone cluster (that degenerate case has its own
     // oracle query, q_dedup_degenerate)
-    copies("documents")((d, c) =>
+    def salted(d: DataFrame, c: Int): DataFrame =
       if (c == 0) d
       else d.withColumn("doc_id", col("doc_id") + c * 10000000L)
-        .withColumn("text", regexp_replace(col("text"), " ", s" c$c ")))
+        .withColumn("text", regexp_replace(col("text"), " ", s" c$c "))
+    if (!skew) copies("documents")(salted)
+    else {
+      // skewed corpus: the SAME boilerplate span opens doc_id % 16 == 0 of
+      // every copy (the offset is a multiple of 16, so each copy plants it
+      // on the same underlying docs — the span hash multiplicity grows
+      // with f), plus ClonesPerCopy UNSALTED template clones per copy
+      // (one ever-hotter LSH bucket family, far past the candidate cap)
+      val src = spark.read.parquet(s"$base/documents.parquet")
+      val withBoiler = (0 until f).map { c =>
+        salted(src, c).withColumn("text",
+          when(col("doc_id") % 16 === 0,
+            concat(lit(SoakBoiler + " "), col("text")))
+            .otherwise(col("text")))
+      }.reduce(_ unionByName _)
+      val one = src.orderBy("doc_id").limit(1).drop("doc_id")
+      val clones = spark.range(ClonesPerCopy.toLong * f)
+        .select((col("id") + 900000000L).as("doc_id"))
+        .crossJoin(broadcast(one))
+        .select(src.columns.map(col).toIndexedSeq: _*)
+      withBoiler.unionByName(clones)
+        .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    }
     copies("embeddings")((d, c) =>
       if (c == 0) d
       else d.withColumn("vec_id", col("vec_id") + c * 10000000L)
@@ -107,20 +149,33 @@ object ScaleSoak {
   }
 
   /** Usage: runMain graft.tools.ScaleSoak [baseDir] [factor] [outDir]
-    * [queryList|"deep"] — "deep" selects [[DeepSoakQueries]].
+    * [queryList|"deep"|"skew"] — "deep" selects [[DeepSoakQueries]];
+    * "skew" selects [[SkewSoakQueries]] over the PLANTED-SKEW corpus,
+    * compared against an identically-shaped skewed 1× build (so the ratio
+    * isolates growth in the factor, not the planting itself).
     */
   def main(args: Array[String]): Unit = {
-    val base = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val baseRaw = args.headOption.getOrElse("/root/testdata/sf0.1")
     val factor = args.lift(1).map(_.toInt).getOrElse(10)
-    val out = args.lift(2).getOrElse(s"/root/repo/.graft-fixtures/soak_x$factor")
+    val skewMode = args.lift(3).contains("skew")
+    val out = args.lift(2).getOrElse(
+      s"/root/repo/.graft-fixtures/soak${if (skewMode) "skew" else ""}_x$factor")
     val selected = args.lift(3) match {
       case Some("deep") => DeepSoakQueries
+      case Some("skew") => SkewSoakQueries
       case Some(list) => list.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
       case None => SoakQueries
     }
     val spark = GraftSession.get()
-    Fixtures.ensureWritten(out, s"base=$base,factor=$factor,salt=v1") {
-      buildScaled(spark, base, out, factor)
+    Fixtures.ensureWritten(out, s"base=$baseRaw,factor=$factor,salt=v1,skew=$skewMode") {
+      buildScaled(spark, baseRaw, out, factor, skew = skewMode)
+    }
+    val base = if (!skewMode) baseRaw else {
+      val b1 = s"/root/repo/.graft-fixtures/soakskew_x1"
+      Fixtures.ensureWritten(b1, s"base=$baseRaw,factor=1,salt=v1,skew=true") {
+        buildScaled(spark, baseRaw, b1, 1, skew = true)
+      }
+      b1
     }
     def timeQ(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
