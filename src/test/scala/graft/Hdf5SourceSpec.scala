@@ -364,6 +364,38 @@ class Hdf5SourceSpec extends AnyFunSuite {
       "2017-01-01T12:00:00Z")
   }
 
+  test("cross-validation: distributed read of the real 3-day UKMO series") {
+    val dir = Paths.get("/root/reference/examples/gen/data")
+    assume(Files.exists(dir), "reference granules not present")
+    val paths = Files.list(dir).toArray.map(_.toString).filter(_.endsWith(".nc"))
+      .sorted.toSeq
+    assume(paths.length == 3)
+    // one real CDF-1 granule per executor task; per-day stats out of one
+    // distributed plan. Consecutive-day GLOBAL SST means differ by
+    // millikelvin — day-over-day physical continuity is a fact of the
+    // ocean, not of this reader, so it cross-checks the per-file decode
+    val df = NetcdfSource.readCubeFiles(spark, paths, "sst_anomaly")
+    val rows = df.filter(!org.apache.spark.sql.functions.isnan(
+        org.apache.spark.sql.functions.col("sst_anomaly")))
+      .groupBy("file")
+      .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.avg("sst_anomaly").as("mean"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1)
+    assert(rows.length == 3)
+    // identical ocean mask across the three days — the product's STATIC
+    // 0.25-degree land mask (the same 703805 ocean cells as the January
+    // granule in the other cross-validation test)
+    assert(rows.map(_._2).distinct.size == 1, rows.mkString(","))
+    assert(rows.forall(_._2 == 703805L), rows.mkString(","))
+    // anomalies are small physical numbers; consecutive days nearly equal
+    rows.foreach { case (_, _, m) => assert(math.abs(m) < 1.0, m.toString) }
+    val means = rows.map(_._3)
+    assert(math.abs(means(0) - means(1)) < 0.05 &&
+      math.abs(means(1) - means(2)) < 0.05, means.toString)
+  }
+
   test("cross-validation: real libhdf5 granule (Sentinel-3 OLCI L2, North Sea)") {
     assume(Files.exists(Paths.get(SentinelH5)), "reference granule not present")
     val bytes = Files.readAllBytes(Paths.get(SentinelH5))

@@ -54,6 +54,29 @@ class PlanAuditSpec extends AnyFunSuite {
         "not a row_number window (hot span hash would sort in ONE partition)")
   }
 
+  test("q_substr_degenerate: skewed corpus plan carries no Window, no cartesian") {
+    val p = plan("q_substr_degenerate")
+    assert(!p.contains("Window"),
+      "hot span hash must go through the min(struct) agg, not a window sort")
+    assert(!p.contains("CartesianProduct"), p.take(600))
+    assert(p.contains("LeftAnti"), "token deletion must stay a keyed anti join")
+  }
+
+  test("q_decontaminate_semantic_ivf: corpus probes cells via equi-join, " +
+    "only the bounded centroid table nested-loops") {
+    val p = plan("q_decontaminate_semantic_ivf")
+    // the one allowed BNLJ is queries x centroid-table (4 rows, broadcast);
+    // the corpus x bench comparison itself must be the __cell equi-join
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      "corpus-cell probe must be a hash/merge equi-join:\n" + p.take(800))
+    assert(!p.contains("CartesianProduct"), p.take(600))
+  }
+
+  test("q_geotiff_nodata: masked read stays scan-shaped (no join, no UDF)") {
+    val p = plan("q_geotiff_nodata")
+    assert(!p.contains("Join") && !p.contains("ScalaUDF"), p.take(600))
+  }
+
   test("q_dsir: scoring is scan-shaped — the quantized model is a literal, no join") {
     val sess = spark
     import sess.implicits._
