@@ -1299,7 +1299,8 @@ object Hdf5Source {
                   coordVars: Seq[(String, Array[Double])],
                   dataVars: Seq[(String, Seq[String], Array[Double])],
                   chunkOf: Map[String, Seq[Int]] = Map.empty,
-                  deflate: Boolean = true, shuffle: Boolean = true): Unit = {
+                  deflate: Boolean = true, shuffle: Boolean = true,
+                  btNodeSize: Int = 2048): Unit = {
     val names = coordVars.map(_._1) ++ dataVars.map(_._1)
     require(names.distinct.size == names.size, "duplicate variable names")
     require(names.forall(_.length < 256), "variable names must fit 1-byte link length")
@@ -1374,8 +1375,7 @@ object Hdf5Source {
     // the name index becomes a depth-1 B-tree (internal root + leaves),
     // the layout libhdf5 produces for thousand-link groups.
     val FhdbHeaderSize = 17 // sig(4) + ver(1) + heap hdr addr(8) + offset(4)
-    val BtNodeSize = 2048
-    val LeafCap = (BtNodeSize - 10) / 11 // 185 records per leaf node
+    val LeafCap = (btNodeSize - 10) / 11 // records per leaf node
     val bigDense = dense && names.length > LeafCap
     val HeapStart = 512L
     val HeapMaxDirect = 8192L
@@ -1429,18 +1429,110 @@ object Hdf5Source {
       while (s < need) s *= 2
       s
     }
-    // depth-1 B-tree split: K leaves of ~LeafFill records with one
-    // separator record between consecutive leaves living in the root
-    val LeafFill = 120
-    val btLeafSizes: IndexedSeq[Int] = if (!bigDense) IndexedSeq(names.length) else {
-      val n = names.length
-      val k = (n + 1 + LeafFill) / (LeafFill + 1) // ceil((n+1)/(LeafFill+1))
-      val inLeaves = n - (k - 1)
-      val base = inLeaves / k
-      val extra = inLeaves % k
-      require(k - 1 <= (BtNodeSize - 10 - 9) / (11 + 9),
-        s"$n links exceed a depth-1 name B-tree")
-      (0 until k).map(i => base + (if (i < extra) 1 else 0))
+    // ---- name-index v2 B-tree, built bottom-up at whatever depth the
+    // link count needs (records live in internal nodes too — a B-tree).
+    // Field widths follow the spec's max-record recurrences so any
+    // conformant reader (including ours) computes the same child-pointer
+    // layout. Small btNodeSize values force depth > 1 at modest link
+    // counts — how the property tests exercise the deep paths.
+    val RecSize = 11 // name hash (4) + managed heap ID (1 + 4 + 2)
+    val btMaxLeafRec = (btNodeSize - 10) / RecSize
+    def btEncBytes(n: Long): Int = {
+      var bits = 0; var v = n
+      while (v > 0) { bits += 1; v >>= 1 }
+      math.max(1, (math.max(bits, 1) - 1) / 8 + 1)
+    }
+    // recurrences to depth 8 (astronomically more than any link count)
+    val btMaxNRec = new Array[Long](9)
+    val btMaxTot = new Array[Long](9)
+    btMaxTot(0) = btMaxLeafRec.toLong
+    (1 to 8).foreach { dd =>
+      val ptr = 8 + btEncBytes(if (dd == 1) btMaxLeafRec.toLong else btMaxNRec(dd - 1)) +
+        (if (dd - 1 > 0) btEncBytes(btMaxTot(dd - 1)) else 0)
+      btMaxNRec(dd) = (btNodeSize - 10 - ptr) / (RecSize + ptr)
+      btMaxTot(dd) = btMaxNRec(dd) + (btMaxNRec(dd) + 1) * btMaxTot(dd - 1)
+    }
+    final case class BtRec(hash: Long, name: String)
+    sealed trait BtNode {
+      var addr: Long = Undef
+      def nrec: Int
+      def total: Long
+      def level: Int
+    }
+    final case class BtLeaf(recs: IndexedSeq[BtRec]) extends BtNode {
+      def nrec: Int = recs.length
+      def total: Long = recs.length.toLong
+      def level: Int = 0
+    }
+    final case class BtInternal(seps: IndexedSeq[BtRec],
+                                children: IndexedSeq[BtNode],
+                                level: Int) extends BtNode {
+      def nrec: Int = seps.length
+      def total: Long = seps.length + children.map(_.total).sum
+      def ptrSize: Int =
+        8 + btEncBytes(if (level == 1) btMaxLeafRec.toLong else btMaxNRec(level - 1)) +
+          (if (level - 1 > 0) btEncBytes(btMaxTot(level - 1)) else 0)
+    }
+    def btNodeBytes(n: BtNode): Long = n match {
+      case l: BtLeaf => 6L + RecSize.toLong * l.nrec + 4
+      case i: BtInternal =>
+        6L + RecSize.toLong * i.nrec + i.ptrSize.toLong * (i.nrec + 1) + 4
+    }
+    /** Chunk an alternating (item, sep, item, ...) run into nodes of at
+      * most `fill` separators each, promoting one separator between
+      * consecutive nodes to the level above.
+      */
+    def groupLevel(children: IndexedSeq[BtNode], seps: IndexedSeq[BtRec],
+                   fill: Int, level: Int): (IndexedSeq[BtNode], IndexedSeq[BtRec]) = {
+      val nodes = IndexedSeq.newBuilder[BtNode]
+      val promoted = IndexedSeq.newBuilder[BtRec]
+      var i = 0
+      while (i < children.length) {
+        val remaining = children.length - i
+        var take = math.min(fill + 1, remaining)
+        if (remaining - take == 1) take -= 1 // never strand a lone child
+        nodes += BtInternal(seps.slice(i, i + take - 1), children.slice(i, i + take), level)
+        if (i + take < children.length) promoted += seps(i + take - 1)
+        i += take
+      }
+      (nodes.result(), promoted.result())
+    }
+    val btRecs: IndexedSeq[BtRec] = names.map { n =>
+      val nb = n.getBytes("UTF-8")
+      BtRec(lookup3(nb, 0, nb.length) & 0xffffffffL, n)
+    }.sortBy(r => (r.hash, r.name)).toIndexedSeq
+    val btRoot: BtNode = if (!dense) BtLeaf(IndexedSeq.empty) else {
+      if (btRecs.length <= btMaxLeafRec) BtLeaf(btRecs)
+      else {
+        // leaf level: ~2/3-full leaves with one separator between
+        val leafFill = math.max(1, btMaxLeafRec * 2 / 3)
+        val leaves = IndexedSeq.newBuilder[BtNode]
+        val seps0 = IndexedSeq.newBuilder[BtRec]
+        var i = 0
+        while (i < btRecs.length) {
+          val remaining = btRecs.length - i
+          var take = math.min(leafFill, remaining)
+          if (remaining - take == 1) take -= 1
+          leaves += BtLeaf(btRecs.slice(i, i + take))
+          if (i + take < btRecs.length) seps0 += btRecs(i + take)
+          i += take + 1
+        }
+        var nodes: IndexedSeq[BtNode] = leaves.result()
+        var seps: IndexedSeq[BtRec] = seps0.result()
+        var level = 1
+        while (nodes.length > 1) {
+          require(level <= 8, "link-name B-tree deeper than 8")
+          val fill = math.max(2, (btMaxNRec(level) * 2 / 3).toInt)
+          val (nn, ss) = groupLevel(nodes, seps, fill, level)
+          nodes = nn; seps = ss; level += 1
+        }
+        nodes.head
+      }
+    }
+    val btDepth = btRoot.level
+    def btAllNodes(n: BtNode): Seq[BtNode] = n match {
+      case l: BtLeaf => Seq(l)
+      case i: BtInternal => i +: i.children.flatMap(btAllNodes)
     }
     val frhpAddr = if (dense) alloc(146) else Undef
     val fhdbAddr = if (dense && !bigDense) alloc(fhdbSize) else Undef
@@ -1449,13 +1541,7 @@ object Hdf5Source {
       if (!bigDense) IndexedSeq.empty
       else (0 until heapUsedBlocks).map(k => alloc(blkSize(k)))
     val bthdAddr = if (dense) alloc(38) else Undef
-    val btinAddr =
-      if (bigDense) alloc(6L + 11L * (btLeafSizes.length - 1) + 9L * btLeafSizes.length + 4)
-      else Undef
-    val btlfAddrs: IndexedSeq[Long] =
-      if (!dense) IndexedSeq.empty
-      else btLeafSizes.map(sz => alloc(6L + 11L * sz + 4))
-    val btlfAddr = if (dense && !bigDense) btlfAddrs.head else Undef
+    if (dense) btAllNodes(btRoot).foreach(n => n.addr = alloc(btNodeBytes(n)))
     val nRefs = dataVars.map(_._2.length).sum
     val gcolSize = math.max(4096, (16 + nRefs * 24 + 16 + 7) & ~7)
     val gcolAddr = if (nRefs > 0) alloc(gcolSize.toLong) else Undef
@@ -1606,55 +1692,49 @@ object Hdf5Source {
           putLinkMsgBody(n)
         }
       }
-      // name-index v2 B-tree header: root is the single leaf, or the
-      // depth-1 internal node
-      val rootNRec = if (bigDense) btLeafSizes.length - 1 else names.length
+      // name-index v2 B-tree header: root at whatever depth the link
+      // count needed
       at(bthdAddr).put("BTHD".getBytes("US-ASCII")).put(0.toByte)
         .put(5.toByte) // type: indexing "link name" records
-        .putInt(BtNodeSize).putShort(11.toShort)
-        .putShort((if (bigDense) 1 else 0).toShort)
+        .putInt(btNodeSize).putShort(RecSize.toShort)
+        .putShort(btDepth.toShort)
         .put(100.toByte).put(40.toByte) // split/merge percents
-        .putLong(if (bigDense) btinAddr else btlfAddr)
-        .putShort(rootNRec.toShort)
+        .putLong(btRoot.addr)
+        .putShort(btRoot.nrec.toShort)
         .putLong(names.length.toLong)
       cksum(bthdAddr)
-      // records sorted by the lookup3 name hash (ties by name): split into
-      // leaves with one separator record between consecutive leaves
-      val recs = names.map { n =>
-        val nb = n.getBytes("UTF-8")
-        (lookup3(nb, 0, nb.length) & 0xffffffffL, n)
-      }.sortBy { case (h, n) => (h, n) }
-      def putRecord(h: Long, n: String): Unit = {
-        val (off, len) = linkObjOffsets(n)
-        out.putInt(h.toInt)
+      def putRecord(r: BtRec): Unit = {
+        val (off, len) = linkObjOffsets(r.name)
+        out.putInt(r.hash.toInt)
         out.put(0.toByte) // heap ID: version 0, managed
         out.putInt(off.toInt)
         out.putShort(len.toShort)
         ()
       }
-      var cursor2 = 0
-      val seps = IndexedSeq.newBuilder[(Long, String)]
-      btLeafSizes.zipWithIndex.foreach { case (sz, li) =>
-        at(btlfAddrs(li)).put("BTLF".getBytes("US-ASCII")).put(0.toByte).put(5.toByte)
-        recs.slice(cursor2, cursor2 + sz).foreach { case (h, n) => putRecord(h, n) }
-        cursor2 += sz
-        cksum(btlfAddrs(li))
-        if (li < btLeafSizes.length - 1) { // separator into the root
-          seps += recs(cursor2)
-          cursor2 += 1
-        }
+      def putVar(v: Long, n: Int): Unit = {
+        var i = 0
+        while (i < n) { out.put(((v >> (8 * i)) & 0xff).toByte); i += 1 }
       }
-      if (bigDense) {
-        // internal root: records (separators), then child pointers
-        // (addr 8 + record count 1 — children are leaves, no total field)
-        at(btinAddr).put("BTIN".getBytes("US-ASCII")).put(0.toByte).put(5.toByte)
-        seps.result().foreach { case (h, n) => putRecord(h, n) }
-        btLeafSizes.zipWithIndex.foreach { case (sz, li) =>
-          out.putLong(btlfAddrs(li))
-          out.put(sz.toByte)
-        }
-        cksum(btinAddr)
+      def emitBtNode(node: BtNode): Unit = node match {
+        case l: BtLeaf =>
+          at(l.addr).put("BTLF".getBytes("US-ASCII")).put(0.toByte).put(5.toByte)
+          l.recs.foreach(putRecord)
+          cksum(l.addr)
+        case n: BtInternal =>
+          n.children.foreach(emitBtNode)
+          at(n.addr).put("BTIN".getBytes("US-ASCII")).put(0.toByte).put(5.toByte)
+          n.seps.foreach(putRecord)
+          val cnSize =
+            btEncBytes(if (n.level == 1) btMaxLeafRec.toLong else btMaxNRec(n.level - 1))
+          val ctSize = if (n.level - 1 > 0) btEncBytes(btMaxTot(n.level - 1)) else 0
+          n.children.foreach { c =>
+            out.putLong(c.addr)
+            putVar(c.nrec.toLong, cnSize)
+            if (ctSize > 0) putVar(c.total, ctSize)
+          }
+          cksum(n.addr)
       }
+      emitBtNode(btRoot)
     }
 
     coordVars.foreach { case (name, values) =>

@@ -305,6 +305,40 @@ class Hdf5SourceSpec extends AnyFunSuite {
     }
   }
 
+  test("property: depth-2 link-name B-tree (512-byte nodes, 1.5k links) " +
+    "round-trips — exercises the total-record pointer fields") {
+    // 512-byte nodes: 45 records/leaf, depth-1 capacity 1149 → 1500 links
+    // force DEPTH 2, whose root child pointers carry the variable-width
+    // "total records in subtree" field (absent at depth 1 — without this
+    // test that reader path never runs)
+    val rnd = new scala.util.Random(77)
+    val dir = tmp("h5depth2")
+    val n = 3
+    val y = Array.tabulate(n)(_ * 1.0)
+    val vars = (0 until 1500).map { k =>
+      (s"deep_var_$k", Seq("y"), Array.fill(n)(rnd.nextDouble() * 10))
+    }
+    val p = s"$dir/deep.nc"
+    Hdf5Source.writeLatest(p, Seq(NcDim("y", n)), Seq("y" -> y), vars,
+      deflate = false, shuffle = false, btNodeSize = 512)
+    val bytes = Files.readAllBytes(Paths.get(p))
+    // depth (bytes 12-13 of the BTHD, little-endian) must really be 2
+    val bthd = bytes.indices.indexWhere(i => i + 4 <= bytes.length &&
+      bytes(i) == 'B' && bytes(i + 1) == 'T' && bytes(i + 2) == 'H' &&
+      bytes(i + 3) == 'D')
+    assert(bthd >= 0)
+    val depth = (bytes(bthd + 12) & 0xff) | ((bytes(bthd + 13) & 0xff) << 8)
+    assert(depth == 2, s"expected a depth-2 tree, got $depth")
+    val nc = NetcdfSource.read(p)
+    assert(nc.vars.length == 1501, nc.vars.length.toString)
+    vars.foreach { case (vn, _, data) =>
+      assert(nc.varByName(vn).data.sameElements(data), vn)
+    }
+    // the kerchunk scan walks the same deep structures
+    val scanned = Hdf5Source.scan(bytes).map(_.name).toSet
+    assert(scanned.size == 1501 && scanned.contains("deep_var_1499"))
+  }
+
   test("lookup3 checksum matches published hashlittle vectors") {
     // Bob Jenkins' reference self-test values for hashlittle(), initval 0:
     // hashlittle("", 0) = 0xdeadbeef; hashlittle("Four score and seven
