@@ -240,16 +240,25 @@ object Hdf5Source {
       dense ++ msgs.filter(_._1 == 0x0006).map { case (_, p, _) => parseLink(p) }
     }
 
-    /** Dense group links: the name-index v2 B-tree's records carry fractal
-      * heap IDs; each heap object is one serialized link message. Scope:
-      * managed heap objects in a direct-root OR indirect-root fractal heap
-      * (one level of indirection — every child of the root indirect block
-      * must be a direct block, which holds heaps up to width·maxDirect
-      * bytes of links), and link-name B-trees of ANY depth (internal BTIN
-      * nodes carry records too — a B-tree, not a B+-tree). Deeper heap
-      * indirection (child indirect blocks) is rejected loudly.
+    /** Little-endian unsigned read of any 1..8-byte field (heap offsets
+      * are (maxHeapBits+7)/8 wide — real libhdf5 attribute heaps use FIVE
+      * bytes, so a case list over 1/2/4/8 silently over-reads).
       */
-    def denseLinks(heapAddr: Long, btreeAddr: Long): Seq[(String, Long)] = {
+    def readVar(p: Int, n: Int): Long = {
+      var v = 0L
+      var i = 0
+      while (i < n) { v |= (bytes(p + i) & 0xffL) << (8 * i); i += 1 }
+      v
+    }
+
+    /** Fractal heap resolver shared by dense LINK storage and dense
+      * ATTRIBUTE storage: managed objects in a direct-root OR
+      * indirect-root heap (one level of indirection — every child of the
+      * root indirect block must be a direct block; deeper indirection is
+      * rejected loudly). Returns (heap-space offset → file offset, idLen,
+      * offSize).
+      */
+    def heapResolver(heapAddr: Long): (Long => Long, Int, Int) = {
       // fractal heap header
       val a = heapAddr.toInt
       require(new String(bytes, a, 4, "US-ASCII") == "FRHP",
@@ -279,8 +288,10 @@ object Hdf5Source {
       val curRows = b.getShort(a + 140) & 0xffff
       val offSize = (maxHeapBits + 7) / 8
       val lenSize = sizeBytesFor(maxManaged)
-      require(idLen == 1 + offSize + lenSize,
-        s"fractal heap ID length $idLen != 1+$offSize+$lenSize")
+      // libhdf5 may declare a LONGER id (zero-padded): dense-attribute
+      // heaps fix it at 8 bytes regardless of the offset/length widths
+      require(idLen >= 1 + offSize + lenSize,
+        s"fractal heap ID length $idLen < 1+$offSize+$lenSize")
       // doubling table row sizes: rows 0 and 1 use the starting size, row
       // r >= 2 doubles per row; rows past maxDirect would hold INDIRECT
       // children — one level of indirection only
@@ -333,27 +344,27 @@ object Hdf5Source {
             hit._3 + (o - hit._1)
           }
         }
+      (objFileOffset, idLen, offSize)
+    }
 
-      def readVar(p: Int, n: Int): Long = n match {
-        case 1 => bytes(p) & 0xffL
-        case 2 => (b.getShort(p) & 0xffff).toLong
-        case 3 => (b.getShort(p) & 0xffffL) | ((bytes(p + 2) & 0xffL) << 16)
-        case 4 => b.getInt(p).toLong & 0xffffffffL
-        case _ => b.getLong(p)
-      }
-
-      // name-index v2 B-tree header
+    /** Walk a v2 B-tree of record type `expectType` at ANY depth (BTIN
+      * internal nodes carry records too — a B-tree, not a B+-tree),
+      * computing child-pointer field widths from the spec's max-record
+      * recurrences (H5B2hdr). Returns (recordSize, file offsets of every
+      * record).
+      */
+    def walkV2Btree(btreeAddr: Long, expectType: Int): (Int, Seq[Int]) = {
       val t = btreeAddr.toInt
       require(new String(bytes, t, 4, "US-ASCII") == "BTHD",
         s"bad v2 B-tree header at $btreeAddr")
       require((bytes(t + 4) & 0xff) == 0, "v2 B-tree version")
-      require((bytes(t + 5) & 0xff) == 5, "v2 B-tree type (link name) expected")
+      require((bytes(t + 5) & 0xff) == expectType,
+        s"v2 B-tree type ${bytes(t + 5) & 0xff}, expected $expectType")
       val nodeSize = b.getInt(t + 6)
       val recordSize = b.getShort(t + 10) & 0xffff
       val depth = b.getShort(t + 12) & 0xffff
       val rootNodeAddr = b.getLong(t + 16)
       val rootNRecords = b.getShort(t + 24) & 0xffff
-      require(recordSize == 4 + idLen, s"link-name record size $recordSize")
 
       // v2 B-tree size math (HDF5 spec / H5B2hdr): child-pointer field
       // widths derive from the maximum record counts each level can hold
@@ -375,25 +386,17 @@ object Hdf5Source {
         maxTot(dd) = maxNRec(dd) + (maxNRec(dd) + 1) * maxTot(dd - 1)
       }
 
-      def linkOfRecord(r: Int): (String, Long) = {
-        // record: name hash (4, lookup3) + heap ID (flags, offset, length)
-        require((bytes(r + 4) & 0xff) == 0,
-          "non-managed (huge/tiny) heap ID in link record")
-        val off = readVar(r + 4 + 1, offSize)
-        parseLink(objFileOffset(off).toInt)
-      }
-
-      def walkNode(addr: Long, nRec: Int, d: Int): Seq[(String, Long)] = {
+      def walkNode(addr: Long, nRec: Int, d: Int): Seq[Int] = {
         val p = addr.toInt
         if (d == 0) {
           require(new String(bytes, p, 4, "US-ASCII") == "BTLF",
             s"bad v2 B-tree leaf at $addr")
-          require((bytes(p + 5) & 0xff) == 5, "leaf record type")
-          (0 until nRec).map(i => linkOfRecord(p + 6 + i * recordSize))
+          require((bytes(p + 5) & 0xff) == expectType, "leaf record type")
+          (0 until nRec).map(i => p + 6 + i * recordSize)
         } else {
           require(new String(bytes, p, 4, "US-ASCII") == "BTIN",
             s"bad v2 B-tree internal node at $addr")
-          require((bytes(p + 5) & 0xff) == 5, "internal record type")
+          require((bytes(p + 5) & 0xff) == expectType, "internal record type")
           val childNRecSize =
             encBytes(if (d - 1 == 0) maxLeafRec.toLong else maxNRec(d - 1))
           val childTotSize = if (d - 1 > 0) encBytes(maxTot(d - 1)) else 0
@@ -404,11 +407,25 @@ object Hdf5Source {
             walkNode(b.getLong(cp), readVar(cp + 8, childNRecSize).toInt, d - 1)
           }
           // internal nodes carry records too (B-tree, not B+-tree)
-          fromChildren ++ (0 until nRec).map(i =>
-            linkOfRecord(p + 6 + i * recordSize))
+          fromChildren ++ (0 until nRec).map(i => p + 6 + i * recordSize)
         }
       }
-      walkNode(rootNodeAddr, rootNRecords, depth)
+      (recordSize, walkNode(rootNodeAddr, rootNRecords, depth))
+    }
+
+    /** Dense group links: the name-index v2 B-tree's records carry fractal
+      * heap IDs; each heap object is one serialized link message.
+      */
+    def denseLinks(heapAddr: Long, btreeAddr: Long): Seq[(String, Long)] = {
+      val (objFileOffset, idLen, offSize) = heapResolver(heapAddr)
+      val (recordSize, recs) = walkV2Btree(btreeAddr, expectType = 5)
+      require(recordSize == 4 + idLen, s"link-name record size $recordSize")
+      recs.map { r =>
+        // record: name hash (4, lookup3) + heap ID (flags, offset, length)
+        require((bytes(r + 4) & 0xff) == 0,
+          "non-managed (huge/tiny) heap ID in link record")
+        parseLink(objFileOffset(readVar(r + 4 + 1, offSize)).toInt)
+      }
     }
 
     // ---- local heap + group btree + SNOD
@@ -622,6 +639,28 @@ object Hdf5Source {
       }
     }
 
+    /** Dense ATTRIBUTE storage (libhdf5 switches past 8 attributes): the
+      * attribute-name v2 B-tree (record type 8) indexes fractal-heap
+      * objects, each one a serialized attribute message. Missing this
+      * storage class would silently drop scale_factor/_FillValue and
+      * mis-decode every CF-packed value.
+      */
+    def denseAttrs(heapAddr: Long, btreeAddr: Long): Seq[Attr] = {
+      val (objFileOffset, _, offSize) = heapResolver(heapAddr)
+      val (recordSize, recs) = walkV2Btree(btreeAddr, expectType = 8)
+      // type-8 record: heap ID (8 bytes: version/type byte, offset,
+      // length, zero-padded), message flags (1), creation order (4),
+      // name hash (4)
+      require(recordSize == 17, s"attribute-name record size $recordSize")
+      recs.map { r =>
+        require((bytes(r) & 0xff) == 0,
+          "non-managed (huge/tiny) heap ID in attribute record")
+        require((bytes(r + 8) & 0xff & 0x02) == 0,
+          "shared attribute message unsupported")
+        parseAttr(objFileOffset(readVar(r + 1, offSize)).toInt)
+      }
+    }
+
     // ---- walk all groups, collect datasets
     val datasets = mutable.ArrayBuffer.empty[Dataset]
     def visit(name: String, hdrAddr: Long): Unit = {
@@ -648,7 +687,16 @@ object Hdf5Source {
             .getOrElse(Nil)
           val fill = msgs.find(_._1 == 0x0005)
             .flatMap(m => parseFill(m._2, m._3, dt))
-          val attrs = msgs.filter(_._1 == 0x000C).map(m => parseAttr(m._2))
+          val denseA = msgs.filter(_._1 == 0x0015).flatMap { case (_, p, _) =>
+            // Attribute Info: version(1), flags(1), [max creation idx(2)
+            // when tracked], fractal heap addr(8), name B-tree addr(8)
+            val fl = bytes(p + 1) & 0xff
+            val ho = p + 2 + (if ((fl & 1) != 0) 2 else 0)
+            val ha = b.getLong(ho)
+            if (addrOk(ha)) denseAttrs(ha, b.getLong(ho + 8)) else Nil
+          }
+          val attrs =
+            msgs.filter(_._1 == 0x000C).map(m => parseAttr(m._2)) ++ denseA
           datasets += Dataset(name, hdrAddr, shape, dt, layout, filters, fill,
             attrs.flatMap(a => a.str.map(a.name -> _)).toMap,
             attrs.find(_.name == "DIMENSION_LIST").map(_.refs).getOrElse(Nil))

@@ -463,5 +463,16 @@ class Hdf5SourceSpec extends AnyFunSuite {
     assert(math.abs(r2.sum - 4165.816432) < 1e-3)
     // tie-point grids decode at their own (102 x 20) resolution
     assert(nc.varByName("TP_latitude").data.length == 102 * 20)
+    // DENSE attribute storage (libhdf5 switches past 8 attributes; the
+    // heap's 5-byte offset fields are exactly what a 1/2/4/8 case list
+    // over-reads): the product's real metadata must surface
+    val chlAttrs = nc.varByName("conc_chl").attrs
+    assert(chlAttrs("units") == "mg m^-3", chlAttrs.toString)
+    assert(chlAttrs("valid_pixel_expression") == "c2rcc_flags.Valid_PE")
+    assert(chlAttrs("long_name").startsWith("Chlorophyll"))
+    val r2Attrs = nc.varByName("rtoa_2").attrs
+    // 412.5 nm is OLCI band 2's published center wavelength
+    assert(r2Attrs("wavelength") == "412.5", r2Attrs.toString)
+    assert(nc.varByName("lat").attrs("standard_name") == "latitude")
   }
 }
