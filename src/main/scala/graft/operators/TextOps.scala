@@ -121,9 +121,20 @@ object TextOps {
     */
   def repeatedSpans(df: DataFrame, idCol: String, textCol: String,
                     n: Int): DataFrame = {
+    val grams = spanGrams(df, idCol, textCol, n)
+    val shared = grams.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+    grams.join(shared, Seq("h"))
+  }
+
+  /** The (doc_id, pos, h) window-hash table behind [[repeatedSpans]] /
+    * [[removeRepeatedSpans]].
+    */
+  private def spanGrams(df: DataFrame, idCol: String, textCol: String,
+                        n: Int): DataFrame = {
     require(n >= 2, s"span length $n")
-    val grams = df
-      .withColumn("__w", tokens(col(textCol)))
+    df.withColumn("__w", tokens(col(textCol)))
       .filter(size(col("__w")) >= n)
       // posexplode_OUTER: the plain generator would get an optimizer-
       // inferred size()>0 filter that re-evaluates the whole shingle
@@ -135,10 +146,6 @@ object TextOps {
       .withColumn("h",
         conv(substring(md5(col("__g")), 1, 15), 16, 10).cast("long"))
       .select("doc_id", "pos", "h")
-    val shared = grams.groupBy("h")
-      .agg(countDistinct(col("doc_id")).as("n_docs"))
-      .filter(col("n_docs") >= 2)
-    grams.join(shared, Seq("h"))
   }
 
   /** ExactSubstr REMOVAL (the second half of Lee et al. 2021 §4.1): every
@@ -165,13 +172,19 @@ object TextOps {
     */
   def removeRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
                           n: Int): DataFrame = {
-    val spans = repeatedSpans(df, idCol, textCol, n)
-    // lexicographic min(struct) == the row_number-over-(doc_id, pos) winner,
-    // but partial-aggregates on the map side: the hot span hash arrives at
-    // the reducer as one pre-combined row per upstream partition
-    val firsts = spans.groupBy("h")
-      .agg(min(struct(col("doc_id"), col("pos"))).as("__first"))
-    val marks = spans
+    val grams = spanGrams(df, idCol, textCol, n)
+    // ONE hash-keyed aggregation carries both the shared-span predicate
+    // (distinct-doc count >= 2) and the first occurrence: lexicographic
+    // min(struct) == the row_number-over-(doc_id, pos) winner, but
+    // partial-aggregates on the map side — the hot span hash arrives at
+    // the reducer as one pre-combined row per upstream partition, and the
+    // gram subtree is computed twice total (agg + join), not four times
+    val firsts = grams.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("__nd"),
+        min(struct(col("doc_id"), col("pos"))).as("__first"))
+      .filter(col("__nd") >= 2)
+      .select("h", "__first")
+    val marks = grams
       .join(firsts, Seq("h"))
       .filter(struct(col("doc_id"), col("pos")) =!= col("__first"))
       .select(col("doc_id"),
