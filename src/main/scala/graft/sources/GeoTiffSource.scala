@@ -608,7 +608,8 @@ object GeoTiffSource {
     require(levels.map(_.bands.length).distinct.size == 1,
       "levels must share a band count")
     require(!(deflate && lzw), "choose one compression")
-    require(bits == 64 || bits == 16, s"writer supports float64/int16, got $bits-bit")
+    require(bits == 64 || bits == 32 || bits == 16,
+      s"writer supports float64/float32/int16, got $bits-bit")
     require(predictor == 1 || (predictor == 2 && bits == 16),
       "predictor 2 requires int16 samples")
     require(nodata.forall(!_.isNaN),
@@ -627,6 +628,7 @@ object GeoTiffSource {
       // the masked read) — essential for int16, where NaN has no encoding
       val vv = if (v.isNaN && nodata.isDefined) nodata.get else v
       if (bits == 64) { buf.putDouble(vv); () }
+      else if (bits == 32) { buf.putFloat(vv.toFloat); () }
       else { buf.putShort(math.rint(vv).toShort); () }
     }
     def compress(b: Array[Byte]): Array[Byte] =
@@ -752,7 +754,7 @@ object GeoTiffSource {
         offsetsEntry(324)                                  // TileOffsets
         countsEntry(325)                                   // TileByteCounts
       }
-      val fmtCode = if (bits == 64) 3 else 2               // float64 / int16
+      val fmtCode = if (bits == 16) 2 else 3               // float / int16
       shortVecEntry(339, fmtCode, fmtArrOff)               // SampleFormat
       entry(33550, 12, 3, scaleOff)                        // ModelPixelScale
       entry(33922, 12, 6, tieOff)                          // ModelTiepoint

@@ -349,6 +349,13 @@ class StoreMaintenanceSpec extends AnyFunSuite {
     val back16 = GeoTiffSource.read(p16)
     assert(back16.data.toSeq.zip(r.data.toSeq).forall { case (a, b) =>
       a == b || (a.isNaN && b.isNaN) }, back16.data.toSeq.toString)
+    // float32 (the dominant published-raster sample type) round-trips
+    // through the same masked path
+    val p32 = new java.io.File(dir, "nd32.tif").getAbsolutePath
+    GeoTiffSource.write(p32, r, deflate = true, bits = 32, nodata = Some(-9999.0))
+    val back32 = GeoTiffSource.read(p32)
+    assert(back32.data.toSeq.zip(r.data.toSeq).forall { case (a, b) =>
+      a == b || (a.isNaN && b.isNaN) }, back32.data.toSeq.toString)
     // a tag-less raster with the same bit pattern stays unmasked
     val p2 = new java.io.File(dir, "raw.tif").getAbsolutePath
     GeoTiffSource.write(p2, GeoTiffSource.Raster(2, 1,
