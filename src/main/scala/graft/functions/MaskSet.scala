@@ -33,7 +33,9 @@ object MaskSet {
         require(lo <= hi && hi < 64, s"bad bit range '$s'")
         ((lo to hi).map(1L << _)).reduce(_ | _)
       case single(a) => 1L << a.toInt
-      case _ => t.toLong
+      // CF numeric attributes surface as float text ("1048576.0") through
+      // the attr decode paths — accept both spellings of an integral mask
+      case _ => if (t.contains('.')) t.toDouble.toLong else t.toLong
     }
   }
 

@@ -634,7 +634,15 @@ object Hdf5Source {
           val n = parseDataspace(dsOff).headOption.getOrElse(0)
           Attr(name, None, vlenRefs(dataOff, n))
         case 'f' | 'i' =>
-          Attr(name, Some(decodeValue(dt, bytes, dataOff).toString), Nil)
+          // full dataspace, comma-joined (the classic-NetCDF attr
+          // convention used across this repo) — flag_masks and friends are
+          // ARRAYS; keeping only element 0 silently breaks flag decoding
+          val n = parseDataspace(dsOff) match {
+            case s if s.isEmpty => 1
+            case s => s.product
+          }
+          Attr(name, Some((0 until n).map(i =>
+            decodeValue(dt, bytes, dataOff + i * dt.size)).mkString(",")), Nil)
         case _ => Attr(name, None, Nil)
       }
     }

@@ -474,5 +474,31 @@ class Hdf5SourceSpec extends AnyFunSuite {
     // 412.5 nm is OLCI band 2's published center wavelength
     assert(r2Attrs("wavelength") == "412.5", r2Attrs.toString)
     assert(nc.varByName("lat").attrs("standard_name") == "latitude")
+    // flag metadata decodes as FULL arrays (element 0 alone silently
+    // breaks flag decoding): 21 flag meanings, masks = 21 powers of two
+    val flags = nc.varByName("c2rcc_flags")
+    val meanings = flags.attrs("flag_meanings").trim.split("\\s+").toSeq
+    assert(meanings.length == 21 && meanings.last == "Valid_PE", meanings.toString)
+    // SNAP's flag coding: bits 0..19 in order, then Valid_PE at BIT 31
+    // (stored int32, so it surfaces as the signed value -2^31)
+    val masks = flags.attrs("flag_masks").split(",").map(_.toDouble.toLong).toSeq
+    assert(masks == (0 until 20).map(1L << _) :+ -2147483648L, masks.toString)
+    // drive the reference's OWN masking protocol end-to-end: conc_chl's
+    // valid_pixel_expression is "c2rcc_flags.Valid_PE" — apply the flag
+    // through MaskSet and cross-check against a direct array computation
+    val validPe = graft.functions.MaskSet.flagSpecs(
+      flags.attrs("flag_meanings"),
+      Some(flags.attrs("flag_masks").split(",").toSeq), None)
+      .find(_.name == "Valid_PE").get
+    import spark.implicits._
+    val df = chl.zip(flags.data).toSeq.toDF("chl", "flags")
+    val masked = df.filter(graft.functions.MaskSet.maskExpr(
+      org.apache.spark.sql.functions.col("flags").cast("long"), validPe))
+    val nValid = masked.count()
+    // bit 31 of the _Unsigned-decoded flag word (values >= 2^31)
+    val expectValid = chl.zip(flags.data)
+      .count { case (_, f) => (f.toLong & 0x80000000L) != 0 }
+    assert(nValid == expectValid && nValid > 0 && nValid <= 10000,
+      s"$nValid vs $expectValid")
   }
 }
