@@ -102,7 +102,8 @@ object Hdf5Source {
                              shuffleElem: Int, fletcher: Boolean,
                              fill: Option[Double], dims: Seq[String],
                              contiguous: Option[(Long, Long)],
-                             chunks: Seq[H5ChunkRef])
+                             chunks: Seq[H5ChunkRef],
+                             cfAttrs: Map[String, String] = Map.empty)
 
   /** Header-only layout scan (no payload decode) for kerchunk indexing. */
   def scan(bytes: Array[Byte]): Seq[H5VarScan] =
@@ -922,13 +923,17 @@ object Hdf5Source {
               s"${ds.name}: datatype '$k' not scannable to zarr")
           }) + ds.dt.size
         val dimNames = dimIdsOf(ds).map(allDims(_).name)
+        // CF decode attrs travel with the scan so kerchunk refs decode
+        // packed values like the direct reader
+        val cf = ds.strAttrs.filter(kv => Set("scale_factor", "add_offset",
+          "_FillValue", "missing_value", "_Unsigned").contains(kv._1))
         ds.layout match {
           case Contiguous(addr, size) =>
             H5VarScan(ds.name, ds.shape, ds.shape, zdt,
               deflate = false, shuffleElem = 0, fletcher = false,
               ds.fill, dimNames,
               contiguous = if (addrOk(addr)) Some((addr, size)) else None,
-              chunks = Nil)
+              chunks = Nil, cfAttrs = cf)
           case _ =>
             val (chunk, iterate) = chunkIter(ds)
             val refs = Seq.newBuilder[H5ChunkRef]
@@ -944,7 +949,8 @@ object Hdf5Source {
             H5VarScan(ds.name, ds.shape, chunk, zdt,
               deflate = ds.filters.exists(_._1 == 1), shuffleElem,
               fletcher = ds.filters.exists(_._1 == 3),
-              ds.fill, dimNames, contiguous = None, chunks = refs.result())
+              ds.fill, dimNames, contiguous = None, chunks = refs.result(),
+              cfAttrs = cf)
         }
       }.toSeq
     (NcFile(allDims.toSeq, Map.empty, ncVars), scans)

@@ -189,6 +189,24 @@ object KerchunkSource {
 
   private def jstr(s: String): String = mapper.writeValueAsString(s)
 
+  /** CF mask-and-scale attrs as a `.zattrs` JSON suffix (",k:v,..." or
+    * empty): scale_factor/add_offset plus the fill sentinel
+    * (_FillValue, else missing_value), converted through the _Unsigned
+    * span like the direct reader's toU. NaN fills are dropped — raw NaN
+    * already decodes to NaN, and `"NaN"` is not valid JSON.
+    */
+  private def cfZattrsSuffix(attrs: Map[String, String], unsigned: Boolean,
+                             span: Double): String = {
+    def num(k: String): Option[Double] =
+      attrs.get(k).flatMap(s => scala.util.Try(s.trim.toDouble).toOption)
+    val fill = num("_FillValue").orElse(num("missing_value"))
+      .map(f => if (unsigned && f < 0) f + span else f)
+      .filter(f => !f.isNaN && !f.isInfinite)
+    (num("scale_factor").map(v => s""","scale_factor":$v""") ++
+      num("add_offset").map(v => s""","add_offset":$v""") ++
+      fill.map(v => s""","_FillValue":$v""")).mkString
+  }
+
   /** Index an existing Zarr v2 group into a refs document: metadata is
     * inlined, every chunk file becomes a whole-file `[url, 0, size]` ref.
     * No payload bytes are read or copied.
@@ -245,6 +263,7 @@ object KerchunkSource {
     out(".zgroup") = jstr("""{"zarr_format":2}""")
     val sizeOf = Seq(0, 1, 1, 2, 4, 4, 8)
     val dtypeOf = Seq("", ">i1", "|u1", ">i2", ">i4", ">f4", ">f8")
+    val attrsOf = nc.vars.map(v => v.name -> v.attrs).toMap
     lay.vars.filter(_.dims.nonEmpty).foreach { v =>
       val shape = v.dims.map(_.size)
       val elemSize = sizeOf(v.ncType)
@@ -254,14 +273,25 @@ object KerchunkSource {
       // story and the 2 GiB task buffer bound that record variables get
       val splitFixed = !v.isRec && total > maxFixedChunkBytes && shape.head > 1
       val chunks = if (v.isRec || splitFixed) 1 +: shape.drop(1) else shape
+      // CF decode parity with the direct reader: _Unsigned flips the
+      // emitted integer dtype (the Zarr path then reads the same unsigned
+      // values maskAndScale's toU produces), and scale/offset/fill travel
+      // in .zattrs so refs reads decode to PHYSICAL values — without this
+      // a packed granule reads raw through kerchunk and decoded directly
+      val attrs = attrsOf.getOrElse(v.name, Map.empty)
+      val unsigned = attrs.get("_Unsigned").exists(_.trim.equalsIgnoreCase("true"))
+      val span = math.pow(2.0, 8.0 * elemSize)
+      val dtype0 = dtypeOf(v.ncType)
+      val dtype = if (unsigned) dtype0.replace("i", "u") else dtype0
       val zarray =
         s"""{"zarr_format":2,"shape":[${shape.mkString(",")}],""" +
           s""""chunks":[${chunks.mkString(",")}],""" +
-          s""""dtype":"${dtypeOf(v.ncType)}","compressor":null,""" +
+          s""""dtype":"$dtype","compressor":null,""" +
           s""""fill_value":null,"filters":null,"order":"C"}"""
       out(s"${v.name}/.zarray") = jstr(zarray)
       out(s"${v.name}/.zattrs") = jstr(
-        s"""{"_ARRAY_DIMENSIONS":[${v.dims.map(d => jstr(d.name)).mkString(",")}]}""")
+        s"""{"_ARRAY_DIMENSIONS":[${v.dims.map(d => jstr(d.name)).mkString(",")}]""" +
+          cfZattrsSuffix(attrs, unsigned, span) + "}")
       val zeros = shape.drop(1).map(_ => "0")
       val slice = shape.drop(1).map(_.toLong).product * elemSize
       if (v.isRec) {
@@ -312,14 +342,23 @@ object KerchunkSource {
         case Some(f) => f.toString
         case None => "null"
       }
+      // _Unsigned (netCDF-3→4 conversions carry it on signed types) flips
+      // the emitted dtype; scale/offset/fill ride in .zattrs so refs reads
+      // decode packed values like the direct reader
+      val unsigned = v.cfAttrs.get("_Unsigned")
+        .exists(_.trim.equalsIgnoreCase("true"))
+      val elemSize = v.zarrDtype.drop(2).toInt
+      val dtype =
+        if (unsigned) v.zarrDtype.replace("i", "u") else v.zarrDtype
       val zarray =
         s"""{"zarr_format":2,"shape":[${v.shape.mkString(",")}],""" +
           s""""chunks":[${v.chunkDims.mkString(",")}],""" +
-          s""""dtype":"${v.zarrDtype}","compressor":$comp,""" +
+          s""""dtype":"$dtype","compressor":$comp,""" +
           s""""fill_value":$fill,"filters":$filt,"order":"C"}"""
       out(s"${v.name}/.zarray") = jstr(zarray)
       out(s"${v.name}/.zattrs") = jstr(
-        s"""{"_ARRAY_DIMENSIONS":[${v.dims.map(jstr).mkString(",")}]}""")
+        s"""{"_ARRAY_DIMENSIONS":[${v.dims.map(jstr).mkString(",")}]""" +
+          cfZattrsSuffix(v.cfAttrs, unsigned, math.pow(2.0, 8.0 * elemSize)) + "}")
       v.contiguous.foreach { case (addr, size) =>
         val key = v.shape.map(_ => "0").mkString(".")
         out(s"${v.name}/$key") = s"""[${jstr(url)}, $addr, $size]"""

@@ -382,6 +382,67 @@ class ZarrSourceSpec extends AnyFunSuite {
     assert(viaPrefix.attrs == full.attrs)
   }
 
+  test("kerchunk: CF-packed granules decode to PHYSICAL values through refs") {
+    import graft.sources.{KerchunkSource, NetcdfSource}
+    import NetcdfSource.NcDim
+    // packed values on disk; the refs read must apply the same
+    // mask-and-scale the direct reader does — raw-value parity is the
+    // CF-decode gap, not parity
+    val p = s"${tmpDir("kcf")}/packed.nc"
+    NetcdfSource.write(p,
+      Seq(NcDim("x", 4)),
+      Seq(("x", Array.tabulate(4)(_ + 0.5))),
+      Seq(("v", Seq("x"), Array(10.0, -999.0, 30.0, 40.0))),
+      varAttrs = Map("v" -> Seq(
+        "scale_factor" -> 0.5, "add_offset" -> 100.0, "_FillValue" -> -999.0)))
+    val direct = NetcdfSource.read(p).varByName("v").data
+    assert(direct(0) == 105.0 && direct(1).isNaN && direct(3) == 120.0)
+    val refsPath = s"${tmpDir("kcf2")}/p.refs.json"
+    Files.writeString(Paths.get(refsPath), KerchunkSource.scanNetcdf(p))
+    val back = KerchunkSource.readCube(spark, refsPath, "v").collect()
+      .map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(back(0.5) == 105.0 && back(1.5).isNaN
+      && back(2.5) == 115.0 && back(3.5) == 120.0, back.toString)
+  }
+
+  test("kerchunk: the real UKMO CDF-1 granule reads identically via refs") {
+    import graft.sources.{KerchunkSource, NetcdfSource}
+    val p = "/root/reference/test/core/gen/inputdata/" +
+      "20170101120000-UKMO-L4_GHRSST-SSTfnd-OSTIAanom-GLOB-v02.0-fv02.0.nc"
+    org.scalatest.Assertions.assume(Files.exists(Paths.get(p)))
+    val refsPath = s"${tmpDir("kcukmo")}/u.refs.json"
+    Files.writeString(Paths.get(refsPath), KerchunkSource.scanNetcdf(p))
+    // CF-packed shorts → physical Kelvin, identical to the direct reader
+    import org.apache.spark.sql.functions._
+    val stats = KerchunkSource.readCube(spark, refsPath, "analysed_sst")
+      .filter(!isnan(col("analysed_sst")))
+      .agg(count(lit(1)), sum(col("analysed_sst")), min(col("analysed_sst")),
+        max(col("analysed_sst")))
+      .collect()(0)
+    assert(stats.getLong(0) == 703805L)
+    val direct = NetcdfSource.read(p).varByName("analysed_sst").data
+      .filter(x => !x.isNaN)
+    assert(math.abs(stats.getDouble(1) - direct.sum) < 1e-3)
+    assert(stats.getDouble(2) == direct.min && stats.getDouble(3) == direct.max)
+    assert(stats.getDouble(2) > 270 && stats.getDouble(3) < 310)
+  }
+
+  test("kerchunk: the real Sentinel-3 libhdf5 granule reads identically via refs") {
+    import graft.sources.{KerchunkSource, NetcdfSource}
+    val p = "/root/reference/examples/notebooks/inputdata/" +
+      "O_L2_0001_SNS_2017104102450_v1.0.nc"
+    org.scalatest.Assertions.assume(Files.exists(Paths.get(p)))
+    val refsPath = s"${tmpDir("kcsns")}/s.refs.json"
+    Files.writeString(Paths.get(refsPath), KerchunkSource.scanHdf5(p))
+    import org.apache.spark.sql.functions._
+    val stats = KerchunkSource.readCube(spark, refsPath, "conc_chl")
+      .agg(count(lit(1)), sum(col("conc_chl"))).collect()(0)
+    val direct = NetcdfSource.read(p).varByName("conc_chl").data
+    assert(stats.getLong(0) == 10000L)
+    assert(math.abs(stats.getDouble(1) - direct.sum) < 1e-6,
+      s"${stats.getDouble(1)} vs ${direct.sum}")
+  }
+
   test("kerchunk: scanZarr indexes nested '/'-separated chunk directories") {
     import graft.sources.KerchunkSource
     val g = s"${tmpDir("kcsep")}/s.zarr"
