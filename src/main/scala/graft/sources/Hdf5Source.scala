@@ -1566,6 +1566,11 @@ object Hdf5Source {
     val btRoot: BtNode = if (!dense) BtLeaf(IndexedSeq.empty) else {
       if (btRecs.length <= btMaxLeafRec) BtLeaf(btRecs)
       else {
+        // a 1-record leaf capacity cannot tile the alternating
+        // (leaf, sep, leaf) run for even record counts — the lone-child
+        // adjustment would emit an empty BTLF that real libhdf5 rejects
+        require(btMaxLeafRec >= 2,
+          s"btNodeSize too small: leaf capacity $btMaxLeafRec < 2")
         // leaf level: ~2/3-full leaves with one separator between
         val leafFill = math.max(1, btMaxLeafRec * 2 / 3)
         val leaves = IndexedSeq.newBuilder[BtNode]

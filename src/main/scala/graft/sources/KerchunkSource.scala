@@ -195,6 +195,20 @@ object KerchunkSource {
     * span like the direct reader's toU. NaN fills are dropped — raw NaN
     * already decodes to NaN, and `"NaN"` is not valid JSON.
     */
+  /** The `.zarray` fill seeds UNALLOCATED chunks. `_Unsigned` moves the
+    * `.zattrs` `_FillValue` into unsigned space ([[cfZattrsSuffix]]), so
+    * the seed must move through the same conversion — otherwise
+    * missing-chunk cells of packed variables dodge the fill mask and
+    * decode as scaled sentinel garbage instead of NaN.
+    */
+  private[graft] def zarrFillJson(fill: Option[Double], unsigned: Boolean,
+                                  span: Double): String = fill match {
+    case Some(f) if f.isNaN => "\"NaN\""
+    case Some(f) if unsigned && f < 0 => (f + span).toString
+    case Some(f) => f.toString
+    case None => "null"
+  }
+
   private def cfZattrsSuffix(attrs: Map[String, String], unsigned: Boolean,
                              span: Double): String = {
     def num(k: String): Option[Double] =
@@ -337,17 +351,14 @@ object KerchunkSource {
       val comp = if (v.deflate) """{"id":"zlib","level":1}""" else "null"
       val filt = if (v.shuffleElem > 1)
         s"""[{"id":"shuffle","elementsize":${v.shuffleElem}}]""" else "null"
-      val fill = v.fill match {
-        case Some(f) if f.isNaN => "\"NaN\""
-        case Some(f) => f.toString
-        case None => "null"
-      }
       // _Unsigned (netCDF-3→4 conversions carry it on signed types) flips
       // the emitted dtype; scale/offset/fill ride in .zattrs so refs reads
       // decode packed values like the direct reader
       val unsigned = v.cfAttrs.get("_Unsigned")
         .exists(_.trim.equalsIgnoreCase("true"))
       val elemSize = v.zarrDtype.drop(2).toInt
+      val span = math.pow(2.0, 8.0 * elemSize)
+      val fill = zarrFillJson(v.fill, unsigned, span)
       val dtype =
         if (unsigned) v.zarrDtype.replace("i", "u") else v.zarrDtype
       val zarray =
@@ -358,7 +369,7 @@ object KerchunkSource {
       out(s"${v.name}/.zarray") = jstr(zarray)
       out(s"${v.name}/.zattrs") = jstr(
         s"""{"_ARRAY_DIMENSIONS":[${v.dims.map(jstr).mkString(",")}]""" +
-          cfZattrsSuffix(v.cfAttrs, unsigned, math.pow(2.0, 8.0 * elemSize)) + "}")
+          cfZattrsSuffix(v.cfAttrs, unsigned, span) + "}")
       v.contiguous.foreach { case (addr, size) =>
         val key = v.shape.map(_ => "0").mkString(".")
         out(s"${v.name}/$key") = s"""[${jstr(url)}, $addr, $size]"""

@@ -252,9 +252,12 @@ object NetcdfSource {
       try return parse(prefix, headerOnly = true)
       catch {
         // reads past the prefix (not past the file) mean the header is
-        // longer than the guess — retry with a bigger bound
-        case e @ (_: java.nio.BufferUnderflowException |
-                  _: IndexOutOfBoundsException) =>
+        // longer than the guess — retry with a bigger bound. A truncated
+        // prefix can surface as any RuntimeException (a require on a
+        // half-read size field, NegativeArraySizeException from a clipped
+        // length), not just a buffer bound, so retry broadly while the
+        // prefix is still short of the file and rethrow only at full size
+        case e: RuntimeException =>
           if (n >= total) throw e
           n = math.min(n * 4, total)
       }

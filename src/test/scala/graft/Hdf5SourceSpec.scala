@@ -111,6 +111,34 @@ class Hdf5SourceSpec extends AnyFunSuite {
     assert(refs.contains("shuffle") && refs.contains("zlib"))
   }
 
+  test("degenerate btNodeSize (leaf capacity 1) is rejected, not mis-written") {
+    // capacity-1 leaves cannot tile the alternating (leaf, sep, leaf) run
+    // for even record counts — the writer would emit an empty BTLF that
+    // real libhdf5 rejects (round-8 ADVICE); fail loudly instead
+    val y = Array.tabulate(4)(_ * 1.0)
+    val vars = (0 until 12).map(i =>
+      (f"v$i%02d", Seq("y"), Array.tabulate(4)(_ * 1.0 + i)))
+    val p = s"${tmp("h5tinybt")}/t.nc"
+    val e = intercept[IllegalArgumentException] {
+      Hdf5Source.writeLatest(p, Seq(NcDim("y", 4)), Seq("y" -> y), vars,
+        deflate = false, shuffle = false, btNodeSize = 21)
+    }
+    assert(e.getMessage.contains("leaf capacity"))
+  }
+
+  test("scanHdf5 .zarray fill moves to unsigned space with _Unsigned") {
+    import graft.sources.KerchunkSource.zarrFillJson
+    // _Unsigned converts the .zattrs _FillValue into unsigned space; the
+    // .zarray seed for unallocated chunks must match it or missing-chunk
+    // cells of packed variables dodge the mask (round-8 ADVICE, medium)
+    assert(zarrFillJson(Some(-1.0), unsigned = true, span = 256.0) == "255.0")
+    assert(zarrFillJson(Some(-32768.0), unsigned = true, span = 65536.0) == "32768.0")
+    assert(zarrFillJson(Some(-1.0), unsigned = false, span = 256.0) == "-1.0")
+    assert(zarrFillJson(Some(100.0), unsigned = true, span = 256.0) == "100.0")
+    assert(zarrFillJson(Some(Double.NaN), unsigned = true, span = 256.0) == "\"NaN\"")
+    assert(zarrFillJson(None, unsigned = true, span = 256.0) == "null")
+  }
+
   test("rejects what it cannot parse, loudly") {
     // valid signature but a superblock version that does not exist
     val fake = new Array[Byte](200)

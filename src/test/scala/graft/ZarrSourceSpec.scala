@@ -380,6 +380,24 @@ class ZarrSourceSpec extends AnyFunSuite {
     assert(viaPrefix.vars.map(_.name) == full.vars.map(_.name))
     assert(viaPrefix.layout.get == full.layout.get)
     assert(viaPrefix.attrs == full.attrs)
+    // a truncated prefix may cut MID-FIELD (half-read length, clipped
+    // array) and surface as IAE/NegativeArraySize, not just a buffer
+    // bound — every cut point must retry, never hard-fail (round-8
+    // ADVICE). Fat per-var attr tables push the header past 500 B so
+    // the sweep crosses it at many offsets.
+    val p2 = s"${tmpDir("nchdr")}/h2.nc"
+    NetcdfSource.write(p2,
+      Seq(NcDim("t", 4), NcDim("x", 3)),
+      Seq(("t", Array.tabulate(4)(_ * 1.0)), ("x", Array.tabulate(3)(_ + 0.5))),
+      Seq(("v", Seq("t", "x"), Array.tabulate(12)(_ * 2.0))),
+      varAttrs = Map("v" -> Seq("scale_factor" -> 0.25, "add_offset" -> 10.0,
+        "_FillValue" -> -9.0, "valid_min" -> 0.0, "valid_max" -> 100.0)))
+    val want = NetcdfSource.readHeader(p2)
+    (64 to 600 by 7).foreach { init =>
+      val got = NetcdfSource.readHeader(p2, initialPrefixBytes = init)
+      assert(got.dims == want.dims && got.vars.map(_.name) == want.vars.map(_.name),
+        s"prefix sweep failed at initial=$init")
+    }
   }
 
   test("kerchunk: CF-packed granules decode to PHYSICAL values through refs") {
