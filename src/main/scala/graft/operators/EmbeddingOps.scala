@@ -195,15 +195,19 @@ object EmbeddingOps {
     */
   def knnBruteForce(queries: DataFrame, corpus: DataFrame, idCol: String,
                     embCol: String, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val q = queries.select(col(idCol).as("query_id"), col(embCol).as("__qe"))
     val joined = parallelized(corpus).join(broadcast(q), col(idCol) =!= col("query_id"))
       .withColumn("cos_sim", round(cosine(col("__qe"), col(embCol)), 6))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos_sim").desc, col(idCol).asc)
-    joined.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col(idCol), col("cos_sim"))
+    // bounded-heap top-k per query, NOT a row_number window: each query's
+    // candidate list is the whole corpus, and a window would sort it all
+    // inside one partition; the aggregate keeps k rows per map task
+    joined.groupBy("query_id")
+      .agg(graft.functions.TopK.bottomK(
+        struct(negate(col("cos_sim")).as("__o"), col(idCol), col("cos_sim")),
+        k).as("__tk"))
+      .select(col("query_id"), posexplode(col("__tk")).as(Seq("__p", "__r")))
+      .select(col("query_id"), (col("__p") + 1).as("rank"),
+        col(s"__r.$idCol").as(idCol), col("__r.cos_sim").as("cos_sim"))
   }
 
   /** Embedding-cosine near-duplicate pairs: all (a, b) with cosine ≥
@@ -319,7 +323,6 @@ object EmbeddingOps {
   def pqSearch(queries: DataFrame, corpus: DataFrame, idCol: String,
                embCol: String, codebooks: Seq[Seq[(Int, Array[Double])]],
                k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val m = codebooks.length
     val enc = pqEncode(corpus, idCol, embCol, codebooks)
     val lut = pqLut(queries, idCol, embCol, codebooks)
@@ -328,12 +331,16 @@ object EmbeddingOps {
       .groupBy(col("query_id"), col(idCol))
       .agg(sum(col("d").cast("decimal(18,6)")).as("__ad"),
         count(lit(1)).as("__m"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("__ad").asc, col(idCol).asc)
+    // bounded-heap top-k per query (DECIMAL distance ascending, id
+    // tiebreak) — the candidate set is corpus-sized per query, so a
+    // row_number window would sort it all in one partition
     adc.filter(col("__m") === m) // every subspace contributed exactly once
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank").cast("long").as("rank"),
-        col(idCol), col("__ad").cast("double").as("adist"))
+      .groupBy("query_id")
+      .agg(graft.functions.TopK.bottomK(
+        struct(col("__ad"), col(idCol)), k).as("__tk"))
+      .select(col("query_id"), posexplode(col("__tk")).as(Seq("__p", "__r")))
+      .select(col("query_id"), (col("__p") + 1).cast("long").as("rank"),
+        col(s"__r.$idCol").as(idCol),
+        col("__r.__ad").cast("double").as("adist"))
   }
 }

@@ -75,32 +75,39 @@ object IvfOps {
   def searchBatch(index: IvfIndex, queries: DataFrame, qIdCol: String,
                   qEmbCol: String, idCol: String, embCol: String,
                   k: Int, nProbe: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val spark = queries.sparkSession
     import spark.implicits._
     val cents = index.centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
       .toSeq.toDF("__cell", "__centroid")
     val q = queries.select(col(qIdCol).as("query_id"), col(qEmbCol).as("__qe"))
     // 4-row centroid table → the broadcast nested-loop expansion is
-    // queries × nCells, bounded and tiny per query
+    // queries × nCells, bounded and tiny per query; nProbe nearest cells
+    // via the bounded-heap aggregate (no window sort), __qe rides along
+    // as first() since it is constant per query
     val probes = q.crossJoin(broadcast(cents))
       .withColumn("__csim", EmbeddingOps.cosine(col("__qe"), col("__centroid")))
-      .withColumn("__crank", row_number().over(
-        Window.partitionBy("query_id").orderBy(col("__csim").desc, col("__cell").asc)))
-      .filter(col("__crank") <= nProbe)
-      .select(col("query_id"), col("__qe"), col("__cell"))
+      .groupBy("query_id")
+      .agg(first(col("__qe")).as("__qe"),
+        graft.functions.TopK.bottomK(
+          struct(negate(col("__csim")).as("__o"), col("__cell")),
+          nProbe).as("__tk"))
+      .select(col("query_id"), col("__qe"),
+        explode(col("__tk.__cell")).as("__cell"))
     // no broadcast hint on the probe table: it is queries × nProbe rows of
     // full embeddings — unbounded in the batch size. AQE broadcasts when
     // the runtime size actually fits (same policy as jaccardOnCandidates).
     val cands = index.assigned.join(probes, Seq("__cell"))
       .withColumn("cos_sim",
         round(EmbeddingOps.cosine(col("__qe"), col(embCol)), 6))
-    cands
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col(idCol).asc)))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank").cast("long").as("rank"),
-        col(idCol), col("cos_sim"))
+    // final per-query top-k: candidates are (corpus/nCells)·nProbe rows
+    // per query — corpus-scaling, so again a heap aggregate, not a window
+    cands.groupBy("query_id")
+      .agg(graft.functions.TopK.bottomK(
+        struct(negate(col("cos_sim")).as("__o"), col(idCol), col("cos_sim")),
+        k).as("__tk"))
+      .select(col("query_id"), posexplode(col("__tk")).as(Seq("__p", "__r")))
+      .select(col("query_id"), (col("__p") + 1).cast("long").as("rank"),
+        col(s"__r.$idCol").as(idCol), col("__r.cos_sim").as("cos_sim"))
   }
 
   // ------------------------------------------------------------- IVF-PQ
@@ -155,7 +162,6 @@ object IvfOps {
   def searchPq(index: IvfPqIndex, queries: DataFrame, qIdCol: String,
                qEmbCol: String, idCol: String, k: Int,
                nProbe: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val spark = queries.sparkSession
     import spark.implicits._
     val m = index.codebooks.length
@@ -163,15 +169,22 @@ object IvfOps {
     val cents = index.centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
       .toSeq.toDF("__cell", "__centroid")
     val q = queries.select(col(qIdCol).as("query_id"), col(qEmbCol).as("__qe"))
+    // nProbe nearest cells per query through the bounded-heap aggregate
+    // (see searchBatch); the residual needs the probed cell's centroid, so
+    // it rides in the struct payload behind the ordering fields
     val probes = q.crossJoin(broadcast(cents))
       .withColumn("__csim", EmbeddingOps.cosine(col("__qe"), col("__centroid")))
-      .withColumn("__crank", row_number().over(
-        Window.partitionBy("query_id").orderBy(col("__csim").desc, col("__cell").asc)))
-      .filter(col("__crank") <= nProbe)
+      .groupBy("query_id")
+      .agg(first(col("__qe")).as("__qe"),
+        graft.functions.TopK.bottomK(
+          struct(negate(col("__csim")).as("__o"), col("__cell"),
+            col("__centroid")), nProbe).as("__tk"))
+      .select(col("query_id"), col("__qe"),
+        explode(col("__tk")).as("__r"))
       .withColumn("__qr",
-        zip_with(col("__qe").cast("array<double>"), col("__centroid"),
+        zip_with(col("__qe").cast("array<double>"), col("__r.__centroid"),
           (x, c) => x - c))
-      .select(col("query_id"), col("__cell"), col("__qr"))
+      .select(col("query_id"), col("__r.__cell").as("__cell"), col("__qr"))
     // per-(query, cell) residual LUT against every (sub, code) centroid
     val entries = for {
       (cbs, s) <- index.codebooks.zipWithIndex
@@ -190,13 +203,15 @@ object IvfOps {
       .groupBy(col("query_id"), col(idCol))
       .agg(sum(col("d").cast("decimal(18,6)")).as("__ad"),
         count(lit(1)).as("__m"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("__ad").asc, col(idCol).asc)
+    // per-query top-k over corpus-scaling candidates: heap aggregate
     adc.filter(col("__m") === m)
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank").cast("long").as("rank"),
-        col(idCol), col("__ad").cast("double").as("adist"))
+      .groupBy("query_id")
+      .agg(graft.functions.TopK.bottomK(
+        struct(col("__ad"), col(idCol)), k).as("__tk"))
+      .select(col("query_id"), posexplode(col("__tk")).as(Seq("__p", "__r")))
+      .select(col("query_id"), (col("__p") + 1).cast("long").as("rank"),
+        col(s"__r.$idCol").as(idCol),
+        col("__r.__ad").cast("double").as("adist"))
   }
 
   /** Top-k cosine neighbors of `query`, probing only the `nProbe` cells

@@ -286,4 +286,20 @@ class PlanAuditSpec extends AnyFunSuite {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
     assert(exchanges == 1, s"expected exactly 1 exchange, got $exchanges:\n$p")
   }
+
+  test("grouped top-k: kNN / PQ-ADC / IVF / lang-ID carry NO window — " +
+    "per-group candidates go through the bounded-heap aggregate") {
+    // per-query candidate lists scale with the corpus (and lang is a
+    // low-cardinality key): a row_number window would funnel them through
+    // single-partition sorts. The heap aggregate must appear as a partial
+    // (map-side) + final ObjectHashAggregate pair, and no Window node.
+    Seq("q_knn_cosine", "q_pq_adc", "q_ivf_ann_batch", "q_lang_id").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Window"), s"$q: window reintroduced:\n${p.take(800)}")
+      assert(p.contains("partial_collect_top_k"),
+        s"$q: expected a map-side partial collect_top_k:\n${p.take(800)}")
+      assert(p.contains("ObjectHashAggregate"),
+        s"$q: CollectTopK should plan as ObjectHashAggregate:\n${p.take(400)}")
+    }
+  }
 }
