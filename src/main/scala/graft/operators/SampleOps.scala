@@ -83,6 +83,31 @@ object SampleOps {
   def exportHead(df: DataFrame, keyCol: String, k: Int): DataFrame =
     withExportOrder(df, keyCol).orderBy(col("export_order"), col(keyCol)).limit(k)
 
+  /** Exactly min(k, |stratum|) rows per stratum, chosen by smallest key
+    * hash — a deterministic stratified sample ("keep k docs per domain")
+    * whose membership is a pure function of the keys present, like every
+    * op here.
+    *
+    * Scale shape: the per-stratum selection is the bounded-heap top-k
+    * aggregate ([[graft.functions.TopK.bottomK]]), NOT a row_number
+    * window — strata are usually low-cardinality (domain, language), and
+    * a window would sort each stratum's full membership inside one
+    * partition. One map-side-combined shuffle on the strata key, k rows
+    * retained per group per map task.
+    */
+  def stratifiedSample(df: DataFrame, strataCols: Seq[String], keyCol: String,
+                       k: Int): DataFrame = {
+    require(strataCols.nonEmpty, "at least one stratum column")
+    val payload = struct(df.columns.map(col).toIndexedSeq: _*)
+    df.groupBy(strataCols.map(col): _*)
+      .agg(graft.functions.TopK.bottomK(
+        struct(keyHash(col(keyCol)).as("__h"),
+          col(keyCol).cast("string").as("__k"), payload.as("__row")),
+        k).as("__tk"))
+      .select(explode(col("__tk.__row")).as("__row"))
+      .select(df.columns.toIndexedSeq.map(c => col(s"__row.$c").as(c)): _*)
+  }
+
   /** Concat-and-chunk sequence packing — the step that turns a curated
     * document set into fixed-length training sequences: documents are laid
     * end-to-end in a deterministic pseudorandom order and the token stream

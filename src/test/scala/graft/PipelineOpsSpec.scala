@@ -551,4 +551,52 @@ class PipelineOpsSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
     assert(again.sortBy(t => (t._1, t._3)).toSeq == packed.sortBy(t => (t._1, t._3)).toSeq)
   }
+
+  test("bloom probe: zero false negatives, determinism, missing-word = miss") {
+    import spark.implicits._
+    import graft.operators.BloomOps
+    val keys = (1 to 400).map(i => (i.toLong, s"key$i")).toDF("id", "k")
+    val blocked = keys.filter($"id" % 7 === 0).select("k")
+    val m = 512L
+    val bm = BloomOps.buildBitmap(blocked, "k", m, 4)
+    val probed = BloomOps.probe(keys, "k", bm, m, 4)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    // no false negatives, ever
+    (7 to 400 by 7).foreach(i => assert(probed(i.toLong), s"FN at $i"))
+    // with m=512 and 57 keys * 4 bits the filter is ~36% full — false
+    // positives exist but never dominate; and they are DETERMINISTIC
+    val fps = probed.filter { case (id, hit) => hit && id % 7 != 0 }.keys.toSeq.sorted
+    assert(fps.nonEmpty && fps.size < 100, s"implausible FP count ${fps.size}")
+    val probed2 = BloomOps.probe(keys.orderBy(rand(7)), "k", bm, m, 4)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(probed2 == probed)
+    // an empty blocklist's bitmap has no rows — every probe misses via
+    // the coalesce(word, 0) path
+    val emptyBm = BloomOps.buildBitmap(blocked.limit(0), "k", m, 4)
+    val none = BloomOps.probe(keys, "k", emptyBm, m, 4)
+      .filter(col("bloom_hit")).count()
+    assert(none == 0L)
+  }
+
+  test("stratified sample: exact per-stratum k, hash-minimal members, determinism") {
+    import spark.implicits._
+    val df = (1 to 300).map(i => (i.toLong, s"s${i % 5}", i * 10)).toDF("id", "src", "v")
+      .unionByName(Seq((9999L, "tiny", 1)).toDF("id", "src", "v"))
+    val kept = SampleOps.stratifiedSample(df, Seq("src"), "id", 4).collect()
+      .map(r => (r.getString(1), r.getLong(0), r.getInt(2)))
+    // exactly min(k, n) per stratum; payload columns survive intact
+    val bySrc = kept.groupBy(_._1).view.mapValues(_.length).toMap
+    (0 until 5).foreach(s => assert(bySrc(s"s$s") == 4))
+    assert(bySrc("tiny") == 1)
+    kept.foreach { case (_, id, v) => assert(v == (if (id == 9999L) 1 else id * 10)) }
+    // members are exactly the k smallest key hashes per stratum
+    val hashes = df.select(col("id"), col("src"),
+        SampleOps.keyHash(col("id")).as("h")).collect()
+      .map(r => (r.getString(1), r.getLong(0), r.getLong(2)))
+    val expect = hashes.groupBy(_._1).view.mapValues(
+      _.sortBy(t => (t._3, t._2.toString)).take(4).map(_._2).toSet).toMap
+    kept.groupBy(_._1).foreach { case (s0, rows) =>
+      assert(rows.map(_._2).toSet == expect(s0), s"stratum $s0 membership")
+    }
+  }
 }

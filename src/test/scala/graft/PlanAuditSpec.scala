@@ -287,6 +287,25 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(exchanges == 1, s"expected exactly 1 exchange, got $exchanges:\n$p")
   }
 
+  test("q_bloom_probe: k probes are broadcast word lookups — corpus never shuffled") {
+    val p = plan("q_bloom_probe")
+    // 5 hash-function probes + the exact-membership flag = 6 broadcast joins
+    val bhj = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(bhj == 6, s"expected 6 broadcast joins, got $bhj:\n${p.take(600)}")
+    assert(!p.contains("Window") && !p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoop"), p.take(600))
+    // shuffles touch only the tiny blocklist/bitmap/final-agg sides: the
+    // (doc_id, source, fp) corpus projection itself is never exchanged —
+    // it would show as an Exchange directly over the documents scan
+    assert(!p.contains("SortMergeJoin"), "corpus must not shuffle for the probe")
+  }
+
+  test("q_stratified_sample: per-stratum selection is the heap aggregate, no window") {
+    val p = plan("q_stratified_sample")
+    assert(!p.contains("Window"), p.take(600))
+    assert(p.contains("partial_collect_top_k"), p.take(600))
+  }
+
   test("grouped top-k: kNN / PQ-ADC / IVF / lang-ID carry NO window — " +
     "per-group candidates go through the bounded-heap aggregate") {
     // per-query candidate lists scale with the corpus (and lang is a
