@@ -312,28 +312,38 @@ object Hdf5Source {
             s"bad fractal heap direct block at $rootBlockAddr")
           (o: Long) => rootBlockAddr + o
         } else {
-          // root indirect block: sig(4) ver(1) heap hdr addr(8) block
-          // offset(offSize), then curRows·width direct-child addresses
-          val ib = rootBlockAddr.toInt
-          require(new String(bytes, ib, 4, "US-ASCII") == "FHIB",
-            s"bad fractal heap indirect block at $rootBlockAddr")
-          require((bytes(ib + 4) & 0xff) == 0, "fractal heap indirect version")
-          require(rowBlockSize(curRows - 1) <= maxDirect,
-            s"fractal heap has indirect CHILD blocks (row ${curRows - 1} " +
-              s"size ${rowBlockSize(curRows - 1)} > max direct $maxDirect) — " +
-              "one level of indirection only")
-          val ptrBase = ib + 5 + 8 + offSize
-          // (heap-space start, size, file addr) per allocated child
+          // indirect blocks at ANY depth: an entry in row r spans
+          // rowBlockSize(r) of heap space; spans ≤ maxDirect are direct
+          // blocks, larger spans are child indirect blocks whose own
+          // doubling table restarts at the starting size with
+          // nrows = log2(span / (startBlock·width)) + 1 (H5HF spec)
           val blocks = Vector.newBuilder[(Long, Long, Long)]
-          var heapOff = 0L
-          var k = 0
-          while (k < curRows * tblWidth) {
-            val sz = rowBlockSize(k / tblWidth)
-            val addr = b.getLong(ptrBase + k * 8)
-            if (addrOk(addr)) blocks += ((heapOff, sz, addr))
-            heapOff += sz
-            k += 1
+          def childNRows(span: Long): Int = {
+            var n = 0
+            var v = span / (startBlock * tblWidth)
+            while (v > 0) { n += 1; v >>= 1 }
+            n // log2(span/(S·W)) + 1 for power-of-two spans
           }
+          def walkIndirect(ibAddr: Long, base: Long, nrows: Int): Unit = {
+            val ib = ibAddr.toInt
+            require(new String(bytes, ib, 4, "US-ASCII") == "FHIB",
+              s"bad fractal heap indirect block at $ibAddr")
+            require((bytes(ib + 4) & 0xff) == 0, "fractal heap indirect version")
+            val ptrBase = ib + 5 + 8 + offSize
+            var heapOff = base
+            var k = 0
+            while (k < nrows * tblWidth) {
+              val sz = rowBlockSize(k / tblWidth)
+              val addr = b.getLong(ptrBase + k * 8)
+              if (addrOk(addr)) {
+                if (sz <= maxDirect) blocks += ((heapOff, sz, addr))
+                else walkIndirect(addr, heapOff, childNRows(sz))
+              }
+              heapOff += sz
+              k += 1
+            }
+          }
+          walkIndirect(rootBlockAddr, 0L, curRows)
           val bs = blocks.result()
           (o: Long) => {
             val hit = bs.find(t3 => o >= t3._1 && o < t3._1 + t3._2)
@@ -1362,7 +1372,9 @@ object Hdf5Source {
                   dataVars: Seq[(String, Seq[String], Array[Double])],
                   chunkOf: Map[String, Seq[Int]] = Map.empty,
                   deflate: Boolean = true, shuffle: Boolean = true,
-                  btNodeSize: Int = 2048): Unit = {
+                  btNodeSize: Int = 2048,
+                  heapStart: Long = 512L,
+                  heapMaxDirect: Long = 8192L): Unit = {
     val names = coordVars.map(_._1) ++ dataVars.map(_._1)
     require(names.distinct.size == names.size, "duplicate variable names")
     require(names.forall(_.length < 256), "variable names must fit 1-byte link length")
@@ -1433,18 +1445,46 @@ object Hdf5Source {
     // dense-group structures. Up to one B-tree leaf of links (185): ONE
     // root direct block + a depth-0 name-index B-tree (node size 2048).
     // Beyond that, the heap goes through a root INDIRECT block over
-    // doubling-table direct blocks (512,512,1024,...,8192 — width 4) and
-    // the name index becomes a depth-1 B-tree (internal root + leaves),
-    // the layout libhdf5 produces for thousand-link groups.
+    // doubling-table direct blocks (512,512,1024,...,heapMaxDirect —
+    // width 4) and the name index becomes a multi-level B-tree. Rows
+    // whose span exceeds heapMaxDirect hold child INDIRECT blocks whose
+    // own doubling table restarts at the starting size (H5HF spec) —
+    // the layout libhdf5 produces for very large groups; small
+    // heapMaxDirect values force that depth at modest link counts, which
+    // is how the property tests exercise it.
     val FhdbHeaderSize = 17 // sig(4) + ver(1) + heap hdr addr(8) + offset(4)
     val LeafCap = (btNodeSize - 10) / 11 // records per leaf node
     val bigDense = dense && names.length > LeafCap
-    val HeapStart = 512L
-    val HeapMaxDirect = 8192L
+    require(heapStart >= 64 && (heapStart & (heapStart - 1)) == 0,
+      s"heapStart $heapStart must be a power of two >= 64")
+    require(heapMaxDirect >= heapStart &&
+      (heapMaxDirect & (heapMaxDirect - 1)) == 0,
+      s"heapMaxDirect $heapMaxDirect must be a power-of-two >= heapStart")
     val HeapWidth = 4
+    def rowSpan(r: Int): Long = if (r < 2) heapStart else heapStart << (r - 1)
+    // rows of a child indirect block spanning `span`:
+    // nrows = log2(span / (start·width)) + 1
+    def childNRowsOf(span: Long): Int = {
+      var n = 0
+      var v = span / (heapStart * HeapWidth)
+      while (v > 0) { n += 1; v >>= 1 }
+      n
+    }
+    // in-heap-order direct-block sizes inside one table entry of `span`
+    def entryDirects(span: Long): Vector[Long] =
+      if (span <= heapMaxDirect) Vector(span)
+      else (0 until childNRowsOf(span)).toVector.flatMap(r =>
+        (0 until HeapWidth).toVector.flatMap(_ => entryDirects(rowSpan(r))))
+    // direct-block size sequence, extended root row by root row on demand
+    val dirSizesBuf = mutable.ArrayBuffer.empty[Long]
+    var rootRowsGen = 0
     def blkSize(k: Int): Long = {
-      val r = k / HeapWidth
-      if (r < 2) HeapStart else HeapStart << (r - 1)
+      while (dirSizesBuf.length <= k) {
+        (0 until HeapWidth).foreach(_ =>
+          dirSizesBuf ++= entryDirects(rowSpan(rootRowsGen)))
+        rootRowsGen += 1
+      }
+      dirSizesBuf(k)
     }
     // heap placement: objects packed first-fit in block order, never
     // spanning a block boundary; heap offsets include every block's header
@@ -1463,12 +1503,13 @@ object Hdf5Source {
         var inBlk = FhdbHeaderSize.toLong
         names.map { n =>
           val sz = linkBody(n)
-          require(sz + FhdbHeaderSize <= HeapMaxDirect, s"link too big: $n")
-          if (inBlk + sz > blkSize(blk)) {
+          require(sz + FhdbHeaderSize <= heapMaxDirect, s"link too big: $n")
+          // advance until the object fits: direct sizes are NOT monotone
+          // once child indirect blocks restart the doubling table, so a
+          // single step is not enough (terminates: a heapMaxDirect-sized
+          // block always recurs)
+          while (inBlk + sz > blkSize(blk)) {
             blkStart += blkSize(blk); blk += 1; inBlk = FhdbHeaderSize.toLong
-            require(blkSize(blk) <= HeapMaxDirect,
-              s"${names.length} links overflow the direct-block rows " +
-                "(indirect CHILD blocks not written)")
           }
           val e = n -> ((blkStart + inBlk, sz))
           inBlk += sz
@@ -1483,8 +1524,50 @@ object Hdf5Source {
       while (covered < end) { k += 1; covered += blkSize(k) }
       k + 1
     }
-    val heapCurRows: Int = (heapUsedBlocks + HeapWidth - 1) / HeapWidth
+    // ROOT rows: enough row spans to cover the used heap space (entries
+    // in a row span rowSpan(r) each, direct or indirect alike)
+    val heapCurRows: Int = if (!bigDense) 0 else {
+      val end = (0 until heapUsedBlocks).map(blkSize(_)).sum
+      var covered = 0L; var r = 0
+      while (covered < end) { covered += HeapWidth * rowSpan(r); r += 1 }
+      r
+    }
     val heapSlots: Int = heapCurRows * HeapWidth
+    // indirect-block tree (heap-order traversal mirrors blkSize's direct
+    // numbering); children whose span exceeds heapMaxDirect are emitted
+    // as FHIB nodes of their own — any depth
+    sealed trait HeapEntry
+    final case class HDir(idx: Int) extends HeapEntry
+    final class HInd(val off: Long, val rows: Int) extends HeapEntry {
+      var addr: Long = Undef
+      var entries: Vector[HeapEntry] = Vector.empty
+    }
+    def heapEntryUsed(e: HeapEntry): Boolean = e match {
+      case HDir(i) => i < heapUsedBlocks
+      case n: HInd => n.entries.exists(heapEntryUsed)
+    }
+    val heapRoot: Option[HInd] = if (!bigDense) None else {
+      var dirCounter = 0
+      def build(off: Long, rows: Int): HInd = {
+        val node = new HInd(off, rows)
+        var o = off
+        node.entries = (0 until rows).toVector.flatMap { r =>
+          (0 until HeapWidth).map { _ =>
+            val sp = rowSpan(r)
+            val e: HeapEntry =
+              if (sp <= heapMaxDirect) { val i = dirCounter; dirCounter += 1; HDir(i) }
+              else build(o, childNRowsOf(sp))
+            o += sp
+            e
+          }
+        }
+        node
+      }
+      Some(build(0L, heapCurRows))
+    }
+    def heapIndNodes(n: HInd): Vector[HInd] =
+      n +: n.entries.collect { case c: HInd if heapEntryUsed(c) => c }
+        .flatMap(heapIndNodes)
     val fhdbSize: Long = if (!dense || bigDense) 0L else {
       val need = FhdbHeaderSize + names.map(linkBody).sum
       var s = 512L
@@ -1603,7 +1686,10 @@ object Hdf5Source {
     }
     val frhpAddr = if (dense) alloc(146) else Undef
     val fhdbAddr = if (dense && !bigDense) alloc(fhdbSize) else Undef
-    val fhibAddr = if (bigDense) alloc(5L + 8 + 4 + 8L * heapSlots + 4) else Undef
+    // every used indirect node gets an FHIB allocation (root included)
+    if (bigDense) heapIndNodes(heapRoot.get).foreach(n =>
+      n.addr = alloc(5L + 8 + 4 + 8L * (n.rows * HeapWidth) + 4))
+    val fhibAddr = if (bigDense) heapRoot.get.addr else Undef
     val fhdbAddrs: IndexedSeq[Long] =
       if (!bigDense) IndexedSeq.empty
       else (0 until heapUsedBlocks).map(k => alloc(blkSize(k)))
@@ -1719,8 +1805,8 @@ object Hdf5Source {
         .putLong(names.length.toLong)               // managed nobjects
         .putLong(0L).putLong(0L).putLong(0L).putLong(0L) // huge/tiny
         .putShort(HeapWidth.toShort)                // table width
-        .putLong(if (bigDense) HeapStart else fhdbSize) // starting block size
-        .putLong(if (bigDense) HeapMaxDirect else 65536L) // max direct size
+        .putLong(if (bigDense) heapStart else fhdbSize) // starting block size
+        .putLong(if (bigDense) heapMaxDirect else 65536L) // max direct size
         .putShort(32.toShort)                       // max heap size (bits)
         .putShort(1.toShort)                        // starting rows
         .putLong(if (bigDense) fhibAddr else fhdbAddr) // root block
@@ -1735,13 +1821,25 @@ object Hdf5Source {
           putLinkMsgBody(n)
         }
       } else {
-        // root indirect block: direct-child addresses row-major; slots past
-        // the used blocks stay undefined (their heap range holds no object)
-        at(fhibAddr).put("FHIB".getBytes("US-ASCII")).put(0.toByte)
-          .putLong(frhpAddr).putInt(0) // block offset of the root: 0
-        (0 until heapSlots).foreach(k =>
-          out.putLong(if (k < heapUsedBlocks) fhdbAddrs(k) else Undef))
-        cksum(fhibAddr)
+        // indirect blocks, root downward: entries row-major — direct
+        // addresses for spans <= heapMaxDirect, child FHIB addresses
+        // beyond; slots whose heap range holds no object stay undefined
+        def emitInd(n: HInd): Unit = {
+          at(n.addr).put("FHIB".getBytes("US-ASCII")).put(0.toByte)
+            .putLong(frhpAddr).putInt(n.off.toInt)
+          n.entries.foreach {
+            case HDir(i) =>
+              out.putLong(if (i < heapUsedBlocks) fhdbAddrs(i) else Undef)
+            case c: HInd =>
+              out.putLong(if (heapEntryUsed(c)) c.addr else Undef)
+          }
+          cksum(n.addr)
+          n.entries.foreach {
+            case c: HInd if heapEntryUsed(c) => emitInd(c)
+            case _ => ()
+          }
+        }
+        emitInd(heapRoot.get)
         // each direct block header carries its own heap-space offset
         var hOff = 0L
         (0 until heapUsedBlocks).foreach { k =>

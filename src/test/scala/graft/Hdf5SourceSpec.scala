@@ -333,6 +333,41 @@ class Hdf5SourceSpec extends AnyFunSuite {
     }
   }
 
+  test("property: MULTI-LEVEL indirect fractal heaps (child + grandchild " +
+    "FHIB) round-trip — tiny heapMaxDirect forces the depth") {
+    val rnd = new scala.util.Random(41)
+    val dir = tmp("h5deepheap")
+    // heapStart=512, heapMaxDirect=1024, width 4: rows 0-2 are direct
+    // (8 KiB capacity), row 3+ entries become child indirect blocks, and
+    // row 6 (span 16 KiB) holds 2 KiB sub-entries that exceed maxDirect
+    // again — GRANDCHILD indirection. ~2.6k links @ ~30 B reach it.
+    Seq(400, 2600).zipWithIndex.foreach { case (nVars, t) =>
+      val n = 2
+      val y = Array.tabulate(n)(_ * 1.0)
+      val vars = (0 until nVars).map { k =>
+        (s"deep_${t}_var_$k", Seq("y"), Array.fill(n)(rnd.nextDouble() * 10))
+      }
+      val p = s"$dir/deep$t.nc"
+      Hdf5Source.writeLatest(p, Seq(NcDim("y", n)), Seq("y" -> y), vars,
+        deflate = false, shuffle = false,
+        heapStart = 512L, heapMaxDirect = 1024L)
+      val bytes = Files.readAllBytes(Paths.get(p))
+      val fhibCount = bytes.indices.count(i => i + 4 <= bytes.length &&
+        bytes(i) == 'F' && bytes(i + 1) == 'H' && bytes(i + 2) == 'I' &&
+        bytes(i + 3) == 'B')
+      // root + at least one child indirect block (file 2: grandchildren)
+      assert(fhibCount >= (if (t == 0) 2 else 6), s"file $t: $fhibCount FHIBs")
+      val nc = NetcdfSource.read(p)
+      assert(nc.vars.length == nVars + 1, s"file $t var count ${nc.vars.length}")
+      vars.foreach { case (vn, _, data) =>
+        assert(nc.varByName(vn).data.sameElements(data), s"file $t $vn")
+      }
+      // the kerchunk scan walks the same dense-group structures
+      val refs = graft.sources.KerchunkSource.scanHdf5(p)
+      assert(refs.contains(s"deep_${t}_var_${nVars - 1}"))
+    }
+  }
+
   test("property: depth-2 link-name B-tree (512-byte nodes, 1.5k links) " +
     "round-trips — exercises the total-record pointer fields") {
     // 512-byte nodes: 45 records/leaf, depth-1 capacity 1149 → 1500 links
