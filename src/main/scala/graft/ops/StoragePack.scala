@@ -60,6 +60,32 @@ object StoragePack extends QueryPack {
       s.table(tbl)
     }),
 
+    // streaming grouped top-k: the bounded-heap CollectTopK aggregate
+    // inside a Structured Streaming aggregation — per-key state is k rows
+    // (the heap buffer), not the candidate history, so a hot key costs
+    // O(k) state where a window-rank formulation would buffer everything.
+    // Converged AvailableNow output must equal the batch top-k.
+    "q_stream_topk" -> ((s, d) => {
+      val schema = GraftSession.table(s, d, "events").schema
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(d)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .withWatermark("ts", "1 day")
+      val agg = stream
+        .groupBy(col("event_type"))
+        .agg(graft.functions.TopK.bottomK(
+          struct(negate(col("value")).as("__o"), col("event_id"),
+            col("value")), 5).as("__tk"))
+      val tbl = s"q_stream_topk_${queryCounter.incrementAndGet()}"
+      val q = agg.writeStream.format("memory").queryName(tbl)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(tbl)
+        .select(col("event_type"), posexplode(col("__tk")).as(Seq("__p", "__r")))
+        .select(col("event_type"), (col("__p") + 1).cast("long").as("rank"),
+          col("__r.event_id").as("event_id"), col("__r.value").as("value"))
+    }),
+
     // custom streaming state (flatMapGroupsWithState): per-user running
     // tracker (count, integer-cent sum, event-time-ordered last value) —
     // converged Update-mode output must equal the batch aggregation because
@@ -177,6 +203,14 @@ object StoragePack extends QueryPack {
       """SELECT date_trunc('day', ts) AS t, event_type,
                 count(*) AS n, round(sum(value), 6) AS sum_value
          FROM events GROUP BY t, event_type""",
+    "q_stream_topk" ->
+      """WITH r AS (
+           SELECT event_type, event_id, value,
+                  row_number() OVER (PARTITION BY event_type
+                                     ORDER BY value DESC, event_id) AS rn
+           FROM events)
+         SELECT event_type, rn AS rank, event_id, value
+         FROM r WHERE rn <= 5""",
     "q_stream_state" ->
       """WITH l AS (SELECT user_id, value,
                 row_number() OVER (PARTITION BY user_id

@@ -45,7 +45,12 @@ object ScaleSoak {
     // scan + code equi-join), semantic decontamination (broadcast bench
     // scan), join-form zonal stats (broadcast spatial join)
     "q_substr_removal", "q_lr_step", "q_dsir",
-    "q_pq_adc", "q_decontaminate_semantic", "q_zonal_stats")
+    "q_pq_adc", "q_decontaminate_semantic", "q_zonal_stats",
+    // round-9 additions: Bloom blocklist probe (bitmap build grows with
+    // the blocklist, probe is k broadcast lookups per row), stratified
+    // sampling + lang-ID (bounded-heap grouped top-k — per-group state
+    // must stay k rows however large the groups grow)
+    "q_bloom_probe", "q_stratified_sample", "q_lang_id")
 
   /** Deep-soak subset (run at 30×): the newest heavy operators. The
     * format-fixture queries (kerchunk combine, COG levels, zarr append)
