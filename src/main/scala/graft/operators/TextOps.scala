@@ -382,6 +382,30 @@ object TextOps {
       .distinct()
   }
 
+  /** CROSS-corpus candidate pairs — the incremental-ingest shape: match a
+    * NEW batch against an EXISTING corpus without re-deduping the corpus
+    * against itself. Pairs are (doc_a = new, doc_b = corpus) sharing any
+    * (band, sig) bucket; the bucket cap applies to the CORPUS side (the
+    * unbounded one — a boilerplate bucket there would multiply every new
+    * doc that touches it), counted with one map-side-combined aggregation
+    * before the join, exactly like [[candidatePairs]]. No self-join, no
+    * doc_a < doc_b convention (the id spaces are disjoint by contract).
+    */
+  def candidatePairsAgainst(newBands: DataFrame, corpusBands: DataFrame,
+                            docCol: String,
+                            maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val ok = corpusBands.groupBy("band", "sig")
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") <= maxBucket)
+      .select("band", "sig")
+    corpusBands.join(ok, Seq("band", "sig"))
+      .select(col(docCol).as("doc_b"), col("band"), col("sig"))
+      .join(newBands.select(col(docCol).as("doc_a"), col("band"), col("sig")),
+        Seq("band", "sig"))
+      .select("doc_a", "doc_b")
+      .distinct()
+  }
+
   /** Exact shingle-set Jaccard for candidate pairs from the per-doc arrays:
     * two hash joins against the array table; the intersection is computed
     * per row with array_intersect, no shuffle after the joins. No broadcast

@@ -50,7 +50,10 @@ object ScaleSoak {
     // the blocklist, probe is k broadcast lookups per row), stratified
     // sampling + lang-ID (bounded-heap grouped top-k — per-group state
     // must stay k rows however large the groups grow)
-    "q_bloom_probe", "q_stratified_sample", "q_lang_id")
+    "q_bloom_probe", "q_stratified_sample", "q_lang_id",
+    // cross-corpus incremental dedup: corpus-side bucket counts + the
+    // cross equi-join both grow linearly
+    "q_dedup_incremental")
 
   /** Deep-soak subset (run at 30×): the newest heavy operators. The
     * format-fixture queries (kerchunk combine, COG levels, zarr append)

@@ -287,6 +287,13 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(exchanges == 1, s"expected exactly 1 exchange, got $exchanges:\n$p")
   }
 
+  test("q_dedup_incremental: cross-corpus match is bucket equi-joins only") {
+    val p = plan("q_dedup_incremental")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      p.take(600))
+    assert(!p.contains("Window"), p.take(400))
+  }
+
   test("q_bloom_probe: k probes are broadcast word lookups — corpus never shuffled") {
     val p = plan("q_bloom_probe")
     // 5 hash-function probes + the exact-membership flag = 6 broadcast joins
