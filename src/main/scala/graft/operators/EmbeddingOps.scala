@@ -313,6 +313,67 @@ object EmbeddingOps {
           col("__cb._3")), 6).as("d"))
   }
 
+  // ------------------------------------------------------------- SQ8
+
+  /** Scalar-quantization training (the FAISS SQ8 shape): per-dimension
+    * [min, max] over the corpus — ONE map-side-combined aggregation, 2·dim
+    * doubles to the driver (bounded, like the k-means seed sets). Returns
+    * (mins, spans).
+    */
+  def sqTrain(corpus: DataFrame, embCol: String,
+              dim: Int): (Array[Double], Array[Double]) = {
+    val aggs = (0 until dim).flatMap(i => Seq(
+      min(element_at(col(embCol), i + 1).cast("double")),
+      max(element_at(col(embCol), i + 1).cast("double"))))
+    val r = corpus.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val mins = Array.tabulate(dim)(i => r.getDouble(2 * i))
+    val spans = Array.tabulate(dim)(i => r.getDouble(2 * i + 1) - mins(i))
+    (mins, spans)
+  }
+
+  /** SQ8 encode: each coordinate quantizes to one of 256 uniform bins over
+    * its dimension's [min, max] — the corpus stores integer codes only
+    * (4 bytes/dim here vs 32 raw; a production byte column is a cast).
+    * PURE floor arithmetic: no round(), so no half-way ties — every step
+    * (−, /, ×, floor, least) is IEEE-exact and engine-portable.
+    */
+  def sqEncode(corpus: DataFrame, idCol: String, embCol: String,
+               mins: Array[Double], spans: Array[Double]): DataFrame =
+    corpus.select(col(idCol), array(mins.indices.map { i =>
+      val x = element_at(col(embCol), i + 1).cast("double")
+      val v = when(lit(spans(i)) === 0.0, lit(0.0))
+        .otherwise(floor(((x - lit(mins(i))) / lit(spans(i))) * 256.0))
+      least(v, lit(255.0)).cast("long")
+    }: _*).as("codes"))
+
+  /** Decoded bin centers of a `codes` column. */
+  def sqDecoded(mins: Array[Double], spans: Array[Double]): Column =
+    array(mins.indices.map { i =>
+      lit(mins(i)) +
+        ((element_at(col("codes"), i + 1).cast("double") + 0.5) * lit(spans(i))) /
+          256.0
+    }: _*)
+
+  /** Asymmetric SQ8 search: float queries against the decoded corpus
+    * codes — scan-shaped (queries broadcast, decode inline per row), with
+    * the per-query top-k through the bounded-heap aggregate.
+    */
+  def sqSearch(queries: DataFrame, encoded: DataFrame, idCol: String,
+               embCol: String, mins: Array[Double], spans: Array[Double],
+               k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"),
+      col(embCol).cast("array<double>").as("__qe"))
+    parallelized(encoded).join(broadcast(q), col(idCol) =!= col("query_id"))
+      .withColumn("cos_sim", round(cosine(col("__qe"), sqDecoded(mins, spans)), 6))
+      .groupBy("query_id")
+      .agg(graft.functions.TopK.bottomK(
+        struct(negate(col("cos_sim")).as("__o"), col(idCol), col("cos_sim")),
+        k).as("__tk"))
+      .select(col("query_id"), posexplode(col("__tk")).as(Seq("__p", "__r")))
+      .select(col("query_id"), (col("__p") + 1).cast("long").as("rank"),
+        col(s"__r.$idCol").as(idCol), col("__r.cos_sim").as("cos_sim"))
+  }
+
   /** Asymmetric-distance PQ search (the IVF-PQ / FAISS scale design): the
     * corpus is touched ONLY through its integer codes — the per-query
     * distance table broadcasts, codes equi-join it on (sub, code), and one

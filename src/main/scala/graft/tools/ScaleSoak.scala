@@ -53,7 +53,7 @@ object ScaleSoak {
     "q_bloom_probe", "q_stratified_sample", "q_lang_id",
     // cross-corpus incremental dedup: corpus-side bucket counts + the
     // cross equi-join both grow linearly
-    "q_dedup_incremental")
+    "q_dedup_incremental", "q_sq8_ann")
 
   /** Deep-soak subset (run at 30×): the newest heavy operators. The
     * format-fixture queries (kerchunk combine, COG levels, zarr append)

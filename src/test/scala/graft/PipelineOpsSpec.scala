@@ -552,6 +552,41 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(again.sortBy(t => (t._1, t._3)).toSeq == packed.sortBy(t => (t._1, t._3)).toSeq)
   }
 
+  test("SQ8: codes in range, bounded decode error, same-cluster retrieval") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val dim = 16
+    // two well-separated blobs; SQ8's 256 bins per dim lose far less than
+    // the inter-blob distance, so retrieval must stay within the blob
+    val rows = (0 until 40).map { i =>
+      val center = if (i % 2 == 0) 5.0 else -5.0
+      (i.toLong, Array.tabulate(dim)(_ => (center + rnd.nextGaussian() * 0.3).toFloat).toSeq)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val (mins, spans) = EmbeddingOps.sqTrain(df, "embedding", dim)
+    assert(mins.length == dim && spans.forall(_ > 0))
+    val enc = EmbeddingOps.sqEncode(df, "vec_id", "embedding", mins, spans)
+    val codes = enc.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(codes.values.flatten.forall(c => c >= 0 && c <= 255))
+    // decode error per coordinate is at most half a bin
+    val dec = enc.select(col("vec_id"),
+        EmbeddingOps.sqDecoded(mins, spans).as("dv")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    rows.foreach { case (id, emb) =>
+      emb.zip(dec(id)).zipWithIndex.foreach { case ((x, d), i) =>
+        assert(math.abs(x - d) <= spans(i) / 256.0 / 2 + 1e-9,
+          s"vec $id dim $i decode error")
+      }
+    }
+    val hits = EmbeddingOps.sqSearch(df.filter($"vec_id" < 4), enc,
+        "vec_id", "embedding", mins, spans, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(hits.nonEmpty)
+    hits.foreach { case (q, n) =>
+      assert(q % 2 == n % 2, s"query $q retrieved cross-blob neighbor $n")
+    }
+  }
+
   test("bloom probe: zero false negatives, determinism, missing-word = miss") {
     import spark.implicits._
     import graft.operators.BloomOps
