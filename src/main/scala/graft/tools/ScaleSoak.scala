@@ -67,7 +67,9 @@ object ScaleSoak {
     "q_seq_pack", "q_semantic_dedup", "q_dedup_clusters", "q_multimodal",
     // round-7 heavy additions: span removal (rebuild ~ duplicated volume),
     // the four-stage curation funnel, bucketed zonal stats, PQ/ADC search
-    "q_substr_removal", "q_modern_curation", "q_zonal_stats", "q_pq_adc")
+    "q_substr_removal", "q_modern_curation", "q_zonal_stats", "q_pq_adc",
+    // round-9: incremental dedup, SQ8 search, Bloom probe at 30×
+    "q_dedup_incremental", "q_sq8_ann", "q_bloom_probe")
 
   /** Skew soak (run at 30× vs an identically-SHAPED 1× corpus): the
     * curation-path queries whose scale safety depends on hot-KEY handling,
