@@ -71,6 +71,12 @@ object DataStore {
         NetcdfSource.readCube(spark, nc, dataVar.name)
       case "geotiff" => GeoTiffSource.readRaster(spark, path)
       case "shapefile" => ShapefileSource.readFeatures(spark, path)
+      case "zarr" if new java.io.File(path, "zarr.json").exists() =>
+        // Zarr v3 store (one zarr.json per node, no .zgroup)
+        val dataVar = ZarrV3Source.listArrays(path)
+          .find(v => ZarrV3Source.openArray(s"$path/$v").dims != Seq(v))
+          .getOrElse(throw new IllegalArgumentException(s"$path: no data variable"))
+        ZarrV3Source.readCube(spark, path, dataVar)
       case "zarr" =>
         // first data variable = an array that is not its own 1-D coordinate
         val dataVar = ZarrSource.listArrays(path)

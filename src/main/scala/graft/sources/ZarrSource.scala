@@ -50,6 +50,29 @@ object ZarrSource {
     * decompressed-size header followed by one LZ4 block.
     */
   final case class Lz4C(acceleration: Int = 1) extends Codec
+  /** Zarr v3 `gzip` codec — a real gzip stream (header + CRC32 trailer),
+    * unlike [[Zlib]]'s bare zlib wrapping.
+    */
+  final case class Gzip(level: Int = 5) extends Codec
+  /** Zarr v3 `crc32c` codec: appends a 4-byte little-endian CRC32C of the
+    * payload; decode verifies and strips it.
+    */
+  case object Crc32c extends Codec
+  /** Zarr v3 bytes→bytes codec chain in ENCODE order (the members are the
+    * codecs above); decode walks it in reverse. `Nil` = uncompressed (the
+    * chain was just the `bytes` array→bytes codec). Endianness lives in the
+    * array's dtype prefix, parsed from the `bytes` codec's configuration.
+    */
+  final case class V3Chain(steps: Seq[Codec]) extends Codec
+  /** Zarr v3 `sharding_indexed`: the stored object is a SHARD holding a
+    * grid of inner chunks (each encoded with `innerSteps`) plus a footer/
+    * header index of (offset, nbytes) uint64-LE pairs per inner chunk
+    * (2^64−1 = missing). Decoded by [[ZarrV3Source.decodeShard]] — the
+    * [[ZarrArray.chunks]] of a sharded array is the SHARD shape, so the
+    * shard stays the unit of parallelism.
+    */
+  final case class Shard(inner: Seq[Int], innerSteps: Seq[Codec],
+                         indexCrc: Boolean, indexAtEnd: Boolean) extends Codec
 
   /** Parsed `.zarray` (+ `.zattrs` dims) for one array. `shuffleElem` > 0
     * means a numcodecs `{"id": "shuffle", "elementsize": N}` filter is in
@@ -61,7 +84,8 @@ object ZarrSource {
                              dims: Seq[String], separator: String,
                              shuffleElem: Int = 0,
                              cfScale: Double = 1.0, cfOffset: Double = 0.0,
-                             cfFill: Option[Double] = None) {
+                             cfFill: Option[Double] = None,
+                             v3DefaultKeys: Boolean = false) {
     def chunkGrid: Seq[Int] = shape.zip(chunks).map { case (s, c) => (s + c - 1) / c }
     def chunkElems: Int = chunks.product
     /** xarray-default CF mask-and-scale is in effect (.zattrs carried
@@ -226,6 +250,39 @@ object ZarrSource {
     out.toByteArray
   }
 
+  /** Apply ONE bytes→bytes decode step (shared by the v2 single-compressor
+    * path and the v3 chain walk).
+    */
+  private[sources] def decodeStep(raw: Array[Byte], step: Codec): Array[Byte] = step match {
+    case Raw => raw
+    case _: Zlib => inflate(raw)
+    case _: Blosc => BloscCodec.decompress(raw) // frame is self-describing
+    case _: ZstdC =>
+      val n = com.github.luben.zstd.Zstd.getFrameContentSize(raw)
+      require(n > 0 && n <= Int.MaxValue, s"bad zstd frame size $n")
+      com.github.luben.zstd.Zstd.decompress(raw, n.toInt)
+    case _: Lz4C =>
+      val n = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN).getInt(0)
+      require(n >= 0, s"bad lz4 size header $n")
+      net.jpountz.lz4.LZ4Factory.fastestInstance().safeDecompressor()
+        .decompress(raw, 4, raw.length - 4, n)
+    case _: Gzip =>
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(raw))
+      try in.readAllBytes() finally in.close()
+    case Crc32c =>
+      require(raw.length >= 4, "crc32c payload shorter than its checksum")
+      val c = new java.util.zip.CRC32C
+      c.update(raw, 0, raw.length - 4)
+      val stored = ByteBuffer.wrap(raw, raw.length - 4, 4)
+        .order(ByteOrder.LITTLE_ENDIAN).getInt
+      require(stored == c.getValue.toInt,
+        f"crc32c mismatch: stored 0x$stored%08x, computed 0x${c.getValue.toInt}%08x")
+      java.util.Arrays.copyOf(raw, raw.length - 4)
+    case other => throw new IllegalArgumentException(
+      s"codec $other is not a bytes-level decode step")
+  }
+
   /** Decode one raw chunk file payload to doubles (full chunk-shape sized —
     * the spec pads edge chunks with fill). All numeric dtypes widen to
     * double losslessly except int64/uint64 beyond 2^53 — same convention as
@@ -233,18 +290,11 @@ object ZarrSource {
     */
   def decodeChunk(raw: Array[Byte], za: ZarrArray): Array[Double] = {
     val plain = za.codec match {
-      case Raw => raw
-      case _: Zlib => inflate(raw)
-      case _: Blosc => BloscCodec.decompress(raw) // frame is self-describing
-      case _: ZstdC =>
-        val n = com.github.luben.zstd.Zstd.getFrameContentSize(raw)
-        require(n > 0 && n <= Int.MaxValue, s"bad zstd frame size $n")
-        com.github.luben.zstd.Zstd.decompress(raw, n.toInt)
-      case _: Lz4C =>
-        val n = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN).getInt(0)
-        require(n >= 0, s"bad lz4 size header $n")
-        net.jpountz.lz4.LZ4Factory.fastestInstance().safeDecompressor()
-          .decompress(raw, 4, raw.length - 4, n)
+      case V3Chain(steps) => steps.reverseIterator.foldLeft(raw)(decodeStep)
+      case sh: Shard => throw new IllegalArgumentException(
+        s"sharded array reached the plain-chunk decoder ($sh) — read it " +
+          "through ZarrV3Source")
+      case one => decodeStep(raw, one)
     }
     val bytes =
       if (za.shuffleElem > 1) BloscCodec.unshuffle(plain, za.shuffleElem)
@@ -292,11 +342,12 @@ object ZarrSource {
     * missing chunk = fill) — shared with [[KerchunkSource]].
     */
   private[sources] def readAllWith(za: ZarrArray,
-                                   bytesFor: Seq[Int] => Option[Array[Byte]]): Array[Double] = {
+                                   bytesFor: Seq[Int] => Option[Array[Byte]],
+                                   decode: (Array[Byte], ZarrArray) => Array[Double] = decodeChunk): Array[Double] = {
     val out = Array.fill(za.shape.product)(za.cfDecode(za.fillValue))
     allChunkKeys(za.chunkGrid).foreach { key =>
       bytesFor(key).foreach { raw =>
-        val data = decodeChunk(raw, za)
+        val data = decode(raw, za)
         foreachCell(za, key) { (flatChunk, flatGlobal) =>
           out(flatGlobal.toInt) = data(flatChunk) // driver-sized array
         }
@@ -432,34 +483,96 @@ object ZarrSource {
         s"""{"id": "blosc", "cname": "$cname", "clevel": $clevel, "shuffle": $shuffle, "blocksize": $blocksize}"""
       case ZstdC(level) => s"""{"id": "zstd", "level": $level}"""
       case Lz4C(acc) => s"""{"id": "lz4", "acceleration": $acc}"""
+      case other => throw new IllegalArgumentException(
+        s"$other has no v2 numcodecs form — write v3 stores through ZarrV3Source")
     }
     s"""{"zarr_format": 2, "dtype": "<f8", "shape": [${shape.mkString(", ")}],
        | "chunks": [${chunks.mkString(", ")}], "fill_value": "NaN",
        | "compressor": $comp, "filters": null, "order": "C"}""".stripMargin
   }
 
-  private def encodeChunk(data: Array[Double], codec: Codec): Array[Byte] = {
+  /** Apply ONE bytes→bytes encode step — the inverse of [[decodeStep]]. */
+  private[sources] def encodeStep(block: Array[Byte], step: Codec): Array[Byte] = step match {
+    case Raw => block
+    case _: Zlib => deflate(block)
+    case Blosc(cname, clevel, shuffle, blocksize) =>
+      BloscCodec.compress(block, typesize = 8, cname = cname,
+        clevel = clevel, shuffle = shuffle != 0, blocksizeHint = blocksize)
+    case ZstdC(level) =>
+      com.github.luben.zstd.Zstd.compress(block,
+        math.min(math.max(level, 1), 19))
+    case Lz4C(_) =>
+      val c = net.jpountz.lz4.LZ4Factory.fastestInstance().fastCompressor()
+      val out = ByteBuffer.allocate(4 + c.maxCompressedLength(block.length))
+        .order(ByteOrder.LITTLE_ENDIAN)
+      out.putInt(block.length)
+      val len = c.compress(block, 0, block.length, out.array(), 4,
+        out.capacity() - 4)
+      java.util.Arrays.copyOf(out.array(), 4 + len)
+    case Gzip(level) =>
+      val bos = new java.io.ByteArrayOutputStream(block.length / 2 + 64)
+      val gz = new java.util.zip.GZIPOutputStream(bos) {
+        `def`.setLevel(math.min(math.max(level, 0), 9))
+      }
+      gz.write(block); gz.close()
+      bos.toByteArray
+    case Crc32c =>
+      val c = new java.util.zip.CRC32C
+      c.update(block, 0, block.length)
+      val out = java.util.Arrays.copyOf(block, block.length + 4)
+      ByteBuffer.wrap(out, block.length, 4).order(ByteOrder.LITTLE_ENDIAN)
+        .putInt(c.getValue.toInt)
+      out
+    case other => throw new IllegalArgumentException(
+      s"codec $other is not a bytes-level encode step")
+  }
+
+  private[sources] def encodeChunk(data: Array[Double], codec: Codec): Array[Byte] = {
     val b = ByteBuffer.allocate(data.length * 8).order(ByteOrder.LITTLE_ENDIAN)
     data.foreach(b.putDouble)
     codec match {
-      case Raw => b.array()
-      case _: Zlib => deflate(b.array())
-      case Blosc(cname, clevel, shuffle, blocksize) =>
-        BloscCodec.compress(b.array(), typesize = 8, cname = cname,
-          clevel = clevel, shuffle = shuffle != 0, blocksizeHint = blocksize)
-      case ZstdC(level) =>
-        com.github.luben.zstd.Zstd.compress(b.array(),
-          math.min(math.max(level, 1), 19))
-      case Lz4C(_) =>
-        val block = b.array()
-        val c = net.jpountz.lz4.LZ4Factory.fastestInstance().fastCompressor()
-        val out = ByteBuffer.allocate(4 + c.maxCompressedLength(block.length))
-          .order(ByteOrder.LITTLE_ENDIAN)
-        out.putInt(block.length)
-        val len = c.compress(block, 0, block.length, out.array(), 4,
-          out.capacity() - 4)
-        java.util.Arrays.copyOf(out.array(), 4 + len)
+      case V3Chain(steps) => steps.foldLeft(b.array())(encodeStep)
+      case sh: Shard => throw new IllegalArgumentException(
+        s"sharded array reached the plain-chunk encoder ($sh) — write it " +
+          "through ZarrV3Source")
+      case one => encodeStep(b.array(), one)
     }
+  }
+
+  /** The shared write-side layout step (v2 [[writeCube]]/[[appendCube]] and
+    * [[ZarrV3Source.writeCube]]): broadcast-join each dim's (value → index)
+    * lookup, then compute (row-major chunk id over `grid`, in-chunk offset)
+    * with integer arithmetic. One shuffle by `__cid` downstream is the only
+    * data movement.
+    */
+  private[sources] def cellsByChunk(df: DataFrame, dimNames: Seq[String],
+                                    lookups: Seq[Seq[(Double, Int)]],
+                                    grid: Seq[Int], chunks: Seq[Int],
+                                    varName: String): org.apache.spark.sql.Dataset[(Long, Int, Double)] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val withIdx = dimNames.zipWithIndex.foldLeft(df) { case (acc, (name, k)) =>
+      val lookup = lookups(k).toDF(s"__v$k", s"__i$k")
+      acc.join(broadcast(lookup), col(name) === col(s"__v$k"))
+    }
+    val cid = dimNames.indices.foldLeft(lit(0L)) { (acc, k) =>
+      acc * grid(k) + floor(col(s"__i$k") / chunks(k)).cast("long")
+    }
+    val off = dimNames.indices.foldLeft(lit(0L)) { (acc, k) =>
+      acc * chunks(k) + (col(s"__i$k") % chunks(k))
+    }
+    withIdx.select(cid.as("__cid"), off.cast("int").as("__off"),
+        col(varName).as("__v"))
+      .as[(Long, Int, Double)]
+  }
+
+  /** Decompose a row-major chunk id back into per-dim chunk coordinates. */
+  private[sources] def chunkKeyOf(cid: Long, grid: Seq[Int]): Array[Long] = {
+    val key = new Array[Long](grid.length)
+    var rem = cid
+    var k = grid.length - 1
+    while (k >= 0) { key(k) = rem % grid(k); rem /= grid(k); k -= 1 }
+    key
   }
 
   /** Distributed Zarr group writer: `df` holds one row per non-fill cell
@@ -518,36 +631,20 @@ object ZarrSource {
     }
     writeJson(s"$groupDir/.zmetadata", mapper.writeValueAsString(metaDoc))
 
-    // ---- (value → index) lookups, broadcast-joined (declarative, no UDF)
-    val withIdx = dims.zipWithIndex.foldLeft(df) { case (acc, ((name, values), k)) =>
-      val lookup = values.zipWithIndex.toSeq.toDF(s"__v$k", s"__i$k")
-      acc.join(broadcast(lookup), col(name) === col(s"__v$k"))
-    }
-    // chunk id (row-major over the chunk grid) and in-chunk offset —
-    // pure integer arithmetic on the joined index columns
+    // ---- (value → index) lookups broadcast-joined, chunk id + offset via
+    // integer arithmetic (shared layout step), ONE shuffle by chunk id
     val grid = shape.zip(chunks).map { case (s0, c) => (s0 + c - 1) / c }
-    val cid = dims.indices.foldLeft(lit(0L)) { (acc, k) =>
-      acc * grid(k) + floor(col(s"__i$k") / chunks(k)).cast("long")
-    }
-    val off = dims.indices.foldLeft(lit(0L)) { (acc, k) =>
-      acc * chunks(k) + (col(s"__i$k") % chunks(k))
-    }
-    val cells = withIdx.select(cid.as("__cid"), off.cast("int").as("__off"),
-        col(varName).as("__v"))
-      .as[(Long, Int, Double)]
+    val cells = cellsByChunk(df, dims.map(_._1),
+      dims.map(_._2.zipWithIndex.toSeq), grid, chunks, varName)
 
-    // ---- one shuffle by chunk id; each task materializes + writes its chunk
+    // ---- each task materializes + writes its chunk
     val chunkElems = chunks.product
     val sep = "." // spec default separator; matches openArray's default
     val written = cells.groupByKey(_._1).mapGroups { (cidV, it) =>
       val data = Array.fill(chunkElems)(Double.NaN)
       var n = 0
       it.foreach { case (_, o, v) => data(o) = v; n += 1 }
-      // decompose the chunk id back into per-dim chunk coords for the name
-      val key = new Array[Long](grid.length)
-      var rem = cidV
-      var k = grid.length - 1
-      while (k >= 0) { key(k) = rem % grid(k); rem /= grid(k); k -= 1 }
+      val key = chunkKeyOf(cidV, grid)
       java.nio.file.Files.write(
         java.nio.file.Paths.get(s"$arrayDir/${key.mkString(sep)}"),
         encodeChunk(data, codec))
@@ -599,30 +696,15 @@ object ZarrSource {
     // index = oldLen + position), the rest against the store's coords
     val lookups = (newCoord.zipWithIndex.map { case (v, i) => (v, oldLen + i) }.toSeq
       +: otherCoords.map(_.zipWithIndex.toSeq))
-    val withIdx = za.dims.zipWithIndex.foldLeft(df) { case (acc, (name, k)) =>
-      val lookup = lookups(k).toDF(s"__v$k", s"__i$k")
-      acc.join(broadcast(lookup), col(name) === col(s"__v$k"))
-    }
     val grid = shape.zip(chunks).map { case (s0, c) => (s0 + c - 1) / c }
-    val cid = za.dims.indices.foldLeft(lit(0L)) { (acc, k) =>
-      acc * grid(k) + floor(col(s"__i$k") / chunks(k)).cast("long")
-    }
-    val off = za.dims.indices.foldLeft(lit(0L)) { (acc, k) =>
-      acc * chunks(k) + (col(s"__i$k") % chunks(k))
-    }
-    val cells = withIdx.select(cid.as("__cid"), off.cast("int").as("__off"),
-        col(varName).as("__v"))
-      .as[(Long, Int, Double)]
+    val cells = cellsByChunk(df, za.dims, lookups, grid, chunks, varName)
 
     val chunkElems = chunks.product
     val codec = za.codec
     val sep = za.separator
     val zaForDecode = za // closure-captured; decode needs dtype/codec/chunks only
     cells.groupByKey(_._1).mapGroups { (cidV, it) =>
-      val key = new Array[Long](grid.length)
-      var rem = cidV
-      var k = grid.length - 1
-      while (k >= 0) { key(k) = rem % grid(k); rem /= grid(k); k -= 1 }
+      val key = chunkKeyOf(cidV, grid)
       val path = java.nio.file.Paths.get(s"$arrayDir/${key.mkString(sep)}")
       // boundary chunk: merge over what is already on disk (only possible
       // when oldLen % chunks(0) != 0 — at most one dim-0 chunk row)
