@@ -59,7 +59,7 @@ object Bench {
     val total = ok.map(_._2._1).sum
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"mins":$mins,"errors":$errs,"sf":"$sfDir"}"""
-    // headline first (survives tail-capture), then the full document
+    // headline first (survives head-capture), then the full document
     println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","detail":"$outPath"}""")
     println(json)
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
@@ -67,6 +67,26 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"bench: could not write $outPath: ${e.getMessage}")
     }
+    // LAST line: a compact document guaranteed to fit a 2000-char tail
+    // capture (BENCH_r06–r09 all recorded parsed:null because the full
+    // per-query line is ~6 KB and the harness keeps only the tail). Queries
+    // are included slowest-first until the budget is spent; the full map is
+    // always in `json` above and in bench_out.json.
+    // 2000-char harness tail minus headroom for a build-tool epilogue line
+    val budget = 1700
+    val slowestFirst = ok.sortBy(-_._2._1)
+      .map { case (k, (med, _)) => f""""$k":${med}%.3f""" }
+    val head = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"sf":"$sfDir","nqueries":${ok.size},"nerrors":${results.count(_._2.isLeft)},"detail":"$outPath","queries":{"""
+    val tail = "}}"
+    val fit = new StringBuilder(head)
+    var used = head.length + tail.length
+    var first = true
+    for (q <- slowestFirst if used + q.length + 1 <= budget) {
+      if (!first) { fit.append(','); used += 1 }
+      fit.append(q); used += q.length; first = false
+    }
+    fit.append(tail)
+    println(fit.toString)
     spark.stop()
   }
 }

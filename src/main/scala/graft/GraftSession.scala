@@ -45,13 +45,29 @@ object GraftSession {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** The `events` table with its nanosecond `ts` converted to a proper
-    * microsecond TimestampType column (matches DuckDB's read_parquet, which
-    * also truncates ns → us). Keeps all other columns untouched.
+  /** The `events` table with `ts` as a microsecond TimestampType column
+    * regardless of how the testdata generation wrote it. Generations have
+    * used both TIMESTAMP(NANOS) (surfaced as Long nanos under
+    * `nanosAsLong=true`, converted here; DuckDB's read_parquet likewise
+    * truncates ns → us) and plain TIMESTAMP(MICROS) (already a Spark
+    * TimestampType — passed through). Keeps all other columns untouched.
     */
-  def events(spark: SparkSession, sfDir: String): DataFrame = {
+  def events(spark: SparkSession, sfDir: String): DataFrame =
+    normalizeTs(table(spark, sfDir, "events"))
+
+  /** Normalize a `ts` column to microsecond TimestampType: Long values are
+    * interpreted as epoch nanos (the legacy TIMESTAMP(NANOS) read path);
+    * TIMESTAMP_NTZ (pandas-written micros with isAdjustedToUTC=false) is
+    * cast to TimestampType — value-preserving because the session timezone
+    * is pinned to UTC; TimestampType passes through unchanged.
+    */
+  def normalizeTs(df: DataFrame, name: String = "ts"): DataFrame = {
     import org.apache.spark.sql.functions._
-    table(spark, sfDir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema(name).dataType match {
+      case LongType         => df.withColumn(name, timestamp_micros(expr(s"`$name` div 1000")))
+      case TimestampNTZType => df.withColumn(name, col(name).cast(TimestampType))
+      case _                => df
+    }
   }
 }

@@ -47,7 +47,7 @@ object StoragePack extends QueryPack {
       val schema = GraftSession.table(s, d, "events").schema
       val stream = s.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet").parquet(d)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .transform(GraftSession.normalizeTs(_))
         .withWatermark("ts", "1 day")
       val agg = stream
         .groupBy(window(col("ts"), "1 day"), col("event_type"))
@@ -69,7 +69,7 @@ object StoragePack extends QueryPack {
       val schema = GraftSession.table(s, d, "events").schema
       val stream = s.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet").parquet(d)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .transform(GraftSession.normalizeTs(_))
         .withWatermark("ts", "1 day")
       val agg = stream
         .groupBy(col("event_type"))
@@ -96,7 +96,8 @@ object StoragePack extends QueryPack {
       val schema = GraftSession.table(s, d, "events").schema
       val obs = s.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet").parquet(d)
-        .select(col("user_id").as("key"), expr("ts div 1000").as("tsMicros"),
+        .transform(GraftSession.normalizeTs(_))
+        .select(col("user_id").as("key"), unix_micros(col("ts")).as("tsMicros"),
           col("value"), col("event_id").as("eventId"))
         .as[StatefulOps.Obs]
       val tracked = StatefulOps.trackKeys(obs)
@@ -121,7 +122,7 @@ object StoragePack extends QueryPack {
       val schema = GraftSession.table(s, d, "events").schema
       val stream = s.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet").parquet(d)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .transform(GraftSession.normalizeTs(_))
         .withColumn("dup_key", col("event_id") % 5000)
         .withWatermark("ts", "40 days")
         .dropDuplicatesWithinWatermark("dup_key")

@@ -114,12 +114,18 @@ object ScaleSoak {
     copies("lineitem")((d, c) =>
       d.withColumn("l_orderkey", col("l_orderkey") + c * 1000000000L))
     // events: offsets are multiples of the %360 / %100 grid moduli, so the
-    // derived cube's spatial distribution is copy-invariant; ts is raw
-    // nanos (long) at this layer, +c keeps timestamps distinct
-    copies("events")((d, c) => d
-      .withColumn("event_id", col("event_id") + c * 360000000L)
-      .withColumn("user_id", col("user_id") + c * 100000L)
-      .withColumn("ts", col("ts") + c))
+    // derived cube's spatial distribution is copy-invariant; a +c microsecond
+    // nudge keeps timestamps distinct across copies (ts may be stored as raw
+    // nanos Long or as TIMESTAMP depending on the testdata generation)
+    copies("events")((d, c) => {
+      val tsShift = d.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => col("ts") + c
+        case _ => timestamp_micros(unix_micros(col("ts")) + c)
+      }
+      d.withColumn("event_id", col("event_id") + c * 360000000L)
+        .withColumn("user_id", col("user_id") + c * 100000L)
+        .withColumn("ts", tsShift)
+    })
     // documents: every inter-token gap gets a copy-specific salt token →
     // shingle sets of different copies are DISJOINT, so near-dup pairs
     // replicate per copy (linear) instead of every copy family becoming
