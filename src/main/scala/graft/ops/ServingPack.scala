@@ -144,6 +144,34 @@ object ServingPack extends QueryPack {
     path
   }
 
+  /** Build (once per sf) the day-1 event-COUNT grid as a lossless
+    * (reversible 5/3) multi-tile JPEG 2000: counts are exact integers, so
+    * the decode must reproduce them bit-for-bit, and the 90×50 tiling
+    * exercises odd-origin subband geometry at every decomposition level.
+    * Shared with q_store_catalog's extension map.
+    */
+  private def jp2Fixture(s: SparkSession, d: String): String = {
+    val sfName = new java.io.File(d).getName
+    val base = s"/root/repo/.graft-fixtures/jp2_$sfName"
+    val path = s"$base/day1_counts.jp2"
+    Fixtures.ensureWritten(base, "day=2024-01-01,grid=360x100,counts,tiles=90x50,rev53") {
+      new java.io.File(base).mkdirs()
+      val rows = CubePack.eventsCube(s, d).df
+        .filter(to_date(col("time")) === lit("2024-01-01").cast("date"))
+        .groupBy(floor(col("y")).cast("int").as("j"),
+          floor(col("x")).cast("int").as("i"))
+        .agg(count(lit(1)).cast("int").as("n"))
+        .collect()
+      val grid = new Array[Int](100 * 360)
+      rows.foreach(r => grid(r.getInt(0) * 360 + r.getInt(1)) = r.getInt(2))
+      val maxN = grid.max
+      val depth = math.max(8, 33 - Integer.numberOfLeadingZeros(math.max(1, maxN)))
+      graft.sources.jp2.Jp2Source.write(path, 360, 100, depth, signed = false,
+        Vector(grid), nLevels = 3, tileW = 90, tileH = 50)
+    }
+    path
+  }
+
   /** Build (once per sf) the day-1 GeoTIFF with a GDAL_NODATA sentinel:
     * every 97th grid cell is forced NaN, so the file stores -9999 there
     * and a reader that ignores the tag poisons every aggregate.
@@ -757,6 +785,24 @@ object ServingPack extends QueryPack {
           round(sum(col("v").cast("decimal(28,10)")), 6).cast("double").as("sum_v"))
     }),
 
+    // JPEG 2000 ingest (store/fs/impl/rasterio.py:81-330 opens .jp2 via
+    // rasterio→GDAL→openjpeg): the day-1 count grid written through the
+    // from-spec lossless 5/3 writer, decoded back tile-per-task through the
+    // full Part-1 pipeline (MQ/EBCOT/tag-tree packets/DWT), and
+    // band-checksummed with coordinates bound in — counts are integers, so
+    // any decode defect is a hash mismatch, not a tolerance judgement. The
+    // lossy 9/7 path is cross-validated against the reference's own demo
+    // granule in Jp2Spec (vs the independently-tested GeoTIFF reader).
+    "q_jp2" -> ((s, d) => {
+      graft.sources.jp2.Jp2Source.readRaster(s, jp2Fixture(s, d))
+        .filter(col("v") > 0)
+        .groupBy((col("y") / 10).cast("long").as("jband"))
+        .agg(count(lit(1)).as("n_cells"),
+          round(sum((col("y") + col("x")).cast("decimal(28,10)")), 6)
+            .cast("double").as("sum_coord"),
+          sum(col("v").cast("long")).as("n_events"))
+    }),
+
     // COG overview chain (the cloud-optimized GeoTIFF organization GDAL's
     // gdaladdo produces): the daily-mean raster written TILED with two
     // chained ::2 overview IFDs, read back level by level, each level
@@ -1224,6 +1270,17 @@ object ServingPack extends QueryPack {
                 round(sum(((j + 0.5) + (i + 0.5))::DECIMAL(28,10)), 6)::DOUBLE AS sum_coord,
                 round(sum(v::DECIMAL(28,10)), 6)::DOUBLE AS sum_v
          FROM live GROUP BY jband""",
+    "q_jp2" ->
+      s"""WITH ${CubePack.cubeCte},
+         daily AS (SELECT floor(y)::BIGINT AS j, floor(x)::BIGINT AS i,
+                          count(*) AS n
+                   FROM cube
+                   WHERE CAST(time AS DATE) = DATE '2024-01-01'
+                   GROUP BY j, i)
+         SELECT j // 10 AS jband, count(*) AS n_cells,
+                round(sum(((j + 0.5) + (i + 0.5))::DECIMAL(28,10)), 6)::DOUBLE AS sum_coord,
+                sum(n)::BIGINT AS n_events
+         FROM daily GROUP BY jband""",
     // level-k cell (r, c) holds grid cell (j = 99 - (2^k)r, i = (2^k)c) —
     // gdaladdo-nearest: value is the block's top-left sample, coordinate is
     // the block center (x = i + 2^(k-1), y = j + 1 - 2^(k-1))

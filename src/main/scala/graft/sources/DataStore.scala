@@ -32,6 +32,7 @@ object DataStore {
     else if (p.endsWith(".nc")) "netcdf"
     else if (p.endsWith(".zarr")) "zarr"
     else if (p.endsWith(".tif") || p.endsWith(".tiff")) "geotiff"
+    else if (p.endsWith(".jp2") || p.endsWith(".j2k")) "jpeg2000"
     else if (p.endsWith(".shp")) "shapefile"
     else "parquet" // directory cubes default to parquet
   }
@@ -51,6 +52,7 @@ object DataStore {
       ".json" -> Seq("json"), ".geojson" -> Seq("geojson"),
       ".orc" -> Seq("orc"), ".nc" -> Seq("netcdf"), ".zarr" -> Seq("zarr"),
       ".tif" -> Seq("geotiff"), ".tiff" -> Seq("geotiff"),
+      ".jp2" -> Seq("jpeg2000"),
       ".shp" -> Seq("shapefile"), ".levels" -> Seq("levels"))
     if (accessorType == "openers") openers
     else openers - ".geojson"
@@ -70,6 +72,7 @@ object DataStore {
           .getOrElse(throw new IllegalArgumentException(s"$path: no data variable"))
         NetcdfSource.readCube(spark, nc, dataVar.name)
       case "geotiff" => GeoTiffSource.readRaster(spark, path)
+      case "jpeg2000" => graft.sources.jp2.Jp2Source.readRaster(spark, path)
       case "shapefile" => ShapefileSource.readFeatures(spark, path)
       case "zarr" if new java.io.File(path, "zarr.json").exists() =>
         // Zarr v3 store (one zarr.json per node, no .zgroup)

@@ -113,6 +113,30 @@ object GeoTiffSource {
     * same early-change convention; emits ClearCode at stream start and
     * whenever the table reaches 4094 (spec requirement), EOI at the end.
     */
+  /** PackBits RLE (TIFF 6.0 §9, compression 32773): n in [0,127] → copy
+    * n+1 literal bytes; n in [-127,-1] → repeat next byte 1−n times; −128
+    * is a no-op.
+    */
+  private[graft] def packBitsDecode(in: Array[Byte], expect: Int): Array[Byte] = {
+    val out = new Array[Byte](expect)
+    var i = 0; var o = 0
+    while (i < in.length && o < expect) {
+      val n = in(i); i += 1
+      if (n >= 0) {
+        val cnt = n + 1
+        System.arraycopy(in, i, out, o, math.min(cnt, expect - o))
+        i += cnt; o += cnt
+      } else if (n != -128) {
+        val cnt = 1 - n
+        val b = in(i); i += 1
+        var k = 0
+        while (k < cnt && o < expect) { out(o) = b; o += 1; k += 1 }
+      }
+    }
+    require(o >= expect, s"short packbits: $o of $expect")
+    out
+  }
+
   private[graft] def lzwEncode(in: Array[Byte]): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream(in.length / 2 + 64)
     var acc = 0L
@@ -349,8 +373,8 @@ object GeoTiffSource {
     require(bits >= 8 && bits % 8 == 0,
       s"$bits-bit samples unsupported (bilevel/palette TIFFs out of scope)")
     require(compression == 1 || compression == 5 || compression == 8 ||
-      compression == 32946,
-      s"compression $compression unsupported (none/lzw/deflate only)")
+      compression == 32946 || compression == 32773,
+      s"compression $compression unsupported (none/lzw/deflate/packbits only)")
     val predictor = one(317, Some(1.0)).toInt
     require(predictor == 1 || predictor == 2,
       s"predictor $predictor unsupported (none/horizontal-differencing only)")
@@ -361,6 +385,7 @@ object GeoTiffSource {
     def inflate(raw: Array[Byte], expect: Int): Array[Byte] =
       if (compression == 1) raw
       else if (compression == 5) lzwDecode(raw, expect)
+      else if (compression == 32773) packBitsDecode(raw, expect)
       else {
         val inf = new java.util.zip.Inflater()
         inf.setInput(raw)
