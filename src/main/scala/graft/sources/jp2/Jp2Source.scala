@@ -324,7 +324,13 @@ object Jp2Source {
     // (encodeTile asserts numbps ≤ Mb on every block)
     val shift = if (signed) 0 else 1 << (depth - 1)
     val tileBytes = Vector.tabulate(siz.ntx * siz.nty) { t =>
-      encodeTile(siz, cod, t, samples, shift, depth)
+      val (tx0, ty0, tx1, ty1) = tileRect(siz, t)
+      val tw2 = tx1 - tx0
+      val slices = samples.map { full =>
+        Array.tabulate((ty1 - ty0) * tw2)(i =>
+          full((ty0 + i / tw2) * width + tx0 + i % tw2))
+      }
+      encodeTile(siz, cod, t, slices, shift, depth)
     }
     val nBands = 1 + 3 * nLevels
     val qcdBody = new java.io.ByteArrayOutputStream()
@@ -372,13 +378,20 @@ object Jp2Source {
   private def epsOf(depth: Int, orient: Int): Int =
     math.min(31, depth + bandGain(orient) + 2)
 
-  /** Encode one tile: returns the SOD payload bytes. */
-  private def encodeTile(siz: Siz, cod: Cod, t: Int, samples: Vector[Array[Int]],
+  /** Encode one tile from tile-local row-major samples (already sliced).
+    * The tile's GLOBAL rect drives every parity/geometry decision — band
+    * rects, code-block grid anchoring and DWT phase all live in reference
+    * grid coordinates, so encoding a tile "at origin 0" would desynchronize
+    * from the decoder whenever the origin is not block-aligned at depth.
+    * Returns the SOD payload bytes.
+    */
+  private def encodeTile(siz: Siz, cod: Cod, t: Int,
+                         tileSamples: Vector[Array[Int]],
                          shift: Int, depth: Int): Array[Byte] = {
     val (tx0, ty0, tx1, ty1) = tileRect(siz, t)
     val tw = tx1 - tx0; val th = ty1 - ty0
     val n = cod.nLevels
-    val nc = samples.length
+    val nc = tileSamples.length
     require(tw <= 32768 && th <= 32768, "jp2 writer: tile exceeds default precinct")
     // per comp: forward DWT then per-band codeblock encode
     final case class EncBlock(comp: Int, bandIdx: Int, res: Int, cbx: Int, cby: Int,
@@ -386,18 +399,11 @@ object Jp2Source {
     val blocks = Vector.newBuilder[EncBlock]
     val resList = resolutions(siz, cod, t)
     for (c <- 0 until nc) {
-      // spatial tile slice, DC-shifted
-      var a = new Array[Int](tw * th)
-      val full = samples(c)
-      var y = 0
-      while (y < th) {
-        var x = 0
-        while (x < tw) {
-          a(y * tw + x) = full((ty0 - siz.yosiz + y) * (siz.xsiz - siz.xosiz) + (tx0 - siz.xosiz + x)) - shift
-          x += 1
-        }
-        y += 1
-      }
+      // DC shift the tile-local slice
+      val a = new Array[Int](tw * th)
+      val src = tileSamples(c)
+      var i0 = 0
+      while (i0 < a.length) { a(i0) = src(i0) - shift; i0 += 1 }
       // forward levels: lev = 1..N over shrinking LL rect
       var lx0 = tx0; var ly0 = ty0; var lx1 = tx1; var ly1 = ty1
       val levArrays = collection.mutable.Map[Int, (Array[Int], (Int, Int, Int, Int))]()
@@ -623,5 +629,78 @@ object Jp2Source {
     val p = java.nio.file.Paths.get(path)
     if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
     java.nio.file.Files.write(p, bytes)
+  }
+
+  /** Distributed lossless write of a (y, x, v) grid DataFrame: tiles are
+    * encoded one-per-task on the executors (DWT + T1 + packets are
+    * embarrassingly parallel per tile — the JP2 codestream has no
+    * cross-tile state), and only the finished tile-part byte ranges travel
+    * to the driver, which concatenates them behind a fixed-size main
+    * header. Metadata is O(tiles); pixels never pass through the driver
+    * whole — the same sink shape as the Zarr chunk-per-task writer.
+    *
+    * `df` columns: y and x are cell-centre coordinates (row = floor(y)),
+    * `v` integer-valued; absent cells encode as 0.
+    */
+  def writeRaster(df: DataFrame, path: String, width: Int, height: Int,
+                  depth: Int, nLevels: Int = 3,
+                  tileW: Int = 256, tileH: Int = 256): Unit = {
+    import org.apache.spark.sql.functions.{col, floor => ffloor}
+    val spark = df.sparkSession
+    val tilesX = ceilDiv(width, tileW)
+    val siz = Siz(width, height, 0, 0, tileW, tileH, 0, 0,
+      Vector(SizComp(depth, signed = false, 1, 1)))
+    val cod = Cod(0, 1, mct = false, nLevels, 6, 6, 0, wavelet53 = true,
+      Vector.empty, useSop = false, useEph = false)
+    val shift = 1 << (depth - 1)
+    // one task per tile: group rows by tile id, encode locally
+    val tileBytes = df
+      .select((ffloor(col("y")).cast("int")).as("j"),
+        (ffloor(col("x")).cast("int")).as("i"), col("v").cast("int").as("v"))
+      .rdd.map(r => ((r.getInt(0) / tileH) * tilesX + r.getInt(1) / tileW, r))
+      .groupByKey(math.min(tilesX * ceilDiv(height, tileH), 256))
+      .map { case (t, rows) =>
+        val (tx0, ty0, tx1, ty1) = tileRect(siz, t)
+        val tw = tx1 - tx0; val th = ty1 - ty0
+        val grid = new Array[Int](tw * th)
+        for (r <- rows) {
+          val j = r.getInt(0); val i = r.getInt(1)
+          grid((j - ty0) * tw + (i - tx0)) = r.getInt(2)
+        }
+        (t, encodeTile(siz, cod, t, Vector(grid), shift, depth))
+      }
+      .collect().toMap
+    // assemble: header + per-tile SOT/SOD (empty tiles encode an empty grid)
+    val allTiles = Vector.tabulate(siz.ntx * siz.nty) { t =>
+      tileBytes.getOrElse(t, {
+        val (tx0, ty0, tx1, ty1) = tileRect(siz, t)
+        encodeTile(siz, cod, t,
+          Vector(new Array[Int]((tx1 - tx0) * (ty1 - ty0))), shift, depth)
+      })
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    def u16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+    def u32(v: Int): Unit = { u16(v >>> 16); u16(v & 0xffff) }
+    u16(0xff4f)
+    u16(0xff51); u16(38 + 3); u16(0)
+    u32(width); u32(height); u32(0); u32(0); u32(tileW); u32(tileH); u32(0); u32(0)
+    u16(1); out.write(depth - 1); out.write(1); out.write(1)
+    u16(0xff52); u16(12)
+    out.write(0); out.write(0); u16(1); out.write(0); out.write(nLevels)
+    out.write(4); out.write(4); out.write(0); out.write(1)
+    u16(0xff5c); u16(2 + 1 + (1 + 3 * nLevels))
+    out.write(2 << 5)
+    for (bi <- 0 to 3 * nLevels) {
+      val orient = if (bi == 0) 0 else ((bi - 1) % 3) + 1
+      out.write(math.min(31, depth + bandGain(orient) + 2) << 3)
+    }
+    for ((tb, t) <- allTiles.zipWithIndex) {
+      u16(0xff90); u16(10); u16(t); u32(14 + tb.length); out.write(0); out.write(1)
+      u16(0xff93); out.write(tb, 0, tb.length)
+    }
+    u16(0xffd9)
+    val p = java.nio.file.Paths.get(path)
+    if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+    java.nio.file.Files.write(p, wrapJp2(out.toByteArray, width, height, 1, depth, signed = false))
   }
 }

@@ -139,6 +139,29 @@ class Jp2Spec extends AnyFunSuite {
     roundTrip(360, 100, 20, signed = false, nc = 1, nLevels = 3, 90, 50, seed = 28)
   }
 
+  test("distributed writeRaster emits byte-identical output to the local encoder") {
+    // tile encode is pure per-tile: the executor-side path must produce the
+    // same codestream as the driver-side path, so the files are comparable
+    // byte-for-byte — any geometry/parity drift between the two would show
+    val spark = GraftSession.get()
+    val w = 300; val h = 170; val depth = 12
+    val rnd = new scala.util.Random(31)
+    val plane = Array.fill(w * h)(rnd.nextInt(1 << depth))
+    val rows = for (j <- 0 until h; i <- 0 until w if plane(j * w + i) != 0)
+      yield (j + 0.5, i + 0.5, plane(j * w + i))
+    import spark.implicits._
+    val df = rows.toDF("y", "x", "v")
+    val path = "/tmp/jp2_dist_test/grid.jp2"
+    Jp2Source.writeRaster(df, path, w, h, depth, nLevels = 3, tileW = 128, tileH = 128)
+    val distBytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    val localBytes = Jp2Source.encode(w, h, depth, signed = false, Vector(plane),
+      nLevels = 3, tileW = 128, tileH = 128)
+    assert(java.util.Arrays.equals(distBytes, localBytes),
+      s"distributed ${distBytes.length}B vs local ${localBytes.length}B")
+    val img = Jp2Source.decode(distBytes)
+    assert(img.comps(0).sameElements(plane))
+  }
+
   test("real granule: reference demo .jp2 decodes and matches its GeoTIFF twin") {
     // sample.jp2: 1491×1387 RGB, 9/7 irreversible, ICT, 4 tiles, explicit
     // precincts, rate-truncated final cleanup passes — every lossy-path
