@@ -120,7 +120,9 @@ object ScaleSoak {
     copies("events")((d, c) => {
       val tsShift = d.schema("ts").dataType match {
         case org.apache.spark.sql.types.LongType => col("ts") + c
-        case _ => timestamp_micros(unix_micros(col("ts")) + c)
+        // cast first: TIMESTAMP_NTZ is rejected by unix_micros, and the
+        // session is pinned UTC so the cast is value-preserving
+        case _ => timestamp_micros(unix_micros(col("ts").cast("timestamp")) + c)
       }
       d.withColumn("event_id", col("event_id") + c * 360000000L)
         .withColumn("user_id", col("user_id") + c * 100000L)

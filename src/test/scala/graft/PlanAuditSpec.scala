@@ -320,7 +320,7 @@ class PlanAuditSpec extends AnyFunSuite {
     // single-partition sorts. The heap aggregate must appear as a partial
     // (map-side) + final ObjectHashAggregate pair, and no Window node.
     Seq("q_knn_cosine", "q_pq_adc", "q_ivf_ann_batch", "q_lang_id",
-        "q_sq8_ann").foreach { q =>
+        "q_sq8_ann", "q_bm25").foreach { q =>
       val p = plan(q)
       assert(!p.contains("Window"), s"$q: window reintroduced:\n${p.take(800)}")
       assert(p.contains("partial_collect_top_k"),
