@@ -53,7 +53,12 @@ object ScaleSoak {
     "q_bloom_probe", "q_stratified_sample", "q_lang_id",
     // cross-corpus incremental dedup: corpus-side bucket counts + the
     // cross equi-join both grow linearly
-    "q_dedup_incremental", "q_sq8_ann")
+    "q_dedup_incremental", "q_sq8_ann",
+    // round-10 additions: BM25 retrieval (filtered tokenize + broadcast
+    // idf/query tables — corpus-side work must stay one scan) and
+    // PageRank over the LSH-capped near-dup graph (edge list linear in
+    // corpus, three keyed-join iterations)
+    "q_bm25", "q_pagerank")
 
   /** Deep-soak subset (run at 30×): the newest heavy operators. The
     * format-fixture queries (kerchunk combine, COG levels, zarr append)
