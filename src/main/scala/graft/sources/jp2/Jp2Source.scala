@@ -308,29 +308,50 @@ object Jp2Source {
     */
   def encode(width: Int, height: Int, depth: Int, signed: Boolean,
              samples: Vector[Array[Int]], nLevels: Int = 3,
-             tileW: Int = 0, tileH: Int = 0): Array[Byte] = {
+             tileW: Int = 0, tileH: Int = 0, mct: Boolean = false): Array[Byte] = {
     require(samples.nonEmpty && samples.forall(_.length == width * height),
       "jp2 encode: bad sample planes")
+    require(!mct || samples.length >= 3, "jp2 encode: RCT needs 3 components")
     val tw = if (tileW <= 0) width else tileW
     val th = if (tileH <= 0) height else tileH
     val nc = samples.length
     val siz = Siz(width, height, 0, 0, tw, th, 0, 0,
       Vector.fill(nc)(SizComp(depth, signed, 1, 1)))
-    val cod = Cod(0, 1, mct = false, nLevels, 6, 6, 0, wavelet53 = true,
+    val cod = Cod(0, 1, mct, nLevels, 6, 6, 0, wavelet53 = true,
       Vector.empty, useSop = false, useEph = false)
 
     // fixed guard=2 with ε_b = depth + gain + 2 gives Mb = depth + gain + 3,
     // which bounds the 5/3 coefficient growth for any nLevels the tests use
     // (encodeTile asserts numbps ≤ Mb on every block)
     val shift = if (signed) 0 else 1 << (depth - 1)
+    // forward RCT (G.2, reversible): Y = floor((R+2G+B)/4), Cb = B−G,
+    // Cr = R−G — on DC-shifted values, mirroring the decoder's inverse.
+    // encodeTile must then NOT shift again, so pre-shift here when mct.
+    val planes =
+      if (!mct) samples
+      else {
+        val r = samples(0); val g = samples(1); val b = samples(2)
+        val y = new Array[Int](r.length); val cb = new Array[Int](r.length)
+        val cr = new Array[Int](r.length)
+        var i = 0
+        while (i < r.length) {
+          val rs = r(i) - shift; val gs = g(i) - shift; val bs = b(i) - shift
+          y(i) = Math.floorDiv(rs + 2 * gs + bs, 4)
+          cb(i) = bs - gs
+          cr(i) = rs - gs
+          i += 1
+        }
+        Vector(y, cb, cr) ++ samples.drop(3).map(_.map(_ - shift))
+      }
+    val tileShift = if (mct) 0 else shift
     val tileBytes = Vector.tabulate(siz.ntx * siz.nty) { t =>
       val (tx0, ty0, tx1, ty1) = tileRect(siz, t)
       val tw2 = tx1 - tx0
-      val slices = samples.map { full =>
+      val slices = planes.map { full =>
         Array.tabulate((ty1 - ty0) * tw2)(i =>
           full((ty0 + i / tw2) * width + tx0 + i % tw2))
       }
-      encodeTile(siz, cod, t, slices, shift, depth)
+      encodeTile(siz, cod, t, slices, tileShift, depth)
     }
     val nBands = 1 + 3 * nLevels
     val qcdBody = new java.io.ByteArrayOutputStream()
@@ -356,7 +377,7 @@ object Jp2Source {
     out.write(0) // scod: default precincts, no SOP/EPH
     out.write(0) // LRCP
     u16(1) // layers
-    out.write(0) // no MCT
+    out.write(if (mct) 1 else 0)
     out.write(nLevels)
     out.write(6 - 2); out.write(6 - 2) // 64×64 codeblocks
     out.write(0) // style

@@ -139,6 +139,30 @@ class Jp2Spec extends AnyFunSuite {
     roundTrip(360, 100, 20, signed = false, nc = 1, nLevels = 3, 90, 50, seed = 28)
   }
 
+  test("lossless RGB round-trip through the reversible color transform") {
+    val w = 120; val h = 81
+    val rnd = new scala.util.Random(41)
+    // correlated channels (image-like): base luminance + small chroma offsets
+    val base = Array.fill(w * h)(rnd.nextInt(200) + 20)
+    val r = base.map(v => math.min(255, v + rnd.nextInt(8)))
+    val g = base.map(v => math.max(0, v - rnd.nextInt(8)))
+    val b = base.clone()
+    val planes = Vector(r, g, b)
+    val rct = Jp2Source.encode(w, h, 8, signed = false, planes, 3, 0, 0, mct = true)
+    val noRct = Jp2Source.encode(w, h, 8, signed = false, planes, 3, 0, 0)
+    val img = Jp2Source.decode(rct)
+    for (c <- 0 until 3)
+      assert(img.comps(c).sameElements(planes(c)), s"RCT comp $c")
+    assert(rct.length < noRct.length,
+      s"RCT ${rct.length}B should beat independent planes ${noRct.length}B on correlated data")
+    // extreme values stress the chroma range (±2^depth after differencing)
+    val hard = Vector(Array.fill(w * h)(255), Array.fill(w * h)(0),
+      Array.tabulate(w * h)(i => if (i % 2 == 0) 255 else 0))
+    val hardBytes = Jp2Source.encode(w, h, 8, signed = false, hard, 2, 0, 0, mct = true)
+    val hardImg = Jp2Source.decode(hardBytes)
+    for (c <- 0 until 3) assert(hardImg.comps(c).sameElements(hard(c)), s"hard comp $c")
+  }
+
   test("distributed writeRaster emits byte-identical output to the local encoder") {
     // tile encode is pure per-tile: the executor-side path must produce the
     // same codestream as the driver-side path, so the files are comparable

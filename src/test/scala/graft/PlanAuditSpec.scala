@@ -22,6 +22,21 @@ class PlanAuditSpec extends AnyFunSuite {
       !p.contains("p_name"), "scan reads columns beyond the projection")
   }
 
+  test("events time-range filters push through normalizeTs to the parquet scan") {
+    // the NTZ→session-UTC-timestamp cast in GraftSession.normalizeTs must
+    // not block row-group pruning: at 100 TB a time-range scan that can't
+    // prune on ts reads the whole table. Catalyst rewrites the comparison
+    // onto the raw NTZ column — pin that.
+    import org.apache.spark.sql.functions._
+    val q = GraftSession.events(spark, sf)
+      .filter(col("ts") >= lit("2024-01-03").cast("timestamp") &&
+        col("ts") < lit("2024-01-05").cast("timestamp"))
+      .groupBy(col("event_type")).agg(count(lit(1)))
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.contains("GreaterThanOrEqual(ts,") && p.contains("LessThan(ts,"),
+      s"ts range must reach PushedFilters:\n${p.take(900)}")
+  }
+
   test("q_cube_diff: the two day grids share one scan+shuffle (ReusedExchange)") {
     // AQE materializes exchange reuse at runtime — execute, then inspect
     // the final adaptive plan
