@@ -172,6 +172,33 @@ object ServingPack extends QueryPack {
     path
   }
 
+  /** Build (once per sf) THREE daily count-grid granules for the
+    * collection-ingest query; returns the paths (file name = the day).
+    */
+  private def jp2SeriesFixture(s: SparkSession, d: String): Seq[String] = {
+    val sfName = new java.io.File(d).getName
+    val base = s"/root/repo/.graft-fixtures/jp2s_$sfName"
+    val days = Seq("2024-01-01", "2024-01-02", "2024-01-03")
+    Fixtures.ensureWritten(base, "days=3,grid=360x100,counts,tiles=90x50,rev53") {
+      new java.io.File(base).mkdirs()
+      val rows = CubePack.eventsCube(s, d).df
+        .filter(to_date(col("time")).isin(days.map(lit(_).cast("date")): _*))
+        .groupBy(to_date(col("time")).cast("string").as("day"),
+          floor(col("y")).cast("int").as("j"),
+          floor(col("x")).cast("int").as("i"))
+        .agg(count(lit(1)).cast("int").as("n"))
+        .collect()
+      val grids = days.map(day => day -> new Array[Int](100 * 360)).toMap
+      rows.foreach(r => grids(r.getString(0))(r.getInt(1) * 360 + r.getInt(2)) = r.getInt(3))
+      val maxN = math.max(1, grids.valuesIterator.map(_.max).max)
+      val depth = math.max(8, 33 - Integer.numberOfLeadingZeros(maxN))
+      for (day <- days)
+        graft.sources.jp2.Jp2Source.write(s"$base/$day.jp2", 360, 100, depth,
+          signed = false, Vector(grids(day)), nLevels = 3, tileW = 90, tileH = 50)
+    }
+    days.map(day => s"$base/$day.jp2")
+  }
+
   /** Build (once per sf) the day-1 GeoTIFF with a GDAL_NODATA sentinel:
     * every 97th grid cell is forced NaN, so the file stores -9999 there
     * and a reader that ignores the tag poisons every aggregate.
@@ -803,6 +830,20 @@ object ServingPack extends QueryPack {
           sum(col("v").cast("long")).as("n_events"))
     }),
 
+    // JPEG 2000 granule COLLECTION ingest: three daily count granules read
+    // as one distributed (file × tile)-per-task scan with the granule name
+    // bound to the day — the 10^5-granule collection shape. Per-day
+    // band checksums must match the cube exactly (integer counts).
+    "q_jp2_series" -> ((s, d) => {
+      graft.sources.jp2.Jp2Source.readRasterFiles(s, jp2SeriesFixture(s, d))
+        .filter(col("v") > 0)
+        .select(regexp_replace(col("src"), "\\.jp2$", "").as("day"),
+          col("y"), col("x"), col("v"))
+        .groupBy(col("day"), (col("y") / 10).cast("long").as("jband"))
+        .agg(count(lit(1)).as("n_cells"),
+          sum(col("v").cast("long")).as("n_events"))
+    }),
+
     // COG overview chain (the cloud-optimized GeoTIFF organization GDAL's
     // gdaladdo produces): the daily-mean raster written TILED with two
     // chained ::2 overview IFDs, read back level by level, each level
@@ -1281,6 +1322,19 @@ object ServingPack extends QueryPack {
                 round(sum(((j + 0.5) + (i + 0.5))::DECIMAL(28,10)), 6)::DOUBLE AS sum_coord,
                 sum(n)::BIGINT AS n_events
          FROM daily GROUP BY jband""",
+    "q_jp2_series" ->
+      s"""WITH ${CubePack.cubeCte},
+         daily AS (SELECT CAST(time AS DATE)::VARCHAR AS day,
+                          floor(y)::BIGINT AS j, floor(x)::BIGINT AS i,
+                          count(*) AS n
+                   FROM cube
+                   WHERE CAST(time AS DATE) = DATE '2024-01-01'
+                      OR CAST(time AS DATE) = DATE '2024-01-02'
+                      OR CAST(time AS DATE) = DATE '2024-01-03'
+                   GROUP BY 1, 2, 3)
+         SELECT day, j // 10 AS jband, count(*) AS n_cells,
+                sum(n)::BIGINT AS n_events
+         FROM daily GROUP BY day, jband""",
     // level-k cell (r, c) holds grid cell (j = 99 - (2^k)r, i = (2^k)c) —
     // gdaladdo-nearest: value is the block's top-left sample, coordinate is
     // the block center (x = i + 2^(k-1), y = j + 1 - 2^(k-1))

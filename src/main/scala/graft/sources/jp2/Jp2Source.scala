@@ -643,6 +643,49 @@ object Jp2Source {
     spark.createDataFrame(rdd, rasterSchema(nc))
   }
 
+  /** Distributed read of a granule COLLECTION: one Spark task per
+    * (file, tile) pair. The driver touches only each file's main header to
+    * learn the tile grid; pixel decode happens where the task runs. This is
+    * the N-granule ingest fan-out — 10^5 files × tiles at 100 TB — with a
+    * `src` column carrying the granule file name for time/series binding.
+    */
+  def readRasterFiles(spark: SparkSession, paths: Seq[String],
+                      nodata: Option[Double] = None): DataFrame = {
+    require(paths.nonEmpty, "jp2: empty path list")
+    val work: Seq[(String, Int)] = paths.flatMap { p =>
+      val cd = parse(codestreamOf(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))))
+      cd.tiles.map(t => (p, t.index))
+    }
+    val first = parse(codestreamOf(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(paths.head))))
+    val nc = first.siz.comps.length
+    val rdd = spark.sparkContext
+      .parallelize(work, math.min(work.length, 64))
+      .flatMap { case (p, t) =>
+        val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
+        val cd = parse(codestreamOf(bytes))
+        val tile = cd.tiles.find(_.index == t).get
+        val comps = decodeTileSamples(codestreamOf(bytes), cd, tile)
+        val (tx0, ty0, tx1, ty1) = tileRect(cd.siz, t)
+        val tw = tx1 - tx0
+        val name = new java.io.File(p).getName
+        (0 until (ty1 - ty0) * tw).iterator.map { i =>
+          val y = ty0 + i / tw; val x = tx0 + i % tw
+          val vs = (0 until comps.length).map { c =>
+            val raw = comps(c)(i).toDouble
+            nodata match {
+              case Some(nd) if raw == nd => Double.NaN
+              case _ => raw
+            }
+          }
+          Row.fromSeq(Seq(name, (y + 0.5), (x + 0.5)) ++ vs)
+        }
+      }
+    val schema = StructType(StructField("src", StringType, nullable = false) +:
+      rasterSchema(nc).fields.toSeq)
+    spark.createDataFrame(rdd, schema)
+  }
+
   def write(path: String, width: Int, height: Int, depth: Int, signed: Boolean,
             samples: Vector[Array[Int]], nLevels: Int = 3,
             tileW: Int = 0, tileH: Int = 0): Unit = {
