@@ -2,7 +2,7 @@ package graft.ops
 
 import graft.{GraftSession, QueryPack}
 import graft.cube.Cube
-import graft.operators.{StatsOps, SubsampleOps, TimeSeriesOps}
+import graft.operators.{QuantileOps, StatsOps, SubsampleOps, TimeSeriesOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -107,10 +107,33 @@ object AggPack extends QueryPack {
             round(sum(col("v").cast("decimal(28,10)")), 6).cast("double").as("sum_v"))
           .select(lit(l).cast("long").as("level"), col("n_cells"), col("sum_v"))
       }.reduce(_ unionByName _)
+    }),
+
+    // EXACT quantiles without a global sort (two-pass histogram-refinement
+    // selection): pass 1 buckets values by high bits into a data-
+    // independent histogram, pass 2 rescans only the straddling buckets.
+    // The windows run over HISTOGRAM rows, never the data — the shape that
+    // replaces ORDER BY + OFFSET at 100 TB. Values are exact integer cents.
+    "q_quantile_exact" -> ((s, d) => {
+      val li = GraftSession.table(s, d, "lineitem")
+        .select(round(col("l_extendedprice") * 100, 0).cast("long").as("cents"))
+      QuantileOps.exactQuantiles(li, "cents", Seq(0.25, 0.5, 0.9, 0.99),
+        coarseShift = 12)
     })
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "q_quantile_exact" ->
+      """WITH c AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+                    FROM lineitem),
+         n AS (SELECT count(*) AS n FROM c),
+         ranks AS (SELECT CAST(t.p AS DOUBLE) AS p,
+                          CAST(floor(CAST(t.p AS DOUBLE) * (n - 1)) AS BIGINT) + 1
+                            AS rank
+                   FROM n, (VALUES (0.25),(0.5),(0.9),(0.99)) t(p)),
+         o AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM c)
+         SELECT r.p, r.rank, o.v AS value
+         FROM ranks r JOIN o ON o.rn = r.rank""",
     "q_subsample" ->
       s"""WITH ${CubePack.cubeCte},
          b AS (SELECT date_trunc('day', time) AS time,

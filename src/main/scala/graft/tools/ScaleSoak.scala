@@ -58,7 +58,16 @@ object ScaleSoak {
     // idf/query tables — corpus-side work must stay one scan) and
     // PageRank over the LSH-capped near-dup graph (edge list linear in
     // corpus, three keyed-join iterations)
-    "q_bm25", "q_pagerank")
+    "q_bm25", "q_pagerank",
+    // round-10 sketch/selection tier: CMS (counter table must stay
+    // depth×width however large the corpus), HLL (1024 registers), exact
+    // two-pass quantiles (histogram windows must stay histogram-sized),
+    // PCA power iteration (explode + keyed aggs, d-way group skew is
+    // map-side combined), bigram perplexity (model joins + long sums)
+    "q_cms", "q_hll", "q_quantile_exact", "q_pca_step", "q_bigram_ppx",
+    // BPE training: per-step cost must be vocabulary-sized, not
+    // corpus-sized (the word-frequency table is the whole training input)
+    "q_bpe_train")
 
   /** Deep-soak subset (run at 30×): the newest heavy operators. The
     * format-fixture queries (kerchunk combine, COG levels, zarr append)

@@ -344,4 +344,50 @@ class PlanAuditSpec extends AnyFunSuite {
         s"$q: CollectTopK should plan as ObjectHashAggregate:\n${p.take(400)}")
     }
   }
+
+  test("q_cms: probe side is broadcast lookups; counter build combines map-side") {
+    val p = plan("q_cms")
+    assert(p.contains("BroadcastHashJoin"),
+      "counter lookups must be broadcast-hash probes")
+    assert(!p.contains("SortMergeJoin"),
+      "the probe side must never shuffle against the bounded counter table")
+    assert(p.contains("partial_count"),
+      "counter build must combine map-side (partial count before the shuffle)")
+  }
+
+  test("q_quantile_exact: no global sort of the data — windows see histograms only") {
+    val p = plan("q_quantile_exact")
+    // a global ORDER BY would plan as a rangepartitioning exchange over
+    // the value column; the two-pass selection must never do that
+    assert(!p.contains("rangepartitioning"),
+      s"global sort reintroduced:\n${p.take(900)}")
+    assert(p.contains("BroadcastHashJoin"),
+      "pass-2 bucket filter must be a broadcast equi-join against the scan")
+  }
+
+  test("q_pca_step: keyed joins only, d-vector re-enters via broadcast") {
+    val p = plan("q_pca_step")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"matvec must stay keyed:\n${p.take(600)}")
+    assert(p.contains("BroadcastHashJoin"),
+      "the d-row iterate must broadcast back into the exploded scan")
+    assert(p.contains("partial_sum"),
+      "per-dimension reduction must combine map-side")
+  }
+
+  test("BPE pair counting combines map-side over the word table") {
+    import graft.operators.BpeOps
+    val words = BpeOps.wordTable(
+      GraftSession.table(spark, sf, "documents"), "text")
+    val p = BpeOps.pairCounts(words).queryExecution.executedPlan.toString
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      s"pair counts must combine map-side before the shuffle:\n${p.take(600)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
+  }
+
+  test("q_bigram_ppx: model joins are equi-joins; no cartesian beyond 1-row broadcasts") {
+    val p = plan("q_bigram_ppx")
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n${p.take(600)}")
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"), "no UDFs")
+  }
 }
