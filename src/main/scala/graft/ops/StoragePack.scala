@@ -118,6 +118,41 @@ object StoragePack extends QueryPack {
     // event_id % 5000 so real duplicates exist; only per-bucket distinct
     // counts are emitted, which are deterministic regardless of which
     // duplicate instance survives.
+    // STREAMING count-min sketch ingest: CMS counters are ADDITIVE, so the
+    // sketch built by a streaming aggregation must equal the batch sketch
+    // counter-for-counter once converged — the property that lets a 100 TB
+    // pipeline keep one frequency summary continuously updated by ingest
+    // instead of rebuilding it. The converged counter table then serves the
+    // same top-10 heavy-hitter probe as q_cms, and the DuckDB oracle is the
+    // straight batch reproduction — any drift between streamed and batch
+    // counters breaks the hash.
+    "q_stream_cms" -> ((s, d) => {
+      import graft.operators.SketchOps
+      val w = 1024L
+      val dep = 4
+      val schema = GraftSession.table(s, d, "events").schema
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(d)
+        .transform(GraftSession.normalizeTs(_))
+        .select(col("user_id"))
+      val cmsStream = SketchOps.buildCms(stream, "user_id", w, dep)
+      val tbl = s"q_stream_cms_${queryCounter.incrementAndGet()}"
+      val q = cmsStream.writeStream.format("memory").queryName(tbl)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val ev = GraftSession.table(s, d, "events").select(col("user_id"))
+      val top = ev.groupBy("user_id").agg(count(lit(1)).as("exact_n"))
+        .agg(graft.functions.TopK.bottomK(
+          struct(negate(col("exact_n")).as("__o"), col("user_id"),
+            col("exact_n")), 10).as("__tk"))
+        .select(explode(col("__tk")).as("__r"))
+        .select(col("__r.user_id").as("user_id"),
+          col("__r.exact_n").as("exact_n"))
+      SketchOps.probeCms(top, "user_id", s.table(tbl), w, dep)
+        .select(col("user_id"), col("exact_n"), col("est_n"),
+          (col("est_n") - col("exact_n")).as("overcount"))
+    }),
+
     "q_stream_dedup" -> ((s, d) => {
       val schema = GraftSession.table(s, d, "events").schema
       val stream = s.readStream.schema(schema)
@@ -232,6 +267,30 @@ object StoragePack extends QueryPack {
       """WITH k AS (SELECT DISTINCT event_id % 5000 AS dup_key FROM events)
          SELECT dup_key % 10 AS bucket, count(*) AS n_keys
          FROM k GROUP BY bucket""",
+    // identical to q_cms by design: the streamed sketch must converge to
+    // the batch counters exactly
+    "q_stream_cms" ->
+      """WITH exact AS (SELECT user_id, count(*)::BIGINT AS exact_n
+                        FROM events GROUP BY user_id),
+         top AS (SELECT user_id, exact_n FROM exact
+                 ORDER BY exact_n DESC, user_id LIMIT 10),
+         h AS (SELECT ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h
+               FROM events),
+         pw AS (SELECT i.i AS rr,
+                       ((h & 1023) + (((h // 1024) & 511) * 2 + 1) * i.i) & 1023 AS pp
+                FROM h, (VALUES (0),(1),(2),(3)) i(i)),
+         cms AS (SELECT rr, pp, count(*)::BIGINT AS cnt
+                 FROM pw GROUP BY rr, pp),
+         th AS (SELECT user_id, exact_n,
+                       ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h
+                FROM top),
+         tpos AS (SELECT user_id, exact_n, i.i AS rr,
+                         ((h & 1023) + (((h // 1024) & 511) * 2 + 1) * i.i) & 1023 AS pp
+                  FROM th, (VALUES (0),(1),(2),(3)) i(i)),
+         est AS (SELECT user_id, exact_n, min(coalesce(c.cnt, 0)) AS est_n
+                 FROM tpos LEFT JOIN cms c USING (rr, pp)
+                 GROUP BY user_id, exact_n)
+         SELECT user_id, exact_n, est_n, est_n - exact_n AS overcount FROM est""",
     "q_session_window" ->
       """WITH e AS (SELECT user_id, ts FROM events WHERE user_id < 20),
          l AS (SELECT user_id, ts,
