@@ -4,12 +4,13 @@ import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Multimodal columns: opaque binary payloads + typed metadata. The decode
-  * step is REAL for two pure-JVM formats — 24-bit BMP and 16-bit PCM WAV,
-  * via [[MediaCodecs]] ([[decodeMedia]] dispatches on the container magic) —
-  * and STUBBED for codec-dependent formats (JPEG/PNG/MP3/H.264: this
-  * container has no native codecs; the Spark-side plumbing — schema, batch
-  * shape, partition-wise execution — is identical, so swapping `decodeStub`
-  * for a codec call is a one-line change at deployment).
+  * step is REAL for four pure-JVM formats — 24-bit BMP, 16-bit PCM WAV,
+  * 8-bit PNG (via [[MediaCodecs]]) and baseline JPEG (via [[JpegCodec]]);
+  * [[decodeMedia]] dispatches on the container magic. Codec-dependent
+  * formats beyond those (MP3/H.264) remain STUBBED: the Spark-side
+  * plumbing — schema, batch shape, partition-wise execution — is
+  * identical, so swapping `decodeStub` for a codec call is a one-line
+  * change at deployment.
   *
   * Layout: `payload: binary` + `meta: map<string,string>` sidecar — the
   * BinaryType + MapType pattern for 100 TB media tables; payloads stay
@@ -56,6 +57,16 @@ object MultimodalOps {
             DecodedMedia(id, src, "image/png", img.width, img.height,
               img.pixels(0) & 0xff,
               (if (ch >= 3) img.pixels(1) else img.pixels(0)) & 0xff,
+              sumR, 0, 0, 0L)
+          } else if (JpegCodec.isJpeg(bytes)) {
+            val img = JpegCodec.decode(bytes)
+            val ch = img.channels
+            var sumR = 0L
+            var p = 0
+            while (p < img.width * img.height) { sumR += img.pixels(p * ch) & 0xff; p += 1 }
+            DecodedMedia(id, src, "image/jpeg", img.width, img.height,
+              img.pixels(0) & 0xff,
+              (if (ch >= 3) img.pixels(1) else img.pixels(ch)) & 0xff,
               sumR, 0, 0, 0L)
           } else if (bytes.length >= 4 &&
               bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F') {

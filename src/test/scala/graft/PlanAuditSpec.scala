@@ -385,6 +385,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
   }
 
+  test("q_jpeg: encode+decode is partition-local — no shuffle before the final agg") {
+    val p = plan("q_jpeg")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"media codec pass must not join/shuffle the payload side:\n${p.take(600)}")
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges <= 2, // partial->final agg only
+      s"expected only the aggregation exchange, found $exchanges:\n${p.take(800)}")
+  }
+
   test("q_bigram_ppx: model joins are equi-joins; no cartesian beyond 1-row broadcasts") {
     val p = plan("q_bigram_ppx")
     assert(!p.contains("CartesianProduct"), s"cartesian:\n${p.take(600)}")
