@@ -80,6 +80,113 @@ object MultimodalOps {
       }
   }
 
+  /** REAL media resize: decode the payload, box-average `factor`×`factor`
+    * pixel blocks (with +half rounding, the encoder-subsample convention),
+    * and RE-ENCODE in the same container — BMP stays exact, JPEG gray and
+    * 4:2:0 color re-encode at quality 85. Partition-local: payload in,
+    * payload out, no shuffle, no driver. Dimensions must be multiples of
+    * `factor` (media pipelines pad at ingest); other formats pass through
+    * unchanged (`resized = false`).
+    */
+  def resizeMedia(df: DataFrame, factor: Int = 2): DataFrame = {
+    require(factor >= 2, s"resize factor $factor")
+    val spark = df.sparkSession
+    import spark.implicits._
+    def shrink(src: Array[Byte], w: Int, h: Int, ch: Int): Array[Byte] = {
+      val ow = w / factor; val oh = h / factor
+      val out = new Array[Byte](ow * oh * ch)
+      val half = factor * factor / 2
+      var y = 0
+      while (y < oh) {
+        var x = 0
+        while (x < ow) {
+          var c = 0
+          while (c < ch) {
+            var s = 0
+            var dy = 0
+            while (dy < factor) {
+              var dx = 0
+              while (dx < factor) {
+                s += src(((y * factor + dy) * w + x * factor + dx) * ch + c) & 0xff
+                dx += 1
+              }
+              dy += 1
+            }
+            out((y * ow + x) * ch + c) = ((s + half) / (factor * factor)).toByte
+            c += 1
+          }
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+    df.select(col("id"), col("source"), col("payload"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, src, bytes) =>
+          if (bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M') {
+            val img = MediaCodecs.decodeBmp(bytes)
+            require(img.width % factor == 0 && img.height % factor == 0,
+              s"BMP dims ${img.width}x${img.height} not a multiple of $factor")
+            val small = shrink(img.rgb, img.width, img.height, 3)
+            (id, src, MediaCodecs.encodeBmp(MediaCodecs.BmpImage(
+              img.width / factor, img.height / factor, small)), true)
+          } else if (JpegCodec.isJpeg(bytes)) {
+            val img = JpegCodec.decode(bytes)
+            require(img.width % factor == 0 && img.height % factor == 0,
+              s"JPEG dims ${img.width}x${img.height} not a multiple of $factor")
+            val small = shrink(img.pixels, img.width, img.height, img.channels)
+            val enc =
+              if (img.channels == 1)
+                JpegCodec.encodeGray(img.width / factor, img.height / factor,
+                  small, 85)
+              else
+                JpegCodec.encodeColor420(img.width / factor, img.height / factor,
+                  small, 85)
+            (id, src, enc, true)
+          } else (id, src, bytes, false)
+        }
+      }.toDF("id", "source", "payload", "resized")
+  }
+
+  /** Per-frame audio features from REAL WAV decode: frame-wise absolute
+    * energy (exact long) and zero-crossing count (sign(s) flips, zero
+    * counted non-negative, within-frame transitions only) — the standard
+    * cheap audio featurizer, partition-local, exact integers end-to-end.
+    */
+  final case class AudioFrame(id: Long, source: String, frameIdx: Int,
+                              n: Int, energy: Long, zeroCross: Int)
+
+  def audioFrames(df: DataFrame, frameSize: Int): Dataset[AudioFrame] = {
+    require(frameSize >= 2, s"frameSize $frameSize")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("id"), col("source"), col("payload"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, src, bytes) =>
+          val wav = MediaCodecs.decodeWav(bytes)
+          val ns = wav.samples.length
+          val nFrames = (ns + frameSize - 1) / frameSize
+          (0 until nFrames).map { f =>
+            val from = f * frameSize
+            val until = math.min(from + frameSize, ns)
+            var energy = 0L
+            var zc = 0
+            var i = from
+            while (i < until) {
+              energy += math.abs(wav.samples(i).toLong)
+              if (i > from &&
+                (wav.samples(i - 1) < 0) != (wav.samples(i) < 0)) zc += 1
+              i += 1
+            }
+            AudioFrame(id, src, f, until - from, energy, zc)
+          }
+        }
+      }
+  }
+
   /** Media features produced by the (stubbed) decoder. */
   final case class MediaFeatures(id: Long, nBytes: Int, width: Int,
                                  height: Int, meanByte: Double)

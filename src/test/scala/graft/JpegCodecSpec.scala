@@ -174,6 +174,35 @@ class JpegCodecSpec extends AnyFunSuite {
     assert(worst <= 16, s"color decode vs ImageIO worst channel diff $worst")
   }
 
+  test("resizeMedia halves color JPEG and BMP payloads through real codecs") {
+    val spark = GraftSession.builder("4").getOrCreate()
+    import spark.implicits._
+    import graft.operators.{MediaCodecs, MultimodalOps}
+    val w = 32; val h = 32
+    val rgb = new Array[Byte](w * h * 3)
+    for (y <- 0 until h; x <- 0 until w) {
+      val o = (y * w + x) * 3
+      rgb(o) = 180.toByte; rgb(o + 1) = 60.toByte; rgb(o + 2) = 110.toByte
+    }
+    val df = Seq(
+        (1L, "s", JpegCodec.encodeColor420(w, h, rgb, 85)),
+        (2L, "s", MediaCodecs.encodeBmp(MediaCodecs.BmpImage(w, h, rgb))),
+        (3L, "s", Array[Byte](1, 2, 3))) // unknown format passes through
+      .toDF("id", "source", "payload")
+    val out = MultimodalOps.resizeMedia(df, 2).collect()
+      .map(r => (r.getLong(0), r.getAs[Array[Byte]]("payload"), r.getBoolean(3)))
+      .sortBy(_._1)
+    val jp = JpegCodec.decode(out(0)._2)
+    assert(out(0)._3 && jp.width == 16 && jp.height == 16 && jp.channels == 3)
+    // constant frame: resize + re-encode must preserve the reconstructed color
+    val first = JpegCodec.decode(JpegCodec.encodeColor420(w, h, rgb, 85))
+    assert((jp.pixels(0) & 0xff) == (first.pixels(0) & 0xff))
+    val bm = MediaCodecs.decodeBmp(out(1)._2)
+    assert(out(1)._3 && bm.width == 16 && bm.height == 16)
+    assert((bm.rgb(0) & 0xff) == 180 && (bm.rgb(1) & 0xff) == 60)
+    assert(!out(2)._3 && out(2)._2.sameElements(Array[Byte](1, 2, 3)))
+  }
+
   test("progressive and truncated inputs are rejected loudly") {
     val gray = Array.fill[Byte](64)(100.toByte)
     val ok = JpegCodec.encodeGray(8, 8, gray, 90)
