@@ -67,7 +67,11 @@ object ScaleSoak {
     "q_cms", "q_hll", "q_quantile_exact", "q_pca_step", "q_bigram_ppx",
     // BPE training: per-step cost must be vocabulary-sized, not
     // corpus-sized (the word-frequency table is the whole training input)
-    "q_bpe_train")
+    "q_bpe_train",
+    // real-codec media paths: per-document JPEG encode+decode, the
+    // decode→resample→re-encode chain, and frame-wise audio features —
+    // all partition-local per-row codec work that must stay linear
+    "q_jpeg", "q_media_resize", "q_audio_features")
 
   /** Deep-soak subset (run at 30×): the newest heavy operators. The
     * format-fixture queries (kerchunk combine, COG levels, zarr append)
