@@ -187,6 +187,55 @@ object MultimodalOps {
       }
   }
 
+  /** REAL image featurization: per-channel sums plus a 16-bin histogram of
+    * channel 0 (bucket = v >> 4), folded into an order-free integer
+    * checksum Σ cnt·(bucket·37 + 1) so engines can compare it without an
+    * array column. Dispatches on the container magic like [[decodeMedia]];
+    * exact longs end-to-end. */
+  final case class ImageFeatures(id: Long, source: String, format: String,
+                                 width: Int, height: Int, sumC0: Long,
+                                 sumC1: Long, sumC2: Long, histChecksum: Long)
+
+  def imageFeatures(df: DataFrame): Dataset[ImageFeatures] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    def feats(id: Long, src: String, fmt: String, w: Int, h: Int, ch: Int,
+              px: Array[Byte]): ImageFeatures = {
+      var s0 = 0L; var s1 = 0L; var s2 = 0L
+      val hist = new Array[Long](16)
+      var p = 0
+      while (p < w * h) {
+        val v0 = px(p * ch) & 0xff
+        s0 += v0
+        hist(v0 >> 4) += 1
+        if (ch >= 3) { s1 += px(p * ch + 1) & 0xff; s2 += px(p * ch + 2) & 0xff }
+        p += 1
+      }
+      var hc = 0L
+      var b = 0
+      while (b < 16) { hc += hist(b) * (b * 37 + 1); b += 1 }
+      ImageFeatures(id, src, fmt, w, h, s0, s1, s2, hc)
+    }
+    df.select(col("id"), col("source"), col("payload"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, src, bytes) =>
+          if (bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M') {
+            val img = MediaCodecs.decodeBmp(bytes)
+            feats(id, src, "image/bmp", img.width, img.height, 3, img.rgb)
+          } else if (MediaCodecs.isPng(bytes)) {
+            val img = MediaCodecs.decodePng(bytes)
+            feats(id, src, "image/png", img.width, img.height, img.channels,
+              img.pixels)
+          } else if (JpegCodec.isJpeg(bytes)) {
+            val img = JpegCodec.decode(bytes)
+            feats(id, src, "image/jpeg", img.width, img.height, img.channels,
+              img.pixels)
+          } else ImageFeatures(id, src, "unknown", 0, 0, 0L, 0L, 0L, 0L)
+        }
+      }
+  }
+
   /** Media features produced by the (stubbed) decoder. */
   final case class MediaFeatures(id: Long, nBytes: Int, width: Int,
                                  height: Int, meanByte: Double)
