@@ -87,7 +87,11 @@ object ScaleSoak {
     // the four-stage curation funnel, bucketed zonal stats, PQ/ADC search
     "q_substr_removal", "q_modern_curation", "q_zonal_stats", "q_pq_adc",
     // round-9: incremental dedup, SQ8 search, Bloom probe at 30×
-    "q_dedup_incremental", "q_sq8_ann", "q_bloom_probe")
+    "q_dedup_incremental", "q_sq8_ann", "q_bloom_probe",
+    // round-10: bigram LM (model joins grow with the reference slice),
+    // BPE training (word table grows sublinearly), JPEG codec work
+    // (per-row, must stay linear), exact quantiles (histogram-bounded)
+    "q_bigram_ppx", "q_bpe_train", "q_jpeg", "q_quantile_exact")
 
   /** Skew soak (run at 30× vs an identically-SHAPED 1× corpus): the
     * curation-path queries whose scale safety depends on hot-KEY handling,
