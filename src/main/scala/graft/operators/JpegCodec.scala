@@ -719,11 +719,19 @@ object JpegCodec {
     out.toByteArray
   }
 
-  /** Encode RGB as baseline JFIF YCbCr 4:2:0 (box chroma downsampling with
-    * (a+b+c+d+2)>>2 rounding — constant 2x2 quads subsample exactly). */
+  /** Encode RGB as baseline JFIF YCbCr 4:2:0. */
   def encodeColor420(width: Int, height: Int, rgb: Array[Byte],
-                     quality: Int = 90): Array[Byte] = {
+                     quality: Int = 90): Array[Byte] =
+    encodeColor(width, height, rgb, quality, 2, 2)
+
+  /** Encode RGB as baseline JFIF YCbCr with luma sampling (hSub, vSub):
+    * (2,2) = 4:2:0, (2,1) = 4:2:2, (1,1) = 4:4:4. Box chroma downsampling
+    * with +half rounding — constant sampling quads subsample exactly. */
+  def encodeColor(width: Int, height: Int, rgb: Array[Byte],
+                  quality: Int, hSub: Int, vSub: Int): Array[Byte] = {
     require(rgb.length == width * height * 3, "rgb length != w*h*3")
+    require(Seq((1, 1), (2, 1), (2, 2)).contains((hSub, vSub)),
+      s"sampling ${hSub}x$vSub unsupported (4:4:4 / 4:2:2 / 4:2:0)")
     val qtL = scaleQuant(StdLumaQuant, quality)
     val qtC = scaleQuant(StdChromaQuant, quality)
     val dcL = new Huff(StdDcLumaBits, StdDcLumaVals)
@@ -735,17 +743,18 @@ object JpegCodec {
     writeSegment(out, 0xe0, Array[Byte]('J', 'F', 'I', 'F', 0, 1, 1, 0, 0, 1, 0, 1, 0, 0))
     writeSegment(out, 0xdb, dqtPayload(0, qtL))
     writeSegment(out, 0xdb, dqtPayload(1, qtC))
+    val lumaHv = ((hSub << 4) | vSub).toByte
     writeSegment(out, 0xc0, Array[Byte](8,
       (height >> 8).toByte, height.toByte, (width >> 8).toByte, width.toByte,
-      3, 1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1))
+      3, 1, lumaHv, 0, 2, 0x11, 1, 3, 0x11, 1))
     writeSegment(out, 0xc4, dhtPayload(0x00, StdDcLumaBits, StdDcLumaVals))
     writeSegment(out, 0xc4, dhtPayload(0x10, StdAcLumaBits, StdAcLumaVals))
     writeSegment(out, 0xc4, dhtPayload(0x01, StdDcChromaBits, StdDcChromaVals))
     writeSegment(out, 0xc4, dhtPayload(0x11, StdAcChromaBits, StdAcChromaVals))
     writeSegment(out, 0xda, Array[Byte](3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0))
-    // color planes (padded chroma at half resolution, MCU-aligned)
+    // color planes (chroma downsampled by (hSub, vSub))
     val yPlane = new Array[Int](width * height)
-    val cw = (width + 1) / 2; val ch = (height + 1) / 2
+    val cw = (width + hSub - 1) / hSub; val ch = (height + vSub - 1) / vSub
     val cbFull = new Array[Int](width * height)
     val crFull = new Array[Int](width * height)
     var i = 0
@@ -756,15 +765,26 @@ object JpegCodec {
       i += 1
     }
     def subsample(full: Array[Int]): Array[Int] = {
+      if (hSub == 1 && vSub == 1) return full
       val s = new Array[Int](cw * ch)
+      val half = hSub * vSub / 2
       var yy = 0
       while (yy < ch) {
         var xx = 0
         while (xx < cw) {
-          val x0 = xx * 2; val y0 = yy * 2
-          val x1 = math.min(x0 + 1, width - 1); val y1 = math.min(y0 + 1, height - 1)
-          s(yy * cw + xx) = (full(y0 * width + x0) + full(y0 * width + x1) +
-            full(y1 * width + x0) + full(y1 * width + x1) + 2) >> 2
+          var acc = 0
+          var dy = 0
+          while (dy < vSub) {
+            var dx = 0
+            while (dx < hSub) {
+              val sx = math.min(xx * hSub + dx, width - 1)
+              val sy = math.min(yy * vSub + dy, height - 1)
+              acc += full(sy * width + sx)
+              dx += 1
+            }
+            dy += 1
+          }
+          s(yy * cw + xx) = (acc + half) / (hSub * vSub)
           xx += 1
         }
         yy += 1
@@ -775,16 +795,17 @@ object JpegCodec {
     val crPlane = subsample(crFull)
     val w = new BitWriter
     val block = new Array[Int](64)
-    val mcusX = (width + 15) / 16; val mcusY = (height + 15) / 16
+    val mcuW = 8 * hSub; val mcuH = 8 * vSub
+    val mcusX = (width + mcuW - 1) / mcuW; val mcusY = (height + mcuH - 1) / mcuH
     var predY = 0; var predCb = 0; var predCr = 0
     var mcu = 0
     while (mcu < mcusX * mcusY) {
       val mx = mcu % mcusX; val my = mcu / mcusX
       var by = 0
-      while (by < 2) {
+      while (by < vSub) {
         var bx = 0
-        while (bx < 2) {
-          gather(yPlane, width, height, mx * 16 + bx * 8, my * 16 + by * 8, block)
+        while (bx < hSub) {
+          gather(yPlane, width, height, mx * mcuW + bx * 8, my * mcuH + by * 8, block)
           predY = encodeBlock(w, block, qtL, dcL, acL, predY)
           bx += 1
         }

@@ -174,6 +174,36 @@ class JpegCodecSpec extends AnyFunSuite {
     assert(worst <= 16, s"color decode vs ImageIO worst channel diff $worst")
   }
 
+  test("4:2:2 and 4:4:4 decode exactly on constant frames and match ImageIO") {
+    val w = 32; val h = 16
+    val rgb = new Array[Byte](w * h * 3)
+    for (i <- 0 until w * h) {
+      rgb(i * 3) = 210.toByte; rgb(i * 3 + 1) = 45.toByte; rgb(i * 3 + 2) = 160.toByte
+    }
+    val q = 85
+    val qL = JpegCodec.scaleQuant(JpegCodec.StdLumaQuant, q)(0)
+    val qC = JpegCodec.scaleQuant(JpegCodec.StdChromaQuant, q)(0)
+    val (yv, cb, cr) = JpegCodec.rgbToYcc(210, 45, 160)
+    val (er, eg, eb) = JpegCodec.yccToRgb(
+      dcRecon(yv, qL), dcRecon(cb, qC), dcRecon(cr, qC))
+    for ((hs, vs) <- Seq((2, 1), (1, 1))) {
+      val bytes = JpegCodec.encodeColor(w, h, rgb, q, hs, vs)
+      val ours = JpegCodec.decode(bytes)
+      assert(ours.channels == 3 && ours.width == w && ours.height == h)
+      for (y <- 0 until h; x <- 0 until w) {
+        val o = (y * w + x) * 3
+        assert((ours.pixels(o) & 0xff) == er && (ours.pixels(o + 1) & 0xff) == eg &&
+          (ours.pixels(o + 2) & 0xff) == eb, s"${hs}x$vs ($x,$y)")
+      }
+      val ref = imageIoDecode(bytes)
+      for (y <- 0 until h; x <- 0 until w) {
+        val p = ref.getRGB(x, y)
+        assert(((p >> 16) & 0xff) == er && ((p >> 8) & 0xff) == eg &&
+          (p & 0xff) == eb, s"${hs}x$vs ImageIO ($x,$y)")
+      }
+    }
+  }
+
   test("resizeMedia halves color JPEG and BMP payloads through real codecs") {
     val spark = GraftSession.builder("4").getOrCreate()
     import spark.implicits._
