@@ -71,7 +71,8 @@ object ScaleSoak {
     // real-codec media paths: per-document JPEG encode+decode, the
     // decode→resample→re-encode chain, and frame-wise audio features —
     // all partition-local per-row codec work that must stay linear
-    "q_jpeg", "q_media_resize", "q_audio_features", "q_image_features")
+    "q_jpeg", "q_media_resize", "q_audio_features", "q_image_features",
+    "q_nfc", "q_domain_temperature")
 
   /** Deep-soak subset (run at 30×): the newest heavy operators. The
     * format-fixture queries (kerchunk combine, COG levels, zarr append)

@@ -394,6 +394,16 @@ class PlanAuditSpec extends AnyFunSuite {
       s"expected only the aggregation exchange, found $exchanges:\n${p.take(800)}")
   }
 
+  test("q_nfc: normalization is a codegen expression inside the scan stage, not a UDF") {
+    val df = SparkEntry.queries("q_nfc")(spark, sf)
+    df.collect() // AQE materializes the final (codegen'd) plan
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"), "no UDFs")
+    assert(p.contains("nfc_normalize"), s"expression missing:\n${p.take(600)}")
+    // codegen stages print as `*(n)` in the executed plan's compact form
+    assert(p.contains("*("), "must stay inside whole-stage codegen")
+  }
+
   test("q_bigram_ppx: model joins are equi-joins; no cartesian beyond 1-row broadcasts") {
     val p = plan("q_bigram_ppx")
     assert(!p.contains("CartesianProduct"), s"cartesian:\n${p.take(600)}")

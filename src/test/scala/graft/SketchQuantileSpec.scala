@@ -101,6 +101,24 @@ class SketchQuantileSpec extends AnyFunSuite {
     assert(a.length == 5)
   }
 
+  test("NFC normalization composes combining sequences and is idempotent") {
+    import spark.implicits._
+    import org.apache.spark.sql.graft.ColumnBridge
+    import graft.functions.NfcNormalize
+    val df = Seq("cafe\u0301", "caf\u00e9", "plain ascii", "pin\u0303a")
+      .toDF("t")
+      .withColumn("nt", ColumnBridge.column(
+        NfcNormalize(ColumnBridge.expression(col("t")))))
+      .withColumn("nt2", ColumnBridge.column(
+        NfcNormalize(ColumnBridge.expression(col("nt")))))
+    val rows = df.collect()
+    assert(rows(0).getString(1) == "caf\u00e9", "decomposed must compose")
+    assert(rows(1).getString(1) == "caf\u00e9", "precomposed unchanged")
+    assert(rows(2).getString(1) == "plain ascii")
+    assert(rows(3).getString(1) == "pi\u00f1a")
+    rows.foreach(r => assert(r.getString(1) == r.getString(2), "idempotent"))
+  }
+
   test("bigram LM scores reference-like docs below gibberish") {
     import spark.implicits._
     val ref = (0 until 40).map(i =>
