@@ -22,7 +22,8 @@ object SparkEntry {
     ops.StoragePack,
     ops.ResamplePack,
     ops.ComputePack,
-    ops.ServingPack
+    ops.ServingPack,
+    ops.AnalyticsPack
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,98 @@
+package graft.ops
+
+import graft.{GraftSession, QueryPack}
+import graft.operators.EventOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Behavioral-analytics pack over the `events` fact table: conversion
+  * funnels, epoch-week cohort retention and gaps-and-islands
+  * sessionization (graft.operators.EventOps).
+  *
+  * Every measure is an exact integer (counts, microsecond sums) so the
+  * DuckDB comparison is untoleranced. All buckets are epoch-anchored
+  * (calendar-free) — the same convention as TemporalPack's fixed
+  * frequencies.
+  */
+object AnalyticsPack extends QueryPack {
+
+  private def ev(s: SparkSession, d: String): DataFrame = GraftSession.events(s, d)
+
+  private val FunnelStages = Seq("view", "click", "purchase")
+  private val WeekSec = 604800L
+  private val GapSec = 1800L
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // strict-order conversion funnel view -> click -> purchase: stage N's
+    // per-user conversion time bounds stage N+1's search window; chain of
+    // per-user min aggregations + equi-joins on user_id (exchange reused)
+    "q_funnel" -> ((s, d) => EventOps.funnel(ev(s, d), FunnelStages)),
+
+    // epoch-anchored weekly cohort retention: cohort = bucket of the user's
+    // first event; two keyed aggs + one equi-join, all on user_id
+    "q_retention" -> ((s, d) => EventOps.retention(ev(s, d), WeekSec)),
+
+    // gaps-and-islands sessionization with a 30-minute gap; windows
+    // partition by user_id (never a global sort), ties broken on event_id
+    "q_sessionize" -> ((s, d) => EventOps.sessionize(ev(s, d), GapSec))
+  )
+
+  override def oracleSql: Map[String, String] = Map(
+
+    "q_funnel" ->
+      """WITH t1 AS (SELECT user_id AS u, min(epoch_us(ts)) AS t
+                     FROM events WHERE event_type = 'view' GROUP BY 1),
+         t2 AS (SELECT e.user_id AS u, min(epoch_us(e.ts)) AS t,
+                       min(t1.t) AS tp
+                FROM events e JOIN t1 ON e.user_id = t1.u
+                WHERE e.event_type = 'click' AND epoch_us(e.ts) > t1.t
+                GROUP BY 1),
+         t3 AS (SELECT e.user_id AS u, min(epoch_us(e.ts)) AS t,
+                       min(t2.t) AS tp
+                FROM events e JOIN t2 ON e.user_id = t2.u
+                WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > t2.t
+                GROUP BY 1)
+         SELECT 1::BIGINT AS stage, 'view' AS event_type,
+                count(*)::BIGINT AS n_users, 0::BIGINT AS sum_step_micros
+         FROM t1
+         UNION ALL
+         SELECT 2::BIGINT, 'click', count(*)::BIGINT,
+                coalesce(sum(t - tp), 0)::BIGINT FROM t2
+         UNION ALL
+         SELECT 3::BIGINT, 'purchase', count(*)::BIGINT,
+                coalesce(sum(t - tp), 0)::BIGINT FROM t3""",
+
+    "q_retention" ->
+      """WITH b AS (SELECT user_id AS u,
+                           epoch_us(ts) // 604800000000 AS bk FROM events),
+         c AS (SELECT u, min(bk) AS cb FROM b GROUP BY u)
+         SELECT make_timestamp((cb * 604800000000)::BIGINT) AS cohort_start,
+                (bk - cb)::BIGINT AS offset,
+                count(DISTINCT u)::BIGINT AS n_users,
+                count(*)::BIGINT AS n_events
+         FROM b JOIN c USING (u) GROUP BY 1, 2""",
+
+    "q_sessionize" ->
+      """WITH e AS (SELECT user_id AS u, epoch_us(ts) AS tus,
+                           event_id AS rk FROM events),
+         f AS (SELECT u, tus, rk,
+                      CASE WHEN tus - lag(tus) OVER
+                             (PARTITION BY u ORDER BY tus, rk)
+                           > 1800000000 THEN 1 ELSE 0 END AS ns
+               FROM e),
+         g AS (SELECT u, tus,
+                      sum(ns) OVER (PARTITION BY u ORDER BY tus, rk
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS sid
+               FROM f),
+         s AS (SELECT u, sid, count(*)::BIGINT AS nev,
+                      (max(tus) - min(tus))::BIGINT AS dur
+               FROM g GROUP BY u, sid)
+         SELECT u AS user_id, count(*)::BIGINT AS n_sessions,
+                sum(nev)::BIGINT AS n_events,
+                max(nev)::BIGINT AS max_session_events,
+                sum(dur)::BIGINT AS sum_session_micros
+         FROM s GROUP BY u"""
+  )
+}
