@@ -476,6 +476,37 @@ object ServingPack extends QueryPack {
           round(sum(col("v").cast("decimal(28,10)")), 6).cast("double").as("sum_v"))
     }),
 
+    // The same granules with COMPACT-layout coordinates (HDF5 layout
+    // class 0: raw data inline in the object header — what H5D_COMPACT
+    // produces for small datasets). Identical oracle to q_netcdf4: a
+    // compact-layout decode bug shows up as a coordinate-sum mismatch.
+    "q_netcdf4_compact" -> ((s, d) => {
+      import NetcdfSource.NcDim
+      val sfName = new java.io.File(d).getName
+      val base = s"/root/repo/.graft-fixtures/netcdf4_compact_$sfName"
+      val days = Seq("2024-01-01", "2024-01-02")
+      Fixtures.ensureWritten(base, "days=2,grid=360x100,hdf5,compact-coords,mean6") {
+        new java.io.File(base).mkdirs()
+        for (day <- days) {
+          Hdf5Source.write(s"$base/$day.nc",
+            Seq(NcDim("y", 100), NcDim("x", 360)),
+            Seq(("y", Array.tabulate(100)(_ + 0.5)),
+              ("x", Array.tabulate(360)(_ + 0.5))),
+            Seq(("v", Seq("y", "x"), dailyMeanGrid(s, d, day))),
+            chunkOf = Map("v" -> Seq(50, 90)),
+            compactCoords = true)
+        }
+      }
+      NetcdfSource.readCubeFiles(s, days.map(day => s"$base/$day.nc"), "v")
+        .withColumn("day", regexp_extract(col("file"), "([0-9-]+)\\.nc$", 1))
+        .filter(!isnan(col("v")))
+        .groupBy("day")
+        .agg(count(lit(1)).as("n_cells"),
+          round(sum((col("y") + col("x")).cast("decimal(28,10)")), 6)
+            .cast("double").as("sum_coord"),
+          round(sum(col("v").cast("decimal(28,10)")), 6).cast("double").as("sum_v"))
+    }),
+
     // The same granules in the H5F_LIBVER_LATEST physical layout —
     // superblock v3, OHDR v2 object headers, compact link-message groups,
     // data layout v4 (fixed-array chunk index under shuffle+deflate) —
@@ -1508,6 +1539,19 @@ object ServingPack extends QueryPack {
                 round(sum(v::DECIMAL(28,10)), 6)::DOUBLE AS sum_v
          FROM daily GROUP BY day""",
     "q_netcdf4" ->
+      s"""WITH ${CubePack.cubeCte},
+         daily AS (SELECT CAST(time AS DATE)::VARCHAR AS day,
+                          floor(y)::BIGINT AS j, floor(x)::BIGINT AS i,
+                          round(sum(v::DECIMAL(28,12))::DOUBLE / count(*), 6) AS v
+                   FROM cube
+                   WHERE CAST(time AS DATE) = DATE '2024-01-01'
+                      OR CAST(time AS DATE) = DATE '2024-01-02'
+                   GROUP BY day, j, i)
+         SELECT day, count(*) AS n_cells,
+                round(sum(((j + 0.5) + (i + 0.5))::DECIMAL(28,10)), 6)::DOUBLE AS sum_coord,
+                round(sum(v::DECIMAL(28,10)), 6)::DOUBLE AS sum_v
+         FROM daily GROUP BY day""",
+    "q_netcdf4_compact" ->
       s"""WITH ${CubePack.cubeCte},
          daily AS (SELECT CAST(time AS DATE)::VARCHAR AS day,
                           floor(y)::BIGINT AS j, floor(x)::BIGINT AS i,

@@ -70,6 +70,11 @@ object Hdf5Source {
 
   private sealed trait Layout
   private final case class Contiguous(addr: Long, size: Long) extends Layout
+  /** class 0: raw data inline in the layout message itself (libhdf5 uses
+    * this for tiny datasets; `off` is the absolute file offset of the
+    * inline bytes, so reads and kerchunk scans treat it exactly like a
+    * contiguous block). */
+  private final case class CompactL(off: Long, size: Long) extends Layout
   /** v3 chunked: B-tree v1 index. */
   private final case class Chunked(btree: Long, chunk: Seq[Int], elemSize: Int) extends Layout
   /** v4 chunked (libver-latest): single-chunk (1), implicit (2) or fixed
@@ -567,7 +572,8 @@ object Hdf5Source {
                 "(single-chunk/implicit/fixed-array only; extensible-array " +
                 "and v2-btree indexes come from unlimited dimensions)")
           }
-        case 0 => throw new IllegalArgumentException("compact layout unsupported")
+        case 0 => // compact: 2-byte size then the raw data, inline (v3 + v4)
+          CompactL(p + 4L, (b.getShort(p + 2) & 0xffff).toLong)
         case c => throw new IllegalArgumentException(s"layout class $c")
       }
     }
@@ -855,6 +861,10 @@ object Hdf5Source {
             var i = 0
             while (i < n) { out(i) = decodeValue(ds.dt, bytes, (addr + i.toLong * ds.dt.size).toInt); i += 1 }
           }
+        case CompactL(off, size) =>
+          require(size >= n.toLong * ds.dt.size, s"${ds.name}: compact data short")
+          var i = 0
+          while (i < n) { out(i) = decodeValue(ds.dt, bytes, (off + i.toLong * ds.dt.size).toInt); i += 1 }
         case _ =>
           val (chunk, iterate) = chunkIter(ds)
           val rank = ds.shape.length
@@ -943,6 +953,14 @@ object Hdf5Source {
               deflate = false, shuffleElem = 0, fletcher = false,
               ds.fill, dimNames,
               contiguous = if (addrOk(addr)) Some((addr, size)) else None,
+              chunks = Nil, cfAttrs = cf)
+          case CompactL(off, size) =>
+            // inline bytes sit at a plain file offset — reference them
+            // exactly like a contiguous block
+            H5VarScan(ds.name, ds.shape, ds.shape, zdt,
+              deflate = false, shuffleElem = 0, fletcher = false,
+              ds.fill, dimNames,
+              contiguous = Some((off, size)),
               chunks = Nil, cfAttrs = cf)
           case _ =>
             val (chunk, iterate) = chunkIter(ds)
@@ -1073,7 +1091,8 @@ object Hdf5Source {
             coordVars: Seq[(String, Array[Double])],
             dataVars: Seq[(String, Seq[String], Array[Double])],
             chunkOf: Map[String, Seq[Int]] = Map.empty,
-            deflate: Boolean = true, shuffle: Boolean = true): Unit = {
+            deflate: Boolean = true, shuffle: Boolean = true,
+            compactCoords: Boolean = false): Unit = {
     val names = coordVars.map(_._1) ++ dataVars.map(_._1)
     require(names.distinct.size == names.size, "duplicate variable names")
     require(dims.map(_.name).toSet == coordVars.map(_._1).toSet,
@@ -1104,12 +1123,21 @@ object Hdf5Source {
       8 + pad8(name.length + 1) + 8 + 8 + pad8(value.length + 1)
     def dimListAttrBody(rank: Int): Int =
       8 + pad8("DIMENSION_LIST".length + 1) + 16 + 16 + rank * 16
+    // compact layout (class 0) inlines the coordinate data in the header —
+    // reader/kerchunk-scan coverage for files in the wild that use
+    // H5D_COMPACT. Hard format limit: the 2-byte size field (< 64 KiB);
+    // larger coordinates silently stay contiguous.
+    def isCompact(values: Array[Double]): Boolean =
+      compactCoords && values.length * 8 <= 65408
+    val compactSet = coordVars.filter(cv => isCompact(cv._2)).map(_._1).toSet
     def coordHdrSize(name: String): Int =
       16 + // prefix
         (8 + 16) + // dataspace 1-D
         (8 + 24) + // datatype f8
         (8 + 16) + // fill v2 (defined, 8-byte value)
-        (8 + 24) + // layout v3 contiguous
+        (if (compactSet(name))
+          8 + pad8(4 + 8 * dimSize(name)) // layout v3 compact, data inline
+         else 8 + 24) + // layout v3 contiguous
         (8 + strAttrBody("CLASS", "DIMENSION_SCALE")) +
         (8 + strAttrBody("NAME", name))
     def dataHdrSize(rank: Int): Int =
@@ -1134,7 +1162,9 @@ object Hdf5Source {
     }
     val gcolAddr = if (nRefs > 0) alloc(gcolSize) else Undef
 
-    val coordDataAddr = coordVars.map { case (n, v) => n -> alloc(8L * v.length) }.toMap
+    val coordDataAddr = coordVars.collect {
+      case (n, v) if !compactSet(n) => n -> alloc(8L * v.length)
+    }.toMap
 
     // chunked data: encode chunks now (need sizes for the B-tree)
     def chunksFor(name: String, dimNames: Seq[String]): Seq[Int] =
@@ -1247,14 +1277,25 @@ object Hdf5Source {
       msg(0x0001, 16); dataspaceBody(Seq(values.length))
       msg(0x0003, 24); f8DatatypeBody()
       msg(0x0005, 16); fillBody()
-      msg(0x0008, 24)
-      out.put(3.toByte).put(1.toByte)
-        .putLong(coordDataAddr(name)).putLong(8L * values.length)
-      (0 until 6).foreach(_ => out.put(0.toByte)) // 18 → 24
-      strAttr("CLASS", "DIMENSION_SCALE")
-      strAttr("NAME", name)
-      at(coordDataAddr(name))
-      values.foreach(out.putDouble)
+      if (compactSet(name)) {
+        val body = pad8(4 + 8 * values.length)
+        msg(0x0008, body)
+        out.put(3.toByte).put(0.toByte) // layout v3, compact
+          .putShort((8 * values.length).toShort)
+        values.foreach(out.putDouble)
+        (4 + 8 * values.length until body).foreach(_ => out.put(0.toByte))
+        strAttr("CLASS", "DIMENSION_SCALE")
+        strAttr("NAME", name)
+      } else {
+        msg(0x0008, 24)
+        out.put(3.toByte).put(1.toByte)
+          .putLong(coordDataAddr(name)).putLong(8L * values.length)
+        (0 until 6).foreach(_ => out.put(0.toByte)) // 18 → 24
+        strAttr("CLASS", "DIMENSION_SCALE")
+        strAttr("NAME", name)
+        at(coordDataAddr(name))
+        values.foreach(out.putDouble)
+      }
     }
 
     // global heap with one object reference per (dataVar, dim)

@@ -111,6 +111,40 @@ class Hdf5SourceSpec extends AnyFunSuite {
     assert(refs.contains("shuffle") && refs.contains("zlib"))
   }
 
+  test("compact layout: inline coordinate data round-trips and kerchunk-scans") {
+    import graft.sources.KerchunkSource
+    val t = Array(0.0, 1.0, 2.0)
+    val y = Array(1.5, 2.5)
+    val data = Array.tabulate(6)(i => i * 1.5 + 0.25)
+    val dir = tmp("h5compact")
+    val p = s"$dir/c.nc"
+    Hdf5Source.write(p, Seq(NcDim("t", 3), NcDim("y", 2)),
+      Seq("t" -> t, "y" -> y), Seq(("v", Seq("t", "y"), data)),
+      compactCoords = true)
+    val nc = NetcdfSource.read(p)
+    assert(nc.varByName("t").data.sameElements(t))
+    assert(nc.varByName("y").data.sameElements(y))
+    assert(nc.varByName("v").data.sameElements(data))
+    // compact file is smaller: no separate coord data blocks allocated
+    val p2 = s"$dir/nc.nc"
+    Hdf5Source.write(p2, Seq(NcDim("t", 3), NcDim("y", 2)),
+      Seq("t" -> t, "y" -> y), Seq(("v", Seq("t", "y"), data)))
+    assert(Files.size(Paths.get(p)) < Files.size(Paths.get(p2)))
+    // kerchunk scan references the inline bytes like a contiguous block
+    val refsPath = s"$dir/c.refs.json"
+    Files.writeString(Paths.get(refsPath), KerchunkSource.scanHdf5(p))
+    val virt = KerchunkSource.readCube(spark, refsPath, "v").collect()
+      .map(r => (r.getDouble(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    assert(virt.size == 6 && virt((0.0, 1.5)) == 0.25)
+    // a >=64 KiB coordinate stays contiguous even with the flag on (the
+    // layout message's 2-byte size field can't describe it)
+    val big = Array.tabulate(8192)(_.toDouble)
+    val p3 = s"$dir/big.nc"
+    Hdf5Source.write(p3, Seq(NcDim("t", 8192)), Seq("t" -> big),
+      Seq(("v", Seq("t"), big.map(_ * 2))), compactCoords = true)
+    assert(NetcdfSource.read(p3).varByName("t").data.sameElements(big))
+  }
+
   test("degenerate btNodeSize (leaf capacity 1) is rejected, not mis-written") {
     // capacity-1 leaves cannot tile the alternating (leaf, sep, leaf) run
     // for even record counts — the writer would emit an empty BTLF that
