@@ -22,6 +22,8 @@ object AnalyticsPack extends QueryPack {
   private val WeekSec = 604800L
   private val GapSec = 1800L
 
+  private val streamCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // strict-order conversion funnel view -> click -> purchase: stage N's
@@ -35,7 +37,37 @@ object AnalyticsPack extends QueryPack {
 
     // gaps-and-islands sessionization with a 30-minute gap; windows
     // partition by user_id (never a global sort), ties broken on event_id
-    "q_sessionize" -> ((s, d) => EventOps.sessionize(ev(s, d), GapSec))
+    "q_sessionize" -> ((s, d) => EventOps.sessionize(ev(s, d), GapSec)),
+
+    // the INCREMENTAL form: the same event log replayed through
+    // flatMapGroupsWithState (StatefulOps.streamingSessionize, O(1) state
+    // per user) in one AvailableNow micro-batch must equal the batch
+    // operator row-for-row — the oracle is literally q_sessionize's SQL
+    "q_stream_sessionize" -> ((s, d) => {
+      import s.implicits._
+      import graft.streaming.StatefulOps
+      val sfName = new java.io.File(d).getName
+      val fixDir = s"/root/repo/.graft-fixtures/sess_events_$sfName"
+      graft.Fixtures.ensureWritten(fixDir, "events(user,tsMicros,id),1file") {
+        ev(s, d)
+          .select(col("user_id").as("userId"),
+            unix_micros(col("ts")).as("tsMicros"),
+            col("event_id").as("eventId"))
+          .coalesce(1) // ONE file → ONE micro-batch → converged summaries
+          .write.mode("overwrite").parquet(fixDir)
+      }
+      val rows = s.readStream
+        .schema("userId LONG, tsMicros LONG, eventId LONG")
+        .parquet(fixDir)
+        .as[StatefulOps.SessEvent]
+      val tbl = s"q_stream_sessionize_${streamCounter.incrementAndGet()}"
+      val q = StatefulOps.streamingSessionize(rows, GapSec)
+        .toDF().writeStream.format("memory").queryName(tbl)
+        .outputMode("update")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(tbl)
+    })
   )
 
   override def oracleSql: Map[String, String] = Map(
@@ -74,6 +106,29 @@ object AnalyticsPack extends QueryPack {
          FROM b JOIN c USING (u) GROUP BY 1, 2""",
 
     "q_sessionize" ->
+      """WITH e AS (SELECT user_id AS u, epoch_us(ts) AS tus,
+                           event_id AS rk FROM events),
+         f AS (SELECT u, tus, rk,
+                      CASE WHEN tus - lag(tus) OVER
+                             (PARTITION BY u ORDER BY tus, rk)
+                           > 1800000000 THEN 1 ELSE 0 END AS ns
+               FROM e),
+         g AS (SELECT u, tus,
+                      sum(ns) OVER (PARTITION BY u ORDER BY tus, rk
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS sid
+               FROM f),
+         s AS (SELECT u, sid, count(*)::BIGINT AS nev,
+                      (max(tus) - min(tus))::BIGINT AS dur
+               FROM g GROUP BY u, sid)
+         SELECT u AS user_id, count(*)::BIGINT AS n_sessions,
+                sum(nev)::BIGINT AS n_events,
+                max(nev)::BIGINT AS max_session_events,
+                sum(dur)::BIGINT AS sum_session_micros
+         FROM s GROUP BY u""",
+
+    // batch-equivalence gate for the incremental operator
+    "q_stream_sessionize" ->
       """WITH e AS (SELECT user_id AS u, epoch_us(ts) AS tus,
                            event_id AS rk FROM events),
          f AS (SELECT u, tus, rk,

@@ -53,6 +53,60 @@ object StatefulOps {
       }
   }
 
+  // ---------------------------------------------- streaming sessionization
+
+  final case class SessEvent(userId: Long, tsMicros: Long, eventId: Long)
+
+  /** Closed-session totals plus the still-open session's (start, last, n). */
+  final case class SessState(closedSessions: Long, closedEvents: Long,
+                             maxClosedEvents: Long, sumClosedMicros: Long,
+                             curStart: Long, curLast: Long, curN: Long)
+
+  final case class SessSummary(user_id: Long, n_sessions: Long, n_events: Long,
+                               max_session_events: Long, sum_session_micros: Long)
+
+  /** Incremental gaps-and-islands sessionization — the streaming form of
+    * [[graft.operators.EventOps.sessionize]]: per user,
+    * `flatMapGroupsWithState` carries the closed-session totals plus the
+    * open session; a gap > `gapSec` closes it. Emits the user's running
+    * summary (open session included) after every batch — for monotone
+    * event-time arrivals the converged output equals the batch operator
+    * row-for-row. State per user is O(1); rows fold in (ts, event_id)
+    * order within each micro-batch, matching the batch window's ordering.
+    */
+  def streamingSessionize(ds: Dataset[SessEvent],
+                          gapSec: Long): Dataset[SessSummary] = {
+    val gapUs = gapSec * 1000000L
+    implicit val stateEnc = Encoders.product[SessState]
+    implicit val outEnc = Encoders.product[SessSummary]
+    ds.groupByKey(_.userId)(Encoders.scalaLong)
+      .flatMapGroupsWithState[SessState, SessSummary](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: Long, rows: Iterator[SessEvent], state: GroupState[SessState]) =>
+          var st = state.getOption.getOrElse(
+            SessState(0L, 0L, 0L, 0L, 0L, 0L, 0L))
+          rows.toSeq.sortBy(r => (r.tsMicros, r.eventId)).foreach { r =>
+            st =
+              if (st.curN == 0L)
+                st.copy(curStart = r.tsMicros, curLast = r.tsMicros, curN = 1L)
+              else if (r.tsMicros - st.curLast > gapUs)
+                SessState(st.closedSessions + 1, st.closedEvents + st.curN,
+                  math.max(st.maxClosedEvents, st.curN),
+                  st.sumClosedMicros + (st.curLast - st.curStart),
+                  r.tsMicros, r.tsMicros, 1L)
+              else st.copy(curLast = r.tsMicros, curN = st.curN + 1)
+          }
+          state.update(st)
+          if (st.curN == 0L && st.closedSessions == 0L) Iterator.empty
+          else Iterator(SessSummary(key,
+            st.closedSessions + (if (st.curN > 0) 1L else 0L),
+            st.closedEvents + st.curN,
+            math.max(st.maxClosedEvents, st.curN),
+            st.sumClosedMicros +
+              (if (st.curN > 0) st.curLast - st.curStart else 0L)))
+      }
+  }
+
   // ---------------------------------------------- streaming near-dup dedup
 
   /** One (doc, LSH band) row: `bandKey` is the banded-signature bucket

@@ -157,6 +157,47 @@ class StorageStreamingSpec extends AnyFunSuite {
     assert(k2.getLong(1) == 1 && k2.getDouble(3) == 4.00)
   }
 
+  test("streaming sessionize: sessions persist and split across batches") {
+    import spark.implicits._
+    import graft.streaming.StatefulOps
+    import org.apache.spark.sql.streaming.Trigger
+    val src = tmpDir("sess_src")
+    val ckpt = tmpDir("sess_ckpt")
+    val t0 = 1700000000000000L // micros
+    val min = 60000000L
+    def batch(rows: Seq[(Long, Long, Long)], n: Int): Unit =
+      rows.toDF("userId", "tsMicros", "eventId").write.parquet(s"$src/b$n")
+    val last = scala.collection.mutable.Map.empty[Long, (Long, Long, Long, Long)]
+    def runOnePass(): Unit = {
+      val rows = spark.readStream
+        .schema("userId LONG, tsMicros LONG, eventId LONG")
+        .option("recursiveFileLookup", "true").parquet(src)
+        .as[StatefulOps.SessEvent]
+      val q = StatefulOps.streamingSessionize(rows, gapSec = 1800L)
+        .toDF().writeStream.outputMode("update")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          last.synchronized {
+            b.collect().foreach(r => last(r.getLong(0)) =
+              (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+          }
+          ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt).start()
+      q.awaitTermination()
+    }
+    batch(Seq((1L, t0, 1L), (1L, t0 + 20 * min, 2L)), 1)
+    runOnePass()
+    assert(last(1L) == ((1L, 2L, 2L, 20 * min)))
+    // batch 2: same session continues (+5 min), then a 3-hour gap opens a
+    // second session; user 2 appears for the first time
+    batch(Seq((1L, t0 + 25 * min, 3L), (1L, t0 + 205 * min, 4L),
+      (2L, t0, 5L)), 2)
+    runOnePass()
+    assert(last(1L) == ((2L, 4L, 3L, 25 * min)))
+    assert(last(2L) == ((1L, 1L, 1L, 0L)))
+  }
+
   test("streaming near-dup: LSH bucket state flags later arrivals across batches") {
     import spark.implicits._
     import graft.streaming.StatefulOps
