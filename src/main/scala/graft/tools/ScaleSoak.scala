@@ -72,7 +72,15 @@ object ScaleSoak {
     // decode→resample→re-encode chain, and frame-wise audio features —
     // all partition-local per-row codec work that must stay linear
     "q_jpeg", "q_media_resize", "q_audio_features", "q_image_features",
-    "q_nfc", "q_domain_temperature")
+    "q_nfc", "q_domain_temperature",
+    // behavioral analytics (user key space grows with the copies: the
+    // funnel's join chain, retention's cohort join and the per-user
+    // session windows must all stay linear), the tokenizer encode pass
+    // (corpus-sized scan parameterized by the 6-row merge table), the
+    // char-entropy filter (explode + two map-side aggs) and the
+    // coarse-to-fine re-rank (shortlist-bounded joins)
+    "q_funnel", "q_retention", "q_sessionize", "q_bpe_encode",
+    "q_entropy_filter", "q_ann_rerank")
 
   /** Deep-soak subset (run at 30×): the newest heavy operators. The
     * format-fixture queries (kerchunk combine, COG levels, zarr append)

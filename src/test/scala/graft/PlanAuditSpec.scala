@@ -37,6 +37,45 @@ class PlanAuditSpec extends AnyFunSuite {
       s"ts range must reach PushedFilters:\n${p.take(900)}")
   }
 
+  test("q_funnel: stage chain is keyed aggs + equi-joins, no cartesian, no window") {
+    val p = plan("q_funnel")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p.take(800))
+    assert(!p.contains("Window"),
+      "funnel stages must be per-user min aggs + joins, not per-user window sorts")
+    assert(p.contains("HashAggregate"), "per-user mins must map-side combine")
+  }
+
+  test("q_retention: cohort join keyed on user, counts map-side combined") {
+    val p = plan("q_retention")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p.take(800))
+    assert(!p.contains("Window") && !p.contains("Sort ["),
+      "retention is two keyed aggs + one equi-join; nothing may sort globally")
+  }
+
+  test("q_sessionize: windows partition by user; no global sort above them") {
+    val p = plan("q_sessionize")
+    // per-user windows are the intended shape; the partitionBy must be the
+    // user key so no single partition ever holds the whole log
+    assert(p.contains("Window"), "gaps-and-islands needs the per-user window")
+    assert(p.contains("windowspecdefinition(u#") || p.contains("partitionbyu") ||
+      p.contains("windowspecdefinition(u "), // partition key is the user col
+      s"window must partition by user:\n${p.take(1200)}")
+    assert(!p.contains("CartesianProduct"), p.take(600))
+  }
+
+  test("q_entropy_filter: two map-side-combined aggs, no joins at all") {
+    val p = plan("q_entropy_filter")
+    assert(!p.contains("Join"), "entropy scoring is scan → agg → agg only")
+    assert(!p.contains("Window") && p.contains("HashAggregate"), p.take(600))
+  }
+
+  test("q_ann_rerank: shortlist re-rank joins are keyed; query side broadcast") {
+    val p = plan("q_ann_rerank")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      "re-rank must touch only shortlisted ids via equi-joins")
+    assert(p.contains("BroadcastHashJoin"), "bounded query/LUT sides must broadcast")
+  }
+
   test("q_cube_diff: the two day grids share one scan+shuffle (ReusedExchange)") {
     // AQE materializes exchange reuse at runtime — execute, then inspect
     // the final adaptive plan
