@@ -157,6 +157,19 @@ object RelationalPack extends QueryPack {
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 6).as("sum_value"))
     }),
 
+    // full CUBE lattice + grouping_id over (event_type, day): all four
+    // grouping sets in ONE map-side-combined aggregation (Catalyst expands
+    // the lattice before the shuffle — no per-set rescan); DECIMAL value
+    // sums so every cell is order-free exact
+    "q_cube_agg" -> ((s, d) => {
+      GraftSession.events(s, d)
+        .withColumn("day", date_trunc("DAY", col("ts")))
+        .cube(col("event_type"), col("day"))
+        .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+          round(sum(col("value").cast("decimal(18,6)")), 6).cast("double")
+            .as("sum_value"))
+    }),
+
     // select_label_subset (select.py:221-347): drop whole time slices (days)
     // where the share of valid rows fails a predicate; here keep days whose
     // error-event share is < 0.198. Aggregate → semi-join back, one shuffle
@@ -239,6 +252,12 @@ object RelationalPack extends QueryPack {
       """SELECT event_type, date_trunc('day', ts) AS day,
                 count(*) AS n, round(sum(value), 6) AS sum_value
          FROM events GROUP BY ROLLUP (event_type, day)""",
+    "q_cube_agg" ->
+      """SELECT event_type, date_trunc('day', ts) AS day,
+                GROUPING(event_type, day)::BIGINT AS gid,
+                count(*) AS n,
+                round(sum(value::DECIMAL(18,6)), 6)::DOUBLE AS sum_value
+         FROM events GROUP BY CUBE (event_type, day)""",
     "q_label_subset" ->
       """WITH good_days AS (
            SELECT CAST(ts AS DATE) AS day
