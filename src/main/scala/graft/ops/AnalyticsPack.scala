@@ -67,13 +67,52 @@ object AnalyticsPack extends QueryPack {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
       q.awaitTermination()
       s.table(tbl)
+    }),
+
+    // the INCREMENTAL funnel: per-user stage-time state folded forward
+    // (StatefulOps.streamingFunnel) must reproduce the batch chain of
+    // sequential per-user mins — oracle is q_funnel's SQL verbatim
+    "q_stream_funnel" -> ((s, d) => {
+      import s.implicits._
+      import graft.streaming.StatefulOps
+      val sfName = new java.io.File(d).getName
+      val fixDir = s"/root/repo/.graft-fixtures/funnel_events_$sfName"
+      graft.Fixtures.ensureWritten(fixDir, "events(user,type,tsMicros,id),1file") {
+        ev(s, d)
+          .select(col("user_id").as("userId"),
+            col("event_type").as("eventType"),
+            unix_micros(col("ts")).as("tsMicros"),
+            col("event_id").as("eventId"))
+          .coalesce(1)
+          .write.mode("overwrite").parquet(fixDir)
+      }
+      val rows = s.readStream
+        .schema("userId LONG, eventType STRING, tsMicros LONG, eventId LONG")
+        .parquet(fixDir)
+        .as[StatefulOps.FunnelEvent]
+      val tbl = s"q_stream_funnel_${streamCounter.incrementAndGet()}"
+      val q = StatefulOps.streamingFunnel(rows, FunnelStages)
+        .toDF().writeStream.format("memory").queryName(tbl)
+        .outputMode("update")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val st = s.table(tbl)
+      FunnelStages.zipWithIndex.map { case (stName, i) =>
+        val stepSum =
+          if (i == 0) sum(lit(0L))
+          else sum(col("times").getItem(i) - col("times").getItem(i - 1))
+        st.filter(size(col("times")) > i).agg(
+          lit((i + 1).toLong).as("stage"), lit(stName).as("event_type"),
+          count(lit(1)).as("n_users"),
+          coalesce(stepSum, lit(0L)).as("sum_step_micros"))
+      }.reduce(_ unionByName _)
     })
   )
 
-  override def oracleSql: Map[String, String] = Map(
-
-    "q_funnel" ->
-      """WITH t1 AS (SELECT user_id AS u, min(epoch_us(ts)) AS t
+  /** q_funnel's oracle — the strict-order stage chain; also the
+    * batch-equivalence gate for the incremental q_stream_funnel. */
+  private val funnelSql: String =
+    """WITH t1 AS (SELECT user_id AS u, min(epoch_us(ts)) AS t
                      FROM events WHERE event_type = 'view' GROUP BY 1),
          t2 AS (SELECT e.user_id AS u, min(epoch_us(e.ts)) AS t,
                        min(t1.t) AS tp
@@ -93,7 +132,13 @@ object AnalyticsPack extends QueryPack {
                 coalesce(sum(t - tp), 0)::BIGINT FROM t2
          UNION ALL
          SELECT 3::BIGINT, 'purchase', count(*)::BIGINT,
-                coalesce(sum(t - tp), 0)::BIGINT FROM t3""",
+                coalesce(sum(t - tp), 0)::BIGINT FROM t3"""
+
+  override def oracleSql: Map[String, String] = Map(
+
+    "q_stream_funnel" -> funnelSql,
+
+    "q_funnel" -> funnelSql,
 
     "q_retention" ->
       """WITH b AS (SELECT user_id AS u,

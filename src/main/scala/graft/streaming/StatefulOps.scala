@@ -107,6 +107,46 @@ object StatefulOps {
       }
   }
 
+  // ---------------------------------------------- streaming funnel
+
+  final case class FunnelEvent(userId: Long, eventType: String,
+                               tsMicros: Long, eventId: Long)
+
+  /** Conversion time per stage reached so far (times.length = stage). */
+  final case class FunnelState(times: Seq[Long])
+
+  final case class FunnelUser(user_id: Long, times: Seq[Long])
+
+  /** Incremental strict-order funnel — the streaming form of
+    * [[graft.operators.EventOps.funnel]]: per user the state is the
+    * conversion timestamp of each stage reached (≤ stages.length longs).
+    * A forward fold in (ts, event_id) order computes exactly the batch
+    * chain of "min ts strictly after the previous conversion": the first
+    * qualifying event of the next needed stage IS that min for monotone
+    * event-time arrivals. Emits the user's reached-stage times after every
+    * batch touching them (Update semantics).
+    */
+  def streamingFunnel(ds: Dataset[FunnelEvent],
+                      stages: Seq[String]): Dataset[FunnelUser] = {
+    implicit val stateEnc = Encoders.product[FunnelState]
+    implicit val outEnc = Encoders.product[FunnelUser]
+    ds.groupByKey(_.userId)(Encoders.scalaLong)
+      .flatMapGroupsWithState[FunnelState, FunnelUser](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: Long, rows: Iterator[FunnelEvent], state: GroupState[FunnelState]) =>
+          var times = state.getOption.map(_.times).getOrElse(Seq.empty)
+          rows.toSeq.sortBy(r => (r.tsMicros, r.eventId)).foreach { r =>
+            val k = times.length
+            if (k < stages.length && r.eventType == stages(k) &&
+              (k == 0 || r.tsMicros > times.last))
+              times = times :+ r.tsMicros
+          }
+          state.update(FunnelState(times))
+          if (times.isEmpty) Iterator.empty
+          else Iterator(FunnelUser(key, times))
+      }
+  }
+
   // ---------------------------------------------- streaming near-dup dedup
 
   /** One (doc, LSH band) row: `bandKey` is the banded-signature bucket

@@ -125,6 +125,26 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(!plan.contains("UDF"), plan)
   }
 
+  test("native HammingDist equals the char-wise HOF form; null on length mismatch") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    def bits(n: Int) = (0 until n).map(_ => if (rnd.nextBoolean()) '1' else '0').mkString
+    val df = (1 to 60).map(_ => (bits(32), bits(32))).toDF("a", "b")
+    val both = df.select(
+      graft.functions.HammingDist.col(col("a"), col("b")).as("native"),
+      aggregate(zip_with(split(col("a"), ""), split(col("b"), ""),
+        (x, y) => when(x =!= y, 1).otherwise(0)),
+        lit(0), (acc, v) => acc + v).cast("long").as("hof")).collect()
+    both.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+    val plan = df.select(graft.functions.HammingDist.col(col("a"), col("b")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("hamming_dist") && !plan.contains("UDF"), plan)
+    val edge = Seq(("101", "1011", "101")).toDF("s", "t", "u")
+      .select(graft.functions.HammingDist.col(col("s"), col("t")).as("ne"),
+        graft.functions.HammingDist.col(col("s"), col("u")).as("eq")).collect()(0)
+    assert(edge.isNullAt(0) && edge.getLong(1) == 0L)
+  }
+
   test("native L2Sq equals the HOF form bit-for-bit on random vectors") {
     import spark.implicits._
     val rnd = new scala.util.Random(23)
