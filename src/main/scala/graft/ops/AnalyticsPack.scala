@@ -69,6 +69,42 @@ object AnalyticsPack extends QueryPack {
       s.table(tbl)
     }),
 
+    // the INCREMENTAL cohort retention: per-user (cohort, offset→count)
+    // state; the converged per-key emission aggregates to the batch
+    // q_retention result exactly (max(n) per key absorbs multi-batch
+    // update-sink appends)
+    "q_stream_retention" -> ((s, d) => {
+      import s.implicits._
+      import graft.streaming.StatefulOps
+      val sfName = new java.io.File(d).getName
+      val busec = WeekSec * 1000000L
+      val fixDir = s"/root/repo/.graft-fixtures/ret_events_$sfName"
+      graft.Fixtures.ensureWritten(fixDir, "events(user,weekbucket),1file") {
+        ev(s, d)
+          .select(col("user_id").as("userId"),
+            expr(s"unix_micros(ts) div ${busec}L").as("bucket"))
+          .coalesce(1)
+          .write.mode("overwrite").parquet(fixDir)
+      }
+      val rows = s.readStream
+        .schema("userId LONG, bucket LONG")
+        .parquet(fixDir)
+        .as[StatefulOps.RetEvent]
+      val tbl = s"q_stream_retention_${streamCounter.incrementAndGet()}"
+      val q = StatefulOps.streamingRetention(rows)
+        .toDF().writeStream.format("memory").queryName(tbl)
+        .outputMode("update")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(tbl)
+        .groupBy("user_id", "cohort_bk", "offset")
+        .agg(max(col("n_events")).as("n"))
+        .groupBy(timestamp_micros(col("cohort_bk") * busec).as("cohort_start"),
+          col("offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          sum(col("n")).as("n_events"))
+    }),
+
     // the INCREMENTAL funnel: per-user stage-time state folded forward
     // (StatefulOps.streamingFunnel) must reproduce the batch chain of
     // sequential per-user mins — oracle is q_funnel's SQL verbatim
@@ -134,21 +170,25 @@ object AnalyticsPack extends QueryPack {
          SELECT 3::BIGINT, 'purchase', count(*)::BIGINT,
                 coalesce(sum(t - tp), 0)::BIGINT FROM t3"""
 
-  override def oracleSql: Map[String, String] = Map(
-
-    "q_stream_funnel" -> funnelSql,
-
-    "q_funnel" -> funnelSql,
-
-    "q_retention" ->
-      """WITH b AS (SELECT user_id AS u,
+  /** q_retention's oracle — also gates the incremental q_stream_retention. */
+  private val retentionSql: String =
+    """WITH b AS (SELECT user_id AS u,
                            epoch_us(ts) // 604800000000 AS bk FROM events),
          c AS (SELECT u, min(bk) AS cb FROM b GROUP BY u)
          SELECT make_timestamp((cb * 604800000000)::BIGINT) AS cohort_start,
                 (bk - cb)::BIGINT AS offset,
                 count(DISTINCT u)::BIGINT AS n_users,
                 count(*)::BIGINT AS n_events
-         FROM b JOIN c USING (u) GROUP BY 1, 2""",
+         FROM b JOIN c USING (u) GROUP BY 1, 2"""
+
+  override def oracleSql: Map[String, String] = Map(
+
+    "q_stream_funnel" -> funnelSql,
+
+    "q_funnel" -> funnelSql,
+
+    "q_retention" -> retentionSql,
+    "q_stream_retention" -> retentionSql,
 
     "q_sessionize" ->
       """WITH e AS (SELECT user_id AS u, epoch_us(ts) AS tus,

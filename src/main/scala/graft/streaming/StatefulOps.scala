@@ -107,6 +107,49 @@ object StatefulOps {
       }
   }
 
+  // ---------------------------------------------- streaming retention
+
+  final case class RetEvent(userId: Long, bucket: Long)
+
+  /** Cohort bucket + per-offset event counts for one user. For monotone
+    * arrivals the cohort (min bucket) is fixed by the user's first event;
+    * the offsets map stays bounded by the observation span in buckets.
+    */
+  final case class RetState(cohort: Long, counts: Map[Long, Long])
+
+  final case class RetUser(user_id: Long, cohort_bk: Long, offset: Long,
+                           n_events: Long)
+
+  /** Incremental cohort retention — the streaming form of
+    * [[graft.operators.EventOps.retention]]: per user the state is the
+    * cohort bucket and the event count per offset. Emits the user's FULL
+    * current (offset → count) rows each batch the user is touched
+    * (Update semantics — the final emission per key is the converged
+    * value; aggregate with max(n_events) per (user, cohort, offset) when
+    * reading an append-style sink).
+    */
+  def streamingRetention(ds: Dataset[RetEvent]): Dataset[RetUser] = {
+    implicit val stateEnc = Encoders.product[RetState]
+    implicit val outEnc = Encoders.product[RetUser]
+    ds.groupByKey(_.userId)(Encoders.scalaLong)
+      .flatMapGroupsWithState[RetState, RetUser](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: Long, rows: Iterator[RetEvent], state: GroupState[RetState]) =>
+          var st = state.getOption.getOrElse(RetState(Long.MaxValue, Map.empty))
+          rows.foreach { r =>
+            // monotone arrivals make min-tracking exact; counts are keyed
+            // by ABSOLUTE bucket so a later (smaller) cohort re-derives
+            // every offset correctly
+            st = RetState(math.min(st.cohort, r.bucket),
+              st.counts.updated(r.bucket, st.counts.getOrElse(r.bucket, 0L) + 1L))
+          }
+          state.update(st)
+          st.counts.iterator.map { case (bk, n) =>
+            RetUser(key, st.cohort, bk - st.cohort, n)
+          }
+      }
+  }
+
   // ---------------------------------------------- streaming funnel
 
   final case class FunnelEvent(userId: Long, eventType: String,
