@@ -71,4 +71,48 @@ object QuantileOps {
       .filter(col("rank") > col("cb2") && col("rank") <= col("cb2") + col("vcnt"))
       .select(col("p"), col("rank"), col("v").as("value"))
   }
+
+  /** GROUPED exact quantiles — the same two-pass histogram-refinement per
+    * group key (one output row per (group, p)). Identical scale shape:
+    * both histograms are (groups × bounded buckets), the windows partition
+    * by group over histogram rows only, and pass 2 rescans only the
+    * straddling (group, bucket) pairs via a broadcast equi-join. Replaces
+    * per-group `percentile`/sort aggregations whose per-group sort state
+    * grows with the group at 100 TB.
+    */
+  def exactQuantilesBy(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                       ps: Seq[Double], coarseShift: Int = 12): DataFrame = {
+    require(groupCols.nonEmpty, "use exactQuantiles for the ungrouped form")
+    require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
+      s"quantile fractions out of range: $ps")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val gs = groupCols.map(col)
+    val vals = df.select(gs :+ col(valueCol).cast("long").as("v"): _*)
+      .withColumn("b", shiftright(col("v"), coarseShift))
+    val buckets = vals.groupBy(gs :+ col("b"): _*).agg(count(lit(1)).as("cnt"))
+    val wb = Window.partitionBy(gs: _*).orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = buckets.withColumn("cum_before",
+      coalesce(sum(col("cnt")).over(wb), lit(0L)))
+    val n = vals.groupBy(gs: _*).agg(count(lit(1)).as("n"))
+    val ranks = n.crossJoin(ps.toDF("p"))
+      .select(gs :+ col("p") :+
+        (floor(col("p") * (col("n") - 1)) + 1).cast("long").as("rank"): _*)
+    val target = ranks.join(broadcast(cum), groupCols)
+      .filter(col("rank") > col("cum_before") &&
+        col("rank") <= col("cum_before") + col("cnt"))
+      .select(gs :+ col("p") :+ col("rank") :+ col("b") :+ col("cum_before"): _*)
+    val inBucket = vals
+      .join(broadcast(target), groupCols :+ "b")
+      .groupBy(gs :+ col("p") :+ col("rank") :+ col("cum_before") :+ col("v"): _*)
+      .agg(count(lit(1)).as("vcnt"))
+    val wv = Window.partitionBy(gs :+ col("p"): _*).orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    inBucket
+      .withColumn("cb2",
+        col("cum_before") + coalesce(sum(col("vcnt")).over(wv), lit(0L)))
+      .filter(col("rank") > col("cb2") && col("rank") <= col("cb2") + col("vcnt"))
+      .select(gs :+ col("p") :+ col("rank") :+ col("v").as("value"): _*)
+  }
 }

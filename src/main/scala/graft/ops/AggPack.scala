@@ -119,6 +119,18 @@ object AggPack extends QueryPack {
         .select(round(col("l_extendedprice") * 100, 0).cast("long").as("cents"))
       QuantileOps.exactQuantiles(li, "cents", Seq(0.25, 0.5, 0.9, 0.99),
         coarseShift = 12)
+    }),
+
+    // the GROUPED form: exact per-event-type p50/p95/p99 through the same
+    // two-pass histogram refinement — per-group windows see histogram rows
+    // only; replaces per-group sort/percentile state that grows with the
+    // group at scale
+    "q_group_quantiles" -> ((s, d) => {
+      val ev = GraftSession.events(s, d)
+        .select(col("event_type"),
+          round(col("value") * 100, 0).cast("long").as("cents"))
+      QuantileOps.exactQuantilesBy(ev, Seq("event_type"), "cents",
+        Seq(0.5, 0.95, 0.99), coarseShift = 8)
     })
   )
 
@@ -134,6 +146,20 @@ object AggPack extends QueryPack {
          o AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM c)
          SELECT r.p, r.rank, o.v AS value
          FROM ranks r JOIN o ON o.rn = r.rank""",
+    "q_group_quantiles" ->
+      """WITH c AS (SELECT event_type AS g,
+                           CAST(round(value * 100) AS BIGINT) AS v
+                    FROM events),
+         n AS (SELECT g, count(*) AS n FROM c GROUP BY g),
+         ranks AS (SELECT g, CAST(t.p AS DOUBLE) AS p,
+                          CAST(floor(CAST(t.p AS DOUBLE) * (n - 1)) AS BIGINT) + 1
+                            AS rank
+                   FROM n, (VALUES (0.5),(0.95),(0.99)) t(p)),
+         o AS (SELECT g, v,
+                      row_number() OVER (PARTITION BY g ORDER BY v) AS rn
+               FROM c)
+         SELECT r.g AS event_type, r.p, r.rank, o.v AS value
+         FROM ranks r JOIN o ON o.g = r.g AND o.rn = r.rank""",
     "q_subsample" ->
       s"""WITH ${CubePack.cubeCte},
          b AS (SELECT date_trunc('day', time) AS time,

@@ -48,6 +48,26 @@ class SketchQuantileSpec extends AnyFunSuite {
     }
   }
 
+  test("grouped exact quantiles match per-group full sorts") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 4000).map { i =>
+      (s"g${i % 3}", (rnd.nextInt(3000) - 900).toLong)
+    }
+    val df = rows.toDF("g", "v").repartition(7)
+    val ps = Seq(0.0, 0.5, 0.95, 1.0)
+    val got = QuantileOps.exactQuantilesBy(df, Seq("g"), "v", ps, coarseShift = 5)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getLong(3)).toMap
+    rows.groupBy(_._1).foreach { case (g, grp) =>
+      val sorted = grp.map(_._2).sorted
+      ps.foreach { p =>
+        val k = math.floor(p * (sorted.length - 1)).toInt
+        assert(got((g, p)) == sorted(k),
+          s"group $g p=$p: got ${got((g, p))} want ${sorted(k)}")
+      }
+    }
+  }
+
   test("PCA power iteration is bit-identical across partitionings") {
     import spark.implicits._
     val rnd = new scala.util.Random(3)
