@@ -68,6 +68,13 @@ object MultimodalOps {
               img.pixels(0) & 0xff,
               (if (ch >= 3) img.pixels(1) else img.pixels(ch)) & 0xff,
               sumR, 0, 0, 0L)
+          } else if (GifCodec.isGif(bytes)) {
+            val img = GifCodec.decodeGif(bytes)
+            var sumR = 0L
+            var p = 0
+            while (p < img.width * img.height) { sumR += img.rgb(p * 3) & 0xff; p += 1 }
+            DecodedMedia(id, src, "image/gif", img.width, img.height,
+              img.rgb(0) & 0xff, img.rgb(1) & 0xff, sumR, 0, 0, 0L)
           } else if (bytes.length >= 4 &&
               bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F') {
             val wav = MediaCodecs.decodeWav(bytes)
@@ -231,6 +238,9 @@ object MultimodalOps {
             val img = JpegCodec.decode(bytes)
             feats(id, src, "image/jpeg", img.width, img.height, img.channels,
               img.pixels)
+          } else if (GifCodec.isGif(bytes)) {
+            val img = GifCodec.decodeGif(bytes)
+            feats(id, src, "image/gif", img.width, img.height, 3, img.rgb)
           } else ImageFeatures(id, src, "unknown", 0, 0, 0L, 0L, 0L, 0L)
         }
       }

@@ -106,6 +106,103 @@ class MediaCodecsSpec extends AnyFunSuite {
     bos.toByteArray
   }
 
+  test("GIF round-trips through our codec and cross-validates with ImageIO both ways") {
+    import graft.operators.GifCodec
+    import java.awt.image.{BufferedImage, IndexColorModel}
+    val rnd = new scala.util.Random(41)
+    // palette sizes straddle the code-width boundaries (2, 4, 16, 200)
+    for (nCol <- Seq(2, 4, 16, 200); (w, h) <- Seq((7, 5), (16, 16), (33, 9))) {
+      val pal = Array.fill(nCol)(rnd.nextInt(1 << 24))
+      val rgb = new Array[Byte](w * h * 3)
+      val idx = Array.fill(w * h)(rnd.nextInt(nCol))
+      for (i <- 0 until w * h) {
+        val c = pal(idx(i))
+        rgb(i * 3) = ((c >> 16) & 0xff).toByte
+        rgb(i * 3 + 1) = ((c >> 8) & 0xff).toByte
+        rgb(i * 3 + 2) = (c & 0xff).toByte
+      }
+      // our encode → our decode
+      val ours = GifCodec.encodeGif(BmpImage(w, h, rgb))
+      assert(GifCodec.isGif(ours))
+      val back = GifCodec.decodeGif(ours)
+      assert(back.width == w && back.height == h && back.rgb.sameElements(rgb),
+        s"self roundtrip nCol=$nCol ${w}x$h")
+      // our encode → ImageIO decode (independent implementation)
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(ours))
+      for (y <- 0 until h; x <- 0 until w) {
+        val o = (y * w + x) * 3
+        val want = ((rgb(o) & 0xff) << 16) | ((rgb(o + 1) & 0xff) << 8) | (rgb(o + 2) & 0xff)
+        assert((img.getRGB(x, y) & 0xffffff) == want, s"ImageIO read ($x,$y)")
+      }
+      // ImageIO encode (indexed) → our decode
+      val r = new Array[Byte](256); val g = new Array[Byte](256); val b = new Array[Byte](256)
+      for (i <- 0 until nCol) {
+        r(i) = ((pal(i) >> 16) & 0xff).toByte
+        g(i) = ((pal(i) >> 8) & 0xff).toByte
+        b(i) = (pal(i) & 0xff).toByte
+      }
+      val icm = new IndexColorModel(8, 256, r, g, b)
+      val bi = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_INDEXED, icm)
+      for (y <- 0 until h; x <- 0 until w) {
+        val c = pal(idx(y * w + x))
+        bi.setRGB(x, y, 0xff000000 | c)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(bi, "gif", bos))
+      val theirs = GifCodec.decodeGif(bos.toByteArray)
+      assert(theirs.width == w && theirs.height == h)
+      assert(theirs.rgb.sameElements(rgb), s"our decode of ImageIO GIF nCol=$nCol")
+    }
+  }
+
+  test("GIF: dictionary overflow (clear mid-stream) and interlace decode") {
+    import graft.operators.GifCodec
+    val rnd = new scala.util.Random(43)
+    // 200x200 random 8-color noise blows past 4096 dict entries → the
+    // encoder emits CLEAR mid-stream; ImageIO must still read it exactly
+    val w = 200; val h = 200
+    val pal = Array.tabulate(8)(i => (i * 37 << 16) | (i * 11 << 8) | (255 - i * 29))
+    val rgb = new Array[Byte](w * h * 3)
+    for (i <- 0 until w * h) {
+      val c = pal(rnd.nextInt(8))
+      rgb(i * 3) = ((c >> 16) & 0xff).toByte
+      rgb(i * 3 + 1) = ((c >> 8) & 0xff).toByte
+      rgb(i * 3 + 2) = (c & 0xff).toByte
+    }
+    val ours = GifCodec.encodeGif(BmpImage(w, h, rgb))
+    assert(GifCodec.decodeGif(ours).rgb.sameElements(rgb))
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(ours))
+    for (y <- 0 until h by 17; x <- 0 until w by 13) {
+      val o = (y * w + x) * 3
+      val want = ((rgb(o) & 0xff) << 16) | ((rgb(o + 1) & 0xff) << 8) | (rgb(o + 2) & 0xff)
+      assert((img.getRGB(x, y) & 0xffffff) == want)
+    }
+    // interlace: take our sequential GIF for a 10-row image, reorder the
+    // index rows into the 4-pass interlace order and set the flag — the
+    // decoder must undo it (spec ordering: 0,8 / 4 / 2,6 / odd rows)
+    val iw = 6; val ih = 10
+    val seqIdx = Array.tabulate(iw * ih)(i => (i / iw) % 4) // row-colored
+    val pal4 = Array(0xff0000, 0x00ff00, 0x0000ff, 0x808080)
+    val srgb = new Array[Byte](iw * ih * 3)
+    for (i <- 0 until iw * ih) {
+      val c = pal4(seqIdx(i))
+      srgb(i * 3) = ((c >> 16) & 0xff).toByte
+      srgb(i * 3 + 1) = ((c >> 8) & 0xff).toByte
+      srgb(i * 3 + 2) = (c & 0xff).toByte
+    }
+    val order = Seq(0, 8, 4, 2, 6, 1, 3, 5, 7, 9) // interlace storage order
+    val perm = new Array[Byte](iw * ih * 3)
+    for ((srcRow, k) <- order.zipWithIndex)
+      System.arraycopy(srgb, srcRow * iw * 3, perm, k * iw * 3, iw * 3)
+    val permuted = GifCodec.encodeGif(BmpImage(iw, ih, perm))
+    // set the interlace bit in the image descriptor's packed byte:
+    // 6(header) + 7(LSD) + 12(GCT: 4 colors × 3) + 9 = packed byte index
+    val packedAt = 6 + 7 + 12 + 9
+    permuted(packedAt) = (permuted(packedAt) | 0x40).toByte
+    val dec = GifCodec.decodeGif(permuted)
+    assert(dec.rgb.sameElements(srgb), "interlaced rows must be reordered back")
+  }
+
   test("PNG decode matches ImageIO-encoded RGBA/RGB/gray pixels exactly (seeded)") {
     val rnd = new scala.util.Random(31)
     (1 to 15).foreach { t =>
