@@ -80,7 +80,14 @@ object ScaleSoak {
     // char-entropy filter (explode + two map-side aggs) and the
     // coarse-to-fine re-rank (shortlist-bounded joins)
     "q_funnel", "q_retention", "q_sessionize", "q_bpe_encode",
-    "q_entropy_filter", "q_ann_rerank")
+    "q_entropy_filter", "q_ann_rerank",
+    // simhash hamming verification (capped block join + codegen compare),
+    // grouped quantiles (per-group histogram windows), label propagation
+    // (3 keyed-join rounds on the capped edge list), the CUBE lattice
+    // (one Expand+agg — 4x the rows of the base agg, still linear) and
+    // the GIF decode scan (per-payload LZW, partition-local)
+    "q_simhash_hamming", "q_group_quantiles", "q_label_prop", "q_cube_agg",
+    "q_gif")
 
   /** Deep-soak subset (run at 30×): the newest heavy operators. The
     * format-fixture queries (kerchunk combine, COG levels, zarr append)
@@ -100,7 +107,10 @@ object ScaleSoak {
     // round-10: bigram LM (model joins grow with the reference slice),
     // BPE training (word table grows sublinearly), JPEG codec work
     // (per-row, must stay linear), exact quantiles (histogram-bounded)
-    "q_bigram_ppx", "q_bpe_train", "q_jpeg", "q_quantile_exact")
+    "q_bigram_ppx", "q_bpe_train", "q_jpeg", "q_quantile_exact",
+    // round-10 continued: the tokenizer encode pass (corpus-sized scan),
+    // label propagation (keyed-join rounds), the two-stage re-rank
+    "q_bpe_encode", "q_label_prop", "q_ann_rerank")
 
   /** Skew soak (run at 30× vs an identically-SHAPED 1× corpus): the
     * curation-path queries whose scale safety depends on hot-KEY handling,

@@ -76,6 +76,30 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), "bounded query/LUT sides must broadcast")
   }
 
+  test("q_simhash_hamming: block join is an equi-join; codegen hamming, no HOF") {
+    val p = plan("q_simhash_hamming")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p.take(600))
+    assert(p.contains("hamming_dist"), "verification must use the codegen expression")
+    assert(!p.contains("ArrayTransform") && !p.contains("ZipWith"),
+      "no interpreted HOF chain in the candidate verification")
+  }
+
+  test("q_group_quantiles: windows only ever see histogram rows") {
+    val p = plan("q_group_quantiles")
+    // the only sorts allowed are the per-group bucket/value histogram
+    // windows; the raw events scan must not feed a sort directly
+    assert(p.contains("BroadcastHashJoin"),
+      "bucket targets must broadcast into the rescan")
+    assert(!p.contains("rangepartitioning"),
+      "no global range sort — quantiles come from histogram refinement")
+  }
+
+  test("q_cube_agg: one Expand + one aggregate, no per-grouping-set rescan") {
+    val p = plan("q_cube_agg")
+    assert(p.contains("Expand"), "CUBE must expand the lattice pre-shuffle")
+    assert(!p.contains("Union"), "no per-set rescan union")
+  }
+
   test("q_cube_diff: the two day grids share one scan+shuffle (ReusedExchange)") {
     // AQE materializes exchange reuse at runtime — execute, then inspect
     // the final adaptive plan
