@@ -626,6 +626,32 @@ object ServingPack extends QueryPack {
           round(sum(col("v").cast("decimal(28,10)")), 6).cast("double").as("sum_v"))
     }),
 
+    // unchunk_dataset (unchunk.py:15-80): the same 2-day cube written
+    // chunked, then consolidated IN PLACE to one chunk per array (data
+    // var + all coords) with the consolidated metadata refreshed — read
+    // back through the normal chunk-per-task path. Identical oracle to
+    // q_zarr: a wrong rewrite (lost edge chunk, stale .zarray/.zmetadata)
+    // cannot hash-match.
+    "q_unchunk" -> ((s, d) => {
+      val sfName = new java.io.File(d).getName
+      val base = s"/root/repo/.graft-fixtures/zarrunchunk_$sfName"
+      val group = s"$base/cube.zarr"
+      val days = Seq("2024-01-01", "2024-01-02")
+      Fixtures.ensureWritten(base, "days=2,chunks=1x50x90,then-unchunked,mean6") {
+        new java.io.File(base).mkdirs()
+        ZarrSource.writeCube(dailyCubeDf(s, d, days), group, "v",
+          cubeDims, chunks = Seq(1, 50, 90), codec = ZarrSource.Zlib())
+        ZarrSource.unchunkGroup(group)
+      }
+      ZarrSource.readCube(s, group, "v")
+        .filter(!isnan(col("v")))
+        .groupBy(col("t").cast("long").as("day_idx"))
+        .agg(count(lit(1)).as("n_cells"),
+          round(sum((col("y") + col("x")).cast("decimal(28,10)")), 6)
+            .cast("double").as("sum_coord"),
+          round(sum(col("v").cast("decimal(28,10)")), 6).cast("double").as("sum_v"))
+    }),
+
     // Zarr append-along-time (dsio.py append mode): the fixture writes DAY 1
     // only, then appendCube extends the store in place with day 2 — shape
     // grown in .zarray, only new chunks written, coordinate array and
@@ -1394,6 +1420,20 @@ object ServingPack extends QueryPack {
                 round(sum(v::DECIMAL(28,10)), 6)::DOUBLE
          FROM daily WHERE (99 - j) % 4 = 0 AND i % 4 = 0 HAVING count(*) > 0""",
     "q_zarr" ->
+      s"""WITH ${CubePack.cubeCte},
+         daily AS (SELECT CASE WHEN CAST(time AS DATE) = DATE '2024-01-01'
+                               THEN 0 ELSE 1 END AS day_idx,
+                          floor(y)::BIGINT AS j, floor(x)::BIGINT AS i,
+                          round(sum(v::DECIMAL(28,12))::DOUBLE / count(*), 6) AS v
+                   FROM cube
+                   WHERE CAST(time AS DATE) = DATE '2024-01-01'
+                      OR CAST(time AS DATE) = DATE '2024-01-02'
+                   GROUP BY day_idx, j, i)
+         SELECT day_idx::BIGINT AS day_idx, count(*) AS n_cells,
+                round(sum(((j + 0.5) + (i + 0.5))::DECIMAL(28,10)), 6)::DOUBLE AS sum_coord,
+                round(sum(v::DECIMAL(28,10)), 6)::DOUBLE AS sum_v
+         FROM daily GROUP BY day_idx""",
+    "q_unchunk" ->
       s"""WITH ${CubePack.cubeCte},
          daily AS (SELECT CASE WHEN CAST(time AS DATE) = DATE '2024-01-01'
                                THEN 0 ELSE 1 END AS day_idx,

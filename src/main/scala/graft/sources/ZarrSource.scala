@@ -459,6 +459,78 @@ object ZarrSource {
 
   // ------------------------------------------------------------- writing
 
+  // ------------------------------------------------------------ unchunk
+
+  /** unchunk_dataset (reference `xcube/core/unchunk.py:15-80`): rewrite
+    * arrays of a v2 group to a SINGLE chunk in place. Like the reference
+    * (which materializes each variable as one numpy array), this is the
+    * maintenance utility for coordinate/metadata-scale arrays — data-scale
+    * consolidation is the distributed rechunk/optimize path. `coordsOnly`
+    * selects arrays whose only dimension is themselves (the zarr
+    * coordinate convention); stale consolidated metadata is refreshed.
+    * Raw f8 arrays only: re-encoding a CF-packed array would re-quantize.
+    */
+  def unchunkGroup(groupDir: String, varNames: Seq[String] = Nil,
+                   coordsOnly: Boolean = false): Unit = {
+    val names = if (varNames.nonEmpty) varNames else listArrays(groupDir)
+    val picked = names.filter { n =>
+      !coordsOnly || openArray(s"$groupDir/$n").dims == Seq(n)
+    }
+    picked.foreach(n => unchunkArray(s"$groupDir/$n"))
+    // refresh consolidated metadata so .zmetadata readers see the new
+    // chunk grid (the .zarray entries changed underneath it)
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get(s"$groupDir/.zmetadata")))
+      consolidateMetadata(groupDir)
+  }
+
+  /** Rewrite one array to a single full-shape chunk, preserving codec and
+    * dimension attributes. */
+  def unchunkArray(arrayDir: String): Unit = {
+    val za = openArray(arrayDir)
+    require(!za.cfActive,
+      s"$arrayDir: unchunk of CF-packed arrays would re-quantize — rejected")
+    require(za.dtype.endsWith("f8"), s"$arrayDir: unchunk supports f8 arrays")
+    if (za.chunks == za.shape) return // already one chunk
+    val data = readAll(arrayDir, za)
+    val dir = java.nio.file.Paths.get(arrayDir)
+    // delete the old chunk objects ("0.1.2" flat or "0/1/2" nested)
+    val walk = java.nio.file.Files.walk(dir)
+    try {
+      walk.filter(p => java.nio.file.Files.isRegularFile(p))
+        .filter { p =>
+          val rel = dir.relativize(p).toString.replace('\\', '/')
+          rel.split("[./]").forall(s => s.nonEmpty && s.forall(_.isDigit))
+        }
+        .forEach(p => java.nio.file.Files.delete(p))
+    } finally walk.close()
+    val key = za.shape.map(_ => 0).mkString(za.separator)
+    val keyPath = dir.resolve(key)
+    Option(keyPath.getParent).foreach(java.nio.file.Files.createDirectories(_))
+    java.nio.file.Files.write(keyPath, encodeChunk(data, za.codec))
+    writeJson(s"$arrayDir/.zarray",
+      zarrayJson(za.shape, za.shape, za.codec))
+  }
+
+  /** Re-consolidate a group's `.zmetadata` from the current per-array
+    * `.zarray`/`.zattrs` files (zarr_consolidated_format 1). */
+  def consolidateMetadata(groupDir: String): Unit = {
+    val entries = Seq.newBuilder[(String, JsonNode)]
+    readJson(s"$groupDir/.zgroup").foreach(n => entries += ".zgroup" -> n)
+    readJson(s"$groupDir/.zattrs").foreach(n => entries += ".zattrs" -> n)
+    listArrays(groupDir).foreach { name =>
+      readJson(s"$groupDir/$name/.zarray")
+        .foreach(n => entries += s"$name/.zarray" -> n)
+      readJson(s"$groupDir/$name/.zattrs")
+        .foreach(n => entries += s"$name/.zattrs" -> n)
+    }
+    val meta = mapper.createObjectNode()
+    entries.result().foreach { case (k, v) => meta.set[JsonNode](k, v) }
+    val root = mapper.createObjectNode()
+    root.put("zarr_consolidated_format", 1)
+    root.set[JsonNode]("metadata", meta)
+    writeJson(s"$groupDir/.zmetadata", mapper.writeValueAsString(root))
+  }
+
   private def writeJson(path: String, json: String): Unit = {
     java.nio.file.Files.write(java.nio.file.Paths.get(path),
       json.getBytes("UTF-8"))

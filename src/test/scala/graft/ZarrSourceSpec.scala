@@ -127,6 +127,44 @@ class ZarrSourceSpec extends AnyFunSuite {
       ZarrSource.appendCube(rows1.toDF("t", "y", "v"), g, "v", Array(4.0)))
   }
 
+  test("unchunkGroup rewrites to one chunk per array and refreshes .zmetadata") {
+    import spark.implicits._
+    val ys = Array(10.0, 20.0, 30.0)
+    val xs = Array(0.5, 1.5, 2.5, 3.5, 4.5)
+    val rows = for {
+      (y, j) <- ys.zipWithIndex.toSeq
+      (x, i) <- xs.zipWithIndex
+    } yield (y, x, j * 10.0 + i)
+    val g = s"${tmpDir("zarrunchunk")}/cube.zarr"
+    ZarrSource.writeCube(rows.toDF("y", "x", "v"), g, "v",
+      Seq("y" -> ys, "x" -> xs), chunks = Seq(2, 2))
+    assert(Files.exists(Paths.get(s"$g/v/1.2"))) // chunked before
+    ZarrSource.unchunkGroup(g)
+    // old chunk grid gone, single full-shape chunk present
+    assert(!Files.exists(Paths.get(s"$g/v/1.2")))
+    assert(Files.exists(Paths.get(s"$g/v/0.0")))
+    assert(Files.exists(Paths.get(s"$g/y/0")))
+    val za = ZarrSource.openArray(s"$g/v")
+    assert(za.chunks == za.shape)
+    // consolidated metadata reflects the new grid (remove the per-array
+    // file to force the .zmetadata read path, then restore it)
+    val zarrayJson = Files.readString(Paths.get(s"$g/v/.zarray"))
+    Files.delete(Paths.get(s"$g/v/.zarray"))
+    val zaCons = ZarrSource.openArray(s"$g/v")
+    assert(zaCons.chunks == zaCons.shape, ".zmetadata must be refreshed")
+    Files.writeString(Paths.get(s"$g/v/.zarray"), zarrayJson)
+    val back = ZarrSource.readCube(spark, g, "v").collect()
+      .map(r => (r.getDouble(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    assert(back.size == 15 && back((30.0, 4.5)) == 24.0)
+    // coordsOnly leaves the data variable alone
+    val g2 = s"${tmpDir("zarrunchunk2")}/cube.zarr"
+    ZarrSource.writeCube(rows.toDF("y", "x", "v"), g2, "v",
+      Seq("y" -> ys, "x" -> xs), chunks = Seq(2, 2))
+    ZarrSource.unchunkGroup(g2, coordsOnly = true)
+    assert(Files.exists(Paths.get(s"$g2/v/1.2")), "data var untouched")
+    assert(ZarrSource.openArray(s"$g2/y").chunks == Seq(3))
+  }
+
   test("CF-packed store: .zattrs scale/offset/_FillValue decode to physical values") {
     import spark.implicits._
     // chunks hold RAW packed values; .zattrs declares the decode (the
