@@ -62,6 +62,48 @@ object MaintenanceOps {
     df.withColumn(varName, col(varName).as(varName, mb.build()))
   }
 
+  /** find_ancillary_var_names (reference ancvar.py:16-75): CF ancillary-
+    * variable discovery for one variable over the frame's column metadata
+    * (where [[updateVarAttrs]] puts CF attrs). Three passes, first match
+    * wins, mirroring the reference: (1) the variable's own
+    * `ancillary_variables` attr; (2) other variables whose `standard_name`
+    * is "<var standard_name> <modifier>" (CF 1.7 Appendix C); (3) the
+    * xcube `<var>_std` / `<var>_count` uncertainty prefixes. Returns
+    * modifier → variable names ("" = unmodified). Pure schema metadata —
+    * no data is touched.
+    */
+  def findAncillaryVarNames(df: DataFrame, varName: String)
+      : Map[String, Set[String]] = {
+    val fields = df.schema.fields.map(f => f.name -> f).toMap
+    def attr(name: String, key: String): Option[String] =
+      fields.get(name).flatMap { f =>
+        if (f.metadata.contains(key)) Some(f.metadata.getString(key)) else None
+      }
+    if (!fields.contains(varName)) return Map.empty
+    def modifierOf(anc: String): Option[String] =
+      attr(anc, "standard_name").flatMap { s =>
+        val parts = s.split(" ")
+        if (parts.length == 2 && attr(varName, "standard_name").contains(parts(0)))
+          Some(parts(1))
+        else None
+      }
+    val declared = attr(varName, "ancillary_variables").toSeq
+      .flatMap(_.split(" ")).filter(fields.contains)
+      .map(n => modifierOf(n).getOrElse("") -> n)
+    if (declared.nonEmpty)
+      return declared.groupBy(_._1).map { case (m, xs) => m -> xs.map(_._2).toSet }
+    val byStdName =
+      if (attr(varName, "standard_name").isEmpty) Nil
+      else df.columns.filter(_ != varName).toSeq
+        .flatMap(n => modifierOf(n).map(_ -> n))
+    if (byStdName.nonEmpty)
+      return byStdName.groupBy(_._1).map { case (m, xs) => m -> xs.map(_._2).toSet }
+    Seq("std" -> "standard_error", "count" -> "number_of_observations")
+      .collect { case (suffix, m) if fields.contains(s"${varName}_$suffix") =>
+        m -> Set(s"${varName}_$suffix")
+      }.toMap
+  }
+
   /** update_dataset_attrs spatial/temporal CF attrs (update.py:268):
     * recompute the cube-level geospatial/temporal coverage attributes from
     * the data in one aggregation pass.

@@ -86,6 +86,31 @@ class StoreMaintenanceSpec extends AnyFunSuite {
     assert(spark.read.parquet(path).count() == 100)
   }
 
+  test("findAncillaryVarNames: declared attr, standard-name modifier, xcube prefixes") {
+    import spark.implicits._
+    val base = Seq((1.0, 0.1, 5L, 2.0)).toDF("chl", "chl_err", "chl_count", "other")
+    // pass 1: explicit ancillary_variables attr wins, modifier from std name
+    val d1a = MaintenanceOps.updateVarAttrs(base, "chl",
+      Map("standard_name" -> "chlorophyll", "ancillary_variables" -> "chl_err missing"))
+    val d1 = MaintenanceOps.updateVarAttrs(d1a, "chl_err",
+      Map("standard_name" -> "chlorophyll standard_error"))
+    assert(MaintenanceOps.findAncillaryVarNames(d1, "chl") ==
+      Map("standard_error" -> Set("chl_err")))
+    // pass 2: no declared attr — other vars matched by std-name modifier
+    val d2a = MaintenanceOps.updateVarAttrs(base, "chl",
+      Map("standard_name" -> "chlorophyll"))
+    val d2 = MaintenanceOps.updateVarAttrs(d2a, "chl_count",
+      Map("standard_name" -> "chlorophyll number_of_observations"))
+    assert(MaintenanceOps.findAncillaryVarNames(d2, "chl") ==
+      Map("number_of_observations" -> Set("chl_count")))
+    // pass 3: nothing in metadata — the xcube _std/_count prefixes
+    val d3 = Seq((1.0, 0.1, 5L)).toDF("v", "v_std", "v_count")
+    assert(MaintenanceOps.findAncillaryVarNames(d3, "v") ==
+      Map("standard_error" -> Set("v_std"),
+        "number_of_observations" -> Set("v_count")))
+    assert(MaintenanceOps.findAncillaryVarNames(d3, "nope").isEmpty)
+  }
+
   test("updateVarAttrs + dump") {
     import spark.implicits._
     val df = MaintenanceOps.updateVarAttrs(
