@@ -157,6 +157,19 @@ object RelationalPack extends QueryPack {
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 6).as("sum_value"))
     }),
 
+    // pivot: the long→wide OLAP reshape (one map-side-combined aggregation
+    // — Catalyst compiles an explicit-values pivot to a single agg with
+    // one conditional branch per value, never a per-value rescan). Values
+    // are declared, so the output schema is static and engine-portable.
+    "q_pivot" -> ((s, d) => {
+      GraftSession.events(s, d)
+        .withColumn("day", date_trunc("DAY", col("ts")))
+        .groupBy("day")
+        .pivot("event_type", Seq("view", "click", "purchase", "signup", "error"))
+        .agg(count(lit(1)))
+        .na.fill(0L) // absent (day, type) combos: 0 like the oracle's SUM
+    }),
+
     // full CUBE lattice + grouping_id over (event_type, day): all four
     // grouping sets in ONE map-side-combined aggregation (Catalyst expands
     // the lattice before the shuffle — no per-set rescan); DECIMAL value
@@ -252,6 +265,14 @@ object RelationalPack extends QueryPack {
       """SELECT event_type, date_trunc('day', ts) AS day,
                 count(*) AS n, round(sum(value), 6) AS sum_value
          FROM events GROUP BY ROLLUP (event_type, day)""",
+    "q_pivot" ->
+      """SELECT date_trunc('day', ts) AS day,
+                sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS view,
+                sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS click,
+                sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS purchase,
+                sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT AS signup,
+                sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS error
+         FROM events GROUP BY day""",
     "q_cube_agg" ->
       """SELECT event_type, date_trunc('day', ts) AS day,
                 GROUPING(event_type, day)::BIGINT AS gid,
