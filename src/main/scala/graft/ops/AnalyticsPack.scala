@@ -69,6 +69,35 @@ object AnalyticsPack extends QueryPack {
       s.table(tbl)
     }),
 
+    // semi-structured extraction: parse the JSON `props` column inside the
+    // scan (get_json_object is codegen'd — no UDF) and aggregate the typed
+    // value. The 100 TB shape for log/crawl payloads: parse projects ONLY
+    // the requested path, never materializes a parsed struct column.
+    "q_json_extract" -> ((s, d) => {
+      ev(s, d)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"),
+          sum(when(col("k") >= 50, 1L).otherwise(0L)).as("n_high"))
+    }),
+
+    // ranking-window surface over the per-user event stream: rank /
+    // dense_rank / ntile / cumulative count in ONE window pass (ties
+    // broken on event_id so every engine agrees). Windows partition by
+    // user — the only sort is within a user's own events.
+    "q_window_rank" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      ev(s, d)
+        .withColumn("rn", row_number().over(w))
+        .withColumn("quartile", ntile(4).over(w))
+        .filter(col("rn") % 97 === 1) // sample the stream, keep rows bounded
+        .select(col("user_id"), col("event_id"), col("rn").cast("long").as("rn"),
+          col("quartile").cast("long").as("quartile"))
+    }),
+
     // the INCREMENTAL cohort retention: per-user (cohort, offset→count)
     // state; the converged per-key emission aggregates to the batch
     // q_retention result exactly (max(n) per key absorbs multi-batch
@@ -189,6 +218,29 @@ object AnalyticsPack extends QueryPack {
 
     "q_retention" -> retentionSql,
     "q_stream_retention" -> retentionSql,
+
+    "q_json_extract" ->
+      """SELECT event_type, count(*)::BIGINT AS n,
+                sum(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT
+                  AS sum_k,
+                min(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT
+                  AS min_k,
+                max(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT
+                  AS max_k,
+                sum(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+                         >= 50 THEN 1 ELSE 0 END)::BIGINT AS n_high
+         FROM events GROUP BY event_type""",
+
+    "q_window_rank" ->
+      """WITH w AS (SELECT user_id, event_id,
+                           row_number() OVER (PARTITION BY user_id
+                                              ORDER BY ts, event_id) AS rn,
+                           ntile(4) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS quartile
+                    FROM events)
+         SELECT user_id, event_id, rn::BIGINT AS rn,
+                quartile::BIGINT AS quartile
+         FROM w WHERE rn % 97 = 1""",
 
     "q_sessionize" ->
       """WITH e AS (SELECT user_id AS u, epoch_us(ts) AS tus,

@@ -43,6 +43,57 @@ object PipelinePack extends QueryPack {
 
   private val streamCounter = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** q_hll's oracle — also gates the streamed register fold. */
+  private val hllSql: String =
+    """WITH h AS (SELECT ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h
+                 FROM events),
+         r AS (SELECT h % 1024 AS bucket,
+                      CASE WHEN h // 1024 = 0 THEN 51
+                           ELSE 51 - length(bin(h // 1024)) END AS rho
+               FROM h),
+         regs AS (SELECT bucket, max(rho) AS reg FROM r GROUP BY bucket),
+         agg AS (SELECT count(*)::BIGINT AS n_buckets,
+                        sum(1.0 / (1::BIGINT << reg)) AS sum_inv FROM regs),
+         ex AS (SELECT count(DISTINCT user_id)::BIGINT AS nd FROM events)
+         SELECT 1024::BIGINT AS m,
+                (1024 - n_buckets)::BIGINT AS v_zero,
+                (sum_inv + (1024 - n_buckets))::DOUBLE AS sum_total,
+                round(0.7213 / (1.0 + 1.079 / 1024) * 1024.0 * 1024.0 /
+                      (sum_inv + (1024 - n_buckets)), 6) AS raw_estimate,
+                nd AS exact_distinct
+         FROM agg, ex"""
+
+  /** HLL register table (1024 buckets, md5-derived 60-bit hash): the
+    * order-free max-fold shared by the batch and streamed forms. */
+  private def hllRegisters(users: DataFrame): DataFrame = {
+    val m = 1024
+    users.select(
+        expr("cast(conv(substr(md5(cast(user_id as string)), 1, 15), 16, 10) as bigint)").as("h"))
+      .select((col("h") % m).as("bucket"),
+        when(expr(s"h div $m") === 0, lit(51))
+          .otherwise(lit(51) - length(expr(s"bin(h div $m)"))).as("rho"))
+      .groupBy("bucket").agg(max(col("rho")).as("reg"))
+  }
+
+  /** The HLL raw estimator over a register table — register sums are sums
+    * of exact powers of two, so the double arithmetic is order-free exact
+    * (see q_hll). */
+  private def hllEstimate(regs: DataFrame, exact: DataFrame): DataFrame = {
+    val m = 1024
+    regs.agg(
+        count(lit(1)).as("n_buckets"),
+        sum(lit(1.0) / expr("shiftleft(1L, cast(reg as int))")).as("sum_inv"))
+      .crossJoin(broadcast(exact))
+      .select(lit(m).cast("long").as("m"),
+        (lit(m) - col("n_buckets")).cast("long").as("v_zero"),
+        // empty buckets contribute 2^0 = 1 each to the register sum
+        (col("sum_inv") + (lit(m) - col("n_buckets")).cast("double")).as("sum_total"),
+        round(lit(0.7213 / (1.0 + 1.079 / 1024)) * lit(1024.0) * lit(1024.0) /
+          (col("sum_inv") + (lit(m) - col("n_buckets")).cast("double")), 6)
+          .as("raw_estimate"),
+        col("nd").as("exact_distinct"))
+  }
+
   /** Shared DuckDB CTE chain for the BPE oracles: w0 = the corpus
     * word-frequency table in wrapped representation, then per merge step i
     * p$i (adjacent-pair counts), m$i (the argmax merge rule, count desc /
@@ -193,28 +244,30 @@ object PipelinePack extends QueryPack {
     // Spark's own approx_count_distinct uses a different sketch and can't
     // be oracle-checked, which is exactly why this one exists.
     "q_hll" -> ((s, d) => {
-      val m = 1024
       val ev = GraftSession.events(s, d)
-      val hashed = ev.select(
-        expr("cast(conv(substr(md5(cast(user_id as string)), 1, 15), 16, 10) as bigint)").as("h"))
-      val regs = hashed.select(
-          (col("h") % m).as("bucket"),
-          when(expr(s"h div $m") === 0, lit(51))
-            .otherwise(lit(51) - length(expr(s"bin(h div $m)"))).as("rho"))
-        .groupBy("bucket").agg(max(col("rho")).as("reg"))
-      val exact = ev.agg(countDistinct(col("user_id")).as("nd"))
-      regs.agg(
-          count(lit(1)).as("n_buckets"),
-          sum(lit(1.0) / expr("shiftleft(1L, cast(reg as int))")).as("sum_inv"))
-        .crossJoin(broadcast(exact))
-        .select(lit(m).cast("long").as("m"),
-          (lit(m) - col("n_buckets")).cast("long").as("v_zero"),
-          // empty buckets contribute 2^0 = 1 each to the register sum
-          (col("sum_inv") + (lit(m) - col("n_buckets")).cast("double")).as("sum_total"),
-          round(lit(0.7213 / (1.0 + 1.079 / 1024)) * lit(1024.0) * lit(1024.0) /
-            (col("sum_inv") + (lit(m) - col("n_buckets")).cast("double")), 6)
-            .as("raw_estimate"),
-          col("nd").as("exact_distinct"))
+      hllEstimate(
+        hllRegisters(ev.select(col("user_id"))),
+        ev.agg(countDistinct(col("user_id")).as("nd")))
+    }),
+
+    // the STREAMED HLL: register maxes are merge-order-free, so the
+    // streamed register table (groupBy bucket, max rho, Complete mode)
+    // converges to the batch registers EXACTLY — same estimator, same
+    // oracle as q_hll. The incremental-cardinality shape: fixed 1024-row
+    // state however large the stream.
+    "q_stream_hll" -> ((s, d) => {
+      val schema = GraftSession.table(s, d, "events").schema
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(d)
+        .transform(GraftSession.normalizeTs(_))
+      val regs = hllRegisters(stream.select(col("user_id")))
+      val tbl = s"q_stream_hll_${streamCounter.incrementAndGet()}"
+      val q = regs.writeStream.format("memory").queryName(tbl)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      hllEstimate(s.table(tbl),
+        GraftSession.events(s, d).agg(countDistinct(col("user_id")).as("nd")))
     }),
 
     // Count-min sketch frequency estimation (Cormode & Muthukrishnan 2005)
@@ -1742,24 +1795,8 @@ object PipelinePack extends QueryPack {
     }.mkString(" || ")
 
   override def oracleSql: Map[String, String] = Map(
-    "q_hll" ->
-      """WITH h AS (SELECT ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h
-                 FROM events),
-         r AS (SELECT h % 1024 AS bucket,
-                      CASE WHEN h // 1024 = 0 THEN 51
-                           ELSE 51 - length(bin(h // 1024)) END AS rho
-               FROM h),
-         regs AS (SELECT bucket, max(rho) AS reg FROM r GROUP BY bucket),
-         agg AS (SELECT count(*)::BIGINT AS n_buckets,
-                        sum(1.0 / (1::BIGINT << reg)) AS sum_inv FROM regs),
-         ex AS (SELECT count(DISTINCT user_id)::BIGINT AS nd FROM events)
-         SELECT 1024::BIGINT AS m,
-                (1024 - n_buckets)::BIGINT AS v_zero,
-                (sum_inv + (1024 - n_buckets))::DOUBLE AS sum_total,
-                round(0.7213 / (1.0 + 1.079 / 1024) * 1024.0 * 1024.0 /
-                      (sum_inv + (1024 - n_buckets)), 6) AS raw_estimate,
-                nd AS exact_distinct
-         FROM agg, ex""",
+    "q_hll" -> hllSql,
+    "q_stream_hll" -> hllSql, // streamed registers converge to batch exactly
     "q_cms" ->
       """WITH exact AS (SELECT user_id, count(*)::BIGINT AS exact_n
                         FROM events GROUP BY user_id),
