@@ -74,6 +74,31 @@ object RelationalPack extends QueryPack {
           count(lit(1)).as("n_items"))
     }),
 
+    // TPC-H Q5-shaped STAR join: fact ⋈ fact (the one real shuffle) with
+    // the whole dimension chain broadcast — customer and supplier must
+    // come from the same nation, nations filtered through region. The
+    // 1000-executor shape: one shuffle on orderkey, everything else
+    // BroadcastHashJoin; Catalyst/AQE pick the join order.
+    "q_star_join" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val o = t(s, d, "orders")
+      val c = t(s, d, "customer")
+      val su = t(s, d, "supplier")
+      val n = t(s, d, "nation")
+      val r = t(s, d, "region").filter(col("r_regionkey") < 3)
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(su), li("l_suppkey") === su("s_suppkey") &&
+          c("c_nationkey") === su("s_nationkey"))
+        .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy("n_name")
+        .agg(round(sum((col("l_extendedprice") *
+            (lit(1.0) - col("l_discount"))).cast("decimal(28,10)")), 6)
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
     // left-semi join (EXISTS): orders having any heavy line item.
     "q_semi_join" -> ((s, d) => {
       val o = t(s, d, "orders")
@@ -265,6 +290,20 @@ object RelationalPack extends QueryPack {
       """SELECT event_type, date_trunc('day', ts) AS day,
                 count(*) AS n, round(sum(value), 6) AS sum_value
          FROM events GROUP BY ROLLUP (event_type, day)""",
+    "q_star_join" ->
+      """SELECT n_name,
+                round(sum((l_extendedprice * (1.0 - l_discount))
+                          ::DECIMAL(28,10)), 6)::DOUBLE AS revenue,
+                count(*)::BIGINT AS n_items
+         FROM lineitem
+         JOIN orders   ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN supplier ON l_suppkey = s_suppkey
+                      AND c_nationkey = s_nationkey
+         JOIN nation   ON s_nationkey = n_nationkey
+         JOIN region   ON n_regionkey = r_regionkey
+         WHERE r_regionkey < 3
+         GROUP BY n_name""",
     "q_pivot" ->
       """SELECT date_trunc('day', ts) AS day,
                 sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS view,

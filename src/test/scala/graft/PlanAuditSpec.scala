@@ -76,6 +76,20 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), "bounded query/LUT sides must broadcast")
   }
 
+  test("q_star_join: one fact shuffle, whole dimension chain broadcast") {
+    val p = plan("q_star_join")
+    assert(!p.contains("CartesianProduct"), p.take(600))
+    // every dim join is a broadcast hash join
+    val nBroadcast = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(nBroadcast >= 4, s"expected >=4 broadcast joins, got $nBroadcast")
+    // the only SortMergeJoin/shuffled join allowed is fact x fact
+    val nShuffleJoin = "SortMergeJoin".r.findAllIn(p).length +
+      "ShuffledHashJoin".r.findAllIn(p).length
+    assert(nShuffleJoin <= 1, s"more than one shuffled join:\n${p.take(1500)}")
+    // the region filter must reach the region scan
+    assert(p.contains("LessThan(r_regionkey"), "filter not pushed to dim scan")
+  }
+
   test("q_simhash_hamming: block join is an equi-join; codegen hamming, no HOF") {
     val p = plan("q_simhash_hamming")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p.take(600))
