@@ -99,6 +99,30 @@ object RelationalPack extends QueryPack {
           count(lit(1)).as("n_items"))
     }),
 
+    // Bloom-PREFILTERED join — the shuffle-reduction pattern for
+    // fact ⋈ selective-dim at 100 TB: the dim key set folds to a bitmap
+    // (map-side bit_or), the fact side is pre-filtered by broadcast bitmap
+    // probes BEFORE any join, and the exact equi-join runs on the
+    // survivors only. Zero false negatives ⇒ the result is IDENTICAL to
+    // the plain join (the oracle is the plain join) — false positives die
+    // in the exact join.
+    "q_bloom_join" -> ((s, d) => {
+      import graft.operators.BloomOps
+      val m = 4096L
+      val k = 5
+      val li = t(s, d, "lineitem")
+      val sel = t(s, d, "supplier").filter(col("s_nationkey") < 5)
+        .select(col("s_suppkey"))
+      val bitmap = BloomOps.buildBitmap(sel, "s_suppkey", m, k)
+      BloomOps.probe(li, "l_suppkey", bitmap, m, k)
+        .filter(col("bloom_hit"))
+        .join(broadcast(sel), col("l_suppkey") === col("s_suppkey"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_extendedprice").cast("decimal(28,10)")), 6)
+            .cast("double").as("sum_price"))
+    }),
+
     // left-semi join (EXISTS): orders having any heavy line item.
     "q_semi_join" -> ((s, d) => {
       val o = t(s, d, "orders")
@@ -290,6 +314,13 @@ object RelationalPack extends QueryPack {
       """SELECT event_type, date_trunc('day', ts) AS day,
                 count(*) AS n, round(sum(value), 6) AS sum_value
          FROM events GROUP BY ROLLUP (event_type, day)""",
+    "q_bloom_join" ->
+      """SELECT l_returnflag, count(*)::BIGINT AS n,
+                round(sum(l_extendedprice::DECIMAL(28,10)), 6)::DOUBLE
+                  AS sum_price
+         FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         WHERE s_nationkey < 5
+         GROUP BY l_returnflag""",
     "q_star_join" ->
       """SELECT n_name,
                 round(sum((l_extendedprice * (1.0 - l_discount))
