@@ -87,7 +87,13 @@ object ScaleSoak {
     // (one Expand+agg — 4x the rows of the base agg, still linear) and
     // the GIF decode scan (per-payload LZW, partition-local)
     "q_simhash_hamming", "q_group_quantiles", "q_label_prop", "q_cube_agg",
-    "q_gif")
+    "q_gif",
+    // JSON path parse per row (the CPU-per-row shape), the ranking-window
+    // pass (per-user sorts), the pivot single-agg, the star join (one
+    // fact shuffle + broadcast chain) and the bloom-prefiltered join
+    // (bitmap stays m/64 rows however large the fact side grows)
+    "q_json_extract", "q_window_rank", "q_pivot", "q_star_join",
+    "q_bloom_join")
 
   /** Deep-soak subset (run at 30×): the newest heavy operators. The
     * format-fixture queries (kerchunk combine, COG levels, zarr append)
