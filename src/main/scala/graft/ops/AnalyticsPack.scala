@@ -69,6 +69,40 @@ object AnalyticsPack extends QueryPack {
       s.table(tbl)
     }),
 
+    // STREAM-STREAM interval join (the §2.9 surface batch engines fake
+    // with range joins): per user, each view joined to the clicks that
+    // follow it within 30 minutes — both sides watermarked so Spark can
+    // bound the buffered state; one AvailableNow pass over the replayed
+    // log must equal the batch interval join (the oracle) row-for-row.
+    "q_stream_join" -> ((s, d) => {
+      val schema = GraftSession.table(s, d, "events").schema
+      def side(et: String, pfx: String) = {
+        val stream = s.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(d)
+          .transform(GraftSession.normalizeTs(_))
+          .filter(col("event_type") === et)
+          .select(col("user_id").as(s"${pfx}_user"),
+            col("event_id").as(s"${pfx}_id"), col("ts").as(s"${pfx}_ts"))
+        stream.withWatermark(s"${pfx}_ts", "40 days")
+      }
+      val views = side("view", "v")
+      val clicks = side("click", "c")
+      val joined = views.join(clicks,
+        col("v_user") === col("c_user") &&
+          col("c_ts") > col("v_ts") &&
+          col("c_ts") <= col("v_ts") + expr("INTERVAL 30 MINUTES"))
+      val tbl = s"q_stream_join_${streamCounter.incrementAndGet()}"
+      val q = joined.writeStream.format("memory").queryName(tbl)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(tbl).groupBy(col("v_user").as("user_id"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(unix_micros(col("c_ts")) - unix_micros(col("v_ts")))
+            .as("sum_lag_micros"),
+          sum(col("v_id") * 7 + col("c_id")).cast("long").as("pair_checksum"))
+    }),
+
     // semi-structured extraction: parse the JSON `props` column inside the
     // scan (get_json_object is codegen'd — no UDF) and aggregate the typed
     // value. The 100 TB shape for log/crawl payloads: parse projects ONLY
@@ -218,6 +252,21 @@ object AnalyticsPack extends QueryPack {
 
     "q_retention" -> retentionSql,
     "q_stream_retention" -> retentionSql,
+
+    "q_stream_join" ->
+      """WITH v AS (SELECT user_id, event_id, epoch_us(ts) AS tus
+                    FROM events WHERE event_type = 'view'),
+         c AS (SELECT user_id, event_id, epoch_us(ts) AS tus
+               FROM events WHERE event_type = 'click'),
+         j AS (SELECT v.user_id, v.event_id AS vid, c.event_id AS cid,
+                      c.tus - v.tus AS lag
+               FROM v JOIN c ON v.user_id = c.user_id
+                            AND c.tus > v.tus
+                            AND c.tus <= v.tus + 1800000000)
+         SELECT user_id, count(*)::BIGINT AS n_pairs,
+                sum(lag)::BIGINT AS sum_lag_micros,
+                sum(vid * 7 + cid)::BIGINT AS pair_checksum
+         FROM j GROUP BY user_id""",
 
     "q_json_extract" ->
       """SELECT event_type, count(*)::BIGINT AS n,
