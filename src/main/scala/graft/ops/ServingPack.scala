@@ -869,6 +869,33 @@ object ServingPack extends QueryPack {
           round(sum(col("v").cast("decimal(28,10)")), 6).cast("double").as("sum_v"))
     }),
 
+    // JPEG-in-TIFF (Compression 7, TIFF TN2 — the GDAL COMPRESS=JPEG
+    // aerial/basemap layout): 8-bit tiles hold abbreviated JPEG streams
+    // with the shared DQT/DHT in a JPEGTables tag, spliced per tile on
+    // read. The fixture's 8×8 blocks are DC-constant, so the lossy decode
+    // is the closed-form DC reconstruction the oracle computes exactly
+    // (the q_jpeg discipline) — integer sums, untoleranced hash match.
+    "q_geotiff_jpeg" -> ((s, d) => {
+      val sfName = new java.io.File(d).getName
+      val base = s"/root/repo/.graft-fixtures/geotiff_jpeg_$sfName"
+      val p = s"$base/blocks.tif"
+      Fixtures.ensureWritten(base, "96x64,block8-constant,tile16,q85,tables") {
+        new java.io.File(base).mkdirs()
+        val (w, h) = (96, 64)
+        val data = Array.tabulate(w * h) { i =>
+          val (bx, by) = ((i % w) / 8, (i / w) / 8)
+          ((bx * 7 + by * 13) % 256).toDouble
+        }
+        GeoTiffSource.writeJpegTiled(p,
+          GeoTiffSource.Raster(w, h, IndexedSeq(data), 1.0, 1.0, 0.0, 0.0),
+          tileSize = 16, quality = 85, useTablesTag = true)
+      }
+      GeoTiffSource.readRaster(s, p)
+        .groupBy(expr("row div 8").as("by"))
+        .agg(count(lit(1)).as("n_cells"),
+          sum(col("v").cast("long")).as("sum_v"))
+    }),
+
     // JPEG 2000 ingest (store/fs/impl/rasterio.py:81-330 opens .jp2 via
     // rasterio→GDAL→openjpeg): the day-1 count grid written through the
     // from-spec lossless 5/3 writer, decoded back tile-per-task through the
@@ -1379,6 +1406,27 @@ object ServingPack extends QueryPack {
                 round(sum(((j + 0.5) + (i + 0.5))::DECIMAL(28,10)), 6)::DOUBLE AS sum_coord,
                 sum(n)::BIGINT AS n_events
          FROM daily GROUP BY jband""",
+    "q_geotiff_jpeg" -> {
+      // DC-only closed form, the q_jpeg discipline (quality 85 → odd DC
+      // quant, no representable rounding ties)
+      val qL = graft.operators.JpegCodec.scaleQuant(
+        graft.operators.JpegCodec.StdLumaQuant, 85)(0)
+      def clamp(x: String) = s"greatest(0, least(255, $x))"
+      def recon(v: String, q: Int): String = {
+        val a = s"(8 * (($v) - 128))"
+        val s0 = s"(CASE WHEN $a >= 0 THEN ($a + ${q / 2}) // $q " +
+          s"ELSE -((-$a + ${q / 2}) // $q) END)"
+        clamp(s"128 + CAST(floor((($s0 * $q) + 4) / 8.0) AS BIGINT)")
+      }
+      s"""WITH bxs AS (SELECT unnest(range(0, 12)) AS bx),
+         bys AS (SELECT unnest(range(0, 8)) AS by),
+         cell AS (SELECT by, bx,
+                         ${recon("(bx*7 + by*13) % 256", qL)} AS rec
+                  FROM bxs, bys)
+         SELECT by::BIGINT AS by, 768::BIGINT AS n_cells,
+                (64 * sum(rec))::BIGINT AS sum_v
+         FROM cell GROUP BY by"""
+    },
     "q_jp2_series" ->
       s"""WITH ${CubePack.cubeCte},
          daily AS (SELECT CAST(time AS DATE)::VARCHAR AS day,

@@ -372,9 +372,16 @@ object GeoTiffSource {
       "per-band SampleFormat values differ")
     require(bits >= 8 && bits % 8 == 0,
       s"$bits-bit samples unsupported (bilevel/palette TIFFs out of scope)")
-    require(compression == 1 || compression == 5 || compression == 8 ||
-      compression == 32946 || compression == 32773,
-      s"compression $compression unsupported (none/lzw/deflate/packbits only)")
+    require(compression == 1 || compression == 5 || compression == 7 ||
+      compression == 8 || compression == 32946 || compression == 32773,
+      s"compression $compression unsupported (none/lzw/jpeg/deflate/packbits only)")
+    require(compression != 7 || bits == 8,
+      "JPEG-compressed TIFF requires 8-bit samples")
+    // JPEGTables (tag 347, new-style JPEG per TIFF TN2): a tables-only
+    // abbreviated stream (SOI..EOI) whose DQT/DHT segments are spliced
+    // into each tile/strip stream after its SOI
+    val jpegTables: Option[Array[Byte]] =
+      tags.get(347).map(_.map(_.toInt.toByte).toArray)
     val predictor = one(317, Some(1.0)).toInt
     require(predictor == 1 || predictor == 2,
       s"predictor $predictor unsupported (none/horizontal-differencing only)")
@@ -382,9 +389,27 @@ object GeoTiffSource {
       "predictor 2 applies to integer samples (float predictor 3 out of scope)")
 
     val bytesPerSample = bits / 8
+    def jpegDecodeChunk(raw: Array[Byte], expect: Int): Array[Byte] = {
+      val merged = jpegTables match {
+        case Some(tb) if tb.length > 4 && raw.length > 2 =>
+          // splice: SOI + tables body (minus its SOI/EOI) + tile after SOI
+          val body = java.util.Arrays.copyOfRange(tb, 2, tb.length - 2)
+          val out = new Array[Byte](2 + body.length + (raw.length - 2))
+          out(0) = 0xff.toByte; out(1) = 0xd8.toByte
+          System.arraycopy(body, 0, out, 2, body.length)
+          System.arraycopy(raw, 2, out, 2 + body.length, raw.length - 2)
+          out
+        case _ => raw
+      }
+      val img = graft.operators.JpegCodec.decode(merged)
+      require(img.pixels.length == expect,
+        s"JPEG chunk decoded ${img.pixels.length} bytes, expected $expect")
+      img.pixels
+    }
     def inflate(raw: Array[Byte], expect: Int): Array[Byte] =
       if (compression == 1) raw
       else if (compression == 5) lzwDecode(raw, expect)
+      else if (compression == 7) jpegDecodeChunk(raw, expect)
       else if (compression == 32773) packBitsDecode(raw, expect)
       else {
         val inf = new java.util.zip.Inflater()
@@ -831,6 +856,135 @@ object GeoTiffSource {
     out.put('I'.toByte).put('I'.toByte).putShort(42).putInt(8)
     segs.foreach { case (seg, _, _) => out.put(seg) }
     java.nio.file.Files.write(java.nio.file.Paths.get(path), out.array())
+    ()
+  }
+
+  /** JPEG-in-TIFF writer (Compression 7, TIFF TN2 "new-style" JPEG): 8-bit
+    * single-band tiled, one abbreviated JPEG stream per tile with the
+    * shared DQT/DHT in a JPEGTables tag — the layout GDAL emits for
+    * `COMPRESS=JPEG` aerial/basemap rasters. Samples are clamped to
+    * [0,255]; the codec is [[graft.operators.JpegCodec]], so the lossy
+    * round-trip is exactly the one q_jpeg pins (DC-only tiles reconstruct
+    * closed-form). Tables mode splits the per-tile encoder output: DQT/DHT
+    * segments move to tag 347, everything else stays in the tile stream.
+    */
+  def writeJpegTiled(path: String, raster: Raster, tileSize: Int,
+                     quality: Int = 85, useTablesTag: Boolean = true): Unit = {
+    import graft.operators.JpegCodec
+    require(raster.bands.length == 1, "JPEG writer: single band (grayscale)")
+    val (tw, th) = (tileSize, tileSize)
+    val ta = (raster.width + tw - 1) / tw
+    val td = (raster.height + th - 1) / th
+    def tileBytes(tr: Int, tc: Int): Array[Byte] = {
+      val g = new Array[Byte](tw * th)
+      var r = 0
+      while (r < th) {
+        var c = 0
+        while (c < tw) {
+          val (gr, gc) = (tr * th + r, tc * tw + c)
+          val v =
+            if (gr < raster.height && gc < raster.width)
+              raster.data(gr * raster.width + gc)
+            else 0.0
+          g(r * tw + c) =
+            math.max(0, math.min(255, math.rint(v).toInt)).toByte
+          c += 1
+        }
+        r += 1
+      }
+      JpegCodec.encodeGray(tw, th, g, quality)
+    }
+    /** Split a standalone stream into (DQT/DHT table segments, the rest). */
+    def splitTables(full: Array[Byte]): (Array[Byte], Array[Byte]) = {
+      val tabs = new java.io.ByteArrayOutputStream()
+      val rest = new java.io.ByteArrayOutputStream()
+      rest.write(0xff); rest.write(0xd8)
+      var p = 2
+      var inScan = false
+      while (p < full.length) {
+        if (!inScan) {
+          require((full(p) & 0xff) == 0xff, s"bad marker sync at $p")
+          val m = full(p + 1) & 0xff
+          if (m == 0xd9) { rest.write(0xff); rest.write(0xd9); p = full.length }
+          else {
+            val len = ((full(p + 2) & 0xff) << 8) | (full(p + 3) & 0xff)
+            val seg = java.util.Arrays.copyOfRange(full, p, p + 2 + len)
+            if (m == 0xdb || m == 0xc4) tabs.write(seg) // DQT / DHT
+            else rest.write(seg)
+            if (m == 0xda) inScan = true // entropy data follows SOS
+            p += 2 + len
+          }
+        } else {
+          // copy entropy-coded data up to the next non-RST marker
+          if ((full(p) & 0xff) == 0xff && (full(p + 1) & 0xff) != 0 &&
+            ((full(p + 1) & 0xff) < 0xd0 || (full(p + 1) & 0xff) > 0xd7))
+            inScan = false
+          else { rest.write(full(p)); p += 1 }
+        }
+      }
+      (tabs.toByteArray, rest.toByteArray)
+    }
+    val encoded = for (tr <- 0 until td; tc <- 0 until ta) yield tileBytes(tr, tc)
+    val (tables, chunks) =
+      if (!useTablesTag) (Array.emptyByteArray, encoded.toIndexedSeq)
+      else {
+        val split = encoded.map(splitTables)
+        // the table segments are identical across tiles (one quality): use
+        // the first tile's, wrapped SOI..EOI per the tag 347 convention
+        val t = split.head._1
+        val tagStream = new java.io.ByteArrayOutputStream()
+        tagStream.write(0xff); tagStream.write(0xd8)
+        tagStream.write(t); tagStream.write(0xff); tagStream.write(0xd9)
+        (tagStream.toByteArray, split.map(_._2).toIndexedSeq)
+      }
+    val n = chunks.length
+    val entries = 13 + (if (tables.nonEmpty) 1 else 0)
+    val ifdLen = 2 + entries * 12 + 4
+    val scaleOff = 8 + ifdLen
+    val tieOff = scaleOff + 24
+    val tablesOff = tieOff + 48
+    val tablesExt = tables.length + (tables.length & 1)
+    val offArrOff = tablesOff + tablesExt
+    val cntArrOff = offArrOff + (if (n > 1) 4 * n else 0)
+    val dataOff0 = cntArrOff + (if (n > 1) 4 * n else 0)
+    val chunkOffs = chunks.scanLeft(dataOff0)(_ + _.length).init
+    val buf = ByteBuffer.allocate(dataOff0 + chunks.map(_.length).sum)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    buf.put('I'.toByte).put('I'.toByte).putShort(42).putInt(8)
+    buf.putShort(entries.toShort)
+    def entry(tag: Int, typ: Int, count: Int, value: Long): Unit = {
+      buf.putShort(tag.toShort); buf.putShort(typ.toShort); buf.putInt(count)
+      if (typ == 3 && count == 1) { buf.putShort(value.toShort); buf.putShort(0) }
+      else buf.putInt(value.toInt)
+    }
+    entry(256, 4, 1, raster.width)
+    entry(257, 4, 1, raster.height)
+    entry(258, 3, 1, 8)
+    entry(259, 3, 1, 7) // Compression: JPEG (TN2)
+    entry(262, 3, 1, 1)
+    entry(277, 3, 1, 1)
+    entry(322, 3, 1, tileSize)
+    entry(323, 3, 1, tileSize)
+    if (n == 1) entry(324, 4, 1, chunkOffs.head) else entry(324, 4, n, offArrOff)
+    if (n == 1) entry(325, 4, 1, chunks.head.length) else entry(325, 4, n, cntArrOff)
+    entry(339, 3, 1, 1) // SampleFormat: unsigned
+    if (tables.nonEmpty) entry(347, 7, tables.length, tablesOff) // JPEGTables
+    entry(33550, 12, 3, scaleOff)
+    entry(33922, 12, 6, tieOff)
+    buf.putInt(0) // next IFD
+    buf.putDouble(raster.scaleX).putDouble(raster.scaleY).putDouble(0.0)
+    buf.putDouble(0.0).putDouble(0.0).putDouble(0.0)
+    buf.putDouble(raster.originX).putDouble(raster.originY).putDouble(0.0)
+    if (tables.nonEmpty) {
+      buf.put(tables)
+      if ((tables.length & 1) == 1) buf.put(0.toByte)
+    }
+    if (n > 1) {
+      chunkOffs.foreach(o => buf.putInt(o))
+      chunks.foreach(c => buf.putInt(c.length))
+    }
+    chunks.foreach(buf.put)
+    java.nio.file.Files.write(java.nio.file.Paths.get(path), buf.array())
     ()
   }
 }

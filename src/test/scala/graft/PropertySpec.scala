@@ -127,6 +127,47 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("JPEG-in-TIFF (compression 7) reads back the codec's exact reconstruction") {
+    import graft.sources.GeoTiffSource
+    import graft.operators.JpegCodec
+    val rnd = new scala.util.Random(29)
+    val dir = java.nio.file.Files.createTempDirectory("graft_tifjpeg")
+    // 25x22 image, tile 16 → 2x2 tiles with both edges padded
+    val (w, h) = (25, 22)
+    val data = Array.fill(w * h)(rnd.nextInt(256).toDouble)
+    val r = GeoTiffSource.Raster(w, h, IndexedSeq(data), 1.0, 1.0, 0.0, 0.0)
+    for (tables <- Seq(true, false)) {
+      val p = dir.resolve(s"j$tables.tif").toString
+      GeoTiffSource.writeJpegTiled(p, r, tileSize = 16, quality = 85,
+        useTablesTag = tables)
+      val back = GeoTiffSource.read(p)
+      assert(back.width == w && back.height == h)
+      // expected = the codec's own lossy round-trip, tile by tile
+      for (tr <- 0 until 2; tc <- 0 until 2) {
+        val g = new Array[Byte](16 * 16)
+        for (rr <- 0 until 16; cc <- 0 until 16) {
+          val (gr, gc) = (tr * 16 + rr, tc * 16 + cc)
+          g(rr * 16 + cc) =
+            if (gr < h && gc < w) data(gr * w + gc).toInt.toByte else 0
+        }
+        val rt = JpegCodec.decode(JpegCodec.encodeGray(16, 16, g, 85))
+        for (rr <- 0 until 16; cc <- 0 until 16) {
+          val (gr, gc) = (tr * 16 + rr, tc * 16 + cc)
+          if (gr < h && gc < w)
+            assert(back.data(gr * w + gc) ==
+              (rt.pixels(rr * 16 + cc) & 0xff).toDouble,
+              s"tables=$tables tile($tr,$tc) px($rr,$cc)")
+        }
+      }
+      // ImageIO can open the per-tile streams too when tables are inline
+      if (!tables) {
+        val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
+        assert(GeoTiffSource.read(p).data.length == w * h)
+        assert(bytes.containsSlice(Array(0xff.toByte, 0xd8.toByte)))
+      }
+    }
+  }
+
   test("TIFF LZW codec round-trips, incl. table-reset-sized streams (40 cases)") {
     import graft.sources.GeoTiffSource.{lzwDecode, lzwEncode}
     val rnd = new scala.util.Random(31)
