@@ -165,6 +165,58 @@ object MultimodalOps {
   final case class AudioFrame(id: Long, source: String, frameIdx: Int,
                               n: Int, energy: Long, zeroCross: Int)
 
+  /** REAL audio resample: integer-factor decimation — decode PCM, average
+    * each `factor` consecutive frames per channel with sign-aware +half
+    * rounding (the exact arithmetic both engines reproduce), re-encode at
+    * sampleRate/factor. Partition-local payload→payload like
+    * [[resizeMedia]]; frame count must divide by `factor` (pipelines pad
+    * at ingest); non-WAV payloads pass through unchanged.
+    */
+  def resampleAudio(df: DataFrame, factor: Int = 2): DataFrame = {
+    require(factor >= 2, s"resample factor $factor")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("id"), col("source"), col("payload"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, src, bytes) =>
+          val isWav = bytes.length >= 4 && bytes(0) == 'R' &&
+            bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F'
+          if (!isWav) (id, src, bytes, false)
+          else {
+            val w = MediaCodecs.decodeWav(bytes)
+            val ch = w.channels
+            val nFrames = w.samples.length / ch
+            require(nFrames % factor == 0,
+              s"$id: $nFrames frames not divisible by $factor")
+            val out = new Array[Short](w.samples.length / factor)
+            var f = 0
+            while (f < nFrames / factor) {
+              var c = 0
+              while (c < ch) {
+                var acc = 0L
+                var k = 0
+                while (k < factor) {
+                  acc += w.samples(((f * factor + k) * ch) + c)
+                  k += 1
+                }
+                // round half away from zero, both signs
+                val v =
+                  if (acc >= 0) (acc + factor / 2) / factor
+                  else -((-acc + factor / 2) / factor)
+                out(f * ch + c) = v.toShort
+                c += 1
+              }
+              f += 1
+            }
+            (id, src,
+              MediaCodecs.encodeWav(MediaCodecs.WavAudio(
+                w.sampleRate / factor, ch, out)), true)
+          }
+        }
+      }.toDF("id", "source", "payload", "resampled")
+  }
+
   def audioFrames(df: DataFrame, frameSize: Int): Dataset[AudioFrame] = {
     require(frameSize >= 2, s"frameSize $frameSize")
     val spark = df.sparkSession

@@ -1587,6 +1587,41 @@ object PipelinePack extends QueryPack {
           sum(col("histChecksum")).as("hist_checksum"))
     }),
 
+    // REAL audio resample: integer-factor decimation (frame averaging,
+    // sign-aware +half rounding) through decode → average → re-encode →
+    // decode, all partition-local. PCM averaging is exact integer
+    // arithmetic, so the oracle recomputes the whole chain closed-form —
+    // mono and stereo payloads both present (ch = id%2+1).
+    "q_audio_resample" -> ((s, d) => {
+      import s.implicits._
+      val base = docs(s, d).select(col("doc_id").cast("long").as("id"),
+          col("source"), length(col("text")).cast("int").as("n"))
+        .as[(Long, String, Int)]
+      val media = base.mapPartitions { it =>
+        it.map { case (id, source, n) =>
+          val ch = (id % 2 + 1).toInt
+          val nf = (n % 10 + 2) * 2
+          val samples = new Array[Short](nf * ch)
+          var f = 0
+          while (f < nf) {
+            var c = 0
+            while (c < ch) {
+              samples(f * ch + c) =
+                (((id * 7 + f * 13 + c * 5) % 2000) - 700).toShort
+              c += 1
+            }
+            f += 1
+          }
+          (id, source,
+            MediaCodecs.encodeWav(MediaCodecs.WavAudio(16000, ch, samples)))
+        }
+      }.toDF("id", "source", "payload")
+      MultimodalOps.decodeMedia(MultimodalOps.resampleAudio(media, 2))
+        .groupBy("source").agg(count(lit(1)).as("n"),
+          sum(col("nSamples").cast("long")).as("total_samples"),
+          sum(col("sumSamples")).as("total_sum"))
+    }),
+
     // GIF decode through the pure-JVM LZW codec (GifCodec — ImageIO
     // cross-validated in unit tests): palette images are lossless, so the
     // per-source feature sums have an exact closed-form oracle over the
@@ -2188,6 +2223,30 @@ object PipelinePack extends QueryPack {
                       row_number() OVER (ORDER BY s DESC, node ASC) AS rank
                FROM s3)
          SELECT rank, node AS doc_id, s AS score FROM r WHERE rank <= 10""",
+    "q_audio_resample" ->
+      """WITH d AS (SELECT doc_id AS id, source, len(text) AS n
+                    FROM documents),
+         g AS (SELECT id, source, (id % 2 + 1) AS ch,
+                      (n % 10 + 2) * 2 AS nf FROM d),
+         fs AS (SELECT unnest(range(0, 12)) AS f),
+         cs AS (SELECT unnest(range(0, 2)) AS c),
+         cell AS (SELECT g.id, g.source, g.ch, g.nf,
+                         ((g.id*7 + (2*f.f)*13 + c.c*5) % 2000 - 700) AS s0,
+                         ((g.id*7 + (2*f.f+1)*13 + c.c*5) % 2000 - 700) AS s1
+                  FROM g
+                  JOIN fs f ON f.f < g.nf // 2
+                  JOIN cs c ON c.c < g.ch),
+         avgd AS (SELECT id, source, ch, nf,
+                         CASE WHEN s0 + s1 >= 0 THEN (s0 + s1 + 1) // 2
+                              ELSE -((-(s0 + s1) + 1) // 2) END AS v
+                  FROM cell),
+         per AS (SELECT id, source, max(ch * (nf // 2)) AS nsamp,
+                        sum(v)::BIGINT AS sv
+                 FROM avgd GROUP BY id, source)
+         SELECT source, count(*)::BIGINT AS n,
+                sum(nsamp)::BIGINT AS total_samples,
+                sum(sv)::BIGINT AS total_sum
+         FROM per GROUP BY source""",
     "q_gif" ->
       """WITH d AS (SELECT doc_id, source, len(text) AS n FROM documents),
          g AS (SELECT doc_id, source, (n % 4 + 1) * 8 AS w,
