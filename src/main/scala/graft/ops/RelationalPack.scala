@@ -136,6 +136,20 @@ object RelationalPack extends QueryPack {
     // dim side replicated — the result must equal the plain join, which is
     // exactly what the oracle computes. The manual fallback for joins AQE's
     // skew splitting can't reach.
+    // SALTED two-phase aggregation (SkewOps.saltedSum): a 5-value hot-key
+    // space (event_type) first aggregates on (key, salt) — 8× the
+    // parallelism for the reduce — then folds the partials. The oracle is
+    // the plain groupBy: salting must be invisible in the result. Exact
+    // integer cents.
+    "q_skew_agg" -> ((s, d) => {
+      import graft.operators.SkewOps
+      val ev = GraftSession.events(s, d)
+        .select(col("event_type"),
+          round(col("value") * 100, 0).cast("long").as("cents"))
+      SkewOps.saltedSum(ev, "event_type", "cents", salts = 8,
+        out = "sum_cents")
+    }),
+
     "q_skew_join" -> ((s, d) => {
       val li = t(s, d, "lineitem").select(col("l_orderkey"), col("l_quantity"))
       val dim = t(s, d, "orders")
@@ -314,6 +328,10 @@ object RelationalPack extends QueryPack {
       """SELECT event_type, date_trunc('day', ts) AS day,
                 count(*) AS n, round(sum(value), 6) AS sum_value
          FROM events GROUP BY ROLLUP (event_type, day)""",
+    "q_skew_agg" ->
+      """SELECT event_type,
+                sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS sum_cents
+         FROM events GROUP BY event_type""",
     "q_bloom_join" ->
       """SELECT l_returnflag, count(*)::BIGINT AS n,
                 round(sum(l_extendedprice::DECIMAL(28,10)), 6)::DOUBLE

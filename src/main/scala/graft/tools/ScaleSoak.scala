@@ -93,7 +93,10 @@ object ScaleSoak {
     // fact shuffle + broadcast chain) and the bloom-prefiltered join
     // (bitmap stays m/64 rows however large the fact side grows)
     "q_json_extract", "q_window_rank", "q_pivot", "q_star_join",
-    "q_bloom_join")
+    "q_bloom_join",
+    // per-payload PCM decimation chain and the salted two-phase hot-key
+    // aggregation (5-key space: the salt IS the scale story)
+    "q_audio_resample", "q_skew_agg")
 
   /** Deep-soak subset (run at 30×): the newest heavy operators. The
     * format-fixture queries (kerchunk combine, COG levels, zarr append)
