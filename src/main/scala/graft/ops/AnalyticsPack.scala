@@ -69,6 +69,21 @@ object AnalyticsPack extends QueryPack {
       s.table(tbl)
     }),
 
+    // Markov transition counts over each user's event-type sequence (the
+    // next-event model behind session prediction): one per-user lag window
+    // then a map-side-combined count on the (prev, next) pair space —
+    // bounded at |event types|², however big the log.
+    "q_event_transitions" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      ev(s, d)
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type").as("next_type"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"))
+    }),
+
     // STREAM-STREAM interval join (the §2.9 surface batch engines fake
     // with range joins): per user, each view joined to the clicks that
     // follow it within 30 minutes — both sides watermarked so Spark can
@@ -252,6 +267,17 @@ object AnalyticsPack extends QueryPack {
 
     "q_retention" -> retentionSql,
     "q_stream_retention" -> retentionSql,
+
+    "q_event_transitions" ->
+      """WITH seq AS (SELECT user_id, event_type,
+                             lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+                      FROM events)
+         SELECT prev_type, event_type AS next_type,
+                count(*)::BIGINT AS n,
+                count(DISTINCT user_id)::BIGINT AS n_users
+         FROM seq WHERE prev_type IS NOT NULL
+         GROUP BY prev_type, next_type""",
 
     "q_stream_join" ->
       """WITH v AS (SELECT user_id, event_id, epoch_us(ts) AS tus

@@ -66,6 +66,77 @@ class EventOpsSpec extends AnyFunSuite {
     assert(got(1).getLong(1) == 1L && got(1).getLong(4) == 0L)
   }
 
+  test("property: sessionize matches a brute-force fold on random streams") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(67)
+    val gap = 600L // 10 min
+    val rows = (1 to 800).map { i =>
+      val u = rnd.nextInt(12).toLong
+      val t = 1700000000000000L + rnd.nextInt(100000) * 1000000L
+      (i.toLong, u, "view", new Timestamp(t / 1000))
+    }
+    val got = EventOps.sessionize(
+        rows.toDF("event_id", "user_id", "event_type", "ts"), gap)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // brute force: sort per user by (ts, id), fold sessions
+    rows.groupBy(_._2).foreach { case (u, evs) =>
+      val sorted = evs.map(e => (e._4.getTime * 1000L, e._1)).sorted
+      var sessions = List.empty[List[Long]]
+      sorted.foreach { case (t, _) =>
+        sessions match {
+          case cur :: rest if t - cur.head <= gap * 1000000L =>
+            sessions = (t :: cur) :: rest
+          case _ => sessions = List(t) :: sessions
+        }
+      }
+      val nSess = sessions.length.toLong
+      val nEv = sorted.length.toLong
+      val maxEv = sessions.map(_.length).max.toLong
+      val sumDur = sessions.map(s => s.max - s.min).sum
+      assert(got(u) == ((nSess, nEv, maxEv, sumDur)), s"user $u")
+    }
+  }
+
+  test("property: funnel matches a brute-force stage chain on random streams") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(71)
+    val types = Seq("view", "click", "purchase", "other")
+    val rows = (1 to 600).map { i =>
+      val u = rnd.nextInt(10).toLong
+      val t = 1700000000000000L + rnd.nextInt(100000) * 1000000L
+      (i.toLong, u, types(rnd.nextInt(types.length)), new Timestamp(t / 1000))
+    }
+    val stages = Seq("view", "click", "purchase")
+    val got = EventOps.funnel(
+        rows.toDF("event_id", "user_id", "event_type", "ts"), stages)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    // brute force: sequential strictly-after mins per user
+    val perUser = rows.groupBy(_._2).view.mapValues { evs =>
+      var prev = Long.MinValue
+      var dead = false
+      stages.map { st =>
+        if (dead) None
+        else {
+          val cand = evs.filter(_._3 == st).map(_._4.getTime * 1000L)
+            .filter(t => prev == Long.MinValue || t > prev)
+          if (cand.isEmpty) { dead = true; None }
+          else {
+            val m = cand.min
+            val step = if (prev == Long.MinValue) 0L else m - prev
+            prev = m
+            Some(step)
+          }
+        }
+      }
+    }.toMap
+    stages.zipWithIndex.foreach { case (_, i) =>
+      val reached = perUser.values.map(_(i)).collect { case Some(s) => s }
+      assert(got((i + 1).toLong)._1 == reached.size.toLong, s"stage ${i + 1} users")
+      assert(got((i + 1).toLong)._2 == reached.sum, s"stage ${i + 1} step sum")
+    }
+  }
+
   test("sessionize: exact-gap boundary stays in the same session (strict >)") {
     val ev = mkEvents(Seq(
       (1L, 1L, "view", "2024-01-01 10:00:00"),
