@@ -84,6 +84,41 @@ object AnalyticsPack extends QueryPack {
           countDistinct(col("user_id")).as("n_users"))
     }),
 
+    // the INCREMENTAL transition matrix: per-user last-event state +
+    // bounded (prev,next) counters; converged per-key emissions aggregate
+    // to the batch q_event_transitions exactly (n_users = count of users
+    // holding the pair, n = sum of their converged counters)
+    "q_stream_transitions" -> ((s, d) => {
+      import s.implicits._
+      import graft.streaming.StatefulOps
+      val sfName = new java.io.File(d).getName
+      val fixDir = s"/root/repo/.graft-fixtures/trans_events_$sfName"
+      graft.Fixtures.ensureWritten(fixDir, "events(user,type,tsMicros,id),1file") {
+        ev(s, d)
+          .select(col("user_id").as("userId"),
+            col("event_type").as("eventType"),
+            unix_micros(col("ts")).as("tsMicros"),
+            col("event_id").as("eventId"))
+          .coalesce(1)
+          .write.mode("overwrite").parquet(fixDir)
+      }
+      val rows = s.readStream
+        .schema("userId LONG, eventType STRING, tsMicros LONG, eventId LONG")
+        .parquet(fixDir)
+        .as[StatefulOps.TransEvent]
+      val tbl = s"q_stream_transitions_${streamCounter.incrementAndGet()}"
+      val q = StatefulOps.streamingTransitions(rows)
+        .toDF().writeStream.format("memory").queryName(tbl)
+        .outputMode("update")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(tbl)
+        .groupBy("user_id", "prev_type", "next_type")
+        .agg(max(col("n")).as("nn")) // converged value per key
+        .groupBy(col("prev_type"), col("next_type"))
+        .agg(sum(col("nn")).as("n"), count(lit(1)).as("n_users"))
+    }),
+
     // STREAM-STREAM interval join (the §2.9 surface batch engines fake
     // with range joins): per user, each view joined to the clicks that
     // follow it within 30 minutes — both sides watermarked so Spark can
@@ -248,6 +283,18 @@ object AnalyticsPack extends QueryPack {
          SELECT 3::BIGINT, 'purchase', count(*)::BIGINT,
                 coalesce(sum(t - tp), 0)::BIGINT FROM t3"""
 
+  /** q_event_transitions' oracle — also gates the incremental twin. */
+  private val transitionsSql: String =
+    """WITH seq AS (SELECT user_id, event_type,
+                             lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+                      FROM events)
+         SELECT prev_type, event_type AS next_type,
+                count(*)::BIGINT AS n,
+                count(DISTINCT user_id)::BIGINT AS n_users
+         FROM seq WHERE prev_type IS NOT NULL
+         GROUP BY prev_type, next_type"""
+
   /** q_retention's oracle — also gates the incremental q_stream_retention. */
   private val retentionSql: String =
     """WITH b AS (SELECT user_id AS u,
@@ -268,16 +315,8 @@ object AnalyticsPack extends QueryPack {
     "q_retention" -> retentionSql,
     "q_stream_retention" -> retentionSql,
 
-    "q_event_transitions" ->
-      """WITH seq AS (SELECT user_id, event_type,
-                             lag(event_type) OVER (PARTITION BY user_id
-                               ORDER BY ts, event_id) AS prev_type
-                      FROM events)
-         SELECT prev_type, event_type AS next_type,
-                count(*)::BIGINT AS n,
-                count(DISTINCT user_id)::BIGINT AS n_users
-         FROM seq WHERE prev_type IS NOT NULL
-         GROUP BY prev_type, next_type""",
+    "q_stream_transitions" -> transitionsSql,
+    "q_event_transitions" -> transitionsSql,
 
     "q_stream_join" ->
       """WITH v AS (SELECT user_id, event_id, epoch_us(ts) AS tus

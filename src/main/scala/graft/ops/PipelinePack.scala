@@ -1248,6 +1248,30 @@ object PipelinePack extends QueryPack {
           sum(col("n") * (col("n") - 1) / 2).cast("long").as("n_pairs"))
     }),
 
+    // record-linkage verification by EDIT DISTANCE: the LSH-capped
+    // candidate pairs verified with levenshtein over 80-char prefixes —
+    // blocking + pairwise metric, the entity-resolution shape. Both
+    // engines implement the standard DP edit distance, so the banded
+    // distance summary hash-matches untoleranced; the metric runs on
+    // candidates only, never all pairs.
+    "q_fuzzy_dedup" -> ((s, d) => {
+      val dd = docs(s, d)
+      val sigs = TextOps.minhashSignatures(
+        TextOps.shingleArrays(dd, "doc_id", "text", 3), "doc_id", NumPerms)
+      val bands = TextOps.lshBandRows(sigs, "doc_id", RowsPerBand, NumPerms)
+      val cands = TextOps.candidatePairs(bands, "doc_id", MaxBucket)
+      val ta = dd.select(col("doc_id").as("doc_a"),
+        substring(col("text"), 1, 80).as("pa"))
+      val tb = dd.select(col("doc_id").as("doc_b"),
+        substring(col("text"), 1, 80).as("pb"))
+      cands.join(ta, Seq("doc_a")).join(tb, Seq("doc_b"))
+        .withColumn("lev", levenshtein(col("pa"), col("pb")).cast("long"))
+        .groupBy(expr("lev div 10").as("lev_band"))
+        .agg(count(lit(1)).as("n_pairs"),
+          min(col("lev")).as("min_lev"), max(col("lev")).as("max_lev"),
+          sum(col("doc_a") * 7 + col("doc_b")).cast("long").as("pair_checksum"))
+    }),
+
     // SimHash near-dup VERIFICATION (Manku et al., WWW'07 pigeonhole):
     // hamming ≤ 3 over the 32-bit fingerprint implies at least one of the
     // 4 8-bit blocks matches exactly, so candidates come from a block
@@ -3028,6 +3052,18 @@ object PipelinePack extends QueryPack {
          SELECT band, count(*) AS n_buckets,
                 (sum(n * (n - 1) / 2))::BIGINT AS n_pairs
          FROM buckets GROUP BY band""",
+    "q_fuzzy_dedup" ->
+      s"""WITH ${lshCtes("documents", MaxBucket)},
+         lv AS (SELECT c.doc_a, c.doc_b,
+                       levenshtein(substr(da.text, 1, 80),
+                                   substr(db.text, 1, 80)) AS lev
+                FROM cand c
+                JOIN documents da ON da.doc_id = c.doc_a
+                JOIN documents db ON db.doc_id = c.doc_b)
+         SELECT lev // 10 AS lev_band, count(*)::BIGINT AS n_pairs,
+                min(lev)::BIGINT AS min_lev, max(lev)::BIGINT AS max_lev,
+                sum(doc_a * 7 + doc_b)::BIGINT AS pair_checksum
+         FROM lv GROUP BY lev_band""",
     "q_simhash_hamming" ->
       """WITH toks AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
                       FROM documents),

@@ -150,6 +150,51 @@ object StatefulOps {
       }
   }
 
+  // ---------------------------------------------- streaming transitions
+
+  final case class TransEvent(userId: Long, eventType: String,
+                              tsMicros: Long, eventId: Long)
+
+  /** Last event type seen + per-(prev,next) pair counts for one user. */
+  final case class TransState(lastType: String, lastTs: Long, lastId: Long,
+                              counts: Map[String, Long])
+
+  final case class TransUser(user_id: Long, prev_type: String,
+                             next_type: String, n: Long)
+
+  /** Incremental Markov transition counts — the streaming form of
+    * q_event_transitions: per user the state is the last event (type +
+    * ordering key) plus the (prev→next) counters, bounded by the
+    * event-type alphabet squared. Rows fold in (ts, event_id) order;
+    * each batch emits the user's FULL current counter rows (Update
+    * semantics — aggregate with max(n) per key over an append sink).
+    */
+  def streamingTransitions(ds: Dataset[TransEvent]): Dataset[TransUser] = {
+    implicit val stateEnc = Encoders.product[TransState]
+    implicit val outEnc = Encoders.product[TransUser]
+    ds.groupByKey(_.userId)(Encoders.scalaLong)
+      .flatMapGroupsWithState[TransState, TransUser](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: Long, rows: Iterator[TransEvent], state: GroupState[TransState]) =>
+          var st = state.getOption.getOrElse(
+            TransState("", Long.MinValue, Long.MinValue, Map.empty))
+          rows.toSeq.sortBy(r => (r.tsMicros, r.eventId)).foreach { r =>
+            if (st.lastType.nonEmpty) {
+              val k = st.lastType + " " + r.eventType
+              st = st.copy(counts =
+                st.counts.updated(k, st.counts.getOrElse(k, 0L) + 1L))
+            }
+            st = st.copy(lastType = r.eventType, lastTs = r.tsMicros,
+              lastId = r.eventId)
+          }
+          state.update(st)
+          st.counts.iterator.map { case (k, n) =>
+            val Array(p, nx) = k.split(" ", 2)
+            TransUser(key, p, nx, n)
+          }
+      }
+  }
+
   // ---------------------------------------------- streaming funnel
 
   final case class FunnelEvent(userId: Long, eventType: String,
