@@ -113,8 +113,17 @@ object RelationalPack extends QueryPack {
       val li = t(s, d, "lineitem")
       val sel = t(s, d, "supplier").filter(col("s_nationkey") < 5)
         .select(col("s_suppkey"))
-      val bitmap = BloomOps.buildBitmap(sel, "s_suppkey", m, k)
-      BloomOps.probe(li, "l_suppkey", bitmap, m, k)
+      // fastHash (codegen xxhash64): the prefilter's RESULT is
+      // hash-independent (zero FN under any family), so the md5
+      // engine-portable hash isn't needed here — and the pushed-down
+      // filter re-inlines the hash per bit check, so its per-row cost
+      // is paid ~2k times. Inline literal-array probe: zero joins on
+      // the fact side (probe()'s broadcast-join form covers the
+      // 10^10-key case and keeps its own oracle row, q_bloom_probe).
+      val bitmap = BloomOps.buildBitmap(sel, "s_suppkey", m, k,
+        hash = BloomOps.fastHash)
+      BloomOps.probeInline(li, "l_suppkey", bitmap, m, k,
+          hash = BloomOps.fastHash)
         .filter(col("bloom_hit"))
         .join(broadcast(sel), col("l_suppkey") === col("s_suppkey"))
         .groupBy("l_returnflag")
