@@ -96,7 +96,10 @@ object ScaleSoak {
     "q_bloom_join",
     // per-payload PCM decimation chain and the salted two-phase hot-key
     // aggregation (5-key space: the salt IS the scale story)
-    "q_audio_resample", "q_skew_agg")
+    "q_audio_resample", "q_skew_agg",
+    // edit-distance verification on LSH-capped candidates (metric cost
+    // bounded by the candidate set) and the per-user transition windows
+    "q_fuzzy_dedup", "q_event_transitions")
 
   /** Deep-soak subset (run at 30×): the newest heavy operators. The
     * format-fixture queries (kerchunk combine, COG levels, zarr append)
