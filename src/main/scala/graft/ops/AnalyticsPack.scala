@@ -69,6 +69,35 @@ object AnalyticsPack extends QueryPack {
       s.table(tbl)
     }),
 
+    // LAST-TOUCH attribution: each purchase credits the user's most
+    // recent view within a 7-day lookback — one per-user window pass
+    // (last_value IGNORE NULLS over strictly-preceding rows picks the
+    // attributing view's ts AND id from the same row), never a self-join.
+    "q_attribution" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val week7 = 7L * 86400L * 1000000L
+      val base = ev(s, d)
+        .filter(col("event_type").isin("view", "purchase"))
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          unix_micros(col("ts")).as("tus"))
+      val w = Window.partitionBy("user_id").orderBy(col("tus"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      base
+        .withColumn("lv_ts",
+          last(when(col("event_type") === "view", col("tus")), ignoreNulls = true).over(w))
+        .withColumn("lv_id",
+          last(when(col("event_type") === "view", col("event_id")), ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .withColumn("hit",
+          col("lv_ts").isNotNull && col("tus") - col("lv_ts") <= week7)
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(when(col("hit"), 1L).otherwise(0L)).as("n_attributed"),
+          coalesce(sum(when(col("hit"), col("tus") - col("lv_ts"))), lit(0L))
+            .as("sum_lag_micros"),
+          coalesce(sum(when(col("hit"), col("lv_id"))), lit(0L)).cast("long")
+            .as("view_id_checksum"))
+    }),
+
     // Markov transition counts over each user's event-type sequence (the
     // next-event model behind session prediction): one per-user lag window
     // then a map-side-combined count on the (prev, next) pair space —
@@ -317,6 +346,33 @@ object AnalyticsPack extends QueryPack {
 
     "q_stream_transitions" -> transitionsSql,
     "q_event_transitions" -> transitionsSql,
+
+    "q_attribution" ->
+      """WITH e AS (SELECT user_id, event_type, event_id,
+                           epoch_us(ts) AS tus
+                    FROM events WHERE event_type IN ('view', 'purchase')),
+         wv AS (SELECT user_id, event_type, event_id, tus,
+                       last_value(CASE WHEN event_type = 'view' THEN tus END
+                                  IGNORE NULLS)
+                         OVER (PARTITION BY user_id ORDER BY tus, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING) AS lv_ts,
+                       last_value(CASE WHEN event_type = 'view'
+                                       THEN event_id END IGNORE NULLS)
+                         OVER (PARTITION BY user_id ORDER BY tus, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING) AS lv_id
+                FROM e),
+         p AS (SELECT *, lv_ts IS NOT NULL
+                         AND tus - lv_ts <= 604800000000 AS hit
+               FROM wv WHERE event_type = 'purchase')
+         SELECT count(*)::BIGINT AS n_purchases,
+                sum(CASE WHEN hit THEN 1 ELSE 0 END)::BIGINT AS n_attributed,
+                coalesce(sum(CASE WHEN hit THEN tus - lv_ts END), 0)::BIGINT
+                  AS sum_lag_micros,
+                coalesce(sum(CASE WHEN hit THEN lv_id END), 0)::BIGINT
+                  AS view_id_checksum
+         FROM p""",
 
     "q_stream_join" ->
       """WITH v AS (SELECT user_id, event_id, epoch_us(ts) AS tus

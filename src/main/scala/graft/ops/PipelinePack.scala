@@ -480,6 +480,31 @@ object PipelinePack extends QueryPack {
           sum(col("sz")).cast("long").as("n_nodes"))
     }),
 
+    // triangle counting over the capped near-dup graph (the clustering-
+    // coefficient primitive): edges oriented low→high, then ONE self-join
+    // on the shared low vertex enumerates wedges and ONE more equi-join
+    // closes them — never a cartesian, candidate volume bounded by the
+    // LSH cap exactly like pair enumeration.
+    "q_triangles" -> ((s, d) => {
+      val sigs = TextOps.minhashSignatures(
+        TextOps.shingleArrays(docs(s, d), "doc_id", "text", 3), "doc_id", NumPerms)
+      val bands = TextOps.lshBandRows(sigs, "doc_id", RowsPerBand, NumPerms)
+      val e = TextOps.jaccardOnCandidates(
+          TextOps.candidatePairs(bands, "doc_id", MaxBucket), sigs, "doc_id")
+        .filter(col("jaccard") >= 0.5)
+        .select(col("doc_a").as("a"), col("doc_b").as("b")) // a < b already
+        .localCheckpoint()
+      val wedges = e.select(col("a"), col("b").as("b1"))
+        .join(e.select(col("a"), col("b").as("b2")), Seq("a"))
+        .filter(col("b1") < col("b2"))
+      val tri = wedges.join(
+        e.select(col("a").as("b1"), col("b").as("b2")), Seq("b1", "b2"))
+      tri.agg(count(lit(1)).as("n_triangles"),
+        countDistinct(col("a")).as("n_apex"),
+        sum(col("a") + col("b1") * 3 + col("b2") * 7).cast("long")
+          .as("tri_checksum"))
+    }),
+
     "q_dedup_clusters" -> ((s, d) => {
       val sigs = TextOps.minhashSignatures(
         TextOps.shingleArrays(docs(s, d), "doc_id", "text", 3), "doc_id", NumPerms)
@@ -2291,6 +2316,18 @@ object PipelinePack extends QueryPack {
                 sum(c2)::BIGINT AS total_c2,
                 sum(hc)::BIGINT AS hist_checksum
          FROM pc GROUP BY source""",
+    "q_triangles" ->
+      s"""WITH ${lshCtes("documents", MaxBucket)},
+         p AS (SELECT doc_a AS a, doc_b AS b FROM j
+               WHERE round(n_common::DOUBLE / (n_a + n_b - n_common), 6) >= 0.5),
+         w AS (SELECT e1.a, e1.b AS b1, e2.b AS b2
+               FROM p e1 JOIN p e2 ON e1.a = e2.a AND e1.b < e2.b),
+         t AS (SELECT w.a, w.b1, w.b2
+               FROM w JOIN p e3 ON e3.a = w.b1 AND e3.b = w.b2)
+         SELECT count(*)::BIGINT AS n_triangles,
+                count(DISTINCT a)::BIGINT AS n_apex,
+                sum(a + b1 * 3 + b2 * 7)::BIGINT AS tri_checksum
+         FROM t""",
     "q_label_prop" ->
       s"""WITH ${lshCtes("documents", MaxBucket)},
          p AS (SELECT doc_a, doc_b FROM j
