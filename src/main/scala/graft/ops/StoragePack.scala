@@ -210,6 +210,25 @@ object StoragePack extends QueryPack {
         col("n").cast("long").as("n"), col("sum_value").cast("double").as("sum_value"))
     }),
 
+    // ORC round-trip through the DataStore extension map (Spark-native
+    // columnar sibling of parquet): the same daily aggregate written as
+    // .orc and read back — exact longs plus the DECIMAL-summed value so
+    // the oracle is the direct aggregate over events
+    "q_orc_roundtrip" -> ((s, d) => {
+      val agg = GraftSession.events(s, d)
+        .groupBy(date_trunc("DAY", col("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value").cast("decimal(18,6)")), 6).cast("double")
+            .as("sum_value"))
+      val sfName = new java.io.File(d).getName
+      val path = s"/root/repo/.graft-fixtures/orc_roundtrip_$sfName.orc"
+      graft.Fixtures.ensureWritten(path, "daily-agg,orc") {
+        DataStore.writeDataset(agg, path)
+      }
+      DataStore.openDataset(s, path)
+        .select(col("day"), col("event_type"), col("n"), col("sum_value"))
+    }),
+
     // empty-chunk pruning: mask east of x=200, drop blocks that are all-NaN
     // (kept blocks keep their NaN cells — chunk-level semantics)
     "q_prune" -> ((s, d) => {
@@ -308,6 +327,11 @@ object StoragePack extends QueryPack {
     "q_csv_roundtrip" ->
       """SELECT date_trunc('day', ts) AS day, event_type,
                 count(*) AS n, round(sum(value), 6) AS sum_value
+         FROM events GROUP BY day, event_type""",
+    "q_orc_roundtrip" ->
+      """SELECT date_trunc('day', ts) AS day, event_type,
+                count(*) AS n,
+                round(sum(value::DECIMAL(18,6)), 6)::DOUBLE AS sum_value
          FROM events GROUP BY day, event_type""",
     "q_prune" ->
       s"""WITH ${CubePack.cubeCte},
