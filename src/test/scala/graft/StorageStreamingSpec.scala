@@ -198,6 +198,119 @@ class StorageStreamingSpec extends AnyFunSuite {
     assert(last(2L) == ((1L, 1L, 1L, 0L)))
   }
 
+  test("streaming funnel: stage chain advances across batches, strict order kept") {
+    import spark.implicits._
+    import graft.streaming.StatefulOps
+    import org.apache.spark.sql.streaming.Trigger
+    val src = tmpDir("funnel_src")
+    val ckpt = tmpDir("funnel_ckpt")
+    val t0 = 1700000000000000L
+    val min = 60000000L
+    def batch(rows: Seq[(Long, String, Long, Long)], n: Int): Unit =
+      rows.toDF("userId", "eventType", "tsMicros", "eventId")
+        .write.parquet(s"$src/b$n")
+    val last = scala.collection.mutable.Map.empty[Long, Seq[Long]]
+    def runOnePass(): Unit = {
+      val rows = spark.readStream
+        .schema("userId LONG, eventType STRING, tsMicros LONG, eventId LONG")
+        .option("recursiveFileLookup", "true").parquet(src)
+        .as[StatefulOps.FunnelEvent]
+      val q = StatefulOps.streamingFunnel(rows, Seq("view", "click", "purchase"))
+        .toDF().writeStream.outputMode("update")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          last.synchronized {
+            b.collect().foreach(r => last(r.getLong(0)) = r.getSeq[Long](1))
+          }
+          ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt).start()
+      q.awaitTermination()
+    }
+    // batch 1: u1 views; a click BEFORE the view must not convert later
+    batch(Seq((1L, "click", t0 - 5 * min, 1L), (1L, "view", t0, 2L)), 1)
+    runOnePass()
+    assert(last(1L) == Seq(t0))
+    // batch 2: click after the view converts stage 2; purchase stage 3
+    batch(Seq((1L, "click", t0 + 10 * min, 3L),
+      (1L, "purchase", t0 + 30 * min, 4L)), 2)
+    runOnePass()
+    assert(last(1L) == Seq(t0, t0 + 10 * min, t0 + 30 * min))
+  }
+
+  test("streaming retention: cohort fixed by first batch, offsets accumulate") {
+    import spark.implicits._
+    import graft.streaming.StatefulOps
+    import org.apache.spark.sql.streaming.Trigger
+    val src = tmpDir("ret_src")
+    val ckpt = tmpDir("ret_ckpt")
+    def batch(rows: Seq[(Long, Long)], n: Int): Unit =
+      rows.toDF("userId", "bucket").write.parquet(s"$src/b$n")
+    val got = scala.collection.mutable.Map.empty[(Long, Long, Long), Long]
+    def runOnePass(): Unit = {
+      val rows = spark.readStream.schema("userId LONG, bucket LONG")
+        .option("recursiveFileLookup", "true").parquet(src)
+        .as[StatefulOps.RetEvent]
+      val q = StatefulOps.streamingRetention(rows)
+        .toDF().writeStream.outputMode("update")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          got.synchronized {
+            b.collect().foreach(r => got(
+              (r.getLong(0), r.getLong(1), r.getLong(2))) = r.getLong(3))
+          }
+          ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt).start()
+      q.awaitTermination()
+    }
+    batch(Seq((1L, 100L), (1L, 100L)), 1) // cohort 100, 2 events at offset 0
+    runOnePass()
+    assert(got((1L, 100L, 0L)) == 2L)
+    batch(Seq((1L, 101L), (1L, 100L)), 2) // offset 1 opens; offset 0 grows
+    runOnePass()
+    assert(got((1L, 100L, 0L)) == 3L && got((1L, 100L, 1L)) == 1L)
+  }
+
+  test("streaming transitions: last-event state links pairs across batches") {
+    import spark.implicits._
+    import graft.streaming.StatefulOps
+    import org.apache.spark.sql.streaming.Trigger
+    val src = tmpDir("trans_src")
+    val ckpt = tmpDir("trans_ckpt")
+    val t0 = 1700000000000000L
+    def batch(rows: Seq[(Long, String, Long, Long)], n: Int): Unit =
+      rows.toDF("userId", "eventType", "tsMicros", "eventId")
+        .write.parquet(s"$src/b$n")
+    val got = scala.collection.mutable.Map.empty[(Long, String, String), Long]
+    def runOnePass(): Unit = {
+      val rows = spark.readStream
+        .schema("userId LONG, eventType STRING, tsMicros LONG, eventId LONG")
+        .option("recursiveFileLookup", "true").parquet(src)
+        .as[StatefulOps.TransEvent]
+      val q = StatefulOps.streamingTransitions(rows)
+        .toDF().writeStream.outputMode("update")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          got.synchronized {
+            b.collect().foreach(r => got(
+              (r.getLong(0), r.getString(1), r.getString(2))) = r.getLong(3))
+          }
+          ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt).start()
+      q.awaitTermination()
+    }
+    batch(Seq((1L, "view", t0, 1L), (1L, "click", t0 + 1, 2L)), 1)
+    runOnePass()
+    assert(got((1L, "view", "click")) == 1L)
+    // the cross-batch pair: last event of batch 1 (click) → view
+    batch(Seq((1L, "view", t0 + 2, 3L), (1L, "click", t0 + 3, 4L)), 2)
+    runOnePass()
+    assert(got((1L, "click", "view")) == 1L)
+    assert(got((1L, "view", "click")) == 2L)
+  }
+
   test("streaming near-dup: LSH bucket state flags later arrivals across batches") {
     import spark.implicits._
     import graft.streaming.StatefulOps
