@@ -76,6 +76,28 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), "bounded query/LUT sides must broadcast")
   }
 
+  test("q_triangles: wedge and closure joins are keyed, no cartesian") {
+    val p = plan("q_triangles")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      "triangle enumeration must stay keyed equi-joins")
+  }
+
+  test("q_attribution: one per-user window pass, no self-join") {
+    val p = plan("q_attribution")
+    assert(p.contains("Window"), "last-touch needs the per-user window")
+    assert(!p.contains("Join"),
+      "attribution is a window pass, never a purchases x views self-join")
+  }
+
+  test("q_bloom_join: inline probe leaves exactly one join (the exact one)") {
+    val p = plan("q_bloom_join")
+    val nJoins = "Join".r.findAllIn(p).length
+    assert(p.contains("BroadcastHashJoin"), "exact join must broadcast the dim")
+    assert(!p.contains("CartesianProduct"), p.take(400))
+    // the probe side must contribute zero joins: bitmap rides inline
+    assert(nJoins <= 4, s"probe must not join per hash function:\n${p.take(1200)}")
+  }
+
   test("q_star_join: one fact shuffle, whole dimension chain broadcast") {
     val p = plan("q_star_join")
     assert(!p.contains("CartesianProduct"), p.take(600))
