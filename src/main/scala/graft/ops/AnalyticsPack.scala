@@ -98,6 +98,46 @@ object AnalyticsPack extends QueryPack {
             .as("view_id_checksum"))
     }),
 
+    // the INCREMENTAL last-touch attribution: O(1) per-user state (most
+    // recent view + running totals); oracle = q_attribution's SQL verbatim
+    "q_stream_attribution" -> ((s, d) => {
+      import s.implicits._
+      import graft.streaming.StatefulOps
+      val sfName = new java.io.File(d).getName
+      val fixDir = s"/root/repo/.graft-fixtures/attr_events_$sfName"
+      graft.Fixtures.ensureWritten(fixDir, "events(user,type,tsMicros,id),1file") {
+        ev(s, d)
+          .filter(col("event_type").isin("view", "purchase"))
+          .select(col("user_id").as("userId"),
+            col("event_type").as("eventType"),
+            unix_micros(col("ts")).as("tsMicros"),
+            col("event_id").as("eventId"))
+          .coalesce(1)
+          .write.mode("overwrite").parquet(fixDir)
+      }
+      val rows = s.readStream
+        .schema("userId LONG, eventType STRING, tsMicros LONG, eventId LONG")
+        .parquet(fixDir)
+        .as[StatefulOps.AttrEvent]
+      val tbl = s"q_stream_attribution_${streamCounter.incrementAndGet()}"
+      val q = StatefulOps.streamingAttribution(rows, 7L * 86400L)
+        .toDF().writeStream.format("memory").queryName(tbl)
+        .outputMode("update")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(tbl)
+        .groupBy("user_id")
+        .agg(max(col("n_purchases")).as("np"),
+          max(col("n_attributed")).as("na"),
+          max(col("sum_lag_micros")).as("sl"),
+          max(col("view_id_checksum")).as("vc"))
+        .agg(sum(col("np")).as("n_purchases"),
+          sum(col("na")).as("n_attributed"),
+          coalesce(sum(col("sl")), lit(0L)).as("sum_lag_micros"),
+          coalesce(sum(col("vc")), lit(0L)).cast("long")
+            .as("view_id_checksum"))
+    }),
+
     // Markov transition counts over each user's event-type sequence (the
     // next-event model behind session prediction): one per-user lag window
     // then a map-side-combined count on the (prev, next) pair space —
@@ -324,31 +364,9 @@ object AnalyticsPack extends QueryPack {
          FROM seq WHERE prev_type IS NOT NULL
          GROUP BY prev_type, next_type"""
 
-  /** q_retention's oracle — also gates the incremental q_stream_retention. */
-  private val retentionSql: String =
-    """WITH b AS (SELECT user_id AS u,
-                           epoch_us(ts) // 604800000000 AS bk FROM events),
-         c AS (SELECT u, min(bk) AS cb FROM b GROUP BY u)
-         SELECT make_timestamp((cb * 604800000000)::BIGINT) AS cohort_start,
-                (bk - cb)::BIGINT AS offset,
-                count(DISTINCT u)::BIGINT AS n_users,
-                count(*)::BIGINT AS n_events
-         FROM b JOIN c USING (u) GROUP BY 1, 2"""
-
-  override def oracleSql: Map[String, String] = Map(
-
-    "q_stream_funnel" -> funnelSql,
-
-    "q_funnel" -> funnelSql,
-
-    "q_retention" -> retentionSql,
-    "q_stream_retention" -> retentionSql,
-
-    "q_stream_transitions" -> transitionsSql,
-    "q_event_transitions" -> transitionsSql,
-
-    "q_attribution" ->
-      """WITH e AS (SELECT user_id, event_type, event_id,
+  /** q_attribution's oracle — also gates the incremental twin. */
+  private val attributionSql: String =
+    """WITH e AS (SELECT user_id, event_type, event_id,
                            epoch_us(ts) AS tus
                     FROM events WHERE event_type IN ('view', 'purchase')),
          wv AS (SELECT user_id, event_type, event_id, tus,
@@ -372,7 +390,33 @@ object AnalyticsPack extends QueryPack {
                   AS sum_lag_micros,
                 coalesce(sum(CASE WHEN hit THEN lv_id END), 0)::BIGINT
                   AS view_id_checksum
-         FROM p""",
+         FROM p"""
+
+  /** q_retention's oracle — also gates the incremental q_stream_retention. */
+  private val retentionSql: String =
+    """WITH b AS (SELECT user_id AS u,
+                           epoch_us(ts) // 604800000000 AS bk FROM events),
+         c AS (SELECT u, min(bk) AS cb FROM b GROUP BY u)
+         SELECT make_timestamp((cb * 604800000000)::BIGINT) AS cohort_start,
+                (bk - cb)::BIGINT AS offset,
+                count(DISTINCT u)::BIGINT AS n_users,
+                count(*)::BIGINT AS n_events
+         FROM b JOIN c USING (u) GROUP BY 1, 2"""
+
+  override def oracleSql: Map[String, String] = Map(
+
+    "q_stream_funnel" -> funnelSql,
+
+    "q_funnel" -> funnelSql,
+
+    "q_retention" -> retentionSql,
+    "q_stream_retention" -> retentionSql,
+
+    "q_stream_transitions" -> transitionsSql,
+    "q_event_transitions" -> transitionsSql,
+
+    "q_attribution" -> attributionSql,
+    "q_stream_attribution" -> attributionSql,
 
     "q_stream_join" ->
       """WITH v AS (SELECT user_id, event_id, epoch_us(ts) AS tus

@@ -640,6 +640,22 @@ object PipelinePack extends QueryPack {
         .groupBy("source")
         .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("sum_chars"))),
 
+    // EXPORT MANIFEST: the reproducible-training-run contract — shard
+    // assignment and per-shard row counts + content checksums derive only
+    // from the data (key hash), so re-exporting the same corpus anywhere
+    // yields byte-identical manifests. One map-side-combined aggregation.
+    "q_export_manifest" -> ((s, d) => {
+      docs(s, d)
+        .select((SampleOps.keyHash(col("doc_id")) % 16).as("shard"),
+          col("doc_id"), col("n_chars"),
+          (SampleOps.keyHash(col("text")) % 1000000007L).as("cs"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(col("cs")).as("content_checksum"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+    }),
+
     // deterministic export order: stable pseudorandom shuffle by key hash;
     // the head-k form plans as TakeOrderedAndProject (no global sort)
     "q_export_head" -> ((s, d) =>
@@ -2510,6 +2526,19 @@ object PipelinePack extends QueryPack {
                 fp IN (SELECT fp FROM bl) AS blocked,
                 count(*) AS n_docs, sum(doc_id)::BIGINT AS id_sum
          FROM hits GROUP BY 1, 2""",
+    "q_export_manifest" ->
+      """WITH b AS (
+           SELECT ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 16
+                    AS shard,
+                  doc_id, n_chars,
+                  ('0x' || substr(md5(text), 1, 15))::BIGINT % 1000000007
+                    AS cs
+           FROM documents)
+         SELECT shard, count(*)::BIGINT AS n_docs,
+                sum(n_chars)::BIGINT AS sum_chars,
+                sum(cs)::BIGINT AS content_checksum,
+                min(doc_id)::BIGINT AS min_id, max(doc_id)::BIGINT AS max_id
+         FROM b GROUP BY shard""",
     "q_split_assign" ->
       """WITH b AS (
            SELECT ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100 AS bucket,

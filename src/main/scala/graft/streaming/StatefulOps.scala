@@ -235,6 +235,58 @@ object StatefulOps {
       }
   }
 
+  // ---------------------------------------------- streaming attribution
+
+  final case class AttrEvent(userId: Long, eventType: String,
+                             tsMicros: Long, eventId: Long)
+
+  /** Last view (ts, id) + purchase attribution totals for one user. */
+  final case class AttrState(lastViewTs: Long, lastViewId: Long,
+                             nPurchases: Long, nAttributed: Long,
+                             sumLag: Long, viewIdSum: Long)
+
+  final case class AttrUser(user_id: Long, n_purchases: Long,
+                            n_attributed: Long, sum_lag_micros: Long,
+                            view_id_checksum: Long)
+
+  /** Incremental last-touch attribution — the streaming form of
+    * q_attribution: per user, O(1) state (the most recent view + running
+    * attribution totals); a purchase within `lookbackSec` of that view is
+    * credited to it. Rows fold in (ts, event_id) order; monotone arrivals
+    * make the fold equal the batch window pass exactly.
+    */
+  def streamingAttribution(ds: Dataset[AttrEvent],
+                           lookbackSec: Long): Dataset[AttrUser] = {
+    val lookUs = lookbackSec * 1000000L
+    implicit val stateEnc = Encoders.product[AttrState]
+    implicit val outEnc = Encoders.product[AttrUser]
+    ds.groupByKey(_.userId)(Encoders.scalaLong)
+      .flatMapGroupsWithState[AttrState, AttrUser](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: Long, rows: Iterator[AttrEvent], state: GroupState[AttrState]) =>
+          var st = state.getOption.getOrElse(
+            AttrState(Long.MinValue, Long.MinValue, 0L, 0L, 0L, 0L))
+          rows.toSeq.sortBy(r => (r.tsMicros, r.eventId)).foreach { r =>
+            if (r.eventType == "view")
+              st = st.copy(lastViewTs = r.tsMicros, lastViewId = r.eventId)
+            else if (r.eventType == "purchase") {
+              val hit = st.lastViewTs != Long.MinValue &&
+                r.tsMicros - st.lastViewTs <= lookUs
+              st = st.copy(
+                nPurchases = st.nPurchases + 1,
+                nAttributed = st.nAttributed + (if (hit) 1L else 0L),
+                sumLag = st.sumLag +
+                  (if (hit) r.tsMicros - st.lastViewTs else 0L),
+                viewIdSum = st.viewIdSum + (if (hit) st.lastViewId else 0L))
+            }
+          }
+          state.update(st)
+          if (st.nPurchases == 0L) Iterator.empty
+          else Iterator(AttrUser(key, st.nPurchases, st.nAttributed,
+            st.sumLag, st.viewIdSum))
+      }
+  }
+
   // ---------------------------------------------- streaming near-dup dedup
 
   /** One (doc, LSH band) row: `bandKey` is the banded-signature bucket
