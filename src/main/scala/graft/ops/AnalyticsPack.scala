@@ -138,6 +138,28 @@ object AnalyticsPack extends QueryPack {
             .as("view_id_checksum"))
     }),
 
+    // SLIDING window frames, both kinds in one pass: a 4-row ROWS frame
+    // (rolling cents sum/max) and a ±30-minute RANGE frame over event
+    // time (how many of the user's events fall in the hour around each
+    // one) — per-user frames, exact integers, sampled output.
+    "q_rolling" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val base = ev(s, d).select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("tus"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+      val rowsW = Window.partitionBy("user_id").orderBy(col("tus"), col("event_id"))
+        .rowsBetween(-3, 0)
+      val rangeW = Window.partitionBy("user_id").orderBy(col("tus"))
+        .rangeBetween(-1800000000L, 1800000000L)
+      base
+        .withColumn("roll_sum", sum(col("cents")).over(rowsW))
+        .withColumn("roll_max", max(col("cents")).over(rowsW))
+        .withColumn("n_nearby", count(lit(1)).over(rangeW))
+        .filter(col("event_id") % 97 === 1)
+        .select(col("user_id"), col("event_id"), col("roll_sum"),
+          col("roll_max"), col("n_nearby"))
+    }),
+
     // Markov transition counts over each user's event-type sequence (the
     // next-event model behind session prediction): one per-user lag window
     // then a map-side-combined count on the (prev, next) pair space —
@@ -414,6 +436,26 @@ object AnalyticsPack extends QueryPack {
 
     "q_stream_transitions" -> transitionsSql,
     "q_event_transitions" -> transitionsSql,
+
+    "q_rolling" ->
+      """WITH b AS (SELECT user_id, event_id, epoch_us(ts) AS tus,
+                           CAST(round(value * 100) AS BIGINT) AS cents
+                    FROM events),
+         w AS (SELECT user_id, event_id,
+                      -- DuckDB windowed sum(BIGINT) yields HUGEINT: pin it
+                      (sum(cents) OVER (PARTITION BY user_id
+                        ORDER BY tus, event_id
+                        ROWS BETWEEN 3 PRECEDING AND CURRENT ROW))::BIGINT
+                        AS roll_sum,
+                      max(cents) OVER (PARTITION BY user_id
+                        ORDER BY tus, event_id
+                        ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS roll_max,
+                      count(*) OVER (PARTITION BY user_id ORDER BY tus
+                        RANGE BETWEEN 1800000000 PRECEDING
+                                  AND 1800000000 FOLLOWING) AS n_nearby
+               FROM b)
+         SELECT user_id, event_id, roll_sum, roll_max, n_nearby
+         FROM w WHERE event_id % 97 = 1""",
 
     "q_attribution" -> attributionSql,
     "q_stream_attribution" -> attributionSql,
