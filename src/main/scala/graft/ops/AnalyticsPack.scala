@@ -138,6 +138,29 @@ object AnalyticsPack extends QueryPack {
             .as("view_id_checksum"))
     }),
 
+    // STREAM-STATIC enrichment join: the streaming micro-batches join a
+    // static dimension (event_type → integer weight) per batch — the
+    // standard reference-data enrichment; the dim broadcasts into every
+    // micro-batch, so the stream side never shuffles before its agg.
+    "q_stream_enrich" -> ((s, d) => {
+      import s.implicits._
+      val weights = Seq("view" -> 1L, "click" -> 3L, "purchase" -> 10L,
+        "signup" -> 5L, "error" -> 0L).toDF("event_type", "weight")
+      val schema = GraftSession.table(s, d, "events").schema
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(d)
+        .transform(GraftSession.normalizeTs(_))
+        .join(broadcast(weights), Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("weight")).as("sum_weight"))
+      val tbl = s"q_stream_enrich_${streamCounter.incrementAndGet()}"
+      val q = stream.writeStream.format("memory").queryName(tbl)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(tbl)
+    }),
+
     // SLIDING window frames, both kinds in one pass: a 4-row ROWS frame
     // (rolling cents sum/max) and a ±30-minute RANGE frame over event
     // time (how many of the user's events fall in the hour around each
@@ -436,6 +459,15 @@ object AnalyticsPack extends QueryPack {
 
     "q_stream_transitions" -> transitionsSql,
     "q_event_transitions" -> transitionsSql,
+
+    "q_stream_enrich" ->
+      """WITH w(event_type, weight) AS (VALUES
+           ('view', 1), ('click', 3), ('purchase', 10),
+           ('signup', 5), ('error', 0))
+         SELECT e.event_type, count(*)::BIGINT AS n,
+                sum(w.weight)::BIGINT AS sum_weight
+         FROM events e JOIN w USING (event_type)
+         GROUP BY e.event_type""",
 
     "q_rolling" ->
       """WITH b AS (SELECT user_id, event_id, epoch_us(ts) AS tus,

@@ -99,7 +99,10 @@ object ScaleSoak {
     "q_audio_resample", "q_skew_agg",
     // edit-distance verification on LSH-capped candidates (metric cost
     // bounded by the candidate set) and the per-user transition windows
-    "q_fuzzy_dedup", "q_event_transitions")
+    "q_fuzzy_dedup", "q_event_transitions",
+    // wedge-closure triangle joins (capped edge list), the attribution
+    // window pass, sliding ROWS/RANGE frames and the manifest aggregation
+    "q_triangles", "q_attribution", "q_rolling", "q_export_manifest")
 
   /** Deep-soak subset (run at 30×): the newest heavy operators. The
     * format-fixture queries (kerchunk combine, COG levels, zarr append)
