@@ -250,6 +250,35 @@ object PipelinePack extends QueryPack {
         ev.agg(countDistinct(col("user_id")).as("nd")))
     }),
 
+    // GROUPED HLL: per-group register tables — the "distinct users per
+    // segment" primitive whose state is 1024 registers per group however
+    // large each group grows (exact countDistinct state grows with the
+    // group). Registers per (group, bucket) in one map-side-combined max;
+    // the same order-free-exact estimator arithmetic as q_hll, checked
+    // against the exact distinct per group.
+    "q_hll_grouped" -> ((s, d) => {
+      val m = 1024
+      val ev = GraftSession.events(s, d)
+      val regs = ev.select(col("event_type"),
+          expr("cast(conv(substr(md5(cast(user_id as string)), 1, 15), 16, 10) as bigint)").as("h"))
+        .select(col("event_type"), (col("h") % m).as("bucket"),
+          when(expr(s"h div $m") === 0, lit(51))
+            .otherwise(lit(51) - length(expr(s"bin(h div $m)"))).as("rho"))
+        .groupBy("event_type", "bucket").agg(max(col("rho")).as("reg"))
+      val est = regs.groupBy("event_type").agg(
+        count(lit(1)).as("n_buckets"),
+        sum(lit(1.0) / expr("shiftleft(1L, cast(reg as int))")).as("sum_inv"))
+      val exact = ev.groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("nd"))
+      est.join(exact, Seq("event_type"))
+        .select(col("event_type"),
+          (lit(m) - col("n_buckets")).cast("long").as("v_zero"),
+          round(lit(0.7213 / (1.0 + 1.079 / 1024)) * lit(1024.0) * lit(1024.0) /
+            (col("sum_inv") + (lit(m) - col("n_buckets")).cast("double")), 6)
+            .as("raw_estimate"),
+          col("nd").as("exact_distinct"))
+    }),
+
     // the STREAMED HLL: register maxes are merge-order-free, so the
     // streamed register table (groupBy bucket, max rho, Complete mode)
     // converges to the batch registers EXACTLY — same estimator, same
@@ -1897,6 +1926,27 @@ object PipelinePack extends QueryPack {
   override def oracleSql: Map[String, String] = Map(
     "q_hll" -> hllSql,
     "q_stream_hll" -> hllSql, // streamed registers converge to batch exactly
+    "q_hll_grouped" ->
+      """WITH h AS (SELECT event_type,
+                           ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h
+                    FROM events),
+         r AS (SELECT event_type, h % 1024 AS bucket,
+                      CASE WHEN h // 1024 = 0 THEN 51
+                           ELSE 51 - length(bin(h // 1024)) END AS rho
+               FROM h),
+         regs AS (SELECT event_type, bucket, max(rho) AS reg
+                  FROM r GROUP BY event_type, bucket),
+         agg AS (SELECT event_type, count(*)::BIGINT AS n_buckets,
+                        sum(1.0 / (1::BIGINT << reg)) AS sum_inv
+                 FROM regs GROUP BY event_type),
+         ex AS (SELECT event_type, count(DISTINCT user_id)::BIGINT AS nd
+                FROM events GROUP BY event_type)
+         SELECT a.event_type,
+                (1024 - n_buckets)::BIGINT AS v_zero,
+                round(0.7213 / (1.0 + 1.079 / 1024) * 1024.0 * 1024.0 /
+                      (sum_inv + (1024 - n_buckets)), 6) AS raw_estimate,
+                nd AS exact_distinct
+         FROM agg a JOIN ex USING (event_type)""",
     "q_cms" ->
       """WITH exact AS (SELECT user_id, count(*)::BIGINT AS exact_n
                         FROM events GROUP BY user_id),
