@@ -138,6 +138,44 @@ object AnalyticsPack extends QueryPack {
             .as("view_id_checksum"))
     }),
 
+    // AUDIENCE OVERLAP: distinct users per event-type pair — the segment
+    // intersection matrix. Deduplicate (type, user) FIRST (map-side
+    // combined), then the self-join on user_id runs over one row per
+    // (user, type): per-user fanout is bounded by |types|², never by the
+    // user's event count.
+    "q_audience_overlap" -> ((s, d) => {
+      val tu = ev(s, d).select(col("event_type"), col("user_id")).distinct()
+      val a = tu.select(col("event_type").as("type_a"), col("user_id"))
+      val b = tu.select(col("event_type").as("type_b"), col("user_id"))
+      a.join(b, Seq("user_id"))
+        .filter(col("type_a") < col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(count(lit(1)).as("n_both"))
+    }),
+
+    // COHORT VALUE (LTV) curve: per (cohort week, offset), the cumulative
+    // per-user-week value in exact integer cents — retention's monetary
+    // sibling; the cumulative window runs over the bounded
+    // (cohort × offset) table, never the events.
+    "q_cohort_value" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val busec = WeekSec * 1000000L
+      val bucketed = ev(s, d).select(col("user_id").as("u"),
+        expr(s"unix_micros(ts) div ${busec}L").as("bk"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+      val cohorts = bucketed.groupBy("u").agg(min(col("bk")).as("cohort_bk"))
+      val cells = bucketed.join(cohorts, Seq("u"))
+        .groupBy(col("cohort_bk"), (col("bk") - col("cohort_bk")).as("offset"))
+        .agg(sum(col("cents")).as("week_cents"),
+          countDistinct(col("u")).as("n_users"))
+      val w = Window.partitionBy("cohort_bk").orderBy("offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      cells
+        .withColumn("cum_cents", sum(col("week_cents")).over(w))
+        .select(timestamp_micros(col("cohort_bk") * busec).as("cohort_start"),
+          col("offset"), col("n_users"), col("week_cents"), col("cum_cents"))
+    }),
+
     // STREAM-STATIC enrichment join: the streaming micro-batches join a
     // static dimension (event_type → integer weight) per batch — the
     // standard reference-data enrichment; the dim broadcasts into every
@@ -459,6 +497,33 @@ object AnalyticsPack extends QueryPack {
 
     "q_stream_transitions" -> transitionsSql,
     "q_event_transitions" -> transitionsSql,
+
+    "q_audience_overlap" ->
+      """WITH tu AS (SELECT DISTINCT event_type, user_id FROM events)
+         SELECT a.event_type AS type_a, b.event_type AS type_b,
+                count(*)::BIGINT AS n_both
+         FROM tu a JOIN tu b ON a.user_id = b.user_id
+                            AND a.event_type < b.event_type
+         GROUP BY type_a, type_b""",
+
+    "q_cohort_value" ->
+      """WITH b AS (SELECT user_id AS u,
+                           epoch_us(ts) // 604800000000 AS bk,
+                           CAST(round(value * 100) AS BIGINT) AS cents
+                    FROM events),
+         c AS (SELECT u, min(bk) AS cb FROM b GROUP BY u),
+         cells AS (SELECT cb AS cohort_bk, (bk - cb) AS off,
+                          sum(cents)::BIGINT AS week_cents,
+                          count(DISTINCT u)::BIGINT AS n_users
+                   FROM b JOIN c USING (u)
+                   GROUP BY 1, 2)
+         SELECT make_timestamp((cohort_bk * 604800000000)::BIGINT)
+                  AS cohort_start,
+                off::BIGINT AS offset, n_users, week_cents,
+                (sum(week_cents) OVER (PARTITION BY cohort_bk ORDER BY off
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+                  AS cum_cents
+         FROM cells""",
 
     "q_stream_enrich" ->
       """WITH w(event_type, weight) AS (VALUES
