@@ -102,7 +102,11 @@ object ScaleSoak {
     "q_fuzzy_dedup", "q_event_transitions",
     // wedge-closure triangle joins (capped edge list), the attribution
     // window pass, sliding ROWS/RANGE frames and the manifest aggregation
-    "q_triangles", "q_attribution", "q_rolling", "q_export_manifest")
+    "q_triangles", "q_attribution", "q_rolling", "q_export_manifest",
+    // per-segment HLL (register table = groups × 1024 however large the
+    // groups), the deduped audience self-join (per-user fanout ≤ |types|²)
+    // and the cohort LTV cumulative (window over cohort×offset cells)
+    "q_hll_grouped", "q_audience_overlap", "q_cohort_value")
 
   /** Deep-soak subset (run at 30×): the newest heavy operators. The
     * format-fixture queries (kerchunk combine, COG levels, zarr append)
