@@ -138,6 +138,23 @@ object AnalyticsPack extends QueryPack {
             .as("view_id_checksum"))
     }),
 
+    // INTER-ARRIVAL gaps (traffic/burstiness modeling): per-user lag
+    // window → exact microsecond gaps, summarized per event_type of the
+    // later event. One window pass + one map-side-combined agg.
+    "q_interarrival" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("tus"), col("event_id"))
+      ev(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("tus"))
+        .withColumn("gap", col("tus") - lag(col("tus"), 1).over(w))
+        .filter(col("gap").isNotNull)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_gaps"),
+          sum(col("gap")).as("sum_gap_micros"),
+          min(col("gap")).as("min_gap"), max(col("gap")).as("max_gap"))
+    }),
+
     // AUDIENCE OVERLAP: distinct users per event-type pair — the segment
     // intersection matrix. Deduplicate (type, user) FIRST (map-side
     // combined), then the self-join on user_id runs over one row per
@@ -497,6 +514,18 @@ object AnalyticsPack extends QueryPack {
 
     "q_stream_transitions" -> transitionsSql,
     "q_event_transitions" -> transitionsSql,
+
+    "q_interarrival" ->
+      """WITH g AS (SELECT event_type,
+                           epoch_us(ts) - lag(epoch_us(ts)) OVER
+                             (PARTITION BY user_id ORDER BY epoch_us(ts),
+                              event_id) AS gap
+                    FROM events)
+         SELECT event_type, count(*)::BIGINT AS n_gaps,
+                sum(gap)::BIGINT AS sum_gap_micros,
+                min(gap)::BIGINT AS min_gap, max(gap)::BIGINT AS max_gap
+         FROM g WHERE gap IS NOT NULL
+         GROUP BY event_type""",
 
     "q_audience_overlap" ->
       """WITH tu AS (SELECT DISTINCT event_type, user_id FROM events)

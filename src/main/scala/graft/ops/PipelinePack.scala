@@ -1373,6 +1373,30 @@ object PipelinePack extends QueryPack {
           sum(col("doc_a") * 7 + col("doc_b")).cast("long").as("pair_checksum"))
     }),
 
+    // ZIPF rank-frequency slope (the corpus-health diagnostic: natural
+    // text sits near −1): top-30 terms through the bounded-heap top-k,
+    // least-squares slope of lnq(count) vs lnq(rank) in integer
+    // micro-nats — numerator and denominator emitted as EXACT longs (the
+    // DSIR no-division discipline), ln quantized on small integers only.
+    "q_zipf" -> ((s, d) => {
+      def lnq(c: org.apache.spark.sql.Column) =
+        round(log(c.cast("double")) * 1e6).cast("long")
+      val counts = docs(s, d)
+        .select(explode(TextOps.tokens(col("text"))).as("t"))
+        .groupBy("t").agg(count(lit(1)).as("c"))
+      counts
+        .agg(graft.functions.TopK.bottomK(
+          struct(negate(col("c")).as("__o"), col("t"), col("c")), 30).as("__tk"))
+        .select(posexplode(col("__tk")).as(Seq("__p", "__r")))
+        .select((col("__p") + 1).cast("long").as("r"), col("__r.c").as("c"))
+        .select(lnq(col("r")).as("x"), lnq(col("c")).as("y"))
+        .agg(count(lit(1)).as("n_terms"),
+          (count(lit(1)) * sum(col("x") * col("y")) -
+            sum(col("x")) * sum(col("y"))).cast("long").as("slope_num"),
+          (count(lit(1)) * sum(col("x") * col("x")) -
+            sum(col("x")) * sum(col("x"))).cast("long").as("slope_den"))
+    }),
+
     // token counting per source: whitespace tokens vs BPE-ish regex tokens,
     // plus a stopword-ratio quality score
     "q_token_count" -> ((s, d) => {
@@ -3210,6 +3234,21 @@ object PipelinePack extends QueryPack {
          SELECT hd::BIGINT AS hd, count(*)::BIGINT AS n_pairs,
                 sum(doc_a * 7 + doc_b)::BIGINT AS pair_checksum
          FROM hdq WHERE hd <= 3 GROUP BY hd""",
+    "q_zipf" ->
+      """WITH tc AS (SELECT t, count(*)::BIGINT AS c
+                     FROM (SELECT unnest(string_split(text, ' ')) AS t
+                           FROM documents)
+                     GROUP BY t),
+         top AS (SELECT t, c,
+                        row_number() OVER (ORDER BY c DESC, t) AS r
+                 FROM tc QUALIFY r <= 30),
+         q AS (SELECT CAST(round(1e6 * ln(r::DOUBLE)) AS BIGINT) AS x,
+                      CAST(round(1e6 * ln(c::DOUBLE)) AS BIGINT) AS y
+               FROM top)
+         SELECT count(*)::BIGINT AS n_terms,
+                (count(*) * sum(x*y) - sum(x) * sum(y))::BIGINT AS slope_num,
+                (count(*) * sum(x*x) - sum(x) * sum(x))::BIGINT AS slope_den
+         FROM q""",
     "q_token_count" ->
       """WITH perdoc AS (
            SELECT source,
