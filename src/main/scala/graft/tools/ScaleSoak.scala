@@ -106,7 +106,10 @@ object ScaleSoak {
     // per-segment HLL (register table = groups × 1024 however large the
     // groups), the deduped audience self-join (per-user fanout ≤ |types|²)
     // and the cohort LTV cumulative (window over cohort×offset cells)
-    "q_hll_grouped", "q_audience_overlap", "q_cohort_value")
+    "q_hll_grouped", "q_audience_overlap", "q_cohort_value",
+    // inter-arrival lag windows and the Zipf top-30 slope (vocabulary-
+    // bounded heap + 30-row regression)
+    "q_interarrival", "q_zipf")
 
   /** Deep-soak subset (run at 30×): the newest heavy operators. The
     * format-fixture queries (kerchunk combine, COG levels, zarr append)
