@@ -424,6 +424,25 @@ object TextOps {
           (size(col("sh_a")) + size(col("sh_b")) - col("n_common")), 6).as("jaccard"))
   }
 
+  /** CONTAINMENT on candidates (Broder's asymmetric near-dup measure):
+    * |A∩B| / |A| — catches a document embedded inside a longer one, which
+    * symmetric Jaccard dilutes away. Same shape as
+    * [[jaccardOnCandidates]]: two keyed joins back to the shingle arrays,
+    * exact intersection on candidates only.
+    */
+  def containmentOnCandidates(cands: DataFrame, withSh: DataFrame,
+                              docCol: String): DataFrame = {
+    val a = withSh.select(col(docCol).as("doc_a"), col("sh").as("sh_a"))
+    val b = withSh.select(col(docCol).as("doc_b"), col("sh").as("sh_b"))
+    cands.join(a, Seq("doc_a")).join(b, Seq("doc_b"))
+      .withColumn("n_common", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("n_common").cast("double") / size(col("sh_a")), 6)
+          .as("containment_a"),
+        round(col("n_common").cast("double") / size(col("sh_b")), 6)
+          .as("containment_b"))
+  }
+
   /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
     * SIGMOD'03 — the standard rolling-hash fingerprinting scheme):
     * character k-grams of the normalized text are hashed with a polynomial

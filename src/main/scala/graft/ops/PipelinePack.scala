@@ -1318,6 +1318,30 @@ object PipelinePack extends QueryPack {
           sum(col("n") * (col("n") - 1) / 2).cast("long").as("n_pairs"))
     }),
 
+    // CONTAINMENT near-dup (Broder's asymmetric measure): planted
+    // fragment docs (the first half of every 37th document) must be
+    // caught as |A∩B|/|A| ≈ 1 even though symmetric Jaccard ≈ 0.5 —
+    // the embedded-boilerplate case LSH + containment verification
+    // exists for. Candidates from the capped band join, exact shingle
+    // intersection on candidates only.
+    "q_containment" -> ((s, d) => {
+      val dd = docs(s, d).select(col("doc_id"), col("text"))
+      val frags = dd.filter(col("doc_id") % 37 === 0)
+        .select((col("doc_id") + 7000000L).as("doc_id"),
+          expr("substring(text, 1, length(text) div 2)").as("text"))
+      val corpus = dd.unionByName(frags)
+      val sigs = TextOps.minhashSignatures(
+        TextOps.shingleArrays(corpus, "doc_id", "text", 3), "doc_id", NumPerms)
+      val bands = TextOps.lshBandRows(sigs, "doc_id", RowsPerBand, NumPerms)
+      val cands = TextOps.candidatePairs(bands, "doc_id", MaxBucket)
+      TextOps.containmentOnCandidates(cands, sigs, "doc_id")
+        .filter(greatest(col("containment_a"), col("containment_b")) >= 0.9)
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("containment_a") >= 0.9, 1L).otherwise(0L)).as("n_a_in_b"),
+          sum(when(col("containment_b") >= 0.9, 1L).otherwise(0L)).as("n_b_in_a"),
+          sum(col("doc_a") * 7 + col("doc_b")).cast("long").as("pair_checksum"))
+    }),
+
     // record-linkage verification by EDIT DISTANCE: the LSH-capped
     // candidate pairs verified with levenshtein over 80-char prefixes —
     // blocking + pairwise metric, the entity-resolution shape. Both
@@ -3192,6 +3216,26 @@ object PipelinePack extends QueryPack {
          SELECT band, count(*) AS n_buckets,
                 (sum(n * (n - 1) / 2))::BIGINT AS n_pairs
          FROM buckets GROUP BY band""",
+    "q_containment" ->
+      s"""WITH planted AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 7000000, substr(text, 1, len(text) // 2)
+           FROM documents WHERE doc_id % 37 = 0),
+         ${lshCtes("planted", MaxBucket)},
+         ct AS (SELECT c.doc_a, c.doc_b,
+                       round(len(list_intersect(sa.sh, sb.sh))::DOUBLE /
+                             len(sa.sh), 6) AS ca,
+                       round(len(list_intersect(sa.sh, sb.sh))::DOUBLE /
+                             len(sb.sh), 6) AS cb
+                FROM cand c
+                JOIN sigs sa ON sa.doc_id = c.doc_a
+                JOIN sigs sb ON sb.doc_id = c.doc_b)
+         SELECT count(*)::BIGINT AS n_pairs,
+                sum(CASE WHEN ca >= 0.9 THEN 1 ELSE 0 END)::BIGINT AS n_a_in_b,
+                sum(CASE WHEN cb >= 0.9 THEN 1 ELSE 0 END)::BIGINT AS n_b_in_a,
+                sum(doc_a * 7 + doc_b)::BIGINT AS pair_checksum
+         FROM ct WHERE greatest(ca, cb) >= 0.9""",
     "q_fuzzy_dedup" ->
       s"""WITH ${lshCtes("documents", MaxBucket)},
          lv AS (SELECT c.doc_a, c.doc_b,
