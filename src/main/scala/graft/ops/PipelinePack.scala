@@ -1397,6 +1397,38 @@ object PipelinePack extends QueryPack {
           sum(col("doc_a") * 7 + col("doc_b")).cast("long").as("pair_checksum"))
     }),
 
+    // PMI collocations (pointwise mutual information over adjacent
+    // bigrams — the phrase-mining signal): pmi = ln(c12·N/(c1·c2))
+    // assembled from per-count micro-nat quantizations, so the ranking is
+    // exact integer arithmetic; marginals are map-side-combined sums of
+    // the bigram table, top-15 through the bounded heap.
+    "q_pmi" -> ((s, d) => {
+      def lnq(c: org.apache.spark.sql.Column) =
+        round(log(c.cast("double")) * 1e6).cast("long")
+      val tk = docs(s, d).select(split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= 2)
+      val bi = tk.select(posexplode(expr(
+          "zip_with(slice(w, 1, size(w)-1), slice(w, 2, size(w)-1), " +
+            "(a, b) -> struct(a AS w1, b AS w2))")).as(Seq("__p", "pr")))
+        .select(col("pr.w1").as("w1"), col("pr.w2").as("w2"))
+      val c12 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+        .localCheckpoint() // marginals + N + the ranked scan all reuse it
+      val cl = c12.groupBy("w1").agg(sum(col("c")).as("cl"))
+      val cr = c12.groupBy("w2").agg(sum(col("c")).as("cr"))
+      val n = c12.agg(sum(col("c")).as("n"))
+      c12.filter(col("c") >= 10)
+        .join(cl, Seq("w1")).join(cr, Seq("w2")).crossJoin(broadcast(n))
+        .withColumn("pmi",
+          lnq(col("c")) + lnq(col("n")) - lnq(col("cl")) - lnq(col("cr")))
+        .agg(graft.functions.TopK.bottomK(
+          struct(negate(col("pmi")).as("__o"), col("w1"), col("w2"),
+            col("c"), col("pmi")), 15).as("__tk"))
+        .select(posexplode(col("__tk")).as(Seq("__p", "__r")))
+        .select((col("__p") + 1).cast("long").as("rank"),
+          col("__r.w1").as("w1"), col("__r.w2").as("w2"),
+          col("__r.c").as("c12"), col("__r.pmi").as("pmi"))
+    }),
+
     // ZIPF rank-frequency slope (the corpus-health diagnostic: natural
     // text sits near −1): top-30 terms through the bounded-heap top-k,
     // least-squares slope of lnq(count) vs lnq(rank) in integer
@@ -3278,6 +3310,28 @@ object PipelinePack extends QueryPack {
          SELECT hd::BIGINT AS hd, count(*)::BIGINT AS n_pairs,
                 sum(doc_a * 7 + doc_b)::BIGINT AS pair_checksum
          FROM hdq WHERE hd <= 3 GROUP BY hd""",
+    "q_pmi" ->
+      """WITH tkn AS (SELECT string_split(text, ' ') AS w FROM documents),
+         bi AS (SELECT unnest(w[1 : len(w) - 1]) AS w1,
+                       unnest(w[2 : len(w)]) AS w2
+                FROM tkn WHERE len(w) >= 2),
+         c12 AS (SELECT w1, w2, count(*)::BIGINT AS c
+                 FROM bi GROUP BY w1, w2),
+         cl AS (SELECT w1, sum(c)::BIGINT AS cl FROM c12 GROUP BY w1),
+         cr AS (SELECT w2, sum(c)::BIGINT AS cr FROM c12 GROUP BY w2),
+         n AS (SELECT sum(c)::BIGINT AS n FROM c12),
+         p AS (SELECT c12.w1, c12.w2, c,
+                      CAST(round(1e6 * ln(c::DOUBLE)) AS BIGINT)
+                      + CAST(round(1e6 * ln(n::DOUBLE)) AS BIGINT)
+                      - CAST(round(1e6 * ln(cl::DOUBLE)) AS BIGINT)
+                      - CAST(round(1e6 * ln(cr::DOUBLE)) AS BIGINT) AS pmi
+               FROM c12 JOIN cl USING (w1) JOIN cr USING (w2) CROSS JOIN n
+               WHERE c >= 10),
+         r AS (SELECT *, row_number() OVER (ORDER BY pmi DESC, w1, w2)
+                           AS rnk
+               FROM p)
+         SELECT rnk::BIGINT AS rank, w1, w2, c AS c12, pmi
+         FROM r WHERE rnk <= 15""",
     "q_zipf" ->
       """WITH tc AS (SELECT t, count(*)::BIGINT AS c
                      FROM (SELECT unnest(string_split(text, ' ')) AS t
