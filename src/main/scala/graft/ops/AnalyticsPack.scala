@@ -155,6 +155,42 @@ object AnalyticsPack extends QueryPack {
           min(col("gap")).as("min_gap"), max(col("gap")).as("max_gap"))
     }),
 
+    // the INCREMENTAL inter-arrival stats: per-user last-event state +
+    // alphabet-bounded gap accumulators; converged per-key emissions
+    // aggregate to the batch q_interarrival exactly
+    "q_stream_interarrival" -> ((s, d) => {
+      import s.implicits._
+      import graft.streaming.StatefulOps
+      val sfName = new java.io.File(d).getName
+      val fixDir = s"/root/repo/.graft-fixtures/gap_events_$sfName"
+      graft.Fixtures.ensureWritten(fixDir, "events(user,type,tsMicros,id),1file") {
+        ev(s, d)
+          .select(col("user_id").as("userId"),
+            col("event_type").as("eventType"),
+            unix_micros(col("ts")).as("tsMicros"),
+            col("event_id").as("eventId"))
+          .coalesce(1)
+          .write.mode("overwrite").parquet(fixDir)
+      }
+      val rows = s.readStream
+        .schema("userId LONG, eventType STRING, tsMicros LONG, eventId LONG")
+        .parquet(fixDir)
+        .as[StatefulOps.GapEvent]
+      val tbl = s"q_stream_interarrival_${streamCounter.incrementAndGet()}"
+      val q = StatefulOps.streamingInterarrival(rows)
+        .toDF().writeStream.format("memory").queryName(tbl)
+        .outputMode("update")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(tbl)
+        .groupBy("user_id", "event_type")
+        .agg(max(col("n_gaps")).as("n"), max(col("sum_gap_micros")).as("sg"),
+          min(col("min_gap")).as("mn"), max(col("max_gap")).as("mx"))
+        .groupBy("event_type")
+        .agg(sum(col("n")).as("n_gaps"), sum(col("sg")).as("sum_gap_micros"),
+          min(col("mn")).as("min_gap"), max(col("mx")).as("max_gap"))
+    }),
+
     // AUDIENCE OVERLAP: distinct users per event-type pair — the segment
     // intersection matrix. Deduplicate (type, user) FIRST (map-side
     // combined), then the self-join on user_id runs over one row per
@@ -452,6 +488,19 @@ object AnalyticsPack extends QueryPack {
          SELECT 3::BIGINT, 'purchase', count(*)::BIGINT,
                 coalesce(sum(t - tp), 0)::BIGINT FROM t3"""
 
+  /** q_interarrival's oracle — also gates the incremental twin. */
+  private val interarrivalSql: String =
+    """WITH g AS (SELECT event_type,
+                           epoch_us(ts) - lag(epoch_us(ts)) OVER
+                             (PARTITION BY user_id ORDER BY epoch_us(ts),
+                              event_id) AS gap
+                    FROM events)
+         SELECT event_type, count(*)::BIGINT AS n_gaps,
+                sum(gap)::BIGINT AS sum_gap_micros,
+                min(gap)::BIGINT AS min_gap, max(gap)::BIGINT AS max_gap
+         FROM g WHERE gap IS NOT NULL
+         GROUP BY event_type"""
+
   /** q_event_transitions' oracle — also gates the incremental twin. */
   private val transitionsSql: String =
     """WITH seq AS (SELECT user_id, event_type,
@@ -515,17 +564,8 @@ object AnalyticsPack extends QueryPack {
     "q_stream_transitions" -> transitionsSql,
     "q_event_transitions" -> transitionsSql,
 
-    "q_interarrival" ->
-      """WITH g AS (SELECT event_type,
-                           epoch_us(ts) - lag(epoch_us(ts)) OVER
-                             (PARTITION BY user_id ORDER BY epoch_us(ts),
-                              event_id) AS gap
-                    FROM events)
-         SELECT event_type, count(*)::BIGINT AS n_gaps,
-                sum(gap)::BIGINT AS sum_gap_micros,
-                min(gap)::BIGINT AS min_gap, max(gap)::BIGINT AS max_gap
-         FROM g WHERE gap IS NOT NULL
-         GROUP BY event_type""",
+    "q_interarrival" -> interarrivalSql,
+    "q_stream_interarrival" -> interarrivalSql,
 
     "q_audience_overlap" ->
       """WITH tu AS (SELECT DISTINCT event_type, user_id FROM events)

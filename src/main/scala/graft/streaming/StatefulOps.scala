@@ -235,6 +235,50 @@ object StatefulOps {
       }
   }
 
+  // ---------------------------------------------- streaming inter-arrival
+
+  final case class GapEvent(userId: Long, eventType: String,
+                            tsMicros: Long, eventId: Long)
+
+  /** Last event + per-type gap accumulators (n, sum, min, max) keyed by
+    * the LATER event's type — alphabet-bounded state per user. */
+  final case class GapState(lastTs: Long, lastId: Long,
+                            acc: Map[String, (Long, Long, Long, Long)])
+
+  final case class GapUser(user_id: Long, event_type: String, n_gaps: Long,
+                           sum_gap_micros: Long, min_gap: Long, max_gap: Long)
+
+  /** Incremental inter-arrival statistics — the streaming form of
+    * q_interarrival: O(|event types|) state per user; a forward fold in
+    * (ts, event_id) order accumulates exact microsecond gaps, matching
+    * the batch lag window for monotone arrivals.
+    */
+  def streamingInterarrival(ds: Dataset[GapEvent]): Dataset[GapUser] = {
+    implicit val stateEnc = Encoders.product[GapState]
+    implicit val outEnc = Encoders.product[GapUser]
+    ds.groupByKey(_.userId)(Encoders.scalaLong)
+      .flatMapGroupsWithState[GapState, GapUser](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: Long, rows: Iterator[GapEvent], state: GroupState[GapState]) =>
+          var st = state.getOption.getOrElse(
+            GapState(Long.MinValue, Long.MinValue, Map.empty))
+          rows.toSeq.sortBy(r => (r.tsMicros, r.eventId)).foreach { r =>
+            if (st.lastTs != Long.MinValue) {
+              val g = r.tsMicros - st.lastTs
+              val (n, s0, mn, mx) = st.acc.getOrElse(r.eventType,
+                (0L, 0L, Long.MaxValue, Long.MinValue))
+              st = st.copy(acc = st.acc.updated(r.eventType,
+                (n + 1, s0 + g, math.min(mn, g), math.max(mx, g))))
+            }
+            st = st.copy(lastTs = r.tsMicros, lastId = r.eventId)
+          }
+          state.update(st)
+          st.acc.iterator.map { case (t, (n, s0, mn, mx)) =>
+            GapUser(key, t, n, s0, mn, mx)
+          }
+      }
+  }
+
   // ---------------------------------------------- streaming attribution
 
   final case class AttrEvent(userId: Long, eventType: String,
