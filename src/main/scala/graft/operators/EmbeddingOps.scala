@@ -210,22 +210,88 @@ object EmbeddingOps {
         col(s"__r.$idCol").as(idCol), col("__r.cos_sim").as("cos_sim"))
   }
 
+  /** Default sign-bucket size cap for [[nearDupPairs]] — the same
+    * discipline as `TextOps.DefaultMaxBucket`: a bucket of n members emits
+    * n·(n−1)/2 pairs, so one hot bucket (near-zero embeddings, a
+    * template-heavy corpus where one vector repeats) makes the self-join
+    * quadratic. Dropping buckets above the cap is an exact no-op below it,
+    * and a dropped bucket is, for dedup purposes, one duplicate cluster —
+    * callers read [[oversizedSignBuckets]] instead of enumerating its pairs.
+    */
+  val DefaultMaxBucket: Int = 10000
+
+  /** Corpus rows tagged with their sign bucket — the shared projection of
+    * [[nearDupPairs]] and [[oversizedSignBuckets]].
+    */
+  def signBucketed(corpus: DataFrame, embCol: String,
+                   dim: Int, nGroups: Int): DataFrame =
+    parallelized(corpus)
+      .withColumn("bucket", signBucket(col(embCol), dim, nGroups))
+
+  /** (bucket, bucket_n) of sign buckets the cap in [[nearDupPairs]] drops —
+    * one map-side-combined count; part of the result, never a silent skip.
+    */
+  def oversizedSignBuckets(bucketed: DataFrame, maxBucket: Int): DataFrame =
+    bucketed.groupBy("bucket").agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > maxBucket)
+
   /** Embedding-cosine near-duplicate pairs: all (a, b) with cosine ≥
     * `threshold`, candidates restricted to shared sign-buckets — a bucketed
     * self-join, never an all-pairs comparison. Rounded similarity so an SQL
     * oracle reproduces the threshold decision exactly.
+    *
+    * Buckets with more than `maxBucket` members are dropped BEFORE the
+    * self-join (one count aggregation; filtering one join side suffices for
+    * an inner equi-join), and singleton buckets are pruned by the same
+    * aggregation — the `TextOps.candidatePairs` cap discipline.
     */
   def nearDupPairs(corpus: DataFrame, idCol: String, embCol: String,
-                   dim: Int, nGroups: Int, threshold: Double): DataFrame = {
-    val bucketed = parallelized(corpus)
-      .withColumn("bucket", signBucket(col(embCol), dim, nGroups))
-    val a = bucketed.select(col(idCol).as("id_a"), col(embCol).as("__ea"), col("bucket"))
+                   dim: Int, nGroups: Int, threshold: Double,
+                   maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val bucketed = signBucketed(corpus, embCol, dim, nGroups)
+    val ok = bucketed.groupBy("bucket").agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > 1 && col("bucket_n") <= maxBucket)
+      .select("bucket")
+    val a = bucketed.join(ok, Seq("bucket"))
+      .select(col(idCol).as("id_a"), col(embCol).as("__ea"), col("bucket"))
     val b = bucketed.select(col(idCol).as("id_b"), col(embCol).as("__eb"), col("bucket"))
     a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("cos_sim", round(cosine(col("__ea"), col("__eb")), 6))
       .filter(col("cos_sim") >= threshold)
       .select("id_a", "id_b", "cos_sim")
+  }
+
+  /** (cid, cluster_n) of k-means clusters the cap in [[clusterPairs]]
+    * drops — the SemDeDup degenerate-cluster report.
+    */
+  def oversizedClusters(assigned: DataFrame, maxCluster: Int): DataFrame =
+    assigned.groupBy("cid").agg(count(lit(1)).as("cluster_n"))
+      .filter(col("cluster_n") > maxCluster)
+
+  /** SemDeDup within-cluster near-duplicate pairs over a [[kmeansAssign]]
+    * output: (cid, id_a, id_b, sim) for every same-cluster pair with
+    * rounded cosine ≥ `threshold`. The self-join is an equi-join on the
+    * cluster id — and, like [[nearDupPairs]], it is CAPPED: a degenerate
+    * cluster (boilerplate corpora collapse into one) with more than
+    * `maxCluster` members is dropped before the join (filtering one side of
+    * the inner equi-join suffices) and reported via [[oversizedClusters]];
+    * production callers re-cluster such a cluster with a larger k instead
+    * of enumerating its quadratic pairs.
+    */
+  def clusterPairs(assigned: DataFrame, idCol: String, embCol: String,
+                   threshold: Double,
+                   maxCluster: Int = DefaultMaxBucket): DataFrame = {
+    val ok = assigned.groupBy("cid").agg(count(lit(1)).as("cluster_n"))
+      .filter(col("cluster_n") > 1 && col("cluster_n") <= maxCluster)
+      .select("cid")
+    val a = assigned.join(ok, Seq("cid"))
+      .select(col("cid"), col(idCol).as("id_a"), col(embCol).as("__ea"))
+    val b = assigned.select(col("cid"), col(idCol).as("id_b"), col(embCol).as("__eb"))
+    a.join(b, Seq("cid")).filter(col("id_a") < col("id_b"))
+      .withColumn("sim", round(cosine(col("__ea"), col("__eb")), 6))
+      .filter(col("sim") >= threshold)
+      .select("cid", "id_a", "id_b", "sim")
   }
 
   /** Bucketed ANN: best neighbor per query WITHIN the query's sign bucket.

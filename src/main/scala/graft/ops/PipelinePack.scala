@@ -38,6 +38,13 @@ object PipelinePack extends QueryPack {
   // ExactSubstr degenerate corpus: one 20-token boilerplate span planted at
   // the head of this many synthetic documents (the license-header shape) —
   // regression for the skew-safe min(struct) first-occurrence aggregation
+  // planted-degenerate caps for the embedding self-joins: clone counts far
+  // above the cap, caps far above every natural bucket (max 17) / cluster
+  // (max 104) size at test SFs — both branches exercised at sf0.01 and sf0.1
+  private val EmbDegClones = 500
+  private val EmbDegCap = 100
+  private val SemDegClones = 600
+  private val SemDegCap = 200
   private val SubstrClones = 3000
   private val SubstrBoiler = (0 until 20).map(i => s"boiler$i").mkString(" ")
 
@@ -1057,18 +1064,46 @@ object PipelinePack extends QueryPack {
     }),
 
     // embedding-cosine near-duplicates: bucketed pair generation (shared
-    // sign-bucket only), threshold on the rounded similarity
+    // sign-bucket only), threshold on the rounded similarity; buckets
+    // above the default cap are dropped before the self-join (no natural
+    // bucket at test SF comes near it — q_embed_degenerate plants one)
     "q_embed_near_dup" -> ((s, d) => {
       EmbeddingOps.nearDupPairs(embs(s, d), "vec_id", "embedding",
         dim = 64, nGroups = 8, threshold = 0.3)
     }),
 
+    // the hot-bucket degenerate case for sign-bucket near-dup: one
+    // embedding cloned 500× lands every clone in the same sign bucket —
+    // the bucketed self-join would be quadratic there. The bucket cap
+    // (100, above every natural bucket at test SF) drops it BEFORE the
+    // join; surviving-pair summary + the drop report are one checked row.
+    "q_embed_degenerate" -> ((s, d) => {
+      val e = embs(s, d)
+      val tmpl = e.agg(min(col("vec_id")).as("vec_id")).join(e, Seq("vec_id"))
+        .select(col("embedding"))
+      val clones = s.range(EmbDegClones.toLong)
+        .select((col("id") + 1000000L).as("vec_id"))
+        .crossJoin(broadcast(tmpl))
+      val corpus = e.select(col("vec_id"), col("embedding")).unionByName(clones)
+      val pairs = EmbeddingOps.nearDupPairs(corpus, "vec_id", "embedding",
+        dim = 64, nGroups = 8, threshold = 0.3, maxBucket = EmbDegCap)
+      val dropped = EmbeddingOps.oversizedSignBuckets(
+        EmbeddingOps.signBucketed(corpus, "embedding", 64, 8), EmbDegCap)
+      pairs.agg(count(lit(1)).as("n_pairs"),
+          min(col("cos_sim")).as("min_sim"), max(col("cos_sim")).as("max_sim"),
+          coalesce(sum(col("id_a") + col("id_b") * 7), lit(0L)).as("pair_checksum"))
+        .crossJoin(dropped.agg(count(lit(1)).as("n_dropped_buckets"),
+          coalesce(max(col("bucket_n")), lit(0L)).as("max_dropped_bucket")))
+    }),
+
     // SemDeDup-style semantic dedup: k-means assignment (the oracle-checked
     // scan-shaped step, 8 seed centroids) partitions the corpus, then
-    // near-duplicate pairs are found WITHIN each cluster only — an
-    // equi-join on the cluster id, never an all-pairs comparison. At real
-    // scale k grows into the thousands and each cluster's self-join stays
-    // tiny; the sampled corpus third keeps the SQL oracle tractable.
+    // near-duplicate pairs are found WITHIN each cluster only — a CAPPED
+    // equi-join on the cluster id (EmbeddingOps.clusterPairs), never an
+    // all-pairs comparison. At real scale k grows into the thousands and
+    // each cluster's self-join stays tiny; q_semantic_degenerate below
+    // proves the cap on a planted boilerplate cluster. The sampled corpus
+    // third keeps the SQL oracle tractable.
     "q_semantic_dedup" -> ((s, d) => {
       val e = embs(s, d).filter(col("vec_id") % 3 === 0)
       val seeds = e.filter(col("vec_id") < 24)
@@ -1077,17 +1112,43 @@ object PipelinePack extends QueryPack {
           r.getSeq[Float](1).map(_.toDouble).toArray))
         .sortBy(_._1).toSeq
       val assigned = EmbeddingOps.kmeansAssign(e, "vec_id", "embedding", seeds)
-      val a = assigned.select(col("cid"),
-        col("vec_id").as("id_a"), col("embedding").as("__ea"))
-      val b = assigned.select(col("cid"),
-        col("vec_id").as("id_b"), col("embedding").as("__eb"))
-      a.join(b, Seq("cid")).filter(col("id_a") < col("id_b"))
-        .withColumn("sim", round(EmbeddingOps.cosine(col("__ea"), col("__eb")), 6))
-        .filter(col("sim") >= 0.3)
+      EmbeddingOps.clusterPairs(assigned, "vec_id", "embedding", 0.3)
         .groupBy("cid")
         .agg(count(lit(1)).as("n_pairs"),
           min(col("sim")).as("min_sim"), max(col("sim")).as("max_sim"),
           sum(col("id_a") + col("id_b") * 7).as("pair_checksum"))
+    }),
+
+    // the SemDeDup degenerate case: one embedding cloned 600× collapses
+    // into a single k-means cluster (dist 0 to its own nearest centroid) —
+    // the per-cluster self-join would be quadratic there. The cluster-size
+    // cap (200, above every natural cluster at test SF) drops it BEFORE
+    // the join; the output binds the surviving per-cluster pair summary
+    // AND what the cap dropped into one oracle-checked row.
+    "q_semantic_degenerate" -> ((s, d) => {
+      val e = embs(s, d).filter(col("vec_id") % 3 === 0)
+      val tmpl = e.agg(min(col("vec_id")).as("vec_id")).join(e, Seq("vec_id"))
+        .select(col("embedding"))
+      val clones = s.range(SemDegClones.toLong)
+        .select((col("id") * 3 + 1200000L).as("vec_id"))
+        .crossJoin(broadcast(tmpl))
+      val corpus = e.select(col("vec_id"), col("embedding"))
+        .unionByName(clones)
+      val seeds = e.filter(col("vec_id") < 24)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0).toInt,
+          r.getSeq[Float](1).map(_.toDouble).toArray))
+        .sortBy(_._1).toSeq
+      val assigned = EmbeddingOps.kmeansAssign(corpus, "vec_id", "embedding", seeds)
+      val pairs = EmbeddingOps.clusterPairs(assigned, "vec_id", "embedding",
+        0.3, SemDegCap)
+      val dropped = EmbeddingOps.oversizedClusters(assigned, SemDegCap)
+      pairs.agg(count(lit(1)).as("n_pairs"),
+          min(col("sim")).as("min_sim"), max(col("sim")).as("max_sim"),
+          coalesce(sum(col("id_a") + col("id_b") * 7), lit(0L)).as("pair_checksum"))
+        .crossJoin(dropped.agg(count(lit(1)).as("n_dropped_clusters"),
+          coalesce(max(col("cluster_n")), lit(0L)).as("max_dropped_cluster"),
+          coalesce(min(col("cid")), lit(-1L)).as("dropped_cid")))
     }),
 
     // the full curation funnel in ONE declarative DAG — quality filter →
@@ -3115,10 +3176,70 @@ object PipelinePack extends QueryPack {
          FROM r WHERE rn = 1""",
     "q_embed_near_dup" ->
       s"""WITH b AS (SELECT vec_id, embedding, $bucketExpr AS bucket FROM embeddings),
+         ok AS (SELECT bucket FROM b GROUP BY bucket
+                HAVING count(*) > 1 AND count(*) <= ${EmbeddingOps.DefaultMaxBucket}),
          p AS (SELECT a.vec_id AS id_a, x.vec_id AS id_b,
                       ${dotCos("a.embedding", "x.embedding")} AS cos_sim
-               FROM b a JOIN b x ON a.bucket = x.bucket AND a.vec_id < x.vec_id)
+               FROM b a JOIN ok USING (bucket)
+               JOIN b x ON a.bucket = x.bucket AND a.vec_id < x.vec_id)
          SELECT id_a, id_b, cos_sim FROM p WHERE cos_sim >= 0.3""",
+    "q_embed_degenerate" ->
+      s"""WITH tmpl AS (SELECT embedding FROM embeddings
+                        WHERE vec_id = (SELECT min(vec_id) FROM embeddings)),
+         corpus AS (SELECT vec_id, embedding FROM embeddings
+                    UNION ALL
+                    SELECT 1000000 + t.i AS vec_id, tmpl.embedding
+                    FROM range(0, $EmbDegClones) t(i) CROSS JOIN tmpl),
+         b AS (SELECT vec_id, embedding, $bucketExpr AS bucket FROM corpus),
+         ok AS (SELECT bucket FROM b GROUP BY bucket
+                HAVING count(*) > 1 AND count(*) <= $EmbDegCap),
+         p AS (SELECT a.vec_id AS id_a, x.vec_id AS id_b,
+                      ${dotCos("a.embedding", "x.embedding")} AS cos_sim
+               FROM b a JOIN ok USING (bucket)
+               JOIN b x ON a.bucket = x.bucket AND a.vec_id < x.vec_id),
+         keep AS (SELECT * FROM p WHERE cos_sim >= 0.3),
+         dropped AS (SELECT bucket, count(*) AS bucket_n FROM b
+                     GROUP BY bucket HAVING count(*) > $EmbDegCap)
+         SELECT (SELECT count(*) FROM keep) AS n_pairs,
+                (SELECT min(cos_sim) FROM keep) AS min_sim,
+                (SELECT max(cos_sim) FROM keep) AS max_sim,
+                (SELECT coalesce(sum(id_a + id_b * 7), 0)::BIGINT FROM keep) AS pair_checksum,
+                (SELECT count(*) FROM dropped) AS n_dropped_buckets,
+                (SELECT coalesce(max(bucket_n), 0)::BIGINT FROM dropped) AS max_dropped_bucket""",
+    "q_semantic_degenerate" ->
+      s"""WITH s AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 3 = 0),
+         tmpl AS (SELECT embedding FROM s
+                  WHERE vec_id = (SELECT min(vec_id) FROM s)),
+         corpus AS (SELECT vec_id, embedding FROM s
+                    UNION ALL
+                    SELECT t.i * 3 + 1200000 AS vec_id, tmpl.embedding
+                    FROM range(0, $SemDegClones) t(i) CROSS JOIN tmpl),
+         c AS (SELECT vec_id AS ccid, embedding AS ce FROM s WHERE vec_id < 24),
+         d AS (SELECT corpus.vec_id, corpus.embedding, c.ccid,
+                      round(list_sum(list_transform(range(1, len(corpus.embedding) + 1),
+                        i -> (corpus.embedding[i]::DOUBLE - c.ce[i]::DOUBLE) *
+                             (corpus.embedding[i]::DOUBLE - c.ce[i]::DOUBLE))), 6) AS dist
+               FROM corpus CROSS JOIN c),
+         a AS (SELECT vec_id, embedding, ccid,
+                      row_number() OVER (PARTITION BY vec_id ORDER BY dist, ccid) AS rn
+               FROM d),
+         m AS (SELECT ccid AS cid, vec_id, embedding FROM a WHERE rn = 1),
+         ok AS (SELECT cid FROM m GROUP BY cid
+                HAVING count(*) > 1 AND count(*) <= $SemDegCap),
+         p AS (SELECT x.cid, x.vec_id AS id_a, y.vec_id AS id_b,
+                      ${dotCos("x.embedding", "y.embedding")} AS sim
+               FROM m x JOIN ok USING (cid)
+               JOIN m y ON x.cid = y.cid AND x.vec_id < y.vec_id),
+         keep AS (SELECT * FROM p WHERE sim >= 0.3),
+         dropped AS (SELECT cid, count(*) AS cluster_n FROM m
+                     GROUP BY cid HAVING count(*) > $SemDegCap)
+         SELECT (SELECT count(*) FROM keep) AS n_pairs,
+                (SELECT min(sim) FROM keep) AS min_sim,
+                (SELECT max(sim) FROM keep) AS max_sim,
+                (SELECT coalesce(sum(id_a + id_b * 7), 0)::BIGINT FROM keep) AS pair_checksum,
+                (SELECT count(*) FROM dropped) AS n_dropped_clusters,
+                (SELECT coalesce(max(cluster_n), 0)::BIGINT FROM dropped) AS max_dropped_cluster,
+                (SELECT coalesce(min(cid), -1)::BIGINT FROM dropped) AS dropped_cid""",
     "q_curation" ->
       s"""WITH q AS (
            SELECT doc_id, source, text,
