@@ -39,7 +39,13 @@ object Bench {
     def median(times: Seq[Double]): Double =
       if (times.length % 2 == 1) times(times.length / 2)
       else (times(times.length / 2 - 1) + times(times.length / 2)) / 2.0
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // dev aid: SPARK_GRAFT_BENCH_ONLY=q_a,q_b re-measures a subset without
+    // paying for the full 200+-query sweep; unset (the driver) runs all
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (k, _) => only.forall(_.contains(k)) }
+      .map { case (name, fn) =>
       val err =
         try {
           run(fn) // untimed per-query warm rep

@@ -254,7 +254,13 @@ object EmbeddingOps {
       .select("bucket")
     val a = bucketed.join(ok, Seq("bucket"))
       .select(col(idCol).as("id_a"), col(embCol).as("__ea"), col("bucket"))
-    val b = bucketed.select(col(idCol).as("id_b"), col(embCol).as("__eb"), col("bucket"))
+    // prune the b side too: without it every row of an oversized bucket
+    // still shuffles into one join-key partition (a skewed straggler even
+    // though it matches nothing); the ok set is one row per surviving
+    // bucket and the b-ok join output is already hash-partitioned on
+    // bucket, so the final equi-join reuses that exchange
+    val b = bucketed.join(ok, Seq("bucket"))
+      .select(col(idCol).as("id_b"), col(embCol).as("__eb"), col("bucket"))
     a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("cos_sim", round(cosine(col("__ea"), col("__eb")), 6))
@@ -287,7 +293,10 @@ object EmbeddingOps {
       .select("cid")
     val a = assigned.join(ok, Seq("cid"))
       .select(col("cid"), col(idCol).as("id_a"), col(embCol).as("__ea"))
-    val b = assigned.select(col("cid"), col(idCol).as("id_b"), col(embCol).as("__eb"))
+    // b side pruned too — see nearDupPairs: keeps an oversized cluster's
+    // rows out of the final join's shuffle entirely
+    val b = assigned.join(ok, Seq("cid"))
+      .select(col("cid"), col(idCol).as("id_b"), col(embCol).as("__eb"))
     a.join(b, Seq("cid")).filter(col("id_a") < col("id_b"))
       .withColumn("sim", round(cosine(col("__ea"), col("__eb")), 6))
       .filter(col("sim") >= threshold)

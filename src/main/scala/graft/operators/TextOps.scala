@@ -520,23 +520,27 @@ object TextOps {
     * Returns (doc, simhash-bitstring).
     */
   def simhash(df: DataFrame, docCol: String, textCol: String): DataFrame = {
-    // odd hex digits have parity bit 1; parallelize coarse inputs first —
-    // the (token × 32 bit-positions) explode below is per-row CPU work
-    val toks = EmbeddingOps.parallelized(df)
-      .select(col(docCol), explode(array_distinct(tokens(col(textCol)))).as("tok"))
-      .withColumn("h", md5(col("tok").cast("binary")))
-      .withColumn("i", explode(sequence(lit(0), lit(31))))
-      .withColumn("contrib",
-        when(expr("substr(h, i + 1, 1)")
-            .isInCollection(Seq("1", "3", "5", "7", "9", "b", "d", "f")),
-          lit(1)).otherwise(lit(-1)))
-    toks
-      .groupBy(col(docCol), col("i"))
-      .agg(sum(col("contrib")).as("s"))
-      .withColumn("bit", when(col("s") >= 0, lit("1")).otherwise(lit("0")))
-      .groupBy(col(docCol))
-      .agg(concat_ws("",
-        transform(array_sort(collect_list(struct(col("i"), col("bit")))),
-          x => x.getField("bit"))).as("simhash"))
+    // SimHash is a pure function of one document's token set, so the whole
+    // computation is a row-local projection: one md5 per distinct token
+    // (materialized once in `hs`), then a 32-way ±1 fold via
+    // aggregate/zip_with — no explode, no shuffle. The previous shape
+    // (explode token × 32 bit-positions → groupBy(doc, i)) shuffled
+    // 32 × |tokens| rows per document for what is per-row arithmetic.
+    // Odd hex digits of the md5 have parity bit 1 (+1 contribution).
+    val oddHex = Seq("1", "3", "5", "7", "9", "b", "d", "f")
+    EmbeddingOps.parallelized(df)
+      .select(col(docCol),
+        transform(array_distinct(tokens(col(textCol))),
+          t => md5(t.cast("binary"))).as("hs"))
+      // the old explode dropped token-less docs; keep that contract
+      .filter(size(col("hs")) > 0)
+      .select(col(docCol),
+        aggregate(col("hs"), array_repeat(lit(0), 32),
+          (acc, h) => zip_with(acc, sequence(lit(0), lit(31)), (a, i) =>
+            a + when(h.substr(i + lit(1), lit(1)).isInCollection(oddHex),
+              lit(1)).otherwise(lit(-1)))).as("sums"))
+      .select(col(docCol),
+        concat_ws("", transform(col("sums"),
+          s => when(s >= 0, lit("1")).otherwise(lit("0")))).as("simhash"))
   }
 }

@@ -1081,8 +1081,13 @@ object PipelinePack extends QueryPack {
       val e = embs(s, d)
       val tmpl = e.agg(min(col("vec_id")).as("vec_id")).join(e, Seq("vec_id"))
         .select(col("embedding"))
+      // clone ids start past max(vec_id) so they stay disjoint from the
+      // natural dense 0..N-1 id range at ANY SF (a fixed base collides
+      // once the corpus outgrows it)
+      val base = e.agg((max(col("vec_id")) + 1).as("__base"))
       val clones = s.range(EmbDegClones.toLong)
-        .select((col("id") + 1000000L).as("vec_id"))
+        .crossJoin(broadcast(base))
+        .select((col("id") + col("__base")).as("vec_id"))
         .crossJoin(broadcast(tmpl))
       val corpus = e.select(col("vec_id"), col("embedding")).unionByName(clones)
       val pairs = EmbeddingOps.nearDupPairs(corpus, "vec_id", "embedding",
@@ -1129,8 +1134,12 @@ object PipelinePack extends QueryPack {
       val e = embs(s, d).filter(col("vec_id") % 3 === 0)
       val tmpl = e.agg(min(col("vec_id")).as("vec_id")).join(e, Seq("vec_id"))
         .select(col("embedding"))
+      // clone ids start past max(vec_id) (and stay ≡ 0 mod 3 to survive
+      // the corpus filter) so they are collision-free at any SF
+      val base = e.agg((max(col("vec_id")) + 3).as("__base"))
       val clones = s.range(SemDegClones.toLong)
-        .select((col("id") * 3 + 1200000L).as("vec_id"))
+        .crossJoin(broadcast(base))
+        .select((col("id") * 3 + col("__base")).as("vec_id"))
         .crossJoin(broadcast(tmpl))
       val corpus = e.select(col("vec_id"), col("embedding"))
         .unionByName(clones)
@@ -1433,8 +1442,11 @@ object PipelinePack extends QueryPack {
     // equi-join (bucket-capped, the LSH discipline) and the exact integer
     // hamming count runs on candidates only — never all pairs.
     "q_simhash_hamming" -> ((s, d) => {
+      // reused by both join sides + the block explode; persist (not
+      // localCheckpoint) keeps the lineage, so a lost executor recomputes
+      // the lost blocks instead of failing the query
       val sh = TextOps.simhash(docs(s, d), "doc_id", "text")
-        .localCheckpoint() // reused by both join sides + the block explode
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val blocks = sh.withColumn("b", explode(sequence(lit(0), lit(3))))
         .withColumn("blk", expr("substr(simhash, b * 8 + 1, 8)"))
       val ok = blocks.join(
@@ -2891,9 +2903,12 @@ object PipelinePack extends QueryPack {
                       row_number() OVER (PARTITION BY vec_id ORDER BY dist, ccid) AS rn
                FROM d),
          m AS (SELECT ccid AS cid, vec_id, embedding FROM a WHERE rn = 1),
+         ok AS (SELECT cid FROM m GROUP BY cid
+                HAVING count(*) > 1 AND count(*) <= ${EmbeddingOps.DefaultMaxBucket}),
          p AS (SELECT x.cid, x.vec_id AS id_a, y.vec_id AS id_b,
                       ${dotCos("x.embedding", "y.embedding")} AS sim
-               FROM m x JOIN m y ON x.cid = y.cid AND x.vec_id < y.vec_id)
+               FROM m x JOIN ok USING (cid)
+               JOIN m y ON x.cid = y.cid AND x.vec_id < y.vec_id)
          SELECT cid::BIGINT AS cid, count(*) AS n_pairs,
                 min(sim) AS min_sim, max(sim) AS max_sim,
                 sum(id_a + id_b * 7)::BIGINT AS pair_checksum
@@ -3188,7 +3203,8 @@ object PipelinePack extends QueryPack {
                         WHERE vec_id = (SELECT min(vec_id) FROM embeddings)),
          corpus AS (SELECT vec_id, embedding FROM embeddings
                     UNION ALL
-                    SELECT 1000000 + t.i AS vec_id, tmpl.embedding
+                    SELECT (SELECT max(vec_id) + 1 FROM embeddings) + t.i AS vec_id,
+                           tmpl.embedding
                     FROM range(0, $EmbDegClones) t(i) CROSS JOIN tmpl),
          b AS (SELECT vec_id, embedding, $bucketExpr AS bucket FROM corpus),
          ok AS (SELECT bucket FROM b GROUP BY bucket
@@ -3212,7 +3228,8 @@ object PipelinePack extends QueryPack {
                   WHERE vec_id = (SELECT min(vec_id) FROM s)),
          corpus AS (SELECT vec_id, embedding FROM s
                     UNION ALL
-                    SELECT t.i * 3 + 1200000 AS vec_id, tmpl.embedding
+                    SELECT (SELECT max(vec_id) + 3 FROM s) + t.i * 3 AS vec_id,
+                           tmpl.embedding
                     FROM range(0, $SemDegClones) t(i) CROSS JOIN tmpl),
          c AS (SELECT vec_id AS ccid, embedding AS ce FROM s WHERE vec_id < 24),
          d AS (SELECT corpus.vec_id, corpus.embedding, c.ccid,
