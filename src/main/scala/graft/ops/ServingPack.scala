@@ -4,7 +4,7 @@ import graft.{Fixtures, GraftSession, QueryPack}
 import graft.cube.{Cube, GridMapping, TilingScheme}
 import graft.functions.{GeomFunctions, VarExpr}
 import graft.operators.{CoverageOps, ExtractOps, IvfOps, MaintenanceOps, TileOps, VolumeOps}
-import graft.sources.{ComputedLevels, CubeWriter, GeoJsonSource, GeoTiffSource, Hdf5Source, KerchunkSource, LevelStore, MemoryDataStore, NetcdfSource, ShapefileSource, ZarrSource, ZarrV3Source}
+import graft.sources.{ComputedLevels, CubeWriter, GeoJsonSource, GeoTiffSource, Hdf5Source, KerchunkSource, LevelStore, MemoryDataStore, NetcdfSource, Sentinel3Source, ShapefileSource, ZarrSource, ZarrV3Source}
 import graft.streaming.TimeSliceOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -62,6 +62,42 @@ object ServingPack extends QueryPack {
       }
     }
     days.map(day => s"$base/$day.nc")
+  }
+
+  /** Build (once per sf) a Sentinel-3-style product DIRECTORY: per-band
+    * granules + `geo_coordinates.nc` with the 2-D lon/lat rasters, plus
+    * three decoys the opener must reject — a tie-point grid (wrong dim
+    * sizes), a same-size raster over differently-NAMED dims, and a 1-D
+    * vector (ndim < 2). Band payloads are the q_netcdf daily-mean grids,
+    * so the oracle recomputes them from the events table.
+    */
+  private def sentinel3Fixture(s: SparkSession, d: String): String = {
+    import NetcdfSource.NcDim
+    val sfName = new java.io.File(d).getName
+    val base = s"/root/repo/.graft-fixtures/sentinel3_$sfName"
+    val prod = s"$base/S3A_OL_2_TEST.SEN3"
+    Fixtures.ensureWritten(base, "grid=360x100,bands=chl+tsm,decoys=tp+named+1d,mean6") {
+      new java.io.File(prod).mkdirs()
+      val grid = Seq(NcDim("rows", 100), NcDim("columns", 360))
+      NetcdfSource.write(s"$prod/geo_coordinates.nc", grid, Nil,
+        Seq(("longitude", Seq("rows", "columns"),
+            Array.tabulate(100 * 360)(k => (k % 360) + 0.5 - 180.0)),
+          ("latitude", Seq("rows", "columns"),
+            Array.tabulate(100 * 360)(k => (k / 360) + 0.5 - 50.0))))
+      NetcdfSource.write(s"$prod/chl_nn.nc", grid, Nil,
+        Seq(("conc_chl", Seq("rows", "columns"),
+          dailyMeanGrid(s, d, "2024-01-01"))))
+      NetcdfSource.write(s"$prod/tsm_nn.nc", grid, Nil,
+        Seq(("conc_tsm", Seq("rows", "columns"),
+            dailyMeanGrid(s, d, "2024-01-02")),
+          ("row_time", Seq("rows"), Array.tabulate(100)(_.toDouble))))
+      NetcdfSource.write(s"$prod/tie_geo.nc",
+        Seq(NcDim("tp_rows", 10), NcDim("tp_columns", 36),
+          NcDim("lines", 100), NcDim("samples", 360)), Nil,
+        Seq(("TP_latitude", Seq("tp_rows", "tp_columns"), Array.fill(360)(1.0)),
+          ("fake_band", Seq("lines", "samples"), Array.fill(36000)(2.0))))
+    }
+    prod
   }
 
   /** Build (once per sf) the 2-day Zarr group; returns the group dir.
@@ -474,6 +510,34 @@ object ServingPack extends QueryPack {
           round(sum((col("y") + col("x")).cast("decimal(28,10)")), 6)
             .cast("double").as("sum_coord"),
           round(sum(col("v").cast("decimal(28,10)")), 6).cast("double").as("sum_v"))
+    }),
+
+    // Sentinel-3 directory-product opener (sentinel3.py:12-99): per-band
+    // granules + geo_coordinates.nc assembled into ONE wide cube — band
+    // vars bound by the trailing-dims rule (the fixture's tie-point grid,
+    // renamed-dims raster and 1-D vector must all fall out), geo rasters
+    // joined on the shared measurement grid via the single pivot shuffle.
+    // Both band sums AND the per-band geo sums enter the checksum, so a
+    // transposed decode, a mis-bound grid, or a decoy leaking in all fail.
+    "q_sentinel3" -> ((s, d) => {
+      val cube = Sentinel3Source.open(s, sentinel3Fixture(s, d))
+      def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(28,10)")
+      cube.agg(
+        count(lit(1)).as("n_cells"),
+        round(sum(dec(col("longitude") + col("latitude"))), 6)
+          .cast("double").as("sum_geo"),
+        count(when(!isnan(col("conc_chl")), 1)).as("n_chl"),
+        round(sum(dec(when(!isnan(col("conc_chl")), col("conc_chl")))), 6)
+          .cast("double").as("sum_chl"),
+        round(sum(dec(when(!isnan(col("conc_chl")),
+          col("longitude") + col("latitude")))), 6)
+          .cast("double").as("geo_chl"),
+        count(when(!isnan(col("conc_tsm")), 1)).as("n_tsm"),
+        round(sum(dec(when(!isnan(col("conc_tsm")), col("conc_tsm")))), 6)
+          .cast("double").as("sum_tsm"),
+        round(sum(dec(when(!isnan(col("conc_tsm")),
+          col("longitude") + col("latitude")))), 6)
+          .cast("double").as("geo_tsm"))
     }),
 
     // The same granules with COMPACT-layout coordinates (HDF5 layout
@@ -1639,6 +1703,29 @@ object ServingPack extends QueryPack {
                 round(sum(((j + 0.5) + (i + 0.5))::DECIMAL(28,10)), 6)::DOUBLE AS sum_coord,
                 round(sum(v::DECIMAL(28,10)), 6)::DOUBLE AS sum_v
          FROM daily GROUP BY day""",
+    "q_sentinel3" ->
+      s"""WITH ${CubePack.cubeCte},
+         chl AS (SELECT floor(y)::BIGINT AS j, floor(x)::BIGINT AS i,
+                        round(sum(v::DECIMAL(28,12))::DOUBLE / count(*), 6) AS v
+                 FROM cube WHERE CAST(time AS DATE) = DATE '2024-01-01'
+                 GROUP BY j, i),
+         tsm AS (SELECT floor(y)::BIGINT AS j, floor(x)::BIGINT AS i,
+                        round(sum(v::DECIMAL(28,12))::DOUBLE / count(*), 6) AS v
+                 FROM cube WHERE CAST(time AS DATE) = DATE '2024-01-02'
+                 GROUP BY j, i),
+         grid AS (SELECT t.j, t2.i,
+                         ((t2.i + 0.5 - 180) + (t.j + 0.5 - 50)) AS geo
+                  FROM range(0, 100) t(j) CROSS JOIN range(0, 360) t2(i))
+         SELECT (SELECT count(*) FROM grid) AS n_cells,
+                (SELECT round(sum(geo::DECIMAL(28,10)), 6)::DOUBLE FROM grid) AS sum_geo,
+                (SELECT count(*) FROM chl) AS n_chl,
+                (SELECT round(sum(v::DECIMAL(28,10)), 6)::DOUBLE FROM chl) AS sum_chl,
+                (SELECT round(sum(g.geo::DECIMAL(28,10)), 6)::DOUBLE
+                 FROM chl JOIN grid g USING (j, i)) AS geo_chl,
+                (SELECT count(*) FROM tsm) AS n_tsm,
+                (SELECT round(sum(v::DECIMAL(28,10)), 6)::DOUBLE FROM tsm) AS sum_tsm,
+                (SELECT round(sum(g.geo::DECIMAL(28,10)), 6)::DOUBLE
+                 FROM tsm JOIN grid g USING (j, i)) AS geo_tsm""",
     "q_netcdf4_compact" ->
       s"""WITH ${CubePack.cubeCte},
          daily AS (SELECT CAST(time AS DATE)::VARCHAR AS day,

@@ -63,7 +63,11 @@ object DataStore {
     * route to their sources; everything else goes through Spark readers.
     */
   def openDataset(spark: SparkSession, path: String): DataFrame =
-    formatFor(path) match {
+    // Sentinel-3 products are recognized by directory layout, not
+    // extension (sentinel3.py:88-99) — probe before extension inference
+    if (Sentinel3Source.isSentinel3Product(path))
+      Sentinel3Source.open(spark, path)
+    else formatFor(path) match {
       case "netcdf" =>
         // single read+decode: pick the first data variable (one whose name
         // is not a dimension) from the parsed file and decode that

@@ -1,0 +1,156 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import java.nio.file.{Files, Paths}
+
+/** Sentinel-3 directory-product opener (xcube/core/sentinel3.py:12-99).
+  *
+  * A Sentinel-3 product is a DIRECTORY of per-band NetCDF granules plus a
+  * `geo_coordinates.nc` carrying the 2-D `longitude`/`latitude` rasters of
+  * the shared measurement grid. The reference assembles the per-file data
+  * variables into one dataset with these rules (sentinel3.py:30-71):
+  *
+  *  - `geo_coordinates.nc` must exist in the directory (sentinel3.py:36);
+  *  - `longitude` and `latitude` must exist in it, be 2-D, and agree in
+  *    shape AND dimension names (sentinel3.py:41-56);
+  *  - every OTHER `.nc` file contributes its data variables whose ndim ≥ 2
+  *    and whose TRAILING two dims match the lon/lat raster's shape and
+  *    dimension names (sentinel3.py:58-70) — tie-point grids, scalars and
+  *    1-D vectors fall out of the product automatically;
+  *  - an optional `varNames` set keeps only the named band variables
+  *    (longitude/latitude are always bound, as in the reference where they
+  *    are seeded into `data_vars` before the filter loop).
+  *
+  * Spark shape: one task per granule decodes its selected variables to
+  * long-format (layer, row, col, var, value) rows — the per-band files of
+  * an OLCI product are independent, so file-per-task is the natural
+  * parallelism, exactly like [[NetcdfSource.readCubeFiles]] — and ONE
+  * pivot (a single shuffle keyed on the grid cell, no per-band join chain)
+  * assembles the wide cube. Variables with leading dims beyond the grid
+  * (ndim > 2) flatten those dims into the `layer` index; plain 2-D bands
+  * sit at layer 0. Metadata (which files, which vars, grid shape) comes
+  * from bounded header-only reads on the driver; granule payloads decode
+  * only inside their tasks.
+  */
+object Sentinel3Source {
+
+  val GeoFileName = "geo_coordinates.nc"
+  private val XName = "longitude"
+  private val YName = "latitude"
+
+  /** sentinel3.py:88-99 — a directory holding a `geo_coordinates.nc`. */
+  def isSentinel3Product(path: String): Boolean = {
+    val p = Paths.get(path)
+    Files.isDirectory(p) && Files.isRegularFile(p.resolve(GeoFileName))
+  }
+
+  /** The measurement-grid contract of one product: trailing dim names and
+    * sizes of the lon/lat rasters, validated per sentinel3.py:41-56.
+    */
+  private def gridOf(geo: NetcdfSource.NcFile, geoPath: String): Seq[NetcdfSource.NcDim] = {
+    def varOf(n: String): NetcdfSource.NcVar =
+      geo.vars.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(
+          s"variable '$n' not found in $geoPath"))
+    val xv = varOf(XName)
+    val yv = varOf(YName)
+    require(xv.dimIds.length == 2,
+      s"variable '$XName' must have two dimensions")
+    require(yv.dimIds == xv.dimIds,
+      s"variable '$YName' must have same shape and dimensions as '$XName'")
+    xv.dimIds.map(geo.dims(_))
+  }
+
+  /** Data variables of one granule that bind onto `grid` — the
+    * sentinel3.py:63-69 inclusion rule (trailing two dims match by name
+    * and size, ndim ≥ 2), minus 1-D coordinate variables (xarray's
+    * `data_vars` never contains those).
+    */
+  private def matchingVars(nc: NetcdfSource.NcFile,
+                           grid: Seq[NetcdfSource.NcDim],
+                           varNames: Option[Set[String]]): Seq[String] =
+    nc.vars.collect {
+      case v if v.dimIds.length >= 2 &&
+        v.dimIds.takeRight(2).map(nc.dims(_)) == grid &&
+        varNames.forall(_.contains(v.name)) => v.name
+    }
+
+  /** Long-format decode of `wanted` variables of one parsed granule:
+    * (layer, row, col, var, value), row-major over the trailing grid,
+    * leading dims (if any) flattened into `layer`.
+    */
+  private def longRows(nc: NetcdfSource.NcFile,
+                       wanted: Seq[String]): Iterator[Row] =
+    wanted.iterator.flatMap { name =>
+      val v = nc.varByName(name)
+      val shape = v.dimIds.map(nc.dims(_).size)
+      val h = shape(shape.length - 2)
+      val w = shape.last
+      val cell = h * w
+      v.data.iterator.zipWithIndex.map { case (x, flat) =>
+        Row(flat / cell, flat % cell / w, flat % w, name, x)
+      }
+    }
+
+  /** Open a product directory as one wide cube DataFrame:
+    * (row, col, layer, longitude, latitude, band...). Column order of the
+    * bands is deterministic (sorted), grid cells carrying only NaN still
+    * appear (the geo rasters cover every cell) — mirroring the reference,
+    * whose dataset always spans the full grid.
+    */
+  def open(spark: SparkSession, path: String,
+           varNames: Option[Set[String]] = None): DataFrame = {
+    require(Files.isDirectory(Paths.get(path)), s"not a directory: $path")
+    val ncFiles = Files.list(Paths.get(path)).toArray.map(_.toString)
+      .filter(_.endsWith(".nc")).sorted.toSeq
+    require(ncFiles.exists(_.endsWith(s"/$GeoFileName")),
+      s"missing file '$GeoFileName' in $path")
+    val geoPath = ncFiles.find(_.endsWith(s"/$GeoFileName")).get
+    val bandFiles = ncFiles.filterNot(_ == geoPath)
+
+    // driver-side metadata pass: header-only reads (bounded prefix, no
+    // payload decode) discover the grid and each file's matching vars
+    val grid = gridOf(NetcdfSource.readHeader(geoPath), geoPath)
+    val perFile: Seq[(String, Seq[String])] = bandFiles
+      .map(p => p -> matchingVars(NetcdfSource.readHeader(p), grid, varNames))
+      .filter(_._2.nonEmpty)
+    val bandVars = perFile.flatMap(_._2).sorted
+    require(bandVars.distinct.length == bandVars.length,
+      s"duplicate band variable across granules: " +
+        bandVars.diff(bandVars.distinct).distinct.mkString(", "))
+
+    // geo rasters replicate across every layer any band occupies, so a
+    // 3-D band's layers all carry the (layer-invariant) lon/lat
+    val maxLayers = (perFile.flatMap { case (p, vs) =>
+      val hdr = NetcdfSource.readHeader(p)
+      vs.map(n => hdr.varByName(n).dimIds.dropRight(2).map(hdr.dims(_).size)
+        .product.max(1))
+    } :+ 1).max
+    val tasks: Seq[(String, Seq[String], Int)] =
+      (geoPath, Seq(XName, YName), maxLayers) +:
+        perFile.map { case (p, vs) => (p, vs, 1) }
+
+    val schema = StructType(Seq(
+      StructField("layer", IntegerType, nullable = false),
+      StructField("row", IntegerType, nullable = false),
+      StructField("col", IntegerType, nullable = false),
+      StructField("var", StringType, nullable = false),
+      StructField("value", DoubleType, nullable = false)))
+    val rdd = spark.sparkContext.parallelize(tasks, tasks.length)
+      .flatMap { case (p, vs, replicate) =>
+        val nc = NetcdfSource.read(p)
+        longRows(nc, vs).flatMap { r =>
+          if (replicate <= 1) Iterator.single(r)
+          else Iterator.range(0, replicate).map(l =>
+            Row(l, r.getInt(1), r.getInt(2), r.getString(3), r.getDouble(4)))
+        }
+      }
+    spark.createDataFrame(rdd, schema)
+      .groupBy(col("layer"), col("row"), col("col"))
+      .pivot("var", (Seq(XName, YName) ++ bandVars).distinct)
+      .agg(first(col("value")))
+  }
+}
