@@ -36,7 +36,37 @@ object AggPack extends QueryPack {
     Cube(cells, gm)
   }
 
+  /** The materialized pyramid fixture (L0..L3 + `_levels.json` sidecar),
+    * shared by q_pyramid and q_pyramid_rewrite.
+    */
+  private def levelsFixture(s: SparkSession, d: String): String = {
+    val root = s"/root/repo/.graft-fixtures/levels_${new java.io.File(d).getName}"
+    graft.Fixtures.ensureWritten(root, "levels=3,agg=mean,meta") {
+      graft.sources.LevelStore.writeLevels(cellCube(s, d), root, 3)
+    }
+    root
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // the pyramid-rewrite Catalyst rule END-TO-END: a 4×4 block mean over
+    // the L0 base table is retargeted by the optimizer to the L2
+    // materialization (plans/PyramidRewrite.scala — the relational form of
+    // mldataset/abc.py:136-149). The oracle computes the PROGRESSIVE 2×2
+    // means, i.e. exactly what L2 stores: on a sparse grid direct L0 block
+    // means weight cells differently, so this row passing at small SF also
+    // certifies the rewrite actually fired.
+    "q_pyramid_rewrite" -> ((s, d) => {
+      val root = levelsFixture(s, d)
+      s.read.parquet(s"$root/L0")
+        .groupBy(floor(col("x") / 4.0).cast("long").as("bi"),
+          floor(col("y") / 4.0).cast("long").as("bj"))
+        .agg(avg(col("v")).as("v"))
+        .agg(count(lit(1)).as("n_blocks"),
+          round(sum(col("v").cast("decimal(28,10)")), 6)
+            .cast("double").as("sum_v"),
+          sum(col("bi") + col("bj") * 7).as("idx_checksum"))
+    }),
 
     // 8×8 block subsample: mean + count of the float var, custom-Aggregator
     // mode of the class var (deterministic smallest-value tiebreak)
@@ -96,10 +126,7 @@ object AggPack extends QueryPack {
     // materialized .levels pyramid: write L0..L3 (each a 2x2 mean of the
     // previous), read the stored tables back and checksum them
     "q_pyramid" -> ((s, d) => {
-      val root = s"/root/repo/.graft-fixtures/levels_${new java.io.File(d).getName}"
-      graft.Fixtures.ensureWritten(root, "levels=3,agg=mean") {
-        graft.sources.LevelStore.writeLevels(cellCube(s, d), root, 3)
-      }
+      val root = levelsFixture(s, d)
       (1 to 3).map { l =>
         // exact decimal checksum — see q_affine_bilinear midpoint note
         graft.sources.LevelStore.openLevel(s, root, l)
@@ -135,6 +162,18 @@ object AggPack extends QueryPack {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "q_pyramid_rewrite" ->
+      """WITH cells AS (
+           SELECT floor(CAST(event_id % 360 AS DOUBLE) + 0.5)::BIGINT AS i,
+                  floor(CAST(user_id % 100 AS DOUBLE) + 0.5)::BIGINT AS j,
+                  round(avg(value), 6) AS v
+           FROM events GROUP BY i, j),
+         l1 AS (SELECT i // 2 AS i, j // 2 AS j, avg(v) AS v FROM cells GROUP BY 1, 2),
+         l2 AS (SELECT i // 2 AS i, j // 2 AS j, avg(v) AS v FROM l1 GROUP BY 1, 2)
+         SELECT count(*) AS n_blocks,
+                round(sum(v::DECIMAL(28,10)), 6)::DOUBLE AS sum_v,
+                sum(i + j * 7)::BIGINT AS idx_checksum
+         FROM l2""",
     "q_quantile_exact" ->
       """WITH c AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v
                     FROM lineitem),

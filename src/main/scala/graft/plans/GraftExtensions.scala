@@ -29,6 +29,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // resolution-based pyramid access (mldataset/abc.py:136-149) as an
+    // optimizer rule: block-mean aggregations over a .levels base table
+    // retarget to the matching coarser level's materialization
+    ext.injectOptimizerRule(session => new PyramidRewrite(session))
     ext.injectFunction((FunctionIdentifier("cosine_sim"),
       info("cosine_sim", "cosine_sim(a, b) - cosine similarity of two numeric arrays"),
       (args: Seq[Expression]) => {

@@ -18,6 +18,58 @@ object LevelStore {
 
   private def levelPath(root: String, level: Int) = s"$root/L$level"
 
+  /** Sidecar name of the per-pyramid grid metadata (the relational analog
+    * of the reference's `.levels` metadata): column bindings + per-level
+    * grid mapping, consumed by [[graft.plans.PyramidRewrite]] to retarget
+    * block-aggregation scans to the matching coarser level.
+    */
+  val MetaFileName = "_levels.json"
+
+  final case class LevelMeta(level: Int, xMin: Double, yMin: Double,
+                             yMax: Double, xRes: Double, yRes: Double,
+                             yDown: Boolean)
+  final case class PyramidMeta(xCol: String, yCol: String, timeCol: String,
+                               levels: Seq[LevelMeta])
+
+  private def writeMeta(root: String, cube: Cube, gms: Seq[GridMapping]): Unit = {
+    val levels = gms.zipWithIndex.map { case (g, l) =>
+      s"""{"level":$l,"xMin":${g.xMin},"yMin":${g.yMin},"yMax":${g.yMax},""" +
+        s""""xRes":${g.xRes},"yRes":${g.yRes},"yDown":${g.yDown}}"""
+    }
+    val json =
+      s"""{"xCol":"${cube.xCol}","yCol":"${cube.yCol}","timeCol":"${cube.timeCol}",""" +
+        s""""levels":[${levels.mkString(",")}]}"""
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$root/$MetaFileName"), json.getBytes("UTF-8"))
+    ()
+  }
+
+  /** Parse a pyramid's `_levels.json`; None when the sidecar is absent
+    * (a plain parquet directory that merely looks like `.../L0`). Reads
+    * through the Hadoop filesystem of the root's scheme, so file:/s3a:/
+    * hdfs: pyramids all resolve.
+    */
+  def readMeta(root: String,
+               conf: org.apache.hadoop.conf.Configuration =
+                 new org.apache.hadoop.conf.Configuration()): Option[PyramidMeta] = {
+    val p = new org.apache.hadoop.fs.Path(s"$root/$MetaFileName")
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val bytes = try in.readAllBytes() finally in.close()
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val n = m.readTree(bytes)
+    val levels = (0 until n.get("levels").size()).map { i =>
+      val l = n.get("levels").get(i)
+      LevelMeta(l.get("level").asInt, l.get("xMin").asDouble,
+        l.get("yMin").asDouble, l.get("yMax").asDouble,
+        l.get("xRes").asDouble, l.get("yRes").asDouble,
+        l.get("yDown").asBoolean)
+    }
+    Some(PyramidMeta(n.get("xCol").asText, n.get("yCol").asText,
+      n.get("timeCol").asText, levels))
+  }
+
   /** Build and write levels 0..maxLevel; returns the per-level grid
     * mappings. Variables are aggregated with `mean` (the float default —
     * subsampling.py auto rule).
@@ -39,7 +91,9 @@ object LevelStore {
       cur.df.write.mode("overwrite").parquet(levelPath(root, gms.result().size))
       gms += gm2
     }
-    gms.result()
+    val out = gms.result()
+    writeMeta(root, cube, out)
+    out
   }
 
   def openLevel(spark: SparkSession, root: String, level: Int): DataFrame =

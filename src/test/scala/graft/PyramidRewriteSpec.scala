@@ -1,0 +1,127 @@
+package graft
+
+import graft.cube.{Cube, GridMapping}
+import graft.sources.LevelStore
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+class PyramidRewriteSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = GraftSession.builder("4").getOrCreate()
+
+  private def tmpDir(prefix: String): String = {
+    val base = new java.io.File("/root/repo/target/tmp-tests")
+    base.mkdirs()
+    Files.createTempDirectory(base.toPath, prefix).toString
+  }
+
+  /** Dense 8×8 single-slice cube with v = row-major index, pyramid L0..L2. */
+  private def buildPyramid(): String = {
+    import spark.implicits._
+    val root = tmpDir("pyr")
+    val df = (0 until 64).map { k =>
+      ("2024-01-01", (k / 8) + 0.5, (k % 8) + 0.5, k.toDouble)
+    }.toDF("time", "y", "x", "v")
+      .withColumn("time", col("time").cast("timestamp"))
+    LevelStore.writeLevels(
+      Cube(df, GridMapping.regular((8L, 8L), (0.0, 0.0), (1.0, 1.0))), root, 2)
+    root
+  }
+
+  /** Scan paths of the optimized plan (plan toString omits locations). */
+  private def planOf(df: org.apache.spark.sql.DataFrame): String = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    df.queryExecution.optimizedPlan.collect {
+      case lr: LogicalRelation => lr.relation match {
+        case h: HadoopFsRelation => h.location.rootPaths.mkString(",")
+        case _ => ""
+      }
+    }.mkString(";")
+  }
+
+  test("block-mean at a level resolution retargets the scan to that level") {
+    val root = buildPyramid()
+    val q = spark.read.parquet(s"$root/L0")
+      .groupBy(floor(col("x") / 4.0).as("bi"), floor(col("y") / 4.0).as("bj"))
+      .agg(avg(col("v")).as("v"))
+    assert(planOf(q).contains("/L2"), planOf(q))
+    assert(!planOf(q).contains("/L0"), planOf(q))
+    // values = the L2 table verbatim (avg over exactly one L2 cell)
+    val got = q.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(t => (t._2, t._1))
+    val l2 = spark.read.parquet(s"$root/L2").collect().map(r =>
+      (math.floor(r.getAs[Double]("x") / 4.0).toLong,
+        math.floor(r.getAs[Double]("y") / 4.0).toLong,
+        r.getAs[Double]("v"))).sortBy(t => (t._2, t._1))
+    assert(got.toSeq == l2.toSeq)
+    // and = the direct L0 aggregation (dense grid → mathematically equal)
+    val direct = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L)).map { case (bi, bj) =>
+      val vs = for (j <- 0 until 8; i <- 0 until 8
+                    if i / 4 == bi && j / 4 == bj) yield (j * 8 + i).toDouble
+      (bi, bj, vs.sum / vs.length)
+    }.sortBy(t => (t._2, t._1))
+    got.zip(direct).foreach { case ((gi, gj, gv), (di, dj, dv)) =>
+      assert(gi == di && gj == dj && math.abs(gv - dv) < 1e-9)
+    }
+  }
+
+  test("grouping by time too still rewrites; offset origin form matches") {
+    val root = buildPyramid()
+    val q = spark.read.parquet(s"$root/L0")
+      .groupBy(col("time"),
+        floor((col("x") - 0.0) / 2.0).as("bi"),
+        floor(col("y") / 2.0).as("bj"))
+      .agg(avg(col("v")).as("v"))
+    assert(planOf(q).contains("/L1"), planOf(q))
+    assert(q.count() == 16)
+  }
+
+  test("no rewrite: count aggregate would change meaning") {
+    val root = buildPyramid()
+    val q = spark.read.parquet(s"$root/L0")
+      .groupBy(floor(col("x") / 4.0), floor(col("y") / 4.0))
+      .agg(avg(col("v")), count(lit(1)))
+    assert(planOf(q).contains("/L0"), planOf(q))
+  }
+
+  test("no rewrite: block size is not a pyramid resolution") {
+    val root = buildPyramid()
+    val q = spark.read.parquet(s"$root/L0")
+      .groupBy(floor(col("x") / 3.0), floor(col("y") / 3.0))
+      .agg(avg(col("v")))
+    assert(planOf(q).contains("/L0"), planOf(q))
+  }
+
+  test("no rewrite: misaligned block origin") {
+    val root = buildPyramid()
+    val q = spark.read.parquet(s"$root/L0")
+      .groupBy(floor((col("x") - 1.0) / 4.0), floor(col("y") / 4.0))
+      .agg(avg(col("v")))
+    assert(planOf(q).contains("/L0"), planOf(q))
+  }
+
+  test("no rewrite: plain parquet dir without the _levels.json sidecar") {
+    import spark.implicits._
+    val root = tmpDir("nopyr")
+    Seq((0.5, 0.5, 1.0), (1.5, 0.5, 2.0)).toDF("y", "x", "v")
+      .write.parquet(s"$root/L0")
+    val q = spark.read.parquet(s"$root/L0")
+      .groupBy(floor(col("x") / 2.0), floor(col("y") / 2.0))
+      .agg(avg(col("v")))
+    assert(planOf(q).contains("/L0"), planOf(q))
+  }
+
+  test("rewritten plan executes after an action (AQE path) identically") {
+    val root = buildPyramid()
+    val q = spark.read.parquet(s"$root/L0")
+      .groupBy(floor(col("x") / 2.0).as("bi"), floor(col("y") / 2.0).as("bj"))
+      .agg(avg(col("v")).as("v"))
+    val rows = q.collect()
+    assert(rows.length == 16)
+    val sum = rows.map(_.getDouble(2)).sum
+    assert(math.abs(sum - (0 until 64).map(_.toDouble).sum / 4) < 1e-9)
+  }
+}
