@@ -826,12 +826,17 @@ object ServingPack extends QueryPack {
       val zarrRefs = base.resolve("zarr.refs.json")
       val ncRefs = base.resolve("nc.refs.json")
       val tifRefs = base.resolve("tif.refs.json")
+      val jp2Refs = base.resolve("jp2.refs.json")
       java.nio.file.Files.write(zarrRefs,
         KerchunkSource.scanZarr(group).getBytes("UTF-8"))
       java.nio.file.Files.write(ncRefs,
         KerchunkSource.scanNetcdf(nc0).getBytes("UTF-8"))
       java.nio.file.Files.write(tifRefs,
         KerchunkSource.scanGeoTiff(tif).getBytes("UTF-8"))
+      // JP2 tiles map 1:1 to chunks: [url, sotOffset, psot] range refs +
+      // the graft_jp2 codec carrying the detached main header
+      java.nio.file.Files.write(jp2Refs,
+        KerchunkSource.scanJp2(jp2Fixture(s, d)).getBytes("UTF-8"))
       def sums(df: DataFrame, src: org.apache.spark.sql.Column) = df
         .filter(!isnan(col("v")))
         .groupBy(src.as("src"))
@@ -847,6 +852,12 @@ object ServingPack extends QueryPack {
         .unionByName(
           sums(KerchunkSource.readCube(s, tifRefs.toString, "v"),
             lit("tif_2024-01-01")))
+        .unionByName(
+          // the jp2 granule stores day-1 event COUNTS dense over the full
+          // grid (0 where no events), so all 100×360 cells survive the
+          // NaN filter and sum_v is the day's event count
+          sums(KerchunkSource.readCube(s, jp2Refs.toString, "v"),
+            lit("jp2_2024-01-01")))
     }),
 
     // cell-level dataset version diff (the operational "what changed
@@ -1638,7 +1649,15 @@ object ServingPack extends QueryPack {
          SELECT 'tif_2024-01-01' AS src, count(*) AS n_cells,
                 round(sum(((j + 0.5) + (i + 0.5))::DECIMAL(28,10)), 6)::DOUBLE AS sum_coord,
                 round(sum(v::DECIMAL(28,10)), 6)::DOUBLE AS sum_v
-         FROM daily WHERE day_idx = 0 GROUP BY src""",
+         FROM daily WHERE day_idx = 0 GROUP BY src
+         UNION ALL
+         SELECT 'jp2_2024-01-01' AS src,
+                (SELECT count(*)
+                 FROM range(0, 100) t(j) CROSS JOIN range(0, 360) t2(i)) AS n_cells,
+                (SELECT round(sum(((t.j + 0.5) + (t2.i + 0.5))::DECIMAL(28,10)), 6)::DOUBLE
+                 FROM range(0, 100) t(j) CROSS JOIN range(0, 360) t2(i)) AS sum_coord,
+                (SELECT round(count(*)::DECIMAL(28,10), 6)::DOUBLE FROM cube
+                 WHERE CAST(time AS DATE) = DATE '2024-01-01') AS sum_v""",
     "q_cube_diff" ->
       s"""WITH ${CubePack.cubeCte},
          d1 AS (SELECT floor(y)::BIGINT AS j, floor(x)::BIGINT AS i,

@@ -524,6 +524,103 @@ object KerchunkSource {
     else if (r.offset > 0) s"""[${jstr(r.url)}, ${r.offset}]""" // offset-to-EOF
     else s"""[${jstr(r.url)}]"""
 
+  /** Index a JPEG-2000 granule into a refs document: tiles map 1:1 to zarr
+    * chunks (the store/ref analog of [[scanGeoTiff]] for the remaining
+    * raster format). Bounded reads only — the container boxes + codestream
+    * main header come from a front-of-file prefix, then tile-part offsets
+    * are discovered by hopping SOT→SOT via each tile-part's own Psot
+    * length field (a 12-byte read per tile, never the packet payload).
+    * Each chunk ref is `[url, sotOffset, psot]`; the `graft_jp2` codec
+    * (which carries the detached main header) decodes a tile-part
+    * standalone on whatever task fetches it.
+    *
+    * Scope: single-component codestreams with zero grid/tile offsets — the
+    * satellite-band shape (one .jp2 per band); multi-component imagery
+    * opens through [[graft.sources.jp2.Jp2Source.readRaster]] instead.
+    */
+  def scanJp2(path: String, headerPrefixBytes: Int = 1 << 20): String = {
+    val ch = java.nio.channels.FileChannel.open(
+      java.nio.file.Paths.get(path), java.nio.file.StandardOpenOption.READ)
+    try {
+      val fileSize = ch.size()
+      def readAt(off: Long, n: Int): Array[Byte] = {
+        val buf = java.nio.ByteBuffer.allocate(
+          math.min(n.toLong, fileSize - off).toInt)
+        var pos = off
+        while (buf.hasRemaining) {
+          val r = ch.read(buf, pos)
+          require(r > 0, s"$path: short read at $pos")
+          pos += r
+        }
+        buf.array()
+      }
+      val head = readAt(0, math.min(fileSize, headerPrefixBytes.toLong).toInt)
+      val (csOff, csLen) =
+        graft.sources.jp2.Jp2Source.codestreamSpan(head, fileSize)
+      val csEnd = csOff + csLen
+      // main header = SOC .. first SOT: walk marker segments in the prefix
+      val mh = readAt(csOff, math.min(csLen, headerPrefixBytes.toLong).toInt)
+      require((mh(0) & 0xff) == 0xff && (mh(1) & 0xff) == 0x4f,
+        s"$path: codestream does not start with SOC")
+      var mo = 2
+      def u16(b: Array[Byte], o: Int) = ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
+      while (u16(mh, mo) != 0xff90) {
+        mo += 2 + u16(mh, mo + 2)
+        require(mo + 4 <= mh.length,
+          s"$path: main header extends beyond the $headerPrefixBytes-byte " +
+            "prefix (raise headerPrefixBytes)")
+      }
+      val mainHeader = java.util.Arrays.copyOf(mh, mo)
+      // siz/cod/qcd validation through the standard parser (zero tiles)
+      val cd = graft.sources.jp2.Jp2Codestream.parse(
+        mainHeader ++ Array(0xff.toByte, 0xd9.toByte))
+      val siz = cd.siz
+      require(siz.comps.length == 1,
+        s"$path: ${siz.comps.length} components (single-component only)")
+      require(siz.xosiz == 0 && siz.yosiz == 0 && siz.xto == 0 && siz.yto == 0,
+        s"$path: nonzero image/tile grid offsets have no aligned zarr chunk grid")
+      val ntx = siz.ntx
+      // hop SOT -> SOT: record [url, offset, psot] per tile
+      val url = new java.io.File(path).toURI.toString
+      val out = scala.collection.mutable.LinkedHashMap[String, String]()
+      out(".zgroup") = jstr("""{"zarr_format":2}""")
+      def coordArray(name: String, values: Array[Double]): Unit = {
+        out(s"$name/.zarray") = jstr(
+          s"""{"zarr_format":2,"shape":[${values.length}],""" +
+            s""""chunks":[${values.length}],"dtype":"<f8","compressor":null,""" +
+            """"fill_value":null,"filters":null,"order":"C"}""")
+        out(s"$name/.zattrs") = jstr(s"""{"_ARRAY_DIMENSIONS":[${jstr(name)}]}""")
+        val cb = java.nio.ByteBuffer.allocate(values.length * 8)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        values.foreach(cb.putDouble)
+        out(s"$name/0") = jstr("base64:" +
+          java.util.Base64.getEncoder.encodeToString(cb.array()))
+      }
+      coordArray("y", Array.tabulate(siz.ysiz)(_ + 0.5))
+      coordArray("x", Array.tabulate(siz.xsiz)(_ + 0.5))
+      val hdrB64 = java.util.Base64.getEncoder.encodeToString(mainHeader)
+      out("v/.zarray") = jstr(
+        s"""{"zarr_format":2,"shape":[${siz.ysiz},${siz.xsiz}],""" +
+          s""""chunks":[${siz.yt},${siz.xt}],"dtype":">i4",""" +
+          s""""compressor":{"id":"graft_jp2","header":${jstr(hdrB64)}},""" +
+          """"fill_value":0,"filters":null,"order":"C"}""")
+      out("v/.zattrs") = jstr("""{"_ARRAY_DIMENSIONS":["y","x"]}""")
+      var o = csOff + mo
+      while (o < csEnd - 2 && {
+        val m = readAt(o, 2); ((m(0) & 0xff) << 8 | (m(1) & 0xff)) == 0xff90
+      }) {
+        val sot = readAt(o, 12)
+        val isot = u16(sot, 4)
+        val psot0 = ((sot(6) & 0xffL) << 24) | ((sot(7) & 0xffL) << 16) |
+          ((sot(8) & 0xffL) << 8) | (sot(9) & 0xffL)
+        val psot = if (psot0 == 0) csEnd - 2 - o else psot0
+        out(s"v/${isot / ntx}.${isot % ntx}") = s"""[${jstr(url)}, $o, $psot]"""
+        o += psot
+      }
+      refsDoc(out)
+    } finally ch.close()
+  }
+
   /** Scan MANY granules as ONE Spark job — an executor task per granule,
     * the archive-ingest shape: with ~10⁵ granules behind a 100 TB store,
     * a driver-side scan loop never finishes, while this fleet scan is
@@ -554,13 +651,17 @@ object KerchunkSource {
     if (f.isDirectory) return scanZarr(path)
     val magic = {
       val in = java.nio.file.Files.newInputStream(f.toPath)
-      try in.readNBytes(4) finally in.close()
+      try in.readNBytes(8) finally in.close()
     }
     val m = magic.map(_ & 0xff)
     if (m.startsWith(Seq('C'.toInt, 'D'.toInt, 'F'.toInt))) scanNetcdf(path)
     else if (m.startsWith(Seq(0x89, 'H'.toInt, 'D'.toInt, 'F'.toInt))) scanHdf5(path)
     else if (m.startsWith(Seq('I'.toInt, 'I'.toInt, 42, 0)) ||
              m.startsWith(Seq('M'.toInt, 'M'.toInt, 0, 42))) scanGeoTiff(path)
+    else if (m.startsWith(Seq(0xff, 0x4f, 0xff, 0x51)) || // raw codestream
+             // JP2 signature box: 00 00 00 0C 'jP  '
+             m.startsWith(Seq(0, 0, 0, 0x0c, 'j'.toInt, 'P'.toInt, 0x20, 0x20)))
+      scanJp2(path)
     else throw new IllegalArgumentException(
       s"$path: unrecognized granule magic ${magic.mkString(",")}")
   }

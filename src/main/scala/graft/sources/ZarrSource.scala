@@ -54,6 +54,13 @@ object ZarrSource {
     * unlike [[Zlib]]'s bare zlib wrapping.
     */
   final case class Gzip(level: Int = 5) extends Codec
+  /** graft extension codec `{"id": "graft_jp2", "header": <base64>}`: the
+    * chunk payload is ONE JPEG-2000 tile-part addressed in the original
+    * granule; `header` carries the codestream main header (SOC..first SOT)
+    * so each chunk decodes standalone. Emitted by
+    * [[KerchunkSource.scanJp2]]; decodes to the full-chunk `>i4` samples.
+    */
+  final case class Jp2TileC(headerB64: String) extends Codec
   /** Zarr v3 `crc32c` codec: appends a 4-byte little-endian CRC32C of the
     * payload; decode verifies and strips it.
     */
@@ -179,8 +186,10 @@ object ZarrSource {
           comp.path("shuffle").asInt(1), comp.path("blocksize").asInt(0))
         case "zstd" => ZstdC(comp.path("level").asInt(1))
         case "lz4" => Lz4C(comp.path("acceleration").asInt(1))
+        case "graft_jp2" => Jp2TileC(comp.path("header").asText)
         case other => throw new IllegalArgumentException(
-          s"$arrayDir: compressor '$other' unsupported (null/zlib/blosc/zstd/lz4)")
+          s"$arrayDir: compressor '$other' unsupported " +
+            "(null/zlib/blosc/zstd/lz4/graft_jp2)")
       }
     val fv = za.path("fill_value") match {
       case n if n.isNull => Double.NaN
@@ -266,6 +275,9 @@ object ZarrSource {
       require(n >= 0, s"bad lz4 size header $n")
       net.jpountz.lz4.LZ4Factory.fastestInstance().safeDecompressor()
         .decompress(raw, 4, raw.length - 4, n)
+    case j: Jp2TileC =>
+      graft.sources.jp2.Jp2Source.decodeTilePartToI4(
+        java.util.Base64.getDecoder.decode(j.headerB64), raw)
     case _: Gzip =>
       val in = new java.util.zip.GZIPInputStream(
         new java.io.ByteArrayInputStream(raw))

@@ -47,6 +47,61 @@ object Jp2Source {
     throw new IllegalArgumentException("jp2: no jp2c codestream box")
   }
 
+  /** Byte offset and length of the codestream WITHIN the container file —
+    * 0/whole for a raw codestream, the `jp2c` box payload otherwise.
+    * Consumed by the kerchunk scanner, whose refs address the original
+    * file by absolute offset.
+    */
+  def codestreamSpan(head: Array[Byte], fileSize: Long): (Long, Long) = {
+    if (head.length >= 2 && (head(0) & 0xff) == 0xff && (head(1) & 0xff) == 0x4f)
+      return (0L, fileSize)
+    val b = ByteBuffer.wrap(head).order(ByteOrder.BIG_ENDIAN)
+    var o = 0L
+    while (o < head.length - 8) {
+      var len: Long = b.getInt(o.toInt).toLong & 0xffffffffL
+      val typ = new String(head, o.toInt + 4, 4, "ISO-8859-1")
+      var hdr = 8
+      if (len == 1) { len = b.getLong(o.toInt + 8); hdr = 16 }
+      else if (len == 0) len = fileSize - o
+      if (typ == "jp2c") return (o + hdr, len - hdr)
+      o += len
+    }
+    throw new IllegalArgumentException(
+      "jp2: no jp2c codestream box within the header prefix")
+  }
+
+  /** Decode ONE tile-part against a detached main header — the kerchunk
+    * chunk codec: `header ++ tilePart ++ EOC` is a complete one-tile
+    * codestream, so the standard parser/decoder run unchanged. The decoded
+    * samples are padded to the FULL (yt × xt) chunk shape (zarr edge
+    * chunks are stored full-size) and serialized big-endian int32 —
+    * matching the scanner's `>i4` dtype declaration.
+    */
+  def decodeTilePartToI4(header: Array[Byte], tilePart: Array[Byte]): Array[Byte] = {
+    val cs = header ++ tilePart ++ Array(0xff.toByte, 0xd9.toByte)
+    val cd = parse(cs)
+    require(cd.siz.comps.length == 1,
+      s"kerchunk jp2 tile: ${cd.siz.comps.length} components (single only)")
+    require(cd.tiles.length == 1,
+      s"kerchunk jp2 tile: ${cd.tiles.length} tile-parts in one chunk ref")
+    val tile = cd.tiles.head
+    val samples = decodeTileSamples(cs, cd, tile).head
+    val (tx0, ty0, tx1, ty1) = Jp2Codestream.tileRect(cd.siz, tile.index)
+    val (tw, th) = (tx1 - tx0, ty1 - ty0)
+    val (xt, yt) = (cd.siz.xt, cd.siz.yt)
+    val out = ByteBuffer.allocate(yt * xt * 4).order(ByteOrder.BIG_ENDIAN)
+    var j = 0
+    while (j < yt) {
+      var i = 0
+      while (i < xt) {
+        out.putInt(if (j < th && i < tw) samples(j * tw + i) else 0)
+        i += 1
+      }
+      j += 1
+    }
+    out.array()
+  }
+
   /** Decode a full image (all tiles, all components) to integer samples
     * (irreversible data is rounded to the nearest integer after inverse
     * ICT/DC-shift, as consumers of 8/16-bit imagery expect).

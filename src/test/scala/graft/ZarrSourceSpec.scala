@@ -598,6 +598,36 @@ class ZarrSourceSpec extends AnyFunSuite {
     assert(e.getMessage.contains("zarr codec"))
   }
 
+  test("kerchunk: scanJp2 maps tiles to chunks; refs read == direct decode") {
+    import graft.sources.KerchunkSource
+    import graft.sources.jp2.Jp2Source
+    val dir = tmpDir("kcj")
+    // 10×7 grid, 4×3 tiles → 3×3 tile grid with ragged right/bottom edges
+    val (w, h) = (10, 7)
+    val grid = Array.tabulate(h * w)(i => (i * 13 + 5) % 211)
+    val p = s"$dir/counts.jp2"
+    Jp2Source.write(p, w, h, depth = 8, signed = false, Vector(grid),
+      nLevels = 2, tileW = 4, tileH = 3)
+    val refsJson = KerchunkSource.scanJp2(p)
+    // one [url, offset, length] ref per tile, none inline
+    val refsPath = s"$dir/counts.refs.json"
+    Files.writeString(Paths.get(refsPath), refsJson)
+    val refs = KerchunkSource.parse(refsPath)
+    val tileKeys = (0 until 3).flatMap(j => (0 until 3).map(i => s"v/$j.$i"))
+    tileKeys.foreach(k => assert(refs.contains(k), s"missing chunk ref $k"))
+    val back = KerchunkSource.readCube(spark, refsPath, "v").collect()
+      .map(r => (r.getDouble(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    assert(back.size == h * w)
+    for (j <- 0 until h; i <- 0 until w)
+      assert(back((j + 0.5, i + 0.5)) == grid(j * w + i).toDouble, s"j=$j i=$i")
+    // scanAuto dispatches by the JP2 signature box
+    assert(KerchunkSource.scanAuto(p) == refsJson)
+    // the direct reader agrees cell for cell
+    val direct = Jp2Source.readRaster(spark, p).collect()
+      .map(r => (r.getDouble(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    assert(direct == back)
+  }
+
   test("kerchunk: combineRefs concatenates granules along a new dimension") {
     import graft.sources.{KerchunkSource, NetcdfSource}
     import NetcdfSource.NcDim
