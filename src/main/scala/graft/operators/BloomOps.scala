@@ -94,9 +94,20 @@ object BloomOps {
     require(k >= 1 && k <= 16, s"k hash functions out of range: $k")
     require(mBits <= (1L << 26),
       s"inline probe caps at 2^26 bits, got $mBits — use probe()")
-    val words = new Array[Long]((mBits / 32).toInt)
+    // EAGER at query-construction time: the bitmap materializes here on
+    // the driver (m/32 rows — bounded by the 2^26-bit cap above, ≤ 8 MiB).
+    // Callers composing lazy plans should build the bitmap once and reuse
+    // the returned plan, not re-call probeInline per run.
+    val nWords = (mBits / 32).toInt
+    val words = new Array[Long](nWords)
     bitmap.collect().foreach { r =>
-      words(r.getLong(0).toInt) = r.getLong(1)
+      val w = r.getLong(0)
+      // a bitmap built for a DIFFERENT mBits would scatter silently or
+      // throw a bare AIOOBE here — name the mismatch instead
+      require(w >= 0 && w < nWords,
+        s"bitmap word_idx $w outside [0, $nWords) — bitmap built with a " +
+          s"different mBits than the probe's $mBits")
+      words(w.toInt) = r.getLong(1)
     }
     val arr = typedLit(words.toSeq)
     var cur = df.withColumn("__h", hash(col(keyCol)))

@@ -51,7 +51,11 @@ object GifCodec {
       (bytes(p) & 0xff) match {
         case 0x21 => // extension: label + sub-blocks
           p += 2
-          while ((bytes(p) & 0xff) != 0) p += 1 + (bytes(p) & 0xff)
+          while ({
+            require(p < bytes.length,
+              "truncated GIF: extension sub-blocks run past end of file")
+            (bytes(p) & 0xff) != 0
+          }) p += 1 + (bytes(p) & 0xff)
           p += 1
         case 0x3b =>
           throw new IllegalArgumentException("GIF trailer before any image")
@@ -70,10 +74,18 @@ object GifCodec {
           require(pal.nonEmpty, "GIF image with no color table")
           val minCode = bytes(p) & 0xff
           p += 1
-          // concatenate the data sub-blocks
+          // concatenate the data sub-blocks (copyOfRange would PAD a
+          // truncated final block with zeros — reject instead)
           val data = new mutable.ArrayBuilder.ofByte
-          while ((bytes(p) & 0xff) != 0) {
+          while ({
+            require(p < bytes.length,
+              "truncated GIF: image data sub-blocks run past end of file")
+            (bytes(p) & 0xff) != 0
+          }) {
             val n = bytes(p) & 0xff
+            require(p + 1 + n <= bytes.length,
+              s"truncated GIF: data sub-block of $n bytes at offset $p " +
+                s"extends past end of file (${bytes.length} bytes)")
             data ++= java.util.Arrays.copyOfRange(bytes, p + 1, p + 1 + n)
             p += 1 + n
           }
@@ -177,11 +189,17 @@ object GifCodec {
             dictSize += 1
           }
         } else {
-          // KwKwK case: code == dictSize
-          if (dictSize < 4096) {
-            prefix(dictSize) = prev; suffix(dictSize) = firstByte(prev)
-            dictSize += 1
-          }
+          // KwKwK: the ONLY code a conforming encoder can emit beyond the
+          // current dictionary is exactly dictSize (the entry being
+          // defined by this very code). Anything else — code > dictSize,
+          // or any beyond-dict code while the dictionary is full — cannot
+          // come from a valid encoder; emitting dictSize-1 for it would
+          // produce silently wrong pixels.
+          require(code == dictSize && dictSize < 4096,
+            s"GIF LZW: code $code beyond dictionary size $dictSize " +
+              "(corrupt stream)")
+          prefix(dictSize) = prev; suffix(dictSize) = firstByte(prev)
+          dictSize += 1
           emit(dictSize - 1)
         }
         prev = code

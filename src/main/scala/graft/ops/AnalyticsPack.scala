@@ -331,21 +331,19 @@ object AnalyticsPack extends QueryPack {
     // log must equal the batch interval join (the oracle) row-for-row.
     "q_stream_join" -> ((s, d) => {
       val schema = GraftSession.table(s, d, "events").schema
-      def side(et: String, pfx: String) = {
-        val stream = s.readStream.schema(schema)
+      def side(et: String, pfx: String) =
+        s.readStream.schema(schema)
           .option("pathGlobFilter", "events.parquet").parquet(d)
           .transform(GraftSession.normalizeTs(_))
           .filter(col("event_type") === et)
           .select(col("user_id").as(s"${pfx}_user"),
             col("event_id").as(s"${pfx}_id"), col("ts").as(s"${pfx}_ts"))
-        stream.withWatermark(s"${pfx}_ts", "40 days")
-      }
-      val views = side("view", "v")
-      val clicks = side("click", "c")
-      val joined = views.join(clicks,
-        col("v_user") === col("c_user") &&
-          col("c_ts") > col("v_ts") &&
-          col("c_ts") <= col("v_ts") + expr("INTERVAL 30 MINUTES"))
+      // lateness bound wider than the replayed fixture's disorder, so the
+      // single AvailableNow pass equals the batch interval join exactly;
+      // StreamJoinOpsSpec drives a TIGHT bound multi-batch and asserts the
+      // late-click drop + state eviction the parameter exists for
+      val joined = graft.streaming.StreamJoinOps.viewClickIntervalJoin(
+        side("view", "v"), side("click", "c"), watermark = "40 days")
       val tbl = s"q_stream_join_${streamCounter.incrementAndGet()}"
       val q = joined.writeStream.format("memory").queryName(tbl)
         .outputMode("append")

@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.{GraftSession, QueryPack}
-import graft.operators.{BloomOps, BpeOps, ClassifierOps, ClusterOps, EmbeddingOps, IvfOps, LmOps, MediaCodecs, MultimodalOps, PcaOps, SampleOps, SketchOps, TextOps}
+import graft.operators.{BloomOps, BpeOps, ClassifierOps, ClusterOps, EmbeddingOps, IndexOps, IvfOps, LmOps, MediaCodecs, MultimodalOps, PcaOps, SampleOps, SketchOps, TextOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -43,6 +43,13 @@ object PipelinePack extends QueryPack {
   // (max 104) size at test SFs — both branches exercised at sf0.01 and sf0.1
   private val EmbDegClones = 500
   private val EmbDegCap = 100
+  // BM25 query set shared by q_bm25 (full-scan build) and
+  // q_bm25_incremental (stored index + delta append)
+  private val Bm25QueryTerms: Seq[(Int, String)] = Seq(
+    1 -> "hash", 1 -> "join",
+    2 -> "vector", 2 -> "scan", 2 -> "filter",
+    3 -> "stream", 3 -> "window", 3 -> "agg",
+    4 -> "slow", 4 -> "merge", 4 -> "sort", 4 -> "table")
   private val SemDegClones = 600
   private val SemDegCap = 200
   private val SubstrClones = 3000
@@ -1283,49 +1290,36 @@ object PipelinePack extends QueryPack {
     // filtered tokenize with map-side-combined counts, so the shape holds
     // when the corpus is 10^9 documents and the query set stays bounded.
     "q_bm25" -> ((s, d) => {
-      val queryTerms: Seq[(Int, String)] = Seq(
-        1 -> "hash", 1 -> "join",
-        2 -> "vector", 2 -> "scan", 2 -> "filter",
-        3 -> "stream", 3 -> "window", 3 -> "agg",
-        4 -> "slow", 4 -> "merge", 4 -> "sort", 4 -> "table")
-      val terms = queryTerms.map(_._2).distinct
-      val dd = docs(s, d)
-      val lens = dd.select(col("doc_id"), size(split(col("text"), " ")).as("dlen"))
-      val stats = lens.agg(count(lit(1)).as("n_docs"),
-        sum(col("dlen").cast("long")).as("tot_len"))
-      val tok = dd.select(col("doc_id"),
-          explode(split(col("text"), " ")).as("term"))
-        .filter(col("term").isin(terms: _*))
-      val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      val idf = tok.groupBy("term")
-        .agg(countDistinct(col("doc_id")).as("df"))
-        .crossJoin(broadcast(stats))
-        .select(col("term"),
-          round(lit(1000000.0) *
-            log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)))
-            .cast("long").as("idfq"))
-      val q = s.createDataFrame(queryTerms).toDF("query_id", "term")
-      val contrib = tf
-        .join(broadcast(idf), Seq("term"))
-        .join(lens, Seq("doc_id"))
-        .crossJoin(broadcast(stats))
-        .select(col("term"), col("doc_id"),
-          round(col("idfq") * ((col("tf") * lit(2.2)) /
-            (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) *
-              ((col("dlen").cast("long") * col("n_docs")).cast("double") /
-                col("tot_len").cast("double"))))))
-            .cast("long").as("contrib"))
-      val scores = contrib.join(broadcast(q), Seq("term"))
-        .groupBy("query_id", "doc_id")
-        .agg(sum(col("contrib")).as("score"))
-      scores.groupBy("query_id")
-        .agg(graft.functions.TopK.bottomK(
-          struct(negate(col("score")).as("__o"), col("doc_id"), col("score")), 5)
-          .as("__tk"))
-        .select(col("query_id"), posexplode(col("__tk")).as(Seq("__p", "__r")))
-        .select(col("query_id").cast("int").as("query_id"),
-          (col("__p") + 1).cast("long").as("rank"),
-          col("__r.doc_id").as("doc_id"), col("__r.score").as("score"))
+      val idx = IndexOps.buildBmIndex(docs(s, d), "doc_id", "text",
+        Bm25QueryTerms.map(_._2).distinct)
+      IndexOps.bm25TopK(idx, Bm25QueryTerms, 5)
+    }),
+
+    // incremental retrieval-index maintenance: the STORED index tables
+    // (tf/df/stats, built from 90% of the corpus and persisted as parquet)
+    // absorb the remaining 10% via IndexOps.appendToBmIndex — only the
+    // delta text is scanned; the base corpus never is. All maintained
+    // quantities are exact integers, so the oracle (a from-scratch rebuild
+    // over the FULL corpus, q_bm25's own SQL) hash-matching proves
+    // incremental == rebuild bit for bit.
+    "q_bm25_incremental" -> ((s, d) => {
+      val terms = Bm25QueryTerms.map(_._2).distinct
+      val sfName = new java.io.File(d).getName
+      val base = s"/root/repo/.graft-fixtures/bm25idx_$sfName"
+      graft.Fixtures.ensureWritten(base, s"split=mod10,terms=${terms.length}") {
+        val b = IndexOps.buildBmIndex(
+          docs(s, d).filter(col("doc_id") % 10 =!= 0), "doc_id", "text", terms)
+        b.tf.write.mode("overwrite").parquet(s"$base/tf")
+        b.df.write.mode("overwrite").parquet(s"$base/df")
+        b.stats.write.mode("overwrite").parquet(s"$base/stats")
+      }
+      val stored = IndexOps.BmIndex(
+        s.read.parquet(s"$base/tf"),
+        s.read.parquet(s"$base/df"),
+        s.read.parquet(s"$base/stats"))
+      val idx = IndexOps.appendToBmIndex(stored,
+        docs(s, d).filter(col("doc_id") % 10 === 0), "doc_id", "text", terms)
+      IndexOps.bm25TopK(idx, Bm25QueryTerms, 5)
     }),
 
     // classified by largest marker overlap (tie → lexicographic lang),
@@ -2575,6 +2569,39 @@ object PipelinePack extends QueryPack {
                 sum(sz)::BIGINT AS n_nodes
          FROM cs""",
     "q_bm25" ->
+      """WITH qs(query_id, term) AS (VALUES
+           (1,'hash'),(1,'join'),
+           (2,'vector'),(2,'scan'),(2,'filter'),
+           (3,'stream'),(3,'window'),(3,'agg'),
+           (4,'slow'),(4,'merge'),(4,'sort'),(4,'table')),
+         lens AS (SELECT doc_id, len(string_split(text, ' '))::BIGINT AS dlen
+                  FROM documents),
+         stats AS (SELECT count(*)::BIGINT AS n_docs,
+                          sum(dlen)::BIGINT AS tot_len FROM lens),
+         tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                 FROM documents),
+         tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok
+                WHERE term IN (SELECT DISTINCT term FROM qs)
+                GROUP BY doc_id, term),
+         idf AS (SELECT term,
+                        round(1000000.0 * ln((s.n_docs - df + 0.5) / (df + 0.5) + 1.0))::BIGINT AS idfq
+                 FROM (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok
+                       WHERE term IN (SELECT DISTINCT term FROM qs)
+                       GROUP BY term) d, stats s),
+         c AS (SELECT t.term, t.doc_id,
+                      round(i.idfq * ((t.tf * 2.2) /
+                        (t.tf + 1.2 * (0.25 + 0.75 *
+                          ((l.dlen * s.n_docs)::DOUBLE / s.tot_len::DOUBLE)))))::BIGINT AS contrib
+               FROM tf t JOIN idf i USING (term) JOIN lens l USING (doc_id), stats s),
+         sc AS (SELECT q.query_id, c.doc_id, sum(c.contrib)::BIGINT AS score
+                FROM qs q JOIN c USING (term) GROUP BY 1, 2),
+         r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                          ORDER BY score DESC, doc_id ASC) AS rank FROM sc)
+         SELECT query_id, rank, doc_id, score FROM r WHERE rank <= 5""",
+    // the oracle IS the from-scratch rebuild over the FULL corpus: the
+    // Spark side maintains the stored base index + delta append, so a
+    // hash match proves incremental maintenance == rebuild exactly
+    "q_bm25_incremental" ->
       """WITH qs(query_id, term) AS (VALUES
            (1,'hash'),(1,'join'),
            (2,'vector'),(2,'scan'),(2,'filter'),

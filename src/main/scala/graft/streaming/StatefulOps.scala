@@ -135,11 +135,24 @@ object StatefulOps {
       .flatMapGroupsWithState[RetState, RetUser](
         OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
         (key: Long, rows: Iterator[RetEvent], state: GroupState[RetState]) =>
+          val hadState = state.exists
           var st = state.getOption.getOrElse(RetState(Long.MaxValue, Map.empty))
           rows.foreach { r =>
-            // monotone arrivals make min-tracking exact; counts are keyed
-            // by ABSOLUTE bucket so a later (smaller) cohort re-derives
-            // every offset correctly
+            // Counts are keyed by ABSOLUTE bucket, so WITHIN a batch any
+            // arrival order is fine (emission happens after the fold). But
+            // once a cohort has been EMITTED (a previous batch), a smaller
+            // bucket would retro-shift it: the already-sunk rows keyed by
+            // the old cohort would sit next to re-emissions under the new
+            // one, and the documented max-per-key absorption would count
+            // the user in BOTH cohorts. That is a violation of the
+            // monotone-cohort arrival discipline — fail loudly instead of
+            // double-counting silently.
+            require(!(hadState && r.bucket < st.cohort),
+              s"streamingRetention: user $key event in bucket ${r.bucket} " +
+                s"arrived after cohort ${st.cohort} was already emitted — " +
+                "cohort-defining events must arrive before later buckets " +
+                "(replay per-user history in bucket order, or widen the " +
+                "batch that carries the user's first events)")
             st = RetState(math.min(st.cohort, r.bucket),
               st.counts.updated(r.bucket, st.counts.getOrElse(r.bucket, 0L) + 1L))
           }

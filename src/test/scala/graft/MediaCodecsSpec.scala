@@ -203,6 +203,36 @@ class MediaCodecsSpec extends AnyFunSuite {
     assert(dec.rgb.sameElements(srgb), "interlaced rows must be reordered back")
   }
 
+  test("GIF: corrupt streams reject loudly (truncation, beyond-dict code)") {
+    import graft.operators.GifCodec
+    // truncation: cut a valid GIF mid-data — the sub-block walker must
+    // name the malformation, not AIOOBE or zero-pad
+    val rgb = new Array[Byte](8 * 8 * 3)
+    for (i <- 0 until 64) rgb(i * 3) = ((i % 4) * 60).toByte
+    val ours = GifCodec.encodeGif(BmpImage(8, 8, rgb))
+    val cut = java.util.Arrays.copyOf(ours, ours.length - 8)
+    val e1 = intercept[IllegalArgumentException](GifCodec.decodeGif(cut))
+    assert(e1.getMessage.contains("truncated GIF"), e1.getMessage)
+    // beyond-dict LZW code: hand-built 4-color GIF whose code stream is
+    // [clear=4, 0, 7] — after one root code the dictionary holds 6
+    // entries, so 7 is not the KwKwK case (6) and cannot be valid
+    val bad = {
+      val b = new java.io.ByteArrayOutputStream()
+      b.write("GIF89a".getBytes("US-ASCII"))
+      b.write(Array[Byte](2, 0, 2, 0, 0x81.toByte, 0, 0)) // LSD: 2x2, GCT 4
+      b.write(new Array[Byte](12)) // 4-color GCT
+      b.write(0x2c); b.write(Array[Byte](0, 0, 0, 0, 2, 0, 2, 0, 0))
+      b.write(2) // LZW min code size
+      // 3-bit codes 4,0,7 packed LSB-first: 0xC4, 0x01
+      b.write(2); b.write(0xc4); b.write(0x01)
+      b.write(0) // sub-block terminator
+      b.write(0x3b)
+      b.toByteArray
+    }
+    val e2 = intercept[IllegalArgumentException](GifCodec.decodeGif(bad))
+    assert(e2.getMessage.contains("beyond dictionary"), e2.getMessage)
+  }
+
   test("PNG decode matches ImageIO-encoded RGBA/RGB/gray pixels exactly (seeded)") {
     val rnd = new scala.util.Random(31)
     (1 to 15).foreach { t =>

@@ -633,6 +633,26 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(none == 0L)
   }
 
+  test("bloom probeInline: agrees with probe; mismatched-mBits bitmap is loud") {
+    import spark.implicits._
+    import graft.operators.BloomOps
+    val keys = (1 to 200).map(i => (i.toLong, s"key$i")).toDF("id", "k")
+    val blocked = keys.filter($"id" % 7 === 0).select("k")
+    val m = 512L
+    val bm = BloomOps.buildBitmap(blocked, "k", m, 4)
+    val inline = BloomOps.probeInline(keys, "k", bm, m, 4)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    val joined = BloomOps.probe(keys, "k", bm, m, 4)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(inline == joined)
+    // a bitmap built for a LARGER m carries word indices past the probe's
+    // word array — must be a named error, not an AIOOBE or silent scatter
+    val bmBig = BloomOps.buildBitmap(blocked, "k", 4096L, 4)
+    val e = intercept[IllegalArgumentException](
+      BloomOps.probeInline(keys, "k", bmBig, m, 4))
+    assert(e.getMessage.contains("different mBits"), e.getMessage)
+  }
+
   test("stratified sample: exact per-stratum k, hash-minimal members, determinism") {
     import spark.implicits._
     val df = (1 to 300).map(i => (i.toLong, s"s${i % 5}", i * 10)).toDF("id", "src", "v")

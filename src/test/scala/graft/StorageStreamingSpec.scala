@@ -272,6 +272,42 @@ class StorageStreamingSpec extends AnyFunSuite {
     assert(got((1L, 100L, 0L)) == 3L && got((1L, 100L, 1L)) == 1L)
   }
 
+  test("streaming retention: non-monotone cohort arrival fails loudly") {
+    import spark.implicits._
+    import graft.streaming.StatefulOps
+    import org.apache.spark.sql.streaming.Trigger
+    val src = tmpDir("retng_src")
+    val ckpt = tmpDir("retng_ckpt")
+    def runOnePass(): Unit = {
+      val rows = spark.readStream.schema("userId LONG, bucket LONG")
+        .option("recursiveFileLookup", "true").parquet(src)
+        .as[StatefulOps.RetEvent]
+      val q = StatefulOps.streamingRetention(rows)
+        .toDF().writeStream.outputMode("update")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          // must touch every partition: Spark 4 validates that foreachBatch
+          // committed all state partitions
+          val _ = b.count(); ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt).start()
+      q.awaitTermination()
+    }
+    Seq((1L, 100L)).toDF("userId", "bucket").write.parquet(s"$src/b1")
+    runOnePass() // cohort 100 emitted
+    // a later batch carrying bucket 99 would retro-shift the emitted
+    // cohort: the documented max-per-key absorption would then count the
+    // user in BOTH cohorts — the operator must fail loudly instead
+    Seq((1L, 99L)).toDF("userId", "bucket").write.parquet(s"$src/b2")
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException](
+      runOnePass())
+    def causeChain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
+    assert(causeChain(e).exists(c =>
+      Option(c.getMessage).exists(_.contains("arrived after cohort"))),
+      causeChain(e).map(_.getMessage).mkString(" | "))
+  }
+
   test("streaming transitions: last-event state links pairs across batches") {
     import spark.implicits._
     import graft.streaming.StatefulOps
