@@ -145,7 +145,15 @@ object ScaleSoak {
     */
   val SkewSoakQueries: Seq[String] = Seq(
     "q_substr_removal", "q_exact_substring", "q_dedup_near",
-    "q_dedup_clusters", "q_curation", "q_modern_curation")
+    "q_dedup_clusters", "q_curation", "q_modern_curation",
+    // round-12 additions: the planted EMBEDDING hot bucket (identical
+    // clones growing with the factor: 500·f members share one sign bucket
+    // AND one k-means cluster — under the 10000 default cap at 1×, past
+    // it at 30×, so the capped joins must cross from enumerate to drop),
+    // and the BOT USER holding ~10% of all events (per-user windows /
+    // session state must stay linear in that one key's volume)
+    "q_embed_near_dup", "q_semantic_dedup", "q_sessionize",
+    "q_stream_sessionize")
 
   /** Allowed growth multiple of `factor` before a query is flagged. The
     * salted documents are ~2× longer than the originals (a salt token in
@@ -158,6 +166,16 @@ object ScaleSoak {
     */
   private val SoakBoiler = (0 until 20).map(i => s"soakboiler$i").mkString(" ")
   private val ClonesPerCopy = 64
+  /** Identical embedding clones planted per copy in skew mode (mirrors
+    * q_embed_degenerate, but growing with the factor): 500·f members in
+    * ONE sign bucket / k-means cluster — below the 10000 default cap at
+    * 1× (pairs enumerate), above it at 30× (bucket dropped + reported).
+    */
+  private val EmbClonesPerCopy = 500
+  /** The skew-mode bot: ~10% of every copy's events collapse onto this
+    * one user_id (the crawler/bot shape every behavioral pipeline meets).
+    */
+  private val BotUserId = 424242424L
 
   def buildScaled(spark: SparkSession, base: String, out: String, f: Int,
                   skew: Boolean = false): Unit = {
@@ -187,8 +205,15 @@ object ScaleSoak {
         // session is pinned UTC so the cast is value-preserving
         case _ => timestamp_micros(unix_micros(col("ts").cast("timestamp")) + c)
       }
+      // skew mode: ~10% of EVERY copy's events belong to one bot user —
+      // the hot key's volume grows with f while every other user stays
+      // copy-local; per-user windows and session state must absorb it
+      val uid =
+        if (skew) when(col("event_id") % 10 === 0, lit(BotUserId))
+          .otherwise(col("user_id") + c * 100000L)
+        else col("user_id") + c * 100000L
       d.withColumn("event_id", col("event_id") + c * 360000000L)
-        .withColumn("user_id", col("user_id") + c * 100000L)
+        .withColumn("user_id", uid)
         .withColumn("ts", tsShift)
     })
     // documents: every inter-token gap gets a copy-specific salt token →
@@ -222,11 +247,29 @@ object ScaleSoak {
       withBoiler.unionByName(clones)
         .write.mode("overwrite").parquet(s"$out/documents.parquet")
     }
-    copies("embeddings")((d, c) =>
+    def perturbed(d: DataFrame, c: Int): DataFrame =
       if (c == 0) d
       else d.withColumn("vec_id", col("vec_id") + c * 10000000L)
         .withColumn("embedding", transform(col("embedding"),
-          x => (x + lit(c * 0.001f)).cast("float"))))
+          x => (x + lit(c * 0.001f)).cast("float")))
+    if (!skew) copies("embeddings")(perturbed)
+    else {
+      // planted embedding hot bucket: EmbClonesPerCopy·f IDENTICAL copies
+      // of one vector (no per-copy perturbation — they must share one sign
+      // bucket and one k-means cluster). At 1× the bucket is under the
+      // default cap and its pairs enumerate; at 30× it crosses the cap and
+      // must be dropped BEFORE the self-join — the crossover this soak
+      // exists to time.
+      val src = spark.read.parquet(s"$base/embeddings.parquet")
+      val all = (0 until f).map(c => perturbed(src, c)).reduce(_ unionByName _)
+      val tmpl = src.orderBy("vec_id").limit(1).drop("vec_id")
+      val clones = spark.range(EmbClonesPerCopy.toLong * f)
+        .select((col("id") + 900000000L).as("vec_id"))
+        .crossJoin(broadcast(tmpl))
+        .select(src.columns.map(col).toIndexedSeq: _*)
+      all.unionByName(clones)
+        .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    }
   }
 
   /** Usage: runMain graft.tools.ScaleSoak [baseDir] [factor] [outDir]
@@ -248,12 +291,12 @@ object ScaleSoak {
       case None => SoakQueries
     }
     val spark = GraftSession.get()
-    Fixtures.ensureWritten(out, s"base=$baseRaw,factor=$factor,salt=v1,skew=$skewMode") {
+    Fixtures.ensureWritten(out, s"base=$baseRaw,factor=$factor,salt=v2,skew=$skewMode") {
       buildScaled(spark, baseRaw, out, factor, skew = skewMode)
     }
     val base = if (!skewMode) baseRaw else {
       val b1 = s"/root/repo/.graft-fixtures/soakskew_x1"
-      Fixtures.ensureWritten(b1, s"base=$baseRaw,factor=1,salt=v1,skew=true") {
+      Fixtures.ensureWritten(b1, s"base=$baseRaw,factor=1,salt=v2,skew=true") {
         buildScaled(spark, baseRaw, b1, 1, skew = true)
       }
       b1
@@ -268,6 +311,10 @@ object ScaleSoak {
       (System.nanoTime() - t0) / 1e9
     }
     selected.foreach(q => timeQ(q, base)) // untimed warmup: JIT + codegen
+    // skew mode includes streaming twins whose one-time coalesced fixture
+    // builds inside the query — warm the scaled dir too so the timed run
+    // measures the operator, not the once-per-checkout fixture write
+    if (skewMode) selected.foreach(q => timeQ(q, out))
     val rows = selected.map { q =>
       val tb = timeQ(q, base)
       val ts = timeQ(q, out)
