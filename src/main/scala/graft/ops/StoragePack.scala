@@ -2,7 +2,7 @@ package graft.ops
 
 import graft.{GraftSession, QueryPack}
 import graft.operators.MaintenanceOps
-import graft.sources.{CubeWriter, DataStore, FsDataStore}
+import graft.sources.{CachedDataStore, CubeWriter, DataStore, FsDataStore}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
@@ -229,6 +229,30 @@ object StoragePack extends QueryPack {
         .select(col("day"), col("event_type"), col("n"), col("sum_value"))
     }),
 
+    // Preload (store/preload.py): async materialization of store datasets
+    // into a parquet cache, then the query is answered FROM THE CACHE.
+    // The handle is awaited (blocking), every state must land COMPLETED at
+    // progress 1.0, and both inputs must actually be served by the cache —
+    // asserted here so the oracle row proves the preload path, not the
+    // origin fallthrough.
+    "q_preload" -> ((s, d) => {
+      val sfName = new java.io.File(d).getName
+      val cacheDir = s"/root/repo/.graft-fixtures/preload_cache_$sfName"
+      val store = new CachedDataStore(s, new FsDataStore(s, d), cacheDir)
+      val ids = Seq("nation.parquet", "region.parquet")
+      val handle = store.preloadData(ids, blocking = true)
+      val bad = ids.filter(id =>
+        handle.getState(id).status != graft.sources.PreloadStatus.Completed ||
+          !store.isPreloaded(id))
+      require(bad.isEmpty, s"preload did not complete for: $bad\n${handle.toText}")
+      val nation = store.open("nation.parquet")
+      val region = store.open("region.parquet")
+      nation.join(region, col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_nations"),
+          sum(col("n_nationkey")).cast("long").as("sum_key"))
+    }),
+
     // empty-chunk pruning: mask east of x=200, drop blocks that are all-NaN
     // (kept blocks keep their NaN cells — chunk-level semantics)
     "q_prune" -> ((s, d) => {
@@ -333,6 +357,11 @@ object StoragePack extends QueryPack {
                 count(*) AS n,
                 round(sum(value::DECIMAL(18,6)), 6)::DOUBLE AS sum_value
          FROM events GROUP BY day, event_type""",
+    "q_preload" ->
+      """SELECT r_name, count(*) AS n_nations,
+                sum(n_nationkey)::BIGINT AS sum_key
+         FROM nation JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name""",
     "q_prune" ->
       s"""WITH ${CubePack.cubeCte},
          b AS (SELECT (floor(y)::BIGINT // 64) * 6 + (floor(x)::BIGINT // 64) AS blk,
