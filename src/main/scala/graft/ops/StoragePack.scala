@@ -253,6 +253,41 @@ object StoragePack extends QueryPack {
           sum(col("n_nationkey")).cast("long").as("sum_key"))
     }),
 
+    // Server auto-reload (server/helpers.py ConfigChangeObserver): a
+    // dataset registry is seeded from a config file listing only `nation`;
+    // the config is then EDITED on disk (adding `region`) and the observer's
+    // mtime check picks the change up and hot-swaps the registry. The
+    // result is computed from the post-reload registry, so the row proves
+    // the reload path end-to-end (the pre-reload registry would be missing
+    // the region dataset entirely).
+    "q_auto_reload" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_reload").toString
+      val cfg = s"$dir/config.json"
+      def putConfig(json: String, mtime: Long): Unit = {
+        java.nio.file.Files.write(java.nio.file.Paths.get(cfg), json.getBytes("UTF-8"))
+        java.nio.file.Files.setLastModifiedTime(java.nio.file.Paths.get(cfg),
+          java.nio.file.attribute.FileTime.fromMillis(mtime)); ()
+      }
+      putConfig(
+        s"""{"Datasets":[{"Identifier":"nation","Path":"$d/nation.parquet"}]}""",
+        1000L)
+      val ctx = new graft.streaming.ServerContext(s)
+      val obs = new graft.streaming.ConfigChangeObserver(ctx, Seq(cfg))
+      obs.check()
+      require(ctx.datasetIds == Seq("nation"), s"seed load: ${ctx.datasetIds}")
+      putConfig(
+        s"""{"Datasets":[{"Identifier":"nation","Path":"$d/nation.parquet"},
+                         {"Identifier":"region","Path":"$d/region.parquet"}]}""",
+        2000L)
+      obs.check()
+      require(ctx.datasetIds == Seq("nation", "region"),
+        s"post-reload: ${ctx.datasetIds}")
+      ctx.datasetIds.map { id =>
+        ctx.dataset(id).agg(count(lit(1)).as("n_rows"))
+          .select(lit(id).as("id"), col("n_rows"))
+      }.reduce(_ unionByName _)
+    }),
+
     // empty-chunk pruning: mask east of x=200, drop blocks that are all-NaN
     // (kept blocks keep their NaN cells — chunk-level semantics)
     "q_prune" -> ((s, d) => {
@@ -357,6 +392,10 @@ object StoragePack extends QueryPack {
                 count(*) AS n,
                 round(sum(value::DECIMAL(18,6)), 6)::DOUBLE AS sum_value
          FROM events GROUP BY day, event_type""",
+    "q_auto_reload" ->
+      """SELECT 'nation' AS id, count(*) AS n_rows FROM nation
+         UNION ALL
+         SELECT 'region' AS id, count(*) AS n_rows FROM region""",
     "q_preload" ->
       """SELECT r_name, count(*) AS n_nations,
                 sum(n_nationkey)::BIGINT AS sum_key
