@@ -288,6 +288,28 @@ object StoragePack extends QueryPack {
       }.reduce(_ unionByName _)
     }),
 
+    // S3 object-store round-trip (the reference's moto-backed S3 store
+    // tests): the day aggregate is written as parquet to an s3g:// URI —
+    // served by the in-JVM S3 emulator through our Hadoop FileSystem
+    // speaking the S3 REST protocol (PUT objects, committer renames,
+    // ListObjectsV2, ranged GETs for the parquet footer) — and read back.
+    // The oracle recomputes the aggregate from the source table, so a
+    // corrupted byte anywhere in the protocol path flips the hash.
+    "q_s3_store" -> ((s, d) => {
+      val hc = s.sparkContext.hadoopConfiguration
+      hc.set("fs.s3g.impl", classOf[graft.sources.s3.S3GraftFileSystem].getName)
+      hc.set("fs.s3g.endpoint", graft.sources.s3.S3Emulator.shared.endpoint)
+      val agg = GraftSession.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value").cast("decimal(18,6)")), 6).cast("double")
+            .as("sum_value"))
+      val sfName = new java.io.File(d).getName
+      val path = s"s3g://graftcube/$sfName/events_agg.parquet"
+      agg.write.mode("overwrite").parquet(path)
+      s.read.parquet(path).select(col("event_type"), col("n"), col("sum_value"))
+    }),
+
     // empty-chunk pruning: mask east of x=200, drop blocks that are all-NaN
     // (kept blocks keep their NaN cells — chunk-level semantics)
     "q_prune" -> ((s, d) => {
@@ -396,6 +418,10 @@ object StoragePack extends QueryPack {
       """SELECT 'nation' AS id, count(*) AS n_rows FROM nation
          UNION ALL
          SELECT 'region' AS id, count(*) AS n_rows FROM region""",
+    "q_s3_store" ->
+      """SELECT event_type, count(*) AS n,
+                round(sum(value::DECIMAL(18,6)), 6)::DOUBLE AS sum_value
+         FROM events GROUP BY event_type""",
     "q_preload" ->
       """SELECT r_name, count(*) AS n_nations,
                 sum(n_nationkey)::BIGINT AS sum_key

@@ -1,0 +1,143 @@
+package graft
+
+import graft.sources.FsDataStore
+import graft.sources.s3.{S3Emulator, S3GraftFileSystem, S3RestClient}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** S3 protocol emulation tests — client, Hadoop FileSystem, and full Spark
+  * parquet round-trips against the in-JVM object server (the reference's
+  * moto-based S3 store tests, re-expressed). */
+class S3EmulatorSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val s = GraftSession.builder("4").getOrCreate()
+    s.sparkContext.hadoopConfiguration.set("fs.s3g.impl",
+      classOf[S3GraftFileSystem].getName)
+    s.sparkContext.hadoopConfiguration.set("fs.s3g.endpoint",
+      S3Emulator.shared.endpoint)
+    s
+  }
+
+  private lazy val client = new S3RestClient(S3Emulator.shared.endpoint)
+
+  test("REST client: put/get/head/ranged-get/delete round-trip") {
+    val bytes = (0 until 5000).map(i => (i % 251).toByte).toArray
+    client.createBucket("t1")
+    client.putObject("t1", "dir/obj.bin", bytes)
+
+    assert(client.head("t1", "dir/obj.bin").map(_._1) === Some(5000L))
+    assert(client.head("t1", "missing") === None)
+    assert(client.getObject("t1", "dir/obj.bin").toSeq === bytes.toSeq)
+    // ranged read, inclusive bounds
+    assert(client.getObject("t1", "dir/obj.bin", Some((10L, 19L))).toSeq ===
+      bytes.slice(10, 20).toSeq)
+    // tail read
+    assert(client.getObject("t1", "dir/obj.bin", Some((4990L, 5100L))).toSeq ===
+      bytes.slice(4990, 5000).toSeq)
+    intercept[java.io.FileNotFoundException](client.getObject("t1", "missing"))
+
+    client.deleteObject("t1", "dir/obj.bin")
+    assert(client.head("t1", "dir/obj.bin") === None)
+  }
+
+  test("REST client: ListObjectsV2 with delimiter, prefix, and pagination") {
+    client.createBucket("t2")
+    for (i <- 0 until 25) client.putObject("t2", f"a/f$i%03d", Array[Byte](1))
+    client.putObject("t2", "a/sub/deep", Array[Byte](2, 2))
+    client.putObject("t2", "b/x", Array[Byte](3))
+
+    // delimiter folds a/sub/ into a common prefix
+    val (objs, prefs) = client.listV2("t2", "a/", Some("/"))
+    assert(objs.map(_._1) === (0 until 25).map(i => f"a/f$i%03d"))
+    assert(prefs === Seq("a/sub/"))
+
+    // pagination: 4-key pages must still return everything exactly once
+    val (paged, _) = client.listV2("t2", "a/", None, maxKeysPerPage = 4)
+    assert(paged.map(_._1).sorted ===
+      ((0 until 25).map(i => f"a/f$i%03d") :+ "a/sub/deep").sorted)
+
+    // no delimiter: recursive enumeration
+    val (all, noPrefs) = client.listV2("t2", "", None)
+    assert(all.size === 27 && noPrefs.isEmpty)
+  }
+
+  test("FileSystem: create/open-with-seek/list/rename/delete contract") {
+    val fs = new Path("s3g://fstest/").getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val data = (0 until 100000).map(i => (i * 7 % 256).toByte).toArray
+
+    val p = new Path("s3g://fstest/dir/file.bin")
+    val out = fs.create(p, true)
+    out.write(data); out.close()
+
+    val st = fs.getFileStatus(p)
+    assert(!st.isDirectory && st.getLen === 100000)
+    // virtual directory status
+    assert(fs.getFileStatus(new Path("s3g://fstest/dir")).isDirectory)
+    intercept[java.io.FileNotFoundException](
+      fs.getFileStatus(new Path("s3g://fstest/nope")))
+
+    // seek across the read-ahead chunk boundary and read back exact bytes
+    val in = fs.open(p)
+    val b4 = new Array[Byte](4)
+    in.seek(99996); in.readFully(b4)
+    assert(b4.toSeq === data.slice(99996, 100000).toSeq)
+    in.seek(0); assert(in.read() === (data(0) & 0xff))
+    // positioned read (PositionedReadable path used by parquet)
+    val b8 = new Array[Byte](8)
+    in.readFully(50000L, b8)
+    assert(b8.toSeq === data.slice(50000, 50008).toSeq)
+    in.close()
+
+    // listStatus of the parent folds into files + virtual dirs
+    fs.create(new Path("s3g://fstest/dir/sub/leaf.bin"), true).close()
+    val ls = fs.listStatus(new Path("s3g://fstest/dir"))
+    assert(ls.map(s => (s.getPath.getName, s.isDirectory)).toSet ===
+      Set(("file.bin", false), ("sub", true)))
+
+    // file rename, then directory rename
+    assert(fs.rename(p, new Path("s3g://fstest/dir/renamed.bin")))
+    assert(fs.getFileStatus(new Path("s3g://fstest/dir/renamed.bin")).getLen === 100000)
+    assert(fs.rename(new Path("s3g://fstest/dir"), new Path("s3g://fstest/dir2")))
+    assert(fs.getFileStatus(new Path("s3g://fstest/dir2/renamed.bin")).getLen === 100000)
+    intercept[java.io.FileNotFoundException](fs.getFileStatus(p))
+
+    // recursive delete
+    assert(fs.delete(new Path("s3g://fstest/dir2"), true))
+    intercept[java.io.FileNotFoundException](
+      fs.getFileStatus(new Path("s3g://fstest/dir2")))
+  }
+
+  test("Spark parquet round-trip through s3g:// (committer rename path)") {
+    import spark.implicits._
+    val df = (1 to 1000).map(i => (i, s"row$i", i * 0.5)).toDF("id", "name", "v")
+    df.repartition(4).write.mode("overwrite")
+      .parquet("s3g://sparktest/out/table.parquet")
+    // _SUCCESS + 4 part files landed as objects, _temporary cleaned up
+    val keys = {
+      val (objs, _) = client.listV2("sparktest", "out/table.parquet/", None)
+      objs.map(_._1)
+    }
+    assert(keys.exists(_.endsWith("_SUCCESS")))
+    assert(keys.count(_.contains("part-")) === 4)
+    assert(!keys.exists(_.contains("_temporary")))
+
+    val back = spark.read.parquet("s3g://sparktest/out/table.parquet")
+    assert(back.count() === 1000)
+    assert(back.agg(org.apache.spark.sql.functions.sum($"id")).as[Long].head()
+      === 500500L)
+    // predicate + projection still work over the object store
+    assert(back.filter($"id" <= 10).select($"name").as[String].collect().sorted
+      === (1 to 10).map(i => s"row$i").sorted.toArray)
+  }
+
+  test("FsDataStore over an s3g root: list/open/write") {
+    import spark.implicits._
+    val store = new FsDataStore(spark, "s3g://storetest/")
+    store.write("nums.parquet", (1 to 50).toDF("n"))
+    assert(store.listDataIds().contains("nums.parquet"))
+    assert(store.open("nums.parquet").count() === 50)
+  }
+}
