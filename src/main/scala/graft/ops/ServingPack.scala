@@ -690,6 +690,29 @@ object ServingPack extends QueryPack {
           round(sum(col("v").cast("decimal(28,10)")), 6).cast("double").as("sum_v"))
     }),
 
+    // The SAME cube written as a Zarr group of OBJECTS in the in-JVM S3
+    // bucket (chunk-per-task writes PUT objects, the read path GETs them
+    // through the consolidated metadata) — the reference's cloud-native
+    // deployment shape (zarr on S3), same oracle as q_zarr so any byte
+    // corruption in the object path flips the hash. Written fresh each run:
+    // the bucket is in-memory per JVM, so this measures the full
+    // write+read round-trip over the object protocol.
+    "q_zarr_s3" -> ((s, d) => {
+      graft.sources.s3.S3Support.enable(s)
+      val days = Seq("2024-01-01", "2024-01-02")
+      val sfName = new java.io.File(d).getName
+      val group = s"s3g://zarrcube/$sfName/cube.zarr"
+      ZarrSource.writeCube(dailyCubeDf(s, d, days), group, "v",
+        cubeDims, chunks = Seq(1, 50, 90))
+      ZarrSource.readCube(s, group, "v")
+        .filter(!isnan(col("v")))
+        .groupBy(col("t").cast("long").as("day_idx"))
+        .agg(count(lit(1)).as("n_cells"),
+          round(sum((col("y") + col("x")).cast("decimal(28,10)")), 6)
+            .cast("double").as("sum_coord"),
+          round(sum(col("v").cast("decimal(28,10)")), 6).cast("double").as("sum_v"))
+    }),
+
     // unchunk_dataset (unchunk.py:15-80): the same 2-day cube written
     // chunked, then consolidated IN PLACE to one chunk per array (data
     // var + all coords) with the consolidated metadata refreshed — read
@@ -1543,6 +1566,20 @@ object ServingPack extends QueryPack {
                 round(sum(v::DECIMAL(28,10)), 6)::DOUBLE
          FROM daily WHERE (99 - j) % 4 = 0 AND i % 4 = 0 HAVING count(*) > 0""",
     "q_zarr" ->
+      s"""WITH ${CubePack.cubeCte},
+         daily AS (SELECT CASE WHEN CAST(time AS DATE) = DATE '2024-01-01'
+                               THEN 0 ELSE 1 END AS day_idx,
+                          floor(y)::BIGINT AS j, floor(x)::BIGINT AS i,
+                          round(sum(v::DECIMAL(28,12))::DOUBLE / count(*), 6) AS v
+                   FROM cube
+                   WHERE CAST(time AS DATE) = DATE '2024-01-01'
+                      OR CAST(time AS DATE) = DATE '2024-01-02'
+                   GROUP BY day_idx, j, i)
+         SELECT day_idx::BIGINT AS day_idx, count(*) AS n_cells,
+                round(sum(((j + 0.5) + (i + 0.5))::DECIMAL(28,10)), 6)::DOUBLE AS sum_coord,
+                round(sum(v::DECIMAL(28,10)), 6)::DOUBLE AS sum_v
+         FROM daily GROUP BY day_idx""",
+    "q_zarr_s3" ->
       s"""WITH ${CubePack.cubeCte},
          daily AS (SELECT CASE WHEN CAST(time AS DATE) = DATE '2024-01-01'
                                THEN 0 ELSE 1 END AS day_idx,

@@ -296,9 +296,7 @@ object StoragePack extends QueryPack {
     // The oracle recomputes the aggregate from the source table, so a
     // corrupted byte anywhere in the protocol path flips the hash.
     "q_s3_store" -> ((s, d) => {
-      val hc = s.sparkContext.hadoopConfiguration
-      hc.set("fs.s3g.impl", classOf[graft.sources.s3.S3GraftFileSystem].getName)
-      hc.set("fs.s3g.endpoint", graft.sources.s3.S3Emulator.shared.endpoint)
+      graft.sources.s3.S3Support.enable(s)
       val agg = GraftSession.events(s, d)
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"),

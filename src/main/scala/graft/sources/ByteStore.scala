@@ -1,0 +1,124 @@
+package graft.sources
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+
+import java.nio.file.{Files, Paths}
+
+/** Byte-level object IO for the chunked-store sources (Zarr, `.levels`
+  * pyramids): local paths go through `java.nio` exactly as before; paths
+  * with a URI scheme (`s3g://`, `hdfs://`, ...) go through a Hadoop
+  * `FileSystem` — which is how the reference reaches every one of its
+  * stores through a single fsspec filesystem object (local, s3, memory)
+  * while the store code stays protocol-blind.
+  *
+  * Serializable BY VALUE: the instance carries only the Hadoop options the
+  * remote scheme needs (e.g. `fs.s3g.impl`, `fs.s3g.endpoint`), so a chunk
+  * task capturing a ByteStore on the driver reconstructs an equivalent
+  * FileSystem on any executor — object statics would silently be empty on
+  * a real cluster, a local-mode-only trap this type exists to avoid.
+  */
+final case class ByteStore(options: Map[String, String]) extends Serializable {
+
+  @transient private lazy val hconf: Configuration = {
+    val c = new Configuration()
+    options.foreach { case (k, v) => c.set(k, v) }
+    c
+  }
+
+  private def isRemote(path: String): Boolean = {
+    val i = path.indexOf("://")
+    i > 0 && !path.startsWith("file:")
+  }
+
+  private def fs(path: String): FileSystem =
+    new HPath(path).getFileSystem(hconf)
+
+  def exists(path: String): Boolean =
+    if (isRemote(path)) fs(path).exists(new HPath(path))
+    else Files.exists(Paths.get(path))
+
+  def read(path: String): Array[Byte] =
+    if (isRemote(path)) {
+      val in = fs(path).open(new HPath(path))
+      try {
+        val bos = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](256 * 1024)
+        var n = in.read(buf)
+        while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+        bos.toByteArray
+      } finally in.close()
+    } else Files.readAllBytes(Paths.get(path))
+
+  def readIfExists(path: String): Option[Array[Byte]] =
+    if (exists(path)) Some(read(path)) else None
+
+  def write(path: String, bytes: Array[Byte]): Unit =
+    if (isRemote(path)) {
+      val out = fs(path).create(new HPath(path), true)
+      try out.write(bytes) finally out.close()
+    } else {
+      val p = Paths.get(path)
+      Option(p.getParent).foreach(Files.createDirectories(_))
+      Files.write(p, bytes)
+      ()
+    }
+
+  def delete(path: String): Unit =
+    if (isRemote(path)) { fs(path).delete(new HPath(path), false); () }
+    else { Files.deleteIfExists(Paths.get(path)); () }
+
+  def mkdirs(path: String): Unit =
+    if (isRemote(path)) () // object stores have no directories
+    else { Files.createDirectories(Paths.get(path)); () }
+
+  /** Immediate children of a directory as (name, isDirectory). */
+  def list(path: String): Seq[(String, Boolean)] =
+    if (isRemote(path))
+      fs(path).listStatus(new HPath(path)).toSeq
+        .map(st => (st.getPath.getName, st.isDirectory))
+    else {
+      val f = new java.io.File(path)
+      Option(f.listFiles()).getOrElse(Array.empty).toSeq
+        .map(c => (c.getName, c.isDirectory))
+    }
+
+  /** All regular files under `path`, as slash-separated RELATIVE names. */
+  def walkFiles(path: String): Seq[String] =
+    if (isRemote(path)) {
+      val base = new HPath(path).toUri.getPath.stripSuffix("/")
+      val it = fs(path).listFiles(new HPath(path), true)
+      val out = Seq.newBuilder[String]
+      while (it.hasNext) {
+        val st = it.next()
+        out += st.getPath.toUri.getPath.stripPrefix(base).stripPrefix("/")
+      }
+      out.result()
+    } else {
+      val dir = Paths.get(path)
+      val walk = Files.walk(dir)
+      try {
+        val it = walk.filter(p => Files.isRegularFile(p)).iterator()
+        val out = Seq.newBuilder[String]
+        while (it.hasNext)
+          out += dir.relativize(it.next()).toString.replace('\\', '/')
+        out.result()
+      } finally walk.close()
+    }
+}
+
+object ByteStore {
+  /** Process-registered Hadoop options for remote schemes. Driver-side
+    * code (tests, queries) registers e.g. the s3g endpoint once; every
+    * `ByteStore.current` snapshot after that carries the options into its
+    * task closures. */
+  @volatile private var registered: Map[String, String] = Map.empty
+
+  def register(key: String, value: String): Unit = synchronized {
+    registered = registered + (key -> value)
+  }
+
+  /** Snapshot of the currently-registered options — capture this into a
+    * `val` BEFORE building an executor-side closure. */
+  def current: ByteStore = ByteStore(registered)
+}

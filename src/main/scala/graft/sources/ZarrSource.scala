@@ -116,10 +116,21 @@ object ZarrSource {
 
   // ------------------------------------------------------------- metadata
 
-  private def readJson(path: String): Option[JsonNode] = {
-    val f = java.nio.file.Paths.get(path)
-    if (java.nio.file.Files.exists(f)) Some(mapper.readTree(java.nio.file.Files.readAllBytes(f)))
-    else None
+  // All byte IO dispatches through [[ByteStore]]: local paths behave as
+  // before; URI-scheme'd paths (s3g://...) reach the store's Hadoop
+  // FileSystem, so a Zarr group on object storage reads/writes through the
+  // same code. Executor-side closures capture a ByteStore VALUE (driver
+  // snapshot), never the process-global registry.
+  private def readJson(path: String): Option[JsonNode] =
+    ByteStore.current.readIfExists(path).map(mapper.readTree)
+
+  /** `(parent, name)` of a store path by string split — java.io.File would
+    * mangle the `://` of remote URIs. */
+  private def splitPath(path: String): (Option[String], String) = {
+    val trimmed = path.stripSuffix("/")
+    val i = trimmed.lastIndexOf('/')
+    if (i < 0) (None, trimmed)
+    else (Some(trimmed.substring(0, i)), trimmed.substring(i + 1))
   }
 
   /** Consolidated metadata (`.zmetadata`, zarr_consolidated_format 1 — what
@@ -139,11 +150,10 @@ object ZarrSource {
     * group's consolidated metadata when available).
     */
   def openArray(arrayDir: String): ZarrArray = {
-    val dir = new java.io.File(arrayDir)
-    val fromMeta = Option(dir.getParentFile).flatMap(p =>
-      consolidated(p.toString)).map { meta =>
-      (Option(meta.path(s"${dir.getName}/.zarray")).filterNot(_.isMissingNode),
-        Option(meta.path(s"${dir.getName}/.zattrs")).filterNot(_.isMissingNode))
+    val (parent, name) = splitPath(arrayDir)
+    val fromMeta = parent.flatMap(consolidated).map { meta =>
+      (Option(meta.path(s"$name/.zarray")).filterNot(_.isMissingNode),
+        Option(meta.path(s"$name/.zattrs")).filterNot(_.isMissingNode))
     }
     val za = fromMeta.map(_._1.getOrElse(throw new IllegalArgumentException(
         s"$arrayDir: not in consolidated metadata")))
@@ -223,7 +233,7 @@ object ZarrSource {
   /** Does the group contain an array `name` (consolidated-aware)? */
   private def hasArray(groupDir: String, name: String): Boolean =
     consolidated(groupDir).exists(m => !m.path(s"$name/.zarray").isMissingNode) ||
-      new java.io.File(s"$groupDir/$name", ".zarray").exists()
+      ByteStore.current.exists(s"$groupDir/$name/.zarray")
 
   /** Array names in a group — from the consolidated metadata when present
     * (no directory listing), else the subdirectories holding a `.zarray`.
@@ -234,12 +244,12 @@ object ZarrSource {
         meta.fieldNames.asScala.filter(_.endsWith("/.zarray"))
           .map(_.stripSuffix("/.zarray")).toSeq.sorted
       case None =>
-        val d = new java.io.File(groupDir)
-        require(new java.io.File(d, ".zgroup").exists(),
+        val bs = ByteStore.current
+        require(bs.exists(s"$groupDir/.zgroup"),
           s"$groupDir: no .zgroup (not a Zarr group)")
-        Option(d.listFiles()).getOrElse(Array.empty)
-          .filter(f => f.isDirectory && new java.io.File(f, ".zarray").exists())
-          .map(_.getName).sorted.toSeq
+        bs.list(groupDir)
+          .collect { case (nm, true) if bs.exists(s"$groupDir/$nm/.zarray") => nm }
+          .sorted
     }
 
   // ------------------------------------------------------------- chunk IO
@@ -342,13 +352,11 @@ object ZarrSource {
   }
 
   /** Read a whole (driver-sized) array — used for 1-D coordinate arrays. */
-  def readAll(arrayDir: String, za: ZarrArray): Array[Double] =
-    readAllWith(za, key => {
-      val f = java.nio.file.Paths.get(s"$arrayDir/${key.mkString(za.separator)}")
-      if (java.nio.file.Files.exists(f))
-        Some(java.nio.file.Files.readAllBytes(f))
-      else None
-    })
+  def readAll(arrayDir: String, za: ZarrArray): Array[Double] = {
+    val bs = ByteStore.current
+    readAllWith(za, key =>
+      bs.readIfExists(s"$arrayDir/${key.mkString(za.separator)}"))
+  }
 
   /** Driver-sized whole-array assembly from any chunk-byte lookup (None =
     * missing chunk = fill) — shared with [[KerchunkSource]].
@@ -426,12 +434,12 @@ object ZarrSource {
         readAll(cdir, cza)
       } else Array.tabulate(za.shape(k))(_.toDouble)
     }
-    cubeDf(spark, za, varName, coords, key => {
-      val f = java.nio.file.Paths.get(s"$arrayDir/${key.mkString(za.separator)}")
-      if (java.nio.file.Files.exists(f))
-        decodeChunk(java.nio.file.Files.readAllBytes(f), za)
-      else Array.fill(za.chunkElems)(za.cfDecode(za.fillValue))
-    })
+    val bs = ByteStore.current // captured VALUE — runs inside chunk tasks
+    cubeDf(spark, za, varName, coords, key =>
+      bs.readIfExists(s"$arrayDir/${key.mkString(za.separator)}") match {
+        case Some(raw) => decodeChunk(raw, za)
+        case None => Array.fill(za.chunkElems)(za.cfDecode(za.fillValue))
+      })
   }
 
   /** Shared long-format cube assembly — ONE TASK PER CHUNK with the chunk
@@ -491,7 +499,7 @@ object ZarrSource {
     picked.foreach(n => unchunkArray(s"$groupDir/$n"))
     // refresh consolidated metadata so .zmetadata readers see the new
     // chunk grid (the .zarray entries changed underneath it)
-    if (java.nio.file.Files.exists(java.nio.file.Paths.get(s"$groupDir/.zmetadata")))
+    if (ByteStore.current.exists(s"$groupDir/.zmetadata"))
       consolidateMetadata(groupDir)
   }
 
@@ -504,21 +512,13 @@ object ZarrSource {
     require(za.dtype.endsWith("f8"), s"$arrayDir: unchunk supports f8 arrays")
     if (za.chunks == za.shape) return // already one chunk
     val data = readAll(arrayDir, za)
-    val dir = java.nio.file.Paths.get(arrayDir)
+    val bs = ByteStore.current
     // delete the old chunk objects ("0.1.2" flat or "0/1/2" nested)
-    val walk = java.nio.file.Files.walk(dir)
-    try {
-      walk.filter(p => java.nio.file.Files.isRegularFile(p))
-        .filter { p =>
-          val rel = dir.relativize(p).toString.replace('\\', '/')
-          rel.split("[./]").forall(s => s.nonEmpty && s.forall(_.isDigit))
-        }
-        .forEach(p => java.nio.file.Files.delete(p))
-    } finally walk.close()
+    bs.walkFiles(arrayDir)
+      .filter(rel => rel.split("[./]").forall(s => s.nonEmpty && s.forall(_.isDigit)))
+      .foreach(rel => bs.delete(s"$arrayDir/$rel"))
     val key = za.shape.map(_ => 0).mkString(za.separator)
-    val keyPath = dir.resolve(key)
-    Option(keyPath.getParent).foreach(java.nio.file.Files.createDirectories(_))
-    java.nio.file.Files.write(keyPath, encodeChunk(data, za.codec))
+    bs.write(s"$arrayDir/$key", encodeChunk(data, za.codec))
     writeJson(s"$arrayDir/.zarray",
       zarrayJson(za.shape, za.shape, za.codec))
   }
@@ -543,11 +543,8 @@ object ZarrSource {
     writeJson(s"$groupDir/.zmetadata", mapper.writeValueAsString(root))
   }
 
-  private def writeJson(path: String, json: String): Unit = {
-    java.nio.file.Files.write(java.nio.file.Paths.get(path),
-      json.getBytes("UTF-8"))
-    ()
-  }
+  private def writeJson(path: String, json: String): Unit =
+    ByteStore.current.write(path, json.getBytes("UTF-8"))
 
   private def deflate(bytes: Array[Byte]): Array[Byte] = {
     val d = new java.util.zip.Deflater() // default = zlib-wrapped stream
@@ -678,23 +675,23 @@ object ZarrSource {
     val shape = dims.map(_._2.length)
 
     // ---- metadata + driver-sized coordinate arrays
-    new java.io.File(groupDir).mkdirs()
+    val bs = ByteStore.current
+    bs.mkdirs(groupDir)
     writeJson(s"$groupDir/.zgroup", """{"zarr_format": 2}""")
     writeJson(s"$groupDir/.zattrs", "{}")
     val arrayMeta = Seq.newBuilder[(String, String, String)]
     dims.foreach { case (name, values) =>
       val d = s"$groupDir/$name"
-      new java.io.File(d).mkdirs()
+      bs.mkdirs(d)
       val zarr = zarrayJson(Seq(values.length), Seq(values.length), codec)
       val zatt = s"""{"_ARRAY_DIMENSIONS": ["$name"]}"""
       writeJson(s"$d/.zarray", zarr)
       writeJson(s"$d/.zattrs", zatt)
       arrayMeta += ((name, zarr, zatt))
-      java.nio.file.Files.write(java.nio.file.Paths.get(s"$d/0"),
-        encodeChunk(values, codec))
+      bs.write(s"$d/0", encodeChunk(values, codec))
     }
     val arrayDir = s"$groupDir/$varName"
-    new java.io.File(arrayDir).mkdirs()
+    bs.mkdirs(arrayDir)
     val varZarr = zarrayJson(shape, chunks, codec)
     val varZatt =
       s"""{"_ARRAY_DIMENSIONS": [${dims.map(d => s""""${d._1}"""").mkString(", ")}]}"""
@@ -724,14 +721,13 @@ object ZarrSource {
     // ---- each task materializes + writes its chunk
     val chunkElems = chunks.product
     val sep = "." // spec default separator; matches openArray's default
+    val taskBs = bs // captured VALUE — the write runs inside chunk tasks
     val written = cells.groupByKey(_._1).mapGroups { (cidV, it) =>
       val data = Array.fill(chunkElems)(Double.NaN)
       var n = 0
       it.foreach { case (_, o, v) => data(o) = v; n += 1 }
       val key = chunkKeyOf(cidV, grid)
-      java.nio.file.Files.write(
-        java.nio.file.Paths.get(s"$arrayDir/${key.mkString(sep)}"),
-        encodeChunk(data, codec))
+      taskBs.write(s"$arrayDir/${key.mkString(sep)}", encodeChunk(data, codec))
       n
     }
     // the count is the action that runs the job (the writes are its side
@@ -787,15 +783,16 @@ object ZarrSource {
     val codec = za.codec
     val sep = za.separator
     val zaForDecode = za // closure-captured; decode needs dtype/codec/chunks only
+    val taskBs = ByteStore.current // captured VALUE — runs inside chunk tasks
     cells.groupByKey(_._1).mapGroups { (cidV, it) =>
       val key = chunkKeyOf(cidV, grid)
-      val path = java.nio.file.Paths.get(s"$arrayDir/${key.mkString(sep)}")
+      val path = s"$arrayDir/${key.mkString(sep)}"
       // boundary chunk: merge over what is already on disk (only possible
       // when oldLen % chunks(0) != 0 — at most one dim-0 chunk row)
-      val data =
-        if (java.nio.file.Files.exists(path))
-          decodeChunk(java.nio.file.Files.readAllBytes(path), zaForDecode)
-        else Array.fill(chunkElems)(Double.NaN)
+      val data = taskBs.readIfExists(path) match {
+        case Some(raw0) => decodeChunk(raw0, zaForDecode)
+        case None => Array.fill(chunkElems)(Double.NaN)
+      }
       var n = 0
       it.foreach { case (_, o, v) => data(o) = v; n += 1 }
       // packed store: `data` holds PHYSICAL values (decodeChunk applied
@@ -804,7 +801,7 @@ object ZarrSource {
       // not applied twice on the next read
       val raw =
         if (zaForDecode.cfActive) data.map(zaForDecode.cfEncode) else data
-      java.nio.file.Files.write(path, encodeChunk(raw, codec))
+      taskBs.write(path, encodeChunk(raw, codec))
       n
     }.count()
 
@@ -813,7 +810,7 @@ object ZarrSource {
     val coord0 = oldCoord0 ++ newCoord
     val coordZarr = zarrayJson(Seq(newLen), Seq(newLen), codec)
     writeJson(s"$groupDir/$dim0/.zarray", coordZarr)
-    java.nio.file.Files.write(java.nio.file.Paths.get(s"$groupDir/$dim0/0"),
+    ByteStore.current.write(s"$groupDir/$dim0/0",
       encodeChunk(
         if (coordZa.cfActive) coord0.map(coordZa.cfEncode) else coord0, codec))
     val varZarr = zarrayJson(shape, chunks, codec)

@@ -140,4 +140,46 @@ class S3EmulatorSpec extends AnyFunSuite {
     assert(store.listDataIds().contains("nums.parquet"))
     assert(store.open("nums.parquet").count() === 50)
   }
+
+  test("Zarr cube on the object store: distributed write, chunk-per-task read, append") {
+    import graft.sources.ZarrSource
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    graft.sources.s3.S3Support.enable(spark)
+
+    val t = Array(0.0, 1.0)
+    val y = Array.tabulate(4)(_.toDouble)
+    val x = Array.tabulate(6)(_.toDouble)
+    val df = (for { ti <- t; yi <- y; xi <- x }
+      yield (ti, yi, xi, ti * 100 + yi * 10 + xi))
+      .toSeq.toDF("t", "y", "x", "v")
+
+    val group = "s3g://zarrbucket/cube.zarr"
+    ZarrSource.writeCube(df, group, "v",
+      Seq("t" -> t, "y" -> y, "x" -> x), chunks = Seq(1, 2, 3))
+
+    // the chunk objects + consolidated metadata actually live in the bucket
+    val (objs, _) = client.listV2("zarrbucket", "cube.zarr/", None)
+    val keys = objs.map(_._1)
+    assert(keys.contains("cube.zarr/.zmetadata"))
+    assert(keys.count(_.matches("cube\\.zarr/v/\\d+\\.\\d+\\.\\d+")) === 8)
+
+    val back = ZarrSource.readCube(spark, group, "v")
+    assert(back.count() === 48)
+    val direct = df.agg(round(sum($"v"), 6)).as[Double].head()
+    assert(back.agg(round(sum($"v"), 6)).as[Double].head() === direct)
+    // spot-check one cell end to end
+    assert(back.filter($"t" === 1.0 && $"y" === 3.0 && $"x" === 5.0)
+      .select($"v").as[Double].head() === 135.0)
+
+    // in-place append along dim 0 over the object store (boundary merge path)
+    val t2 = Array(2.0)
+    val df2 = (for { yi <- y; xi <- x } yield (2.0, yi, xi, 200 + yi * 10 + xi))
+      .toSeq.toDF("t", "y", "x", "v")
+    ZarrSource.appendCube(df2, group, "v", t2)
+    val appended = ZarrSource.readCube(spark, group, "v")
+    assert(appended.count() === 72)
+    assert(appended.filter($"t" === 2.0).agg(round(sum($"v"), 6)).as[Double].head()
+      === df2.agg(round(sum($"v"), 6)).as[Double].head())
+  }
 }
