@@ -64,6 +64,47 @@ final case class ByteStore(options: Map[String, String]) extends Serializable {
       ()
     }
 
+  /** Object/file size in bytes. */
+  def size(path: String): Long =
+    if (isRemote(path)) fs(path).getFileStatus(new HPath(path)).getLen
+    else Files.size(Paths.get(path))
+
+  /** Positioned range read: bytes `[offset, offset+length)`; `length` -1 =
+    * to EOF. Local paths use one positioned FileChannel read; remote paths
+    * use the filesystem's positioned readFully — ranged GETs on object
+    * stores, never a whole-object download. This is the kerchunk chunk-
+    * task primitive. */
+  def readRange(path: String, offset: Long, length: Long): Array[Byte] = {
+    val total = size(path)
+    val len = if (length >= 0) length else total - offset
+    require(offset >= 0 && offset + len <= total,
+      s"$path: range [$offset, +$len) beyond EOF $total")
+    require(len <= Int.MaxValue - 8,
+      s"$path: $len-byte range exceeds the 2 GiB task buffer " +
+        "(re-index the source with finer chunking)")
+    if (isRemote(path)) {
+      val in = fs(path).open(new HPath(path))
+      try {
+        val buf = new Array[Byte](len.toInt)
+        in.readFully(offset, buf)
+        buf
+      } finally in.close()
+    } else {
+      val ch = java.nio.channels.FileChannel.open(
+        Paths.get(path), java.nio.file.StandardOpenOption.READ)
+      try {
+        val buf = java.nio.ByteBuffer.allocate(len.toInt)
+        var pos = offset
+        while (buf.hasRemaining) {
+          val n = ch.read(buf, pos)
+          require(n > 0, s"$path: short read at $pos")
+          pos += n
+        }
+        buf.array()
+      } finally ch.close()
+    }
+  }
+
   def delete(path: String): Unit =
     if (isRemote(path)) { fs(path).delete(new HPath(path), false); () }
     else { Files.deleteIfExists(Paths.get(path)); () }

@@ -102,39 +102,21 @@ object KerchunkSource {
     Refs(entries)
   }
 
-  /** Fetch a ref's payload. Runs in the chunk task for data keys. Local
-    * filesystem URLs only in this build (file:// or bare paths) — the
-    * positioned-read shape generalizes to any store with range GETs.
+  /** Fetch a ref's payload. Runs in the chunk task for data keys. The
+    * positioned range read goes through [[ByteStore.readRange]], so refs
+    * may point at local files (file:// or bare paths) OR at object-store
+    * URLs (s3g://...) — a kerchunk index over granules that live in a
+    * bucket reads in place with ranged GETs, which is the format's whole
+    * point at cloud scale. Executor-side callers pass the driver-captured
+    * ByteStore so remote options travel with the task.
     */
-  def fetch(ref: Ref): Array[Byte] = {
+  def fetch(ref: Ref, bs: ByteStore = ByteStore.current): Array[Byte] = {
     if (ref.isInline) return ref.inline
-    // accept file:/p, file:///p and bare paths; anything else is remote
     val path =
       if (ref.url.startsWith("file:"))
-        java.nio.file.Paths.get(java.net.URI.create(ref.url))
-      else {
-        require(!ref.url.contains("://"),
-          s"only local file refs supported offline, got ${ref.url}")
-        java.nio.file.Paths.get(ref.url)
-      }
-    val ch = java.nio.channels.FileChannel.open(
-      path, java.nio.file.StandardOpenOption.READ)
-    try {
-      val len = if (ref.length >= 0) ref.length else ch.size() - ref.offset
-      require(ref.offset + len <= ch.size(),
-        s"${ref.url}: range [${ref.offset}, +$len) beyond EOF ${ch.size()}")
-      require(len <= Int.MaxValue - 8,
-        s"${ref.url}: $len-byte chunk exceeds the 2 GiB task buffer " +
-          "(re-index the source with finer chunking)")
-      val buf = java.nio.ByteBuffer.allocate(len.toInt)
-      var pos = ref.offset
-      while (buf.hasRemaining) {
-        val n = ch.read(buf, pos)
-        require(n > 0, s"${ref.url}: short read at $pos")
-        pos += n
-      }
-      buf.array()
-    } finally ch.close()
+        java.nio.file.Paths.get(java.net.URI.create(ref.url)).toString
+      else ref.url // bare local path or scheme'd object-store URL
+    bs.readRange(path, ref.offset, ref.length)
   }
 
   // ------------------------------------------------------------- reading
@@ -177,10 +159,11 @@ object KerchunkSource {
       } else Array.tabulate(za.shape(k))(_.toDouble)
     }
     val bcRefs = spark.sparkContext.broadcast(refs)
+    val bs = ByteStore.current // captured VALUE — fetch runs in chunk tasks
     ZarrSource.cubeDf(spark, za, varName, coords, key => {
       val k = s"$varName/${key.mkString(za.separator)}"
       if (bcRefs.value.contains(k))
-        ZarrSource.decodeChunk(fetch(bcRefs.value(k)), za)
+        ZarrSource.decodeChunk(fetch(bcRefs.value(k), bs), za)
       else Array.fill(za.chunkElems)(za.cfDecode(za.fillValue))
     })
   }

@@ -182,4 +182,49 @@ class S3EmulatorSpec extends AnyFunSuite {
     assert(appended.filter($"t" === 2.0).agg(round(sum($"v"), 6)).as[Double].head()
       === df2.agg(round(sum($"v"), 6)).as[Double].head())
   }
+
+  test("kerchunk refs pointing at bucket objects: ranged GETs read the cube in place") {
+    import graft.sources.{KerchunkSource, ZarrSource}
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    graft.sources.s3.S3Support.enable(spark)
+
+    // a LOCAL zarr group is the granule archive; upload its files as
+    // objects, then rewrite the scanned refs' urls to the bucket — the
+    // cube must read back identically via ranged GETs, no download step
+    val base = java.nio.file.Files.createTempDirectory(
+      new java.io.File("/root/repo/target/tmp-tests").toPath, "kcs3").toString
+    val local = s"$base/cube.zarr"
+    val t = Array(0.0, 1.0, 2.0)
+    val y = Array.tabulate(5)(_.toDouble)
+    val x = Array.tabulate(7)(_.toDouble)
+    val df = (for { ti <- t; yi <- y; xi <- x }
+      yield (ti, yi, xi, ti * 1000 + yi * 10 + xi))
+      .toSeq.toDF("t", "y", "x", "v")
+    ZarrSource.writeCube(df, local, "v", Seq("t" -> t, "y" -> y, "x" -> x),
+      chunks = Seq(1, 3, 4))
+
+    client.createBucket("kcrefs")
+    val dir = java.nio.file.Paths.get(local)
+    java.nio.file.Files.walk(dir).filter(java.nio.file.Files.isRegularFile(_))
+      .forEach { p =>
+        client.putObject("kcrefs", s"cube.zarr/${dir.relativize(p)}",
+          java.nio.file.Files.readAllBytes(p))
+      }
+
+    // scanZarr emits file:-scheme URIs; point them at the bucket instead
+    val refsJson = KerchunkSource.scanZarr(local)
+      .replace(s"file://$local", "s3g://kcrefs/cube.zarr")
+      .replace(s"file:$local", "s3g://kcrefs/cube.zarr")
+      .replace(local, "s3g://kcrefs/cube.zarr")
+    val refsPath = s"$base/refs.s3.json"
+    java.nio.file.Files.write(java.nio.file.Paths.get(refsPath),
+      refsJson.getBytes("UTF-8"))
+
+    val viaRefs = KerchunkSource.readCube(spark, refsPath, "v")
+    val direct = ZarrSource.readCube(spark, local, "v")
+    assert(viaRefs.count() === direct.count())
+    assert(viaRefs.agg(round(sum($"v" * ($"t" + 1) + $"y" - $"x"), 6)).as[Double].head()
+      === direct.agg(round(sum($"v" * ($"t" + 1) + $"y" - $"x"), 6)).as[Double].head())
+  }
 }
