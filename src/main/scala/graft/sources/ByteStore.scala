@@ -160,6 +160,10 @@ object ByteStore {
   }
 
   /** Snapshot of the currently-registered options — capture this into a
-    * `val` BEFORE building an executor-side closure. */
+    * `val` BEFORE building an executor-side closure (the Zarr/Kerchunk/JP2
+    * readers do). Calling `current` directly INSIDE a task sees only the
+    * options registered in that executor's JVM — identical in local mode,
+    * empty on a remote executor — so library code that fans out must
+    * capture, not re-resolve. */
   def current: ByteStore = ByteStore(registered)
 }

@@ -526,13 +526,13 @@ object GeoTiffSource {
     }
 
   def read(path: String): Raster =
-    parse(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)))
+    parse(ByteStore.current.read(path)) // local file OR object-store URL
 
   /** All pyramid levels (the main image, then each overview in chain
     * order) — the COG counterpart of [[LevelStore]]'s `.levels` table.
     */
   def readLevels(path: String): Seq[Raster] =
-    parseAll(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)))
+    parseAll(ByteStore.current.read(path))
 
   /** Long-format rows for every level of an overview chain:
     * (level, col, row, x, y, v | band_1..band_N). Each level's x/y come

@@ -39,9 +39,9 @@ object LevelStore {
     val json =
       s"""{"xCol":"${cube.xCol}","yCol":"${cube.yCol}","timeCol":"${cube.timeCol}",""" +
         s""""levels":[${levels.mkString(",")}]}"""
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(s"$root/$MetaFileName"), json.getBytes("UTF-8"))
-    ()
+    // through ByteStore: local pyramids keep the java.nio path, scheme'd
+    // roots (s3g://...) write the sidecar as an object next to the levels
+    ByteStore.current.write(s"$root/$MetaFileName", json.getBytes("UTF-8"))
   }
 
   /** Parse a pyramid's `_levels.json`; None when the sidecar is absent

@@ -231,7 +231,7 @@ object NetcdfSource {
   }
 
   def read(path: String): NcFile =
-    parse(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)))
+    parse(ByteStore.current.read(path)) // local file OR object-store URL
 
   /** Header-only read: dims/attrs/var shapes, no data decode. Reads a
     * BOUNDED front-of-file prefix — the classic-format header is stored
@@ -243,12 +243,12 @@ object NetcdfSource {
     * degenerate all-header files.
     */
   def readHeader(path: String, initialPrefixBytes: Int = 1 << 20): NcFile = {
-    val p = java.nio.file.Paths.get(path)
-    val total = java.nio.file.Files.size(p)
+    val bs = ByteStore.current
+    val total = bs.size(path)
     var n = math.min(math.max(initialPrefixBytes.toLong, 64L), total)
     while (true) {
-      val in = java.nio.file.Files.newInputStream(p)
-      val prefix = try in.readNBytes(n.toInt) finally in.close()
+      // bounded prefix read — on an object store this is ONE range GET
+      val prefix = bs.readRange(path, 0, n)
       try return parse(prefix, headerOnly = true)
       catch {
         // reads past the prefix (not past the file) mean the header is

@@ -33,7 +33,7 @@ object ShapefileSource {
   // ------------------------------------------------------------- reading
 
   private def readAll(path: String): Array[Byte] =
-    java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    ByteStore.current.read(path) // local file OR object-store URL
 
   /** Parse the .shp geometry stream to WKT strings, in record order. */
   def readGeometries(shpPath: String): Seq[String] = {

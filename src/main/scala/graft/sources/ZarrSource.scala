@@ -126,7 +126,7 @@ object ZarrSource {
 
   /** `(parent, name)` of a store path by string split — java.io.File would
     * mangle the `://` of remote URIs. */
-  private def splitPath(path: String): (Option[String], String) = {
+  private[sources] def splitPath(path: String): (Option[String], String) = {
     val trimmed = path.stripSuffix("/")
     val i = trimmed.lastIndexOf('/')
     if (i < 0) (None, trimmed)

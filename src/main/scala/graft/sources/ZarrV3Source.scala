@@ -40,12 +40,10 @@ object ZarrV3Source {
 
   // ------------------------------------------------------------- metadata
 
-  private def readJson(path: String): Option[JsonNode] = {
-    val f = java.nio.file.Paths.get(path)
-    if (java.nio.file.Files.exists(f))
-      Some(mapper.readTree(java.nio.file.Files.readAllBytes(f)))
-    else None
-  }
+  // byte IO dispatches through [[ByteStore]] (local = java.nio fast path,
+  // scheme'd = Hadoop FS) — same discipline as the v2 source
+  private def readJson(path: String): Option[JsonNode] =
+    ByteStore.current.readIfExists(path).map(mapper.readTree)
 
   /** Map a v3 `data_type` name to the v2-style dtype string the shared
     * decode loop consumes; multi-byte types take the `bytes` codec's
@@ -196,9 +194,9 @@ object ZarrV3Source {
     * metadata when present).
     */
   def openArray(arrayDir: String): ZarrArray = {
-    val dir = new java.io.File(arrayDir)
-    val doc = Option(dir.getParentFile).flatMap(p => consolidated(p.toString))
-      .map(_.path(dir.getName)).filter(n => !n.isMissingNode && !n.isNull)
+    val (parent, name) = ZarrSource.splitPath(arrayDir)
+    val doc = parent.flatMap(consolidated)
+      .map(_.path(name)).filter(n => !n.isMissingNode && !n.isNull)
       .orElse(readJson(s"$arrayDir/zarr.json"))
       .getOrElse(throw new IllegalArgumentException(
         s"$arrayDir: no zarr.json (not a Zarr v3 array)"))
@@ -221,14 +219,13 @@ object ZarrV3Source {
           .filter(n => meta.path(n).path("node_type").asText == "array")
           .toSeq.sorted
       case None =>
-        val d = new java.io.File(groupDir)
+        val bs = ByteStore.current
         require(readJson(s"$groupDir/zarr.json")
             .exists(_.path("node_type").asText == "group"),
           s"$groupDir: no group zarr.json (not a Zarr v3 group)")
-        Option(d.listFiles()).getOrElse(Array.empty)
-          .filter(f => f.isDirectory &&
-            new java.io.File(f, "zarr.json").exists())
-          .map(_.getName).sorted.toSeq
+        bs.list(groupDir)
+          .collect { case (nm, true) if bs.exists(s"$groupDir/$nm/zarr.json") => nm }
+          .sorted
     }
 
   // ------------------------------------------------------------- chunk IO
@@ -310,14 +307,12 @@ object ZarrV3Source {
     }
 
   /** Read a whole (driver-sized) array — used for coordinate arrays. */
-  def readAll(arrayDir: String, za: ZarrArray): Array[Double] =
-    ZarrSource.readAllWith(za, key => {
-      val f = java.nio.file.Paths.get(
-        s"$arrayDir/${chunkKey(za, key.map(_.toLong))}")
-      if (java.nio.file.Files.exists(f))
-        Some(java.nio.file.Files.readAllBytes(f))
-      else None
-    }, decodeAny)
+  def readAll(arrayDir: String, za: ZarrArray): Array[Double] = {
+    val bs = ByteStore.current
+    ZarrSource.readAllWith(za, key =>
+      bs.readIfExists(s"$arrayDir/${chunkKey(za, key.map(_.toLong))}"),
+      decodeAny)
+  }
 
   // ------------------------------------------------------------- reading
 
@@ -337,24 +332,19 @@ object ZarrV3Source {
         readAll(s"$groupDir/$dim", cza)
       } else Array.tabulate(za.shape(k))(_.toDouble)
     }
-    ZarrSource.cubeDf(spark, za, varName, coords, key => {
-      val f = java.nio.file.Paths.get(
-        s"$arrayDir/${chunkKey(za, key.map(_.toLong))}")
-      if (java.nio.file.Files.exists(f))
-        decodeAny(java.nio.file.Files.readAllBytes(f), za)
-      else Array.fill(za.chunkElems)(za.cfDecode(za.fillValue))
-    })
+    val bs = ByteStore.current // captured VALUE — runs inside chunk tasks
+    ZarrSource.cubeDf(spark, za, varName, coords, key =>
+      bs.readIfExists(s"$arrayDir/${chunkKey(za, key.map(_.toLong))}") match {
+        case Some(raw) => decodeAny(raw, za)
+        case None => Array.fill(za.chunkElems)(za.cfDecode(za.fillValue))
+      })
   }
 
   // ------------------------------------------------------------- writing
 
-  private def writeJson(path: String, node: JsonNode): Unit = {
-    java.nio.file.Files.createDirectories(
-      java.nio.file.Paths.get(path).getParent)
-    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+  private def writeJson(path: String, node: JsonNode): Unit =
+    ByteStore.current.write(path,
       mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(node))
-    ()
-  }
 
   private def codecJson(step: Codec): ObjectNode = {
     val n = mapper.createObjectNode()
@@ -463,10 +453,9 @@ object ZarrV3Source {
         coordSteps, None)
       writeJson(s"$groupDir/$name/zarr.json", doc)
       cmMeta.set[JsonNode](name, doc)
-      val p = java.nio.file.Paths.get(s"$groupDir/$name/c/0")
-      java.nio.file.Files.createDirectories(p.getParent)
-      java.nio.file.Files.write(p, ZarrSource.encodeChunk(values,
-        if (coordSteps.isEmpty) Raw else V3Chain(coordSteps)))
+      ByteStore.current.write(s"$groupDir/$name/c/0",
+        ZarrSource.encodeChunk(values,
+          if (coordSteps.isEmpty) Raw else V3Chain(coordSteps)))
     }
     val varDoc = arrayDoc(shape, chunks, dims.map(_._1), steps, shardInner)
     writeJson(s"$groupDir/$varName/zarr.json", varDoc)
@@ -481,18 +470,17 @@ object ZarrV3Source {
     val arrayDir = s"$groupDir/$varName"
     val chain = if (steps.isEmpty) Raw else V3Chain(steps)
     val za = parseArrayJson(varDoc, arrayDir) // serializable parsed form
+    val taskBs = ByteStore.current // captured VALUE — runs inside chunk tasks
     cells.groupByKey(_._1).mapGroups { (cidV, it) =>
       val data = Array.fill(chunkElems)(Double.NaN)
       var n = 0
       it.foreach { case (_, o, v) => data(o) = v; n += 1 }
       val key = ZarrSource.chunkKeyOf(cidV, grid)
-      val path = java.nio.file.Paths.get(s"$arrayDir/${chunkKey(za, key.toSeq)}")
-      java.nio.file.Files.createDirectories(path.getParent)
       val payload = shardInner match {
         case None => ZarrSource.encodeChunk(data, chain)
         case Some(inner) => encodeShard(data, chunks, inner, chain)
       }
-      java.nio.file.Files.write(path, payload)
+      taskBs.write(s"$arrayDir/${chunkKey(za, key.toSeq)}", payload)
       n
     }.count() // the action that runs the job; writes are its side effect
     ()

@@ -667,7 +667,8 @@ object Jp2Source {
     */
   def readRaster(spark: SparkSession, path: String,
                  nodata: Option[Double] = None): DataFrame = {
-    val bytes0 = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    val bs = graft.sources.ByteStore.current // captured into the tile tasks
+    val bytes0 = bs.read(path)
     val cs = codestreamOf(bytes0)
     val cd = parse(cs)
     val siz = cd.siz
@@ -676,7 +677,7 @@ object Jp2Source {
     val rdd = spark.sparkContext
       .parallelize(tiles.map(_.index), math.min(tiles.length, 32))
       .flatMap { t =>
-        val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+        val bytes = bs.read(path)
         val cs2 = codestreamOf(bytes)
         val cd2 = parse(cs2)
         val tile = cd2.tiles.find(_.index == t).get
@@ -707,17 +708,17 @@ object Jp2Source {
   def readRasterFiles(spark: SparkSession, paths: Seq[String],
                       nodata: Option[Double] = None): DataFrame = {
     require(paths.nonEmpty, "jp2: empty path list")
+    val bs = graft.sources.ByteStore.current // captured into the tile tasks
     val work: Seq[(String, Int)] = paths.flatMap { p =>
-      val cd = parse(codestreamOf(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))))
+      val cd = parse(codestreamOf(bs.read(p)))
       cd.tiles.map(t => (p, t.index))
     }
-    val first = parse(codestreamOf(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(paths.head))))
+    val first = parse(codestreamOf(bs.read(paths.head)))
     val nc = first.siz.comps.length
     val rdd = spark.sparkContext
       .parallelize(work, math.min(work.length, 64))
       .flatMap { case (p, t) =>
-        val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
+        val bytes = bs.read(p)
         val cd = parse(codestreamOf(bytes))
         val tile = cd.tiles.find(_.index == t).get
         val comps = decodeTileSamples(codestreamOf(bytes), cd, tile)

@@ -31,6 +31,11 @@ final class S3Emulator {
   // design: objects live on the driver heap.
   private val objects = TrieMap.empty[(String, String), (Array[Byte], Long)]
   private val buckets = TrieMap.empty[String, Long]
+  // bucket -> local directory served READ-ONLY as that bucket's objects —
+  // the reference's webapi S3 emulation (`webapi/s3/listbucket.py`): expose
+  // server-side datasets (e.g. a .zarr group) AS a virtual S3 bucket
+  // without copying bytes. PUT/DELETE on a mounted bucket are rejected.
+  private val mounts = TrieMap.empty[String, String]
   private val clock = new java.util.concurrent.atomic.AtomicLong(1700000000000L)
 
   @volatile private var server: ServerSocket = null
@@ -41,6 +46,41 @@ final class S3Emulator {
 
   def objectCount(bucket: String): Int = objects.keys.count(_._1 == bucket)
   def createBucket(bucket: String): Unit = { buckets.put(bucket, tick()); () }
+
+  /** Serve `dir`'s files as the (read-only) contents of `bucket`. */
+  def mountDir(bucket: String, dir: String): Unit = {
+    mounts.put(bucket, dir)
+    buckets.put(bucket, tick()); ()
+  }
+
+  /** Resolve a key against a mounted directory (None when not mounted /
+    * not a file / path escapes the mount). */
+  private def mountedFile(bucket: String, key: String): Option[java.io.File] =
+    mounts.get(bucket).flatMap { d =>
+      val base = new java.io.File(d).getCanonicalFile
+      val f = new java.io.File(base, key).getCanonicalFile
+      if (f.isFile && f.getPath.startsWith(base.getPath)) Some(f) else None
+    }
+
+  private def mountedListing(bucket: String): Seq[(String, Int, Long)] =
+    mounts.get(bucket).toSeq.flatMap { d =>
+      val base = java.nio.file.Paths.get(d)
+      if (!java.nio.file.Files.isDirectory(base)) Seq.empty
+      else {
+        val walk = java.nio.file.Files.walk(base)
+        try {
+          val it = walk.filter(java.nio.file.Files.isRegularFile(_)).iterator()
+          val out = Seq.newBuilder[(String, Int, Long)]
+          while (it.hasNext) {
+            val p = it.next()
+            out += ((base.relativize(p).toString.replace('\\', '/'),
+              java.nio.file.Files.size(p).toInt,
+              java.nio.file.Files.getLastModifiedTime(p).toMillis))
+          }
+          out.result()
+        } finally walk.close()
+      }
+    }
 
   private def tick(): Long = clock.addAndGet(1000L)
 
@@ -168,17 +208,26 @@ final class S3Emulator {
 
     (method, key.isEmpty) match {
       case ("PUT", true) =>
-        createBucket(bucket)
+        // create-bucket on a mounted bucket is a no-op success (S3 returns
+        // BucketAlreadyOwnedByYou); only object writes are forbidden
+        if (!mounts.contains(bucket)) createBucket(bucket)
         respond(out, 200, "OK", Array.emptyByteArray)
       case ("PUT", false) =>
-        createBucket(bucket)
-        objects.put((bucket, key), (body, tick()))
-        respond(out, 200, "OK", Array.emptyByteArray,
-          Seq("ETag" -> s""""${md5hex(body)}""""))
+        if (mounts.contains(bucket))
+          respond(out, 403, "Forbidden", xmlError("AccessDenied",
+            s"$bucket is a read-only mounted bucket"))
+        else {
+          createBucket(bucket)
+          objects.put((bucket, key), (body, tick()))
+          respond(out, 200, "OK", Array.emptyByteArray,
+            Seq("ETag" -> s""""${md5hex(body)}""""))
+        }
       case ("GET", true) | ("HEAD", true) if params.contains("list-type") || method == "GET" =>
         respond(out, 200, "OK", listV2(bucket, params))
       case ("GET", false) | ("HEAD", false) =>
-        objects.get((bucket, key)) match {
+        objects.get((bucket, key))
+          .orElse(mountedFile(bucket, key).map(f =>
+            (java.nio.file.Files.readAllBytes(f.toPath), f.lastModified()))) match {
           case None =>
             respond(out, 404, "Not Found", xmlError("NoSuchKey", key),
               omitBody = method == "HEAD")
@@ -203,8 +252,13 @@ final class S3Emulator {
             }
         }
       case ("DELETE", false) =>
-        objects.remove((bucket, key))
-        respond(out, 204, "No Content", Array.emptyByteArray)
+        if (mounts.contains(bucket))
+          respond(out, 403, "Forbidden", xmlError("AccessDenied",
+            s"$bucket is a read-only mounted bucket"))
+        else {
+          objects.remove((bucket, key))
+          respond(out, 204, "No Content", Array.emptyByteArray)
+        }
       case ("DELETE", true) =>
         buckets.remove(bucket)
         respond(out, 204, "No Content", Array.emptyByteArray)
@@ -237,9 +291,10 @@ final class S3Emulator {
     val startAfter = params.getOrElse("continuation-token",
       params.getOrElse("start-after", ""))
 
-    val all = objects.toSeq
+    val all = (objects.toSeq
       .collect { case ((b, k), (bytes, mtime)) if b == bucket && k.startsWith(prefix) =>
         (k, bytes.length, mtime) }
+      ++ mountedListing(bucket).filter(_._1.startsWith(prefix)))
       .sortBy(_._1)
       .dropWhile { case (k, _, _) => startAfter.nonEmpty && k <= startAfter }
 

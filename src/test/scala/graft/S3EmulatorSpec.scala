@@ -183,6 +183,125 @@ class S3EmulatorSpec extends AnyFunSuite {
       === df2.agg(round(sum($"v"), 6)).as[Double].head())
   }
 
+  test("Zarr v3 cube on the object store: sharded write + read round-trip") {
+    import graft.sources.{ZarrSource, ZarrV3Source}
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    graft.sources.s3.S3Support.enable(spark)
+
+    val t = Array(0.0, 1.0)
+    val y = Array.tabulate(4)(_.toDouble)
+    val x = Array.tabulate(8)(_.toDouble)
+    val df = (for { ti <- t; yi <- y; xi <- x }
+      yield (ti, yi, xi, ti * 100 + yi * 10 + xi))
+      .toSeq.toDF("t", "y", "x", "v")
+
+    val group = "s3g://zarrv3bucket/cube.zarr"
+    ZarrV3Source.writeCube(df, group, "v",
+      Seq("t" -> t, "y" -> y, "x" -> x), chunks = Seq(1, 4, 8),
+      steps = Seq(ZarrSource.ZstdC(1), ZarrSource.Crc32c),
+      shardInner = Some(Seq(1, 2, 4)))
+
+    val (objs, _) = client.listV2("zarrv3bucket", "cube.zarr/", None)
+    assert(objs.map(_._1).contains("cube.zarr/zarr.json"))
+    assert(objs.map(_._1).count(_.startsWith("cube.zarr/v/c/")) === 2) // 2 shards
+
+    val back = ZarrV3Source.readCube(spark, group, "v")
+    assert(back.count() === 64)
+    assert(back.agg(round(sum($"v"), 6)).as[Double].head() ===
+      df.agg(round(sum($"v"), 6)).as[Double].head())
+  }
+
+  test("mounted bucket: a local .zarr dir served read-only as S3 objects") {
+    import graft.sources.ZarrSource
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    graft.sources.s3.S3Support.enable(spark)
+
+    // server-side dataset: a LOCAL zarr group (the reference's webapi S3
+    // emulation serves datasets as a virtual bucket exactly like this)
+    val base = java.nio.file.Files.createTempDirectory(
+      new java.io.File("/root/repo/target/tmp-tests").toPath, "mount").toString
+    val t = Array(0.0, 1.0)
+    val y = Array.tabulate(3)(_.toDouble)
+    val x = Array.tabulate(5)(_.toDouble)
+    val df = (for { ti <- t; yi <- y; xi <- x }
+      yield (ti, yi, xi, ti * 100 + yi * 10 + xi))
+      .toSeq.toDF("t", "y", "x", "v")
+    ZarrSource.writeCube(df, s"$base/cube.zarr", "v",
+      Seq("t" -> t, "y" -> y, "x" -> x), chunks = Seq(1, 3, 5))
+
+    S3Emulator.shared.mountDir("served", base)
+
+    // the cube reads back THROUGH the S3 protocol, no copy
+    val back = ZarrSource.readCube(spark, "s3g://served/cube.zarr", "v")
+    assert(back.count() === 30)
+    assert(back.agg(round(sum($"v"), 6)).as[Double].head() ===
+      df.agg(round(sum($"v"), 6)).as[Double].head())
+
+    // writes to a mounted bucket are rejected loudly
+    intercept[java.io.IOException](
+      client.putObject("served", "x.bin", Array[Byte](1)))
+    intercept[java.io.IOException](
+      client.deleteObject("served", "cube.zarr/.zgroup"))
+    // path traversal cannot escape the mount
+    intercept[java.io.FileNotFoundException](
+      client.getObject("served", "../../../etc/hostname"))
+  }
+
+  test("parquet filter pushdown survives the object-store scan") {
+    import spark.implicits._
+    graft.sources.s3.S3Support.enable(spark)
+    (1 to 2000).map(i => (i, i % 7, i * 1.5)).toDF("id", "grp", "v")
+      .write.mode("overwrite").parquet("s3g://plancheck/t.parquet")
+    val q = spark.read.parquet("s3g://plancheck/t.parquet")
+      .filter($"id" > 1900).select($"id", $"v")
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: [IsNotNull(id), GreaterThan(id,1900)]"), p)
+    assert(p.contains("s3g://plancheck"), p)
+    assert(!p.contains("grp"), "scan reads columns beyond the projection")
+    assert(q.count() === 100)
+  }
+
+  test(".levels pyramid written to and served from the object store") {
+    import graft.ops.CubePack
+    import graft.sources.LevelStore
+    graft.sources.s3.S3Support.enable(spark)
+    val cube = CubePack.eventsCube(spark, "/root/testdata/sf0.001")
+    val root = "s3g://pyramids/events.levels"
+    val gms = LevelStore.writeLevels(cube, root, 1)
+    assert(gms.size === 2)
+    assert(LevelStore.listLevels(spark, root) === Seq(0, 1))
+    // the sidecar landed as an object and parses back
+    val meta = LevelStore.readMeta(root, spark.sparkContext.hadoopConfiguration)
+    assert(meta.exists(_.levels.size === 2))
+    val l0 = LevelStore.openLevel(spark, root, 0).count()
+    val l1 = LevelStore.openLevel(spark, root, 1).count()
+    assert(l0 > 0 && l1 > 0 && l1 <= l0)
+  }
+
+  test("NetCDF granule in a bucket: full read and bounded-prefix header read") {
+    import graft.sources.NetcdfSource
+    import graft.sources.NetcdfSource.NcDim
+    graft.sources.s3.S3Support.enable(spark)
+
+    val base = java.nio.file.Files.createTempDirectory(
+      new java.io.File("/root/repo/target/tmp-tests").toPath, "ncs3").toString
+    val vals = Array.tabulate(12)(_ * 1.5)
+    NetcdfSource.write(s"$base/gran.nc", Seq(NcDim("y", 4), NcDim("x", 3)),
+      Nil, Seq(("v", Seq("y", "x"), vals)))
+    client.createBucket("granules")
+    client.putObject("granules", "gran.nc",
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$base/gran.nc")))
+
+    val nc = NetcdfSource.read("s3g://granules/gran.nc")
+    assert(nc.varByName("v").data.toSeq === vals.toSeq)
+    // header-only read = one range GET of the front of the object
+    val hdr = NetcdfSource.readHeader("s3g://granules/gran.nc")
+    assert(hdr.vars.map(_.name).contains("v"))
+    assert(hdr.dims.map(d => (d.name, d.size)) === Seq(("y", 4), ("x", 3)))
+  }
+
   test("kerchunk refs pointing at bucket objects: ranged GETs read the cube in place") {
     import graft.sources.{KerchunkSource, ZarrSource}
     import org.apache.spark.sql.functions._
