@@ -310,7 +310,16 @@ final class S3GraftFileSystem extends FileSystem {
     }
   }
 
-  override def mkdirs(f: Path, permission: FsPermission): Boolean = true
+  override def mkdirs(f: Path, permission: FsPermission): Boolean = {
+    // object stores have no directories, but callers that mkdirs-then-list
+    // (Spark's streaming checkpoint manager) need the empty "directory" to
+    // exist — drop an s3a-style zero-byte marker object so the prefix
+    // resolves as a dir until real objects land under it
+    val key = keyOf(f)
+    if (key.nonEmpty && !isVirtualDir(key) && client.head(bucket, key).isEmpty)
+      client.putObject(bucket, key + "/", Array.emptyByteArray)
+    true
+  }
 }
 
 /** Seekable ranged-GET stream with a read-ahead buffer: parquet footer and

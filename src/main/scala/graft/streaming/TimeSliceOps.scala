@@ -134,7 +134,7 @@ object TimeSliceOps {
         if (!batch.isEmpty) {
           val labels = batch.select(col(tCol).cast("double")).distinct()
             .orderBy(tCol).collect().map(_.getDouble(0))
-          if (!new java.io.File(s"$groupDir/.zgroup").exists())
+          if (!graft.sources.ByteStore.current.exists(s"$groupDir/.zgroup"))
             graft.sources.ZarrSource.writeCube(batch, groupDir, varName,
               (tCol -> labels) +: spatialDims, chunks, codec)
           else

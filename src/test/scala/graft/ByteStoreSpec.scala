@@ -1,0 +1,71 @@
+package graft
+
+import graft.sources.ByteStore
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.{Files, Paths}
+
+/** ByteStore local-path contract: the dispatch layer every chunked source
+  * reads/writes through. Remote (s3g) behavior is covered end-to-end in
+  * [[S3EmulatorSpec]]; these pin the local fast path and the shared
+  * range-read bounds. */
+class ByteStoreSpec extends AnyFunSuite {
+
+  private def tmpDir(prefix: String): String = {
+    val base = new java.io.File("/root/repo/target/tmp-tests")
+    base.mkdirs()
+    Files.createTempDirectory(base.toPath, prefix).toString
+  }
+
+  private val bs = ByteStore(Map.empty)
+
+  test("write creates parent directories; read/exists/delete round-trip") {
+    val dir = tmpDir("bsw")
+    val p = s"$dir/a/b/c.bin"
+    val payload = Array.tabulate[Byte](300)(i => (i % 121).toByte)
+    bs.write(p, payload)
+    assert(bs.exists(p))
+    assert(bs.read(p).toSeq === payload.toSeq)
+    assert(bs.readIfExists(p).map(_.length) === Some(300))
+    assert(bs.readIfExists(s"$dir/nope") === None)
+    assert(bs.size(p) === 300)
+    bs.delete(p)
+    assert(!bs.exists(p))
+    bs.delete(p) // idempotent
+  }
+
+  test("readRange: inclusive slice, to-EOF, bounds rejected loudly") {
+    val dir = tmpDir("bsr")
+    val p = s"$dir/r.bin"
+    val payload = Array.tabulate[Byte](1000)(i => (i % 251).toByte)
+    bs.write(p, payload)
+    assert(bs.readRange(p, 10, 20).toSeq === payload.slice(10, 30).toSeq)
+    assert(bs.readRange(p, 990, -1).toSeq === payload.slice(990, 1000).toSeq)
+    assert(bs.readRange(p, 0, -1).length === 1000)
+    intercept[IllegalArgumentException](bs.readRange(p, 990, 20))
+    intercept[IllegalArgumentException](bs.readRange(p, -1, 5))
+  }
+
+  test("list and walkFiles: names, dir flags, relative slash paths") {
+    val dir = tmpDir("bsl")
+    bs.write(s"$dir/top.txt", "t".getBytes)
+    bs.write(s"$dir/sub/inner.txt", "i".getBytes)
+    bs.write(s"$dir/sub/deep/leaf.txt", "l".getBytes)
+    assert(bs.list(dir).toSet === Set(("top.txt", false), ("sub", true)))
+    assert(bs.walkFiles(dir).sorted ===
+      Seq("sub/deep/leaf.txt", "sub/inner.txt", "top.txt"))
+    assert(bs.walkFiles(s"$dir/sub").sorted ===
+      Seq("deep/leaf.txt", "inner.txt"))
+  }
+
+  test("mkdirs is a real mkdir locally and file: paths stay on the local branch") {
+    val dir = tmpDir("bsm")
+    bs.mkdirs(s"$dir/x/y")
+    assert(Files.isDirectory(Paths.get(s"$dir/x/y")))
+    // "file:" prefixed paths must NOT be treated as remote (the isRemote
+    // check excludes them so java.nio handles all local shapes)
+    val p = s"$dir/f.bin"
+    bs.write(p, Array[Byte](1, 2, 3))
+    assert(bs.exists(p))
+  }
+}

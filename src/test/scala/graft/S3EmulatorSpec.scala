@@ -280,6 +280,36 @@ class S3EmulatorSpec extends AnyFunSuite {
     assert(l0 > 0 && l1 > 0 && l1 <= l0)
   }
 
+  test("streaming zarr sink targets the object store (slice-per-batch append)") {
+    import graft.sources.ZarrSource
+    import graft.streaming.TimeSliceOps
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    graft.sources.s3.S3Support.enable(spark)
+
+    val base = java.nio.file.Files.createTempDirectory(
+      new java.io.File("/root/repo/target/tmp-tests").toPath, "szs3").toString
+    val y = Array.tabulate(3)(_.toDouble)
+    val x = Array.tabulate(4)(_.toDouble)
+    def slice(t: Double) = (for { yi <- y; xi <- x }
+      yield (t, yi, xi, t * 100 + yi * 10 + xi)).toSeq.toDF("t", "y", "x", "v")
+    val schema = slice(0.0).schema
+    val group = "s3g://streamsink/cube.zarr"
+
+    def push(n: Int, df: org.apache.spark.sql.DataFrame): Unit = {
+      df.write.mode("overwrite").parquet(s"$base/src/slice_$n")
+      TimeSliceOps.streamZarrAppend(spark, schema, s"$base/src", group, "v", "t",
+        Seq("y" -> y, "x" -> x), chunks = Seq(1, 3, 4)).awaitTermination()
+    }
+    push(1, slice(0.0))
+    push(2, slice(1.0))
+
+    val back = ZarrSource.readCube(spark, group, "v")
+    assert(back.count() === 24)
+    assert(back.agg(round(sum($"v"), 6)).as[Double].head() ===
+      (slice(0.0) union slice(1.0)).agg(round(sum($"v"), 6)).as[Double].head())
+  }
+
   test("NetCDF granule in a bucket: full read and bounded-prefix header read") {
     import graft.sources.NetcdfSource
     import graft.sources.NetcdfSource.NcDim
