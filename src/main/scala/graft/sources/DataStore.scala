@@ -78,7 +78,7 @@ object DataStore {
       case "geotiff" => GeoTiffSource.readRaster(spark, path)
       case "jpeg2000" => graft.sources.jp2.Jp2Source.readRaster(spark, path)
       case "shapefile" => ShapefileSource.readFeatures(spark, path)
-      case "zarr" if new java.io.File(path, "zarr.json").exists() =>
+      case "zarr" if ByteStore.current.exists(s"$path/zarr.json") =>
         // Zarr v3 store (one zarr.json per node, no .zgroup)
         val dataVar = ZarrV3Source.listArrays(path)
           .find(v => ZarrV3Source.openArray(s"$path/$v").dims != Seq(v))

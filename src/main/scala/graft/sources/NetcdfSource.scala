@@ -435,7 +435,8 @@ object NetcdfSource {
       }
       r += 1
     }
-    java.nio.file.Files.write(java.nio.file.Paths.get(path), out.array())
-    ()
+    // via ByteStore: parent dirs are created locally; scheme'd paths write
+    // the granule as one object
+    ByteStore.current.write(path, out.array())
   }
 }

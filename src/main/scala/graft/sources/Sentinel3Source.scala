@@ -42,10 +42,14 @@ object Sentinel3Source {
   private val YName = "latitude"
 
   /** sentinel3.py:88-99 — a directory holding a `geo_coordinates.nc`. */
-  def isSentinel3Product(path: String): Boolean = {
-    val p = Paths.get(path)
-    Files.isDirectory(p) && Files.isRegularFile(p.resolve(GeoFileName))
-  }
+  def isSentinel3Product(path: String): Boolean =
+    if (path.indexOf("://") > 0 && !path.startsWith("file:"))
+      // object-store product dir: the geo sidecar object IS the marker
+      ByteStore.current.exists(s"$path/$GeoFileName")
+    else {
+      val p = Paths.get(path)
+      Files.isDirectory(p) && Files.isRegularFile(p.resolve(GeoFileName))
+    }
 
   /** The measurement-grid contract of one product: trailing dim names and
     * sizes of the lon/lat rasters, validated per sentinel3.py:41-56.
@@ -103,9 +107,14 @@ object Sentinel3Source {
     */
   def open(spark: SparkSession, path: String,
            varNames: Option[Set[String]] = None): DataFrame = {
-    require(Files.isDirectory(Paths.get(path)), s"not a directory: $path")
-    val ncFiles = Files.list(Paths.get(path)).toArray.map(_.toString)
-      .filter(_.endsWith(".nc")).sorted.toSeq
+    val remote = path.indexOf("://") > 0 && !path.startsWith("file:")
+    if (!remote)
+      require(Files.isDirectory(Paths.get(path)), s"not a directory: $path")
+    // ByteStore.list: local dirs via java.nio, object-store prefixes via
+    // ListObjectsV2 — the per-file decode below reads through the same store
+    val ncFiles = ByteStore.current.list(path)
+      .collect { case (name, false) if name.endsWith(".nc") => s"$path/$name" }
+      .sorted
     require(ncFiles.exists(_.endsWith(s"/$GeoFileName")),
       s"missing file '$GeoFileName' in $path")
     val geoPath = ncFiles.find(_.endsWith(s"/$GeoFileName")).get

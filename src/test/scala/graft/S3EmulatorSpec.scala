@@ -332,6 +332,48 @@ class S3EmulatorSpec extends AnyFunSuite {
     assert(hdr.dims.map(d => (d.name, d.size)) === Seq(("y", 4), ("x", 3)))
   }
 
+  test("openDataset format inference on bucket paths: netcdf, zarr group, Sentinel-3 dir") {
+    import graft.sources.{DataStore, NetcdfSource, ZarrSource}
+    import graft.sources.NetcdfSource.NcDim
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    graft.sources.s3.S3Support.enable(spark)
+
+    val base = java.nio.file.Files.createTempDirectory(
+      new java.io.File("/root/repo/target/tmp-tests").toPath, "open3").toString
+
+    // a NetCDF granule, a zarr group, and a Sentinel-3 product dir — all
+    // mounted into one read-only bucket and opened by FORMAT INFERENCE on
+    // the s3g:// path (the store-level entry point, not the raw sources)
+    NetcdfSource.write(s"$base/g.nc", Seq(NcDim("y", 2), NcDim("x", 3)),
+      Nil, Seq(("temp", Seq("y", "x"), Array.tabulate(6)(_ * 2.0))))
+    val t = Array(0.0); val y = Array(0.0, 1.0); val x = Array(0.0, 1.0, 2.0)
+    ZarrSource.writeCube(
+      (for { ti <- t; yi <- y; xi <- x } yield (ti, yi, xi, yi * 10 + xi))
+        .toSeq.toDF("t", "y", "x", "v"),
+      s"$base/c.zarr", "v", Seq("t" -> t, "y" -> y, "x" -> x), Seq(1, 2, 3))
+    val s3dir = s"$base/S3A_OL_1_EFR____prod.SEN3"
+    val grid = Seq(NcDim("rows", 2), NcDim("columns", 2))
+    NetcdfSource.write(s"$s3dir/geo_coordinates.nc", grid, Nil,
+      Seq(("longitude", Seq("rows", "columns"), Array(10.0, 11.0, 10.0, 11.0)),
+        ("latitude", Seq("rows", "columns"), Array(50.0, 50.0, 51.0, 51.0))))
+    NetcdfSource.write(s"$s3dir/b1.nc", grid, Nil,
+      Seq(("radiance", Seq("rows", "columns"), Array(1.0, 2.0, 3.0, 4.0))))
+
+    S3Emulator.shared.mountDir("openstore", base)
+
+    val nc = DataStore.openDataset(spark, "s3g://openstore/g.nc")
+    assert(nc.agg(round(sum($"temp"), 6)).as[Double].head() === 30.0)
+
+    val z = DataStore.openDataset(spark, "s3g://openstore/c.zarr")
+    assert(z.agg(round(sum($"v"), 6)).as[Double].head() === 36.0)
+
+    val s3p = DataStore.openDataset(spark,
+      "s3g://openstore/S3A_OL_1_EFR____prod.SEN3")
+    assert(s3p.agg(round(sum($"radiance"), 6)).as[Double].head() === 10.0)
+    assert(s3p.columns.toSet.contains("longitude"))
+  }
+
   test("kerchunk refs pointing at bucket objects: ranged GETs read the cube in place") {
     import graft.sources.{KerchunkSource, ZarrSource}
     import org.apache.spark.sql.functions._
