@@ -690,6 +690,47 @@ object ServingPack extends QueryPack {
           round(sum(col("v").cast("decimal(28,10)")), 6).cast("double").as("sum_v"))
     }),
 
+    // Multi-VARIABLE cube (to_zarr writes whole datasets, not one array):
+    // per-cell mean AND count written as two arrays of one group in ONE
+    // pass/shuffle (writeCubeVars), read back independently and re-joined
+    // on the grid — a lost or cross-wired chunk object in either variable
+    // flips the hash.
+    "q_zarr_multivar" -> ((s, d) => {
+      val days = Seq("2024-01-01", "2024-01-02")
+      val sfName = new java.io.File(d).getName
+      val base = s"/root/repo/.graft-fixtures/zarr_multivar_$sfName"
+      val group = s"$base/cube.zarr"
+      Fixtures.ensureWritten(base, "days=2,vars=v+w,chunks=1x50x90,mean6") {
+        new java.io.File(base).mkdirs()
+        val df = CubePack.eventsCube(s, d).df
+          .filter(to_date(col("time")) === lit(days(0)).cast("date") ||
+                  to_date(col("time")) === lit(days(1)).cast("date"))
+          .groupBy(to_date(col("time")).cast("string").as("day"),
+            floor(col("y")).cast("int").as("j"),
+            floor(col("x")).cast("int").as("i"))
+          .agg(round(sum(col("v").cast("decimal(28,12)")).cast("double") /
+            count(lit(1)), 6).as("v"),
+            count(lit(1)).cast("double").as("w"))
+          .select(
+            when(col("day") === days(0), 0.0).otherwise(1.0).as("t"),
+            (col("j").cast("double") + 0.5).as("y"),
+            (col("i").cast("double") + 0.5).as("x"),
+            col("v"), col("w"))
+        ZarrSource.writeCubeVars(df, group, Seq("v", "w"),
+          cubeDims, chunks = Seq(1, 50, 90))
+      }
+      val rv = ZarrSource.readCube(s, group, "v").filter(!isnan(col("v")))
+      val rw = ZarrSource.readCube(s, group, "w").filter(!isnan(col("w")))
+        .withColumnRenamed("t", "t2").withColumnRenamed("y", "y2")
+        .withColumnRenamed("x", "x2")
+      rv.join(rw, col("t") === col("t2") && col("y") === col("y2") &&
+          col("x") === col("x2"))
+        .groupBy(col("t").cast("long").as("day_idx"))
+        .agg(count(lit(1)).as("n_cells"),
+          round(sum(col("v").cast("decimal(28,10)")), 6).cast("double").as("sum_v"),
+          sum(col("w")).cast("long").as("n_events"))
+    }),
+
     // The SAME cube written as a Zarr group of OBJECTS in the in-JVM S3
     // bucket (chunk-per-task writes PUT objects, the read path GETs them
     // through the consolidated metadata) — the reference's cloud-native
@@ -1578,6 +1619,21 @@ object ServingPack extends QueryPack {
          SELECT day_idx::BIGINT AS day_idx, count(*) AS n_cells,
                 round(sum(((j + 0.5) + (i + 0.5))::DECIMAL(28,10)), 6)::DOUBLE AS sum_coord,
                 round(sum(v::DECIMAL(28,10)), 6)::DOUBLE AS sum_v
+         FROM daily GROUP BY day_idx""",
+    "q_zarr_multivar" ->
+      s"""WITH ${CubePack.cubeCte},
+         daily AS (SELECT CASE WHEN CAST(time AS DATE) = DATE '2024-01-01'
+                               THEN 0 ELSE 1 END AS day_idx,
+                          floor(y)::BIGINT AS j, floor(x)::BIGINT AS i,
+                          round(sum(v::DECIMAL(28,12))::DOUBLE / count(*), 6) AS v,
+                          count(*) AS w
+                   FROM cube
+                   WHERE CAST(time AS DATE) = DATE '2024-01-01'
+                      OR CAST(time AS DATE) = DATE '2024-01-02'
+                   GROUP BY day_idx, j, i)
+         SELECT day_idx::BIGINT AS day_idx, count(*) AS n_cells,
+                round(sum(v::DECIMAL(28,10)), 6)::DOUBLE AS sum_v,
+                sum(w)::BIGINT AS n_events
          FROM daily GROUP BY day_idx""",
     "q_zarr_s3" ->
       s"""WITH ${CubePack.cubeCte},

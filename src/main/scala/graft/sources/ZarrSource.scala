@@ -647,6 +647,30 @@ object ZarrSource {
       .as[(Long, Int, Double)]
   }
 
+  /** [[cellsByChunk]] for N variables: the per-row payload is the array of
+    * all variable values, so the multi-variable writer still shuffles each
+    * input row exactly once. */
+  private[sources] def cellsByChunkVars(df: DataFrame, dimNames: Seq[String],
+                                        lookups: Seq[Seq[(Double, Int)]],
+                                        grid: Seq[Int], chunks: Seq[Int],
+                                        varNames: Seq[String]): org.apache.spark.sql.Dataset[(Long, Int, Seq[Double])] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val withIdx = dimNames.zipWithIndex.foldLeft(df) { case (acc, (name, k)) =>
+      val lookup = lookups(k).toDF(s"__v$k", s"__i$k")
+      acc.join(broadcast(lookup), col(name) === col(s"__v$k"))
+    }
+    val cid = dimNames.indices.foldLeft(lit(0L)) { (acc, k) =>
+      acc * grid(k) + floor(col(s"__i$k") / chunks(k)).cast("long")
+    }
+    val off = dimNames.indices.foldLeft(lit(0L)) { (acc, k) =>
+      acc * chunks(k) + (col(s"__i$k") % chunks(k))
+    }
+    withIdx.select(cid.as("__cid"), off.cast("int").as("__off"),
+        array(varNames.map(col(_).cast("double")): _*).as("__vs"))
+      .as[(Long, Int, Seq[Double])]
+  }
+
   /** Decompose a row-major chunk id back into per-dim chunk coordinates. */
   private[sources] def chunkKeyOf(cid: Long, grid: Seq[Int]): Array[Long] = {
     val key = new Array[Long](grid.length)
@@ -668,10 +692,26 @@ object ZarrSource {
     */
   def writeCube(df: DataFrame, groupDir: String, varName: String,
                 dims: Seq[(String, Array[Double])], chunks: Seq[Int],
-                codec: Codec = Zlib()): Unit = {
+                codec: Codec = Zlib()): Unit =
+    writeCubeVars(df, groupDir, Seq(varName), dims, chunks, codec)
+
+  /** Multi-variable distributed writer — [[writeCube]] generalized to a
+    * WHOLE dataset the way the reference's `to_zarr` writes one: `df`
+    * carries a column per dimension plus one column PER DATA VARIABLE
+    * (non-null; use NaN for missing cells), and the group gets one array
+    * per variable sharing the dims/chunk grid. Still exactly ONE shuffle
+    * by chunk id: each task assembles all N variables' buffers for its
+    * chunk key and writes N chunk objects — an N-variable cube is one pass
+    * over the rows, not N single-variable writes re-shuffling the same
+    * input N times.
+    */
+  def writeCubeVars(df: DataFrame, groupDir: String, varNames: Seq[String],
+                    dims: Seq[(String, Array[Double])], chunks: Seq[Int],
+                    codec: Codec = Zlib()): Unit = {
     val spark = df.sparkSession
     import spark.implicits._
     require(dims.length == chunks.length, "one chunk extent per dimension")
+    require(varNames.nonEmpty, "at least one data variable")
     val shape = dims.map(_._2.length)
 
     // ---- metadata + driver-sized coordinate arrays
@@ -690,14 +730,16 @@ object ZarrSource {
       arrayMeta += ((name, zarr, zatt))
       bs.write(s"$d/0", encodeChunk(values, codec))
     }
-    val arrayDir = s"$groupDir/$varName"
-    bs.mkdirs(arrayDir)
     val varZarr = zarrayJson(shape, chunks, codec)
     val varZatt =
       s"""{"_ARRAY_DIMENSIONS": [${dims.map(d => s""""${d._1}"""").mkString(", ")}]}"""
-    writeJson(s"$arrayDir/.zarray", varZarr)
-    writeJson(s"$arrayDir/.zattrs", varZatt)
-    arrayMeta += ((varName, varZarr, varZatt))
+    varNames.foreach { varName =>
+      val arrayDir = s"$groupDir/$varName"
+      bs.mkdirs(arrayDir)
+      writeJson(s"$arrayDir/.zarray", varZarr)
+      writeJson(s"$arrayDir/.zattrs", varZatt)
+      arrayMeta += ((varName, varZarr, varZatt))
+    }
     // consolidated metadata, like the reference's to_zarr default — one
     // document a reader fetches instead of 2·N per-array files
     val metaDoc = mapper.createObjectNode()
@@ -715,19 +757,29 @@ object ZarrSource {
     // ---- (value → index) lookups broadcast-joined, chunk id + offset via
     // integer arithmetic (shared layout step), ONE shuffle by chunk id
     val grid = shape.zip(chunks).map { case (s0, c) => (s0 + c - 1) / c }
-    val cells = cellsByChunk(df, dims.map(_._1),
-      dims.map(_._2.zipWithIndex.toSeq), grid, chunks, varName)
+    val cells = cellsByChunkVars(df, dims.map(_._1),
+      dims.map(_._2.zipWithIndex.toSeq), grid, chunks, varNames)
 
-    // ---- each task materializes + writes its chunk
+    // ---- each task materializes + writes one chunk object PER VARIABLE
     val chunkElems = chunks.product
     val sep = "." // spec default separator; matches openArray's default
+    val nVars = varNames.length
+    val vNames = varNames.toArray
     val taskBs = bs // captured VALUE — the write runs inside chunk tasks
     val written = cells.groupByKey(_._1).mapGroups { (cidV, it) =>
-      val data = Array.fill(chunkElems)(Double.NaN)
+      val data = Array.fill(nVars)(Array.fill(chunkElems)(Double.NaN))
       var n = 0
-      it.foreach { case (_, o, v) => data(o) = v; n += 1 }
-      val key = chunkKeyOf(cidV, grid)
-      taskBs.write(s"$arrayDir/${key.mkString(sep)}", encodeChunk(data, codec))
+      it.foreach { case (_, o, vs) =>
+        var v = 0
+        while (v < nVars) { data(v)(o) = vs(v); v += 1 }
+        n += 1
+      }
+      val key = chunkKeyOf(cidV, grid).mkString(sep)
+      var v = 0
+      while (v < nVars) {
+        taskBs.write(s"$groupDir/${vNames(v)}/$key", encodeChunk(data(v), codec))
+        v += 1
+      }
       n
     }
     // the count is the action that runs the job (the writes are its side

@@ -46,6 +46,31 @@ class ZarrSourceSpec extends AnyFunSuite {
     assert(opened.count() == 15)
   }
 
+  test("writeCubeVars: N variables in one pass, independent arrays, shared fill") {
+    import spark.implicits._
+    val ys = Array(10.0, 20.0, 30.0)
+    val xs = Array(0.5, 1.5, 2.5)
+    val rows = for {
+      (y, j) <- ys.zipWithIndex.toSeq
+      (x, i) <- xs.zipWithIndex
+      if !(j == 2 && i == 2) // one cell never written → fill in BOTH vars
+    } yield (y, x, j * 10.0 + i, (j * 10.0 + i) * 100)
+    val g = s"${tmpDir("zarrmv")}/cube.zarr"
+    ZarrSource.writeCubeVars(rows.toDF("y", "x", "v", "w"), g, Seq("v", "w"),
+      Seq("y" -> ys, "x" -> xs), chunks = Seq(2, 2))
+    // both arrays carry the same chunk grid; consolidated metadata lists both
+    assert(Files.exists(Paths.get(s"$g/v/0.0")) && Files.exists(Paths.get(s"$g/w/0.0")))
+    assert(ZarrSource.listArrays(g).toSet === Set("y", "x", "v", "w"))
+    val v = ZarrSource.readCube(spark, g, "v").collect()
+      .map(r => (r.getDouble(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    val w = ZarrSource.readCube(spark, g, "w").collect()
+      .map(r => (r.getDouble(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    assert(v.size === 9 && w.size === 9)
+    assert(v((10.0, 0.5)) === 0.0 && w((10.0, 0.5)) === 0.0)
+    assert(v((20.0, 2.5)) === 12.0 && w((20.0, 2.5)) === 1200.0)
+    assert(v((30.0, 2.5)).isNaN && w((30.0, 2.5)).isNaN)
+  }
+
   test("3-D cube, a chunk with NO rows is absent and reads as fill") {
     import spark.implicits._
     val ts = Array(0.0, 1.0)
