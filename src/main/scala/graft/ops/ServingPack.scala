@@ -719,12 +719,10 @@ object ServingPack extends QueryPack {
         ZarrSource.writeCubeVars(df, group, Seq("v", "w"),
           cubeDims, chunks = Seq(1, 50, 90))
       }
-      val rv = ZarrSource.readCube(s, group, "v").filter(!isnan(col("v")))
-      val rw = ZarrSource.readCube(s, group, "w").filter(!isnan(col("w")))
-        .withColumnRenamed("t", "t2").withColumnRenamed("y", "y2")
-        .withColumnRenamed("x", "x2")
-      rv.join(rw, col("t") === col("t2") && col("y") === col("y2") &&
-          col("x") === col("x2"))
+      // readCubeVars: both variables decoded by the SAME chunk task — one
+      // pass over the chunk grid, no per-variable re-scan, no join
+      ZarrSource.readCubeVars(s, group, Seq("v", "w"))
+        .filter(!isnan(col("v")) && !isnan(col("w")))
         .groupBy(col("t").cast("long").as("day_idx"))
         .agg(count(lit(1)).as("n_cells"),
           round(sum(col("v").cast("decimal(28,10)")), 6).cast("double").as("sum_v"),

@@ -85,11 +85,20 @@ object DataStore {
           .getOrElse(throw new IllegalArgumentException(s"$path: no data variable"))
         ZarrV3Source.readCube(spark, path, dataVar)
       case "zarr" =>
-        // first data variable = an array that is not its own 1-D coordinate
-        val dataVar = ZarrSource.listArrays(path)
-          .find(v => ZarrSource.openArray(s"$path/$v").dims != Seq(v))
-          .getOrElse(throw new IllegalArgumentException(s"$path: no data variable"))
-        ZarrSource.readCube(spark, path, dataVar)
+        // data variables = arrays that are not their own 1-D coordinate.
+        // When they share one grid (the writeCubeVars layout) the WHOLE
+        // dataset opens as one wide DataFrame, like the reference's
+        // open_dataset; mixed-grid groups fall back to the first variable.
+        val dataVars = ZarrSource.listArrays(path)
+          .filter(v => ZarrSource.openArray(s"$path/$v").dims != Seq(v))
+        require(dataVars.nonEmpty, s"$path: no data variable")
+        val heads = dataVars.map(v => ZarrSource.openArray(s"$path/$v"))
+        val shared = heads.forall(z =>
+          z.dims == heads.head.dims && z.shape == heads.head.shape &&
+            z.chunks == heads.head.chunks)
+        if (dataVars.size == 1 || !shared)
+          ZarrSource.readCube(spark, path, dataVars.head)
+        else ZarrSource.readCubeVars(spark, path, dataVars)
       case "kerchunk" =>
         val refs = KerchunkSource.parse(path)
         val dataVar = KerchunkSource.listArrays(refs)

@@ -442,6 +442,42 @@ object ZarrSource {
       })
   }
 
+  /** All data variables of a group as ONE wide DataFrame (a column per
+    * dimension + a column per variable) — the reader twin of
+    * [[writeCubeVars]] and the shape the reference's `open_dataset`
+    * returns. Still one task per chunk key: each task decodes the N
+    * variables' chunk objects for its key, so an N-variable read is one
+    * pass over the chunk grid, not N reads re-listing the store.
+    * All variables must share the dims/shape/chunk grid (the
+    * [[writeCubeVars]] layout).
+    */
+  def readCubeVars(spark: SparkSession, groupDir: String,
+                   varNames: Seq[String]): DataFrame = {
+    require(varNames.nonEmpty, "at least one variable")
+    val zas = varNames.map(v => openArray(s"$groupDir/$v"))
+    val za = zas.head
+    varNames.zip(zas).tail.foreach { case (v, z) =>
+      require(z.dims == za.dims && z.shape == za.shape && z.chunks == za.chunks,
+        s"$groupDir/$v: dims/shape/chunks differ from ${varNames.head} — " +
+          "readCubeVars needs one shared grid")
+    }
+    val coords: Seq[Array[Double]] = za.dims.zipWithIndex.map { case (dim, k) =>
+      if (hasArray(groupDir, dim)) readAll(s"$groupDir/$dim", openArray(s"$groupDir/$dim"))
+      else Array.tabulate(za.shape(k))(_.toDouble)
+    }
+    val bs = ByteStore.current // captured VALUE — runs inside chunk tasks
+    val names = varNames.toIndexedSeq
+    val zasIdx = zas.toIndexedSeq
+    cubeDfVars(spark, za, names, coords, key =>
+      names.indices.map { v =>
+        bs.readIfExists(s"$groupDir/${names(v)}/${key.mkString(zasIdx(v).separator)}") match {
+          case Some(raw) => decodeChunk(raw, zasIdx(v))
+          case None =>
+            Array.fill(zasIdx(v).chunkElems)(zasIdx(v).cfDecode(zasIdx(v).fillValue))
+        }
+      })
+  }
+
   /** Shared long-format cube assembly — ONE TASK PER CHUNK with the chunk
     * payload produced by `chunkData` (which runs IN the task and must be
     * serializable; it returns the full-chunk-shape decoded array, fill-
@@ -450,17 +486,26 @@ object ZarrSource {
     */
   private[sources] def cubeDf(spark: SparkSession, za: ZarrArray,
                               varName: String, coords: Seq[Array[Double]],
-                              chunkData: Seq[Int] => Array[Double]): DataFrame = {
+                              chunkData: Seq[Int] => Array[Double]): DataFrame =
+    cubeDfVars(spark, za, Seq(varName), coords, key => Seq(chunkData(key)))
+
+  /** [[cubeDf]] for N variables sharing one grid: `chunkData` returns one
+    * decoded full-chunk array per variable, each task emits wide rows. */
+  private[sources] def cubeDfVars(spark: SparkSession, za: ZarrArray,
+                                  varNames: Seq[String], coords: Seq[Array[Double]],
+                                  chunkData: Seq[Int] => Seq[Array[Double]]): DataFrame = {
     val bc = spark.sparkContext.broadcast(coords)
     val keys = allChunkKeys(za.chunkGrid)
     val schema = StructType(
-      za.dims.map(StructField(_, DoubleType)) :+ StructField(varName, DoubleType))
+      za.dims.map(StructField(_, DoubleType)) ++
+        varNames.map(StructField(_, DoubleType)))
     val rank = za.shape.length
+    val nVars = varNames.length
     val rdd = spark.sparkContext.parallelize(keys, keys.length).flatMap { key =>
-      val data = chunkData(key)
+      val data = chunkData(key).toIndexedSeq
       val rows = Seq.newBuilder[Row]
       foreachCell(za, key) { (flat, global) =>
-        val vals = new Array[Any](rank + 1)
+        val vals = new Array[Any](rank + nVars)
         var rem = global
         var k = rank - 1
         while (k >= 0) {
@@ -469,7 +514,8 @@ object ZarrSource {
           vals(k) = bc.value(k)(g)
           k -= 1
         }
-        vals(rank) = data(flat)
+        var v = 0
+        while (v < nVars) { vals(rank + v) = data(v)(flat); v += 1 }
         rows += Row.fromSeq(vals.toIndexedSeq)
       }
       rows.result()

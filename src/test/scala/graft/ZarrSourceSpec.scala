@@ -69,6 +69,19 @@ class ZarrSourceSpec extends AnyFunSuite {
     assert(v((10.0, 0.5)) === 0.0 && w((10.0, 0.5)) === 0.0)
     assert(v((20.0, 2.5)) === 12.0 && w((20.0, 2.5)) === 1200.0)
     assert(v((30.0, 2.5)).isNaN && w((30.0, 2.5)).isNaN)
+
+    // wide read: one task per chunk decodes BOTH variables
+    val wide = ZarrSource.readCubeVars(spark, g, Seq("v", "w")).collect()
+      .map(r => (r.getDouble(0), r.getDouble(1)) -> (r.getDouble(2), r.getDouble(3)))
+      .toMap
+    assert(wide.size === 9)
+    assert(wide((20.0, 1.5)) === ((11.0, 1100.0)))
+    assert(wide((30.0, 2.5))._1.isNaN && wide((30.0, 2.5))._2.isNaN)
+
+    // store-level open returns the WHOLE dataset when grids are shared
+    val opened = DataStore.openDataset(spark, g)
+    assert(opened.columns.toSeq === Seq("y", "x", "v", "w"))
+    assert(opened.count() === 9)
   }
 
   test("3-D cube, a chunk with NO rows is absent and reads as fill") {
