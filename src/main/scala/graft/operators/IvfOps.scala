@@ -55,6 +55,28 @@ object IvfOps {
     IvfIndex(spark.read.parquet(s"$path/assigned"), cents)
   }
 
+  /** Append new vectors to an existing index WITHOUT retraining — the
+    * FAISS `add()` contract: the coarse codebook is fixed at build time
+    * and maintenance only assigns. Assignment reuses the scan-shaped
+    * [[EmbeddingOps.kmeansAssign]] argmin (the centroids are k driver-side
+    * literals, so the delta pass is a zero-shuffle projection; ties break
+    * to the lower cell id), which makes maintenance deterministic: the
+    * incrementally maintained list table is EXACTLY the table produced by
+    * assigning the whole corpus against the same codebook — nothing
+    * drifts with append order. Returns the maintained index lazily (the
+    * union plan); persist the delta with `mode("append")` on
+    * `path/assigned` when serving from storage.
+    */
+  def append(index: IvfIndex, newRows: DataFrame, idCol: String,
+             embCol: String): IvfIndex = {
+    val cents = index.centroids.zipWithIndex.map { case (c, i) => (i, c) }
+    val delta = EmbeddingOps.kmeansAssign(newRows, idCol, embCol, cents)
+      .select(col(idCol), col(embCol), col("cid").cast("int").as("__cell"))
+    IvfIndex(
+      index.assigned.select(idCol, embCol, "__cell").unionByName(delta),
+      index.centroids)
+  }
+
   private def cosine(a: Array[Double], b: Array[Double]): Double = {
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0

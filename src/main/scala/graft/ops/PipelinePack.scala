@@ -1394,11 +1394,15 @@ object PipelinePack extends QueryPack {
         .select((col("doc_id") + 7000000L).as("doc_id"),
           expr("substring(text, 1, length(text) div 2)").as("text"))
       val corpus = dd.unionByName(frags)
-      val sigs = TextOps.minhashSignatures(
-        TextOps.shingleArrays(corpus, "doc_id", "text", 3), "doc_id", NumPerms)
+      // the shingle table feeds three consumers (the band join path and
+      // both containment join sides); persist it once — column pruning
+      // alone still re-shingled the corpus per consumer
+      val shArr = TextOps.shingleArrays(corpus, "doc_id", "text", 3)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val sigs = TextOps.minhashSignatures(shArr, "doc_id", NumPerms)
       val bands = TextOps.lshBandRows(sigs, "doc_id", RowsPerBand, NumPerms)
       val cands = TextOps.candidatePairs(bands, "doc_id", MaxBucket)
-      TextOps.containmentOnCandidates(cands, sigs, "doc_id")
+      TextOps.containmentOnCandidates(cands, shArr, "doc_id")
         .filter(greatest(col("containment_a"), col("containment_b")) >= 0.9)
         .agg(count(lit(1)).as("n_pairs"),
           sum(when(col("containment_a") >= 0.9, 1L).otherwise(0L)).as("n_a_in_b"),

@@ -442,6 +442,33 @@ object ServingPack extends QueryPack {
         k = 5, nProbe = 4)
     }),
 
+    // IVF index MAINTENANCE (the FAISS add() contract): the codebook is
+    // trained ONCE on the base corpus (vec_id % 10 != 0 — a write-once
+    // fixture, like a served index in production); the delta
+    // (vec_id % 10 == 0) is folded in by fixed-centroid assignment — no
+    // retrain, no rebuild, one zero-shuffle pass over the delta only.
+    // With nProbe = nCells the maintained index must return the exact
+    // brute-force top-k over base ∪ delta, which is the SQL oracle; the
+    // stronger property — maintained list table == rebuilt-by-assignment
+    // over the whole corpus — is asserted in PipelineOpsSpec (assignment
+    // against a fixed codebook is a pure per-row function). Query 10 is
+    // itself a delta row, so appended vectors are exercised as corpus
+    // AND as queries.
+    "q_ivf_incremental" -> ((s, d) => {
+      val sfName = new java.io.File(d).getName
+      val path = s"/root/repo/.graft-fixtures/ivfbase_$sfName"
+      graft.Fixtures.ensureWritten(path, "cells=4,seed=42,iter=5,split=mod10") {
+        IvfOps.save(IvfOps.build(
+          embs(s, d).filter(col("vec_id") % 10 =!= 0),
+          "vec_id", "embedding", nCells = 4), path)
+      }
+      val idx = IvfOps.append(IvfOps.load(s, path),
+        embs(s, d).filter(col("vec_id") % 10 === 0), "vec_id", "embedding")
+      val qs = embs(s, d).filter(col("vec_id").isin(3L, 10L, 17L))
+      IvfOps.searchBatch(idx, qs, "vec_id", "embedding", "vec_id", "embedding",
+        k = 5, nProbe = 4)
+    }),
+
     // GeoJSON FeatureCollection source (store/fs/impl/geodataframe.py:19-96):
     // geometry → WKT + typed property columns, including a missing property.
     "q_geojson" -> ((s, d) => {
@@ -1495,6 +1522,14 @@ object ServingPack extends QueryPack {
          r AS (SELECT *, row_number() OVER (PARTITION BY query_id
                          ORDER BY cos_sim DESC, vec_id ASC) AS rn FROM p)
          SELECT query_id, vec_id, cos_sim FROM r WHERE rn <= 5""",
+    "q_ivf_incremental" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+                     FROM embeddings WHERE vec_id IN (3, 10, 17)),
+         p AS (SELECT q.query_id, e.vec_id, ${dotCos("q.qe", "e.embedding")} AS cos_sim
+               FROM q CROSS JOIN embeddings e),
+         r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                         ORDER BY cos_sim DESC, vec_id ASC) AS rank FROM p)
+         SELECT query_id, rank, vec_id, cos_sim FROM r WHERE rank <= 5""",
     "q_ivf_ann_batch" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe
                      FROM embeddings WHERE vec_id < 10),

@@ -8,9 +8,11 @@ import java.nio.file.{Files, Paths}
 /** Byte-level object IO for the chunked-store sources (Zarr, `.levels`
   * pyramids): local paths go through `java.nio` exactly as before; paths
   * with a URI scheme (`s3g://`, `hdfs://`, ...) go through a Hadoop
-  * `FileSystem` — which is how the reference reaches every one of its
-  * stores through a single fsspec filesystem object (local, s3, memory)
-  * while the store code stays protocol-blind.
+  * `FileSystem`; `http://`/`https://` URLs go through direct ranged HTTP
+  * (read-only, no listing — fsspec's HTTPFileSystem contract). This is
+  * how the reference reaches every one of its stores through a single
+  * fsspec filesystem object (local, s3, memory, https) while the store
+  * code stays protocol-blind.
   *
   * Serializable BY VALUE: the instance carries only the Hadoop options the
   * remote scheme needs (e.g. `fs.s3g.impl`, `fs.s3g.endpoint`), so a chunk
@@ -31,15 +33,70 @@ final case class ByteStore(options: Map[String, String]) extends Serializable {
     i > 0 && !path.startsWith("file:")
   }
 
+  /** Plain-web URLs are served by direct ranged HTTP, not a Hadoop
+    * FileSystem: the protocol is READ-ONLY and has no listing, exactly
+    * fsspec's HTTPFileSystem contract the reference relies on for
+    * `https://` stores (kerchunk refs into hosted NetCDF archives, zarr
+    * groups with consolidated metadata behind a web server). `https://`
+    * takes the same code path via the JDK's TLS stack —
+    * `HttpsURLConnection` IS an `HttpURLConnection`.
+    */
+  private def isHttp(path: String): Boolean =
+    path.startsWith("http://") || path.startsWith("https://")
+
+  private def httpConn(path: String, method: String,
+                       range: Option[(Long, Long)] = None): java.net.HttpURLConnection = {
+    val c = new java.net.URI(path).toURL.openConnection()
+      .asInstanceOf[java.net.HttpURLConnection]
+    c.setRequestMethod(method)
+    c.setConnectTimeout(30000)
+    c.setReadTimeout(120000)
+    range.foreach { case (off, lastIncl) =>
+      c.setRequestProperty("Range", s"bytes=$off-$lastIncl") }
+    c
+  }
+
+  private def drainBody(c: java.net.HttpURLConnection): Array[Byte] = {
+    val in = c.getInputStream
+    try {
+      val bos = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](256 * 1024)
+      var n = in.read(buf)
+      while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+      bos.toByteArray
+    } finally in.close()
+  }
+
+  private def httpReadOnly(path: String, op: String): Nothing =
+    throw new UnsupportedOperationException(
+      s"$op over http(s) is not supported ($path): web stores are " +
+        "read-only and unlisted; write through a filesystem scheme")
+
   private def fs(path: String): FileSystem =
     new HPath(path).getFileSystem(hconf)
 
   def exists(path: String): Boolean =
-    if (isRemote(path)) fs(path).exists(new HPath(path))
+    if (isHttp(path)) {
+      val c = httpConn(path, "HEAD")
+      try c.getResponseCode match {
+        case ok if ok >= 200 && ok < 300 => true
+        case 404 | 410 => false
+        case other => sys.error(s"HEAD $path: unexpected HTTP $other")
+      } finally c.disconnect()
+    } else if (isRemote(path)) fs(path).exists(new HPath(path))
     else Files.exists(Paths.get(path))
 
   def read(path: String): Array[Byte] =
-    if (isRemote(path)) {
+    if (isHttp(path)) {
+      val c = httpConn(path, "GET")
+      try {
+        val code = c.getResponseCode
+        if (code == 404 || code == 410)
+          throw new java.io.FileNotFoundException(path)
+        require(code >= 200 && code < 300, s"GET $path: HTTP $code")
+        drainBody(c)
+      } finally c.disconnect()
+    } else if (isRemote(path)) {
       val in = fs(path).open(new HPath(path))
       try {
         val bos = new java.io.ByteArrayOutputStream()
@@ -54,7 +111,8 @@ final case class ByteStore(options: Map[String, String]) extends Serializable {
     if (exists(path)) Some(read(path)) else None
 
   def write(path: String, bytes: Array[Byte]): Unit =
-    if (isRemote(path)) {
+    if (isHttp(path)) httpReadOnly(path, "write")
+    else if (isRemote(path)) {
       val out = fs(path).create(new HPath(path), true)
       try out.write(bytes) finally out.close()
     } else {
@@ -66,7 +124,18 @@ final case class ByteStore(options: Map[String, String]) extends Serializable {
 
   /** Object/file size in bytes. */
   def size(path: String): Long =
-    if (isRemote(path)) fs(path).getFileStatus(new HPath(path)).getLen
+    if (isHttp(path)) {
+      val c = httpConn(path, "HEAD")
+      try {
+        val code = c.getResponseCode
+        if (code == 404 || code == 410)
+          throw new java.io.FileNotFoundException(path)
+        require(code >= 200 && code < 300, s"HEAD $path: HTTP $code")
+        val len = c.getContentLengthLong
+        require(len >= 0, s"HEAD $path: server sent no Content-Length")
+        len
+      } finally c.disconnect()
+    } else if (isRemote(path)) fs(path).getFileStatus(new HPath(path)).getLen
     else Files.size(Paths.get(path))
 
   /** Positioned range read: bytes `[offset, offset+length)`; `length` -1 =
@@ -75,6 +144,7 @@ final case class ByteStore(options: Map[String, String]) extends Serializable {
     * stores, never a whole-object download. This is the kerchunk chunk-
     * task primitive. */
   def readRange(path: String, offset: Long, length: Long): Array[Byte] = {
+    if (isHttp(path)) return httpReadRange(path, offset, length)
     val total = size(path)
     val len = if (length >= 0) length else total - offset
     require(offset >= 0 && offset + len <= total,
@@ -105,17 +175,51 @@ final case class ByteStore(options: Map[String, String]) extends Serializable {
     }
   }
 
+  /** Ranged GET, ONE round trip (no pre-flight HEAD — a kerchunk chunk
+    * fetch is exactly one request). A 200 answer to a ranged request
+    * means the server IGNORED the Range header; silently accepting it
+    * would hand the caller the wrong bytes, so it rejects loudly unless
+    * the requested range actually started at 0 and ran to EOF.
+    */
+  private def httpReadRange(path: String, offset: Long, length: Long): Array[Byte] = {
+    require(offset >= 0, s"$path: negative range offset $offset")
+    require(length <= Int.MaxValue - 8,
+      s"$path: $length-byte range exceeds the 2 GiB task buffer " +
+        "(re-index the source with finer chunking)")
+    if (length == 0) return Array.emptyByteArray
+    val range = if (length > 0) (offset, offset + length - 1)
+                else (offset, -1L) // open-ended "bytes=offset-"
+    val c = httpConn(path, "GET", Some(range))
+    if (range._2 < 0) // open-ended: emit "bytes=N-" not "bytes=N--1"
+      c.setRequestProperty("Range", s"bytes=$offset-")
+    try {
+      val code = c.getResponseCode
+      if (code == 404 || code == 410)
+        throw new java.io.FileNotFoundException(path)
+      require(code == 206 || (code == 200 && offset == 0 && length < 0),
+        s"GET $path range [$offset,+$length): HTTP $code " +
+          (if (code == 200) "(server ignored the Range header)" else ""))
+      val body = drainBody(c)
+      require(length < 0 || body.length == length,
+        s"GET $path: asked for $length bytes, got ${body.length}")
+      body
+    } finally c.disconnect()
+  }
+
   def delete(path: String): Unit =
-    if (isRemote(path)) { fs(path).delete(new HPath(path), false); () }
+    if (isHttp(path)) httpReadOnly(path, "delete")
+    else if (isRemote(path)) { fs(path).delete(new HPath(path), false); () }
     else { Files.deleteIfExists(Paths.get(path)); () }
 
   def mkdirs(path: String): Unit =
-    if (isRemote(path)) () // object stores have no directories
+    if (isHttp(path)) () // read-only and directory-free; writes reject
+    else if (isRemote(path)) () // object stores have no directories
     else { Files.createDirectories(Paths.get(path)); () }
 
   /** Immediate children of a directory as (name, isDirectory). */
   def list(path: String): Seq[(String, Boolean)] =
-    if (isRemote(path))
+    if (isHttp(path)) httpReadOnly(path, "list")
+    else if (isRemote(path))
       fs(path).listStatus(new HPath(path)).toSeq
         .map(st => (st.getPath.getName, st.isDirectory))
     else {
@@ -126,7 +230,8 @@ final case class ByteStore(options: Map[String, String]) extends Serializable {
 
   /** All regular files under `path`, as slash-separated RELATIVE names. */
   def walkFiles(path: String): Seq[String] =
-    if (isRemote(path)) {
+    if (isHttp(path)) httpReadOnly(path, "walkFiles")
+    else if (isRemote(path)) {
       val base = new HPath(path).toUri.getPath.stripSuffix("/")
       val it = fs(path).listFiles(new HPath(path), true)
       val out = Seq.newBuilder[String]

@@ -58,6 +58,35 @@ class ByteStoreSpec extends AnyFunSuite {
       Seq("deep/leaf.txt", "inner.txt"))
   }
 
+  test("http(s) branch: ranged GETs, HEAD metadata, loud read-only rejects") {
+    // the in-JVM S3 emulator doubles as a plain HTTP file server: a
+    // read-only directory mount serves GET/HEAD with Range support —
+    // exactly the web-archive surface the http(s) branch exists for
+    val emu = graft.sources.s3.S3Emulator.shared
+    val dir = tmpDir("bsh")
+    val payload = Array.tabulate[Byte](1000)(i => (i % 251).toByte)
+    bs.write(s"$dir/r.bin", payload)
+    emu.mountDir("bshttp", dir)
+    val url = s"${emu.endpoint}/bshttp/r.bin"
+    assert(bs.exists(url))
+    assert(!bs.exists(s"${emu.endpoint}/bshttp/nope.bin"))
+    assert(bs.size(url) === 1000)
+    assert(bs.read(url).toSeq === payload.toSeq)
+    assert(bs.readIfExists(s"${emu.endpoint}/bshttp/nope.bin") === None)
+    // ranged reads: inclusive slice, open-ended to-EOF, one round trip
+    assert(bs.readRange(url, 10, 20).toSeq === payload.slice(10, 30).toSeq)
+    assert(bs.readRange(url, 990, -1).toSeq === payload.slice(990, 1000).toSeq)
+    assert(bs.readRange(url, 0, -1).length === 1000)
+    assert(bs.readRange(url, 5, 0).length === 0)
+    intercept[java.io.FileNotFoundException](
+      bs.readRange(s"${emu.endpoint}/bshttp/nope.bin", 0, 4))
+    // the protocol is read-only and unlisted — loud rejects, not no-ops
+    intercept[UnsupportedOperationException](bs.write(url, Array[Byte](1)))
+    intercept[UnsupportedOperationException](bs.delete(url))
+    intercept[UnsupportedOperationException](bs.list(s"${emu.endpoint}/bshttp"))
+    intercept[UnsupportedOperationException](bs.walkFiles(s"${emu.endpoint}/bshttp"))
+  }
+
   test("mkdirs is a real mkdir locally and file: paths stay on the local branch") {
     val dir = tmpDir("bsm")
     bs.mkdirs(s"$dir/x/y")

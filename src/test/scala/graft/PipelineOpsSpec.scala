@@ -317,6 +317,52 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(full.contains((0L, 1L, 0L)) && full.contains((1L, 1L, 1L))) // self is rank 1
   }
 
+  test("IVF append: maintained index == rebuilt-by-assignment, search-identical") {
+    import spark.implicits._
+    def jitter(base: Array[Float], s: Float) = base.zipWithIndex.map {
+      case (v, i) => v + s * ((i % 3) - 1) * 0.01f
+    }
+    val a = Array(1.0f, 0.0f, 0.0f, 0.0f)
+    val b = Array(0.0f, 1.0f, 0.0f, 0.0f)
+    val c = Array(0.0f, 0.0f, 1.0f, 0.0f)
+    val rows = (0 until 6).flatMap(s => Seq(
+      (s * 3 + 0L, jitter(a, s)), (s * 3 + 1L, jitter(b, s)), (s * 3 + 2L, jitter(c, s))))
+    val df = rows.toDF("vec_id", "embedding")
+    val base = df.filter($"vec_id" < 9)     // 3 per cluster
+    val delta = df.filter($"vec_id" >= 9)   // 3 per cluster, unseen at build
+    val idx = graft.operators.IvfOps.build(base, "vec_id", "embedding", nCells = 3)
+    val maintained = graft.operators.IvfOps.append(idx, delta, "vec_id", "embedding")
+    // delta rows land in the SAME cell as their cluster's base rows: the
+    // fixed-codebook argmin routes them to the trained centroid
+    val cellOf = maintained.assigned.collect()
+      .map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(cellOf.size == 18)
+    (0 until 3).foreach { m =>
+      val cells = (0 until 6).map(s => cellOf(s * 3 + m.toLong)).toSet
+      assert(cells.size == 1, s"cluster $m split across cells $cells")
+    }
+    // maintained == rebuilt-by-assignment over the whole corpus with the
+    // same codebook (assignment is a pure per-row function of the
+    // centroids, so append order cannot drift the list table)
+    val rebuilt = graft.operators.IvfOps.append(
+      graft.operators.IvfOps.IvfIndex(base.limit(0).withColumn("__cell", lit(0)), idx.centroids),
+      df, "vec_id", "embedding")
+    val mSet = maintained.assigned.select("vec_id", "__cell").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    val rSet = rebuilt.assigned.select("vec_id", "__cell").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(mSet == rSet)
+    // and the search surface agrees: full-probe top-k over the maintained
+    // index equals brute force over base ∪ delta (delta id 9 as a query)
+    val qs = df.filter($"vec_id".isin(0L, 9L))
+    val got = graft.operators.IvfOps.searchBatch(maintained, qs, "vec_id",
+      "embedding", "vec_id", "embedding", k = 4, nProbe = 3)
+      .select("query_id", "rank", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got.contains((9L, 1L, 9L))) // self is rank 1: appended row served
+    assert(got.count(_._1 == 9L) == 4)
+  }
+
   test("connected components: stars, chains, transitivity, determinism") {
     import spark.implicits._
     // two components: a 6-node chain (worst case for label propagation —
