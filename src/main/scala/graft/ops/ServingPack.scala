@@ -779,6 +779,34 @@ object ServingPack extends QueryPack {
           round(sum(col("v").cast("decimal(28,10)")), 6).cast("double").as("sum_v"))
     }),
 
+    // The SAME cube served over plain HTTP: the zarr group is a write-once
+    // local fixture, mounted read-only on the in-JVM HTTP server, and
+    // opened by URL — consolidated-metadata open + ranged chunk GETs, no
+    // listing (the web-archive shape the reference reaches through
+    // fsspec's HTTPFileSystem). Same oracle as q_zarr_s3, so a wrong byte
+    // anywhere in the http path flips the hash.
+    "q_zarr_http" -> ((s, d) => {
+      val days = Seq("2024-01-01", "2024-01-02")
+      val sfName = new java.io.File(d).getName
+      val base = s"/root/repo/.graft-fixtures/zarrhttp_$sfName"
+      val group = s"$base/cube.zarr"
+      Fixtures.ensureWritten(base, "days=2,chunks=1x50x90,mean6,consolidated") {
+        new java.io.File(base).mkdirs()
+        ZarrSource.writeCube(dailyCubeDf(s, d, days), group, "v",
+          cubeDims, chunks = Seq(1, 50, 90))
+      }
+      val emu = graft.sources.s3.S3Emulator.shared
+      emu.mountDir(s"zarrhttp-$sfName", base)
+      val url = s"${emu.endpoint}/zarrhttp-$sfName/cube.zarr"
+      ZarrSource.readCube(s, url, "v")
+        .filter(!isnan(col("v")))
+        .groupBy(col("t").cast("long").as("day_idx"))
+        .agg(count(lit(1)).as("n_cells"),
+          round(sum((col("y") + col("x")).cast("decimal(28,10)")), 6)
+            .cast("double").as("sum_coord"),
+          round(sum(col("v").cast("decimal(28,10)")), 6).cast("double").as("sum_v"))
+    }),
+
     // unchunk_dataset (unchunk.py:15-80): the same 2-day cube written
     // chunked, then consolidated IN PLACE to one chunk per array (data
     // var + all coords) with the consolidated metadata refreshed — read
@@ -1669,6 +1697,20 @@ object ServingPack extends QueryPack {
                 sum(w)::BIGINT AS n_events
          FROM daily GROUP BY day_idx""",
     "q_zarr_s3" ->
+      s"""WITH ${CubePack.cubeCte},
+         daily AS (SELECT CASE WHEN CAST(time AS DATE) = DATE '2024-01-01'
+                               THEN 0 ELSE 1 END AS day_idx,
+                          floor(y)::BIGINT AS j, floor(x)::BIGINT AS i,
+                          round(sum(v::DECIMAL(28,12))::DOUBLE / count(*), 6) AS v
+                   FROM cube
+                   WHERE CAST(time AS DATE) = DATE '2024-01-01'
+                      OR CAST(time AS DATE) = DATE '2024-01-02'
+                   GROUP BY day_idx, j, i)
+         SELECT day_idx::BIGINT AS day_idx, count(*) AS n_cells,
+                round(sum(((j + 0.5) + (i + 0.5))::DECIMAL(28,10)), 6)::DOUBLE AS sum_coord,
+                round(sum(v::DECIMAL(28,10)), 6)::DOUBLE AS sum_v
+         FROM daily GROUP BY day_idx""",
+    "q_zarr_http" ->
       s"""WITH ${CubePack.cubeCte},
          daily AS (SELECT CASE WHEN CAST(time AS DATE) = DATE '2024-01-01'
                                THEN 0 ELSE 1 END AS day_idx,

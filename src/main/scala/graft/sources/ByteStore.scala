@@ -108,7 +108,11 @@ final case class ByteStore(options: Map[String, String]) extends Serializable {
     } else Files.readAllBytes(Paths.get(path))
 
   def readIfExists(path: String): Option[Array[Byte]] =
-    if (exists(path)) Some(read(path)) else None
+    if (isHttp(path))
+      // one round trip per chunk: GET and treat 404 as absent (the
+      // HEAD-then-GET shape would double every chunk task's latency)
+      try Some(read(path)) catch { case _: java.io.FileNotFoundException => None }
+    else if (exists(path)) Some(read(path)) else None
 
   def write(path: String, bytes: Array[Byte]): Unit =
     if (isHttp(path)) httpReadOnly(path, "write")

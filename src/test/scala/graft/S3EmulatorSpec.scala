@@ -374,6 +374,54 @@ class S3EmulatorSpec extends AnyFunSuite {
     assert(s3p.columns.toSet.contains("longitude"))
   }
 
+  test("zarr + kerchunk over plain http: a web-hosted archive reads in place, writes reject") {
+    import graft.sources.{KerchunkSource, ZarrSource}
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+
+    val base = java.nio.file.Files.createTempDirectory(
+      new java.io.File("/root/repo/target/tmp-tests").toPath, "kchttp").toString
+    val local = s"$base/cube.zarr"
+    val t = Array(0.0, 1.0)
+    val y = Array.tabulate(4)(_.toDouble)
+    val x = Array.tabulate(6)(_.toDouble)
+    val df = (for { ti <- t; yi <- y; xi <- x }
+      yield (ti, yi, xi, ti * 1000 + yi * 10 + xi))
+      .toSeq.toDF("t", "y", "x", "v")
+    ZarrSource.writeCube(df, local, "v", Seq("t" -> t, "y" -> y, "x" -> x),
+      chunks = Seq(1, 2, 3))
+    ZarrSource.consolidateMetadata(local)
+
+    // the emulator's read-only mount is just a static file server with
+    // Range support — the "zarr behind nginx / hosted NetCDF archive"
+    // shape the reference opens through fsspec's HTTPFileSystem
+    S3Emulator.shared.mountDir("zhttp", base)
+    val url = s"${S3Emulator.shared.endpoint}/zhttp/cube.zarr"
+
+    val direct = ZarrSource.readCube(spark, local, "v")
+    val overHttp = ZarrSource.readCube(spark, url, "v")
+    assert(overHttp.count() === direct.count())
+    assert(overHttp.agg(round(sum($"v" * ($"t" + 1) + $"y" - $"x"), 6)).as[Double].head()
+      === direct.agg(round(sum($"v" * ($"t" + 1) + $"y" - $"x"), 6)).as[Double].head())
+
+    // kerchunk refs retargeted at the web archive: ranged GETs per chunk
+    val refsJson = KerchunkSource.scanZarr(local)
+      .replace(s"file://$local", url)
+      .replace(s"file:$local", url)
+      .replace(local, url)
+    val refsPath = s"$base/refs.http.json"
+    java.nio.file.Files.write(java.nio.file.Paths.get(refsPath),
+      refsJson.getBytes("UTF-8"))
+    val viaRefs = KerchunkSource.readCube(spark, refsPath, "v")
+    assert(viaRefs.agg(round(sum($"v" * ($"t" + 1) + $"y" - $"x"), 6)).as[Double].head()
+      === direct.agg(round(sum($"v" * ($"t" + 1) + $"y" - $"x"), 6)).as[Double].head())
+
+    // the protocol is read-only: a zarr write must reject loudly
+    intercept[UnsupportedOperationException](
+      ZarrSource.writeCube(df, s"$url/copy.zarr", "v",
+        Seq("t" -> t, "y" -> y, "x" -> x), chunks = Seq(1, 2, 3)))
+  }
+
   test("kerchunk refs pointing at bucket objects: ranged GETs read the cube in place") {
     import graft.sources.{KerchunkSource, ZarrSource}
     import org.apache.spark.sql.functions._
