@@ -807,6 +807,31 @@ object ServingPack extends QueryPack {
           round(sum(col("v").cast("decimal(28,10)")), 6).cast("double").as("sum_v"))
     }),
 
+    // The relational zarr scan (DataSourceV2): the 2-day cube opened with
+    // spark.read.format("zarr") and filtered to day 1 BY PREDICATE — the
+    // t = 0.0 filter is pushed into the scan and prunes the day-2 chunks
+    // before any byte is fetched (ZarrDsv2Spec pins the partition counts;
+    // here the ORACLE pins that the pruned read returns exactly the day-1
+    // cells). This is the 100 TB read shape: any relational query over the
+    // cube elides chunks via Catalyst, not via a bespoke subset API.
+    "q_zarr_dsv2" -> ((s, d) => {
+      val days = Seq("2024-01-01", "2024-01-02")
+      val sfName = new java.io.File(d).getName
+      val base = s"/root/repo/.graft-fixtures/zarrdsv2_$sfName"
+      val group = s"$base/cube.zarr"
+      Fixtures.ensureWritten(base, "days=2,chunks=1x50x90,mean6,t-as-index") {
+        new java.io.File(base).mkdirs()
+        ZarrSource.writeCube(dailyCubeDf(s, d, days), group, "v",
+          cubeDims, chunks = Seq(1, 50, 90))
+      }
+      s.read.format("zarr").load(group)
+        .filter(col("t") === 0.0 && !isnan(col("v")))
+        .agg(count(lit(1)).as("n_cells"),
+          round(sum((col("y") + col("x")).cast("decimal(28,10)")), 6)
+            .cast("double").as("sum_coord"),
+          round(sum(col("v").cast("decimal(28,10)")), 6).cast("double").as("sum_v"))
+    }),
+
     // unchunk_dataset (unchunk.py:15-80): the same 2-day cube written
     // chunked, then consolidated IN PLACE to one chunk per array (data
     // var + all coords) with the consolidated metadata refreshed — read
@@ -1710,6 +1735,17 @@ object ServingPack extends QueryPack {
                 round(sum(((j + 0.5) + (i + 0.5))::DECIMAL(28,10)), 6)::DOUBLE AS sum_coord,
                 round(sum(v::DECIMAL(28,10)), 6)::DOUBLE AS sum_v
          FROM daily GROUP BY day_idx""",
+    "q_zarr_dsv2" ->
+      s"""WITH ${CubePack.cubeCte},
+         daily AS (SELECT floor(y)::BIGINT AS j, floor(x)::BIGINT AS i,
+                          round(sum(v::DECIMAL(28,12))::DOUBLE / count(*), 6) AS v
+                   FROM cube
+                   WHERE CAST(time AS DATE) = DATE '2024-01-01'
+                   GROUP BY j, i)
+         SELECT count(*) AS n_cells,
+                round(sum(((j + 0.5) + (i + 0.5))::DECIMAL(28,10)), 6)::DOUBLE AS sum_coord,
+                round(sum(v::DECIMAL(28,10)), 6)::DOUBLE AS sum_v
+         FROM daily""",
     "q_zarr_http" ->
       s"""WITH ${CubePack.cubeCte},
          daily AS (SELECT CASE WHEN CAST(time AS DATE) = DATE '2024-01-01'

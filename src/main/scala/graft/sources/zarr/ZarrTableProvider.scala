@@ -1,0 +1,328 @@
+package graft.sources.zarr
+
+import graft.sources.{ByteStore, ZarrSource}
+import graft.sources.ZarrSource.ZarrArray
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import java.util.{Map => JMap}
+import scala.jdk.CollectionConverters._
+
+/** DataSourceV2 Zarr connector — `spark.read.format("zarr").load(group)`:
+  * the relational face of [[ZarrSource]], with the two scan optimizations
+  * the DataFrame read path cannot express over a hand-built RDD:
+  *
+  *  - **Chunk pruning from pushed dimension predicates.** A filter on a
+  *    dimension column (`t === 0.5`, `y >= 40 && y < 60`) is converted to
+  *    per-dimension coordinate ranges on the driver; only chunk keys whose
+  *    coordinate span intersects every range become input partitions. At
+  *    100 TB this is the difference between "scan two chunk files" and
+  *    "scan the archive" — the same read elision the reference gets from
+  *    xarray's lazy label indexing (`select_subset`, core/select.py), but
+  *    driven by Catalyst so ANY relational query over the cube benefits,
+  *    not just calls through the subset API. Pruning needs a monotone
+  *    coordinate; non-monotone dims keep all their chunks (correct, just
+  *    unpruned), and Spark re-evaluates every pushed predicate post-scan,
+  *    so pruning can never change results — only skip whole chunks that
+  *    provably contain no matching cell.
+  *  - **Variable-level column pruning.** Only the data variables named in
+  *    the required schema are fetched and decoded — a 2-column projection
+  *    over a 40-variable group reads 1/40th of the bytes (the ReadSchema
+  *    discipline parquet scans get for free).
+  *
+  * Each input partition carries only its OWN chunk's coordinate slices
+  * (≤ chunk-length doubles per dimension), never the full coordinate
+  * arrays — partitions stay O(chunk) at any archive size. All byte IO
+  * goes through a [[ByteStore]] VALUE captured at planning time, so the
+  * same scan reads local paths, object-store URLs, and http(s) archives.
+  */
+final class ZarrTableProvider extends TableProvider with DataSourceRegister {
+
+  override def shortName(): String = "zarr"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    ZarrTable.schemaFor(ZarrTable.open(options))
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: JMap[String, String]): Table =
+    ZarrTable(ZarrTable.open(new CaseInsensitiveStringMap(properties)))
+
+  override def supportsExternalMetadata(): Boolean = false
+}
+
+/** Planning-time view of one group: the shared grid array metadata, the
+  * data variable names, and the (driver-sized) coordinate arrays. */
+final case class ZarrGroupMeta(groupDir: String, za: ZarrArray,
+                               dataVars: Seq[String],
+                               varMeta: Map[String, ZarrArray],
+                               coords: Seq[Array[Double]],
+                               store: ByteStore)
+
+final case class ZarrTable(meta: ZarrGroupMeta) extends Table with SupportsRead {
+  override def name(): String = meta.groupDir
+  override def schema(): StructType = ZarrTable.schemaFor(meta)
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ZarrScanBuilder(meta)
+}
+
+object ZarrTable {
+  /** Resolve the group: data variables are the arrays sharing the dims of
+    * the highest-rank array; same-named 1-D arrays are coordinates. */
+  def open(options: CaseInsensitiveStringMap): ZarrGroupMeta = {
+    val groupDir = Option(options.get("path")).getOrElse(
+      throw new IllegalArgumentException("zarr reader needs a path option " +
+        "(spark.read.format(\"zarr\").load(groupDir))"))
+    val store = ByteStore.current
+    val names = ZarrSource.listArrays(groupDir)
+    require(names.nonEmpty, s"$groupDir: no arrays in group")
+    val metas = names.map(n => n -> ZarrSource.openArray(s"$groupDir/$n")).toMap
+    val lead = metas.values.maxBy(_.shape.length)
+    require(lead.shape.length >= 1, s"$groupDir: no data arrays")
+    val dataVars = names.filter { n =>
+      val m = metas(n)
+      m.dims == lead.dims && !lead.dims.contains(n)
+    }.sorted
+    require(dataVars.nonEmpty,
+      s"$groupDir: no data variables on grid ${lead.dims.mkString("x")}")
+    dataVars.foreach { n =>
+      val m = metas(n)
+      require(m.shape == lead.shape && m.chunks == lead.chunks,
+        s"$groupDir/$n: shape/chunks ${m.shape}/${m.chunks} differ from the " +
+          s"group grid ${lead.shape}/${lead.chunks} — mixed-grid groups are " +
+          "not relational tables; open the variables separately")
+    }
+    val coords = lead.dims.zipWithIndex.map { case (dim, k) =>
+      metas.get(dim) match {
+        case Some(cza) =>
+          require(cza.shape == Seq(lead.shape(k)),
+            s"$groupDir/$dim: coordinate shape ${cza.shape} != ${lead.shape(k)}")
+          ZarrSource.readAll(s"$groupDir/$dim", cza)
+        case None => Array.tabulate(lead.shape(k))(_.toDouble)
+      }
+    }
+    ZarrGroupMeta(groupDir, metas(dataVars.head), dataVars, metas.view
+      .filterKeys(dataVars.contains).toMap, coords, store)
+  }
+
+  def schemaFor(meta: ZarrGroupMeta): StructType =
+    StructType(meta.za.dims.map(StructField(_, DoubleType, nullable = false)) ++
+      meta.dataVars.map(StructField(_, DoubleType, nullable = true)))
+}
+
+final class ZarrScanBuilder(meta: ZarrGroupMeta)
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = ZarrTable.schemaFor(meta)
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    // keep the dimension-range predicates for chunk pruning; EVERY filter
+    // is also returned for Spark-side evaluation (pruning is chunk-
+    // granular, cells inside a surviving chunk still need the predicate)
+    pushed = filters.filter(f => ZarrScan.dimRange(meta, f).isDefined)
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    required = requiredSchema
+  }
+
+  override def build(): Scan = ZarrScan(meta, pushed, required)
+}
+
+final case class ZarrScan(meta: ZarrGroupMeta, filters: Array[Filter],
+                          required: StructType) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String = {
+    val f = filters.map(_.toString).mkString(", ")
+    s"ZarrScan ${meta.groupDir} PushedFilters: [$f], " +
+      s"ReadSchema: ${required.fieldNames.mkString(",")}"
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val za = meta.za
+    val rank = za.shape.length
+    // per-dim inclusive coordinate bounds from the pushed predicates
+    val bounds = Array.fill(rank)((Double.NegativeInfinity, Double.PositiveInfinity))
+    filters.foreach { f =>
+      ZarrScan.dimRange(meta, f).foreach { case (k, lo, hi) =>
+        val (l0, h0) = bounds(k)
+        bounds(k) = (math.max(l0, lo), math.min(h0, hi))
+      }
+    }
+    val grid = za.chunkGrid
+    // per-dim surviving chunk indices: a chunk survives when its coord
+    // span intersects the bound — only provable for monotone coords
+    val keep: Seq[Seq[Int]] = (0 until rank).map { k =>
+      val (lo, hi) = bounds(k)
+      val c = meta.coords(k)
+      val all = 0 until grid(k)
+      if (lo == Double.NegativeInfinity && hi == Double.PositiveInfinity) all
+      else if (!ZarrScan.monotone(c)) all
+      else all.filter { ck =>
+        val s = ck * za.chunks(k)
+        val e = math.min(s + za.chunks(k), za.shape(k)) - 1
+        val (cLo, cHi) = (math.min(c(s), c(e)), math.max(c(s), c(e)))
+        cHi >= lo && cLo <= hi
+      }
+    }
+    val vars = required.fieldNames.filter(meta.dataVars.contains).toSeq
+    val keys = keep.foldLeft(Seq(Seq.empty[Int])) { (acc, ks) =>
+      acc.flatMap(p => ks.map(p :+ _))
+    }
+    keys.map { key =>
+      val coordSlices = (0 until rank).map { k =>
+        val s = key(k) * za.chunks(k)
+        val e = math.min(s + za.chunks(k), za.shape(k))
+        meta.coords(k).slice(s, e)
+      }
+      ZarrInputPartition(meta.groupDir, za, key, coordSlices,
+        vars.map(v => v -> meta.varMeta(v)), required.fieldNames.toSeq,
+        meta.store): InputPartition
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    ZarrReaderFactory()
+}
+
+object ZarrScan {
+  /** A supported dimension predicate as (dim index, lo, hi) inclusive. */
+  def dimRange(meta: ZarrGroupMeta, f: Filter): Option[(Int, Double, Double)] = {
+    def dim(name: String): Option[Int] = {
+      val i = meta.za.dims.indexOf(name)
+      if (i >= 0) Some(i) else None
+    }
+    def num(v: Any): Option[Double] = v match {
+      case d: Double => Some(d)
+      case fl: Float => Some(fl.toDouble)
+      case l: Long => Some(l.toDouble)
+      case i: Int => Some(i.toDouble)
+      case s: Short => Some(s.toDouble)
+      case b: Byte => Some(b.toDouble)
+      case d: java.math.BigDecimal => Some(d.doubleValue)
+      case _ => None
+    }
+    f match {
+      case EqualTo(a, v) => for (k <- dim(a); x <- num(v)) yield (k, x, x)
+      case GreaterThan(a, v) => for (k <- dim(a); x <- num(v)) yield
+        (k, math.nextUp(x), Double.PositiveInfinity)
+      case GreaterThanOrEqual(a, v) => for (k <- dim(a); x <- num(v)) yield
+        (k, x, Double.PositiveInfinity)
+      case LessThan(a, v) => for (k <- dim(a); x <- num(v)) yield
+        (k, Double.NegativeInfinity, math.nextDown(x))
+      case LessThanOrEqual(a, v) => for (k <- dim(a); x <- num(v)) yield
+        (k, Double.NegativeInfinity, x)
+      case In(a, vs) if vs.nonEmpty =>
+        val xs = vs.flatMap(num)
+        for (k <- dim(a); if xs.length == vs.length) yield (k, xs.min, xs.max)
+      case And(l, r) =>
+        (dimRange(meta, l), dimRange(meta, r)) match {
+          case (Some((k1, lo1, hi1)), Some((k2, lo2, hi2))) if k1 == k2 =>
+            Some((k1, math.max(lo1, lo2), math.min(hi1, hi2)))
+          case _ => None // different dims arrive as separate top-level filters
+        }
+      case _ => None
+    }
+  }
+
+  def monotone(c: Array[Double]): Boolean = {
+    if (c.length < 2) return true
+    val asc = c(c.length - 1) >= c(0)
+    var i = 1
+    while (i < c.length) {
+      if (asc && c(i) < c(i - 1)) return false
+      if (!asc && c(i) > c(i - 1)) return false
+      i += 1
+    }
+    true
+  }
+}
+
+final case class ZarrInputPartition(groupDir: String, za: ZarrArray,
+                                    key: Seq[Int],
+                                    coordSlices: Seq[Array[Double]],
+                                    vars: Seq[(String, ZarrArray)],
+                                    outCols: Seq[String],
+                                    store: ByteStore) extends InputPartition
+
+final case class ZarrReaderFactory() extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new ZarrPartitionReader(partition.asInstanceOf[ZarrInputPartition])
+}
+
+/** Decodes this task's chunk object per required variable, then walks the
+  * chunk's in-bounds cells with an odometer — rows are emitted lazily, the
+  * chunk is never materialized as Row objects. */
+final class ZarrPartitionReader(p: ZarrInputPartition)
+    extends PartitionReader[InternalRow] {
+
+  private val za = p.za
+  private val rank = za.shape.length
+  private val chunkName = p.key.mkString(za.separator)
+  private val data: Seq[Array[Double]] = p.vars.map { case (v, vza) =>
+    p.store.readIfExists(s"${p.groupDir}/$v/$chunkName") match {
+      case Some(raw) => ZarrSource.decodeChunk(raw, vza)
+      case None => Array.fill(vza.chunkElems)(vza.cfDecode(vza.fillValue))
+    }
+  }
+  // output column -> (isVar, index into dims or data)
+  private val outPlan: Array[(Boolean, Int)] = p.outCols.map { c =>
+    val d = za.dims.indexOf(c)
+    if (d >= 0) (false, d)
+    else (true, p.vars.indexWhere(_._1 == c))
+  }.toArray
+
+  private val idx = new Array[Int](rank) // odometer within the chunk
+  private var flat = -1
+  private val n = za.chunkElems
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    while (true) {
+      flat += 1
+      if (flat >= n) return false
+      if (flat > 0) { // advance odometer (last dim fastest, C order)
+        var d = rank - 1
+        var carry = true
+        while (carry && d >= 0) {
+          idx(d) += 1
+          if (idx(d) == za.chunks(d)) { idx(d) = 0; d -= 1 } else carry = false
+        }
+      }
+      var inBounds = true
+      var k = 0
+      while (k < rank) {
+        if (p.key(k) * za.chunks(k) + idx(k) >= za.shape(k)) inBounds = false
+        k += 1
+      }
+      if (inBounds) {
+        val vals = new Array[Any](outPlan.length)
+        var c = 0
+        while (c < outPlan.length) {
+          val (isVar, i) = outPlan(c)
+          vals(c) = if (isVar) data(i)(flat) else p.coordSlices(i)(idx(i))
+          c += 1
+        }
+        current = new GenericInternalRow(vals)
+        return true
+      }
+    }
+    false
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
+}

@@ -1,0 +1,126 @@
+package graft
+
+import graft.sources.ZarrSource
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** DataSourceV2 zarr connector: chunk pruning from pushed dimension
+  * predicates, variable-level column pruning, protocol transparency. */
+class ZarrDsv2Spec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = GraftSession.builder("4").getOrCreate()
+
+  private def tmpDir(prefix: String): String = {
+    val base = new java.io.File("/root/repo/target/tmp-tests")
+    base.mkdirs()
+    Files.createTempDirectory(base.toPath, prefix).toString
+  }
+
+  /** 3×4×6 cube, 1×2×3 chunks → 2·2·2 = 12 chunk keys; two variables. */
+  private def writeFixture(): String = {
+    import spark.implicits._
+    val t = Array(0.0, 1.0, 2.0)
+    val y = Array(10.0, 20.0, 30.0, 40.0)
+    val x = Array.tabulate(6)(_ + 0.5)
+    val df = (for { ti <- t; yi <- y; xi <- x } yield
+      (ti, yi, xi, ti * 1000 + yi * 10 + xi, ti + yi + xi))
+      .toSeq.toDF("t", "y", "x", "v", "w")
+    val g = s"${tmpDir("dsv2")}/cube.zarr"
+    ZarrSource.writeCubeVars(df, g, Seq("v", "w"),
+      Seq("t" -> t, "y" -> y, "x" -> x), chunks = Seq(1, 2, 3))
+    g
+  }
+
+  test("full read equals the RDD reader; schema is dims + sorted vars") {
+    val g = writeFixture()
+    val ds = spark.read.format("zarr").load(g)
+    assert(ds.columns.toSeq == Seq("t", "y", "x", "v", "w"))
+    assert(ds.count() === 72)
+    val direct = ZarrSource.readCubeVars(spark, g, Seq("v", "w"))
+    val a = ds.agg(round(sum(col("v") * 3 + col("w")), 6)).head.getDouble(0)
+    val b = direct.agg(round(sum(col("v") * 3 + col("w")), 6)).head.getDouble(0)
+    assert(a === b)
+    // 12 chunk keys -> 12 input partitions, one task per chunk
+    assert(ds.rdd.getNumPartitions === 12)
+  }
+
+  test("dimension predicates prune chunks; Spark still filters cells") {
+    val g = writeFixture()
+    val ds = spark.read.format("zarr").load(g)
+    // t = 1.0 hits 1 of 3 t-slices -> 1 of 2 t-chunks? t chunks are size 1:
+    // grid_t = 3 -> keys 0,1,2; t=1.0 keeps exactly chunk 1 -> 4 partitions
+    val one = ds.filter(col("t") === 1.0)
+    assert(one.rdd.getNumPartitions === 4)
+    assert(one.count() === 24)
+    assert(one.select(min("v"), max("v")).head.toSeq ==
+      Seq(1000.0 + 100 + 0.5, 1000.0 + 400 + 5.5))
+    // range on y: y >= 25 keeps the second y-chunk pair (30,40) only
+    val hi = ds.filter(col("y") >= 25.0 && col("t") === 0.0)
+    assert(hi.rdd.getNumPartitions === 2)
+    assert(hi.count() === 12)
+    // y > 20 must ALSO keep the chunk containing (10,20)? no: 20 excluded,
+    // chunk [10,20] has no cell > 20 -> pruned
+    assert(ds.filter(col("y") > 20.0).rdd.getNumPartitions === 6)
+    // but y >= 20 intersects the first chunk -> all 12 survive
+    assert(ds.filter(col("y") >= 20.0).rdd.getNumPartitions === 12)
+    assert(ds.filter(col("y") >= 20.0).count() === 54)
+    // cell-granular residual: x = 2.5 prunes to the first x-chunk but the
+    // chunk holds 3 x values -> Spark's post-scan filter trims the rest
+    val cell = ds.filter(col("x") === 2.5)
+    assert(cell.rdd.getNumPartitions === 6) // 3 t-chunks · 2 y · 1 x
+    assert(cell.count() === 12)
+    // pruned-to-nothing is an empty result, not an error
+    assert(ds.filter(col("t") === 99.0).count() === 0)
+    // the plan carries the pushed predicate (chunk pruning is visible)
+    val planStr = one.queryExecution.executedPlan.toString
+    assert(planStr.contains("PushedFilters") && planStr.contains("EqualTo(t,1.0)"),
+      planStr.take(2000))
+  }
+
+  test("column pruning reaches the scan: w-only projection never decodes v") {
+    val g = writeFixture()
+    // corrupt every v chunk on disk: a projection of w must not notice
+    val vDir = new java.io.File(s"$g/v")
+    vDir.listFiles().filter(_.getName.head.isDigit)
+      .foreach(f => Files.write(f.toPath, Array[Byte](1, 2, 3)))
+    val ds = spark.read.format("zarr").load(g)
+    val w = ds.select(sum(col("w"))).head.getDouble(0)
+    assert(w === (for { ti <- 0 to 2; yi <- 1 to 4; xi <- 0 to 5 }
+      yield ti + yi * 10.0 + xi + 0.5).sum)
+    // dims-only projection decodes nothing at all
+    assert(ds.select(countDistinct(col("t"))).head.getLong(0) === 3)
+    // and v actually IS corrupt through the same scan
+    intercept[org.apache.spark.SparkException](
+      ds.select(sum(col("v"))).head)
+  }
+
+  test("non-monotone coordinate disables pruning but stays correct") {
+    import spark.implicits._
+    val y = Array(30.0, 10.0, 20.0, 40.0) // shuffled labels
+    val x = Array(0.0, 1.0)
+    val df = (for { yi <- y; xi <- x } yield (yi, xi, yi + xi))
+      .toSeq.toDF("y", "x", "v")
+    val g = s"${tmpDir("dsv2nm")}/cube.zarr"
+    ZarrSource.writeCube(df, g, "v", Seq("y" -> y, "x" -> x), chunks = Seq(2, 2))
+    val ds = spark.read.format("zarr").load(g)
+    val got = ds.filter(col("y") === 40.0)
+    assert(got.rdd.getNumPartitions === 2) // both y-chunks kept: unprunable
+    assert(got.count() === 2)
+    assert(got.agg(sum("v")).head.getDouble(0) === 81.0)
+  }
+
+  test("the same scan opens an http-hosted archive, pruned the same way") {
+    val g = writeFixture()
+    ZarrSource.consolidateMetadata(g)
+    val emu = graft.sources.s3.S3Emulator.shared
+    val base = new java.io.File(g).getParent
+    emu.mountDir("dsv2http", base)
+    val ds = spark.read.format("zarr").load(s"${emu.endpoint}/dsv2http/cube.zarr")
+    val one = ds.filter(col("t") === 2.0)
+    assert(one.rdd.getNumPartitions === 4)
+    assert(one.agg(round(sum("v"), 6)).head.getDouble(0) ===
+      (for { yi <- 1 to 4; xi <- 0 to 5 } yield 2000.0 + yi * 100 + xi + 0.5).sum)
+  }
+}
