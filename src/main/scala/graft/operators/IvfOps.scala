@@ -62,10 +62,16 @@ object IvfOps {
     * literals, so the delta pass is a zero-shuffle projection; ties break
     * to the lower cell id), which makes maintenance deterministic: the
     * incrementally maintained list table is EXACTLY the table produced by
-    * assigning the whole corpus against the same codebook — nothing
-    * drifts with append order. Returns the maintained index lazily (the
-    * union plan); persist the delta with `mode("append")` on
-    * `path/assigned` when serving from storage.
+    * `kmeansAssign`ing the whole corpus against the same saved codebook —
+    * nothing drifts with append order. Note the determinism contract is
+    * stated against `kmeansAssign` (rounded-6 distances, ties to the
+    * lower cell), NOT against spark.ml `KMeans.transform` (unrounded):
+    * a near-tie vector can land in a different cell than a full
+    * `build()` re-run would place it, which only shifts which probe list
+    * holds it — recall under `nProbe < nCells` may differ by that row.
+    * Returns the maintained index lazily (the union plan); use
+    * [[appendAndStore]] when serving from storage so repeated appends
+    * cannot stack N union plans.
     */
   def append(index: IvfIndex, newRows: DataFrame, idCol: String,
              embCol: String): IvfIndex = {
@@ -75,6 +81,31 @@ object IvfOps {
     IvfIndex(
       index.assigned.select(idCol, embCol, "__cell").unionByName(delta),
       index.centroids)
+  }
+
+  /** Maintenance append for a SAVED index: assign the delta against the
+    * stored codebook (the [[append]] path), `mode("append")` the assigned
+    * rows into `path/assigned`, and return the index re-opened from
+    * storage. N successive appends therefore serve from ONE parquet scan —
+    * plan depth stays constant instead of growing a union per append,
+    * which is what a long-lived serving index needs (a 1000-append day
+    * must not produce a 1000-way union plan).
+    */
+  def appendAndStore(spark: org.apache.spark.sql.SparkSession, path: String,
+                     newRows: DataFrame, idCol: String,
+                     embCol: String): IvfIndex = {
+    val index = load(spark, path)
+    val stored = index.assigned.schema.fieldNames.toSeq
+    require(stored.toSet == Set(idCol, embCol, "__cell"),
+      s"$path/assigned holds columns ${stored.mkString(",")} — appendAndStore " +
+        s"maintains ($idCol, $embCol, __cell) tables; re-save the index " +
+        "with exactly those columns to serve it incrementally")
+    val cents = index.centroids.zipWithIndex.map { case (c, i) => (i, c) }
+    val delta = EmbeddingOps.kmeansAssign(newRows, idCol, embCol, cents)
+      .select(col(idCol), col(embCol), col("cid").cast("int").as("__cell"))
+    delta.select(stored.map(col): _*)
+      .write.mode("append").parquet(s"$path/assigned")
+    load(spark, path)
   }
 
   private def cosine(a: Array[Double], b: Array[Double]): Double = {

@@ -25,6 +25,19 @@ object PipelinePack extends QueryPack {
   private def docs(s: SparkSession, d: String) = GraftSession.table(s, d, "documents")
   private def embs(s: SparkSession, d: String) = GraftSession.table(s, d, "embeddings")
 
+  /** Eager materialization boundary for a SMALL (aggregated) result that
+    * consumed per-query `persist`ed inputs: collect the handful of result
+    * rows, release the caches, and hand back a local DataFrame. Without
+    * this the cached tables outlive the returned (lazy) plan and
+    * accumulate executor memory/disk across a benchmark session. Only for
+    * results of a few rows — the collect is a scalar fetch, not a
+    * driver-side data path. */
+  private def finishAndUnpersist(res: DataFrame, cached: DataFrame*): DataFrame = {
+    val rows = res.collect()
+    cached.foreach(_.unpersist(false))
+    res.sparkSession.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
+  }
+
   // LSH configuration: 8 permutations × 4 bands of 2 rows; buckets larger
   // than MaxBucket are dropped before pair enumeration (mirrored in the
   // DuckDB oracle, so the cap is part of the checked semantics)
@@ -1402,12 +1415,14 @@ object PipelinePack extends QueryPack {
       val sigs = TextOps.minhashSignatures(shArr, "doc_id", NumPerms)
       val bands = TextOps.lshBandRows(sigs, "doc_id", RowsPerBand, NumPerms)
       val cands = TextOps.candidatePairs(bands, "doc_id", MaxBucket)
-      TextOps.containmentOnCandidates(cands, shArr, "doc_id")
-        .filter(greatest(col("containment_a"), col("containment_b")) >= 0.9)
-        .agg(count(lit(1)).as("n_pairs"),
-          sum(when(col("containment_a") >= 0.9, 1L).otherwise(0L)).as("n_a_in_b"),
-          sum(when(col("containment_b") >= 0.9, 1L).otherwise(0L)).as("n_b_in_a"),
-          sum(col("doc_a") * 7 + col("doc_b")).cast("long").as("pair_checksum"))
+      finishAndUnpersist(
+        TextOps.containmentOnCandidates(cands, shArr, "doc_id")
+          .filter(greatest(col("containment_a"), col("containment_b")) >= 0.9)
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(when(col("containment_a") >= 0.9, 1L).otherwise(0L)).as("n_a_in_b"),
+            sum(when(col("containment_b") >= 0.9, 1L).otherwise(0L)).as("n_b_in_a"),
+            sum(col("doc_a") * 7 + col("doc_b")).cast("long").as("pair_checksum")),
+        shArr)
     }),
 
     // record-linkage verification by EDIT DISTANCE: the LSH-capped
@@ -1457,15 +1472,17 @@ object PipelinePack extends QueryPack {
           col("simhash").as("sh_b")), Seq("b", "blk"))
         .filter(col("doc_a") < col("doc_b"))
         .select("doc_a", "doc_b", "sh_a", "sh_b").distinct()
-      cand
-        // codegen byte-wise compare (functions.HammingDist) — replaces the
-        // interpreted aggregate(zip_with(split,split)) HOF chain
-        .withColumn("hd",
-          graft.functions.HammingDist.col(col("sh_a"), col("sh_b")))
-        .filter(col("hd") <= 3)
-        .groupBy("hd")
-        .agg(count(lit(1)).as("n_pairs"),
-          sum(col("doc_a") * 7 + col("doc_b")).cast("long").as("pair_checksum"))
+      finishAndUnpersist(
+        cand
+          // codegen byte-wise compare (functions.HammingDist) — replaces the
+          // interpreted aggregate(zip_with(split,split)) HOF chain
+          .withColumn("hd",
+            graft.functions.HammingDist.col(col("sh_a"), col("sh_b")))
+          .filter(col("hd") <= 3)
+          .groupBy("hd")
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(col("doc_a") * 7 + col("doc_b")).cast("long").as("pair_checksum")),
+        sh)
     }),
 
     // PMI collocations (pointwise mutual information over adjacent

@@ -37,6 +37,16 @@ final class S3Emulator {
   // without copying bytes. PUT/DELETE on a mounted bucket are rejected.
   private val mounts = TrieMap.empty[String, String]
   private val clock = new java.util.concurrent.atomic.AtomicLong(1700000000000L)
+  // per-method request tallies — lets specs assert IO behavior (e.g.
+  // "coalescing halved the GET count", "the provider opened the group once")
+  private val reqCounts =
+    TrieMap.empty[String, java.util.concurrent.atomic.AtomicLong]
+
+  /** Requests served so far for `method` ("GET", "HEAD", ...) since start
+    * or the last [[resetRequestCounts]]. */
+  def requestCount(method: String): Long =
+    reqCounts.get(method).map(_.get).getOrElse(0L)
+  def resetRequestCounts(): Unit = reqCounts.clear()
 
   @volatile private var server: ServerSocket = null
   @volatile private var running = false
@@ -189,6 +199,8 @@ final class S3Emulator {
   private def handleRequest(method: String, target: String,
       range: Option[(Long, Option[Long])], body: Array[Byte],
       out: DataOutputStream): Unit = {
+    reqCounts.getOrElseUpdate(method,
+      new java.util.concurrent.atomic.AtomicLong()).incrementAndGet()
     val qIdx = target.indexOf('?')
     val rawPath = if (qIdx >= 0) target.substring(0, qIdx) else target
     val query = if (qIdx >= 0) target.substring(qIdx + 1) else ""

@@ -1,6 +1,6 @@
 package graft.sources.zarr
 
-import graft.sources.{ByteStore, ZarrSource}
+import graft.sources.{ByteStore, ZarrSource, ZarrV3Source}
 import graft.sources.ZarrSource.ZarrArray
 
 import org.apache.spark.sql.catalyst.InternalRow
@@ -45,25 +45,43 @@ import scala.jdk.CollectionConverters._
   */
 final class ZarrTableProvider extends TableProvider with DataSourceRegister {
 
+  // Spark calls inferSchema then getTable on the SAME provider instance;
+  // without this cache every spark.read.format("zarr").load() would read
+  // the group metadata and fully materialize the coordinate arrays TWICE
+  // on the driver — doubled round trips over http/object-store groups.
+  private val metaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, ZarrGroupMeta]()
+
+  private def metaFor(options: CaseInsensitiveStringMap): ZarrGroupMeta = {
+    val groupDir = Option(options.get("path")).getOrElse(
+      throw new IllegalArgumentException("zarr reader needs a path option " +
+        "(spark.read.format(\"zarr\").load(groupDir))"))
+    metaCache.computeIfAbsent(groupDir, ZarrTable.open)
+  }
+
   override def shortName(): String = "zarr"
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    ZarrTable.schemaFor(ZarrTable.open(options))
+    ZarrTable.schemaFor(metaFor(options))
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: JMap[String, String]): Table =
-    ZarrTable(ZarrTable.open(new CaseInsensitiveStringMap(properties)))
+    ZarrTable(metaFor(new CaseInsensitiveStringMap(properties)))
 
   override def supportsExternalMetadata(): Boolean = false
 }
 
 /** Planning-time view of one group: the shared grid array metadata, the
-  * data variable names, and the (driver-sized) coordinate arrays. */
+  * data variable names, and the (driver-sized) coordinate arrays.
+  * `v3` selects the Zarr v3 chunk-key encoding + codec chain (incl.
+  * sharding — the shard object is the partition unit, as in
+  * [[graft.sources.ZarrV3Source.readCube]]). */
 final case class ZarrGroupMeta(groupDir: String, za: ZarrArray,
                                dataVars: Seq[String],
                                varMeta: Map[String, ZarrArray],
                                coords: Seq[Array[Double]],
-                               store: ByteStore)
+                               store: ByteStore,
+                               v3: Boolean = false)
 
 final case class ZarrTable(meta: ZarrGroupMeta) extends Table with SupportsRead {
   override def name(): String = meta.groupDir
@@ -76,15 +94,35 @@ final case class ZarrTable(meta: ZarrGroupMeta) extends Table with SupportsRead 
 
 object ZarrTable {
   /** Resolve the group: data variables are the arrays sharing the dims of
-    * the highest-rank array; same-named 1-D arrays are coordinates. */
-  def open(options: CaseInsensitiveStringMap): ZarrGroupMeta = {
-    val groupDir = Option(options.get("path")).getOrElse(
-      throw new IllegalArgumentException("zarr reader needs a path option " +
-        "(spark.read.format(\"zarr\").load(groupDir))"))
+    * the highest-rank array; same-named 1-D arrays are coordinates.
+    * Detects the format version from the group documents: a `zarr.json`
+    * routes through [[ZarrV3Source]] (incl. sharded arrays — the shard is
+    * the partition unit), anything else through the v2 [[ZarrSource]]. */
+  def open(groupDir: String): ZarrGroupMeta = {
     val store = ByteStore.current
-    val names = ZarrSource.listArrays(groupDir)
+    val v3 = store.exists(s"$groupDir/zarr.json")
+    def listArrays() =
+      if (v3) ZarrV3Source.listArrays(groupDir) else ZarrSource.listArrays(groupDir)
+    def openArray(name: String) =
+      if (v3) ZarrV3Source.openArray(s"$groupDir/$name")
+      else ZarrSource.openArray(s"$groupDir/$name")
+    def readAll(name: String, za: ZarrArray) =
+      if (v3) ZarrV3Source.readAll(s"$groupDir/$name", za)
+      else ZarrSource.readAll(s"$groupDir/$name", za)
+    val names =
+      try listArrays()
+      catch {
+        case e: UnsupportedOperationException
+            if e.getMessage != null && e.getMessage.contains("http") =>
+          // the group is web-hosted and unconsolidated: listing is
+          // impossible over http(s), so say what WOULD make it open
+          throw new IllegalArgumentException(
+            s"$groupDir: an http(s)-hosted group cannot be listed — " +
+              "consolidate its metadata (.zmetadata for v2, consolidated " +
+              "zarr.json for v3) to open it over the web", e)
+      }
     require(names.nonEmpty, s"$groupDir: no arrays in group")
-    val metas = names.map(n => n -> ZarrSource.openArray(s"$groupDir/$n")).toMap
+    val metas = names.map(n => n -> openArray(n)).toMap
     val lead = metas.values.maxBy(_.shape.length)
     require(lead.shape.length >= 1, s"$groupDir: no data arrays")
     val dataVars = names.filter { n =>
@@ -105,12 +143,12 @@ object ZarrTable {
         case Some(cza) =>
           require(cza.shape == Seq(lead.shape(k)),
             s"$groupDir/$dim: coordinate shape ${cza.shape} != ${lead.shape(k)}")
-          ZarrSource.readAll(s"$groupDir/$dim", cza)
+          readAll(dim, cza)
         case None => Array.tabulate(lead.shape(k))(_.toDouble)
       }
     }
     ZarrGroupMeta(groupDir, metas(dataVars.head), dataVars, metas.view
-      .filterKeys(dataVars.contains).toMap, coords, store)
+      .filterKeys(dataVars.contains).toMap, coords, store, v3)
   }
 
   def schemaFor(meta: ZarrGroupMeta): StructType =
@@ -190,7 +228,7 @@ final case class ZarrScan(meta: ZarrGroupMeta, filters: Array[Filter],
       }
       ZarrInputPartition(meta.groupDir, za, key, coordSlices,
         vars.map(v => v -> meta.varMeta(v)), required.fieldNames.toSeq,
-        meta.store): InputPartition
+        meta.store, meta.v3): InputPartition
     }.toArray
   }
 
@@ -238,11 +276,21 @@ object ZarrScan {
     }
   }
 
+  /** Strictly orderable monotone check. Any NaN → NOT monotone: NaN
+    * comparisons are all false, so the violation tests below would never
+    * fire and a NaN-filled coordinate chunk (e.g. a missing chunk decoded
+    * as a CF NaN fill in an external archive) would look monotone, make a
+    * chunk span NaN, fail the intersection test, and silently prune a
+    * chunk that may hold matching cells. Not-monotone just disables
+    * pruning on that dim — correct, only unpruned. */
   def monotone(c: Array[Double]): Boolean = {
+    if (c.length == 0) return true
+    if (c(0).isNaN) return false
     if (c.length < 2) return true
     val asc = c(c.length - 1) >= c(0)
     var i = 1
     while (i < c.length) {
+      if (c(i).isNaN) return false
       if (asc && c(i) < c(i - 1)) return false
       if (!asc && c(i) > c(i - 1)) return false
       i += 1
@@ -256,7 +304,8 @@ final case class ZarrInputPartition(groupDir: String, za: ZarrArray,
                                     coordSlices: Seq[Array[Double]],
                                     vars: Seq[(String, ZarrArray)],
                                     outCols: Seq[String],
-                                    store: ByteStore) extends InputPartition
+                                    store: ByteStore,
+                                    v3: Boolean) extends InputPartition
 
 final case class ZarrReaderFactory() extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
@@ -271,10 +320,14 @@ final class ZarrPartitionReader(p: ZarrInputPartition)
 
   private val za = p.za
   private val rank = za.shape.length
-  private val chunkName = p.key.mkString(za.separator)
   private val data: Seq[Array[Double]] = p.vars.map { case (v, vza) =>
+    val chunkName =
+      if (p.v3) ZarrV3Source.chunkKey(vza, p.key.map(_.toLong))
+      else p.key.mkString(vza.separator)
     p.store.readIfExists(s"${p.groupDir}/$v/$chunkName") match {
-      case Some(raw) => ZarrSource.decodeChunk(raw, vza)
+      case Some(raw) =>
+        if (p.v3) ZarrV3Source.decodeAny(raw, vza)
+        else ZarrSource.decodeChunk(raw, vza)
       case None => Array.fill(vza.chunkElems)(vza.cfDecode(vza.fillValue))
     }
   }

@@ -363,6 +363,44 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got.count(_._1 == 9L) == 4)
   }
 
+  test("IVF appendAndStore: 3 appends, constant plan depth, union-identical") {
+    import spark.implicits._
+    def jitter(base: Array[Float], s: Float) = base.zipWithIndex.map {
+      case (v, i) => v + s * ((i % 3) - 1) * 0.01f
+    }
+    val a = Array(1.0f, 0.0f, 0.0f, 0.0f)
+    val b = Array(0.0f, 1.0f, 0.0f, 0.0f)
+    val c = Array(0.0f, 0.0f, 1.0f, 0.0f)
+    val rows = (0 until 8).flatMap(s => Seq(
+      (s * 3 + 0L, jitter(a, s)), (s * 3 + 1L, jitter(b, s)), (s * 3 + 2L, jitter(c, s))))
+    val df = rows.toDF("vec_id", "embedding")
+    val base = df.filter($"vec_id" < 6)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_store").toFile
+    dir.deleteOnExit()
+    val path = dir.getAbsolutePath + "/idx"
+    graft.operators.IvfOps.save(
+      graft.operators.IvfOps.build(base, "vec_id", "embedding", nCells = 3), path)
+    // three maintenance appends, each persisted; the served index must be
+    // ONE parquet scan — no Union node no matter how many appends ran
+    var stored = graft.operators.IvfOps.load(spark, path)
+    var lazyIdx = stored
+    Seq(6L -> 12L, 12L -> 18L, 18L -> 24L).foreach { case (lo, hi) =>
+      val batch = df.filter($"vec_id" >= lo && $"vec_id" < hi)
+      stored = graft.operators.IvfOps.appendAndStore(
+        spark, path, batch, "vec_id", "embedding")
+      lazyIdx = graft.operators.IvfOps.append(lazyIdx, batch, "vec_id", "embedding")
+    }
+    val plan = stored.assigned.queryExecution.optimizedPlan
+    assert(!plan.toString.contains("Union"),
+      s"appendAndStore stacked a union plan:\n$plan")
+    // and the storage-backed table equals the union-chained one row-for-row
+    val sSet = stored.assigned.select("vec_id", "__cell").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    val lSet = lazyIdx.assigned.select("vec_id", "__cell").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(sSet == lSet && sSet.size == 24)
+  }
+
   test("connected components: stars, chains, transitivity, determinism") {
     import spark.implicits._
     // two components: a 6-node chain (worst case for label propagation —

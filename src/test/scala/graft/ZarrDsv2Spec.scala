@@ -111,6 +111,87 @@ class ZarrDsv2Spec extends AnyFunSuite {
     assert(got.agg(sum("v")).head.getDouble(0) === 81.0)
   }
 
+  test("NaN coordinate values disable pruning — never silently drop chunks") {
+    import spark.implicits._
+    // an external archive with a missing coordinate chunk decodes it as
+    // the CF NaN fill; a naive monotone/intersection test would prune a
+    // chunk that holds valid matching cells
+    val y = Array(10.0, 20.0, Double.NaN, Double.NaN) // second chunk "missing"
+    val x = Array(0.0, 1.0)
+    val df = (for { (yi, k) <- y.zipWithIndex; xi <- x } yield (yi, xi, k * 10.0 + xi))
+      .toSeq.toDF("y", "x", "v")
+    val g = s"${tmpDir("dsv2nan")}/cube.zarr"
+    ZarrSource.writeCube(df, g, "v", Seq("y" -> y, "x" -> x), chunks = Seq(2, 2))
+    val ds = spark.read.format("zarr").load(g)
+    // the filter matches the FIRST chunk, but pruning must keep both y-
+    // chunks (NaN span = unprovable); and rows survive end-to-end
+    val got = ds.filter(col("y") === 20.0)
+    assert(got.rdd.getNumPartitions === 2, "NaN coord must disable pruning")
+    assert(got.count() === 2)
+    assert(!graft.sources.zarr.ZarrScan.monotone(Array(1.0, Double.NaN, 3.0)))
+    assert(!graft.sources.zarr.ZarrScan.monotone(Array(Double.NaN)))
+    assert(graft.sources.zarr.ZarrScan.monotone(Array(1.0, 2.0, 3.0)))
+    assert(graft.sources.zarr.ZarrScan.monotone(Array(3.0, 2.0, 1.0)))
+  }
+
+  test("v3 groups route through the same connector, sharded included") {
+    import spark.implicits._
+    val t = Array(0.0, 1.0, 2.0, 3.0)
+    val x = Array.tabulate(6)(_.toDouble)
+    val df = (for { ti <- t; xi <- x } yield (ti, xi, ti * 100 + xi))
+      .toSeq.toDF("t", "x", "v")
+    val plain = s"${tmpDir("dsv2v3")}/cube.zarr"
+    graft.sources.ZarrV3Source.writeCube(df, plain, "v",
+      Seq("t" -> t, "x" -> x), chunks = Seq(2, 3))
+    val ds = spark.read.format("zarr").load(plain)
+    assert(ds.columns.toSeq == Seq("t", "x", "v"))
+    assert(ds.count() === 24)
+    // chunk pruning works off the v3 metadata exactly as for v2
+    val one = ds.filter(col("t") === 3.0)
+    assert(one.rdd.getNumPartitions === 2)
+    assert(one.agg(sum("v")).head.getDouble(0) === x.map(300.0 + _).sum)
+    // sharded store: the SHARD object is the partition unit
+    val sharded = s"${tmpDir("dsv2v3s")}/cube.zarr"
+    graft.sources.ZarrV3Source.writeCube(df, sharded, "v",
+      Seq("t" -> t, "x" -> x), chunks = Seq(2, 6), shardInner = Some(Seq(1, 3)))
+    val ss = spark.read.format("zarr").load(sharded)
+    assert(ss.count() === 24)
+    assert(ss.filter(col("t") === 0.0).rdd.getNumPartitions === 1)
+    assert(ss.agg(sum("v")).head.getDouble(0) ===
+      ds.agg(sum("v")).head.getDouble(0))
+  }
+
+  test("unconsolidated http group fails with the consolidate hint") {
+    val g = writeFixture()
+    // the writer consolidates by default; strip .zmetadata to model an
+    // external archive written without it
+    Files.delete(new java.io.File(g, ".zmetadata").toPath)
+    val emu = graft.sources.s3.S3Emulator.shared
+    emu.mountDir("dsv2nc", new java.io.File(g).getParent)
+    val e = intercept[IllegalArgumentException](
+      spark.read.format("zarr").load(s"${emu.endpoint}/dsv2nc/cube.zarr").schema)
+    assert(e.getMessage.contains("consolidate"), e.getMessage)
+  }
+
+  test("one group open serves both inferSchema and getTable (no double IO)") {
+    val g = writeFixture()
+    ZarrSource.consolidateMetadata(g)
+    val emu = graft.sources.s3.S3Emulator.shared
+    emu.mountDir("dsv2once", new java.io.File(g).getParent)
+    val url = s"${emu.endpoint}/dsv2once/cube.zarr"
+    // cost of ONE metadata+coordinate open, measured directly
+    val before = emu.requestCount("GET") + emu.requestCount("HEAD")
+    graft.sources.zarr.ZarrTable.open(url)
+    val oneOpen = emu.requestCount("GET") + emu.requestCount("HEAD") - before
+    assert(oneOpen > 0)
+    // a full read resolution (inferSchema + getTable) must not pay twice
+    val b2 = emu.requestCount("GET") + emu.requestCount("HEAD")
+    spark.read.format("zarr").load(url).schema
+    val resolved = emu.requestCount("GET") + emu.requestCount("HEAD") - b2
+    assert(resolved <= oneOpen + 2,
+      s"read resolution cost $resolved requests vs $oneOpen for one open")
+  }
+
   test("the same scan opens an http-hosted archive, pruned the same way") {
     val g = writeFixture()
     ZarrSource.consolidateMetadata(g)
