@@ -64,6 +64,29 @@ object ServingPack extends QueryPack {
     days.map(day => s"$base/$day.nc")
   }
 
+  /** Build (once per sf) the two daily-mean NetCDF-4 (HDF5) granules —
+    * chunked 50×90 with shuffle+deflate. Shared by q_netcdf4 and
+    * q_netcdf_dsv2. Returns the fixture dir.
+    */
+  private def netcdf4Fixture(s: SparkSession, d: String): String = {
+    import NetcdfSource.NcDim
+    val sfName = new java.io.File(d).getName
+    val base = s"/root/repo/.graft-fixtures/netcdf4_$sfName"
+    val days = Seq("2024-01-01", "2024-01-02")
+    Fixtures.ensureWritten(base, "days=2,grid=360x100,hdf5,chunks=50x90,shuffle+deflate,mean6") {
+      new java.io.File(base).mkdirs()
+      for (day <- days) {
+        Hdf5Source.write(s"$base/$day.nc",
+          Seq(NcDim("y", 100), NcDim("x", 360)),
+          Seq(("y", Array.tabulate(100)(_ + 0.5)),
+            ("x", Array.tabulate(360)(_ + 0.5))),
+          Seq(("v", Seq("y", "x"), dailyMeanGrid(s, d, day))),
+          chunkOf = Map("v" -> Seq(50, 90)))
+      }
+    }
+    base
+  }
+
   /** Build (once per sf) a Sentinel-3-style product DIRECTORY: per-band
     * granules + `geo_coordinates.nc` with the 2-D lon/lat rasters, plus
     * three decoys the opener must reject — a tie-point grid (wrong dim
@@ -514,21 +537,8 @@ object ServingPack extends QueryPack {
     // HDF5 substrate (stride, chunk scatter, filter order, dim binding)
     // cannot produce the same checksums.
     "q_netcdf4" -> ((s, d) => {
-      import NetcdfSource.NcDim
-      val sfName = new java.io.File(d).getName
-      val base = s"/root/repo/.graft-fixtures/netcdf4_$sfName"
       val days = Seq("2024-01-01", "2024-01-02")
-      Fixtures.ensureWritten(base, "days=2,grid=360x100,hdf5,chunks=50x90,shuffle+deflate,mean6") {
-        new java.io.File(base).mkdirs()
-        for (day <- days) {
-          Hdf5Source.write(s"$base/$day.nc",
-            Seq(NcDim("y", 100), NcDim("x", 360)),
-            Seq(("y", Array.tabulate(100)(_ + 0.5)),
-              ("x", Array.tabulate(360)(_ + 0.5))),
-            Seq(("v", Seq("y", "x"), dailyMeanGrid(s, d, day))),
-            chunkOf = Map("v" -> Seq(50, 90)))
-        }
-      }
+      val base = netcdf4Fixture(s, d)
       NetcdfSource.readCubeFiles(s, days.map(day => s"$base/$day.nc"), "v")
         .withColumn("day", regexp_extract(col("file"), "([0-9-]+)\\.nc$", 1))
         .filter(!isnan(col("v")))
@@ -826,6 +836,79 @@ object ServingPack extends QueryPack {
       }
       s.read.format("zarr").load(group)
         .filter(col("t") === 0.0 && !isnan(col("v")))
+        .agg(count(lit(1)).as("n_cells"),
+          round(sum((col("y") + col("x")).cast("decimal(28,10)")), 6)
+            .cast("double").as("sum_coord"),
+          round(sum(col("v").cast("decimal(28,10)")), 6).cast("double").as("sum_v"))
+    }),
+
+    // The relational NetCDF-4 scan (DataSourceV2 over the kerchunk HDF5
+    // index): the q_netcdf4 granule opened with spark.read.format(
+    // "netcdf"), filtered to the southern half BY PREDICATE — y <= 49.5
+    // prunes the northern 50×90 HDF5 chunks at planning time (4 of 8
+    // chunk refs survive; RefsDsv2Spec pins partition counts), and only
+    // the surviving chunks' byte ranges are ever read. The reference
+    // prunes reads through every backend via lazy label indexing
+    // (core/select.py:87-163); this is that behavior optimizer-driven.
+    "q_netcdf_dsv2" -> ((s, d) => {
+      val base = netcdf4Fixture(s, d)
+      s.read.format("netcdf").load(s"$base/2024-01-01.nc")
+        .filter(col("y") <= 49.5 && !isnan(col("v")))
+        .agg(count(lit(1)).as("n_cells"),
+          round(sum((col("y") + col("x")).cast("decimal(28,10)")), 6)
+            .cast("double").as("sum_coord"),
+          round(sum(col("v").cast("decimal(28,10)")), 6).cast("double").as("sum_v"))
+    }),
+
+    // The relational GeoTIFF scan (DataSourceV2 over the kerchunk TIFF
+    // index): a TILED deflate COG-interior layout (64×64 tiles) opened
+    // with spark.read.format("geotiff"); the y < 36 predicate keeps only
+    // the bottom tile row (north-up: raster rows 64..99) — 6 of 12 tiles
+    // are fetched, the rest are elided before any byte IO. Same oracle
+    // family as q_geotiff, restricted to the unpruned rows, so a wrong
+    // tile-grid → chunk mapping or an over-eager prune cannot hash-match.
+    "q_geotiff_dsv2" -> ((s, d) => {
+      val sfName = new java.io.File(d).getName
+      val base = s"/root/repo/.graft-fixtures/geotifftiled_$sfName"
+      val path = s"$base/day1.tif"
+      Fixtures.ensureWritten(base, "day=2024-01-01,grid=360x100,tiles=64,deflate,mean6") {
+        new java.io.File(base).mkdirs()
+        val grid = dailyMeanGrid(s, d, "2024-01-01")
+        val arr = Array.tabulate(100 * 360)(k =>
+          grid((99 - k / 360) * 360 + k % 360))
+        GeoTiffSource.write(path,
+          GeoTiffSource.Raster(360, 100, arr, 1.0, 1.0, 0.0, 100.0),
+          deflate = true, tileSize = 64)
+      }
+      s.read.format("geotiff").load(path)
+        .filter(col("y") < 36.0 && !isnan(col("v")))
+        .groupBy((col("y") / 10).cast("long").as("jband"))
+        .agg(count(lit(1)).as("n_cells"),
+          round(sum((col("y") + col("x")).cast("decimal(28,10)")), 6)
+            .cast("double").as("sum_coord"),
+          round(sum(col("v").cast("decimal(28,10)")), 6).cast("double").as("sum_v"))
+    }),
+
+    // The relational multi-granule archive scan (DataSourceV2 over a
+    // COMBINED kerchunk document): the two classic NetCDF granules
+    // indexed per-file, concatenated along a new t dimension, opened as
+    // ONE table with spark.read.format("kerchunk"), and filtered to
+    // t = 1 — granule 0's refs never join the plan. This is the 100 TB
+    // archive read shape: scan once (fleet-parallel), then every query
+    // prunes whole granules through Catalyst.
+    "q_kerchunk_dsv2" -> ((s, d) => {
+      val paths = netcdfFixture(s, d)
+      val sfName = new java.io.File(d).getName
+      val base = s"/root/repo/.graft-fixtures/kerchunkdsv2_$sfName"
+      val refsPath = s"$base/combined.json"
+      Fixtures.ensureWritten(base, "granules=2,concat=t,classic") {
+        new java.io.File(base).mkdirs()
+        val docs = paths.map(KerchunkSource.scanNetcdf(_))
+        java.nio.file.Files.write(java.nio.file.Paths.get(refsPath),
+          KerchunkSource.combineRefs(docs, "t", Array(0.0, 1.0)).getBytes("UTF-8"))
+      }
+      s.read.format("kerchunk").load(refsPath)
+        .filter(col("t") === 1.0 && !isnan(col("v")))
         .agg(count(lit(1)).as("n_cells"),
           round(sum((col("y") + col("x")).cast("decimal(28,10)")), 6)
             .cast("double").as("sum_coord"),
@@ -1741,6 +1824,39 @@ object ServingPack extends QueryPack {
                           round(sum(v::DECIMAL(28,12))::DOUBLE / count(*), 6) AS v
                    FROM cube
                    WHERE CAST(time AS DATE) = DATE '2024-01-01'
+                   GROUP BY j, i)
+         SELECT count(*) AS n_cells,
+                round(sum(((j + 0.5) + (i + 0.5))::DECIMAL(28,10)), 6)::DOUBLE AS sum_coord,
+                round(sum(v::DECIMAL(28,10)), 6)::DOUBLE AS sum_v
+         FROM daily""",
+    "q_netcdf_dsv2" ->
+      s"""WITH ${CubePack.cubeCte},
+         daily AS (SELECT floor(y)::BIGINT AS j, floor(x)::BIGINT AS i,
+                          round(sum(v::DECIMAL(28,12))::DOUBLE / count(*), 6) AS v
+                   FROM cube
+                   WHERE CAST(time AS DATE) = DATE '2024-01-01'
+                   GROUP BY j, i)
+         SELECT count(*) AS n_cells,
+                round(sum(((j + 0.5) + (i + 0.5))::DECIMAL(28,10)), 6)::DOUBLE AS sum_coord,
+                round(sum(v::DECIMAL(28,10)), 6)::DOUBLE AS sum_v
+         FROM daily WHERE j <= 49""",
+    "q_geotiff_dsv2" ->
+      s"""WITH ${CubePack.cubeCte},
+         daily AS (SELECT floor(y)::BIGINT AS j, floor(x)::BIGINT AS i,
+                          round(sum(v::DECIMAL(28,12))::DOUBLE / count(*), 6) AS v
+                   FROM cube
+                   WHERE CAST(time AS DATE) = DATE '2024-01-01'
+                   GROUP BY j, i)
+         SELECT j // 10 AS jband, count(*) AS n_cells,
+                round(sum(((j + 0.5) + (i + 0.5))::DECIMAL(28,10)), 6)::DOUBLE AS sum_coord,
+                round(sum(v::DECIMAL(28,10)), 6)::DOUBLE AS sum_v
+         FROM daily WHERE j <= 35 GROUP BY jband""",
+    "q_kerchunk_dsv2" ->
+      s"""WITH ${CubePack.cubeCte},
+         daily AS (SELECT floor(y)::BIGINT AS j, floor(x)::BIGINT AS i,
+                          round(sum(v::DECIMAL(28,12))::DOUBLE / count(*), 6) AS v
+                   FROM cube
+                   WHERE CAST(time AS DATE) = DATE '2024-01-02'
                    GROUP BY j, i)
          SELECT count(*) AS n_cells,
                 round(sum(((j + 0.5) + (i + 0.5))::DECIMAL(28,10)), 6)::DOUBLE AS sum_coord,

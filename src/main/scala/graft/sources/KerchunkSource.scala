@@ -133,8 +133,8 @@ object KerchunkSource {
       .map(_.stripSuffix("/.zarray")).toSeq.sorted
 
   /** Whole (driver-sized) array — 1-D coordinates. */
-  private def readAll(refs: Refs, name: String,
-                      za: ZarrSource.ZarrArray): Array[Double] =
+  private[sources] def readAll(refs: Refs, name: String,
+                               za: ZarrSource.ZarrArray): Array[Double] =
     ZarrSource.readAllWith(za, key => {
       val k = s"$name/${key.mkString(za.separator)}"
       if (refs.contains(k)) Some(fetch(refs(k))) else None

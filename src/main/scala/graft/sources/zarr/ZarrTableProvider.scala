@@ -1,6 +1,7 @@
 package graft.sources.zarr
 
-import graft.sources.{ByteStore, ZarrSource, ZarrV3Source}
+import graft.sources.{ByteStore, KerchunkSource, ZarrSource, ZarrV3Source}
+import graft.sources.KerchunkSource.{Ref, Refs}
 import graft.sources.ZarrSource.ZarrArray
 
 import org.apache.spark.sql.catalyst.InternalRow
@@ -75,13 +76,18 @@ final class ZarrTableProvider extends TableProvider with DataSourceRegister {
   * data variable names, and the (driver-sized) coordinate arrays.
   * `v3` selects the Zarr v3 chunk-key encoding + codec chain (incl.
   * sharding — the shard object is the partition unit, as in
-  * [[graft.sources.ZarrV3Source.readCube]]). */
+  * [[graft.sources.ZarrV3Source.readCube]]). When `refs` is set the
+  * table is VIRTUAL — chunk bytes come from kerchunk byte-range
+  * references into the original granule files (NetCDF/HDF5/GeoTIFF/
+  * refs-JSON), and each input partition carries only its OWN chunk's
+  * refs, never the whole reference map. */
 final case class ZarrGroupMeta(groupDir: String, za: ZarrArray,
                                dataVars: Seq[String],
                                varMeta: Map[String, ZarrArray],
                                coords: Seq[Array[Double]],
                                store: ByteStore,
-                               v3: Boolean = false)
+                               v3: Boolean = false,
+                               refs: Option[Refs] = None)
 
 final case class ZarrTable(meta: ZarrGroupMeta) extends Table with SupportsRead {
   override def name(): String = meta.groupDir
@@ -121,20 +127,42 @@ object ZarrTable {
               "consolidate its metadata (.zmetadata for v2, consolidated " +
               "zarr.json for v3) to open it over the web", e)
       }
-    require(names.nonEmpty, s"$groupDir: no arrays in group")
+    resolve(groupDir, names, openArray, readAll, store, v3, refs = None)
+  }
+
+  /** Resolve a VIRTUAL group from a kerchunk reference set — the same
+    * grid rules as [[open]], with metadata and coordinates served from
+    * inline refs and chunk bytes (later, per task) from byte-range refs
+    * into the original granules. This is what generalizes DSv2 chunk/
+    * variable pruning beyond zarr: any format a kerchunk scanner can
+    * index (NetCDF classic, NetCDF-4/HDF5, GeoTIFF, JP2, zarr itself)
+    * gets optimizer-driven read elision through one code path. */
+  def openRefs(refs: Refs, label: String): ZarrGroupMeta = {
+    val names = KerchunkSource.listArrays(refs)
+    require(names.nonEmpty, s"$label: no arrays in reference set")
+    resolve(label, names, n => KerchunkSource.openArray(refs, n),
+      (n, za) => KerchunkSource.readAll(refs, n, za),
+      ByteStore.current, v3 = false, refs = Some(refs))
+  }
+
+  private def resolve(label: String, names: Seq[String],
+                      openArray: String => ZarrArray,
+                      readAll: (String, ZarrArray) => Array[Double],
+                      store: ByteStore, v3: Boolean,
+                      refs: Option[Refs]): ZarrGroupMeta = {
     val metas = names.map(n => n -> openArray(n)).toMap
     val lead = metas.values.maxBy(_.shape.length)
-    require(lead.shape.length >= 1, s"$groupDir: no data arrays")
+    require(lead.shape.length >= 1, s"$label: no data arrays")
     val dataVars = names.filter { n =>
       val m = metas(n)
       m.dims == lead.dims && !lead.dims.contains(n)
     }.sorted
     require(dataVars.nonEmpty,
-      s"$groupDir: no data variables on grid ${lead.dims.mkString("x")}")
+      s"$label: no data variables on grid ${lead.dims.mkString("x")}")
     dataVars.foreach { n =>
       val m = metas(n)
       require(m.shape == lead.shape && m.chunks == lead.chunks,
-        s"$groupDir/$n: shape/chunks ${m.shape}/${m.chunks} differ from the " +
+        s"$label/$n: shape/chunks ${m.shape}/${m.chunks} differ from the " +
           s"group grid ${lead.shape}/${lead.chunks} — mixed-grid groups are " +
           "not relational tables; open the variables separately")
     }
@@ -142,13 +170,13 @@ object ZarrTable {
       metas.get(dim) match {
         case Some(cza) =>
           require(cza.shape == Seq(lead.shape(k)),
-            s"$groupDir/$dim: coordinate shape ${cza.shape} != ${lead.shape(k)}")
+            s"$label/$dim: coordinate shape ${cza.shape} != ${lead.shape(k)}")
           readAll(dim, cza)
         case None => Array.tabulate(lead.shape(k))(_.toDouble)
       }
     }
-    ZarrGroupMeta(groupDir, metas(dataVars.head), dataVars, metas.view
-      .filterKeys(dataVars.contains).toMap, coords, store, v3)
+    ZarrGroupMeta(label, metas(dataVars.head), dataVars, metas.view
+      .filterKeys(dataVars.contains).toMap, coords, store, v3, refs)
   }
 
   def schemaFor(meta: ZarrGroupMeta): StructType =
@@ -226,9 +254,17 @@ final case class ZarrScan(meta: ZarrGroupMeta, filters: Array[Filter],
         val e = math.min(s + za.chunks(k), za.shape(k))
         meta.coords(k).slice(s, e)
       }
+      // virtual (kerchunk-backed) tables: resolve THIS chunk's refs at
+      // planning time so the partition ships O(vars) refs, not the map
+      val chunkRefs = meta.refs.map { r =>
+        vars.map { v =>
+          val vza = meta.varMeta(v)
+          r.entries.get(s"$v/${key.mkString(vza.separator)}")
+        }
+      }
       ZarrInputPartition(meta.groupDir, za, key, coordSlices,
         vars.map(v => v -> meta.varMeta(v)), required.fieldNames.toSeq,
-        meta.store, meta.v3): InputPartition
+        meta.store, meta.v3, chunkRefs): InputPartition
     }.toArray
   }
 
@@ -305,7 +341,9 @@ final case class ZarrInputPartition(groupDir: String, za: ZarrArray,
                                     vars: Seq[(String, ZarrArray)],
                                     outCols: Seq[String],
                                     store: ByteStore,
-                                    v3: Boolean) extends InputPartition
+                                    v3: Boolean,
+                                    chunkRefs: Option[Seq[Option[Ref]]] = None)
+    extends InputPartition
 
 final case class ZarrReaderFactory() extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
@@ -320,16 +358,27 @@ final class ZarrPartitionReader(p: ZarrInputPartition)
 
   private val za = p.za
   private val rank = za.shape.length
-  private val data: Seq[Array[Double]] = p.vars.map { case (v, vza) =>
-    val chunkName =
-      if (p.v3) ZarrV3Source.chunkKey(vza, p.key.map(_.toLong))
-      else p.key.mkString(vza.separator)
-    p.store.readIfExists(s"${p.groupDir}/$v/$chunkName") match {
-      case Some(raw) =>
-        if (p.v3) ZarrV3Source.decodeAny(raw, vza)
-        else ZarrSource.decodeChunk(raw, vza)
-      case None => Array.fill(vza.chunkElems)(vza.cfDecode(vza.fillValue))
-    }
+  private val data: Seq[Array[Double]] = p.vars.zipWithIndex.map {
+    case ((v, vza), i) =>
+      def fill = Array.fill(vza.chunkElems)(vza.cfDecode(vza.fillValue))
+      p.chunkRefs match {
+        case Some(refOpts) => // virtual table: one positioned range read
+          refOpts(i) match {
+            case Some(ref) =>
+              ZarrSource.decodeChunk(KerchunkSource.fetch(ref, p.store), vza)
+            case None => fill
+          }
+        case None =>
+          val chunkName =
+            if (p.v3) ZarrV3Source.chunkKey(vza, p.key.map(_.toLong))
+            else p.key.mkString(vza.separator)
+          p.store.readIfExists(s"${p.groupDir}/$v/$chunkName") match {
+            case Some(raw) =>
+              if (p.v3) ZarrV3Source.decodeAny(raw, vza)
+              else ZarrSource.decodeChunk(raw, vza)
+            case None => fill
+          }
+      }
   }
   // output column -> (isVar, index into dims or data)
   private val outPlan: Array[(Boolean, Int)] = p.outCols.map { c =>

@@ -1,0 +1,140 @@
+package graft
+
+import graft.sources.{GeoTiffSource, Hdf5Source, KerchunkSource, NetcdfSource}
+import graft.sources.NetcdfSource.NcDim
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** DataSourceV2 over the granule formats — `format("netcdf")`,
+  * `format("geotiff")`, `format("kerchunk")` share the zarr connector's
+  * scan engine: pushed dimension predicates elide HDF5 chunks / TIFF
+  * tiles / NetCDF records before a payload byte is read, and projections
+  * never fetch unprojected variables' chunks. */
+class RefsDsv2Spec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = GraftSession.builder("4").getOrCreate()
+
+  private def tmpDir(prefix: String): String = {
+    val base = new java.io.File("/root/repo/target/tmp-tests")
+    base.mkdirs()
+    Files.createTempDirectory(base.toPath, prefix).toString
+  }
+
+  /** 4×6 grid, chunks 2×3 → 4 HDF5 chunks; two data variables. */
+  private def hdf5Fixture(): String = {
+    val p = s"${tmpDir("h5dsv2")}/cube.nc"
+    val y = Array(10.0, 20.0, 30.0, 40.0)
+    val x = Array.tabulate(6)(_ + 0.5)
+    val v = Array.tabulate(4 * 6)(k => (k / 6) * 100.0 + (k % 6))
+    val w = v.map(_ + 0.25)
+    Hdf5Source.write(p, Seq(NcDim("y", 4), NcDim("x", 6)),
+      Seq(("y", y), ("x", x)),
+      Seq(("v", Seq("y", "x"), v), ("w", Seq("y", "x"), w)),
+      chunkOf = Map("v" -> Seq(2, 3), "w" -> Seq(2, 3)))
+    p
+  }
+
+  test("netcdf DSv2 over HDF5: chunk pruning by dimension predicate") {
+    val p = hdf5Fixture()
+    val ds = spark.read.format("netcdf").load(p)
+    assert(ds.columns.toSeq == Seq("y", "x", "v", "w"))
+    assert(ds.count() === 24)
+    // y >= 25 intersects only the second y-chunk row -> 2 of 4 partitions
+    val hi = ds.filter(col("y") >= 25.0)
+    assert(hi.rdd.getNumPartitions === 2)
+    assert(hi.count() === 12)
+    assert(hi.agg(sum("v")).head.getDouble(0) ===
+      (for { j <- 2 to 3; i <- 0 to 5 } yield j * 100.0 + i).sum)
+    // conjunctive prune on both dims -> exactly 1 chunk
+    val cell = ds.filter(col("y") === 10.0 && col("x") < 3.0)
+    assert(cell.rdd.getNumPartitions === 1)
+    assert(cell.count() === 3)
+    // full-scan equivalence against the RDD reader
+    val direct = NetcdfSource.readCube(spark, p, "v")
+    assert(ds.agg(sum("v")).head.getDouble(0) ===
+      direct.agg(sum("v")).head.getDouble(0))
+    // the executed plan advertises the pushed predicate
+    val planStr = hi.queryExecution.executedPlan.toString
+    assert(planStr.contains("PushedFilters") &&
+      planStr.contains("GreaterThanOrEqual(y,25.0)"), planStr.take(1500))
+  }
+
+  test("netcdf DSv2: projection never fetches unprojected variables") {
+    val p = hdf5Fixture()
+    val ds = spark.read.format("netcdf").load(p) // refs resolved NOW
+    // corrupt v's chunk payloads in the file (refs keep their byte
+    // ranges): a w-only projection must never read them
+    val all = Files.readAllBytes(java.nio.file.Paths.get(p))
+    val scans = Hdf5Source.scan(all)
+    val vScan = scans.find(_.name == "v").get
+    vScan.chunks.foreach { c =>
+      java.util.Arrays.fill(all, c.addr.toInt, c.addr.toInt + c.size, 0x7: Byte)
+    }
+    Files.write(java.nio.file.Paths.get(p), all)
+    assert(ds.select(sum(col("w"))).head.getDouble(0) ===
+      (for { j <- 0 to 3; i <- 0 to 5 } yield j * 100.0 + i + 0.25).sum)
+    intercept[org.apache.spark.SparkException](ds.select(sum(col("v"))).head)
+  }
+
+  test("netcdf DSv2 over classic CDF: record refs prune on the record dim") {
+    val p = s"${tmpDir("ncdsv2")}/series.nc"
+    val t = Array(0.0, 1.0, 2.0)
+    val x = Array(5.0, 6.0)
+    NetcdfSource.write(p, Seq(NcDim("t", 3), NcDim("x", 2)),
+      Seq(("t", t), ("x", x)),
+      Seq(("v", Seq("t", "x"), Array.tabulate(6)(_ * 10.0))),
+      recordDim = Some("t"))
+    val ds = spark.read.format("netcdf").load(p)
+    assert(ds.count() === 6)
+    // one ref per record -> t = 2.0 keeps exactly one partition
+    val one = ds.filter(col("t") === 2.0)
+    assert(one.rdd.getNumPartitions === 1)
+    assert(one.agg(sum("v")).head.getDouble(0) === 40.0 + 50.0)
+  }
+
+  test("geotiff DSv2: tile pruning by y/x predicates") {
+    val p = s"${tmpDir("tifdsv2")}/img.tif"
+    // 32×32 north-up raster, 16×16 tiles -> 4 tiles; v(row, col) = row*100+col
+    val data = Array.tabulate(32 * 32)(k => (k / 32) * 100.0 + (k % 32))
+    GeoTiffSource.write(p,
+      GeoTiffSource.Raster(32, 32, data, 1.0, 1.0, 0.0, 32.0),
+      deflate = true, tileSize = 16)
+    val ds = spark.read.format("geotiff").load(p)
+    assert(ds.columns.toSeq == Seq("y", "x", "v"))
+    assert(ds.count() === 32 * 32)
+    // y > 16 is the TOP half = raster rows 0..15 = the first tile row
+    val top = ds.filter(col("y") > 16.0)
+    assert(top.rdd.getNumPartitions === 2)
+    assert(top.count() === 16 * 32)
+    // corner: both predicates -> 1 tile
+    val corner = ds.filter(col("y") > 16.0 && col("x") < 16.0)
+    assert(corner.rdd.getNumPartitions === 1)
+    // full equivalence against the direct raster reader
+    val direct = GeoTiffSource.readRaster(spark, p)
+    assert(ds.agg(sum("v")).head.getDouble(0) ===
+      direct.agg(sum("v")).head.getDouble(0))
+  }
+
+  test("kerchunk DSv2: combined multi-granule refs prune on the concat dim") {
+    val dir = tmpDir("krcdsv2")
+    val x = Array(0.0, 1.0, 2.0)
+    val docs = (0 until 3).map { g =>
+      val p = s"$dir/g$g.nc"
+      NetcdfSource.write(p, Seq(NcDim("x", 3)), Seq(("x", x)),
+        Seq(("v", Seq("x"), Array.tabulate(3)(i => g * 10.0 + i))))
+      KerchunkSource.scanNetcdf(p)
+    }
+    val combined = KerchunkSource.combineRefs(docs, "t", Array(0.0, 1.0, 2.0))
+    val refsPath = s"$dir/combined.json"
+    Files.write(java.nio.file.Paths.get(refsPath), combined.getBytes("UTF-8"))
+    val ds = spark.read.format("kerchunk").load(refsPath)
+    assert(ds.columns.toSeq == Seq("t", "x", "v"))
+    assert(ds.count() === 9)
+    // the concat coordinate prunes granules: t = 1.0 -> granule 1 only
+    val one = ds.filter(col("t") === 1.0)
+    assert(one.rdd.getNumPartitions === 1)
+    assert(one.agg(sum("v")).head.getDouble(0) === 10.0 + 11.0 + 12.0)
+  }
+}
