@@ -210,6 +210,57 @@ final case class ByteStore(options: Map[String, String]) extends Serializable {
     } finally c.disconnect()
   }
 
+  /** Coalesced positioned reads: fetch many `(offset, length)` ranges of
+    * ONE object with as few round trips as the kerchunk reference-store
+    * contract allows — ranges whose gap is ≤ `maxGap` merge into one
+    * request, merged blocks are capped at `maxBlock` (the reference's
+    * `max_gap`/`max_block` defaults are 64 KB / 256 MB,
+    * `store/ref/store.py:40-48`). Returns payloads in INPUT order.
+    *
+    * This is the multi-ref task primitive: a task holding n chunk refs
+    * into the same granule (a multi-variable DSv2 read, neighboring HDF5
+    * chunks) pays one ranged GET per merged block instead of one per
+    * ref — on an object store at 100 TB, request count is the cost that
+    * dominates small-chunk reads. Over-read bytes inside a merged gap
+    * are bounded by `maxGap` per merge and discarded after slicing.
+    */
+  def readRanges(path: String, ranges: Seq[(Long, Long)],
+                 maxGap: Long = 64L * 1024,
+                 maxBlock: Long = 256L * 1024 * 1024): Seq[Array[Byte]] = {
+    ranges.foreach { case (off, len) =>
+      require(off >= 0 && len >= 0, s"$path: bad range ($off, $len)")
+    }
+    if (ranges.isEmpty) return Nil
+    if (ranges.length == 1)
+      return Seq(readRange(path, ranges.head._1, ranges.head._2))
+    // sort by offset, greedily merge while the gap is small and the
+    // merged block stays bounded; overlaps merge unconditionally
+    val order = ranges.zipWithIndex.sortBy(_._1._1)
+    val blocks = scala.collection.mutable.ArrayBuffer.empty[
+      (Long, Long, scala.collection.mutable.ArrayBuffer[Int])] // (start, end, members)
+    order.foreach { case ((off, len), i) =>
+      val end = off + len
+      blocks.lastOption match {
+        case Some((bs, be, members))
+            if off <= be + maxGap && math.max(be, end) - bs <= maxBlock =>
+          members += i
+          blocks(blocks.length - 1) = (bs, math.max(be, end), members)
+        case _ =>
+          blocks += ((off, end, scala.collection.mutable.ArrayBuffer(i)))
+      }
+    }
+    val out = new Array[Array[Byte]](ranges.length)
+    blocks.foreach { case (bs, be, members) =>
+      val block = readRange(path, bs, be - bs)
+      members.foreach { i =>
+        val (off, len) = ranges(i)
+        out(i) = java.util.Arrays.copyOfRange(
+          block, (off - bs).toInt, (off - bs + len).toInt)
+      }
+    }
+    out.toSeq
+  }
+
   def delete(path: String): Unit =
     if (isHttp(path)) httpReadOnly(path, "delete")
     else if (isRemote(path)) { fs(path).delete(new HPath(path), false); () }

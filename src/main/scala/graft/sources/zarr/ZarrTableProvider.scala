@@ -358,26 +358,27 @@ final class ZarrPartitionReader(p: ZarrInputPartition)
 
   private val za = p.za
   private val rank = za.shape.length
-  private val data: Seq[Array[Double]] = p.vars.zipWithIndex.map {
-    case ((v, vza), i) =>
-      def fill = Array.fill(vza.chunkElems)(vza.cfDecode(vza.fillValue))
-      p.chunkRefs match {
-        case Some(refOpts) => // virtual table: one positioned range read
-          refOpts(i) match {
-            case Some(ref) =>
-              ZarrSource.decodeChunk(KerchunkSource.fetch(ref, p.store), vza)
-            case None => fill
-          }
-        case None =>
-          val chunkName =
-            if (p.v3) ZarrV3Source.chunkKey(vza, p.key.map(_.toLong))
-            else p.key.mkString(vza.separator)
-          p.store.readIfExists(s"${p.groupDir}/$v/$chunkName") match {
-            case Some(raw) =>
-              if (p.v3) ZarrV3Source.decodeAny(raw, vza)
-              else ZarrSource.decodeChunk(raw, vza)
-            case None => fill
-          }
+  private val data: Seq[Array[Double]] = p.chunkRefs match {
+    case Some(refOpts) =>
+      // virtual table: all of this task's refs fetched together so
+      // neighboring ranges into the same granule coalesce into one
+      // ranged GET (ByteStore.readRanges)
+      p.vars.zip(KerchunkSource.fetchAll(refOpts, p.store)).map {
+        case ((_, vza), Some(raw)) => ZarrSource.decodeChunk(raw, vza)
+        case ((_, vza), None) =>
+          Array.fill(vza.chunkElems)(vza.cfDecode(vza.fillValue))
+      }
+    case None =>
+      p.vars.map { case (v, vza) =>
+        val chunkName =
+          if (p.v3) ZarrV3Source.chunkKey(vza, p.key.map(_.toLong))
+          else p.key.mkString(vza.separator)
+        p.store.readIfExists(s"${p.groupDir}/$v/$chunkName") match {
+          case Some(raw) =>
+            if (p.v3) ZarrV3Source.decodeAny(raw, vza)
+            else ZarrSource.decodeChunk(raw, vza)
+          case None => Array.fill(vza.chunkElems)(vza.cfDecode(vza.fillValue))
+        }
       }
   }
   // output column -> (isVar, index into dims or data)

@@ -97,4 +97,71 @@ class ByteStoreSpec extends AnyFunSuite {
     bs.write(p, Array[Byte](1, 2, 3))
     assert(bs.exists(p))
   }
+
+  test("readRanges: gap/block coalescing, request counts, input order") {
+    val emu = graft.sources.s3.S3Emulator.shared
+    val dir = tmpDir("bsrr")
+    val payload = Array.tabulate[Byte](256 * 1024)(i => (i % 127).toByte)
+    Files.write(Paths.get(s"$dir/blob.bin"), payload)
+    emu.mountDir("bsrr", dir)
+    val url = s"${emu.endpoint}/bsrr/blob.bin"
+    def gets = emu.requestCount("GET")
+    // two near ranges (gap 50 ≤ 64 KB) + one far range (gap > 64 KB away)
+    // -> exactly 2 GETs, payloads correct and in INPUT order
+    val b0 = gets
+    val got = bs.readRanges(url,
+      Seq((150L, 100L), (0L, 100L), (200L * 1024, 64L)))
+    assert(gets - b0 === 2, "near ranges must merge into one request")
+    assert(got(0).toSeq === payload.slice(150, 250).toSeq)
+    assert(got(1).toSeq === payload.slice(0, 100).toSeq)
+    assert(got(2).toSeq === payload.slice(200 * 1024, 200 * 1024 + 64).toSeq)
+    // maxBlock caps a merged run: 3 adjacent ranges, block cap 20 -> 2 GETs
+    val b1 = gets
+    val caps = bs.readRanges(url, Seq((0L, 10L), (10L, 10L), (20L, 10L)),
+      maxGap = 0L, maxBlock = 20L)
+    assert(gets - b1 === 2)
+    assert(caps.map(_.toSeq) ===
+      Seq(payload.slice(0, 10).toSeq, payload.slice(10, 20).toSeq,
+        payload.slice(20, 30).toSeq))
+    // overlapping ranges merge and slice independently
+    val ov = bs.readRanges(url, Seq((0L, 30L), (10L, 10L)))
+    assert(ov(0).toSeq === payload.slice(0, 30).toSeq)
+    assert(ov(1).toSeq === payload.slice(10, 20).toSeq)
+    // a single range is a plain readRange (one request)
+    val b2 = gets
+    assert(bs.readRanges(url, Seq((5L, 7L))).head.toSeq ===
+      payload.slice(5, 12).toSeq)
+    assert(gets - b2 === 1)
+  }
+
+  test("kerchunk DSv2 over http: per-task refs coalesce into one GET each") {
+    import graft.sources.{Hdf5Source, KerchunkSource}
+    import graft.sources.NetcdfSource.NcDim
+    val spark = GraftSession.builder("4").getOrCreate()
+    import org.apache.spark.sql.functions._
+    val emu = graft.sources.s3.S3Emulator.shared
+    val dir = tmpDir("krcoal")
+    val p = s"$dir/cube.nc"
+    val y = Array(1.0, 2.0, 3.0, 4.0)
+    val x = Array.tabulate(6)(_ + 0.5)
+    val v = Array.tabulate(24)(_ * 1.0)
+    Hdf5Source.write(p, Seq(NcDim("y", 4), NcDim("x", 6)),
+      Seq(("y", y), ("x", x)),
+      Seq(("v", Seq("y", "x"), v), ("w", Seq("y", "x"), v.map(_ + 0.5))),
+      chunkOf = Map("v" -> Seq(2, 3), "w" -> Seq(2, 3)))
+    emu.mountDir("krcoal", dir)
+    // the same refs, re-pointed at the web-served granule
+    val refs = KerchunkSource.scanAuto(p)
+      .replace(new java.io.File(p).toURI.toString,
+        s"${emu.endpoint}/krcoal/cube.nc")
+    val refsPath = s"$dir/refs.json"
+    Files.write(Paths.get(refsPath), refs.getBytes("UTF-8"))
+    val ds = spark.read.format("kerchunk").load(refsPath)
+    val b0 = emu.requestCount("GET")
+    // 4 chunk partitions × 2 variables: without coalescing 8 GETs; the
+    // tiny granule's ranges all sit within one 64 KB gap -> 4 GETs
+    assert(ds.agg(sum("v"), sum("w")).head.getDouble(0) === v.sum)
+    assert(emu.requestCount("GET") - b0 === 4,
+      "each task must fetch its variable chunks in one coalesced request")
+  }
 }
