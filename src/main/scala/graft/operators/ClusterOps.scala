@@ -21,15 +21,50 @@ import org.apache.spark.sql.functions._
   *  - the per-node reduction is `min`, computed by groupBy (map-side
   *    combined) — no neighborhood is ever collected into one row, so a
   *    109-degree hub node costs the same as a degree-2 node;
-  *  - every iteration's result is localCheckpoint'ed (eager) to truncate
-  *    lineage — without it the logical plan doubles per round. On a real
-  *    cluster with unreliable local storage, point
-  *    `spark.sparkContext.setCheckpointDir` at durable storage and swap in
-  *    `checkpoint()`;
+  *  - RECOVERY CONTRACT: every round is persisted eagerly with lineage
+  *    KEPT (`persist(MEMORY_AND_DISK)` + count), so a lost executor
+  *    recomputes its lost blocks from the upstream plan instead of
+  *    failing the job — `localCheckpoint`'s documented failure mode.
+  *    Because persist does not truncate the LOGICAL plan (it would double
+  *    per round and drown the optimizer), every `CheckpointEvery` rounds
+  *    the edge set takes a RELIABLE `checkpoint()` to the Spark
+  *    checkpoint dir, which bounds both plan depth and the recomputation
+  *    window to ≤ `CheckpointEvery` rounds. On a cluster, point
+  *    `spark.sparkContext.setCheckpointDir` at durable storage; when
+  *    unset, a local temp dir is used (correct in local mode, and the
+  *    library never silently skips the cut). Checkpoint files live until
+  *    application end unless `spark.cleaner.referenceTracking
+  *    .cleanCheckpoints` is on;
   *  - the convergence probe is one count + one except per round, against
   *    edge sets that SHRINK every round (toward one edge per non-root node).
   */
 object ClusterOps {
+
+  /** Rounds between reliable checkpoints — both the recomputation window
+    * and the plan-growth bound: `smallStar(largeStar(_))` embeds ~16
+    * copies of the previous round's logical plan (persist caches the
+    * DATA but keeps the plan), so k un-truncated rounds cost 16^k plan
+    * nodes — every-2 keeps the analyzed plan (and the SQL listener's
+    * stringification of it) O(base), while every-5 was observed to OOM
+    * the driver on plan rendering alone.
+    */
+  private val CheckpointEvery = 2
+
+  /** Eager persisted round with lineage kept (see recovery contract). */
+  private def cutRound(df: DataFrame): DataFrame = {
+    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    p.count()
+    p
+  }
+
+  /** Reliable plan truncation; ensures a checkpoint dir exists. */
+  private def cutReliable(df: DataFrame): DataFrame = {
+    val sc = df.sparkSession.sparkContext
+    if (sc.getCheckpointDir.isEmpty)
+      sc.setCheckpointDir(java.nio.file.Files.createTempDirectory(
+        "graft-checkpoint").toString)
+    df.checkpoint()
+  }
 
   /** (node, comp) labels for every endpoint of `edges`, where `comp` is the
     * smallest node id in the connected component. Self-loops are ignored;
@@ -40,11 +75,13 @@ object ClusterOps {
     val e0 = edges
       .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
       .filter(col("u") =!= col("v"))
-    var cur = canonical(e0).localCheckpoint(true)
+    var cur = cutRound(canonical(e0))
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
-      val next = smallStar(largeStar(cur)).localCheckpoint(true)
+      val round = smallStar(largeStar(cur))
+      val next = cutRound(
+        if ((it + 1) % CheckpointEvery == 0) cutReliable(round) else round)
       // fixpoint = identical edge SETS; both sides are distinct, so equal
       // counts + empty one-sided difference suffice
       converged = next.count() == cur.count() && next.except(cur).isEmpty

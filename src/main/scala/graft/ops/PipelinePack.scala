@@ -38,6 +38,21 @@ object PipelinePack extends QueryPack {
     res.sparkSession.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
   }
 
+  /** Eager persisted cut with lineage KEPT — the reliable replacement for
+    * `localCheckpoint` in reused/iterated subplans (the q_simhash_hamming
+    * treatment): a lost executor recomputes its lost blocks from the
+    * upstream plan instead of failing the query, which is the recovery
+    * contract a 1000-executor run needs. `release` names caches the new
+    * cut supersedes (a prior round's table); they are dropped once this
+    * one is materialized, so loop memory stays O(1) rounds.
+    */
+  private def cutRound(df: DataFrame, release: DataFrame*): DataFrame = {
+    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    p.count()
+    release.foreach(_.unpersist(false))
+    p
+  }
+
   // LSH configuration: 8 permutations × 4 bands of 2 rows; buckets larger
   // than MaxBucket are dropped before pair enumeration (mirrored in the
   // DuckDB oracle, so the cap is part of the checked semantics)
@@ -399,7 +414,7 @@ object PipelinePack extends QueryPack {
     // so the oracle checks the whole train loop, not just counting.
     "q_bpe_train" -> ((s, d) => {
       import s.implicits._
-      val words0 = BpeOps.wordTable(docs(s, d), "text").localCheckpoint()
+      val words0 = cutRound(BpeOps.wordTable(docs(s, d), "text"))
       val (merges, _) = BpeOps.train(words0, 6)
       merges.toDF("step", "t1", "t2", "pair_count")
     }),
@@ -411,7 +426,7 @@ object PipelinePack extends QueryPack {
     // per-source token totals check the full tokenizer round trip.
     "q_bpe_encode" -> ((s, d) => {
       val dd = docs(s, d)
-      val words0 = BpeOps.wordTable(dd, "text").localCheckpoint()
+      val words0 = cutRound(BpeOps.wordTable(dd, "text"))
       val (merges, _) = BpeOps.train(words0, 6)
       val words = dd.select(col("source"),
           explode(split(regexp_replace(lower(col("text")), "[^a-z ]", ""),
@@ -474,18 +489,16 @@ object PipelinePack extends QueryPack {
       val pairs = TextOps.jaccardOnCandidates(
           TextOps.candidatePairs(bands, "doc_id", MaxBucket), sigs, "doc_id")
         .filter(col("jaccard") >= 0.5)
-      val e = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
+      val e = cutRound(pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
         .union(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
-        .distinct()
-        .localCheckpoint() // 3 iterations reuse the edge list; cut the LSH lineage
+        .distinct()) // 3 iterations reuse the edge list; cut the LSH lineage
       val deg = e.groupBy(col("a").as("dn")).agg(count(lit(1)).as("dd"))
-      // fold the degree onto each edge ONCE (checkpointed): the iteration
-      // loop then costs one keyed join + one map-side-combined sum per
-      // round instead of re-joining deg every time (the 10x soak showed
-      // the doubled join chain dominating at scale)
-      val ewd = e.join(deg, col("a") === col("dn"))
-        .select(col("a"), col("b"), col("dd"))
-        .localCheckpoint()
+      // fold the degree onto each edge ONCE (persisted with lineage, see
+      // cutRound): the iteration loop then costs one keyed join + one
+      // map-side-combined sum per round instead of re-joining deg every
+      // time (the 10x soak showed the doubled join chain dominating)
+      val ewd = cutRound(e.join(deg, col("a") === col("dn"))
+        .select(col("a"), col("b"), col("dd")))
       var scores = deg.select(col("dn").as("node"), lit(1000000L).as("s"))
       for (_ <- 1 to 3) {
         scores = ewd
@@ -515,20 +528,20 @@ object PipelinePack extends QueryPack {
       val pairs = TextOps.jaccardOnCandidates(
           TextOps.candidatePairs(bands, "doc_id", MaxBucket), sigs, "doc_id")
         .filter(col("jaccard") >= 0.5)
-      val e = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
+      val e = cutRound(pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
         .union(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
-        .distinct()
-        .localCheckpoint()
+        .distinct())
       var labels = e.select(col("a").as("node")).distinct()
         .withColumn("lbl", col("node"))
       for (_ <- 1 to 3) {
         val nbr = e.join(labels, col("a") === col("node"))
           .groupBy(col("b").as("nnode")).agg(min(col("lbl")).as("nl"))
-        labels = labels
+        val prev = labels
+        labels = cutRound(labels
           .join(nbr, col("node") === col("nnode"), "left")
           .select(col("node"),
-            least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("lbl"))
-          .localCheckpoint()
+            least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("lbl")),
+          prev)
       }
       labels.groupBy("lbl").agg(count(lit(1)).as("sz"))
         .agg(count(lit(1)).as("n_clusters"), max(col("sz")).as("max_size"),
@@ -545,11 +558,10 @@ object PipelinePack extends QueryPack {
       val sigs = TextOps.minhashSignatures(
         TextOps.shingleArrays(docs(s, d), "doc_id", "text", 3), "doc_id", NumPerms)
       val bands = TextOps.lshBandRows(sigs, "doc_id", RowsPerBand, NumPerms)
-      val e = TextOps.jaccardOnCandidates(
+      val e = cutRound(TextOps.jaccardOnCandidates(
           TextOps.candidatePairs(bands, "doc_id", MaxBucket), sigs, "doc_id")
         .filter(col("jaccard") >= 0.5)
-        .select(col("doc_a").as("a"), col("doc_b").as("b")) // a < b already
-        .localCheckpoint()
+        .select(col("doc_a").as("a"), col("doc_b").as("b"))) // a < b already
       val wedges = e.select(col("a"), col("b").as("b1"))
         .join(e.select(col("a"), col("b").as("b2")), Seq("a"))
         .filter(col("b1") < col("b2"))
@@ -1499,8 +1511,8 @@ object PipelinePack extends QueryPack {
           "zip_with(slice(w, 1, size(w)-1), slice(w, 2, size(w)-1), " +
             "(a, b) -> struct(a AS w1, b AS w2))")).as(Seq("__p", "pr")))
         .select(col("pr.w1").as("w1"), col("pr.w2").as("w2"))
-      val c12 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
-        .localCheckpoint() // marginals + N + the ranked scan all reuse it
+      val c12 = cutRound(bi.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+        ) // marginals + N + the ranked scan all reuse it
       val cl = c12.groupBy("w1").agg(sum(col("c")).as("cl"))
       val cr = c12.groupBy("w2").agg(sum(col("c")).as("cr"))
       val n = c12.agg(sum(col("c")).as("n"))
