@@ -68,6 +68,26 @@ object AggPack extends QueryPack {
           sum(col("bi") + col("bj") * 7).as("idx_checksum"))
     }),
 
+    // the rule firing THROUGH a Filter: a time + block-aligned bbox subset
+    // (select_subset then aggregate — the most common real query shape)
+    // between the Aggregate and the L0 scan no longer defeats the
+    // retarget. The oracle computes progressive 2×2 means over the bbox'd
+    // L2 cells, so passing certifies the rewrite fired: direct L0 block
+    // means differ on sparse grids.
+    "q_pyramid_rewrite_filtered" -> ((s, d) => {
+      val root = levelsFixture(s, d)
+      s.read.parquet(s"$root/L0")
+        .filter(col("time") === lit("2024-01-01").cast("timestamp") &&
+          col("x") >= 8.0 && col("x") < 200.0)
+        .groupBy(floor(col("x") / 4.0).cast("long").as("bi"),
+          floor(col("y") / 4.0).cast("long").as("bj"))
+        .agg(avg(col("v")).as("v"))
+        .agg(count(lit(1)).as("n_blocks"),
+          round(sum(col("v").cast("decimal(28,10)")), 6)
+            .cast("double").as("sum_v"),
+          sum(col("bi") + col("bj") * 7).as("idx_checksum"))
+    }),
+
     // 8×8 block subsample: mean + count of the float var, custom-Aggregator
     // mode of the class var (deterministic smallest-value tiebreak)
     "q_subsample" -> ((s, d) => {
@@ -174,6 +194,18 @@ object AggPack extends QueryPack {
                 round(sum(v::DECIMAL(28,10)), 6)::DOUBLE AS sum_v,
                 sum(i + j * 7)::BIGINT AS idx_checksum
          FROM l2""",
+    "q_pyramid_rewrite_filtered" ->
+      """WITH cells AS (
+           SELECT floor(CAST(event_id % 360 AS DOUBLE) + 0.5)::BIGINT AS i,
+                  floor(CAST(user_id % 100 AS DOUBLE) + 0.5)::BIGINT AS j,
+                  round(avg(value), 6) AS v
+           FROM events GROUP BY i, j),
+         l1 AS (SELECT i // 2 AS i, j // 2 AS j, avg(v) AS v FROM cells GROUP BY 1, 2),
+         l2 AS (SELECT i // 2 AS i, j // 2 AS j, avg(v) AS v FROM l1 GROUP BY 1, 2)
+         SELECT count(*) AS n_blocks,
+                round(sum(v::DECIMAL(28,10)), 6)::DOUBLE AS sum_v,
+                sum(i + j * 7)::BIGINT AS idx_checksum
+         FROM l2 WHERE i >= 2 AND i < 50""",
     "q_quantile_exact" ->
       """WITH c AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v
                     FROM lineitem),

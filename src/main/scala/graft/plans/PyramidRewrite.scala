@@ -4,7 +4,7 @@ import graft.sources.LevelStore
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 
@@ -16,7 +16,9 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   *
   * Matches `Aggregate` plans whose child scans `<root>/L<j>` of a pyramid
   * written by [[LevelStore.writeLevels]] (identified by the `_levels.json`
-  * sidecar) where
+  * sidecar), possibly through Projects and one Filter whose predicates
+  * are level-invariant (time-only, or block-aligned coordinate bounds —
+  * see [[filterSafe]]), where
   *
   *  - the grouping contains block indices `floor((x - x0?) / s)` and
   *    `floor((y - y0?) / s)` over the pyramid's x/y columns with the SAME
@@ -89,25 +91,53 @@ class PyramidRewrite(session: SparkSession) extends Rule[LogicalPlan] {
   }
 
   private def tryRewrite(agg: Aggregate): Option[LogicalPlan] = {
-    // child is the pyramid scan, bare or behind one Project (the optimizer
-    // pulls grouping expressions into such a Project as
-    // `_groupingexpression#N` aliases — PullOutGroupingExpressions — and
-    // column pruning adds one too)
-    val (project, relation) = agg.child match {
-      case lr: LogicalRelation => (None, Some(lr))
-      case p @ Project(_, lr: LogicalRelation)
-        if p.projectList.forall(_.deterministic) => (Some(p), Some(lr))
-      case _ => (None, None)
+    // child is the pyramid scan behind up to `[Project]? [Filter]?
+    // [Project]?` wrappers: the optimizer pulls grouping expressions into
+    // a Project as `_groupingexpression#N` aliases
+    // (PullOutGroupingExpressions), column pruning adds one below the
+    // Filter, and a time/bbox subset — the single most common real query
+    // shape (select_subset then aggregate) — leaves a Filter between them
+    val unwrapped: Option[(Seq[LogicalPlan], LogicalRelation)] = {
+      def walk(p: LogicalPlan, acc: Seq[LogicalPlan], seenFilter: Boolean,
+               seenProjBelowFilter: Boolean): Option[(Seq[LogicalPlan], LogicalRelation)] =
+        p match {
+          case lr: LogicalRelation => Some((acc, lr))
+          case pr @ Project(list, child) if list.forall(_.deterministic) &&
+            !(seenFilter && seenProjBelowFilter) =>
+            walk(child, acc :+ pr, seenFilter, seenProjBelowFilter = seenFilter)
+          case f @ Filter(cond, child) if cond.deterministic && !seenFilter =>
+            walk(child, acc :+ f, seenFilter = true, seenProjBelowFilter)
+          case _ => None
+        }
+      walk(agg.child, Seq.empty, seenFilter = false, seenProjBelowFilter = false)
     }
-    // substitution: resolve attribute references through the Project's
-    // aliases so grouping/aggregate expressions are analyzed in terms of
-    // the RELATION's columns
-    val aliasMap: Map[ExprId, Expression] = project
-      .map(_.projectList.collect { case a: Alias => a.exprId -> a.child }.toMap)
-      .getOrElse(Map.empty)
-    def substitute(e: Expression): Expression = e.transformUp {
-      case a: AttributeReference if aliasMap.contains(a.exprId) =>
-        aliasMap(a.exprId)
+    val wrappers = unwrapped.map(_._1).getOrElse(Seq.empty)
+    val relation = unwrapped.map(_._2)
+    val filterCond: Option[Expression] =
+      wrappers.collectFirst { case f: Filter => f.condition }
+    // substitution: resolve attribute references through every wrapper
+    // Project's aliases so grouping/aggregate/filter expressions are
+    // analyzed in terms of the RELATION's columns; iterated to a fixpoint
+    // because an outer alias may reference an inner one
+    val aliasMap: Map[ExprId, Expression] = wrappers.collect {
+      case p: Project => p.projectList.collect {
+        case a: Alias => a.exprId -> a.child
+      }
+    }.flatten.toMap
+    def substitute(e: Expression): Expression = {
+      var cur = e
+      var changed = true
+      var guard = 0
+      while (changed && guard < 8) {
+        val next = cur.transformUp {
+          case a: AttributeReference if aliasMap.contains(a.exprId) =>
+            aliasMap(a.exprId)
+        }
+        changed = !next.fastEquals(cur)
+        cur = next
+        guard += 1
+      }
+      cur
     }
     val rootAndLevel = relation.flatMap(_.relation match {
       case h: HadoopFsRelation if h.location.rootPaths.length == 1 =>
@@ -127,6 +157,7 @@ class PyramidRewrite(session: SparkSession) extends Rule[LogicalPlan] {
         agg.groupingExpressions.map(substitute), meta)
       if sx == sy && sx > cur.xRes
       if aggsRewriteSafe(agg, substitute, lr, meta)
+      if filterCond.forall(filterSafe(_, substitute, meta, x0, sx, y0, sy))
       // target: the level whose resolution IS the block size
       tgt <- meta.levels.drop(j + 1).find(l =>
         math.abs(l.xRes - sx) < 1e-9 * math.max(1.0, sx) &&
@@ -149,8 +180,72 @@ class PyramidRewrite(session: SparkSession) extends Rule[LogicalPlan] {
       }, nr)
       logInfo(s"pyramid rewrite: $root/L$j block-agg(s=$sx) -> " +
         s"L${tgt.level} scan")
-      agg.copy(child = project.map(p => p.copy(child = bridge): LogicalPlan)
-        .getOrElse(bridge))
+      // re-stack the original wrappers (Projects + the vetted Filter)
+      // over the bridged coarse scan — all their expressions still
+      // resolve because the bridge reuses the old attribute ids
+      agg.copy(child = wrappers.foldRight(bridge: LogicalPlan) {
+        case (p: Project, c) => p.copy(child = c)
+        case (f: Filter, c) => f.copy(child = c)
+        case (_, c) => c
+      })
+    }
+  }
+
+  /** A Filter between the Aggregate and the pyramid scan is safe to keep
+    * over the retargeted scan when every conjunct either
+    *
+    *  - touches only the time column (levels preserve the time dimension
+    *    and its values exactly), or
+    *  - is `IsNotNull` over a coordinate (pyramid coordinates are
+    *    generated, never null — selects every row at every level; Spark
+    *    infers these from any coordinate comparison), or
+    *  - is a `<`/`<=`/`>`/`>=` comparison between a coordinate and a
+    *    literal sitting ON a block boundary (a multiple of the block size
+    *    from the grouping origin): cell centers sit at half-offsets at
+    *    EVERY level, so no center ever equals a boundary and the same
+    *    predicate selects exactly the blocks fully inside the bbox at
+    *    both resolutions — no block is ever split by the bbox, so each
+    *    surviving block's mean is unchanged by the retarget.
+    *
+    * Anything else — data-variable predicates (they reweight block
+    * means), unaligned bbox edges (they split blocks), coordinate
+    * equality (centers differ across levels) — bails: the rewrite simply
+    * does not fire and the base scan stands.
+    */
+  private def filterSafe(cond: Expression,
+                         substitute: Expression => Expression,
+                         meta: LevelStore.PyramidMeta,
+                         x0: Double, sx: Double,
+                         y0: Double, sy: Double): Boolean = {
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case o => Seq(o)
+    }
+    def coordName(e: Expression): Option[String] = strip(e) match {
+      case a: AttributeReference
+        if a.name == meta.xCol || a.name == meta.yCol => Some(a.name)
+      case _ => None
+    }
+    def aligned(n: String, v: Double): Boolean =
+      if (n == meta.xCol) isMultiple(v - x0, sx) else isMultiple(v - y0, sy)
+    conjuncts(substitute(cond)).forall { c =>
+      val timeOnly = c.references.nonEmpty &&
+        c.references.forall(_.name == meta.timeCol)
+      timeOnly || (c match {
+        case IsNotNull(e) => coordName(e).isDefined
+        case b: BinaryComparison if (b match {
+          case _: GreaterThan | _: GreaterThanOrEqual |
+               _: LessThan | _: LessThanOrEqual => true
+          case _ => false
+        }) =>
+          (coordName(b.left), litNum(b.right),
+            coordName(b.right), litNum(b.left)) match {
+            case (Some(n), Some(v), _, _) => aligned(n, v)
+            case (_, _, Some(n), Some(v)) => aligned(n, v)
+            case _ => false
+          }
+        case _ => false
+      })
     }
   }
 

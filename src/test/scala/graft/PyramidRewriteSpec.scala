@@ -114,6 +114,51 @@ class PyramidRewriteSpec extends AnyFunSuite {
     assert(planOf(q).contains("/L0"), planOf(q))
   }
 
+  test("fires through a time-only Filter (levels preserve time)") {
+    val root = buildPyramid()
+    val q = spark.read.parquet(s"$root/L0")
+      .filter(col("time") === lit("2024-01-01").cast("timestamp"))
+      .groupBy(floor(col("x") / 4.0).as("bi"), floor(col("y") / 4.0).as("bj"))
+      .agg(avg(col("v")).as("v"))
+    assert(planOf(q).contains("/L2"), planOf(q))
+    assert(q.count() == 4)
+  }
+
+  test("fires through a block-aligned bbox Filter; values = filtered L2") {
+    val root = buildPyramid()
+    val q = spark.read.parquet(s"$root/L0")
+      .filter(col("x") >= 4.0 && col("y") < 4.0)
+      .groupBy(floor(col("x") / 4.0).as("bi"), floor(col("y") / 4.0).as("bj"))
+      .agg(avg(col("v")).as("v"))
+    assert(planOf(q).contains("/L2"), planOf(q))
+    assert(!planOf(q).contains("/L0"), planOf(q))
+    val got = q.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // exactly one surviving block (bi=1, bj=0), its value = the L2 cell
+    assert(got.length == 1 && got.head._1 == 1L && got.head._2 == 0L)
+    val l2 = spark.read.parquet(s"$root/L2")
+      .filter(col("x") >= 4.0 && col("y") < 4.0).collect()
+    assert(l2.length == 1 &&
+      math.abs(l2.head.getAs[Double]("v") - got.head._3) < 1e-12)
+  }
+
+  test("no rewrite: bbox edge off the block grid would split a block") {
+    val root = buildPyramid()
+    val q = spark.read.parquet(s"$root/L0")
+      .filter(col("x") >= 3.0)
+      .groupBy(floor(col("x") / 4.0), floor(col("y") / 4.0))
+      .agg(avg(col("v")))
+    assert(planOf(q).contains("/L0"), planOf(q))
+  }
+
+  test("no rewrite: data-variable Filter reweights block means") {
+    val root = buildPyramid()
+    val q = spark.read.parquet(s"$root/L0")
+      .filter(col("v") > 10.0)
+      .groupBy(floor(col("x") / 4.0), floor(col("y") / 4.0))
+      .agg(avg(col("v")))
+    assert(planOf(q).contains("/L0"), planOf(q))
+  }
+
   test("rewritten plan executes after an action (AQE path) identically") {
     val root = buildPyramid()
     val q = spark.read.parquet(s"$root/L0")
