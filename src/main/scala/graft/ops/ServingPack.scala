@@ -1085,6 +1085,29 @@ object ServingPack extends QueryPack {
             lit("jp2_2024-01-01")))
     }),
 
+    // the lazy-reference read path (store/ref/store.py:49-53 contract)
+    // over the SAME zarr refs doc as q_kerchunk: metadata and coords
+    // stream in bounded passes, the data chunk refs spill to a parquet
+    // side table joined against the enumerated chunk grid — nothing is
+    // broadcast, so a 10^8-ref archive opens with O(metadata) driver
+    // memory. Hash-matches the direct reader's daily-mean checksum.
+    "q_kerchunk_lazy" -> ((s, d) => {
+      val group = zarrFixture(s, d)
+      val base = refsDir(d)
+      val zarrRefs = base.resolve("zarr_lazy.refs.json")
+      java.nio.file.Files.write(zarrRefs,
+        KerchunkSource.scanZarr(group).getBytes("UTF-8"))
+      KerchunkSource.readCubeLazy(s, zarrRefs.toString, "v")
+        .filter(!isnan(col("v")))
+        .groupBy(concat(lit("zarr_day"),
+          col("t").cast("long").cast("string")).as("src"))
+        .agg(count(lit(1)).as("n_cells"),
+          round(sum((col("y") + col("x")).cast("decimal(28,10)")), 6)
+            .cast("double").as("sum_coord"),
+          round(sum(col("v").cast("decimal(28,10)")), 6)
+            .cast("double").as("sum_v"))
+    }),
+
     // cell-level dataset version diff (the operational "what changed
     // between yesterday's cube and today's"): the two daily-mean grids are
     // full-outer joined on the cell key and every cell classified
@@ -1946,6 +1969,20 @@ object ServingPack extends QueryPack {
                 round(sum(((j + 0.5) + (i + 0.5))::DECIMAL(28,10)), 6)::DOUBLE AS sum_coord,
                 round(sum(v::DECIMAL(28,10)), 6)::DOUBLE AS sum_v
          FROM daily GROUP BY day_idx""",
+    "q_kerchunk_lazy" ->
+      s"""WITH ${CubePack.cubeCte},
+         daily AS (SELECT CASE WHEN CAST(time AS DATE) = DATE '2024-01-01'
+                               THEN 0 ELSE 1 END AS day_idx,
+                          floor(y)::BIGINT AS j, floor(x)::BIGINT AS i,
+                          round(sum(v::DECIMAL(28,12))::DOUBLE / count(*), 6) AS v
+                   FROM cube
+                   WHERE CAST(time AS DATE) = DATE '2024-01-01'
+                      OR CAST(time AS DATE) = DATE '2024-01-02'
+                   GROUP BY day_idx, j, i)
+         SELECT 'zarr_day' || day_idx AS src, count(*) AS n_cells,
+                round(sum(((j + 0.5) + (i + 0.5))::DECIMAL(28,10)), 6)::DOUBLE AS sum_coord,
+                round(sum(v::DECIMAL(28,10)), 6)::DOUBLE AS sum_v
+         FROM daily GROUP BY src""",
     "q_kerchunk" ->
       s"""WITH ${CubePack.cubeCte},
          daily AS (SELECT CASE WHEN CAST(time AS DATE) = DATE '2024-01-01'

@@ -102,6 +102,101 @@ object KerchunkSource {
     Refs(entries)
   }
 
+  // ---------------------------------------------------- lazy/large refs
+
+  /** Stream the refs of `jsonPath` in document order through `emit`,
+    * holding ONE entry at a time (Jackson token stream — the document
+    * tree is never built). Keys failing `keep` are skipped without
+    * materializing their value. This is the large-reference-set contract
+    * (reference `store/ref/store.py:49-53`, lazy/LRU reference loading):
+    * driver memory is bounded by what the CALLER retains, not by the
+    * archive's ref count — a 10^8-ref document streams through in one
+    * pass. Returns the number of kept entries.
+    */
+  def streamRefs(jsonPath: String, keep: String => Boolean)
+                (emit: (String, Ref) => Unit): Long = {
+    import com.fasterxml.jackson.core.JsonToken
+    val p = mapper.getFactory.createParser(new java.io.File(jsonPath))
+    try {
+      require(p.nextToken() == JsonToken.START_OBJECT,
+        s"$jsonPath: not a JSON object")
+      var version = 1
+      var kept = 0L
+      var sawRefs = false
+      while (p.nextToken() == JsonToken.FIELD_NAME) {
+        p.currentName() match {
+          case "version" =>
+            p.nextToken(); version = p.getIntValue
+          case "refs" =>
+            require(p.nextToken() == JsonToken.START_OBJECT,
+              s"$jsonPath: 'refs' must be an object")
+            sawRefs = true
+            while (p.nextToken() == JsonToken.FIELD_NAME) {
+              val key = p.currentName()
+              val t = p.nextToken()
+              if (!keep(key)) { if (t.isStructStart) p.skipChildren() }
+              else {
+                emit(key, refFromTokens(p, key, t))
+                kept += 1
+              }
+            }
+          case _ =>
+            p.nextToken(); if (p.currentToken().isStructStart) p.skipChildren()
+        }
+      }
+      require(version == 1, s"unsupported kerchunk version $version")
+      require(sawRefs, s"$jsonPath: no 'refs' object (not a kerchunk document)")
+      kept
+    } finally p.close()
+  }
+
+  /** One ref value from the token stream (cursor ON the value token). */
+  private def refFromTokens(p: com.fasterxml.jackson.core.JsonParser,
+                            key: String,
+                            t: com.fasterxml.jackson.core.JsonToken): Ref = {
+    import com.fasterxml.jackson.core.JsonToken
+    t match {
+      case JsonToken.VALUE_STRING =>
+        val s = p.getText
+        val bytes =
+          if (s.startsWith("base64:"))
+            java.util.Base64.getDecoder.decode(s.stripPrefix("base64:"))
+          else s.getBytes("UTF-8")
+        Ref(null, 0L, 0L, bytes)
+      case JsonToken.START_ARRAY =>
+        val parts = scala.collection.mutable.ArrayBuffer.empty[Any]
+        var tok = p.nextToken()
+        while (tok != JsonToken.END_ARRAY) {
+          parts += (tok match {
+            case JsonToken.VALUE_STRING => p.getText
+            case JsonToken.VALUE_NUMBER_INT | JsonToken.VALUE_NUMBER_FLOAT =>
+              p.getLongValue
+            case other => throw new IllegalArgumentException(
+              s"ref '$key': unsupported array element $other")
+          })
+          tok = p.nextToken()
+        }
+        require(parts.nonEmpty && parts.length <= 3,
+          s"ref '$key': expected [url(, offset(, length))]")
+        val url = parts.head.asInstanceOf[String]
+        require(!url.contains("{{"),
+          s"ref '$key': URL templates are out of scope")
+        Ref(url,
+          if (parts.length > 1) parts(1).asInstanceOf[Long] else 0L,
+          if (parts.length > 2) parts(2).asInstanceOf[Long] else -1L, null)
+      case other => throw new IllegalArgumentException(
+        s"ref '$key': unsupported value token $other")
+    }
+  }
+
+  /** [[parse]] restricted to keys passing `keep`, via [[streamRefs]] —
+    * memory is O(kept), not O(document). */
+  def parseSelective(jsonPath: String, keep: String => Boolean): Refs = {
+    val b = Map.newBuilder[String, Ref]
+    streamRefs(jsonPath, keep)((k, r) => b += k -> r)
+    Refs(b.result())
+  }
+
   /** Fetch a ref's payload. Runs in the chunk task for data keys. The
     * positioned range read goes through [[ByteStore.readRange]], so refs
     * may point at local files (file:// or bare paths) OR at object-store
@@ -196,6 +291,126 @@ object KerchunkSource {
         ZarrSource.decodeChunk(fetch(bcRefs.value(k), bs), za)
       else Array.fill(za.chunkElems)(za.cfDecode(za.fillValue))
     })
+  }
+
+  /** [[readCube]] for reference sets too large for one in-memory map.
+    *
+    * Driver memory is O(metadata + coordinates), never O(chunk refs)
+    * (the reference's lazy-reference contract, `store/ref/store.py:49-53`):
+    *
+    *  - pass 1 streams only the `.z*` metadata keys (O(#arrays));
+    *  - pass 2 streams only the dimension variables' own chunk refs
+    *    (1-D coordinates — driver-sized by definition);
+    *  - pass 3 streams the data variable's chunk refs straight into a
+    *    spilled parquet table in `spillBatch`-bounded batches.
+    *
+    * Assembly is then fully relational: the chunk grid is enumerated with
+    * `spark.range`, LEFT-joined to the spilled ref table (missing chunk →
+    * fill value, identical to [[readCube]]), and each task fetches and
+    * decodes only its own partition's refs — nothing is broadcast, so at
+    * 10^8 refs the ref set is just another distributed table and the
+    * chunk fetches scale out with the cluster. The spill directory lives
+    * under java.io.tmpdir for the lifetime of the returned plan.
+    */
+  def readCubeLazy(spark: SparkSession, refsJsonPath: String, varName: String,
+                   spillBatch: Int = 200000): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.functions.{col, concat_ws, lit}
+    import org.apache.spark.sql.types._
+    def isMeta(k: String): Boolean =
+      k.substring(k.lastIndexOf('/') + 1).startsWith(".z")
+    val meta = parseSelective(refsJsonPath, isMeta)
+    val za = openArray(meta, varName)
+    val coordVars = za.dims.filter(d => meta.contains(s"$d/.zarray"))
+    val coordRefs =
+      if (coordVars.isEmpty) meta
+      else {
+        val prefixes = coordVars.map(_ + "/")
+        Refs(meta.entries ++ parseSelective(refsJsonPath,
+          k => !isMeta(k) && prefixes.exists(k.startsWith)).entries)
+      }
+    val coords: Seq[Array[Double]] = za.dims.zipWithIndex.map { case (dim, k) =>
+      if (meta.contains(s"$dim/.zarray")) {
+        val cza = openArray(meta, dim)
+        require(cza.shape == Seq(za.shape(k)),
+          s"refs:$dim: coordinate shape ${cza.shape} != dim size ${za.shape(k)}")
+        readAll(coordRefs, dim, cza)
+      } else Array.tabulate(za.shape(k))(_.toDouble)
+    }
+    // pass 3: chunk refs → spilled parquet, driver holds ≤ spillBatch rows
+    val spillSchema = StructType(Seq(
+      StructField("key", StringType, nullable = false),
+      StructField("url", StringType, nullable = true),
+      StructField("offset", LongType, nullable = false),
+      StructField("length", LongType, nullable = false),
+      StructField("inline", BinaryType, nullable = true)))
+    val spillDir = java.nio.file.Files.createTempDirectory("kerchunk-spill-")
+    spillDir.toFile.deleteOnExit()
+    val prefix = s"$varName/"
+    val buf = new java.util.ArrayList[Row](spillBatch)
+    def flush(): Unit = if (!buf.isEmpty) {
+      spark.createDataFrame(buf, spillSchema)
+        .write.mode("append").parquet(spillDir.toString)
+      buf.clear()
+    }
+    val kept = streamRefs(refsJsonPath,
+      k => k.startsWith(prefix) && !isMeta(k)) { (k, r) =>
+      buf.add(Row(k.stripPrefix(prefix), r.url, r.offset, r.length, r.inline))
+      if (buf.size >= spillBatch) flush()
+    }
+    flush()
+    val refsDf =
+      if (kept == 0L)
+        spark.createDataFrame(new java.util.ArrayList[Row](), spillSchema)
+      else spark.read.schema(spillSchema).parquet(spillDir.toString)
+    // relational assembly: enumerate the chunk grid, left-join the refs
+    val grid = za.chunkGrid
+    val nChunks = grid.map(_.toLong).product
+    val strides = grid.scanRight(1L)((g, acc) => g * acc).tail
+    val keyCol = concat_ws(za.separator,
+      grid.indices.map(k =>
+        ((col("id") / lit(strides(k))).cast("long") % lit(grid(k).toLong))
+          .cast("string")): _*)
+    val keysDf = spark.range(nChunks).select(keyCol.as("key"))
+    val joined = keysDf.join(refsDf, Seq("key"), "left")
+    val bcCoords = spark.sparkContext.broadcast(coords)
+    val bs = ByteStore.current // driver-captured VALUE, travels with tasks
+    val sep = za.separator
+    val rank = za.shape.length
+    val outSchema = StructType(
+      za.dims.map(StructField(_, DoubleType)) :+
+        StructField(varName, DoubleType))
+    val zaB = za
+    val rdd = joined.rdd.mapPartitions { it =>
+      it.flatMap { row =>
+        val key = row.getString(0)
+          .split(java.util.regex.Pattern.quote(sep)).map(_.toInt).toSeq
+        val url = row.getAs[String]("url")
+        val inline = row.getAs[Array[Byte]]("inline")
+        val data =
+          if (url == null && inline == null)
+            Array.fill(zaB.chunkElems)(zaB.cfDecode(zaB.fillValue))
+          else ZarrSource.decodeChunk(
+            fetch(Ref(url, row.getAs[Long]("offset"),
+              row.getAs[Long]("length"), inline), bs), zaB)
+        val rows = Seq.newBuilder[Row]
+        ZarrSource.foreachCell(zaB, key) { (flat, global) =>
+          val vals = new Array[Any](rank + 1)
+          var rem = global
+          var k = rank - 1
+          while (k >= 0) {
+            val g = (rem % zaB.shape(k)).toInt
+            rem /= zaB.shape(k)
+            vals(k) = bcCoords.value(k)(g)
+            k -= 1
+          }
+          vals(rank) = data(flat)
+          rows += Row.fromSeq(vals.toIndexedSeq)
+        }
+        rows.result()
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
   }
 
   // ------------------------------------------------------------- scanners

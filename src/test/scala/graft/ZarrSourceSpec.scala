@@ -699,6 +699,81 @@ class ZarrSourceSpec extends AnyFunSuite {
     assert(e.getMessage.contains("differs"))
   }
 
+  test("kerchunk lazy: bounded streaming passes; fill semantics; 1M-ref sibling skipped") {
+    import graft.sources.KerchunkSource
+    val dir = tmpDir("kclazy")
+    val inline = ByteBuffer.allocate(8).order(ByteOrder.BIG_ENDIAN)
+    inline.putFloat(1.5f); inline.putFloat(2.5f)
+    val b64 = java.util.Base64.getEncoder.encodeToString(inline.array())
+    val zarraySmall = """{"zarr_format":2,"shape":[3,2],"chunks":[1,2],""" +
+      """"dtype":">f4","compressor":null,"fill_value":-9.0,""" +
+      """"filters":null,"order":"C"}"""
+    val zarrayBig = """{"zarr_format":2,"shape":[1000000],"chunks":[1],""" +
+      """"dtype":">f4","compressor":null,"fill_value":0.0,""" +
+      """"filters":null,"order":"C"}"""
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val refsPath = s"$dir/refs.json"
+    // 10^6-ref document written streamingly (~40 MB) — the lazy read path
+    // must open `small` without ever materializing `big`'s refs
+    val w = Files.newBufferedWriter(Paths.get(refsPath))
+    w.write("""{"version": 1, "refs": {""")
+    w.write(""" ".zgroup": "{\"zarr_format\":2}",""")
+    w.write(s""" "small/.zarray": ${m.writeValueAsString(zarraySmall)},""")
+    w.write(s""" "small/0.0": "base64:$b64",""")
+    w.write(s""" "small/2.0": "base64:$b64",""")
+    w.write(s""" "big/.zarray": ${m.writeValueAsString(zarrayBig)}""")
+    var i = 0
+    while (i < 1000000) {
+      w.write(s""", "big/$i": ["file:///nope", $i, 4]"""); i += 1
+    }
+    w.write("}}")
+    w.close()
+    // metadata pass keeps exactly the .z* keys — O(#arrays), not O(refs)
+    val meta = KerchunkSource.parseSelective(refsPath,
+      k => k.substring(k.lastIndexOf('/') + 1).startsWith(".z"))
+    assert(meta.entries.size == 3, meta.entries.keys)
+    // selective stream of small's chunk refs sees 2 entries, none of big's
+    var streamed = 0L
+    streamed = KerchunkSource.streamRefs(refsPath,
+      k => k.startsWith("small/") && !k.contains("/.z"))((_, _) => ())
+    assert(streamed == 2L)
+    // lazy read: inline chunks decode, the missing chunk fills
+    val back = KerchunkSource.readCubeLazy(spark, refsPath, "small").collect()
+      .map(r => (r.getDouble(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    assert(back == Map(
+      (0.0, 0.0) -> 1.5, (0.0, 1.0) -> 2.5,
+      (1.0, 0.0) -> -9.0, (1.0, 1.0) -> -9.0,
+      (2.0, 0.0) -> 1.5, (2.0, 1.0) -> 2.5))
+    // spillBatch=1 forces a flush per ref — multi-batch spilling is lossless
+    assert(KerchunkSource.readCubeLazy(spark, refsPath, "small",
+      spillBatch = 1).count() == 6)
+  }
+
+  test("kerchunk lazy: readCubeLazy equals readCube on a scanned real group") {
+    import spark.implicits._
+    import graft.sources.KerchunkSource
+    val ys = Array(10.0, 20.0, 30.0)
+    val xs = Array(0.5, 1.5, 2.5, 3.5, 4.5)
+    val rows = for {
+      (y, j) <- ys.zipWithIndex.toSeq
+      (x, i) <- xs.zipWithIndex
+      if !(j == 1 && i == 3)
+    } yield (y, x, j * 10.0 + i)
+    val g = s"${tmpDir("kclz2")}/cube.zarr"
+    ZarrSource.writeCube(rows.toDF("y", "x", "v"), g, "v",
+      Seq("y" -> ys, "x" -> xs), chunks = Seq(2, 2))
+    val refsPath = s"${tmpDir("kclr2")}/refs.json"
+    Files.writeString(Paths.get(refsPath), KerchunkSource.scanZarr(g))
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getDouble(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    val eager = asMap(KerchunkSource.readCube(spark, refsPath, "v"))
+    val lazyM = asMap(KerchunkSource.readCubeLazy(spark, refsPath, "v"))
+    assert(eager.size == 15 && lazyM.size == 15)
+    eager.foreach { case (k, v) =>
+      assert(v.isNaN == lazyM(k).isNaN && (v.isNaN || v == lazyM(k)), s"at $k")
+    }
+  }
+
   test("kerchunk: inline base64 chunks, bare [url] refs, missing key = fill") {
     import graft.sources.KerchunkSource
     val dir = tmpDir("kci")
