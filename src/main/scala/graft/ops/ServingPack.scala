@@ -766,6 +766,42 @@ object ServingPack extends QueryPack {
           sum(col("w")).cast("long").as("n_events"))
     }),
 
+    // the connector's WRITE half: the same multi-variable daily cube as
+    // q_zarr_multivar goes through df.write.format("zarr") (the V1 write
+    // bridge routing into writeCubeVars' one-shuffle one-object-per-chunk
+    // layout) and comes back through spark.read.format("zarr") — same
+    // oracle, so a chunk lost or cross-wired anywhere in the relational
+    // round trip flips the hash. Written fresh each run: the round trip
+    // IS the measured operation.
+    "q_zarr_dsv2_write" -> ((s, d) => {
+      val days = Seq("2024-01-01", "2024-01-02")
+      val sfName = new java.io.File(d).getName
+      val group = s"/root/repo/.graft-fixtures/zarr_dsv2w_$sfName/cube.zarr"
+      val df = CubePack.eventsCube(s, d).df
+        .filter(to_date(col("time")) === lit(days(0)).cast("date") ||
+                to_date(col("time")) === lit(days(1)).cast("date"))
+        .groupBy(to_date(col("time")).cast("string").as("day"),
+          floor(col("y")).cast("int").as("j"),
+          floor(col("x")).cast("int").as("i"))
+        .agg(round(sum(col("v").cast("decimal(28,12)")).cast("double") /
+          count(lit(1)), 6).as("v"),
+          count(lit(1)).cast("double").as("w"))
+        .select(
+          when(col("day") === days(0), 0.0).otherwise(1.0).as("t"),
+          (col("j").cast("double") + 0.5).as("y"),
+          (col("i").cast("double") + 0.5).as("x"),
+          col("v"), col("w"))
+      df.write.format("zarr").option("dims", "t,y,x")
+        .option("chunks", "1,50,90").mode("overwrite").save(group)
+      s.read.format("zarr").load(group)
+        .filter(!isnan(col("v")) && !isnan(col("w")))
+        .groupBy(col("t").cast("long").as("day_idx"))
+        .agg(count(lit(1)).as("n_cells"),
+          round(sum(col("v").cast("decimal(28,10)")), 6)
+            .cast("double").as("sum_v"),
+          sum(col("w")).cast("long").as("n_events"))
+    }),
+
     // The SAME cube written as a Zarr group of OBJECTS in the in-JVM S3
     // bucket (chunk-per-task writes PUT objects, the read path GETs them
     // through the consolidated metadata) — the reference's cloud-native
@@ -1813,6 +1849,21 @@ object ServingPack extends QueryPack {
                 round(sum(v::DECIMAL(28,10)), 6)::DOUBLE AS sum_v
          FROM daily GROUP BY day_idx""",
     "q_zarr_multivar" ->
+      s"""WITH ${CubePack.cubeCte},
+         daily AS (SELECT CASE WHEN CAST(time AS DATE) = DATE '2024-01-01'
+                               THEN 0 ELSE 1 END AS day_idx,
+                          floor(y)::BIGINT AS j, floor(x)::BIGINT AS i,
+                          round(sum(v::DECIMAL(28,12))::DOUBLE / count(*), 6) AS v,
+                          count(*) AS w
+                   FROM cube
+                   WHERE CAST(time AS DATE) = DATE '2024-01-01'
+                      OR CAST(time AS DATE) = DATE '2024-01-02'
+                   GROUP BY day_idx, j, i)
+         SELECT day_idx::BIGINT AS day_idx, count(*) AS n_cells,
+                round(sum(v::DECIMAL(28,10)), 6)::DOUBLE AS sum_v,
+                sum(w)::BIGINT AS n_events
+         FROM daily GROUP BY day_idx""",
+    "q_zarr_dsv2_write" ->
       s"""WITH ${CubePack.cubeCte},
          daily AS (SELECT CASE WHEN CAST(time AS DATE) = DATE '2024-01-01'
                                THEN 0 ELSE 1 END AS day_idx,

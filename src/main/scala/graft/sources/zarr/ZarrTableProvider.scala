@@ -4,6 +4,7 @@ import graft.sources.{ByteStore, KerchunkSource, ZarrSource, ZarrV3Source}
 import graft.sources.KerchunkSource.{Ref, Refs}
 import graft.sources.ZarrSource.ZarrArray
 
+import org.apache.spark.sql.{DataFrame, SQLContext, SaveMode}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
@@ -16,7 +17,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import java.util.{Map => JMap}
 import scala.jdk.CollectionConverters._
 
-/** DataSourceV2 Zarr connector — `spark.read.format("zarr").load(group)`:
+/** DataSourceV2 Zarr connector — `spark.read.format("zarr").load(group)`
+  * and `df.write.format("zarr").option("dims", "t,y,x").save(group)`:
   * the relational face of [[ZarrSource]], with the two scan optimizations
   * the DataFrame read path cannot express over a hand-built RDD:
   *
@@ -44,7 +46,8 @@ import scala.jdk.CollectionConverters._
   * goes through a [[ByteStore]] VALUE captured at planning time, so the
   * same scan reads local paths, object-store URLs, and http(s) archives.
   */
-final class ZarrTableProvider extends TableProvider with DataSourceRegister {
+final class ZarrTableProvider extends TableProvider with DataSourceRegister
+    with CreatableRelationProvider {
 
   // Spark calls inferSchema then getTable on the SAME provider instance;
   // without this cache every spark.read.format("zarr").load() would read
@@ -53,23 +56,134 @@ final class ZarrTableProvider extends TableProvider with DataSourceRegister {
   private val metaCache =
     new java.util.concurrent.ConcurrentHashMap[String, ZarrGroupMeta]()
 
-  private def metaFor(options: CaseInsensitiveStringMap): ZarrGroupMeta = {
-    val groupDir = Option(options.get("path")).getOrElse(
-      throw new IllegalArgumentException("zarr reader needs a path option " +
-        "(spark.read.format(\"zarr\").load(groupDir))"))
-    metaCache.computeIfAbsent(groupDir, ZarrTable.open)
+  private def pathOf(options: CaseInsensitiveStringMap): String =
+    Option(options.get("path")).getOrElse(
+      throw new IllegalArgumentException("zarr needs a path option " +
+        "(spark.read.format(\"zarr\").load(groupDir) / .save(groupDir))"))
+
+  /** None when no group exists at the path (a write target). */
+  private def metaFor(options: CaseInsensitiveStringMap): Option[ZarrGroupMeta] = {
+    val groupDir = pathOf(options)
+    if (!ZarrTableProvider.groupExists(groupDir)) None
+    else Some(metaCache.computeIfAbsent(groupDir, ZarrTable.open))
   }
 
   override def shortName(): String = "zarr"
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    ZarrTable.schemaFor(metaFor(options))
+    metaFor(options).map(ZarrTable.schemaFor).getOrElse(new StructType())
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-                        properties: JMap[String, String]): Table =
-    ZarrTable(metaFor(new CaseInsensitiveStringMap(properties)))
+                        properties: JMap[String, String]): Table = {
+    val options = new CaseInsensitiveStringMap(properties)
+    metaFor(options).map(ZarrTable(_))
+      .getOrElse(NoSuchZarrGroup(pathOf(options)))
+  }
 
   override def supportsExternalMetadata(): Boolean = false
+
+  /** The write half of the connector, via Spark's V1 write bridge: the
+    * table deliberately does not declare BATCH_WRITE, so
+    * `df.write.format("zarr").save(dir)` falls back to this
+    * [[CreatableRelationProvider]]. That bridge — not a V2 BatchWrite —
+    * is the right hook here because assigning a row to its chunk is a
+    * data-dependent coordinate lookup that V2 distribution contracts
+    * cannot express, while the bridge hands over the whole DataFrame and
+    * lets [[ZarrSource.writeCubeVars]] own its proven one-shuffle,
+    * one-object-per-chunk layout (every variable of a chunk written by
+    * the task that owns the chunk).
+    *
+    * Options: `dims` (required, ordered dimension columns, e.g.
+    * "t,y,x"); `chunks` (per-dim extents, default one chunk per dim).
+    * Every non-dim column becomes a data variable; everything is cast to
+    * double (the cube cell contract). Coordinates are the sorted
+    * distinct dim values (driver-sized, like every cube writer here).
+    * Modes: Overwrite replaces the group; ErrorIfExists/Ignore behave as
+    * named; Append on an existing group is slice surgery and points the
+    * caller at [[graft.operators.TimeSliceOps]] instead of guessing.
+    */
+  override def createRelation(sqlContext: SQLContext, mode: SaveMode,
+                              parameters: Map[String, String],
+                              data: DataFrame): BaseRelation = {
+    import org.apache.spark.sql.functions.col
+    val groupDir = parameters.getOrElse("path",
+      throw new IllegalArgumentException(
+        "zarr write needs a path (.save(groupDir))"))
+    val exists = ZarrTableProvider.groupExists(groupDir)
+    val proceed = mode match {
+      case SaveMode.ErrorIfExists if exists =>
+        throw new IllegalArgumentException(
+          s"$groupDir: zarr group already exists (SaveMode.ErrorIfExists); " +
+            "use mode(\"overwrite\")")
+      case SaveMode.Ignore if exists => false
+      case SaveMode.Append if exists =>
+        throw new IllegalArgumentException(
+          s"$groupDir: appending to an existing group is slice surgery — " +
+            "use ZarrSource.appendCube / TimeSliceOps for dimension-aware " +
+            "appends; df.write supports overwrite of whole groups")
+      case _ => true
+    }
+    if (proceed) {
+      val dimNames = parameters.get("dims")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(throw new IllegalArgumentException(
+          "zarr write needs .option(\"dims\", \"t,y,x\") naming the " +
+            "dimension columns in order"))
+      val missing = dimNames.filterNot(data.columns.contains)
+      require(missing.isEmpty,
+        s"dims ${missing.mkString(", ")} not in ${data.columns.mkString(", ")}")
+      val varNames = data.columns.filterNot(dimNames.contains).toSeq
+      require(varNames.nonEmpty,
+        s"$groupDir: no data variable columns besides dims " +
+          dimNames.mkString(", "))
+      val dims: Seq[(String, Array[Double])] = dimNames.map { d =>
+        d -> data.select(col(d).cast("double").as(d))
+          .distinct().sort(col(d)).collect().map(_.getDouble(0))
+      }
+      val chunks = parameters.get("chunks")
+        .map(_.split(",").map(_.trim.toInt).toSeq)
+        .getOrElse(dims.map(_._2.length))
+      require(chunks.length == dimNames.length && chunks.forall(_ > 0),
+        s"chunks must list one positive extent per dim (${dimNames.length})")
+      if (exists) { // Overwrite: drop stale objects of the old grid first
+        val bs = ByteStore.current
+        bs.walkFiles(groupDir).foreach(rel => bs.delete(s"$groupDir/$rel"))
+      }
+      val casted = data.select(
+        (dimNames ++ varNames).map(c => col(c).cast("double").as(c)): _*)
+      ZarrSource.writeCubeVars(casted, groupDir, varNames, dims, chunks)
+    }
+    val written = ZarrTable.open(groupDir)
+    val ctx = sqlContext
+    new BaseRelation {
+      override def sqlContext: SQLContext = ctx
+      override val schema: StructType = ZarrTable.schemaFor(written)
+    }
+  }
+}
+
+object ZarrTableProvider {
+  private[zarr] def groupExists(groupDir: String): Boolean = {
+    val bs = ByteStore.current
+    bs.exists(s"$groupDir/.zgroup") || bs.exists(s"$groupDir/.zmetadata") ||
+      bs.exists(s"$groupDir/zarr.json")
+  }
+}
+
+/** Placeholder table for a path with no group yet: schema is empty and
+  * any scan attempt says exactly what is wrong. Spark's save() path asks
+  * for the table first — returning this (with no BATCH_WRITE capability)
+  * routes the write to the V1 bridge above. */
+final case class NoSuchZarrGroup(groupDir: String) extends Table with SupportsRead {
+  override def name(): String = groupDir
+  override def schema(): StructType = new StructType()
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    throw new IllegalArgumentException(
+      s"$groupDir: no zarr group here (no .zgroup/.zmetadata/zarr.json); " +
+        "to create one, df.write.format(\"zarr\").option(\"dims\", ...)" +
+        ".save(path)")
 }
 
 /** Planning-time view of one group: the shared grid array metadata, the

@@ -192,6 +192,61 @@ class ZarrDsv2Spec extends AnyFunSuite {
       s"read resolution cost $resolved requests vs $oneOpen for one open")
   }
 
+  test("df.write.format(zarr) round-trips through the connector") {
+    import spark.implicits._
+    val t = Array(0.0, 1.0)
+    val y = Array(10.0, 20.0, 30.0)
+    val x = Array(0.5, 1.5, 2.5, 3.5)
+    val df = (for { ti <- t; yi <- y; xi <- x } yield
+      (ti, yi, xi, ti * 100 + yi + xi, ti + yi * xi))
+      .toSeq.toDF("t", "y", "x", "v", "w")
+    val g = s"${tmpDir("dsv2w")}/written.zarr"
+    df.write.format("zarr").option("dims", "t,y,x")
+      .option("chunks", "1,2,3").save(g)
+    // the written group is a real consolidated v2 group the RDD reader opens
+    val direct = ZarrSource.readCubeVars(spark, g, Seq("v", "w"))
+    assert(direct.count() === 24)
+    // and the connector reads it back with the chunking we asked for:
+    // grid (2,2,2) -> 8 chunk tasks
+    val back = spark.read.format("zarr").load(g)
+    assert(back.columns.toSeq == Seq("t", "y", "x", "v", "w"))
+    assert(back.rdd.getNumPartitions === 8)
+    val a = back.agg(round(sum(col("v") * 3 + col("w")), 6)).head.getDouble(0)
+    val b = df.agg(round(sum(col("v") * 3 + col("w")), 6)).head.getDouble(0)
+    assert(a === b)
+  }
+
+  test("write modes: ErrorIfExists loud, Ignore no-op, Overwrite clean, Append guided") {
+    import spark.implicits._
+    val df = Seq((0.0, 0.0, 1.0), (0.0, 1.0, 2.0), (1.0, 0.0, 3.0),
+      (1.0, 1.0, 4.0)).toDF("y", "x", "v")
+    val g = s"${tmpDir("dsv2m")}/modes.zarr"
+    df.write.format("zarr").option("dims", "y,x").save(g)
+    val e1 = intercept[Exception] {
+      df.write.format("zarr").option("dims", "y,x").save(g)
+    }
+    assert(e1.getMessage.contains("already exists"), e1.getMessage)
+    // Ignore: silently leaves the group as is
+    df.withColumn("v", col("v") * 10).write.format("zarr")
+      .option("dims", "y,x").mode("ignore").save(g)
+    assert(spark.read.format("zarr").load(g)
+      .agg(sum("v")).head.getDouble(0) === 10.0)
+    // Overwrite with a SMALLER grid: stale chunk objects must not survive
+    val df2 = Seq((0.0, 0.0, 7.0)).toDF("y", "x", "v")
+    df2.write.format("zarr").option("dims", "y,x").mode("overwrite").save(g)
+    val re = spark.read.format("zarr").load(g)
+    assert(re.count() === 1 && re.agg(sum("v")).head.getDouble(0) === 7.0)
+    val e2 = intercept[Exception] {
+      df.write.format("zarr").option("dims", "y,x").mode("append").save(g)
+    }
+    assert(e2.getMessage.contains("appendCube"), e2.getMessage)
+    // reading a path with no group says what is wrong
+    val e3 = intercept[Exception] {
+      spark.read.format("zarr").load(s"${tmpDir("dsv2n")}/none.zarr").count()
+    }
+    assert(e3.getMessage.contains("no zarr group"), e3.getMessage)
+  }
+
   test("the same scan opens an http-hosted archive, pruned the same way") {
     val g = writeFixture()
     ZarrSource.consolidateMetadata(g)
