@@ -197,6 +197,32 @@ object KerchunkSource {
     Refs(b.result())
   }
 
+  /** Planning-time bulk resolver for data-chunk refs — the DSv2 refs
+    * connector asks it for exactly the surviving chunks' keys after
+    * pruning, so the lazy implementation bounds driver memory by the
+    * QUERY's chunk count, not the archive's. */
+  sealed trait RefLookup extends Serializable {
+    def bulk(keys: Seq[String]): Map[String, Ref]
+  }
+
+  /** All refs already in memory (scanner-generated documents). */
+  final case class EagerRefLookup(refs: Refs) extends RefLookup {
+    override def bulk(keys: Seq[String]): Map[String, Ref] =
+      keys.iterator.flatMap(k => refs.entries.get(k).map(k -> _)).toMap
+  }
+
+  /** One streaming pass over the document per bulk call, keeping only the
+    * requested keys (the [[streamRefs]] contract — O(requested) memory,
+    * O(document) time once per query plan). */
+  final case class LazyRefLookup(jsonPath: String) extends RefLookup {
+    override def bulk(keys: Seq[String]): Map[String, Ref] = {
+      val want = keys.toSet
+      val b = Map.newBuilder[String, Ref]
+      streamRefs(jsonPath, want.contains)((k, r) => b += k -> r)
+      b.result()
+    }
+  }
+
   /** Fetch a ref's payload. Runs in the chunk task for data keys. The
     * positioned range read goes through [[ByteStore.readRange]], so refs
     * may point at local files (file:// or bare paths) OR at object-store

@@ -44,8 +44,11 @@ import java.util.{Map => JMap}
 abstract class RefsProviderBase(short: String)
     extends TableProvider with DataSourceRegister {
 
-  /** Turn the load path into a kerchunk refs document (driver, once). */
-  protected def refsFor(path: String): KerchunkSource.Refs
+  /** Turn the load path into the group meta (driver, once). Scanner-based
+    * providers produce a header-derived in-memory refs doc; the raw
+    * kerchunk provider overrides this with the LAZY opener so arbitrarily
+    * large reference documents plan with bounded driver memory. */
+  protected def openMeta(path: String): ZarrGroupMeta
 
   // one scan serves inferSchema AND getTable (same discipline as
   // ZarrTableProvider — never parse a granule header twice per read)
@@ -56,7 +59,7 @@ abstract class RefsProviderBase(short: String)
     val path = Option(options.get("path")).getOrElse(
       throw new IllegalArgumentException(s"$short reader needs a path " +
         s"option (spark.read.format(\"$short\").load(path))"))
-    metaCache.computeIfAbsent(path, p => ZarrTable.openRefs(refsFor(p), p))
+    metaCache.computeIfAbsent(path, openMeta)
   }
 
   override def shortName(): String = short
@@ -75,21 +78,28 @@ abstract class RefsProviderBase(short: String)
   * NetCDF-4/HDF5 are both handled (the scanner dispatches on the file's
   * own magic, like the RDD-path [[graft.sources.NetcdfSource.read]]). */
 final class NetcdfTableProvider extends RefsProviderBase("netcdf") {
-  override protected def refsFor(path: String): KerchunkSource.Refs =
-    KerchunkSource.parseJson(new com.fasterxml.jackson.databind.ObjectMapper()
-      .readTree(KerchunkSource.scanAuto(path)))
+  override protected def openMeta(path: String): ZarrGroupMeta =
+    ZarrTable.openRefs(KerchunkSource.parseJson(
+      new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(KerchunkSource.scanAuto(path))), path)
 }
 
 /** `format("geotiff")`: one GeoTIFF/COG (strips or tiles; none/deflate). */
 final class GeoTiffTableProvider extends RefsProviderBase("geotiff") {
-  override protected def refsFor(path: String): KerchunkSource.Refs =
-    KerchunkSource.parseJson(new com.fasterxml.jackson.databind.ObjectMapper()
-      .readTree(KerchunkSource.scanGeoTiff(path)))
+  override protected def openMeta(path: String): ZarrGroupMeta =
+    ZarrTable.openRefs(KerchunkSource.parseJson(
+      new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(KerchunkSource.scanGeoTiff(path))), path)
 }
 
 /** `format("kerchunk")`: a reference document (typically the
-  * [[KerchunkSource.combineRefs]] of a fleet scan over an archive). */
+  * [[KerchunkSource.combineRefs]] of a fleet scan over an archive).
+  * Opens LAZILY — metadata and coordinates stream in bounded passes and
+  * only the pruned query's surviving chunk refs are ever resolved, so a
+  * 10^8-ref combined archive plans with the driver memory of its own
+  * answer (the reference's large-reference-set contract,
+  * `store/ref/store.py:49-53`, fused with optimizer-driven pruning). */
 final class KerchunkTableProvider extends RefsProviderBase("kerchunk") {
-  override protected def refsFor(path: String): KerchunkSource.Refs =
-    KerchunkSource.parse(path)
+  override protected def openMeta(path: String): ZarrGroupMeta =
+    ZarrTable.openRefsLazy(path)
 }

@@ -201,7 +201,7 @@ final case class ZarrGroupMeta(groupDir: String, za: ZarrArray,
                                coords: Seq[Array[Double]],
                                store: ByteStore,
                                v3: Boolean = false,
-                               refs: Option[Refs] = None)
+                               refs: Option[KerchunkSource.RefLookup] = None)
 
 final case class ZarrTable(meta: ZarrGroupMeta) extends Table with SupportsRead {
   override def name(): String = meta.groupDir
@@ -256,14 +256,46 @@ object ZarrTable {
     require(names.nonEmpty, s"$label: no arrays in reference set")
     resolve(label, names, n => KerchunkSource.openArray(refs, n),
       (n, za) => KerchunkSource.readAll(refs, n, za),
-      ByteStore.current, v3 = false, refs = Some(refs))
+      ByteStore.current, v3 = false,
+      refs = Some(KerchunkSource.EagerRefLookup(refs)))
+  }
+
+  /** [[openRefs]] for reference DOCUMENTS too large for one in-memory
+    * map: metadata keys stream in one bounded pass, coordinate-variable
+    * chunk refs (1-D — driver-sized by definition) in a second, and the
+    * data-chunk refs are NEVER loaded here — the scan resolves exactly
+    * the surviving chunks' refs after pruning through a
+    * [[KerchunkSource.LazyRefLookup]] streaming pass. Driver memory is
+    * O(metadata + coords + surviving chunks), so a pruned query over a
+    * 10^8-ref archive plans with the memory of its own answer. */
+  def openRefsLazy(jsonPath: String): ZarrGroupMeta = {
+    def isMeta(k: String): Boolean =
+      k.substring(k.lastIndexOf('/') + 1).startsWith(".z")
+    val meta = KerchunkSource.parseSelective(jsonPath, isMeta)
+    val names = KerchunkSource.listArrays(meta)
+    require(names.nonEmpty, s"$jsonPath: no arrays in reference set")
+    // 1-D self-dimensioned arrays are the coordinate candidates; only
+    // their chunk refs are pulled into memory
+    val oneD = names.filter(n =>
+      KerchunkSource.openArray(meta, n).dims == Seq(n)).toSet
+    val coordRefs =
+      if (oneD.isEmpty) meta
+      else Refs(meta.entries ++ KerchunkSource.parseSelective(jsonPath, k =>
+        !isMeta(k) && {
+          val i = k.indexOf('/')
+          i > 0 && oneD.contains(k.substring(0, i))
+        }).entries)
+    resolve(jsonPath, names, n => KerchunkSource.openArray(meta, n),
+      (n, za) => KerchunkSource.readAll(coordRefs, n, za),
+      ByteStore.current, v3 = false,
+      refs = Some(KerchunkSource.LazyRefLookup(jsonPath)))
   }
 
   private def resolve(label: String, names: Seq[String],
                       openArray: String => ZarrArray,
                       readAll: (String, ZarrArray) => Array[Double],
                       store: ByteStore, v3: Boolean,
-                      refs: Option[Refs]): ZarrGroupMeta = {
+                      refs: Option[KerchunkSource.RefLookup]): ZarrGroupMeta = {
     val metas = names.map(n => n -> openArray(n)).toMap
     val lead = metas.values.maxBy(_.shape.length)
     require(lead.shape.length >= 1, s"$label: no data arrays")
@@ -362,18 +394,24 @@ final case class ZarrScan(meta: ZarrGroupMeta, filters: Array[Filter],
     val keys = keep.foldLeft(Seq(Seq.empty[Int])) { (acc, ks) =>
       acc.flatMap(p => ks.map(p :+ _))
     }
+    // virtual (kerchunk-backed) tables: resolve the SURVIVING chunks'
+    // refs in one bulk lookup at planning time, so each partition ships
+    // O(vars) refs, never the reference map — and through a lazy lookup
+    // (openRefsLazy) the driver only ever holds the refs this query's
+    // pruned chunk set actually needs
+    val resolved: Option[Map[String, Ref]] = meta.refs.map { lookup =>
+      lookup.bulk(for (key <- keys; v <- vars) yield
+        s"$v/${key.mkString(meta.varMeta(v).separator)}")
+    }
     keys.map { key =>
       val coordSlices = (0 until rank).map { k =>
         val s = key(k) * za.chunks(k)
         val e = math.min(s + za.chunks(k), za.shape(k))
         meta.coords(k).slice(s, e)
       }
-      // virtual (kerchunk-backed) tables: resolve THIS chunk's refs at
-      // planning time so the partition ships O(vars) refs, not the map
-      val chunkRefs = meta.refs.map { r =>
+      val chunkRefs = resolved.map { r =>
         vars.map { v =>
-          val vza = meta.varMeta(v)
-          r.entries.get(s"$v/${key.mkString(vza.separator)}")
+          r.get(s"$v/${key.mkString(meta.varMeta(v).separator)}")
         }
       }
       ZarrInputPartition(meta.groupDir, za, key, coordSlices,

@@ -137,4 +137,64 @@ class RefsDsv2Spec extends AnyFunSuite {
     assert(one.rdd.getNumPartitions === 1)
     assert(one.agg(sum("v")).head.getDouble(0) === 10.0 + 11.0 + 12.0)
   }
+
+  test("kerchunk DSv2 is lazy: a 1M-ref sibling never loads; bulk is keyed") {
+    val dir = tmpDir("krlazy")
+    // real small variable with inline chunks + a 10^6-ref sibling array
+    val inline = java.nio.ByteBuffer.allocate(8)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    inline.putFloat(1.5f); inline.putFloat(2.5f)
+    val b64 = java.util.Base64.getEncoder.encodeToString(inline.array())
+    val zarraySmall = """{"zarr_format":2,"shape":[3,2],"chunks":[1,2],""" +
+      """"dtype":">f4","compressor":null,"fill_value":-9.0,""" +
+      """"filters":null,"order":"C"}"""
+    val zattrsSmall = """{"_ARRAY_DIMENSIONS": ["t", "x"]}"""
+    val zarrayBig = """{"zarr_format":2,"shape":[1000000,2],"chunks":[1,2],""" +
+      """"dtype":">f4","compressor":null,"fill_value":0.0,""" +
+      """"filters":null,"order":"C"}"""
+    val zattrsBig = """{"_ARRAY_DIMENSIONS": ["b", "x"]}"""
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val refsPath = s"$dir/refs.json"
+    val w = Files.newBufferedWriter(java.nio.file.Paths.get(refsPath))
+    w.write("""{"version": 1, "refs": {""")
+    w.write(""" ".zgroup": "{\"zarr_format\":2}",""")
+    w.write(s""" "small/.zarray": ${m.writeValueAsString(zarraySmall)},""")
+    w.write(s""" "small/.zattrs": ${m.writeValueAsString(zattrsSmall)},""")
+    w.write(s""" "small/0.0": "base64:$b64",""")
+    w.write(s""" "small/1.0": "base64:$b64",""")
+    w.write(s""" "small/2.0": "base64:$b64",""")
+    w.write(s""" "big/.zarray": ${m.writeValueAsString(zarrayBig)},""")
+    w.write(s""" "big/.zattrs": ${m.writeValueAsString(zattrsBig)}""")
+    var i = 0
+    while (i < 1000000) {
+      w.write(s""", "big/$i.0": ["file:///nope", $i, 8]"""); i += 1
+    }
+    w.write("}}")
+    w.close()
+    // LazyRefLookup.bulk holds exactly what is asked for — the pruning
+    // contract that bounds planning memory by the query's chunk set
+    val got = KerchunkSource.LazyRefLookup(refsPath)
+      .bulk(Seq("small/0.0", "small/2.0", "small/9.9"))
+    assert(got.keySet == Set("small/0.0", "small/2.0"))
+    // ZarrTable.resolve picks the group whose grid is the HIGHEST-rank
+    // array: both are rank 2 here, so pin the table to `small` by pruning:
+    // opening lazily must not choke on the 10^6 sibling during metadata
+    val meta = graft.sources.zarr.ZarrTable.openRefsLazy(refsPath)
+    assert(meta.dataVars.nonEmpty)
+    // and a pruned scan over the combined fixture from the previous
+    // pattern: format("kerchunk") end-to-end through the lazy opener
+    val x = Array(0.0, 1.0, 2.0)
+    val docs = (0 until 3).map { g =>
+      val p = s"$dir/g$g.nc"
+      NetcdfSource.write(p, Seq(NcDim("x", 3)), Seq(("x", x)),
+        Seq(("v", Seq("x"), Array.tabulate(3)(i => g * 10.0 + i))))
+      KerchunkSource.scanNetcdf(p)
+    }
+    val combined = KerchunkSource.combineRefs(docs, "t", Array(0.0, 1.0, 2.0))
+    val cPath = s"$dir/combined.json"
+    Files.write(java.nio.file.Paths.get(cPath), combined.getBytes("UTF-8"))
+    val one = spark.read.format("kerchunk").load(cPath).filter(col("t") === 2.0)
+    assert(one.rdd.getNumPartitions === 1)
+    assert(one.agg(sum("v")).head.getDouble(0) === 20.0 + 21.0 + 22.0)
+  }
 }
