@@ -53,6 +53,43 @@ object PipelinePack extends QueryPack {
     p
   }
 
+  /** The q_simhash_hamming plan BEFORE its materialization boundary
+    * (finishAndUnpersist collapses the executed query to a
+    * LocalTableScan) — factored out so PlanAuditSpec can assert the REAL
+    * plan shape. Returns (result, the persisted signature table the
+    * caller must release once done).
+    */
+  private[graft] def simhashHammingPlan(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
+    // reused by both join sides + the block explode; persist (not
+    // localCheckpoint) keeps the lineage, so a lost executor recomputes
+    // the lost blocks instead of failing the query
+    val sh = TextOps.simhash(docs(s, d), "doc_id", "text")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val blocks = sh.withColumn("b", explode(sequence(lit(0), lit(3))))
+      .withColumn("blk", expr("substr(simhash, b * 8 + 1, 8)"))
+    val ok = blocks.join(
+      blocks.groupBy("b", "blk").agg(count(lit(1)).as("bn"))
+        .filter(col("bn") <= MaxBucket), Seq("b", "blk"))
+    val cand = ok
+      .select(col("b"), col("blk"), col("doc_id").as("doc_a"),
+        col("simhash").as("sh_a"))
+      .join(ok.select(col("b"), col("blk"), col("doc_id").as("doc_b"),
+        col("simhash").as("sh_b")), Seq("b", "blk"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "sh_a", "sh_b").distinct()
+    val res = cand
+      // codegen byte-wise compare (functions.HammingDist) — replaces the
+      // interpreted aggregate(zip_with(split,split)) HOF chain
+      .withColumn("hd",
+        graft.functions.HammingDist.col(col("sh_a"), col("sh_b")))
+      .filter(col("hd") <= 3)
+      .groupBy("hd")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("doc_a") * 7 + col("doc_b")).cast("long").as("pair_checksum"))
+    (res, sh)
+  }
+
   // LSH configuration: 8 permutations × 4 bands of 2 rows; buckets larger
   // than MaxBucket are dropped before pair enumeration (mirrored in the
   // DuckDB oracle, so the cap is part of the checked semantics)
@@ -1467,34 +1504,8 @@ object PipelinePack extends QueryPack {
     // equi-join (bucket-capped, the LSH discipline) and the exact integer
     // hamming count runs on candidates only — never all pairs.
     "q_simhash_hamming" -> ((s, d) => {
-      // reused by both join sides + the block explode; persist (not
-      // localCheckpoint) keeps the lineage, so a lost executor recomputes
-      // the lost blocks instead of failing the query
-      val sh = TextOps.simhash(docs(s, d), "doc_id", "text")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val blocks = sh.withColumn("b", explode(sequence(lit(0), lit(3))))
-        .withColumn("blk", expr("substr(simhash, b * 8 + 1, 8)"))
-      val ok = blocks.join(
-        blocks.groupBy("b", "blk").agg(count(lit(1)).as("bn"))
-          .filter(col("bn") <= MaxBucket), Seq("b", "blk"))
-      val cand = ok
-        .select(col("b"), col("blk"), col("doc_id").as("doc_a"),
-          col("simhash").as("sh_a"))
-        .join(ok.select(col("b"), col("blk"), col("doc_id").as("doc_b"),
-          col("simhash").as("sh_b")), Seq("b", "blk"))
-        .filter(col("doc_a") < col("doc_b"))
-        .select("doc_a", "doc_b", "sh_a", "sh_b").distinct()
-      finishAndUnpersist(
-        cand
-          // codegen byte-wise compare (functions.HammingDist) — replaces the
-          // interpreted aggregate(zip_with(split,split)) HOF chain
-          .withColumn("hd",
-            graft.functions.HammingDist.col(col("sh_a"), col("sh_b")))
-          .filter(col("hd") <= 3)
-          .groupBy("hd")
-          .agg(count(lit(1)).as("n_pairs"),
-            sum(col("doc_a") * 7 + col("doc_b")).cast("long").as("pair_checksum")),
-        sh)
+      val (res, sh) = simhashHammingPlan(s, d)
+      finishAndUnpersist(res, sh)
     }),
 
     // PMI collocations (pointwise mutual information over adjacent

@@ -766,6 +766,43 @@ object ServingPack extends QueryPack {
           sum(col("w")).cast("long").as("n_events"))
     }),
 
+    // the STREAMING source twin of q_zarr (spark.readStream.format("zarr")
+    // — the relational form of the reference's dataset polling): the
+    // group starts with day 1, a micro-batch drains it, day 2 is appended
+    // IN PLACE, and a restarted query on the same checkpoint emits only
+    // the new slice. The parquet sink then holds exactly the whole cube —
+    // a replayed or skipped slice flips n_cells and the hash.
+    "q_zarr_stream_read" -> ((s, d) => {
+      val days = Seq("2024-01-01", "2024-01-02")
+      val tmp = java.nio.file.Files.createTempDirectory("zstreamread").toString
+      val group = s"$tmp/cube.zarr"
+      val sink = s"$tmp/sink"
+      val ckpt = s"$tmp/ckpt"
+      val both = dailyCubeDf(s, d, days)
+      ZarrSource.writeCube(both.filter(col("t") === 0.0), group, "v",
+        Seq("t" -> Array(0.0)) ++ cubeDims.tail, chunks = Seq(1, 50, 90))
+      def drain(): Unit = {
+        val q = s.readStream.format("zarr").load(group)
+          .writeStream.format("parquet").option("path", sink)
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      drain() // day 1
+      ZarrSource.appendCube(both.filter(col("t") === 1.0), group, "v",
+        Array(1.0))
+      drain() // only the appended day
+      s.read.parquet(sink)
+        .filter(!isnan(col("v")))
+        .groupBy(col("t").cast("long").as("day_idx"))
+        .agg(count(lit(1)).as("n_cells"),
+          round(sum((col("y") + col("x")).cast("decimal(28,10)")), 6)
+            .cast("double").as("sum_coord"),
+          round(sum(col("v").cast("decimal(28,10)")), 6)
+            .cast("double").as("sum_v"))
+    }),
+
     // the connector's WRITE half: the same multi-variable daily cube as
     // q_zarr_multivar goes through df.write.format("zarr") (the V1 write
     // bridge routing into writeCubeVars' one-shuffle one-object-per-chunk
@@ -1835,6 +1872,20 @@ object ServingPack extends QueryPack {
                 round(sum(v::DECIMAL(28,10)), 6)::DOUBLE
          FROM daily WHERE (99 - j) % 4 = 0 AND i % 4 = 0 HAVING count(*) > 0""",
     "q_zarr" ->
+      s"""WITH ${CubePack.cubeCte},
+         daily AS (SELECT CASE WHEN CAST(time AS DATE) = DATE '2024-01-01'
+                               THEN 0 ELSE 1 END AS day_idx,
+                          floor(y)::BIGINT AS j, floor(x)::BIGINT AS i,
+                          round(sum(v::DECIMAL(28,12))::DOUBLE / count(*), 6) AS v
+                   FROM cube
+                   WHERE CAST(time AS DATE) = DATE '2024-01-01'
+                      OR CAST(time AS DATE) = DATE '2024-01-02'
+                   GROUP BY day_idx, j, i)
+         SELECT day_idx::BIGINT AS day_idx, count(*) AS n_cells,
+                round(sum(((j + 0.5) + (i + 0.5))::DECIMAL(28,10)), 6)::DOUBLE AS sum_coord,
+                round(sum(v::DECIMAL(28,10)), 6)::DOUBLE AS sum_v
+         FROM daily GROUP BY day_idx""",
+    "q_zarr_stream_read" ->
       s"""WITH ${CubePack.cubeCte},
          daily AS (SELECT CASE WHEN CAST(time AS DATE) = DATE '2024-01-01'
                                THEN 0 ELSE 1 END AS day_idx,

@@ -1,0 +1,79 @@
+package graft.sources.zarr
+
+import graft.sources.ZarrSource
+
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.sources.Filter
+import org.apache.spark.sql.types.StructType
+
+/** Offset = how many leading-dimension slices of the group exist. Zarr
+  * append-streams grow dim 0 ([[ZarrSource.appendCube]] extends the time
+  * dimension in place and rewrites `.zarray` shape), so "new data" is
+  * exactly the slice index range [committed, current). */
+final case class ZarrOffset(n: Long) extends Offset {
+  override def json(): String = n.toString
+}
+
+/** `spark.readStream.format("zarr").load(group)` — the streaming READ
+  * half of the connector, the relational form of the reference's dataset
+  * polling (`webapi` auto-reload / `server/helpers.py` observers): each
+  * micro-batch emits the time slices appended to the group since the last
+  * committed offset, as ordinary rows.
+  *
+  * Contract and scale shape:
+  *  - `latestOffset` is one metadata read (the lead variable's `.zarray`
+  *    shape[0]) per poll — no listing, no payload IO;
+  *  - `planInputPartitions(start, end)` RE-OPENS the group (metadata +
+  *    driver-sized coordinates, which grew with the append) and plans one
+  *    task per chunk intersecting the new slice range; a boundary chunk
+  *    shared with already-emitted slices is re-read but its rows are
+  *    range-filtered in the reader, so emission is exactly-once per slice;
+  *  - pushed dimension predicates prune the non-streaming dims exactly as
+  *    in the batch scan;
+  *  - recovery is Spark's own checkpoint/offset machinery — the offset is
+  *    a plain slice count, so a restarted query resumes where it stopped
+  *    regardless of how much the group grew meanwhile.
+  *
+  * v2 local/object/http groups only: v3 and refs-backed (kerchunk) tables
+  * reject loudly — append-in-place is a v2 store operation here.
+  */
+final class ZarrMicroBatchStream(meta: ZarrGroupMeta, filters: Array[Filter],
+                                 required: StructType)
+    extends MicroBatchStream {
+
+  require(!meta.v3 && meta.refs.isEmpty,
+    s"${meta.groupDir}: streaming zarr reads support v2 groups only " +
+      "(v3/kerchunk-backed tables are batch sources)")
+
+  private def currentSlices(): Long = {
+    // fresh metadata, one read: the lead data variable's dim-0 extent
+    val za = ZarrSource.openArray(s"${meta.groupDir}/${meta.dataVars.head}")
+    za.shape.head.toLong
+  }
+
+  override def initialOffset(): Offset = ZarrOffset(0L)
+  override def latestOffset(): Offset = ZarrOffset(currentSlices())
+  override def deserializeOffset(json: String): Offset =
+    ZarrOffset(json.trim.toLong)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[ZarrOffset].n
+    val e = end.asInstanceOf[ZarrOffset].n
+    if (e <= s) return Array.empty
+    // re-open: shapes and the dim-0 coordinate array grew with the append
+    val fresh = ZarrTable.open(meta.groupDir)
+    val za = fresh.za
+    require(e <= za.shape.head,
+      s"${meta.groupDir}: offset $e beyond current dim-0 extent ${za.shape.head}")
+    ZarrScan.plannedPartitions(fresh, filters, required,
+      dim0Range = Some((s, e)))
+  }
+
+  // the batch reader factory IS the streaming one — readers are
+  // identical, the partition carries the slice range
+  override def createReaderFactory(): PartitionReaderFactory =
+    ZarrReaderFactory()
+}

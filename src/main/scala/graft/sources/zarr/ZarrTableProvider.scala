@@ -207,7 +207,11 @@ final case class ZarrTable(meta: ZarrGroupMeta) extends Table with SupportsRead 
   override def name(): String = meta.groupDir
   override def schema(): StructType = ZarrTable.schemaFor(meta)
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    if (meta.v3 || meta.refs.nonEmpty)
+      java.util.EnumSet.of(TableCapability.BATCH_READ)
+    else
+      java.util.EnumSet.of(TableCapability.BATCH_READ,
+        TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ZarrScanBuilder(meta)
 }
@@ -363,7 +367,28 @@ final case class ZarrScan(meta: ZarrGroupMeta, filters: Array[Filter],
       s"ReadSchema: ${required.fieldNames.mkString(",")}"
   }
 
-  override def planInputPartitions(): Array[InputPartition] = {
+  override def planInputPartitions(): Array[InputPartition] =
+    ZarrScan.plannedPartitions(meta, filters, required, dim0Range = None)
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    ZarrReaderFactory()
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new ZarrMicroBatchStream(meta, filters, required)
+}
+
+object ZarrScan {
+  /** Shared partition planning for the batch scan and the micro-batch
+    * stream: pushed-predicate chunk pruning per dim, plus an optional
+    * dim-0 SLICE range (streaming's "new data" window) that both prunes
+    * dim-0 chunks and rides into the partition so the reader emits only
+    * in-range rows of a shared boundary chunk. */
+  private[zarr] def plannedPartitions(meta: ZarrGroupMeta,
+                                      filters: Array[Filter],
+                                      required: StructType,
+                                      dim0Range: Option[(Long, Long)])
+      : Array[InputPartition] = {
     val za = meta.za
     val rank = za.shape.length
     // per-dim inclusive coordinate bounds from the pushed predicates
@@ -380,7 +405,14 @@ final case class ZarrScan(meta: ZarrGroupMeta, filters: Array[Filter],
     val keep: Seq[Seq[Int]] = (0 until rank).map { k =>
       val (lo, hi) = bounds(k)
       val c = meta.coords(k)
-      val all = 0 until grid(k)
+      val all: Seq[Int] = (0 until grid(k)).filter { ck =>
+        dim0Range.forall { case (s0, e0) =>
+          k != 0 || {
+            val cs = ck.toLong * za.chunks(0)
+            cs < e0 && cs + za.chunks(0) > s0
+          }
+        }
+      }
       if (lo == Double.NegativeInfinity && hi == Double.PositiveInfinity) all
       else if (!ZarrScan.monotone(c)) all
       else all.filter { ck =>
@@ -416,15 +448,10 @@ final case class ZarrScan(meta: ZarrGroupMeta, filters: Array[Filter],
       }
       ZarrInputPartition(meta.groupDir, za, key, coordSlices,
         vars.map(v => v -> meta.varMeta(v)), required.fieldNames.toSeq,
-        meta.store, meta.v3, chunkRefs): InputPartition
+        meta.store, meta.v3, chunkRefs, dim0Range): InputPartition
     }.toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    ZarrReaderFactory()
-}
-
-object ZarrScan {
   /** A supported dimension predicate as (dim index, lo, hi) inclusive. */
   def dimRange(meta: ZarrGroupMeta, f: Filter): Option[(Int, Double, Double)] = {
     def dim(name: String): Option[Int] = {
@@ -494,7 +521,8 @@ final case class ZarrInputPartition(groupDir: String, za: ZarrArray,
                                     outCols: Seq[String],
                                     store: ByteStore,
                                     v3: Boolean,
-                                    chunkRefs: Option[Seq[Option[Ref]]] = None)
+                                    chunkRefs: Option[Seq[Option[Ref]]] = None,
+                                    dim0Range: Option[(Long, Long)] = None)
     extends InputPartition
 
 final case class ZarrReaderFactory() extends PartitionReaderFactory {
@@ -562,6 +590,12 @@ final class ZarrPartitionReader(p: ZarrInputPartition)
       while (k < rank) {
         if (p.key(k) * za.chunks(k) + idx(k) >= za.shape(k)) inBounds = false
         k += 1
+      }
+      // streaming slice window: only rows of the new dim-0 range — a
+      // boundary chunk shared with already-emitted slices stays exactly-once
+      p.dim0Range.foreach { case (s0, e0) =>
+        val g0 = p.key(0).toLong * za.chunks(0) + idx(0)
+        if (g0 < s0 || g0 >= e0) inBounds = false
       }
       if (inBounds) {
         val vals = new Array[Any](outPlan.length)

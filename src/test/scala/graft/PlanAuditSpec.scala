@@ -113,7 +113,11 @@ class PlanAuditSpec extends AnyFunSuite {
   }
 
   test("q_simhash_hamming: block join is an equi-join; codegen hamming, no HOF") {
-    val p = plan("q_simhash_hamming")
+    // audit the plan BEFORE the query's materialization boundary
+    // (finishAndUnpersist collapses the executed query to a LocalTableScan)
+    val (res, sh) = graft.ops.PipelinePack.simhashHammingPlan(spark, sf)
+    val p = res.queryExecution.executedPlan.toString
+    sh.unpersist()
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p.take(600))
     assert(p.contains("hamming_dist"), "verification must use the codegen expression")
     assert(!p.contains("ArrayTransform") && !p.contains("ZipWith"),

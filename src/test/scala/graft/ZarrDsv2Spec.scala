@@ -247,6 +247,47 @@ class ZarrDsv2Spec extends AnyFunSuite {
     assert(e3.getMessage.contains("no zarr group"), e3.getMessage)
   }
 
+  test("readStream.format(zarr): appended slices arrive exactly once across restarts") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val y = Array(0.0, 1.0)
+    val x = Array(0.0, 1.0, 2.0)
+    def slice(t: Double): org.apache.spark.sql.DataFrame =
+      (for { yi <- y; xi <- x } yield (t, yi, xi, t * 100 + yi * 10 + xi))
+        .toSeq.toDF("t", "y", "x", "v")
+    val g = s"${tmpDir("dsv2s")}/stream.zarr"
+    val ckpt = tmpDir("dsv2sc")
+    ZarrSource.writeCube(slice(0.0), g, "v",
+      Seq("t" -> Array(0.0), "y" -> y, "x" -> x), chunks = Seq(1, 2, 3))
+    val out = tmpDir("dsv2so")
+    // parquet sink: supports checkpoint recovery (the memory sink does
+    // not), so each drain is a genuine restarted query
+    def drain(): Seq[(Double, Double)] = {
+      val q = spark.readStream.format("zarr").load(g)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.read.parquet(out).collect()
+        .map(r => (r.getAs[Double]("t"), r.getAs[Double]("v"))).toSeq
+    }
+    // first run drains the existing slice t=0
+    val b1 = drain()
+    assert(b1.length === 6 && b1.forall(_._1 == 0.0), b1)
+    // append two slices; the restarted query with the SAME checkpoint
+    // emits ONLY the new ones (offset = slice count, persisted by Spark)
+    ZarrSource.appendCube(slice(1.0), g, "v", Array(1.0))
+    ZarrSource.appendCube(slice(2.0), g, "v", Array(2.0))
+    val b2 = drain()
+    assert(b2.length === 18, b2.length)
+    assert(b2.groupBy(_._1).view.mapValues(_.size).toMap ===
+      Map(0.0 -> 6, 1.0 -> 6, 2.0 -> 6)) // exactly once per slice
+    assert(b2.filter(_._1 == 2.0).map(_._2).sum ===
+      (for { yi <- y; xi <- x } yield 200.0 + yi * 10 + xi).sum)
+    // nothing new -> an empty batch, not a replay
+    assert(drain().length === 18)
+  }
+
   test("the same scan opens an http-hosted archive, pruned the same way") {
     val g = writeFixture()
     ZarrSource.consolidateMetadata(g)
