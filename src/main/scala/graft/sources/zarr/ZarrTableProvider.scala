@@ -358,7 +358,8 @@ final class ZarrScanBuilder(meta: ZarrGroupMeta)
 }
 
 final case class ZarrScan(meta: ZarrGroupMeta, filters: Array[Filter],
-                          required: StructType) extends Scan with Batch {
+                          required: StructType) extends Scan with Batch
+    with SupportsRuntimeFiltering with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String = {
@@ -367,8 +368,47 @@ final case class ZarrScan(meta: ZarrGroupMeta, filters: Array[Filter],
       s"ReadSchema: ${required.fieldNames.mkString(",")}"
   }
 
+  // ---- runtime (DPP / semi-join) filtering: Spark may push join-key
+  // predicates on the dimension columns at EXECUTION time (AQE), after
+  // the build side is known — chunks outside the joined key range are
+  // elided without any caller-visible API. The same dimRange conversion
+  // serves both planning-time and runtime predicates, and Spark still
+  // re-evaluates every predicate post-scan, so this can only skip chunks
+  // that provably contain no matching cell.
+  private var runtime: Array[Filter] = Array.empty
+  override def filterAttributes(): Array[
+      org.apache.spark.sql.connector.expressions.NamedReference] =
+    meta.za.dims.map(d =>
+      org.apache.spark.sql.connector.expressions.Expressions.column(d)).toArray
+  override def filter(fs: Array[Filter]): Unit = {
+    runtime = fs.filter(f => ZarrScan.dimRange(meta, f).isDefined)
+  }
+
+  // ---- statistics: post-pruning row/byte estimates so Catalyst and AQE
+  // see a 2-chunk subset as small (broadcastable) instead of assuming the
+  // whole archive — per-dim surviving in-bounds cell counts multiply
+  // exactly because pruning is rectangular.
+  override def estimateStatistics(): Statistics = {
+    val za = meta.za
+    val keep = ZarrScan.survivingChunks(meta, filters ++ runtime, None)
+    val rows = keep.zipWithIndex.map { case (ks, k) =>
+      ks.map { ck =>
+        val s = ck * za.chunks(k)
+        (math.min(s + za.chunks(k), za.shape(k)) - s).toLong
+      }.sum
+    }.product
+    val bytes = rows * 8L * math.max(1, required.fields.length)
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(bytes)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(rows)
+    }
+  }
+
   override def planInputPartitions(): Array[InputPartition] =
-    ZarrScan.plannedPartitions(meta, filters, required, dim0Range = None)
+    ZarrScan.plannedPartitions(meta, filters ++ runtime, required,
+      dim0Range = None)
 
   override def createReaderFactory(): PartitionReaderFactory =
     ZarrReaderFactory()
@@ -384,11 +424,14 @@ object ZarrScan {
     * dim-0 SLICE range (streaming's "new data" window) that both prunes
     * dim-0 chunks and rides into the partition so the reader emits only
     * in-range rows of a shared boundary chunk. */
-  private[zarr] def plannedPartitions(meta: ZarrGroupMeta,
-                                      filters: Array[Filter],
-                                      required: StructType,
-                                      dim0Range: Option[(Long, Long)])
-      : Array[InputPartition] = {
+  /** Per-dim surviving chunk indices: a chunk survives when its coord
+    * span intersects the pushed bounds — only provable for monotone
+    * coords — and (streaming) when it intersects the dim-0 slice window.
+    */
+  private[zarr] def survivingChunks(meta: ZarrGroupMeta,
+                                    filters: Array[Filter],
+                                    dim0Range: Option[(Long, Long)])
+      : Seq[Seq[Int]] = {
     val za = meta.za
     val rank = za.shape.length
     // per-dim inclusive coordinate bounds from the pushed predicates
@@ -400,9 +443,7 @@ object ZarrScan {
       }
     }
     val grid = za.chunkGrid
-    // per-dim surviving chunk indices: a chunk survives when its coord
-    // span intersects the bound — only provable for monotone coords
-    val keep: Seq[Seq[Int]] = (0 until rank).map { k =>
+    (0 until rank).map { k =>
       val (lo, hi) = bounds(k)
       val c = meta.coords(k)
       val all: Seq[Int] = (0 until grid(k)).filter { ck =>
@@ -422,6 +463,16 @@ object ZarrScan {
         cHi >= lo && cLo <= hi
       }
     }
+  }
+
+  private[zarr] def plannedPartitions(meta: ZarrGroupMeta,
+                                      filters: Array[Filter],
+                                      required: StructType,
+                                      dim0Range: Option[(Long, Long)])
+      : Array[InputPartition] = {
+    val za = meta.za
+    val rank = za.shape.length
+    val keep = survivingChunks(meta, filters, dim0Range)
     val vars = required.fieldNames.filter(meta.dataVars.contains).toSeq
     val keys = keep.foldLeft(Seq(Seq.empty[Int])) { (acc, ks) =>
       acc.flatMap(p => ks.map(p :+ _))

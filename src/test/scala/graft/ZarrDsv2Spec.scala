@@ -247,6 +247,36 @@ class ZarrDsv2Spec extends AnyFunSuite {
     assert(e3.getMessage.contains("no zarr group"), e3.getMessage)
   }
 
+  test("runtime filters prune chunks at execution; statistics shrink with pushdown") {
+    val g = writeFixture()
+    val meta = graft.sources.zarr.ZarrTable.open(g)
+    val schema = graft.sources.zarr.ZarrTable.schemaFor(meta)
+    import org.apache.spark.sql.sources.{EqualTo, GreaterThanOrEqual}
+    // direct contract: filter() after planning re-prunes the partitions —
+    // the hook Spark's AQE runtime filtering (DPP over v2) drives when a
+    // join's build side lands on a dimension column
+    val scan = graft.sources.zarr.ZarrScan(meta, Array.empty, schema)
+    assert(scan.planInputPartitions().length === 12)
+    scan.filter(Array[org.apache.spark.sql.sources.Filter](EqualTo("t", 1.0)))
+    assert(scan.planInputPartitions().length === 4)
+    assert(scan.filterAttributes().map(_.describe()).toSeq ==
+      Seq("t", "y", "x"))
+    // statistics: post-pruning rows/bytes so a pruned subset looks
+    // broadcastable to Catalyst/AQE instead of archive-sized
+    val full = graft.sources.zarr.ZarrScan(meta, Array.empty, schema)
+    assert(full.estimateStatistics().numRows().getAsLong === 72L)
+    val pruned = graft.sources.zarr.ZarrScan(meta,
+      Array(GreaterThanOrEqual("y", 25.0), EqualTo("t", 0.0)), schema)
+    assert(pruned.estimateStatistics().numRows().getAsLong === 12L)
+    // and through the relational layer: optimizer stats follow the filter
+    import org.apache.spark.sql.functions.col
+    val rel = spark.read.format("zarr").load(g)
+    val sFull = rel.queryExecution.optimizedPlan.stats.sizeInBytes
+    val sSub = rel.filter(col("t") === 1.0)
+      .queryExecution.optimizedPlan.stats.sizeInBytes
+    assert(sSub < sFull, s"$sSub !< $sFull")
+  }
+
   test("readStream.format(zarr): appended slices arrive exactly once across restarts") {
     import spark.implicits._
     import org.apache.spark.sql.streaming.Trigger
