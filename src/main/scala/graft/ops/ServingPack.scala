@@ -766,6 +766,26 @@ object ServingPack extends QueryPack {
           sum(col("w")).cast("long").as("n_events"))
     }),
 
+    // the store catalog as a Spark TableCatalog (store/store.py
+    // list/describe/open re-expressed as SQL): the fixture group queried
+    // THROUGH spark.sql over the registered catalog — catalog resolution,
+    // connector scan and pushdown all sit inside the checked path. Same
+    // oracle as q_zarr.
+    "q_sql_catalog" -> ((s, d) => {
+      val base = new java.io.File(zarrFixture(s, d)).getParent
+      s.conf.set("spark.sql.catalog.graftstore",
+        classOf[graft.sources.zarr.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graftstore.path", base)
+      s.sql(
+        """SELECT CAST(t AS BIGINT) AS day_idx, count(1) AS n_cells,
+          |  CAST(round(sum(CAST(y + x AS DECIMAL(28,10))), 6) AS DOUBLE)
+          |    AS sum_coord,
+          |  CAST(round(sum(CAST(v AS DECIMAL(28,10))), 6) AS DOUBLE) AS sum_v
+          |FROM graftstore.`cube.zarr`
+          |WHERE NOT isnan(v)
+          |GROUP BY CAST(t AS BIGINT)""".stripMargin)
+    }),
+
     // the STREAMING source twin of q_zarr (spark.readStream.format("zarr")
     // — the relational form of the reference's dataset polling): the
     // group starts with day 1, a micro-batch drains it, day 2 is appended
@@ -1872,6 +1892,20 @@ object ServingPack extends QueryPack {
                 round(sum(v::DECIMAL(28,10)), 6)::DOUBLE
          FROM daily WHERE (99 - j) % 4 = 0 AND i % 4 = 0 HAVING count(*) > 0""",
     "q_zarr" ->
+      s"""WITH ${CubePack.cubeCte},
+         daily AS (SELECT CASE WHEN CAST(time AS DATE) = DATE '2024-01-01'
+                               THEN 0 ELSE 1 END AS day_idx,
+                          floor(y)::BIGINT AS j, floor(x)::BIGINT AS i,
+                          round(sum(v::DECIMAL(28,12))::DOUBLE / count(*), 6) AS v
+                   FROM cube
+                   WHERE CAST(time AS DATE) = DATE '2024-01-01'
+                      OR CAST(time AS DATE) = DATE '2024-01-02'
+                   GROUP BY day_idx, j, i)
+         SELECT day_idx::BIGINT AS day_idx, count(*) AS n_cells,
+                round(sum(((j + 0.5) + (i + 0.5))::DECIMAL(28,10)), 6)::DOUBLE AS sum_coord,
+                round(sum(v::DECIMAL(28,10)), 6)::DOUBLE AS sum_v
+         FROM daily GROUP BY day_idx""",
+    "q_sql_catalog" ->
       s"""WITH ${CubePack.cubeCte},
          daily AS (SELECT CASE WHEN CAST(time AS DATE) = DATE '2024-01-01'
                                THEN 0 ELSE 1 END AS day_idx,

@@ -247,6 +247,44 @@ class ZarrDsv2Spec extends AnyFunSuite {
     assert(e3.getMessage.contains("no zarr group"), e3.getMessage)
   }
 
+  test("GraftCatalog: store entries are SQL tables with pruning intact") {
+    import spark.implicits._
+    val store = tmpDir("gcat")
+    // a zarr cube entry + a row-shaped entry + a hidden entry
+    val g = s"$store/cube.zarr"
+    val t = Array(0.0, 1.0, 2.0)
+    val y = Array(10.0, 20.0, 30.0, 40.0)
+    val x = Array.tabulate(6)(_ + 0.5)
+    val df = (for { ti <- t; yi <- y; xi <- x } yield
+      (ti, yi, xi, ti * 1000 + yi * 10 + xi)).toSeq.toDF("t", "y", "x", "v")
+    ZarrSource.writeCube(df, g, "v",
+      Seq("t" -> t, "y" -> y, "x" -> x), chunks = Seq(1, 2, 3))
+    Seq((1, "a")).toDF("k", "s").write.parquet(s"$store/rows.parquet")
+    new java.io.File(s"$store/_hidden").mkdirs()
+    spark.conf.set("spark.sql.catalog.gcat",
+      classOf[graft.sources.zarr.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gcat.path", store)
+    // listing reflects the directory, hidden entries excluded
+    val shown = spark.sql("SHOW TABLES IN gcat").collect()
+      .map(_.getString(1)).toSet
+    assert(shown == Set("cube.zarr", "rows.parquet"), shown)
+    // SQL over the cube, with chunk pruning through the catalog table
+    val q = spark.sql(
+      "SELECT sum(v) AS s FROM gcat.`cube.zarr` WHERE t = 1.0")
+    assert(q.head.getDouble(0) ===
+      (for { yi <- y; xi <- x } yield 1000.0 + yi * 10 + xi).sum)
+    val sub = spark.table("gcat.`cube.zarr`").filter(col("t") === 1.0)
+    assert(sub.rdd.getNumPartitions === 4, "catalog tables must prune chunks")
+    // row-shaped entries decline politely
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM gcat.`rows.parquet`").collect()
+    }
+    assert(e.getMessage.contains("spark.read"), e.getMessage)
+    // dropTable removes the entry from the store
+    spark.sql("DROP TABLE gcat.`rows.parquet`")
+    assert(!new java.io.File(s"$store/rows.parquet").exists())
+  }
+
   test("runtime filters prune chunks at execution; statistics shrink with pushdown") {
     val g = writeFixture()
     val meta = graft.sources.zarr.ZarrTable.open(g)
