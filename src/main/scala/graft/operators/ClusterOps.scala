@@ -40,21 +40,25 @@ import org.apache.spark.sql.functions._
   */
 object ClusterOps {
 
-  /** Rounds between reliable checkpoints — both the recomputation window
-    * and the plan-growth bound: `smallStar(largeStar(_))` embeds ~16
-    * copies of the previous round's logical plan (persist caches the
-    * DATA but keeps the plan), so k un-truncated rounds cost 16^k plan
-    * nodes — every-2 keeps the analyzed plan (and the SQL listener's
-    * stringification of it) O(base), while every-5 was observed to OOM
-    * the driver on plan rendering alone.
+  /** Rounds between reliable checkpoints. With the logical plan
+    * truncated every round (see [[cutRound]]), this bounds only the RDD
+    * lineage depth and the executor-loss recomputation window.
     */
-  private val CheckpointEvery = 2
+  private val CheckpointEvery = 5
 
-  /** Eager persisted round with lineage kept (see recovery contract). */
-  private def cutRound(df: DataFrame): DataFrame = {
+  /** Eager persisted round with RDD lineage kept (see recovery
+    * contract), re-exposed through a fresh LogicalRDD: the LOGICAL plan
+    * is truncated every round (each star round embeds ~16 copies of the
+    * prior plan — untruncated, the analyzer/optimizer and the SQL
+    * listener's plan stringification grow 16^k and dominated the query
+    * at 6x its steady-state cost), while executor-loss recovery still
+    * recomputes lost cached blocks through the RDD lineage. Returns
+    * (the truncated view, the persisted handle to release next round).
+    */
+  private def cutRound(df: DataFrame): (DataFrame, DataFrame) = {
     val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     p.count()
-    p
+    (p.sparkSession.createDataFrame(p.rdd, p.schema), p)
   }
 
   /** Reliable plan truncation; ensures a checkpoint dir exists. */
@@ -75,18 +79,23 @@ object ClusterOps {
     val e0 = edges
       .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
       .filter(col("u") =!= col("v"))
-    var cur = cutRound(canonical(e0))
+    var (cur, curHandle) = cutRound(canonical(e0))
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
       val round = smallStar(largeStar(cur))
-      val next = cutRound(
-        if ((it + 1) % CheckpointEvery == 0) cutReliable(round) else round)
+      // persist BEFORE the periodic reliable checkpoint: an uncached
+      // dataset is computed twice by checkpoint() (action + write job) —
+      // cached, both jobs read the cache
+      val (cut, nextHandle) = cutRound(round)
+      val next =
+        if ((it + 1) % CheckpointEvery == 0) cutReliable(cut) else cut
       // fixpoint = identical edge SETS; both sides are distinct, so equal
       // counts + empty one-sided difference suffice
       converged = next.count() == cur.count() && next.except(cur).isEmpty
-      cur.unpersist()
+      curHandle.unpersist()
       cur = next
+      curHandle = nextHandle
       it += 1
     }
     if (!converged)

@@ -53,6 +53,23 @@ object PipelinePack extends QueryPack {
     p
   }
 
+  /** [[cutRound]] for ITERATED plans: additionally re-exposes the cached
+    * data through a fresh LogicalRDD so the logical plan is truncated
+    * every round — a loop that feeds a round's output into the next
+    * otherwise multiplies plan nodes per round, and the analyzer plus
+    * the SQL listener's plan stringification come to dominate (the
+    * q_dedup_clusters 6x regression). RDD lineage is kept, so the
+    * recovery contract is unchanged. Returns (truncated view, persisted
+    * handle to release when the next round lands).
+    */
+  private def cutLoopRound(df: DataFrame, release: DataFrame*)
+      : (DataFrame, DataFrame) = {
+    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    p.count()
+    release.foreach(_.unpersist(false))
+    (p.sparkSession.createDataFrame(p.rdd, p.schema), p)
+  }
+
   /** The q_simhash_hamming plan BEFORE its materialization boundary
     * (finishAndUnpersist collapses the executed query to a
     * LocalTableScan) — factored out so PlanAuditSpec can assert the REAL
@@ -570,15 +587,17 @@ object PipelinePack extends QueryPack {
         .distinct())
       var labels = e.select(col("a").as("node")).distinct()
         .withColumn("lbl", col("node"))
+      var labelsHandle: DataFrame = null
       for (_ <- 1 to 3) {
         val nbr = e.join(labels, col("a") === col("node"))
           .groupBy(col("b").as("nnode")).agg(min(col("lbl")).as("nl"))
-        val prev = labels
-        labels = cutRound(labels
+        val (next, nextHandle) = cutLoopRound(labels
           .join(nbr, col("node") === col("nnode"), "left")
           .select(col("node"),
             least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("lbl")),
-          prev)
+          Option(labelsHandle).toSeq: _*)
+        labels = next
+        labelsHandle = nextHandle
       }
       labels.groupBy("lbl").agg(count(lit(1)).as("sz"))
         .agg(count(lit(1)).as("n_clusters"), max(col("sz")).as("max_size"),
