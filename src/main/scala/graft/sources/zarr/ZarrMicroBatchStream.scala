@@ -39,6 +39,7 @@ final case class ZarrOffset(n: Long) extends Offset {
   * reject loudly — append-in-place is a v2 store operation here.
   */
 final class ZarrMicroBatchStream(meta: ZarrGroupMeta, filters: Array[Filter],
+                                 exact: Array[Filter],
                                  required: StructType)
     extends MicroBatchStream {
 
@@ -68,7 +69,7 @@ final class ZarrMicroBatchStream(meta: ZarrGroupMeta, filters: Array[Filter],
     val za = fresh.za
     require(e <= za.shape.head,
       s"${meta.groupDir}: offset $e beyond current dim-0 extent ${za.shape.head}")
-    ZarrScan.plannedPartitions(fresh, filters, required,
+    ZarrScan.plannedPartitions(fresh, filters, exact, required,
       dim0Range = Some((s, e)))
   }
 

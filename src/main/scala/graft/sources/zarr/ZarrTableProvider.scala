@@ -9,9 +9,10 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources._
-import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import java.util.{Map => JMap}
@@ -336,17 +337,25 @@ object ZarrTable {
 
 final class ZarrScanBuilder(meta: ZarrGroupMeta)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
   private var pushed: Array[Filter] = Array.empty
+  private var exact: Array[Filter] = Array.empty
+  private var unhandled: Array[Filter] = Array.empty
   private var required: StructType = ZarrTable.schemaFor(meta)
+  private var aggregated: Option[(Aggregation, StructType)] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    // keep the dimension-range predicates for chunk pruning; EVERY filter
-    // is also returned for Spark-side evaluation (pruning is chunk-
-    // granular, cells inside a surviving chunk still need the predicate)
+    // dimension-range predicates drive chunk pruning; the EXACTLY
+    // evaluable subset (plain comparisons on a dim with a finite literal)
+    // is fully consumed — the reader drops out-of-range cells with the
+    // same double semantics — which is what unlocks aggregate pushdown
+    // (Spark only pushes aggregates below a scan with no post-scan
+    // filters). The rest (In spans, non-dim predicates) stays Spark-side.
     pushed = filters.filter(f => ZarrScan.dimRange(meta, f).isDefined)
-    filters
+    exact = filters.filter(f => ZarrScan.exactDimFilter(meta, f))
+    unhandled = filters.filterNot(f => ZarrScan.exactDimFilter(meta, f))
+    unhandled
   }
   override def pushedFilters(): Array[Filter] = pushed
 
@@ -354,10 +363,102 @@ final class ZarrScanBuilder(meta: ZarrGroupMeta)
     required = requiredSchema
   }
 
-  override def build(): Scan = ZarrScan(meta, pushed, required)
+  // ---- metadata-only aggregates: a global count(*)/count(dim)/min(dim)/
+  // max(dim) over (exactly-filtered) dimension columns never needs a
+  // chunk: the selection is a rectangle over driver-resident coordinate
+  // arrays, so the answer is per-dim counting/extremes — `SELECT
+  // count(*) FROM cube WHERE t >= ...` on a 100 TB archive is driver
+  // math, zero payload IO. Anything touching a data variable, grouping,
+  // distinct, or a non-exact filter declines and scans normally.
+  private def supported(agg: Aggregation): Boolean =
+    agg.groupByExpressions.isEmpty &&
+      unhandled.isEmpty &&
+      agg.aggregateExpressions.forall {
+        case _: CountStar => true
+        case c: Count => !c.isDistinct && ZarrScan.dimName(meta, c.column).isDefined
+        case m: Min => ZarrScan.dimName(meta, m.column).isDefined
+        case m: Max => ZarrScan.dimName(meta, m.column).isDefined
+        case _ => false
+      }
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean = supported(agg)
+
+  override def pushAggregation(agg: Aggregation): Boolean =
+    supported(agg) && {
+      val fields = agg.aggregateExpressions.zipWithIndex.map {
+        case (_: CountStar, i) => StructField(s"agg_$i", LongType, nullable = false)
+        case (_: Count, i) => StructField(s"agg_$i", LongType, nullable = false)
+        case (_, i) => StructField(s"agg_$i", DoubleType, nullable = true)
+      }
+      aggregated = Some((agg, StructType(fields)))
+      true
+    }
+
+  override def build(): Scan = aggregated match {
+    case Some((agg, schema)) => ZarrAggScan(meta, exact, agg, schema)
+    case None => ZarrScan(meta, pushed, exact, required)
+  }
+}
+
+/** The pushed-aggregate scan: ONE partition carrying the driver-computed
+  * answer. Selection is rectangular (exact per-dim bounds over the
+  * driver-resident coordinates), so count(*) multiplies per-dim in-range
+  * counts and min/max(dim) are the in-range extremes — with an empty
+  * selection yielding count 0 / null extremes, exactly Spark's global
+  * aggregate semantics. */
+final case class ZarrAggScan(meta: ZarrGroupMeta, exact: Array[Filter],
+                             agg: Aggregation, schema: StructType)
+    extends Scan with Batch {
+  override def readSchema(): StructType = schema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"ZarrAggScan ${meta.groupDir} PushedAggregates: [" +
+      agg.aggregateExpressions.map(_.toString).mkString(", ") + "]"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val za = meta.za
+    val bounds = ZarrScan.exactBounds(meta, exact)
+    val inRange: Seq[Array[Double]] = meta.coords.zipWithIndex.map {
+      case (c, k) =>
+        val (lo, hi) = bounds(k)
+        c.filter(v => v >= lo && v <= hi)
+    }
+    val counts = inRange.map(_.length.toLong)
+    val total = counts.product
+    val values: Seq[Any] = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar => total
+      case _: Count => total // dims are never null
+      case m: Min =>
+        val k = ZarrScan.dimName(meta, m.column).map(za.dims.indexOf).get
+        if (total == 0L) null else inRange(k).min
+      case m: Max =>
+        val k = ZarrScan.dimName(meta, m.column).map(za.dims.indexOf).get
+        if (total == 0L) null else inRange(k).max
+      case other => throw new IllegalStateException(s"unexpected agg $other")
+    }
+    Array(ZarrAggPartition(values))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    ZarrAggReaderFactory()
+}
+
+final case class ZarrAggPartition(values: Seq[Any]) extends InputPartition
+
+final case class ZarrAggReaderFactory() extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private val vals = partition.asInstanceOf[ZarrAggPartition].values
+      private var done = false
+      override def next(): Boolean = if (done) false else { done = true; true }
+      override def get(): InternalRow =
+        new GenericInternalRow(vals.toArray)
+      override def close(): Unit = ()
+    }
 }
 
 final case class ZarrScan(meta: ZarrGroupMeta, filters: Array[Filter],
+                          exact: Array[Filter],
                           required: StructType) extends Scan with Batch
     with SupportsRuntimeFiltering with SupportsReportStatistics {
   override def readSchema(): StructType = required
@@ -407,7 +508,7 @@ final case class ZarrScan(meta: ZarrGroupMeta, filters: Array[Filter],
   }
 
   override def planInputPartitions(): Array[InputPartition] =
-    ZarrScan.plannedPartitions(meta, filters ++ runtime, required,
+    ZarrScan.plannedPartitions(meta, filters ++ runtime, exact, required,
       dim0Range = None)
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -415,7 +516,7 @@ final case class ZarrScan(meta: ZarrGroupMeta, filters: Array[Filter],
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new ZarrMicroBatchStream(meta, filters, required)
+    new ZarrMicroBatchStream(meta, filters, exact, required)
 }
 
 object ZarrScan {
@@ -465,14 +566,68 @@ object ZarrScan {
     }
   }
 
+  /** A filter the READER can apply exactly per cell (enabling it to be
+    * fully consumed instead of re-evaluated by Spark): a plain comparison
+    * between a dimension column and a finite, non-NaN numeric literal —
+    * the bound conversions (nextUp/nextDown for strict ops) are exact for
+    * doubles. `In` stays Spark-side (its dimRange is a span, not a set).
+    */
+  private[zarr] def exactDimFilter(meta: ZarrGroupMeta, f: Filter): Boolean = {
+    def dimOk(a: String) = meta.za.dims.contains(a)
+    def litOk(v: Any) = v match {
+      case d: Double => java.lang.Double.isFinite(d)
+      case _: Float | _: Long | _: Int | _: Short | _: Byte => true
+      case d: java.math.BigDecimal => java.lang.Double.isFinite(d.doubleValue)
+      case _ => false
+    }
+    f match {
+      case EqualTo(a, v) => dimOk(a) && litOk(v)
+      case GreaterThan(a, v) => dimOk(a) && litOk(v)
+      case GreaterThanOrEqual(a, v) => dimOk(a) && litOk(v)
+      case LessThan(a, v) => dimOk(a) && litOk(v)
+      case LessThanOrEqual(a, v) => dimOk(a) && litOk(v)
+      case And(l, r) => exactDimFilter(meta, l) && exactDimFilter(meta, r)
+      case _ => false
+    }
+  }
+
+  /** Per-dim inclusive cell bounds from the exactly-consumed filters. */
+  private[zarr] def exactBounds(meta: ZarrGroupMeta,
+                                exact: Array[Filter]): Array[(Double, Double)] = {
+    val bounds = Array.fill(meta.za.shape.length)(
+      (Double.NegativeInfinity, Double.PositiveInfinity))
+    exact.foreach { f =>
+      dimRange(meta, f).foreach { case (k, lo, hi) =>
+        val (l0, h0) = bounds(k)
+        bounds(k) = (math.max(l0, lo), math.min(h0, hi))
+      }
+    }
+    bounds
+  }
+
+  /** The dim column name of a simple field reference, if it is one. */
+  private[zarr] def dimName(meta: ZarrGroupMeta,
+                            e: org.apache.spark.sql.connector.expressions.Expression)
+      : Option[String] = e match {
+    case fr: org.apache.spark.sql.connector.expressions.NamedReference
+        if fr.fieldNames.length == 1 && meta.za.dims.contains(fr.fieldNames.head) =>
+      Some(fr.fieldNames.head)
+    case _ => None
+  }
+
   private[zarr] def plannedPartitions(meta: ZarrGroupMeta,
                                       filters: Array[Filter],
+                                      exact: Array[Filter],
                                       required: StructType,
                                       dim0Range: Option[(Long, Long)])
       : Array[InputPartition] = {
     val za = meta.za
     val rank = za.shape.length
     val keep = survivingChunks(meta, filters, dim0Range)
+    // per-dim cell bounds for the filters this scan CONSUMED — the reader
+    // applies them per cell; only meaningful when some filter was claimed
+    val cellBounds: Option[Array[(Double, Double)]] =
+      if (exact.isEmpty) None else Some(exactBounds(meta, exact))
     val vars = required.fieldNames.filter(meta.dataVars.contains).toSeq
     val keys = keep.foldLeft(Seq(Seq.empty[Int])) { (acc, ks) =>
       acc.flatMap(p => ks.map(p :+ _))
@@ -499,7 +654,7 @@ object ZarrScan {
       }
       ZarrInputPartition(meta.groupDir, za, key, coordSlices,
         vars.map(v => v -> meta.varMeta(v)), required.fieldNames.toSeq,
-        meta.store, meta.v3, chunkRefs, dim0Range): InputPartition
+        meta.store, meta.v3, chunkRefs, dim0Range, cellBounds): InputPartition
     }.toArray
   }
 
@@ -573,7 +728,8 @@ final case class ZarrInputPartition(groupDir: String, za: ZarrArray,
                                     store: ByteStore,
                                     v3: Boolean,
                                     chunkRefs: Option[Seq[Option[Ref]]] = None,
-                                    dim0Range: Option[(Long, Long)] = None)
+                                    dim0Range: Option[(Long, Long)] = None,
+                                    cellBounds: Option[Array[(Double, Double)]] = None)
     extends InputPartition
 
 final case class ZarrReaderFactory() extends PartitionReaderFactory {
@@ -647,6 +803,16 @@ final class ZarrPartitionReader(p: ZarrInputPartition)
       p.dim0Range.foreach { case (s0, e0) =>
         val g0 = p.key(0).toLong * za.chunks(0) + idx(0)
         if (g0 < s0 || g0 >= e0) inBounds = false
+      }
+      // exactly-consumed dim predicates: the scan claimed these, so the
+      // cell-level compare here IS the filter (same double semantics)
+      p.cellBounds.foreach { bs =>
+        var d = 0
+        while (inBounds && d < rank) {
+          val v = p.coordSlices(d)(idx(d))
+          if (!(v >= bs(d)._1 && v <= bs(d)._2)) inBounds = false
+          d += 1
+        }
       }
       if (inBounds) {
         val vals = new Array[Any](outPlan.length)

@@ -293,7 +293,7 @@ class ZarrDsv2Spec extends AnyFunSuite {
     // direct contract: filter() after planning re-prunes the partitions —
     // the hook Spark's AQE runtime filtering (DPP over v2) drives when a
     // join's build side lands on a dimension column
-    val scan = graft.sources.zarr.ZarrScan(meta, Array.empty, schema)
+    val scan = graft.sources.zarr.ZarrScan(meta, Array.empty, Array.empty, schema)
     assert(scan.planInputPartitions().length === 12)
     scan.filter(Array[org.apache.spark.sql.sources.Filter](EqualTo("t", 1.0)))
     assert(scan.planInputPartitions().length === 4)
@@ -301,10 +301,10 @@ class ZarrDsv2Spec extends AnyFunSuite {
       Seq("t", "y", "x"))
     // statistics: post-pruning rows/bytes so a pruned subset looks
     // broadcastable to Catalyst/AQE instead of archive-sized
-    val full = graft.sources.zarr.ZarrScan(meta, Array.empty, schema)
+    val full = graft.sources.zarr.ZarrScan(meta, Array.empty, Array.empty, schema)
     assert(full.estimateStatistics().numRows().getAsLong === 72L)
     val pruned = graft.sources.zarr.ZarrScan(meta,
-      Array(GreaterThanOrEqual("y", 25.0), EqualTo("t", 0.0)), schema)
+      Array(GreaterThanOrEqual("y", 25.0), EqualTo("t", 0.0)), Array.empty, schema)
     assert(pruned.estimateStatistics().numRows().getAsLong === 12L)
     // and through the relational layer: optimizer stats follow the filter
     import org.apache.spark.sql.functions.col
@@ -313,6 +313,53 @@ class ZarrDsv2Spec extends AnyFunSuite {
     val sSub = rel.filter(col("t") === 1.0)
       .queryExecution.optimizedPlan.stats.sizeInBytes
     assert(sSub < sFull, s"$sSub !< $sFull")
+  }
+
+  test("aggregate pushdown: count/min/max over dims are metadata-only") {
+    val g = writeFixture()
+    // corrupt EVERY data chunk: a metadata-only aggregate must not care
+    val vDir = new java.io.File(s"$g/v")
+    val wDir = new java.io.File(s"$g/w")
+    (vDir.listFiles() ++ wDir.listFiles())
+      .filterNot(_.getName.startsWith("."))
+      .foreach(f => java.nio.file.Files.write(f.toPath, Array[Byte](1, 2, 3)))
+    val ds = spark.read.format("zarr").load(g)
+    import org.apache.spark.sql.functions.{col, count, max, min}
+    // unfiltered: full-grid math
+    val r0 = ds.agg(count(lit(1)), min("t"), max("x")).head
+    assert(r0.getLong(0) === 72L && r0.getDouble(1) === 0.0 &&
+      r0.getDouble(2) === 5.5)
+    // exactly-consumed dim filters: still zero payload IO
+    val r1 = ds.filter(col("t") >= 1.0 && col("y") < 25.0)
+      .agg(count(lit(1)), min("y"), max("t")).head
+    assert(r1.getLong(0) === 24L && r1.getDouble(1) === 10.0 &&
+      r1.getDouble(2) === 2.0)
+    // empty selection: count 0, null extremes (global agg semantics)
+    val r2 = ds.filter(col("t") > 99.0).agg(count(lit(1)), min("t")).head
+    assert(r2.getLong(0) === 0L && r2.isNullAt(1))
+    // the pushed plan really is the aggregate scan
+    val p = ds.filter(col("t") >= 1.0).agg(count(lit(1)))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("ZarrAggScan"), p.take(800))
+    // aggregates over a DATA variable decline and scan (and now fail on
+    // the corrupted chunks — proof the metadata path never reads them)
+    intercept[Exception] { ds.agg(min("v")).head }
+  }
+
+  test("exactly-consumed dim filters: reader-side cells match Spark-side") {
+    val g = writeFixture()
+    val ds = spark.read.format("zarr").load(g)
+    import org.apache.spark.sql.functions.col
+    // strict/inclusive bounds and equality, applied by the READER now
+    val sub = ds.filter(col("y") > 10.0 && col("x") <= 2.5 && col("t") === 1.0)
+    val rows = sub.collect()
+    assert(rows.length === 9, rows.length) // y in {20,30,40} x in {0.5,1.5,2.5}
+    assert(rows.forall(r => r.getDouble(0) == 1.0 && r.getDouble(1) > 10.0 &&
+      r.getDouble(2) <= 2.5))
+    // value spot check: untouched by the reader-side filtering
+    assert(rows.map(_.getDouble(3)).sum ===
+      (for { yi <- Seq(20.0, 30.0, 40.0); xi <- Seq(0.5, 1.5, 2.5) } yield
+        1000.0 + yi * 10 + xi).sum)
   }
 
   test("readStream.format(zarr): appended slices arrive exactly once across restarts") {
