@@ -168,9 +168,12 @@ object StatefulOps {
   final case class TransEvent(userId: Long, eventType: String,
                               tsMicros: Long, eventId: Long)
 
-  /** Last event type seen + per-(prev,next) pair counts for one user. */
+  /** Last event type seen + per-(prev,next) pair counts for one user.
+    * Counts are keyed by a typed (prev, next) PAIR — not a joined string,
+    * which needed an in-band delimiter (event types are free text, and a
+    * NUL delimiter also made this file binary to grep/ripgrep). */
   final case class TransState(lastType: String, lastTs: Long, lastId: Long,
-                              counts: Map[String, Long])
+                              counts: Seq[((String, String), Long)])
 
   final case class TransUser(user_id: Long, prev_type: String,
                              next_type: String, n: Long)
@@ -190,19 +193,19 @@ object StatefulOps {
         OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
         (key: Long, rows: Iterator[TransEvent], state: GroupState[TransState]) =>
           var st = state.getOption.getOrElse(
-            TransState("", Long.MinValue, Long.MinValue, Map.empty))
+            TransState("", Long.MinValue, Long.MinValue, Seq.empty))
+          var counts = st.counts.toMap
           rows.toSeq.sortBy(r => (r.tsMicros, r.eventId)).foreach { r =>
             if (st.lastType.nonEmpty) {
-              val k = st.lastType + " " + r.eventType
-              st = st.copy(counts =
-                st.counts.updated(k, st.counts.getOrElse(k, 0L) + 1L))
+              val k = (st.lastType, r.eventType)
+              counts = counts.updated(k, counts.getOrElse(k, 0L) + 1L)
             }
             st = st.copy(lastType = r.eventType, lastTs = r.tsMicros,
               lastId = r.eventId)
           }
+          st = st.copy(counts = counts.toSeq.sortBy(_._1))
           state.update(st)
-          st.counts.iterator.map { case (k, n) =>
-            val Array(p, nx) = k.split(" ", 2)
+          counts.iterator.map { case ((p, nx), n) =>
             TransUser(key, p, nx, n)
           }
       }
