@@ -3,7 +3,7 @@ package graft.sources.zarr
 import graft.sources.ZarrSource
 
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.Filter
 import org.apache.spark.sql.types.StructType
 
@@ -40,8 +40,9 @@ final case class ZarrOffset(n: Long) extends Offset {
   */
 final class ZarrMicroBatchStream(meta: ZarrGroupMeta, filters: Array[Filter],
                                  exact: Array[Filter],
-                                 required: StructType)
-    extends MicroBatchStream {
+                                 required: StructType,
+                                 maxSlicesPerTrigger: Option[Long] = None)
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   require(!meta.v3 && meta.refs.isEmpty,
     s"${meta.groupDir}: streaming zarr reads support v2 groups only " +
@@ -59,6 +60,40 @@ final class ZarrMicroBatchStream(meta: ZarrGroupMeta, filters: Array[Filter],
     ZarrOffset(json.trim.toLong)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
+
+  // ---- admission control: `.option("maxSlicesPerTrigger", n)` bounds a
+  // micro-batch to n dim-0 slices. A restarted query that fell far behind
+  // a 100 TB append stream otherwise plans ONE batch over the whole
+  // backlog — bounded batches keep task counts, shuffle sizes and commit
+  // latency flat while Spark drains the backlog batch by batch.
+  // SupportsTriggerAvailableNow makes the rate limit effective under
+  // Trigger.AvailableNow too (without it Spark falls back to one
+  // all-available batch): the trigger pins the target offset up front
+  // and the query runs ceil(backlog / n) bounded batches to reach it.
+  override def getDefaultReadLimit: ReadLimit =
+    maxSlicesPerTrigger.map(n => ReadLimit.maxRows(n))
+      .getOrElse(ReadLimit.allAvailable())
+
+  private var availableNowTarget: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit = {
+    availableNowTarget = Some(currentSlices())
+  }
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[ZarrOffset].n
+    val cur = availableNowTarget.getOrElse(currentSlices())
+    def cap(l: ReadLimit): Long = l match {
+      case r: org.apache.spark.sql.connector.read.streaming.ReadMaxRows =>
+        math.min(cur, s + r.maxRows)
+      case c: org.apache.spark.sql.connector.read.streaming.CompositeReadLimit =>
+        c.getReadLimits.map(cap).min
+      case _ => cur
+    }
+    ZarrOffset(cap(limit))
+  }
+
+  override def reportLatestOffset(): Offset = ZarrOffset(currentSlices())
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[ZarrOffset].n

@@ -214,7 +214,8 @@ final case class ZarrTable(meta: ZarrGroupMeta) extends Table with SupportsRead 
       java.util.EnumSet.of(TableCapability.BATCH_READ,
         TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ZarrScanBuilder(meta)
+    new ZarrScanBuilder(meta,
+      Option(options.get("maxSlicesPerTrigger")).map(_.toLong))
 }
 
 object ZarrTable {
@@ -335,7 +336,8 @@ object ZarrTable {
       meta.dataVars.map(StructField(_, DoubleType, nullable = true)))
 }
 
-final class ZarrScanBuilder(meta: ZarrGroupMeta)
+final class ZarrScanBuilder(meta: ZarrGroupMeta,
+                            maxSlicesPerTrigger: Option[Long] = None)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
@@ -396,7 +398,7 @@ final class ZarrScanBuilder(meta: ZarrGroupMeta)
 
   override def build(): Scan = aggregated match {
     case Some((agg, schema)) => ZarrAggScan(meta, exact, agg, schema)
-    case None => ZarrScan(meta, pushed, exact, required)
+    case None => ZarrScan(meta, pushed, exact, required, maxSlicesPerTrigger)
   }
 }
 
@@ -459,7 +461,9 @@ final case class ZarrAggReaderFactory() extends PartitionReaderFactory {
 
 final case class ZarrScan(meta: ZarrGroupMeta, filters: Array[Filter],
                           exact: Array[Filter],
-                          required: StructType) extends Scan with Batch
+                          required: StructType,
+                          maxSlicesPerTrigger: Option[Long] = None)
+    extends Scan with Batch
     with SupportsRuntimeFiltering with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -516,7 +520,8 @@ final case class ZarrScan(meta: ZarrGroupMeta, filters: Array[Filter],
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new ZarrMicroBatchStream(meta, filters, exact, required)
+    new ZarrMicroBatchStream(meta, filters, exact, required,
+      maxSlicesPerTrigger)
 }
 
 object ZarrScan {

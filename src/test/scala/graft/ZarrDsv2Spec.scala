@@ -403,6 +403,33 @@ class ZarrDsv2Spec extends AnyFunSuite {
     assert(drain().length === 18)
   }
 
+  test("maxSlicesPerTrigger: a backlog drains in bounded micro-batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val y = Array(0.0, 1.0)
+    val x = Array(0.0, 1.0)
+    val ts = Array.tabulate(6)(_.toDouble)
+    val df = (for { t <- ts; yi <- y; xi <- x } yield
+      (t, yi, xi, t * 10 + yi + xi)).toSeq.toDF("t", "y", "x", "v")
+    val g = s"${tmpDir("dsv2adm")}/backlog.zarr"
+    ZarrSource.writeCube(df, g, "v",
+      Seq("t" -> ts, "y" -> y, "x" -> x), chunks = Seq(1, 2, 2))
+    val out = tmpDir("dsv2admo")
+    val ckpt = tmpDir("dsv2admc")
+    val q = spark.readStream.format("zarr")
+      .option("maxSlicesPerTrigger", "2").load(g)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // complete drain...
+    assert(spark.read.parquet(out).count() === 24)
+    // ...in 6/2 = 3 bounded batches (offsets 0..2 committed)
+    val batches = new java.io.File(s"$ckpt/offsets").listFiles()
+      .map(_.getName).filterNot(_.startsWith(".")).sorted.toSeq
+    assert(batches === Seq("0", "1", "2"), batches)
+  }
+
   test("the same scan opens an http-hosted archive, pruned the same way") {
     val g = writeFixture()
     ZarrSource.consolidateMetadata(g)
