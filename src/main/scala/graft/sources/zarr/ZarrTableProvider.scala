@@ -365,16 +365,29 @@ final class ZarrScanBuilder(meta: ZarrGroupMeta,
     required = requiredSchema
   }
 
-  // ---- metadata-only aggregates: a global count(*)/count(dim)/min(dim)/
-  // max(dim) over (exactly-filtered) dimension columns never needs a
-  // chunk: the selection is a rectangle over driver-resident coordinate
-  // arrays, so the answer is per-dim counting/extremes — `SELECT
-  // count(*) FROM cube WHERE t >= ...` on a 100 TB archive is driver
-  // math, zero payload IO. Anything touching a data variable, grouping,
-  // distinct, or a non-exact filter declines and scans normally.
+  // ---- metadata-only aggregates: count(*)/count(dim)/min(dim)/max(dim)
+  // over (exactly-filtered) dimension columns never need a chunk: the
+  // selection is a rectangle over driver-resident coordinate arrays, so
+  // the answer is per-dim counting/extremes — and GROUP BY over dims is
+  // the same math per coordinate-value combination. `SELECT t, count(*)
+  // FROM cube WHERE y >= ... GROUP BY t` on a 100 TB archive is driver
+  // math, zero payload IO. Anything touching a data variable, distinct,
+  // a non-exact filter, or a group cardinality beyond `MaxGroups`
+  // declines and scans normally.
+  private val MaxGroups = 65536L
+
+  private def groupDimsOf(agg: Aggregation): Option[Seq[String]] = {
+    val names = agg.groupByExpressions.map(e => ZarrScan.dimName(meta, e))
+    if (names.forall(_.isDefined)) Some(names.flatten.toSeq) else None
+  }
+
   private def supported(agg: Aggregation): Boolean =
-    agg.groupByExpressions.isEmpty &&
-      unhandled.isEmpty &&
+    unhandled.isEmpty &&
+      groupDimsOf(agg).exists { gds =>
+        gds.distinct.lengthCompare(gds.length) == 0 &&
+          gds.map(d => meta.coords(meta.za.dims.indexOf(d)).distinct.length.toLong)
+            .product <= MaxGroups
+      } &&
       agg.aggregateExpressions.forall {
         case _: CountStar => true
         case c: Count => !c.isDistinct && ZarrScan.dimName(meta, c.column).isDefined
@@ -387,34 +400,41 @@ final class ZarrScanBuilder(meta: ZarrGroupMeta,
 
   override def pushAggregation(agg: Aggregation): Boolean =
     supported(agg) && {
-      val fields = agg.aggregateExpressions.zipWithIndex.map {
+      val groupFields = groupDimsOf(agg).get.map(d =>
+        StructField(d, DoubleType, nullable = false))
+      val aggFields = agg.aggregateExpressions.zipWithIndex.map {
         case (_: CountStar, i) => StructField(s"agg_$i", LongType, nullable = false)
         case (_: Count, i) => StructField(s"agg_$i", LongType, nullable = false)
         case (_, i) => StructField(s"agg_$i", DoubleType, nullable = true)
       }
-      aggregated = Some((agg, StructType(fields)))
+      aggregated = Some((agg, StructType(groupFields ++ aggFields)))
       true
     }
 
   override def build(): Scan = aggregated match {
-    case Some((agg, schema)) => ZarrAggScan(meta, exact, agg, schema)
+    case Some((agg, schema)) =>
+      ZarrAggScan(meta, exact, agg, schema, groupDimsOf(agg).get)
     case None => ZarrScan(meta, pushed, exact, required, maxSlicesPerTrigger)
   }
 }
 
 /** The pushed-aggregate scan: ONE partition carrying the driver-computed
-  * answer. Selection is rectangular (exact per-dim bounds over the
+  * answer rows. Selection is rectangular (exact per-dim bounds over the
   * driver-resident coordinates), so count(*) multiplies per-dim in-range
-  * counts and min/max(dim) are the in-range extremes — with an empty
-  * selection yielding count 0 / null extremes, exactly Spark's global
-  * aggregate semantics. */
+  * counts, min/max(dim) are the in-range extremes, and a GROUP BY over
+  * dims is the same math per coordinate-value combination (multiplicity-
+  * aware: repeated coordinate values merge into one group). An empty
+  * selection yields count 0 / null extremes globally and NO rows under
+  * GROUP BY — exactly Spark's aggregate semantics. */
 final case class ZarrAggScan(meta: ZarrGroupMeta, exact: Array[Filter],
-                             agg: Aggregation, schema: StructType)
+                             agg: Aggregation, schema: StructType,
+                             groupDims: Seq[String])
     extends Scan with Batch {
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
   override def description(): String =
-    s"ZarrAggScan ${meta.groupDir} PushedAggregates: [" +
+    s"ZarrAggScan ${meta.groupDir} GroupBy: [${groupDims.mkString(", ")}] " +
+      "PushedAggregates: [" +
       agg.aggregateExpressions.map(_.toString).mkString(", ") + "]"
 
   override def planInputPartitions(): Array[InputPartition] = {
@@ -427,34 +447,64 @@ final case class ZarrAggScan(meta: ZarrGroupMeta, exact: Array[Filter],
     }
     val counts = inRange.map(_.length.toLong)
     val total = counts.product
-    val values: Seq[Any] = agg.aggregateExpressions.toSeq.map {
-      case _: CountStar => total
-      case _: Count => total // dims are never null
-      case m: Min =>
-        val k = ZarrScan.dimName(meta, m.column).map(za.dims.indexOf).get
-        if (total == 0L) null else inRange(k).min
-      case m: Max =>
-        val k = ZarrScan.dimName(meta, m.column).map(za.dims.indexOf).get
-        if (total == 0L) null else inRange(k).max
-      case other => throw new IllegalStateException(s"unexpected agg $other")
+    def aggK(e: org.apache.spark.sql.connector.expressions.Expression): Int =
+      ZarrScan.dimName(meta, e).map(za.dims.indexOf).get
+    if (groupDims.isEmpty) {
+      val values: Seq[Any] = agg.aggregateExpressions.toSeq.map {
+        case _: CountStar => total
+        case _: Count => total // dims are never null
+        case m: Min => if (total == 0L) null else inRange(aggK(m.column)).min
+        case m: Max => if (total == 0L) null else inRange(aggK(m.column)).max
+        case other => throw new IllegalStateException(s"unexpected agg $other")
+      }
+      Array(ZarrAggPartition(Seq(values)))
+    } else if (total == 0L) {
+      Array(ZarrAggPartition(Seq.empty)) // GROUP BY over nothing: no rows
+    } else {
+      val groupIdx = groupDims.map(za.dims.indexOf)
+      // per grouped dim: distinct in-range value -> multiplicity
+      val groupVals: Seq[Seq[(Double, Long)]] = groupIdx.map { k =>
+        val m = scala.collection.mutable.LinkedHashMap.empty[Double, Long]
+        inRange(k).foreach(v => m(v) = m.getOrElse(v, 0L) + 1L)
+        m.toSeq
+      }
+      val otherProduct = counts.zipWithIndex
+        .collect { case (n, k) if !groupIdx.contains(k) => n }.product
+      val combos = groupVals.foldLeft(Seq(Seq.empty[(Double, Long)])) {
+        (acc, vs) => acc.flatMap(p => vs.map(p :+ _))
+      }
+      val rows = combos.map { combo =>
+        val comboCount = combo.map(_._2).product * otherProduct
+        val byDim = groupIdx.zip(combo.map(_._1)).toMap
+        combo.map(_._1: Any) ++ agg.aggregateExpressions.toSeq.map {
+          case _: CountStar => comboCount: Any
+          case _: Count => comboCount: Any
+          case m: Min =>
+            val k = aggK(m.column); byDim.getOrElse(k, inRange(k).min): Any
+          case m: Max =>
+            val k = aggK(m.column); byDim.getOrElse(k, inRange(k).max): Any
+          case other => throw new IllegalStateException(s"unexpected agg $other")
+        }
+      }
+      Array(ZarrAggPartition(rows))
     }
-    Array(ZarrAggPartition(values))
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
     ZarrAggReaderFactory()
 }
 
-final case class ZarrAggPartition(values: Seq[Any]) extends InputPartition
+final case class ZarrAggPartition(rows: Seq[Seq[Any]]) extends InputPartition
 
 final case class ZarrAggReaderFactory() extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new PartitionReader[InternalRow] {
-      private val vals = partition.asInstanceOf[ZarrAggPartition].values
-      private var done = false
-      override def next(): Boolean = if (done) false else { done = true; true }
+      private val rows = partition.asInstanceOf[ZarrAggPartition].rows.iterator
+      private var current: Seq[Any] = _
+      override def next(): Boolean =
+        if (rows.hasNext) { current = rows.next(); true } else false
       override def get(): InternalRow =
-        new GenericInternalRow(vals.toArray)
+        new GenericInternalRow(current.toArray)
       override def close(): Unit = ()
     }
 }

@@ -346,6 +346,35 @@ class ZarrDsv2Spec extends AnyFunSuite {
     intercept[Exception] { ds.agg(min("v")).head }
   }
 
+  test("GROUP BY dims pushes down: per-group counts from coordinate math") {
+    val g = writeFixture()
+    // corrupt all chunks again: grouped dim aggregates are metadata-only
+    (new java.io.File(s"$g/v").listFiles() ++
+      new java.io.File(s"$g/w").listFiles())
+      .filterNot(_.getName.startsWith("."))
+      .foreach(f => java.nio.file.Files.write(f.toPath, Array[Byte](9)))
+    val ds = spark.read.format("zarr").load(g)
+    import org.apache.spark.sql.functions.{col, count, max, min}
+    val byT = ds.groupBy("t").agg(count(lit(1)).as("n"), min("x"), max("y"))
+      .collect().map(r => (r.getDouble(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).sortBy(_._1)
+    assert(byT.toSeq === Seq((0.0, 24L, 0.5, 40.0), (1.0, 24L, 0.5, 40.0),
+      (2.0, 24L, 0.5, 40.0)))
+    // grouped + exactly-consumed filter
+    val byY = ds.filter(col("t") === 1.0 && col("x") < 3.0)
+      .groupBy("y").agg(count(lit(1)).as("n"), min("t"))
+      .collect().map(r => (r.getDouble(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1)
+    assert(byY.toSeq === Seq((10.0, 3L, 1.0), (20.0, 3L, 1.0),
+      (30.0, 3L, 1.0), (40.0, 3L, 1.0)))
+    // empty selection under GROUP BY: zero rows, not zero-count rows
+    assert(ds.filter(col("t") > 50.0).groupBy("t").count().count() === 0L)
+    // two grouped dims
+    assert(ds.groupBy("t", "y").count().count() === 12L)
+    val p = ds.groupBy("t").count().queryExecution.executedPlan.toString
+    assert(p.contains("ZarrAggScan"), p.take(600))
+  }
+
   test("exactly-consumed dim filters: reader-side cells match Spark-side") {
     val g = writeFixture()
     val ds = spark.read.format("zarr").load(g)
