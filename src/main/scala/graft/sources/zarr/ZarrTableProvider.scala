@@ -339,7 +339,18 @@ object ZarrTable {
 final class ZarrScanBuilder(meta: ZarrGroupMeta,
                             maxSlicesPerTrigger: Option[Long] = None)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates
+    with SupportsPushDownLimit {
+
+  // partial limit pushdown: plan only enough chunks to cover the limit.
+  // Safe because the per-chunk MATCHING cell count is exact driver math
+  // (coordinates are resident, the consumed filters are rectangular), so
+  // the truncated scan still yields >= min(limit, total matching) rows —
+  // Spark re-applies the limit on top. `df.limit(20)` over a 10^7-chunk
+  // archive plans one task.
+  private var limit: Option[Int] = None
+  override def pushLimit(l: Int): Boolean = { limit = Some(l); true }
+  override def isPartiallyPushed: Boolean = true
 
   private var pushed: Array[Filter] = Array.empty
   private var exact: Array[Filter] = Array.empty
@@ -414,7 +425,8 @@ final class ZarrScanBuilder(meta: ZarrGroupMeta,
   override def build(): Scan = aggregated match {
     case Some((agg, schema)) =>
       ZarrAggScan(meta, exact, agg, schema, groupDimsOf(agg).get)
-    case None => ZarrScan(meta, pushed, exact, required, maxSlicesPerTrigger)
+    case None =>
+      ZarrScan(meta, pushed, exact, required, maxSlicesPerTrigger, limit)
   }
 }
 
@@ -512,7 +524,8 @@ final case class ZarrAggReaderFactory() extends PartitionReaderFactory {
 final case class ZarrScan(meta: ZarrGroupMeta, filters: Array[Filter],
                           exact: Array[Filter],
                           required: StructType,
-                          maxSlicesPerTrigger: Option[Long] = None)
+                          maxSlicesPerTrigger: Option[Long] = None,
+                          limit: Option[Int] = None)
     extends Scan with Batch
     with SupportsRuntimeFiltering with SupportsReportStatistics {
   override def readSchema(): StructType = required
@@ -563,7 +576,7 @@ final case class ZarrScan(meta: ZarrGroupMeta, filters: Array[Filter],
 
   override def planInputPartitions(): Array[InputPartition] =
     ZarrScan.plannedPartitions(meta, filters ++ runtime, exact, required,
-      dim0Range = None)
+      dim0Range = None, limit)
 
   override def createReaderFactory(): PartitionReaderFactory =
     ZarrReaderFactory()
@@ -674,7 +687,8 @@ object ZarrScan {
                                       filters: Array[Filter],
                                       exact: Array[Filter],
                                       required: StructType,
-                                      dim0Range: Option[(Long, Long)])
+                                      dim0Range: Option[(Long, Long)],
+                                      limit: Option[Int] = None)
       : Array[InputPartition] = {
     val za = meta.za
     val rank = za.shape.length
@@ -684,8 +698,32 @@ object ZarrScan {
     val cellBounds: Option[Array[(Double, Double)]] =
       if (exact.isEmpty) None else Some(exactBounds(meta, exact))
     val vars = required.fieldNames.filter(meta.dataVars.contains).toSeq
-    val keys = keep.foldLeft(Seq(Seq.empty[Int])) { (acc, ks) =>
+    val allKeys = keep.foldLeft(Seq(Seq.empty[Int])) { (acc, ks) =>
       acc.flatMap(p => ks.map(p :+ _))
+    }
+    // pushed LIMIT: keep only enough chunks to cover it, by the EXACT
+    // per-chunk matching cell count (slice values within the consumed
+    // bounds — driver math, so truncation never under-delivers)
+    val keys = limit match {
+      case Some(n) =>
+        def matching(key: Seq[Int]): Long =
+          (0 until rank).map { k =>
+            val s = key(k) * za.chunks(k)
+            val e = math.min(s + za.chunks(k), za.shape(k))
+            val slice = meta.coords(k).slice(s, e)
+            cellBounds match {
+              case Some(bs) =>
+                slice.count(v => v >= bs(k)._1 && v <= bs(k)._2).toLong
+              case None => slice.length.toLong
+            }
+          }.product
+        var acc = 0L
+        allKeys.takeWhile { key =>
+          val take = acc < n
+          acc += matching(key)
+          take
+        }
+      case None => allKeys
     }
     // virtual (kerchunk-backed) tables: resolve the SURVIVING chunks'
     // refs in one bulk lookup at planning time, so each partition ships

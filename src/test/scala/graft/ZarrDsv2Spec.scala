@@ -346,6 +346,31 @@ class ZarrDsv2Spec extends AnyFunSuite {
     intercept[Exception] { ds.agg(min("v")).head }
   }
 
+  test("limit pushdown: a peek plans only enough chunks") {
+    val g = writeFixture() // 12 chunks x 6 in-bounds cells
+    val meta = graft.sources.zarr.ZarrTable.open(g)
+    val schema = graft.sources.zarr.ZarrTable.schemaFor(meta)
+    import org.apache.spark.sql.sources.LessThanOrEqual
+    def parts(limit: Int, exact: Array[org.apache.spark.sql.sources.Filter]) =
+      graft.sources.zarr.ZarrScan(meta, exact, exact, schema,
+        limit = Some(limit)).planInputPartitions().length
+    // limit 5 < one chunk's 6 cells -> one planned chunk; 7 needs two
+    assert(parts(5, Array.empty) === 1)
+    assert(parts(7, Array.empty) === 2)
+    // with a consumed filter the per-chunk MATCHING count drives the
+    // cut: x <= 0.5 matches 2 cells/chunk, so limit 5 needs 3 chunks
+    assert(parts(5, Array(LessThanOrEqual("x", 0.5))) === 3)
+    // beyond the table: every chunk stays
+    assert(parts(1000, Array.empty) === 12)
+    // end-to-end: the planner truncation never under-delivers
+    val ds = spark.read.format("zarr").load(g)
+    import org.apache.spark.sql.functions.col
+    assert(ds.limit(5).count() === 5)
+    assert(ds.limit(7).count() === 7)
+    assert(ds.filter(col("x") <= 0.5).limit(5).count() === 5)
+    assert(ds.limit(1000).count() === 72)
+  }
+
   test("GROUP BY dims pushes down: per-group counts from coordinate math") {
     val g = writeFixture()
     // corrupt all chunks again: grouped dim aggregates are metadata-only
