@@ -786,6 +786,44 @@ object ServingPack extends QueryPack {
           |GROUP BY CAST(t AS BIGINT)""".stripMargin)
     }),
 
+    // PARTIAL aggregate pushdown over data variables: min/max/sum/count
+    // of actual cell values grouped by a dim fold INSIDE the partition
+    // reader (one partial row per chunk-group crosses the exchange, not
+    // one row per cell — dask's blockwise tree-reduction surfaced through
+    // Catalyst). The fixture's cells are dyadic rationals (k/64) so the
+    // double sums are order-free EXACT and the oracle recomputes them
+    // closed-form; the y <= 49.5 predicate is consumed by the reader and
+    // prunes half the chunks first. ZarrDsv2Spec pins the plan shape
+    // (ZarrVarAggScan, 1 partial row per surviving chunk).
+    "q_zarr_agg_push" -> ((s, d) => {
+      val sfName = new java.io.File(d).getName
+      val base = s"/root/repo/.graft-fixtures/zarraggpush_$sfName"
+      val group = s"$base/cube.zarr"
+      Fixtures.ensureWritten(base, "t=4,grid=100x360,chunks=1x50x90,dyadic64") {
+        new java.io.File(base).mkdirs()
+        val cells = s.range(4L * 100 * 360).select(
+          (col("id") / (100L * 360)).cast("long").as("ti"),
+          ((col("id") / 360) % 100).cast("long").as("j"),
+          (col("id") % 360).cast("long").as("i"))
+          .select(col("ti").cast("double").as("t"),
+            (col("j") + 0.5).cast("double").as("y"),
+            (col("i") + 0.5).cast("double").as("x"),
+            (((col("j") * 360 + col("i") + col("ti") * 7) % 4096) / 64.0).as("v"))
+        ZarrSource.writeCube(cells, group, "v",
+          Seq("t" -> Array.tabulate(4)(_.toDouble),
+            "y" -> Array.tabulate(100)(_ + 0.5),
+            "x" -> Array.tabulate(360)(_ + 0.5)),
+          chunks = Seq(1, 50, 90))
+      }
+      s.read.format("zarr").load(group)
+        .filter(col("y") <= 49.5)
+        .groupBy(col("t"))
+        .agg(count(lit(1)).as("n_cells"), min(col("v")).as("min_v"),
+          max(col("v")).as("max_v"), sum(col("v")).as("sum_v"))
+        .select(col("t").cast("long").as("t"), col("n_cells"),
+          col("min_v"), col("max_v"), col("sum_v"))
+    }),
+
     // the STREAMING source twin of q_zarr (spark.readStream.format("zarr")
     // — the relational form of the reference's dataset polling): the
     // group starts with day 1, a micro-batch drains it, day 2 is appended
@@ -1919,6 +1957,15 @@ object ServingPack extends QueryPack {
                 round(sum(((j + 0.5) + (i + 0.5))::DECIMAL(28,10)), 6)::DOUBLE AS sum_coord,
                 round(sum(v::DECIMAL(28,10)), 6)::DOUBLE AS sum_v
          FROM daily GROUP BY day_idx""",
+    "q_zarr_agg_push" ->
+      """SELECT (k // 36000)::BIGINT AS t, count(*) AS n_cells,
+                min(v) AS min_v, max(v) AS max_v, sum(v) AS sum_v
+         FROM (SELECT k,
+                      (((k // 360) % 100) * 360 + (k % 360)
+                        + (k // 36000) * 7) % 4096 / 64.0 AS v
+               FROM range(0, 144000) r(k))
+         WHERE ((k // 360) % 100) <= 49
+         GROUP BY 1""",
     "q_zarr_stream_read" ->
       s"""WITH ${CubePack.cubeCte},
          daily AS (SELECT CASE WHEN CAST(time AS DATE) = DATE '2024-01-01'

@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min, Sum}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
@@ -409,8 +409,30 @@ final class ZarrScanBuilder(meta: ZarrGroupMeta,
 
   override def supportCompletePushDown(agg: Aggregation): Boolean = supported(agg)
 
-  override def pushAggregation(agg: Aggregation): Boolean =
-    supported(agg) && {
+  // ---- PARTIAL pushdown over data variables: min/max/sum/count grouped
+  // by dims folds per chunk inside the reader (ZarrVarAggScan) — the
+  // chunks are still read, but the exchange above the scan carries one
+  // row per (chunk, group) instead of every cell. Group-by expressions
+  // must be dims (group keys then come from O(chunk) coordinate slices);
+  // aggregated columns may be dims or data variables.
+  private def partialSupported(agg: Aggregation): Boolean =
+    unhandled.isEmpty && agg.aggregateExpressions.nonEmpty &&
+      groupDimsOf(agg).exists(gds => gds.distinct.lengthCompare(gds.length) == 0) &&
+      agg.aggregateExpressions.forall {
+        case _: CountStar => true
+        case c: Count =>
+          !c.isDistinct && ZarrVarAggScan.colName(meta, c.column).isDefined
+        case m: Min => ZarrVarAggScan.colName(meta, m.column).isDefined
+        case m: Max => ZarrVarAggScan.colName(meta, m.column).isDefined
+        case s: Sum =>
+          !s.isDistinct && ZarrVarAggScan.colName(meta, s.column).isDefined
+        case _ => false
+      }
+
+  private var partial: Option[(Aggregation, StructType)] = None
+
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    def pushedSchema: StructType = {
       val groupFields = groupDimsOf(agg).get.map(d =>
         StructField(d, DoubleType, nullable = false))
       val aggFields = agg.aggregateExpressions.zipWithIndex.map {
@@ -418,14 +440,19 @@ final class ZarrScanBuilder(meta: ZarrGroupMeta,
         case (_: Count, i) => StructField(s"agg_$i", LongType, nullable = false)
         case (_, i) => StructField(s"agg_$i", DoubleType, nullable = true)
       }
-      aggregated = Some((agg, StructType(groupFields ++ aggFields)))
-      true
+      StructType(groupFields ++ aggFields)
     }
+    if (supported(agg)) { aggregated = Some((agg, pushedSchema)); true }
+    else if (partialSupported(agg)) { partial = Some((agg, pushedSchema)); true }
+    else false
+  }
 
-  override def build(): Scan = aggregated match {
-    case Some((agg, schema)) =>
+  override def build(): Scan = (aggregated, partial) match {
+    case (Some((agg, schema)), _) =>
       ZarrAggScan(meta, exact, agg, schema, groupDimsOf(agg).get)
-    case None =>
+    case (None, Some((agg, schema))) =>
+      ZarrVarAggScan(meta, pushed, exact, agg, schema, groupDimsOf(agg).get)
+    case _ =>
       ZarrScan(meta, pushed, exact, required, maxSlicesPerTrigger, limit)
   }
 }

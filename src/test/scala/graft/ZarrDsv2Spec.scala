@@ -400,6 +400,75 @@ class ZarrDsv2Spec extends AnyFunSuite {
     assert(p.contains("ZarrAggScan"), p.take(600))
   }
 
+  test("partial aggregate pushdown: var aggregates fold per chunk") {
+    val g = writeFixture()
+    val ds = spark.read.format("zarr").load(g)
+    import org.apache.spark.sql.functions.{col, count, max, min, sum}
+    val q = ds.filter(col("t") >= 1.0)
+      .groupBy("t").agg(count(lit(1)).as("n"), min("v").as("mn"),
+        max("v").as("mx"), sum("w").as("sw"))
+    val plan = q.queryExecution.executedPlan
+    assert(plan.toString.contains("ZarrVarAggScan"), plan.toString.take(800))
+    // the scan emits ONE partial row per (chunk, group) — 8 surviving
+    // chunks (t >= 1.0 prunes the t=0 slice), each chunk a single t —
+    // instead of streaming 48 cells into the aggregation
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val scan = q.queryExecution.sparkPlan.collectLeaves()
+      .collectFirst { case b: BatchScanExec => b }.get
+    assert(scan.inputRDD.getNumPartitions === 8)
+    assert(scan.inputRDD.count() === 8L)
+    // exact results (dyadic cell values -> order-free double sums):
+    // per t: 24 cells, min v = t*1000+100+0.5, max v = t*1000+400+5.5,
+    // sum w = 24t + 6*(10+20+30+40) + 4*(0.5+..+5.5) = 24t + 672
+    val rows = q.collect().map(r => (r.getDouble(0), r.getLong(1),
+      r.getDouble(2), r.getDouble(3), r.getDouble(4))).sortBy(_._1)
+    assert(rows.toSeq === Seq((1.0, 24L, 1100.5, 1405.5, 696.0),
+      (2.0, 24L, 2100.5, 2405.5, 720.0)))
+    // two grouped dims and a global (no-group) aggregate also push
+    assert(ds.groupBy("t", "y").agg(sum("v")).count() === 12L)
+    val g0 = ds.agg(min("v"), max("w"), count(col("v"))).head
+    assert(g0.getDouble(0) === 100.5 && g0.getDouble(1) === 47.5 &&
+      g0.getLong(2) === 72L)
+    val p0 = ds.agg(sum("v")).queryExecution.executedPlan.toString
+    assert(p0.contains("ZarrVarAggScan"), p0.take(600))
+  }
+
+  test("partial agg pushdown keeps Spark's NaN semantics cell for cell") {
+    import spark.implicits._
+    // v carries NaN holes: min skips NaN (NaN sorts greatest), max
+    // returns NaN, sum poisons, count counts cells (NaN is not null) —
+    // the pushed plan must match the unpushed RDD-path aggregation row
+    // for row
+    val t = Array(0.0, 1.0)
+    val y = Array(0.0, 1.0, 2.0)
+    val x = Array(0.0, 1.0)
+    val df = (for { ti <- t; yi <- y; xi <- x } yield
+      (ti, yi, xi,
+        if ((yi + xi) % 2 == 1) Double.NaN else ti * 100 + yi * 10 + xi))
+      .toSeq.toDF("t", "y", "x", "v")
+    val g = s"${tmpDir("dsv2nan")}/cube.zarr"
+    ZarrSource.writeCubeVars(df, g, Seq("v"),
+      Seq("t" -> t, "y" -> y, "x" -> x), chunks = Seq(1, 2, 2))
+    import org.apache.spark.sql.functions.{col, count, max, min, sum}
+    def agg(d: org.apache.spark.sql.DataFrame) =
+      d.groupBy("t").agg(min("v"), max("v"), sum("v"), count(col("v")))
+        .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2),
+          r.getDouble(3), r.getLong(4))).sortBy(_._1).toSeq
+    val pushedDf = spark.read.format("zarr").load(g)
+    val plan = pushedDf.groupBy("t").agg(min("v"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ZarrVarAggScan"), plan.take(600))
+    val pushed = agg(pushedDf)
+    val plain = agg(ZarrSource.readCubeVars(spark, g, Seq("v")))
+    assert(pushed.length === 2)
+    pushed.zip(plain).foreach { case ((pt, pmn, pmx, psm, pn), (qt, qmn, qmx, qsm, qn)) =>
+      assert(pt === qt && pn === qn)
+      assert(pmn === qmn) // NaN never wins min while real cells exist
+      assert(pmx.isNaN && qmx.isNaN) // NaN is greatest -> max is NaN
+      assert(psm.isNaN && qsm.isNaN) // NaN poisons the sum
+    }
+  }
+
   test("exactly-consumed dim filters: reader-side cells match Spark-side") {
     val g = writeFixture()
     val ds = spark.read.format("zarr").load(g)
