@@ -38,8 +38,7 @@ final case class ZarrOffset(n: Long) extends Offset {
   * v2 local/object/http groups only: v3 and refs-backed (kerchunk) tables
   * reject loudly — append-in-place is a v2 store operation here.
   */
-final class ZarrMicroBatchStream(meta: ZarrGroupMeta, filters: Array[Filter],
-                                 exact: Array[Filter],
+final class ZarrMicroBatchStream(meta: ZarrGroupMeta, consumed: Array[Filter],
                                  required: StructType,
                                  maxSlicesPerTrigger: Option[Long] = None)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
@@ -104,7 +103,7 @@ final class ZarrMicroBatchStream(meta: ZarrGroupMeta, filters: Array[Filter],
     val za = fresh.za
     require(e <= za.shape.head,
       s"${meta.groupDir}: offset $e beyond current dim-0 extent ${za.shape.head}")
-    ZarrScan.plannedPartitions(fresh, filters, exact, required,
+    ZarrScan.plannedPartitions(fresh, consumed, Array.empty, required,
       dim0Range = Some((s, e)))
   }
 

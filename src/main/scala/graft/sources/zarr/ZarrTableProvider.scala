@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min, Sum}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Avg, Count, CountStar, Max, Min, Sum}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
@@ -24,9 +24,11 @@ import scala.jdk.CollectionConverters._
   * the DataFrame read path cannot express over a hand-built RDD:
   *
   *  - **Chunk pruning from pushed dimension predicates.** A filter on a
-  *    dimension column (`t === 0.5`, `y >= 40 && y < 60`) is converted to
-  *    per-dimension coordinate ranges on the driver; only chunk keys whose
-  *    coordinate span intersects every range become input partitions. At
+  *    dimension column (`t === 0.5`, `y >= 40 && y < 60`, `t.isin(...)`,
+  *    same-dim `||`, `=!=`) is converted to per-dimension sets of
+  *    coordinate intervals on the driver; only chunk keys whose
+  *    coordinate span intersects some interval of every dim become input
+  *    partitions. At
   *    100 TB this is the difference between "scan two chunk files" and
   *    "scan the archive" — the same read elision the reference gets from
   *    xarray's lazy label indexing (`select_subset`, core/select.py), but
@@ -352,39 +354,39 @@ final class ZarrScanBuilder(meta: ZarrGroupMeta,
   override def pushLimit(l: Int): Boolean = { limit = Some(l); true }
   override def isPartiallyPushed: Boolean = true
 
-  private var pushed: Array[Filter] = Array.empty
-  private var exact: Array[Filter] = Array.empty
+  private var consumed: Array[Filter] = Array.empty
   private var unhandled: Array[Filter] = Array.empty
   private var required: StructType = ZarrTable.schemaFor(meta)
   private var aggregated: Option[(Aggregation, StructType)] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    // dimension-range predicates drive chunk pruning; the EXACTLY
-    // evaluable subset (plain comparisons on a dim with a finite literal)
-    // is fully consumed — the reader drops out-of-range cells with the
-    // same double semantics — which is what unlocks aggregate pushdown
-    // (Spark only pushes aggregates below a scan with no post-scan
-    // filters). The rest (In spans, non-dim predicates) stays Spark-side.
-    pushed = filters.filter(f => ZarrScan.dimRange(meta, f).isDefined)
-    exact = filters.filter(f => ZarrScan.exactDimFilter(meta, f))
-    unhandled = filters.filterNot(f => ZarrScan.exactDimFilter(meta, f))
+    // every RECTANGULAR dimension predicate — comparisons, In, same-dim
+    // Or, Not, null tests, and And-combinations, all translated to per-dim
+    // interval sets by ZarrScan.rect — both drives chunk pruning AND is
+    // fully consumed: the reader re-applies it cell-for-cell with Spark's
+    // own double semantics (NaN greatest, zeros equal). Full consumption
+    // is what unlocks aggregate pushdown (Spark only pushes aggregates
+    // below a scan with no post-scan filters). Non-dim predicates and
+    // non-rectangular shapes (an Or across two dims) stay Spark-side.
+    consumed = filters.filter(f => ZarrScan.rect(meta, f).isDefined)
+    unhandled = filters.filterNot(f => ZarrScan.rect(meta, f).isDefined)
     unhandled
   }
-  override def pushedFilters(): Array[Filter] = pushed
+  override def pushedFilters(): Array[Filter] = consumed
 
   override def pruneColumns(requiredSchema: StructType): Unit = {
     required = requiredSchema
   }
 
-  // ---- metadata-only aggregates: count(*)/count(dim)/min(dim)/max(dim)
-  // over (exactly-filtered) dimension columns never need a chunk: the
+  // ---- metadata-only aggregates: count(*)/count/min/max/sum/avg over
+  // (exactly-consumed-filtered) dimension columns never need a chunk: the
   // selection is a rectangle over driver-resident coordinate arrays, so
-  // the answer is per-dim counting/extremes — and GROUP BY over dims is
-  // the same math per coordinate-value combination. `SELECT t, count(*)
-  // FROM cube WHERE y >= ... GROUP BY t` on a 100 TB archive is driver
-  // math, zero payload IO. Anything touching a data variable, distinct,
-  // a non-exact filter, or a group cardinality beyond `MaxGroups`
-  // declines and scans normally.
+  // the answer is per-dim counting/extremes/sums — and GROUP BY over dims
+  // is the same math per coordinate-value combination. `SELECT t,
+  // count(*) FROM cube WHERE y >= ... GROUP BY t` on a 100 TB archive is
+  // driver math, zero payload IO. Anything touching a data variable,
+  // distinct, a non-consumed filter, or a group cardinality beyond
+  // `MaxGroups` declines and scans normally.
   private val MaxGroups = 65536L
 
   private def groupDimsOf(agg: Aggregation): Option[Seq[String]] = {
@@ -404,6 +406,8 @@ final class ZarrScanBuilder(meta: ZarrGroupMeta,
         case c: Count => !c.isDistinct && ZarrScan.dimName(meta, c.column).isDefined
         case m: Min => ZarrScan.dimName(meta, m.column).isDefined
         case m: Max => ZarrScan.dimName(meta, m.column).isDefined
+        case s: Sum => !s.isDistinct && ZarrScan.dimName(meta, s.column).isDefined
+        case a: Avg => !a.isDistinct && ZarrScan.dimName(meta, a.column).isDefined
         case _ => false
       }
 
@@ -449,23 +453,25 @@ final class ZarrScanBuilder(meta: ZarrGroupMeta,
 
   override def build(): Scan = (aggregated, partial) match {
     case (Some((agg, schema)), _) =>
-      ZarrAggScan(meta, exact, agg, schema, groupDimsOf(agg).get)
+      ZarrAggScan(meta, consumed, agg, schema, groupDimsOf(agg).get)
     case (None, Some((agg, schema))) =>
-      ZarrVarAggScan(meta, pushed, exact, agg, schema, groupDimsOf(agg).get)
+      ZarrVarAggScan(meta, consumed, agg, schema, groupDimsOf(agg).get)
     case _ =>
-      ZarrScan(meta, pushed, exact, required, maxSlicesPerTrigger, limit)
+      ZarrScan(meta, consumed, required, maxSlicesPerTrigger, limit)
   }
 }
 
 /** The pushed-aggregate scan: ONE partition carrying the driver-computed
-  * answer rows. Selection is rectangular (exact per-dim bounds over the
+  * answer rows. Selection is rectangular (per-dim interval sets over the
   * driver-resident coordinates), so count(*) multiplies per-dim in-range
-  * counts, min/max(dim) are the in-range extremes, and a GROUP BY over
-  * dims is the same math per coordinate-value combination (multiplicity-
-  * aware: repeated coordinate values merge into one group). An empty
+  * counts, min/max(dim) are the in-range extremes, sum(dim)/avg(dim)
+  * weight each in-range value by the other dims' in-range counts, and a
+  * GROUP BY over dims is the same math per coordinate-value combination
+  * (multiplicity-aware: repeated coordinate values merge into one group,
+  * -0.0 grouped with 0.0 like Spark's key normalization). An empty
   * selection yields count 0 / null extremes globally and NO rows under
   * GROUP BY — exactly Spark's aggregate semantics. */
-final case class ZarrAggScan(meta: ZarrGroupMeta, exact: Array[Filter],
+final case class ZarrAggScan(meta: ZarrGroupMeta, consumed: Array[Filter],
                              agg: Aggregation, schema: StructType,
                              groupDims: Seq[String])
     extends Scan with Batch {
@@ -478,22 +484,29 @@ final case class ZarrAggScan(meta: ZarrGroupMeta, exact: Array[Filter],
 
   override def planInputPartitions(): Array[InputPartition] = {
     val za = meta.za
-    val bounds = ZarrScan.exactBounds(meta, exact)
+    val packed = ZarrScan.packIvs(ZarrScan.rectOf(meta, consumed))
     val inRange: Seq[Array[Double]] = meta.coords.zipWithIndex.map {
-      case (c, k) =>
-        val (lo, hi) = bounds(k)
-        c.filter(v => v >= lo && v <= hi)
+      case (c, k) => c.filter(v => ZarrScan.cellInPacked(v, packed(k)))
     }
     val counts = inRange.map(_.length.toLong)
     val total = counts.product
     def aggK(e: org.apache.spark.sql.connector.expressions.Expression): Int =
       ZarrScan.dimName(meta, e).map(za.dims.indexOf).get
+    // Σ of dim k's in-range values in ascending index order (the order a
+    // chunk scan feeds Spark's own sum, chunk grids being index-ordered)
+    def dimSum(k: Int): Double = { var s = 0.0; inRange(k).foreach(s += _); s }
     if (groupDims.isEmpty) {
       val values: Seq[Any] = agg.aggregateExpressions.toSeq.map {
         case _: CountStar => total
         case _: Count => total // dims are never null
         case m: Min => if (total == 0L) null else inRange(aggK(m.column)).min
         case m: Max => if (total == 0L) null else inRange(aggK(m.column)).max
+        case s: Sum =>
+          if (total == 0L) null
+          else { val k = aggK(s.column); dimSum(k) * (total / counts(k)) }
+        case a: Avg =>
+          if (total == 0L) null
+          else { val k = aggK(a.column); dimSum(k) / counts(k) }
         case other => throw new IllegalStateException(s"unexpected agg $other")
       }
       Array(ZarrAggPartition(Seq(values)))
@@ -504,16 +517,24 @@ final case class ZarrAggScan(meta: ZarrGroupMeta, exact: Array[Filter],
       // per grouped dim: distinct in-range value -> multiplicity
       val groupVals: Seq[Seq[(Double, Long)]] = groupIdx.map { k =>
         val m = scala.collection.mutable.LinkedHashMap.empty[Double, Long]
-        inRange(k).foreach(v => m(v) = m.getOrElse(v, 0L) + 1L)
+        inRange(k).foreach { v0 =>
+          val v = if (v0 == 0.0) 0.0 else v0 // Spark groups -0.0 with 0.0
+          m(v) = m.getOrElse(v, 0L) + 1L
+        }
         m.toSeq
       }
       val otherProduct = counts.zipWithIndex
         .collect { case (n, k) if !groupIdx.contains(k) => n }.product
+      // Π of in-range counts over dims neither grouped nor the agg dim —
+      // the per-value weight for sum(dim k) inside one group combo
+      def otherOver(k: Int): Long = counts.zipWithIndex
+        .collect { case (n, j) if !groupIdx.contains(j) && j != k => n }.product
       val combos = groupVals.foldLeft(Seq(Seq.empty[(Double, Long)])) {
         (acc, vs) => acc.flatMap(p => vs.map(p :+ _))
       }
       val rows = combos.map { combo =>
-        val comboCount = combo.map(_._2).product * otherProduct
+        val groupedMult = combo.map(_._2).product
+        val comboCount = groupedMult * otherProduct
         val byDim = groupIdx.zip(combo.map(_._1)).toMap
         combo.map(_._1: Any) ++ agg.aggregateExpressions.toSeq.map {
           case _: CountStar => comboCount: Any
@@ -522,6 +543,15 @@ final case class ZarrAggScan(meta: ZarrGroupMeta, exact: Array[Filter],
             val k = aggK(m.column); byDim.getOrElse(k, inRange(k).min): Any
           case m: Max =>
             val k = aggK(m.column); byDim.getOrElse(k, inRange(k).max): Any
+          case s: Sum =>
+            val k = aggK(s.column)
+            (byDim.get(k) match {
+              case Some(v) => v * comboCount // the grouped dim is constant
+              case None => dimSum(k) * (groupedMult * otherOver(k))
+            }): Any
+          case a: Avg =>
+            val k = aggK(a.column)
+            byDim.getOrElse(k, dimSum(k) / counts(k)): Any
           case other => throw new IllegalStateException(s"unexpected agg $other")
         }
       }
@@ -548,8 +578,7 @@ final case class ZarrAggReaderFactory() extends PartitionReaderFactory {
     }
 }
 
-final case class ZarrScan(meta: ZarrGroupMeta, filters: Array[Filter],
-                          exact: Array[Filter],
+final case class ZarrScan(meta: ZarrGroupMeta, consumed: Array[Filter],
                           required: StructType,
                           maxSlicesPerTrigger: Option[Long] = None,
                           limit: Option[Int] = None)
@@ -558,25 +587,26 @@ final case class ZarrScan(meta: ZarrGroupMeta, filters: Array[Filter],
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String = {
-    val f = filters.map(_.toString).mkString(", ")
+    val f = consumed.map(_.toString).mkString(", ")
     s"ZarrScan ${meta.groupDir} PushedFilters: [$f], " +
       s"ReadSchema: ${required.fieldNames.mkString(",")}"
   }
 
   // ---- runtime (DPP / semi-join) filtering: Spark may push join-key
   // predicates on the dimension columns at EXECUTION time (AQE), after
-  // the build side is known — chunks outside the joined key range are
-  // elided without any caller-visible API. The same dimRange conversion
-  // serves both planning-time and runtime predicates, and Spark still
-  // re-evaluates every predicate post-scan, so this can only skip chunks
-  // that provably contain no matching cell.
+  // the build side is known — chunks outside the joined key set are
+  // elided without any caller-visible API. The same rect conversion
+  // serves both planning-time and runtime predicates (an In over join
+  // keys prunes as an exact interval SET, not a min-max span), but
+  // runtime filters only prune — the plan's own join re-evaluates them —
+  // so this can only skip chunks that provably contain no matching cell.
   private var runtime: Array[Filter] = Array.empty
   override def filterAttributes(): Array[
       org.apache.spark.sql.connector.expressions.NamedReference] =
     meta.za.dims.map(d =>
       org.apache.spark.sql.connector.expressions.Expressions.column(d)).toArray
   override def filter(fs: Array[Filter]): Unit = {
-    runtime = fs.filter(f => ZarrScan.dimRange(meta, f).isDefined)
+    runtime = fs.filter(f => ZarrScan.rect(meta, f).isDefined)
   }
 
   // ---- statistics: post-pruning row/byte estimates so Catalyst and AQE
@@ -585,7 +615,7 @@ final case class ZarrScan(meta: ZarrGroupMeta, filters: Array[Filter],
   // exactly because pruning is rectangular.
   override def estimateStatistics(): Statistics = {
     val za = meta.za
-    val keep = ZarrScan.survivingChunks(meta, filters ++ runtime, None)
+    val keep = ZarrScan.survivingChunks(meta, consumed ++ runtime, None)
     val rows = keep.zipWithIndex.map { case (ks, k) =>
       ks.map { ck =>
         val s = ck * za.chunks(k)
@@ -602,7 +632,7 @@ final case class ZarrScan(meta: ZarrGroupMeta, filters: Array[Filter],
   }
 
   override def planInputPartitions(): Array[InputPartition] =
-    ZarrScan.plannedPartitions(meta, filters ++ runtime, exact, required,
+    ZarrScan.plannedPartitions(meta, consumed, runtime, required,
       dim0Range = None, limit)
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -610,8 +640,7 @@ final case class ZarrScan(meta: ZarrGroupMeta, filters: Array[Filter],
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new ZarrMicroBatchStream(meta, filters, exact, required,
-      maxSlicesPerTrigger)
+    new ZarrMicroBatchStream(meta, consumed, required, maxSlicesPerTrigger)
 }
 
 object ZarrScan {
@@ -620,27 +649,192 @@ object ZarrScan {
     * dim-0 SLICE range (streaming's "new data" window) that both prunes
     * dim-0 chunks and rides into the partition so the reader emits only
     * in-range rows of a shared boundary chunk. */
+  /** One inclusive coordinate interval. `-Inf` lower / `+Inf` upper
+    * endpoints mean "unbounded on that side" and admit EVERYTHING there —
+    * including NaN above, because Spark's double semantics order NaN
+    * greater than every value (`NaN > lit` is TRUE for any literal). */
+  type Iv = (Double, Double)
+  private[zarr] val Full: Seq[Iv] =
+    Seq((Double.NegativeInfinity, Double.PositiveInfinity))
+
+  /** Spark's DoubleType comparison (SQLOrderingUtil semantics): NaN
+    * equals NaN and is greater than everything else; ±0.0 compare equal. */
+  @inline private[zarr] def sqlCmp(a: Double, b: Double): Int =
+    if (a < b) -1 else if (a > b) 1 else if (a == b) 0
+    else if (a.isNaN) { if (b.isNaN) 0 else 1 } else -1
+
+  /** Cell membership in one interval, under Spark's double ordering. */
+  @inline private[zarr] def cellIn(v: Double, lo: Double, hi: Double): Boolean =
+    (lo == Double.NegativeInfinity || sqlCmp(v, lo) >= 0) &&
+      (hi == Double.PositiveInfinity || sqlCmp(v, hi) <= 0)
+
+  /** Membership in a PACKED interval set ([lo0, hi0, lo1, hi1, ...];
+    * null = unconstrained dim). The executor-side form of the rectangle. */
+  @inline private[zarr] def cellInPacked(v: Double, packed: Array[Double]): Boolean = {
+    if (packed == null) return true
+    var i = 0
+    while (i < packed.length) {
+      if (cellIn(v, packed(i), packed(i + 1))) return true
+      i += 2
+    }
+    false
+  }
+
+  /** Sort + merge into disjoint ascending intervals (empty ones dropped). */
+  private[zarr] def ivNorm(ivs: Seq[Iv]): Seq[Iv] = {
+    val s = ivs.filter(iv => iv._1 <= iv._2).sortBy(_._1)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Iv]
+    s.foreach { iv =>
+      if (out.nonEmpty && iv._1 <= out.last._2) {
+        val l = out.last
+        out(out.length - 1) = (l._1, math.max(l._2, iv._2))
+      } else out += iv
+    }
+    out.toSeq
+  }
+
+  private[zarr] def ivIntersect(a: Seq[Iv], b: Seq[Iv]): Seq[Iv] =
+    ivNorm(for {
+      x <- a; y <- b
+      lo = math.max(x._1, y._1); hi = math.min(x._2, y._2)
+      if lo <= hi
+    } yield (lo, hi))
+
+  private[zarr] def ivUnion(a: Seq[Iv], b: Seq[Iv]): Seq[Iv] = ivNorm(a ++ b)
+
+  /** Complement within the double line. Endpoint stepping via nextUp /
+    * nextDown is exact for doubles, so `Not(pred)` re-evaluates cell-for-
+    * cell identically to Spark. An interval reaching `+Inf` covers the
+    * top INCLUDING NaN (NaN is greatest), so its complement has no tail;
+    * conversely every bounded-above complement piece excludes NaN, which
+    * is exactly Spark's `Not(x > lit)` behavior (NaN > lit is true, so
+    * the negation drops NaN). */
+  private[zarr] def ivComplement(ivs: Seq[Iv]): Seq[Iv] = {
+    val s = ivNorm(ivs)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Iv]
+    var cur = Double.NegativeInfinity
+    var coveredTop = false
+    s.foreach { case (lo, hi) =>
+      if (!coveredTop) {
+        if (lo != Double.NegativeInfinity) {
+          val end = math.nextDown(lo)
+          if (cur <= end) out += ((cur, end))
+        }
+        if (hi == Double.PositiveInfinity) coveredTop = true
+        else cur = math.max(cur, math.nextUp(hi))
+      }
+    }
+    if (!coveredTop) out += ((cur, Double.PositiveInfinity))
+    out.toSeq
+  }
+
+  /** A pushed filter as a RECTANGULAR constraint: per-dim interval sets,
+    * conjoined across dims. Defined exactly when the reader can
+    * re-evaluate the filter cell-for-cell with Spark's double semantics —
+    * those filters are both pruned on AND fully consumed. Plain
+    * comparisons, In, and null tests on a dim translate directly; And
+    * intersects rectangles; Or unions only when both sides constrain the
+    * SAME single dim (a cross-dim Or is not rectangular and stays
+    * Spark-side); Not complements a single-dim constraint. */
+  private[zarr] def rect(meta: ZarrGroupMeta, f: Filter)
+      : Option[Map[Int, Seq[Iv]]] = {
+    def dim(name: String): Option[Int] = {
+      val i = meta.za.dims.indexOf(name)
+      if (i >= 0) Some(i) else None
+    }
+    def fin(v: Any): Option[Double] = (v match {
+      case d: Double => Some(d)
+      case fl: Float => Some(fl.toDouble)
+      case l: Long => Some(l.toDouble)
+      case i: Int => Some(i.toDouble)
+      case s: Short => Some(s.toDouble)
+      case b: Byte => Some(b.toDouble)
+      case d: java.math.BigDecimal => Some(d.doubleValue)
+      case _ => None
+    }).filter(java.lang.Double.isFinite)
+    def one(a: String, v: Any)(mk: Double => Seq[Iv]): Option[Map[Int, Seq[Iv]]] =
+      for (k <- dim(a); x <- fin(v)) yield Map(k -> mk(x))
+    f match {
+      case EqualTo(a, v) => one(a, v)(x => Seq((x, x)))
+      case EqualNullSafe(a, v) => one(a, v)(x => Seq((x, x))) // dims never null
+      case GreaterThan(a, v) =>
+        one(a, v)(x => Seq((math.nextUp(x), Double.PositiveInfinity)))
+      case GreaterThanOrEqual(a, v) =>
+        one(a, v)(x => Seq((x, Double.PositiveInfinity)))
+      case LessThan(a, v) =>
+        one(a, v)(x => Seq((Double.NegativeInfinity, math.nextDown(x))))
+      case LessThanOrEqual(a, v) =>
+        one(a, v)(x => Seq((Double.NegativeInfinity, x)))
+      case In(a, vs) if vs.nonEmpty =>
+        val xs = vs.toSeq.flatMap(v => fin(v).toSeq)
+        if (xs.length == vs.length)
+          dim(a).map(k => Map(k -> ivNorm(xs.map(x => (x, x)))))
+        else None
+      case IsNotNull(a) => dim(a).map(_ => Map.empty) // never null: no constraint
+      case IsNull(a) => dim(a).map(k => Map(k -> Seq.empty[Iv])) // never true
+      case And(l, r) =>
+        for (ml <- rect(meta, l); mr <- rect(meta, r)) yield
+          (ml.keySet ++ mr.keySet).iterator.map { k =>
+            k -> ((ml.get(k), mr.get(k)) match {
+              case (Some(x), Some(y)) => ivIntersect(x, y)
+              case (Some(x), None) => x
+              case (None, Some(y)) => y
+              case _ => Full // unreachable: k came from one of the sets
+            })
+          }.toMap
+      case Or(l, r) =>
+        (rect(meta, l), rect(meta, r)) match {
+          case (Some(ml), Some(mr))
+              if ml.keySet.size == 1 && ml.keySet == mr.keySet =>
+            val k = ml.keySet.head
+            Some(Map(k -> ivUnion(ml(k), mr(k))))
+          case _ => None
+        }
+      case Not(inner) =>
+        rect(meta, inner) match {
+          case Some(m) if m.isEmpty => // Not(always-true): never true
+            Some(Map(0 -> Seq.empty[Iv]))
+          case Some(m) if m.size == 1 =>
+            val (k, ivs) = m.head
+            Some(Map(k -> ivComplement(ivs)))
+          case _ => None // Not over a multi-dim rectangle isn't rectangular
+        }
+      case _ => None
+    }
+  }
+
+  /** The conjunction of all consumed filters as per-dim interval sets. */
+  private[zarr] def rectOf(meta: ZarrGroupMeta,
+                           filters: Array[Filter]): Array[Seq[Iv]] = {
+    val ivs = Array.fill(meta.za.shape.length)(Full)
+    filters.foreach { f =>
+      rect(meta, f).foreach(_.foreach { case (k, s) =>
+        ivs(k) = ivIntersect(ivs(k), s)
+      })
+    }
+    ivs
+  }
+
+  /** Executor-shippable packed form of [[rectOf]] (null = unconstrained). */
+  private[zarr] def packIvs(ivs: Array[Seq[Iv]]): Array[Array[Double]] =
+    ivs.map { s =>
+      if (s == Full) null
+      else s.flatMap(iv => Seq(iv._1, iv._2)).toArray
+    }
+
   /** Per-dim surviving chunk indices: a chunk survives when its coord
-    * span intersects the pushed bounds — only provable for monotone
-    * coords — and (streaming) when it intersects the dim-0 slice window.
-    */
+    * span intersects SOME interval of every dim's pushed set — only
+    * provable for monotone coords — and (streaming) when it intersects
+    * the dim-0 slice window. */
   private[zarr] def survivingChunks(meta: ZarrGroupMeta,
                                     filters: Array[Filter],
                                     dim0Range: Option[(Long, Long)])
       : Seq[Seq[Int]] = {
     val za = meta.za
     val rank = za.shape.length
-    // per-dim inclusive coordinate bounds from the pushed predicates
-    val bounds = Array.fill(rank)((Double.NegativeInfinity, Double.PositiveInfinity))
-    filters.foreach { f =>
-      ZarrScan.dimRange(meta, f).foreach { case (k, lo, hi) =>
-        val (l0, h0) = bounds(k)
-        bounds(k) = (math.max(l0, lo), math.min(h0, hi))
-      }
-    }
+    val ivs = rectOf(meta, filters)
     val grid = za.chunkGrid
     (0 until rank).map { k =>
-      val (lo, hi) = bounds(k)
       val c = meta.coords(k)
       val all: Seq[Int] = (0 until grid(k)).filter { ck =>
         dim0Range.forall { case (s0, e0) =>
@@ -650,54 +844,15 @@ object ZarrScan {
           }
         }
       }
-      if (lo == Double.NegativeInfinity && hi == Double.PositiveInfinity) all
+      if (ivs(k) == Full) all
       else if (!ZarrScan.monotone(c)) all
       else all.filter { ck =>
         val s = ck * za.chunks(k)
         val e = math.min(s + za.chunks(k), za.shape(k)) - 1
         val (cLo, cHi) = (math.min(c(s), c(e)), math.max(c(s), c(e)))
-        cHi >= lo && cLo <= hi
+        ivs(k).exists(iv => cHi >= iv._1 && cLo <= iv._2)
       }
     }
-  }
-
-  /** A filter the READER can apply exactly per cell (enabling it to be
-    * fully consumed instead of re-evaluated by Spark): a plain comparison
-    * between a dimension column and a finite, non-NaN numeric literal —
-    * the bound conversions (nextUp/nextDown for strict ops) are exact for
-    * doubles. `In` stays Spark-side (its dimRange is a span, not a set).
-    */
-  private[zarr] def exactDimFilter(meta: ZarrGroupMeta, f: Filter): Boolean = {
-    def dimOk(a: String) = meta.za.dims.contains(a)
-    def litOk(v: Any) = v match {
-      case d: Double => java.lang.Double.isFinite(d)
-      case _: Float | _: Long | _: Int | _: Short | _: Byte => true
-      case d: java.math.BigDecimal => java.lang.Double.isFinite(d.doubleValue)
-      case _ => false
-    }
-    f match {
-      case EqualTo(a, v) => dimOk(a) && litOk(v)
-      case GreaterThan(a, v) => dimOk(a) && litOk(v)
-      case GreaterThanOrEqual(a, v) => dimOk(a) && litOk(v)
-      case LessThan(a, v) => dimOk(a) && litOk(v)
-      case LessThanOrEqual(a, v) => dimOk(a) && litOk(v)
-      case And(l, r) => exactDimFilter(meta, l) && exactDimFilter(meta, r)
-      case _ => false
-    }
-  }
-
-  /** Per-dim inclusive cell bounds from the exactly-consumed filters. */
-  private[zarr] def exactBounds(meta: ZarrGroupMeta,
-                                exact: Array[Filter]): Array[(Double, Double)] = {
-    val bounds = Array.fill(meta.za.shape.length)(
-      (Double.NegativeInfinity, Double.PositiveInfinity))
-    exact.foreach { f =>
-      dimRange(meta, f).foreach { case (k, lo, hi) =>
-        val (l0, h0) = bounds(k)
-        bounds(k) = (math.max(l0, lo), math.min(h0, hi))
-      }
-    }
-    bounds
   }
 
   /** The dim column name of a simple field reference, if it is one. */
@@ -711,26 +866,27 @@ object ZarrScan {
   }
 
   private[zarr] def plannedPartitions(meta: ZarrGroupMeta,
-                                      filters: Array[Filter],
-                                      exact: Array[Filter],
+                                      consumed: Array[Filter],
+                                      runtime: Array[Filter],
                                       required: StructType,
                                       dim0Range: Option[(Long, Long)],
                                       limit: Option[Int] = None)
       : Array[InputPartition] = {
     val za = meta.za
     val rank = za.shape.length
-    val keep = survivingChunks(meta, filters, dim0Range)
-    // per-dim cell bounds for the filters this scan CONSUMED — the reader
-    // applies them per cell; only meaningful when some filter was claimed
-    val cellBounds: Option[Array[(Double, Double)]] =
-      if (exact.isEmpty) None else Some(exactBounds(meta, exact))
+    val keep = survivingChunks(meta, consumed ++ runtime, dim0Range)
+    // per-dim packed interval sets for the filters this scan CONSUMED —
+    // the reader applies them per cell (runtime filters only prune: the
+    // plan's own join re-evaluates those)
+    val cellIvs: Option[Array[Array[Double]]] =
+      if (consumed.isEmpty) None else Some(packIvs(rectOf(meta, consumed)))
     val vars = required.fieldNames.filter(meta.dataVars.contains).toSeq
     val allKeys = keep.foldLeft(Seq(Seq.empty[Int])) { (acc, ks) =>
       acc.flatMap(p => ks.map(p :+ _))
     }
     // pushed LIMIT: keep only enough chunks to cover it, by the EXACT
     // per-chunk matching cell count (slice values within the consumed
-    // bounds — driver math, so truncation never under-delivers)
+    // interval sets — driver math, so truncation never under-delivers)
     val keys = limit match {
       case Some(n) =>
         def matching(key: Seq[Int]): Long =
@@ -738,9 +894,8 @@ object ZarrScan {
             val s = key(k) * za.chunks(k)
             val e = math.min(s + za.chunks(k), za.shape(k))
             val slice = meta.coords(k).slice(s, e)
-            cellBounds match {
-              case Some(bs) =>
-                slice.count(v => v >= bs(k)._1 && v <= bs(k)._2).toLong
+            cellIvs match {
+              case Some(bs) => slice.count(v => cellInPacked(v, bs(k))).toLong
               case None => slice.length.toLong
             }
           }.product
@@ -774,47 +929,8 @@ object ZarrScan {
       }
       ZarrInputPartition(meta.groupDir, za, key, coordSlices,
         vars.map(v => v -> meta.varMeta(v)), required.fieldNames.toSeq,
-        meta.store, meta.v3, chunkRefs, dim0Range, cellBounds): InputPartition
+        meta.store, meta.v3, chunkRefs, dim0Range, cellIvs): InputPartition
     }.toArray
-  }
-
-  /** A supported dimension predicate as (dim index, lo, hi) inclusive. */
-  def dimRange(meta: ZarrGroupMeta, f: Filter): Option[(Int, Double, Double)] = {
-    def dim(name: String): Option[Int] = {
-      val i = meta.za.dims.indexOf(name)
-      if (i >= 0) Some(i) else None
-    }
-    def num(v: Any): Option[Double] = v match {
-      case d: Double => Some(d)
-      case fl: Float => Some(fl.toDouble)
-      case l: Long => Some(l.toDouble)
-      case i: Int => Some(i.toDouble)
-      case s: Short => Some(s.toDouble)
-      case b: Byte => Some(b.toDouble)
-      case d: java.math.BigDecimal => Some(d.doubleValue)
-      case _ => None
-    }
-    f match {
-      case EqualTo(a, v) => for (k <- dim(a); x <- num(v)) yield (k, x, x)
-      case GreaterThan(a, v) => for (k <- dim(a); x <- num(v)) yield
-        (k, math.nextUp(x), Double.PositiveInfinity)
-      case GreaterThanOrEqual(a, v) => for (k <- dim(a); x <- num(v)) yield
-        (k, x, Double.PositiveInfinity)
-      case LessThan(a, v) => for (k <- dim(a); x <- num(v)) yield
-        (k, Double.NegativeInfinity, math.nextDown(x))
-      case LessThanOrEqual(a, v) => for (k <- dim(a); x <- num(v)) yield
-        (k, Double.NegativeInfinity, x)
-      case In(a, vs) if vs.nonEmpty =>
-        val xs = vs.flatMap(num)
-        for (k <- dim(a); if xs.length == vs.length) yield (k, xs.min, xs.max)
-      case And(l, r) =>
-        (dimRange(meta, l), dimRange(meta, r)) match {
-          case (Some((k1, lo1, hi1)), Some((k2, lo2, hi2))) if k1 == k2 =>
-            Some((k1, math.max(lo1, lo2), math.min(hi1, hi2)))
-          case _ => None // different dims arrive as separate top-level filters
-        }
-      case _ => None
-    }
   }
 
   /** Strictly orderable monotone check. Any NaN → NOT monotone: NaN
@@ -849,7 +965,7 @@ final case class ZarrInputPartition(groupDir: String, za: ZarrArray,
                                     v3: Boolean,
                                     chunkRefs: Option[Seq[Option[Ref]]] = None,
                                     dim0Range: Option[(Long, Long)] = None,
-                                    cellBounds: Option[Array[(Double, Double)]] = None)
+                                    cellIvs: Option[Array[Array[Double]]] = None)
     extends InputPartition
 
 final case class ZarrReaderFactory() extends PartitionReaderFactory {
@@ -925,12 +1041,13 @@ final class ZarrPartitionReader(p: ZarrInputPartition)
         if (g0 < s0 || g0 >= e0) inBounds = false
       }
       // exactly-consumed dim predicates: the scan claimed these, so the
-      // cell-level compare here IS the filter (same double semantics)
-      p.cellBounds.foreach { bs =>
+      // cell-level interval test here IS the filter (Spark's own double
+      // semantics: NaN greatest, zeros equal)
+      p.cellIvs.foreach { bs =>
         var d = 0
         while (inBounds && d < rank) {
-          val v = p.coordSlices(d)(idx(d))
-          if (!(v >= bs(d)._1 && v <= bs(d)._2)) inBounds = false
+          if (!ZarrScan.cellInPacked(p.coordSlices(d)(idx(d)), bs(d)))
+            inBounds = false
           d += 1
         }
       }

@@ -40,8 +40,8 @@ import org.apache.spark.sql.types.StructType
   * folding for free, across every connector that shares this scan engine
   * (zarr v2/v3, netcdf, geotiff, kerchunk archives).
   */
-final case class ZarrVarAggScan(meta: ZarrGroupMeta, filters: Array[Filter],
-                                exact: Array[Filter], agg: Aggregation,
+final case class ZarrVarAggScan(meta: ZarrGroupMeta, consumed: Array[Filter],
+                                agg: Aggregation,
                                 schema: StructType, groupDims: Seq[String])
     extends Scan with Batch {
 
@@ -51,7 +51,7 @@ final case class ZarrVarAggScan(meta: ZarrGroupMeta, filters: Array[Filter],
     s"ZarrVarAggScan ${meta.groupDir} GroupBy: [${groupDims.mkString(", ")}] " +
       "PushedAggregates: [" +
       agg.aggregateExpressions.map(_.toString).mkString(", ") + "], " +
-      s"PushedFilters: [${filters.map(_.toString).mkString(", ")}]"
+      s"PushedFilters: [${consumed.map(_.toString).mkString(", ")}]"
 
   /** The inner cell scan reads dims first, then exactly the data vars the
     * aggregates touch (variable pruning still applies: `sum(v1)` over a
@@ -89,7 +89,7 @@ final case class ZarrVarAggScan(meta: ZarrGroupMeta, filters: Array[Filter],
       case other =>
         throw new IllegalStateException(s"unexpected pushed aggregate $other")
     }
-    ZarrScan.plannedPartitions(meta, filters, exact, required,
+    ZarrScan.plannedPartitions(meta, consumed, Array.empty, required,
       dim0Range = None).map { p =>
       ZarrVarAggPartition(p.asInstanceOf[ZarrInputPartition], groupIdx,
         specs): InputPartition

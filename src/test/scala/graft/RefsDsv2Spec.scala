@@ -138,6 +138,46 @@ class RefsDsv2Spec extends AnyFunSuite {
     assert(one.agg(sum("v")).head.getDouble(0) === 10.0 + 11.0 + 12.0)
   }
 
+  test("aggregate pushdown reaches the refs connectors through the shared engine") {
+    val p = hdf5Fixture()
+    val ds = spark.read.format("netcdf").load(p)
+    // metadata-only: count/min/max/sum over dims — answered from the refs
+    // document's coordinate arrays, no granule payload read. Corrupt the
+    // whole payload region of v AND w to prove it (refs keep byte ranges).
+    val all = Files.readAllBytes(java.nio.file.Paths.get(p))
+    Hdf5Source.scan(all).filter(s => s.name == "v" || s.name == "w")
+      .flatMap(_.chunks).foreach { c =>
+        java.util.Arrays.fill(all, c.addr.toInt, c.addr.toInt + c.size, 0x3: Byte)
+      }
+    Files.write(java.nio.file.Paths.get(p), all)
+    val r = ds.filter(col("y") >= 25.0)
+      .agg(count(lit(1)), min("y"), max("x"), sum("y")).head
+    assert(r.getLong(0) === 12L && r.getDouble(1) === 30.0 &&
+      r.getDouble(2) === 5.5 && r.getDouble(3) === (30.0 + 40.0) * 6)
+    val metaPlan = ds.groupBy("y").count().queryExecution.executedPlan.toString
+    assert(metaPlan.contains("ZarrAggScan"), metaPlan.take(600))
+    // partial pushdown over a data variable: folds per chunk in the refs
+    // reader (fresh uncorrupted fixture), one partial row per (chunk, group)
+    val p2 = hdf5Fixture()
+    val ds2 = spark.read.format("netcdf").load(p2)
+    val q = ds2.groupBy("y").agg(sum("v").as("sv"), max("w").as("mw"))
+    assert(q.queryExecution.executedPlan.toString.contains("ZarrVarAggScan"))
+    val rows = q.collect().map(x => (x.getDouble(0), x.getDouble(1),
+      x.getDouble(2))).sortBy(_._1)
+    assert(rows.toSeq === (0 to 3).map(j =>
+      (10.0 + j * 10, (0 to 5).map(j * 100.0 + _).sum, j * 100.0 + 5 + 0.25)))
+    // geotiff shares the engine too: tile-pruned metadata count
+    val tp = s"${tmpDir("tifagg")}/img.tif"
+    GeoTiffSource.write(tp,
+      GeoTiffSource.Raster(32, 32,
+        Array.tabulate(32 * 32)(k => (k / 32) * 100.0 + (k % 32)),
+        1.0, 1.0, 0.0, 32.0), deflate = true, tileSize = 16)
+    val tds = spark.read.format("geotiff").load(tp)
+    val tq = tds.filter(col("y") > 16.0).groupBy("y").count()
+    assert(tq.queryExecution.executedPlan.toString.contains("ZarrAggScan"))
+    assert(tq.count() === 16L)
+  }
+
   test("kerchunk DSv2 is lazy: a 1M-ref sibling never loads; bulk is keyed") {
     val dir = tmpDir("krlazy")
     // real small variable with inline chunks + a 10^6-ref sibling array

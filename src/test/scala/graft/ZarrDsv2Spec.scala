@@ -293,7 +293,7 @@ class ZarrDsv2Spec extends AnyFunSuite {
     // direct contract: filter() after planning re-prunes the partitions —
     // the hook Spark's AQE runtime filtering (DPP over v2) drives when a
     // join's build side lands on a dimension column
-    val scan = graft.sources.zarr.ZarrScan(meta, Array.empty, Array.empty, schema)
+    val scan = graft.sources.zarr.ZarrScan(meta, Array.empty, schema)
     assert(scan.planInputPartitions().length === 12)
     scan.filter(Array[org.apache.spark.sql.sources.Filter](EqualTo("t", 1.0)))
     assert(scan.planInputPartitions().length === 4)
@@ -301,10 +301,10 @@ class ZarrDsv2Spec extends AnyFunSuite {
       Seq("t", "y", "x"))
     // statistics: post-pruning rows/bytes so a pruned subset looks
     // broadcastable to Catalyst/AQE instead of archive-sized
-    val full = graft.sources.zarr.ZarrScan(meta, Array.empty, Array.empty, schema)
+    val full = graft.sources.zarr.ZarrScan(meta, Array.empty, schema)
     assert(full.estimateStatistics().numRows().getAsLong === 72L)
     val pruned = graft.sources.zarr.ZarrScan(meta,
-      Array(GreaterThanOrEqual("y", 25.0), EqualTo("t", 0.0)), Array.empty, schema)
+      Array(GreaterThanOrEqual("y", 25.0), EqualTo("t", 0.0)), schema)
     assert(pruned.estimateStatistics().numRows().getAsLong === 12L)
     // and through the relational layer: optimizer stats follow the filter
     import org.apache.spark.sql.functions.col
@@ -352,7 +352,7 @@ class ZarrDsv2Spec extends AnyFunSuite {
     val schema = graft.sources.zarr.ZarrTable.schemaFor(meta)
     import org.apache.spark.sql.sources.LessThanOrEqual
     def parts(limit: Int, exact: Array[org.apache.spark.sql.sources.Filter]) =
-      graft.sources.zarr.ZarrScan(meta, exact, exact, schema,
+      graft.sources.zarr.ZarrScan(meta, exact, schema,
         limit = Some(limit)).planInputPartitions().length
     // limit 5 < one chunk's 6 cells -> one planned chunk; 7 needs two
     assert(parts(5, Array.empty) === 1)
@@ -551,6 +551,104 @@ class ZarrDsv2Spec extends AnyFunSuite {
     val batches = new java.io.File(s"$ckpt/offsets").listFiles()
       .map(_.getName).filterNot(_.startsWith(".")).sorted.toSeq
     assert(batches === Seq("0", "1", "2"), batches)
+  }
+
+  test("interval-set pruning: In / same-dim Or / != prune and are consumed") {
+    val g = writeFixture() // t chunks size 1 (3), y size 2 (2), x size 3 (2)
+    val ds = spark.read.format("zarr").load(g)
+    // In on a dim prunes as a SET: {0, 2} skips the middle t-chunk
+    val in = ds.filter(col("t").isin(0.0, 2.0))
+    assert(in.rdd.getNumPartitions === 8, "In must prune per value, not span")
+    assert(in.count() === 48)
+    // ...and is fully CONSUMED (no Spark-side Filter node re-evaluates it)
+    val inPlan = in.queryExecution.executedPlan.toString
+    assert(!inPlan.contains("Filter ("), inPlan.take(1200))
+    // same-dim Or prunes as the union of branch rectangles
+    val or = ds.filter(col("t") === 0.0 || col("t") > 1.5)
+    assert(or.rdd.getNumPartitions === 8)
+    assert(or.count() === 48)
+    // != consumes via interval complement (no pruning win here: both
+    // remaining t-chunks survive, but the filter is reader-applied)
+    val ne = ds.filter(col("t") =!= 1.0)
+    assert(ne.count() === 48)
+    assert(!ne.queryExecution.executedPlan.toString.contains("Filter ("))
+    // a cross-dim Or is NOT rectangular: stays Spark-side, unpruned, right
+    val cross = ds.filter(col("t") === 0.0 || col("y") === 40.0)
+    assert(cross.rdd.getNumPartitions === 12)
+    assert(cross.count() === 24 + 18 - 6)
+    // consumption unlocks metadata-agg pushdown for In/Or/!= queries
+    val aggPlan = ds.filter(col("t").isin(0.0, 2.0)).groupBy("t").count()
+      .queryExecution.executedPlan.toString
+    assert(aggPlan.contains("ZarrAggScan"), aggPlan.take(600))
+    val byT = ds.filter(col("t") =!= 1.0).groupBy("t").count()
+      .collect().map(r => (r.getDouble(0), r.getLong(1))).sortBy(_._1)
+    assert(byT.toSeq === Seq((0.0, 24L), (2.0, 24L)))
+  }
+
+  test("consumed filters keep Spark's NaN-greatest double semantics") {
+    import spark.implicits._
+    // a NaN coordinate cell: Spark orders NaN greater than every literal,
+    // so `y > 15` KEEPS it and `y <= 15` / `y = 20` drop it — the reader
+    // must reproduce that exactly now that the filter never re-runs
+    val y = Array(10.0, 20.0, Double.NaN, 40.0)
+    val x = Array(0.0, 1.0)
+    val df = (for { (yi, k) <- y.zipWithIndex; xi <- x } yield
+      (yi, xi, k * 10.0 + xi)).toSeq.toDF("y", "x", "v")
+    val g = s"${tmpDir("dsv2nang")}/cube.zarr"
+    ZarrSource.writeCube(df, g, "v", Seq("y" -> y, "x" -> x), chunks = Seq(2, 2))
+    val ds = spark.read.format("zarr").load(g)
+    def ys(d: org.apache.spark.sql.DataFrame): Seq[Double] =
+      d.collect().map(_.getDouble(0)).toSeq
+    // plans are consumed (no Spark-side filter), so this is the reader
+    assert(!ds.filter(col("y") > 15.0).queryExecution.executedPlan
+      .toString.contains("Filter ("))
+    val gt = ys(ds.filter(col("y") > 15.0))
+    assert(gt.count(_.isNaN) === 2 && gt.length === 6, gt) // NaN > 15: kept
+    val le = ys(ds.filter(col("y") <= 15.0))
+    assert(le.forall(_ == 10.0) && le.length === 2) // NaN <= 15: false
+    assert(ys(ds.filter(col("y") === 20.0)) === Seq(20.0, 20.0))
+    // != keeps NaN (NaN = 20 is false, negation true)
+    val ne = ys(ds.filter(col("y") =!= 20.0))
+    assert(ne.count(_.isNaN) === 2 && ne.length === 6, ne)
+    // and the reference behavior matches an unpushed evaluation over rows
+    val plain = ZarrSource.readCube(spark, g, "v")
+    assert(ds.filter(col("y") > 15.0).count() ===
+      plain.filter(col("y") > 15.0).count())
+    assert(ds.filter(col("y") =!= 20.0).count() ===
+      plain.filter(col("y") =!= 20.0).count())
+  }
+
+  test("sum/avg over dims join the metadata-only aggregate pushdown") {
+    val g = writeFixture()
+    // corrupt every data chunk: dim sums/avgs must never read payload
+    (new java.io.File(s"$g/v").listFiles() ++
+      new java.io.File(s"$g/w").listFiles())
+      .filterNot(_.getName.startsWith("."))
+      .foreach(f => java.nio.file.Files.write(f.toPath, Array[Byte](7)))
+    val ds = spark.read.format("zarr").load(g)
+    import org.apache.spark.sql.functions.{avg, col, sum}
+    // global: sum(t) = (0+1+2) * 24 cells each; avg(x) = mean of x values
+    val r0 = ds.agg(sum("t"), avg("x"), sum("x")).head
+    assert(r0.getDouble(0) === 72.0)
+    assert(r0.getDouble(1) === 3.0)
+    assert(r0.getDouble(2) === 216.0) // (0.5+..+5.5)=18, ×12 cells per x
+    val p0 = ds.agg(sum("t")).queryExecution.executedPlan.toString
+    assert(p0.contains("ZarrAggScan"), p0.take(600))
+    // grouped: sum of the grouped dim is value×count; of another dim the
+    // weighted in-range sum; filters consume first
+    val byT = ds.filter(col("y") >= 25.0).groupBy("t")
+      .agg(sum("t").as("st"), sum("y").as("sy"), avg("y").as("ay"))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3))).sortBy(_._1)
+    // 12 cells per t (2 y × 6 x); sum(y) = (30+40)×6; avg(y) = 35
+    assert(byT.toSeq === Seq((0.0, 0.0, 420.0, 35.0),
+      (1.0, 12.0, 420.0, 35.0), (2.0, 24.0, 420.0, 35.0)))
+    // empty selection: null sums globally, no rows grouped
+    val r2 = ds.filter(col("t") > 99.0).agg(sum("t"), avg("t")).head
+    assert(r2.isNullAt(0) && r2.isNullAt(1))
+    // sum over a DATA variable still declines metadata and goes partial
+    val pv = ds.agg(sum("w")).queryExecution.executedPlan.toString
+    assert(pv.contains("ZarrVarAggScan"), pv.take(600))
   }
 
   test("the same scan opens an http-hosted archive, pruned the same way") {
