@@ -636,7 +636,7 @@ final case class ZarrScan(meta: ZarrGroupMeta, consumed: Array[Filter],
       dim0Range = None, limit)
 
   override def createReaderFactory(): PartitionReaderFactory =
-    ZarrReaderFactory()
+    ZarrReaderFactory(columnar = true)
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
@@ -968,17 +968,24 @@ final case class ZarrInputPartition(groupDir: String, za: ZarrArray,
                                     cellIvs: Option[Array[Array[Double]]] = None)
     extends InputPartition
 
-final case class ZarrReaderFactory() extends PartitionReaderFactory {
+final case class ZarrReaderFactory(columnar: Boolean = false)
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new ZarrPartitionReader(partition.asInstanceOf[ZarrInputPartition])
+  // batch scans hand Spark ColumnarBatch vectors (the parquet reader's
+  // contract): the whole-stage pipeline consumes a vectorized scan via
+  // ColumnarToRow instead of one boxed GenericInternalRow per cell
+  override def supportColumnarReads(partition: InputPartition): Boolean = columnar
+  override def createColumnarReader(partition: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    new ZarrColumnarReader(partition.asInstanceOf[ZarrInputPartition])
 }
 
-/** Decodes this task's chunk object per required variable, then walks the
-  * chunk's in-bounds cells with an odometer — rows are emitted lazily, the
-  * chunk is never materialized as Row objects. */
-final class ZarrPartitionReader(p: ZarrInputPartition)
-    extends PartitionReader[InternalRow] {
-
+/** The shared per-chunk cell walk: decodes this task's chunk object per
+  * required variable, then steps an odometer over the chunk's in-bounds,
+  * in-window, filter-passing cells. Both the row reader and the columnar
+  * reader drive it; values are read as primitives (no boxing here). */
+private[zarr] final class ChunkCursor(p: ZarrInputPartition) {
   private val za = p.za
   private val rank = za.shape.length
   private val data: Seq[Array[Double]] = p.chunkRefs match {
@@ -1011,12 +1018,13 @@ final class ZarrPartitionReader(p: ZarrInputPartition)
     else (true, p.vars.indexWhere(_._1 == c))
   }.toArray
 
+  val nCols: Int = outPlan.length
   private val idx = new Array[Int](rank) // odometer within the chunk
   private var flat = -1
   private val n = za.chunkElems
-  private var current: InternalRow = _
 
-  override def next(): Boolean = {
+  /** Step to the next emitted cell; false when the chunk is done. */
+  def advance(): Boolean = {
     while (true) {
       flat += 1
       if (flat >= n) return false
@@ -1051,21 +1059,74 @@ final class ZarrPartitionReader(p: ZarrInputPartition)
           d += 1
         }
       }
-      if (inBounds) {
-        val vals = new Array[Any](outPlan.length)
-        var c = 0
-        while (c < outPlan.length) {
-          val (isVar, i) = outPlan(c)
-          vals(c) = if (isVar) data(i)(flat) else p.coordSlices(i)(idx(i))
-          c += 1
-        }
-        current = new GenericInternalRow(vals)
-        return true
-      }
+      if (inBounds) return true
     }
     false
   }
 
+  /** Output column c's value at the cursor, as a primitive double. */
+  def colValue(c: Int): Double = {
+    val (isVar, i) = outPlan(c)
+    if (isVar) data(i)(flat) else p.coordSlices(i)(idx(i))
+  }
+}
+
+/** Row-at-a-time reader (streaming scans and the var-agg fold use it). */
+final class ZarrPartitionReader(p: ZarrInputPartition)
+    extends PartitionReader[InternalRow] {
+  private val cursor = new ChunkCursor(p)
+  private var current: InternalRow = _
+
+  override def next(): Boolean =
+    if (cursor.advance()) {
+      val vals = new Array[Any](cursor.nCols)
+      var c = 0
+      while (c < cursor.nCols) { vals(c) = cursor.colValue(c); c += 1 }
+      current = new GenericInternalRow(vals)
+      true
+    } else false
+
   override def get(): InternalRow = current
   override def close(): Unit = ()
+}
+
+/** Vectorized reader: fills reused on-heap double vectors in batches of
+  * [[ZarrColumnarReader.BatchRows]] cells — the scan feeds whole-stage
+  * codegen ColumnarBatch spans with zero per-cell allocation, exactly
+  * like Spark's own vectorized parquet reader. Memory is bounded by
+  * columns × BatchRows doubles regardless of chunk size. */
+final class ZarrColumnarReader(p: ZarrInputPartition)
+    extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+  import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+  import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
+
+  private val cursor = new ChunkCursor(p)
+  private val vectors: Array[OnHeapColumnVector] =
+    Array.fill(cursor.nCols)(
+      new OnHeapColumnVector(ZarrColumnarReader.BatchRows, DoubleType))
+  private val batch =
+    new ColumnarBatch(vectors.map(v => v: ColumnVector), 0)
+
+  override def next(): Boolean = {
+    var n = 0
+    vectors.foreach(_.reset())
+    while (n < ZarrColumnarReader.BatchRows && cursor.advance()) {
+      var c = 0
+      while (c < cursor.nCols) {
+        vectors(c).putDouble(n, cursor.colValue(c))
+        c += 1
+      }
+      n += 1
+    }
+    batch.setNumRows(n)
+    n > 0
+  }
+
+  override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = batch
+  override def close(): Unit = vectors.foreach(_.close())
+}
+
+object ZarrColumnarReader {
+  /** Spark's own vectorized-reader default batch size. */
+  val BatchRows = 4096
 }
