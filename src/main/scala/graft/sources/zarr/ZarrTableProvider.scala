@@ -916,7 +916,7 @@ object ZarrScan {
       lookup.bulk(for (key <- keys; v <- vars) yield
         s"$v/${key.mkString(meta.varMeta(v).separator)}")
     }
-    keys.map { key =>
+    val chunkParts: Seq[ZarrInputPartition] = keys.map { key =>
       val coordSlices = (0 until rank).map { k =>
         val s = key(k) * za.chunks(k)
         val e = math.min(s + za.chunks(k), za.shape(k))
@@ -929,8 +929,51 @@ object ZarrScan {
       }
       ZarrInputPartition(meta.groupDir, za, key, coordSlices,
         vars.map(v => v -> meta.varMeta(v)), required.fieldNames.toSeq,
-        meta.store, meta.v3, chunkRefs, dim0Range, cellIvs): InputPartition
-    }.toArray
+        meta.store, meta.v3, chunkRefs, dim0Range, cellIvs)
+    }
+    pack(chunkParts, required.fields.length)
+  }
+
+  /** Pack lexicographically-adjacent surviving chunks into size-targeted
+    * input partitions with Spark's own file-split formula —
+    * `min(maxPartitionBytes, max(openCostInBytes, totalBytes /
+    * minPartitionNum))` over estimated decoded bytes plus the per-chunk
+    * open cost. A 10^7-chunk archive plans tens of thousands of ~128 MB
+    * tasks instead of 10^7 task launches; small scans still split one
+    * chunk per task (the open cost dominates), keeping parallelism and
+    * per-chunk plan audits intact. Honors the same session knobs as file
+    * sources: spark.sql.files.{maxPartitionBytes, openCostInBytes,
+    * minPartitionNum}. */
+  private[zarr] def pack(chunkParts: Seq[ZarrInputPartition],
+                         nCols: Int): Array[InputPartition] = {
+    if (chunkParts.isEmpty) return Array.empty
+    val session = org.apache.spark.sql.SparkSession.active
+    val conf = session.sessionState.conf
+    val openCost = conf.filesOpenCostInBytes
+    val minPartitionNum = conf.filesMinPartitionNum
+      .orElse(conf.getConf(
+        org.apache.spark.sql.internal.SQLConf.LEAF_NODE_DEFAULT_PARALLELISM))
+      .getOrElse(session.sparkContext.defaultParallelism)
+    def bytesOf(p: ZarrInputPartition): Long =
+      p.za.chunkElems.toLong * 8L * math.max(1, nCols)
+    val totalBytes = chunkParts.map(bytesOf(_) + openCost).sum
+    val bytesPerCore = totalBytes / math.max(1, minPartitionNum)
+    val maxSplit = math.min(conf.filesMaxPartitionBytes,
+      math.max(openCost, bytesPerCore))
+    val out = scala.collection.mutable.ArrayBuffer.empty[InputPartition]
+    val cur = scala.collection.mutable.ArrayBuffer.empty[ZarrInputPartition]
+    var curBytes = 0L
+    chunkParts.foreach { p =>
+      val b = bytesOf(p)
+      if (cur.nonEmpty && curBytes + b > maxSplit) {
+        out += ZarrPackedPartition(cur.toSeq)
+        cur.clear(); curBytes = 0L
+      }
+      cur += p
+      curBytes += b + openCost
+    }
+    if (cur.nonEmpty) out += ZarrPackedPartition(cur.toSeq)
+    out.toArray
   }
 
   /** Strictly orderable monotone check. Any NaN → NOT monotone: NaN
@@ -968,17 +1011,27 @@ final case class ZarrInputPartition(groupDir: String, za: ZarrArray,
                                     cellIvs: Option[Array[Array[Double]]] = None)
     extends InputPartition
 
+/** One task's worth of chunks ([[ZarrScan.pack]]); chunks decode lazily
+  * one at a time inside the reader, so task memory stays O(chunk). */
+final case class ZarrPackedPartition(chunks: Seq[ZarrInputPartition])
+    extends InputPartition
+
 final case class ZarrReaderFactory(columnar: Boolean = false)
     extends PartitionReaderFactory {
+  private def chunksOf(partition: InputPartition): Seq[ZarrInputPartition] =
+    partition match {
+      case pk: ZarrPackedPartition => pk.chunks
+      case single: ZarrInputPartition => Seq(single)
+    }
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new ZarrPartitionReader(partition.asInstanceOf[ZarrInputPartition])
+    new ZarrPartitionReader(chunksOf(partition))
   // batch scans hand Spark ColumnarBatch vectors (the parquet reader's
   // contract): the whole-stage pipeline consumes a vectorized scan via
   // ColumnarToRow instead of one boxed GenericInternalRow per cell
   override def supportColumnarReads(partition: InputPartition): Boolean = columnar
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
-    new ZarrColumnarReader(partition.asInstanceOf[ZarrInputPartition])
+    new ZarrColumnarReader(chunksOf(partition))
 }
 
 /** The shared per-chunk cell walk: decodes this task's chunk object per
@@ -1071,14 +1124,30 @@ private[zarr] final class ChunkCursor(p: ZarrInputPartition) {
   }
 }
 
-/** Row-at-a-time reader (streaming scans and the var-agg fold use it). */
-final class ZarrPartitionReader(p: ZarrInputPartition)
+/** Row-at-a-time reader (streaming scans and the var-agg fold use it).
+  * Chunks of a packed partition decode lazily, one cursor at a time. */
+final class ZarrPartitionReader(chunks: Seq[ZarrInputPartition])
     extends PartitionReader[InternalRow] {
-  private val cursor = new ChunkCursor(p)
+  def this(p: ZarrInputPartition) = this(Seq(p))
+
+  private val it = chunks.iterator
+  private var cursor: ChunkCursor = _
   private var current: InternalRow = _
 
+  private def step(): Boolean = {
+    while (true) {
+      if (cursor == null) {
+        if (!it.hasNext) return false
+        cursor = new ChunkCursor(it.next())
+      }
+      if (cursor.advance()) return true
+      cursor = null
+    }
+    false
+  }
+
   override def next(): Boolean =
-    if (cursor.advance()) {
+    if (step()) {
       val vals = new Array[Any](cursor.nCols)
       var c = 0
       while (c < cursor.nCols) { vals(c) = cursor.colValue(c); c += 1 }
@@ -1094,36 +1163,50 @@ final class ZarrPartitionReader(p: ZarrInputPartition)
   * [[ZarrColumnarReader.BatchRows]] cells — the scan feeds whole-stage
   * codegen ColumnarBatch spans with zero per-cell allocation, exactly
   * like Spark's own vectorized parquet reader. Memory is bounded by
-  * columns × BatchRows doubles regardless of chunk size. */
-final class ZarrColumnarReader(p: ZarrInputPartition)
+  * columns × BatchRows doubles regardless of chunk or partition size
+  * (packed chunks decode one at a time; a batch never spans chunks). */
+final class ZarrColumnarReader(chunks: Seq[ZarrInputPartition])
     extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
   import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
   import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
 
-  private val cursor = new ChunkCursor(p)
-  private val vectors: Array[OnHeapColumnVector] =
-    Array.fill(cursor.nCols)(
-      new OnHeapColumnVector(ZarrColumnarReader.BatchRows, DoubleType))
-  private val batch =
-    new ColumnarBatch(vectors.map(v => v: ColumnVector), 0)
+  private val it = chunks.iterator
+  private var cursor: ChunkCursor = _
+  private var vectors: Array[OnHeapColumnVector] = _
+  private var batch: ColumnarBatch = _
 
   override def next(): Boolean = {
-    var n = 0
-    vectors.foreach(_.reset())
-    while (n < ZarrColumnarReader.BatchRows && cursor.advance()) {
-      var c = 0
-      while (c < cursor.nCols) {
-        vectors(c).putDouble(n, cursor.colValue(c))
-        c += 1
+    while (true) {
+      if (cursor == null) {
+        if (!it.hasNext) return false
+        cursor = new ChunkCursor(it.next())
+        if (vectors == null) {
+          vectors = Array.fill(cursor.nCols)(
+            new OnHeapColumnVector(ZarrColumnarReader.BatchRows, DoubleType))
+          batch = new ColumnarBatch(vectors.map(v => v: ColumnVector), 0)
+        }
       }
-      n += 1
+      var n = 0
+      vectors.foreach(_.reset())
+      while (n < ZarrColumnarReader.BatchRows && cursor.advance()) {
+        var c = 0
+        while (c < cursor.nCols) {
+          vectors(c).putDouble(n, cursor.colValue(c))
+          c += 1
+        }
+        n += 1
+      }
+      if (n > 0) {
+        batch.setNumRows(n)
+        return true
+      }
+      cursor = null // chunk drained: move on (an all-filtered chunk loops)
     }
-    batch.setNumRows(n)
-    n > 0
+    false
   }
 
   override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = batch
-  override def close(): Unit = vectors.foreach(_.close())
+  override def close(): Unit = if (vectors != null) vectors.foreach(_.close())
 }
 
 object ZarrColumnarReader {

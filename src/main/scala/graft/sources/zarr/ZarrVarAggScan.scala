@@ -91,7 +91,7 @@ final case class ZarrVarAggScan(meta: ZarrGroupMeta, consumed: Array[Filter],
     }
     ZarrScan.plannedPartitions(meta, consumed, Array.empty, required,
       dim0Range = None).map { p =>
-      ZarrVarAggPartition(p.asInstanceOf[ZarrInputPartition], groupIdx,
+      ZarrVarAggPartition(p.asInstanceOf[ZarrPackedPartition], groupIdx,
         specs): InputPartition
     }
   }
@@ -126,7 +126,7 @@ object ZarrAggSpec {
   val Sum = 4
 }
 
-final case class ZarrVarAggPartition(base: ZarrInputPartition,
+final case class ZarrVarAggPartition(base: ZarrPackedPartition,
                                      groupIdx: Array[Int],
                                      specs: Seq[ZarrAggSpec])
     extends InputPartition
@@ -151,7 +151,7 @@ final class ZarrVarAggReader(p: ZarrVarAggPartition)
   }
 
   private lazy val groups: Iterator[GroupState] = {
-    val inner = new ZarrPartitionReader(p.base)
+    val inner = new ZarrPartitionReader(p.base.chunks)
     val m = new java.util.LinkedHashMap[Seq[Long], GroupState]()
     val specs = p.specs.toArray
     while (inner.next()) {

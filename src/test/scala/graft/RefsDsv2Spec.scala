@@ -14,7 +14,14 @@ import java.nio.file.Files
   * never fetch unprojected variables' chunks. */
 class RefsDsv2Spec extends AnyFunSuite {
 
-  lazy val spark: SparkSession = GraftSession.builder("4").getOrCreate()
+  lazy val spark: SparkSession = {
+    val s = GraftSession.builder("4").getOrCreate()
+    // chunk packing honors spark.sql.files.*; pin minPartitionNum high so
+    // every plan audit below sees one chunk per task deterministically
+    // (packing itself is exercised in the chunk-packing test)
+    s.conf.set("spark.sql.files.minPartitionNum", "100000")
+    s
+  }
 
   private def tmpDir(prefix: String): String = {
     val base = new java.io.File("/root/repo/target/tmp-tests")

@@ -10,7 +10,14 @@ import java.nio.file.Files
   * predicates, variable-level column pruning, protocol transparency. */
 class ZarrDsv2Spec extends AnyFunSuite {
 
-  lazy val spark: SparkSession = GraftSession.builder("4").getOrCreate()
+  lazy val spark: SparkSession = {
+    val s = GraftSession.builder("4").getOrCreate()
+    // chunk packing honors spark.sql.files.*; pin minPartitionNum high so
+    // every plan audit below sees one chunk per task deterministically
+    // (packing itself is exercised in the chunk-packing test)
+    s.conf.set("spark.sql.files.minPartitionNum", "100000")
+    s
+  }
 
   private def tmpDir(prefix: String): String = {
     val base = new java.io.File("/root/repo/target/tmp-tests")
@@ -677,6 +684,44 @@ class ZarrDsv2Spec extends AnyFunSuite {
       .supportColumnarReads(null))
     assert(graft.sources.zarr.ZarrReaderFactory(columnar = true)
       .supportColumnarReads(null))
+  }
+
+  test("chunk packing: partitions target maxPartitionBytes, results exact") {
+    val g = writeFixture() // 12 chunks, 6 cells × 5 cols × 8B = 240 B each
+    // suite knobs (minPartitionNum pinned high): one chunk per task, so
+    // every per-chunk plan audit in this suite holds
+    val ds = spark.read.format("zarr").load(g)
+    assert(ds.rdd.getNumPartitions === 12)
+    // shrink the knobs the way a dense-archive session would: adjacent
+    // chunks pack into ~maxPartitionBytes tasks (Spark's own formula)
+    val conf = spark.conf
+    try {
+      conf.set("spark.sql.files.openCostInBytes", "0")
+      conf.set("spark.sql.files.minPartitionNum", "1")
+      conf.set("spark.sql.files.maxPartitionBytes", "480") // 2 chunks
+      val packed = spark.read.format("zarr").load(g)
+      assert(packed.rdd.getNumPartitions === 6)
+      assert(packed.count() === 72)
+      // values identical through the packed, vectorized path
+      assert(packed.agg(round(sum(col("v") * 3 + col("w")), 6)).head.getDouble(0)
+        === ds.agg(round(sum(col("v") * 3 + col("w")), 6)).head.getDouble(0))
+      // pruning composes with packing: 4 surviving chunks -> 2 tasks
+      val one = packed.filter(col("t") === 1.0)
+      assert(one.rdd.getNumPartitions === 2)
+      assert(one.count() === 24)
+      // one partition for everything when the target allows it
+      conf.set("spark.sql.files.maxPartitionBytes", s"${12 * 240}")
+      assert(spark.read.format("zarr").load(g).rdd.getNumPartitions === 1)
+      assert(spark.read.format("zarr").load(g).count() === 72)
+      // the partial var-agg fold rides packed partitions too
+      val q = spark.read.format("zarr").load(g).groupBy("t").agg(sum("v"))
+      assert(q.queryExecution.executedPlan.toString.contains("ZarrVarAggScan"))
+      assert(q.count() === 3)
+    } finally {
+      conf.unset("spark.sql.files.openCostInBytes")
+      conf.set("spark.sql.files.minPartitionNum", "100000") // suite default
+      conf.unset("spark.sql.files.maxPartitionBytes")
+    }
   }
 
   test("the same scan opens an http-hosted archive, pruned the same way") {
