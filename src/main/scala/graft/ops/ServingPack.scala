@@ -824,6 +824,45 @@ object ServingPack extends QueryPack {
           col("min_v"), col("max_v"), col("sum_v"))
     }),
 
+    // interval-set pushdown through the connector: In on t prunes per
+    // VALUE (the middle t-slices never plan), a same-dim Or on x prunes
+    // to the union of branch rectangles (2 of 4 x-chunks), and != on y is
+    // consumed via interval complement — all three evaluated by the
+    // reader with Spark's own double semantics, no Spark-side Filter
+    // node, which is what lets the aggregate push below the scan
+    // (ZarrVarAggScan: per-chunk partial fold; avg(x) rides Spark's
+    // avg→sum/count pushdown rewrite). Cells are dyadic so every sum is
+    // order-free exact; the oracle recomputes the selection closed-form.
+    "q_zarr_interval_scan" -> ((s, d) => {
+      val sfName = new java.io.File(d).getName
+      val base = s"/root/repo/.graft-fixtures/zarraggpush_$sfName"
+      val group = s"$base/cube.zarr"
+      Fixtures.ensureWritten(base, "t=4,grid=100x360,chunks=1x50x90,dyadic64") {
+        new java.io.File(base).mkdirs()
+        val cells = s.range(4L * 100 * 360).select(
+          (col("id") / (100L * 360)).cast("long").as("ti"),
+          ((col("id") / 360) % 100).cast("long").as("j"),
+          (col("id") % 360).cast("long").as("i"))
+          .select(col("ti").cast("double").as("t"),
+            (col("j") + 0.5).cast("double").as("y"),
+            (col("i") + 0.5).cast("double").as("x"),
+            (((col("j") * 360 + col("i") + col("ti") * 7) % 4096) / 64.0).as("v"))
+        ZarrSource.writeCube(cells, group, "v",
+          Seq("t" -> Array.tabulate(4)(_.toDouble),
+            "y" -> Array.tabulate(100)(_ + 0.5),
+            "x" -> Array.tabulate(360)(_ + 0.5)),
+          chunks = Seq(1, 50, 90))
+      }
+      s.read.format("zarr").load(group)
+        .filter(col("t").isin(0.0, 2.0) && col("y") =!= 50.5 &&
+          (col("x") < 90.5 || col("x") > 269.5))
+        .groupBy(col("t"))
+        .agg(count(lit(1)).as("n_cells"), sum(col("y")).as("sum_y"),
+          avg(col("x")).as("avg_x"), sum(col("v")).as("sum_v"))
+        .select(col("t").cast("long").as("t"), col("n_cells"),
+          col("sum_y"), col("avg_x"), col("sum_v"))
+    }),
+
     // the STREAMING source twin of q_zarr (spark.readStream.format("zarr")
     // — the relational form of the reference's dataset polling): the
     // group starts with day 1, a micro-batch drains it, day 2 is appended
@@ -1965,6 +2004,17 @@ object ServingPack extends QueryPack {
                         + (k // 36000) * 7) % 4096 / 64.0 AS v
                FROM range(0, 144000) r(k))
          WHERE ((k // 360) % 100) <= 49
+         GROUP BY 1""",
+    "q_zarr_interval_scan" ->
+      """SELECT (k // 36000)::BIGINT AS t, count(*) AS n_cells,
+                sum(((k // 360) % 100) + 0.5) AS sum_y,
+                avg((k % 360) + 0.5) AS avg_x,
+                sum((((k // 360) % 100) * 360 + (k % 360)
+                      + (k // 36000) * 7) % 4096 / 64.0) AS sum_v
+         FROM range(0, 144000) r(k)
+         WHERE (k // 36000) IN (0, 2)
+           AND ((k // 360) % 100) + 0.5 <> 50.5
+           AND ((k % 360) + 0.5 < 90.5 OR (k % 360) + 0.5 > 269.5)
          GROUP BY 1""",
     "q_zarr_stream_read" ->
       s"""WITH ${CubePack.cubeCte},

@@ -1037,16 +1037,21 @@ final case class ZarrReaderFactory(columnar: Boolean = false)
 /** The shared per-chunk cell walk: decodes this task's chunk object per
   * required variable, then steps an odometer over the chunk's in-bounds,
   * in-window, filter-passing cells. Both the row reader and the columnar
-  * reader drive it; values are read as primitives (no boxing here). */
-private[zarr] final class ChunkCursor(p: ZarrInputPartition) {
+  * reader drive it; values are read as primitives (no boxing here).
+  * `prefetched` carries this chunk's raw bytes when the packed partition
+  * already fetched them in one coalesced multi-range request. */
+private[zarr] final class ChunkCursor(p: ZarrInputPartition,
+    prefetched: Option[Seq[Option[Array[Byte]]]] = None) {
   private val za = p.za
   private val rank = za.shape.length
   private val data: Seq[Array[Double]] = p.chunkRefs match {
     case Some(refOpts) =>
-      // virtual table: all of this task's refs fetched together so
+      // virtual table: all of this chunk's refs fetched together so
       // neighboring ranges into the same granule coalesce into one
-      // ranged GET (ByteStore.readRanges)
-      p.vars.zip(KerchunkSource.fetchAll(refOpts, p.store)).map {
+      // ranged GET (ByteStore.readRanges) — or taken from the packed
+      // partition's single prefetch
+      val raws = prefetched.getOrElse(KerchunkSource.fetchAll(refOpts, p.store))
+      p.vars.zip(raws).map {
         case ((_, vza), Some(raw)) => ZarrSource.decodeChunk(raw, vza)
         case ((_, vza), None) =>
           Array.fill(vza.chunkElems)(vza.cfDecode(vza.fillValue))
@@ -1124,13 +1129,35 @@ private[zarr] final class ChunkCursor(p: ZarrInputPartition) {
   }
 }
 
+/** One coalesced multi-range fetch for every refs-backed chunk of a
+  * packed partition: packing groups lexicographically-adjacent chunks,
+  * whose byte ranges usually sit next to each other in the same granule,
+  * so the whole task often costs ONE ranged GET instead of one per chunk
+  * (the `ref/store.py` max_gap/max_block contract applied across the
+  * task, not just within a chunk). Memory holds the task's COMPRESSED
+  * bytes, bounded by the packing target; decode stays per-cursor. */
+private[zarr] object PackedPrefetch {
+  def apply(chunks: Seq[ZarrInputPartition])
+      : Option[IndexedSeq[Seq[Option[Array[Byte]]]]] =
+    if (chunks.length <= 1 || chunks.head.chunkRefs.isEmpty) None
+    else {
+      val per = chunks.map(_.chunkRefs.get)
+      val raw = KerchunkSource.fetchAll(per.flatten, chunks.head.store)
+      var i = 0
+      Some(per.map { refs =>
+        val s = raw.slice(i, i + refs.length); i += refs.length; s
+      }.toIndexedSeq)
+    }
+}
+
 /** Row-at-a-time reader (streaming scans and the var-agg fold use it).
   * Chunks of a packed partition decode lazily, one cursor at a time. */
 final class ZarrPartitionReader(chunks: Seq[ZarrInputPartition])
     extends PartitionReader[InternalRow] {
   def this(p: ZarrInputPartition) = this(Seq(p))
 
-  private val it = chunks.iterator
+  private val prefetched = PackedPrefetch(chunks)
+  private val it = chunks.zipWithIndex.iterator
   private var cursor: ChunkCursor = _
   private var current: InternalRow = _
 
@@ -1138,7 +1165,8 @@ final class ZarrPartitionReader(chunks: Seq[ZarrInputPartition])
     while (true) {
       if (cursor == null) {
         if (!it.hasNext) return false
-        cursor = new ChunkCursor(it.next())
+        val (p, i) = it.next()
+        cursor = new ChunkCursor(p, prefetched.map(_(i)))
       }
       if (cursor.advance()) return true
       cursor = null
@@ -1170,7 +1198,8 @@ final class ZarrColumnarReader(chunks: Seq[ZarrInputPartition])
   import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
   import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
 
-  private val it = chunks.iterator
+  private val prefetched = PackedPrefetch(chunks)
+  private val it = chunks.zipWithIndex.iterator
   private var cursor: ChunkCursor = _
   private var vectors: Array[OnHeapColumnVector] = _
   private var batch: ColumnarBatch = _
@@ -1179,7 +1208,8 @@ final class ZarrColumnarReader(chunks: Seq[ZarrInputPartition])
     while (true) {
       if (cursor == null) {
         if (!it.hasNext) return false
-        cursor = new ChunkCursor(it.next())
+        val (p, i) = it.next()
+        cursor = new ChunkCursor(p, prefetched.map(_(i)))
         if (vectors == null) {
           vectors = Array.fill(cursor.nCols)(
             new OnHeapColumnVector(ZarrColumnarReader.BatchRows, DoubleType))

@@ -185,6 +185,52 @@ class RefsDsv2Spec extends AnyFunSuite {
     assert(tq.count() === 16L)
   }
 
+  test("packed partitions coalesce ranged GETs across chunks") {
+    import org.apache.spark.sql.functions.sum
+    val dir = tmpDir("krpack")
+    // one payload file holding 8 contiguous raw <f8 chunks (16 B each)
+    val payload = java.nio.ByteBuffer.allocate(8 * 16)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    (0 until 16).foreach(i => payload.putDouble(i * 1.5))
+    Files.write(java.nio.file.Paths.get(s"$dir/payload.bin"), payload.array())
+    val emu = graft.sources.s3.S3Emulator.shared
+    emu.mountDir("krpack", dir)
+    val url = s"${emu.endpoint}/krpack/payload.bin"
+    val zarray = """{"zarr_format":2,"shape":[8,2],"chunks":[1,2],""" +
+      """"dtype":"<f8","compressor":null,"fill_value":0.0,""" +
+      """"filters":null,"order":"C"}"""
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val refs = new StringBuilder("""{"version":1,"refs":{""")
+    refs ++= """".zgroup": "{\"zarr_format\":2}","""
+    refs ++= s""""v/.zarray": ${m.writeValueAsString(zarray)},"""
+    refs ++= """"v/.zattrs": "{\"_ARRAY_DIMENSIONS\": [\"t\", \"x\"]}""""
+    (0 until 8).foreach(i => refs ++= s""", "v/$i.0": [${m.writeValueAsString(url)}, ${i * 16}, 16]""")
+    refs ++= "}}"
+    val rp = s"$dir/refs.json"
+    Files.write(java.nio.file.Paths.get(rp), refs.toString.getBytes("UTF-8"))
+    val conf = spark.conf
+    try {
+      // unpacked (suite default): one ranged GET per chunk task
+      val before = emu.requestCount("GET")
+      val s1 = spark.read.format("kerchunk").load(rp).agg(sum("v")).head.getDouble(0)
+      val unpackedGets = emu.requestCount("GET") - before
+      assert(s1 === (0 until 16).map(_ * 1.5).sum)
+      assert(unpackedGets >= 8, s"expected >=8 GETs unpacked, got $unpackedGets")
+      // packed into one task: the 8 adjacent ranges coalesce into ONE GET
+      conf.set("spark.sql.files.openCostInBytes", "0")
+      conf.set("spark.sql.files.minPartitionNum", "1")
+      val b2 = emu.requestCount("GET")
+      val packedDf = spark.read.format("kerchunk").load(rp)
+      assert(packedDf.rdd.getNumPartitions === 1)
+      assert(packedDf.agg(sum("v")).head.getDouble(0) === s1)
+      val packedGets = emu.requestCount("GET") - b2
+      assert(packedGets <= 2, s"expected coalesced GETs, got $packedGets")
+    } finally {
+      conf.unset("spark.sql.files.openCostInBytes")
+      conf.set("spark.sql.files.minPartitionNum", "100000")
+    }
+  }
+
   test("kerchunk DSv2 is lazy: a 1M-ref sibling never loads; bulk is keyed") {
     val dir = tmpDir("krlazy")
     // real small variable with inline chunks + a 10^6-ref sibling array
