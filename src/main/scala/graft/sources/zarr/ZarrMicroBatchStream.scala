@@ -103,8 +103,11 @@ final class ZarrMicroBatchStream(meta: ZarrGroupMeta, consumed: Array[Filter],
     val za = fresh.za
     require(e <= za.shape.head,
       s"${meta.groupDir}: offset $e beyond current dim-0 extent ${za.shape.head}")
+    // inlineShared: the stream's reader factory is created ONCE, but an
+    // append grows the coordinate arrays batch over batch — each batch's
+    // partitions carry their own (small) copy of the fresh scan state
     ZarrScan.plannedPartitions(fresh, consumed, Array.empty, required,
-      dim0Range = Some((s, e)))
+      dim0Range = Some((s, e)), inlineShared = true)
   }
 
   // the batch reader factory IS the streaming one — readers are

@@ -636,7 +636,9 @@ final case class ZarrScan(meta: ZarrGroupMeta, consumed: Array[Filter],
       dim0Range = None, limit)
 
   override def createReaderFactory(): PartitionReaderFactory =
-    ZarrReaderFactory(columnar = true)
+    ZarrReaderFactory(
+      Some(ZarrScan.sharedState(meta, required, consumed, dim0Range = None)),
+      columnar = true)
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
@@ -865,36 +867,72 @@ object ZarrScan {
     case _ => None
   }
 
+  /** Scan-level state shared by every task of one scan. Lives in the
+    * READER FACTORY, which rides Spark's task-binary broadcast once per
+    * executor — input partitions stay O(chunk key), so planning a
+    * 10^7-chunk archive keeps the driver's partition array at integer-key
+    * size per chunk and never copies the coordinate arrays per task.
+    * Executors slice each chunk's coordinates locally from the shared
+    * arrays. Streaming scans inline a per-batch copy instead (the stream
+    * factory is created once, but an append grows the coordinates batch
+    * over batch). */
+  final case class SharedScanState(groupDir: String,
+                                   za: ZarrArray,
+                                   coords: Seq[Array[Double]],
+                                   vars: Seq[(String, ZarrArray)],
+                                   outCols: Seq[String],
+                                   store: ByteStore,
+                                   v3: Boolean,
+                                   dim0Range: Option[(Long, Long)],
+                                   cellIvs: Option[Array[Array[Double]]])
+
+  /** Deterministic shared state for a scan's fields — called from both
+    * planInputPartitions and createReaderFactory, so it must be a pure
+    * function of (meta, required, consumed, dim0Range). */
+  private[zarr] def sharedState(meta: ZarrGroupMeta, required: StructType,
+                                consumed: Array[Filter],
+                                dim0Range: Option[(Long, Long)])
+      : SharedScanState = {
+    val vars = required.fieldNames.filter(meta.dataVars.contains).toSeq
+    SharedScanState(meta.groupDir, meta.za, meta.coords,
+      vars.map(v => v -> meta.varMeta(v)), required.fieldNames.toSeq,
+      meta.store, meta.v3, dim0Range,
+      // packed interval sets for the filters this scan CONSUMED — the
+      // reader applies them per cell (runtime filters only prune: the
+      // plan's own join re-evaluates those)
+      if (consumed.isEmpty) None else Some(packIvs(rectOf(meta, consumed))))
+  }
+
   private[zarr] def plannedPartitions(meta: ZarrGroupMeta,
                                       consumed: Array[Filter],
                                       runtime: Array[Filter],
                                       required: StructType,
                                       dim0Range: Option[(Long, Long)],
-                                      limit: Option[Int] = None)
+                                      limit: Option[Int] = None,
+                                      inlineShared: Boolean = false)
       : Array[InputPartition] = {
     val za = meta.za
     val rank = za.shape.length
     val keep = survivingChunks(meta, consumed ++ runtime, dim0Range)
-    // per-dim packed interval sets for the filters this scan CONSUMED —
-    // the reader applies them per cell (runtime filters only prune: the
-    // plan's own join re-evaluates those)
-    val cellIvs: Option[Array[Array[Double]]] =
-      if (consumed.isEmpty) None else Some(packIvs(rectOf(meta, consumed)))
-    val vars = required.fieldNames.filter(meta.dataVars.contains).toSeq
-    val allKeys = keep.foldLeft(Seq(Seq.empty[Int])) { (acc, ks) =>
-      acc.flatMap(p => ks.map(p :+ _))
-    }
+    val shared = sharedState(meta, required, consumed, dim0Range)
+    val vars = shared.vars.map(_._1)
+    // stream the key cross-product: nothing bigger than the SURVIVING key
+    // list ever materializes on the driver
+    val allKeys: Iterator[Seq[Int]] =
+      keep.foldLeft(Iterator.single(Seq.empty[Int])) { (acc, ks) =>
+        acc.flatMap(p => ks.iterator.map(p :+ _))
+      }
     // pushed LIMIT: keep only enough chunks to cover it, by the EXACT
     // per-chunk matching cell count (slice values within the consumed
     // interval sets — driver math, so truncation never under-delivers)
-    val keys = limit match {
+    val keys: Seq[Seq[Int]] = (limit match {
       case Some(n) =>
         def matching(key: Seq[Int]): Long =
           (0 until rank).map { k =>
             val s = key(k) * za.chunks(k)
             val e = math.min(s + za.chunks(k), za.shape(k))
             val slice = meta.coords(k).slice(s, e)
-            cellIvs match {
+            shared.cellIvs match {
               case Some(bs) => slice.count(v => cellInPacked(v, bs(k))).toLong
               case None => slice.length.toLong
             }
@@ -906,7 +944,7 @@ object ZarrScan {
           take
         }
       case None => allKeys
-    }
+    }).toVector
     // virtual (kerchunk-backed) tables: resolve the SURVIVING chunks'
     // refs in one bulk lookup at planning time, so each partition ships
     // O(vars) refs, never the reference map — and through a lazy lookup
@@ -917,21 +955,15 @@ object ZarrScan {
         s"$v/${key.mkString(meta.varMeta(v).separator)}")
     }
     val chunkParts: Seq[ZarrInputPartition] = keys.map { key =>
-      val coordSlices = (0 until rank).map { k =>
-        val s = key(k) * za.chunks(k)
-        val e = math.min(s + za.chunks(k), za.shape(k))
-        meta.coords(k).slice(s, e)
-      }
       val chunkRefs = resolved.map { r =>
         vars.map { v =>
           r.get(s"$v/${key.mkString(meta.varMeta(v).separator)}")
         }
       }
-      ZarrInputPartition(meta.groupDir, za, key, coordSlices,
-        vars.map(v => v -> meta.varMeta(v)), required.fieldNames.toSeq,
-        meta.store, meta.v3, chunkRefs, dim0Range, cellIvs)
+      ZarrInputPartition(key, chunkRefs,
+        if (inlineShared) Some(shared) else None)
     }
-    pack(chunkParts, required.fields.length)
+    pack(chunkParts, za, required.fields.length)
   }
 
   /** Pack lexicographically-adjacent surviving chunks into size-targeted
@@ -945,7 +977,7 @@ object ZarrScan {
     * sources: spark.sql.files.{maxPartitionBytes, openCostInBytes,
     * minPartitionNum}. */
   private[zarr] def pack(chunkParts: Seq[ZarrInputPartition],
-                         nCols: Int): Array[InputPartition] = {
+                         za: ZarrArray, nCols: Int): Array[InputPartition] = {
     if (chunkParts.isEmpty) return Array.empty
     val session = org.apache.spark.sql.SparkSession.active
     val conf = session.sessionState.conf
@@ -954,9 +986,8 @@ object ZarrScan {
       .orElse(conf.getConf(
         org.apache.spark.sql.internal.SQLConf.LEAF_NODE_DEFAULT_PARALLELISM))
       .getOrElse(session.sparkContext.defaultParallelism)
-    def bytesOf(p: ZarrInputPartition): Long =
-      p.za.chunkElems.toLong * 8L * math.max(1, nCols)
-    val totalBytes = chunkParts.map(bytesOf(_) + openCost).sum
+    val bytesPerChunk = za.chunkElems.toLong * 8L * math.max(1, nCols)
+    val totalBytes = chunkParts.length.toLong * (bytesPerChunk + openCost)
     val bytesPerCore = totalBytes / math.max(1, minPartitionNum)
     val maxSplit = math.min(conf.filesMaxPartitionBytes,
       math.max(openCost, bytesPerCore))
@@ -964,13 +995,12 @@ object ZarrScan {
     val cur = scala.collection.mutable.ArrayBuffer.empty[ZarrInputPartition]
     var curBytes = 0L
     chunkParts.foreach { p =>
-      val b = bytesOf(p)
-      if (cur.nonEmpty && curBytes + b > maxSplit) {
+      if (cur.nonEmpty && curBytes + bytesPerChunk > maxSplit) {
         out += ZarrPackedPartition(cur.toSeq)
         cur.clear(); curBytes = 0L
       }
       cur += p
-      curBytes += b + openCost
+      curBytes += bytesPerChunk + openCost
     }
     if (cur.nonEmpty) out += ZarrPackedPartition(cur.toSeq)
     out.toArray
@@ -999,16 +1029,14 @@ object ZarrScan {
   }
 }
 
-final case class ZarrInputPartition(groupDir: String, za: ZarrArray,
-                                    key: Seq[Int],
-                                    coordSlices: Seq[Array[Double]],
-                                    vars: Seq[(String, ZarrArray)],
-                                    outCols: Seq[String],
-                                    store: ByteStore,
-                                    v3: Boolean,
+/** One chunk's task payload: the chunk key, its resolved byte-range refs
+  * (virtual tables only), and — streaming scans only — an inline copy of
+  * the scan-level shared state. Batch scans get the shared state from
+  * the reader factory instead, keeping driver planning memory at
+  * O(key) per chunk. */
+final case class ZarrInputPartition(key: Seq[Int],
                                     chunkRefs: Option[Seq[Option[Ref]]] = None,
-                                    dim0Range: Option[(Long, Long)] = None,
-                                    cellIvs: Option[Array[Array[Double]]] = None)
+                                    inline: Option[ZarrScan.SharedScanState] = None)
     extends InputPartition
 
 /** One task's worth of chunks ([[ZarrScan.pack]]); chunks decode lazily
@@ -1016,22 +1044,30 @@ final case class ZarrInputPartition(groupDir: String, za: ZarrArray,
 final case class ZarrPackedPartition(chunks: Seq[ZarrInputPartition])
     extends InputPartition
 
-final case class ZarrReaderFactory(columnar: Boolean = false)
+final case class ZarrReaderFactory(shared: Option[ZarrScan.SharedScanState] = None,
+                                   columnar: Boolean = false)
     extends PartitionReaderFactory {
   private def chunksOf(partition: InputPartition): Seq[ZarrInputPartition] =
     partition match {
       case pk: ZarrPackedPartition => pk.chunks
       case single: ZarrInputPartition => Seq(single)
     }
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new ZarrPartitionReader(chunksOf(partition))
+  private def sharedOf(chunks: Seq[ZarrInputPartition]): ZarrScan.SharedScanState =
+    chunks.head.inline.orElse(shared).getOrElse(throw new IllegalStateException(
+      "zarr partition without scan state (factory and partition both bare)"))
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val cs = chunksOf(partition)
+    new ZarrPartitionReader(sharedOf(cs), cs)
+  }
   // batch scans hand Spark ColumnarBatch vectors (the parquet reader's
   // contract): the whole-stage pipeline consumes a vectorized scan via
   // ColumnarToRow instead of one boxed GenericInternalRow per cell
   override def supportColumnarReads(partition: InputPartition): Boolean = columnar
   override def createColumnarReader(partition: InputPartition)
-      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
-    new ZarrColumnarReader(chunksOf(partition))
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val cs = chunksOf(partition)
+    new ZarrColumnarReader(sharedOf(cs), cs)
+  }
 }
 
 /** The shared per-chunk cell walk: decodes this task's chunk object per
@@ -1040,40 +1076,47 @@ final case class ZarrReaderFactory(columnar: Boolean = false)
   * reader drive it; values are read as primitives (no boxing here).
   * `prefetched` carries this chunk's raw bytes when the packed partition
   * already fetched them in one coalesced multi-range request. */
-private[zarr] final class ChunkCursor(p: ZarrInputPartition,
+private[zarr] final class ChunkCursor(shared: ZarrScan.SharedScanState,
+    p: ZarrInputPartition,
     prefetched: Option[Seq[Option[Array[Byte]]]] = None) {
-  private val za = p.za
+  private val za = shared.za
   private val rank = za.shape.length
+  // this chunk's coordinate labels, sliced LOCALLY from the shared arrays
+  private val coordSlices: IndexedSeq[Array[Double]] = (0 until rank).map { k =>
+    val s = p.key(k) * za.chunks(k)
+    shared.coords(k).slice(s, math.min(s + za.chunks(k), za.shape(k)))
+  }
   private val data: Seq[Array[Double]] = p.chunkRefs match {
     case Some(refOpts) =>
       // virtual table: all of this chunk's refs fetched together so
       // neighboring ranges into the same granule coalesce into one
       // ranged GET (ByteStore.readRanges) — or taken from the packed
       // partition's single prefetch
-      val raws = prefetched.getOrElse(KerchunkSource.fetchAll(refOpts, p.store))
-      p.vars.zip(raws).map {
+      val raws = prefetched.getOrElse(
+        KerchunkSource.fetchAll(refOpts, shared.store))
+      shared.vars.zip(raws).map {
         case ((_, vza), Some(raw)) => ZarrSource.decodeChunk(raw, vza)
         case ((_, vza), None) =>
           Array.fill(vza.chunkElems)(vza.cfDecode(vza.fillValue))
       }
     case None =>
-      p.vars.map { case (v, vza) =>
+      shared.vars.map { case (v, vza) =>
         val chunkName =
-          if (p.v3) ZarrV3Source.chunkKey(vza, p.key.map(_.toLong))
+          if (shared.v3) ZarrV3Source.chunkKey(vza, p.key.map(_.toLong))
           else p.key.mkString(vza.separator)
-        p.store.readIfExists(s"${p.groupDir}/$v/$chunkName") match {
+        shared.store.readIfExists(s"${shared.groupDir}/$v/$chunkName") match {
           case Some(raw) =>
-            if (p.v3) ZarrV3Source.decodeAny(raw, vza)
+            if (shared.v3) ZarrV3Source.decodeAny(raw, vza)
             else ZarrSource.decodeChunk(raw, vza)
           case None => Array.fill(vza.chunkElems)(vza.cfDecode(vza.fillValue))
         }
       }
   }
   // output column -> (isVar, index into dims or data)
-  private val outPlan: Array[(Boolean, Int)] = p.outCols.map { c =>
+  private val outPlan: Array[(Boolean, Int)] = shared.outCols.map { c =>
     val d = za.dims.indexOf(c)
     if (d >= 0) (false, d)
-    else (true, p.vars.indexWhere(_._1 == c))
+    else (true, shared.vars.indexWhere(_._1 == c))
   }.toArray
 
   val nCols: Int = outPlan.length
@@ -1102,17 +1145,17 @@ private[zarr] final class ChunkCursor(p: ZarrInputPartition,
       }
       // streaming slice window: only rows of the new dim-0 range — a
       // boundary chunk shared with already-emitted slices stays exactly-once
-      p.dim0Range.foreach { case (s0, e0) =>
+      shared.dim0Range.foreach { case (s0, e0) =>
         val g0 = p.key(0).toLong * za.chunks(0) + idx(0)
         if (g0 < s0 || g0 >= e0) inBounds = false
       }
       // exactly-consumed dim predicates: the scan claimed these, so the
       // cell-level interval test here IS the filter (Spark's own double
       // semantics: NaN greatest, zeros equal)
-      p.cellIvs.foreach { bs =>
+      shared.cellIvs.foreach { bs =>
         var d = 0
         while (inBounds && d < rank) {
-          if (!ZarrScan.cellInPacked(p.coordSlices(d)(idx(d)), bs(d)))
+          if (!ZarrScan.cellInPacked(coordSlices(d)(idx(d)), bs(d)))
             inBounds = false
           d += 1
         }
@@ -1125,7 +1168,7 @@ private[zarr] final class ChunkCursor(p: ZarrInputPartition,
   /** Output column c's value at the cursor, as a primitive double. */
   def colValue(c: Int): Double = {
     val (isVar, i) = outPlan(c)
-    if (isVar) data(i)(flat) else p.coordSlices(i)(idx(i))
+    if (isVar) data(i)(flat) else coordSlices(i)(idx(i))
   }
 }
 
@@ -1137,12 +1180,12 @@ private[zarr] final class ChunkCursor(p: ZarrInputPartition,
   * task, not just within a chunk). Memory holds the task's COMPRESSED
   * bytes, bounded by the packing target; decode stays per-cursor. */
 private[zarr] object PackedPrefetch {
-  def apply(chunks: Seq[ZarrInputPartition])
+  def apply(shared: ZarrScan.SharedScanState, chunks: Seq[ZarrInputPartition])
       : Option[IndexedSeq[Seq[Option[Array[Byte]]]]] =
     if (chunks.length <= 1 || chunks.head.chunkRefs.isEmpty) None
     else {
       val per = chunks.map(_.chunkRefs.get)
-      val raw = KerchunkSource.fetchAll(per.flatten, chunks.head.store)
+      val raw = KerchunkSource.fetchAll(per.flatten, shared.store)
       var i = 0
       Some(per.map { refs =>
         val s = raw.slice(i, i + refs.length); i += refs.length; s
@@ -1152,11 +1195,11 @@ private[zarr] object PackedPrefetch {
 
 /** Row-at-a-time reader (streaming scans and the var-agg fold use it).
   * Chunks of a packed partition decode lazily, one cursor at a time. */
-final class ZarrPartitionReader(chunks: Seq[ZarrInputPartition])
+final class ZarrPartitionReader(shared: ZarrScan.SharedScanState,
+                                chunks: Seq[ZarrInputPartition])
     extends PartitionReader[InternalRow] {
-  def this(p: ZarrInputPartition) = this(Seq(p))
 
-  private val prefetched = PackedPrefetch(chunks)
+  private val prefetched = PackedPrefetch(shared, chunks)
   private val it = chunks.zipWithIndex.iterator
   private var cursor: ChunkCursor = _
   private var current: InternalRow = _
@@ -1166,7 +1209,7 @@ final class ZarrPartitionReader(chunks: Seq[ZarrInputPartition])
       if (cursor == null) {
         if (!it.hasNext) return false
         val (p, i) = it.next()
-        cursor = new ChunkCursor(p, prefetched.map(_(i)))
+        cursor = new ChunkCursor(shared, p, prefetched.map(_(i)))
       }
       if (cursor.advance()) return true
       cursor = null
@@ -1193,12 +1236,13 @@ final class ZarrPartitionReader(chunks: Seq[ZarrInputPartition])
   * like Spark's own vectorized parquet reader. Memory is bounded by
   * columns × BatchRows doubles regardless of chunk or partition size
   * (packed chunks decode one at a time; a batch never spans chunks). */
-final class ZarrColumnarReader(chunks: Seq[ZarrInputPartition])
+final class ZarrColumnarReader(shared: ZarrScan.SharedScanState,
+                               chunks: Seq[ZarrInputPartition])
     extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
   import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
   import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
 
-  private val prefetched = PackedPrefetch(chunks)
+  private val prefetched = PackedPrefetch(shared, chunks)
   private val it = chunks.zipWithIndex.iterator
   private var cursor: ChunkCursor = _
   private var vectors: Array[OnHeapColumnVector] = _
@@ -1209,7 +1253,7 @@ final class ZarrColumnarReader(chunks: Seq[ZarrInputPartition])
       if (cursor == null) {
         if (!it.hasNext) return false
         val (p, i) = it.next()
-        cursor = new ChunkCursor(p, prefetched.map(_(i)))
+        cursor = new ChunkCursor(shared, p, prefetched.map(_(i)))
         if (vectors == null) {
           vectors = Array.fill(cursor.nCols)(
             new OnHeapColumnVector(ZarrColumnarReader.BatchRows, DoubleType))

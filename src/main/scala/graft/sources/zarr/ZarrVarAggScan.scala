@@ -56,6 +56,12 @@ final case class ZarrVarAggScan(meta: ZarrGroupMeta, consumed: Array[Filter],
   /** The inner cell scan reads dims first, then exactly the data vars the
     * aggregates touch (variable pruning still applies: `sum(v1)` over a
     * 40-variable group decodes one variable). */
+  private[zarr] def innerRequired: StructType = {
+    val cols = innerCols
+    StructType(ZarrTable.schemaFor(meta).fields
+      .filter(f => cols.contains(f.name)))
+  }
+
   private def innerCols: Seq[String] = {
     val vars = agg.aggregateExpressions.toSeq.flatMap {
       case c: Count => ZarrVarAggScan.colName(meta, c.column)
@@ -69,8 +75,7 @@ final case class ZarrVarAggScan(meta: ZarrGroupMeta, consumed: Array[Filter],
 
   override def planInputPartitions(): Array[InputPartition] = {
     val cols = innerCols
-    val required = StructType(ZarrTable.schemaFor(meta).fields
-      .filter(f => cols.contains(f.name)))
+    val required = innerRequired
     val groupIdx = groupDims.map(cols.indexOf).toArray
     val specs = agg.aggregateExpressions.toSeq.map {
       case _: CountStar => ZarrAggSpec(ZarrAggSpec.CountStar, -1)
@@ -97,7 +102,8 @@ final case class ZarrVarAggScan(meta: ZarrGroupMeta, consumed: Array[Filter],
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    ZarrVarAggReaderFactory()
+    ZarrVarAggReaderFactory(
+      ZarrScan.sharedState(meta, innerRequired, consumed, dim0Range = None))
 }
 
 object ZarrVarAggScan {
@@ -131,17 +137,20 @@ final case class ZarrVarAggPartition(base: ZarrPackedPartition,
                                      specs: Seq[ZarrAggSpec])
     extends InputPartition
 
-final case class ZarrVarAggReaderFactory() extends PartitionReaderFactory {
+final case class ZarrVarAggReaderFactory(shared: ZarrScan.SharedScanState)
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new ZarrVarAggReader(partition.asInstanceOf[ZarrVarAggPartition])
+    new ZarrVarAggReader(shared, partition.asInstanceOf[ZarrVarAggPartition])
 }
 
-/** Folds the chunk's in-bounds cells into per-group partial states in one
-  * pass over the inner cell reader, then emits one row per group. State
-  * is bounded by the chunk's distinct group-key count (≤ its cell count,
-  * itself ≤ chunk size — executor memory never depends on archive size).
+/** Folds the task's in-bounds cells into per-group partial states in one
+  * direct pass over the chunk cursors (primitive reads, no per-cell row
+  * allocation), then emits one row per group. State is bounded by the
+  * task's distinct group-key count (≤ its cell count — executor memory
+  * never depends on archive size).
   */
-final class ZarrVarAggReader(p: ZarrVarAggPartition)
+final class ZarrVarAggReader(shared: ZarrScan.SharedScanState,
+                             p: ZarrVarAggPartition)
     extends PartitionReader[InternalRow] {
 
   private final class GroupState(val keyVals: Array[Double]) {
@@ -151,46 +160,47 @@ final class ZarrVarAggReader(p: ZarrVarAggPartition)
   }
 
   private lazy val groups: Iterator[GroupState] = {
-    val inner = new ZarrPartitionReader(p.base.chunks)
     val m = new java.util.LinkedHashMap[Seq[Long], GroupState]()
     val specs = p.specs.toArray
-    while (inner.next()) {
-      val row = inner.get()
-      val keyVals = new Array[Double](p.groupIdx.length)
-      val keyBits = new Array[Long](p.groupIdx.length)
-      var g = 0
-      while (g < p.groupIdx.length) {
-        var v = row.getDouble(p.groupIdx(g))
-        if (v == 0.0) v = 0.0 // normalize -0.0: Spark groups it with 0.0
-        keyVals(g) = v
-        keyBits(g) = java.lang.Double.doubleToLongBits(v) // canonical NaN
-        g += 1
-      }
-      val key: Seq[Long] = keyBits.toIndexedSeq
-      var st = m.get(key)
-      if (st == null) { st = new GroupState(keyVals); m.put(key, st) }
-      var i = 0
-      while (i < specs.length) {
-        val s = specs(i)
-        s.op match {
-          case ZarrAggSpec.CountStar | ZarrAggSpec.Count =>
-            st.counts(i) += 1L // cells are never null (fill decodes to NaN)
-          case ZarrAggSpec.Min =>
-            val v = row.getDouble(s.colIdx)
-            if (!st.seen || java.lang.Double.compare(v, st.doubles(i)) < 0)
-              st.doubles(i) = v
-          case ZarrAggSpec.Max =>
-            val v = row.getDouble(s.colIdx)
-            if (!st.seen || java.lang.Double.compare(v, st.doubles(i)) > 0)
-              st.doubles(i) = v
-          case ZarrAggSpec.Sum =>
-            st.doubles(i) += row.getDouble(s.colIdx)
+    val prefetched = PackedPrefetch(shared, p.base.chunks)
+    p.base.chunks.zipWithIndex.foreach { case (cp, ci) =>
+      val cur = new ChunkCursor(shared, cp, prefetched.map(_(ci)))
+      while (cur.advance()) {
+        val keyVals = new Array[Double](p.groupIdx.length)
+        val keyBits = new Array[Long](p.groupIdx.length)
+        var g = 0
+        while (g < p.groupIdx.length) {
+          var v = cur.colValue(p.groupIdx(g))
+          if (v == 0.0) v = 0.0 // normalize -0.0: Spark groups it with 0.0
+          keyVals(g) = v
+          keyBits(g) = java.lang.Double.doubleToLongBits(v) // canonical NaN
+          g += 1
         }
-        i += 1
+        val key: Seq[Long] = keyBits.toIndexedSeq
+        var st = m.get(key)
+        if (st == null) { st = new GroupState(keyVals); m.put(key, st) }
+        var i = 0
+        while (i < specs.length) {
+          val s = specs(i)
+          s.op match {
+            case ZarrAggSpec.CountStar | ZarrAggSpec.Count =>
+              st.counts(i) += 1L // cells are never null (fill decodes to NaN)
+            case ZarrAggSpec.Min =>
+              val v = cur.colValue(s.colIdx)
+              if (!st.seen || java.lang.Double.compare(v, st.doubles(i)) < 0)
+                st.doubles(i) = v
+            case ZarrAggSpec.Max =>
+              val v = cur.colValue(s.colIdx)
+              if (!st.seen || java.lang.Double.compare(v, st.doubles(i)) > 0)
+                st.doubles(i) = v
+            case ZarrAggSpec.Sum =>
+              st.doubles(i) += cur.colValue(s.colIdx)
+          }
+          i += 1
+        }
+        st.seen = true
       }
-      st.seen = true
     }
-    inner.close()
     import scala.jdk.CollectionConverters._
     m.values().iterator().asScala
   }
