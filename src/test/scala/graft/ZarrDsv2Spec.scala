@@ -724,6 +724,40 @@ class ZarrDsv2Spec extends AnyFunSuite {
     }
   }
 
+  test("input partitions stay O(key): task payload independent of coord size") {
+    import spark.implicits._
+    def bytesOf(o: AnyRef): Int = {
+      val bo = new java.io.ByteArrayOutputStream()
+      val oo = new java.io.ObjectOutputStream(bo)
+      oo.writeObject(o); oo.close(); bo.size()
+    }
+    def partitionBytes(nx: Int): (Int, Int) = {
+      val x = Array.tabulate(nx)(_ + 0.5)
+      val y = Array(0.0, 1.0)
+      val df = (for { yi <- y; xi <- x } yield (yi, xi, yi + xi))
+        .toSeq.toDF("y", "x", "v")
+      val g = s"${tmpDir(s"dsv2slim$nx")}/cube.zarr"
+      ZarrSource.writeCube(df, g, "v", Seq("y" -> y, "x" -> x),
+        chunks = Seq(1, nx / 2))
+      val meta = graft.sources.zarr.ZarrTable.open(g)
+      val schema = graft.sources.zarr.ZarrTable.schemaFor(meta)
+      val scan = graft.sources.zarr.ZarrScan(meta, Array.empty, schema)
+      val parts = scan.planInputPartitions()
+      assert(parts.length === 4)
+      (bytesOf(parts.head),
+        bytesOf(scan.createReaderFactory().asInstanceOf[AnyRef]))
+    }
+    // 1000x larger coordinates: the per-task partition payload must not
+    // grow (the coords ride ONCE per executor in the factory broadcast,
+    // where they do and must appear)
+    val (small, smallFac) = partitionBytes(8)
+    val (big, bigFac) = partitionBytes(8000)
+    assert(big <= small + 64, s"partition grew with coords: $small -> $big")
+    assert(big < 2000, s"partition should be O(key) bytes, got $big")
+    assert(bigFac > smallFac + 8000 * 8 / 2,
+      s"factory should carry the coords ($smallFac -> $bigFac)")
+  }
+
   test("the same scan opens an http-hosted archive, pruned the same way") {
     val g = writeFixture()
     ZarrSource.consolidateMetadata(g)
