@@ -41,25 +41,13 @@ import org.apache.spark.sql.functions._
 object ClusterOps {
 
   /** Rounds between reliable checkpoints. With the logical plan
-    * truncated every round (see [[cutRound]]), this bounds only the RDD
-    * lineage depth and the executor-loss recomputation window.
+    * truncated every round (createDataFrame over the persisted RDD —
+    * each star round embeds ~16 copies of the prior plan, and
+    * untruncated the analyzer plus the SQL listener's plan
+    * stringification grow 16^k), this bounds only the RDD lineage depth
+    * and the executor-loss recomputation window.
     */
   private val CheckpointEvery = 5
-
-  /** Eager persisted round with RDD lineage kept (see recovery
-    * contract), re-exposed through a fresh LogicalRDD: the LOGICAL plan
-    * is truncated every round (each star round embeds ~16 copies of the
-    * prior plan — untruncated, the analyzer/optimizer and the SQL
-    * listener's plan stringification grow 16^k and dominated the query
-    * at 6x its steady-state cost), while executor-loss recovery still
-    * recomputes lost cached blocks through the RDD lineage. Returns
-    * (the truncated view, the persisted handle to release next round).
-    */
-  private def cutRound(df: DataFrame): (DataFrame, DataFrame) = {
-    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    p.count()
-    (p.sparkSession.createDataFrame(p.rdd, p.schema), p)
-  }
 
   /** Reliable plan truncation; ensures a checkpoint dir exists. */
   private def cutReliable(df: DataFrame): DataFrame = {
@@ -79,23 +67,48 @@ object ClusterOps {
     val e0 = edges
       .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
       .filter(col("u") =!= col("v"))
-    var (cur, curHandle) = cutRound(canonical(e0))
+    // (count, xxhash64 checksum): the round's materialization action AND
+    // its convergence signature in ONE aggregate job. The signature is a
+    // cheap probe only — the sound set-equality `except` runs just when
+    // the probe matches (in practice exactly once, at the fixpoint), so
+    // the per-round cost is one codegen aggregate instead of two counts
+    // plus an anti-join. A hash collision cannot terminate early with a
+    // wrong answer: `except` stays the arbiter.
+    def signature(df: DataFrame): (Long, Long) = {
+      // hash mod a prime keeps the running sum within Long for any
+      // realistic edge count (ANSI mode would fail loudly, not wrap, if
+      // a 2^33-edge graph ever neared the bound)
+      val r = df.agg(count(lit(1)),
+        sum(pmod(xxhash64(col("u"), col("v")), lit(1000000007L)))).head
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var curHandle = canonical(e0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var curSig = signature(curHandle)
+    var cur = curHandle.sparkSession.createDataFrame(curHandle.rdd, curHandle.schema)
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
       val round = smallStar(largeStar(cur))
       // persist BEFORE the periodic reliable checkpoint: an uncached
       // dataset is computed twice by checkpoint() (action + write job) —
-      // cached, both jobs read the cache
-      val (cut, nextHandle) = cutRound(round)
+      // cached, both jobs read the cache. The signature aggregate is the
+      // materializing action; createDataFrame(rdd) truncates the LOGICAL
+      // plan every round while keeping RDD lineage for recovery.
+      val nextHandle = round
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nextSig = signature(nextHandle)
+      val cut = nextHandle.sparkSession
+        .createDataFrame(nextHandle.rdd, nextHandle.schema)
       val next =
         if ((it + 1) % CheckpointEvery == 0) cutReliable(cut) else cut
       // fixpoint = identical edge SETS; both sides are distinct, so equal
       // counts + empty one-sided difference suffice
-      converged = next.count() == cur.count() && next.except(cur).isEmpty
+      converged = nextSig == curSig && next.except(cur).isEmpty
       curHandle.unpersist()
       cur = next
       curHandle = nextHandle
+      curSig = nextSig
       it += 1
     }
     if (!converged)
