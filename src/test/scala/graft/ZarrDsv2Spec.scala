@@ -758,6 +758,40 @@ class ZarrDsv2Spec extends AnyFunSuite {
       s"factory should carry the coords ($smallFac -> $bigFac)")
   }
 
+  test("planning scales: a 10^6-chunk grid plans in bounded time and packs") {
+    import graft.sources.ZarrSource.{Raw, ZarrArray}
+    // synthetic metadata only — planning never touches chunk payloads, so
+    // this exercises exactly what a 100 TB archive's driver would run:
+    // 100×100×100 single-cell chunks, coords resident, no IO
+    spark.sparkContext // packing reads the session's split knobs
+    val dims = Seq("t", "y", "x")
+    val za = ZarrArray(Seq(100, 100, 100), Seq(1, 1, 1), "<f8", Double.NaN,
+      Raw, dims, ".")
+    val coords = Seq.fill(3)(Array.tabulate(100)(_.toDouble))
+    val meta = graft.sources.zarr.ZarrGroupMeta(
+      "/synthetic", za, Seq("v"), Map("v" -> za), coords,
+      graft.sources.ByteStore.current)
+    val schema = graft.sources.zarr.ZarrTable.schemaFor(meta)
+    val t0 = System.nanoTime()
+    val parts = graft.sources.zarr.ZarrScan(meta, Array.empty, schema)
+      .planInputPartitions()
+    val elapsedSec = (System.nanoTime() - t0) / 1e9
+    // the driver enumerates and packs 10^6 keys in seconds; under the
+    // suite's minPartitionNum=100000 knob the formula packs 10 single-
+    // cell chunks per task — never fewer tasks than the floor asks for
+    assert(parts.length === 100000, parts.length)
+    assert(parts.map(_.asInstanceOf[graft.sources.zarr.ZarrPackedPartition]
+      .chunks.length.toLong).sum === 1000000L)
+    assert(elapsedSec < 60.0, s"planning took $elapsedSec s")
+    // pruning the same grid plans only the surviving corner
+    import org.apache.spark.sql.sources.{GreaterThanOrEqual, In, LessThan}
+    val pruned = graft.sources.zarr.ZarrScan(meta,
+      Array[org.apache.spark.sql.sources.Filter](
+        In("t", Array(3.0, 97.0)), GreaterThanOrEqual("y", 98.0),
+        LessThan("x", 2.0)), schema).planInputPartitions()
+    assert(pruned.length === 2 * 2 * 2, pruned.length)
+  }
+
   test("the same scan opens an http-hosted archive, pruned the same way") {
     val g = writeFixture()
     ZarrSource.consolidateMetadata(g)
