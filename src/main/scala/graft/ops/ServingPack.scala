@@ -863,6 +863,37 @@ object ServingPack extends QueryPack {
           col("sum_y"), col("avg_x"), col("sum_v"))
     }),
 
+    // top-n pushdown through the connector — the "latest slices" peek:
+    // ORDER BY t DESC LIMIT n plans only the trailing time slabs (the
+    // scan cuts at slab boundaries, so the superset always contains the
+    // true top-n; Spark's TakeOrdered re-applies the full sort above).
+    // Unique (t,y,x) triples make the result deterministic.
+    "q_zarr_topn" -> ((s, d) => {
+      val sfName = new java.io.File(d).getName
+      val base = s"/root/repo/.graft-fixtures/zarraggpush_$sfName"
+      val group = s"$base/cube.zarr"
+      Fixtures.ensureWritten(base, "t=4,grid=100x360,chunks=1x50x90,dyadic64") {
+        new java.io.File(base).mkdirs()
+        val cells = s.range(4L * 100 * 360).select(
+          (col("id") / (100L * 360)).cast("long").as("ti"),
+          ((col("id") / 360) % 100).cast("long").as("j"),
+          (col("id") % 360).cast("long").as("i"))
+          .select(col("ti").cast("double").as("t"),
+            (col("j") + 0.5).cast("double").as("y"),
+            (col("i") + 0.5).cast("double").as("x"),
+            (((col("j") * 360 + col("i") + col("ti") * 7) % 4096) / 64.0).as("v"))
+        ZarrSource.writeCube(cells, group, "v",
+          Seq("t" -> Array.tabulate(4)(_.toDouble),
+            "y" -> Array.tabulate(100)(_ + 0.5),
+            "x" -> Array.tabulate(360)(_ + 0.5)),
+          chunks = Seq(1, 50, 90))
+      }
+      s.read.format("zarr").load(group)
+        .orderBy(col("t").desc, col("y").desc, col("x").desc)
+        .limit(500)
+        .select(col("t").cast("long").as("t"), col("y"), col("x"), col("v"))
+    }),
+
     // the STREAMING source twin of q_zarr (spark.readStream.format("zarr")
     // — the relational form of the reference's dataset polling): the
     // group starts with day 1, a micro-batch drains it, day 2 is appended
@@ -2005,6 +2036,13 @@ object ServingPack extends QueryPack {
                FROM range(0, 144000) r(k))
          WHERE ((k // 360) % 100) <= 49
          GROUP BY 1""",
+    "q_zarr_topn" ->
+      """SELECT (k // 36000)::BIGINT AS t,
+                ((k // 360) % 100) + 0.5 AS y, (k % 360) + 0.5 AS x,
+                (((k // 360) % 100) * 360 + (k % 360)
+                  + (k // 36000) * 7) % 4096 / 64.0 AS v
+         FROM range(0, 144000) r(k)
+         ORDER BY 1 DESC, 2 DESC, 3 DESC LIMIT 500""",
     "q_zarr_interval_scan" ->
       """SELECT (k // 36000)::BIGINT AS t, count(*) AS n_cells,
                 sum(((k // 360) % 100) + 0.5) AS sum_y,

@@ -342,7 +342,7 @@ final class ZarrScanBuilder(meta: ZarrGroupMeta,
                             maxSlicesPerTrigger: Option[Long] = None)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownAggregates
-    with SupportsPushDownLimit {
+    with SupportsPushDownLimit with SupportsPushDownTopN {
 
   // partial limit pushdown: plan only enough chunks to cover the limit.
   // Safe because the per-chunk MATCHING cell count is exact driver math
@@ -353,6 +353,30 @@ final class ZarrScanBuilder(meta: ZarrGroupMeta,
   private var limit: Option[Int] = None
   override def pushLimit(l: Int): Boolean = { limit = Some(l); true }
   override def isPartiallyPushed: Boolean = true
+
+  // partial TOP-N pushdown — `ORDER BY t DESC LIMIT n` is the canonical
+  // "latest slices" peek. When the FIRST sort key is a dimension with a
+  // monotone coordinate, chunk slabs along that dim enumerate from the
+  // requested end and planning stops at the first slab boundary past n
+  // matching cells: a latest-day query over a 10^7-chunk archive plans
+  // one time-slab. Cutting at SLAB boundaries (never inside one) keeps
+  // every kept row ordered at-or-before every dropped row on the sort
+  // key, so the slab superset always contains a valid top-n; Spark
+  // re-applies the full sort + limit above the (partial) scan, which
+  // also makes the secondary sort keys exact.
+  private var topN: Option[(Int, Boolean, Int)] = None // (dim, desc, n)
+  override def pushTopN(orders: Array[
+      org.apache.spark.sql.connector.expressions.SortOrder], n: Int): Boolean = {
+    val first = orders.headOption.flatMap { o =>
+      ZarrScan.dimName(meta, o.expression()).map { d =>
+        val k = meta.za.dims.indexOf(d)
+        (k, o.direction() ==
+          org.apache.spark.sql.connector.expressions.SortDirection.DESCENDING)
+      }
+    }.filter { case (k, _) => ZarrScan.monotone(meta.coords(k)) }
+    first.foreach { case (k, desc) => topN = Some((k, desc, n)) }
+    first.isDefined
+  }
 
   private var consumed: Array[Filter] = Array.empty
   private var unhandled: Array[Filter] = Array.empty
@@ -457,7 +481,7 @@ final class ZarrScanBuilder(meta: ZarrGroupMeta,
     case (None, Some((agg, schema))) =>
       ZarrVarAggScan(meta, consumed, agg, schema, groupDimsOf(agg).get)
     case _ =>
-      ZarrScan(meta, consumed, required, maxSlicesPerTrigger, limit)
+      ZarrScan(meta, consumed, required, maxSlicesPerTrigger, limit, topN)
   }
 }
 
@@ -581,15 +605,20 @@ final case class ZarrAggReaderFactory() extends PartitionReaderFactory {
 final case class ZarrScan(meta: ZarrGroupMeta, consumed: Array[Filter],
                           required: StructType,
                           maxSlicesPerTrigger: Option[Long] = None,
-                          limit: Option[Int] = None)
+                          limit: Option[Int] = None,
+                          topN: Option[(Int, Boolean, Int)] = None)
     extends Scan with Batch
     with SupportsRuntimeFiltering with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String = {
     val f = consumed.map(_.toString).mkString(", ")
+    val tn = topN.map { case (k, desc, n) =>
+      s", PushedTopN: [${meta.za.dims(k)} ${if (desc) "DESC" else "ASC"} " +
+        s"LIMIT $n]"
+    }.getOrElse("")
     s"ZarrScan ${meta.groupDir} PushedFilters: [$f], " +
-      s"ReadSchema: ${required.fieldNames.mkString(",")}"
+      s"ReadSchema: ${required.fieldNames.mkString(",")}$tn"
   }
 
   // ---- runtime (DPP / semi-join) filtering: Spark may push join-key
@@ -633,7 +662,7 @@ final case class ZarrScan(meta: ZarrGroupMeta, consumed: Array[Filter],
 
   override def planInputPartitions(): Array[InputPartition] =
     ZarrScan.plannedPartitions(meta, consumed, runtime, required,
-      dim0Range = None, limit)
+      dim0Range = None, limit, topN = topN)
 
   override def createReaderFactory(): PartitionReaderFactory =
     ZarrReaderFactory(
@@ -909,41 +938,78 @@ object ZarrScan {
                                       required: StructType,
                                       dim0Range: Option[(Long, Long)],
                                       limit: Option[Int] = None,
-                                      inlineShared: Boolean = false)
+                                      inlineShared: Boolean = false,
+                                      topN: Option[(Int, Boolean, Int)] = None)
       : Array[InputPartition] = {
     val za = meta.za
     val rank = za.shape.length
     val keep = survivingChunks(meta, consumed ++ runtime, dim0Range)
     val shared = sharedState(meta, required, consumed, dim0Range)
     val vars = shared.vars.map(_._1)
+    // the EXACT matching cell count of one chunk (slice values within the
+    // consumed interval sets — driver math over resident coordinates)
+    def matching(key: Seq[Int]): Long =
+      (0 until rank).map { k =>
+        val s = key(k) * za.chunks(k)
+        val e = math.min(s + za.chunks(k), za.shape(k))
+        val slice = meta.coords(k).slice(s, e)
+        shared.cellIvs match {
+          case Some(bs) => slice.count(v => cellInPacked(v, bs(k))).toLong
+          case None => slice.length.toLong
+        }
+      }.product
     // stream the key cross-product: nothing bigger than the SURVIVING key
-    // list ever materializes on the driver
-    val allKeys: Iterator[Seq[Int]] =
-      keep.foldLeft(Iterator.single(Seq.empty[Int])) { (acc, ks) =>
-        acc.flatMap(p => ks.iterator.map(p :+ _))
-      }
-    // pushed LIMIT: keep only enough chunks to cover it, by the EXACT
-    // per-chunk matching cell count (slice values within the consumed
-    // interval sets — driver math, so truncation never under-delivers)
-    val keys: Seq[Seq[Int]] = (limit match {
-      case Some(n) =>
-        def matching(key: Seq[Int]): Long =
-          (0 until rank).map { k =>
-            val s = key(k) * za.chunks(k)
-            val e = math.min(s + za.chunks(k), za.shape(k))
-            val slice = meta.coords(k).slice(s, e)
-            shared.cellIvs match {
-              case Some(bs) => slice.count(v => cellInPacked(v, bs(k))).toLong
-              case None => slice.length.toLong
-            }
-          }.product
+    // list ever materializes on the driver. A pushed top-n reorders the
+    // enumeration SLAB-major along the sort dim, from the requested end.
+    val allKeys: Iterator[Seq[Int]] = topN match {
+      case Some((sk, desc, _)) =>
+        val c = meta.coords(sk)
+        def rep(ck: Int): Double = { // slab edge in the requested order
+          val s = ck * za.chunks(sk)
+          val e = math.min(s + za.chunks(sk), za.shape(sk)) - 1
+          if (desc) math.max(c(s), c(e)) else math.min(c(s), c(e))
+        }
+        val slabs = keep(sk).sortBy(rep)(
+          if (desc) Ordering[Double].reverse else Ordering[Double])
+        slabs.iterator.flatMap { ck =>
+          keep.zipWithIndex.foldLeft(Iterator.single(Seq.empty[Int])) {
+            case (acc, (ks, kk)) =>
+              acc.flatMap(p =>
+                (if (kk == sk) Iterator.single(ck) else ks.iterator)
+                  .map(p :+ _))
+          }
+        }
+      case None =>
+        keep.foldLeft(Iterator.single(Seq.empty[Int])) { (acc, ks) =>
+          acc.flatMap(p => ks.iterator.map(p :+ _))
+        }
+    }
+    // pushed LIMIT: keep only enough chunks to cover it; a pushed TOP-N
+    // additionally cuts only at slab boundaries, so every kept row sorts
+    // at-or-before every dropped row on the first sort key (the slab
+    // superset always contains a valid top-n — ties at the boundary are
+    // the usual SQL tie nondeterminism)
+    val keys: Seq[Seq[Int]] = ((limit, topN) match {
+      case (Some(n), _) =>
         var acc = 0L
         allKeys.takeWhile { key =>
           val take = acc < n
           acc += matching(key)
           take
         }
-      case None => allKeys
+      case (None, Some((sk, _, n))) =>
+        var acc = 0L
+        var lastSlab = Int.MinValue
+        allKeys.takeWhile { key =>
+          val newSlab = key(sk) != lastSlab
+          if (newSlab && acc >= n) false
+          else {
+            lastSlab = key(sk)
+            acc += matching(key)
+            true
+          }
+        }
+      case _ => allKeys
     }).toVector
     // virtual (kerchunk-backed) tables: resolve the SURVIVING chunks'
     // refs in one bulk lookup at planning time, so each partition ships

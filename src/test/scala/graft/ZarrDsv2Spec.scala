@@ -792,6 +792,46 @@ class ZarrDsv2Spec extends AnyFunSuite {
     assert(pruned.length === 2 * 2 * 2, pruned.length)
   }
 
+  test("top-n pushdown: ORDER BY dim LIMIT plans only trailing slabs") {
+    val g = writeFixture() // t slabs of 24 cells (chunks 1x2x3, grid 3x4x6)
+    val ds = spark.read.format("zarr").load(g)
+    // latest-slice peek: t DESC LIMIT 10 < one slab's 24 cells -> only the
+    // t=2 slab's 4 chunks plan; the full sort+limit re-applies above
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    def scanParts(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.executedPlan.collectLeaves()
+        .collectFirst { case b: BatchScanExec => b }.get
+        .inputRDD.getNumPartitions
+    val latest = ds.orderBy(col("t").desc, col("y"), col("x")).limit(10)
+    assert(scanParts(latest) === 4)
+    val rows = latest.collect()
+    assert(rows.length === 10 && rows.forall(_.getDouble(0) === 2.0))
+    assert(rows.map(r => (r.getDouble(1), r.getDouble(2))).toSeq ===
+      (for { yi <- Seq(10.0, 20.0); xi <- 0 to 5 } yield (yi, xi + 0.5))
+        .take(10))
+    // the cut is at SLAB boundaries: 30 > 24 rows needs two t-slabs
+    assert(scanParts(ds.orderBy(col("t").desc).limit(30)) === 8)
+    // ascending works from the other end, and secondary keys stay exact
+    val first = ds.orderBy(col("t"), col("y").desc, col("x").desc).limit(3)
+    assert(scanParts(first) === 4)
+    assert(first.collect().map(r => (r.getDouble(0), r.getDouble(1),
+      r.getDouble(2))).toSeq === Seq((0.0, 40.0, 5.5), (0.0, 40.0, 4.5),
+      (0.0, 40.0, 3.5)))
+    // composes with consumed filters: the matching-cell math drives the cut
+    val f = ds.filter(col("y") === 10.0).orderBy(col("t").desc).limit(5)
+    // y=10 prunes to y-chunk 0; one t-slab = 1 t x 1 y x 2 x = 2 chunks
+    // holding 6 matching cells, so 5 fits in one slab
+    assert(scanParts(f) === 2)
+    assert(f.count() === 5)
+    // a non-dim or non-monotone first key declines: full plan, right rows
+    val nm = ds.orderBy(col("v").desc).limit(2)
+    assert(scanParts(nm) === 12)
+    assert(nm.collect().map(_.getDouble(3)).toSeq === Seq(2405.5, 2404.5))
+    // plan advertises the pushed top-n
+    val planStr = latest.queryExecution.executedPlan.toString
+    assert(planStr.contains("PushedTopN: [t DESC LIMIT 10]"), planStr.take(1200))
+  }
+
   test("the same scan opens an http-hosted archive, pruned the same way") {
     val g = writeFixture()
     ZarrSource.consolidateMetadata(g)
