@@ -701,7 +701,7 @@ object ZarrScan {
 
   /** Membership in a PACKED interval set ([lo0, hi0, lo1, hi1, ...];
     * null = unconstrained dim). The executor-side form of the rectangle. */
-  @inline private[zarr] def cellInPacked(v: Double, packed: Array[Double]): Boolean = {
+  @inline private[graft] def cellInPacked(v: Double, packed: Array[Double]): Boolean = {
     if (packed == null) return true
     var i = 0
     while (i < packed.length) {
@@ -767,7 +767,7 @@ object ZarrScan {
     * intersects rectangles; Or unions only when both sides constrain the
     * SAME single dim (a cross-dim Or is not rectangular and stays
     * Spark-side); Not complements a single-dim constraint. */
-  private[zarr] def rect(meta: ZarrGroupMeta, f: Filter)
+  private[graft] def rect(meta: ZarrGroupMeta, f: Filter)
       : Option[Map[Int, Seq[Iv]]] = {
     def dim(name: String): Option[Int] = {
       val i = meta.za.dims.indexOf(name)
@@ -835,7 +835,7 @@ object ZarrScan {
   }
 
   /** The conjunction of all consumed filters as per-dim interval sets. */
-  private[zarr] def rectOf(meta: ZarrGroupMeta,
+  private[graft] def rectOf(meta: ZarrGroupMeta,
                            filters: Array[Filter]): Array[Seq[Iv]] = {
     val ivs = Array.fill(meta.za.shape.length)(Full)
     filters.foreach { f =>
@@ -847,7 +847,7 @@ object ZarrScan {
   }
 
   /** Executor-shippable packed form of [[rectOf]] (null = unconstrained). */
-  private[zarr] def packIvs(ivs: Array[Seq[Iv]]): Array[Array[Double]] =
+  private[graft] def packIvs(ivs: Array[Seq[Iv]]): Array[Array[Double]] =
     ivs.map { s =>
       if (s == Full) null
       else s.flatMap(iv => Seq(iv._1, iv._2)).toArray

@@ -304,6 +304,12 @@ class ZarrDsv2Spec extends AnyFunSuite {
     assert(scan.planInputPartitions().length === 12)
     scan.filter(Array[org.apache.spark.sql.sources.Filter](EqualTo("t", 1.0)))
     assert(scan.planInputPartitions().length === 4)
+    // a runtime In (the shape DPP delivers for join keys) prunes as a
+    // per-value SET: {0.0, 2.0} skips the middle t-slab entirely
+    val scanIn = graft.sources.zarr.ZarrScan(meta, Array.empty, schema)
+    scanIn.filter(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.In("t", Array(0.0, 2.0))))
+    assert(scanIn.planInputPartitions().length === 8)
     assert(scan.filterAttributes().map(_.describe()).toSeq ==
       Seq("t", "y", "x"))
     // statistics: post-pruning rows/bytes so a pruned subset looks
@@ -830,6 +836,68 @@ class ZarrDsv2Spec extends AnyFunSuite {
     // plan advertises the pushed top-n
     val planStr = latest.queryExecution.executedPlan.toString
     assert(planStr.contains("PushedTopN: [t DESC LIMIT 10]"), planStr.take(1200))
+  }
+
+  test("property: consumed predicates match Spark's evaluation cell for cell") {
+    import spark.implicits._
+    import org.apache.spark.sql.sources._
+    import org.apache.spark.sql.Column
+    // adversarial cell values: zeros of both signs, NaN, infinities,
+    // exact literal hits, and off-by-one-ulp neighbours
+    val cells: Seq[Double] = Seq(
+      0.0, -0.0, Double.NaN, Double.PositiveInfinity, Double.NegativeInfinity,
+      1.0, math.nextUp(1.0), math.nextDown(1.0), -3.5, 2.0, 7.25,
+      Double.MaxValue, -Double.MaxValue, 1e-300, -1e-300)
+    val df = cells.zipWithIndex.toDF("y", "id")
+    // one synthetic single-dim meta so rect() can resolve "y"
+    import graft.sources.ZarrSource.{Raw, ZarrArray}
+    val za = ZarrArray(Seq(cells.length), Seq(1), "<f8", Double.NaN,
+      Raw, Seq("y"), ".")
+    val meta = graft.sources.zarr.ZarrGroupMeta("/prop", za, Seq("y"),
+      Map("y" -> za), Seq(cells.toArray), graft.sources.ByteStore.current)
+    val lits = Seq(1.0, -3.5, 2.0, 0.0, 7.25, -1e-300, Double.MaxValue)
+    val rnd = new scala.util.Random(20260815)
+    // random predicate AST rendered BOTH as a V1 Filter (the pushed form
+    // rect() consumes) and as a Column (what Spark itself evaluates)
+    def gen(depth: Int): (Filter, Column) = rnd.nextInt(if (depth > 0) 9 else 6) match {
+      case 0 => val v = lits(rnd.nextInt(lits.length))
+        (EqualTo("y", v), col("y") === v)
+      case 1 => val v = lits(rnd.nextInt(lits.length))
+        (GreaterThan("y", v), col("y") > v)
+      case 2 => val v = lits(rnd.nextInt(lits.length))
+        (GreaterThanOrEqual("y", v), col("y") >= v)
+      case 3 => val v = lits(rnd.nextInt(lits.length))
+        (LessThan("y", v), col("y") < v)
+      case 4 => val v = lits(rnd.nextInt(lits.length))
+        (LessThanOrEqual("y", v), col("y") <= v)
+      case 5 =>
+        val vs = Seq.fill(1 + rnd.nextInt(3))(lits(rnd.nextInt(lits.length)))
+        (In("y", vs.map(_.asInstanceOf[Any]).toArray), col("y").isin(vs: _*))
+      case 6 => val (f, c) = gen(depth - 1); (Not(f), !c)
+      case 7 =>
+        val (fl, cl) = gen(depth - 1); val (fr, cr) = gen(depth - 1)
+        (And(fl, fr), cl && cr)
+      case _ =>
+        val (fl, cl) = gen(depth - 1); val (fr, cr) = gen(depth - 1)
+        (Or(fl, fr), cl || cr)
+    }
+    var consumedCount = 0
+    (1 to 80).foreach { _ =>
+      val (f, c) = gen(2)
+      graft.sources.zarr.ZarrScan.rect(meta, f).foreach { _ =>
+        consumedCount += 1
+        val packed = graft.sources.zarr.ZarrScan.packIvs(
+          graft.sources.zarr.ZarrScan.rectOf(meta, Array(f)))
+        val readerKept = cells.zipWithIndex.collect {
+          case (v, i) if graft.sources.zarr.ZarrScan.cellInPacked(v, packed(0)) => i
+        }.toSet
+        val sparkKept = df.filter(c).select("id").collect()
+          .map(_.getInt(0)).toSet
+        assert(readerKept === sparkKept,
+          s"filter $f: reader=$readerKept spark=$sparkKept")
+      }
+    }
+    assert(consumedCount >= 70, s"only $consumedCount/80 consumed")
   }
 
   test("the same scan opens an http-hosted archive, pruned the same way") {
