@@ -88,6 +88,29 @@ object AggPack extends QueryPack {
           sum(col("bi") + col("bj") * 7).as("idx_checksum"))
     }),
 
+    // the `.levels` pyramid as a RELATIONAL source —
+    // spark.read.format("levels") resolves the level on the driver from
+    // the `_levels.json` sidecar: `resolution` picks the coarsest level
+    // still at least as fine as asked (mldataset/abc.py:136-149),
+    // `level` picks explicitly, no option = the base. The relation IS
+    // the level's parquet HadoopFsRelation, so parquet pushdown and the
+    // PyramidRewrite rule compose untouched.
+    "q_levels_dsv2" -> ((s, d) => {
+      val root = levelsFixture(s, d)
+      def summarize(df: DataFrame, lvl: Int): DataFrame =
+        df.agg(count(lit(1)).as("n_cells"),
+          round(sum(col("v").cast("decimal(28,10)")), 6)
+            .cast("double").as("sum_v"))
+          .select(lit(lvl).cast("long").as("level"), col("n_cells"),
+            col("sum_v"))
+      // resolution 2.5 -> L1 (xRes 2 is the coarsest still <= 2.5)
+      summarize(s.read.format("levels").load(root), 0)
+        .unionByName(summarize(
+          s.read.format("levels").option("resolution", "2.5").load(root), 1))
+        .unionByName(summarize(
+          s.read.format("levels").option("level", "2").load(root), 2))
+    }),
+
     // 8×8 block subsample: mean + count of the float var, custom-Aggregator
     // mode of the class var (deterministic smallest-value tiebreak)
     "q_subsample" -> ((s, d) => {
@@ -288,6 +311,20 @@ object AggPack extends QueryPack {
                 round(coalesce(b.cnt, 0)::DOUBLE /
                       (s.n * ((s.hi - s.lo) / 100)), 6) AS density
          FROM g LEFT JOIN b USING (bucket) CROSS JOIN s""",
+    "q_levels_dsv2" ->
+      """WITH cells AS (
+           SELECT floor(CAST(event_id % 360 AS DOUBLE) + 0.5)::BIGINT AS i,
+                  floor(CAST(user_id % 100 AS DOUBLE) + 0.5)::BIGINT AS j,
+                  round(avg(value), 6) AS v
+           FROM events GROUP BY i, j),
+         l1 AS (SELECT i // 2 AS i, j // 2 AS j, avg(v) AS v FROM cells GROUP BY 1, 2),
+         l2 AS (SELECT i // 2 AS i, j // 2 AS j, avg(v) AS v FROM l1 GROUP BY 1, 2)
+         SELECT 0::BIGINT AS level, count(*) AS n_cells,
+                round(sum(v::DECIMAL(28,10)), 6)::DOUBLE AS sum_v FROM cells
+         UNION ALL
+         SELECT 1::BIGINT, count(*), round(sum(v::DECIMAL(28,10)), 6)::DOUBLE FROM l1
+         UNION ALL
+         SELECT 2::BIGINT, count(*), round(sum(v::DECIMAL(28,10)), 6)::DOUBLE FROM l2""",
     "q_pyramid" ->
       """WITH cells AS (
            SELECT floor(CAST(event_id % 360 AS DOUBLE) + 0.5)::BIGINT AS i,

@@ -42,6 +42,41 @@ class PyramidRewriteSpec extends AnyFunSuite {
     }.mkString(";")
   }
 
+  test("format(levels): resolution and level options pick the right table") {
+    val root = buildPyramid()
+    // base by default; explicit level; resolution -> coarsest fine-enough
+    assert(spark.read.format("levels").load(root).count() === 64)
+    assert(spark.read.format("levels").option("level", "1").load(root)
+      .count() === 16)
+    val byRes = spark.read.format("levels").option("resolution", "2.5").load(root)
+    assert(byRes.count() === 16) // L1 (res 2) is the coarsest <= 2.5
+    // finer than the base clamps to L0; far coarser picks the top level
+    assert(spark.read.format("levels").option("resolution", "0.1").load(root)
+      .count() === 64)
+    assert(spark.read.format("levels").option("resolution", "100").load(root)
+      .count() === 4)
+    // values come from the actual level table
+    assert(byRes.agg(sum("v")).head.getDouble(0) ===
+      spark.read.parquet(s"$root/L1").agg(sum("v")).head.getDouble(0))
+    // the relation is the level's parquet relation: PyramidRewrite still
+    // composes on top (block-mean over the base retargets to L2)
+    val q = spark.read.format("levels").load(root)
+      .groupBy(floor(col("x") / 4.0).as("bi"), floor(col("y") / 4.0).as("bj"))
+      .agg(avg(col("v")).as("v"))
+    assert(planOf(q).contains("/L2"), planOf(q))
+    // loud errors: both options, out-of-range level, missing sidecar
+    val e1 = intercept[Exception](spark.read.format("levels")
+      .option("level", "1").option("resolution", "2").load(root).count())
+    assert(e1.getMessage.contains("not both"), e1.getMessage)
+    val e2 = intercept[Exception](spark.read.format("levels")
+      .option("level", "9").load(root).count())
+    assert(e2.getMessage.contains("outside 0..2"), e2.getMessage)
+    val bare = tmpDir("nopyr")
+    val e3 = intercept[Exception](
+      spark.read.format("levels").load(bare).count())
+    assert(e3.getMessage.contains("_levels.json"), e3.getMessage)
+  }
+
   test("block-mean at a level resolution retargets the scan to that level") {
     val root = buildPyramid()
     val q = spark.read.parquet(s"$root/L0")
