@@ -700,15 +700,28 @@ object ZarrScan {
       (hi == Double.PositiveInfinity || sqlCmp(v, hi) <= 0)
 
   /** Membership in a PACKED interval set ([lo0, hi0, lo1, hi1, ...];
-    * null = unconstrained dim). The executor-side form of the rectangle. */
-  @inline private[graft] def cellInPacked(v: Double, packed: Array[Double]): Boolean = {
+    * null = unconstrained dim; intervals disjoint and ascending — the
+    * ivNorm invariant). Binary-searches the candidate interval, so a
+    * DPP-pushed `In` over 10^5 join keys costs O(log n) per cell, not a
+    * linear scan. The executor-side form of the rectangle. */
+  private[graft] def cellInPacked(v: Double, packed: Array[Double]): Boolean = {
     if (packed == null) return true
-    var i = 0
-    while (i < packed.length) {
-      if (cellIn(v, packed(i), packed(i + 1))) return true
-      i += 2
+    val n = packed.length >> 1
+    if (n == 0) return false
+    // NaN is greater than every endpoint (Spark ordering): it can only
+    // belong to an interval unbounded above — the last one, if any
+    if (v.isNaN) return packed(packed.length - 1) == Double.PositiveInfinity
+    // find the last interval whose lo <= v (lo == -Inf sentinel included:
+    // -Inf <= v for every non-NaN v)
+    var lo = 0
+    var hi = n - 1
+    var cand = -1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      if (packed(2 * mid) <= v) { cand = mid; lo = mid + 1 }
+      else hi = mid - 1
     }
-    false
+    cand >= 0 && cellIn(v, packed(2 * cand), packed(2 * cand + 1))
   }
 
   /** Sort + merge into disjoint ascending intervals (empty ones dropped). */
@@ -877,11 +890,26 @@ object ZarrScan {
       }
       if (ivs(k) == Full) all
       else if (!ZarrScan.monotone(c)) all
-      else all.filter { ck =>
-        val s = ck * za.chunks(k)
-        val e = math.min(s + za.chunks(k), za.shape(k)) - 1
-        val (cLo, cHi) = (math.min(c(s), c(e)), math.max(c(s), c(e)))
-        ivs(k).exists(iv => cHi >= iv._1 && cLo <= iv._2)
+      else {
+        // disjoint ascending intervals: the only candidate for a span
+        // intersection is the LAST interval with lo <= span-hi (every
+        // earlier one ends before that interval starts), so a chunk test
+        // is O(log n) even under a DPP-pushed In over 10^5 join keys
+        val arr = ivs(k).toIndexedSeq
+        all.filter { ck =>
+          val s = ck * za.chunks(k)
+          val e = math.min(s + za.chunks(k), za.shape(k)) - 1
+          val (cLo, cHi) = (math.min(c(s), c(e)), math.max(c(s), c(e)))
+          var lo = 0
+          var hi = arr.length - 1
+          var cand = -1
+          while (lo <= hi) {
+            val mid = (lo + hi) >>> 1
+            if (arr(mid)._1 <= cHi) { cand = mid; lo = mid + 1 }
+            else hi = mid - 1
+          }
+          cand >= 0 && arr(cand)._2 >= cLo
+        }
       }
     }
   }

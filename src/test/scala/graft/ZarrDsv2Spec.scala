@@ -900,6 +900,46 @@ class ZarrDsv2Spec extends AnyFunSuite {
     assert(consumedCount >= 70, s"only $consumedCount/80 consumed")
   }
 
+  test("DPP-scale In: a 50k-key set prunes and evaluates sublinearly") {
+    spark.sparkContext // packing reads the session's split knobs
+    import graft.sources.ZarrSource.{Raw, ZarrArray}
+    // one dim, 100k coords in 1000 chunks of 100 — the semi-join shape
+    // where AQE pushes tens of thousands of join keys at execution
+    val n = 100000
+    val za = ZarrArray(Seq(n), Seq(100), "<f8", Double.NaN, Raw, Seq("t"), ".")
+    val coords = Array.tabulate(n)(_.toDouble)
+    val meta = graft.sources.zarr.ZarrGroupMeta("/dpp", za, Seq("v"),
+      Map("v" -> za), Seq(coords), graft.sources.ByteStore.current)
+    val rnd = new scala.util.Random(7)
+    // keys clustered into ~60 chunks so pruning has something to elide
+    val keys: Array[Any] = Array.fill(50000)(
+      (rnd.nextInt(60) * 1700 + rnd.nextInt(100)).toDouble)
+    val f = org.apache.spark.sql.sources.In("t", keys)
+    val schema = graft.sources.zarr.ZarrTable.schemaFor(meta)
+    val t0 = System.nanoTime()
+    val parts = graft.sources.zarr.ZarrScan(meta, Array(f), schema)
+      .planInputPartitions()
+    val planSec = (System.nanoTime() - t0) / 1e9
+    // surviving chunks = exactly those holding a key (ground truth;
+    // keys beyond the coordinate range map to no chunk)
+    val expect = keys.map(_.asInstanceOf[Double].toInt / 100)
+      .filter(_ < n / 100).toSet.size
+    val planned = parts.map(_.asInstanceOf[graft.sources.zarr.ZarrPackedPartition]
+      .chunks.length).sum
+    assert(planned === expect, s"planned $planned vs $expect chunks")
+    assert(planSec < 20.0, s"planning took $planSec s")
+    // membership: the binary-searched packed test equals the naive one
+    val packed = graft.sources.zarr.ZarrScan.packIvs(
+      graft.sources.zarr.ZarrScan.rectOf(meta, Array(f)))(0)
+    val keySet = keys.map(_.asInstanceOf[Double]).toSet
+    val probes = Array.tabulate(2000)(i => i * 53.0 % n) ++
+      Seq(Double.NaN, -1.0, n + 5.0)
+    probes.foreach { v =>
+      assert(graft.sources.zarr.ZarrScan.cellInPacked(v, packed) ===
+        keySet.contains(v), s"cell $v")
+    }
+  }
+
   test("the same scan opens an http-hosted archive, pruned the same way") {
     val g = writeFixture()
     ZarrSource.consolidateMetadata(g)
