@@ -569,6 +569,65 @@ object ZarrSource {
       zarrayJson(za.shape, za.shape, za.codec))
   }
 
+  /** Drop the trailing dim-0 slices of a v2 group IN PLACE — the inverse
+    * of [[appendCube]] and the storage form of SQL `DELETE FROM cube
+    * WHERE t >= ...` ([[graft.sources.zarr.ZarrTable]].deleteWhere):
+    * every array carrying the lead dimension shrinks to `newLen`, the
+    * dim-0 coordinate rewrites to one truncated chunk (appendCube's
+    * layout), data chunks fully beyond the cut are deleted, and
+    * consolidated metadata refreshes. Metadata-sized work — no surviving
+    * payload byte is read or rewritten (a boundary chunk keeps its
+    * bytes; cells beyond the shape are out of bounds to every reader by
+    * the zarr contract). */
+  def truncateDim0(groupDir: String, newLen: Int): Unit = {
+    val bs = ByteStore.current
+    val names = listArrays(groupDir)
+    val metas = names.map(n => n -> openArray(s"$groupDir/$n")).toMap
+    val lead = metas.values.maxBy(_.shape.length)
+    val dim0 = lead.dims.head
+    val oldLen = lead.shape.head
+    require(newLen > 0 && newLen < oldLen,
+      s"$groupDir: truncate to $newLen outside 1..${oldLen - 1} " +
+        "(dropping every slice is a whole-group overwrite, not a truncate)")
+    def numericChunk(rel: String): Option[Int] = {
+      val parts = rel.split("[./]")
+      if (parts.nonEmpty && parts.forall(p => p.nonEmpty && p.forall(_.isDigit)))
+        Some(parts.head.toInt)
+      else None
+    }
+    names.foreach { n =>
+      val za = metas(n)
+      require(!za.dims.drop(1).contains(dim0),
+        s"$groupDir/$n: $dim0 in a non-leading position — not truncatable")
+      if (n != dim0 && za.dims.headOption.contains(dim0)) {
+        require(za.dtype == "<f8",
+          s"$groupDir/$n: truncate supports <f8 stores, got ${za.dtype}")
+        require(za.shape.head == oldLen,
+          s"$groupDir/$n: dim-0 extent ${za.shape.head} != group's $oldLen")
+        val keepChunks = (newLen + za.chunks.head - 1) / za.chunks.head
+        bs.walkFiles(s"$groupDir/$n").foreach { rel =>
+          if (numericChunk(rel).exists(_ >= keepChunks))
+            bs.delete(s"$groupDir/$n/$rel")
+        }
+        writeJson(s"$groupDir/$n/.zarray",
+          zarrayJson(newLen +: za.shape.tail, za.chunks, za.codec))
+      }
+    }
+    metas.get(dim0).foreach { cza =>
+      require(cza.dtype == "<f8",
+        s"$groupDir/$dim0: truncate supports <f8 coords, got ${cza.dtype}")
+      val coord = readAll(s"$groupDir/$dim0", cza).take(newLen)
+      bs.walkFiles(s"$groupDir/$dim0").foreach { rel =>
+        if (numericChunk(rel).isDefined) bs.delete(s"$groupDir/$dim0/$rel")
+      }
+      bs.write(s"$groupDir/$dim0/0", encodeChunk(
+        if (cza.cfActive) coord.map(cza.cfEncode) else coord, cza.codec))
+      writeJson(s"$groupDir/$dim0/.zarray",
+        zarrayJson(Seq(newLen), Seq(newLen), cza.codec))
+    }
+    if (bs.exists(s"$groupDir/.zmetadata")) consolidateMetadata(groupDir)
+  }
+
   /** Re-consolidate a group's `.zmetadata` from the current per-array
     * `.zarray`/`.zattrs` files (zarr_consolidated_format 1). */
   def consolidateMetadata(groupDir: String): Unit = {

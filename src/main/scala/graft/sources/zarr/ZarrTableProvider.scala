@@ -206,7 +206,8 @@ final case class ZarrGroupMeta(groupDir: String, za: ZarrArray,
                                v3: Boolean = false,
                                refs: Option[KerchunkSource.RefLookup] = None)
 
-final case class ZarrTable(meta: ZarrGroupMeta) extends Table with SupportsRead {
+final case class ZarrTable(meta: ZarrGroupMeta) extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
   override def name(): String = meta.groupDir
   override def schema(): StructType = ZarrTable.schemaFor(meta)
   override def capabilities(): java.util.Set[TableCapability] =
@@ -218,6 +219,46 @@ final case class ZarrTable(meta: ZarrGroupMeta) extends Table with SupportsRead 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ZarrScanBuilder(meta,
       Option(options.get("maxSlicesPerTrigger")).map(_.toLong))
+
+  // ---- SQL DELETE as slice truncation: `DELETE FROM gcat.`cube.zarr`
+  // WHERE t >= 2.0` (through GraftCatalog) drops the trailing dim-0
+  // slices in place — metadata-sized work, the maintenance op every
+  // rolling time-series archive runs. Supported exactly when the WHERE
+  // constrains ONLY the lead dimension and matches a TRAILING run of its
+  // (monotone) coordinates: a zarr grid is dense, so deleting interior
+  // cells or partial slices has no storage form — those decline and
+  // Spark reports the table cannot delete that predicate. A WHERE that
+  // matches nothing is a no-op, not an error.
+  private def truncationOf(filters: Array[Filter]): Option[Int] = {
+    if (meta.v3 || meta.refs.nonEmpty) return None // v2 in-place op only
+    if (filters.isEmpty) return None // TRUNCATE/DELETE-all: overwrite instead
+    if (!filters.forall(f => ZarrScan.rect(meta, f).isDefined)) return None
+    val ivs = ZarrScan.rectOf(meta, filters)
+    if (ivs.zipWithIndex.exists { case (s, k) => k != 0 && s != ZarrScan.Full })
+      return None // a non-lead dim is constrained: partial-slice delete
+    val c = meta.coords.head
+    if (!ZarrScan.monotone(c)) return None
+    val packed = ZarrScan.packIvs(ivs)
+    val matched = c.map(v => ZarrScan.cellInPacked(v, packed(0)))
+    val first = matched.indexOf(true)
+    if (first < 0) Some(c.length) // nothing matches: no-op delete
+    else if (first == 0) None // everything matches: that is an overwrite
+    else if (matched.drop(first).forall(identity)) Some(first)
+    else None // interior slices matched: not a trailing truncation
+  }
+
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    truncationOf(filters).isDefined
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val newLen = truncationOf(filters).getOrElse(
+      throw new IllegalArgumentException(
+        s"${meta.groupDir}: DELETE supports trailing ${meta.za.dims.head}-" +
+          "slice truncation only (a dense grid cannot drop interior cells); " +
+          "rewrite the cube for anything else"))
+    if (newLen < meta.coords.head.length)
+      ZarrSource.truncateDim0(meta.groupDir, newLen)
+  }
 }
 
 object ZarrTable {

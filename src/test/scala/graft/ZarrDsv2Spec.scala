@@ -940,6 +940,52 @@ class ZarrDsv2Spec extends AnyFunSuite {
     }
   }
 
+  test("SQL DELETE truncates trailing time slices in place") {
+    import spark.implicits._
+    val store = tmpDir("gdel")
+    val g = s"$store/series.zarr"
+    val t = Array(0.0, 1.0, 2.0, 3.0, 4.0)
+    val x = Array(0.0, 1.0, 2.0)
+    val df = (for { ti <- t; xi <- x } yield (ti, xi, ti * 10 + xi))
+      .toSeq.toDF("t", "x", "v")
+    ZarrSource.writeCube(df, g, "v", Seq("t" -> t, "x" -> x), chunks = Seq(2, 3))
+    spark.conf.set("spark.sql.catalog.gdel",
+      classOf[graft.sources.zarr.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gdel.path", store)
+    def cube = spark.table("gdel.`series.zarr`")
+    assert(cube.count() === 15)
+    // the rolling-archive op: drop the trailing slices
+    spark.sql("DELETE FROM gdel.`series.zarr` WHERE t >= 3.0")
+    assert(cube.count() === 9)
+    assert(cube.agg(max("t")).head.getDouble(0) === 2.0)
+    // the store itself shrank (not a view trick): direct reader agrees,
+    // shape metadata rewritten, out-of-range chunk objects gone
+    assert(ZarrSource.readCube(spark, g, "v").count() === 9)
+    assert(ZarrSource.openArray(s"$g/v").shape === Seq(3, 3))
+    assert(!new java.io.File(s"$g/v/2.0").exists()) // t-chunks 2x -> idx 2 dropped
+    // values of the surviving boundary chunk are untouched
+    assert(cube.filter(col("t") === 2.0).agg(sum("v")).head.getDouble(0) ===
+      (0 to 2).map(20.0 + _).sum)
+    // truncate-then-append: the inverse ops compose
+    ZarrSource.appendCube((for { xi <- x } yield (9.0, xi, 90.0 + xi))
+      .toSeq.toDF("t", "x", "v"), g, "v", Array(9.0))
+    assert(cube.count() === 12)
+    assert(cube.agg(max("t")).head.getDouble(0) === 9.0)
+    // a WHERE matching nothing is a no-op, not an error
+    spark.sql("DELETE FROM gdel.`series.zarr` WHERE t > 99.0")
+    assert(cube.count() === 12)
+    // interior slices / partial slices / delete-all decline loudly
+    val e1 = intercept[Exception](
+      spark.sql("DELETE FROM gdel.`series.zarr` WHERE t = 0.0"))
+    assert(e1.getMessage.toLowerCase.contains("delete"), e1.getMessage)
+    val e2 = intercept[Exception](
+      spark.sql("DELETE FROM gdel.`series.zarr` WHERE t >= 2.0 AND x = 1.0"))
+    assert(e2.getMessage.toLowerCase.contains("delete"), e2.getMessage)
+    val e3 = intercept[Exception](
+      spark.sql("DELETE FROM gdel.`series.zarr` WHERE t >= 0.0"))
+    assert(e3.getMessage.toLowerCase.contains("delete"), e3.getMessage)
+  }
+
   test("the same scan opens an http-hosted archive, pruned the same way") {
     val g = writeFixture()
     ZarrSource.consolidateMetadata(g)
