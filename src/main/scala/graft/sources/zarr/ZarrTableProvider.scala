@@ -522,7 +522,12 @@ final class ZarrScanBuilder(meta: ZarrGroupMeta,
     case (None, Some((agg, schema))) =>
       ZarrVarAggScan(meta, consumed, agg, schema, groupDimsOf(agg).get)
     case _ =>
-      ZarrScan(meta, consumed, required, maxSlicesPerTrigger, limit, topN)
+      // a pushed top-n subsumes any plain limit (Spark pushes one or the
+      // other by plan shape; defensively, the slab-aligned cut must win —
+      // a cell-exact limit cut could split a slab and break the top-n
+      // superset contract)
+      ZarrScan(meta, consumed, required, maxSlicesPerTrigger,
+        if (topN.isDefined) None else limit, topN)
   }
 }
 
