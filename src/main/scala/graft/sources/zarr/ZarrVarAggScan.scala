@@ -159,26 +159,41 @@ final class ZarrVarAggReader(shared: ZarrScan.SharedScanState,
     var seen = false
   }
 
+  /** Map key over the canonical group-key bits, hash cached. The probe
+    * instance is reused across cells (bits array shared); only a MISS
+    * clones it for storage — one small allocation per cell instead of
+    * two arrays plus a boxed Seq. */
+  private final class GroupKey(val bits: Array[Long]) {
+    override val hashCode: Int = java.util.Arrays.hashCode(bits)
+    override def equals(o: Any): Boolean = o match {
+      case g: GroupKey => java.util.Arrays.equals(bits, g.bits)
+      case _ => false
+    }
+  }
+
   private lazy val groups: Iterator[GroupState] = {
-    val m = new java.util.LinkedHashMap[Seq[Long], GroupState]()
+    val m = new java.util.LinkedHashMap[GroupKey, GroupState]()
     val specs = p.specs.toArray
     val prefetched = PackedPrefetch(shared, p.base.chunks)
+    val probeBits = new Array[Long](p.groupIdx.length)
     p.base.chunks.zipWithIndex.foreach { case (cp, ci) =>
       val cur = new ChunkCursor(shared, cp, prefetched.map(_(ci)))
       while (cur.advance()) {
-        val keyVals = new Array[Double](p.groupIdx.length)
-        val keyBits = new Array[Long](p.groupIdx.length)
         var g = 0
         while (g < p.groupIdx.length) {
           var v = cur.colValue(p.groupIdx(g))
           if (v == 0.0) v = 0.0 // normalize -0.0: Spark groups it with 0.0
-          keyVals(g) = v
-          keyBits(g) = java.lang.Double.doubleToLongBits(v) // canonical NaN
+          probeBits(g) = java.lang.Double.doubleToLongBits(v) // canonical NaN
           g += 1
         }
-        val key: Seq[Long] = keyBits.toIndexedSeq
-        var st = m.get(key)
-        if (st == null) { st = new GroupState(keyVals); m.put(key, st) }
+        var st = m.get(new GroupKey(probeBits))
+        if (st == null) {
+          val bits = probeBits.clone()
+          val keyVals = Array.tabulate(bits.length)(i =>
+            java.lang.Double.longBitsToDouble(bits(i)))
+          st = new GroupState(keyVals)
+          m.put(new GroupKey(bits), st)
+        }
         var i = 0
         while (i < specs.length) {
           val s = specs(i)
