@@ -47,8 +47,10 @@ abstract class RefsProviderBase(short: String)
   /** Turn the load path into the group meta (driver, once). Scanner-based
     * providers produce a header-derived in-memory refs doc; the raw
     * kerchunk provider overrides this with the LAZY opener so arbitrarily
-    * large reference documents plan with bounded driver memory. */
-  protected def openMeta(path: String): ZarrGroupMeta
+    * large reference documents plan with bounded driver memory.
+    * `only` carries `.option("vars", "a,b")` — the mixed-grid escape
+    * hatch, same contract as the zarr connector. */
+  protected def openMeta(path: String, only: Option[Seq[String]]): ZarrGroupMeta
 
   // one scan serves inferSchema AND getTable (same discipline as
   // ZarrTableProvider — never parse a granule header twice per read)
@@ -59,7 +61,11 @@ abstract class RefsProviderBase(short: String)
     val path = Option(options.get("path")).getOrElse(
       throw new IllegalArgumentException(s"$short reader needs a path " +
         s"option (spark.read.format(\"$short\").load(path))"))
-    metaCache.computeIfAbsent(path, openMeta)
+    val only = Option(options.get("vars"))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    metaCache.computeIfAbsent(
+      path + only.map("?vars=" + _.mkString(",")).getOrElse(""),
+      _ => openMeta(path, only))
   }
 
   override def shortName(): String = short
@@ -78,18 +84,20 @@ abstract class RefsProviderBase(short: String)
   * NetCDF-4/HDF5 are both handled (the scanner dispatches on the file's
   * own magic, like the RDD-path [[graft.sources.NetcdfSource.read]]). */
 final class NetcdfTableProvider extends RefsProviderBase("netcdf") {
-  override protected def openMeta(path: String): ZarrGroupMeta =
+  override protected def openMeta(path: String,
+                                  only: Option[Seq[String]]): ZarrGroupMeta =
     ZarrTable.openRefs(KerchunkSource.parseJson(
       new com.fasterxml.jackson.databind.ObjectMapper()
-        .readTree(KerchunkSource.scanAuto(path))), path)
+        .readTree(KerchunkSource.scanAuto(path))), path, only)
 }
 
 /** `format("geotiff")`: one GeoTIFF/COG (strips or tiles; none/deflate). */
 final class GeoTiffTableProvider extends RefsProviderBase("geotiff") {
-  override protected def openMeta(path: String): ZarrGroupMeta =
+  override protected def openMeta(path: String,
+                                  only: Option[Seq[String]]): ZarrGroupMeta =
     ZarrTable.openRefs(KerchunkSource.parseJson(
       new com.fasterxml.jackson.databind.ObjectMapper()
-        .readTree(KerchunkSource.scanGeoTiff(path))), path)
+        .readTree(KerchunkSource.scanGeoTiff(path))), path, only)
 }
 
 /** `format("kerchunk")`: a reference document (typically the
@@ -100,6 +108,7 @@ final class GeoTiffTableProvider extends RefsProviderBase("geotiff") {
   * answer (the reference's large-reference-set contract,
   * `store/ref/store.py:49-53`, fused with optimizer-driven pruning). */
 final class KerchunkTableProvider extends RefsProviderBase("kerchunk") {
-  override protected def openMeta(path: String): ZarrGroupMeta =
-    ZarrTable.openRefsLazy(path)
+  override protected def openMeta(path: String,
+                                  only: Option[Seq[String]]): ZarrGroupMeta =
+    ZarrTable.openRefsLazy(path, only)
 }

@@ -64,11 +64,18 @@ final class ZarrTableProvider extends TableProvider with DataSourceRegister
       throw new IllegalArgumentException("zarr needs a path option " +
         "(spark.read.format(\"zarr\").load(groupDir) / .save(groupDir))"))
 
-  /** None when no group exists at the path (a write target). */
+  /** None when no group exists at the path (a write target).
+    * `option("vars", "a,b")` restricts the table to the named variables
+    * and resolves the grid from THEM — the way into one grid of a
+    * mixed-grid group the default whole-group resolution rejects. */
   private def metaFor(options: CaseInsensitiveStringMap): Option[ZarrGroupMeta] = {
     val groupDir = pathOf(options)
+    val vars = Option(options.get("vars"))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     if (!ZarrTableProvider.groupExists(groupDir)) None
-    else Some(metaCache.computeIfAbsent(groupDir, ZarrTable.open))
+    else Some(metaCache.computeIfAbsent(
+      groupDir + vars.map("?vars=" + _.mkString(",")).getOrElse(""),
+      _ => ZarrTable.open(groupDir, vars)))
   }
 
   override def shortName(): String = "zarr"
@@ -263,11 +270,13 @@ final case class ZarrTable(meta: ZarrGroupMeta) extends Table with SupportsRead
 
 object ZarrTable {
   /** Resolve the group: data variables are the arrays sharing the dims of
-    * the highest-rank array; same-named 1-D arrays are coordinates.
-    * Detects the format version from the group documents: a `zarr.json`
-    * routes through [[ZarrV3Source]] (incl. sharded arrays — the shard is
-    * the partition unit), anything else through the v2 [[ZarrSource]]. */
-  def open(groupDir: String): ZarrGroupMeta = {
+    * the highest-rank array — or of `only.head` when a variable subset is
+    * named (the mixed-grid escape hatch) — and same-named 1-D arrays are
+    * coordinates. Detects the format version from the group documents: a
+    * `zarr.json` routes through [[ZarrV3Source]] (incl. sharded arrays —
+    * the shard is the partition unit), anything else through the v2
+    * [[ZarrSource]]. */
+  def open(groupDir: String, only: Option[Seq[String]] = None): ZarrGroupMeta = {
     val store = ByteStore.current
     val v3 = store.exists(s"$groupDir/zarr.json")
     def listArrays() =
@@ -290,7 +299,7 @@ object ZarrTable {
               "consolidate its metadata (.zmetadata for v2, consolidated " +
               "zarr.json for v3) to open it over the web", e)
       }
-    resolve(groupDir, names, openArray, readAll, store, v3, refs = None)
+    resolve(groupDir, names, openArray, readAll, store, v3, refs = None, only)
   }
 
   /** Resolve a VIRTUAL group from a kerchunk reference set — the same
@@ -300,13 +309,14 @@ object ZarrTable {
     * variable pruning beyond zarr: any format a kerchunk scanner can
     * index (NetCDF classic, NetCDF-4/HDF5, GeoTIFF, JP2, zarr itself)
     * gets optimizer-driven read elision through one code path. */
-  def openRefs(refs: Refs, label: String): ZarrGroupMeta = {
+  def openRefs(refs: Refs, label: String,
+               only: Option[Seq[String]] = None): ZarrGroupMeta = {
     val names = KerchunkSource.listArrays(refs)
     require(names.nonEmpty, s"$label: no arrays in reference set")
     resolve(label, names, n => KerchunkSource.openArray(refs, n),
       (n, za) => KerchunkSource.readAll(refs, n, za),
       ByteStore.current, v3 = false,
-      refs = Some(KerchunkSource.EagerRefLookup(refs)))
+      refs = Some(KerchunkSource.EagerRefLookup(refs)), only)
   }
 
   /** [[openRefs]] for reference DOCUMENTS too large for one in-memory
@@ -317,7 +327,8 @@ object ZarrTable {
     * [[KerchunkSource.LazyRefLookup]] streaming pass. Driver memory is
     * O(metadata + coords + surviving chunks), so a pruned query over a
     * 10^8-ref archive plans with the memory of its own answer. */
-  def openRefsLazy(jsonPath: String): ZarrGroupMeta = {
+  def openRefsLazy(jsonPath: String,
+                   only: Option[Seq[String]] = None): ZarrGroupMeta = {
     def isMeta(k: String): Boolean =
       k.substring(k.lastIndexOf('/') + 1).startsWith(".z")
     val meta = KerchunkSource.parseSelective(jsonPath, isMeta)
@@ -337,29 +348,50 @@ object ZarrTable {
     resolve(jsonPath, names, n => KerchunkSource.openArray(meta, n),
       (n, za) => KerchunkSource.readAll(coordRefs, n, za),
       ByteStore.current, v3 = false,
-      refs = Some(KerchunkSource.LazyRefLookup(jsonPath)))
+      refs = Some(KerchunkSource.LazyRefLookup(jsonPath)), only)
   }
 
   private def resolve(label: String, names: Seq[String],
                       openArray: String => ZarrArray,
                       readAll: (String, ZarrArray) => Array[Double],
                       store: ByteStore, v3: Boolean,
-                      refs: Option[KerchunkSource.RefLookup]): ZarrGroupMeta = {
+                      refs: Option[KerchunkSource.RefLookup],
+                      only: Option[Seq[String]] = None): ZarrGroupMeta = {
+    only.toSeq.flatten.foreach(v => require(names.contains(v),
+      s"$label: no array '$v' (have ${names.mkString(", ")})"))
     val metas = names.map(n => n -> openArray(n)).toMap
-    val lead = metas.values.maxBy(_.shape.length)
+    val lead = only match {
+      case Some(vs) => metas(vs.head)
+      case None => metas.values.maxBy(_.shape.length)
+    }
     require(lead.shape.length >= 1, s"$label: no data arrays")
-    val dataVars = names.filter { n =>
+    val dataVars = only.getOrElse(names.filter { n =>
       val m = metas(n)
       m.dims == lead.dims && !lead.dims.contains(n)
-    }.sorted
+    }).sorted
     require(dataVars.nonEmpty,
       s"$label: no data variables on grid ${lead.dims.mkString("x")}")
+    // whole-group resolution must not silently DROP variables: anything
+    // that is neither on the lead grid nor a coordinate (its own 1-D dim,
+    // or a dim of the grid) makes the group mixed-grid — loud, with the
+    // escape hatch named
+    if (only.isEmpty) {
+      val offGrid = names.filterNot(n => dataVars.contains(n) ||
+        lead.dims.contains(n) || metas(n).dims == Seq(n))
+      require(offGrid.isEmpty,
+        s"$label: ${offGrid.mkString(", ")} live on a different grid than " +
+          s"${lead.dims.mkString("x")} — mixed-grid groups are not one " +
+          "relational table; pick one grid's variables with " +
+          ".option(\"vars\", \"a,b\")")
+    }
     dataVars.foreach { n =>
       val m = metas(n)
-      require(m.shape == lead.shape && m.chunks == lead.chunks,
-        s"$label/$n: shape/chunks ${m.shape}/${m.chunks} differ from the " +
-          s"group grid ${lead.shape}/${lead.chunks} — mixed-grid groups are " +
-          "not relational tables; open the variables separately")
+      require(m.dims == lead.dims && m.shape == lead.shape &&
+        m.chunks == lead.chunks,
+        s"$label/$n: dims/shape/chunks ${m.dims}/${m.shape}/${m.chunks} " +
+          s"differ from the grid ${lead.dims}/${lead.shape}/${lead.chunks} " +
+          "— mixed-grid groups are not one relational table; pick one " +
+          "grid's variables with .option(\"vars\", \"a,b\")")
     }
     val coords = lead.dims.zipWithIndex.map { case (dim, k) =>
       metas.get(dim) match {

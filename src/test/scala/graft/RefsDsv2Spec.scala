@@ -269,11 +269,15 @@ class RefsDsv2Spec extends AnyFunSuite {
     val got = KerchunkSource.LazyRefLookup(refsPath)
       .bulk(Seq("small/0.0", "small/2.0", "small/9.9"))
     assert(got.keySet == Set("small/0.0", "small/2.0"))
-    // ZarrTable.resolve picks the group whose grid is the HIGHEST-rank
-    // array: both are rank 2 here, so pin the table to `small` by pruning:
-    // opening lazily must not choke on the 10^6 sibling during metadata
-    val meta = graft.sources.zarr.ZarrTable.openRefsLazy(refsPath)
-    assert(meta.dataVars.nonEmpty)
+    // two grids in one reference set: the whole-set open is loud, and
+    // option("vars") pins the table to `small` — opening lazily must not
+    // choke on the 10^6 sibling during metadata either way
+    val eMixed = intercept[IllegalArgumentException](
+      graft.sources.zarr.ZarrTable.openRefsLazy(refsPath))
+    assert(eMixed.getMessage.contains("vars"), eMixed.getMessage)
+    val meta = graft.sources.zarr.ZarrTable.openRefsLazy(refsPath,
+      Some(Seq("small")))
+    assert(meta.dataVars === Seq("small"))
     // and a pruned scan over the combined fixture from the previous
     // pattern: format("kerchunk") end-to-end through the lazy opener
     val x = Array(0.0, 1.0, 2.0)

@@ -940,6 +940,42 @@ class ZarrDsv2Spec extends AnyFunSuite {
     }
   }
 
+  test("option(vars): one grid of a mixed-grid group opens as a table") {
+    import spark.implicits._
+    val g = s"${tmpDir("dsv2mg")}/mixed.zarr"
+    // grid A: (t, xa) 3x4; grid B: (yb, xb) 2x2 — one group, two grids
+    val t = Array(0.0, 1.0, 2.0)
+    val xa = Array(0.0, 1.0, 2.0, 3.0)
+    ZarrSource.writeCube((for { ti <- t; xi <- xa } yield (ti, xi, ti * 10 + xi))
+      .toSeq.toDF("t", "xa", "v"), g, "v",
+      Seq("t" -> t, "xa" -> xa), chunks = Seq(1, 4))
+    val yb = Array(5.0, 6.0)
+    val xb = Array(7.0, 8.0)
+    ZarrSource.writeCube((for { yi <- yb; xi <- xb } yield (yi, xi, yi + xi))
+      .toSeq.toDF("yb", "xb", "w"), g, "w",
+      Seq("yb" -> yb, "xb" -> xb), chunks = Seq(2, 2))
+    // the second writeCube rewrote .zmetadata with only its own arrays;
+    // drop the stale sidecar so consolidation re-lists the directory
+    Files.delete(new java.io.File(g, ".zmetadata").toPath)
+    ZarrSource.consolidateMetadata(g)
+    // whole-group open: loud, and points at the escape hatch
+    val e = intercept[Exception](spark.read.format("zarr").load(g).schema)
+    assert(e.getMessage.contains("option(\"vars\""), e.getMessage)
+    // one grid at a time: full table semantics, pruning included
+    val a = spark.read.format("zarr").option("vars", "v").load(g)
+    assert(a.columns.toSeq === Seq("t", "xa", "v"))
+    assert(a.count() === 12)
+    assert(a.filter(col("t") === 1.0).rdd.getNumPartitions === 1)
+    val b = spark.read.format("zarr").option("vars", "w").load(g)
+    assert(b.columns.toSeq === Seq("yb", "xb", "w"))
+    assert(b.agg(sum("w")).head.getDouble(0) === (for {
+      yi <- yb; xi <- xb } yield yi + xi).sum)
+    // unknown names are loud
+    val e2 = intercept[Exception](
+      spark.read.format("zarr").option("vars", "nope").load(g).schema)
+    assert(e2.getMessage.contains("no array 'nope'"), e2.getMessage)
+  }
+
   test("SQL DELETE truncates trailing time slices in place") {
     import spark.implicits._
     val store = tmpDir("gdel")
