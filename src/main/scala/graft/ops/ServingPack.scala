@@ -894,6 +894,31 @@ object ServingPack extends QueryPack {
         .select(col("t").cast("long").as("t"), col("y"), col("x"), col("v"))
     }),
 
+    // SQL DELETE as trailing-slice truncation (the rolling-archive
+    // maintenance op): a fresh temp group loses its t >= 6 slices through
+    // the catalog, in place — shapes shrink, beyond-cut chunks delete —
+    // and the connector reads back exactly the surviving cells. Dyadic
+    // values keep the sum exact.
+    "q_zarr_delete" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("zdelq").toString
+      val g = s"$tmp/series.zarr"
+      val t = Array.tabulate(10)(_.toDouble)
+      val x = Array.tabulate(5)(_.toDouble)
+      val cells = s.range(50).select(
+        (col("id") / 5).cast("long").cast("double").as("t"),
+        (col("id") % 5).cast("double").as("x"),
+        (col("id") * 2 + 1).cast("double").as("v"))
+      ZarrSource.writeCube(cells, g, "v", Seq("t" -> t, "x" -> x),
+        chunks = Seq(3, 5))
+      s.conf.set("spark.sql.catalog.zdelq",
+        classOf[graft.sources.zarr.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.zdelq.path", tmp)
+      s.sql("DELETE FROM zdelq.`series.zarr` WHERE t >= 6.0")
+      s.read.format("zarr").load(g)
+        .agg(count(lit(1)).as("n_rows"), sum(col("v")).as("sum_v"),
+          max(col("t")).as("max_t"), max(col("v")).as("max_v"))
+    }),
+
     // the STREAMING source twin of q_zarr (spark.readStream.format("zarr")
     // — the relational form of the reference's dataset polling): the
     // group starts with day 1, a micro-batch drains it, day 2 is appended
@@ -2036,6 +2061,11 @@ object ServingPack extends QueryPack {
                FROM range(0, 144000) r(k))
          WHERE ((k // 360) % 100) <= 49
          GROUP BY 1""",
+    "q_zarr_delete" ->
+      """SELECT count(*) AS n_rows, sum((k * 2 + 1)::DOUBLE) AS sum_v,
+                max(k // 5)::DOUBLE AS max_t,
+                max(k * 2 + 1)::DOUBLE AS max_v
+         FROM range(0, 50) r(k) WHERE k // 5 < 6""",
     "q_zarr_topn" ->
       """SELECT (k // 36000)::BIGINT AS t,
                 ((k // 360) % 100) + 0.5 AS y, (k % 360) + 0.5 AS x,
