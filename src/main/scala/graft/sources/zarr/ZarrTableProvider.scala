@@ -43,11 +43,18 @@ import scala.jdk.CollectionConverters._
   *    over a 40-variable group reads 1/40th of the bytes (the ReadSchema
   *    discipline parquet scans get for free).
   *
-  * Each input partition carries only its OWN chunk's coordinate slices
-  * (≤ chunk-length doubles per dimension), never the full coordinate
-  * arrays — partitions stay O(chunk) at any archive size. All byte IO
-  * goes through a [[ByteStore]] VALUE captured at planning time, so the
-  * same scan reads local paths, object-store URLs, and http(s) archives.
+  * Beyond those two, the scan engine carries: metadata-only AND partial
+  * aggregate pushdown, limit and top-n pushdown (trailing-slab planning),
+  * runtime (DPP) filtering, post-pruning statistics, vectorized
+  * ColumnarBatch output, size-targeted chunk packing with one coalesced
+  * multi-range fetch per refs-backed task, `option("vars", "a,b")` to
+  * open one grid of a mixed-grid group, SQL DELETE as trailing-slice
+  * truncation (through [[GraftCatalog]]), and a streaming micro-batch
+  * face. Scan-level state (coordinates included) lives in the reader
+  * factory — Spark's task-binary broadcast — so input partitions stay
+  * O(chunk key) at any archive size. All byte IO goes through a
+  * [[ByteStore]] VALUE captured at planning time, so the same scan reads
+  * local paths, object-store URLs, and http(s) archives.
   */
 final class ZarrTableProvider extends TableProvider with DataSourceRegister
     with CreatableRelationProvider {
@@ -572,7 +579,11 @@ final class ZarrScanBuilder(meta: ZarrGroupMeta,
   * (multiplicity-aware: repeated coordinate values merge into one group,
   * -0.0 grouped with 0.0 like Spark's key normalization). An empty
   * selection yields count 0 / null extremes globally and NO rows under
-  * GROUP BY — exactly Spark's aggregate semantics. */
+  * GROUP BY — exactly Spark's aggregate semantics. Like every COMPLETE
+  * aggregate pushdown (JDBC included), the arithmetic is the source's:
+  * sums fold the in-range coordinate values in index order and scale by
+  * exact integer counts, which can differ from Spark's cell-order
+  * repeated addition by ordinary double rounding. */
 final case class ZarrAggScan(meta: ZarrGroupMeta, consumed: Array[Filter],
                              agg: Aggregation, schema: StructType,
                              groupDims: Seq[String])
