@@ -976,6 +976,39 @@ class ZarrDsv2Spec extends AnyFunSuite {
     assert(e2.getMessage.contains("no array 'nope'"), e2.getMessage)
   }
 
+  test("externally-shaped stores read identically through the connector") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    import java.nio.file.Paths
+    // hand-written group: no coordinate arrays (index fallback), raw
+    // compressor, ">f4" dtype, "/" separator, fill_value 0 — the shapes
+    // external archives actually use (same fixture as ZarrSourceSpec's
+    // RDD-reader test; the connector must agree cell for cell)
+    val g = s"${tmpDir("dsv2ext")}/ext.zarr"
+    new java.io.File(s"$g/a").mkdirs()
+    Files.writeString(Paths.get(s"$g/.zgroup"), """{"zarr_format": 2}""")
+    Files.writeString(Paths.get(s"$g/a/.zarray"),
+      """{"zarr_format": 2, "dtype": ">f4", "shape": [2, 2], "chunks": [2, 1],
+        | "fill_value": 0, "compressor": null, "filters": null, "order": "C",
+        | "dimension_separator": "/"}""".stripMargin)
+    val b = ByteBuffer.allocate(8).order(ByteOrder.BIG_ENDIAN)
+    b.putFloat(1.5f); b.putFloat(3.5f)
+    new java.io.File(s"$g/a/0").mkdirs()
+    Files.write(Paths.get(s"$g/a/0/0"), b.array())
+    val ds = spark.read.format("zarr").load(g)
+    assert(ds.columns.toSeq === Seq("dim_0", "dim_1", "a"))
+    val got = ds.collect()
+      .map(r => (r.getDouble(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    assert(got === Map((0.0, 0.0) -> 1.5, (1.0, 0.0) -> 3.5,
+      (0.0, 1.0) -> 0.0, (1.0, 1.0) -> 0.0))
+    // pruning + consumption on the synthetic index coordinates, "/" keys
+    val one = ds.filter(col("dim_1") === 0.0)
+    assert(one.rdd.getNumPartitions === 1)
+    assert(one.collect().map(_.getDouble(2)).sorted.toSeq === Seq(1.5, 3.5))
+    // aggregate pushdown is metadata-only on the index dims too
+    val p = ds.groupBy("dim_0").count().queryExecution.executedPlan.toString
+    assert(p.contains("ZarrAggScan"), p.take(400))
+  }
+
   test("SQL DELETE truncates trailing time slices in place") {
     import spark.implicits._
     val store = tmpDir("gdel")
