@@ -1009,6 +1009,35 @@ class ZarrDsv2Spec extends AnyFunSuite {
     assert(p.contains("ZarrAggScan"), p.take(400))
   }
 
+  test("CF-packed stores decode to physical values through the connector") {
+    import spark.implicits._
+    import java.nio.file.Paths
+    // chunks hold RAW packed values; .zattrs declares the decode (xarray's
+    // to_zarr packed encoding); -999 is the raw fill sentinel -> NaN
+    val ys = Array(0.5, 1.5)
+    val xs = Array(0.5, 1.5)
+    val raws = Seq((0.5, 0.5, 10.0), (0.5, 1.5, -999.0),
+      (1.5, 0.5, 30.0), (1.5, 1.5, 40.0))
+    val g = s"${tmpDir("dsv2cf")}/packed.zarr"
+    ZarrSource.writeCube(raws.toDF("y", "x", "v"), g, "v",
+      Seq("y" -> ys, "x" -> xs), chunks = Seq(2, 2))
+    val za = Paths.get(s"$g/v/.zattrs")
+    Files.writeString(za, Files.readString(za).trim.stripSuffix("}") +
+      ""","scale_factor": 0.5, "add_offset": 100.0, "_FillValue": -999.0}""")
+    Files.deleteIfExists(Paths.get(s"$g/.zmetadata"))
+    val got = spark.read.format("zarr").load(g).collect()
+      .map(r => (r.getDouble(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    assert(got((0.5, 0.5)) === 105.0 && got((1.5, 0.5)) === 115.0 &&
+      got((1.5, 1.5)) === 120.0)
+    assert(got((0.5, 1.5)).isNaN) // raw fill sentinel -> NaN, vectorized too
+    // partial agg pushdown folds the PHYSICAL values (and NaN poisons)
+    val r = spark.read.format("zarr").load(g)
+      .groupBy("y").agg(sum("v")).collect()
+      .map(x => (x.getDouble(0), x.getDouble(1))).sortBy(_._1)
+    assert(r.head._1 === 0.5 && r.head._2.isNaN)
+    assert(r(1) === ((1.5, 235.0)))
+  }
+
   test("SQL DELETE truncates trailing time slices in place") {
     import spark.implicits._
     val store = tmpDir("gdel")
