@@ -894,6 +894,38 @@ object ServingPack extends QueryPack {
         .select(col("t").cast("long").as("t"), col("y"), col("x"), col("v"))
     }),
 
+    // mixed-grid groups through the connector: one group holding two
+    // grids opens per grid with option("vars", ...) — the whole-group
+    // open is rejected loudly (asserted in ZarrDsv2Spec); here both
+    // grids' aggregates come back from one store through two tables.
+    "q_zarr_vars" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("zvars").toString
+      val g = s"$tmp/mixed.zarr"
+      val t = Array.tabulate(6)(_.toDouble)
+      val xa = Array.tabulate(4)(_.toDouble)
+      ZarrSource.writeCube(
+        s.range(24).select((col("id") / 4).cast("long").cast("double").as("t"),
+          (col("id") % 4).cast("double").as("xa"),
+          (col("id") * 3 + 1).cast("double").as("v")),
+        g, "v", Seq("t" -> t, "xa" -> xa), chunks = Seq(2, 4))
+      val yb = Array.tabulate(3)(_ + 0.5)
+      val xb = Array.tabulate(5)(_ + 0.5)
+      ZarrSource.writeCube(
+        s.range(15).select((col("id") / 5).cast("long").cast("double") + 0.5,
+          (col("id") % 5).cast("double") + 0.5,
+          (col("id") * 2).cast("double"))
+          .toDF("yb", "xb", "w"),
+        g, "w", Seq("yb" -> yb, "xb" -> xb), chunks = Seq(3, 5))
+      val a = s.read.format("zarr").option("vars", "v").load(g)
+        .filter(col("t") >= 2.0)
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+        .select(lit("a").as("grid"), col("n"), col("sv"))
+      val b = s.read.format("zarr").option("vars", "w").load(g)
+        .agg(count(lit(1)).as("n"), sum(col("w")).as("sv"))
+        .select(lit("b").as("grid"), col("n"), col("sv"))
+      a.unionByName(b)
+    }),
+
     // SQL DELETE as trailing-slice truncation (the rolling-archive
     // maintenance op): a fresh temp group loses its t >= 6 slices through
     // the catalog, in place — shapes shrink, beyond-cut chunks delete —
@@ -2061,6 +2093,11 @@ object ServingPack extends QueryPack {
                FROM range(0, 144000) r(k))
          WHERE ((k // 360) % 100) <= 49
          GROUP BY 1""",
+    "q_zarr_vars" ->
+      """SELECT 'a' AS grid, count(*) AS n, sum((k * 3 + 1)::DOUBLE) AS sv
+         FROM range(0, 24) r(k) WHERE k // 4 >= 2
+         UNION ALL
+         SELECT 'b', count(*), sum((k * 2)::DOUBLE) FROM range(0, 15) r(k)""",
     "q_zarr_delete" ->
       """SELECT count(*) AS n_rows, sum((k * 2 + 1)::DOUBLE) AS sum_v,
                 max(k // 5)::DOUBLE AS max_t,

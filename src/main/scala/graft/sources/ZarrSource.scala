@@ -846,10 +846,23 @@ object ZarrSource {
       arrayMeta += ((varName, varZarr, varZatt))
     }
     // consolidated metadata, like the reference's to_zarr default — one
-    // document a reader fetches instead of 2·N per-array files
-    val metaDoc = mapper.createObjectNode()
-    metaDoc.put("zarr_consolidated_format", 1)
-    val m = metaDoc.putObject("metadata")
+    // document a reader fetches instead of 2·N per-array files. Writing
+    // INTO an existing group MERGES the new arrays' entries into the
+    // existing document: a replace would hide every earlier array from
+    // consolidated-first listing (to_zarr with mode="a" re-consolidates
+    // the union the same way)
+    val metaDoc: com.fasterxml.jackson.databind.node.ObjectNode =
+      readJson(s"$groupDir/.zmetadata") match {
+        case Some(existing: com.fasterxml.jackson.databind.node.ObjectNode)
+            if existing.path("metadata").isObject => existing
+        case _ =>
+          val fresh = mapper.createObjectNode()
+          fresh.put("zarr_consolidated_format", 1)
+          fresh.putObject("metadata")
+          fresh
+      }
+    val m = metaDoc.path("metadata")
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
     m.set(".zgroup", mapper.readTree("""{"zarr_format": 2}"""))
     m.set(".zattrs", mapper.readTree("{}"))
     arrayMeta.result().foreach { case (name, zarr, zatt) =>

@@ -954,10 +954,9 @@ class ZarrDsv2Spec extends AnyFunSuite {
     ZarrSource.writeCube((for { yi <- yb; xi <- xb } yield (yi, xi, yi + xi))
       .toSeq.toDF("yb", "xb", "w"), g, "w",
       Seq("yb" -> yb, "xb" -> xb), chunks = Seq(2, 2))
-    // the second writeCube rewrote .zmetadata with only its own arrays;
-    // drop the stale sidecar so consolidation re-lists the directory
-    Files.delete(new java.io.File(g, ".zmetadata").toPath)
-    ZarrSource.consolidateMetadata(g)
+    // the second writeCube MERGES its entries into .zmetadata — earlier
+    // arrays stay visible to consolidated-first listing (regression:
+    // it used to replace the document and hide them)
     // whole-group open: loud, and points at the escape hatch
     val e = intercept[Exception](spark.read.format("zarr").load(g).schema)
     assert(e.getMessage.contains("option(\"vars\""), e.getMessage)
