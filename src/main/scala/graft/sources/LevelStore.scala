@@ -109,11 +109,19 @@ object LevelStore {
   }
 
   /** Pyramid-level pruning: the coarsest level still at least as fine as
-    * the requested resolution (mldataset/abc.py:136-149).
+    * the requested resolution (mldataset/abc.py:136-149 — a level is
+    * passed over only when BOTH its x and y resolutions exceed the
+    * request, so anisotropic pyramids resolve like the reference).
     */
-  def levelForResolution(gms: Seq[GridMapping], res: Double): Int = {
-    val ok = gms.zipWithIndex.filter(_._1.xRes <= res + 1e-12)
-    if (ok.isEmpty) 0 else ok.last._2
+  def levelForResolution(gms: Seq[GridMapping], res: Double): Int =
+    levelForResolutionXY(gms.map(g => (g.xRes, g.yRes)), res)
+
+  /** The shared (xRes, yRes) form — also serves `format("levels")`. */
+  def levelForResolutionXY(rs: Seq[(Double, Double)], res: Double): Int = {
+    val viol = rs.indexWhere { case (xr, yr) =>
+      xr > res + 1e-12 && yr > res + 1e-12
+    }
+    if (viol < 0) rs.length - 1 else math.max(0, viol - 1)
   }
 }
 

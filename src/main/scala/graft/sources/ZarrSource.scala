@@ -595,6 +595,11 @@ object ZarrSource {
         Some(parts.head.toInt)
       else None
     }
+    // FULL validation pass before any chunk is deleted or .zarray
+    // rewritten: a require failing mid-mutation would leave the group
+    // half-truncated (inconsistent dim-0 extents between arrays and
+    // metadata) — DELETE must either fully apply or leave the store
+    // untouched
     names.foreach { n =>
       val za = metas(n)
       require(!za.dims.drop(1).contains(dim0),
@@ -604,6 +609,15 @@ object ZarrSource {
           s"$groupDir/$n: truncate supports <f8 stores, got ${za.dtype}")
         require(za.shape.head == oldLen,
           s"$groupDir/$n: dim-0 extent ${za.shape.head} != group's $oldLen")
+      }
+    }
+    metas.get(dim0).foreach { cza =>
+      require(cza.dtype == "<f8",
+        s"$groupDir/$dim0: truncate supports <f8 coords, got ${cza.dtype}")
+    }
+    names.foreach { n =>
+      val za = metas(n)
+      if (n != dim0 && za.dims.headOption.contains(dim0)) {
         val keepChunks = (newLen + za.chunks.head - 1) / za.chunks.head
         bs.walkFiles(s"$groupDir/$n").foreach { rel =>
           if (numericChunk(rel).exists(_ >= keepChunks))
@@ -614,8 +628,6 @@ object ZarrSource {
       }
     }
     metas.get(dim0).foreach { cza =>
-      require(cza.dtype == "<f8",
-        s"$groupDir/$dim0: truncate supports <f8 coords, got ${cza.dtype}")
       val coord = readAll(s"$groupDir/$dim0", cza).take(newLen)
       bs.walkFiles(s"$groupDir/$dim0").foreach { rel =>
         if (numericChunk(rel).isDefined) bs.delete(s"$groupDir/$dim0/$rel")

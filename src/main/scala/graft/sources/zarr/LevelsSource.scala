@@ -50,10 +50,12 @@ final class LevelsSource extends RelationProvider with DataSourceRegister {
           s"$root: level $lv outside 0..$maxLevel")
         lv
       case (None, Some(r)) =>
-        // the coarsest level still at least as fine as the request
-        val res = r.toDouble
-        val ok = meta.levels.zipWithIndex.filter(_._1.xRes <= res + 1e-12)
-        if (ok.isEmpty) 0 else ok.last._2
+        // the reference rule (mldataset/abc.py:136-149): advance past a
+        // level only when BOTH x_res and y_res exceed the request — on an
+        // anisotropic pyramid (yRes != xRes) an x-only test would resolve
+        // to a coarser level than the reference
+        LevelStore.levelForResolutionXY(
+          meta.levels.map(l => (l.xRes, l.yRes)), r.toDouble)
       case (None, None) => 0
     }
     spark.read.parquet(s"$root/L$level").queryExecution.analyzed

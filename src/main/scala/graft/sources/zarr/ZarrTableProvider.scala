@@ -453,7 +453,16 @@ final class ZarrScanBuilder(meta: ZarrGroupMeta,
         (k, o.direction() ==
           org.apache.spark.sql.connector.expressions.SortDirection.DESCENDING)
       }
-    }.filter { case (k, _) => ZarrScan.monotone(meta.coords(k)) }
+    }.filter { case (k, _) =>
+      // with secondary sort keys the slab cut must not drop a row TIED on
+      // the first key at a slab boundary (the secondary keys could
+      // deterministically place it inside the true top-n), so the sort
+      // dim's coordinate must be STRICTLY monotone — no duplicate values
+      // anywhere. A single-key sort only needs plain monotonicity:
+      // boundary ties there are the usual SQL tie nondeterminism.
+      if (orders.length > 1) ZarrScan.strictMonotone(meta.coords(k))
+      else ZarrScan.monotone(meta.coords(k))
+    }
     first.foreach { case (k, desc) => topN = Some((k, desc, n)) }
     first.isDefined
   }
@@ -1206,6 +1215,19 @@ object ZarrScan {
       if (c(i).isNaN) return false
       if (asc && c(i) < c(i - 1)) return false
       if (!asc && c(i) > c(i - 1)) return false
+      i += 1
+    }
+    true
+  }
+
+  /** [[monotone]] with NO duplicate values anywhere — what a multi-key
+    * top-n cut needs (a repeated first-key value across a slab boundary
+    * could tie with a dropped row that secondary keys would keep). */
+  def strictMonotone(c: Array[Double]): Boolean = {
+    if (!monotone(c)) return false
+    var i = 1
+    while (i < c.length) {
+      if (c(i) == c(i - 1)) return false
       i += 1
     }
     true

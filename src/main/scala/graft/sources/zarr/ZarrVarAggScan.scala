@@ -74,23 +74,29 @@ final case class ZarrVarAggScan(meta: ZarrGroupMeta, consumed: Array[Filter],
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val cols = innerCols
     val required = innerRequired
-    val groupIdx = groupDims.map(cols.indexOf).toArray
+    // index group keys and aggregated columns against the INNER SCHEMA's
+    // field order — the order the chunk cursor actually emits (schemaFor
+    // keeps dims first, then dataVars in their SORTED resolution order),
+    // NOT the aggregate-appearance order of innerCols: binding against
+    // appearance order silently swaps variables when a query aggregates
+    // 2+ data vars out of alphabetical order (e.g. agg(sum("w"), sum("v")))
+    val names = required.fieldNames.toSeq
+    val groupIdx = groupDims.map(names.indexOf).toArray
     val specs = agg.aggregateExpressions.toSeq.map {
       case _: CountStar => ZarrAggSpec(ZarrAggSpec.CountStar, -1)
       case c: Count =>
         ZarrAggSpec(ZarrAggSpec.Count,
-          cols.indexOf(ZarrVarAggScan.colName(meta, c.column).get))
+          names.indexOf(ZarrVarAggScan.colName(meta, c.column).get))
       case m: Min =>
         ZarrAggSpec(ZarrAggSpec.Min,
-          cols.indexOf(ZarrVarAggScan.colName(meta, m.column).get))
+          names.indexOf(ZarrVarAggScan.colName(meta, m.column).get))
       case m: Max =>
         ZarrAggSpec(ZarrAggSpec.Max,
-          cols.indexOf(ZarrVarAggScan.colName(meta, m.column).get))
+          names.indexOf(ZarrVarAggScan.colName(meta, m.column).get))
       case s: Sum =>
         ZarrAggSpec(ZarrAggSpec.Sum,
-          cols.indexOf(ZarrVarAggScan.colName(meta, s.column).get))
+          names.indexOf(ZarrVarAggScan.colName(meta, s.column).get))
       case other =>
         throw new IllegalStateException(s"unexpected pushed aggregate $other")
     }

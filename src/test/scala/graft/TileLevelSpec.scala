@@ -37,6 +37,17 @@ class TileLevelSpec extends AnyFunSuite {
     assert(LevelStore.levelForResolution(gms, 100.0) == 2)
   }
 
+  test("level-for-resolution advances only when BOTH axes exceed the ask") {
+    // the reference rule (mldataset/abc.py:136-149): a level is passed
+    // over only when x_res AND y_res both exceed the request — an x-only
+    // test resolves anisotropic pyramids one level too coarse
+    val rs = Seq((1.0, 0.5), (2.0, 1.0), (4.0, 2.0), (8.0, 4.0))
+    assert(LevelStore.levelForResolutionXY(rs, 2.5) == 2) // L2 has yRes 2 <= 2.5
+    assert(LevelStore.levelForResolutionXY(rs, 0.4) == 0) // even L0 exceeds: clamp
+    assert(LevelStore.levelForResolutionXY(rs, 4.0) == 3) // L3 yRes == 4: kept
+    assert(LevelStore.levelForResolutionXY(rs, 100.0) == 3)
+  }
+
   test("computeTile gathers a dense top-row-first tile with NaN holes") {
     import spark.implicits._
     val gm = GridMapping(4, 4, 0.0, 0.0, 1.0, 1.0)

@@ -1083,6 +1083,114 @@ class ZarrDsv2Spec extends AnyFunSuite {
     assert(e3.getMessage.toLowerCase.contains("delete"), e3.getMessage)
   }
 
+  test("partial agg binds columns by reader order, not appearance order") {
+    val g = writeFixture()
+    val ds = spark.read.format("zarr").load(g)
+    // aggregate w BEFORE v — the reverse of the reader's sorted variable
+    // order: a spec bound against aggregate-appearance order would
+    // silently swap the two columns' values
+    val q = ds.groupBy("t").agg(sum("w").as("sw"), sum("v").as("sv"),
+      min("w").as("mnw"), max("v").as("mxv"))
+    assert(q.queryExecution.executedPlan.toString.contains("ZarrVarAggScan"))
+    val rows = q.collect().map(r => (r.getDouble(0), r.getDouble(1),
+      r.getDouble(2), r.getDouble(3), r.getDouble(4))).sortBy(_._1)
+    // v = 1000t + 10y + x -> sum_v(t) = 24000t + 6072, max_v = 1000t+405.5
+    // w = t + y + x        -> sum_w(t) = 24t + 672,    min_w = t + 10.5
+    assert(rows.toSeq === Seq(
+      (0.0, 672.0, 6072.0, 10.5, 405.5),
+      (1.0, 696.0, 30072.0, 11.5, 1405.5),
+      (2.0, 720.0, 54072.0, 12.5, 2405.5)))
+  }
+
+  test("top-n with secondary keys requires a STRICTLY monotone sort coord") {
+    import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection}
+    import graft.sources.ZarrSource.{Raw, ZarrArray}
+    import graft.sources.zarr.{ZarrGroupMeta, ZarrScanBuilder}
+    def builder(coord: Array[Double]) = {
+      val za = ZarrArray(Seq(coord.length), Seq(1), "<f8", Double.NaN,
+        Raw, Seq("t"), ".")
+      new ZarrScanBuilder(ZarrGroupMeta("/topn", za, Seq("v"),
+        Map("v" -> za), Seq(coord), graft.sources.ByteStore.current))
+    }
+    def order(name: String) =
+      Expressions.sort(Expressions.column(name), SortDirection.DESCENDING)
+    val dup = Array(0.0, 1.0, 1.0, 2.0) // monotone, NOT strict
+    // single key: boundary ties are plain SQL tie nondeterminism -> push
+    assert(builder(dup).pushTopN(Array(order("t")), 5))
+    // secondary keys could deterministically prefer a dropped tied row ->
+    // the duplicate first-key coordinate must decline the cut
+    assert(!builder(dup).pushTopN(Array(order("t"), order("v")), 5))
+    // strictly monotone coordinate: multi-key pushes
+    assert(builder(Array(0.0, 1.0, 2.0, 3.0))
+      .pushTopN(Array(order("t"), order("v")), 5))
+  }
+
+  test("top-n over a duplicate coordinate returns the secondary-key winner") {
+    // handcrafted raw v2 group: t = [1.0, 1.0] (duplicate values, one
+    // chunk per slice), v = [10.0, 99.0]. ORDER BY t, v DESC LIMIT 1 must
+    // return 99 — a slab cut after the first t-slab would answer 10.
+    val g = s"${tmpDir("dsv2dup")}/dup.zarr"
+    val bs = graft.sources.ByteStore.current
+    def le(ds: Double*): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(ds.length * 8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      ds.foreach(b.putDouble); b.array()
+    }
+    def zarray(shape: Int, chunks: Int): String =
+      s"""{"zarr_format": 2, "dtype": "<f8", "shape": [$shape],
+         | "chunks": [$chunks], "fill_value": "NaN",
+         | "compressor": null, "filters": null, "order": "C"}""".stripMargin
+    bs.write(s"$g/.zgroup", """{"zarr_format": 2}""".getBytes("UTF-8"))
+    bs.write(s"$g/t/.zarray", zarray(2, 1).getBytes("UTF-8"))
+    bs.write(s"$g/t/.zattrs",
+      """{"_ARRAY_DIMENSIONS": ["t"]}""".getBytes("UTF-8"))
+    bs.write(s"$g/t/0", le(1.0))
+    bs.write(s"$g/t/1", le(1.0))
+    bs.write(s"$g/v/.zarray", zarray(2, 1).getBytes("UTF-8"))
+    bs.write(s"$g/v/.zattrs",
+      """{"_ARRAY_DIMENSIONS": ["t"]}""".getBytes("UTF-8"))
+    bs.write(s"$g/v/0", le(10.0))
+    bs.write(s"$g/v/1", le(99.0))
+    val ds = spark.read.format("zarr").load(g)
+    val q = ds.orderBy(col("t"), col("v").desc).limit(1)
+    assert(!q.queryExecution.executedPlan.toString.contains("PushedTopN"))
+    assert(q.head.getDouble(1) === 99.0)
+    // single-key ordering over the same store still pushes the cut
+    val single = ds.orderBy(col("t").desc).limit(1)
+    assert(single.queryExecution.executedPlan.toString.contains("PushedTopN"))
+    assert(single.count() === 1)
+  }
+
+  test("DELETE truncation validates every array before mutating any") {
+    import spark.implicits._
+    val g = s"${tmpDir("gdelatomic")}/series.zarr"
+    val t = Array(0.0, 1.0, 2.0, 3.0)
+    val x = Array(0.0, 1.0)
+    val df = (for { ti <- t; xi <- x } yield (ti, xi, ti * 10 + xi, ti - xi))
+      .toSeq.toDF("t", "x", "v", "w")
+    ZarrSource.writeCubeVars(df, g, Seq("v", "w"),
+      Seq("t" -> t, "x" -> x), chunks = Seq(1, 2))
+    // sabotage the LAST array in iteration order: w claims a different
+    // dim-0 extent, so a validate-while-mutating loop would fail only
+    // AFTER v was already truncated — leaving the group inconsistent
+    val wz = java.nio.file.Paths.get(s"$g/w/.zarray")
+    val txt = new String(java.nio.file.Files.readAllBytes(wz), "UTF-8")
+    assert(txt.contains("[4, 2]"), txt)
+    java.nio.file.Files.write(wz,
+      txt.replace("[4, 2]", "[5, 2]").getBytes("UTF-8"))
+    // drop consolidated metadata so the patched per-array .zarray is what
+    // the maintenance op actually reads
+    new java.io.File(s"$g/.zmetadata").delete()
+    val e = intercept[IllegalArgumentException](ZarrSource.truncateDim0(g, 2))
+    assert(e.getMessage.contains("dim-0 extent"), e.getMessage)
+    // the failed DELETE left the store untouched: v keeps its full shape,
+    // its trailing chunk objects, and its readable values
+    assert(ZarrSource.openArray(s"$g/v").shape === Seq(4, 2))
+    assert(new java.io.File(s"$g/v/3.0").exists())
+    assert(ZarrSource.openArray(s"$g/t").shape === Seq(4))
+    assert(ZarrSource.readCube(spark, g, "v").count() === 8)
+  }
+
   test("the same scan opens an http-hosted archive, pruned the same way") {
     val g = writeFixture()
     ZarrSource.consolidateMetadata(g)
