@@ -153,10 +153,8 @@ final class ZarrTableProvider extends TableProvider with DataSourceRegister
       require(varNames.nonEmpty,
         s"$groupDir: no data variable columns besides dims " +
           dimNames.mkString(", "))
-      val dims: Seq[(String, Array[Double])] = dimNames.map { d =>
-        d -> data.select(col(d).cast("double").as(d))
-          .distinct().sort(col(d)).collect().map(_.getDouble(0))
-      }
+      val dims: Seq[(String, Array[Double])] =
+        ZarrTableProvider.deriveAxes(data, dimNames)
       val chunks = parameters.get("chunks")
         .map(_.split(",").map(_.trim.toInt).toSeq)
         .getOrElse(dims.map(_._2.length))
@@ -180,6 +178,25 @@ final class ZarrTableProvider extends TableProvider with DataSourceRegister
 }
 
 object ZarrTableProvider {
+  /** Coordinate axes of a cube write: the sorted distinct values of every
+    * dimension column, derived in ONE aggregation pass over the input —
+    * `collect_set` per dim folds map-side, so a 100 TB write pays one
+    * data scan for ALL axes instead of one distinct-shuffle per dim (the
+    * collected sets are axis-sized, i.e. driver metadata, like every
+    * cube writer here; the sort happens on the driver). */
+  private[graft] def deriveAxes(data: DataFrame, dimNames: Seq[String])
+      : Seq[(String, Array[Double])] = {
+    import org.apache.spark.sql.functions.{col, collect_set}
+    val row = data.select(dimNames.map(d =>
+      collect_set(col(d).cast("double")).as(d)): _*).head()
+    dimNames.zipWithIndex.map { case (d, i) =>
+      val axis = row.getSeq[Double](i).toArray
+      require(axis.nonEmpty, s"dim $d has no (non-null) values to write")
+      java.util.Arrays.sort(axis)
+      d -> axis
+    }
+  }
+
   private[zarr] def groupExists(groupDir: String): Boolean = {
     val bs = ByteStore.current
     bs.exists(s"$groupDir/.zgroup") || bs.exists(s"$groupDir/.zmetadata") ||

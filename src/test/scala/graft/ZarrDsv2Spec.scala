@@ -1191,6 +1191,33 @@ class ZarrDsv2Spec extends AnyFunSuite {
     assert(ZarrSource.readCube(spark, g, "v").count() === 8)
   }
 
+  test("write bridge derives all coordinate axes in one data pass") {
+    import spark.implicits._
+    val df = (for { t <- 0 until 3; y <- 0 until 4; x <- 0 until 5 } yield
+      (t.toDouble, y * 10.0, x + 0.5, (t + y + x).toDouble))
+      .toDF("t", "y", "x", "v")
+    def countJobs(group: String, dims: Seq[String]) = {
+      spark.sparkContext.setJobGroup(group, "axis derivation audit")
+      val axes = try
+        graft.sources.zarr.ZarrTableProvider.deriveAxes(df, dims)
+      finally spark.sparkContext.clearJobGroup()
+      (axes, spark.sparkContext.statusTracker.getJobIdsForGroup(group).length)
+    }
+    // ONE aggregation covers every dim — not one distinct/sort/collect
+    // pass per dim (3 avoidable full-data scans at a 100 TB write). AQE
+    // may split the aggregate into a job per stage, so the audit is: the
+    // job count must not grow with the dim count, and stays <= 2 (one
+    // data-scan stage + one metadata-sized final stage).
+    val (axes, jobs3) = countJobs("axes-derive-3", Seq("t", "y", "x"))
+    val (_, jobs1) = countJobs("axes-derive-1", Seq("t"))
+    assert(jobs3 <= 2, s"expected <= 2 jobs, saw $jobs3")
+    assert(jobs3 === jobs1, s"job count grew with dims: $jobs1 -> $jobs3")
+    assert(axes.map(_._1) === Seq("t", "y", "x"))
+    assert(axes(0)._2.toSeq === Seq(0.0, 1.0, 2.0))
+    assert(axes(1)._2.toSeq === Seq(0.0, 10.0, 20.0, 30.0))
+    assert(axes(2)._2.toSeq === Seq(0.5, 1.5, 2.5, 3.5, 4.5))
+  }
+
   test("the same scan opens an http-hosted archive, pruned the same way") {
     val g = writeFixture()
     ZarrSource.consolidateMetadata(g)
