@@ -63,8 +63,13 @@ object TemporalOps {
     * last, argmin, argmax, all, any, percentile_<p> (p in 0..100).
     */
   def methodAgg(method: String, v: Column, t: Column): Column = {
-    // null-out NaN so builtin aggs (which skip null, not NaN) skip it
-    val vv = when(!isnan(v.cast("double")), v)
+    // null-out NaN so builtin aggs (which skip null, not NaN) skip it.
+    // The guard is `v <= +Inf`, not `!isnan(v)`: under Spark's double
+    // ordering NaN is the ONE value greater than +Inf, so the two are
+    // semantically identical — but `<=` translates to a DataSourceV2
+    // expression (ISNAN does not), which lets the whole skipna aggregate
+    // push below a connector scan and fold per chunk (ZarrVarAggScan).
+    val vv = when(v.cast("double") <= lit(Double.PositiveInfinity), v)
     val validT = when(vv.isNotNull, t)
     val Percentile = "percentile_([0-9]+(?:\\.[0-9]+)?)".r
     method match {

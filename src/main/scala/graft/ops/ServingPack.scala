@@ -824,6 +824,45 @@ object ServingPack extends QueryPack {
           col("min_v"), col("max_v"), col("sum_v"))
     }),
 
+    // BLOCK-KEY grouped aggregate pushdown — the subsample / pyramid-build
+    // / resample shape (reference subsampling.py:25-135, level.py:107):
+    // GROUP BY t, floor(y/10), floor(x/60) with var aggregates folds
+    // per chunk INSIDE the reader (ZarrVarAggScan block keys), so building
+    // a level from a 10^7-chunk archive exchanges O(chunks x groups)
+    // partial rows, never O(cells). Cells are dyadic (k/64) -> sums are
+    // order-free exact; avg rides Spark's avg->sum/count partial rewrite
+    // and is recomputed in the oracle as sum/count (one exact division).
+    "q_zarr_block_agg" -> ((s, d) => {
+      val sfName = new java.io.File(d).getName
+      val base = s"/root/repo/.graft-fixtures/zarraggpush_$sfName"
+      val group = s"$base/cube.zarr"
+      Fixtures.ensureWritten(base, "t=4,grid=100x360,chunks=1x50x90,dyadic64") {
+        new java.io.File(base).mkdirs()
+        val cells = s.range(4L * 100 * 360).select(
+          (col("id") / (100L * 360)).cast("long").as("ti"),
+          ((col("id") / 360) % 100).cast("long").as("j"),
+          (col("id") % 360).cast("long").as("i"))
+          .select(col("ti").cast("double").as("t"),
+            (col("j") + 0.5).cast("double").as("y"),
+            (col("i") + 0.5).cast("double").as("x"),
+            (((col("j") * 360 + col("i") + col("ti") * 7) % 4096) / 64.0).as("v"))
+        ZarrSource.writeCube(cells, group, "v",
+          Seq("t" -> Array.tabulate(4)(_.toDouble),
+            "y" -> Array.tabulate(100)(_ + 0.5),
+            "x" -> Array.tabulate(360)(_ + 0.5)),
+          chunks = Seq(1, 50, 90))
+      }
+      s.read.format("zarr").load(group)
+        .groupBy(col("t"), floor(col("y") / 10.0).as("bj"),
+          floor(col("x") / 60.0).as("bi"))
+        .agg(count(lit(1)).as("n_cells"), sum(col("v")).as("sum_v"),
+          min(col("v")).as("min_v"), max(col("v")).as("max_v"),
+          avg(col("v")).as("avg_v"))
+        .select(col("t").cast("long").as("t"), col("bj"), col("bi"),
+          col("n_cells"), col("sum_v"), col("min_v"), col("max_v"),
+          col("avg_v"))
+    }),
+
     // interval-set pushdown through the connector: In on t prunes per
     // VALUE (the middle t-slices never plan), a same-dim Or on x prunes
     // to the union of branch rectangles (2 of 4 x-chunks), and != on y is
@@ -2093,6 +2132,18 @@ object ServingPack extends QueryPack {
                FROM range(0, 144000) r(k))
          WHERE ((k // 360) % 100) <= 49
          GROUP BY 1""",
+    "q_zarr_block_agg" ->
+      """SELECT (k // 36000)::BIGINT AS t,
+                ((k // 360) % 100) // 10 AS bj,
+                (k % 360) // 60 AS bi,
+                count(*) AS n_cells,
+                sum(v) AS sum_v, min(v) AS min_v, max(v) AS max_v,
+                sum(v) / count(*) AS avg_v
+         FROM (SELECT k,
+                      (((k // 360) % 100) * 360 + (k % 360)
+                        + (k // 36000) * 7) % 4096 / 64.0 AS v
+               FROM range(0, 144000) r(k))
+         GROUP BY 1, 2, 3""",
     "q_zarr_vars" ->
       """SELECT 'a' AS grid, count(*) AS n, sum((k * 3 + 1)::DOUBLE) AS sv
          FROM range(0, 24) r(k) WHERE k // 4 >= 2

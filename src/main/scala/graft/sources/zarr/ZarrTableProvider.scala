@@ -544,48 +544,64 @@ final class ZarrScanBuilder(meta: ZarrGroupMeta,
   override def supportCompletePushDown(agg: Aggregation): Boolean = supported(agg)
 
   // ---- PARTIAL pushdown over data variables: min/max/sum/count grouped
-  // by dims folds per chunk inside the reader (ZarrVarAggScan) — the
-  // chunks are still read, but the exchange above the scan carries one
-  // row per (chunk, group) instead of every cell. Group-by expressions
-  // must be dims (group keys then come from O(chunk) coordinate slices);
-  // aggregated columns may be dims or data variables.
+  // by dims OR block indices `floor((dim ± c) / s)` folds per chunk
+  // inside the reader (ZarrVarAggScan) — the chunks are still read, but
+  // the exchange above the scan carries one row per (chunk, group)
+  // instead of every cell. Group keys must be computable from the dims
+  // (they then come from O(chunk) coordinate slices — the block-key form
+  // is the subsample/pyramid-build/resample shape); aggregated columns
+  // may be dims or data variables.
+  private def groupKeysOf(agg: Aggregation): Option[Seq[ZarrGroupKey]] = {
+    val keys = agg.groupByExpressions.map(e => ZarrVarAggScan.groupKey(meta, e))
+    if (keys.forall(_.isDefined)) Some(keys.flatten.toSeq) else None
+  }
+
   private def partialSupported(agg: Aggregation): Boolean =
     unhandled.isEmpty && agg.aggregateExpressions.nonEmpty &&
-      groupDimsOf(agg).exists(gds => gds.distinct.lengthCompare(gds.length) == 0) &&
+      groupKeysOf(agg).exists(ks => ks.distinct.lengthCompare(ks.length) == 0) &&
       agg.aggregateExpressions.forall {
         case _: CountStar => true
         case c: Count =>
-          !c.isDistinct && ZarrVarAggScan.colName(meta, c.column).isDefined
-        case m: Min => ZarrVarAggScan.colName(meta, m.column).isDefined
-        case m: Max => ZarrVarAggScan.colName(meta, m.column).isDefined
+          !c.isDistinct && ZarrVarAggScan.aggColumn(meta, c.column).isDefined
+        case m: Min => ZarrVarAggScan.aggColumn(meta, m.column).isDefined
+        case m: Max => ZarrVarAggScan.aggColumn(meta, m.column).isDefined
         case s: Sum =>
-          !s.isDistinct && ZarrVarAggScan.colName(meta, s.column).isDefined
+          !s.isDistinct && ZarrVarAggScan.aggColumn(meta, s.column).isDefined
         case _ => false
       }
 
-  private var partial: Option[(Aggregation, StructType)] = None
+  private var partial: Option[(Aggregation, Seq[ZarrGroupKey], StructType)] = None
 
   override def pushAggregation(agg: Aggregation): Boolean = {
-    def pushedSchema: StructType = {
+    def aggFields = agg.aggregateExpressions.zipWithIndex.map {
+      case (_: CountStar, i) => StructField(s"agg_$i", LongType, nullable = false)
+      case (_: Count, i) => StructField(s"agg_$i", LongType, nullable = false)
+      case (_, i) => StructField(s"agg_$i", DoubleType, nullable = true)
+    }
+    if (supported(agg)) {
       val groupFields = groupDimsOf(agg).get.map(d =>
         StructField(d, DoubleType, nullable = false))
-      val aggFields = agg.aggregateExpressions.zipWithIndex.map {
-        case (_: CountStar, i) => StructField(s"agg_$i", LongType, nullable = false)
-        case (_: Count, i) => StructField(s"agg_$i", LongType, nullable = false)
-        case (_, i) => StructField(s"agg_$i", DoubleType, nullable = true)
+      aggregated = Some((agg, StructType(groupFields ++ aggFields)))
+      true
+    } else if (partialSupported(agg)) {
+      // group output types must match Spark's own expression types: a
+      // plain dim is the double coordinate, a block index is Floor's LONG
+      val keys = groupKeysOf(agg).get
+      val groupFields = keys.zipWithIndex.map { case (k, i) =>
+        if (k.kind != ZarrGroupKey.Id)
+          StructField(s"group_$i", LongType, nullable = false)
+        else StructField(k.dim, DoubleType, nullable = false)
       }
-      StructType(groupFields ++ aggFields)
-    }
-    if (supported(agg)) { aggregated = Some((agg, pushedSchema)); true }
-    else if (partialSupported(agg)) { partial = Some((agg, pushedSchema)); true }
-    else false
+      partial = Some((agg, keys, StructType(groupFields ++ aggFields)))
+      true
+    } else false
   }
 
   override def build(): Scan = (aggregated, partial) match {
     case (Some((agg, schema)), _) =>
       ZarrAggScan(meta, consumed, agg, schema, groupDimsOf(agg).get)
-    case (None, Some((agg, schema))) =>
-      ZarrVarAggScan(meta, consumed, agg, schema, groupDimsOf(agg).get)
+    case (None, Some((agg, keys, schema))) =>
+      ZarrVarAggScan(meta, consumed, agg, schema, keys)
     case _ =>
       // a pushed top-n subsumes any plain limit (Spark pushes one or the
       // other by plan shape; defensively, the slab-aligned cut must win —

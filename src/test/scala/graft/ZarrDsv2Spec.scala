@@ -1191,6 +1191,134 @@ class ZarrDsv2Spec extends AnyFunSuite {
     assert(ZarrSource.readCube(spark, g, "v").count() === 8)
   }
 
+  test("block-key grouped aggregates fold per chunk (pyramid-build shape)") {
+    val g = writeFixture() // 3x4x6, chunks 1x2x3 -> 12 chunks
+    val ds = spark.read.format("zarr").load(g)
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    // the subsample / compute_levels shape: GROUP BY t, floor(y/s),
+    // floor((x - x0)/s) with var aggregates — must fold inside the reader
+    val q = ds.groupBy(col("t"), floor(col("y") / 20.0).as("by"),
+        floor((col("x") - 0.5) / 3.0).as("bx"))
+      .agg(count(lit(1)).as("n"), sum("v").as("sv"), min("w").as("mw"))
+    val plan = q.queryExecution.executedPlan
+    assert(plan.toString.contains("ZarrVarAggScan"), plan.toString.take(900))
+    assert(plan.toString.contains("floor((y + 0.0) / 20.0)") ||
+      plan.toString.contains("floor(y / 20.0)"), plan.toString.take(900))
+    // exchange carries O(chunks x groups): y-chunk {10,20} splits into
+    // blocks {0,1}, {30,40} into {1,2} -> 2 y-groups per chunk; each
+    // x-chunk is one block; each chunk one t -> 2 partial rows per chunk,
+    // 24 total instead of 72 cells
+    val scan = q.queryExecution.sparkPlan.collectLeaves()
+      .collectFirst { case b: BatchScanExec => b }.get
+    assert(scan.inputRDD.count() === 24L)
+    // values and TYPES match the unpushed aggregation exactly
+    val expect = ZarrSource.readCubeVars(spark, g, Seq("v", "w"))
+      .groupBy(col("t"), floor(col("y") / 20.0).as("by"),
+        floor((col("x") - 0.5) / 3.0).as("bx"))
+      .agg(count(lit(1)).as("n"), sum("v").as("sv"), min("w").as("mw"))
+      .collect().map(r => (r.getDouble(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5))).sortBy(t => (t._1, t._2, t._3))
+    val got = q.collect().map(r => (r.getDouble(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getDouble(4), r.getDouble(5))).sortBy(t => (t._1, t._2, t._3))
+    assert(got.length === 18) // 3 t x (3 y-blocks) x 2 x-blocks
+    assert(got.toSeq === expect.toSeq)
+    // avg rides Spark's avg -> sum/count partial rewrite over block keys
+    val avgQ = ds.groupBy(floor(col("y") / 20.0).as("by")).agg(avg("v").as("av"))
+    assert(avgQ.queryExecution.executedPlan.toString.contains("ZarrVarAggScan"))
+    val avgE = ZarrSource.readCubeVars(spark, g, Seq("v", "w"))
+      .groupBy(floor(col("y") / 20.0).as("by")).agg(avg("v").as("av"))
+    assert(avgQ.collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+      === avgE.collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq)
+    // composes with consumed filters (pruning first, folding second)
+    val f = ds.filter(col("t") >= 1.0)
+      .groupBy(floor(col("x") / 2.0).as("bx")).agg(sum("w").as("sw"))
+    assert(f.queryExecution.executedPlan.toString.contains("ZarrVarAggScan"))
+    val fE = ZarrSource.readCubeVars(spark, g, Seq("v", "w"))
+      .filter(col("t") >= 1.0)
+      .groupBy(floor(col("x") / 2.0).as("bx")).agg(sum("w").as("sw"))
+    assert(f.collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+      === fE.collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq)
+    // a floor over a DATA VARIABLE is not a chunk-computable key: the
+    // aggregate stays Spark-side and the answer is still right
+    val nv = ds.groupBy(floor(col("v") / 1000.0).as("bv")).count()
+    assert(!nv.queryExecution.executedPlan.toString.contains("ZarrVarAggScan"))
+    assert(nv.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+      === Seq((0L, 24L), (1L, 24L), (2L, 24L)))
+  }
+
+  test("compute_levels FROM the connector folds per chunk (skipna mean)") {
+    import spark.implicits._
+    import graft.cube.{Cube, GridMapping}
+    import graft.operators.SubsampleOps
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    // an 8x8 zarr base grid with NaN holes — the pyramid-build input
+    val t = Array(0.0)
+    val y = Array.tabulate(8)(_ + 0.5)
+    val x = Array.tabulate(8)(_ + 0.5)
+    val df = (for { ti <- t; yi <- y; xi <- x } yield
+      (ti, yi, xi,
+        if (yi < 2.0 && xi < 2.0 && !(yi == 0.5 && xi == 0.5)) Double.NaN
+        else yi * 10 + xi)).toSeq.toDF("t", "y", "x", "v")
+    val g = s"${tmpDir("dsv2lvl")}/base.zarr"
+    ZarrSource.writeCubeVars(df, g, Seq("v"),
+      Seq("t" -> t, "y" -> y, "x" -> x), chunks = Seq(1, 4, 4))
+    val gm = GridMapping(8, 8, 0.0, 0.0, 1.0, 1.0)
+    // the reference pyramid step: subsample(mean) over the CONNECTOR table
+    val cube = Cube(spark.read.format("zarr").load(g), gm, "t", "y", "x")
+    val (lvl, gm2) = SubsampleOps.subsample(cube, 2, Seq("v" -> "mean"))
+    assert(gm2.xRes === 2.0)
+    val plan = lvl.queryExecution.executedPlan
+    // the whole skipna block-mean pushed: iExpr/jExpr composite keys AND
+    // the CASE WHEN v <= Inf guard fold inside the reader — no cell-level
+    // exchange (16 blocks x sum+count partials from 4 chunks, not 64 cells)
+    assert(plan.toString.contains("ZarrVarAggScan"), plan.toString.take(1200))
+    val scan = lvl.queryExecution.sparkPlan.collectLeaves()
+      .collectFirst { case b: BatchScanExec => b }.get
+    // 4 chunks x (2x2 blocks each) = 16 partial rows cross the exchange
+    assert(scan.inputRDD.count() === 16L)
+    // values match the RDD-path pyramid step exactly, NaN holes included:
+    // the (0,0) block keeps its one valid cell's value, a fully-NaN block
+    // would be null — xarray's skipna mean
+    val expect = SubsampleOps.subsample(
+      Cube(ZarrSource.readCubeVars(spark, g, Seq("v")), gm, "t", "y", "x"),
+      2, Seq("v" -> "mean"))._1
+      .collect().map(r => (r.getDouble(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).sortBy(r => (r._1, r._2, r._3))
+    val got = lvl.collect().map(r => (r.getDouble(0), r.getLong(1),
+      r.getLong(2), r.getDouble(3))).sortBy(r => (r._1, r._2, r._3))
+    assert(got.length === 16)
+    assert(got.toSeq === expect.toSeq)
+    assert(got.find(r => r._2 == 0L && r._3 == 0L).get._4 === 5.5) // lone cell
+    // an image-down grid (jExpr = floor((yMax - y)/res)) also parses
+    val gmDown = GridMapping(8, 8, 0.0, 0.0, 1.0, 1.0, yDown = true)
+    val (lvlDown, _) = SubsampleOps.subsample(
+      Cube(spark.read.format("zarr").load(g), gmDown, "t", "y", "x"),
+      2, Seq("v" -> "mean"))
+    assert(lvlDown.queryExecution.executedPlan.toString.contains("ZarrVarAggScan"))
+    val expDown = SubsampleOps.subsample(
+      Cube(ZarrSource.readCubeVars(spark, g, Seq("v")), gmDown, "t", "y", "x"),
+      2, Seq("v" -> "mean"))._1
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3))).sorted
+    assert(lvlDown.collect().map(r => (r.getLong(1), r.getLong(2),
+      r.getDouble(3))).sorted.toSeq === expDown.toSeq)
+    // skipna min/max/sum/count push too, with null for all-NaN groups
+    val holes = (for { yi <- y; xi <- x } yield
+      (0.0, yi, xi, if (yi < 4.0) Double.NaN else yi + xi))
+      .toSeq.toDF("t", "y", "x", "v")
+    val g2 = s"${tmpDir("dsv2lvl")}/holes.zarr"
+    ZarrSource.writeCubeVars(holes, g2, Seq("v"),
+      Seq("t" -> t, "y" -> y, "x" -> x), chunks = Seq(1, 4, 4))
+    val cube2 = Cube(spark.read.format("zarr").load(g2), gm, "t", "y", "x")
+    val (mm, _) = SubsampleOps.subsample(cube2, 4,
+      Seq("v" -> "min", "v" -> "max", "v" -> "sum", "v" -> "count"))
+    assert(mm.queryExecution.executedPlan.toString.contains("ZarrVarAggScan"))
+    val mmE = SubsampleOps.subsample(
+      Cube(ZarrSource.readCubeVars(spark, g2, Seq("v")), gm, "t", "y", "x"),
+      4, Seq("v" -> "min", "v" -> "max", "v" -> "sum", "v" -> "count"))._1
+    assert(mm.collect().map(_.toSeq).map(_.toString).sorted.toSeq ===
+      mmE.collect().map(_.toSeq).map(_.toString).sorted.toSeq)
+  }
+
   test("write bridge derives all coordinate axes in one data pass") {
     import spark.implicits._
     val df = (for { t <- 0 until 3; y <- 0 until 4; x <- 0 until 5 } yield
