@@ -824,6 +824,37 @@ object ServingPack extends QueryPack {
           col("min_v"), col("max_v"), col("sum_v"))
     }),
 
+    // top-n over a DATA VARIABLE — the "hottest cells" peek: no slab
+    // structure to cut on, so the connector folds each task's best k rows
+    // in a bounded heap over the FULL sort tuple (ZarrTopNScan) and the
+    // exchange carries O(tasks x k) rows, never O(cells); Spark re-sorts
+    // the partials above. Ties on v break deterministically on (t, y, x).
+    "q_zarr_topn_var" -> ((s, d) => {
+      val sfName = new java.io.File(d).getName
+      val base = s"/root/repo/.graft-fixtures/zarraggpush_$sfName"
+      val group = s"$base/cube.zarr"
+      Fixtures.ensureWritten(base, "t=4,grid=100x360,chunks=1x50x90,dyadic64") {
+        new java.io.File(base).mkdirs()
+        val cells = s.range(4L * 100 * 360).select(
+          (col("id") / (100L * 360)).cast("long").as("ti"),
+          ((col("id") / 360) % 100).cast("long").as("j"),
+          (col("id") % 360).cast("long").as("i"))
+          .select(col("ti").cast("double").as("t"),
+            (col("j") + 0.5).cast("double").as("y"),
+            (col("i") + 0.5).cast("double").as("x"),
+            (((col("j") * 360 + col("i") + col("ti") * 7) % 4096) / 64.0).as("v"))
+        ZarrSource.writeCube(cells, group, "v",
+          Seq("t" -> Array.tabulate(4)(_.toDouble),
+            "y" -> Array.tabulate(100)(_ + 0.5),
+            "x" -> Array.tabulate(360)(_ + 0.5)),
+          chunks = Seq(1, 50, 90))
+      }
+      s.read.format("zarr").load(group)
+        .orderBy(col("v").desc, col("t"), col("y"), col("x"))
+        .limit(100)
+        .select(col("t").cast("long").as("t"), col("y"), col("x"), col("v"))
+    }),
+
     // BLOCK-KEY grouped aggregate pushdown — the subsample / pyramid-build
     // / resample shape (reference subsampling.py:25-135, level.py:107):
     // GROUP BY t, floor(y/10), floor(x/60) with var aggregates folds
@@ -2132,6 +2163,13 @@ object ServingPack extends QueryPack {
                FROM range(0, 144000) r(k))
          WHERE ((k // 360) % 100) <= 49
          GROUP BY 1""",
+    "q_zarr_topn_var" ->
+      """SELECT (k // 36000)::BIGINT AS t,
+                ((k // 360) % 100) + 0.5 AS y, (k % 360) + 0.5 AS x,
+                (((k // 360) % 100) * 360 + (k % 360)
+                  + (k // 36000) * 7) % 4096 / 64.0 AS v
+         FROM range(0, 144000) r(k)
+         ORDER BY 4 DESC, 1, 2, 3 LIMIT 100""",
     "q_zarr_block_agg" ->
       """SELECT (k // 36000)::BIGINT AS t,
                 ((k // 360) % 100) // 10 AS bj,

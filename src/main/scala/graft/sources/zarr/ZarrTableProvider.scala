@@ -462,13 +462,16 @@ final class ZarrScanBuilder(meta: ZarrGroupMeta,
   // re-applies the full sort + limit above the (partial) scan, which
   // also makes the secondary sort keys exact.
   private var topN: Option[(Int, Boolean, Int)] = None // (dim, desc, n)
+  // the fold fallback: every sort key a plain scan column -> per-task
+  // bounded heap over the full sort tuple (ZarrTopNScan)
+  private var topNFold: Option[(Seq[(String, Boolean)], Int)] = None
   override def pushTopN(orders: Array[
       org.apache.spark.sql.connector.expressions.SortOrder], n: Int): Boolean = {
+    import org.apache.spark.sql.connector.expressions.SortDirection.DESCENDING
     val first = orders.headOption.flatMap { o =>
       ZarrScan.dimName(meta, o.expression()).map { d =>
         val k = meta.za.dims.indexOf(d)
-        (k, o.direction() ==
-          org.apache.spark.sql.connector.expressions.SortDirection.DESCENDING)
+        (k, o.direction() == DESCENDING)
       }
     }.filter { case (k, _) =>
       // with secondary sort keys the slab cut must not drop a row TIED on
@@ -480,8 +483,24 @@ final class ZarrScanBuilder(meta: ZarrGroupMeta,
       if (orders.length > 1) ZarrScan.strictMonotone(meta.coords(k))
       else ZarrScan.monotone(meta.coords(k))
     }
-    first.foreach { case (k, desc) => topN = Some((k, desc, n)) }
-    first.isDefined
+    if (first.isDefined) {
+      first.foreach { case (k, desc) => topN = Some((k, desc, n)) }
+      true
+    } else {
+      // no slab cut available (data-variable ordering, non-/non-strictly-
+      // monotone coordinate): fold the top-n per task instead — chunks all
+      // read, but the exchange carries O(tasks x n) rows, and ordering by
+      // the FULL tuple makes dropped rows at worst full-tuple ties
+      val cols = orders.toSeq.map { o =>
+        (ZarrVarAggScan.aggColumn(meta, o.expression())
+          .collect { case (nm, false) => nm },
+          o.direction() == DESCENDING)
+      }
+      if (cols.nonEmpty && cols.forall(_._1.isDefined)) {
+        topNFold = Some((cols.map(c => (c._1.get, c._2)), n))
+        true
+      } else false
+    }
   }
 
   private var consumed: Array[Filter] = Array.empty
@@ -603,12 +622,21 @@ final class ZarrScanBuilder(meta: ZarrGroupMeta,
     case (None, Some((agg, keys, schema))) =>
       ZarrVarAggScan(meta, consumed, agg, schema, keys)
     case _ =>
-      // a pushed top-n subsumes any plain limit (Spark pushes one or the
-      // other by plan shape; defensively, the slab-aligned cut must win —
-      // a cell-exact limit cut could split a slab and break the top-n
-      // superset contract)
-      ZarrScan(meta, consumed, required, maxSlicesPerTrigger,
-        if (topN.isDefined) None else limit, topN)
+      topNFold match {
+        // the fold needs every sort column in the scan output (Spark keeps
+        // them — it re-sorts above the partial scan); bail to a plain scan
+        // if pruning ever removed one
+        case Some((keys, n)) if keys.forall(k =>
+            required.fieldNames.contains(k._1)) =>
+          ZarrTopNScan(meta, consumed, required, keys, n)
+        case _ =>
+          // a pushed top-n subsumes any plain limit (Spark pushes one or
+          // the other by plan shape; defensively, the slab-aligned cut
+          // must win — a cell-exact limit cut could split a slab and
+          // break the top-n superset contract)
+          ZarrScan(meta, consumed, required, maxSlicesPerTrigger,
+            if (topN.isDefined || topNFold.isDefined) None else limit, topN)
+      }
   }
 }
 

@@ -1115,14 +1115,21 @@ class ZarrDsv2Spec extends AnyFunSuite {
     def order(name: String) =
       Expressions.sort(Expressions.column(name), SortDirection.DESCENDING)
     val dup = Array(0.0, 1.0, 1.0, 2.0) // monotone, NOT strict
-    // single key: boundary ties are plain SQL tie nondeterminism -> push
-    assert(builder(dup).pushTopN(Array(order("t")), 5))
-    // secondary keys could deterministically prefer a dropped tied row ->
-    // the duplicate first-key coordinate must decline the cut
-    assert(!builder(dup).pushTopN(Array(order("t"), order("v")), 5))
-    // strictly monotone coordinate: multi-key pushes
-    assert(builder(Array(0.0, 1.0, 2.0, 3.0))
-      .pushTopN(Array(order("t"), order("v")), 5))
+    // single key: boundary ties are plain SQL tie nondeterminism -> the
+    // slab CUT applies
+    val b1 = builder(dup)
+    assert(b1.pushTopN(Array(order("t")), 5))
+    assert(b1.build().description().contains("PushedTopN: "))
+    // secondary keys could deterministically prefer a dropped row tied on
+    // the first key -> the duplicate coordinate must NOT take the slab
+    // cut; the full-tuple FOLD takes over instead
+    val b2 = builder(dup)
+    assert(b2.pushTopN(Array(order("t"), order("v")), 5))
+    assert(b2.build().isInstanceOf[graft.sources.zarr.ZarrTopNScan])
+    // strictly monotone coordinate: multi-key slab cut stays
+    val b3 = builder(Array(0.0, 1.0, 2.0, 3.0))
+    assert(b3.pushTopN(Array(order("t"), order("v")), 5))
+    assert(b3.build().description().contains("PushedTopN: "))
   }
 
   test("top-n over a duplicate coordinate returns the secondary-key winner") {
@@ -1153,11 +1160,15 @@ class ZarrDsv2Spec extends AnyFunSuite {
     bs.write(s"$g/v/1", le(99.0))
     val ds = spark.read.format("zarr").load(g)
     val q = ds.orderBy(col("t"), col("v").desc).limit(1)
-    assert(!q.queryExecution.executedPlan.toString.contains("PushedTopN"))
+    // the duplicate coordinate rules out the slab CUT; the per-task FOLD
+    // (full-tuple heap) takes over and still gets the right row
+    val planStr = q.queryExecution.executedPlan.toString
+    assert(!planStr.contains("PushedTopN: "), planStr.take(600))
+    assert(planStr.contains("PushedTopNFold"), planStr.take(600))
     assert(q.head.getDouble(1) === 99.0)
-    // single-key ordering over the same store still pushes the cut
+    // single-key ordering over the same store still pushes the slab cut
     val single = ds.orderBy(col("t").desc).limit(1)
-    assert(single.queryExecution.executedPlan.toString.contains("PushedTopN"))
+    assert(single.queryExecution.executedPlan.toString.contains("PushedTopN: "))
     assert(single.count() === 1)
   }
 
@@ -1244,6 +1255,37 @@ class ZarrDsv2Spec extends AnyFunSuite {
     assert(!nv.queryExecution.executedPlan.toString.contains("ZarrVarAggScan"))
     assert(nv.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
       === Seq((0L, 24L), (1L, 24L), (2L, 24L)))
+  }
+
+  test("top-n over a data variable folds per task (bounded-heap partial)") {
+    val g = writeFixture() // 12 chunks, one task each (minPartitionNum pin)
+    val ds = spark.read.format("zarr").load(g)
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    def scanOf(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.sparkPlan.collectLeaves()
+        .collectFirst { case b: BatchScanExec => b }.get
+    // hottest-cells: ORDER BY a DATA VARIABLE — no slab structure, so the
+    // fold keeps each task's best k and ships O(tasks x k), not O(cells)
+    val q = ds.orderBy(col("v").desc).limit(2)
+    val planStr = q.queryExecution.executedPlan.toString
+    assert(planStr.contains("PushedTopNFold: [v DESC LIMIT 2]"),
+      planStr.take(900))
+    assert(scanOf(q).inputRDD.count() === 24L) // 12 tasks x 2, not 72 cells
+    assert(q.collect().map(_.getDouble(3)).toSeq === Seq(2405.5, 2404.5))
+    // mixed var+dim keys, ties on the first key broken by the second, and
+    // a consumed filter pruning chunks first — all exact vs the full sort
+    val f = ds.filter(col("t") >= 1.0)
+      .orderBy(col("w").desc, col("v")).limit(5)
+    assert(f.queryExecution.executedPlan.toString.contains("PushedTopNFold"))
+    val expect = ZarrSource.readCubeVars(spark, g, Seq("v", "w"))
+      .filter(col("t") >= 1.0)
+      .orderBy(col("w").desc, col("v")).limit(5)
+      .collect().map(_.toSeq)
+    assert(f.collect().map(_.toSeq).toSeq === expect.toSeq)
+    // ascending over a variable works from the other end
+    val asc = ds.orderBy(col("v")).limit(3)
+    assert(asc.queryExecution.executedPlan.toString.contains("PushedTopNFold"))
+    assert(asc.collect().map(_.getDouble(3)).toSeq === Seq(100.5, 101.5, 102.5))
   }
 
   test("compute_levels FROM the connector folds per chunk (skipna mean)") {
