@@ -824,6 +824,35 @@ object ServingPack extends QueryPack {
           col("min_v"), col("max_v"), col("sum_v"))
     }),
 
+    // archive-directory-as-a-table: a directory of NetCDF granules opens
+    // as ONE relational table through format("kerchunk") — first open
+    // fleet-scans headers once into a persisted _refs.json index beside
+    // the granules; re-opens do zero header IO; a granule that lands
+    // AFTER the index exists is scanned alone and stream-merged in. The
+    // fixture builds the index over 3 granules, then writes a 4th, so
+    // this query's correctness PROVES the incremental merge (t >= 1 also
+    // elides granule 0's chunks via concat-dim pruning).
+    "q_archive_dsv2" -> ((s, d) => {
+      import NetcdfSource.NcDim
+      val sfName = new java.io.File(d).getName
+      val base = s"/root/repo/.graft-fixtures/archive_$sfName"
+      val dir = s"$base/daily.archive"
+      Fixtures.ensureWritten(base, "granules=3+1,x=24,incremental-merge") {
+        new java.io.File(dir).mkdirs()
+        def granule(i: Int): Unit =
+          NetcdfSource.write(s"$dir/day$i.nc", Seq(NcDim("x", 24)),
+            Seq(("x", Array.tabulate(24)(_ + 0.5))),
+            Seq(("v", Seq("x"), Array.tabulate(24)(k => i * 100.0 + k))))
+        (0 until 3).foreach(granule)
+        KerchunkSource.ensureArchiveIndex(s, dir) // fleet scan -> index
+        granule(3) // lands after the index: picked up incrementally
+      }
+      s.read.format("kerchunk").load(dir)
+        .filter(col("t") >= 1.0)
+        .groupBy(col("t").cast("long").as("t"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sum_v"))
+    }),
+
     // top-n over a DATA VARIABLE — the "hottest cells" peek: no slab
     // structure to cut on, so the connector folds each task's best k rows
     // in a bounded heap over the FULL sort tuple (ZarrTopNScan) and the
@@ -2162,6 +2191,10 @@ object ServingPack extends QueryPack {
                         + (k // 36000) * 7) % 4096 / 64.0 AS v
                FROM range(0, 144000) r(k))
          WHERE ((k // 360) % 100) <= 49
+         GROUP BY 1""",
+    "q_archive_dsv2" ->
+      """SELECT g::BIGINT AS t, count(*) AS n, sum(g * 100.0 + i) AS sum_v
+         FROM range(1, 4) r(g), range(0, 24) s(i)
          GROUP BY 1""",
     "q_zarr_topn_var" ->
       """SELECT (k // 36000)::BIGINT AS t,

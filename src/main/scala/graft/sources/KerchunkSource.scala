@@ -901,6 +901,7 @@ object KerchunkSource {
     * (an 8-byte read — never the payload).
     */
   def scanAuto(path: String): String = {
+    scanCount.incrementAndGet() // header-IO audit (see ensureArchiveIndex)
     val f = new java.io.File(path)
     if (f.isDirectory) return scanZarr(path)
     val magic = {
@@ -993,5 +994,195 @@ object KerchunkSource {
       }
     }
     refsDoc(out)
+  }
+
+  // ------------------------------------------------ archive-as-a-table
+
+  /** Sidecar names of the persisted archive index, written beside the
+    * granules (reference `store/ref/store.py` — the combined reference
+    * set IS the archive's catalog; here it is also persisted and
+    * incrementally maintained). */
+  val IndexFileName = "_refs.json"
+  val ManifestFileName = "_refs_manifest.json"
+
+  /** Granule-header scans performed (scanAuto calls, executors included
+    * under local[n]) — lets specs and the oracle gate audit that
+    * re-opening an already-indexed archive does ZERO header IO. */
+  val scanCount = new java.util.concurrent.atomic.AtomicLong
+
+  /** The archive's granule files, sorted: regular entries that are not
+    * index sidecars (leading `_`) or dotfiles. */
+  def listGranules(dir: String): Seq[String] =
+    ByteStore.current.list(dir).collect {
+      case (name, false) if !name.startsWith(".") && !name.startsWith("_") =>
+        name
+    }.sorted
+
+  /** Ensure `<dir>/_refs.json` covers exactly the archive's CURRENT
+    * granule files; returns the index path. Three steady states:
+    *
+    *  - manifest matches the listing → reuse the index untouched. A
+    *    re-open costs one list + one manifest read — zero granule-header
+    *    IO, the `preload`/cached-refs behavior of the reference store.
+    *  - new granules appended (every new name sorts after the old ones,
+    *    the date-named-granule growth pattern) → fleet-scan ONLY the new
+    *    files and stream-merge their refs into the index (one pass over
+    *    the old index, no old-granule IO) — the `q_ivf_incremental`
+    *    maintenance discipline applied to the archive catalog.
+    *  - anything else changed (removed/renamed/inserted granules) → full
+    *    fleet rescan + combine.
+    *
+    * The concat coordinate is the granule ordinal (0..n-1 by sorted file
+    * name) — monotone by construction, so a predicate on it elides whole
+    * granules through the connector's chunk pruning. */
+  def ensureArchiveIndex(spark: SparkSession, dir: String,
+                         concatDim: String = "t"): String = {
+    val bs = ByteStore.current
+    val granules = listGranules(dir)
+    require(granules.nonEmpty, s"$dir: no granule files to index")
+    val indexPath = s"$dir/$IndexFileName"
+    val manifestPath = s"$dir/$ManifestFileName"
+    val old: Option[(String, Seq[String])] =
+      bs.readIfExists(manifestPath).map { bytes =>
+        val n = mapper.readTree(bytes)
+        (n.path("concatDim").asText,
+          (0 until n.path("granules").size())
+            .map(i => n.path("granules").get(i).asText))
+      }
+    old match {
+      case Some((cd, oldG)) if cd == concatDim && oldG == granules =>
+        indexPath // up to date: zero header IO
+      case Some((cd, oldG)) if cd == concatDim &&
+          granules.take(oldG.length) == oldG =>
+        val fresh = granules.drop(oldG.length)
+        appendToIndex(indexPath,
+          scanGranules(spark, fresh.map(n => s"$dir/$n")), concatDim)
+        writeManifest(manifestPath, concatDim, granules)
+        indexPath
+      case _ =>
+        bs.write(indexPath, combineRefs(
+          scanGranules(spark, granules.map(n => s"$dir/$n")), concatDim,
+          Array.tabulate(granules.length)(_.toDouble)).getBytes("UTF-8"))
+        writeManifest(manifestPath, concatDim, granules)
+        indexPath
+    }
+  }
+
+  private def writeManifest(path: String, concatDim: String,
+                            granules: Seq[String]): Unit =
+    ByteStore.current.write(path,
+      (s"""{"concatDim": ${jstr(concatDim)}, """ +
+        s""""granules": [${granules.map(jstr).mkString(", ")}]}""")
+        .getBytes("UTF-8"))
+
+  /** Merge freshly-scanned granule docs into an existing combined index:
+    * ONE streaming pass over the old index (metadata entries rewritten —
+    * concat extents +k, coordinate chunk extended — data-chunk refs
+    * copied verbatim), then the new granules' chunk refs appended with
+    * the next ordinals. Every new granule's layout is validated against
+    * the archive's BEFORE any byte is written, so a mismatched granule
+    * leaves the index untouched. Old granule headers are never re-read.
+    */
+  private[sources] def appendToIndex(indexPath: String, newDocs: Seq[String],
+                                     concatDim: String): Unit = {
+    val newRefs = newDocs.map(d => parseJson(mapper.readTree(d)))
+    if (newRefs.isEmpty) return
+    def isMetaKey(kk: String): Boolean =
+      kk.substring(kk.lastIndexOf('/') + 1).startsWith(".z")
+    val meta = parseSelective(indexPath, isMetaKey)
+    val names = listArrays(meta)
+    require(names.contains(concatDim),
+      s"$indexPath: no '$concatDim' coordinate in the archive index")
+    val oldN = openArray(meta, concatDim).shape.head
+    val k = newRefs.length
+    val dataVars = names.filter { n =>
+      val za = openArray(meta, n)
+      za.dims.headOption.contains(concatDim) && za.dims != Seq(n)
+    }
+    // full validation pass BEFORE mutating anything
+    names.foreach {
+      case `concatDim` =>
+        newRefs.zipWithIndex.foreach { case (r, g) =>
+          require(!listArrays(r).contains(concatDim),
+            s"granule $g: already carries a '$concatDim' array")
+        }
+      case n if dataVars.contains(n) =>
+        val za = openArray(meta, n)
+        val expect = za.copy(shape = za.shape.tail, chunks = za.chunks.tail,
+          dims = za.dims.tail)
+        newRefs.zipWithIndex.foreach { case (r, g) =>
+          val other = openArray(r, n)
+          require(other.copy(fillValue = 0) == expect.copy(fillValue = 0) &&
+            java.lang.Double.doubleToLongBits(other.fillValue) ==
+              java.lang.Double.doubleToLongBits(expect.fillValue),
+            s"granule $g: layout of '$n' differs from the archive index")
+        }
+      case n => // shared coordinate: layout must agree (values, like
+        // combineRefs, stay granule-0's)
+        val za = openArray(meta, n)
+        newRefs.zipWithIndex.foreach { case (r, g) =>
+          val other = openArray(r, n)
+          require(other.copy(fillValue = 0) == za.copy(fillValue = 0),
+            s"granule $g: coordinate '$n' layout differs from the archive")
+        }
+    }
+    def bumpLead(node: JsonNode, field: String, by: Int,
+                 replaceWhole: Option[Int] = None): Unit = {
+      val obj = node.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      val arr = mapper.createArrayNode()
+      replaceWhole match {
+        case Some(v) => arr.add(v)
+        case None =>
+          arr.add(obj.path(field).get(0).asInt + by)
+          import scala.jdk.CollectionConverters._
+          obj.path(field).elements.asScala.drop(1).foreach(arr.add)
+      }
+      obj.set(field, arr); ()
+    }
+    val sb = new java.lang.StringBuilder(1 << 16)
+    sb.append("{\"version\": 1, \"refs\": {")
+    var first = true
+    def put(key: String, value: String): Unit = {
+      if (!first) sb.append(", ")
+      first = false
+      sb.append(jstr(key)).append(": ").append(value)
+    }
+    streamRefs(indexPath, _ => true) { (key, ref) =>
+      val name = key.substring(0, math.max(key.indexOf('/'), 0))
+      if (key == s"$concatDim/.zarray") {
+        val node = mapper.readTree(ref.inline)
+        bumpLead(node, "shape", k, replaceWhole = Some(oldN + k))
+        bumpLead(node, "chunks", k, replaceWhole = Some(oldN + k))
+        put(key, jstr(mapper.writeValueAsString(node)))
+      } else if (key == s"$concatDim/0") {
+        require(ref.isInline,
+          s"$indexPath: '$key' must be an inline coordinate chunk")
+        val buf = java.nio.ByteBuffer.allocate(ref.inline.length + 8 * k)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        buf.put(ref.inline)
+        (0 until k).foreach(i => buf.putDouble((oldN + i).toDouble))
+        put(key, jstr("base64:" +
+          java.util.Base64.getEncoder.encodeToString(buf.array())))
+      } else if (key.endsWith("/.zarray") && dataVars.contains(name)) {
+        val node = mapper.readTree(ref.inline)
+        bumpLead(node, "shape", k)
+        put(key, jstr(mapper.writeValueAsString(node)))
+      } else {
+        put(key, refValue(ref, isMetaKey(key)))
+      }
+    }
+    newRefs.zipWithIndex.foreach { case (r, i) =>
+      val g = oldN + i
+      dataVars.foreach { v =>
+        val sep = openArray(meta, v).separator
+        r.entries.keys.filter(kk => kk.startsWith(s"$v/") && !isMetaKey(kk))
+          .toSeq.sorted.foreach { kk =>
+            put(s"$v/$g$sep${kk.stripPrefix(s"$v/")}",
+              refValue(r(kk), isMeta = false))
+          }
+      }
+    }
+    sb.append("}}")
+    ByteStore.current.write(indexPath, sb.toString.getBytes("UTF-8"))
   }
 }

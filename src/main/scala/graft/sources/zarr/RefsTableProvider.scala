@@ -49,8 +49,10 @@ abstract class RefsProviderBase(short: String)
     * kerchunk provider overrides this with the LAZY opener so arbitrarily
     * large reference documents plan with bounded driver memory.
     * `only` carries `.option("vars", "a,b")` — the mixed-grid escape
-    * hatch, same contract as the zarr connector. */
-  protected def openMeta(path: String, only: Option[Seq[String]]): ZarrGroupMeta
+    * hatch, same contract as the zarr connector; `options` carries the
+    * rest (the kerchunk archive mode reads `concatDim`). */
+  protected def openMeta(path: String, only: Option[Seq[String]],
+                         options: CaseInsensitiveStringMap): ZarrGroupMeta
 
   // one scan serves inferSchema AND getTable (same discipline as
   // ZarrTableProvider — never parse a granule header twice per read)
@@ -64,8 +66,9 @@ abstract class RefsProviderBase(short: String)
     val only = Option(options.get("vars"))
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     metaCache.computeIfAbsent(
-      path + only.map("?vars=" + _.mkString(",")).getOrElse(""),
-      _ => openMeta(path, only))
+      path + only.map("?vars=" + _.mkString(",")).getOrElse("") +
+        Option(options.get("concatDim")).map("?concatDim=" + _).getOrElse(""),
+      _ => openMeta(path, only, options))
   }
 
   override def shortName(): String = short
@@ -84,8 +87,8 @@ abstract class RefsProviderBase(short: String)
   * NetCDF-4/HDF5 are both handled (the scanner dispatches on the file's
   * own magic, like the RDD-path [[graft.sources.NetcdfSource.read]]). */
 final class NetcdfTableProvider extends RefsProviderBase("netcdf") {
-  override protected def openMeta(path: String,
-                                  only: Option[Seq[String]]): ZarrGroupMeta =
+  override protected def openMeta(path: String, only: Option[Seq[String]],
+                                  options: CaseInsensitiveStringMap): ZarrGroupMeta =
     ZarrTable.openRefs(KerchunkSource.parseJson(
       new com.fasterxml.jackson.databind.ObjectMapper()
         .readTree(KerchunkSource.scanAuto(path))), path, only)
@@ -93,22 +96,45 @@ final class NetcdfTableProvider extends RefsProviderBase("netcdf") {
 
 /** `format("geotiff")`: one GeoTIFF/COG (strips or tiles; none/deflate). */
 final class GeoTiffTableProvider extends RefsProviderBase("geotiff") {
-  override protected def openMeta(path: String,
-                                  only: Option[Seq[String]]): ZarrGroupMeta =
+  override protected def openMeta(path: String, only: Option[Seq[String]],
+                                  options: CaseInsensitiveStringMap): ZarrGroupMeta =
     ZarrTable.openRefs(KerchunkSource.parseJson(
       new com.fasterxml.jackson.databind.ObjectMapper()
         .readTree(KerchunkSource.scanGeoTiff(path))), path, only)
 }
 
 /** `format("kerchunk")`: a reference document (typically the
-  * [[KerchunkSource.combineRefs]] of a fleet scan over an archive).
-  * Opens LAZILY — metadata and coordinates stream in bounded passes and
-  * only the pruned query's surviving chunk refs are ever resolved, so a
-  * 10^8-ref combined archive plans with the driver memory of its own
-  * answer (the reference's large-reference-set contract,
-  * `store/ref/store.py:49-53`, fused with optimizer-driven pruning). */
+  * [[KerchunkSource.combineRefs]] of a fleet scan over an archive), OR a
+  * whole archive DIRECTORY of granules.
+  *
+  * A document opens LAZILY — metadata and coordinates stream in bounded
+  * passes and only the pruned query's surviving chunk refs are ever
+  * resolved, so a 10^8-ref combined archive plans with the driver memory
+  * of its own answer (the reference's large-reference-set contract,
+  * `store/ref/store.py:49-53`, fused with optimizer-driven pruning).
+  *
+  * A DIRECTORY (that is not itself a zarr group) opens as ONE table over
+  * every granule file inside it ([[KerchunkSource.ensureArchiveIndex]]):
+  * the first open fleet-scans the granule headers once and persists the
+  * combined refs index as `_refs.json` beside the granules; subsequent
+  * opens reuse it with zero header IO; newly appended granules are
+  * scanned incrementally and stream-merged into the index. The concat
+  * coordinate (`option("concatDim")`, default "t") is the granule
+  * ordinal — monotone, so a predicate on it elides whole granules
+  * through chunk pruning. */
 final class KerchunkTableProvider extends RefsProviderBase("kerchunk") {
-  override protected def openMeta(path: String,
-                                  only: Option[Seq[String]]): ZarrGroupMeta =
-    ZarrTable.openRefsLazy(path, only)
+  override protected def openMeta(path: String, only: Option[Seq[String]],
+                                  options: CaseInsensitiveStringMap): ZarrGroupMeta = {
+    val f = new java.io.File(path)
+    val local = path.indexOf("://") < 0 && !path.startsWith("file:")
+    if (local && f.isDirectory) {
+      val bs = graft.sources.ByteStore.current
+      require(!bs.exists(s"$path/.zgroup") && !bs.exists(s"$path/zarr.json"),
+        s"$path: a zarr group directory — open it with format(\"zarr\")")
+      val concatDim = Option(options.get("concatDim")).getOrElse("t")
+      val idx = KerchunkSource.ensureArchiveIndex(
+        org.apache.spark.sql.SparkSession.active, path, concatDim)
+      ZarrTable.openRefsLazy(idx, only)
+    } else ZarrTable.openRefsLazy(path, only)
+  }
 }

@@ -145,6 +145,52 @@ class RefsDsv2Spec extends AnyFunSuite {
     assert(one.agg(sum("v")).head.getDouble(0) === 10.0 + 11.0 + 12.0)
   }
 
+  test("archive directory opens as ONE table: indexed once, pruned, incremental") {
+    val dir = tmpDir("arcdsv2")
+    val x = Array(0.0, 1.0, 2.0)
+    def writeGranule(g: Int): Unit =
+      NetcdfSource.write(s"$dir/g$g.nc", Seq(NcDim("x", 3)), Seq(("x", x)),
+        Seq(("v", Seq("x"), Array.tabulate(3)(i => g * 10.0 + i))))
+    (0 until 3).foreach(writeGranule)
+    val before = KerchunkSource.scanCount.get()
+    val ds = spark.read.format("kerchunk").load(dir)
+    assert(ds.columns.toSeq == Seq("t", "x", "v"))
+    assert(ds.count() === 9)
+    // first open fleet-scans each granule header exactly once and
+    // persists the index beside the archive
+    assert(KerchunkSource.scanCount.get() - before === 3)
+    assert(new java.io.File(s"$dir/${KerchunkSource.IndexFileName}").exists())
+    // a concat-dim predicate elides whole granules (partition audit)
+    val one = ds.filter(col("t") === 1.0)
+    assert(one.rdd.getNumPartitions === 1)
+    assert(one.agg(sum("v")).head.getDouble(0) === 33.0)
+    // second open: list + manifest only — ZERO granule-header IO
+    val mid = KerchunkSource.scanCount.get()
+    val ds2 = spark.read.format("kerchunk").load(dir)
+    assert(ds2.count() === 9)
+    assert(KerchunkSource.scanCount.get() === mid)
+    // a new granule appears: only IT is header-scanned; the index is
+    // stream-merged, old granules untouched
+    writeGranule(3)
+    val ds3 = spark.read.format("kerchunk").load(dir)
+    assert(KerchunkSource.scanCount.get() - mid === 1)
+    assert(ds3.count() === 12)
+    assert(ds3.filter(col("t") === 3.0).rdd.getNumPartitions === 1)
+    assert(ds3.filter(col("t") === 3.0).agg(sum("v")).head.getDouble(0) === 93.0)
+    assert(ds3.agg(sum("v")).head.getDouble(0) ===
+      (0 to 3).map(g => g * 30.0 + 3.0).sum)
+    // a layout-mismatched granule declines LOUDLY before any index write
+    NetcdfSource.write(s"$dir/g4.nc", Seq(NcDim("x", 4)),
+      Seq(("x", Array(0.0, 1.0, 2.0, 3.0))),
+      Seq(("v", Seq("x"), Array.fill(4)(1.0))))
+    val e = intercept[Exception](
+      spark.read.format("kerchunk").load(dir).count())
+    assert(e.getMessage.contains("differs from the archive"), e.getMessage)
+    // the index still serves the pre-append state
+    new java.io.File(s"$dir/g4.nc").delete()
+    assert(spark.read.format("kerchunk").load(dir).count() === 12)
+  }
+
   test("aggregate pushdown reaches the refs connectors through the shared engine") {
     val p = hdf5Fixture()
     val ds = spark.read.format("netcdf").load(p)
