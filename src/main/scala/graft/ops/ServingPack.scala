@@ -123,6 +123,32 @@ object ServingPack extends QueryPack {
     prod
   }
 
+  /** Shared oracle of q_sentinel3 AND q_sentinel3_dsv2 — the two openers
+    * (RDD-path pivot vs DSv2 refs table) must hash-match each other. */
+  private def sentinel3OracleSql: String =
+    s"""WITH ${CubePack.cubeCte},
+       chl AS (SELECT floor(y)::BIGINT AS j, floor(x)::BIGINT AS i,
+                      round(sum(v::DECIMAL(28,12))::DOUBLE / count(*), 6) AS v
+               FROM cube WHERE CAST(time AS DATE) = DATE '2024-01-01'
+               GROUP BY j, i),
+       tsm AS (SELECT floor(y)::BIGINT AS j, floor(x)::BIGINT AS i,
+                      round(sum(v::DECIMAL(28,12))::DOUBLE / count(*), 6) AS v
+               FROM cube WHERE CAST(time AS DATE) = DATE '2024-01-02'
+               GROUP BY j, i),
+       grid AS (SELECT t.j, t2.i,
+                       ((t2.i + 0.5 - 180) + (t.j + 0.5 - 50)) AS geo
+                FROM range(0, 100) t(j) CROSS JOIN range(0, 360) t2(i))
+       SELECT (SELECT count(*) FROM grid) AS n_cells,
+              (SELECT round(sum(geo::DECIMAL(28,10)), 6)::DOUBLE FROM grid) AS sum_geo,
+              (SELECT count(*) FROM chl) AS n_chl,
+              (SELECT round(sum(v::DECIMAL(28,10)), 6)::DOUBLE FROM chl) AS sum_chl,
+              (SELECT round(sum(g.geo::DECIMAL(28,10)), 6)::DOUBLE
+               FROM chl JOIN grid g USING (j, i)) AS geo_chl,
+              (SELECT count(*) FROM tsm) AS n_tsm,
+              (SELECT round(sum(v::DECIMAL(28,10)), 6)::DOUBLE FROM tsm) AS sum_tsm,
+              (SELECT round(sum(g.geo::DECIMAL(28,10)), 6)::DOUBLE
+               FROM tsm JOIN grid g USING (j, i)) AS geo_tsm"""
+
   /** Build (once per sf) the 2-day Zarr group; returns the group dir.
     * Shared by q_zarr and q_kerchunk.
     */
@@ -558,6 +584,32 @@ object ServingPack extends QueryPack {
     // transposed decode, a mis-bound grid, or a decoy leaking in all fail.
     "q_sentinel3" -> ((s, d) => {
       val cube = Sentinel3Source.open(s, sentinel3Fixture(s, d))
+      def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(28,10)")
+      cube.agg(
+        count(lit(1)).as("n_cells"),
+        round(sum(dec(col("longitude") + col("latitude"))), 6)
+          .cast("double").as("sum_geo"),
+        count(when(!isnan(col("conc_chl")), 1)).as("n_chl"),
+        round(sum(dec(when(!isnan(col("conc_chl")), col("conc_chl")))), 6)
+          .cast("double").as("sum_chl"),
+        round(sum(dec(when(!isnan(col("conc_chl")),
+          col("longitude") + col("latitude")))), 6)
+          .cast("double").as("geo_chl"),
+        count(when(!isnan(col("conc_tsm")), 1)).as("n_tsm"),
+        round(sum(dec(when(!isnan(col("conc_tsm")), col("conc_tsm")))), 6)
+          .cast("double").as("sum_tsm"),
+        round(sum(dec(when(!isnan(col("conc_tsm")),
+          col("longitude") + col("latitude")))), 6)
+          .cast("double").as("geo_tsm"))
+    }),
+
+    // the SAME product through the DataSourceV2 scan engine
+    // (format("sentinel3"): per-granule headers assembled into a refs
+    // table on the measurement grid — variable pruning and the columnar
+    // path on swath reads). Hash-matches q_sentinel3's oracle: the two
+    // openers must agree cell for cell.
+    "q_sentinel3_dsv2" -> ((s, d) => {
+      val cube = s.read.format("sentinel3").load(sentinel3Fixture(s, d))
       def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(28,10)")
       cube.agg(
         count(lit(1)).as("n_cells"),
@@ -2539,29 +2591,8 @@ object ServingPack extends QueryPack {
                 round(sum(((j + 0.5) + (i + 0.5))::DECIMAL(28,10)), 6)::DOUBLE AS sum_coord,
                 round(sum(v::DECIMAL(28,10)), 6)::DOUBLE AS sum_v
          FROM daily GROUP BY day""",
-    "q_sentinel3" ->
-      s"""WITH ${CubePack.cubeCte},
-         chl AS (SELECT floor(y)::BIGINT AS j, floor(x)::BIGINT AS i,
-                        round(sum(v::DECIMAL(28,12))::DOUBLE / count(*), 6) AS v
-                 FROM cube WHERE CAST(time AS DATE) = DATE '2024-01-01'
-                 GROUP BY j, i),
-         tsm AS (SELECT floor(y)::BIGINT AS j, floor(x)::BIGINT AS i,
-                        round(sum(v::DECIMAL(28,12))::DOUBLE / count(*), 6) AS v
-                 FROM cube WHERE CAST(time AS DATE) = DATE '2024-01-02'
-                 GROUP BY j, i),
-         grid AS (SELECT t.j, t2.i,
-                         ((t2.i + 0.5 - 180) + (t.j + 0.5 - 50)) AS geo
-                  FROM range(0, 100) t(j) CROSS JOIN range(0, 360) t2(i))
-         SELECT (SELECT count(*) FROM grid) AS n_cells,
-                (SELECT round(sum(geo::DECIMAL(28,10)), 6)::DOUBLE FROM grid) AS sum_geo,
-                (SELECT count(*) FROM chl) AS n_chl,
-                (SELECT round(sum(v::DECIMAL(28,10)), 6)::DOUBLE FROM chl) AS sum_chl,
-                (SELECT round(sum(g.geo::DECIMAL(28,10)), 6)::DOUBLE
-                 FROM chl JOIN grid g USING (j, i)) AS geo_chl,
-                (SELECT count(*) FROM tsm) AS n_tsm,
-                (SELECT round(sum(v::DECIMAL(28,10)), 6)::DOUBLE FROM tsm) AS sum_tsm,
-                (SELECT round(sum(g.geo::DECIMAL(28,10)), 6)::DOUBLE
-                 FROM tsm JOIN grid g USING (j, i)) AS geo_tsm""",
+    "q_sentinel3" -> sentinel3OracleSql,
+    "q_sentinel3_dsv2" -> sentinel3OracleSql,
     "q_netcdf4_compact" ->
       s"""WITH ${CubePack.cubeCte},
          daily AS (SELECT CAST(time AS DATE)::VARCHAR AS day,

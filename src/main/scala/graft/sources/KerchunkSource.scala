@@ -441,7 +441,7 @@ object KerchunkSource {
 
   // ------------------------------------------------------------- scanners
 
-  private def jstr(s: String): String = mapper.writeValueAsString(s)
+  private[sources] def jstr(s: String): String = mapper.writeValueAsString(s)
 
   /** CF mask-and-scale attrs as a `.zattrs` JSON suffix (",k:v,..." or
     * empty): scale_factor/add_offset plus the fill sentinel
@@ -761,7 +761,7 @@ object KerchunkSource {
     refsDoc(out)
   }
 
-  private def refsDoc(entries: scala.collection.Map[String, String]): String =
+  private[sources] def refsDoc(entries: scala.collection.Map[String, String]): String =
     entries.map { case (k, v) => s"${jstr(k)}: $v" }
       .mkString("{\"version\": 1, \"refs\": {", ", ", "}}")
 
@@ -769,7 +769,7 @@ object KerchunkSource {
     * inline UTF-8 JSON text; inline chunk payloads re-encode as base64
     * (lossless both ways); ranges stay `[url, offset, length]`.
     */
-  private def refValue(r: Ref, isMeta: Boolean): String =
+  private[sources] def refValue(r: Ref, isMeta: Boolean): String =
     if (r.isInline) {
       if (isMeta) jstr(new String(r.inline, "UTF-8"))
       else jstr("base64:" +

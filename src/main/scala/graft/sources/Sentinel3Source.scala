@@ -162,4 +162,78 @@ object Sentinel3Source {
       .pivot("var", (Seq(XName, YName) ++ bandVars).distinct)
       .agg(first(col("value")))
   }
+
+  /** Assemble a directory product into ONE kerchunk refs document — the
+    * DataSourceV2 face of [[open]] (`format("sentinel3")`): the same
+    * sentinel3.py rules (geo_coordinates gate, 2-D lon/lat agreement,
+    * trailing-two-dims band matching by NAME and size), but instead of
+    * decoding per-granule payloads into long rows, each granule's header
+    * is scanned once and the matching variables' byte-range refs merge
+    * into a virtual group on the measurement grid. The scan engine then
+    * gives variable pruning (an unprojected band's chunks are never
+    * fetched) and the vectorized path for free; the swath's 2-D lon/lat
+    * rasters become data VARIABLES (chunk pruning on them is rightly
+    * impossible — the row/column index dims still prune).
+    *
+    * Bands with leading dims beyond the grid keep those dims; mixing 2-D
+    * and 3-D bands then trips the engine's loud mixed-grid error with the
+    * `option("vars", ...)` escape hatch — the RDD-path [[open]] (which
+    * flattens layers) remains the opener for heterogeneous products.
+    */
+  def scanRefs(dir: String, varNames: Option[Set[String]] = None): String = {
+    require(isSentinel3Product(dir), s"missing file '$GeoFileName' in $dir")
+    val bs = ByteStore.current
+    val files = bs.list(dir)
+      .collect { case (n, false) if n.endsWith(".nc") => n }.sorted
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def scan(name: String): KerchunkSource.Refs =
+      KerchunkSource.parseJson(mapper.readTree(
+        KerchunkSource.scanAuto(s"$dir/$name")))
+    val geo = scan(GeoFileName)
+    require(KerchunkSource.listArrays(geo).contains(XName),
+      s"variable '$XName' not found in $dir/$GeoFileName")
+    require(KerchunkSource.listArrays(geo).contains(YName),
+      s"variable '$YName' not found in $dir/$GeoFileName")
+    val lon = KerchunkSource.openArray(geo, XName)
+    val lat = KerchunkSource.openArray(geo, YName)
+    require(lon.dims.length == 2,
+      s"variable '$XName' must have two dimensions")
+    require(lat.dims == lon.dims && lat.shape == lon.shape,
+      s"variable '$YName' must have same shape and dimensions as '$XName'")
+    val grid = lon.dims.zip(lon.shape)
+    val out = scala.collection.mutable.LinkedHashMap[String, String]()
+    out(".zgroup") = KerchunkSource.jstr("""{"zarr_format":2}""")
+    def copyVar(doc: KerchunkSource.Refs, v: String): Unit = {
+      out(s"$v/.zarray") =
+        KerchunkSource.refValue(doc(s"$v/.zarray"), isMeta = true)
+      if (doc.contains(s"$v/.zattrs"))
+        out(s"$v/.zattrs") =
+          KerchunkSource.refValue(doc(s"$v/.zattrs"), isMeta = true)
+      doc.entries.keys.filter { k =>
+        k.startsWith(s"$v/") &&
+          !k.substring(k.lastIndexOf('/') + 1).startsWith(".z")
+      }.toSeq.sorted.foreach(k =>
+        out(k) = KerchunkSource.refValue(doc(k), isMeta = false))
+    }
+    // geo file contributes exactly the lon/lat rasters (the reference
+    // seeds them into data_vars before the band filter loop)
+    copyVar(geo, XName)
+    copyVar(geo, YName)
+    val seen = scala.collection.mutable.Set(XName, YName)
+    files.filterNot(_ == GeoFileName).foreach { f =>
+      val doc = scan(f)
+      KerchunkSource.listArrays(doc).foreach { n =>
+        val za = KerchunkSource.openArray(doc, n)
+        val matches = za.dims.length >= 2 &&
+          za.dims.takeRight(2).zip(za.shape.takeRight(2)) == grid &&
+          varNames.forall(_.contains(n))
+        if (matches) {
+          require(seen.add(n),
+            s"duplicate band variable across granules: $n")
+          copyVar(doc, n)
+        }
+      }
+    }
+    KerchunkSource.refsDoc(out)
+  }
 }

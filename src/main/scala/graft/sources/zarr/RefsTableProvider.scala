@@ -122,6 +122,22 @@ final class GeoTiffTableProvider extends RefsProviderBase("geotiff") {
   * coordinate (`option("concatDim")`, default "t") is the granule
   * ordinal — monotone, so a predicate on it elides whole granules
   * through chunk pruning. */
+/** `format("sentinel3")`: a Sentinel-3 directory product as one table on
+  * its measurement grid — [[graft.sources.Sentinel3Source.scanRefs]]
+  * assembles the per-granule headers (geo_coordinates gate +
+  * trailing-dims band matching) into a refs doc, so variable pruning and
+  * the columnar path apply to swath reads (an unprojected band's chunks
+  * are never fetched). The 2-D lon/lat rasters are data variables; the
+  * row/column index dims still drive chunk pruning. */
+final class Sentinel3TableProvider extends RefsProviderBase("sentinel3") {
+  override protected def openMeta(path: String, only: Option[Seq[String]],
+                                  options: CaseInsensitiveStringMap): ZarrGroupMeta =
+    ZarrTable.openRefs(KerchunkSource.parseJson(
+      new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(graft.sources.Sentinel3Source.scanRefs(
+          path, only.map(_.toSet)))), path, only)
+}
+
 final class KerchunkTableProvider extends RefsProviderBase("kerchunk") {
   override protected def openMeta(path: String, only: Option[Seq[String]],
                                   options: CaseInsensitiveStringMap): ZarrGroupMeta = {

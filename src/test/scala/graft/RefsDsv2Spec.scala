@@ -191,6 +191,66 @@ class RefsDsv2Spec extends AnyFunSuite {
     assert(spark.read.format("kerchunk").load(dir).count() === 12)
   }
 
+  test("sentinel3 DSv2: directory product through the scan engine") {
+    import graft.sources.Sentinel3Source
+    val dir = tmpDir("sen3dsv2")
+    val grid = Seq(NcDim("rows", 4), NcDim("columns", 3))
+    NetcdfSource.write(s"$dir/geo_coordinates.nc", grid, Nil,
+      Seq(("longitude", Seq("rows", "columns"),
+          Array.tabulate(12)(k => 10.0 + k % 3)),
+        ("latitude", Seq("rows", "columns"),
+          Array.tabulate(12)(k => 50.0 + k / 3))))
+    NetcdfSource.write(s"$dir/a_band.nc", grid, Nil,
+      Seq(("band_a", Seq("rows", "columns"),
+        Array.tabulate(12)(_.toDouble))))
+    NetcdfSource.write(s"$dir/b_band.nc", grid, Nil,
+      Seq(("band_b", Seq("rows", "columns"),
+          Array.tabulate(12)(k => 100.0 + k)),
+        ("row_vec", Seq("rows"), Array(1.0, 2.0, 3.0, 4.0))))
+    NetcdfSource.write(s"$dir/tie.nc",
+      Seq(NcDim("tp_rows", 2), NcDim("tp_columns", 2),
+        NcDim("lines", 4), NcDim("samples", 3)), Nil,
+      Seq(("TP_lat", Seq("tp_rows", "tp_columns"), Array.fill(4)(9.0)),
+        ("renamed", Seq("lines", "samples"), Array.fill(12)(8.0))))
+    val ds = spark.read.format("sentinel3").load(dir)
+    // bands + geo on the measurement grid; all three decoys excluded
+    // (tie-point sizes, renamed dims, 1-D vector) — sentinel3.py rules
+    assert(ds.columns.toSeq ==
+      Seq("rows", "columns", "band_a", "band_b", "latitude", "longitude"))
+    assert(ds.count() === 12)
+    // cell-for-cell equal to the RDD-path product opener
+    def sig(c: org.apache.spark.sql.Column*) = sum(c.reduce(_ * 31 + _))
+    val viaOpen = Sentinel3Source.open(spark, dir)
+      .agg(sig(col("longitude"), col("latitude"), col("band_a"),
+        col("band_b"))).head.getDouble(0)
+    assert(ds.agg(sig(col("longitude"), col("latitude"), col("band_a"),
+      col("band_b"))).head.getDouble(0) === viaOpen)
+    // index-dim predicates prune swath chunks (2-D lon/lat rightly can't)
+    assert(ds.filter(col("rows") === 2.0).count() === 3)
+    // projection audit: truncate b_band.nc's data region — a band_a
+    // projection never touches it, a band_b read now fails loudly
+    val layout = NetcdfSource.readHeader(s"$dir/b_band.nc")
+      .layout.get.vars.find(_.name == "band_b").get
+    val ch = new java.io.RandomAccessFile(s"$dir/b_band.nc", "rw")
+    try ch.setLength(layout.begin) finally ch.close()
+    assert(ds.select(sum(col("band_a"))).head.getDouble(0) === (0 to 11).sum)
+    assert(ds.select(sum(col("longitude") + col("latitude"))).head.getDouble(0)
+      === (0 to 11).map(k => 10.0 + k % 3 + 50.0 + k / 3).sum)
+    intercept[org.apache.spark.SparkException](
+      ds.select(sum(col("band_b"))).head)
+    // the vars escape hatch restricts the table like the RDD opener's
+    val one = spark.read.format("sentinel3").option("vars", "band_a")
+      .load(dir)
+    assert(one.columns.toSeq == Seq("rows", "columns", "band_a"))
+    // a directory without the geo sidecar declines loudly
+    val bare = tmpDir("sen3bare")
+    NetcdfSource.write(s"$bare/x.nc", grid, Nil,
+      Seq(("b", Seq("rows", "columns"), Array.fill(12)(1.0))))
+    val e = intercept[Exception](
+      spark.read.format("sentinel3").load(bare).count())
+    assert(e.getMessage.contains("geo_coordinates"), e.getMessage)
+  }
+
   test("aggregate pushdown reaches the refs connectors through the shared engine") {
     val p = hdf5Fixture()
     val ds = spark.read.format("netcdf").load(p)
