@@ -47,7 +47,35 @@ object AggPack extends QueryPack {
     root
   }
 
+  /** A MIN-built pyramid over the same cells (aggregator recorded in the
+    * `_levels.json` sidecar), for the aggregator-aware rewrite gate. */
+  private def minLevelsFixture(s: SparkSession, d: String): String = {
+    val root = s"/root/repo/.graft-fixtures/levelsmin_${new java.io.File(d).getName}"
+    graft.Fixtures.ensureWritten(root, "levels=3,agg=min,meta") {
+      graft.sources.LevelStore.writeLevels(cellCube(s, d), root, 3,
+        methods = Seq("v" -> "min"))
+    }
+    root
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // aggregator-aware pyramid rewrite: a 4x4 block MIN over a MIN-built
+    // pyramid retargets to its L2 materialization (min composes
+    // progressively, so the retargeted answer equals the direct block min
+    // exactly — the plan-level fire/bail matrix is pinned in
+    // PyramidRewriteSpec; an avg over this same pyramid bails).
+    "q_pyramid_rewrite_min" -> ((s, d) => {
+      val root = minLevelsFixture(s, d)
+      s.read.parquet(s"$root/L0")
+        .groupBy(floor(col("x") / 4.0).cast("long").as("bi"),
+          floor(col("y") / 4.0).cast("long").as("bj"))
+        .agg(min(col("v")).as("v"))
+        .agg(count(lit(1)).as("n_blocks"),
+          round(sum(col("v").cast("decimal(28,10)")), 6)
+            .cast("double").as("sum_v"),
+          sum(col("bi") + col("bj") * 7).as("idx_checksum"))
+    }),
 
     // the pyramid-rewrite Catalyst rule END-TO-END: a 4×4 block mean over
     // the L0 base table is retargeted by the optimizer to the L2
@@ -205,6 +233,18 @@ object AggPack extends QueryPack {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "q_pyramid_rewrite_min" ->
+      """WITH cells AS (
+           SELECT floor(CAST(event_id % 360 AS DOUBLE) + 0.5)::BIGINT AS i,
+                  floor(CAST(user_id % 100 AS DOUBLE) + 0.5)::BIGINT AS j,
+                  round(avg(value), 6) AS v
+           FROM events GROUP BY i, j),
+         b AS (SELECT i // 4 AS bi, j // 4 AS bj, min(v) AS v
+               FROM cells GROUP BY 1, 2)
+         SELECT count(*) AS n_blocks,
+                round(sum(v::DECIMAL(28,10)), 6)::DOUBLE AS sum_v,
+                sum(bi + bj * 7)::BIGINT AS idx_checksum
+         FROM b""",
     "q_pyramid_rewrite" ->
       """WITH cells AS (
            SELECT floor(CAST(event_id % 360 AS DOUBLE) + 0.5)::BIGINT AS i,

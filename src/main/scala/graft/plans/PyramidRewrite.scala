@@ -273,19 +273,36 @@ class PyramidRewrite(session: SparkSession) extends Rule[LogicalPlan] {
     else None
   }
 
-  /** Aggregates must be grouping echoes or plain `avg` of a RELATION data
-    * variable — the one aggregate whose value over level j+k cells equals
-    * (up to the pyramid contract) its value over the level-j block. An avg
-    * over anything derived from x/y would NOT survive the retarget (mean
-    * of coordinates over a sparse block ≠ the block center), so the
-    * substituted child must bottom out at a non-dimension relation column.
+  /** Aggregates must be grouping echoes or an aggregate of a RELATION
+    * data variable whose function MATCHES the aggregator the pyramid was
+    * built with (`_levels.json` `agg`, absent = mean): min-of-mins is not
+    * min-of-cells, so `min(v)` retargets only onto a min-built pyramid,
+    * `avg(v)` only onto a mean-built one, and `sum(v)` only onto a
+    * sum-built one — each of those composes progressively, so the level
+    * j+k cell IS the aggregate of its level-j block (up to the pyramid's
+    * documented missing-cell contract). `count(v)` never retargets: a
+    * coarser level has fewer CELLS, not a recorded base-row count, and a
+    * count-built pyramid cannot even compose progressively (level k+1
+    * would count level-k cells) — LevelStore refuses to build one. An
+    * aggregate over anything derived from x/y would NOT survive the
+    * retarget (mean of coordinates over a sparse block ≠ the block
+    * center), so the substituted child must bottom out at a non-dimension
+    * relation column.
     */
   private def aggsRewriteSafe(agg: Aggregate,
                               substitute: Expression => Expression,
                               lr: LogicalRelation,
                               meta: LevelStore.PyramidMeta): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{Max, Min, Sum}
     val dimCols = Set(meta.xCol, meta.yCol, meta.timeCol)
     val relIds = lr.output.map(_.exprId).toSet
+    def matchingVar(child: Expression, need: String): Boolean =
+      strip(substitute(child)) match {
+        case a: AttributeReference =>
+          relIds.contains(a.exprId) && !dimCols.contains(a.name) &&
+            meta.agg.getOrElse(a.name, "mean") == need
+        case _ => false
+      }
     agg.aggregateExpressions.forall { ne =>
       val e = ne match { case a: Alias => a.child; case o => o }
       val isGroupEcho = agg.groupingExpressions.exists(_.semanticEquals(e)) ||
@@ -295,11 +312,10 @@ class PyramidRewrite(session: SparkSession) extends Rule[LogicalPlan] {
       isGroupEcho || (e match {
         case ae: AggregateExpression if !ae.isDistinct && ae.filter.isEmpty =>
           ae.aggregateFunction match {
-            case av: Average => strip(substitute(av.child)) match {
-              case a: AttributeReference =>
-                relIds.contains(a.exprId) && !dimCols.contains(a.name)
-              case _ => false
-            }
+            case av: Average => matchingVar(av.child, "mean")
+            case mn: Min => matchingVar(mn.child, "min")
+            case mx: Max => matchingVar(mx.child, "max")
+            case sm: Sum => matchingVar(sm.child, "sum")
             case _ => false
           }
         case _ => false

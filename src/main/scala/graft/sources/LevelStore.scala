@@ -28,16 +28,25 @@ object LevelStore {
   final case class LevelMeta(level: Int, xMin: Double, yMin: Double,
                              yMax: Double, xRes: Double, yRes: Double,
                              yDown: Boolean)
+  /** `agg` records the per-variable level aggregation (mean/min/max/...)
+    * so [[graft.plans.PyramidRewrite]] can retarget exactly the matching
+    * aggregate and bail on any other; absent entries mean "mean" (the
+    * pre-aggregator-aware sidecar format). */
   final case class PyramidMeta(xCol: String, yCol: String, timeCol: String,
-                               levels: Seq[LevelMeta])
+                               levels: Seq[LevelMeta],
+                               agg: Map[String, String] = Map.empty)
 
-  private def writeMeta(root: String, cube: Cube, gms: Seq[GridMapping]): Unit = {
+  private def writeMeta(root: String, cube: Cube, gms: Seq[GridMapping],
+                        agg: Map[String, String]): Unit = {
     val levels = gms.zipWithIndex.map { case (g, l) =>
       s"""{"level":$l,"xMin":${g.xMin},"yMin":${g.yMin},"yMax":${g.yMax},""" +
         s""""xRes":${g.xRes},"yRes":${g.yRes},"yDown":${g.yDown}}"""
     }
+    val aggJson = agg.toSeq.sortBy(_._1)
+      .map { case (v, m) => s""""$v":"$m"""" }.mkString(",")
     val json =
       s"""{"xCol":"${cube.xCol}","yCol":"${cube.yCol}","timeCol":"${cube.timeCol}",""" +
+        s""""agg":{$aggJson},""" +
         s""""levels":[${levels.mkString(",")}]}"""
     // through ByteStore: local pyramids keep the java.nio path, scheme'd
     // roots (s3g://...) write the sidecar as an object next to the levels
@@ -66,24 +75,44 @@ object LevelStore {
         l.get("xRes").asDouble, l.get("yRes").asDouble,
         l.get("yDown").asBoolean)
     }
+    val agg = Option(n.get("agg")).filter(_.isObject).map { a =>
+      import scala.jdk.CollectionConverters._
+      a.properties.iterator.asScala.map(e => e.getKey -> e.getValue.asText).toMap
+    }.getOrElse(Map.empty[String, String])
     Some(PyramidMeta(n.get("xCol").asText, n.get("yCol").asText,
-      n.get("timeCol").asText, levels))
+      n.get("timeCol").asText, levels, agg))
   }
 
   /** Build and write levels 0..maxLevel; returns the per-level grid
-    * mappings. Variables are aggregated with `mean` (the float default —
-    * subsampling.py auto rule).
+    * mappings. `methods` picks the per-variable level aggregation (the
+    * subsampling.py AGG_METHODS — must compose progressively, since level
+    * k+1 derives from level k: mean/min/max/sum/first qualify, count does
+    * not); empty = `mean` for every numeric variable (the float default —
+    * subsampling.py auto rule). The chosen aggregators are recorded in
+    * the `_levels.json` sidecar so the pyramid-rewrite rule retargets
+    * only MATCHING aggregates.
     */
-  def writeLevels(cube: Cube, root: String, maxLevel: Int): Seq[GridMapping] = {
+  def writeLevels(cube: Cube, root: String, maxLevel: Int,
+                  methods: Seq[(String, String)] = Seq.empty): Seq[GridMapping] = {
+    val chosen: Seq[(String, String)] =
+      if (methods.nonEmpty) methods
+      else cube.varNames.filter(v =>
+        cube.df.schema(v).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
+        .map(_ -> "mean")
+    require(chosen.map(_._1).distinct.length == chosen.length,
+      "one aggregation method per variable")
+    require(!chosen.exists(_._2 == "count"),
+      "count does not compose progressively (level k+1 would count level-k " +
+        "cells, not base rows) — record counts as a summed variable instead")
     var cur = cube
     cur.df.write.mode("overwrite").parquet(levelPath(root, 0))
     val gms = Seq.newBuilder[GridMapping]
     gms += cur.gm
     for (_ <- 1 to maxLevel) {
-      val vars = cur.varNames.filter(v =>
-        cur.df.schema(v).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
-      val (agg, gm2) = SubsampleOps.subsample(cur, 2, vars.map(v => v -> "mean"))
-      val df2 = vars.foldLeft(agg) { (d, v) => d.withColumnRenamed(s"${v}_mean", v) }
+      val (agg, gm2) = SubsampleOps.subsample(cur, 2, chosen)
+      val df2 = chosen.foldLeft(agg) { case (d, (v, m)) =>
+        d.withColumnRenamed(s"${v}_$m", v)
+      }
         .withColumn(cur.xCol, gm2.xExpr(col("block_i")))
         .withColumn(cur.yCol, gm2.yExpr(col("block_j")))
         .drop("block_i", "block_j")
@@ -92,7 +121,7 @@ object LevelStore {
       gms += gm2
     }
     val out = gms.result()
-    writeMeta(root, cube, out)
+    writeMeta(root, cube, out, chosen.toMap)
     out
   }
 

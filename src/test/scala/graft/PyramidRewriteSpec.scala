@@ -103,6 +103,57 @@ class PyramidRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("aggregator-aware: min/max/sum retarget onto a MATCHING pyramid only") {
+    import spark.implicits._
+    val root = tmpDir("pyrmin")
+    val df = (0 until 64).map { k =>
+      ("2024-01-01", (k / 8) + 0.5, (k % 8) + 0.5, k.toDouble, 64.0 - k)
+    }.toDF("time", "y", "x", "v", "w")
+      .withColumn("time", col("time").cast("timestamp"))
+    // v rolls up with min, w with max — recorded in _levels.json
+    LevelStore.writeLevels(
+      Cube(df, GridMapping.regular((8L, 8L), (0.0, 0.0), (1.0, 1.0))), root, 2,
+      methods = Seq("v" -> "min", "w" -> "max"))
+    val meta = LevelStore.readMeta(root).get
+    assert(meta.agg === Map("v" -> "min", "w" -> "max"))
+    def block(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(floor(col("x") / 4.0).as("bi"), floor(col("y") / 4.0).as("bj"))
+    // min(v) + max(w) both match their recorded aggregators -> L2 scan
+    val q = block(spark.read.parquet(s"$root/L0"))
+      .agg(min(col("v")).as("v"), max(col("w")).as("w"))
+    assert(planOf(q).contains("/L2"), planOf(q))
+    // min/max compose progressively, so the retargeted answer IS the
+    // direct block answer
+    val got = q.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getDouble(2), r.getDouble(3))).sortBy(t => (t._1, t._2))
+    val direct = (for (bj <- 0 to 1; bi <- 0 to 1) yield {
+      val vs = for (j <- 0 until 8; i <- 0 until 8
+                    if i / 4 == bi && j / 4 == bj) yield (j * 8 + i).toDouble
+      (bi.toLong, bj.toLong, vs.min, 64.0 - vs.min)
+    }).sortBy(t => (t._1, t._2))
+    assert(got.toSeq === direct)
+    // avg over a MIN-built pyramid bails: the base scan stands
+    val bail = block(spark.read.parquet(s"$root/L0")).agg(avg(col("v")).as("v"))
+    assert(planOf(bail).contains("/L0"), planOf(bail))
+    // min over the MAX-built variable bails too
+    val cross = block(spark.read.parquet(s"$root/L0")).agg(min(col("w")).as("w"))
+    assert(planOf(cross).contains("/L0"), planOf(cross))
+    // count never retargets (coarser levels have fewer cells)
+    val cnt = block(spark.read.parquet(s"$root/L0")).agg(count(col("v")).as("n"))
+    assert(planOf(cnt).contains("/L0"), planOf(cnt))
+    // a mean pyramid (the pre-aggregator default sidecar) still bails for
+    // min and fires for avg — q_pyramid_rewrite's behavior is unchanged
+    val meanRoot = buildPyramid()
+    val mq = block(spark.read.parquet(s"$meanRoot/L0")).agg(min(col("v")).as("v"))
+    assert(planOf(mq).contains("/L0"), planOf(mq))
+    // count pyramids are refused at build time
+    val e = intercept[IllegalArgumentException](
+      LevelStore.writeLevels(
+        Cube(df, GridMapping.regular((8L, 8L), (0.0, 0.0), (1.0, 1.0))),
+        tmpDir("pyrcnt"), 1, methods = Seq("v" -> "count")))
+    assert(e.getMessage.contains("progressively"), e.getMessage)
+  }
+
   test("grouping by time too still rewrites; offset origin form matches") {
     val root = buildPyramid()
     val q = spark.read.parquet(s"$root/L0")
