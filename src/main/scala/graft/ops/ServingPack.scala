@@ -905,6 +905,41 @@ object ServingPack extends QueryPack {
         .agg(count(lit(1)).as("n"), sum(col("v")).as("sum_v"))
     }),
 
+    // block-key GROUP BY over DIMS is metadata-only: the whole answer is
+    // driver math over the resident coordinate arrays (per-key buckets of
+    // each dim's in-range values, combos multiplied across keys) — ZERO
+    // chunk reads, the pyramid-planning query shape at 100 TB. The spec
+    // proves the zero-IO claim by corrupting every chunk; this gate pins
+    // the arithmetic against DuckDB (all sums exact: halves and integers).
+    "q_zarr_block_meta" -> ((s, d) => {
+      val sfName = new java.io.File(d).getName
+      val base = s"/root/repo/.graft-fixtures/zarraggpush_$sfName"
+      val group = s"$base/cube.zarr"
+      Fixtures.ensureWritten(base, "t=4,grid=100x360,chunks=1x50x90,dyadic64") {
+        new java.io.File(base).mkdirs()
+        val cells = s.range(4L * 100 * 360).select(
+          (col("id") / (100L * 360)).cast("long").as("ti"),
+          ((col("id") / 360) % 100).cast("long").as("j"),
+          (col("id") % 360).cast("long").as("i"))
+          .select(col("ti").cast("double").as("t"),
+            (col("j") + 0.5).cast("double").as("y"),
+            (col("i") + 0.5).cast("double").as("x"),
+            (((col("j") * 360 + col("i") + col("ti") * 7) % 4096) / 64.0).as("v"))
+        ZarrSource.writeCube(cells, group, "v",
+          Seq("t" -> Array.tabulate(4)(_.toDouble),
+            "y" -> Array.tabulate(100)(_ + 0.5),
+            "x" -> Array.tabulate(360)(_ + 0.5)),
+          chunks = Seq(1, 50, 90))
+      }
+      s.read.format("zarr").load(group)
+        .filter(col("x") <= 179.5)
+        .groupBy(floor(col("t") / 2.0).as("bt"),
+          floor(col("y") / 25.0).as("bj"))
+        .agg(count(lit(1)).as("n_cells"), min(col("y")).as("min_y"),
+          max(col("y")).as("max_y"), sum(col("x")).as("sum_x"),
+          avg(col("t")).as("avg_t"))
+    }),
+
     // top-n over a DATA VARIABLE — the "hottest cells" peek: no slab
     // structure to cut on, so the connector folds each task's best k rows
     // in a bounded heap over the FULL sort tuple (ZarrTopNScan) and the
@@ -2248,6 +2283,17 @@ object ServingPack extends QueryPack {
       """SELECT g::BIGINT AS t, count(*) AS n, sum(g * 100.0 + i) AS sum_v
          FROM range(1, 4) r(g), range(0, 24) s(i)
          GROUP BY 1""",
+    "q_zarr_block_meta" ->
+      """SELECT (k // 36000) // 2 AS bt,
+                ((k // 360) % 100) // 25 AS bj,
+                count(*) AS n_cells,
+                min(((k // 360) % 100) + 0.5) AS min_y,
+                max(((k // 360) % 100) + 0.5) AS max_y,
+                sum((k % 360) + 0.5) AS sum_x,
+                avg((k // 36000)::DOUBLE) AS avg_t
+         FROM range(0, 144000) r(k)
+         WHERE (k % 360) + 0.5 <= 179.5
+         GROUP BY 1, 2""",
     "q_zarr_topn_var" ->
       """SELECT (k // 36000)::BIGINT AS t,
                 ((k // 360) % 100) + 0.5 AS y, (k % 360) + 0.5 AS x,

@@ -506,7 +506,7 @@ final class ZarrScanBuilder(meta: ZarrGroupMeta,
   private var consumed: Array[Filter] = Array.empty
   private var unhandled: Array[Filter] = Array.empty
   private var required: StructType = ZarrTable.schemaFor(meta)
-  private var aggregated: Option[(Aggregation, StructType)] = None
+  private var aggregated: Option[(Aggregation, Seq[ZarrGroupKey], StructType)] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     // every RECTANGULAR dimension predicate — comparisons, In, same-dim
@@ -531,11 +531,13 @@ final class ZarrScanBuilder(meta: ZarrGroupMeta,
   // (exactly-consumed-filtered) dimension columns never need a chunk: the
   // selection is a rectangle over driver-resident coordinate arrays, so
   // the answer is per-dim counting/extremes/sums — and GROUP BY over dims
-  // is the same math per coordinate-value combination. `SELECT t,
-  // count(*) FROM cube WHERE y >= ... GROUP BY t` on a 100 TB archive is
-  // driver math, zero payload IO. Anything touching a data variable,
-  // distinct, a non-consumed filter, or a group cardinality beyond
-  // `MaxGroups` declines and scans normally.
+  // OR block indices of dims (`floor((dim ± c)/s)` — the pyramid-planning
+  // shape) is the same math per coordinate-key combination. `SELECT
+  // floor(t/4), count(*) FROM cube WHERE y >= ... GROUP BY 1` on a 100 TB
+  // archive is driver math, zero payload IO. Anything touching a data
+  // variable, distinct, a non-consumed filter, two group keys on the SAME
+  // dim (correlated keys break per-dim independence — the partial fold
+  // handles those), or a group cardinality beyond `MaxGroups` declines.
   private val MaxGroups = 65536L
 
   private def groupDimsOf(agg: Aggregation): Option[Seq[String]] = {
@@ -543,12 +545,18 @@ final class ZarrScanBuilder(meta: ZarrGroupMeta,
     if (names.forall(_.isDefined)) Some(names.flatten.toSeq) else None
   }
 
+  private def distinctKeyCount(k: ZarrGroupKey): Long = {
+    val c = meta.coords(meta.za.dims.indexOf(k.dim))
+    if (k.kind == ZarrGroupKey.Id) c.distinct.length.toLong
+    else c.map(k.evalLong).distinct.length.toLong
+  }
+
   private def supported(agg: Aggregation): Boolean =
     unhandled.isEmpty &&
-      groupDimsOf(agg).exists { gds =>
-        gds.distinct.lengthCompare(gds.length) == 0 &&
-          gds.map(d => meta.coords(meta.za.dims.indexOf(d)).distinct.length.toLong)
-            .product <= MaxGroups
+      groupKeysOf(agg).exists { ks =>
+        val dims = ks.map(_.dim)
+        dims.distinct.lengthCompare(dims.length) == 0 &&
+          ks.map(distinctKeyCount).product <= MaxGroups
       } &&
       agg.aggregateExpressions.forall {
         case _: CountStar => true
@@ -597,28 +605,28 @@ final class ZarrScanBuilder(meta: ZarrGroupMeta,
       case (_: Count, i) => StructField(s"agg_$i", LongType, nullable = false)
       case (_, i) => StructField(s"agg_$i", DoubleType, nullable = true)
     }
-    if (supported(agg)) {
-      val groupFields = groupDimsOf(agg).get.map(d =>
-        StructField(d, DoubleType, nullable = false))
-      aggregated = Some((agg, StructType(groupFields ++ aggFields)))
-      true
-    } else if (partialSupported(agg)) {
-      // group output types must match Spark's own expression types: a
-      // plain dim is the double coordinate, a block index is Floor's LONG
-      val keys = groupKeysOf(agg).get
-      val groupFields = keys.zipWithIndex.map { case (k, i) =>
+    // group output types must match Spark's own expression types: a
+    // plain dim is the double coordinate, a block index is Floor's LONG
+    def groupFields(keys: Seq[ZarrGroupKey]) = keys.zipWithIndex.map {
+      case (k, i) =>
         if (k.kind != ZarrGroupKey.Id)
           StructField(s"group_$i", LongType, nullable = false)
         else StructField(k.dim, DoubleType, nullable = false)
-      }
-      partial = Some((agg, keys, StructType(groupFields ++ aggFields)))
+    }
+    if (supported(agg)) {
+      val keys = groupKeysOf(agg).get
+      aggregated = Some((agg, keys, StructType(groupFields(keys) ++ aggFields)))
+      true
+    } else if (partialSupported(agg)) {
+      val keys = groupKeysOf(agg).get
+      partial = Some((agg, keys, StructType(groupFields(keys) ++ aggFields)))
       true
     } else false
   }
 
   override def build(): Scan = (aggregated, partial) match {
-    case (Some((agg, schema)), _) =>
-      ZarrAggScan(meta, consumed, agg, schema, groupDimsOf(agg).get)
+    case (Some((agg, keys, schema)), _) =>
+      ZarrAggScan(meta, consumed, agg, schema, keys)
     case (None, Some((agg, keys, schema))) =>
       ZarrVarAggScan(meta, consumed, agg, schema, keys)
     case _ =>
@@ -645,9 +653,13 @@ final class ZarrScanBuilder(meta: ZarrGroupMeta,
   * driver-resident coordinates), so count(*) multiplies per-dim in-range
   * counts, min/max(dim) are the in-range extremes, sum(dim)/avg(dim)
   * weight each in-range value by the other dims' in-range counts, and a
-  * GROUP BY over dims is the same math per coordinate-value combination
-  * (multiplicity-aware: repeated coordinate values merge into one group,
-  * -0.0 grouped with 0.0 like Spark's key normalization). An empty
+  * GROUP BY over dims or block indices of dims (`floor((dim ± c)/s)` et
+  * al — see [[ZarrGroupKey]]) is the same math per coordinate-KEY
+  * combination: each group key partitions ITS dim's in-range values into
+  * (count, min, max, sum) buckets, combos multiply across keys because
+  * every key binds a distinct dim. Repeated coordinate values merge into
+  * one group, -0.0 grouped with 0.0 like Spark's key normalization, and
+  * block keys evaluate with Spark's exact Floor/Cast semantics. An empty
   * selection yields count 0 / null extremes globally and NO rows under
   * GROUP BY — exactly Spark's aggregate semantics. Like every COMPLETE
   * aggregate pushdown (JDBC included), the arithmetic is the source's:
@@ -656,14 +668,30 @@ final class ZarrScanBuilder(meta: ZarrGroupMeta,
   * repeated addition by ordinary double rounding. */
 final case class ZarrAggScan(meta: ZarrGroupMeta, consumed: Array[Filter],
                              agg: Aggregation, schema: StructType,
-                             groupDims: Seq[String])
+                             groupKeys: Seq[ZarrGroupKey])
     extends Scan with Batch {
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
   override def description(): String =
-    s"ZarrAggScan ${meta.groupDir} GroupBy: [${groupDims.mkString(", ")}] " +
+    s"ZarrAggScan ${meta.groupDir} GroupBy: [" +
+      groupKeys.map(_.render).mkString(", ") + "] " +
       "PushedAggregates: [" +
       agg.aggregateExpressions.map(_.toString).mkString(", ") + "]"
+
+  /** Per-group bucket of one key's dim values (count/extremes/index-order
+    * sum of the raw coordinate values that map to the key). */
+  private final class KeyStat {
+    var n = 0L
+    var min = Double.NaN
+    var max = Double.NaN
+    var sum = 0.0
+    def add(v: Double): Unit = {
+      if (n == 0L || java.lang.Double.compare(v, min) < 0) min = v
+      if (n == 0L || java.lang.Double.compare(v, max) > 0) max = v
+      sum += v
+      n += 1L
+    }
+  }
 
   override def planInputPartitions(): Array[InputPartition] = {
     val za = meta.za
@@ -678,7 +706,7 @@ final case class ZarrAggScan(meta: ZarrGroupMeta, consumed: Array[Filter],
     // Σ of dim k's in-range values in ascending index order (the order a
     // chunk scan feeds Spark's own sum, chunk grids being index-ordered)
     def dimSum(k: Int): Double = { var s = 0.0; inRange(k).foreach(s += _); s }
-    if (groupDims.isEmpty) {
+    if (groupKeys.isEmpty) {
       val values: Seq[Any] = agg.aggregateExpressions.toSeq.map {
         case _: CountStar => total
         case _: Count => total // dims are never null
@@ -696,45 +724,54 @@ final case class ZarrAggScan(meta: ZarrGroupMeta, consumed: Array[Filter],
     } else if (total == 0L) {
       Array(ZarrAggPartition(Seq.empty)) // GROUP BY over nothing: no rows
     } else {
-      val groupIdx = groupDims.map(za.dims.indexOf)
-      // per grouped dim: distinct in-range value -> multiplicity
-      val groupVals: Seq[Seq[(Double, Long)]] = groupIdx.map { k =>
-        val m = scala.collection.mutable.LinkedHashMap.empty[Double, Long]
+      val keyDims = groupKeys.map(gk => za.dims.indexOf(gk.dim))
+      // per group key: output key value -> that key-group's dim-value stats
+      val keyed: Seq[Seq[(Any, KeyStat)]] = groupKeys.map { gk =>
+        val k = za.dims.indexOf(gk.dim)
+        val m = scala.collection.mutable.LinkedHashMap.empty[Any, KeyStat]
         inRange(k).foreach { v0 =>
-          val v = if (v0 == 0.0) 0.0 else v0 // Spark groups -0.0 with 0.0
-          m(v) = m.getOrElse(v, 0L) + 1L
+          val keyVal: Any =
+            if (gk.kind != ZarrGroupKey.Id) gk.evalLong(v0)
+            else if (v0 == 0.0) 0.0 // Spark groups -0.0 with 0.0
+            else v0
+          m.getOrElseUpdate(keyVal, new KeyStat).add(v0)
         }
         m.toSeq
       }
       val otherProduct = counts.zipWithIndex
-        .collect { case (n, k) if !groupIdx.contains(k) => n }.product
+        .collect { case (n, k) if !keyDims.contains(k) => n }.product
       // Π of in-range counts over dims neither grouped nor the agg dim —
       // the per-value weight for sum(dim k) inside one group combo
       def otherOver(k: Int): Long = counts.zipWithIndex
-        .collect { case (n, j) if !groupIdx.contains(j) && j != k => n }.product
-      val combos = groupVals.foldLeft(Seq(Seq.empty[(Double, Long)])) {
+        .collect { case (n, j) if !keyDims.contains(j) && j != k => n }.product
+      val combos = keyed.foldLeft(Seq(Seq.empty[(Any, KeyStat)])) {
         (acc, vs) => acc.flatMap(p => vs.map(p :+ _))
       }
       val rows = combos.map { combo =>
-        val groupedMult = combo.map(_._2).product
+        val groupedMult = combo.map(_._2.n).product
         val comboCount = groupedMult * otherProduct
-        val byDim = groupIdx.zip(combo.map(_._1)).toMap
-        combo.map(_._1: Any) ++ agg.aggregateExpressions.toSeq.map {
+        val statByDim: Map[Int, KeyStat] = keyDims.zip(combo.map(_._2)).toMap
+        combo.map(_._1) ++ agg.aggregateExpressions.toSeq.map {
           case _: CountStar => comboCount: Any
           case _: Count => comboCount: Any
           case m: Min =>
-            val k = aggK(m.column); byDim.getOrElse(k, inRange(k).min): Any
+            val k = aggK(m.column)
+            statByDim.get(k).map(_.min).getOrElse(inRange(k).min): Any
           case m: Max =>
-            val k = aggK(m.column); byDim.getOrElse(k, inRange(k).max): Any
+            val k = aggK(m.column)
+            statByDim.get(k).map(_.max).getOrElse(inRange(k).max): Any
           case s: Sum =>
             val k = aggK(s.column)
-            (byDim.get(k) match {
-              case Some(v) => v * comboCount // the grouped dim is constant
+            (statByDim.get(k) match {
+              // the grouped dim varies WITHIN a block group: its in-group
+              // sum scaled by every other key-group's count + free dims
+              case Some(st) => st.sum * (groupedMult / st.n) * otherProduct
               case None => dimSum(k) * (groupedMult * otherOver(k))
             }): Any
           case a: Avg =>
             val k = aggK(a.column)
-            byDim.getOrElse(k, dimSum(k) / counts(k)): Any
+            statByDim.get(k).map(st => st.sum / st.n)
+              .getOrElse(dimSum(k) / counts(k)): Any
           case other => throw new IllegalStateException(s"unexpected agg $other")
         }
       }

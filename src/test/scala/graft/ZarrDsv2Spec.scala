@@ -1257,6 +1257,39 @@ class ZarrDsv2Spec extends AnyFunSuite {
       === Seq((0L, 24L), (1L, 24L), (2L, 24L)))
   }
 
+  test("block-key GROUP BY over dims is metadata-only: zero chunk reads") {
+    val g = writeFixture()
+    // corrupt every chunk: dims-only block aggregates never read one
+    (new java.io.File(s"$g/v").listFiles() ++
+      new java.io.File(s"$g/w").listFiles())
+      .filterNot(_.getName.startsWith("."))
+      .foreach(f => java.nio.file.Files.write(f.toPath, Array[Byte](1)))
+    val ds = spark.read.format("zarr").load(g)
+    val q = ds.groupBy(floor(col("y") / 20.0).as("by"))
+      .agg(count(lit(1)).as("n"), min("y").as("mn"), max("y").as("mx"),
+        sum("y").as("sy"), avg("x").as("ax"), sum("t").as("st"))
+    assert(q.queryExecution.executedPlan.toString.contains("ZarrAggScan"),
+      q.queryExecution.executedPlan.toString.take(800))
+    val rows = q.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+      r.getDouble(6))).sortBy(_._1)
+    // y buckets: {10} -> 0, {20,30} -> 1, {40} -> 2; 18 cells per y value
+    assert(rows.toSeq === Seq(
+      (0L, 18L, 10.0, 10.0, 180.0, 3.0, 18.0),
+      (1L, 36L, 20.0, 30.0, 900.0, 3.0, 36.0),
+      (2L, 18L, 40.0, 40.0, 720.0, 3.0, 18.0)))
+    // block key + plain dim + consumed filter compose, still zero IO
+    val q2 = ds.filter(col("x") < 3.0)
+      .groupBy(col("t"), floor(col("y") / 20.0).as("by")).count()
+    assert(q2.queryExecution.executedPlan.toString.contains("ZarrAggScan"))
+    val n2 = q2.collect().map(r => ((r.getDouble(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(n2.size === 9 && n2((1.0, 1L)) === 6L && n2((2.0, 0L)) === 3L)
+    // two keys on the SAME dim are correlated: complete pushdown declines
+    // (the per-chunk fold handles those)
+    val corr = ds.groupBy(col("t"), floor(col("t") / 2.0).as("bt")).count()
+    assert(corr.queryExecution.executedPlan.toString.contains("ZarrVarAggScan"))
+  }
+
   test("top-n over a data variable folds per task (bounded-heap partial)") {
     val g = writeFixture() // 12 chunks, one task each (minPartitionNum pin)
     val ds = spark.read.format("zarr").load(g)
