@@ -85,13 +85,23 @@ abstract class RefsProviderBase(short: String)
 
 /** `format("netcdf")`: one NetCDF granule — classic CDF-1/2 AND
   * NetCDF-4/HDF5 are both handled (the scanner dispatches on the file's
-  * own magic, like the RDD-path [[graft.sources.NetcdfSource.read]]). */
+  * own magic, like the RDD-path [[graft.sources.NetcdfSource.read]]) —
+  * or a DIRECTORY of granules, which opens as one archive table through
+  * the same persisted incremental index as `format("kerchunk")`. */
 final class NetcdfTableProvider extends RefsProviderBase("netcdf") {
   override protected def openMeta(path: String, only: Option[Seq[String]],
-                                  options: CaseInsensitiveStringMap): ZarrGroupMeta =
-    ZarrTable.openRefs(KerchunkSource.parseJson(
-      new com.fasterxml.jackson.databind.ObjectMapper()
-        .readTree(KerchunkSource.scanAuto(path))), path, only)
+                                  options: CaseInsensitiveStringMap): ZarrGroupMeta = {
+    val f = new java.io.File(path)
+    val local = path.indexOf("://") < 0 && !path.startsWith("file:")
+    if (local && f.isDirectory) {
+      val concatDim = Option(options.get("concatDim")).getOrElse("t")
+      ZarrTable.openRefsLazy(KerchunkSource.ensureArchiveIndex(
+        org.apache.spark.sql.SparkSession.active, path, concatDim), only)
+    } else
+      ZarrTable.openRefs(KerchunkSource.parseJson(
+        new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(KerchunkSource.scanAuto(path))), path, only)
+  }
 }
 
 /** `format("geotiff")`: one GeoTIFF/COG (strips or tiles; none/deflate). */

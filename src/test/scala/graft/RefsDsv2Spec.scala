@@ -189,6 +189,47 @@ class RefsDsv2Spec extends AnyFunSuite {
     // the index still serves the pre-append state
     new java.io.File(s"$dir/g4.nc").delete()
     assert(spark.read.format("kerchunk").load(dir).count() === 12)
+    // format("netcdf") over the same directory rides the same index
+    // (zero further header IO)
+    val ncBefore = KerchunkSource.scanCount.get()
+    val viaNc = spark.read.format("netcdf").load(dir)
+    assert(viaNc.count() === 12)
+    assert(viaNc.filter(col("t") === 2.0).agg(sum("v")).head.getDouble(0)
+      === 63.0)
+    assert(KerchunkSource.scanCount.get() === ncBefore)
+  }
+
+  test("GraftCatalog probes directories: products, archives, bare groups") {
+    import graft.sources.ZarrSource
+    import spark.implicits._
+    val store = tmpDir("gcatprobe")
+    val x = Array(0.0, 1.0, 2.0)
+    (0 until 2).foreach { g =>
+      NetcdfSource.write(s"$store/daily/g$g.nc", Seq(NcDim("x", 3)),
+        Seq(("x", x)),
+        Seq(("v", Seq("x"), Array.tabulate(3)(i => g * 10.0 + i))))
+    }
+    val grid = Seq(NcDim("rows", 4), NcDim("columns", 3))
+    NetcdfSource.write(s"$store/olci/geo_coordinates.nc", grid, Nil,
+      Seq(("longitude", Seq("rows", "columns"), Array.tabulate(12)(_ + 0.0)),
+        ("latitude", Seq("rows", "columns"), Array.tabulate(12)(_ + 50.0))))
+    NetcdfSource.write(s"$store/olci/band.nc", grid, Nil,
+      Seq(("band_a", Seq("rows", "columns"), Array.tabulate(12)(_.toDouble))))
+    // a zarr group WITHOUT the .zarr suffix: content probe must catch it
+    val df = (for { xi <- x } yield (xi, xi * 2)).toSeq.toDF("x", "v")
+    ZarrSource.writeCube(df, s"$store/barecube", "v", Seq("x" -> x),
+      chunks = Seq(3))
+    spark.conf.set("spark.sql.catalog.gprobe",
+      classOf[graft.sources.zarr.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gprobe.path", store)
+    assert(spark.sql("SELECT count(*) FROM gprobe.daily").head.getLong(0) === 6)
+    assert(spark.sql("SELECT sum(v) FROM gprobe.daily WHERE t = 1.0")
+      .head.getDouble(0) === 33.0)
+    assert(spark.sql("SELECT count(*) FROM gprobe.olci").head.getLong(0) === 12)
+    assert(spark.sql("SELECT sum(band_a) FROM gprobe.olci")
+      .head.getDouble(0) === 66.0)
+    assert(spark.sql("SELECT sum(v) FROM gprobe.barecube")
+      .head.getDouble(0) === 6.0)
   }
 
   test("sentinel3 DSv2: directory product through the scan engine") {
