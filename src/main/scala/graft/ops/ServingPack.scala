@@ -123,6 +123,34 @@ object ServingPack extends QueryPack {
     prod
   }
 
+  /** Build (once per sf) the 4x100x360 dyadic-valued zarr cube (chunks
+    * 1x50x90, v = ((j*360 + i + 7t) % 4096)/64 so double sums are
+    * order-free exact); returns the group dir. Shared by every agg /
+    * interval / top-n pushdown gate over format("zarr").
+    */
+  private def zarrAggPushFixture(s: SparkSession, d: String): String = {
+    val base =
+      s"/root/repo/.graft-fixtures/zarraggpush_${new java.io.File(d).getName}"
+    val group = s"$base/cube.zarr"
+    Fixtures.ensureWritten(base, "t=4,grid=100x360,chunks=1x50x90,dyadic64") {
+      new java.io.File(base).mkdirs()
+      val cells = s.range(4L * 100 * 360).select(
+        (col("id") / (100L * 360)).cast("long").as("ti"),
+        ((col("id") / 360) % 100).cast("long").as("j"),
+        (col("id") % 360).cast("long").as("i"))
+        .select(col("ti").cast("double").as("t"),
+          (col("j") + 0.5).cast("double").as("y"),
+          (col("i") + 0.5).cast("double").as("x"),
+          (((col("j") * 360 + col("i") + col("ti") * 7) % 4096) / 64.0).as("v"))
+      ZarrSource.writeCube(cells, group, "v",
+        Seq("t" -> Array.tabulate(4)(_.toDouble),
+          "y" -> Array.tabulate(100)(_ + 0.5),
+          "x" -> Array.tabulate(360)(_ + 0.5)),
+        chunks = Seq(1, 50, 90))
+    }
+    group
+  }
+
   /** Shared oracle of q_sentinel3 AND q_sentinel3_dsv2 — the two openers
     * (RDD-path pivot vs DSv2 refs table) must hash-match each other. */
   private def sentinel3OracleSql: String =
@@ -848,25 +876,7 @@ object ServingPack extends QueryPack {
     // prunes half the chunks first. ZarrDsv2Spec pins the plan shape
     // (ZarrVarAggScan, 1 partial row per surviving chunk).
     "q_zarr_agg_push" -> ((s, d) => {
-      val sfName = new java.io.File(d).getName
-      val base = s"/root/repo/.graft-fixtures/zarraggpush_$sfName"
-      val group = s"$base/cube.zarr"
-      Fixtures.ensureWritten(base, "t=4,grid=100x360,chunks=1x50x90,dyadic64") {
-        new java.io.File(base).mkdirs()
-        val cells = s.range(4L * 100 * 360).select(
-          (col("id") / (100L * 360)).cast("long").as("ti"),
-          ((col("id") / 360) % 100).cast("long").as("j"),
-          (col("id") % 360).cast("long").as("i"))
-          .select(col("ti").cast("double").as("t"),
-            (col("j") + 0.5).cast("double").as("y"),
-            (col("i") + 0.5).cast("double").as("x"),
-            (((col("j") * 360 + col("i") + col("ti") * 7) % 4096) / 64.0).as("v"))
-        ZarrSource.writeCube(cells, group, "v",
-          Seq("t" -> Array.tabulate(4)(_.toDouble),
-            "y" -> Array.tabulate(100)(_ + 0.5),
-            "x" -> Array.tabulate(360)(_ + 0.5)),
-          chunks = Seq(1, 50, 90))
-      }
+      val group = zarrAggPushFixture(s, d)
       s.read.format("zarr").load(group)
         .filter(col("y") <= 49.5)
         .groupBy(col("t"))
@@ -912,25 +922,7 @@ object ServingPack extends QueryPack {
     // proves the zero-IO claim by corrupting every chunk; this gate pins
     // the arithmetic against DuckDB (all sums exact: halves and integers).
     "q_zarr_block_meta" -> ((s, d) => {
-      val sfName = new java.io.File(d).getName
-      val base = s"/root/repo/.graft-fixtures/zarraggpush_$sfName"
-      val group = s"$base/cube.zarr"
-      Fixtures.ensureWritten(base, "t=4,grid=100x360,chunks=1x50x90,dyadic64") {
-        new java.io.File(base).mkdirs()
-        val cells = s.range(4L * 100 * 360).select(
-          (col("id") / (100L * 360)).cast("long").as("ti"),
-          ((col("id") / 360) % 100).cast("long").as("j"),
-          (col("id") % 360).cast("long").as("i"))
-          .select(col("ti").cast("double").as("t"),
-            (col("j") + 0.5).cast("double").as("y"),
-            (col("i") + 0.5).cast("double").as("x"),
-            (((col("j") * 360 + col("i") + col("ti") * 7) % 4096) / 64.0).as("v"))
-        ZarrSource.writeCube(cells, group, "v",
-          Seq("t" -> Array.tabulate(4)(_.toDouble),
-            "y" -> Array.tabulate(100)(_ + 0.5),
-            "x" -> Array.tabulate(360)(_ + 0.5)),
-          chunks = Seq(1, 50, 90))
-      }
+      val group = zarrAggPushFixture(s, d)
       s.read.format("zarr").load(group)
         .filter(col("x") <= 179.5)
         .groupBy(floor(col("t") / 2.0).as("bt"),
@@ -946,25 +938,7 @@ object ServingPack extends QueryPack {
     // exchange carries O(tasks x k) rows, never O(cells); Spark re-sorts
     // the partials above. Ties on v break deterministically on (t, y, x).
     "q_zarr_topn_var" -> ((s, d) => {
-      val sfName = new java.io.File(d).getName
-      val base = s"/root/repo/.graft-fixtures/zarraggpush_$sfName"
-      val group = s"$base/cube.zarr"
-      Fixtures.ensureWritten(base, "t=4,grid=100x360,chunks=1x50x90,dyadic64") {
-        new java.io.File(base).mkdirs()
-        val cells = s.range(4L * 100 * 360).select(
-          (col("id") / (100L * 360)).cast("long").as("ti"),
-          ((col("id") / 360) % 100).cast("long").as("j"),
-          (col("id") % 360).cast("long").as("i"))
-          .select(col("ti").cast("double").as("t"),
-            (col("j") + 0.5).cast("double").as("y"),
-            (col("i") + 0.5).cast("double").as("x"),
-            (((col("j") * 360 + col("i") + col("ti") * 7) % 4096) / 64.0).as("v"))
-        ZarrSource.writeCube(cells, group, "v",
-          Seq("t" -> Array.tabulate(4)(_.toDouble),
-            "y" -> Array.tabulate(100)(_ + 0.5),
-            "x" -> Array.tabulate(360)(_ + 0.5)),
-          chunks = Seq(1, 50, 90))
-      }
+      val group = zarrAggPushFixture(s, d)
       s.read.format("zarr").load(group)
         .orderBy(col("v").desc, col("t"), col("y"), col("x"))
         .limit(100)
@@ -980,25 +954,7 @@ object ServingPack extends QueryPack {
     // order-free exact; avg rides Spark's avg->sum/count partial rewrite
     // and is recomputed in the oracle as sum/count (one exact division).
     "q_zarr_block_agg" -> ((s, d) => {
-      val sfName = new java.io.File(d).getName
-      val base = s"/root/repo/.graft-fixtures/zarraggpush_$sfName"
-      val group = s"$base/cube.zarr"
-      Fixtures.ensureWritten(base, "t=4,grid=100x360,chunks=1x50x90,dyadic64") {
-        new java.io.File(base).mkdirs()
-        val cells = s.range(4L * 100 * 360).select(
-          (col("id") / (100L * 360)).cast("long").as("ti"),
-          ((col("id") / 360) % 100).cast("long").as("j"),
-          (col("id") % 360).cast("long").as("i"))
-          .select(col("ti").cast("double").as("t"),
-            (col("j") + 0.5).cast("double").as("y"),
-            (col("i") + 0.5).cast("double").as("x"),
-            (((col("j") * 360 + col("i") + col("ti") * 7) % 4096) / 64.0).as("v"))
-        ZarrSource.writeCube(cells, group, "v",
-          Seq("t" -> Array.tabulate(4)(_.toDouble),
-            "y" -> Array.tabulate(100)(_ + 0.5),
-            "x" -> Array.tabulate(360)(_ + 0.5)),
-          chunks = Seq(1, 50, 90))
-      }
+      val group = zarrAggPushFixture(s, d)
       s.read.format("zarr").load(group)
         .groupBy(col("t"), floor(col("y") / 10.0).as("bj"),
           floor(col("x") / 60.0).as("bi"))
@@ -1020,25 +976,7 @@ object ServingPack extends QueryPack {
     // avg→sum/count pushdown rewrite). Cells are dyadic so every sum is
     // order-free exact; the oracle recomputes the selection closed-form.
     "q_zarr_interval_scan" -> ((s, d) => {
-      val sfName = new java.io.File(d).getName
-      val base = s"/root/repo/.graft-fixtures/zarraggpush_$sfName"
-      val group = s"$base/cube.zarr"
-      Fixtures.ensureWritten(base, "t=4,grid=100x360,chunks=1x50x90,dyadic64") {
-        new java.io.File(base).mkdirs()
-        val cells = s.range(4L * 100 * 360).select(
-          (col("id") / (100L * 360)).cast("long").as("ti"),
-          ((col("id") / 360) % 100).cast("long").as("j"),
-          (col("id") % 360).cast("long").as("i"))
-          .select(col("ti").cast("double").as("t"),
-            (col("j") + 0.5).cast("double").as("y"),
-            (col("i") + 0.5).cast("double").as("x"),
-            (((col("j") * 360 + col("i") + col("ti") * 7) % 4096) / 64.0).as("v"))
-        ZarrSource.writeCube(cells, group, "v",
-          Seq("t" -> Array.tabulate(4)(_.toDouble),
-            "y" -> Array.tabulate(100)(_ + 0.5),
-            "x" -> Array.tabulate(360)(_ + 0.5)),
-          chunks = Seq(1, 50, 90))
-      }
+      val group = zarrAggPushFixture(s, d)
       s.read.format("zarr").load(group)
         .filter(col("t").isin(0.0, 2.0) && col("y") =!= 50.5 &&
           (col("x") < 90.5 || col("x") > 269.5))
@@ -1055,25 +993,7 @@ object ServingPack extends QueryPack {
     // true top-n; Spark's TakeOrdered re-applies the full sort above).
     // Unique (t,y,x) triples make the result deterministic.
     "q_zarr_topn" -> ((s, d) => {
-      val sfName = new java.io.File(d).getName
-      val base = s"/root/repo/.graft-fixtures/zarraggpush_$sfName"
-      val group = s"$base/cube.zarr"
-      Fixtures.ensureWritten(base, "t=4,grid=100x360,chunks=1x50x90,dyadic64") {
-        new java.io.File(base).mkdirs()
-        val cells = s.range(4L * 100 * 360).select(
-          (col("id") / (100L * 360)).cast("long").as("ti"),
-          ((col("id") / 360) % 100).cast("long").as("j"),
-          (col("id") % 360).cast("long").as("i"))
-          .select(col("ti").cast("double").as("t"),
-            (col("j") + 0.5).cast("double").as("y"),
-            (col("i") + 0.5).cast("double").as("x"),
-            (((col("j") * 360 + col("i") + col("ti") * 7) % 4096) / 64.0).as("v"))
-        ZarrSource.writeCube(cells, group, "v",
-          Seq("t" -> Array.tabulate(4)(_.toDouble),
-            "y" -> Array.tabulate(100)(_ + 0.5),
-            "x" -> Array.tabulate(360)(_ + 0.5)),
-          chunks = Seq(1, 50, 90))
-      }
+      val group = zarrAggPushFixture(s, d)
       s.read.format("zarr").load(group)
         .orderBy(col("t").desc, col("y").desc, col("x").desc)
         .limit(500)

@@ -1040,39 +1040,51 @@ object KerchunkSource {
     val bs = ByteStore.current
     val granules = listGranules(dir)
     require(granules.nonEmpty, s"$dir: no granule files to index")
+    // byte sizes ride in the manifest so a granule REWRITTEN under the
+    // same name (a reprocessing campaign) is detected — its layout and
+    // byte ranges changed, so serving the old index would decode garbage;
+    // a size change forces the full rescan. (A same-size in-place rewrite
+    // is the residual blind spot; rewrite campaigns that must be tracked
+    // byte-exactly should version granule NAMES.)
+    val sizes = granules.map(n => bs.size(s"$dir/$n"))
     val indexPath = s"$dir/$IndexFileName"
     val manifestPath = s"$dir/$ManifestFileName"
-    val old: Option[(String, Seq[String])] =
+    val old: Option[(String, Seq[String], Seq[Long])] =
       bs.readIfExists(manifestPath).map { bytes =>
         val n = mapper.readTree(bytes)
         (n.path("concatDim").asText,
           (0 until n.path("granules").size())
-            .map(i => n.path("granules").get(i).asText))
+            .map(i => n.path("granules").get(i).asText),
+          (0 until n.path("sizes").size())
+            .map(i => n.path("sizes").get(i).asLong))
       }
     old match {
-      case Some((cd, oldG)) if cd == concatDim && oldG == granules =>
+      case Some((cd, oldG, oldS)) if cd == concatDim && oldG == granules &&
+          oldS == sizes =>
         indexPath // up to date: zero header IO
-      case Some((cd, oldG)) if cd == concatDim &&
-          granules.take(oldG.length) == oldG =>
+      case Some((cd, oldG, oldS)) if cd == concatDim &&
+          granules.take(oldG.length) == oldG &&
+          sizes.take(oldG.length) == oldS =>
         val fresh = granules.drop(oldG.length)
         appendToIndex(indexPath,
           scanGranules(spark, fresh.map(n => s"$dir/$n")), concatDim)
-        writeManifest(manifestPath, concatDim, granules)
+        writeManifest(manifestPath, concatDim, granules, sizes)
         indexPath
       case _ =>
         bs.write(indexPath, combineRefs(
           scanGranules(spark, granules.map(n => s"$dir/$n")), concatDim,
           Array.tabulate(granules.length)(_.toDouble)).getBytes("UTF-8"))
-        writeManifest(manifestPath, concatDim, granules)
+        writeManifest(manifestPath, concatDim, granules, sizes)
         indexPath
     }
   }
 
   private def writeManifest(path: String, concatDim: String,
-                            granules: Seq[String]): Unit =
+                            granules: Seq[String], sizes: Seq[Long]): Unit =
     ByteStore.current.write(path,
       (s"""{"concatDim": ${jstr(concatDim)}, """ +
-        s""""granules": [${granules.map(jstr).mkString(", ")}]}""")
+        s""""granules": [${granules.map(jstr).mkString(", ")}], """ +
+        s""""sizes": [${sizes.mkString(", ")}]}""")
         .getBytes("UTF-8"))
 
   /** Merge freshly-scanned granule docs into an existing combined index:
@@ -1117,12 +1129,16 @@ object KerchunkSource {
               java.lang.Double.doubleToLongBits(expect.fillValue),
             s"granule $g: layout of '$n' differs from the archive index")
         }
-      case n => // shared coordinate: layout must agree (values, like
-        // combineRefs, stay granule-0's)
+      case n => // shared coordinate: layout must agree bit for bit, fill
+        // value included (values, like combineRefs, stay granule-0's) —
+        // the same test combineRefs applies, so accept/reject cannot
+        // depend on whether a granule arrived incrementally or in a rebuild
         val za = openArray(meta, n)
         newRefs.zipWithIndex.foreach { case (r, g) =>
           val other = openArray(r, n)
-          require(other.copy(fillValue = 0) == za.copy(fillValue = 0),
+          require(other.copy(fillValue = 0) == za.copy(fillValue = 0) &&
+            java.lang.Double.doubleToLongBits(other.fillValue) ==
+              java.lang.Double.doubleToLongBits(za.fillValue),
             s"granule $g: coordinate '$n' layout differs from the archive")
         }
     }

@@ -64,27 +64,26 @@ final class GraftCatalog extends CatalogPlugin with TableCatalog {
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
         Seq(catalogName, ident.name))
     // directory entries probe by CONTENT before extension inference (the
-    // DataStore.openDataset discipline): a Sentinel-3 product, a zarr
+    // DataStore.openDataset discipline, via the shared DirProbe so the
+    // catalog and the providers agree): a Sentinel-3 product, a zarr
     // group without the .zarr suffix, and a granule archive all resolve
-    // to connector tables on the shared scan engine
-    val bs = graft.sources.ByteStore.current
-    val f = new java.io.File(path)
-    if (f.isDirectory) {
-      if (graft.sources.Sentinel3Source.isSentinel3Product(path))
+    // to connector tables on the shared scan engine — over local AND
+    // ByteStore-scheme'd roots (remote products/archives, whose header
+    // scanners need local files, decline loudly instead of misrouting)
+    DirProbe.probe(path) match {
+      case DirProbe.ZarrGroup => return ZarrTable(ZarrTable.open(path))
+      case DirProbe.Sentinel3 =>
+        require(DirProbe.isLocal(path),
+          s"$path: remote Sentinel-3 products cannot be header-scanned " +
+            "in place — copy the product locally or open its granules " +
+            "individually")
         return ZarrTable(ZarrTable.openRefs(
           KerchunkSource.parseJson(new com.fasterxml.jackson.databind.ObjectMapper()
             .readTree(graft.sources.Sentinel3Source.scanRefs(path))), path))
-      if (bs.exists(s"$path/.zgroup") || bs.exists(s"$path/.zmetadata") ||
-          bs.exists(s"$path/zarr.json"))
-        return ZarrTable(ZarrTable.open(path))
-      val granuleExts = Seq(".nc", ".tif", ".tiff", ".h5", ".hdf5", ".jp2")
-      val granules = KerchunkSource.listGranules(path)
-      if (bs.exists(s"$path/${KerchunkSource.ManifestFileName}") ||
-          (granules.nonEmpty &&
-            granules.forall(n => granuleExts.exists(n.toLowerCase.endsWith))))
+      case DirProbe.Archive =>
         return ZarrTable(ZarrTable.openRefsLazy(
-          KerchunkSource.ensureArchiveIndex(
-            org.apache.spark.sql.SparkSession.active, path)))
+          DirProbe.archiveIndex(path, concatDim = "t")))
+      case DirProbe.NotSpecial => ()
     }
     DataStore.formatFor(path) match {
       case "zarr" => ZarrTable(ZarrTable.open(path))

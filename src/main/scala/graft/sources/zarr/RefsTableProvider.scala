@@ -83,6 +83,65 @@ abstract class RefsProviderBase(short: String)
   override def supportsExternalMetadata(): Boolean = false
 }
 
+/** Shared content probe for DIRECTORY paths — one implementation for the
+  * kerchunk/netcdf providers and [[GraftCatalog]], so the three agree on
+  * what a directory is (finding divergent marker sets was a round-14
+  * review hit). All checks go through [[graft.sources.ByteStore]], so
+  * scheme'd (object-store) paths probe too; what the caller may then DO
+  * with a remote hit differs (the granule header scanners read local
+  * files, so remote archives/products decline loudly instead of
+  * misrouting into the refs-document parser). */
+private[zarr] object DirProbe {
+  sealed trait Kind
+  case object ZarrGroup extends Kind // .zgroup | .zmetadata | zarr.json
+  case object Sentinel3 extends Kind // geo_coordinates.nc gate
+  case object Archive extends Kind // indexed, or all-granule-extension dir
+  case object NotSpecial extends Kind
+
+  val GranuleExts: Seq[String] =
+    Seq(".nc", ".tif", ".tiff", ".h5", ".hdf5", ".jp2", ".j2k")
+
+  def isLocal(path: String): Boolean =
+    path.indexOf("://") < 0 && !path.startsWith("file:")
+
+  def probe(path: String): Kind = {
+    val bs = graft.sources.ByteStore.current
+    val listing: Seq[(String, Boolean)] =
+      if (isLocal(path)) {
+        if (!new java.io.File(path).isDirectory) return NotSpecial
+        bs.list(path)
+      } else {
+        val l = scala.util.Try(bs.list(path)).getOrElse(Seq.empty)
+        // an object-store FILE lists as itself: not a directory
+        if (l.isEmpty || (l.lengthCompare(1) == 0 &&
+            path.stripSuffix("/").endsWith("/" + l.head._1))) return NotSpecial
+        l
+      }
+    if (ZarrTableProvider.groupExists(path)) ZarrGroup
+    else if (graft.sources.Sentinel3Source.isSentinel3Product(path)) Sentinel3
+    else {
+      val granules = listing.collect { case (n, false)
+        if !n.startsWith(".") && !n.startsWith("_") => n }
+      if (bs.exists(s"$path/${KerchunkSource.ManifestFileName}") ||
+          (granules.nonEmpty && granules.forall(n =>
+            GranuleExts.exists(n.toLowerCase.endsWith))))
+        Archive
+      else NotSpecial
+    }
+  }
+
+  /** The archive index for a probed-Archive dir; remote dirs decline
+    * loudly (the header scanners read local files). */
+  def archiveIndex(path: String, concatDim: String): String = {
+    require(isLocal(path),
+      s"$path: remote archive directories cannot be header-scanned in " +
+        "place — build the index locally (KerchunkSource.ensureArchiveIndex" +
+        " / scanGranules + combineRefs) and load the refs document")
+    KerchunkSource.ensureArchiveIndex(
+      org.apache.spark.sql.SparkSession.active, path, concatDim)
+  }
+}
+
 /** `format("netcdf")`: one NetCDF granule — classic CDF-1/2 AND
   * NetCDF-4/HDF5 are both handled (the scanner dispatches on the file's
   * own magic, like the RDD-path [[graft.sources.NetcdfSource.read]]) —
@@ -90,18 +149,22 @@ abstract class RefsProviderBase(short: String)
   * the same persisted incremental index as `format("kerchunk")`. */
 final class NetcdfTableProvider extends RefsProviderBase("netcdf") {
   override protected def openMeta(path: String, only: Option[Seq[String]],
-                                  options: CaseInsensitiveStringMap): ZarrGroupMeta = {
-    val f = new java.io.File(path)
-    val local = path.indexOf("://") < 0 && !path.startsWith("file:")
-    if (local && f.isDirectory) {
-      val concatDim = Option(options.get("concatDim")).getOrElse("t")
-      ZarrTable.openRefsLazy(KerchunkSource.ensureArchiveIndex(
-        org.apache.spark.sql.SparkSession.active, path, concatDim), only)
-    } else
-      ZarrTable.openRefs(KerchunkSource.parseJson(
-        new com.fasterxml.jackson.databind.ObjectMapper()
-          .readTree(KerchunkSource.scanAuto(path))), path, only)
-  }
+                                  options: CaseInsensitiveStringMap): ZarrGroupMeta =
+    DirProbe.probe(path) match {
+      case DirProbe.Archive =>
+        ZarrTable.openRefsLazy(DirProbe.archiveIndex(path,
+          Option(options.get("concatDim")).getOrElse("t")), only)
+      case DirProbe.ZarrGroup =>
+        throw new IllegalArgumentException(
+          s"$path: a zarr group — open it with format(\"zarr\")")
+      case DirProbe.Sentinel3 =>
+        throw new IllegalArgumentException(
+          s"$path: a Sentinel-3 product — open it with format(\"sentinel3\")")
+      case DirProbe.NotSpecial =>
+        ZarrTable.openRefs(KerchunkSource.parseJson(
+          new com.fasterxml.jackson.databind.ObjectMapper()
+            .readTree(KerchunkSource.scanAuto(path))), path, only)
+    }
 }
 
 /** `format("geotiff")`: one GeoTIFF/COG (strips or tiles; none/deflate). */
@@ -150,17 +213,17 @@ final class Sentinel3TableProvider extends RefsProviderBase("sentinel3") {
 
 final class KerchunkTableProvider extends RefsProviderBase("kerchunk") {
   override protected def openMeta(path: String, only: Option[Seq[String]],
-                                  options: CaseInsensitiveStringMap): ZarrGroupMeta = {
-    val f = new java.io.File(path)
-    val local = path.indexOf("://") < 0 && !path.startsWith("file:")
-    if (local && f.isDirectory) {
-      val bs = graft.sources.ByteStore.current
-      require(!bs.exists(s"$path/.zgroup") && !bs.exists(s"$path/zarr.json"),
-        s"$path: a zarr group directory — open it with format(\"zarr\")")
-      val concatDim = Option(options.get("concatDim")).getOrElse("t")
-      val idx = KerchunkSource.ensureArchiveIndex(
-        org.apache.spark.sql.SparkSession.active, path, concatDim)
-      ZarrTable.openRefsLazy(idx, only)
-    } else ZarrTable.openRefsLazy(path, only)
-  }
+                                  options: CaseInsensitiveStringMap): ZarrGroupMeta =
+    DirProbe.probe(path) match {
+      case DirProbe.Archive =>
+        ZarrTable.openRefsLazy(DirProbe.archiveIndex(path,
+          Option(options.get("concatDim")).getOrElse("t")), only)
+      case DirProbe.ZarrGroup =>
+        throw new IllegalArgumentException(
+          s"$path: a zarr group directory — open it with format(\"zarr\")")
+      case DirProbe.Sentinel3 =>
+        throw new IllegalArgumentException(
+          s"$path: a Sentinel-3 product — open it with format(\"sentinel3\")")
+      case DirProbe.NotSpecial => ZarrTable.openRefsLazy(path, only)
+    }
 }

@@ -186,9 +186,17 @@ object ZarrTableProvider {
     * cube writer here; the sort happens on the driver). */
   private[graft] def deriveAxes(data: DataFrame, dimNames: Seq[String])
       : Seq[(String, Array[Double])] = {
-    import org.apache.spark.sql.functions.{col, collect_set}
+    import org.apache.spark.sql.functions.{col, collect_set, lit, when}
+    // normalize -0.0 to 0.0 BEFORE collecting: collect_set dedups with
+    // boxed-Double equality, which keeps -0.0 and 0.0 as two equal-
+    // comparing axis values (the old distinct() path merged them through
+    // UnsafeRow grouping normalization)
+    def norm(d: String) = {
+      val c = col(d).cast("double")
+      when(c === lit(0.0), lit(0.0)).otherwise(c)
+    }
     val row = data.select(dimNames.map(d =>
-      collect_set(col(d).cast("double")).as(d)): _*).head()
+      collect_set(norm(d)).as(d)): _*).head()
     dimNames.zipWithIndex.map { case (d, i) =>
       val axis = row.getSeq[Double](i).toArray
       require(axis.nonEmpty, s"dim $d has no (non-null) values to write")

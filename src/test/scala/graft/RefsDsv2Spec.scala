@@ -197,6 +197,17 @@ class RefsDsv2Spec extends AnyFunSuite {
     assert(viaNc.filter(col("t") === 2.0).agg(sum("v")).head.getDouble(0)
       === 63.0)
     assert(KerchunkSource.scanCount.get() === ncBefore)
+    // a granule REWRITTEN in place (same name, shifted byte layout): the
+    // manifest's size fingerprint forces a full rescan — serving the old
+    // index would resolve stale byte ranges into the new file
+    val rw = KerchunkSource.scanCount.get()
+    NetcdfSource.write(s"$dir/g0.nc", Seq(NcDim("x", 3)), Seq(("x", x)),
+      Seq(("v", Seq("x"), Array.tabulate(3)(_.toDouble))),
+      varAttrs = Map("v" -> Seq(("valid_min", 0.0))))
+    val ds4 = spark.read.format("kerchunk").load(dir)
+    assert(ds4.count() === 12)
+    assert(KerchunkSource.scanCount.get() - rw === 4) // all headers rescanned
+    assert(ds4.filter(col("t") === 0.0).agg(sum("v")).head.getDouble(0) === 3.0)
   }
 
   test("GraftCatalog probes directories: products, archives, bare groups") {
