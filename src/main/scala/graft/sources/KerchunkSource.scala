@@ -116,7 +116,13 @@ object KerchunkSource {
   def streamRefs(jsonPath: String, keep: String => Boolean)
                 (emit: (String, Ref) => Unit): Long = {
     import com.fasterxml.jackson.core.JsonToken
-    val p = mapper.getFactory.createParser(new java.io.File(jsonPath))
+    // local documents stream from disk; object-store documents fetch once
+    // and tokenize from memory (driver-side planning pass — the memory
+    // cost is one copy of the doc, still never the parsed tree)
+    val p =
+      if (isLocalPath(jsonPath))
+        mapper.getFactory.createParser(new java.io.File(jsonPath))
+      else mapper.getFactory.createParser(ByteStore.current.read(jsonPath))
     try {
       require(p.nextToken() == JsonToken.START_OBJECT,
         s"$jsonPath: not a JSON object")
@@ -479,35 +485,30 @@ object KerchunkSource {
     * inlined, every chunk file becomes a whole-file `[url, 0, size]` ref.
     * No payload bytes are read or copied.
     */
-  def scanZarr(groupDir: String): String = {
-    val dir = new java.io.File(groupDir)
+  def scanZarr(groupDir: String,
+               bs: ByteStore = ByteStore.current): String = {
     val out = scala.collection.mutable.LinkedHashMap[String, String]()
-    def inlineFile(key: String, f: java.io.File): Unit = {
-      out(key) = jstr(new String(
-        java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
-    }
-    Option(new java.io.File(dir, ".zgroup")).filter(_.exists())
-      .foreach(inlineFile(".zgroup", _))
-    Option(new java.io.File(dir, ".zattrs")).filter(_.exists())
-      .foreach(inlineFile(".zattrs", _))
-    ZarrSource.listArrays(groupDir).foreach { name =>
-      val ad = new java.io.File(dir, name)
-      inlineFile(s"$name/.zarray", new java.io.File(ad, ".zarray"))
-      Option(new java.io.File(ad, ".zattrs")).filter(_.exists())
-        .foreach(inlineFile(s"$name/.zattrs", _))
+    def inlineIf(key: String, p: String): Unit =
+      bs.readIfExists(p).foreach(b => out(key) = jstr(new String(b, "UTF-8")))
+    inlineIf(".zgroup", s"$groupDir/.zgroup")
+    inlineIf(".zattrs", s"$groupDir/.zattrs")
+    val names = bs.list(groupDir).collect {
+      case (n, true) if bs.exists(s"$groupDir/$n/.zarray") => n
+    }.sorted
+    require(names.nonEmpty, s"$groupDir: no zarr arrays to index")
+    names.foreach { name =>
+      val ad = s"$groupDir/$name"
+      inlineIf(s"$name/.zarray", s"$ad/.zarray")
+      inlineIf(s"$name/.zattrs", s"$ad/.zattrs")
       // chunk files: dotted names at the top level ("0.1"), or nested
-      // directories when the store uses the "/" dimension_separator
-      // ("0/1") — walk recursively so neither layout is silently missed
-      def walk(f: java.io.File, rel: String): Seq[(String, java.io.File)] =
-        if (f.isFile) Seq(rel -> f)
-        else Option(f.listFiles()).getOrElse(Array.empty).toSeq
-          .flatMap(c => walk(c, if (rel.isEmpty) c.getName else s"$rel/${c.getName}"))
-      walk(ad, "")
-        .filter { case (rel, _) => rel.matches("[0-9]+([./][0-9]+)*") }
-        .sortBy(_._1)
-        .foreach { case (rel, f) =>
+      // paths when the store uses the "/" dimension_separator ("0/1") —
+      // walkFiles covers both layouts, local and object-store
+      bs.walkFiles(ad)
+        .filter(_.matches("[0-9]+([./][0-9]+)*"))
+        .sorted
+        .foreach { rel =>
           out(s"$name/$rel") =
-            s"""[${jstr(f.toURI.toString)}, 0, ${f.length}]"""
+            s"""[${jstr(urlOf(s"$ad/$rel"))}, 0, ${bs.size(s"$ad/$rel")}]"""
         }
     }
     refsDoc(out)
@@ -522,11 +523,12 @@ object KerchunkSource {
     * [[ZarrSource.decodeChunk]]'s endian-aware path.
     */
   def scanNetcdf(path: String,
-                 maxFixedChunkBytes: Long = MaxFixedChunkBytes): String = {
-    val nc = NetcdfSource.readHeader(path)
+                 maxFixedChunkBytes: Long = MaxFixedChunkBytes,
+                 bs: ByteStore = ByteStore.current): String = {
+    val nc = NetcdfSource.readHeader(path, bs = bs)
     val lay = nc.layout.getOrElse(throw new IllegalStateException(
       s"$path: parse produced no layout"))
-    val url = new java.io.File(path).toURI.toString
+    val url = urlOf(path)
     val out = scala.collection.mutable.LinkedHashMap[String, String]()
     out(".zgroup") = jstr("""{"zarr_format":2}""")
     val sizeOf = Seq(0, 1, 1, 2, 4, 4, 8)
@@ -594,9 +596,9 @@ object KerchunkSource {
     * is read or copied; fletcher32-checksummed chunks are rejected loudly
     * (the 4-byte tail is not expressible as a Zarr codec).
     */
-  def scanHdf5(path: String): String = {
-    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
-    val url = new java.io.File(path).toURI.toString
+  def scanHdf5(path: String, bs: ByteStore = ByteStore.current): String = {
+    val bytes = bs.read(path)
+    val url = urlOf(path)
     val out = scala.collection.mutable.LinkedHashMap[String, String]()
     out(".zgroup") = jstr("""{"zarr_format":2}""")
     Hdf5Source.scan(bytes).foreach { v =>
@@ -650,22 +652,15 @@ object KerchunkSource {
     * affine georeferencing; only the header is read... the raster data is
     * never touched.
     */
-  def scanGeoTiff(path: String, headerPrefixBytes: Int = 16 * 1024 * 1024): String = {
+  def scanGeoTiff(path: String, headerPrefixBytes: Int = 16 * 1024 * 1024,
+                  bs: ByteStore = ByteStore.current): String = {
     // read only a bounded prefix: the header, IFD and tag-value arrays of
     // a COG live at the front of the file by design (that IS the
     // cloud-optimized layout); the raster payload is never loaded. A
     // pathological file whose metadata points past the prefix fails with
     // a clear message instead of reading garbage.
-    val bytes = {
-      val ch = java.nio.channels.FileChannel.open(
-        java.nio.file.Paths.get(path), java.nio.file.StandardOpenOption.READ)
-      try {
-        val n = math.min(ch.size(), headerPrefixBytes.toLong).toInt
-        val buf = java.nio.ByteBuffer.allocate(n)
-        while (buf.hasRemaining && ch.read(buf) > 0) {}
-        buf.array()
-      } finally ch.close()
-    }
+    val bytes =
+      bs.readRange(path, 0, math.min(bs.size(path), headerPrefixBytes.toLong))
     val (tags, order) =
       try GeoTiffSource.readFirstIfdTags(bytes)
       catch {
@@ -751,7 +746,7 @@ object KerchunkSource {
       .map(v => s""","_FillValue":$v""").getOrElse("")
     out("v/.zattrs") = jstr(
       s"""{"_ARRAY_DIMENSIONS":[${dims.map(jstr).mkString(",")}]$ndAttr}""")
-    val url = new java.io.File(path).toURI.toString
+    val url = urlOf(path)
     val across = (width + chunkW - 1) / chunkW
     offs.zip(cnts).zipWithIndex.foreach { case ((o, c), t) =>
       val key = Seq((t / across).toString, (t % across).toString) ++
@@ -792,22 +787,12 @@ object KerchunkSource {
     * satellite-band shape (one .jp2 per band); multi-component imagery
     * opens through [[graft.sources.jp2.Jp2Source.readRaster]] instead.
     */
-  def scanJp2(path: String, headerPrefixBytes: Int = 1 << 20): String = {
-    val ch = java.nio.channels.FileChannel.open(
-      java.nio.file.Paths.get(path), java.nio.file.StandardOpenOption.READ)
-    try {
-      val fileSize = ch.size()
-      def readAt(off: Long, n: Int): Array[Byte] = {
-        val buf = java.nio.ByteBuffer.allocate(
-          math.min(n.toLong, fileSize - off).toInt)
-        var pos = off
-        while (buf.hasRemaining) {
-          val r = ch.read(buf, pos)
-          require(r > 0, s"$path: short read at $pos")
-          pos += r
-        }
-        buf.array()
-      }
+  def scanJp2(path: String, headerPrefixBytes: Int = 1 << 20,
+              bs: ByteStore = ByteStore.current): String = {
+    {
+      val fileSize = bs.size(path)
+      def readAt(off: Long, n: Int): Array[Byte] =
+        bs.readRange(path, off, math.min(n.toLong, fileSize - off))
       val head = readAt(0, math.min(fileSize, headerPrefixBytes.toLong).toInt)
       val (csOff, csLen) =
         graft.sources.jp2.Jp2Source.codestreamSpan(head, fileSize)
@@ -835,7 +820,7 @@ object KerchunkSource {
         s"$path: nonzero image/tile grid offsets have no aligned zarr chunk grid")
       val ntx = siz.ntx
       // hop SOT -> SOT: record [url, offset, psot] per tile
-      val url = new java.io.File(path).toURI.toString
+      val url = urlOf(path)
       val out = scala.collection.mutable.LinkedHashMap[String, String]()
       out(".zgroup") = jstr("""{"zarr_format":2}""")
       def coordArray(name: String, values: Array[Double]): Unit = {
@@ -872,7 +857,7 @@ object KerchunkSource {
         o += psot
       }
       refsDoc(out)
-    } finally ch.close()
+    }
   }
 
   /** Scan MANY granules as ONE Spark job — an executor task per granule,
@@ -888,35 +873,50 @@ object KerchunkSource {
     */
   def scanGranules(spark: SparkSession, paths: Seq[String]): Seq[String] = {
     require(paths.nonEmpty, "scanGranules: no input paths (empty glob?)")
+    // capture the driver's ByteStore VALUE into the task closure (the
+    // executor-side `current` would be empty on a real cluster), so the
+    // fleet scan reads local paths AND object-store URLs alike
+    val bs = ByteStore.current
     spark.sparkContext
       .parallelize(paths.zipWithIndex, paths.length)
-      .map { case (p, i) => (i, scanAuto(p)) }
+      .map { case (p, i) => (i, scanAuto(p, bs)) }
       .collect()
       .sortBy(_._1)
       .map(_._2)
       .toSeq
   }
 
+  /** Granule URL recorded into a refs document: scheme'd paths verbatim
+    * (the fetch path routes them through [[ByteStore]] ranged reads),
+    * local paths as file: URIs. */
+  private def urlOf(path: String): String =
+    if (path.indexOf("://") > 0 || path.startsWith("file:")) path
+    else new java.io.File(path).toURI.toString
+
+  private def isLocalPath(path: String): Boolean =
+    path.indexOf("://") < 0 && !path.startsWith("file:")
+
   /** Dispatch one granule to the right scanner by its own magic bytes
-    * (an 8-byte read — never the payload).
+    * (an 8-byte read — never the payload). All IO goes through `bs`, so
+    * granules may live on an object store (ranged GETs).
     */
-  def scanAuto(path: String): String = {
+  def scanAuto(path: String, bs: ByteStore = ByteStore.current): String = {
     scanCount.incrementAndGet() // header-IO audit (see ensureArchiveIndex)
-    val f = new java.io.File(path)
-    if (f.isDirectory) return scanZarr(path)
-    val magic = {
-      val in = java.nio.file.Files.newInputStream(f.toPath)
-      try in.readNBytes(8) finally in.close()
-    }
+    if (isLocalPath(path) && new java.io.File(path).isDirectory)
+      return scanZarr(path, bs)
+    if (!isLocalPath(path) && (bs.exists(s"$path/.zgroup") ||
+        bs.exists(s"$path/.zmetadata") || bs.exists(s"$path/zarr.json")))
+      return scanZarr(path, bs)
+    val magic = bs.readRange(path, 0, math.min(8L, bs.size(path)))
     val m = magic.map(_ & 0xff)
-    if (m.startsWith(Seq('C'.toInt, 'D'.toInt, 'F'.toInt))) scanNetcdf(path)
-    else if (m.startsWith(Seq(0x89, 'H'.toInt, 'D'.toInt, 'F'.toInt))) scanHdf5(path)
+    if (m.startsWith(Seq('C'.toInt, 'D'.toInt, 'F'.toInt))) scanNetcdf(path, bs = bs)
+    else if (m.startsWith(Seq(0x89, 'H'.toInt, 'D'.toInt, 'F'.toInt))) scanHdf5(path, bs)
     else if (m.startsWith(Seq('I'.toInt, 'I'.toInt, 42, 0)) ||
-             m.startsWith(Seq('M'.toInt, 'M'.toInt, 0, 42))) scanGeoTiff(path)
+             m.startsWith(Seq('M'.toInt, 'M'.toInt, 0, 42))) scanGeoTiff(path, bs = bs)
     else if (m.startsWith(Seq(0xff, 0x4f, 0xff, 0x51)) || // raw codestream
              // JP2 signature box: 00 00 00 0C 'jP  '
              m.startsWith(Seq(0, 0, 0, 0x0c, 'j'.toInt, 'P'.toInt, 0x20, 0x20)))
-      scanJp2(path)
+      scanJp2(path, bs = bs)
     else throw new IllegalArgumentException(
       s"$path: unrecognized granule magic ${magic.mkString(",")}")
   }

@@ -242,8 +242,8 @@ object NetcdfSource {
     * prefix grows geometrically — worst case (prefix == file) only for
     * degenerate all-header files.
     */
-  def readHeader(path: String, initialPrefixBytes: Int = 1 << 20): NcFile = {
-    val bs = ByteStore.current
+  def readHeader(path: String, initialPrefixBytes: Int = 1 << 20,
+                 bs: ByteStore = ByteStore.current): NcFile = {
     val total = bs.size(path)
     var n = math.min(math.max(initialPrefixBytes.toLong, 64L), total)
     while (true) {

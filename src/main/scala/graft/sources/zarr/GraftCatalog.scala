@@ -73,10 +73,6 @@ final class GraftCatalog extends CatalogPlugin with TableCatalog {
     DirProbe.probe(path) match {
       case DirProbe.ZarrGroup => return ZarrTable(ZarrTable.open(path))
       case DirProbe.Sentinel3 =>
-        require(DirProbe.isLocal(path),
-          s"$path: remote Sentinel-3 products cannot be header-scanned " +
-            "in place — copy the product locally or open its granules " +
-            "individually")
         return ZarrTable(ZarrTable.openRefs(
           KerchunkSource.parseJson(new com.fasterxml.jackson.databind.ObjectMapper()
             .readTree(graft.sources.Sentinel3Source.scanRefs(path))), path))

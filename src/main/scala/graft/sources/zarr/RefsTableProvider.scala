@@ -87,10 +87,10 @@ abstract class RefsProviderBase(short: String)
   * kerchunk/netcdf providers and [[GraftCatalog]], so the three agree on
   * what a directory is (finding divergent marker sets was a round-14
   * review hit). All checks go through [[graft.sources.ByteStore]], so
-  * scheme'd (object-store) paths probe too; what the caller may then DO
-  * with a remote hit differs (the granule header scanners read local
-  * files, so remote archives/products decline loudly instead of
-  * misrouting into the refs-document parser). */
+  * scheme'd (object-store) paths probe — and open — exactly like local
+  * ones: the granule header scanners read through ByteStore too (bounded
+  * ranged GETs), so archives and Sentinel-3 products living in a bucket
+  * index and query in place. */
 private[zarr] object DirProbe {
   sealed trait Kind
   case object ZarrGroup extends Kind // .zgroup | .zmetadata | zarr.json
@@ -130,16 +130,13 @@ private[zarr] object DirProbe {
     }
   }
 
-  /** The archive index for a probed-Archive dir; remote dirs decline
-    * loudly (the header scanners read local files). */
-  def archiveIndex(path: String, concatDim: String): String = {
-    require(isLocal(path),
-      s"$path: remote archive directories cannot be header-scanned in " +
-        "place — build the index locally (KerchunkSource.ensureArchiveIndex" +
-        " / scanGranules + combineRefs) and load the refs document")
+  /** The archive index for a probed-Archive dir — local AND object-store
+    * directories (the scanners read through ByteStore: bounded ranged
+    * GETs for headers, the index object written back beside the
+    * granules). */
+  def archiveIndex(path: String, concatDim: String): String =
     KerchunkSource.ensureArchiveIndex(
       org.apache.spark.sql.SparkSession.active, path, concatDim)
-  }
 }
 
 /** `format("netcdf")`: one NetCDF granule — classic CDF-1/2 AND

@@ -210,6 +210,42 @@ class RefsDsv2Spec extends AnyFunSuite {
     assert(ds4.filter(col("t") === 0.0).agg(sum("v")).head.getDouble(0) === 3.0)
   }
 
+  test("archive on an OBJECT STORE: indexed, pruned, appended in place") {
+    graft.sources.s3.S3Support.enable(spark)
+    val bs = graft.sources.ByteStore.current
+    val local = tmpDir("arcs3src")
+    val dir = "s3g://arcbucket/daily"
+    val x = Array(0.0, 1.0, 2.0)
+    def putGranule(g: Int): Unit = {
+      NetcdfSource.write(s"$local/g$g.nc", Seq(NcDim("x", 3)), Seq(("x", x)),
+        Seq(("v", Seq("x"), Array.tabulate(3)(i => g * 10.0 + i))))
+      bs.write(s"$dir/g$g.nc", java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$local/g$g.nc")))
+    }
+    (0 until 3).foreach(putGranule)
+    val before = KerchunkSource.scanCount.get()
+    // the directory of bucket objects opens as one table: headers scanned
+    // via bounded ranged GETs, the index written back beside the granules
+    val ds = spark.read.format("kerchunk").load(dir)
+    assert(ds.columns.toSeq == Seq("t", "x", "v"))
+    assert(ds.count() === 9)
+    assert(KerchunkSource.scanCount.get() - before === 3)
+    assert(bs.exists(s"$dir/${KerchunkSource.IndexFileName}"))
+    val one = ds.filter(col("t") === 1.0)
+    assert(one.rdd.getNumPartitions === 1)
+    assert(one.agg(sum("v")).head.getDouble(0) === 33.0)
+    // re-open: zero header IO; append a bucket object: scanned alone
+    val mid = KerchunkSource.scanCount.get()
+    assert(spark.read.format("kerchunk").load(dir).count() === 9)
+    assert(KerchunkSource.scanCount.get() === mid)
+    putGranule(3)
+    val grown = spark.read.format("kerchunk").load(dir)
+    assert(grown.count() === 12)
+    assert(KerchunkSource.scanCount.get() - mid === 1)
+    assert(grown.filter(col("t") === 3.0).agg(sum("v")).head.getDouble(0)
+      === 93.0)
+  }
+
   test("GraftCatalog probes directories: products, archives, bare groups") {
     import graft.sources.ZarrSource
     import spark.implicits._
