@@ -1036,8 +1036,14 @@ object KerchunkSource {
     * name) — monotone by construction, so a predicate on it elides whole
     * granules through the connector's chunk pruning. */
   def ensureArchiveIndex(spark: SparkSession, dir: String,
-                         concatDim: String = "t"): String = {
+                         concatDim: String = "t",
+                         indexDir: Option[String] = None): String = {
     val bs = ByteStore.current
+    // index + manifest live beside the granules by default; a READ-ONLY
+    // archive (someone else's bucket, restricted creds) redirects them
+    // anywhere writable via `indexDir` (.option("index", dir) on the
+    // connectors)
+    val sideDir = indexDir.getOrElse(dir)
     val granules = listGranules(dir)
     require(granules.nonEmpty, s"$dir: no granule files to index")
     // byte sizes ride in the manifest so a granule REWRITTEN under the
@@ -1047,8 +1053,8 @@ object KerchunkSource {
     // is the residual blind spot; rewrite campaigns that must be tracked
     // byte-exactly should version granule NAMES.)
     val sizes = granules.map(n => bs.size(s"$dir/$n"))
-    val indexPath = s"$dir/$IndexFileName"
-    val manifestPath = s"$dir/$ManifestFileName"
+    val indexPath = s"$sideDir/$IndexFileName"
+    val manifestPath = s"$sideDir/$ManifestFileName"
     val old: Option[(String, Seq[String], Seq[Long])] =
       bs.readIfExists(manifestPath).map { bytes =>
         val n = mapper.readTree(bytes)

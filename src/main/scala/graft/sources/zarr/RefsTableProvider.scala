@@ -133,10 +133,11 @@ private[zarr] object DirProbe {
   /** The archive index for a probed-Archive dir — local AND object-store
     * directories (the scanners read through ByteStore: bounded ranged
     * GETs for headers, the index object written back beside the
-    * granules). */
-  def archiveIndex(path: String, concatDim: String): String =
+    * granules, or to `indexDir` when the archive itself is read-only). */
+  def archiveIndex(path: String, concatDim: String,
+                   indexDir: Option[String] = None): String =
     KerchunkSource.ensureArchiveIndex(
-      org.apache.spark.sql.SparkSession.active, path, concatDim)
+      org.apache.spark.sql.SparkSession.active, path, concatDim, indexDir)
 }
 
 /** `format("netcdf")`: one NetCDF granule — classic CDF-1/2 AND
@@ -150,7 +151,8 @@ final class NetcdfTableProvider extends RefsProviderBase("netcdf") {
     DirProbe.probe(path) match {
       case DirProbe.Archive =>
         ZarrTable.openRefsLazy(DirProbe.archiveIndex(path,
-          Option(options.get("concatDim")).getOrElse("t")), only)
+          Option(options.get("concatDim")).getOrElse("t"),
+          Option(options.get("index"))), only)
       case DirProbe.ZarrGroup =>
         throw new IllegalArgumentException(
           s"$path: a zarr group — open it with format(\"zarr\")")
@@ -214,7 +216,8 @@ final class KerchunkTableProvider extends RefsProviderBase("kerchunk") {
     DirProbe.probe(path) match {
       case DirProbe.Archive =>
         ZarrTable.openRefsLazy(DirProbe.archiveIndex(path,
-          Option(options.get("concatDim")).getOrElse("t")), only)
+          Option(options.get("concatDim")).getOrElse("t"),
+          Option(options.get("index"))), only)
       case DirProbe.ZarrGroup =>
         throw new IllegalArgumentException(
           s"$path: a zarr group directory — open it with format(\"zarr\")")

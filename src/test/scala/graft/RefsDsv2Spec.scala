@@ -210,6 +210,27 @@ class RefsDsv2Spec extends AnyFunSuite {
     assert(ds4.filter(col("t") === 0.0).agg(sum("v")).head.getDouble(0) === 3.0)
   }
 
+  test("read-only archive: option(index) redirects the sidecars") {
+    val dir = tmpDir("arcro")
+    val x = Array(0.0, 1.0, 2.0)
+    (0 until 2).foreach { g =>
+      NetcdfSource.write(s"$dir/g$g.nc", Seq(NcDim("x", 3)), Seq(("x", x)),
+        Seq(("v", Seq("x"), Array.tabulate(3)(i => g * 10.0 + i))))
+    }
+    val side = tmpDir("arcidx")
+    val ro = spark.read.format("kerchunk").option("index", side).load(dir)
+    assert(ro.count() === 6)
+    assert(ro.filter(col("t") === 1.0).agg(sum("v")).head.getDouble(0) === 33.0)
+    // nothing was written into the (conceptually read-only) archive dir
+    assert(!new java.io.File(s"$dir/${KerchunkSource.IndexFileName}").exists())
+    assert(new java.io.File(s"$side/${KerchunkSource.IndexFileName}").exists())
+    // re-open through the redirected sidecars: zero header IO
+    val mid = KerchunkSource.scanCount.get()
+    assert(spark.read.format("kerchunk").option("index", side).load(dir)
+      .count() === 6)
+    assert(KerchunkSource.scanCount.get() === mid)
+  }
+
   test("archive on an OBJECT STORE: indexed, pruned, appended in place") {
     graft.sources.s3.S3Support.enable(spark)
     val bs = graft.sources.ByteStore.current
