@@ -915,6 +915,34 @@ object ServingPack extends QueryPack {
         .agg(count(lit(1)).as("n"), sum(col("v")).as("sum_v"))
     }),
 
+    // the PARQUET archive index: data-chunk refs live in a distributed
+    // side table (the kerchunk parquet-refs evolution) and planning
+    // broadcast-joins the pruned key set against it — driver memory is
+    // the query's own refs at ANY archive size. Same incremental-merge
+    // proof shape as q_archive_dsv2: the fixture indexes 3 granules then
+    // drops a 4th, so a green result certifies the parquet append path.
+    "q_archive_parquet" -> ((s, d) => {
+      import NetcdfSource.NcDim
+      val sfName = new java.io.File(d).getName
+      val base = s"/root/repo/.graft-fixtures/archivepq_$sfName"
+      val dir = s"$base/daily.archive"
+      Fixtures.ensureWritten(base, "granules=3+1,x=24,parquet-index") {
+        new java.io.File(dir).mkdirs()
+        def granule(i: Int): Unit =
+          NetcdfSource.write(s"$dir/day$i.nc", Seq(NcDim("x", 24)),
+            Seq(("x", Array.tabulate(24)(_ + 0.5))),
+            Seq(("v", Seq("x"), Array.tabulate(24)(k => i * 100.0 + k))))
+        (0 until 3).foreach(granule)
+        KerchunkSource.ensureArchiveIndex(s, dir,
+          indexFormat = "parquet") // fleet scan -> distributed index
+        granule(3) // lands after the index: appended as new part files
+      }
+      s.read.format("kerchunk").option("indexFormat", "parquet").load(dir)
+        .filter(col("t") >= 1.0)
+        .groupBy(col("t").cast("long").as("t"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sum_v"))
+    }),
+
     // block-key GROUP BY over DIMS is metadata-only: the whole answer is
     // driver math over the resident coordinate arrays (per-key buckets of
     // each dim's in-range values, combos multiplied across keys) — ZERO
@@ -2200,6 +2228,10 @@ object ServingPack extends QueryPack {
          WHERE ((k // 360) % 100) <= 49
          GROUP BY 1""",
     "q_archive_dsv2" ->
+      """SELECT g::BIGINT AS t, count(*) AS n, sum(g * 100.0 + i) AS sum_v
+         FROM range(1, 4) r(g), range(0, 24) s(i)
+         GROUP BY 1""",
+    "q_archive_parquet" ->
       """SELECT g::BIGINT AS t, count(*) AS n, sum(g * 100.0 + i) AS sum_v
          FROM range(1, 4) r(g), range(0, 24) s(i)
          GROUP BY 1""",

@@ -1001,9 +1001,15 @@ object KerchunkSource {
   /** Sidecar names of the persisted archive index, written beside the
     * granules (reference `store/ref/store.py` — the combined reference
     * set IS the archive's catalog; here it is also persisted and
-    * incrementally maintained). */
+    * incrementally maintained). With `indexFormat = "parquet"` the
+    * data-chunk refs live in [[ParquetRefsName]] as a DISTRIBUTED side
+    * table and [[IndexFileName]] holds only the metadata + coordinates —
+    * the shape that survives 10^8-ref archives (the driver never holds
+    * the chunk refs; a query joins its pruned key set against the table
+    * and collects only its own answer's refs). */
   val IndexFileName = "_refs.json"
   val ManifestFileName = "_refs_manifest.json"
+  val ParquetRefsName = "_refs.parquet"
 
   /** Granule-header scans performed (scanAuto calls, executors included
     * under local[n]) — lets specs and the oracle gate audit that
@@ -1037,7 +1043,10 @@ object KerchunkSource {
     * granules through the connector's chunk pruning. */
   def ensureArchiveIndex(spark: SparkSession, dir: String,
                          concatDim: String = "t",
-                         indexDir: Option[String] = None): String = {
+                         indexDir: Option[String] = None,
+                         indexFormat: String = "json"): String = {
+    require(indexFormat == "json" || indexFormat == "parquet",
+      s"indexFormat must be json or parquet, got $indexFormat")
     val bs = ByteStore.current
     // index + manifest live beside the granules by default; a READ-ONLY
     // archive (someone else's bucket, restricted creds) redirects them
@@ -1055,40 +1064,57 @@ object KerchunkSource {
     val sizes = granules.map(n => bs.size(s"$dir/$n"))
     val indexPath = s"$sideDir/$IndexFileName"
     val manifestPath = s"$sideDir/$ManifestFileName"
-    val old: Option[(String, Seq[String], Seq[Long])] =
+    val old: Option[(String, Seq[String], Seq[Long], String)] =
       bs.readIfExists(manifestPath).map { bytes =>
         val n = mapper.readTree(bytes)
         (n.path("concatDim").asText,
           (0 until n.path("granules").size())
             .map(i => n.path("granules").get(i).asText),
           (0 until n.path("sizes").size())
-            .map(i => n.path("sizes").get(i).asLong))
+            .map(i => n.path("sizes").get(i).asLong),
+          Option(n.get("format")).map(_.asText).getOrElse("json"))
       }
     old match {
-      case Some((cd, oldG, oldS)) if cd == concatDim && oldG == granules &&
-          oldS == sizes =>
+      case Some((cd, oldG, oldS, fmt)) if cd == concatDim &&
+          fmt == indexFormat && oldG == granules && oldS == sizes =>
         indexPath // up to date: zero header IO
-      case Some((cd, oldG, oldS)) if cd == concatDim &&
-          granules.take(oldG.length) == oldG &&
+      case Some((cd, oldG, oldS, fmt)) if cd == concatDim &&
+          fmt == indexFormat && granules.take(oldG.length) == oldG &&
           sizes.take(oldG.length) == oldS =>
         val fresh = granules.drop(oldG.length)
-        appendToIndex(indexPath,
-          scanGranules(spark, fresh.map(n => s"$dir/$n")), concatDim)
-        writeManifest(manifestPath, concatDim, granules, sizes)
+        if (indexFormat == "parquet")
+          appendParquetIndex(spark, fresh.map(n => s"$dir/$n"),
+            oldG.length, concatDim, sideDir)
+        else
+          appendToIndex(indexPath,
+            scanGranules(spark, fresh.map(n => s"$dir/$n")), concatDim)
+        writeManifest(manifestPath, concatDim, granules, sizes, indexFormat)
         indexPath
       case _ =>
-        bs.write(indexPath, combineRefs(
-          scanGranules(spark, granules.map(n => s"$dir/$n")), concatDim,
-          Array.tabulate(granules.length)(_.toDouble)).getBytes("UTF-8"))
-        writeManifest(manifestPath, concatDim, granules, sizes)
+        if (indexFormat == "parquet")
+          buildParquetIndex(spark, granules.map(n => s"$dir/$n"),
+            concatDim, sideDir)
+        else
+          bs.write(indexPath, combineRefs(
+            scanGranules(spark, granules.map(n => s"$dir/$n")), concatDim,
+            Array.tabulate(granules.length)(_.toDouble)).getBytes("UTF-8"))
+        writeManifest(manifestPath, concatDim, granules, sizes, indexFormat)
         indexPath
     }
   }
 
+  /** The format recorded in an archive's manifest ("json"/"parquet"),
+    * or "json" when no manifest exists (pre-format sidecars). */
+  def manifestFormat(sideDir: String): String =
+    ByteStore.current.readIfExists(s"$sideDir/$ManifestFileName")
+      .flatMap(b => Option(mapper.readTree(b).get("format")).map(_.asText))
+      .getOrElse("json")
+
   private def writeManifest(path: String, concatDim: String,
-                            granules: Seq[String], sizes: Seq[Long]): Unit =
+                            granules: Seq[String], sizes: Seq[Long],
+                            format: String): Unit =
     ByteStore.current.write(path,
-      (s"""{"concatDim": ${jstr(concatDim)}, """ +
+      (s"""{"concatDim": ${jstr(concatDim)}, "format": ${jstr(format)}, """ +
         s""""granules": [${granules.map(jstr).mkString(", ")}], """ +
         s""""sizes": [${sizes.mkString(", ")}]}""")
         .getBytes("UTF-8"))
@@ -1206,5 +1232,244 @@ object KerchunkSource {
     }
     sb.append("}}")
     ByteStore.current.write(indexPath, sb.toString.getBytes("UTF-8"))
+  }
+
+  // ------------------------------------- parquet (distributed) index
+
+  private val RefRowSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("g",
+      org.apache.spark.sql.types.IntegerType, nullable = false),
+    org.apache.spark.sql.types.StructField("kind",
+      org.apache.spark.sql.types.IntegerType, nullable = false),
+    org.apache.spark.sql.types.StructField("key",
+      org.apache.spark.sql.types.StringType, nullable = false),
+    org.apache.spark.sql.types.StructField("url",
+      org.apache.spark.sql.types.StringType, nullable = true),
+    org.apache.spark.sql.types.StructField("offset",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("length",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("inline",
+      org.apache.spark.sql.types.BinaryType, nullable = true)))
+
+  /** Fleet-scan granules into typed ref ROWS instead of collected docs —
+    * the distributed-index primitive: each task scans its own granule's
+    * header and emits (granuleIdx, kind, key, ref...) rows, with data-
+    * chunk keys ALREADY in combined form (`v/g.k1.k2`). kind 0 = metadata
+    * (.z*), 1 = coordinate chunk, 2 = data chunk. Nothing granule-sized
+    * ever reaches the driver. */
+  private def scanGranuleRows(spark: SparkSession, paths: Seq[String],
+                              startIdx: Int): org.apache.spark.sql.DataFrame = {
+    val bsv = ByteStore.current
+    val rdd = spark.sparkContext
+      .parallelize(paths.zipWithIndex, paths.length)
+      .flatMap { case (p, i) =>
+        val g = startIdx + i
+        val refs = parseJson(mapper.readTree(scanAuto(p, bsv)))
+        val names = listArrays(refs)
+        val seps = names.filter(n => openArray(refs, n).dims != Seq(n))
+          .map(n => n -> openArray(refs, n).separator).toMap
+        refs.entries.iterator.map { case (k, r) =>
+          val slash = k.indexOf('/')
+          val name = if (slash > 0) k.substring(0, slash) else ""
+          val isMeta = k.substring(k.lastIndexOf('/') + 1).startsWith(".z")
+          val (kind, key) =
+            if (isMeta) (0, k)
+            else seps.get(name) match {
+              case Some(sep) => (2, s"$name/$g$sep${k.substring(slash + 1)}")
+              case None => (1, k)
+            }
+          org.apache.spark.sql.Row(g, kind, key, r.url, r.offset, r.length,
+            r.inline)
+        }
+      }
+    spark.createDataFrame(rdd, RefRowSchema)
+  }
+
+  /** Per-granule metadata Refs from collected kind-0/1 rows. */
+  private def refsOfRows(rows: Seq[org.apache.spark.sql.Row]): Refs =
+    Refs(rows.map { r =>
+      r.getString(2) -> Ref(
+        if (r.isNullAt(3)) null else r.getString(3),
+        r.getLong(4), r.getLong(5),
+        if (r.isNullAt(6)) null else r.getAs[Array[Byte]](6))
+    }.toMap)
+
+  /** The metadata-only combined doc (everything combineRefs emits EXCEPT
+    * the data-chunk keys): group doc, index-valued concat coordinate,
+    * granule-0 shared coordinates (ranged chunk refs included — they are
+    * driver-resolved at open), and each data variable's .zarray/.zattrs
+    * with the concat dimension prepended. */
+  private def archiveMetaDoc(first: Refs, concatDim: String,
+                             n: Int): String = {
+    val names = listArrays(first)
+    val out = scala.collection.mutable.LinkedHashMap[String, String]()
+    out(".zgroup") = jstr("""{"zarr_format":2}""")
+    val cbuf = java.nio.ByteBuffer.allocate(n * 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    (0 until n).foreach(i => cbuf.putDouble(i.toDouble))
+    out(s"$concatDim/.zarray") = jstr(
+      s"""{"zarr_format":2,"shape":[$n],""" +
+        s""""chunks":[$n],"dtype":"<f8","compressor":null,""" +
+        """"fill_value":null,"filters":null,"order":"C"}""")
+    out(s"$concatDim/.zattrs") =
+      jstr(s"""{"_ARRAY_DIMENSIONS":[${jstr(concatDim)}]}""")
+    out(s"$concatDim/0") = jstr("base64:" +
+      java.util.Base64.getEncoder.encodeToString(cbuf.array()))
+    names.foreach { name =>
+      require(name != concatDim,
+        s"granules already carry a '$concatDim' array")
+      val za = openArray(first, name)
+      if (za.dims == Seq(name)) { // shared 1-D coordinate: copy granule 0
+        out(s"$name/.zarray") = refValue(first(s"$name/.zarray"), isMeta = true)
+        if (first.contains(s"$name/.zattrs"))
+          out(s"$name/.zattrs") = refValue(first(s"$name/.zattrs"), isMeta = true)
+        first.entries.keys.filter { k =>
+          k.startsWith(s"$name/") &&
+            !k.substring(k.lastIndexOf('/') + 1).startsWith(".z")
+        }.toSeq.sorted.foreach(k =>
+          out(k) = refValue(first(k), isMeta = false))
+      } else { // data variable: prepend the concat dimension
+        val zaNode = first.json(s"$name/.zarray").get
+          .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+        def prepend(field: String, v: Int): Unit = {
+          val arr = mapper.createArrayNode().add(v)
+          zaNode.path(field).elements.asScala.foreach(arr.add)
+          zaNode.set(field, arr); ()
+        }
+        prepend("shape", n)
+        prepend("chunks", 1) // one granule = one chunk along the new dim
+        out(s"$name/.zarray") = jstr(mapper.writeValueAsString(zaNode))
+        out(s"$name/.zattrs") = jstr(
+          s"""{"_ARRAY_DIMENSIONS":[${(concatDim +: za.dims).map(jstr).mkString(",")}]}""")
+      }
+    }
+    refsDoc(out)
+  }
+
+  /** combineRefs' cross-granule layout validation over collected metadata
+    * Refs (array sets, dims/shape/chunks/codec, bit-exact fill values). */
+  private def validateGranuleMetas(first: Refs, metas: Seq[(Int, Refs)],
+                                   concatDim: String): Unit = {
+    val names = listArrays(first)
+    metas.foreach { case (g, r) =>
+      require(!listArrays(r).contains(concatDim),
+        s"granule $g: already carries a '$concatDim' array")
+      require(listArrays(r) == names,
+        s"granule $g: array set ${listArrays(r).mkString(",")} differs " +
+          s"from the archive index (${names.mkString(",")})")
+      names.foreach { n =>
+        val za = openArray(first, n)
+        val other = openArray(r, n)
+        require(other.copy(fillValue = 0) == za.copy(fillValue = 0) &&
+          java.lang.Double.doubleToLongBits(other.fillValue) ==
+            java.lang.Double.doubleToLongBits(za.fillValue),
+          s"granule $g: layout of '$n' differs from the archive index")
+      }
+    }
+  }
+
+  /** Full parquet-index build: ONE fleet scan emits combined-form ref
+    * rows; data-chunk rows write straight to the parquet side table
+    * (executors to object store, never through the driver); only the
+    * metadata rows collect for validation and the metadata doc. */
+  private def buildParquetIndex(spark: SparkSession, paths: Seq[String],
+                                concatDim: String, sideDir: String): Unit = {
+    val rows = scanGranuleRows(spark, paths, startIdx = 0)
+    rows.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      import org.apache.spark.sql.functions.col
+      val metaRows = rows.filter(col("kind") === 0).collect().toSeq
+      val coord0 = rows.filter(col("kind") === 1 && col("g") === 0)
+        .collect().toSeq
+      val byG = metaRows.groupBy(_.getInt(0))
+      require(byG.contains(0), s"$sideDir: granule 0 produced no metadata")
+      val first = refsOfRows(byG(0) ++ coord0)
+      validateGranuleMetas(first,
+        byG.toSeq.sortBy(_._1).filter(_._1 > 0)
+          .map { case (g, rs) => g -> refsOfRows(rs) }, concatDim)
+      rows.filter(col("kind") === 2)
+        .select("key", "url", "offset", "length", "inline")
+        .write.mode("overwrite").parquet(s"$sideDir/$ParquetRefsName")
+      ByteStore.current.write(s"$sideDir/$IndexFileName",
+        archiveMetaDoc(first, concatDim, paths.length).getBytes("UTF-8"))
+    } finally { rows.unpersist(); () }
+  }
+
+  /** Incremental parquet-index append: fleet-scan ONLY the new granules,
+    * validate their layouts against the index's recorded grid, append
+    * their chunk rows as new parquet part files (old rows untouched,
+    * old granules never re-read), then bump the metadata doc's concat
+    * extents. Ordered so a validation failure writes nothing, and a
+    * metadata-write failure leaves only unreferenced extra rows. */
+  private def appendParquetIndex(spark: SparkSession, newPaths: Seq[String],
+                                 startIdx: Int, concatDim: String,
+                                 sideDir: String): Unit = {
+    val indexPath = s"$sideDir/$IndexFileName"
+    val current = parseSelective(indexPath, _ => true) // metadata-only: small
+    val names = listArrays(current)
+    val oldN = openArray(current, concatDim).shape.head
+    require(oldN == startIdx,
+      s"$indexPath: concat extent $oldN != manifest granule count $startIdx")
+    val rows = scanGranuleRows(spark, newPaths, startIdx)
+    rows.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      import org.apache.spark.sql.functions.col
+      val metaRows = rows.filter(col("kind") === 0).collect().toSeq
+      // expected granule layout = the combined grid minus its lead dim
+      val expected = Refs(names.filterNot(_ == concatDim).flatMap { n =>
+        val za = openArray(current, n)
+        val node = current.json(s"$n/.zarray").get
+          .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+        if (za.dims.headOption.contains(concatDim) && za.dims != Seq(n)) {
+          def dropLead(field: String): Unit = {
+            val arr = mapper.createArrayNode()
+            node.path(field).elements.asScala.drop(1).foreach(arr.add)
+            node.set(field, arr); ()
+          }
+          dropLead("shape"); dropLead("chunks")
+          Seq(s"$n/.zarray" -> Ref(null, 0, 0,
+            mapper.writeValueAsString(node).getBytes("UTF-8")),
+            s"$n/.zattrs" -> Ref(null, 0, 0,
+              s"""{"_ARRAY_DIMENSIONS":[${za.dims.tail.map(jstr).mkString(",")}]}"""
+                .getBytes("UTF-8")))
+        } else {
+          Seq(s"$n/.zarray" -> current(s"$n/.zarray")) ++
+            current.entries.get(s"$n/.zattrs").map(s"$n/.zattrs" -> _)
+        }
+      }.toMap)
+      validateGranuleMetas(expected,
+        metaRows.groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+          .map { case (g, rs) => g -> refsOfRows(rs) }, concatDim)
+      rows.filter(col("kind") === 2)
+        .select("key", "url", "offset", "length", "inline")
+        .write.mode("append").parquet(s"$sideDir/$ParquetRefsName")
+      ByteStore.current.write(indexPath,
+        archiveMetaDoc(expected, concatDim, startIdx + newPaths.length)
+          .getBytes("UTF-8"))
+    } finally { rows.unpersist(); () }
+  }
+
+  /** Data-chunk ref resolution against the parquet side table: the
+    * pruned chunk-key set broadcast-joins the distributed index and the
+    * driver collects ONLY the query's own refs — planning memory is the
+    * answer's size at any archive size (the parquet-refs evolution of
+    * kerchunk, fused with optimizer pruning). */
+  final case class ParquetRefLookup(parquetPath: String) extends RefLookup {
+    override def bulk(keys: Seq[String]): Map[String, Ref] = {
+      if (keys.isEmpty) return Map.empty
+      val spark = org.apache.spark.sql.SparkSession.active
+      import org.apache.spark.sql.functions.{broadcast, col}
+      import spark.implicits._
+      spark.read.parquet(parquetPath)
+        .join(broadcast(keys.distinct.toDF("k")), col("key") === col("k"))
+        .select("key", "url", "offset", "length", "inline")
+        .collect()
+        .map(r => r.getString(0) -> Ref(
+          if (r.isNullAt(1)) null else r.getString(1),
+          r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) null else r.getAs[Array[Byte]](4)))
+        .toMap
+    }
   }
 }

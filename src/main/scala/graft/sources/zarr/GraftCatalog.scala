@@ -68,8 +68,8 @@ final class GraftCatalog extends CatalogPlugin with TableCatalog {
     // catalog and the providers agree): a Sentinel-3 product, a zarr
     // group without the .zarr suffix, and a granule archive all resolve
     // to connector tables on the shared scan engine — over local AND
-    // ByteStore-scheme'd roots (remote products/archives, whose header
-    // scanners need local files, decline loudly instead of misrouting)
+    // ByteStore-scheme'd roots (the header scanners read through
+    // ByteStore, so bucket-hosted products and archives open in place)
     DirProbe.probe(path) match {
       case DirProbe.ZarrGroup => return ZarrTable(ZarrTable.open(path))
       case DirProbe.Sentinel3 =>
@@ -77,8 +77,11 @@ final class GraftCatalog extends CatalogPlugin with TableCatalog {
           KerchunkSource.parseJson(new com.fasterxml.jackson.databind.ObjectMapper()
             .readTree(graft.sources.Sentinel3Source.scanRefs(path))), path))
       case DirProbe.Archive =>
-        return ZarrTable(ZarrTable.openRefsLazy(
-          DirProbe.archiveIndex(path, concatDim = "t")))
+        // honors whatever index format the archive was last built with
+        // (manifestFormat), defaulting new indexes to json
+        return ZarrTable(ZarrTable.openArchive(path, concatDim = "t",
+          indexDir = None,
+          indexFormat = KerchunkSource.manifestFormat(path)))
       case DirProbe.NotSpecial => ()
     }
     DataStore.formatFor(path) match {

@@ -67,7 +67,8 @@ abstract class RefsProviderBase(short: String)
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     metaCache.computeIfAbsent(
       path + only.map("?vars=" + _.mkString(",")).getOrElse("") +
-        Option(options.get("concatDim")).map("?concatDim=" + _).getOrElse(""),
+        Seq("concatDim", "index", "indexFormat").flatMap(k =>
+          Option(options.get(k)).map(v => s"?$k=$v")).mkString,
       _ => openMeta(path, only, options))
   }
 
@@ -130,14 +131,6 @@ private[zarr] object DirProbe {
     }
   }
 
-  /** The archive index for a probed-Archive dir — local AND object-store
-    * directories (the scanners read through ByteStore: bounded ranged
-    * GETs for headers, the index object written back beside the
-    * granules, or to `indexDir` when the archive itself is read-only). */
-  def archiveIndex(path: String, concatDim: String,
-                   indexDir: Option[String] = None): String =
-    KerchunkSource.ensureArchiveIndex(
-      org.apache.spark.sql.SparkSession.active, path, concatDim, indexDir)
 }
 
 /** `format("netcdf")`: one NetCDF granule — classic CDF-1/2 AND
@@ -150,9 +143,10 @@ final class NetcdfTableProvider extends RefsProviderBase("netcdf") {
                                   options: CaseInsensitiveStringMap): ZarrGroupMeta =
     DirProbe.probe(path) match {
       case DirProbe.Archive =>
-        ZarrTable.openRefsLazy(DirProbe.archiveIndex(path,
+        ZarrTable.openArchive(path,
           Option(options.get("concatDim")).getOrElse("t"),
-          Option(options.get("index"))), only)
+          Option(options.get("index")),
+          Option(options.get("indexFormat")).getOrElse("json"), only)
       case DirProbe.ZarrGroup =>
         throw new IllegalArgumentException(
           s"$path: a zarr group — open it with format(\"zarr\")")
@@ -215,9 +209,10 @@ final class KerchunkTableProvider extends RefsProviderBase("kerchunk") {
                                   options: CaseInsensitiveStringMap): ZarrGroupMeta =
     DirProbe.probe(path) match {
       case DirProbe.Archive =>
-        ZarrTable.openRefsLazy(DirProbe.archiveIndex(path,
+        ZarrTable.openArchive(path,
           Option(options.get("concatDim")).getOrElse("t"),
-          Option(options.get("index"))), only)
+          Option(options.get("index")),
+          Option(options.get("indexFormat")).getOrElse("json"), only)
       case DirProbe.ZarrGroup =>
         throw new IllegalArgumentException(
           s"$path: a zarr group directory — open it with format(\"zarr\")")

@@ -383,6 +383,33 @@ object ZarrTable {
       refs = Some(KerchunkSource.LazyRefLookup(jsonPath)), only)
   }
 
+  /** Open an archive DIRECTORY through its persisted index
+    * ([[KerchunkSource.ensureArchiveIndex]] builds/refreshes it first).
+    * A json index opens lazily ([[openRefsLazy]]); a parquet index opens
+    * with metadata from the small metadata-only doc and data-chunk refs
+    * resolved through [[KerchunkSource.ParquetRefLookup]] — the index is
+    * a DISTRIBUTED side table, so a 10^8-ref archive plans by joining
+    * the pruned chunk-key set against it and collecting only the query's
+    * own refs. */
+  def openArchive(dir: String, concatDim: String,
+                  indexDir: Option[String], indexFormat: String,
+                  only: Option[Seq[String]] = None): ZarrGroupMeta = {
+    val idx = KerchunkSource.ensureArchiveIndex(
+      org.apache.spark.sql.SparkSession.active, dir, concatDim, indexDir,
+      indexFormat)
+    val side = indexDir.getOrElse(dir)
+    if (KerchunkSource.manifestFormat(side) == "parquet") {
+      val metaRefs = KerchunkSource.parseSelective(idx, _ => true)
+      val names = KerchunkSource.listArrays(metaRefs)
+      require(names.nonEmpty, s"$idx: no arrays in archive index")
+      resolve(idx, names, n => KerchunkSource.openArray(metaRefs, n),
+        (n, za) => KerchunkSource.readAll(metaRefs, n, za),
+        ByteStore.current, v3 = false,
+        refs = Some(KerchunkSource.ParquetRefLookup(
+          s"$side/${KerchunkSource.ParquetRefsName}")), only)
+    } else openRefsLazy(idx, only)
+  }
+
   private def resolve(label: String, names: Seq[String],
                       openArray: String => ZarrArray,
                       readAll: (String, ZarrArray) => Array[Double],

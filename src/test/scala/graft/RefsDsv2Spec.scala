@@ -231,6 +231,55 @@ class RefsDsv2Spec extends AnyFunSuite {
     assert(KerchunkSource.scanCount.get() === mid)
   }
 
+  test("parquet archive index: distributed side table, appended in place") {
+    val dir = tmpDir("arcpq")
+    val x = Array(0.0, 1.0, 2.0)
+    def writeGranule(g: Int): Unit =
+      NetcdfSource.write(s"$dir/g$g.nc", Seq(NcDim("x", 3)), Seq(("x", x)),
+        Seq(("v", Seq("x"), Array.tabulate(3)(i => g * 10.0 + i))))
+    (0 until 3).foreach(writeGranule)
+    def open() = spark.read.format("kerchunk")
+      .option("indexFormat", "parquet").load(dir)
+    val ds = open()
+    assert(ds.columns.toSeq == Seq("t", "x", "v"))
+    assert(ds.count() === 9)
+    // chunk refs live in the DISTRIBUTED side table; the json doc holds
+    // only metadata + coordinates (driver memory independent of ref count)
+    assert(new java.io.File(s"$dir/${KerchunkSource.ParquetRefsName}")
+      .isDirectory)
+    val metaDoc = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/${KerchunkSource.IndexFileName}")), "UTF-8")
+    assert(!metaDoc.contains("\"v/0.0\""), metaDoc.take(400))
+    assert(metaDoc.contains("\"x/0\"")) // granule-0 coord chunk stays
+    // pruning still elides whole granules; values exact
+    val one = ds.filter(col("t") === 1.0)
+    assert(one.rdd.getNumPartitions === 1)
+    assert(one.agg(sum("v")).head.getDouble(0) === 33.0)
+    assert(ds.agg(sum("v")).head.getDouble(0) === (0 to 2).map(_ * 30.0 + 3).sum)
+    // re-open: zero header IO
+    val mid = KerchunkSource.scanCount.get()
+    assert(open().count() === 9)
+    assert(KerchunkSource.scanCount.get() === mid)
+    // append: only the new granule scans; its rows land as new part
+    // files (mode append), old rows untouched
+    writeGranule(3)
+    val grown = open()
+    assert(grown.count() === 12)
+    assert(KerchunkSource.scanCount.get() - mid === 1)
+    assert(grown.filter(col("t") === 3.0).agg(sum("v")).head.getDouble(0)
+      === 93.0)
+    assert(grown.agg(sum("v")).head.getDouble(0) ===
+      (0 to 3).map(_ * 30.0 + 3.0).sum)
+    // a mismatched granule still declines loudly before any write
+    NetcdfSource.write(s"$dir/g4.nc", Seq(NcDim("x", 4)),
+      Seq(("x", Array(0.0, 1.0, 2.0, 3.0))),
+      Seq(("v", Seq("x"), Array.fill(4)(1.0))))
+    val e = intercept[Exception](open().count())
+    assert(e.getMessage.contains("differs from the archive"), e.getMessage)
+    new java.io.File(s"$dir/g4.nc").delete()
+    assert(open().count() === 12)
+  }
+
   test("archive on an OBJECT STORE: indexed, pruned, appended in place") {
     graft.sources.s3.S3Support.enable(spark)
     val bs = graft.sources.ByteStore.current
