@@ -280,6 +280,35 @@ class RefsDsv2Spec extends AnyFunSuite {
     assert(open().count() === 12)
   }
 
+  test("parquet index at 10^3 granules: prune to one, collect only its refs") {
+    val dir = tmpDir("arcbig")
+    val x = Array(0.0, 1.0, 2.0)
+    val n = 1000
+    (0 until n).foreach { g =>
+      NetcdfSource.write(f"$dir/g$g%04d.nc", Seq(NcDim("x", 3)), Seq(("x", x)),
+        Seq(("v", Seq("x"), Array.tabulate(3)(i => g * 10.0 + i))))
+    }
+    def open() = spark.read.format("kerchunk")
+      .option("indexFormat", "parquet").load(dir)
+    val before = KerchunkSource.scanCount.get()
+    val ds = open()
+    assert(KerchunkSource.scanCount.get() - before === n.toLong)
+    // a point query plans ONE granule partition — the parquet side table
+    // is joined with just that granule's chunk keys, so the driver holds
+    // one ref, not 10^3
+    val one = ds.filter(col("t") === 777.0)
+    assert(one.rdd.getNumPartitions === 1)
+    assert(one.agg(sum("v")).head.getDouble(0) === 3 * 7770.0 + 3.0)
+    // a range query plans exactly its slab of granules
+    val range = ds.filter(col("t") >= 990.0)
+    assert(range.rdd.getNumPartitions === 10)
+    assert(range.count() === 30)
+    // re-open: zero header IO at this granule count too
+    val mid = KerchunkSource.scanCount.get()
+    assert(open().filter(col("t") === 3.0).count() === 3)
+    assert(KerchunkSource.scanCount.get() === mid)
+  }
+
   test("archive on an OBJECT STORE: indexed, pruned, appended in place") {
     graft.sources.s3.S3Support.enable(spark)
     val bs = graft.sources.ByteStore.current
