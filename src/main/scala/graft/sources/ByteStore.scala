@@ -283,6 +283,33 @@ final case class ByteStore(options: Map[String, String]) extends Serializable {
         .map(c => (c.getName, c.isDirectory))
     }
 
+  /** [[walkFiles]] with each file's byte size — the listing already
+    * carries lengths on every backend, so callers that need sizes (the
+    * zarr scanner's one-ref-per-chunk index) avoid a HEAD/stat per file. */
+  def walkFilesSized(path: String): Seq[(String, Long)] =
+    if (isHttp(path)) httpReadOnly(path, "walkFilesSized")
+    else if (isRemote(path)) {
+      val base = new HPath(path).toUri.getPath.stripSuffix("/")
+      val it = fs(path).listFiles(new HPath(path), true)
+      val out = Seq.newBuilder[(String, Long)]
+      while (it.hasNext) {
+        val st = it.next()
+        out += ((st.getPath.toUri.getPath.stripPrefix(base).stripPrefix("/"),
+          st.getLen))
+      }
+      out.result()
+    } else {
+      val dir = Paths.get(path)
+      val walk = Files.walk(dir)
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala.filter(Files.isRegularFile(_))
+          .map(p => (dir.relativize(p).toString.replace('\\', '/'),
+            Files.size(p)))
+          .toSeq
+      } finally walk.close()
+    }
+
   /** All regular files under `path`, as slash-separated RELATIVE names. */
   def walkFiles(path: String): Seq[String] =
     if (isHttp(path)) httpReadOnly(path, "walkFiles")
@@ -309,6 +336,12 @@ final case class ByteStore(options: Map[String, String]) extends Serializable {
 }
 
 object ByteStore {
+  /** Bare local path (no scheme, not a file: URI) — THE scheme-detection
+    * predicate, shared so scanners and directory probes cannot drift. */
+  def isLocal(path: String): Boolean =
+    path.indexOf("://") < 0 && !path.startsWith("file:")
+
+
   /** Process-registered Hadoop options for remote schemes. Driver-side
     * code (tests, queries) registers e.g. the s3g endpoint once; every
     * `ByteStore.current` snapshot after that carries the options into its

@@ -503,12 +503,12 @@ object KerchunkSource {
       // chunk files: dotted names at the top level ("0.1"), or nested
       // paths when the store uses the "/" dimension_separator ("0/1") —
       // walkFiles covers both layouts, local and object-store
-      bs.walkFiles(ad)
-        .filter(_.matches("[0-9]+([./][0-9]+)*"))
-        .sorted
-        .foreach { rel =>
+      bs.walkFilesSized(ad)
+        .filter(_._1.matches("[0-9]+([./][0-9]+)*"))
+        .sortBy(_._1)
+        .foreach { case (rel, size) =>
           out(s"$name/$rel") =
-            s"""[${jstr(urlOf(s"$ad/$rel"))}, 0, ${bs.size(s"$ad/$rel")}]"""
+            s"""[${jstr(urlOf(s"$ad/$rel"))}, 0, $size]"""
         }
     }
     refsDoc(out)
@@ -893,8 +893,7 @@ object KerchunkSource {
     if (path.indexOf("://") > 0 || path.startsWith("file:")) path
     else new java.io.File(path).toURI.toString
 
-  private def isLocalPath(path: String): Boolean =
-    path.indexOf("://") < 0 && !path.startsWith("file:")
+  private def isLocalPath(path: String): Boolean = ByteStore.isLocal(path)
 
   /** Dispatch one granule to the right scanner by its own magic bytes
     * (an 8-byte read — never the payload). All IO goes through `bs`, so
@@ -904,10 +903,22 @@ object KerchunkSource {
     scanCount.incrementAndGet() // header-IO audit (see ensureArchiveIndex)
     if (isLocalPath(path) && new java.io.File(path).isDirectory)
       return scanZarr(path, bs)
-    if (!isLocalPath(path) && (bs.exists(s"$path/.zgroup") ||
-        bs.exists(s"$path/.zmetadata") || bs.exists(s"$path/zarr.json")))
-      return scanZarr(path, bs)
-    val magic = bs.readRange(path, 0, math.min(8L, bs.size(path)))
+    // remote: try the 8-byte magic read FIRST (granule files are the
+    // common case — probing zarr markers up front would cost three
+    // always-missing HEADs per granule across a 10^5-granule fleet scan);
+    // only a failed/empty read falls back to the zarr-group-prefix probe
+    val magic =
+      try {
+        val m = bs.readRange(path, 0, 8)
+        require(m.length == 8, s"$path: shorter than any granule magic")
+        m
+      } catch {
+        case e: Exception =>
+          if (!isLocalPath(path) && (bs.exists(s"$path/.zgroup") ||
+              bs.exists(s"$path/.zmetadata") || bs.exists(s"$path/zarr.json")))
+            return scanZarr(path, bs)
+          throw e
+      }
     val m = magic.map(_ & 0xff)
     if (m.startsWith(Seq('C'.toInt, 'D'.toInt, 'F'.toInt))) scanNetcdf(path, bs = bs)
     else if (m.startsWith(Seq(0x89, 'H'.toInt, 'D'.toInt, 'F'.toInt))) scanHdf5(path, bs)
@@ -982,8 +993,8 @@ object KerchunkSource {
         prepend("shape", refsN.length)
         prepend("chunks", 1) // one granule = one chunk along the new dim
         out(s"$name/.zarray") = jstr(mapper.writeValueAsString(zaNode))
-        out(s"$name/.zattrs") = jstr(
-          s"""{"_ARRAY_DIMENSIONS":[${(concatDim +: za.dims).map(jstr).mkString(",")}]}""")
+        out(s"$name/.zattrs") =
+          jstr(attrsWithDims(first, name, concatDim +: za.dims))
         refsN.zipWithIndex.foreach { case (r, g) =>
           chunkKeys(r, name).foreach { k =>
             val chunkPart = k.stripPrefix(s"$name/")
@@ -1340,11 +1351,26 @@ object KerchunkSource {
         prepend("shape", n)
         prepend("chunks", 1) // one granule = one chunk along the new dim
         out(s"$name/.zarray") = jstr(mapper.writeValueAsString(zaNode))
-        out(s"$name/.zattrs") = jstr(
-          s"""{"_ARRAY_DIMENSIONS":[${(concatDim +: za.dims).map(jstr).mkString(",")}]}""")
+        out(s"$name/.zattrs") =
+          jstr(attrsWithDims(first, name, concatDim +: za.dims))
       }
     }
     refsDoc(out)
+  }
+
+  /** A variable's `.zattrs` with `_ARRAY_DIMENSIONS` set to `dims` and
+    * EVERY other attribute preserved — dropping the rest would strip the
+    * CF packing attrs (scale_factor/add_offset/_FillValue) and flip a
+    * packed archive from physical values back to raw integers. */
+  private def attrsWithDims(refs: Refs, name: String,
+                            dims: Seq[String]): String = {
+    val node = refs.json(s"$name/.zattrs")
+      .collect { case o: com.fasterxml.jackson.databind.node.ObjectNode => o }
+      .getOrElse(mapper.createObjectNode())
+    val arr = mapper.createArrayNode()
+    dims.foreach(arr.add)
+    node.set[JsonNode]("_ARRAY_DIMENSIONS", arr)
+    mapper.writeValueAsString(node)
   }
 
   /** combineRefs' cross-granule layout validation over collected metadata
@@ -1379,9 +1405,10 @@ object KerchunkSource {
     rows.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       import org.apache.spark.sql.functions.col
-      val metaRows = rows.filter(col("kind") === 0).collect().toSeq
-      val coord0 = rows.filter(col("kind") === 1 && col("g") === 0)
-        .collect().toSeq
+      val collected = rows.filter(col("kind") === 0 ||
+        (col("kind") === 1 && col("g") === 0)).collect().toSeq
+      val metaRows = collected.filter(_.getInt(1) == 0)
+      val coord0 = collected.filter(_.getInt(1) == 1)
       val byG = metaRows.groupBy(_.getInt(0))
       require(byG.contains(0), s"$sideDir: granule 0 produced no metadata")
       val first = refsOfRows(byG(0) ++ coord0)
@@ -1416,7 +1443,11 @@ object KerchunkSource {
     try {
       import org.apache.spark.sql.functions.col
       val metaRows = rows.filter(col("kind") === 0).collect().toSeq
-      // expected granule layout = the combined grid minus its lead dim
+      // expected granule layout = the combined grid minus its lead dim;
+      // shared coordinates keep their CHUNK refs too (archiveMetaDoc
+      // copies them back into the rewritten doc — dropping them here
+      // would silently turn the coordinate into all-fill on re-open) and
+      // data variables keep their full .zattrs (CF packing included)
       val expected = Refs(names.filterNot(_ == concatDim).flatMap { n =>
         val za = openArray(current, n)
         val node = current.json(s"$n/.zarray").get
@@ -1431,11 +1462,13 @@ object KerchunkSource {
           Seq(s"$n/.zarray" -> Ref(null, 0, 0,
             mapper.writeValueAsString(node).getBytes("UTF-8")),
             s"$n/.zattrs" -> Ref(null, 0, 0,
-              s"""{"_ARRAY_DIMENSIONS":[${za.dims.tail.map(jstr).mkString(",")}]}"""
-                .getBytes("UTF-8")))
-        } else {
-          Seq(s"$n/.zarray" -> current(s"$n/.zarray")) ++
-            current.entries.get(s"$n/.zattrs").map(s"$n/.zattrs" -> _)
+              attrsWithDims(current, n, za.dims.tail).getBytes("UTF-8")))
+        } else { // shared coordinate: metadata AND chunk refs verbatim
+          current.entries.filter { case (k, _) =>
+            k == s"$n/.zarray" || k == s"$n/.zattrs" ||
+              (k.startsWith(s"$n/") &&
+                !k.substring(k.lastIndexOf('/') + 1).startsWith(".z"))
+          }.toSeq
         }
       }.toMap)
       validateGranuleMetas(expected,

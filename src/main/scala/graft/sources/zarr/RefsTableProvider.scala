@@ -100,12 +100,18 @@ private[zarr] object DirProbe {
   case object NotSpecial extends Kind
 
   val GranuleExts: Seq[String] =
-    Seq(".nc", ".tif", ".tiff", ".h5", ".hdf5", ".jp2", ".j2k")
+    Seq(".nc", ".nc4", ".tif", ".tiff", ".h5", ".hdf5", ".he5", ".jp2", ".j2k")
 
-  def isLocal(path: String): Boolean =
-    path.indexOf("://") < 0 && !path.startsWith("file:")
+  def isLocal(path: String): Boolean = graft.sources.ByteStore.isLocal(path)
 
-  def probe(path: String): Kind = {
+  /** `permissive` is the PROVIDER mode (the user already chose an
+    * archive-capable format, so any non-zarr/non-product directory with
+    * regular files is an archive — scanAuto dispatches by magic, so
+    * unexpected file types fail loudly per granule). The CATALOG probes
+    * non-permissively: its directories are usually parquet datasets, and
+    * only manifest-bearing or all-granule-extension listings may route
+    * to the archive path. */
+  def probe(path: String, permissive: Boolean = false): Kind = {
     val bs = graft.sources.ByteStore.current
     val listing: Seq[(String, Boolean)] =
       if (isLocal(path)) {
@@ -124,8 +130,8 @@ private[zarr] object DirProbe {
       val granules = listing.collect { case (n, false)
         if !n.startsWith(".") && !n.startsWith("_") => n }
       if (bs.exists(s"$path/${KerchunkSource.ManifestFileName}") ||
-          (granules.nonEmpty && granules.forall(n =>
-            GranuleExts.exists(n.toLowerCase.endsWith))))
+          (granules.nonEmpty && (permissive || granules.forall(n =>
+            GranuleExts.exists(n.toLowerCase.endsWith)))))
         Archive
       else NotSpecial
     }
@@ -141,12 +147,18 @@ private[zarr] object DirProbe {
 final class NetcdfTableProvider extends RefsProviderBase("netcdf") {
   override protected def openMeta(path: String, only: Option[Seq[String]],
                                   options: CaseInsensitiveStringMap): ZarrGroupMeta =
-    DirProbe.probe(path) match {
+    DirProbe.probe(path, permissive = true) match {
       case DirProbe.Archive =>
+        val indexDir = Option(options.get("index"))
+        // no explicit indexFormat honors whatever the archive was last
+        // built with (a bare load() of a parquet-indexed archive must
+        // NOT trigger a full json rebuild); brand-new archives default
+        // to json
+        val fmt = Option(options.get("indexFormat")).getOrElse(
+          KerchunkSource.manifestFormat(indexDir.getOrElse(path)))
         ZarrTable.openArchive(path,
           Option(options.get("concatDim")).getOrElse("t"),
-          Option(options.get("index")),
-          Option(options.get("indexFormat")).getOrElse("json"), only)
+          indexDir, fmt, only)
       case DirProbe.ZarrGroup =>
         throw new IllegalArgumentException(
           s"$path: a zarr group — open it with format(\"zarr\")")
@@ -207,12 +219,18 @@ final class Sentinel3TableProvider extends RefsProviderBase("sentinel3") {
 final class KerchunkTableProvider extends RefsProviderBase("kerchunk") {
   override protected def openMeta(path: String, only: Option[Seq[String]],
                                   options: CaseInsensitiveStringMap): ZarrGroupMeta =
-    DirProbe.probe(path) match {
+    DirProbe.probe(path, permissive = true) match {
       case DirProbe.Archive =>
+        val indexDir = Option(options.get("index"))
+        // no explicit indexFormat honors whatever the archive was last
+        // built with (a bare load() of a parquet-indexed archive must
+        // NOT trigger a full json rebuild); brand-new archives default
+        // to json
+        val fmt = Option(options.get("indexFormat")).getOrElse(
+          KerchunkSource.manifestFormat(indexDir.getOrElse(path)))
         ZarrTable.openArchive(path,
           Option(options.get("concatDim")).getOrElse("t"),
-          Option(options.get("index")),
-          Option(options.get("indexFormat")).getOrElse("json"), only)
+          indexDir, fmt, only)
       case DirProbe.ZarrGroup =>
         throw new IllegalArgumentException(
           s"$path: a zarr group directory — open it with format(\"zarr\")")

@@ -270,6 +270,16 @@ class RefsDsv2Spec extends AnyFunSuite {
       === 93.0)
     assert(grown.agg(sum("v")).head.getDouble(0) ===
       (0 to 3).map(_ * 30.0 + 3.0).sum)
+    // the APPEND-rewritten metadata doc kept the shared coordinate's
+    // chunk refs: x still reads its real values, and filters on it work
+    assert(grown.agg(sum("x")).head.getDouble(0) === 4 * 3.0)
+    assert(grown.filter(col("x") === 2.0).count() === 4)
+    // a bare open() (no indexFormat option) honors the manifest's format:
+    // no rescan, no json rebuild, the parquet side table stays
+    val bare = KerchunkSource.scanCount.get()
+    assert(spark.read.format("kerchunk").load(dir).count() === 12)
+    assert(KerchunkSource.scanCount.get() === bare)
+    assert(KerchunkSource.manifestFormat(dir) === "parquet")
     // a mismatched granule still declines loudly before any write
     NetcdfSource.write(s"$dir/g4.nc", Seq(NcDim("x", 4)),
       Seq(("x", Array(0.0, 1.0, 2.0, 3.0))),
@@ -278,6 +288,49 @@ class RefsDsv2Spec extends AnyFunSuite {
     assert(e.getMessage.contains("differs from the archive"), e.getMessage)
     new java.io.File(s"$dir/g4.nc").delete()
     assert(open().count() === 12)
+  }
+
+  test("archives preserve CF packing: physical values, packed appends accepted") {
+    val x = Array(0.0, 1.0, 2.0)
+    def put(dir: String, g: Int): Unit =
+      NetcdfSource.write(s"$dir/g$g.nc", Seq(NcDim("x", 3)), Seq(("x", x)),
+        Seq(("v", Seq("x"), Array.tabulate(3)(i => (g * 10 + i).toDouble))),
+        varAttrs = Map("v" -> Seq(("scale_factor", 0.5), ("add_offset", 100.0))))
+    for (fmt <- Seq("json", "parquet")) {
+      val dir = tmpDir(s"arccf$fmt")
+      (0 until 2).foreach(put(dir, _))
+      // physical decode parity: one granule through format("netcdf") vs
+      // the same granule's slice of the archive table
+      val single = spark.read.format("netcdf").load(s"$dir/g1.nc")
+        .agg(sum("v")).head.getDouble(0)
+      assert(single === (0 to 2).map(i => (10 + i) * 0.5 + 100.0).sum)
+      def open() = spark.read.format("kerchunk")
+        .option("indexFormat", fmt).load(dir)
+      assert(open().filter(col("t") === 1.0).agg(sum("v"))
+        .head.getDouble(0) === single, s"format=$fmt")
+      // appending another PACKED granule is accepted (the index keeps the
+      // CF attrs, so the layout comparison sees matching packing) and
+      // decodes physical too
+      put(dir, 2)
+      val grown = open()
+      assert(grown.count() === 9, s"format=$fmt")
+      assert(grown.filter(col("t") === 2.0).agg(sum("v")).head.getDouble(0)
+        === (0 to 2).map(i => (20 + i) * 0.5 + 100.0).sum, s"format=$fmt")
+    }
+  }
+
+  test("archive dirs with unlisted granule extensions still open (.nc4)") {
+    val dir = tmpDir("arcnc4")
+    val x = Array(0.0, 1.0, 2.0)
+    (0 until 2).foreach { g =>
+      NetcdfSource.write(s"$dir/g$g.nc4", Seq(NcDim("x", 3)), Seq(("x", x)),
+        Seq(("v", Seq("x"), Array.tabulate(3)(i => g * 10.0 + i))))
+    }
+    // the PROVIDER probe is permissive: the user chose an archive-capable
+    // format, and scanAuto dispatches by magic, not extension
+    val ds = spark.read.format("kerchunk").load(dir)
+    assert(ds.count() === 6)
+    assert(ds.filter(col("t") === 1.0).agg(sum("v")).head.getDouble(0) === 33.0)
   }
 
   test("parquet index at 10^3 granules: prune to one, collect only its refs") {
