@@ -947,6 +947,14 @@ object KerchunkSource {
       s"${docs.length} granules but ${coords.length} $concatDim coordinates")
     val refsN = docs.map(d => parseJson(mapper.readTree(d)))
     val first = refsN.head
+    // array-SET equality across granules (same test as the parquet path's
+    // validateGranuleMetas): a granule with EXTRA arrays must reject, not
+    // silently drop them — accept/reject cannot depend on index format
+    refsN.zipWithIndex.drop(1).foreach { case (r, g) =>
+      require(listArrays(r) == listArrays(first),
+        s"granule $g: array set ${listArrays(r).mkString(",")} differs " +
+          s"from granule 0 (${listArrays(first).mkString(",")})")
+    }
     val out = scala.collection.mutable.LinkedHashMap[String, String]()
     out(".zgroup") = jstr("""{"zarr_format":2}""")
     // the new leading coordinate, inlined (driver-sized, like any 1-D coord)
@@ -1085,6 +1093,16 @@ object KerchunkSource {
             .map(i => n.path("sizes").get(i).asLong),
           Option(n.get("format")).map(_.asText).getOrElse("json"))
       }
+    def rebuild(): Unit = {
+      if (indexFormat == "parquet")
+        buildParquetIndex(spark, granules.map(n => s"$dir/$n"),
+          concatDim, sideDir)
+      else
+        bs.write(indexPath, combineRefs(
+          scanGranules(spark, granules.map(n => s"$dir/$n")), concatDim,
+          Array.tabulate(granules.length)(_.toDouble)).getBytes("UTF-8"))
+      writeManifest(manifestPath, concatDim, granules, sizes, indexFormat)
+    }
     old match {
       case Some((cd, oldG, oldS, fmt)) if cd == concatDim &&
           fmt == indexFormat && oldG == granules && oldS == sizes =>
@@ -1093,23 +1111,39 @@ object KerchunkSource {
           fmt == indexFormat && granules.take(oldG.length) == oldG &&
           sizes.take(oldG.length) == oldS =>
         val fresh = granules.drop(oldG.length)
-        if (indexFormat == "parquet")
-          appendParquetIndex(spark, fresh.map(n => s"$dir/$n"),
-            oldG.length, concatDim, sideDir)
-        else
-          appendToIndex(indexPath,
-            scanGranules(spark, fresh.map(n => s"$dir/$n")), concatDim)
-        writeManifest(manifestPath, concatDim, granules, sizes, indexFormat)
+        // the append paths require(index concat extent == manifest granule
+        // count): an interrupted refresh that wrote the index but not the
+        // manifest (index is always written FIRST) would otherwise
+        // re-append the same granules at shifted ordinals. On that
+        // specific desync the incremental path is unusable — recover with
+        // a full rebuild, which rewrites both sidecars consistently.
+        try {
+          if (indexFormat == "parquet")
+            appendParquetIndex(spark, fresh.map(n => s"$dir/$n"),
+              oldG.length, concatDim, sideDir)
+          else {
+            // consistency pre-check BEFORE any granule header IO (the
+            // parquet path checks inside appendParquetIndex, likewise
+            // before its fleet scan)
+            val meta = parseSelective(indexPath, kk =>
+              kk.substring(kk.lastIndexOf('/') + 1).startsWith(".z"))
+            val idxN = openArray(meta, concatDim).shape.head
+            require(idxN == oldG.length,
+              s"$indexPath: concat extent $idxN != manifest granule " +
+                s"count ${oldG.length}")
+            appendToIndex(indexPath,
+              scanGranules(spark, fresh.map(n => s"$dir/$n")), concatDim,
+              expectedOldN = oldG.length)
+          }
+          writeManifest(manifestPath, concatDim, granules, sizes, indexFormat)
+        } catch {
+          case e: IllegalArgumentException if e.getMessage != null &&
+              e.getMessage.contains("!= manifest granule count") =>
+            rebuild()
+        }
         indexPath
       case _ =>
-        if (indexFormat == "parquet")
-          buildParquetIndex(spark, granules.map(n => s"$dir/$n"),
-            concatDim, sideDir)
-        else
-          bs.write(indexPath, combineRefs(
-            scanGranules(spark, granules.map(n => s"$dir/$n")), concatDim,
-            Array.tabulate(granules.length)(_.toDouble)).getBytes("UTF-8"))
-        writeManifest(manifestPath, concatDim, granules, sizes, indexFormat)
+        rebuild()
         indexPath
     }
   }
@@ -1139,7 +1173,8 @@ object KerchunkSource {
     * leaves the index untouched. Old granule headers are never re-read.
     */
   private[sources] def appendToIndex(indexPath: String, newDocs: Seq[String],
-                                     concatDim: String): Unit = {
+                                     concatDim: String,
+                                     expectedOldN: Int = -1): Unit = {
     val newRefs = newDocs.map(d => parseJson(mapper.readTree(d)))
     if (newRefs.isEmpty) return
     def isMetaKey(kk: String): Boolean =
@@ -1149,6 +1184,21 @@ object KerchunkSource {
     require(names.contains(concatDim),
       s"$indexPath: no '$concatDim' coordinate in the archive index")
     val oldN = openArray(meta, concatDim).shape.head
+    // index/manifest consistency guard (same as appendParquetIndex): an
+    // interrupted refresh that wrote the index but not the manifest would
+    // otherwise re-append the same granules at shifted ordinals —
+    // duplicated chunk refs and a concat coordinate longer than the
+    // archive. ensureArchiveIndex recovers by full rebuild on mismatch.
+    require(expectedOldN < 0 || oldN == expectedOldN,
+      s"$indexPath: concat extent $oldN != manifest granule count $expectedOldN")
+    // array-SET equality per granule (validateGranuleMetas parity): a
+    // granule with EXTRA arrays rejects instead of silently dropping them
+    val expectedSet = names.filterNot(_ == concatDim)
+    newRefs.zipWithIndex.foreach { case (r, g) =>
+      require(listArrays(r) == expectedSet,
+        s"granule $g: array set ${listArrays(r).mkString(",")} differs " +
+          s"from the archive index (${expectedSet.mkString(",")})")
+    }
     val k = newRefs.length
     val dataVars = names.filter { n =>
       val za = openArray(meta, n)

@@ -55,9 +55,35 @@ abstract class RefsProviderBase(short: String)
                          options: CaseInsensitiveStringMap): ZarrGroupMeta
 
   // one scan serves inferSchema AND getTable (same discipline as
-  // ZarrTableProvider — never parse a granule header twice per read)
+  // ZarrTableProvider — never parse a granule header twice per read).
+  // The cache is FRESHNESS-VALIDATED, not permanent: each open stats the
+  // source (granule names + byte sizes for a directory, byte size for a
+  // file — the same fingerprint the archive manifest keeps) and reuses
+  // the cached meta only while it matches, so granules appended WITHIN a
+  // session are picked up on the next load() exactly like across JVM
+  // restarts (the incremental-append contract; a permanently-keyed cache
+  // was a round-14 advisory hit).
   private val metaCache =
-    new java.util.concurrent.ConcurrentHashMap[String, ZarrGroupMeta]()
+    new java.util.concurrent.ConcurrentHashMap[String, (String, ZarrGroupMeta)]()
+
+  /** Cheap source-state fingerprint: one list + size stats for a
+    * directory (the work `ensureArchiveIndex` repeats per open anyway),
+    * one size stat for a plain file. Failures fingerprint as the error
+    * text — openMeta then reports the real problem. */
+  private def freshness(path: String): String = {
+    val bs = graft.sources.ByteStore.current
+    scala.util.Try {
+      val isDir =
+        if (DirProbe.isLocal(path)) new java.io.File(path).isDirectory
+        else scala.util.Try(bs.list(path)).toOption.exists(l =>
+          l.nonEmpty && !(l.lengthCompare(1) == 0 &&
+            path.stripSuffix("/").endsWith("/" + l.head._1)))
+      if (isDir)
+        KerchunkSource.listGranules(path)
+          .map(n => s"$n:${bs.size(s"$path/$n")}").mkString("|")
+      else bs.size(path).toString
+    }.fold(e => s"?${e.getClass.getName}", identity)
+  }
 
   private def metaFor(options: CaseInsensitiveStringMap): ZarrGroupMeta = {
     val path = Option(options.get("path")).getOrElse(
@@ -65,11 +91,14 @@ abstract class RefsProviderBase(short: String)
         s"option (spark.read.format(\"$short\").load(path))"))
     val only = Option(options.get("vars"))
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-    metaCache.computeIfAbsent(
-      path + only.map("?vars=" + _.mkString(",")).getOrElse("") +
-        Seq("concatDim", "index", "indexFormat").flatMap(k =>
-          Option(options.get(k)).map(v => s"?$k=$v")).mkString,
-      _ => openMeta(path, only, options))
+    val key = path + only.map("?vars=" + _.mkString(",")).getOrElse("") +
+      Seq("concatDim", "index", "indexFormat").flatMap(k =>
+        Option(options.get(k)).map(v => s"?$k=$v")).mkString
+    val fp = freshness(path)
+    metaCache.compute(key, (_, cached) => cached match {
+      case (`fp`, _) => cached
+      case _ => (fp, openMeta(path, only, options))
+    })._2
   }
 
   override def shortName(): String = short
@@ -118,7 +147,16 @@ private[zarr] object DirProbe {
         if (!new java.io.File(path).isDirectory) return NotSpecial
         bs.list(path)
       } else {
-        val l = scala.util.Try(bs.list(path)).getOrElse(Seq.empty)
+        // only a MISSING path (FileNotFound) or a scheme that cannot list
+        // at all (http — read-only, unlisted, so never an archive dir) is
+        // NotSpecial; any other listing failure (credentials, transient
+        // store error) must surface — a swallowed exception here would
+        // silently route an archive down the single-file path and fail
+        // with a confusing downstream error
+        val l = try bs.list(path) catch {
+          case _: java.io.FileNotFoundException => return NotSpecial
+          case _: UnsupportedOperationException => return NotSpecial
+        }
         // an object-store FILE lists as itself: not a directory
         if (l.isEmpty || (l.lengthCompare(1) == 0 &&
             path.stripSuffix("/").endsWith("/" + l.head._1))) return NotSpecial

@@ -186,7 +186,7 @@ object ZarrTableProvider {
     * cube writer here; the sort happens on the driver). */
   private[graft] def deriveAxes(data: DataFrame, dimNames: Seq[String])
       : Seq[(String, Array[Double])] = {
-    import org.apache.spark.sql.functions.{col, collect_set, lit, when}
+    import org.apache.spark.sql.functions.{col, collect_set, lit, sum, when}
     // normalize -0.0 to 0.0 BEFORE collecting: collect_set dedups with
     // boxed-Double equality, which keeps -0.0 and 0.0 as two equal-
     // comparing axis values (the old distinct() path merged them through
@@ -195,11 +195,23 @@ object ZarrTableProvider {
       val c = col(d).cast("double")
       when(c === lit(0.0), lit(0.0)).otherwise(c)
     }
-    val row = data.select(dimNames.map(d =>
-      collect_set(norm(d)).as(d)): _*).head()
+    // null dim values are counted IN THE SAME PASS and fail loudly:
+    // collect_set silently drops nulls, so without the count a row with a
+    // null dim would simply vanish from the derived axis and the cube
+    // write would proceed on a grid missing that row (the old
+    // distinct()+getDouble path failed loudly; a round-14 advisory hit)
+    val row = data.select(
+      dimNames.map(d => collect_set(norm(d)).as(d)) ++
+        dimNames.map(d =>
+          sum(col(d).isNull.cast("long")).as(s"__nulls_$d")): _*).head()
     dimNames.zipWithIndex.map { case (d, i) =>
+      val nulls = if (row.isNullAt(dimNames.length + i)) 0L
+        else row.getLong(dimNames.length + i)
+      require(nulls == 0L,
+        s"dim $d has $nulls null value(s) — dimension columns of a cube " +
+          "write must be non-null")
       val axis = row.getSeq[Double](i).toArray
-      require(axis.nonEmpty, s"dim $d has no (non-null) values to write")
+      require(axis.nonEmpty, s"dim $d has no values to write")
       java.util.Arrays.sort(axis)
       d -> axis
     }

@@ -640,4 +640,64 @@ class RefsDsv2Spec extends AnyFunSuite {
     assert(one.rdd.getNumPartitions === 1)
     assert(one.agg(sum("v")).head.getDouble(0) === 20.0 + 21.0 + 22.0)
   }
+
+  test("interrupted index refresh (index ahead of manifest) recovers by rebuild") {
+    val dir = tmpDir("arcdesync")
+    val x = Array(0.0, 1.0, 2.0)
+    def writeGranule(g: Int): Unit =
+      NetcdfSource.write(s"$dir/g$g.nc", Seq(NcDim("x", 3)), Seq(("x", x)),
+        Seq(("v", Seq("x"), Array.tabulate(3)(i => g * 10.0 + i))))
+    (0 until 3).foreach(writeGranule)
+    KerchunkSource.ensureArchiveIndex(spark, dir)
+    val manifest3 = Files.readAllBytes(java.nio.file.Paths.get(
+      s"$dir/${KerchunkSource.ManifestFileName}"))
+    // granule 3 lands and is merged (index now covers 4)...
+    writeGranule(3)
+    KerchunkSource.ensureArchiveIndex(spark, dir)
+    // ...but the refresh "dies" before the manifest write: restore the
+    // 3-granule manifest. The index claims 4 granules, the manifest 3 —
+    // a naive incremental append would re-append granule 3 at ordinal 4
+    // (duplicated chunk refs, concat coordinate longer than the archive).
+    Files.write(java.nio.file.Paths.get(
+      s"$dir/${KerchunkSource.ManifestFileName}"), manifest3)
+    val before = KerchunkSource.scanCount.get()
+    val ds = spark.read.format("kerchunk").load(dir)
+    assert(ds.count() === 12) // NOT 15: no duplicated granule-3 refs
+    assert(ds.agg(countDistinct(col("t"))).head.getLong(0) === 4)
+    assert(ds.agg(sum("v")).head.getDouble(0) ===
+      (0 to 3).map(g => g * 30.0 + 3.0).sum)
+    // recovery was a full rebuild: all 4 headers rescanned, both sidecars
+    // rewritten consistently — the next open is incremental again
+    assert(KerchunkSource.scanCount.get() - before === 4)
+    val mid = KerchunkSource.scanCount.get()
+    assert(spark.read.format("kerchunk").load(dir).count() === 12)
+    assert(KerchunkSource.scanCount.get() === mid)
+  }
+
+  test("granule with EXTRA arrays rejects in combine AND json append alike") {
+    val dir = tmpDir("arcextra")
+    val x = Array(0.0, 1.0, 2.0)
+    NetcdfSource.write(s"$dir/g0.nc", Seq(NcDim("x", 3)), Seq(("x", x)),
+      Seq(("v", Seq("x"), Array(1.0, 2.0, 3.0))))
+    NetcdfSource.write(s"$dir/g1.nc", Seq(NcDim("x", 3)), Seq(("x", x)),
+      Seq(("v", Seq("x"), Array(4.0, 5.0, 6.0)),
+        ("w", Seq("x"), Array(7.0, 8.0, 9.0)))) // extra array 'w'
+    // full build: combineRefs must reject (not silently drop 'w')
+    val e1 = intercept[IllegalArgumentException](
+      spark.read.format("kerchunk").load(dir).count())
+    assert(e1.getMessage.contains("array set"), e1.getMessage)
+    // incremental append: index g0 alone, then g1 arrives — the json
+    // append applies the SAME array-set test the parquet path does
+    new java.io.File(s"$dir/g1.nc").delete()
+    assert(spark.read.format("kerchunk").load(dir).count() === 3)
+    NetcdfSource.write(s"$dir/g1.nc", Seq(NcDim("x", 3)), Seq(("x", x)),
+      Seq(("v", Seq("x"), Array(4.0, 5.0, 6.0)),
+        ("w", Seq("x"), Array(7.0, 8.0, 9.0))))
+    val e2 = intercept[IllegalArgumentException](
+      spark.read.format("kerchunk").load(dir).count())
+    assert(e2.getMessage.contains("array set"), e2.getMessage)
+    // the index still serves the pre-append state
+    new java.io.File(s"$dir/g1.nc").delete()
+    assert(spark.read.format("kerchunk").load(dir).count() === 3)
+  }
 }

@@ -1419,6 +1419,13 @@ class ZarrDsv2Spec extends AnyFunSuite {
     assert(axes(0)._2.toSeq === Seq(0.0, 1.0, 2.0))
     assert(axes(1)._2.toSeq === Seq(0.0, 10.0, 20.0, 30.0))
     assert(axes(2)._2.toSeq === Seq(0.5, 1.5, 2.5, 3.5, 4.5))
+    // a null dim value fails LOUDLY (collect_set would silently drop it
+    // and the cube write would proceed on a grid missing that row)
+    val withNull = df.withColumn("y",
+      when(col("y") === 10.0, lit(null).cast("double")).otherwise(col("y")))
+    val e = intercept[IllegalArgumentException](
+      graft.sources.zarr.ZarrTableProvider.deriveAxes(withNull, Seq("t", "y", "x")))
+    assert(e.getMessage.contains("null value"), e.getMessage)
   }
 
   test("the same scan opens an http-hosted archive, pruned the same way") {
