@@ -82,6 +82,35 @@ object SubsampleOps {
     }
   }
 
+  /** `subsample(..., "first")` re-expressed as the stride-k gather it IS:
+    * the first cell of each k×k block in row-major order is the block's
+    * origin corner (j = bj·k, i = bi·k — always inside the grid, trailing
+    * partial blocks included), so the reference's int-variable auto rule
+    * (subsampling.py:210-229, int→first) needs no aggregate at all. Spark
+    * cannot push FIRST through DSv2 (V2ScanRelationPushDown partial-pushes
+    * only Min/Max/Sum/Count), and it doesn't need to: the kept cells'
+    * coordinate VALUES are grid arithmetic (gm.xForI/yForJ), so the gather
+    * ships as two In filters the connectors consume into per-dim interval
+    * sets and PRUNE chunks with — zero aggregation, zero shuffle, chunks
+    * without a kept cell never read. Equal to blockAgg("first") wherever
+    * the origin cell is valid — always, for the integral variables the
+    * auto rule routes here (ints cannot be NaN; blockAgg's first skips
+    * NaN, so float vars with NaN holes must keep the aggregate path).
+    */
+  def subsampleFirst(cube: Cube, k: Int,
+                     vars: Seq[String]): (DataFrame, GridMapping) = {
+    val gm = cube.gm
+    val xs = (0L until gm.width by k.toLong).map(gm.xForI)
+    val ys = (0L until gm.height by k.toLong).map(gm.yForJ)
+    val out = cube.df
+      .filter(cube.x.isin(xs: _*) && cube.y.isin(ys: _*))
+      .select(Seq(cube.time.as(cube.timeCol),
+        (gm.jExpr(cube.y) / k).cast("long").as("block_j"),
+        (gm.iExpr(cube.x) / k).cast("long").as("block_i")) ++
+        vars.map(v => col(v).as(s"${v}_first")): _*)
+    (out, gm.scale(k.toDouble))
+  }
+
   /** Pyramid decimation for one level: keep every 2^level-th cell in both
     * axes (level.py:107 `[..., ::2, ::2]` applied level times). A pure
     * filter — partition-prunable, shuffle-free.

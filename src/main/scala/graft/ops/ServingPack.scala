@@ -994,6 +994,79 @@ object ServingPack extends QueryPack {
           col("avg_v"))
     }),
 
+    // CALENDAR group-key pushdown — resample_in_time("1M") FROM the
+    // connector (reference resampling/temporal.py:17-161): the time dim
+    // scaled to epoch seconds and cast to timestamp, grouped by
+    // year/month. The EXTRACT keys fold per chunk inside the reader
+    // (ZarrVarAggScan Extract kind, Spark-exact cast truncation +
+    // session-timezone calendar), so a "1M" resample over a 10^7-chunk
+    // archive exchanges O(chunks x months) partial rows, never O(cells).
+    // t x 31 days puts the 4 slices in Jan..Apr 1970; sums stay dyadic
+    // exact. ZarrDsv2Spec pins the plan (12 partial rows for 12 chunks).
+    "q_zarr_time_agg" -> ((s, d) => {
+      val group = zarrAggPushFixture(s, d)
+      val ts = (col("t") * 2678400.0).cast("timestamp")
+      s.read.format("zarr").load(group)
+        .groupBy(year(ts).as("yr"), month(ts).as("mo"))
+        .agg(count(lit(1)).as("n_cells"), sum(col("v")).as("sum_v"),
+          min(col("v")).as("min_v"), max(col("v")).as("max_v"))
+        .select(col("yr").cast("long").as("yr"),
+          col("mo").cast("long").as("mo"), col("n_cells"), col("sum_v"),
+          col("min_v"), col("max_v"))
+    }),
+
+    // VALUE-DERIVED group-key pushdown — compute_statistics' histogram
+    // FROM the connector (reference webapi/statistics/controllers.py:
+    // 114-117): GROUP BY floor((v - lo)/w) over the DATA variable. The
+    // bucket is computable from the decoded cell, so the fold is per
+    // chunk — O(chunks x bins) partial rows cross the exchange, never
+    // O(cells). ZarrDsv2Spec pins the plan + partial-row bound.
+    "q_zarr_histogram" -> ((s, d) => {
+      val group = zarrAggPushFixture(s, d)
+      s.read.format("zarr").load(group)
+        .groupBy(floor((col("v") - 2.0) / 4.0).as("bin"))
+        .agg(count(lit(1)).as("n_cells"), min(col("v")).as("min_v"),
+          max(col("v")).as("max_v"))
+    }),
+
+    // SECOND-MOMENT pushdown — compute_statistics FROM the connector:
+    // Spark partial-pushes only Min/Max/Sum/Count, so stddev ships as
+    // sum(v), sum(v*v), count partials (ZarrVarAggScan squared specs)
+    // and the moment math finishes above the scan. All finishing ops
+    // (+, -, x, /, sqrt) are IEEE correctly-rounded in both engines, so
+    // the result is bit-identical to the oracle's same formula over the
+    // same exact dyadic sums.
+    "q_zarr_stats" -> ((s, d) => {
+      val group = zarrAggPushFixture(s, d)
+      s.read.format("zarr").load(group)
+        .agg(count(col("v")).as("n"), sum(col("v")).as("s1"),
+          sum(col("v") * col("v")).as("s2"),
+          min(col("v")).as("min_v"), max(col("v")).as("max_v"))
+        .select(col("n"), col("min_v"), col("max_v"),
+          (col("s1") / col("n")).as("mean_v"),
+          sqrt((col("s2") - col("s1") * col("s1") / col("n")) / col("n"))
+            .as("std_v"))
+    }),
+
+    // int-variable subsample (auto rule int→first, reference
+    // subsampling.py:210-229) FROM the connector: first-of-each-block in
+    // row-major order IS the block's origin cell, so the whole operator
+    // is a stride-k gather — the kept coordinate values ship as In
+    // filters the scan consumes and prunes chunks with (Spark cannot
+    // push FIRST as a DSv2 aggregate; it never needs to). k=120 over the
+    // 100x360 grid keeps 3 cells/slice and plans 12 of 32 chunks
+    // (ZarrDsv2Spec pins the pruning).
+    "q_zarr_subsample_first" -> ((s, d) => {
+      import graft.cube.{Cube, GridMapping}
+      val group = zarrAggPushFixture(s, d)
+      val gm = GridMapping(360, 100, 0.0, 0.0, 1.0, 1.0)
+      val cube = Cube(s.read.format("zarr").load(group), gm, "t", "y", "x")
+      val (out, _) = graft.operators.SubsampleOps.subsampleFirst(
+        cube, 120, Seq("v"))
+      out.select(col("t").cast("long").as("t"), col("block_j"),
+        col("block_i"), col("v_first"))
+    }),
+
     // interval-set pushdown through the connector: In on t prunes per
     // VALUE (the middle t-slices never plan), a same-dim Or on x prunes
     // to the union of branch rectangles (2 of 4 x-chunks), and != on y is
@@ -2265,6 +2338,36 @@ object ServingPack extends QueryPack {
                         + (k // 36000) * 7) % 4096 / 64.0 AS v
                FROM range(0, 144000) r(k))
          GROUP BY 1, 2, 3""",
+    "q_zarr_time_agg" ->
+      """SELECT year(make_timestamp((k // 36000) * 2678400000000))::BIGINT AS yr,
+                month(make_timestamp((k // 36000) * 2678400000000))::BIGINT AS mo,
+                count(*) AS n_cells, sum(v) AS sum_v,
+                min(v) AS min_v, max(v) AS max_v
+         FROM (SELECT k,
+                      (((k // 360) % 100) * 360 + (k % 360)
+                        + (k // 36000) * 7) % 4096 / 64.0 AS v
+               FROM range(0, 144000) r(k))
+         GROUP BY 1, 2""",
+    "q_zarr_histogram" ->
+      """SELECT floor((v - 2.0) / 4.0)::BIGINT AS bin, count(*) AS n_cells,
+                min(v) AS min_v, max(v) AS max_v
+         FROM (SELECT (((k // 360) % 100) * 360 + (k % 360)
+                        + (k // 36000) * 7) % 4096 / 64.0 AS v
+               FROM range(0, 144000) r(k))
+         GROUP BY 1""",
+    "q_zarr_stats" ->
+      """WITH c AS (SELECT (((k // 360) % 100) * 360 + (k % 360)
+                             + (k // 36000) * 7) % 4096 / 64.0 AS v
+                    FROM range(0, 144000) r(k)),
+            m AS (SELECT count(*) AS n, sum(v) AS s1, sum(v * v) AS s2,
+                         min(v) AS min_v, max(v) AS max_v FROM c)
+         SELECT n, min_v, max_v, s1 / n AS mean_v,
+                sqrt((s2 - s1 * s1 / n) / n) AS std_v
+         FROM m""",
+    "q_zarr_subsample_first" ->
+      """SELECT t::BIGINT AS t, CAST(0 AS BIGINT) AS block_j,
+                bi AS block_i, ((bi * 120 + t * 7) % 4096) / 64.0 AS v_first
+         FROM range(0, 4) r(t), range(0, 3) s(bi)""",
     "q_zarr_vars" ->
       """SELECT 'a' AS grid, count(*) AS n, sum((k * 3 + 1)::DOUBLE) AS sv
          FROM range(0, 24) r(k) WHERE k // 4 >= 2

@@ -12,7 +12,7 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Avg, Count, CountStar, Max, Min, Sum}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources._
-import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import java.util.{Map => JMap}
@@ -540,7 +540,7 @@ final class ZarrScanBuilder(meta: ZarrGroupMeta,
       // the FULL tuple makes dropped rows at worst full-tuple ties
       val cols = orders.toSeq.map { o =>
         (ZarrVarAggScan.aggColumn(meta, o.expression())
-          .collect { case (nm, false) => nm },
+          .collect { case (nm, false, false) => nm },
           o.direction() == DESCENDING)
       }
       if (cols.nonEmpty && cols.forall(_._1.isDefined)) {
@@ -594,15 +594,21 @@ final class ZarrScanBuilder(meta: ZarrGroupMeta,
 
   private def distinctKeyCount(k: ZarrGroupKey): Long = {
     val c = meta.coords(meta.za.dims.indexOf(k.dim))
-    if (k.kind == ZarrGroupKey.Id) c.distinct.length.toLong
-    else c.map(k.evalLong).distinct.length.toLong
+    k.kind match {
+      case ZarrGroupKey.Id => c.distinct.length.toLong
+      case ZarrGroupKey.Extract => c.map(k.evalExtract).distinct.length.toLong
+      case _ => c.map(k.evalLong).distinct.length.toLong
+    }
   }
 
   private def supported(agg: Aggregation): Boolean =
     unhandled.isEmpty &&
       groupKeysOf(agg).exists { ks =>
         val dims = ks.map(_.dim)
-        dims.distinct.lengthCompare(dims.length) == 0 &&
+        // value-derived (data-variable) keys need the chunks — only dim
+        // keys (incl. calendar extracts of a dim) stay metadata-only
+        ks.forall(!_.isVar) &&
+          dims.distinct.lengthCompare(dims.length) == 0 &&
           ks.map(distinctKeyCount).product <= MaxGroups
       } &&
       agg.aggregateExpressions.forall {
@@ -625,8 +631,14 @@ final class ZarrScanBuilder(meta: ZarrGroupMeta,
   // (they then come from O(chunk) coordinate slices — the block-key form
   // is the subsample/pyramid-build/resample shape); aggregated columns
   // may be dims or data variables.
+  // calendar extract keys replay Spark's own field evaluation, which is
+  // session-timezone dependent — capture it at planning time (driver)
+  private lazy val sessionZone: String =
+    org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone
+
   private def groupKeysOf(agg: Aggregation): Option[Seq[ZarrGroupKey]] = {
-    val keys = agg.groupByExpressions.map(e => ZarrVarAggScan.groupKey(meta, e))
+    val keys = agg.groupByExpressions.map(e =>
+      ZarrVarAggScan.groupKey(meta, e, sessionZone))
     if (keys.forall(_.isDefined)) Some(keys.flatten.toSeq) else None
   }
 
@@ -653,12 +665,15 @@ final class ZarrScanBuilder(meta: ZarrGroupMeta,
       case (_, i) => StructField(s"agg_$i", DoubleType, nullable = true)
     }
     // group output types must match Spark's own expression types: a
-    // plain dim is the double coordinate, a block index is Floor's LONG
+    // plain dim/var is the double cell value, a block/bucket index is
+    // Floor's LONG, a calendar field is Extract's INT
     def groupFields(keys: Seq[ZarrGroupKey]) = keys.zipWithIndex.map {
-      case (k, i) =>
-        if (k.kind != ZarrGroupKey.Id)
-          StructField(s"group_$i", LongType, nullable = false)
-        else StructField(k.dim, DoubleType, nullable = false)
+      case (k, i) => k.kind match {
+        case ZarrGroupKey.Id => StructField(k.dim, DoubleType, nullable = false)
+        case ZarrGroupKey.Extract =>
+          StructField(s"group_$i", IntegerType, nullable = false)
+        case _ => StructField(s"group_$i", LongType, nullable = false)
+      }
     }
     if (supported(agg)) {
       val keys = groupKeysOf(agg).get
@@ -777,10 +792,12 @@ final case class ZarrAggScan(meta: ZarrGroupMeta, consumed: Array[Filter],
         val k = za.dims.indexOf(gk.dim)
         val m = scala.collection.mutable.LinkedHashMap.empty[Any, KeyStat]
         inRange(k).foreach { v0 =>
-          val keyVal: Any =
-            if (gk.kind != ZarrGroupKey.Id) gk.evalLong(v0)
-            else if (v0 == 0.0) 0.0 // Spark groups -0.0 with 0.0
-            else v0
+          val keyVal: Any = gk.kind match {
+            case ZarrGroupKey.Id =>
+              if (v0 == 0.0) 0.0 else v0 // Spark groups -0.0 with 0.0
+            case ZarrGroupKey.Extract => gk.evalExtract(v0)
+            case _ => gk.evalLong(v0)
+          }
           m.getOrElseUpdate(keyVal, new KeyStat).add(v0)
         }
         m.toSeq

@@ -91,8 +91,8 @@ final case class ZarrVarAggScan(meta: ZarrGroupMeta, consumed: Array[Filter],
       case m: Max => ZarrVarAggScan.aggColumn(meta, m.column).map(_._1)
       case s: Sum => ZarrVarAggScan.aggColumn(meta, s.column).map(_._1)
       case _ => None
-    }.filter(meta.dataVars.contains).distinct
-    meta.za.dims ++ vars
+    } ++ groupKeys.collect { case k if k.isVar => k.dim } // histogram keys
+    meta.za.dims ++ vars.filter(meta.dataVars.contains).distinct
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
@@ -106,8 +106,8 @@ final case class ZarrVarAggScan(meta: ZarrGroupMeta, consumed: Array[Filter],
     val names = required.fieldNames.toSeq
     val bound = groupKeys.map(k => k.copy(colIdx = names.indexOf(k.dim))).toArray
     def spec(op: Int, column: VExpr): ZarrAggSpec = {
-      val (name, skipNaN) = ZarrVarAggScan.aggColumn(meta, column).get
-      ZarrAggSpec(op, names.indexOf(name), skipNaN)
+      val (name, skipNaN, squared) = ZarrVarAggScan.aggColumn(meta, column).get
+      ZarrAggSpec(op, names.indexOf(name), skipNaN, squared)
     }
     val specs = agg.aggregateExpressions.toSeq.map {
       case _: CountStar => ZarrAggSpec(ZarrAggSpec.CountStar, -1)
@@ -132,11 +132,28 @@ final case class ZarrVarAggScan(meta: ZarrGroupMeta, consumed: Array[Filter],
 
 object ZarrVarAggScan {
   /** Resolve a pushed aggregate COLUMN: a plain dim / data-variable
-    * reference, or the NaN-skipping guard `CASE WHEN col <= +Inf THEN
-    * col END` (false only for NaN under Spark's double ordering — the
-    * translatable skipna form). Returns (column name, skipNaN). */
-  private[zarr] def aggColumn(meta: ZarrGroupMeta,
-                              e: VExpr): Option[(String, Boolean)] = e match {
+    * reference, the NaN-skipping guard `CASE WHEN col <= +Inf THEN col
+    * END` (false only for NaN under Spark's double ordering — the
+    * translatable skipna form), or the SQUARE `col * col` of either —
+    * the second-moment partial that lets stddev/var fold per chunk
+    * (Spark only partial-pushes Min/Max/Sum/Count, so compute_statistics
+    * ships `sum(v), sum(v*v), count` and finishes the moment math above
+    * the scan). Returns (column name, skipNaN, squared). */
+  private[zarr] def aggColumn(meta: ZarrGroupMeta, e: VExpr)
+      : Option[(String, Boolean, Boolean)] = e match {
+    case g: GeneralScalarExpression
+        if g.name == "*" && g.children().length == 2 =>
+      for {
+        (n1, s1) <- plainCol(meta, g.children()(0))
+        (n2, s2) <- plainCol(meta, g.children()(1))
+        if n1 == n2 && s1 == s2
+      } yield (n1, s1, true)
+    case _ => plainCol(meta, e).map { case (n, s) => (n, s, false) }
+  }
+
+  /** A plain column reference or its NaN-skip-guarded form. */
+  private def plainCol(meta: ZarrGroupMeta,
+                       e: VExpr): Option[(String, Boolean)] = e match {
     case fr: NamedReference if colOf(meta, fr).isDefined =>
       colOf(meta, fr).map(_ -> false)
     case g: GeneralScalarExpression
@@ -185,47 +202,73 @@ object ZarrVarAggScan {
     case _ => None
   }
 
-  /** One pushed group-by expression as a foldable key: a plain dim
-    * reference, a block index `FLOOR((dim ± c) / s)` / `FLOOR((c - dim)
-    * / s)` / `FLOOR(dim / s)` (Catalyst's `floor(col / lit)` shapes after
-    * constant folding), or the composed `CAST(CAST(FLOOR(...) AS DOUBLE)
-    * / k AS LONG)` a pyramid level built over a base grid emits
-    * (GridMapping.iExpr / k). Offsets are stored pre-arranged so the
-    * reader's reconstruction is bit-identical to Spark's own evaluation
-    * (IEEE: a - b == a + (-b) and c - v == off - v exactly). Anything
-    * else returns None and the aggregate stays Spark-side. */
-  private[zarr] def groupKey(meta: ZarrGroupMeta,
-                             e: VExpr): Option[ZarrGroupKey] = e match {
-    case fr: NamedReference =>
-      dimRef(meta, fr).map(dm =>
-        ZarrGroupKey(dm, ZarrGroupKey.Id, neg = false, 0.0, 1.0, 1.0))
-    case g: GeneralScalarExpression if g.name == "FLOOR" =>
-      floorKey(meta, g)
-    case c: VCast if c.dataType == LongType =>
-      c.expression() match {
-        // a re-cast floor is still just the floor
-        case f: GeneralScalarExpression if f.name == "FLOOR" =>
-          floorKey(meta, f)
-        // trunc-composed: (floor(...) cast double / k) cast long
-        case d: GeneralScalarExpression
-            if d.name == "/" && d.children().length == 2 =>
-          for {
-            k <- litNum(d.children()(1))
-            if java.lang.Double.isFinite(k) && k != 0.0
-            inner <- d.children()(0) match {
-              case ic: VCast if ic.dataType == DoubleType =>
-                ic.expression() match {
-                  case f: GeneralScalarExpression if f.name == "FLOOR" =>
-                    floorKey(meta, f)
-                  case _ => None
-                }
-              case _ => None
-            }
-          } yield inner.copy(kind = ZarrGroupKey.FloorDiv, div = k)
-        case _ => None
-      }
+  /** A single-column reference resolved against dims OR data variables;
+    * returns (name, isVar). Value-derived group keys (the histogram
+    * shape `floor((v - lo)/w)`) bind to data variables. */
+  private def anyRef(meta: ZarrGroupMeta,
+                     e: VExpr): Option[(String, Boolean)] = e match {
+    case fr: NamedReference if fr.fieldNames.length == 1 =>
+      val n = fr.fieldNames.head
+      if (meta.za.dims.contains(n)) Some((n, false))
+      else if (meta.dataVars.contains(n)) Some((n, true))
+      else None
     case _ => None
   }
+
+  /** One pushed group-by expression as a foldable key: a plain dim/var
+    * reference, a block/bucket index `FLOOR((col ± c) / s)` /
+    * `FLOOR((c - col) / s)` / `FLOOR(col / s)` (Catalyst's
+    * `floor(col / lit)` shapes after constant folding) over a DIM (the
+    * subsample/pyramid block shape) or a DATA VARIABLE (the
+    * compute_statistics histogram shape — the bucket is computable from
+    * the decoded cell value), the composed `CAST(CAST(FLOOR(...) AS
+    * DOUBLE) / k AS LONG)` a pyramid level built over a base grid emits
+    * (GridMapping.iExpr / k), or a CALENDAR field
+    * `EXTRACT(YEAR|MONTH|... FROM CAST(dim * a + b AS TIMESTAMP))` — the
+    * resample_in_time("1M"/"1Q"/"1Y") shape, where the affine form turns
+    * a numeric time dim (days/seconds since an epoch) into epoch seconds
+    * and the field evaluates with Spark's exact cast-truncation +
+    * session-timezone calendar. Offsets are stored pre-arranged so the
+    * reader's reconstruction is bit-identical to Spark's own evaluation
+    * (IEEE: a - b == a + (-b), c - v == -v + c, and a*b == b*a exactly).
+    * Anything else returns None and the aggregate stays Spark-side. */
+  private[zarr] def groupKey(meta: ZarrGroupMeta, e: VExpr,
+                             zone: String = "UTC"): Option[ZarrGroupKey] =
+    e match {
+      case fr: NamedReference =>
+        anyRef(meta, fr).map { case (nm, isVar) =>
+          ZarrGroupKey(nm, ZarrGroupKey.Id, neg = false, 0.0, 1.0, 1.0,
+            isVar = isVar)
+        }
+      case g: GeneralScalarExpression if g.name == "FLOOR" =>
+        floorKey(meta, g)
+      case ex: org.apache.spark.sql.connector.expressions.Extract =>
+        extractKey(meta, ex, zone)
+      case c: VCast if c.dataType == LongType =>
+        c.expression() match {
+          // a re-cast floor is still just the floor
+          case f: GeneralScalarExpression if f.name == "FLOOR" =>
+            floorKey(meta, f)
+          // trunc-composed: (floor(...) cast double / k) cast long
+          case d: GeneralScalarExpression
+              if d.name == "/" && d.children().length == 2 =>
+            for {
+              k <- litNum(d.children()(1))
+              if java.lang.Double.isFinite(k) && k != 0.0
+              inner <- d.children()(0) match {
+                case ic: VCast if ic.dataType == DoubleType =>
+                  ic.expression() match {
+                    case f: GeneralScalarExpression if f.name == "FLOOR" =>
+                      floorKey(meta, f)
+                    case _ => None
+                  }
+                case _ => None
+              }
+            } yield inner.copy(kind = ZarrGroupKey.FloorDiv, div = k)
+          case _ => None
+        }
+      case _ => None
+    }
 
   private def floorKey(meta: ZarrGroupMeta,
                        g: GeneralScalarExpression): Option[ZarrGroupKey] = {
@@ -238,22 +281,24 @@ object ZarrVarAggScan {
           if java.lang.Double.isFinite(s) && s != 0.0
           key <- d.children()(0) match {
             case fr: NamedReference =>
-              dimRef(meta, fr).map(dm =>
-                ZarrGroupKey(dm, ZarrGroupKey.Floor, neg = false, 0.0, s, 1.0))
+              anyRef(meta, fr).map { case (nm, isVar) =>
+                ZarrGroupKey(nm, ZarrGroupKey.Floor, neg = false, 0.0, s,
+                  1.0, isVar = isVar)
+              }
             case pm: GeneralScalarExpression
                 if (pm.name == "+" || pm.name == "-") &&
                   pm.children().length == 2 =>
-              (dimRef(meta, pm.children()(0)), litNum(pm.children()(1)),
-                dimRef(meta, pm.children()(1)), litNum(pm.children()(0))) match {
-                case (Some(dm), Some(c), _, _) => // dim + c / dim - c
-                  Some(ZarrGroupKey(dm, ZarrGroupKey.Floor, neg = false,
-                    if (pm.name == "-") -c else c, s, 1.0))
-                case (_, _, Some(dm), Some(c)) if pm.name == "+" => // c + dim
-                  Some(ZarrGroupKey(dm, ZarrGroupKey.Floor, neg = false,
-                    c, s, 1.0))
-                case (_, _, Some(dm), Some(c)) => // c - dim (image-down y)
-                  Some(ZarrGroupKey(dm, ZarrGroupKey.Floor, neg = true,
-                    c, s, 1.0))
+              (anyRef(meta, pm.children()(0)), litNum(pm.children()(1)),
+                anyRef(meta, pm.children()(1)), litNum(pm.children()(0))) match {
+                case (Some((nm, iv)), Some(c), _, _) => // col + c / col - c
+                  Some(ZarrGroupKey(nm, ZarrGroupKey.Floor, neg = false,
+                    if (pm.name == "-") -c else c, s, 1.0, isVar = iv))
+                case (_, _, Some((nm, iv)), Some(c)) if pm.name == "+" =>
+                  Some(ZarrGroupKey(nm, ZarrGroupKey.Floor, neg = false,
+                    c, s, 1.0, isVar = iv)) // c + col
+                case (_, _, Some((nm, iv)), Some(c)) => // c - col (image-down y)
+                  Some(ZarrGroupKey(nm, ZarrGroupKey.Floor, neg = true,
+                    c, s, 1.0, isVar = iv))
                 case _ => None
               }
             case _ => None
@@ -262,21 +307,112 @@ object ZarrVarAggScan {
       case _ => None
     }
   }
+
+  /** Calendar fields this scan can fold (each IntegerType in Spark, each
+    * computable from epoch micros + the session timezone with java.time's
+    * proleptic-Gregorian calendar — the same engine Spark's DateTimeUtils
+    * uses). WEEK/YEAR_OF_WEEK are left Spark-side (ISO-week edge cases).
+    * Date-level fields arrive wrapped in the analyzer's implicit
+    * timestamp→date cast (`year(ts)` plans as `Year(Cast(ts, date))`) —
+    * truncating to the session-zone local date before extracting a
+    * date-level field changes nothing, so the wrap unpeels; time-level
+    * fields (HOUR/...) must see the timestamp directly. */
+  private val DateFields = Set("YEAR", "MONTH", "QUARTER", "DAY",
+    "DAY_OF_YEAR", "DAY_OF_WEEK")
+  private val TimeFields = Set("HOUR", "MINUTE", "SECOND")
+
+  private def extractKey(meta: ZarrGroupMeta,
+                         ex: org.apache.spark.sql.connector.expressions.Extract,
+                         zone: String): Option[ZarrGroupKey] = {
+    val src = ex.source() match {
+      case d: VCast if d.dataType == org.apache.spark.sql.types.DateType &&
+          DateFields.contains(ex.field) =>
+        d.expression() // year(cast(x as date)): date-truncation is a no-op
+      case other if DateFields.contains(ex.field) ||
+          TimeFields.contains(ex.field) => other
+      case _ => return None
+    }
+    src match {
+      case c: VCast if c.dataType == org.apache.spark.sql.types.TimestampType =>
+        affineDim(meta, c.expression()).map { case (dm, a, b) =>
+          ZarrGroupKey(dm, ZarrGroupKey.Extract, neg = false, b, a, 1.0,
+            field = ex.field, zone = zone)
+        }
+      case _ => None
+    }
+  }
+
+  /** `dim`, `dim * a`, `a * dim`, those ± b, `b + (...)`, `b - (...)` —
+    * an affine map of one DIM to epoch seconds, returned as (dim, a, b)
+    * with seconds = v * a + b. Every rearrangement used here is IEEE
+    * bit-exact: * and + are commutative, x - c == x + (-c), and
+    * c - x == (-1*x) + c does NOT hold in general so `b - (...)` only
+    * accepts a bare/scaled dim where -(v*a) == v*(-a) (sign-symmetric
+    * multiply, exact). */
+  private def affineDim(meta: ZarrGroupMeta,
+                        e: VExpr): Option[(String, Double, Double)] = e match {
+    case fr: NamedReference => dimRef(meta, fr).map((_, 1.0, 0.0))
+    case g: GeneralScalarExpression
+        if g.name == "*" && g.children().length == 2 =>
+      (g.children()(0), g.children()(1)) match {
+        case (fr: NamedReference, l) =>
+          for { dm <- dimRef(meta, fr); c <- litNum(l) } yield (dm, c, 0.0)
+        case (l, fr: NamedReference) =>
+          for { dm <- dimRef(meta, fr); c <- litNum(l) } yield (dm, c, 0.0)
+        case _ => None
+      }
+    case g: GeneralScalarExpression
+        if (g.name == "+" || g.name == "-") && g.children().length == 2 =>
+      (scaledDim(meta, g.children()(0)), litNum(g.children()(1)),
+        scaledDim(meta, g.children()(1)), litNum(g.children()(0))) match {
+        case (Some((dm, a)), Some(c), _, _) => // (v*a) ± c
+          Some((dm, a, if (g.name == "-") -c else c))
+        case (_, _, Some((dm, a)), Some(c)) if g.name == "+" => // c + (v*a)
+          Some((dm, a, c))
+        case (_, _, Some((dm, a)), Some(c)) => // c - (v*a) == v*(-a) + c
+          Some((dm, -a, c))
+        case _ => None
+      }
+    case _ => None
+  }
+
+  private def scaledDim(meta: ZarrGroupMeta,
+                        e: VExpr): Option[(String, Double)] = e match {
+    case fr: NamedReference => dimRef(meta, fr).map((_, 1.0))
+    case g: GeneralScalarExpression
+        if g.name == "*" && g.children().length == 2 =>
+      (g.children()(0), g.children()(1)) match {
+        case (fr: NamedReference, l) =>
+          for { dm <- dimRef(meta, fr); c <- litNum(l) } yield (dm, c)
+        case (l, fr: NamedReference) =>
+          for { dm <- dimRef(meta, fr); c <- litNum(l) } yield (dm, c)
+        case _ => None
+      }
+    case _ => None
+  }
 }
 
 /** One group-by key of the pushed partial aggregate.
   *
-  *  - `Id`: a plain dim column — key is the coordinate value (double).
-  *  - `Floor`: `floor((dim + off) / scale)` or `floor((off - dim) /
+  *  - `Id`: a plain dim/var column — key is the cell value (double).
+  *  - `Floor`: `floor((col + off) / scale)` or `floor((off - col) /
   *    scale)` when `neg` — key is a long with Spark's Floor semantics.
+  *    Over a dim it is the subsample/pyramid block index; over a data
+  *    variable (`isVar`) it is the histogram bucket.
   *  - `FloorDiv`: the Floor key re-divided and truncated,
   *    `(floorKey.toDouble / div).toLong` — Spark's Cast(double→long)
   *    on `(floor(...) / k)`, the pyramid-over-grid composition.
+  *  - `Extract`: `EXTRACT(field FROM CAST(dim * scale + off AS
+  *    TIMESTAMP))` — key is an int calendar field of the epoch-seconds
+  *    affine of the dim, evaluated with Spark's exact cast truncation
+  *    ((secs * 1e6).toLong) and session-timezone proleptic-Gregorian
+  *    calendar (java.time, the engine DateTimeUtils itself uses).
   *
   * `colIdx` binds to the inner scan's column order at planning time. */
 final case class ZarrGroupKey(dim: String, kind: Int, neg: Boolean,
                               off: Double, scale: Double, div: Double,
-                              colIdx: Int = -1) {
+                              colIdx: Int = -1, isVar: Boolean = false,
+                              field: String = "", zone: String = "UTC") {
   /** Spark-exact long key for Floor/FloorDiv kinds. */
   def evalLong(v: Double): Long = {
     val base = if (neg) off - v else v + off
@@ -284,9 +420,48 @@ final case class ZarrGroupKey(dim: String, kind: Int, neg: Boolean,
     if (kind == ZarrGroupKey.FloorDiv) (f.toDouble / div).toLong else f
   }
 
+  @transient private lazy val zoneId = java.time.ZoneId.of(zone)
+
+  /** Spark-exact int calendar field for the Extract kind: epoch seconds
+    * = v * scale + off (Multiply then Add, IEEE-exact rearrangements
+    * only), micros = (secs * 1e6).toLong (Cast double→timestamp
+    * truncation toward zero), then the field of the session-timezone
+    * LocalDateTime. NaN/±Inf seconds throw, exactly like the ANSI cast
+    * the query itself contains. */
+  def evalExtract(v: Double): Int = {
+    val secs = v * scale + off
+    if (secs.isNaN || secs.isInfinite)
+      throw new ArithmeticException(
+        s"invalid input syntax for type timestamp: $secs seconds " +
+          s"(from $dim = $v)")
+    val micros = (secs * 1e6).toLong
+    val ldt = java.time.LocalDateTime.ofInstant(
+      java.time.Instant.ofEpochSecond(Math.floorDiv(micros, 1000000L),
+        Math.floorMod(micros, 1000000L) * 1000L), zoneId)
+    field match {
+      case "YEAR" => ldt.getYear
+      case "MONTH" => ldt.getMonthValue
+      case "QUARTER" => (ldt.getMonthValue - 1) / 3 + 1
+      case "DAY" => ldt.getDayOfMonth
+      case "DAY_OF_YEAR" => ldt.getDayOfYear
+      case "DAY_OF_WEEK" => ldt.getDayOfWeek.getValue % 7 + 1 // Sunday = 1
+      case "HOUR" => ldt.getHour
+      case "MINUTE" => ldt.getMinute
+      case "SECOND" => ldt.getSecond
+      case other =>
+        throw new IllegalStateException(s"unplannable EXTRACT field $other")
+    }
+  }
+
   def render: String =
     if (kind == ZarrGroupKey.Id) dim
-    else {
+    else if (kind == ZarrGroupKey.Extract) {
+      val secs =
+        if (scale == 1.0 && off == 0.0) dim
+        else if (off == 0.0) s"$dim * $scale"
+        else s"$dim * $scale + $off"
+      s"extract($field from cast($secs as timestamp) at '$zone')"
+    } else {
       val base =
         if (neg) s"($off - $dim)"
         else if (off == 0.0) dim
@@ -301,12 +476,15 @@ object ZarrGroupKey {
   val Id = 0
   val Floor = 1
   val FloorDiv = 2
+  val Extract = 3
 }
 
 /** One pushed aggregate: op code + the aggregated column's index in the
   * inner scan's output (−1 for count(*)) + whether the column carried
-  * the NaN-skip guard. */
-final case class ZarrAggSpec(op: Int, colIdx: Int, skipNaN: Boolean = false)
+  * the NaN-skip guard + whether it is the column's SQUARE (`v * v`,
+  * the second-moment partial behind stddev/var). */
+final case class ZarrAggSpec(op: Int, colIdx: Int, skipNaN: Boolean = false,
+                             squared: Boolean = false)
 
 object ZarrAggSpec {
   val CountStar = 0
@@ -372,13 +550,14 @@ final class ZarrVarAggReader(shared: ZarrScan.SharedScanState,
         while (g < keys.length) {
           val k = keys(g)
           val v = cur.colValue(k.colIdx)
-          probeBits(g) =
-            if (k.kind != ZarrGroupKey.Id) k.evalLong(v)
-            else {
+          probeBits(g) = k.kind match {
+            case ZarrGroupKey.Id =>
               var d = v
               if (d == 0.0) d = 0.0 // normalize -0.0: Spark groups it with 0.0
               java.lang.Double.doubleToLongBits(d) // canonical NaN
-            }
+            case ZarrGroupKey.Extract => k.evalExtract(v).toLong
+            case _ => k.evalLong(v)
+          }
           g += 1
         }
         var st = m.get(new GroupKey(probeBits))
@@ -394,26 +573,29 @@ final class ZarrVarAggReader(shared: ZarrScan.SharedScanState,
             case ZarrAggSpec.CountStar =>
               st.counts(i) += 1L // cells are never null
             case ZarrAggSpec.Count =>
+              // count(v*v) == count(v): null iff the guarded base is NaN
               if (!s.skipNaN || !cur.colValue(s.colIdx).isNaN)
                 st.counts(i) += 1L
             case ZarrAggSpec.Min =>
-              val v = cur.colValue(s.colIdx)
-              if (!s.skipNaN || !v.isNaN) {
+              val raw = cur.colValue(s.colIdx)
+              if (!s.skipNaN || !raw.isNaN) {
+                val v = if (s.squared) raw * raw else raw
                 if (!st.has(i) || java.lang.Double.compare(v, st.doubles(i)) < 0)
                   st.doubles(i) = v
                 st.has(i) = true
               }
             case ZarrAggSpec.Max =>
-              val v = cur.colValue(s.colIdx)
-              if (!s.skipNaN || !v.isNaN) {
+              val raw = cur.colValue(s.colIdx)
+              if (!s.skipNaN || !raw.isNaN) {
+                val v = if (s.squared) raw * raw else raw
                 if (!st.has(i) || java.lang.Double.compare(v, st.doubles(i)) > 0)
                   st.doubles(i) = v
                 st.has(i) = true
               }
             case ZarrAggSpec.Sum =>
-              val v = cur.colValue(s.colIdx)
-              if (!s.skipNaN || !v.isNaN) {
-                st.doubles(i) += v
+              val raw = cur.colValue(s.colIdx)
+              if (!s.skipNaN || !raw.isNaN) {
+                st.doubles(i) += (if (s.squared) raw * raw else raw)
                 st.has(i) = true
               }
           }
@@ -434,9 +616,12 @@ final class ZarrVarAggReader(shared: ZarrScan.SharedScanState,
       val out = new Array[Any](keys.length + p.specs.length)
       var g = 0
       while (g < keys.length) {
-        out(g) =
-          if (keys(g).kind != ZarrGroupKey.Id) st.keyBits(g) // long block idx
-          else java.lang.Double.longBitsToDouble(st.keyBits(g))
+        out(g) = keys(g).kind match {
+          case ZarrGroupKey.Id =>
+            java.lang.Double.longBitsToDouble(st.keyBits(g))
+          case ZarrGroupKey.Extract => st.keyBits(g).toInt // calendar field
+          case _ => st.keyBits(g) // long block/bucket idx
+        }
         g += 1
       }
       var i = 0

@@ -1249,10 +1249,11 @@ class ZarrDsv2Spec extends AnyFunSuite {
       .groupBy(floor(col("x") / 2.0).as("bx")).agg(sum("w").as("sw"))
     assert(f.collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
       === fE.collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq)
-    // a floor over a DATA VARIABLE is not a chunk-computable key: the
-    // aggregate stays Spark-side and the answer is still right
+    // a floor over a DATA VARIABLE is chunk-computable too since round
+    // 15 — the histogram shape folds per chunk (see the dedicated
+    // value-derived-keys test); the answer stays exact either way
     val nv = ds.groupBy(floor(col("v") / 1000.0).as("bv")).count()
-    assert(!nv.queryExecution.executedPlan.toString.contains("ZarrVarAggScan"))
+    assert(nv.queryExecution.executedPlan.toString.contains("ZarrVarAggScan"))
     assert(nv.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
       === Seq((0L, 24L), (1L, 24L), (2L, 24L)))
   }
@@ -1426,6 +1427,175 @@ class ZarrDsv2Spec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException](
       graft.sources.zarr.ZarrTableProvider.deriveAxes(withNull, Seq("t", "y", "x")))
     assert(e.getMessage.contains("null value"), e.getMessage)
+  }
+
+  test("calendar group keys fold in the connector (resample_in_time shape)") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val g = writeFixture() // 12 chunks; t = 0,1,2
+    val ds = spark.read.format("zarr").load(g)
+    def scanOf(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.sparkPlan.collectLeaves()
+        .collectFirst { case b: BatchScanExec => b }.get
+    // t scaled by 31 days puts the three slices in Jan/Feb/Mar 1970 —
+    // the "1M" resample is GROUP BY year, month of the CF-decoded time
+    val ts = (col("t") * 2678400.0).cast("timestamp")
+    val q = ds.groupBy(year(ts).as("yr"), month(ts).as("mo"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
+        min(col("w")).as("mw"), max(col("v")).as("xv"))
+    val planStr = q.queryExecution.executedPlan.toString
+    assert(planStr.contains("ZarrVarAggScan") &&
+      planStr.contains("extract(MONTH"), planStr.take(1200))
+    // partial-rows audit: each chunk holds ONE time slice -> one calendar
+    // group -> 12 partial rows cross the exchange, not 72 cells
+    assert(scanOf(q).inputRDD.count() === 12L)
+    val expect = ZarrSource.readCubeVars(spark, g, Seq("v", "w"))
+      .groupBy(year(ts).as("yr"), month(ts).as("mo"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
+        min(col("w")).as("mw"), max(col("v")).as("xv"))
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(q.collect().map(_.toSeq).sortBy(_.toString).toSeq === expect.toSeq)
+    // hour-of-day keys fold the same way (diurnal-cycle aggregation)
+    val hq = ds.groupBy(hour((col("t") * 45000.0).cast("timestamp")).as("hh"))
+      .agg(sum(col("v")).as("sv"))
+    assert(hq.queryExecution.executedPlan.toString.contains("extract(HOUR"))
+    val hExpect = ZarrSource.readCubeVars(spark, g, Seq("v"))
+      .groupBy(hour((col("t") * 45000.0).cast("timestamp")).as("hh"))
+      .agg(sum(col("v")).as("sv")).collect().map(_.toSeq).sortBy(_.toString)
+    assert(hq.collect().map(_.toSeq).sortBy(_.toString).toSeq === hExpect.toSeq)
+    // calendar keys over DIM aggregates only are METADATA-ONLY: the
+    // month bucket of every coordinate is driver math, zero chunk IO
+    val md = ds.groupBy(month(ts).as("mo"))
+      .agg(count(lit(1)).as("n"), min(col("t")).as("mt"))
+    val mdPlan = md.queryExecution.executedPlan.toString
+    assert(mdPlan.contains("ZarrAggScan") &&
+      !mdPlan.contains("ZarrVarAggScan"), mdPlan.take(1200))
+    assert(md.collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1).toSeq ===
+      Seq((1, 24L, 0.0), (2, 24L, 1.0), (3, 24L, 2.0)))
+  }
+
+  test("value-derived group keys fold in the connector (histogram shape)") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val g = writeFixture() // v = t*1000 + y*10 + x in [100.5, 2405.5]
+    val ds = spark.read.format("zarr").load(g)
+    def scanOf(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.sparkPlan.collectLeaves()
+        .collectFirst { case b: BatchScanExec => b }.get
+    // compute_statistics' 100-bin histogram: GROUP BY floor((v - lo)/w)
+    // over a DATA variable — the bucket is computable from the decoded
+    // cell, so the fold is per chunk: O(chunks x bins), never O(cells)
+    val q = ds.groupBy(floor((col("v") - 100.0) / 500.0).as("bin"))
+      .agg(count(lit(1)).as("n"), min(col("v")).as("mn"),
+        max(col("v")).as("mx"))
+    val planStr = q.queryExecution.executedPlan.toString
+    assert(planStr.contains("ZarrVarAggScan") &&
+      planStr.contains("floor((v - 100.0) / 500.0)"), planStr.take(1200))
+    // each chunk spans few buckets: 12 chunks x <=2 bins >= rows, << 72
+    val partials = scanOf(q).inputRDD.count()
+    assert(partials <= 24L, s"expected O(chunks x bins) partials, got $partials")
+    val expect = ZarrSource.readCubeVars(spark, g, Seq("v"))
+      .groupBy(floor((col("v") - 100.0) / 500.0).as("bin"))
+      .agg(count(lit(1)).as("n"), min(col("v")).as("mn"),
+        max(col("v")).as("mx"))
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(q.collect().map(_.toSeq).sortBy(_.toString).toSeq === expect.toSeq)
+    // grouping by the RAW variable value also folds (distinct-value
+    // histogram); w = t+y+x collides across chunks -> real merge above
+    val rq = ds.groupBy(col("w")).count()
+    assert(rq.queryExecution.executedPlan.toString.contains("ZarrVarAggScan"))
+    val rExpect = ZarrSource.readCubeVars(spark, g, Seq("w"))
+      .groupBy(col("w")).count().collect()
+      .map(r => (r.getDouble(0), r.getLong(1))).sortBy(_._1)
+    assert(rq.collect().map(r => (r.getDouble(0), r.getLong(1)))
+      .sortBy(_._1).toSeq === rExpect.toSeq)
+    // a histogram over a FILTERED cube still prunes chunks first
+    val fq = ds.filter(col("t") >= 1.0)
+      .groupBy(floor(col("v") / 1000.0).as("bin")).count()
+    assert(scanOf(fq).partitions.length === 8) // 4 of 12 chunks pruned
+    val fExpect = ZarrSource.readCubeVars(spark, g, Seq("v"))
+      .filter(col("t") >= 1.0)
+      .groupBy(floor(col("v") / 1000.0).as("bin")).count()
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(fq.collect().map(_.toSeq).sortBy(_.toString).toSeq === fExpect.toSeq)
+  }
+
+  test("second-moment partials fold in the connector (stddev shape)") {
+    val g = writeFixture()
+    val ds = spark.read.format("zarr").load(g)
+    // compute_statistics ships sum(v), sum(v*v), count and finishes the
+    // moment math above the scan (Spark only partial-pushes
+    // Min/Max/Sum/Count — a GeneralAggregateFunc stddev would demand
+    // complete pushdown, which cannot scale over data variables)
+    val q = ds.groupBy(col("t"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s1"),
+        sum(col("v") * col("v")).as("s2"))
+    val planStr = q.queryExecution.executedPlan.toString
+    assert(planStr.contains("ZarrVarAggScan"), planStr.take(1200))
+    val expect = ZarrSource.readCubeVars(spark, g, Seq("v"))
+      .groupBy(col("t"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s1"),
+        sum(col("v") * col("v")).as("s2"))
+      .collect().map(r => (r.getDouble(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).sortBy(_._1)
+    assert(q.collect().map(r => (r.getDouble(0), r.getLong(1), r.getDouble(2),
+      r.getDouble(3))).sortBy(_._1).toSeq === expect.toSeq)
+    // the skipna form: CASE-guarded square (NaN cells contribute nothing)
+    val t0 = Array(0.0)
+    val y8 = Array.tabulate(8)(_ + 0.5)
+    val g2 = s"${tmpDir("dsv2mom")}/nan.zarr"
+    import spark.implicits._
+    val withNaN = (for { yi <- y8; xi <- y8 } yield
+      (0.0, yi, xi, if (yi < 2.0) Double.NaN else yi * 10 + xi))
+      .toSeq.toDF("t", "y", "x", "v")
+    ZarrSource.writeCubeVars(withNaN, g2, Seq("v"),
+      Seq("t" -> t0, "y" -> y8, "x" -> y8), chunks = Seq(1, 4, 4))
+    val ds2 = spark.read.format("zarr").load(g2)
+    val guard = when(col("v") <= Double.PositiveInfinity, col("v"))
+    val sq = ds2.agg(count(guard).as("n"), sum(guard).as("s1"),
+      sum(guard * guard).as("s2"))
+    assert(sq.queryExecution.executedPlan.toString.contains("ZarrVarAggScan"))
+    val got = sq.head()
+    val vals = (for { yi <- y8; xi <- y8; if yi >= 2.0 } yield yi * 10 + xi)
+    assert(got.getLong(0) === vals.length.toLong)
+    assert(got.getDouble(1) === vals.sum)
+    assert(got.getDouble(2) === vals.map(v => v * v).sum)
+  }
+
+  test("subsample(first) from the connector is a chunk-pruned stride gather") {
+    import spark.implicits._
+    import graft.cube.{Cube, GridMapping}
+    import graft.operators.SubsampleOps
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    // 3x8x8 aligned grid, chunks 1x4x4 -> 12 chunks
+    val t = Array(0.0, 1.0, 2.0)
+    val y = Array.tabulate(8)(_ + 0.5)
+    val x = Array.tabulate(8)(_ + 0.5)
+    val df = (for { ti <- t; yi <- y; xi <- x } yield
+      (ti, yi, xi, ti * 100 + yi * 10 + xi)).toSeq.toDF("t", "y", "x", "v")
+    val g = s"${tmpDir("dsv2sf")}/cube.zarr"
+    ZarrSource.writeCubeVars(df, g, Seq("v"),
+      Seq("t" -> t, "y" -> y, "x" -> x), chunks = Seq(1, 4, 4))
+    val gm = GridMapping(8, 8, 0.0, 0.0, 1.0, 1.0)
+    val cube = Cube(spark.read.format("zarr").load(g), gm, "t", "y", "x")
+    // k=8: one block per slice; only the origin chunk of each t is read
+    val (out8, gm8) = SubsampleOps.subsampleFirst(cube, 8, Seq("v"))
+    assert(gm8.xRes === 8.0)
+    val scan = out8.queryExecution.sparkPlan.collectLeaves()
+      .collectFirst { case b: BatchScanExec => b }.get
+    assert(scan.partitions.length === 3, // 3 of 12 chunks: In-set pruned
+      s"expected 3 pruned partitions, got ${scan.partitions.length}")
+    assert(out8.collect().map(r => (r.getDouble(0), r.getLong(1),
+      r.getLong(2), r.getDouble(3))).sorted.toSeq ===
+      Seq((0.0, 0L, 0L, 5.5), (1.0, 0L, 0L, 105.5), (2.0, 0L, 0L, 205.5)))
+    // k=4 equals the aggregate path (blockAgg "first") cell for cell
+    val (out4, _) = SubsampleOps.subsampleFirst(cube, 4, Seq("v"))
+    val expect = SubsampleOps.subsample(
+      Cube(ZarrSource.readCubeVars(spark, g, Seq("v")), gm, "t", "y", "x"),
+      4, Seq("v" -> "first"))._1
+      .collect().map(r => (r.getDouble(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).sorted
+    assert(out4.collect().map(r => (r.getDouble(0), r.getLong(1),
+      r.getLong(2), r.getDouble(3))).sorted.toSeq === expect.toSeq)
   }
 
   test("the same scan opens an http-hosted archive, pruned the same way") {
