@@ -72,6 +72,38 @@ object ExtractOps {
       .drop("idx", "lower", "upper")
   }
 
+  /** Prune a CONNECTOR-backed cell table (zarr/netcdf/geotiff/kerchunk —
+    * dims `yCol`/`xCol` as cell-center coordinates on `gm`'s grid) to the
+    * cells a small indexed points table addresses, BEFORE the gather
+    * join. The points' snapped coordinate values ship as In filters the
+    * scan consumes into per-dim interval sets and prunes chunks with: a
+    * 400-point lookup against a 10^7-chunk archive decodes only the
+    * chunks the points live in.
+    *
+    * Spark's own runtime filtering (DPP over v2) cannot deliver this:
+    * the analyzer wraps DOUBLE equi-join keys in
+    * `knownfloatingpointnormalized(normalizenanandzero(x))`, and
+    * PartitionPruning only plants a DynamicPruningSubquery when the
+    * scan-side key is a bare attribute — so for coordinate (double) keys
+    * the subquery never appears. The operator therefore executes the
+    * same bounded semi-join itself: the points side is the
+    * broadcast-small side by the API's own contract (a sensor list, a
+    * user query), so collecting its distinct snapped indexes is
+    * driver-metadata-sized — exactly what DPP's InSubqueryExec would
+    * have collected.
+    */
+  def pruneCellsForIndexes(cells: DataFrame, gm: GridMapping,
+                           indexed: DataFrame,
+                           yCol: String = "y", xCol: String = "x"): DataFrame = {
+    val keys = indexed
+      .filter(col("x_index") >= 0L && col("y_index") >= 0L)
+      .select(col("x_index"), col("y_index")).distinct().collect()
+    if (keys.isEmpty) return cells.filter(lit(false))
+    val xs = keys.map(r => gm.xForI(r.getLong(0))).distinct.toSeq
+    val ys = keys.map(r => gm.yForJ(r.getLong(1))).distinct.toSeq
+    cells.filter(col(xCol).isin(xs: _*) && col(yCol).isin(ys: _*))
+  }
+
   /** Collapse a cube to one row per integer (i, j) cell with the mean of
     * each variable — a helper for 2-D point lookup.
     */

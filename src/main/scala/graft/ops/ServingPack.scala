@@ -151,6 +151,29 @@ object ServingPack extends QueryPack {
     group
   }
 
+  /** Build (once per sf) the 2-D cell-mean field of the events cube as a
+    * zarr group — the lookup target of q_points_dsv2 (same cell means the
+    * parquet-path q_points_extract joins against; eventless cells are
+    * NaN-fill). */
+  private def pointsZarrFixture(s: SparkSession, d: String): String = {
+    val base =
+      s"/root/repo/.graft-fixtures/pointszarr_${new java.io.File(d).getName}"
+    val group = s"$base/cells.zarr"
+    Fixtures.ensureWritten(base, "grid=100x360,cellmeans6,chunks=50x90") {
+      new java.io.File(base).mkdirs()
+      val cube = CubePack.eventsCube(s, d)
+      val cells = graft.operators.ExtractOps.cellMeans(
+        cube.copy(df = cube.df.drop("event_type")), Seq("v"))
+      val df = cells.select((col("j").cast("double") + 0.5).as("y"),
+        (col("i").cast("double") + 0.5).as("x"), col("v"))
+      ZarrSource.writeCube(df, group, "v",
+        Seq("y" -> Array.tabulate(100)(_ + 0.5),
+          "x" -> Array.tabulate(360)(_ + 0.5)),
+        chunks = Seq(50, 90))
+    }
+    group
+  }
+
   /** Shared oracle of q_sentinel3 AND q_sentinel3_dsv2 — the two openers
     * (RDD-path pivot vs DSv2 refs table) must hash-match each other. */
   private def sentinel3OracleSql: String =
@@ -1046,6 +1069,41 @@ object ServingPack extends QueryPack {
           (col("s1") / col("n")).as("mean_v"),
           sqrt((col("s2") - col("s1") * col("s1") / col("n")) / col("n"))
             .as("std_v"))
+    }),
+
+    // values_for_points THROUGH the connector, chunk-pruned: the points'
+    // snapped cell coordinates ship as In filters the scan consumes into
+    // per-dim interval sets (ExtractOps.pruneCellsForIndexes — Spark's
+    // own DPP cannot plant this because double join keys get wrapped in
+    // NormalizeNaNAndZero), so a 400-point lookup against a 10^7-chunk
+    // archive decodes only the chunks the points live in; the broadcast
+    // gather join then matches exactly. Out-of-range points keep index
+    // −1 and the NaN-fill cells of eventless grid positions report
+    // found=false, exactly like the parquet-path q_points_extract (same
+    // oracle). ZarrDsv2Spec proves the pruning by corrupting every chunk
+    // the points do NOT touch.
+    "q_points_dsv2" -> ((s, d) => {
+      import graft.operators.ExtractOps
+      val group = pointsZarrFixture(s, d)
+      val zc = s.read.format("zarr").load(group) // (y, x, v)
+      val points = GraftSession.table(s, d, "orders")
+        .filter(col("o_orderkey") < 400)
+        .select(col("o_orderkey").as("point_id"),
+          ((col("o_orderkey") % 500) * 0.9 - 20.0).as("px"),
+          ((col("o_custkey") % 130) - 10.0).cast("double").as("py"))
+      val idx = ExtractOps.pointIndexes(points, CubePack.gm, "px", "py")
+        .select(col("point_id"), col("x_index"), col("y_index"))
+      val pruned = ExtractOps.pruneCellsForIndexes(zc, CubePack.gm, idx)
+      val gathered = pruned.join(
+          broadcast(idx.filter(col("x_index") >= 0L && col("y_index") >= 0L)),
+          pruned("x") === col("x_index") + 0.5 &&
+            pruned("y") === col("y_index") + 0.5)
+        .select(col("point_id"), col("v"))
+      idx.join(gathered, Seq("point_id"), "left_outer")
+        .select(col("point_id"), col("x_index"), col("y_index"),
+          (col("v").isNotNull && !isnan(col("v"))).as("found"),
+          when(col("v").isNull || isnan(col("v")), lit(-9999.0))
+            .otherwise(col("v")).as("v_out"))
     }),
 
     // int-variable subsample (auto rule int→first, reference
@@ -2364,6 +2422,26 @@ object ServingPack extends QueryPack {
          SELECT n, min_v, max_v, s1 / n AS mean_v,
                 sqrt((s2 - s1 * s1 / n) / n) AS std_v
          FROM m""",
+    "q_points_dsv2" ->
+      """WITH cells AS (
+           SELECT floor(CAST(event_id % 360 AS DOUBLE) + 0.5)::BIGINT AS i,
+                  floor(CAST(user_id % 100 AS DOUBLE) + 0.5)::BIGINT AS j,
+                  round(avg(value), 6) AS v
+           FROM events GROUP BY i, j),
+         pts AS (
+           SELECT o_orderkey AS point_id,
+                  (o_orderkey % 500) * 0.9 - 20.0 AS px,
+                  ((o_custkey % 130) - 10.0)::DOUBLE AS py
+           FROM orders WHERE o_orderkey < 400),
+         idx AS (
+           SELECT point_id,
+                  CASE WHEN px >= 0 AND px < 360 THEN floor(px)::BIGINT ELSE -1 END AS x_index,
+                  CASE WHEN py >= 0 AND py < 100 THEN floor(py)::BIGINT ELSE -1 END AS y_index
+           FROM pts)
+         SELECT point_id, x_index, y_index,
+                (c.v IS NOT NULL) AS found,
+                coalesce(c.v, -9999.0) AS v_out
+         FROM idx LEFT JOIN cells c ON c.i = idx.x_index AND c.j = idx.y_index""",
     "q_zarr_subsample_first" ->
       """SELECT t::BIGINT AS t, CAST(0 AS BIGINT) AS block_j,
                 bi AS block_i, ((bi * 120 + t * 7) % 4096) / 64.0 AS v_first

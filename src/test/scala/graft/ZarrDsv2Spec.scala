@@ -1598,6 +1598,53 @@ class ZarrDsv2Spec extends AnyFunSuite {
       r.getLong(2), r.getDouble(3))).sorted.toSeq === expect.toSeq)
   }
 
+  test("points lookup gathers from pruned chunks only (values_for_points)") {
+    import spark.implicits._
+    import graft.cube.GridMapping
+    import graft.operators.ExtractOps
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    // 8x8 grid, chunks 4x4 -> 4 chunks; v(y, x) = y*10 + x
+    val y = Array.tabulate(8)(_ + 0.5)
+    val x = Array.tabulate(8)(_ + 0.5)
+    val df = (for { yi <- y; xi <- x } yield (yi, xi, yi * 10 + xi))
+      .toSeq.toDF("y", "x", "v")
+    val g = s"${tmpDir("dsv2pts")}/cells.zarr"
+    ZarrSource.writeCubeVars(df, g, Seq("v"),
+      Seq("y" -> y, "x" -> x), chunks = Seq(4, 4))
+    val zc = spark.read.format("zarr").load(g)
+    // points all land in the (0,0) chunk; corrupt the OTHER three chunks
+    // — if the points' In filter does not reach the scan as consumed
+    // interval sets, the full scan decodes them and fails. (Spark's own
+    // DPP can NOT deliver this: double equi-join keys are wrapped in
+    // NormalizeNaNAndZero, which defeats PartitionPruning's scan-side
+    // attribute match — verified against the optimized plan; hence
+    // ExtractOps.pruneCellsForIndexes plants the In itself from the
+    // bounded points side.)
+    Seq("0.1", "1.0", "1.1").foreach { k =>
+      java.nio.file.Files.write(new java.io.File(s"$g/v/$k").toPath,
+        Array[Byte](9, 9, 9))
+    }
+    val pts = Seq((1L, 0L, 0L), (2L, 3L, 2L), (3L, 1L, 3L))
+      .toDF("point_id", "x_index", "y_index")
+    val gm = GridMapping(8, 8, 0.0, 0.0, 1.0, 1.0)
+    val pruned = ExtractOps.pruneCellsForIndexes(zc, gm, pts)
+    val q = pruned.join(broadcast(pts),
+        pruned("x") === col("x_index") + 0.5 &&
+          pruned("y") === col("y_index") + 0.5)
+      .select(col("point_id"), col("v"))
+    // partition audit: only the (0,0) chunk plans
+    val scan = q.queryExecution.sparkPlan.collectLeaves()
+      .collectFirst { case b: BatchScanExec => b }.get
+    assert(scan.partitions.length === 1,
+      s"expected 1 pruned partition, got ${scan.partitions.length}")
+    assert(q.collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+      .toSeq === Seq((1L, 5.5), (2L, 28.5), (3L, 36.5)))
+    // no addressed cells -> empty scan, no chunk IO, zero rows
+    val none = ExtractOps.pruneCellsForIndexes(zc, gm,
+      Seq((9L, -1L, -1L)).toDF("point_id", "x_index", "y_index"))
+    assert(none.count() === 0L)
+  }
+
   test("the same scan opens an http-hosted archive, pruned the same way") {
     val g = writeFixture()
     ZarrSource.consolidateMetadata(g)
