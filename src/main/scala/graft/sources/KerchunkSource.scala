@@ -1063,7 +1063,8 @@ object KerchunkSource {
   def ensureArchiveIndex(spark: SparkSession, dir: String,
                          concatDim: String = "t",
                          indexDir: Option[String] = None,
-                         indexFormat: String = "json"): String = {
+                         indexFormat: String = "json",
+                         fingerprint: Boolean = false): String = {
     require(indexFormat == "json" || indexFormat == "parquet",
       s"indexFormat must be json or parquet, got $indexFormat")
     val bs = ByteStore.current
@@ -1077,13 +1078,22 @@ object KerchunkSource {
     // byte sizes ride in the manifest so a granule REWRITTEN under the
     // same name (a reprocessing campaign) is detected — its layout and
     // byte ranges changed, so serving the old index would decode garbage;
-    // a size change forces the full rescan. (A same-size in-place rewrite
-    // is the residual blind spot; rewrite campaigns that must be tracked
-    // byte-exactly should version granule NAMES.)
+    // a size change forces the full rescan. A SAME-SIZE in-place rewrite
+    // is invisible to sizes alone; `fingerprint = true`
+    // (.option("fingerprint", "true")) additionally stores a first+last-KB
+    // CRC per granule (two bounded ranged reads — every ByteStore scheme
+    // supports them) and forces the rescan when content changed under an
+    // unchanged name+size. Off by default: rewrite campaigns that must be
+    // tracked byte-exactly at zero per-open read cost should version
+    // granule NAMES.
     val sizes = granules.map(n => bs.size(s"$dir/$n"))
+    val fps: Seq[Long] =
+      if (fingerprint)
+        granules.zip(sizes).map { case (n, sz) => granuleFp(s"$dir/$n", sz) }
+      else Seq.empty
     val indexPath = s"$sideDir/$IndexFileName"
     val manifestPath = s"$sideDir/$ManifestFileName"
-    val old: Option[(String, Seq[String], Seq[Long], String)] =
+    val old: Option[(String, Seq[String], Seq[Long], String, Seq[Long])] =
       bs.readIfExists(manifestPath).map { bytes =>
         val n = mapper.readTree(bytes)
         (n.path("concatDim").asText,
@@ -1091,8 +1101,15 @@ object KerchunkSource {
             .map(i => n.path("granules").get(i).asText),
           (0 until n.path("sizes").size())
             .map(i => n.path("sizes").get(i).asLong),
-          Option(n.get("format")).map(_.asText).getOrElse("json"))
+          Option(n.get("format")).map(_.asText).getOrElse("json"),
+          Option(n.get("fps")).map(f =>
+            (0 until f.size()).map(i => f.get(i).asLong): Seq[Long])
+            .getOrElse(Seq.empty))
       }
+    // with fingerprinting on, a manifest without stored fps (or with a
+    // mismatching prefix) cannot certify freshness — full rescan
+    def fpsOk(oldFps: Seq[Long], upTo: Int): Boolean =
+      !fingerprint || (oldFps.length >= upTo && oldFps.take(upTo) == fps.take(upTo))
     def rebuild(): Unit = {
       if (indexFormat == "parquet")
         buildParquetIndex(spark, granules.map(n => s"$dir/$n"),
@@ -1101,15 +1118,16 @@ object KerchunkSource {
         bs.write(indexPath, combineRefs(
           scanGranules(spark, granules.map(n => s"$dir/$n")), concatDim,
           Array.tabulate(granules.length)(_.toDouble)).getBytes("UTF-8"))
-      writeManifest(manifestPath, concatDim, granules, sizes, indexFormat)
+      writeManifest(manifestPath, concatDim, granules, sizes, indexFormat, fps)
     }
     old match {
-      case Some((cd, oldG, oldS, fmt)) if cd == concatDim &&
-          fmt == indexFormat && oldG == granules && oldS == sizes =>
+      case Some((cd, oldG, oldS, fmt, oldFps)) if cd == concatDim &&
+          fmt == indexFormat && oldG == granules && oldS == sizes &&
+          fpsOk(oldFps, granules.length) =>
         indexPath // up to date: zero header IO
-      case Some((cd, oldG, oldS, fmt)) if cd == concatDim &&
+      case Some((cd, oldG, oldS, fmt, oldFps)) if cd == concatDim &&
           fmt == indexFormat && granules.take(oldG.length) == oldG &&
-          sizes.take(oldG.length) == oldS =>
+          sizes.take(oldG.length) == oldS && fpsOk(oldFps, oldG.length) =>
         val fresh = granules.drop(oldG.length)
         // the append paths require(index concat extent == manifest granule
         // count): an interrupted refresh that wrote the index but not the
@@ -1135,7 +1153,8 @@ object KerchunkSource {
               scanGranules(spark, fresh.map(n => s"$dir/$n")), concatDim,
               expectedOldN = oldG.length)
           }
-          writeManifest(manifestPath, concatDim, granules, sizes, indexFormat)
+          writeManifest(manifestPath, concatDim, granules, sizes,
+            indexFormat, fps)
         } catch {
           case e: IllegalArgumentException if e.getMessage != null &&
               e.getMessage.contains("!= manifest granule count") =>
@@ -1157,12 +1176,26 @@ object KerchunkSource {
 
   private def writeManifest(path: String, concatDim: String,
                             granules: Seq[String], sizes: Seq[Long],
-                            format: String): Unit =
+                            format: String, fps: Seq[Long] = Seq.empty): Unit =
     ByteStore.current.write(path,
       (s"""{"concatDim": ${jstr(concatDim)}, "format": ${jstr(format)}, """ +
         s""""granules": [${granules.map(jstr).mkString(", ")}], """ +
-        s""""sizes": [${sizes.mkString(", ")}]}""")
-        .getBytes("UTF-8"))
+        s""""sizes": [${sizes.mkString(", ")}]""" +
+        (if (fps.nonEmpty) s""", "fps": [${fps.mkString(", ")}]""" else "") +
+        "}").getBytes("UTF-8"))
+
+  /** Content fingerprint of one granule: CRC32 over its first and last
+    * KB (two bounded ranged reads). Catches the same-size in-place
+    * rewrite the size check cannot — headers (superblock, object
+    * headers) and trailing data move on any real rewrite. */
+  private def granuleFp(path: String, size: Long): Long = {
+    val bs = ByteStore.current
+    val crc = new java.util.zip.CRC32
+    crc.update(bs.readRange(path, 0, math.min(1024L, size)))
+    if (size > 1024L)
+      crc.update(bs.readRange(path, size - 1024L, 1024L))
+    crc.getValue
+  }
 
   /** Merge freshly-scanned granule docs into an existing combined index:
     * ONE streaming pass over the old index (metadata entries rewritten —

@@ -92,7 +92,7 @@ abstract class RefsProviderBase(short: String)
     val only = Option(options.get("vars"))
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     val key = path + only.map("?vars=" + _.mkString(",")).getOrElse("") +
-      Seq("concatDim", "index", "indexFormat").flatMap(k =>
+      Seq("concatDim", "index", "indexFormat", "fingerprint").flatMap(k =>
         Option(options.get(k)).map(v => s"?$k=$v")).mkString
     val fp = freshness(path)
     metaCache.compute(key, (_, cached) => cached match {
@@ -196,7 +196,9 @@ final class NetcdfTableProvider extends RefsProviderBase("netcdf") {
           KerchunkSource.manifestFormat(indexDir.getOrElse(path)))
         ZarrTable.openArchive(path,
           Option(options.get("concatDim")).getOrElse("t"),
-          indexDir, fmt, only)
+          indexDir, fmt, only,
+          fingerprint = Option(options.get("fingerprint"))
+            .exists(_.equalsIgnoreCase("true")))
       case DirProbe.ZarrGroup =>
         throw new IllegalArgumentException(
           s"$path: a zarr group — open it with format(\"zarr\")")
@@ -268,7 +270,9 @@ final class KerchunkTableProvider extends RefsProviderBase("kerchunk") {
           KerchunkSource.manifestFormat(indexDir.getOrElse(path)))
         ZarrTable.openArchive(path,
           Option(options.get("concatDim")).getOrElse("t"),
-          indexDir, fmt, only)
+          indexDir, fmt, only,
+          fingerprint = Option(options.get("fingerprint"))
+            .exists(_.equalsIgnoreCase("true")))
       case DirProbe.ZarrGroup =>
         throw new IllegalArgumentException(
           s"$path: a zarr group directory — open it with format(\"zarr\")")

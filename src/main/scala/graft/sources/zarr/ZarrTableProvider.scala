@@ -405,10 +405,11 @@ object ZarrTable {
     * own refs. */
   def openArchive(dir: String, concatDim: String,
                   indexDir: Option[String], indexFormat: String,
-                  only: Option[Seq[String]] = None): ZarrGroupMeta = {
+                  only: Option[Seq[String]] = None,
+                  fingerprint: Boolean = false): ZarrGroupMeta = {
     val idx = KerchunkSource.ensureArchiveIndex(
       org.apache.spark.sql.SparkSession.active, dir, concatDim, indexDir,
-      indexFormat)
+      indexFormat, fingerprint)
     val side = indexDir.getOrElse(dir)
     if (KerchunkSource.manifestFormat(side) == "parquet") {
       val metaRefs = KerchunkSource.parseSelective(idx, _ => true)

@@ -674,6 +674,41 @@ class RefsDsv2Spec extends AnyFunSuite {
     assert(KerchunkSource.scanCount.get() === mid)
   }
 
+  test("content fingerprint catches the same-size in-place rewrite") {
+    val dir = tmpDir("arcfp")
+    val x = Array(0.0, 1.0, 2.0)
+    def writeGranule(g: Int, base: Double): Unit =
+      NetcdfSource.write(s"$dir/g$g.nc", Seq(NcDim("x", 3)), Seq(("x", x)),
+        Seq(("v", Seq("x"), Array.tabulate(3)(i => base + i))))
+    writeGranule(0, 10.0); writeGranule(1, 20.0)
+    def open() = spark.read.format("kerchunk")
+      .option("fingerprint", "true").load(dir)
+    assert(open().agg(sum("v")).head.getDouble(0) === 33.0 + 63.0)
+    // re-open: fingerprints match -> zero header IO
+    val mid = KerchunkSource.scanCount.get()
+    assert(open().count() === 6)
+    assert(KerchunkSource.scanCount.get() === mid)
+    // granule 0 rewritten IN PLACE with the same byte size but different
+    // values: the size check alone cannot see it — a non-fingerprint
+    // open keeps serving the old index with ZERO rescans (the documented
+    // blind spot; here the layout happens to be unshifted so the stale
+    // ranges still decode, but a rewrite that moves bytes would decode
+    // garbage). The first/last-KB CRC sees the change and forces the
+    // full rescan.
+    val size0 = new java.io.File(s"$dir/g0.nc").length()
+    writeGranule(0, 50.0)
+    assert(new java.io.File(s"$dir/g0.nc").length() === size0) // same size
+    spark.read.format("kerchunk").load(dir).count() // no fingerprint...
+    assert(KerchunkSource.scanCount.get() === mid) // ...no rescan (blind)
+    assert(open().agg(sum("v")).head.getDouble(0) === 153.0 + 63.0) // fresh
+    assert(KerchunkSource.scanCount.get() - mid === 2) // full rescan
+    // and incremental append still works with fingerprints on
+    val pre = KerchunkSource.scanCount.get()
+    writeGranule(2, 30.0)
+    assert(open().agg(sum("v")).head.getDouble(0) === 153.0 + 63.0 + 93.0)
+    assert(KerchunkSource.scanCount.get() - pre === 1) // only the new one
+  }
+
   test("granule with EXTRA arrays rejects in combine AND json append alike") {
     val dir = tmpDir("arcextra")
     val x = Array(0.0, 1.0, 2.0)
