@@ -41,6 +41,58 @@ object StatsOps {
       round(stddev_samp(v), 6).as("v_std"))
   }
 
+  /** [[statistics]] in the connector-foldable form: the NaN guard is the
+    * DSv2-translatable `v <= +Inf` CASE (ISNAN does not translate) and
+    * the sample std comes from count/sum/sum-of-squares partials — the
+    * only aggregates Spark partial-pushes — finished above the scan, so
+    * over format("zarr")/netcdf/kerchunk the whole pass folds per chunk
+    * (ZarrVarAggScan squared Sum specs): one partial row per chunk
+    * crosses the exchange, never O(cells). Numerically this is the
+    * one-pass moment formula (vs [[statistics]]' Welford merge) — exact
+    * for the bounded-magnitude dyadic-valued gates and fine for
+    * geophysical ranges; extreme-dynamic-range data should use
+    * [[statistics]] on the row path.
+    */
+  def statisticsFold(df: DataFrame, vCol: String): DataFrame = {
+    val v0 = col(vCol).cast("double")
+    val v = when(v0 <= lit(Double.PositiveInfinity), v0)
+    df.agg(count(v).as("n"), sum(v).as("s1"), sum(v * v).as("s2"),
+        min(v).as("v_min"), max(v).as("v_max"))
+      .select(col("n"), col("v_min"), col("v_max"),
+        round(col("s1") / col("n"), 6).as("v_mean"),
+        round(sqrt((col("s2") - col("s1") * col("s1") / col("n")) /
+          (col("n") - 1)), 6).as("v_std"))
+  }
+
+  /** [[histogram]] in the connector-foldable form: both passes push.
+    * Pass 1 (min/max/count with the translatable NaN guard) folds per
+    * chunk; pass 2 groups by the single-divide bucket key
+    * `floor((v - lo) / w)` — the value-derived group key the connectors
+    * accept — and counts the guarded column, so NaN cells contribute
+    * nothing wherever their raw bits land. The half-open top edge is
+    * restored ABOVE the aggregate (bucket `bins` merges into
+    * `bins − 1`), keeping the pushed key shape primitive. O(chunks ×
+    * bins) partial rows cross the exchange.
+    */
+  def histogramFold(df: DataFrame, vCol: String, bins: Int): DataFrame = {
+    val v0 = col(vCol).cast("double")
+    val v = when(v0 <= lit(Double.PositiveInfinity), v0)
+    val row = df.agg(min(v), max(v), count(v)).head()
+    val (lo, hi, n) = (row.getDouble(0), row.getDouble(1), row.getLong(2))
+    val w = (hi - lo) / bins
+    val counts = df
+      .groupBy(floor((v0 - lit(lo)) / lit(w)).as("b"))
+      .agg(count(v).as("cnt"))
+      .select(least(col("b"), lit(bins - 1L)).as("bucket"), col("cnt"))
+      .groupBy("bucket").agg(sum("cnt").as("cnt"))
+    df.sparkSession.range(bins).withColumnRenamed("id", "bucket")
+      .join(counts, Seq("bucket"), "left_outer")
+      .select(col("bucket"),
+        coalesce(col("cnt"), lit(0L)).as("n"),
+        round(coalesce(col("cnt"), lit(0L)).cast("double") /
+          (lit(n.toDouble) * lit(w)), 6).as("density"))
+  }
+
   /** Density histogram with `bins` equal-width buckets over [min, max];
     * returns ALL buckets (empty ones included) with count and density
     * (count / (n · binWidth)), like np.histogram(density=True).

@@ -114,6 +114,62 @@ object TemporalOps {
     df.groupBy(keys: _*).agg(aggCols.head, aggCols.tail: _*)
   }
 
+  /** [[resampleInTime]] over a NUMERIC time dimension — the connector
+    * cubes' CF-decoded time axis (`timeDim` counts `unitSeconds`-second
+    * units since the epoch, e.g. 86400 for "days since 1970-01-01").
+    * Same output contract (bucket-start label + `<var>_<method>`
+    * columns), but the group keys are chosen so the CONNECTORS fold them
+    * per chunk (ZarrVarAggScan): calendar frequencies (1M/1Q/1Y) group
+    * by the year/month/quarter EXTRACT keys of
+    * `cast(timeDim * unitSeconds as timestamp)` — computable per cell
+    * from the chunk's own coordinate slice — and fixed-width
+    * frequencies by the single-divide floor block key
+    * `floor(timeDim / (bucketSeconds/unitSeconds))`. The bucket-start
+    * label is reconstructed ABOVE the aggregate from the pushed key
+    * columns, so a "1M" resample over a 10^7-chunk archive exchanges
+    * O(chunks × months) partial rows, never O(cells) — the
+    * resampling/temporal.py shape finished in the scan.
+    */
+  def resampleInTimeNumeric(df: DataFrame, timeDim: String,
+                            unitSeconds: Double, freq: String,
+                            aggs: Seq[(String, String)],
+                            labelCol: String = "t"): DataFrame = {
+    require(aggs.nonEmpty,
+      "resampleInTimeNumeric needs at least one (var, method)")
+    val ts = (col(timeDim) * lit(unitSeconds)).cast("timestamp")
+    val aggCols = aggs.map { case (v, m) =>
+      methodAgg(m, col(v), col(timeDim)).as(s"${v}_$m")
+    }
+    val outCols = aggs.map { case (v, m) => col(s"${v}_$m") }
+    freq match {
+      case FixedFreq(n, u) =>
+        val sec = n.toLong * (u.toUpperCase match {
+          case "H" => 3600L
+          case "D" => 86400L
+          case "W" => 604800L
+        })
+        df.groupBy(floor(col(timeDim) / lit(sec / unitSeconds)).as("__b"))
+          .agg(aggCols.head, aggCols.tail: _*)
+          .select(timestamp_seconds(col("__b") * lit(sec)).as(labelCol) +:
+            outCols: _*)
+      case CalFreq(u) =>
+        val (keys, start) = u.toUpperCase match {
+          case "Y" => (Seq(year(ts).as("__yr")),
+            make_date(col("__yr"), lit(1), lit(1)).cast("timestamp"))
+          case "M" => (Seq(year(ts).as("__yr"), month(ts).as("__mo")),
+            make_date(col("__yr"), col("__mo"), lit(1)).cast("timestamp"))
+          case "Q" => (Seq(year(ts).as("__yr"), quarter(ts).as("__q")),
+            make_date(col("__yr"), (col("__q") - 1) * 3 + 1, lit(1))
+              .cast("timestamp"))
+        }
+        df.groupBy(keys: _*).agg(aggCols.head, aggCols.tail: _*)
+          .select(start.as(labelCol) +: outCols: _*)
+      case other =>
+        throw new IllegalArgumentException(
+          s"unsupported frequency '$other' (expected nH/nD/nW or 1M/1Q/1Y)")
+    }
+  }
+
   /** max_valids (webapi/timeseries/controllers.py:301-331): keep the N most
     * recent rows per key satisfying `valid`, deterministic order by
     * (time desc, tiebreak desc). Per-key window — no global sort.

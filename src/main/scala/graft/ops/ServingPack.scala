@@ -1052,23 +1052,41 @@ object ServingPack extends QueryPack {
           max(col("v")).as("max_v"))
     }),
 
-    // SECOND-MOMENT pushdown — compute_statistics FROM the connector:
-    // Spark partial-pushes only Min/Max/Sum/Count, so stddev ships as
-    // sum(v), sum(v*v), count partials (ZarrVarAggScan squared specs)
-    // and the moment math finishes above the scan. All finishing ops
-    // (+, -, x, /, sqrt) are IEEE correctly-rounded in both engines, so
-    // the result is bit-identical to the oracle's same formula over the
-    // same exact dyadic sums.
+    // SECOND-MOMENT pushdown — compute_statistics FROM the connector
+    // through the OPERATOR (StatsOps.statisticsFold): Spark
+    // partial-pushes only Min/Max/Sum/Count, so the sample std ships as
+    // NaN-guarded count/sum/sum-of-squares partials (ZarrVarAggScan
+    // squared specs) and the moment math finishes above the scan. The
+    // finishing ops (+, -, x, /, sqrt) are IEEE correctly-rounded in
+    // both engines over the same exact dyadic sums.
     "q_zarr_stats" -> ((s, d) => {
       val group = zarrAggPushFixture(s, d)
-      s.read.format("zarr").load(group)
-        .agg(count(col("v")).as("n"), sum(col("v")).as("s1"),
-          sum(col("v") * col("v")).as("s2"),
-          min(col("v")).as("min_v"), max(col("v")).as("max_v"))
-        .select(col("n"), col("min_v"), col("max_v"),
-          (col("s1") / col("n")).as("mean_v"),
-          sqrt((col("s2") - col("s1") * col("s1") / col("n")) / col("n"))
-            .as("std_v"))
+      graft.operators.StatsOps.statisticsFold(
+        s.read.format("zarr").load(group), "v")
+    }),
+
+    // compute_statistics' density HISTOGRAM from the connector through
+    // the OPERATOR (StatsOps.histogramFold): pass 1 (guarded
+    // min/max/count) folds per chunk, pass 2 groups by the pushed
+    // floor((v - lo)/w) bucket key — O(chunks x bins) partial rows, the
+    // half-open top edge restored above the aggregate.
+    "q_zarr_histogram_op" -> ((s, d) => {
+      val group = zarrAggPushFixture(s, d)
+      graft.operators.StatsOps.histogramFold(
+        s.read.format("zarr").load(group), "v", 16)
+    }),
+
+    // resample_in_time("1M") from the connector through the OPERATOR
+    // (TemporalOps.resampleInTimeNumeric over the CF-decoded numeric
+    // time axis): year/month extract keys fold per chunk, the
+    // month-start label is rebuilt above the aggregate from the pushed
+    // key columns. Spark's avg rides the sum/count partial rewrite, so
+    // the mean is exact over the dyadic fixture.
+    "q_zarr_resample_num" -> ((s, d) => {
+      val group = zarrAggPushFixture(s, d)
+      graft.operators.TemporalOps.resampleInTimeNumeric(
+        s.read.format("zarr").load(group), "t", 2678400.0, "1M",
+        Seq("v" -> "mean", "v" -> "count", "v" -> "max"))
     }),
 
     // values_for_points THROUGH the connector, chunk-pruned: the points'
@@ -2419,9 +2437,32 @@ object ServingPack extends QueryPack {
                     FROM range(0, 144000) r(k)),
             m AS (SELECT count(*) AS n, sum(v) AS s1, sum(v * v) AS s2,
                          min(v) AS min_v, max(v) AS max_v FROM c)
-         SELECT n, min_v, max_v, s1 / n AS mean_v,
-                sqrt((s2 - s1 * s1 / n) / n) AS std_v
+         SELECT n, min_v AS v_min, max_v AS v_max,
+                round(s1 / n, 6) AS v_mean,
+                round(sqrt((s2 - s1 * s1 / n) / (n - 1)), 6) AS v_std
          FROM m""",
+    "q_zarr_histogram_op" ->
+      """WITH c AS (SELECT (((k // 360) % 100) * 360 + (k % 360)
+                             + (k // 36000) * 7) % 4096 / 64.0 AS v
+                    FROM range(0, 144000) r(k)),
+            m AS (SELECT min(v) AS lo, max(v) AS hi, count(*) AS nn FROM c),
+            b AS (SELECT least(floor((v - lo) / ((hi - lo) / 16)),
+                               15)::BIGINT AS bucket, count(*) AS cnt
+                  FROM c, m GROUP BY 1)
+         SELECT r.k AS bucket, coalesce(b.cnt, 0) AS n,
+                round(coalesce(b.cnt, 0)::DOUBLE /
+                      ((SELECT nn FROM m)::DOUBLE *
+                       (SELECT (hi - lo) / 16 FROM m)), 6) AS density
+         FROM range(0, 16) r(k) LEFT JOIN b ON b.bucket = r.k""",
+    "q_zarr_resample_num" ->
+      """SELECT make_timestamp(1970, (g + 1)::BIGINT, 1, 0, 0, 0) AS t,
+                sum(v) / count(*) AS v_mean, count(*) AS v_count,
+                max(v) AS v_max
+         FROM (SELECT k // 36000 AS g,
+                      (((k // 360) % 100) * 360 + (k % 360)
+                        + (k // 36000) * 7) % 4096 / 64.0 AS v
+               FROM range(0, 144000) r(k))
+         GROUP BY g""",
     "q_points_dsv2" ->
       """WITH cells AS (
            SELECT floor(CAST(event_id % 360 AS DOUBLE) + 0.5)::BIGINT AS i,

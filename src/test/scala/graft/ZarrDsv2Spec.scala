@@ -1462,6 +1462,17 @@ class ZarrDsv2Spec extends AnyFunSuite {
       .groupBy(hour((col("t") * 45000.0).cast("timestamp")).as("hh"))
       .agg(sum(col("v")).as("sv")).collect().map(_.toSeq).sortBy(_.toString)
     assert(hq.collect().map(_.toSeq).sortBy(_.toString).toSeq === hExpect.toSeq)
+    // the OPERATOR path (resample_in_time over the numeric time axis)
+    // emits the same pushable keys and folds identically
+    val rs = graft.operators.TemporalOps.resampleInTimeNumeric(
+      ds, "t", 2678400.0, "1M", Seq("v" -> "mean", "w" -> "max"))
+    assert(rs.queryExecution.executedPlan.toString.contains("ZarrVarAggScan"),
+      rs.queryExecution.executedPlan.toString.take(900))
+    val rsE = graft.operators.TemporalOps.resampleInTimeNumeric(
+      ZarrSource.readCubeVars(spark, g, Seq("v", "w")),
+      "t", 2678400.0, "1M", Seq("v" -> "mean", "w" -> "max"))
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(rs.collect().map(_.toSeq).sortBy(_.toString).toSeq === rsE.toSeq)
     // calendar keys over DIM aggregates only are METADATA-ONLY: the
     // month bucket of every coordinate is driver math, zero chunk IO
     val md = ds.groupBy(month(ts).as("mo"))
@@ -1559,6 +1570,20 @@ class ZarrDsv2Spec extends AnyFunSuite {
     assert(got.getLong(0) === vals.length.toLong)
     assert(got.getDouble(1) === vals.sum)
     assert(got.getDouble(2) === vals.map(v => v * v).sum)
+    // the OPERATOR paths fold too: compute_statistics and its histogram
+    // from the connector, NaN cells skipped by the pushed guard
+    val sf = graft.operators.StatsOps.statisticsFold(ds2, "v")
+    assert(sf.queryExecution.executedPlan.toString.contains("ZarrVarAggScan"))
+    val sfRow = sf.head()
+    assert(sfRow.getLong(0) === vals.length.toLong)
+    assert(sfRow.getDouble(1) === vals.min && sfRow.getDouble(2) === vals.max)
+    val hf = graft.operators.StatsOps.histogramFold(ds2, "v", 4)
+    val hfRows = hf.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(hfRows.map(_._2).sum === vals.length.toLong) // NaN never counted
+    val expectH = graft.operators.StatsOps.histogramFold(
+      ZarrSource.readCubeVars(spark, g2, Seq("v")), "v", 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(hfRows.toSeq === expectH.toSeq)
   }
 
   test("subsample(first) from the connector is a chunk-pruned stride gather") {
