@@ -1038,6 +1038,24 @@ object ServingPack extends QueryPack {
           col("min_v"), col("max_v"))
     }),
 
+    // the calendar INVENTORY — GROUP BY year, month with dim-only
+    // aggregates is METADATA-ONLY (ZarrAggScan: same-dim extract keys
+    // bucket jointly over the resident time coordinate, zero chunk IO)
+    // — "how many slices does each month hold" over a 100 TB archive is
+    // driver math. ZarrDsv2Spec proves the zero-IO claim by corrupting
+    // every chunk.
+    "q_zarr_time_meta" -> ((s, d) => {
+      val group = zarrAggPushFixture(s, d)
+      val ts = (col("t") * 2678400.0).cast("timestamp")
+      s.read.format("zarr").load(group)
+        .groupBy(year(ts).as("yr"), month(ts).as("mo"))
+        .agg(count(lit(1)).as("n_cells"), min(col("t")).as("min_t"),
+          max(col("t")).as("max_t"))
+        .select(col("yr").cast("long").as("yr"),
+          col("mo").cast("long").as("mo"), col("n_cells"), col("min_t"),
+          col("max_t"))
+    }),
+
     // VALUE-DERIVED group-key pushdown — compute_statistics' histogram
     // FROM the connector (reference webapi/statistics/controllers.py:
     // 114-117): GROUP BY floor((v - lo)/w) over the DATA variable. The
@@ -2424,6 +2442,12 @@ object ServingPack extends QueryPack {
                         + (k // 36000) * 7) % 4096 / 64.0 AS v
                FROM range(0, 144000) r(k))
          GROUP BY 1, 2""",
+    "q_zarr_time_meta" ->
+      """SELECT 1970::BIGINT AS yr, (g + 1)::BIGINT AS mo,
+                count(*) AS n_cells, min(g::DOUBLE) AS min_t,
+                max(g::DOUBLE) AS max_t
+         FROM (SELECT k // 36000 AS g FROM range(0, 144000) r(k))
+         GROUP BY g""",
     "q_zarr_histogram" ->
       """SELECT floor((v - 2.0) / 4.0)::BIGINT AS bin, count(*) AS n_cells,
                 min(v) AS min_v, max(v) AS max_v

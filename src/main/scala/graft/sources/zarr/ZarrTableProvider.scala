@@ -593,24 +593,30 @@ final class ZarrScanBuilder(meta: ZarrGroupMeta,
     if (names.forall(_.isDefined)) Some(names.flatten.toSeq) else None
   }
 
-  private def distinctKeyCount(k: ZarrGroupKey): Long = {
-    val c = meta.coords(meta.za.dims.indexOf(k.dim))
-    k.kind match {
-      case ZarrGroupKey.Id => c.distinct.length.toLong
-      case ZarrGroupKey.Extract => c.map(k.evalExtract).distinct.length.toLong
-      case _ => c.map(k.evalLong).distinct.length.toLong
-    }
+  /** Distinct key-TUPLE count of one dim's group keys over its coords —
+    * same-dim keys (year + month of one time axis) count jointly. */
+  private def distinctComboCount(ks: Seq[ZarrGroupKey]): Long = {
+    val c = meta.coords(meta.za.dims.indexOf(ks.head.dim))
+    c.map(v0 => ks.map {
+      case k if k.kind == ZarrGroupKey.Id => if (v0 == 0.0) 0.0 else v0
+      case k if k.kind == ZarrGroupKey.Extract => k.evalExtract(v0)
+      case k => k.evalLong(v0)
+    }: Seq[Any]).distinct.length.toLong
   }
 
   private def supported(agg: Aggregation): Boolean =
     unhandled.isEmpty &&
       groupKeysOf(agg).exists { ks =>
-        val dims = ks.map(_.dim)
         // value-derived (data-variable) keys need the chunks — only dim
-        // keys (incl. calendar extracts of a dim) stay metadata-only
+        // keys (incl. calendar extracts of a dim) stay metadata-only;
+        // same-dim keys bucket jointly (ZarrAggScan dim groups), so
+        // cardinality multiplies across DIMS, not keys. A NaN/Inf
+        // coordinate makes a calendar key unevaluable at planning time
+        // (the ANSI cast would throw) — decline complete pushdown and
+        // let the partial fold evaluate only scanned cells.
         ks.forall(!_.isVar) &&
-          dims.distinct.lengthCompare(dims.length) == 0 &&
-          ks.map(distinctKeyCount).product <= MaxGroups
+          scala.util.Try(ks.groupBy(_.dim).values
+            .map(distinctComboCount).product <= MaxGroups).getOrElse(false)
       } &&
       agg.aggregateExpressions.forall {
         case _: CountStar => true
@@ -787,36 +793,50 @@ final case class ZarrAggScan(meta: ZarrGroupMeta, consumed: Array[Filter],
     } else if (total == 0L) {
       Array(ZarrAggPartition(Seq.empty)) // GROUP BY over nothing: no rows
     } else {
-      val keyDims = groupKeys.map(gk => za.dims.indexOf(gk.dim))
-      // per group key: output key value -> that key-group's dim-value stats
-      val keyed: Seq[Seq[(Any, KeyStat)]] = groupKeys.map { gk =>
-        val k = za.dims.indexOf(gk.dim)
-        val m = scala.collection.mutable.LinkedHashMap.empty[Any, KeyStat]
-        inRange(k).foreach { v0 =>
-          val keyVal: Any = gk.kind match {
-            case ZarrGroupKey.Id =>
-              if (v0 == 0.0) 0.0 else v0 // Spark groups -0.0 with 0.0
-            case ZarrGroupKey.Extract => gk.evalExtract(v0)
-            case _ => gk.evalLong(v0)
-          }
-          m.getOrElseUpdate(keyVal, new KeyStat).add(v0)
-        }
-        m.toSeq
+      // keys on the SAME dim are CORRELATED (year + month of one time
+      // axis — the calendar-inventory query): they bucket JOINTLY by the
+      // key-value tuple over that dim's coordinate values; distinct dims
+      // stay independent and multiply across. Output positions are
+      // remembered so the row layout matches the pushed key order.
+      val dimGroups: Seq[(Int, Seq[(ZarrGroupKey, Int)])] =
+        groupKeys.zipWithIndex
+          .groupBy { case (gk, _) => za.dims.indexOf(gk.dim) }
+          .toSeq.sortBy(_._1)
+          .map { case (k, ks) => (k, ks.toSeq) }
+      def evalKey(gk: ZarrGroupKey, v0: Double): Any = gk.kind match {
+        case ZarrGroupKey.Id =>
+          if (v0 == 0.0) 0.0 else v0 // Spark groups -0.0 with 0.0
+        case ZarrGroupKey.Extract => gk.evalExtract(v0)
+        case _ => gk.evalLong(v0)
       }
+      // per dim group: (outPos -> keyValue) tuple -> the bucket's stats
+      val keyed: Seq[(Int, Seq[(Seq[(Int, Any)], KeyStat)])] =
+        dimGroups.map { case (k, ks) =>
+          val m = scala.collection.mutable.LinkedHashMap
+            .empty[Seq[Any], (Seq[(Int, Any)], KeyStat)]
+          inRange(k).foreach { v0 =>
+            val kvs = ks.map { case (gk, pos) => pos -> evalKey(gk, v0) }
+            m.getOrElseUpdate(kvs.map(_._2), (kvs, new KeyStat))._2.add(v0)
+          }
+          k -> m.values.toSeq
+        }
+      val keyDims = dimGroups.map(_._1)
       val otherProduct = counts.zipWithIndex
         .collect { case (n, k) if !keyDims.contains(k) => n }.product
       // Π of in-range counts over dims neither grouped nor the agg dim —
       // the per-value weight for sum(dim k) inside one group combo
       def otherOver(k: Int): Long = counts.zipWithIndex
         .collect { case (n, j) if !keyDims.contains(j) && j != k => n }.product
-      val combos = keyed.foldLeft(Seq(Seq.empty[(Any, KeyStat)])) {
-        (acc, vs) => acc.flatMap(p => vs.map(p :+ _))
-      }
+      val combos = keyed.map(_._2)
+        .foldLeft(Seq(Seq.empty[(Seq[(Int, Any)], KeyStat)])) {
+          (acc, vs) => acc.flatMap(p => vs.map(p :+ _))
+        }
       val rows = combos.map { combo =>
         val groupedMult = combo.map(_._2.n).product
         val comboCount = groupedMult * otherProduct
         val statByDim: Map[Int, KeyStat] = keyDims.zip(combo.map(_._2)).toMap
-        combo.map(_._1) ++ agg.aggregateExpressions.toSeq.map {
+        combo.flatMap(_._1).sortBy(_._1).map(_._2) ++
+          agg.aggregateExpressions.toSeq.map {
           case _: CountStar => comboCount: Any
           case _: Count => comboCount: Any
           case m: Min =>

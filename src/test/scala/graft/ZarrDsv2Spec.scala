@@ -1285,10 +1285,25 @@ class ZarrDsv2Spec extends AnyFunSuite {
     assert(q2.queryExecution.executedPlan.toString.contains("ZarrAggScan"))
     val n2 = q2.collect().map(r => ((r.getDouble(0), r.getLong(1)), r.getLong(2))).toMap
     assert(n2.size === 9 && n2((1.0, 1L)) === 6L && n2((2.0, 0L)) === 3L)
-    // two keys on the SAME dim are correlated: complete pushdown declines
-    // (the per-chunk fold handles those)
+    // two keys on the SAME dim are correlated — they bucket JOINTLY by
+    // the key tuple over that dim's coordinates, still metadata-only
+    // (zero chunk IO: every chunk in this fixture is corrupted). The
+    // calendar-inventory shape `GROUP BY year(t), month(t)` rides this.
     val corr = ds.groupBy(col("t"), floor(col("t") / 2.0).as("bt")).count()
-    assert(corr.queryExecution.executedPlan.toString.contains("ZarrVarAggScan"))
+    assert(corr.queryExecution.executedPlan.toString.contains("ZarrAggScan"))
+    assert(corr.collect().map(r => (r.getDouble(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq ===
+      Seq((0.0, 0L, 24L), (1.0, 0L, 24L), (2.0, 1L, 24L)))
+    // and the composite keys compose with an independent second dim
+    val corr2 = ds.filter(col("x") < 3.0)
+      .groupBy(floor(col("t") / 2.0).as("bt"), col("t"),
+        floor(col("y") / 20.0).as("by")).count()
+    assert(corr2.queryExecution.executedPlan.toString.contains("ZarrAggScan"))
+    val m2 = corr2.collect()
+      .map(r => ((r.getLong(0), r.getDouble(1), r.getLong(2)), r.getLong(3)))
+      .toMap
+    assert(m2.size === 9) // 3 t-tuples x 3 y-buckets
+    assert(m2((0L, 1.0, 0L)) === 3L && m2((1L, 2.0, 1L)) === 6L)
   }
 
   test("top-n over a data variable folds per task (bounded-heap partial)") {
