@@ -111,6 +111,38 @@ object SubsampleOps {
     (out, gm.scale(k.toDouble))
   }
 
+  /** `subsample(..., "mode")` in the connector-foldable two-stage form:
+    * stage 1 groups by (time, blockJ, blockI, value) — block keys over
+    * dims PLUS the raw-value key over the data variable, ALL of which
+    * the connectors fold per chunk (ZarrVarAggScan) — counting only
+    * NaN-guarded cells; stage 2 picks the most frequent value per block
+    * with ties to the SMALLEST (the [[ModeAgg]] contract) via one tiny
+    * aggregation over O(blocks × distinct-values) rows. The exchange
+    * carries per-chunk (block, value, count) partials instead of every
+    * cell — mode is for flag/class variables, whose per-block distinct
+    * count is small by nature. All-NaN blocks are DROPPED (no row)
+    * where [[ModeAgg]] emits NaN — callers needing dense grids re-join
+    * the block index.
+    */
+  def subsampleModeFold(cube: Cube, k: Int,
+                        v: String): (DataFrame, GridMapping) = {
+    val gm = cube.gm
+    val guarded =
+      when(col(v).cast("double") <= lit(Double.PositiveInfinity), col(v))
+    val counts = cube.df
+      .groupBy(cube.time.as(cube.timeCol),
+        (gm.jExpr(cube.y) / k).cast("long").as("block_j"),
+        (gm.iExpr(cube.x) / k).cast("long").as("block_i"),
+        col(v).cast("double").as("__v"))
+      .agg(count(guarded).as("__n"))
+      .filter(col("__n") > 0) // NaN cells grouped wherever, counted never
+    val out = counts
+      .groupBy(col(cube.timeCol), col("block_j"), col("block_i"))
+      .agg(min_by(col("__v"), struct((-col("__n")).as("__neg"),
+        col("__v").as("__tv"))).as(s"${v}_mode"))
+    (out, gm.scale(k.toDouble))
+  }
+
   /** Pyramid decimation for one level: keep every 2^level-th cell in both
     * axes (level.py:107 `[..., ::2, ::2]` applied level times). A pure
     * filter — partition-prunable, shuffle-free.

@@ -1142,6 +1142,22 @@ object ServingPack extends QueryPack {
             .otherwise(col("v")).as("v_out"))
     }),
 
+    // subsample MODE from the connector in the two-stage foldable form
+    // (SubsampleOps.subsampleModeFold): stage 1 — (t, blockJ, blockI,
+    // value) counts — pushes as block keys + the raw-value key and folds
+    // per chunk; stage 2 picks most-frequent-ties-to-smallest over
+    // O(blocks x values) rows. The ModeAgg UDAF path stays for dense
+    // all-NaN-block grids; this is the scan-shaped alternative.
+    "q_zarr_subsample_mode" -> ((s, d) => {
+      import graft.cube.{Cube, GridMapping}
+      val group = zarrAggPushFixture(s, d)
+      val gm = GridMapping(360, 100, 0.0, 0.0, 1.0, 1.0)
+      val cube = Cube(s.read.format("zarr").load(group), gm, "t", "y", "x")
+      val (out, _) = graft.operators.SubsampleOps.subsampleModeFold(
+        cube, 50, "v")
+      out
+    }),
+
     // int-variable subsample (auto rule int→first, reference
     // subsampling.py:210-229) FROM the connector: first-of-each-block in
     // row-major order IS the block's origin cell, so the whole operator
@@ -2507,6 +2523,22 @@ object ServingPack extends QueryPack {
                 (c.v IS NOT NULL) AS found,
                 coalesce(c.v, -9999.0) AS v_out
          FROM idx LEFT JOIN cells c ON c.i = idx.x_index AND c.j = idx.y_index""",
+    "q_zarr_subsample_mode" ->
+      """WITH c AS (SELECT (k // 36000) AS t,
+                           ((k // 360) % 100) // 50 AS block_j,
+                           (k % 360) // 50 AS block_i,
+                           (((k // 360) % 100) * 360 + (k % 360)
+                             + (k // 36000) * 7) % 4096 / 64.0 AS v
+                    FROM range(0, 144000) r(k)),
+            cn AS (SELECT t, block_j, block_i, v, count(*) AS n
+                   FROM c GROUP BY 1, 2, 3, 4),
+            mx AS (SELECT t, block_j, block_i, max(n) AS top
+                   FROM cn GROUP BY 1, 2, 3)
+         SELECT cn.t::DOUBLE AS t, cn.block_j, cn.block_i,
+                min(cn.v) AS v_mode
+         FROM cn JOIN mx USING (t, block_j, block_i)
+         WHERE cn.n = mx.top
+         GROUP BY 1, 2, 3""",
     "q_zarr_subsample_first" ->
       """SELECT t::BIGINT AS t, CAST(0 AS BIGINT) AS block_j,
                 bi AS block_i, ((bi * 120 + t * 7) % 4096) / 64.0 AS v_first

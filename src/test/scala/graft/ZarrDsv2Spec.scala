@@ -1627,6 +1627,19 @@ class ZarrDsv2Spec extends AnyFunSuite {
     assert(out8.collect().map(r => (r.getDouble(0), r.getLong(1),
       r.getLong(2), r.getDouble(3))).sorted.toSeq ===
       Seq((0.0, 0L, 0L, 5.5), (1.0, 0L, 0L, 105.5), (2.0, 0L, 0L, 205.5)))
+    // mode in the two-stage foldable form: stage 1 (block keys + the
+    // raw-value key) folds per chunk; values and ties match the ModeAgg
+    // UDAF path exactly on NaN-free data
+    val (mf, _) = SubsampleOps.subsampleModeFold(cube, 4, "v")
+    assert(mf.queryExecution.executedPlan.toString.contains("ZarrVarAggScan"),
+      mf.queryExecution.executedPlan.toString.take(900))
+    val modeExpect = SubsampleOps.subsample(
+      Cube(ZarrSource.readCubeVars(spark, g, Seq("v")), gm, "t", "y", "x"),
+      4, Seq("v" -> "mode"))._1
+      .collect().map(r => (r.getDouble(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).sorted
+    assert(mf.collect().map(r => (r.getDouble(0), r.getLong(1),
+      r.getLong(2), r.getDouble(3))).sorted.toSeq === modeExpect.toSeq)
     // k=4 equals the aggregate path (blockAgg "first") cell for cell
     val (out4, _) = SubsampleOps.subsampleFirst(cube, 4, Seq("v"))
     val expect = SubsampleOps.subsample(
