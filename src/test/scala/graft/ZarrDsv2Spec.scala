@@ -1698,6 +1698,60 @@ class ZarrDsv2Spec extends AnyFunSuite {
     assert(none.count() === 0L)
   }
 
+  test("property: pushed group keys replay Spark's evaluation bit-for-bit") {
+    import spark.implicits._
+    import graft.sources.zarr.ZarrGroupKey
+    val rnd = new scala.util.Random(1515)
+    val adversarial = Seq(0.0, -0.0, 1.0, -1.0, 1e300, -1e300, 1e-300,
+      4503599627370495.5, -4503599627370495.5, 123456.789, -98765.4321)
+    (1 to 25).foreach { _ =>
+      val off = (rnd.nextDouble() - 0.5) * math.pow(10, rnd.nextInt(6))
+      val scale = (rnd.nextDouble() + 0.01) * math.pow(10, rnd.nextInt(4)) *
+        (if (rnd.nextBoolean()) 1 else -1)
+      val vals = adversarial ++
+        (1 to 20).map(_ => (rnd.nextDouble() - 0.5) * math.pow(10, rnd.nextInt(9)))
+      val df = vals.toDF("d")
+      // floor((d + off)/scale) — the block key
+      val k = ZarrGroupKey("d", ZarrGroupKey.Floor, neg = false, off, scale, 1.0)
+      df.select(col("d"), floor((col("d") + lit(off)) / lit(scale)))
+        .collect().foreach(r =>
+          assert(k.evalLong(r.getDouble(0)) === r.getLong(1),
+            s"floor((${r.getDouble(0)} + $off) / $scale)"))
+      // floor((off - d)/scale) — the image-down y key
+      val kn = k.copy(neg = true)
+      df.select(col("d"), floor((lit(off) - col("d")) / lit(scale)))
+        .collect().foreach(r =>
+          assert(kn.evalLong(r.getDouble(0)) === r.getLong(1)))
+      // (floor(...) / div).cast(long) — the pyramid composition
+      val div = 1 + rnd.nextInt(16)
+      val kd = k.copy(kind = ZarrGroupKey.FloorDiv, div = div.toDouble)
+      df.select(col("d"),
+        (floor((col("d") + lit(off)) / lit(scale)) / lit(div)).cast("long"))
+        .collect().foreach(r =>
+          assert(kd.evalLong(r.getDouble(0)) === r.getLong(1)))
+    }
+    // calendar fields over cast(t*a+b as timestamp) — ±~126 years of
+    // random instants, fractional seconds included
+    val secVals = (1 to 300).map(_ => (rnd.nextDouble() - 0.5) * 8e9)
+    val df2 = secVals.toDF("t")
+    val fields: Seq[(String, org.apache.spark.sql.Column => org.apache.spark.sql.Column)] =
+      Seq("YEAR" -> year _, "MONTH" -> month _, "QUARTER" -> quarter _,
+        "DAY" -> dayofmonth _, "DAY_OF_YEAR" -> dayofyear _,
+        "DAY_OF_WEEK" -> dayofweek _, "HOUR" -> hour _,
+        "MINUTE" -> minute _, "SECOND" -> second _)
+    val a = 2678400.0 / 86400.0 // a non-trivial affine scale
+    val b = 7200.5
+    fields.foreach { case (f, fn) =>
+      val ke = ZarrGroupKey("t", ZarrGroupKey.Extract, neg = false,
+        off = b, scale = a, div = 1.0, field = f, zone = "UTC")
+      df2.select(col("t"),
+        fn((col("t") * lit(a) + lit(b)).cast("timestamp")))
+        .collect().foreach(r =>
+          assert(ke.evalExtract(r.getDouble(0)) === r.getInt(1),
+            s"$f(cast(${r.getDouble(0)} * $a + $b as timestamp))"))
+    }
+  }
+
   test("the same scan opens an http-hosted archive, pruned the same way") {
     val g = writeFixture()
     ZarrSource.consolidateMetadata(g)
