@@ -133,6 +133,7 @@ object TemporalOps {
   def resampleInTimeNumeric(df: DataFrame, timeDim: String,
                             unitSeconds: Double, freq: String,
                             aggs: Seq[(String, String)],
+                            extraKeys: Seq[String] = Nil,
                             labelCol: String = "t"): DataFrame = {
     require(aggs.nonEmpty,
       "resampleInTimeNumeric needs at least one (var, method)")
@@ -140,7 +141,11 @@ object TemporalOps {
     val aggCols = aggs.map { case (v, m) =>
       methodAgg(m, col(v), col(timeDim)).as(s"${v}_$m")
     }
-    val outCols = aggs.map { case (v, m) => col(s"${v}_$m") }
+    // extra keys (the spatial cell of a per-cell resample) ride along as
+    // plain dim keys — still connector-foldable
+    val extras = extraKeys.map(col)
+    val outCols = extraKeys.map(col) ++
+      aggs.map { case (v, m) => col(s"${v}_$m") }
     freq match {
       case FixedFreq(n, u) =>
         val sec = n.toLong * (u.toUpperCase match {
@@ -148,7 +153,8 @@ object TemporalOps {
           case "D" => 86400L
           case "W" => 604800L
         })
-        df.groupBy(floor(col(timeDim) / lit(sec / unitSeconds)).as("__b"))
+        df.groupBy(floor(col(timeDim) / lit(sec / unitSeconds)).as("__b")
+            +: extras: _*)
           .agg(aggCols.head, aggCols.tail: _*)
           .select(timestamp_seconds(col("__b") * lit(sec)).as(labelCol) +:
             outCols: _*)
@@ -162,7 +168,7 @@ object TemporalOps {
             make_date(col("__yr"), (col("__q") - 1) * 3 + 1, lit(1))
               .cast("timestamp"))
         }
-        df.groupBy(keys: _*).agg(aggCols.head, aggCols.tail: _*)
+        df.groupBy(keys ++ extras: _*).agg(aggCols.head, aggCols.tail: _*)
           .select(start.as(labelCol) +: outCols: _*)
       case other =>
         throw new IllegalArgumentException(

@@ -1488,6 +1488,16 @@ class ZarrDsv2Spec extends AnyFunSuite {
       "t", 2678400.0, "1M", Seq("v" -> "mean", "w" -> "max"))
       .collect().map(_.toSeq).sortBy(_.toString)
     assert(rs.collect().map(_.toSeq).sortBy(_.toString).toSeq === rsE.toSeq)
+    // per-cell monthly resample: the spatial cell rides along as plain
+    // dim keys — still one foldable key set
+    val rsCell = graft.operators.TemporalOps.resampleInTimeNumeric(
+      ds, "t", 2678400.0, "1M", Seq("v" -> "mean"), extraKeys = Seq("y", "x"))
+    assert(rsCell.queryExecution.executedPlan.toString.contains("ZarrVarAggScan"))
+    val rsCellE = graft.operators.TemporalOps.resampleInTimeNumeric(
+      ZarrSource.readCubeVars(spark, g, Seq("v")),
+      "t", 2678400.0, "1M", Seq("v" -> "mean"), extraKeys = Seq("y", "x"))
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(rsCell.collect().map(_.toSeq).sortBy(_.toString).toSeq === rsCellE.toSeq)
     // calendar keys over DIM aggregates only are METADATA-ONLY: the
     // month bucket of every coordinate is driver math, zero chunk IO
     val md = ds.groupBy(month(ts).as("mo"))
