@@ -30,8 +30,20 @@ object TimeSeriesOps {
                     geometryWkt: Option[String] = None,
                     methods: Seq[String] = Seq("mean", "count"),
                     maxObservations: Long = 0L,
-                    extraDims: Seq[String] = Nil): DataFrame = {
-    val masked = geometryWkt.map(w => GeomOps.maskByGeometry(cube, w)).getOrElse(cube)
+                    extraDims: Seq[String] = Nil,
+                    clipToBbox: Boolean = false): DataFrame = {
+    // `clipToBbox` drops rows outside the geometry's bounding box BEFORE
+    // masking — a RECTANGULAR filter the connectors consume into chunk
+    // pruning, so a polygon time series over a 10^7-chunk archive reads
+    // only the chunks the bbox touches (the exact JTS predicate cannot
+    // fold into a chunk reader; the bbox can, and the masked NaNs it
+    // removes contributed nothing to any skipna aggregate anyway). Keep
+    // it OFF for sparse relational cubes where a time slice with zero
+    // bbox rows must still emit its count-0 row (xarray keeps the time
+    // axis); a DENSE grid cube — every connector cube — has cells at
+    // every slice, so clipping preserves the time axis exactly.
+    val masked = geometryWkt.map(w =>
+      GeomOps.maskByGeometry(cube, w, clip = clipToBbox)).getOrElse(cube)
     val v = col(varName)
     val aggCols = methods.map(m =>
       TemporalOps.methodAgg(m, v, masked.time).as(s"${varName}_$m")) ++

@@ -1038,6 +1038,24 @@ object ServingPack extends QueryPack {
           col("min_v"), col("max_v"))
     }),
 
+    // polygon TIME SERIES from the connector, chunk-pruned: clipToBbox
+    // drops rows outside the geometry's bounding box with a RECTANGULAR
+    // filter the scan consumes — 16 of 32 chunks plan; the exact JTS
+    // point-in-polygon mask runs Spark-side on the survivors (it cannot
+    // fold into a chunk reader; the bbox can). The most common serving
+    // query (webapi/timeseries/controllers.py) at archive scale.
+    "q_zarr_timeseries" -> ((s, d) => {
+      import graft.cube.{Cube, GridMapping}
+      val group = zarrAggPushFixture(s, d)
+      val gm = GridMapping(360, 100, 0.0, 0.0, 1.0, 1.0)
+      val cube = Cube(s.read.format("zarr").load(group), gm, "t", "y", "x")
+      graft.operators.TimeSeriesOps.getTimeSeries(cube, "v",
+          geometryWkt = Some("POLYGON ((0 0, 120 0, 0 60, 0 0))"),
+          methods = Seq("mean", "count", "min", "max"), clipToBbox = true)
+        .select(col("time").cast("long").as("time"), col("v_mean"),
+          col("v_count"), col("v_min"), col("v_max"))
+    }),
+
     // the calendar INVENTORY — GROUP BY year, month with dim-only
     // aggregates is METADATA-ONLY (ZarrAggScan: same-dim extract keys
     // bucket jointly over the resident time coordinate, zero chunk IO)
@@ -2458,6 +2476,16 @@ object ServingPack extends QueryPack {
                         + (k // 36000) * 7) % 4096 / 64.0 AS v
                FROM range(0, 144000) r(k))
          GROUP BY 1, 2""",
+    "q_zarr_timeseries" ->
+      """SELECT g::BIGINT AS time, sum(v) / count(*) AS v_mean,
+                count(*) AS v_count, min(v) AS v_min, max(v) AS v_max
+         FROM (SELECT k // 36000 AS g,
+                      ((k // 360) % 100) + 0.5 AS yc, (k % 360) + 0.5 AS xc,
+                      (((k // 360) % 100) * 360 + (k % 360)
+                        + (k // 36000) * 7) % 4096 / 64.0 AS v
+               FROM range(0, 144000) r(k))
+         WHERE xc / 120 + yc / 60 < 1
+         GROUP BY g""",
     "q_zarr_time_meta" ->
       """SELECT 1970::BIGINT AS yr, (g + 1)::BIGINT AS mo,
                 count(*) AS n_cells, min(g::DOUBLE) AS min_t,

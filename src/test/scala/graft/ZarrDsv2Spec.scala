@@ -1708,6 +1708,36 @@ class ZarrDsv2Spec extends AnyFunSuite {
     assert(none.count() === 0L)
   }
 
+  test("polygon time series clips to the bbox and prunes chunks") {
+    import graft.cube.{Cube, GridMapping}
+    import graft.operators.TimeSeriesOps
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val g = writeFixture() // 3x4x6, chunks 1x2x3 -> 12 chunks
+    // corrupt every chunk OUTSIDE the polygon's bbox (x in [0,3], y in
+    // [0,25] -> only chunk (j0, i0) of each slice survives): if the bbox
+    // clip does not reach the scan as a consumed rectangular filter, the
+    // full scan decodes them and fails
+    for (t <- 0 to 2; j <- 0 to 1; i <- 0 to 1; if j == 1 || i == 1)
+      Files.write(new java.io.File(s"$g/v/$t.$j.$i").toPath, Array[Byte](7))
+    val gm = GridMapping(6, 4, 0.0, 5.0, 1.0, 10.0) // centers: x=i+0.5, y=10(j+1)
+    val cube = Cube(
+      spark.read.format("zarr").load(g).select("t", "y", "x", "v"),
+      gm, "t", "y", "x")
+    val q = TimeSeriesOps.getTimeSeries(cube, "v",
+      geometryWkt = Some("POLYGON ((0 0, 3 0, 0 25, 0 0))"),
+      methods = Seq("mean", "count"), clipToBbox = true)
+    val scan = q.queryExecution.sparkPlan.collectLeaves()
+      .collectFirst { case b: BatchScanExec => b }.get
+    assert(scan.partitions.length === 3, // 3 of 12: bbox-pruned
+      s"expected 3 pruned partitions, got ${scan.partitions.length}")
+    // 3 in-triangle cells per slice: (x=0.5,y=10), (1.5,10), (0.5,20)
+    val rows = q.collect().map(r => (r.getDouble(0), r.getDouble(1),
+      r.getLong(2))).sortBy(_._1)
+    assert(rows.map(_._3).toSeq === Seq(3L, 3L, 3L))
+    assert(rows.map(_._2).toSeq ===
+      (0 to 2).map(t => (t * 3000 + 100.5 + 101.5 + 200.5) / 3.0))
+  }
+
   test("property: pushed group keys replay Spark's evaluation bit-for-bit") {
     import spark.implicits._
     import graft.sources.zarr.ZarrGroupKey
