@@ -64,6 +64,23 @@ object StatsOps {
           (col("n") - 1)), 6).as("v_std"))
   }
 
+  /** [[statisticsBy]] in the connector-foldable form — the per-label
+    * (extra-dim) variant of [[statisticsFold]]: same NaN-guarded
+    * count/sum/sumsq/min/max partials, grouped by the label columns
+    * (plain dim keys, foldable), sample std finished above the scan. */
+  def statisticsFoldBy(df: DataFrame, vCol: String,
+                       keys: Seq[String]): DataFrame = {
+    val v0 = col(vCol).cast("double")
+    val v = when(v0 <= lit(Double.PositiveInfinity), v0)
+    df.groupBy(keys.map(col): _*)
+      .agg(count(v).as("n"), sum(v).as("s1"), sum(v * v).as("s2"),
+        min(v).as("v_min"), max(v).as("v_max"))
+      .select(keys.map(col) ++ Seq(col("n"), col("v_min"), col("v_max"),
+        round(col("s1") / col("n"), 6).as("v_mean"),
+        round(sqrt((col("s2") - col("s1") * col("s1") / col("n")) /
+          (col("n") - 1)), 6).as("v_std")): _*)
+  }
+
   /** [[histogram]] in the connector-foldable form: both passes push.
     * Pass 1 (min/max/count with the translatable NaN guard) folds per
     * chunk; pass 2 groups by the single-divide bucket key

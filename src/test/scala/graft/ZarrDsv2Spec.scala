@@ -1602,6 +1602,10 @@ class ZarrDsv2Spec extends AnyFunSuite {
     val sfRow = sf.head()
     assert(sfRow.getLong(0) === vals.length.toLong)
     assert(sfRow.getDouble(1) === vals.min && sfRow.getDouble(2) === vals.max)
+    val sfb = graft.operators.StatsOps.statisticsFoldBy(ds2, "v", Seq("y"))
+    assert(sfb.queryExecution.executedPlan.toString.contains("ZarrVarAggScan"))
+    val byY = sfb.collect().map(r => (r.getDouble(0), r.getLong(1))).toMap
+    assert(byY(0.5) === 0L && byY(2.5) === 8L) // all-NaN rows count 0
     val hf = graft.operators.StatsOps.histogramFold(ds2, "v", 4)
     val hfRows = hf.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
     assert(hfRows.map(_._2).sum === vals.length.toLong) // NaN never counted
