@@ -1488,6 +1488,18 @@ class ZarrDsv2Spec extends AnyFunSuite {
       "t", 2678400.0, "1M", Seq("v" -> "mean", "w" -> "max"))
       .collect().map(_.toSeq).sortBy(_.toString)
     assert(rs.collect().map(_.toSeq).sortBy(_.toString).toSeq === rsE.toSeq)
+    // the FIXED-WIDTH path folds too: "2D" over a day-unit axis is the
+    // single-divide floor block key, label rebuilt as bucket-start
+    val rf = graft.operators.TemporalOps.resampleInTimeNumeric(
+      ds, "t", 86400.0, "2D", Seq("v" -> "sum", "v" -> "count"))
+    assert(rf.queryExecution.executedPlan.toString.contains("ZarrVarAggScan"))
+    val rfE = graft.operators.TemporalOps.resampleInTimeNumeric(
+      ZarrSource.readCubeVars(spark, g, Seq("v")),
+      "t", 86400.0, "2D", Seq("v" -> "sum", "v" -> "count"))
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(rf.collect().map(_.toSeq).sortBy(_.toString).toSeq === rfE.toSeq)
+    assert(rf.select(col("t")).collect().map(_.getTimestamp(0).toString)
+      .sorted.toSeq === Seq("1970-01-01 00:00:00.0", "1970-01-03 00:00:00.0"))
     // per-cell monthly resample: the spatial cell rides along as plain
     // dim keys — still one foldable key set
     val rsCell = graft.operators.TemporalOps.resampleInTimeNumeric(
