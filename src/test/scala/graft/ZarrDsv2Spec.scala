@@ -1754,6 +1754,34 @@ class ZarrDsv2Spec extends AnyFunSuite {
       (0 to 2).map(t => (t * 3000 + 100.5 + 101.5 + 200.5) / 3.0))
   }
 
+  test("unfoldable group keys decline pushdown and stay correct") {
+    val g = writeFixture()
+    val ds = spark.read.format("zarr").load(g)
+    def noAggScan(df: org.apache.spark.sql.DataFrame): Boolean = {
+      val p = df.queryExecution.executedPlan.toString
+      !p.contains("ZarrVarAggScan") && !p.contains("ZarrAggScan")
+    }
+    def sameAs(df: org.apache.spark.sql.DataFrame,
+               raw: org.apache.spark.sql.DataFrame): Unit =
+      assert(df.collect().map(_.toSeq).sortBy(_.toString).toSeq ===
+        raw.collect().map(_.toSeq).sortBy(_.toString).toSeq)
+    val raw = ZarrSource.readCubeVars(spark, g, Seq("v", "w"))
+    // a TWO-column bucket is not a chunk-computable single-column key
+    val q1 = ds.groupBy(floor((col("v") + col("w")) / 100.0).as("b")).count()
+    assert(noAggScan(q1), q1.queryExecution.executedPlan.toString.take(600))
+    sameAs(q1, raw.groupBy(floor((col("v") + col("w")) / 100.0).as("b")).count())
+    // a NON-AFFINE cast child (t*t) is not a replayable calendar key
+    val ts2 = (col("t") * col("t") * 86400.0).cast("timestamp")
+    val q2 = ds.groupBy(dayofmonth(ts2).as("dd")).count()
+    assert(noAggScan(q2))
+    sameAs(q2, raw.groupBy(dayofmonth(ts2).as("dd")).count())
+    // ISO-week fields are deliberately left Spark-side
+    val ts = (col("t") * 2678400.0).cast("timestamp")
+    val q3 = ds.groupBy(weekofyear(ts).as("wk")).count()
+    assert(noAggScan(q3))
+    sameAs(q3, raw.groupBy(weekofyear(ts).as("wk")).count())
+  }
+
   test("property: pushed group keys replay Spark's evaluation bit-for-bit") {
     import spark.implicits._
     import graft.sources.zarr.ZarrGroupKey
