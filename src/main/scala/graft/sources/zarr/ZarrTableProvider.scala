@@ -496,7 +496,16 @@ final class ZarrScanBuilder(meta: ZarrGroupMeta,
   // Spark re-applies the limit on top. `df.limit(20)` over a 10^7-chunk
   // archive plans one task.
   private var limit: Option[Int] = None
-  override def pushLimit(l: Int): Boolean = { limit = Some(l); true }
+  override def pushLimit(l: Int): Boolean = {
+    // the truncated planning below relies on EXACT per-chunk matching
+    // cell counts, which are driver math only while every consumed
+    // constraint lives on the coordinate grid: a consumed DATA-VARIABLE
+    // predicate rejects cells inside the reader, so the count would
+    // overestimate and the scan could plan too few chunks — decline, the
+    // limit stays Spark-side above an untruncated scan
+    if (consumedVarIvs.nonEmpty) return false
+    limit = Some(l); true
+  }
   override def isPartiallyPushed: Boolean = true
 
   // partial TOP-N pushdown — `ORDER BY t DESC LIMIT n` is the canonical
@@ -521,7 +530,13 @@ final class ZarrScanBuilder(meta: ZarrGroupMeta,
         val k = meta.za.dims.indexOf(d)
         (k, o.direction() == DESCENDING)
       }
-    }.filter { case (k, _) =>
+    }.filterNot(_ =>
+      // the slab cut counts matching cells from the coordinates alone —
+      // unsafe under a consumed data-variable predicate (same reasoning
+      // as pushLimit); the bounded-heap fold below stays exact because it
+      // ranks only the rows the cursor actually emits
+      consumedVarIvs.nonEmpty
+    ).filter { case (k, _) =>
       // with secondary sort keys the slab cut must not drop a row TIED on
       // the first key at a slab boundary (the secondary keys could
       // deterministically place it inside the true top-n), so the sort
@@ -553,20 +568,28 @@ final class ZarrScanBuilder(meta: ZarrGroupMeta,
 
   private var consumed: Array[Filter] = Array.empty
   private var unhandled: Array[Filter] = Array.empty
+  // the consumed filters' data-variable constraints (empty when every
+  // consumed predicate is a coordinate rectangle)
+  private def consumedVarIvs = ZarrScan.varIvsOf(meta, consumed)
   private var required: StructType = ZarrTable.schemaFor(meta)
   private var aggregated: Option[(Aggregation, Seq[ZarrGroupKey], StructType)] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    // every RECTANGULAR dimension predicate — comparisons, In, same-dim
-    // Or, Not, null tests, and And-combinations, all translated to per-dim
-    // interval sets by ZarrScan.rect — both drives chunk pruning AND is
-    // fully consumed: the reader re-applies it cell-for-cell with Spark's
-    // own double semantics (NaN greatest, zeros equal). Full consumption
-    // is what unlocks aggregate pushdown (Spark only pushes aggregates
-    // below a scan with no post-scan filters). Non-dim predicates and
-    // non-rectangular shapes (an Or across two dims) stay Spark-side.
-    consumed = filters.filter(f => ZarrScan.rect(meta, f).isDefined)
-    unhandled = filters.filterNot(f => ZarrScan.rect(meta, f).isDefined)
+    // every RECTANGULAR predicate — comparisons, In, same-column Or, Not,
+    // null tests, and And-combinations, translated to per-column interval
+    // sets by ZarrScan.rectFull — is fully consumed: the reader re-applies
+    // it cell-for-cell with Spark's own double semantics (NaN greatest,
+    // zeros equal). DIM constraints additionally drive chunk pruning from
+    // the resident coordinates; DATA-VARIABLE constraints (`v > 0.5`, the
+    // valid-pixel mask of every masked statistic) apply to the decoded
+    // cell and prune chunks when a ChunkStats sidecar bounds the chunk's
+    // value range. Full consumption is what unlocks aggregate pushdown
+    // (Spark only pushes aggregates below a scan with no post-scan
+    // filters) — a masked mean folds per chunk BECAUSE the mask predicate
+    // was consumed here. Non-rectangular shapes (an Or across two
+    // columns) stay Spark-side.
+    consumed = filters.filter(f => ZarrScan.rectFull(meta, f).isDefined)
+    unhandled = filters.filterNot(f => ZarrScan.rectFull(meta, f).isDefined)
     unhandled
   }
   override def pushedFilters(): Array[Filter] = consumed
@@ -605,7 +628,7 @@ final class ZarrScanBuilder(meta: ZarrGroupMeta,
   }
 
   private def supported(agg: Aggregation): Boolean =
-    unhandled.isEmpty &&
+    unhandled.isEmpty && consumedVarIvs.isEmpty &&
       groupKeysOf(agg).exists { ks =>
         // value-derived (data-variable) keys need the chunks — only dim
         // keys (incl. calendar extracts of a dim) stay metadata-only;
@@ -1053,19 +1076,32 @@ object ZarrScan {
     out.toSeq
   }
 
-  /** A pushed filter as a RECTANGULAR constraint: per-dim interval sets,
-    * conjoined across dims. Defined exactly when the reader can
+  /** A pushed filter as a RECTANGULAR constraint: per-COLUMN interval
+    * sets, conjoined across columns. Defined exactly when the reader can
     * re-evaluate the filter cell-for-cell with Spark's double semantics —
-    * those filters are both pruned on AND fully consumed. Plain
-    * comparisons, In, and null tests on a dim translate directly; And
-    * intersects rectangles; Or unions only when both sides constrain the
-    * SAME single dim (a cross-dim Or is not rectangular and stays
-    * Spark-side); Not complements a single-dim constraint. */
-  private[graft] def rect(meta: ZarrGroupMeta, f: Filter)
+    * those filters are both consumed AND (dims, plus data variables when
+    * chunk statistics exist) pruned on. Plain comparisons, In, and null
+    * tests translate directly; And intersects rectangles; Or unions only
+    * when both sides constrain the SAME single column (a cross-column Or
+    * is not rectangular and stays Spark-side); Not complements a
+    * single-column constraint.
+    *
+    * The key space covers dims AND data variables: key k < rank is dim k,
+    * key rank+i is data variable i (resolution order). A DIM constraint
+    * prunes chunks through the resident coordinates and re-evaluates in
+    * the cursor; a VARIABLE constraint re-evaluates in the cursor against
+    * the decoded cell (values are never null — missing chunks decode to
+    * the fill value — so null tests translate exactly like dims) and
+    * prunes chunks only through a [[ChunkStats]] sidecar. */
+  private[graft] def rectFull(meta: ZarrGroupMeta, f: Filter)
       : Option[Map[Int, Seq[Iv]]] = {
     def dim(name: String): Option[Int] = {
       val i = meta.za.dims.indexOf(name)
-      if (i >= 0) Some(i) else None
+      if (i >= 0) Some(i)
+      else {
+        val v = meta.dataVars.indexOf(name)
+        if (v >= 0) Some(meta.za.dims.length + v) else None
+      }
     }
     def fin(v: Any): Option[Double] = (v match {
       case d: Double => Some(d)
@@ -1098,7 +1134,7 @@ object ZarrScan {
       case IsNotNull(a) => dim(a).map(_ => Map.empty) // never null: no constraint
       case IsNull(a) => dim(a).map(k => Map(k -> Seq.empty[Iv])) // never true
       case And(l, r) =>
-        for (ml <- rect(meta, l); mr <- rect(meta, r)) yield
+        for (ml <- rectFull(meta, l); mr <- rectFull(meta, r)) yield
           (ml.keySet ++ mr.keySet).iterator.map { k =>
             k -> ((ml.get(k), mr.get(k)) match {
               case (Some(x), Some(y)) => ivIntersect(x, y)
@@ -1108,7 +1144,7 @@ object ZarrScan {
             })
           }.toMap
       case Or(l, r) =>
-        (rect(meta, l), rect(meta, r)) match {
+        (rectFull(meta, l), rectFull(meta, r)) match {
           case (Some(ml), Some(mr))
               if ml.keySet.size == 1 && ml.keySet == mr.keySet =>
             val k = ml.keySet.head
@@ -1116,7 +1152,7 @@ object ZarrScan {
           case _ => None
         }
       case Not(inner) =>
-        rect(meta, inner) match {
+        rectFull(meta, inner) match {
           case Some(m) if m.isEmpty => // Not(always-true): never true
             Some(Map(0 -> Seq.empty[Iv]))
           case Some(m) if m.size == 1 =>
@@ -1128,16 +1164,46 @@ object ZarrScan {
     }
   }
 
-  /** The conjunction of all consumed filters as per-dim interval sets. */
+  /** [[rectFull]] restricted to DIM-only constraints — what the callers
+    * whose arithmetic lives on the coordinate grid need (DELETE
+    * truncation, runtime join-key pruning, the metadata-only aggregate):
+    * a filter touching any data variable is NOT a coordinate rectangle
+    * and must not be treated as one. */
+  private[graft] def rect(meta: ZarrGroupMeta, f: Filter)
+      : Option[Map[Int, Seq[Iv]]] =
+    rectFull(meta, f).filter(_.keys.forall(_ < meta.za.dims.length))
+
+  /** The conjunction of all consumed filters' DIM constraints as per-dim
+    * interval sets. Mixed filters (`And(t === 1, v > 3)`) contribute
+    * their dim half here and their variable half to [[varIvsOf]]. */
   private[graft] def rectOf(meta: ZarrGroupMeta,
                            filters: Array[Filter]): Array[Seq[Iv]] = {
+    val nd = meta.za.dims.length
     val ivs = Array.fill(meta.za.shape.length)(Full)
     filters.foreach { f =>
-      rect(meta, f).foreach(_.foreach { case (k, s) =>
-        ivs(k) = ivIntersect(ivs(k), s)
+      rectFull(meta, f).foreach(_.foreach { case (k, s) =>
+        if (k < nd) ivs(k) = ivIntersect(ivs(k), s)
       })
     }
     ivs
+  }
+
+  /** The conjunction of all consumed filters' DATA-VARIABLE constraints:
+    * variable name → packed interval set (empty when no filter touches a
+    * variable). The cursor re-evaluates these per cell against the
+    * decoded value; chunk pruning from them needs a [[ChunkStats]]
+    * sidecar (a chunk whose [min, max] ∪ {NaN} possible-value set misses
+    * every interval provably holds no matching cell). */
+  private[graft] def varIvsOf(meta: ZarrGroupMeta,
+                              filters: Array[Filter]): Seq[(String, Seq[Iv])] = {
+    val nd = meta.za.dims.length
+    val m = scala.collection.mutable.LinkedHashMap.empty[Int, Seq[Iv]]
+    filters.foreach { f =>
+      rectFull(meta, f).foreach(_.foreach { case (k, s) =>
+        if (k >= nd) m(k) = m.get(k).map(ivIntersect(_, s)).getOrElse(s)
+      })
+    }
+    m.toSeq.map { case (k, s) => meta.dataVars(k - nd) -> s }
   }
 
   /** Executor-shippable packed form of [[rectOf]] (null = unconstrained). */
@@ -1222,7 +1288,8 @@ object ZarrScan {
                                    store: ByteStore,
                                    v3: Boolean,
                                    dim0Range: Option[(Long, Long)],
-                                   cellIvs: Option[Array[Array[Double]]])
+                                   cellIvs: Option[Array[Array[Double]]],
+                                   varIvs: Seq[(String, Array[Double])] = Nil)
 
   /** Deterministic shared state for a scan's fields — called from both
     * planInputPartitions and createReaderFactory, so it must be a pure
@@ -1231,14 +1298,22 @@ object ZarrScan {
                                 consumed: Array[Filter],
                                 dim0Range: Option[(Long, Long)])
       : SharedScanState = {
-    val vars = required.fieldNames.filter(meta.dataVars.contains).toSeq
+    val varIvs = varIvsOf(meta, consumed)
+    // a variable referenced only by a consumed predicate must still be
+    // DECODED for the cursor's cell test, but is not an output column —
+    // it rides at the tail, past every outCols position
+    val vars = required.fieldNames.filter(meta.dataVars.contains).toSeq ++
+      varIvs.map(_._1).filterNot(required.fieldNames.contains)
     SharedScanState(meta.groupDir, meta.za, meta.coords,
       vars.map(v => v -> meta.varMeta(v)), required.fieldNames.toSeq,
       meta.store, meta.v3, dim0Range,
       // packed interval sets for the filters this scan CONSUMED — the
       // reader applies them per cell (runtime filters only prune: the
       // plan's own join re-evaluates those)
-      if (consumed.isEmpty) None else Some(packIvs(rectOf(meta, consumed))))
+      if (consumed.isEmpty) None else Some(packIvs(rectOf(meta, consumed))),
+      varIvs.map { case (n, s) =>
+        n -> s.flatMap(iv => Seq(iv._1, iv._2)).toArray
+      })
   }
 
   private[zarr] def plannedPartitions(meta: ZarrGroupMeta,
@@ -1507,6 +1582,13 @@ private[zarr] final class ChunkCursor(shared: ZarrScan.SharedScanState,
     else (true, shared.vars.indexWhere(_._1 == c))
   }.toArray
 
+  // consumed DATA-VARIABLE predicates: (decoded-array index, packed
+  // interval set) — evaluated per cell against the decoded value with
+  // the same Spark double semantics as the dim intervals
+  private val varChecks: Array[(Int, Array[Double])] = shared.varIvs.map {
+    case (nm, packed) => (shared.vars.indexWhere(_._1 == nm), packed)
+  }.toArray
+
   val nCols: Int = outPlan.length
   private val idx = new Array[Int](rank) // odometer within the chunk
   private var flat = -1
@@ -1547,6 +1629,13 @@ private[zarr] final class ChunkCursor(shared: ZarrScan.SharedScanState,
             inBounds = false
           d += 1
         }
+      }
+      // exactly-consumed DATA-VARIABLE predicates, against decoded cells
+      var vc = 0
+      while (inBounds && vc < varChecks.length) {
+        val (vi, packed) = varChecks(vc)
+        if (!ZarrScan.cellInPacked(data(vi)(flat), packed)) inBounds = false
+        vc += 1
       }
       if (inBounds) return true
     }
