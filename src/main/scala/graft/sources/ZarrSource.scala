@@ -581,6 +581,8 @@ object ZarrSource {
     * the zarr contract). */
   def truncateDim0(groupDir: String, newLen: Int): Unit = {
     val bs = ByteStore.current
+    // shape change self-invalidates the ANALYZE sidecar; drop it anyway
+    graft.sources.zarr.ChunkStats.invalidate(groupDir)
     val names = listArrays(groupDir)
     val metas = names.map(n => n -> openArray(s"$groupDir/$n")).toMap
     val lead = metas.values.maxBy(_.shape.length)
@@ -833,6 +835,9 @@ object ZarrSource {
 
     // ---- metadata + driver-sized coordinate arrays
     val bs = ByteStore.current
+    // overwriting chunk objects of an existing identical grid is the one
+    // mutation a stale ANALYZE sidecar would survive shape-checking
+    graft.sources.zarr.ChunkStats.invalidate(groupDir)
     bs.mkdirs(groupDir)
     writeJson(s"$groupDir/.zgroup", """{"zarr_format": 2}""")
     writeJson(s"$groupDir/.zattrs", "{}")
@@ -939,6 +944,8 @@ object ZarrSource {
                  newCoord: Array[Double]): Unit = {
     val spark = df.sparkSession
     import spark.implicits._
+    // shape change self-invalidates the ANALYZE sidecar; drop it anyway
+    graft.sources.zarr.ChunkStats.invalidate(groupDir)
     val arrayDir = s"$groupDir/$varName"
     val za = openArray(arrayDir)
     require(za.dtype == "<f8", s"appendCube supports <f8 stores, got ${za.dtype}")

@@ -435,6 +435,9 @@ object ZarrV3Source {
     shardInner.foreach(inner => require(inner.length == chunks.length &&
       chunks.zip(inner).forall { case (c, i) => i > 0 && c % i == 0 },
       s"shard shape $chunks must be divisible by inner chunk shape $shardInner"))
+    // overwriting chunk objects of an existing identical grid is the one
+    // mutation a stale ANALYZE sidecar would survive shape-checking
+    graft.sources.zarr.ChunkStats.invalidate(groupDir)
     val shape = dims.map(_._2.length)
 
     // ---- metadata: per-node zarr.json + inline consolidated metadata on

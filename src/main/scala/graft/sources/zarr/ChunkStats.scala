@@ -1,0 +1,237 @@
+package graft.sources.zarr
+
+import graft.sources.ByteStore
+import graft.sources.ZarrSource.ZarrArray
+import org.apache.spark.sql.SparkSession
+
+/** Per-chunk value statistics for a cube group — the zone maps parquet
+  * row groups get for free, persisted as a `_graft_stats.json` sidecar
+  * beside the group: for every data variable and every chunk key, the
+  * moments `(cells, nanCount, min, max, sum, sumOfSquares)` over the
+  * chunk's in-bounds decoded cells (min/max/sum/sumsq over the non-NaN
+  * cells only — every Spark aggregate form over the cell values, plain,
+  * NaN-guarded, or squared, derives from these exactly).
+  *
+  * Two scan-engine consumers:
+  *
+  *  - **Value-predicate chunk pruning.** A consumed data-variable
+  *    predicate (`v > t`) prunes any chunk whose possible-value set —
+  *    `[min, max] ∪ {NaN if nanCount > 0}` — misses every interval, the
+  *    same read elision dimension predicates get from the coordinates.
+  *    Pruning is advisory (a chunk missing from the sidecar is never
+  *    pruned) and cannot change results: the cursor re-evaluates the
+  *    predicate cell-for-cell on every chunk it does read.
+  *  - **Zero-IO aggregate partials.** A chunk whose cells are ALL
+  *    selected (dim rectangle covers it, any value mask provably admits
+  *    its whole span) and whose pushed group keys are constant across it
+  *    answers its partial-aggregate row straight from the sidecar — a
+  *    global `compute_statistics` over an analyzed archive reads no
+  *    chunk at all ([[ZarrVarAggScan]] stat rows).
+  *
+  * The sidecar is computed by [[analyze]] — one distributed pass, one
+  * task per planned chunk pack, each chunk folded in THE SAME cell order
+  * the partial-aggregate reader uses, so a stat-row sum is bit-identical
+  * to the fold it replaces. Doubles are stored as raw IEEE-754 bits
+  * (JSON has no NaN/±Inf literals; bits round-trip exactly).
+  *
+  * Staleness contract: the sidecar records the grid's shape + chunk
+  * extents and is ignored on any mismatch, which self-invalidates every
+  * shape-changing mutation (append, DELETE truncation, rechunk/unchunk).
+  * The one same-shape mutation — a writer overwriting chunk objects of
+  * an existing identical grid — deletes the sidecar first
+  * ([[invalidate]] from the writers). Reference analog: xarray/dask keep
+  * no such statistics and re-read chunks for every reduction; this is
+  * the Spark-native ANALYZE TABLE for cube stores.
+  */
+object ChunkStats {
+
+  val FileName = "_graft_stats.json"
+
+  /** One variable's moments over one chunk's in-bounds cells. min/max/
+    * sum/sumsq cover the NON-NaN cells ([[java.lang.Double.compare]]
+    * ordering, sum in cell order); they are NaN when every cell is NaN. */
+  final case class VarStat(cells: Long, nan: Long, min: Double, max: Double,
+                           sum: Double, sumsq: Double) {
+    def finite: Long = cells - nan
+  }
+
+  /** Loaded sidecar: variable → chunk key ("i.j.k", dot-joined) → stat. */
+  final case class Loaded(vars: Map[String, Map[String, VarStat]])
+
+  private def mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** Load the sidecar for a group if one exists AND matches the grid's
+    * shape + chunk extents (stale sidecars are ignored, never trusted). */
+  def load(store: ByteStore, dir: String, za: ZarrArray): Option[Loaded] =
+    store.readIfExists(s"$dir/$FileName").flatMap { bytes =>
+      val doc = mapper.readTree(bytes)
+      val okShape = doc.path("graft_stats_format").asInt(-1) == 1 &&
+        jsonInts(doc.path("shape")) == za.shape &&
+        jsonInts(doc.path("chunks")) == za.chunks
+      if (!okShape) None
+      else {
+        val vars = scala.collection.mutable.LinkedHashMap
+          .empty[String, Map[String, VarStat]]
+        val vn = doc.path("vars")
+        vn.fieldNames().forEachRemaining { v =>
+          val m = scala.collection.mutable.LinkedHashMap.empty[String, VarStat]
+          val per = vn.path(v)
+          per.fieldNames().forEachRemaining { key =>
+            val a = per.path(key)
+            m(key) = VarStat(a.get(0).asLong(), a.get(1).asLong(),
+              java.lang.Double.longBitsToDouble(a.get(2).asLong()),
+              java.lang.Double.longBitsToDouble(a.get(3).asLong()),
+              java.lang.Double.longBitsToDouble(a.get(4).asLong()),
+              java.lang.Double.longBitsToDouble(a.get(5).asLong()))
+          }
+          vars(v) = m.toMap
+        }
+        Some(Loaded(vars.toMap))
+      }
+    }
+
+  private def jsonInts(n: com.fasterxml.jackson.databind.JsonNode): Seq[Int] = {
+    val b = Seq.newBuilder[Int]
+    n.forEach(e => b += e.asInt())
+    b.result()
+  }
+
+  /** Best-effort sidecar delete — writers that overwrite chunk objects of
+    * an existing same-shape grid call this first. */
+  def invalidate(groupDir: String): Unit = {
+    val bs = ByteStore.current
+    val p = s"$groupDir/$FileName"
+    if (bs.exists(p)) bs.delete(p)
+  }
+
+  /** ANALYZE: compute the sidecar for an existing group in one
+    * distributed pass — one task per planned chunk pack, per-chunk
+    * moments folded inside the task in the partial-aggregate reader's
+    * cell order, only the O(chunks × vars) moment rows collected (the
+    * payload never moves). Writes `_graft_stats.json` into `outDir`
+    * (default: the group itself; point it elsewhere for read-only
+    * stores) and returns its path. Re-running replaces the sidecar. */
+  def analyze(spark: SparkSession, groupDir: String,
+              outDir: Option[String] = None,
+              vars: Option[Seq[String]] = None): String = {
+    val meta = ZarrTable.open(groupDir, vars)
+    analyzeMeta(spark, meta, outDir.getOrElse(groupDir))
+  }
+
+  /** [[analyze]] for an archive directory opened through its persisted
+    * index: the sidecar lands beside the index (the archive itself may be
+    * read-only), where [[ZarrTable.openArchive]] looks for it. */
+  def analyzeArchive(spark: SparkSession, dir: String,
+                     concatDim: String = "time",
+                     indexDir: Option[String] = None,
+                     indexFormat: String = "json"): String = {
+    val meta = ZarrTable.openArchive(dir, concatDim, indexDir, indexFormat)
+    analyzeMeta(spark, meta, indexDir.getOrElse(dir))
+  }
+
+  private[zarr] def analyzeMeta(spark: SparkSession, meta: ZarrGroupMeta,
+                                outDir: String): String = {
+    val required = ZarrTable.schemaFor(meta)
+    val shared = ZarrScan.sharedState(meta, required, Array.empty, None)
+    val parts = ZarrScan.plannedPartitions(meta, Array.empty, Array.empty,
+      required, dim0Range = None)
+    val nd = meta.za.dims.length
+    val nv = meta.dataVars.length
+    val rows: Array[(String, Array[Array[Double]], Array[Long], Array[Long])] =
+      spark.sparkContext
+        .parallelize(parts.toSeq, math.max(1, parts.length))
+        .flatMap { part =>
+          val chunks = part match {
+            case pk: ZarrPackedPartition => pk.chunks
+            case single: ZarrInputPartition => Seq(single)
+            case other => throw new IllegalStateException(s"$other")
+          }
+          chunks.map { cp =>
+            val cur = new ChunkCursor(shared, cp, None)
+            val cells = new Array[Long](nv)
+            val nan = new Array[Long](nv)
+            // [min, max, sum, sumsq] per var, NaN extremes until seen
+            val mom = Array.fill(nv)(
+              Array(Double.NaN, Double.NaN, 0.0, 0.0))
+            while (cur.advance()) {
+              var v = 0
+              while (v < nv) {
+                val x = cur.colValue(nd + v)
+                cells(v) += 1L
+                if (x.isNaN) nan(v) += 1L
+                else {
+                  val m = mom(v)
+                  if (cells(v) - nan(v) == 1L ||
+                    java.lang.Double.compare(x, m(0)) < 0) m(0) = x
+                  if (cells(v) - nan(v) == 1L ||
+                    java.lang.Double.compare(x, m(1)) > 0) m(1) = x
+                  m(2) += x
+                  m(3) += x * x
+                }
+                v += 1
+              }
+            }
+            (cp.key.mkString("."), mom, cells, nan)
+          }
+        }.collect()
+    val root = mapper.createObjectNode()
+    root.put("graft_stats_format", 1)
+    val sh = root.putArray("shape"); meta.za.shape.foreach(sh.add)
+    val ch = root.putArray("chunks"); meta.za.chunks.foreach(ch.add)
+    val vn = root.putObject("vars")
+    val perVar = meta.dataVars.map(v => v -> vn.putObject(v))
+    rows.foreach { case (key, mom, cells, nan) =>
+      perVar.zipWithIndex.foreach { case ((_, node), i) =>
+        val a = node.putArray(key)
+        a.add(cells(i)); a.add(nan(i))
+        mom(i).foreach(d => a.add(java.lang.Double.doubleToRawLongBits(d)))
+      }
+    }
+    val path = s"$outDir/$FileName"
+    val bs = ByteStore.current
+    bs.mkdirs(outDir)
+    bs.write(path, mapper.writeValueAsString(root)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    path
+  }
+
+  /** Could SOME cell of a chunk with these stats satisfy the packed
+    * interval set? (false ⇒ the chunk is safely prunable). The possible
+    * values are `[min, max]` (when any non-NaN cell exists) plus NaN
+    * (when nanCount > 0) — NaN sits above +Inf in Spark's ordering, so
+    * it matches exactly an interval unbounded above. */
+  def admits(st: VarStat, packed: Array[Double]): Boolean = {
+    if (packed.length == 0) return false
+    val nanIn = packed(packed.length - 1) == Double.PositiveInfinity
+    if (st.nan > 0 && nanIn) return true
+    if (st.finite == 0) return st.nan > 0 && nanIn
+    // disjoint ascending intervals: candidate = last interval with
+    // lo <= max; it intersects [min, max] iff its hi >= min
+    var i = packed.length - 2
+    while (i >= 0 && packed(i) > st.max) i -= 2
+    i >= 0 && packed(i + 1) >= st.min
+  }
+
+  /** Does EVERY cell of a chunk with these stats satisfy the packed
+    * interval set? (true ⇒ a fully-covered chunk can answer from the
+    * sidecar without reading). Walks the sorted intervals across
+    * `[min, max]` tolerating ulp-adjacent pieces (complement splitting
+    * produces those), and demands NaN coverage when NaN cells exist. */
+  def fullyAdmits(st: VarStat, packed: Array[Double]): Boolean = {
+    if (packed.length == 0) return false
+    val nanIn = packed(packed.length - 1) == Double.PositiveInfinity
+    if (st.nan > 0 && !nanIn) return false
+    if (st.finite == 0) return true // NaN-only chunk, NaN covered above
+    var i = 0
+    while (i < packed.length && !ZarrScan.cellIn(st.min, packed(i), packed(i + 1)))
+      i += 2
+    if (i >= packed.length) return false
+    var hi = packed(i + 1)
+    while (ZarrScan.sqlCmp(hi, st.max) < 0) {
+      i += 2
+      if (i >= packed.length || packed(i) > math.nextUp(hi)) return false
+      hi = packed(i + 1)
+    }
+    true
+  }
+}

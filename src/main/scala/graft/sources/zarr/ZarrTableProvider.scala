@@ -255,7 +255,12 @@ final case class ZarrGroupMeta(groupDir: String, za: ZarrArray,
                                coords: Seq[Array[Double]],
                                store: ByteStore,
                                v3: Boolean = false,
-                               refs: Option[KerchunkSource.RefLookup] = None)
+                               refs: Option[KerchunkSource.RefLookup] = None,
+                               // per-chunk value statistics (ANALYZE
+                               // sidecar) — planning-time only: value-
+                               // predicate chunk pruning + zero-IO
+                               // aggregate stat rows
+                               stats: Option[ChunkStats.Loaded] = None)
 
 final case class ZarrTable(meta: ZarrGroupMeta) extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsDelete {
@@ -343,7 +348,9 @@ object ZarrTable {
               "consolidate its metadata (.zmetadata for v2, consolidated " +
               "zarr.json for v3) to open it over the web", e)
       }
-    resolve(groupDir, names, openArray, readAll, store, v3, refs = None, only)
+    val m = resolve(groupDir, names, openArray, readAll, store, v3,
+      refs = None, only)
+    m.copy(stats = ChunkStats.load(store, groupDir, m.za))
   }
 
   /** Resolve a VIRTUAL group from a kerchunk reference set — the same
@@ -411,7 +418,7 @@ object ZarrTable {
       org.apache.spark.sql.SparkSession.active, dir, concatDim, indexDir,
       indexFormat, fingerprint)
     val side = indexDir.getOrElse(dir)
-    if (KerchunkSource.manifestFormat(side) == "parquet") {
+    val m = if (KerchunkSource.manifestFormat(side) == "parquet") {
       val metaRefs = KerchunkSource.parseSelective(idx, _ => true)
       val names = KerchunkSource.listArrays(metaRefs)
       require(names.nonEmpty, s"$idx: no arrays in archive index")
@@ -421,6 +428,9 @@ object ZarrTable {
         refs = Some(KerchunkSource.ParquetRefLookup(
           s"$side/${KerchunkSource.ParquetRefsName}")), only)
     } else openRefsLazy(idx, only)
+    // the ANALYZE sidecar of an archive lives beside its index (the
+    // archive itself may be read-only)
+    m.copy(stats = ChunkStats.load(ByteStore.current, side, m.za))
   }
 
   private def resolve(label: String, names: Seq[String],
@@ -1324,7 +1334,23 @@ object ZarrScan {
                                       limit: Option[Int] = None,
                                       inlineShared: Boolean = false,
                                       topN: Option[(Int, Boolean, Int)] = None)
-      : Array[InputPartition] = {
+      : Array[InputPartition] =
+    pack(planChunkParts(meta, consumed, runtime, required, dim0Range, limit,
+      inlineShared, topN), meta.za, required.fields.length)
+
+  /** The chunk-level half of [[plannedPartitions]]: the surviving,
+    * stats-admitted, limit/top-n-truncated chunk partitions BEFORE
+    * size-targeted packing — the var-agg scan splits these into
+    * sidecar-answerable and must-read sets first. */
+  private[zarr] def planChunkParts(meta: ZarrGroupMeta,
+                                   consumed: Array[Filter],
+                                   runtime: Array[Filter],
+                                   required: StructType,
+                                   dim0Range: Option[(Long, Long)],
+                                   limit: Option[Int] = None,
+                                   inlineShared: Boolean = false,
+                                   topN: Option[(Int, Boolean, Int)] = None)
+      : Seq[ZarrInputPartition] = {
     val za = meta.za
     val rank = za.shape.length
     val keep = survivingChunks(meta, consumed ++ runtime, dim0Range)
@@ -1368,6 +1394,30 @@ object ZarrScan {
           acc.flatMap(p => ks.iterator.map(p :+ _))
         }
     }
+    // value-predicate chunk pruning through the ANALYZE sidecar: drop any
+    // chunk whose possible-value set — [min, max] ∪ {NaN if present} —
+    // provably misses a consumed variable constraint. Advisory: chunks
+    // missing from the sidecar are kept, and the cursor re-evaluates
+    // every consumed predicate on the chunks that ARE read, so a stale-
+    // free sidecar only elides reads, never changes results. (limit/topN
+    // never coexist with variable constraints — the builder declines
+    // them — so the cell-count accounting below stays exact.)
+    val pruners: Seq[(Map[String, ChunkStats.VarStat], Array[Double])] =
+      meta.stats match {
+        case Some(st) => varIvsOf(meta, consumed).flatMap { case (nm, ivs) =>
+          st.vars.get(nm).map(m =>
+            (m, ivs.flatMap(iv => Seq(iv._1, iv._2)).toArray))
+        }
+        case None => Nil
+      }
+    val admittedKeys =
+      if (pruners.isEmpty) allKeys
+      else allKeys.filter { key =>
+        val ks = key.mkString(".")
+        pruners.forall { case (m, packed) =>
+          m.get(ks).forall(ChunkStats.admits(_, packed))
+        }
+      }
     // pushed LIMIT: keep only enough chunks to cover it; a pushed TOP-N
     // additionally cuts only at slab boundaries, so every kept row sorts
     // at-or-before every dropped row on the first sort key (the slab
@@ -1376,7 +1426,7 @@ object ZarrScan {
     val keys: Seq[Seq[Int]] = ((limit, topN) match {
       case (Some(n), _) =>
         var acc = 0L
-        allKeys.takeWhile { key =>
+        admittedKeys.takeWhile { key =>
           val take = acc < n
           acc += matching(key)
           take
@@ -1384,7 +1434,7 @@ object ZarrScan {
       case (None, Some((sk, _, n))) =>
         var acc = 0L
         var lastSlab = Int.MinValue
-        allKeys.takeWhile { key =>
+        admittedKeys.takeWhile { key =>
           val newSlab = key(sk) != lastSlab
           if (newSlab && acc >= n) false
           else {
@@ -1393,7 +1443,7 @@ object ZarrScan {
             true
           }
         }
-      case _ => allKeys
+      case _ => admittedKeys
     }).toVector
     // virtual (kerchunk-backed) tables: resolve the SURVIVING chunks'
     // refs in one bulk lookup at planning time, so each partition ships
@@ -1413,7 +1463,7 @@ object ZarrScan {
       ZarrInputPartition(key, chunkRefs,
         if (inlineShared) Some(shared) else None)
     }
-    pack(chunkParts, za, required.fields.length)
+    chunkParts
   }
 
   /** Pack lexicographically-adjacent surviving chunks into size-targeted

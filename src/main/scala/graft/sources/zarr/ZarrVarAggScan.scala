@@ -118,10 +118,147 @@ final case class ZarrVarAggScan(meta: ZarrGroupMeta, consumed: Array[Filter],
       case other =>
         throw new IllegalStateException(s"unexpected pushed aggregate $other")
     }
-    ZarrScan.plannedPartitions(meta, consumed, Array.empty, required,
-      dim0Range = None).map { p =>
-      ZarrVarAggPartition(p.asInstanceOf[ZarrPackedPartition], bound,
-        specs): InputPartition
+    val shared = ZarrScan.sharedState(meta, required, consumed, None)
+    val chunkParts =
+      ZarrScan.planChunkParts(meta, consumed, Array.empty, required, None)
+    // ANALYZE sidecar fast path: a chunk whose cells are ALL selected and
+    // whose group keys are constant across it answers its partial row
+    // straight from the per-chunk moments — zero chunk IO. Chunks the
+    // sidecar cannot answer exactly fold in the reader as before.
+    val (statRows, readParts) = meta.stats match {
+      case Some(st) =>
+        val rows = Seq.newBuilder[Seq[Any]]
+        val reads = Seq.newBuilder[ZarrInputPartition]
+        chunkParts.foreach { cp =>
+          statRowFor(cp, st, shared, specs, names) match {
+            case Some(r) => rows += r
+            case None => reads += cp
+          }
+        }
+        (rows.result(), reads.result())
+      case None => (Seq.empty[Seq[Any]], chunkParts)
+    }
+    val readPartitions =
+      ZarrScan.pack(readParts, meta.za, required.fields.length).map { p =>
+        ZarrVarAggPartition(p.asInstanceOf[ZarrPackedPartition], bound,
+          specs): InputPartition
+      }
+    if (statRows.isEmpty) readPartitions
+    else readPartitions :+ (ZarrStatRowsPartition(statRows): InputPartition)
+  }
+
+  /** This chunk's partial-aggregate row from the sidecar alone, or None
+    * when it must be read: demands (1) every in-bounds cell selected by
+    * the consumed dim rectangle, (2) every consumed variable constraint
+    * provably admitting the chunk's whole value set, (3) every group key
+    * constant across the chunk, (4) every aggregate derivable from the
+    * moments. The derived values replay the fold bit-for-bit: the
+    * sidecar's sums were folded in the same cell order by [[ChunkStats
+    * .analyze]], and min/max use the same compare ordering. */
+  private def statRowFor(cp: ZarrInputPartition, st: ChunkStats.Loaded,
+                         shared: ZarrScan.SharedScanState,
+                         specs: Seq[ZarrAggSpec], names: Seq[String])
+      : Option[Seq[Any]] = {
+    val za = meta.za
+    val keyStr = cp.key.mkString(".")
+    val slices = za.dims.indices.map { k =>
+      val s = cp.key(k) * za.chunks(k)
+      meta.coords(k).slice(s, math.min(s + za.chunks(k), za.shape(k)))
+    }
+    val fullDims = shared.cellIvs.forall(bs => slices.zipWithIndex.forall {
+      case (sl, k) =>
+        bs(k) == null || sl.forall(v => ZarrScan.cellInPacked(v, bs(k)))
+    })
+    if (!fullDims) return None
+    def statOf(v: String): Option[ChunkStats.VarStat] =
+      st.vars.get(v).flatMap(_.get(keyStr))
+    val cells = slices.map(_.length.toLong).product
+    val varsOk = shared.varIvs.forall { case (nm, packed) =>
+      statOf(nm).exists(s => s.cells == cells &&
+        ChunkStats.fullyAdmits(s, packed))
+    }
+    if (!varsOk) return None
+    val keyVals: Seq[Option[Any]] = groupKeys.map { gk =>
+      if (!gk.isVar) {
+        val k = za.dims.indexOf(gk.dim)
+        scala.util.Try {
+          val bits = slices(k).map(v => gk.kind match {
+            case ZarrGroupKey.Id =>
+              val d = if (v == 0.0) 0.0 else v
+              java.lang.Double.doubleToLongBits(d)
+            case ZarrGroupKey.Extract => gk.evalExtract(v).toLong
+            case _ => gk.evalLong(v)
+          }).distinct
+          if (bits.length != 1) None
+          else Some(gk.kind match {
+            case ZarrGroupKey.Id =>
+              java.lang.Double.longBitsToDouble(bits.head): Any
+            case ZarrGroupKey.Extract => bits.head.toInt: Any
+            case _ => bits.head: Any
+          })
+        }.toOption.flatten
+      } else statOf(gk.dim).flatMap { vs =>
+        if (vs.cells != cells) None
+        else if (vs.finite == 0L) scala.util.Try(keyOfValue(gk, Double.NaN)).toOption
+        else if (vs.nan == 0L &&
+          java.lang.Double.compare(vs.min, vs.max) == 0)
+          scala.util.Try(keyOfValue(gk, vs.min)).toOption
+        else None
+      }
+    }
+    if (keyVals.exists(_.isEmpty)) return None
+    val aggVals: Seq[Option[Any]] = specs.map { s =>
+      if (s.op == ZarrAggSpec.CountStar) Some(cells: Any)
+      else {
+        val colName = names(s.colIdx)
+        if (!meta.dataVars.contains(colName)) None // dim aggregate: read
+        else statOf(colName).flatMap { vs =>
+          if (vs.cells != cells) None else derive(s, vs)
+        }
+      }
+    }
+    if (aggVals.exists(_.isEmpty)) None
+    else Some(keyVals.map(_.get) ++ aggVals.map(_.get))
+  }
+
+  /** A value-derived group key of a constant-valued chunk, with the
+    * reader's exact normalization (Id: -0.0→0.0, canonical NaN). */
+  private def keyOfValue(gk: ZarrGroupKey, v: Double): Any = gk.kind match {
+    case ZarrGroupKey.Id =>
+      java.lang.Double.longBitsToDouble(java.lang.Double.doubleToLongBits(
+        if (v == 0.0) 0.0 else v)): Any
+    case ZarrGroupKey.Extract => gk.evalExtract(v): Any
+    case _ => gk.evalLong(v): Any
+  }
+
+  /** One aggregate value from a chunk's moments, when exactly derivable.
+    * Null/NaN semantics mirror the fold: plain aggregates see every cell
+    * (a NaN poisons Sum and wins Max; Min still finds the finite
+    * minimum — NaN is greatest); guarded aggregates skip NaN and emit
+    * null when nothing contributed. min(v·v) over a span straddling zero
+    * is the one underivable shape — the chunk is read instead. */
+  private def derive(s: ZarrAggSpec, vs: ChunkStats.VarStat): Option[Any] = {
+    val allNaN = vs.finite == 0L
+    def empty: Option[Any] = Some(if (s.skipNaN) null else Double.NaN)
+    s.op match {
+      case ZarrAggSpec.Count =>
+        Some((if (s.skipNaN) vs.finite else vs.cells): Any)
+      case ZarrAggSpec.Min =>
+        if (allNaN) empty
+        else if (!s.squared) Some(vs.min)
+        else if (vs.min >= 0.0) Some(vs.min * vs.min)
+        else if (vs.max <= 0.0) Some(vs.max * vs.max)
+        else None
+      case ZarrAggSpec.Max =>
+        if (allNaN) empty
+        else if (!s.skipNaN && vs.nan > 0L) Some(Double.NaN)
+        else if (!s.squared) Some(vs.max)
+        else Some(math.max(vs.min * vs.min, vs.max * vs.max))
+      case ZarrAggSpec.Sum =>
+        if (allNaN) empty
+        else if (!s.skipNaN && vs.nan > 0L) Some(Double.NaN)
+        else Some(if (s.squared) vs.sumsq else vs.sum)
+      case _ => None
     }
   }
 
@@ -499,10 +636,27 @@ final case class ZarrVarAggPartition(base: ZarrPackedPartition,
                                      specs: Seq[ZarrAggSpec])
     extends InputPartition
 
+/** Partial rows answered from the ANALYZE sidecar at planning time —
+  * zero chunk IO; Spark's final aggregation merges them with the read
+  * partitions' folds. */
+final case class ZarrStatRowsPartition(rows: Seq[Seq[Any]])
+    extends InputPartition
+
 final case class ZarrVarAggReaderFactory(shared: ZarrScan.SharedScanState)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new ZarrVarAggReader(shared, partition.asInstanceOf[ZarrVarAggPartition])
+    partition match {
+      case sr: ZarrStatRowsPartition =>
+        new PartitionReader[InternalRow] {
+          private val it = sr.rows.iterator
+          private var cur: Seq[Any] = _
+          override def next(): Boolean =
+            if (it.hasNext) { cur = it.next(); true } else false
+          override def get(): InternalRow = new GenericInternalRow(cur.toArray)
+          override def close(): Unit = ()
+        }
+      case p: ZarrVarAggPartition => new ZarrVarAggReader(shared, p)
+    }
 }
 
 /** Folds the task's in-bounds cells into per-group partial states in one
