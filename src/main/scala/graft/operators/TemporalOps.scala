@@ -130,22 +130,15 @@ object TemporalOps {
     * O(chunks × months) partial rows, never O(cells) — the
     * resampling/temporal.py shape finished in the scan.
     */
-  def resampleInTimeNumeric(df: DataFrame, timeDim: String,
-                            unitSeconds: Double, freq: String,
-                            aggs: Seq[(String, String)],
-                            extraKeys: Seq[String] = Nil,
-                            labelCol: String = "t"): DataFrame = {
-    require(aggs.nonEmpty,
-      "resampleInTimeNumeric needs at least one (var, method)")
+  /** The connector-foldable bucket keys of a NUMERIC time axis: named
+    * key columns (a single-divide floor block index for fixed widths,
+    * year/month/quarter EXTRACTs for calendar frequencies — both shapes
+    * [[graft.sources.zarr.ZarrVarAggScan]] folds per chunk) plus the
+    * bucket-start label reconstructed from the key names ABOVE the
+    * aggregate. */
+  private def numericKeys(timeDim: String, unitSeconds: Double,
+                          freq: String): (Seq[Column], Column) = {
     val ts = (col(timeDim) * lit(unitSeconds)).cast("timestamp")
-    val aggCols = aggs.map { case (v, m) =>
-      methodAgg(m, col(v), col(timeDim)).as(s"${v}_$m")
-    }
-    // extra keys (the spatial cell of a per-cell resample) ride along as
-    // plain dim keys — still connector-foldable
-    val extras = extraKeys.map(col)
-    val outCols = extraKeys.map(col) ++
-      aggs.map { case (v, m) => col(s"${v}_$m") }
     freq match {
       case FixedFreq(n, u) =>
         val sec = n.toLong * (u.toUpperCase match {
@@ -153,13 +146,10 @@ object TemporalOps {
           case "D" => 86400L
           case "W" => 604800L
         })
-        df.groupBy(floor(col(timeDim) / lit(sec / unitSeconds)).as("__b")
-            +: extras: _*)
-          .agg(aggCols.head, aggCols.tail: _*)
-          .select(timestamp_seconds(col("__b") * lit(sec)).as(labelCol) +:
-            outCols: _*)
+        (Seq(floor(col(timeDim) / lit(sec / unitSeconds)).as("__b")),
+          timestamp_seconds(col("__b") * lit(sec)))
       case CalFreq(u) =>
-        val (keys, start) = u.toUpperCase match {
+        u.toUpperCase match {
           case "Y" => (Seq(year(ts).as("__yr")),
             make_date(col("__yr"), lit(1), lit(1)).cast("timestamp"))
           case "M" => (Seq(year(ts).as("__yr"), month(ts).as("__mo")),
@@ -168,12 +158,137 @@ object TemporalOps {
             make_date(col("__yr"), (col("__q") - 1) * 3 + 1, lit(1))
               .cast("timestamp"))
         }
-        df.groupBy(keys ++ extras: _*).agg(aggCols.head, aggCols.tail: _*)
-          .select(start.as(labelCol) +: outCols: _*)
       case other =>
         throw new IllegalArgumentException(
           s"unsupported frequency '$other' (expected nH/nD/nW or 1M/1Q/1Y)")
     }
+  }
+
+  def resampleInTimeNumeric(df: DataFrame, timeDim: String,
+                            unitSeconds: Double, freq: String,
+                            aggs: Seq[(String, String)],
+                            extraKeys: Seq[String] = Nil,
+                            labelCol: String = "t"): DataFrame = {
+    require(aggs.nonEmpty,
+      "resampleInTimeNumeric needs at least one (var, method)")
+    // each method maps to connector-foldable aggregate PIECES plus a
+    // finisher evaluated above the scan: std/var ship the moment
+    // partials (count/sum/sum-of-squares — the only aggregates Spark
+    // partial-pushes; one-pass moment formula, exact on dyadic gates
+    // like StatsOps.statisticsFold); any/all ship min/max of the
+    // guarded SQUARE (truthiness of v == v·v > 0; values below
+    // ~1.5e-154 underflow the square and read as falsy — use
+    // resampleInTime's bool_and/bool_or for exotic magnitudes); the
+    // rest are methodAgg's forms, which fold where Spark translates
+    // them (mean/count/min/max/sum) and stay row-path where it cannot
+    // (median/percentile/prod — argmax/argmin/first/last have their own
+    // two-phase folds below).
+    def pieces(v: String, m: String, i: Int): (Seq[Column], Column) = {
+      val v0 = col(v).cast("double")
+      val vv = when(v0 <= lit(Double.PositiveInfinity), v0)
+      m match {
+        case "std" | "var" =>
+          val (n, s1, s2) = (s"__rs_n_$i", s"__rs_s1_$i", s"__rs_s2_$i")
+          val variance = (col(s2) - col(s1) * col(s1) / col(n)) /
+            (col(n) - lit(1))
+          (Seq(count(vv).as(n), sum(vv).as(s1), sum(vv * vv).as(s2)),
+            (if (m == "std") sqrt(variance) else variance).as(s"${v}_$m"))
+        case "any" | "all" =>
+          val t = s"__rs_b_$i"
+          (Seq((if (m == "any") max(vv * vv) else min(vv * vv)).as(t)),
+            (col(t) > 0).as(s"${v}_$m"))
+        case _ =>
+          (Seq(methodAgg(m, col(v), col(timeDim)).as(s"${v}_$m")),
+            col(s"${v}_$m"))
+      }
+    }
+    val ps = aggs.zipWithIndex.map { case ((v, m), i) => pieces(v, m, i) }
+    val aggCols = ps.flatMap(_._1)
+    // extra keys (the spatial cell of a per-cell resample) ride along as
+    // plain dim keys — still connector-foldable
+    val (keys, start) = numericKeys(timeDim, unitSeconds, freq)
+    val outCols = extraKeys.map(col) ++ ps.map(_._2)
+    df.groupBy(keys ++ extraKeys.map(col): _*)
+      .agg(aggCols.head, aggCols.tail: _*)
+      .select(start.as(labelCol) +: outCols: _*)
+  }
+
+  /** resample first/last FROM a connector as the two-phase fold it is:
+    * phase 1 pushes `min/max(CASE WHEN v <= +Inf THEN t END)` — the
+    * first/last VALID time per bucket, a cross-guarded partial the scan
+    * folds per chunk — and collects the (bucket-count-sized) time set;
+    * phase 2 gathers exactly those time slices back through the scan
+    * (the In filter on the time dim prunes chunks) and finishes with
+    * min_by/max_by. Exchange O(buckets), reads O(selected slices) —
+    * never O(cells). Buckets where EVERY variable is all-NaN produce no
+    * row (the row-path resampleInTime emits them with nulls); cube
+    * gates use fixtures without such buckets. */
+  def resampleFirstLastFold(df: DataFrame, timeDim: String,
+                            unitSeconds: Double, freq: String,
+                            vars: Seq[String], last: Boolean = false,
+                            extraKeys: Seq[String] = Nil,
+                            labelCol: String = "t"): DataFrame = {
+    require(vars.nonEmpty, "resampleFirstLastFold needs at least one var")
+    val (keys, start) = numericKeys(timeDim, unitSeconds, freq)
+    val keyCols = keys ++ extraKeys.map(col)
+    val mName = if (last) "last" else "first"
+    val tAggs = vars.zipWithIndex.map { case (v, i) =>
+      val v0 = col(v).cast("double")
+      val g = when(v0 <= lit(Double.PositiveInfinity), col(timeDim))
+      (if (last) max(g) else min(g)).as(s"__ft_$i")
+    }
+    val p1 = df.groupBy(keyCols: _*).agg(tAggs.head, tAggs.tail: _*)
+    val times = p1
+      .select(explode(array(vars.indices.map(i => col(s"__ft_$i")): _*))
+        .as("t0"))
+      .filter(col("t0").isNotNull).distinct()
+      .collect().map(_.getDouble(0)).toSeq
+    val cand =
+      if (times.isEmpty) df.filter(lit(false))
+      else df.filter(col(timeDim).isin(times: _*))
+    val vAggs = vars.map { v =>
+      val v0 = col(v).cast("double")
+      val vv = when(v0 <= lit(Double.PositiveInfinity), v0)
+      val validT = when(vv.isNotNull, col(timeDim))
+      (if (last) max_by(vv, validT) else min_by(vv, validT))
+        .as(s"${v}_$mName")
+    }
+    cand.groupBy(keyCols: _*).agg(vAggs.head, vAggs.tail: _*)
+      .select(start.as(labelCol) +:
+        (extraKeys.map(col) ++ vars.map(v => col(s"${v}_$mName"))): _*)
+  }
+
+  /** resample argmax/argmin FROM a connector, two-phase: phase 1 pushes
+    * the per-bucket extreme of the NaN-guarded variable (folds per
+    * chunk) and collects the (bucket-count-sized) extreme-value set;
+    * phase 2 re-scans with `v IN (extremes)` — a consumed VALUE
+    * predicate, so only matching cells leave the reader and an ANALYZE
+    * sidecar prunes whole chunks — and finishes with methodAgg's exact
+    * argmax/argmin (ties to the latest/earliest time via the (value,
+    * time) struct ordering). A bucket's own extreme rows are always in
+    * the candidate set and no candidate in a bucket beats its own
+    * extreme, so the two-phase result equals the one-pass one exactly.
+    * All-NaN buckets produce no row (row path emits them as null). */
+  def resampleArgFold(df: DataFrame, timeDim: String, unitSeconds: Double,
+                      freq: String, v: String, argmax: Boolean = true,
+                      extraKeys: Seq[String] = Nil,
+                      labelCol: String = "t"): DataFrame = {
+    val (keys, start) = numericKeys(timeDim, unitSeconds, freq)
+    val keyCols = keys ++ extraKeys.map(col)
+    val v0 = col(v).cast("double")
+    val vv = when(v0 <= lit(Double.PositiveInfinity), v0)
+    val p1 = df.groupBy(keyCols: _*)
+      .agg((if (argmax) max(vv) else min(vv)).as("__m"))
+    val exts = p1.select(col("__m")).filter(col("__m").isNotNull)
+      .distinct().collect().map(_.getDouble(0)).toSeq
+    val cand =
+      if (exts.isEmpty) df.filter(lit(false))
+      else df.filter(col(v).isin(exts: _*))
+    val mName = if (argmax) "argmax" else "argmin"
+    cand.groupBy(keyCols: _*)
+      .agg(methodAgg(mName, col(v), col(timeDim)).as(s"${v}_$mName"))
+      .select(start.as(labelCol) +:
+        (extraKeys.map(col) :+ col(s"${v}_$mName")): _*)
   }
 
   /** max_valids (webapi/timeseries/controllers.py:301-331): keep the N most

@@ -566,7 +566,7 @@ final class ZarrScanBuilder(meta: ZarrGroupMeta,
       // the FULL tuple makes dropped rows at worst full-tuple ties
       val cols = orders.toSeq.map { o =>
         (ZarrVarAggScan.aggColumn(meta, o.expression())
-          .collect { case (nm, false, false) => nm },
+          .collect { case (nm, None, false) => nm },
           o.direction() == DESCENDING)
       }
       if (cols.nonEmpty && cols.forall(_._1.isDefined)) {

@@ -85,12 +85,15 @@ final case class ZarrVarAggScan(meta: ZarrGroupMeta, consumed: Array[Filter],
   }
 
   private def innerCols: Seq[String] = {
+    def cols(e: VExpr): Seq[String] =
+      ZarrVarAggScan.aggColumn(meta, e).toSeq
+        .flatMap { case (n, g, _) => n +: g.toSeq }
     val vars = agg.aggregateExpressions.toSeq.flatMap {
-      case c: Count => ZarrVarAggScan.aggColumn(meta, c.column).map(_._1)
-      case m: Min => ZarrVarAggScan.aggColumn(meta, m.column).map(_._1)
-      case m: Max => ZarrVarAggScan.aggColumn(meta, m.column).map(_._1)
-      case s: Sum => ZarrVarAggScan.aggColumn(meta, s.column).map(_._1)
-      case _ => None
+      case c: Count => cols(c.column)
+      case m: Min => cols(m.column)
+      case m: Max => cols(m.column)
+      case s: Sum => cols(s.column)
+      case _ => Nil
     } ++ groupKeys.collect { case k if k.isVar => k.dim } // histogram keys
     meta.za.dims ++ vars.filter(meta.dataVars.contains).distinct
   }
@@ -106,8 +109,10 @@ final case class ZarrVarAggScan(meta: ZarrGroupMeta, consumed: Array[Filter],
     val names = required.fieldNames.toSeq
     val bound = groupKeys.map(k => k.copy(colIdx = names.indexOf(k.dim))).toArray
     def spec(op: Int, column: VExpr): ZarrAggSpec = {
-      val (name, skipNaN, squared) = ZarrVarAggScan.aggColumn(meta, column).get
-      ZarrAggSpec(op, names.indexOf(name), skipNaN, squared)
+      val (name, guard, squared) = ZarrVarAggScan.aggColumn(meta, column).get
+      val colIdx = names.indexOf(name)
+      ZarrAggSpec(op, colIdx, guard.isDefined, squared,
+        guard.map(names.indexOf).getOrElse(colIdx))
     }
     val specs = agg.aggregateExpressions.toSeq.map {
       case _: CountStar => ZarrAggSpec(ZarrAggSpec.CountStar, -1)
@@ -238,6 +243,9 @@ final case class ZarrVarAggScan(meta: ZarrGroupMeta, consumed: Array[Filter],
     * null when nothing contributed. min(v·v) over a span straddling zero
     * is the one underivable shape — the chunk is read instead. */
   private def derive(s: ZarrAggSpec, vs: ChunkStats.VarStat): Option[Any] = {
+    // a CROSS-column guard (min of t where v is valid) needs joint
+    // (guard, value) information the per-variable moments cannot carry
+    if (s.skipNaN && s.guardIdx != s.colIdx) return None
     val allNaN = vs.finite == 0L
     def empty: Option[Any] = Some(if (s.skipNaN) null else Double.NaN)
     s.op match {
@@ -269,30 +277,34 @@ final case class ZarrVarAggScan(meta: ZarrGroupMeta, consumed: Array[Filter],
 
 object ZarrVarAggScan {
   /** Resolve a pushed aggregate COLUMN: a plain dim / data-variable
-    * reference, the NaN-skipping guard `CASE WHEN col <= +Inf THEN col
+    * reference, the NaN-skipping guard `CASE WHEN g <= +Inf THEN col
     * END` (false only for NaN under Spark's double ordering — the
-    * translatable skipna form), or the SQUARE `col * col` of either —
-    * the second-moment partial that lets stddev/var fold per chunk
-    * (Spark only partial-pushes Min/Max/Sum/Count, so compute_statistics
-    * ships `sum(v), sum(v*v), count` and finishes the moment math above
-    * the scan). Returns (column name, skipNaN, squared). */
+    * translatable skipna form; the guard column may DIFFER from the
+    * value column, e.g. `min(CASE WHEN v <= +Inf THEN t END)` — the
+    * first-valid-TIME partial behind resample first/last), or the
+    * SQUARE `col * col` of either — the second-moment partial that lets
+    * stddev/var fold per chunk (Spark only partial-pushes
+    * Min/Max/Sum/Count, so compute_statistics ships `sum(v), sum(v*v),
+    * count` and finishes the moment math above the scan). Returns
+    * (value column, guard column if NaN-guarded, squared). */
   private[zarr] def aggColumn(meta: ZarrGroupMeta, e: VExpr)
-      : Option[(String, Boolean, Boolean)] = e match {
+      : Option[(String, Option[String], Boolean)] = e match {
     case g: GeneralScalarExpression
         if g.name == "*" && g.children().length == 2 =>
       for {
-        (n1, s1) <- plainCol(meta, g.children()(0))
-        (n2, s2) <- plainCol(meta, g.children()(1))
-        if n1 == n2 && s1 == s2
-      } yield (n1, s1, true)
-    case _ => plainCol(meta, e).map { case (n, s) => (n, s, false) }
+        (n1, g1) <- plainCol(meta, g.children()(0))
+        (n2, g2) <- plainCol(meta, g.children()(1))
+        if n1 == n2 && g1 == g2
+      } yield (n1, g1, true)
+    case _ => plainCol(meta, e).map { case (n, g) => (n, g, false) }
   }
 
-  /** A plain column reference or its NaN-skip-guarded form. */
+  /** A plain column reference or its NaN-skip-guarded form
+    * (guard column, possibly ≠ value column). */
   private def plainCol(meta: ZarrGroupMeta,
-                       e: VExpr): Option[(String, Boolean)] = e match {
+                       e: VExpr): Option[(String, Option[String])] = e match {
     case fr: NamedReference if colOf(meta, fr).isDefined =>
-      colOf(meta, fr).map(_ -> false)
+      colOf(meta, fr).map(_ -> None)
     case g: GeneralScalarExpression
         if g.name == "CASE_WHEN" && g.children().length == 2 =>
       (g.children()(0), g.children()(1)) match {
@@ -304,10 +316,9 @@ object ZarrVarAggScan {
               case fr: NamedReference => colOf(meta, fr)
               case _ => None
             }
-            if guarded == name
             lim <- litNum(cond.children()(1))
             if lim == Double.PositiveInfinity
-          } yield name -> true
+          } yield name -> Some(guarded)
         case _ => None
       }
     case _ => None
@@ -619,9 +630,12 @@ object ZarrGroupKey {
 /** One pushed aggregate: op code + the aggregated column's index in the
   * inner scan's output (−1 for count(*)) + whether the column carried
   * the NaN-skip guard + whether it is the column's SQUARE (`v * v`,
-  * the second-moment partial behind stddev/var). */
+  * the second-moment partial behind stddev/var) + the GUARD column's
+  * index (== colIdx for the self-guarded form; a different column for
+  * `min(CASE WHEN v <= +Inf THEN t END)` — the first-valid-time
+  * partial). */
 final case class ZarrAggSpec(op: Int, colIdx: Int, skipNaN: Boolean = false,
-                             squared: Boolean = false)
+                             squared: Boolean = false, guardIdx: Int = -1)
 
 object ZarrAggSpec {
   val CountStar = 0
@@ -727,28 +741,29 @@ final class ZarrVarAggReader(shared: ZarrScan.SharedScanState,
             case ZarrAggSpec.CountStar =>
               st.counts(i) += 1L // cells are never null
             case ZarrAggSpec.Count =>
-              // count(v*v) == count(v): null iff the guarded base is NaN
-              if (!s.skipNaN || !cur.colValue(s.colIdx).isNaN)
+              // count(CASE WHEN g <= +Inf THEN v END): null iff the
+              // GUARD column is NaN (the value rides through even as NaN)
+              if (!s.skipNaN || !cur.colValue(s.guardIdx).isNaN)
                 st.counts(i) += 1L
             case ZarrAggSpec.Min =>
-              val raw = cur.colValue(s.colIdx)
-              if (!s.skipNaN || !raw.isNaN) {
+              if (!s.skipNaN || !cur.colValue(s.guardIdx).isNaN) {
+                val raw = cur.colValue(s.colIdx)
                 val v = if (s.squared) raw * raw else raw
                 if (!st.has(i) || java.lang.Double.compare(v, st.doubles(i)) < 0)
                   st.doubles(i) = v
                 st.has(i) = true
               }
             case ZarrAggSpec.Max =>
-              val raw = cur.colValue(s.colIdx)
-              if (!s.skipNaN || !raw.isNaN) {
+              if (!s.skipNaN || !cur.colValue(s.guardIdx).isNaN) {
+                val raw = cur.colValue(s.colIdx)
                 val v = if (s.squared) raw * raw else raw
                 if (!st.has(i) || java.lang.Double.compare(v, st.doubles(i)) > 0)
                   st.doubles(i) = v
                 st.has(i) = true
               }
             case ZarrAggSpec.Sum =>
-              val raw = cur.colValue(s.colIdx)
-              if (!s.skipNaN || !raw.isNaN) {
+              if (!s.skipNaN || !cur.colValue(s.guardIdx).isNaN) {
+                val raw = cur.colValue(s.colIdx)
                 st.doubles(i) += (if (s.squared) raw * raw else raw)
                 st.has(i) = true
               }
