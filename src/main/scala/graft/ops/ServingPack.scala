@@ -151,6 +151,41 @@ object ServingPack extends QueryPack {
     group
   }
 
+  /** [[zarrAggPushFixture]]'s cell formula plus a spatially-monotone
+    * second variable `m = k/64` (k the row-major cell ordinal), ANALYZEd
+    * into a `_graft_stats.json` sidecar — the fixture behind the
+    * zone-map / masked-statistics / argmax gates. `m`'s per-chunk value
+    * ranges are disjoint, so a selective value predicate on it prunes to
+    * a handful of chunks; `v` cycles everywhere, so aggregates on it
+    * exercise the mixed decode path. */
+  private def zarrStatsFixture(s: SparkSession, d: String): String = {
+    val base =
+      s"/root/repo/.graft-fixtures/zarrstats_${new java.io.File(d).getName}"
+    val group = s"$base/cube.zarr"
+    Fixtures.ensureWritten(base,
+      "t=4,grid=100x360,chunks=1x50x90,dyadic64+monotone,analyzed") {
+      new java.io.File(base).mkdirs()
+      val cells = s.range(4L * 100 * 360).select(
+        col("id"),
+        (col("id") / (100L * 360)).cast("long").as("ti"),
+        ((col("id") / 360) % 100).cast("long").as("j"),
+        (col("id") % 360).cast("long").as("i"))
+        .select(col("ti").cast("double").as("t"),
+          (col("j") + 0.5).cast("double").as("y"),
+          (col("i") + 0.5).cast("double").as("x"),
+          (((col("j") * 360 + col("i") + col("ti") * 7) % 4096) / 64.0).as("v"),
+          (col("id") / 64.0).as("m"))
+      ZarrSource.writeCubeVars(cells, group, Seq("v", "m"),
+        Seq("t" -> Array.tabulate(4)(_.toDouble),
+          "y" -> Array.tabulate(100)(_ + 0.5),
+          "x" -> Array.tabulate(360)(_ + 0.5)),
+        chunks = Seq(1, 50, 90))
+      graft.sources.zarr.ChunkStats.analyze(s, group)
+      ()
+    }
+    group
+  }
+
   /** Build (once per sf) the 2-D cell-mean field of the events cube as a
     * zarr group — the lookup target of q_points_dsv2 (same cell means the
     * parquet-path q_points_extract joins against; eventless cells are
@@ -1193,6 +1228,98 @@ object ServingPack extends QueryPack {
         cube, 120, Seq("v"))
       out.select(col("t").cast("long").as("t"), col("block_j"),
         col("block_i"), col("v_first"))
+    }),
+
+    // VALUE-predicate chunk pruning through the ANALYZE sidecar — the
+    // zone maps parquet row groups get for free, for cube stores: WHERE
+    // m > 2200 over the analyzed group plans ONLY the chunks whose
+    // per-chunk [min,max] can reach it (m is spatially monotone, so the
+    // trailing 2 of 32 chunks). On a 10^7-chunk archive a selective
+    // value filter reads its answer's chunks, not the archive
+    // (ChunkStatsSpec proves the elision by corrupting pruned chunks).
+    "q_zarr_value_prune" -> ((s, d) => {
+      val group = zarrStatsFixture(s, d)
+      s.read.format("zarr").load(group)
+        .filter(col("m") > 2200.0)
+        .select(col("t").cast("long").as("t"), col("y"), col("x"),
+          col("v"), col("m"))
+    }),
+
+    // MASKED statistics — the compute_statistics valid-range shape: the
+    // value mask is a CONSUMED predicate (the cursor re-evaluates it per
+    // decoded cell), so the aggregate still pushes below the scan and
+    // folds per chunk; the sidecar prunes chunks the mask provably
+    // excludes. Mask on m, aggregate v: the scan decodes both, outputs
+    // one.
+    "q_zarr_masked_stats" -> ((s, d) => {
+      val group = zarrStatsFixture(s, d)
+      s.read.format("zarr").load(group)
+        .filter(col("m") > 500.0 && col("m") <= 1500.0)
+        .groupBy(col("t"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sum_v"),
+          min(col("v")).as("min_v"), max(col("v")).as("max_v"))
+        .select(col("t").cast("long").as("t"), col("n"), col("sum_v"),
+          col("min_v"), col("max_v"))
+    }),
+
+    // compute_statistics answered from the sidecar alone: every chunk is
+    // fully selected with derivable moments, so the partial rows are
+    // planning-time stat rows — ZERO chunk IO (ChunkStatsSpec corrupts
+    // every chunk to prove it); this gate pins the ANALYZE arithmetic
+    // against DuckDB.
+    "q_zarr_stats_meta" -> ((s, d) => {
+      val group = zarrStatsFixture(s, d)
+      graft.operators.StatsOps.statisticsFold(
+        s.read.format("zarr").load(group), "v")
+    }),
+
+    // resample argmax FROM the connector, two-phase: the per-bucket
+    // extreme folds per chunk, then a `v IN (extremes)` gather — a
+    // consumed value predicate the sidecar prunes on — finishes with the
+    // exact (value, time)-struct argmax; ties break to the LATEST time,
+    // deterministically (reference resample method argmax,
+    // cli/resample.py:18-41).
+    "q_zarr_argmax" -> ((s, d) => {
+      val group = zarrStatsFixture(s, d)
+      graft.operators.TemporalOps.resampleArgFold(
+        s.read.format("zarr").load(group), "t", 2678400.0, "1Q", "v",
+        argmax = true, extraKeys = Seq("y"))
+    }),
+
+    // resample FIRST from the connector: the first-valid-time partial
+    // (min of the cross-guarded time) folds per chunk, then only those
+    // time slices are gathered back (dim In filter -> chunk pruning) —
+    // O(buckets) exchange, O(selected slices) IO.
+    "q_zarr_first" -> ((s, d) => {
+      val group = zarrStatsFixture(s, d)
+      graft.operators.TemporalOps.resampleFirstLastFold(
+        s.read.format("zarr").load(group), "t", 2678400.0, "1Q",
+        Seq("v"), last = false, extraKeys = Seq("y", "x"))
+    }),
+
+    // resample std/var from the connector: the sample moments ship as
+    // NaN-guarded count/sum/sum-of-squares partials (Spark only
+    // partial-pushes Min/Max/Sum/Count) and the moment math finishes
+    // above the scan — every finishing op (+, −, ×, ÷, sqrt) is IEEE
+    // correctly-rounded in both engines over the same exact dyadic sums.
+    "q_zarr_resample_std" -> ((s, d) => {
+      val group = zarrStatsFixture(s, d)
+      graft.operators.TemporalOps.resampleInTimeNumeric(
+          s.read.format("zarr").load(group), "t", 2678400.0, "1M",
+          Seq("v" -> "std", "v" -> "var", "v" -> "mean", "v" -> "count"))
+        .select(col("t"), round(col("v_std"), 6).as("v_std"),
+          round(col("v_var"), 6).as("v_var"),
+          round(col("v_mean"), 6).as("v_mean"), col("v_count"))
+    }),
+
+    // resample any/all from the connector: truthiness ships as min/max
+    // of the guarded SQUARE (v ≠ 0 ⇔ v·v > 0 — the only all/any form
+    // the DSv2 aggregate surface can fold), finished above the scan.
+    "q_zarr_anyall" -> ((s, d) => {
+      val group = zarrStatsFixture(s, d)
+      graft.operators.TemporalOps.resampleInTimeNumeric(
+        s.read.format("zarr").load(group), "t", 2678400.0, "1Q",
+        Seq("v" -> "any", "v" -> "all"), extraKeys = Seq("y"))
     }),
 
     // interval-set pushdown through the connector: In on t prunes per
@@ -2531,6 +2658,78 @@ object ServingPack extends QueryPack {
                         + (k // 36000) * 7) % 4096 / 64.0 AS v
                FROM range(0, 144000) r(k))
          GROUP BY g""",
+    "q_zarr_value_prune" ->
+      """SELECT (k // 36000)::BIGINT AS t,
+                ((k // 360) % 100) + 0.5 AS y, (k % 360) + 0.5 AS x,
+                (((k // 360) % 100) * 360 + (k % 360)
+                  + (k // 36000) * 7) % 4096 / 64.0 AS v,
+                k / 64.0 AS m
+         FROM range(0, 144000) r(k)
+         WHERE k / 64.0 > 2200.0""",
+    "q_zarr_masked_stats" ->
+      """SELECT (k // 36000)::BIGINT AS t, count(*) AS n,
+                sum((((k // 360) % 100) * 360 + (k % 360)
+                  + (k // 36000) * 7) % 4096 / 64.0) AS sum_v,
+                min((((k // 360) % 100) * 360 + (k % 360)
+                  + (k // 36000) * 7) % 4096 / 64.0) AS min_v,
+                max((((k // 360) % 100) * 360 + (k % 360)
+                  + (k // 36000) * 7) % 4096 / 64.0) AS max_v
+         FROM range(0, 144000) r(k)
+         WHERE k / 64.0 > 500.0 AND k / 64.0 <= 1500.0
+         GROUP BY 1""",
+    "q_zarr_stats_meta" ->
+      """WITH c AS (SELECT (((k // 360) % 100) * 360 + (k % 360)
+                             + (k // 36000) * 7) % 4096 / 64.0 AS v
+                    FROM range(0, 144000) r(k)),
+            m AS (SELECT count(*) AS n, sum(v) AS s1, sum(v * v) AS s2,
+                         min(v) AS min_v, max(v) AS max_v FROM c)
+         SELECT n, min_v AS v_min, max_v AS v_max,
+                round(s1 / n, 6) AS v_mean,
+                round(sqrt((s2 - s1 * s1 / n) / (n - 1)), 6) AS v_std
+         FROM m""",
+    "q_zarr_argmax" ->
+      """WITH c AS (SELECT k // 36000 AS g,
+                           ((k // 360) % 100) + 0.5 AS y,
+                           (((k // 360) % 100) * 360 + (k % 360)
+                             + (k // 36000) * 7) % 4096 / 64.0 AS v
+                    FROM range(0, 144000) r(k)),
+            r AS (SELECT CASE WHEN g <= 2 THEN 1 ELSE 4 END AS qm, y, g, v,
+                         row_number() OVER (
+                           PARTITION BY CASE WHEN g <= 2 THEN 1 ELSE 4 END, y
+                           ORDER BY v DESC, g DESC) AS rn
+                  FROM c)
+         SELECT make_timestamp(1970, qm, 1, 0, 0, 0) AS t, y,
+                g::DOUBLE AS v_argmax
+         FROM r WHERE rn = 1""",
+    "q_zarr_first" ->
+      """SELECT make_timestamp(1970, CASE WHEN k // 36000 <= 2 THEN 1
+                                          ELSE 4 END, 1, 0, 0, 0) AS t,
+                ((k // 360) % 100) + 0.5 AS y, (k % 360) + 0.5 AS x,
+                (((k // 360) % 100) * 360 + (k % 360)
+                  + (k // 36000) * 7) % 4096 / 64.0 AS v_first
+         FROM range(0, 144000) r(k)
+         WHERE k // 36000 = 0 OR k // 36000 = 3""",
+    "q_zarr_resample_std" ->
+      """WITH c AS (SELECT k // 36000 AS g,
+                           (((k // 360) % 100) * 360 + (k % 360)
+                             + (k // 36000) * 7) % 4096 / 64.0 AS v
+                    FROM range(0, 144000) r(k)),
+            mo AS (SELECT g, count(*) AS n, sum(v) AS s1, sum(v * v) AS s2
+                   FROM c GROUP BY g)
+         SELECT make_timestamp(1970, (g + 1)::BIGINT, 1, 0, 0, 0) AS t,
+                round(sqrt((s2 - s1 * s1 / n) / (n - 1)), 6) AS v_std,
+                round((s2 - s1 * s1 / n) / (n - 1), 6) AS v_var,
+                round(s1 / n, 6) AS v_mean, n AS v_count
+         FROM mo""",
+    "q_zarr_anyall" ->
+      """SELECT make_timestamp(1970, CASE WHEN g <= 2 THEN 1 ELSE 4 END,
+                               1, 0, 0, 0) AS t,
+                y, bool_or(v <> 0) AS v_any, bool_and(v <> 0) AS v_all
+         FROM (SELECT k // 36000 AS g, ((k // 360) % 100) + 0.5 AS y,
+                      (((k // 360) % 100) * 360 + (k % 360)
+                        + (k // 36000) * 7) % 4096 / 64.0 AS v
+               FROM range(0, 144000) r(k))
+         GROUP BY 1, 2""",
     "q_points_dsv2" ->
       """WITH cells AS (
            SELECT floor(CAST(event_id % 360 AS DOUBLE) + 0.5)::BIGINT AS i,
