@@ -5,12 +5,12 @@ import graft.sources.ZarrSource.ZarrArray
 import org.apache.spark.sql.SparkSession
 
 /** Per-chunk value statistics for a cube group — the zone maps parquet
-  * row groups get for free, persisted as a `_graft_stats.json` sidecar
-  * beside the group: for every data variable and every chunk key, the
-  * moments `(cells, nanCount, min, max, sum, sumOfSquares)` over the
-  * chunk's in-bounds decoded cells (min/max/sum/sumsq over the non-NaN
-  * cells only — every Spark aggregate form over the cell values, plain,
-  * NaN-guarded, or squared, derives from these exactly).
+  * row groups get for free, persisted as a sidecar beside the group: for
+  * every data variable and every chunk key, the moments `(cells,
+  * nanCount, min, max, sum, sumOfSquares)` over the chunk's in-bounds
+  * decoded cells (min/max/sum/sumsq over the non-NaN cells only — every
+  * Spark aggregate form over the cell values, plain, NaN-guarded, or
+  * squared, derives from these exactly).
   *
   * Two scan-engine consumers:
   *
@@ -34,18 +34,29 @@ import org.apache.spark.sql.SparkSession
   * to the fold it replaces. Doubles are stored as raw IEEE-754 bits
   * (JSON has no NaN/±Inf literals; bits round-trip exactly).
   *
+  * Two storage forms behind one `_graft_stats.json` discovery document:
+  * the default inlines the moments in the document itself (driver-sized,
+  * right for groups up to ~10^5 chunks), while `format = "parquet"`
+  * writes them straight from the scan tasks to a DISTRIBUTED
+  * `_graft_stats.parquet` side table — nothing chunk-count-sized ever
+  * lands on the driver, and each query bulk-fetches only ITS candidate
+  * chunks' rows (broadcast-joined on chunk key, the archive-index
+  * pattern) — the form for 10^7-chunk archives.
+  *
   * Staleness contract: the sidecar records the grid's shape + chunk
   * extents and is ignored on any mismatch, which self-invalidates every
   * shape-changing mutation (append, DELETE truncation, rechunk/unchunk).
   * The one same-shape mutation — a writer overwriting chunk objects of
-  * an existing identical grid — deletes the sidecar first
-  * ([[invalidate]] from the writers). Reference analog: xarray/dask keep
+  * an existing identical grid — deletes the discovery document first
+  * ([[invalidate]] from the writers), which orphans (and thereby
+  * disables) any parquet side table. Reference analog: xarray/dask keep
   * no such statistics and re-read chunks for every reduction; this is
   * the Spark-native ANALYZE TABLE for cube stores.
   */
 object ChunkStats {
 
   val FileName = "_graft_stats.json"
+  val ParquetName = "_graft_stats.parquet"
 
   /** One variable's moments over one chunk's in-bounds cells. min/max/
     * sum/sumsq cover the NON-NaN cells ([[java.lang.Double.compare]]
@@ -55,8 +66,55 @@ object ChunkStats {
     def finite: Long = cells - nan
   }
 
-  /** Loaded sidecar: variable → chunk key ("i.j.k", dot-joined) → stat. */
-  final case class Loaded(vars: Map[String, Map[String, VarStat]])
+  /** A loaded sidecar: bulk-resolve the moments of (variables × chunk
+    * keys); pairs the sidecar has no row for are simply absent (the
+    * consumers treat absence as "must read the chunk"). */
+  sealed trait Loaded {
+    def bulk(vars: Seq[String], keys: Seq[String])
+        : Map[(String, String), VarStat]
+  }
+
+  /** Document-inlined moments, fully resident (the json form). */
+  final case class EagerStats(vars: Map[String, Map[String, VarStat]])
+      extends Loaded {
+    override def bulk(vs: Seq[String], keys: Seq[String])
+        : Map[(String, String), VarStat] = {
+      val b = Map.newBuilder[(String, String), VarStat]
+      vs.foreach { v =>
+        vars.get(v).foreach { m =>
+          keys.foreach { k => m.get(k).foreach(st => b += ((v, k) -> st)) }
+        }
+      }
+      b.result()
+    }
+  }
+
+  /** Moments in a distributed parquet side table: resolution is one
+    * broadcast join of the candidate keys against it — driver memory is
+    * O(candidates × vars), never O(archive). */
+  final case class ParquetStats(path: String) extends Loaded {
+    override def bulk(vs: Seq[String], keys: Seq[String])
+        : Map[(String, String), VarStat] = {
+      if (vs.isEmpty || keys.isEmpty) return Map.empty
+      val spark = SparkSession.active
+      import org.apache.spark.sql.functions.{broadcast, col}
+      import spark.implicits._
+      spark.read.parquet(path)
+        .filter(col("var").isin(vs: _*))
+        .join(broadcast(keys.distinct.toDF("k")), col("key") === col("k"))
+        .select("var", "key", "cells", "nan", "minBits", "maxBits",
+          "sumBits", "sumsqBits")
+        .collect()
+        .map { r =>
+          (r.getString(0), r.getString(1)) -> VarStat(
+            r.getLong(2), r.getLong(3),
+            java.lang.Double.longBitsToDouble(r.getLong(4)),
+            java.lang.Double.longBitsToDouble(r.getLong(5)),
+            java.lang.Double.longBitsToDouble(r.getLong(6)),
+            java.lang.Double.longBitsToDouble(r.getLong(7)))
+        }.toMap
+    }
+  }
 
   private def mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
@@ -69,6 +127,8 @@ object ChunkStats {
         jsonInts(doc.path("shape")) == za.shape &&
         jsonInts(doc.path("chunks")) == za.chunks
       if (!okShape) None
+      else if (doc.path("storage").asText("inline") == "parquet")
+        Some(ParquetStats(s"$dir/$ParquetName"))
       else {
         val vars = scala.collection.mutable.LinkedHashMap
           .empty[String, Map[String, VarStat]]
@@ -86,7 +146,7 @@ object ChunkStats {
           }
           vars(v) = m.toMap
         }
-        Some(Loaded(vars.toMap))
+        Some(EagerStats(vars.toMap))
       }
     }
 
@@ -97,7 +157,8 @@ object ChunkStats {
   }
 
   /** Best-effort sidecar delete — writers that overwrite chunk objects of
-    * an existing same-shape grid call this first. */
+    * an existing same-shape grid call this first. Deleting the discovery
+    * document disables any parquet side table too. */
   def invalidate(groupDir: String): Unit = {
     val bs = ByteStore.current
     val p = s"$groupDir/$FileName"
@@ -107,15 +168,19 @@ object ChunkStats {
   /** ANALYZE: compute the sidecar for an existing group in one
     * distributed pass — one task per planned chunk pack, per-chunk
     * moments folded inside the task in the partial-aggregate reader's
-    * cell order, only the O(chunks × vars) moment rows collected (the
-    * payload never moves). Writes `_graft_stats.json` into `outDir`
-    * (default: the group itself; point it elsewhere for read-only
-    * stores) and returns its path. Re-running replaces the sidecar. */
+    * cell order. `format = "json"` (default) collects the O(chunks ×
+    * vars) moment rows and inlines them in the discovery document;
+    * `format = "parquet"` writes them straight from the tasks to the
+    * distributed side table (nothing chunk-count-sized on the driver).
+    * Writes into `outDir` (default: the group itself; point it elsewhere
+    * for read-only stores) and returns the document path. Re-running
+    * replaces the sidecar. */
   def analyze(spark: SparkSession, groupDir: String,
               outDir: Option[String] = None,
-              vars: Option[Seq[String]] = None): String = {
+              vars: Option[Seq[String]] = None,
+              format: String = "json"): String = {
     val meta = ZarrTable.open(groupDir, vars)
-    analyzeMeta(spark, meta, outDir.getOrElse(groupDir))
+    analyzeMeta(spark, meta, outDir.getOrElse(groupDir), format)
   }
 
   /** [[analyze]] for an archive directory opened through its persisted
@@ -124,67 +189,85 @@ object ChunkStats {
   def analyzeArchive(spark: SparkSession, dir: String,
                      concatDim: String = "time",
                      indexDir: Option[String] = None,
-                     indexFormat: String = "json"): String = {
+                     indexFormat: String = "json",
+                     format: String = "json"): String = {
     val meta = ZarrTable.openArchive(dir, concatDim, indexDir, indexFormat)
-    analyzeMeta(spark, meta, indexDir.getOrElse(dir))
+    analyzeMeta(spark, meta, indexDir.getOrElse(dir), format)
   }
 
   private[zarr] def analyzeMeta(spark: SparkSession, meta: ZarrGroupMeta,
-                                outDir: String): String = {
+                                outDir: String,
+                                format: String = "json"): String = {
+    require(format == "json" || format == "parquet",
+      s"stats format must be json or parquet, got $format")
     val required = ZarrTable.schemaFor(meta)
     val shared = ZarrScan.sharedState(meta, required, Array.empty, None)
     val parts = ZarrScan.plannedPartitions(meta, Array.empty, Array.empty,
       required, dim0Range = None)
     val nd = meta.za.dims.length
     val nv = meta.dataVars.length
-    val rows: Array[(String, Array[Array[Double]], Array[Long], Array[Long])] =
-      spark.sparkContext
-        .parallelize(parts.toSeq, math.max(1, parts.length))
-        .flatMap { part =>
-          val chunks = part match {
-            case pk: ZarrPackedPartition => pk.chunks
-            case single: ZarrInputPartition => Seq(single)
-            case other => throw new IllegalStateException(s"$other")
-          }
-          chunks.map { cp =>
-            val cur = new ChunkCursor(shared, cp, None)
-            val cells = new Array[Long](nv)
-            val nan = new Array[Long](nv)
-            // [min, max, sum, sumsq] per var, NaN extremes until seen
-            val mom = Array.fill(nv)(
-              Array(Double.NaN, Double.NaN, 0.0, 0.0))
-            while (cur.advance()) {
-              var v = 0
-              while (v < nv) {
-                val x = cur.colValue(nd + v)
-                cells(v) += 1L
-                if (x.isNaN) nan(v) += 1L
-                else {
-                  val m = mom(v)
-                  if (cells(v) - nan(v) == 1L ||
-                    java.lang.Double.compare(x, m(0)) < 0) m(0) = x
-                  if (cells(v) - nan(v) == 1L ||
-                    java.lang.Double.compare(x, m(1)) > 0) m(1) = x
-                  m(2) += x
-                  m(3) += x * x
-                }
-                v += 1
+    val varNames = meta.dataVars.toIndexedSeq
+    // one row per (chunk, variable): (var, key, cells, nan, 4 bit-moments)
+    val rows = spark.sparkContext
+      .parallelize(parts.toSeq, math.max(1, parts.length))
+      .flatMap { part =>
+        val chunks = part match {
+          case pk: ZarrPackedPartition => pk.chunks
+          case single: ZarrInputPartition => Seq(single)
+          case other => throw new IllegalStateException(s"$other")
+        }
+        chunks.flatMap { cp =>
+          val cur = new ChunkCursor(shared, cp, None)
+          val cells = new Array[Long](nv)
+          val nan = new Array[Long](nv)
+          // [min, max, sum, sumsq] per var, NaN extremes until seen
+          val mom = Array.fill(nv)(Array(Double.NaN, Double.NaN, 0.0, 0.0))
+          while (cur.advance()) {
+            var v = 0
+            while (v < nv) {
+              val x = cur.colValue(nd + v)
+              cells(v) += 1L
+              if (x.isNaN) nan(v) += 1L
+              else {
+                val m = mom(v)
+                if (cells(v) - nan(v) == 1L ||
+                  java.lang.Double.compare(x, m(0)) < 0) m(0) = x
+                if (cells(v) - nan(v) == 1L ||
+                  java.lang.Double.compare(x, m(1)) > 0) m(1) = x
+                m(2) += x
+                m(3) += x * x
               }
+              v += 1
             }
-            (cp.key.mkString("."), mom, cells, nan)
           }
-        }.collect()
+          val key = cp.key.mkString(".")
+          varNames.indices.map { i =>
+            (varNames(i), key, cells(i), nan(i),
+              java.lang.Double.doubleToRawLongBits(mom(i)(0)),
+              java.lang.Double.doubleToRawLongBits(mom(i)(1)),
+              java.lang.Double.doubleToRawLongBits(mom(i)(2)),
+              java.lang.Double.doubleToRawLongBits(mom(i)(3)))
+          }
+        }
+      }
     val root = mapper.createObjectNode()
     root.put("graft_stats_format", 1)
     val sh = root.putArray("shape"); meta.za.shape.foreach(sh.add)
     val ch = root.putArray("chunks"); meta.za.chunks.foreach(ch.add)
-    val vn = root.putObject("vars")
-    val perVar = meta.dataVars.map(v => v -> vn.putObject(v))
-    rows.foreach { case (key, mom, cells, nan) =>
-      perVar.zipWithIndex.foreach { case ((_, node), i) =>
-        val a = node.putArray(key)
-        a.add(cells(i)); a.add(nan(i))
-        mom(i).foreach(d => a.add(java.lang.Double.doubleToRawLongBits(d)))
+    if (format == "parquet") {
+      root.put("storage", "parquet")
+      import spark.implicits._
+      rows.toDF("var", "key", "cells", "nan", "minBits", "maxBits",
+          "sumBits", "sumsqBits")
+        .write.mode("overwrite").parquet(s"$outDir/$ParquetName")
+    } else {
+      val vn = root.putObject("vars")
+      val perVar = meta.dataVars.map(v => v -> vn.putObject(v)).toMap
+      rows.collect().foreach {
+        case (v, key, cells, nan, mn, mx, s1, s2) =>
+          val a = perVar(v).putArray(key)
+          a.add(cells); a.add(nan); a.add(mn); a.add(mx); a.add(s1); a.add(s2)
+          ()
       }
     }
     val path = s"$outDir/$FileName"

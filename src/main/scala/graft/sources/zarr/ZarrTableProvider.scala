@@ -1402,22 +1402,26 @@ object ZarrScan {
     // free sidecar only elides reads, never changes results. (limit/topN
     // never coexist with variable constraints — the builder declines
     // them — so the cell-count accounting below stays exact.)
-    val pruners: Seq[(Map[String, ChunkStats.VarStat], Array[Double])] =
-      meta.stats match {
-        case Some(st) => varIvsOf(meta, consumed).flatMap { case (nm, ivs) =>
-          st.vars.get(nm).map(m =>
-            (m, ivs.flatMap(iv => Seq(iv._1, iv._2)).toArray))
+    val varIvs = varIvsOf(meta, consumed)
+    val admittedKeys: Iterator[Seq[Int]] = (meta.stats, varIvs.nonEmpty) match {
+      case (Some(st), true) =>
+        // candidate keys materialize here (they do below anyway) and the
+        // sidecar is bulk-resolved for exactly them — with the parquet
+        // side table that is one broadcast join, O(candidates) driver
+        // memory, never O(archive)
+        val candidates = allKeys.toVector
+        val keyStrs = candidates.map(_.mkString("."))
+        val packs = varIvs.map { case (nm, ivs) =>
+          (nm, ivs.flatMap(iv => Seq(iv._1, iv._2)).toArray)
         }
-        case None => Nil
-      }
-    val admittedKeys =
-      if (pruners.isEmpty) allKeys
-      else allKeys.filter { key =>
-        val ks = key.mkString(".")
-        pruners.forall { case (m, packed) =>
-          m.get(ks).forall(ChunkStats.admits(_, packed))
+        val statMap = st.bulk(packs.map(_._1), keyStrs)
+        candidates.iterator.zip(keyStrs.iterator).collect {
+          case (key, ks) if packs.forall { case (nm, packed) =>
+            statMap.get((nm, ks)).forall(ChunkStats.admits(_, packed))
+          } => key
         }
-      }
+      case _ => allKeys
+    }
     // pushed LIMIT: keep only enough chunks to cover it; a pushed TOP-N
     // additionally cuts only at slab boundaries, so every kept row sorts
     // at-or-before every dropped row on the first sort key (the slab

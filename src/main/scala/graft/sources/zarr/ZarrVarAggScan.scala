@@ -132,10 +132,19 @@ final case class ZarrVarAggScan(meta: ZarrGroupMeta, consumed: Array[Filter],
     // sidecar cannot answer exactly fold in the reader as before.
     val (statRows, readParts) = meta.stats match {
       case Some(st) =>
+        // bulk-resolve the needed (variable, chunk) moments once — with
+        // the parquet side table that is one broadcast join over exactly
+        // this scan's chunk keys
+        val neededVars = (specs.collect {
+          case sp if sp.colIdx >= 0 => names(sp.colIdx)
+        } ++ groupKeys.filter(_.isVar).map(_.dim) ++
+          shared.varIvs.map(_._1)).distinct.filter(meta.dataVars.contains)
+        val statMap = st.bulk(neededVars,
+          chunkParts.map(_.key.mkString(".")))
         val rows = Seq.newBuilder[Seq[Any]]
         val reads = Seq.newBuilder[ZarrInputPartition]
         chunkParts.foreach { cp =>
-          statRowFor(cp, st, shared, specs, names) match {
+          statRowFor(cp, statMap, shared, specs, names) match {
             case Some(r) => rows += r
             case None => reads += cp
           }
@@ -160,7 +169,8 @@ final case class ZarrVarAggScan(meta: ZarrGroupMeta, consumed: Array[Filter],
     * moments. The derived values replay the fold bit-for-bit: the
     * sidecar's sums were folded in the same cell order by [[ChunkStats
     * .analyze]], and min/max use the same compare ordering. */
-  private def statRowFor(cp: ZarrInputPartition, st: ChunkStats.Loaded,
+  private def statRowFor(cp: ZarrInputPartition,
+                         statMap: Map[(String, String), ChunkStats.VarStat],
                          shared: ZarrScan.SharedScanState,
                          specs: Seq[ZarrAggSpec], names: Seq[String])
       : Option[Seq[Any]] = {
@@ -176,7 +186,7 @@ final case class ZarrVarAggScan(meta: ZarrGroupMeta, consumed: Array[Filter],
     })
     if (!fullDims) return None
     def statOf(v: String): Option[ChunkStats.VarStat] =
-      st.vars.get(v).flatMap(_.get(keyStr))
+      statMap.get((v, keyStr))
     val cells = slices.map(_.length.toLong).product
     val varsOk = shared.varIvs.forall { case (nm, packed) =>
       statOf(nm).exists(s => s.cells == cells &&

@@ -151,6 +151,29 @@ class ChunkStatsSpec extends AnyFunSuite {
     assert(got2 === exp2)
   }
 
+  test("parquet stats form: distributed side table, same pruning and stat rows") {
+    val g = writeFixture()
+    ChunkStats.analyze(spark, g, format = "parquet")
+    assert(new java.io.File(s"$g/${ChunkStats.ParquetName}").isDirectory)
+    val ds = spark.read.format("zarr").load(g)
+    // pruning resolves through a broadcast join against the side table
+    assert(scanOf(ds.filter(col("v") > 2300.0)).inputRDD.getNumPartitions === 2)
+    // zero-IO stat rows resolve the same way: corrupt everything, the
+    // guarded statistics still answer
+    val truth = graft.operators.StatsOps.statisticsFold(
+      ZarrSource.readCubeVars(spark, g, Seq("v", "w", "c")), "w")
+      .collect().head
+    Seq("v", "w", "c").foreach(corrupt(g, _))
+    val q = graft.operators.StatsOps.statisticsFold(
+      spark.read.format("zarr").load(g), "w")
+    assert(scanOf(q).inputRDD.getNumPartitions === 1)
+    assert(q.collect().head.toSeq === truth.toSeq)
+    // a stale discovery doc disables the side table too: append-shaped
+    // shape change is caught by the shape check
+    ZarrSource.truncateDim0(g, 2)
+    assert(!new java.io.File(s"$g/${ChunkStats.FileName}").exists())
+  }
+
   test("mutations invalidate or stale the sidecar — never serve wrong stats") {
     import spark.implicits._
     val t = Array(0.0, 1.0, 2.0)
