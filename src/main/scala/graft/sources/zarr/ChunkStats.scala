@@ -187,7 +187,7 @@ object ChunkStats {
     * index: the sidecar lands beside the index (the archive itself may be
     * read-only), where [[ZarrTable.openArchive]] looks for it. */
   def analyzeArchive(spark: SparkSession, dir: String,
-                     concatDim: String = "time",
+                     concatDim: String = "t",
                      indexDir: Option[String] = None,
                      indexFormat: String = "json",
                      format: String = "json"): String = {

@@ -151,6 +151,31 @@ class ChunkStatsSpec extends AnyFunSuite {
     assert(got2 === exp2)
   }
 
+  test("archive ANALYZE: sidecar beside the index prunes and answers granules") {
+    import graft.sources.NetcdfSource
+    import graft.sources.NetcdfSource.NcDim
+    val dir = tmpDir("arcstats")
+    val x = Array(0.0, 1.0, 2.0)
+    def writeGranule(g: Int): Unit =
+      NetcdfSource.write(s"$dir/g$g.nc", Seq(NcDim("x", 3)), Seq(("x", x)),
+        Seq(("v", Seq("x"), Array.tabulate(3)(i => g * 10.0 + i))))
+    (0 until 4).foreach(writeGranule)
+    ChunkStats.analyzeArchive(spark, dir) // builds the index too
+    val ds = spark.read.format("kerchunk").load(dir)
+    // v > 25 lives only in granule 3's chunk: 1 of 4 plans
+    val q = ds.filter(col("v") > 25.0)
+    assert(scanOf(q).inputRDD.getNumPartitions === 1)
+    val r = q.agg(sum(col("v")), count(lit(1))).head
+    assert(r.getDouble(0) === 93.0 && r.getLong(1) === 3L)
+    // global guarded statistics answer from stat rows: the only input
+    // partition is the planning-time stat-row partition
+    val st = graft.operators.StatsOps.statisticsFold(ds, "v")
+    assert(scanOf(st).inputRDD.getNumPartitions === 1)
+    val row = st.collect().head
+    assert(row.getLong(0) === 12L)
+    assert(row.getDouble(1) === 0.0 && row.getDouble(2) === 32.0)
+  }
+
   test("parquet stats form: distributed side table, same pruning and stat rows") {
     val g = writeFixture()
     ChunkStats.analyze(spark, g, format = "parquet")
