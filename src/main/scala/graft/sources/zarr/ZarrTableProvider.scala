@@ -1510,6 +1510,23 @@ object ZarrScan {
     out.toArray
   }
 
+  /** Is every in-bounds cell of this chunk selected by the scan's
+    * consumed DIM rectangle? (The stat-row and zone-map-top-n planners
+    * need "nothing in this chunk is filtered away by dim predicates".) */
+  private[zarr] def chunkFullySelected(meta: ZarrGroupMeta,
+                                       shared: SharedScanState,
+                                       cp: ZarrInputPartition): Boolean =
+    shared.cellIvs.forall { bs =>
+      meta.za.dims.indices.forall { k =>
+        bs(k) == null || {
+          val s = cp.key(k) * meta.za.chunks(k)
+          meta.coords(k)
+            .slice(s, math.min(s + meta.za.chunks(k), meta.za.shape(k)))
+            .forall(v => cellInPacked(v, bs(k)))
+        }
+      }
+    }
+
   /** Strictly orderable monotone check. Any NaN → NOT monotone: NaN
     * comparisons are all false, so the violation tests below would never
     * fire and a NaN-filled coordinate chunk (e.g. a missing chunk decoded

@@ -49,10 +49,93 @@ final case class ZarrTopNScan(meta: ZarrGroupMeta, consumed: Array[Filter],
   override def planInputPartitions(): Array[InputPartition] = {
     val names = required.fieldNames.toSeq
     val bound = sortSpecs.map { case (c, desc) => (names.indexOf(c), desc) }
-    ZarrScan.plannedPartitions(meta, consumed, Array.empty, required,
-      dim0Range = None).map { p =>
+    val shared = ZarrScan.sharedState(meta, required, consumed, None)
+    val chunkParts =
+      ZarrScan.planChunkParts(meta, consumed, Array.empty, required, None)
+    ZarrScan.pack(pruneByStats(chunkParts, shared), meta.za,
+      required.fields.length).map { p =>
       ZarrTopNPartition(p.asInstanceOf[ZarrPackedPartition],
         bound.toArray, n): InputPartition
+    }
+  }
+
+  /** Zone-map top-n pruning through the ANALYZE sidecar: `ORDER BY v
+    * DESC LIMIT k` can provably skip every chunk whose best possible
+    * sort-key value is strictly worse than the k-th GUARANTEED value.
+    * Guarantees come only from chunks whose cells are all actually
+    * emitted (fully dim-selected, fully admitted by any value mask):
+    * such a chunk with `nan` NaN cells and `finite` non-NaN cells
+    * guarantees `nan` cells at NaN (greatest under Spark ordering) and
+    * `finite` cells at-or-above its min (DESC; mirrored for ASC).
+    * Accumulating guarantees best-first until k cells yields a
+    * threshold T with k emitted cells at-or-better than T, so any chunk
+    * whose best value is strictly worse than T cannot contribute to ANY
+    * valid top-k — dropped rows are strictly worse on the FIRST key, so
+    * secondary keys never resurrect them. Exclusion needs no coverage
+    * check (emitted cells are a subset of the chunk's cells, so the
+    * sidecar's extreme bounds them); unknown chunks are never pruned.
+    * The "hottest cells" query over an analyzed archive reads a handful
+    * of chunks instead of all of them. */
+  private def pruneByStats(chunkParts: Seq[ZarrInputPartition],
+                           shared: ZarrScan.SharedScanState)
+      : Seq[ZarrInputPartition] = {
+    val (vcol, desc) = sortSpecs.head
+    if (n <= 0 || !meta.dataVars.contains(vcol)) return chunkParts
+    val st = meta.stats.getOrElse(return chunkParts)
+    val keyStrs = chunkParts.map(_.key.mkString("."))
+    val maskVars = shared.varIvs.map(_._1).filterNot(_ == vcol)
+    val statMap = st.bulk(vcol +: maskVars, keyStrs)
+    def cellsOf(cp: ZarrInputPartition): Long =
+      meta.za.dims.indices.map { k =>
+        val s = cp.key(k) * meta.za.chunks(k)
+        (math.min(s + meta.za.chunks(k), meta.za.shape(k)) - s).toLong
+      }.product
+    // (bound value, cell count) guarantees, from fully-emitted chunks
+    val guarantees = chunkParts.zip(keyStrs).flatMap { case (cp, ks) =>
+      statMap.get((vcol, ks)) match {
+        case Some(vs) if vs.cells == cellsOf(cp) &&
+            ZarrScan.chunkFullySelected(meta, shared, cp) &&
+            shared.varIvs.forall { case (nm, packed) =>
+              statMap.get((nm, ks)).exists(s2 =>
+                s2.cells == vs.cells && ChunkStats.fullyAdmits(s2, packed))
+            } =>
+          val b = Seq.newBuilder[(Double, Long)]
+          if (desc) {
+            if (vs.nan > 0) b += ((Double.NaN, vs.nan)) // NaN ranks greatest
+            if (vs.finite > 0) b += ((vs.min, vs.finite))
+          } else {
+            if (vs.finite > 0) b += ((vs.max, vs.finite))
+            if (vs.nan > 0) b += ((Double.NaN, vs.nan)) // weakest ASC bound
+          }
+          b.result()
+        case _ => Nil
+      }
+    }
+    val ord = new Ordering[Double] {
+      def compare(a: Double, b: Double): Int = ZarrScan.sqlCmp(a, b)
+    }
+    val bestFirst =
+      guarantees.sortBy(_._1)(if (desc) ord.reverse else ord)
+    var acc = 0L
+    var threshold: Option[Double] = None
+    bestFirst.foreach { case (v, c) =>
+      if (acc < n) {
+        acc += c
+        if (acc >= n) threshold = Some(v)
+      }
+    }
+    threshold match {
+      case None => chunkParts // fewer than n guaranteed cells
+      case Some(t) =>
+        chunkParts.zip(keyStrs).collect {
+          case (cp, ks) if statMap.get((vcol, ks)).forall { vs =>
+            val best =
+              if (desc) { if (vs.nan > 0) Double.NaN else vs.max }
+              else { if (vs.finite > 0) vs.min else Double.NaN }
+            val cmp = ZarrScan.sqlCmp(best, t)
+            if (desc) cmp >= 0 else cmp <= 0
+          } => cp
+        }
     }
   }
 

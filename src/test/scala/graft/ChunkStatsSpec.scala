@@ -151,6 +151,36 @@ class ChunkStatsSpec extends AnyFunSuite {
     assert(got2 === exp2)
   }
 
+  test("zone-map top-n: ORDER BY v LIMIT k plans only chunks that can matter") {
+    val g = writeFixture()
+    ChunkStats.analyze(spark, g)
+    val ds = spark.read.format("zarr").load(g)
+    // c is chunk-constant with max 211 on chunk 2.1.1 (6 cells): its own
+    // guarantee covers k=6, every other chunk's max is strictly below
+    val q = ds.orderBy(col("c").desc, col("t"), col("y"), col("x")).limit(6)
+    assert(scanOf(q).inputRDD.getNumPartitions === 1)
+    // corruption proof: only chunk 2.1.1 of each variable is readable
+    Seq("v", "w", "c").foreach(v => corrupt(g, v, keep = Set("2.1.1")))
+    val rows = spark.read.format("zarr").load(g)
+      .orderBy(col("c").desc, col("t"), col("y"), col("x")).limit(6)
+      .select(col("c"), col("t")).collect()
+    assert(rows.length === 6 &&
+      rows.forall(r => r.getDouble(0) === 211.0 && r.getDouble(1) === 2.0))
+    // ASC mirror: the smallest block is chunk 0.0.0
+    val g2 = writeFixture()
+    ChunkStats.analyze(spark, g2)
+    val asc = spark.read.format("zarr").load(g2)
+      .orderBy(col("c").asc, col("t"), col("y"), col("x")).limit(6)
+    assert(scanOf(asc).inputRDD.getNumPartitions === 1)
+    assert(asc.select(col("c")).collect().forall(_.getDouble(0) === 0.0))
+    // NaN ranks greatest under DESC: w's NaN cells (4 per x-chunk-1
+    // chunk) satisfy k=6 from two chunks, pruning every NaN-free chunk
+    val nanQ = spark.read.format("zarr").load(g2)
+      .orderBy(col("w").desc, col("t"), col("y"), col("x")).limit(6)
+    assert(scanOf(nanQ).inputRDD.getNumPartitions === 6)
+    assert(nanQ.select(col("w")).collect().forall(_.getDouble(0).isNaN))
+  }
+
   test("archive ANALYZE: sidecar beside the index prunes and answers granules") {
     import graft.sources.NetcdfSource
     import graft.sources.NetcdfSource.NcDim
