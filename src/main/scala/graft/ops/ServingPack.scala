@@ -1297,6 +1297,20 @@ object ServingPack extends QueryPack {
         Seq("v"), last = false, extraKeys = Seq("y", "x"))
     }),
 
+    // ZONE-MAP top-n: ORDER BY m DESC LIMIT 50 over the analyzed store
+    // skips every chunk whose per-chunk max provably loses to the 50th
+    // guaranteed value — the "hottest cells" query reads 1 chunk of 32
+    // on this fixture (m is spatially monotone; ChunkStatsSpec proves
+    // the elision by corrupting every losing chunk). m is cell-unique,
+    // so the result is tie-free deterministic.
+    "q_zarr_topn_stats" -> ((s, d) => {
+      val group = zarrStatsFixture(s, d)
+      s.read.format("zarr").load(group)
+        .orderBy(col("m").desc, col("t"), col("y"), col("x"))
+        .limit(50)
+        .select(col("t").cast("long").as("t"), col("y"), col("x"), col("m"))
+    }),
+
     // resample std/var from the connector: the sample moments ship as
     // NaN-guarded count/sum/sum-of-squares partials (Spark only
     // partial-pushes Min/Max/Sum/Count) and the moment math finishes
@@ -2709,6 +2723,12 @@ object ServingPack extends QueryPack {
                   + (k // 36000) * 7) % 4096 / 64.0 AS v_first
          FROM range(0, 144000) r(k)
          WHERE k // 36000 = 0 OR k // 36000 = 3""",
+    "q_zarr_topn_stats" ->
+      """SELECT (k // 36000)::BIGINT AS t,
+                ((k // 360) % 100) + 0.5 AS y, (k % 360) + 0.5 AS x,
+                k / 64.0 AS m
+         FROM range(0, 144000) r(k)
+         ORDER BY 4 DESC, 1, 2, 3 LIMIT 50""",
     "q_zarr_resample_std" ->
       """WITH c AS (SELECT k // 36000 AS g,
                            (((k // 360) % 100) * 360 + (k % 360)

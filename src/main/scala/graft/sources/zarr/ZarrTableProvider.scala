@@ -959,12 +959,39 @@ final case class ZarrScan(meta: ZarrGroupMeta, consumed: Array[Filter],
   override def estimateStatistics(): Statistics = {
     val za = meta.za
     val keep = ZarrScan.survivingChunks(meta, consumed ++ runtime, None)
-    val rows = keep.zipWithIndex.map { case (ks, k) =>
-      ks.map { ck =>
-        val s = ck * za.chunks(k)
-        (math.min(s + za.chunks(k), za.shape(k)) - s).toLong
-      }.sum
+    def extent(k: Int, ck: Int): Long = {
+      val s = ck * za.chunks(k)
+      (math.min(s + za.chunks(k), za.shape(k)) - s).toLong
+    }
+    val dimRows = keep.zipWithIndex.map { case (ks, k) =>
+      ks.map(extent(k, _)).sum
     }.product
+    // with a consumed VALUE predicate and a resident (inline) ANALYZE
+    // sidecar, refine to the zone-map-admitted chunks' cells — the
+    // estimate AQE sizes broadcast decisions with after a selective
+    // value filter. Bounded to modest chunk counts (driver enumeration)
+    // and to the eager form (the parquet side table would cost a job).
+    val varIvs = ZarrScan.varIvsOf(meta, consumed)
+    val chunkCount = keep.map(_.length.toLong).product
+    val rows = (meta.stats, varIvs.nonEmpty) match {
+      case (Some(st: ChunkStats.EagerStats), true) if chunkCount <= 65536 =>
+        val packs = varIvs.map { case (nm, ivs) =>
+          (nm, ivs.flatMap(iv => Seq(iv._1, iv._2)).toArray)
+        }
+        keep.foldLeft(Seq(Seq.empty[Int])) { (acc, ks) =>
+          acc.flatMap(p => ks.map(p :+ _))
+        }.map { key =>
+          val ks = key.mkString(".")
+          val admitted = packs.forall { case (nm, packed) =>
+            st.vars.get(nm).flatMap(_.get(ks))
+              .forall(ChunkStats.admits(_, packed))
+          }
+          if (admitted)
+            key.zipWithIndex.map { case (ck, k) => extent(k, ck) }.product
+          else 0L
+        }.sum
+      case _ => dimRows
+    }
     val bytes = rows * 8L * math.max(1, required.fields.length)
     new Statistics {
       override def sizeInBytes(): java.util.OptionalLong =

@@ -180,11 +180,7 @@ final case class ZarrVarAggScan(meta: ZarrGroupMeta, consumed: Array[Filter],
       val s = cp.key(k) * za.chunks(k)
       meta.coords(k).slice(s, math.min(s + za.chunks(k), za.shape(k)))
     }
-    val fullDims = shared.cellIvs.forall(bs => slices.zipWithIndex.forall {
-      case (sl, k) =>
-        bs(k) == null || sl.forall(v => ZarrScan.cellInPacked(v, bs(k)))
-    })
-    if (!fullDims) return None
+    if (!ZarrScan.chunkFullySelected(meta, shared, cp)) return None
     def statOf(v: String): Option[ChunkStats.VarStat] =
       statMap.get((v, keyStr))
     val cells = slices.map(_.length.toLong).product

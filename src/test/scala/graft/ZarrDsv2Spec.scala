@@ -900,6 +900,81 @@ class ZarrDsv2Spec extends AnyFunSuite {
     assert(consumedCount >= 70, s"only $consumedCount/80 consumed")
   }
 
+  test("property: consumed VALUE predicates match Spark's evaluation cell for cell") {
+    import spark.implicits._
+    import org.apache.spark.sql.sources._
+    import org.apache.spark.sql.Column
+    // same adversarial values as the dim property, but as a DATA
+    // variable: the cursor's varChecks must replay Spark's double
+    // semantics on decoded cells exactly
+    val cells: Seq[Double] = Seq(
+      0.0, -0.0, Double.NaN, Double.PositiveInfinity, Double.NegativeInfinity,
+      1.0, math.nextUp(1.0), math.nextDown(1.0), -3.5, 2.0, 7.25,
+      Double.MaxValue, -Double.MaxValue, 1e-300, -1e-300)
+    val df = cells.zipWithIndex.toDF("w", "id")
+    import graft.sources.ZarrSource.{Raw, ZarrArray}
+    val za = ZarrArray(Seq(cells.length), Seq(1), "<f8", Double.NaN,
+      Raw, Seq("y"), ".")
+    val meta = graft.sources.zarr.ZarrGroupMeta("/propv", za, Seq("w"),
+      Map("w" -> za), Seq(Array.tabulate(cells.length)(_.toDouble)),
+      graft.sources.ByteStore.current)
+    val lits = Seq(1.0, -3.5, 2.0, 0.0, 7.25, -1e-300, Double.MaxValue)
+    val rnd = new scala.util.Random(20260815)
+    def gen(depth: Int): (Filter, Column) = rnd.nextInt(if (depth > 0) 9 else 6) match {
+      case 0 => val v = lits(rnd.nextInt(lits.length))
+        (EqualTo("w", v), col("w") === v)
+      case 1 => val v = lits(rnd.nextInt(lits.length))
+        (GreaterThan("w", v), col("w") > v)
+      case 2 => val v = lits(rnd.nextInt(lits.length))
+        (GreaterThanOrEqual("w", v), col("w") >= v)
+      case 3 => val v = lits(rnd.nextInt(lits.length))
+        (LessThan("w", v), col("w") < v)
+      case 4 => val v = lits(rnd.nextInt(lits.length))
+        (LessThanOrEqual("w", v), col("w") <= v)
+      case 5 =>
+        val vs = Seq.fill(1 + rnd.nextInt(3))(lits(rnd.nextInt(lits.length)))
+        (In("w", vs.map(_.asInstanceOf[Any]).toArray), col("w").isin(vs: _*))
+      case 6 => val (f, c) = gen(depth - 1); (Not(f), !c)
+      case 7 =>
+        val (fl, cl) = gen(depth - 1); val (fr, cr) = gen(depth - 1)
+        (And(fl, fr), cl && cr)
+      case _ =>
+        val (fl, cl) = gen(depth - 1); val (fr, cr) = gen(depth - 1)
+        (Or(fl, fr), cl || cr)
+    }
+    var consumedCount = 0
+    (1 to 80).foreach { _ =>
+      val (f, c) = gen(2)
+      if (graft.sources.zarr.ZarrScan.rectFull(meta, f).isDefined) {
+        consumedCount += 1
+        val ivs = graft.sources.zarr.ZarrScan.varIvsOf(meta, Array(f))
+        assert(ivs.map(_._1) == Seq("w"))
+        val packed = ivs.head._2.flatMap(iv => Seq(iv._1, iv._2)).toArray
+        val readerKept = cells.zipWithIndex.collect {
+          case (v, i) if graft.sources.zarr.ZarrScan.cellInPacked(v, packed) => i
+        }.toSet
+        val sparkKept = df.filter(c).select("id").collect()
+          .map(_.getInt(0)).toSet
+        assert(readerKept === sparkKept,
+          s"filter $f: reader=$readerKept spark=$sparkKept")
+        // ...and the zone-map admit test never excludes a matching chunk:
+        // a singleton "chunk" of value v admits iff the cell matches
+        cells.foreach { v =>
+          val st = graft.sources.zarr.ChunkStats.VarStat(
+            1L, if (v.isNaN) 1L else 0L,
+            if (v.isNaN) Double.NaN else v, if (v.isNaN) Double.NaN else v,
+            if (v.isNaN) 0.0 else v, if (v.isNaN) 0.0 else v * v)
+          val cellIn = graft.sources.zarr.ZarrScan.cellInPacked(v, packed)
+          val admit = graft.sources.zarr.ChunkStats.admits(st, packed)
+          val full = graft.sources.zarr.ChunkStats.fullyAdmits(st, packed)
+          assert(!cellIn || admit, s"$f: admits dropped matching value $v")
+          assert(full == cellIn, s"$f: fullyAdmits($v)=$full cell=$cellIn")
+        }
+      }
+    }
+    assert(consumedCount >= 70, s"only $consumedCount/80 consumed")
+  }
+
   test("DPP-scale In: a 50k-key set prunes and evaluates sublinearly") {
     spark.sparkContext // packing reads the session's split knobs
     import graft.sources.ZarrSource.{Raw, ZarrArray}
