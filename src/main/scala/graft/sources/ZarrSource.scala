@@ -811,8 +811,8 @@ object ZarrSource {
     */
   def writeCube(df: DataFrame, groupDir: String, varName: String,
                 dims: Seq[(String, Array[Double])], chunks: Seq[Int],
-                codec: Codec = Zlib()): Unit =
-    writeCubeVars(df, groupDir, Seq(varName), dims, chunks, codec)
+                codec: Codec = Zlib(), stats: Boolean = false): Unit =
+    writeCubeVars(df, groupDir, Seq(varName), dims, chunks, codec, stats)
 
   /** Multi-variable distributed writer — [[writeCube]] generalized to a
     * WHOLE dataset the way the reference's `to_zarr` writes one: `df`
@@ -826,7 +826,7 @@ object ZarrSource {
     */
   def writeCubeVars(df: DataFrame, groupDir: String, varNames: Seq[String],
                     dims: Seq[(String, Array[Double])], chunks: Seq[Int],
-                    codec: Codec = Zlib()): Unit = {
+                    codec: Codec = Zlib(), stats: Boolean = false): Unit = {
     val spark = df.sparkSession
     import spark.implicits._
     require(dims.length == chunks.length, "one chunk extent per dimension")
@@ -901,6 +901,12 @@ object ZarrSource {
     val nVars = varNames.length
     val vNames = varNames.toArray
     val taskBs = bs // captured VALUE — the write runs inside chunk tasks
+    val computeStats = stats
+    // geometry-only array view for the in-bounds cell walk of the
+    // write-time stats fold (same C order as the scan-engine cursor, so
+    // the sidecar's sums are bit-identical to an ANALYZE pass)
+    val zaW = ZarrArray(shape, chunks, "<f8", Double.NaN, Raw,
+      dims.map(_._1), sep)
     val written = cells.groupByKey(_._1).mapGroups { (cidV, it) =>
       val data = Array.fill(nVars)(Array.fill(chunkElems)(Double.NaN))
       var n = 0
@@ -909,17 +915,54 @@ object ZarrSource {
         while (v < nVars) { data(v)(o) = vs(v); v += 1 }
         n += 1
       }
-      val key = chunkKeyOf(cidV, grid).mkString(sep)
+      val keyIdx = chunkKeyOf(cidV, grid)
+      val key = keyIdx.mkString(sep)
       var v = 0
       while (v < nVars) {
         taskBs.write(s"$groupDir/${vNames(v)}/$key", encodeChunk(data(v), codec))
         v += 1
       }
-      n
+      // stats ride out of the write tasks for free: per var
+      // [cells, nan, min, max, sum, sumsq] over the in-bounds cells,
+      // folded in the reader's exact cell order (counts exact as doubles)
+      val flat: Seq[Double] = if (!computeStats) Seq.empty else {
+        val out = new Array[Double](nVars * 6)
+        var w = 0
+        while (w < nVars) {
+          out(w * 6 + 2) = Double.NaN; out(w * 6 + 3) = Double.NaN
+          w += 1
+        }
+        foreachCell(zaW, keyIdx.map(_.toInt).toSeq) { (off, _) =>
+          var u = 0
+          while (u < nVars) {
+            val x = data(u)(off)
+            out(u * 6) += 1.0
+            if (x.isNaN) out(u * 6 + 1) += 1.0
+            else {
+              if (out(u * 6) - out(u * 6 + 1) == 1.0 ||
+                java.lang.Double.compare(x, out(u * 6 + 2)) < 0)
+                out(u * 6 + 2) = x
+              if (out(u * 6) - out(u * 6 + 1) == 1.0 ||
+                java.lang.Double.compare(x, out(u * 6 + 3)) > 0)
+                out(u * 6 + 3) = x
+              out(u * 6 + 4) += x
+              out(u * 6 + 5) += x * x
+            }
+            u += 1
+          }
+        }
+        out.toSeq
+      }
+      (key, flat)
     }
-    // the count is the action that runs the job (the writes are its side
-    // effect, same pattern as foreachBatch sinks); safe on an empty input
-    written.count()
+    // the action runs the job (the writes are its side effect, same
+    // pattern as foreachBatch sinks); safe on an empty input. With
+    // stats requested the O(chunks × vars) moment rows come back and
+    // become the sidecar — a freshly-written cube needs no ANALYZE.
+    if (computeStats)
+      graft.sources.zarr.ChunkStats.writeInline(groupDir, shape, chunks,
+        varNames, written.collect().toSeq)
+    else written.count()
     ()
   }
 

@@ -278,6 +278,38 @@ object ChunkStats {
     path
   }
 
+  /** Write the inline-form discovery document from already-computed
+    * per-chunk moments — the writer-side path: [[graft.sources
+    * .ZarrSource.writeCubeVars]] folds each chunk's moments as it
+    * assembles the chunk buffer (same in-bounds cell order as the
+    * reader), so a freshly-written cube gets its sidecar for free,
+    * no ANALYZE pass needed. `entries` carry (chunk key, per-var
+    * [cells, nan, min, max, sum, sumsq] — counts exact as doubles). */
+  def writeInline(outDir: String, shape: Seq[Int], chunks: Seq[Int],
+                  varNames: Seq[String],
+                  entries: Seq[(String, Seq[Double])]): String = {
+    val root = mapper.createObjectNode()
+    root.put("graft_stats_format", 1)
+    val sh = root.putArray("shape"); shape.foreach(sh.add)
+    val ch = root.putArray("chunks"); chunks.foreach(ch.add)
+    val vn = root.putObject("vars")
+    val perVar = varNames.map(v => vn.putObject(v))
+    entries.foreach { case (key, flat) =>
+      varNames.indices.foreach { i =>
+        val a = perVar(i).putArray(key)
+        a.add(flat(i * 6).toLong) // cells
+        a.add(flat(i * 6 + 1).toLong) // nan
+        (2 until 6).foreach(j =>
+          a.add(java.lang.Double.doubleToRawLongBits(flat(i * 6 + j))))
+      }
+    }
+    val path = s"$outDir/$FileName"
+    val bs = ByteStore.current
+    bs.write(path, mapper.writeValueAsString(root)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    path
+  }
+
   /** Could SOME cell of a chunk with these stats satisfy the packed
     * interval set? (false ⇒ the chunk is safely prunable). The possible
     * values are `[min, max]` (when any non-NaN cell exists) plus NaN

@@ -166,7 +166,10 @@ final class ZarrTableProvider extends TableProvider with DataSourceRegister
       }
       val casted = data.select(
         (dimNames ++ varNames).map(c => col(c).cast("double").as(c)): _*)
-      ZarrSource.writeCubeVars(casted, groupDir, varNames, dims, chunks)
+      // option("stats", "true"): fold the ANALYZE sidecar out of the
+      // write tasks for free — the cube is born with its zone maps
+      ZarrSource.writeCubeVars(casted, groupDir, varNames, dims, chunks,
+        stats = parameters.get("stats").exists(_.toBoolean))
     }
     val written = ZarrTable.open(groupDir)
     val ctx = sqlContext

@@ -229,6 +229,47 @@ class ChunkStatsSpec extends AnyFunSuite {
     assert(!new java.io.File(s"$g/${ChunkStats.FileName}").exists())
   }
 
+  test("write-time stats: the cube is born with its sidecar, bit-identical to ANALYZE") {
+    import spark.implicits._
+    val t = Array(0.0, 1.0, 2.0)
+    val y = Array(10.0, 20.0, 30.0, 40.0)
+    val x = Array.tabulate(6)(_ + 0.5)
+    val df = (for { ti <- t; yi <- y; xi <- x } yield
+      (ti, yi, xi, ti * 1000 + yi * 10 + xi,
+        if (xi > 3.5) Double.NaN else ti + yi + xi))
+      .toSeq.toDF("t", "y", "x", "v", "w")
+    val base = tmpDir("statborn")
+    val g = s"$base/cube.zarr"
+    ZarrSource.writeCubeVars(df, g, Seq("v", "w"),
+      Seq("t" -> t, "y" -> y, "x" -> x), chunks = Seq(1, 2, 3), stats = true)
+    val born = Files.readAllBytes(
+      java.nio.file.Paths.get(s"$g/${ChunkStats.FileName}"))
+    // an explicit ANALYZE reproduces the document's stats verbatim
+    // (same cell order, same moments — compare the loaded maps)
+    def loadMap() = ChunkStats.load(graft.sources.ByteStore.current, g,
+      graft.sources.zarr.ZarrTable.open(g).za).get
+      .asInstanceOf[ChunkStats.EagerStats].vars
+    val bornMap = loadMap()
+    ChunkStats.analyze(spark, g)
+    assert(loadMap() === bornMap)
+    val _ = born
+    // ...and the born sidecar serves queries with zero chunk IO
+    val truth = graft.operators.StatsOps.statisticsFold(
+      ZarrSource.readCubeVars(spark, g, Seq("v", "w")), "w").collect().head
+    Seq("v", "w").foreach(corrupt(g, _))
+    val q = graft.operators.StatsOps.statisticsFold(
+      spark.read.format("zarr").load(g), "w")
+    assert(scanOf(q).inputRDD.getNumPartitions === 1)
+    assert(q.collect().head.toSeq === truth.toSeq)
+    // the DSv2 write bridge exposes it as option("stats", "true")
+    val g2 = s"${tmpDir("statborn2")}/cube.zarr"
+    df.write.format("zarr").option("dims", "t,y,x")
+      .option("chunks", "1,2,3").option("stats", "true").save(g2)
+    assert(new java.io.File(s"$g2/${ChunkStats.FileName}").exists())
+    assert(spark.read.format("zarr").load(g2)
+      .filter(col("v") > 2300.0).rdd.getNumPartitions === 2)
+  }
+
   test("mutations invalidate or stale the sidecar — never serve wrong stats") {
     import spark.implicits._
     val t = Array(0.0, 1.0, 2.0)
