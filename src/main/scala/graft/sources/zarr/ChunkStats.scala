@@ -94,6 +94,13 @@ object ChunkStats {
     * O(candidates × vars), never O(archive). */
   final case class ParquetStats(path: String) extends Loaded {
     override def bulk(vs: Seq[String], keys: Seq[String])
+        : Map[(String, String), VarStat] =
+      // advisory: a missing/corrupt side table (orphaned by a deleted
+      // export, interrupted write) disables the optimization, never the
+      // query — absent pairs just mean "read the chunk"
+      scala.util.Try(bulkStrict(vs, keys)).getOrElse(Map.empty)
+
+    private def bulkStrict(vs: Seq[String], keys: Seq[String])
         : Map[(String, String), VarStat] = {
       if (vs.isEmpty || keys.isEmpty) return Map.empty
       val spark = SparkSession.active
@@ -119,8 +126,15 @@ object ChunkStats {
   private def mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
   /** Load the sidecar for a group if one exists AND matches the grid's
-    * shape + chunk extents (stale sidecars are ignored, never trusted). */
+    * shape + chunk extents (stale sidecars are ignored, never trusted).
+    * The sidecar is ADVISORY: a malformed or truncated document — an
+    * interrupted write — silently disables the optimization instead of
+    * failing every read of the group. */
   def load(store: ByteStore, dir: String, za: ZarrArray): Option[Loaded] =
+    scala.util.Try(loadStrict(store, dir, za)).toOption.flatten
+
+  private def loadStrict(store: ByteStore, dir: String,
+                         za: ZarrArray): Option[Loaded] =
     store.readIfExists(s"$dir/$FileName").flatMap { bytes =>
       val doc = mapper.readTree(bytes)
       val okShape = doc.path("graft_stats_format").asInt(-1) == 1 &&

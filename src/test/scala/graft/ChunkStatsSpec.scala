@@ -270,6 +270,29 @@ class ChunkStatsSpec extends AnyFunSuite {
       .filter(col("v") > 2300.0).rdd.getNumPartitions === 2)
   }
 
+  test("a corrupt sidecar or orphaned side table disables, never fails") {
+    val g = writeFixture()
+    ChunkStats.analyze(spark, g)
+    // truncate the discovery document mid-byte: reads survive, unpruned
+    Files.write(java.nio.file.Paths.get(s"$g/${ChunkStats.FileName}"),
+      "{\"graft_stats_format\": 1, \"shape\": [3,".getBytes)
+    val ds = spark.read.format("zarr").load(g)
+    assert(ds.filter(col("v") > 2300.0).count() === 12L)
+    assert(ds.filter(col("v") > 2300.0).rdd.getNumPartitions === 12)
+    // parquet doc present but the side table is gone: bulk yields
+    // nothing, chunks all read, answers stay exact
+    val g2 = writeFixture()
+    ChunkStats.analyze(spark, g2, format = "parquet")
+    def rmrf(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmrf)); f.delete(); ()
+    }
+    rmrf(new java.io.File(s"$g2/${ChunkStats.ParquetName}"))
+    val ds2 = spark.read.format("zarr").load(g2)
+    assert(ds2.filter(col("v") > 2300.0).count() === 12L)
+    assert(graft.operators.StatsOps.statisticsFold(ds2, "v")
+      .collect().head.getLong(0) === 72L)
+  }
+
   test("mutations invalidate or stale the sidecar — never serve wrong stats") {
     import spark.implicits._
     val t = Array(0.0, 1.0, 2.0)
