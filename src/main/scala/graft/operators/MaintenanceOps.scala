@@ -16,23 +16,23 @@ object MaintenanceOps {
     * without a further shuffle. Returns a cube whose physical partitioning
     * matches the logical tile grid.
     */
-  /** ANALYZE for cube stores: one distributed pass computing per-chunk
-    * value statistics (count/NaN-count/min/max/sum/sum-of-squares per
-    * variable) into a `_graft_stats.json` sidecar the DSv2 scan engine
-    * consumes for value-predicate chunk pruning and zero-IO aggregate
-    * partials — the zone maps parquet gets for free, paid once to
-    * accelerate every later query (Spark's ANALYZE TABLE, for cubes).
-    * Returns the sidecar path; `outDir` redirects it off read-only
-    * stores. */
-  def analyzeStore(spark: SparkSession, groupDir: String,
-                   outDir: Option[String] = None): String =
-    graft.sources.zarr.ChunkStats.analyze(spark, groupDir, outDir)
-
   def rechunk(cube: Cube): Cube = {
     val gm = cube.gm
     cube.withDf(_.repartition(
       to_date(cube.time), gm.blockKeyExpr(cube.x, cube.y)))
   }
+
+  /** ANALYZE for cube stores: one distributed pass computing per-chunk
+    * value statistics (count/NaN-count/min/max/sum/sum-of-squares per
+    * variable) into a `_graft_stats.json` sidecar the DSv2 scan engine
+    * consumes for value-predicate chunk pruning, zone-map top-n, and
+    * zero-IO aggregate partials — the zone maps parquet gets for free,
+    * paid once to accelerate every later query (Spark's ANALYZE TABLE,
+    * for cubes). Returns the sidecar path; `outDir` redirects it off
+    * read-only stores (readers then need `option("statsDir", outDir)`). */
+  def analyzeStore(spark: SparkSession, groupDir: String,
+                   outDir: Option[String] = None): String =
+    graft.sources.zarr.ChunkStats.analyze(spark, groupDir, outDir)
 
   /** optimize_dataset / unchunk (optimize.py:15-79): compact a written cube
     * directory to exactly `numFiles` files (small-file cleanup). Uses

@@ -114,22 +114,6 @@ object TemporalOps {
     df.groupBy(keys: _*).agg(aggCols.head, aggCols.tail: _*)
   }
 
-  /** [[resampleInTime]] over a NUMERIC time dimension — the connector
-    * cubes' CF-decoded time axis (`timeDim` counts `unitSeconds`-second
-    * units since the epoch, e.g. 86400 for "days since 1970-01-01").
-    * Same output contract (bucket-start label + `<var>_<method>`
-    * columns), but the group keys are chosen so the CONNECTORS fold them
-    * per chunk (ZarrVarAggScan): calendar frequencies (1M/1Q/1Y) group
-    * by the year/month/quarter EXTRACT keys of
-    * `cast(timeDim * unitSeconds as timestamp)` — computable per cell
-    * from the chunk's own coordinate slice — and fixed-width
-    * frequencies by the single-divide floor block key
-    * `floor(timeDim / (bucketSeconds/unitSeconds))`. The bucket-start
-    * label is reconstructed ABOVE the aggregate from the pushed key
-    * columns, so a "1M" resample over a 10^7-chunk archive exchanges
-    * O(chunks × months) partial rows, never O(cells) — the
-    * resampling/temporal.py shape finished in the scan.
-    */
   /** The connector-foldable bucket keys of a NUMERIC time axis: named
     * key columns (a single-divide floor block index for fixed widths,
     * year/month/quarter EXTRACTs for calendar frequencies — both shapes
@@ -164,6 +148,22 @@ object TemporalOps {
     }
   }
 
+  /** [[resampleInTime]] over a NUMERIC time dimension — the connector
+    * cubes' CF-decoded time axis (`timeDim` counts `unitSeconds`-second
+    * units since the epoch, e.g. 86400 for "days since 1970-01-01").
+    * Same output contract (bucket-start label + `<var>_<method>`
+    * columns), but the group keys are chosen so the CONNECTORS fold them
+    * per chunk (ZarrVarAggScan): calendar frequencies (1M/1Q/1Y) group
+    * by the year/month/quarter EXTRACT keys of
+    * `cast(timeDim * unitSeconds as timestamp)` — computable per cell
+    * from the chunk's own coordinate slice — and fixed-width
+    * frequencies by the single-divide floor block key
+    * `floor(timeDim / (bucketSeconds/unitSeconds))`. The bucket-start
+    * label is reconstructed ABOVE the aggregate from the pushed key
+    * columns, so a "1M" resample over a 10^7-chunk archive exchanges
+    * O(chunks × months) partial rows, never O(cells) — the
+    * resampling/temporal.py shape finished in the scan.
+    */
   def resampleInTimeNumeric(df: DataFrame, timeDim: String,
                             unitSeconds: Double, freq: String,
                             aggs: Seq[(String, String)],
@@ -189,8 +189,16 @@ object TemporalOps {
       m match {
         case "std" | "var" =>
           val (n, s1, s2) = (s"__rs_n_$i", s"__rs_s1_$i", s"__rs_s2_$i")
-          val variance = (col(s2) - col(s1) * col(s1) / col(n)) /
+          val raw = (col(s2) - col(s1) * col(s1) / col(n)) /
             (col(n) - lit(1))
+          // match Spark's var_samp/stddev_samp on degenerate sizes
+          // (null for 0 values, NaN for 1) and clamp the one-pass
+          // moment form's cancellation residue at zero — without the
+          // clamp a large-magnitude low-spread bucket can leave a tiny
+          // NEGATIVE numerator and sqrt would surface it as NaN
+          val variance = when(col(n) === 0, lit(null))
+            .when(col(n) === 1, lit(Double.NaN))
+            .otherwise(greatest(raw, lit(0.0)))
           (Seq(count(vv).as(n), sum(vv).as(s1), sum(vv * vv).as(s2)),
             (if (m == "std") sqrt(variance) else variance).as(s"${v}_$m"))
         case "any" | "all" =>

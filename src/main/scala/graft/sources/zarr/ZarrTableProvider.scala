@@ -79,10 +79,15 @@ final class ZarrTableProvider extends TableProvider with DataSourceRegister
     val groupDir = pathOf(options)
     val vars = Option(options.get("vars"))
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    // option("statsDir", dir): load the ANALYZE sidecar from a side
+    // directory — the read half of analyze(outDir = ...) for read-only
+    // stores
+    val statsDir = Option(options.get("statsDir"))
     if (!ZarrTableProvider.groupExists(groupDir)) None
     else Some(metaCache.computeIfAbsent(
-      groupDir + vars.map("?vars=" + _.mkString(",")).getOrElse(""),
-      _ => ZarrTable.open(groupDir, vars)))
+      groupDir + vars.map("?vars=" + _.mkString(",")).getOrElse("") +
+        statsDir.map("?stats=" + _).getOrElse(""),
+      _ => ZarrTable.open(groupDir, vars, statsDir)))
   }
 
   override def shortName(): String = "zarr"
@@ -328,7 +333,8 @@ object ZarrTable {
     * `zarr.json` routes through [[ZarrV3Source]] (incl. sharded arrays —
     * the shard is the partition unit), anything else through the v2
     * [[ZarrSource]]. */
-  def open(groupDir: String, only: Option[Seq[String]] = None): ZarrGroupMeta = {
+  def open(groupDir: String, only: Option[Seq[String]] = None,
+           statsDir: Option[String] = None): ZarrGroupMeta = {
     val store = ByteStore.current
     val v3 = store.exists(s"$groupDir/zarr.json")
     def listArrays() =
@@ -353,7 +359,7 @@ object ZarrTable {
       }
     val m = resolve(groupDir, names, openArray, readAll, store, v3,
       refs = None, only)
-    m.copy(stats = ChunkStats.load(store, groupDir, m.za))
+    m.copy(stats = ChunkStats.load(store, statsDir.getOrElse(groupDir), m.za))
   }
 
   /** Resolve a VIRTUAL group from a kerchunk reference set — the same
@@ -582,8 +588,10 @@ final class ZarrScanBuilder(meta: ZarrGroupMeta,
   private var consumed: Array[Filter] = Array.empty
   private var unhandled: Array[Filter] = Array.empty
   // the consumed filters' data-variable constraints (empty when every
-  // consumed predicate is a coordinate rectangle)
-  private def consumedVarIvs = ZarrScan.varIvsOf(meta, consumed)
+  // consumed predicate is a coordinate rectangle) — cached at
+  // pushFilters time: pushLimit/pushTopN/pushAggregation all consult
+  // it, and re-translating a DPP-scale In per consult is wasted work
+  private var consumedVarIvs: Seq[(String, Seq[ZarrScan.Iv])] = Nil
   private var required: StructType = ZarrTable.schemaFor(meta)
   private var aggregated: Option[(Aggregation, Seq[ZarrGroupKey], StructType)] = None
 
@@ -603,6 +611,7 @@ final class ZarrScanBuilder(meta: ZarrGroupMeta,
     // columns) stay Spark-side.
     consumed = filters.filter(f => ZarrScan.rectFull(meta, f).isDefined)
     unhandled = filters.filterNot(f => ZarrScan.rectFull(meta, f).isDefined)
+    consumedVarIvs = ZarrScan.varIvsOf(meta, consumed)
     unhandled
   }
   override def pushedFilters(): Array[Filter] = consumed

@@ -158,7 +158,8 @@ final case class ZarrVarAggScan(meta: ZarrGroupMeta, consumed: Array[Filter],
           specs): InputPartition
       }
     if (statRows.isEmpty) readPartitions
-    else readPartitions :+ (ZarrStatRowsPartition(statRows): InputPartition)
+    else readPartitions ++ statRows.grouped(8192)
+      .map(rs => ZarrStatRowsPartition(rs): InputPartition)
   }
 
   /** This chunk's partial-aggregate row from the sidecar alone, or None
@@ -658,7 +659,11 @@ final case class ZarrVarAggPartition(base: ZarrPackedPartition,
 
 /** Partial rows answered from the ANALYZE sidecar at planning time —
   * zero chunk IO; Spark's final aggregation merges them with the read
-  * partitions' folds. */
+  * partitions' folds. Emitted in bounded groups (8192 rows) so a
+  * fully-sidecar-answered archive scan parallelizes across tasks and no
+  * single task ships O(archive) rows; the driver holds the rows only
+  * transiently, the same order of memory as the candidate chunk-key
+  * vector planning already materializes. */
 final case class ZarrStatRowsPartition(rows: Seq[Seq[Any]])
     extends InputPartition
 

@@ -270,6 +270,22 @@ class ChunkStatsSpec extends AnyFunSuite {
       .filter(col("v") > 2300.0).rdd.getNumPartitions === 2)
   }
 
+  test("statsDir option: a redirected sidecar loads for read-only stores") {
+    val g = writeFixture()
+    val side = tmpDir("statside")
+    ChunkStats.analyze(spark, g, outDir = Some(side))
+    assert(!new java.io.File(s"$g/${ChunkStats.FileName}").exists())
+    assert(new java.io.File(s"$side/${ChunkStats.FileName}").exists())
+    // without the option: no stats, no pruning
+    assert(scanOf(spark.read.format("zarr").load(g)
+      .filter(col("v") > 2300.0)).inputRDD.getNumPartitions === 12)
+    // with it: the side sidecar drives pruning
+    val q = spark.read.format("zarr").option("statsDir", side).load(g)
+      .filter(col("v") > 2300.0)
+    assert(scanOf(q).inputRDD.getNumPartitions === 2)
+    assert(q.count() === 12L)
+  }
+
   test("a corrupt sidecar or orphaned side table disables, never fails") {
     val g = writeFixture()
     ChunkStats.analyze(spark, g)
