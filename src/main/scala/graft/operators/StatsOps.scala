@@ -50,8 +50,12 @@ object StatsOps {
     * crosses the exchange, never O(cells). Numerically this is the
     * one-pass moment formula (vs [[statistics]]' Welford merge) — exact
     * for the bounded-magnitude dyadic-valued gates and fine for
-    * geophysical ranges; extreme-dynamic-range data should use
-    * [[statistics]] on the row path.
+    * geophysical ranges. Degenerate semantics are Spark's own, pinned
+    * empirically in StatsRobustnessSpec: null below 2 values, the
+    * cancellation residue clamped at zero (a large-magnitude low-spread
+    * group must read ~0, never sqrt(-ε) = NaN), and second-moment
+    * overflow (|v| beyond ~1e154) reads NaN exactly like stddev_samp's
+    * own merge does on the same inputs.
     */
   def statisticsFold(df: DataFrame, vCol: String): DataFrame = {
     val v0 = col(vCol).cast("double")
@@ -60,9 +64,33 @@ object StatsOps {
         min(v).as("v_min"), max(v).as("v_max"))
       .select(col("n"), col("v_min"), col("v_max"),
         round(col("s1") / col("n"), 6).as("v_mean"),
-        round(sqrt((col("s2") - col("s1") * col("s1") / col("n")) /
-          (col("n") - 1)), 6).as("v_std"))
+        round(foldStd(col("n"), col("s1"), col("s2")), 6).as("v_std"))
   }
+
+  /** Sample variance from the moment partials with var_samp's EXACT
+    * degenerate semantics — pinned empirically against Spark 4's own
+    * aggregate in StatsRobustnessSpec, shared with [[graft.operators
+    * .TemporalOps.resampleInTimeNumeric]]'s std/var pieces:
+    *
+    *  - n ≤ 1 → null (Spark's var_samp with the legacy statistical
+    *    aggregate OFF returns null below 2 values, not NaN);
+    *  - finite raw moment → `greatest(raw, 0)`: the cancellation clamp —
+    *    a large-magnitude low-spread group can leave a tiny NEGATIVE
+    *    one-pass numerator that sqrt would surface as NaN;
+    *  - non-finite raw (|v| beyond ~1e154 overflows the second moment;
+    *    Inf − Inf reads NaN, huge spreads read +Inf) → NaN, which is
+    *    what Spark's own merge overflows to on the same inputs (probed:
+    *    both constant 1e300 and ±1e300 give NaN on the row path). */
+  private[operators] def foldVariance(n: Column, s1: Column,
+                                      s2: Column): Column = {
+    val raw = (s2 - s1 * s1 / n) / (n - lit(1))
+    when(n <= 1, lit(null))
+      .when(abs(raw) <= lit(Double.MaxValue), greatest(raw, lit(0.0)))
+      .otherwise(lit(Double.NaN))
+  }
+
+  private[operators] def foldStd(n: Column, s1: Column, s2: Column): Column =
+    sqrt(foldVariance(n, s1, s2))
 
   /** [[statisticsBy]] in the connector-foldable form — the per-label
     * (extra-dim) variant of [[statisticsFold]]: same NaN-guarded
@@ -77,8 +105,7 @@ object StatsOps {
         min(v).as("v_min"), max(v).as("v_max"))
       .select(keys.map(col) ++ Seq(col("n"), col("v_min"), col("v_max"),
         round(col("s1") / col("n"), 6).as("v_mean"),
-        round(sqrt((col("s2") - col("s1") * col("s1") / col("n")) /
-          (col("n") - 1)), 6).as("v_std")): _*)
+        round(foldStd(col("n"), col("s1"), col("s2")), 6).as("v_std")): _*)
   }
 
   /** [[histogram]] in the connector-foldable form: both passes push.
@@ -95,7 +122,9 @@ object StatsOps {
     val v0 = col(vCol).cast("double")
     val v = when(v0 <= lit(Double.PositiveInfinity), v0)
     val row = df.agg(min(v), max(v), count(v)).head()
-    val (lo, hi, n) = (row.getDouble(0), row.getDouble(1), row.getLong(2))
+    if (row.isNullAt(0)) return emptyHistogram(df) // no non-NaN cell
+    val (lo, hi) = expandIfZeroWidth(row.getDouble(0), row.getDouble(1))
+    val n = row.getLong(2)
     val w = (hi - lo) / bins
     val counts = df
       .groupBy(floor((v0 - lit(lo)) / lit(w)).as("b"))
@@ -117,7 +146,9 @@ object StatsOps {
   def histogram(df: DataFrame, vCol: String, bins: Int): DataFrame = {
     val v0 = col(vCol).cast("double")
     val row = df.filter(!isnan(v0)).agg(min(v0), max(v0), count(v0)).head()
-    val (lo, hi, n) = (row.getDouble(0), row.getDouble(1), row.getLong(2))
+    if (row.isNullAt(0)) return emptyHistogram(df) // no non-NaN cell
+    val (lo, hi) = expandIfZeroWidth(row.getDouble(0), row.getDouble(1))
+    val n = row.getLong(2)
     val binW = (hi - lo) / bins
     val bucket = least(floor(((v0 - lit(lo)) / (lit(hi) - lit(lo))) * bins),
       lit(bins - 1L)).cast("long").as("bucket")
@@ -129,4 +160,18 @@ object StatsOps {
         round(coalesce(col("cnt"), lit(0L)).cast("double") / (lit(n.toDouble) * lit(binW)), 6)
           .as("density"))
   }
+
+  /** np.histogram's degenerate-range rule: an all-equal variable expands
+    * the range to [v − 0.5, v + 0.5] (numpy `_get_outer_edges`) instead
+    * of dividing by a zero width into NaN buckets. Shared by both
+    * histogram paths so fold == row path on constant inputs. */
+  private def expandIfZeroWidth(lo: Double, hi: Double): (Double, Double) =
+    if (lo == hi) (lo - 0.5, hi + 0.5) else (lo, hi)
+
+  /** The empty/all-NaN histogram: zero rows, same schema — there is no
+    * range to bucket (np.histogram without an explicit range refuses the
+    * same input). */
+  private def emptyHistogram(df: DataFrame): DataFrame =
+    df.sparkSession.range(0).select(col("id").as("bucket"),
+      lit(0L).as("n"), lit(0.0).as("density"))
 }

@@ -189,16 +189,13 @@ object TemporalOps {
       m match {
         case "std" | "var" =>
           val (n, s1, s2) = (s"__rs_n_$i", s"__rs_s1_$i", s"__rs_s2_$i")
-          val raw = (col(s2) - col(s1) * col(s1) / col(n)) /
-            (col(n) - lit(1))
-          // match Spark's var_samp/stddev_samp on degenerate sizes
-          // (null for 0 values, NaN for 1) and clamp the one-pass
-          // moment form's cancellation residue at zero — without the
-          // clamp a large-magnitude low-spread bucket can leave a tiny
-          // NEGATIVE numerator and sqrt would surface it as NaN
-          val variance = when(col(n) === 0, lit(null))
-            .when(col(n) === 1, lit(Double.NaN))
-            .otherwise(greatest(raw, lit(0.0)))
+          // StatsOps.foldVariance carries the shared Spark-exact
+          // degenerate semantics (null below 2 values — Spark's own
+          // var_samp contract, probed in StatsRobustnessSpec), the
+          // cancellation clamp (greatest(raw, 0) against sqrt(-ε)) and
+          // the overflow guard (non-finite raw moment → NaN, matching
+          // the row path's own overflow)
+          val variance = StatsOps.foldVariance(col(n), col(s1), col(s2))
           (Seq(count(vv).as(n), sum(vv).as(s1), sum(vv * vv).as(s2)),
             (if (m == "std") sqrt(variance) else variance).as(s"${v}_$m"))
         case "any" | "all" =>

@@ -967,8 +967,23 @@ final case class ZarrScan(meta: ZarrGroupMeta, consumed: Array[Filter],
   // ---- statistics: post-pruning row/byte estimates so Catalyst and AQE
   // see a 2-chunk subset as small (broadcastable) instead of assuming the
   // whole archive — per-dim surviving in-bounds cell counts multiply
-  // exactly because pruning is rectangular.
+  // exactly because pruning is rectangular. Spark may call this
+  // repeatedly during planning/AQE; the estimate is deterministic for a
+  // fixed (consumed, runtime) pair, so it is memoized on the scan
+  // instance keyed by the runtime-filter array identity (filter()
+  // replaces the reference) — the sidecar-refined form otherwise
+  // re-enumerates O(chunks × vars) driver work per call.
+  @transient private var statsCacheKey: Array[Filter] = _
+  @transient private var statsCache: Statistics = _
   override def estimateStatistics(): Statistics = {
+    if (statsCache != null && (statsCacheKey eq runtime)) return statsCache
+    val computed = computeStatistics()
+    statsCacheKey = runtime
+    statsCache = computed
+    computed
+  }
+
+  private def computeStatistics(): Statistics = {
     val za = meta.za
     val keep = ZarrScan.survivingChunks(meta, consumed ++ runtime, None)
     def extent(k: Int, ck: Int): Long = {
