@@ -120,9 +120,11 @@ object SubsampleOps {
     * aggregation over O(blocks × distinct-values) rows. The exchange
     * carries per-chunk (block, value, count) partials instead of every
     * cell — mode is for flag/class variables, whose per-block distinct
-    * count is small by nature. All-NaN blocks are DROPPED (no row)
-    * where [[ModeAgg]] emits NaN — callers needing dense grids re-join
-    * the block index.
+    * count is small by nature. All-NaN blocks emit NaN exactly like
+    * [[ModeAgg]]: their (NaN-keyed) count rows survive stage 1 with
+    * count 0, stage 2's min_by skips the zero-count rows (null
+    * ordering), and the coalesce finishes them as NaN — fold == row
+    * path unconditionally.
     */
   def subsampleModeFold(cube: Cube, k: Int,
                         v: String): (DataFrame, GridMapping) = {
@@ -135,11 +137,16 @@ object SubsampleOps {
         (gm.iExpr(cube.x) / k).cast("long").as("block_i"),
         col(v).cast("double").as("__v"))
       .agg(count(guarded).as("__n"))
-      .filter(col("__n") > 0) // NaN cells grouped wherever, counted never
+    // NaN cells group wherever their bits land but count 0; zero-count
+    // rows keep the block IN the domain while min_by ignores them
+    val valid = col("__n") > 0
     val out = counts
       .groupBy(col(cube.timeCol), col("block_j"), col("block_i"))
-      .agg(min_by(col("__v"), struct((-col("__n")).as("__neg"),
-        col("__v").as("__tv"))).as(s"${v}_mode"))
+      .agg(coalesce(
+        min_by(when(valid, col("__v")),
+          when(valid, struct((-col("__n")).as("__neg"),
+            col("__v").as("__tv")))),
+        lit(Double.NaN)).as(s"${v}_mode"))
     (out, gm.scale(k.toDouble))
   }
 

@@ -176,9 +176,8 @@ object TemporalOps {
     // partials (count/sum/sum-of-squares — the only aggregates Spark
     // partial-pushes; one-pass moment formula, exact on dyadic gates
     // like StatsOps.statisticsFold); any/all ship min/max of the
-    // guarded SQUARE (truthiness of v == v·v > 0; values below
-    // ~1.5e-154 underflow the square and read as falsy — use
-    // resampleInTime's bool_and/bool_or for exotic magnitudes); the
+    // guarded ABSOLUTE VALUE (truthiness of v == |v| > 0 — exact at
+    // every magnitude, subnormals included); the
     // rest are methodAgg's forms, which fold where Spark translates
     // them (mean/count/min/max/sum) and stay row-path where it cannot
     // (median/percentile/prod — argmax/argmin/first/last have their own
@@ -199,8 +198,13 @@ object TemporalOps {
           (Seq(count(vv).as(n), sum(vv).as(s1), sum(vv * vv).as(s2)),
             (if (m == "std") sqrt(variance) else variance).as(s"${v}_$m"))
         case "any" | "all" =>
+          // truthiness as extremes of |v|: any ⇔ max|v| > 0, all ⇔
+          // min|v| > 0 — exact down to subnormals (the earlier squared
+          // form underflowed below ~1.5e-154), and ABS(CASE ...) is a
+          // translatable pushed column the connectors fold per chunk.
+          // All-NaN buckets give a null extreme → null, like bool_or
           val t = s"__rs_b_$i"
-          (Seq((if (m == "any") max(vv * vv) else min(vv * vv)).as(t)),
+          (Seq((if (m == "any") max(abs(vv)) else min(abs(vv))).as(t)),
             (col(t) > 0).as(s"${v}_$m"))
         case _ =>
           (Seq(methodAgg(m, col(v), col(timeDim)).as(s"${v}_$m")),
@@ -218,21 +222,48 @@ object TemporalOps {
       .select(start.as(labelCol) +: outCols: _*)
   }
 
+  /** Above this many collected gather values, the two-phase folds
+    * switch from an In-literal filter to a broadcast left-semi join —
+    * a decade-long hourly resample would otherwise plant ~88k literals
+    * in one In expression (driver memory + analyzer blowup). */
+  val InLiteralLimit = 4096
+
+  /** The phase-2 candidate frame of a two-phase fold: an In filter over
+    * the collected value set while it is literal-sized (the connectors
+    * consume In into interval sets and prune chunks with it), a
+    * broadcast left-semi join above [[InLiteralLimit]] (same rows; the
+    * scan still prunes through the runtime-filter path where the
+    * source supports it). */
+  private def gatherBy(df: DataFrame, c: Column, values: Seq[Double],
+                       inLimit: Int): DataFrame =
+    if (values.isEmpty) df.filter(lit(false))
+    else if (values.length <= inLimit) df.filter(c.isin(values: _*))
+    else {
+      val spark = df.sparkSession
+      import spark.implicits._
+      df.join(broadcast(values.toDF("__gather")), c === col("__gather"),
+        "left_semi")
+    }
+
   /** resample first/last FROM a connector as the two-phase fold it is:
     * phase 1 pushes `min/max(CASE WHEN v <= +Inf THEN t END)` — the
     * first/last VALID time per bucket, a cross-guarded partial the scan
     * folds per chunk — and collects the (bucket-count-sized) time set;
     * phase 2 gathers exactly those time slices back through the scan
-    * (the In filter on the time dim prunes chunks) and finishes with
-    * min_by/max_by. Exchange O(buckets), reads O(selected slices) —
-    * never O(cells). Buckets where EVERY variable is all-NaN produce no
-    * row (the row-path resampleInTime emits them with nulls); cube
-    * gates use fixtures without such buckets. */
+    * (the In filter on the time dim prunes chunks; above
+    * [[InLiteralLimit]] values a broadcast semi-join replaces the
+    * literal In) and finishes with min_by/max_by. The result is then
+    * LEFT-JOINED against phase 1's bucket domain, so a bucket whose
+    * variables are ALL NaN still emits its row with null values —
+    * exactly the row-path resampleInTime contract, with deterministic
+    * output shape. Exchange O(buckets), reads O(selected slices) —
+    * never O(cells). */
   def resampleFirstLastFold(df: DataFrame, timeDim: String,
                             unitSeconds: Double, freq: String,
                             vars: Seq[String], last: Boolean = false,
                             extraKeys: Seq[String] = Nil,
-                            labelCol: String = "t"): DataFrame = {
+                            labelCol: String = "t",
+                            inLiteralLimit: Int = InLiteralLimit): DataFrame = {
     require(vars.nonEmpty, "resampleFirstLastFold needs at least one var")
     val (keys, start) = numericKeys(timeDim, unitSeconds, freq)
     val keyCols = keys ++ extraKeys.map(col)
@@ -243,14 +274,13 @@ object TemporalOps {
       (if (last) max(g) else min(g)).as(s"__ft_$i")
     }
     val p1 = df.groupBy(keyCols: _*).agg(tAggs.head, tAggs.tail: _*)
+    val keyNames = p1.columns.take(keyCols.length).toSeq
     val times = p1
       .select(explode(array(vars.indices.map(i => col(s"__ft_$i")): _*))
         .as("t0"))
       .filter(col("t0").isNotNull).distinct()
       .collect().map(_.getDouble(0)).toSeq
-    val cand =
-      if (times.isEmpty) df.filter(lit(false))
-      else df.filter(col(timeDim).isin(times: _*))
+    val cand = gatherBy(df, col(timeDim), times, inLiteralLimit)
     val vAggs = vars.map { v =>
       val v0 = col(v).cast("double")
       val vv = when(v0 <= lit(Double.PositiveInfinity), v0)
@@ -258,7 +288,10 @@ object TemporalOps {
       (if (last) max_by(vv, validT) else min_by(vv, validT))
         .as(s"${v}_$mName")
     }
-    cand.groupBy(keyCols: _*).agg(vAggs.head, vAggs.tail: _*)
+    val p2 = cand.groupBy(keyCols: _*).agg(vAggs.head, vAggs.tail: _*)
+    // phase 1's key rows ARE the bucket domain (bucket-count-sized):
+    // all-NaN buckets gather nothing and must still emit null rows
+    p1.select(keyNames.map(col): _*).join(p2, keyNames, "left_outer")
       .select(start.as(labelCol) +:
         (extraKeys.map(col) ++ vars.map(v => col(s"${v}_$mName"))): _*)
   }
@@ -268,30 +301,34 @@ object TemporalOps {
     * chunk) and collects the (bucket-count-sized) extreme-value set;
     * phase 2 re-scans with `v IN (extremes)` — a consumed VALUE
     * predicate, so only matching cells leave the reader and an ANALYZE
-    * sidecar prunes whole chunks — and finishes with methodAgg's exact
-    * argmax/argmin (ties to the latest/earliest time via the (value,
-    * time) struct ordering). A bucket's own extreme rows are always in
-    * the candidate set and no candidate in a bucket beats its own
-    * extreme, so the two-phase result equals the one-pass one exactly.
-    * All-NaN buckets produce no row (row path emits them as null). */
+    * sidecar prunes whole chunks (a broadcast semi-join replaces the
+    * literal In above [[InLiteralLimit]] values) — and finishes with
+    * methodAgg's exact argmax/argmin (ties to the latest/earliest time
+    * via the (value, time) struct ordering). A bucket's own extreme
+    * rows are always in the candidate set and no candidate in a bucket
+    * beats its own extreme, so the two-phase result equals the
+    * one-pass one exactly. The finish is LEFT-JOINED against phase 1's
+    * bucket domain so all-NaN buckets emit null rows exactly like the
+    * row path. */
   def resampleArgFold(df: DataFrame, timeDim: String, unitSeconds: Double,
                       freq: String, v: String, argmax: Boolean = true,
                       extraKeys: Seq[String] = Nil,
-                      labelCol: String = "t"): DataFrame = {
+                      labelCol: String = "t",
+                      inLiteralLimit: Int = InLiteralLimit): DataFrame = {
     val (keys, start) = numericKeys(timeDim, unitSeconds, freq)
     val keyCols = keys ++ extraKeys.map(col)
     val v0 = col(v).cast("double")
     val vv = when(v0 <= lit(Double.PositiveInfinity), v0)
     val p1 = df.groupBy(keyCols: _*)
       .agg((if (argmax) max(vv) else min(vv)).as("__m"))
+    val keyNames = p1.columns.take(keyCols.length).toSeq
     val exts = p1.select(col("__m")).filter(col("__m").isNotNull)
       .distinct().collect().map(_.getDouble(0)).toSeq
-    val cand =
-      if (exts.isEmpty) df.filter(lit(false))
-      else df.filter(col(v).isin(exts: _*))
+    val cand = gatherBy(df, col(v), exts, inLiteralLimit)
     val mName = if (argmax) "argmax" else "argmin"
-    cand.groupBy(keyCols: _*)
+    val p2 = cand.groupBy(keyCols: _*)
       .agg(methodAgg(mName, col(v), col(timeDim)).as(s"${v}_$mName"))
+    p1.select(keyNames.map(col): _*).join(p2, keyNames, "left_outer")
       .select(start.as(labelCol) +:
         (extraKeys.map(col) :+ col(s"${v}_$mName")): _*)
   }

@@ -575,7 +575,7 @@ final class ZarrScanBuilder(meta: ZarrGroupMeta,
       // the FULL tuple makes dropped rows at worst full-tuple ties
       val cols = orders.toSeq.map { o =>
         (ZarrVarAggScan.aggColumn(meta, o.expression())
-          .collect { case (nm, None, false) => nm },
+          .collect { case ZarrAggCol(nm, None, false, false) => nm },
           o.direction() == DESCENDING)
       }
       if (cols.nonEmpty && cols.forall(_._1.isDefined)) {
@@ -956,9 +956,13 @@ final case class ZarrScan(meta: ZarrGroupMeta, consumed: Array[Filter],
   // runtime filters only prune — the plan's own join re-evaluates them —
   // so this can only skip chunks that provably contain no matching cell.
   private var runtime: Array[Filter] = Array.empty
+  // only dims the scan still OUTPUTS are advertised for runtime
+  // filtering: Spark's PartitionPruning resolves these against the
+  // scan's output attributes, so naming a column-pruned dim crashes
+  // planning of any join above a projected scan
   override def filterAttributes(): Array[
       org.apache.spark.sql.connector.expressions.NamedReference] =
-    meta.za.dims.map(d =>
+    meta.za.dims.filter(required.fieldNames.contains).map(d =>
       org.apache.spark.sql.connector.expressions.Expressions.column(d)).toArray
   override def filter(fs: Array[Filter]): Unit = {
     runtime = fs.filter(f => ZarrScan.rect(meta, f).isDefined)

@@ -87,7 +87,7 @@ final case class ZarrVarAggScan(meta: ZarrGroupMeta, consumed: Array[Filter],
   private def innerCols: Seq[String] = {
     def cols(e: VExpr): Seq[String] =
       ZarrVarAggScan.aggColumn(meta, e).toSeq
-        .flatMap { case (n, g, _) => n +: g.toSeq }
+        .flatMap(c => c.name +: c.guard.toSeq)
     val vars = agg.aggregateExpressions.toSeq.flatMap {
       case c: Count => cols(c.column)
       case m: Min => cols(m.column)
@@ -109,10 +109,10 @@ final case class ZarrVarAggScan(meta: ZarrGroupMeta, consumed: Array[Filter],
     val names = required.fieldNames.toSeq
     val bound = groupKeys.map(k => k.copy(colIdx = names.indexOf(k.dim))).toArray
     def spec(op: Int, column: VExpr): ZarrAggSpec = {
-      val (name, guard, squared) = ZarrVarAggScan.aggColumn(meta, column).get
-      val colIdx = names.indexOf(name)
-      ZarrAggSpec(op, colIdx, guard.isDefined, squared,
-        guard.map(names.indexOf).getOrElse(colIdx))
+      val c = ZarrVarAggScan.aggColumn(meta, column).get
+      val colIdx = names.indexOf(c.name)
+      ZarrAggSpec(op, colIdx, c.guard.isDefined, c.squared,
+        c.guard.map(names.indexOf).getOrElse(colIdx), c.abs)
     }
     val specs = agg.aggregateExpressions.toSeq.map {
       case _: CountStar => ZarrAggSpec(ZarrAggSpec.CountStar, -1)
@@ -247,8 +247,12 @@ final case class ZarrVarAggScan(meta: ZarrGroupMeta, consumed: Array[Filter],
     * Null/NaN semantics mirror the fold: plain aggregates see every cell
     * (a NaN poisons Sum and wins Max; Min still finds the finite
     * minimum — NaN is greatest); guarded aggregates skip NaN and emit
-    * null when nothing contributed. min(v·v) over a span straddling zero
-    * is the one underivable shape — the chunk is read instead. */
+    * null when nothing contributed. min(v·v) and min/sum(|v|) over a
+    * span straddling zero are the underivable shapes — the chunk is
+    * read instead. The abs derivations match the fold bit-for-bit:
+    * abs(min) (not min itself) so a −0.0 extreme normalizes like the
+    * per-cell math.abs, and −sum for all-nonpositive chunks (IEEE
+    * round-to-nearest is sign-symmetric, so Σ|vᵢ| == −Σvᵢ exactly). */
   private def derive(s: ZarrAggSpec, vs: ChunkStats.VarStat): Option[Any] = {
     // a CROSS-column guard (min of t where v is valid) needs joint
     // (guard, value) information the per-variable moments cannot carry
@@ -260,19 +264,31 @@ final case class ZarrVarAggScan(meta: ZarrGroupMeta, consumed: Array[Filter],
         Some((if (s.skipNaN) vs.finite else vs.cells): Any)
       case ZarrAggSpec.Min =>
         if (allNaN) empty
-        else if (!s.squared) Some(vs.min)
-        else if (vs.min >= 0.0) Some(vs.min * vs.min)
-        else if (vs.max <= 0.0) Some(vs.max * vs.max)
-        else None
+        else if (s.squared) {
+          if (vs.min >= 0.0) Some(vs.min * vs.min)
+          else if (vs.max <= 0.0) Some(vs.max * vs.max)
+          else None
+        } else if (s.absVal) {
+          if (vs.min >= 0.0) Some(math.abs(vs.min))
+          else if (vs.max <= 0.0) Some(math.abs(vs.max))
+          else None
+        } else Some(vs.min)
       case ZarrAggSpec.Max =>
         if (allNaN) empty
         else if (!s.skipNaN && vs.nan > 0L) Some(Double.NaN)
-        else if (!s.squared) Some(vs.max)
-        else Some(math.max(vs.min * vs.min, vs.max * vs.max))
+        else if (s.squared) Some(math.max(vs.min * vs.min, vs.max * vs.max))
+        else if (s.absVal)
+          Some(math.max(math.abs(vs.min), math.abs(vs.max)))
+        else Some(vs.max)
       case ZarrAggSpec.Sum =>
         if (allNaN) empty
         else if (!s.skipNaN && vs.nan > 0L) Some(Double.NaN)
-        else Some(if (s.squared) vs.sumsq else vs.sum)
+        else if (s.squared) Some(vs.sumsq)
+        else if (s.absVal) {
+          if (vs.min >= 0.0) Some(vs.sum)
+          else if (vs.max <= 0.0) Some(-vs.sum)
+          else None
+        } else Some(vs.sum)
       case _ => None
     }
   }
@@ -282,28 +298,44 @@ final case class ZarrVarAggScan(meta: ZarrGroupMeta, consumed: Array[Filter],
       ZarrScan.sharedState(meta, innerRequired, consumed, dim0Range = None))
 }
 
+/** A resolved pushed-aggregate column: the value column, its NaN-guard
+  * column if CASE-guarded, and whether the aggregated quantity is the
+  * column's SQUARE (second-moment partial) or ABSOLUTE VALUE (the
+  * truthiness partial behind resample any/all — |v| > 0 ⇔ v ≠ 0, exact
+  * down to subnormals where the squared form underflows). */
+final case class ZarrAggCol(name: String, guard: Option[String],
+                            squared: Boolean, abs: Boolean)
+
 object ZarrVarAggScan {
   /** Resolve a pushed aggregate COLUMN: a plain dim / data-variable
     * reference, the NaN-skipping guard `CASE WHEN g <= +Inf THEN col
     * END` (false only for NaN under Spark's double ordering — the
     * translatable skipna form; the guard column may DIFFER from the
     * value column, e.g. `min(CASE WHEN v <= +Inf THEN t END)` — the
-    * first-valid-TIME partial behind resample first/last), or the
-    * SQUARE `col * col` of either — the second-moment partial that lets
+    * first-valid-TIME partial behind resample first/last), the SQUARE
+    * `col * col` of either — the second-moment partial that lets
     * stddev/var fold per chunk (Spark only partial-pushes
     * Min/Max/Sum/Count, so compute_statistics ships `sum(v), sum(v*v),
-    * count` and finishes the moment math above the scan). Returns
-    * (value column, guard column if NaN-guarded, squared). */
+    * count` and finishes the moment math above the scan) — or the
+    * ABSOLUTE VALUE `abs(col)` of either — the truthiness partial
+    * behind resample any/all (min/max(|v|) > 0, underflow-free). */
   private[zarr] def aggColumn(meta: ZarrGroupMeta, e: VExpr)
-      : Option[(String, Option[String], Boolean)] = e match {
+      : Option[ZarrAggCol] = e match {
     case g: GeneralScalarExpression
         if g.name == "*" && g.children().length == 2 =>
       for {
         (n1, g1) <- plainCol(meta, g.children()(0))
         (n2, g2) <- plainCol(meta, g.children()(1))
         if n1 == n2 && g1 == g2
-      } yield (n1, g1, true)
-    case _ => plainCol(meta, e).map { case (n, g) => (n, g, false) }
+      } yield ZarrAggCol(n1, g1, squared = true, abs = false)
+    case g: GeneralScalarExpression
+        if g.name == "ABS" && g.children().length == 1 =>
+      plainCol(meta, g.children()(0)).map { case (n, gd) =>
+        ZarrAggCol(n, gd, squared = false, abs = true)
+      }
+    case _ => plainCol(meta, e).map { case (n, g) =>
+      ZarrAggCol(n, g, squared = false, abs = false)
+    }
   }
 
   /** A plain column reference or its NaN-skip-guarded form
@@ -640,9 +672,11 @@ object ZarrGroupKey {
   * the second-moment partial behind stddev/var) + the GUARD column's
   * index (== colIdx for the self-guarded form; a different column for
   * `min(CASE WHEN v <= +Inf THEN t END)` — the first-valid-time
-  * partial). */
+  * partial) + whether it is the column's ABSOLUTE VALUE (`abs(v)`,
+  * the truthiness partial behind resample any/all). */
 final case class ZarrAggSpec(op: Int, colIdx: Int, skipNaN: Boolean = false,
-                             squared: Boolean = false, guardIdx: Int = -1)
+                             squared: Boolean = false, guardIdx: Int = -1,
+                             absVal: Boolean = false)
 
 object ZarrAggSpec {
   val CountStar = 0
@@ -759,7 +793,8 @@ final class ZarrVarAggReader(shared: ZarrScan.SharedScanState,
             case ZarrAggSpec.Min =>
               if (!s.skipNaN || !cur.colValue(s.guardIdx).isNaN) {
                 val raw = cur.colValue(s.colIdx)
-                val v = if (s.squared) raw * raw else raw
+                val v = if (s.squared) raw * raw
+                  else if (s.absVal) math.abs(raw) else raw
                 if (!st.has(i) || java.lang.Double.compare(v, st.doubles(i)) < 0)
                   st.doubles(i) = v
                 st.has(i) = true
@@ -767,7 +802,8 @@ final class ZarrVarAggReader(shared: ZarrScan.SharedScanState,
             case ZarrAggSpec.Max =>
               if (!s.skipNaN || !cur.colValue(s.guardIdx).isNaN) {
                 val raw = cur.colValue(s.colIdx)
-                val v = if (s.squared) raw * raw else raw
+                val v = if (s.squared) raw * raw
+                  else if (s.absVal) math.abs(raw) else raw
                 if (!st.has(i) || java.lang.Double.compare(v, st.doubles(i)) > 0)
                   st.doubles(i) = v
                 st.has(i) = true
@@ -775,7 +811,8 @@ final class ZarrVarAggReader(shared: ZarrScan.SharedScanState,
             case ZarrAggSpec.Sum =>
               if (!s.skipNaN || !cur.colValue(s.guardIdx).isNaN) {
                 val raw = cur.colValue(s.colIdx)
-                st.doubles(i) += (if (s.squared) raw * raw else raw)
+                st.doubles(i) += (if (s.squared) raw * raw
+                  else if (s.absVal) math.abs(raw) else raw)
                 st.has(i) = true
               }
           }

@@ -131,4 +131,88 @@ class ResampleFoldSpec extends AnyFunSuite {
       rows, "t", 86400.0, "1M", Seq("v" -> "argmin"))
     assert(sortedRows(qn) === sortedRows(truthN))
   }
+
+  test("all-NaN buckets emit null rows — fold == row path unconditionally") {
+    val g = writeFixture()
+    val zc = spark.read.format("zarr").load(g)
+    val rows = ZarrSource.readCubeVars(spark, g, Seq("v", "w"))
+    // w's t=0 slice is all-NaN; "1D" buckets make it an all-NaN BUCKET
+    val qf = graft.operators.TemporalOps.resampleFirstLastFold(
+      zc, "t", 86400.0, "1D", Seq("w"), last = false,
+      extraKeys = Seq("y", "x"))
+    val tf = graft.operators.TemporalOps.resampleInTimeNumeric(
+      rows, "t", 86400.0, "1D", Seq("w" -> "first"),
+      extraKeys = Seq("y", "x"))
+    assert(sortedRows(qf) === sortedRows(tf)) // 4 buckets, t=0 all null
+    assert(qf.filter(col("w_first").isNull).count() === 24L)
+    val qa = graft.operators.TemporalOps.resampleArgFold(
+      zc, "t", 86400.0, "1D", "w", argmax = true, extraKeys = Seq("y"))
+    val ta = graft.operators.TemporalOps.resampleInTimeNumeric(
+      rows, "t", 86400.0, "1D", Seq("w" -> "argmax"), extraKeys = Seq("y"))
+    assert(sortedRows(qa) === sortedRows(ta))
+    assert(qa.filter(col("w_argmax").isNull).count() === 4L)
+  }
+
+  test("any/all survive subnormal magnitudes (abs partials, no underflow)") {
+    import spark.implicits._
+    // 1e-160: the old squared form underflowed to 0 and read falsy
+    val df = Seq(
+      (0.0, 1e-160), (1.0, 0.0), // bucket 0: any=true, all=false
+      (2.0, 1e-300), (3.0, 2e-308), // bucket 1: any=true, all=true
+      (4.0, Double.NaN), (5.0, Double.NaN), // bucket 2: all-NaN -> null
+      (6.0, 0.0), (7.0, 0.0) // bucket 3: any=false, all=false
+    ).toDF("t", "v")
+    val fold = graft.operators.TemporalOps.resampleInTimeNumeric(
+      df, "t", 86400.0, "2D", Seq("v" -> "any", "v" -> "all"))
+    val rows = df.withColumn("ts", timestamp_seconds(col("t") * 86400.0))
+    val truth = graft.operators.TemporalOps.resampleInTime(
+      rows, "ts", "2D", Seq("v" -> "any", "v" -> "all"))
+    assert(sortedRows(fold) === sortedRows(truth))
+    // and the abs form still folds below a connector scan
+    val g = writeFixture()
+    val zc = spark.read.format("zarr").load(g)
+    val q = graft.operators.TemporalOps.resampleInTimeNumeric(
+      zc, "t", 86400.0, "2D", Seq("v" -> "any", "w" -> "all"))
+    assert(q.queryExecution.executedPlan.toString.contains("ZarrVarAggScan"),
+      q.queryExecution.executedPlan.toString.take(1200))
+  }
+
+  test("gather guard: above the In-literal limit a broadcast semi-join gathers") {
+    val g = writeFixture()
+    val zc = spark.read.format("zarr").load(g)
+    val base = graft.operators.TemporalOps.resampleFirstLastFold(
+      zc, "t", 86400.0, "1D", Seq("v"), last = true, extraKeys = Seq("y"))
+    val joined = graft.operators.TemporalOps.resampleFirstLastFold(
+      zc, "t", 86400.0, "1D", Seq("v"), last = true, extraKeys = Seq("y"),
+      inLiteralLimit = 1) // 4 gathered times > 1 -> semi-join path
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), plan.take(1500))
+    assert(sortedRows(joined) === sortedRows(base))
+    val aBase = graft.operators.TemporalOps.resampleArgFold(
+      zc, "t", 86400.0, "2D", "v", argmax = true, extraKeys = Seq("y"))
+    val aJoin = graft.operators.TemporalOps.resampleArgFold(
+      zc, "t", 86400.0, "2D", "v", argmax = true, extraKeys = Seq("y"),
+      inLiteralLimit = 1)
+    assert(aJoin.queryExecution.executedPlan.toString.contains("LeftSemi"))
+    assert(sortedRows(aJoin) === sortedRows(aBase))
+  }
+
+  test("subsampleModeFold emits NaN for all-NaN blocks like ModeAgg") {
+    import spark.implicits._
+    import graft.cube.{Cube, GridMapping}
+    // 1x4x4 grid, k=2 -> 4 blocks; block (0,0) all-NaN
+    val y = Array.tabulate(4)(_ + 0.5)
+    val x = Array.tabulate(4)(_ + 0.5)
+    val df = (for { yi <- y; xi <- x } yield
+      (0.0, yi, xi,
+        if (yi < 2.0 && xi < 2.0) Double.NaN
+        else math.floor(xi))).toSeq.toDF("t", "y", "x", "v")
+    val gm = GridMapping(4, 4, 0.0, 0.0, 1.0, 1.0)
+    val cube = Cube(df, gm, "t", "y", "x")
+    val (fold, _) = graft.operators.SubsampleOps.subsampleModeFold(cube, 2, "v")
+    val (agg, _) = graft.operators.SubsampleOps.subsample(
+      cube, 2, Seq("v" -> "mode"))
+    assert(sortedRows(fold) === sortedRows(agg))
+    assert(fold.filter(isnan(col("v_mode"))).count() === 1L)
+  }
 }
