@@ -333,6 +333,24 @@ object ZarrVarAggScan {
       plainCol(meta, g.children()(0)).map { case (n, gd) =>
         ZarrAggCol(n, gd, squared = false, abs = true)
       }
+    // Catalyst pushes the null-intolerant ABS into the guard's branch,
+    // so the optimized any/all partial arrives guard-OUTSIDE:
+    // `CASE WHEN g <= +Inf THEN ABS(v) END` ≡ `ABS(CASE WHEN ... END)`
+    // (abs(null) = null) — same fold, same stats answer.
+    case g: GeneralScalarExpression
+        if g.name == "CASE_WHEN" && g.children().length == 2 &&
+          (g.children()(1) match {
+            case i: GeneralScalarExpression => i.name == "ABS"
+            case _ => false
+          }) =>
+      val inner = g.children()(1).asInstanceOf[GeneralScalarExpression]
+      for {
+        guarded <- nanGuard(meta, g.children()(0))
+        name <- inner.children()(0) match {
+          case fr: NamedReference => colOf(meta, fr)
+          case _ => None
+        }
+      } yield ZarrAggCol(name, Some(guarded), squared = false, abs = true)
     case _ => plainCol(meta, e).map { case (n, g) =>
       ZarrAggCol(n, g, squared = false, abs = false)
     }
@@ -346,22 +364,34 @@ object ZarrVarAggScan {
       colOf(meta, fr).map(_ -> None)
     case g: GeneralScalarExpression
         if g.name == "CASE_WHEN" && g.children().length == 2 =>
-      (g.children()(0), g.children()(1)) match {
-        case (cond: GeneralScalarExpression, value: NamedReference)
-            if cond.name == "<=" && cond.children().length == 2 =>
+      g.children()(1) match {
+        case value: NamedReference =>
           for {
             name <- colOf(meta, value)
-            guarded <- cond.children()(0) match {
-              case fr: NamedReference => colOf(meta, fr)
-              case _ => None
-            }
-            lim <- litNum(cond.children()(1))
-            if lim == Double.PositiveInfinity
+            guarded <- nanGuard(meta, g.children()(0))
           } yield name -> Some(guarded)
         case _ => None
       }
     case _ => None
   }
+
+  /** Matches the translatable skipna condition `g <= +Inf` (false only
+    * for NaN under Spark's double ordering) and returns the guard
+    * column. */
+  private def nanGuard(meta: ZarrGroupMeta, e: VExpr): Option[String] =
+    e match {
+      case cond: GeneralScalarExpression
+          if cond.name == "<=" && cond.children().length == 2 =>
+        for {
+          guarded <- cond.children()(0) match {
+            case fr: NamedReference => colOf(meta, fr)
+            case _ => None
+          }
+          lim <- litNum(cond.children()(1))
+          if lim == Double.PositiveInfinity
+        } yield guarded
+      case _ => None
+    }
 
   private def colOf(meta: ZarrGroupMeta, fr: NamedReference): Option[String] =
     if (fr.fieldNames.length == 1 &&
