@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -115,4 +115,201 @@ object QuantileOps {
       .filter(col("rank") > col("cb2") && col("rank") <= col("cb2") + col("vcnt"))
       .select(gs :+ col("p") :+ col("rank") :+ col("v").as("value"): _*)
   }
+
+  // -------------------------------------------------------------------
+  // Exact quantiles over a DOUBLE variable THROUGH a connector scan —
+  // the last reference aggregation method without a pushed form
+  // (resample_in_time median/percentile_<p>, get_time_series median:
+  // the one aggregate xcube must `.load()` the whole array for,
+  // reference core/timeseries.py:40-47 MUST_LOAD, resampling/
+  // temporal.py:17-161).
+  // -------------------------------------------------------------------
+
+  /** Exact `percentile_cont` quantiles of a double column (NaN = missing,
+    * skipped like every reference aggregation) where EVERY data pass is a
+    * pushed chunk-foldable aggregate:
+    *
+    *  - pass 0 — guarded count/min/max: folds per chunk
+    *    (ZarrVarAggScan), and over an ANALYZEd store answers from the
+    *    sidecar with ZERO chunk IO;
+    *  - refinement rounds — a bucket histogram `GROUP BY
+    *    floor((v − lo)/w)` under a CONSUMED value-interval filter: the
+    *    key folds per chunk, the interval prunes chunks (sidecar zone
+    *    maps), and single-bucket chunks answer from their moments alone;
+    *    each round narrows every unresolved rank to one bucket, so round
+    *    k ≥ 2 rescans ONLY the chunks straddling a target bucket;
+    *  - exact finish — once a rank's interval holds ≤ `maxExactRows`
+    *    rows, a distinct-value histogram (the pushed raw-value key)
+    *    resolves the order statistic; the collect is bounded by the
+    *    interval's distinct values.
+    *
+    * Bucket boundaries are NOT re-derived arithmetically: the next
+    * round's value interval is computed by binary search over the
+    * ordered double bit space for the exact points where Spark's own
+    * `floor((v − lo)/w)` changes value, so the filtered row set equals
+    * the counted bucket bit-for-bit — no boundary drift, no lost or
+    * double-counted rank mass.
+    *
+    * Interpolation follows Spark's `percentile` / DuckDB's
+    * `quantile_cont`: idx = p·(n−1), result = lower + (upper − lower) ·
+    * frac over the 1-indexed order statistics ⌊idx⌋+1, ⌊idx⌋+2.
+    * Returns one row per p: (p, value); value is null when every cell
+    * is NaN. Driver work is O(ranks × rounds) collects of ≤ `bins`
+    * histogram rows — metadata-sized, never O(cells).
+    */
+  def quantileFold(df: DataFrame, vCol: String, ps: Seq[Double],
+                   bins: Int = 1024, maxExactRows: Long = 1L << 16,
+                   maxDepth: Int = 12): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
+      s"quantile fractions out of range: $ps")
+    require(bins >= 2, s"need at least 2 refinement bins, got $bins")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val v0 = col(vCol).cast("double")
+    val vv = when(v0 <= lit(Double.PositiveInfinity), v0)
+    val head = df.agg(count(vv), min(vv), max(vv)).head()
+    val n = head.getLong(0)
+    if (n == 0L)
+      return ps.map(p => (p, Option.empty[Double])).toDF("p", "value")
+    val wants = ps.map { p =>
+      val idx = p * (n - 1).toDouble
+      val k = math.floor(idx).toLong
+      (p, k + 1, idx - k)
+    }
+    val ranks = wants.flatMap { case (_, r, frac) =>
+      if (frac > 0.0) Seq(r, r + 1) else Seq(r)
+    }.distinct.sorted
+    val resolved = resolveRanks(df, v0, head.getDouble(1),
+      head.getDouble(2), n, ranks, bins, maxExactRows, maxDepth)
+    wants.map { case (p, r, frac) =>
+      val lower = resolved(r)
+      val value =
+        if (frac > 0.0) lower + (resolved(r + 1) - lower) * frac else lower
+      (p, Option(value))
+    }.toDF("p", "value")
+  }
+
+  /** One unresolved selection task: the inclusive value interval, the
+    * count of data values strictly below it, its own row count, the
+    * refinement depth, and the (ascending) target ranks inside it. */
+  private final case class Hunt(lo: Double, hi: Double, below: Long,
+                                rows: Long, depth: Int, ranks: List[Long])
+
+  private def resolveRanks(df: DataFrame, v0: Column,
+                           gLo: Double, gHi: Double, n: Long,
+                           ranks: Seq[Long], bins: Int,
+                           maxExactRows: Long, maxDepth: Int)
+      : Map[Long, Double] = {
+    val out = scala.collection.mutable.Map.empty[Long, Double]
+    var work = List(Hunt(gLo, gHi, 0L, n, 0, ranks.toList))
+    while (work.nonEmpty) {
+      val h = work.head
+      work = work.tail
+      val w = (h.hi - h.lo) / bins
+      if (h.lo == h.hi) h.ranks.foreach(out(_) = h.lo)
+      else if (h.rows <= maxExactRows || h.depth >= maxDepth ||
+        !java.lang.Double.isFinite(w) || w <= 0.0)
+        // non-finite w: ±Inf endpoints (range overflow); w == 0: the
+        // interval is a few ulps wide — either way the distinct-value
+        // set is resolvable directly
+        exactFinish(df, v0, h, out)
+      else {
+        // pushed interval histogram: the filter is a consumed rectangle
+        // (chunk- and sidecar-pruned), the floor key folds per chunk
+        val hist = df.filter(v0 >= h.lo && v0 <= h.hi)
+          .groupBy(floor((v0 - lit(h.lo)) / lit(w)).as("b"))
+          .agg(count(lit(1)).as("c"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+        var cum = h.below
+        var rs = h.ranks
+        val sub = List.newBuilder[Hunt]
+        for ((b, c) <- hist if rs.nonEmpty) {
+          val mine = rs.takeWhile(_ <= cum + c)
+          if (mine.nonEmpty) {
+            rs = rs.drop(mine.length)
+            val (blo, bhi) = bucketBounds(h.lo, h.hi, w, b)
+            sub += Hunt(blo, bhi, cum, c, h.depth + 1, mine)
+          }
+          cum += c
+        }
+        require(rs.isEmpty, s"rank walk exhausted with ranks $rs " +
+          s"unresolved in [${h.lo}, ${h.hi}] (${h.rows} rows)")
+        work = sub.result() ::: work
+      }
+    }
+    out.toMap
+  }
+
+  /** Resolve a bounded task's ranks from the distinct-value histogram
+    * (the pushed raw-value group key under the consumed interval). */
+  private def exactFinish(df: DataFrame, v0: Column, h: Hunt,
+                          out: scala.collection.mutable.Map[Long, Double])
+      : Unit = {
+    val hist = df.filter(v0 >= h.lo && v0 <= h.hi)
+      .groupBy(v0.as("v")).agg(count(lit(1)).as("c"))
+      .orderBy("v").collect()
+    var cum = h.below
+    var rs = h.ranks
+    var i = 0
+    while (rs.nonEmpty && i < hist.length) {
+      val v = hist(i).getDouble(0)
+      val c = hist(i).getLong(1)
+      while (rs.nonEmpty && rs.head <= cum + c) {
+        out(rs.head) = v
+        rs = rs.tail
+      }
+      cum += c
+      i += 1
+    }
+    require(rs.isEmpty, s"exact finish exhausted with ranks $rs " +
+      s"unresolved in [${h.lo}, ${h.hi}]")
+  }
+
+  /** The EXACT inclusive value boundaries of histogram bucket `b` under
+    * Spark's `floor((v − lo)/w)` — found by binary search over the
+    * ordered double bit space (the key is monotone non-decreasing in v),
+    * not by re-deriving `lo + b·w` arithmetically, which can misplace
+    * boundary values by an ulp and desynchronize rank bookkeeping from
+    * the counted buckets. ~64 key evaluations per edge, driver-side. */
+  private def bucketBounds(lo: Double, hi: Double, w: Double, b: Long)
+      : (Double, Double) = {
+    def key(v: Double): Double = math.floor((v - lo) / w)
+    val bd = b.toDouble
+    val blo = if (key(lo) >= bd) lo else leastWith(lo, hi, v => key(v) >= bd)
+    val bhi =
+      if (key(hi) <= bd) hi
+      else Math.nextDown(leastWith(blo, hi, v => key(v) > bd))
+    (blo, bhi)
+  }
+
+  /** Leftmost double in [a, c] satisfying the MONOTONE predicate `pred`
+    * (pred(c) must hold). Binary search over the order-preserving long
+    * mapping of IEEE doubles. */
+  private def leastWith(a: Double, c: Double,
+                        pred: Double => Boolean): Double = {
+    if (pred(a)) return a
+    var lo = dOrd(a) // invariant: !pred(lo)
+    var hi = dOrd(c) // invariant: pred(hi)
+    // the true gap always fits UNSIGNED (it is < 2^64 and ≥ 0), so both
+    // the loop test and the midpoint read (hi − lo) as unsigned — a
+    // signed read can overflow when the interval spans ±huge doubles
+    while (java.lang.Long.compareUnsigned(hi - lo, 1L) > 0) {
+      val mid = lo + ((hi - lo) >>> 1)
+      if (pred(dFromOrd(mid))) hi = mid else lo = mid
+    }
+    dFromOrd(hi)
+  }
+
+  /** Order-preserving double↔long bijection (negatives flip their
+    * magnitude bits so bit order equals value order; −0.0 sits just
+    * below +0.0, which is consistent — the two compare equal in every
+    * arithmetic this search feeds). */
+  private def dOrd(d: Double): Long = {
+    val b = java.lang.Double.doubleToLongBits(d)
+    if (b >= 0) b else b ^ 0x7fffffffffffffffL
+  }
+
+  private def dFromOrd(o: Long): Double =
+    java.lang.Double.longBitsToDouble(
+      if (o >= 0) o else o ^ 0x7fffffffffffffffL)
 }

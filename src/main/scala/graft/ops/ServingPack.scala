@@ -1273,6 +1273,34 @@ object ServingPack extends QueryPack {
         s.read.format("zarr").load(group), "v")
     }),
 
+    // exact MEDIAN through the connector — the one reference aggregation
+    // xcube MUST_LOAD the whole array for (core/timeseries.py:40-47,
+    // resampling/temporal.py:17-161 median): pass 0 (guarded
+    // count/min/max) folds per chunk, each refinement round is a pushed
+    // bucket histogram under a CONSUMED value-interval filter (rounds
+    // ≥ 2 rescan straddling chunks only — QuantileFoldSpec corruption
+    // proof), and the finish is the pushed raw-value key. Driver work is
+    // O(rounds × bins) histogram rows, never O(cells).
+    "q_zarr_median" -> ((s, d) => {
+      val group = zarrAggPushFixture(s, d)
+      graft.operators.QuantileOps.quantileFold(
+        s.read.format("zarr").load(group), "v", Seq(0.5))
+        .select(col("p"), round(col("value"), 6).as("value"))
+    }),
+
+    // exact PERCENTILES over the ANALYZEd monotone variable: pass 0
+    // answers count/min/max from the sidecar with zero chunk IO, the
+    // round-1 histogram answers every single-bucket chunk from its
+    // moments alone, and deeper rounds decode only the straddling
+    // chunks the zone maps admit. Dyadic fractions keep the
+    // percentile_cont interpolation bit-exact across engines.
+    "q_zarr_percentile" -> ((s, d) => {
+      val group = zarrStatsFixture(s, d)
+      graft.operators.QuantileOps.quantileFold(
+        s.read.format("zarr").load(group), "m", Seq(0.25, 0.75, 0.96875))
+        .select(col("p"), round(col("value"), 6).as("value"))
+    }),
+
     // resample argmax FROM the connector, two-phase: the per-bucket
     // extreme folds per chunk, then a `v IN (extremes)` gather — a
     // consumed value predicate the sidecar prunes on — finishes with the
@@ -2701,6 +2729,18 @@ object ServingPack extends QueryPack {
                 round(s1 / n, 6) AS v_mean,
                 round(sqrt((s2 - s1 * s1 / n) / (n - 1)), 6) AS v_std
          FROM m""",
+    "q_zarr_median" ->
+      """WITH c AS (SELECT (((k // 360) % 100) * 360 + (k % 360)
+                             + (k // 36000) * 7) % 4096 / 64.0 AS v
+                    FROM range(0, 144000) r(k))
+         SELECT 0.5::DOUBLE AS p,
+                round(quantile_cont(v, 0.5)::DOUBLE, 6) AS value FROM c""",
+    "q_zarr_percentile" ->
+      """WITH c AS (SELECT k / 64.0 AS m FROM range(0, 144000) r(k)),
+            q AS (SELECT quantile_cont(m, [0.25, 0.75, 0.96875]) AS vs
+                  FROM c)
+         SELECT unnest([0.25, 0.75, 0.96875]::DOUBLE[]) AS p,
+                round(unnest(vs)::DOUBLE, 6) AS value FROM q""",
     "q_zarr_argmax" ->
       """WITH c AS (SELECT k // 36000 AS g,
                            ((k // 360) % 100) + 0.5 AS y,

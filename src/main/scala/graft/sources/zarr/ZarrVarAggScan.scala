@@ -215,6 +215,17 @@ final case class ZarrVarAggScan(meta: ZarrGroupMeta, consumed: Array[Filter],
         else if (vs.nan == 0L &&
           java.lang.Double.compare(vs.min, vs.max) == 0)
           scala.util.Try(keyOfValue(gk, vs.min)).toOption
+        else if (vs.nan == 0L &&
+          (gk.kind == ZarrGroupKey.Floor || gk.kind == ZarrGroupKey.FloorDiv) &&
+          scala.util.Try(
+            keyOfValue(gk, vs.min) == keyOfValue(gk, vs.max))
+            .getOrElse(false))
+          // Floor/FloorDiv keys are MONOTONE in the value (an affine map,
+          // a divide, floor and trunc-div are each monotone, in either
+          // direction), so equal keys at both extremes pin every cell's
+          // key — the single-BUCKET chunk of a histogram or quantile
+          // refinement scan answers its whole partial row from moments
+          scala.util.Try(keyOfValue(gk, vs.min)).toOption
         else None
       }
     }

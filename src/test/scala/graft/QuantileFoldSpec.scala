@@ -1,0 +1,188 @@
+package graft
+
+import graft.operators.QuantileOps
+import graft.sources.ZarrSource
+import graft.sources.zarr.ChunkStats
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Exact percentile/median THROUGH the connector — the last reference
+  * aggregation method without a pushed form (xcube MUST_LOAD the whole
+  * array for median, core/timeseries.py:40-47). Every data pass of
+  * QuantileOps.quantileFold is a pushed chunk-foldable aggregate; over
+  * an ANALYZEd store pass 0 and all single-bucket chunks answer from
+  * the sidecar, and refinement rounds ≥ 2 touch ONLY the chunks
+  * straddling a target bucket — proven here by corrupting every other
+  * chunk payload. */
+class QuantileFoldSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val s = GraftSession.builder("4").getOrCreate()
+    s.conf.set("spark.sql.files.minPartitionNum", "100000")
+    s
+  }
+
+  private def tmpDir(prefix: String): String = {
+    val base = new java.io.File("/root/repo/target/tmp-tests")
+    base.mkdirs()
+    Files.createTempDirectory(base.toPath, prefix).toString
+  }
+
+  /** Spark's own exact percentile over the same rows — the row-path
+    * truth quantileFold must match bit-for-bit. */
+  private def rowTruth(df: DataFrame, vCol: String,
+                       ps: Seq[Double]): Seq[(Double, Any)] = {
+    val vv = when(col(vCol).cast("double") <= lit(Double.PositiveInfinity),
+      col(vCol).cast("double"))
+    ps.map { p =>
+      val r = df.agg(percentile(vv, lit(p)).as("q")).head()
+      (p, if (r.isNullAt(0)) null else r.getDouble(0))
+    }
+  }
+
+  private def foldRows(q: DataFrame): Seq[(Double, Any)] =
+    q.collect().map(r =>
+      (r.getDouble(0), if (r.isNullAt(1)) null else r.getDouble(1)))
+      .sortBy(_._1).toSeq
+
+  test("fold == Spark percentile on mixed data with NaN, edges included") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val vals = Seq.tabulate(5000) { i =>
+      if (i % 37 == 0) Double.NaN
+      else math.rint((rnd.nextGaussian() * 1000)) / 8.0
+    }
+    val df = vals.zipWithIndex.map { case (v, i) => (i.toDouble, v) }
+      .toDF("t", "v")
+    val ps = Seq(0.0, 0.25, 0.5, 0.9, 0.99, 1.0)
+    val got = foldRows(QuantileOps.quantileFold(df, "v", ps,
+      bins = 16, maxExactRows = 64))
+    assert(got === rowTruth(df, "v", ps).sortBy(_._1))
+  }
+
+  test("degenerate inputs: empty, all-NaN, constant, single row") {
+    import spark.implicits._
+    val empty = Seq.empty[(Double, Double)].toDF("t", "v")
+    assert(foldRows(QuantileOps.quantileFold(empty, "v", Seq(0.5)))
+      === Seq((0.5, null)))
+    val allNaN = Seq((0.0, Double.NaN), (1.0, Double.NaN)).toDF("t", "v")
+    assert(foldRows(QuantileOps.quantileFold(allNaN, "v", Seq(0.5)))
+      === Seq((0.5, null)))
+    val const = Seq.tabulate(100)(i => (i.toDouble, 42.5)).toDF("t", "v")
+    assert(foldRows(QuantileOps.quantileFold(const, "v", Seq(0.25, 0.75),
+      maxExactRows = 8)) === Seq((0.25, 42.5), (0.75, 42.5)))
+    val one = Seq((0.0, 3.25)).toDF("t", "v")
+    assert(foldRows(QuantileOps.quantileFold(one, "v", Seq(0.0, 0.5, 1.0)))
+      === Seq((0.0, 3.25), (0.5, 3.25), (1.0, 3.25)))
+  }
+
+  test("extreme magnitudes and subnormal spreads resolve exactly") {
+    import spark.implicits._
+    // huge ± range (round-1 width overflows → exact finish fallback)
+    val wide = Seq(-1.6e308, -2.0, 0.0, 2.0, 1.6e308).zipWithIndex
+      .map { case (v, i) => (i.toDouble, v) }.toDF("t", "v")
+    assert(foldRows(QuantileOps.quantileFold(wide, "v", Seq(0.5)))
+      === rowTruth(wide, "v", Seq(0.5)))
+    // values one ulp apart: refinement bottoms out at lo == hi
+    val base = 1.0
+    val tight = Seq(base, Math.nextUp(base), Math.nextUp(Math.nextUp(base)))
+      .zipWithIndex.map { case (v, i) => (i.toDouble, v) }.toDF("t", "v")
+    assert(foldRows(QuantileOps.quantileFold(tight, "v", Seq(0.0, 0.5, 1.0),
+      maxExactRows = 1)) === rowTruth(tight, "v", Seq(0.0, 0.5, 1.0)))
+  }
+
+  /** 4096-cell 32×128 cube in 1×128 chunks (one chunk per row),
+    * v = row-major ordinal / 64 — monotone, so chunk value ranges are
+    * disjoint AND (with 8 round-1 buckets) no chunk straddles a bucket
+    * edge. ANALYZEd into the stats sidecar. */
+  private def writeMonotone(): String = {
+    import spark.implicits._
+    val y = Array.tabulate(32)(_ + 0.5)
+    val x = Array.tabulate(128)(_ + 0.5)
+    val df = (for { yi <- y; xi <- x } yield
+      (yi, xi, ((yi - 0.5) * 128 + (xi - 0.5)) / 64.0)).toSeq
+      .toDF("y", "x", "v")
+    val g = s"${tmpDir("qfold")}/cube.zarr"
+    ZarrSource.writeCubeVars(df, g, Seq("v"), Seq("y" -> y, "x" -> x),
+      chunks = Seq(1, 128))
+    ChunkStats.analyze(spark, g)
+    g
+  }
+
+  test("connector: refinement rounds read ONLY straddling chunks (corruption proof)") {
+    val g = writeMonotone()
+    val zc = spark.read.format("zarr").load(g)
+    // the median's two order statistics (ranks 2048, 2049 of 4096) live
+    // at values 31.984375 / 32.0 — chunks 15 and 16. Round 1 (8 buckets)
+    // answers every SINGLE-bucket chunk from the sidecar; only chunk 31
+    // (whose max value 63.984375 divides to exactly 8.0 and spills into
+    // bucket 8) straddles and is read. Later rounds touch only buckets
+    // 3 and 4 = chunks 12..19. Corrupt the other 23 chunks: the exact
+    // median must still come back.
+    new java.io.File(s"$g/v").listFiles()
+      .filter(f => f.getName.head.isDigit)
+      .filter { f =>
+        val c = f.getName.takeWhile(_ != '.').toInt
+        (c < 12 || c > 19) && c != 31
+      }
+      .foreach(f => Files.write(f.toPath, Array[Byte](9, 9, 9)))
+    val got = foldRows(QuantileOps.quantileFold(zc, "v", Seq(0.5),
+      bins = 8, maxExactRows = 200))
+    assert(got === Seq((0.5, (31.984375 + 32.0) / 2)))
+  }
+
+  test("connector: every pass plans as a pushed fold (plan audit)") {
+    val g = writeMonotone()
+    val zc = spark.read.format("zarr").load(g)
+    val v0 = col("v").cast("double")
+    val vv = when(v0 <= lit(Double.PositiveInfinity), v0)
+    // pass 0 shape: guarded count/min/max
+    val p0 = zc.agg(count(vv), min(vv), max(vv))
+    assert(p0.queryExecution.executedPlan.toString.contains("ZarrVarAggScan"),
+      p0.queryExecution.executedPlan.toString.take(800))
+    // refinement shape: consumed interval + pushed floor bucket key
+    val p1 = zc.filter(v0 >= 8.0 && v0 <= 16.0)
+      .groupBy(floor((v0 - lit(8.0)) / lit(1.0)).as("b"))
+      .agg(count(lit(1)).as("c"))
+    val s1 = p1.queryExecution.executedPlan.toString
+    assert(s1.contains("ZarrVarAggScan"), s1.take(800))
+    assert(!s1.contains("Filter ("), s1.take(800)) // interval fully consumed
+    // exact-finish shape: consumed interval + raw-value key
+    val p2 = zc.filter(v0 >= 31.0 && v0 <= 33.0)
+      .groupBy(v0.as("v")).agg(count(lit(1)).as("c"))
+    assert(p2.queryExecution.executedPlan.toString.contains("ZarrVarAggScan"),
+      p2.queryExecution.executedPlan.toString.take(800))
+    // and the interval prunes: 2 of 32 chunks planned for the rescan
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val scan = p2.queryExecution.sparkPlan.collectLeaves()
+      .collectFirst { case b: BatchScanExec => b }.get
+    assert(scan.inputRDD.getNumPartitions <= 3,
+      s"expected a straddling-chunks-only rescan, " +
+        s"got ${scan.inputRDD.getNumPartitions} partitions")
+  }
+
+  test("single-bucket chunks answer histogram partials from the sidecar") {
+    val g = writeMonotone()
+    // corrupt every chunk except 31: an 8-bucket histogram over the
+    // analyzed monotone variable is bucket-constant per chunk, so the
+    // round-1 histogram answers all 31 single-bucket chunks from their
+    // moments with zero chunk IO. Chunk 31 is the one straddler — its
+    // max value 63.984375 divides to exactly 8.0, spilling one cell
+    // into bucket 8 — and is the only payload actually decoded.
+    new java.io.File(s"$g/v").listFiles()
+      .filter(f => f.getName.head.isDigit)
+      .filter(f => f.getName.takeWhile(_ != '.').toInt != 31)
+      .foreach(f => Files.write(f.toPath, Array[Byte](9, 9, 9)))
+    val zc = spark.read.format("zarr").load(g)
+    val v0 = col("v").cast("double")
+    val w = (63.984375 - 0.0) / 8
+    val hist = zc.filter(v0 >= 0.0 && v0 <= 63.984375)
+      .groupBy(floor((v0 - lit(0.0)) / lit(w)).as("b"))
+      .agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hist === ((0 until 7).map(b => b.toLong -> 512L).toMap
+      + (7L -> 511L) + (8L -> 1L)))
+  }
+}
