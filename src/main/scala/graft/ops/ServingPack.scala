@@ -128,9 +128,10 @@ object ServingPack extends QueryPack {
     * order-free exact); returns the group dir. Shared by every agg /
     * interval / top-n pushdown gate over format("zarr").
     */
-  private def zarrAggPushFixture(s: SparkSession, d: String): String = {
+  private def zarrAggPushFixture(s: SparkSession, d: String,
+                                 tag: String = "zarraggpush"): String = {
     val base =
-      s"/root/repo/.graft-fixtures/zarraggpush_${new java.io.File(d).getName}"
+      s"/root/repo/.graft-fixtures/${tag}_${new java.io.File(d).getName}"
     val group = s"$base/cube.zarr"
     Fixtures.ensureWritten(base, "t=4,grid=100x360,chunks=1x50x90,dyadic64") {
       new java.io.File(base).mkdirs()
@@ -1286,6 +1287,25 @@ object ServingPack extends QueryPack {
       graft.operators.QuantileOps.quantileFold(
         s.read.format("zarr").load(group), "v", Seq(0.5))
         .select(col("p"), round(col("value"), 6).as("value"))
+    }),
+
+    // ANALYZE through SQL: Spark refuses ANALYZE TABLE on v2 tables, so
+    // the stats tier's SQL face is a DSv2 PROCEDURE on the store catalog
+    // — CALL <catalog>.analyze(entry => ...). The gate runs the CALL on
+    // its own fixture store (a sidecar would change the shared fixture's
+    // plan audits), then answers compute_statistics' aggregate pass from
+    // the sidecar it just wrote — planning-time stat rows, zero chunk IO
+    // (SqlAnalyzeSpec proves zero-IO by corrupting every payload; this
+    // gate pins the CALL plumbing + arithmetic against DuckDB).
+    "q_sql_analyze" -> ((s, d) => {
+      val group = zarrAggPushFixture(s, d, tag = "sqlanalyze")
+      val root = new java.io.File(group).getParent
+      s.conf.set("spark.sql.catalog.graftsql",
+        "graft.sources.zarr.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graftsql.path", root)
+      s.sql("CALL graftsql.analyze(entry => 'cube.zarr')").collect()
+      s.sql("SELECT count(v) AS n, min(v) AS v_min, max(v) AS v_max, " +
+        "round(sum(v) / count(v), 6) AS v_mean FROM graftsql.`cube.zarr`")
     }),
 
     // exact PERCENTILES over the ANALYZEd monotone variable: pass 0
@@ -2729,6 +2749,12 @@ object ServingPack extends QueryPack {
                 round(s1 / n, 6) AS v_mean,
                 round(sqrt((s2 - s1 * s1 / n) / (n - 1)), 6) AS v_std
          FROM m""",
+    "q_sql_analyze" ->
+      """WITH c AS (SELECT (((k // 360) % 100) * 360 + (k % 360)
+                             + (k // 36000) * 7) % 4096 / 64.0 AS v
+                    FROM range(0, 144000) r(k))
+         SELECT count(*) AS n, min(v) AS v_min, max(v) AS v_max,
+                round(sum(v) / count(*), 6) AS v_mean FROM c""",
     "q_zarr_median" ->
       """WITH c AS (SELECT (((k // 360) % 100) * 360 + (k % 360)
                              + (k // 36000) * 7) % 4096 / 64.0 AS v

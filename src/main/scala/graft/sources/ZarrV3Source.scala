@@ -424,11 +424,18 @@ object ZarrV3Source {
     * a written shard every inner chunk is materialized (all-fill inner
     * chunks included) — simple, spec-valid, and the write amplification
     * is bounded by one shard.
+    *
+    * `stats = true` folds the ANALYZE sidecar out of the write tasks for
+    * free (the same per-object moment fold as [[ZarrSource
+    * .writeCubeVars]], in the scan cursor's exact cell order) — v3 cubes
+    * are born with their zone maps like v2 ones. For sharded arrays the
+    * stat row covers the SHARD (the scan engine's chunk unit).
     */
   def writeCube(df: DataFrame, groupDir: String, varName: String,
                 dims: Seq[(String, Array[Double])], chunks: Seq[Int],
                 steps: Seq[Codec] = Seq(ZstdC(3)),
-                shardInner: Option[Seq[Int]] = None): Unit = {
+                shardInner: Option[Seq[Int]] = None,
+                stats: Boolean = false): Unit = {
     val spark = df.sparkSession
     import spark.implicits._
     require(dims.length == chunks.length, "one chunk extent per dimension")
@@ -474,18 +481,44 @@ object ZarrV3Source {
     val chain = if (steps.isEmpty) Raw else V3Chain(steps)
     val za = parseArrayJson(varDoc, arrayDir) // serializable parsed form
     val taskBs = ByteStore.current // captured VALUE — runs inside chunk tasks
-    cells.groupByKey(_._1).mapGroups { (cidV, it) =>
+    val computeStats = stats
+    // geometry-only view for the in-bounds cell walk of the write-time
+    // stats fold — same C order as the scan-engine cursor, so the
+    // sidecar's sums are bit-identical to an ANALYZE pass
+    val zaW = ZarrArray(shape, chunks, "<f8", Double.NaN, Raw,
+      dims.map(_._1), ".")
+    val written = cells.groupByKey(_._1).mapGroups { (cidV, it) =>
       val data = Array.fill(chunkElems)(Double.NaN)
-      var n = 0
-      it.foreach { case (_, o, v) => data(o) = v; n += 1 }
+      it.foreach { case (_, o, v) => data(o) = v }
       val key = ZarrSource.chunkKeyOf(cidV, grid)
       val payload = shardInner match {
         case None => ZarrSource.encodeChunk(data, chain)
         case Some(inner) => encodeShard(data, chunks, inner, chain)
       }
       taskBs.write(s"$arrayDir/${chunkKey(za, key.toSeq)}", payload)
-      n
-    }.count() // the action that runs the job; writes are its side effect
+      val flat: Seq[Double] = if (!computeStats) Seq.empty else {
+        val out = Array(0.0, 0.0, Double.NaN, Double.NaN, 0.0, 0.0)
+        ZarrSource.foreachCell(zaW, key.map(_.toInt).toSeq) { (off, _) =>
+          val x = data(off)
+          out(0) += 1.0
+          if (x.isNaN) out(1) += 1.0
+          else {
+            if (out(0) - out(1) == 1.0 ||
+              java.lang.Double.compare(x, out(2)) < 0) out(2) = x
+            if (out(0) - out(1) == 1.0 ||
+              java.lang.Double.compare(x, out(3)) > 0) out(3) = x
+            out(4) += x
+            out(5) += x * x
+          }
+        }
+        out.toSeq
+      }
+      (key.mkString("."), flat)
+    }
+    if (computeStats)
+      graft.sources.zarr.ChunkStats.writeInline(groupDir, shape, chunks,
+        Seq(varName), written.collect().toSeq)
+    else written.count() // the action that runs the job; writes are its side effect
     ()
   }
 

@@ -2,10 +2,15 @@ package graft.sources.zarr
 
 import graft.sources.{DataStore, KerchunkSource}
 
-import org.apache.spark.sql.connector.catalog.{CatalogPlugin, Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{CatalogPlugin, Identifier, ProcedureCatalog, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types.{DataTypes, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
 
 /** A Spark `TableCatalog` over a graft data store directory — the
   * Spark-native face of the reference's store/catalog API
@@ -31,8 +36,23 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * Spark's own readers — `loadTable` says so rather than wrapping them.
   * The catalog is a VIEW of the directory: `createTable` points at
   * `df.write.format("zarr")`, `dropTable` deletes the entry.
+  *
+  * Maintenance gets a SQL face through DSv2 PROCEDURES — Spark refuses
+  * `ANALYZE TABLE` on v2 tables, so the stats tier's SQL entry is
+  *
+  * {{{
+  * spark.sql("CALL graft.analyze(entry => 'cube.zarr')")
+  * }}}
+  *
+  * which runs the distributed per-chunk statistics pass
+  * ([[graft.operators.MaintenanceOps.analyzeStore]] /
+  * [[ChunkStats.analyze]]) and returns the sidecar path; zarr groups and
+  * granule archives (sidecar beside the index) both resolve. An optional
+  * `format => 'parquet'` writes the distributed side table instead of
+  * the inline json document.
   */
-final class GraftCatalog extends CatalogPlugin with TableCatalog {
+final class GraftCatalog extends CatalogPlugin with TableCatalog
+    with ProcedureCatalog {
 
   private var catalogName: String = _
   private var root: String = _
@@ -122,4 +142,81 @@ final class GraftCatalog extends CatalogPlugin with TableCatalog {
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException(
       "rename the store entry with the filesystem/object-store tools")
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] = {
+    require(namespace.isEmpty,
+      s"store catalogs are flat — got namespace ${namespace.mkString(".")}")
+    Array(Identifier.of(Array.empty, "analyze"))
+  }
+
+  override def loadProcedure(ident: Identifier): UnboundProcedure = {
+    require(ident.namespace.isEmpty && ident.name.equalsIgnoreCase("analyze"),
+      s"unknown procedure ${ident.name} — this catalog serves `analyze`")
+    GraftCatalog.AnalyzeProcedure(root)
+  }
+}
+
+object GraftCatalog {
+
+  /** `CALL <catalog>.analyze(entry => 'name'[, format => 'parquet'])` —
+    * the SQL entry of the ANALYZE tier. Routes by the same content probe
+    * as `loadTable`: a zarr group analyzes in place, a granule archive
+    * analyzes through its persisted index (sidecar beside the index).
+    * Returns one row: the sidecar document's path. */
+  private[zarr] final case class AnalyzeProcedure(root: String)
+      extends UnboundProcedure with BoundProcedure {
+
+    override def name(): String = "analyze"
+
+    override def description(): String =
+      "distributed per-chunk value statistics into the _graft_stats " +
+        "sidecar: value-predicate chunk pruning, zero-IO statistics, " +
+        "zone-map top-n"
+
+    override def bind(inputType: StructType): BoundProcedure = this
+
+    override def isDeterministic: Boolean = false // writes the sidecar
+
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("entry", DataTypes.StringType)
+        .comment("store entry name (zarr group or granule archive)")
+        .build(),
+      ProcedureParameter.in("format", DataTypes.StringType)
+        .defaultValue("'json'")
+        .comment("sidecar form: json (inline) or parquet (side table)")
+        .build())
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val table = input.getUTF8String(0).toString
+      val format = input.getUTF8String(1).toString
+      val spark = org.apache.spark.sql.SparkSession.active
+      val path = s"$root/$table"
+      val out = DirProbe.probe(path) match {
+        case DirProbe.ZarrGroup =>
+          ChunkStats.analyze(spark, path, format = format)
+        case DirProbe.Archive =>
+          ChunkStats.analyzeArchive(spark, path,
+            indexFormat = KerchunkSource.manifestFormat(path),
+            format = format)
+        case DirProbe.NotSpecial
+            if DataStore.formatFor(path) == "zarr" =>
+          ChunkStats.analyze(spark, path, format = format)
+        case _ => throw new UnsupportedOperationException(
+          s"$path: ANALYZE serves chunked cube entries (zarr groups, " +
+            "granule archives); row-shaped formats carry engine-native " +
+            "statistics already")
+      }
+      java.util.Collections.singletonList(
+        AnalyzeResultScan(out): Scan).iterator()
+    }
+  }
+
+  private final case class AnalyzeResultScan(path: String) extends LocalScan {
+    override def readSchema(): StructType =
+      StructType(Seq(StructField("stats_path", DataTypes.StringType,
+        nullable = false)))
+    override def rows(): Array[InternalRow] =
+      Array(new GenericInternalRow(
+        Array[Any](UTF8String.fromString(path))))
+  }
 }

@@ -92,7 +92,8 @@ abstract class RefsProviderBase(short: String)
     val only = Option(options.get("vars"))
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     val key = path + only.map("?vars=" + _.mkString(",")).getOrElse("") +
-      Seq("concatDim", "index", "indexFormat", "fingerprint").flatMap(k =>
+      Seq("concatDim", "index", "indexFormat", "fingerprint", "stats")
+        .flatMap(k =>
         Option(options.get(k)).map(v => s"?$k=$v")).mkString
     val fp = freshness(path)
     metaCache.compute(key, (_, cached) => cached match {
@@ -198,6 +199,8 @@ final class NetcdfTableProvider extends RefsProviderBase("netcdf") {
           Option(options.get("concatDim")).getOrElse("t"),
           indexDir, fmt, only,
           fingerprint = Option(options.get("fingerprint"))
+            .exists(_.equalsIgnoreCase("true")),
+          stats = Option(options.get("stats"))
             .exists(_.equalsIgnoreCase("true")))
       case DirProbe.ZarrGroup =>
         throw new IllegalArgumentException(
@@ -272,6 +275,8 @@ final class KerchunkTableProvider extends RefsProviderBase("kerchunk") {
           Option(options.get("concatDim")).getOrElse("t"),
           indexDir, fmt, only,
           fingerprint = Option(options.get("fingerprint"))
+            .exists(_.equalsIgnoreCase("true")),
+          stats = Option(options.get("stats"))
             .exists(_.equalsIgnoreCase("true")))
       case DirProbe.ZarrGroup =>
         throw new IllegalArgumentException(

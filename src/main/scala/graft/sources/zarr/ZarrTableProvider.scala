@@ -422,7 +422,8 @@ object ZarrTable {
   def openArchive(dir: String, concatDim: String,
                   indexDir: Option[String], indexFormat: String,
                   only: Option[Seq[String]] = None,
-                  fingerprint: Boolean = false): ZarrGroupMeta = {
+                  fingerprint: Boolean = false,
+                  stats: Boolean = false): ZarrGroupMeta = {
     val idx = KerchunkSource.ensureArchiveIndex(
       org.apache.spark.sql.SparkSession.active, dir, concatDim, indexDir,
       indexFormat, fingerprint)
@@ -438,8 +439,22 @@ object ZarrTable {
           s"$side/${KerchunkSource.ParquetRefsName}")), only)
     } else openRefsLazy(idx, only)
     // the ANALYZE sidecar of an archive lives beside its index (the
-    // archive itself may be read-only)
-    m.copy(stats = ChunkStats.load(ByteStore.current, side, m.za))
+    // archive itself may be read-only). `stats = true` keeps the archive
+    // BORN ANALYZED: a missing or stale sidecar (appended granules grow
+    // the concat shape, auto-invalidating the old one) triggers the
+    // distributed stats pass right here, in the index's own format —
+    // the opt-in costs one full data read when and only when the sidecar
+    // is out of date.
+    val loaded = ChunkStats.load(ByteStore.current, side, m.za)
+    val ensured =
+      if (loaded.isDefined || !stats) loaded
+      else {
+        ChunkStats.analyzeMeta(org.apache.spark.sql.SparkSession.active, m,
+          side, if (KerchunkSource.manifestFormat(side) == "parquet")
+            "parquet" else "json")
+        ChunkStats.load(ByteStore.current, side, m.za)
+      }
+    m.copy(stats = ensured)
   }
 
   private def resolve(label: String, names: Seq[String],
