@@ -47,6 +47,19 @@ object GeomFunctions {
     (env.getMinX, env.getMinY, env.getMaxX, env.getMaxY)
   }
 
+  /** Per-PART envelopes of a WKT geometry — one per member of a
+    * MultiPolygon/GeometryCollection, one total for simple geometries.
+    * Feeds the Or-of-rectangles clip (GeomOps.clipToFeatureBboxes
+    * shape): a two-island MultiPolygon prunes the chunks BETWEEN the
+    * islands instead of scanning its whole joint envelope. */
+  def wktPartBboxes(wkt: String): Seq[(Double, Double, Double, Double)] = {
+    val g = new WKTReader().read(wkt)
+    (0 until g.getNumGeometries).map { i =>
+      val env = g.getGeometryN(i).getEnvelopeInternal
+      (env.getMinX, env.getMinY, env.getMaxX, env.getMaxY)
+    }
+  }
+
   /** Geometry mask = bbox pre-filter (prunable, codegen) AND exact
     * point-in-polygon (UDF on the small survivor set).
     */

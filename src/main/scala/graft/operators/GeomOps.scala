@@ -20,8 +20,15 @@ object GeomOps {
     val inG = GeomFunctions.geomMask(wkt)(cube.x, cube.y)
     var df = cube.df
     if (clip) {
-      val (x1, y1, x2, y2) = GeomFunctions.wktBbox(wkt)
-      df = df.filter(cube.x.between(x1, x2) && cube.y.between(y1, y2))
+      // per-PART envelopes: a multi-part geometry clips to the union of
+      // its members' bboxes (consumed same-dim Or intervals + the exact
+      // Or-of-boxes residual — see clipToFeatureBboxes), so a two-island
+      // MultiPolygon time series prunes the chunks between the islands.
+      // Single-part geometries reduce to the plain bbox filter. Every
+      // row this drops beyond the joint envelope is outside the
+      // geometry, i.e. masked to NaN below — invisible to the skipna
+      // aggregations clip exists to accelerate.
+      df = bboxUnionClip(cube, GeomFunctions.wktPartBboxes(wkt))(df)
     }
     df = df.withColumn("__in_geom", inG)
     // NaN is the missing-value marker for float variables only (the
@@ -43,6 +50,42 @@ object GeomOps {
   def clipByGeometry(cube: Cube, wkt: String): Cube = {
     val (x1, y1, x2, y2) = GeomFunctions.wktBbox(wkt)
     cube.withDf(_.filter(cube.x.between(x1, x2) && cube.y.between(y1, y2)))
+  }
+
+  /** Multi-feature bbox clip in the CONNECTOR-CONSUMABLE shape — the
+    * pruning half of zonal statistics over a feature layer (reference
+    * geom.py:51-281): rows outside every feature envelope are dropped.
+    *
+    * Filter order is the whole design. The per-dim UNIONS of the feature
+    * envelopes go first — each is an Or of ranges on ONE column, which
+    * the DSv2 scans consume into per-dim interval sets
+    * (ZarrScan.rectFull ivUnion) and prune chunks with, so the chunks
+    * BETWEEN features are never read in either pruned dim. The exact
+    * Or-of-rectangles then runs as a residual codegen filter on the
+    * survivors: a cross-column Or cannot become per-dim intervals
+    * without admitting the unions' cross product (a chunk at feature
+    * A's x-range and feature B's y-range survives pruning), so the
+    * residual restores row-exactness above the scan. At a 10^7-chunk
+    * archive the scan plans O(union-covered chunks), not O(chunks). */
+  def clipToFeatureBboxes(cube: Cube, wkts: Seq[String]): Cube = {
+    require(wkts.nonEmpty, "clipToFeatureBboxes needs at least one feature")
+    cube.withDf(bboxUnionClip(cube, wkts.flatMap(
+      GeomFunctions.wktPartBboxes)))
+  }
+
+  /** The union-then-residual filter chain over a set of envelopes:
+    * consumed per-dim interval unions first, exact Or-of-boxes after. */
+  private def bboxUnionClip(cube: Cube,
+                            envs: Seq[(Double, Double, Double, Double)])
+      : DataFrame => DataFrame = { df =>
+    val xU = envs.map { case (x1, _, x2, _) => cube.x.between(x1, x2) }
+      .reduce(_ || _)
+    val yU = envs.map { case (_, y1, _, y2) => cube.y.between(y1, y2) }
+      .reduce(_ || _)
+    val boxes = envs.map { case (x1, y1, x2, y2) =>
+      cube.x.between(x1, x2) && cube.y.between(y1, y2)
+    }.reduce(_ || _)
+    df.filter(xU).filter(yU).filter(boxes)
   }
 
   /** rasterize_features (geom.py:51-281): burn feature properties into the

@@ -1321,6 +1321,33 @@ object ServingPack extends QueryPack {
         .select(col("p"), round(col("value"), 6).as("value"))
     }),
 
+    // multi-feature ZONAL STATISTICS from the connector, chunk-pruned:
+    // the feature layer's per-dim bbox UNIONS ship as consumed
+    // same-column Or filters (interval sets the scan prunes chunks
+    // with — chunks between features never read in the pruned dims),
+    // the exact Or-of-rectangles runs as a residual codegen filter on
+    // the survivors, and the per-zone aggregate runs above. The server's
+    // per-feature statistics endpoint over an archive
+    // (webapi/statistics/controllers.py + geom.py:51-281 shape).
+    // ZonalPruneSpec proves the pruning by corrupting all chunks the
+    // unions exclude.
+    "q_zarr_zonal" -> ((s, d) => {
+      import graft.cube.{Cube, GridMapping}
+      val group = zarrStatsFixture(s, d)
+      val gm = GridMapping(360, 100, 0.0, 0.0, 1.0, 1.0)
+      val cube = Cube(s.read.format("zarr").load(group), gm, "t", "y", "x")
+      val clipped = graft.operators.GeomOps.clipToFeatureBboxes(cube, Seq(
+        "POLYGON ((5 5, 40 5, 40 40, 5 40, 5 5))",
+        "POLYGON ((200 60, 260 60, 260 90, 200 90, 200 60))"))
+      val zone =
+        when(col("x").between(5.0, 40.0) && col("y").between(5.0, 40.0), 0L)
+          .when(col("x").between(200.0, 260.0) &&
+            col("y").between(60.0, 90.0), 1L)
+      clipped.df.withColumn("zone", zone)
+        .groupBy("zone")
+        .agg(count(lit(1)).as("n_cells"), round(sum(col("v")), 6).as("sum_v"))
+    }),
+
     // resample argmax FROM the connector, two-phase: the per-bucket
     // extreme folds per chunk, then a `v IN (extremes)` gather — a
     // consumed value predicate the sidecar prunes on — finishes with the
@@ -2767,6 +2794,19 @@ object ServingPack extends QueryPack {
                   FROM c)
          SELECT unnest([0.25, 0.75, 0.96875]::DOUBLE[]) AS p,
                 round(unnest(vs)::DOUBLE, 6) AS value FROM q""",
+    "q_zarr_zonal" ->
+      """WITH c AS (SELECT ((k // 360) % 100) AS j, (k % 360) AS i,
+                           (((k // 360) % 100) * 360 + (k % 360)
+                             + (k // 36000) * 7) % 4096 / 64.0 AS v
+                    FROM range(0, 144000) r(k))
+         SELECT zone::BIGINT AS zone, count(*) AS n_cells,
+                round(sum(v), 6) AS sum_v
+         FROM (SELECT CASE
+                 WHEN i BETWEEN 5 AND 39 AND j BETWEEN 5 AND 39 THEN 0
+                 WHEN i BETWEEN 200 AND 259 AND j BETWEEN 60 AND 89 THEN 1
+               END AS zone, v FROM c)
+         WHERE zone IS NOT NULL
+         GROUP BY zone""",
     "q_zarr_argmax" ->
       """WITH c AS (SELECT k // 36000 AS g,
                            ((k // 360) % 100) + 0.5 AS y,
