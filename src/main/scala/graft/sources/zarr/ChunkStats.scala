@@ -57,6 +57,7 @@ object ChunkStats {
 
   val FileName = "_graft_stats.json"
   val ParquetName = "_graft_stats.parquet"
+  val GenFileName = "_graft_gen"
 
   /** One variable's moments over one chunk's in-bounds cells. min/max/
     * sum/sumsq cover the NON-NaN cells ([[java.lang.Double.compare]]
@@ -130,17 +131,26 @@ object ChunkStats {
     * The sidecar is ADVISORY: a malformed or truncated document — an
     * interrupted write — silently disables the optimization instead of
     * failing every read of the group. */
-  def load(store: ByteStore, dir: String, za: ZarrArray): Option[Loaded] =
-    scala.util.Try(loadStrict(store, dir, za)).toOption.flatten
+  def load(store: ByteStore, dir: String, za: ZarrArray,
+           groupDir: String): Option[Loaded] =
+    scala.util.Try(loadStrict(store, dir, za, groupDir)).toOption.flatten
 
-  private def loadStrict(store: ByteStore, dir: String,
-                         za: ZarrArray): Option[Loaded] =
+  private def loadStrict(store: ByteStore, dir: String, za: ZarrArray,
+                         groupDir: String): Option[Loaded] =
     store.readIfExists(s"$dir/$FileName").flatMap { bytes =>
       val doc = mapper.readTree(bytes)
       val okShape = doc.path("graft_stats_format").asInt(-1) == 1 &&
         jsonInts(doc.path("shape")) == za.shape &&
         jsonInts(doc.path("chunks")) == za.chunks
-      if (!okShape) None
+      // write-GENERATION check: every same-shape mutation bumps the
+      // group's token ([[invalidate]]); a sidecar stamped with an older
+      // token (or none, when a token now exists) is stale. This closes
+      // the REDIRECTED-sidecar hole — analyze(outDir)/option("statsDir")
+      // documents and archive sidecars beside an index can't be deleted
+      // by the group's writers, so they verify the token instead.
+      val okGen = Option(doc.get("generation")).map(_.asText) ==
+        generationOf(store, groupDir)
+      if (!okShape || !okGen) None
       else if (doc.path("storage").asText("inline") == "parquet")
         Some(ParquetStats(s"$dir/$ParquetName"))
       else {
@@ -172,12 +182,28 @@ object ChunkStats {
 
   /** Best-effort sidecar delete — writers that overwrite chunk objects of
     * an existing same-shape grid call this first. Deleting the discovery
-    * document disables any parquet side table too. */
+    * document disables any parquet side table too. The call ALSO bumps
+    * the group's write-generation token: sidecars living elsewhere
+    * (analyze's `outDir`, `option("statsDir")`, an archive index dir)
+    * cannot be deleted from here, so [[load]] verifies the token they
+    * were stamped with instead — a same-shape rewrite can never serve
+    * stale zone maps from a redirected document. */
   def invalidate(groupDir: String): Unit = {
     val bs = ByteStore.current
     val p = s"$groupDir/$FileName"
     if (bs.exists(p)) bs.delete(p)
+    bs.write(s"$groupDir/$GenFileName",
+      java.util.UUID.randomUUID().toString
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
+
+  /** The group's current write-generation token, if any (absent on
+    * groups no graft writer has mutated). */
+  private def generationOf(store: ByteStore,
+                           groupDir: String): Option[String] =
+    scala.util.Try(store.readIfExists(s"$groupDir/$GenFileName")
+        .map(b => new String(b, java.nio.charset.StandardCharsets.UTF_8)))
+      .toOption.flatten
 
   /** ANALYZE: compute the sidecar for an existing group in one
     * distributed pass — one task per planned chunk pack, per-chunk
@@ -268,6 +294,10 @@ object ChunkStats {
     root.put("graft_stats_format", 1)
     val sh = root.putArray("shape"); meta.za.shape.foreach(sh.add)
     val ch = root.putArray("chunks"); meta.za.chunks.foreach(ch.add)
+    // stamp the group's CURRENT write generation (if any) so a redirected
+    // sidecar goes stale the moment a writer mutates the group
+    generationOf(ByteStore.current, meta.groupDir)
+      .foreach(root.put("generation", _))
     if (format == "parquet") {
       root.put("storage", "parquet")
       import spark.implicits._
@@ -306,6 +336,10 @@ object ChunkStats {
     root.put("graft_stats_format", 1)
     val sh = root.putArray("shape"); shape.foreach(sh.add)
     val ch = root.putArray("chunks"); chunks.foreach(ch.add)
+    // group-local write: stamp the token the writer's invalidate just
+    // bumped, so the fresh sidecar is valid under the generation check
+    generationOf(ByteStore.current, outDir)
+      .foreach(root.put("generation", _))
     val vn = root.putObject("vars")
     val perVar = varNames.map(v => vn.putObject(v))
     entries.foreach { case (key, flat) =>

@@ -359,7 +359,8 @@ object ZarrTable {
       }
     val m = resolve(groupDir, names, openArray, readAll, store, v3,
       refs = None, only)
-    m.copy(stats = ChunkStats.load(store, statsDir.getOrElse(groupDir), m.za))
+    m.copy(stats =
+      ChunkStats.load(store, statsDir.getOrElse(groupDir), m.za, groupDir))
   }
 
   /** Resolve a VIRTUAL group from a kerchunk reference set — the same
@@ -445,14 +446,14 @@ object ZarrTable {
     // distributed stats pass right here, in the index's own format —
     // the opt-in costs one full data read when and only when the sidecar
     // is out of date.
-    val loaded = ChunkStats.load(ByteStore.current, side, m.za)
+    val loaded = ChunkStats.load(ByteStore.current, side, m.za, m.groupDir)
     val ensured =
       if (loaded.isDefined || !stats) loaded
       else {
         ChunkStats.analyzeMeta(org.apache.spark.sql.SparkSession.active, m,
           side, if (KerchunkSource.manifestFormat(side) == "parquet")
             "parquet" else "json")
-        ChunkStats.load(ByteStore.current, side, m.za)
+        ChunkStats.load(ByteStore.current, side, m.za, m.groupDir)
       }
     m.copy(stats = ensured)
   }

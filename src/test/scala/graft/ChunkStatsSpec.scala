@@ -247,7 +247,7 @@ class ChunkStatsSpec extends AnyFunSuite {
     // an explicit ANALYZE reproduces the document's stats verbatim
     // (same cell order, same moments — compare the loaded maps)
     def loadMap() = ChunkStats.load(graft.sources.ByteStore.current, g,
-      graft.sources.zarr.ZarrTable.open(g).za).get
+      graft.sources.zarr.ZarrTable.open(g).za, g).get
       .asInstanceOf[ChunkStats.EagerStats].vars
     val bornMap = loadMap()
     ChunkStats.analyze(spark, g)
@@ -342,5 +342,40 @@ class ChunkStatsSpec extends AnyFunSuite {
     assert(!new java.io.File(s"$g2/${ChunkStats.FileName}").exists())
     assert(spark.read.format("zarr").load(g2)
       .filter(col("v") < -2300.0).count() === 12L)
+  }
+
+  test("redirected sidecars verify the write generation (stale-rewrite proof)") {
+    import spark.implicits._
+    val g = writeFixture()
+    val side = tmpDir("statside")
+    ChunkStats.analyze(spark, g, outDir = Some(side))
+    // the redirected sidecar SERVES: a selective value predicate prunes
+    // (v >= 2400 lives in 2 of 12 chunks: t=2, top y, both x-chunks)
+    val q0 = spark.read.format("zarr").option("statsDir", side).load(g)
+      .filter(col("v") >= 2400.0)
+    assert(scanOf(q0).inputRDD.getNumPartitions === 2)
+    assert(q0.count() === 6L)
+    // same-shape REWRITE with shifted values: the shape check alone
+    // cannot see it — the writer's generation bump must. A stale zone
+    // map (old max 2405.5) would prune EVERYTHING below.
+    val t = Array(0.0, 1.0, 2.0)
+    val y = Array(10.0, 20.0, 30.0, 40.0)
+    val x = Array.tabulate(6)(_ + 0.5)
+    val df2 = (for { ti <- t; yi <- y; xi <- x } yield
+      (ti, yi, xi, 10000.0 + ti * 1000 + yi * 10 + xi,
+        ti + yi + xi, 0.0)).toSeq.toDF("t", "y", "x", "v", "w", "c")
+    ZarrSource.writeCubeVars(df2, g, Seq("v", "w", "c"),
+      Seq("t" -> t, "y" -> y, "x" -> x), chunks = Seq(1, 2, 3))
+    val q = spark.read.format("zarr").option("statsDir", side).load(g)
+      .filter(col("v") >= 10000.0)
+    assert(scanOf(q).inputRDD.getNumPartitions === 12,
+      "stale redirected sidecar must be ignored, not trusted")
+    assert(q.count() === 72L)
+    // re-ANALYZE stamps the new generation — pruning returns
+    ChunkStats.analyze(spark, g, outDir = Some(side))
+    val q2 = spark.read.format("zarr").option("statsDir", side).load(g)
+      .filter(col("v") >= 12400.0)
+    assert(scanOf(q2).inputRDD.getNumPartitions === 2)
+    assert(q2.count() === 6L)
   }
 }
