@@ -24,6 +24,17 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // respect the target partition SIZE when coalescing instead of
+      // preserving parallelism (the setting Spark's own docs recommend):
+      // with parallelismFirst=true every tiny reduce stage still fans out
+      // to `shuffle.partitions` near-empty tasks, and on this host a
+      // full-width stage of empty tasks costs ~40-50 ms of scheduler
+      // latency — multiplied across a multi-stage query that is the whole
+      // runtime of small interactive queries. At 100 TB size-based
+      // coalescing is also the right call: tasks sized by bytes, not by a
+      // static knob.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // overwrite only the partitions present in the written data — the
