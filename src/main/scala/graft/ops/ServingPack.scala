@@ -187,6 +187,39 @@ object ServingPack extends QueryPack {
     group
   }
 
+  /** Serving-shaped SHARDED v3 cube — 1×2048×2048 in 1×512×512 shards
+    * (16) of 1×128×128 inner chunks (16 per shard), written with
+    * `stats = true` so per-inner-chunk zone maps ride the write. Values
+    * are BLOCK-ALIGNED — a cell carries its 128² block id plus a dyadic
+    * fraction — so a block-range predicate prunes exactly at
+    * inner-chunk granularity while shard ranges overlap (the case
+    * chunk-granular zone maps cannot prune). */
+  private def zarrSubchunkFixture(s: SparkSession, d: String): String = {
+    val base =
+      s"/root/repo/.graft-fixtures/zarrsubchunk_${new java.io.File(d).getName}"
+    val group = s"$base/cube.zarr"
+    Fixtures.ensureWritten(base,
+      "grid=1x2048x2048,shards=512,inner=128,blockaligned,stats") {
+      new java.io.File(base).mkdirs()
+      val cells = s.range(2048L * 2048).select(
+        (col("id") / 2048L).cast("long").as("j"),
+        (col("id") % 2048L).cast("long").as("i"))
+        .select(lit(0.0).as("t"),
+          (col("j") + 0.5).cast("double").as("y"),
+          (col("i") + 0.5).cast("double").as("x"),
+          (expr("(j div 128) * 16 + (i div 128)").cast("double") +
+            expr("(j % 128) * 128 + (i % 128)").cast("double") / 32768.0)
+            .as("v"))
+      graft.sources.ZarrV3Source.writeCube(cells, group, "v",
+        Seq("t" -> Array(0.0),
+          "y" -> Array.tabulate(2048)(_ + 0.5),
+          "x" -> Array.tabulate(2048)(_ + 0.5)),
+        chunks = Seq(1, 512, 512), shardInner = Some(Seq(1, 128, 128)),
+        stats = true)
+    }
+    group
+  }
+
   /** Build (once per sf) the 2-D cell-mean field of the events cube as a
     * zarr group — the lookup target of q_points_dsv2 (same cell means the
     * parquet-path q_points_extract joins against; eventless cells are
@@ -1319,6 +1352,22 @@ object ServingPack extends QueryPack {
       graft.operators.QuantileOps.quantileFold(
         s.read.format("zarr").load(group), "m", Seq(0.25, 0.75, 0.96875))
         .select(col("p"), round(col("value"), 6).as("value"))
+    }),
+
+    // SUB-chunk zone maps on a serving-shaped layout: a 1×2048×2048
+    // sharded v3 cube (1×512×512 shards of 1×128×128 inner chunks, born
+    // with per-inner-chunk stat rows) answers a selective value filter by
+    // fetching the shard index plus ONLY the admitted inner chunks' byte
+    // ranges — chunk-granular zone maps cannot prune here (shard value
+    // ranges overlap); block rows prune 255 of 256 inner chunks.
+    // SubchunkStatsSpec proves the IO elision by corrupting every
+    // excluded inner chunk in place; this gate pins the arithmetic.
+    "q_zarr_subchunk" -> ((s, d) => {
+      val group = zarrSubchunkFixture(s, d)
+      s.read.format("zarr").load(group)
+        .filter(col("v") >= 37.0 && col("v") < 38.0)
+        .agg(count(lit(1)).as("n"), round(sum(col("v")), 6).as("sum_v"),
+          min(col("v")).as("min_v"), max(col("v")).as("max_v"))
     }),
 
     // multi-feature ZONAL STATISTICS from the connector, chunk-pruned:
@@ -2794,6 +2843,15 @@ object ServingPack extends QueryPack {
                   FROM c)
          SELECT unnest([0.25, 0.75, 0.96875]::DOUBLE[]) AS p,
                 round(unnest(vs)::DOUBLE, 6) AS value FROM q""",
+    "q_zarr_subchunk" ->
+      """WITH c AS (SELECT (k // 2048) AS j, (k % 2048) AS i
+                    FROM range(0, 4194304) r(k)),
+            vv AS (SELECT ((j // 128) * 16 + (i // 128))
+                     + ((j % 128) * 128 + (i % 128)) / 32768.0 AS v
+                   FROM c)
+         SELECT count(*) AS n, round(sum(v), 6) AS sum_v,
+                min(v) AS min_v, max(v) AS max_v
+         FROM vv WHERE v >= 37.0 AND v < 38.0""",
     "q_zarr_zonal" ->
       """WITH c AS (SELECT ((k // 360) % 100) AS j, (k % 360) AS i,
                            (((k // 360) % 100) * 360 + (k % 360)

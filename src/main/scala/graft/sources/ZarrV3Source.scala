@@ -306,6 +306,78 @@ object ZarrV3Source {
       case _ => ZarrSource.decodeChunk(raw, za)
     }
 
+  /** [[decodeShard]] restricted to an ADMITTED inner-chunk set, with
+    * RANGED reads — the sub-chunk zone-map path ([[graft.sources.zarr
+    * .ChunkStats]] block rows): fetch the shard's index alone, then only
+    * the admitted inner chunks' byte ranges in one coalesced multi-range
+    * request; every EXCLUDED inner chunk's cells are filled with
+    * `failValue` — a value chosen outside the scan's consumed interval
+    * set, already in decoded space — so the cursor's per-cell predicate
+    * re-evaluation drops them without their bytes ever being fetched.
+    * Admitted-but-missing inner chunks fill with the real (decoded) fill
+    * value, exactly like the full decode. IO drops from the whole shard
+    * to index + admitted blocks — a 2048² shard of 256² inner chunks
+    * under a selective predicate reads 1/64th of its payload.
+    */
+  private[sources] def decodeShardSelective(store: ByteStore, path: String,
+                                            za: ZarrArray, sh: Shard,
+                                            keep: Set[Int],
+                                            failValue: Double): Array[Double] = {
+    val innerGrid = za.chunks.zip(sh.inner).map { case (c, i) => c / i }
+    val nInner = innerGrid.product
+    val idxSize = nInner * 16 + (if (sh.indexCrc) 4 else 0)
+    val size = store.size(path)
+    require(size >= idxSize,
+      s"$path: shard of $size bytes shorter than its $idxSize-byte index")
+    val idxRaw =
+      if (sh.indexAtEnd) store.readRange(path, size - idxSize, idxSize.toLong)
+      else store.readRange(path, 0L, idxSize.toLong)
+    val idx = ByteBuffer.wrap(
+      if (sh.indexCrc) ZarrSource.decodeStep(idxRaw, Crc32c) else idxRaw)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    val innerZa = za.copy(shape = sh.inner, chunks = sh.inner,
+      codec = if (sh.innerSteps.isEmpty) Raw else V3Chain(sh.innerSteps),
+      cfScale = 1.0, cfOffset = 0.0, cfFill = None)
+    val out = Array.fill(za.chunkElems)(failValue)
+    val rank = za.chunks.length
+    val stride = za.chunks.scanRight(1)(_ * _).tail.toArray
+    val decodedFill = za.cfDecode(za.fillValue)
+    // admitted inner keys with their index entries; missing ones fill
+    val wanted = ZarrSource.allChunkKeys(innerGrid).zipWithIndex
+      .filter { case (_, flatIk) => keep.contains(flatIk) }
+      .map { case (ik, flatIk) =>
+        (ik, idx.getLong(flatIk * 16), idx.getLong(flatIk * 16 + 8), flatIk)
+      }
+    val present = wanted.filter { case (_, off, nb, _) => off != -1L || nb != -1L }
+    present.foreach { case (_, off, nb, flatIk) =>
+      require(off >= 0 && nb > 0 && off + nb <= size,
+        s"$path: shard index entry $flatIk out of bounds: offset=$off nbytes=$nb")
+    }
+    val raws = store.readRanges(path, present.map { case (_, off, nb, _) =>
+      (off, nb)
+    })
+    def scatter(ik: Seq[Int])(value: Int => Double): Unit =
+      ZarrSource.foreachCell(innerZa, ik.map(_ => 0)) { (flat, _) =>
+        var rem = flat
+        var shardOff = 0
+        var k = rank - 1
+        while (k >= 0) {
+          val g = ik(k) * sh.inner(k) + rem % sh.inner(k)
+          rem /= sh.inner(k)
+          shardOff += g * stride(k)
+          k -= 1
+        }
+        out(shardOff) = value(flat)
+      }
+    present.zip(raws).foreach { case ((ik, _, _, _), raw) =>
+      val data = ZarrSource.decodeChunk(raw, innerZa)
+      scatter(ik)(flat => za.cfDecode(data(flat)))
+    }
+    wanted.filter { case (_, off, nb, _) => off == -1L && nb == -1L }
+      .foreach { case (ik, _, _, _) => scatter(ik)(_ => decodedFill) }
+    out
+  }
+
   /** Read a whole (driver-sized) array — used for coordinate arrays. */
   def readAll(arrayDir: String, za: ZarrArray): Array[Double] = {
     val bs = ByteStore.current
@@ -496,10 +568,22 @@ object ZarrV3Source {
         case Some(inner) => encodeShard(data, chunks, inner, chain)
       }
       taskBs.write(s"$arrayDir/${chunkKey(za, key.toSeq)}", payload)
-      val flat: Seq[Double] = if (!computeStats) Seq.empty else {
-        val out = Array(0.0, 0.0, Double.NaN, Double.NaN, 0.0, 0.0)
-        ZarrSource.foreachCell(zaW, key.map(_.toInt).toSeq) { (off, _) =>
-          val x = data(off)
+      val folds: Seq[(String, Seq[Double])] = if (!computeStats) Seq.empty else {
+        val ks = key.mkString(".")
+        // per-shard moments, plus per-INNER-chunk moments for sharded
+        // arrays — the sub-chunk zone maps decodeShardSelective prunes
+        // ranged reads with (block rows keyed "<key>#<innerOrdinal>")
+        val nBlocks = shardInner.map(inner =>
+          chunks.zip(inner).map { case (c, i) => c / i }.product).getOrElse(0)
+        val stride = chunks.scanRight(1)(_ * _).tail.toArray
+        val bStride = shardInner.map { inner =>
+          val g = chunks.zip(inner).map { case (c, i) => c / i }
+          g.scanRight(1)(_ * _).tail.toArray
+        }.getOrElse(Array.empty[Int])
+        def newMom() = Array(0.0, 0.0, Double.NaN, Double.NaN, 0.0, 0.0)
+        val shard = newMom()
+        val blocks = Array.fill(nBlocks)(newMom())
+        def fold(out: Array[Double], x: Double): Unit = {
           out(0) += 1.0
           if (x.isNaN) out(1) += 1.0
           else {
@@ -511,13 +595,29 @@ object ZarrV3Source {
             out(5) += x * x
           }
         }
-        out.toSeq
+        ZarrSource.foreachCell(zaW, key.map(_.toInt).toSeq) { (off, _) =>
+          val x = data(off)
+          fold(shard, x)
+          if (nBlocks > 0) {
+            var ord = 0
+            var k = 0
+            while (k < stride.length) {
+              val idxK = (off / stride(k)) % chunks(k)
+              ord += (idxK / shardInner.get(k)) * bStride(k)
+              k += 1
+            }
+            fold(blocks(ord), x)
+          }
+        }
+        (ks, shard.toSeq) +: blocks.toSeq.zipWithIndex.collect {
+          case (m, ord) if m(0) > 0.0 => (s"$ks#$ord", m.toSeq)
+        }
       }
-      (key.mkString("."), flat)
+      folds
     }
     if (computeStats)
       graft.sources.zarr.ChunkStats.writeInline(groupDir, shape, chunks,
-        Seq(varName), written.collect().toSeq)
+        Seq(varName), written.collect().toSeq.flatten)
     else written.count() // the action that runs the job; writes are its side effect
     ()
   }

@@ -358,6 +358,29 @@ object ChunkStats {
     path
   }
 
+  /** A value provably OUTSIDE the packed interval set — the fill for
+    * inner chunks a selective shard decode skips: the cursor re-evaluates
+    * the predicate per cell, so skipped cells must carry a value that
+    * FAILS it. Exists whenever some block was excluded (an all-covering
+    * set never excludes anything); when the set does cover every double
+    * the fallback return is never consulted. */
+  def failValueOutside(packed: Array[Double]): Double = {
+    if (packed.length == 0) return 0.0 // never-true filter: all values fail
+    // below the first interval
+    if (packed(0) > Double.NegativeInfinity) return Double.NegativeInfinity
+    // above the last (an interval reaching +Inf also covers NaN)
+    if (packed(packed.length - 1) < Double.PositiveInfinity)
+      return Double.PositiveInfinity
+    // a representable gap between two intervals
+    var i = 1
+    while (i + 1 < packed.length) {
+      val cand = math.nextUp(packed(i))
+      if (cand < packed(i + 1)) return cand
+      i += 2
+    }
+    0.0 // set covers every double: nothing is ever excluded
+  }
+
   /** Could SOME cell of a chunk with these stats satisfy the packed
     * interval set? (false ⇒ the chunk is safely prunable). The possible
     * values are `[min, max]` (when any non-NaN cell exists) plus NaN

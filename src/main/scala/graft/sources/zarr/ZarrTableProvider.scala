@@ -1477,6 +1477,9 @@ object ZarrScan {
     // never coexist with variable constraints — the builder declines
     // them — so the cell-count accounting below stays exact.)
     val varIvs = varIvsOf(meta, consumed)
+    // sub-chunk refinement targets, filled by the stats branch below:
+    // chunk key string → the admitted inner-chunk ordinals + fail values
+    var innerKeeps: Map[String, ZarrInnerKeep] = Map.empty
     val admittedKeys: Iterator[Seq[Int]] = (meta.stats, varIvs.nonEmpty) match {
       case (Some(st), true) =>
         // candidate keys materialize here (they do below anyway) and the
@@ -1489,11 +1492,52 @@ object ZarrScan {
           (nm, ivs.flatMap(iv => Seq(iv._1, iv._2)).toArray)
         }
         val statMap = st.bulk(packs.map(_._1), keyStrs)
-        candidates.iterator.zip(keyStrs.iterator).collect {
-          case (key, ks) if packs.forall { case (nm, packed) =>
+        val admitted = candidates.zip(keyStrs).filter {
+          case (_, ks) => packs.forall { case (nm, packed) =>
             statMap.get((nm, ks)).forall(ChunkStats.admits(_, packed))
-          } => key
+          }
         }
+        // SUB-chunk zone maps (sharded v3 stores with per-inner-chunk
+        // stat rows, ChunkStats "<key>#<ord>"): an admitted SHARD whose
+        // blocks are partially excluded ships its admitted inner-ordinal
+        // set; the cursor then fetches only those byte ranges
+        // (decodeShardSelective) and fills the rest with a value outside
+        // the interval set. Engages only when every CHECKED variable is
+        // shard-coded with the same inner grid and the table is not
+        // refs-backed (the selective decode reads through ByteStore).
+        val inners = varIvs.map { case (nm, _) =>
+          meta.varMeta(nm).codec match {
+            case sh: graft.sources.ZarrSource.Shard => Some(sh.inner)
+            case _ => None
+          }
+        }
+        if (meta.refs.isEmpty && inners.forall(_.isDefined) &&
+          inners.flatten.distinct.length == 1) {
+          val inner = inners.head.get
+          val nInner = za.chunks.zip(inner).map { case (c, i) => c / i }.product
+          if (nInner > 1) {
+            val admittedStrs = admitted.map(_._2)
+            val blockKeys = for (ks <- admittedStrs; ord <- 0 until nInner)
+              yield s"$ks#$ord"
+            val blockMap = st.bulk(packs.map(_._1), blockKeys)
+            if (blockMap.nonEmpty) {
+              val fails = packs.map { case (nm, packed) =>
+                nm -> ChunkStats.failValueOutside(packed)
+              }
+              innerKeeps = admittedStrs.flatMap { ks =>
+                val keep = (0 until nInner).filter { ord =>
+                  packs.forall { case (nm, packed) =>
+                    blockMap.get((nm, s"$ks#$ord"))
+                      .forall(ChunkStats.admits(_, packed))
+                  }
+                }
+                if (keep.length < nInner) Some(ks -> ZarrInnerKeep(keep, fails))
+                else None
+              }.toMap
+            }
+          }
+        }
+        admitted.iterator.map(_._1)
       case _ => allKeys
     }
     // pushed LIMIT: keep only enough chunks to cover it; a pushed TOP-N
@@ -1539,7 +1583,8 @@ object ZarrScan {
         }
       }
       ZarrInputPartition(key, chunkRefs,
-        if (inlineShared) Some(shared) else None)
+        if (inlineShared) Some(shared) else None,
+        innerKeeps.get(key.mkString(".")))
     }
     chunkParts
   }
@@ -1642,9 +1687,17 @@ object ZarrScan {
   * the scan-level shared state. Batch scans get the shared state from
   * the reader factory instead, keeping driver planning memory at
   * O(key) per chunk. */
+/** Sub-chunk (inner-chunk) pruning instructions for one SHARD chunk:
+  * the admitted inner ordinals and, per CHECKED variable, a fill value
+  * provably outside its consumed interval set — the cursor decodes only
+  * the admitted inner chunks (ranged reads) and fills the rest with the
+  * fail value, which the per-cell predicate re-evaluation then drops. */
+final case class ZarrInnerKeep(keep: Seq[Int], fail: Seq[(String, Double)])
+
 final case class ZarrInputPartition(key: Seq[Int],
                                     chunkRefs: Option[Seq[Option[Ref]]] = None,
-                                    inline: Option[ZarrScan.SharedScanState] = None)
+                                    inline: Option[ZarrScan.SharedScanState] = None,
+                                    innerKeep: Option[ZarrInnerKeep] = None)
     extends InputPartition
 
 /** One task's worth of chunks ([[ZarrScan.pack]]); chunks decode lazily
@@ -1712,11 +1765,28 @@ private[zarr] final class ChunkCursor(shared: ZarrScan.SharedScanState,
         val chunkName =
           if (shared.v3) ZarrV3Source.chunkKey(vza, p.key.map(_.toLong))
           else p.key.mkString(vza.separator)
-        shared.store.readIfExists(s"${shared.groupDir}/$v/$chunkName") match {
-          case Some(raw) =>
-            if (shared.v3) ZarrV3Source.decodeAny(raw, vza)
-            else ZarrSource.decodeChunk(raw, vza)
-          case None => Array.fill(vza.chunkElems)(vza.cfDecode(vza.fillValue))
+        val path = s"${shared.groupDir}/$v/$chunkName"
+        // sub-chunk zone maps: a CHECKED variable of a partially-admitted
+        // shard decodes selectively — index + admitted inner chunks only
+        // (ranged reads), excluded blocks filled with a value outside the
+        // consumed interval set so the per-cell re-evaluation drops them.
+        // Unchecked (projection-only) variables decode in full: their
+        // excluded-block cells never pass the checked variable's filter.
+        val selective = p.innerKeep.flatMap(ik =>
+          ik.fail.collectFirst { case (nm, fv) if nm == v => (ik.keep, fv) })
+        (vza.codec, selective) match {
+          case (sh: ZarrSource.Shard, Some((keep, fv)))
+              if shared.v3 && shared.store.exists(path) =>
+            ZarrV3Source.decodeShardSelective(shared.store, path, vza, sh,
+              keep.toSet, fv)
+          case _ =>
+            shared.store.readIfExists(path) match {
+              case Some(raw) =>
+                if (shared.v3) ZarrV3Source.decodeAny(raw, vza)
+                else ZarrSource.decodeChunk(raw, vza)
+              case None =>
+                Array.fill(vza.chunkElems)(vza.cfDecode(vza.fillValue))
+            }
         }
       }
   }
