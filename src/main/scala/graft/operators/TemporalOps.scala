@@ -180,8 +180,10 @@ object TemporalOps {
     // every magnitude, subnormals included); the
     // rest are methodAgg's forms, which fold where Spark translates
     // them (mean/count/min/max/sum) and stay row-path where it cannot
-    // (median/percentile/prod — argmax/argmin/first/last have their own
-    // two-phase folds below).
+    // (median/percentile/prod per bucket — argmax/argmin/first/last have
+    // their own two-phase folds below, and GLOBAL exact
+    // median/percentile has a fully-pushed form in
+    // [[graft.operators.QuantileOps.quantileFold]]).
     def pieces(v: String, m: String, i: Int): (Seq[Column], Column) = {
       val v0 = col(v).cast("double")
       val vv = when(v0 <= lit(Double.PositiveInfinity), v0)
