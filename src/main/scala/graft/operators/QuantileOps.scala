@@ -271,7 +271,7 @@ object QuantileOps {
     * not by re-deriving `lo + b·w` arithmetically, which can misplace
     * boundary values by an ulp and desynchronize rank bookkeeping from
     * the counted buckets. ~64 key evaluations per edge, driver-side. */
-  private def bucketBounds(lo: Double, hi: Double, w: Double, b: Long)
+  private[operators] def bucketBounds(lo: Double, hi: Double, w: Double, b: Long)
       : (Double, Double) = {
     def key(v: Double): Double = math.floor((v - lo) / w)
     val bd = b.toDouble

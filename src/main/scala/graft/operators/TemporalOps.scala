@@ -224,6 +224,122 @@ object TemporalOps {
       .select(start.as(labelCol) +: outCols: _*)
   }
 
+  /** resample_in_time `median`/`percentile_<p>` THROUGH the connector —
+    * the grouped companion of [[QuantileOps.quantileFold]] (reference
+    * resampling/temporal.py:17-161; also get_time_series' median, the
+    * one aggregate xcube MUST_LOAD the whole array for,
+    * timeseries.py:40-47). Exact `percentile_cont` per bucket, with
+    * every data pass a pushed chunk-foldable aggregate:
+    *
+    *  - pass 0: per-bucket guarded count + global min/max (folds per
+    *    chunk; sidecar-answered on ANALYZEd stores);
+    *  - pass 1: the (bucket keys × value-bucket) histogram under the
+    *    consumed global value interval — O(chunks × buckets × bins)
+    *    partial rows, never O(cells); the running-total window and the
+    *    rank→bucket join see histogram rows only;
+    *  - pass 2: a distinct-value histogram of ONLY the straddling value
+    *    buckets, fetched under a consumed same-column Or of their EXACT
+    *    value intervals (bit-searched boundaries, so the filtered set
+    *    equals the counted buckets bit-for-bit) — chunk- and
+    *    sidecar-pruned; the per-(bucket, rank) window resolves the order
+    *    statistics and `lower + (upper − lower)·frac` interpolates.
+    *
+    * All-NaN buckets emit null rows like [[resampleInTime]]; constant
+    * and empty inputs short-circuit; a degenerate refinement width
+    * falls back to the row-path percentile (still exact, just not
+    * pushed). Single refinement level: the exact finish's window is
+    * bounded by the straddling buckets' distinct values (≈ cells/bins
+    * per straddler) — raise `bins` for pathological skew. */
+  def resampleQuantileFold(df: DataFrame, timeDim: String,
+                           unitSeconds: Double, freq: String, vCol: String,
+                           p: Double, bins: Int = 1024,
+                           labelCol: String = "t",
+                           methodName: Option[String] = None): DataFrame = {
+    require(p >= 0.0 && p <= 1.0, s"quantile fraction out of range: $p")
+    require(bins >= 2, s"need at least 2 refinement bins, got $bins")
+    val outName = methodName.getOrElse {
+      val pct = p * 100
+      if (p == 0.5) s"${vCol}_median"
+      else if (pct == math.rint(pct)) s"${vCol}_percentile_${pct.toLong}"
+      else s"${vCol}_percentile_$pct".replace('.', '_') // dot-free column
+    }
+    val v0 = col(vCol).cast("double")
+    val vv = when(v0 <= lit(Double.PositiveInfinity), v0)
+    val (keys, start) = numericKeys(timeDim, unitSeconds, freq)
+    val grp = df.groupBy(keys: _*).agg(count(vv).as("__n"))
+    val keyNames = grp.columns.dropRight(1).toSeq
+    val row = df.agg(min(vv), max(vv)).head()
+    if (row.isNullAt(0)) // empty or all-NaN input: every bucket is null
+      return grp.select(start.as(labelCol),
+        lit(null).cast("double").as(outName))
+    val lo = row.getDouble(0)
+    val hi = row.getDouble(1)
+    if (lo == hi) // constant variable: the quantile of any valid bucket
+      return grp.select(start.as(labelCol),
+        when(col("__n") > 0, lit(lo)).as(outName))
+    val w = (hi - lo) / bins
+    if (!java.lang.Double.isFinite(w) || w <= 0.0) // ±huge range overflow
+      return df.groupBy(keys: _*).agg(percentile(vv, lit(p)).as(outName))
+        .select(start.as(labelCol), col(outName))
+    // per-bucket rank targets: idx = p·(n−1); the result interpolates the
+    // 1-indexed order statistics ⌊idx⌋+1 (lower) and ⌊idx⌋+2 (upper)
+    val idx = lit(p) * (col("__n") - 1)
+    val rk = grp.filter(col("__n") > 0)
+      .withColumn("__k", floor(idx).cast("long"))
+      .withColumn("__frac", idx - floor(idx))
+    val ranks = rk.select(keyNames.map(col) :+
+        (col("__k") + 1).as("__rank") :+ lit(0).as("__which") :+
+        col("__frac"): _*)
+      .unionByName(rk.filter(col("__frac") > 0)
+        .select(keyNames.map(col) :+ (col("__k") + 2).as("__rank") :+
+          lit(1).as("__which") :+ col("__frac"): _*))
+    // pass 1: the pushed (bucket keys × value bucket) histogram
+    val bucket = floor((v0 - lit(lo)) / lit(w)).as("__bk")
+    val hist = df.filter(v0 >= lo && v0 <= hi)
+      .groupBy(keys :+ bucket: _*).agg(count(lit(1)).as("__c"))
+    val wcum = Window.partitionBy(keyNames.map(col): _*).orderBy("__bk")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = hist.withColumn("__cb",
+      coalesce(sum(col("__c")).over(wcum), lit(0L)))
+    val target = ranks.join(cum, keyNames)
+      .filter(col("__rank") > col("__cb") &&
+        col("__rank") <= col("__cb") + col("__c"))
+    // straddling value buckets → exact inclusive intervals (binary search
+    // over the double bit space, QuantileOps.bucketBounds) → one consumed
+    // same-column Or the scan prunes chunks with
+    val bks = target.select("__bk").distinct().collect()
+      .map(_.getLong(0)).sorted
+    val orFilter = bks.map { b =>
+      val (a, c) = QuantileOps.bucketBounds(lo, hi, w, b)
+      v0 >= a && v0 <= c
+    }.reduce(_ || _)
+    // pass 2: distinct-value histogram of the straddlers, rank windows
+    val inb = df.filter(orFilter)
+      .groupBy(keys :+ v0.as("__v"): _*).agg(count(lit(1)).as("__vc"))
+      .withColumn("__bk", floor((col("__v") - lit(lo)) / lit(w)))
+    val joined = inb.join(target.select(keyNames.map(col) :+ col("__bk") :+
+        col("__rank") :+ col("__which") :+ col("__frac") :+ col("__cb"): _*),
+      keyNames :+ "__bk")
+    val wv = Window.partitionBy((keyNames :+ "__rank").map(col): _*)
+      .orderBy("__v").rowsBetween(Window.unboundedPreceding, -1)
+    val picked = joined
+      .withColumn("__cb2",
+        col("__cb") + coalesce(sum(col("__vc")).over(wv), lit(0L)))
+      .filter(col("__rank") > col("__cb2") &&
+        col("__rank") <= col("__cb2") + col("__vc"))
+    val byGroup = picked.groupBy(keyNames.map(col): _*)
+      .agg(max(when(col("__which") === 0, col("__v"))).as("__lo"),
+        max(when(col("__which") === 1, col("__v"))).as("__hi"),
+        max(col("__frac")).as("__f"))
+      .select(keyNames.map(col) :+
+        when(col("__f") > 0,
+          col("__lo") + (col("__hi") - col("__lo")) * col("__f"))
+          .otherwise(col("__lo")).as(outName): _*)
+    // all-NaN buckets re-join the bucket domain as null rows
+    grp.join(byGroup, keyNames, "left_outer")
+      .select(start.as(labelCol), col(outName))
+  }
+
   /** Above this many collected gather values, the two-phase folds
     * switch from an In-literal filter to a broadcast left-semi join —
     * a decade-long hourly resample would otherwise plant ~88k literals

@@ -1341,6 +1341,20 @@ object ServingPack extends QueryPack {
         "round(sum(v) / count(v), 6) AS v_mean FROM graftsql.`cube.zarr`")
     }),
 
+    // resample_in_time MEDIAN through the connector — the grouped
+    // companion of q_zarr_median (TemporalOps.resampleQuantileFold):
+    // per-bucket count + global min/max fold per chunk, the (bucket ×
+    // value-bucket) histogram folds per chunk, and the exact finish
+    // rescans only the straddling value buckets under a consumed
+    // same-column Or of their bit-exact intervals. The last
+    // resample_in_time method without a pushed form.
+    "q_zarr_resample_median" -> ((s, d) => {
+      val group = zarrAggPushFixture(s, d)
+      graft.operators.TemporalOps.resampleQuantileFold(
+        s.read.format("zarr").load(group), "t", 86400.0, "2D", "v", 0.5)
+        .select(col("t"), round(col("v_median"), 6).as("v_median"))
+    }),
+
     // exact PERCENTILES over the ANALYZEd monotone variable: pass 0
     // answers count/min/max from the sidecar with zero chunk IO, the
     // round-1 histogram answers every single-bucket chunk from its
@@ -2837,6 +2851,14 @@ object ServingPack extends QueryPack {
                     FROM range(0, 144000) r(k))
          SELECT 0.5::DOUBLE AS p,
                 round(quantile_cont(v, 0.5)::DOUBLE, 6) AS value FROM c""",
+    "q_zarr_resample_median" ->
+      """WITH c AS (SELECT (k // 36000) // 2 AS g,
+                           (((k // 360) % 100) * 360 + (k % 360)
+                             + (k // 36000) * 7) % 4096 / 64.0 AS v
+                    FROM range(0, 144000) r(k))
+         SELECT make_timestamp((g * 172800 * 1000000)::BIGINT) AS t,
+                round(quantile_cont(v, 0.5)::DOUBLE, 6) AS v_median
+         FROM c GROUP BY g""",
     "q_zarr_percentile" ->
       """WITH c AS (SELECT k / 64.0 AS m FROM range(0, 144000) r(k)),
             q AS (SELECT quantile_cont(m, [0.25, 0.75, 0.96875]) AS vs

@@ -197,6 +197,58 @@ class ResampleFoldSpec extends AnyFunSuite {
     assert(sortedRows(aJoin) === sortedRows(aBase))
   }
 
+  test("resampleQuantileFold: exact per-bucket median/percentile == row path") {
+    val g = writeFixture()
+    val zc = spark.read.format("zarr").load(g)
+    val rows = ZarrSource.readCubeVars(spark, g, Seq("v", "w"))
+    for ((vr, p) <- Seq(("v", 0.5), ("v", 0.9), ("w", 0.5), ("w", 0.25))) {
+      val q = graft.operators.TemporalOps.resampleQuantileFold(
+        zc, "t", 86400.0, "2D", vr, p, bins = 8)
+      val vv = when(col(vr).cast("double") <= lit(Double.PositiveInfinity),
+        col(vr).cast("double"))
+      val truth = rows
+        .groupBy(floor(col("t") / 2.0).as("__b"))
+        .agg(percentile(vv, lit(p)).as("q"))
+        .select(timestamp_seconds(col("__b") * 172800).as("t"), col("q"))
+      assert(sortedRows(q) === sortedRows(truth), s"$vr p=$p")
+    }
+    // the histogram pass folds below the connector scan
+    val v0 = col("v").cast("double")
+    val hist = zc.filter(v0 >= 0.0 && v0 <= 100.0)
+      .groupBy(floor(col("t") / 2.0).as("__b"),
+        floor((v0 - 0.0) / 12.5).as("__bk"))
+      .agg(count(lit(1)).as("__c"))
+    assert(hist.queryExecution.executedPlan.toString.contains("ZarrVarAggScan"),
+      hist.queryExecution.executedPlan.toString.take(900))
+  }
+
+  test("resampleQuantileFold: all-NaN buckets null; degenerate inputs") {
+    import spark.implicits._
+    val g = writeFixture()
+    val zc = spark.read.format("zarr").load(g)
+    // w's t=0 slice is all-NaN → the 1D bucket at t=0 must be a null row
+    val q = graft.operators.TemporalOps.resampleQuantileFold(
+      zc, "t", 86400.0, "1D", "w", 0.5, bins = 8)
+    assert(q.count() === 4L)
+    assert(q.filter(col("w_median").isNull).count() === 1L)
+    val rows = ZarrSource.readCubeVars(spark, g, Seq("v", "w"))
+    val vv = when(col("w").cast("double") <= lit(Double.PositiveInfinity),
+      col("w").cast("double"))
+    val truth = rows.groupBy(floor(col("t") / 1.0).as("__b"))
+      .agg(percentile(vv, lit(0.5)).as("w_median"))
+      .select(timestamp_seconds(col("__b") * 86400).as("t"), col("w_median"))
+    assert(sortedRows(q) === sortedRows(truth))
+    // constant variable short-circuit
+    val const = Seq((0.0, 5.5), (1.0, 5.5), (2.0, 5.5)).toDF("t", "v")
+    val qc = graft.operators.TemporalOps.resampleQuantileFold(
+      const, "t", 86400.0, "2D", "v", 0.5)
+    assert(qc.collect().map(_.getDouble(1)).toSeq === Seq(5.5, 5.5))
+    // empty input
+    val empty = Seq.empty[(Double, Double)].toDF("t", "v")
+    assert(graft.operators.TemporalOps.resampleQuantileFold(
+      empty, "t", 86400.0, "2D", "v", 0.5).count() === 0L)
+  }
+
   test("subsampleModeFold emits NaN for all-NaN blocks like ModeAgg") {
     import spark.implicits._
     import graft.cube.{Cube, GridMapping}
