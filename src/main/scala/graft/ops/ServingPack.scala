@@ -1355,6 +1355,20 @@ object ServingPack extends QueryPack {
         .select(col("t"), round(col("v_median"), 6).as("v_median"))
     }),
 
+    // get_time_series MEDIAN per time step through the connector — THE
+    // MUST_LOAD aggregate (reference timeseries.py:40-47: the one method
+    // xcube loads the whole array for): a per-slice exact median via the
+    // calendar-keyed grouped quantile fold (each month bucket == one
+    // time slice on this fixture), calendar + value-bucket composite
+    // keys folding per chunk.
+    "q_zarr_timeseries_median" -> ((s, d) => {
+      val group = zarrAggPushFixture(s, d)
+      graft.operators.TemporalOps.resampleQuantileFold(
+        s.read.format("zarr").load(group), "t", 2678400.0, "1M", "v", 0.5,
+        labelCol = "time")
+        .select(col("time"), round(col("v_median"), 6).as("v_median"))
+    }),
+
     // exact PERCENTILES over the ANALYZEd monotone variable: pass 0
     // answers count/min/max from the sidecar with zero chunk IO, the
     // round-1 histogram answers every single-bucket chunk from its
@@ -2857,6 +2871,14 @@ object ServingPack extends QueryPack {
                              + (k // 36000) * 7) % 4096 / 64.0 AS v
                     FROM range(0, 144000) r(k))
          SELECT make_timestamp((g * 172800 * 1000000)::BIGINT) AS t,
+                round(quantile_cont(v, 0.5)::DOUBLE, 6) AS v_median
+         FROM c GROUP BY g""",
+    "q_zarr_timeseries_median" ->
+      """WITH c AS (SELECT k // 36000 AS g,
+                           (((k // 360) % 100) * 360 + (k % 360)
+                             + (k // 36000) * 7) % 4096 / 64.0 AS v
+                    FROM range(0, 144000) r(k))
+         SELECT make_timestamp(1970, (g + 1)::BIGINT, 1, 0, 0, 0) AS time,
                 round(quantile_cont(v, 0.5)::DOUBLE, 6) AS v_median
          FROM c GROUP BY g""",
     "q_zarr_percentile" ->

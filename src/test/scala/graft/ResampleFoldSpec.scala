@@ -249,6 +249,35 @@ class ResampleFoldSpec extends AnyFunSuite {
       empty, "t", 86400.0, "2D", "v", 0.5).count() === 0L)
   }
 
+  test("resampleQuantileFold: seeded adversarial doubles == Spark percentile") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    // mixed magnitudes, negatives, NaN runs, duplicated values, a bucket
+    // with a single row and a bucket that is entirely NaN
+    val rows = (0 until 3000).map { i =>
+      val t = (i % 10).toDouble
+      val v =
+        if (t == 7.0) Double.NaN
+        else if (i % 41 == 0) Double.NaN
+        else if (i % 13 == 0) 1e-300 * (rnd.nextInt(9) + 1)
+        else if (i % 17 == 0) -1e12 + rnd.nextInt(1000)
+        else math.rint(rnd.nextGaussian() * 1e6) / 32.0
+      (t, v)
+    } :+ ((11.0, 42.0)) // single-row bucket (2D bucket 5 holds only t=11)
+    val df = rows.toDF("t", "v")
+    for (p <- Seq(0.0, 0.25, 0.5, 0.9, 1.0)) {
+      val q = graft.operators.TemporalOps.resampleQuantileFold(
+        df, "t", 86400.0, "2D", "v", p, bins = 32)
+      val vv = when(col("v").cast("double") <= lit(Double.PositiveInfinity),
+        col("v").cast("double"))
+      val truth = df.groupBy(floor(col("t") / 2.0).as("__b"))
+        .agg(percentile(vv, lit(p)).as(q.columns(1)))
+        .select(timestamp_seconds(col("__b") * 172800).as("t"),
+          col(q.columns(1)))
+      assert(sortedRows(q) === sortedRows(truth), s"p=$p")
+    }
+  }
+
   test("subsampleModeFold emits NaN for all-NaN blocks like ModeAgg") {
     import spark.implicits._
     import graft.cube.{Cube, GridMapping}
