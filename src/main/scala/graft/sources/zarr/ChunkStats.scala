@@ -247,7 +247,24 @@ object ChunkStats {
     val nd = meta.za.dims.length
     val nv = meta.dataVars.length
     val varNames = meta.dataVars.toIndexedSeq
-    // one row per (chunk, variable): (var, key, cells, nan, 4 bit-moments)
+    // SHARDED variables also get per-INNER-chunk block rows (same layout
+    // as the write-time fold: key "<chunk>#<ord>"), so an ANALYZE of an
+    // existing sharded store enables sub-chunk selective reads exactly
+    // like a cube born with stats. (inner shape, block-grid strides,
+    // block count) per var; None for unsharded.
+    val shardOf: IndexedSeq[Option[(Array[Int], Array[Int], Int)]] =
+      varNames.map { v =>
+        meta.varMeta(v).codec match {
+          case sh: graft.sources.ZarrSource.Shard =>
+            val grid = meta.varMeta(v).chunks.zip(sh.inner)
+              .map { case (c, i) => c / i }
+            Some((sh.inner.toArray,
+              grid.scanRight(1)(_ * _).tail.toArray, grid.product))
+          case _ => None
+        }
+      }
+    // one row per (chunk, variable) plus one per populated (chunk,
+    // variable, inner block): (var, key, cells, nan, 4 bit-moments)
     val rows = spark.sparkContext
       .parallelize(parts.toSeq, math.max(1, parts.length))
       .flatMap { part =>
@@ -262,6 +279,24 @@ object ChunkStats {
           val nan = new Array[Long](nv)
           // [min, max, sum, sumsq] per var, NaN extremes until seen
           val mom = Array.fill(nv)(Array(Double.NaN, Double.NaN, 0.0, 0.0))
+          val blocks: Array[Array[Array[Double]]] = shardOf.map {
+            case Some((_, _, nB)) =>
+              Array.fill(nB)(Array(0.0, 0.0, Double.NaN, Double.NaN,
+                0.0, 0.0))
+            case None => null
+          }.toArray
+          def fold6(m: Array[Double], x: Double): Unit = {
+            m(0) += 1.0
+            if (x.isNaN) m(1) += 1.0
+            else {
+              if (m(0) - m(1) == 1.0 ||
+                java.lang.Double.compare(x, m(2)) < 0) m(2) = x
+              if (m(0) - m(1) == 1.0 ||
+                java.lang.Double.compare(x, m(3)) > 0) m(3) = x
+              m(4) += x
+              m(5) += x * x
+            }
+          }
           while (cur.advance()) {
             var v = 0
             while (v < nv) {
@@ -277,17 +312,40 @@ object ChunkStats {
                 m(2) += x
                 m(3) += x * x
               }
+              if (blocks(v) != null) {
+                val (inner, bStride, _) = shardOf(v).get
+                val li = cur.localIdx
+                var ord = 0
+                var k = 0
+                while (k < nd) {
+                  ord += (li(k) / inner(k)) * bStride(k)
+                  k += 1
+                }
+                fold6(blocks(v)(ord), x)
+              }
               v += 1
             }
           }
           val key = cp.key.mkString(".")
-          varNames.indices.map { i =>
+          val chunkRows = varNames.indices.map { i =>
             (varNames(i), key, cells(i), nan(i),
               java.lang.Double.doubleToRawLongBits(mom(i)(0)),
               java.lang.Double.doubleToRawLongBits(mom(i)(1)),
               java.lang.Double.doubleToRawLongBits(mom(i)(2)),
               java.lang.Double.doubleToRawLongBits(mom(i)(3)))
           }
+          val blockRows = varNames.indices.flatMap { i =>
+            if (blocks(i) == null) Nil
+            else blocks(i).toSeq.zipWithIndex.collect {
+              case (m, ord) if m(0) > 0.0 =>
+                (varNames(i), s"$key#$ord", m(0).toLong, m(1).toLong,
+                  java.lang.Double.doubleToRawLongBits(m(2)),
+                  java.lang.Double.doubleToRawLongBits(m(3)),
+                  java.lang.Double.doubleToRawLongBits(m(4)),
+                  java.lang.Double.doubleToRawLongBits(m(5)))
+            }
+          }
+          chunkRows ++ blockRows
         }
       }
     val root = mapper.createObjectNode()

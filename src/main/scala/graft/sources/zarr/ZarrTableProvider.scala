@@ -1862,6 +1862,11 @@ private[zarr] final class ChunkCursor(shared: ZarrScan.SharedScanState,
     val (isVar, i) = outPlan(c)
     if (isVar) data(i)(flat) else coordSlices(i)(idx(i))
   }
+
+  /** The cursor's chunk-local per-dim indices (valid after a true
+    * [[advance]]; callers must not mutate) — lets ANALYZE compute
+    * sub-chunk block ordinals in the exact cell order of the fold. */
+  private[zarr] def localIdx: Array[Int] = idx
 }
 
 /** One coalesced multi-range fetch for every refs-backed chunk of a

@@ -108,6 +108,36 @@ class SubchunkStatsSpec extends AnyFunSuite {
     assert(r.getDouble(1) === 9.0 + 9.25 + 9.5 + 9.75)
   }
 
+  test("ANALYZE of an existing sharded store emits the same block rows") {
+    import graft.sources.zarr.{ChunkStats, ZarrTable}
+    val born = writeFixture() // stats = true at write time
+    // identical store, analyzed after the fact
+    val later = writeFixture()
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(s"$later/${ChunkStats.FileName}"))
+    ChunkStats.analyze(spark, later)
+    def loaded(g: String) = {
+      val za = ZarrTable.open(g).za
+      val keys = for (j <- 0 until 2; i <- 0 until 2;
+                      k <- Seq(s"$j.$i") ++ (0 until 16).map(o => s"$j.$i#$o"))
+        yield k
+      ChunkStats.load(graft.sources.ByteStore.current, g, za, g).get
+        .bulk(Seq("v"), keys.distinct)
+    }
+    assert(loaded(later) === loaded(born)) // bit-identical moments
+    // and the post-hoc sidecar drives the same selective fetch: corrupt
+    // every inner chunk of shard (0,0) except the target block
+    val p = java.nio.file.Paths.get(s"$later/v/c/0/0")
+    val bytes = Files.readAllBytes(p)
+    for (ord <- 0 until 16 if ord != 5; k <- 0 until 32)
+      bytes(ord * 32 + k) = 9
+    Files.write(p, bytes)
+    val q = spark.read.format("zarr").load(later)
+      .filter(col("v") >= 9.0 && col("v") <= 9.75)
+      .filter(col("y") < 8.0 && col("x") < 8.0) // shard (0,0) only
+    assert(q.count() === 4L)
+  }
+
   test("fill and missing-inner semantics survive selective decode") {
     import spark.implicits._
     // edge-shaped array: shape 10×6 with 8×8 shards → edge shards with
