@@ -93,6 +93,27 @@ object CubePack extends QueryPack {
     }),
 
     // MaskSet flag expansion (maskset.py:165-196) incl. "Nb" bit syntax
+    // new_cube (reference new.py:13-268) under the ORACLE gate: the
+    // synthesized fixture generator itself — bin-center time labels,
+    // pixel-center coordinates, bounds columns, function-of-index
+    // variables — aggregated per time step and recomputed closed-form by
+    // DuckDB. Dyadic i/1024 keeps the sums order-independent exact.
+    "q_new_cube" -> ((s, d) => {
+      val cube = graft.cube.NewCube(s, timePeriods = 3,
+        variables = Map(
+          "r" -> (col("time_idx") * 100.0 + col("j_idx") +
+            col("i_idx") / 1024.0),
+          "c" -> lit(0.5)),
+        withBounds = true)
+      cube.df.groupBy(col("time"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("r")), 6).as("sum_r"),
+          round(sum(col("c")), 6).as("sum_c"),
+          min(col("y_lower")).as("y_lo"), max(col("x_upper")).as("x_hi"),
+          min(col("time_lower")).as("t_lo"),
+          max(col("time_upper")).as("t_hi"))
+    }),
+
     "q_maskset" -> ((s, d) => {
       val md = new MetadataBuilder()
         .putString("flag_meanings", "land water cloud invalid")
@@ -213,6 +234,19 @@ object CubePack extends QueryPack {
          FROM cube
          WHERE x >= 0 AND x < 360 AND y >= 0 AND y < 100
          GROUP BY zone""",
+    "q_new_cube" ->
+      """WITH g AS (SELECT t.k AS tk, j.k AS j, i.k AS i
+                    FROM range(0, 3) t(k), range(0, 180) j(k),
+                         range(0, 360) i(k))
+         SELECT TIMESTAMP '2010-01-01 12:00:00'
+                  + tk * INTERVAL 1 DAY AS time,
+                count(*) AS n,
+                round(sum(tk * 100 + j + i / 1024.0), 6) AS sum_r,
+                round(sum(0.5), 6) AS sum_c,
+                -90.0 AS y_lo, 180.0 AS x_hi,
+                min(TIMESTAMP '2010-01-01' + tk * INTERVAL 1 DAY) AS t_lo,
+                max(TIMESTAMP '2010-01-01' + (tk + 1) * INTERVAL 1 DAY) AS t_hi
+         FROM g GROUP BY tk""",
     "q_maskset" ->
       """SELECT event_type, count(*) AS n, round(sum(value), 6) AS sum_value
          FROM events
