@@ -19,24 +19,38 @@ object GeomOps {
                      saveMask: Option[String] = None): Cube = {
     val inG = GeomFunctions.geomMask(wkt)(cube.x, cube.y)
     var df = cube.df
-    if (clip) {
-      // per-PART envelopes: a multi-part geometry clips to the union of
-      // its members' bboxes (consumed same-dim Or intervals + the exact
-      // Or-of-boxes residual — see clipToFeatureBboxes), so a two-island
-      // MultiPolygon time series prunes the chunks between the islands.
-      // Single-part geometries reduce to the plain bbox filter. Every
-      // row this drops beyond the joint envelope is outside the
-      // geometry, i.e. masked to NaN below — invisible to the skipna
-      // aggregations clip exists to accelerate.
-      df = bboxUnionClip(cube, GeomFunctions.wktPartBboxes(wkt))(df)
-    }
-    df = df.withColumn("__in_geom", inG)
     // NaN is the missing-value marker for float variables only (the
     // reference casts int vars to float when masking; we leave non-numeric
     // columns such as labels untouched).
     val numeric = cube.varNames.filter { v =>
       df.schema(v).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]
     }
+    if (clip) {
+      // The reference clips to the JOINT envelope of the geometry
+      // (geom.py:445-529 — one bbox), so between-island cells of a
+      // multi-part geometry SURVIVE the clip (masked to NaN below).
+      // When every variable is numeric and no mask column is requested,
+      // those survivors are indistinguishable from dropped rows to the
+      // skipna aggregations clip exists to accelerate — so the row
+      // filter tightens to the per-PART envelope union (consumed
+      // same-dim Or intervals + the exact Or-of-boxes residual, see
+      // clipToFeatureBboxes) and a two-island MultiPolygon time series
+      // prunes the chunks between the islands. With saveMask set or
+      // non-numeric (unmaskable) variables present, rows between the
+      // part envelopes are OBSERVABLE (mask=false rows, label rows), so
+      // only the reference's joint envelope may drop rows — the per-dim
+      // interval filters below still prune chunks outside it.
+      val envs = GeomFunctions.wktPartBboxes(wkt)
+      df =
+        if (saveMask.isEmpty && numeric.lengthCompare(cube.varNames.length) == 0)
+          bboxUnionClip(cube, envs)(df)
+        else {
+          val x1 = envs.map(_._1).min; val y1 = envs.map(_._2).min
+          val x2 = envs.map(_._3).max; val y2 = envs.map(_._4).max
+          df.filter(cube.x.between(x1, x2) && cube.y.between(y1, y2))
+        }
+    }
+    df = df.withColumn("__in_geom", inG)
     for (v <- numeric)
       df = df.withColumn(v,
         when(col("__in_geom"), col(v).cast("double")).otherwise(lit(Double.NaN)))

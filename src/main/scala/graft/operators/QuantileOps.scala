@@ -184,7 +184,17 @@ object QuantileOps {
     wants.map { case (p, r, frac) =>
       val lower = resolved(r)
       val value =
-        if (frac > 0.0) lower + (resolved(r + 1) - lower) * frac else lower
+        if (frac <= 0.0 || lower == resolved(r + 1)) lower
+        else {
+          val upper = resolved(r + 1)
+          // delta form matches DuckDB's quantile_cont on finite values;
+          // an INFINITE endpoint makes (upper − lower) NaN, where the
+          // weighted form is still exact (−Inf·(1−f) + v·f = −Inf)
+          if (java.lang.Double.isInfinite(lower) ||
+            java.lang.Double.isInfinite(upper))
+            lower * (1.0 - frac) + upper * frac
+          else lower + (upper - lower) * frac
+        }
       (p, Option(value))
     }.toDF("p", "value")
   }
@@ -195,74 +205,223 @@ object QuantileOps {
   private final case class Hunt(lo: Double, hi: Double, below: Long,
                                 rows: Long, depth: Int, ranks: List[Long])
 
+  /** What the next data pass does for one hunt. */
+  private sealed trait Act
+  private case object ExactA extends Act  // distinct-value finish
+  private case object RefineA extends Act // bucket histogram round
+  private case object BisectA extends Act // hi − lo overflows: bit split
+
+  private def actOf(h: Hunt, bins: Int, maxExactRows: Long,
+                    maxDepth: Int): Act = {
+    val w = (h.hi - h.lo) / bins
+    if (!java.lang.Double.isFinite(w))
+      // ±huge endpoints: hi − lo overflows to +Inf. Small hunts finish
+      // exactly; big ones SPLIT at the bit-space midpoint (each split
+      // halves the ordered-double span, and one split of a ±overflowing
+      // interval already yields finite-width halves) — never an
+      // unbounded driver collect on wide-range data.
+      if (h.rows <= maxExactRows) ExactA else BisectA
+    else if (h.rows <= maxExactRows || h.depth >= maxDepth || w <= 0.0)
+      // w == 0 with lo < hi only happens when hi − lo underflows the
+      // bins division — the interval is < bins ulps wide, so the
+      // distinct-value set is at most ~bins values: exact-safe.
+      // depth ≥ maxDepth with rows > maxExactRows is adversarial
+      // (1024-bin refinement divides mass by 2^10/round); the exact
+      // finish CAPS its collect and errors loudly rather than OOM.
+      ExactA
+    else RefineA
+  }
+
+  /** Resolve every rank LEVEL-synchronously: all hunts of the same depth
+    * share ONE Spark job per round — the union of their (disjoint)
+    * interval filters is still a consumed same-column Or the scans prune
+    * chunks with, and the per-hunt group keys ride a single aggregation.
+    * A 99-percentile table therefore costs O(maxDepth) jobs, not
+    * O(ranks × maxDepth). A level holding a single hunt keeps the plain
+    * single-interval plan (no CASE key), which the connectors fold per
+    * chunk. */
   private def resolveRanks(df: DataFrame, v0: Column,
                            gLo: Double, gHi: Double, n: Long,
                            ranks: Seq[Long], bins: Int,
                            maxExactRows: Long, maxDepth: Int)
       : Map[Long, Double] = {
     val out = scala.collection.mutable.Map.empty[Long, Double]
-    var work = List(Hunt(gLo, gHi, 0L, n, 0, ranks.toList))
-    while (work.nonEmpty) {
-      val h = work.head
-      work = work.tail
-      val w = (h.hi - h.lo) / bins
-      if (h.lo == h.hi) h.ranks.foreach(out(_) = h.lo)
-      else if (h.rows <= maxExactRows || h.depth >= maxDepth ||
-        !java.lang.Double.isFinite(w) || w <= 0.0)
-        // non-finite w: ±Inf endpoints (range overflow); w == 0: the
-        // interval is a few ulps wide — either way the distinct-value
-        // set is resolvable directly
-        exactFinish(df, v0, h, out)
-      else {
-        // pushed interval histogram: the filter is a consumed rectangle
-        // (chunk- and sidecar-pruned), the floor key folds per chunk
-        val hist = df.filter(v0 >= h.lo && v0 <= h.hi)
-          .groupBy(floor((v0 - lit(h.lo)) / lit(w)).as("b"))
-          .agg(count(lit(1)).as("c"))
-          .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
-        var cum = h.below
-        var rs = h.ranks
-        val sub = List.newBuilder[Hunt]
-        for ((b, c) <- hist if rs.nonEmpty) {
-          val mine = rs.takeWhile(_ <= cum + c)
-          if (mine.nonEmpty) {
-            rs = rs.drop(mine.length)
-            val (blo, bhi) = bucketBounds(h.lo, h.hi, w, b)
-            sub += Hunt(blo, bhi, cum, c, h.depth + 1, mine)
+    var level = List(Hunt(gLo, gHi, 0L, n, 0, ranks.toList))
+    while (level.nonEmpty) {
+      val (trivial, work) = level.partition(h => h.lo == h.hi)
+      trivial.foreach(h => h.ranks.foreach(out(_) = h.lo))
+      level = work match {
+        case Nil => Nil
+        case h :: Nil =>
+          actOf(h, bins, maxExactRows, maxDepth) match {
+            case ExactA => exactFinish(df, v0, h, maxExactRows, out); Nil
+            case RefineA =>
+              val w = (h.hi - h.lo) / bins
+              val hist = df.filter(v0 >= h.lo && v0 <= h.hi)
+                .groupBy(floor((v0 - lit(h.lo)) / lit(w)).as("b"))
+                .agg(count(lit(1)).as("c"))
+                .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+              childrenOf(h, w, hist)
+            case BisectA => bisect(df, v0, h)
           }
-          cum += c
-        }
-        require(rs.isEmpty, s"rank walk exhausted with ranks $rs " +
-          s"unresolved in [${h.lo}, ${h.hi}] (${h.rows} rows)")
-        work = sub.result() ::: work
+        case hs => levelJob(df, v0, hs, bins, maxExactRows, maxDepth, out)
       }
     }
     out.toMap
   }
 
-  /** Resolve a bounded task's ranks from the distinct-value histogram
-    * (the pushed raw-value group key under the consumed interval). */
-  private def exactFinish(df: DataFrame, v0: Column, h: Hunt,
-                          out: scala.collection.mutable.Map[Long, Double])
-      : Unit = {
-    val hist = df.filter(v0 >= h.lo && v0 <= h.hi)
-      .groupBy(v0.as("v")).agg(count(lit(1)).as("c"))
-      .orderBy("v").collect()
+  /** Children hunts of a refinement round's bucket histogram. */
+  private def childrenOf(h: Hunt, w: Double,
+                         hist: Seq[(Long, Long)]): List[Hunt] = {
     var cum = h.below
     var rs = h.ranks
-    var i = 0
-    while (rs.nonEmpty && i < hist.length) {
-      val v = hist(i).getDouble(0)
-      val c = hist(i).getLong(1)
+    val sub = List.newBuilder[Hunt]
+    for ((b, c) <- hist if rs.nonEmpty) {
+      val mine = rs.takeWhile(_ <= cum + c)
+      if (mine.nonEmpty) {
+        rs = rs.drop(mine.length)
+        val (blo, bhi) = bucketBounds(h.lo, h.hi, w, b)
+        sub += Hunt(blo, bhi, cum, c, h.depth + 1, mine)
+      }
+      cum += c
+    }
+    require(rs.isEmpty, s"rank walk exhausted with ranks $rs " +
+      s"unresolved in [${h.lo}, ${h.hi}] (${h.rows} rows)")
+    sub.result()
+  }
+
+  /** Split an overflowing-width hunt at the ordered-double midpoint
+    * (one pushed 2-bucket count). Depth does not advance: progress is
+    * guaranteed by the bit span halving, and a single split of a
+    * ±overflowing range already restores finite widths. */
+  private def bisect(df: DataFrame, v0: Column, h: Hunt): List[Hunt] = {
+    val mid = dFromOrd(dOrd(h.lo) + ((dOrd(h.hi) - dOrd(h.lo)) >>> 1))
+    val r = df.filter(v0 >= h.lo && v0 <= h.hi)
+      .agg(count(when(v0 <= mid, 1)).as("c0")).head()
+    val c0 = r.getLong(0)
+    val (loRanks, hiRanks) = h.ranks.partition(_ <= h.below + c0)
+    List(
+      if (loRanks.nonEmpty)
+        Some(Hunt(h.lo, mid, h.below, c0, h.depth, loRanks)) else None,
+      if (hiRanks.nonEmpty)
+        Some(Hunt(Math.nextUp(mid), h.hi, h.below + c0, h.rows - c0,
+          h.depth, hiRanks)) else None).flatten
+  }
+
+  /** Ceiling on the distinct-value rows one exact finish may collect:
+    * the normal path is bounded by `maxExactRows` anyway; the
+    * degenerate-width paths (maxDepth reached on adversarial
+    * duplicates) hit this guard and error LOUDLY instead of pulling an
+    * unbounded histogram onto the driver. */
+  private def exactCap(maxExactRows: Long): Int =
+    math.min((Int.MaxValue >> 1).toLong, math.max(maxExactRows, 1L << 16)).toInt
+
+  /** Resolve a bounded task's ranks from the distinct-value histogram
+    * (the pushed raw-value group key under the consumed interval). The
+    * collect is a TopK (`orderBy.limit`) — per-partition bounded heaps,
+    * never an unbounded driver pull. */
+  private def exactFinish(df: DataFrame, v0: Column, h: Hunt,
+                          maxExactRows: Long,
+                          out: scala.collection.mutable.Map[Long, Double])
+      : Unit = {
+    val cap = exactCap(maxExactRows)
+    val hist = df.filter(v0 >= h.lo && v0 <= h.hi)
+      .groupBy(v0.as("v")).agg(count(lit(1)).as("c"))
+      .orderBy("v").limit(cap + 1).collect()
+    require(hist.length <= cap,
+      s"exact quantile finish over [${h.lo}, ${h.hi}] holds more than " +
+        s"$cap distinct values after refinement degenerated " +
+        s"(depth ${h.depth}, ${h.rows} rows) — raise maxDepth, bins, or " +
+        "maxExactRows")
+    walkExact(hist.map(r => (r.getDouble(0), r.getLong(1))), h, out)
+  }
+
+  private def walkExact(hist: Seq[(Double, Long)], h: Hunt,
+                        out: scala.collection.mutable.Map[Long, Double])
+      : Unit = {
+    var cum = h.below
+    var rs = h.ranks
+    val it = hist.iterator
+    while (rs.nonEmpty && it.hasNext) {
+      val (v, c) = it.next()
       while (rs.nonEmpty && rs.head <= cum + c) {
         out(rs.head) = v
         rs = rs.tail
       }
       cum += c
-      i += 1
     }
     require(rs.isEmpty, s"exact finish exhausted with ranks $rs " +
       s"unresolved in [${h.lo}, ${h.hi}]")
+  }
+
+  /** One Spark job for a WHOLE level of hunts: the filter is the Or of
+    * the hunts' pairwise-disjoint intervals (consumed, chunk-pruned);
+    * the group key is (hunt id, per-hunt bucket, per-hunt exact value),
+    * each a first-match CASE over the disjoint intervals. Output rows
+    * are bounded per hunt — ≤ bins + 1 for a refinement, 2 for a
+    * bisection, `exactCap` for an exact finish (enforced by a TopK
+    * collect + loud error). Returns the next level. */
+  private def levelJob(df: DataFrame, v0: Column, hs: List[Hunt],
+                       bins: Int, maxExactRows: Long, maxDepth: Int,
+                       out: scala.collection.mutable.Map[Long, Double])
+      : List[Hunt] = {
+    val acts = hs.map(h => actOf(h, bins, maxExactRows, maxDepth))
+    val mids = hs.zip(acts).map {
+      case (h, BisectA) =>
+        dFromOrd(dOrd(h.lo) + ((dOrd(h.hi) - dOrd(h.lo)) >>> 1))
+      case _ => 0.0
+    }
+    val orFilter = hs.map(h => v0 >= h.lo && v0 <= h.hi).reduce(_ || _)
+    val hid = coalesce(hs.zipWithIndex.map { case (h, i) =>
+      when(v0 >= h.lo && v0 <= h.hi, lit(i))
+    }: _*)
+    val bkt = coalesce(hs.zip(acts).zipWithIndex.map {
+      case ((h, RefineA), i) =>
+        when(hid === i,
+          floor((v0 - lit(h.lo)) / lit((h.hi - h.lo) / bins)))
+      case ((_, BisectA), i) =>
+        when(hid === i, when(v0 <= mids(i), lit(0L)).otherwise(lit(1L)))
+      case ((_, ExactA), i) => when(hid === i, lit(0L))
+    }: _*).cast("long")
+    val exIds = acts.zipWithIndex.collect { case (ExactA, i) => i }
+    val vx =
+      if (exIds.isEmpty) lit(0.0)
+      else when(hid.isin(exIds: _*), v0).otherwise(lit(0.0))
+    val cap = hs.zip(acts).map {
+      case (_, RefineA) => bins.toLong + 1L
+      case (_, BisectA) => 2L
+      case (_, ExactA) => exactCap(maxExactRows).toLong
+    }.sum.min((Int.MaxValue >> 1).toLong).toInt
+    val rows = df.filter(orFilter)
+      .groupBy(hid.as("h"), bkt.as("b"), vx.as("vx"))
+      .agg(count(lit(1)).as("c"))
+      .orderBy("h", "b", "vx").limit(cap + 1).collect()
+    require(rows.length <= cap,
+      s"quantile level job over ${hs.length} hunts exceeded $cap " +
+        "histogram rows — raise maxDepth, bins, or maxExactRows")
+    val byHunt = rows.groupBy(_.getInt(0))
+    hs.zip(acts).zipWithIndex.flatMap { case ((h, act), i) =>
+      val mine = byHunt.getOrElse(i, Array.empty)
+      act match {
+        case ExactA =>
+          walkExact(mine.map(r => (r.getDouble(2), r.getLong(3))).toSeq,
+            h, out)
+          Nil
+        case RefineA =>
+          childrenOf(h, (h.hi - h.lo) / bins,
+            mine.map(r => (r.getLong(1), r.getLong(3))).toSeq.sortBy(_._1))
+        case BisectA =>
+          val c0 = mine.find(_.getLong(1) == 0L).map(_.getLong(3))
+            .getOrElse(0L)
+          val (loR, hiR) = h.ranks.partition(_ <= h.below + c0)
+          List(
+            if (loR.nonEmpty)
+              Some(Hunt(h.lo, mids(i), h.below, c0, h.depth, loR)) else None,
+            if (hiR.nonEmpty)
+              Some(Hunt(Math.nextUp(mids(i)), h.hi, h.below + c0,
+                h.rows - c0, h.depth, hiR)) else None).flatten
+      }
+    }
   }
 
   /** The EXACT inclusive value boundaries of histogram bucket `b` under

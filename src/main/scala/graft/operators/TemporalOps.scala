@@ -266,14 +266,30 @@ object TemporalOps {
     val v0 = col(vCol).cast("double")
     val vv = when(v0 <= lit(Double.PositiveInfinity), v0)
     val (keys, start) = numericKeys(timeDim, unitSeconds, freq)
-    val grp = df.groupBy(keys: _*).agg(count(vv).as("__n"))
-    val keyNames = grp.columns.dropRight(1).toSeq
-    val row = df.agg(min(vv), max(vv)).head()
-    if (row.isNullAt(0)) // empty or all-NaN input: every bucket is null
+    // pass 0, ONE job: per-bucket guarded count PLUS per-bucket min/max
+    // (the global value interval derives driver-side from the bucket
+    // extremes) — folds per chunk, sidecar-answered on ANALYZEd stores.
+    // The bucket rows are collected once (bucket-count-sized, the same
+    // bound as every other collect here) and re-enter the plan as a
+    // LOCAL relation, so neither the rank probe, the pass-2 join, nor
+    // the final domain join re-executes the pass-0/pass-1 scan lineage:
+    // each connector pass runs exactly once.
+    val grpDist = df.groupBy(keys: _*).agg(count(vv).as("__n"),
+      min(vv).as("__mn"), max(vv).as("__mx"))
+    val keyNames = grpDist.columns.dropRight(3).toSeq
+    val grpRows = grpDist.collect()
+    val spark = df.sparkSession
+    val grp = spark.createDataFrame(
+      java.util.Arrays.asList(grpRows: _*), grpDist.schema)
+      .drop("__mn", "__mx")
+    val mnAt = keyNames.length + 1
+    val finiteMins = grpRows.filter(!_.isNullAt(mnAt))
+    if (finiteMins.isEmpty) // empty or all-NaN input: every bucket is null
       return grp.select(start.as(labelCol),
         lit(null).cast("double").as(outName))
-    val lo = row.getDouble(0)
-    val hi = row.getDouble(1)
+    val lo = finiteMins.map(_.getDouble(mnAt)).min
+    val hi = grpRows.filter(!_.isNullAt(mnAt + 1))
+      .map(_.getDouble(mnAt + 1)).max
     if (lo == hi) // constant variable: the quantile of any valid bucket
       return grp.select(start.as(labelCol),
         when(col("__n") > 0, lit(lo)).as(outName))
@@ -301,14 +317,21 @@ object TemporalOps {
       .rowsBetween(Window.unboundedPreceding, -1)
     val cum = hist.withColumn("__cb",
       coalesce(sum(col("__c")).over(wcum), lit(0L)))
-    val target = ranks.join(cum, keyNames)
+    // the straddler table is (≤ 2 rank rows per bucket)-sized: collect it
+    // ONCE — this is the single execution of the pass-1 histogram — and
+    // re-enter it as a local relation for the pass-2 join
+    val targetDist = ranks.join(cum, keyNames)
       .filter(col("__rank") > col("__cb") &&
         col("__rank") <= col("__cb") + col("__c"))
+      .select(keyNames.map(col) :+ col("__bk") :+ col("__rank") :+
+        col("__which") :+ col("__frac") :+ col("__cb"): _*)
+    val targetRows = targetDist.collect()
+    val target = spark.createDataFrame(
+      java.util.Arrays.asList(targetRows: _*), targetDist.schema)
     // straddling value buckets → exact inclusive intervals (binary search
     // over the double bit space, QuantileOps.bucketBounds) → one consumed
     // same-column Or the scan prunes chunks with
-    val bks = target.select("__bk").distinct().collect()
-      .map(_.getLong(0)).sorted
+    val bks = targetRows.map(_.getLong(keyNames.length)).distinct.sorted
     val orFilter = bks.map { b =>
       val (a, c) = QuantileOps.bucketBounds(lo, hi, w, b)
       v0 >= a && v0 <= c
@@ -317,9 +340,7 @@ object TemporalOps {
     val inb = df.filter(orFilter)
       .groupBy(keys :+ v0.as("__v"): _*).agg(count(lit(1)).as("__vc"))
       .withColumn("__bk", floor((col("__v") - lit(lo)) / lit(w)))
-    val joined = inb.join(target.select(keyNames.map(col) :+ col("__bk") :+
-        col("__rank") :+ col("__which") :+ col("__frac") :+ col("__cb"): _*),
-      keyNames :+ "__bk")
+    val joined = inb.join(broadcast(target), keyNames :+ "__bk")
     val wv = Window.partitionBy((keyNames :+ "__rank").map(col): _*)
       .orderBy("__v").rowsBetween(Window.unboundedPreceding, -1)
     val picked = joined
@@ -332,9 +353,15 @@ object TemporalOps {
         max(when(col("__which") === 1, col("__v"))).as("__hi"),
         max(col("__frac")).as("__f"))
       .select(keyNames.map(col) :+
-        when(col("__f") > 0,
-          col("__lo") + (col("__hi") - col("__lo")) * col("__f"))
-          .otherwise(col("__lo")).as(outName): _*)
+        when(col("__f") <= 0 || col("__lo") === col("__hi"), col("__lo"))
+          // delta form matches DuckDB quantile_cont on finite values; an
+          // infinite endpoint makes (hi − lo) NaN where the weighted form
+          // is still exact — same guard as QuantileOps.quantileFold
+          .when(abs(col("__lo")) === lit(Double.PositiveInfinity) ||
+              abs(col("__hi")) === lit(Double.PositiveInfinity),
+            col("__lo") * (lit(1.0) - col("__f")) + col("__hi") * col("__f"))
+          .otherwise(col("__lo") + (col("__hi") - col("__lo")) * col("__f"))
+          .as(outName): _*)
     // all-NaN buckets re-join the bucket domain as null rows
     grp.join(byGroup, keyNames, "left_outer")
       .select(start.as(labelCol), col(outName))

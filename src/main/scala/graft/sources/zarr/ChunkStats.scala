@@ -240,6 +240,13 @@ object ChunkStats {
                                 format: String = "json"): String = {
     require(format == "json" || format == "parquet",
       s"stats format must be json or parquet, got $format")
+    // read the group's write-generation token BEFORE the distributed
+    // stats pass runs (the pass executes at the write.parquet / collect
+    // below): a writer that invalidates and rewrites the group MID-scan
+    // bumps the token, so the sidecar — computed over torn data — is
+    // stamped with the pre-rewrite token and the staleness guard
+    // correctly rejects it on load
+    val genAtStart = generationOf(ByteStore.current, meta.groupDir)
     val required = ZarrTable.schemaFor(meta)
     val shared = ZarrScan.sharedState(meta, required, Array.empty, None)
     val parts = ZarrScan.plannedPartitions(meta, Array.empty, Array.empty,
@@ -352,10 +359,9 @@ object ChunkStats {
     root.put("graft_stats_format", 1)
     val sh = root.putArray("shape"); meta.za.shape.foreach(sh.add)
     val ch = root.putArray("chunks"); meta.za.chunks.foreach(ch.add)
-    // stamp the group's CURRENT write generation (if any) so a redirected
-    // sidecar goes stale the moment a writer mutates the group
-    generationOf(ByteStore.current, meta.groupDir)
-      .foreach(root.put("generation", _))
+    // stamp the token read before the scan (see genAtStart above) so a
+    // redirected sidecar goes stale the moment a writer mutates the group
+    genAtStart.foreach(root.put("generation", _))
     if (format == "parquet") {
       root.put("storage", "parquet")
       import spark.implicits._

@@ -1400,6 +1400,11 @@ object ZarrScan {
       })
   }
 
+  /** Sub-chunk stat lookups resolve at most this many SHARD keys per
+    * sidecar round-trip (each expands to nInner block keys) — bounds
+    * driver memory per planning call regardless of archive size. */
+  private[zarr] val BlockKeyBatch = 4096
+
   private[zarr] def plannedPartitions(meta: ZarrGroupMeta,
                                       consumed: Array[Filter],
                                       runtime: Array[Filter],
@@ -1516,15 +1521,34 @@ object ZarrScan {
           val inner = inners.head.get
           val nInner = za.chunks.zip(inner).map { case (c, i) => c / i }.product
           if (nInner > 1) {
-            val admittedStrs = admitted.map(_._2)
-            val blockKeys = for (ks <- admittedStrs; ord <- 0 until nInner)
-              yield s"$ks#$ord"
-            val blockMap = st.bulk(packs.map(_._1), blockKeys)
+            // only STRADDLING shards can yield a partial inner-block keep:
+            // a shard whose chunk-level stats fully admit every checked
+            // variable admits every block (fullyAdmits is cell-universal),
+            // and a shard with NO stat row has no block rows either — so
+            // block keys are generated for straddlers alone, not
+            // admittedShards × nInner (at archive scale, 1e5 shards × 256
+            // blocks would be ~1e7 driver-side strings per plan)
+            val straddlerStrs = admitted.collect {
+              case (_, ks) if packs.exists { case (nm, packed) =>
+                statMap.get((nm, ks))
+                  .exists(!ChunkStats.fullyAdmits(_, packed))
+              } => ks
+            }
+            // batch the sidecar lookup: bounded driver memory per call,
+            // and with the parquet side table each batch is one
+            // broadcast join over a bounded key list
+            val blockMap = straddlerStrs.grouped(BlockKeyBatch)
+              .foldLeft(Map.empty[(String, String), ChunkStats.VarStat]) {
+                (acc, batch) =>
+                  val blockKeys = for (ks <- batch; ord <- 0 until nInner)
+                    yield s"$ks#$ord"
+                  acc ++ st.bulk(packs.map(_._1), blockKeys)
+              }
             if (blockMap.nonEmpty) {
               val fails = packs.map { case (nm, packed) =>
                 nm -> ChunkStats.failValueOutside(packed)
               }
-              innerKeeps = admittedStrs.flatMap { ks =>
+              innerKeeps = straddlerStrs.flatMap { ks =>
                 val keep = (0 until nInner).filter { ord =>
                   packs.forall { case (nm, packed) =>
                     blockMap.get((nm, s"$ks#$ord"))

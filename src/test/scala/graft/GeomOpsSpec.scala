@@ -42,6 +42,34 @@ class GeomOpsSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
   }
 
+  test("maskByGeometry clip: joint envelope when the mask is observable") {
+    // two islands with a gap between their part envelopes
+    val twoIslands = "MULTIPOLYGON (((0 0, 2 0, 2 2, 0 2, 0 0)), " +
+      "((7 7, 9 7, 9 9, 7 9, 7 7)))"
+    // all-numeric, no saveMask: per-part union clip MAY drop the
+    // between-island rows (they'd be NaN anyway)
+    val tight = GeomOps.maskByGeometry(grid(), twoIslands, clip = true)
+    assert(!tight.df.filter(col("x") === 4.5 && col("y") === 4.5)
+      .collect().exists(_ => true))
+    // saveMask set: between-island rows INSIDE the joint envelope must
+    // survive, carrying mask = false (the reference clips to one bbox)
+    val masked = GeomOps.maskByGeometry(grid(), twoIslands, clip = true,
+      saveMask = Some("m"))
+    val mid = masked.df.filter(col("x") === 4.5 && col("y") === 4.5).collect()
+    assert(mid.length == 1 && !mid.head.getAs[Boolean]("m"))
+    assert(mid.head.getAs[Double]("v").isNaN)
+    // rows beyond the joint envelope are still clipped
+    assert(masked.df.filter(col("x") === 9.5 && col("y") === 0.5).isEmpty)
+    // inside-island rows keep values and mask = true
+    val in = masked.df.filter(col("x") === 1.5 && col("y") === 1.5).head()
+    assert(in.getAs[Boolean]("m") && in.getAs[Double]("v") == 1.0)
+    // non-numeric (unmaskable) column present: same joint-envelope rule
+    val g2 = grid()
+    val withLabel = g2.copy(df = g2.df.withColumn("lbl", lit("k")))
+    val lab = GeomOps.maskByGeometry(withLabel, twoIslands, clip = true)
+    assert(lab.df.filter(col("x") === 4.5 && col("y") === 4.5).count() == 1)
+  }
+
   test("inGeom compiles to the native codegen expression, not a ScalaUDF") {
     // parquet-backed so ConvertToLocalRelation can't fold the filter away
     val base = new java.io.File("/root/repo/target/tmp-tests")

@@ -93,6 +93,77 @@ class QuantileFoldSpec extends AnyFunSuite {
       maxExactRows = 1)) === rowTruth(tight, "v", Seq(0.0, 0.5, 1.0)))
   }
 
+  test("a 99-percentile table costs O(maxDepth) jobs, not O(ranks × maxDepth)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val df = Seq.tabulate(20000)(i => (i.toDouble, rnd.nextDouble() * 1e6))
+      .toDF("t", "v").cache()
+    df.count() // materialize outside the counted window
+    val ps = (1 to 99).map(_ / 100.0)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val maxDepth = 12
+      val got = foldRows(QuantileOps.quantileFold(df, "v", ps,
+        bins = 16, maxExactRows = 64, maxDepth = maxDepth))
+      Thread.sleep(1500) // listener bus is async; let job-start events drain
+      // level-synchronous batching: pass 0 + one job per depth level +
+      // the exact-finish level — every same-depth Hunt shares one job
+      assert(jobs.get() <= maxDepth + 2,
+        s"expected <= ${maxDepth + 2} jobs for 99 percentiles, ran ${jobs.get()}")
+      // Spark's percentile interpolates lower·(1−f) + upper·f; the fold
+      // uses DuckDB's delta form (the oracle-gate contract) — same order
+      // statistics, last-ulp interpolation differences allowed here
+      val want = rowTruth(df, "v", ps).sortBy(_._1)
+      got.zip(want).foreach { case ((p1, g), (p2, w)) =>
+        assert(p1 == p2)
+        val (gv, wv) = (g.asInstanceOf[Double], w.asInstanceOf[Double])
+        assert(math.abs(gv - wv) <= math.ulp(wv) * 4, s"p=$p1: $gv vs $wv")
+      }
+    } finally spark.sparkContext.removeSparkListener(listener)
+    df.unpersist()
+    ()
+  }
+
+  test("overflowing value range with many rows: bit-space bisection, no driver blowup") {
+    import spark.implicits._
+    // hi − lo overflows to +Inf and rows > maxExactRows: the old code
+    // collected the FULL distinct-value histogram; now the hunt bisects
+    // at the ordered-double midpoint until widths are finite
+    val rnd = new scala.util.Random(3)
+    val vals = Seq.tabulate(2000) { i =>
+      val m = 1.0 + rnd.nextInt(1000) / 1000.0
+      if (i % 2 == 0) -m * 1.6e308 else m * 1.5e307
+    }
+    val df = vals.zipWithIndex.map { case (v, i) => (i.toDouble, v) }
+      .toDF("t", "v")
+    val ps = Seq(0.1, 0.5, 0.9)
+    val got = foldRows(QuantileOps.quantileFold(df, "v", ps,
+      bins = 16, maxExactRows = 50))
+    assert(got === rowTruth(df, "v", ps).sortBy(_._1))
+  }
+
+  test("degenerate refinement caps the exact collect and errors loudly") {
+    import spark.implicits._
+    // maxDepth = 0 forces the exact finish on the root interval; 70k
+    // distinct values exceed the 2^16 cap → loud error, never an
+    // unbounded collect
+    val df = spark.range(70000L)
+      .select(col("id").cast("double").as("t"),
+        (col("id").cast("double") * 1.5).as("v"))
+    val ex = intercept[IllegalArgumentException] {
+      QuantileOps.quantileFold(df, "v", Seq(0.5),
+        bins = 16, maxExactRows = 16, maxDepth = 0).collect()
+    }
+    assert(ex.getMessage.contains("raise maxDepth"))
+  }
+
   /** 4096-cell 32×128 cube in 1×128 chunks (one chunk per row),
     * v = row-major ordinal / 64 — monotone, so chunk value ranges are
     * disjoint AND (with 8 round-1 buckets) no chunk straddles a bucket
