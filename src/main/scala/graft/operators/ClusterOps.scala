@@ -121,6 +121,77 @@ object ClusterOps {
       .distinct()
   }
 
+  /** Fold a NEW batch of near-dup pairs into an EXISTING canonical-id
+    * table WITHOUT re-resolving the corpus — the operational other half
+    * of incremental dedup (`TextOps.candidatePairsAgainst` finds
+    * batch-vs-corpus pairs; this folds them into cluster identity).
+    *
+    * Each batch endpoint maps to its current component id (itself when
+    * unlabeled), full CC runs over the BATCH-SIZED component graph
+    * alone, and the old-root → new-root mapping rewrites only touched
+    * labels. Because every canonical id is its component's minimum
+    * node id, the merged root is the minimum over the merged members —
+    * exactly what a from-scratch CC over the unioned pair set yields —
+    * and an untouched component's root cannot change: canonical-id
+    * stability for free.
+    *
+    * Exchange discipline at 100 TB: `labels` is NEVER shuffled. The
+    * batch node set broadcast-semi-joins it (one scan), the component
+    * graph and its CC are batch-sized, and the label rewrite is one
+    * more scan with a broadcast left join. Per-ingest cost is
+    * O(scan(labels)) + O(CC(batch)), not O(CC(corpus)).
+    *
+    * @param labels   existing (node, comp) canonical-id table
+    * @param newPairs the new batch's near-dup pairs
+    * @return the updated (node, comp) table (existing ∪ new nodes)
+    */
+  def incrementalCC(labels: DataFrame, newPairs: DataFrame,
+                    aCol: String = "u", bCol: String = "v"): DataFrame = {
+    val lbl = labels.select(col("node").cast("long").as("node"),
+      col("comp").cast("long").as("comp"))
+    val e0 = newPairs
+      .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+    val nodes = e0.select(col("u").as("node"))
+      .unionByName(e0.select(col("v").as("node"))).distinct()
+    // the batch endpoints' CURRENT labels: a batch-sized slice of the
+    // corpus table, extracted by ONE labels scan with the batch node set
+    // broadcast, then collected into a local relation so nothing
+    // downstream re-executes the scan
+    val spark = labels.sparkSession
+    val touchedDist = lbl.join(broadcast(nodes), Seq("node"), "left_semi")
+    val touched = spark.createDataFrame(
+      java.util.Arrays.asList(touchedDist.collect(): _*), touchedDist.schema)
+    val compOf = nodes.join(broadcast(touched), Seq("node"), "left_outer")
+      .select(col("node"), coalesce(col("comp"), col("node")).as("c"))
+    // batch component graph: pairs lifted to component ids; intra-
+    // component pairs vanish. Everything here is batch-sized.
+    val compEdges = e0
+      .join(broadcast(compOf.select(col("node").as("u"), col("c").as("cu"))),
+        Seq("u"))
+      .join(broadcast(compOf.select(col("node").as("v"), col("c").as("cv"))),
+        Seq("v"))
+      .select(col("cu"), col("cv")).filter(col("cu") =!= col("cv"))
+    // old root (or new node id) → new root, from CC over the tiny graph —
+    // collected (batch-sized) so the returned plan is pure labels-scan +
+    // broadcast joins
+    val mappingDist = connectedComponents(compEdges, "cu", "cv")
+      .select(col("node").as("oc"), col("comp").as("nc"))
+    val mapping = spark.createDataFrame(
+      java.util.Arrays.asList(mappingDist.collect(): _*), mappingDist.schema)
+    // rewrite: one labels scan with a broadcast left join; new nodes
+    // (batch-sized anti against the TOUCHED slice, never the corpus)
+    // enter with their mapped root, or themselves when their every pair
+    // was intra-component
+    val rewritten = lbl.join(broadcast(mapping), col("comp") === col("oc"),
+        "left_outer")
+      .select(col("node"), coalesce(col("nc"), col("comp")).as("comp"))
+    nodes.join(broadcast(touched.select("node")), Seq("node"), "left_anti")
+      .join(broadcast(mapping), col("node") === col("oc"), "left_outer")
+      .select(col("node"), coalesce(col("nc"), col("node")).as("comp"))
+      .unionByName(rewritten)
+  }
+
   /** Edges deduplicated in (larger, smaller) orientation. */
   private def canonical(e: DataFrame): DataFrame =
     e.select(greatest(col("u"), col("v")).as("u"),

@@ -55,8 +55,10 @@ object SpatialOps {
       math.abs(a.xRes - b.xRes) < tol && math.abs(a.yRes - b.yRes) < tol
 
   /** Closed-form coordinate transform between the supported CRS pairs:
-    * geographic ↔ web-mercator (EPSG:3857) and geographic ↔ any UTM zone
-    * (EPSG:326xx/327xx, the transverse-mercator series in [[UtmOps]]).
+    * geographic ↔ web-mercator (EPSG:3857), geographic ↔ any UTM zone
+    * (EPSG:326xx/327xx, the transverse-mercator series in [[UtmOps]]),
+    * geographic ↔ polar stereographic (EPSG:3413/3031/3976) and
+    * geographic ↔ LAEA (EPSG:3035/6931/6932), both in [[PolarOps]].
     */
   private def transformCols(crsFrom: String, crsTo: String,
                             x: Column, y: Column): (Column, Column) =
@@ -65,14 +67,25 @@ object SpatialOps {
       (ReprojectOps.lonToMercX(x), ReprojectOps.latToMercY(y))
     else if (crsFrom == "EPSG:3857" && isGeographic(crsTo))
       (ReprojectOps.mercXToLon(x), ReprojectOps.mercYToLat(y))
-    else (UtmOps.zoneForCrs(crsTo), UtmOps.zoneForCrs(crsFrom)) match {
-      case (Some(z), _) if isGeographic(crsFrom) => UtmOps.forward(x, y, z)
-      case (_, Some(z)) if isGeographic(crsTo) =>
-        val (lon, lat) = UtmOps.inverse(x, y, z)
-        (lon, lat)
+    else (UtmOps.zoneForCrs(crsTo), UtmOps.zoneForCrs(crsFrom),
+        PolarOps.stereoForCrs(crsTo), PolarOps.stereoForCrs(crsFrom),
+        PolarOps.laeaForCrs(crsTo), PolarOps.laeaForCrs(crsFrom)) match {
+      case (Some(z), _, _, _, _, _) if isGeographic(crsFrom) =>
+        UtmOps.forward(x, y, z)
+      case (_, Some(z), _, _, _, _) if isGeographic(crsTo) =>
+        UtmOps.inverse(x, y, z)
+      case (_, _, Some(ps), _, _, _) if isGeographic(crsFrom) =>
+        PolarOps.stereoForward(x, y, ps)
+      case (_, _, _, Some(ps), _, _) if isGeographic(crsTo) =>
+        PolarOps.stereoInverse(x, y, ps)
+      case (_, _, _, _, Some(la), _) if isGeographic(crsFrom) =>
+        PolarOps.laeaForward(x, y, la)
+      case (_, _, _, _, _, Some(la)) if isGeographic(crsTo) =>
+        PolarOps.laeaInverse(x, y, la)
       case _ => throw new IllegalArgumentException(
         s"unsupported CRS pair $crsFrom -> $crsTo " +
-          "(v0 supports geographic <-> EPSG:3857 and geographic <-> UTM EPSG:326xx/327xx)")
+          "(supported: geographic <-> EPSG:3857, UTM EPSG:326xx/327xx, " +
+          "polar stereographic EPSG:3413/3031/3976, LAEA EPSG:3035/6931/6932)")
     }
 
   /** Resample `src` onto the regular grid `tgtGm`.
@@ -189,11 +202,21 @@ object SpatialOps {
       (lon(gm.xMin), lat(gm.yMin), lon(gm.xMax), lat(gm.yMax))
     } else {
       val f: (Double, Double) => (Double, Double) =
-        (UtmOps.zoneForCrs(crsTo), UtmOps.zoneForCrs(gm.crs)) match {
-          case (Some(z), _) if isGeographic(gm.crs) =>
+        (UtmOps.zoneForCrs(crsTo), UtmOps.zoneForCrs(gm.crs),
+          PolarOps.stereoForCrs(crsTo), PolarOps.stereoForCrs(gm.crs),
+          PolarOps.laeaForCrs(crsTo), PolarOps.laeaForCrs(gm.crs)) match {
+          case (Some(z), _, _, _, _, _) if isGeographic(gm.crs) =>
             (x, y) => UtmOps.forwardScalar(x, y, z)
-          case (_, Some(z)) if isGeographic(crsTo) =>
+          case (_, Some(z), _, _, _, _) if isGeographic(crsTo) =>
             (x, y) => UtmOps.inverseScalar(x, y, z)
+          case (_, _, Some(ps), _, _, _) if isGeographic(gm.crs) =>
+            (x, y) => PolarOps.stereoForwardScalar(x, y, ps)
+          case (_, _, _, Some(ps), _, _) if isGeographic(crsTo) =>
+            (x, y) => PolarOps.stereoInverseScalar(x, y, ps)
+          case (_, _, _, _, Some(la), _) if isGeographic(gm.crs) =>
+            (x, y) => PolarOps.laeaForwardScalar(x, y, la)
+          case (_, _, _, _, _, Some(la)) if isGeographic(crsTo) =>
+            (x, y) => PolarOps.laeaInverseScalar(x, y, la)
           case _ => throw new IllegalArgumentException(
             s"unsupported CRS pair ${gm.crs} -> $crsTo")
         }
@@ -204,15 +227,23 @@ object SpatialOps {
        corners.map(_._1).max, corners.map(_._2).max)
     }
 
-  /** Mean linear scale of the supported transforms (for res estimates). */
+  /** Mean linear scale of the supported transforms (for res estimates —
+    * the route decision only; ~unity projection scale factors suffice
+    * for the stereographic/LAEA families). */
   private def scaleFactor(crsFrom: String, crsTo: String): Double = {
     val degToMeters = ReprojectOps.EarthRadius * math.Pi / 180.0
+    def metric(crs: String): Boolean =
+      crs == "EPSG:3857" || UtmOps.zoneForCrs(crs).isDefined ||
+        PolarOps.stereoForCrs(crs).isDefined ||
+        PolarOps.laeaForCrs(crs).isDefined
     if (isGeographic(crsFrom) && crsTo == "EPSG:3857") degToMeters
     else if (crsFrom == "EPSG:3857" && isGeographic(crsTo)) 1.0 / degToMeters
     else if (isGeographic(crsFrom) && UtmOps.zoneForCrs(crsTo).isDefined)
       degToMeters * UtmOps.K0
     else if (UtmOps.zoneForCrs(crsFrom).isDefined && isGeographic(crsTo))
       1.0 / (degToMeters * UtmOps.K0)
+    else if (isGeographic(crsFrom) && metric(crsTo)) degToMeters
+    else if (metric(crsFrom) && isGeographic(crsTo)) 1.0 / degToMeters
     else 1.0
   }
 }

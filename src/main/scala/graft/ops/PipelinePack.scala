@@ -641,6 +641,31 @@ object PipelinePack extends QueryPack {
         .agg(count(lit(1)).as("n_docs"), max(col("node")).as("max_doc"))
     }),
 
+    // INCREMENTAL cluster identity: the near-dup pair set splits into an
+    // already-ingested corpus (labels resolved by full CC once) and a
+    // new batch; incrementalCC folds the batch into the canonical-id
+    // table by re-converging ONLY the touched component subgraph. The
+    // oracle is the from-scratch CC over the UNIONED pair set — label
+    // equality proves canonical-id stability (roots are component
+    // minima, so untouched clusters keep their ids and merged ones get
+    // exactly the full-rerun root).
+    "q_dedup_clusters_incremental" -> ((s, d) => {
+      val sigs = TextOps.minhashSignatures(
+        TextOps.shingleArrays(docs(s, d), "doc_id", "text", 3), "doc_id", NumPerms)
+      val bands = TextOps.lshBandRows(sigs, "doc_id", RowsPerBand, NumPerms)
+      val pairs = cutRound(TextOps.jaccardOnCandidates(
+          TextOps.candidatePairs(bands, "doc_id", MaxBucket), sigs, "doc_id")
+        .filter(col("jaccard") >= 0.5)
+        .select(col("doc_a"), col("doc_b")))
+      val old = pairs.filter((col("doc_a") + col("doc_b")) % 5 =!= 0)
+      val batch = pairs.filter((col("doc_a") + col("doc_b")) % 5 === 0)
+      val labels = ClusterOps.connectedComponents(old, "doc_a", "doc_b")
+      val res = ClusterOps.incrementalCC(labels, batch, "doc_a", "doc_b")
+        .groupBy(col("comp").as("cluster_id"))
+        .agg(count(lit(1)).as("n_docs"), max(col("node")).as("max_doc"))
+      finishAndUnpersist(res, pairs)
+    }),
+
     // STREAMING MinHash near-dup, oracle-gated: the documents corpus (+5
     // planted clones of the min-doc template so hits exist at every SF) is
     // banded, written once as ONE parquet file and replayed through
@@ -2747,6 +2772,21 @@ object PipelinePack extends QueryPack {
          FROM newb LEFT JOIN dups ON dups.doc_a = newb.doc_id
          GROUP BY newb.source""",
     "q_dedup_clusters" ->
+      s"""WITH RECURSIVE ${lshCtes("documents", MaxBucket)},
+         p AS (SELECT doc_a, doc_b FROM j
+               WHERE round(n_common::DOUBLE / (n_a + n_b - n_common), 6) >= 0.5),
+         e AS (SELECT doc_a AS a, doc_b AS b FROM p
+               UNION SELECT doc_b AS a, doc_a AS b FROM p),
+         reach(node, r) AS (
+           SELECT a, a FROM e
+           UNION
+           SELECT e2.b, reach.r FROM reach JOIN e e2 ON reach.node = e2.a),
+         cc AS (SELECT node, min(r) AS comp FROM reach GROUP BY node)
+         SELECT comp AS cluster_id, count(*) AS n_docs, max(node) AS max_doc
+         FROM cc GROUP BY comp""",
+    // the incremental fold must equal the from-scratch CC over the
+    // UNIONED pair set — the oracle IS q_dedup_clusters' (same pairs)
+    "q_dedup_clusters_incremental" ->
       s"""WITH RECURSIVE ${lshCtes("documents", MaxBucket)},
          p AS (SELECT doc_a, doc_b FROM j
                WHERE round(n_common::DOUBLE / (n_a + n_b - n_common), 6) >= 0.5),

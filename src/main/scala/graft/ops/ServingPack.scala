@@ -1425,6 +1425,32 @@ object ServingPack extends QueryPack {
         .agg(count(lit(1)).as("n_cells"), round(sum(col("v")), 6).as("sum_v"))
     }),
 
+    // get_time_series MEDIAN under a GEOMETRY mask — the reference's
+    // actual endpoint shape (timeseries.py:154-172 masks by geometry,
+    // :40-47 MUST_LOADs for the median): the feature layer's per-dim
+    // bbox unions ship as consumed interval sets (chunks between the
+    // islands never read — MaskedMedianPruneSpec corruption proof), the
+    // exact triangle/box containment runs as a residual codegen filter
+    // BELOW the fold's aggregates, and the per-slice exact median runs
+    // as the grouped quantile fold over the survivors.
+    "q_zarr_timeseries_median_geom" -> ((s, d) => {
+      import graft.cube.{Cube, GridMapping}
+      val group = zarrStatsFixture(s, d)
+      val gm = GridMapping(360, 100, 0.0, 0.0, 1.0, 1.0)
+      val cube = Cube(s.read.format("zarr").load(group), gm, "t", "y", "x")
+      val wkts = Seq(
+        "POLYGON ((5 5, 45 5, 5 45, 5 5))", // triangle: mask ≠ its bbox
+        "POLYGON ((200 60, 260 60, 260 90, 200 90, 200 60))")
+      val clipped = graft.operators.GeomOps.clipToFeatureBboxes(cube, wkts)
+      val inGeom = wkts.map(w =>
+        graft.functions.GeomFunctions.geomMask(w)(col("x"), col("y")))
+        .reduce(_ || _)
+      graft.operators.TemporalOps.resampleQuantileFold(
+        clipped.df.filter(inGeom), "t", 2678400.0, "1M", "v", 0.5,
+        labelCol = "time")
+        .select(col("time"), round(col("v_median"), 6).as("v_median"))
+    }),
+
     // resample argmax FROM the connector, two-phase: the per-bucket
     // extreme folds per chunk, then a `v IN (extremes)` gather — a
     // consumed value predicate the sidecar prunes on — finishes with the
@@ -2881,6 +2907,21 @@ object ServingPack extends QueryPack {
          SELECT make_timestamp(1970, (g + 1)::BIGINT, 1, 0, 0, 0) AS time,
                 round(quantile_cont(v, 0.5)::DOUBLE, 6) AS v_median
          FROM c GROUP BY g""",
+    // exact containment at cell centers (x = i+0.5, y = j+0.5): the
+    // triangle (5 5, 45 5, 5 45) covers x ≥ 5 ∧ y ≥ 5 ∧ x + y ≤ 50
+    // (boundary-inclusive, like JTS covers); the box is a plain BETWEEN
+    "q_zarr_timeseries_median_geom" ->
+      """WITH c AS (SELECT k // 36000 AS g,
+                           ((k // 360) % 100) AS j, (k % 360) AS i,
+                           (((k // 360) % 100) * 360 + (k % 360)
+                             + (k // 36000) * 7) % 4096 / 64.0 AS v
+                    FROM range(0, 144000) r(k))
+         SELECT make_timestamp(1970, (g + 1)::BIGINT, 1, 0, 0, 0) AS time,
+                round(quantile_cont(v, 0.5)::DOUBLE, 6) AS v_median
+         FROM c
+         WHERE (i >= 5 AND j >= 5 AND (i + 0.5) + (j + 0.5) <= 50.0)
+            OR (i BETWEEN 200 AND 259 AND j BETWEEN 60 AND 89)
+         GROUP BY g""",
     "q_zarr_percentile" ->
       """WITH c AS (SELECT k / 64.0 AS m FROM range(0, 144000) r(k)),
             q AS (SELECT quantile_cont(m, [0.25, 0.75, 0.96875]) AS vs

@@ -423,6 +423,54 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(rev == cc)
   }
 
+  test("incrementalCC == full CC over the union; untouched ids stable") {
+    import spark.implicits._
+    import graft.operators.ClusterOps
+    val rnd = new scala.util.Random(23)
+    // random old graph over nodes 0..199 plus an untouched island
+    val oldPairs = (Seq.fill(120)((rnd.nextInt(200).toLong,
+      rnd.nextInt(200).toLong)) ++ Seq((900L, 901L), (901L, 902L)))
+      .filter(p => p._1 != p._2).toDF("u", "v")
+    // batch: new-node chains bridging old components + brand-new islands
+    // + intra-component no-ops
+    val batch = (Seq.fill(40)((rnd.nextInt(260).toLong,
+      rnd.nextInt(260).toLong)) ++
+      Seq((300L, 301L), (301L, 5L), (300L, 150L), // bridge via new nodes
+        (400L, 401L)))                            // fully new island
+      .filter(p => p._1 != p._2).toDF("u", "v")
+    val labels = ClusterOps.connectedComponents(oldPairs, "u", "v")
+    val inc = ClusterOps.incrementalCC(labels, batch)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = ClusterOps.connectedComponents(
+        oldPairs.unionByName(batch), "u", "v")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(inc == full)
+    // the untouched island keeps its canonical id
+    assert(inc(902L) == 900L)
+  }
+
+  test("incrementalCC never shuffles the labels table (broadcast-only plan)") {
+    import spark.implicits._
+    import graft.operators.ClusterOps
+    val dir = java.nio.file.Files.createTempDirectory("inc-cc").toString
+    spark.range(100000L)
+      .select(col("id").as("node"), (col("id") - col("id") % 2).as("comp"))
+      .write.mode("overwrite").parquet(dir)
+    val labels = spark.read.parquet(dir)
+    val batch = Seq((2L, 4L), (100001L, 7L)).toDF("u", "v")
+    val out = ClusterOps.incrementalCC(labels, batch)
+    val plan = out.queryExecution.executedPlan.toString
+    // the corpus-sized side enters only via broadcast hash joins: a sort-
+    // merge join (or any exchange of the parquet scan) would mean the
+    // per-ingest cost scales with the corpus, not the batch
+    assert(!plan.contains("SortMergeJoin"), plan.take(1500))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
+    val got = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(4L) == 2L && got(5L) == 2L && got(2L) == 2L)
+    assert(got(100001L) == 6L && got(7L) == 6L) // new node joins comp 6
+    assert(got(99999L) == 99998L) // untouched tail unchanged
+  }
+
   test("chunk windows: overlap, tail, short docs, degenerate strides") {
     import spark.implicits._
     import graft.operators.TextOps

@@ -1,0 +1,110 @@
+package graft
+
+import graft.operators.PolarOps
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Polar stereographic + LAEA closed forms: round-trip closure
+  * (forward∘inverse ≤ 1e-9°), column/scalar twin agreement, and the
+  * published EPSG:3035 test point. */
+class PolarOpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = GraftSession.builder("4").getOrCreate()
+
+  private val tol = 1e-9 // degrees
+
+  private def roundTripStereo(crs: String, lats: Seq[Double]): Unit = {
+    val ps = PolarOps.stereoForCrs(crs).get
+    for (lonBd <- BigDecimal(-180) to BigDecimal(180) by BigDecimal(7.5);
+         lat <- lats) {
+      val lon = lonBd.toDouble
+      val (x, y) = PolarOps.stereoForwardScalar(lon, lat, ps)
+      val (lon2, lat2) = PolarOps.stereoInverseScalar(x, y, ps)
+      val dLon = math.abs(((lon2 - lon + 540) % 360) - 180)
+      assert(dLon < tol && math.abs(lat2 - lat) < tol,
+        s"$crs ($lon, $lat) -> ($x, $y) -> ($lon2, $lat2)")
+    }
+  }
+
+  test("polar stereographic round-trips under 1e-9 degrees") {
+    roundTripStereo("EPSG:3413", Seq(45.0, 60.0, 70.0, 80.0, 89.0))
+    roundTripStereo("EPSG:3031", Seq(-45.0, -60.0, -71.0, -80.0, -89.0))
+    roundTripStereo("EPSG:3976", Seq(-45.0, -70.0, -85.0))
+  }
+
+  test("LAEA round-trips under 1e-9 degrees (oblique + both polar aspects)") {
+    for {
+      (crs, lats) <- Seq(
+        "EPSG:3035" -> Seq(30.0, 40.0, 52.0, 60.0, 70.0),
+        "EPSG:6931" -> Seq(30.0, 50.0, 70.0, 85.0),
+        "EPSG:6932" -> Seq(-30.0, -50.0, -70.0, -85.0))
+      la = PolarOps.laeaForCrs(crs).get
+      lonBd <- BigDecimal(-60) to BigDecimal(60) by BigDecimal(7.5)
+      lat <- lats
+    } {
+      val lon = lonBd.toDouble
+      val (x, y) = PolarOps.laeaForwardScalar(lon, lat, la)
+      val (lon2, lat2) = PolarOps.laeaInverseScalar(x, y, la)
+      assert(math.abs(lon2 - lon) < tol && math.abs(lat2 - lat) < tol,
+        s"$crs ($lon, $lat) -> ($x, $y) -> ($lon2, $lat2)")
+    }
+  }
+
+  test("EPSG:3035 matches the published grid: center exact, 5E 50N to cm") {
+    val la = PolarOps.laeaForCrs("EPSG:3035").get
+    val (cx, cy) = PolarOps.laeaForwardScalar(10.0, 52.0, la)
+    assert(cx == 4321000.0 && cy == 3210000.0)
+    // EPSG dataset test point for ETRS89-extended / LAEA Europe
+    val (x, y) = PolarOps.laeaForwardScalar(5.0, 50.0, la)
+    assert(math.abs(x - 3962799.45) < 0.01 && math.abs(y - 2999718.85) < 0.01,
+      s"($x, $y)")
+  }
+
+  test("EPSG:3413 geometry: pole at origin, lon0 points down the -y axis") {
+    val ps = PolarOps.stereoForCrs("EPSG:3413").get
+    val (px, py) = PolarOps.stereoForwardScalar(-45.0, 90.0, ps)
+    assert(math.abs(px) < 1e-6 && math.abs(py) < 1e-6)
+    val (x, y) = PolarOps.stereoForwardScalar(-45.0, 70.0, ps)
+    assert(math.abs(x) < 1e-9 && y < 0) // standard parallel on -y
+    // scale at the standard parallel is ~1: ρ ≈ a·m(70°)
+    assert(math.abs(-y / 6378137.0 / 0.34345 - 1.0) < 0.01)
+  }
+
+  test("column forms agree with the scalar twins bit-for-bit shapes") {
+    import spark.implicits._
+    val pts = (for (lon <- Seq(-120.0, -45.0, 0.0, 30.5, 177.25);
+                    lat <- Seq(55.0, 70.0, 82.5)) yield (lon, lat))
+      .toDF("lon", "lat")
+    val ps = PolarOps.stereoForCrs("EPSG:3413").get
+    val (fx, fy) = PolarOps.stereoForward(col("lon"), col("lat"), ps)
+    val (il, ip) = PolarOps.stereoInverse(fx, fy, ps)
+    pts.select(col("lon"), col("lat"), fx.as("x"), fy.as("y"),
+        il.as("lon2"), ip.as("lat2")).collect().foreach { r =>
+      val (sx, sy) = PolarOps.stereoForwardScalar(
+        r.getDouble(0), r.getDouble(1), ps)
+      // same IEEE op order in both forms → tight agreement
+      assert(math.abs(r.getDouble(2) - sx) <= math.ulp(sx) * 8)
+      assert(math.abs(r.getDouble(3) - sy) <= math.ulp(sy) * 8)
+      val dLon = math.abs((((r.getDouble(4) - r.getDouble(0)) % 360)
+        + 540) % 360 - 180)
+      assert(dLon < tol)
+      assert(math.abs(r.getDouble(5) - r.getDouble(1)) < tol)
+    }
+    val la = PolarOps.laeaForCrs("EPSG:3035").get
+    val pts2 = (for (lon <- Seq(-10.0, 5.0, 10.0, 24.5);
+                     lat <- Seq(35.0, 52.0, 68.0)) yield (lon, lat))
+      .toDF("lon", "lat")
+    val (gx, gy) = PolarOps.laeaForward(col("lon"), col("lat"), la)
+    val (gl, gp) = PolarOps.laeaInverse(gx, gy, la)
+    pts2.select(col("lon"), col("lat"), gx.as("x"), gy.as("y"),
+        gl.as("lon2"), gp.as("lat2")).collect().foreach { r =>
+      val (sx, sy) = PolarOps.laeaForwardScalar(
+        r.getDouble(0), r.getDouble(1), la)
+      assert(math.abs(r.getDouble(2) - sx) <= math.abs(sx) * 1e-12)
+      assert(math.abs(r.getDouble(3) - sy) <= math.abs(sy) * 1e-12)
+      assert(math.abs(r.getDouble(4) - r.getDouble(0)) < tol)
+      assert(math.abs(r.getDouble(5) - r.getDouble(1)) < tol)
+    }
+  }
+}

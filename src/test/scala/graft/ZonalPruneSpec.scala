@@ -111,6 +111,29 @@ class ZonalPruneSpec extends AnyFunSuite {
       (0.0 + 1 + 8 + 9) + (54.0 + 55 + 62 + 63))
   }
 
+  test("masked per-slice MEDIAN: exact under the residual mask, island-pruned") {
+    val g = writeFixture()
+    // corrupt every chunk outside the per-dim bbox unions: the quantile
+    // fold's pass 0, refinement histogram, and exact finish must all
+    // stay inside the union-admitted chunks
+    val keep = Set("0.0.0", "0.0.3", "0.3.0", "0.3.3")
+    new java.io.File(s"$g/v").listFiles()
+      .filter(f => f.getName.head.isDigit && !keep.contains(f.getName))
+      .foreach(f => Files.write(f.toPath, Array[Byte](9, 9, 9)))
+    val cube = Cube(spark.read.format("zarr").load(g), gm, "t", "y", "x")
+    // triangle (covers cells {0,1,8} — the mask is NOT its bbox) + box
+    val wkts = Seq("POLYGON ((0 0, 2 0, 0 2, 0 0))",
+      "POLYGON ((6 6, 8 6, 8 8, 6 8, 6 6))")
+    val clipped = GeomOps.clipToFeatureBboxes(cube, wkts)
+    val inG = wkts.map(w =>
+      graft.functions.GeomFunctions.geomMask(w)(col("x"), col("y")))
+      .reduce(_ || _)
+    val got = graft.operators.TemporalOps.resampleQuantileFold(
+      clipped.df.filter(inG), "t", 86400.0, "1D", "v", 0.5)
+    // surviving values {0,1,8} ∪ {54,55,62,63} → median 54 (7 values)
+    assert(got.select("v_median").head().getDouble(0) === 54.0)
+  }
+
   test("single feature degenerates to the plain bbox clip") {
     val g = writeFixture()
     val cube = Cube(spark.read.format("zarr").load(g), gm, "t", "y", "x")
