@@ -179,11 +179,17 @@ object TemporalOps {
     // guarded ABSOLUTE VALUE (truthiness of v == |v| > 0 — exact at
     // every magnitude, subnormals included); the
     // rest are methodAgg's forms, which fold where Spark translates
-    // them (mean/count/min/max/sum) and stay row-path where it cannot
-    // (median/percentile/prod per bucket — argmax/argmin/first/last have
-    // their own two-phase folds below, and GLOBAL exact
-    // median/percentile has a fully-pushed form in
-    // [[graft.operators.QuantileOps.quantileFold]]).
+    // them (mean/count/min/max/sum) and stay row-path where it cannot:
+    // argmax/argmin/first/last have their own two-phase folds below,
+    // per-bucket exact median/percentile has [[resampleQuantileFold]]
+    // and the GLOBAL form [[graft.operators.QuantileOps.quantileFold]].
+    // `prod` per bucket stays row-path BY DESIGN (recorded decision):
+    // the only chunk-foldable decomposition — sign/zero counts plus a
+    // sum of log-magnitudes — is not exact in IEEE doubles (exp∘Σlog
+    // ≠ Π), so a "pushed" prod would silently diverge from this row
+    // path; and FP products are order-sensitive, so there is no
+    // order-exact distributed contract to match. Revisit trigger: a
+    // user corpus that aggregates prod over connector cubes.
     def pieces(v: String, m: String, i: Int): (Seq[Column], Column) = {
       val v0 = col(v).cast("double")
       val vv = when(v0 <= lit(Double.PositiveInfinity), v0)

@@ -1007,6 +1007,40 @@ object ServingPack extends QueryPack {
         .agg(count(lit(1)).as("n"), sum(col("v")).as("sum_v"))
     }),
 
+    // SUB-chunk zone maps on LARGE-CHUNK granules: each NetCDF granule
+    // of this archive is ONE whole-map record (a 256×512 chunk), where
+    // chunk-granular stats can only prune whole granules. ANALYZE
+    // emits per-strip block rows under a virtual grid (64 strips of
+    // 2048 cells), so a narrow value filter fetches the one straddling
+    // granule (one ref — IO is chunk-granular regardless) but DECODES
+    // only the admitted strips; excluded strips skip the element-wise
+    // conversion and carry a fail value (ArchiveSubchunkSpec proves the
+    // skip by corrupting excluded strips with in-interval doubles and
+    // by the decoded-cell counter). This gate pins the arithmetic.
+    "q_archive_subchunk" -> ((s, d) => {
+      import NetcdfSource.NcDim
+      val sfName = new java.io.File(d).getName
+      val base = s"/root/repo/.graft-fixtures/archivesub_$sfName"
+      val dir = s"$base/maps.archive"
+      Fixtures.ensureWritten(base, "granules=3,maps=256x512,block-analyzed") {
+        new java.io.File(dir).mkdirs()
+        def granule(g: Int): Unit =
+          NetcdfSource.write(s"$dir/map$g.nc",
+            Seq(NcDim("y", 256), NcDim("x", 512)),
+            Seq(("y", Array.tabulate(256)(_.toDouble)),
+              ("x", Array.tabulate(512)(_.toDouble))),
+            Seq(("v", Seq("y", "x"),
+              Array.tabulate(256 * 512)(k => g * 1e6 + k))))
+        (0 until 3).foreach(granule)
+        graft.sources.zarr.ChunkStats.analyzeArchive(s, dir)
+        ()
+      }
+      s.read.format("kerchunk").load(dir)
+        .filter(col("v") >= 1010000.0 && col("v") < 1014096.0)
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sum_v"),
+          min(col("v")).as("min_v"), max(col("v")).as("max_v"))
+    }),
+
     // the PARQUET archive index: data-chunk refs live in a distributed
     // side table (the kerchunk parquet-refs evolution) and planning
     // broadcast-joins the pruned key set against it — driver memory is
@@ -2755,6 +2789,12 @@ object ServingPack extends QueryPack {
       """SELECT g::BIGINT AS t, count(*) AS n, sum(g * 100.0 + i) AS sum_v
          FROM range(1, 4) r(g), range(0, 24) s(i)
          GROUP BY 1""",
+    // granule 1's cells are exactly the integers 1e6..1e6+131071; the
+    // filter keeps 1010000..1014095 (all sums < 2^53: order-free exact)
+    "q_archive_subchunk" ->
+      """SELECT count(*) AS n, sum(k::DOUBLE) AS sum_v,
+                min(k::DOUBLE) AS min_v, max(k::DOUBLE) AS max_v
+         FROM range(1010000, 1014096) r(k)""",
     "q_zarr_block_meta" ->
       """SELECT (k // 36000) // 2 AS bt,
                 ((k // 360) % 100) // 25 AS bj,

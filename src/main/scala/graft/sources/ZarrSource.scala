@@ -305,12 +305,67 @@ object ZarrSource {
       s"codec $other is not a bytes-level decode step")
   }
 
+  /** Cells CONVERTED by the chunk decoders — observability for the
+    * sub-chunk decode-skip tests (one atomic add per chunk, no per-cell
+    * cost; per-JVM, so meaningful in local mode and per-executor on a
+    * cluster). */
+  val decodedCells = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Decode one raw chunk file payload to doubles (full chunk-shape sized —
     * the spec pads edge chunks with fill). All numeric dtypes widen to
     * double losslessly except int64/uint64 beyond 2^53 — same convention as
     * [[NetcdfSource]].
     */
   def decodeChunk(raw: Array[Byte], za: ZarrArray): Array[Double] = {
+    val (b, kind, n) = chunkBuffer(raw, za)
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      out(i) = readElem(b, kind, i)
+      i += 1
+    }
+    if (za.cfActive) { // packed store: mask + scale to physical values
+      var j = 0
+      while (j < n) { out(j) = za.cfDecode(out(j)); j += 1 }
+    }
+    decodedCells.addAndGet(n)
+    out
+  }
+
+  /** [[decodeChunk]] that CONVERTS only the admitted inner blocks of a
+    * stats-analyzed large chunk (sidecar block rows, ChunkStats
+    * "<key>#<ord>"): decompression runs once over the whole payload (the
+    * IO and the codec chain are chunk-granular regardless), but the
+    * element-wise convert + CF decode — the decode cost that scales with
+    * cells — touches admitted blocks only; excluded cells are filled
+    * with `fv`, a value provably outside the consumed interval set, so
+    * the cursor's per-cell re-evaluation drops them. Blocks are
+    * CONTIGUOUS flat ranges because [[graft.sources.zarr.ChunkStats]]
+    * virtual grids split only the slowest non-unit chunk dim. */
+  def decodeChunkSelective(raw: Array[Byte], za: ZarrArray,
+                           inner: Seq[Int], keep: Set[Int],
+                           fv: Double): Array[Double] = {
+    val (b, kind, n) = chunkBuffer(raw, za)
+    val stripElems = inner.product
+    val out = new Array[Double](n)
+    java.util.Arrays.fill(out, fv)
+    var converted = 0L
+    keep.foreach { o =>
+      var i = o * stripElems
+      val end = math.min(i + stripElems, n)
+      converted += math.max(0, end - i)
+      if (za.cfActive)
+        while (i < end) { out(i) = za.cfDecode(readElem(b, kind, i)); i += 1 }
+      else
+        while (i < end) { out(i) = readElem(b, kind, i); i += 1 }
+    }
+    decodedCells.addAndGet(converted)
+    out
+  }
+
+  /** Shared decompress + buffer prep of the plain-chunk decoders. */
+  private def chunkBuffer(raw: Array[Byte], za: ZarrArray)
+      : (ByteBuffer, String, Int) = {
     val plain = za.codec match {
       case V3Chain(steps) => steps.reverseIterator.foldLeft(raw)(decodeStep)
       case sh: Shard => throw new IllegalArgumentException(
@@ -327,29 +382,22 @@ object ZarrSource {
     val n = za.chunkElems
     require(bytes.length == n * (kind.drop(1).toInt),
       s"chunk holds ${bytes.length} bytes, expected $n × $kind elements")
-    val out = new Array[Double](n)
-    var i = 0
-    while (i < n) {
-      out(i) = kind match {
-        case "f8" => b.getDouble(i * 8)
-        case "f4" => b.getFloat(i * 4).toDouble
-        case "i1" => b.get(i).toDouble
-        case "u1" | "b1" => (b.get(i) & 0xff).toDouble
-        case "i2" => b.getShort(i * 2).toDouble
-        case "u2" => (b.getShort(i * 2) & 0xffff).toDouble
-        case "i4" => b.getInt(i * 4).toDouble
-        case "u4" => (b.getInt(i * 4).toLong & 0xffffffffL).toDouble
-        case "i8" | "u8" => b.getLong(i * 8).toDouble
-        case k => throw new IllegalArgumentException(s"dtype $k unsupported")
-      }
-      i += 1
-    }
-    if (za.cfActive) { // packed store: mask + scale to physical values
-      var j = 0
-      while (j < n) { out(j) = za.cfDecode(out(j)); j += 1 }
-    }
-    out
+    (b, kind, n)
   }
+
+  private def readElem(b: ByteBuffer, kind: String, i: Int): Double =
+    kind match {
+      case "f8" => b.getDouble(i * 8)
+      case "f4" => b.getFloat(i * 4).toDouble
+      case "i1" => b.get(i).toDouble
+      case "u1" | "b1" => (b.get(i) & 0xff).toDouble
+      case "i2" => b.getShort(i * 2).toDouble
+      case "u2" => (b.getShort(i * 2) & 0xffff).toDouble
+      case "i4" => b.getInt(i * 4).toDouble
+      case "u4" => (b.getInt(i * 4).toLong & 0xffffffffL).toDouble
+      case "i8" | "u8" => b.getLong(i * 8).toDouble
+      case k => throw new IllegalArgumentException(s"dtype $k unsupported")
+    }
 
   /** Read a whole (driver-sized) array — used for 1-D coordinate arrays. */
   def readAll(arrayDir: String, za: ZarrArray): Array[Double] = {

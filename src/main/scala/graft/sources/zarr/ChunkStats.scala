@@ -69,14 +69,20 @@ object ChunkStats {
 
   /** A loaded sidecar: bulk-resolve the moments of (variables × chunk
     * keys); pairs the sidecar has no row for are simply absent (the
-    * consumers treat absence as "must read the chunk"). */
+    * consumers treat absence as "must read the chunk"). `grids` records
+    * the VIRTUAL inner-block grid ANALYZE used per plain-codec variable
+    * (sharded variables derive theirs from the codec) — the planner
+    * needs it to enumerate block ordinals and the cursor to skip
+    * excluded blocks' decode. */
   sealed trait Loaded {
     def bulk(vars: Seq[String], keys: Seq[String])
         : Map[(String, String), VarStat]
+    def grids: Map[String, Seq[Int]]
   }
 
   /** Document-inlined moments, fully resident (the json form). */
-  final case class EagerStats(vars: Map[String, Map[String, VarStat]])
+  final case class EagerStats(vars: Map[String, Map[String, VarStat]],
+                              grids: Map[String, Seq[Int]] = Map.empty)
       extends Loaded {
     override def bulk(vs: Seq[String], keys: Seq[String])
         : Map[(String, String), VarStat] = {
@@ -93,7 +99,9 @@ object ChunkStats {
   /** Moments in a distributed parquet side table: resolution is one
     * broadcast join of the candidate keys against it — driver memory is
     * O(candidates × vars), never O(archive). */
-  final case class ParquetStats(path: String) extends Loaded {
+  final case class ParquetStats(path: String,
+                                grids: Map[String, Seq[Int]] = Map.empty)
+      extends Loaded {
     override def bulk(vs: Seq[String], keys: Seq[String])
         : Map[(String, String), VarStat] =
       // advisory: a missing/corrupt side table (orphaned by a deleted
@@ -151,8 +159,22 @@ object ChunkStats {
       val okGen = Option(doc.get("generation")).map(_.asText) ==
         generationOf(store, groupDir)
       if (!okShape || !okGen) None
-      else if (doc.path("storage").asText("inline") == "parquet")
-        Some(ParquetStats(s"$dir/$ParquetName"))
+      else {
+        val grids = {
+          val b = Map.newBuilder[String, Seq[Int]]
+          val g = doc.path("block_grids")
+          g.fieldNames().forEachRemaining(v => b += v -> jsonInts(g.path(v)))
+          b.result()
+        }
+        loadBody(doc, dir, grids)
+      }
+    }
+
+  private def loadBody(doc: com.fasterxml.jackson.databind.JsonNode,
+                       dir: String, grids: Map[String, Seq[Int]])
+      : Option[Loaded] = {
+      if (doc.path("storage").asText("inline") == "parquet")
+        Some(ParquetStats(s"$dir/$ParquetName", grids))
       else {
         val vars = scala.collection.mutable.LinkedHashMap
           .empty[String, Map[String, VarStat]]
@@ -170,7 +192,7 @@ object ChunkStats {
           }
           vars(v) = m.toMap
         }
-        Some(EagerStats(vars.toMap))
+        Some(EagerStats(vars.toMap, grids))
       }
     }
 
@@ -257,17 +279,29 @@ object ChunkStats {
     // SHARDED variables also get per-INNER-chunk block rows (same layout
     // as the write-time fold: key "<chunk>#<ord>"), so an ANALYZE of an
     // existing sharded store enables sub-chunk selective reads exactly
-    // like a cube born with stats. (inner shape, block-grid strides,
-    // block count) per var; None for unsharded.
+    // like a cube born with stats. LARGE plain-codec chunks — the
+    // whole-map NetCDF records of a kerchunk archive — get a VIRTUAL
+    // strip grid ([[virtualGrid]]): chunk-granular zone maps cannot
+    // prune inside them, but their block rows let the reader skip the
+    // element-wise decode of excluded strips (IO stays one ref). (inner
+    // shape, block-grid strides, block count) per var; None when no
+    // sub-chunk rows apply.
+    val gridOf: Map[String, Seq[Int]] = varNames.flatMap { v =>
+      meta.varMeta(v).codec match {
+        case _: graft.sources.ZarrSource.Shard => None
+        case _ => virtualGrid(meta.varMeta(v).chunks).map(v -> _)
+      }
+    }.toMap
     val shardOf: IndexedSeq[Option[(Array[Int], Array[Int], Int)]] =
       varNames.map { v =>
-        meta.varMeta(v).codec match {
-          case sh: graft.sources.ZarrSource.Shard =>
-            val grid = meta.varMeta(v).chunks.zip(sh.inner)
-              .map { case (c, i) => c / i }
-            Some((sh.inner.toArray,
-              grid.scanRight(1)(_ * _).tail.toArray, grid.product))
-          case _ => None
+        val innerOpt = meta.varMeta(v).codec match {
+          case sh: graft.sources.ZarrSource.Shard => Some(sh.inner)
+          case _ => gridOf.get(v)
+        }
+        innerOpt.map { inner =>
+          val grid = meta.varMeta(v).chunks.zip(inner)
+            .map { case (c, i) => c / i }
+          (inner.toArray, grid.scanRight(1)(_ * _).tail.toArray, grid.product)
         }
       }
     // one row per (chunk, variable) plus one per populated (chunk,
@@ -362,6 +396,12 @@ object ChunkStats {
     // stamp the token read before the scan (see genAtStart above) so a
     // redirected sidecar goes stale the moment a writer mutates the group
     genAtStart.foreach(root.put("generation", _))
+    if (gridOf.nonEmpty) {
+      val bg = root.putObject("block_grids")
+      gridOf.foreach { case (v, inner) =>
+        val a = bg.putArray(v); inner.foreach(a.add)
+      }
+    }
     if (format == "parquet") {
       root.put("storage", "parquet")
       import spark.implicits._
@@ -420,6 +460,31 @@ object ChunkStats {
     bs.write(path, mapper.writeValueAsString(root)
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     path
+  }
+
+  /** Chunks below this many cells keep chunk-granular stats only — a
+    * virtual strip grid on small chunks would bloat the sidecar for
+    * pruning the zone maps already provide. */
+  val MinVirtualChunkCells: Long = 1L << 16
+
+  /** Most strips a virtual grid splits a large chunk into. */
+  val MaxVirtualStrips: Int = 64
+
+  /** The virtual inner-block grid ANALYZE uses for a LARGE plain-codec
+    * chunk: the slowest non-unit chunk dim splits into the most strips
+    * (≤ [[MaxVirtualStrips]]) its extent divides evenly. Splitting only
+    * that dim keeps every block a CONTIGUOUS flat range of the decoded
+    * buffer — the property [[graft.sources.ZarrSource
+    * .decodeChunkSelective]] needs to skip excluded strips' element
+    * conversion (and corruption proofs need to target byte ranges).
+    * None when the chunk is small or no dim splits. */
+  def virtualGrid(chunks: Seq[Int]): Option[Seq[Int]] = {
+    if (chunks.map(_.toLong).product < MinVirtualChunkCells) return None
+    val k = chunks.indexWhere(_ > 1)
+    if (k < 0) return None
+    val ext = chunks(k)
+    val g = (MaxVirtualStrips to 2 by -1).find(ext % _ == 0)
+    g.map(s => chunks.updated(k, ext / s))
   }
 
   /** A value provably OUTSIDE the packed interval set — the fill for

@@ -1502,23 +1502,39 @@ object ZarrScan {
             statMap.get((nm, ks)).forall(ChunkStats.admits(_, packed))
           }
         }
-        // SUB-chunk zone maps (sharded v3 stores with per-inner-chunk
-        // stat rows, ChunkStats "<key>#<ord>"): an admitted SHARD whose
-        // blocks are partially excluded ships its admitted inner-ordinal
-        // set; the cursor then fetches only those byte ranges
-        // (decodeShardSelective) and fills the rest with a value outside
-        // the interval set. Engages only when every CHECKED variable is
-        // shard-coded with the same inner grid and the table is not
-        // refs-backed (the selective decode reads through ByteStore).
-        val inners = varIvs.map { case (nm, _) =>
+        // SUB-chunk zone maps (per-inner-block stat rows, ChunkStats
+        // "<key>#<ord>"): an admitted chunk whose blocks are partially
+        // excluded ships its admitted inner-ordinal set. Two decode
+        // paths consume it: SHARDED v3 variables fetch only the admitted
+        // inner chunks' byte ranges (decodeShardSelective — needs a
+        // local store, not refs), and LARGE plain-codec chunks with an
+        // ANALYZE-recorded virtual strip grid skip the excluded strips'
+        // element-wise conversion (decodeChunkSelective — works for
+        // refs-backed archives too: the IO is one ref regardless, the
+        // decode cost isn't). Excluded cells carry a fail value outside
+        // the interval set, dropped by per-cell re-evaluation. Engages
+        // when every CHECKED variable shares one inner grid of one kind
+        // (mixed shard/plain sets keep chunk-granular pruning).
+        val shardInners = varIvs.map { case (nm, _) =>
           meta.varMeta(nm).codec match {
             case sh: graft.sources.ZarrSource.Shard => Some(sh.inner)
             case _ => None
           }
         }
-        if (meta.refs.isEmpty && inners.forall(_.isDefined) &&
-          inners.flatten.distinct.length == 1) {
-          val inner = inners.head.get
+        val virtInners = varIvs.map { case (nm, _) =>
+          meta.varMeta(nm).codec match {
+            case _: graft.sources.ZarrSource.Shard => None
+            case _ => st.grids.get(nm)
+          }
+        }
+        val innersOpt =
+          if (meta.refs.isEmpty && shardInners.forall(_.isDefined))
+            Some((shardInners.flatten, true))
+          else if (!meta.v3 && virtInners.forall(_.isDefined))
+            Some((virtInners.flatten, false))
+          else None
+        innersOpt match { case Some((is, isShard)) if is.distinct.length == 1 =>
+          val inner = is.head
           val nInner = za.chunks.zip(inner).map { case (c, i) => c / i }.product
           if (nInner > 1) {
             // only STRADDLING shards can yield a partial inner-block keep:
@@ -1555,11 +1571,14 @@ object ZarrScan {
                       .forall(ChunkStats.admits(_, packed))
                   }
                 }
-                if (keep.length < nInner) Some(ks -> ZarrInnerKeep(keep, fails))
+                if (keep.length < nInner)
+                  Some(ks -> ZarrInnerKeep(keep, fails,
+                    if (isShard) Nil else inner))
                 else None
               }.toMap
             }
           }
+        case _ =>
         }
         admitted.iterator.map(_._1)
       case _ => allKeys
@@ -1716,7 +1735,11 @@ object ZarrScan {
   * provably outside its consumed interval set — the cursor decodes only
   * the admitted inner chunks (ranged reads) and fills the rest with the
   * fail value, which the per-cell predicate re-evaluation then drops. */
-final case class ZarrInnerKeep(keep: Seq[Int], fail: Seq[(String, Double)])
+final case class ZarrInnerKeep(keep: Seq[Int], fail: Seq[(String, Double)],
+                               // the virtual strip grid for plain-codec
+                               // selective decode; Nil for sharded
+                               // variables (their codec carries it)
+                               inner: Seq[Int] = Nil)
 
 final case class ZarrInputPartition(key: Seq[Int],
                                     chunkRefs: Option[Seq[Option[Ref]]] = None,
@@ -1771,6 +1794,13 @@ private[zarr] final class ChunkCursor(shared: ZarrScan.SharedScanState,
     val s = p.key(k) * za.chunks(k)
     shared.coords(k).slice(s, math.min(s + za.chunks(k), za.shape(k)))
   }
+  /** The admitted-strips instruction for a CHECKED variable of a
+    * partially-admitted chunk (sub-chunk zone maps); None for unchecked
+    * (projection-only) variables, which decode in full. */
+  private def selectiveOf(v: String): Option[(Seq[Int], Double)] =
+    p.innerKeep.flatMap(ik =>
+      ik.fail.collectFirst { case (nm, fv) if nm == v => (ik.keep, fv) })
+
   private val data: Seq[Array[Double]] = p.chunkRefs match {
     case Some(refOpts) =>
       // virtual table: all of this chunk's refs fetched together so
@@ -1780,7 +1810,18 @@ private[zarr] final class ChunkCursor(shared: ZarrScan.SharedScanState,
       val raws = prefetched.getOrElse(
         KerchunkSource.fetchAll(refOpts, shared.store))
       shared.vars.zip(raws).map {
-        case ((_, vza), Some(raw)) => ZarrSource.decodeChunk(raw, vza)
+        case ((v, vza), Some(raw)) =>
+          // sub-chunk zone maps on a LARGE-chunk granule (a whole-map
+          // NetCDF record): the ref is fetched whole — the IO is one
+          // ref regardless — but excluded strips skip the element-wise
+          // decode and carry a fail value the per-cell re-evaluation
+          // drops
+          selectiveOf(v)
+            .filter(_ => p.innerKeep.exists(_.inner.nonEmpty)) match {
+            case Some((keep, fv)) => ZarrSource.decodeChunkSelective(
+              raw, vza, p.innerKeep.get.inner, keep.toSet, fv)
+            case None => ZarrSource.decodeChunk(raw, vza)
+          }
         case ((_, vza), None) =>
           Array.fill(vza.chunkElems)(vza.cfDecode(vza.fillValue))
       }
@@ -1792,17 +1833,33 @@ private[zarr] final class ChunkCursor(shared: ZarrScan.SharedScanState,
         val path = s"${shared.groupDir}/$v/$chunkName"
         // sub-chunk zone maps: a CHECKED variable of a partially-admitted
         // shard decodes selectively — index + admitted inner chunks only
-        // (ranged reads), excluded blocks filled with a value outside the
-        // consumed interval set so the per-cell re-evaluation drops them.
-        // Unchecked (projection-only) variables decode in full: their
-        // excluded-block cells never pass the checked variable's filter.
-        val selective = p.innerKeep.flatMap(ik =>
-          ik.fail.collectFirst { case (nm, fv) if nm == v => (ik.keep, fv) })
-        (vza.codec, selective) match {
+        // (ranged reads); a CHECKED plain-codec variable with a virtual
+        // strip grid reads whole but skips excluded strips' element
+        // conversion. Either way excluded cells carry a value outside
+        // the consumed interval set so the per-cell re-evaluation drops
+        // them. Unchecked (projection-only) variables decode in full:
+        // their excluded-block cells never pass the checked filter.
+        (vza.codec, selectiveOf(v)) match {
           case (sh: ZarrSource.Shard, Some((keep, fv)))
               if shared.v3 && shared.store.exists(path) =>
             ZarrV3Source.decodeShardSelective(shared.store, path, vza, sh,
               keep.toSet, fv)
+          case (_: ZarrSource.Shard, _) | (_, None) =>
+            shared.store.readIfExists(path) match {
+              case Some(raw) =>
+                if (shared.v3) ZarrV3Source.decodeAny(raw, vza)
+                else ZarrSource.decodeChunk(raw, vza)
+              case None =>
+                Array.fill(vza.chunkElems)(vza.cfDecode(vza.fillValue))
+            }
+          case (_, Some((keep, fv)))
+              if !shared.v3 && p.innerKeep.exists(_.inner.nonEmpty) =>
+            shared.store.readIfExists(path) match {
+              case Some(raw) => ZarrSource.decodeChunkSelective(
+                raw, vza, p.innerKeep.get.inner, keep.toSet, fv)
+              case None =>
+                Array.fill(vza.chunkElems)(vza.cfDecode(vza.fillValue))
+            }
           case _ =>
             shared.store.readIfExists(path) match {
               case Some(raw) =>

@@ -1,0 +1,114 @@
+package graft
+
+import graft.sources.{NetcdfSource, ZarrSource}
+import graft.sources.NetcdfSource.NcDim
+import graft.sources.zarr.ChunkStats
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.{Files, Paths, StandardOpenOption}
+
+/** Sub-chunk zone maps on LARGE-CHUNK granules (round-17): a whole-map
+  * NetCDF record is one chunk, so chunk-granular stats can only prune
+  * whole granules; ANALYZE's virtual strip grids let the refs reader
+  * skip the element-wise DECODE of excluded strips (the IO stays one
+  * ref). Proven two ways: the decoded-cell counter, and corrupting
+  * excluded strips with doubles INSIDE the query interval — a reader
+  * that decoded them would change the aggregate. */
+class ArchiveSubchunkSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val s = GraftSession.builder("4").getOrCreate()
+    s.conf.set("spark.sql.files.minPartitionNum", "100000")
+    s
+  }
+
+  private def tmpDir(prefix: String): String = {
+    val base = new java.io.File("/root/repo/target/tmp-tests")
+    base.mkdirs()
+    Files.createTempDirectory(base.toPath, prefix).toString
+  }
+
+  /** 3 whole-map granules (256×512 = 131072 cells each), v = g·1e6 + k
+    * (k the row-major ordinal) — strip value ranges are disjoint. */
+  private def writeArchive(): String = {
+    val dir = s"${tmpDir("arcsub")}/maps.archive"
+    new java.io.File(dir).mkdirs()
+    def granule(g: Int): Unit =
+      NetcdfSource.write(s"$dir/map$g.nc",
+        Seq(NcDim("y", 256), NcDim("x", 512)),
+        Seq(("y", Array.tabulate(256)(_.toDouble)),
+          ("x", Array.tabulate(512)(_.toDouble))),
+        Seq(("v", Seq("y", "x"), Array.tabulate(256 * 512)(k => g * 1e6 + k))))
+    (0 until 3).foreach(granule)
+    ChunkStats.analyzeArchive(spark, dir)
+    dir
+  }
+
+  private val filterLo = 1010000.0
+  private val filterHi = 1014096.0 // exclusive; flat cells 10000..14095
+  // 2048-cell strips (virtualGrid splits y=256 into 64 strips of 4 rows):
+  // the interval straddles strips 4..6 of granule 1
+  private val keptStrips = Set(4, 5, 6)
+
+  private def runQuery(dir: String) = {
+    val r = spark.read.format("kerchunk").load(dir)
+      .filter(col("v") >= filterLo && col("v") < filterHi)
+      .agg(count(lit(1)), sum(col("v")), min(col("v")), max(col("v")))
+      .head()
+    (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
+  }
+
+  private val want = (4096L, 4096.0 * (1010000.0 + 1014095.0) / 2,
+    1010000.0, 1014095.0)
+
+  test("virtualGrid: strips on the slowest non-unit dim, small/prime opt out") {
+    assert(ChunkStats.virtualGrid(Seq(1, 256, 512)) === Some(Seq(1, 4, 512)))
+    assert(ChunkStats.virtualGrid(Seq(256, 512)) === Some(Seq(4, 512)))
+    assert(ChunkStats.virtualGrid(Seq(1, 50, 90)).isEmpty)    // small chunk
+    assert(ChunkStats.virtualGrid(Seq(97, 1021)).isEmpty)     // prime dims
+    assert(ChunkStats.virtualGrid(Seq(4, 512, 512)) === Some(Seq(1, 512, 512)))
+  }
+
+  test("excluded strips skip the element-wise decode (counter + pruning)") {
+    val dir = writeArchive()
+    // warm the table open (coordinate decode) outside the counted window
+    assert(spark.read.format("kerchunk").load(dir).schema.fieldNames
+      .contains("v"))
+    val before = ZarrSource.decodedCells.get()
+    assert(runQuery(dir) === want)
+    val delta = ZarrSource.decodedCells.get() - before
+    // granules 0 and 2 prune at chunk granularity; granule 1 decodes its
+    // 3 admitted strips (6144 cells), not the 131072-cell record. Slack
+    // covers coordinate re-decodes; a full-chunk decode would be ≥131072.
+    assert(delta <= 20000L, s"decoded $delta cells — strip skip not engaged")
+  }
+
+  test("corrupting excluded strips with IN-INTERVAL doubles changes nothing") {
+    val dir = writeArchive()
+    // locate granule 1's v record via the refs index (url, offset, length)
+    val doc = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(Files.readAllBytes(Paths.get(s"$dir/_refs.json")))
+    val refs = doc.path("refs")
+    val key = (0 until 3).map(t => s"v/$t.0.0").find { k =>
+      !refs.path(k).isMissingNode &&
+        refs.path(k).get(0).asText.contains("map1.nc")
+    }.getOrElse(fail(s"no v ref for map1.nc in ${dir}/_refs.json"))
+    val off = refs.path(key).get(1).asLong()
+    // overwrite every EXCLUDED strip with big-endian doubles INSIDE the
+    // filter interval: a reader that decodes them inflates the count
+    val poison = java.nio.ByteBuffer.allocate(2048 * 8)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    (0 until 2048).foreach(_ => poison.putDouble(1012000.0))
+    val ch = java.nio.channels.FileChannel.open(
+      Paths.get(s"$dir/map1.nc"), StandardOpenOption.WRITE)
+    try {
+      (0 until 64).filterNot(keptStrips).foreach { s =>
+        ch.write(java.nio.ByteBuffer.wrap(poison.array()),
+          off + s.toLong * 2048 * 8)
+        ()
+      }
+    } finally ch.close()
+    assert(runQuery(dir) === want)
+  }
+}
