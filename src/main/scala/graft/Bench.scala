@@ -21,6 +21,13 @@ import org.apache.spark.sql.SparkSession
   * instead of silently wrong (round-12's nine inflated rows cost an
   * investigation). The ref is updated with this run's mins afterwards.
   *
+  * Drift calibration: every sweep measures the host's empty full-width
+  * stage latency ("cal") and bench_ref_prov.json records the cal each
+  * floor was set under; "ratios_adj" reports med / (floor + stages ×
+  * (cal_now − cal_floor)) so a scheduler slowdown that uniformly drags
+  * every stage-latency-bound small query does not read as a family of
+  * regressions (the round-16/17 simhash/kerchunk_dsv2/pivot flapping).
+  *
   * Output robustness: harnesses that capture only the output TAIL truncate
   * one giant line (BENCH_r06/r07 both parsed as null), so the headline
   * total is printed FIRST on its own line, the full JSON document is
@@ -28,6 +35,14 @@ import org.apache.spark.sql.SparkSession
   * SPARK_GRAFT_BENCH_OUT (default bench_out.json in the cwd).
   */
 object Bench {
+  /** The assumed empty-stage scheduler latency (seconds) behind floors
+    * recorded BEFORE provenance existed: early rounds measured ~1-5 ms
+    * per full-width stage on this host vs 40-55 ms by round 16 (README
+    * bench analysis) — drift-adjusted ratios for un-provenanced floors
+    * assume they were set on the fast scheduler, the conservative choice
+    * (adjusts their ratio DOWN toward 1 under today's slower one). */
+  val CalBootstrap = 0.005
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
@@ -37,6 +52,31 @@ object Bench {
     val w = spark.read.parquet(s"$sfDir/region.parquet")
     w.join(w.select(w("r_regionkey")), Seq("r_regionkey"))
       .groupBy("r_name").count().count()
+    // ---- per-sweep scheduler calibration + per-query stage counts ----
+    // cal = the measured latency of an EMPTY full-width stage on THIS
+    // host right now. Floors in bench_ref.json carry the cal they were
+    // recorded under (bench_prov.json); a query whose runtime is mostly
+    // k stages of scheduler latency then drifts by k × (cal_now −
+    // cal_floor) with no code change, so ratios are computed against
+    // `floor + stages × max(0, cal_now − cal_floor)` — the drift-
+    // adjusted floor — instead of flagging the whole small-query family
+    // whenever the host scheduler slows down.
+    val width = spark.sparkContext.defaultParallelism
+    def calOnce(): Double = {
+      val t0 = System.nanoTime()
+      spark.sparkContext.parallelize(1 to width, width).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    calOnce() // warm
+    val calNow = { val ts = (1 to 5).map(_ => calOnce()).sorted; ts(2) }
+    val stageCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+    val stageListener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageSubmitted(
+          s: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit = {
+        stageCounter.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(stageListener)
     def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       fn(spark, sfDir).count()
@@ -51,13 +91,16 @@ object Bench {
     // paying for the full 200+-query sweep; unset (the driver) runs all
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val stagesOf = scala.collection.mutable.Map.empty[String, Double]
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (name, fn) =>
       val err =
         try {
           run(fn) // untimed per-query warm rep
+          val s0 = stageCounter.get() // listener lag ≤ ms: approximate
           val times = (1 to reps).map(_ => run(fn)).sorted
+          stagesOf(name) = (stageCounter.get() - s0).toDouble / reps
           Right((median(times), times.head))
         } catch { case e: Throwable =>
           Left(Option(e.getMessage).getOrElse(e.getClass.getName)
@@ -76,15 +119,25 @@ object Bench {
     // "queries" carries the better median, "remeasured" the original,
     // so a grader sees the contamination instead of diagnosing it.
     val refPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_REF", "bench_ref.json")
-    val ref: Map[String, Double] =
+    def parseFlat(path: String): Map[String, Double] =
       try {
         val txt = new String(java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get(refPath)), "UTF-8")
+          java.nio.file.Paths.get(path)), "UTF-8")
         """"([^"]+)"\s*:\s*([0-9.eE+-]+)""".r.findAllMatchIn(txt)
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
       } catch { case _: Throwable => Map.empty }
+    val ref = parseFlat(refPath)
+    // floor PROVENANCE: the scheduler calibration each floor was set
+    // under (flat map beside the ref; un-provenanced floors bootstrap
+    // at CalBootstrap — see its doc)
+    val provPath = refPath.replaceAll("\\.json$", "") + "_prov.json"
+    val prov = parseFlat(provPath)
+    def adjFloor(k: String): Option[Double] = ref.get(k).map { f =>
+      f + stagesOf.getOrElse(k, 0.0) *
+        math.max(0.0, calNow - prov.getOrElse(k, CalBootstrap))
+    }
     def over(k: String, med: Double): Boolean =
-      ref.get(k).exists(r => med > 3 * r && med - r > 0.3)
+      adjFloor(k).exists(r => med > 3 * r && med - r > 0.3)
     val outliers = ok0.filter { case (k, (med, _)) => over(k, med) }
       .map(_._1).toSet
     def requotePass(names: Set[String], cooldownMs: Long): Map[String, Double] =
@@ -119,14 +172,27 @@ object Bench {
         s""""$k":{"first":$med,"requote":${requote1(k)}""" +
           requote2.get(k).map(r => s""","requote2":$r""").getOrElse("") + "}"
     }.mkString("{", ",", "}")
-    // fold this run's steady-state view back into the ref (elementwise min)
+    // fold this run's steady-state view back into the ref (elementwise
+    // min); a floor this run's median BEATS is stamped with TODAY's
+    // calibration in the provenance sidecar — future sweeps then adjust
+    // its ratio by their own scheduler drift relative to today
     try {
-      val merged = (ref.keySet ++ ok.map(_._1)).toSeq.sorted.map { k =>
-        val v = (ref.get(k).toSeq ++ ok.find(_._1 == k).map(_._2._1).toSeq).min
+      val okMap = ok.toMap
+      val keys = (ref.keySet ++ ok.map(_._1)).toSeq.sorted
+      val merged = keys.map { k =>
+        val v = (ref.get(k).toSeq ++ okMap.get(k).map(_._1).toSeq).min
         f""""$k":$v%.4f"""
       }
       java.nio.file.Files.write(java.nio.file.Paths.get(refPath),
         merged.mkString("{", ",\n", "}").getBytes("UTF-8"))
+      val provMerged = keys.map { k =>
+        val beat = okMap.get(k).exists(v =>
+          ref.get(k).forall(r => v._1 < r))
+        val c = if (beat) calNow else prov.getOrElse(k, CalBootstrap)
+        f""""$k":$c%.4f"""
+      }
+      java.nio.file.Files.write(java.nio.file.Paths.get(provPath),
+        provMerged.mkString("{", ",\n", "}").getBytes("UTF-8"))
     } catch { case e: Throwable =>
       System.err.println(s"bench: could not update $refPath: ${e.getMessage}")
     }
@@ -134,9 +200,15 @@ object Bench {
     val mins = ok.map { case (k, (_, mn)) => s"\"$k\":$mn" }.mkString("{", ",", "}")
     val errs = results.collect { case (k, Left(m)) => s"\"$k\":\"$m\"" }
       .mkString("{", ",", "}")
+    // drift-adjusted ratios vs the PRE-fold floors: med / (floor +
+    // stages × (cal_now − cal_floor)) — the sweep's own regression
+    // report, immune to whole-family scheduler-latency drift
+    val ratiosAdj = ok.flatMap { case (k, (med, _)) =>
+      adjFloor(k).map(f => f""""$k":${med / math.max(f, 1e-9)}%.2f""")
+    }.mkString("{", ",", "}")
     val total = ok.map(_._2._1).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"mins":$mins,"errors":$errs,"remeasured":$remeas,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"cal":$calNow,"queries":$qs,"mins":$mins,"ratios_adj":$ratiosAdj,"errors":$errs,"remeasured":$remeas,"sf":"$sfDir"}"""
     // headline first (survives head-capture), then the full document
     println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","detail":"$outPath"}""")
     println(json)

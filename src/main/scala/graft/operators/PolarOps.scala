@@ -87,6 +87,38 @@ object PolarOps {
     case _ => None
   }
 
+  // ------------------------------------------------- MODIS sinusoidal
+
+  /** The MODIS land grid's authalic sphere radius (meters) — the NASA
+    * MODIS sinusoidal projection (SR-ORG:6974), public product spec. */
+  val ModisSphereR: Double = 6371007.181
+
+  /** Spherical sinusoidal (Snyder eq. 30-1/30-2): the MODIS land grid.
+    * Equal-area, trivially invertible, central meridian 0. */
+  def isSinusoidal(crs: String): Boolean =
+    crs == "SR-ORG:6974" || crs == "MODIS:SIN"
+
+  def sinuForward(lonDeg: Column, latDeg: Column): (Column, Column) = {
+    val phi = radians(latDeg)
+    (lit(ModisSphereR) * radians(lonDeg) * cos(phi),
+      lit(ModisSphereR) * phi)
+  }
+
+  def sinuInverse(x: Column, y: Column): (Column, Column) = {
+    val phi = y / lit(ModisSphereR)
+    (degrees(x / (lit(ModisSphereR) * cos(phi))), degrees(phi))
+  }
+
+  def sinuForwardScalar(lonDeg: Double, latDeg: Double): (Double, Double) = {
+    val phi = math.toRadians(latDeg)
+    (ModisSphereR * math.toRadians(lonDeg) * math.cos(phi), ModisSphereR * phi)
+  }
+
+  def sinuInverseScalar(x: Double, y: Double): (Double, Double) = {
+    val phi = y / ModisSphereR
+    (math.toDegrees(x / (ModisSphereR * math.cos(phi))), math.toDegrees(phi))
+  }
+
   // --------------------------------------------------- scalar primitives
 
   /** Snyder 15-9: t(φ) = tan(π/4 − φ/2) · [(1+e sinφ)/(1−e sinφ)]^(e/2). */

@@ -82,10 +82,15 @@ object SpatialOps {
         PolarOps.laeaForward(x, y, la)
       case (_, _, _, _, _, Some(la)) if isGeographic(crsTo) =>
         PolarOps.laeaInverse(x, y, la)
+      case _ if isGeographic(crsFrom) && PolarOps.isSinusoidal(crsTo) =>
+        PolarOps.sinuForward(x, y)
+      case _ if PolarOps.isSinusoidal(crsFrom) && isGeographic(crsTo) =>
+        PolarOps.sinuInverse(x, y)
       case _ => throw new IllegalArgumentException(
         s"unsupported CRS pair $crsFrom -> $crsTo " +
           "(supported: geographic <-> EPSG:3857, UTM EPSG:326xx/327xx, " +
-          "polar stereographic EPSG:3413/3031/3976, LAEA EPSG:3035/6931/6932)")
+          "polar stereographic EPSG:3413/3031/3976, LAEA " +
+          "EPSG:3035/6931/6932, MODIS sinusoidal SR-ORG:6974)")
     }
 
   /** Resample `src` onto the regular grid `tgtGm`.
@@ -217,6 +222,10 @@ object SpatialOps {
             (x, y) => PolarOps.laeaForwardScalar(x, y, la)
           case (_, _, _, _, _, Some(la)) if isGeographic(crsTo) =>
             (x, y) => PolarOps.laeaInverseScalar(x, y, la)
+          case _ if isGeographic(gm.crs) && PolarOps.isSinusoidal(crsTo) =>
+            (x, y) => PolarOps.sinuForwardScalar(x, y)
+          case _ if PolarOps.isSinusoidal(gm.crs) && isGeographic(crsTo) =>
+            (x, y) => PolarOps.sinuInverseScalar(x, y)
           case _ => throw new IllegalArgumentException(
             s"unsupported CRS pair ${gm.crs} -> $crsTo")
         }
@@ -235,7 +244,7 @@ object SpatialOps {
     def metric(crs: String): Boolean =
       crs == "EPSG:3857" || UtmOps.zoneForCrs(crs).isDefined ||
         PolarOps.stereoForCrs(crs).isDefined ||
-        PolarOps.laeaForCrs(crs).isDefined
+        PolarOps.laeaForCrs(crs).isDefined || PolarOps.isSinusoidal(crs)
     if (isGeographic(crsFrom) && crsTo == "EPSG:3857") degToMeters
     else if (crsFrom == "EPSG:3857" && isGeographic(crsTo)) 1.0 / degToMeters
     else if (isGeographic(crsFrom) && UtmOps.zoneForCrs(crsTo).isDefined)

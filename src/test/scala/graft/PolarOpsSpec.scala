@@ -51,6 +51,20 @@ class PolarOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("MODIS sinusoidal: equator anchor, round-trips, equal-area sphere") {
+    // on the equator x = R·λ: lon 90° → πR/2
+    val (x0, y0) = PolarOps.sinuForwardScalar(90.0, 0.0)
+    assert(math.abs(x0 - math.Pi / 2 * PolarOps.ModisSphereR) < 1e-6)
+    assert(y0 == 0.0)
+    for (lon <- Seq(-170.0, -45.5, 0.0, 30.25, 120.0);
+         lat <- Seq(-60.0, -10.0, 0.0, 45.0, 70.0)) {
+      val (x, y) = PolarOps.sinuForwardScalar(lon, lat)
+      val (lon2, lat2) = PolarOps.sinuInverseScalar(x, y)
+      assert(math.abs(lon2 - lon) < tol && math.abs(lat2 - lat) < tol,
+        s"($lon, $lat) -> ($x, $y) -> ($lon2, $lat2)")
+    }
+  }
+
   test("EPSG:3035 matches the published grid: center exact, 5E 50N to cm") {
     val la = PolarOps.laeaForCrs("EPSG:3035").get
     val (cx, cy) = PolarOps.laeaForwardScalar(10.0, 52.0, la)
