@@ -109,7 +109,16 @@ object ScaleSoak {
     "q_hll_grouped", "q_audience_overlap", "q_cohort_value",
     // inter-arrival lag windows and the Zipf top-30 slope (vocabulary-
     // bounded heap + 30-row regression)
-    "q_interarrival", "q_zipf")
+    "q_interarrival", "q_zipf",
+    // round-17: incremental cluster identity — the full CC over the old
+    // pairs scales with the corpus, but the incremental fold on top of
+    // it must add only batch-shaped work (batch-sized component graph +
+    // broadcast label rewrites)
+    "q_dedup_clusters_incremental",
+    // round-17 CRS families: per-row closed-form trig + the same
+    // downscale/rectify binning as the mercator/UTM routes — one scan,
+    // two map-side-combined aggregations, linear by construction
+    "q_resample_space_ps", "q_resample_space_laea", "q_resample_space_sinu")
 
   /** Deep-soak subset (run at 30×): the newest heavy operators. The
     * format-fixture queries (kerchunk combine, COG levels, zarr append)
@@ -132,7 +141,11 @@ object ScaleSoak {
     "q_bigram_ppx", "q_bpe_train", "q_jpeg", "q_quantile_exact",
     // round-10 continued: the tokenizer encode pass (corpus-sized scan),
     // label propagation (keyed-join rounds), the two-stage re-rank
-    "q_bpe_encode", "q_label_prop", "q_ann_rerank")
+    "q_bpe_encode", "q_label_prop", "q_ann_rerank",
+    // round-17: the incremental CC fold at 30x — the deep soak's point
+    // is that the incremental path's cost stays dominated by the one-off
+    // full CC over the old pairs, not the batch fold
+    "q_dedup_clusters_incremental")
 
   /** Skew soak (run at 30× vs an identically-SHAPED 1× corpus): the
     * curation-path queries whose scale safety depends on hot-KEY handling,
