@@ -119,6 +119,131 @@ object PolarOps {
     (math.toDegrees(x / (ModisSphereR * math.cos(phi))), math.toDegrees(phi))
   }
 
+  // ------------------------------------ Lambert conformal conic (2SP)
+
+  /** An LCC 2SP CRS (Snyder 15-1..15-11). Both registered instances
+    * have n > 0 (northern standard parallels); the derived constants
+    * are shared Scala doubles so SQL oracles mirror them bit-for-bit. */
+  final case class Lcc(lat1: Double, lat2: Double, lat0: Double,
+                       lon0: Double, x0: Double, y0: Double) {
+    private val m1 = mFn(math.toRadians(lat1))
+    private val m2 = mFn(math.toRadians(lat2))
+    private val t1 = tFn(math.toRadians(lat1))
+    private val t2 = tFn(math.toRadians(lat2))
+    val n: Double = (math.log(m1) - math.log(m2)) /
+      (math.log(t1) - math.log(t2))
+    val f: Double = m1 / (n * math.pow(t1, n))
+    val rho0: Double = A * f * math.pow(tFn(math.toRadians(lat0)), n)
+    require(n > 0, s"southern-aspect LCC unsupported (n = $n)")
+  }
+
+  /** Registered LCC instances — EPSG:2154 (RGF93 / Lambert-93, the
+    * French national grid) and EPSG:3978 (NAD83 / Canada Atlas
+    * Lambert). Both datums use the GRS80 ellipsoid, whose flattening
+    * differs from WGS84's in the 12th digit (~0.1 mm) — below every
+    * tolerance here, so the shared WGS84 constants serve both. */
+  def lccForCrs(crs: String): Option[Lcc] = crs match {
+    case "EPSG:2154" => Some(Lcc(49.0, 44.0, 46.5, 3.0, 700000.0, 6600000.0))
+    case "EPSG:3978" => Some(Lcc(49.0, 77.0, 49.0, -95.0, 0.0, 0.0))
+    case _ => None
+  }
+
+  def lccForward(lonDeg: Column, latDeg: Column, lc: Lcc)
+      : (Column, Column) = {
+    val rho = lit(A * lc.f) * pow(tExpr(radians(latDeg)), lit(lc.n))
+    val th = lit(lc.n) * radians(lonDeg - lit(lc.lon0))
+    (rho * sin(th) + lit(lc.x0),
+      lit(lc.rho0) - rho * cos(th) + lit(lc.y0))
+  }
+
+  def lccInverse(easting: Column, northing: Column, lc: Lcc)
+      : (Column, Column) = {
+    val xr = easting - lit(lc.x0)
+    val yr = lit(lc.rho0) - (northing - lit(lc.y0))
+    val rho = sqrt(xr * xr + yr * yr)
+    val t = pow(rho / lit(A * lc.f), lit(1.0 / lc.n))
+    val lam = atan2(xr, yr) / lit(lc.n)
+    (degrees(lam) + lit(lc.lon0), degrees(conformalPhi(t)))
+  }
+
+  def lccForwardScalar(lonDeg: Double, latDeg: Double, lc: Lcc)
+      : (Double, Double) = {
+    val rho = A * lc.f * math.pow(tFn(math.toRadians(latDeg)), lc.n)
+    val th = lc.n * math.toRadians(lonDeg - lc.lon0)
+    (rho * math.sin(th) + lc.x0, lc.rho0 - rho * math.cos(th) + lc.y0)
+  }
+
+  def lccInverseScalar(x: Double, y: Double, lc: Lcc): (Double, Double) = {
+    val xr = x - lc.x0
+    val yr = lc.rho0 - (y - lc.y0)
+    val rho = math.hypot(xr, yr)
+    val t = math.pow(rho / (A * lc.f), 1.0 / lc.n)
+    (math.toDegrees(math.atan2(xr, yr) / lc.n) + lc.lon0,
+      math.toDegrees(conformalPhiScalar(t)))
+  }
+
+  // ------------------------------------------ Albers equal-area conic
+
+  /** An Albers 2SP CRS (Snyder 14-1..14-11, ellipsoidal via the
+    * authalic q). */
+  final case class Albers(lat1: Double, lat2: Double, lat0: Double,
+                          lon0: Double, x0: Double, y0: Double) {
+    private val m1 = mFn(math.toRadians(lat1))
+    private val m2 = mFn(math.toRadians(lat2))
+    private val q1 = qFn(math.toRadians(lat1))
+    private val q2 = qFn(math.toRadians(lat2))
+    val n: Double = (m1 * m1 - m2 * m2) / (q2 - q1)
+    val c: Double = m1 * m1 + n * q1
+    val rho0: Double = A * math.sqrt(c - n * qFn(math.toRadians(lat0))) / n
+    require(n > 0, s"southern-aspect Albers unsupported (n = $n)")
+  }
+
+  /** EPSG:5070 — NAD83 / Conus Albers, the US national equal-area grid
+    * (NLCD and friends). GRS80 ≈ WGS84 as above. */
+  def albersForCrs(crs: String): Option[Albers] = crs match {
+    case "EPSG:5070" => Some(Albers(29.5, 45.5, 23.0, -96.0, 0.0, 0.0))
+    case _ => None
+  }
+
+  def albersForward(lonDeg: Column, latDeg: Column, ab: Albers)
+      : (Column, Column) = {
+    val q = qExpr(sin(radians(latDeg)))
+    val rho = lit(A) * sqrt(lit(ab.c) - lit(ab.n) * q) / lit(ab.n)
+    val th = lit(ab.n) * radians(lonDeg - lit(ab.lon0))
+    (rho * sin(th) + lit(ab.x0),
+      lit(ab.rho0) - rho * cos(th) + lit(ab.y0))
+  }
+
+  def albersInverse(easting: Column, northing: Column, ab: Albers)
+      : (Column, Column) = {
+    val xr = easting - lit(ab.x0)
+    val yr = lit(ab.rho0) - (northing - lit(ab.y0))
+    val rho = sqrt(xr * xr + yr * yr)
+    val q = (lit(ab.c) - (rho * lit(ab.n) / lit(A)) * (rho * lit(ab.n) / lit(A))) / lit(ab.n)
+    val beta = asin(q / lit(Qp))
+    (degrees(atan2(xr, yr) / lit(ab.n)) + lit(ab.lon0),
+      degrees(authalicPhi(beta, q)))
+  }
+
+  def albersForwardScalar(lonDeg: Double, latDeg: Double, ab: Albers)
+      : (Double, Double) = {
+    val q = qFn(math.toRadians(latDeg))
+    val rho = A * math.sqrt(ab.c - ab.n * q) / ab.n
+    val th = ab.n * math.toRadians(lonDeg - ab.lon0)
+    (rho * math.sin(th) + ab.x0, ab.rho0 - rho * math.cos(th) + ab.y0)
+  }
+
+  def albersInverseScalar(x: Double, y: Double, ab: Albers)
+      : (Double, Double) = {
+    val xr = x - ab.x0
+    val yr = ab.rho0 - (y - ab.y0)
+    val rho = math.hypot(xr, yr)
+    val q = (ab.c - math.pow(rho * ab.n / A, 2)) / ab.n
+    val beta = math.asin(q / Qp)
+    (math.toDegrees(math.atan2(xr, yr) / ab.n) + ab.lon0,
+      math.toDegrees(authalicPhiScalar(beta, q)))
+  }
+
   // --------------------------------------------------- scalar primitives
 
   /** Snyder 15-9: t(φ) = tan(π/4 − φ/2) · [(1+e sinφ)/(1−e sinφ)]^(e/2). */
@@ -126,6 +251,40 @@ object PolarOps {
     val es = E * math.sin(phi)
     math.tan(math.Pi / 4 - phi / 2) *
       math.pow((1 + es) / (1 - es), E / 2)
+  }
+
+  /** Column twin of [[tFn]] (same IEEE op order). */
+  private def tExpr(phi: Column): Column = {
+    val es = lit(E) * sin(phi)
+    tan(lit(math.Pi / 4) - phi / 2) *
+      pow((lit(1.0) + es) / (lit(1.0) - es), lit(E / 2))
+  }
+
+  /** Column twin of [[qFn]] over s = sinφ. */
+  private def qExpr(s: Column): Column =
+    lit(1 - E2) * (s / (lit(1.0) - lit(E2) * s * s) -
+      lit(1.0 / (2 * E)) *
+        log((lit(1.0) - lit(E) * s) / (lit(1.0) + lit(E) * s)))
+
+  /** The conformal-latitude inverse: series seed (Snyder 3-5) plus one
+    * pass of the exact fixed-point iteration (Snyder 7-9) — closes
+    * forward∘inverse to ≲1e-12°. */
+  private def conformalPhi(t: Column): Column = {
+    val chi = lit(math.Pi / 2) - lit(2.0) * atan(t)
+    val phi0 = chi + lit(C2) * sin(lit(2.0) * chi) +
+      lit(C4) * sin(lit(4.0) * chi) + lit(C6) * sin(lit(6.0) * chi) +
+      lit(C8) * sin(lit(8.0) * chi)
+    val es = lit(E) * sin(phi0)
+    lit(math.Pi / 2) - lit(2.0) *
+      atan(t * pow((lit(1.0) - es) / (lit(1.0) + es), lit(E / 2)))
+  }
+
+  private def conformalPhiScalar(t: Double): Double = {
+    val chi = math.Pi / 2 - 2 * math.atan(t)
+    val phi0 = chi + C2 * math.sin(2 * chi) + C4 * math.sin(4 * chi) +
+      C6 * math.sin(6 * chi) + C8 * math.sin(8 * chi)
+    val es = E * math.sin(phi0)
+    math.Pi / 2 - 2 * math.atan(t * math.pow((1 - es) / (1 + es), E / 2))
   }
 
   /** Snyder 14-15: m(φ) = cosφ / sqrt(1 − e² sin²φ). */
@@ -170,14 +329,7 @@ object PolarOps {
     val xn = (easting - lit(ps.x0)) * sgn
     val yn = (northing - lit(ps.y0)) * sgn
     val rho = sqrt(xn * xn + yn * yn)
-    val t = rho / lit(ps.rhoK)
-    val chi = lit(math.Pi / 2) - lit(2.0) * atan(t)
-    val phi0 = chi + lit(C2) * sin(lit(2.0) * chi) +
-      lit(C4) * sin(lit(4.0) * chi) + lit(C6) * sin(lit(6.0) * chi) +
-      lit(C8) * sin(lit(8.0) * chi)
-    val es = lit(E) * sin(phi0)
-    val phi = lit(math.Pi / 2) - lit(2.0) *
-      atan(t * pow((lit(1.0) - es) / (lit(1.0) + es), lit(E / 2)))
+    val phi = conformalPhi(rho / lit(ps.rhoK))
     val lam = atan2(xn, negate(yn))
     (degrees(lam) * sgn + lit(ps.lon0), degrees(phi) * sgn)
   }
@@ -197,14 +349,7 @@ object PolarOps {
     val xn = (x - ps.x0) * sgn
     val yn = (y - ps.y0) * sgn
     val rho = math.hypot(xn, yn)
-    val t = rho / ps.rhoK
-    val chi = math.Pi / 2 - 2 * math.atan(t)
-    val phi0 = chi + C2 * math.sin(2 * chi) + C4 * math.sin(4 * chi) +
-      C6 * math.sin(6 * chi) + C8 * math.sin(8 * chi)
-    // one exact fixed-point pass (Snyder 7-9) on the series seed
-    val es = E * math.sin(phi0)
-    val phi = math.Pi / 2 -
-      2 * math.atan(t * math.pow((1 - es) / (1 + es), E / 2))
+    val phi = conformalPhiScalar(rho / ps.rhoK)
     (math.toDegrees(math.atan2(xn, -yn)) * sgn + ps.lon0,
       math.toDegrees(phi) * sgn)
   }
@@ -216,10 +361,7 @@ object PolarOps {
   def laeaForward(lonDeg: Column, latDeg: Column, la: Laea)
       : (Column, Column) = {
     val phi = radians(latDeg)
-    val s = sin(phi)
-    val q = lit(1 - E2) * (s / (lit(1.0) - lit(E2) * s * s) -
-      lit(1.0 / (2 * E)) *
-        log((lit(1.0) - lit(E) * s) / (lit(1.0) + lit(E) * s)))
+    val q = qExpr(sin(phi))
     val lam = radians(lonDeg - lit(la.lon0))
     if (la.polarNorth || la.polarSouth) {
       val sgn = if (la.polarNorth) 1.0 else -1.0

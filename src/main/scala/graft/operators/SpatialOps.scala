@@ -54,44 +54,53 @@ object SpatialOps {
       math.abs(a.xMin - b.xMin) < tol && math.abs(a.yMin - b.yMin) < tol &&
       math.abs(a.xRes - b.xRes) < tol && math.abs(a.yRes - b.yRes) < tol
 
-  /** Closed-form coordinate transform between the supported CRS pairs:
-    * geographic ↔ web-mercator (EPSG:3857), geographic ↔ any UTM zone
-    * (EPSG:326xx/327xx, the transverse-mercator series in [[UtmOps]]),
-    * geographic ↔ polar stereographic (EPSG:3413/3031/3976) and
-    * geographic ↔ LAEA (EPSG:3035/6931/6932), both in [[PolarOps]].
+  /** Closed-form coordinate transform between the supported CRS pairs —
+    * geographic ↔ each registered PROJECTED family: web-mercator
+    * (EPSG:3857), any UTM zone (EPSG:326xx/327xx, [[UtmOps]]), polar
+    * stereographic (EPSG:3413/3031/3976), LAEA (EPSG:3035/6931/6932),
+    * MODIS sinusoidal (SR-ORG:6974), Lambert conformal conic
+    * (EPSG:2154/3978) and Albers equal-area (EPSG:5070), all in
+    * [[PolarOps]] unless noted.
     */
   private def transformCols(crsFrom: String, crsTo: String,
-                            x: Column, y: Column): (Column, Column) =
+                            x: Column, y: Column): (Column, Column) = {
+    /** (forward from geographic, inverse to geographic) of a projected
+      * CRS, when registered. */
+    def family(crs: String): Option[((Column, Column) => (Column, Column),
+        (Column, Column) => (Column, Column))] =
+      if (crs == "EPSG:3857") Some((
+        (a, b) => (ReprojectOps.lonToMercX(a), ReprojectOps.latToMercY(b)),
+        (a, b) => (ReprojectOps.mercXToLon(a), ReprojectOps.mercYToLat(b))))
+      else UtmOps.zoneForCrs(crs).map(z => (
+        (a: Column, b: Column) => UtmOps.forward(a, b, z),
+        (a: Column, b: Column) => UtmOps.inverse(a, b, z)))
+      .orElse(PolarOps.stereoForCrs(crs).map(ps => (
+        (a: Column, b: Column) => PolarOps.stereoForward(a, b, ps),
+        (a: Column, b: Column) => PolarOps.stereoInverse(a, b, ps))))
+      .orElse(PolarOps.laeaForCrs(crs).map(la => (
+        (a: Column, b: Column) => PolarOps.laeaForward(a, b, la),
+        (a: Column, b: Column) => PolarOps.laeaInverse(a, b, la))))
+      .orElse(PolarOps.lccForCrs(crs).map(lc => (
+        (a: Column, b: Column) => PolarOps.lccForward(a, b, lc),
+        (a: Column, b: Column) => PolarOps.lccInverse(a, b, lc))))
+      .orElse(PolarOps.albersForCrs(crs).map(ab => (
+        (a: Column, b: Column) => PolarOps.albersForward(a, b, ab),
+        (a: Column, b: Column) => PolarOps.albersInverse(a, b, ab))))
+      .orElse(if (PolarOps.isSinusoidal(crs)) Some((
+        (a: Column, b: Column) => PolarOps.sinuForward(a, b),
+        (a: Column, b: Column) => PolarOps.sinuInverse(a, b))) else None)
     if (sameCrs(crsFrom, crsTo)) (x, y)
-    else if (isGeographic(crsFrom) && crsTo == "EPSG:3857")
-      (ReprojectOps.lonToMercX(x), ReprojectOps.latToMercY(y))
-    else if (crsFrom == "EPSG:3857" && isGeographic(crsTo))
-      (ReprojectOps.mercXToLon(x), ReprojectOps.mercYToLat(y))
-    else (UtmOps.zoneForCrs(crsTo), UtmOps.zoneForCrs(crsFrom),
-        PolarOps.stereoForCrs(crsTo), PolarOps.stereoForCrs(crsFrom),
-        PolarOps.laeaForCrs(crsTo), PolarOps.laeaForCrs(crsFrom)) match {
-      case (Some(z), _, _, _, _, _) if isGeographic(crsFrom) =>
-        UtmOps.forward(x, y, z)
-      case (_, Some(z), _, _, _, _) if isGeographic(crsTo) =>
-        UtmOps.inverse(x, y, z)
-      case (_, _, Some(ps), _, _, _) if isGeographic(crsFrom) =>
-        PolarOps.stereoForward(x, y, ps)
-      case (_, _, _, Some(ps), _, _) if isGeographic(crsTo) =>
-        PolarOps.stereoInverse(x, y, ps)
-      case (_, _, _, _, Some(la), _) if isGeographic(crsFrom) =>
-        PolarOps.laeaForward(x, y, la)
-      case (_, _, _, _, _, Some(la)) if isGeographic(crsTo) =>
-        PolarOps.laeaInverse(x, y, la)
-      case _ if isGeographic(crsFrom) && PolarOps.isSinusoidal(crsTo) =>
-        PolarOps.sinuForward(x, y)
-      case _ if PolarOps.isSinusoidal(crsFrom) && isGeographic(crsTo) =>
-        PolarOps.sinuInverse(x, y)
+    else (family(crsTo), family(crsFrom)) match {
+      case (Some((fwd, _)), _) if isGeographic(crsFrom) => fwd(x, y)
+      case (_, Some((_, inv))) if isGeographic(crsTo) => inv(x, y)
       case _ => throw new IllegalArgumentException(
         s"unsupported CRS pair $crsFrom -> $crsTo " +
           "(supported: geographic <-> EPSG:3857, UTM EPSG:326xx/327xx, " +
           "polar stereographic EPSG:3413/3031/3976, LAEA " +
-          "EPSG:3035/6931/6932, MODIS sinusoidal SR-ORG:6974)")
+          "EPSG:3035/6931/6932, MODIS sinusoidal SR-ORG:6974, " +
+          "LCC EPSG:2154/3978, Albers EPSG:5070)")
     }
+  }
 
   /** Resample `src` onto the regular grid `tgtGm`.
     *
@@ -206,26 +215,32 @@ object SpatialOps {
         2.0 * math.atan(math.exp(y / ReprojectOps.EarthRadius)) - math.Pi / 2)
       (lon(gm.xMin), lat(gm.yMin), lon(gm.xMax), lat(gm.yMax))
     } else {
+      def familyScalar(crs: String)
+          : Option[((Double, Double) => (Double, Double),
+            (Double, Double) => (Double, Double))] =
+        UtmOps.zoneForCrs(crs).map(z => (
+          (a: Double, b: Double) => UtmOps.forwardScalar(a, b, z),
+          (a: Double, b: Double) => UtmOps.inverseScalar(a, b, z)))
+        .orElse(PolarOps.stereoForCrs(crs).map(ps => (
+          (a: Double, b: Double) => PolarOps.stereoForwardScalar(a, b, ps),
+          (a: Double, b: Double) => PolarOps.stereoInverseScalar(a, b, ps))))
+        .orElse(PolarOps.laeaForCrs(crs).map(la => (
+          (a: Double, b: Double) => PolarOps.laeaForwardScalar(a, b, la),
+          (a: Double, b: Double) => PolarOps.laeaInverseScalar(a, b, la))))
+        .orElse(PolarOps.lccForCrs(crs).map(lc => (
+          (a: Double, b: Double) => PolarOps.lccForwardScalar(a, b, lc),
+          (a: Double, b: Double) => PolarOps.lccInverseScalar(a, b, lc))))
+        .orElse(PolarOps.albersForCrs(crs).map(ab => (
+          (a: Double, b: Double) => PolarOps.albersForwardScalar(a, b, ab),
+          (a: Double, b: Double) => PolarOps.albersInverseScalar(a, b, ab))))
+        .orElse(if (PolarOps.isSinusoidal(crs)) Some((
+          (a: Double, b: Double) => PolarOps.sinuForwardScalar(a, b),
+          (a: Double, b: Double) => PolarOps.sinuInverseScalar(a, b)))
+        else None)
       val f: (Double, Double) => (Double, Double) =
-        (UtmOps.zoneForCrs(crsTo), UtmOps.zoneForCrs(gm.crs),
-          PolarOps.stereoForCrs(crsTo), PolarOps.stereoForCrs(gm.crs),
-          PolarOps.laeaForCrs(crsTo), PolarOps.laeaForCrs(gm.crs)) match {
-          case (Some(z), _, _, _, _, _) if isGeographic(gm.crs) =>
-            (x, y) => UtmOps.forwardScalar(x, y, z)
-          case (_, Some(z), _, _, _, _) if isGeographic(crsTo) =>
-            (x, y) => UtmOps.inverseScalar(x, y, z)
-          case (_, _, Some(ps), _, _, _) if isGeographic(gm.crs) =>
-            (x, y) => PolarOps.stereoForwardScalar(x, y, ps)
-          case (_, _, _, Some(ps), _, _) if isGeographic(crsTo) =>
-            (x, y) => PolarOps.stereoInverseScalar(x, y, ps)
-          case (_, _, _, _, Some(la), _) if isGeographic(gm.crs) =>
-            (x, y) => PolarOps.laeaForwardScalar(x, y, la)
-          case (_, _, _, _, _, Some(la)) if isGeographic(crsTo) =>
-            (x, y) => PolarOps.laeaInverseScalar(x, y, la)
-          case _ if isGeographic(gm.crs) && PolarOps.isSinusoidal(crsTo) =>
-            (x, y) => PolarOps.sinuForwardScalar(x, y)
-          case _ if PolarOps.isSinusoidal(gm.crs) && isGeographic(crsTo) =>
-            (x, y) => PolarOps.sinuInverseScalar(x, y)
+        (familyScalar(crsTo), familyScalar(gm.crs)) match {
+          case (Some((fwd, _)), _) if isGeographic(gm.crs) => fwd
+          case (_, Some((_, inv))) if isGeographic(crsTo) => inv
           case _ => throw new IllegalArgumentException(
             s"unsupported CRS pair ${gm.crs} -> $crsTo")
         }
@@ -244,7 +259,9 @@ object SpatialOps {
     def metric(crs: String): Boolean =
       crs == "EPSG:3857" || UtmOps.zoneForCrs(crs).isDefined ||
         PolarOps.stereoForCrs(crs).isDefined ||
-        PolarOps.laeaForCrs(crs).isDefined || PolarOps.isSinusoidal(crs)
+        PolarOps.laeaForCrs(crs).isDefined || PolarOps.isSinusoidal(crs) ||
+        PolarOps.lccForCrs(crs).isDefined ||
+        PolarOps.albersForCrs(crs).isDefined
     if (isGeographic(crsFrom) && crsTo == "EPSG:3857") degToMeters
     else if (crsFrom == "EPSG:3857" && isGeographic(crsTo)) 1.0 / degToMeters
     else if (isGeographic(crsFrom) && UtmOps.zoneForCrs(crsTo).isDefined)

@@ -65,6 +65,44 @@ class PolarOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("Lambert-93 (EPSG:2154): Paris to the published cm, round-trips") {
+    val lc = PolarOps.lccForCrs("EPSG:2154").get
+    // projection center maps to the false origin exactly
+    assert(PolarOps.lccForwardScalar(3.0, 46.5, lc) == ((700000.0, 6600000.0)))
+    // the IGN-published Lambert-93 coordinates of Paris (2.3522E, 48.8566N)
+    val (px, py) = PolarOps.lccForwardScalar(2.3522, 48.8566, lc)
+    assert(math.abs(px - 652469.02) < 0.01 && math.abs(py - 6862035.26) < 0.01,
+      s"($px, $py)")
+    for (lon <- Seq(-5.0, 0.0, 3.0, 8.25); lat <- Seq(41.0, 44.0, 46.5, 49.0, 51.0)) {
+      val (x, y) = PolarOps.lccForwardScalar(lon, lat, lc)
+      val (lon2, lat2) = PolarOps.lccInverseScalar(x, y, lc)
+      assert(math.abs(lon2 - lon) < tol && math.abs(lat2 - lat) < tol,
+        s"($lon, $lat) -> ($lon2, $lat2)")
+    }
+    // Canada Atlas Lambert round-trips too
+    val ca = PolarOps.lccForCrs("EPSG:3978").get
+    for (lon <- Seq(-140.0, -95.0, -60.0); lat <- Seq(45.0, 60.0, 75.0)) {
+      val (x, y) = PolarOps.lccForwardScalar(lon, lat, ca)
+      val (lon2, lat2) = PolarOps.lccInverseScalar(x, y, ca)
+      assert(math.abs(lon2 - lon) < tol && math.abs(lat2 - lat) < tol)
+    }
+  }
+
+  test("CONUS Albers (EPSG:5070): center exact, equal-area, round-trips") {
+    val ab = PolarOps.albersForCrs("EPSG:5070").get
+    assert(PolarOps.albersForwardScalar(-96.0, 23.0, ab) == ((0.0, 0.0)))
+    // the central meridian stays on x = 0 at any latitude
+    val (x40, _) = PolarOps.albersForwardScalar(-96.0, 40.0, ab)
+    assert(x40 == 0.0)
+    for (lon <- Seq(-124.0, -110.5, -96.0, -75.25);
+         lat <- Seq(25.0, 29.5, 37.0, 45.5, 49.0)) {
+      val (x, y) = PolarOps.albersForwardScalar(lon, lat, ab)
+      val (lon2, lat2) = PolarOps.albersInverseScalar(x, y, ab)
+      assert(math.abs(lon2 - lon) < tol && math.abs(lat2 - lat) < tol,
+        s"($lon, $lat) -> ($x, $y) -> ($lon2, $lat2)")
+    }
+  }
+
   test("EPSG:3035 matches the published grid: center exact, 5E 50N to cm") {
     val la = PolarOps.laeaForCrs("EPSG:3035").get
     val (cx, cy) = PolarOps.laeaForwardScalar(10.0, 52.0, la)
