@@ -449,6 +449,30 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(inc(902L) == 900L)
   }
 
+  test("incrementalCC: chained batches == full CC, seeded fuzz") {
+    import spark.implicits._
+    import graft.operators.ClusterOps
+    // three successive ingest batches folded one after another must end
+    // at exactly the from-scratch CC over everything — per seed
+    for (seed <- Seq(7, 19, 41)) {
+      val rnd = new scala.util.Random(seed)
+      def pairs(n: Int, lo: Int, hi: Int) =
+        Seq.fill(n)((lo + rnd.nextInt(hi - lo).toLong,
+          lo + rnd.nextInt(hi - lo).toLong)).filter(p => p._1 != p._2)
+      val base = pairs(60, 0, 150)
+      val batches = Seq(pairs(25, 100, 250), pairs(25, 0, 300),
+        pairs(10, 280, 320))
+      var labels = ClusterOps.connectedComponents(base.toDF("u", "v"), "u", "v")
+      for (b <- batches)
+        labels = ClusterOps.incrementalCC(labels, b.toDF("u", "v"))
+      val inc = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val full = ClusterOps.connectedComponents(
+          (base ++ batches.flatten).toDF("u", "v"), "u", "v")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(inc == full, s"seed=$seed")
+    }
+  }
+
   test("incrementalCC never shuffles the labels table (broadcast-only plan)") {
     import spark.implicits._
     import graft.operators.ClusterOps

@@ -164,6 +164,54 @@ class QuantileFoldSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("raise maxDepth"))
   }
 
+  test("seeded fuzz: batched level walk == Spark percentile across shapes") {
+    import spark.implicits._
+    // adversarial shapes for the level-synchronous rank bookkeeping:
+    // heavy duplicates (many ranks land in one value), tight clusters
+    // (many hunts collapse to ulp-wide intervals), mixed magnitudes,
+    // and NaN contamination — each at several ps so levels carry MANY
+    // hunts through the batched job
+    val ps = Seq(0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.97, 1.0)
+    for (seed <- 1 to 6) {
+      val rnd = new scala.util.Random(seed)
+      val vals = Seq.tabulate(3000) { i =>
+        seed % 3 match {
+          case 0 => // duplicates: 20 distinct values
+            (rnd.nextInt(20) * 7).toDouble
+          case 1 => // tight clusters around powers of two + NaN
+            if (i % 41 == 0) Double.NaN
+            else math.pow(2.0, rnd.nextInt(8)) * (1 + rnd.nextInt(5) * 1e-15)
+          case _ => // mixed magnitudes incl. subnormal-ish and huge
+            val m = rnd.nextInt(4) match {
+              case 0 => 1e-300
+              case 1 => 1.0
+              case 2 => 1e150
+              case _ => 1e300
+            }
+            (rnd.nextDouble() - 0.5) * m
+        }
+      }
+      val df = vals.zipWithIndex.map { case (v, i) => (i.toDouble, v) }
+        .toDF("t", "v")
+      val got = foldRows(QuantileOps.quantileFold(df, "v", ps,
+        bins = 8, maxExactRows = 32, maxDepth = 16))
+      val want = rowTruth(df, "v", ps).sortBy(_._1)
+      got.zip(want).foreach { case ((p1, g), (p2, w)) =>
+        assert(p1 == p2)
+        (g, w) match {
+          case (null, null) =>
+          case (gv: java.lang.Double, wv: java.lang.Double) =>
+            // order statistics must be identical; interpolation may
+            // differ by an ulp (delta vs weighted form — see the
+            // 99-percentile test)
+            assert(math.abs(gv - wv) <= math.ulp(wv.doubleValue()) * 4 ||
+              (gv.isNaN && wv.isNaN), s"seed=$seed p=$p1: $gv vs $wv")
+          case other => fail(s"seed=$seed p=$p1: $other")
+        }
+      }
+    }
+  }
+
   /** 4096-cell 32×128 cube in 1×128 chunks (one chunk per row),
     * v = row-major ordinal / 64 — monotone, so chunk value ranges are
     * disjoint AND (with 8 round-1 buckets) no chunk straddles a bucket
