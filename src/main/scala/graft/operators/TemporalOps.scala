@@ -260,15 +260,36 @@ object TemporalOps {
                            unitSeconds: Double, freq: String, vCol: String,
                            p: Double, bins: Int = 1024,
                            labelCol: String = "t",
-                           methodName: Option[String] = None): DataFrame = {
-    require(p >= 0.0 && p <= 1.0, s"quantile fraction out of range: $p")
+                           methodName: Option[String] = None): DataFrame =
+    resampleQuantileFoldMulti(df, timeDim, unitSeconds, freq, vCol,
+      Seq(p), bins, labelCol, methodName.map(Seq(_)))
+
+  /** [[resampleQuantileFold]] for a PERCENTILE TABLE: every fraction in
+    * `ps` shares pass 0 (bucket counts + extremes), the single pass-1
+    * value-bucket histogram, and one pass-2 straddler rescan — quartiles
+    * per bucket cost the same three connector passes as one median, not
+    * 3×. One output column per fraction (`<var>_median`,
+    * `<var>_percentile_<p>`), same all-NaN/degenerate contracts. */
+  def resampleQuantileFoldMulti(df: DataFrame, timeDim: String,
+                                unitSeconds: Double, freq: String,
+                                vCol: String, ps: Seq[Double],
+                                bins: Int = 1024, labelCol: String = "t",
+                                methodNames: Option[Seq[String]] = None)
+      : DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
+      s"quantile fractions out of range: $ps")
+    require(ps.distinct.length == ps.length, s"duplicate fractions: $ps")
     require(bins >= 2, s"need at least 2 refinement bins, got $bins")
-    val outName = methodName.getOrElse {
+    methodNames.foreach(ns => require(ns.length == ps.length,
+      s"${ns.length} names for ${ps.length} fractions"))
+    def nameOf(i: Int): String = methodNames.map(_(i)).getOrElse {
+      val p = ps(i)
       val pct = p * 100
       if (p == 0.5) s"${vCol}_median"
       else if (pct == math.rint(pct)) s"${vCol}_percentile_${pct.toLong}"
       else s"${vCol}_percentile_$pct".replace('.', '_') // dot-free column
     }
+    val outNames = ps.indices.map(nameOf)
     val v0 = col(vCol).cast("double")
     val vv = when(v0 <= lit(Double.PositiveInfinity), v0)
     val (keys, start) = numericKeys(timeDim, unitSeconds, freq)
@@ -291,30 +312,39 @@ object TemporalOps {
     val mnAt = keyNames.length + 1
     val finiteMins = grpRows.filter(!_.isNullAt(mnAt))
     if (finiteMins.isEmpty) // empty or all-NaN input: every bucket is null
-      return grp.select(start.as(labelCol),
-        lit(null).cast("double").as(outName))
+      return grp.select(start.as(labelCol) +:
+        outNames.map(n => lit(null).cast("double").as(n)): _*)
     val lo = finiteMins.map(_.getDouble(mnAt)).min
     val hi = grpRows.filter(!_.isNullAt(mnAt + 1))
       .map(_.getDouble(mnAt + 1)).max
     if (lo == hi) // constant variable: the quantile of any valid bucket
-      return grp.select(start.as(labelCol),
-        when(col("__n") > 0, lit(lo)).as(outName))
+      return grp.select(start.as(labelCol) +:
+        outNames.map(n => when(col("__n") > 0, lit(lo)).as(n)): _*)
     val w = (hi - lo) / bins
     if (!java.lang.Double.isFinite(w) || w <= 0.0) // ±huge range overflow
-      return df.groupBy(keys: _*).agg(percentile(vv, lit(p)).as(outName))
-        .select(start.as(labelCol), col(outName))
-    // per-bucket rank targets: idx = p·(n−1); the result interpolates the
-    // 1-indexed order statistics ⌊idx⌋+1 (lower) and ⌊idx⌋+2 (upper)
-    val idx = lit(p) * (col("__n") - 1)
-    val rk = grp.filter(col("__n") > 0)
-      .withColumn("__k", floor(idx).cast("long"))
-      .withColumn("__frac", idx - floor(idx))
-    val ranks = rk.select(keyNames.map(col) :+
-        (col("__k") + 1).as("__rank") :+ lit(0).as("__which") :+
-        col("__frac"): _*)
-      .unionByName(rk.filter(col("__frac") > 0)
-        .select(keyNames.map(col) :+ (col("__k") + 2).as("__rank") :+
-          lit(1).as("__which") :+ col("__frac"): _*))
+      return df.groupBy(keys: _*)
+        .agg(percentile(vv, lit(ps.head)).as(outNames.head),
+          ps.indices.tail.map(i =>
+            percentile(vv, lit(ps(i))).as(outNames(i))): _*)
+        .select(start.as(labelCol) +: outNames.map(col): _*)
+    // per-bucket rank targets PER FRACTION: idx = p·(n−1); each result
+    // interpolates the 1-indexed order statistics ⌊idx⌋+1, ⌊idx⌋+2. All
+    // fractions ride one rank table (__pi tags the fraction), so the
+    // histogram passes below are shared.
+    val live = grp.filter(col("__n") > 0)
+    val ranks = ps.indices.map { i =>
+      val idx = lit(ps(i)) * (col("__n") - 1)
+      val rk = live
+        .withColumn("__k", floor(idx).cast("long"))
+        .withColumn("__frac", idx - floor(idx))
+      rk.select(keyNames.map(col) :+ lit(i).as("__pi") :+
+          (col("__k") + 1).as("__rank") :+ lit(0).as("__which") :+
+          col("__frac"): _*)
+        .unionByName(rk.filter(col("__frac") > 0)
+          .select(keyNames.map(col) :+ lit(i).as("__pi") :+
+            (col("__k") + 2).as("__rank") :+ lit(1).as("__which") :+
+            col("__frac"): _*))
+    }.reduce(_ unionByName _)
     // pass 1: the pushed (bucket keys × value bucket) histogram
     val bucket = floor((v0 - lit(lo)) / lit(w)).as("__bk")
     val hist = df.filter(v0 >= lo && v0 <= hi)
@@ -329,15 +359,15 @@ object TemporalOps {
     val targetDist = ranks.join(cum, keyNames)
       .filter(col("__rank") > col("__cb") &&
         col("__rank") <= col("__cb") + col("__c"))
-      .select(keyNames.map(col) :+ col("__bk") :+ col("__rank") :+
-        col("__which") :+ col("__frac") :+ col("__cb"): _*)
+      .select(keyNames.map(col) :+ col("__pi") :+ col("__bk") :+
+        col("__rank") :+ col("__which") :+ col("__frac") :+ col("__cb"): _*)
     val targetRows = targetDist.collect()
     val target = spark.createDataFrame(
       java.util.Arrays.asList(targetRows: _*), targetDist.schema)
     // straddling value buckets → exact inclusive intervals (binary search
     // over the double bit space, QuantileOps.bucketBounds) → one consumed
     // same-column Or the scan prunes chunks with
-    val bks = targetRows.map(_.getLong(keyNames.length)).distinct.sorted
+    val bks = targetRows.map(_.getLong(keyNames.length + 1)).distinct.sorted
     val orFilter = bks.map { b =>
       val (a, c) = QuantileOps.bucketBounds(lo, hi, w, b)
       v0 >= a && v0 <= c
@@ -347,30 +377,40 @@ object TemporalOps {
       .groupBy(keys :+ v0.as("__v"): _*).agg(count(lit(1)).as("__vc"))
       .withColumn("__bk", floor((col("__v") - lit(lo)) / lit(w)))
     val joined = inb.join(broadcast(target), keyNames :+ "__bk")
-    val wv = Window.partitionBy((keyNames :+ "__rank").map(col): _*)
+    val wv = Window
+      .partitionBy((keyNames :+ "__pi" :+ "__rank").map(col): _*)
       .orderBy("__v").rowsBetween(Window.unboundedPreceding, -1)
     val picked = joined
       .withColumn("__cb2",
         col("__cb") + coalesce(sum(col("__vc")).over(wv), lit(0L)))
       .filter(col("__rank") > col("__cb2") &&
         col("__rank") <= col("__cb2") + col("__vc"))
+    val pAggs = ps.indices.flatMap { i =>
+      Seq(max(when(col("__pi") === i && col("__which") === 0, col("__v")))
+          .as(s"__lo_$i"),
+        max(when(col("__pi") === i && col("__which") === 1, col("__v")))
+          .as(s"__hi_$i"),
+        max(when(col("__pi") === i, col("__frac"))).as(s"__f_$i"))
+    }
+    val pCols = ps.indices.map { i =>
+      val lo0 = col(s"__lo_$i"); val hi0 = col(s"__hi_$i")
+      val f = col(s"__f_$i")
+      when(f <= 0 || lo0 === hi0, lo0)
+        // delta form matches DuckDB quantile_cont on finite values; an
+        // infinite endpoint makes (hi − lo) NaN where the weighted form
+        // is still exact — same guard as QuantileOps.quantileFold
+        .when(abs(lo0) === lit(Double.PositiveInfinity) ||
+            abs(hi0) === lit(Double.PositiveInfinity),
+          lo0 * (lit(1.0) - f) + hi0 * f)
+        .otherwise(lo0 + (hi0 - lo0) * f)
+        .as(outNames(i))
+    }
     val byGroup = picked.groupBy(keyNames.map(col): _*)
-      .agg(max(when(col("__which") === 0, col("__v"))).as("__lo"),
-        max(when(col("__which") === 1, col("__v"))).as("__hi"),
-        max(col("__frac")).as("__f"))
-      .select(keyNames.map(col) :+
-        when(col("__f") <= 0 || col("__lo") === col("__hi"), col("__lo"))
-          // delta form matches DuckDB quantile_cont on finite values; an
-          // infinite endpoint makes (hi − lo) NaN where the weighted form
-          // is still exact — same guard as QuantileOps.quantileFold
-          .when(abs(col("__lo")) === lit(Double.PositiveInfinity) ||
-              abs(col("__hi")) === lit(Double.PositiveInfinity),
-            col("__lo") * (lit(1.0) - col("__f")) + col("__hi") * col("__f"))
-          .otherwise(col("__lo") + (col("__hi") - col("__lo")) * col("__f"))
-          .as(outName): _*)
+      .agg(pAggs.head, pAggs.tail: _*)
+      .select(keyNames.map(col) ++ pCols: _*)
     // all-NaN buckets re-join the bucket domain as null rows
     grp.join(byGroup, keyNames, "left_outer")
-      .select(start.as(labelCol), col(outName))
+      .select(start.as(labelCol) +: outNames.map(col): _*)
   }
 
   /** Above this many collected gather values, the two-phase folds

@@ -1389,6 +1389,20 @@ object ServingPack extends QueryPack {
         .select(col("t"), round(col("v_median"), 6).as("v_median"))
     }),
 
+    // a per-bucket PERCENTILE TABLE in one shot: quartiles share pass 0,
+    // the single pass-1 value-bucket histogram and one straddler rescan
+    // (resampleQuantileFoldMulti) — the cost of one median, not 3×
+    // (ResampleFoldSpec proves the sharing by decoded-cell counts)
+    "q_zarr_resample_quartiles" -> ((s, d) => {
+      val group = zarrAggPushFixture(s, d)
+      graft.operators.TemporalOps.resampleQuantileFoldMulti(
+        s.read.format("zarr").load(group), "t", 86400.0, "2D", "v",
+        Seq(0.25, 0.5, 0.75))
+        .select(col("t"), round(col("v_percentile_25"), 6).as("q1"),
+          round(col("v_median"), 6).as("q2"),
+          round(col("v_percentile_75"), 6).as("q3"))
+    }),
+
     // get_time_series MEDIAN per time step through the connector — THE
     // MUST_LOAD aggregate (reference timeseries.py:40-47: the one method
     // xcube loads the whole array for): a per-slice exact median via the
@@ -2938,6 +2952,16 @@ object ServingPack extends QueryPack {
                     FROM range(0, 144000) r(k))
          SELECT make_timestamp((g * 172800 * 1000000)::BIGINT) AS t,
                 round(quantile_cont(v, 0.5)::DOUBLE, 6) AS v_median
+         FROM c GROUP BY g""",
+    "q_zarr_resample_quartiles" ->
+      """WITH c AS (SELECT (k // 36000) // 2 AS g,
+                           (((k // 360) % 100) * 360 + (k % 360)
+                             + (k // 36000) * 7) % 4096 / 64.0 AS v
+                    FROM range(0, 144000) r(k))
+         SELECT make_timestamp((g * 172800 * 1000000)::BIGINT) AS t,
+                round(quantile_cont(v, 0.25)::DOUBLE, 6) AS q1,
+                round(quantile_cont(v, 0.5)::DOUBLE, 6) AS q2,
+                round(quantile_cont(v, 0.75)::DOUBLE, 6) AS q3
          FROM c GROUP BY g""",
     "q_zarr_timeseries_median" ->
       """WITH c AS (SELECT k // 36000 AS g,

@@ -222,6 +222,38 @@ class ResampleFoldSpec extends AnyFunSuite {
       hist.queryExecution.executedPlan.toString.take(900))
   }
 
+  test("resampleQuantileFoldMulti: a quartile table shares the passes") {
+    val g = writeFixture()
+    val zc = spark.read.format("zarr").load(g)
+    val ps = Seq(0.25, 0.5, 0.75)
+    // pass sharing, proven by decoded cells: the quartile table must
+    // decode about as much as ONE single-fraction call (pass 0 + pass 1
+    // + its straddler rescan), not 3×
+    val d0 = ZarrSource.decodedCells.get()
+    val multi = graft.operators.TemporalOps.resampleQuantileFoldMulti(
+      zc, "t", 86400.0, "2D", "v", ps, bins = 8).collect()
+    val multiDecoded = ZarrSource.decodedCells.get() - d0
+    // column-for-column equal to the single-fraction calls
+    val d1 = ZarrSource.decodedCells.get()
+    val singles = ps.map(p => graft.operators.TemporalOps
+      .resampleQuantileFold(zc, "t", 86400.0, "2D", "v", p, bins = 8)
+      .collect().map(r => r.getTimestamp(0) -> r.getDouble(1)).toMap)
+    val singlesDecoded = ZarrSource.decodedCells.get() - d1
+    assert(multiDecoded * 2 <= singlesDecoded,
+      s"multi decoded $multiDecoded cells vs $singlesDecoded for singles")
+    assert(multi.length === singles.head.size)
+    multi.foreach { r =>
+      val t = r.getTimestamp(0)
+      ps.indices.foreach(i =>
+        assert(r.getDouble(i + 1) === singles(i)(t), s"p=${ps(i)} t=$t"))
+    }
+    // all-NaN bucket: every fraction column null on w's t=0 slice
+    val mw = graft.operators.TemporalOps.resampleQuantileFoldMulti(
+      zc, "t", 86400.0, "1D", "w", Seq(0.25, 0.75), bins = 8)
+    assert(mw.filter(col("w_percentile_25").isNull &&
+      col("w_percentile_75").isNull).count() === 1L)
+  }
+
   test("resampleQuantileFold: all-NaN buckets null; degenerate inputs") {
     import spark.implicits._
     val g = writeFixture()
