@@ -276,23 +276,51 @@ object TemporalOps {
                                 bins: Int = 1024, labelCol: String = "t",
                                 methodNames: Option[Seq[String]] = None)
       : DataFrame = {
+    methodNames.foreach(ns => require(ns.length == ps.length,
+      s"${ns.length} names for ${ps.length} fractions"))
+    val outNames = ps.indices.map(i => methodNames.map(_(i)).getOrElse(
+      defaultQuantileName(vCol, ps(i))))
+    val (keys, start) = numericKeys(timeDim, unitSeconds, freq)
+    val folded = quantileFoldKeyed(df, keys, vCol, ps, outNames, bins)
+    folded.select(start.as(labelCol) +: outNames.map(col): _*)
+  }
+
+  /** Exact per-GROUP quantiles of a double column by ARBITRARY group
+    * keys — the per-domain/per-source percentile-cut shape of a
+    * curation pipeline, and the grouped double-typed companion of
+    * [[graft.operators.QuantileOps.exactQuantilesBy]] (which is
+    * long-valued). Same machinery as [[resampleQuantileFoldMulti]]:
+    * every fraction shares the three passes, every pass is
+    * chunk-foldable through a connector, and no per-group sort state
+    * ever exceeds histogram size. */
+  def groupedQuantileFold(df: DataFrame, groupCols: Seq[String],
+                          vCol: String, ps: Seq[Double],
+                          bins: Int = 1024): DataFrame = {
+    require(groupCols.nonEmpty, "use QuantileOps.quantileFold ungrouped")
+    val outNames = ps.map(defaultQuantileName(vCol, _))
+    quantileFoldKeyed(df, groupCols.map(col), vCol, ps, outNames, bins)
+  }
+
+  private def defaultQuantileName(vCol: String, p: Double): String = {
+    val pct = p * 100
+    if (p == 0.5) s"${vCol}_median"
+    else if (pct == math.rint(pct)) s"${vCol}_percentile_${pct.toLong}"
+    else s"${vCol}_percentile_$pct".replace('.', '_') // dot-free column
+  }
+
+  /** The shared keyed quantile fold: returns one row per group with the
+    * group-key columns (names taken from the grouped plan) followed by
+    * one exact `percentile_cont` column per fraction. */
+  private def quantileFoldKeyed(df: DataFrame, keys: Seq[Column],
+                                vCol: String, ps: Seq[Double],
+                                outNames: Seq[String], bins: Int)
+      : DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
       s"quantile fractions out of range: $ps")
     require(ps.distinct.length == ps.length, s"duplicate fractions: $ps")
     require(bins >= 2, s"need at least 2 refinement bins, got $bins")
-    methodNames.foreach(ns => require(ns.length == ps.length,
-      s"${ns.length} names for ${ps.length} fractions"))
-    def nameOf(i: Int): String = methodNames.map(_(i)).getOrElse {
-      val p = ps(i)
-      val pct = p * 100
-      if (p == 0.5) s"${vCol}_median"
-      else if (pct == math.rint(pct)) s"${vCol}_percentile_${pct.toLong}"
-      else s"${vCol}_percentile_$pct".replace('.', '_') // dot-free column
-    }
-    val outNames = ps.indices.map(nameOf)
     val v0 = col(vCol).cast("double")
     val vv = when(v0 <= lit(Double.PositiveInfinity), v0)
-    val (keys, start) = numericKeys(timeDim, unitSeconds, freq)
     // pass 0, ONE job: per-bucket guarded count PLUS per-bucket min/max
     // (the global value interval derives driver-side from the bucket
     // extremes) — folds per chunk, sidecar-answered on ANALYZEd stores.
@@ -312,13 +340,13 @@ object TemporalOps {
     val mnAt = keyNames.length + 1
     val finiteMins = grpRows.filter(!_.isNullAt(mnAt))
     if (finiteMins.isEmpty) // empty or all-NaN input: every bucket is null
-      return grp.select(start.as(labelCol) +:
+      return grp.select(keyNames.map(col) ++
         outNames.map(n => lit(null).cast("double").as(n)): _*)
     val lo = finiteMins.map(_.getDouble(mnAt)).min
     val hi = grpRows.filter(!_.isNullAt(mnAt + 1))
       .map(_.getDouble(mnAt + 1)).max
     if (lo == hi) // constant variable: the quantile of any valid bucket
-      return grp.select(start.as(labelCol) +:
+      return grp.select(keyNames.map(col) ++
         outNames.map(n => when(col("__n") > 0, lit(lo)).as(n)): _*)
     val w = (hi - lo) / bins
     if (!java.lang.Double.isFinite(w) || w <= 0.0) // ±huge range overflow
@@ -326,7 +354,6 @@ object TemporalOps {
         .agg(percentile(vv, lit(ps.head)).as(outNames.head),
           ps.indices.tail.map(i =>
             percentile(vv, lit(ps(i))).as(outNames(i))): _*)
-        .select(start.as(labelCol) +: outNames.map(col): _*)
     // per-bucket rank targets PER FRACTION: idx = p·(n−1); each result
     // interpolates the 1-indexed order statistics ⌊idx⌋+1, ⌊idx⌋+2. All
     // fractions ride one rank table (__pi tags the fraction), so the
@@ -410,7 +437,7 @@ object TemporalOps {
       .select(keyNames.map(col) ++ pCols: _*)
     // all-NaN buckets re-join the bucket domain as null rows
     grp.join(byGroup, keyNames, "left_outer")
-      .select(start.as(labelCol) +: outNames.map(col): _*)
+      .select(keyNames.map(col) ++ outNames.map(col): _*)
   }
 
   /** Above this many collected gather values, the two-phase folds

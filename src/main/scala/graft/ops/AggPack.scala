@@ -229,6 +229,17 @@ object AggPack extends QueryPack {
           round(col("value") * 100, 0).cast("long").as("cents"))
       QuantileOps.exactQuantilesBy(ev, Seq("event_type"), "cents",
         Seq(0.5, 0.95, 0.99), coarseShift = 8)
+    }),
+
+    // DOUBLE-typed grouped exact quantiles by ARBITRARY keys — the
+    // per-source percentile-cut shape (corpus length/score cuts per
+    // domain), via the shared keyed quantile fold: all fractions share
+    // the three passes, no per-group sort state. l_quantity values are
+    // integers, so the dyadic quartile interpolation is engine-exact.
+    "q_grouped_quantile_fold" -> ((s, d) => {
+      graft.operators.TemporalOps.groupedQuantileFold(
+        GraftSession.table(s, d, "lineitem"), Seq("l_returnflag"),
+        "l_quantity", Seq(0.25, 0.5, 0.75))
     })
   )
 
@@ -294,6 +305,14 @@ object AggPack extends QueryPack {
                FROM c)
          SELECT r.g AS event_type, r.p, r.rank, o.v AS value
          FROM ranks r JOIN o ON o.g = r.g AND o.rn = r.rank""",
+    "q_grouped_quantile_fold" ->
+      """SELECT l_returnflag,
+                quantile_cont(l_quantity, 0.25)::DOUBLE
+                  AS l_quantity_percentile_25,
+                quantile_cont(l_quantity, 0.5)::DOUBLE AS l_quantity_median,
+                quantile_cont(l_quantity, 0.75)::DOUBLE
+                  AS l_quantity_percentile_75
+         FROM lineitem GROUP BY l_returnflag""",
     "q_subsample" ->
       s"""WITH ${CubePack.cubeCte},
          b AS (SELECT date_trunc('day', time) AS time,
