@@ -36,6 +36,7 @@ object QuantileOps {
                      coarseShift: Int = 12): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
       s"quantile fractions out of range: $ps")
+    requireIntegral(df, valueCol)
     val spark = df.sparkSession
     import spark.implicits._
     val vals = df.select(col(valueCol).cast("long").as("v"))
@@ -85,6 +86,7 @@ object QuantileOps {
     require(groupCols.nonEmpty, "use exactQuantiles for the ungrouped form")
     require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
       s"quantile fractions out of range: $ps")
+    requireIntegral(df, valueCol)
     val spark = df.sparkSession
     import spark.implicits._
     val gs = groupCols.map(col)
@@ -114,6 +116,22 @@ object QuantileOps {
         col("cum_before") + coalesce(sum(col("vcnt")).over(wv), lit(0L)))
       .filter(col("rank") > col("cb2") && col("rank") <= col("cb2") + col("vcnt"))
       .select(gs :+ col("p") :+ col("rank") :+ col("v").as("value"): _*)
+  }
+
+  /** The bit-shift bucket forms are INTEGER selections: a fractional
+    * input would silently truncate through the `cast("long")` and
+    * return the quantile of the WRONG values. Reject loudly and name
+    * the double-typed companions. */
+  private def requireIntegral(df: DataFrame, valueCol: String): Unit = {
+    import org.apache.spark.sql.types._
+    df.schema(valueCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+      case other => throw new IllegalArgumentException(
+        s"exactQuantiles* select over INTEGER values; '$valueCol' is " +
+          s"$other — use QuantileOps.quantileFold (global) or " +
+          "TemporalOps.groupedQuantileFold (grouped) for fractional " +
+          "columns, or scale-and-cast to long explicitly")
+    }
   }
 
   // -------------------------------------------------------------------

@@ -48,6 +48,19 @@ class SketchQuantileSpec extends AnyFunSuite {
     }
   }
 
+  test("exactQuantiles* reject fractional columns loudly (no silent truncation)") {
+    import spark.implicits._
+    val df = Seq(("a", 1.5), ("a", 2.5)).toDF("g", "v")
+    val e1 = intercept[IllegalArgumentException] {
+      QuantileOps.exactQuantiles(df, "v", Seq(0.5))
+    }
+    assert(e1.getMessage.contains("quantileFold"))
+    val e2 = intercept[IllegalArgumentException] {
+      QuantileOps.exactQuantilesBy(df, Seq("g"), "v", Seq(0.5))
+    }
+    assert(e2.getMessage.contains("groupedQuantileFold"))
+  }
+
   test("grouped exact quantiles match per-group full sorts") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
