@@ -950,12 +950,19 @@ object ZarrSource {
     val vNames = varNames.toArray
     val taskBs = bs // captured VALUE — the write runs inside chunk tasks
     val computeStats = stats
+    // LARGE plain chunks also fold per-STRIP block rows under the same
+    // virtual grid ANALYZE would pick, so the cube is born with
+    // sub-chunk zone maps (decode-skip on selective value reads) too
+    val vGrid: Option[Seq[Int]] =
+      if (stats) graft.sources.zarr.ChunkStats.virtualGrid(chunks) else None
+    val stripElems = vGrid.map(_.product).getOrElse(0)
+    val nStrips = if (stripElems > 0) chunkElems / stripElems else 0
     // geometry-only array view for the in-bounds cell walk of the
     // write-time stats fold (same C order as the scan-engine cursor, so
     // the sidecar's sums are bit-identical to an ANALYZE pass)
     val zaW = ZarrArray(shape, chunks, "<f8", Double.NaN, Raw,
       dims.map(_._1), sep)
-    val written = cells.groupByKey(_._1).mapGroups { (cidV, it) =>
+    val written = cells.groupByKey(_._1).flatMapGroups { (cidV, it) =>
       val data = Array.fill(nVars)(Array.fill(chunkElems)(Double.NaN))
       var n = 0
       it.foreach { case (_, o, vs) =>
@@ -973,8 +980,15 @@ object ZarrSource {
       // stats ride out of the write tasks for free: per var
       // [cells, nan, min, max, sum, sumsq] over the in-bounds cells,
       // folded in the reader's exact cell order (counts exact as doubles)
-      val flat: Seq[Double] = if (!computeStats) Seq.empty else {
+      if (!computeStats) Iterator.single((key, Seq.empty[Double]))
+      else {
         val out = new Array[Double](nVars * 6)
+        // per (var, strip) moments for the virtual grid (strips are
+        // contiguous flat ranges: ord = off / stripElems)
+        val strips =
+          if (nStrips == 0) null
+          else Array.fill(nVars * nStrips)(
+            Array(0.0, 0.0, Double.NaN, Double.NaN, 0.0, 0.0))
         var w = 0
         while (w < nVars) {
           out(w * 6 + 2) = Double.NaN; out(w * 6 + 3) = Double.NaN
@@ -996,12 +1010,39 @@ object ZarrSource {
               out(u * 6 + 4) += x
               out(u * 6 + 5) += x * x
             }
+            if (strips != null) {
+              val m = strips(u * nStrips + off / stripElems)
+              m(0) += 1.0
+              if (x.isNaN) m(1) += 1.0
+              else {
+                if (m(0) - m(1) == 1.0 ||
+                  java.lang.Double.compare(x, m(2)) < 0) m(2) = x
+                if (m(0) - m(1) == 1.0 ||
+                  java.lang.Double.compare(x, m(3)) > 0) m(3) = x
+                m(4) += x
+                m(5) += x * x
+              }
+            }
             u += 1
           }
         }
-        out.toSeq
+        val blockRows =
+          if (strips == null) Iterator.empty
+          // the cell walk visits every var at every cell, so a strip's
+          // cell count is var-independent: var 0's decides population
+          else (0 until nStrips).iterator
+            .filter(ord => strips(ord)(0) > 0.0)
+            .map { ord =>
+              val flat = new Array[Double](nVars * 6)
+              var u = 0
+              while (u < nVars) {
+                System.arraycopy(strips(u * nStrips + ord), 0, flat, u * 6, 6)
+                u += 1
+              }
+              (s"$key#$ord", flat.toSeq)
+            }
+        Iterator.single((key, out.toSeq)) ++ blockRows
       }
-      (key, flat)
     }
     // the action runs the job (the writes are its side effect, same
     // pattern as foreachBatch sinks); safe on an empty input. With
@@ -1009,7 +1050,8 @@ object ZarrSource {
     // become the sidecar — a freshly-written cube needs no ANALYZE.
     if (computeStats)
       graft.sources.zarr.ChunkStats.writeInline(groupDir, shape, chunks,
-        varNames, written.collect().toSeq)
+        varNames, written.collect().toSeq,
+        vGrid.map(g => varNames.map(_ -> g).toMap).getOrElse(Map.empty))
     else written.count()
     ()
   }

@@ -435,7 +435,8 @@ object ChunkStats {
     * [cells, nan, min, max, sum, sumsq] — counts exact as doubles). */
   def writeInline(outDir: String, shape: Seq[Int], chunks: Seq[Int],
                   varNames: Seq[String],
-                  entries: Seq[(String, Seq[Double])]): String = {
+                  entries: Seq[(String, Seq[Double])],
+                  blockGrids: Map[String, Seq[Int]] = Map.empty): String = {
     val root = mapper.createObjectNode()
     root.put("graft_stats_format", 1)
     val sh = root.putArray("shape"); shape.foreach(sh.add)
@@ -444,6 +445,12 @@ object ChunkStats {
     // bumped, so the fresh sidecar is valid under the generation check
     generationOf(ByteStore.current, outDir)
       .foreach(root.put("generation", _))
+    if (blockGrids.nonEmpty) {
+      val bg = root.putObject("block_grids")
+      blockGrids.foreach { case (v, inner) =>
+        val a = bg.putArray(v); inner.foreach(a.add)
+      }
+    }
     val vn = root.putObject("vars")
     val perVar = varNames.map(v => vn.putObject(v))
     entries.foreach { case (key, flat) =>

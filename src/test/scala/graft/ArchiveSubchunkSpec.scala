@@ -84,6 +84,45 @@ class ArchiveSubchunkSpec extends AnyFunSuite {
     assert(delta <= 20000L, s"decoded $delta cells — strip skip not engaged")
   }
 
+  test("plain cubes are BORN with strip rows: write-time == ANALYZE, decode skip") {
+    import spark.implicits._
+    // one 1×256×512 chunk (131072 cells ≥ the virtual-grid threshold),
+    // v monotone in the row-major ordinal so strips have disjoint ranges
+    val y = Array.tabulate(256)(_ + 0.5)
+    val x = Array.tabulate(512)(_ + 0.5)
+    def cube(dir: String, stats: Boolean): String = {
+      val g = s"$dir/cube.zarr"
+      val df = spark.range(256L * 512).select(
+        lit(0.0).as("t"),
+        (expr("id div 512").cast("double") + 0.5).as("y"),
+        ((col("id") % 512L).cast("double") + 0.5).as("x"),
+        col("id").cast("double").as("v"))
+      ZarrSource.writeCubeVars(df, g, Seq("v"),
+        Seq("t" -> Array(0.0), "y" -> y, "x" -> x),
+        chunks = Seq(1, 256, 512), stats = stats)
+      g
+    }
+    val born = cube(tmpDir("stripborn"), stats = true)
+    val analyzed = cube(tmpDir("stripana"), stats = false)
+    ChunkStats.analyze(spark, analyzed)
+    def doc(g: String) = {
+      val n = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(Files.readAllBytes(Paths.get(s"$g/${ChunkStats.FileName}")))
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      n.remove("generation"); n
+    }
+    assert(doc(born) === doc(analyzed)) // strips + grid, bit-identical
+    // decode skip on the born cube: a 3-strip value window converts
+    // ~6144 cells, never the 131072-cell chunk
+    val before = ZarrSource.decodedCells.get()
+    val r = spark.read.format("zarr").load(born)
+      .filter(col("v") >= 10000.0 && col("v") < 14096.0)
+      .agg(count(lit(1)), sum(col("v"))).head()
+    assert(r.getLong(0) === 4096L &&
+      r.getDouble(1) === 4096.0 * (10000 + 14095) / 2)
+    assert(ZarrSource.decodedCells.get() - before <= 20000L)
+  }
+
   test("corrupting excluded strips with IN-INTERVAL doubles changes nothing") {
     val dir = writeArchive()
     // locate granule 1's v record via the refs index (url, offset, length)
