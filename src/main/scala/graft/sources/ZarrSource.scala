@@ -1077,10 +1077,23 @@ object ZarrSource {
                  newCoord: Array[Double]): Unit = {
     val spark = df.sparkSession
     import spark.implicits._
-    // shape change self-invalidates the ANALYZE sidecar; drop it anyway
-    graft.sources.zarr.ChunkStats.invalidate(groupDir)
     val arrayDir = s"$groupDir/$varName"
     val za = openArray(arrayDir)
+    // INCREMENTAL sidecar maintenance: when the store is analyzed
+    // (inline doc, this variable only), the append folds the moments of
+    // exactly the chunks it writes — new dim-0 rows plus at most one
+    // merged boundary chunk — and splices them into the carried doc, so
+    // an appended cube STAYS analyzed without an O(all chunks) re-pass.
+    // Loaded BEFORE the invalidate below (which bumps the generation).
+    val carried: Option[graft.sources.zarr.ChunkStats.EagerStats] =
+      graft.sources.zarr.ChunkStats
+        .load(ByteStore.current, groupDir, za, groupDir) match {
+        case Some(e: graft.sources.zarr.ChunkStats.EagerStats)
+            if e.vars.keySet == Set(varName) => Some(e)
+        case _ => None
+      }
+    // shape change self-invalidates the ANALYZE sidecar; drop it anyway
+    graft.sources.zarr.ChunkStats.invalidate(groupDir)
     require(za.dtype == "<f8", s"appendCube supports <f8 stores, got ${za.dtype}")
     val dim0 = za.dims.head
     val oldLen = za.shape.head
@@ -1106,9 +1119,18 @@ object ZarrSource {
     val sep = za.separator
     val zaForDecode = za // closure-captured; decode needs dtype/codec/chunks only
     val taskBs = ByteStore.current // captured VALUE — runs inside chunk tasks
-    cells.groupByKey(_._1).mapGroups { (cidV, it) =>
-      val key = chunkKeyOf(cidV, grid)
-      val path = s"$arrayDir/${key.mkString(sep)}"
+    // strip grid of the carried sidecar's block rows, if any — the
+    // appended chunks fold the same sub-chunk rows the writer/ANALYZE
+    // convention produces
+    val stripGrid: Option[Seq[Int]] = carried.flatMap(_.grids.get(varName))
+    val stripElems = stripGrid.map(_.product).getOrElse(0)
+    val nStrips = if (stripElems > 0) chunkElems / stripElems else 0
+    val foldStats = carried.isDefined
+    val zaW = ZarrArray(shape, chunks, "<f8", Double.NaN, Raw, za.dims, sep)
+    val written = cells.groupByKey(_._1).flatMapGroups { (cidV, it) =>
+      val keyIdx = chunkKeyOf(cidV, grid)
+      val key = keyIdx.mkString(sep)
+      val path = s"$arrayDir/$key"
       // boundary chunk: merge over what is already on disk (only possible
       // when oldLen % chunks(0) != 0 — at most one dim-0 chunk row)
       val data = taskBs.readIfExists(path) match {
@@ -1124,8 +1146,40 @@ object ZarrSource {
       val raw =
         if (zaForDecode.cfActive) data.map(zaForDecode.cfEncode) else data
       taskBs.write(path, encodeChunk(raw, codec))
-      n
-    }.count()
+      if (!foldStats) Iterator.empty
+      else {
+        // fold the WHOLE merged chunk (same in-bounds walk as the
+        // write-time/ANALYZE folds, new shape for the edge bounds)
+        val m = Array(0.0, 0.0, Double.NaN, Double.NaN, 0.0, 0.0)
+        val strips =
+          if (nStrips == 0) null
+          else Array.fill(nStrips)(
+            Array(0.0, 0.0, Double.NaN, Double.NaN, 0.0, 0.0))
+        def fold6(a: Array[Double], x: Double): Unit = {
+          a(0) += 1.0
+          if (x.isNaN) a(1) += 1.0
+          else {
+            if (a(0) - a(1) == 1.0 ||
+              java.lang.Double.compare(x, a(2)) < 0) a(2) = x
+            if (a(0) - a(1) == 1.0 ||
+              java.lang.Double.compare(x, a(3)) > 0) a(3) = x
+            a(4) += x
+            a(5) += x * x
+          }
+        }
+        foreachCell(zaW, keyIdx.map(_.toInt).toSeq) { (off, _) =>
+          val x = data(off)
+          fold6(m, x)
+          if (strips != null) fold6(strips(off / stripElems), x)
+        }
+        Iterator.single((key, m.toSeq)) ++ (
+          if (strips == null) Iterator.empty
+          else (0 until nStrips).iterator.filter(strips(_)(0) > 0.0)
+            .map(ord => (s"$key#$ord", strips(ord).toSeq)))
+      }
+    }
+    val newEntries = if (foldStats) written.collect().toSeq
+      else { written.count(); Seq.empty }
 
     // extend the dim-0 coordinate array (driver-sized, single chunk) and
     // the variable's shape; patch consolidated metadata in place
@@ -1145,6 +1199,23 @@ object ZarrSource {
       m.set(s"$dim0/.zarray", mapper.readTree(coordZarr))
       m.set(s"$varName/.zarray", mapper.readTree(varZarr))
       writeJson(s"$groupDir/.zmetadata", mapper.writeValueAsString(metaDoc))
+    }
+    // splice the append's folds into the carried sidecar: drop the
+    // rewritten chunks' rows (the boundary chunk and its block rows),
+    // keep the rest verbatim (raw-bit round-trip), stamp the new shape
+    // and the post-invalidate generation — the appended store is as
+    // analyzed as the one it grew from, at the cost of its own chunks
+    carried.foreach { old =>
+      val rewritten = newEntries.map(_._1.takeWhile(_ != '#')).toSet
+      val kept = old.vars(varName).toSeq.collect {
+        case (k, st) if !rewritten.contains(k.takeWhile(_ != '#')) =>
+          (k, Seq(st.cells.toDouble, st.nan.toDouble, st.min, st.max,
+            st.sum, st.sumsq))
+      }
+      graft.sources.zarr.ChunkStats.writeInline(groupDir, shape, chunks,
+        Seq(varName), kept ++ newEntries,
+        stripGrid.map(g => Map(varName -> g)).getOrElse(Map.empty))
+      ()
     }
   }
 }

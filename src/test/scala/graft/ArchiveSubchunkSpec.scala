@@ -123,6 +123,62 @@ class ArchiveSubchunkSpec extends AnyFunSuite {
     assert(ZarrSource.decodedCells.get() - before <= 20000L)
   }
 
+  test("appendCube maintains the sidecar incrementally (chunk + strip rows)") {
+    import spark.implicits._
+    // born-analyzed 3×4×6 cube in 2×2×3 chunks: t-chunk 1 is HALF full,
+    // so the append must merge-and-refold the boundary chunk
+    val y = Array(10.0, 20.0, 30.0, 40.0)
+    val x = Array.tabulate(6)(_ + 0.5)
+    def df(ts: Seq[Double]) =
+      (for { ti <- ts; yi <- y.toSeq; xi <- x.toSeq } yield
+        (ti, yi, xi, ti * 100 + yi + xi)).toDF("t", "y", "x", "v")
+    val g = s"${tmpDir("appstats")}/cube.zarr"
+    ZarrSource.writeCube(df(Seq(0.0, 1.0, 2.0)), g, "v",
+      Seq("t" -> Array(0.0, 1.0, 2.0), "y" -> y, "x" -> x),
+      chunks = Seq(2, 2, 3), stats = true)
+    ZarrSource.appendCube(df(Seq(3.0, 4.0)), g, "v", Array(3.0, 4.0))
+    // the maintained doc equals a from-scratch ANALYZE bit-for-bit
+    def doc(p: String) = {
+      val n = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(Files.readAllBytes(Paths.get(p)))
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      n.remove("generation"); n
+    }
+    val maintained = doc(s"$g/${ChunkStats.FileName}")
+    val out = tmpDir("appstats-re")
+    ChunkStats.analyze(spark, g, outDir = Some(out))
+    assert(maintained === doc(s"$out/${ChunkStats.FileName}"))
+    // ...and it still ANSWERS: corrupt every chunk, the guarded
+    // statistics must come from stat rows alone
+    val truth = graft.operators.StatsOps.statisticsFold(
+      ZarrSource.readCubeVars(spark, g, Seq("v")), "v").collect().head
+    new java.io.File(s"$g/v").listFiles()
+      .filter(_.getName.head.isDigit)
+      .foreach(f => Files.write(f.toPath, Array[Byte](9, 9, 9)))
+    val q = graft.operators.StatsOps.statisticsFold(
+      spark.read.format("zarr").load(g), "v")
+    assert(q.collect().head.toSeq === truth.toSeq)
+
+    // STRIP rows survive appends too: a large-chunk born cube appends a
+    // new slice and the new chunk's block rows match a full ANALYZE
+    val xs = Array.tabulate(512)(_ + 0.5)
+    val ys = Array.tabulate(256)(_ + 0.5)
+    def bigDf(t: Double) = spark.range(256L * 512).select(
+      lit(t).as("t"),
+      (expr("id div 512").cast("double") + 0.5).as("y"),
+      ((col("id") % 512L).cast("double") + 0.5).as("x"),
+      (col("id").cast("double") + lit(t * 1e6)).as("v"))
+    val g2 = s"${tmpDir("appstrips")}/cube.zarr"
+    ZarrSource.writeCubeVars(bigDf(0.0), g2, Seq("v"),
+      Seq("t" -> Array(0.0), "y" -> ys, "x" -> xs),
+      chunks = Seq(1, 256, 512), stats = true)
+    ZarrSource.appendCube(bigDf(1.0), g2, "v", Array(1.0))
+    val maintained2 = doc(s"$g2/${ChunkStats.FileName}")
+    val out2 = tmpDir("appstrips-re")
+    ChunkStats.analyze(spark, g2, outDir = Some(out2))
+    assert(maintained2 === doc(s"$out2/${ChunkStats.FileName}"))
+  }
+
   test("corrupting excluded strips with IN-INTERVAL doubles changes nothing") {
     val dir = writeArchive()
     // locate granule 1's v record via the refs index (url, offset, length)

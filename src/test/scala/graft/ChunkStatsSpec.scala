@@ -323,16 +323,24 @@ class ChunkStatsSpec extends AnyFunSuite {
         chunks = Seq(1, 2, 3))
       g
     }
-    // append grows shape -> sidecar ignored by the shape check AND
-    // deleted by the writer
+    // append on an ANALYZEd single-var store MAINTAINS the sidecar
+    // incrementally (round 17): the doc carries the new shape + the
+    // appended chunks' folds, so fresh values are visible AND prunable
     val g = oneVar(tmpDir("statmut"), 1.0)
     ChunkStats.analyze(spark, g)
     val newSlice = (for { yi <- Seq(10.0, 20.0, 30.0, 40.0); xi <- 0 to 5 }
       yield (9.0, yi, xi + 0.5, 9999.0)).toDF("t", "y", "x", "v")
     ZarrSource.appendCube(newSlice, g, "v", Array(9.0))
-    assert(!new java.io.File(s"$g/${ChunkStats.FileName}").exists())
+    assert(new java.io.File(s"$g/${ChunkStats.FileName}").exists())
     val q = spark.read.format("zarr").load(g).filter(col("v") > 9000.0)
     assert(q.count() === 24L) // fresh values visible, nothing mispruned
+    // ...and the maintained doc is LOADABLE (shape + generation checks
+    // pass) and prunes: the 9999 slice lives in its own dim-0 chunks
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val scan = q.queryExecution.sparkPlan.collectLeaves()
+      .collectFirst { case b: BatchScanExec => b }.get
+    assert(scan.inputRDD.getNumPartitions <= 4,
+      s"maintained sidecar did not prune: ${scan.inputRDD.getNumPartitions}")
     // full rewrite of an identical grid drops the sidecar up front
     val d2 = tmpDir("statmut2")
     val g2 = oneVar(d2, 1.0)
