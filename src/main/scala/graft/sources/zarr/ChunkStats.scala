@@ -257,9 +257,67 @@ object ChunkStats {
     analyzeMeta(spark, meta, indexDir.getOrElse(dir), format)
   }
 
+  /** Refresh a shape-stale sidecar after a dim-0 APPEND by re-folding
+    * ONLY the chunks at or beyond the old extent — the daily-granule
+    * archive shape, where a full re-ANALYZE is O(archive) per append.
+    * Applies when the carried doc is inline, same chunk grid, same
+    * trailing shape, same generation, and strictly shorter on dim 0;
+    * rows of chunks fully inside the old extent carry over verbatim
+    * (a possibly half-full boundary chunk re-folds — the cutoff floors
+    * to its chunk index). Returns false when not splice-eligible (the
+    * caller falls back to the full [[analyzeMeta]]). */
+  private[zarr] def analyzeAppendedRefresh(spark: SparkSession,
+                                           meta: ZarrGroupMeta,
+                                           outDir: String,
+                                           format: String): Boolean = {
+    if (format != "json") return false
+    val bs = ByteStore.current
+    val docOpt = bs.readIfExists(s"$outDir/$FileName")
+      .flatMap(b => scala.util.Try(mapper.readTree(b)).toOption)
+    val doc = docOpt.getOrElse(return false)
+    val za = meta.za
+    val ok = doc.path("graft_stats_format").asInt(-1) == 1 &&
+      doc.path("storage").asText("inline") == "inline" &&
+      jsonInts(doc.path("chunks")) == za.chunks && {
+        val oldShape = jsonInts(doc.path("shape"))
+        oldShape.length == za.shape.length &&
+          oldShape.tail == za.shape.tail &&
+          oldShape.headOption.exists(h => h > 0 && h < za.shape.head)
+      } &&
+      Option(doc.get("generation")).map(_.asText) ==
+        generationOf(bs, meta.groupDir) &&
+      doc.path("vars").isObject
+    if (!ok) return false
+    val oldShape0 = jsonInts(doc.path("shape")).head
+    val c0 = oldShape0 / za.chunks.head // boundary chunk re-folds
+    // carry rows of strictly-before-the-cutoff chunks (block rows ride
+    // with their chunk); raw bits pass through untouched
+    val carry = Seq.newBuilder[(String, String, Long, Long, Long, Long,
+      Long, Long)]
+    val vn = doc.path("vars")
+    vn.fieldNames().forEachRemaining { v =>
+      val per = vn.path(v)
+      per.fieldNames().forEachRemaining { key =>
+        val chunkKey = key.takeWhile(_ != '#')
+        if (chunkKey.takeWhile(_ != '.').toInt < c0) {
+          val a = per.path(key)
+          carry += ((v, key, a.get(0).asLong(), a.get(1).asLong(),
+            a.get(2).asLong(), a.get(3).asLong(), a.get(4).asLong(),
+            a.get(5).asLong()))
+        }
+      }
+    }
+    analyzeMeta(spark, meta, outDir, format,
+      keep = _.head >= c0, carry = carry.result())
+    true
+  }
+
   private[zarr] def analyzeMeta(spark: SparkSession, meta: ZarrGroupMeta,
                                 outDir: String,
-                                format: String = "json"): String = {
+                                format: String = "json",
+                                keep: Seq[Int] => Boolean = _ => true,
+                                carry: Seq[(String, String, Long, Long,
+                                  Long, Long, Long, Long)] = Nil): String = {
     require(format == "json" || format == "parquet",
       s"stats format must be json or parquet, got $format")
     // read the group's write-generation token BEFORE the distributed
@@ -306,6 +364,7 @@ object ChunkStats {
       }
     // one row per (chunk, variable) plus one per populated (chunk,
     // variable, inner block): (var, key, cells, nan, 4 bit-moments)
+    val keepF = keep // task-closure value
     val rows = spark.sparkContext
       .parallelize(parts.toSeq, math.max(1, parts.length))
       .flatMap { part =>
@@ -314,7 +373,7 @@ object ChunkStats {
           case single: ZarrInputPartition => Seq(single)
           case other => throw new IllegalStateException(s"$other")
         }
-        chunks.flatMap { cp =>
+        chunks.withFilter(cp => keepF(cp.key)).flatMap { cp =>
           val cur = new ChunkCursor(shared, cp, None)
           val cells = new Array[Long](nv)
           val nan = new Array[Long](nv)
@@ -403,6 +462,7 @@ object ChunkStats {
       }
     }
     if (format == "parquet") {
+      require(carry.isEmpty, "carry rows are json-splice only")
       root.put("storage", "parquet")
       import spark.implicits._
       rows.toDF("var", "key", "cells", "nan", "minBits", "maxBits",
@@ -411,7 +471,7 @@ object ChunkStats {
     } else {
       val vn = root.putObject("vars")
       val perVar = meta.dataVars.map(v => v -> vn.putObject(v)).toMap
-      rows.collect().foreach {
+      (carry ++ rows.collect()).foreach {
         case (v, key, cells, nan, mn, mx, s1, s2) =>
           val a = perVar(v).putArray(key)
           a.add(cells); a.add(nan); a.add(mn); a.add(mx); a.add(s1); a.add(s2)

@@ -450,9 +450,15 @@ object ZarrTable {
     val ensured =
       if (loaded.isDefined || !stats) loaded
       else {
-        ChunkStats.analyzeMeta(org.apache.spark.sql.SparkSession.active, m,
-          side, if (KerchunkSource.manifestFormat(side) == "parquet")
-            "parquet" else "json")
+        val spark = org.apache.spark.sql.SparkSession.active
+        val fmt = if (KerchunkSource.manifestFormat(side) == "parquet")
+          "parquet" else "json"
+        // appended granules grow the concat shape: the refresh re-folds
+        // ONLY the new granules' chunks and carries the rest verbatim —
+        // O(appended), not O(archive). Anything not append-shaped falls
+        // back to the full pass.
+        if (!ChunkStats.analyzeAppendedRefresh(spark, m, side, fmt))
+          ChunkStats.analyzeMeta(spark, m, side, fmt)
         ChunkStats.load(ByteStore.current, side, m.za, m.groupDir)
       }
     m.copy(stats = ensured)

@@ -179,6 +179,59 @@ class ArchiveSubchunkSpec extends AnyFunSuite {
     assert(maintained2 === doc(s"$out2/${ChunkStats.FileName}"))
   }
 
+  test("archive append refreshes the sidecar incrementally (old granules unread)") {
+    def granule(dir: String, g: Int): Unit =
+      NetcdfSource.write(s"$dir/day$g.nc", Seq(NcDim("x", 24)),
+        Seq(("x", Array.tabulate(24)(_ + 0.5))),
+        Seq(("v", Seq("x"), Array.tabulate(24)(k => g * 100.0 + k))))
+    def build(n: Int): String = {
+      val dir = s"${tmpDir("arcinc")}/daily.archive"
+      new java.io.File(dir).mkdirs()
+      (0 until n).foreach(granule(dir, _))
+      dir
+    }
+    val dir = build(3)
+    ChunkStats.analyzeArchive(spark, dir) // sidecar over 3 granules
+    granule(dir, 3) // the append
+    // merge the index FIRST, then corrupt the OLD granules' data bytes:
+    // the incremental refresh must fold ONLY granule 3's chunk — a full
+    // re-analyze would fold the garbage below into the stats
+    graft.sources.KerchunkSource.ensureArchiveIndex(spark, dir)
+    val refs = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(Files.readAllBytes(Paths.get(s"$dir/_refs.json")))
+      .path("refs")
+    val garbage = java.nio.ByteBuffer.allocate(24 * 8)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    (0 until 24).foreach(_ => garbage.putDouble(1e9))
+    (0 until 4).foreach { t =>
+      val r = refs.path(s"v/$t.0")
+      val url = r.get(0).asText
+      if (!url.contains("day3.nc")) {
+        val f = Paths.get(new java.net.URI(url))
+        val ch = java.nio.channels.FileChannel.open(f,
+          StandardOpenOption.WRITE)
+        try ch.write(java.nio.ByteBuffer.wrap(garbage.array()),
+          r.get(1).asLong())
+        finally ch.close()
+        ()
+      }
+    }
+    val ds = spark.read.format("kerchunk").option("stats", "true").load(dir)
+    // the refreshed sidecar answers the guarded statistics with the
+    // ORIGINAL values of granules 0-2 (their rows carried verbatim) plus
+    // granule 3's fresh fold — 1e9 anywhere means old data was re-read
+    val st = graft.operators.StatsOps.statisticsFold(ds, "v").collect().head
+    assert(st.getLong(0) === 96L)
+    assert(st.getDouble(1) === 0.0 && st.getDouble(2) === 323.0)
+    // and it matches a from-scratch ANALYZE of an uncorrupted twin
+    val twin = build(4)
+    ChunkStats.analyzeArchive(spark, twin)
+    def varsDoc(d: String) = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(Files.readAllBytes(Paths.get(s"$d/${ChunkStats.FileName}")))
+      .path("vars")
+    assert(varsDoc(dir) === varsDoc(twin))
+  }
+
   test("corrupting excluded strips with IN-INTERVAL doubles changes nothing") {
     val dir = writeArchive()
     // locate granule 1's v record via the refs index (url, offset, length)
