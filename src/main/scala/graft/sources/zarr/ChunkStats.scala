@@ -286,7 +286,14 @@ object ChunkStats {
       } &&
       Option(doc.get("generation")).map(_.asText) ==
         generationOf(bs, meta.groupDir) &&
-      doc.path("vars").isObject
+      doc.path("vars").isObject && {
+        // the carried rows must cover exactly this meta's variables
+        // (a vars-filtered analyze over a doc with more would orphan
+        // rows; fewer would leave silent gaps)
+        val docVars = scala.collection.mutable.Set.empty[String]
+        doc.path("vars").fieldNames().forEachRemaining(docVars += _)
+        docVars == meta.dataVars.toSet
+      }
     if (!ok) return false
     val oldShape0 = jsonInts(doc.path("shape")).head
     val c0 = oldShape0 / za.chunks.head // boundary chunk re-folds
