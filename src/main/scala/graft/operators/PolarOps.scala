@@ -244,6 +244,91 @@ object PolarOps {
       math.toDegrees(authalicPhiScalar(beta, q)))
   }
 
+  // --------------------------------------------------- rotated pole
+
+  /** A rotated-pole geographic CRS — the COSMO/HIRLAM regional-weather
+    * grid family: coordinates are lon/lat DEGREES in a frame whose
+    * north pole sits at (`poleLatDeg`, `poleLonDeg`) in TRUE geographic
+    * coordinates (the GRIB southern-pole convention negated). Spherical
+    * by construction (the rotation is exact; these grids are defined on
+    * a sphere). Named "ROTPOLE:<poleLat>:<poleLon>" to stay free of the
+    * proj ob_tran parameter-convention ambiguity. */
+  final case class RotPole(poleLatDeg: Double, poleLonDeg: Double) {
+    // v' = Rz(π) · Ry(φp − π/2) · Rz(−λp) · v maps the pole to +z with
+    // the COSMO zero-meridian convention: the true meridian λp ± 180°
+    // (the grid center's meridian) reads as rotated lon 0
+    val sinT: Double = math.sin(math.toRadians(poleLatDeg) - math.Pi / 2)
+    val cosT: Double = math.cos(math.toRadians(poleLatDeg) - math.Pi / 2)
+  }
+
+  def rotPoleForCrs(crs: String): Option[RotPole] =
+    if (!crs.startsWith("ROTPOLE:")) None
+    else crs.stripPrefix("ROTPOLE:").split(':') match {
+      case Array(a, b) =>
+        for (la <- a.toDoubleOption; lo <- b.toDoubleOption
+             if la > -90 && la <= 90)
+          yield RotPole(la, lo)
+      case _ => None
+    }
+
+  /** TRUE (lonDeg, latDeg) → ROTATED (lon', lat') in degrees. */
+  def rotPoleForward(lonDeg: Column, latDeg: Column, rp: RotPole)
+      : (Column, Column) = {
+    val phi = radians(latDeg)
+    val lam = radians(lonDeg - lit(rp.poleLonDeg)) // Rz(−λp) folded in
+    // v1 = Rz-rotated unit vector; v' = Ry(θ)·v1 with θ = φp − π/2
+    val x1 = cos(phi) * cos(lam)
+    val y1 = cos(phi) * sin(lam)
+    val z1 = sin(phi)
+    val x2 = x1 * lit(rp.cosT) + z1 * lit(rp.sinT)
+    val z2 = negate(x1 * lit(rp.sinT)) + z1 * lit(rp.cosT)
+    (degrees(atan2(negate(y1), negate(x2))), degrees(asin(z2)))
+  }
+
+  /** ROTATED (lon', lat') → TRUE (lonDeg, latDeg): the transposed
+    * rotations. */
+  def rotPoleInverse(lonDeg: Column, latDeg: Column, rp: RotPole)
+      : (Column, Column) = {
+    val phi = radians(latDeg)
+    val lam = radians(lonDeg)
+    // undo Rz(π) first: (x, y) → (−x, −y)
+    val x1 = negate(cos(phi) * cos(lam))
+    val y1 = negate(cos(phi) * sin(lam))
+    val z1 = sin(phi)
+    val x2 = x1 * lit(rp.cosT) - z1 * lit(rp.sinT)
+    val z2 = x1 * lit(rp.sinT) + z1 * lit(rp.cosT)
+    val lonT = degrees(atan2(y1, x2)) + lit(rp.poleLonDeg)
+    // normalize to (−180, 180] (atan2 + pole lon can leave the range)
+    (lonT - lit(360.0) * ceil((lonT - lit(180.0)) / lit(360.0)),
+      degrees(asin(z2)))
+  }
+
+  def rotPoleForwardScalar(lonDeg: Double, latDeg: Double, rp: RotPole)
+      : (Double, Double) = {
+    val phi = math.toRadians(latDeg)
+    val lam = math.toRadians(lonDeg - rp.poleLonDeg)
+    val x1 = math.cos(phi) * math.cos(lam)
+    val y1 = math.cos(phi) * math.sin(lam)
+    val z1 = math.sin(phi)
+    val x2 = x1 * rp.cosT + z1 * rp.sinT
+    val z2 = -x1 * rp.sinT + z1 * rp.cosT
+    (math.toDegrees(math.atan2(-y1, -x2)), math.toDegrees(math.asin(z2)))
+  }
+
+  def rotPoleInverseScalar(lonDeg: Double, latDeg: Double, rp: RotPole)
+      : (Double, Double) = {
+    val phi = math.toRadians(latDeg)
+    val lam = math.toRadians(lonDeg)
+    val x1 = -math.cos(phi) * math.cos(lam) // undo Rz(π)
+    val y1 = -math.cos(phi) * math.sin(lam)
+    val z1 = math.sin(phi)
+    val x2 = x1 * rp.cosT - z1 * rp.sinT
+    val z2 = x1 * rp.sinT + z1 * rp.cosT
+    val lonT = math.toDegrees(math.atan2(y1, x2)) + rp.poleLonDeg
+    (lonT - 360.0 * math.ceil((lonT - 180.0) / 360.0),
+      math.toDegrees(math.asin(z2)))
+  }
+
   // --------------------------------------------------- scalar primitives
 
   /** Snyder 15-9: t(φ) = tan(π/4 − φ/2) · [(1+e sinφ)/(1−e sinφ)]^(e/2). */

@@ -89,6 +89,9 @@ object SpatialOps {
       .orElse(if (PolarOps.isSinusoidal(crs)) Some((
         (a: Column, b: Column) => PolarOps.sinuForward(a, b),
         (a: Column, b: Column) => PolarOps.sinuInverse(a, b))) else None)
+      .orElse(PolarOps.rotPoleForCrs(crs).map(rp => (
+        (a: Column, b: Column) => PolarOps.rotPoleForward(a, b, rp),
+        (a: Column, b: Column) => PolarOps.rotPoleInverse(a, b, rp))))
     if (sameCrs(crsFrom, crsTo)) (x, y)
     else (family(crsTo), family(crsFrom)) match {
       case (Some((fwd, _)), _) if isGeographic(crsFrom) => fwd(x, y)
@@ -98,7 +101,7 @@ object SpatialOps {
           "(supported: geographic <-> EPSG:3857, UTM EPSG:326xx/327xx, " +
           "polar stereographic EPSG:3413/3031/3976, LAEA " +
           "EPSG:3035/6931/6932, MODIS sinusoidal SR-ORG:6974, " +
-          "LCC EPSG:2154/3978, Albers EPSG:5070)")
+          "LCC EPSG:2154/3978, Albers EPSG:5070, ROTPOLE:<lat>:<lon>)")
     }
   }
 
@@ -237,6 +240,9 @@ object SpatialOps {
           (a: Double, b: Double) => PolarOps.sinuForwardScalar(a, b),
           (a: Double, b: Double) => PolarOps.sinuInverseScalar(a, b)))
         else None)
+        .orElse(PolarOps.rotPoleForCrs(crs).map(rp => (
+          (a: Double, b: Double) => PolarOps.rotPoleForwardScalar(a, b, rp),
+          (a: Double, b: Double) => PolarOps.rotPoleInverseScalar(a, b, rp))))
       val f: (Double, Double) => (Double, Double) =
         (familyScalar(crsTo), familyScalar(gm.crs)) match {
           case (Some((fwd, _)), _) if isGeographic(gm.crs) => fwd
@@ -262,7 +268,10 @@ object SpatialOps {
         PolarOps.laeaForCrs(crs).isDefined || PolarOps.isSinusoidal(crs) ||
         PolarOps.lccForCrs(crs).isDefined ||
         PolarOps.albersForCrs(crs).isDefined
-    if (isGeographic(crsFrom) && crsTo == "EPSG:3857") degToMeters
+    // rotated-pole frames are DEGREES: unit linear scale either way
+    if (PolarOps.rotPoleForCrs(crsFrom).isDefined ||
+      PolarOps.rotPoleForCrs(crsTo).isDefined) 1.0
+    else if (isGeographic(crsFrom) && crsTo == "EPSG:3857") degToMeters
     else if (crsFrom == "EPSG:3857" && isGeographic(crsTo)) 1.0 / degToMeters
     else if (isGeographic(crsFrom) && UtmOps.zoneForCrs(crsTo).isDefined)
       degToMeters * UtmOps.K0

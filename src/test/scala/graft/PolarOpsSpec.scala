@@ -103,6 +103,30 @@ class PolarOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("rotated pole: COSMO anchors, round-trips, identity at the north pole") {
+    val rp = PolarOps.rotPoleForCrs("ROTPOLE:40.0:-170.0").get
+    // the true pole of rotation reads as rotated lat 90
+    assert(math.abs(PolarOps.rotPoleForwardScalar(-170.0, 40.0, rp)._2 - 90)
+      < 1e-12)
+    // the grid-center meridian (λp + 180 = 10E) reads as rotated lon 0,
+    // and (10E, 50N) — 90° from the pole — as the rotated origin
+    val (cx, cy) = PolarOps.rotPoleForwardScalar(10.0, 50.0, rp)
+    assert(math.abs(cx) < 1e-12 && math.abs(cy) < 1e-12, s"($cx, $cy)")
+    for (lon <- Seq(-30.0, 0.0, 13.4, 45.0, 120.0);
+         lat <- Seq(-20.0, 10.0, 52.5, 75.0)) {
+      val (rx, ry) = PolarOps.rotPoleForwardScalar(lon, lat, rp)
+      val (lon2, lat2) = PolarOps.rotPoleInverseScalar(rx, ry, rp)
+      val dLon = math.abs((((lon2 - lon) % 360) + 540) % 360 - 180)
+      assert(dLon < tol && math.abs(lat2 - lat) < tol,
+        s"($lon, $lat) -> ($rx, $ry) -> ($lon2, $lat2)")
+    }
+    // a pole at 90N with lon 0 is the 180°-shifted identity frame
+    val id = PolarOps.rotPoleForCrs("ROTPOLE:90.0:0.0").get
+    val (ix, iy) = PolarOps.rotPoleForwardScalar(30.0, 40.0, id)
+    assert(math.abs(((ix - (30.0 - 180.0)) % 360 + 540) % 360 - 180) < 1e-9
+      && math.abs(iy - 40.0) < 1e-9, s"($ix, $iy)")
+  }
+
   test("EPSG:3035 matches the published grid: center exact, 5E 50N to cm") {
     val la = PolarOps.laeaForCrs("EPSG:3035").get
     val (cx, cy) = PolarOps.laeaForwardScalar(10.0, 52.0, la)
