@@ -98,8 +98,12 @@ object Bench {
       val err =
         try {
           run(fn) // untimed per-query warm rep
-          val s0 = stageCounter.get() // listener lag ≤ ms: approximate
+          // drain the async listener bus at both window edges so the
+          // previous query's late stage events are not attributed here
+          org.apache.spark.graftbridge.BusDrain.drain(spark.sparkContext)
+          val s0 = stageCounter.get()
           val times = (1 to reps).map(_ => run(fn)).sorted
+          org.apache.spark.graftbridge.BusDrain.drain(spark.sparkContext)
           stagesOf(name) = (stageCounter.get() - s0).toDouble / reps
           Right((median(times), times.head))
         } catch { case e: Throwable =>

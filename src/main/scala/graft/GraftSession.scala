@@ -14,9 +14,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    DuckDB oracle and is cluster-location independent.
   */
 object GraftSession {
-  def builder(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")): SparkSession.Builder =
+  def builder(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")): SparkSession.Builder = {
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
     SparkSession.builder()
-      .master(s"local[$cpus]")
+      .master(master)
       .appName("graft")
       // register the library's custom Catalyst expressions as SQL functions
       // (also loadable via spark.sql.extensions=graft.plans.GraftExtensions)
@@ -42,10 +43,14 @@ object GraftSession {
       // vs 1.66 s at 8 MB on the same JVM (round-17 CurationProbe; every
       // probed query improved, none regressed). 8 MB keeps truly tiny
       // stages at 1 task (the empty-stage-latency win above) while
-      // data-bound stages stay parallel. On a throughput-bound cluster
-      // with IO-dense scans, raise this back toward 64-128 MB per
-      // Spark's guidance — it is a runtime conf.
-      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
+      // data-bound stages stay parallel. The 8 MB figure is a LOCAL
+      // measurement, so it applies only under a local master; on a
+      // cluster (SPARK_GRAFT_MASTER set) the builder keeps Spark's own
+      // 64 MB guidance for IO/throughput-bound scans — an 8x-smaller
+      // coalesce target there would multiply task counts on every
+      // large shuffle. Runtime-overridable either way.
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        if (master.startsWith("local")) "8m" else "64m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // overwrite only the partitions present in the written data — the
@@ -56,6 +61,7 @@ object GraftSession {
       // testdata parquet stores TIMESTAMP(NANOS) which Spark can't decode;
       // read as Long nanos and convert (see GraftSession.events).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+  }
 
   def get(): SparkSession = {
     val s = builder().getOrCreate()

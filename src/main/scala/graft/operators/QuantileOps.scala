@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -185,8 +185,18 @@ object QuantileOps {
     import spark.implicits._
     val v0 = col(vCol).cast("double")
     val vv = when(v0 <= lit(Double.PositiveInfinity), v0)
-    val head = df.agg(count(vv), min(vv), max(vv)).head()
-    val n = head.getLong(0)
+    // pass 0: answered with ZERO Spark jobs from a fully-covering
+    // INLINE sidecar when the frame is a bare connector relation
+    // (ZarrScan.bareMetaOf + ChunkStats.inlineGlobal both decline in
+    // every other case), else the pushed count/min/max job
+    val (n, gLo, gHi) = graft.sources.zarr.ZarrScan.bareMetaOf(df)
+      .flatMap(m => graft.sources.zarr.ChunkStats.inlineGlobal(m, vCol))
+      .getOrElse {
+        val head = quiet(spark) { df.agg(count(vv), min(vv), max(vv)).head() }
+        (head.getLong(0),
+          if (head.getLong(0) == 0L) Double.NaN else head.getDouble(1),
+          if (head.getLong(0) == 0L) Double.NaN else head.getDouble(2))
+      }
     if (n == 0L)
       return ps.map(p => (p, Option.empty[Double])).toDF("p", "value")
     val wants = ps.map { p =>
@@ -197,8 +207,9 @@ object QuantileOps {
     val ranks = wants.flatMap { case (_, r, frac) =>
       if (frac > 0.0) Seq(r, r + 1) else Seq(r)
     }.distinct.sorted
-    val resolved = resolveRanks(df, v0, head.getDouble(1),
-      head.getDouble(2), n, ranks, bins, maxExactRows, maxDepth)
+    val resolved = quiet(spark) {
+      resolveRanks(df, v0, gLo, gHi, n, ranks, bins, maxExactRows, maxDepth)
+    }
     wants.map { case (p, r, frac) =>
       val lower = resolved(r)
       val value =
@@ -215,6 +226,29 @@ object QuantileOps {
         }
       (p, Option(value))
     }.toDF("p", "value")
+  }
+
+  /** Run `body` with AQE off and ONE shuffle partition, restoring the
+    * session values after. Every aggregate collected inside the global
+    * fold is driver-bounded BY CONSTRUCTION (≤ bins + 1 histogram rows
+    * per refinement, ≤ exactCap distinct values per finish — both
+    * enforced with loud errors), so the post-shuffle side is one tiny
+    * task no matter the input size; AQE would only split each internal
+    * collect into materialize + replan jobs (measured on q_zarr_median:
+    * 8 jobs → 4, the difference pure scheduler latency at ~60 ms per
+    * job boundary). The map side — the pushed per-chunk fold over the
+    * full scan width — is unaffected. NOT safe for the grouped fold
+    * (TemporalOps), whose intermediate cardinality is group-driven. */
+  private def quiet[T](spark: SparkSession)(body: => T): T = {
+    val pins = Seq("spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.shuffle.partitions" -> "1")
+    val saved = pins.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pins.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
   }
 
   /** One unresolved selection task: the inclusive value interval, the
@@ -422,6 +456,15 @@ object QuantileOps {
       val mine = byHunt.getOrElse(i, Array.empty)
       act match {
         case ExactA =>
+          // the summed cap above only bounds the LEVEL; each exact hunt
+          // must also honor its own budget, or one degenerate hunt
+          // could ride the other hunts' slack and collect far past the
+          // single-hunt exactFinish guarantee
+          require(mine.length <= exactCap(maxExactRows),
+            s"exact quantile finish over [${h.lo}, ${h.hi}] holds more " +
+              s"than ${exactCap(maxExactRows)} distinct values after " +
+              s"refinement degenerated (depth ${h.depth}, ${h.rows} " +
+              "rows) — raise maxDepth, bins, or maxExactRows")
           walkExact(mine.map(r => (r.getDouble(2), r.getLong(3))).toSeq,
             h, out)
           Nil

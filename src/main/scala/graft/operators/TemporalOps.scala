@@ -295,10 +295,12 @@ object TemporalOps {
     * ever exceeds histogram size. */
   def groupedQuantileFold(df: DataFrame, groupCols: Seq[String],
                           vCol: String, ps: Seq[Double],
-                          bins: Int = 1024): DataFrame = {
+                          bins: Int = 1024,
+                          maxGroups: Int = MaxFoldGroups): DataFrame = {
     require(groupCols.nonEmpty, "use QuantileOps.quantileFold ungrouped")
     val outNames = ps.map(defaultQuantileName(vCol, _))
-    quantileFoldKeyed(df, groupCols.map(col), vCol, ps, outNames, bins)
+    quantileFoldKeyed(df, groupCols.map(col), vCol, ps, outNames, bins,
+      maxGroups)
   }
 
   private def defaultQuantileName(vCol: String, p: Double): String = {
@@ -311,9 +313,17 @@ object TemporalOps {
   /** The shared keyed quantile fold: returns one row per group with the
     * group-key columns (names taken from the grouped plan) followed by
     * one exact `percentile_cont` column per fraction. */
+  /** Ceiling on the group cardinality the keyed quantile fold will
+    * collect driver-side (pass-0 group rows, then ≤ 2 × fractions rank
+    * rows per group). 2^20 groups × ~3 small columns is tens of MB —
+    * comfortably driver-sized — while anything wider is a key the
+    * caller should coarsen or a job percentile_approx serves better. */
+  val MaxFoldGroups: Int = 1 << 20
+
   private def quantileFoldKeyed(df: DataFrame, keys: Seq[Column],
                                 vCol: String, ps: Seq[Double],
-                                outNames: Seq[String], bins: Int)
+                                outNames: Seq[String], bins: Int,
+                                maxGroups: Int = MaxFoldGroups)
       : DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
       s"quantile fractions out of range: $ps")
@@ -332,7 +342,18 @@ object TemporalOps {
     val grpDist = df.groupBy(keys: _*).agg(count(vv).as("__n"),
       min(vv).as("__mn"), max(vv).as("__mx"))
     val keyNames = grpDist.columns.dropRight(3).toSeq
-    val grpRows = grpDist.collect()
+    // every collect below is O(groups)-bounded; for time-bucket
+    // resampling that is calendar-sized, but groupedQuantileFold
+    // advertises ARBITRARY keys — cap the cardinality with a loud
+    // error (the exactCap discipline) instead of letting a
+    // high-cardinality key column grow the driver without a guard.
+    // limit(cap + 1) proves the bound and returns the COMPLETE group
+    // set whenever it holds (≤ cap rows exist ⇒ all of them return).
+    val grpRows = grpDist.limit(maxGroups + 1).collect()
+    require(grpRows.length <= maxGroups,
+      s"grouped quantile fold over more than $maxGroups groups " +
+        "would collect O(groups) rows on the driver — coarsen the " +
+        "group key, or use percentile_approx for key spaces this wide")
     val spark = df.sparkSession
     val grp = spark.createDataFrame(
       java.util.Arrays.asList(grpRows: _*), grpDist.schema)

@@ -304,4 +304,47 @@ class QuantileFoldSpec extends AnyFunSuite {
     assert(hist === ((0 until 7).map(b => b.toLong -> 512L).toMap
       + (7L -> 511L) + (8L -> 1L)))
   }
+
+  test("pass 0 answers from the inline sidecar: constant analyzed store survives total corruption") {
+    import spark.implicits._
+    val y = Array.tabulate(8)(_ + 0.5)
+    val x = Array.tabulate(16)(_ + 0.5)
+    val df = (for { yi <- y; xi <- x } yield (yi, xi, 42.5)).toSeq
+      .toDF("y", "x", "v")
+    val g = s"${tmpDir("qfoldc")}/cube.zarr"
+    ZarrSource.writeCubeVars(df, g, Seq("v"), Seq("y" -> y, "x" -> x),
+      chunks = Seq(1, 16))
+    ChunkStats.analyze(spark, g)
+    // corrupt EVERY chunk payload: pass 0 (guarded count/min/max) must
+    // come from the driver-resident inline sidecar — zero Spark jobs,
+    // zero chunk IO — and lo == hi then short-circuits every
+    // refinement round, so NO pass ever touches a payload
+    new java.io.File(s"$g/v").listFiles()
+      .filter(_.getName.head.isDigit)
+      .foreach(f => Files.write(f.toPath, Array[Byte](9, 9, 9)))
+    val zc = spark.read.format("zarr").load(g)
+    assert(foldRows(QuantileOps.quantileFold(zc, "v", Seq(0.25, 0.9)))
+      === Seq((0.25, 42.5), (0.9, 42.5)))
+    // the driver-side fast path applies ONLY to a bare relation: any
+    // intervening operator declines it (the pushed-agg job — itself
+    // sidecar-answered where chunks are fully admitted — runs instead)
+    assert(graft.sources.zarr.ZarrScan.bareMetaOf(zc).isDefined)
+    assert(graft.sources.zarr.ZarrScan
+      .bareMetaOf(zc.filter(col("y") <= 100.0)).isEmpty)
+    assert(graft.sources.zarr.ZarrScan.bareMetaOf(zc.select("v")).isEmpty)
+  }
+
+  test("groupedQuantileFold caps driver-side group cardinality loudly") {
+    import spark.implicits._
+    val df = Seq.tabulate(40)(i => (i % 10, i.toDouble)).toDF("g", "v")
+    val ex = intercept[IllegalArgumentException] {
+      graft.operators.TemporalOps.groupedQuantileFold(
+        df, Seq("g"), "v", Seq(0.5), maxGroups = 4).collect()
+    }
+    assert(ex.getMessage.contains("groups"))
+    // at the cap exactly, the COMPLETE group set still returns
+    val ok = graft.operators.TemporalOps.groupedQuantileFold(
+      df, Seq("g"), "v", Seq(0.5), maxGroups = 10)
+    assert(ok.count() == 10)
+  }
 }
