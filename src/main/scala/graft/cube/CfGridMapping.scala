@@ -1,0 +1,462 @@
+package graft.cube
+
+import graft.operators.{PolarOps, UtmOps}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** CF grid-mapping conventions: derive a [[GridMapping]] from dataset
+  * metadata, and emit the CF attributes back when writing.
+  *
+  * Reference behavior: `xcube/core/gridmapping/cfconv.py:1-353` (find the
+  * CRS variable referenced by data vars' `grid_mapping` attribute, else a
+  * variable carrying CRS attributes itself; find x/y coordinate variables
+  * by CF `standard_name`, else by common naming), `base.py:808`
+  * (`GridMapping.from_dataset`), `base.py:851` (`from_coords`),
+  * `base.py:787` (`to_regular`), `coords.py:84-300` (resolution and
+  * regularity from coordinate deltas, inverted-y detection, the
+  * area-based resolution estimate for 2-D coords), `helpers.py:137`
+  * (`round_to_fraction`).
+  *
+  * The reference resolves CF parameters through pyproj; this library's
+  * CRS registry is the closed-form family set (SpatialOps), so parsing
+  * maps CF grid-mapping parameters onto a REGISTERED family and declines
+  * loudly otherwise — same discipline as the reprojection dispatcher.
+  */
+object CfGridMapping {
+
+  /** One variable's metadata (+ values when dimension-sized): the
+    * CF-relevant view of a dataset, source-format agnostic. `data` is
+    * None for data variables — only 1-D coordinate candidates need
+    * values, and those are dimension-sized by construction. */
+  final case class CfVar(name: String, dims: Seq[String],
+                         attrs: Map[String, String],
+                         data: Option[Array[Double]] = None)
+
+  // ------------------------------------------------------------------
+  // CF attrs <-> registered CRS strings
+  // ------------------------------------------------------------------
+
+  private def num(attrs: Map[String, String], k: String): Option[Double] =
+    attrs.get(k).flatMap(_.trim.toDoubleOption)
+
+  private def nums(attrs: Map[String, String], k: String): Seq[Double] =
+    attrs.get(k).toSeq.flatMap(_.split(',').flatMap(_.trim.toDoubleOption))
+
+  private def close(a: Double, b: Double, tol: Double = 1e-6): Boolean =
+    math.abs(a - b) <= tol
+
+  /** The registered CRS string encoded by a CF grid-mapping variable's
+    * attributes, or None when the attributes carry no CRS at all.
+    * RECOGNIZED-but-unregistered parameter combinations (an LCC with
+    * unknown parallels, a UTM with a non-standard scale factor) throw —
+    * silently falling back to geographic would misplace every pixel. */
+  def crsFromCf(attrs: Map[String, String]): Option[String] = {
+    def bad(name: String, detail: String): Nothing =
+      throw new IllegalArgumentException(
+        s"CF grid_mapping_name '$name' with $detail does not match a " +
+          "registered CRS family (SpatialOps' closed-form set) — " +
+          "re-project the source, or register the family first")
+    attrs.get("grid_mapping_name").map(_.trim) match {
+      case Some("latitude_longitude") => Some("CRS84")
+      case Some(n @ "rotated_latitude_longitude") =>
+        (num(attrs, "grid_north_pole_latitude"),
+          num(attrs, "grid_north_pole_longitude")) match {
+          case (Some(la), Some(lo)) => Some(s"ROTPOLE:$la:$lo")
+          case _ => bad(n, "missing grid_north_pole_latitude/longitude")
+        }
+      case Some(n @ "transverse_mercator") =>
+        val cm = num(attrs, "longitude_of_central_meridian")
+          .getOrElse(bad(n, "no longitude_of_central_meridian"))
+        val k0 = num(attrs, "scale_factor_at_central_meridian")
+          .getOrElse(UtmOps.K0)
+        val fe = num(attrs, "false_easting").getOrElse(0.0)
+        val fn = num(attrs, "false_northing").getOrElse(0.0)
+        val lat0 = num(attrs, "latitude_of_projection_origin").getOrElse(0.0)
+        val zone = math.round((cm + 183.0) / 6.0).toInt
+        if (!close(k0, UtmOps.K0) || !close(fe, UtmOps.FalseEasting) ||
+          !close(lat0, 0.0) || zone < 1 || zone > 60 ||
+          !close(cm, zone * 6.0 - 183.0))
+          bad(n, s"parameters (cm=$cm k0=$k0 fe=$fe fn=$fn) that are " +
+            "not a UTM zone")
+        if (close(fn, 0.0)) Some(f"EPSG:326$zone%02d")
+        else if (close(fn, 1e7)) Some(f"EPSG:327$zone%02d")
+        else bad(n, s"false_northing $fn (not a UTM hemisphere)")
+      case Some(n @ "polar_stereographic") =>
+        val latTs = num(attrs, "standard_parallel")
+          .orElse(num(attrs, "latitude_of_projection_origin"))
+          .getOrElse(bad(n, "no standard_parallel"))
+        val lon0 = num(attrs, "straight_vertical_longitude_from_pole")
+          .orElse(num(attrs, "longitude_of_projection_origin"))
+          .getOrElse(0.0)
+        if (close(latTs, 70.0) && close(lon0, -45.0)) Some("EPSG:3413")
+        else if (close(latTs, -70.0) && close(lon0, 0.0)) Some("EPSG:3976")
+        else if (close(latTs, -71.0) && close(lon0, 0.0)) Some("EPSG:3031")
+        else bad(n, s"standard_parallel $latTs, lon0 $lon0")
+      case Some(n @ "lambert_azimuthal_equal_area") =>
+        val lat0 = num(attrs, "latitude_of_projection_origin")
+          .getOrElse(bad(n, "no latitude_of_projection_origin"))
+        val lon0 = num(attrs, "longitude_of_projection_origin").getOrElse(0.0)
+        val fe = num(attrs, "false_easting").getOrElse(0.0)
+        val fn = num(attrs, "false_northing").getOrElse(0.0)
+        if (close(lat0, 52.0) && close(lon0, 10.0) &&
+          close(fe, 4321000.0) && close(fn, 3210000.0)) Some("EPSG:3035")
+        else if (close(lat0, 90.0) && close(lon0, 0.0) && close(fe, 0.0) &&
+          close(fn, 0.0)) Some("EPSG:6931")
+        else if (close(lat0, -90.0) && close(lon0, 0.0) && close(fe, 0.0) &&
+          close(fn, 0.0)) Some("EPSG:6932")
+        else bad(n, s"origin ($lat0, $lon0), offsets ($fe, $fn)")
+      case Some(n @ "lambert_conformal_conic") =>
+        val sp = nums(attrs, "standard_parallel")
+        val lat0 = num(attrs, "latitude_of_projection_origin").getOrElse(0.0)
+        val lon0 = num(attrs, "longitude_of_central_meridian")
+          .orElse(num(attrs, "longitude_of_projection_origin"))
+          .getOrElse(bad(n, "no central meridian"))
+        def spIs(a: Double, b: Double): Boolean = sp.length == 2 &&
+          ((close(sp(0), a) && close(sp(1), b)) ||
+            (close(sp(0), b) && close(sp(1), a)))
+        if (spIs(49.0, 44.0) && close(lat0, 46.5) && close(lon0, 3.0))
+          Some("EPSG:2154")
+        else if (spIs(49.0, 77.0) && close(lat0, 49.0) && close(lon0, -95.0))
+          Some("EPSG:3978")
+        else bad(n, s"parallels $sp, origin ($lat0, $lon0)")
+      case Some(n @ "albers_conical_equal_area") =>
+        val sp = nums(attrs, "standard_parallel")
+        val lat0 = num(attrs, "latitude_of_projection_origin").getOrElse(0.0)
+        val lon0 = num(attrs, "longitude_of_central_meridian").getOrElse(0.0)
+        if (sp.length == 2 && close(sp.min, 29.5) && close(sp.max, 45.5) &&
+          close(lat0, 23.0) && close(lon0, -96.0)) Some("EPSG:5070")
+        else bad(n, s"parallels $sp, origin ($lat0, $lon0)")
+      case Some("sinusoidal") => Some("SR-ORG:6974")
+      case Some("mercator") | Some("popular_visualisation_pseudo_mercator") =>
+        Some("EPSG:3857")
+      case Some(n @ "geostationary") =>
+        val lon0 = num(attrs, "longitude_of_projection_origin")
+          .getOrElse(bad(n, "no longitude_of_projection_origin"))
+        val h = num(attrs, "perspective_point_height")
+          .getOrElse(bad(n, "no perspective_point_height"))
+        val sweep = attrs.get("sweep_angle_axis").map(_.trim)
+          // CF offers either axis attribute; they are each other's
+          // complement in the {x, y} pair
+          .orElse(attrs.get("fixed_angle_axis").map(_.trim).collect {
+            case "x" => "y"
+            case "y" => "x"
+          })
+          .getOrElse("y") // CF default sweep_angle_axis is "y" (MSG)
+        if (sweep != "x" && sweep != "y") bad(n, s"sweep axis '$sweep'")
+        Some(s"GEOS:$lon0:$h:$sweep")
+      case Some(other) =>
+        bad(other, "a family this library has no closed form for")
+      case None =>
+        // WKT fallback (rioxarray-style spatial_ref / CF crs_wkt): the
+        // LAST EPSG authority code in the document is the CRS's own
+        attrs.get("crs_wkt").orElse(attrs.get("spatial_ref")).flatMap {
+          wkt =>
+            val ids =
+              """(?:AUTHORITY|ID)\s*\[\s*"EPSG"\s*,\s*"?(\d+)"?\s*\]""".r
+                .findAllMatchIn(wkt).map(_.group(1)).toSeq
+            ids.lastOption.map {
+              case "4326" => "CRS84"
+              case code => s"EPSG:$code"
+            }
+        }
+    }
+  }
+
+  /** The CF attributes describing one of our registered CRS strings —
+    * the write-side complement of [[crsFromCf]] (round-trips through it
+    * for every registered family). */
+  def cfAttrs(crs: String): Map[String, String] = {
+    if (graft.operators.SpatialOps.isGeographic(crs))
+      return Map("grid_mapping_name" -> "latitude_longitude")
+    if (crs == "EPSG:3857")
+      return Map("grid_mapping_name" -> "mercator",
+        "standard_parallel" -> "0.0")
+    UtmOps.zoneForCrs(crs).map { z =>
+      Map("grid_mapping_name" -> "transverse_mercator",
+        "longitude_of_central_meridian" -> (z.zone * 6.0 - 183.0).toString,
+        "latitude_of_projection_origin" -> "0.0",
+        "scale_factor_at_central_meridian" -> UtmOps.K0.toString,
+        "false_easting" -> UtmOps.FalseEasting.toString,
+        "false_northing" -> z.falseNorthing.toString)
+    }.orElse(PolarOps.stereoForCrs(crs).map { ps =>
+      Map("grid_mapping_name" -> "polar_stereographic",
+        "standard_parallel" -> ps.latTs.toString,
+        "straight_vertical_longitude_from_pole" -> ps.lon0.toString,
+        "latitude_of_projection_origin" -> (if (ps.north) "90.0" else "-90.0"),
+        "false_easting" -> "0.0", "false_northing" -> "0.0")
+    }).orElse(PolarOps.laeaForCrs(crs).map { la =>
+      Map("grid_mapping_name" -> "lambert_azimuthal_equal_area",
+        "latitude_of_projection_origin" -> la.lat0.toString,
+        "longitude_of_projection_origin" -> la.lon0.toString,
+        "false_easting" -> la.x0.toString, "false_northing" -> la.y0.toString)
+    }).orElse(PolarOps.lccForCrs(crs).map { lc =>
+      Map("grid_mapping_name" -> "lambert_conformal_conic",
+        "standard_parallel" -> s"${lc.lat1},${lc.lat2}",
+        "latitude_of_projection_origin" -> lc.lat0.toString,
+        "longitude_of_central_meridian" -> lc.lon0.toString,
+        "false_easting" -> lc.x0.toString, "false_northing" -> lc.y0.toString)
+    }).orElse(PolarOps.albersForCrs(crs).map { ab =>
+      Map("grid_mapping_name" -> "albers_conical_equal_area",
+        "standard_parallel" -> s"${ab.lat1},${ab.lat2}",
+        "latitude_of_projection_origin" -> ab.lat0.toString,
+        "longitude_of_central_meridian" -> ab.lon0.toString,
+        "false_easting" -> ab.x0.toString, "false_northing" -> ab.y0.toString)
+    }).orElse(PolarOps.rotPoleForCrs(crs).map { rp =>
+      Map("grid_mapping_name" -> "rotated_latitude_longitude",
+        "grid_north_pole_latitude" -> rp.poleLatDeg.toString,
+        "grid_north_pole_longitude" -> rp.poleLonDeg.toString)
+    }).orElse(PolarOps.geosForCrs(crs).map { g =>
+      Map("grid_mapping_name" -> "geostationary",
+        "longitude_of_projection_origin" -> g.lon0Deg.toString,
+        "perspective_point_height" -> g.h.toString,
+        "sweep_angle_axis" -> (if (g.sweepX) "x" else "y"),
+        "false_easting" -> "0.0", "false_northing" -> "0.0")
+    }).orElse(
+      if (PolarOps.isSinusoidal(crs))
+        Some(Map("grid_mapping_name" -> "sinusoidal",
+          "longitude_of_projection_origin" -> "0.0",
+          "earth_radius" -> "6371007.181"))
+      else None
+    ).getOrElse(throw new IllegalArgumentException(
+      s"no CF grid-mapping emission for CRS '$crs' — register the " +
+        "family in SpatialOps + cfAttrs first"))
+  }
+
+  // ------------------------------------------------------------------
+  // round_to_fraction (reference helpers.py:137-190)
+  // ------------------------------------------------------------------
+
+  private val Resolutions: Map[Int, (Double, Int)] = Map(
+    10 -> (0.1, 1), 20 -> (0.2, 1), 25 -> (0.25, 2), 50 -> (0.5, 1),
+    100 -> (1.0, 0))
+
+  /** Round `value` at the position given by `digits` significant digits
+    * with the least-significant digit snapped to `resolution` — the
+    * reference's coordinate-delta cleanup (a 0.04999999-degree step
+    * reads back as 0.05). */
+  def roundToFraction(value: Double, digits: Int = 2,
+                      resolution: Double = 1.0): Double = {
+    require(digits >= 1, "digits must be a positive integer")
+    val key = math.round(100 * resolution).toInt
+    require(Resolutions.contains(key) && close(100 * resolution, key.toDouble),
+      s"resolution must be one of 0.1, 0.2, 0.25, 0.5, 1 — got $resolution")
+    if (value == 0.0) return 0.0
+    val sign = if (value < 0) -1.0 else 1.0
+    val v = math.abs(value)
+    val (res, resDigits) = Resolutions(key)
+    val exponent = math.floor(math.log10(v)).toInt - digits - resDigits
+    val scale = math.pow(10.0, exponent)
+    sign * math.rint(v / scale / (res * 100)) * (res * 100) * scale
+  }
+
+  // ------------------------------------------------------------------
+  // from_coords: 1-D coordinate arrays -> grid + regularity
+  // ------------------------------------------------------------------
+
+  /** A grid derived from coordinates: the mapping plus whether the
+    * source deltas were uniform within tolerance. An irregular result's
+    * `gm` carries the bbox and the estimated resolution; [[toRegular]]
+    * turns it into the covering regular target (reference
+    * regular.py `to_regular_grid_mapping`). */
+  final case class CoordsMapping(gm: GridMapping, isRegular: Boolean) {
+    def toRegular: GridMapping =
+      if (isRegular) gm
+      else {
+        val res0 = math.min(gm.xRes, gm.yRes)
+        val res = if (res0 > 0) res0 else math.max(gm.xRes, gm.yRes)
+        val width = math.max(2L,
+          math.round((gm.xMax - gm.xMin + res) / res))
+        val height = math.max(2L,
+          math.round((gm.yMax - gm.yMin + res) / res))
+        gm.copy(width = width, height = height, xRes = res, yRes = res)
+      }
+  }
+
+  /** `GridMapping.from_coords` for 1-D coordinates (reference
+    * coords.py:115-160): resolution from the first delta, regularity =
+    * every delta within `tolerance` of it, inverted y (image-order
+    * rows) when the y values descend. The coordinate values are pixel
+    * CENTERS, so the bbox extends half a resolution beyond them. */
+  def fromCoords(xs: Array[Double], ys: Array[Double], crs: String,
+                 tolerance: Double = 1e-5): CoordsMapping = {
+    require(xs.length >= 2 && ys.length >= 2,
+      "x and y coordinate arrays must hold at least 2 values")
+    require(tolerance > 0.0, "tolerance must be greater than zero")
+    def deltas(a: Array[Double]): Array[Double] =
+      a.sliding(2).map(p => math.abs(p(1) - p(0))).toArray
+    def median(a: Array[Double]): Double = {
+      val s = a.sorted
+      if (s.length % 2 == 1) s(s.length / 2)
+      else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
+    }
+    val dx = deltas(xs)
+    val dy = deltas(ys)
+    require(dx.forall(_ > 0.0) && dy.forall(_ > 0.0),
+      "coordinate values must be strictly monotone (no repeated steps)")
+    val regular =
+      dx.forall(d => math.abs(d - dx(0)) <= tolerance) &&
+        dy.forall(d => math.abs(d - dy(0)) <= tolerance)
+    val (xRes, yRes) =
+      if (regular)
+        (roundToFraction(dx(0), 5, 0.25), roundToFraction(dy(0), 5, 0.25))
+      else
+        (roundToFraction(median(dx), 2, 0.5),
+          roundToFraction(median(dy), 2, 0.5))
+    val yDown = ys.head > ys.last
+    val gm = GridMapping(
+      width = xs.length.toLong, height = ys.length.toLong,
+      xMin = xs.min - xRes / 2, yMin = ys.min - yRes / 2,
+      xRes = xRes, yRes = yRes, crs = crs, yDown = yDown)
+    CoordsMapping(gm, regular)
+  }
+
+  // ------------------------------------------------------------------
+  // from_dataset: CF metadata search (cfconv.py)
+  // ------------------------------------------------------------------
+
+  private val XStandardNames =
+    Map("longitude" -> 0, "grid_longitude" -> 1, "projection_x_coordinate" -> 2)
+  private val YStandardNames =
+    Map("latitude" -> 0, "grid_latitude" -> 1, "projection_y_coordinate" -> 2)
+  private val XCommonNames = Seq(
+    Seq("lon", "longitude"), Seq("rlon", "rlongitude"),
+    Seq("x", "xc", "transformed_x"))
+  private val YCommonNames = Seq(
+    Seq("lat", "latitude"), Seq("rlat", "rlatitude"),
+    Seq("y", "yc", "transformed_y"))
+
+  /** `GridMapping.from_dataset` over a source-agnostic variable list:
+    * find the CRS (grid-mapping variable referenced by a `grid_mapping`
+    * attribute, else CRS attributes on any variable), find the 1-D x/y
+    * coordinate variables (CF `standard_name` first, common names
+    * second, family-matched to the CRS like cfconv.py:152-176), then
+    * [[fromCoords]]. Geographic coords with NO CRS variable default to
+    * CRS84 — the reference's `missing_latitude_longitude_crs`. */
+  def fromVars(vars: Seq[CfVar], tolerance: Double = 1e-5): CoordsMapping = {
+    val byName = vars.map(v => v.name -> v).toMap
+    // 1. grid-mapping variable referenced by any variable
+    val referenced = vars.flatMap(_.attrs.get("grid_mapping"))
+      .flatMap(byName.get).headOption
+    // 2. else any variable carrying CRS attributes itself
+    val crsVar = referenced.orElse(
+      vars.find(v => crsFromCf(v.attrs).isDefined))
+    val crs = crsVar.flatMap(v => crsFromCf(v.attrs))
+    val gmName = crsVar.flatMap(_.attrs.get("grid_mapping_name"))
+    // family index: 0 = geographic, 1 = rotated, 2 = projected
+    val family = gmName match {
+      case Some("latitude_longitude") => 0
+      case Some("rotated_latitude_longitude") => 1
+      case Some(_) => 2
+      case None => crs match {
+        case Some(c) if graft.operators.SpatialOps.isGeographic(c) => 0
+        case Some(c) if c.startsWith("ROTPOLE:") => 1
+        case Some(_) => 2
+        case None => 0 // no CRS anywhere: geographic coords + CRS84
+      }
+    }
+    val oneDim = vars.filter(v => v.dims.length == 1 && v.data.isDefined)
+    def find(standard: Map[String, Int], common: Seq[Seq[String]])
+        : Option[CfVar] =
+      oneDim.find(v =>
+          v.attrs.get("standard_name").exists(sn =>
+            standard.get(sn.trim).contains(family)))
+        .orElse(oneDim.find(v => common(family).contains(v.name)))
+    val xVar = find(XStandardNames, XCommonNames)
+    val yVar = find(YStandardNames, YCommonNames)
+    (xVar, yVar) match {
+      case (Some(xv), Some(yv))
+          if xv.data.get.length >= 2 && yv.data.get.length >= 2 =>
+        fromCoords(xv.data.get, yv.data.get,
+          crs.getOrElse("CRS84"), tolerance)
+      case _ => throw new IllegalArgumentException(
+        "no CF grid mapping derivable: x/y coordinate variables not " +
+          s"found (grid mapping ${gmName.orElse(crs).getOrElse("none")}; " +
+          s"1-D candidates: ${oneDim.map(_.name).mkString(", ")})")
+    }
+  }
+
+  /** [[fromVars]] over a parsed NetCDF file. */
+  def fromNetcdf(nc: graft.sources.NetcdfSource.NcFile,
+                 tolerance: Double = 1e-5): CoordsMapping = {
+    val dimNames = nc.dims.map(_.name)
+    fromVars(nc.vars.map { v =>
+      val dims = v.dimIds.map(dimNames(_))
+      CfVar(v.name, dims, v.attrs,
+        if (dims.length == 1) Some(v.data) else None)
+    }, tolerance)
+  }
+
+  // ------------------------------------------------------------------
+  // from_coords for 2-D coordinate COLUMNS (the swath case)
+  // ------------------------------------------------------------------
+
+  /** Derive the covering REGULAR target grid from a frame carrying 2-D
+    * coordinates — `from_coords(2-D) → to_regular` fused, Spark-first
+    * (reference coords.py:163-260: per-cell neighbor deltas, the
+    * area-based resolution estimate weighted 0.7·min + 0.3·max, then
+    * regular.py's covering-grid formula). The neighbor deltas come from
+    * two self equi-joins on the (j, i) pixel key — hash-partitioned,
+    * never windowed, never collected: only the four aggregate scalars
+    * (bbox, min/max cell area, the j-axis direction probe) reach the
+    * driver. Rows with NaN coordinates drop out of both the bbox and
+    * the area estimate like the reference's nan-guards. */
+  def fromCoords2d(df: DataFrame, iCol: String, jCol: String,
+                   xcCol: String, ycCol: String, crs: String): GridMapping = {
+    val geographic = graft.operators.SpatialOps.isGeographic(crs)
+    val er = 6371000.0 // the reference's _ER (coords.py:30)
+    val base = df.select(col(iCol).cast("long").as("__i"),
+      col(jCol).cast("long").as("__j"),
+      col(xcCol).cast("double").as("__x"),
+      col(ycCol).cast("double").as("__y"))
+      .filter(!isnan(col("__x")) && !isnan(col("__y")))
+    val ext = base.agg(
+      min("__x"), max("__x"), min("__y"), max("__y"),
+      min("__j"), max("__j")).head()
+    require(!ext.isNullAt(0), "fromCoords2d: no valid coordinate cells")
+    val (xMinC, xMaxC) = (ext.getDouble(0), ext.getDouble(1))
+    val (yMinC, yMaxC) = (ext.getDouble(2), ext.getDouble(3))
+    val (j0, j1) = (ext.getLong(4), ext.getLong(5))
+    // neighbor deltas: i-direction and j-direction via two self-joins
+    val ni = base.select(col("__i").as("__i2"), col("__j").as("__j2"),
+      col("__x").as("__xi"), col("__y").as("__yi"))
+    val nj = base.select(col("__i").as("__i3"), col("__j").as("__j3"),
+      col("__x").as("__xj"), col("__y").as("__yj"))
+    val both = base
+      .join(ni, col("__j") === col("__j2") && col("__i") + 1 === col("__i2"))
+      .join(nj, col("__i") === col("__i3") && col("__j") + 1 === col("__j3"))
+    val xXd = col("__xi") - col("__x")
+    val yXd = col("__yi") - col("__y")
+    val xYd = col("__xj") - col("__x")
+    val yYd = col("__yj") - col("__y")
+    // per-cell edge lengths; geographic degrees convert to metres at the
+    // cell's own latitude so the area estimate is distance-true
+    val (xAbs0, yAbs0) = (sqrt(xXd * xXd + yXd * yXd),
+      sqrt(xYd * xYd + yYd * yYd))
+    val (xAbs, yAbs) =
+      if (geographic)
+        (radians(xAbs0) * lit(er) * cos(radians(col("__y"))),
+          radians(yAbs0) * lit(er))
+      else (xAbs0, yAbs0)
+    val area = xAbs * yAbs
+    val a = both.filter(area > 0.0)
+      .agg(min(area).as("mn"), max(area).as("mx")).head()
+    require(!a.isNullAt(0),
+      "fromCoords2d: fewer than 2x2 valid cells — no resolution derivable")
+    val resRaw = 0.7 * math.sqrt(a.getDouble(0)) +
+      0.3 * math.sqrt(a.getDouble(1))
+    val resUnits =
+      if (geographic) math.toDegrees(resRaw / er) else resRaw
+    val res = roundToFraction(resUnits, 1, 0.5)
+    require(res > 0.0, s"fromCoords2d: resolution estimate $res")
+    // j-axis direction: mean y of the first pixel row vs the last
+    val dir = base.agg(
+      avg(when(col("__j") === j0, col("__y"))),
+      avg(when(col("__j") === j1, col("__y")))).head()
+    val yDown = dir.getDouble(0) > dir.getDouble(1)
+    val xMin = xMinC - res / 2
+    val yMin = yMinC - res / 2
+    val width = math.max(2L, math.round((xMaxC + res / 2 - xMin) / res))
+    val height = math.max(2L, math.round((yMaxC + res / 2 - yMin) / res))
+    GridMapping(width, height, xMin, yMin, res, res, crs, yDown = yDown)
+  }
+}

@@ -569,4 +569,134 @@ object PolarOps {
       (math.toDegrees(lam) + la.lon0, math.toDegrees(phi))
     }
   }
+
+  // --------------------------------------------------- geostationary
+
+  /** The geostationary perspective projection ("geos") — the MSG/GOES
+    * full-disk product family, the largest real-world CRS family the
+    * reference reaches through pyproj that had no closed form here
+    * (reference resampling/spatial.py:28-261 accepts any CRS; CF
+    * grid_mapping_name "geostationary"). GRS80 ellipsoid; projection
+    * coordinates are scan angles × perspective height (metres), the
+    * PROJ +proj=geos convention. `sweepX` = the GOES-R scan geometry
+    * (sweep_angle_axis "x"); MSG/SEVIRI uses sweep "y". Named
+    * "GEOS:<lon0>" (standard 35,786,023 m height, sweep x) or fully
+    * "GEOS:<lon0>:<h>:<x|y>". Forward/inverse verified against the
+    * published GOES-R Product Definition and Users' Guide worked
+    * example (lon −84.690932, lat 33.846162 ↔ scan angles −0.024052,
+    * 0.095340 rad at lon0 −75, sweep x). */
+  final case class Geos(lon0Deg: Double, h: Double, sweepX: Boolean) {
+    val rEq: Double = 6378137.0
+    val rPol: Double = 6356752.31414
+    val bigH: Double = h + rEq
+    val e2: Double = (rEq * rEq - rPol * rPol) / (rEq * rEq)
+    val invFlat2: Double = (rEq * rEq) / (rPol * rPol)
+  }
+
+  def geosForCrs(crs: String): Option[Geos] =
+    if (!crs.startsWith("GEOS:")) None
+    else crs.stripPrefix("GEOS:").split(':') match {
+      case Array(l) =>
+        l.toDoubleOption.map(Geos(_, 35786023.0, sweepX = true))
+      case Array(l, hh, sw) if sw == "x" || sw == "y" =>
+        for (lo <- l.toDoubleOption; hv <- hh.toDoubleOption if hv > 0)
+          yield Geos(lo, hv, sweepX = sw == "x")
+      case _ => None
+    }
+
+  /** (lonDeg, latDeg) → geostationary (x, y) metres. Points not visible
+    * from the satellite (behind the limb) read NaN — the quadratic the
+    * inverse solves has no real root there, and the forward's own
+    * geometry produces angles only for the near hemisphere, which the
+    * ±90° dlon guard enforces. */
+  def geosForward(lonDeg: Column, latDeg: Column, g: Geos)
+      : (Column, Column) = {
+    val latc = atan(lit(1.0 / g.invFlat2) * tan(radians(latDeg)))
+    val rc = lit(g.rPol) / sqrt(lit(1.0) - lit(g.e2) * cos(latc) * cos(latc))
+    val dlon = radians(lonDeg - lit(g.lon0Deg))
+    val sx0 = lit(g.bigH) - rc * cos(latc) * cos(dlon)
+    val sy0 = negate(rc * cos(latc) * sin(dlon))
+    val sz0 = rc * sin(latc)
+    // limb visibility: the satellite sees the point iff the view ray is
+    // outside the local horizon — the PUG test sx·(sx − H) + sy² + sz²·
+    // (rEq/rPol)² < 0 (violations → NaN, the masked-cell convention)
+    val vis = sx0 * (sx0 - lit(g.bigH)) + sy0 * sy0 +
+      lit(g.invFlat2) * sz0 * sz0 < lit(0.0)
+    val nan = lit(Double.NaN)
+    val sx = when(vis, sx0).otherwise(nan)
+    val sy = sy0
+    val sz = sz0
+    val r = sqrt(sx * sx + sy * sy + sz * sz)
+    if (g.sweepX)
+      (lit(g.h) * asin(negate(sy) / r), lit(g.h) * atan(sz / sx))
+    else
+      (lit(g.h) * atan(negate(sy) / sx), lit(g.h) * asin(sz / r))
+  }
+
+  /** geostationary (x, y) metres → (lonDeg, latDeg); off-disk points
+    * (no ellipsoid intersection) read NaN via the negative discriminant. */
+  def geosInverse(x: Column, y: Column, g: Geos): (Column, Column) = {
+    val xa = x / lit(g.h)
+    val ya = y / lit(g.h)
+    // unit view ray u from the satellite, by sweep geometry
+    val (u1, u2, u3) =
+      if (g.sweepX)
+        (cos(xa) * cos(ya), negate(sin(xa)), cos(xa) * sin(ya))
+      else
+        (cos(ya) * cos(xa), negate(cos(ya) * sin(xa)), sin(ya))
+    val aq = u1 * u1 + u2 * u2 + lit(g.invFlat2) * u3 * u3
+    val bq = lit(-2.0 * g.bigH) * u1
+    val cq = lit(g.bigH * g.bigH - g.rEq * g.rEq)
+    val rs = (negate(bq) - sqrt(bq * bq - lit(4.0) * aq * cq)) /
+      (lit(2.0) * aq)
+    val sx = rs * u1
+    val sy = rs * u2
+    val sz = rs * u3
+    val lat = atan(lit(g.invFlat2) * sz /
+      sqrt((lit(g.bigH) - sx) * (lit(g.bigH) - sx) + sy * sy))
+    val lon = lit(g.lon0Deg) - degrees(atan(sy / (lit(g.bigH) - sx)))
+    (lon, degrees(lat))
+  }
+
+  def geosForwardScalar(lonDeg: Double, latDeg: Double, g: Geos)
+      : (Double, Double) = {
+    val latc = math.atan((1.0 / g.invFlat2) * math.tan(math.toRadians(latDeg)))
+    val rc = g.rPol / math.sqrt(1.0 - g.e2 * math.cos(latc) * math.cos(latc))
+    val dlon = math.toRadians(lonDeg - g.lon0Deg)
+    val sx = g.bigH - rc * math.cos(latc) * math.cos(dlon)
+    val sy = -rc * math.cos(latc) * math.sin(dlon)
+    val sz = rc * math.sin(latc)
+    if (sx * (sx - g.bigH) + sy * sy + g.invFlat2 * sz * sz >= 0.0)
+      return (Double.NaN, Double.NaN)
+    val r = math.sqrt(sx * sx + sy * sy + sz * sz)
+    if (g.sweepX)
+      (g.h * math.asin(-sy / r), g.h * math.atan(sz / sx))
+    else
+      (g.h * math.atan(-sy / sx), g.h * math.asin(sz / r))
+  }
+
+  def geosInverseScalar(x: Double, y: Double, g: Geos): (Double, Double) = {
+    val xa = x / g.h
+    val ya = y / g.h
+    val (u1, u2, u3) =
+      if (g.sweepX)
+        (math.cos(xa) * math.cos(ya), -math.sin(xa),
+          math.cos(xa) * math.sin(ya))
+      else
+        (math.cos(ya) * math.cos(xa), -math.cos(ya) * math.sin(xa),
+          math.sin(ya))
+    val aq = u1 * u1 + u2 * u2 + g.invFlat2 * u3 * u3
+    val bq = -2.0 * g.bigH * u1
+    val cq = g.bigH * g.bigH - g.rEq * g.rEq
+    val disc = bq * bq - 4.0 * aq * cq
+    if (disc < 0.0) return (Double.NaN, Double.NaN)
+    val rs = (-bq - math.sqrt(disc)) / (2.0 * aq)
+    val sx = rs * u1
+    val sy = rs * u2
+    val sz = rs * u3
+    val lat = math.atan(g.invFlat2 * sz /
+      math.sqrt((g.bigH - sx) * (g.bigH - sx) + sy * sy))
+    (g.lon0Deg - math.toDegrees(math.atan(sy / (g.bigH - sx))),
+      math.toDegrees(lat))
+  }
 }

@@ -92,6 +92,9 @@ object SpatialOps {
       .orElse(PolarOps.rotPoleForCrs(crs).map(rp => (
         (a: Column, b: Column) => PolarOps.rotPoleForward(a, b, rp),
         (a: Column, b: Column) => PolarOps.rotPoleInverse(a, b, rp))))
+      .orElse(PolarOps.geosForCrs(crs).map(g => (
+        (a: Column, b: Column) => PolarOps.geosForward(a, b, g),
+        (a: Column, b: Column) => PolarOps.geosInverse(a, b, g))))
     if (sameCrs(crsFrom, crsTo)) (x, y)
     else (family(crsTo), family(crsFrom)) match {
       case (Some((fwd, _)), _) if isGeographic(crsFrom) => fwd(x, y)
@@ -101,7 +104,8 @@ object SpatialOps {
           "(supported: geographic <-> EPSG:3857, UTM EPSG:326xx/327xx, " +
           "polar stereographic EPSG:3413/3031/3976, LAEA " +
           "EPSG:3035/6931/6932, MODIS sinusoidal SR-ORG:6974, " +
-          "LCC EPSG:2154/3978, Albers EPSG:5070, ROTPOLE:<lat>:<lon>)")
+          "LCC EPSG:2154/3978, Albers EPSG:5070, ROTPOLE:<lat>:<lon>, " +
+          "GEOS:<lon0>[:<h>:<x|y>])")
     }
   }
 
@@ -243,6 +247,9 @@ object SpatialOps {
         .orElse(PolarOps.rotPoleForCrs(crs).map(rp => (
           (a: Double, b: Double) => PolarOps.rotPoleForwardScalar(a, b, rp),
           (a: Double, b: Double) => PolarOps.rotPoleInverseScalar(a, b, rp))))
+        .orElse(PolarOps.geosForCrs(crs).map(g => (
+          (a: Double, b: Double) => PolarOps.geosForwardScalar(a, b, g),
+          (a: Double, b: Double) => PolarOps.geosInverseScalar(a, b, g))))
       val f: (Double, Double) => (Double, Double) =
         (familyScalar(crsTo), familyScalar(gm.crs)) match {
           case (Some((fwd, _)), _) if isGeographic(gm.crs) => fwd
@@ -267,7 +274,8 @@ object SpatialOps {
         PolarOps.stereoForCrs(crs).isDefined ||
         PolarOps.laeaForCrs(crs).isDefined || PolarOps.isSinusoidal(crs) ||
         PolarOps.lccForCrs(crs).isDefined ||
-        PolarOps.albersForCrs(crs).isDefined
+        PolarOps.albersForCrs(crs).isDefined ||
+        PolarOps.geosForCrs(crs).isDefined
     // rotated-pole frames are DEGREES: unit linear scale either way
     if (PolarOps.rotPoleForCrs(crsFrom).isDefined ||
       PolarOps.rotPoleForCrs(crsTo).isDefined) 1.0

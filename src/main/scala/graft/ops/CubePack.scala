@@ -143,6 +143,51 @@ object CubePack extends QueryPack {
           round(sum(col("v").cast("decimal(28,10)")), 6).cast("double").as("sum_v"))
     }),
 
+    // gen1 InputProcessor plugin surface (gen/iproc.py:126-551): a
+    // registered per-format processor drives the slice generator —
+    // pre_process MASKS low values (a pushable filter), the spatial step
+    // mean-downsamples 2x onto the target grid, post_process rescales,
+    // and the granule's time label derives from the processor's own
+    // get_time_range. Two granules, every hook exercised, per-granule
+    // plan branches with no cross-granule shuffle.
+    "q_gen_iproc" -> ((s, d) => {
+      import graft.gen.{DefaultInputProcessor, InputProcessors}
+      import graft.sources.NetcdfSource
+      import NetcdfSource.NcDim
+      val sfName = new java.io.File(d).getName
+      val base = s"/root/repo/.graft-fixtures/geniproc_$sfName"
+      val paths = (0 to 1).map(g => s"$base/granule$g.nc")
+      graft.Fixtures.ensureWritten(base, "2 granules, 10x20, day-stamped") {
+        new java.io.File(base).mkdirs()
+        (0 to 1).foreach { g =>
+          NetcdfSource.write(paths(g),
+            Seq(NcDim("time", 1), NcDim("y", 10), NcDim("x", 20)),
+            Seq(("time", Array(g * 86400.0)),
+              ("y", Array.tabulate(10)(_ + 0.5)),
+              ("x", Array.tabulate(20)(_ + 0.5))),
+            Seq(("v", Seq("time", "y", "x"),
+              Array.tabulate(200)(c => ((c + g) % 32).toDouble / 4.0))))
+        }
+      }
+      val srcGm = GridMapping(20, 10, 0.0, 0.0, 1.0, 1.0)
+      val tgtGm = GridMapping(10, 5, 0.0, 0.0, 2.0, 2.0)
+      InputProcessors.register(new DefaultInputProcessor("netcdf", "time") {
+        override def name: String = "mask-low-rescale"
+        override def preProcess(df: DataFrame): DataFrame =
+          df.filter(col("v") >= 1.0)
+        override def postProcess(df: DataFrame): DataFrame =
+          df.withColumn("v", col("v") * 2.0)
+      })
+      val out = InputProcessors.genCube(s, paths, "mask-low-rescale",
+        srcGm, tgtGm, Seq("v"),
+        toIj = df => df.select(srcGm.iExpr(col("x")).as("i"),
+          srcGm.jExpr(col("y")).as("j"), col("v")))
+      out.groupBy("time")
+        .agg(count(lit(1)).as("n_cells"),
+          round(sum(round(col("v"), 6).cast("decimal(28,10)")), 6)
+            .cast("double").as("sum_v"))
+    }),
+
     // clip_dataset_by_geometry (geom.py:445-529): rows outside the
     // geometry's envelope dropped — pure prunable filter
     "q_clip" -> ((s, d) => {
@@ -270,6 +315,23 @@ object CubePack extends QueryPack {
          SELECT time, count(*) AS n_blocks,
                 round(sum(v::DECIMAL(28,10)), 6)::DOUBLE AS sum_v
          FROM blk GROUP BY time""",
+    // the fixture's cell formula + every processor hook recomputed: mask
+    // v < 1, per-target-cell DECIMAL mean over the 2x2 block, rescale,
+    // time label from the granule's own day stamp
+    "q_gen_iproc" ->
+      """WITH cells AS (
+           SELECT gg, (c % 20) AS i, (c // 20) AS j,
+                  CAST((c + gg) % 32 AS DOUBLE) / 4.0 AS v
+           FROM range(0, 200) r(c), range(0, 2) s(gg)),
+         kept AS (SELECT * FROM cells WHERE v >= 1.0),
+         tgt AS (SELECT gg, i // 2 AS ti, j // 2 AS tj,
+                        sum(v::DECIMAL(28,12))::DOUBLE / count(*) AS v
+                 FROM kept GROUP BY gg, ti, tj)
+         SELECT make_timestamp((gg * 86400 * 1000000)::BIGINT) AS time,
+                count(*) AS n_cells,
+                round(sum(round(v * 2.0, 6)::DECIMAL(28,10)), 6)::DOUBLE
+                  AS sum_v
+         FROM tgt GROUP BY gg""",
     "q_clip" ->
       s"""WITH $cubeCte
          SELECT event_type, count(*) AS n, round(sum(v), 6) AS sum_v

@@ -194,6 +194,50 @@ object StoragePack extends QueryPack {
       }.reduce(_ unionByName _)
     }),
 
+    // DataStore.search_data (reference store/store.py:139-720 through
+    // search.py's list-describe-filter default): a catalog of three zarr
+    // cubes at disjoint x-extents plus one flat table; a bbox search must
+    // return EXACTLY the two intersecting cubes, with their derived
+    // extents and variables — the flat table (no spatial axes) and the
+    // out-of-bbox cube must drop. Each hit re-opens and checksums, so a
+    // wrong hit set or wrong derived extent cannot hash-match.
+    "q_store_search" -> ((s, d) => {
+      val sfName = new java.io.File(d).getName
+      val base = s"/root/repo/.graft-fixtures/storesearch_$sfName"
+      graft.Fixtures.ensureWritten(base, "3 cubes @ x+100k offsets, 1 table") {
+        new java.io.File(base).mkdirs()
+        import graft.sources.ZarrSource
+        (0 to 2).foreach { k =>
+          val y = Array.tabulate(10)(_ + 0.5)
+          val x = Array.tabulate(20)(i => 100.0 * k + i + 0.5)
+          val cells = s.range(200).select(
+            (col("id") / 20).cast("long").as("j"),
+            (col("id") % 20).as("i"))
+            .select((col("j").cast("double") + 0.5).as("y"),
+              (lit(100.0 * k) + col("i").cast("double") + 0.5).as("x"),
+              (((col("j") * 20 + col("i")) % 64).cast("double") / 4.0 +
+                lit(k.toDouble)).as("v"))
+          ZarrSource.writeCubeVars(cells, s"$base/cube$k.zarr", Seq("v"),
+            Seq("y" -> y, "x" -> x), chunks = Seq(5, 10))
+        }
+        s.range(100).selectExpr("id", "id * 2 AS v2")
+          .coalesce(1).write.parquet(s"$base/flat.parquet")
+      }
+      val store = new FsDataStore(s, base)
+      val hits = store.searchData(bbox = Some((95.0, 0.0, 205.0, 5.0)))
+      require(hits.nonEmpty, "bbox search returned no hits")
+      hits.map { dd =>
+        val (x1, y1, x2, y2) = dd.bbox.get
+        store.open(dd.dataId)
+          .agg(count(lit(1)).as("n_rows"), sum(col("v")).as("sum_v"))
+          .select(lit(dd.dataId).as("id"),
+            lit(dd.varNames.mkString(",")).as("vars"),
+            lit(x1).as("x_min"), lit(y1).as("y_min"),
+            lit(x2).as("x_max"), lit(y2).as("y_max"),
+            col("n_rows"), round(col("sum_v"), 6).as("sum_v"))
+      }.reduce(_ unionByName _)
+    }),
+
     // CSV IO round-trip: write a day aggregate as CSV, read it back with
     // format inference; the oracle recomputes the aggregate independently
     "q_csv_roundtrip" -> ((s, d) => {
@@ -403,6 +447,18 @@ object StoragePack extends QueryPack {
           "nation", "orders", "part", "region", "supplier")
         .map(t => s"SELECT '$t' AS id, count(*) AS n_rows FROM $t")
         .mkString(" UNION ALL "),
+    // the fixture IS the spec: cubes 1 and 2 intersect bbox (95, 0, 205,
+    // 5); their extents are the coordinate mins/maxes the search must
+    // derive, and the checksums recompute the cubes' cell formula
+    "q_store_search" ->
+      (1 to 2).map(k =>
+        s"""SELECT 'cube$k.zarr' AS id, 'v' AS vars,
+                   ${100.0 * k + 0.5} AS x_min, 0.5 AS y_min,
+                   ${100.0 * k + 19.5} AS x_max, 9.5 AS y_max,
+                   count(*) AS n_rows,
+                   round(sum(CAST(c % 64 AS DOUBLE) / 4.0 + $k.0), 6)
+                     AS sum_v
+            FROM range(0, 200) r(c)""").mkString(" UNION ALL "),
     "q_csv_roundtrip" ->
       """SELECT date_trunc('day', ts) AS day, event_type,
                 count(*) AS n, round(sum(value), 6) AS sum_value

@@ -15,9 +15,102 @@ trait DataStore {
   def describe(dataId: String): String
   def open(dataId: String): DataFrame
   def write(dataId: String, df: DataFrame, mode: String = "error"): Unit
+
+  /** search_data (reference store/store.py:139-720 through
+    * search.py:38-131's list-describe-filter default): filter the
+    * catalog by data type, variable name, spatial bbox INTERSECTION and
+    * time-range OVERLAP, returning one typed descriptor per hit.
+    *
+    * Schema-only predicates (type, variable) prune FIRST so the
+    * extent probe — one min/max aggregate over the entry's coordinate
+    * columns — runs only for surviving candidates; over the zarr/netcdf
+    * connectors that aggregate is the metadata-only plan (answered from
+    * driver-resident coordinates, zero chunk IO), so searching a
+    * petabyte catalog costs catalog-sized work, not data-sized work.
+    * Extents are also computed only when the caller filters on them or
+    * asks for them (`withExtents`). */
+  def searchData(dataType: Option[String] = None,
+                 varName: Option[String] = None,
+                 bbox: Option[(Double, Double, Double, Double)] = None,
+                 timeRange: Option[(Double, Double)] = None,
+                 withExtents: Boolean = false): Seq[DataStore.DataDescriptor] = {
+    import org.apache.spark.sql.functions.{col, max, min}
+    val needExtents = withExtents || bbox.isDefined || timeRange.isDefined
+    listDataIds().flatMap { id =>
+      val dt = DataStore.dataTypeFor(id)
+      if (dataType.exists(_ != dt)) None
+      else {
+        val df = open(id)
+        val cols = df.columns.toSeq
+        val dims = Set("t", "time", "y", "x", "lat", "lon", "latitude",
+          "longitude")
+        val vars = cols.filterNot(c => dims.contains(c.toLowerCase))
+        if (varName.exists(v => !vars.contains(v))) None
+        else {
+          def axis(names: Seq[String]): Option[String] =
+            names.find(n => cols.exists(_.equalsIgnoreCase(n)))
+              .flatMap(n => cols.find(_.equalsIgnoreCase(n)))
+          val xCol = axis(Seq("x", "lon", "longitude"))
+          val yCol = axis(Seq("y", "lat", "latitude"))
+          val tCol = axis(Seq("t", "time"))
+          val (bb, tr) =
+            if (!needExtents) (None, None)
+            else {
+              val probes = (xCol.toSeq ++ yCol.toSeq ++ tCol.toSeq)
+                .flatMap(c => Seq(min(col(c).cast("double")),
+                  max(col(c).cast("double"))))
+              if (probes.isEmpty) (None, None)
+              else {
+                val r = df.agg(probes.head, probes.tail: _*).head()
+                var k = 0
+                def next(): Option[(Double, Double)] = {
+                  val v =
+                    if (r.isNullAt(k)) None
+                    else Some((r.getDouble(k), r.getDouble(k + 1)))
+                  k += 2
+                  v
+                }
+                val xe = if (xCol.isDefined) next() else None
+                val ye = if (yCol.isDefined) next() else None
+                val te = if (tCol.isDefined) next() else None
+                (for (x <- xe; y <- ye)
+                  yield (x._1, y._1, x._2, y._2), te)
+              }
+            }
+          val bboxOk = bbox.forall(q => bb.exists(b =>
+            b._1 <= q._3 && b._3 >= q._1 && b._2 <= q._4 && b._4 >= q._2))
+          val timeOk = timeRange.forall(q => tr.exists(t =>
+            t._1 <= q._2 && t._2 >= q._1))
+          if (bboxOk && timeOk)
+            Some(DataStore.DataDescriptor(id, dt, vars, bb, tr))
+          else None
+        }
+      }
+    }
+  }
 }
 
 object DataStore {
+
+  /** One search hit (reference DataDescriptor, descriptor.py): id, type,
+    * variable names, optional spatial bbox (xMin, yMin, xMax, yMax) and
+    * time extent over the entry's own coordinate units. */
+  final case class DataDescriptor(
+      dataId: String, dataType: String, varNames: Seq[String],
+      bbox: Option[(Double, Double, Double, Double)],
+      timeRange: Option[(Double, Double)])
+
+  /** Reference data-type vocabulary (store.py DATASET_TYPE etc.): gridded
+    * cubes are "dataset", vector layers "geodataframe", flat tables
+    * "table". */
+  def dataTypeFor(dataId: String): String = {
+    val p = dataId.toLowerCase
+    if (p.endsWith(".zarr") || p.endsWith(".nc") || p.endsWith(".levels") ||
+      p.endsWith(".tif") || p.endsWith(".tiff") || p.endsWith(".jp2") ||
+      p.endsWith(".refs.json")) "dataset"
+    else if (p.endsWith(".shp") || p.endsWith(".geojson")) "geodataframe"
+    else "table"
+  }
 
   /** Infer a Spark format from a path/data-id extension (dsio.py guess). */
   def formatFor(path: String): String = {

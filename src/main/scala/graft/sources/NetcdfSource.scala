@@ -343,7 +343,9 @@ object NetcdfSource {
             coordVars: Seq[(String, Array[Double])],
             dataVars: Seq[(String, Seq[String], Array[Double])],
             recordDim: Option[String] = None,
-            varAttrs: Map[String, Seq[(String, Double)]] = Map.empty): Unit = {
+            varAttrs: Map[String, Seq[(String, Double)]] = Map.empty,
+            varTextAttrs: Map[String, Seq[(String, String)]] = Map.empty)
+      : Unit = {
     val allVars: Seq[(String, Seq[String], Array[Double])] =
       coordVars.map { case (n, d) => (n, Seq(n), d) } ++ dataVars
     def nameBytes(s: String): Array[Byte] = {
@@ -375,17 +377,29 @@ object NetcdfSource {
     def varHeader(name: String, dimNames: Seq[String], begin: Int): Array[Byte] = {
       val nb = nameBytes(name)
       val attrs = varAttrs.getOrElse(name, Nil)
-      val attrBytes = attrs.map { case (an, _) => nameBytes(an).length + 16 }.sum
+      val textAttrs = varTextAttrs.getOrElse(name, Nil)
+      val attrBytes = attrs.map { case (an, _) => nameBytes(an).length + 16 }.sum +
+        textAttrs.map { case (an, av) =>
+          nameBytes(an).length + 8 + pad4(av.getBytes("UTF-8").length)
+        }.sum
       val buf = ByteBuffer.allocate(
         nb.length + 4 + 4 * dimNames.length + 8 + attrBytes + 12)
       buf.put(nb)
       buf.putInt(dimNames.length)
       dimNames.foreach(dn => buf.putInt(dimIdx(dn)))
-      if (attrs.isEmpty) { buf.putInt(0); buf.putInt(0) } // absent att list
-      else {
-        buf.putInt(TagAtt).putInt(attrs.length)
+      if (attrs.isEmpty && textAttrs.isEmpty) {
+        buf.putInt(0); buf.putInt(0) // absent att list
+      } else {
+        buf.putInt(TagAtt).putInt(attrs.length + textAttrs.length)
         attrs.foreach { case (an, av) => // NC_DOUBLE scalar attributes
           buf.put(nameBytes(an)).putInt(6).putInt(1).putDouble(av)
+        }
+        textAttrs.foreach { case (an, av) => // NC_CHAR attributes (CF
+          // grid_mapping / standard_name metadata)
+          val raw = av.getBytes("UTF-8")
+          buf.put(nameBytes(an)).putInt(2).putInt(raw.length).put(raw)
+          var pd = pad4(raw.length) - raw.length
+          while (pd > 0) { buf.put(0.toByte); pd -= 1 }
         }
       }
       buf.putInt(6) // NC_DOUBLE

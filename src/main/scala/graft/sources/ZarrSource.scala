@@ -874,7 +874,10 @@ object ZarrSource {
     */
   def writeCubeVars(df: DataFrame, groupDir: String, varNames: Seq[String],
                     dims: Seq[(String, Array[Double])], chunks: Seq[Int],
-                    codec: Codec = Zlib(), stats: Boolean = false): Unit = {
+                    codec: Codec = Zlib(), stats: Boolean = false,
+                    statsInlineBudget: Long =
+                      graft.sources.zarr.ChunkStats.MaxInlineStatRows)
+      : Unit = {
     val spark = df.sparkSession
     import spark.implicits._
     require(dims.length == chunks.length, "one chunk extent per dimension")
@@ -1048,11 +1051,35 @@ object ZarrSource {
     // pattern as foreachBatch sinks); safe on an empty input. With
     // stats requested the O(chunks × vars) moment rows come back and
     // become the sidecar — a freshly-written cube needs no ANALYZE.
-    if (computeStats)
-      graft.sources.zarr.ChunkStats.writeInline(groupDir, shape, chunks,
-        varNames, written.collect().toSeq,
-        vGrid.map(g => varNames.map(_ -> g).toMap).getOrElse(Map.empty))
-    else written.count()
+    // Past the inline budget (huge grids × strip rows) nothing
+    // chunk-count-sized may land on the driver: the rows flow straight
+    // from the write tasks into the DISTRIBUTED parquet side table and
+    // only the small discovery document is written here.
+    if (computeStats) {
+      val grids =
+        vGrid.map(g => varNames.map(_ -> g).toMap).getOrElse(Map.empty)
+      val bound = grid.map(_.toLong).product * nVars * (1L + nStrips)
+      if (bound <= statsInlineBudget)
+        graft.sources.zarr.ChunkStats.writeInline(groupDir, shape, chunks,
+          varNames, written.collect().toSeq, grids)
+      else {
+        val vNamesB = vNames
+        written.flatMap { case (key, flat) =>
+          vNamesB.indices.map { i =>
+            (vNamesB(i), key, flat(i * 6).toLong, flat(i * 6 + 1).toLong,
+              java.lang.Double.doubleToRawLongBits(flat(i * 6 + 2)),
+              java.lang.Double.doubleToRawLongBits(flat(i * 6 + 3)),
+              java.lang.Double.doubleToRawLongBits(flat(i * 6 + 4)),
+              java.lang.Double.doubleToRawLongBits(flat(i * 6 + 5)))
+          }
+        }.toDF("var", "key", "cells", "nan", "minBits", "maxBits",
+            "sumBits", "sumsqBits")
+          .write.mode("overwrite")
+          .parquet(s"$groupDir/${graft.sources.zarr.ChunkStats.ParquetName}")
+        graft.sources.zarr.ChunkStats.writeParquetDoc(groupDir, shape,
+          chunks, grids)
+      }
+    } else written.count()
     ()
   }
 

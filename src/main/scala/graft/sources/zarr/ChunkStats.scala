@@ -240,9 +240,11 @@ object ChunkStats {
   def analyze(spark: SparkSession, groupDir: String,
               outDir: Option[String] = None,
               vars: Option[Seq[String]] = None,
-              format: String = "json"): String = {
+              format: String = "json",
+              maxInlineRows: Long = MaxInlineStatRows): String = {
     val meta = ZarrTable.open(groupDir, vars)
-    analyzeMeta(spark, meta, outDir.getOrElse(groupDir), format)
+    analyzeMeta(spark, meta, outDir.getOrElse(groupDir), format,
+      maxInlineRows = maxInlineRows)
   }
 
   /** [[analyze]] for an archive directory opened through its persisted
@@ -324,9 +326,20 @@ object ChunkStats {
                                 format: String = "json",
                                 keep: Seq[Int] => Boolean = _ => true,
                                 carry: Seq[(String, String, Long, Long,
-                                  Long, Long, Long, Long)] = Nil): String = {
+                                  Long, Long, Long, Long)] = Nil,
+                                maxInlineRows: Long = MaxInlineStatRows)
+      : String = {
     require(format == "json" || format == "parquet",
       s"stats format must be json or parquet, got $format")
+    if (format == "json") {
+      val bound = inlineRowBound(meta)
+      require(bound <= maxInlineRows,
+        s"inline stats doc for ${meta.groupDir} would hold up to $bound " +
+          s"rows (budget $maxInlineRows) — a driver-resident document " +
+          "this large is not metadata-sized; ANALYZE with " +
+          "format = \"parquet\" (the distributed side table plans " +
+          "through a broadcast key join and prunes identically)")
+    }
     // read the group's write-generation token BEFORE the distributed
     // stats pass runs (the pass executes at the write.parquet / collect
     // below): a writer that invalidates and rewrites the group MID-scan
@@ -493,6 +506,33 @@ object ChunkStats {
     path
   }
 
+  /** Write the storage=parquet discovery document — the writer-side
+    * companion of [[writeInline]] for cubes whose stat rows exceed the
+    * inline budget: the rows land in `_graft_stats.parquet` straight
+    * from the write tasks and only this metadata-sized pointer document
+    * is driver-written. */
+  def writeParquetDoc(outDir: String, shape: Seq[Int], chunks: Seq[Int],
+                      blockGrids: Map[String, Seq[Int]] = Map.empty)
+      : String = {
+    val root = mapper.createObjectNode()
+    root.put("graft_stats_format", 1)
+    root.put("storage", "parquet")
+    val sh = root.putArray("shape"); shape.foreach(sh.add)
+    val ch = root.putArray("chunks"); chunks.foreach(ch.add)
+    generationOf(ByteStore.current, outDir)
+      .foreach(root.put("generation", _))
+    if (blockGrids.nonEmpty) {
+      val bg = root.putObject("block_grids")
+      blockGrids.foreach { case (v, inner) =>
+        val a = bg.putArray(v); inner.foreach(a.add)
+      }
+    }
+    val path = s"$outDir/$FileName"
+    ByteStore.current.write(path, mapper.writeValueAsString(root)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    path
+  }
+
   /** Write the inline-form discovery document from already-computed
     * per-chunk moments — the writer-side path: [[graft.sources
     * .ZarrSource.writeCubeVars]] folds each chunk's moments as it
@@ -535,6 +575,38 @@ object ChunkStats {
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     path
   }
+
+  /** Ceiling on the rows (chunk rows + sub-chunk strip rows) an INLINE
+    * json sidecar may hold. The inline doc is driver-resident on every
+    * load, so it must stay metadata-sized: 2^20 rows is ~100 MB of json
+    * — already generous — while a 10^7-chunk archive × tens of strips
+    * per chunk would be a 10^8-row driver document. Past the budget the
+    * json form DECLINES LOUDLY and the caller uses the distributed
+    * parquet side table (`format = "parquet"`), which plans through a
+    * broadcast join of candidate keys and never materializes the
+    * archive's stats on the driver. */
+  val MaxInlineStatRows: Long = 1L << 20
+
+  /** Upper bound on the inline rows an ANALYZE of `meta` would emit:
+    * one per (variable, chunk) plus one per (variable, chunk, inner
+    * block) for sharded/strip-gridded variables. A bound, not a count —
+    * unpopulated blocks emit nothing — so the budget refusal is
+    * conservative and needs no data pass. */
+  private[zarr] def inlineRowBound(meta: ZarrGroupMeta): Long =
+    meta.dataVars.map { v =>
+      val za = meta.varMeta(v)
+      val nChunks = za.chunkGrid.map(_.toLong).product
+      val nBlocks: Long = za.codec match {
+        case sh: graft.sources.ZarrSource.Shard =>
+          za.chunks.zip(sh.inner).map { case (c, i) => (c / i).toLong }
+            .product
+        case _ => virtualGrid(za.chunks)
+          .map(g => za.chunks.zip(g).map { case (c, i) => (c / i).toLong }
+            .product)
+          .getOrElse(0L)
+      }
+      nChunks * (1L + nBlocks)
+    }.sum
 
   /** Chunks below this many cells keep chunk-granular stats only — a
     * virtual strip grid on small chunks would bloat the sidecar for
@@ -589,6 +661,46 @@ object ChunkStats {
     * values are `[min, max]` (when any non-NaN cell exists) plus NaN
     * (when nanCount > 0) — NaN sits above +Inf in Spark's ordering, so
     * it matches exactly an interval unbounded above. */
+  /** Global guarded (count, min, max) of variable `v` from a
+    * document-INLINED sidecar — the driver-resident [[EagerStats]] form
+    * only. The distributed parquet side table keeps the pushed-aggregate
+    * path: folding an archive-sized stat table on the driver is exactly
+    * what [[ParquetStats]] exists to avoid, while the inline doc is
+    * already resident, so summing it costs zero Spark jobs. None unless
+    * a chunk-level stat row exists for EVERY chunk of the variable's
+    * grid — partial coverage would silently misreport the extremes and
+    * the count. The count is the NON-NaN cell population, matching the
+    * `v <= +Inf` guard of the quantile/statistics folds; min/max are
+    * NaN when every cell is NaN (the caller's n == 0 branch). */
+  def inlineGlobal(meta: ZarrGroupMeta, v: String)
+      : Option[(Long, Double, Double)] = meta.stats match {
+    case Some(e: EagerStats) =>
+      for {
+        za <- meta.varMeta.get(v)
+        m <- e.vars.get(v)
+        nChunks = za.chunkGrid.map(_.toLong).product
+        chunkRows = m.iterator.collect {
+          case (k, st) if !k.contains('#') => st
+        }.toSeq
+        if chunkRows.length.toLong == nChunks
+      } yield {
+        var n = 0L
+        var lo = Double.NaN
+        var hi = Double.NaN
+        chunkRows.foreach { st =>
+          n += st.finite
+          if (st.finite > 0) {
+            if (lo.isNaN || java.lang.Double.compare(st.min, lo) < 0)
+              lo = st.min
+            if (hi.isNaN || java.lang.Double.compare(st.max, hi) > 0)
+              hi = st.max
+          }
+        }
+        (n, lo, hi)
+      }
+    case _ => None
+  }
+
   def admits(st: VarStat, packed: Array[Double]): Boolean = {
     if (packed.length == 0) return false
     val nanIn = packed(packed.length - 1) == Double.PositiveInfinity

@@ -451,7 +451,11 @@ object ZarrTable {
       if (loaded.isDefined || !stats) loaded
       else {
         val spark = org.apache.spark.sql.SparkSession.active
-        val fmt = if (KerchunkSource.manifestFormat(side) == "parquet")
+        // parquet manifests keep parquet stats; and an archive whose
+        // stat-row bound exceeds the inline budget auto-routes to the
+        // side table rather than tripping the budget's loud refusal
+        val fmt = if (KerchunkSource.manifestFormat(side) == "parquet" ||
+          ChunkStats.inlineRowBound(m) > ChunkStats.MaxInlineStatRows)
           "parquet" else "json"
         // appended granules grow the concat shape: the refresh re-folds
         // ONLY the new granules' chunks and carries the rest verbatim —
@@ -1069,6 +1073,23 @@ final case class ZarrScan(meta: ZarrGroupMeta, consumed: Array[Filter],
 }
 
 object ZarrScan {
+  /** The group metadata of a frame that IS a bare connector relation —
+    * no Filter/Project/anything between the DataFrame and the scan.
+    * Lets operators (QuantileOps pass 0) answer whole-table questions
+    * from the driver-resident sidecar with zero Spark jobs; any
+    * intervening operator returns None and the pushed-aggregate job
+    * runs instead, so the fast path can never change semantics. */
+  private[graft] def bareMetaOf(df: org.apache.spark.sql.DataFrame)
+      : Option[ZarrGroupMeta] =
+    df.queryExecution.analyzed match {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+        r.table match {
+          case t: ZarrTable => Some(t.meta)
+          case _ => None
+        }
+      case _ => None
+    }
+
   /** Shared partition planning for the batch scan and the micro-batch
     * stream: pushed-predicate chunk pruning per dim, plus an optional
     * dim-0 SLICE range (streaming's "new data" window) that both prunes
