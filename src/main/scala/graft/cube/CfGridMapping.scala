@@ -332,7 +332,9 @@ object CfGridMapping {
     * second, family-matched to the CRS like cfconv.py:152-176), then
     * [[fromCoords]]. Geographic coords with NO CRS variable default to
     * CRS84 — the reference's `missing_latitude_longitude_crs`. */
-  def fromVars(vars: Seq[CfVar], tolerance: Double = 1e-5): CoordsMapping = {
+  def fromVars(vars: Seq[CfVar], tolerance: Double = 1e-5,
+               datasetAttrs: Map[String, String] = Map.empty)
+      : CoordsMapping = {
     val byName = vars.map(v => v.name -> v).toMap
     // 1. grid-mapping variable referenced by any variable
     val referenced = vars.flatMap(_.attrs.get("grid_mapping"))
@@ -340,8 +342,13 @@ object CfGridMapping {
     // 2. else any variable carrying CRS attributes itself
     val crsVar = referenced.orElse(
       vars.find(v => crsFromCf(v.attrs).isDefined))
-    val crs = crsVar.flatMap(v => crsFromCf(v.attrs))
+    // 3. else the DATASET attributes (cfconv.py:99-104 — the route
+    // [[attachToZarr]] writes, and what rioxarray-style group attrs use)
+    val dsCrs =
+      if (crsVar.isDefined) None else crsFromCf(datasetAttrs)
+    val crs = crsVar.flatMap(v => crsFromCf(v.attrs)).orElse(dsCrs)
     val gmName = crsVar.flatMap(_.attrs.get("grid_mapping_name"))
+      .orElse(dsCrs.flatMap(_ => datasetAttrs.get("grid_mapping_name")))
     // family index: 0 = geographic, 1 = rotated, 2 = projected
     val family = gmName match {
       case Some("latitude_longitude") => 0
@@ -373,6 +380,49 @@ object CfGridMapping {
           s"found (grid mapping ${gmName.orElse(crs).getOrElse("none")}; " +
           s"1-D candidates: ${oneDim.map(_.name).mkString(", ")})")
     }
+  }
+
+  /** [[fromVars]] over a Zarr v2 group: per-array `.zattrs` provide the
+    * CF metadata, group-level attrs are the dataset-attrs fallback, and
+    * coordinate VALUES load only for the 1-D arrays that are actual
+    * coordinate candidates (CF standard_name or a common axis name) —
+    * a large 1-D data variable is never pulled to the driver. */
+  def fromZarr(groupDir: String, tolerance: Double = 1e-5): CoordsMapping = {
+    import graft.sources.ZarrSource
+    val standardNames = XStandardNames.keySet ++ YStandardNames.keySet
+    val commonNames = (XCommonNames ++ YCommonNames).flatten.toSet
+    val vars = ZarrSource.listArrays(groupDir).map { n =>
+      val za = ZarrSource.openArray(s"$groupDir/$n")
+      val attrs = ZarrSource.arrayAttrs(groupDir, n)
+      val candidate = za.dims.length == 1 &&
+        (commonNames.contains(n) ||
+          attrs.get("standard_name").exists(sn =>
+            standardNames.contains(sn.trim)))
+      val data =
+        if (candidate) Some(ZarrSource.readAll(s"$groupDir/$n", za))
+        else None
+      CfVar(n, za.dims, attrs, data)
+    }
+    fromVars(vars, tolerance, ZarrSource.arrayAttrs(groupDir, ""))
+  }
+
+  /** Attach CF CRS metadata to a written Zarr group — the write-side of
+    * [[fromZarr]] (rioxarray `write_crs` analog): the grid-mapping
+    * parameters land in the GROUP attributes (the dataset-attrs
+    * discovery route) and each coordinate array gets its family's CF
+    * `standard_name`, so discovery no longer depends on axis naming. */
+  def attachToZarr(groupDir: String, crs: String,
+                   xName: String, yName: String): Unit = {
+    import graft.sources.ZarrSource
+    ZarrSource.updateAttrs(groupDir, "", cfAttrs(crs))
+    val (sx, sy) =
+      if (graft.operators.SpatialOps.isGeographic(crs))
+        ("longitude", "latitude")
+      else if (crs.startsWith("ROTPOLE:"))
+        ("grid_longitude", "grid_latitude")
+      else ("projection_x_coordinate", "projection_y_coordinate")
+    ZarrSource.updateAttrs(groupDir, xName, Map("standard_name" -> sx))
+    ZarrSource.updateAttrs(groupDir, yName, Map("standard_name" -> sy))
   }
 
   /** [[fromVars]] over a parsed NetCDF file. */

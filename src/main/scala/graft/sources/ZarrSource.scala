@@ -690,6 +690,66 @@ object ZarrSource {
     if (bs.exists(s"$groupDir/.zmetadata")) consolidateMetadata(groupDir)
   }
 
+  /** The `.zattrs` of array `name` (or of the GROUP for name = "") as a
+    * flat CF text map: strings as-is, numbers/booleans via their JSON
+    * text, arrays comma-joined — exactly the value forms the CF
+    * grid-mapping parser consumes ([[graft.cube.CfGridMapping]]).
+    * Prefers the per-array file (the mutable truth); falls back to the
+    * consolidated doc for stores listed through `.zmetadata` alone. */
+  def arrayAttrs(groupDir: String, name: String = ""): Map[String, String] = {
+    val rel = if (name.isEmpty) ".zattrs" else s"$name/.zattrs"
+    readJson(s"$groupDir/$rel")
+      .orElse(consolidated(groupDir).map(_.path(rel))
+        .filterNot(_.isMissingNode))
+      .map(flatAttrs).getOrElse(Map.empty)
+  }
+
+  private def flatAttrs(n: JsonNode): Map[String, String] = {
+    val b = Map.newBuilder[String, String]
+    n.fields().forEachRemaining { e =>
+      val v = e.getValue
+      val s =
+        if (v.isTextual) v.asText()
+        else if (v.isArray) {
+          val parts = Seq.newBuilder[String]
+          v.forEach(el => parts += (if (el.isTextual) el.asText()
+                                    else el.asText()))
+          parts.result().mkString(",")
+        } else v.asText()
+      b += e.getKey -> s
+    }
+    b.result()
+  }
+
+  /** Merge `kv` into the `.zattrs` of array `name` (group-level for "")
+    * — read-modify-write PRESERVING existing keys (`_ARRAY_DIMENSIONS`
+    * most of all), re-consolidating `.zmetadata` when one exists.
+    * Values that parse as numbers (or comma-joined number lists) are
+    * written in their native JSON forms so external CF readers see
+    * numeric parameters, not strings. The rioxarray `write_crs`-shaped
+    * primitive behind [[graft.cube.CfGridMapping.attachToZarr]]. */
+  def updateAttrs(groupDir: String, name: String,
+                  kv: Map[String, String]): Unit = {
+    val rel = if (name.isEmpty) ".zattrs" else s"$name/.zattrs"
+    val node = readJson(s"$groupDir/$rel") match {
+      case Some(o: com.fasterxml.jackson.databind.node.ObjectNode) => o
+      case _ => mapper.createObjectNode()
+    }
+    kv.foreach { case (k, v) =>
+      val parts = v.split(',').map(_.trim)
+      if (parts.length > 1 && parts.forall(_.toDoubleOption.isDefined)) {
+        val a = node.putArray(k)
+        parts.foreach(p => a.add(p.toDouble))
+      } else v.toDoubleOption match {
+        case Some(d) => node.put(k, d); ()
+        case None => node.put(k, v); ()
+      }
+    }
+    writeJson(s"$groupDir/$rel", mapper.writeValueAsString(node))
+    if (ByteStore.current.exists(s"$groupDir/.zmetadata"))
+      consolidateMetadata(groupDir)
+  }
+
   /** Re-consolidate a group's `.zmetadata` from the current per-array
     * `.zarray`/`.zattrs` files (zarr_consolidated_format 1). */
   def consolidateMetadata(groupDir: String): Unit = {

@@ -229,6 +229,37 @@ class CfGridMappingSpec extends AnyFunSuite {
     assert(math.abs(cm.gm.xMin - 699500.0) < 1e-6)
   }
 
+  test("zarr: attachToZarr -> fromZarr round-trips the CF metadata") {
+    import spark.implicits._
+    import graft.sources.ZarrSource
+    val g = s"${java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target/tmp-tests"), "cfzarr")}/c.zarr"
+    val xs = Array.tabulate(8)(i => 500000.0 + 10.0 * i)
+    val ys = Array.tabulate(6)(j => 5600050.0 - 10.0 * j) // descending
+    val cells = (for (j <- 0 until 6; i <- 0 until 8) yield
+      (ys(j), xs(i), (j * 8 + i).toDouble)).toDF("yy", "xx", "band")
+    ZarrSource.writeCubeVars(cells, g, Seq("band"),
+      Seq("yy" -> ys, "xx" -> xs), chunks = Seq(3, 4))
+    CfGridMapping.attachToZarr(g, "EPSG:32633", "xx", "yy")
+    // numeric CF parameters round-trip as JSON numbers, names as strings
+    val ga = ZarrSource.arrayAttrs(g)
+    assert(ga("grid_mapping_name") == "transverse_mercator")
+    assert(ga("false_easting") == "500000.0")
+    assert(ZarrSource.arrayAttrs(g, "xx")("standard_name")
+      == "projection_x_coordinate")
+    // _ARRAY_DIMENSIONS preserved by the read-modify-write
+    assert(ZarrSource.arrayAttrs(g, "xx").contains("_ARRAY_DIMENSIONS"))
+    val cm = CfGridMapping.fromZarr(g)
+    assert(cm.isRegular && cm.gm.crs == "EPSG:32633")
+    assert(cm.gm.width == 8 && cm.gm.height == 6 && cm.gm.yDown)
+    assert(cm.gm.xRes == 10.0)
+    assert(math.abs(cm.gm.xMin - 499995.0) < 1e-9)
+    // the consolidated doc tracks the attrs (open-by-.zmetadata parity)
+    assert(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$g/.zmetadata")), "UTF-8")
+      .contains("transverse_mercator"))
+  }
+
   test("fromCoords2d: curvilinear swath derives a covering regular grid") {
     import spark.implicits._
     // a gently sheared grid: x = i + 0.1 j, y = 10 - j + 0.05 i
