@@ -126,6 +126,19 @@ object CfGridMapping {
         if (sp.length == 2 && close(sp.min, 29.5) && close(sp.max, 45.5) &&
           close(lat0, 23.0) && close(lon0, -96.0)) Some("EPSG:5070")
         else bad(n, s"parallels $sp, origin ($lat0, $lon0)")
+      case Some(n @ "lambert_cylindrical_equal_area") =>
+        val lat = num(attrs, "standard_parallel")
+          .getOrElse(bad(n, "no standard_parallel"))
+        val lon0 = num(attrs, "longitude_of_central_meridian").getOrElse(0.0)
+        if (close(math.abs(lat), 30.0) && close(lon0, 0.0))
+          Some("EPSG:6933") // EASE-Grid 2.0 global
+        else bad(n, s"standard_parallel $lat, central meridian $lon0")
+      case Some(n @ "orthographic") =>
+        (num(attrs, "latitude_of_projection_origin"),
+          num(attrs, "longitude_of_projection_origin")) match {
+          case (Some(la), Some(lo)) => Some(s"ORTHO:$la:$lo")
+          case _ => bad(n, "missing projection origin")
+        }
       case Some("sinusoidal") => Some("SR-ORG:6974")
       case Some("mercator") | Some("popular_visualisation_pseudo_mercator") =>
         Some("EPSG:3857")
@@ -205,6 +218,18 @@ object CfGridMapping {
       Map("grid_mapping_name" -> "rotated_latitude_longitude",
         "grid_north_pole_latitude" -> rp.poleLatDeg.toString,
         "grid_north_pole_longitude" -> rp.poleLonDeg.toString)
+    }).orElse(
+      if (PolarOps.isEase2(crs))
+        Some(Map("grid_mapping_name" -> "lambert_cylindrical_equal_area",
+          "standard_parallel" -> PolarOps.Ease2LatTs.toString,
+          "longitude_of_central_meridian" -> "0.0",
+          "false_easting" -> "0.0", "false_northing" -> "0.0"))
+      else None
+    ).orElse(PolarOps.orthoForCrs(crs).map { o =>
+      Map("grid_mapping_name" -> "orthographic",
+        "latitude_of_projection_origin" -> o.lat0Deg.toString,
+        "longitude_of_projection_origin" -> o.lon0Deg.toString,
+        "false_easting" -> "0.0", "false_northing" -> "0.0")
     }).orElse(PolarOps.geosForCrs(crs).map { g =>
       Map("grid_mapping_name" -> "geostationary",
         "longitude_of_projection_origin" -> g.lon0Deg.toString,

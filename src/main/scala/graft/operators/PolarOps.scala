@@ -570,6 +570,119 @@ object PolarOps {
     }
   }
 
+  // ------------------------------------ EASE-Grid 2.0 (EPSG:6933)
+
+  /** EASE-Grid 2.0 global (EPSG:6933) — the SMAP/SMOS/AMSR soil-moisture
+    * grid family: normal cylindrical equal-area on WGS84 with standard
+    * parallels ±30° (Snyder eq. 10-1/10-2 ellipsoidal form; the inverse
+    * rides the same authalic-latitude series as LAEA). Derived scale
+    * sanity: A·π·k0 = 17 367 530.45 m, the grid's published global
+    * half-width. */
+  val Ease2LatTs: Double = 30.0
+  /** k0 = cos φs / sqrt(1 − e² sin² φs) at the ±30° standard parallels. */
+  val Ease2K0: Double = {
+    val phi = math.toRadians(Ease2LatTs)
+    val s = math.sin(phi)
+    math.cos(phi) / math.sqrt(1 - E2 * s * s)
+  }
+
+  def isEase2(crs: String): Boolean = crs == "EPSG:6933"
+
+  def ease2Forward(lonDeg: Column, latDeg: Column): (Column, Column) = {
+    val q = qExpr(sin(radians(latDeg)))
+    (lit(A * Ease2K0) * radians(lonDeg),
+      lit(A / (2.0 * Ease2K0)) * q)
+  }
+
+  def ease2Inverse(x: Column, y: Column): (Column, Column) = {
+    val q = y * lit(2.0 * Ease2K0 / A)
+    val beta = asin(q / lit(Qp)) // |q| > Qp (off-grid) → NaN
+    (degrees(x / lit(A * Ease2K0)), degrees(authalicPhi(beta, q)))
+  }
+
+  def ease2ForwardScalar(lonDeg: Double, latDeg: Double): (Double, Double) =
+    (A * Ease2K0 * math.toRadians(lonDeg),
+      A / (2.0 * Ease2K0) * qFn(math.toRadians(latDeg)))
+
+  def ease2InverseScalar(x: Double, y: Double): (Double, Double) = {
+    val q = y * (2.0 * Ease2K0 / A)
+    val r = q / Qp
+    if (math.abs(r) > 1.0) return (Double.NaN, Double.NaN)
+    val beta = math.asin(r)
+    (math.toDegrees(x / (A * Ease2K0)),
+      math.toDegrees(authalicPhiScalar(beta, q)))
+  }
+
+  // -------------------------------------------------- orthographic
+
+  /** Spherical orthographic (Snyder eq. 20-3..20-17) — the satellite-
+    * view projection, parameterized by its tangent point:
+    * "ORTHO:<lat0>:<lon0>". Spherical by convention like the sinusoidal
+    * and rotated-pole families (the MODIS authalic sphere radius);
+    * points beyond the visible hemisphere read NaN. */
+  final case class Ortho(lat0Deg: Double, lon0Deg: Double) {
+    val sin0: Double = math.sin(math.toRadians(lat0Deg))
+    val cos0: Double = math.cos(math.toRadians(lat0Deg))
+  }
+
+  def orthoForCrs(crs: String): Option[Ortho] =
+    if (!crs.startsWith("ORTHO:")) None
+    else crs.stripPrefix("ORTHO:").split(':') match {
+      case Array(a, b) =>
+        for (la <- a.toDoubleOption; lo <- b.toDoubleOption
+             if la >= -90 && la <= 90)
+          yield Ortho(la, lo)
+      case _ => None
+    }
+
+  def orthoForward(lonDeg: Column, latDeg: Column, o: Ortho)
+      : (Column, Column) = {
+    val phi = radians(latDeg)
+    val dl = radians(lonDeg - lit(o.lon0Deg))
+    // hemisphere test: cos(c) = sinφ0 sinφ + cosφ0 cosφ cosΔλ ≥ 0
+    val cosc = lit(o.sin0) * sin(phi) + lit(o.cos0) * cos(phi) * cos(dl)
+    val vis = when(cosc >= 0.0, lit(1.0)).otherwise(lit(Double.NaN))
+    (vis * lit(ModisSphereR) * cos(phi) * sin(dl),
+      vis * lit(ModisSphereR) *
+        (lit(o.cos0) * sin(phi) - lit(o.sin0) * cos(phi) * cos(dl)))
+  }
+
+  def orthoInverse(x: Column, y: Column, o: Ortho): (Column, Column) = {
+    val rho = sqrt(x * x + y * y)
+    val c = asin(rho / lit(ModisSphereR)) // ρ > R (off-disk) → NaN
+    // ρ = 0 (the tangent point) makes y·sin(c)/ρ a 0/0 — guard to center
+    val phi = when(rho === 0.0, lit(math.toRadians(o.lat0Deg)))
+      .otherwise(asin(cos(c) * lit(o.sin0) +
+        y * sin(c) * lit(o.cos0) / rho))
+    val lam = when(rho === 0.0, lit(0.0))
+      .otherwise(atan2(x * sin(c),
+        rho * lit(o.cos0) * cos(c) - y * lit(o.sin0) * sin(c)))
+    (degrees(lam) + lit(o.lon0Deg), degrees(phi))
+  }
+
+  def orthoForwardScalar(lonDeg: Double, latDeg: Double, o: Ortho)
+      : (Double, Double) = {
+    val phi = math.toRadians(latDeg)
+    val dl = math.toRadians(lonDeg - o.lon0Deg)
+    val cosc = o.sin0 * math.sin(phi) + o.cos0 * math.cos(phi) * math.cos(dl)
+    if (cosc < 0.0) return (Double.NaN, Double.NaN)
+    (ModisSphereR * math.cos(phi) * math.sin(dl),
+      ModisSphereR *
+        (o.cos0 * math.sin(phi) - o.sin0 * math.cos(phi) * math.cos(dl)))
+  }
+
+  def orthoInverseScalar(x: Double, y: Double, o: Ortho): (Double, Double) = {
+    val rho = math.sqrt(x * x + y * y)
+    if (rho > ModisSphereR) return (Double.NaN, Double.NaN)
+    if (rho == 0.0) return (o.lon0Deg, o.lat0Deg)
+    val c = math.asin(rho / ModisSphereR)
+    val phi = math.asin(math.cos(c) * o.sin0 +
+      y * math.sin(c) * o.cos0 / rho)
+    val lam = math.atan2(x * math.sin(c),
+      rho * o.cos0 * math.cos(c) - y * o.sin0 * math.sin(c))
+    (math.toDegrees(lam) + o.lon0Deg, math.toDegrees(phi))
+  }
+
   // --------------------------------------------------- geostationary
 
   /** The geostationary perspective projection ("geos") — the MSG/GOES

@@ -95,6 +95,12 @@ object SpatialOps {
       .orElse(PolarOps.geosForCrs(crs).map(g => (
         (a: Column, b: Column) => PolarOps.geosForward(a, b, g),
         (a: Column, b: Column) => PolarOps.geosInverse(a, b, g))))
+      .orElse(if (PolarOps.isEase2(crs)) Some((
+        (a: Column, b: Column) => PolarOps.ease2Forward(a, b),
+        (a: Column, b: Column) => PolarOps.ease2Inverse(a, b))) else None)
+      .orElse(PolarOps.orthoForCrs(crs).map(o => (
+        (a: Column, b: Column) => PolarOps.orthoForward(a, b, o),
+        (a: Column, b: Column) => PolarOps.orthoInverse(a, b, o))))
     if (sameCrs(crsFrom, crsTo)) (x, y)
     else (family(crsTo), family(crsFrom)) match {
       case (Some((fwd, _)), _) if isGeographic(crsFrom) => fwd(x, y)
@@ -105,7 +111,8 @@ object SpatialOps {
           "polar stereographic EPSG:3413/3031/3976, LAEA " +
           "EPSG:3035/6931/6932, MODIS sinusoidal SR-ORG:6974, " +
           "LCC EPSG:2154/3978, Albers EPSG:5070, ROTPOLE:<lat>:<lon>, " +
-          "GEOS:<lon0>[:<h>:<x|y>])")
+          "GEOS:<lon0>[:<h>:<x|y>], EASE-2.0 EPSG:6933, " +
+          "ORTHO:<lat0>:<lon0>)")
     }
   }
 
@@ -250,6 +257,13 @@ object SpatialOps {
         .orElse(PolarOps.geosForCrs(crs).map(g => (
           (a: Double, b: Double) => PolarOps.geosForwardScalar(a, b, g),
           (a: Double, b: Double) => PolarOps.geosInverseScalar(a, b, g))))
+        .orElse(if (PolarOps.isEase2(crs)) Some((
+          (a: Double, b: Double) => PolarOps.ease2ForwardScalar(a, b),
+          (a: Double, b: Double) => PolarOps.ease2InverseScalar(a, b)))
+        else None)
+        .orElse(PolarOps.orthoForCrs(crs).map(o => (
+          (a: Double, b: Double) => PolarOps.orthoForwardScalar(a, b, o),
+          (a: Double, b: Double) => PolarOps.orthoInverseScalar(a, b, o))))
       val f: (Double, Double) => (Double, Double) =
         (familyScalar(crsTo), familyScalar(gm.crs)) match {
           case (Some((fwd, _)), _) if isGeographic(gm.crs) => fwd
@@ -275,7 +289,8 @@ object SpatialOps {
         PolarOps.laeaForCrs(crs).isDefined || PolarOps.isSinusoidal(crs) ||
         PolarOps.lccForCrs(crs).isDefined ||
         PolarOps.albersForCrs(crs).isDefined ||
-        PolarOps.geosForCrs(crs).isDefined
+        PolarOps.geosForCrs(crs).isDefined ||
+        PolarOps.isEase2(crs) || PolarOps.orthoForCrs(crs).isDefined
     // rotated-pole frames are DEGREES: unit linear scale either way
     if (PolarOps.rotPoleForCrs(crsFrom).isDefined ||
       PolarOps.rotPoleForCrs(crsTo).isDefined) 1.0

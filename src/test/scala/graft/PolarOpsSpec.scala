@@ -183,4 +183,62 @@ class PolarOpsSpec extends AnyFunSuite {
       assert(math.abs(r.getDouble(5) - r.getDouble(1)) < tol)
     }
   }
+
+  test("EASE-Grid 2.0: published global half-width + round-trips") {
+    import spark.implicits._
+    // the grid's published half-width (EASE-Grid 2.0 definition paper):
+    // x(180°) = A·π·k0 = 17,367,530.45 m
+    assert(math.abs(PolarOps.A * math.Pi * PolarOps.Ease2K0
+      - 17367530.45) < 0.01)
+    // the standard parallels project to themselves distance-true in x:
+    // k(30°) = 1 by construction
+    val pts = (for (lon <- Seq(-170.0, -5.0, 0.0, 36.5, 179.0);
+                    lat <- Seq(-82.0, -30.0, 0.0, 30.0, 48.5, 85.0))
+      yield (lon, lat)).toDF("lon", "lat")
+    val (gx, gy) = PolarOps.ease2Forward(col("lon"), col("lat"))
+    val (gl, gp) = PolarOps.ease2Inverse(gx, gy)
+    pts.select(col("lon"), col("lat"), gx.as("x"), gy.as("y"),
+        gl.as("lon2"), gp.as("lat2")).collect().foreach { r =>
+      val (sx, sy) = PolarOps.ease2ForwardScalar(
+        r.getDouble(0), r.getDouble(1))
+      assert(math.abs(r.getDouble(2) - sx) <= math.abs(sx) * 1e-12 + 1e-9)
+      assert(math.abs(r.getDouble(3) - sy) <= math.abs(sy) * 1e-12 + 1e-9)
+      assert(math.abs(r.getDouble(4) - r.getDouble(0)) < 1e-9)
+      assert(math.abs(r.getDouble(5) - r.getDouble(1)) < 1e-9)
+    }
+    // off-grid y (|q| > Qp) reads NaN, never a fake latitude
+    val (bl, bp) = PolarOps.ease2InverseScalar(0.0, 8.0e6)
+    assert(bp.isNaN && !bl.isNaN || bp.isNaN)
+  }
+
+  test("orthographic: round-trips, tangent point, far-side NaN") {
+    import spark.implicits._
+    val o = PolarOps.orthoForCrs("ORTHO:50.0:10.0").get
+    // tangent point maps to the origin and back
+    assert(PolarOps.orthoForwardScalar(10.0, 50.0, o)
+      == ((0.0, 0.0)))
+    assert(PolarOps.orthoInverseScalar(0.0, 0.0, o) == ((10.0, 50.0)))
+    val pts = (for (lon <- Seq(-40.0, 5.0, 10.0, 60.0);
+                    lat <- Seq(10.0, 48.0, 50.0, 75.0)) yield (lon, lat))
+      .toDF("lon", "lat")
+    val (gx, gy) = PolarOps.orthoForward(col("lon"), col("lat"), o)
+    val (gl, gp) = PolarOps.orthoInverse(gx, gy, o)
+    pts.select(col("lon"), col("lat"), gx.as("x"), gy.as("y"),
+        gl.as("lon2"), gp.as("lat2")).collect().foreach { r =>
+      val (sx, sy) = PolarOps.orthoForwardScalar(
+        r.getDouble(0), r.getDouble(1), o)
+      assert((r.getDouble(2).isNaN && sx.isNaN) ||
+        math.abs(r.getDouble(2) - sx) <= math.abs(sx) * 1e-12 + 1e-9)
+      if (!sx.isNaN) {
+        assert(math.abs(r.getDouble(4) - r.getDouble(0)) < 1e-9)
+        assert(math.abs(r.getDouble(5) - r.getDouble(1)) < 1e-9)
+      }
+    }
+    // the antipode-side hemisphere is invisible
+    val (fx, fy) = PolarOps.orthoForwardScalar(-170.0, -50.0, o)
+    assert(fx.isNaN && fy.isNaN)
+    // off-disk inverse (rho > R) reads NaN
+    val (il, ip) = PolarOps.orthoInverseScalar(7.0e6, 0.0, o)
+    assert(il.isNaN && ip.isNaN)
+  }
 }
