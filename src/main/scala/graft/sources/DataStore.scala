@@ -162,10 +162,13 @@ object DataStore {
       Sentinel3Source.open(spark, path)
     else formatFor(path) match {
       case "netcdf" =>
-        // single read+decode: pick the first data variable (one whose name
-        // is not a dimension) from the parsed file and decode that
+        // single read+decode: pick the first data variable — one whose
+        // name is not a dimension AND that has dimensions at all (a
+        // 0-dim CF grid-mapping variable like "crs" is metadata, not
+        // data) — from the parsed file and decode that
         val nc = NetcdfSource.read(path)
-        val dataVar = nc.vars.find(v => !nc.dims.exists(_.name == v.name))
+        val dataVar = nc.vars.find(v =>
+          v.dimIds.nonEmpty && !nc.dims.exists(_.name == v.name))
           .getOrElse(throw new IllegalArgumentException(s"$path: no data variable"))
         NetcdfSource.readCube(spark, nc, dataVar.name)
       case "geotiff" => GeoTiffSource.readRaster(spark, path)
@@ -174,7 +177,10 @@ object DataStore {
       case "zarr" if ByteStore.current.exists(s"$path/zarr.json") =>
         // Zarr v3 store (one zarr.json per node, no .zgroup)
         val dataVar = ZarrV3Source.listArrays(path)
-          .find(v => ZarrV3Source.openArray(s"$path/$v").dims != Seq(v))
+          .find { v =>
+            val za = ZarrV3Source.openArray(s"$path/$v")
+            za.dims.nonEmpty && za.dims != Seq(v)
+          }
           .getOrElse(throw new IllegalArgumentException(s"$path: no data variable"))
         ZarrV3Source.readCube(spark, path, dataVar)
       case "zarr" =>
@@ -182,8 +188,14 @@ object DataStore {
         // When they share one grid (the writeCubeVars layout) the WHOLE
         // dataset opens as one wide DataFrame, like the reference's
         // open_dataset; mixed-grid groups fall back to the first variable.
+        // a data variable has dimensions and is not its own 1-D
+        // coordinate; 0-dim arrays (CF grid-mapping variables) are
+        // metadata, never data
         val dataVars = ZarrSource.listArrays(path)
-          .filter(v => ZarrSource.openArray(s"$path/$v").dims != Seq(v))
+          .filter { v =>
+            val za = ZarrSource.openArray(s"$path/$v")
+            za.dims.nonEmpty && za.dims != Seq(v)
+          }
         require(dataVars.nonEmpty, s"$path: no data variable")
         val heads = dataVars.map(v => ZarrSource.openArray(s"$path/$v"))
         val shared = heads.forall(z =>
@@ -195,13 +207,42 @@ object DataStore {
       case "kerchunk" =>
         val refs = KerchunkSource.parse(path)
         val dataVar = KerchunkSource.listArrays(refs)
-          .find(v => KerchunkSource.openArray(refs, v).dims != Seq(v))
+          .find { v =>
+            val za = KerchunkSource.openArray(refs, v)
+            za.dims.nonEmpty && za.dims != Seq(v)
+          }
           .getOrElse(throw new IllegalArgumentException(s"$path: no data variable"))
         KerchunkSource.readCube(spark, path, dataVar)
       case fmt =>
         val r = spark.read.format(fmt)
         (if (fmt == "csv") r.option("header", "true").option("inferSchema", "true")
          else r).load(path)
+    }
+
+  /** `open_dataset` + `GridMapping.from_dataset` fused — the reference's
+    * most common opening flow for gridded data: the decoded frame PLUS
+    * its CF-auto-derived grid ([[graft.cube.CfGridMapping]]), so nothing
+    * downstream needs a hand-built GridMapping. NetCDF and Zarr carry CF
+    * metadata; other formats decline loudly (GeoTIFF georeferencing
+    * rides its own reader). Returns the CoordsMapping so the caller can
+    * route regular grids straight to the affine paths and irregular
+    * ones through `toRegular` + rectify. */
+  def openGrid(spark: SparkSession, path: String)
+      : (DataFrame, graft.cube.CfGridMapping.CoordsMapping) =
+    formatFor(path) match {
+      case "netcdf" =>
+        val nc = NetcdfSource.read(path)
+        val dataVar = nc.vars.find(v =>
+          v.dimIds.nonEmpty && !nc.dims.exists(_.name == v.name))
+          .getOrElse(throw new IllegalArgumentException(
+            s"$path: no data variable"))
+        (NetcdfSource.readCube(spark, nc, dataVar.name),
+          graft.cube.CfGridMapping.fromNetcdf(nc))
+      case "zarr" =>
+        (openDataset(spark, path), graft.cube.CfGridMapping.fromZarr(path))
+      case fmt => throw new IllegalArgumentException(
+        s"openGrid derives CF grid mappings from netcdf/zarr metadata; " +
+          s"'$fmt' has none — open with openDataset and supply the grid")
     }
 
   /** write_dataset with format inference. DataFrame writes go through Spark

@@ -260,6 +260,33 @@ class CfGridMappingSpec extends AnyFunSuite {
       .contains("transverse_mercator"))
   }
 
+  test("DataStore.openGrid: one call opens the frame WITH its derived grid") {
+    import graft.sources.{DataStore, NetcdfSource}
+    import NetcdfSource.NcDim
+    val dir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target/tmp-tests"), "opengrid")
+    val path = s"$dir/utm.nc"
+    NetcdfSource.write(path,
+      Seq(NcDim("y", 4), NcDim("x", 5)),
+      Seq(("y", Array.tabulate(4)(j => 5600030.0 - j * 10.0)),
+        ("x", Array.tabulate(5)(i => 500000.0 + i * 10.0))),
+      Seq(("crs", Nil, Array(0.0)),
+        ("b", Seq("y", "x"), Array.tabulate(20)(_.toDouble))),
+      varTextAttrs = Map(
+        "crs" -> CfGridMapping.cfAttrs("EPSG:32633").toSeq,
+        "b" -> Seq("grid_mapping" -> "crs"),
+        "x" -> Seq("standard_name" -> "projection_x_coordinate"),
+        "y" -> Seq("standard_name" -> "projection_y_coordinate")))
+    val (df, cm) = DataStore.openGrid(spark, path)
+    assert(df.count() == 20)
+    assert(cm.isRegular && cm.gm.crs == "EPSG:32633" && cm.gm.yDown)
+    // unsupported formats decline loudly instead of guessing a grid
+    val ex = intercept[IllegalArgumentException] {
+      DataStore.openGrid(spark, s"$dir/rows.parquet")
+    }
+    assert(ex.getMessage.contains("openDataset"))
+  }
+
   test("fromCoords2d: curvilinear swath derives a covering regular grid") {
     import spark.implicits._
     // a gently sheared grid: x = i + 0.1 j, y = 10 - j + 0.05 i
