@@ -139,6 +139,10 @@ object CfGridMapping {
           case (Some(la), Some(lo)) => Some(s"ORTHO:$la:$lo")
           case _ => bad(n, "missing projection origin")
         }
+      case Some(n @ "mollweide") =>
+        Some(s"MOLL:${num(attrs, "longitude_of_projection_origin")
+          .orElse(num(attrs, "longitude_of_central_meridian"))
+          .getOrElse(bad(n, "no projection origin"))}")
       case Some("sinusoidal") => Some("SR-ORG:6974")
       case Some("mercator") | Some("popular_visualisation_pseudo_mercator") =>
         Some("EPSG:3857")
@@ -229,6 +233,10 @@ object CfGridMapping {
       Map("grid_mapping_name" -> "orthographic",
         "latitude_of_projection_origin" -> o.lat0Deg.toString,
         "longitude_of_projection_origin" -> o.lon0Deg.toString,
+        "false_easting" -> "0.0", "false_northing" -> "0.0")
+    }).orElse(PolarOps.mollForCrs(crs).map { mw =>
+      Map("grid_mapping_name" -> "mollweide",
+        "longitude_of_projection_origin" -> mw.lon0Deg.toString,
         "false_easting" -> "0.0", "false_northing" -> "0.0")
     }).orElse(PolarOps.geosForCrs(crs).map { g =>
       Map("grid_mapping_name" -> "geostationary",

@@ -683,6 +683,78 @@ object PolarOps {
     (math.toDegrees(lam) + o.lon0Deg, math.toDegrees(phi))
   }
 
+  // ---------------------------------------------------- Mollweide
+
+  /** Spherical Mollweide (Snyder eq. 31-1..31-8) — the classic equal-
+    * area world-map projection ("MOLL:<lon0>"), on the same authalic
+    * sphere as the sinusoidal/orthographic families. The auxiliary
+    * angle satisfies 2θ + sin 2θ = π sin φ; both the Column and the
+    * scalar (and the SQL oracle twin) run the SAME fixed-count
+    * pole-guarded Newton iteration, so results are bit-identical across
+    * forms — a converged-loop would be engine-order-dependent. */
+  final case class Mollweide(lon0Deg: Double)
+
+  val MollSqrt2: Double = math.sqrt(2.0)
+  val MollXScale: Double = 2.0 * math.sqrt(2.0) / math.Pi
+
+  def mollForCrs(crs: String): Option[Mollweide] =
+    if (!crs.startsWith("MOLL:")) None
+    else crs.stripPrefix("MOLL:").toDoubleOption.map(Mollweide(_))
+
+  def mollForward(lonDeg: Column, latDeg: Column, m: Mollweide)
+      : (Column, Column) = {
+    // the iteration lives in a native Expression: an unrolled Column
+    // `when` chain re-substitutes θ four times per step — an O(4^steps)
+    // tree that OOMed the driver at 8 steps
+    import org.apache.spark.sql.graft.ColumnBridge
+    val theta = ColumnBridge.column(graft.functions.MollTheta(
+      ColumnBridge.expression(radians(latDeg))))
+    (lit(ModisSphereR * MollXScale) * radians(lonDeg - lit(m.lon0Deg)) *
+      cos(theta),
+      lit(ModisSphereR * MollSqrt2) * sin(theta))
+  }
+
+  def mollInverse(x: Column, y: Column, m: Mollweide): (Column, Column) = {
+    val theta = asin(y / lit(ModisSphereR * MollSqrt2)) // off-map → NaN
+    val phi = asin((lit(2.0) * theta + sin(lit(2.0) * theta)) /
+      lit(math.Pi))
+    val lam = when(abs(cos(theta)) > 1e-14,
+      x / (lit(ModisSphereR * MollXScale) * cos(theta)))
+      .otherwise(lit(0.0)) // the poles collapse to the central meridian
+    (degrees(lam) + lit(m.lon0Deg), degrees(phi))
+  }
+
+  def mollForwardScalar(lonDeg: Double, latDeg: Double, m: Mollweide)
+      : (Double, Double) = {
+    val phi = math.toRadians(latDeg)
+    val target = math.Pi * math.sin(phi)
+    var theta = phi
+    var k = 0
+    while (k < graft.functions.MollTheta.Steps) {
+      val dn = 2.0 + 2.0 * math.cos(2.0 * theta)
+      if (dn > 1e-14)
+        theta = theta -
+          (2.0 * theta + math.sin(2.0 * theta) - target) / dn
+      k += 1
+    }
+    (ModisSphereR * MollXScale * math.toRadians(lonDeg - m.lon0Deg) *
+      math.cos(theta),
+      ModisSphereR * MollSqrt2 * math.sin(theta))
+  }
+
+  def mollInverseScalar(x: Double, y: Double, m: Mollweide)
+      : (Double, Double) = {
+    val sy = y / (ModisSphereR * MollSqrt2)
+    if (math.abs(sy) > 1.0) return (Double.NaN, Double.NaN)
+    val theta = math.asin(sy)
+    val phi = math.asin((2.0 * theta + math.sin(2.0 * theta)) / math.Pi)
+    val lam =
+      if (math.abs(math.cos(theta)) > 1e-14)
+        x / (ModisSphereR * MollXScale * math.cos(theta))
+      else 0.0
+    (math.toDegrees(lam) + m.lon0Deg, math.toDegrees(phi))
+  }
+
   // --------------------------------------------------- geostationary
 
   /** The geostationary perspective projection ("geos") — the MSG/GOES

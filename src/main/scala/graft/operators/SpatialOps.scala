@@ -101,6 +101,9 @@ object SpatialOps {
       .orElse(PolarOps.orthoForCrs(crs).map(o => (
         (a: Column, b: Column) => PolarOps.orthoForward(a, b, o),
         (a: Column, b: Column) => PolarOps.orthoInverse(a, b, o))))
+      .orElse(PolarOps.mollForCrs(crs).map(mw => (
+        (a: Column, b: Column) => PolarOps.mollForward(a, b, mw),
+        (a: Column, b: Column) => PolarOps.mollInverse(a, b, mw))))
     if (sameCrs(crsFrom, crsTo)) (x, y)
     else (family(crsTo), family(crsFrom)) match {
       case (Some((fwd, _)), _) if isGeographic(crsFrom) => fwd(x, y)
@@ -112,7 +115,7 @@ object SpatialOps {
           "EPSG:3035/6931/6932, MODIS sinusoidal SR-ORG:6974, " +
           "LCC EPSG:2154/3978, Albers EPSG:5070, ROTPOLE:<lat>:<lon>, " +
           "GEOS:<lon0>[:<h>:<x|y>], EASE-2.0 EPSG:6933, " +
-          "ORTHO:<lat0>:<lon0>)")
+          "ORTHO:<lat0>:<lon0>, MOLL:<lon0>)")
     }
   }
 
@@ -264,6 +267,9 @@ object SpatialOps {
         .orElse(PolarOps.orthoForCrs(crs).map(o => (
           (a: Double, b: Double) => PolarOps.orthoForwardScalar(a, b, o),
           (a: Double, b: Double) => PolarOps.orthoInverseScalar(a, b, o))))
+        .orElse(PolarOps.mollForCrs(crs).map(mw => (
+          (a: Double, b: Double) => PolarOps.mollForwardScalar(a, b, mw),
+          (a: Double, b: Double) => PolarOps.mollInverseScalar(a, b, mw))))
       val f: (Double, Double) => (Double, Double) =
         (familyScalar(crsTo), familyScalar(gm.crs)) match {
           case (Some((fwd, _)), _) if isGeographic(gm.crs) => fwd
@@ -290,7 +296,8 @@ object SpatialOps {
         PolarOps.lccForCrs(crs).isDefined ||
         PolarOps.albersForCrs(crs).isDefined ||
         PolarOps.geosForCrs(crs).isDefined ||
-        PolarOps.isEase2(crs) || PolarOps.orthoForCrs(crs).isDefined
+        PolarOps.isEase2(crs) || PolarOps.orthoForCrs(crs).isDefined ||
+        PolarOps.mollForCrs(crs).isDefined
     // rotated-pole frames are DEGREES: unit linear scale either way
     if (PolarOps.rotPoleForCrs(crsFrom).isDefined ||
       PolarOps.rotPoleForCrs(crsTo).isDefined) 1.0

@@ -241,4 +241,33 @@ class PolarOpsSpec extends AnyFunSuite {
     val (il, ip) = PolarOps.orthoInverseScalar(7.0e6, 0.0, o)
     assert(il.isNaN && ip.isNaN)
   }
+
+  test("Mollweide: round-trips, equal-area hemisphere markers, off-map NaN") {
+    import spark.implicits._
+    val m = PolarOps.mollForCrs("MOLL:0.0").get
+    // the projection's defining markers: the equator maps to y = 0, the
+    // poles to y = ±R·sqrt(2), lon ±180 at the equator to x = ±2R·sqrt(2)
+    val r2 = PolarOps.ModisSphereR * PolarOps.MollSqrt2
+    assert(math.abs(PolarOps.mollForwardScalar(0.0, 0.0, m)._2) < 1e-6)
+    assert(math.abs(PolarOps.mollForwardScalar(0.0, 90.0, m)._2 - r2) < 1e-6)
+    assert(math.abs(PolarOps.mollForwardScalar(180.0, 0.0, m)._1 - 2 * r2)
+      < 1e-6)
+    val pts = (for (lon <- Seq(-179.0, -45.0, 0.0, 13.5, 179.0);
+                    lat <- Seq(-88.0, -45.0, 0.0, 30.0, 61.5, 88.0))
+      yield (lon, lat)).toDF("lon", "lat")
+    val (gx, gy) = PolarOps.mollForward(col("lon"), col("lat"), m)
+    val (gl, gp) = PolarOps.mollInverse(gx, gy, m)
+    pts.select(col("lon"), col("lat"), gx.as("x"), gy.as("y"),
+        gl.as("lon2"), gp.as("lat2")).collect().foreach { r =>
+      val (sx, sy) = PolarOps.mollForwardScalar(
+        r.getDouble(0), r.getDouble(1), m)
+      assert(r.getDouble(2) == sx && r.getDouble(3) == sy,
+        s"codegen vs scalar at (${r.getDouble(0)}, ${r.getDouble(1)})")
+      assert(math.abs(r.getDouble(4) - r.getDouble(0)) < 1e-8)
+      assert(math.abs(r.getDouble(5) - r.getDouble(1)) < 1e-8)
+    }
+    // off-map northing (|y| > R·sqrt(2)) reads NaN
+    val (bl, bp) = PolarOps.mollInverseScalar(0.0, 1.05 * r2, m)
+    assert(bl.isNaN && bp.isNaN)
+  }
 }
