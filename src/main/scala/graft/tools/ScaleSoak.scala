@@ -118,7 +118,13 @@ object ScaleSoak {
     // round-17 CRS families: per-row closed-form trig + the same
     // downscale/rectify binning as the mercator/UTM routes — one scan,
     // two map-side-combined aggregations, linear by construction
-    "q_resample_space_ps", "q_resample_space_laea", "q_resample_space_sinu")
+    "q_resample_space_ps", "q_resample_space_laea", "q_resample_space_sinu",
+    // round-18 CRS families: scan + closed-form transform + target-cell
+    // binning — linear by construction, soaked to prove the geos
+    // visibility guards / EASE authalic series / Mollweide Newton
+    // expression stay per-row constants under volume
+    "q_resample_space_geos", "q_resample_space_ease",
+    "q_resample_space_moll")
 
   /** Deep-soak subset (run at 30×): the newest heavy operators. The
     * format-fixture queries (kerchunk combine, COG levels, zarr append)
