@@ -310,13 +310,22 @@ object CfGridMapping {
     * every delta within `tolerance` of it, inverted y (image-order
     * rows) when the y values descend. The coordinate values are pixel
     * CENTERS, so the bbox extends half a resolution beyond them. */
-  def fromCoords(xs: Array[Double], ys: Array[Double], crs: String,
+  def fromCoords(xs0: Array[Double], ys: Array[Double], crs: String,
                  tolerance: Double = 1e-5): CoordsMapping = {
-    require(xs.length >= 2 && ys.length >= 2,
+    require(xs0.length >= 2 && ys.length >= 2,
       "x and y coordinate arrays must hold at least 2 values")
     require(tolerance > 0.0, "tolerance must be greater than zero")
     def deltas(a: Array[Double]): Array[Double] =
       a.sliding(2).map(p => math.abs(p(1) - p(0))).toArray
+    // geographic anti-meridian crossing (reference coords.py:128-135):
+    // a raw delta > 180 degrees means the longitudes wrap at +-180 — normalize
+    // to the lon-360 frame (the reference's to_lon_360) so the grid
+    // derives contiguously; the mapping's xMin then lives in [0, 360)
+    val xs =
+      if (graft.operators.SpatialOps.isGeographic(crs) &&
+        deltas(xs0).exists(_ > 180.0))
+        xs0.map(x => if (x < 0) x + 360.0 else x)
+      else xs0
     def median(a: Array[Double]): Double = {
       val s = a.sorted
       if (s.length % 2 == 1) s(s.length / 2)
@@ -484,12 +493,24 @@ object CfGridMapping {
     * driver. Rows with NaN coordinates drop out of both the bbox and
     * the area estimate like the reference's nan-guards. */
   def fromCoords2d(df: DataFrame, iCol: String, jCol: String,
-                   xcCol: String, ycCol: String, crs: String): GridMapping = {
+                   xcCol: String, ycCol: String, crs: String): GridMapping =
+    fromCoords2dImpl(df, iCol, jCol, xcCol, ycCol, crs, lon360 = false)
+
+  private def fromCoords2dImpl(df: DataFrame, iCol: String, jCol: String,
+                               xcCol: String, ycCol: String, crs: String,
+                               lon360: Boolean): GridMapping = {
     val geographic = graft.operators.SpatialOps.isGeographic(crs)
     val er = 6371000.0 // the reference's _ER (coords.py:30)
+    // second pass of the anti-meridian protocol (coords.py:186-192):
+    // with wrapping detected below, longitudes normalize to lon-360 and
+    // everything — bbox, deltas, the derived grid — re-derives there
+    val xIn =
+      if (lon360)
+        when(col(xcCol) < 0, col(xcCol) + 360.0).otherwise(col(xcCol))
+      else col(xcCol)
     val base = df.select(col(iCol).cast("long").as("__i"),
       col(jCol).cast("long").as("__j"),
-      col(xcCol).cast("double").as("__x"),
+      xIn.cast("double").as("__x"),
       col(ycCol).cast("double").as("__y"))
       .filter(!isnan(col("__x")) && !isnan(col("__y")))
     val ext = base.agg(
@@ -522,9 +543,16 @@ object CfGridMapping {
       else (xAbs0, yAbs0)
     val area = xAbs * yAbs
     val a = both.filter(area > 0.0)
-      .agg(min(area).as("mn"), max(area).as("mx")).head()
+      .agg(min(area).as("mn"), max(area).as("mx"),
+        max(abs(xXd)).as("mxd"), max(abs(xYd)).as("myd")).head()
     require(!a.isNullAt(0),
       "fromCoords2d: fewer than 2x2 valid cells — no resolution derivable")
+    // geographic anti-meridian crossing: a neighbor delta > 180 degrees
+    // means the swath wraps at +-180 — re-derive in the lon-360 frame
+    if (!lon360 && geographic &&
+      (a.getDouble(2) > 180.0 || a.getDouble(3) > 180.0))
+      return fromCoords2dImpl(df, iCol, jCol, xcCol, ycCol, crs,
+        lon360 = true)
     val resRaw = 0.7 * math.sqrt(a.getDouble(0)) +
       0.3 * math.sqrt(a.getDouble(1))
     val resUnits =

@@ -260,6 +260,31 @@ class CfGridMappingSpec extends AnyFunSuite {
       .contains("transverse_mercator"))
   }
 
+  test("anti-meridian crossings re-derive in the lon-360 frame") {
+    import spark.implicits._
+    // 1-D: a dateline-crossing longitude axis (reference to_lon_360,
+    // coords.py:128-135) derives the contiguous 0.1-degree grid
+    val xs = Array(179.85, 179.95, -179.95, -179.85)
+    val ys = Array(10.0, 10.1, 10.2)
+    val cm = CfGridMapping.fromCoords(xs, ys, "CRS84")
+    assert(cm.isRegular, s"crossing must stay regular: ${cm.gm}")
+    assert(math.abs(cm.gm.xRes - 0.1) < 1e-12)
+    assert(math.abs(cm.gm.xMin - 179.8) < 1e-9)
+    // a PROJECTED axis with a big step is just irregular, never wrapped
+    assert(!CfGridMapping.fromCoords(xs, ys, "EPSG:32601").isRegular)
+    // 2-D: the same wrap through the distributed path
+    val cells = for { j <- 0 until 10; i <- 0 until 12 } yield {
+      val lon0 = 179.0 + i * 0.2
+      (i.toLong, j.toLong, if (lon0 > 180.0) lon0 - 360.0 else lon0,
+        5.0 + j * 0.25)
+    }
+    val gm = CfGridMapping.fromCoords2d(cells.toDF("i", "j", "xc", "yc"),
+      "i", "j", "xc", "yc", "CRS84")
+    // derived in lon-360: the grid covers [~179, ~181.2], one piece
+    assert(gm.xMin > 170.0 && gm.xMax < 190.0, s"wrapped bbox: $gm")
+    assert(gm.xRes == gm.yRes && gm.xRes > 0.0)
+  }
+
   test("DataStore.openGrid: one call opens the frame WITH its derived grid") {
     import graft.sources.{DataStore, NetcdfSource}
     import NetcdfSource.NcDim
