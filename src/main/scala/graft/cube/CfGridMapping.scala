@@ -144,8 +144,23 @@ object CfGridMapping {
           .orElse(num(attrs, "longitude_of_central_meridian"))
           .getOrElse(bad(n, "no projection origin"))}")
       case Some("sinusoidal") => Some("SR-ORG:6974")
-      case Some("mercator") | Some("popular_visualisation_pseudo_mercator") =>
-        Some("EPSG:3857")
+      case Some("popular_visualisation_pseudo_mercator") => Some("EPSG:3857")
+      case Some(n @ "mercator") =>
+        // CF mercator carries EITHER standard_parallel OR
+        // scale_factor_at_projection_origin; only the SP=0/k0=1, lon0=0
+        // case is the registered spherical web-mercator — an ellipsoidal
+        // or SP!=0 Mercator misplaces y by tens of km if coerced
+        val sp = num(attrs, "standard_parallel")
+        val k0 = num(attrs, "scale_factor_at_projection_origin")
+        val lon0 = num(attrs, "longitude_of_projection_origin").getOrElse(0.0)
+        val sphericalAtEquator = (sp, k0) match {
+          case (Some(p), _) => close(p, 0.0)
+          case (None, Some(k)) => close(k, 1.0)
+          case (None, None) => true
+        }
+        if (sphericalAtEquator && close(lon0, 0.0)) Some("EPSG:3857")
+        else bad(n, s"standard_parallel=$sp scale_factor=$k0 lon0=$lon0 " +
+          "(not the SP=0/k0=1, lon0=0 web-mercator case)")
       case Some(n @ "geostationary") =>
         val lon0 = num(attrs, "longitude_of_projection_origin")
           .getOrElse(bad(n, "no longitude_of_projection_origin"))
@@ -164,17 +179,30 @@ object CfGridMapping {
       case Some(other) =>
         bad(other, "a family this library has no closed form for")
       case None =>
-        // WKT fallback (rioxarray-style spatial_ref / CF crs_wkt): the
-        // LAST EPSG authority code in the document is the CRS's own
+        // WKT fallback (rioxarray-style spatial_ref / CF crs_wkt), the
+        // pyproj.CRS.from_wkt analog, in two tiers:
+        //  1. the LAST EPSG authority code in the document, when that
+        //     code is itself a registered CRS;
+        //  2. else a STRUCTURAL parse — PROJECTION/METHOD + PARAMETER
+        //     clauses translated to CF attributes and matched against
+        //     the same registry (so a Lambert-93 granule shipping only
+        //     a code-less WKT resolves exactly like the CF-attrs route,
+        //     and an unregistered projection declines loudly instead of
+        //     silently reading as geographic).
         attrs.get("crs_wkt").orElse(attrs.get("spatial_ref")).flatMap {
           wkt =>
             val ids =
               """(?:AUTHORITY|ID)\s*\[\s*"EPSG"\s*,\s*"?(\d+)"?\s*\]""".r
                 .findAllMatchIn(wkt).map(_.group(1)).toSeq
-            ids.lastOption.map {
+            val byId = ids.lastOption.map {
               case "4326" => "CRS84"
               case code => s"EPSG:$code"
             }
+            byId.filter(c => scala.util.Try(cfAttrs(c)).isSuccess)
+              .orElse(WktCrs.toCfAttrs(wkt) match {
+                case Some(cf) => crsFromCf(cf)
+                case None => byId // not WKT-shaped: keep the raw id
+              })
         }
     }
   }
@@ -287,20 +315,23 @@ object CfGridMapping {
   // ------------------------------------------------------------------
 
   /** A grid derived from coordinates: the mapping plus whether the
-    * source deltas were uniform within tolerance. An irregular result's
-    * `gm` carries the bbox and the estimated resolution; [[toRegular]]
-    * turns it into the covering regular target (reference
-    * regular.py `to_regular_grid_mapping`). */
-  final case class CoordsMapping(gm: GridMapping, isRegular: Boolean) {
+    * source deltas were uniform within tolerance, plus the TRUE bbox
+    * maxima (last coordinate + res/2 — reference coords.py:292-302).
+    * An irregular `gm`'s own xMax/yMax are synthetic (xMin + count·res
+    * with a median-estimated res), so [[toRegular]] must size the
+    * covering grid from the true extremes, not from them (reference
+    * regular.py `to_regular_grid_mapping` works off xy_bbox). */
+  final case class CoordsMapping(gm: GridMapping, isRegular: Boolean,
+                                 xMaxTrue: Double, yMaxTrue: Double) {
     def toRegular: GridMapping =
       if (isRegular) gm
       else {
         val res0 = math.min(gm.xRes, gm.yRes)
         val res = if (res0 > 0) res0 else math.max(gm.xRes, gm.yRes)
         val width = math.max(2L,
-          math.round((gm.xMax - gm.xMin + res) / res))
+          math.round((xMaxTrue - gm.xMin + res) / res))
         val height = math.max(2L,
-          math.round((gm.yMax - gm.yMin + res) / res))
+          math.round((yMaxTrue - gm.yMin + res) / res))
         gm.copy(width = width, height = height, xRes = res, yRes = res)
       }
   }
@@ -349,7 +380,8 @@ object CfGridMapping {
       width = xs.length.toLong, height = ys.length.toLong,
       xMin = xs.min - xRes / 2, yMin = ys.min - yRes / 2,
       xRes = xRes, yRes = yRes, crs = crs, yDown = yDown)
-    CoordsMapping(gm, regular)
+    CoordsMapping(gm, regular,
+      xMaxTrue = xs.max + xRes / 2, yMaxTrue = ys.max + yRes / 2)
   }
 
   // ------------------------------------------------------------------

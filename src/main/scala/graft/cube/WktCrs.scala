@@ -1,0 +1,253 @@
+package graft.cube
+
+/** WKT1/WKT2 CRS parsing onto the registered family set — the
+  * `pyproj.CRS.from_wkt` analog for granules that ship ONLY a
+  * `crs_wkt`/`spatial_ref` string (reference cfconv.py reaches them via
+  * pyproj; gridmapping/base.py:808 `from_dataset`).
+  *
+  * Strategy: structural parse (a WKT document is a uniform tree of
+  * `NAME[arg, ...]` nodes), then translate the PROJECTION (WKT1) /
+  * METHOD (WKT2) name and PARAMETER clauses into the CF grid-mapping
+  * attribute vocabulary and hand the result to
+  * [[CfGridMapping.crsFromCf]] — one shared registry, one shared
+  * decline-loudly rule. A projected WKT whose method or parameters
+  * don't land on a registered family THROWS (silently falling back to
+  * geographic would misplace every pixel); a geographic-only WKT
+  * resolves to CRS84; a string that isn't WKT at all returns None.
+  */
+object WktCrs {
+
+  /** One WKT node: keyword, quoted-string / numeric / child arguments. */
+  final case class Node(name: String, args: Seq[Any]) {
+    def children: Seq[Node] = args.collect { case n: Node => n }
+    def strings: Seq[String] = args.collect { case s: String => s }
+    def numbers: Seq[Double] = args.collect { case d: Double => d }
+    /** First descendant (depth-first) with the given keyword. */
+    def find(keyword: String): Option[Node] =
+      if (name.equalsIgnoreCase(keyword)) Some(this)
+      else children.view.flatMap(_.find(keyword)).headOption
+    def findAll(keyword: String): Seq[Node] =
+      (if (name.equalsIgnoreCase(keyword)) Seq(this) else Nil) ++
+        children.flatMap(_.findAll(keyword))
+  }
+
+  /** Parse a WKT document; None when the text isn't WKT-shaped. */
+  def parse(wkt: String): Option[Node] = {
+    val s = wkt.trim
+    val it = new Cursor(s)
+    try {
+      val n = it.node()
+      it.skipWs()
+      if (it.done) Some(n) else None
+    } catch { case _: MatchError | _: IllegalArgumentException => None }
+  }
+
+  private final class Cursor(s: String) {
+    private var p = 0
+    def done: Boolean = p >= s.length
+    def skipWs(): Unit = while (!done && s(p).isWhitespace) p += 1
+    private def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"WKT parse: $msg at offset $p")
+    private def ident(): String = {
+      skipWs()
+      val start = p
+      while (!done && (s(p).isLetterOrDigit || s(p) == '_')) p += 1
+      if (p == start) fail("keyword expected")
+      s.substring(start, p)
+    }
+    def node(): Node = {
+      val name = ident()
+      skipWs()
+      if (done || (s(p) != '[' && s(p) != '(')) fail("'[' expected")
+      body(name)
+    }
+    private def body(name: String): Node = {
+      val close = if (s(p) == '[') ']' else ')'
+      p += 1
+      val args = Seq.newBuilder[Any]
+      var first = true
+      while ({ skipWs(); done || s(p) != close }) {
+        if (done) fail("unterminated node")
+        if (!first) {
+          if (s(p) != ',') fail("',' expected")
+          p += 1; skipWs()
+        }
+        first = false
+        if (done) fail("argument expected")
+        s(p) match {
+          case '"' =>
+            p += 1
+            val b = new StringBuilder
+            while (!done && !(s(p) == '"' &&
+              (p + 1 >= s.length || s(p + 1) != '"'))) {
+              if (s(p) == '"') { b += '"'; p += 2 } // WKT2 escaped quote
+              else { b += s(p); p += 1 }
+            }
+            if (done) fail("unterminated string")
+            p += 1
+            args += b.result()
+          case c if c.isLetter || c == '_' =>
+            // a keyword either opens a child node or stands bare (WKT2
+            // enumerations: CS[Cartesian,2], AXIS[...,north], ...)
+            val id = ident()
+            skipWs()
+            if (!done && (s(p) == '[' || s(p) == '(')) args += body(id)
+            else args += id
+          case _ =>
+            val ns = p
+            while (!done && !s(p).isWhitespace && s(p) != ',' &&
+              s(p) != close) p += 1
+            val tok = s.substring(ns, p)
+            args += tok.toDoubleOption.getOrElse(fail(s"bad token '$tok'"))
+        }
+      }
+      if (done) fail("unterminated node") else p += 1
+      Node(name.toUpperCase, args.result())
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // WKT -> CF attribute translation
+  // ------------------------------------------------------------------
+
+  /** Normalize a projection/parameter name: lowercase, non-alphanumeric
+    * collapsed to single underscores. "Lambert Conic Conformal (2SP)"
+    * and "Lambert_Conformal_Conic_2SP" normalize identically enough for
+    * keyword matching. */
+  private def norm(s: String): String =
+    s.toLowerCase.replaceAll("[^a-z0-9]+", "_")
+      .stripPrefix("_").stripSuffix("_")
+
+  /** WKT1 PROJECTION / WKT2 METHOD name -> CF grid_mapping_name. */
+  private val Methods: Seq[(String => Boolean, String)] = Seq(
+    ((n: String) => n.contains("pseudo_mercator") ||
+      n.contains("popular_visualisation"),
+      "popular_visualisation_pseudo_mercator"),
+    ((n: String) => n.contains("transverse_mercator") &&
+      !n.contains("south"), "transverse_mercator"),
+    ((n: String) => n.contains("mercator"), "mercator"),
+    ((n: String) => n.contains("lambert") && n.contains("azimuthal"),
+      "lambert_azimuthal_equal_area"),
+    ((n: String) => n.contains("lambert") && n.contains("cylindrical"),
+      "lambert_cylindrical_equal_area"),
+    ((n: String) => n.startsWith("cylindrical_equal_area"),
+      "lambert_cylindrical_equal_area"),
+    ((n: String) => n.contains("lambert") && (n.contains("conformal") ||
+      n.contains("conic_conformal")), "lambert_conformal_conic"),
+    ((n: String) => n.contains("albers"), "albers_conical_equal_area"),
+    ((n: String) => n.contains("polar_stereographic"),
+      "polar_stereographic"),
+    ((n: String) => n.contains("stereographic"), "stereographic"),
+    ((n: String) => n.contains("sinusoidal"), "sinusoidal"),
+    ((n: String) => n.contains("orthographic"), "orthographic"),
+    ((n: String) => n.contains("mollweide"), "mollweide"),
+    ((n: String) => n.contains("geostationary"), "geostationary"))
+
+  /** WKT parameter name -> CF parameter name, per grid-mapping family
+    * (the same WKT name maps differently across families — WKT1
+    * `central_meridian` is CF `longitude_of_central_meridian` for
+    * conic/cylindrical families but `longitude_of_projection_origin`
+    * for azimuthal ones). */
+  private def cfParamName(family: String, wktName: String): Option[String] = {
+    val n = norm(wktName)
+    val azimuthal = Set("lambert_azimuthal_equal_area", "orthographic",
+      "stereographic", "polar_stereographic", "geostationary",
+      "mollweide").contains(family)
+    n match {
+      case "central_meridian" | "longitude_of_natural_origin" |
+           "longitude_of_false_origin" | "longitude_of_center" |
+           "longitude_of_centre" | "longitude_of_projection_centre" =>
+        Some(if (azimuthal || family == "mercator")
+          "longitude_of_projection_origin"
+        else "longitude_of_central_meridian")
+      case "latitude_of_origin" | "latitude_of_natural_origin" |
+           "latitude_of_false_origin" | "latitude_of_center" |
+           "latitude_of_centre" | "latitude_of_projection_centre" =>
+        Some("latitude_of_projection_origin")
+      case "longitude_of_origin" if family == "polar_stereographic" =>
+        Some("straight_vertical_longitude_from_pole")
+      case "longitude_of_origin" => Some("longitude_of_projection_origin")
+      case "scale_factor" | "scale_factor_at_natural_origin" =>
+        Some(if (family == "transverse_mercator")
+          "scale_factor_at_central_meridian"
+        else "scale_factor_at_projection_origin")
+      case "standard_parallel_1" | "standard_parallel" |
+           "latitude_of_1st_standard_parallel" |
+           "latitude_of_standard_parallel" => Some("standard_parallel_1")
+      case "standard_parallel_2" | "latitude_of_2nd_standard_parallel" =>
+        Some("standard_parallel_2")
+      case "false_easting" | "easting_at_false_origin" |
+           "easting_at_projection_centre" => Some("false_easting")
+      case "false_northing" | "northing_at_false_origin" |
+           "northing_at_projection_centre" => Some("false_northing")
+      case "satellite_height" | "perspective_point_height" =>
+        Some("perspective_point_height")
+      case _ => None // unit conversions, azimuths, ... — unused by CF map
+    }
+  }
+
+  /** CF attribute map encoded by a WKT document, or None when `wkt`
+    * isn't WKT. Geographic-only documents yield the latitude_longitude
+    * mapping; projected documents yield the translated family +
+    * parameters (which [[CfGridMapping.crsFromCf]] then matches against
+    * the registered set, throwing for unregistered combinations). */
+  def toCfAttrs(wkt: String): Option[Map[String, String]] =
+    parse(wkt).flatMap { root =>
+      val isProjected = Set("PROJCS", "PROJCRS", "PROJECTEDCRS")
+        .contains(root.name)
+      val isGeographic = Set("GEOGCS", "GEOGCRS", "GEOGRAPHICCRS",
+        "GEODCRS", "GEODETICCRS").contains(root.name)
+      if (isGeographic)
+        Some(Map("grid_mapping_name" -> "latitude_longitude"))
+      else if (!isProjected) None
+      else {
+        val methodNode = root.find("PROJECTION").orElse(root.find("METHOD"))
+        val methodName = methodNode.flatMap(_.strings.headOption)
+          .map(norm).getOrElse(throw new IllegalArgumentException(
+            s"projected WKT '${root.strings.headOption.getOrElse("?")}' " +
+              "carries no PROJECTION/METHOD clause"))
+        val family = Methods.collectFirst {
+          case (m, cf) if m(methodName) => cf
+        }.getOrElse(throw new IllegalArgumentException(
+          s"WKT projection method '$methodName' has no registered " +
+            "closed form (SpatialOps' family set) — re-project the " +
+            "source, or register the family first"))
+        // a plain Mercator on an ELLIPSOID (EPSG:3395-style) is not the
+        // spherical web-mercator — coercing it would misplace y by tens
+        // of km (the same trap crsFromCf's CF 'mercator' branch guards);
+        // the pseudo-mercator METHOD name is the only spherical marker
+        if (family == "mercator") {
+          val invF = root.find("SPHEROID").orElse(root.find("ELLIPSOID"))
+            .flatMap(_.numbers.drop(1).headOption)
+          if (invF.exists(_ > 0.0))
+            throw new IllegalArgumentException(
+              "WKT ellipsoidal Mercator (inverse flattening " +
+                s"${invF.get}) has no registered closed form — only the " +
+                "spherical pseudo-mercator (EPSG:3857) is registered")
+        }
+        // geostationary sweep axis rides the method name in WKT2
+        val sweep =
+          if (family != "geostationary") None
+          else if (methodName.contains("sweep_x")) Some("x")
+          else Some("y")
+        val params = Map.newBuilder[String, String]
+        params += "grid_mapping_name" -> family
+        sweep.foreach(a => params += "sweep_angle_axis" -> a)
+        val sp = scala.collection.mutable.SortedMap.empty[Int, Double]
+        root.findAll("PARAMETER").foreach { pn =>
+          (pn.strings.headOption, pn.numbers.headOption) match {
+            case (Some(wname), Some(v)) =>
+              cfParamName(family, wname).foreach {
+                case "standard_parallel_1" => sp(1) = v
+                case "standard_parallel_2" => sp(2) = v
+                case cf => params += cf -> v.toString
+              }
+            case _ =>
+          }
+        }
+        if (sp.nonEmpty)
+          params += "standard_parallel" -> sp.values.mkString(",")
+        Some(params.result())
+      }
+    }
+}

@@ -97,13 +97,22 @@ object InputProcessors {
   def genCube(spark: SparkSession, inputs: Seq[String], processorName: String,
               srcGm: GridMapping, tgtGm: GridMapping, vars: Seq[String],
               resampling: String = "Nearest",
-              toIj: DataFrame => DataFrame = identity): DataFrame = {
+              toIj: DataFrame => DataFrame = identity,
+              timeLabels: Map[String, Double] = Map.empty): DataFrame = {
     require(inputs.nonEmpty, "gen: no input granules")
     val p = get(processorName)
     inputs.map { path =>
       val raw = graft.sources.DataStore.openDataset(spark, path)
       val tr = p.getTimeRange(raw)
-      val centerDays = tr.map { case (a, b) => (a + b) / 2 }.getOrElse(0.0)
+      // a granule with NO derivable time axis and no explicit label
+      // declines loudly — defaulting to epoch would collapse every such
+      // slice under one indistinguishable 1970-01-01 stamp
+      val centerDays = tr.map { case (a, b) => (a + b) / 2 }
+        .orElse(timeLabels.get(path))
+        .getOrElse(throw new IllegalArgumentException(
+          s"gen: granule '$path' has no time axis the '$processorName' " +
+            "processor can read and no explicit timeLabels entry — " +
+            "label it, or fix the granule's time metadata"))
       val pre = p.preProcess(toIj(raw))
       val out = p.process(pre, srcGm, tgtGm, vars, resampling)
       p.postProcess(out)

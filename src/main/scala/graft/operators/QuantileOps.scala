@@ -192,7 +192,7 @@ object QuantileOps {
     val (n, gLo, gHi) = graft.sources.zarr.ZarrScan.bareMetaOf(df)
       .flatMap(m => graft.sources.zarr.ChunkStats.inlineGlobal(m, vCol))
       .getOrElse {
-        val head = quiet(spark) { df.agg(count(vv), min(vv), max(vv)).head() }
+        val head = quiet(df) { q => q.agg(count(vv), min(vv), max(vv)).head() }
         (head.getLong(0),
           if (head.getLong(0) == 0L) Double.NaN else head.getDouble(1),
           if (head.getLong(0) == 0L) Double.NaN else head.getDouble(2))
@@ -207,8 +207,8 @@ object QuantileOps {
     val ranks = wants.flatMap { case (_, r, frac) =>
       if (frac > 0.0) Seq(r, r + 1) else Seq(r)
     }.distinct.sorted
-    val resolved = quiet(spark) {
-      resolveRanks(df, v0, gLo, gHi, n, ranks, bins, maxExactRows, maxDepth)
+    val resolved = quiet(df) { q =>
+      resolveRanks(q, v0, gLo, gHi, n, ranks, bins, maxExactRows, maxDepth)
     }
     wants.map { case (p, r, frac) =>
       val lower = resolved(r)
@@ -238,18 +238,17 @@ object QuantileOps {
     * 8 jobs → 4, the difference pure scheduler latency at ~60 ms per
     * job boundary). The map side — the pushed per-chunk fold over the
     * full scan width — is unaffected. NOT safe for the grouped fold
-    * (TemporalOps), whose intermediate cardinality is group-driven. */
-  private def quiet[T](spark: SparkSession)(body: => T): T = {
-    val pins = Seq("spark.sql.adaptive.enabled" -> "false",
-      "spark.sql.shuffle.partitions" -> "1")
-    val saved = pins.map { case (k, _) => k -> spark.conf.getOption(k) }
-    pins.foreach { case (k, v) => spark.conf.set(k, v) }
-    try body
-    finally saved.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None) => spark.conf.unset(k)
-    }
-  }
+    * (TemporalOps), whose intermediate cardinality is group-driven.
+    *
+    * The pins live on a dedicated CLONED session (one per root session,
+    * pinned once at creation) and `df` is rerooted onto it — the shared
+    * session conf is never written, so a concurrent query on the same
+    * session keeps its AQE and partition settings, and concurrent folds
+    * race on nothing. */
+  private def quiet[T](df: DataFrame)(body: DataFrame => T): T =
+    body(org.apache.spark.sql.graft.ConfBridge.withOverrides(df, Map(
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.shuffle.partitions" -> "1")))
 
   /** One unresolved selection task: the inclusive value interval, the
     * count of data values strictly below it, its own row count, the

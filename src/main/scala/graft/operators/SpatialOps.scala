@@ -62,6 +62,13 @@ object SpatialOps {
     * (EPSG:2154/3978) and Albers equal-area (EPSG:5070), all in
     * [[PolarOps]] unless noted.
     */
+  /** Public coordinate transform between two registered CRSs —
+    * geographic ↔ projected directly, projected → projected through the
+    * geographic pivot. Loud decline for unregistered families. */
+  def transformXY(crsFrom: String, crsTo: String,
+                  x: Column, y: Column): (Column, Column) =
+    transformCols(crsFrom, crsTo, x, y)
+
   private def transformCols(crsFrom: String, crsTo: String,
                             x: Column, y: Column): (Column, Column) = {
     /** (forward from geographic, inverse to geographic) of a projected
@@ -108,6 +115,11 @@ object SpatialOps {
     else (family(crsTo), family(crsFrom)) match {
       case (Some((fwd, _)), _) if isGeographic(crsFrom) => fwd(x, y)
       case (_, Some((_, inv))) if isGeographic(crsTo) => inv(x, y)
+      case (Some((fwd, _)), Some((_, inv))) =>
+        // projected -> projected: pivot through geographic (the same
+        // route pyproj's pipeline takes for two non-geographic CRSs)
+        val (lon, lat) = inv(x, y)
+        fwd(lon, lat)
       case _ => throw new IllegalArgumentException(
         s"unsupported CRS pair $crsFrom -> $crsTo " +
           "(supported: geographic <-> EPSG:3857, UTM EPSG:326xx/327xx, " +

@@ -721,13 +721,31 @@ object ZarrSource {
     b.result()
   }
 
+  /** CF grid-mapping parameter keys whose values are numeric by the CF
+    * spec — the ONLY keys [[updateAttrs]] retypes into JSON numbers.
+    * Everything else round-trips verbatim: an `id` of "2,4" or a
+    * version of "1e5" must stay a string for external readers. */
+  private val CfNumericAttrKeys: Set[String] = Set(
+    "standard_parallel", "longitude_of_central_meridian",
+    "longitude_of_projection_origin", "latitude_of_projection_origin",
+    "scale_factor_at_central_meridian",
+    "scale_factor_at_projection_origin",
+    "false_easting", "false_northing",
+    "straight_vertical_longitude_from_pole",
+    "grid_north_pole_latitude", "grid_north_pole_longitude",
+    "north_pole_grid_longitude", "perspective_point_height",
+    "earth_radius", "semi_major_axis", "semi_minor_axis",
+    "inverse_flattening", "prime_meridian_name_longitude")
+
   /** Merge `kv` into the `.zattrs` of array `name` (group-level for "")
     * — read-modify-write PRESERVING existing keys (`_ARRAY_DIMENSIONS`
     * most of all), re-consolidating `.zmetadata` when one exists.
-    * Values that parse as numbers (or comma-joined number lists) are
-    * written in their native JSON forms so external CF readers see
-    * numeric parameters, not strings. The rioxarray `write_crs`-shaped
-    * primitive behind [[graft.cube.CfGridMapping.attachToZarr]]. */
+    * Values of known CF NUMERIC parameter keys ([[CfNumericAttrKeys]])
+    * are written in their native JSON forms (number, or array for
+    * comma-joined lists like two standard parallels) so external CF
+    * readers see numeric parameters; any other string passes through
+    * verbatim. The rioxarray `write_crs`-shaped primitive behind
+    * [[graft.cube.CfGridMapping.attachToZarr]]. */
   def updateAttrs(groupDir: String, name: String,
                   kv: Map[String, String]): Unit = {
     val rel = if (name.isEmpty) ".zattrs" else s"$name/.zattrs"
@@ -737,7 +755,8 @@ object ZarrSource {
     }
     kv.foreach { case (k, v) =>
       val parts = v.split(',').map(_.trim)
-      if (parts.length > 1 && parts.forall(_.toDoubleOption.isDefined)) {
+      if (!CfNumericAttrKeys.contains(k)) { node.put(k, v); () }
+      else if (parts.length > 1 && parts.forall(_.toDoubleOption.isDefined)) {
         val a = node.putArray(k)
         parts.foreach(p => a.add(p.toDouble))
       } else v.toDoubleOption match {

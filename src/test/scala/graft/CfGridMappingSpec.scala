@@ -144,6 +144,48 @@ class CfGridMappingSpec extends AnyFunSuite {
     ()
   }
 
+  test("toRegular sizes the covering grid from the TRUE coordinate " +
+    "extremes, not count x median-res") {
+    // trailing gap: median dx is 1.5 but the real extent runs to 20 —
+    // the synthetic xMin + n*res bbox (8.25) would undercover by 12.5
+    val xs = Array(0.0, 1.0, 2.5, 4.0, 6.0, 20.0)
+    val ys = Array(0.0, 1.5, 3.0, 4.5) // regular axis, res 1.5
+    val cm = CfGridMapping.fromCoords(xs, ys, "EPSG:32633")
+    assert(!cm.isRegular)
+    assert(cm.xMaxTrue == 20.0 + cm.gm.xRes / 2)
+    val reg = cm.toRegular
+    assert(reg.xRes == 1.5 && reg.yRes == 1.5)
+    // reference regular.py:138: width = round((xMax - xMin + res)/res)
+    // off the true bbox [-0.75, 20.75]
+    assert(reg.width == math.round((20.75 + 0.75 + 1.5) / 1.5))
+    assert(reg.xMax >= cm.xMaxTrue, "covering grid must reach the data")
+    assert(reg.height == math.round((5.25 + 0.75 + 1.5) / 1.5))
+  }
+
+  test("CF 'mercator' accepts only the SP=0/k0=1, lon0=0 spherical case") {
+    assert(CfGridMapping.crsFromCf(Map(
+      "grid_mapping_name" -> "mercator",
+      "standard_parallel" -> "0.0")).contains("EPSG:3857"))
+    assert(CfGridMapping.crsFromCf(Map(
+      "grid_mapping_name" -> "mercator",
+      "scale_factor_at_projection_origin" -> "1.0")).contains("EPSG:3857"))
+    assert(CfGridMapping.crsFromCf(Map(
+      "grid_mapping_name" -> "popular_visualisation_pseudo_mercator"))
+      .contains("EPSG:3857"))
+    // a standard-parallel / off-meridian / scaled Mercator is NOT 3857
+    for (bad <- Seq(
+      Map("grid_mapping_name" -> "mercator", "standard_parallel" -> "41.0"),
+      Map("grid_mapping_name" -> "mercator",
+        "scale_factor_at_projection_origin" -> "0.9996"),
+      Map("grid_mapping_name" -> "mercator", "standard_parallel" -> "0.0",
+        "longitude_of_projection_origin" -> "110.0"))) {
+      val ex = intercept[IllegalArgumentException] {
+        CfGridMapping.crsFromCf(bad)
+      }
+      assert(ex.getMessage.contains("web-mercator"), bad.toString)
+    }
+  }
+
   test("geostationary: the published GOES-R PUG worked example") {
     val g = PolarOps.geosForCrs("GEOS:-75.0:3.5786023E7:x").get
     val (x, y) = PolarOps.geosForwardScalar(-84.690932, 33.846162, g)
@@ -258,6 +300,16 @@ class CfGridMappingSpec extends AnyFunSuite {
     assert(new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(s"$g/.zmetadata")), "UTF-8")
       .contains("transverse_mercator"))
+    // numeric retyping applies ONLY to CF parameter keys: a string id
+    // that happens to parse as numbers must round-trip verbatim
+    ZarrSource.updateAttrs(g, "",
+      Map("product_id" -> "2,4", "processing_version" -> "1e5",
+        "false_northing" -> "0.0"))
+    val raw = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$g/.zattrs")), "UTF-8")
+    assert(raw.contains("\"product_id\":\"2,4\""), raw)
+    assert(raw.contains("\"processing_version\":\"1e5\""), raw)
+    assert(raw.contains("\"false_northing\":0.0"), raw)
   }
 
   test("anti-meridian crossings re-derive in the lon-360 frame") {

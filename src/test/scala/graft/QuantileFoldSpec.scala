@@ -347,4 +347,31 @@ class QuantileFoldSpec extends AnyFunSuite {
       df, Seq("g"), "v", Seq(0.5), maxGroups = 10)
     assert(ok.count() == 10)
   }
+
+  test("quiet pins ride a cloned session: plan sees them, the root " +
+    "session conf is never mutated") {
+    import spark.implicits._
+    val pins = Map("spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.shuffle.partitions" -> "1")
+    val df = Seq.tabulate(200)(i => (i % 7, i.toDouble)).toDF("k", "v")
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled")
+    val q = org.apache.spark.sql.graft.ConfBridge.withOverrides(
+      df.groupBy("k").count(), pins)
+    assert(q.rdd.getNumPartitions === 1,
+      "pinned plan must shuffle to 1 partition")
+    assert(!q.queryExecution.executedPlan.toString
+      .contains("AdaptiveSparkPlan"), "pinned plan must not be adaptive")
+    assert(q.collect().length === 7, "rerooted plan returns the same rows")
+    // the twin is cached — one clone per (session, pins) pair
+    assert(org.apache.spark.sql.graft.ConfBridge.twinSession(spark, pins)
+      eq org.apache.spark.sql.graft.ConfBridge.twinSession(spark, pins))
+    // the root session is untouched: conf intact, plans still adaptive
+    assert(spark.conf.get("spark.sql.shuffle.partitions") === before)
+    assert(spark.conf.get("spark.sql.adaptive.enabled") === aqeBefore)
+    val outside = df.groupBy($"k" + 1).count()
+    outside.collect()
+    assert(outside.queryExecution.executedPlan.toString
+      .contains("AdaptiveSparkPlan"))
+  }
 }

@@ -58,6 +58,45 @@ class StoreSearchSpec extends AnyFunSuite {
       .head.bbox.isDefined)
   }
 
+  test("searchData batches extent probes: N entries, ONE union job") {
+    import spark.implicits._
+    val root = tmpDir("searchbatch")
+    for (k <- 0 until 5)
+      (for (j <- 0 until 3; i <- 0 until 4) yield
+        (i * 10.0, j + 0.5, k * 10.0 + i + 0.5, (j * 4 + i).toDouble))
+        .toDF("t", "y", "x", "sst")
+        .coalesce(1).write.parquet(s"$root/cube$k.parquet")
+    val store = new FsDataStore(spark, root)
+    // warm the schema-only pass (footer reads can cost a tiny job each)
+    assert(store.searchData(varName = Some("sst")).size == 5)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    org.apache.spark.graftbridge.BusDrain.drain(spark.sparkContext)
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // baseline: the schema-only pass costs a footer job per open()
+      store.searchData(varName = Some("sst"))
+      org.apache.spark.graftbridge.BusDrain.drain(spark.sparkContext)
+      val schemaJobs = jobs.getAndSet(0)
+      val hits = store.searchData(withExtents = true)
+      org.apache.spark.graftbridge.BusDrain.drain(spark.sparkContext)
+      assert(hits.size == 5 && hits.forall(_.bbox.isDefined))
+      val batches =
+        math.ceil(5.0 / graft.sources.DataStore.SearchProbeBatch).toInt
+      assert(jobs.get() - schemaJobs <= batches,
+        s"extent probes must add $batches union job(s) over the " +
+          s"$schemaJobs schema jobs, saw ${jobs.get()}")
+      // the batched probe got every extent right
+      assert(hits.find(_.dataId == "cube3.parquet").get.bbox
+        .contains((30.5, 0.5, 33.5, 2.5)))
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("memory store searches like any other store") {
     import spark.implicits._
     val store = new MemoryDataStore(spark)
@@ -88,5 +127,32 @@ class StoreSearchSpec extends AnyFunSuite {
       override def name: String = "spec-proc"
     })
     assert(InputProcessors.get("spec-proc").inputReader == "netcdf")
+  }
+
+  test("genCube declines loudly for a time-less granule; an explicit " +
+    "timeLabels entry stamps it instead") {
+    import graft.sources.NetcdfSource
+    import NetcdfSource.NcDim
+    import graft.cube.GridMapping
+    val dir = tmpDir("notime")
+    val path = s"$dir/granule.nc"
+    NetcdfSource.write(path,
+      Seq(NcDim("y", 4), NcDim("x", 6)),
+      Seq(("y", Array.tabulate(4)(_ + 0.5)),
+        ("x", Array.tabulate(6)(_ + 0.5))),
+      Seq(("v", Seq("y", "x"), Array.tabulate(24)(_.toDouble))))
+    val gm = GridMapping(6, 4, 0.0, 0.0, 1.0, 1.0)
+    def run(labels: Map[String, Double]) =
+      InputProcessors.genCube(spark, Seq(path), "default", gm, gm,
+        Seq("v"),
+        toIj = df => df.select(gm.iExpr(col("x")).as("i"),
+          gm.jExpr(col("y")).as("j"), col("v")),
+        timeLabels = labels)
+    val ex = intercept[IllegalArgumentException] { run(Map.empty) }
+    assert(ex.getMessage.contains("timeLabels"))
+    val out = run(Map(path -> 3.0)).select("time").distinct().collect()
+    assert(out.length == 1)
+    assert(out.head.getTimestamp(0).toInstant.toString
+      .startsWith("1970-01-04"))
   }
 }

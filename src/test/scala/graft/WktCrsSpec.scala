@@ -1,0 +1,139 @@
+package graft
+
+import graft.cube.{CfGridMapping, WktCrs}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** WKT1/WKT2 CRS parsing onto the registered family set — the
+  * pyproj.CRS.from_wkt analog (reference reaches WKT through pyproj in
+  * gridmapping/cfconv.py; mirrors test_cfconv.py's CRS discovery
+  * cases). All documents here are CODE-LESS (no EPSG authority), so
+  * resolution must come from the structural PROJECTION/PARAMETER
+  * translation, not the id shortcut. */
+class WktCrsSpec extends AnyFunSuite {
+
+  private def resolve(wkt: String): Option[String] =
+    CfGridMapping.crsFromCf(Map("crs_wkt" -> wkt))
+
+  test("WKT1 Lambert-93 without authority resolves to EPSG:2154") {
+    val wkt = """PROJCS["RGF93 / Lambert-93",GEOGCS["RGF93",""" +
+      """DATUM["RGF93",SPHEROID["GRS 1980",6378137,298.257222101]],""" +
+      """PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]],""" +
+      """PROJECTION["Lambert_Conformal_Conic_2SP"],""" +
+      """PARAMETER["standard_parallel_1",49],""" +
+      """PARAMETER["standard_parallel_2",44],""" +
+      """PARAMETER["latitude_of_origin",46.5],""" +
+      """PARAMETER["central_meridian",3],""" +
+      """PARAMETER["false_easting",700000],""" +
+      """PARAMETER["false_northing",6600000],UNIT["metre",1]]"""
+    assert(resolve(wkt).contains("EPSG:2154"))
+  }
+
+  test("WKT2 Lambert-93 (EPSG long parameter names) resolves too") {
+    val wkt = """PROJCRS["RGF93 / Lambert-93",""" +
+      """BASEGEOGCRS["RGF93",DATUM["Reseau Geodesique Francais 1993",""" +
+      """ELLIPSOID["GRS 1980",6378137,298.257222101]]],""" +
+      """CONVERSION["Lambert-93",""" +
+      """METHOD["Lambert Conic Conformal (2SP)"],""" +
+      """PARAMETER["Latitude of false origin",46.5],""" +
+      """PARAMETER["Longitude of false origin",3],""" +
+      """PARAMETER["Latitude of 1st standard parallel",49],""" +
+      """PARAMETER["Latitude of 2nd standard parallel",44],""" +
+      """PARAMETER["Easting at false origin",700000],""" +
+      """PARAMETER["Northing at false origin",6600000]],""" +
+      """CS[Cartesian,2]]"""
+    assert(resolve(wkt).contains("EPSG:2154"))
+  }
+
+  test("WKT1 UTM 33N without authority resolves to EPSG:32633") {
+    val wkt = """PROJCS["WGS 84 / UTM zone 33N",GEOGCS["WGS 84",""" +
+      """DATUM["WGS_1984",SPHEROID["WGS 84",6378137,298.257223563]],""" +
+      """PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]],""" +
+      """PROJECTION["Transverse_Mercator"],""" +
+      """PARAMETER["latitude_of_origin",0],""" +
+      """PARAMETER["central_meridian",15],""" +
+      """PARAMETER["scale_factor",0.9996],""" +
+      """PARAMETER["false_easting",500000],""" +
+      """PARAMETER["false_northing",0],UNIT["metre",1]]"""
+    assert(resolve(wkt).contains("EPSG:32633"))
+  }
+
+  test("geographic-only WKT resolves to CRS84") {
+    val wkt = """GEOGCS["WGS 84",DATUM["WGS_1984",""" +
+      """SPHEROID["WGS 84",6378137,298.257223563]],""" +
+      """PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]]"""
+    assert(resolve(wkt).contains("CRS84"))
+    val wkt2 = """GEOGCRS["WGS 84",DATUM["World Geodetic System 1984",""" +
+      """ELLIPSOID["WGS 84",6378137,298.257223563]],CS[ellipsoidal,2]]"""
+    assert(resolve(wkt2).contains("CRS84"))
+  }
+
+  test("a registered EPSG authority code short-circuits the parse") {
+    val wkt = """PROJCS["WGS 84 / UTM zone 19S",""" +
+      """PROJECTION["Transverse_Mercator"],""" +
+      """PARAMETER["central_meridian",-69],""" +
+      """AUTHORITY["EPSG","32719"]]"""
+    assert(resolve(wkt).contains("EPSG:32719"))
+  }
+
+  test("a NON-registered authority code falls through to the " +
+    "structural parse instead of passing the raw id") {
+    // UNIT authority 9001 is the LAST id in this doc — the old
+    // last-id-wins rule would have yielded nonsense EPSG:9001
+    val wkt = """PROJCS["custom LCC",GEOGCS["RGF93",""" +
+      """DATUM["RGF93",SPHEROID["GRS 1980",6378137,298.257222101]],""" +
+      """PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433,""" +
+      """AUTHORITY["EPSG","9122"]]],""" +
+      """PROJECTION["Lambert_Conformal_Conic_2SP"],""" +
+      """PARAMETER["standard_parallel_1",49],""" +
+      """PARAMETER["standard_parallel_2",44],""" +
+      """PARAMETER["latitude_of_origin",46.5],""" +
+      """PARAMETER["central_meridian",3],""" +
+      """UNIT["metre",1,AUTHORITY["EPSG","9001"]]]"""
+    assert(resolve(wkt).contains("EPSG:2154"))
+  }
+
+  test("unregistered projections and parameters decline LOUDLY") {
+    val krovak = """PROJCS["S-JTSK / Krovak",""" +
+      """PROJECTION["Krovak"],PARAMETER["latitude_of_center",49.5]]"""
+    val ex = intercept[IllegalArgumentException] { resolve(krovak) }
+    assert(ex.getMessage.contains("registered"))
+    // a recognized family with unregistered parameters throws through
+    // crsFromCf's shared rule
+    val conus = """PROJCS["NAD83 LCC",""" +
+      """PROJECTION["Lambert_Conformal_Conic_2SP"],""" +
+      """PARAMETER["standard_parallel_1",33],""" +
+      """PARAMETER["standard_parallel_2",45],""" +
+      """PARAMETER["latitude_of_origin",39],""" +
+      """PARAMETER["central_meridian",-96]]"""
+    intercept[IllegalArgumentException] { resolve(conus) }
+    // ellipsoidal Mercator is NOT web-mercator (EPSG:3395 trap)
+    val merc3395 = """PROJCS["WGS 84 / World Mercator",GEOGCS["WGS 84",""" +
+      """DATUM["WGS_1984",SPHEROID["WGS 84",6378137,298.257223563]]],""" +
+      """PROJECTION["Mercator_1SP"],PARAMETER["scale_factor",1],""" +
+      """PARAMETER["central_meridian",0]]"""
+    val ex3 = intercept[IllegalArgumentException] { resolve(merc3395) }
+    assert(ex3.getMessage.contains("Mercator"))
+    ()
+  }
+
+  test("WKT2 pseudo-mercator METHOD resolves to EPSG:3857") {
+    val wkt = """PROJCRS["WGS 84 / Pseudo-Mercator",""" +
+      """BASEGEOGCRS["WGS 84",DATUM["World Geodetic System 1984",""" +
+      """ELLIPSOID["WGS 84",6378137,298.257223563]]],""" +
+      """CONVERSION["Popular Visualisation Pseudo-Mercator",""" +
+      """METHOD["Popular Visualisation Pseudo Mercator"],""" +
+      """PARAMETER["Latitude of natural origin",0],""" +
+      """PARAMETER["Longitude of natural origin",0]],CS[Cartesian,2]]"""
+    assert(resolve(wkt).contains("EPSG:3857"))
+  }
+
+  test("non-WKT strings are not WKT: parse yields None, resolution " +
+    "falls back to nothing") {
+    assert(WktCrs.parse("+proj=lcc +lat_1=49 +lat_2=44").isEmpty)
+    assert(WktCrs.parse("EPSG:2154").isEmpty)
+    assert(resolve("just a comment").isEmpty)
+    // escaped quotes inside WKT2 strings survive
+    val n = WktCrs.parse("UNIT[\"metre \"\"m\"\"\",1]").get
+    assert(n.strings.head == "metre \"m\"")
+  }
+}
