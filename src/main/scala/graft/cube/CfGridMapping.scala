@@ -92,6 +92,34 @@ object CfGridMapping {
         else if (close(latTs, -70.0) && close(lon0, 0.0)) Some("EPSG:3976")
         else if (close(latTs, -71.0) && close(lon0, 0.0)) Some("EPSG:3031")
         else bad(n, s"standard_parallel $latTs, lon0 $lon0")
+      case Some(n @ ("stereographic" | "oblique_stereographic")) =>
+        // non-polar stereographic resolves to the EPSG 9809 double
+        // ("oblique") form — exact for the registered Bessel RD New
+        // combination, WGS84 otherwise; polar latitudes must use
+        // polar_stereographic (different closed form)
+        val lat0 = num(attrs, "latitude_of_projection_origin")
+          .getOrElse(bad(n, "no latitude_of_projection_origin"))
+        if (math.abs(lat0) > 89.999)
+          bad(n, "a polar origin (use polar_stereographic)")
+        val lon0 = num(attrs, "longitude_of_projection_origin").getOrElse(0.0)
+        val k0 = num(attrs, "scale_factor_at_projection_origin")
+          .getOrElse(1.0)
+        val fe = num(attrs, "false_easting").getOrElse(0.0)
+        val fn = num(attrs, "false_northing").getOrElse(0.0)
+        val a = num(attrs, "semi_major_axis")
+        val invF = num(attrs, "inverse_flattening")
+        val isRd = close(lat0, 52.15616055555556, 1e-7) &&
+          close(lon0, 5.38763888888889, 1e-7) &&
+          close(k0, 0.9999079, 1e-9) &&
+          close(fe, 155000.0) && close(fn, 463000.0) &&
+          a.forall(close(_, 6377397.155, 0.5)) &&
+          invF.forall(close(_, 299.1528128, 1e-4))
+        if (isRd) Some("EPSG:28992")
+        else if (a.exists(v => !close(v, 6378137.0, 0.5)) ||
+          invF.exists(v => !close(v, 298.257223563, 1e-6)))
+          bad(n, s"a non-WGS84 ellipsoid (a=$a, 1/f=$invF) outside the " +
+            "registered RD New combination")
+        else Some(s"STEREO:$lat0:$lon0:$k0:$fe:$fn")
       case Some(n @ "lambert_azimuthal_equal_area") =>
         val lat0 = num(attrs, "latitude_of_projection_origin")
           .getOrElse(bad(n, "no latitude_of_projection_origin"))
@@ -266,6 +294,17 @@ object CfGridMapping {
       Map("grid_mapping_name" -> "mollweide",
         "longitude_of_projection_origin" -> mw.lon0Deg.toString,
         "false_easting" -> "0.0", "false_northing" -> "0.0")
+    }).orElse(PolarOps.obliqueStereoForCrs(crs).map { os =>
+      Map("grid_mapping_name" -> "oblique_stereographic",
+        "latitude_of_projection_origin" -> os.lat0Deg.toString,
+        "longitude_of_projection_origin" -> os.lon0Deg.toString,
+        "scale_factor_at_projection_origin" -> os.k0.toString,
+        "false_easting" -> os.x0.toString,
+        "false_northing" -> os.y0.toString) ++
+        (if (math.abs(os.invF - 298.257223563) > 1e-6)
+          Map("semi_major_axis" -> os.a.toString,
+            "inverse_flattening" -> os.invF.toString)
+        else Map.empty)
     }).orElse(PolarOps.geosForCrs(crs).map { g =>
       Map("grid_mapping_name" -> "geostationary",
         "longitude_of_projection_origin" -> g.lon0Deg.toString,

@@ -137,7 +137,7 @@ object WktCrs {
     ((n: String) => n.contains("albers"), "albers_conical_equal_area"),
     ((n: String) => n.contains("polar_stereographic"),
       "polar_stereographic"),
-    ((n: String) => n.contains("stereographic"), "stereographic"),
+    ((n: String) => n.contains("stereographic"), "oblique_stereographic"),
     ((n: String) => n.contains("sinusoidal"), "sinusoidal"),
     ((n: String) => n.contains("orthographic"), "orthographic"),
     ((n: String) => n.contains("mollweide"), "mollweide"),
@@ -151,8 +151,8 @@ object WktCrs {
   private def cfParamName(family: String, wktName: String): Option[String] = {
     val n = norm(wktName)
     val azimuthal = Set("lambert_azimuthal_equal_area", "orthographic",
-      "stereographic", "polar_stereographic", "geostationary",
-      "mollweide").contains(family)
+      "stereographic", "oblique_stereographic", "polar_stereographic",
+      "geostationary", "mollweide").contains(family)
     n match {
       case "central_meridian" | "longitude_of_natural_origin" |
            "longitude_of_false_origin" | "longitude_of_center" |
@@ -233,6 +233,16 @@ object WktCrs {
         val params = Map.newBuilder[String, String]
         params += "grid_mapping_name" -> family
         sweep.foreach(a => params += "sweep_angle_axis" -> a)
+        // ellipsoid, when the document carries one — the stereographic
+        // branch keys the RD New (Bessel 1841) registration off it
+        root.find("SPHEROID").orElse(root.find("ELLIPSOID")).foreach { el =>
+          el.numbers.take(2) match {
+            case Seq(a, invF) =>
+              params += "semi_major_axis" -> a.toString
+              params += "inverse_flattening" -> invF.toString
+            case _ =>
+          }
+        }
         val sp = scala.collection.mutable.SortedMap.empty[Int, Double]
         root.findAll("PARAMETER").foreach { pn =>
           (pn.strings.headOption, pn.numbers.headOption) match {

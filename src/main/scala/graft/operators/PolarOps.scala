@@ -884,4 +884,157 @@ object PolarOps {
     (g.lon0Deg - math.toDegrees(math.atan(sy / (g.bigH - sx))),
       math.toDegrees(lat))
   }
+
+  // ---------------------------- oblique stereographic (EPSG method 9809)
+
+  /** Oblique ("double") stereographic — EPSG method 9809, the RD New /
+    * Amersfoort family (+proj=sterea): ellipsoid → conformal sphere →
+    * spherical stereographic, per EPSG Guidance Note 7-2 §1.3.7.1. All
+    * constants derive PER CRS from its own ellipsoid, so non-WGS84
+    * datums (Bessel 1841 for EPSG:28992) are exact — the only family
+    * here that isn't WGS84-pinned. */
+  final case class ObliqueStereo(lat0Deg: Double, lon0Deg: Double,
+                                 k0: Double, x0: Double, y0: Double,
+                                 a: Double = A,
+                                 invF: Double = 298.257223563) {
+    val fE: Double = 1.0 / invF
+    val e2: Double = fE * (2 - fE)
+    val e: Double = math.sqrt(e2)
+    private val phi0 = math.toRadians(lat0Deg)
+    private val s0 = math.sin(phi0)
+    val lam0: Double = math.toRadians(lon0Deg)
+    val bigR: Double = math.sqrt(
+      (a * (1 - e2) / math.pow(1 - e2 * s0 * s0, 1.5)) *
+        (a / math.sqrt(1 - e2 * s0 * s0)))
+    val n: Double =
+      math.sqrt(1 + e2 * math.pow(math.cos(phi0), 4) / (1 - e2))
+    private val w1 = math.pow(((1 + s0) / (1 - s0)) *
+      math.pow((1 - e * s0) / (1 + e * s0), e), n)
+    val c: Double = {
+      val sinChi00 = (w1 - 1) / (w1 + 1)
+      (n + s0) * (1 - sinChi00) / ((n - s0) * (1 + sinChi00))
+    }
+    val chi0: Double = { val w2 = c * w1; math.asin((w2 - 1) / (w2 + 1)) }
+    val sinChi0: Double = math.sin(chi0)
+    val cosChi0: Double = math.cos(chi0)
+    val twoRk: Double = 2 * bigR * k0
+    /** inverse constants g, h (GN7-2 names). */
+    val gC: Double = twoRk * math.tan(math.Pi / 4 - chi0 / 2)
+    val hC: Double = 2 * twoRk * math.tan(chi0) + gC
+    // conformal-latitude inverse series for THIS ellipsoid (Snyder 3-5)
+    private val e4 = e2 * e2
+    private val e6 = e4 * e2
+    private val e8 = e4 * e4
+    val c2: Double = e2 / 2 + 5 * e4 / 24 + e6 / 12 + 13 * e8 / 360
+    val c4: Double = 7 * e4 / 48 + 29 * e6 / 240 + 811 * e8 / 11520
+    val c6: Double = 7 * e6 / 120 + 81 * e8 / 1120
+    val c8: Double = 4279 * e8 / 161280
+  }
+
+  /** EPSG:28992 (Amersfoort / RD New, Bessel 1841) + the generic
+    * `STEREO:<lat0>:<lon0>[:<k0>[:<fe>:<fn>]]` WGS84 form. */
+  def obliqueStereoForCrs(crs: String): Option[ObliqueStereo] = crs match {
+    case "EPSG:28992" => Some(ObliqueStereo(
+      52.15616055555556, 5.38763888888889, 0.9999079,
+      155000.0, 463000.0, a = 6377397.155, invF = 299.1528128))
+    case s if s.startsWith("STEREO:") =>
+      s.stripPrefix("STEREO:").split(':') match {
+        case Array(la, lo) =>
+          for (a1 <- la.toDoubleOption; b1 <- lo.toDoubleOption)
+            yield ObliqueStereo(a1, b1, 1.0, 0.0, 0.0)
+        case Array(la, lo, k) =>
+          for (a1 <- la.toDoubleOption; b1 <- lo.toDoubleOption;
+               k1 <- k.toDoubleOption)
+            yield ObliqueStereo(a1, b1, k1, 0.0, 0.0)
+        case Array(la, lo, k, fe, fn) =>
+          for (a1 <- la.toDoubleOption; b1 <- lo.toDoubleOption;
+               k1 <- k.toDoubleOption; f1 <- fe.toDoubleOption;
+               f2 <- fn.toDoubleOption)
+            yield ObliqueStereo(a1, b1, k1, f1, f2)
+        case _ => None
+      }
+    case _ => None
+  }
+
+  def obliqueStereoForward(lonDeg: Column, latDeg: Column,
+                           os: ObliqueStereo): (Column, Column) = {
+    val phi = radians(latDeg)
+    val dLam = lit(os.n) * (radians(lonDeg) - lit(os.lam0)) // Λ − Λ0
+    val sp = sin(phi)
+    val es = lit(os.e) * sp
+    val w = lit(os.c) * pow(
+      ((lit(1.0) + sp) / (lit(1.0) - sp)) *
+        pow((lit(1.0) - es) / (lit(1.0) + es), lit(os.e)), lit(os.n))
+    val sinChi = (w - lit(1.0)) / (w + lit(1.0))
+    val cosChi = sqrt(lit(1.0) - sinChi * sinChi)
+    val b = lit(1.0) + sinChi * lit(os.sinChi0) +
+      cosChi * lit(os.cosChi0) * cos(dLam)
+    (lit(os.x0) + lit(os.twoRk) * cosChi * sin(dLam) / b,
+      lit(os.y0) + lit(os.twoRk) * (sinChi * lit(os.cosChi0) -
+        cosChi * lit(os.sinChi0) * cos(dLam)) / b)
+  }
+
+  def obliqueStereoInverse(easting: Column, northing: Column,
+                           os: ObliqueStereo): (Column, Column) = {
+    val xp = easting - lit(os.x0)
+    val yp = northing - lit(os.y0)
+    val iC = atan2(xp, lit(os.hC) + yp)
+    val jC = atan2(xp, lit(os.gC) - yp) - iC
+    val chi = lit(os.chi0) +
+      lit(2.0) * atan((yp - xp * tan(jC / 2)) / lit(os.twoRk))
+    val lam = (jC + lit(2.0) * iC) / lit(os.n) + lit(os.lam0)
+    // isometric latitude ψ off the conformal sphere, then the
+    // per-ellipsoid conformal inverse via t = e^{−ψ} (series seed +
+    // one exact fixed-point pass, the stereoInverse discipline)
+    val sinChi = sin(chi)
+    val psi = lit(0.5) *
+      log((lit(1.0) + sinChi) / (lit(os.c) * (lit(1.0) - sinChi))) /
+      lit(os.n)
+    val t = exp(negate(psi))
+    val chiS = lit(math.Pi / 2) - lit(2.0) * atan(t)
+    val phiSeed = chiS + lit(os.c2) * sin(lit(2.0) * chiS) +
+      lit(os.c4) * sin(lit(4.0) * chiS) + lit(os.c6) * sin(lit(6.0) * chiS) +
+      lit(os.c8) * sin(lit(8.0) * chiS)
+    val esF = lit(os.e) * sin(phiSeed)
+    val phi = lit(math.Pi / 2) - lit(2.0) * atan(
+      t * pow((lit(1.0) - esF) / (lit(1.0) + esF), lit(os.e / 2)))
+    (degrees(lam), degrees(phi))
+  }
+
+  def obliqueStereoForwardScalar(lonDeg: Double, latDeg: Double,
+                                 os: ObliqueStereo): (Double, Double) = {
+    val phi = math.toRadians(latDeg)
+    val dLam = os.n * (math.toRadians(lonDeg) - os.lam0)
+    val sp = math.sin(phi)
+    val es = os.e * sp
+    val w = os.c * math.pow(((1 + sp) / (1 - sp)) *
+      math.pow((1 - es) / (1 + es), os.e), os.n)
+    val sinChi = (w - 1) / (w + 1)
+    val cosChi = math.sqrt(1 - sinChi * sinChi)
+    val b = 1 + sinChi * os.sinChi0 + cosChi * os.cosChi0 * math.cos(dLam)
+    (os.x0 + os.twoRk * cosChi * math.sin(dLam) / b,
+      os.y0 + os.twoRk * (sinChi * os.cosChi0 -
+        cosChi * os.sinChi0 * math.cos(dLam)) / b)
+  }
+
+  def obliqueStereoInverseScalar(x: Double, y: Double,
+                                 os: ObliqueStereo): (Double, Double) = {
+    val xp = x - os.x0
+    val yp = y - os.y0
+    val iC = math.atan2(xp, os.hC + yp)
+    val jC = math.atan2(xp, os.gC - yp) - iC
+    val chi = os.chi0 + 2 * math.atan((yp - xp * math.tan(jC / 2)) / os.twoRk)
+    val lam = (jC + 2 * iC) / os.n + os.lam0
+    val sinChi = math.sin(chi)
+    val psi = 0.5 * math.log((1 + sinChi) / (os.c * (1 - sinChi))) / os.n
+    val t = math.exp(-psi)
+    val chiS = math.Pi / 2 - 2 * math.atan(t)
+    val phiSeed = chiS + os.c2 * math.sin(2 * chiS) +
+      os.c4 * math.sin(4 * chiS) + os.c6 * math.sin(6 * chiS) +
+      os.c8 * math.sin(8 * chiS)
+    val esF = os.e * math.sin(phiSeed)
+    val phi = math.Pi / 2 - 2 * math.atan(
+      t * math.pow((1 - esF) / (1 + esF), os.e / 2))
+    (math.toDegrees(lam), math.toDegrees(phi))
+  }
 }

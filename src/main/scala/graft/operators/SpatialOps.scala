@@ -111,6 +111,9 @@ object SpatialOps {
       .orElse(PolarOps.mollForCrs(crs).map(mw => (
         (a: Column, b: Column) => PolarOps.mollForward(a, b, mw),
         (a: Column, b: Column) => PolarOps.mollInverse(a, b, mw))))
+      .orElse(PolarOps.obliqueStereoForCrs(crs).map(os => (
+        (a: Column, b: Column) => PolarOps.obliqueStereoForward(a, b, os),
+        (a: Column, b: Column) => PolarOps.obliqueStereoInverse(a, b, os))))
     if (sameCrs(crsFrom, crsTo)) (x, y)
     else (family(crsTo), family(crsFrom)) match {
       case (Some((fwd, _)), _) if isGeographic(crsFrom) => fwd(x, y)
@@ -282,10 +285,19 @@ object SpatialOps {
         .orElse(PolarOps.mollForCrs(crs).map(mw => (
           (a: Double, b: Double) => PolarOps.mollForwardScalar(a, b, mw),
           (a: Double, b: Double) => PolarOps.mollInverseScalar(a, b, mw))))
+        .orElse(PolarOps.obliqueStereoForCrs(crs).map(os => (
+          (a: Double, b: Double) =>
+            PolarOps.obliqueStereoForwardScalar(a, b, os),
+          (a: Double, b: Double) =>
+            PolarOps.obliqueStereoInverseScalar(a, b, os))))
       val f: (Double, Double) => (Double, Double) =
         (familyScalar(crsTo), familyScalar(gm.crs)) match {
           case (Some((fwd, _)), _) if isGeographic(gm.crs) => fwd
           case (_, Some((_, inv))) if isGeographic(crsTo) => inv
+          case (Some((fwd, _)), Some((_, inv))) =>
+            // projected -> projected via the geographic pivot, matching
+            // transformCols' column route
+            (a: Double, b: Double) => { val (lo, la) = inv(a, b); fwd(lo, la) }
           case _ => throw new IllegalArgumentException(
             s"unsupported CRS pair ${gm.crs} -> $crsTo")
         }
@@ -309,7 +321,8 @@ object SpatialOps {
         PolarOps.albersForCrs(crs).isDefined ||
         PolarOps.geosForCrs(crs).isDefined ||
         PolarOps.isEase2(crs) || PolarOps.orthoForCrs(crs).isDefined ||
-        PolarOps.mollForCrs(crs).isDefined
+        PolarOps.mollForCrs(crs).isDefined ||
+        PolarOps.obliqueStereoForCrs(crs).isDefined
     // rotated-pole frames are DEGREES: unit linear scale either way
     if (PolarOps.rotPoleForCrs(crsFrom).isDefined ||
       PolarOps.rotPoleForCrs(crsTo).isDefined) 1.0

@@ -270,4 +270,50 @@ class PolarOpsSpec extends AnyFunSuite {
     val (bl, bp) = PolarOps.mollInverseScalar(0.0, 1.05 * r2, m)
     assert(bl.isNaN && bp.isNaN)
   }
+
+  test("oblique stereographic (EPSG 9809): the published RD New worked " +
+    "example, round-trips, column twins") {
+    import spark.implicits._
+    val os = PolarOps.obliqueStereoForCrs("EPSG:28992").get
+    // EPSG Guidance Note 7-2 §1.3.7.1 worked example (Amersfoort / RD
+    // New, Bessel 1841): 53°N 6°E -> E 196,105.283 m, N 557,057.739 m
+    val (ex, ny) = PolarOps.obliqueStereoForwardScalar(6.0, 53.0, os)
+    assert(math.abs(ex - 196105.283) < 0.01, s"E=$ex")
+    assert(math.abs(ny - 557057.739) < 0.01, s"N=$ny")
+    val (lon2, lat2) = PolarOps.obliqueStereoInverseScalar(ex, ny, os)
+    assert(math.abs(lon2 - 6.0) < tol && math.abs(lat2 - 53.0) < tol)
+    // round-trip closure across the Dutch extent and a WGS84 oblique
+    for (lon <- Seq(3.2, 4.9, 5.387638889, 6.8);
+         lat <- Seq(50.75, 52.0, 52.156160556, 53.5)) {
+      val (x, y) = PolarOps.obliqueStereoForwardScalar(lon, lat, os)
+      val (l2, p2) = PolarOps.obliqueStereoInverseScalar(x, y, os)
+      assert(math.abs(l2 - lon) < tol && math.abs(p2 - lat) < tol,
+        s"($lon,$lat) -> ($x,$y) -> ($l2,$p2)")
+    }
+    val w = PolarOps.obliqueStereoForCrs("STEREO:45.0:25.0:0.9999:0.0:0.0").get
+    for (lon <- Seq(20.0, 25.0, 31.5); lat <- Seq(38.0, 45.0, 52.25)) {
+      val (x, y) = PolarOps.obliqueStereoForwardScalar(lon, lat, w)
+      val (l2, p2) = PolarOps.obliqueStereoInverseScalar(x, y, w)
+      assert(math.abs(l2 - lon) < tol && math.abs(p2 - lat) < tol)
+    }
+    // the origin maps to the false origin exactly
+    val (ox, oy) = PolarOps.obliqueStereoForwardScalar(
+      os.lon0Deg, os.lat0Deg, os)
+    assert(math.abs(ox - 155000.0) < 1e-6 && math.abs(oy - 463000.0) < 1e-6)
+    // column forms agree with the scalar twins
+    val pts = (for (lon <- Seq(3.37087, 5.387638889, 6.0, 7.2);
+                    lat <- Seq(50.75, 52.156160556, 53.0)) yield (lon, lat))
+      .toDF("lon", "lat")
+    val (fx, fy) = PolarOps.obliqueStereoForward(col("lon"), col("lat"), os)
+    val (il, ip) = PolarOps.obliqueStereoInverse(fx, fy, os)
+    pts.select(col("lon"), col("lat"), fx.as("x"), fy.as("y"),
+        il.as("lon2"), ip.as("lat2")).collect().foreach { r =>
+      val (sx, sy) = PolarOps.obliqueStereoForwardScalar(
+        r.getDouble(0), r.getDouble(1), os)
+      assert(math.abs(r.getDouble(2) - sx) <= math.ulp(sx) * 16)
+      assert(math.abs(r.getDouble(3) - sy) <= math.ulp(sy) * 16)
+      assert(math.abs(r.getDouble(4) - r.getDouble(0)) < tol)
+      assert(math.abs(r.getDouble(5) - r.getDouble(1)) < tol)
+    }
+  }
 }

@@ -116,6 +116,29 @@ class WktCrsSpec extends AnyFunSuite {
     ()
   }
 
+  test("WKT1 RD New without authority resolves to EPSG:28992 via the " +
+    "Bessel ellipsoid + oblique-stereographic parameters") {
+    val wkt = """PROJCS["Amersfoort / RD New",GEOGCS["Amersfoort",""" +
+      """DATUM["Amersfoort",""" +
+      """SPHEROID["Bessel 1841",6377397.155,299.1528128]],""" +
+      """PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]],""" +
+      """PROJECTION["Oblique_Stereographic"],""" +
+      """PARAMETER["latitude_of_origin",52.15616055555556],""" +
+      """PARAMETER["central_meridian",5.38763888888889],""" +
+      """PARAMETER["scale_factor",0.9999079],""" +
+      """PARAMETER["false_easting",155000],""" +
+      """PARAMETER["false_northing",463000],UNIT["metre",1]]"""
+    assert(resolve(wkt).contains("EPSG:28992"))
+    // a WGS84 oblique stereographic yields the generic STEREO form
+    val generic = """PROJCS["custom stereo",GEOGCS["WGS 84",""" +
+      """DATUM["WGS_1984",SPHEROID["WGS 84",6378137,298.257223563]]],""" +
+      """PROJECTION["Oblique_Stereographic"],""" +
+      """PARAMETER["latitude_of_origin",45],""" +
+      """PARAMETER["central_meridian",25],""" +
+      """PARAMETER["scale_factor",0.9999]]"""
+    assert(resolve(generic).contains("STEREO:45.0:25.0:0.9999:0.0:0.0"))
+  }
+
   test("WKT2 pseudo-mercator METHOD resolves to EPSG:3857") {
     val wkt = """PROJCRS["WGS 84 / Pseudo-Mercator",""" +
       """BASEGEOGCRS["WGS 84",DATUM["World Geodetic System 1984",""" +
