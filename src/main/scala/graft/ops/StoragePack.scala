@@ -238,6 +238,35 @@ object StoragePack extends QueryPack {
       }.reduce(_ unionByName _)
     }),
 
+    // DataStorePool (reference store/storepool.py): a JSON config names
+    // a file store over the scale-factor directory; "@main" resolves
+    // through the pool (get_data_store_instance) and the pooled store
+    // opens two member tables for checksums — a wrong root, a broken
+    // "@" resolution, or a dropped config cannot hash-match
+    "q_store_pool" -> ((s, d) => {
+      import graft.sources.StorePool
+      val sfName = new java.io.File(d).getName
+      val base = s"/root/repo/.graft-fixtures/storepool_$sfName"
+      val cfg = s"$base/pool.json"
+      graft.Fixtures.ensureWritten(base, "pool.json -> file store at sf dir") {
+        new java.io.File(base).mkdirs()
+        java.nio.file.Files.writeString(java.nio.file.Paths.get(cfg),
+          s"""{"main": {"store_id": "file",
+             |  "store_params": {"root": "$d"},
+             |  "title": "sf catalog"}}""".stripMargin)
+      }
+      val pool = StorePool.fromFile(s, cfg)
+      val store = StorePool.getDataStoreInstance(s, "@main",
+        pool = Some(pool))
+      Seq("nation", "region").map { t =>
+        store.open(s"$t.parquet")
+          .agg(count(lit(1)).as("n_rows"))
+          .select(lit(t).as("id"),
+            lit(pool.storeInstanceIds.mkString(",")).as("instances"),
+            col("n_rows"))
+      }.reduce(_ unionByName _)
+    }),
+
     // CSV IO round-trip: write a day aggregate as CSV, read it back with
     // format inference; the oracle recomputes the aggregate independently
     "q_csv_roundtrip" -> ((s, d) => {
@@ -459,6 +488,12 @@ object StoragePack extends QueryPack {
                    round(sum(CAST(c % 64 AS DOUBLE) / 4.0 + $k.0), 6)
                      AS sum_v
             FROM range(0, 200) r(c)""").mkString(" UNION ALL "),
+    "q_store_pool" ->
+      """SELECT 'nation' AS id, 'main' AS instances, count(*) AS n_rows
+         FROM nation
+         UNION ALL
+         SELECT 'region' AS id, 'main' AS instances, count(*) AS n_rows
+         FROM region""",
     "q_csv_roundtrip" ->
       """SELECT date_trunc('day', ts) AS day, event_type,
                 count(*) AS n, round(sum(value), 6) AS sum_value
