@@ -227,9 +227,10 @@ object CfGridMapping {
               case code => s"EPSG:$code"
             }
             byId.filter(c => scala.util.Try(cfAttrs(c)).isSuccess)
-              .orElse(WktCrs.toCfAttrs(wkt) match {
+              .orElse(WktCrs.toCfAttrs(wkt)
+                .orElse(WktCrs.projToCfAttrs(wkt)) match {
                 case Some(cf) => crsFromCf(cf)
-                case None => byId // not WKT-shaped: keep the raw id
+                case None => byId // neither WKT nor proj: keep the raw id
               })
         }
     }

@@ -186,6 +186,141 @@ object WktCrs {
     }
   }
 
+  // ------------------------------------------------------------------
+  // PROJ string -> CF attribute translation (pyproj CRS.from_proj4)
+  // ------------------------------------------------------------------
+
+  private val Ellipsoids: Map[String, (Double, Double)] = Map(
+    "wgs84" -> (6378137.0, 298.257223563),
+    "grs80" -> (6378137.0, 298.257222101),
+    "bessel" -> (6377397.155, 299.1528128))
+
+  /** CF attribute map encoded by a `+proj=...` string, or None when the
+    * text isn't a proj string. The same family/decline rules as
+    * [[toCfAttrs]]: recognized projections translate onto CF names for
+    * [[CfGridMapping.crsFromCf]]; unrecognized `+proj` values throw. */
+  def projToCfAttrs(s: String): Option[Map[String, String]] = {
+    val t = s.trim
+    if (!t.startsWith("+")) return None
+    val kv = t.split("\\s+").filter(_.startsWith("+")).map(_.drop(1))
+      .map { tok =>
+        tok.split("=", 2) match {
+          case Array(k, v) => k -> v
+          case Array(k) => k -> ""
+        }
+      }.toMap
+    val proj = kv.getOrElse("proj", return None)
+    def num(k: String): Option[Double] = kv.get(k).flatMap(_.toDoubleOption)
+    def p(cf: String, k: String, dflt: Option[Double] = None)
+        : Seq[(String, String)] =
+      num(k).orElse(dflt).map(v => cf -> v.toString).toSeq
+    val ellipsoid: Seq[(String, String)] = {
+      val byName = kv.get("ellps").flatMap(e => Ellipsoids.get(e.toLowerCase))
+      val aOpt = num("a").orElse(byName.map(_._1))
+      val rfOpt = num("rf").orElse(num("b").flatMap(b =>
+        aOpt.map(a => if (b == a) 0.0 else a / (a - b))))
+        .orElse(byName.map(_._2))
+      (aOpt.map(v => "semi_major_axis" -> v.toString) ++
+        rfOpt.map(v => "inverse_flattening" -> v.toString)).toSeq
+    }
+    val base: Seq[(String, String)] = proj match {
+      case "longlat" | "latlong" | "latlon" | "lonlat" =>
+        Seq("grid_mapping_name" -> "latitude_longitude")
+      case "utm" =>
+        val zone = num("zone").getOrElse(throw new IllegalArgumentException(
+          "+proj=utm requires +zone")).toInt
+        Seq("grid_mapping_name" -> "transverse_mercator",
+          "longitude_of_central_meridian" -> (zone * 6.0 - 183.0).toString,
+          "latitude_of_projection_origin" -> "0.0",
+          "scale_factor_at_central_meridian" -> "0.9996",
+          "false_easting" -> "500000.0",
+          "false_northing" -> (if (kv.contains("south")) "1.0E7" else "0.0"))
+      case "tmerc" =>
+        Seq("grid_mapping_name" -> "transverse_mercator") ++
+          p("longitude_of_central_meridian", "lon_0", Some(0.0)) ++
+          p("latitude_of_projection_origin", "lat_0", Some(0.0)) ++
+          p("scale_factor_at_central_meridian", "k_0",
+            Some(num("k").getOrElse(1.0))) ++
+          p("false_easting", "x_0", Some(0.0)) ++
+          p("false_northing", "y_0", Some(0.0))
+      case "stere" if num("lat_0").exists(l => math.abs(l) > 89.999) =>
+        Seq("grid_mapping_name" -> "polar_stereographic",
+          "latitude_of_projection_origin" ->
+            num("lat_0").get.toString) ++
+          p("standard_parallel", "lat_ts") ++
+          p("straight_vertical_longitude_from_pole", "lon_0", Some(0.0)) ++
+          p("false_easting", "x_0", Some(0.0)) ++
+          p("false_northing", "y_0", Some(0.0))
+      case "stere" | "sterea" =>
+        // non-polar stereographic: resolved to the registered double-
+        // stereographic (EPSG 9809) form, like the WKT route
+        Seq("grid_mapping_name" -> "oblique_stereographic") ++
+          p("latitude_of_projection_origin", "lat_0", Some(0.0)) ++
+          p("longitude_of_projection_origin", "lon_0", Some(0.0)) ++
+          p("scale_factor_at_projection_origin", "k_0",
+            Some(num("k").getOrElse(1.0))) ++
+          p("false_easting", "x_0", Some(0.0)) ++
+          p("false_northing", "y_0", Some(0.0))
+      case "laea" =>
+        Seq("grid_mapping_name" -> "lambert_azimuthal_equal_area") ++
+          p("latitude_of_projection_origin", "lat_0", Some(0.0)) ++
+          p("longitude_of_projection_origin", "lon_0", Some(0.0)) ++
+          p("false_easting", "x_0", Some(0.0)) ++
+          p("false_northing", "y_0", Some(0.0))
+      case "lcc" =>
+        val sp = (num("lat_1").toSeq ++ num("lat_2").toSeq)
+        Seq("grid_mapping_name" -> "lambert_conformal_conic",
+          "standard_parallel" -> sp.mkString(",")) ++
+          p("latitude_of_projection_origin", "lat_0", Some(0.0)) ++
+          p("longitude_of_central_meridian", "lon_0", Some(0.0))
+      case "aea" =>
+        Seq("grid_mapping_name" -> "albers_conical_equal_area",
+          "standard_parallel" ->
+            (num("lat_1").toSeq ++ num("lat_2").toSeq).mkString(",")) ++
+          p("latitude_of_projection_origin", "lat_0", Some(0.0)) ++
+          p("longitude_of_central_meridian", "lon_0", Some(0.0))
+      case "cea" =>
+        Seq("grid_mapping_name" -> "lambert_cylindrical_equal_area") ++
+          p("standard_parallel", "lat_ts", Some(0.0)) ++
+          p("longitude_of_central_meridian", "lon_0", Some(0.0))
+      case "sinu" => Seq("grid_mapping_name" -> "sinusoidal")
+      case "ortho" =>
+        Seq("grid_mapping_name" -> "orthographic") ++
+          p("latitude_of_projection_origin", "lat_0", Some(0.0)) ++
+          p("longitude_of_projection_origin", "lon_0", Some(0.0))
+      case "moll" =>
+        Seq("grid_mapping_name" -> "mollweide") ++
+          p("longitude_of_projection_origin", "lon_0", Some(0.0))
+      case "geos" =>
+        Seq("grid_mapping_name" -> "geostationary",
+          "sweep_angle_axis" -> kv.getOrElse("sweep", "y")) ++
+          p("longitude_of_projection_origin", "lon_0", Some(0.0)) ++
+          p("perspective_point_height", "h")
+      case "webmerc" =>
+        Seq("grid_mapping_name" -> "popular_visualisation_pseudo_mercator")
+      case "merc" =>
+        // spherical (+R, or +a == +b) is web-mercator; an ellipsoidal
+        // Mercator has no registered closed form — same trap as WKT
+        val spherical = kv.contains("R") ||
+          ((num("a"), num("b")) match {
+            case (Some(a), Some(b)) => a == b
+            case _ => false
+          })
+        if (spherical)
+          Seq("grid_mapping_name" -> "popular_visualisation_pseudo_mercator")
+        else throw new IllegalArgumentException(
+          "+proj=merc on an ellipsoid has no registered closed form — " +
+            "only the spherical pseudo-mercator (EPSG:3857) is registered")
+      case other => throw new IllegalArgumentException(
+        s"+proj=$other has no registered closed form (SpatialOps' " +
+          "family set) — re-project the source, or register the family")
+    }
+    // ellipsoid attrs only where a branch consumes them (the
+    // stereographic RD New recognition) — other families ignore them
+    Some((base ++ (if (base.exists(_._2 == "oblique_stereographic"))
+      ellipsoid else Nil)).toMap)
+  }
+
   /** CF attribute map encoded by a WKT document, or None when `wkt`
     * isn't WKT. Geographic-only documents yield the latitude_longitude
     * mapping; projected documents yield the translated family +

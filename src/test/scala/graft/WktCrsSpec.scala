@@ -150,6 +150,38 @@ class WktCrsSpec extends AnyFunSuite {
     assert(resolve(wkt).contains("EPSG:3857"))
   }
 
+  test("proj strings resolve through the same family registry " +
+    "(pyproj CRS.from_proj4 parity)") {
+    assert(resolve("+proj=longlat +datum=WGS84 +no_defs").contains("CRS84"))
+    assert(resolve("+proj=utm +zone=33 +datum=WGS84 +units=m")
+      .contains("EPSG:32633"))
+    assert(resolve("+proj=utm +zone=19 +south +datum=WGS84")
+      .contains("EPSG:32719"))
+    assert(resolve("+proj=lcc +lat_1=49 +lat_2=44 +lat_0=46.5 +lon_0=3 " +
+      "+x_0=700000 +y_0=6600000 +ellps=GRS80").contains("EPSG:2154"))
+    assert(resolve("+proj=stere +lat_0=90 +lat_ts=70 +lon_0=-45 " +
+      "+x_0=0 +y_0=0 +datum=WGS84").contains("EPSG:3413"))
+    assert(resolve("+proj=sterea +lat_0=52.15616055555556 " +
+      "+lon_0=5.38763888888889 +k=0.9999079 +x_0=155000 +y_0=463000 " +
+      "+ellps=bessel").contains("EPSG:28992"))
+    assert(resolve("+proj=laea +lat_0=52 +lon_0=10 +x_0=4321000 " +
+      "+y_0=3210000 +ellps=GRS80").contains("EPSG:3035"))
+    assert(resolve("+proj=cea +lat_ts=30 +lon_0=0 +ellps=WGS84")
+      .contains("EPSG:6933"))
+    assert(resolve("+proj=moll +lon_0=0").contains("MOLL:0.0"))
+    assert(resolve("+proj=geos +h=35786023 +lon_0=-75 +sweep=x")
+      .exists(_.startsWith("GEOS:-75")))
+    assert(resolve("+proj=webmerc +datum=WGS84").contains("EPSG:3857"))
+    // unregistered proj / ellipsoidal mercator decline loudly
+    intercept[IllegalArgumentException] { resolve("+proj=krovak +lat_0=49") }
+    intercept[IllegalArgumentException] {
+      resolve("+proj=merc +a=6378137 +b=6356752.3142")
+    }
+    // spherical mercator is the registered pseudo-mercator
+    assert(resolve("+proj=merc +a=6371000 +b=6371000")
+      .contains("EPSG:3857"))
+  }
+
   test("non-WKT strings are not WKT: parse yields None, resolution " +
     "falls back to nothing") {
     assert(WktCrs.parse("+proj=lcc +lat_1=49 +lat_2=44").isEmpty)
