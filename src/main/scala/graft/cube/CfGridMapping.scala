@@ -172,6 +172,13 @@ object CfGridMapping {
           .orElse(num(attrs, "longitude_of_central_meridian"))
           .getOrElse(bad(n, "no projection origin"))}")
       case Some("sinusoidal") => Some("SR-ORG:6974")
+      case Some("equal_earth") =>
+        // not (yet) a CF-standard name; pyproj/rioxarray reach Equal
+        // Earth via crs_wkt — this is the write-side round-trip name
+        val lon0 = num(attrs, "longitude_of_projection_origin")
+          .orElse(num(attrs, "longitude_of_central_meridian"))
+          .getOrElse(0.0)
+        if (close(lon0, 0.0)) Some("EPSG:8857") else Some(s"EQEARTH:$lon0")
       case Some("popular_visualisation_pseudo_mercator") => Some("EPSG:3857")
       case Some(n @ "mercator") =>
         // CF mercator carries EITHER standard_parallel OR
@@ -294,6 +301,10 @@ object CfGridMapping {
     }).orElse(PolarOps.mollForCrs(crs).map { mw =>
       Map("grid_mapping_name" -> "mollweide",
         "longitude_of_projection_origin" -> mw.lon0Deg.toString,
+        "false_easting" -> "0.0", "false_northing" -> "0.0")
+    }).orElse(PolarOps.eqEarthForCrs(crs).map { ee =>
+      Map("grid_mapping_name" -> "equal_earth",
+        "longitude_of_projection_origin" -> ee.lon0Deg.toString,
         "false_easting" -> "0.0", "false_northing" -> "0.0")
     }).orElse(PolarOps.obliqueStereoForCrs(crs).map { os =>
       Map("grid_mapping_name" -> "oblique_stereographic",

@@ -139,6 +139,7 @@ object WktCrs {
       "polar_stereographic"),
     ((n: String) => n.contains("stereographic"), "oblique_stereographic"),
     ((n: String) => n.contains("sinusoidal"), "sinusoidal"),
+    ((n: String) => n.contains("equal_earth"), "equal_earth"),
     ((n: String) => n.contains("orthographic"), "orthographic"),
     ((n: String) => n.contains("mollweide"), "mollweide"),
     ((n: String) => n.contains("geostationary"), "geostationary"))
@@ -284,6 +285,9 @@ object WktCrs {
           p("standard_parallel", "lat_ts", Some(0.0)) ++
           p("longitude_of_central_meridian", "lon_0", Some(0.0))
       case "sinu" => Seq("grid_mapping_name" -> "sinusoidal")
+      case "eqearth" =>
+        Seq("grid_mapping_name" -> "equal_earth") ++
+          p("longitude_of_projection_origin", "lon_0", Some(0.0))
       case "ortho" =>
         Seq("grid_mapping_name" -> "orthographic") ++
           p("latitude_of_projection_origin", "lat_0", Some(0.0)) ++

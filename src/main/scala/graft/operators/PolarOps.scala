@@ -885,6 +885,100 @@ object PolarOps {
       math.toDegrees(lat))
   }
 
+  // ----------------------------------------------------- Equal Earth
+
+  /** Equal Earth (Šavrič, Patterson & Jenny 2019; EPSG:8857 "WGS 84 /
+    * Equal Earth Greenwich", +proj=eqearth): the equal-area pseudo-
+    * cylindrical world projection. On the ellipsoid the projection runs
+    * through the AUTHALIC latitude and authalic radius (the proj
+    * formulation) — the same Snyder 3-12/3-18 machinery as LAEA/EASE —
+    * so areas are exact on WGS84. θ solves the published polynomial by
+    * Newton; the inverse's solve lives in a native codegen Expression
+    * ([[graft.functions.EqEarthTheta]], the [[graft.functions.MollTheta]]
+    * lesson). */
+  final case class EqualEarth(lon0Deg: Double)
+
+  /** √3/2 — the parametric-latitude scale (eq. 2). */
+  val EqEarthM: Double = math.sqrt(3.0) / 2.0
+  /** Authalic radius R_q = a·sqrt(Qp/2) (Snyder 3-13). */
+  val AuthalicR: Double = A * math.sqrt(Qp / 2.0)
+
+  def eqEarthForCrs(crs: String): Option[EqualEarth] = crs match {
+    case "EPSG:8857" => Some(EqualEarth(0.0))
+    case s if s.startsWith("EQEARTH:") =>
+      s.stripPrefix("EQEARTH:").toDoubleOption.map(EqualEarth(_))
+    case _ => None
+  }
+
+  import graft.functions.EqEarthTheta.{A1 => EA1, A2 => EA2, A3 => EA3, A4 => EA4}
+
+  def eqEarthForward(lonDeg: Column, latDeg: Column, ee: EqualEarth)
+      : (Column, Column) = {
+    val beta = asin(qExpr(sin(radians(latDeg))) / lit(Qp))
+    val theta = asin(lit(EqEarthM) * sin(beta))
+    val t2 = theta * theta
+    val t6 = t2 * t2 * t2
+    val dp = lit(EA1) + lit(3.0 * EA2) * t2 +
+      t6 * (lit(7.0 * EA3) + lit(9.0 * EA4) * t2)
+    (lit(AuthalicR) * radians(lonDeg - lit(ee.lon0Deg)) * cos(theta) /
+      (lit(EqEarthM) * dp),
+      lit(AuthalicR) * theta * (lit(EA1) + lit(EA2) * t2 +
+        t6 * (lit(EA3) + lit(EA4) * t2)))
+  }
+
+  def eqEarthInverse(x: Column, y: Column, ee: EqualEarth)
+      : (Column, Column) = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val theta = ColumnBridge.column(graft.functions.EqEarthTheta(
+      ColumnBridge.expression(y / lit(AuthalicR))))
+    val t2 = theta * theta
+    val t6 = t2 * t2 * t2
+    val dp = lit(EA1) + lit(3.0 * EA2) * t2 +
+      t6 * (lit(7.0 * EA3) + lit(9.0 * EA4) * t2)
+    val beta = asin(sin(theta) / lit(EqEarthM)) // |sinθ|>M → off-map NaN
+    // series seed + one exact Snyder 3-16 refinement (authalicPhi) —
+    // the bare series truncates at ~1e-8 degrees
+    val phi = authalicPhi(beta, lit(Qp) * sin(beta))
+    val lam = x * lit(EqEarthM) * dp / (lit(AuthalicR) * cos(theta))
+    (degrees(lam) + lit(ee.lon0Deg), degrees(phi))
+  }
+
+  def eqEarthForwardScalar(lonDeg: Double, latDeg: Double, ee: EqualEarth)
+      : (Double, Double) = {
+    val beta = math.asin(qFn(math.toRadians(latDeg)) / Qp)
+    val theta = math.asin(EqEarthM * math.sin(beta))
+    val t2 = theta * theta
+    val t6 = t2 * t2 * t2
+    val dp = EA1 + 3.0 * EA2 * t2 + t6 * (7.0 * EA3 + 9.0 * EA4 * t2)
+    (AuthalicR * math.toRadians(lonDeg - ee.lon0Deg) * math.cos(theta) /
+      (EqEarthM * dp),
+      AuthalicR * theta * (EA1 + EA2 * t2 + t6 * (EA3 + EA4 * t2)))
+  }
+
+  def eqEarthInverseScalar(x: Double, y: Double, ee: EqualEarth)
+      : (Double, Double) = {
+    var theta = y / AuthalicR / EA1
+    var k = 0
+    while (k < graft.functions.EqEarthTheta.Steps) {
+      val t2 = theta * theta
+      val t6 = t2 * t2 * t2
+      val f = theta * (EA1 + EA2 * t2 + t6 * (EA3 + EA4 * t2)) -
+        y / AuthalicR
+      val df = EA1 + 3.0 * EA2 * t2 + t6 * (7.0 * EA3 + 9.0 * EA4 * t2)
+      if (math.abs(df) > 1e-14) theta = theta - f / df
+      k += 1
+    }
+    val s = math.sin(theta) / EqEarthM
+    if (math.abs(s) > 1.0) return (Double.NaN, Double.NaN)
+    val t2 = theta * theta
+    val t6 = t2 * t2 * t2
+    val dp = EA1 + 3.0 * EA2 * t2 + t6 * (7.0 * EA3 + 9.0 * EA4 * t2)
+    val beta = math.asin(s)
+    val phi = authalicPhiScalar(beta, Qp * math.sin(beta))
+    (math.toDegrees(x * EqEarthM * dp /
+      (AuthalicR * math.cos(theta))) + ee.lon0Deg, math.toDegrees(phi))
+  }
+
   // ---------------------------- oblique stereographic (EPSG method 9809)
 
   /** Oblique ("double") stereographic — EPSG method 9809, the RD New /

@@ -114,6 +114,9 @@ object SpatialOps {
       .orElse(PolarOps.obliqueStereoForCrs(crs).map(os => (
         (a: Column, b: Column) => PolarOps.obliqueStereoForward(a, b, os),
         (a: Column, b: Column) => PolarOps.obliqueStereoInverse(a, b, os))))
+      .orElse(PolarOps.eqEarthForCrs(crs).map(ee => (
+        (a: Column, b: Column) => PolarOps.eqEarthForward(a, b, ee),
+        (a: Column, b: Column) => PolarOps.eqEarthInverse(a, b, ee))))
     if (sameCrs(crsFrom, crsTo)) (x, y)
     else (family(crsTo), family(crsFrom)) match {
       case (Some((fwd, _)), _) if isGeographic(crsFrom) => fwd(x, y)
@@ -290,6 +293,10 @@ object SpatialOps {
             PolarOps.obliqueStereoForwardScalar(a, b, os),
           (a: Double, b: Double) =>
             PolarOps.obliqueStereoInverseScalar(a, b, os))))
+        .orElse(PolarOps.eqEarthForCrs(crs).map(ee => (
+          (a: Double, b: Double) => PolarOps.eqEarthForwardScalar(a, b, ee),
+          (a: Double, b: Double) =>
+            PolarOps.eqEarthInverseScalar(a, b, ee))))
       val f: (Double, Double) => (Double, Double) =
         (familyScalar(crsTo), familyScalar(gm.crs)) match {
           case (Some((fwd, _)), _) if isGeographic(gm.crs) => fwd
@@ -322,7 +329,8 @@ object SpatialOps {
         PolarOps.geosForCrs(crs).isDefined ||
         PolarOps.isEase2(crs) || PolarOps.orthoForCrs(crs).isDefined ||
         PolarOps.mollForCrs(crs).isDefined ||
-        PolarOps.obliqueStereoForCrs(crs).isDefined
+        PolarOps.obliqueStereoForCrs(crs).isDefined ||
+        PolarOps.eqEarthForCrs(crs).isDefined
     // rotated-pole frames are DEGREES: unit linear scale either way
     if (PolarOps.rotPoleForCrs(crsFrom).isDefined ||
       PolarOps.rotPoleForCrs(crsTo).isDefined) 1.0

@@ -89,7 +89,8 @@ class CfGridMappingSpec extends AnyFunSuite {
       "EPSG:6932", "EPSG:2154", "EPSG:3978", "EPSG:5070", "SR-ORG:6974",
       "ROTPOLE:32.5:-170.0", "GEOS:-75.0:3.5786023E7:x",
       "GEOS:9.5:3.5786023E7:y", "EPSG:6933", "ORTHO:50.0:10.0", "MOLL:0.0",
-      "EPSG:28992", "STEREO:45.0:25.0:0.9999:0.0:0.0")
+      "EPSG:28992", "STEREO:45.0:25.0:0.9999:0.0:0.0",
+      "EPSG:8857", "EQEARTH:10.0")
     crss.foreach { c =>
       val back = CfGridMapping.crsFromCf(CfGridMapping.cfAttrs(c))
       val ok = back.contains(c) ||

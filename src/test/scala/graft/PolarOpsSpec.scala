@@ -271,6 +271,61 @@ class PolarOpsSpec extends AnyFunSuite {
     assert(bl.isNaN && bp.isNaN)
   }
 
+  test("Equal Earth (EPSG:8857): published aspect ratio, EXACT equal-area " +
+    "property on WGS84, round-trips, column twins") {
+    import spark.implicits._
+    val ee = PolarOps.eqEarthForCrs("EPSG:8857").get
+    // the paper's signature constant: equator-to-central-meridian
+    // (width:height) ratio 2.05:1 (Savric/Patterson/Jenny 2019)
+    val (xMax, _) = PolarOps.eqEarthForwardScalar(180.0, 0.0, ee)
+    val (_, yMax) = PolarOps.eqEarthForwardScalar(0.0, 90.0, ee)
+    assert(math.abs(xMax / yMax - 2.0546) < 0.001, s"${xMax / yMax}")
+    // EQUAL-AREA: the numeric Jacobian must equal the WGS84 ellipsoid's
+    // own area element a^2(1-e^2)cos(phi)/(1-e^2 sin^2 phi)^2 — this
+    // pins the authalic-latitude composition, not just self-consistency
+    for (lon <- Seq(-120.0, 0.0, 73.5); lat <- Seq(-60.0, -15.0, 33.0, 71.0)) {
+      val h = 1e-4 // degrees
+      def f(lo: Double, la: Double) = PolarOps.eqEarthForwardScalar(lo, la, ee)
+      val rad = math.Pi / 180.0
+      val (xa, ya) = f(lon - h, lat); val (xb, yb) = f(lon + h, lat)
+      val (xc, yc) = f(lon, lat - h); val (xd, yd) = f(lon, lat + h)
+      val j = math.abs(
+        ((xb - xa) / (2 * h * rad)) * ((yd - yc) / (2 * h * rad)) -
+          ((xd - xc) / (2 * h * rad)) * ((yb - ya) / (2 * h * rad)))
+      val s = math.sin(math.toRadians(lat))
+      val expect = PolarOps.A * PolarOps.A * (1 - PolarOps.E2) *
+        math.cos(math.toRadians(lat)) /
+        math.pow(1 - PolarOps.E2 * s * s, 2)
+      assert(math.abs(j / expect - 1.0) < 1e-4,
+        s"area distortion at ($lon,$lat): ${j / expect}")
+    }
+    // round-trips under 1e-9 degrees
+    for (lon <- Seq(-179.0, -60.0, 0.0, 100.25); lat <- Seq(-80.0, -30.0, 0.0, 45.0, 85.0)) {
+      val (x, y) = PolarOps.eqEarthForwardScalar(lon, lat, ee)
+      val (l2, p2) = PolarOps.eqEarthInverseScalar(x, y, ee)
+      assert(math.abs(l2 - lon) < tol && math.abs(p2 - lat) < tol,
+        s"($lon,$lat) -> ($x,$y) -> ($l2,$p2)")
+    }
+    // off-map northing reads NaN
+    val (nl, np) = PolarOps.eqEarthInverseScalar(0.0, yMax * 1.05, ee)
+    assert(nl.isNaN && np.isNaN)
+    // column forms agree with the scalar twins (incl. the codegen
+    // EqEarthTheta Newton solve)
+    val pts = (for (lon <- Seq(-150.0, 5.0, 91.25); lat <- Seq(-47.0, 0.0, 49.0))
+      yield (lon, lat)).toDF("lon", "lat")
+    val (fx, fy) = PolarOps.eqEarthForward(col("lon"), col("lat"), ee)
+    val (il, ip) = PolarOps.eqEarthInverse(fx, fy, ee)
+    pts.select(col("lon"), col("lat"), fx.as("x"), fy.as("y"),
+        il.as("lon2"), ip.as("lat2")).collect().foreach { r =>
+      val (sx, sy) = PolarOps.eqEarthForwardScalar(
+        r.getDouble(0), r.getDouble(1), ee)
+      assert(math.abs(r.getDouble(2) - sx) <= math.ulp(sx).abs * 16)
+      assert(math.abs(r.getDouble(3) - sy) <= math.ulp(sy).abs * 16)
+      assert(math.abs(r.getDouble(4) - r.getDouble(0)) < tol)
+      assert(math.abs(r.getDouble(5) - r.getDouble(1)) < tol)
+    }
+  }
+
   test("oblique stereographic (EPSG 9809): the published RD New worked " +
     "example, round-trips, column twins") {
     import spark.implicits._

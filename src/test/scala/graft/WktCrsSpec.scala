@@ -172,6 +172,9 @@ class WktCrsSpec extends AnyFunSuite {
     assert(resolve("+proj=geos +h=35786023 +lon_0=-75 +sweep=x")
       .exists(_.startsWith("GEOS:-75")))
     assert(resolve("+proj=webmerc +datum=WGS84").contains("EPSG:3857"))
+    assert(resolve("+proj=eqearth +lon_0=0 +datum=WGS84")
+      .contains("EPSG:8857"))
+    assert(resolve("+proj=eqearth +lon_0=10").contains("EQEARTH:10.0"))
     // unregistered proj / ellipsoidal mercator decline loudly
     intercept[IllegalArgumentException] { resolve("+proj=krovak +lat_0=49") }
     intercept[IllegalArgumentException] {
