@@ -124,7 +124,14 @@ object ScaleSoak {
     // visibility guards / EASE authalic series / Mollweide Newton
     // expression stay per-row constants under volume
     "q_resample_space_geos", "q_resample_space_ease",
-    "q_resample_space_moll")
+    "q_resample_space_moll",
+    // round-19 additions: two more closed-form families (double
+    // stereographic on per-CRS ellipsoid constants; Equal Earth's
+    // authalic composition + codegen Newton) and the distributed
+    // grid-mapping transform (O(pixels) coordinate field + one bbox
+    // aggregate — constant per-row work by construction)
+    "q_resample_space_stereo", "q_resample_space_eqearth",
+    "q_gm_transform")
 
   /** Deep-soak subset (run at 30×): the newest heavy operators. The
     * format-fixture queries (kerchunk combine, COG levels, zarr append)
