@@ -314,6 +314,38 @@ class CfGridMappingSpec extends AnyFunSuite {
     assert(raw.contains("\"false_northing\":0.0"), raw)
   }
 
+  test("zarr: a rioxarray-style spatial_ref array carrying ONLY crs_wkt " +
+    "drives the derivation") {
+    import spark.implicits._
+    import graft.sources.ZarrSource
+    val g = s"${java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target/tmp-tests"), "wktzarr")}/c.zarr"
+    val xs = Array.tabulate(6)(i => 500000.0 + 20.0 * i)
+    val ys = Array.tabulate(4)(j => 5600000.0 - 20.0 * j)
+    val cells = (for (j <- 0 until 4; i <- 0 until 6) yield
+      (ys(j), xs(i), (j * 6 + i).toDouble)).toDF("y", "x", "band")
+    ZarrSource.writeCubeVars(cells, g, Seq("band"),
+      Seq("y" -> ys, "x" -> xs), chunks = Seq(2, 3))
+    // code-less UTM 33N WKT on a 0-dim spatial_ref-style attribute set
+    val wkt = """PROJCS["WGS 84 / UTM zone 33N",GEOGCS["WGS 84",""" +
+      """DATUM["WGS_1984",SPHEROID["WGS 84",6378137,298.257223563]],""" +
+      """PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]],""" +
+      """PROJECTION["Transverse_Mercator"],""" +
+      """PARAMETER["latitude_of_origin",0],""" +
+      """PARAMETER["central_meridian",15],""" +
+      """PARAMETER["scale_factor",0.9996],""" +
+      """PARAMETER["false_easting",500000],""" +
+      """PARAMETER["false_northing",0],UNIT["metre",1]]"""
+    ZarrSource.updateAttrs(g, "", Map("crs_wkt" -> wkt))
+    ZarrSource.updateAttrs(g, "x",
+      Map("standard_name" -> "projection_x_coordinate"))
+    ZarrSource.updateAttrs(g, "y",
+      Map("standard_name" -> "projection_y_coordinate"))
+    val cm = CfGridMapping.fromZarr(g)
+    assert(cm.isRegular && cm.gm.crs == "EPSG:32633" && cm.gm.yDown)
+    assert(cm.gm.width == 6 && cm.gm.xRes == 20.0)
+  }
+
   test("anti-meridian crossings re-derive in the lon-360 frame") {
     import spark.implicits._
     // 1-D: a dateline-crossing longitude axis (reference to_lon_360,
