@@ -56,6 +56,17 @@ object CfGridMapping {
         s"CF grid_mapping_name '$name' with $detail does not match a " +
           "registered CRS family (SpatialOps' closed-form set) — " +
           "re-project the source, or register the family first")
+    // false offsets: STRICT when present (a shifted variant must not
+    // silently match a registered code — it would displace every pixel
+    // by the offset), lenient when absent (plenty of CF granules omit
+    // the attributes for zero-offset grids)
+    def feOk(name: String, fe0: Double, fn0: Double): Unit = {
+      val fe = num(attrs, "false_easting")
+      val fn = num(attrs, "false_northing")
+      if (!(fe.forall(close(_, fe0)) && fn.forall(close(_, fn0))))
+        bad(name, s"false offsets ($fe, $fn) that differ from the " +
+          s"registered ($fe0, $fn0)")
+    }
     attrs.get("grid_mapping_name").map(_.trim) match {
       case Some("latitude_longitude") => Some("CRS84")
       case Some(n @ "rotated_latitude_longitude") =>
@@ -88,6 +99,7 @@ object CfGridMapping {
         val lon0 = num(attrs, "straight_vertical_longitude_from_pole")
           .orElse(num(attrs, "longitude_of_projection_origin"))
           .getOrElse(0.0)
+        feOk(n, 0.0, 0.0)
         if (close(latTs, 70.0) && close(lon0, -45.0)) Some("EPSG:3413")
         else if (close(latTs, -70.0) && close(lon0, 0.0)) Some("EPSG:3976")
         else if (close(latTs, -71.0) && close(lon0, 0.0)) Some("EPSG:3031")
@@ -142,25 +154,31 @@ object CfGridMapping {
         def spIs(a: Double, b: Double): Boolean = sp.length == 2 &&
           ((close(sp(0), a) && close(sp(1), b)) ||
             (close(sp(0), b) && close(sp(1), a)))
-        if (spIs(49.0, 44.0) && close(lat0, 46.5) && close(lon0, 3.0))
+        if (spIs(49.0, 44.0) && close(lat0, 46.5) && close(lon0, 3.0)) {
+          feOk(n, 700000.0, 6600000.0)
           Some("EPSG:2154")
-        else if (spIs(49.0, 77.0) && close(lat0, 49.0) && close(lon0, -95.0))
+        } else if (spIs(49.0, 77.0) && close(lat0, 49.0) &&
+          close(lon0, -95.0)) {
+          feOk(n, 0.0, 0.0)
           Some("EPSG:3978")
-        else bad(n, s"parallels $sp, origin ($lat0, $lon0)")
+        } else bad(n, s"parallels $sp, origin ($lat0, $lon0)")
       case Some(n @ "albers_conical_equal_area") =>
         val sp = nums(attrs, "standard_parallel")
         val lat0 = num(attrs, "latitude_of_projection_origin").getOrElse(0.0)
         val lon0 = num(attrs, "longitude_of_central_meridian").getOrElse(0.0)
         if (sp.length == 2 && close(sp.min, 29.5) && close(sp.max, 45.5) &&
-          close(lat0, 23.0) && close(lon0, -96.0)) Some("EPSG:5070")
-        else bad(n, s"parallels $sp, origin ($lat0, $lon0)")
+          close(lat0, 23.0) && close(lon0, -96.0)) {
+          feOk(n, 0.0, 0.0)
+          Some("EPSG:5070")
+        } else bad(n, s"parallels $sp, origin ($lat0, $lon0)")
       case Some(n @ "lambert_cylindrical_equal_area") =>
         val lat = num(attrs, "standard_parallel")
           .getOrElse(bad(n, "no standard_parallel"))
         val lon0 = num(attrs, "longitude_of_central_meridian").getOrElse(0.0)
-        if (close(math.abs(lat), 30.0) && close(lon0, 0.0))
+        if (close(math.abs(lat), 30.0) && close(lon0, 0.0)) {
+          feOk(n, 0.0, 0.0)
           Some("EPSG:6933") // EASE-Grid 2.0 global
-        else bad(n, s"standard_parallel $lat, central meridian $lon0")
+        } else bad(n, s"standard_parallel $lat, central meridian $lon0")
       case Some(n @ "orthographic") =>
         (num(attrs, "latitude_of_projection_origin"),
           num(attrs, "longitude_of_projection_origin")) match {
@@ -171,13 +189,24 @@ object CfGridMapping {
         Some(s"MOLL:${num(attrs, "longitude_of_projection_origin")
           .orElse(num(attrs, "longitude_of_central_meridian"))
           .getOrElse(bad(n, "no projection origin"))}")
-      case Some("sinusoidal") => Some("SR-ORG:6974")
+      case Some(n @ "sinusoidal") =>
+        // the registered MODIS grid is Greenwich-centered, zero-offset —
+        // a shifted sinusoidal would misplace every pixel silently
+        val sinuLon0 = num(attrs, "longitude_of_projection_origin")
+          .orElse(num(attrs, "longitude_of_central_meridian"))
+          .getOrElse(0.0)
+        if (!close(sinuLon0, 0.0))
+          bad(n, s"central meridian $sinuLon0 (the registered MODIS " +
+            "grid is Greenwich-centered)")
+        feOk(n, 0.0, 0.0)
+        Some("SR-ORG:6974")
       case Some("equal_earth") =>
         // not (yet) a CF-standard name; pyproj/rioxarray reach Equal
         // Earth via crs_wkt — this is the write-side round-trip name
         val lon0 = num(attrs, "longitude_of_projection_origin")
           .orElse(num(attrs, "longitude_of_central_meridian"))
           .getOrElse(0.0)
+        feOk("equal_earth", 0.0, 0.0)
         if (close(lon0, 0.0)) Some("EPSG:8857") else Some(s"EQEARTH:$lon0")
       case Some("popular_visualisation_pseudo_mercator") => Some("EPSG:3857")
       case Some(n @ "mercator") =>
@@ -193,6 +222,12 @@ object CfGridMapping {
           case (None, Some(k)) => close(k, 1.0)
           case (None, None) => true
         }
+        // an EXPLICIT ellipsoid declaration means EPSG:3395 semantics —
+        // the same trap the WKT route throws on (northing drifts ~21 km
+        // at 60 deg if coerced to the spherical form)
+        if (num(attrs, "inverse_flattening").exists(_ > 0.0))
+          bad(n, "an explicit ellipsoid (inverse_flattening) — the " +
+            "ellipsoidal Mercator has no registered closed form")
         if (sphericalAtEquator && close(lon0, 0.0)) Some("EPSG:3857")
         else bad(n, s"standard_parallel=$sp scale_factor=$k0 lon0=$lon0 " +
           "(not the SP=0/k0=1, lon0=0 web-mercator case)")

@@ -54,14 +54,15 @@ object GmTransform {
     val gm = xyRes match {
       case Some(res) =>
         require(res > 0.0, s"xyRes must be positive, got $res")
-        // one aggregate: true bbox + the j-axis direction probe (mean y
-        // of the first pixel row vs the last) — same covering formula
-        // as fromCoords2d / reference regular.py's to_regular
+        // one aggregate: true bbox + the j-axis direction probe. The
+        // probe is the SIGN OF cov(j, y) over valid cells — unlike a
+        // first-row/last-row mean pair it cannot go null when an edge
+        // row transforms entirely off-domain (NaN), e.g. the limb rows
+        // of a geostationary target
         val e = coords
           .filter(!isnan(col("x")) && !isnan(col("y")))
           .agg(min("x"), max("x"), min("y"), max("y"),
-            avg(when(col("j") === 0, col("y"))),
-            avg(when(col("j") === src.height - 1, col("y")))).head()
+            covar_samp(col("j").cast("double"), col("y"))).head()
         require(!e.isNullAt(0), "transform: no finite transformed cells")
         val xMin = e.getDouble(0) - res / 2
         val yMin = e.getDouble(2) - res / 2
@@ -70,7 +71,7 @@ object GmTransform {
         val height = math.max(2L,
           math.round((e.getDouble(3) + res / 2 - yMin) / res))
         GridMapping(width, height, xMin, yMin, res, res, crsTo,
-          yDown = e.getDouble(4) > e.getDouble(5))
+          yDown = !e.isNullAt(4) && e.getDouble(4) < 0.0)
       case None =>
         CfGridMapping.fromCoords2d(coords, "i", "j", "x", "y", crsTo)
     }
@@ -88,12 +89,19 @@ object GmTransform {
     val t = transform(spark, src, crsTo, xyRes)
     if (SpatialOps.sameCrs(src.crs, crsTo))
       return cells.select((col("i") +: col("j") +: vars.map(col)): _*)
-    val res = math.min(t.gm.xRes, t.gm.yRes)
+    // the IrregularSource resolution must be the SOURCE pixel pitch in
+    // the target CRS — it drives resampleInSpace's rectify-vs-downscale
+    // route (passing the target res would pin the scale ratio at 1 and
+    // make the downscale-aggregate route unreachable for fine sources).
+    // The covering grid's extent over the source dimensions is that
+    // pitch to within a cell either way.
+    val resX = t.gm.width * t.gm.xRes / src.width
+    val resY = t.gm.height * t.gm.yRes / src.height
     SpatialOps.resampleInSpace(
       SpatialOps.IrregularSource(
         cells.join(t.coords, Seq("i", "j"))
           .select((col("x") +: col("y") +: vars.map(col)): _*),
-        "x", "y", res, res, crsTo),
+        "x", "y", resX, resY, crsTo),
       t.gm, vars)
   }
 }

@@ -273,18 +273,30 @@ object WktCrs {
         Seq("grid_mapping_name" -> "lambert_conformal_conic",
           "standard_parallel" -> sp.mkString(",")) ++
           p("latitude_of_projection_origin", "lat_0", Some(0.0)) ++
-          p("longitude_of_central_meridian", "lon_0", Some(0.0))
+          p("longitude_of_central_meridian", "lon_0", Some(0.0)) ++
+          p("false_easting", "x_0", Some(0.0)) ++
+          p("false_northing", "y_0", Some(0.0))
       case "aea" =>
         Seq("grid_mapping_name" -> "albers_conical_equal_area",
           "standard_parallel" ->
             (num("lat_1").toSeq ++ num("lat_2").toSeq).mkString(",")) ++
           p("latitude_of_projection_origin", "lat_0", Some(0.0)) ++
-          p("longitude_of_central_meridian", "lon_0", Some(0.0))
+          p("longitude_of_central_meridian", "lon_0", Some(0.0)) ++
+          p("false_easting", "x_0", Some(0.0)) ++
+          p("false_northing", "y_0", Some(0.0))
       case "cea" =>
         Seq("grid_mapping_name" -> "lambert_cylindrical_equal_area") ++
           p("standard_parallel", "lat_ts", Some(0.0)) ++
-          p("longitude_of_central_meridian", "lon_0", Some(0.0))
-      case "sinu" => Seq("grid_mapping_name" -> "sinusoidal")
+          p("longitude_of_central_meridian", "lon_0", Some(0.0)) ++
+          p("false_easting", "x_0", Some(0.0)) ++
+          p("false_northing", "y_0", Some(0.0))
+      case "sinu" =>
+        // the proj defaults (lon_0 = x_0 = y_0 = 0) are emitted
+        // explicitly so a shifted sinusoidal hits the strict checks
+        Seq("grid_mapping_name" -> "sinusoidal") ++
+          p("longitude_of_central_meridian", "lon_0", Some(0.0)) ++
+          p("false_easting", "x_0", Some(0.0)) ++
+          p("false_northing", "y_0", Some(0.0))
       case "eqearth" =>
         Seq("grid_mapping_name" -> "equal_earth") ++
           p("longitude_of_projection_origin", "lon_0", Some(0.0))

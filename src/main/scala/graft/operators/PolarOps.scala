@@ -1050,11 +1050,18 @@ object PolarOps {
     case _ => None
   }
 
+  /** |sinφ| clamp for the pole rows: (1+sinφ)/(1−sinφ) is ∞ at φ=±90°,
+    * which would turn the (on-map) pole image into NaN; clamped one ulp
+    * inside, w stays finite (~1e15^n) and sinχ lands within 1e-15 of
+    * ±1 — identical bits everywhere else. */
+  val ObliqueStereoPoleClamp: Double = 1.0 - 1e-15
+
   def obliqueStereoForward(lonDeg: Column, latDeg: Column,
                            os: ObliqueStereo): (Column, Column) = {
     val phi = radians(latDeg)
     val dLam = lit(os.n) * (radians(lonDeg) - lit(os.lam0)) // Λ − Λ0
-    val sp = sin(phi)
+    val sp = least(greatest(sin(phi), lit(-ObliqueStereoPoleClamp)),
+      lit(ObliqueStereoPoleClamp))
     val es = lit(os.e) * sp
     val w = lit(os.c) * pow(
       ((lit(1.0) + sp) / (lit(1.0) - sp)) *
@@ -1099,7 +1106,8 @@ object PolarOps {
                                  os: ObliqueStereo): (Double, Double) = {
     val phi = math.toRadians(latDeg)
     val dLam = os.n * (math.toRadians(lonDeg) - os.lam0)
-    val sp = math.sin(phi)
+    val sp = math.min(math.max(math.sin(phi), -ObliqueStereoPoleClamp),
+      ObliqueStereoPoleClamp)
     val es = os.e * sp
     val w = os.c * math.pow(((1 + sp) / (1 - sp)) *
       math.pow((1 - es) / (1 + es), os.e), os.n)

@@ -1,7 +1,5 @@
 package org.apache.spark.sql.graft
 
-import java.util.concurrent.ConcurrentHashMap
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.classic
 
@@ -24,18 +22,36 @@ import org.apache.spark.sql.classic
   */
 object ConfBridge {
 
+  // WEAKLY keyed by the root session so a stopped/dereferenced session
+  // (and its clone) can be collected — a static strong map would pin
+  // every session a long-lived driver ever created. Guarded by its own
+  // monitor (WeakHashMap is not thread-safe); clone creation is cheap
+  // and rare, so the lock is uncontended in practice.
   private val twins =
-    new ConcurrentHashMap[(SparkSession, Map[String, String]), SparkSession]()
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.mutable.Map[String, SparkSession]]()
 
   /** The cached clone of `spark` carrying `overrides` (created once per
     * (session, overrides) pair). */
   def twinSession(spark: SparkSession,
                   overrides: Map[String, String]): SparkSession =
-    twins.computeIfAbsent((spark, overrides), { _ =>
-      val q = spark.asInstanceOf[classic.SparkSession].cloneSession()
-      overrides.foreach { case (k, v) => q.conf.set(k, v) }
-      q
-    })
+    twins.synchronized {
+      val byOverrides = {
+        val cur = twins.get(spark)
+        if (cur != null) cur
+        else {
+          val m = scala.collection.mutable.Map.empty[String, SparkSession]
+          twins.put(spark, m)
+          m
+        }
+      }
+      val key = overrides.toSeq.sorted.mkString(";")
+      byOverrides.getOrElseUpdate(key, {
+        val q = spark.asInstanceOf[classic.SparkSession].cloneSession()
+        overrides.foreach { case (k, v) => q.conf.set(k, v) }
+        q
+      })
+    }
 
   /** `df` re-expressed against `to` — same analyzed plan, planned and
     * executed under `to`'s conf. */

@@ -81,6 +81,37 @@ class GmTransformSpec extends AnyFunSuite {
     assert(math.abs(row.getDouble(3) - ey) < 1.0)
   }
 
+  test("edge rows that transform off-domain (NaN) don't break the " +
+    "direction probe") {
+    // lat 75..85 into a Greenwich geostationary view: rows past ~81.3
+    // degrees are beyond the limb and project to NaN — the old
+    // first/last-row mean probe returned null there
+    val gm = GridMapping(20, 20, 0.0, 75.0, 0.5, 0.5, crs = "CRS84")
+    val t = GmTransform.transform(spark, gm, "GEOS:0.0:3.5786023E7:y",
+      xyRes = Some(20000.0))
+    assert(t.gm.crs.startsWith("GEOS:") && t.gm.width >= 2)
+    assert(!t.gm.yDown, "northing still ascends with j for visible rows")
+    val nanRows = t.coords.filter(isnan(col("y")))
+      .select("j").distinct().count()
+    assert(nanRows > 0, "fixture must actually have off-limb rows")
+  }
+
+  test("transformAndResample uses the SOURCE pitch for the route " +
+    "decision: a much coarser target takes the downscale-mean branch") {
+    import spark.implicits._
+    // constant field: the downscale branch means values (exactly 7.5);
+    // any route lands on 7.5, but a route crash or an empty join would
+    // not — and the pitch is now ~2.2 km vs the 25 km target cells,
+    // so the scale ratio is ~0.09, firmly in the downscale branch
+    val gm = GridMapping(60, 40, 10.0, 50.0, 0.02, 0.02, crs = "CRS84")
+    val cells = (for (j <- 0L until 40L; i <- 0L until 60L)
+      yield (i, j, 7.5)).toDF("i", "j", "v")
+    val out = GmTransform.transformAndResample(cells, gm, "EPSG:32632",
+      Seq("v"), xyRes = Some(25000.0))
+    val vals = out.filter(!isnan(col("v"))).select("v").distinct().collect()
+    assert(vals.nonEmpty && vals.forall(_.getDouble(0) == 7.5))
+  }
+
   test("transformAndResample lands source values on the derived grid") {
     import spark.implicits._
     val gm = GridMapping(30, 20, 10.0, 53.0, 0.02, 0.02, crs = "CRS84")

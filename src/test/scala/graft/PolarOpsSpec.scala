@@ -355,6 +355,18 @@ class PolarOpsSpec extends AnyFunSuite {
     val (ox, oy) = PolarOps.obliqueStereoForwardScalar(
       os.lon0Deg, os.lat0Deg, os)
     assert(math.abs(ox - 155000.0) < 1e-6 && math.abs(oy - 463000.0) < 1e-6)
+    // the poles are ON-MAP for an oblique stereographic: finite image,
+    // and it round-trips back to the pole (the unclamped (1+sinφ)/
+    // (1−sinφ) form would NaN there)
+    for (pole <- Seq(90.0, -90.0)) {
+      val (px, py) = PolarOps.obliqueStereoForwardScalar(0.0, pole, os)
+      assert(java.lang.Double.isFinite(px) &&
+        java.lang.Double.isFinite(py), s"pole $pole -> ($px, $py)")
+      // the clamp sits 1e-15 below |sinφ|=1, i.e. ~2.6e-6 deg (~0.3 m)
+      // from the exact pole — finite and sub-metre beats NaN
+      val (_, pLat) = PolarOps.obliqueStereoInverseScalar(px, py, os)
+      assert(math.abs(pLat - pole) < 1e-5, s"pole $pole -> $pLat")
+    }
     // column forms agree with the scalar twins
     val pts = (for (lon <- Seq(3.37087, 5.387638889, 6.0, 7.2);
                     lat <- Seq(50.75, 52.156160556, 53.0)) yield (lon, lat))

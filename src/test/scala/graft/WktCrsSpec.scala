@@ -185,6 +185,43 @@ class WktCrsSpec extends AnyFunSuite {
       .contains("EPSG:3857"))
   }
 
+  test("shifted/offset variants of registered families decline LOUDLY " +
+    "instead of silently matching the registered code") {
+    // Lambert-93 parallels with ZERO false offsets is NOT EPSG:2154
+    // (700 km / 6600 km displacement if coerced)
+    intercept[IllegalArgumentException] {
+      resolve("+proj=lcc +lat_1=49 +lat_2=44 +lat_0=46.5 +lon_0=3 " +
+        "+x_0=0 +y_0=0 +ellps=GRS80")
+    }
+    // a shifted polar stereographic is not EPSG:3413
+    intercept[IllegalArgumentException] {
+      resolve("+proj=stere +lat_0=90 +lat_ts=70 +lon_0=-45 " +
+        "+x_0=2000000 +y_0=2000000")
+    }
+    // a non-Greenwich sinusoidal is not the MODIS grid (~1100 km at
+    // the equator if coerced)
+    intercept[IllegalArgumentException] { resolve("+proj=sinu +lon_0=10") }
+    intercept[IllegalArgumentException] {
+      CfGridMapping.crsFromCf(Map("grid_mapping_name" -> "sinusoidal",
+        "longitude_of_projection_origin" -> "10.0"))
+    }
+    // CF mercator with an EXPLICIT ellipsoid is EPSG:3395 semantics
+    intercept[IllegalArgumentException] {
+      CfGridMapping.crsFromCf(Map("grid_mapping_name" -> "mercator",
+        "standard_parallel" -> "0.0",
+        "semi_major_axis" -> "6378137.0",
+        "inverse_flattening" -> "298.257223563"))
+    }
+    // ABSENT offsets stay lenient: a zero-offset family omitting the
+    // attributes still resolves (CF granules often leave them out)
+    assert(CfGridMapping.crsFromCf(Map(
+      "grid_mapping_name" -> "polar_stereographic",
+      "standard_parallel" -> "70.0",
+      "straight_vertical_longitude_from_pole" -> "-45.0"))
+      .contains("EPSG:3413"))
+    ()
+  }
+
   test("non-WKT strings are not WKT: parse yields None, resolution " +
     "falls back to nothing") {
     assert(WktCrs.parse("+proj=lcc +lat_1=49 +lat_2=44").isEmpty)
