@@ -253,8 +253,9 @@ object DataStore {
     * most common opening flow for gridded data: the decoded frame PLUS
     * its CF-auto-derived grid ([[graft.cube.CfGridMapping]]), so nothing
     * downstream needs a hand-built GridMapping. NetCDF and Zarr carry CF
-    * metadata; other formats decline loudly (GeoTIFF georeferencing
-    * rides its own reader). Returns the CoordsMapping so the caller can
+    * metadata; GeoTIFF derives from ModelPixelScale/Tiepoint + the
+    * GeoKey CRS; other formats decline loudly. Returns the
+    * CoordsMapping so the caller can
     * route regular grids straight to the affine paths and irregular
     * ones through `toRegular` + rectify. */
   def openGrid(spark: SparkSession, path: String)
@@ -270,9 +271,14 @@ object DataStore {
           graft.cube.CfGridMapping.fromNetcdf(nc))
       case "zarr" =>
         (openDataset(spark, path), graft.cube.CfGridMapping.fromZarr(path))
+      case "geotiff" =>
+        // georeferencing from ModelPixelScale/Tiepoint, CRS from the
+        // GeoKey directory — the rioxarray-open route for rasters
+        (GeoTiffSource.readRaster(spark, path), GeoTiffSource.gridOf(path))
       case fmt => throw new IllegalArgumentException(
-        s"openGrid derives CF grid mappings from netcdf/zarr metadata; " +
-          s"'$fmt' has none — open with openDataset and supply the grid")
+        s"openGrid derives CF grid mappings from netcdf/zarr/geotiff " +
+          s"metadata; '$fmt' has none — open with openDataset and " +
+          "supply the grid")
     }
 
   /** write_dataset with format inference. DataFrame writes go through Spark

@@ -326,6 +326,67 @@ object GeoTiffSource {
     (ifdTags(b, b.getInt(4)), order)
   }
 
+  /** CRS from the GeoKey directory (tag 34735, GeoTIFF 1.1): the
+    * ProjectedCSTypeGeoKey (3072) EPSG code when present, else the
+    * GeographicTypeGeoKey (2048). Registered codes resolve onto the
+    * closed-form family set; user-defined (32767) or unregistered codes
+    * DECLINE LOUDLY (silently dropping the CRS would misplace every
+    * pixel downstream); a file without GeoKeys returns None
+    * (georeferencing without a declared CRS). */
+  private[graft] def crsFromGeoKeys(tags: Map[Int, Array[Double]])
+      : Option[String] =
+    tags.get(34735).flatMap { d =>
+      val v = d.map(_.toInt)
+      val nKeys = if (v.length >= 4) v(3) else 0
+      val entries = (0 until nKeys).flatMap { k =>
+        val o = 4 + 4 * k
+        if (o + 3 < v.length) Some((v(o), v(o + 1), v(o + 3))) else None
+      }
+      // SHORT-valued keys live inline (TIFFTagLocation 0)
+      def keyVal(id: Int): Option[Int] =
+        entries.find(e => e._1 == id && e._2 == 0).map(_._3)
+      def registered(code: Int): String = {
+        val crs = if (code == 4326) "CRS84" else s"EPSG:$code"
+        if (scala.util.Try(graft.cube.CfGridMapping.cfAttrs(crs)).isSuccess)
+          crs
+        else throw new IllegalArgumentException(
+          s"GeoTIFF CRS EPSG:$code is not a registered closed-form " +
+            "family — re-project the source, or register the family")
+      }
+      keyVal(3072) match {
+        case Some(32767) => throw new IllegalArgumentException(
+          "user-defined GeoTIFF projection (ProjectedCSType 32767) — " +
+            "supply the grid explicitly via openDataset")
+        case Some(code) => Some(registered(code))
+        case None => keyVal(2048).map(registered)
+      }
+    }
+
+  /** [[crsFromGeoKeys]] over a file's first IFD. */
+  def crsOf(path: String): Option[String] =
+    crsFromGeoKeys(readFirstIfdTags(ByteStore.current.read(path))._1)
+
+  /** The regular grid a GeoTIFF declares: size from ImageWidth/Length,
+    * placement from ModelPixelScale + ModelTiepoint, CRS from the
+    * GeoKey directory (required — a CRS-less file must go through
+    * openDataset with a caller-supplied grid). GeoTIFF rows run
+    * top-down, so the mapping is yDown. */
+  def gridOf(path: String): graft.cube.CfGridMapping.CoordsMapping = {
+    val (tags, _) = readFirstIfdTags(ByteStore.current.read(path))
+    val crs = crsFromGeoKeys(tags).getOrElse(
+      throw new IllegalArgumentException(
+        s"$path carries no GeoKey CRS — open with openDataset and " +
+          "supply the grid"))
+    val width = tagOne(tags, 256).toLong
+    val height = tagOne(tags, 257).toLong
+    val (sx, sy, ox, oy) = georefFrom(tags)
+    val gm = graft.cube.GridMapping(width, height,
+      xMin = ox, yMin = oy - height * sy, xRes = sx, yRes = sy,
+      crs = crs, yDown = true)
+    graft.cube.CfGridMapping.CoordsMapping(gm, isRegular = true,
+      xMaxTrue = gm.xMax, yMaxTrue = gm.yMax)
+  }
+
   /** First value of `tag` (or the default) — the shared accessor for tag
     * maps produced by [[ifdTags]].
     */
@@ -608,9 +669,26 @@ object GeoTiffSource {
     */
   def write(path: String, raster: Raster, deflate: Boolean = false,
             tileSize: Int = 0, lzw: Boolean = false, bits: Int = 64,
-            predictor: Int = 1, nodata: Option[Double] = None): Unit =
+            predictor: Int = 1, nodata: Option[Double] = None,
+            crs: Option[String] = None): Unit =
     writeLevels(path, IndexedSeq(raster), deflate, tileSize, lzw, bits,
-      predictor, nodata)
+      predictor, nodata, crs)
+
+  /** GeoKey directory shorts (version 1.1.0, two keys: model type +
+    * the EPSG code) for a registered CRS string. Only EPSG-coded CRSs
+    * are expressible — the parameterized families (ROTPOLE:/GEOS:/...)
+    * have no GeoKey form and decline loudly. */
+  private[graft] def geoKeyShortsFor(crs: String): Array[Int] = {
+    def dir(model: Int, key: Int, code: Int): Array[Int] =
+      Array(1, 1, 0, 2, 1024, 0, 1, model, key, 0, 1, code)
+    if (graft.operators.SpatialOps.isGeographic(crs)) dir(2, 2048, 4326)
+    else if (crs.startsWith("EPSG:") && crs.drop(5).forall(_.isDigit) &&
+      crs.length <= 10)
+      dir(1, 3072, crs.drop(5).toInt)
+    else throw new IllegalArgumentException(
+      s"GeoTIFF GeoKeys carry EPSG codes; '$crs' has none — write " +
+        "without crs and ship the grid separately")
+  }
 
   /** [[write]] plus a chained ::2 overview pyramid — the COG overview
     * organization: `nOverviews` reduced-resolution IFDs follow the main
@@ -621,14 +699,16 @@ object GeoTiffSource {
   def writeWithOverviews(path: String, raster: Raster, nOverviews: Int,
                          deflate: Boolean = false, tileSize: Int = 0,
                          lzw: Boolean = false, bits: Int = 64,
-                         predictor: Int = 1, nodata: Option[Double] = None): Unit = {
+                         predictor: Int = 1, nodata: Option[Double] = None,
+                         crs: Option[String] = None): Unit = {
     require(nOverviews >= 0, s"nOverviews $nOverviews")
     // every overview must actually halve something: once both dims hit 1
     // further levels would be identical 1x1 copies
     require((math.max(raster.width, raster.height) >> nOverviews) >= 1,
       s"$nOverviews overviews collapse a ${raster.width}x${raster.height} raster")
     val levels = IndexedSeq.iterate(raster, nOverviews + 1)(decimate2)
-    writeLevels(path, levels, deflate, tileSize, lzw, bits, predictor, nodata)
+    writeLevels(path, levels, deflate, tileSize, lzw, bits, predictor,
+      nodata, crs)
   }
 
   /** Every-second-pixel (::2) overview — the reference's compute_levels
@@ -653,7 +733,8 @@ object GeoTiffSource {
   private def writeLevels(path: String, levels: IndexedSeq[Raster],
                           deflate: Boolean, tileSize: Int, lzw: Boolean,
                           bits: Int, predictor: Int,
-                          nodata: Option[Double] = None): Unit = {
+                          nodata: Option[Double] = None,
+                          crs: Option[String] = None): Unit = {
     require(levels.nonEmpty, "no levels")
     require(levels.map(_.bands.length).distinct.size == 1,
       "levels must share a band count")
@@ -668,6 +749,8 @@ object GeoTiffSource {
     val bps = bits / 8
     // GDAL_NODATA text, as GDAL formats it (integral sentinels without a
     // fractional part), NUL-terminated per the ASCII field type
+    val geoKeys: Array[Int] =
+      crs.map(geoKeyShortsFor).getOrElse(Array.emptyIntArray)
     val ndBytes: Array[Byte] = nodata.map { nd =>
       val s = if (nd == math.rint(nd) && math.abs(nd) < 1e15) nd.toLong.toString
               else nd.toString
@@ -740,16 +823,20 @@ object GeoTiffSource {
       val entries = (if (tiled) 12 else 11) + 1 + // + SamplesPerPixel
         (if (predictor == 2) 1 else 0) +          // + Predictor
         (if (overview) 1 else 0) +                // + NewSubfileType
-        (if (nodata.isDefined) 1 else 0)          // + GDAL_NODATA
+        (if (nodata.isDefined) 1 else 0) +        // + GDAL_NODATA
+        (if (geoKeys.nonEmpty) 1 else 0)          // + GeoKeyDirectory
       val ifdLen = 2 + entries * 12 + 4
       val scaleOff = base + ifdLen
       val tieOff = scaleOff + 3 * 8
       val n = chunks.length
       val needVec = nb > 2 // SHORT×nb no longer fits the 4 inline bytes
+      // GeoKey directory (SHORT array) sits after the tiepoint doubles
+      val geoOff = tieOff + 6 * 8
+      val geoExt = geoKeys.length * 2 // 12 shorts -> 24 bytes, even
       // GDAL_NODATA text goes external (even-padded) only when it outgrows
       // the 4 inline value bytes
       val ndExt = if (ndBytes.length > 4) ndBytes.length + (ndBytes.length & 1) else 0
-      val ndOff = tieOff + 6 * 8
+      val ndOff = geoOff + geoExt
       val bitsArrOff = ndOff + ndExt
       val fmtArrOff = bitsArrOff + (if (needVec) 2 * nb else 0)
       val offArrOff = fmtArrOff + (if (needVec) 2 * nb else 0)
@@ -808,6 +895,8 @@ object GeoTiffSource {
       shortVecEntry(339, fmtCode, fmtArrOff)               // SampleFormat
       entry(33550, 12, 3, scaleOff)                        // ModelPixelScale
       entry(33922, 12, 6, tieOff)                          // ModelTiepoint
+      if (geoKeys.nonEmpty)
+        entry(34735, 3, geoKeys.length, geoOff)            // GeoKeyDirectory
       if (nodata.isDefined) {                              // GDAL_NODATA
         buf.putShort(42113.toShort); buf.putShort(2.toShort)
         buf.putInt(ndBytes.length)
@@ -823,6 +912,7 @@ object GeoTiffSource {
       buf.putDouble(raster.scaleX).putDouble(raster.scaleY).putDouble(0.0)
       buf.putDouble(0.0).putDouble(0.0).putDouble(0.0)     // raster (0,0,0) →
       buf.putDouble(raster.originX).putDouble(raster.originY).putDouble(0.0)
+      geoKeys.foreach(k => buf.putShort(k.toShort))
       if (ndExt > 0) {
         buf.put(ndBytes)
         if ((ndBytes.length & 1) == 1) buf.put(0.toByte) // even padding

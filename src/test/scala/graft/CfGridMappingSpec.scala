@@ -346,6 +346,52 @@ class CfGridMappingSpec extends AnyFunSuite {
     assert(cm.gm.width == 6 && cm.gm.xRes == 20.0)
   }
 
+  test("geotiff: GeoKey CRS round-trips; gridOf derives the regular " +
+    "grid; CRS-less files decline") {
+    import graft.sources.GeoTiffSource
+    import graft.sources.GeoTiffSource.Raster
+    val dir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target/tmp-tests"), "geokey")
+    // multi-band + nodata stresses the external-array offset layout the
+    // GeoKey directory shifts
+    val p1 = s"$dir/utm.tif"
+    val bands = IndexedSeq.tabulate(3)(b =>
+      Array.tabulate(12)(k => b * 100.0 + k))
+    GeoTiffSource.write(p1,
+      GeoTiffSource.Raster(4, 3, bands, 10.0, 10.0, 500000.0, 5600030.0),
+      nodata = Some(-9999.0), crs = Some("EPSG:32633"))
+    assert(GeoTiffSource.crsOf(p1).contains("EPSG:32633"))
+    val cm = GeoTiffSource.gridOf(p1)
+    assert(cm.isRegular && cm.gm.crs == "EPSG:32633" && cm.gm.yDown)
+    assert(cm.gm.width == 4 && cm.gm.height == 3)
+    assert(math.abs(cm.gm.xMin - 500000.0) < 1e-9)
+    assert(math.abs(cm.gm.yMax - 5600030.0) < 1e-9)
+    // pixel payload survives the extra IFD entry byte-shifts
+    val r = GeoTiffSource.read(p1)
+    assert(r.bands(2).toSeq == bands(2).toSeq)
+    // geographic CRS rides GeographicTypeGeoKey
+    val p2 = s"$dir/geo.tif"
+    GeoTiffSource.write(p2, Raster(4, 3, bands.head, 0.5, 0.5, 10.0, 51.5),
+      crs = Some("CRS84"))
+    assert(GeoTiffSource.crsOf(p2).contains("CRS84"))
+    // openGrid: frame + derived grid in one call
+    val (df, cm2) = graft.sources.DataStore.openGrid(spark, p1)
+    assert(cm2.gm.crs == "EPSG:32633" && df.columns.contains("band_2"))
+    assert(df.count() == 12)
+    // no GeoKeys: crsOf None, gridOf declines loudly
+    val p3 = s"$dir/bare.tif"
+    GeoTiffSource.write(p3, Raster(4, 3, bands.head, 0.5, 0.5, 10.0, 51.5))
+    assert(GeoTiffSource.crsOf(p3).isEmpty)
+    intercept[IllegalArgumentException] { GeoTiffSource.gridOf(p3) }
+    // a parameterized non-EPSG family has no GeoKey form
+    intercept[IllegalArgumentException] {
+      GeoTiffSource.write(s"$dir/bad.tif",
+        Raster(4, 3, bands.head, 0.5, 0.5, 10.0, 51.5),
+        crs = Some("ROTPOLE:32.5:-170.0"))
+    }
+    ()
+  }
+
   test("anti-meridian crossings re-derive in the lon-360 frame") {
     import spark.implicits._
     // 1-D: a dateline-crossing longitude axis (reference to_lon_360,
