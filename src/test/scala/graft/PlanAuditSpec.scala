@@ -512,4 +512,37 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"cartesian:\n${p.take(600)}")
     assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"), "no UDFs")
   }
+
+  test("q_gm_transform: the coordinate field is one codegen projection " +
+    "over range — no UDF, no join, no shuffle") {
+    val df = SparkEntry.queries("q_gm_transform")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"), "no UDFs")
+    assert(!p.contains("Join") && !p.contains("Exchange"),
+      s"pixel-center transform must stay a map-only projection:\n${p.take(800)}")
+    assert(p.contains("Range"), "distributed range source")
+    assert(p.contains("*("), "must stay inside whole-stage codegen")
+  }
+
+  test("q_resample_space_stereo / _eqearth: closed-form transforms are " +
+    "codegen expressions; binning shuffles only on compact cell keys") {
+    for (q <- Seq("q_resample_space_stereo", "q_resample_space_eqearth")) {
+      val p = plan(q)
+      assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"),
+        s"$q: no UDFs")
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoop"), s"$q:\n${p.take(600)}")
+      assert(!p.contains("Window"), s"$q: no window")
+    }
+    // the Equal Earth inverse's Newton solve is the native expression
+    val inv = graft.operators.PolarOps.eqEarthInverse(
+      org.apache.spark.sql.functions.lit(400000.0),
+      org.apache.spark.sql.functions.lit(5.9e6),
+      graft.operators.PolarOps.eqEarthForCrs("EPSG:8857").get)
+    import org.apache.spark.sql.graft.ColumnBridge
+    assert(ColumnBridge.expression(inv._2).toString.contains("eqearth_theta") ||
+      ColumnBridge.expression(inv._1).toString.contains("eqearth_theta"),
+      "inverse must route through the EqEarthTheta codegen expression")
+  }
 }
