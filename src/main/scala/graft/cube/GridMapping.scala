@@ -88,6 +88,30 @@ final case class GridMapping(
          height = math.max(1L, math.round(height / f)),
          xRes = xRes * f, yRes = yRes * f)
 
+  /** Affine pixel-coordinate transform onto `other`'s grid (reference
+    * base.py:453 `ij_transform_to`, the composition of this mapping's
+    * ij→xy matrix with `other`'s xy→ij matrix, base.py:429-451):
+    * (i', j') = (sx·i + ox, sy·j + oy) in pixel-EDGE coordinates,
+    * handling mixed j-axis conventions by sign. Same-CRS regular
+    * grids only — a cross-CRS request must go through
+    * [[GmTransform.transform]]. */
+  def ijTransformTo(other: GridMapping): GridMapping.IjTransform = {
+    require(graft.operators.SpatialOps.sameCrs(crs, other.crs),
+      s"ijTransformTo needs one CRS, got $crs -> ${other.crs} " +
+        "(use GmTransform.transform for reprojection)")
+    val sx = xRes / other.xRes
+    val ox = (xMin - other.xMin) / other.xRes
+    val (c, d) = if (yDown) (-yRes, yMax) else (yRes, yMin)
+    val (sy, oy) =
+      if (other.yDown) (-c / other.yRes, (other.yMax - d) / other.yRes)
+      else (c / other.yRes, (d - other.yMin) / other.yRes)
+    GridMapping.IjTransform(sx, ox, sy, oy)
+  }
+
+  /** base.py:472 `ij_transform_from`: the inverse direction. */
+  def ijTransformFrom(other: GridMapping): GridMapping.IjTransform =
+    other.ijTransformTo(this)
+
   def levelMapping(level: Int): GridMapping = {
     var (w, h) = (width, height)
     (0 until level).foreach { _ => w = (w + 1) / 2; h = (h + 1) / 2 }
@@ -106,6 +130,19 @@ final case class GridMapping(
 }
 
 object GridMapping {
+
+  /** An affine pixel-coordinate transform (i', j') = (sx·i + ox,
+    * sy·j + oy) — the reference's AffineTransformMatrix restricted to
+    * the axis-aligned case regular grids produce. */
+  final case class IjTransform(sx: Double, ox: Double,
+                               sy: Double, oy: Double) {
+    def apply(i: Double, j: Double): (Double, Double) =
+      (sx * i + ox, sy * j + oy)
+    /** The inverse transform (base.py:488 `~a`). */
+    def inverse: IjTransform =
+      IjTransform(1.0 / sx, -ox / sx, 1.0 / sy, -oy / sy)
+  }
+
   /** Global 1-degree geographic grid — the reference's default test grid
     * (new.py:13-268).
     */

@@ -27,6 +27,37 @@ class CubeModelSpec extends AnyFunSuite {
     assert(l1.width == 180 && l1.height == 90 && l1.xRes == 2.0)
   }
 
+  test("ijTransformTo/From mirrors base.py:429-489 (pixel-edge affine, " +
+    "mixed j-axis conventions, inverse closure)") {
+    val a = GridMapping(100, 80, 0.0, 0.0, 1.0, 1.0) // j up
+    val b = GridMapping(60, 50, 10.0, 20.0, 2.0, 2.0, yDown = true)
+    val t = a.ijTransformTo(b)
+    // a's pixel edge (10, 20) is world (10, 20) = b's corner; b is
+    // image-order so world y 20 (b's yMin... y_max side check):
+    // b.yMax = 20 + 50*2 = 120; world (10, 20) -> i'=0, j'=(120-20)/2=50
+    assert(t(10.0, 20.0) == ((0.0, 50.0)))
+    // a's origin (0,0) = world (0,0): i' = -5, j' = 60 (outside, fine)
+    assert(t(0.0, 0.0) == ((-5.0, 60.0)))
+    // inverse closure + ijTransformFrom is the same matrix
+    val ti = t.inverse
+    val (bi, bj) = t(33.0, 41.0)
+    assert(math.abs(ti(bi, bj)._1 - 33.0) < 1e-12)
+    assert(math.abs(ti(bi, bj)._2 - 41.0) < 1e-12)
+    val f = a.ijTransformFrom(b)
+    assert(math.abs(f.sx - ti.sx) < 1e-12 && math.abs(f.ox - ti.ox) < 1e-12)
+    assert(math.abs(f.sy - ti.sy) < 1e-12 && math.abs(f.oy - ti.oy) < 1e-12)
+    // same j convention: plain scaling
+    val c = GridMapping(50, 40, 0.0, 0.0, 2.0, 2.0)
+    val t2 = a.ijTransformTo(c)
+    assert(t2(10.0, 20.0) == ((5.0, 10.0)))
+    // cross-CRS declines toward GmTransform
+    intercept[IllegalArgumentException] {
+      a.ijTransformTo(GridMapping(10, 10, 0.0, 0.0, 1.0, 1.0,
+        crs = "EPSG:3857"))
+    }
+    ()
+  }
+
   test("newCube builds the reference default fixture shape") {
     val c = NewCube(spark, timePeriods = 2)
     assert(c.verify().isEmpty)
