@@ -132,6 +132,42 @@ object CfGridMapping {
           bad(n, s"a non-WGS84 ellipsoid (a=$a, 1/f=$invF) outside the " +
             "registered RD New combination")
         else Some(s"STEREO:$lat0:$lon0:$k0:$fe:$fn")
+      case Some(n @ "oblique_mercator") =>
+        // CF oblique_mercator == the Hotine family (EPSG 9812/9815).
+        // CF has no rectified-grid-angle attribute; the WKT1 name
+        // rides through as an extension, defaulting to the azimuth
+        // (the proj +gamma default)
+        val latc = num(attrs, "latitude_of_projection_origin")
+          .getOrElse(bad(n, "no latitude_of_projection_origin"))
+        val lonc = num(attrs, "longitude_of_projection_origin")
+          .getOrElse(bad(n, "no longitude_of_projection_origin"))
+        val alpha = num(attrs, "azimuth_of_central_line")
+          .getOrElse(bad(n, "no azimuth_of_central_line"))
+        val gamma = num(attrs, "rectified_grid_angle").getOrElse(alpha)
+        val k0 = num(attrs, "scale_factor_at_projection_origin")
+          .getOrElse(1.0)
+        val fe = num(attrs, "false_easting").getOrElse(0.0)
+        val fn = num(attrs, "false_northing").getOrElse(0.0)
+        val aM = num(attrs, "semi_major_axis")
+        val invF = num(attrs, "inverse_flattening")
+        val variantA = attrs.get("no_uoff").isDefined
+        def isHom(hm: PolarOps.HotineOm): Boolean =
+          close(latc, hm.latcDeg, 1e-7) && close(lonc, hm.loncDeg, 1e-7) &&
+            close(alpha, hm.alphaDeg, 1e-7) &&
+            close(gamma, hm.gammaDeg, 1e-7) && close(k0, hm.k0, 1e-9) &&
+            close(fe, hm.x0) && close(fn, hm.y0) &&
+            aM.forall(close(_, hm.a, 0.5)) &&
+            invF.forall(close(_, hm.invF, 1e-4))
+        if (!variantA && isHom(PolarOps.hotineForCrs("EPSG:29873").get))
+          Some("EPSG:29873")
+        else if (!variantA && isHom(PolarOps.hotineForCrs("EPSG:2056").get))
+          Some("EPSG:2056")
+        else if (aM.exists(v => !close(v, 6378137.0, 0.5)) ||
+          invF.exists(v => !close(v, 298.257223563, 1e-6)))
+          bad(n, s"a non-WGS84 ellipsoid (a=$aM, 1/f=$invF) outside the " +
+            "registered RSO-Borneo / LV95 combinations")
+        else Some(s"HOM:$latc:$lonc:$alpha:$gamma:$k0:$fe:$fn" +
+          (if (variantA) ":A" else ""))
       case Some(n @ "lambert_azimuthal_equal_area") =>
         val lat0 = num(attrs, "latitude_of_projection_origin")
           .getOrElse(bad(n, "no latitude_of_projection_origin"))
@@ -337,6 +373,20 @@ object CfGridMapping {
       Map("grid_mapping_name" -> "mollweide",
         "longitude_of_projection_origin" -> mw.lon0Deg.toString,
         "false_easting" -> "0.0", "false_northing" -> "0.0")
+    }).orElse(PolarOps.hotineForCrs(crs).map { hm =>
+      Map("grid_mapping_name" -> "oblique_mercator",
+        "latitude_of_projection_origin" -> hm.latcDeg.toString,
+        "longitude_of_projection_origin" -> hm.loncDeg.toString,
+        "azimuth_of_central_line" -> hm.alphaDeg.toString,
+        "rectified_grid_angle" -> hm.gammaDeg.toString,
+        "scale_factor_at_projection_origin" -> hm.k0.toString,
+        "false_easting" -> hm.x0.toString,
+        "false_northing" -> hm.y0.toString) ++
+        (if (math.abs(hm.invF - 298.257223563) > 1e-6)
+          Map("semi_major_axis" -> hm.a.toString,
+            "inverse_flattening" -> hm.invF.toString)
+        else Map.empty) ++
+        (if (hm.variantB) Map.empty else Map("no_uoff" -> "true"))
     }).orElse(PolarOps.eqEarthForCrs(crs).map { ee =>
       Map("grid_mapping_name" -> "equal_earth",
         "longitude_of_projection_origin" -> ee.lon0Deg.toString,

@@ -125,6 +125,9 @@ object WktCrs {
       "popular_visualisation_pseudo_mercator"),
     ((n: String) => n.contains("transverse_mercator") &&
       !n.contains("south"), "transverse_mercator"),
+    ((n: String) => n.contains("hotine") || n.contains("oblique_mercator") ||
+      n.contains("rectified_skew") || n.contains("swiss_oblique"),
+      "oblique_mercator"),
     ((n: String) => n.contains("mercator"), "mercator"),
     ((n: String) => n.contains("lambert") && n.contains("azimuthal"),
       "lambert_azimuthal_equal_area"),
@@ -153,7 +156,7 @@ object WktCrs {
     val n = norm(wktName)
     val azimuthal = Set("lambert_azimuthal_equal_area", "orthographic",
       "stereographic", "oblique_stereographic", "polar_stereographic",
-      "geostationary", "mollweide").contains(family)
+      "geostationary", "mollweide", "oblique_mercator").contains(family)
     n match {
       case "central_meridian" | "longitude_of_natural_origin" |
            "longitude_of_false_origin" | "longitude_of_center" |
@@ -183,6 +186,12 @@ object WktCrs {
            "northing_at_projection_centre" => Some("false_northing")
       case "satellite_height" | "perspective_point_height" =>
         Some("perspective_point_height")
+      case "azimuth" | "azimuth_at_projection_centre" |
+           "azimuth_of_initial_line" | "azimuth_of_central_line" =>
+        Some("azimuth_of_central_line")
+      case "rectified_grid_angle" | "angle_from_rectified_to_skew_grid" |
+           "angle_from_rectified_to_skewed_grid" =>
+        Some("rectified_grid_angle")
       case _ => None // unit conversions, azimuths, ... — unused by CF map
     }
   }
@@ -194,7 +203,8 @@ object WktCrs {
   private val Ellipsoids: Map[String, (Double, Double)] = Map(
     "wgs84" -> (6378137.0, 298.257223563),
     "grs80" -> (6378137.0, 298.257222101),
-    "bessel" -> (6377397.155, 299.1528128))
+    "bessel" -> (6377397.155, 299.1528128),
+    "evrstss" -> (6377298.556, 300.8017)) // Everest 1830 (1967 / SS)
 
   /** CF attribute map encoded by a `+proj=...` string, or None when the
     * text isn't a proj string. The same family/decline rules as
@@ -312,6 +322,32 @@ object WktCrs {
           "sweep_angle_axis" -> kv.getOrElse("sweep", "y")) ++
           p("longitude_of_projection_origin", "lon_0", Some(0.0)) ++
           p("perspective_point_height", "h")
+      case "omerc" =>
+        val alpha = num("alpha").getOrElse(
+          throw new IllegalArgumentException("+proj=omerc requires +alpha"))
+        Seq("grid_mapping_name" -> "oblique_mercator",
+          "azimuth_of_central_line" -> alpha.toString,
+          "rectified_grid_angle" ->
+            num("gamma").getOrElse(alpha).toString) ++
+          p("latitude_of_projection_origin", "lat_0", Some(0.0)) ++
+          p("longitude_of_projection_origin", "lonc", Some(0.0)) ++
+          p("scale_factor_at_projection_origin", "k_0",
+            Some(num("k").getOrElse(1.0))) ++
+          p("false_easting", "x_0", Some(0.0)) ++
+          p("false_northing", "y_0", Some(0.0)) ++
+          (if (kv.contains("no_uoff") || kv.contains("no_off"))
+            Seq("no_uoff" -> "true") else Nil)
+      case "somerc" =>
+        // the Swiss oblique Mercator: omerc with alpha = gamma = 90
+        Seq("grid_mapping_name" -> "oblique_mercator",
+          "azimuth_of_central_line" -> "90.0",
+          "rectified_grid_angle" -> "90.0") ++
+          p("latitude_of_projection_origin", "lat_0", Some(0.0)) ++
+          p("longitude_of_projection_origin", "lon_0", Some(0.0)) ++
+          p("scale_factor_at_projection_origin", "k_0",
+            Some(num("k").getOrElse(1.0))) ++
+          p("false_easting", "x_0", Some(0.0)) ++
+          p("false_northing", "y_0", Some(0.0))
       case "webmerc" =>
         Seq("grid_mapping_name" -> "popular_visualisation_pseudo_mercator")
       case "merc" =>
@@ -331,10 +367,11 @@ object WktCrs {
         s"+proj=$other has no registered closed form (SpatialOps' " +
           "family set) — re-project the source, or register the family")
     }
-    // ellipsoid attrs only where a branch consumes them (the
-    // stereographic RD New recognition) — other families ignore them
-    Some((base ++ (if (base.exists(_._2 == "oblique_stereographic"))
-      ellipsoid else Nil)).toMap)
+    // ellipsoid attrs only where a branch consumes them (the RD New /
+    // RSO-Borneo / LV95 recognitions) — other families ignore them
+    val consumesEllipsoid = base.exists(kvp =>
+      kvp._2 == "oblique_stereographic" || kvp._2 == "oblique_mercator")
+    Some((base ++ (if (consumesEllipsoid) ellipsoid else Nil)).toMap)
   }
 
   /** CF attribute map encoded by a WKT document, or None when `wkt`
@@ -384,6 +421,13 @@ object WktCrs {
         val params = Map.newBuilder[String, String]
         params += "grid_mapping_name" -> family
         sweep.foreach(a => params += "sweep_angle_axis" -> a)
+        // Hotine variant: plain WKT1 "Hotine_Oblique_Mercator" is
+        // variant A (natural origin, +no_uoff); the Azimuth_Center /
+        // variant-B / RSO / Swiss names are variant B
+        if (family == "oblique_mercator" && methodName.contains("hotine") &&
+          !methodName.contains("azimuth_center") &&
+          !methodName.contains("variant_b"))
+          params += "no_uoff" -> "true"
         // ellipsoid, when the document carries one — the stereographic
         // branch keys the RD New (Bessel 1841) registration off it
         root.find("SPHEROID").orElse(root.find("ELLIPSOID")).foreach { el =>

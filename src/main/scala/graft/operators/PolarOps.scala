@@ -979,6 +979,184 @@ object PolarOps {
       (AuthalicR * math.cos(theta))) + ee.lon0Deg, math.toDegrees(phi))
   }
 
+  // ------------------- Hotine oblique Mercator (EPSG methods 9812/9815)
+
+  /** Hotine oblique Mercator — the rotated-aspect Mercator behind the
+    * Borneo RSO grids (EPSG:29873, Everest 1830), Swiss LV95
+    * (EPSG:2056, Bessel 1841) and Alaska zone 1. EPSG Guidance Note
+    * 7-2 §1.3.6 formulation; `variantB` = method 9815 (false origin at
+    * the projection CENTER, the u_c shift) vs 9812 (variant A, natural
+    * origin / +no_uoff). Constants derive PER CRS from its own
+    * ellipsoid like [[ObliqueStereo]]. */
+  final case class HotineOm(latcDeg: Double, loncDeg: Double,
+                            alphaDeg: Double, gammaDeg: Double,
+                            k0: Double, x0: Double, y0: Double,
+                            a: Double = A,
+                            invF: Double = 298.257223563,
+                            variantB: Boolean = true) {
+    val fE: Double = 1.0 / invF
+    val e2: Double = fE * (2 - fE)
+    val e: Double = math.sqrt(e2)
+    private val latc = math.toRadians(latcDeg)
+    private val sc = math.sin(latc)
+    val bB: Double = math.sqrt(1 + e2 * math.pow(math.cos(latc), 4) / (1 - e2))
+    val bA: Double = a * bB * k0 * math.sqrt(1 - e2) / (1 - e2 * sc * sc)
+    private val t0c = math.tan(math.Pi / 4 - latc / 2) /
+      math.pow((1 - e * sc) / (1 + e * sc), e / 2)
+    private val dD = bB * math.sqrt(1 - e2) /
+      (math.cos(latc) * math.sqrt(1 - e2 * sc * sc))
+    private val d2 = math.max(dD * dD, 1.0)
+    private val fF = dD + math.sqrt(d2 - 1.0) * math.signum(latc)
+    val hH: Double = fF * math.pow(t0c, bB)
+    private val gG = (fF - 1.0 / fF) / 2.0
+    val gamma0: Double = math.asin(math.sin(math.toRadians(alphaDeg)) / dD)
+    val lam0: Double = math.toRadians(loncDeg) -
+      math.asin(gG * math.tan(gamma0)) / bB
+    val sinG0: Double = math.sin(gamma0)
+    val cosG0: Double = math.cos(gamma0)
+    /** u at the projection center (the variant-B shift) — evaluated as
+      * the forward's OWN u at (φc, λc), where Q collapses to F: equal
+      * to GN7-2's (A/B)·atan(√(D²−1)/cos αc) wherever that form is
+      * defined, and the exact center→false-origin value at αc = 90°
+      * (the Swiss case, where the atan form is only a limit). */
+    val uC: Double =
+      if (!variantB) 0.0
+      else {
+        val dl0 = bB * (math.toRadians(loncDeg) - lam0)
+        (bA / bB) * math.atan2(gG * cosG0 + math.sin(dl0) * sinG0,
+          math.cos(dl0))
+      }
+    val sinGc: Double = math.sin(math.toRadians(gammaDeg))
+    val cosGc: Double = math.cos(math.toRadians(gammaDeg))
+    // per-ellipsoid conformal inverse series (Snyder 3-5)
+    private val e4 = e2 * e2
+    private val e6 = e4 * e2
+    private val e8 = e4 * e4
+    val c2: Double = e2 / 2 + 5 * e4 / 24 + e6 / 12 + 13 * e8 / 360
+    val c4: Double = 7 * e4 / 48 + 29 * e6 / 240 + 811 * e8 / 11520
+    val c6: Double = 7 * e6 / 120 + 81 * e8 / 1120
+    val c8: Double = 4279 * e8 / 161280
+  }
+
+  /** Registered: the two real-world variant-B grids with published
+    * anchors plus the generic
+    * `HOM:<latc>:<lonc>:<alpha>:<gamma>:<k0>:<fe>:<fn>[:A]` WGS84
+    * form (`:A` = variant A / +no_uoff). */
+  def hotineForCrs(crs: String): Option[HotineOm] = crs match {
+    case "EPSG:29873" => Some(HotineOm( // Timbalai 1948 / RSO Borneo (m)
+      4.0, 115.0, 53.31582047222222, 53.13010236111111, 0.99984,
+      590476.87, 442857.65, a = 6377298.556, invF = 300.8017))
+    case "EPSG:2056" => Some(HotineOm( // CH1903+ / LV95 (swiss oblique)
+      46.952405555555565, 7.439583333333333, 90.0, 90.0, 1.0,
+      2600000.0, 1200000.0, a = 6377397.155, invF = 299.1528128))
+    case s if s.startsWith("HOM:") =>
+      val parts = s.stripPrefix("HOM:").split(':')
+      if (parts.length < 7 || parts.length > 8) None
+      else {
+        val ds = parts.take(7).map(_.toDoubleOption)
+        if (ds.exists(_.isEmpty)) None
+        else {
+          val v = ds.map(_.get)
+          val vb = parts.length < 8 || parts(7) != "A"
+          Some(HotineOm(v(0), v(1), v(2), v(3), v(4), v(5), v(6),
+            variantB = vb))
+        }
+      }
+    case _ => None
+  }
+
+  /** Forward clamp: t(φ) → 0 at the poles makes Q = H/t^B overflow to
+    * ∞ and U to NaN; one ulp inside keeps the (off-grid) pole images
+    * finite. */
+  private val HotinePoleClamp = math.Pi / 2 - 1e-12
+
+  def hotineForward(lonDeg: Column, latDeg: Column, h: HotineOm)
+      : (Column, Column) = {
+    val phi = least(greatest(radians(latDeg), lit(-HotinePoleClamp)),
+      lit(HotinePoleClamp))
+    val dl = lit(h.bB) * (radians(lonDeg) - lit(h.lam0)) // B(λ−λ0)
+    val es = lit(h.e) * sin(phi)
+    val t = tan(lit(math.Pi / 4) - phi / 2) /
+      pow((lit(1.0) - es) / (lit(1.0) + es), lit(h.e / 2))
+    val q = lit(h.hH) / pow(t, lit(h.bB))
+    val sQ = (q - lit(1.0) / q) / lit(2.0)
+    val tQ = (q + lit(1.0) / q) / lit(2.0)
+    val vS = sin(dl)
+    val uU = (negate(vS) * lit(h.cosG0) + sQ * lit(h.sinG0)) / tQ
+    val v = lit(h.bA) * log((lit(1.0) - uU) / (lit(1.0) + uU)) /
+      lit(2.0 * h.bB)
+    val u = lit(h.bA) * atan2(sQ * lit(h.cosG0) + vS * lit(h.sinG0),
+      cos(dl)) / lit(h.bB) - lit(h.uC)
+    (v * lit(h.cosGc) + u * lit(h.sinGc) + lit(h.x0),
+      u * lit(h.cosGc) - v * lit(h.sinGc) + lit(h.y0))
+  }
+
+  def hotineInverse(easting: Column, northing: Column, h: HotineOm)
+      : (Column, Column) = {
+    val vp = (easting - lit(h.x0)) * lit(h.cosGc) -
+      (northing - lit(h.y0)) * lit(h.sinGc)
+    val up = (northing - lit(h.y0)) * lit(h.cosGc) +
+      (easting - lit(h.x0)) * lit(h.sinGc) + lit(h.uC)
+    val q = exp(negate(lit(h.bB) * vp / lit(h.bA)))
+    val sQ = (q - lit(1.0) / q) / lit(2.0)
+    val tQ = (q + lit(1.0) / q) / lit(2.0)
+    val vS = sin(lit(h.bB) * up / lit(h.bA))
+    val uU = (vS * lit(h.cosG0) + sQ * lit(h.sinG0)) / tQ
+    val t = pow(lit(h.hH) / sqrt((lit(1.0) + uU) / (lit(1.0) - uU)),
+      lit(1.0 / h.bB))
+    val chi = lit(math.Pi / 2) - lit(2.0) * atan(t)
+    val phiSeed = chi + lit(h.c2) * sin(lit(2.0) * chi) +
+      lit(h.c4) * sin(lit(4.0) * chi) + lit(h.c6) * sin(lit(6.0) * chi) +
+      lit(h.c8) * sin(lit(8.0) * chi)
+    val esF = lit(h.e) * sin(phiSeed)
+    val phi = lit(math.Pi / 2) - lit(2.0) * atan(
+      t * pow((lit(1.0) - esF) / (lit(1.0) + esF), lit(h.e / 2)))
+    val lam = lit(h.lam0) -
+      atan2(sQ * lit(h.cosG0) - vS * lit(h.sinG0),
+        cos(lit(h.bB) * up / lit(h.bA))) / lit(h.bB)
+    (degrees(lam), degrees(phi))
+  }
+
+  def hotineForwardScalar(lonDeg: Double, latDeg: Double, h: HotineOm)
+      : (Double, Double) = {
+    val phi = math.min(math.max(math.toRadians(latDeg), -HotinePoleClamp),
+      HotinePoleClamp)
+    val dl = h.bB * (math.toRadians(lonDeg) - h.lam0)
+    val es = h.e * math.sin(phi)
+    val t = math.tan(math.Pi / 4 - phi / 2) /
+      math.pow((1 - es) / (1 + es), h.e / 2)
+    val q = h.hH / math.pow(t, h.bB)
+    val sQ = (q - 1 / q) / 2
+    val tQ = (q + 1 / q) / 2
+    val vS = math.sin(dl)
+    val uU = (-vS * h.cosG0 + sQ * h.sinG0) / tQ
+    val v = h.bA * math.log((1 - uU) / (1 + uU)) / (2 * h.bB)
+    val u = h.bA * math.atan2(sQ * h.cosG0 + vS * h.sinG0,
+      math.cos(dl)) / h.bB - h.uC
+    (v * h.cosGc + u * h.sinGc + h.x0, u * h.cosGc - v * h.sinGc + h.y0)
+  }
+
+  def hotineInverseScalar(x: Double, y: Double, h: HotineOm)
+      : (Double, Double) = {
+    val vp = (x - h.x0) * h.cosGc - (y - h.y0) * h.sinGc
+    val up = (y - h.y0) * h.cosGc + (x - h.x0) * h.sinGc + h.uC
+    val q = math.exp(-h.bB * vp / h.bA)
+    val sQ = (q - 1 / q) / 2
+    val tQ = (q + 1 / q) / 2
+    val vS = math.sin(h.bB * up / h.bA)
+    val uU = (vS * h.cosG0 + sQ * h.sinG0) / tQ
+    val t = math.pow(h.hH / math.sqrt((1 + uU) / (1 - uU)), 1.0 / h.bB)
+    val chi = math.Pi / 2 - 2 * math.atan(t)
+    val phiSeed = chi + h.c2 * math.sin(2 * chi) + h.c4 * math.sin(4 * chi) +
+      h.c6 * math.sin(6 * chi) + h.c8 * math.sin(8 * chi)
+    val esF = h.e * math.sin(phiSeed)
+    val phi = math.Pi / 2 - 2 * math.atan(
+      t * math.pow((1 - esF) / (1 + esF), h.e / 2))
+    val lam = h.lam0 - math.atan2(sQ * h.cosG0 - vS * h.sinG0,
+      math.cos(h.bB * up / h.bA)) / h.bB
+    (math.toDegrees(lam), math.toDegrees(phi))
+  }
+
   // ---------------------------- oblique stereographic (EPSG method 9809)
 
   /** Oblique ("double") stereographic — EPSG method 9809, the RD New /

@@ -117,6 +117,9 @@ object SpatialOps {
       .orElse(PolarOps.eqEarthForCrs(crs).map(ee => (
         (a: Column, b: Column) => PolarOps.eqEarthForward(a, b, ee),
         (a: Column, b: Column) => PolarOps.eqEarthInverse(a, b, ee))))
+      .orElse(PolarOps.hotineForCrs(crs).map(hm => (
+        (a: Column, b: Column) => PolarOps.hotineForward(a, b, hm),
+        (a: Column, b: Column) => PolarOps.hotineInverse(a, b, hm))))
     if (sameCrs(crsFrom, crsTo)) (x, y)
     else (family(crsTo), family(crsFrom)) match {
       case (Some((fwd, _)), _) if isGeographic(crsFrom) => fwd(x, y)
@@ -297,6 +300,10 @@ object SpatialOps {
           (a: Double, b: Double) => PolarOps.eqEarthForwardScalar(a, b, ee),
           (a: Double, b: Double) =>
             PolarOps.eqEarthInverseScalar(a, b, ee))))
+        .orElse(PolarOps.hotineForCrs(crs).map(hm => (
+          (a: Double, b: Double) => PolarOps.hotineForwardScalar(a, b, hm),
+          (a: Double, b: Double) =>
+            PolarOps.hotineInverseScalar(a, b, hm))))
       val f: (Double, Double) => (Double, Double) =
         (familyScalar(crsTo), familyScalar(gm.crs)) match {
           case (Some((fwd, _)), _) if isGeographic(gm.crs) => fwd
@@ -330,7 +337,8 @@ object SpatialOps {
         PolarOps.isEase2(crs) || PolarOps.orthoForCrs(crs).isDefined ||
         PolarOps.mollForCrs(crs).isDefined ||
         PolarOps.obliqueStereoForCrs(crs).isDefined ||
-        PolarOps.eqEarthForCrs(crs).isDefined
+        PolarOps.eqEarthForCrs(crs).isDefined ||
+        PolarOps.hotineForCrs(crs).isDefined
     // rotated-pole frames are DEGREES: unit linear scale either way
     if (PolarOps.rotPoleForCrs(crsFrom).isDefined ||
       PolarOps.rotPoleForCrs(crsTo).isDefined) 1.0

@@ -735,7 +735,8 @@ object ZarrSource {
     "grid_north_pole_latitude", "grid_north_pole_longitude",
     "north_pole_grid_longitude", "perspective_point_height",
     "earth_radius", "semi_major_axis", "semi_minor_axis",
-    "inverse_flattening", "longitude_of_prime_meridian")
+    "inverse_flattening", "longitude_of_prime_meridian",
+    "azimuth_of_central_line", "rectified_grid_angle")
 
   /** Merge `kv` into the `.zattrs` of array `name` (group-level for "")
     * — read-modify-write PRESERVING existing keys (`_ARRAY_DIMENSIONS`

@@ -131,7 +131,7 @@ object ScaleSoak {
     // grid-mapping transform (O(pixels) coordinate field + one bbox
     // aggregate — constant per-row work by construction)
     "q_resample_space_stereo", "q_resample_space_eqearth",
-    "q_gm_transform")
+    "q_gm_transform", "q_resample_space_hom")
 
   /** Deep-soak subset (run at 30×): the newest heavy operators. The
     * format-fixture queries (kerchunk combine, COG levels, zarr append)

@@ -90,7 +90,10 @@ class CfGridMappingSpec extends AnyFunSuite {
       "ROTPOLE:32.5:-170.0", "GEOS:-75.0:3.5786023E7:x",
       "GEOS:9.5:3.5786023E7:y", "EPSG:6933", "ORTHO:50.0:10.0", "MOLL:0.0",
       "EPSG:28992", "STEREO:45.0:25.0:0.9999:0.0:0.0",
-      "EPSG:8857", "EQEARTH:10.0")
+      "EPSG:8857", "EQEARTH:10.0",
+      "EPSG:29873", "EPSG:2056",
+      "HOM:35.0:-80.0:30.0:30.0:0.9996:0.0:0.0",
+      "HOM:35.0:-80.0:30.0:30.0:0.9996:0.0:0.0:A")
     crss.foreach { c =>
       val back = CfGridMapping.crsFromCf(CfGridMapping.cfAttrs(c))
       val ok = back.contains(c) ||

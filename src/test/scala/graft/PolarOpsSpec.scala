@@ -326,6 +326,62 @@ class PolarOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("Hotine oblique Mercator (EPSG 9815): the published RSO Borneo " +
+    "worked example, LV95 origin, round-trips, column twins") {
+    import spark.implicits._
+    val h = PolarOps.hotineForCrs("EPSG:29873").get
+    // EPSG Guidance Note 7-2 §1.3.6 worked example (Timbalai 1948 /
+    // RSO Borneo, Everest 1830): 5°23'14.1129"N 115°48'19.8196"E ->
+    // E 679,245.73 m, N 596,562.78 m
+    val lon = 115.0 + 48.0 / 60 + 19.8196 / 3600
+    val lat = 5.0 + 23.0 / 60 + 14.1129 / 3600
+    val (ex, ny) = PolarOps.hotineForwardScalar(lon, lat, h)
+    assert(math.abs(ex - 679245.73) < 0.01, s"E=$ex")
+    assert(math.abs(ny - 596562.78) < 0.01, s"N=$ny")
+    val (l2, p2) = PolarOps.hotineInverseScalar(ex, ny, h)
+    assert(math.abs(l2 - lon) < tol && math.abs(p2 - lat) < tol)
+    // LV95 (EPSG:2056, the Swiss grid): the projection center maps to
+    // the published false origin exactly
+    val ch = PolarOps.hotineForCrs("EPSG:2056").get
+    val (cx, cy) = PolarOps.hotineForwardScalar(
+      ch.loncDeg, ch.latcDeg, ch)
+    assert(math.abs(cx - 2600000.0) < 1e-4 && math.abs(cy - 1200000.0) < 1e-4,
+      s"LV95 center -> ($cx, $cy)")
+    // round-trips across both grids + a generic WGS84 HOM
+    for ((hm, pts) <- Seq(
+      h -> Seq((113.0, 2.0), (115.0, 4.0), (117.5, 6.75)),
+      ch -> Seq((6.0, 46.0), (7.439583333, 46.952405556), (10.4, 47.8)),
+      PolarOps.hotineForCrs("HOM:35.0:-80.0:30.0:30.0:0.9996:0.0:0.0").get
+        -> Seq((-82.0, 33.0), (-80.0, 35.0), (-77.5, 37.25)));
+         (lo, la) <- pts) {
+      val (x, y) = PolarOps.hotineForwardScalar(lo, la, hm)
+      val (lo2, la2) = PolarOps.hotineInverseScalar(x, y, hm)
+      assert(math.abs(lo2 - lo) < tol && math.abs(la2 - la) < tol,
+        s"($lo,$la) -> ($x,$y) -> ($lo2,$la2)")
+    }
+    // variant A (no_uoff) differs from B by exactly the u_c shift
+    val hA = PolarOps.hotineForCrs(
+      "HOM:35.0:-80.0:30.0:30.0:0.9996:0.0:0.0:A").get
+    assert(!hA.variantB && hA.uC == 0.0)
+    val (xa, ya) = PolarOps.hotineForwardScalar(-80.0, 35.5, hA)
+    val (lb, pb) = PolarOps.hotineInverseScalar(xa, ya, hA)
+    assert(math.abs(lb + 80.0) < tol && math.abs(pb - 35.5) < tol)
+    // column twins agree with the scalars
+    val pts = Seq((113.0, 2.0), (115.805505444, 5.387253583), (117.0, 7.0))
+      .toDF("lon", "lat")
+    val (fx, fy) = PolarOps.hotineForward(col("lon"), col("lat"), h)
+    val (il, ip) = PolarOps.hotineInverse(fx, fy, h)
+    pts.select(col("lon"), col("lat"), fx.as("x"), fy.as("y"),
+        il.as("lon2"), ip.as("lat2")).collect().foreach { r =>
+      val (sx, sy) = PolarOps.hotineForwardScalar(
+        r.getDouble(0), r.getDouble(1), h)
+      assert(math.abs(r.getDouble(2) - sx) <= math.ulp(sx).abs * 16)
+      assert(math.abs(r.getDouble(3) - sy) <= math.ulp(sy).abs * 16)
+      assert(math.abs(r.getDouble(4) - r.getDouble(0)) < tol)
+      assert(math.abs(r.getDouble(5) - r.getDouble(1)) < tol)
+    }
+  }
+
   test("oblique stereographic (EPSG 9809): the published RD New worked " +
     "example, round-trips, column twins") {
     import spark.implicits._

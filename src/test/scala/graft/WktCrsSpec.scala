@@ -175,6 +175,19 @@ class WktCrsSpec extends AnyFunSuite {
     assert(resolve("+proj=eqearth +lon_0=0 +datum=WGS84")
       .contains("EPSG:8857"))
     assert(resolve("+proj=eqearth +lon_0=10").contains("EQEARTH:10.0"))
+    // Hotine oblique Mercator: the Swiss somerc shorthand hits LV95,
+    // omerc with the RSO Borneo parameters hits EPSG:29873, a generic
+    // WGS84 omerc yields the HOM form (variant A via +no_uoff)
+    assert(resolve("+proj=somerc +lat_0=46.952405555555565 " +
+      "+lon_0=7.439583333333333 +k_0=1 +x_0=2600000 +y_0=1200000 " +
+      "+ellps=bessel").contains("EPSG:2056"))
+    assert(resolve("+proj=omerc +lat_0=4 +lonc=115 " +
+      "+alpha=53.31582047222222 +gamma=53.13010236111111 +k_0=0.99984 " +
+      "+x_0=590476.87 +y_0=442857.65 +ellps=evrstSS")
+      .contains("EPSG:29873"))
+    assert(resolve("+proj=omerc +lat_0=35 +lonc=-80 +alpha=30 " +
+      "+gamma=30 +k_0=0.9996 +no_uoff")
+      .contains("HOM:35.0:-80.0:30.0:30.0:0.9996:0.0:0.0:A"))
     // unregistered proj / ellipsoidal mercator decline loudly
     intercept[IllegalArgumentException] { resolve("+proj=krovak +lat_0=49") }
     intercept[IllegalArgumentException] {
