@@ -1317,4 +1317,398 @@ object PolarOps {
       t * math.pow((1 - esF) / (1 + esF), os.e / 2))
     (math.toDegrees(lam), math.toDegrees(phi))
   }
+
+  // ----------------------- general (ellipsoidal) Mercator, EPSG 9804/9805
+
+  /** Ellipsoidal Mercator — EPSG method 9804 (variant A, scale factor at
+    * the equator) and 9805 (variant B, standard parallel), per EPSG
+    * Guidance Note 7-2 §1.3.3: the EPSG:3395 / nautical-chart family the
+    * CF `mercator` name reaches with standard_parallel or
+    * scale_factor_at_projection_origin (reference route:
+    * `pyproj.CRS.from_cf`, xcube/core/gridmapping/cfconv.py). Variant B
+    * derives k0 = cosφ1/√(1−e²sin²φ1) from the standard parallel; the
+    * closed forms are the iso(metric)-latitude pair already used by the
+    * polar-stereographic family, with per-CRS ellipsoid constants like
+    * [[ObliqueStereo]]. */
+  final case class Merc(lon0Deg: Double, k0In: Double, lat1Deg: Double,
+                        x0: Double, y0: Double,
+                        a: Double = A,
+                        invF: Double = 298.257223563,
+                        variantB: Boolean = false) {
+    val fE: Double = 1.0 / invF
+    val e2: Double = fE * (2 - fE)
+    val e: Double = math.sqrt(e2)
+    /** GN7-2 §1.3.3.2: variant B's scale factor at the standard parallel. */
+    val k0: Double =
+      if (variantB) {
+        val s1 = math.sin(math.toRadians(lat1Deg))
+        math.cos(math.toRadians(lat1Deg)) / math.sqrt(1 - e2 * s1 * s1)
+      } else k0In
+    val aK: Double = a * k0
+    val lam0: Double = math.toRadians(lon0Deg)
+    // per-ellipsoid conformal inverse series (Snyder 3-5)
+    private val e4 = e2 * e2
+    private val e6 = e4 * e2
+    private val e8 = e4 * e4
+    val c2: Double = e2 / 2 + 5 * e4 / 24 + e6 / 12 + 13 * e8 / 360
+    val c4: Double = 7 * e4 / 48 + 29 * e6 / 240 + 811 * e8 / 11520
+    val c6: Double = 7 * e6 / 120 + 81 * e8 / 1120
+    val c8: Double = 4279 * e8 / 161280
+  }
+
+  /** Registered: EPSG:3395 (WGS 84 / World Mercator, variant A k0=1),
+    * EPSG:3002 (Makassar / NEIEZ, variant A on Bessel 1841 — the GN7-2
+    * worked example), EPSG:3388 (Pulkovo 1942 / Caspian Sea Mercator,
+    * variant B on Krassowsky 1940 — the GN7-2 variant-B worked example),
+    * plus generic WGS84 forms `MERC:<lon0>:<k0>[:<fe>:<fn>]` (variant A)
+    * and `MERCSP:<lon0>:<lat1>[:<fe>:<fn>]` (variant B). */
+  def mercForCrs(crs: String): Option[Merc] = crs match {
+    case "EPSG:3395" => Some(Merc(0.0, 1.0, 0.0, 0.0, 0.0))
+    case "EPSG:3002" => Some(Merc(110.0, 0.997, 0.0, 3900000.0, 900000.0,
+      a = 6377397.155, invF = 299.1528128))
+    case "EPSG:3388" => Some(Merc(51.0, 1.0, 42.0, 0.0, 0.0,
+      a = 6378245.0, invF = 298.3, variantB = true))
+    case s if s.startsWith("MERCSP:") =>
+      s.stripPrefix("MERCSP:").split(':') match {
+        case Array(lo, sp) =>
+          for (l <- lo.toDoubleOption; p <- sp.toDoubleOption)
+            yield Merc(l, 1.0, p, 0.0, 0.0, variantB = true)
+        case Array(lo, sp, fe, fn) =>
+          for (l <- lo.toDoubleOption; p <- sp.toDoubleOption;
+               f1 <- fe.toDoubleOption; f2 <- fn.toDoubleOption)
+            yield Merc(l, 1.0, p, f1, f2, variantB = true)
+        case _ => None
+      }
+    case s if s.startsWith("MERC:") =>
+      s.stripPrefix("MERC:").split(':') match {
+        case Array(lo, k) =>
+          for (l <- lo.toDoubleOption; k1 <- k.toDoubleOption)
+            yield Merc(l, k1, 0.0, 0.0, 0.0)
+        case Array(lo, k, fe, fn) =>
+          for (l <- lo.toDoubleOption; k1 <- k.toDoubleOption;
+               f1 <- fe.toDoubleOption; f2 <- fn.toDoubleOption)
+            yield Merc(l, k1, 0.0, f1, f2)
+        case _ => None
+      }
+    case _ => None
+  }
+
+  /** Pole clamp: t(φ) → 0 at φ = 90° makes y → ∞; one ulp inside keeps
+    * the (off-chart) pole rows finite, identical bits elsewhere. */
+  private val MercPoleClamp = math.Pi / 2 - 1e-12
+
+  def mercForward(lonDeg: Column, latDeg: Column, mc: Merc)
+      : (Column, Column) = {
+    val phi = least(greatest(radians(latDeg), lit(-MercPoleClamp)),
+      lit(MercPoleClamp))
+    val es = lit(mc.e) * sin(phi)
+    val t = tan(lit(math.Pi / 4) - phi / 2) *
+      pow((lit(1.0) + es) / (lit(1.0) - es), lit(mc.e / 2))
+    (lit(mc.x0) + lit(mc.aK) * (radians(lonDeg) - lit(mc.lam0)),
+      lit(mc.y0) - lit(mc.aK) * log(t))
+  }
+
+  def mercInverse(easting: Column, northing: Column, mc: Merc)
+      : (Column, Column) = {
+    val t = exp(negate((northing - lit(mc.y0)) / lit(mc.aK)))
+    val chi = lit(math.Pi / 2) - lit(2.0) * atan(t)
+    val phiSeed = chi + lit(mc.c2) * sin(lit(2.0) * chi) +
+      lit(mc.c4) * sin(lit(4.0) * chi) + lit(mc.c6) * sin(lit(6.0) * chi) +
+      lit(mc.c8) * sin(lit(8.0) * chi)
+    val esF = lit(mc.e) * sin(phiSeed)
+    val phi = lit(math.Pi / 2) - lit(2.0) * atan(
+      t * pow((lit(1.0) - esF) / (lit(1.0) + esF), lit(mc.e / 2)))
+    (degrees(lit(mc.lam0) + (easting - lit(mc.x0)) / lit(mc.aK)),
+      degrees(phi))
+  }
+
+  def mercForwardScalar(lonDeg: Double, latDeg: Double, mc: Merc)
+      : (Double, Double) = {
+    val phi = math.min(math.max(math.toRadians(latDeg), -MercPoleClamp),
+      MercPoleClamp)
+    val es = mc.e * math.sin(phi)
+    val t = math.tan(math.Pi / 4 - phi / 2) *
+      math.pow((1 + es) / (1 - es), mc.e / 2)
+    (mc.x0 + mc.aK * (math.toRadians(lonDeg) - mc.lam0),
+      mc.y0 - mc.aK * math.log(t))
+  }
+
+  def mercInverseScalar(x: Double, y: Double, mc: Merc): (Double, Double) = {
+    val t = math.exp(-(y - mc.y0) / mc.aK)
+    val chi = math.Pi / 2 - 2 * math.atan(t)
+    val phiSeed = chi + mc.c2 * math.sin(2 * chi) + mc.c4 * math.sin(4 * chi) +
+      mc.c6 * math.sin(6 * chi) + mc.c8 * math.sin(8 * chi)
+    val esF = mc.e * math.sin(phiSeed)
+    val phi = math.Pi / 2 - 2 * math.atan(
+      t * math.pow((1 - esF) / (1 + esF), mc.e / 2))
+    (math.toDegrees(mc.lam0 + (x - mc.x0) / mc.aK), math.toDegrees(phi))
+  }
+
+  // ------------------------------ equidistant cylindrical, EPSG 1028
+
+  /** Equidistant cylindrical (plate carrée in meters) — EPSG method 1028
+    * (ellipsoidal: easting from the normal-section radius at the standard
+    * parallel, northing the meridional arc; GN7-2 §1.3.14), the
+    * EPSG:4087/32662 family some model outputs ship. The meridian-arc and
+    * footpoint-latitude series are Snyder 3-21/3-26 with per-CRS
+    * ellipsoid constants (the [[UtmOps]] series, generalized). */
+  final case class Eqc(lat1Deg: Double, lon0Deg: Double,
+                       x0: Double, y0: Double,
+                       a: Double = A,
+                       invF: Double = 298.257223563) {
+    val fE: Double = 1.0 / invF
+    val e2: Double = fE * (2 - fE)
+    private val e4 = e2 * e2
+    private val e6 = e4 * e2
+    // meridian-arc series (Snyder 3-21)
+    val m0: Double = 1 - e2 / 4 - 3 * e4 / 64 - 5 * e6 / 256
+    val m2: Double = 3 * e2 / 8 + 3 * e4 / 32 + 45 * e6 / 1024
+    val m4: Double = 15 * e4 / 256 + 45 * e6 / 1024
+    val m6: Double = 35 * e6 / 3072
+    // footpoint-latitude series (Snyder 3-26)
+    private val e1 = (1 - math.sqrt(1 - e2)) / (1 + math.sqrt(1 - e2))
+    val p2: Double = 3 * e1 / 2 - 27 * e1 * e1 * e1 / 32
+    val p4: Double = 21 * e1 * e1 / 16 - 55 * math.pow(e1, 4) / 32
+    val p6: Double = 151 * e1 * e1 * e1 / 96
+    val p8: Double = 1097 * math.pow(e1, 4) / 512
+    private val phi1 = math.toRadians(lat1Deg)
+    private val s1 = math.sin(phi1)
+    /** ν1·cosφ1 — the easting scale (GN7-2 1028 forward). */
+    val nu1Cos: Double = a * math.cos(phi1) / math.sqrt(1 - e2 * s1 * s1)
+    val lam0: Double = math.toRadians(lon0Deg)
+  }
+
+  /** Registered: EPSG:4087 (WGS 84 / World Equidistant Cylindrical) and
+    * its deprecated predecessor EPSG:32662 (WGS 84 / Plate Carree) —
+    * identical parameters — plus the generic WGS84 form
+    * `EQC:<lat1>:<lon0>[:<fe>:<fn>]`. */
+  def eqcForCrs(crs: String): Option[Eqc] = crs match {
+    case "EPSG:4087" | "EPSG:32662" => Some(Eqc(0.0, 0.0, 0.0, 0.0))
+    case s if s.startsWith("EQC:") =>
+      s.stripPrefix("EQC:").split(':') match {
+        case Array(p, lo) =>
+          for (p1 <- p.toDoubleOption; l <- lo.toDoubleOption)
+            yield Eqc(p1, l, 0.0, 0.0)
+        case Array(p, lo, fe, fn) =>
+          for (p1 <- p.toDoubleOption; l <- lo.toDoubleOption;
+               f1 <- fe.toDoubleOption; f2 <- fn.toDoubleOption)
+            yield Eqc(p1, l, f1, f2)
+        case _ => None
+      }
+    case _ => None
+  }
+
+  def eqcForward(lonDeg: Column, latDeg: Column, q: Eqc): (Column, Column) = {
+    val phi = radians(latDeg)
+    (lit(q.x0) + lit(q.nu1Cos) * (radians(lonDeg) - lit(q.lam0)),
+      lit(q.y0) + lit(q.a) * (lit(q.m0) * phi -
+        lit(q.m2) * sin(lit(2.0) * phi) + lit(q.m4) * sin(lit(4.0) * phi) -
+        lit(q.m6) * sin(lit(6.0) * phi)))
+  }
+
+  def eqcInverse(easting: Column, northing: Column, q: Eqc)
+      : (Column, Column) = {
+    val mTgt = (northing - lit(q.y0)) / lit(q.a)
+    val mu = mTgt / lit(q.m0)
+    val seed = mu + lit(q.p2) * sin(lit(2.0) * mu) +
+      lit(q.p4) * sin(lit(4.0) * mu) + lit(q.p6) * sin(lit(6.0) * mu) +
+      lit(q.p8) * sin(lit(8.0) * mu)
+    // one Newton pass against the forward's OWN (truncated) arc series —
+    // the footpoint seed alone leaves ~4e-9° at high latitude
+    val mSeed = lit(q.m0) * seed - lit(q.m2) * sin(lit(2.0) * seed) +
+      lit(q.m4) * sin(lit(4.0) * seed) - lit(q.m6) * sin(lit(6.0) * seed)
+    val dM = lit(q.m0) - lit(2.0) * lit(q.m2) * cos(lit(2.0) * seed) +
+      lit(4.0) * lit(q.m4) * cos(lit(4.0) * seed) -
+      lit(6.0) * lit(q.m6) * cos(lit(6.0) * seed)
+    val phi = seed + (mTgt - mSeed) / dM
+    (degrees(lit(q.lam0) + (easting - lit(q.x0)) / lit(q.nu1Cos)),
+      degrees(phi))
+  }
+
+  def eqcForwardScalar(lonDeg: Double, latDeg: Double, q: Eqc)
+      : (Double, Double) = {
+    val phi = math.toRadians(latDeg)
+    (q.x0 + q.nu1Cos * (math.toRadians(lonDeg) - q.lam0),
+      q.y0 + q.a * (q.m0 * phi - q.m2 * math.sin(2 * phi) +
+        q.m4 * math.sin(4 * phi) - q.m6 * math.sin(6 * phi)))
+  }
+
+  def eqcInverseScalar(x: Double, y: Double, q: Eqc): (Double, Double) = {
+    val mTgt = (y - q.y0) / q.a
+    val mu = mTgt / q.m0
+    val seed = mu + q.p2 * math.sin(2 * mu) + q.p4 * math.sin(4 * mu) +
+      q.p6 * math.sin(6 * mu) + q.p8 * math.sin(8 * mu)
+    val mSeed = q.m0 * seed - q.m2 * math.sin(2 * seed) +
+      q.m4 * math.sin(4 * seed) - q.m6 * math.sin(6 * seed)
+    val dM = q.m0 - 2 * q.m2 * math.cos(2 * seed) +
+      4 * q.m4 * math.cos(4 * seed) - 6 * q.m6 * math.cos(6 * seed)
+    val phi = seed + (mTgt - mSeed) / dM
+    (math.toDegrees(q.lam0 + (x - q.x0) / q.nu1Cos), math.toDegrees(phi))
+  }
+
+  // ------------------- general transverse Mercator (Gauss-Kruger), 9807
+
+  /** Transverse Mercator on an arbitrary ellipsoid with arbitrary natural
+    * origin — the Gauss-Krüger / national-grid generalization of
+    * [[UtmOps]] (same Snyder PP-1395 8-9..8-25 series, constants derived
+    * per CRS instead of the WGS84 object constants; accurate to
+    * millimeters within ~3° of the central meridian). Closes Missing #1c:
+    * non-WGS84 tmerc granules (DHDN Gauss-Krüger, OSGB) the reference
+    * reaches via pyproj. */
+  final case class Tmerc(lat0Deg: Double, lon0Deg: Double, k0: Double,
+                         x0: Double, y0: Double,
+                         a: Double = A,
+                         invF: Double = 298.257223563) {
+    val fE: Double = 1.0 / invF
+    val e2: Double = fE * (2 - fE)
+    private val e4 = e2 * e2
+    private val e6 = e4 * e2
+    val ep2: Double = e2 / (1 - e2)
+    val m0: Double = 1 - e2 / 4 - 3 * e4 / 64 - 5 * e6 / 256
+    val m2: Double = 3 * e2 / 8 + 3 * e4 / 32 + 45 * e6 / 1024
+    val m4: Double = 15 * e4 / 256 + 45 * e6 / 1024
+    val m6: Double = 35 * e6 / 3072
+    private val e1 = (1 - math.sqrt(1 - e2)) / (1 + math.sqrt(1 - e2))
+    val p2: Double = 3 * e1 / 2 - 27 * e1 * e1 * e1 / 32
+    val p4: Double = 21 * e1 * e1 / 16 - 55 * math.pow(e1, 4) / 32
+    val p6: Double = 151 * e1 * e1 * e1 / 96
+    val p8: Double = 1097 * math.pow(e1, 4) / 512
+    val lon0: Double = lon0Deg
+    /** Meridian arc at the latitude of natural origin (Snyder 3-21). */
+    val mArc0: Double = {
+      val phi0 = math.toRadians(lat0Deg)
+      a * (m0 * phi0 - m2 * math.sin(2 * phi0) + m4 * math.sin(4 * phi0) -
+        m6 * math.sin(6 * phi0))
+    }
+  }
+
+  /** Registered: EPSG:27700 (OSGB36 / British National Grid, Airy 1830 —
+    * the GN7-2 §1.3.5.1 worked example) and EPSG:31467 (DHDN /
+    * 3-degree Gauss-Krüger zone 3, Bessel 1841), plus the generic WGS84
+    * form `TMERC:<lat0>:<lon0>:<k0>:<fe>:<fn>`. */
+  def tmercForCrs(crs: String): Option[Tmerc] = crs match {
+    case "EPSG:27700" => Some(Tmerc(49.0, -2.0, 0.9996012717,
+      400000.0, -100000.0, a = 6377563.396, invF = 299.3249646))
+    case "EPSG:31467" => Some(Tmerc(0.0, 9.0, 1.0, 3500000.0, 0.0,
+      a = 6377397.155, invF = 299.1528128))
+    case s if s.startsWith("TMERC:") =>
+      s.stripPrefix("TMERC:").split(':') match {
+        case Array(la, lo, k, fe, fn) =>
+          for (a1 <- la.toDoubleOption; b1 <- lo.toDoubleOption;
+               k1 <- k.toDoubleOption; f1 <- fe.toDoubleOption;
+               f2 <- fn.toDoubleOption)
+            yield Tmerc(a1, b1, k1, f1, f2)
+        case _ => None
+      }
+    case _ => None
+  }
+
+  def tmercForward(lonDeg: Column, latDeg: Column, tm: Tmerc)
+      : (Column, Column) = {
+    val phi = radians(latDeg)
+    val lam = radians(lonDeg - lit(tm.lon0))
+    val sinPhi = sin(phi)
+    val cosPhi = cos(phi)
+    val tanPhi = tan(phi)
+    val n = lit(tm.a) / sqrt(lit(1.0) - lit(tm.e2) * sinPhi * sinPhi)
+    val t = tanPhi * tanPhi
+    val c = lit(tm.ep2) * cosPhi * cosPhi
+    val a1 = lam * cosPhi
+    val a2 = a1 * a1
+    val a3 = a2 * a1
+    val a4 = a2 * a2
+    val a5 = a4 * a1
+    val a6 = a4 * a2
+    val m = lit(tm.a) * (lit(tm.m0) * phi - lit(tm.m2) * sin(lit(2.0) * phi) +
+      lit(tm.m4) * sin(lit(4.0) * phi) - lit(tm.m6) * sin(lit(6.0) * phi))
+    val x = lit(tm.k0) * n * (a1 + (lit(1.0) - t + c) * a3 / lit(6.0) +
+      (lit(5.0) - lit(18.0) * t + t * t + lit(72.0) * c -
+        lit(58.0) * lit(tm.ep2)) * a5 / lit(120.0)) + lit(tm.x0)
+    val y = lit(tm.k0) * (m - lit(tm.mArc0) + n * tanPhi * (a2 / lit(2.0) +
+      (lit(5.0) - t + lit(9.0) * c + lit(4.0) * c * c) * a4 / lit(24.0) +
+      (lit(61.0) - lit(58.0) * t + t * t + lit(600.0) * c -
+        lit(330.0) * lit(tm.ep2)) * a6 / lit(720.0))) + lit(tm.y0)
+    (x, y)
+  }
+
+  def tmercInverse(easting: Column, northing: Column, tm: Tmerc)
+      : (Column, Column) = {
+    val m = (northing - lit(tm.y0)) / lit(tm.k0) + lit(tm.mArc0)
+    val mu = m / lit(tm.a * tm.m0)
+    val phi1 = mu + lit(tm.p2) * sin(lit(2.0) * mu) +
+      lit(tm.p4) * sin(lit(4.0) * mu) + lit(tm.p6) * sin(lit(6.0) * mu) +
+      lit(tm.p8) * sin(lit(8.0) * mu)
+    val sinP = sin(phi1)
+    val cosP = cos(phi1)
+    val tanP = tan(phi1)
+    val c1 = lit(tm.ep2) * cosP * cosP
+    val t1 = tanP * tanP
+    val oneMinus = lit(1.0) - lit(tm.e2) * sinP * sinP
+    val n1 = lit(tm.a) / sqrt(oneMinus)
+    val r1 = lit(tm.a * (1 - tm.e2)) / pow(oneMinus, lit(1.5))
+    val d = (easting - lit(tm.x0)) / (n1 * lit(tm.k0))
+    val d2 = d * d
+    val d3 = d2 * d
+    val d4 = d2 * d2
+    val d5 = d4 * d
+    val d6 = d4 * d2
+    val lat = degrees(phi1 - (n1 * tanP / r1) * (d2 / lit(2.0) -
+      (lit(5.0) + lit(3.0) * t1 + lit(10.0) * c1 - lit(4.0) * c1 * c1 -
+        lit(9.0) * lit(tm.ep2)) * d4 / lit(24.0) +
+      (lit(61.0) + lit(90.0) * t1 + lit(298.0) * c1 + lit(45.0) * t1 * t1 -
+        lit(252.0) * lit(tm.ep2) - lit(3.0) * c1 * c1) * d6 / lit(720.0)))
+    val lon = lit(tm.lon0) + degrees((d - (lit(1.0) + lit(2.0) * t1 + c1) *
+      d3 / lit(6.0) +
+      (lit(5.0) - lit(2.0) * c1 + lit(28.0) * t1 - lit(3.0) * c1 * c1 +
+        lit(8.0) * lit(tm.ep2) + lit(24.0) * t1 * t1) * d5 / lit(120.0)) / cosP)
+    (lon, lat)
+  }
+
+  def tmercForwardScalar(lonDeg: Double, latDeg: Double, tm: Tmerc)
+      : (Double, Double) = {
+    val phi = math.toRadians(latDeg)
+    val lam = math.toRadians(lonDeg - tm.lon0)
+    val sinPhi = math.sin(phi); val cosPhi = math.cos(phi)
+    val tanPhi = math.tan(phi)
+    val n = tm.a / math.sqrt(1 - tm.e2 * sinPhi * sinPhi)
+    val t = tanPhi * tanPhi
+    val c = tm.ep2 * cosPhi * cosPhi
+    val a1 = lam * cosPhi
+    val m = tm.a * (tm.m0 * phi - tm.m2 * math.sin(2 * phi) +
+      tm.m4 * math.sin(4 * phi) - tm.m6 * math.sin(6 * phi))
+    val x = tm.k0 * n * (a1 + (1 - t + c) * math.pow(a1, 3) / 6 +
+      (5 - 18 * t + t * t + 72 * c - 58 * tm.ep2) * math.pow(a1, 5) / 120) +
+      tm.x0
+    val y = tm.k0 * (m - tm.mArc0 + n * tanPhi * (a1 * a1 / 2 +
+      (5 - t + 9 * c + 4 * c * c) * math.pow(a1, 4) / 24 +
+      (61 - 58 * t + t * t + 600 * c - 330 * tm.ep2) *
+        math.pow(a1, 6) / 720)) + tm.y0
+    (x, y)
+  }
+
+  def tmercInverseScalar(x: Double, y: Double, tm: Tmerc)
+      : (Double, Double) = {
+    val m = (y - tm.y0) / tm.k0 + tm.mArc0
+    val mu = m / (tm.a * tm.m0)
+    val phi1 = mu + tm.p2 * math.sin(2 * mu) + tm.p4 * math.sin(4 * mu) +
+      tm.p6 * math.sin(6 * mu) + tm.p8 * math.sin(8 * mu)
+    val sinP = math.sin(phi1); val cosP = math.cos(phi1)
+    val tanP = math.tan(phi1)
+    val c1 = tm.ep2 * cosP * cosP
+    val t1 = tanP * tanP
+    val oneMinus = 1 - tm.e2 * sinP * sinP
+    val n1 = tm.a / math.sqrt(oneMinus)
+    val r1 = tm.a * (1 - tm.e2) / math.pow(oneMinus, 1.5)
+    val d = (x - tm.x0) / (n1 * tm.k0)
+    val lat = math.toDegrees(phi1 - (n1 * tanP / r1) * (d * d / 2 -
+      (5 + 3 * t1 + 10 * c1 - 4 * c1 * c1 - 9 * tm.ep2) *
+        math.pow(d, 4) / 24 +
+      (61 + 90 * t1 + 298 * c1 + 45 * t1 * t1 - 252 * tm.ep2 -
+        3 * c1 * c1) * math.pow(d, 6) / 720))
+    val lon = tm.lon0 + math.toDegrees((d - (1 + 2 * t1 + c1) *
+      math.pow(d, 3) / 6 +
+      (5 - 2 * c1 + 28 * t1 - 3 * c1 * c1 + 8 * tm.ep2 + 24 * t1 * t1) *
+        math.pow(d, 5) / 120) / cosP)
+    (lon, lat)
+  }
 }

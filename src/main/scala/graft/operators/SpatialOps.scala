@@ -120,6 +120,15 @@ object SpatialOps {
       .orElse(PolarOps.hotineForCrs(crs).map(hm => (
         (a: Column, b: Column) => PolarOps.hotineForward(a, b, hm),
         (a: Column, b: Column) => PolarOps.hotineInverse(a, b, hm))))
+      .orElse(PolarOps.mercForCrs(crs).map(mc => (
+        (a: Column, b: Column) => PolarOps.mercForward(a, b, mc),
+        (a: Column, b: Column) => PolarOps.mercInverse(a, b, mc))))
+      .orElse(PolarOps.eqcForCrs(crs).map(q => (
+        (a: Column, b: Column) => PolarOps.eqcForward(a, b, q),
+        (a: Column, b: Column) => PolarOps.eqcInverse(a, b, q))))
+      .orElse(PolarOps.tmercForCrs(crs).map(tmr => (
+        (a: Column, b: Column) => PolarOps.tmercForward(a, b, tmr),
+        (a: Column, b: Column) => PolarOps.tmercInverse(a, b, tmr))))
     if (sameCrs(crsFrom, crsTo)) (x, y)
     else (family(crsTo), family(crsFrom)) match {
       case (Some((fwd, _)), _) if isGeographic(crsFrom) => fwd(x, y)
@@ -304,6 +313,16 @@ object SpatialOps {
           (a: Double, b: Double) => PolarOps.hotineForwardScalar(a, b, hm),
           (a: Double, b: Double) =>
             PolarOps.hotineInverseScalar(a, b, hm))))
+        .orElse(PolarOps.mercForCrs(crs).map(mc => (
+          (a: Double, b: Double) => PolarOps.mercForwardScalar(a, b, mc),
+          (a: Double, b: Double) => PolarOps.mercInverseScalar(a, b, mc))))
+        .orElse(PolarOps.eqcForCrs(crs).map(q => (
+          (a: Double, b: Double) => PolarOps.eqcForwardScalar(a, b, q),
+          (a: Double, b: Double) => PolarOps.eqcInverseScalar(a, b, q))))
+        .orElse(PolarOps.tmercForCrs(crs).map(tmr => (
+          (a: Double, b: Double) => PolarOps.tmercForwardScalar(a, b, tmr),
+          (a: Double, b: Double) =>
+            PolarOps.tmercInverseScalar(a, b, tmr))))
       val f: (Double, Double) => (Double, Double) =
         (familyScalar(crsTo), familyScalar(gm.crs)) match {
           case (Some((fwd, _)), _) if isGeographic(gm.crs) => fwd
@@ -338,7 +357,10 @@ object SpatialOps {
         PolarOps.mollForCrs(crs).isDefined ||
         PolarOps.obliqueStereoForCrs(crs).isDefined ||
         PolarOps.eqEarthForCrs(crs).isDefined ||
-        PolarOps.hotineForCrs(crs).isDefined
+        PolarOps.hotineForCrs(crs).isDefined ||
+        PolarOps.mercForCrs(crs).isDefined ||
+        PolarOps.eqcForCrs(crs).isDefined ||
+        PolarOps.tmercForCrs(crs).isDefined
     // rotated-pole frames are DEGREES: unit linear scale either way
     if (PolarOps.rotPoleForCrs(crsFrom).isDefined ||
       PolarOps.rotPoleForCrs(crsTo).isDefined) 1.0

@@ -439,4 +439,161 @@ class PolarOpsSpec extends AnyFunSuite {
       assert(math.abs(r.getDouble(5) - r.getDouble(1)) < tol)
     }
   }
+
+  test("ellipsoidal Mercator (EPSG 9804/9805): both GN7-2 worked " +
+    "examples, EPSG:3395, round-trips, column twins") {
+    import spark.implicits._
+    // EPSG Guidance Note 7-2 §1.3.3.1 worked example (Makassar / NEIEZ,
+    // variant A on Bessel 1841, k0 = 0.997, lon0 = 110°E, FE = 3900000,
+    // FN = 900000): 3°S 120°E -> E 5,009,726.58 m, N 569,150.82 m
+    val mA = PolarOps.mercForCrs("EPSG:3002").get
+    val (ax, ay) = PolarOps.mercForwardScalar(120.0, -3.0, mA)
+    assert(math.abs(ax - 5009726.58) < 0.01, s"E=$ax")
+    assert(math.abs(ay - 569150.82) < 0.01, s"N=$ay")
+    val (al, ap) = PolarOps.mercInverseScalar(ax, ay, mA)
+    assert(math.abs(al - 120.0) < tol && math.abs(ap + 3.0) < tol)
+    // §1.3.3.2 worked example (Pulkovo 1942 / Caspian Sea Mercator,
+    // variant B on Krassowsky 1940, SP = 42°N, lon0 = 51°E):
+    // 53°N 53°E -> E 165,704.29 m, N 5,171,848.07 m
+    val mB = PolarOps.mercForCrs("EPSG:3388").get
+    assert(mB.variantB)
+    val (bx, by) = PolarOps.mercForwardScalar(53.0, 53.0, mB)
+    assert(math.abs(bx - 165704.29) < 0.01, s"E=$bx")
+    assert(math.abs(by - 5171848.07) < 0.01, s"N=$by")
+    val (bl, bp) = PolarOps.mercInverseScalar(bx, by, mB)
+    assert(math.abs(bl - 53.0) < tol && math.abs(bp - 53.0) < tol)
+    // EPSG:3395 (World Mercator): equator/origin anchor + the ~21 km
+    // ellipsoidal-vs-spherical northing gap at 60°N that motivated the
+    // loud decline this family replaces
+    val m95 = PolarOps.mercForCrs("EPSG:3395").get
+    val (zx, zy) = PolarOps.mercForwardScalar(0.0, 0.0, m95)
+    assert(math.abs(zx) < 1e-9 && math.abs(zy) < 1e-9)
+    val (_, y60) = PolarOps.mercForwardScalar(0.0, 60.0, m95)
+    val sphY60 = 6378137.0 * math.log(math.tan(math.Pi / 4 +
+      math.toRadians(60.0) / 2))
+    assert(y60 < sphY60 - 25000 && y60 > sphY60 - 50000,
+      s"ellipsoidal N(60) = $y60 vs spherical $sphY60")
+    // round-trips across all three registered + both generic forms
+    for (mc <- Seq(mA, mB, m95,
+        PolarOps.mercForCrs("MERC:10.0:0.9996:100000.0:200000.0").get,
+        PolarOps.mercForCrs("MERCSP:-40.0:25.0").get);
+         lon <- Seq(mc.lon0Deg - 15.0, mc.lon0Deg, mc.lon0Deg + 22.5);
+         lat <- Seq(-62.0, -3.0, 0.0, 41.25, 70.0)) {
+      val (x, y) = PolarOps.mercForwardScalar(lon, lat, mc)
+      val (l2, p2) = PolarOps.mercInverseScalar(x, y, mc)
+      assert(math.abs(l2 - lon) < tol && math.abs(p2 - lat) < tol,
+        s"($lon,$lat) -> ($x,$y) -> ($l2,$p2)")
+    }
+    // column twins agree with the scalars
+    val pts = Seq((120.0, -3.0), (110.0, 0.0), (117.5, 6.25))
+      .toDF("lon", "lat")
+    val (fx, fy) = PolarOps.mercForward(col("lon"), col("lat"), mA)
+    val (il, ip) = PolarOps.mercInverse(fx, fy, mA)
+    pts.select(col("lon"), col("lat"), fx.as("x"), fy.as("y"),
+        il.as("lon2"), ip.as("lat2")).collect().foreach { r =>
+      val (sx, sy) = PolarOps.mercForwardScalar(
+        r.getDouble(0), r.getDouble(1), mA)
+      assert(math.abs(r.getDouble(2) - sx) <= math.ulp(sx).abs * 16)
+      assert(math.abs(r.getDouble(3) - sy) <= math.ulp(sy).abs * 16)
+      assert(math.abs(r.getDouble(4) - r.getDouble(0)) < tol)
+      assert(math.abs(r.getDouble(5) - r.getDouble(1)) < tol)
+    }
+  }
+
+  test("equidistant cylindrical (EPSG 1028): the GN7-2 worked example, " +
+    "round-trips, column twins") {
+    import spark.implicits._
+    // EPSG Guidance Note 7-2 §1.3.14 worked example (WGS 84 / World
+    // Equidistant Cylindrical, EPSG:4087): 55°N 10°E ->
+    // E 1,113,194.91 m, N 6,097,230.31 m
+    val q = PolarOps.eqcForCrs("EPSG:4087").get
+    val (ex, ny) = PolarOps.eqcForwardScalar(10.0, 55.0, q)
+    assert(math.abs(ex - 1113194.91) < 0.01, s"E=$ex")
+    assert(math.abs(ny - 6097230.31) < 0.01, s"N=$ny")
+    val (l2, p2) = PolarOps.eqcInverseScalar(ex, ny, q)
+    assert(math.abs(l2 - 10.0) < tol && math.abs(p2 - 55.0) < tol)
+    // the deprecated Plate Carree alias resolves to the same grid
+    val q662 = PolarOps.eqcForCrs("EPSG:32662").get
+    assert(PolarOps.eqcForwardScalar(10.0, 55.0, q662) == ((ex, ny)))
+    // round-trips, incl. a non-equatorial standard parallel
+    for (qc <- Seq(q, PolarOps.eqcForCrs("EQC:30.0:-90.0").get);
+         lon <- Seq(-170.0, -90.0, 0.0, 45.5, 179.0);
+         lat <- Seq(-80.0, -12.25, 0.0, 55.0, 89.0)) {
+      val (x, y) = PolarOps.eqcForwardScalar(lon, lat, qc)
+      val (lo, la) = PolarOps.eqcInverseScalar(x, y, qc)
+      assert(math.abs(lo - lon) < tol && math.abs(la - lat) < tol,
+        s"($lon,$lat) -> ($x,$y) -> ($lo,$la)")
+    }
+    // column twins agree with the scalars
+    val pts = Seq((10.0, 55.0), (0.0, 0.0), (-120.5, -33.25))
+      .toDF("lon", "lat")
+    val (fx, fy) = PolarOps.eqcForward(col("lon"), col("lat"), q)
+    val (il, ip) = PolarOps.eqcInverse(fx, fy, q)
+    pts.select(col("lon"), col("lat"), fx.as("x"), fy.as("y"),
+        il.as("lon2"), ip.as("lat2")).collect().foreach { r =>
+      val (sx, sy) = PolarOps.eqcForwardScalar(
+        r.getDouble(0), r.getDouble(1), q)
+      assert(math.abs(r.getDouble(2) - sx) <= math.ulp(sx).abs * 16)
+      assert(math.abs(r.getDouble(3) - sy) <= math.ulp(sy).abs * 16)
+      assert(math.abs(r.getDouble(4) - r.getDouble(0)) < tol)
+      assert(math.abs(r.getDouble(5) - r.getDouble(1)) < tol)
+    }
+  }
+
+  test("general transverse Mercator (EPSG 9807): the GN7-2 OSGB worked " +
+    "example, Gauss-Kruger zone anchor, UTM agreement, column twins") {
+    import spark.implicits._
+    // EPSG Guidance Note 7-2 §1.3.5.1 worked example (OSGB36 / British
+    // National Grid, Airy 1830): 50°30'00.00"N 00°30'00.00"E ->
+    // E 577,274.99 m, N 69,740.50 m
+    val bng = PolarOps.tmercForCrs("EPSG:27700").get
+    val (ex, ny) = PolarOps.tmercForwardScalar(0.5, 50.5, bng)
+    assert(math.abs(ex - 577274.99) < 0.01, s"E=$ex")
+    assert(math.abs(ny - 69740.50) < 0.01, s"N=$ny")
+    val (l2, p2) = PolarOps.tmercInverseScalar(ex, ny, bng)
+    assert(math.abs(l2 - 0.5) < 1e-8 && math.abs(p2 - 50.5) < 1e-8)
+    // DHDN / Gauss-Kruger zone 3 (EPSG:31467, Bessel 1841): the natural
+    // origin maps to the false origin exactly, and the equator scale
+    // along the CM is k0 = 1 (pure meridian arc in y)
+    val gk = PolarOps.tmercForCrs("EPSG:31467").get
+    val (gx, gy) = PolarOps.tmercForwardScalar(9.0, 0.0, gk)
+    assert(math.abs(gx - 3500000.0) < 1e-6 && math.abs(gy) < 1e-6)
+    // round-trip closure across both national grids + a generic WGS84
+    for ((tmr, pts) <- Seq(
+      bng -> Seq((-5.5, 50.0), (-2.0, 49.0), (0.5, 50.5), (1.75, 52.9)),
+      gk -> Seq((7.51, 47.6), (9.0, 50.0), (10.49, 54.3)),
+      PolarOps.tmercForCrs("TMERC:0.0:24.0:0.9999:500000.0:0.0").get
+        -> Seq((21.1, 58.0), (24.0, 61.0), (26.9, 67.75)));
+         (lo, la) <- pts) {
+      val (x, y) = PolarOps.tmercForwardScalar(lo, la, tmr)
+      val (lo2, la2) = PolarOps.tmercInverseScalar(x, y, tmr)
+      // Snyder-series closure: ≲2e-8° (~2 mm) at 3.5° from the CM
+      assert(math.abs(lo2 - lo) < 5e-8 && math.abs(la2 - la) < 5e-8,
+        s"($lo,$la) -> ($x,$y) -> ($lo2,$la2)")
+    }
+    // a WGS84 TMERC with UTM-32N parameters reproduces UtmOps bit-close
+    val t32 = PolarOps.tmercForCrs(
+      "TMERC:0.0:9.0:0.9996:500000.0:0.0").get
+    val z32 = graft.operators.UtmOps.UtmZone(32, north = true)
+    for ((lo, la) <- Seq((8.0, 48.0), (9.0, 52.5), (10.9, 57.25))) {
+      val (tx, ty) = PolarOps.tmercForwardScalar(lo, la, t32)
+      val (ux, uy) = graft.operators.UtmOps.forwardScalar(lo, la, z32)
+      assert(math.abs(tx - ux) < 1e-6 && math.abs(ty - uy) < 1e-6,
+        s"TMERC vs UTM at ($lo,$la): ($tx,$ty) vs ($ux,$uy)")
+    }
+    // column twins agree with the scalars
+    val pts = Seq((0.5, 50.5), (-2.0, 53.0), (-4.25, 51.75))
+      .toDF("lon", "lat")
+    val (fx, fy) = PolarOps.tmercForward(col("lon"), col("lat"), bng)
+    val (il, ip) = PolarOps.tmercInverse(fx, fy, bng)
+    pts.select(col("lon"), col("lat"), fx.as("x"), fy.as("y"),
+        il.as("lon2"), ip.as("lat2")).collect().foreach { r =>
+      val (sx, sy) = PolarOps.tmercForwardScalar(
+        r.getDouble(0), r.getDouble(1), bng)
+      assert(math.abs(r.getDouble(2) - sx) <= math.ulp(sx).abs * 16)
+      assert(math.abs(r.getDouble(3) - sy) <= math.ulp(sy).abs * 16)
+      assert(math.abs(r.getDouble(4) - r.getDouble(0)) < 1e-8)
+      assert(math.abs(r.getDouble(5) - r.getDouble(1)) < 1e-8)
+    }
+  }
 }
