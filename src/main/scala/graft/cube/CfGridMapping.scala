@@ -67,6 +67,22 @@ object CfGridMapping {
         bad(name, s"false offsets ($fe, $fn) that differ from the " +
           s"registered ($fe0, $fn0)")
     }
+    // ellipsoid: families whose registered code pins a specific figure
+    // must not silently absorb a granule declaring a DIFFERENT one (a
+    // code-less ED50 / UTM 33 would otherwise resolve to the WGS84
+    // EPSG:32633, ~100-200 m off). GRS80 passes the WGS84 tolerance
+    // (Δ1/f = 1.5e-6 → sub-mm at these families' scales); lenient when
+    // absent, like feOk.
+    def ellOk(name: String, a0: Double = 6378137.0,
+              invF0: Double = 298.257223563): Unit = {
+      val aE = num(attrs, "semi_major_axis")
+        .orElse(num(attrs, "earth_radius"))
+      val invF = num(attrs, "inverse_flattening")
+      if (aE.exists(v => !close(v, a0, 0.5)) ||
+        invF.exists(v => !close(v, invF0, 1e-3)))
+        bad(name, s"an ellipsoid (a=$aE, 1/f=$invF) that differs from " +
+          s"the registered one (a=$a0, 1/f=$invF0)")
+    }
     attrs.get("grid_mapping_name").map(_.trim) match {
       case Some("latitude_longitude") => Some("CRS84")
       case Some(n @ "rotated_latitude_longitude") =>
@@ -79,19 +95,38 @@ object CfGridMapping {
         val cm = num(attrs, "longitude_of_central_meridian")
           .getOrElse(bad(n, "no longitude_of_central_meridian"))
         val k0 = num(attrs, "scale_factor_at_central_meridian")
-          .getOrElse(UtmOps.K0)
         val fe = num(attrs, "false_easting").getOrElse(0.0)
         val fn = num(attrs, "false_northing").getOrElse(0.0)
         val lat0 = num(attrs, "latitude_of_projection_origin").getOrElse(0.0)
+        val aM = num(attrs, "semi_major_axis")
+        val invF = num(attrs, "inverse_flattening")
+        // registered national grids on their own ellipsoids first
+        // (PolarOps.Tmerc, EPSG method 9807) — the hotineForCrs pattern
+        def isTm(tm: PolarOps.Tmerc): Boolean =
+          close(lat0, tm.lat0Deg) && close(cm, tm.lon0Deg) &&
+            k0.forall(close(_, tm.k0, 1e-9)) &&
+            close(fe, tm.x0) && close(fn, tm.y0) &&
+            aM.forall(close(_, tm.a, 0.5)) &&
+            invF.forall(close(_, tm.invF, 1e-4))
         val zone = math.round((cm + 183.0) / 6.0).toInt
-        if (!close(k0, UtmOps.K0) || !close(fe, UtmOps.FalseEasting) ||
-          !close(lat0, 0.0) || zone < 1 || zone > 60 ||
-          !close(cm, zone * 6.0 - 183.0))
-          bad(n, s"parameters (cm=$cm k0=$k0 fe=$fe fn=$fn) that are " +
-            "not a UTM zone")
-        if (close(fn, 0.0)) Some(f"EPSG:326$zone%02d")
-        else if (close(fn, 1e7)) Some(f"EPSG:327$zone%02d")
-        else bad(n, s"false_northing $fn (not a UTM hemisphere)")
+        val isUtm = k0.forall(close(_, UtmOps.K0, 1e-9)) &&
+          close(fe, UtmOps.FalseEasting) && close(lat0, 0.0) &&
+          zone >= 1 && zone <= 60 && close(cm, zone * 6.0 - 183.0) &&
+          (close(fn, 0.0) || close(fn, 1e7))
+        if (isTm(PolarOps.tmercForCrs("EPSG:27700").get)) Some("EPSG:27700")
+        else if (isTm(PolarOps.tmercForCrs("EPSG:31467").get))
+          Some("EPSG:31467")
+        else if (aM.exists(v => !close(v, 6378137.0, 0.5)) ||
+          invF.exists(v => !close(v, 298.257223563, 1e-3)))
+          bad(n, s"a non-WGS84 ellipsoid (a=$aM, 1/f=$invF) outside the " +
+            "registered OSGB36 / DHDN Gauss-Kruger combinations")
+        else if (isUtm) {
+          if (close(fn, 0.0)) Some(f"EPSG:326$zone%02d")
+          else Some(f"EPSG:327$zone%02d")
+        } else
+          // general WGS84 transverse Mercator (EPSG 9807 generic form;
+          // the k0 default is the method's natural-origin 1.0)
+          Some(s"TMERC:$lat0:$cm:${k0.getOrElse(1.0)}:$fe:$fn")
       case Some(n @ "polar_stereographic") =>
         val latTs = num(attrs, "standard_parallel")
           .orElse(num(attrs, "latitude_of_projection_origin"))
@@ -100,15 +135,24 @@ object CfGridMapping {
           .orElse(num(attrs, "longitude_of_projection_origin"))
           .getOrElse(0.0)
         feOk(n, 0.0, 0.0)
+        ellOk(n)
         if (close(latTs, 70.0) && close(lon0, -45.0)) Some("EPSG:3413")
         else if (close(latTs, -70.0) && close(lon0, 0.0)) Some("EPSG:3976")
         else if (close(latTs, -71.0) && close(lon0, 0.0)) Some("EPSG:3031")
         else bad(n, s"standard_parallel $latTs, lon0 $lon0")
-      case Some(n @ ("stereographic" | "oblique_stereographic")) =>
-        // non-polar stereographic resolves to the EPSG 9809 double
-        // ("oblique") form — exact for the registered Bessel RD New
-        // combination, WGS84 otherwise; polar latitudes must use
-        // polar_stereographic (different closed form)
+      case Some(n @ "stereographic") =>
+        // CF `stereographic` denotes proj's EPSG 9810-family `stere`,
+        // which agrees with the registered double stereographic (9809)
+        // only at the origin — meters of divergence at country scale if
+        // coerced (ADVICE r19). Decline loudly instead.
+        bad(n, "the plain (9810-family) scale semantics — only the " +
+          "double stereographic (grid_mapping_name oblique_stereographic," +
+          " EPSG 9809) has a registered closed form here; the two agree " +
+          "only at the origin")
+      case Some(n @ "oblique_stereographic") =>
+        // the EPSG 9809 double ("oblique") form — exact for the
+        // registered Bessel RD New combination, WGS84 otherwise; polar
+        // latitudes must use polar_stereographic (different closed form)
         val lat0 = num(attrs, "latitude_of_projection_origin")
           .getOrElse(bad(n, "no latitude_of_projection_origin"))
         if (math.abs(lat0) > 89.999)
@@ -174,6 +218,7 @@ object CfGridMapping {
         val lon0 = num(attrs, "longitude_of_projection_origin").getOrElse(0.0)
         val fe = num(attrs, "false_easting").getOrElse(0.0)
         val fn = num(attrs, "false_northing").getOrElse(0.0)
+        ellOk(n)
         if (close(lat0, 52.0) && close(lon0, 10.0) &&
           close(fe, 4321000.0) && close(fn, 3210000.0)) Some("EPSG:3035")
         else if (close(lat0, 90.0) && close(lon0, 0.0) && close(fe, 0.0) &&
@@ -190,6 +235,7 @@ object CfGridMapping {
         def spIs(a: Double, b: Double): Boolean = sp.length == 2 &&
           ((close(sp(0), a) && close(sp(1), b)) ||
             (close(sp(0), b) && close(sp(1), a)))
+        ellOk(n)
         if (spIs(49.0, 44.0) && close(lat0, 46.5) && close(lon0, 3.0)) {
           feOk(n, 700000.0, 6600000.0)
           Some("EPSG:2154")
@@ -202,6 +248,7 @@ object CfGridMapping {
         val sp = nums(attrs, "standard_parallel")
         val lat0 = num(attrs, "latitude_of_projection_origin").getOrElse(0.0)
         val lon0 = num(attrs, "longitude_of_central_meridian").getOrElse(0.0)
+        ellOk(n)
         if (sp.length == 2 && close(sp.min, 29.5) && close(sp.max, 45.5) &&
           close(lat0, 23.0) && close(lon0, -96.0)) {
           feOk(n, 0.0, 0.0)
@@ -211,6 +258,7 @@ object CfGridMapping {
         val lat = num(attrs, "standard_parallel")
           .getOrElse(bad(n, "no standard_parallel"))
         val lon0 = num(attrs, "longitude_of_central_meridian").getOrElse(0.0)
+        ellOk(n)
         if (close(math.abs(lat), 30.0) && close(lon0, 0.0)) {
           feOk(n, 0.0, 0.0)
           Some("EPSG:6933") // EASE-Grid 2.0 global
@@ -235,6 +283,7 @@ object CfGridMapping {
           bad(n, s"central meridian $sinuLon0 (the registered MODIS " +
             "grid is Greenwich-centered)")
         feOk(n, 0.0, 0.0)
+        ellOk(n, 6371007.181, 0.0) // the MODIS sphere (rf declared as 0)
         Some("SR-ORG:6974")
       case Some("equal_earth") =>
         // not (yet) a CF-standard name; pyproj/rioxarray reach Equal
@@ -243,30 +292,105 @@ object CfGridMapping {
           .orElse(num(attrs, "longitude_of_central_meridian"))
           .getOrElse(0.0)
         feOk("equal_earth", 0.0, 0.0)
+        ellOk("equal_earth")
         if (close(lon0, 0.0)) Some("EPSG:8857") else Some(s"EQEARTH:$lon0")
-      case Some("popular_visualisation_pseudo_mercator") => Some("EPSG:3857")
+      case Some(n @ "popular_visualisation_pseudo_mercator") =>
+        feOk(n, 0.0, 0.0)
+        // EPSG method 1024 is SPHERICAL on the WGS84 semi-major axis:
+        // only the radius matters (a declared flattening — 0 for an
+        // explicit sphere, 298.26 from the datum — is ignored by the
+        // method), but a DIFFERENT radius scales every coordinate
+        if (num(attrs, "semi_major_axis")
+          .orElse(num(attrs, "earth_radius"))
+          .exists(v => !close(v, 6378137.0, 0.5)))
+          bad(n, "a sphere radius that differs from the registered " +
+            "6378137 m web-mercator radius")
+        Some("EPSG:3857")
       case Some(n @ "mercator") =>
-        // CF mercator carries EITHER standard_parallel OR
-        // scale_factor_at_projection_origin; only the SP=0/k0=1, lon0=0
-        // case is the registered spherical web-mercator — an ellipsoidal
-        // or SP!=0 Mercator misplaces y by tens of km if coerced
+        // CF mercator carries EITHER standard_parallel (EPSG 9805,
+        // variant B) OR scale_factor_at_projection_origin (9804,
+        // variant A). The ellipsoid attrs decide spherical-vs-
+        // ellipsoidal: an explicit inverse_flattening is the EPSG:3395
+        // family (PolarOps.Merc closed iso-latitude forms); no
+        // ellipsoid attrs + SP=0/k0=1/lon0=0 is the spherical
+        // web-mercator. Coercing either into the other misplaces y by
+        // ~21 km at 60 deg.
         val sp = num(attrs, "standard_parallel")
         val k0 = num(attrs, "scale_factor_at_projection_origin")
-        val lon0 = num(attrs, "longitude_of_projection_origin").getOrElse(0.0)
-        val sphericalAtEquator = (sp, k0) match {
-          case (Some(p), _) => close(p, 0.0)
-          case (None, Some(k)) => close(k, 1.0)
-          case (None, None) => true
+        val lon0 = num(attrs, "longitude_of_projection_origin")
+          .orElse(num(attrs, "longitude_of_central_meridian"))
+          .getOrElse(0.0)
+        val lat0 = num(attrs, "latitude_of_projection_origin").getOrElse(0.0)
+        val fe = num(attrs, "false_easting").getOrElse(0.0)
+        val fn = num(attrs, "false_northing").getOrElse(0.0)
+        val aM = num(attrs, "semi_major_axis")
+        val invF = num(attrs, "inverse_flattening")
+        if (!close(lat0, 0.0))
+          bad(n, s"latitude_of_projection_origin $lat0 (EPSG 9804/9805 " +
+            "place the natural origin on the equator)")
+        if (sp.exists(v => !close(v, 0.0)) && k0.exists(v => !close(v, 1.0)))
+          bad(n, "BOTH a standard parallel and a scale factor (EPSG " +
+            "9804/9805 are either-or)")
+        // registered non-WGS84 combinations (per-CRS ellipsoids) first
+        def isM(code: String): Boolean = {
+          val m = PolarOps.mercForCrs(code).get
+          close(lon0, m.lon0Deg) && close(fe, m.x0) && close(fn, m.y0) &&
+            (if (m.variantB) sp.exists(close(_, m.lat1Deg)) &&
+              k0.forall(close(_, 1.0))
+            else k0.exists(close(_, m.k0, 1e-9)) &&
+              sp.forall(close(_, 0.0))) &&
+            aM.forall(close(_, m.a, 0.5)) &&
+            invF.forall(close(_, m.invF, 1e-4))
         }
-        // an EXPLICIT ellipsoid declaration means EPSG:3395 semantics —
-        // the same trap the WKT route throws on (northing drifts ~21 km
-        // at 60 deg if coerced to the spherical form)
-        if (num(attrs, "inverse_flattening").exists(_ > 0.0))
-          bad(n, "an explicit ellipsoid (inverse_flattening) — the " +
-            "ellipsoidal Mercator has no registered closed form")
-        if (sphericalAtEquator && close(lon0, 0.0)) Some("EPSG:3857")
-        else bad(n, s"standard_parallel=$sp scale_factor=$k0 lon0=$lon0 " +
-          "(not the SP=0/k0=1, lon0=0 web-mercator case)")
+        if (isM("EPSG:3002")) Some("EPSG:3002")
+        else if (isM("EPSG:3388")) Some("EPSG:3388")
+        else if (aM.exists(v => !close(v, 6378137.0, 0.5)) ||
+          invF.exists(v => v > 0.0 && !close(v, 298.257223563, 1e-3)))
+          bad(n, s"a non-WGS84 ellipsoid (a=$aM, 1/f=$invF) outside the " +
+            "registered Makassar / Caspian Sea combinations")
+        else if (invF.exists(_ > 0.0)) {
+          // WGS84 ellipsoidal — the EPSG:3395 family
+          if (sp.forall(close(_, 0.0)) && k0.forall(close(_, 1.0)) &&
+            close(lon0, 0.0) && close(fe, 0.0) && close(fn, 0.0))
+            Some("EPSG:3395")
+          else sp match {
+            case Some(p) if !close(p, 0.0) =>
+              Some(s"MERCSP:$lon0:$p:$fe:$fn")
+            case _ => Some(s"MERC:$lon0:${k0.getOrElse(1.0)}:$fe:$fn")
+          }
+        } else {
+          // no ellipsoid declared: only the spherical web-mercator case
+          // is unambiguous; anything else could mean a sphere OR the
+          // EPSG:3395 family (pyproj builds an undefined-datum CRS that
+          // fails at transform time — decline at open instead)
+          if (sp.forall(close(_, 0.0)) && k0.forall(close(_, 1.0)) &&
+            close(lon0, 0.0)) {
+            feOk(n, 0.0, 0.0)
+            Some("EPSG:3857")
+          } else
+            bad(n, s"standard_parallel=$sp scale_factor=$k0 lon0=$lon0 " +
+              "but NO ellipsoid attrs — ambiguous between the spherical " +
+              "and EPSG:3395 (9804/9805) forms; declare " +
+              "semi_major_axis/inverse_flattening")
+        }
+      case Some(n @ ("equirectangular" | "equidistant_cylindrical")) =>
+        // equidistant cylindrical in meters (EPSG method 1028, the
+        // EPSG:4087 / plate-carree-in-meters family). Not a CF-standard
+        // name; the write-side round-trip name, like equal_earth.
+        val sp = num(attrs, "standard_parallel").getOrElse(0.0)
+        val lon0 = num(attrs, "longitude_of_central_meridian")
+          .orElse(num(attrs, "longitude_of_projection_origin"))
+          .getOrElse(0.0)
+        val lat0 = num(attrs, "latitude_of_projection_origin").getOrElse(0.0)
+        val fe = num(attrs, "false_easting").getOrElse(0.0)
+        val fn = num(attrs, "false_northing").getOrElse(0.0)
+        if (!close(lat0, 0.0))
+          bad(n, s"latitude_of_projection_origin $lat0 (EPSG 1028 has " +
+            "no latitude-of-origin shift)")
+        ellOk(n)
+        if (close(sp, 0.0) && close(lon0, 0.0) && close(fe, 0.0) &&
+          close(fn, 0.0)) Some("EPSG:4087")
+        else Some(s"EQC:$sp:$lon0:$fe:$fn")
       case Some(n @ "geostationary") =>
         val lon0 = num(attrs, "longitude_of_projection_origin")
           .getOrElse(bad(n, "no longitude_of_projection_origin"))
@@ -281,6 +405,8 @@ object CfGridMapping {
           })
           .getOrElse("y") // CF default sweep_angle_axis is "y" (MSG)
         if (sweep != "x" && sweep != "y") bad(n, s"sweep axis '$sweep'")
+        feOk(n, 0.0, 0.0)
+        ellOk(n) // GRS80 (the GOES-R figure) passes the WGS84 tolerance
         Some(s"GEOS:$lon0:$h:$sweep")
       case Some(other) =>
         bad(other, "a family this library has no closed form for")
@@ -414,7 +540,36 @@ object CfGridMapping {
           "longitude_of_projection_origin" -> "0.0",
           "earth_radius" -> "6371007.181"))
       else None
-    ).getOrElse(throw new IllegalArgumentException(
+    ).orElse(PolarOps.mercForCrs(crs).map { mc =>
+      // ellipsoid attrs ALWAYS: their presence is what distinguishes the
+      // 9804/9805 ellipsoidal family from the spherical web-mercator on
+      // the read side (crsFromCf's mercator branch)
+      Map("grid_mapping_name" -> "mercator",
+        "longitude_of_projection_origin" -> mc.lon0Deg.toString,
+        "false_easting" -> mc.x0.toString,
+        "false_northing" -> mc.y0.toString,
+        "semi_major_axis" -> mc.a.toString,
+        "inverse_flattening" -> mc.invF.toString) ++
+        (if (mc.variantB) Map("standard_parallel" -> mc.lat1Deg.toString)
+        else Map("scale_factor_at_projection_origin" -> mc.k0In.toString))
+    }).orElse(PolarOps.eqcForCrs(crs).map { q =>
+      Map("grid_mapping_name" -> "equirectangular",
+        "standard_parallel" -> q.lat1Deg.toString,
+        "longitude_of_central_meridian" -> q.lon0Deg.toString,
+        "false_easting" -> q.x0.toString,
+        "false_northing" -> q.y0.toString)
+    }).orElse(PolarOps.tmercForCrs(crs).map { tm =>
+      Map("grid_mapping_name" -> "transverse_mercator",
+        "latitude_of_projection_origin" -> tm.lat0Deg.toString,
+        "longitude_of_central_meridian" -> tm.lon0Deg.toString,
+        "scale_factor_at_central_meridian" -> tm.k0.toString,
+        "false_easting" -> tm.x0.toString,
+        "false_northing" -> tm.y0.toString) ++
+        (if (math.abs(tm.invF - 298.257223563) > 1e-6)
+          Map("semi_major_axis" -> tm.a.toString,
+            "inverse_flattening" -> tm.invF.toString)
+        else Map.empty)
+    }).getOrElse(throw new IllegalArgumentException(
       s"no CF grid-mapping emission for CRS '$crs' — register the " +
         "family in SpatialOps + cfAttrs first"))
   }

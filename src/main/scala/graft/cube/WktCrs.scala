@@ -140,7 +140,15 @@ object WktCrs {
     ((n: String) => n.contains("albers"), "albers_conical_equal_area"),
     ((n: String) => n.contains("polar_stereographic"),
       "polar_stereographic"),
-    ((n: String) => n.contains("stereographic"), "oblique_stereographic"),
+    // ONLY names that denote the EPSG 9809 double form — plain
+    // "Stereographic" (proj stere) agrees with it only at the origin
+    // (meters of divergence at country scale; ADVICE r19) and falls
+    // through to the loud unregistered-method decline
+    ((n: String) => n.contains("oblique_stereographic") ||
+      n.contains("double_stereographic"), "oblique_stereographic"),
+    ((n: String) => n.contains("equirectangular") ||
+      n.contains("equidistant_cylindrical") ||
+      n.contains("plate_carree"), "equirectangular"),
     ((n: String) => n.contains("sinusoidal"), "sinusoidal"),
     ((n: String) => n.contains("equal_earth"), "equal_earth"),
     ((n: String) => n.contains("orthographic"), "orthographic"),
@@ -204,7 +212,10 @@ object WktCrs {
     "wgs84" -> (6378137.0, 298.257223563),
     "grs80" -> (6378137.0, 298.257222101),
     "bessel" -> (6377397.155, 299.1528128),
-    "evrstss" -> (6377298.556, 300.8017)) // Everest 1830 (1967 / SS)
+    "evrstss" -> (6377298.556, 300.8017), // Everest 1830 (1967 / SS)
+    "airy" -> (6377563.396, 299.3249646),
+    "krass" -> (6378245.0, 298.3),
+    "intl" -> (6378388.0, 297.0))
 
   /** CF attribute map encoded by a `+proj=...` string, or None when the
     * text isn't a proj string. The same family/decline rules as
@@ -262,9 +273,16 @@ object WktCrs {
           p("straight_vertical_longitude_from_pole", "lon_0", Some(0.0)) ++
           p("false_easting", "x_0", Some(0.0)) ++
           p("false_northing", "y_0", Some(0.0))
-      case "stere" | "sterea" =>
-        // non-polar stereographic: resolved to the registered double-
-        // stereographic (EPSG 9809) form, like the WKT route
+      case "stere" =>
+        // non-polar plain stereographic (EPSG 9810 family): agrees with
+        // the registered double form only at the origin — decline
+        // loudly rather than coerce (ADVICE r19)
+        throw new IllegalArgumentException(
+          "+proj=stere away from the poles has no registered closed " +
+            "form — only the double stereographic (+proj=sterea, EPSG " +
+            "9809) is registered; the two agree only at the origin")
+      case "sterea" =>
+        // the double stereographic (EPSG 9809) closed form
         Seq("grid_mapping_name" -> "oblique_stereographic") ++
           p("latitude_of_projection_origin", "lat_0", Some(0.0)) ++
           p("longitude_of_projection_origin", "lon_0", Some(0.0)) ++
@@ -351,8 +369,9 @@ object WktCrs {
       case "webmerc" =>
         Seq("grid_mapping_name" -> "popular_visualisation_pseudo_mercator")
       case "merc" =>
-        // spherical (+R, or +a == +b) is web-mercator; an ellipsoidal
-        // Mercator has no registered closed form — same trap as WKT
+        // spherical (+R, or +a == +b) is web-mercator; otherwise the
+        // ellipsoidal 9804/9805 family (proj defaults to WGS84 when no
+        // ellipsoid is given). lat_ts is variant B, k is variant A.
         val spherical = kv.contains("R") ||
           ((num("a"), num("b")) match {
             case (Some(a), Some(b)) => a == b
@@ -360,19 +379,56 @@ object WktCrs {
           })
         if (spherical)
           Seq("grid_mapping_name" -> "popular_visualisation_pseudo_mercator")
-        else throw new IllegalArgumentException(
-          "+proj=merc on an ellipsoid has no registered closed form — " +
-            "only the spherical pseudo-mercator (EPSG:3857) is registered")
+        else
+          Seq("grid_mapping_name" -> "mercator",
+            // proj default ellipsoid is WGS84: make it explicit so the
+            // CF branch takes the ellipsoidal (EPSG:3395-family) path
+            "semi_major_axis" -> num("a").getOrElse(6378137.0).toString,
+            "inverse_flattening" ->
+              num("rf").getOrElse(298.257223563).toString) ++
+            p("standard_parallel", "lat_ts") ++
+            (if (num("lat_ts").isEmpty)
+              p("scale_factor_at_projection_origin", "k_0",
+                Some(num("k").getOrElse(1.0)))
+            else Nil) ++
+            p("longitude_of_projection_origin", "lon_0", Some(0.0)) ++
+            p("false_easting", "x_0", Some(0.0)) ++
+            p("false_northing", "y_0", Some(0.0))
+      case "eqc" =>
+        // equidistant cylindrical (EPSG 1028): lat_ts is the standard
+        // parallel; a nonzero lat_0 would be a latitude-of-origin shift
+        // EPSG 1028 does not define
+        if (num("lat_0").exists(v => math.abs(v) > 1e-9))
+          throw new IllegalArgumentException(
+            "+proj=eqc with a nonzero +lat_0 has no registered closed " +
+              "form (EPSG 1028 defines no latitude-of-origin shift)")
+        Seq("grid_mapping_name" -> "equirectangular") ++
+          p("standard_parallel", "lat_ts", Some(0.0)) ++
+          p("longitude_of_central_meridian", "lon_0", Some(0.0)) ++
+          p("false_easting", "x_0", Some(0.0)) ++
+          p("false_northing", "y_0", Some(0.0))
       case other => throw new IllegalArgumentException(
         s"+proj=$other has no registered closed form (SpatialOps' " +
           "family set) — re-project the source, or register the family")
     }
-    // ellipsoid attrs only where a branch consumes them (the RD New /
-    // RSO-Borneo / LV95 recognitions) — other families ignore them
-    val consumesEllipsoid = base.exists(kvp =>
-      kvp._2 == "oblique_stereographic" || kvp._2 == "oblique_mercator")
-    Some((base ++ (if (consumesEllipsoid) ellipsoid else Nil)).toMap)
+    // ellipsoid attrs forwarded for EVERY family (last-wins over any
+    // branch-local defaults): the pinned families' ellOk guard must see
+    // a declared non-WGS84 figure (e.g. +proj=utm +ellps=intl is ED50
+    // UTM, ~200 m off the WGS84 zone code it would otherwise match)
+    Some((base ++ ellipsoid).toMap)
   }
+
+  /** GDAL WKT1 rides the TRUE projection semantics in an
+    * EXTENSION["PROJ4", "..."] clause when WKT1 cannot express them —
+    * the spherical pseudo-mercator inside a Mercator_1SP document being
+    * the classic case (WKT1 for EPSG:3857 and EPSG:3395 is otherwise
+    * identical up to the spheroid). When present and registered, it
+    * wins over the structural PROJECTION/PARAMETER translation. */
+  private def proj4Extension(root: Node): Option[Map[String, String]] =
+    root.findAll("EXTENSION")
+      .find(_.strings.headOption.exists(_.equalsIgnoreCase("PROJ4")))
+      .flatMap(_.strings.drop(1).headOption)
+      .flatMap(p => scala.util.Try(projToCfAttrs(p)).toOption.flatten)
 
   /** CF attribute map encoded by a WKT document, or None when `wkt`
     * isn't WKT. Geographic-only documents yield the latitude_longitude
@@ -388,6 +444,7 @@ object WktCrs {
       if (isGeographic)
         Some(Map("grid_mapping_name" -> "latitude_longitude"))
       else if (!isProjected) None
+      else if (proj4Extension(root).isDefined) proj4Extension(root)
       else {
         val methodNode = root.find("PROJECTION").orElse(root.find("METHOD"))
         val methodName = methodNode.flatMap(_.strings.headOption)
@@ -400,19 +457,6 @@ object WktCrs {
           s"WKT projection method '$methodName' has no registered " +
             "closed form (SpatialOps' family set) — re-project the " +
             "source, or register the family first"))
-        // a plain Mercator on an ELLIPSOID (EPSG:3395-style) is not the
-        // spherical web-mercator — coercing it would misplace y by tens
-        // of km (the same trap crsFromCf's CF 'mercator' branch guards);
-        // the pseudo-mercator METHOD name is the only spherical marker
-        if (family == "mercator") {
-          val invF = root.find("SPHEROID").orElse(root.find("ELLIPSOID"))
-            .flatMap(_.numbers.drop(1).headOption)
-          if (invF.exists(_ > 0.0))
-            throw new IllegalArgumentException(
-              "WKT ellipsoidal Mercator (inverse flattening " +
-                s"${invF.get}) has no registered closed form — only the " +
-                "spherical pseudo-mercator (EPSG:3857) is registered")
-        }
         // geostationary sweep axis rides the method name in WKT2
         val sweep =
           if (family != "geostationary") None

@@ -1777,6 +1777,35 @@ object ServingPack extends QueryPack {
           round(sum(col("v").cast("decimal(28,10)")), 6).cast("double").as("sum_v"))
     }),
 
+    // The SAME cube served over FTP: the write-once zarr fixture mounted
+    // on the in-JVM passive-mode FTP emulator and opened by ftp:// URL —
+    // anonymous login, SIZE/RETR with REST ranges for the chunk reads
+    // (the one reference store protocol, plugin.py:82-89, that was
+    // recorded untestable offline through r19; the S3Emulator treatment
+    // closes it). Same oracle as q_zarr_http, so a wrong byte anywhere
+    // in the protocol path flips the hash.
+    "q_zarr_ftp" -> ((s, d) => {
+      val days = Seq("2024-01-01", "2024-01-02")
+      val sfName = new java.io.File(d).getName
+      val base = s"/root/repo/.graft-fixtures/zarrhttp_$sfName"
+      val group = s"$base/cube.zarr"
+      Fixtures.ensureWritten(base, "days=2,chunks=1x50x90,mean6,consolidated") {
+        new java.io.File(base).mkdirs()
+        ZarrSource.writeCube(dailyCubeDf(s, d, days), group, "v",
+          cubeDims, chunks = Seq(1, 50, 90))
+      }
+      val emu = graft.sources.ftp.FtpEmulator.shared
+      emu.mountDir(s"zarrftp-$sfName", base)
+      val url = s"${emu.endpoint}/zarrftp-$sfName/cube.zarr"
+      ZarrSource.readCube(s, url, "v")
+        .filter(!isnan(col("v")))
+        .groupBy(col("t").cast("long").as("day_idx"))
+        .agg(count(lit(1)).as("n_cells"),
+          round(sum((col("y") + col("x")).cast("decimal(28,10)")), 6)
+            .cast("double").as("sum_coord"),
+          round(sum(col("v").cast("decimal(28,10)")), 6).cast("double").as("sum_v"))
+    }),
+
     // The relational zarr scan (DataSourceV2): the 2-day cube opened with
     // spark.read.format("zarr") and filtered to day 1 BY PREDICATE — the
     // t = 0.0 filter is pushed into the scan and prunes the day-2 chunks
@@ -3234,6 +3263,20 @@ object ServingPack extends QueryPack {
                 round(sum(v::DECIMAL(28,10)), 6)::DOUBLE AS sum_v
          FROM daily""",
     "q_zarr_http" ->
+      s"""WITH ${CubePack.cubeCte},
+         daily AS (SELECT CASE WHEN CAST(time AS DATE) = DATE '2024-01-01'
+                               THEN 0 ELSE 1 END AS day_idx,
+                          floor(y)::BIGINT AS j, floor(x)::BIGINT AS i,
+                          round(sum(v::DECIMAL(28,12))::DOUBLE / count(*), 6) AS v
+                   FROM cube
+                   WHERE CAST(time AS DATE) = DATE '2024-01-01'
+                      OR CAST(time AS DATE) = DATE '2024-01-02'
+                   GROUP BY day_idx, j, i)
+         SELECT day_idx::BIGINT AS day_idx, count(*) AS n_cells,
+                round(sum(((j + 0.5) + (i + 0.5))::DECIMAL(28,10)), 6)::DOUBLE AS sum_coord,
+                round(sum(v::DECIMAL(28,10)), 6)::DOUBLE AS sum_v
+         FROM daily GROUP BY day_idx""",
+    "q_zarr_ftp" ->
       s"""WITH ${CubePack.cubeCte},
          daily AS (SELECT CASE WHEN CAST(time AS DATE) = DATE '2024-01-01'
                                THEN 0 ELSE 1 END AS day_idx,

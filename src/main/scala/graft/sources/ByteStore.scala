@@ -44,6 +44,11 @@ final case class ByteStore(options: Map[String, String]) extends Serializable {
   private def isHttp(path: String): Boolean =
     path.startsWith("http://") || path.startsWith("https://")
 
+  /** `ftp://` URLs go through the passive-mode FTP client ([[FtpIo]]) —
+    * fsspec's FTPFileSystem contract: full read/write/list, ranged
+    * reads via REST. */
+  private def isFtp(path: String): Boolean = path.startsWith("ftp://")
+
   private def httpConn(path: String, method: String,
                        range: Option[(Long, Long)] = None): java.net.HttpURLConnection = {
     val c = new java.net.URI(path).toURL.openConnection()
@@ -76,7 +81,8 @@ final case class ByteStore(options: Map[String, String]) extends Serializable {
     new HPath(path).getFileSystem(hconf)
 
   def exists(path: String): Boolean =
-    if (isHttp(path)) {
+    if (isFtp(path)) FtpIo.size(path).isDefined || FtpIo.isDir(path)
+    else if (isHttp(path)) {
       val c = httpConn(path, "HEAD")
       try c.getResponseCode match {
         case ok if ok >= 200 && ok < 300 => true
@@ -87,7 +93,8 @@ final case class ByteStore(options: Map[String, String]) extends Serializable {
     else Files.exists(Paths.get(path))
 
   def read(path: String): Array[Byte] =
-    if (isHttp(path)) {
+    if (isFtp(path)) FtpIo.read(path)
+    else if (isHttp(path)) {
       val c = httpConn(path, "GET")
       try {
         val code = c.getResponseCode
@@ -108,14 +115,19 @@ final case class ByteStore(options: Map[String, String]) extends Serializable {
     } else Files.readAllBytes(Paths.get(path))
 
   def readIfExists(path: String): Option[Array[Byte]] =
-    if (isHttp(path))
+    if (isFtp(path))
+      // one RETR round trip; 550 answers map to absent
+      try Some(FtpIo.read(path))
+      catch { case _: java.io.FileNotFoundException => None }
+    else if (isHttp(path))
       // one round trip per chunk: GET and treat 404 as absent (the
       // HEAD-then-GET shape would double every chunk task's latency)
       try Some(read(path)) catch { case _: java.io.FileNotFoundException => None }
     else if (exists(path)) Some(read(path)) else None
 
   def write(path: String, bytes: Array[Byte]): Unit =
-    if (isHttp(path)) httpReadOnly(path, "write")
+    if (isFtp(path)) FtpIo.write(path, bytes)
+    else if (isHttp(path)) httpReadOnly(path, "write")
     else if (isRemote(path)) {
       val out = fs(path).create(new HPath(path), true)
       try out.write(bytes) finally out.close()
@@ -128,7 +140,9 @@ final case class ByteStore(options: Map[String, String]) extends Serializable {
 
   /** Object/file size in bytes. */
   def size(path: String): Long =
-    if (isHttp(path)) {
+    if (isFtp(path))
+      FtpIo.size(path).getOrElse(throw new java.io.FileNotFoundException(path))
+    else if (isHttp(path)) {
       val c = httpConn(path, "HEAD")
       try {
         val code = c.getResponseCode
@@ -148,6 +162,13 @@ final case class ByteStore(options: Map[String, String]) extends Serializable {
     * stores, never a whole-object download. This is the kerchunk chunk-
     * task primitive. */
   def readRange(path: String, offset: Long, length: Long): Array[Byte] = {
+    if (isFtp(path)) {
+      require(offset >= 0, s"$path: negative range offset $offset")
+      require(length <= Int.MaxValue - 8,
+        s"$path: $length-byte range exceeds the 2 GiB task buffer " +
+          "(re-index the source with finer chunking)")
+      return FtpIo.read(path, offset, length)
+    }
     if (isHttp(path)) return httpReadRange(path, offset, length)
     val total = size(path)
     val len = if (length >= 0) length else total - offset
@@ -262,18 +283,26 @@ final case class ByteStore(options: Map[String, String]) extends Serializable {
   }
 
   def delete(path: String): Unit =
-    if (isHttp(path)) httpReadOnly(path, "delete")
+    if (isFtp(path)) FtpIo.delete(path)
+    else if (isHttp(path)) httpReadOnly(path, "delete")
     else if (isRemote(path)) { fs(path).delete(new HPath(path), false); () }
     else { Files.deleteIfExists(Paths.get(path)); () }
 
   def mkdirs(path: String): Unit =
-    if (isHttp(path)) () // read-only and directory-free; writes reject
+    if (isFtp(path)) FtpIo.mkdirs(path)
+    else if (isHttp(path)) () // read-only and directory-free; writes reject
     else if (isRemote(path)) () // object stores have no directories
     else { Files.createDirectories(Paths.get(path)); () }
 
   /** Immediate children of a directory as (name, isDirectory). */
   def list(path: String): Seq[(String, Boolean)] =
-    if (isHttp(path)) httpReadOnly(path, "list")
+    if (isFtp(path))
+      // NLST names; a child with no SIZE answer is a directory (the
+      // portable heuristic — SIZE is file-only on FTP servers)
+      FtpIo.list(path).map { n =>
+        (n, FtpIo.size(s"${path.stripSuffix("/")}/$n").isEmpty)
+      }
+    else if (isHttp(path)) httpReadOnly(path, "list")
     else if (isRemote(path))
       fs(path).listStatus(new HPath(path)).toSeq
         .map(st => (st.getPath.getName, st.isDirectory))
@@ -287,7 +316,18 @@ final case class ByteStore(options: Map[String, String]) extends Serializable {
     * carries lengths on every backend, so callers that need sizes (the
     * zarr scanner's one-ref-per-chunk index) avoid a HEAD/stat per file. */
   def walkFilesSized(path: String): Seq[(String, Long)] =
-    if (isHttp(path)) httpReadOnly(path, "walkFilesSized")
+    if (isFtp(path)) {
+      def walk(prefix: String): Seq[(String, Long)] =
+        FtpIo.list(s"${path.stripSuffix("/")}/$prefix").flatMap { n =>
+          val rel = if (prefix.isEmpty) n else s"$prefix/$n"
+          FtpIo.size(s"${path.stripSuffix("/")}/$rel") match {
+            case Some(sz) => Seq((rel, sz))
+            case None => walk(rel)
+          }
+        }
+      walk("")
+    }
+    else if (isHttp(path)) httpReadOnly(path, "walkFilesSized")
     else if (isRemote(path)) {
       val base = new HPath(path).toUri.getPath.stripSuffix("/")
       val it = fs(path).listFiles(new HPath(path), true)
@@ -312,7 +352,8 @@ final case class ByteStore(options: Map[String, String]) extends Serializable {
 
   /** All regular files under `path`, as slash-separated RELATIVE names. */
   def walkFiles(path: String): Seq[String] =
-    if (isHttp(path)) httpReadOnly(path, "walkFiles")
+    if (isFtp(path)) walkFilesSized(path).map(_._1)
+    else if (isHttp(path)) httpReadOnly(path, "walkFiles")
     else if (isRemote(path)) {
       val base = new HPath(path).toUri.getPath.stripSuffix("/")
       val it = fs(path).listFiles(new HPath(path), true)

@@ -24,15 +24,22 @@ object ConfBridge {
 
   // WEAKLY keyed by the root session so a stopped/dereferenced session
   // (and its clone) can be collected — a static strong map would pin
-  // every session a long-lived driver ever created. Guarded by its own
+  // every session a long-lived driver ever created. The values hold the
+  // clones through SOFT references: a clone strongly references its
+  // parent (cloneSession retains parentSessionState whose closures
+  // capture the root), so a strong value would keep its own weak key
+  // reachable forever and defeat the eviction (ADVICE r19). Softly-held
+  // clones survive until memory pressure (cache semantics) and are
+  // simply re-cloned if collected between uses. Guarded by its own
   // monitor (WeakHashMap is not thread-safe); clone creation is cheap
   // and rare, so the lock is uncontended in practice.
   private val twins =
-    new java.util.WeakHashMap[SparkSession,
-      scala.collection.mutable.Map[String, SparkSession]]()
+    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[
+      String, java.lang.ref.SoftReference[SparkSession]]]()
 
   /** The cached clone of `spark` carrying `overrides` (created once per
-    * (session, overrides) pair). */
+    * (session, overrides) pair; re-created if the soft reference was
+    * collected under memory pressure). */
   def twinSession(spark: SparkSession,
                   overrides: Map[String, String]): SparkSession =
     twins.synchronized {
@@ -40,17 +47,19 @@ object ConfBridge {
         val cur = twins.get(spark)
         if (cur != null) cur
         else {
-          val m = scala.collection.mutable.Map.empty[String, SparkSession]
+          val m = scala.collection.mutable.Map
+            .empty[String, java.lang.ref.SoftReference[SparkSession]]
           twins.put(spark, m)
           m
         }
       }
       val key = overrides.toSeq.sorted.mkString(";")
-      byOverrides.getOrElseUpdate(key, {
+      byOverrides.get(key).flatMap(r => Option(r.get())).getOrElse {
         val q = spark.asInstanceOf[classic.SparkSession].cloneSession()
         overrides.foreach { case (k, v) => q.conf.set(k, v) }
+        byOverrides(key) = new java.lang.ref.SoftReference(q)
         q
-      })
+      }
     }
 
   /** `df` re-expressed against `to` — same analyzed plan, planned and

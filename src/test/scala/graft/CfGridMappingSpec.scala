@@ -11,6 +11,15 @@ import org.scalatest.funsuite.AnyFunSuite
   * to_regular (base.py:851/787) + the geostationary family. */
 class CfGridMappingSpec extends AnyFunSuite {
 
+  /** tmp-tests may not exist on a fresh target (only full `sbt test`
+    * runs are guaranteed to have another suite create it first). */
+  private def tmpBase: java.nio.file.Path = {
+    val p = java.nio.file.Paths.get("/root/repo/target/tmp-tests")
+    java.nio.file.Files.createDirectories(p)
+    p
+  }
+
+
   lazy val spark: SparkSession = GraftSession.builder("4").getOrCreate()
 
   private def v(name: String, dims: Seq[String],
@@ -93,7 +102,12 @@ class CfGridMappingSpec extends AnyFunSuite {
       "EPSG:8857", "EQEARTH:10.0",
       "EPSG:29873", "EPSG:2056",
       "HOM:35.0:-80.0:30.0:30.0:0.9996:0.0:0.0",
-      "HOM:35.0:-80.0:30.0:30.0:0.9996:0.0:0.0:A")
+      "HOM:35.0:-80.0:30.0:30.0:0.9996:0.0:0.0:A",
+      "EPSG:3395", "EPSG:3002", "EPSG:3388",
+      "MERC:110.0:0.997:3900000.0:900000.0", "MERCSP:51.0:42.0:0.0:0.0",
+      "EPSG:4087", "EQC:30.0:10.0:0.0:0.0",
+      "EPSG:27700", "EPSG:31467",
+      "TMERC:10.5:7.0:0.9999:200000.0:-50000.0")
     crss.foreach { c =>
       val back = CfGridMapping.crsFromCf(CfGridMapping.cfAttrs(c))
       val ok = back.contains(c) ||
@@ -177,7 +191,9 @@ class CfGridMappingSpec extends AnyFunSuite {
     assert(CfGridMapping.crsFromCf(Map(
       "grid_mapping_name" -> "popular_visualisation_pseudo_mercator"))
       .contains("EPSG:3857"))
-    // a standard-parallel / off-meridian / scaled Mercator is NOT 3857
+    // a standard-parallel / off-meridian / scaled Mercator with NO
+    // ellipsoid attrs is NOT 3857 — and without an ellipsoid it cannot
+    // take the 9804/9805 route either (r20): ambiguous, declined loudly
     for (bad <- Seq(
       Map("grid_mapping_name" -> "mercator", "standard_parallel" -> "41.0"),
       Map("grid_mapping_name" -> "mercator",
@@ -187,8 +203,21 @@ class CfGridMappingSpec extends AnyFunSuite {
       val ex = intercept[IllegalArgumentException] {
         CfGridMapping.crsFromCf(bad)
       }
-      assert(ex.getMessage.contains("web-mercator"), bad.toString)
+      assert(ex.getMessage.contains("ambiguous"), bad.toString)
     }
+    // WITH a WGS84 ellipsoid the same shapes resolve through the
+    // registered 9804/9805 closed forms
+    assert(CfGridMapping.crsFromCf(Map(
+      "grid_mapping_name" -> "mercator", "standard_parallel" -> "41.0",
+      "semi_major_axis" -> "6378137.0",
+      "inverse_flattening" -> "298.257223563"))
+      .contains("MERCSP:0.0:41.0:0.0:0.0"))
+    assert(CfGridMapping.crsFromCf(Map(
+      "grid_mapping_name" -> "mercator",
+      "scale_factor_at_projection_origin" -> "0.9996",
+      "semi_major_axis" -> "6378137.0",
+      "inverse_flattening" -> "298.257223563"))
+      .contains("MERC:0.0:0.9996:0.0:0.0"))
   }
 
   test("geostationary: the published GOES-R PUG worked example") {
@@ -253,7 +282,7 @@ class CfGridMappingSpec extends AnyFunSuite {
     import graft.sources.NetcdfSource
     import NetcdfSource.NcDim
     val dir = java.nio.file.Files.createTempDirectory(
-      java.nio.file.Paths.get("/root/repo/target/tmp-tests"), "cfnc")
+      tmpBase, "cfnc")
     val path = s"$dir/lcc.nc"
     val xs = Array.tabulate(6)(i => 700000.0 + i * 1000.0)
     val ys = Array.tabulate(5)(j => 6600000.0 - j * 1000.0)
@@ -280,7 +309,7 @@ class CfGridMappingSpec extends AnyFunSuite {
     import spark.implicits._
     import graft.sources.ZarrSource
     val g = s"${java.nio.file.Files.createTempDirectory(
-      java.nio.file.Paths.get("/root/repo/target/tmp-tests"), "cfzarr")}/c.zarr"
+      tmpBase, "cfzarr")}/c.zarr"
     val xs = Array.tabulate(8)(i => 500000.0 + 10.0 * i)
     val ys = Array.tabulate(6)(j => 5600050.0 - 10.0 * j) // descending
     val cells = (for (j <- 0 until 6; i <- 0 until 8) yield
@@ -322,7 +351,7 @@ class CfGridMappingSpec extends AnyFunSuite {
     import spark.implicits._
     import graft.sources.ZarrSource
     val g = s"${java.nio.file.Files.createTempDirectory(
-      java.nio.file.Paths.get("/root/repo/target/tmp-tests"), "wktzarr")}/c.zarr"
+      tmpBase, "wktzarr")}/c.zarr"
     val xs = Array.tabulate(6)(i => 500000.0 + 20.0 * i)
     val ys = Array.tabulate(4)(j => 5600000.0 - 20.0 * j)
     val cells = (for (j <- 0 until 4; i <- 0 until 6) yield
@@ -354,7 +383,7 @@ class CfGridMappingSpec extends AnyFunSuite {
     import graft.sources.GeoTiffSource
     import graft.sources.GeoTiffSource.Raster
     val dir = java.nio.file.Files.createTempDirectory(
-      java.nio.file.Paths.get("/root/repo/target/tmp-tests"), "geokey")
+      tmpBase, "geokey")
     // multi-band + nodata stresses the external-array offset layout the
     // GeoKey directory shifts
     val p1 = s"$dir/utm.tif"
@@ -424,7 +453,7 @@ class CfGridMappingSpec extends AnyFunSuite {
     import graft.sources.{DataStore, NetcdfSource}
     import NetcdfSource.NcDim
     val dir = java.nio.file.Files.createTempDirectory(
-      java.nio.file.Paths.get("/root/repo/target/tmp-tests"), "opengrid")
+      tmpBase, "opengrid")
     val path = s"$dir/utm.nc"
     NetcdfSource.write(path,
       Seq(NcDim("y", 4), NcDim("x", 5)),

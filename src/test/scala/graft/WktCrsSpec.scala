@@ -106,13 +106,117 @@ class WktCrsSpec extends AnyFunSuite {
       """PARAMETER["latitude_of_origin",39],""" +
       """PARAMETER["central_meridian",-96]]"""
     intercept[IllegalArgumentException] { resolve(conus) }
-    // ellipsoidal Mercator is NOT web-mercator (EPSG:3395 trap)
+    // ellipsoidal Mercator is NOT web-mercator: Mercator_1SP on the
+    // WGS84 SPHEROID resolves to the EPSG:3395 closed form (r20)
     val merc3395 = """PROJCS["WGS 84 / World Mercator",GEOGCS["WGS 84",""" +
       """DATUM["WGS_1984",SPHEROID["WGS 84",6378137,298.257223563]]],""" +
       """PROJECTION["Mercator_1SP"],PARAMETER["scale_factor",1],""" +
       """PARAMETER["central_meridian",0]]"""
-    val ex3 = intercept[IllegalArgumentException] { resolve(merc3395) }
-    assert(ex3.getMessage.contains("Mercator"))
+    assert(resolve(merc3395).contains("EPSG:3395"))
+    // ...but the plain (9810) stereographic still has no closed form:
+    // only the double (9809) family is registered, and they diverge
+    // away from the origin
+    val plainStereo = """PROJCS["custom stere",GEOGCS["WGS 84",""" +
+      """DATUM["WGS_1984",SPHEROID["WGS 84",6378137,298.257223563]]],""" +
+      """PROJECTION["Stereographic"],""" +
+      """PARAMETER["latitude_of_origin",45],""" +
+      """PARAMETER["central_meridian",25],PARAMETER["scale_factor",1]]"""
+    val ex4 = intercept[IllegalArgumentException] { resolve(plainStereo) }
+    assert(ex4.getMessage.contains("registered"))
+    ()
+  }
+
+  test("WKT1 OSGB36 / British National Grid without authority resolves " +
+    "to EPSG:27700 via the Airy ellipsoid + tmerc parameters") {
+    val wkt = """PROJCS["OSGB36 / British National Grid",""" +
+      """GEOGCS["OSGB36",DATUM["OSGB_1936",""" +
+      """SPHEROID["Airy 1830",6377563.396,299.3249646]],""" +
+      """PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]],""" +
+      """PROJECTION["Transverse_Mercator"],""" +
+      """PARAMETER["latitude_of_origin",49],""" +
+      """PARAMETER["central_meridian",-2],""" +
+      """PARAMETER["scale_factor",0.9996012717],""" +
+      """PARAMETER["false_easting",400000],""" +
+      """PARAMETER["false_northing",-100000],UNIT["metre",1]]"""
+    assert(resolve(wkt).contains("EPSG:27700"))
+    // the ADVICE r19 trap: a code-less NON-WGS84 UTM (ED50 / UTM 33 on
+    // the International ellipsoid) must NOT resolve to the WGS84 zone
+    // code — it is ~100-200 m off
+    val ed50 = """PROJCS["ED50 / UTM zone 33N",GEOGCS["ED50",""" +
+      """DATUM["European_Datum_1950",""" +
+      """SPHEROID["International 1924",6378388,297]],""" +
+      """PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]],""" +
+      """PROJECTION["Transverse_Mercator"],""" +
+      """PARAMETER["latitude_of_origin",0],""" +
+      """PARAMETER["central_meridian",15],""" +
+      """PARAMETER["scale_factor",0.9996],""" +
+      """PARAMETER["false_easting",500000],""" +
+      """PARAMETER["false_northing",0],UNIT["metre",1]]"""
+    val ex = intercept[IllegalArgumentException] { resolve(ed50) }
+    assert(ex.getMessage.contains("ellipsoid"))
+  }
+
+  test("GDAL WKT1 with an EXTENSION PROJ4 clause follows the extension " +
+    "(the spherical pseudo-mercator inside a Mercator_1SP shell)") {
+    val gdal3857 = """PROJCS["WGS 84 / Pseudo-Mercator",""" +
+      """GEOGCS["WGS 84",DATUM["WGS_1984",""" +
+      """SPHEROID["WGS 84",6378137,298.257223563]],""" +
+      """PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]],""" +
+      """PROJECTION["Mercator_1SP"],PARAMETER["central_meridian",0],""" +
+      """PARAMETER["scale_factor",1],PARAMETER["false_easting",0],""" +
+      """PARAMETER["false_northing",0],UNIT["metre",1],""" +
+      """EXTENSION["PROJ4","+proj=merc +a=6378137 +b=6378137 """ +
+      """+lat_ts=0 +lon_0=0 +x_0=0 +y_0=0 +k=1 +units=m +no_defs"]]"""
+    assert(resolve(gdal3857).contains("EPSG:3857"))
+  }
+
+  test("equidistant cylindrical routes: WKT2, proj string, CF name") {
+    val wkt4087 = """PROJCRS["WGS 84 / World Equidistant Cylindrical",""" +
+      """BASEGEOGCRS["WGS 84",DATUM["World Geodetic System 1984",""" +
+      """ELLIPSOID["WGS 84",6378137,298.257223563]]],""" +
+      """CONVERSION["World Equidistant Cylindrical",""" +
+      """METHOD["Equidistant Cylindrical"],""" +
+      """PARAMETER["Latitude of 1st standard parallel",0],""" +
+      """PARAMETER["Longitude of natural origin",0],""" +
+      """PARAMETER["False easting",0],PARAMETER["False northing",0]],""" +
+      """CS[Cartesian,2]]"""
+    assert(resolve(wkt4087).contains("EPSG:4087"))
+    assert(resolve("+proj=eqc +lat_ts=0 +lon_0=0 +ellps=WGS84")
+      .contains("EPSG:4087"))
+    assert(resolve("+proj=eqc +lat_ts=30 +lon_0=10")
+      .contains("EQC:30.0:10.0:0.0:0.0"))
+    // a latitude-of-origin shift is not EPSG 1028
+    intercept[IllegalArgumentException] {
+      resolve("+proj=eqc +lat_0=15 +lat_ts=0")
+    }
+    ()
+  }
+
+  test("general and ellipsoidal Mercator / Gauss-Kruger proj routes") {
+    // +proj=merc defaults to the WGS84 ELLIPSOIDAL form = EPSG:3395
+    assert(resolve("+proj=merc").contains("EPSG:3395"))
+    assert(resolve("+proj=merc +lon_0=110 +k=0.997 +x_0=3900000 " +
+      "+y_0=900000 +ellps=bessel").contains("EPSG:3002"))
+    assert(resolve("+proj=merc +lat_ts=42 +lon_0=51 +ellps=krass")
+      .contains("EPSG:3388"))
+    assert(resolve("+proj=merc +lat_ts=41 +lon_0=0")
+      .contains("MERCSP:0.0:41.0:0.0:0.0"))
+    assert(resolve("+proj=tmerc +lat_0=49 +lon_0=-2 +k=0.9996012717 " +
+      "+x_0=400000 +y_0=-100000 +ellps=airy").contains("EPSG:27700"))
+    assert(resolve("+proj=tmerc +lat_0=0 +lon_0=9 +k=1 +x_0=3500000 " +
+      "+y_0=0 +ellps=bessel").contains("EPSG:31467"))
+    // generic WGS84 tmerc resolves through the 9807 closed form
+    assert(resolve("+proj=tmerc +lat_0=10.5 +lon_0=7 +k=0.9999 " +
+      "+x_0=200000 +y_0=-50000")
+      .contains("TMERC:10.5:7.0:0.9999:200000.0:-50000.0"))
+    // a non-WGS84 UTM via proj declines (ED50 trap, proj form)
+    intercept[IllegalArgumentException] {
+      resolve("+proj=utm +zone=33 +ellps=intl")
+    }
+    // plain non-polar stere declines loudly (9810 vs 9809)
+    intercept[IllegalArgumentException] {
+      resolve("+proj=stere +lat_0=52 +lon_0=5 +k=0.9999")
+    }
     ()
   }
 
@@ -188,14 +292,19 @@ class WktCrsSpec extends AnyFunSuite {
     assert(resolve("+proj=omerc +lat_0=35 +lonc=-80 +alpha=30 " +
       "+gamma=30 +k_0=0.9996 +no_uoff")
       .contains("HOM:35.0:-80.0:30.0:30.0:0.9996:0.0:0.0:A"))
-    // unregistered proj / ellipsoidal mercator decline loudly
+    // unregistered proj declines loudly; an explicit WGS84 a/b pair is
+    // the ellipsoidal EPSG:3395 family (r20)
     intercept[IllegalArgumentException] { resolve("+proj=krovak +lat_0=49") }
-    intercept[IllegalArgumentException] {
-      resolve("+proj=merc +a=6378137 +b=6356752.3142")
-    }
-    // spherical mercator is the registered pseudo-mercator
-    assert(resolve("+proj=merc +a=6371000 +b=6371000")
+    assert(resolve("+proj=merc +a=6378137 +b=6356752.3142")
+      .contains("EPSG:3395"))
+    // the 6378137-sphere mercator is the registered pseudo-mercator; a
+    // DIFFERENT sphere radius scales every coordinate and declines (r20)
+    assert(resolve("+proj=merc +a=6378137 +b=6378137")
       .contains("EPSG:3857"))
+    intercept[IllegalArgumentException] {
+      resolve("+proj=merc +a=6371000 +b=6371000")
+    }
+    ()
   }
 
   test("shifted/offset variants of registered families decline LOUDLY " +
@@ -218,13 +327,30 @@ class WktCrsSpec extends AnyFunSuite {
       CfGridMapping.crsFromCf(Map("grid_mapping_name" -> "sinusoidal",
         "longitude_of_projection_origin" -> "10.0"))
     }
-    // CF mercator with an EXPLICIT ellipsoid is EPSG:3395 semantics
+    // CF mercator with an EXPLICIT ellipsoid is EPSG:3395 semantics —
+    // since r20 that family has a registered closed form
+    assert(CfGridMapping.crsFromCf(Map("grid_mapping_name" -> "mercator",
+      "standard_parallel" -> "0.0",
+      "semi_major_axis" -> "6378137.0",
+      "inverse_flattening" -> "298.257223563")).contains("EPSG:3395"))
+    // ...while a non-equatorial Mercator with NO ellipsoid attrs stays
+    // ambiguous (spherical vs 9805) and declines loudly
     intercept[IllegalArgumentException] {
       CfGridMapping.crsFromCf(Map("grid_mapping_name" -> "mercator",
-        "standard_parallel" -> "0.0",
-        "semi_major_axis" -> "6378137.0",
-        "inverse_flattening" -> "298.257223563"))
+        "standard_parallel" -> "41.0"))
     }
+    // CF non-WGS84 Mercator: the registered Makassar / Caspian combos
+    assert(CfGridMapping.crsFromCf(Map("grid_mapping_name" -> "mercator",
+      "longitude_of_projection_origin" -> "110.0",
+      "scale_factor_at_projection_origin" -> "0.997",
+      "false_easting" -> "3900000.0", "false_northing" -> "900000.0",
+      "semi_major_axis" -> "6377397.155",
+      "inverse_flattening" -> "299.1528128")).contains("EPSG:3002"))
+    assert(CfGridMapping.crsFromCf(Map("grid_mapping_name" -> "mercator",
+      "standard_parallel" -> "42.0",
+      "longitude_of_projection_origin" -> "51.0",
+      "semi_major_axis" -> "6378245.0",
+      "inverse_flattening" -> "298.3")).contains("EPSG:3388"))
     // ABSENT offsets stay lenient: a zero-offset family omitting the
     // attributes still resolves (CF granules often leave them out)
     assert(CfGridMapping.crsFromCf(Map(
