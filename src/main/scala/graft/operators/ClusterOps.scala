@@ -172,13 +172,43 @@ object ClusterOps {
       .join(broadcast(compOf.select(col("node").as("v"), col("c").as("cv"))),
         Seq("v"))
       .select(col("cu"), col("cv")).filter(col("cu") =!= col("cv"))
-    // old root (or new node id) → new root, from CC over the tiny graph —
-    // collected (batch-sized) so the returned plan is pure labels-scan +
-    // broadcast joins
-    val mappingDist = connectedComponents(compEdges, "cu", "cv")
-      .select(col("node").as("oc"), col("comp").as("nc"))
+    // old root (or new node id) → new root. CC over the tiny component
+    // graph runs as a LOCAL union-find: the graph is batch-sized by
+    // construction (≤ one edge per batch pair, already lifted to
+    // component ids) and its RESULT was collected here anyway — running
+    // the distributed star-contraction to produce a local table paid
+    // ~10 persist+count rounds of near-empty 32-task stages, pure
+    // scheduler latency that dominated the whole fold (7.6 s at sf0.1
+    // on a 70 ms/stage scheduler). Collecting the INPUT is bounded by
+    // the same batch-size argument as `touched` and the mapping itself.
+    // Union attaches the larger root under the smaller, so every final
+    // root is the component minimum — identical semantics to
+    // [[connectedComponents]].
+    val ce = compEdges.collect()
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x // path compression
+      while (parent.getOrElse(c, c) != c) {
+        val n = parent.getOrElse(c, c); parent(c) = r; c = n
+      }
+      r
+    }
+    ce.foreach { row =>
+      val (ra, rb) = (find(row.getLong(0)), find(row.getLong(1)))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    val mappingRows: Array[org.apache.spark.sql.Row] = ce
+      .flatMap(r => Seq(r.getLong(0), r.getLong(1))).distinct
+      .map(n => org.apache.spark.sql.Row(n, find(n)))
+    val mappingSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("oc",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("nc",
+        org.apache.spark.sql.types.LongType)))
     val mapping = spark.createDataFrame(
-      java.util.Arrays.asList(mappingDist.collect(): _*), mappingDist.schema)
+      java.util.Arrays.asList(mappingRows: _*), mappingSchema)
     // rewrite: one labels scan with a broadcast left join; new nodes
     // (batch-sized anti against the TOUCHED slice, never the corpus)
     // enter with their mapped root, or themselves when their every pair

@@ -131,7 +131,15 @@ object ScaleSoak {
     // grid-mapping transform (O(pixels) coordinate field + one bbox
     // aggregate — constant per-row work by construction)
     "q_resample_space_stereo", "q_resample_space_eqearth",
-    "q_gm_transform", "q_resample_space_hom")
+    "q_gm_transform", "q_resample_space_hom",
+    // round-20 CRS families (ellipsoidal Mercator, equidistant
+    // cylindrical, Gauss-Kruger tmerc): same scan + closed-form
+    // transform + binning shape as every registered family — linear by
+    // construction; plus the ij-transform affine gate (pure dyadic
+    // arithmetic per row) and the fixture-read incremental CC fold
+    // (batch-shaped work over a corpus-sized broadcast label table)
+    "q_resample_space_merc", "q_resample_space_eqc", "q_resample_space_gk",
+    "q_ij_transform")
 
   /** Deep-soak subset (run at 30×): the newest heavy operators. The
     * format-fixture queries (kerchunk combine, COG levels, zarr append)
@@ -337,10 +345,13 @@ object ScaleSoak {
       (System.nanoTime() - t0) / 1e9
     }
     selected.foreach(q => timeQ(q, base)) // untimed warmup: JIT + codegen
-    // skew mode includes streaming twins whose one-time coalesced fixture
-    // builds inside the query — warm the scaled dir too so the timed run
-    // measures the operator, not the once-per-checkout fixture write
-    if (skewMode) selected.foreach(q => timeQ(q, out))
+    // warm the SCALED dir too: fixture-backed queries (streaming twins,
+    // the incremental-CC labels table, the ftp/http zarr mounts) build
+    // their once-per-checkout layout inside the first invocation — left
+    // unwarmed, that one-time write lands in the timed region and reads
+    // as a superlinear operator (the r20 incremental-CC fixture measured
+    // 94x where the fold itself is 1.5x)
+    selected.foreach(q => timeQ(q, out))
     val rows = selected.map { q =>
       val tb = timeQ(q, base)
       val ts = timeQ(q, out)
