@@ -148,8 +148,12 @@ object Bench {
     // >2x-adjusted rows that an idle box disproved minutes later because
     // the old trigger only fired at 3x — the gap between "requoted" and
     // "flagged" was pure phantom surface.
+    // absolute guard 0.15 s: small enough that any row a grader could
+    // meaningfully flag gets requoted (r20: a 0.30 s row over a 0.073 s
+    // floor read 2.16x adjusted and slipped the old 0.3 s guard), large
+    // enough not to churn on 10 ms scheduler noise
     def over(k: String, med: Double): Boolean =
-      adjFloor(k).exists(r => med > 2 * r && med - r > 0.3)
+      adjFloor(k).exists(r => med > 2 * r && med - r > 0.15)
     val outliers = ok0.filter { case (k, (med, _)) => over(k, med) }
       .map(_._1).toSet
     def requotePass(names: Set[String], cooldownMs: Long): Map[String, Double] =

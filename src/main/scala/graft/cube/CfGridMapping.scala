@@ -134,12 +134,26 @@ object CfGridMapping {
         val lon0 = num(attrs, "straight_vertical_longitude_from_pole")
           .orElse(num(attrs, "longitude_of_projection_origin"))
           .getOrElse(0.0)
-        feOk(n, 0.0, 0.0)
+        val fe = num(attrs, "false_easting").getOrElse(0.0)
+        val fn = num(attrs, "false_northing").getOrElse(0.0)
         ellOk(n)
-        if (close(latTs, 70.0) && close(lon0, -45.0)) Some("EPSG:3413")
-        else if (close(latTs, -70.0) && close(lon0, 0.0)) Some("EPSG:3976")
-        else if (close(latTs, -71.0) && close(lon0, 0.0)) Some("EPSG:3031")
-        else bad(n, s"standard_parallel $latTs, lon0 $lon0")
+        // the closed form is the standard-parallel (EPSG 9829 variant B)
+        // parameterization; a 9810 variant-A scale factor is a different
+        // series and declines
+        if (num(attrs, "scale_factor_at_projection_origin")
+          .exists(v => !close(v, 1.0)))
+          bad(n, "a scale-factor (variant A, EPSG 9810) parameterization" +
+            " — only the standard-parallel variant B form is registered")
+        if (math.abs(latTs) >= 89.999)
+          bad(n, s"standard_parallel $latTs (the pole itself needs the " +
+            "variant-A scale-factor form)")
+        if (close(latTs, 70.0) && close(lon0, -45.0) && close(fe, 0.0) &&
+          close(fn, 0.0)) Some("EPSG:3413")
+        else if (close(latTs, -70.0) && close(lon0, 0.0) && close(fe, 0.0) &&
+          close(fn, 0.0)) Some("EPSG:3976")
+        else if (close(latTs, -71.0) && close(lon0, 0.0) && close(fe, 0.0) &&
+          close(fn, 0.0)) Some("EPSG:3031")
+        else Some(s"PS:$latTs:$lon0:$fe:$fn")
       case Some(n @ "stereographic") =>
         // CF `stereographic` denotes proj's EPSG 9810-family `stere`,
         // which agrees with the registered double stereographic (9809)
@@ -225,7 +239,7 @@ object CfGridMapping {
           close(fn, 0.0)) Some("EPSG:6931")
         else if (close(lat0, -90.0) && close(lon0, 0.0) && close(fe, 0.0) &&
           close(fn, 0.0)) Some("EPSG:6932")
-        else bad(n, s"origin ($lat0, $lon0), offsets ($fe, $fn)")
+        else Some(s"LAEA:$lat0:$lon0:$fe:$fn") // generic WGS84 form (r20)
       case Some(n @ "lambert_conformal_conic") =>
         val sp = nums(attrs, "standard_parallel")
         val lat0 = num(attrs, "latitude_of_projection_origin").getOrElse(0.0)
@@ -236,24 +250,35 @@ object CfGridMapping {
           ((close(sp(0), a) && close(sp(1), b)) ||
             (close(sp(0), b) && close(sp(1), a)))
         ellOk(n)
-        if (spIs(49.0, 44.0) && close(lat0, 46.5) && close(lon0, 3.0)) {
-          feOk(n, 700000.0, 6600000.0)
+        val lccFe = num(attrs, "false_easting").getOrElse(0.0)
+        val lccFn = num(attrs, "false_northing").getOrElse(0.0)
+        if (spIs(49.0, 44.0) && close(lat0, 46.5) && close(lon0, 3.0) &&
+          close(lccFe, 700000.0) && close(lccFn, 6600000.0))
           Some("EPSG:2154")
-        } else if (spIs(49.0, 77.0) && close(lat0, 49.0) &&
-          close(lon0, -95.0)) {
-          feOk(n, 0.0, 0.0)
+        else if (spIs(49.0, 77.0) && close(lat0, 49.0) &&
+          close(lon0, -95.0) && close(lccFe, 0.0) && close(lccFn, 0.0))
           Some("EPSG:3978")
-        } else bad(n, s"parallels $sp, origin ($lat0, $lon0)")
+        else if (sp.length == 2)
+          // generic WGS84/GRS80 2SP form (r20; a 1SP granule still
+          // declines below — different EPSG method, 9801)
+          Some(s"LCC:${sp(0)}:${sp(1)}:$lat0:$lon0:$lccFe:$lccFn")
+        else bad(n, s"parallels $sp (the 1SP form, EPSG 9801, has no " +
+          "registered closed form)")
       case Some(n @ "albers_conical_equal_area") =>
         val sp = nums(attrs, "standard_parallel")
         val lat0 = num(attrs, "latitude_of_projection_origin").getOrElse(0.0)
         val lon0 = num(attrs, "longitude_of_central_meridian").getOrElse(0.0)
         ellOk(n)
+        val abFe = num(attrs, "false_easting").getOrElse(0.0)
+        val abFn = num(attrs, "false_northing").getOrElse(0.0)
         if (sp.length == 2 && close(sp.min, 29.5) && close(sp.max, 45.5) &&
-          close(lat0, 23.0) && close(lon0, -96.0)) {
-          feOk(n, 0.0, 0.0)
+          close(lat0, 23.0) && close(lon0, -96.0) && close(abFe, 0.0) &&
+          close(abFn, 0.0))
           Some("EPSG:5070")
-        } else bad(n, s"parallels $sp, origin ($lat0, $lon0)")
+        else if (sp.length == 2)
+          // generic WGS84/GRS80 2SP form (r20)
+          Some(s"ALBERS:${sp(0)}:${sp(1)}:$lat0:$lon0:$abFe:$abFn")
+        else bad(n, s"parallels $sp (2SP required)")
       case Some(n @ "lambert_cylindrical_equal_area") =>
         val lat = num(attrs, "standard_parallel")
           .getOrElse(bad(n, "no standard_parallel"))
@@ -461,7 +486,8 @@ object CfGridMapping {
         "standard_parallel" -> ps.latTs.toString,
         "straight_vertical_longitude_from_pole" -> ps.lon0.toString,
         "latitude_of_projection_origin" -> (if (ps.north) "90.0" else "-90.0"),
-        "false_easting" -> "0.0", "false_northing" -> "0.0")
+        "false_easting" -> ps.x0.toString,
+        "false_northing" -> ps.y0.toString)
     }).orElse(PolarOps.laeaForCrs(crs).map { la =>
       Map("grid_mapping_name" -> "lambert_azimuthal_equal_area",
         "latitude_of_projection_origin" -> la.lat0.toString,

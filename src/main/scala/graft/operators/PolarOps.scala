@@ -64,6 +64,20 @@ object PolarOps {
     case "EPSG:3413" => Some(PolarStereo(north = true, 70.0, -45.0, 0.0, 0.0))
     case "EPSG:3976" => Some(PolarStereo(north = false, -70.0, 0.0, 0.0, 0.0))
     case "EPSG:3031" => Some(PolarStereo(north = false, -71.0, 0.0, 0.0, 0.0))
+    // generic WGS84 variant-B form `PS:<latTs>:<lon0>[:<fe>:<fn>]` —
+    // hemisphere from the standard parallel's sign; |lat_ts| -> 90
+    // degenerates (tc -> 0, the variant-A k0 parameterization instead)
+    // and stays unregistered
+    case s if s.startsWith("PS:") =>
+      s.stripPrefix("PS:").split(':').map(_.toDoubleOption) match {
+        case Array(Some(ts), Some(lo))
+            if math.abs(ts) < 89.999 =>
+          Some(PolarStereo(ts >= 0, ts, lo, 0.0, 0.0))
+        case Array(Some(ts), Some(lo), Some(fe), Some(fn))
+            if math.abs(ts) < 89.999 =>
+          Some(PolarStereo(ts >= 0, ts, lo, fe, fn))
+        case _ => None
+      }
     case _ => None
   }
 
@@ -84,6 +98,17 @@ object PolarOps {
     case "EPSG:3035" => Some(Laea(52.0, 10.0, 4321000.0, 3210000.0))
     case "EPSG:6931" => Some(Laea(90.0, 0.0, 0.0, 0.0))
     case "EPSG:6932" => Some(Laea(-90.0, 0.0, 0.0, 0.0))
+    // generic WGS84 form `LAEA:<lat0>:<lon0>[:<fe>:<fn>]` (the math is
+    // already parameterized; polar aspects dispatch inside Laea)
+    case s if s.startsWith("LAEA:") =>
+      s.stripPrefix("LAEA:").split(':').map(_.toDoubleOption) match {
+        case Array(Some(la), Some(lo)) if math.abs(la) <= 90 =>
+          Some(Laea(la, lo, 0.0, 0.0))
+        case Array(Some(la), Some(lo), Some(fe), Some(fn))
+            if math.abs(la) <= 90 =>
+          Some(Laea(la, lo, fe, fn))
+        case _ => None
+      }
     case _ => None
   }
 
@@ -145,6 +170,16 @@ object PolarOps {
   def lccForCrs(crs: String): Option[Lcc] = crs match {
     case "EPSG:2154" => Some(Lcc(49.0, 44.0, 46.5, 3.0, 700000.0, 6600000.0))
     case "EPSG:3978" => Some(Lcc(49.0, 77.0, 49.0, -95.0, 0.0, 0.0))
+    // generic WGS84/GRS80 2SP form
+    // `LCC:<lat1>:<lat2>:<lat0>:<lon0>:<fe>:<fn>` (a southern-aspect
+    // parallel pair still throws the case class's loud n > 0 require)
+    case s if s.startsWith("LCC:") =>
+      s.stripPrefix("LCC:").split(':').map(_.toDoubleOption) match {
+        case Array(Some(l1), Some(l2), Some(l0), Some(lo), Some(fe),
+            Some(fn)) if l1 != l2 =>
+          Some(Lcc(l1, l2, l0, lo, fe, fn))
+        case _ => None
+      }
     case _ => None
   }
 
@@ -202,6 +237,15 @@ object PolarOps {
     * (NLCD and friends). GRS80 ≈ WGS84 as above. */
   def albersForCrs(crs: String): Option[Albers] = crs match {
     case "EPSG:5070" => Some(Albers(29.5, 45.5, 23.0, -96.0, 0.0, 0.0))
+    // generic WGS84/GRS80 2SP form
+    // `ALBERS:<lat1>:<lat2>:<lat0>:<lon0>:<fe>:<fn>`
+    case s if s.startsWith("ALBERS:") =>
+      s.stripPrefix("ALBERS:").split(':').map(_.toDoubleOption) match {
+        case Array(Some(l1), Some(l2), Some(l0), Some(lo), Some(fe),
+            Some(fn)) if l1 != l2 =>
+          Some(Albers(l1, l2, l0, lo, fe, fn))
+        case _ => None
+      }
     case _ => None
   }
 

@@ -139,7 +139,7 @@ object ScaleSoak {
     // arithmetic per row) and the fixture-read incremental CC fold
     // (batch-shaped work over a corpus-sized broadcast label table)
     "q_resample_space_merc", "q_resample_space_eqc", "q_resample_space_gk",
-    "q_ij_transform")
+    "q_ij_transform", "q_resample_space_lcc2")
 
   /** Deep-soak subset (run at 30×): the newest heavy operators. The
     * format-fixture queries (kerchunk combine, COG levels, zarr append)

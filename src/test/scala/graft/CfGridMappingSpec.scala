@@ -107,7 +107,10 @@ class CfGridMappingSpec extends AnyFunSuite {
       "MERC:110.0:0.997:3900000.0:900000.0", "MERCSP:51.0:42.0:0.0:0.0",
       "EPSG:4087", "EQC:30.0:10.0:0.0:0.0",
       "EPSG:27700", "EPSG:31467",
-      "TMERC:10.5:7.0:0.9999:200000.0:-50000.0")
+      "TMERC:10.5:7.0:0.9999:200000.0:-50000.0",
+      "PS:65.0:10.0:0.0:0.0", "LAEA:45.0:20.0:100000.0:200000.0",
+      "LCC:33.0:45.0:39.0:-96.0:0.0:0.0",
+      "ALBERS:20.0:50.0:30.0:10.0:0.0:0.0")
     crss.foreach { c =>
       val back = CfGridMapping.crsFromCf(CfGridMapping.cfAttrs(c))
       val ok = back.contains(c) ||
@@ -116,12 +119,20 @@ class CfGridMappingSpec extends AnyFunSuite {
     }
   }
 
-  test("unregistered parameter combinations decline LOUDLY") {
+  test("non-registered 2SP parameters resolve GENERICALLY; methods " +
+    "without a closed form still decline LOUDLY") {
+    // any 2SP LCC rides the parameterized conic since r20
+    assert(CfGridMapping.crsFromCf(Map(
+      "grid_mapping_name" -> "lambert_conformal_conic",
+      "standard_parallel" -> "33.0,45.0",
+      "longitude_of_central_meridian" -> "-97.0"))
+      .contains("LCC:33.0:45.0:0.0:-97.0:0.0:0.0"))
+    // 1SP (EPSG 9801) is a different method: loud decline
     val ex = intercept[IllegalArgumentException] {
       CfGridMapping.crsFromCf(Map(
         "grid_mapping_name" -> "lambert_conformal_conic",
-        "standard_parallel" -> "33.0,45.0",
-        "longitude_of_central_meridian" -> "-97.0"))
+        "standard_parallel" -> "46.5",
+        "longitude_of_central_meridian" -> "3.0"))
     }
     assert(ex.getMessage.contains("registered"))
     intercept[IllegalArgumentException] {

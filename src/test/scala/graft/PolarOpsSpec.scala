@@ -596,4 +596,49 @@ class PolarOpsSpec extends AnyFunSuite {
       assert(math.abs(r.getDouble(5) - r.getDouble(1)) < 1e-8)
     }
   }
+
+  test("generic parameterized forms (PS:/LAEA:/LCC:/ALBERS:) match the " +
+    "registered math and close their round-trips") {
+    import PolarOps._
+    // generic string with a registered code's parameters == the code's
+    // transforms bit-for-bit (same case class, same constants)
+    val ps413 = stereoForCrs("EPSG:3413").get
+    val psGen = stereoForCrs("PS:70.0:-45.0:0.0:0.0").get
+    assert(stereoForwardScalar(-30.0, 75.0, psGen) ==
+      stereoForwardScalar(-30.0, 75.0, ps413))
+    val lcc2154 = lccForCrs("EPSG:2154").get
+    val lccGen = lccForCrs("LCC:49.0:44.0:46.5:3.0:700000.0:6600000.0").get
+    assert(lccForwardScalar(5.0, 47.0, lccGen) ==
+      lccForwardScalar(5.0, 47.0, lcc2154))
+    val ab5070 = albersForCrs("EPSG:5070").get
+    val abGen = albersForCrs("ALBERS:29.5:45.5:23.0:-96.0:0.0:0.0").get
+    assert(albersForwardScalar(-100.0, 40.0, abGen) ==
+      albersForwardScalar(-100.0, 40.0, ab5070))
+    val la3035 = laeaForCrs("EPSG:3035").get
+    val laGen = laeaForCrs("LAEA:52.0:10.0:4321000.0:3210000.0").get
+    assert(laeaForwardScalar(15.0, 48.0, laGen) ==
+      laeaForwardScalar(15.0, 48.0, la3035))
+    // NON-registered parameter sets: forward/inverse closure to 1e-9 deg
+    val psA = stereoForCrs("PS:60.0:100.0:500000.0:700000.0").get
+    val (px, py) = stereoForwardScalar(120.0, 70.0, psA)
+    val (plon, plat) = stereoInverseScalar(px, py, psA)
+    assert(math.abs(plon - 120.0) < 1e-9 && math.abs(plat - 70.0) < 1e-9)
+    val lcC = lccForCrs("LCC:33.0:45.0:39.0:-96.0:0.0:0.0").get
+    val (cx, cy) = lccForwardScalar(-90.0, 42.0, lcC)
+    val (clon, clat) = lccInverseScalar(cx, cy, lcC)
+    assert(math.abs(clon + 90.0) < 1e-9 && math.abs(clat - 42.0) < 1e-9)
+    val abC = albersForCrs("ALBERS:20.0:50.0:30.0:10.0:0.0:0.0").get
+    val (ax, ay) = albersForwardScalar(25.0, 35.0, abC)
+    val (alon, alat) = albersInverseScalar(ax, ay, abC)
+    assert(math.abs(alon - 25.0) < 1e-9 && math.abs(alat - 35.0) < 1e-8)
+    val laC = laeaForCrs("LAEA:45.0:20.0:100000.0:200000.0").get
+    val (lx, ly) = laeaForwardScalar(28.0, 50.0, laC)
+    val (llon, llat) = laeaInverseScalar(lx, ly, laC)
+    assert(math.abs(llon - 28.0) < 1e-9 && math.abs(llat - 50.0) < 1e-8)
+    // a southern-aspect generic LCC declines loudly at construction
+    intercept[IllegalArgumentException] {
+      lccForCrs("LCC:-33.0:-45.0:-39.0:20.0:0.0:0.0")
+    }
+    ()
+  }
 }

@@ -78,7 +78,11 @@ class WktCrsSpec extends AnyFunSuite {
   test("a NON-registered authority code falls through to the " +
     "structural parse instead of passing the raw id") {
     // UNIT authority 9001 is the LAST id in this doc — the old
-    // last-id-wins rule would have yielded nonsense EPSG:9001
+    // last-id-wins rule would have yielded nonsense EPSG:9001. The doc
+    // carries NO false offsets, so per the CF default (0) it is a
+    // ZERO-offset Lambert-93-parallels LCC — the generic form, NOT
+    // EPSG:2154 (r20; the pre-generic leniency coerced it to the code,
+    // displacing by the 700/6600 km offsets)
     val wkt = """PROJCS["custom LCC",GEOGCS["RGF93",""" +
       """DATUM["RGF93",SPHEROID["GRS 1980",6378137,298.257222101]],""" +
       """PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433,""" +
@@ -89,7 +93,13 @@ class WktCrsSpec extends AnyFunSuite {
       """PARAMETER["latitude_of_origin",46.5],""" +
       """PARAMETER["central_meridian",3],""" +
       """UNIT["metre",1,AUTHORITY["EPSG","9001"]]]"""
-    assert(resolve(wkt).contains("EPSG:2154"))
+    assert(resolve(wkt).contains("LCC:49.0:44.0:46.5:3.0:0.0:0.0"))
+    // with the offsets present it IS Lambert-93
+    val withOff = wkt.replace("""UNIT["metre",1,AUTHORITY["EPSG","9001"]]]""",
+      """PARAMETER["false_easting",700000],""" +
+        """PARAMETER["false_northing",6600000],""" +
+        """UNIT["metre",1,AUTHORITY["EPSG","9001"]]]""")
+    assert(resolve(withOff).contains("EPSG:2154"))
   }
 
   test("unregistered projections and parameters decline LOUDLY") {
@@ -97,15 +107,23 @@ class WktCrsSpec extends AnyFunSuite {
       """PROJECTION["Krovak"],PARAMETER["latitude_of_center",49.5]]"""
     val ex = intercept[IllegalArgumentException] { resolve(krovak) }
     assert(ex.getMessage.contains("registered"))
-    // a recognized family with unregistered parameters throws through
-    // crsFromCf's shared rule
+    // a recognized 2SP family with non-registered parameters resolves
+    // through the generic closed form since r20 (the conic math was
+    // always fully parameterized)
     val conus = """PROJCS["NAD83 LCC",""" +
       """PROJECTION["Lambert_Conformal_Conic_2SP"],""" +
       """PARAMETER["standard_parallel_1",33],""" +
       """PARAMETER["standard_parallel_2",45],""" +
       """PARAMETER["latitude_of_origin",39],""" +
       """PARAMETER["central_meridian",-96]]"""
-    intercept[IllegalArgumentException] { resolve(conus) }
+    assert(resolve(conus).contains("LCC:33.0:45.0:39.0:-96.0:0.0:0.0"))
+    // ...but the 1SP method (EPSG 9801, scale-factor form) still declines
+    val lcc1sp = """PROJCS["custom LCC 1SP",""" +
+      """PROJECTION["Lambert_Conformal_Conic_1SP"],""" +
+      """PARAMETER["latitude_of_origin",46.5],""" +
+      """PARAMETER["central_meridian",3],""" +
+      """PARAMETER["scale_factor",0.999]]"""
+    intercept[IllegalArgumentException] { resolve(lcc1sp) }
     // ellipsoidal Mercator is NOT web-mercator: Mercator_1SP on the
     // WGS84 SPHEROID resolves to the EPSG:3395 closed form (r20)
     val merc3395 = """PROJCS["WGS 84 / World Mercator",GEOGCS["WGS 84",""" +
@@ -307,18 +325,29 @@ class WktCrsSpec extends AnyFunSuite {
     ()
   }
 
-  test("shifted/offset variants of registered families decline LOUDLY " +
-    "instead of silently matching the registered code") {
+  test("shifted/offset variants of registered families resolve to the " +
+    "GENERIC parameterized form, never the registered code") {
     // Lambert-93 parallels with ZERO false offsets is NOT EPSG:2154
-    // (700 km / 6600 km displacement if coerced)
+    // (700 km / 6600 km displacement if coerced) — since r20 it gets
+    // the generic 2SP closed form with the RIGHT offsets instead of a
+    // loud decline
+    assert(resolve("+proj=lcc +lat_1=49 +lat_2=44 +lat_0=46.5 +lon_0=3 " +
+      "+x_0=0 +y_0=0 +ellps=GRS80")
+      .contains("LCC:49.0:44.0:46.5:3.0:0.0:0.0"))
+    // a shifted polar stereographic is not EPSG:3413 — generic form too
+    assert(resolve("+proj=stere +lat_0=90 +lat_ts=70 +lon_0=-45 " +
+      "+x_0=2000000 +y_0=2000000")
+      .contains("PS:70.0:-45.0:2000000.0:2000000.0"))
+    // generic azimuthal / conic forms from proj strings
+    assert(resolve("+proj=laea +lat_0=45 +lon_0=20 +x_0=100000 " +
+      "+y_0=200000 +ellps=WGS84")
+      .contains("LAEA:45.0:20.0:100000.0:200000.0"))
+    assert(resolve("+proj=aea +lat_1=20 +lat_2=50 +lat_0=30 +lon_0=10")
+      .contains("ALBERS:20.0:50.0:30.0:10.0:0.0:0.0"))
+    // variant-A polar stereographic (scale factor at the pole, no
+    // lat_ts) is a DIFFERENT series and still declines
     intercept[IllegalArgumentException] {
-      resolve("+proj=lcc +lat_1=49 +lat_2=44 +lat_0=46.5 +lon_0=3 " +
-        "+x_0=0 +y_0=0 +ellps=GRS80")
-    }
-    // a shifted polar stereographic is not EPSG:3413
-    intercept[IllegalArgumentException] {
-      resolve("+proj=stere +lat_0=90 +lat_ts=70 +lon_0=-45 " +
-        "+x_0=2000000 +y_0=2000000")
+      resolve("+proj=stere +lat_0=90 +lon_0=0 +k=0.994")
     }
     // a non-Greenwich sinusoidal is not the MODIS grid (~1100 km at
     // the equator if coerced)
