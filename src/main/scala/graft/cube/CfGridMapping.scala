@@ -137,17 +137,27 @@ object CfGridMapping {
         val fe = num(attrs, "false_easting").getOrElse(0.0)
         val fn = num(attrs, "false_northing").getOrElse(0.0)
         ellOk(n)
-        // the closed form is the standard-parallel (EPSG 9829 variant B)
-        // parameterization; a 9810 variant-A scale factor is a different
-        // series and declines
-        if (num(attrs, "scale_factor_at_projection_origin")
-          .exists(v => !close(v, 1.0)))
-          bad(n, "a scale-factor (variant A, EPSG 9810) parameterization" +
-            " — only the standard-parallel variant B form is registered")
-        if (math.abs(latTs) >= 89.999)
-          bad(n, s"standard_parallel $latTs (the pole itself needs the " +
-            "variant-A scale-factor form)")
-        if (close(latTs, 70.0) && close(lon0, -45.0) && close(fe, 0.0) &&
+        val k0ps = num(attrs, "scale_factor_at_projection_origin")
+        val spGiven = num(attrs, "standard_parallel")
+        // variant A (EPSG 9810, the UPS family): scale factor AT the
+        // pole, no standard parallel; variant B (9829): standard
+        // parallel, no scale factor. Both at once is contradictory.
+        if (k0ps.exists(v => !close(v, 1.0)) &&
+          spGiven.exists(v => math.abs(v) < 89.999))
+          bad(n, "BOTH a standard parallel and a scale factor (EPSG " +
+            "9829 / 9810 are either-or)")
+        if (math.abs(latTs) >= 89.999) {
+          // variant A: the latTs fallback read the ±90 projection origin
+          val k0 = k0ps.getOrElse(1.0)
+          val north = latTs > 0
+          if (close(k0, 0.994) && close(lon0, 0.0) &&
+            close(fe, 2000000.0) && close(fn, 2000000.0))
+            Some(if (north) "EPSG:5041" else "EPSG:5042")
+          else Some(s"PSA:${if (north) 90.0 else -90.0}:$k0:$lon0:$fe:$fn")
+        } else if (k0ps.exists(v => !close(v, 1.0)))
+          bad(n, s"a scale factor with a non-polar standard parallel " +
+            s"$latTs (variant A places the natural origin at the pole)")
+        else if (close(latTs, 70.0) && close(lon0, -45.0) && close(fe, 0.0) &&
           close(fn, 0.0)) Some("EPSG:3413")
         else if (close(latTs, -70.0) && close(lon0, 0.0) && close(fe, 0.0) &&
           close(fn, 0.0)) Some("EPSG:3976")
@@ -483,11 +493,14 @@ object CfGridMapping {
         "false_northing" -> z.falseNorthing.toString)
     }.orElse(PolarOps.stereoForCrs(crs).map { ps =>
       Map("grid_mapping_name" -> "polar_stereographic",
-        "standard_parallel" -> ps.latTs.toString,
         "straight_vertical_longitude_from_pole" -> ps.lon0.toString,
         "latitude_of_projection_origin" -> (if (ps.north) "90.0" else "-90.0"),
         "false_easting" -> ps.x0.toString,
-        "false_northing" -> ps.y0.toString)
+        "false_northing" -> ps.y0.toString) ++
+        // variant A writes the pole scale factor, variant B the
+        // standard parallel — the same either-or the read side enforces
+        (if (ps.k0.isNaN) Map("standard_parallel" -> ps.latTs.toString)
+        else Map("scale_factor_at_projection_origin" -> ps.k0.toString))
     }).orElse(PolarOps.laeaForCrs(crs).map { la =>
       Map("grid_mapping_name" -> "lambert_azimuthal_equal_area",
         "latitude_of_projection_origin" -> la.lat0.toString,

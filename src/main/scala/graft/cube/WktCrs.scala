@@ -270,6 +270,12 @@ object WktCrs {
           "latitude_of_projection_origin" ->
             num("lat_0").get.toString) ++
           p("standard_parallel", "lat_ts") ++
+          // no lat_ts -> the variant-A (UPS) scale-factor form; proj's
+          // k default is 1
+          (if (num("lat_ts").isEmpty)
+            p("scale_factor_at_projection_origin", "k_0",
+              Some(num("k").getOrElse(1.0)))
+          else Nil) ++
           p("straight_vertical_longitude_from_pole", "lon_0", Some(0.0)) ++
           p("false_easting", "x_0", Some(0.0)) ++
           p("false_northing", "y_0", Some(0.0))

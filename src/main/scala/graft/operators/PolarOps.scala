@@ -49,25 +49,50 @@ object PolarOps {
   // ------------------------------------------------------ CRS registries
 
   /** A polar stereographic CRS: hemisphere, standard parallel (lat_ts,
-    * degrees, signed), central meridian, false easting/northing. */
+    * degrees, signed), central meridian, false easting/northing. A
+    * non-NaN `k0` switches to the variant-A parameterization (scale
+    * factor at the pole, EPSG method 9810 — the UPS family). */
   final case class PolarStereo(north: Boolean, latTs: Double, lon0: Double,
-                               x0: Double, y0: Double) {
+                               x0: Double, y0: Double,
+                               k0: Double = Double.NaN) {
     /** tc, mc at the standard parallel (north-aspect magnitudes). */
     val tsAbs: Double = math.abs(latTs)
     val tc: Double = tFn(math.toRadians(tsAbs))
     val mc: Double = mFn(math.toRadians(tsAbs))
-    /** ρ = RhoK · t(φn) with φn the north-aspect latitude. */
-    val rhoK: Double = A * mc / tc
+    /** ρ = RhoK · t(φn) with φn the north-aspect latitude. Variant B
+      * (standard parallel, EPSG 9829): a·mc/tc. Variant A (scale factor
+      * at the pole, 9810): 2·a·k0/√((1+e)^(1+e)·(1−e)^(1−e)) — EPSG
+      * GN7-2 §1.3.6.1; the UPS worked example (73N 44E →
+      * 3320416.75 / 632668.43) pins it in PolarOpsSpec. */
+    val rhoK: Double =
+      if (k0.isNaN) A * mc / tc
+      else 2.0 * A * k0 / math.sqrt(
+        math.pow(1 + E, 1 + E) * math.pow(1 - E, 1 - E))
   }
 
   def stereoForCrs(crs: String): Option[PolarStereo] = crs match {
     case "EPSG:3413" => Some(PolarStereo(north = true, 70.0, -45.0, 0.0, 0.0))
     case "EPSG:3976" => Some(PolarStereo(north = false, -70.0, 0.0, 0.0, 0.0))
     case "EPSG:3031" => Some(PolarStereo(north = false, -71.0, 0.0, 0.0, 0.0))
+    // Universal Polar Stereographic (variant A, k0 = 0.994 at the pole)
+    case "EPSG:5041" =>
+      Some(PolarStereo(north = true, 90.0, 0.0, 2000000.0, 2000000.0,
+        k0 = 0.994))
+    case "EPSG:5042" =>
+      Some(PolarStereo(north = false, -90.0, 0.0, 2000000.0, 2000000.0,
+        k0 = 0.994))
+    // generic WGS84 variant-A form `PSA:<+-90>:<k0>:<lon0>:<fe>:<fn>`
+    case s if s.startsWith("PSA:") =>
+      s.stripPrefix("PSA:").split(':').map(_.toDoubleOption) match {
+        case Array(Some(l0), Some(k), Some(lo), Some(fe), Some(fn))
+            if math.abs(l0) == 90.0 && k > 0 && k <= 1.0 =>
+          Some(PolarStereo(l0 > 0, l0, lo, fe, fn, k0 = k))
+        case _ => None
+      }
     // generic WGS84 variant-B form `PS:<latTs>:<lon0>[:<fe>:<fn>]` —
     // hemisphere from the standard parallel's sign; |lat_ts| -> 90
-    // degenerates (tc -> 0, the variant-A k0 parameterization instead)
-    // and stays unregistered
+    // degenerates (tc -> 0; that pole case is the variant-A k0
+    // parameterization above)
     case s if s.startsWith("PS:") =>
       s.stripPrefix("PS:").split(':').map(_.toDoubleOption) match {
         case Array(Some(ts), Some(lo))

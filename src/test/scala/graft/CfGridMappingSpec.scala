@@ -110,7 +110,8 @@ class CfGridMappingSpec extends AnyFunSuite {
       "TMERC:10.5:7.0:0.9999:200000.0:-50000.0",
       "PS:65.0:10.0:0.0:0.0", "LAEA:45.0:20.0:100000.0:200000.0",
       "LCC:33.0:45.0:39.0:-96.0:0.0:0.0",
-      "ALBERS:20.0:50.0:30.0:10.0:0.0:0.0")
+      "ALBERS:20.0:50.0:30.0:10.0:0.0:0.0",
+      "EPSG:5041", "EPSG:5042", "PSA:90.0:0.97:10.0:0.0:0.0")
     crss.foreach { c =>
       val back = CfGridMapping.crsFromCf(CfGridMapping.cfAttrs(c))
       val ok = back.contains(c) ||

@@ -641,4 +641,28 @@ class PolarOpsSpec extends AnyFunSuite {
     }
     ()
   }
+
+  test("UPS (EPSG:5041/5042, polar stereographic variant A): the " +
+    "published worked example pins to 1 cm; round-trips close") {
+    import PolarOps._
+    // EPSG GN7-2 Polar Stereographic variant A worked example (WGS84
+    // UPS North): 73N 44E -> E 3320416.75, N 632668.43
+    val ups = stereoForCrs("EPSG:5041").get
+    val (e, n) = stereoForwardScalar(44.0, 73.0, ups)
+    assert(math.abs(e - 3320416.75) < 0.01, s"E $e")
+    assert(math.abs(n - 632668.43) < 0.01, s"N $n")
+    val (lon, lat) = stereoInverseScalar(e, n, ups)
+    assert(math.abs(lon - 44.0) < 1e-9 && math.abs(lat - 73.0) < 1e-9)
+    // south aspect mirrors
+    val upsS = stereoForCrs("EPSG:5042").get
+    val (es, ns) = stereoForwardScalar(44.0, -73.0, upsS)
+    val (lonS, latS) = stereoInverseScalar(es, ns, upsS)
+    assert(math.abs(lonS - 44.0) < 1e-9 && math.abs(latS + 73.0) < 1e-9)
+    // generic variant-A form round-trips too
+    val psa = stereoForCrs("PSA:90.0:0.97:10.0:0.0:0.0").get
+    val (gx, gy) = stereoForwardScalar(50.0, 80.0, psa)
+    val (gl, gp) = stereoInverseScalar(gx, gy, psa)
+    assert(math.abs(gl - 50.0) < 1e-9 && math.abs(gp - 80.0) < 1e-9)
+    ()
+  }
 }

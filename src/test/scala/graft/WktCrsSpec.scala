@@ -345,10 +345,14 @@ class WktCrsSpec extends AnyFunSuite {
     assert(resolve("+proj=aea +lat_1=20 +lat_2=50 +lat_0=30 +lon_0=10")
       .contains("ALBERS:20.0:50.0:30.0:10.0:0.0:0.0"))
     // variant-A polar stereographic (scale factor at the pole, no
-    // lat_ts) is a DIFFERENT series and still declines
-    intercept[IllegalArgumentException] {
-      resolve("+proj=stere +lat_0=90 +lon_0=0 +k=0.994")
-    }
+    // lat_ts): the UPS offsets hit the registered codes, anything else
+    // gets the generic PSA form (r20)
+    assert(resolve("+proj=stere +lat_0=90 +k=0.994 +lon_0=0 " +
+      "+x_0=2000000 +y_0=2000000").contains("EPSG:5041"))
+    assert(resolve("+proj=stere +lat_0=-90 +k=0.994 +lon_0=0 " +
+      "+x_0=2000000 +y_0=2000000").contains("EPSG:5042"))
+    assert(resolve("+proj=stere +lat_0=90 +lon_0=0 +k=0.994")
+      .contains("PSA:90.0:0.994:0.0:0.0:0.0"))
     // a non-Greenwich sinusoidal is not the MODIS grid (~1100 km at
     // the equator if coerced)
     intercept[IllegalArgumentException] { resolve("+proj=sinu +lon_0=10") }
