@@ -44,7 +44,6 @@ object AnalyticsPack extends QueryPack {
     // per user) in one AvailableNow micro-batch must equal the batch
     // operator row-for-row — the oracle is literally q_sessionize's SQL
     "q_stream_sessionize" -> ((s, d) => {
-      import s.implicits._
       import graft.streaming.StatefulOps
       val sfName = new java.io.File(d).getName
       val fixDir = s"/root/repo/.graft-fixtures/sess_events_$sfName"
@@ -56,7 +55,9 @@ object AnalyticsPack extends QueryPack {
           .coalesce(1) // ONE file → ONE micro-batch → converged summaries
           .write.mode("overwrite").parquet(fixDir)
       }
-      val rows = s.readStream
+      val ss = graft.streaming.StatePartitioning.sessionFor(s, fixDir)
+      import ss.implicits._
+      val rows = ss.readStream
         .schema("userId LONG, tsMicros LONG, eventId LONG")
         .parquet(fixDir)
         .as[StatefulOps.SessEvent]
@@ -66,7 +67,7 @@ object AnalyticsPack extends QueryPack {
         .outputMode("update")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
       q.awaitTermination()
-      s.table(tbl)
+      ss.table(tbl)
     }),
 
     // LAST-TOUCH attribution: each purchase credits the user's most
@@ -101,7 +102,6 @@ object AnalyticsPack extends QueryPack {
     // the INCREMENTAL last-touch attribution: O(1) per-user state (most
     // recent view + running totals); oracle = q_attribution's SQL verbatim
     "q_stream_attribution" -> ((s, d) => {
-      import s.implicits._
       import graft.streaming.StatefulOps
       val sfName = new java.io.File(d).getName
       val fixDir = s"/root/repo/.graft-fixtures/attr_events_$sfName"
@@ -115,7 +115,9 @@ object AnalyticsPack extends QueryPack {
           .coalesce(1)
           .write.mode("overwrite").parquet(fixDir)
       }
-      val rows = s.readStream
+      val ss = graft.streaming.StatePartitioning.sessionFor(s, fixDir)
+      import ss.implicits._
+      val rows = ss.readStream
         .schema("userId LONG, eventType STRING, tsMicros LONG, eventId LONG")
         .parquet(fixDir)
         .as[StatefulOps.AttrEvent]
@@ -125,7 +127,7 @@ object AnalyticsPack extends QueryPack {
         .outputMode("update")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
       q.awaitTermination()
-      s.table(tbl)
+      ss.table(tbl)
         .groupBy("user_id")
         .agg(max(col("n_purchases")).as("np"),
           max(col("n_attributed")).as("na"),
@@ -159,7 +161,6 @@ object AnalyticsPack extends QueryPack {
     // alphabet-bounded gap accumulators; converged per-key emissions
     // aggregate to the batch q_interarrival exactly
     "q_stream_interarrival" -> ((s, d) => {
-      import s.implicits._
       import graft.streaming.StatefulOps
       val sfName = new java.io.File(d).getName
       val fixDir = s"/root/repo/.graft-fixtures/gap_events_$sfName"
@@ -172,7 +173,9 @@ object AnalyticsPack extends QueryPack {
           .coalesce(1)
           .write.mode("overwrite").parquet(fixDir)
       }
-      val rows = s.readStream
+      val ss = graft.streaming.StatePartitioning.sessionFor(s, fixDir)
+      import ss.implicits._
+      val rows = ss.readStream
         .schema("userId LONG, eventType STRING, tsMicros LONG, eventId LONG")
         .parquet(fixDir)
         .as[StatefulOps.GapEvent]
@@ -182,7 +185,7 @@ object AnalyticsPack extends QueryPack {
         .outputMode("update")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
       q.awaitTermination()
-      s.table(tbl)
+      ss.table(tbl)
         .groupBy("user_id", "event_type")
         .agg(max(col("n_gaps")).as("n"), max(col("sum_gap_micros")).as("sg"),
           min(col("min_gap")).as("mn"), max(col("max_gap")).as("mx"))
@@ -234,11 +237,13 @@ object AnalyticsPack extends QueryPack {
     // standard reference-data enrichment; the dim broadcasts into every
     // micro-batch, so the stream side never shuffles before its agg.
     "q_stream_enrich" -> ((s, d) => {
-      import s.implicits._
+      val ss = graft.streaming.StatePartitioning.sessionFor(
+        s, s"$d/events.parquet")
+      import ss.implicits._
       val weights = Seq("view" -> 1L, "click" -> 3L, "purchase" -> 10L,
         "signup" -> 5L, "error" -> 0L).toDF("event_type", "weight")
       val schema = GraftSession.table(s, d, "events").schema
-      val stream = s.readStream.schema(schema)
+      val stream = ss.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet").parquet(d)
         .transform(GraftSession.normalizeTs(_))
         .join(broadcast(weights), Seq("event_type"))
@@ -249,7 +254,7 @@ object AnalyticsPack extends QueryPack {
         .outputMode("complete")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
       q.awaitTermination()
-      s.table(tbl)
+      ss.table(tbl)
     }),
 
     // SLIDING window frames, both kinds in one pass: a 4-row ROWS frame
@@ -294,7 +299,6 @@ object AnalyticsPack extends QueryPack {
     // to the batch q_event_transitions exactly (n_users = count of users
     // holding the pair, n = sum of their converged counters)
     "q_stream_transitions" -> ((s, d) => {
-      import s.implicits._
       import graft.streaming.StatefulOps
       val sfName = new java.io.File(d).getName
       val fixDir = s"/root/repo/.graft-fixtures/trans_events_$sfName"
@@ -307,7 +311,9 @@ object AnalyticsPack extends QueryPack {
           .coalesce(1)
           .write.mode("overwrite").parquet(fixDir)
       }
-      val rows = s.readStream
+      val ss = graft.streaming.StatePartitioning.sessionFor(s, fixDir)
+      import ss.implicits._
+      val rows = ss.readStream
         .schema("userId LONG, eventType STRING, tsMicros LONG, eventId LONG")
         .parquet(fixDir)
         .as[StatefulOps.TransEvent]
@@ -317,7 +323,7 @@ object AnalyticsPack extends QueryPack {
         .outputMode("update")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
       q.awaitTermination()
-      s.table(tbl)
+      ss.table(tbl)
         .groupBy("user_id", "prev_type", "next_type")
         .agg(max(col("n")).as("nn")) // converged value per key
         .groupBy(col("prev_type"), col("next_type"))
@@ -330,9 +336,14 @@ object AnalyticsPack extends QueryPack {
     // bound the buffered state; one AvailableNow pass over the replayed
     // log must equal the batch interval join (the oracle) row-for-row.
     "q_stream_join" -> ((s, d) => {
+      // floor 4, not the default 8: the interval join opens four state
+      // stores per partition, so its per-partition commit cost is ~4x an
+      // aggregation's (see StatePartitioning.derivedPartitions)
+      val ss = graft.streaming.StatePartitioning.sessionForFloor(
+        s, 4, s"$d/events.parquet")
       val schema = GraftSession.table(s, d, "events").schema
       def side(et: String, pfx: String) =
-        s.readStream.schema(schema)
+        ss.readStream.schema(schema)
           .option("pathGlobFilter", "events.parquet").parquet(d)
           .transform(GraftSession.normalizeTs(_))
           .filter(col("event_type") === et)
@@ -349,7 +360,7 @@ object AnalyticsPack extends QueryPack {
         .outputMode("append")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
       q.awaitTermination()
-      s.table(tbl).groupBy(col("v_user").as("user_id"))
+      ss.table(tbl).groupBy(col("v_user").as("user_id"))
         .agg(count(lit(1)).as("n_pairs"),
           sum(unix_micros(col("c_ts")) - unix_micros(col("v_ts")))
             .as("sum_lag_micros"),
@@ -390,7 +401,6 @@ object AnalyticsPack extends QueryPack {
     // q_retention result exactly (max(n) per key absorbs multi-batch
     // update-sink appends)
     "q_stream_retention" -> ((s, d) => {
-      import s.implicits._
       import graft.streaming.StatefulOps
       val sfName = new java.io.File(d).getName
       val busec = WeekSec * 1000000L
@@ -402,7 +412,9 @@ object AnalyticsPack extends QueryPack {
           .coalesce(1)
           .write.mode("overwrite").parquet(fixDir)
       }
-      val rows = s.readStream
+      val ss = graft.streaming.StatePartitioning.sessionFor(s, fixDir)
+      import ss.implicits._
+      val rows = ss.readStream
         .schema("userId LONG, bucket LONG")
         .parquet(fixDir)
         .as[StatefulOps.RetEvent]
@@ -412,7 +424,7 @@ object AnalyticsPack extends QueryPack {
         .outputMode("update")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
       q.awaitTermination()
-      s.table(tbl)
+      ss.table(tbl)
         .groupBy("user_id", "cohort_bk", "offset")
         .agg(max(col("n_events")).as("n"))
         .groupBy(timestamp_micros(col("cohort_bk") * busec).as("cohort_start"),
@@ -425,7 +437,6 @@ object AnalyticsPack extends QueryPack {
     // (StatefulOps.streamingFunnel) must reproduce the batch chain of
     // sequential per-user mins — oracle is q_funnel's SQL verbatim
     "q_stream_funnel" -> ((s, d) => {
-      import s.implicits._
       import graft.streaming.StatefulOps
       val sfName = new java.io.File(d).getName
       val fixDir = s"/root/repo/.graft-fixtures/funnel_events_$sfName"
@@ -438,7 +449,9 @@ object AnalyticsPack extends QueryPack {
           .coalesce(1)
           .write.mode("overwrite").parquet(fixDir)
       }
-      val rows = s.readStream
+      val ss = graft.streaming.StatePartitioning.sessionFor(s, fixDir)
+      import ss.implicits._
+      val rows = ss.readStream
         .schema("userId LONG, eventType STRING, tsMicros LONG, eventId LONG")
         .parquet(fixDir)
         .as[StatefulOps.FunnelEvent]
@@ -448,7 +461,7 @@ object AnalyticsPack extends QueryPack {
         .outputMode("update")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
       q.awaitTermination()
-      val st = s.table(tbl)
+      val st = ss.table(tbl)
       FunnelStages.zipWithIndex.map { case (stName, i) =>
         val stepSum =
           if (i == 0) sum(lit(0L))

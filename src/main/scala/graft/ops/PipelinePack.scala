@@ -381,8 +381,10 @@ object PipelinePack extends QueryPack {
     // oracle as q_hll. The incremental-cardinality shape: fixed 1024-row
     // state however large the stream.
     "q_stream_hll" -> ((s, d) => {
+      val ss = graft.streaming.StatePartitioning.sessionFor(
+        s, s"$d/events.parquet")
       val schema = GraftSession.table(s, d, "events").schema
-      val stream = s.readStream.schema(schema)
+      val stream = ss.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet").parquet(d)
         .transform(GraftSession.normalizeTs(_))
       val regs = hllRegisters(stream.select(col("user_id")))
@@ -391,7 +393,7 @@ object PipelinePack extends QueryPack {
         .outputMode("complete")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
       q.awaitTermination()
-      hllEstimate(s.table(tbl),
+      hllEstimate(ss.table(tbl),
         GraftSession.events(s, d).agg(countDistinct(col("user_id")).as("nd")))
     }),
 
@@ -699,7 +701,6 @@ object PipelinePack extends QueryPack {
     // mirrored as a rank bound. One parquet file → one micro-batch → the
     // per-bucket docId-ordered fold is the same greedy the oracle computes.
     "q_stream_neardup" -> ((s, d) => {
-      import s.implicits._
       import graft.streaming.StatefulOps
       val sfName = new java.io.File(d).getName
       val fixDir = s"/root/repo/.graft-fixtures/neardup_bands_$sfName"
@@ -722,7 +723,9 @@ object PipelinePack extends QueryPack {
           .coalesce(1) // ONE file → ONE micro-batch → deterministic greedy
           .write.mode("overwrite").parquet(fixDir)
       }
-      val rows = s.readStream
+      val ss = graft.streaming.StatePartitioning.sessionFor(s, fixDir)
+      import ss.implicits._
+      val rows = ss.readStream
         .schema("docId LONG, bandKey STRING, sig ARRAY<LONG>")
         .parquet(fixDir)
         .as[StatefulOps.BandRow]
@@ -732,7 +735,7 @@ object PipelinePack extends QueryPack {
         .outputMode("update")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
       q.awaitTermination()
-      s.table(tbl).agg(
+      ss.table(tbl).agg(
         count(lit(1)).as("n_hits"),
         countDistinct(col("doc_id")).as("n_flagged"),
         sum(col("doc_id")).cast("long").as("doc_sum"),

@@ -44,8 +44,10 @@ object StoragePack extends QueryPack {
     }),
 
     "q_stream_window" -> ((s, d) => {
+      val ss = graft.streaming.StatePartitioning.sessionFor(
+        s, s"$d/events.parquet")
       val schema = GraftSession.table(s, d, "events").schema
-      val stream = s.readStream.schema(schema)
+      val stream = ss.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet").parquet(d)
         .transform(GraftSession.normalizeTs(_))
         .withWatermark("ts", "1 day")
@@ -57,7 +59,7 @@ object StoragePack extends QueryPack {
       val q = agg.writeStream.format("memory").queryName(tbl)
         .outputMode("complete").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
-      s.table(tbl)
+      ss.table(tbl)
     }),
 
     // streaming grouped top-k: the bounded-heap CollectTopK aggregate
@@ -66,8 +68,10 @@ object StoragePack extends QueryPack {
     // O(k) state where a window-rank formulation would buffer everything.
     // Converged AvailableNow output must equal the batch top-k.
     "q_stream_topk" -> ((s, d) => {
+      val ss = graft.streaming.StatePartitioning.sessionFor(
+        s, s"$d/events.parquet")
       val schema = GraftSession.table(s, d, "events").schema
-      val stream = s.readStream.schema(schema)
+      val stream = ss.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet").parquet(d)
         .transform(GraftSession.normalizeTs(_))
         .withWatermark("ts", "1 day")
@@ -80,7 +84,7 @@ object StoragePack extends QueryPack {
       val q = agg.writeStream.format("memory").queryName(tbl)
         .outputMode("complete").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
-      s.table(tbl)
+      ss.table(tbl)
         .select(col("event_type"), posexplode(col("__tk")).as(Seq("__p", "__r")))
         .select(col("event_type"), (col("__p") + 1).cast("long").as("rank"),
           col("__r.event_id").as("event_id"), col("__r.value").as("value"))
@@ -91,10 +95,12 @@ object StoragePack extends QueryPack {
     // converged Update-mode output must equal the batch aggregation because
     // the state transition is arrival-order-independent by construction
     "q_stream_state" -> ((s, d) => {
-      import s.implicits._
       import graft.streaming.StatefulOps
+      val ss = graft.streaming.StatePartitioning.sessionFor(
+        s, s"$d/events.parquet")
+      import ss.implicits._
       val schema = GraftSession.table(s, d, "events").schema
-      val obs = s.readStream.schema(schema)
+      val obs = ss.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet").parquet(d)
         .transform(GraftSession.normalizeTs(_))
         .select(col("user_id").as("key"), unix_micros(col("ts")).as("tsMicros"),
@@ -106,7 +112,7 @@ object StoragePack extends QueryPack {
         .outputMode("update").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
       // single AvailableNow batch → exactly one Update row per key
-      s.table(tbl).groupBy((col("key") % 10).as("bucket"))
+      ss.table(tbl).groupBy((col("key") % 10).as("bucket"))
         .agg(count(lit(1)).as("n_keys"), sum(col("n")).as("n_events"),
           round(sum(col("sum_value")), 6).as("sum_value"),
           round(sum(col("last_value")), 6).as("sum_last"))
@@ -130,8 +136,10 @@ object StoragePack extends QueryPack {
       import graft.operators.SketchOps
       val w = 1024L
       val dep = 4
+      val ss = graft.streaming.StatePartitioning.sessionFor(
+        s, s"$d/events.parquet")
       val schema = GraftSession.table(s, d, "events").schema
-      val stream = s.readStream.schema(schema)
+      val stream = ss.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet").parquet(d)
         .transform(GraftSession.normalizeTs(_))
         .select(col("user_id"))
@@ -148,14 +156,16 @@ object StoragePack extends QueryPack {
         .select(explode(col("__tk")).as("__r"))
         .select(col("__r.user_id").as("user_id"),
           col("__r.exact_n").as("exact_n"))
-      SketchOps.probeCms(top, "user_id", s.table(tbl), w, dep)
+      SketchOps.probeCms(top, "user_id", ss.table(tbl), w, dep)
         .select(col("user_id"), col("exact_n"), col("est_n"),
           (col("est_n") - col("exact_n")).as("overcount"))
     }),
 
     "q_stream_dedup" -> ((s, d) => {
+      val ss = graft.streaming.StatePartitioning.sessionFor(
+        s, s"$d/events.parquet")
       val schema = GraftSession.table(s, d, "events").schema
-      val stream = s.readStream.schema(schema)
+      val stream = ss.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet").parquet(d)
         .transform(GraftSession.normalizeTs(_))
         .withColumn("dup_key", col("event_id") % 5000)
@@ -165,7 +175,7 @@ object StoragePack extends QueryPack {
       val q = stream.writeStream.format("memory").queryName(tbl)
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
-      s.table(tbl).groupBy((col("dup_key") % 10).as("bucket"))
+      ss.table(tbl).groupBy((col("dup_key") % 10).as("bucket"))
         .agg(count(lit(1)).as("n_keys"))
     }),
 

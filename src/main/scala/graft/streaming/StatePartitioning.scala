@@ -1,0 +1,90 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+
+/** Scale-adaptive shuffle/state partitioning for STREAMING queries.
+  *
+  * A stateful streaming query pins its state-store partition count to
+  * `spark.sql.shuffle.partitions` at first start, and AQE cannot coalesce
+  * it afterwards (AQE is disabled in stateful workloads). With the static
+  * local default (= core count) a small replay pays the fixed per-store
+  * cost — open + commit + delta-file fsync for every (partition × store)
+  * instance per micro-batch — on near-empty stores: the r20 probe measured
+  * q_stream_join at 19.9 s wall with 32 state partitions (128 store
+  * instances, ~107 s summed commit time in batch 0) vs 6.4 s with 4, with
+  * identical results.
+  *
+  * So the partition count is derived from the stream's INPUT SIZE before
+  * the query starts — the same sizing rule AQE applies to batch shuffles
+  * (`advisoryPartitionSizeInBytes`), applied at plan time because runtime
+  * coalescing is unavailable for stateful stages:
+  *
+  *   n = clamp(ceil(inputBytes / advisory), 4, configured shuffle.partitions)
+  *
+  * The configured count stays the CEILING: on a real cluster a 100 TB
+  * replay saturates it and behaves exactly as before — this only sizes
+  * DOWN when the input provably cannot fill the static count, never up.
+  * The 4-partition floor keeps CPU-dense stateful stages (per-row hashing,
+  * signature folds) off a single core even for byte-tiny inputs.
+  *
+  * Returns a config-twin session ([[org.apache.spark.sql.graft.ConfBridge]])
+  * carrying the derived count; the caller must build the stream AND read
+  * the memory-sink table through it.
+  */
+object StatePartitioning {
+
+  /** Floor for the derived count — parallelism for CPU-dense stateful
+    * stages on small inputs (never above the configured count). Measured
+    * on the r20 streaming family: 8 beats 4 for the per-row-CPU stateful
+    * aggregations (flatMapGroupsWithState folds, CMS/top-k updates) and
+    * beats 32 everywhere the state is small.
+    */
+  val MinPartitions = 8
+
+  private def sizeOf(f: java.io.File): Long =
+    if (f.isDirectory) Option(f.listFiles()).fold(0L)(_.map(sizeOf).sum)
+    else if (f.isFile) f.length()
+    else 0L
+
+  /** Total bytes under `paths` (local files or directories; a missing path
+    * counts zero — the derivation then keeps the floor).
+    */
+  def inputBytes(paths: Seq[String]): Long =
+    paths.map(p => sizeOf(new java.io.File(
+      p.stripPrefix("file:").stripPrefix("//")))).sum
+
+  /** The derived partition count for `bytes` of input under `spark`'s
+    * advisory partition size, capped at its configured shuffle partitions.
+    * `floor` defaults to [[MinPartitions]]; a stream-stream join should
+    * pass a lower one because it opens FOUR state stores per partition
+    * (two keyToNumValues + two keyWithIndexToValue), so its per-partition
+    * fixed commit cost is ~4x an aggregation's — the r20 probe measured
+    * the interval join at 2.7 s wall with 4 partitions vs 4.0 s with 8
+    * vs 16 s with 32 (summed store commit 0.8 s / 4.8 s / 131 s).
+    */
+  def derivedPartitions(spark: SparkSession, bytes: Long,
+      floor: Int = MinPartitions): Int = {
+    val conf = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val advisory = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m"))
+    val bySize = math.ceil(bytes.toDouble / math.max(advisory, 1L)).toLong
+    math.min(conf.toLong, math.max(math.min(floor, conf).toLong,
+      bySize)).toInt
+  }
+
+  /** The session a streaming query over `paths` should start from: `spark`
+    * itself when the derived count equals the configured one, else the
+    * cached config twin with `spark.sql.shuffle.partitions` overridden.
+    */
+  def sessionFor(spark: SparkSession, paths: String*): SparkSession =
+    sessionForFloor(spark, MinPartitions, paths: _*)
+
+  /** [[sessionFor]] with an explicit floor — see [[derivedPartitions]]. */
+  def sessionForFloor(spark: SparkSession, floor: Int,
+      paths: String*): SparkSession = {
+    val n = derivedPartitions(spark, inputBytes(paths), floor)
+    if (n == spark.conf.get("spark.sql.shuffle.partitions").toInt) spark
+    else org.apache.spark.sql.graft.ConfBridge.twinSession(spark,
+      Map("spark.sql.shuffle.partitions" -> n.toString))
+  }
+}
