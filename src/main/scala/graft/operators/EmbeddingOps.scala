@@ -354,17 +354,33 @@ object EmbeddingOps {
     */
   def pqEncode(corpus: DataFrame, idCol: String, embCol: String,
                codebooks: Seq[Seq[(Int, Array[Double])]]): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
     val subDim = codebooks.head.head._2.length
+    // one compact native loop per subspace (PqArgminCode — bit-exact twin
+    // of array_min over (round(l2_sq(slice, lit), 6), code) structs): the
+    // inlined m·k l2_sq form generated past the JVM's 64 KB method limit
+    // at m=8, k=16 inside a scan-fused stage, whose local-variable inputs
+    // defeat expression splitting — the whole stage silently fell back to
+    // interpreted eval (r20 plan dump: 2 CodeGenerator compile failures
+    // per q_pq_adc/q_ann_rerank run; none with the native loop).
     val bests = codebooks.zipWithIndex.map { case (cents, s) =>
-      val sub = slice(col(embCol), s * subDim + 1, subDim)
-      val cands = cents.map { case (code, c) =>
-        struct(round(l2Sq(sub, typedLit(c)), 6).as("dist"),
-          lit(code.toLong).as("code"))
-      }
-      array_min(array(cands: _*)).getField("code")
+      ColumnBridge.column(graft.functions.PqArgminCode(
+        ColumnBridge.expression(col(embCol)),
+        cents.map { case (code, c) => (code.toLong, c) },
+        s * subDim, subDim))
     }
+    // two-step on purpose: the argmin array lands in a PROJECT and the
+    // generate consumes a plain attribute (an inlined generator argument
+    // sits in generate_doConsume, which codegen cannot split).
+    // posexplode_OUTER: the plain generator gets an optimizer-inferred
+    // size(..) > 0 filter that re-evaluates the WHOLE m-code array per row
+    // a second time (InferFiltersFromGenerate — the documented spanGrams
+    // pathology); the array is always exactly m non-null elements, so the
+    // outer form is identical
     parallelized(corpus)
-      .select(col(idCol), posexplode(array(bests: _*)).as(Seq("sub", "code")))
+      .select(col(idCol), array(bests: _*).as("__codes"))
+      .select(col(idCol),
+        posexplode_outer(col("__codes")).as(Seq("sub", "code")))
       .select(col(idCol), col("sub").cast("long").as("sub"), col("code"))
   }
 

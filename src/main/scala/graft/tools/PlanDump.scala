@@ -1,0 +1,48 @@
+package graft.tools
+
+/** Dump query plans for the optimization-round evidence files.
+  *
+  * Usage: runMain graft.tools.PlanDump <tag> <query>[,<query>...]
+  *
+  * For each named SparkEntry query, writes
+  * `plans/r20/<query>_<tag>.txt` containing `.explain("formatted")` of the
+  * result DataFrame plus the EXECUTED plan after one action (so AQE's final
+  * shape — ReusedExchange, AQEShuffleRead coalescing, broadcast decisions —
+  * is visible, not just the static estimate), and a one-line node census.
+  */
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: PlanDump <tag> <q1,q2,...>")
+    val tag = args(0)
+    val names = args(1).split(",").map(_.trim).filter(_.nonEmpty)
+    val spark = graft.GraftSession.get()
+    val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val dir = java.nio.file.Paths.get("plans/r20")
+    java.nio.file.Files.createDirectories(dir)
+    names.foreach { name =>
+      val fn = graft.SparkEntry.queries(name)
+      val df = fn(spark, d)
+      val formatted = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      df.count() // drive to completion so AQE finalizes every stage
+      val executed = df.queryExecution.executedPlan.toString
+      val census = "ReusedExchange|AQEShuffleRead|Exchange|SortMergeJoin|" +
+        "BroadcastHashJoin|ShuffledHashJoin|CartesianProduct|WindowExec"
+      val counts = census.r.findAllIn(executed).toSeq
+        .groupBy(identity).view.mapValues(_.size).toMap
+      val body =
+        s"""== $name ($tag) sf=$d ==
+           |node census (executed): $counts
+           |
+           |---- explain("formatted") ----
+           |$formatted
+           |---- executed plan (post-AQE) ----
+           |$executed
+           |""".stripMargin
+      java.nio.file.Files.write(dir.resolve(s"${name}_$tag.txt"),
+        body.getBytes("UTF-8"))
+      println(s"[plandump] wrote plans/r20/${name}_$tag.txt census=$counts")
+    }
+    spark.stop()
+  }
+}

@@ -172,6 +172,40 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(m.getDouble(0) == 0.5 && m.isNullAt(1))
   }
 
+  test("native PqArgminCode equals the array_min-of-structs form, ties to lower code") {
+    import spark.implicits._
+    import org.apache.spark.sql.graft.ColumnBridge
+    val rnd = new scala.util.Random(41)
+    val subDim = 8
+    val m = 4
+    val cents = (0 until 16).map(code =>
+      (code, Array.fill(subDim)(rnd.nextDouble() * 4 - 2)))
+    // planted tie: candidate 7 duplicates candidate 2's centroid, so any
+    // row nearest to it must resolve to the LOWER code (2)
+    val tied = cents.updated(7, (7, cents(2)._2.clone()))
+    val df = (1 to 60).map(_ => Tuple1(
+      Array.fill(subDim * m)(rnd.nextFloat() * 4 - 2))).toDF("emb")
+    (0 until m).foreach { s =>
+      val hofBest = array_min(array(tied.map { case (code, c) =>
+        struct(round(EmbeddingOps.l2Sq(
+          slice(col("emb"), s * subDim + 1, subDim), typedLit(c)), 6)
+          .as("dist"), lit(code.toLong).as("code"))
+      }: _*)).getField("code")
+      val native = ColumnBridge.column(graft.functions.PqArgminCode(
+        ColumnBridge.expression(col("emb")),
+        tied.map { case (code, c) => (code.toLong, c) }, s * subDim, subDim))
+      df.select(native.as("n"), hofBest.as("h")).collect().foreach { r =>
+        assert(r.getLong(0) == r.getLong(1),
+          s"subspace $s: native ${r.getLong(0)} != hof ${r.getLong(1)}")
+      }
+    }
+    val plan = df.select(ColumnBridge.column(graft.functions.PqArgminCode(
+        ColumnBridge.expression(col("emb")),
+        tied.map { case (code, c) => (code.toLong, c) }, 0, subDim)))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("pq_argmin_code") && !plan.contains("UDF"), plan)
+  }
+
   test("SampleOps: split is a pure key function; growth never reassigns") {
     import spark.implicits._
     val small = (0L until 200L).toDF("id")
