@@ -196,12 +196,16 @@ object TextOps {
         min(struct(col("doc_id"), col("pos"))).as("__first"))
       .filter(col("__nd") >= 2)
       .select("h", "__first")
+    // marks feeds four consumers (the rebuild anti-join directly, plus
+    // touchedIds' three uses below) — persisted for the same reason as
+    // grams; deletion marks are proportional to duplicated volume only
     val marks = grams
       .join(firsts, Seq("h"))
       .filter(struct(col("doc_id"), col("pos")) =!= col("__first"))
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + n - 1)).as("ti"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val touchedIds = marks.select("doc_id").distinct()
     val touchedToks = df
       .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__w"))
