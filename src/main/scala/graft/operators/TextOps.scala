@@ -121,10 +121,7 @@ object TextOps {
     */
   def repeatedSpans(df: DataFrame, idCol: String, textCol: String,
                     n: Int): DataFrame = {
-    // persisted for the same agg + join double-consumption as
-    // removeRepeatedSpans (see the note there)
     val grams = spanGrams(df, idCol, textCol, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val shared = grams.groupBy("h")
       .agg(countDistinct(col("doc_id")).as("n_docs"))
       .filter(col("n_docs") >= 2)
@@ -175,16 +172,7 @@ object TextOps {
     */
   def removeRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
                           n: Int): DataFrame = {
-    // grams (tokens + n-token shingles + md5 per span — the operator's
-    // dominant cost) is consumed TWICE: the firsts aggregation and the
-    // marks join. Persisting computes it once per invocation (still from
-    // the parquet input every run — nothing crosses invocations; blocks
-    // are freed by the ContextCleaner when the plan is dropped), the same
-    // in-operator persist discipline as ClusterOps' CC rounds. Measured
-    // q_substr_removal 3.3 s → 1.5 s idle; lineage is KEPT, so executor
-    // loss recomputes from the scan.
     val grams = spanGrams(df, idCol, textCol, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // ONE hash-keyed aggregation carries both the shared-span predicate
     // (distinct-doc count >= 2) and the first occurrence: lexicographic
     // min(struct) == the row_number-over-(doc_id, pos) winner, but
@@ -196,16 +184,12 @@ object TextOps {
         min(struct(col("doc_id"), col("pos"))).as("__first"))
       .filter(col("__nd") >= 2)
       .select("h", "__first")
-    // marks feeds four consumers (the rebuild anti-join directly, plus
-    // touchedIds' three uses below) — persisted for the same reason as
-    // grams; deletion marks are proportional to duplicated volume only
     val marks = grams
       .join(firsts, Seq("h"))
       .filter(struct(col("doc_id"), col("pos")) =!= col("__first"))
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + n - 1)).as("ti"))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val touchedIds = marks.select("doc_id").distinct()
     val touchedToks = df
       .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__w"))
