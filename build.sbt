@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked run's stdout through UNWRAPPED: the default LoggedOutput
+// strategy prefixes every line with "[info] ", which breaks any harness
+// that parses the one-line bench JSON from stdout (BENCH_r15..r20 all
+// recorded parsed:null because of the prefix).
+outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

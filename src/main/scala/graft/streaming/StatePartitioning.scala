@@ -19,13 +19,17 @@ import org.apache.spark.sql.SparkSession
   * (`advisoryPartitionSizeInBytes`), applied at plan time because runtime
   * coalescing is unavailable for stateful stages:
   *
-  *   n = clamp(ceil(inputBytes / advisory), 4, configured shuffle.partitions)
+  *   n = clamp(ceil(inputBytes / advisory), floor, configured shuffle.partitions)
   *
   * The configured count stays the CEILING: on a real cluster a 100 TB
   * replay saturates it and behaves exactly as before — this only sizes
   * DOWN when the input provably cannot fill the static count, never up.
-  * The 4-partition floor keeps CPU-dense stateful stages (per-row hashing,
-  * signature folds) off a single core even for byte-tiny inputs.
+  * An input that cannot be sized (unreachable filesystem, missing path)
+  * counts as unbounded, so the derivation fails safe to the ceiling, never
+  * the floor. The default floor is [[MinPartitions]] (8); the stream-stream
+  * join passes 4 (see [[derivedPartitions]]). The floor keeps CPU-dense
+  * stateful stages (per-row hashing, signature folds) off a single core
+  * even for byte-tiny inputs.
   *
   * Returns a config-twin session ([[org.apache.spark.sql.graft.ConfBridge]])
   * carrying the derived count; the caller must build the stream AND read
@@ -41,17 +45,27 @@ object StatePartitioning {
     */
   val MinPartitions = 8
 
-  private def sizeOf(f: java.io.File): Long =
-    if (f.isDirectory) Option(f.listFiles()).fold(0L)(_.map(sizeOf).sum)
-    else if (f.isFile) f.length()
-    else 0L
-
-  /** Total bytes under `paths` (local files or directories; a missing path
-    * counts zero — the derivation then keeps the floor).
+  /** Total bytes under `paths`, resolved through the Hadoop filesystem of
+    * each path's scheme (so hdfs://, s3a:// etc. are sized for real, not
+    * as 0 bytes the way a java.io.File walk would report them). Any path
+    * that cannot be sized — missing, or on an unreachable/unknown
+    * filesystem — counts as [[Long.MaxValue]]: the derivation then fails
+    * SAFE to the configured partition count (the pre-derivation behaviour),
+    * never to the floor.
     */
-  def inputBytes(paths: Seq[String]): Long =
-    paths.map(p => sizeOf(new java.io.File(
-      p.stripPrefix("file:").stripPrefix("//")))).sum
+  def inputBytes(spark: SparkSession, paths: Seq[String]): Long = {
+    val hconf = spark.sessionState.newHadoopConf()
+    paths.foldLeft(0L) { (acc, p) =>
+      val size =
+        try {
+          val hp = new org.apache.hadoop.fs.Path(p)
+          hp.getFileSystem(hconf).getContentSummary(hp).getLength
+        } catch { case scala.util.control.NonFatal(_) => Long.MaxValue }
+      if (acc == Long.MaxValue || size == Long.MaxValue ||
+        acc + size < 0) Long.MaxValue
+      else acc + size
+    }
+  }
 
   /** The derived partition count for `bytes` of input under `spark`'s
     * advisory partition size, capped at its configured shuffle partitions.
@@ -82,7 +96,7 @@ object StatePartitioning {
   /** [[sessionFor]] with an explicit floor — see [[derivedPartitions]]. */
   def sessionForFloor(spark: SparkSession, floor: Int,
       paths: String*): SparkSession = {
-    val n = derivedPartitions(spark, inputBytes(paths), floor)
+    val n = derivedPartitions(spark, inputBytes(spark, paths), floor)
     if (n == spark.conf.get("spark.sql.shuffle.partitions").toInt) spark
     else org.apache.spark.sql.graft.ConfBridge.twinSession(spark,
       Map("spark.sql.shuffle.partitions" -> n.toString))

@@ -25,15 +25,43 @@ class StatePartitioningSpec extends AnyFunSuite {
       100L * 1024 * 1024 * 1024 * 1024) === conf)
   }
 
+  test("unsizable input fails safe to the configured count, not the floor") {
+    // missing local path
+    assert(StatePartitioning.inputBytes(spark,
+      Seq("/no/such/graft/path")) === Long.MaxValue)
+    // remote filesystem that cannot be reached from this sandbox
+    assert(StatePartitioning.inputBytes(spark,
+      Seq("hdfs://unresolvable-namenode:8020/replay")) === Long.MaxValue)
+    // one sizable + one unsizable path: still unbounded (no partial sum)
+    assert(StatePartitioning.inputBytes(spark,
+      Seq("/root/testdata/sf0.001/events.parquet",
+        "s3a://no-such-bucket/replay")) === Long.MaxValue)
+    // and the derived SESSION keeps the configured partition count
+    val conf = spark.conf.get("spark.sql.shuffle.partitions")
+    val ss = StatePartitioning.sessionFor(spark,
+      "hdfs://unresolvable-namenode:8020/replay")
+    assert(ss.conf.get("spark.sql.shuffle.partitions") === conf)
+  }
+
+  test("local sizing: real bytes, monotone sum") {
+    val single = StatePartitioning.inputBytes(spark,
+      Seq("/root/testdata/sf0.001/events.parquet"))
+    assert(single > 0L && single < Long.MaxValue)
+    assert(StatePartitioning.inputBytes(spark,
+      Seq("/root/testdata/sf0.001/events.parquet",
+        "/root/testdata/sf0.001/events.parquet")) === single * 2)
+  }
+
   test("sessionFor overrides only the twin, and the stream result matches") {
     val d = "/root/testdata/sf0.001"
+    val parentConfBefore = spark.conf.get("spark.sql.shuffle.partitions")
     val ss = StatePartitioning.sessionFor(spark, s"$d/events.parquet")
-    assert(ss ne spark)
-    assert(ss.conf.get("spark.sql.shuffle.partitions").toInt ===
-      StatePartitioning.MinPartitions)
+    val expected = StatePartitioning.derivedPartitions(spark,
+      StatePartitioning.inputBytes(spark, Seq(s"$d/events.parquet")))
+    assert(ss.conf.get("spark.sql.shuffle.partitions").toInt === expected)
+    if (expected != parentConfBefore.toInt) assert(ss ne spark)
     // parent session untouched
-    assert(spark.conf.get("spark.sql.shuffle.partitions").toInt === 32 ||
-      spark.conf.get("spark.sql.shuffle.partitions").toInt > 0)
+    assert(spark.conf.get("spark.sql.shuffle.partitions") === parentConfBefore)
     val schema = GraftSession.table(spark, d, "events").schema
     val stream = ss.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(d)
