@@ -252,11 +252,13 @@ object TextOps {
   /** Modulus of the universal-hash permutation family: 2^31 − 1 (prime).
     * Keeping operands below 2^31 bounds every product under 2^62, so the
     * arithmetic is overflow-free int64 in both Spark and DuckDB.
+    * The single definition (with the per-permutation constants) lives in
+    * [[graft.functions.MinhashSig]], which the signature hot path uses.
     */
-  val PermModulus: Long = 2147483647L
+  val PermModulus: Long = graft.functions.MinhashSig.PermModulus
 
-  private def permA(p: Int): Long = (1103515245L * (p + 1)) % PermModulus
-  private def permB(p: Int): Long = (12345L * (p + 7919)) % PermModulus
+  private def permA(p: Int): Long = graft.functions.MinhashSig.permA(p)
+  private def permB(p: Int): Long = graft.functions.MinhashSig.permB(p)
 
   /** 60-bit base hash of a shingle: first 15 hex chars of md5, base-16.
     * DuckDB mirror: `('0x' || substr(md5(x), 1, 15))::BIGINT`.
@@ -315,12 +317,15 @@ object TextOps {
     * recomputing the shingles per join side.
     */
   def minhashSignatures(withSh: DataFrame, docCol: String, numPerms: Int): DataFrame =
-    withSh
-      .select(col(docCol), col("sh"),
-        transform(col("sh"), s => hash60(s)).as("h60"))
-      .select(col(docCol), col("sh"),
-        array((0 until numPerms).map(p =>
-          array_min(transform(col("h60"), h => permuted(h, p)))): _*).as("mh"))
+    // one fused native pass (graft.functions.MinhashSig): md5 each shingle
+    // once (bytes, no hex round-trip) and fold all numPerms minima in the
+    // same loop. Replaces the interpreted HOF tree
+    // array(array_min(transform(transform(sh, hash60), permuted)) × P),
+    // which walked the array P+1 times through per-element expression
+    // eval — bit-identical by construction (MinhashSigSpec pins it
+    // against the old tree, including null/empty-array edges).
+    withSh.select(col(docCol), col("sh"),
+      graft.functions.MinhashSig.col(col("sh"), numPerms).as("mh"))
 
   /** LSH band rows from signature arrays: one (doc, band, sig) row per band,
     * sig = comma-joined minhash slice. Map-side explode of numPerms/rowsPerBand

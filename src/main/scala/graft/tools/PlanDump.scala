@@ -5,7 +5,8 @@ package graft.tools
   * Usage: runMain graft.tools.PlanDump <tag> <query>[,<query>...]
   *
   * For each named SparkEntry query, writes
-  * `plans/r20/<query>_<tag>.txt` containing `.explain("formatted")` of the
+  * `$SPARK_GRAFT_PLANS_DIR/<query>_<tag>.txt` (default `plans/r21`)
+  * containing `.explain("formatted")` of the
   * result DataFrame plus the EXECUTED plan after one action (so AQE's final
   * shape — ReusedExchange, AQEShuffleRead coalescing, broadcast decisions —
   * is visible, not just the static estimate), and a one-line node census.
@@ -17,7 +18,8 @@ object PlanDump {
     val names = args(1).split(",").map(_.trim).filter(_.nonEmpty)
     val spark = graft.GraftSession.get()
     val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val dir = java.nio.file.Paths.get("plans/r20")
+    val dir = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_PLANS_DIR", "plans/r21"))
     java.nio.file.Files.createDirectories(dir)
     names.foreach { name =>
       val fn = graft.SparkEntry.queries(name)
@@ -26,8 +28,10 @@ object PlanDump {
         org.apache.spark.sql.execution.FormattedMode)
       df.count() // drive to completion so AQE finalizes every stage
       val executed = df.queryExecution.executedPlan.toString
-      val census = "ReusedExchange|AQEShuffleRead|Exchange|SortMergeJoin|" +
-        "BroadcastHashJoin|ShuffledHashJoin|CartesianProduct|WindowExec"
+      // word-anchored so 'Exchange' does not also count the substring
+      // inside 'BroadcastExchange'/'ReusedExchange' lines (r20 ADVICE)
+      val census = "\\b(ReusedExchange|AQEShuffleRead|Exchange|SortMergeJoin|" +
+        "BroadcastHashJoin|ShuffledHashJoin|CartesianProduct|WindowExec)\\b"
       val counts = census.r.findAllIn(executed).toSeq
         .groupBy(identity).view.mapValues(_.size).toMap
       val body =
@@ -41,7 +45,7 @@ object PlanDump {
            |""".stripMargin
       java.nio.file.Files.write(dir.resolve(s"${name}_$tag.txt"),
         body.getBytes("UTF-8"))
-      println(s"[plandump] wrote plans/r20/${name}_$tag.txt census=$counts")
+      println(s"[plandump] wrote $dir/${name}_$tag.txt census=$counts")
     }
     spark.stop()
   }
