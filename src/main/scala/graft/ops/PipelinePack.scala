@@ -70,6 +70,57 @@ object PipelinePack extends QueryPack {
     (p.sparkSession.createDataFrame(p.rdd, p.schema), p)
   }
 
+  /** The q_curation plan BEFORE its materialization boundary — factored
+    * out so PlanAuditSpec and PlanDump can inspect the REAL shape.
+    * Returns (result, the persisted signature table the caller must
+    * release once done).
+    *
+    * The (doc, sh, mh) signature table is PERSISTED: three branches
+    * consume it (the band join and both sides of the exact-Jaccard
+    * verification) and column pruning specializes each subtree, so
+    * ReuseExchange never fires — uncached, the corpus scan + quality
+    * filter + exact-dedup aggregation + shingle/minhash pass all ran
+    * once per branch (measured 2.78 s → 2.01 s at sf0.1; at 100 TB it is
+    * the difference between one corpus-wide signature pass and three).
+    * The survivor table itself stays UNPERSISTED on purpose: caching the
+    * text-bearing rows costs more than the two remaining evaluations
+    * (measured 4.51 s with it cached — the r20 §4 lesson again), so the
+    * corpus is scanned twice (signature pass + final anti-join), not 6×.
+    * The cache is released before the query returns
+    * (finishAndUnpersist), so every invocation recomputes from parquet —
+    * no cross-invocation reuse (the r20 §3 CacheManager hazard).
+    */
+  private[graft] def curationPlan(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
+    val stop = array(Seq("the", "a", "of", "and", "to").map(lit): _*)
+    val w = TextOps.tokens(col("text"))
+    val quality = docs(s, d).select(col("doc_id"), col("source"), col("text"),
+        size(w).as("n_tok"),
+        (size(filter(w, t => array_contains(stop, t))).cast("double") /
+          size(w)).as("stop_ratio"))
+      .filter(col("n_tok") >= 30 && col("stop_ratio") >= 0.01)
+    // first-doc-per-fingerprint via min_by: one map-side-combined
+    // aggregation instead of a window sort over every partition
+    val keepExact = quality
+      .groupBy(TextOps.fingerprint(col("text")).as("fp"))
+      .agg(min_by(struct(col("doc_id"), col("source"), col("text"),
+        col("n_tok")), col("doc_id")).as("r"))
+      .select(col("r.doc_id"), col("r.source"), col("r.text"), col("r.n_tok"))
+    val sigs = TextOps.minhashSignatures(
+      TextOps.shingleArrays(keepExact, "doc_id", "text", 3), "doc_id", NumPerms)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bands = TextOps.lshBandRows(sigs, "doc_id", RowsPerBand, NumPerms)
+    val dupB = TextOps.jaccardOnCandidates(
+        TextOps.candidatePairs(bands, "doc_id", MaxBucket), sigs, "doc_id")
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_b").as("doc_id")).distinct()
+    val res = keepExact.join(dupB, Seq("doc_id"), "left_anti")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col("n_tok")).cast("long").as("total_tokens"))
+    (res, sigs)
+  }
+
   /** The q_simhash_hamming plan BEFORE its materialization boundary
     * (finishAndUnpersist collapses the executed query to a
     * LocalTableScan) — factored out so PlanAuditSpec can assert the REAL
@@ -1308,31 +1359,8 @@ object PipelinePack extends QueryPack {
     // 0.5) → per-source survivor stats. The real pre-training pipeline
     // shape: every stage is the oracle-checked operator above, composed.
     "q_curation" -> ((s, d) => {
-      val stop = array(Seq("the", "a", "of", "and", "to").map(lit): _*)
-      val w = TextOps.tokens(col("text"))
-      val quality = docs(s, d).select(col("doc_id"), col("source"), col("text"),
-          size(w).as("n_tok"),
-          (size(filter(w, t => array_contains(stop, t))).cast("double") /
-            size(w)).as("stop_ratio"))
-        .filter(col("n_tok") >= 30 && col("stop_ratio") >= 0.01)
-      // first-doc-per-fingerprint via min_by: one map-side-combined
-      // aggregation instead of a window sort over every partition
-      val keepExact = quality
-        .groupBy(TextOps.fingerprint(col("text")).as("fp"))
-        .agg(min_by(struct(col("doc_id"), col("source"), col("text"),
-          col("n_tok")), col("doc_id")).as("r"))
-        .select(col("r.doc_id"), col("r.source"), col("r.text"), col("r.n_tok"))
-      val sigs = TextOps.minhashSignatures(
-        TextOps.shingleArrays(keepExact, "doc_id", "text", 3), "doc_id", NumPerms)
-      val bands = TextOps.lshBandRows(sigs, "doc_id", RowsPerBand, NumPerms)
-      val dupB = TextOps.jaccardOnCandidates(
-          TextOps.candidatePairs(bands, "doc_id", MaxBucket), sigs, "doc_id")
-        .filter(col("jaccard") >= 0.5)
-        .select(col("doc_b").as("doc_id")).distinct()
-      keepExact.join(dupB, Seq("doc_id"), "left_anti")
-        .groupBy("source")
-        .agg(count(lit(1)).as("n_kept"),
-          sum(col("n_tok")).cast("long").as("total_tokens"))
+      val (res, sigs) = curationPlan(s, d)
+      finishAndUnpersist(res, sigs)
     }),
 
     // Gopher-style repetition signals (the pre-training quality rules that

@@ -22,8 +22,18 @@ object PlanDump {
       sys.env.getOrElse("SPARK_GRAFT_PLANS_DIR", "plans/r21"))
     java.nio.file.Files.createDirectories(dir)
     names.foreach { name =>
-      val fn = graft.SparkEntry.queries(name)
-      val df = fn(spark, d)
+      // queries that end in a finishAndUnpersist materialization boundary
+      // return a LocalTableScan — dump the REAL plan from the factored
+      // pre-boundary form instead, releasing its caches afterwards
+      val (df, caches) = name match {
+        case "q_curation" =>
+          val (r, c) = graft.ops.PipelinePack.curationPlan(spark, d)
+          (r, Seq(c))
+        case "q_simhash_hamming" =>
+          val (r, c) = graft.ops.PipelinePack.simhashHammingPlan(spark, d)
+          (r, Seq(c))
+        case _ => (graft.SparkEntry.queries(name)(spark, d), Nil)
+      }
       val formatted = df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
       df.count() // drive to completion so AQE finalizes every stage
@@ -45,6 +55,7 @@ object PlanDump {
            |""".stripMargin
       java.nio.file.Files.write(dir.resolve(s"${name}_$tag.txt"),
         body.getBytes("UTF-8"))
+      caches.foreach(_.unpersist(false))
       println(s"[plandump] wrote $dir/${name}_$tag.txt census=$counts")
     }
     spark.stop()

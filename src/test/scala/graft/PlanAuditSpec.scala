@@ -124,6 +124,27 @@ class PlanAuditSpec extends AnyFunSuite {
       "no interpreted HOF chain in the candidate verification")
   }
 
+  test("q_curation: corpus scanned twice, signature table cached for 3 readers") {
+    // audit the plan BEFORE the materialization boundary (the declared
+    // query collapses to a LocalTableScan via finishAndUnpersist)
+    val (res, sigs) = graft.ops.PipelinePack.curationPlan(spark, sf)
+    res.collect() // materialize the cache and AQE's final shape
+    val fmt = res.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    val exec = res.queryExecution.executedPlan.toString
+    sigs.unpersist()
+    // the signature consumers (band-bucket branches + both Jaccard sides)
+    // read the cache, not the corpus — tree form "InMemoryTableScan (n)"
+    val nCacheReads = "InMemoryTableScan \\(\\d+\\)".r.findAllIn(fmt).length
+    assert(nCacheReads >= 3, s"expected >=3 cache reads, got $nCacheReads:\n${fmt.take(1200)}")
+    // the corpus parquet is scanned exactly twice in the TOP plan (once
+    // into the cached signature pass, once for the survivor anti-join);
+    // numbered operator lines exclude the cached plan's embedded text
+    val nDocScans = "(?m)^\\(\\d+\\) Scan parquet".r.findAllIn(fmt).length
+    assert(nDocScans <= 2, s"expected <=2 corpus scans, got $nDocScans")
+    assert(!exec.contains("CartesianProduct"), exec.take(600))
+  }
+
   test("q_group_quantiles: windows only ever see histogram rows") {
     val p = plan("q_group_quantiles")
     // the only sorts allowed are the per-group bucket/value histogram
