@@ -95,10 +95,22 @@ object StatePartitioning {
 
   /** [[sessionFor]] with an explicit floor — see [[derivedPartitions]]. */
   def sessionForFloor(spark: SparkSession, floor: Int,
-      paths: String*): SparkSession = {
+      paths: String*): SparkSession =
+    sessionForFloorWith(spark, floor, Map.empty, paths: _*)
+
+  /** [[sessionForFloor]] with extra query-scoped conf overrides carried by
+    * the same twin (one cached twin per distinct conf map — see
+    * ConfBridge). The twin is returned even when the derived partition
+    * count equals the configured one, so the extra overrides always
+    * apply without mutating the parent session.
+    */
+  def sessionForFloorWith(spark: SparkSession, floor: Int,
+      extra: Map[String, String], paths: String*): SparkSession = {
     val n = derivedPartitions(spark, inputBytes(spark, paths), floor)
-    if (n == spark.conf.get("spark.sql.shuffle.partitions").toInt) spark
-    else org.apache.spark.sql.graft.ConfBridge.twinSession(spark,
-      Map("spark.sql.shuffle.partitions" -> n.toString))
+    val overrides = extra ++
+      (if (n == spark.conf.get("spark.sql.shuffle.partitions").toInt) Map.empty
+       else Map("spark.sql.shuffle.partitions" -> n.toString))
+    if (overrides.isEmpty) spark
+    else org.apache.spark.sql.graft.ConfBridge.twinSession(spark, overrides)
   }
 }

@@ -53,6 +53,11 @@ object StreamProbe {
     val s4 = org.apache.spark.sql.graft.ConfBridge.twinSession(spark,
       Map("spark.sql.shuffle.partitions" -> "4"))
     runOnce(s4, "p4")
+    val s4nd = org.apache.spark.sql.graft.ConfBridge.twinSession(spark,
+      Map("spark.sql.shuffle.partitions" -> "4",
+        "spark.sql.streaming.noDataMicroBatches.enabled" -> "false"))
+    runOnce(s4nd, "p4-nodata")
+    runOnce(s4nd, "p4-nodata2")
     spark.stop()
   }
 }
