@@ -338,19 +338,13 @@ object AnalyticsPack extends QueryPack {
     "q_stream_join" -> ((s, d) => {
       // floor 4, not the default 8: the interval join opens four state
       // stores per partition, so its per-partition commit cost is ~4x an
-      // aggregation's (see StatePartitioning.derivedPartitions).
-      // noDataMicroBatches OFF for this query: an INNER interval join
-      // emits every match in the batch where it joins, so the trailing
-      // no-data batch exists only to advance the watermark and evict
-      // state — it emits nothing, yet re-executes the whole join plan on
-      // empty input (probed at 0.69 s of the 2.35 s AvailableNow pass:
-      // addBatch 519 ms on 0 rows). The replay terminates and the memory
-      // sink is complete without it; results proven identical by the
-      // batch-interval-join oracle. Queries whose FINAL emission needs a
-      // watermark advance (append-mode windowed aggs) must not copy this.
-      val ss = graft.streaming.StatePartitioning.sessionForFloorWith(
-        s, 4, Map("spark.sql.streaming.noDataMicroBatches.enabled" -> "false"),
-        s"$d/events.parquet")
+      // aggregation's (see StatePartitioning.derivedPartitions). The twin
+      // also skips the trailing no-data micro-batch (ReplayConfs): an
+      // INNER interval join emits every match in the batch where it
+      // joins, so that batch only re-executed the join plan on empty
+      // input — probed at 0.73 s of the 2.56 s AvailableNow pass.
+      val ss = graft.streaming.StatePartitioning.sessionForFloor(
+        s, 4, s"$d/events.parquet")
       val schema = GraftSession.table(s, d, "events").schema
       def side(et: String, pfx: String) =
         ss.readStream.schema(schema)

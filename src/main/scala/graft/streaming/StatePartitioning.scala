@@ -98,19 +98,40 @@ object StatePartitioning {
       paths: String*): SparkSession =
     sessionForFloorWith(spark, floor, Map.empty, paths: _*)
 
+  /** Conf overrides every replay twin carries in addition to the derived
+    * partition count.
+    *
+    * noDataMicroBatches OFF: after the data batch, AvailableNow ran one
+    * more NO-DATA micro-batch whose only job is advancing the watermark
+    * and evicting state — it re-executes the whole physical plan on empty
+    * input (probed at 0.3–0.7 s per query on this host: q_stream_join's
+    * empty batch cost 0.73 s of a 2.56 s pass). None of the declared
+    * replays emit on watermark advance: the flatMapGroupsWithState
+    * operators are Update-mode with NoTimeout (emissions happen in the
+    * data batch; no timeout flush), the aggregations are Update/Complete
+    * mode (updated keys / full state emitted in the data batch), the
+    * stream-stream join is INNER (matches emit where they join) and
+    * dropDuplicatesWithinWatermark emits first occurrences immediately —
+    * so skipping the empty batch leaves every sink byte-identical
+    * (oracle-gated per query). A query whose FINAL emission needs the
+    * watermark advance (e.g. an append-mode windowed aggregation) must
+    * not start from these twins.
+    */
+  val ReplayConfs: Map[String, String] =
+    Map("spark.sql.streaming.noDataMicroBatches.enabled" -> "false")
+
   /** [[sessionForFloor]] with extra query-scoped conf overrides carried by
     * the same twin (one cached twin per distinct conf map — see
     * ConfBridge). The twin is returned even when the derived partition
-    * count equals the configured one, so the extra overrides always
-    * apply without mutating the parent session.
+    * count equals the configured one, so [[ReplayConfs]] and the extra
+    * overrides always apply without mutating the parent session.
     */
   def sessionForFloorWith(spark: SparkSession, floor: Int,
       extra: Map[String, String], paths: String*): SparkSession = {
     val n = derivedPartitions(spark, inputBytes(spark, paths), floor)
-    val overrides = extra ++
+    val overrides = ReplayConfs ++ extra ++
       (if (n == spark.conf.get("spark.sql.shuffle.partitions").toInt) Map.empty
        else Map("spark.sql.shuffle.partitions" -> n.toString))
-    if (overrides.isEmpty) spark
-    else org.apache.spark.sql.graft.ConfBridge.twinSession(spark, overrides)
+    org.apache.spark.sql.graft.ConfBridge.twinSession(spark, overrides)
   }
 }

@@ -60,8 +60,13 @@ class StatePartitioningSpec extends AnyFunSuite {
       StatePartitioning.inputBytes(spark, Seq(s"$d/events.parquet")))
     assert(ss.conf.get("spark.sql.shuffle.partitions").toInt === expected)
     if (expected != parentConfBefore.toInt) assert(ss ne spark)
+    // replay twins skip the trailing no-data micro-batch (ReplayConfs)
+    assert(ss.conf.get(
+      "spark.sql.streaming.noDataMicroBatches.enabled") === "false")
     // parent session untouched
     assert(spark.conf.get("spark.sql.shuffle.partitions") === parentConfBefore)
+    assert(spark.conf.get(
+      "spark.sql.streaming.noDataMicroBatches.enabled", "true") === "true")
     val schema = GraftSession.table(spark, d, "events").schema
     val stream = ss.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(d)
