@@ -85,7 +85,31 @@ object ClusterOps {
     var curHandle = canonical(e0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var curSig = signature(curHandle)
-    var cur = curHandle.sparkSession.createDataFrame(curHandle.rdd, curHandle.schema)
+    // scale-adaptive round sizing (the StatePartitioning rule applied to
+    // the iterative loop): the first materialization just counted the
+    // edge set exactly, so derive the rounds' shuffle.partitions from it
+    // instead of running ~6 rounds of near-empty full-width stages at the
+    // configured count. Conservative 64 bytes/edge; configured count
+    // stays the ceiling (a 100 TB edge set saturates it unchanged), floor
+    // 8 keeps small graphs off a single core. The twin only re-plans the
+    // loop bodies — results are partition-count-invariant (min-based
+    // algebra; oracle-gated).
+    val loopSession = {
+      val conf = edges.sparkSession.conf
+        .get("spark.sql.shuffle.partitions").toInt
+      val advisory = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+        edges.sparkSession.conf.get(
+          "spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m"))
+      val bySize = math.ceil(
+        curSig._1 * 64.0 / math.max(advisory, 1L)).toLong
+      val n = math.min(conf.toLong,
+        math.max(math.min(8, conf).toLong, bySize)).toInt
+      if (n == conf) edges.sparkSession
+      else org.apache.spark.sql.graft.ConfBridge.twinSession(
+        edges.sparkSession,
+        Map("spark.sql.shuffle.partitions" -> n.toString))
+    }
+    var cur = loopSession.createDataFrame(curHandle.rdd, curHandle.schema)
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
