@@ -136,16 +136,19 @@ object TextOps {
     require(n >= 2, s"span length $n")
     df.withColumn("__w", tokens(col(textCol)))
       .filter(size(col("__w")) >= n)
+      // one fused native pass (graft.functions.SpanHash60): each window's
+      // md5 runs over the assembled token bytes directly — the shingle
+      // STRING was materialized through an interpreted HOF transform only
+      // to be hashed and discarded (bit-identical; SpanHash60Spec pins it
+      // against the old shinglesOf+conv(md5) tree).
       // posexplode_OUTER: the plain generator would get an optimizer-
-      // inferred size()>0 filter that re-evaluates the whole shingle
+      // inferred size()>0 filter that re-evaluates the whole hash
       // array per row (InferFiltersFromGenerate — same pathology as the
       // minhash path, documented at shinglesOf); the ≥ n token filter
       // above already guarantees non-empty arrays
       .select(col(idCol).as("doc_id"),
-        posexplode_outer(shinglesOf(col("__w"), n)).as(Seq("pos", "__g")))
-      .withColumn("h",
-        conv(substring(md5(col("__g")), 1, 15), 16, 10).cast("long"))
-      .select("doc_id", "pos", "h")
+        posexplode_outer(graft.functions.SpanHash60.col(col("__w"), n))
+          .as(Seq("pos", "h")))
   }
 
   /** ExactSubstr REMOVAL (the second half of Lee et al. 2021 §4.1): every
