@@ -303,11 +303,16 @@ object TextOps {
     // element, O(tokens²) per doc on the unparallelized input (measured as
     // ~60% of the whole near-dup query). The token-count form pushes down
     // as one cheap split per row.
+    // shingle construction + distinct fused into one native pass
+    // (graft.functions.DistinctShingles) — the HOF transform form walked
+    // the token array per window through interpreted per-element eval,
+    // then array_distinct re-walked the result (bit-identical;
+    // DistinctShinglesSpec pins it against the old tree)
     df.repartition(df.sparkSession.sparkContext.defaultParallelism, col(docCol))
       .select(col(docCol), tokens(col(textCol)).as("w"))
       .filter(size(col("w")) >= shingleN)
       .select(col(docCol),
-        array_distinct(shinglesOf(col("w"), shingleN)).as("sh"))
+        graft.functions.DistinctShingles.col(col("w"), shingleN).as("sh"))
 
   /** MinHash signature array (`numPerms` longs) per doc, computed entirely
     * WITHIN the doc row — no (shingle × perm) explode, no groupBy shuffle:
