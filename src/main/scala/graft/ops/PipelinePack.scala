@@ -53,6 +53,27 @@ object PipelinePack extends QueryPack {
     p
   }
 
+  /** Size-derived config twin for fixed-round LOOP bodies over a small
+    * persisted table (the ClusterOps CC treatment, r21): the loop input
+    * was just counted by its cutRound materialization, so derive the
+    * rounds' shuffle.partitions from it instead of paying ~k rounds of
+    * near-empty full-width stages at the configured count. Conservative
+    * 64 bytes/row; configured count stays the CEILING (a 100 TB edge set
+    * saturates it unchanged), floor 8. Results are partition-count
+    * invariant; only the loop bodies re-plan through the twin.
+    */
+  private def loopSession(s: SparkSession, rows: Long): SparkSession = {
+    val conf = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val advisory = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      s.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m"))
+    val bySize = math.ceil(rows * 64.0 / math.max(advisory, 1L)).toLong
+    val n = math.min(conf.toLong,
+      math.max(math.min(8, conf).toLong, bySize)).toInt
+    if (n == conf) s
+    else org.apache.spark.sql.graft.ConfBridge.twinSession(s,
+      Map("spark.sql.shuffle.partitions" -> n.toString))
+  }
+
   /** [[cutRound]] for ITERATED plans: additionally re-exposes the cached
     * data through a fresh LogicalRDD so the logical plan is truncated
     * every round — a loop that feeds a round's output into the next
@@ -604,8 +625,11 @@ object PipelinePack extends QueryPack {
       // cutRound): the iteration loop then costs one keyed join + one
       // map-side-combined sum per round instead of re-joining deg every
       // time (the 10x soak showed the doubled join chain dominating)
-      val ewd = cutRound(e.join(deg, col("a") === col("dn"))
+      val ewd0 = cutRound(e.join(deg, col("a") === col("dn"))
         .select(col("a"), col("b"), col("dd")))
+      // iterations re-plan under a size-derived twin (count reads the cache)
+      val ewd = loopSession(s, ewd0.count())
+        .createDataFrame(ewd0.rdd, ewd0.schema)
       var scores = deg.select(col("dn").as("node"), lit(1000000L).as("s"))
       for (_ <- 1 to 3) {
         scores = ewd
@@ -635,9 +659,12 @@ object PipelinePack extends QueryPack {
       val pairs = TextOps.jaccardOnCandidates(
           TextOps.candidatePairs(bands, "doc_id", MaxBucket), sigs, "doc_id")
         .filter(col("jaccard") >= 0.5)
-      val e = cutRound(pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
+      val e0 = cutRound(pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
         .union(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
         .distinct())
+      // rounds re-plan under a size-derived twin (count reads the cache)
+      val e = loopSession(s, e0.count())
+        .createDataFrame(e0.rdd, e0.schema)
       var labels = e.select(col("a").as("node")).distinct()
         .withColumn("lbl", col("node"))
       var labelsHandle: DataFrame = null
