@@ -61,9 +61,22 @@ object ClusterOps {
   /** (node, comp) labels for every endpoint of `edges`, where `comp` is the
     * smallest node id in the connected component. Self-loops are ignored;
     * edge direction is irrelevant. Deterministic (min-based throughout).
+    *
+    * NOTE: the converged edge set stays persisted so the returned (lazy)
+    * labels read the cache — callers that fully consume the result in one
+    * invocation should use [[connectedComponentsWithHandle]] and release
+    * the handle, or the cached table outlives the query.
     */
   def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
-                          maxIter: Int = 50): DataFrame = {
+                          maxIter: Int = 50): DataFrame =
+    connectedComponentsWithHandle(edges, aCol, bCol, maxIter)._1
+
+  /** [[connectedComponents]] plus the persisted handle of the converged
+    * edge set — unpersist it once the labels are consumed.
+    */
+  def connectedComponentsWithHandle(edges: DataFrame, aCol: String,
+                                    bCol: String,
+                                    maxIter: Int = 50): (DataFrame, DataFrame) = {
     val e0 = edges
       .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
       .filter(col("u") =!= col("v"))
@@ -140,9 +153,9 @@ object ClusterOps {
         s"connectedComponents did not converge in $maxIter rounds")
     // converged edge set is a star per component: (child, root) with
     // root = component min; add the root's own label row
-    cur.select(col("u").as("node"), col("v").as("comp"))
+    (cur.select(col("u").as("node"), col("v").as("comp"))
       .unionByName(cur.select(col("v").as("node"), col("v").as("comp")).distinct())
-      .distinct()
+      .distinct(), curHandle)
   }
 
   /** Fold a NEW batch of near-dup pairs into an EXISTING canonical-id

@@ -544,6 +544,11 @@ object PipelinePack extends QueryPack {
       import s.implicits._
       val words0 = cutRound(BpeOps.wordTable(docs(s, d), "text"))
       val (merges, _) = BpeOps.train(words0, 6)
+      // train() collected every per-step argmax — the cut is consumed;
+      // release it BEFORE returning so the next invocation recomputes
+      // from parquet (a lingering plan-keyed cache would silently serve
+      // later invocations — the r20 §3 CacheManager hazard)
+      words0.unpersist(false)
       merges.toDF("step", "t1", "t2", "pair_count")
     }),
 
@@ -556,6 +561,7 @@ object PipelinePack extends QueryPack {
       val dd = docs(s, d)
       val words0 = cutRound(BpeOps.wordTable(dd, "text"))
       val (merges, _) = BpeOps.train(words0, 6)
+      words0.unpersist(false) // consumed by train(); see q_bpe_train
       val words = dd.select(col("source"),
           explode(split(regexp_replace(lower(col("text")), "[^a-z ]", ""),
             " ")).as("w"))
@@ -638,12 +644,17 @@ object PipelinePack extends QueryPack {
           .groupBy(col("b").as("node"))
           .agg((lit(150000L) + expr("(85 * sum(c)) div 100")).as("s"))
       }
-      scores
-        .agg(graft.functions.TopK.bottomK(
-          struct(negate(col("s")).as("__o"), col("node"), col("s")), 10).as("__tk"))
-        .select(posexplode(col("__tk")).as(Seq("__p", "__r")))
-        .select((col("__p") + 1).cast("long").as("rank"),
-          col("__r.node").as("doc_id"), col("__r.s").as("score"))
+      // materialize + release the cuts before returning: the edge cuts'
+      // plans are deterministic, so a lingering cache would silently
+      // serve every later invocation (the r20 §3 CacheManager hazard)
+      finishAndUnpersist(
+        scores
+          .agg(graft.functions.TopK.bottomK(
+            struct(negate(col("s")).as("__o"), col("node"), col("s")), 10).as("__tk"))
+          .select(posexplode(col("__tk")).as(Seq("__p", "__r")))
+          .select((col("__p") + 1).cast("long").as("rank"),
+            col("__r.node").as("doc_id"), col("__r.s").as("score")),
+        e, ewd0)
     }),
 
     // synchronous min-label propagation (3 rounds) over the same capped
@@ -679,10 +690,14 @@ object PipelinePack extends QueryPack {
         labels = next
         labelsHandle = nextHandle
       }
-      labels.groupBy("lbl").agg(count(lit(1)).as("sz"))
-        .agg(count(lit(1)).as("n_clusters"), max(col("sz")).as("max_size"),
-          sum(col("lbl")).cast("long").as("label_checksum"),
-          sum(col("sz")).cast("long").as("n_nodes"))
+      // release the edge cut and the final round handle before returning
+      // (deterministic edge-cut plan — the r20 §3 CacheManager hazard)
+      finishAndUnpersist(
+        labels.groupBy("lbl").agg(count(lit(1)).as("sz"))
+          .agg(count(lit(1)).as("n_clusters"), max(col("sz")).as("max_size"),
+            sum(col("lbl")).cast("long").as("label_checksum"),
+            sum(col("sz")).cast("long").as("n_nodes")),
+        (e0 +: Option(labelsHandle).toSeq): _*)
     }),
 
     // triangle counting over the capped near-dup graph (the clustering-
@@ -703,10 +718,14 @@ object PipelinePack extends QueryPack {
         .filter(col("b1") < col("b2"))
       val tri = wedges.join(
         e.select(col("a").as("b1"), col("b").as("b2")), Seq("b1", "b2"))
-      tri.agg(count(lit(1)).as("n_triangles"),
-        countDistinct(col("a")).as("n_apex"),
-        sum(col("a") + col("b1") * 3 + col("b2") * 7).cast("long")
-          .as("tri_checksum"))
+      // release the edge cut before returning (deterministic plan — the
+      // r20 §3 CacheManager hazard)
+      finishAndUnpersist(
+        tri.agg(count(lit(1)).as("n_triangles"),
+          countDistinct(col("a")).as("n_apex"),
+          sum(col("a") + col("b1") * 3 + col("b2") * 7).cast("long")
+            .as("tri_checksum")),
+        e)
     }),
 
     "q_dedup_clusters" -> ((s, d) => {
@@ -716,9 +735,16 @@ object PipelinePack extends QueryPack {
       val pairs = TextOps.jaccardOnCandidates(
           TextOps.candidatePairs(bands, "doc_id", MaxBucket), sigs, "doc_id")
         .filter(col("jaccard") >= 0.5)
-      ClusterOps.connectedComponents(pairs, "doc_a", "doc_b")
-        .groupBy(col("comp").as("cluster_id"))
-        .agg(count(lit(1)).as("n_docs"), max(col("node")).as("max_doc"))
+      // materialize + release the CC's converged-round cache before
+      // returning (cached-table hygiene; the handle's plan is RDD-backed
+      // so there is no cross-invocation reuse, but it would leak one
+      // cached table per invocation)
+      val (labels, ccHandle) =
+        ClusterOps.connectedComponentsWithHandle(pairs, "doc_a", "doc_b")
+      finishAndUnpersist(
+        labels.groupBy(col("comp").as("cluster_id"))
+          .agg(count(lit(1)).as("n_docs"), max(col("node")).as("max_doc")),
+        ccHandle)
     }),
 
     // INCREMENTAL cluster identity: the near-dup pair set splits into an
@@ -754,10 +780,11 @@ object PipelinePack extends QueryPack {
           .select(col("doc_a"), col("doc_b")))
         pairs.filter((col("doc_a") + col("doc_b")) % 5 === 0)
           .write.mode("overwrite").parquet(s"$base/batch_pairs")
-        ClusterOps.connectedComponents(
-            pairs.filter((col("doc_a") + col("doc_b")) % 5 =!= 0),
-            "doc_a", "doc_b")
-          .write.mode("overwrite").parquet(s"$base/labels")
+        val (labels, ccHandle) = ClusterOps.connectedComponentsWithHandle(
+          pairs.filter((col("doc_a") + col("doc_b")) % 5 =!= 0),
+          "doc_a", "doc_b")
+        labels.write.mode("overwrite").parquet(s"$base/labels")
+        ccHandle.unpersist(false)
         pairs.unpersist(false)
         ()
       }
@@ -1655,17 +1682,21 @@ object PipelinePack extends QueryPack {
       val cl = c12.groupBy("w1").agg(sum(col("c")).as("cl"))
       val cr = c12.groupBy("w2").agg(sum(col("c")).as("cr"))
       val n = c12.agg(sum(col("c")).as("n"))
-      c12.filter(col("c") >= 10)
-        .join(cl, Seq("w1")).join(cr, Seq("w2")).crossJoin(broadcast(n))
-        .withColumn("pmi",
-          lnq(col("c")) + lnq(col("n")) - lnq(col("cl")) - lnq(col("cr")))
-        .agg(graft.functions.TopK.bottomK(
-          struct(negate(col("pmi")).as("__o"), col("w1"), col("w2"),
-            col("c"), col("pmi")), 15).as("__tk"))
-        .select(posexplode(col("__tk")).as(Seq("__p", "__r")))
-        .select((col("__p") + 1).cast("long").as("rank"),
-          col("__r.w1").as("w1"), col("__r.w2").as("w2"),
-          col("__r.c").as("c12"), col("__r.pmi").as("pmi"))
+      // release the bigram cut before returning (deterministic plan —
+      // the r20 §3 CacheManager hazard)
+      finishAndUnpersist(
+        c12.filter(col("c") >= 10)
+          .join(cl, Seq("w1")).join(cr, Seq("w2")).crossJoin(broadcast(n))
+          .withColumn("pmi",
+            lnq(col("c")) + lnq(col("n")) - lnq(col("cl")) - lnq(col("cr")))
+          .agg(graft.functions.TopK.bottomK(
+            struct(negate(col("pmi")).as("__o"), col("w1"), col("w2"),
+              col("c"), col("pmi")), 15).as("__tk"))
+          .select(posexplode(col("__tk")).as(Seq("__p", "__r")))
+          .select((col("__p") + 1).cast("long").as("rank"),
+            col("__r.w1").as("w1"), col("__r.w2").as("w2"),
+            col("__r.c").as("c12"), col("__r.pmi").as("pmi")),
+        c12)
     }),
 
     // ZIPF rank-frequency slope (the corpus-health diagnostic: natural
